@@ -1,13 +1,608 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Numeric determinism policy (100 TB stance): floating-point SUMs are
+  * order-dependent, so every aggregate over a double column goes
+  * through per-row fixed-point quantization (`round(x*100)` → int64
+  * "cents") and exact integer summation — bit-identical across
+  * engines, partition counts, and reduction orders. Doubles appear in
+  * outputs only as (a) per-row passthroughs or (b) single mirrored
+  * IEEE ops over exact integers (one divide, one sqrt), which are
+  * reproducible everywhere.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.table(s, dir, name)
+
+  /** Per-row fixed-point: dollars-ish double → exact integer cents. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** P2 mapping used by the event-normalization queries. */
+  private val stateMap = Map(
+    "click" -> "cleaning", "view" -> "idle", "purchase" -> "spot_cleaning",
+    "signup" -> "charging", "error" -> "error")
+
+  private val stateCaseSql =
+    """CASE lower(event_type)
+      | WHEN 'click' THEN 'cleaning' WHEN 'view' THEN 'idle'
+      | WHEN 'purchase' THEN 'spot_cleaning' WHEN 'signup' THEN 'charging'
+      | WHEN 'error' THEN 'error' ELSE 'unknown' END""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_daily_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — the Daily_Summary the reference declares but never computes
+    // (pipeline.py:307): per-day count/sum/avg.
+    "q01_daily_summary" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("total_value_cents"))
+        .withColumn("avg_value",
+          col("total_value_cents").cast("double") / 100.0 / col("n_events"))
+    }),
+
+    // S1/P2/P3/C8/C9 — scan + normalize: enum mapping, null-default,
+    // string/int casts, regex extraction from the props payload.
+    "q02_normalize" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        concat(lit("dev_"), col("user_id")).as("device_name"),
+        Normalize.normalizeEnum(col("event_type"), stateMap, "unknown").as("state"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("int").as("k_value"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+    }),
+
+    // C1/C2 — unit conversions with HALF_UP rounding parity.
+    "q03_unit_conversions" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        Normalize.secToMin(col("value")).as("minutes"),
+        Normalize.cm2ToM2(col("value")).as("area_m2"),
+        (col("value") / 60).as("raw_minutes"))
+    }),
+
+    // F1/C5 — case-insensitive state-membership filter + count per key.
+    "q04_state_filter" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("state",
+          Normalize.normalizeEnum(col("event_type"), stateMap, "unknown"))
+        .filter(Normalize.isCleaning(col("state")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_active"))
+    }),
+
+    // F3 — completion-edge detection via lag window (batch twin of the
+    // reference's keyed previous-state compare, pipeline.py:150-154).
+    "q05_edge_detect" -> ((s, dir) => {
+      Sessionize.edges(t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+        .filter(col("prev_event_type") === "click" && col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          col("prev_event_type").as("prev_type"), col("event_type").as("cur_type"))
+    }),
+
+    // T2 batch analog — gap-based sessionization + per-session stats.
+    "q06_sessionize" -> ((s, dir) => {
+      Sessionize.gapSessions(t(s, dir, "events"), "user_id", "ts", "event_id", 3600)
+        .withColumn("ep", unix_timestamp(col("ts")))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ep")).as("start_s"),
+          max(col("ep")).as("end_s"))
+        .withColumn("duration_s", col("end_s") - col("start_s"))
+    }),
+
+    // F4/C6 — monotonic-counter delta with max(0, ·) clamp.
+    "q07_delta_clamp" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("c", cents(col("value")))
+        .withColumn("delta_cents",
+          greatest(lit(0L), col("c") - coalesce(lag(col("c"), 1).over(w), col("c"))))
+        .select(col("user_id"), col("event_id"), col("delta_cents"))
+    }),
+
+    // F5 — timestamp-watermark incremental filter.
+    "q08_watermark_filter" -> ((s, dir) => {
+      Incremental.afterWatermark(t(s, dir, "events"), "ts",
+          to_timestamp(lit("2024-01-15 00:00:00")))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // L2/S6 — newest record per key (row_number window, rank 1).
+    "q09_latest_per_key" -> ((s, dir) => {
+      Incremental.newestPerKey(t(s, dir, "events"), "user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // L1/L3 — global top-k with deterministic tie-break.
+    "q10_topk_global" -> ((s, dir) => {
+      t(s, dir, "events")
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(100)
+        .select(col("event_id"), col("value"))
+    }),
+
+    // J1/F4 — state-snapshot join (broadcast) + clamped new-work delta.
+    "q11_state_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val cur = e.groupBy(col("user_id")).agg(count(lit(1)).as("cur_n"))
+      val st = e.filter(col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("last_count"))
+      Incremental.stateDelta(cur, st, "user_id", "cur_n", "last_count")
+        .select(col("user_id"), col("cur_n"), col("last_n"), col("new_n"))
+    }),
+
+    // A2 — lifetime totals per key (consistency check the reference lacks).
+    "q12_lifetime_totals" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("total_cents"),
+          max(cents(col("value"))).as("max_cents"))
+    }),
+
+    // Rollup — day→month→year subtotal hierarchy (README.md:254 idea).
+    "q13_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .rollup(year(col("ts")).as("y"), month(col("ts")).as("m"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("total_cents"))
+    }),
+
+    // J2 — as-of join: latest 'error' at or before each 'purchase'.
+    "q14_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+      val errors = e.filter(col("event_type") === "error")
+      Incremental.asOfJoin(purchases, errors, "user_id", "ts", "event_id", "last_error_ts")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("last_error_ts")).as("last_error_s"))
+    }),
+
+    // Multi-table equi-join with broadcast dims — revenue per region.
+    "q15_region_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+    }),
+
+    // TPC-H Q1-shaped pricing summary (flagship wide aggregate).
+    "q16_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= to_timestamp(lit("1997-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")))).as("sum_charge_cents"))
+        .withColumn("avg_qty",
+          col("sum_qty_cents").cast("double") / 100.0 / col("n"))
+    }),
+
+    // Exact dedup — canonical survivor (min id) per identical text.
+    "q17_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // MinHash LSH bands (K=16, r=4, 3-word shingles).
+    "q18_minhash_bands" -> ((s, dir) => {
+      Dedup.minhashBands(
+        Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", 16, 3),
+        "doc_id", 16, 4)
+    }),
+
+    // Candidate near-dup pairs from the LSH bands.
+    "q19_minhash_candidates" -> ((s, dir) => {
+      Dedup.minhashCandidates(
+        Dedup.minhashBands(
+          Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", 16, 3),
+          "doc_id", 16, 4),
+        "doc_id")
+    }),
+
+    // Exact n-gram Jaccard over a bounded id range (brute-force oracle).
+    "q20_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 60), "doc_id", "text", 3, 0.05)
+    }),
+
+    // 32-bit SimHash per document.
+    "q21_simhash" -> ((s, dir) => {
+      Dedup.simhash32(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Brute-force cosine top-k (exact-integer scoring).
+    "q22_knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10)
+    }),
+
+    // SRP-LSH ANN (scale path; no SQL oracle — rows-only check).
+    "q23_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", 10, planes = 6, dim = 64)
+    }),
+
+    // Language-ID confusion counts (stopword-marker heuristic).
+    "q24_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Quality signals per document.
+    "q25_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("q", TextFunctions.qualitySignals(col("text")))
+        .select(col("doc_id"), col("q.n_chars").as("n_chars"),
+          col("q.n_tokens").as("n_tokens"),
+          col("q.mean_token_len").as("mean_token_len"),
+          col("q.punct_ratio").as("punct_ratio"),
+          col("q.stopword_ratio").as("stopword_ratio"))
+    }),
+
+    // Token statistics per source (whitespace + word-piece counts).
+    "q26_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(TextFunctions.wordPieceCount(col("text")).cast("long")).as("n_pieces"))
+    }),
+
+    // Order-invariant document fingerprint.
+    "q27_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.sortedTokenFingerprint(col("text")).as("fp"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** DuckDB-runnable ANSI SQL twins. Column names AND types are mirrored
+    * (BIGINT for counts/sums, explicit casts where DuckDB widens). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_daily_summary" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_value_cents
+        |  FROM events GROUP BY 1)
+        |SELECT day, n_events, total_value_cents,
+        |       CAST(total_value_cents AS DOUBLE)/100.0/n_events AS avg_value
+        |FROM d""".stripMargin,
+
+    "q02_normalize" ->
+      s"""SELECT event_id,
+         |  'dev_' || CAST(user_id AS VARCHAR) AS device_name,
+         |  $stateCaseSql AS state,
+         |  CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k_value,
+         |  coalesce(value, 0.0) AS value
+         |FROM events""".stripMargin,
+
+    "q03_unit_conversions" ->
+      """SELECT event_id, round(value/60, 1) AS minutes,
+        |       round(value/10000, 2) AS area_m2, value/60 AS raw_minutes
+        |FROM events""".stripMargin,
+
+    "q04_state_filter" ->
+      s"""SELECT user_id, count(*) AS n_active
+         |FROM (SELECT user_id, $stateCaseSql AS state FROM events)
+         |WHERE lower(state) IN ('cleaning','segment_cleaning','zone_cleaning',
+         |                       'spot_cleaning','segmentcleaning')
+         |GROUP BY user_id""".stripMargin,
+
+    "q05_edge_detect" ->
+      """SELECT user_id, event_id, prev_type, cur_type FROM (
+        |  SELECT user_id, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |         event_type AS cur_type
+        |  FROM events)
+        |WHERE prev_type = 'click' AND cur_type = 'error'""".stripMargin,
+
+    "q06_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, (epoch_us(ts) // 1000000) AS ep
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, ts, ep,
+        |         lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, event_id, ts, ep,
+        |         CASE WHEN prev_ep IS NULL OR ep - prev_ep > 3600 THEN 1 ELSE 0 END AS st
+        |  FROM y),
+        |w AS (
+        |  SELECT user_id, ep,
+        |         CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        |  FROM z)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       CAST(min(ep) AS BIGINT) AS start_s, CAST(max(ep) AS BIGINT) AS end_s,
+        |       CAST(max(ep) - min(ep) AS BIGINT) AS duration_s
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q07_delta_clamp" ->
+      """SELECT user_id, event_id,
+        |       CAST(greatest(0, c - coalesce(lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id), c)) AS BIGINT) AS delta_cents
+        |FROM (SELECT user_id, event_id, ts, CAST(round(value*100) AS BIGINT) AS c FROM events)""".stripMargin,
+
+    "q08_watermark_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+
+    "q09_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "q10_topk_global" ->
+      """SELECT event_id, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 100""".stripMargin,
+
+    "q11_state_join" ->
+      """WITH cur AS (SELECT user_id, count(*) AS cur_n FROM events GROUP BY 1),
+        |st AS (SELECT user_id, count(*) AS last_count FROM events
+        |       WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1)
+        |SELECT c.user_id, c.cur_n,
+        |       coalesce(s.last_count, 0) AS last_n,
+        |       greatest(0, c.cur_n - coalesce(s.last_count, 0)) AS new_n
+        |FROM cur c LEFT JOIN st s USING (user_id)""".stripMargin,
+
+    "q12_lifetime_totals" ->
+      """SELECT user_id, count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |       CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q13_rollup" ->
+      """SELECT CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY ROLLUP (1, 2)""".stripMargin,
+
+    "q14_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |       (SELECT CAST(max(epoch_us(e.ts) // 1000000) AS BIGINT) FROM events e
+        |        WHERE e.event_type = 'error' AND e.user_id = p.user_id AND e.ts <= p.ts)
+        |         AS last_error_s
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+
+    "q15_region_revenue" ->
+      """SELECT r_name, count(*) AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q16_pricing_summary" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, n, sum_qty_cents, sum_price_cents,
+        |       sum_disc_price_cents, sum_charge_cents,
+        |       CAST(sum_qty_cents AS DOUBLE)/100.0/n AS avg_qty
+        |FROM a""".stripMargin,
+
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q18_minhash_bands" -> minhashBandsSql,
+
+    "q19_minhash_candidates" ->
+      s"""WITH bands AS ($minhashBandsSql)
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |FROM bands l JOIN bands r
+         |  ON l.band_id = r.band_id AND l.band_key = r.band_key
+         |WHERE l.doc_id < r.doc_id""".stripMargin,
+
+    "q20_jaccard_pairs" ->
+      """WITH sets AS (
+        |  SELECT doc_id, list_distinct(sh) AS sh FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_transform(generate_series(0, len(w)-3),
+        |                  i -> array_to_string(list_slice(w, i+1, i+3), ' ')) END AS sh
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+        |          FROM documents WHERE doc_id < 60)))
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |       CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+        |         / CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
+        |FROM sets l, sets r
+        |WHERE l.doc_id < r.doc_id
+        |  AND len(list_distinct(list_concat(l.sh, r.sh))) > 0
+        |  AND CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) >= 0.05""".stripMargin,
+
+    "q21_simhash" -> simhashSql,
+
+    "q22_knn_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |         list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id,
+        |         list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS cv
+        |  FROM embeddings),
+        |n1 AS (SELECT query_id, qv,
+        |         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*qv[i])) AS BIGINT) AS qn
+        |       FROM q),
+        |n2 AS (SELECT neighbor_id, cv,
+        |         CAST(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]*cv[i])) AS BIGINT) AS cn
+        |       FROM c),
+        |sc AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*cv[i])) AS BIGINT) AS dot,
+        |         qn, cn
+        |  FROM n1, n2 WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim
+        |  FROM sc),
+        |k AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM r)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
+        |FROM k WHERE rank <= 10""".stripMargin,
+
+    "q24_lang_id" -> langIdSql,
+
+    "q25_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(w) AS INTEGER) AS n_tokens,
+        |  CASE WHEN len(w) > 0
+        |       THEN CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+        |       ELSE 0.0 END AS mean_token_len,
+        |  CASE WHEN length(text) > 0
+        |       THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |       ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN len(w) > 0
+        |       THEN CAST(len(list_filter(w, t -> list_contains([STOPWORDS], t))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+        |       ELSE 0.0 END AS stopword_ratio
+        |FROM (SELECT doc_id, text,
+        |        list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+        |      FROM documents)""".stripMargin
+        .replace("STOPWORDS", allStopwordsSqlList),
+
+    "q26_token_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0))) AS BIGINT) AS n_pieces
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q27_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0))), ' ')) AS fp
+        |FROM documents""".stripMargin
+  )
+
+  // --------------------------------------------------- generated oracle SQL
+
+  /** Shared CTE text: tokens → 3-shingles → 16 md5-minhash values →
+    * 4 bands of 4 (mirrors Dedup.minhashSignatures/minhashBands). */
+  private lazy val minhashBandsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_transform(generate_series(0, len(w)-3),
+      |                i -> array_to_string(list_slice(w, i+1, i+3), ' ')) END) AS s
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, 16), k ->
+      |      list_min(list_transform(s, x ->
+      |        CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || x), 1, 15)) AS BIGINT)))) AS sig
+      |  FROM sh WHERE len(s) > 0)
+      |SELECT doc_id, CAST(b AS INTEGER) AS band_id,
+      |       md5(array_to_string(list_slice(sig, b*4+1, b*4+4), ',')) AS band_key
+      |FROM sig, UNNEST(generate_series(0, 3)) AS u(b)""".stripMargin
+
+  /** 32-bit SimHash: generated bit-by-bit to mirror Dedup.simhash32. */
+  private lazy val simhashSql: String = {
+    val bitTerms = (0 until 32).map { b =>
+      s"""(CASE WHEN coalesce(list_sum(list_transform(hs,
+         |   x -> CASE WHEN (x >> $b) % 2 = 1 THEN 1 ELSE -1 END)), 0) >= 0
+         | THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+       |FROM (
+       |  SELECT doc_id, list_transform(
+       |    list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)),
+       |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+       |  FROM documents)""".stripMargin
+  }
+
+  /** `['a', 'b', ...]` — DuckDB list literal (lambda bodies reject IN
+    * lists, so membership goes through list_contains). */
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
+
+  private lazy val allStopwordsSqlList: String =
+    TextFunctions.langMarkers.flatMap(_._2).distinct
+      .map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+
+  /** Language-ID argmax with (hits desc, lang asc) tie-break, mirrored
+    * as a CASE chain over languages in ascending code order. */
+  private lazy val langIdSql: String = {
+    val langs = TextFunctions.langMarkers.sortBy(_._1)
+    val scoreCols = langs.map { case (lang, words) =>
+      s"len(list_filter(w, t -> list_contains(${sqlList(words)}, t))) AS s_$lang"
+    }.mkString(",\n         ")
+    val maxExpr = langs.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+    val caseChain = langs.map { case (lang, _) =>
+      s"WHEN s_$lang = mx THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |         list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |         $scoreCols
+       |  FROM toks),
+       |best AS (
+       |  SELECT doc_id, lang, $maxExpr AS mx,
+       |         s_de, s_en, s_es, s_fr, s_zh
+       |  FROM scored)
+       |SELECT lang, pred_lang, count(*) AS n FROM (
+       |  SELECT lang,
+       |         CASE WHEN mx = 0 THEN 'und' $caseChain ELSE 'und' END AS pred_lang
+       |  FROM best)
+       |GROUP BY 1, 2""".stripMargin
+  }
 }

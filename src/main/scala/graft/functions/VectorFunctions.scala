@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives over `array<float>` columns.
+  *
+  * Everything routes through fixed-point quantization (×1e6, round,
+  * int64): dot products and norms then become EXACT integer arithmetic
+  * — bit-identical across engines, partitionings, and reduction orders,
+  * which is what makes similarity results reproducible on a 1000-node
+  * cluster (float summation order is not). The only floating ops are
+  * the final divide/sqrt, which are single IEEE operations.
+  */
+object VectorFunctions {
+
+  val Scale = 1000000L
+
+  /** array<float> → array<long>, fixed-point. Cast to double first so
+    * the multiply is exact-widened before rounding. */
+  def quantize(vec: Column): Column =
+    transform(vec, e => round(e.cast("double") * Scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared norm of a quantized vector. */
+  def normSqQ(a: Column): Column = dotQ(a, a)
+
+  /** Cosine similarity from quantized ints: one divide over two sqrts —
+    * deterministic given the exact integer inputs. */
+  def cosineQ(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast("double") /
+      (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
+
+  /** Deterministic ±1 hyperplane weights for sign-random-projection:
+    * parity of md5(s"$seed:$plane:$dim"). Computed driver-side once and
+    * embedded as literals — no per-row hashing, and the DuckDB oracle
+    * can embed the identical constants. */
+  def srpWeights(planes: Int, dim: Int, seed: String): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (0 until dim).map { d =>
+        val h = md.digest(s"$seed:$p:$d".getBytes("UTF-8"))
+        if ((h(15) & 1) == 0) 1L else -1L
+      }
+    }
+  }
+
+  /** Sign-random-projection bucket (LSH for cosine): sign bit per
+    * hyperplane, packed into a long in [0, 2^planes). Exact integer
+    * arithmetic on the quantized vector. */
+  def srpBucket(qvec: Column, weights: Seq[Seq[Long]]): Column = {
+    val bits = weights.zipWithIndex.map { case (w, p) =>
+      val proj = dotQ(qvec, typedlit(w))
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

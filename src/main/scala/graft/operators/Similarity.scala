@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Scale design: the query set is the small side — always broadcast, so
+  * brute force is a map-side cross product (no shuffle of the corpus)
+  * followed by a top-k window on the query key. The SRP-LSH variant
+  * replaces the cross product with an equi-join on a bucket id, cutting
+  * compared pairs by ~2^planes while reusing the same exact-integer
+  * scoring. All arithmetic is quantized-int (see VectorFunctions), so
+  * results are bit-stable across partitionings and engines.
+  */
+object Similarity {
+
+  /** Pre-compute quantized vector + squared norm. Map-only. */
+  def prepare(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = quantize(col(vecCol))
+    df.select(col(idCol), q.as("qvec")).withColumn("nsq", normSqQ(col("qvec")))
+  }
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows (self excluded), ranked by (similarity desc, id asc). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = prepare(corpus, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+      .withColumnRenamed("qvec", "c_qvec").withColumnRenamed("nsq", "c_nsq")
+    val q = prepare(queries, idCol, vecCol)
+      .withColumnRenamed(idCol, "query_id")
+    score(q, c, k)
+  }
+
+  /** SRP-LSH ANN: bucket corpus and queries by sign-random-projection,
+    * join on the bucket id, then top-k within the bucket. Recall < 1 by
+    * construction; `planes` trades recall for cost. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int,
+      dim: Int,
+      seed: String = "graft-srp"): DataFrame = {
+    val w = srpWeights(planes, dim, seed)
+    val c = prepare(corpus, idCol, vecCol)
+      .withColumn("bucket", srpBucket(col("qvec"), w))
+      .withColumnRenamed(idCol, "neighbor_id")
+      .withColumnRenamed("qvec", "c_qvec").withColumnRenamed("nsq", "c_nsq")
+    val q = prepare(queries, idCol, vecCol)
+      .withColumn("bucket", srpBucket(col("qvec"), w))
+      .withColumnRenamed(idCol, "query_id")
+    score(q, c, k, joinKeys = Seq("bucket"))
+  }
+
+  private def score(q: DataFrame, c: DataFrame, k: Int,
+      joinKeys: Seq[String] = Nil): DataFrame = {
+    val joined =
+      if (joinKeys.isEmpty) broadcast(q).crossJoin(c)
+      else c.join(broadcast(q), joinKeys)
+    val scored = joined
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotQ(col("qvec"), col("c_qvec")))
+      .withColumn("sim", cosineQ(col("dot"), col("nsq"), col("c_nsq")))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+}
