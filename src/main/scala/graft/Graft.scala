@@ -27,7 +27,7 @@ object Graft {
     spark
   }
 
-  def defaultCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+  def defaultCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
   /** Driver-generated synthetic tables (TESTDATA.md). */
   val tableNames: Seq[String] = Seq(

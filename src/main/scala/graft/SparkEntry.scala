@@ -530,27 +530,35 @@ object SparkEntry {
 
   // --------------------------------------------------- generated oracle SQL
 
-  /** Shared CTE text: tokens → 3-shingles → 16 md5-minhash values →
-    * 4 bands of 4 (mirrors Dedup.minhashSignatures/minhashBands). */
-  private lazy val minhashBandsSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(
-      |    CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
-      |         ELSE list_transform(generate_series(0, len(w)-3),
-      |                i -> array_to_string(list_slice(w, i+1, i+3), ' ')) END) AS s
-      |  FROM toks),
-      |sig AS (
-      |  SELECT doc_id,
-      |    list_transform(generate_series(1, 16), k ->
-      |      list_min(list_transform(s, x ->
-      |        CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || x), 1, 15)) AS BIGINT)))) AS sig
-      |  FROM sh WHERE len(s) > 0)
-      |SELECT doc_id, CAST(b AS INTEGER) AS band_id,
-      |       md5(array_to_string(list_slice(sig, b*4+1, b*4+4), ',')) AS band_key
-      |FROM sig, UNNEST(generate_series(0, 3)) AS u(b)""".stripMargin
+  /** Shared CTE text: tokens → 3-shingles → one 48-bit md5 per shingle
+    * → 16 affine minhash values → 4 bands of 4 (mirrors
+    * Dedup.minhashSignatures/minhashBands, same (a,b,p) constants). */
+  private lazy val minhashBandsSql: String = {
+    val p = graft.operators.Dedup.MinhashP
+    val sigExprs = graft.operators.Dedup.minhashParams(16).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $p))"
+    }.mkString(",\n      ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_transform(generate_series(0, len(w)-3),
+       |                i -> array_to_string(list_slice(w, i+1, i+3), ' ')) END) AS s
+       |  FROM toks),
+       |hsh AS (
+       |  SELECT doc_id, list_transform(s, x ->
+       |    CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT) % $p) AS hs
+       |  FROM sh WHERE len(s) > 0),
+       |sig AS (
+       |  SELECT doc_id, list_value(
+       |      $sigExprs) AS sig
+       |  FROM hsh)
+       |SELECT doc_id, CAST(b AS INTEGER) AS band_id,
+       |       md5(array_to_string(list_slice(sig, b*4+1, b*4+4), ',')) AS band_key
+       |FROM sig, UNNEST(generate_series(0, 3)) AS u(b)""".stripMargin
+  }
 
   /** 32-bit SimHash: generated bit-by-bit to mirror Dedup.simhash32. */
   private lazy val simhashSql: String = {

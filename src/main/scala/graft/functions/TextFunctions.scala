@@ -30,6 +30,14 @@ object TextFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** 48-bit stable hash (first 12 hex chars of md5). Used as the ONE
+    * per-shingle digest from which K minhash values are derived by
+    * cheap affine maps — 16× fewer md5 calls than hashing (k, shingle)
+    * pairs. 48 bits is ample below ~10M distinct shingles per doc set;
+    * the 100 TB path widens to hash60. */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
   /** Word-shingles of size n (space-joined), for MinHash / Jaccard. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -22,22 +22,45 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: K independent permutations approximated by
-    * md5(k:shingle); signature = per-k min over the doc's shingle set.
-    * Map-only (higher-order functions, no explode). */
+  /** Modulus for the affine minhash family — prime, ~2^30, so
+    * a*h + b stays far inside int64 for h < p. */
+  val MinhashP: Long = 1000000007L
+
+  /** Deterministic affine-family constants (a_k, b_k), derived from
+    * md5 driver-side and embedded as literals in both the Spark plan
+    * and the DuckDB oracle SQL. a_k ∈ [1, p-1], b_k ∈ [0, p-1]. */
+  def minhashParams(k: Int, seed: String = "graft-minhash"): Seq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      (0 until 6).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+    }
+    (0 until k).map { i =>
+      (h48(s"$seed:a:$i") % (MinhashP - 1) + 1, h48(s"$seed:b:$i") % MinhashP)
+    }
+  }
+
+  /** MinHash signatures: K independent "permutations" = affine maps
+    * (a_k·h + b_k) mod p over ONE 48-bit md5 per shingle; signature =
+    * per-k min over the doc's shingle set. Map-only (higher-order
+    * functions, no explode), and only |shingles| md5 calls per doc
+    * rather than K×|shingles|. */
   def minhashSignatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       k: Int,
       shingleSize: Int): DataFrame = {
-    val sh = array_distinct(shingles(col(textCol), shingleSize))
-    val sig = transform(sequence(lit(1), lit(k)),
-      ki => array_min(transform(sh, s => hash60(concat_ws(":", ki, s)))))
+    val params = minhashParams(k)
+    val hs = transform(array_distinct(shingles(col(textCol), shingleSize)),
+      s => hash48(s) % MinhashP)
+    val sig = array(params.map { case (a, b) =>
+      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MinhashP))
+    }: _*)
     // Docs too short to shingle have no signature — drop, not bucket-collide.
-    docs.select(col(idCol), sh.as("sh"), sig.as("sig"))
-      .filter(size(col("sh")) > 0)
-      .drop("sh")
+    docs.select(col(idCol), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol), sig.as("sig"))
   }
 
   /** LSH bands: split the K-long signature into bands of `rowsPerBand`
@@ -52,14 +75,23 @@ object Dedup {
       .select(col(idCol), col("band.band_id"), col("band.band_key"))
   }
 
-  /** Candidate near-dup pairs: self-join on (band_id, band_key),
-    * distinct (a < b). The join shuffles on the band key only. */
+  /** Candidate near-dup pairs: group docs by (band_id, band_key) and
+    * emit all in-bucket pairs (a < b), then distinct across bands.
+    * ONE shuffle on the band key and ONE signature computation — a
+    * self-join would shuffle and compute the signature subtree twice.
+    * Per-bucket work is quadratic in bucket size, which LSH keeps
+    * small by construction (hot buckets = genuine duplicate clusters).
+    */
   def minhashCandidates(bands: DataFrame, idCol: String): DataFrame = {
-    val l = bands.select(col("band_id"), col("band_key"), col(idCol).as("a"))
-    val r = bands.select(col("band_id"), col("band_key"), col(idCol).as("b"))
-    l.join(r, Seq("band_id", "band_key"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val ids = sort_array(collect_list(col(idCol)))
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("a"), y.as("b")))))
+    bands.groupBy(col("band_id"), col("band_key"))
+      .agg(ids.as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairs).as("p"))
+      .select(col("p.a"), col("p.b")).distinct()
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates verified by exact
