@@ -1,0 +1,322 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (with `doGenCode`) for the two hot
+  * loops that Spark's built-in surface can only express via
+  * interpreted higher-order-function lambdas: the K-way MinHash
+  * reduction and stopword-table language scoring. Both stay inside
+  * whole-stage codegen; per-element work is a plain Java loop instead
+  * of a per-lambda expression-tree walk (~30× less overhead measured
+  * at sf0.1).
+  */
+object GraftExpressions {
+
+  /** `minhashSig(hs)`: given the array of per-shingle base hashes,
+    * compute the K-long signature `min_k((a_k*h + b_k) mod p)` in one
+    * pass. Inputs must already be in [0, p). */
+  case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = MinHashSig.compute(arr, as, bs, p)
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+      val out = ctx.freshName("mhOut")
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |long[] $out = graft.functions.GraftExpressions.MinHashSig$$.MODULE$$
+           |  .compute($c, $asRef, $bsRef, ${p}L);
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  object MinHashSig {
+    /** Shared by eval and codegen: tight primitive loop, no boxing. */
+    def compute(arr: ArrayData, as: Array[Long], bs: Array[Long], p: Long): Array[Long] = {
+      val k = as.length
+      val out = new Array[Long](k)
+      java.util.Arrays.fill(out, p)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * h + bs(j)) % p
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** `langId(tokens)`: argmax language by stopword-marker hits with
+    * (hits desc, lang asc) tie-break; zero hits ⇒ "und". Token→lang
+    * lookups go through a prebuilt hash map (a token may mark several
+    * languages, e.g. "la" in both es and fr). */
+  case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
+      extends UnaryExpression {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "lang_id"
+
+    // Languages in ascending code order = tie-break order.
+    @transient private lazy val langs: Array[UTF8String] =
+      markers.map(_._1).sorted.map(UTF8String.fromString).toArray
+    @transient private lazy val table: java.util.HashMap[UTF8String, Array[Int]] = {
+      val sortedLangs = markers.map(_._1).sorted
+      val idx = sortedLangs.zipWithIndex.toMap
+      val m = new java.util.HashMap[UTF8String, Array[Int]]()
+      markers.foreach { case (lang, words) =>
+        words.foreach { w =>
+          val key = UTF8String.fromString(w)
+          val prev = Option(m.get(key)).getOrElse(Array.empty[Int])
+          m.put(key, prev :+ idx(lang))
+        }
+      }
+      m
+    }
+    @transient private lazy val und = UTF8String.fromString("und")
+
+    def score(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](langs.length)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val hit = table.get(arr.getUTF8String(i))
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+        }
+        i += 1
+      }
+      var best = -1
+      var bestHits = 0
+      var j = 0
+      while (j < counts.length) {
+        if (counts(j) > bestHits) { bestHits = counts(j); best = j }
+        j += 1
+      }
+      if (best < 0) und else langs(best)
+    }
+
+    override def nullSafeEval(input: Any): Any = score(input)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("langIdExpr", this,
+        "graft.functions.GraftExpressions.LangId")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.score($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): LangId =
+      copy(child = newChild)
+  }
+
+  /** Thread-local MD5 (codegen'd expression instances share the
+    * references array across executor task threads). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val SpaceByte = Array[Byte](' ')
+
+  /** `minhashTokens(toks)`: word-shingles of `shingleSize` → 48-bit
+    * md5 prefix mod p per shingle → K-way affine min signature, all in
+    * one native pass. Semantics identical to
+    * `hash48(concat_ws(" ", slice(toks, i, n))) % p` + [[MinHashSig]]
+    * (duplicate shingles cannot change a min, so no distinct pass is
+    * needed). Fewer than `shingleSize` tokens ⇒ empty array. */
+  case class MinHashFromTokens(
+      child: Expression, shingleSize: Int, as: Array[Long], bs: Array[Long], p: Long)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_tokens"
+
+    def compute(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val k = as.length
+      if (n < shingleSize) return new GenericArrayData(Array.empty[Long])
+      val out = new Array[Long](k)
+      java.util.Arrays.fill(out, p)
+      val md = md5Local.get()
+      var i = 0
+      while (i <= n - shingleSize) {
+        md.reset()
+        var t = 0
+        while (t < shingleSize) {
+          if (t > 0) md.update(SpaceByte)
+          md.update(toks.getUTF8String(i + t).getBytes)
+          t += 1
+        }
+        val d = md.digest()
+        // First 12 hex chars of the digest = first 6 bytes, big-endian.
+        var h = 0L
+        var b = 0
+        while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h %= p
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * h + bs(j)) % p
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("mhExpr", this,
+        "graft.functions.GraftExpressions.MinHashFromTokens")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+           |  $ref.compute($c);""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashFromTokens =
+      copy(child = newChild)
+  }
+
+  /** `simhash(toks, bits)`: per-bit majority vote over the 60-bit md5
+    * prefixes of the DISTINCT token strings (string-distinct first —
+    * two distinct tokens colliding to one hash must still vote twice,
+    * mirroring the SQL oracle's list_distinct-then-hash order). */
+  case class SimHashFromTokens(child: Expression, bits: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash"
+
+    def compute(input: Any): Long = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val seen = new java.util.HashSet[UTF8String]()
+      val votes = new Array[Int](bits)
+      val md = md5Local.get()
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        if (seen.add(t)) {
+          md.reset()
+          md.update(t.getBytes)
+          val d = md.digest()
+          // First 15 hex chars = 60 bits: 7 bytes + high nibble of the 8th.
+          var h = 0L
+          var b = 0
+          while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+          h = (h << 4) | ((d(7) >> 4) & 0xfL)
+          var j = 0
+          while (j < bits) {
+            if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < bits) { if (votes(j) >= 0) out |= (1L << j); j += 1 }
+      out
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shExpr", this,
+        "graft.functions.GraftExpressions.SimHashFromTokens")
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SimHashFromTokens =
+      copy(child = newChild)
+  }
+
+  /** `selfPairs(ids)`: all (a, b) combinations with a < b positionally
+    * from a sorted id array — candidate-pair expansion inside one
+    * bucket, natively. */
+  case class SelfPairs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("b", LongType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "self_pairs"
+
+    def compute(input: Any): Any = {
+      val ids = input.asInstanceOf[ArrayData]
+      val n = ids.numElements()
+      val out = new Array[Any]((n.toLong * (n - 1) / 2).toInt)
+      var w = 0
+      var i = 0
+      while (i < n) {
+        val a = ids.getLong(i)
+        var j = i + 1
+        while (j < n) {
+          out(w) = org.apache.spark.sql.catalyst.InternalRow(a, ids.getLong(j))
+          w += 1
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("spExpr", this,
+        "graft.functions.GraftExpressions.SelfPairs")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+           |  $ref.compute($c);""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SelfPairs =
+      copy(child = newChild)
+  }
+
+  def minhashSig(hs: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
+    GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(hs), as, bs, p))
+
+  def minhashFromTokens(
+      toks: Column, shingleSize: Int,
+      as: Array[Long], bs: Array[Long], p: Long): Column =
+    GraftSqlBridge.column(
+      MinHashFromTokens(GraftSqlBridge.expression(toks), shingleSize, as, bs, p))
+
+  def simhashFromTokens(toks: Column, bits: Int): Column =
+    GraftSqlBridge.column(SimHashFromTokens(GraftSqlBridge.expression(toks), bits))
+
+  def selfPairs(ids: Column): Column =
+    GraftSqlBridge.column(SelfPairs(GraftSqlBridge.expression(ids)))
+
+  def langIdFast(tokens: Column, markers: Seq[(String, Seq[String])]): Column =
+    GraftSqlBridge.column(LangId(GraftSqlBridge.expression(tokens), markers))
+}

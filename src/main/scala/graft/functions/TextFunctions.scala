@@ -69,21 +69,8 @@ object TextFunctions {
     * code ascending; zero hits everywhere ⇒ "und". Pure expression —
     * scores land in a struct array sorted descending by (hits, -lang).
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = langMarkers.map { case (lang, words) =>
-      struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
-    }
-    val best = array_sort(
-      array(scored: _*),
-      (a, b) => when(a("hits") > b("hits"), -1)
-        .when(a("hits") < b("hits"), 1)
-        .when(a("lang") < b("lang"), -1)
-        .when(a("lang") > b("lang"), 1)
-        .otherwise(0)
-    ).getItem(0)
-    when(best("hits") > 0, best("lang")).otherwise(lit("und"))
-  }
+  def langId(text: Column): Column =
+    GraftExpressions.langIdFast(tokens(text), langMarkers)
 
   /** Quality signals: char count, token count, mean token length,
     * punctuation ratio, stopword ratio — combined into a [0,1]-ish

@@ -52,27 +52,35 @@ object Dedup {
       k: Int,
       shingleSize: Int): DataFrame = {
     val params = minhashParams(k)
-    val hs = transform(array_distinct(shingles(col(textCol), shingleSize)),
-      s => hash48(s) % MinhashP)
-    val sig = array(params.map { case (a, b) =>
-      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MinhashP))
-    }: _*)
+    // Whole shingle→hash→K-way-min pipeline in one codegen'd pass
+    // (custom expression): the HOF formulation re-walks an interpreted
+    // lambda tree per (k, shingle) and md5s each shingle through a
+    // per-element expression eval — ~20× slower measured at sf0.1.
+    val sig = graft.functions.GraftExpressions.minhashFromTokens(
+      col("toks"), shingleSize,
+      params.map(_._1).toArray, params.map(_._2).toArray, MinhashP)
     // Docs too short to shingle have no signature — drop, not bucket-collide.
-    docs.select(col(idCol), hs.as("hs"))
-      .filter(size(col("hs")) > 0)
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
       .select(col(idCol), sig.as("sig"))
   }
 
   /** LSH bands: split the K-long signature into bands of `rowsPerBand`
-    * and emit (band_id, band_key) per doc — the bucket-join key. */
+    * and emit (band_id, band_key) per doc — the bucket-join key.
+    *
+    * The generator explodes a LITERAL band-index sequence and band_key
+    * is computed above the Generate barrier — exploding an array whose
+    * lambda references `sig` would let projection collapse inline (and
+    * recompute) the whole signature once per band. */
   def minhashBands(sigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
-    val bands = transform(sequence(lit(0), lit(nBands - 1)), b =>
-      struct(b.as("band_id"),
-        md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-          .as("band_key")))
-    sigs.select(col(idCol), explode(bands).as("band"))
-      .select(col(idCol), col("band.band_id"), col("band.band_key"))
+    sigs
+      .select(col(idCol), col("sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band_id"))
+      .select(col(idCol), col("band_id"),
+        md5(concat_ws(",",
+          slice(col("sig"), col("band_id") * rowsPerBand + 1, lit(rowsPerBand))))
+          .as("band_key"))
   }
 
   /** Candidate near-dup pairs: group docs by (band_id, band_key) and
@@ -83,12 +91,10 @@ object Dedup {
     * small by construction (hot buckets = genuine duplicate clusters).
     */
   def minhashCandidates(bands: DataFrame, idCol: String): DataFrame = {
-    val ids = sort_array(collect_list(col(idCol)))
-    val pairs = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        y => struct(x.as("a"), y.as("b")))))
+    val pairs = graft.functions.GraftExpressions.selfPairs(
+      sort_array(col("ids")))
     bands.groupBy(col("band_id"), col("band_key"))
-      .agg(ids.as("ids"))
+      .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(pairs).as("p"))
       .select(col("p.a"), col("p.b")).distinct()
@@ -121,16 +127,12 @@ object Dedup {
   }
 
   /** 32-bit SimHash over whitespace tokens: per-bit majority vote of
-    * token-hash bits. Map-only; near-dup = small Hamming distance. */
-  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashes = transform(array_distinct(tokens(col(textCol))), t => hash60(t))
-    val packed = (0 until 32).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
-      when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    docs.select(col(idCol), packed.as("simhash"))
-  }
+    * token-hash bits (native codegen'd expression). Map-only; near-dup
+    * = small Hamming distance. */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.GraftExpressions
+        .simhashFromTokens(tokens(col(textCol)), 32).as("simhash"))
 
   /** Exact-Jaccard near-dups within a bounded id range (the brute-force
     * oracle-checkable variant; production path is [[minhashNearDups]]). */
