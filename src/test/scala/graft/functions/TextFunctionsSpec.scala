@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens lower-cases and drops empties from repeated spaces") {
+    val df = Seq("The  Quick  fox", "", "   ").toDF("t")
+      .select(TextFunctions.tokens(col("t")).as("w"))
+    assert(rows(df).map(_.getSeq[String](0)) ==
+      Seq(Seq("the", "quick", "fox"), Seq(), Seq()))
+  }
+
+  test("wordPieceCount counts alphanumeric runs") {
+    val df = Seq("don't stop-me now42").toDF("t")
+      .select(TextFunctions.wordPieceCount(col("t")).as("n"))
+    // don, t, stop, me, now42
+    assert(rows(df).head.getInt(0) == 5)
+  }
+
+  test("shingles of size n, space-joined; short text yields empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3).as("sh"))
+    assert(rows(df).map(_.getSeq[String](0)) ==
+      Seq(Seq("a b c", "b c d"), Seq()))
+  }
+
+  test("langId picks the marker-heavy language; empty/no-hit text is 'und'") {
+    val df = Seq(
+      "the cat is on the mat and the dog",
+      "der hund ist nicht da und das ist gut",
+      "el gato es de la casa y los perros",
+      "xyzzy qwerty").toDF("t")
+      .select(TextFunctions.langId(col("t")).as("lang"))
+    assert(rows(df).map(_.getString(0)) == Seq("en", "de", "es", "und"))
+  }
+
+  test("langId tie-break is ascending language code") {
+    // "la" marks both es and fr; single-token text ties 1-1 ⇒ es wins.
+    val df = Seq("la").toDF("t").select(TextFunctions.langId(col("t")).as("lang"))
+    assert(rows(df).head.getString(0) == "es")
+  }
+
+  test("qualitySignals ratios on a known string") {
+    val df = Seq("the cat!").toDF("t")
+      .select(TextFunctions.qualitySignals(col("t")).as("q"))
+      .select(col("q.n_chars"), col("q.n_tokens"), col("q.punct_ratio"),
+        col("q.stopword_ratio"))
+    val r = rows(df).head
+    assert(r.getInt(0) == 8)
+    assert(r.getInt(1) == 2)
+    assert(math.abs(r.getDouble(2) - 1.0 / 8) < 1e-12)
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("sortedTokenFingerprint is order- and duplication-invariant") {
+    val df = Seq("b a a c", "c b a", "a b d").toDF("t")
+      .select(TextFunctions.sortedTokenFingerprint(col("t")).as("fp"))
+    val fps = rows(df).map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}

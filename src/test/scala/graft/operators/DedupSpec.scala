@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),     // near dup of 1
+    (4L, "completely different text about spark engines here"),
+    (5L, "ab"))                                              // too short to shingle
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id as survivor and counts copies") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1)
+    val r = rows(out)
+    assert(r.size == 1 && r.head.getAs[Long]("doc_id") == 1L
+      && r.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash signatures are equal for identical docs, length K, short docs dropped") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+    val m = rows(sigs).map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(!m.contains(5L))
+    assert(m(1L).length == 16)
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(4L))
+  }
+
+  test("minhash candidates find the exact and near dup, not the unrelated doc") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashBands(sigs, "doc_id", 16, 4), "doc_id")
+    val pairs = rows(cands).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashNearDups verifies candidates with exact jaccard") {
+    val out = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.99)
+    val pairs = rows(out).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs equal; near dups within small hamming distance") {
+    val out = Dedup.simhash32(docs, "doc_id", "text")
+    val m = rows(out).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    val ham = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    assert(ham <= 8, s"hamming($ham) unexpectedly large for near-dups")
+    assert(m(1L) >= 0 && m(1L) <= 0xffffffffL)
+  }
+
+  test("jaccardPairs computes exact shingle-set jaccard with threshold") {
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val got = rows(out).map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // 1↔2 identical; 1↔3 and 2↔3 share 6 of 8 distinct shingles (0.75).
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((1L, 3L)) == 0.75)
+    // 0.5 threshold correctly excludes the unrelated doc 4.
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break, self excluded") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 3)
+    val got = rows(out).map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(got.map(_._3) == Seq(1L, 2L, 3L))
+    assert(got.map(_._2) == Seq(1, 2, 3))
+    val sims = rows(out).map(_.getAs[Double]("sim"))
+    assert(sims.head > 0.99 && sims.last < -0.99)
+  }
+
+  test("cosine of identical vectors is 1.0 up to the final sqrt rounding") {
+    // dot and norms are exact ints; only the closing divide/sqrt are
+    // IEEE ops (sqrt(n)*sqrt(n) may differ from n by 1 ulp) — the
+    // DuckDB oracle mirrors the same op sequence bit-for-bit.
+    val two = Seq((0L, Array(0.5f, 0.25f)), (1L, Array(0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(two, two.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 1)
+    assert(math.abs(rows(out).head.getAs[Double]("sim") - 1.0) < 1e-12)
+  }
+
+  test("lshTopK buckets identical vectors together and finds them") {
+    val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 2, planes = 4, dim = 3)
+    val ids = rows(out).map(_.getAs[Long]("neighbor_id"))
+    // vec 1 is nearly parallel to vec 0 ⇒ same SRP bucket with high prob.
+    assert(ids.contains(1L))
+    // vec 3 is antipodal ⇒ different bucket, never a candidate.
+    assert(!ids.contains(3L))
+  }
+}
