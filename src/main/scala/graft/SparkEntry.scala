@@ -290,6 +290,28 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextFunctions.sortedTokenFingerprint(col("text")).as("fp"))
+    }),
+
+    // T2 — the streaming sessionizer run in batch mode over
+    // events-derived status samples: keyed state edge detection
+    // (pipeline.py:132-163) through flatMapGroupsWithState.
+    "q28_sessions_batch" -> ((s, dir) => {
+      import s.implicits._
+      val samples = t(s, dir, "events").select(
+        concat(lit("dev_"), col("user_id") % 50).as("deviceName"),
+        col("ts"),
+        Normalize.normalizeEnum(col("event_type"), stateMap, "unknown").as("state"),
+        floor(coalesce(col("value"), lit(0.0))).cast("int").as("battery"),
+        lit(null).cast("string").as("fanPower"),
+        lit(null).cast("string").as("waterLevel"),
+        lit(null).cast("string").as("mopMode"),
+        lit(null).cast("int").as("errorCode"))
+        .as[graft.sources.Schemas.StatusSample]
+      graft.streaming.Sessionizer.sessions(samples)(s)
+        .select(col("deviceName").as("device"), col("timestamp").as("end_ts"),
+          col("cleanTimeMin").as("clean_min"),
+          col("batteryStart").as("battery_start"),
+          col("batteryEnd").as("battery_end"))
     })
   )
 
@@ -525,7 +547,9 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
         |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0))), ' ')) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q28_sessions_batch" -> sessionsBatchSql
   )
 
   // --------------------------------------------------- generated oracle SQL
@@ -573,6 +597,45 @@ object SparkEntry {
        |    list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)),
        |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
        |  FROM documents)""".stripMargin
+  }
+
+  /** Sessionizer oracle: keyed-state edge detection unrolled into
+    * window functions. Session groups are delimited by end edges
+    * (prev ∈ cleaning ∧ cur ∈ idle); the start of each group is its
+    * first cleaning row (the reference captures start battery exactly
+    * once per session, pipeline.py:144-147). Durations subtract
+    * ms-truncated epochs, mirroring java.sql.Timestamp#getTime. */
+  private lazy val sessionsBatchSql: String = {
+    def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+    val clean = inList(graft.operators.Normalize.cleaningStates)
+    val idle = inList(graft.operators.Normalize.idleStates)
+    s"""WITH s AS (
+       |  SELECT 'dev_' || CAST(user_id % 50 AS VARCHAR) AS dev, ts,
+       |         $stateCaseSql AS state,
+       |         CAST(floor(coalesce(value, 0.0)) AS INTEGER) AS battery
+       |  FROM events),
+       |o AS (
+       |  SELECT *, lag(state) OVER (PARTITION BY dev ORDER BY ts) AS prev_state
+       |  FROM s),
+       |e AS (
+       |  SELECT *, CASE WHEN lower(prev_state) IN $clean
+       |                  AND lower(state) IN $idle THEN 1 ELSE 0 END AS is_end
+       |  FROM o),
+       |g AS (
+       |  SELECT *, COALESCE(SUM(is_end) OVER (PARTITION BY dev ORDER BY ts
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+       |  FROM e),
+       |st AS (
+       |  SELECT dev, grp,
+       |         min_by(battery, ts) FILTER (WHERE lower(state) IN $clean) AS battery_start,
+       |         min(ts) FILTER (WHERE lower(state) IN $clean) AS start_ts
+       |  FROM g GROUP BY 1, 2)
+       |SELECT g.dev AS device, g.ts AS end_ts,
+       |       round((epoch_ms(g.ts) - epoch_ms(st.start_ts)) / 1000.0 / 60.0 * 10)
+       |         / 10.0 AS clean_min,
+       |       st.battery_start AS battery_start, g.battery AS battery_end
+       |FROM g JOIN st ON g.dev = st.dev AND g.grp = st.grp
+       |WHERE g.is_end = 1""".stripMargin
   }
 
   /** `['a', 'b', ...]` — DuckDB list literal (lambda bodies reject IN
