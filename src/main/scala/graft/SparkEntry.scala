@@ -312,6 +312,18 @@ object SparkEntry {
           col("cleanTimeMin").as("clean_min"),
           col("batteryStart").as("battery_start"),
           col("batteryEnd").as("battery_end"))
+    }),
+
+    // Multimodal plumbing — binary content column through the batched
+    // mapPartitions feature extractor (decode stage is the documented
+    // deterministic stub; the Spark-side schema/batching is the test).
+    "q29_media_features" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      Multimodal.extractFeatures(media, "doc_id", "content", 4)
+        .select(col("media_id"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 4).as("f3"))
     })
   )
 
@@ -549,7 +561,15 @@ object SparkEntry {
         |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0))), ' ')) AS fp
         |FROM documents""".stripMargin,
 
-    "q28_sessions_batch" -> sessionsBatchSql
+    "q28_sessions_batch" -> sessionsBatchSql,
+
+    // Mirrors Multimodal.FakeCodec.channel: 48-bit md5 prefix of
+    // (utf8 bytes ++ ":j"), mod 1e6, scaled to [0, 1).
+    "q29_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  (CAST(('0x' || substr(md5(text || ':0'), 1, 12)) AS BIGINT) % 1000000) / 1000000.0 AS f0,
+        |  (CAST(('0x' || substr(md5(text || ':3'), 1, 12)) AS BIGINT) % 1000000) / 1000000.0 AS f3
+        |FROM documents""".stripMargin
   )
 
   // --------------------------------------------------- generated oracle SQL

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns for a training-data
+  * pipeline: opaque `binary` content + typed metadata, with
+  * decode / feature-extract / resize / frame-sample stages.
+  *
+  * The actual codec work is STUBBED (no image/audio libraries in this
+  * environment): `FakeCodec` derives deterministic pseudo-features
+  * from an md5 stream over the bytes. Everything Spark-side is real —
+  * schemas, the batched mapPartitions shape (the Scala analog of
+  * mapInPandas: amortize per-batch codec setup across rows), frame
+  * explosion, and partition sizing — so swapping in a real codec is a
+  * one-function change.
+  *
+  * Scale: media rows are large (MBs); the operators keep content
+  * byte-arrays out of shuffles wherever possible (features/frames are
+  * computed map-side and content is dropped before any wide stage),
+  * and `repartitionForMedia` sizes partitions by total bytes rather
+  * than row count.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside the opaque content bytes. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sampleRateHz", IntegerType),
+    StructField("durationMs", LongType),
+    StructField("sizeBytes", LongType, nullable = false)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", mediaMetaSchema, nullable = false)))
+
+  /** STUB CODEC — deterministic fake standing in for image/audio
+    * decoding. A real deployment replaces exactly these functions with
+    * e.g. javax.imageio / ffmpeg bindings; their signatures (bytes in,
+    * primitives out) are the codec boundary. */
+  object FakeCodec {
+    private val md5 = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+    /** 48-bit value of md5(content ++ ":" ++ tag) — the per-channel
+      * pseudo-signal. */
+    def channel(content: Array[Byte], tag: Int): Long = {
+      val md = md5.get()
+      md.reset()
+      md.update(content)
+      md.update(s":$tag".getBytes("UTF-8"))
+      val d = md.digest()
+      var h = 0L
+      var b = 0
+      while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h
+    }
+
+    /** "Decode + feature-extract": dim pseudo-features in [0, 1). */
+    def features(content: Array[Byte], dim: Int): Array[Double] =
+      Array.tabulate(dim)(j => (channel(content, j) % 1000000L) / 1000000.0)
+
+    /** "Resize": a real impl re-encodes pixels; the stub re-hashes to
+      * a (w*h)-dependent byte count so size bookkeeping stays honest. */
+    def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](math.max(16, (w * h) / 64))
+      var i = 0
+      while (i < out.length) {
+        out(i) = (channel(content, i / 16) >> ((i % 16) / 2)).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Feature extraction over the content column — batched
+    * mapPartitions so a real codec initializes once per partition and
+    * processes rows in `batchSize` groups (the mapInPandas batch
+    * shape). Output drops the content bytes: only (id, features)
+    * continue into downstream (possibly shuffling) stages. */
+  def extractFeatures(
+      media: DataFrame,
+      idCol: String,
+      contentCol: String,
+      dim: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val input = media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+    input.mapPartitions { it =>
+      // Real codec: initialize decoder context here, once per partition.
+      it.grouped(batchSize).flatMap { batch =>
+        // Real codec: decode the whole batch in one native call.
+        batch.map { case (id, content) =>
+          (id, FakeCodec.features(content, dim))
+        }
+      }
+    }.toDF("media_id", "features")
+  }
+
+  /** Video frame sampling: one row per frame index at `intervalMs`
+    * over the metadata duration — a literal-sequence explode (no
+    * per-frame content in the exploded rows; frame decode happens in a
+    * later batched stage against (media_id, frame_ts) pairs). */
+  def sampleFrames(
+      media: DataFrame,
+      idCol: String,
+      durationMsCol: String,
+      intervalMs: Long): DataFrame =
+    media.select(
+      col(idCol),
+      explode(sequence(lit(0L),
+        greatest(lit(0L),
+          floor((coalesce(col(durationMsCol), lit(0L)) - 1) / intervalMs).cast("long"))))
+        .as("frame_idx"))
+      .withColumn("frame_ts_ms", col("frame_idx") * intervalMs)
+
+  /** Resize stage (stub codec), preserving the media schema shape and
+    * updating size metadata. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds = media.select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, kind, content) =>
+        val out = FakeCodec.resize(content, w, h)
+        (id, kind, out, out.length.toLong, w, h)
+      }
+    }.toDF("media_id", "kind", "content", "sizeBytes", "width", "height")
+  }
+
+  /** Partition media by cumulative byte size (not row count): media
+    * rows vary from KBs to GBs, so row-count partitioning produces
+    * pathological stragglers at scale. */
+  def repartitionForMedia(
+      media: DataFrame,
+      targetBytesPerPartition: Long = 128L << 20): DataFrame = {
+    val stats = media.agg(
+      sum(length(col("content"))).as("bytes"), count(lit(1)).as("rows"))
+      .head()
+    val totalBytes = Option(stats.getAs[Long]("bytes")).getOrElse(0L)
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
+    media.repartition(parts)
+  }
+}
