@@ -234,7 +234,7 @@ object SparkEntry {
     // Exact n-gram Jaccard over a bounded id range (brute-force oracle).
     "q20_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(
-        t(s, dir, "documents").filter(col("doc_id") < 60), "doc_id", "text", 3, 0.05)
+        t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text", 3, 0.05)
     }),
 
     // 32-bit SimHash per document.
@@ -312,6 +312,21 @@ object SparkEntry {
           col("cleanTimeMin").as("clean_min"),
           col("batteryStart").as("battery_start"),
           col("batteryEnd").as("battery_end"))
+    }),
+
+    // IVF ANN (scale path #2; no SQL oracle — rows-only check):
+    // inverted-file index on 16 cells, probe the 4 nearest.
+    "q31_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16)
+      Similarity.ivfTopK(index, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+    }),
+
+    // Embedding-cosine near-dup: SRP-LSH buckets + in-bucket verify.
+    "q30_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, planes = 6, dim = 64)
     }),
 
     // Multimodal plumbing — binary content column through the batched
@@ -486,7 +501,7 @@ object SparkEntry {
         |                  i -> array_to_string(list_slice(w, i+1, i+3), ' ')) END AS sh
         |    FROM (SELECT doc_id,
         |            list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
-        |          FROM documents WHERE doc_id < 60)))
+        |          FROM documents WHERE doc_id < 300)))
         |SELECT l.doc_id AS a, r.doc_id AS b,
         |       CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
         |         / CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
@@ -562,6 +577,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q28_sessions_batch" -> sessionsBatchSql,
+
+    "q30_embedding_neardup" -> embeddingNearDupSql,
 
     // Mirrors Multimodal.FakeCodec.channel: 48-bit md5 prefix of
     // (utf8 bytes ++ ":j"), mod 1e6, scaled to [0, 1).
@@ -656,6 +673,38 @@ object SparkEntry {
        |       st.battery_start AS battery_start, g.battery AS battery_end
        |FROM g JOIN st ON g.dev = st.dev AND g.grp = st.grp
        |WHERE g.is_end = 1""".stripMargin
+  }
+
+  /** Embedding near-dup oracle: the SAME ±1 SRP hyperplanes as
+    * Dedup.embeddingNearDups (driver-generated, embedded as list
+    * literals), bucket equi-join, exact-integer cosine ≥ 0.3. */
+  private lazy val embeddingNearDupSql: String = {
+    val weights = VectorFunctions.srpWeights(6, 64, "graft-srp")
+    val bucketTerms = weights.zipWithIndex.map { case (w, p) =>
+      val wl = w.mkString("[", ", ", "]")
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |   i -> qv[i] * ($wl)[i])) >= 0
+         | THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, qv,
+       |         CAST(list_sum(list_transform(generate_series(1, 64), i -> qv[i]*qv[i])) AS BIGINT) AS nsq,
+       |         CAST($bucketTerms AS BIGINT) AS bucket
+       |  FROM v),
+       |pairs AS (
+       |  SELECT l.vec_id AS a, r.vec_id AS b,
+       |         CAST(list_sum(list_transform(generate_series(1, 64), i -> l.qv[i]*r.qv[i])) AS BIGINT) AS dot,
+       |         l.nsq AS na, r.nsq AS nb
+       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       |SELECT DISTINCT a, b,
+       |       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim
+       |FROM pairs
+       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.3""".stripMargin
   }
 
   /** `['a', 'b', ...]` — DuckDB list literal (lambda bodies reject IN

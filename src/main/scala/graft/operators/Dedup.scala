@@ -134,6 +134,36 @@ object Dedup {
       graft.functions.GraftExpressions
         .simhashFromTokens(tokens(col(textCol)), 32).as("simhash"))
 
+  /** Embedding-cosine near-duplicates: SRP-LSH bucket the corpus, then
+    * verify cosine ≥ threshold within buckets only. One shuffle per
+    * join side on the bucket id; never a corpus×corpus product.
+    * Exact-integer scoring (see VectorFunctions) keeps results
+    * bit-stable across partitionings. Recall < 1 by construction
+    * (antipodal split); raise `planes`↓ or band multiple projections
+    * for higher recall at scale. */
+  def embeddingNearDups(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int,
+      dim: Int,
+      seed: String = "graft-srp"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val w = srpWeights(planes, dim, seed)
+    val p = graft.operators.Similarity.prepare(emb, idCol, vecCol)
+      .withColumn("bucket", srpBucket(col("qvec"), w))
+    val l = p.select(col("bucket"), col(idCol).as("a"),
+      col("qvec").as("qa"), col("nsq").as("na"))
+    val r = p.select(col("bucket"), col(idCol).as("b"),
+      col("qvec").as("qb"), col("nsq").as("nb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", cosineQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim")).distinct()
+  }
+
   /** Exact-Jaccard near-dups within a bounded id range (the brute-force
     * oracle-checkable variant; production path is [[minhashNearDups]]). */
   def jaccardPairs(

@@ -63,6 +63,66 @@ object Similarity {
     score(q, c, k, joinKeys = Seq("bucket"))
   }
 
+  /** IVF (inverted-file) coarse quantizer: deterministic centroids =
+    * the `nCentroids` lowest-id vectors (reproducible without an RNG;
+    * a production index would run a few Lloyd rounds — same plumbing).
+    * Returns the corpus with a `cell` column — the inverted list key
+    * the corpus is shuffled/clustered by ONCE at index-build time. */
+  def ivfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int): DataFrame = {
+    val prepared = prepare(corpus, idCol, vecCol)
+    val centroids = broadcast(
+      prepared.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cell"), col("qvec").as("cvec"), col("nsq").as("cnsq")))
+    // Assign each vector to its nearest centroid (max cosine, tie → min id).
+    val scored = prepared.crossJoin(centroids)
+      .withColumn("csim", cosineQ(dotQ(col("qvec"), col("cvec")), col("nsq"), col("cnsq")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("cell"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("qvec"), col("nsq"), col("cell"))
+  }
+
+  /** IVF search: route each query to its `nProbe` nearest cells and
+    * scan only those inverted lists. Recall grows with nProbe; the
+    * scan cost is nProbe/nCentroids of brute force. */
+  def ivfTopK(
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int): DataFrame = {
+    val centroids = broadcast(
+      index.filter(col(idCol) === col("cell"))
+        .select(col("cell"), col("qvec").as("cvec"), col("nsq").as("cnsq")))
+    val q = prepare(queries, idCol, vecCol)
+      .withColumnRenamed(idCol, "query_id")
+    val probes = q.crossJoin(centroids)
+      .withColumn("csim", cosineQ(dotQ(col("qvec"), col("cvec")), col("nsq"), col("cnsq")))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val routed = probes.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qvec").as("q_qvec"), col("nsq").as("q_nsq"),
+        col("cell"))
+    val c = index.select(col("cell"), col(idCol).as("neighbor_id"),
+      col("qvec").as("c_qvec"), col("nsq").as("c_nsq"))
+    val scored = routed.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotQ(col("q_qvec"), col("c_qvec")))
+      .withColumn("sim", cosineQ(col("dot"), col("q_nsq"), col("c_nsq")))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   private def score(q: DataFrame, c: DataFrame, k: Int,
       joinKeys: Seq[String] = Nil): DataFrame = {
     val joined =

@@ -10,4 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an ALREADY-RUNNING session (the
+    * extensions config only applies at session build time, and the
+    * harness may hand us its own session). */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

@@ -35,6 +35,26 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(rows(out).head.getAs[Double]("sim") - 1.0) < 1e-12)
   }
 
+  test("ivfIndex assigns every vector to exactly one cell; ivfTopK finds near neighbors") {
+    import spark.implicits._
+    // 3 clusters around orthogonal axes, 4 vectors each.
+    val data = (0 until 12).map { i =>
+      val axis = i % 3
+      val base = Array.fill(4)(0.01f * (i + 1))
+      base(axis) = 1.0f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val index = Similarity.ivfIndex(data, "vec_id", "embedding", nCentroids = 3)
+    assert(index.count() == 12)
+    assert(index.select("cell").distinct().count() <= 3)
+    val out = Similarity.ivfTopK(index, data.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2, nCentroids = 3, nProbe = 1)
+    val ids = rows(out).map(_.getAs[Long]("neighbor_id"))
+    // nearest neighbors of vec 0 (x-axis cluster) are 3, 6, 9 — same cell.
+    assert(ids.forall(id => id % 3 == 0))
+    assert(ids.length == 2)
+  }
+
   test("lshTopK buckets identical vectors together and finds them") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0),
       "vec_id", "embedding", 2, planes = 4, dim = 3)
