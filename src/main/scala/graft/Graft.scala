@@ -40,6 +40,15 @@ object Graft {
     // precision (verified), so the micros conversion is lossless and
     // order-exact vs the DuckDB oracle.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Watermark filters on the converted column must still prune at the
+    // parquet scan — the rewrite rule turns them back into raw-long
+    // comparisons. extraOptimizations is idempotent to re-assign and
+    // works on sessions we did not build (the harness driver's).
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.PushTimestampConversion)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushTimestampConversion
+    }
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {
