@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -301,6 +301,56 @@ object GraftExpressions {
     override protected def withNewChildInternal(newChild: Expression): SelfPairs =
       copy(child = newChild)
   }
+
+  /** `jaccardSorted(a, b)`: Jaccard similarity of two SORTED distinct
+    * string arrays via a linear merge — no per-pair interpreted
+    * set-intersection lambdas. Empty-union pairs yield null (caller
+    * filters), matching `size(union) > 0` guards. */
+  case class JaccardSorted(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def prettyName: String = "jaccard_sorted"
+
+    def compute(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements()
+      val nb = b.numElements()
+      if (na == 0 && nb == 0) return null
+      var i = 0
+      var j = 0
+      var inter = 0
+      while (i < na && j < nb) {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      inter.toDouble / (na + nb - inter).toDouble
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = compute(l, r)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("jsExpr", this,
+        "graft.functions.GraftExpressions.JaccardSorted")
+      val out = ctx.freshName("jsOut")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""Object $out = $ref.compute($a, $b);
+           |if ($out == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((Double) $out).doubleValue(); }""".stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaccardSorted =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      JaccardSorted(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   def minhashSig(hs: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(hs), as, bs, p))

@@ -172,16 +172,17 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       threshold: Double): DataFrame = {
+    // Shingle sets sorted ONCE per doc; per-pair work is then a native
+    // linear merge (JaccardSorted) instead of interpreted
+    // array_intersect/array_union lambdas — same string-set semantics.
     val sets = docs.select(col(idCol),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+      array_sort(array_distinct(shingles(col(textCol), shingleSize))).as("sh"))
     val l = sets.select(col(idCol).as("a"), col("sh").as("sh_a"))
     val r = sets.select(col(idCol).as("b"), col("sh").as("sh_b"))
     l.crossJoin(r).filter(col("a") < col("b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("uni") > 0)
-      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard",
+        graft.functions.GraftExpressions.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard").isNotNull && col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
 }
