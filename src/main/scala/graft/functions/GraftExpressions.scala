@@ -302,6 +302,44 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** `dotQ(a, b)`: exact integer dot product of two quantized
+    * `array<long>` vectors in one native loop — the inner kernel of
+    * every similarity operator (the zip_with/aggregate formulation
+    * walks two lambda trees per element). Arrays must be equal length
+    * (vectors of one embedding space). */
+  case class DotProductQ(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "dot_q"
+
+    def compute(l: Any, r: Any): Long = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+      acc
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = compute(l, r)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dotExpr", this,
+        "graft.functions.GraftExpressions.DotProductQ")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProductQ =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def dotQNative(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      DotProductQ(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** `jaccardSorted(a, b)`: Jaccard similarity of two SORTED distinct
     * string arrays via a linear merge — no per-pair interpreted
     * set-intersection lambdas. Empty-union pairs yield null (caller

@@ -21,9 +21,10 @@ object VectorFunctions {
   def quantize(vec: Column): Column =
     transform(vec, e => round(e.cast("double") * Scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors (native
+    * codegen'd loop — see GraftExpressions.DotProductQ). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    GraftExpressions.dotQNative(a, b)
 
   /** Exact integer squared norm of a quantized vector. */
   def normSqQ(a: Column): Column = dotQ(a, a)
