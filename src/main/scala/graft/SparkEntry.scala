@@ -165,6 +165,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("total_cents"))
     }),
 
+    // Cube — all grouping-set combinations over (type, month).
+    "q32_cube" -> ((s, dir) => {
+      t(s, dir, "events")
+        .cube(col("event_type").as("etype"), month(col("ts")).as("m"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("total_cents"))
+    }),
+
+    // Frame-based window aggregate — per-user running total in event order.
+    "q33_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("c", cents(col("value")))
+        .select(col("user_id"), col("event_id"),
+          sum(col("c")).over(w).as("running_cents"),
+          avg(col("c")).over(w).as("running_avg"))
+        .withColumn("running_avg", round(col("running_avg"), 4))
+    }),
+
     // J2 — as-of join: latest 'error' at or before each 'purchase'.
     "q14_asof_join" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -446,6 +466,21 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY ROLLUP (1, 2)""".stripMargin,
+
+    "q32_cube" ->
+      """SELECT event_type AS etype, CAST(month(ts) AS INTEGER) AS m,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY CUBE (1, 2)""".stripMargin,
+
+    "q33_running_total" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(c) OVER w AS BIGINT) AS running_cents,
+        |  round(avg(c) OVER w, 4) AS running_avg
+        |FROM (SELECT user_id, event_id, ts, CAST(round(value*100) AS BIGINT) AS c
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q14_asof_join" ->
       """SELECT p.event_id, p.user_id,
