@@ -195,6 +195,32 @@ object SparkEntry {
           unix_timestamp(col("last_error_ts")).as("last_error_s"))
     }),
 
+    // Distinct-agg + exact interpolated percentiles per group.
+    "q34_distinct_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("c", cents(col("value")))
+        .groupBy(col("event_type").as("etype"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          round(percentile(col("c"), lit(0.5)), 4).as("median_cents"),
+          round(percentile(col("c"), lit(0.95)), 4).as("p95_cents"))
+    }),
+
+    // Left-semi / left-anti joins: purchasers with no RECENT error
+    // (the anti side is time-bounded so the result discriminates).
+    "q35_semi_anti" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchasers = e.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val erroring = e.filter(col("event_type") === "error"
+          && col("ts") >= to_timestamp(lit("2024-01-28 00:00:00")))
+        .select(col("user_id")).distinct()
+      val users = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      users
+        .join(purchasers, Seq("user_id"), "left_semi")
+        .join(erroring, Seq("user_id"), "left_anti")
+    }),
+
     // Multi-table equi-join with broadcast dims — revenue per region.
     "q15_region_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -488,6 +514,24 @@ object SparkEntry {
         |        WHERE e.event_type = 'error' AND e.user_id = p.user_id AND e.ts <= p.ts)
         |         AS last_error_s
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+
+    "q34_distinct_percentiles" ->
+      """SELECT event_type AS etype,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(quantile_cont(c, 0.5), 4) AS median_cents,
+        |       round(quantile_cont(c, 0.95), 4) AS p95_cents
+        |FROM (SELECT event_type, user_id, CAST(round(value*100) AS BIGINT) AS c
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
+
+    "q35_semi_anti" ->
+      """SELECT user_id, count(*) AS n_events FROM events e
+        |WHERE EXISTS (SELECT 1 FROM events p
+        |              WHERE p.event_type = 'purchase' AND p.user_id = e.user_id)
+        |  AND NOT EXISTS (SELECT 1 FROM events x
+        |                  WHERE x.event_type = 'error' AND x.user_id = e.user_id
+        |                    AND x.ts >= TIMESTAMP '2024-01-28 00:00:00')
+        |GROUP BY 1""".stripMargin,
 
     "q15_region_revenue" ->
       """SELECT r_name, count(*) AS n_lines,
