@@ -657,6 +657,10 @@ object SparkEntry {
 
     "q28_sessions_batch" -> sessionsBatchSql,
 
+    "q23_knn_lsh" -> lshTopKSql,
+
+    "q31_knn_ivf" -> ivfTopKSql,
+
     "q30_embedding_neardup" -> embeddingNearDupSql,
 
     // Mirrors Multimodal.FakeCodec.channel: 48-bit md5 prefix of
@@ -754,17 +758,102 @@ object SparkEntry {
        |WHERE g.is_end = 1""".stripMargin
   }
 
-  /** Embedding near-dup oracle: the SAME ±1 SRP hyperplanes as
-    * Dedup.embeddingNearDups (driver-generated, embedded as list
-    * literals), bucket equi-join, exact-integer cosine ≥ 0.3. */
-  private lazy val embeddingNearDupSql: String = {
+  /** ±1 SRP hyperplane bucket expression over a quantized list column
+    * `qv` — identical constants to VectorFunctions.srpWeights. */
+  private def srpBucketTermsSql: String = {
     val weights = VectorFunctions.srpWeights(6, 64, "graft-srp")
-    val bucketTerms = weights.zipWithIndex.map { case (w, p) =>
+    weights.zipWithIndex.map { case (w, p) =>
       val wl = w.mkString("[", ", ", "]")
       s"""(CASE WHEN list_sum(list_transform(generate_series(1, 64),
          |   i -> qv[i] * ($wl)[i])) >= 0
          | THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
     }.mkString(" + ")
+  }
+
+  /** SRP-LSH top-k oracle: bucket queries (vec_id < 50) and corpus with
+    * the same hyperplanes, join within buckets, rank by (sim desc,
+    * neighbor asc), keep 10 — mirrors Similarity.lshTopK. */
+  private lazy val lshTopKSql: String = {
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, qv,
+       |         CAST(list_sum(list_transform(generate_series(1, 64), i -> qv[i]*qv[i])) AS BIGINT) AS nsq,
+       |         CAST($srpBucketTermsSql AS BIGINT) AS bucket
+       |  FROM v),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i]*c.qv[i])) AS BIGINT) AS dot,
+       |         q.nsq AS qn, c.nsq AS cn
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 50),
+       |r AS (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim
+       |  FROM sc),
+       |k AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM r)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
+       |FROM k WHERE rank <= 10""".stripMargin
+  }
+
+  /** IVF oracle, mirroring Similarity.ivfIndex/ivfTopK exactly:
+    * centroids = 16 lowest-id vectors; every vector assigns to its
+    * max-cosine centroid (tie → min cell); probe centroids are the
+    * vectors assigned to themselves; queries (vec_id < 20) rank their
+    * 4 nearest cells, scan those inverted lists, keep top-10. */
+  private lazy val ivfTopKSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, qv,
+       |         CAST(list_sum(list_transform(generate_series(1, 64), i -> qv[i]*qv[i])) AS BIGINT) AS nsq
+       |  FROM v),
+       |cent AS (SELECT vec_id AS cell, qv AS cv, nsq AS cnsq FROM n WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, qv, nsq, cell FROM (
+       |    SELECT n.vec_id, n.qv, n.nsq, cent.cell,
+       |           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(generate_series(1, 64), i -> n.qv[i]*cent.cv[i])) AS DOUBLE)
+       |               / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(cent.cnsq AS DOUBLE))) DESC,
+       |             cent.cell) AS rn
+       |    FROM n, cent)
+       |  WHERE rn = 1),
+       |probecent AS (
+       |  SELECT cell, qv AS cv, nsq AS cnsq FROM asg WHERE vec_id = cell),
+       |probes AS (
+       |  SELECT query_id, q_qv, q_nsq, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.qv AS q_qv, q.nsq AS q_nsq, p.cell,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i]*p.cv[i])) AS DOUBLE)
+       |               / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(p.cnsq AS DOUBLE))) DESC,
+       |             p.cell) AS rn
+       |    FROM n q, probecent p WHERE q.vec_id < 20)
+       |  WHERE rn <= 4),
+       |sc AS (
+       |  SELECT pr.query_id, a.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 64), i -> pr.q_qv[i]*a.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(pr.q_nsq AS DOUBLE)) * sqrt(CAST(a.nsq AS DOUBLE))) AS sim
+       |  FROM probes pr JOIN asg a ON pr.cell = a.cell AND pr.query_id <> a.vec_id)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= 10""".stripMargin
+
+  /** Embedding near-dup oracle: the SAME ±1 SRP hyperplanes as
+    * Dedup.embeddingNearDups (driver-generated, embedded as list
+    * literals), bucket equi-join, exact-integer cosine ≥ 0.3. */
+  private lazy val embeddingNearDupSql: String = {
+    val bucketTerms = srpBucketTermsSql
     s"""WITH v AS (
        |  SELECT vec_id,
        |         list_transform(embedding,
