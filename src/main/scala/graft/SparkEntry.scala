@@ -31,11 +31,14 @@ object SparkEntry {
     "click" -> "cleaning", "view" -> "idle", "purchase" -> "spot_cleaning",
     "signup" -> "charging", "error" -> "error")
 
+  /** SQL twin of Normalize.normalizeEnum over stateMap — including its
+    * null-through semantics (a bare CASE would turn NULL into the ELSE
+    * branch and silently diverge from the Spark side). */
   private val stateCaseSql =
-    """CASE lower(event_type)
+    """CASE WHEN event_type IS NULL THEN NULL ELSE CASE lower(event_type)
       | WHEN 'click' THEN 'cleaning' WHEN 'view' THEN 'idle'
       | WHEN 'purchase' THEN 'spot_cleaning' WHEN 'signup' THEN 'charging'
-      | WHEN 'error' THEN 'error' ELSE 'unknown' END""".stripMargin
+      | WHEN 'error' THEN 'error' ELSE 'unknown' END END""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -63,6 +66,7 @@ object SparkEntry {
         col("event_id"),
         concat(lit("dev_"), col("user_id")).as("device_name"),
         Normalize.normalizeEnum(col("event_type"), stateMap, "unknown").as("state"),
+        // regexp_extract yields '' on no match; cast('') → NULL.
         regexp_extract(col("props"), "[0-9]+", 0).cast("int").as("k_value"),
         coalesce(col("value"), lit(0.0)).as("value"))
     }),
@@ -295,7 +299,7 @@ object SparkEntry {
         "vec_id", "embedding", 10)
     }),
 
-    // SRP-LSH ANN (scale path; no SQL oracle — rows-only check).
+    // SRP-LSH ANN (scale path; hash-checked via generated SQL mirror).
     "q23_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50),
@@ -346,7 +350,11 @@ object SparkEntry {
       val samples = t(s, dir, "events").select(
         concat(lit("dev_"), col("user_id") % 50).as("deviceName"),
         col("ts"),
-        Normalize.normalizeEnum(col("event_type"), stateMap, "unknown").as("state"),
+        // StatusSample.state is non-nullable — a NULL event_type would
+        // NPE in the step function; treat missing as 'unknown'.
+        coalesce(
+          Normalize.normalizeEnum(col("event_type"), stateMap, "unknown"),
+          lit("unknown")).as("state"),
         floor(coalesce(col("value"), lit(0.0))).cast("int").as("battery"),
         lit(null).cast("string").as("fanPower"),
         lit(null).cast("string").as("waterLevel"),
@@ -360,8 +368,10 @@ object SparkEntry {
           col("batteryEnd").as("battery_end"))
     }),
 
-    // IVF ANN (scale path #2; no SQL oracle — rows-only check):
-    // inverted-file index on 16 cells, probe the 4 nearest.
+    // IVF ANN (scale path #2; hash-checked via generated SQL mirror):
+    // inverted-file index on 16 cells, probe the 4 nearest. NOTE: the
+    // oracle selects centroids/queries by vec_id bounds, equivalent to
+    // orderBy(id).limit(n) only while fixture ids are 0-based dense.
     "q31_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val index = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16)
@@ -406,7 +416,7 @@ object SparkEntry {
       s"""SELECT event_id,
          |  'dev_' || CAST(user_id AS VARCHAR) AS device_name,
          |  $stateCaseSql AS state,
-         |  CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k_value,
+         |  CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS INTEGER) AS k_value,
          |  coalesce(value, 0.0) AS value
          |FROM events""".stripMargin,
 
@@ -731,7 +741,7 @@ object SparkEntry {
     val idle = inList(graft.operators.Normalize.idleStates)
     s"""WITH s AS (
        |  SELECT 'dev_' || CAST(user_id % 50 AS VARCHAR) AS dev, ts,
-       |         $stateCaseSql AS state,
+       |         COALESCE($stateCaseSql, 'unknown') AS state,
        |         CAST(floor(coalesce(value, 0.0)) AS INTEGER) AS battery
        |  FROM events),
        |o AS (

@@ -272,7 +272,15 @@ object GraftExpressions {
     def compute(input: Any): Any = {
       val ids = input.asInstanceOf[ArrayData]
       val n = ids.numElements()
-      val out = new Array[Any]((n.toLong * (n - 1) / 2).toInt)
+      val nPairs = n.toLong * (n - 1) / 2
+      // A bucket this hot means the LSH banding has degenerated (e.g.
+      // millions of identical docs in one band) — fail with an
+      // actionable message instead of a wrapped-negative allocation.
+      require(nPairs <= 10000000L,
+        s"self_pairs: bucket of $n ids would expand to $nPairs pairs; " +
+          "split the hot bucket (more bands / narrower band keys) or " +
+          "pre-collapse exact duplicates before LSH")
+      val out = new Array[Any](nPairs.toInt)
       var w = 0
       var i = 0
       while (i < n) {

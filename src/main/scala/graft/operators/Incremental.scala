@@ -65,10 +65,13 @@ object Incremental {
       tsCol: String,
       tieBreak: String,
       outCol: String): DataFrame = {
-    val l = left.select(col(keyCol), col(tsCol), col(tieBreak))
+    // tieBreak may equal tsCol (callers with no separate tie column) —
+    // the select list must not name a column twice.
+    val cols = Seq(keyCol, tsCol, tieBreak).distinct.map(col)
+    val l = left.select(cols: _*)
       .withColumn("_asof_ts", lit(null).cast("timestamp"))
       .withColumn("_kind", lit(1))
-    val r = right.select(col(keyCol), col(tsCol), col(tieBreak))
+    val r = right.select(cols: _*)
       .withColumn("_asof_ts", col(tsCol))
       .withColumn("_kind", lit(0))
     val w = Window.partitionBy(col(keyCol))

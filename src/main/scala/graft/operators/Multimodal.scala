@@ -115,7 +115,10 @@ object Multimodal {
       idCol: String,
       durationMsCol: String,
       intervalMs: Long): DataFrame =
-    media.select(
+    media
+      // zero/NULL duration ⇒ no frames (not a spurious frame 0).
+      .filter(coalesce(col(durationMsCol), lit(0L)) > 0)
+      .select(
       col(idCol),
       explode(sequence(lit(0L),
         greatest(lit(0L),

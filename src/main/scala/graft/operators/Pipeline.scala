@@ -78,8 +78,7 @@ object Pipeline {
       summary: DataFrame,
       keyCol: String = "deviceName"): DataFrame = {
     val recomputed = records.groupBy(col(keyCol)).agg(
-      count(lit(1)).as("recount"),
-      sum(coalesce(col("areaM2"), lit(0.0))).as("rearea"))
+      count(lit(1)).as("recount"))
     summary.join(recomputed, Seq(keyCol), "left")
       .filter(coalesce(col("recount"), lit(0L)) =!= coalesce(col("totalCleanCount"), lit(0L)))
   }

@@ -53,18 +53,22 @@ object Tables {
       partitionCols: Seq[String] = Nil): Long = {
     val spark = batch.sparkSession
     val fresh =
-      if (exists(spark, baseDir, table)) {
+      (if (exists(spark, baseDir, table)) {
         val existing = read(spark, baseDir, table)
         if (existing.isEmpty) batch
         else Incremental.dedupAppend(batch, existing, keys)
-      } else batch
-    val n = fresh.count()
-    if (n > 0) {
-      val w = fresh.write.mode(SaveMode.Append)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(path(baseDir, table))
-    }
-    n
+      } else batch).persist()
+    // persist ⇒ the anti-join runs once, shared by the count and the
+    // write (otherwise the sink is scanned and joined twice per sync).
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        val w = fresh.write.mode(SaveMode.Append)
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(path(baseDir, table))
+      }
+      n
+    } finally fresh.unpersist()
   }
 
   /** Bucketed catalog table: pre-shuffles data into `nBuckets` by

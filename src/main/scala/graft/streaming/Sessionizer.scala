@@ -53,7 +53,11 @@ object Sessionizer {
       samples: Seq[StatusSample]): (Seq[CleaningHistory], SessionState) = {
     var st = state
     val out = Seq.newBuilder[CleaningHistory]
-    samples.sortBy(_.ts.getTime).foreach { s =>
+    // Total order: ts, then a content tie-break — arrival order within
+    // a batch is shuffle-dependent, and a ts collision must not make
+    // the emitted sessions nondeterministic.
+    samples.sortBy(s => (s.ts.getTime, s.state, s.battery.getOrElse(-1)))
+      .foreach { s =>
       // start edge
       if (isCleaning(s.state) && st.startBattery.isEmpty && st.startTs.isEmpty) {
         st = st.copy(

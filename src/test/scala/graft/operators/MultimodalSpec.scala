@@ -36,6 +36,12 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(3L).map(_.getAs[Long]("frame_ts_ms")).sorted == Seq(0L, 1000L, 2000L))
   }
 
+  test("sampleFrames emits no rows for zero or null duration (regression: spurious frame 0)") {
+    val zeroDur = Seq((9L, "video", "x".getBytes("UTF-8"), 0L))
+      .toDF("media_id", "kind", "content", "durationMs")
+    assert(Multimodal.sampleFrames(zeroDur, "media_id", "durationMs", 1000L).count() == 0)
+  }
+
   test("resize produces (w*h)-sized stub content with updated metadata") {
     val out = Multimodal.resize(media, 64, 64)
     val r = rows(out.filter(col("media_id") === 1L)).head

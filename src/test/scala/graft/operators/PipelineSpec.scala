@@ -46,6 +46,18 @@ class PipelineSpec extends SparkSpec {
     assert(rows(out).map(_.getString(0)) == Seq("d2"))
   }
 
+  test("consumablesAsOfCleaning works with tieBreak == tsCol (regression: duplicate column)") {
+    val cleanings = Seq((ts("2024-01-02 10:00:00"), "d1"))
+      .toDF("timestamp", "deviceName")
+    val consumables = Seq(
+      (ts("2024-01-01 09:00:00"), "d1"),
+      (ts("2024-01-03 09:00:00"), "d1"))
+      .toDF("timestamp", "deviceName")
+    val out = Pipeline.consumablesAsOfCleaning(cleanings, consumables)
+    val r = rows(out).head
+    assert(r.getAs[Timestamp]("lastConsumablesTs") == ts("2024-01-01 09:00:00"))
+  }
+
   test("periodRollup produces day/month/year subtotal levels") {
     val out = Pipeline.periodRollup(records)
     // rollup(y,m,d): 3 day rows? (two days for Jan) + month + year + grand total
