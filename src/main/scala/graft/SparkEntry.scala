@@ -281,6 +281,14 @@ object SparkEntry {
         "doc_id")
     }),
 
+    // Full production near-dup pipeline: LSH candidates verified by
+    // exact shingle-set Jaccard ≥ 0.6 — the end-to-end path a corpus
+    // dedup job runs (bucketed candidates, never corpus×corpus).
+    "q36_neardup_pipeline" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
     // Exact n-gram Jaccard over a bounded id range (brute-force oracle).
     "q20_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(
@@ -601,6 +609,32 @@ object SparkEntry {
         |      / CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) >= 0.05""".stripMargin,
 
     "q21_simhash" -> simhashSql,
+
+    "q36_neardup_pipeline" ->
+      s"""WITH bands AS ($minhashBandsSql),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r
+         |    ON l.band_id = r.band_id AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(generate_series(0, len(w)-3),
+         |                i -> array_to_string(list_slice(w, i+1, i+3), ' ')) END) AS sh
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+         |        FROM documents))
+         |SELECT a, b, round(j, 6) AS jaccard FROM (
+         |  SELECT c.a, c.b,
+         |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+         |         THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |         ELSE 0.0 END AS j
+         |  FROM cands c
+         |  JOIN sets sa ON sa.doc_id = c.a
+         |  JOIN sets sb ON sb.doc_id = c.b)
+         |WHERE j >= 0.6""".stripMargin,
 
     "q22_knn_bruteforce" ->
       """WITH q AS (
