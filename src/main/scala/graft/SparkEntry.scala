@@ -590,15 +590,7 @@ object SparkEntry {
          |WHERE l.doc_id < r.doc_id""".stripMargin,
 
     "q20_jaccard_pairs" ->
-      """WITH sets AS (
-        |  SELECT doc_id, list_distinct(sh) AS sh FROM (
-        |    SELECT doc_id,
-        |      CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
-        |           ELSE list_transform(generate_series(0, len(w)-3),
-        |                  i -> array_to_string(list_slice(w, i+1, i+3), ' ')) END AS sh
-        |    FROM (SELECT doc_id,
-        |            list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
-        |          FROM documents WHERE doc_id < 300)))
+      s"""WITH sets AS (${shingleSetsSql("WHERE doc_id < 300")})
         |SELECT l.doc_id AS a, r.doc_id AS b,
         |       CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
         |         / CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
@@ -617,14 +609,7 @@ object SparkEntry {
          |  FROM bands l JOIN bands r
          |    ON l.band_id = r.band_id AND l.band_key = r.band_key
          |  WHERE l.doc_id < r.doc_id),
-         |sets AS (
-         |  SELECT doc_id, list_distinct(
-         |    CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
-         |         ELSE list_transform(generate_series(0, len(w)-3),
-         |                i -> array_to_string(list_slice(w, i+1, i+3), ' ')) END) AS sh
-         |  FROM (SELECT doc_id,
-         |          list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
-         |        FROM documents))
+         |sets AS (${shingleSetsSql("")})
          |SELECT a, b, round(j, 6) AS jaccard FROM (
          |  SELECT c.a, c.b,
          |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
@@ -718,6 +703,18 @@ object SparkEntry {
 
   // --------------------------------------------------- generated oracle SQL
 
+  /** Shared shingle-set CTE body: doc_id → sorted-distinct 3-word
+    * shingle list (reused by the q20 brute-force and q36 pipeline
+    * oracles so tokenization can never desynchronize between them). */
+  private def shingleSetsSql(whereClause: String): String =
+    s"""SELECT doc_id, list_distinct(
+       |    CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_transform(generate_series(0, len(w)-3),
+       |                i -> array_to_string(list_slice(w, i+1, i+3), ' ')) END) AS sh
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+       |        FROM documents $whereClause)""".stripMargin
+
   /** Shared CTE text: tokens → 3-shingles → one 48-bit md5 per shingle
     * → 16 affine minhash values → 4 bands of 4 (mirrors
     * Dedup.minhashSignatures/minhashBands, same (a,b,p) constants). */
@@ -779,21 +776,25 @@ object SparkEntry {
        |         CAST(floor(coalesce(value, 0.0)) AS INTEGER) AS battery
        |  FROM events),
        |o AS (
-       |  SELECT *, lag(state) OVER (PARTITION BY dev ORDER BY ts) AS prev_state
+       |  SELECT *, lag(state) OVER (PARTITION BY dev ORDER BY ts, state, battery)
+       |         AS prev_state
        |  FROM s),
        |e AS (
        |  SELECT *, CASE WHEN lower(prev_state) IN $clean
        |                  AND lower(state) IN $idle THEN 1 ELSE 0 END AS is_end
        |  FROM o),
        |g AS (
-       |  SELECT *, COALESCE(SUM(is_end) OVER (PARTITION BY dev ORDER BY ts
+       |  SELECT *, COALESCE(SUM(is_end) OVER (PARTITION BY dev
+       |              ORDER BY ts, state, battery
        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
        |  FROM e),
        |st AS (
-       |  SELECT dev, grp,
-       |         min_by(battery, ts) FILTER (WHERE lower(state) IN $clean) AS battery_start,
-       |         min(ts) FILTER (WHERE lower(state) IN $clean) AS start_ts
-       |  FROM g GROUP BY 1, 2)
+       |  SELECT dev, grp, battery AS battery_start, ts AS start_ts FROM (
+       |    SELECT dev, grp, ts, state, battery,
+       |           row_number() OVER (PARTITION BY dev, grp
+       |                              ORDER BY ts, state, battery) AS rn
+       |    FROM g WHERE lower(state) IN $clean)
+       |  WHERE rn = 1)
        |SELECT g.dev AS device, g.ts AS end_ts,
        |       round((epoch_ms(g.ts) - epoch_ms(st.start_ts)) / 1000.0 / 60.0 * 10)
        |         / 10.0 AS clean_min,
@@ -825,12 +826,12 @@ object SparkEntry {
        |  FROM embeddings),
        |b AS (
        |  SELECT vec_id, qv,
-       |         CAST(list_sum(list_transform(generate_series(1, 64), i -> qv[i]*qv[i])) AS BIGINT) AS nsq,
+       |         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*qv[i])) AS BIGINT) AS nsq,
        |         CAST($srpBucketTermsSql AS BIGINT) AS bucket
        |  FROM v),
        |sc AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |         CAST(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i]*c.qv[i])) AS BIGINT) AS dot,
+       |         CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i]*c.qv[i])) AS BIGINT) AS dot,
        |         q.nsq AS qn, c.nsq AS cn
        |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
        |  WHERE q.vec_id < 50),
@@ -859,14 +860,14 @@ object SparkEntry {
        |  FROM embeddings),
        |n AS (
        |  SELECT vec_id, qv,
-       |         CAST(list_sum(list_transform(generate_series(1, 64), i -> qv[i]*qv[i])) AS BIGINT) AS nsq
+       |         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*qv[i])) AS BIGINT) AS nsq
        |  FROM v),
        |cent AS (SELECT vec_id AS cell, qv AS cv, nsq AS cnsq FROM n WHERE vec_id < 16),
        |asg AS (
        |  SELECT vec_id, qv, nsq, cell FROM (
        |    SELECT n.vec_id, n.qv, n.nsq, cent.cell,
        |           row_number() OVER (PARTITION BY n.vec_id ORDER BY
-       |             CAST(list_sum(list_transform(generate_series(1, 64), i -> n.qv[i]*cent.cv[i])) AS DOUBLE)
+       |             CAST(list_sum(list_transform(generate_series(1, len(n.qv)), i -> n.qv[i]*cent.cv[i])) AS DOUBLE)
        |               / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(cent.cnsq AS DOUBLE))) DESC,
        |             cent.cell) AS rn
        |    FROM n, cent)
@@ -877,14 +878,14 @@ object SparkEntry {
        |  SELECT query_id, q_qv, q_nsq, cell FROM (
        |    SELECT q.vec_id AS query_id, q.qv AS q_qv, q.nsq AS q_nsq, p.cell,
        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |             CAST(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i]*p.cv[i])) AS DOUBLE)
+       |             CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i]*p.cv[i])) AS DOUBLE)
        |               / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(p.cnsq AS DOUBLE))) DESC,
        |             p.cell) AS rn
        |    FROM n q, probecent p WHERE q.vec_id < 20)
        |  WHERE rn <= 4),
        |sc AS (
        |  SELECT pr.query_id, a.vec_id AS neighbor_id,
-       |         CAST(list_sum(list_transform(generate_series(1, 64), i -> pr.q_qv[i]*a.qv[i])) AS DOUBLE)
+       |         CAST(list_sum(list_transform(generate_series(1, len(pr.q_qv)), i -> pr.q_qv[i]*a.qv[i])) AS DOUBLE)
        |           / (sqrt(CAST(pr.q_nsq AS DOUBLE)) * sqrt(CAST(a.nsq AS DOUBLE))) AS sim
        |  FROM probes pr JOIN asg a ON pr.cell = a.cell AND pr.query_id <> a.vec_id)
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim FROM (
@@ -905,12 +906,12 @@ object SparkEntry {
        |  FROM embeddings),
        |b AS (
        |  SELECT vec_id, qv,
-       |         CAST(list_sum(list_transform(generate_series(1, 64), i -> qv[i]*qv[i])) AS BIGINT) AS nsq,
+       |         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*qv[i])) AS BIGINT) AS nsq,
        |         CAST($bucketTerms AS BIGINT) AS bucket
        |  FROM v),
        |pairs AS (
        |  SELECT l.vec_id AS a, r.vec_id AS b,
-       |         CAST(list_sum(list_transform(generate_series(1, 64), i -> l.qv[i]*r.qv[i])) AS BIGINT) AS dot,
+       |         CAST(list_sum(list_transform(generate_series(1, len(l.qv)), i -> l.qv[i]*r.qv[i])) AS BIGINT) AS dot,
        |         l.nsq AS na, r.nsq AS nb
        |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
        |SELECT DISTINCT a, b,

@@ -53,13 +53,17 @@ object Tables {
       partitionCols: Seq[String] = Nil): Long = {
     val spark = batch.sparkSession
     val fresh =
-      (if (exists(spark, baseDir, table)) {
+      if (exists(spark, baseDir, table)) {
         val existing = read(spark, baseDir, table)
         if (existing.isEmpty) batch
         else Incremental.dedupAppend(batch, existing, keys)
-      } else batch).persist()
+      } else batch
     // persist ⇒ the anti-join runs once, shared by the count and the
     // write (otherwise the sink is scanned and joined twice per sync).
+    // Only when WE built the plan — unpersisting a `fresh` that aliases
+    // the caller's `batch` would silently evict their cache.
+    val ownPlan = fresh ne batch
+    if (ownPlan) fresh.persist()
     try {
       val n = fresh.count()
       if (n > 0) {
@@ -68,7 +72,7 @@ object Tables {
           .parquet(path(baseDir, table))
       }
       n
-    } finally fresh.unpersist()
+    } finally if (ownPlan) fresh.unpersist()
   }
 
   /** Bucketed catalog table: pre-shuffles data into `nBuckets` by

@@ -37,9 +37,11 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("sampleFrames emits no rows for zero or null duration (regression: spurious frame 0)") {
-    val zeroDur = Seq((9L, "video", "x".getBytes("UTF-8"), 0L))
+    val edgeDur = Seq(
+      (9L, "video", "x".getBytes("UTF-8"), Some(0L)),
+      (10L, "video", "y".getBytes("UTF-8"), Option.empty[Long]))
       .toDF("media_id", "kind", "content", "durationMs")
-    assert(Multimodal.sampleFrames(zeroDur, "media_id", "durationMs", 1000L).count() == 0)
+    assert(Multimodal.sampleFrames(edgeDur, "media_id", "durationMs", 1000L).count() == 0)
   }
 
   test("resize produces (w*h)-sized stub content with updated metadata") {
