@@ -343,6 +343,42 @@ object SparkEntry {
           sum(TextFunctions.wordPieceCount(col("text")).cast("long")).as("n_pieces"))
     }),
 
+    // Scalar string-function surface locked cross-engine.
+    "q37_string_surface" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 20)).as("head20"),
+        length(col("text")).as("len"),
+        instr(col("text"), "the").as("first_the"),
+        regexp_replace(lower(col("text")), "[aeiou]", "").as("devoweled"),
+        reverse(substring(col("text"), 1, 10)).as("rev10"),
+        lpad(col("lang"), 5, "_").as("lang5"),
+        concat_ws("|", col("lang"), col("source")).as("tag"))
+    }),
+
+    // Date/time-function surface: truncation, fields, arithmetic.
+    "q38_date_surface" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        date_trunc("week", col("ts")).as("wk"),
+        dayofweek(col("ts")).as("dow"),
+        quarter(col("ts")).as("q"),
+        hour(col("ts")).as("h"),
+        last_day(col("ts")).as("eom"),
+        date_add(to_date(col("ts")), 30).as("plus30"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+    }),
+
+    // Explode + frequency top-k — the canonical wordcount shape.
+    "q39_wordcount" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    }),
+
     // Order-invariant document fingerprint.
     "q27_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -683,6 +719,35 @@ object SparkEntry {
         |  md5(array_to_string(list_sort(list_distinct(
         |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0))), ' ')) AS fp
         |FROM documents""".stripMargin,
+
+    "q37_string_surface" ->
+      """SELECT doc_id,
+        |  upper(substr(text, 1, 20)) AS head20,
+        |  CAST(length(text) AS INTEGER) AS len,
+        |  CAST(strpos(text, 'the') AS INTEGER) AS first_the,
+        |  regexp_replace(lower(text), '[aeiou]', '', 'g') AS devoweled,
+        |  reverse(substr(text, 1, 10)) AS rev10,
+        |  lpad(lang, 5, '_') AS lang5,
+        |  concat_ws('|', lang, source) AS tag
+        |FROM documents""".stripMargin,
+
+    "q38_date_surface" ->
+      """SELECT event_id,
+        |  CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+        |  CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |  CAST(quarter(ts) AS INTEGER) AS q,
+        |  CAST(hour(ts) AS INTEGER) AS h,
+        |  CAST(last_day(ts) AS DATE) AS eom,
+        |  CAST(CAST(ts AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(epoch_us(ts) // 1000000 AS BIGINT) AS epoch_s
+        |FROM events""".stripMargin,
+
+    "q39_wordcount" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                            t -> len(t) > 0)) AS token
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     "q28_sessions_batch" -> sessionsBatchSql,
 
