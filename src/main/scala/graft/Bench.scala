@@ -28,8 +28,13 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A crashed query reports -1.0 per-query; it must NOT shrink the
+    // total (a broken query reading as a speedup). Total sums successes
+    // only and failures are listed explicitly.
+    val failed = results.collect { case (k, v) if v == -1.0 => k }.toSeq.sorted
+    val total = results.values.filter(_ >= 0.0).sum
+    val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

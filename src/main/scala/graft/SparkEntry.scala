@@ -460,7 +460,7 @@ object SparkEntry {
       s"""SELECT event_id,
          |  'dev_' || CAST(user_id AS VARCHAR) AS device_name,
          |  $stateCaseSql AS state,
-         |  CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS INTEGER) AS k_value,
+         |  TRY_CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS INTEGER) AS k_value,
          |  coalesce(value, 0.0) AS value
          |FROM events""".stripMargin,
 

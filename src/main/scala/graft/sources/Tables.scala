@@ -18,8 +18,19 @@ object Tables {
 
   def path(baseDir: String, table: String): String = s"$baseDir/$table"
 
-  def exists(spark: SparkSession, baseDir: String, table: String): Boolean =
-    new java.io.File(path(baseDir, table)).exists()
+  private def hadoopPath(spark: SparkSession, p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
+  }
+
+  /** Resolved through Hadoop's FileSystem so sinks work on any
+    * supported scheme (hdfs://, s3a://, file:) — java.io.File would
+    * silently report "missing" for every non-local URI, disabling
+    * dedup-on-append. */
+  def exists(spark: SparkSession, baseDir: String, table: String): Boolean = {
+    val (fs, p) = hadoopPath(spark, path(baseDir, table))
+    fs.exists(p)
+  }
 
   /** K3 — idempotent table creation with an explicit schema (the
     * reference swallows "already exists", sheets_client.py:103-107). */
@@ -94,22 +105,30 @@ object Tables {
       .format("parquet")
       .saveAsTable(tableName)
 
-  /** State-snapshot overwrite (one row per device) — K5. Written to a
-    * temp location then swapped, so a failed write can't corrupt the
-    * previous state. */
+  /** State-snapshot overwrite (one row per device) — K5. Write to a
+    * temp dir, park the old target aside, promote the temp, then drop
+    * the parked copy: there is never a moment with no valid state on
+    * disk (a crash mid-swap leaves either the old or the new state
+    * recoverable — unlike delete-then-rename, which has a window with
+    * neither). Uses Hadoop FileSystem rename, which is same-scheme
+    * safe on hdfs:// and file: (java.io.File.renameTo is not). */
   def overwriteState(state: DataFrame, baseDir: String, table: String): Unit = {
-    val target = new java.io.File(path(baseDir, table))
-    val tmp = new java.io.File(path(baseDir, s"_tmp_$table"))
-    if (tmp.exists()) delete(tmp)
-    state.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-    if (target.exists()) delete(target)
-    if (!tmp.renameTo(target)) {
+    val spark = state.sparkSession
+    val (fs, target) = hadoopPath(spark, path(baseDir, table))
+    val (_, tmp) = hadoopPath(spark, path(baseDir, s"_tmp_$table"))
+    val (_, old) = hadoopPath(spark, path(baseDir, s"_old_$table"))
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    state.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, old)) {
+      throw new java.io.IOException(s"state swap: parking old $table failed")
+    }
+    if (!fs.rename(tmp, target)) {
+      // Old state is still intact at `old` — restore it before failing.
+      if (hadTarget) fs.rename(old, target)
       throw new java.io.IOException(s"state swap failed for $table")
     }
-  }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete()
+    if (hadTarget) fs.delete(old, true)
   }
 }

@@ -53,11 +53,13 @@ object Sessionizer {
       samples: Seq[StatusSample]): (Seq[CleaningHistory], SessionState) = {
     var st = state
     val out = Seq.newBuilder[CleaningHistory]
-    // Total order: ts, then the full sample content as tie-break —
-    // arrival order within a batch is shuffle-dependent, and a ts
-    // collision must not make the emitted sessions (or which sample's
+    // Total order: FULL-precision ts (getTime is ms-truncated; getNanos
+    // restores the sub-ms component so ordering matches the oracle's
+    // ORDER BY ts), then the sample content as tie-break — arrival
+    // order within a batch is shuffle-dependent, and a ts collision
+    // must not make the emitted sessions (or which sample's
     // fanPower/errorCode they capture) nondeterministic.
-    samples.sortBy(s => (s.ts.getTime, s.state, s.battery.getOrElse(-1),
+    samples.sortBy(s => (s.ts.getTime, s.ts.getNanos, s.state, s.battery.getOrElse(-1),
         s.fanPower.getOrElse(""), s.waterLevel.getOrElse(""),
         s.mopMode.getOrElse(""), s.errorCode.getOrElse(-1)))
       .foreach { s =>
