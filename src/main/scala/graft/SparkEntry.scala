@@ -439,6 +439,173 @@ object SparkEntry {
         .select(col("media_id"),
           element_at(col("features"), 1).as("f0"),
           element_at(col("features"), 4).as("f3"))
+    }),
+
+    // Pivot — event-type counts spread to columns per user (explicit
+    // value list: deterministic schema, no extra distinct pass).
+    "q40_pivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val p = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      // Empty cells pivot to NULL; the conditional-aggregate twin
+      // yields 0 — normalize to 0 (the analytics-friendly shape).
+      types.foldLeft(p)((df, ty) =>
+        df.withColumn(s"n_$ty", coalesce(col(ty), lit(0L))).drop(ty))
+    }),
+
+    // Set operations — INTERSECT / EXCEPT / UNION (distinct semantics).
+    "q41_setops" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id")).distinct()
+      purch.intersect(err).withColumn("tag", lit("both"))
+        .unionByName(purch.except(err).withColumn("tag", lit("purchase_only")))
+        .unionByName(err.except(purch).withColumn("tag", lit("error_only")))
+        .unionByName(purch.union(err).distinct().withColumn("tag", lit("either")))
+    }),
+
+    // HLL-shaped distinct sketch — mergeable two-level aggregation,
+    // engine-portable md5 registers, bit-exact estimate (vs the
+    // engine-private approx_count_distinct). exact_n alongside shows
+    // the estimate lands within the ~1.04/√64 ≈ 13% design error.
+    "q42_hll_distinct" -> ((s, dir) => {
+      val src = t(s, dir, "events")
+        .select(col("event_type").as("etype"), col("user_id"))
+      Sketches.hllDistinct(src, col("user_id").cast("string"), Seq("etype"))
+    }),
+
+    // Binned interval join — purchases inside any [error, error+1h]
+    // window of the same user: the band-join pattern (explode interval
+    // into fixed-width bins, equi-join on bin) that replaces Spark's
+    // BroadcastNestedLoopJoin fallback for range predicates.
+    "q43_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ep"))
+      val windows = e.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + 3600)
+      RangeJoin.pointInInterval(purchases, windows, "ep", "lo", "hi",
+          binWidth = 3600, equiKeys = Seq("user_id"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_windows"))
+    }),
+
+    // Statistical moments from exact integer sums: mean/variance/stddev
+    // reproduced bit-exactly cross-engine by mirroring the IEEE op
+    // order over exact (sum, sumsq) int64 accumulators. (At ≥ sf100
+    // sumsq would need DECIMAL(38) — cents² ≈ 3e9 per row.)
+    "q44_moments" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("c", cents(col("value")))
+        .groupBy(col("event_type").as("etype"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("c")).as("sum_cents"),
+          sum(col("c") * col("c")).as("sumsq_cents"),
+          min(col("c")).as("min_cents"),
+          max(col("c")).as("max_cents"))
+        .withColumn("mean_cents",
+          col("sum_cents").cast("double") / col("n"))
+        .withColumn("var_cents",
+          (col("sumsq_cents").cast("double")
+            - col("sum_cents").cast("double") * col("sum_cents").cast("double") / col("n"))
+            / (col("n") - 1))
+        .withColumn("stddev_cents", sqrt(col("var_cents")))
+    }),
+
+    // Window-navigation surface: lead, first/last/nth over the full
+    // frame, ntile, percent_rank, cume_dist — deterministic under the
+    // total (ts, event_id) order.
+    "q45_window_nav" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        first(col("event_id")).over(full).as("first_id"),
+        last(col("event_id")).over(full).as("last_id"),
+        nth_value(col("event_id"), 2).over(full).as("second_id"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    }),
+
+    // SimHash near-dup at Hamming ≤ 3 — byte-band LSH with exact
+    // recall by pigeonhole, verified by bit_count(xor).
+    "q46_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // TF/DF components — the joinable core of tf-idf (the idf log is
+    // deliberately left to the consumer: libm rounding is not
+    // cross-engine-stable, integer tf/df are).
+    "q47_tf_df" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(dfreq, Seq("token"))
+        .filter(col("tf") >= 4)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"))
+    }),
+
+    // Fixed-size chunk fingerprints over binary content — the
+    // content-addressing / chunk-dedup primitive.
+    "q48_media_chunks" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      Multimodal.chunkFingerprints(media, "doc_id", "content", 16)
+    }),
+
+    // Tumbling event-time windows (the batch twin of the streaming
+    // windowed aggregation): epoch-aligned 6 h buckets via window().
+    "q49_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("total_cents"))
+        .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+          col("n"), col("total_cents"))
+    }),
+
+    // Explicit GROUPING SETS with grouping indicators (rollup/cube's
+    // general form; SQL-only surface in Spark's DataFrame API).
+    "q50_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type").as("etype"), month(col("ts")).as("m"),
+          cents(col("value")).as("c"))
+        .createOrReplaceTempView("gs_src")
+      s.sql(
+        """SELECT etype, m,
+          |       CAST(grouping(etype) AS INT) AS g_etype,
+          |       CAST(grouping(m) AS INT) AS g_m,
+          |       count(*) AS n, sum(c) AS total_cents
+          |FROM gs_src
+          |GROUP BY GROUPING SETS ((etype), (m), ())""".stripMargin)
+    }),
+
+    // Array-function surface over quantized embeddings: max/min/argmax,
+    // L1 norm, reversed dot — exact integer element-wise ops.
+    "q51_array_surface" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("qv"))
+        .select(
+          col("vec_id"),
+          size(col("qv")).as("dim"),
+          array_max(col("qv")).as("qmax"),
+          array_min(col("qv")).as("qmin"),
+          array_position(col("qv"), array_max(col("qv"))).cast("int").as("argmax1"),
+          aggregate(col("qv"), lit(0L), (acc, x) => acc + abs(x)).as("l1"),
+          aggregate(zip_with(col("qv"), reverse(col("qv")), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("rev_dot"))
     })
   )
 
@@ -763,7 +930,133 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  (CAST(('0x' || substr(md5(text || ':0'), 1, 12)) AS BIGINT) % 1000000) / 1000000.0 AS f0,
         |  (CAST(('0x' || substr(md5(text || ':3'), 1, 12)) AS BIGINT) % 1000000) / 1000000.0 AS f3
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q40_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q41_setops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |SELECT user_id, 'both' AS tag FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+        |UNION ALL
+        |SELECT user_id, 'purchase_only' AS tag FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+        |UNION ALL
+        |SELECT user_id, 'error_only' AS tag FROM (SELECT user_id FROM e EXCEPT SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT user_id, 'either' AS tag FROM (SELECT user_id FROM p UNION SELECT user_id FROM e)""".stripMargin,
+
+    "q42_hll_distinct" -> Sketches.hllDistinctSql(
+      "(SELECT event_type AS etype, user_id FROM events) src",
+      "CAST(user_id AS VARCHAR)", Seq("etype")),
+
+    "q43_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ep
+        |           FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT user_id, epoch_us(ts) // 1000000 AS lo
+        |      FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, count(*) AS n_windows
+        |FROM p JOIN w ON p.user_id = w.user_id
+        |             AND p.ep >= w.lo AND p.ep <= w.lo + 3600
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q44_moments" ->
+      """WITH a AS (
+        |  SELECT event_type AS etype, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS sum_cents,
+        |    CAST(sum(c*c) AS BIGINT) AS sumsq_cents,
+        |    CAST(min(c) AS BIGINT) AS min_cents,
+        |    CAST(max(c) AS BIGINT) AS max_cents
+        |  FROM (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events)
+        |  GROUP BY 1)
+        |SELECT etype, n, sum_cents, sumsq_cents, min_cents, max_cents,
+        |  CAST(sum_cents AS DOUBLE) / n AS mean_cents,
+        |  (CAST(sumsq_cents AS DOUBLE) - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / n) / (n - 1) AS var_cents,
+        |  sqrt((CAST(sumsq_cents AS DOUBLE) - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / n) / (n - 1)) AS stddev_cents
+        |FROM a""".stripMargin,
+
+    "q45_window_nav" ->
+      """SELECT user_id, event_id,
+        |  lead(event_id) OVER w AS next_id,
+        |  first_value(event_id) OVER wf AS first_id,
+        |  last_value(event_id) OVER wf AS last_id,
+        |  nth_value(event_id, 2) OVER wf AS second_id,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q46_simhash_neardup" ->
+      s"""WITH sims AS ($simhashSql)
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |       CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+         |FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin,
+
+    "q47_tf_df" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |                                    t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df
+        |FROM tf JOIN dfreq USING (token)
+        |WHERE tf.tf >= 4""".stripMargin,
+
+    // Chunking runs over the hex encoding (2 chars/byte) so the same
+    // md5-per-chunk construction works without BLOB slicing.
+    "q48_media_chunks" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id, to_hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents WHERE octet_length(encode(text)) > 0)
+        |SELECT media_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        |       md5(substring(hx, CAST(u.i * 32 + 1 AS INTEGER), 32)) AS fp,
+        |       CAST(length(substring(hx, CAST(u.i * 32 + 1 AS INTEGER), 32)) / 2 AS INTEGER) AS chunk_octets
+        |FROM h, UNNEST(generate_series(0, (nb - 1) // 16)) AS u(i)""".stripMargin,
+
+    "q49_tumbling_window" ->
+      """SELECT CAST(to_timestamp(b * 21600) AS TIMESTAMP) AS w_start,
+        |       CAST(to_timestamp((b + 1) * 21600) AS TIMESTAMP) AS w_end,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM (SELECT epoch_us(ts) // 1000000 // 21600 AS b, value FROM events)
+        |GROUP BY b""".stripMargin,
+
+    "q50_grouping_sets" ->
+      """SELECT event_type AS etype, CAST(month(ts) AS INTEGER) AS m,
+        |       CAST(GROUPING(event_type) AS INTEGER) AS g_etype,
+        |       CAST(GROUPING(month(ts)) AS INTEGER) AS g_m,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (month(ts)), ())""".stripMargin,
+
+    "q51_array_surface" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(qv) AS INTEGER) AS dim,
+        |  CAST(list_max(qv) AS BIGINT) AS qmax,
+        |  CAST(list_min(qv) AS BIGINT) AS qmin,
+        |  CAST(list_position(qv, list_max(qv)) AS INTEGER) AS argmax1,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1,
+        |  CAST(list_sum(list_transform(generate_series(1, len(qv)),
+        |       i -> qv[i] * qv[len(qv) + 1 - i])) AS BIGINT) AS rev_dot
+        |FROM q""".stripMargin
   )
 
   // --------------------------------------------------- generated oracle SQL

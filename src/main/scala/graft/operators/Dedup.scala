@@ -134,6 +134,37 @@ object Dedup {
       graft.functions.GraftExpressions
         .simhashFromTokens(tokens(col(textCol)), 32).as("simhash"))
 
+  /** SimHash near-duplicates at Hamming distance ≤ `maxHamming`, via
+    * byte-band LSH: split each 32-bit simhash into 4 bytes; by
+    * pigeonhole, any pair within Hamming distance 3 agrees on ≥ 1
+    * whole byte, so an equi-join on (band_id, band_byte) finds ALL
+    * such pairs (exact recall for maxHamming ≤ 3), then the cheap
+    * bit_count(xor) verify discards false candidates. ONE shuffle on
+    * the band key; never corpus×corpus. */
+  def simhashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 byte-bands guarantee recall only to Hamming 3")
+    val sh = simhash32(docs, idCol, textCol)
+    val banded = sh
+      .select(col(idCol), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band_id"))
+      .withColumn("band_byte",
+        expr("(simhash div shiftleft(CAST(1 AS BIGINT), band_id * 8)) % 256"))
+    val l = banded.select(col("band_id"), col("band_byte"),
+      col(idCol).as("a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("band_id"), col("band_byte"),
+      col(idCol).as("b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("band_id", "band_byte"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming",
+        expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming")).distinct()
+  }
+
   /** Embedding-cosine near-duplicates: SRP-LSH bucket the corpus, then
     * verify cosine ≥ threshold within buckets only. One shuffle per
     * join side on the bucket id; never a corpus×corpus product.

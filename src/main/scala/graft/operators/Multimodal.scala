@@ -141,6 +141,35 @@ object Multimodal {
     }.toDF("media_id", "kind", "content", "sizeBytes", "width", "height")
   }
 
+  /** Fixed-size byte-chunk fingerprints — the content-addressing /
+    * chunk-dedup primitive (audio segmenting, rolling storage dedup):
+    * one row per `chunkBytes` slice of the content with an md5
+    * fingerprint. The byte stream is hex-encoded FIRST (2 chars/byte,
+    * pure codegen'd string ops) so the same construction runs on any
+    * engine without binary-slicing support; chunking happens on the
+    * hex string above the explode, map-only until the caller
+    * aggregates fingerprints. */
+  def chunkFingerprints(
+      media: DataFrame,
+      idCol: String,
+      contentCol: String,
+      chunkBytes: Int): DataFrame = {
+    require(chunkBytes > 0, "chunkBytes must be positive")
+    val hexWidth = chunkBytes * 2
+    media
+      .select(col(idCol).as("media_id"), hex(col(contentCol)).as("_hex"),
+        length(col(contentCol)).as("_bytes"))
+      .filter(col("_bytes") > 0)
+      .select(col("media_id"), col("_hex"),
+        explode(sequence(lit(0L),
+          floor((col("_bytes") - 1) / chunkBytes).cast("long"))).as("chunk_idx"))
+      .withColumn("fp",
+        md5(expr(s"substring(_hex, CAST(chunk_idx * $hexWidth + 1 AS INT), $hexWidth)")))
+      .withColumn("chunk_octets",
+        expr(s"CAST(length(substring(_hex, CAST(chunk_idx * $hexWidth + 1 AS INT), $hexWidth)) / 2 AS INT)"))
+      .select(col("media_id"), col("chunk_idx"), col("fp"), col("chunk_octets"))
+  }
+
   /** Partition media by cumulative byte size (not row count): media
     * rows vary from KBs to GBs, so row-count partitioning produces
     * pathological stragglers at scale. */

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SimHash byte-band near-dup and chunk-fingerprint specs (round-2
+  * operators). */
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhashNearDups equals brute-force Hamming<=3 (pigeonhole recall)") {
+    val docs = (1L to 60L).map { i =>
+      // Clusters of 3 share most tokens → small Hamming distances.
+      val base = s"alpha beta gamma delta epsilon zeta eta theta iota kappa g${i / 3}"
+      (i, if (i % 3 == 0) base else s"$base extra${i % 3}")
+    }.toDF("doc_id", "text")
+
+    val banded = sortedRows(Dedup.simhashNearDups(docs, "doc_id", "text"))
+
+    val sims = Dedup.simhash32(docs, "doc_id", "text")
+    val l = sims.select($"doc_id".as("a"), $"simhash".as("sa"))
+    val r = sims.select($"doc_id".as("b"), $"simhash".as("sb"))
+    val brute = sortedRows(
+      l.crossJoin(r).filter($"a" < $"b")
+        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .filter($"hamming" <= 3)
+        .select($"a", $"b", $"hamming"))
+
+    assert(banded == brute, "byte-band LSH must have exact recall at Hamming<=3")
+    assert(brute.nonEmpty, "fixture must actually produce near-dup pairs")
+  }
+
+  test("chunkFingerprints: chunk count, sizes, and md5-over-hex construction") {
+    val media = Seq((1L, "abcdefghijklmnopqrstuvwxyz012345EXTRA".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val out = rows(Multimodal.chunkFingerprints(media, "media_id", "content", 16))
+      .sortBy(_.getAs[Long]("chunk_idx"))
+    assert(out.map(_.getAs[Long]("chunk_idx")) == Seq(0L, 1L, 2L))
+    assert(out.map(_.getAs[Int]("chunk_octets")) == Seq(16, 16, 5))
+    // Fingerprint = md5 of the UPPERCASE hex of the chunk bytes.
+    def hexMd5(s: String): String = {
+      val hx = s.getBytes("UTF-8").map("%02X".format(_)).mkString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(hx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out.head.getAs[String]("fp") == hexMd5("abcdefghijklmnop"))
+    assert(out.last.getAs[String]("fp") == hexMd5("EXTRA"))
+  }
+
+  test("chunkFingerprints drops empty content rather than emitting a phantom chunk") {
+    val media = Seq((1L, Array.empty[Byte]), (2L, "xy".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val out = rows(Multimodal.chunkFingerprints(media, "media_id", "content", 16))
+    assert(out.map(_.getAs[Long]("media_id")) == Seq(2L))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val points = Seq(
+    (1L, "u1", 100L),   // inside u1's [50, 150]
+    (2L, "u1", 150L),   // inclusive upper bound
+    (3L, "u1", 151L),   // just outside
+    (4L, "u2", 100L),   // u2 has no interval covering 100
+    (5L, "u1", 7000L))  // far bin, inside [6900, 7100]
+    .toDF("pid", "user", "p")
+
+  private val intervals = Seq(
+    ("u1", 50L, 150L),
+    ("u1", 6900L, 7100L),
+    ("u2", 200L, 300L))
+    .toDF("user", "lo", "hi")
+
+  test("pointInInterval matches inclusive bounds per equi-key") {
+    val out = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi",
+      binWidth = 100, equiKeys = Seq("user"))
+    assert(out.select("pid").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+  }
+
+  test("intervals spanning many bins still match (replication correctness)") {
+    val wide = Seq(("u1", 0L, 10000L)).toDF("user", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points.filter($"user" === "u1"), wide,
+      "p", "lo", "hi", binWidth = 7, equiKeys = Seq("user"))
+    // Every u1 point is inside the wide interval regardless of bin width.
+    assert(out.count() == 4)
+  }
+
+  test("no equi-key: pure range matching via bins") {
+    val pts = Seq((1L, 5L), (2L, 42L)).toDF("pid", "p")
+    val ivs = Seq((10L, 50L)).toDF("lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", binWidth = 8)
+    assert(out.select("pid").as[Long].collect().toSeq == Seq(2L))
+  }
+}
