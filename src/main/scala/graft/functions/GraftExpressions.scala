@@ -204,6 +204,58 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** `sortedShingles(toks, n)`: word-shingles of size n (space-joined)
+    * → DISTINCT, SORTED (binary UTF8 order) string array, in one
+    * native pass — the verify-side twin of [[MinHashFromTokens]].
+    * Equivalent to `array_sort(array_distinct(shingles(text, n)))`
+    * whose interpreted transform/concat_ws lambdas dominate the
+    * near-dup verify stage (~2.5 s of a 3.1 s pipeline at sf0.1).
+    * Output feeds [[JaccardSorted]]'s linear merge. */
+  case class SortedShingleSet(child: Expression, shingleSize: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "sorted_shingles"
+
+    def compute(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      if (n < shingleSize) return new GenericArrayData(Array.empty[Any])
+      val set = new java.util.TreeSet[UTF8String]()
+      var i = 0
+      while (i <= n - shingleSize) {
+        var sh = toks.getUTF8String(i)
+        var t = 1
+        while (t < shingleSize) {
+          sh = UTF8String.concat(sh, SpaceUtf8, toks.getUTF8String(i + t))
+          t += 1
+        }
+        set.add(sh)
+        i += 1
+      }
+      val out = new Array[Any](set.size)
+      val it = set.iterator()
+      var w = 0
+      while (it.hasNext) { out(w) = it.next(); w += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ssExpr", this,
+        "graft.functions.GraftExpressions.SortedShingleSet")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+           |  $ref.compute($c);""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SortedShingleSet =
+      copy(child = newChild)
+  }
+
+  private val SpaceUtf8 = UTF8String.fromString(" ")
+
   /** `simhash(toks, bits)`: per-bit majority vote over the 60-bit md5
     * prefixes of the DISTINCT token strings (string-distinct first —
     * two distinct tokens colliding to one hash must still vote twice,
@@ -406,6 +458,10 @@ object GraftExpressions {
       as: Array[Long], bs: Array[Long], p: Long): Column =
     GraftSqlBridge.column(
       MinHashFromTokens(GraftSqlBridge.expression(toks), shingleSize, as, bs, p))
+
+  def sortedShingleSet(toks: Column, shingleSize: Int): Column =
+    GraftSqlBridge.column(
+      SortedShingleSet(GraftSqlBridge.expression(toks), shingleSize))
 
   def simhashFromTokens(toks: Column, bits: Int): Column =
     GraftSqlBridge.column(SimHashFromTokens(GraftSqlBridge.expression(toks), bits))

@@ -112,16 +112,18 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, k, shingleSize)
     val cands = minhashCandidates(minhashBands(sigs, idCol, k, rowsPerBand), idCol)
+    // Sorted-distinct shingle sets in ONE native pass + a linear-merge
+    // Jaccard — the interpreted shingle lambdas + array_intersect/union
+    // pair dominated the verify stage (~2.5 s of 3.1 s at sf0.1).
     val sets = docs.select(col(idCol),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+      graft.functions.GraftExpressions
+        .sortedShingleSet(tokens(col(textCol)), shingleSize).as("sh"))
     cands
       .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("sh", "sh_a"), "a")
       .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("sh", "sh_b"), "b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        when(col("uni") > 0, col("inter").cast("double") / col("uni").cast("double"))
-          .otherwise(0.0))
+        coalesce(graft.functions.GraftExpressions.jaccardSorted(
+          col("sh_a"), col("sh_b")), lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -203,11 +205,12 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       threshold: Double): DataFrame = {
-    // Shingle sets sorted ONCE per doc; per-pair work is then a native
-    // linear merge (JaccardSorted) instead of interpreted
-    // array_intersect/array_union lambdas — same string-set semantics.
+    // Shingle sets built sorted-distinct in ONE native pass; per-pair
+    // work is then a native linear merge (JaccardSorted) instead of
+    // interpreted lambdas — same string-set semantics.
     val sets = docs.select(col(idCol),
-      array_sort(array_distinct(shingles(col(textCol), shingleSize))).as("sh"))
+      graft.functions.GraftExpressions
+        .sortedShingleSet(tokens(col(textCol)), shingleSize).as("sh"))
     val l = sets.select(col(idCol).as("a"), col("sh").as("sh_a"))
     val r = sets.select(col(idCol).as("b"), col("sh").as("sh_b"))
     l.crossJoin(r).filter(col("a") < col("b"))

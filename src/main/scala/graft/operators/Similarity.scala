@@ -63,46 +63,59 @@ object Similarity {
     score(q, c, k, joinKeys = Seq("bucket"))
   }
 
-  /** IVF (inverted-file) coarse quantizer: deterministic centroids =
-    * the `nCentroids` lowest-id vectors (reproducible without an RNG;
-    * a production index would run a few Lloyd rounds — same plumbing).
-    * Returns the corpus with a `cell` column — the inverted list key
-    * the corpus is shuffled/clustered by ONCE at index-build time. */
+  /** IVF coarse-quantizer centroids: deterministic = the `nCentroids`
+    * lowest-id vectors (reproducible without an RNG; a production
+    * index would run a few Lloyd rounds — same plumbing). Small by
+    * construction — always broadcast. */
+  def ivfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int): DataFrame =
+    prepare(corpus, idCol, vecCol).orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cell"), col("qvec").as("cvec"), col("nsq").as("cnsq"))
+
+  /** IVF index build: assign every vector to its nearest centroid
+    * (max cosine, tie → min cell). Returns the corpus with a `cell`
+    * column — the inverted list key the corpus is shuffled/clustered
+    * by ONCE at index-build time (and at 100 TB, written out
+    * partitioned by cell so searches never recompute it).
+    *
+    * The argmax goes through a NARROW (id, cell, csim) aggregation —
+    * a row_number window here would shuffle every (vector × centroid)
+    * row with both embedding arrays attached (~4× the bytes). */
   def ivfIndex(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       nCentroids: Int): DataFrame = {
     val prepared = prepare(corpus, idCol, vecCol)
-    val centroids = broadcast(
-      prepared.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cell"), col("qvec").as("cvec"), col("nsq").as("cnsq")))
-    // Assign each vector to its nearest centroid (max cosine, tie → min id).
-    val scored = prepared.crossJoin(centroids)
-      .withColumn("csim", cosineQ(dotQ(col("qvec"), col("cvec")), col("nsq"), col("cnsq")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("csim").desc, col("cell"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val centroids = broadcast(ivfCentroids(corpus, idCol, vecCol, nCentroids))
+    val assign = prepared.crossJoin(centroids)
+      .select(col(idCol), col("cell"),
+        cosineQ(dotQ(col("qvec"), col("cvec")), col("nsq"), col("cnsq")).as("csim"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cell"), struct(col("csim"), (-col("cell")).as("nc"))).as("cell"))
+    prepared.join(assign, Seq(idCol))
       .select(col(idCol), col("qvec"), col("nsq"), col("cell"))
   }
 
-  /** IVF search: route each query to its `nProbe` nearest cells and
-    * scan only those inverted lists. Recall grows with nProbe; the
-    * scan cost is nProbe/nCentroids of brute force. */
+  /** IVF search: route each query to its `nProbe` nearest cells
+    * (by centroid cosine) and scan only those inverted lists. Recall
+    * grows with nProbe; the scan cost is nProbe/nCentroids of brute
+    * force. `centroids` comes from [[ivfCentroids]] — passing it
+    * explicitly keeps the (expensive) index pipeline scanned once. */
   def ivfTopK(
       index: DataFrame,
+      centroids: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      nCentroids: Int,
       nProbe: Int): DataFrame = {
-    val centroids = broadcast(
-      index.filter(col(idCol) === col("cell"))
-        .select(col("cell"), col("qvec").as("cvec"), col("nsq").as("cnsq")))
     val q = prepare(queries, idCol, vecCol)
       .withColumnRenamed(idCol, "query_id")
-    val probes = q.crossJoin(centroids)
+    val probes = q.crossJoin(broadcast(centroids))
       .withColumn("csim", cosineQ(dotQ(col("qvec"), col("cvec")), col("nsq"), col("cnsq")))
     val pw = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell"))

@@ -47,8 +47,9 @@ class SimilaritySpec extends SparkSpec {
     val index = Similarity.ivfIndex(data, "vec_id", "embedding", nCentroids = 3)
     assert(index.count() == 12)
     assert(index.select("cell").distinct().count() <= 3)
-    val out = Similarity.ivfTopK(index, data.filter(col("vec_id") === 0),
-      "vec_id", "embedding", k = 2, nCentroids = 3, nProbe = 1)
+    val cents = Similarity.ivfCentroids(data, "vec_id", "embedding", 3)
+    val out = Similarity.ivfTopK(index, cents, data.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2, nProbe = 1)
     val ids = rows(out).map(_.getAs[Long]("neighbor_id"))
     // nearest neighbors of vec 0 (x-axis cluster) are 3, 6, 9 — same cell.
     assert(ids.forall(id => id % 3 == 0))
