@@ -46,7 +46,22 @@ object GraftExtensions {
     (FunctionIdentifier("graft_self_pairs"),
       info("graft_self_pairs",
         "graft_self_pairs(ids) - all (a, b) combinations with a before b"),
-      (children: Seq[Expression]) => GraftExpressions.SelfPairs(children.head)))
+      (children: Seq[Expression]) => GraftExpressions.SelfPairs(children.head)),
+    (FunctionIdentifier("graft_sorted_shingles"),
+      info("graft_sorted_shingles",
+        "graft_sorted_shingles(tokens) - sorted distinct 3-word shingle set"),
+      (children: Seq[Expression]) =>
+        GraftExpressions.SortedShingleSet(children.head, 3)),
+    (FunctionIdentifier("graft_jaccard_sorted"),
+      info("graft_jaccard_sorted",
+        "graft_jaccard_sorted(a, b) - Jaccard of two sorted distinct string arrays"),
+      (children: Seq[Expression]) =>
+        GraftExpressions.JaccardSorted(children.head, children(1))),
+    (FunctionIdentifier("graft_dot_q"),
+      info("graft_dot_q",
+        "graft_dot_q(a, b) - exact integer dot product of quantized vectors"),
+      (children: Seq[Expression]) =>
+        GraftExpressions.DotProductQ(children.head, children(1))))
 
   /** Register on a live session (the extensions config only applies at
     * session construction; the harness may own the session). */
