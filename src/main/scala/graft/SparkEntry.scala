@@ -599,6 +599,20 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((etype), (m), ())""".stripMargin)
     }),
 
+    // Hot-key-safe salted aggregation — two-stage (keys+salt partial,
+    // then keys final) with a deterministic row-hash salt. The oracle
+    // is the PLAIN single-stage aggregate: proves salting is purely a
+    // physical rewrite (bit-identical results, since the partial sums
+    // are exact integers).
+    "q52_salted_agg" -> ((s, dir) => {
+      Skew.saltedAggregate(
+        t(s, dir, "events").withColumn("c", cents(col("value"))),
+        keys = Seq("user_id"), salts = 16,
+        partials = Seq("n_part" -> count(lit(1)), "sum_part" -> sum(col("c"))),
+        finals = Seq(sum(col("n_part")).as("n"),
+          sum(col("sum_part")).as("total_cents")))
+    }),
+
     // Array-function surface over quantized embeddings: max/min/argmax,
     // L1 norm, reversed dot — exact integer element-wise ops.
     "q51_array_surface" -> ((s, dir) => {
@@ -1052,6 +1066,11 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (month(ts)), ())""".stripMargin,
+
+    "q52_salted_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q51_array_surface" ->
       """WITH q AS (
