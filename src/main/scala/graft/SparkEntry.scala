@@ -599,6 +599,14 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((etype), (m), ())""".stripMargin)
     }),
 
+    // One Lloyd refinement step over the IVF index — per-(cell, dim)
+    // centroid means from narrow shuffle rows.
+    "q53_ivf_lloyd" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfLloydStep(
+        Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16))
+    }),
+
     // Hot-key-safe salted aggregation — two-stage (keys+salt partial,
     // then keys final) with a deterministic row-hash salt. The oracle
     // is the PLAIN single-stage aggregate: proves salting is purely a
@@ -1072,6 +1080,13 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY 1""".stripMargin,
 
+    "q53_ivf_lloyd" ->
+      s"""WITH $ivfAsgCtes
+         |SELECT cell, CAST(u.i - 1 AS INTEGER) AS dim_idx, count(*) AS n,
+         |       CAST(sum(qv[u.i]) AS DOUBLE) / count(*) AS centroid_q
+         |FROM asg, UNNEST(generate_series(1, len(qv))) AS u(i)
+         |GROUP BY 1, 2""".stripMargin,
+
     "q51_array_surface" ->
       """WITH q AS (
         |  SELECT vec_id,
@@ -1235,13 +1250,12 @@ object SparkEntry {
        |FROM k WHERE rank <= 10""".stripMargin
   }
 
-  /** IVF oracle, mirroring Similarity.ivfCentroids/ivfIndex/ivfTopK
-    * exactly: centroids = 16 lowest-id vectors; every vector assigns
-    * to its max-cosine centroid (tie → min cell); queries
-    * (vec_id < 20) rank their 4 nearest centroids, scan those
-    * inverted lists, keep top-10. */
-  private lazy val ivfTopKSql: String =
-    s"""WITH v AS (
+  /** Shared IVF oracle CTEs (quantize → norms → centroids → cell
+    * assignment), mirroring Similarity.ivfCentroids/ivfIndex exactly:
+    * centroids = 16 lowest-id vectors; every vector assigns to its
+    * max-cosine centroid (tie → min cell). */
+  private lazy val ivfAsgCtes: String =
+    s"""v AS (
        |  SELECT vec_id,
        |         list_transform(embedding,
        |           e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
@@ -1259,7 +1273,12 @@ object SparkEntry {
        |               / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(cent.cnsq AS DOUBLE))) DESC,
        |             cent.cell) AS rn
        |    FROM n, cent)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  /** IVF search oracle: queries (vec_id < 20) rank their 4 nearest
+    * centroids, scan those inverted lists, keep top-10. */
+  private lazy val ivfTopKSql: String =
+    s"""WITH $ivfAsgCtes,
        |probes AS (
        |  SELECT query_id, q_qv, q_nsq, cell FROM (
        |    SELECT q.vec_id AS query_id, q.qv AS q_qv, q.nsq AS q_nsq, p.cell,

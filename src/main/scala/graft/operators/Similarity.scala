@@ -100,6 +100,22 @@ object Similarity {
       .select(col(idCol), col("qvec"), col("nsq"), col("cell"))
   }
 
+  /** One Lloyd (k-means) refinement step over an [[ivfIndex]] result:
+    * per (cell, dimension) mean of the assigned quantized vectors —
+    * the iterative centroid-refinement a production IVF build runs a
+    * few rounds of, expressed as explode + two-level hash aggregate
+    * (map-side partials; shuffle rows are narrow (cell, dim, sum,
+    * count) tuples, never whole arrays). Means are one IEEE divide of
+    * two exact integers — deterministic across engines.
+    * Output: (cell, dim_idx 0-based, n, centroid_q). */
+  def ivfLloydStep(index: DataFrame): DataFrame =
+    index
+      .select(col("cell"), posexplode(col("qvec")).as(Seq("dim_idx", "v")))
+      .groupBy(col("cell"), col("dim_idx"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("centroid_q", col("s").cast("double") / col("n"))
+      .select(col("cell"), col("dim_idx"), col("n"), col("centroid_q"))
+
   /** IVF search: route each query to its `nProbe` nearest cells
     * (by centroid cosine) and scan only those inverted lists. Recall
     * grows with nProbe; the scan cost is nProbe/nCentroids of brute

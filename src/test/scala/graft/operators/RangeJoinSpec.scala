@@ -33,6 +33,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("binned join equals naive cross-join range filter on random data") {
+    val rnd = new scala.util.Random(42)
+    val pts = (1 to 200).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("pid", "p")
+    val ivs = (1 to 40).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(120))
+    }.toDF("iid", "lo", "hi")
+    for (width <- Seq(1L, 13L, 100L, 5000L)) {
+      val binned = sortedRows(
+        RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", width)
+          .select($"pid", $"iid"))
+      val naive = sortedRows(
+        pts.crossJoin(ivs).filter($"p" >= $"lo" && $"p" <= $"hi")
+          .select($"pid", $"iid"))
+      assert(binned == naive, s"bin width $width diverged from naive join")
+    }
+  }
+
   test("no equi-key: pure range matching via bins") {
     val pts = Seq((1L, 5L), (2L, 42L)).toDF("pid", "p")
     val ivs = Seq((10L, 50L)).toDF("lo", "hi")
