@@ -599,6 +599,24 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((etype), (m), ())""".stripMargin)
     }),
 
+    // Near-dup graph → connected components → dedup clusters: the
+    // survivor-selection step of a production corpus dedup (min-label
+    // propagation to fixpoint; survivor = component min id).
+    "q54_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.connectedComponents(pairs, "a", "b")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+    }),
+
+    // Deterministic hash-bucket train/val/test split — stable across
+    // engines, retries, and reruns (no RNG), counted per language.
+    "q55_split_counts" -> ((s, dir) => {
+      Sampling.assignSplit(t(s, dir, "documents"), col("doc_id"), 80, 10)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+    }),
+
     // One Lloyd refinement step over the IVF index — per-(cell, dim)
     // centroid means from narrow shuffle rows.
     "q53_ivf_lloyd" -> ((s, dir) => {
@@ -1079,6 +1097,49 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Transitive closure by recursive CTE — tractable because the
+    // sf0.01 near-dup graph is tiny; the Spark side scales via
+    // per-round shuffles instead.
+    "q54_dedup_clusters" ->
+      s"""WITH RECURSIVE bands AS ($minhashBandsSql),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r
+         |    ON l.band_id = r.band_id AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |sets AS (${shingleSetsSql("")}),
+         |pairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT c.a, c.b,
+         |      CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+         |           THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |                / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |           ELSE 0.0 END AS j
+         |    FROM cands c
+         |    JOIN sets sa ON sa.doc_id = c.a
+         |    JOIN sets sb ON sb.doc_id = c.b)
+         |  WHERE j >= 0.6),
+         |e AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT x, y FROM e
+         |  UNION
+         |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON e2.x = r.y
+         |),
+         |comp AS (
+         |  SELECT x AS id, least(x, min(y)) AS component
+         |  FROM reach GROUP BY x)
+         |SELECT component, count(*) AS n_members,
+         |       CAST(max(id) AS BIGINT) AS max_id
+         |FROM comp GROUP BY 1""".stripMargin,
+
+    "q55_split_counts" ->
+      """SELECT lang,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_id
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "q53_ivf_lloyd" ->
       s"""WITH $ivfAsgCtes

@@ -197,6 +197,57 @@ object Dedup {
       .select(col("a"), col("b"), col("sim")).distinct()
   }
 
+  /** Connected components over a near-dup pair graph — the cluster
+    * collapse that turns pairwise candidates into dedup groups (one
+    * survivor per component). Min-label propagation: every node
+    * starts labeled with its own id; each round takes the min of its
+    * own and its neighbors' labels; at fixpoint the label is the
+    * component's min id (= the canonical survivor).
+    *
+    * Each round is ONE narrow shuffle (join on node id + min
+    * aggregate); lineage is truncated per round with localCheckpoint
+    * so plans stay flat over arbitrarily many rounds. Rounds needed =
+    * component diameter — near-dup clusters are shallow (dense blobs,
+    * diameter ≲ a few), so this converges in 2-4 rounds; a graph with
+    * long chains would want pointer-jumping (label = label of label)
+    * layered on the same plumbing. Deterministic: no RNG, exact
+    * min fixpoint, convergence checked by counting changed labels.
+    *
+    * Output: (id, component) — component = min node id reachable. */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    // Materialize the (symmetrized) edge list once — it is re-joined
+    // every round, and `edges` may be an arbitrarily expensive upstream
+    // pipeline (e.g. the full MinHash near-dup DAG).
+    val sym = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(edges.select(col(bCol).as("x"), col(aCol).as("y")))
+      .localCheckpoint()
+    var labels = sym.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("y"), col("label").as("ylab")), "y")
+        .groupBy(col("x").as("id"))
+        .agg(min(col("ylab")).as("nmin"))
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("moved"))
+        .localCheckpoint()
+      changed = next.filter(col("moved")).count()
+      labels = next.drop("moved")
+      round += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** Exact-Jaccard near-dups within a bounded id range (the brute-force
     * oracle-checkable variant; production path is [[minhashNearDups]]). */
   def jaccardPairs(

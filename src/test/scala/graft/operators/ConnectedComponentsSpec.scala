@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components get min-id labels; chains converge; singleton pairs isolate") {
+    // Two components: {1,2,3,4} via a chain (diameter 3) and {10,11}.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("a long chain needs multiple rounds and still reaches the fixpoint") {
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(chain, "a", "b", maxIter = 40)
+      .as[(Long, Long)].collect()
+    assert(out.length == 30 && out.forall(_._2 == 1L))
+  }
+
+  test("cluster collapse on a near-dup graph picks one survivor per clique") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today ok"),
+      (2L, "the quick brown fox jumps over the lazy dog today ok"),
+      (7L, "the quick brown fox jumps over the lazy dog today ok fine"),
+      (9L, "an entirely different document about distributed query engines ok"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+    val comps = Dedup.connectedComponents(pairs, "a", "b")
+    val groups = comps.as[(Long, Long)].collect().groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted.toSeq).toMap
+    // 1, 2, 7 collapse into component 1; 9 has no near-dups (absent).
+    assert(groups == Map(1L -> Seq(1L, 2L, 7L)))
+  }
+}
