@@ -599,6 +599,49 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((etype), (m), ())""".stripMargin)
     }),
 
+    // JSON scalar surface: path extraction, schema-based parsing, and
+    // struct→JSON packing over the props payload.
+    "q56_json_surface" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_schema"),
+        to_json(struct(col("user_id").as("u"), col("event_type").as("t")))
+          .as("packed"))
+    }),
+
+    // Time-series densification (gap fill): per-user calendar spine via
+    // sequence+explode, left join daily counts, zero-fill — the
+    // missing-period normalization every per-period metric needs.
+    "q57_gapfill" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_day"))
+      val cal = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_day"), lit(0L)).as("n_day"))
+    }),
+
+    // Fuzzy matching via edit distance on bounded prefixes (ASCII-only
+    // stratum: keeps char-vs-byte Levenshtein semantics identical
+    // across engines).
+    "q58_edit_distance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("lang") === "en" && col("doc_id") < 150)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+      val l = d.select(col("doc_id").as("a"), col("head").as("ha"))
+      val r = d.select(col("doc_id").as("b"), col("head").as("hb"))
+      l.crossJoin(r).filter(col("a") < col("b"))
+        .withColumn("dist", levenshtein(col("ha"), col("hb")))
+        .filter(col("dist") <= 12)
+        .select(col("a"), col("b"), col("dist"))
+    }),
+
     // Near-dup graph → connected components → dedup clusters: the
     // survivor-selection step of a production corpus dedup (min-label
     // propagation to fixpoint; survivor = component min id).
@@ -1097,6 +1140,35 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q56_json_surface" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_schema,
+        |  to_json(struct_pack(u := user_id, t := event_type)) AS packed
+        |FROM events""".stripMargin,
+
+    "q57_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_day
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+        |                                     CAST(max(day) AS TIMESTAMP),
+        |                                     INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT c.user_id, c.day, coalesce(d.n_day, 0) AS n_day
+        |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day""".stripMargin,
+
+    "q58_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS head
+        |  FROM documents WHERE lang = 'en' AND doc_id < 150)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |       CAST(levenshtein(l.head, r.head) AS INTEGER) AS dist
+        |FROM d l JOIN d r ON l.doc_id < r.doc_id
+        |WHERE levenshtein(l.head, r.head) <= 12""".stripMargin,
 
     // Transitive closure by recursive CTE — tractable because the
     // sf0.01 near-dup graph is tiny; the Spark side scales via
