@@ -419,7 +419,8 @@ object SparkEntry {
     "q31_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
-      val index = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16)
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, centroids0 = Some(cents))
       Similarity.ivfTopK(index, cents, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 10, nProbe = 4)
     }),
@@ -513,10 +514,13 @@ object SparkEntry {
           max(col("c")).as("max_cents"))
         .withColumn("mean_cents",
           col("sum_cents").cast("double") / col("n"))
+        // n=1 guard made explicit: Spark's non-ANSI /0 yields NULL while
+        // DuckDB's IEEE ops yield Inf/NaN — both sides CASE to NULL.
         .withColumn("var_cents",
-          (col("sumsq_cents").cast("double")
-            - col("sum_cents").cast("double") * col("sum_cents").cast("double") / col("n"))
-            / (col("n") - 1))
+          when(col("n") > 1,
+            (col("sumsq_cents").cast("double")
+              - col("sum_cents").cast("double") * col("sum_cents").cast("double") / col("n"))
+              / (col("n") - 1)))
         .withColumn("stddev_cents", sqrt(col("var_cents")))
     }),
 
@@ -1067,8 +1071,8 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT etype, n, sum_cents, sumsq_cents, min_cents, max_cents,
         |  CAST(sum_cents AS DOUBLE) / n AS mean_cents,
-        |  (CAST(sumsq_cents AS DOUBLE) - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / n) / (n - 1) AS var_cents,
-        |  sqrt((CAST(sumsq_cents AS DOUBLE) - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / n) / (n - 1)) AS stddev_cents
+        |  CASE WHEN n > 1 THEN (CAST(sumsq_cents AS DOUBLE) - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / n) / (n - 1) END AS var_cents,
+        |  CASE WHEN n > 1 THEN sqrt((CAST(sumsq_cents AS DOUBLE) - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / n) / (n - 1)) END AS stddev_cents
         |FROM a""".stripMargin,
 
     "q45_window_nav" ->
@@ -1119,9 +1123,12 @@ object SparkEntry {
         |       CAST(length(substring(hx, CAST(u.i * 32 + 1 AS INTEGER), 32)) / 2 AS INTEGER) AS chunk_octets
         |FROM h, UNNEST(generate_series(0, (nb - 1) // 16)) AS u(i)""".stripMargin,
 
+    // Epoch→timestamp via DATE arithmetic, NOT to_timestamp(): casting
+    // a TIMESTAMPTZ to naive TIMESTAMP goes through DuckDB's session
+    // TimeZone, which the harness does not pin — this form is TZ-free.
     "q49_tumbling_window" ->
-      """SELECT CAST(to_timestamp(b * 21600) AS TIMESTAMP) AS w_start,
-        |       CAST(to_timestamp((b + 1) * 21600) AS TIMESTAMP) AS w_end,
+      """SELECT TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 21600 SECOND AS w_start,
+        |       TIMESTAMP '1970-01-01 00:00:00' + (b + 1) * INTERVAL 21600 SECOND AS w_end,
         |       count(*) AS n,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM (SELECT epoch_us(ts) // 1000000 // 21600 AS b, value FROM events)

@@ -245,6 +245,13 @@ object Dedup {
       labels = next.drop("moved")
       round += 1
     }
+    // Non-convergence must not silently return partial labels — a
+    // dedup collapse acting on them would split clusters into several
+    // "survivors" with no error anywhere downstream.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still moving); the graph has components of " +
+        "diameter > maxIter — raise maxIter or add pointer-jumping")
     labels.withColumnRenamed("label", "component")
   }
 

@@ -143,11 +143,17 @@ object Multimodal {
 
   /** Fixed-size byte-chunk fingerprints — the content-addressing /
     * chunk-dedup primitive (audio segmenting, rolling storage dedup):
-    * one row per `chunkBytes` slice of the content with an md5
-    * fingerprint. The byte stream is hex-encoded FIRST (2 chars/byte,
-    * pure codegen'd string ops) so the same construction runs on any
-    * engine without binary-slicing support; chunking happens on the
-    * hex string above the explode, map-only until the caller
+    * one row per `chunkBytes` slice of the content, fingerprint =
+    * md5 over the chunk's hex encoding (2 chars/byte, so the same
+    * construction runs on any engine without BLOB hashing support).
+    *
+    * The BINARY is sliced first and only the small chunk is
+    * hex-encoded — hex-encoding the whole payload first would double
+    * it (blowing the 2 GiB string ceiling for ~1 GiB media) and push
+    * substring offsets past Int range (where a wrapped non-ANSI cast
+    * silently slices from the string END). Byte offsets are bounded
+    * by the JVM's 2 GiB array limit on `content` itself, so the
+    * CAST-to-INT here cannot wrap. Map-only until the caller
     * aggregates fingerprints. */
   def chunkFingerprints(
       media: DataFrame,
@@ -155,19 +161,18 @@ object Multimodal {
       contentCol: String,
       chunkBytes: Int): DataFrame = {
     require(chunkBytes > 0, "chunkBytes must be positive")
-    val hexWidth = chunkBytes * 2
     media
-      .select(col(idCol).as("media_id"), hex(col(contentCol)).as("_hex"),
+      .select(col(idCol).as("media_id"), col(contentCol).as("_content"),
         length(col(contentCol)).as("_bytes"))
       .filter(col("_bytes") > 0)
-      .select(col("media_id"), col("_hex"),
+      .select(col("media_id"), col("_content"),
         explode(sequence(lit(0L),
           floor((col("_bytes") - 1) / chunkBytes).cast("long"))).as("chunk_idx"))
-      .withColumn("fp",
-        md5(expr(s"substring(_hex, CAST(chunk_idx * $hexWidth + 1 AS INT), $hexWidth)")))
-      .withColumn("chunk_octets",
-        expr(s"CAST(length(substring(_hex, CAST(chunk_idx * $hexWidth + 1 AS INT), $hexWidth)) / 2 AS INT)"))
-      .select(col("media_id"), col("chunk_idx"), col("fp"), col("chunk_octets"))
+      .withColumn("_chunk",
+        expr(s"substring(_content, CAST(chunk_idx * $chunkBytes + 1 AS INT), $chunkBytes)"))
+      .select(col("media_id"), col("chunk_idx"),
+        md5(hex(col("_chunk"))).as("fp"),
+        length(col("_chunk")).as("chunk_octets"))
   }
 
   /** Partition media by cumulative byte size (not row count): media

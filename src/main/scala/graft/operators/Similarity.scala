@@ -88,9 +88,14 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      nCentroids: Int): DataFrame = {
+      nCentroids: Int,
+      centroids0: Option[DataFrame] = None): DataFrame = {
     val prepared = prepare(corpus, idCol, vecCol)
-    val centroids = broadcast(ivfCentroids(corpus, idCol, vecCol, nCentroids))
+    // Callers that already built centroids (q31 needs them for probe
+    // routing too) pass them in; deriving them twice would double the
+    // prepare+sort+limit scan.
+    val centroids = broadcast(
+      centroids0.getOrElse(ivfCentroids(corpus, idCol, vecCol, nCentroids)))
     val assign = prepared.crossJoin(centroids)
       .select(col(idCol), col("cell"),
         cosineQ(dotQ(col("qvec"), col("cvec")), col("nsq"), col("cnsq")).as("csim"))

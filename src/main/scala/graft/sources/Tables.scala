@@ -117,6 +117,16 @@ object Tables {
     val (fs, target) = hadoopPath(spark, path(baseDir, table))
     val (_, tmp) = hadoopPath(spark, path(baseDir, s"_tmp_$table"))
     val (_, old) = hadoopPath(spark, path(baseDir, s"_old_$table"))
+    // Crash recovery BEFORE cleanup: if a previous run died between
+    // parking the old state and promoting the new one, the parked copy
+    // is the only valid state — restore it rather than deleting it and
+    // silently cold-starting.
+    if (!fs.exists(target) && fs.exists(old)) {
+      if (!fs.rename(old, target)) {
+        throw new java.io.IOException(
+          s"state swap: recovering parked state for $table failed")
+      }
+    }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
     state.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
