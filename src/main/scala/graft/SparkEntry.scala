@@ -603,6 +603,34 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((etype), (m), ())""".stripMargin)
     }),
 
+    // Keyed upsert / MERGE: the fresh partial snapshot replaces rows
+    // of the prior full snapshot per user; untouched users carry over.
+    "q59_upsert" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-25 00:00:00"))
+      val prior = e.filter(col("ts") < cut)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("cents"))
+      val fresh = e.filter(col("ts") >= cut)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("cents"))
+      Incremental.upsert(prior, fresh, Seq("user_id"))
+    }),
+
+    // Time-RANGE trailing window: per-user 7-day trailing spend, a
+    // RANGE frame over epoch seconds (peers at equal ts aggregate
+    // together, so the result is order-deterministic by construction).
+    "q60_trailing_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ep"))
+        .rangeBetween(-6L * 86400L, 0L)
+      t(s, dir, "events")
+        .withColumn("ep", unix_timestamp(col("ts")))
+        .withColumn("c", cents(col("value")))
+        .select(col("user_id"), col("event_id"), col("ep"),
+          sum(col("c")).over(w).as("trail7_cents"),
+          count(lit(1)).over(w).as("trail7_n"))
+    }),
+
     // JSON scalar surface: path extraction, schema-based parsing, and
     // struct→JSON packing over the props payload.
     "q56_json_surface" -> ((s, dir) => {
@@ -1147,6 +1175,30 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q59_upsert" ->
+      """WITH prior AS (
+        |  SELECT user_id, count(*) AS n,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1),
+        |fresh AS (
+        |  SELECT user_id, count(*) AS n,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1)
+        |SELECT coalesce(f.user_id, p.user_id) AS user_id,
+        |       CASE WHEN f.user_id IS NOT NULL THEN f.n ELSE p.n END AS n,
+        |       CASE WHEN f.user_id IS NOT NULL THEN f.cents ELSE p.cents END AS cents
+        |FROM prior p FULL OUTER JOIN fresh f ON p.user_id = f.user_id""".stripMargin,
+
+    "q60_trailing_window" ->
+      """SELECT user_id, event_id, ep,
+        |  CAST(sum(c) OVER w AS BIGINT) AS trail7_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail7_n
+        |FROM (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ep,
+        |             CAST(round(value*100) AS BIGINT) AS c
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ep
+        |             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q56_json_surface" ->
       """SELECT event_id,

@@ -50,6 +50,29 @@ object Incremental {
   def dedupAppend(batch: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     batch.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
 
+  /** Keyed upsert (MERGE INTO semantics without a table format):
+    * rows present in `updates` replace the current row for that key,
+    * absent keys keep the current row, brand-new keys insert. Both
+    * sides must share a schema. One full-outer shuffle join on the
+    * keys — at 100 TB both sides pre-bucketed by the key make this
+    * exchange-free. */
+  def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val payload = current.columns.filterNot(keys.contains).toSeq
+    require(updates.columns.sorted.sameElements(current.columns.sorted),
+      "upsert requires identical schemas")
+    val cur = current.select(keys.map(col) ++
+      payload.map(c => col(c).as(s"_cur_$c")): _*)
+    val upd = updates.select(keys.map(col) ++
+      payload.map(c => col(c).as(s"_upd_$c")): _*)
+    // A NULL payload value in an update row must still win, so the
+    // pick is driven by key presence (marker), not value coalescing.
+    val marked = upd.withColumn("_has_upd", lit(true))
+    cur.join(marked, keys, "full_outer")
+      .select(keys.map(col) ++ payload.map(c =>
+        when(col("_has_upd"), col(s"_upd_$c"))
+          .otherwise(col(s"_cur_$c")).as(c)): _*)
+  }
+
   /** J2 — as-of join: for each left row, attach the greatest right
     * `rightTsCol` that is <= the left row's `tsCol`, per key. Built as
     * union + running last-non-null — ONE shuffle on the key, no

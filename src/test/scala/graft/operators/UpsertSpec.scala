@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: updates win, absent keys carry over, new keys insert, NULL updates still win") {
+    val current = Seq((1L, Some(10), "a"), (2L, Some(20), "b"), (3L, Some(30), "c"))
+      .toDF("k", "v", "s")
+    val updates = Seq((2L, Some(99), "B"), (3L, None: Option[Int], "C"), (4L, Some(40), "d"))
+      .toDF("k", "v", "s")
+    val got = Incremental.upsert(current, updates, Seq("k"))
+      .as[(Long, Option[Int], String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some(10), "a"),   // untouched
+      (2L, Some(99), "B"),   // replaced
+      (3L, None, "C"),       // replaced INCLUDING the null payload value
+      (4L, Some(40), "d")))  // inserted
+  }
+
+  test("upsert rejects mismatched schemas") {
+    val current = Seq((1L, 1)).toDF("k", "v")
+    val updates = Seq((1L, 1)).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      Incremental.upsert(current, updates, Seq("k"))
+    }
+  }
+}
