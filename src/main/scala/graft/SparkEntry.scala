@@ -620,9 +620,12 @@ object SparkEntry {
     // Time-RANGE trailing window: per-user 7-day trailing spend, a
     // RANGE frame over epoch seconds (peers at equal ts aggregate
     // together, so the result is order-deterministic by construction).
+    // Window = (now − 7 d, now]: 604799 preceding inclusive — the
+    // day-aligned "N−1 days" idiom would only span 6 d on
+    // second-resolution timestamps.
     "q60_trailing_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ep"))
-        .rangeBetween(-6L * 86400L, 0L)
+        .rangeBetween(-(7L * 86400L - 1L), 0L)
       t(s, dir, "events")
         .withColumn("ep", unix_timestamp(col("ts")))
         .withColumn("c", cents(col("value")))
@@ -1186,8 +1189,8 @@ object SparkEntry {
         |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1)
         |SELECT coalesce(f.user_id, p.user_id) AS user_id,
-        |       CASE WHEN f.user_id IS NOT NULL THEN f.n ELSE p.n END AS n,
-        |       CASE WHEN f.user_id IS NOT NULL THEN f.cents ELSE p.cents END AS cents
+        |       CASE WHEN f.n IS NOT NULL THEN f.n ELSE p.n END AS n,
+        |       CASE WHEN f.n IS NOT NULL THEN f.cents ELSE p.cents END AS cents
         |FROM prior p FULL OUTER JOIN fresh f ON p.user_id = f.user_id""".stripMargin,
 
     "q60_trailing_window" ->
@@ -1198,7 +1201,7 @@ object SparkEntry {
         |             CAST(round(value*100) AS BIGINT) AS c
         |      FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ep
-        |             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)""".stripMargin,
+        |             RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q56_json_surface" ->
       """SELECT event_id,

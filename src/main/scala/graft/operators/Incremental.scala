@@ -53,13 +53,19 @@ object Incremental {
   /** Keyed upsert (MERGE INTO semantics without a table format):
     * rows present in `updates` replace the current row for that key,
     * absent keys keep the current row, brand-new keys insert. Both
-    * sides must share a schema. One full-outer shuffle join on the
-    * keys — at 100 TB both sides pre-bucketed by the key make this
-    * exchange-free. */
+    * sides must share a schema (names AND types — a silent type
+    * coercion here would mutate the state table's schema downstream).
+    * Like MERGE INTO's multiple-match restriction, `updates` must be
+    * unique per key: duplicate update keys fan out the join (callers
+    * aggregate or dropDuplicates first). One full-outer shuffle join
+    * on the keys — at 100 TB both sides pre-bucketed by the key make
+    * this exchange-free. */
   def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val payload = current.columns.filterNot(keys.contains).toSeq
-    require(updates.columns.sorted.sameElements(current.columns.sorted),
-      "upsert requires identical schemas")
+    def shape(df: DataFrame) =
+      df.schema.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    require(shape(updates) == shape(current),
+      "upsert requires identical schemas (column names and types)")
     val cur = current.select(keys.map(col) ++
       payload.map(c => col(c).as(s"_cur_$c")): _*)
     val upd = updates.select(keys.map(col) ++

@@ -23,11 +23,27 @@ object Tables {
     (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
   }
 
+  /** If a previous overwriteState crashed between parking the old
+    * state and promoting the new one, the parked `_old_` copy is the
+    * only valid state. EVERY access path (exists/read/overwrite) runs
+    * this first — recovery only at write time would let a reader
+    * cold-start on the missing target and then clobber the parked
+    * copy. */
+  private def recoverParkedState(spark: SparkSession, baseDir: String, table: String): Unit = {
+    val (fs, target) = hadoopPath(spark, path(baseDir, table))
+    val (_, old) = hadoopPath(spark, path(baseDir, s"_old_$table"))
+    if (!fs.exists(target) && fs.exists(old) && !fs.rename(old, target)) {
+      throw new java.io.IOException(
+        s"recovering parked state for $table failed")
+    }
+  }
+
   /** Resolved through Hadoop's FileSystem so sinks work on any
     * supported scheme (hdfs://, s3a://, file:) — java.io.File would
     * silently report "missing" for every non-local URI, disabling
     * dedup-on-append. */
   def exists(spark: SparkSession, baseDir: String, table: String): Boolean = {
+    recoverParkedState(spark, baseDir, table)
     val (fs, p) = hadoopPath(spark, path(baseDir, table))
     fs.exists(p)
   }
@@ -49,8 +65,10 @@ object Tables {
     }
   }
 
-  def read(spark: SparkSession, baseDir: String, table: String): DataFrame =
+  def read(spark: SparkSession, baseDir: String, table: String): DataFrame = {
+    recoverParkedState(spark, baseDir, table)
     spark.read.parquet(path(baseDir, table))
+  }
 
   /** K1/K2 — idempotent append: drop batch rows whose key already
     * exists in the sink, then append. Makes every sync re-runnable —
@@ -117,16 +135,7 @@ object Tables {
     val (fs, target) = hadoopPath(spark, path(baseDir, table))
     val (_, tmp) = hadoopPath(spark, path(baseDir, s"_tmp_$table"))
     val (_, old) = hadoopPath(spark, path(baseDir, s"_old_$table"))
-    // Crash recovery BEFORE cleanup: if a previous run died between
-    // parking the old state and promoting the new one, the parked copy
-    // is the only valid state — restore it rather than deleting it and
-    // silently cold-starting.
-    if (!fs.exists(target) && fs.exists(old)) {
-      if (!fs.rename(old, target)) {
-        throw new java.io.IOException(
-          s"state swap: recovering parked state for $table failed")
-      }
-    }
+    recoverParkedState(spark, baseDir, table)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
     state.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)

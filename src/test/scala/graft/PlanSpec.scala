@@ -32,8 +32,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q08: the watermark filter reaches the parquet scan as a pushed filter") {
-    val p = SparkEntry.queries("q08_watermark_filter")(spark, dir)
-      .queryExecution.executedPlan.toString
+    val p = plan("q08_watermark_filter")
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts"),
       s"watermark filter not pushed to the scan:\n$p")
   }

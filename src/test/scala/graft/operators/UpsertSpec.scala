@@ -19,11 +19,15 @@ class UpsertSpec extends SparkSpec {
       (4L, Some(40), "d")))  // inserted
   }
 
-  test("upsert rejects mismatched schemas") {
+  test("upsert rejects mismatched schemas (names and types)") {
     val current = Seq((1L, 1)).toDF("k", "v")
-    val updates = Seq((1L, 1)).toDF("k", "w")
     intercept[IllegalArgumentException] {
-      Incremental.upsert(current, updates, Seq("k"))
+      Incremental.upsert(current, Seq((1L, 1)).toDF("k", "w"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      // Same names, different type — silent coercion would mutate the
+      // state table's schema.
+      Incremental.upsert(current, Seq((1L, "x")).toDF("k", "v"), Seq("k"))
     }
   }
 }

@@ -31,13 +31,17 @@ class TablesSpec extends SparkSpec {
     val target = new java.io.File(s"$dir/state")
     val parked = new java.io.File(s"$dir/_old_state")
     assert(target.renameTo(parked))
-    assert(!Tables.exists(spark, dir, "state"))
 
-    // The next overwrite must treat the parked copy as the prior state
-    // (restore-then-swap), not delete it and cold-start.
+    // READERS must see the recovered state (recovery at write time only
+    // would let a sync cold-start before the next overwrite).
+    assert(Tables.exists(spark, dir, "state"))
+    assert(Tables.read(spark, dir, "state").as[(String, Long)].collect()
+      .toSeq == Seq(("d1", 7L)))
+    assert(!parked.exists() && target.exists())
+
+    // And the next overwrite proceeds normally on the recovered state.
     Tables.overwriteState(Seq(("d1", 8L)).toDF("dev", "n"), dir, "state")
     assert(Tables.read(spark, dir, "state").as[(String, Long)].collect()
       .toSeq == Seq(("d1", 8L)))
-    assert(!parked.exists())
   }
 }
