@@ -14,11 +14,11 @@ object Bench {
     // parquet reader init) so per-query timings measure the queries.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Graft.table(spark, sfDir, "lineitem").count()
-    // Two timed runs per query, report the min: single-run timings on
+    // Three timed runs per query, report the min: single-run timings on
     // this harness vary several-fold (host scheduling noise + cold
     // codegen); the min is the reproducible steady-state cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }

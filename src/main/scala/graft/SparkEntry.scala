@@ -603,6 +603,22 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((etype), (m), ())""".stripMargin)
     }),
 
+    // Native session windows (the built-in API twin of the lag-based
+    // q06): NOTE the boundary differs — session_window closes at
+    // ts + gap EXCLUSIVE (an event exactly `gap` later starts a new
+    // session), while q06's lag formulation keeps it (> vs >=). The
+    // oracle mirrors the session_window rule.
+    "q61_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("session_cents"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("start_s"),
+          unix_timestamp(col("w.end")).as("end_s"),
+          col("n_events"), col("session_cents"))
+    }),
+
     // Keyed upsert / MERGE: the fresh partial snapshot replaces rows
     // of the prior full snapshot per user; untouched users carry over.
     "q59_upsert" -> ((s, dir) => {
@@ -1178,6 +1194,33 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Session end = last event + gap (exclusive), new session at
+    // ep - prev_ep >= 3600 — the session_window rule, NOT q06's > rule.
+    "q61_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS ep,
+        |         CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ep, c,
+        |         lag(ep) OVER (PARTITION BY user_id ORDER BY ep) AS prev_ep
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ep, c,
+        |         CASE WHEN prev_ep IS NULL OR ep - prev_ep >= 3600 THEN 1 ELSE 0 END AS st
+        |  FROM y),
+        |g AS (
+        |  SELECT user_id, ep, c,
+        |         SUM(st) OVER (PARTITION BY user_id ORDER BY ep
+        |                       ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM z)
+        |SELECT user_id,
+        |       CAST(min(ep) AS BIGINT) AS start_s,
+        |       CAST(max(ep) + 3600 AS BIGINT) AS end_s,
+        |       count(*) AS n_events,
+        |       CAST(sum(c) AS BIGINT) AS session_cents
+        |FROM g GROUP BY user_id, grp""".stripMargin,
 
     "q59_upsert" ->
       """WITH prior AS (
