@@ -703,6 +703,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
     }),
 
+    // The one-call corpus dedup (LSH candidates → Jaccard verify → CC
+    // clusters → keep min-id survivors), summarized per language.
+    "q62_dedup_corpus" -> ((s, dir) => {
+      Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // Deterministic hash-bucket train/val/test split — stable across
     // engines, retries, and reruns (no RNG), counted per language.
     "q55_split_counts" -> ((s, dir) => {
@@ -1279,36 +1287,19 @@ object SparkEntry {
     // sf0.01 near-dup graph is tiny; the Spark side scales via
     // per-round shuffles instead.
     "q54_dedup_clusters" ->
-      s"""WITH RECURSIVE bands AS ($minhashBandsSql),
-         |cands AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bands l JOIN bands r
-         |    ON l.band_id = r.band_id AND l.band_key = r.band_key
-         |  WHERE l.doc_id < r.doc_id),
-         |sets AS (${shingleSetsSql("")}),
-         |pairs AS (
-         |  SELECT a, b FROM (
-         |    SELECT c.a, c.b,
-         |      CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
-         |           THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |                / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
-         |           ELSE 0.0 END AS j
-         |    FROM cands c
-         |    JOIN sets sa ON sa.doc_id = c.a
-         |    JOIN sets sb ON sb.doc_id = c.b)
-         |  WHERE j >= 0.6),
-         |e AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
-         |reach AS (
-         |  SELECT x, y FROM e
-         |  UNION
-         |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON e2.x = r.y
-         |),
-         |comp AS (
-         |  SELECT x AS id, least(x, min(y)) AS component
-         |  FROM reach GROUP BY x)
+      s"""WITH RECURSIVE $dedupClosureCtes
          |SELECT component, count(*) AS n_members,
          |       CAST(max(id) AS BIGINT) AS max_id
          |FROM comp GROUP BY 1""".stripMargin,
+
+    "q62_dedup_corpus" ->
+      s"""WITH RECURSIVE $dedupClosureCtes,
+         |losers AS (SELECT id FROM comp WHERE id <> component)
+         |SELECT d.lang, count(*) AS n_kept,
+         |       CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+         |WHERE l.id IS NULL
+         |GROUP BY 1""".stripMargin,
 
     "q55_split_counts" ->
       """SELECT lang,
@@ -1487,6 +1478,39 @@ object SparkEntry {
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
        |FROM k WHERE rank <= 10""".stripMargin
   }
+
+  /** Shared near-dup closure CTEs (bands → candidates → Jaccard-verified
+    * pairs → symmetric edges → recursive reach → components). Used by
+    * the q54 cluster census and the q62 corpus-dedup keep-list; must be
+    * opened with `WITH RECURSIVE`. */
+  private lazy val dedupClosureCtes: String =
+    s"""bands AS ($minhashBandsSql),
+       |cands AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_id = r.band_id AND l.band_key = r.band_key
+       |  WHERE l.doc_id < r.doc_id),
+       |sets AS (${shingleSetsSql("")}),
+       |pairs AS (
+       |  SELECT a, b FROM (
+       |    SELECT c.a, c.b,
+       |      CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+       |           THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |                / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+       |           ELSE 0.0 END AS j
+       |    FROM cands c
+       |    JOIN sets sa ON sa.doc_id = c.a
+       |    JOIN sets sb ON sb.doc_id = c.b)
+       |  WHERE j >= 0.6),
+       |e AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON e2.x = r.y
+       |),
+       |comp AS (
+       |  SELECT x AS id, least(x, min(y)) AS component
+       |  FROM reach GROUP BY x)""".stripMargin
 
   /** Shared IVF oracle CTEs (quantize → norms → centroids → cell
     * assignment), mirroring Similarity.ivfCentroids/ivfIndex exactly:

@@ -255,6 +255,24 @@ object Dedup {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** End-to-end corpus dedup — the one-call path a training-data
+    * pipeline runs: exact-dup collapse is implied (identical docs are
+    * Jaccard-1 near-dups), MinHash-LSH proposes candidates, exact
+    * Jaccard verifies, connected components turn pairs into clusters,
+    * and every document that is not its cluster's min-id survivor is
+    * dropped. Returns the KEPT rows of `docs`, schema unchanged. */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, threshold = threshold)
+    val losers = connectedComponents(pairs, "a", "b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact-Jaccard near-dups within a bounded id range (the brute-force
     * oracle-checkable variant; production path is [[minhashNearDups]]). */
   def jaccardPairs(

@@ -19,6 +19,15 @@ class UpsertSpec extends SparkSpec {
       (4L, Some(40), "d")))  // inserted
   }
 
+  test("upsert is idempotent: empty updates and self-updates are no-ops") {
+    val current = Seq((1L, 10, "a"), (2L, 20, "b")).toDF("k", "v", "s")
+    val empty = current.filter($"k" < 0)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(norm(Incremental.upsert(current, empty, Seq("k"))) == norm(current))
+    assert(norm(Incremental.upsert(current, current, Seq("k"))) == norm(current))
+  }
+
   test("upsert rejects mismatched schemas (names and types)") {
     val current = Seq((1L, 1)).toDF("k", "v")
     intercept[IllegalArgumentException] {
