@@ -14,11 +14,13 @@ object Bench {
     // parquet reader init) so per-query timings measure the queries.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Graft.table(spark, sfDir, "lineitem").count()
-    // Three timed runs per query, report the min: single-run timings on
+    // Two timed runs per query, report the min: single-run timings on
     // this harness vary several-fold (host scheduling noise + cold
-    // codegen); the min is the reproducible steady-state cost.
+    // codegen); the min is the reproducible steady-state cost. (Not
+    // three — 62 queries × 3 runs risks an unknown driver-side wall
+    // clock bound for a modest stability gain.)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
