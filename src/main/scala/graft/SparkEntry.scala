@@ -470,6 +470,40 @@ object SparkEntry {
         .unionByName(purch.union(err).distinct().withColumn("tag", lit("either")))
     }),
 
+    // Unpivot/melt — the inverse of q40: wide per-type count columns
+    // back to (user, type, n) rows. unpivot(pivot(x)) == x minus the
+    // zero cells, so the oracle is just the plain two-key aggregate.
+    "q63_unpivot" -> ((s, dir) => {
+      val wide = queries("q40_pivot")(s, dir)
+      wide.unpivot(
+          Array(col("user_id")),
+          Array("n_click", "n_view", "n_purchase", "n_signup", "n_error")
+            .map(col),
+          "etype", "n")
+        .withColumn("etype", expr("substring(etype, 3)"))
+        .filter(col("n") > 0)
+    }),
+
+    // Bivariate exact-integer statistics: Pearson correlation between
+    // spend and hour-of-day from six exact int64 sums, with the IEEE
+    // op order mirrored in the oracle (built-in corr() is
+    // summation-order-dependent; this is not).
+    "q64_corr" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type").as("etype"),
+          cents(col("value")).as("x"), hour(col("ts")).cast("long").as("y"))
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("corr_xy",
+          (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+            / (sqrt(col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
+              * sqrt(col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))))
+    }),
+
     // HLL-shaped distinct sketch — mergeable two-level aggregation,
     // engine-portable md5 registers, bit-exact estimate (vs the
     // engine-private approx_count_distinct). exact_n alongside shows
@@ -1100,6 +1134,26 @@ object SparkEntry {
         |SELECT user_id, 'error_only' AS tag FROM (SELECT user_id FROM e EXCEPT SELECT user_id FROM p)
         |UNION ALL
         |SELECT user_id, 'either' AS tag FROM (SELECT user_id FROM p UNION SELECT user_id FROM e)""".stripMargin,
+
+    "q63_unpivot" ->
+      """SELECT user_id, event_type AS etype, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q64_corr" ->
+      """WITH a AS (
+        |  SELECT event_type AS etype, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM (SELECT event_type, CAST(round(value*100) AS BIGINT) AS x,
+        |               CAST(hour(ts) AS BIGINT) AS y
+        |        FROM events)
+        |  GROUP BY 1)
+        |SELECT etype, n, sx, sy, sxx, syy, sxy,
+        |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |       * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr_xy
+        |FROM a""".stripMargin,
 
     "q42_hll_distinct" -> Sketches.hllDistinctSql(
       "(SELECT event_type AS etype, user_id FROM events) src",
