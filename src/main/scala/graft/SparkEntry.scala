@@ -470,6 +470,19 @@ object SparkEntry {
         .unionByName(purch.union(err).distinct().withColumn("tag", lit("either")))
     }),
 
+    // Multi-match regex extraction: every "-ing" word per document,
+    // exploded and frequency-ranked (regexp_extract_all + explode —
+    // the multi-capture path q02's single-capture extract can't cover).
+    "q65_regexp_all" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]*ing', 0)"))
+            .as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n") >= 5)
+    }),
+
     // Unpivot/melt — the inverse of q40: wide per-type count columns
     // back to (user, type, n) rows. unpivot(pivot(x)) == x minus the
     // zero cells, so the oracle is just the plain two-key aggregate.
@@ -1138,6 +1151,12 @@ object SparkEntry {
     "q63_unpivot" ->
       """SELECT user_id, event_type AS etype, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q65_regexp_all" ->
+      """SELECT w, count(*) AS n, count(DISTINCT doc_id) AS n_docs FROM (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]*ing')) AS w
+        |  FROM documents)
+        |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
 
     "q64_corr" ->
       """WITH a AS (
