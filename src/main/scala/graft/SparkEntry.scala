@@ -470,6 +470,46 @@ object SparkEntry {
         .unionByName(purch.union(err).distinct().withColumn("tag", lit("either")))
     }),
 
+    // Keyword extraction: top-3 terms per doc by an ALL-INTEGER tf-idf
+    // proxy — weight = length(bin(N div df)) ≈ 1 + floor(log2(N/df)).
+    // A float ln() idf is libm-rounding-dependent across engines; the
+    // bit-length form is exact and order-preserving in the ranking.
+    "q66_tfidf_rank" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = t(s, dir, "documents")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("token"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf") * length(bin(expr("n_docs div df"))))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"),
+          col("tf"), col("df"), col("score"))
+    }),
+
+    // Quality filtering with REASON CODES — the production shape of a
+    // corpus filter: each doc gets its first failing rule (or 'keep'),
+    // and the gate checks the per-reason census.
+    "q67_quality_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("q", TextFunctions.qualitySignals(col("text")))
+        .withColumn("reason",
+          when(col("q.n_tokens") < 5, "too_short")
+            .when(col("q.mean_token_len") > 12.0, "tokens_too_long")
+            .when(col("q.punct_ratio") > 0.2, "too_much_punct")
+            .when(col("q.stopword_ratio") < 0.01, "no_stopwords")
+            .otherwise("keep"))
+        .groupBy(col("lang"), col("reason"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Multi-match regex extraction: every "-ing" word per document,
     // exploded and frequency-ranked (regexp_extract_all + explode —
     // the multi-capture path q02's single-capture extract can't cover).
@@ -1151,6 +1191,50 @@ object SparkEntry {
     "q63_unpivot" ->
       """SELECT user_id, event_type AS etype, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q66_tfidf_rank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |                                    t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |         CAST(tf.tf * length(bin(nd.n_docs // dfreq.df)) AS BIGINT) AS score
+        |  FROM tf JOIN dfreq USING (token), nd)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, df, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, token) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
+
+    "q67_quality_filter" ->
+      """WITH sig AS (
+        |  SELECT lang,
+        |    CAST(len(w) AS INTEGER) AS n_tokens,
+        |    CASE WHEN len(w) > 0
+        |         THEN CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+        |         ELSE 0.0 END AS mean_token_len,
+        |    CASE WHEN length(text) > 0
+        |         THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |         ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN len(w) > 0
+        |         THEN CAST(len(list_filter(w, t -> list_contains([STOPWORDS], t))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+        |         ELSE 0.0 END AS stopword_ratio
+        |  FROM (SELECT lang, text,
+        |          list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+        |        FROM documents))
+        |SELECT lang,
+        |  CASE WHEN n_tokens < 5 THEN 'too_short'
+        |       WHEN mean_token_len > 12.0 THEN 'tokens_too_long'
+        |       WHEN punct_ratio > 0.2 THEN 'too_much_punct'
+        |       WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
+        |       ELSE 'keep' END AS reason,
+        |  count(*) AS n
+        |FROM sig GROUP BY 1, 2""".stripMargin
+        .replace("STOPWORDS", allStopwordsSqlList),
 
     "q65_regexp_all" ->
       """SELECT w, count(*) AS n, count(DISTINCT doc_id) AS n_docs FROM (
