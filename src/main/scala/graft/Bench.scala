@@ -34,9 +34,13 @@ object Bench {
     // total (a broken query reading as a speedup). Total sums successes
     // only and failures are listed explicitly.
     val failed = results.collect { case (k, v) if v == -1.0 => k }.toSeq.sorted
-    val total = results.values.filter(_ >= 0.0).sum
+    val ok = results.values.filter(_ >= 0.0)
+    val total = ok.sum
+    // mean/query lets totals compare fairly across rounds whose query
+    // counts differ (the suite grew 39 -> 67 queries in round 2).
+    val mean = if (ok.nonEmpty) total / ok.size else 0.0
     val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"failed":$failJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
