@@ -470,6 +470,32 @@ object SparkEntry {
         .unionByName(purch.union(err).distinct().withColumn("tag", lit("either")))
     }),
 
+    // Numeric histogram: fixed-width value buckets per event type —
+    // the distribution profile that sizes skew/salting decisions.
+    "q68_histogram" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("bucket", floor(col("value") / 50).cast("long"))
+        .groupBy(col("event_type").as("etype"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("bucket_cents"))
+    }),
+
+    // Arg-extremum aggregates: the priciest event per user via max_by
+    // with a UNIQUE (cents, event_id) ordering key (bare max_by on a
+    // non-unique key is tie-nondeterministic — the classic silent
+    // flakiness in "latest row" aggregates).
+    "q69_argmax" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("c", cents(col("value")))
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("event_id"), struct(col("c"), col("event_id")))
+            .as("top_event_id"),
+          max(col("c")).as("top_cents"),
+          min_by(col("event_id"), struct(col("c"), col("event_id")))
+            .as("bottom_event_id"))
+    }),
+
     // Keyword extraction: top-3 terms per doc by an ALL-INTEGER tf-idf
     // proxy — weight = length(bin(N div df)) ≈ 1 + floor(log2(N/df)).
     // A float ln() idf is libm-rounding-dependent across engines; the
@@ -1191,6 +1217,29 @@ object SparkEntry {
     "q63_unpivot" ->
       """SELECT user_id, event_type AS etype, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q68_histogram" ->
+      """SELECT event_type AS etype, CAST(floor(value / 50) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS bucket_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB's min_by/max_by reject struct ordering keys — the unique
+    // (c, event_id) tie-break is mirrored through row_number instead.
+    "q69_argmax" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, c,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_id DESC) AS rd,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY c ASC, event_id ASC) AS ra
+        |  FROM x)
+        |SELECT user_id,
+        |  max(CASE WHEN rd = 1 THEN event_id END) AS top_event_id,
+        |  max(CASE WHEN rd = 1 THEN c END) AS top_cents,
+        |  max(CASE WHEN ra = 1 THEN event_id END) AS bottom_event_id
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q66_tfidf_rank" ->
       """WITH toks AS (
