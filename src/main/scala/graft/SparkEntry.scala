@@ -470,6 +470,17 @@ object SparkEntry {
         .unionByName(purch.union(err).distinct().withColumn("tag", lit("either")))
     }),
 
+    // Prefix-filtered exact set-similarity join (PPJoin family):
+    // EXACT recall at Jaccard >= 0.8, unlike the probabilistic LSH
+    // variants — candidates via rare-first prefix equi-join. (0.8 is
+    // the common near-dup dedup setting; lower thresholds widen the
+    // prefix quadratically on this deliberately self-similar corpus.)
+    "q70_prefix_filter_join" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
     // Numeric histogram: fixed-width value buckets per event type —
     // the distribution profile that sizes skew/salting decisions.
     "q68_histogram" -> ((s, dir) => {
@@ -1217,6 +1228,29 @@ object SparkEntry {
     "q63_unpivot" ->
       """SELECT user_id, event_type AS etype, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q70_prefix_filter_join" ->
+      s"""WITH sets0 AS (${shingleSetsSql("")}),
+         |sets AS (SELECT doc_id, sh, len(sh) AS sz FROM sets0 WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, sz, unnest(sh) AS s FROM sets),
+         |dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+         |pref AS (
+         |  SELECT s, doc_id FROM (
+         |    SELECT e.s, e.doc_id, e.sz,
+         |           row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.s) AS rn
+         |    FROM ex e JOIN dfreq d USING (s))
+         |  WHERE rn <= sz - CAST(ceil(0.8 * sz) AS INTEGER) + 1),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM pref l JOIN pref r ON l.s = r.s AND l.doc_id < r.doc_id)
+         |SELECT a, b, round(j, 6) AS jaccard FROM (
+         |  SELECT c.a, c.b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
+         |  FROM cands c
+         |  JOIN sets sa ON sa.doc_id = c.a
+         |  JOIN sets sb ON sb.doc_id = c.b)
+         |WHERE j >= 0.8""".stripMargin,
 
     "q68_histogram" ->
       """SELECT event_type AS etype, CAST(floor(value / 50) AS BIGINT) AS bucket,

@@ -255,6 +255,47 @@ object Dedup {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** Prefix-filtered exact set-similarity join (the PPJoin family —
+    * EXACT recall, unlike MinHash-LSH): each doc's shingle set is
+    * ordered globally rare-first (df asc, shingle asc); a pair with
+    * Jaccard ≥ t must overlap by ≥ ceil(t·|d|) elements, so it must
+    * share one of each side's first |d| − ceil(t·|d|) + 1 elements —
+    * the PREFIX. Candidates = prefix-token equi-join (rare shingles ⇒
+    * short postings), verified by the exact linear-merge Jaccard.
+    * Shuffles: df count + prefix join; no corpus×corpus product and
+    * no recall loss. */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sets = docs.select(col(idCol),
+      graft.functions.GraftExpressions
+        .sortedShingleSet(tokens(col(textCol)), shingleSize).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+    val exploded = sets.select(col(idCol), col("sz"), explode(col("sh")).as("s"))
+    val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))
+    val prefix = exploded.join(dfreq, Seq("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= expr(s"sz - CAST(ceil($threshold * sz) AS INT) + 1"))
+      .select(col("s"), col(idCol))
+    val cands = prefix
+      .join(prefix.withColumnRenamed(idCol, "_b"), Seq("s"))
+      .filter(col(idCol) < col("_b"))
+      .select(col(idCol).as("a"), col("_b").as("b")).distinct()
+    cands
+      .join(sets.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sets.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("jaccard", coalesce(
+        graft.functions.GraftExpressions.jaccardSorted(col("sh_a"), col("sh_b")),
+        lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** End-to-end corpus dedup — the one-call path a training-data
     * pipeline runs: exact-dup collapse is implied (identical docs are
     * Jaccard-1 near-dups), MinHash-LSH proposes candidates, exact

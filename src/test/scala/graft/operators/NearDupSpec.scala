@@ -30,6 +30,22 @@ class NearDupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must actually produce near-dup pairs")
   }
 
+  test("prefixJaccardPairs equals brute-force Jaccard>=t (exact recall guarantee)") {
+    val docs = Seq(
+      (1L, "the cat sat on the xylophone mat today"),
+      (2L, "the cat sat on the xylophone hat today"),
+      (3L, "a dog runs in a quiet zebra park every day"),
+      (4L, "a dog runs in a quiet zebra yard every day"),
+      (5L, "completely unrelated text about spark engines and shuffles"))
+      .toDF("doc_id", "text")
+    val pref = sortedRows(
+      Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5))
+    val brute = sortedRows(
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5))
+    assert(pref == brute, "prefix filter must lose no pair above threshold")
+    assert(pref.nonEmpty, "fixture must produce pairs")
+  }
+
   test("chunkFingerprints: chunk count, sizes, and md5-over-hex construction") {
     val media = Seq((1L, "abcdefghijklmnopqrstuvwxyz012345EXTRA".getBytes("UTF-8")))
       .toDF("media_id", "content")
