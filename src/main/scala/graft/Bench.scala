@@ -17,8 +17,8 @@ object Bench {
     // Two timed runs per query, report the min: single-run timings on
     // this harness vary several-fold (host scheduling noise + cold
     // codegen); the min is the reproducible steady-state cost. (Not
-    // three — 62 queries × 3 runs risks an unknown driver-side wall
-    // clock bound for a modest stability gain.)
+    // three — at this suite size a third run risks an unknown
+    // driver-side wall-clock bound for a modest stability gain.)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -37,7 +37,7 @@ object Bench {
     val ok = results.values.filter(_ >= 0.0)
     val total = ok.sum
     // mean/query lets totals compare fairly across rounds whose query
-    // counts differ (the suite grew 39 -> 67 queries in round 2).
+    // counts differ (the suite nearly doubled during round 2).
     val mean = if (ok.nonEmpty) total / ok.size else 0.0
     val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"failed":$failJson,"sf":"$sfDir"}""")

@@ -497,6 +497,10 @@ object SparkEntry {
     // flakiness in "latest row" aggregates).
     "q69_argmax" -> ((s, dir) => {
       t(s, dir, "events")
+        // NULL values sort differently through Spark struct ordering
+        // (nulls-first) vs the oracle's default NULLS LAST — exclude
+        // them explicitly on BOTH sides.
+        .filter(col("value").isNotNull)
         .withColumn("c", cents(col("value")))
         .groupBy(col("user_id"))
         .agg(
@@ -1263,7 +1267,7 @@ object SparkEntry {
     "q69_argmax" ->
       """WITH x AS (
         |  SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS c
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |r AS (
         |  SELECT user_id, event_id, c,
         |         row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_id DESC) AS rd,
@@ -1444,28 +1448,32 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     // Session end = last event + gap (exclusive), new session at
-    // ep - prev_ep >= 3600 — the session_window rule, NOT q06's > rule.
+    // gap >= 1 h — the session_window rule, NOT q06's > rule. The gap
+    // compares EXACT microsecond epochs (Spark sessionizes at full
+    // precision; second-floored gaps would split/merge differently
+    // when fractional seconds straddle the boundary); only the OUTPUT
+    // start_s/end_s floor to seconds.
     "q61_session_window" ->
       """WITH x AS (
-        |  SELECT user_id, epoch_us(ts) // 1000000 AS ep,
+        |  SELECT user_id, epoch_us(ts) AS us,
         |         CAST(round(value*100) AS BIGINT) AS c
         |  FROM events),
         |y AS (
-        |  SELECT user_id, ep, c,
-        |         lag(ep) OVER (PARTITION BY user_id ORDER BY ep) AS prev_ep
+        |  SELECT user_id, us, c,
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
         |  FROM x),
         |z AS (
-        |  SELECT user_id, ep, c,
-        |         CASE WHEN prev_ep IS NULL OR ep - prev_ep >= 3600 THEN 1 ELSE 0 END AS st
+        |  SELECT user_id, us, c,
+        |         CASE WHEN prev_us IS NULL OR us - prev_us >= 3600000000 THEN 1 ELSE 0 END AS st
         |  FROM y),
         |g AS (
-        |  SELECT user_id, ep, c,
-        |         SUM(st) OVER (PARTITION BY user_id ORDER BY ep
+        |  SELECT user_id, us, c,
+        |         SUM(st) OVER (PARTITION BY user_id ORDER BY us
         |                       ROWS UNBOUNDED PRECEDING) AS grp
         |  FROM z)
         |SELECT user_id,
-        |       CAST(min(ep) AS BIGINT) AS start_s,
-        |       CAST(max(ep) + 3600 AS BIGINT) AS end_s,
+        |       CAST(min(us) // 1000000 AS BIGINT) AS start_s,
+        |       CAST(max(us) // 1000000 + 3600 AS BIGINT) AS end_s,
         |       count(*) AS n_events,
         |       CAST(sum(c) AS BIGINT) AS session_cents
         |FROM g GROUP BY user_id, grp""".stripMargin,
@@ -1534,7 +1542,14 @@ object SparkEntry {
 
     "q62_dedup_corpus" ->
       s"""WITH RECURSIVE $dedupClosureCtes,
-         |losers AS (SELECT id FROM comp WHERE id <> component)
+         |exact_losers AS (
+         |  SELECT doc_id AS id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+         |    FROM documents)
+         |  WHERE doc_id <> keep),
+         |losers AS (
+         |  SELECT id FROM comp WHERE id <> component
+         |  UNION SELECT id FROM exact_losers)
          |SELECT d.lang, count(*) AS n_kept,
          |       CAST(sum(d.doc_id) AS BIGINT) AS id_sum
          |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id

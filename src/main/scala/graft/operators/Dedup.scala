@@ -270,11 +270,15 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // Materialized once: the shingle sets are scanned three times
+    // (prefix path + both verify joins) and re-shingling the corpus
+    // per scan would triple the dominant map cost.
     val sets = docs.select(col(idCol),
       graft.functions.GraftExpressions
         .sortedShingleSet(tokens(col(textCol)), shingleSize).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
+      .localCheckpoint()
     val exploded = sets.select(col(idCol), col("sz"), explode(col("sh")).as("s"))
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))
@@ -297,21 +301,32 @@ object Dedup {
   }
 
   /** End-to-end corpus dedup — the one-call path a training-data
-    * pipeline runs: exact-dup collapse is implied (identical docs are
-    * Jaccard-1 near-dups), MinHash-LSH proposes candidates, exact
-    * Jaccard verifies, connected components turn pairs into clusters,
-    * and every document that is not its cluster's min-id survivor is
-    * dropped. Returns the KEPT rows of `docs`, schema unchanged. */
+    * pipeline runs: EXACT duplicates collapse first (hash-groupBy on
+    * the text — this also covers docs too short to shingle, which the
+    * MinHash stage drops), then MinHash-LSH proposes near-dup
+    * candidates, exact Jaccard verifies, connected components turn
+    * pairs into clusters, and every document that is not its
+    * cluster's min-id survivor is dropped. Both stages pick the
+    * min-id survivor, so their keep-decisions agree on overlap.
+    * Returns the KEPT rows of `docs`, schema unchanged. */
   def dedupCorpus(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double = 0.6): DataFrame = {
+    // Exact-dup losers: everyone in a digest group except min(id) —
+    // NOT left to the near-dup path, whose shingling drops short docs.
+    val exactLosers = docs
+      .select(col(idCol), md5(col(textCol)).as("_digest"))
+      .withColumn("_keep",
+        min(col(idCol)).over(Window.partitionBy(col("_digest"))))
+      .filter(col(idCol) =!= col("_keep"))
+      .select(col(idCol))
     val pairs = minhashNearDups(docs, idCol, textCol, threshold = threshold)
-    val losers = connectedComponents(pairs, "a", "b")
+    val nearLosers = connectedComponents(pairs, "a", "b")
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    docs.join(losers, Seq(idCol), "left_anti")
+    docs.join(exactLosers.union(nearLosers).distinct(), Seq(idCol), "left_anti")
   }
 
   /** Exact-Jaccard near-dups within a bounded id range (the brute-force
