@@ -21,6 +21,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out.length == 30 && out.forall(_._2 == 1L))
   }
 
+  test("dedupCorpus collapses exact dups even when docs are too short to shingle") {
+    val docs = Seq(
+      (1L, "hi there"),                        // 2 tokens: below shingle size
+      (2L, "hi there"),                        // exact dup of 1 — must drop
+      (3L, "the quick brown fox jumps over the lazy dog today ok"),
+      (4L, "the quick brown fox jumps over the lazy dog today ok"),  // near+exact dup
+      (5L, "something else entirely unrelated to all the rest here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L))
+  }
+
   test("cluster collapse on a near-dup graph picks one survivor per clique") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today ok"),
