@@ -46,6 +46,26 @@ class NearDupSpec extends SparkSpec {
     assert(pref.nonEmpty, "fixture must produce pairs")
   }
 
+  test("prefixJaccardPairs ≡ brute force on randomized corpora (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    // Template-with-mutations corpus: high overlap by construction.
+    val base = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (1L to 40L).map { i =>
+      val words = base.split(" ").toBuffer
+      (0 until rnd.nextInt(4)).foreach { _ =>
+        words(rnd.nextInt(words.size)) = vocab(rnd.nextInt(vocab.size))
+      }
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.7, 0.9)) {
+      val pref = sortedRows(Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, t))
+      val brute = sortedRows(Dedup.jaccardPairs(docs, "doc_id", "text", 3, t))
+      assert(pref == brute, s"prefix filter lost pairs at threshold $t")
+    }
+  }
+
   test("chunkFingerprints: chunk count, sizes, and md5-over-hex construction") {
     val media = Seq((1L, "abcdefghijklmnopqrstuvwxyz012345EXTRA".getBytes("UTF-8")))
       .toDF("media_id", "content")
