@@ -470,6 +470,21 @@ object SparkEntry {
         .unionByName(purch.union(err).distinct().withColumn("tag", lit("either")))
     }),
 
+    // SCD2 versioned-dimension construction: each event opens a
+    // validity interval closed by the key's next event (half-open
+    // [from, to); open-ended current row flagged) — the
+    // slowly-changing-dimension shape every warehouse build needs.
+    "q71_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          col("us").as("valid_from_us"),
+          lead(col("us"), 1).over(w).as("valid_to_us"))
+        .withColumn("is_current", col("valid_to_us").isNull)
+    }),
+
     // Prefix-filtered exact set-similarity join (PPJoin family):
     // EXACT recall at Jaccard >= 0.8, unlike the probabilistic LSH
     // variants — candidates via rare-first prefix equi-join. (0.8 is
@@ -1232,6 +1247,17 @@ object SparkEntry {
     "q63_unpivot" ->
       """SELECT user_id, event_type AS etype, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q71_scd2" ->
+      """SELECT user_id, event_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+        |  CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                ORDER BY epoch_us(ts), event_id) AS BIGINT)
+        |    AS valid_to_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_us(ts), event_id) IS NULL
+        |    AS is_current
+        |FROM events""".stripMargin,
 
     "q70_prefix_filter_join" ->
       s"""WITH sets0 AS (${shingleSetsSql("")}),
