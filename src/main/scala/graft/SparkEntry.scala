@@ -470,6 +470,41 @@ object SparkEntry {
         .unionByName(purch.union(err).distinct().withColumn("tag", lit("either")))
     }),
 
+    // Stratified corpus rebalancing: per-language deterministic
+    // downsampling rates (hash-bucket membership, no RNG) — the
+    // language-mix rebalance step of a training-data pipeline.
+    "q72_stratified_sample" -> ((s, dir) => {
+      val b = Sampling.hashBucket(col("doc_id"), 100)
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "zh", 80)
+        .otherwise(100)
+      t(s, dir, "documents")
+        .filter(b < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"))
+    }),
+
+    // Z-score standardization: per-group exact-integer moments joined
+    // back to rows (broadcast — group stats are tiny), anomalies at
+    // |z| > 2 censused. The join-stats-back pattern behind every
+    // feature-normalization stage.
+    "q73_zscore" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("c", cents(col("value")))
+      val stats = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+          sum(col("c") * col("c")).as("sxx"))
+        .withColumn("mean_c", col("sx").cast("double") / col("n"))
+        .withColumn("sd_c",
+          sqrt((col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+            / (col("n") - 1)))
+      e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("c").cast("double") - col("mean_c")) / col("sd_c"))
+        .groupBy(col("event_type").as("etype"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(abs(col("z")) > 2.0, 1L).otherwise(0L)).as("n_outliers"))
+    }),
+
     // SCD2 versioned-dimension construction: each event opens a
     // validity interval closed by the key's next event (half-open
     // [from, to); open-ended current row flagged) — the
@@ -1247,6 +1282,33 @@ object SparkEntry {
     "q63_unpivot" ->
       """SELECT user_id, event_type AS etype, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q72_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled, CAST(min(doc_id) AS BIGINT) AS min_id
+        |FROM (
+        |  SELECT lang, doc_id,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |WHERE b < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 80 ELSE 100 END
+        |GROUP BY 1""".stripMargin,
+
+    "q73_zscore" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
+        |stats AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c*c) AS BIGINT) AS sxx
+        |  FROM e GROUP BY 1),
+        |st2 AS (
+        |  SELECT event_type,
+        |         CAST(sx AS DOUBLE) / n AS mean_c,
+        |         sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS sd_c
+        |  FROM stats)
+        |SELECT e.event_type AS etype, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN abs((CAST(c AS DOUBLE) - mean_c) / sd_c) > 2.0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM e JOIN st2 ON e.event_type = st2.event_type
+        |GROUP BY 1""".stripMargin,
 
     "q71_scd2" ->
       """SELECT user_id, event_id,
