@@ -470,6 +470,26 @@ object SparkEntry {
         .unionByName(purch.union(err).distinct().withColumn("tag", lit("either")))
     }),
 
+    // Funnel conversion: for each click, the user's FIRST purchase at
+    // or after it (forward-min window over a conditional), converted =
+    // within 1 h. One shuffle on the user key; no self-join.
+    "q74_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("next_purchase_us",
+          min(when(col("event_type") === "purchase", col("us"))).over(w))
+        .filter(col("event_type") === "click")
+        .withColumn("converted",
+          col("next_purchase_us").isNotNull
+            && col("next_purchase_us") - col("us") <= 3600000000L)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+    }),
+
     // Stratified corpus rebalancing: per-language deterministic
     // downsampling rates (hash-bucket membership, no RNG) — the
     // language-mix rebalance step of a training-data pipeline.
@@ -1282,6 +1302,23 @@ object SparkEntry {
     "q63_unpivot" ->
       """SELECT user_id, event_type AS etype, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q74_funnel" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us
+        |  FROM events),
+        |y AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN us END)
+        |         OVER (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |         AS next_purchase_us
+        |  FROM x)
+        |SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks,
+        |       CAST(sum(CASE WHEN next_purchase_us IS NOT NULL
+        |                      AND next_purchase_us - us <= 3600000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM y WHERE event_type = 'click'
+        |GROUP BY 1""".stripMargin,
 
     "q72_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(min(doc_id) AS BIGINT) AS min_id
