@@ -470,6 +470,18 @@ object SparkEntry {
         .unionByName(purch.union(err).distinct().withColumn("tag", lit("either")))
     }),
 
+    // Cohort retention: users cohorted by first-activity day, activity
+    // counted per (cohort, age-in-days) — the retention triangle.
+    "q75_cohort_retention" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val w = Window.partitionBy(col("user_id"))
+      e.withColumn("cohort", min(col("day")).over(w))
+        .withColumn("age_days", datediff(col("day"), col("cohort")))
+        .groupBy(col("cohort"), col("age_days"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // Funnel conversion: for each click, the user's FIRST purchase at
     // or after it (forward-min window over a conditional), converted =
     // within 1 h. One shuffle on the user key; no self-join.
@@ -1302,6 +1314,15 @@ object SparkEntry {
     "q63_unpivot" ->
       """SELECT user_id, event_type AS etype, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q75_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, day,
+        |             min(day) OVER (PARTITION BY user_id) AS cohort
+        |      FROM e)
+        |SELECT cohort, CAST(day - cohort AS INTEGER) AS age_days,
+        |       count(DISTINCT user_id) AS n_active
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "q74_funnel" ->
       """WITH x AS (
