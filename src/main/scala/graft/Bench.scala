@@ -40,7 +40,17 @@ object Bench {
     // counts differ (the suite nearly doubled during round 2).
     val mean = if (ok.nonEmpty) total / ok.size else 0.0
     val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"failed":$failJson,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"failed":$failJson,"sf":"$sfDir"}"""
+    // The full per-query JSON (75 queries) outgrows the driver's stdout
+    // tail capture, which truncates long lines mid-way (r1 and r2 both
+    // landed parsed:null). So: full detail goes to a FILE, stdout gets
+    // the full line first (best-effort) and a short, tail-survivable
+    // summary line LAST. Timings stay recoverable from BENCH_FULL.json.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"sf":"$sfDir","full_json_file":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }
