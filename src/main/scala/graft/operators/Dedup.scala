@@ -16,6 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Conf key: set to a durable directory (hdfs://, s3a://, file:)
+    * to make iterative operators truncate lineage with fault-tolerant
+    * `checkpoint()` instead of `localCheckpoint()`. */
+  val ReliableCheckpointDirKey = "spark.graft.reliableCheckpointDir"
+
+  /** Lineage truncation for iterative DAGs. Default is
+    * `localCheckpoint()` — fast, but executor-local: at 100 TB a lost
+    * node aborts the whole job mid-iteration because the checkpointed
+    * blocks die with the executor. Setting
+    * [[ReliableCheckpointDirKey]] switches every iterative operator to
+    * reliable `checkpoint()` (files on a durable FS survive node
+    * loss), which is the right mode on a real cluster; the local
+    * default keeps the sandbox fast. */
+  private[graft] def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(ReliableCheckpointDirKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
   /** Exact dedup: canonical survivor per identical text = min(id).
     * One hash-aggregate shuffle on the digest. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -204,14 +228,20 @@ object Dedup {
     * own and its neighbors' labels; at fixpoint the label is the
     * component's min id (= the canonical survivor).
     *
-    * Each round is ONE narrow shuffle (join on node id + min
-    * aggregate); lineage is truncated per round with localCheckpoint
-    * so plans stay flat over arbitrarily many rounds. Rounds needed =
-    * component diameter — near-dup clusters are shallow (dense blobs,
-    * diameter ≲ a few), so this converges in 2-4 rounds; a graph with
-    * long chains would want pointer-jumping (label = label of label)
-    * layered on the same plumbing. Deterministic: no RNG, exact
-    * min fixpoint, convergence checked by counting changed labels.
+    * Each round is one narrow shuffle pass (join on node id + min
+    * aggregate, then a pointer-jump join); lineage is truncated per
+    * round ([[truncate]] — localCheckpoint by default, reliable
+    * `checkpoint()` under [[ReliableCheckpointDirKey]]) so plans stay
+    * flat over arbitrarily many rounds.
+    *
+    * Pointer jumping: after propagating the neighbor minimum, each
+    * node also jumps through the PREVIOUS round's mapping
+    * (label ← min(prop, labels(prop))). The old mapping is already
+    * truncated, so the jump costs one extra equi-join and no extra
+    * materialization, and the collapsed distance per round satisfies
+    * d ← 2d+1 — chains of length n converge in O(log n) rounds
+    * instead of O(diameter). Deterministic: no RNG, exact min
+    * fixpoint, convergence checked by counting changed labels.
     *
     * Output: (id, component) — component = min node id reachable. */
   def connectedComponents(
@@ -222,12 +252,10 @@ object Dedup {
     // Materialize the (symmetrized) edge list once — it is re-joined
     // every round, and `edges` may be an arbitrarily expensive upstream
     // pipeline (e.g. the full MinHash near-dup DAG).
-    val sym = edges.select(col(aCol).as("x"), col(bCol).as("y"))
-      .union(edges.select(col(bCol).as("x"), col(aCol).as("y")))
-      .localCheckpoint()
-    var labels = sym.select(col("x").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    val sym = truncate(edges.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(edges.select(col(bCol).as("x"), col(aCol).as("y"))))
+    var labels = truncate(sym.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIter) {
@@ -235,12 +263,17 @@ object Dedup {
         .join(labels.select(col("id").as("y"), col("label").as("ylab")), "y")
         .groupBy(col("x").as("id"))
         .agg(min(col("ylab")).as("nmin"))
-      val next = labels.as("l")
-        .join(nbrMin.as("n"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("moved"))
-        .localCheckpoint()
+      val newLabel = least(col("prop"), coalesce(col("jump"), col("prop")))
+      val next = truncate(labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("prop"))
+        // prop is always some node's id (a min over ids), so the
+        // lookup hits; the left join + coalesce is belt-and-braces.
+        .join(labels.select(col("id").as("prop"), col("label").as("jump")),
+          Seq("prop"), "left")
+        .select(col("id"), newLabel.as("label"),
+          (newLabel < col("old")).as("moved")))
       changed = next.filter(col("moved")).count()
       labels = next.drop("moved")
       round += 1
@@ -250,8 +283,8 @@ object Dedup {
     // "survivors" with no error anywhere downstream.
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still moving); the graph has components of " +
-        "diameter > maxIter — raise maxIter or add pointer-jumping")
+        s"($changed labels still moving); with pointer jumping that " +
+        "means component diameter > ~2^maxIter — raise maxIter")
     labels.withColumnRenamed("label", "component")
   }
 
@@ -273,12 +306,11 @@ object Dedup {
     // Materialized once: the shingle sets are scanned three times
     // (prefix path + both verify joins) and re-shingling the corpus
     // per scan would triple the dominant map cost.
-    val sets = docs.select(col(idCol),
+    val sets = truncate(docs.select(col(idCol),
       graft.functions.GraftExpressions
         .sortedShingleSet(tokens(col(textCol)), shingleSize).as("sh"))
       .withColumn("sz", size(col("sh")))
-      .filter(col("sz") > 0)
-      .localCheckpoint()
+      .filter(col("sz") > 0))
     val exploded = sets.select(col(idCol), col("sz"), explode(col("sh")).as("s"))
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))

@@ -21,6 +21,37 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out.length == 30 && out.forall(_._2 == 1L))
   }
 
+  test("pointer jumping converges a chain far longer than maxIter rounds") {
+    // Diameter 199 ≫ default maxIter 20: plain min-propagation would
+    // throw; the label-of-label jump collapses distance 2d+1 per round
+    // so this needs only ~8 rounds.
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(chain, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(out.length == 200 && out.forall(_._2 == 1L))
+  }
+
+  test("reliable-checkpoint mode writes durable checkpoints and agrees with local mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt")
+    spark.conf.set(Dedup.ReliableCheckpointDirKey, dir.toString)
+    try {
+      val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+      val out = Dedup.connectedComponents(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L))
+      // The durable dir must actually hold checkpoint data — otherwise
+      // the flag silently fell through to executor-local blocks.
+      def files(p: java.io.File): Seq[java.io.File] = {
+        val kids = Option(p.listFiles()).map(_.toSeq).getOrElse(Nil)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(dir.toFile).nonEmpty)
+    } finally {
+      spark.conf.unset(Dedup.ReliableCheckpointDirKey)
+    }
+  }
+
   test("dedupCorpus collapses exact dups even when docs are too short to shingle") {
     val docs = Seq(
       (1L, "hi there"),                        // 2 tokens: below shingle size
