@@ -1,0 +1,89 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** The T7 exactly-once close: crash-injection around the manifest
+  * commit point. Data files land before the manifest rename; a crash
+  * in that window must leave the table (and its state payload) exactly
+  * as before, and the re-run must apply the batch exactly once. */
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpBase(): String =
+    java.nio.file.Files.createTempDirectory("graft-manifest").toString
+
+  test("commit appends atomically and re-running the same txn is a no-op") {
+    val base = tmpBase()
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(ManifestTable.commit(b1, base, "t", "txn-1") == 2L)
+    // Same txn again — even with different (retried) data, no-op.
+    assert(ManifestTable.commit(b1, base, "t", "txn-1") == 0L)
+    val b2 = Seq((3L, "c")).toDF("id", "v")
+    assert(ManifestTable.commit(b2, base, "t", "txn-2") == 1L)
+    val out = ManifestTable.read(spark, base, "t")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(ManifestTable.committedTxns(spark, base, "t") == Set("txn-1", "txn-2"))
+  }
+
+  test("crash between data write and manifest commit: invisible, rerun applies once") {
+    val base = tmpBase()
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "v"), base, "t", "txn-1")
+    val batch = Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+    // Kill the job after the data files are durable but before the
+    // commit rename — the exact window appendDedup-style sinks double
+    // -apply in.
+    intercept[RuntimeException] {
+      ManifestTable.commit(batch, base, "t", "txn-2",
+        beforeCommit = () => throw new RuntimeException("kill -9"))
+    }
+    // Orphan files exist on disk but no reader sees them.
+    val afterCrash = ManifestTable.read(spark, base, "t")
+      .as[(Long, String)].collect().toSet
+    assert(afterCrash == Set((1L, "a")))
+    // Re-run the sync: applied exactly once, no dupes.
+    assert(ManifestTable.commit(batch, base, "t", "txn-2") == 2L)
+    assert(ManifestTable.commit(batch, base, "t", "txn-2") == 0L)
+    val afterRerun = ManifestTable.read(spark, base, "t")
+      .as[(Long, String)].collect().toSeq
+    assert(afterRerun.sorted == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // Vacuum reclaims the crashed attempt's orphan directory only.
+    assert(ManifestTable.vacuum(spark, base, "t") == 1)
+    val afterVacuum = ManifestTable.read(spark, base, "t")
+      .as[(Long, String)].collect().toSeq
+    assert(afterVacuum.sorted == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("state payload advances atomically with its data") {
+    val base = tmpBase()
+    assert(ManifestTable.lastState(spark, base, "t").isEmpty)
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "v"), base, "t",
+      "sync-1", state = Some("watermark=10"))
+    assert(ManifestTable.lastState(spark, base, "t").contains("watermark=10"))
+    // Crash before commit: NEITHER the data nor the watermark moved —
+    // the pair cannot diverge.
+    intercept[RuntimeException] {
+      ManifestTable.commit(Seq((2L, "b")).toDF("id", "v"), base, "t",
+        "sync-2", state = Some("watermark=20"),
+        beforeCommit = () => throw new RuntimeException("crash"))
+    }
+    assert(ManifestTable.lastState(spark, base, "t").contains("watermark=10"))
+    assert(ManifestTable.read(spark, base, "t").count() == 1L)
+    // Rerun: both advance together.
+    ManifestTable.commit(Seq((2L, "b")).toDF("id", "v"), base, "t",
+      "sync-2", state = Some("watermark=20"))
+    assert(ManifestTable.lastState(spark, base, "t").contains("watermark=20"))
+    assert(ManifestTable.read(spark, base, "t").count() == 2L)
+  }
+
+  test("read with schema on an empty table; version numbering is contiguous") {
+    val base = tmpBase()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    assert(ManifestTable.read(spark, base, "empty", Some(schema)).count() == 0L)
+    intercept[java.io.FileNotFoundException] {
+      ManifestTable.read(spark, base, "empty")
+    }
+  }
+}
