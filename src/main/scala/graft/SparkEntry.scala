@@ -31,6 +31,28 @@ object SparkEntry {
     "click" -> "cleaning", "view" -> "idle", "purchase" -> "spot_cleaning",
     "signup" -> "charging", "error" -> "error")
 
+  /** The q28 input: events rows reshaped into device status samples.
+    * Shared by the batch gate query and the streaming≡batch parity
+    * spec so both paths see the IDENTICAL extraction. */
+  def statusSamplesFromEvents(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.sources.Schemas.StatusSample] = {
+    import s.implicits._
+    t(s, dir, "events").select(
+      concat(lit("dev_"), col("user_id") % 50).as("deviceName"),
+      col("ts"),
+      // StatusSample.state is non-nullable — a NULL event_type would
+      // NPE in the step function; treat missing as 'unknown'.
+      coalesce(
+        Normalize.normalizeEnum(col("event_type"), stateMap, "unknown"),
+        lit("unknown")).as("state"),
+      floor(coalesce(col("value"), lit(0.0))).cast("int").as("battery"),
+      lit(null).cast("string").as("fanPower"),
+      lit(null).cast("string").as("waterLevel"),
+      lit(null).cast("string").as("mopMode"),
+      lit(null).cast("int").as("errorCode"))
+      .as[graft.sources.Schemas.StatusSample]
+  }
+
   /** SQL twin of Normalize.normalizeEnum over stateMap — including its
     * null-through semantics (a bare CASE would turn NULL into the ELSE
     * branch and silently diverge from the Spark side). */
@@ -390,22 +412,7 @@ object SparkEntry {
     // events-derived status samples: keyed state edge detection
     // (pipeline.py:132-163) through flatMapGroupsWithState.
     "q28_sessions_batch" -> ((s, dir) => {
-      import s.implicits._
-      val samples = t(s, dir, "events").select(
-        concat(lit("dev_"), col("user_id") % 50).as("deviceName"),
-        col("ts"),
-        // StatusSample.state is non-nullable — a NULL event_type would
-        // NPE in the step function; treat missing as 'unknown'.
-        coalesce(
-          Normalize.normalizeEnum(col("event_type"), stateMap, "unknown"),
-          lit("unknown")).as("state"),
-        floor(coalesce(col("value"), lit(0.0))).cast("int").as("battery"),
-        lit(null).cast("string").as("fanPower"),
-        lit(null).cast("string").as("waterLevel"),
-        lit(null).cast("string").as("mopMode"),
-        lit(null).cast("int").as("errorCode"))
-        .as[graft.sources.Schemas.StatusSample]
-      graft.streaming.Sessionizer.sessions(samples)(s)
+      graft.streaming.Sessionizer.sessions(statusSamplesFromEvents(s, dir))(s)
         .select(col("deviceName").as("device"), col("timestamp").as("end_ts"),
           col("cleanTimeMin").as("clean_min"),
           col("batteryStart").as("battery_start"),
