@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * pipeline: opaque `binary` content + typed metadata, with
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The actual codec work is STUBBED (no image/audio libraries in this
-  * environment): `FakeCodec` derives deterministic pseudo-features
-  * from an md5 stream over the bytes. Everything Spark-side is real —
-  * schemas, the batched mapPartitions shape (the Scala analog of
-  * mapInPandas: amortize per-batch codec setup across rows), frame
-  * explosion, and partition sizing — so swapping in a real codec is a
-  * one-function change.
+  * Codec boundary: PNG content is decoded FOR REAL via `javax.imageio`
+  * ([[PngCodec]] — pixel features, true resize + re-encode); all other
+  * kinds fall back to [[FakeCodec]], a deterministic md5-derived stub
+  * standing in for the audio/video libraries absent from this
+  * environment. Dispatch is on the content's magic bytes, inside the
+  * same batched mapPartitions boundary (the Scala analog of
+  * mapInPandas: amortize per-batch codec setup across rows), so
+  * adding further real formats is a registry entry, not a new
+  * operator.
   *
   * Scale: media rows are large (MBs); the operators keep content
   * byte-arrays out of shuffles wherever possible (features/frames are
@@ -80,6 +82,64 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec — PNG (and anything else `javax.imageio` can
+    * sniff) decoded to pixels. Proves the codec boundary with actual
+    * bytes: same (bytes in, primitives out) signatures as FakeCodec,
+    * called from the same batched mapPartitions stages. */
+  object PngCodec {
+    /** 0x89 'P' 'N' 'G' \r \n 0x1a \n */
+    def isPng(content: Array[Byte]): Boolean =
+      content.length >= 8 &&
+        (content(0) & 0xff) == 0x89 && content(1) == 'P' &&
+        content(2) == 'N' && content(3) == 'G' &&
+        content(4) == 0x0d && content(5) == 0x0a &&
+        (content(6) & 0xff) == 0x1a && content(7) == 0x0a
+
+    def decode(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content)))
+      catch { case _: java.io.IOException => None }
+
+    /** Real pixel features: a `dim`-bin luma histogram, L1-normalized.
+      * Deterministic, resolution-independent, and cheap — the shape a
+      * perceptual-dedup / quality-filter stage consumes. */
+    def features(img: java.awt.image.BufferedImage, dim: Int): Array[Double] = {
+      val hist = new Array[Double](dim)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(math.min(dim - 1, luma * dim / 256)) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      if (n > 0) { var i = 0; while (i < dim) { hist(i) /= n; i += 1 } }
+      hist
+    }
+
+    /** True resize: bilinear scale to w×h, re-encoded as PNG bytes. */
+    def resize(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Feature extraction over the content column — batched
     * mapPartitions so a real codec initializes once per partition and
     * processes rows in `batchSize` groups (the mapInPandas batch
@@ -96,11 +156,16 @@ object Multimodal {
     val input = media.select(col(idCol).cast("long"), col(contentCol))
       .as[(Long, Array[Byte])]
     input.mapPartitions { it =>
-      // Real codec: initialize decoder context here, once per partition.
+      // Codec contexts initialize here, once per partition.
       it.grouped(batchSize).flatMap { batch =>
-        // Real codec: decode the whole batch in one native call.
         batch.map { case (id, content) =>
-          (id, FakeCodec.features(content, dim))
+          // Magic-byte dispatch: real pixels for PNG, stub elsewhere.
+          val feats = (if (PngCodec.isPng(content)) PngCodec.decode(content)
+            else None) match {
+            case Some(img) => PngCodec.features(img, dim)
+            case None => FakeCodec.features(content, dim)
+          }
+          (id, feats)
         }
       }
     }.toDF("media_id", "features")
@@ -126,8 +191,8 @@ object Multimodal {
         .as("frame_idx"))
       .withColumn("frame_ts_ms", col("frame_idx") * intervalMs)
 
-  /** Resize stage (stub codec), preserving the media schema shape and
-    * updating size metadata. */
+  /** Resize stage (real for PNG, stub elsewhere), preserving the media
+    * schema shape and updating size metadata. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -135,7 +200,11 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
     ds.mapPartitions { it =>
       it.map { case (id, kind, content) =>
-        val out = FakeCodec.resize(content, w, h)
+        val out = (if (PngCodec.isPng(content)) PngCodec.decode(content)
+          else None) match {
+          case Some(img) => PngCodec.resize(img, w, h)
+          case None => FakeCodec.resize(content, w, h)
+        }
         (id, kind, out, out.length.toLong, w, h)
       }
     }.toDF("media_id", "kind", "content", "sizeBytes", "width", "height")

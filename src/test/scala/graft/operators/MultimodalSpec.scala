@@ -57,4 +57,49 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions >= 2)
     assert(out.count() == 3)
   }
+
+  /** A real w×h PNG: left half black, right half white. */
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG content is decoded by javax.imageio, not the stub") {
+    val bytes = png(16, 16)
+    assert(Multimodal.PngCodec.isPng(bytes))
+    val mixed = Seq(
+      (1L, "image", bytes),
+      (2L, "audio", "not a png".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "content")
+    val feats = rows(Multimodal.extractFeatures(mixed, "media_id", "content", 8))
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // Half-black/half-white image ⇒ the luma histogram has exactly
+    // half its mass in the bottom bin and half in the top bin — a
+    // pixel-level fact no hash-derived stub reproduces.
+    assert(math.abs(feats(1L).head - 0.5) < 1e-9)
+    assert(math.abs(feats(1L).last - 0.5) < 1e-9)
+    assert(feats(1L).slice(1, 7).forall(_ == 0.0))
+    // Non-PNG row went down the stub path: values in [0,1), not a
+    // two-spike histogram, and unchanged vs calling the stub directly.
+    assert(feats(2L) ==
+      Multimodal.FakeCodec.features("not a png".getBytes("UTF-8"), 8).toSeq)
+  }
+
+  test("resize on a real PNG re-encodes actual pixels at the target size") {
+    val src = Seq((1L, "image", png(32, 16))).toDF("media_id", "kind", "content")
+    val out = rows(Multimodal.resize(src, 8, 8)).head
+    val resized = out.getAs[Array[Byte]]("content")
+    assert(Multimodal.PngCodec.isPng(resized))
+    val img = Multimodal.PngCodec.decode(resized).get
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    // Pixel truth survives the resize: left edge dark, right edge light.
+    val left = img.getRGB(0, 4) & 0xff
+    val right = img.getRGB(7, 4) & 0xff
+    assert(left < 64 && right > 192)
+  }
 }
