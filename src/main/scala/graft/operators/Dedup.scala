@@ -263,17 +263,25 @@ object Dedup {
         .join(labels.select(col("id").as("y"), col("label").as("ylab")), "y")
         .groupBy(col("x").as("id"))
         .agg(min(col("ylab")).as("nmin"))
-      val newLabel = least(col("prop"), coalesce(col("jump"), col("prop")))
-      val next = truncate(labels
+      val propagated = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("prop"))
-        // prop is always some node's id (a min over ids), so the
-        // lookup hits; the left join + coalesce is belt-and-braces.
-        .join(labels.select(col("id").as("prop"), col("label").as("jump")),
-          Seq("prop"), "left")
-        .select(col("id"), newLabel.as("label"),
-          (newLabel < col("old")).as("moved")))
+      val newLabel = least(col("prop"), coalesce(col("jump"), col("prop")))
+      val next = truncate(
+        // Round 0's label map is the identity, so the jump lookup
+        // would be a no-op join — skip it. Dense near-dup blobs
+        // (diameter ≲ 2) then pay zero jump overhead; chains still
+        // collapse 2d+1 per round from round 1 on.
+        if (round == 0) propagated.select(col("id"),
+          col("prop").as("label"), (col("prop") < col("old")).as("moved"))
+        else propagated
+          // prop is always some node's id (a min over ids), so the
+          // lookup hits; the left join + coalesce is belt-and-braces.
+          .join(labels.select(col("id").as("prop"), col("label").as("jump")),
+            Seq("prop"), "left")
+          .select(col("id"), newLabel.as("label"),
+            (newLabel < col("old")).as("moved")))
       changed = next.filter(col("moved")).count()
       labels = next.drop("moved")
       round += 1
