@@ -77,4 +77,61 @@ object SmartSync {
     newWork.unpersist()
     Result(nNew, statusN, summaryN, consumablesN)
   }
+
+  /** [[run]] with the versioned-manifest commit protocol: the three
+    * data appends AND the state snapshot land in ONE atomic manifest
+    * rename ([[graft.sources.ManifestTable.commitMulti]]). A crash at
+    * any point leaves the previous sync fully intact; re-running the
+    * same `syncId` after a successful commit is a recorded no-op. This
+    * closes T7 without re-reading written keys — exactly-once comes
+    * from the transaction id, not from dedup-on-append.
+    *
+    * `syncId` identifies the sync attempt (e.g. the scheduler's run
+    * id); retries of a failed attempt MUST reuse it. */
+  def runTransactional(
+      spark: SparkSession,
+      summaries: DataFrame,
+      status: DataFrame,
+      consumables: DataFrame,
+      baseDir: String,
+      syncId: String): Result = {
+    import graft.sources.ManifestTable
+    if (ManifestTable.committedTxns(spark, baseDir).contains(syncId))
+      return Result(0L, 0L, 0L, 0L)
+
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("deviceName",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lastCleanCount",
+        org.apache.spark.sql.types.LongType)))
+    val state = ManifestTable.read(spark, baseDir, StateTable, Some(stateSchema))
+
+    val newWork = Pipeline.devicesWithNewWork(summaries, state).cache()
+    val devices = newWork.select(col("deviceName"))
+    def forNewDevices(df: DataFrame): DataFrame =
+      df.join(broadcast(devices), Seq("deviceName"), "left_semi")
+
+    val nNew = newWork.count()
+    val result =
+      if (nNew == 0) Result(0L, 0L, 0L, 0L)
+      else {
+        val cur = Pipeline.nextState(summaries)
+        val carried = state.join(cur, Seq("deviceName"), "left_anti")
+        val counts = ManifestTable.commitMulti(spark, baseDir, syncId,
+          appends = Map(
+            "device_status" -> forNewDevices(status),
+            "clean_summary" -> forNewDevices(summaries
+              .select(col("timestamp"), col("deviceName"),
+                col("totalCleanTimeMin"), col("totalCleanAreaM2"),
+                col("totalCleanCount"))),
+            "consumables" -> forNewDevices(consumables)),
+          snapshots = Map(StateTable -> cur.unionByName(carried)))
+        Result(nNew,
+          counts.getOrElse("device_status", 0L),
+          counts.getOrElse("clean_summary", 0L),
+          counts.getOrElse("consumables", 0L))
+      }
+    newWork.unpersist()
+    result
+  }
 }

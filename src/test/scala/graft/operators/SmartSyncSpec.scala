@@ -68,6 +68,38 @@ class SmartSyncSpec extends SparkSpec {
     assert(Tables.read(spark, dir, "device_status").count() == 1)
   }
 
+  test("transactional sync: counter filter + atomic commit + sealed sync ids") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("smartsync-tx").toString
+    val r1 = SmartSync.runTransactional(spark,
+      summaries("2024-01-01 10:00:00", "d1" -> 5L, "d2" -> 3L),
+      status("2024-01-01 10:00:00", "d1", "d2"),
+      consumables("2024-01-01 10:00:00", "d1", "d2"), dir, "sync-001")
+    assert(r1.devicesWithNewWork == 2 && r1.statusRows == 2
+      && r1.summaryRows == 2 && r1.consumablesRows == 2)
+
+    // Re-running a committed sync id is a sealed no-op — even with a
+    // different (e.g. re-polled) snapshot attached to the retry.
+    val r1b = SmartSync.runTransactional(spark,
+      summaries("2024-01-01 11:00:00", "d1" -> 9L),
+      status("2024-01-01 11:00:00", "d1"),
+      consumables("2024-01-01 11:00:00", "d1"), dir, "sync-001")
+    assert(r1b == SmartSync.Result(0L, 0L, 0L, 0L))
+    assert(ManifestTable.read(spark, dir, "device_status").count() == 2)
+
+    // Counter filter: only the advanced device syncs; state snapshot
+    // replaces atomically and carries the unchanged device forward.
+    val r2 = SmartSync.runTransactional(spark,
+      summaries("2024-01-02 10:00:00", "d1" -> 6L, "d2" -> 3L),
+      status("2024-01-02 10:00:00", "d1", "d2"),
+      consumables("2024-01-02 10:00:00", "d1", "d2"), dir, "sync-002")
+    assert(r2.devicesWithNewWork == 1 && r2.statusRows == 1)
+    assert(ManifestTable.read(spark, dir, "device_status").count() == 3)
+    val st = ManifestTable.read(spark, dir, SmartSync.StateTable)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st == Map("d1" -> 6L, "d2" -> 3L))
+  }
+
   test("state carries forward devices absent from the current snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("smartsync3").toString
     SmartSync.run(spark, summaries("2024-01-01 10:00:00", "d1" -> 5L, "d2" -> 3L),

@@ -23,7 +23,7 @@ class ManifestTableSpec extends SparkSpec {
     val out = ManifestTable.read(spark, base, "t")
       .as[(Long, String)].collect().toSet
     assert(out == Set((1L, "a"), (2L, "b"), (3L, "c")))
-    assert(ManifestTable.committedTxns(spark, base, "t") == Set("txn-1", "txn-2"))
+    assert(ManifestTable.committedTxns(spark, base) == Set("txn-1", "txn-2"))
   }
 
   test("crash between data write and manifest commit: invisible, rerun applies once") {
@@ -56,10 +56,10 @@ class ManifestTableSpec extends SparkSpec {
 
   test("state payload advances atomically with its data") {
     val base = tmpBase()
-    assert(ManifestTable.lastState(spark, base, "t").isEmpty)
+    assert(ManifestTable.lastState(spark, base).isEmpty)
     ManifestTable.commit(Seq((1L, "a")).toDF("id", "v"), base, "t",
       "sync-1", state = Some("watermark=10"))
-    assert(ManifestTable.lastState(spark, base, "t").contains("watermark=10"))
+    assert(ManifestTable.lastState(spark, base).contains("watermark=10"))
     // Crash before commit: NEITHER the data nor the watermark moved —
     // the pair cannot diverge.
     intercept[RuntimeException] {
@@ -67,13 +67,52 @@ class ManifestTableSpec extends SparkSpec {
         "sync-2", state = Some("watermark=20"),
         beforeCommit = () => throw new RuntimeException("crash"))
     }
-    assert(ManifestTable.lastState(spark, base, "t").contains("watermark=10"))
+    assert(ManifestTable.lastState(spark, base).contains("watermark=10"))
     assert(ManifestTable.read(spark, base, "t").count() == 1L)
     // Rerun: both advance together.
     ManifestTable.commit(Seq((2L, "b")).toDF("id", "v"), base, "t",
       "sync-2", state = Some("watermark=20"))
-    assert(ManifestTable.lastState(spark, base, "t").contains("watermark=20"))
+    assert(ManifestTable.lastState(spark, base).contains("watermark=20"))
     assert(ManifestTable.read(spark, base, "t").count() == 2L)
+  }
+
+  test("multi-table commit: appends + state snapshot are one atomic unit") {
+    val base = tmpBase()
+    val st0 = Seq(("d1", 1L)).toDF("dev", "n")
+    val n1 = ManifestTable.commitMulti(spark, base, "sync-1",
+      appends = Map(
+        "status" -> Seq(("d1", 10L)).toDF("dev", "v"),
+        "summary" -> Seq(("d1", 100L)).toDF("dev", "tot")),
+      snapshots = Map("state" -> st0))
+    assert(n1 == Map("status" -> 1L, "summary" -> 1L, "state" -> 1L))
+    // Crash mid-sync: NO table advanced, snapshot unchanged.
+    intercept[RuntimeException] {
+      ManifestTable.commitMulti(spark, base, "sync-2",
+        appends = Map(
+          "status" -> Seq(("d1", 11L), ("d2", 20L)).toDF("dev", "v"),
+          "summary" -> Seq(("d2", 200L)).toDF("dev", "tot")),
+        snapshots = Map("state" ->
+          Seq(("d1", 2L), ("d2", 1L)).toDF("dev", "n")),
+        beforeCommit = () => throw new RuntimeException("kill -9"))
+    }
+    assert(ManifestTable.read(spark, base, "status").count() == 1L)
+    assert(ManifestTable.read(spark, base, "summary").count() == 1L)
+    assert(ManifestTable.read(spark, base, "state")
+      .as[(String, Long)].collect().toSet == Set(("d1", 1L)))
+    // Rerun: everything advances together; snapshot REPLACES.
+    ManifestTable.commitMulti(spark, base, "sync-2",
+      appends = Map(
+        "status" -> Seq(("d1", 11L), ("d2", 20L)).toDF("dev", "v"),
+        "summary" -> Seq(("d2", 200L)).toDF("dev", "tot")),
+      snapshots = Map("state" ->
+        Seq(("d1", 2L), ("d2", 1L)).toDF("dev", "n")))
+    assert(ManifestTable.read(spark, base, "status").count() == 3L)
+    assert(ManifestTable.read(spark, base, "state")
+      .as[(String, Long)].collect().toSet == Set(("d1", 2L), ("d2", 1L)))
+    // And the txn is sealed — a third run is a recorded no-op.
+    assert(ManifestTable.commitMulti(spark, base, "sync-2",
+      appends = Map("status" -> Seq(("dX", 0L)).toDF("dev", "v"))).isEmpty)
+    assert(ManifestTable.read(spark, base, "status").count() == 3L)
   }
 
   test("read with schema on an empty table; version numbering is contiguous") {
