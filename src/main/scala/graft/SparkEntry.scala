@@ -972,6 +972,50 @@ object SparkEntry {
           aggregate(col("qv"), lit(0L), (acc, x) => acc + abs(x)).as("l1"),
           aggregate(zip_with(col("qv"), reverse(col("qv")), (a, b) => a * b),
             lit(0L), (acc, x) => acc + x).as("rev_dot"))
+    }),
+
+    // Token-budget sequence packing per source stratum (greedy
+    // contiguous by start offset) — per-pack census. The prefix sum is
+    // per-group, so no global single-partition window exists.
+    "q76_sequence_pack" -> ((s, dir) => {
+      Training.sequencePack(t(s, dir, "documents"),
+          "doc_id", "text", "source", 2048)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"))
+    }),
+
+    // Benchmark-contamination: 3-gram containment of each train doc
+    // (doc_id % 20 != 0) against the eval slice (doc_id % 20 == 0).
+    // Explode → distinct → shingle equi-join; never corpus×corpus.
+    "q77_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Training.contamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", 3)
+    }),
+
+    // PII scrub: deterministic PII injected into every 7th doc, then
+    // e-mail / phone / long-digit-run redaction (map-only, codegen'd
+    // regexp_replace). Oracle mirrors injection + patterns exactly.
+    "q78_pii_scrub" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-123-4567 ref 1234567890")))
+          .otherwise(col("text")).as("text"))
+      Training.piiScrub(withPii, "doc_id", "text")
+    }),
+
+    // Deterministic training shards: md5(id) mod 32 (stable across
+    // engines and cluster sizes), with per-shard doc/token census.
+    "q79_shard_assign" -> ((s, dir) => {
+      Training.shardAssign(t(s, dir, "documents"), "doc_id", 32)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          min(col("doc_id")).as("min_id"))
     })
   )
 
@@ -1738,7 +1782,69 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1,
         |  CAST(list_sum(list_transform(generate_series(1, len(qv)),
         |       i -> qv[i] * qv[len(qv) + 1 - i])) AS BIGINT) AS rev_dot
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+
+    "q76_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_tokens
+        |  FROM d)
+        |SELECT source,
+        |  CAST(floor((run_tokens - n_tokens) / 2048) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q77_contamination" ->
+      s"""WITH sets AS (${shingleSetsSql("")}),
+        |tr AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n_shingles
+        |       FROM sets WHERE doc_id % 20 <> 0 AND len(sh) > 0),
+        |ev AS (SELECT DISTINCT s FROM
+        |        (SELECT unnest(sh) AS s FROM sets
+        |         WHERE doc_id % 20 = 0 AND len(sh) > 0)),
+        |cont AS (
+        |  SELECT t.doc_id, count(*) AS n_contaminated
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM tr) t
+        |  JOIN ev ON t.s = ev.s
+        |  GROUP BY 1)
+        |SELECT tr.doc_id, tr.n_shingles,
+        |  CAST(COALESCE(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  round(CAST(COALESCE(c.n_contaminated, 0) AS DOUBLE)
+        |        / tr.n_shingles, 6) AS containment
+        |FROM tr LEFT JOIN cont c ON tr.doc_id = c.doc_id""".stripMargin,
+
+    "q78_pii_scrub" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com or 555-123-4567 ref 1234567890'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '${graft.operators.Training.EmailPattern}', '<EMAIL>', 'g'),
+        |      '${graft.operators.Training.PhonePattern}', '<PHONE>', 'g'),
+        |      '${graft.operators.Training.LongDigitPattern}', '<ID>', 'g')
+        |      AS text_scrubbed
+        |  FROM d)
+        |SELECT doc_id, text_scrubbed, (text_scrubbed <> text) AS changed
+        |FROM s""".stripMargin,
+
+    "q79_shard_assign" ->
+      """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 32 AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(lower(text), ' '),
+        |       t -> len(t) > 0))) AS BIGINT) AS n_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id
+        |FROM documents GROUP BY 1""".stripMargin
   )
 
   // --------------------------------------------------- generated oracle SQL

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.functions.{GraftExpressions, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly operators — the last mile between a cleaned
+  * corpus and a training run: packing documents into fixed token
+  * budgets, benchmark-contamination checks, PII scrubbing, and
+  * deterministic shard assignment.
+  *
+  * All four are deterministic (no RNG — hashes and document order
+  * only) so re-runs and retried stages produce byte-identical
+  * training data, and every one is expressed as declarative
+  * DataFrame ops: Catalyst sees the whole plan, pushdown and AQE
+  * apply as usual.
+  */
+object Training {
+
+  /** Greedy contiguous sequence packing: documents ordered by id
+    * within each `groupCol` stratum are packed into consecutive
+    * `budgetTokens` bins by START offset (a document straddling a
+    * boundary goes to the bin its first token falls in — packs can
+    * overflow by at most one document, the standard streaming-pack
+    * approximation).
+    *
+    * Scale: the prefix sum runs per group (source, shard, date …), so
+    * parallelism = number of groups and no global single-partition
+    * window exists. Packing a corpus with NO natural stratum should
+    * first assign shards ([[shardAssign]]) and pack per shard. */
+  def sequencePack(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(groupCol), col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("run_tokens", sum(col("n_tokens")).over(w))
+      // Start offset of this doc = inclusive running sum minus itself.
+      .withColumn("pack_id",
+        ((col("run_tokens") - col("n_tokens")) / budgetTokens).cast("long"))
+      .drop("run_tokens")
+  }
+
+  /** Benchmark-contamination check: fraction of each training doc's
+    * `shingleSize`-gram set that also occurs anywhere in the eval
+    * corpus. Candidate generation is (explode → distinct → equi-join
+    * on the shingle) — never corpus×corpus; at 100 TB the join key is
+    * the shingle string and the eval side is the small one (benchmark
+    * suites are MBs), so AQE turns it into a broadcast join.
+    *
+    * Output: (id, n_shingles, n_contaminated, containment ∈ [0,1]),
+    * one row per train doc that shingles (short docs drop, as in the
+    * dedup family). */
+  def contamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    def shingleSets(df: DataFrame) = df.select(col(idCol),
+      GraftExpressions.sortedShingleSet(
+        TextFunctions.tokens(col(textCol)), shingleSize).as("sh"))
+      .withColumn("n_shingles", size(col("sh")).cast("long"))
+      .filter(col("n_shingles") > 0)
+    val trainSets = shingleSets(train)
+    val evalShingles = shingleSets(eval)
+      .select(explode(col("sh")).as("s")).distinct()
+    val contaminated = trainSets
+      .select(col(idCol), explode(col("sh")).as("s"))
+      .join(evalShingles, Seq("s"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+    trainSets.drop("sh")
+      .join(contaminated, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)) / col("n_shingles"), 6)
+          .as("containment"))
+  }
+
+  /** PII patterns shared by the scrub and its oracle: ASCII-only, no
+    * lookaround — valid in both Java regex and RE2-family engines. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b"
+  val LongDigitPattern = "\\b[0-9]{9,}\\b"
+
+  /** PII scrub: replace e-mail addresses, phone-shaped numbers, and
+    * long digit runs (account/SSN-ish ids) with typed placeholders.
+    * Map-only and codegen'd (regexp_replace is a native expression);
+    * `changed` flags rows for audit sampling without a second scan. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"),
+        LongDigitPattern, "<ID>")
+    docs.select(col(idCol), scrubbed.as("text_scrubbed"),
+      (scrubbed =!= col(textCol)).as("changed"))
+  }
+
+  /** Deterministic shard assignment: shard = md5(id) mod n — stable
+    * across runs, engines, and cluster sizes (unlike hash-partition
+    * ids, which depend on Spark's internal hash and partition count).
+    * The 60-bit digest prefix stays in integer math throughout
+    * (double division would round above 2^53). */
+  def shardAssign(
+      docs: DataFrame,
+      idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    docs.withColumn("shard",
+      expr(s"conv(substring(md5(cast($idCol AS STRING)), 1, 15), 16, 10)")
+        .cast("long") % nShards)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrainingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sequencePack: contiguous start-offset packing per group") {
+    // 4 docs of 3 tokens each, budget 5: start offsets 0,3,6,9 →
+    // packs 0,0,1,1. Group g2 packs independently from offset 0.
+    val docs = Seq(
+      (1L, "a b c", "g1"), (2L, "d e f", "g1"),
+      (3L, "g h i", "g1"), (4L, "j k l", "g1"),
+      (5L, "m n o", "g2"))
+      .toDF("doc_id", "text", "source")
+    val out = Training.sequencePack(docs, "doc_id", "text", "source", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(out == Set(
+      ("g1", 1L, 0L), ("g1", 2L, 0L), ("g1", 3L, 1L), ("g1", 4L, 1L),
+      ("g2", 5L, 0L)))
+  }
+
+  test("contamination: containment of train 3-grams in the eval corpus") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares 'the quick brown'+'quick brown fox' with eval
+      (2L, "совершенно unrelated text here now"),
+      (3L, "hi"))                          // too short to shingle → dropped
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val out = Training.contamination(train, eval, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc1: shingles {the quick brown, quick brown fox, brown fox jumps}
+    // — 2 of 3 contaminated.
+    assert(out(1L) == ((3L, 2L, 0.666667)))
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0.0)
+    assert(!out.contains(3L))
+  }
+
+  test("piiScrub replaces emails, phones, and long digit runs") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org today"),
+      (2L, "call 555-123-4567 or 555-12-34 acct 123456789"),
+      (3L, "clean text with short 123 numbers"))
+      .toDF("doc_id", "text")
+    val out = Training.piiScrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (("mail me at <EMAIL> today", true)))
+    // 555-12-34 is not phone-shaped; 123456789 is a 9-digit run.
+    assert(out(2L) == (("call <PHONE> or 555-12-34 acct <ID>", true)))
+    assert(out(3L) == (("clean text with short 123 numbers", false)))
+  }
+
+  test("shardAssign is deterministic, in-range, and spreads docs") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val shards = Training.shardAssign(docs, "doc_id", 8)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(shards.values.forall(s => s >= 0 && s < 8))
+    // Deterministic across invocations.
+    val again = Training.shardAssign(docs, "doc_id", 8)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(shards == again)
+    // md5 spreads: every shard is hit at 200 docs / 8 shards.
+    assert(shards.values.toSet.size == 8)
+  }
+}
