@@ -369,6 +369,40 @@ object Dedup {
     docs.join(exactLosers.union(nearLosers).distinct(), Seq(idCol), "left_anti")
   }
 
+  /** Sentence-level exact dedup across the corpus (the C4 move:
+    * boilerplate sentences repeated across pages are dropped
+    * everywhere but their first occurrence). Sentences split on
+    * literal ". "; the first occurrence is the minimum (doc, pos) in
+    * global order; surviving sentences are re-joined in original
+    * order. Documents whose every sentence was seen earlier vanish —
+    * they contribute nothing novel.
+    *
+    * Scale: one shuffle keyed by sentence (exact-dup shape: the
+    * map-side is a split+explode, the reduce side a row_number over
+    * same-sentence groups — boilerplate sentences are the heavy keys
+    * and collapse to their first row), then one shuffle back on the
+    * doc id to rebuild. No corpus×corpus anything.
+    *
+    * Output: (id, n_kept, text_deduped) for docs with ≥1 surviving
+    * sentence. */
+  def sentenceDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\\. ")))
+      // 1-based positions BEFORE dropping empties (split artifacts), so
+      // positions are a stable property of the raw split.
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("sent"))
+      .filter(length(col("sent")) > 0)
+    val w = Window.partitionBy(col("sent")).orderBy(col(idCol), col("pos"))
+    sents
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("sent")))),
+            x => x.getField("sent")), ". ").as("text_deduped"))
+  }
+
   /** Exact-Jaccard near-dups within a bounded id range (the brute-force
     * oracle-checkable variant; production path is [[minhashNearDups]]). */
   def jaccardPairs(

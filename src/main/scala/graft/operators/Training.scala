@@ -106,6 +106,55 @@ object Training {
       (scrubbed =!= col(textCol)).as("changed"))
   }
 
+  /** Rule names in emission order — the oracle and downstream audits
+    * key on this exact order inside the `reasons` string. */
+  val RuleNames: Seq[String] = Seq("too_short", "tok_len", "punct_heavy",
+    "low_stopword", "digit_heavy", "repetitive")
+
+  /** C4/Dolma-style document rule filter: each doc gets the list of
+    * quality rules it violates (comma-joined in [[RuleNames] order) and
+    * a keep flag. Pure map-only column expressions on top of
+    * [[TextFunctions.qualitySignals]] — no UDFs, no shuffle; at 100 TB
+    * this runs at scan speed and `keep` pushes into downstream filters.
+    *
+    * Thresholds are the classic heuristics: <10 tokens, mean token
+    * length outside [2,12], >30% punctuation, <3% stopwords, >20%
+    * digits, <30% distinct tokens (repetition proxy). */
+  def ruleFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val nChars = length(col(textCol))
+    val digitRatio = when(nChars > 0,
+      (nChars - length(regexp_replace(col(textCol), "[0-9]", "")))
+        .cast("double") / nChars.cast("double")).otherwise(0.0)
+    val distinctRatio = when(size(toks) > 0,
+      size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .otherwise(0.0)
+    docs
+      .select(col(idCol), TextFunctions.qualitySignals(col(textCol)).as("q"),
+        digitRatio.as("digit_ratio"), distinctRatio.as("distinct_ratio"))
+      .select(col(idCol), col("q.n_tokens").as("n_tokens"),
+        // concat_ws skips NULLs, so un-violated rules vanish.
+        concat_ws(",",
+          when(col("q.n_tokens") < 10, "too_short"),
+          when(col("q.mean_token_len") < 2.0 || col("q.mean_token_len") > 12.0,
+            "tok_len"),
+          when(col("q.punct_ratio") > 0.3, "punct_heavy"),
+          when(col("q.stopword_ratio") < 0.03, "low_stopword"),
+          when(col("digit_ratio") > 0.2, "digit_heavy"),
+          when(col("distinct_ratio") < 0.3, "repetitive")).as("reasons"))
+      .withColumn("keep", col("reasons") === "")
+  }
+
+  /** Quality-weighted (importance) resampling: keep a row when its
+    * stable hash bucket falls under a PER-ROW rate (percent), so
+    * low-quality strata are thinned harder — deterministically, with
+    * no RNG (re-runs keep the same docs; see [[Sampling]]). */
+  def importanceResample(
+      docs: DataFrame,
+      idCol: String,
+      ratePercent: org.apache.spark.sql.Column): DataFrame =
+    docs.filter(Sampling.hashBucket(col(idCol), 100) < ratePercent)
+
   /** Deterministic shard assignment: shard = md5(id) mod n — stable
     * across runs, engines, and cluster sizes (unlike hash-partition
     * ids, which depend on Spark's internal hash and partition count).
