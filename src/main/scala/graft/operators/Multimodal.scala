@@ -95,10 +95,14 @@ object Multimodal {
         content(4) == 0x0d && content(5) == 0x0a &&
         (content(6) & 0xff) == 0x1a && content(7) == 0x0a
 
+    /** NonFatal, not just IOException: codec plugins throw unchecked
+      * exceptions (CMMException, ArrayIndexOutOfBounds) on crafted or
+      * corrupt bytes that pass the magic check — any decoder failure
+      * must fall through to the stub, not abort the job. */
     def decode(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(content)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
     /** Real pixel features: a `dim`-bin luma histogram, L1-normalized.
       * Deterministic, resolution-independent, and cheap — the shape a

@@ -113,8 +113,14 @@ object SmartSync {
 
     val nNew = newWork.count()
     val result =
-      if (nNew == 0) Result(0L, 0L, 0L, 0L)
-      else {
+      if (nNew == 0) {
+        // Seal the id even when there is nothing to write: a zero-work
+        // sync commits a txn-only manifest, so a later retry of the
+        // same syncId against a FRESHER snapshot is still a recorded
+        // no-op — "this sync attempt completed" is durable either way.
+        ManifestTable.commitMulti(spark, baseDir, syncId)
+        Result(0L, 0L, 0L, 0L)
+      } else {
         val cur = Pipeline.nextState(summaries)
         val carried = state.join(cur, Seq("deviceName"), "left_anti")
         val counts = ManifestTable.commitMulti(spark, baseDir, syncId,

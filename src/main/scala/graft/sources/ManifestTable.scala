@@ -42,6 +42,11 @@ import org.apache.spark.sql.types.StructType
   * sync is a single loop; Spark jobs coordinate upstream). On HDFS the
   * rename doubles as optimistic concurrency control — rename onto an
   * existing version fails and the loser retries against the new log.
+  * On local/POSIX filesystems rename OVERWRITES the destination, so
+  * the version slot is claimed via hard link instead (atomic
+  * create-exclusive, and it publishes the fully-written tmp file in
+  * one syscall). Object stores without atomic rename-if-absent or
+  * link would need an external lock — out of scope here.
   */
 object ManifestTable {
 
@@ -58,28 +63,39 @@ object ManifestTable {
   private case class Manifest(version: Long, txn: String,
       adds: Seq[String], snaps: Seq[String], state: Option[String])
 
-  /** All committed manifests, oldest first. */
-  private def readLog(spark: SparkSession, baseDir: String): Seq[Manifest] = {
+  private def parseManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Manifest = {
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+    Manifest(
+      version = p.getName.drop(1).toLong,
+      txn = lines.collectFirst { case l if l.startsWith("txn:") => l.drop(4) }
+        .getOrElse(""),
+      adds = lines.collect { case l if l.startsWith("add:") => l.drop(4) },
+      snaps = lines.collect { case l if l.startsWith("snap:") => l.drop(5) },
+      state = lines.collectFirst { case l if l.startsWith("state:") => l.drop(6) })
+  }
+
+  /** Committed manifests with version > `after`, oldest first — the
+    * incremental read: commit retries re-open only NEW versions, not
+    * the whole O(versions) history per attempt. */
+  private def readLogAfter(
+      spark: SparkSession, baseDir: String, after: Long): Seq[Manifest] = {
     val (fs, log) = fsAndPath(spark, s"$baseDir/$LogDir")
     if (!fs.exists(log)) return Nil
     fs.listStatus(log).toSeq
       .map(_.getPath)
-      .filter(_.getName.matches("v\\d{20}"))
+      .filter(p => p.getName.matches("v\\d{20}") && p.getName.drop(1).toLong > after)
       .sortBy(_.getName)
-      .map { p =>
-        val in = fs.open(p)
-        val bytes = try in.readAllBytes() finally in.close()
-        val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").toSeq.filter(_.nonEmpty)
-        Manifest(
-          version = p.getName.drop(1).toLong,
-          txn = lines.collectFirst { case l if l.startsWith("txn:") => l.drop(4) }
-            .getOrElse(""),
-          adds = lines.collect { case l if l.startsWith("add:") => l.drop(4) },
-          snaps = lines.collect { case l if l.startsWith("snap:") => l.drop(5) },
-          state = lines.collectFirst { case l if l.startsWith("state:") => l.drop(6) })
-      }
+      .map(p => parseManifest(fs, p))
   }
+
+  /** All committed manifests, oldest first. */
+  private def readLog(spark: SparkSession, baseDir: String): Seq[Manifest] =
+    readLogAfter(spark, baseDir, 0L)
 
   /** Transaction ids already committed — the idempotence check. */
   def committedTxns(spark: SparkSession, baseDir: String): Set[String] =
@@ -133,7 +149,9 @@ object ManifestTable {
     require(state.forall(!_.contains("\n")), "state payload must be one line")
     require((appends.keySet & snapshots.keySet).isEmpty,
       "a table cannot be both appended and snapshotted in one commit")
-    if (committedTxns(spark, baseDir).contains(txnId)) return Map.empty
+    // One full log parse; the retry loop below only reads NEWER versions.
+    var log = readLog(spark, baseDir)
+    if (log.exists(_.txn == txnId)) return Map.empty
 
     // 1. Data files first — invisible until a manifest references them.
     val safeTxn = txnId.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -141,17 +159,30 @@ object ManifestTable {
       val rel = s"$table/$DataDir/$safeTxn-${java.util.UUID.randomUUID()}"
       df.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/$rel")
       val (fs, dataPath) = fsAndPath(spark, s"$baseDir/$rel")
-      val files = fs.listStatus(dataPath).toSeq.map(_.getPath.getName)
-        .filter(_.endsWith(".parquet")).sorted
-      (files.map(f => s"$rel/$f"), spark.read.parquet(s"$baseDir/$rel").count())
+      val files = fs.listStatus(dataPath).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      // Row counts from the parquet footers we just wrote — driver-side
+      // metadata reads, not a second Spark scan job per table.
+      val conf = spark.sessionState.newHadoopConf()
+      val n = files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+      (files.map(f => s"$rel/${f.getName}"), n)
     }
     val written = (appends ++ snapshots).map { case (t, df) => t -> writeOut(t, df) }
 
     beforeCommit()
 
-    // 2. Commit = one rename. Retry versions forward: on HDFS a lost
-    // race fails the rename; re-check the log (the winner may have
-    // been OUR txn from a previous attempt) and try the next slot.
+    // 2. Commit = one atomic claim of the next version slot. On HDFS
+    // that is a rename (rename onto an existing path fails). On local /
+    // POSIX filesystems rename OVERWRITES, so rename-as-OCC does not
+    // hold — there we claim via hard link, which is create-exclusive
+    // AND publishes the fully-written tmp content in one syscall.
+    // Retry versions forward: on a lost race, re-check only the new
+    // log entries (the winner may have been OUR txn from a previous
+    // attempt) and try the next slot.
     val (fs, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
     fs.mkdirs(logPath)
     val body = (Seq(s"txn:$txnId") ++
@@ -163,6 +194,15 @@ object ManifestTable {
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    def claim(next: org.apache.hadoop.fs.Path): Boolean =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(next.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !fs.exists(next) && fs.rename(tmp, next)
     var attempts = 0
     var done = false
     while (!done) {
@@ -172,15 +212,16 @@ object ManifestTable {
         throw new java.io.IOException(
           s"manifest commit for $txnId lost 100 races — aborting")
       }
-      val log = readLog(spark, baseDir)
+      log = log ++ readLogAfter(spark, baseDir,
+        log.lastOption.map(_.version).getOrElse(0L))
       if (log.exists(_.txn == txnId)) { // a prior attempt of ours won
         fs.delete(tmp, false)
         return Map.empty
       }
-      val next = new org.apache.hadoop.fs.Path(logPath,
-        versionName(log.lastOption.map(_.version).getOrElse(0L) + 1))
-      done = !fs.exists(next) && fs.rename(tmp, next)
+      done = claim(new org.apache.hadoop.fs.Path(logPath,
+        versionName(log.lastOption.map(_.version).getOrElse(0L) + 1)))
     }
+    if (fs.getScheme == "file") fs.delete(tmp, false)
     written.map { case (t, (_, n)) => t -> n }
   }
 

@@ -100,6 +100,36 @@ class SmartSyncSpec extends SparkSpec {
     assert(st == Map("d1" -> 6L, "d2" -> 3L))
   }
 
+  test("zero-work transactional sync still seals its sync id") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("smartsync-tx0").toString
+    SmartSync.runTransactional(spark,
+      summaries("2024-01-01 10:00:00", "d1" -> 5L),
+      status("2024-01-01 10:00:00", "d1"),
+      consumables("2024-01-01 10:00:00", "d1"), dir, "sync-001")
+    // Same counters → nothing to write, but the attempt must be sealed.
+    val r0 = SmartSync.runTransactional(spark,
+      summaries("2024-01-01 22:00:00", "d1" -> 5L),
+      status("2024-01-01 22:00:00", "d1"),
+      consumables("2024-01-01 22:00:00", "d1"), dir, "sync-002")
+    assert(r0 == SmartSync.Result(0L, 0L, 0L, 0L))
+    assert(ManifestTable.committedTxns(spark, dir).contains("sync-002"))
+    // A retry of the sealed id against a FRESHER snapshot (d1 cleaned
+    // again) must not process data under the already-completed id.
+    val rRetry = SmartSync.runTransactional(spark,
+      summaries("2024-01-02 10:00:00", "d1" -> 6L),
+      status("2024-01-02 10:00:00", "d1"),
+      consumables("2024-01-02 10:00:00", "d1"), dir, "sync-002")
+    assert(rRetry == SmartSync.Result(0L, 0L, 0L, 0L))
+    assert(ManifestTable.read(spark, dir, "device_status").count() == 1)
+    // A NEW id picks the fresh work up as usual.
+    val r3 = SmartSync.runTransactional(spark,
+      summaries("2024-01-02 10:00:00", "d1" -> 6L),
+      status("2024-01-02 10:00:00", "d1"),
+      consumables("2024-01-02 10:00:00", "d1"), dir, "sync-003")
+    assert(r3.devicesWithNewWork == 1 && r3.statusRows == 1)
+  }
+
   test("state carries forward devices absent from the current snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("smartsync3").toString
     SmartSync.run(spark, summaries("2024-01-01 10:00:00", "d1" -> 5L, "d2" -> 3L),
