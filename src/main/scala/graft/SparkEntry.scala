@@ -1016,8 +1016,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
           min(col("doc_id")).as("min_id"))
+    }),
+
+    // Sentence-level exact dedup (the C4 boilerplate move): the corpus
+    // has no punctuation, so both engines first assemble deterministic
+    // 8-token "sentences"; the first global (doc,pos) occurrence of
+    // each sentence survives, docs rebuild in original order, and
+    // fully-duplicate docs vanish.
+    "q80_sentence_dedup" -> ((s, dir) => {
+      Dedup.sentenceDedup(sentencified(t(s, dir, "documents")), "doc_id", "text")
+    }),
+
+    // C4/Dolma-style quality rule filter: violated-rule list (fixed
+    // emission order) + keep flag, map-only on qualitySignals.
+    "q81_rule_filter" -> ((s, dir) => {
+      Training.ruleFilter(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Quality-weighted deterministic resampling: token-rich docs keep
+    // a 90% rate, the rest 25%; membership is a pure hash of the id,
+    // so reruns keep byte-identical training sets.
+    "q82_importance_resample" -> ((s, dir) => {
+      val rated = t(s, dir, "documents").select(col("doc_id"),
+        when(TextFunctions.tokenCount(col("text")) >= 40, lit(90))
+          .otherwise(lit(25)).as("rate_percent"))
+      Training.importanceResample(rated, "doc_id", col("rate_percent"))
     })
   )
+
+  /** q80's input: rebuild each doc's token stream as '. '-joined
+    * 8-token sentences (the corpus itself carries no punctuation).
+    * Mirrored token-for-token in the DuckDB oracle. */
+  private def sentencified(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    docs.select(col("doc_id"),
+      array_join(
+        transform(sequence(lit(0), ((size(toks) - 1) / 8).cast("int")),
+          i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8)))),
+        ". ").as("text"))
+  }
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -1844,7 +1881,85 @@ object SparkEntry {
         |  CAST(sum(len(list_filter(string_split(lower(text), ' '),
         |       t -> len(t) > 0))) AS BIGINT) AS n_tokens,
         |  CAST(min(doc_id) AS BIGINT) AS min_id
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q80_sentence_dedup" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                             t -> len(t) > 0) AS w
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(generate_series(0, (len(w)-1)//8),
+        |      i -> array_to_string(list_slice(w, i*8+1, i*8+8), ' ')),
+        |      '. ') AS text
+        |  FROM w0),
+        |p AS (SELECT doc_id, string_split(text, '. ') AS parts FROM d),
+        |s AS (SELECT doc_id,
+        |        unnest(generate_series(1, len(parts))) AS pos,
+        |        unnest(parts) AS sent
+        |      FROM p),
+        |k AS (SELECT doc_id, pos, sent,
+        |        row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn
+        |      FROM s WHERE len(sent) > 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(sent, '. ' ORDER BY pos) AS text_deduped
+        |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "q81_rule_filter" -> {
+      val stop = graft.functions.TextFunctions.langMarkers
+        .flatMap(_._2).distinct.map(s => s"'$s'").mkString(", ")
+      val reasons =
+        """concat_ws(',',
+          |    CASE WHEN n_tokens < 10 THEN 'too_short' END,
+          |    CASE WHEN mean_token_len < 2.0 OR mean_token_len > 12.0
+          |         THEN 'tok_len' END,
+          |    CASE WHEN punct_ratio > 0.3 THEN 'punct_heavy' END,
+          |    CASE WHEN stopword_ratio < 0.03 THEN 'low_stopword' END,
+          |    CASE WHEN digit_ratio > 0.2 THEN 'digit_heavy' END,
+          |    CASE WHEN distinct_ratio < 0.3 THEN 'repetitive' END)""".stripMargin
+      s"""WITH b AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks,
+        |    len(text) AS n_chars,
+        |    len(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')) AS alnum,
+        |    len(regexp_replace(text, '[0-9]', '', 'g')) AS nodigit
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+        |        / len(toks) ELSE 0.0 END AS mean_token_len,
+        |    CASE WHEN n_chars > 0 THEN
+        |      CAST(n_chars - alnum AS DOUBLE) / n_chars ELSE 0.0
+        |      END AS punct_ratio,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_filter(toks, t -> list_contains([$stop], t)))
+        |           AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
+        |    CASE WHEN n_chars > 0 THEN
+        |      CAST(n_chars - nodigit AS DOUBLE) / n_chars ELSE 0.0
+        |      END AS digit_ratio,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |      ELSE 0.0 END AS distinct_ratio
+        |  FROM b)
+        |SELECT doc_id, n_tokens, $reasons AS reasons,
+        |  ($reasons = '') AS keep
+        |FROM q""".stripMargin
+    },
+
+    "q82_importance_resample" ->
+      """WITH rated AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(list_filter(string_split(lower(text), ' '),
+        |                              t -> len(t) > 0)) >= 40
+        |         THEN 90 ELSE 25 END AS rate_percent
+        |  FROM documents)
+        |SELECT doc_id, CAST(rate_percent AS INTEGER) AS rate_percent
+        |FROM rated
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |           AS BIGINT) % 100 < rate_percent""".stripMargin
   )
 
   // --------------------------------------------------- generated oracle SQL

@@ -65,4 +65,20 @@ class DedupSpec extends SparkSpec {
     // 0.5 threshold correctly excludes the unrelated doc 4.
     assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("sentenceDedup: first (doc,pos) occurrence wins, '. ' re-join, full dups vanish") {
+    val d = Seq(
+      (1L, "alpha beta. gamma delta. alpha beta"), // trailing repeat of own pos 1
+      (2L, "gamma delta. epsilon zeta"),           // pos 1 seen in doc 1
+      (3L, "alpha beta. gamma delta"),             // every sentence seen → vanishes
+      (4L, ""))                                    // empty split artifact only
+      .toDF("doc_id", "text")
+    val out = Dedup.sentenceDedup(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // doc 1 keeps pos 1+2 but not its own later duplicate at pos 3.
+    assert(out(1L) == ((2L, "alpha beta. gamma delta")))
+    // doc 2's 'gamma delta' lost to doc 1 (earlier in global order).
+    assert(out(2L) == ((1L, "epsilon zeta")))
+    assert(!out.contains(3L) && !out.contains(4L))
+  }
 }

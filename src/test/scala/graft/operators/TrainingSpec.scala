@@ -52,6 +52,42 @@ class TrainingSpec extends SparkSpec {
     assert(out(3L) == (("clean text with short 123 numbers", false)))
   }
 
+  test("ruleFilter: reasons in RuleNames order, keep iff no rule fires") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away home"),
+      (2L, "tiny"),                       // <10 tokens AND no stopwords
+      (3L, "the " * 20),                  // repetitive (1 distinct / 20)
+      (4L, "the num 123456 4512 9 88 77 66 55 44 digits everywhere 1 2 3"))
+      .toDF("doc_id", "text")
+    val out = Training.ruleFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (("", true)))
+    // Violated rules join comma-separated in fixed RuleNames order.
+    assert(out(2L) == (("too_short,low_stopword", false)))
+    assert(out(3L)._1.contains("repetitive") && !out(3L)._2)
+    assert(out(4L)._1 == "digit_heavy" && !out(4L)._2)
+  }
+
+  test("importanceResample: per-row rate, deterministic, monotone in rate") {
+    val docs = (1L to 1000L).map(i => (i, if (i % 2 == 0) 80 else 10))
+      .toDF("doc_id", "rate_percent")
+    val kept = Training.importanceResample(docs, "doc_id", col("rate_percent"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val (hi, lo) = kept.partition(_._2 == 80)
+    // ~80% of evens, ~10% of odds survive; exact counts are stable.
+    assert(hi.length > 300 && lo.length < 120 && kept.nonEmpty)
+    // Re-run keeps the identical membership (no RNG anywhere).
+    val again = Training.importanceResample(docs, "doc_id", col("rate_percent"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(kept.sorted.sameElements(again.sorted))
+    // A row kept at rate r is kept at any higher rate (bucket < rate).
+    val bumped = Training.importanceResample(
+      docs.withColumn("rate_percent", col("rate_percent") + 15),
+      "doc_id", col("rate_percent"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.map(_._1).toSet.subsetOf(bumped))
+  }
+
   test("shardAssign is deterministic, in-range, and spreads docs") {
     val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val shards = Training.shardAssign(docs, "doc_id", 8)
