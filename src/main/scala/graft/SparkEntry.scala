@@ -1041,6 +1041,43 @@ object SparkEntry {
         when(TextFunctions.tokenCount(col("text")) >= 40, lit(90))
           .otherwise(lit(25)).as("rate_percent"))
       Training.importanceResample(rated, "doc_id", col("rate_percent"))
+    }),
+
+    // Gopher-style repetition signals. Deterministic spam is injected
+    // into every 9th doc (the clean corpus never trips the classic
+    // thresholds); the gate checks the injected docs flag and the
+    // clean ones don't.
+    "q83_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), repeat(lit(" click here buy now"), 12)))
+          .otherwise(col("text")).as("text"))
+      Training.repetitionSignals(docs, "doc_id", "text")
+    }),
+
+    // Source-mixture rebalancing census: integer target weights from
+    // the source id, 30k-token budget; per-source keep rate and what
+    // actually survived the hash filter.
+    "q84_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("weight", expr("(CAST(substr(source, 4) AS INT) % 5) + 1"))
+      Training.mixtureRebalance(docs, "doc_id", "text", "source",
+          weights, budgetTokens = 30000L)
+        .join(docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+          Seq("doc_id"))
+        .groupBy(col("source"), col("rate_percent"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+    }),
+
+    // Anti-clumping diversity cap: at most 40 vectors per IVF cell,
+    // picked by stable content hash — bounded per-cluster contribution
+    // to the training set.
+    "q85_diversity_cap" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.diversityCap(
+        Similarity.ivfIndex(emb, "vec_id", "embedding", 16), "vec_id", 40)
     })
   )
 
@@ -1959,7 +1996,81 @@ object SparkEntry {
         |SELECT doc_id, CAST(rate_percent AS INTEGER) AS rate_percent
         |FROM rated
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-        |           AS BIGINT) % 100 < rate_percent""".stripMargin
+        |           AS BIGINT) % 100 < rate_percent""".stripMargin,
+
+    "q83_repetition" ->
+      """WITH di AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |         THEN text || repeat(' click here buy now', 12)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                  t -> len(t) > 0) AS w FROM di),
+        |g2 AS (SELECT doc_id,
+        |         unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_transform(generate_series(0, len(w)-2),
+        |                  i -> array_to_string(list_slice(w, i+1, i+2), ' '))
+        |           END) AS g
+        |       FROM w0),
+        |c2 AS (SELECT doc_id, count(*) AS c, count(*)*len(g) AS chars
+        |       FROM g2 GROUP BY doc_id, g),
+        |a2 AS (SELECT doc_id, CAST(max(chars) AS DOUBLE)/sum(chars) AS top2
+        |       FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id,
+        |         unnest(CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_transform(generate_series(0, len(w)-3),
+        |                  i -> array_to_string(list_slice(w, i+1, i+3), ' '))
+        |           END) AS g
+        |       FROM w0),
+        |c3 AS (SELECT doc_id, count(*) AS c, count(*)*len(g) AS chars
+        |       FROM g3 GROUP BY doc_id, g),
+        |a3 AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN c >= 2 THEN chars ELSE 0 END) AS DOUBLE)
+        |           / sum(chars) AS dup3
+        |       FROM c3 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  round(COALESCE(a2.top2, 0.0), 6) AS top_2gram_frac,
+        |  round(COALESCE(a3.dup3, 0.0), 6) AS dup_3gram_frac,
+        |  (round(COALESCE(a2.top2, 0.0), 6) > 0.20
+        |   OR round(COALESCE(a3.dup3, 0.0), 6) > 0.18) AS flagged
+        |FROM di d
+        |LEFT JOIN a2 ON d.doc_id = a2.doc_id
+        |LEFT JOIN a3 ON d.doc_id = a3.doc_id""".stripMargin,
+
+    "q84_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, sum(n_tokens) AS src_tokens FROM d GROUP BY 1),
+        |w AS (SELECT source,
+        |        (CAST(substr(source, 4) AS INTEGER) % 5) + 1 AS weight
+        |      FROM (SELECT DISTINCT source FROM documents)),
+        |tw AS (SELECT sum(weight) AS w_total FROM w),
+        |r AS (SELECT s.source,
+        |        CAST(LEAST(100, (CAST(w.weight AS BIGINT) * 30000 * 100)
+        |             // (tw.w_total * s.src_tokens)) AS INTEGER) AS rate_percent
+        |      FROM s JOIN w ON s.source = w.source, tw),
+        |kept AS (
+        |  SELECT d.doc_id, d.source, r.rate_percent, d.n_tokens
+        |  FROM d JOIN r ON d.source = r.source
+        |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |             AS BIGINT) % 100 < r.rate_percent)
+        |SELECT source, rate_percent, count(*) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+        |FROM kept GROUP BY 1, 2""".stripMargin,
+
+    "q85_diversity_cap" ->
+      s"""WITH $ivfAsgCtes
+        |SELECT vec_id, cell, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT a.vec_id, a.cell,
+        |    row_number() OVER (PARTITION BY a.cell ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))
+        |           AS BIGINT), a.vec_id) AS rk
+        |  FROM asg a)
+        |WHERE rk <= 40""".stripMargin
   )
 
   // --------------------------------------------------- generated oracle SQL

@@ -105,6 +105,25 @@ object Similarity {
       .select(col(idCol), col("qvec"), col("nsq"), col("cell"))
   }
 
+  /** Diversity cap over an [[ivfIndex]] result: keep at most `cap`
+    * vectors per cell, picked deterministically by a stable content
+    * hash of the id (NOT by id order, which would bias toward old
+    * rows). The standard anti-clumping move before training-set
+    * assembly: semantic clusters contribute boundedly many examples.
+    *
+    * Scale: one window per cell — cells are bounded inverted lists by
+    * construction (that is what the IVF build is for), so no single
+    * partition sees the whole corpus. Output: (id, cell, rk ≤ cap). */
+  def diversityCap(index: DataFrame, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(graft.functions.TextFunctions.hash60(col(idCol).cast("string")),
+        col(idCol))
+    index.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col(idCol), col("cell"), col("rk").cast("int").as("rk"))
+  }
+
   /** One Lloyd (k-means) refinement step over an [[ivfIndex]] result:
     * per (cell, dimension) mean of the assigned quantized vectors —
     * the iterative centroid-refinement a production IVF build runs a

@@ -155,6 +155,82 @@ object Training {
       ratePercent: org.apache.spark.sql.Column): DataFrame =
     docs.filter(Sampling.hashBucket(col(idCol), 100) < ratePercent)
 
+  /** Gopher-style repetition signals over token n-grams (Rae et al.
+    * 2021 §A1.1 family, deterministic variant):
+    *
+    *   - `top_2gram_frac`: max over distinct 2-grams of
+    *     occurrences × chars(gram), as a fraction of total 2-gram
+    *     occurrence chars — the "one phrase dominates" signal;
+    *   - `dup_3gram_frac`: chars in 3-grams occurring ≥2×, over total
+    *     3-gram occurrence chars — the "templated boilerplate" signal.
+    *
+    * Both are exact-integer ratios (one IEEE divide, mirrored in the
+    * oracle); `flagged` applies the classic 0.20 / 0.18 thresholds.
+    *
+    * Scale: each signal is explode → (id, gram) hash-agg → (id)
+    * hash-agg — the exact-dedup shuffle shape, map-side combinable,
+    * never corpus×corpus. Docs too short to form a gram keep 0.0
+    * (nothing repeats in them). */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    def gramFrac(n: Int, name: String, top: Boolean) =
+      docs.select(col(idCol),
+          explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+        .groupBy(col(idCol), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .select(col(idCol), col("c"), (col("c") * length(col("g"))).as("chars"))
+        .groupBy(col(idCol))
+        .agg(((if (top) max(col("chars"))
+               else sum(when(col("c") >= 2, col("chars")).otherwise(0L)))
+          .cast("double") / sum(col("chars"))).as(name))
+    docs.select(col(idCol))
+      .join(gramFrac(2, "top2", top = true), Seq(idCol), "left")
+      .join(gramFrac(3, "dup3", top = false), Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("top2"), lit(0.0)), 6).as("top_2gram_frac"),
+        round(coalesce(col("dup3"), lit(0.0)), 6).as("dup_3gram_frac"),
+        (round(coalesce(col("top2"), lit(0.0)), 6) > 0.20 ||
+          round(coalesce(col("dup3"), lit(0.0)), 6) > 0.18).as("flagged"))
+  }
+
+  /** Source-mixture rebalancing: thin each source toward a target
+    * mixture under a global token budget. `weights` is a small
+    * (source, weight) table (integer weights, any scale — shares are
+    * weight/Σweight); each source's keep-rate is
+    *
+    *   rate_s = min(100, ⌊weight_s × budgetTokens × 100 /
+    *                     (Σweight × tokens_s)⌋)  percent,
+    *
+    * all in exact integer math, then rows keep deterministically via
+    * the per-row hash-bucket filter ([[importanceResample]]).
+    *
+    * Scale: one token-sum aggregate over the corpus, a broadcast of
+    * the tiny per-source rate table back onto the scan, and the
+    * map-only hash filter — no extra wide shuffle. Over-represented
+    * sources thin hardest; sources under their target keep 100%. */
+  def mixtureRebalance(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      weights: DataFrame,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val tok = TextFunctions.tokenCount(col(textCol)).cast("long")
+    val perSource = docs.groupBy(col(sourceCol)).agg(sum(tok).as("src_tokens"))
+    val wTotal = weights.agg(sum(col("weight").cast("long")).as("w_total"))
+    val rates = perSource.join(weights, Seq(sourceCol))
+      .crossJoin(broadcast(wTotal))
+      .select(col(sourceCol),
+        least(lit(100L),
+          expr(s"(CAST(weight AS BIGINT) * $budgetTokens * 100) " +
+            "div (w_total * src_tokens)")).cast("int").as("rate_percent"))
+    docs.select(col(idCol), col(sourceCol))
+      .join(broadcast(rates), Seq(sourceCol))
+      .filter(Sampling.hashBucket(col(idCol), 100) < col("rate_percent"))
+      .select(col(idCol), col(sourceCol), col("rate_percent"))
+  }
+
   /** Deterministic shard assignment: shard = md5(id) mod n — stable
     * across runs, engines, and cluster sizes (unlike hash-partition
     * ids, which depend on Spark's internal hash and partition count).

@@ -56,6 +56,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ids.length == 2)
   }
 
+  test("diversityCap keeps at most cap per cell, deterministically by id hash") {
+    val many = (0L until 40L).map(i =>
+      (i, Array((i % 2).toFloat * 2 - 1, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val index = Similarity.ivfIndex(many, "vec_id", "embedding", 2)
+    val out = Similarity.diversityCap(index, "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val perCell = out.groupBy(_._2)
+    assert(perCell.values.forall(g => g.length <= 5 && g.map(_._3).sorted.sameElements(1 to g.length)))
+    // Deterministic on re-run.
+    val again = Similarity.diversityCap(index, "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("lshTopK buckets identical vectors together and finds them") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0),
       "vec_id", "embedding", 2, planes = 4, dim = 3)

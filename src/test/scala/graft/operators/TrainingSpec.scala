@@ -88,6 +88,43 @@ class TrainingSpec extends SparkSpec {
     assert(kept.map(_._1).toSet.subsetOf(bumped))
   }
 
+  test("repetitionSignals: repeated phrase dominates; clean text stays low; short docs 0.0") {
+    val docs = Seq(
+      (1L, "buy now " * 10),               // one bigram everywhere
+      (2L, "the quick brown fox jumps over a lazy dog near the river bank"),
+      (3L, "solo"))                        // no 2-grams at all
+      .toDF("doc_id", "text")
+    val out = Training.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L)._1 > 0.4 && out(1L)._2 > 0.8 && out(1L)._3)
+    assert(out(2L)._1 < 0.2 && !out(2L)._3)
+    assert(out(3L) == ((0.0, 0.0, false)))
+  }
+
+  test("mixtureRebalance: over-represented sources thin, under-target keep 100%") {
+    // big: 100 docs x 10 tokens = 1000 tokens; small: 5 docs = 50.
+    val docs = ((1L to 100L).map(i => (i, "t " * 10, "big")) ++
+      (101L to 105L).map(i => (i, "t " * 10, "small")))
+      .toDF("doc_id", "text", "source")
+    val weights = Seq(("big", 1), ("small", 1)).toDF("source", "weight")
+    // Budget 400: big's target = 200 of its 1000 tokens → 20%; small's
+    // 200 target exceeds its 50 available → capped at 100%.
+    val out = Training.mixtureRebalance(docs, "doc_id", "text", "source",
+      weights, budgetTokens = 400L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc("small").length == 5)            // all kept, rate 100
+    assert(bySrc("small").forall(_._3 == 100))
+    assert(bySrc("big").forall(_._3 == 20))
+    val n = bySrc("big").length                   // ~20 of 100, hash-exact
+    assert(n > 5 && n < 40)
+    // Deterministic: identical membership on re-run.
+    val again = Training.mixtureRebalance(docs, "doc_id", "text", "source",
+      weights, budgetTokens = 400L).collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_._1).toSet)
+  }
+
   test("shardAssign is deterministic, in-range, and spreads docs") {
     val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val shards = Training.shardAssign(docs, "doc_id", 8)
