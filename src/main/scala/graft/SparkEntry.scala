@@ -1078,6 +1078,26 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.diversityCap(
         Similarity.ivfIndex(emb, "vec_id", "embedding", 16), "vec_id", 40)
+    }),
+
+    // One-call decontamination: drop train docs (doc_id % 20 != 0)
+    // whose 3-gram containment in the eval slice exceeds 0.5; short
+    // docs and sub-threshold docs pass through.
+    "q86_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Training.decontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", shingleSize = 3, maxContainment = 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // Deterministic epoch shuffle: per-shard permutation from an
+    // epoch-salted hash; epochs 1 and 2 give different orders, both
+    // reproducible. Census pins every (shard, pos, doc) of epoch 2.
+    "q87_epoch_shuffle" -> ((s, dir) => {
+      Training.epochShuffle(t(s, dir, "documents"), "doc_id",
+        nShards = 8, epoch = 2)
     })
   )
 
@@ -2070,7 +2090,41 @@ object SparkEntry {
         |      CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))
         |           AS BIGINT), a.vec_id) AS rk
         |  FROM asg a)
-        |WHERE rk <= 40""".stripMargin
+        |WHERE rk <= 40""".stripMargin,
+
+    "q86_decontaminate" ->
+      s"""WITH sets AS (${shingleSetsSql("")}),
+        |tr AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n_shingles
+        |       FROM sets WHERE doc_id % 20 <> 0 AND len(sh) > 0),
+        |ev AS (SELECT DISTINCT s FROM
+        |        (SELECT unnest(sh) AS s FROM sets
+        |         WHERE doc_id % 20 = 0 AND len(sh) > 0)),
+        |cont AS (
+        |  SELECT t.doc_id, count(*) AS n_cont
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM tr) t
+        |  JOIN ev ON t.s = ev.s
+        |  GROUP BY 1),
+        |bad AS (
+        |  SELECT tr.doc_id
+        |  FROM tr LEFT JOIN cont c ON tr.doc_id = c.doc_id
+        |  WHERE round(CAST(COALESCE(c.n_cont, 0) AS DOUBLE)
+        |              / tr.n_shingles, 6) > 0.5)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 20 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "q87_epoch_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 8 AS shard,
+        |    CAST(('0x' || substr(md5('e2:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) AS k
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+        |       AS BIGINT) AS pos
+        |FROM s""".stripMargin
   )
 
   // --------------------------------------------------- generated oracle SQL

@@ -231,6 +231,46 @@ object Training {
       .select(col(idCol), col(sourceCol), col("rate_percent"))
   }
 
+  /** One-call benchmark decontamination: drop training docs whose
+    * `shingleSize`-gram containment in the eval corpus exceeds
+    * `maxContainment`; everything else survives — including docs too
+    * short to shingle (nothing in them can match an eval n-gram).
+    * Anti-join on the small flagged-id set, so the corpus passes
+    * through untouched except for the dropped rows. */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      maxContainment: Double = 0.3): DataFrame = {
+    val bad = contamination(train, eval, idCol, textCol, shingleSize)
+      .filter(col("containment") > maxContainment)
+      .select(col(idCol))
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** Deterministic epoch shuffle: each doc gets a shard (md5 mod
+    * `nShards`) and a position within its shard, ordered by an
+    * epoch-salted content hash — a different, reproducible permutation
+    * per epoch with no RNG. This is how a 100 TB corpus is "shuffled":
+    * each shard permutes independently (bounded window partitions, no
+    * global sort), and readers stream shards in position order.
+    * Output: (id, shard, pos 1-based). */
+  def epochShuffle(
+      docs: DataFrame,
+      idCol: String,
+      nShards: Int,
+      epoch: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = TextFunctions.hash60(
+      concat(lit(s"e$epoch:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(key, col(idCol))
+    shardAssign(docs, idCol, nShards)
+      .select(col(idCol), col("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Deterministic shard assignment: shard = md5(id) mod n — stable
     * across runs, engines, and cluster sizes (unlike hash-partition
     * ids, which depend on Spark's internal hash and partition count).

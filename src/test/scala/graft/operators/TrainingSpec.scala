@@ -125,6 +125,40 @@ class TrainingSpec extends SparkSpec {
     assert(again == out.map(_._1).toSet)
   }
 
+  test("decontaminate drops only over-threshold docs; short docs survive") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // 2/3 shingles contaminated
+      (2L, "totally unrelated words in here"),
+      (3L, "hi"))                          // can't shingle → must survive
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val kept = Training.decontaminate(train, eval, "doc_id", "text",
+      shingleSize = 3, maxContainment = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // Threshold at 0.7 lets doc 1 (containment 0.667) back through.
+    val lax = Training.decontaminate(train, eval, "doc_id", "text",
+      shingleSize = 3, maxContainment = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(lax == Set(1L, 2L, 3L))
+  }
+
+  test("epochShuffle: complete per-shard permutations that differ across epochs") {
+    val docs = (1L to 200L).map(i => (i, "x")).toDF("doc_id", "text")
+    def run(epoch: Int) = Training.epochShuffle(docs, "doc_id", 4, epoch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e1 = run(1); val e2 = run(2)
+    // Same shard membership (shard is epoch-independent)…
+    assert(e1.map(t => t._1 -> t._2).toMap == e2.map(t => t._1 -> t._2).toMap)
+    // …each shard's positions are exactly 1..n…
+    for (g <- e1.groupBy(_._2).values)
+      assert(g.map(_._3).sorted.sameElements(1L to g.length))
+    // …and the epoch salt actually permutes differently.
+    assert(e1.map(t => t._1 -> t._3).toMap != e2.map(t => t._1 -> t._3).toMap)
+    // Re-running an epoch reproduces it exactly.
+    assert(run(2).sortBy(_._1).sameElements(e2.sortBy(_._1)))
+  }
+
   test("shardAssign is deterministic, in-range, and spreads docs") {
     val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val shards = Training.shardAssign(docs, "doc_id", 8)
