@@ -254,6 +254,51 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** `shingle_list(tokens, n)`: ALL n-word shingles in document order,
+    * duplicates kept — the multiplicity-preserving twin of
+    * [[SortedShingleSet]] for repetition statistics, where how OFTEN a
+    * gram repeats is the signal. Same native one-pass build (no
+    * interpreted HOF lambda riding into the downstream GenerateExec
+    * when the caller explodes the result). */
+  case class ShingleList(child: Expression, shingleSize: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "shingle_list"
+
+    def compute(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      if (n < shingleSize) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](n - shingleSize + 1)
+      var i = 0
+      while (i <= n - shingleSize) {
+        var sh = toks.getUTF8String(i)
+        var t = 1
+        while (t < shingleSize) {
+          sh = UTF8String.concat(sh, SpaceUtf8, toks.getUTF8String(i + t))
+          t += 1
+        }
+        out(i) = sh
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("slExpr", this,
+        "graft.functions.GraftExpressions.ShingleList")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+           |  $ref.compute($c);""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleList =
+      copy(child = newChild)
+  }
+
   private val SpaceUtf8 = UTF8String.fromString(" ")
 
   /** `simhash(toks, bits)`: per-bit majority vote over the 60-bit md5
@@ -462,6 +507,10 @@ object GraftExpressions {
   def sortedShingleSet(toks: Column, shingleSize: Int): Column =
     GraftSqlBridge.column(
       SortedShingleSet(GraftSqlBridge.expression(toks), shingleSize))
+
+  def shingleList(toks: Column, shingleSize: Int): Column =
+    GraftSqlBridge.column(
+      ShingleList(GraftSqlBridge.expression(toks), shingleSize))
 
   def simhashFromTokens(toks: Column, bits: Int): Column =
     GraftSqlBridge.column(SimHashFromTokens(GraftSqlBridge.expression(toks), bits))

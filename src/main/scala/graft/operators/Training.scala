@@ -175,7 +175,10 @@ object Training {
       : DataFrame = {
     def gramFrac(n: Int, name: String, top: Boolean) =
       docs.select(col(idCol),
-          explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+          // Native one-pass gram list (duplicates kept) — an HOF-built
+          // array here would ride interpreted into the GenerateExec.
+          explode(GraftExpressions.shingleList(
+            TextFunctions.tokens(col(textCol)), n)).as("g"))
         .groupBy(col(idCol), col("g"))
         .agg(count(lit(1)).as("c"))
         .select(col(idCol), col("c"), (col("c") * length(col("g"))).as("chars"))

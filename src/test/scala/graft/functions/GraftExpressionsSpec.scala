@@ -33,6 +33,18 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(fastM == hofM)
   }
 
+  test("shingleList == HOF shingles (order + multiplicity), short docs empty") {
+    val hof = texts.select(col("doc_id"),
+      TextFunctions.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val fast = texts.select(col("doc_id"),
+      GraftExpressions.shingleList(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fast == hof)
+    assert(fast(2L).count(_ == "alpha beta gamma") == 2) // duplicates kept
+    assert(fast(3L).isEmpty)                             // < n tokens
+  }
+
   test("simhashFromTokens == HOF bit-vote formulation") {
     val hof = texts.select(col("doc_id"), {
       val hashes = transform(array_distinct(TextFunctions.tokens(col("text"))),
