@@ -213,6 +213,7 @@ object GraftExpressions {
     * Output feeds [[JaccardSorted]]'s linear merge. */
   case class SortedShingleSet(child: Expression, shingleSize: Int)
       extends UnaryExpression {
+    require(shingleSize > 0, "shingleSize must be positive")
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "sorted_shingles"
@@ -224,13 +225,7 @@ object GraftExpressions {
       val set = new java.util.TreeSet[UTF8String]()
       var i = 0
       while (i <= n - shingleSize) {
-        var sh = toks.getUTF8String(i)
-        var t = 1
-        while (t < shingleSize) {
-          sh = UTF8String.concat(sh, SpaceUtf8, toks.getUTF8String(i + t))
-          t += 1
-        }
-        set.add(sh)
+        set.add(buildShingle(toks, i, shingleSize))
         i += 1
       }
       val out = new Array[Any](set.size)
@@ -262,6 +257,7 @@ object GraftExpressions {
     * when the caller explodes the result). */
   case class ShingleList(child: Expression, shingleSize: Int)
       extends UnaryExpression {
+    require(shingleSize > 0, "shingleSize must be positive")
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "shingle_list"
@@ -273,13 +269,7 @@ object GraftExpressions {
       val out = new Array[Any](n - shingleSize + 1)
       var i = 0
       while (i <= n - shingleSize) {
-        var sh = toks.getUTF8String(i)
-        var t = 1
-        while (t < shingleSize) {
-          sh = UTF8String.concat(sh, SpaceUtf8, toks.getUTF8String(i + t))
-          t += 1
-        }
-        out(i) = sh
+        out(i) = buildShingle(toks, i, shingleSize)
         i += 1
       }
       new GenericArrayData(out)
@@ -300,6 +290,24 @@ object GraftExpressions {
   }
 
   private val SpaceUtf8 = UTF8String.fromString(" ")
+
+  /** Space-joined shingle of `size` tokens starting at `i`. The
+    * single-token case CLONES: `getUTF8String` on UnsafeArrayData
+    * returns a view into a reusable buffer, and an un-copied reference
+    * escaping into the output array would alias whatever row the
+    * buffer holds later. (Concat already allocates for size > 1.)
+    * Shared by [[SortedShingleSet]] and [[ShingleList]] so the two
+    * stay semantically locked. */
+  private def buildShingle(toks: ArrayData, i: Int, size: Int): UTF8String = {
+    if (size == 1) return toks.getUTF8String(i).clone()
+    var sh = toks.getUTF8String(i)
+    var t = 1
+    while (t < size) {
+      sh = UTF8String.concat(sh, SpaceUtf8, toks.getUTF8String(i + t))
+      t += 1
+    }
+    sh
+  }
 
   /** `simhash(toks, bits)`: per-bit majority vote over the 60-bit md5
     * prefixes of the DISTINCT token strings (string-distinct first —

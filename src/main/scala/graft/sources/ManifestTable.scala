@@ -38,6 +38,13 @@ import org.apache.spark.sql.types.StructType
   * via one small-file directory scan of `_log/`, never a recursive
   * data-directory listing.
   *
+  * Every [[compact]] interval (`graft.manifest.compactEvery`, default
+  * 64) a `ckpt_v…` summary is written so steady-state reads open one
+  * checkpoint plus a bounded tail — a fleet sealing no-op syncs every
+  * few minutes forever must not make year-two syncs read a year-one
+  * log. [[truncateLog]] (explicit, never automatic) then drops the
+  * covered manifests and with them pre-checkpoint time travel.
+  *
   * Concurrency stance: single writer per base dir (the reference's
   * sync is a single loop; Spark jobs coordinate upstream). On HDFS the
   * rename doubles as optimistic concurrency control — rename onto an
@@ -53,53 +60,84 @@ object ManifestTable {
   private val LogDir = "_log"
   private val DataDir = "data"
 
+  /** A checkpoint is written every this many versions (overridable via
+    * SparkConf `graft.manifest.compactEvery`), so steady-state reads
+    * open one checkpoint + a bounded manifest tail instead of the
+    * whole O(versions) history — an idle fleet sealing no-op syncs
+    * forever must not make every later sync slower. */
+  private val DefaultCompactEvery = 64L
+
+  private def compactEvery(spark: SparkSession): Long =
+    spark.conf.getOption("graft.manifest.compactEvery")
+      .map(_.toLong).getOrElse(DefaultCompactEvery)
+
   private def fsAndPath(spark: SparkSession, p: String) = {
     val hp = new org.apache.hadoop.fs.Path(p)
     (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
   }
 
   private def versionName(v: Long): String = f"v$v%020d"
+  private def ckptName(v: Long): String = f"ckpt_v$v%020d"
 
-  private case class Manifest(version: Long, txn: String,
+  private case class Manifest(version: Long, txns: Seq[String],
       adds: Seq[String], snaps: Seq[String], state: Option[String])
 
   private def parseManifest(
       fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Manifest = {
+      p: org.apache.hadoop.fs.Path,
+      version: Long): Manifest = {
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
     val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
     Manifest(
-      version = p.getName.drop(1).toLong,
-      txn = lines.collectFirst { case l if l.startsWith("txn:") => l.drop(4) }
-        .getOrElse(""),
+      version = version,
+      txns = lines.collect { case l if l.startsWith("txn:") => l.drop(4) },
       adds = lines.collect { case l if l.startsWith("add:") => l.drop(4) },
       snaps = lines.collect { case l if l.startsWith("snap:") => l.drop(5) },
       state = lines.collectFirst { case l if l.startsWith("state:") => l.drop(6) })
   }
 
+  private def listLog(fs: org.apache.hadoop.fs.FileSystem,
+      log: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(log)) Nil else fs.listStatus(log).toSeq.map(_.getPath)
+
   /** Committed manifests with version > `after`, oldest first — the
     * incremental read: commit retries re-open only NEW versions, not
-    * the whole O(versions) history per attempt. */
+    * the whole O(versions) history per attempt. Never consults
+    * checkpoints (callers hold their own base). */
   private def readLogAfter(
       spark: SparkSession, baseDir: String, after: Long): Seq[Manifest] = {
     val (fs, log) = fsAndPath(spark, s"$baseDir/$LogDir")
-    if (!fs.exists(log)) return Nil
-    fs.listStatus(log).toSeq
-      .map(_.getPath)
+    listLog(fs, log)
       .filter(p => p.getName.matches("v\\d{20}") && p.getName.drop(1).toLong > after)
       .sortBy(_.getName)
-      .map(p => parseManifest(fs, p))
+      .map(p => parseManifest(fs, p, p.getName.drop(1).toLong))
   }
 
-  /** All committed manifests, oldest first. */
-  private def readLog(spark: SparkSession, baseDir: String): Seq[Manifest] =
+  /** The effective log, oldest first: the latest checkpoint (a
+    * synthetic manifest summarizing everything up to its version)
+    * followed by the newer raw manifests — or the full raw history if
+    * no checkpoint exists yet. */
+  private def readLog(spark: SparkSession, baseDir: String): Seq[Manifest] = {
+    val (fs, log) = fsAndPath(spark, s"$baseDir/$LogDir")
+    val base = listLog(fs, log)
+      .filter(_.getName.matches("ckpt_v\\d{20}"))
+      .sortBy(_.getName).lastOption
+      .map(p => parseManifest(fs, p, p.getName.drop(6).toLong))
+    base.toSeq ++ readLogAfter(spark, baseDir, base.map(_.version).getOrElse(0L))
+  }
+
+  /** The COMPLETE raw history, checkpoints ignored — what [[vacuum]]
+    * must see: a checkpoint summarizes only LIVE files, and treating
+    * it as the whole truth would let vacuum reclaim data that older,
+    * still-present manifest versions reference (time travel). */
+  private def readFullLog(spark: SparkSession, baseDir: String): Seq[Manifest] =
     readLogAfter(spark, baseDir, 0L)
 
   /** Transaction ids already committed — the idempotence check. */
   def committedTxns(spark: SparkSession, baseDir: String): Set[String] =
-    readLog(spark, baseDir).map(_.txn).filter(_.nonEmpty).toSet
+    readLog(spark, baseDir).flatMap(_.txns).toSet
 
   /** The state payload of the LATEST commit that carried one (e.g. the
     * sync watermark that was advanced atomically with its data). */
@@ -151,7 +189,7 @@ object ManifestTable {
       "a table cannot be both appended and snapshotted in one commit")
     // One full log parse; the retry loop below only reads NEWER versions.
     var log = readLog(spark, baseDir)
-    if (log.exists(_.txn == txnId)) return Map.empty
+    if (log.exists(_.txns.contains(txnId))) return Map.empty
 
     // 1. Data files first — invisible until a manifest references them.
     val safeTxn = txnId.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -161,6 +199,15 @@ object ManifestTable {
       val (fs, dataPath) = fsAndPath(spark, s"$baseDir/$rel")
       val files = fs.listStatus(dataPath).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      // A zero-PARTITION frame (emptyRDD) writes no parquet files at
+      // all — committing it would durably truncate a snapshot table to
+      // "no data, no schema". Fail before the manifest lands, like the
+      // schema-infer error the old read-back count surfaced. (A 0-ROW
+      // frame with ≥1 partition still writes a schema-bearing file and
+      // commits fine.)
+      require(files.nonEmpty,
+        s"refusing to commit $table from a frame that produced no parquet " +
+          "files (zero partitions) — repartition(1) an intentionally empty frame")
       // Row counts from the parquet footers we just wrote — driver-side
       // metadata reads, not a second Spark scan job per table.
       val conf = spark.sessionState.newHadoopConf()
@@ -189,23 +236,10 @@ object ManifestTable {
       snapshots.keys.toSeq.sorted.map(t => s"snap:$t") ++
       written.toSeq.sortBy(_._1).flatMap(_._2._1).map(f => s"add:$f") ++
       state.map(s => s"state:$s")).mkString("", "\n", "\n")
-    val tmp = new org.apache.hadoop.fs.Path(logPath,
-      s"_tmp_${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    def claim(next: org.apache.hadoop.fs.Path): Boolean =
-      if (fs.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(next.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else !fs.exists(next) && fs.rename(tmp, next)
+    val tmp = writeTmp(fs, logPath, body)
     var attempts = 0
-    var done = false
-    while (!done) {
+    var committed = -1L
+    while (committed < 0) {
       attempts += 1
       if (attempts > 100) {
         fs.delete(tmp, false)
@@ -214,15 +248,92 @@ object ManifestTable {
       }
       log = log ++ readLogAfter(spark, baseDir,
         log.lastOption.map(_.version).getOrElse(0L))
-      if (log.exists(_.txn == txnId)) { // a prior attempt of ours won
+      if (log.exists(_.txns.contains(txnId))) { // a prior attempt of ours won
         fs.delete(tmp, false)
         return Map.empty
       }
-      done = claim(new org.apache.hadoop.fs.Path(logPath,
-        versionName(log.lastOption.map(_.version).getOrElse(0L) + 1)))
+      val next = log.lastOption.map(_.version).getOrElse(0L) + 1
+      if (claimSlot(fs, tmp, new org.apache.hadoop.fs.Path(logPath,
+          versionName(next)))) committed = next
     }
     if (fs.getScheme == "file") fs.delete(tmp, false)
+    // Opportunistic compaction keeps reads O(tail), never blocks the
+    // commit that just succeeded.
+    if (committed % compactEvery(spark) == 0)
+      try compact(spark, baseDir)
+      catch { case scala.util.control.NonFatal(_) => () }
     written.map { case (t, (_, n)) => t -> n }
+  }
+
+  /** Write `body` to a uniquely-named tmp file in `dir`. */
+  private def writeTmp(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      body: String): org.apache.hadoop.fs.Path = {
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"_tmp_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    tmp
+  }
+
+  /** Atomically claim `next` with the content of `tmp`: hard link on
+    * local/POSIX (create-exclusive, publishes complete content in one
+    * syscall; rename there OVERWRITES), rename-if-absent on HDFS.
+    * On the link path `tmp` stays for the caller to delete. */
+  private def claimSlot(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      next: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(next.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else !fs.exists(next) && fs.rename(tmp, next)
+
+  /** Write a checkpoint summarizing the whole log as of its latest
+    * version: every sealed txn id, every table as a snapshot of its
+    * LIVE files, and the latest state payload. Readers then open one
+    * checkpoint + the manifests behind it. Returns the checkpointed
+    * version (None on an empty log; no-op if that version is already
+    * checkpointed). Old manifest files stay — time travel and
+    * [[vacuum]] still see them — until [[truncateLog]]. */
+  def compact(spark: SparkSession, baseDir: String): Option[Long] = {
+    val log = readLog(spark, baseDir)
+    val last = log.lastOption.map(_.version).getOrElse(return None)
+    // Re-checkpointing an already-checkpointed version is a no-op:
+    // claimSlot finds ckpt_v<last> present and loses the claim.
+    val tables = log.flatMap(m =>
+      m.snaps ++ m.adds.map(_.takeWhile(_ != '/'))).distinct.sorted
+    val body = (log.flatMap(_.txns).distinct.map(t => s"txn:$t") ++
+      tables.map(t => s"snap:$t") ++
+      tables.flatMap(t => liveFiles(log, t)).map(f => s"add:$f") ++
+      log.reverse.flatMap(_.state).headOption.map(s => s"state:$s"))
+      .mkString("", "\n", "\n")
+    val (fs, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
+    val tmp = writeTmp(fs, logPath, body)
+    claimSlot(fs, tmp, new org.apache.hadoop.fs.Path(logPath, ckptName(last)))
+    fs.delete(tmp, false) // claimed-by-link, lost-race, or HDFS leftover
+    Some(last)
+  }
+
+  /** Delete raw manifests covered by the latest checkpoint. This
+    * DROPS time travel before the checkpoint: a following [[vacuum]]
+    * reclaims data files only pre-checkpoint history referenced.
+    * Returns the number of manifest files removed. */
+  def truncateLog(spark: SparkSession, baseDir: String): Int = {
+    val (fs, log) = fsAndPath(spark, s"$baseDir/$LogDir")
+    val ckpt = listLog(fs, log).filter(_.getName.matches("ckpt_v\\d{20}"))
+      .sortBy(_.getName).lastOption.map(_.getName.drop(6).toLong)
+      .getOrElse(return 0)
+    val old = listLog(fs, log).filter(p =>
+      p.getName.matches("v\\d{20}") && p.getName.drop(1).toLong <= ckpt)
+    old.foreach(p => fs.delete(p, false))
+    old.length
   }
 
   /** Read the committed snapshot of one table. `schema` serves the
@@ -247,7 +358,16 @@ object ManifestTable {
     * preserving time travel). Safe any time under the single-writer
     * stance. Returns the number of directories removed. */
   def vacuum(spark: SparkSession, baseDir: String, table: String): Int = {
-    val referenced = readLog(spark, baseDir).flatMap(_.adds).toSet
+    // Referenced = full raw history PLUS every checkpoint's live set.
+    // Raw manifests keep pre-checkpoint time travel alive; after
+    // truncateLog the checkpoint is the only reference to the live
+    // files — neither view alone is safe.
+    val (lfs, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
+    val ckptAdds = listLog(lfs, logPath)
+      .filter(_.getName.matches("ckpt_v\\d{20}"))
+      .flatMap(p => parseManifest(lfs, p, p.getName.drop(6).toLong).adds)
+    val referenced =
+      (readFullLog(spark, baseDir).flatMap(_.adds) ++ ckptAdds).toSet
     val (fs, dataRoot) = fsAndPath(spark, s"$baseDir/$table/$DataDir")
     if (!fs.exists(dataRoot)) return 0
     var removed = 0

@@ -125,4 +125,77 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.read(spark, base, "empty")
     }
   }
+
+  test("empty frames commit a schema-bearing file, never a file-less snapshot") {
+    val base = tmpBase()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val noPartitions = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // Spark's parquet writer emits a schema-only file even for a
+    // zero-partition frame, so the commit lands with 0 rows and the
+    // table stays readable WITHOUT a supplied schema. (If a format
+    // ever wrote no files at all, commitMulti's files.nonEmpty guard
+    // refuses rather than durably truncating the table.)
+    assert(ManifestTable.commitMulti(spark, base, "txn-1",
+      snapshots = Map("t" -> noPartitions)) == Map("t" -> 0L))
+    assert(ManifestTable.read(spark, base, "t").count() == 0L)
+    assert(ManifestTable.committedTxns(spark, base) == Set("txn-1"))
+  }
+
+  test("checkpoint compaction bounds the log; truncate keeps reads intact") {
+    val base = tmpBase()
+    spark.conf.set("graft.manifest.compactEvery", "4")
+    try {
+      // 9 commits: appends to t, periodic state snapshots + payloads.
+      // Auto-compaction fires at v4 and v8.
+      (1 to 9).foreach { i =>
+        if (i % 3 == 0)
+          ManifestTable.commitMulti(spark, base, s"txn-$i",
+            appends = Map("t" -> Seq((i.toLong, s"v$i")).toDF("id", "v")),
+            snapshots = Map("state" -> Seq((s"w$i", i.toLong)).toDF("k", "n")),
+            state = Some(s"watermark=$i"))
+        else
+          ManifestTable.commit(Seq((i.toLong, s"v$i")).toDF("id", "v"),
+            base, "t", s"txn-$i")
+      }
+      val logDir = new java.io.File(s"$base/_log")
+      def logFiles(p: String) = logDir.listFiles.map(_.getName)
+        .filter(_.matches(p)).sorted.toSeq
+      assert(logFiles("ckpt_v\\d{20}").size == 2)
+
+      def checkAll(): Unit = {
+        assert(ManifestTable.read(spark, base, "t")
+          .as[(Long, String)].collect().toSet ==
+          (1 to 9).map(i => (i.toLong, s"v$i")).toSet)
+        assert(ManifestTable.read(spark, base, "state")
+          .as[(String, Long)].collect().toSet == Set(("w9", 9L)))
+        assert(ManifestTable.lastState(spark, base).contains("watermark=9"))
+        assert(ManifestTable.committedTxns(spark, base) ==
+          (1 to 9).map(i => s"txn-$i").toSet)
+      }
+      checkAll()
+
+      // Drop the manifests the v8 checkpoint covers; v9 survives.
+      assert(ManifestTable.truncateLog(spark, base) == 8)
+      assert(logFiles("v\\d{20}") == Seq(f"v${9}%020d"))
+      checkAll()
+
+      // Vacuum after truncation only reclaims pre-checkpoint history
+      // (superseded state snapshots), never live files: the checkpoint
+      // is now their only reference and must count.
+      ManifestTable.vacuum(spark, base, "state")
+      ManifestTable.vacuum(spark, base, "t")
+      checkAll()
+
+      // Commits continue past the checkpoint with contiguous versions,
+      // and sealed ids stay sealed (sourced from the checkpoint).
+      assert(ManifestTable.commit(Seq((5L, "dup")).toDF("id", "v"),
+        base, "t", "txn-5") == 0L)
+      ManifestTable.commit(Seq((10L, "v10")).toDF("id", "v"), base, "t", "txn-10")
+      assert(logFiles("v\\d{20}").contains(f"v${10}%020d"))
+      assert(ManifestTable.read(spark, base, "t").count() == 10L)
+    } finally spark.conf.unset("graft.manifest.compactEvery")
+  }
 }
