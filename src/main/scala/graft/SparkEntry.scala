@@ -1098,6 +1098,25 @@ object SparkEntry {
     "q87_epoch_shuffle" -> ((s, dir) => {
       Training.epochShuffle(t(s, dir, "documents"), "doc_id",
         nShards = 8, epoch = 2)
+    }),
+
+    // Unicode NFC canonicalization before hash-dedup: decomposed
+    // accents injected into every 13th doc must compose (len shrinks,
+    // digest matches DuckDB's nfc_normalize), everything else is
+    // already NFC and passes through unchanged.
+    "q88_nfc_normalize" -> ((s, dir) => {
+      // The injected accents are DECOMPOSED (base char + combining
+      // mark, bytes cc81/cc88) so NFC has real work to do.
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" café naïve")))
+          .otherwise(col("text")).as("text"))
+      val nfc = functions.GraftExpressions.nfcNormalize(col("text"))
+      injected.select(col("doc_id"),
+        (nfc =!= col("text")).as("changed"),
+        length(col("text")).as("len_raw"),
+        length(nfc).as("len_nfc"),
+        substring(md5(nfc), 1, 8).as("h8"))
     })
   )
 
@@ -2124,7 +2143,21 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
         |       AS BIGINT) AS pos
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q88_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, text, nfc_normalize(text) AS nfc FROM d)
+        |SELECT doc_id, (nfc <> text) AS changed,
+        |  CAST(length(text) AS INTEGER) AS len_raw,
+        |  CAST(length(nfc) AS INTEGER) AS len_nfc,
+        |  substr(md5(nfc), 1, 8) AS h8
+        |FROM n""".stripMargin
   )
 
   // --------------------------------------------------- generated oracle SQL

@@ -291,6 +291,40 @@ object GraftExpressions {
 
   private val SpaceUtf8 = UTF8String.fromString(" ")
 
+  /** `nfc_normalize(s)`: Unicode NFC canonical composition — the
+    * canonicalization that must run BEFORE any hash-based dedup or
+    * fingerprint, or visually-identical docs ("café" composed vs
+    * decomposed) land in different buckets forever. Wraps
+    * `java.text.Normalizer` with an `isNormalized` fast path so the
+    * (overwhelmingly common) already-NFC input allocates nothing.
+    * Mirrors DuckDB's `nfc_normalize`. */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+
+    def compute(input: Any): Any = {
+      val u = input.asInstanceOf[UTF8String]
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nfcExpr", this,
+        "graft.functions.GraftExpressions.NfcNormalize")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = (org.apache.spark.unsafe.types.UTF8String)
+           |  $ref.compute($c);""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+      copy(child = newChild)
+  }
+
   /** Space-joined shingle of `size` tokens starting at `i`. The
     * single-token case CLONES: `getUTF8String` on UnsafeArrayData
     * returns a view into a reusable buffer, and an un-copied reference
@@ -519,6 +553,9 @@ object GraftExpressions {
   def shingleList(toks: Column, shingleSize: Int): Column =
     GraftSqlBridge.column(
       ShingleList(GraftSqlBridge.expression(toks), shingleSize))
+
+  def nfcNormalize(s: Column): Column =
+    GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(s)))
 
   def simhashFromTokens(toks: Column, bits: Int): Column =
     GraftSqlBridge.column(SimHashFromTokens(GraftSqlBridge.expression(toks), bits))

@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample stages.
   *
   * Codec boundary: PNG content is decoded FOR REAL via `javax.imageio`
-  * ([[PngCodec]] — pixel features, true resize + re-encode); all other
-  * kinds fall back to [[FakeCodec]], a deterministic md5-derived stub
-  * standing in for the audio/video libraries absent from this
-  * environment. Dispatch is on the content's magic bytes, inside the
-  * same batched mapPartitions boundary (the Scala analog of
+  * ([[PngCodec]] — pixel features, true resize + re-encode) and WAV
+  * via `javax.sound.sampled` ([[WavCodec]] — PCM samples, RMS-envelope
+  * features); other kinds fall back to [[FakeCodec]], a deterministic
+  * md5-derived stub standing in for the video libraries absent from
+  * this environment. Dispatch is on the content's magic bytes, inside
+  * the same batched mapPartitions boundary (the Scala analog of
   * mapInPandas: amortize per-batch codec setup across rows), so
   * adding further real formats is a registry entry, not a new
   * operator.
@@ -144,6 +145,86 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec — RIFF/WAVE decoded to PCM samples via
+    * `javax.sound.sampled` (JDK-bundled, like imageio). Same
+    * (bytes in, primitives out) boundary as [[PngCodec]]. */
+  object WavCodec {
+    /** 'R' 'I' 'F' 'F' …size… 'W' 'A' 'V' 'E' */
+    def isWav(content: Array[Byte]): Boolean =
+      content.length >= 12 &&
+        content(0) == 'R' && content(1) == 'I' &&
+        content(2) == 'F' && content(3) == 'F' &&
+        content(8) == 'W' && content(9) == 'A' &&
+        content(10) == 'V' && content(11) == 'E'
+
+    /** Decode to (sampleRateHz, mono samples in [-1, 1]). Any decoder
+      * failure (unsupported encoding, truncated chunks, crafted bytes
+      * passing the magic check) falls through to None → stub. */
+    def decode(content: Array[Byte]): Option[(Int, Array[Double])] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = ais.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
+            fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+          try {
+            val bytes = pcm.readAllBytes()
+            val ch = math.max(1, target.getChannels)
+            val n = bytes.length / (2 * ch)
+            val out = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val o = (i * ch + c) * 2
+                acc += (((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort) / 32768.0
+                c += 1
+              }
+              out(i) = acc / ch
+              i += 1
+            }
+            Some((fmt.getSampleRate.toInt, out))
+          } finally pcm.close()
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Real signal features: `dim`-window RMS envelope — the audio
+      * analog of [[PngCodec.features]]'s luma histogram. */
+    def features(samples: Array[Double], dim: Int): Array[Double] = {
+      val out = new Array[Double](dim)
+      val n = samples.length
+      var j = 0
+      while (j < dim) {
+        val lo = (j.toLong * n / dim).toInt
+        val hi = math.min(n, math.max(lo + 1, ((j + 1).toLong * n / dim).toInt))
+        if (lo < n) {
+          var s = 0.0
+          var i = lo
+          while (i < hi) { s += samples(i) * samples(i); i += 1 }
+          out(j) = math.sqrt(s / (hi - lo))
+        }
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Magic-byte dispatch shared by the batched stages: real pixels
+    * for PNG, real PCM for WAV, deterministic stub elsewhere. */
+  private def featuresFor(content: Array[Byte], dim: Int): Array[Double] =
+    if (PngCodec.isPng(content))
+      PngCodec.decode(content).map(PngCodec.features(_, dim))
+        .getOrElse(FakeCodec.features(content, dim))
+    else if (WavCodec.isWav(content))
+      WavCodec.decode(content).map(d => WavCodec.features(d._2, dim))
+        .getOrElse(FakeCodec.features(content, dim))
+    else FakeCodec.features(content, dim)
+
   /** Feature extraction over the content column — batched
     * mapPartitions so a real codec initializes once per partition and
     * processes rows in `batchSize` groups (the mapInPandas batch
@@ -162,15 +243,7 @@ object Multimodal {
     input.mapPartitions { it =>
       // Codec contexts initialize here, once per partition.
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { case (id, content) =>
-          // Magic-byte dispatch: real pixels for PNG, stub elsewhere.
-          val feats = (if (PngCodec.isPng(content)) PngCodec.decode(content)
-            else None) match {
-            case Some(img) => PngCodec.features(img, dim)
-            case None => FakeCodec.features(content, dim)
-          }
-          (id, feats)
-        }
+        batch.map { case (id, content) => (id, featuresFor(content, dim)) }
       }
     }.toDF("media_id", "features")
   }

@@ -45,6 +45,22 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(fast(3L).isEmpty)                             // < n tokens
   }
 
+  test("nfcNormalize composes decomposed accents; NFC input passes through") {
+    val decomposed = "cafe\u0301 nai\u0308ve" // base char + combining mark
+    val composed = "caf\u00e9 na\u00efve"
+    val d = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("id", "s")
+    val out = d.select(col("id"),
+      GraftExpressions.nfcNormalize(col("s")).as("n"),
+      length(col("s")).as("lr"),
+      length(GraftExpressions.nfcNormalize(col("s"))).as("ln"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == ((composed, 12, 10)))
+    assert(out(2L) == ((composed, 10, 10)))
+    assert(out(3L)._1 == "plain ascii")
+  }
+
   test("simhashFromTokens == HOF bit-vote formulation") {
     val hof = texts.select(col("doc_id"), {
       val hashes = transform(array_distinct(TextFunctions.tokens(col("text"))),

@@ -102,4 +102,44 @@ class MultimodalSpec extends SparkSpec {
     val right = img.getRGB(7, 4) & 0xff
     assert(left < 64 && right > 192)
   }
+
+  /** 16-bit mono PCM WAV: first half amplitude `a1`, second half `a2`
+    * (constant-amplitude square-ish tone per half → exact RMS). */
+  private def wav(n: Int, a1: Double, a2: Double): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bytes = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val a = if (i < n / 2) a1 else a2
+      val s = (a * 32767 * (if (i % 2 == 0) 1 else -1)).toInt.toShort
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV content is decoded to PCM by javax.sound, not the stub") {
+    val bytes = wav(8000, 0.5, 0.25)
+    assert(Multimodal.WavCodec.isWav(bytes))
+    val mixed = Seq(
+      (1L, "audio", bytes),
+      (2L, "audio", "RIFFxxxxWAVEgarbage-after-magic".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "content")
+    val feats = rows(Multimodal.extractFeatures(mixed, "media_id", "content", 4))
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // Constant-amplitude halves ⇒ RMS envelope 0.5 then 0.25 — a
+    // signal-level fact no hash-derived stub reproduces.
+    assert(math.abs(feats(1L)(0) - 0.5) < 0.01)
+    assert(math.abs(feats(1L)(1) - 0.5) < 0.01)
+    assert(math.abs(feats(1L)(2) - 0.25) < 0.01)
+    assert(math.abs(feats(1L)(3) - 0.25) < 0.01)
+    // Bytes passing the magic check but failing decode fall through to
+    // the stub instead of aborting the job.
+    assert(feats(2L) == Multimodal.FakeCodec
+      .features("RIFFxxxxWAVEgarbage-after-magic".getBytes("UTF-8"), 4).toSeq)
+  }
 }
