@@ -1117,6 +1117,13 @@ object SparkEntry {
         length(col("text")).as("len_raw"),
         length(nfc).as("len_nfc"),
         substring(md5(nfc), 1, 8).as("h8"))
+    }),
+
+    // ExactSubstr-lite: maximal ≥8-token spans repeated anywhere in
+    // the corpus, per-doc duplicated-token mass. Exact-dup pairs light
+    // up whole-doc spans; clean docs report zero.
+    "q89_repeated_spans" -> ((s, dir) => {
+      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", 8)
     })
   )
 
@@ -2157,7 +2164,40 @@ object SparkEntry {
         |  CAST(length(text) AS INTEGER) AS len_raw,
         |  CAST(length(nfc) AS INTEGER) AS len_nfc,
         |  substr(md5(nfc), 1, 8) AS h8
-        |FROM n""".stripMargin
+        |FROM n""".stripMargin,
+
+    "q89_repeated_spans" ->
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                       t -> len(t) > 0) AS w
+        |            FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(generate_series(1, len(w)-8+1)) AS pos,
+        |        unnest(CASE WHEN len(w) < 8 THEN CAST([] AS VARCHAR[])
+        |          ELSE list_transform(generate_series(0, len(w)-8),
+        |                 i -> array_to_string(list_slice(w, i+1, i+8), ' '))
+        |          END) AS gram
+        |      FROM w0),
+        |rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |p AS (SELECT g.doc_id, g.pos FROM g JOIN rep ON g.gram = rep.gram),
+        |isl AS (SELECT doc_id, pos,
+        |         CASE WHEN pos > lag(pos, 1, -1000000)
+        |                OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |              THEN 1 ELSE 0 END AS brk
+        |        FROM p),
+        |sp AS (SELECT doc_id, pos,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |       FROM isl),
+        |agg AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) AS e
+        |        FROM sp GROUP BY 1, 2),
+        |per AS (SELECT doc_id, count(*) AS n_spans,
+        |          CAST(sum(e - s + 8) AS BIGINT) AS dup_tokens
+        |        FROM agg GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  round(CAST(COALESCE(per.dup_tokens, 0) AS DOUBLE) / len(d.w), 6)
+        |    AS dup_frac
+        |FROM w0 d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
   )
 
   // --------------------------------------------------- generated oracle SQL

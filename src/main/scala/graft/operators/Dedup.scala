@@ -403,6 +403,56 @@ object Dedup {
             x => x.getField("sent")), ". ").as("text_deduped"))
   }
 
+  /** Repeated-span detection (the ExactSubstr family, token-level):
+    * find maximal token spans of ≥ `spanTokens` tokens that occur more
+    * than once ANYWHERE in the corpus (across docs or within one), and
+    * report per-doc duplicated-token mass. The "remove long verbatim
+    * repeats" signal of Lee et al. 2022 without a distributed suffix
+    * array: K-token grams index the corpus, a gram repeating globally
+    * marks its start position, and overlapping marked windows merge
+    * into maximal spans via per-doc gaps-and-islands.
+    *
+    * Scale: explode → (gram) hash-agg → semi join back → per-doc
+    * window over marked positions only (bounded by doc length). The
+    * heavy key is the gram string — same shuffle shape as exact dedup;
+    * never corpus×corpus, no global window.
+    *
+    * Output: (id, n_tokens, n_spans, dup_tokens, dup_frac). */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val grams = docs.select(col(idCol),
+        posexplode(graft.functions.GraftExpressions.shingleList(
+          tokens(col(textCol)), spanTokens)).as(Seq("p0", "gram")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("gram"))
+    val rep = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("gram"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = grams.join(rep, Seq("gram"), "left_semi")
+      // New span when this window's coverage doesn't touch the
+      // previous one's: pos > prev + spanTokens.
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1, -1000000).over(w) + spanTokens, 1)
+          .otherwise(0))
+      .withColumn("span_id", sum(col("brk")).over(w))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + spanTokens).cast("long").as("dup_tokens"))
+    docs.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6)
+          .as("dup_frac"))
+  }
+
   /** Exact-Jaccard near-dups within a bounded id range (the brute-force
     * oracle-checkable variant; production path is [[minhashNearDups]]). */
   def jaccardPairs(

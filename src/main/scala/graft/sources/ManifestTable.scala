@@ -338,13 +338,28 @@ object ManifestTable {
 
   /** Read the committed snapshot of one table. `schema` serves the
     * zero-commit case (a table that exists logically but has no data
-    * yet). */
+    * yet). `asOfVersion` time-travels to the table as of that log
+    * version — served from the raw manifest history, so it throws if
+    * [[truncateLog]] already dropped the versions it needs. */
   def read(
       spark: SparkSession,
       baseDir: String,
       table: String,
-      schema: Option[StructType] = None): DataFrame = {
-    val files = liveFiles(readLog(spark, baseDir), table)
+      schema: Option[StructType] = None,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val log = asOfVersion match {
+      case None => readLog(spark, baseDir)
+      case Some(v) =>
+        require(v > 0, s"asOfVersion must be positive, got $v")
+        val hist = readFullLog(spark, baseDir).filter(_.version <= v)
+        // Versions are contiguous from 1; anything less means
+        // truncateLog dropped part of the requested history.
+        require(hist.length == v,
+          s"cannot time-travel to version $v: only ${hist.length} of the " +
+            s"first $v manifests remain (truncateLog dropped the rest)")
+        hist
+    }
+    val files = liveFiles(log, table)
     if (files.isEmpty) {
       schema.map(s => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))

@@ -66,6 +66,31 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("repeatedSpans merges overlapping repeated windows into maximal spans") {
+    val common = "one two three four five"       // 5 shared tokens
+    val d = Seq(
+      (1L, s"$common alpha beta gamma"),         // span: tokens 1-5
+      (2L, s"prefix words here $common tail"),   // span: tokens 4-8
+      (3L, "totally unrelated text right here")) // no repeats
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(d, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((8L, 1L, 5L, 0.625)))
+    assert(out(2L) == ((9L, 1L, 5L, 0.555556)))
+    assert(out(3L) == ((5L, 0L, 0L, 0.0)))
+    // A doc repeating ITS OWN span twice merges/counts correctly:
+    // "x1..x5 x1..x5" has every 5-gram of the 10-token text repeated
+    // against doc 5's copy → one maximal span covering all 10 tokens.
+    val selfRep = Seq(
+      (4L, "p q r s t p q r s t"),
+      (5L, "p q r s t p q r s t other words"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.repeatedSpans(selfRep, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out2(4L) == ((1L, 10L)))
+  }
+
   test("sentenceDedup: first (doc,pos) occurrence wins, '. ' re-join, full dups vanish") {
     val d = Seq(
       (1L, "alpha beta. gamma delta. alpha beta"), // trailing repeat of own pos 1

@@ -126,6 +126,26 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("asOfVersion time-travels appends and snapshots; truncation fails loudly") {
+    val base = tmpBase()
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "v"), base, "t", "x1") // v1
+    ManifestTable.commit(Seq((2L, "b")).toDF("id", "v"), base, "t", "x2") // v2
+    ManifestTable.commitMulti(spark, base, "x3",                          // v3
+      snapshots = Map("t" -> Seq((9L, "z")).toDF("id", "v")))
+    def at(v: Long) = ManifestTable.read(spark, base, "t", asOfVersion = Some(v))
+      .as[(Long, String)].collect().toSet
+    assert(at(1L) == Set((1L, "a")))
+    assert(at(2L) == Set((1L, "a"), (2L, "b")))
+    assert(at(3L) == Set((9L, "z"))) // snapshot replaced
+    assert(ManifestTable.read(spark, base, "t")
+      .as[(Long, String)].collect().toSet == Set((9L, "z")))
+    // After compact + truncate, pre-checkpoint history is gone — the
+    // request must fail loudly, not silently return partial data.
+    ManifestTable.compact(spark, base)
+    assert(ManifestTable.truncateLog(spark, base) == 3)
+    intercept[IllegalArgumentException] { at(2L) }
+  }
+
   test("empty frames commit a schema-bearing file, never a file-less snapshot") {
     val base = tmpBase()
     val schema = org.apache.spark.sql.types.StructType(Seq(
