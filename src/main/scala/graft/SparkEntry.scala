@@ -1124,6 +1124,13 @@ object SparkEntry {
     // up whole-doc spans; clean docs report zero.
     "q89_repeated_spans" -> ((s, dir) => {
       Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", 8)
+    }),
+
+    // Collocation mining: frequent bigrams scored by the exact-integer
+    // PMI ratio c_xy*N/(c_x*c_y) — log-free, so the score is one IEEE
+    // divide and bit-stable across engines.
+    "q90_collocations" -> ((s, dir) => {
+      Corpus.collocations(t(s, dir, "documents"), "text", minCount = 35L)
     })
   )
 
@@ -2197,7 +2204,28 @@ object SparkEntry {
         |  CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
         |  round(CAST(COALESCE(per.dup_tokens, 0) AS DOUBLE) / len(d.w), 6)
         |    AS dup_frac
-        |FROM w0 d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+        |FROM w0 d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+
+    "q90_collocations" ->
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                       t -> len(t) > 0) AS w
+        |            FROM documents),
+        |uc AS (SELECT tok, count(*) AS c
+        |       FROM (SELECT unnest(w) AS tok FROM w0) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+        |bc AS (SELECT bigram, count(*) AS c_xy FROM (
+        |         SELECT unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_transform(generate_series(0, len(w)-2),
+        |                  i -> array_to_string(list_slice(w, i+1, i+2), ' '))
+        |           END) AS bigram
+        |         FROM w0)
+        |       GROUP BY 1 HAVING count(*) >= 35)
+        |SELECT bc.bigram, bc.c_xy, ux.c AS c_x, uy.c AS c_y,
+        |  round(CAST(bc.c_xy * n.n AS DOUBLE)
+        |        / CAST(ux.c * uy.c AS DOUBLE), 6) AS pmi_ratio
+        |FROM bc, n
+        |JOIN uc ux ON string_split(bc.bigram, ' ')[1] = ux.tok
+        |JOIN uc uy ON string_split(bc.bigram, ' ')[2] = uy.tok""".stripMargin
   )
 
   // --------------------------------------------------- generated oracle SQL
