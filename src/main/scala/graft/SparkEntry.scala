@@ -1126,9 +1126,9 @@ object SparkEntry {
       Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", 8)
     }),
 
-    // Collocation mining: frequent bigrams scored by the exact-integer
-    // PMI ratio c_xy*N/(c_x*c_y) — log-free, so the score is one IEEE
-    // divide and bit-stable across engines.
+    // Collocation mining: frequent bigrams scored by the PMI ratio
+    // c_xy*N/(c_x*c_y) in overflow-proof double math (each count cast
+    // before the multiply) — log-free and bit-stable across engines.
     "q90_collocations" -> ((s, dir) => {
       Corpus.collocations(t(s, dir, "documents"), "text", minCount = 35L)
     })
@@ -2103,8 +2103,9 @@ object SparkEntry {
         |      FROM (SELECT DISTINCT source FROM documents)),
         |tw AS (SELECT sum(weight) AS w_total FROM w),
         |r AS (SELECT s.source,
-        |        CAST(LEAST(100, (CAST(w.weight AS BIGINT) * 30000 * 100)
-        |             // (tw.w_total * s.src_tokens)) AS INTEGER) AS rate_percent
+        |        CAST(floor(LEAST(100.0, CAST(w.weight AS DOUBLE) * 30000 * 100
+        |             / (CAST(tw.w_total AS DOUBLE) * CAST(s.src_tokens AS DOUBLE))))
+        |          AS INTEGER) AS rate_percent
         |      FROM s JOIN w ON s.source = w.source, tw),
         |kept AS (
         |  SELECT d.doc_id, d.source, r.rate_percent, d.n_tokens
@@ -2221,8 +2222,8 @@ object SparkEntry {
         |         FROM w0)
         |       GROUP BY 1 HAVING count(*) >= 35)
         |SELECT bc.bigram, bc.c_xy, ux.c AS c_x, uy.c AS c_y,
-        |  round(CAST(bc.c_xy * n.n AS DOUBLE)
-        |        / CAST(ux.c * uy.c AS DOUBLE), 6) AS pmi_ratio
+        |  round((CAST(bc.c_xy AS DOUBLE) * CAST(n.n AS DOUBLE))
+        |        / (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)), 6) AS pmi_ratio
         |FROM bc, n
         |JOIN uc ux ON string_split(bc.bigram, ' ')[1] = ux.tok
         |JOIN uc uy ON string_split(bc.bigram, ' ')[2] = uy.tok""".stripMargin

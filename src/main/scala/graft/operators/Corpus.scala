@@ -1,19 +1,33 @@
 package graft.operators
 
 import graft.functions.{GraftExpressions, TextFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level statistics — signals computed over the whole document
   * set rather than per document. */
 object Corpus {
 
+  /** The PMI-ratio score c_xy·n / (c_x·c_y), 6-dp rounded. Every count
+    * is cast to double BEFORE multiplying: Long products wrap silently
+    * at corpus scale (c_xy=5e8 × n=1e11 > 2^63), while the double
+    * product only rounds — rank order and the displayed rounding are
+    * unaffected, and the score stays positive and finite for positive
+    * counts of any magnitude. */
+  def pmiRatio(cXy: Column, n: Column, cX: Column, cY: Column): Column =
+    round((cXy.cast("double") * n.cast("double"))
+      / (cX.cast("double") * cY.cast("double")), 6)
+
   /** Collocation mining: bigrams occurring ≥ `minCount` times, scored
     * by the PMI *ratio* p(x,y)/(p(x)p(y)) = c_xy·N / (c_x·c_y) — the
-    * exponent-free form of pointwise mutual information. Keeping the
-    * score a single IEEE divide of exact integer products (no log)
-    * makes it bit-reproducible across engines and partitionings, and
-    * rank order is identical to PMI.
+    * exponent-free form of pointwise mutual information. Each count is
+    * cast to double BEFORE the multiply: the products are then IEEE
+    * operations that cannot wrap (a Long product c_xy·N overflows
+    * silently at corpus scale — n≈1e11 occurrences × a 5e8-count
+    * bigram exceeds 2^63 — while the double product merely rounds,
+    * preserving rank order and the 6-dp display rounding). The score
+    * stays a deterministic multiply-divide, bit-stable across engines
+    * and partitionings.
     *
     * Scale: one unigram hash-agg, one bigram hash-agg (both map-side
     * combinable; the gram explode is the native [[GraftExpressions
@@ -42,7 +56,7 @@ object Corpus {
       .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
       .crossJoin(broadcast(total))
       .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
-        round((col("c_xy") * col("n")).cast("double")
-          / (col("c_x") * col("c_y")).cast("double"), 6).as("pmi_ratio"))
+        pmiRatio(col("c_xy"), col("n"), col("c_x"), col("c_y"))
+          .as("pmi_ratio"))
   }
 }

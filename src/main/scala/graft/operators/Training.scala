@@ -201,11 +201,20 @@ object Training {
     * (source, weight) table (integer weights, any scale — shares are
     * weight/Σweight); each source's keep-rate is
     *
-    *   rate_s = min(100, ⌊weight_s × budgetTokens × 100 /
-    *                     (Σweight × tokens_s)⌋)  percent,
+    *   rate_s = ⌊min(100, weight_s × budgetTokens × 100 /
+    *                      (Σweight × tokens_s))⌋  percent,
     *
-    * all in exact integer math, then rows keep deterministically via
-    * the per-row hash-bucket filter ([[importanceResample]]).
+    * computed in DOUBLE (the Long product weight×budget×100 wraps
+    * silently for large weight scales × large budgets; the IEEE
+    * product merely rounds, and the min-100 cap is applied BEFORE the
+    * floor so saturation can never matter). Rows then keep
+    * deterministically via the per-row hash-bucket filter
+    * ([[importanceResample]]).
+    *
+    * Weights-table coverage is enforced loudly: a source present in
+    * `docs` but absent from `weights`, or one whose token sum is zero,
+    * fails the job with a named error instead of silently vanishing
+    * from the output (the inner-join / div-by-zero trap).
     *
     * Scale: one token-sum aggregate over the corpus, a broadcast of
     * the tiny per-source rate table back onto the scan, and the
@@ -222,12 +231,19 @@ object Training {
     val tok = TextFunctions.tokenCount(col(textCol)).cast("long")
     val perSource = docs.groupBy(col(sourceCol)).agg(sum(tok).as("src_tokens"))
     val wTotal = weights.agg(sum(col("weight").cast("long")).as("w_total"))
-    val rates = perSource.join(weights, Seq(sourceCol))
+    val rates = perSource.join(weights, Seq(sourceCol), "left")
       .crossJoin(broadcast(wTotal))
       .select(col(sourceCol),
-        least(lit(100L),
-          expr(s"(CAST(weight AS BIGINT) * $budgetTokens * 100) " +
-            "div (w_total * src_tokens)")).cast("int").as("rate_percent"))
+        when(col("weight").isNull, raise_error(concat(
+            lit("mixtureRebalance: source '"), col(sourceCol),
+            lit("' has no row in the weights table"))))
+          .when(col("src_tokens") <= 0L, raise_error(concat(
+            lit("mixtureRebalance: source '"), col(sourceCol),
+            lit("' has zero tokens — keep rate is undefined"))))
+          .otherwise(floor(least(lit(100.0),
+            col("weight").cast("double") * budgetTokens.toDouble * 100.0
+              / (col("w_total").cast("double") * col("src_tokens").cast("double")))))
+          .cast("int").as("rate_percent"))
     docs.select(col(idCol), col(sourceCol))
       .join(broadcast(rates), Seq(sourceCol))
       .filter(Sampling.hashBucket(col(idCol), 100) < col("rate_percent"))

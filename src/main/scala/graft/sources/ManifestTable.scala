@@ -67,9 +67,18 @@ object ManifestTable {
     * forever must not make every later sync slower. */
   private val DefaultCompactEvery = 64L
 
-  private def compactEvery(spark: SparkSession): Long =
-    spark.conf.getOption("graft.manifest.compactEvery")
-      .map(_.toLong).getOrElse(DefaultCompactEvery)
+  private def compactEvery(spark: SparkSession): Long = {
+    val raw = spark.conf.getOption("graft.manifest.compactEvery")
+    val v = raw.map { s =>
+      try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.manifest.compactEvery must be a positive integer, got '$s'")
+      }
+    }.getOrElse(DefaultCompactEvery)
+    require(v > 0,
+      s"graft.manifest.compactEvery must be positive, got $v")
+    v
+  }
 
   private def fsAndPath(spark: SparkSession, p: String) = {
     val hp = new org.apache.hadoop.fs.Path(p)
@@ -187,6 +196,11 @@ object ManifestTable {
     require(state.forall(!_.contains("\n")), "state payload must be one line")
     require((appends.keySet & snapshots.keySet).isEmpty,
       "a table cannot be both appended and snapshotted in one commit")
+    // Parse the compaction conf BEFORE anything is durable: a malformed
+    // value must fail the call cleanly here, not throw after the commit
+    // rename (where the caller's retry would no-op via the sealed-txn
+    // check and lose the written row-count map).
+    val ckptEvery = compactEvery(spark)
     // One full log parse; the retry loop below only reads NEWER versions.
     var log = readLog(spark, baseDir)
     if (log.exists(_.txns.contains(txnId))) return Map.empty
@@ -259,7 +273,7 @@ object ManifestTable {
     if (fs.getScheme == "file") fs.delete(tmp, false)
     // Opportunistic compaction keeps reads O(tail), never blocks the
     // commit that just succeeded.
-    if (committed % compactEvery(spark) == 0)
+    if (committed % ckptEvery == 0)
       try compact(spark, baseDir)
       catch { case scala.util.control.NonFatal(_) => () }
     written.map { case (t, (_, n)) => t -> n }
@@ -351,7 +365,14 @@ object ManifestTable {
       case None => readLog(spark, baseDir)
       case Some(v) =>
         require(v > 0, s"asOfVersion must be positive, got $v")
-        val hist = readFullLog(spark, baseDir).filter(_.version <= v)
+        val full = readFullLog(spark, baseDir)
+        val latest = full.lastOption.map(_.version).getOrElse(0L)
+        // Distinguish "not written yet" from "written then truncated":
+        // a plain out-of-range request is not truncateLog's fault.
+        require(v <= latest,
+          s"cannot time-travel to version $v: it does not exist yet " +
+            s"(latest committed version is $latest)")
+        val hist = full.filter(_.version <= v)
         // Versions are contiguous from 1; anything less means
         // truncateLog dropped part of the requested history.
         require(hist.length == v,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("collocations: frequent pair scores high, loner pairs filtered by minCount") {
+    // 'new york' always co-occurs; 'the' pairs with everything.
+    val docs = ((1L to 10L).map(i => (i, "new york is the city")) ++
+      Seq((11L, "the cat sat"), (12L, "the dog ran")))
+      .toDF("doc_id", "text")
+    val out = Corpus.collocations(docs, "text", minCount = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // Corpus: 10×5 + 2×3 = 56 token occurrences.
+    // 'new york': c_xy=10, c_x=10, c_y=10 → 10·56/100 = 5.6.
+    assert(out("new york") == ((10L, 10L, 10L, 5.6)))
+    // Only ≥10-count bigrams survive; each doc has 4, all at count 10
+    // except the tail docs' — so exactly the 4 shared bigrams remain.
+    assert(out.keySet ==
+      Set("new york", "york is", "is the", "the city"))
+    // 'is the' is diluted by the extra 'the' occurrences:
+    // 10·56/(10·12) < 10·56/(10·10).
+    assert(out("is the")._4 < out("new york")._4)
+  }
+
+  test("pmiRatio survives counts whose Long product would wrap (c_xy=5e8, n=1e11)") {
+    val cXy = 500000000L          // 5e8 — a frequent bigram at corpus scale
+    val n = 100000000000L         // 1e11 token occurrences (~100 TB of text)
+    val cX = 2000000000L
+    val cY = 3000000000L
+    // The pre-fix Long product wraps negative — the bug this guards.
+    assert(cXy * n < 0L)
+    val got = Seq((cXy, n, cX, cY)).toDF("c_xy", "n", "c_x", "c_y")
+      .select(Corpus.pmiRatio(col("c_xy"), col("n"), col("c_x"), col("c_y"))
+        .as("pmi_ratio"))
+      .collect().head.getDouble(0)
+    // 5e8·1e11 / (2e9·3e9) = 5e19/6e18 = 8.333333…
+    assert(got > 0.0 && !got.isInfinite && !got.isNaN)
+    assert(got == 8.333333)
+  }
+}

@@ -125,6 +125,44 @@ class TrainingSpec extends SparkSpec {
     assert(again == out.map(_._1).toSet)
   }
 
+  test("mixtureRebalance: huge weight × huge budget does not overflow to a negative rate") {
+    // weight 2e9 × budget 1e11 × 100 = 2e22 ≫ Long.MaxValue — the
+    // pre-fix BIGINT product wrapped negative and silently dropped the
+    // whole source. In double math the rate caps cleanly at 100.
+    val docs = (1L to 10L).map(i => (i, "t " * 10, "big"))
+      .toDF("doc_id", "text", "source")
+    val weights = Seq(("big", 2000000000)).toDF("source", "weight")
+    val out = Training.mixtureRebalance(docs, "doc_id", "text", "source",
+      weights, budgetTokens = 100000000000L)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(out.length == 10)                  // nothing dropped
+    assert(out.forall(_._2 == 100))           // capped, not negative
+  }
+
+  test("mixtureRebalance fails loudly on weights-table gaps and zero-token sources") {
+    // Spark wraps the executor-side raise_error; search the cause chain.
+    def fullMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val docs = Seq((1L, "some text here", "covered"),
+      (2L, "more text", "uncovered")).toDF("doc_id", "text", "source")
+    val onlyOne = Seq(("covered", 1)).toDF("source", "weight")
+    val e1 = intercept[Exception] {
+      Training.mixtureRebalance(docs, "doc_id", "text", "source",
+        onlyOne, budgetTokens = 100L).collect()
+    }
+    assert(fullMsg(e1).contains("no row in the weights table"))
+    // A source whose docs tokenize to nothing has no defined rate.
+    val empties = Seq((1L, "words", "ok"), (2L, "", "void"))
+      .toDF("doc_id", "text", "source")
+    val both = Seq(("ok", 1), ("void", 1)).toDF("source", "weight")
+    val e2 = intercept[Exception] {
+      Training.mixtureRebalance(empties, "doc_id", "text", "source",
+        both, budgetTokens = 100L).collect()
+    }
+    assert(fullMsg(e2).contains("zero tokens"))
+  }
+
   test("decontaminate drops only over-threshold docs; short docs survive") {
     val train = Seq(
       (1L, "the quick brown fox jumps"),   // 2/3 shingles contaminated
