@@ -14,33 +14,37 @@ object Bench {
     // parquet reader init) so per-query timings measure the queries.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Graft.table(spark, sfDir, "lineitem").count()
-    // Two timed runs per query, report the min: single-run timings on
-    // this harness vary several-fold (host scheduling noise + cold
-    // codegen); the min is the reproducible steady-state cost. (Not
-    // three — at this suite size a third run risks an unknown
-    // driver-side wall-clock bound for a modest stability gain.)
+    // Three timed runs per query, report the MEDIAN (min kept as a
+    // secondary field): r4→r5 moved per-query timings up to 6× on
+    // identical code — single-run and min-of-2 numbers are host noise,
+    // not signal. The median of 3 is robust to one scheduling outlier
+    // in either direction, so round-over-round deltas mean something.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      val stat = if (times.contains(-1.0)) (-1.0, -1.0)
+        else (times.sorted.apply(times.size / 2), times.min)
+      name -> stat
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     // A crashed query reports -1.0 per-query; it must NOT shrink the
     // total (a broken query reading as a speedup). Total sums successes
     // only and failures are listed explicitly.
-    val failed = results.collect { case (k, v) if v == -1.0 => k }.toSeq.sorted
-    val ok = results.values.filter(_ >= 0.0)
+    val failed = results.collect { case (k, (v, _)) if v == -1.0 => k }.toSeq.sorted
+    val ok = results.values.map(_._1).filter(_ >= 0.0)
     val total = ok.sum
     // mean/query lets totals compare fairly across rounds whose query
     // counts differ (the suite nearly doubled during round 2).
     val mean = if (ok.nonEmpty) total / ok.size else 0.0
     val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"failed":$failJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","queries":$qs,"queries_min":$qsMin,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"failed":$failJson,"sf":"$sfDir"}"""
     // The full per-query JSON (75 queries) outgrows the driver's stdout
     // tail capture, which truncates long lines mid-way (r1 and r2 both
     // landed parsed:null). So: full detail goes to a FILE, stdout gets
@@ -50,7 +54,7 @@ object Bench {
       java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"sf":"$sfDir","full_json_file":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"sf":"$sfDir","full_json_file":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

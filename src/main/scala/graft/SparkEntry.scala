@@ -2091,6 +2091,13 @@ object SparkEntry {
         |LEFT JOIN a2 ON d.doc_id = a2.doc_id
         |LEFT JOIN a3 ON d.doc_id = a3.doc_id""".stripMargin,
 
+    // Intentional divergence from the engine on GAP data: the oracle's
+    // `FROM s JOIN w` silently drops a source missing from the weights
+    // table, while mixtureRebalance raise_errors on it (fail-loud
+    // contract). The synthetic weights CTE below covers every source by
+    // construction, so the two sides agree on all bench datasets; a
+    // future dataset with uncovered sources would fail in the ENGINE
+    // first, never as a silent parity mismatch.
     "q84_mixture" ->
       """WITH d AS (
         |  SELECT doc_id, source,

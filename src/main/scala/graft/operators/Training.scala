@@ -212,9 +212,11 @@ object Training {
     * ([[importanceResample]]).
     *
     * Weights-table coverage is enforced loudly: a source present in
-    * `docs` but absent from `weights`, or one whose token sum is zero,
-    * fails the job with a named error instead of silently vanishing
-    * from the output (the inner-join / div-by-zero trap).
+    * `docs` but absent from `weights`, one whose token sum is zero, a
+    * negative weight, or an all-zero weights table (Σweight ≤ 0 makes
+    * the rate 0/0 = NaN, which `least` would silently turn into 100%
+    * keep) all fail the job with a named error instead of silently
+    * corrupting the mixture (the inner-join / div-by-zero traps).
     *
     * Scale: one token-sum aggregate over the corpus, a broadcast of
     * the tiny per-source rate table back onto the scan, and the
@@ -229,23 +231,40 @@ object Training {
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val tok = TextFunctions.tokenCount(col(textCol)).cast("long")
-    val perSource = docs.groupBy(col(sourceCol)).agg(sum(tok).as("src_tokens"))
+    // Join on a NULL-normalized key: a raw NULL source would otherwise
+    // be pruned by the inner join's implied IsNotNull BEFORE the
+    // fail-loud branches evaluate, silently dropping those rows. The
+    // coalesced sentinel keeps NULL in play — it has no weights row, so
+    // it fails with a named error like any other uncovered source.
+    def srcKey(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("string"), lit("<null>"))
+    val perSource = docs
+      .select(srcKey(col(sourceCol)).as("src_key"), tok.as("tok"))
+      .groupBy(col("src_key")).agg(sum(col("tok")).as("src_tokens"))
     val wTotal = weights.agg(sum(col("weight").cast("long")).as("w_total"))
-    val rates = perSource.join(weights, Seq(sourceCol), "left")
+    val rates = perSource
+      .join(weights.select(srcKey(col(sourceCol)).as("src_key"),
+        col("weight")), Seq("src_key"), "left")
       .crossJoin(broadcast(wTotal))
-      .select(col(sourceCol),
+      .select(col("src_key"),
         when(col("weight").isNull, raise_error(concat(
-            lit("mixtureRebalance: source '"), col(sourceCol),
+            lit("mixtureRebalance: source '"), col("src_key"),
             lit("' has no row in the weights table"))))
           .when(col("src_tokens") <= 0L, raise_error(concat(
-            lit("mixtureRebalance: source '"), col(sourceCol),
+            lit("mixtureRebalance: source '"), col("src_key"),
             lit("' has zero tokens — keep rate is undefined"))))
+          .when(col("weight") < 0L, raise_error(concat(
+            lit("mixtureRebalance: source '"), col("src_key"),
+            lit("' has a negative weight"))))
+          .when(col("w_total") <= 0L || col("w_total").isNull,
+            raise_error(lit("mixtureRebalance: weights sum to <= 0 — " +
+              "mixture shares are undefined")))
           .otherwise(floor(least(lit(100.0),
             col("weight").cast("double") * budgetTokens.toDouble * 100.0
               / (col("w_total").cast("double") * col("src_tokens").cast("double")))))
           .cast("int").as("rate_percent"))
-    docs.select(col(idCol), col(sourceCol))
-      .join(broadcast(rates), Seq(sourceCol))
+    docs.select(col(idCol), col(sourceCol), srcKey(col(sourceCol)).as("src_key"))
+      .join(broadcast(rates), Seq("src_key"))
       .filter(Sampling.hashBucket(col(idCol), 100) < col("rate_percent"))
       .select(col(idCol), col(sourceCol), col("rate_percent"))
   }

@@ -161,6 +161,31 @@ class TrainingSpec extends SparkSpec {
         both, budgetTokens = 100L).collect()
     }
     assert(fullMsg(e2).contains("zero tokens"))
+    // All-zero weights: rate would be 0/0 = NaN, and least(100, NaN)
+    // returns 100 — keeping everything silently. Must fail instead.
+    val zeros = Seq(("covered", 0)).toDF("source", "weight")
+    val e3 = intercept[Exception] {
+      Training.mixtureRebalance(docs.filter(col("source") === "covered"),
+        "doc_id", "text", "source", zeros, budgetTokens = 100L).collect()
+    }
+    assert(fullMsg(e3).contains("weights sum to <= 0"))
+    // A negative weight yields a negative rate that silently drops the
+    // source via the bucket filter. Must fail instead.
+    val neg = Seq(("covered", -1), ("uncovered", 3)).toDF("source", "weight")
+    val e4 = intercept[Exception] {
+      Training.mixtureRebalance(docs, "doc_id", "text", "source",
+        neg, budgetTokens = 100L).collect()
+    }
+    assert(fullMsg(e4).contains("negative weight"))
+    // A NULL source never matches the weights join; the error message
+    // must still name it rather than degrade to raise_error(NULL).
+    val nullSrc = Seq((1L, "text here", Option("covered")),
+      (2L, "more text", Option.empty[String])).toDF("doc_id", "text", "source")
+    val e5 = intercept[Exception] {
+      Training.mixtureRebalance(nullSrc, "doc_id", "text", "source",
+        onlyOne, budgetTokens = 100L).collect()
+    }
+    assert(fullMsg(e5).contains("'<null>' has no row"))
   }
 
   test("decontaminate drops only over-threshold docs; short docs survive") {
