@@ -89,7 +89,8 @@ object ManifestTable {
   private def ckptName(v: Long): String = f"ckpt_v$v%020d"
 
   private case class Manifest(version: Long, txns: Seq[String],
-      adds: Seq[String], snaps: Seq[String], state: Option[String])
+      adds: Seq[String], snaps: Seq[String], state: Option[String],
+      stats: Map[String, String])
 
   private def parseManifest(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -104,7 +105,15 @@ object ManifestTable {
       txns = lines.collect { case l if l.startsWith("txn:") => l.drop(4) },
       adds = lines.collect { case l if l.startsWith("add:") => l.drop(4) },
       snaps = lines.collect { case l if l.startsWith("snap:") => l.drop(5) },
-      state = lines.collectFirst { case l if l.startsWith("state:") => l.drop(6) })
+      state = lines.collectFirst { case l if l.startsWith("state:") => l.drop(6) },
+      // stats:<file path>\t<json of {"col":[min,max],...}> — per-file
+      // column ranges for data skipping; absent on pre-stats manifests.
+      stats = lines.collect {
+        case l if l.startsWith("stats:") && l.contains('\t') =>
+          val body = l.drop(6)
+          val i = body.indexOf('\t')
+          body.take(i) -> body.drop(i + 1)
+      }.toMap)
   }
 
   private def listLog(fs: org.apache.hadoop.fs.FileSystem,
@@ -207,7 +216,8 @@ object ManifestTable {
 
     // 1. Data files first — invisible until a manifest references them.
     val safeTxn = txnId.replaceAll("[^A-Za-z0-9._-]", "_")
-    def writeOut(table: String, df: DataFrame): (Seq[String], Long) = {
+    def writeOut(table: String, df: DataFrame)
+        : (Seq[String], Long, Map[String, String]) = {
       val rel = s"$table/$DataDir/$safeTxn-${java.util.UUID.randomUUID()}"
       df.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/$rel")
       val (fs, dataPath) = fsAndPath(spark, s"$baseDir/$rel")
@@ -222,15 +232,20 @@ object ManifestTable {
       require(files.nonEmpty,
         s"refusing to commit $table from a frame that produced no parquet " +
           "files (zero partitions) — repartition(1) an intentionally empty frame")
-      // Row counts from the parquet footers we just wrote — driver-side
-      // metadata reads, not a second Spark scan job per table.
+      // Row counts AND per-file column min/max from the parquet footers
+      // we just wrote — driver-side metadata reads, not a second Spark
+      // scan job per table. The stats ride in the manifest so reads can
+      // skip whole files under a predicate (the 100 TB scan win).
       val conf = spark.sessionState.newHadoopConf()
-      val n = files.map { f =>
+      var n = 0L
+      val stats = files.flatMap { f =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-        try r.getRecordCount finally r.close()
-      }.sum
-      (files.map(f => s"$rel/${f.getName}"), n)
+        val footer = try { n += r.getRecordCount; r.getFooter } finally r.close()
+        val json = footerStatsJson(footer)
+        json.map(j => s"$rel/${f.getName}" -> j)
+      }.toMap
+      (files.map(f => s"$rel/${f.getName}"), n, stats)
     }
     val written = (appends ++ snapshots).map { case (t, df) => t -> writeOut(t, df) }
 
@@ -249,6 +264,8 @@ object ManifestTable {
     val body = (Seq(s"txn:$txnId") ++
       snapshots.keys.toSeq.sorted.map(t => s"snap:$t") ++
       written.toSeq.sortBy(_._1).flatMap(_._2._1).map(f => s"add:$f") ++
+      written.toSeq.sortBy(_._1).flatMap(_._2._3.toSeq.sortBy(_._1))
+        .map { case (f, j) => s"stats:$f\t$j" } ++
       state.map(s => s"state:$s")).mkString("", "\n", "\n")
     val tmp = writeTmp(fs, logPath, body)
     var attempts = 0
@@ -276,8 +293,56 @@ object ManifestTable {
     if (committed % ckptEvery == 0)
       try compact(spark, baseDir)
       catch { case scala.util.control.NonFatal(_) => () }
-    written.map { case (t, (_, n)) => t -> n }
+    written.map { case (t, (_, n, _)) => t -> n }
   }
+
+  /** Per-file `{"col":[min,max],...}` JSON from a parquet footer, for
+    * top-level PLAIN numeric columns only (INT32/INT64/FLOAT/DOUBLE
+    * with no logical annotation — which covers the raw-long watermark
+    * idiom; annotated types like timestamps carry unit conventions the
+    * driver-side literal comparison must not guess at). A column whose
+    * stats are missing in ANY row group is dropped for the file;
+    * min/max cover non-null values, which is exactly what the
+    * null-rejecting comparison predicates prune against. Names are
+    * restricted to identifier characters so the JSON needs no quoting
+    * rules. Returns None when nothing qualifies. */
+  private def footerStatsJson(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata)
+      : Option[String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val chunks = footer.getBlocks.asScala.toSeq.flatMap(_.getColumns.asScala)
+      .groupBy(_.getPath.toDotString)
+      .filter { case (name, _) => name.matches("[A-Za-z0-9_]+") }
+    val cols = chunks.toSeq.sortBy(_._1).flatMap { case (name, ccs) =>
+      val ok = ccs.forall { cc =>
+        val pt = cc.getPrimitiveType
+        Set(INT32, INT64, FLOAT, DOUBLE).contains(pt.getPrimitiveTypeName) &&
+          pt.getLogicalTypeAnnotation == null &&
+          cc.getStatistics != null && !cc.getStatistics.isEmpty &&
+          cc.getStatistics.hasNonNullValue
+      }
+      if (!ok) None
+      else try { // NaN/Infinity float stats have no decimal form — skip col
+        val los = ccs.map(c => BigDecimal(c.getStatistics.genericGetMin.toString))
+        val his = ccs.map(c => BigDecimal(c.getStatistics.genericGetMax.toString))
+        Some(s""""$name":[${los.min},${his.max}]""")
+      } catch { case _: NumberFormatException => None }
+    }
+    if (cols.isEmpty) None else Some(cols.mkString("{", ",", "}"))
+  }
+
+  /** Decode one stats JSON line back to col → (min, max). The format
+    * is writer-controlled (identifier names, plain JSON numbers), so a
+    * targeted parse is safe; anything malformed yields no stats for
+    * the file (reads stay correct, just unpruned). */
+  private def parseStats(json: String): Map[String, (BigDecimal, BigDecimal)] =
+    try {
+      "\"([A-Za-z0-9_]+)\":\\[([^,\\]]+),([^,\\]]+)\\]".r
+        .findAllMatchIn(json)
+        .map(m => m.group(1) -> (BigDecimal(m.group(2)), BigDecimal(m.group(3))))
+        .toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Write `body` to a uniquely-named tmp file in `dir`. */
   private def writeTmp(
@@ -323,9 +388,12 @@ object ManifestTable {
     // claimSlot finds ckpt_v<last> present and loses the claim.
     val tables = log.flatMap(m =>
       m.snaps ++ m.adds.map(_.takeWhile(_ != '/'))).distinct.sorted
+    val live = tables.flatMap(t => liveFiles(log, t))
+    val allStats = log.flatMap(_.stats).toMap // files write once; any wins
     val body = (log.flatMap(_.txns).distinct.map(t => s"txn:$t") ++
       tables.map(t => s"snap:$t") ++
-      tables.flatMap(t => liveFiles(log, t)).map(f => s"add:$f") ++
+      live.map(f => s"add:$f") ++
+      live.flatMap(f => allStats.get(f).map(j => s"stats:$f\t$j")) ++
       log.reverse.flatMap(_.state).headOption.map(s => s"state:$s"))
       .mkString("", "\n", "\n")
     val (fs, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
@@ -354,13 +422,27 @@ object ManifestTable {
     * zero-commit case (a table that exists logically but has no data
     * yet). `asOfVersion` time-travels to the table as of that log
     * version — served from the raw manifest history, so it throws if
-    * [[truncateLog]] already dropped the versions it needs. */
+    * [[truncateLog]] already dropped the versions it needs.
+    *
+    * `skipFilter` is a read predicate that ALSO skips data: conjuncts
+    * of the form `column <op> literal` (on plain numeric columns) are
+    * checked against the per-file min/max recorded at commit time, and
+    * files whose range cannot satisfy the predicate are never handed
+    * to the scan — at 100 TB a watermark query (`ts >= ...`, the
+    * reference's incremental idiom) opens only the recent files
+    * instead of listing-then-row-group-skipping all of history. The
+    * filter is always applied to the returned frame too, so semantics
+    * are exactly `read(...).filter(skipFilter)` whether or not any
+    * conjunct was prunable (unknown shapes, missing stats, and
+    * pre-stats manifests degrade to "no skipping", never to wrong
+    * rows). */
   def read(
       spark: SparkSession,
       baseDir: String,
       table: String,
       schema: Option[StructType] = None,
-      asOfVersion: Option[Long] = None): DataFrame = {
+      asOfVersion: Option[Long] = None,
+      skipFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val log = asOfVersion match {
       case None => readLog(spark, baseDir)
       case Some(v) =>
@@ -382,11 +464,121 @@ object ManifestTable {
     }
     val files = liveFiles(log, table)
     if (files.isEmpty) {
-      schema.map(s => spark.createDataFrame(
+      return schema.map(s => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
         .getOrElse(throw new java.io.FileNotFoundException(
           s"$baseDir/$table has no committed data and no schema was supplied"))
-    } else spark.read.parquet(files.map(f => s"$baseDir/$f"): _*)
+    }
+    val kept = skipFilter match {
+      case None => files
+      case Some(pred) =>
+        val allStats = log.flatMap(_.stats).toMap
+        val conjuncts = splitConjuncts(
+          org.apache.spark.sql.GraftSqlBridge.resolved(pred))
+        files.filter { f =>
+          val st = allStats.get(f).map(parseStats).getOrElse(Map.empty)
+          conjuncts.forall(c => conjunctMayMatch(c, st))
+        }
+    }
+    // Every live file pruned: the stats PROVED the predicate selects
+    // zero rows, but the empty frame still needs the table's schema —
+    // open one file's footer (metadata-only) and emit no rows.
+    val df =
+      if (kept.nonEmpty) spark.read.parquet(kept.map(f => s"$baseDir/$f"): _*)
+      else spark.read.parquet(s"$baseDir/${files.head}")
+        .where(org.apache.spark.sql.functions.lit(false))
+    skipFilter.map(p => df.filter(p)).getOrElse(df)
+  }
+
+  /** Flatten a predicate into AND-ed conjuncts (each prunes on its
+    * own; anything non-AND stays whole and is judged conservatively).
+    * Column-built predicates arrive as UNRESOLVED function nodes
+    * (`'and(a, b)`) — analysis has not run at this driver-side point —
+    * so both spellings are handled. */
+  private def splitConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts == Seq("and") && f.arguments.length == 2 =>
+      splitConjuncts(f.arguments.head) ++ splitConjuncts(f.arguments(1))
+    case other => Seq(other)
+  }
+
+  /** Could any row of a file with column `ranges` satisfy this conjunct?
+    * Only `column <op> numeric-literal` shapes (either operand order)
+    * can answer "no"; everything else — unknown expressions, columns
+    * without recorded stats, non-numeric literals — answers "maybe"
+    * and keeps the file. min/max cover non-null values and every
+    * handled comparison is null-rejecting, so NULL rows never rescue
+    * a pruned file. */
+  private def conjunctMayMatch(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      ranges: Map[String, (BigDecimal, BigDecimal)]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def name(x: Expression): Option[String] = x match {
+      // Single-part names only: a struct path like `x.ts` must never
+      // prune against the TOP-LEVEL `ts` stats.
+      case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+        Some(u.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def num(x: Expression): Option[BigDecimal] = x match {
+      case Literal(v: Byte, _) => Some(BigDecimal(v.toInt))
+      case Literal(v: Short, _) => Some(BigDecimal(v.toInt))
+      case Literal(v: Int, _) => Some(BigDecimal(v))
+      case Literal(v: Long, _) => Some(BigDecimal(v))
+      case Literal(v: Float, _) if !v.isNaN && !v.isInfinite =>
+        Some(BigDecimal(v.toDouble))
+      case Literal(v: Double, _) if !v.isNaN && !v.isInfinite =>
+        Some(BigDecimal(v))
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+        Some(v.toBigDecimal)
+      case _ => None
+    }
+    // Normalize to (range of column, op, literal) with the column on
+    // the left, flipping the operator when the literal leads.
+    def check(lhs: Expression, op: String, rhs: Expression): Option[Boolean] =
+      (name(lhs), num(rhs), name(rhs), num(lhs)) match {
+        case (Some(n), Some(v), _, _) => ranges.get(n).map { case (lo, hi) =>
+          op match {
+            case ">"  => hi > v
+            case ">=" => hi >= v
+            case "<"  => lo < v
+            case "<=" => lo <= v
+            case "="  => lo <= v && v <= hi
+          }
+        }
+        case (_, _, Some(n), Some(v)) => ranges.get(n).map { case (lo, hi) =>
+          op match { // v <op> col ≡ col <flipped-op> v
+            case ">"  => lo < v
+            case ">=" => lo <= v
+            case "<"  => hi > v
+            case "<=" => hi >= v
+            case "="  => lo <= v && v <= hi
+          }
+        }
+        case _ => None
+      }
+    val ops = Set(">", ">=", "<", "<=", "=", "==")
+    val verdict = e match {
+      case GreaterThan(l, r) => check(l, ">", r)
+      case GreaterThanOrEqual(l, r) => check(l, ">=", r)
+      case LessThan(l, r) => check(l, "<", r)
+      case LessThanOrEqual(l, r) => check(l, "<=", r)
+      case EqualTo(l, r) => check(l, "=", r)
+      // Pre-analysis Column predicates: operator as unresolved function.
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.length == 1 && ops.contains(f.nameParts.head) &&
+            f.arguments.length == 2 =>
+        val op = if (f.nameParts.head == "==") "=" else f.nameParts.head
+        check(f.arguments.head, op, f.arguments(1))
+      case _ => None
+    }
+    verdict.getOrElse(true)
   }
 
   /** Delete orphan data dirs under one table (written by a crashed

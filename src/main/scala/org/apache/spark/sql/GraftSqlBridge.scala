@@ -11,6 +11,14 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column's node tree to a concrete Catalyst
+    * expression (ExpressionUtils.expression returns a LAZY
+    * ColumnNodeExpression wrapper that only materializes during
+    * analysis — useless for driver-side inspection, e.g. manifest
+    * file skipping). */
+  def resolved(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a SQL function on an ALREADY-RUNNING session (the
     * extensions config only applies at session build time, and the
     * harness may hand us its own session). */

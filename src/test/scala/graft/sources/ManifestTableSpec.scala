@@ -218,4 +218,66 @@ class ManifestTableSpec extends SparkSpec {
       assert(ManifestTable.read(spark, base, "t").count() == 10L)
     } finally spark.conf.unset("graft.manifest.compactEvery")
   }
+
+  test("skipFilter prunes files by committed min/max stats, never rows") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    // Three commits with disjoint ts ranges → three one-file batches.
+    Seq(0L until 100L, 100L until 200L, 200L until 300L)
+      .zipWithIndex.foreach { case (r, i) =>
+        ManifestTable.commit(
+          r.map(t => (t, s"e$t")).toDF("ts", "v").repartition(1),
+          base, "ev", s"txn-$i")
+      }
+    val all = ManifestTable.read(spark, base, "ev")
+    assert(all.inputFiles.length == 3)
+
+    // Watermark read: only the last file is opened, rows are exact.
+    val wm = ManifestTable.read(spark, base, "ev",
+      skipFilter = Some(col("ts") >= lit(250L)))
+    assert(wm.inputFiles.length == 1)
+    assert(wm.select("ts").as[Long].collect().toSet == (250L until 300L).toSet)
+
+    // Literal-first spelling flips the operator, same pruning.
+    val flip = ManifestTable.read(spark, base, "ev",
+      skipFilter = Some(lit(99L) >= col("ts")))
+    assert(flip.inputFiles.length == 1 && flip.count() == 100L)
+
+    // Conjunction: each conjunct prunes independently.
+    val mid = ManifestTable.read(spark, base, "ev",
+      skipFilter = Some(col("ts") >= lit(100L) && col("ts") < lit(150L)))
+    assert(mid.inputFiles.length == 1 && mid.count() == 50L)
+
+    // A predicate no file can satisfy: zero rows, schema intact,
+    // and at most one footer opened for the schema.
+    val none = ManifestTable.read(spark, base, "ev",
+      skipFilter = Some(col("ts") > lit(10000L)))
+    assert(none.count() == 0L && none.columns.toSeq == Seq("ts", "v"))
+    assert(none.inputFiles.length <= 1)
+
+    // Unprunable shapes (non-numeric column, computed expr) degrade to
+    // a plain filter over every file — same rows as filter-after-read.
+    val str = ManifestTable.read(spark, base, "ev",
+      skipFilter = Some(col("v") === lit("e7")))
+    assert(str.inputFiles.length == 3 && str.count() == 1L)
+    val exprPred = ManifestTable.read(spark, base, "ev",
+      skipFilter = Some(col("ts") % 100 === lit(0L)))
+    assert(exprPred.inputFiles.length == 3 && exprPred.count() == 3L)
+  }
+
+  test("stats survive checkpoint compaction and log truncation") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    (0 to 2).foreach { i =>
+      ManifestTable.commit(
+        (i * 100L until i * 100L + 100L).map(t => (t, s"e$t")).toDF("ts", "v")
+          .repartition(1), base, "ev", s"txn-$i")
+    }
+    ManifestTable.compact(spark, base)
+    ManifestTable.truncateLog(spark, base)
+    // The checkpoint is now the only manifest — skipping still works.
+    val wm = ManifestTable.read(spark, base, "ev",
+      skipFilter = Some(col("ts") >= lit(250L)))
+    assert(wm.inputFiles.length == 1 && wm.count() == 50L)
+  }
 }
