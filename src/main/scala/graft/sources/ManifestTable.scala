@@ -90,7 +90,7 @@ object ManifestTable {
 
   private case class Manifest(version: Long, txns: Seq[String],
       adds: Seq[String], snaps: Seq[String], state: Option[String],
-      stats: Map[String, String])
+      stats: Map[String, String], schemas: Map[String, String])
 
   private def parseManifest(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -111,6 +111,15 @@ object ManifestTable {
       stats = lines.collect {
         case l if l.startsWith("stats:") && l.contains('\t') =>
           val body = l.drop(6)
+          val i = body.indexOf('\t')
+          body.take(i) -> body.drop(i + 1)
+      }.toMap,
+      // schema:<table>\t<StructType json> — the table's schema as of
+      // this commit; the LATEST line wins on read (add-column
+      // evolution: old files null-fill the new columns).
+      schemas = lines.collect {
+        case l if l.startsWith("schema:") && l.contains('\t') =>
+          val body = l.drop(7)
           val i = body.indexOf('\t')
           body.take(i) -> body.drop(i + 1)
       }.toMap)
@@ -172,6 +181,20 @@ object ManifestTable {
     }
   }
 
+  /** The table's schema as of the latest commit that recorded one —
+    * the read schema under add-column evolution. None on tables whose
+    * history predates schema tracking (reads fall back to inference
+    * from the live files). */
+  private def latestSchema(log: Seq[Manifest], table: String)
+      : Option[StructType] =
+    log.reverse.flatMap(_.schemas.get(table)).headOption.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+
+  /** Public view of the committed schema (None before any
+    * schema-tracking commit). */
+  def schemaOf(spark: SparkSession, baseDir: String, table: String)
+      : Option[StructType] = latestSchema(readLog(spark, baseDir), table)
+
   /** Single-table append facade over [[commitMulti]]. */
   def commit(
       batch: DataFrame,
@@ -213,6 +236,22 @@ object ManifestTable {
     // One full log parse; the retry loop below only reads NEWER versions.
     var log = readLog(spark, baseDir)
     if (log.exists(_.txns.contains(txnId))) return Map.empty
+    // Schema evolution gate, BEFORE anything is durable: an APPEND may
+    // only add columns — every existing column must stay, same name and
+    // type, or old and new files stop being one coherent table. A
+    // SNAPSHOT replaces the table's contents outright, so it may
+    // reshape the schema freely.
+    appends.foreach { case (t, df) =>
+      latestSchema(log, t).foreach { prev =>
+        val now = df.schema.map(f => f.name -> f.dataType).toMap
+        prev.foreach { f =>
+          require(now.get(f.name).contains(f.dataType),
+            s"append to $t must keep column '${f.name}: ${f.dataType.sql}' " +
+              s"(schema evolution is add-column only; snapshot the table " +
+              "to reshape it)")
+        }
+      }
+    }
 
     // 1. Data files first — invisible until a manifest references them.
     val safeTxn = txnId.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -266,6 +305,8 @@ object ManifestTable {
       written.toSeq.sortBy(_._1).flatMap(_._2._1).map(f => s"add:$f") ++
       written.toSeq.sortBy(_._1).flatMap(_._2._3.toSeq.sortBy(_._1))
         .map { case (f, j) => s"stats:$f\t$j" } ++
+      (appends ++ snapshots).toSeq.sortBy(_._1)
+        .map { case (t, df) => s"schema:$t\t${df.schema.json}" } ++
       state.map(s => s"state:$s")).mkString("", "\n", "\n")
     val tmp = writeTmp(fs, logPath, body)
     var attempts = 0
@@ -394,6 +435,8 @@ object ManifestTable {
       tables.map(t => s"snap:$t") ++
       live.map(f => s"add:$f") ++
       live.flatMap(f => allStats.get(f).map(j => s"stats:$f\t$j")) ++
+      tables.flatMap(t => log.reverse.flatMap(_.schemas.get(t)).headOption
+        .map(j => s"schema:$t\t$j")) ++
       log.reverse.flatMap(_.state).headOption.map(s => s"state:$s"))
       .mkString("", "\n", "\n")
     val (fs, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
@@ -463,8 +506,13 @@ object ManifestTable {
         hist
     }
     val files = liveFiles(log, table)
+    // The committed schema (latest schema: line) is the read schema:
+    // files written before an add-column commit lack the new columns
+    // and the parquet reader null-fills them — no mergeSchema footer
+    // sweep over a 100 TB file list.
+    val logSchema = latestSchema(log, table)
     if (files.isEmpty) {
-      return schema.map(s => spark.createDataFrame(
+      return schema.orElse(logSchema).map(s => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
         .getOrElse(throw new java.io.FileNotFoundException(
           s"$baseDir/$table has no committed data and no schema was supplied"))
@@ -480,12 +528,13 @@ object ManifestTable {
           conjuncts.forall(c => conjunctMayMatch(c, st))
         }
     }
+    val reader = logSchema.map(spark.read.schema).getOrElse(spark.read)
     // Every live file pruned: the stats PROVED the predicate selects
     // zero rows, but the empty frame still needs the table's schema —
     // open one file's footer (metadata-only) and emit no rows.
     val df =
-      if (kept.nonEmpty) spark.read.parquet(kept.map(f => s"$baseDir/$f"): _*)
-      else spark.read.parquet(s"$baseDir/${files.head}")
+      if (kept.nonEmpty) reader.parquet(kept.map(f => s"$baseDir/$f"): _*)
+      else reader.parquet(s"$baseDir/${files.head}")
         .where(org.apache.spark.sql.functions.lit(false))
     skipFilter.map(p => df.filter(p)).getOrElse(df)
   }

@@ -265,6 +265,68 @@ class ManifestTableSpec extends SparkSpec {
     assert(exprPred.inputFiles.length == 3 && exprPred.count() == 3L)
   }
 
+  test("schema evolution: add-column appends null-fill old files; drops and retypes refuse") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "v"), base, "t", "txn-1")
+    // Add a column: old files read back with NULL in the new slot.
+    ManifestTable.commit(Seq((2L, "b", 0.5)).toDF("id", "v", "score"),
+      base, "t", "txn-2")
+    val out = ManifestTable.read(spark, base, "t")
+    assert(out.columns.toSeq == Seq("id", "v", "score"))
+    assert(out.as[(Long, String, Option[Double])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(0.5))))
+    assert(ManifestTable.schemaOf(spark, base, "t").exists(
+      _.fieldNames.toSeq == Seq("id", "v", "score")))
+    // Time travel sees the schema AS OF that version.
+    assert(ManifestTable.read(spark, base, "t", asOfVersion = Some(1L))
+      .columns.toSeq == Seq("id", "v"))
+    // Dropping an existing column is not an append.
+    val drop = intercept[IllegalArgumentException] {
+      ManifestTable.commit(Seq(3L).toDF("id"), base, "t", "txn-3")
+    }
+    assert(drop.getMessage.contains("add-column only"))
+    // Neither is changing a column's type.
+    val retype = intercept[IllegalArgumentException] {
+      ManifestTable.commit(Seq((3, "c", 0.1)).toDF("id", "v", "score"),
+        base, "t", "txn-3")
+    }
+    assert(retype.getMessage.contains("add-column only"))
+    // A snapshot replaces contents wholesale and may reshape freely.
+    ManifestTable.commitMulti(spark, base, "txn-4",
+      snapshots = Map("t" -> Seq(("x", true)).toDF("name", "flag")))
+    assert(ManifestTable.read(spark, base, "t").columns.toSeq ==
+      Seq("name", "flag"))
+    // New-column stats still prune once every live file carries them.
+    val bySc = ManifestTable.commitMulti(spark, base, "txn-5",
+      snapshots = Map("t" ->
+        Seq((1L, 10L), (2L, 20L)).toDF("id", "ts").repartition(1)))
+    assert(bySc("t") == 2L)
+    ManifestTable.commit(Seq((3L, 30L), (4L, 40L)).toDF("id", "ts")
+      .repartition(1), base, "t", "txn-6")
+    val pruned = ManifestTable.read(spark, base, "t",
+      skipFilter = Some(col("ts") >= lit(30L)))
+    assert(pruned.inputFiles.length == 1 && pruned.count() == 2L)
+  }
+
+  test("evolved schema survives checkpoint compaction and truncation") {
+    val base = tmpBase()
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "v"), base, "t", "txn-1")
+    ManifestTable.commit(Seq((2L, "b", 7L)).toDF("id", "v", "n"),
+      base, "t", "txn-2")
+    ManifestTable.compact(spark, base)
+    ManifestTable.truncateLog(spark, base)
+    val out = ManifestTable.read(spark, base, "t")
+    assert(out.columns.toSeq == Seq("id", "v", "n"))
+    assert(out.as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(7L))))
+    // And the gate keeps holding for commits sourced from the checkpoint.
+    val drop = intercept[IllegalArgumentException] {
+      ManifestTable.commit(Seq((3L, "c")).toDF("id", "v"), base, "t", "txn-3")
+    }
+    assert(drop.getMessage.contains("add-column only"))
+  }
+
   test("stats survive checkpoint compaction and log truncation") {
     import org.apache.spark.sql.functions._
     val base = tmpBase()
