@@ -1131,6 +1131,21 @@ object SparkEntry {
     // before the multiply) — log-free and bit-stable across engines.
     "q90_collocations" -> ((s, dir) => {
       Corpus.collocations(t(s, dir, "documents"), "text", minCount = 35L)
+    }),
+
+    // BPE tokenizer training, step 1: corpus-wide adjacent character
+    // pair counts within tokens, top-20 by (count desc, pair asc) —
+    // the total order makes the cut deterministic in both engines.
+    "q91_bpe_pairs" -> ((s, dir) => {
+      Corpus.bpePairCounts(t(s, dir, "documents"), "text", topK = 20)
+    }),
+
+    // Unigram-rarity quality signal: fraction of each doc's token
+    // occurrences with corpus document-frequency < 4. Exact-integer
+    // counts, one final IEEE divide.
+    "q92_rare_tokens" -> ((s, dir) => {
+      Corpus.rarityScores(t(s, dir, "documents"), "doc_id", "text",
+        dfThreshold = 4L)
     })
   )
 
@@ -2233,7 +2248,40 @@ object SparkEntry {
         |        / (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)), 6) AS pmi_ratio
         |FROM bc, n
         |JOIN uc ux ON string_split(bc.bigram, ' ')[1] = ux.tok
-        |JOIN uc uy ON string_split(bc.bigram, ' ')[2] = uy.tok""".stripMargin
+        |JOIN uc uy ON string_split(bc.bigram, ' ')[2] = uy.tok""".stripMargin,
+
+    // range(1, len) is end-exclusive → positions 1..len-1, and the
+    // len >= 2 filter mirrors the Spark side (where sequence(1, 0)
+    // would count DOWN instead of yielding empty).
+    "q91_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT u.tok
+        |  FROM documents d,
+        |    UNNEST(list_filter(string_split(lower(d.text), ' '),
+        |                       t -> len(t) > 0)) AS u(tok)
+        |  WHERE len(u.tok) >= 2),
+        |pairs AS (
+        |  SELECT substring(t.tok, CAST(r.i AS INT), 2) AS pair
+        |  FROM toks t, UNNEST(range(1, len(t.tok))) AS r(i))
+        |SELECT pair, count(*) AS cnt
+        |FROM pairs GROUP BY 1
+        |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+
+    "q92_rare_tokens" ->
+      """WITH dt AS (
+        |  SELECT d.doc_id, u.tok, count(*) AS c
+        |  FROM documents d,
+        |    UNNEST(list_filter(string_split(lower(d.text), ' '),
+        |                       t -> len(t) > 0)) AS u(tok)
+        |  GROUP BY 1, 2),
+        |dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1)
+        |SELECT dt.doc_id,
+        |  CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN dfs.df < 4 THEN dt.c ELSE 0 END) AS BIGINT)
+        |    AS n_rare,
+        |  round(CAST(sum(CASE WHEN dfs.df < 4 THEN dt.c ELSE 0 END) AS DOUBLE)
+        |        / sum(dt.c), 6) AS rare_frac
+        |FROM dt JOIN dfs USING (tok) GROUP BY 1""".stripMargin
   )
 
   // --------------------------------------------------- generated oracle SQL

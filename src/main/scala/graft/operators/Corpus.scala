@@ -59,4 +59,71 @@ object Corpus {
         pmiRatio(col("c_xy"), col("n"), col("c_x"), col("c_y"))
           .as("pmi_ratio"))
   }
+
+  /** The first step of BPE tokenizer training: corpus-wide counts of
+    * adjacent character pairs WITHIN tokens (pair occurrences weighted
+    * by token frequency — exactly what the first merge rule ranks on),
+    * top-K by (count desc, pair asc) so the cut is total-ordered and
+    * deterministic.
+    *
+    * Scale: two Generates (token explode, in-token position explode —
+    * both native, no interpreted lambdas in the hot path), one
+    * map-side-combinable hash-agg on a tiny key domain (pairs of
+    * characters), and a TakeOrderedAndProject — no full sort, no join,
+    * one shuffle of pre-aggregated pair counts. Tokens shorter than 2
+    * chars form no pair and are filtered BEFORE the position explode
+    * (Spark's `sequence(1, 0)` counts DOWN rather than yielding empty).
+    *
+    * Output: (pair, cnt), `topK` rows. */
+  def bpePairCounts(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(col("tok"),
+        explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+      .select(col("tok").substr(col("i"), lit(2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+  }
+
+  /** Unigram-rarity quality signal: the fraction of a document's token
+    * OCCURRENCES whose corpus document-frequency is below
+    * `dfThreshold` — a log-free stand-in for unigram-LM perplexity
+    * (rare-vocabulary-heavy docs score high; boilerplate scores ~0)
+    * that stays exact-integer until one final IEEE divide, so the
+    * DuckDB oracle matches bit-for-bit.
+    *
+    * Scale: the (doc, token) profile is one explode + hash-agg (the
+    * exact-dedup shuffle shape), CHECKPOINTED because both the df
+    * aggregate and the join-back consume it — the expression-id split
+    * between the two subtrees defeats ReuseExchange, and recomputing
+    * the corpus explode doubles the heaviest stage at 100 TB.
+    * Document frequency is a hash-agg over the profile; the join back
+    * is keyed on the token, and the df table is vocabulary-sized —
+    * tiny next to the corpus, so AQE broadcasts it. (A window over
+    * `tok` would save the join but puts every occurrence of a
+    * stopword-grade token in ONE partition — the skew this shape
+    * exists to avoid.) Never corpus×corpus. Docs that tokenize to
+    * nothing drop, as across the dedup family.
+    *
+    * Output: (id, n_tokens, n_rare, rare_frac ∈ [0,1]). */
+  def rarityScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dfThreshold: Long): DataFrame = {
+    require(dfThreshold > 0, "dfThreshold must be positive")
+    val perDocTok = Dedup.truncate(docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c")))
+    val dfs = perDocTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    perDocTok.join(dfs, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("df") < dfThreshold, col("c")).otherwise(0L)).as("n_rare"))
+      .select(col(idCol), col("n_tokens"), col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("rare_frac"))
+  }
 }

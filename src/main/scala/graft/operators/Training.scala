@@ -120,7 +120,11 @@ object Training {
     * Thresholds are the classic heuristics: <10 tokens, mean token
     * length outside [2,12], >30% punctuation, <3% stopwords, >20%
     * digits, <30% distinct tokens (repetition proxy). */
-  def ruleFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def ruleFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     val nChars = length(col(textCol))
     val digitRatio = when(nChars > 0,
@@ -129,10 +133,12 @@ object Training {
     val distinctRatio = when(size(toks) > 0,
       size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
       .otherwise(0.0)
+    val carried = carry.map(col)
     docs
-      .select(col(idCol), TextFunctions.qualitySignals(col(textCol)).as("q"),
-        digitRatio.as("digit_ratio"), distinctRatio.as("distinct_ratio"))
-      .select(col(idCol), col("q.n_tokens").as("n_tokens"),
+      .select(Seq(col(idCol), TextFunctions.qualitySignals(col(textCol)).as("q"),
+        digitRatio.as("digit_ratio"), distinctRatio.as("distinct_ratio")) ++
+        carried: _*)
+      .select(Seq(col(idCol), col("q.n_tokens").as("n_tokens"),
         // concat_ws skips NULLs, so un-violated rules vanish.
         concat_ws(",",
           when(col("q.n_tokens") < 10, "too_short"),
@@ -141,7 +147,8 @@ object Training {
           when(col("q.punct_ratio") > 0.3, "punct_heavy"),
           when(col("q.stopword_ratio") < 0.03, "low_stopword"),
           when(col("digit_ratio") > 0.2, "digit_heavy"),
-          when(col("distinct_ratio") < 0.3, "repetitive")).as("reasons"))
+          when(col("distinct_ratio") < 0.3, "repetitive")).as("reasons")) ++
+        carried: _*)
       .withColumn("keep", col("reasons") === "")
   }
 

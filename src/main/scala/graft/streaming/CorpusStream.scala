@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming corpus ingestion — the continuous twin of the batch
+  * dedup/quality family ([[graft.operators.Dedup]],
+  * [[graft.operators.Training]]): documents arrive as a stream and are
+  * content-deduped and quality-gated BEFORE they land, so the stored
+  * corpus never needs a later full-scan cleanup pass.
+  *
+  * All state is bounded by the event-time watermark:
+  * `dropDuplicatesWithinWatermark` keeps one fingerprint per horizon
+  * (Spark expires the state as the watermark advances) — the
+  * streaming analogue of the reference's per-key watermark dedup
+  * (pipeline.py:717-726) applied to content hashes instead of device
+  * keys. Exact duplicates arriving within the horizon drop no matter
+  * how the stream is micro-batched; re-crawls older than the horizon
+  * are the batch dedup's job (a stream must not hold unbounded
+  * fingerprint state).
+  */
+object CorpusStream {
+
+  /** Content-dedup a document stream: one row per canonical text
+    * fingerprint (sorted distinct token set — word-order invariant,
+    * the same canonicalization as the batch q27 fingerprint) within
+    * the `lateness` event-time horizon. Rows later than the watermark
+    * are dropped by Spark itself; state size is O(distinct docs per
+    * horizon), not O(stream). */
+  def dedupByContent(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", TextFunctions.sortedTokenFingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Quality-gate + content-dedup in one pass: the batch
+    * [[graft.operators.Training.ruleFilter]] rules (map-only, so they
+    * apply to a stream unchanged) drop failing docs BEFORE the dedup,
+    * so junk never occupies fingerprint state. */
+  def cleanStream(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      textCol: String,
+      lateness: String = "1 hour"): DataFrame = {
+    val gated = graft.operators.Training
+      .ruleFilter(docs, idCol, textCol, carry = Seq(tsCol, textCol))
+      .filter(col("keep"))
+      .select(col(idCol), col(tsCol), col(textCol))
+    dedupByContent(gated, tsCol, textCol, lateness)
+  }
+
+  /** Wire a cleaned stream to an append parquet sink with a checkpoint
+    * — exactly-once via checkpoint offsets + the sink's transaction
+    * log (the K1/K2 idiom of SURVEY §2.1). */
+  def appendSink(
+      cleaned: DataFrame,
+      outDir: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    cleaned.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+}

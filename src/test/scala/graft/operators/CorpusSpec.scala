@@ -41,4 +41,40 @@ class CorpusSpec extends SparkSpec {
     assert(got > 0.0 && !got.isInfinite && !got.isNaN)
     assert(got == 8.333333)
   }
+
+  test("bpePairCounts: frequency-weighted in-token pairs, deterministic top-K cut") {
+    // 'aba' twice → pairs ab,ba ×2; 'ab' once → ab; 'x' forms no pair.
+    val docs = Seq((1L, "aba ab x"), (2L, "aba")).toDF("doc_id", "text")
+    val out = Corpus.bpePairCounts(docs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSet == Set(("ab", 3L), ("ba", 2L)))
+    // Ranking: count desc, then pair asc on ties.
+    val tied = Seq((1L, "ab cd ab cd")).toDF("doc_id", "text")
+    val cut = Corpus.bpePairCounts(tied, "text", topK = 1).collect()
+    assert(cut.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("ab", 2L)))
+    // Single-char-token-only corpus: no pairs, empty result (the
+    // sequence(1, 0) guard — Spark would otherwise count DOWN).
+    assert(Corpus.bpePairCounts(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "text", 5).count() == 0L)
+  }
+
+  test("rarityScores: rare-df occurrences over total, exact division") {
+    // 'common' appears in all 3 docs (df=3); the others are df=1.
+    val docs = Seq(
+      (1L, "common rare1 rare1 rare2"),  // 3 of 4 occurrences rare
+      (2L, "common common"),             // 0 of 2
+      (3L, "common rare3"))              // 1 of 2
+      .toDF("doc_id", "text")
+    val out = Corpus.rarityScores(docs, "doc_id", "text", dfThreshold = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 3L, 0.75)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((2L, 1L, 0.5)))
+    // Raising the threshold past every df marks everything rare.
+    val all = Corpus.rarityScores(docs, "doc_id", "text", dfThreshold = 10L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(all == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+  }
 }
