@@ -133,6 +133,10 @@ object Training {
     val distinctRatio = when(size(toks) > 0,
       size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
       .otherwise(0.0)
+    val reserved = Set(idCol, "q", "digit_ratio", "distinct_ratio",
+      "n_tokens", "reasons", "keep")
+    require(carry.distinct == carry && carry.forall(!reserved.contains(_)),
+      s"carry columns must be unique and avoid ${reserved.mkString(", ")}")
     val carried = carry.map(col)
     docs
       .select(Seq(col(idCol), TextFunctions.qualitySignals(col(textCol)).as("q"),
@@ -241,10 +245,16 @@ object Training {
     // Join on a NULL-normalized key: a raw NULL source would otherwise
     // be pruned by the inner join's implied IsNotNull BEFORE the
     // fail-loud branches evaluate, silently dropping those rows. The
-    // coalesced sentinel keeps NULL in play — it has no weights row, so
-    // it fails with a named error like any other uncovered source.
+    // encoding is prefix-disjoint ("v:<value>" vs "null:") so a real
+    // source literally named "<null>" can never collide with the NULL
+    // sentinel and pool its accounting; error messages print the
+    // display form. NULL keeps failing the coverage gate — it has no
+    // weights row under any encoding.
     def srcKey(c: org.apache.spark.sql.Column) =
-      coalesce(c.cast("string"), lit("<null>"))
+      when(c.isNull, lit("null:"))
+        .otherwise(concat(lit("v:"), c.cast("string")))
+    def srcName(k: org.apache.spark.sql.Column) =
+      when(k === "null:", lit("<null>")).otherwise(substring(k, 3, 1 << 30))
     val perSource = docs
       .select(srcKey(col(sourceCol)).as("src_key"), tok.as("tok"))
       .groupBy(col("src_key")).agg(sum(col("tok")).as("src_tokens"))
@@ -255,13 +265,13 @@ object Training {
       .crossJoin(broadcast(wTotal))
       .select(col("src_key"),
         when(col("weight").isNull, raise_error(concat(
-            lit("mixtureRebalance: source '"), col("src_key"),
+            lit("mixtureRebalance: source '"), srcName(col("src_key")),
             lit("' has no row in the weights table"))))
           .when(col("src_tokens") <= 0L, raise_error(concat(
-            lit("mixtureRebalance: source '"), col("src_key"),
+            lit("mixtureRebalance: source '"), srcName(col("src_key")),
             lit("' has zero tokens — keep rate is undefined"))))
           .when(col("weight") < 0L, raise_error(concat(
-            lit("mixtureRebalance: source '"), col("src_key"),
+            lit("mixtureRebalance: source '"), srcName(col("src_key")),
             lit("' has a negative weight"))))
           .when(col("w_total") <= 0L || col("w_total").isNull,
             raise_error(lit("mixtureRebalance: weights sum to <= 0 — " +

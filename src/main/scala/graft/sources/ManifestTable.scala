@@ -240,18 +240,23 @@ object ManifestTable {
     // only add columns — every existing column must stay, same name and
     // type, or old and new files stop being one coherent table. A
     // SNAPSHOT replaces the table's contents outright, so it may
-    // reshape the schema freely.
-    appends.foreach { case (t, df) =>
-      latestSchema(log, t).foreach { prev =>
-        val now = df.schema.map(f => f.name -> f.dataType).toMap
-        prev.foreach { f =>
-          require(now.get(f.name).contains(f.dataType),
-            s"append to $t must keep column '${f.name}: ${f.dataType.sql}' " +
-              s"(schema evolution is add-column only; snapshot the table " +
-              "to reshape it)")
+    // reshape the schema freely. (Re-checked inside the commit retry
+    // loop: on HDFS a lost slot race means the log moved — a
+    // concurrent reshape must fail THIS commit, not land a stale
+    // schema line on top of it.)
+    def schemaGate(current: Seq[Manifest]): Unit =
+      appends.foreach { case (t, df) =>
+        latestSchema(current, t).foreach { prev =>
+          val now = df.schema.map(f => f.name -> f.dataType).toMap
+          prev.foreach { f =>
+            require(now.get(f.name).contains(f.dataType),
+              s"append to $t must keep column '${f.name}: ${f.dataType.sql}' " +
+                s"(schema evolution is add-column only; snapshot the table " +
+                "to reshape it)")
+          }
         }
       }
-    }
+    schemaGate(log)
 
     // 1. Data files first — invisible until a manifest references them.
     val safeTxn = txnId.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -305,7 +310,16 @@ object ManifestTable {
       written.toSeq.sortBy(_._1).flatMap(_._2._1).map(f => s"add:$f") ++
       written.toSeq.sortBy(_._1).flatMap(_._2._3.toSeq.sortBy(_._1))
         .map { case (f, j) => s"stats:$f\t$j" } ++
-      (appends ++ snapshots).toSeq.sortBy(_._1)
+      // A schema line activates explicit-schema reads, so an APPEND may
+      // stamp one only where that cannot regress: the table already
+      // tracks its schema, or it has no live files yet (brand-new). An
+      // append to a LEGACY table (live pre-tracking files, unknown
+      // columns) must keep schema inference — stamping the append's own
+      // schema would hide legacy columns or break on type mismatch.
+      // Snapshots replace the contents, so they always stamp.
+      (appends.filter { case (t, _) =>
+          latestSchema(log, t).isDefined || liveFiles(log, t).isEmpty } ++
+        snapshots).toSeq.sortBy(_._1)
         .map { case (t, df) => s"schema:$t\t${df.schema.json}" } ++
       state.map(s => s"state:$s")).mkString("", "\n", "\n")
     val tmp = writeTmp(fs, logPath, body)
@@ -324,6 +338,8 @@ object ManifestTable {
         fs.delete(tmp, false)
         return Map.empty
       }
+      try schemaGate(log) catch { case e: Throwable =>
+        fs.delete(tmp, false); throw e }
       val next = log.lastOption.map(_.version).getOrElse(0L) + 1
       if (claimSlot(fs, tmp, new org.apache.hadoop.fs.Path(logPath,
           versionName(next)))) committed = next
@@ -338,10 +354,13 @@ object ManifestTable {
   }
 
   /** Per-file `{"col":[min,max],...}` JSON from a parquet footer, for
-    * top-level PLAIN numeric columns only (INT32/INT64/FLOAT/DOUBLE
-    * with no logical annotation — which covers the raw-long watermark
-    * idiom; annotated types like timestamps carry unit conventions the
-    * driver-side literal comparison must not guess at). A column whose
+    * top-level PLAIN numeric columns only (INT32/INT64/DOUBLE with no
+    * logical annotation — which covers the raw-long watermark idiom;
+    * annotated types like timestamps carry unit conventions the
+    * driver-side literal comparison must not guess at, and FLOAT is
+    * excluded because its shortest decimal repr does not order
+    * consistently against Spark's float→double-promoted comparisons —
+    * pruning on it could drop matching rows). A column whose
     * stats are missing in ANY row group is dropped for the file;
     * min/max cover non-null values, which is exactly what the
     * null-rejecting comparison predicates prune against. Names are
@@ -358,7 +377,7 @@ object ManifestTable {
     val cols = chunks.toSeq.sortBy(_._1).flatMap { case (name, ccs) =>
       val ok = ccs.forall { cc =>
         val pt = cc.getPrimitiveType
-        Set(INT32, INT64, FLOAT, DOUBLE).contains(pt.getPrimitiveTypeName) &&
+        Set(INT32, INT64, DOUBLE).contains(pt.getPrimitiveTypeName) &&
           pt.getLogicalTypeAnnotation == null &&
           cc.getStatistics != null && !cc.getStatistics.isEmpty &&
           cc.getStatistics.hasNonNullValue

@@ -28,16 +28,23 @@ object CorpusStream {
     * the same canonicalization as the batch q27 fingerprint) within
     * the `lateness` event-time horizon. Rows later than the watermark
     * are dropped by Spark itself; state size is O(distinct docs per
-    * horizon), not O(stream). */
+    * horizon), not O(stream). The working fingerprint column is
+    * internal: it is dropped before returning (a 32-char md5 per row
+    * is dead weight in a landed 100 TB corpus) and named so it cannot
+    * clobber a caller's own columns. */
   def dedupByContent(
       docs: DataFrame,
       tsCol: String,
       textCol: String,
-      lateness: String = "1 hour"): DataFrame =
+      lateness: String = "1 hour"): DataFrame = {
+    val fp = "__graft_content_fp"
+    require(!docs.columns.contains(fp), s"input already has a $fp column")
     docs
-      .withColumn("fp", TextFunctions.sortedTokenFingerprint(col(textCol)))
+      .withColumn(fp, TextFunctions.sortedTokenFingerprint(col(textCol)))
       .withWatermark(tsCol, lateness)
-      .dropDuplicatesWithinWatermark("fp")
+      .dropDuplicatesWithinWatermark(fp)
+      .drop(fp)
+  }
 
   /** Quality-gate + content-dedup in one pass: the batch
     * [[graft.operators.Training.ruleFilter]] rules (map-only, so they

@@ -186,6 +186,39 @@ class TrainingSpec extends SparkSpec {
         onlyOne, budgetTokens = 100L).collect()
     }
     assert(fullMsg(e5).contains("'<null>' has no row"))
+    // A REAL source literally named "<null>" must not pool with NULL
+    // rows (prefix-disjoint key encoding): covered "<null>" keeps its
+    // own rate while the genuine NULL still fails the coverage gate.
+    val weird = Seq((1L, "text here now", "<null>"),
+      (2L, "more text", Option.empty[String].orNull))
+      .toDF("doc_id", "text", "source")
+    val covered = Seq(("<null>", 1)).toDF("source", "weight")
+    val e6 = intercept[Exception] {
+      Training.mixtureRebalance(weird, "doc_id", "text", "source",
+        covered, budgetTokens = 100L).collect()
+    }
+    assert(fullMsg(e6).contains("has no row"))
+    val onlyWeird = Training.mixtureRebalance(
+      weird.filter(col("source").isNotNull), "doc_id", "text", "source",
+      covered, budgetTokens = 100L).collect()
+    assert(onlyWeird.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("ruleFilter carry columns pass through; reserved names refuse") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog today",
+      "web")).toDF("doc_id", "text", "source")
+    val out = Training.ruleFilter(docs, "doc_id", "text",
+      carry = Seq("source"))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "reasons", "source", "keep"))
+    assert(out.collect().head.getAs[String]("source") == "web")
+    intercept[IllegalArgumentException] {
+      Training.ruleFilter(docs, "doc_id", "text", carry = Seq("keep"))
+    }
+    intercept[IllegalArgumentException] {
+      Training.ruleFilter(docs, "doc_id", "text",
+        carry = Seq("source", "source"))
+    }
   }
 
   test("decontaminate drops only over-threshold docs; short docs survive") {

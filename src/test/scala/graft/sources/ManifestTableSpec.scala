@@ -309,6 +309,50 @@ class ManifestTableSpec extends SparkSpec {
     assert(pruned.inputFiles.length == 1 && pruned.count() == 2L)
   }
 
+  test("appends to a legacy (pre-tracking) table do not stamp a schema line") {
+    val base = tmpBase()
+    ManifestTable.commit(Seq((1L, "a", 9L)).toDF("id", "v", "extra"),
+      base, "t", "txn-1")
+    // Simulate a pre-tracking history: strip the schema line the
+    // modern commit wrote.
+    val logDir = new java.io.File(s"$base/_log")
+    logDir.listFiles.foreach { f =>
+      val kept = scala.io.Source.fromFile(f).getLines()
+        .filterNot(_.startsWith("schema:")).mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(f.toPath, kept)
+    }
+    assert(ManifestTable.schemaOf(spark, base, "t").isEmpty)
+    // An append with FEWER columns passes (no tracked schema to gate
+    // against) but must NOT become the table's read schema — that
+    // would hide the legacy 'extra' column from every later read.
+    ManifestTable.commit(Seq((2L, "b")).toDF("id", "v"), base, "t", "txn-2")
+    assert(ManifestTable.schemaOf(spark, base, "t").isEmpty)
+    // A snapshot re-activates tracking (it replaces the contents).
+    ManifestTable.commitMulti(spark, base, "txn-3",
+      snapshots = Map("t" -> Seq((3L, "c")).toDF("id", "v")))
+    assert(ManifestTable.schemaOf(spark, base, "t").exists(
+      _.fieldNames.toSeq == Seq("id", "v")))
+  }
+
+  test("float columns are excluded from skipping stats (promotion-unsafe)") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    (0 to 1).foreach { i =>
+      ManifestTable.commit(
+        Seq((i * 10L, 0.1f * i)).toDF("ts", "score").repartition(1),
+        base, "t", s"txn-$i")
+    }
+    // The long column prunes; the float column must not (its shortest
+    // decimal repr does not order consistently against Spark's
+    // float→double promoted comparison).
+    val byTs = ManifestTable.read(spark, base, "t",
+      skipFilter = Some(col("ts") >= lit(10L)))
+    assert(byTs.inputFiles.length == 1)
+    val byScore = ManifestTable.read(spark, base, "t",
+      skipFilter = Some(col("score") > lit(0.05)))
+    assert(byScore.inputFiles.length == 2 && byScore.count() == 1L)
+  }
+
   test("evolved schema survives checkpoint compaction and truncation") {
     val base = tmpBase()
     ManifestTable.commit(Seq((1L, "a")).toDF("id", "v"), base, "t", "txn-1")

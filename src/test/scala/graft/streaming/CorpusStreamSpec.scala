@@ -32,6 +32,10 @@ class CorpusStreamSpec extends SparkSpec {
       val kept = spark.table("cstream").select("doc_id")
         .as[Long].collect().sorted.toSeq
       assert(kept == Seq(1L, 3L, 5L))
+      // The working fingerprint column is internal and must not leak
+      // into (and bloat) the landed corpus.
+      assert(spark.table("cstream").columns.toSeq ==
+        Seq("doc_id", "ts", "text"))
     } finally q.stop()
   }
 
