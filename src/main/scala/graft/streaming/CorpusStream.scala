@@ -75,4 +75,40 @@ object CorpusStream {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
+
+  /** Land a stream in a [[graft.sources.ManifestTable]] with REAL
+    * exactly-once: each micro-batch commits under the deterministic
+    * txn id `<streamId>-<batchId>`, so a batch replayed after a crash
+    * (checkpoint offsets are written AFTER the sink runs — replays are
+    * in-contract) is a recorded no-op instead of a duplicate append.
+    * This closes the gap the plain parquet sink leaves (its _spark
+    * _metadata dedup is sink-local and breaks under mixed writers) and
+    * gives streaming ingest the same table features as batch commits:
+    * file stats for skip-reads, schema tracking, time travel, vacuum.
+    *
+    * `streamId` must be unique per logical stream WRITING TO THIS BASE
+    * DIR (two streams with the same id would seal each other's batch
+    * ids); batch ids restart from the checkpoint, so crash-rerun keeps
+    * the same ids — exactly what the txn log needs. Empty micro-batches
+    * commit nothing (replaying emptiness is harmless). */
+  def manifestSink(
+      cleaned: DataFrame,
+      baseDir: String,
+      table: String,
+      streamId: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.nonEmpty && !streamId.contains("\n"),
+      s"bad streamId: $streamId")
+    cleaned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.sources.ManifestTable.commit(
+              batch, baseDir, table, txnId = s"$streamId-$batchId")
+          ()
+      }
+  }
 }
