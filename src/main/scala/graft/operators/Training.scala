@@ -69,6 +69,13 @@ object Training {
         TextFunctions.tokens(col(textCol)), shingleSize).as("sh"))
       .withColumn("n_shingles", size(col("sh")).cast("long"))
       .filter(col("n_shingles") > 0)
+    // trainSets feeds both the candidate join and the final containment
+    // join, and ReuseExchange cannot dedupe the two subtrees — but it
+    // is MAP-ONLY, so the recompute is a second pipelined scan with no
+    // extra shuffle. Checkpointing it would materialize per-doc shingle
+    // arrays (larger than the corpus text) — the wrong trade at 100 TB;
+    // contrast Corpus.rarityScores, whose shared subtree contains a
+    // shuffle and therefore IS truncated.
     val trainSets = shingleSets(train)
     val evalShingles = shingleSets(eval)
       .select(explode(col("sh")).as("s")).distinct()

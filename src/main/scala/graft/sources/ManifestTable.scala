@@ -207,6 +207,33 @@ object ManifestTable {
       appends = Map(table -> batch), state = state,
       beforeCommit = beforeCommit).values.sum
 
+  /** [[commit]], with the batch range-clustered on `clusterCol` first
+    * (range repartition + sort within partitions). File min/max stats
+    * only prune when per-file ranges are DISJOINT — an unclustered
+    * append scatters every key range across every file and a
+    * predicate then skips nothing. Clustering by the query column
+    * (typically the event timestamp) makes a point/range read open
+    * O(1) of the batch's files instead of all of them — the layout
+    * half of the data-skipping story (Delta/Iceberg's cluster-on-write
+    * idiom). The sort also maximizes parquet row-group stats and
+    * dictionary/RLE compression on the clustered column. */
+  def commitClustered(
+      batch: DataFrame,
+      baseDir: String,
+      table: String,
+      txnId: String,
+      clusterCol: String,
+      state: Option[String] = None,
+      numFiles: Option[Int] = None): Long = {
+    val key = org.apache.spark.sql.functions.col(clusterCol)
+    // Default lets AQE size the range partitions (the right call for
+    // an unknown-size batch at scale); pin numFiles when the batch
+    // size is known or AQE would coalesce a small batch to one file.
+    val shaped = numFiles.map(n => batch.repartitionByRange(n, key))
+      .getOrElse(batch.repartitionByRange(key))
+    commit(shaped.sortWithinPartitions(clusterCol), baseDir, table, txnId, state)
+  }
+
   /** Atomically commit appends to several tables plus full-replace
     * snapshots (state tables) in ONE manifest rename. Re-running a
     * `txnId` that already committed is a no-op returning an empty map

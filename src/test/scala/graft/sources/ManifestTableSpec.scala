@@ -371,6 +371,26 @@ class ManifestTableSpec extends SparkSpec {
     assert(drop.getMessage.contains("add-column only"))
   }
 
+  test("commitClustered makes per-file ranges disjoint so point reads open one file") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    // Shuffled input: an unclustered write would put rows of every ts
+    // range in every file and a predicate would prune nothing.
+    val shuffled = new scala.util.Random(7).shuffle((0L until 320L).toList)
+    ManifestTable.commitClustered(
+      shuffled.map(t => (t, s"e$t")).toDF("ts", "v").repartition(8),
+      base, "ev", "txn-0", clusterCol = "ts", numFiles = Some(8))
+    val all = ManifestTable.read(spark, base, "ev")
+    assert(all.inputFiles.length > 1 && all.count() == 320L)
+    val point = ManifestTable.read(spark, base, "ev",
+      skipFilter = Some(col("ts") === lit(17L)))
+    assert(point.inputFiles.length == 1 && point.count() == 1L)
+    val range = ManifestTable.read(spark, base, "ev",
+      skipFilter = Some(col("ts") >= lit(300L)))
+    assert(range.inputFiles.length < all.inputFiles.length)
+    assert(range.count() == 20L)
+  }
+
   test("stats survive checkpoint compaction and log truncation") {
     import org.apache.spark.sql.functions._
     val base = tmpBase()
