@@ -1146,6 +1146,13 @@ object SparkEntry {
     "q92_rare_tokens" -> ((s, dir) => {
       Corpus.rarityScores(t(s, dir, "documents"), "doc_id", "text",
         dfThreshold = 4L)
+    }),
+
+    // Corpus forensics: the cross-source duplication matrix — verified
+    // near-dup pairs (LSH candidates, exact Jaccard >= 0.6) counted
+    // per unordered source pair.
+    "q93_source_overlap" -> ((s, dir) => {
+      Dedup.sourceOverlap(t(s, dir, "documents"), "doc_id", "text", "source")
     })
   )
 
@@ -2266,6 +2273,31 @@ object SparkEntry {
         |SELECT pair, count(*) AS cnt
         |FROM pairs GROUP BY 1
         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+
+    "q93_source_overlap" ->
+      s"""WITH bands AS ($minhashBandsSql),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r
+         |    ON l.band_id = r.band_id AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |sets AS (${shingleSetsSql("")}),
+         |nd AS (
+         |  SELECT c.a, c.b
+         |  FROM cands c
+         |  JOIN sets sa ON sa.doc_id = c.a
+         |  JOIN sets sb ON sb.doc_id = c.b
+         |  WHERE len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+         |    AND CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |        >= 0.6)
+         |SELECT least(da.source, db.source) AS src_x,
+         |  greatest(da.source, db.source) AS src_y,
+         |  count(*) AS n_pairs
+         |FROM nd
+         |JOIN documents da ON da.doc_id = nd.a
+         |JOIN documents db ON db.doc_id = nd.b
+         |GROUP BY 1, 2""".stripMargin,
 
     "q92_rare_tokens" ->
       """WITH dt AS (

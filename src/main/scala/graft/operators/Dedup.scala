@@ -152,6 +152,38 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Corpus forensics: the cross-source duplication matrix — how many
+    * verified near-dup pairs ([[minhashNearDups]], exact Jaccard ≥
+    * `threshold`) connect each unordered pair of sources. Reveals
+    * mirror sites, cross-crawl duplication, and benchmark bleed
+    * between corpus slices BEFORE training mixes them.
+    *
+    * Scale: the near-dup pipeline's banded shape, then two equi-joins
+    * on the doc id to attach sources (shuffle joins — the id→source
+    * map is corpus-sized) and a hash-agg on the tiny source-pair
+    * domain. Pair order is normalized (least/greatest) so each
+    * unordered source pair is one row.
+    *
+    * Output: (src_x ≤ src_y, n_pairs). */
+  def sourceOverlap(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, threshold = threshold)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.withColumnRenamed(idCol, "a")
+        .withColumnRenamed(sourceCol, "src_a"), "a")
+      .join(src.withColumnRenamed(idCol, "b")
+        .withColumnRenamed(sourceCol, "src_b"), "b")
+      .select(least(col("src_a"), col("src_b")).as("src_x"),
+        greatest(col("src_a"), col("src_b")).as("src_y"))
+      .groupBy(col("src_x"), col("src_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** 32-bit SimHash over whitespace tokens: per-bit majority vote of
     * token-hash bits (native codegen'd expression). Map-only; near-dup
     * = small Hamming distance. */

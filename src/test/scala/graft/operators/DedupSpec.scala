@@ -46,6 +46,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("sourceOverlap counts verified near-dup pairs per unordered source pair") {
+    val srcDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "crawl_a"),
+      (2L, "the quick brown fox jumps over the lazy dog", "crawl_b"), // a↔b mirror
+      (3L, "the quick brown fox jumps over the lazy dog", "crawl_b"), // b-internal dup of 2
+      (4L, "completely different text about spark engines here", "crawl_a"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(srcDocs, "doc_id", "text", "source",
+      threshold = 0.99)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // Pairs: (1,2) a↔b, (1,3) a↔b, (2,3) b↔b — order-normalized.
+    assert(out == Map(
+      ("crawl_a", "crawl_b") -> 2L,
+      ("crawl_b", "crawl_b") -> 1L))
+  }
+
   test("simhash: identical docs equal; near dups within small hamming distance") {
     val out = Dedup.simhash32(docs, "doc_id", "text")
     val m = rows(out).map(r => r.getLong(0) -> r.getLong(1)).toMap
