@@ -1153,6 +1153,17 @@ object SparkEntry {
     // per unordered source pair.
     "q93_source_overlap" -> ((s, dir) => {
       Dedup.sourceOverlap(t(s, dir, "documents"), "doc_id", "text", "source")
+    }),
+
+    // Incremental ingest dedup: every 5th doc plays the EXISTING
+    // corpus, the rest arrive as the new batch — each new doc keeps
+    // unless it verifies against the corpus or a smaller-id batch doc.
+    "q94_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupIncrement(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
     })
   )
 
@@ -2298,6 +2309,45 @@ object SparkEntry {
          |JOIN documents da ON da.doc_id = nd.a
          |JOIN documents db ON db.doc_id = nd.b
          |GROUP BY 1, 2""".stripMargin,
+
+    "q94_incremental_dedup" ->
+      s"""WITH bands AS ($minhashBandsSql),
+         |newb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+         |oldb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+         |sets AS (${shingleSetsSql("")}),
+         |cand_c AS (
+         |  SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+         |  FROM newb n JOIN oldb o
+         |    ON n.band_id = o.band_id AND n.band_key = o.band_key),
+         |ver_c AS (
+         |  SELECT c.nid, c.oid FROM cand_c c
+         |  JOIN sets sa ON sa.doc_id = c.nid
+         |  JOIN sets sb ON sb.doc_id = c.oid
+         |  WHERE len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+         |    AND CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |        >= 0.6),
+         |cand_b AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM newb l JOIN newb r
+         |    ON l.band_id = r.band_id AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |ver_b AS (
+         |  SELECT c.a, c.b FROM cand_b c
+         |  JOIN sets sa ON sa.doc_id = c.a
+         |  JOIN sets sb ON sb.doc_id = c.b
+         |  WHERE len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+         |    AND CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |        >= 0.6),
+         |dmin AS (
+         |  SELECT doc_id, min(dup_of) AS dup_of FROM (
+         |    SELECT nid AS doc_id, oid AS dup_of FROM ver_c
+         |    UNION ALL SELECT b AS doc_id, a AS dup_of FROM ver_b)
+         |  GROUP BY 1)
+         |SELECT d.doc_id, (m.doc_id IS NULL) AS keep, m.dup_of
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+         |LEFT JOIN dmin m ON d.doc_id = m.doc_id""".stripMargin,
 
     "q92_rare_tokens" ->
       """WITH dt AS (

@@ -152,6 +152,64 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Incremental near-dup gate for continuous ingestion: classify each
+    * NEW-batch doc against the EXISTING corpus and the batch itself,
+    * without ever re-deduping the corpus. A doc is kept unless it
+    * verifies (exact Jaccard ≥ `threshold`) against a corpus doc or an
+    * earlier (smaller-id) batch doc; `dup_of` names the smallest such
+    * id. This is the nightly-crawl complement of [[minhashNearDups]]:
+    * the 100 TB corpus is touched only through its band index (one
+    * equi-join on (band_id, band_key)) plus a candidate-pruned shingle
+    * verify — never rescanned wholesale, never corpus×corpus.
+    *
+    * Batch-internal chains resolve pairwise (b dups its smallest
+    * verified partner), matching the first-occurrence-wins rule of the
+    * family; docs too short to shingle have no bands and keep, as
+    * everywhere in the dedup family.
+    *
+    * Output: one row per new doc — (id, keep, dup_of nullable). */
+  def dedupIncrement(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    def bandsOf(df: DataFrame) = minhashBands(
+      minhashSignatures(df, idCol, textCol, k, shingleSize),
+      idCol, k, rowsPerBand)
+    def setsOf(df: DataFrame) = df.select(col(idCol),
+      graft.functions.GraftExpressions
+        .sortedShingleSet(tokens(col(textCol)), shingleSize).as("sh"))
+    val newBands = truncate(bandsOf(newDocs)) // feeds 2 candidate joins
+    val setsNew = setsOf(newDocs)
+    val jac = coalesce(graft.functions.GraftExpressions.jaccardSorted(
+      col("sh_a"), col("sh_b")), lit(0.0))
+    // New-vs-corpus edges: band equi-join, then verify only candidates.
+    val corpusEdges = newBands
+      .select(col(idCol).as("nid"), col("band_id"), col("band_key"))
+      .join(bandsOf(corpus).select(col(idCol).as("oid"),
+        col("band_id"), col("band_key")), Seq("band_id", "band_key"))
+      .select(col("nid"), col("oid")).distinct()
+      .join(setsNew.select(col(idCol).as("nid"), col("sh").as("sh_a")), "nid")
+      .join(setsOf(corpus).select(col(idCol).as("oid"), col("sh").as("sh_b")), "oid")
+      .filter(jac >= threshold)
+      .select(col("nid").as(idCol), col("oid").as("dup_of"))
+    // Batch-internal edges from the SAME band table (b dups a, a < b).
+    val batchEdges = minhashCandidates(newBands, idCol)
+      .join(setsNew.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
+      .join(setsNew.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
+      .filter(jac >= threshold)
+      .select(col("b").as(idCol), col("a").as("dup_of"))
+    val dupOf = corpusEdges.union(batchEdges)
+      .groupBy(col(idCol)).agg(min(col("dup_of")).as("dup_of"))
+    newDocs.select(col(idCol))
+      .join(dupOf, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
+
   /** Corpus forensics: the cross-source duplication matrix — how many
     * verified near-dup pairs ([[minhashNearDups]], exact Jaccard ≥
     * `threshold`) connect each unordered pair of sources. Reveals

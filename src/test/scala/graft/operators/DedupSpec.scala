@@ -46,6 +46,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dedupIncrement: new docs drop against the corpus and earlier batch docs") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val corpus = Seq((100L, text)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, text),                                              // dups corpus 100
+      (2L, "entirely novel content about spark physical plans"),
+      (3L, "entirely novel content about spark physical plans"), // dups batch 2
+      (4L, "hi"))                                              // too short — keeps
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupIncrement(batch, corpus, "doc_id", "text",
+      threshold = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out(1L) == ((false, Some(100L))))
+    assert(out(2L) == ((true, None)))
+    assert(out(3L) == ((false, Some(2L))))
+    assert(out(4L) == ((true, None)))
+  }
+
   test("sourceOverlap counts verified near-dup pairs per unordered source pair") {
     val srcDocs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog", "crawl_a"),
