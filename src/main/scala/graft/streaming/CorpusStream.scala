@@ -111,4 +111,53 @@ object CorpusStream {
           ()
       }
   }
+
+  /** A SELF-DEDUPLICATING corpus: each micro-batch is near-dup-checked
+    * against everything already landed ([[graft.operators.Dedup
+    * .dedupIncrement]] — the corpus is touched through its band-join
+    * index, never rescanned into memory) and only the survivors commit,
+    * under the same per-batch txn ids as [[manifestSink]] (replays are
+    * sealed no-ops). The batch-vs-corpus check composes with the
+    * in-flight [[dedupByContent]]: that one catches exact dups inside
+    * the watermark horizon cheaply; this one catches NEAR dups against
+    * all of history at landing time. State lives in the table itself —
+    * a restart resumes from the checkpoint offsets and the manifest,
+    * with nothing else to recover. */
+  def ingestDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      baseDir: String,
+      table: String,
+      streamId: String,
+      checkpointDir: String,
+      threshold: Double = 0.6): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.nonEmpty && !streamId.contains("\n"),
+      s"bad streamId: $streamId")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!batch.isEmpty) {
+            val spark = batch.sparkSession
+            // The already-landed corpus; on the very first batch the
+            // table does not exist yet — an empty frame with the
+            // batch's schema dedups against nothing.
+            val corpus = graft.sources.ManifestTable.read(
+              spark, baseDir, table, schema = Some(batch.schema))
+            val keep = graft.operators.Dedup
+              .dedupIncrement(batch.toDF(), corpus, idCol, textCol,
+                threshold = threshold)
+              .filter(org.apache.spark.sql.functions.col("keep"))
+              .select(idCol)
+            val survivors = batch.join(keep, Seq(idCol), "left_semi")
+            if (!survivors.isEmpty)
+              graft.sources.ManifestTable.commit(
+                survivors, baseDir, table, txnId = s"$streamId-$batchId")
+          }
+          ()
+      }
+  }
 }

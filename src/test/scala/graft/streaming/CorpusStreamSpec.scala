@@ -127,4 +127,45 @@ class CorpusStreamSpec extends SparkSpec {
     // The manifest carries the stream's txns — auditable exactly-once.
     assert(ManifestTable.committedTxns(spark, base).exists(_.startsWith("s1-")))
   }
+
+  test("ingestDedup: each batch near-dup-checks against all landed history") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cs-ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cs-ickpt").toString
+    val novel1 = "the quick brown fox jumps over the lazy dog"
+    val novel2 = "entirely new content about catalyst physical planning"
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    def start() = CorpusStream.ingestDedup(
+      input.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "text", base, "corpus", streamId = "in1",
+      checkpointDir = ckpt, threshold = 0.99)
+      .start()
+    val q1 = start()
+    try {
+      // Batch 0: an internal dup collapses at landing.
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), novel1),
+        (2L, ts("2024-01-01 10:01:00"), novel1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(ManifestTable.read(spark, base, "corpus").select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L))
+    // Restart; batch 1 re-sends history as NEW doc ids — the manifest
+    // corpus (not stream state) must reject it across the restart.
+    val q2 = start()
+    try {
+      input.addData(
+        (10L, ts("2024-01-01 11:00:00"), novel1),   // dups landed doc 1
+        (11L, ts("2024-01-01 11:01:00"), novel2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val landed = ManifestTable.read(spark, base, "corpus").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(landed == Seq(1L, 11L))
+    // Replaying batch 1's txn is a sealed no-op.
+    val replay = Seq((10L, ts("2024-01-01 11:00:00"), novel1))
+      .toDF("doc_id", "ts", "text")
+    assert(ManifestTable.commit(replay, base, "corpus", "in1-1") == 0L)
+  }
 }
