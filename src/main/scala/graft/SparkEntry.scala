@@ -1164,6 +1164,61 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0),
         "doc_id", "text")
+    }),
+
+    // URL canonicalization + dedup (the crawl pipeline's first pass).
+    // URLs are synthesized deterministically: even ids carry the dirty
+    // variant (upper-case host, default port, utm_ param, fragment,
+    // trailing slash), odd ids the clean twin of the same page; ids
+    // ≡ 9 (mod 10) are malformed and must canonicalize to NULL.
+    "q95_url_dedup" -> ((s, dir) => {
+      val g = expr("doc_id div 2").cast("string")
+      val url = when(col("doc_id") % 10 === 9, lit("no-scheme.example/path"))
+        .when(col("doc_id") % 2 === 0,
+          concat(lit("HTTPS://WWW.Example.COM:443/docs/"), g,
+            lit("/?utm_source=feed&ref=a&b=2#frag")))
+        .otherwise(concat(lit("https://www.example.com/docs/"), g,
+          lit("?b=2&ref=a")))
+      Web.urlDedup(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+    }),
+
+    // Context-window chunking: 16-token windows every 12 tokens, the
+    // overlap (4 tokens) carrying cross-cut context. Map-only.
+    "q96_chunk_overlap" -> ((s, dir) => {
+      Training.chunkWithOverlap(t(s, dir, "documents"), "doc_id", "text",
+        maxLen = 16, stride = 12)
+    }),
+
+    // DSIR importance weights: hashed-unigram log-likelihood ratio of
+    // the src0 target distribution vs the whole corpus, integer
+    // micro-nat quantization so doc scores are exact integer sums.
+    "q97_dsir_weights" -> ((s, dir) => {
+      Training.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("source") === "src0", nBuckets = 256)
+    }),
+
+    // Content-defined chunking dedup signal: boundaries after tokens
+    // with hash ≡ 0 (mod 8) — chunk cuts survive insertions, so
+    // copied tails align across shifted documents.
+    "q98_cdc_chunks" -> ((s, dir) => {
+      Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+        boundaryMod = 8)
+    }),
+
+    // Product-quantization ANN (Jégou et al. 2011): 64-dim vectors
+    // compressed to 4 subspace codes against a 16-entry-per-subspace
+    // codebook, searched by exact-integer asymmetric distance — the
+    // memory-bound scale path where the scan never touches embeddings.
+    "q99_pq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 16)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb,
+        m = 4, subDim = 16)
+      Similarity.pqTopK(codes, cb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, m = 4, subDim = 16)
     })
   )
 
@@ -2363,7 +2418,175 @@ object SparkEntry {
         |    AS n_rare,
         |  round(CAST(sum(CASE WHEN dfs.df < 4 THEN dt.c ELSE 0 END) AS DOUBLE)
         |        / sum(dt.c), 6) AS rare_frac
-        |FROM dt JOIN dfs USING (tok) GROUP BY 1""".stripMargin
+        |FROM dt JOIN dfs USING (tok) GROUP BY 1""".stripMargin,
+
+    // Mirrors Web.canonicalizeUrl step-for-step. DuckDB's RE2 has no
+    // lookbehind, so the trailing-slash strip is a CASE on the root
+    // path instead of the Spark side's (?<=.)/$ — same result.
+    "q95_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 10 = 9 THEN 'no-scheme.example/path'
+        |    WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example.COM:443/docs/'
+        |      || CAST(doc_id // 2 AS VARCHAR) || '/?utm_source=feed&ref=a&b=2#frag'
+        |    ELSE 'https://www.example.com/docs/'
+        |      || CAST(doc_id // 2 AS VARCHAR) || '?b=2&ref=a' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |x AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS auth,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+        |  FROM p),
+        |y AS (
+        |  SELECT doc_id, scheme, auth,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         ELSE auth END AS auth_np,
+        |    regexp_extract(rest, '^([^?]*)', 1) AS path0,
+        |    regexp_extract(rest, '\?(.*)$', 1) AS qs
+        |  FROM x),
+        |z AS (
+        |  SELECT doc_id, scheme, auth, auth_np,
+        |    CASE WHEN path0 = '/' THEN '/'
+        |         ELSE regexp_replace(path0, '/$', '') END AS path,
+        |    list_sort(list_filter(string_split(qs, '&'),
+        |      q -> len(q) > 0 AND NOT starts_with(q, 'utm_'))) AS params
+        |  FROM y),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN scheme = '' OR auth = '' THEN NULL
+        |         ELSE scheme || '://' || auth_np || path ||
+        |           CASE WHEN len(params) > 0
+        |                THEN '?' || array_to_string(params, '&') ELSE '' END
+        |    END AS canonical_url
+        |  FROM z)
+        |SELECT min(doc_id) AS doc_id, canonical_url,
+        |  CAST(count(*) AS BIGINT) AS n_variants
+        |FROM c WHERE canonical_url IS NOT NULL
+        |GROUP BY canonical_url""".stripMargin,
+
+    "q96_chunk_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    (greatest(len(toks) - 16, 0) + 11) // 12 + 1 AS n_chunks
+        |  FROM tk WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |    CAST(i * 12 + 1 AS INTEGER) AS start_tok,
+        |    list_slice(toks, i * 12 + 1, i * 12 + 16) AS chunk
+        |  FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS u(i))
+        |SELECT doc_id, chunk_idx, start_tok,
+        |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c""".stripMargin,
+
+    // Integer micro-nat quantization the moment the weight leaves ln()
+    // — doc scores are then exact integer sums, order-free in both
+    // engines (the SparkEntry numeric-determinism policy).
+    "q97_dsir_weights" ->
+      """WITH occ AS (
+        |  SELECT d.doc_id, (d.source = 'src0') AS is_t,
+        |    CAST(('0x' || substr(md5(u.tok), 1, 15)) AS BIGINT) % 256 AS b
+        |  FROM documents d,
+        |    UNNEST(list_filter(string_split(lower(d.text), ' '),
+        |                       t -> len(t) > 0)) AS u(tok)),
+        |counts AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS c_raw,
+        |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        |  FROM occ GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+        |    CAST(sum(c_t) AS BIGINT) AS n_t FROM counts),
+        |w AS (
+        |  SELECT b, CAST(round(1e6 * ln(
+        |      (CAST(c_t + 1 AS DOUBLE) / CAST(n_t + 256 AS DOUBLE)) /
+        |      (CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + 256 AS DOUBLE))))
+        |    AS BIGINT) AS w
+        |  FROM counts, tot)
+        |SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(w.w) AS BIGINT) AS score_micro,
+        |  round(CAST(sum(w.w) AS DOUBLE) / 1e6 / count(*), 6) AS per_token
+        |FROM occ JOIN w USING (b) GROUP BY 1""".stripMargin,
+
+    "q98_cdc_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok,
+        |    CASE WHEN CAST(('0x' || substr(md5(toks[i]), 1, 15)) AS BIGINT)
+        |              % 8 = 0 THEN 1 ELSE 0 END AS cut
+        |  FROM tk, UNNEST(generate_series(1, len(toks))) AS u(i)),
+        |ck AS (
+        |  SELECT doc_id, pos, tok,
+        |    COALESCE(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM pos),
+        |chunks AS (
+        |  SELECT doc_id, chunk_id,
+        |    CAST(count(*) AS BIGINT) AS c_tokens,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+        |  FROM ck GROUP BY 1, 2),
+        |occ AS (SELECT digest, count(*) AS occ FROM chunks GROUP BY 1)
+        |SELECT c.doc_id,
+        |  CAST(sum(c.c_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_chunks,
+        |  CAST(sum(CASE WHEN o.occ > 1 THEN c.c_tokens ELSE 0 END) AS BIGINT)
+        |    AS dup_tokens,
+        |  round(CAST(sum(CASE WHEN o.occ > 1 THEN c.c_tokens ELSE 0 END)
+        |          AS DOUBLE) / sum(c.c_tokens), 6) AS dup_frac
+        |FROM chunks c JOIN occ o USING (digest) GROUP BY 1""".stripMargin,
+
+    // Mirrors pqCodebook/pqEncode/pqTopK: codes are row_number ranks of
+    // the 16 lowest-id seed vectors; every distance is exact-integer
+    // (nsq_a + nsq_c − 2·dot), so ADC sums and ranks are bit-stable.
+    "q99_pq_knn" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |subn AS (
+        |  SELECT vec_id, m, list_slice(qv, m*16+1, m*16+16) AS sv,
+        |    CAST(list_sum(list_transform(generate_series(1, 16),
+        |      i -> qv[m*16+i]*qv[m*16+i])) AS BIGINT) AS nsq
+        |  FROM v, UNNEST(generate_series(0, 3)) AS u(m)),
+        |cb AS (
+        |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+        |             AS BIGINT) AS code, sv AS cv, nsq AS cnsq
+        |  FROM subn QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= 16),
+        |dist AS (
+        |  SELECT s.vec_id, s.m, cb.code,
+        |    s.nsq + cb.cnsq - 2*CAST(list_sum(list_transform(
+        |      generate_series(1, 16), i -> s.sv[i]*cb.cv[i])) AS BIGINT) AS d
+        |  FROM subn s JOIN cb USING (m)),
+        |enc AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |lut AS (
+        |  SELECT vec_id AS query_id, m, code, d FROM dist WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT l.query_id, e.vec_id AS neighbor_id,
+        |    CAST(sum(l.d) AS BIGINT) AS adc_dist
+        |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+        |  WHERE l.query_id <> e.vec_id GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc_dist
+        |FROM (SELECT query_id, neighbor_id, adc_dist,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY adc_dist, neighbor_id) AS rank
+        |      FROM adc)
+        |WHERE rank <= 10""".stripMargin
   )
 
   // --------------------------------------------------- generated oracle SQL

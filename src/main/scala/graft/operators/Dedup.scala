@@ -543,6 +543,63 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Content-defined chunking (CDC) dedup signal: cut each document's
+    * token stream at content-determined boundaries (after any token
+    * whose stable hash ≡ 0 mod `boundaryMod` — expected chunk length =
+    * boundaryMod tokens), then count how much of each document lives
+    * in chunks that occur more than once anywhere in the corpus.
+    * Because boundaries depend only on content, an insertion early in
+    * a copied document shifts token positions but NOT the downstream
+    * chunk cuts — the rsync/LBFS trick — so copied tails still align
+    * and dedup, where fixed-width chunking would miss every one.
+    *
+    * Scale: one token explode, a per-doc prefix-sum window (bounded by
+    * doc length — the q89 gaps-and-islands shape), one hash-agg keyed
+    * on the chunk digest (exact-dedup shape: the heavy keys are the
+    * duplicated chunks and they map-side combine), and a join back on
+    * the digest. Never corpus×corpus; chunk text is replaced by its
+    * md5 before any shuffle, so shuffled rows stay narrow.
+    *
+    * Output: (id, n_tokens, n_chunks, dup_chunks, dup_tokens,
+    * dup_frac), one row per doc with ≥1 token. */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      boundaryMod: Int): DataFrame = {
+    require(boundaryMod > 0, "boundaryMod must be positive")
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("tok"),
+        when(graft.functions.TextFunctions.hash60(col("tok"))
+          % boundaryMod === 0, 1L).otherwise(0L).as("cut"))
+    // Chunk id = number of boundary tokens STRICTLY BEFORE this one
+    // (a boundary token ends its chunk, so it belongs to the chunk it
+    // closes).
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk_id", coalesce(sum(col("cut")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).cast("long").as("c_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("digest"))
+    val occurs = chunks.groupBy(col("digest"))
+      .agg(count(lit(1)).as("occ"))
+    chunks.join(occurs, Seq("digest"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("occ") > 1, col("c_tokens")).otherwise(0L))
+          .as("dup_tokens"))
+      .select(col(idCol), col("n_tokens"), col("n_chunks"),
+        col("dup_chunks"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double")
+          / col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
+
   /** Exact-Jaccard near-dups within a bounded id range (the brute-force
     * oracle-checkable variant; production path is [[minhashNearDups]]). */
   def jaccardPairs(

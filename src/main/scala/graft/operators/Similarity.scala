@@ -176,6 +176,103 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Per-subspace quantized views: (id, m, sv, nsq) — vector split
+    * into `m` contiguous `subDim`-wide sub-vectors, each with its
+    * exact-integer squared norm. Map-only (explode fan-out = m). */
+  private def pqSubvectors(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol), quantize(col(vecCol)).as("qv"))
+      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("m"),
+        slice(col("qv"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+      .withColumn("nsq", normSqQ(col("sv")))
+
+  /** Product-quantization codebook: `nCodes` centroids per subspace,
+    * seeded deterministically from the `nCodes` lowest-id vectors'
+    * sub-slices (code = seed row rank; reproducible without an RNG —
+    * a production build would Lloyd-refine per subspace, same
+    * plumbing as [[ivfLloydStep]]). m×nCodes rows — always broadcast. */
+  def pqCodebook(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      subDim: Int,
+      nCodes: Int): DataFrame = {
+    val seeds = corpus.orderBy(col(idCol)).limit(nCodes)
+      .select(col(idCol), col(vecCol))
+    val w = Window.orderBy(col(idCol))
+    pqSubvectors(seeds, idCol, vecCol, m, subDim)
+      .withColumn("code", dense_rank().over(w) - 1)
+      .select(col("m"), col("code").cast("long").as("code"),
+        col("sv").as("cv"), col("nsq").as("cnsq"))
+  }
+
+  /** PQ encoding: each vector compressed to `m` one-byte-ish codes —
+    * per subspace, the codebook entry minimizing exact-integer squared
+    * L2 distance (‖a−c‖² = nsq_a + nsq_c − 2·a·c; tie → min code).
+    * This is the 64×-compression memory story of ANN at 100 TB: the
+    * index carries (id, m, code) — a few bytes per vector — while the
+    * full embeddings stay in cold storage.
+    *
+    * Scale: corpus × (m·nCodes)-row broadcast codebook, then a narrow
+    * (id, m) argmin aggregate — no window over fat rows, never
+    * corpus×corpus. Output: (id, m, code). */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: DataFrame,
+      m: Int,
+      subDim: Int): DataFrame =
+    pqSubvectors(corpus, idCol, vecCol, m, subDim)
+      .join(broadcast(codebook), Seq("m"))
+      .select(col(idCol), col("m"), col("code"),
+        (col("nsq") + col("cnsq") - lit(2) * dotQ(col("sv"), col("cv")))
+          .as("d"))
+      .groupBy(col(idCol), col("m"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+
+  /** PQ top-k search with asymmetric distance computation (ADC,
+    * Jégou et al. 2011): the query stays UNquantized-by-codes — per
+    * (query, subspace, code) the exact-integer distance to that
+    * codebook entry lands in a lookup table (|queries|·m·nCodes rows,
+    * broadcast), and a corpus vector's approximate distance is the
+    * integer SUM of its m code lookups. Bit-stable: every distance is
+    * an exact integer, ranking ties break on neighbor id.
+    *
+    * Scale: the corpus side moves only (id, m, code) — the scan never
+    * touches embedding arrays; one narrow (query, id) sum-aggregate
+    * and a per-query top-k window. Output:
+    * (query_id, rank, neighbor_id, adc_dist). */
+  def pqTopK(
+      codes: DataFrame,
+      codebook: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int,
+      subDim: Int): DataFrame = {
+    val lut = pqSubvectors(queries, idCol, vecCol, m, subDim)
+      .withColumnRenamed(idCol, "query_id")
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        (col("nsq") + col("cnsq") - lit(2) * dotQ(col("sv"), col("cv")))
+          .as("d"))
+    val scored = codes
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("d")).as("adc_dist"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col(idCol).as("neighbor_id"), col("adc_dist"))
+  }
+
   private def score(q: DataFrame, c: DataFrame, k: Int,
       joinKeys: Seq[String] = Nil): DataFrame = {
     val joined =

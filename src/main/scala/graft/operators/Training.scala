@@ -347,4 +347,106 @@ object Training {
       expr(s"conv(substring(md5(cast($idCol AS STRING)), 1, 15), 16, 10)")
         .cast("long") % nShards)
   }
+
+  /** Sliding-window chunking for context-length preparation: each
+    * document's token stream is cut into windows of `maxLen` tokens
+    * starting every `stride` tokens (stride < maxLen ⇒ consecutive
+    * chunks overlap by maxLen−stride tokens — the standard long-doc
+    * treatment so no training example loses the context spanning a cut).
+    * Chunk starts are 0, stride, 2·stride, …; the last start is the
+    * smallest multiple of stride from which the window reaches the end
+    * of the doc, so every token lands in ≥1 chunk and no fully-empty
+    * window is emitted. Docs that tokenize to nothing drop.
+    *
+    * Scale: map-only — one native `sequence` + `posexplode` per doc,
+    * no shuffle, no join; fan-out per row is n/stride chunks. The
+    * chunk text is hashed (md5) rather than carried, so the exploded
+    * stream stays narrow until a downstream consumer re-slices the
+    * tokens it actually trains on.
+    *
+    * Output: (id, chunk_idx 0-based, start_tok 1-based, n_tokens, chunk_hash). */
+  def chunkWithOverlap(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxLen: Int,
+      stride: Int): DataFrame = {
+    require(maxLen > 0 && stride > 0 && stride <= maxLen,
+      "need 0 < stride <= maxLen")
+    val toks = TextFunctions.tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("toks"), size(toks).as("n"))
+      .filter(col("n") > 0)
+      // Integer ceil((n-maxLen)+ / stride) + 1 chunk starts. Column./
+      // is DOUBLE division; floor restores the integer ceil-div (exact
+      // below 2^53 — doc token counts are nowhere near).
+      .withColumn("n_chunks",
+        (floor((greatest(col("n") - maxLen, lit(0)) + (stride - 1))
+          / lit(stride)) + 1).cast("int"))
+      .select(col(idCol), col("toks"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => i * stride)).as(Seq("chunk_idx", "start0")))
+      .select(col(idCol), col("chunk_idx"),
+        (col("start0") + 1).as("start_tok"),
+        slice(col("toks"), col("start0") + 1, lit(maxLen)).as("chunk"))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each raw
+    * document by the hashed-unigram log-likelihood ratio between a
+    * TARGET distribution (the domain you want more of) and the RAW
+    * distribution, with add-1 smoothing over `nBuckets` hash buckets:
+    *
+    *   score(d) = Σ_tok  w[bucket(tok)],
+    *   w[b] = round(1e6 · ln( ((c_target[b]+1)/(N_target+B)) /
+    *                          ((c_raw[b]+1)/(N_raw+B)) ))
+    *
+    * The per-bucket weight is QUANTIZED to an integer (micro-nats) the
+    * moment it leaves the log, so each document's score is an exact
+    * integer sum — order-independent under any partitioning, and
+    * bit-identical in any engine whose `ln` agrees to ~1e-7 relative
+    * (a weight only changes if 1e6·ln(r) sits within one ulp of x.5 —
+    * with B buckets the chance any bucket does is ~B·1e-10).
+    *
+    * Scale: one token explode feeding two bucket hash-aggs (bucket
+    * domain = `nBuckets`, tiny), the weight table broadcasts back onto
+    * a second map-only explode, and one per-doc hash-agg — the
+    * exact-dedup shuffle shape. The target side is typically a small
+    * seed corpus; here it is any boolean column predicate.
+    *
+    * Output: (id, n_tokens, score_micro Σ integer micro-nats,
+    * per_token = round(score_micro/1e6/n_tokens, 6)). */
+  def dsirWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: org.apache.spark.sql.Column,
+      nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val occ = docs
+      .select(col(idCol), isTarget.as("is_t"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("b", TextFunctions.hash60(col("tok")) % nBuckets)
+    val counts = occ.groupBy(col("b")).agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val totals = counts.agg(
+      sum(col("c_raw")).as("n_raw"), sum(col("c_t")).as("n_t"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(lit(1e6) * log(
+          ((col("c_t") + 1).cast("double") / (col("n_t") + nBuckets).cast("double")) /
+          ((col("c_raw") + 1).cast("double") / (col("n_raw") + nBuckets).cast("double"))))
+          .cast("long").as("w"))
+    occ
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_micro"))
+      .select(col(idCol), col("n_tokens"), col("score_micro"),
+        round(col("score_micro").cast("double") / 1e6
+          / col("n_tokens").cast("double"), 6).as("per_token"))
+  }
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(url: String): Option[String] =
+    Seq(Tuple1(url)).toDF("u")
+      .select(Web.canonicalizeUrl(col("u")).as("c"))
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+
+  test("canonicalizeUrl applies the standard equivalences") {
+    // Scheme+host lower-cased, default port dropped, fragment dropped,
+    // utm_* dropped, params sorted, trailing slash dropped.
+    assert(canon("HTTPS://WWW.Site.COM:443/a/b/?utm_source=x&ref=1&a=2#top")
+      .contains("https://www.site.com/a/b?a=2&ref=1"))
+    assert(canon("http://Host.org:80/p").contains("http://host.org/p"))
+    // Non-default port survives; path case survives.
+    assert(canon("https://h.com:8443/A/B").contains("https://h.com:8443/A/B"))
+    // Root path: slash kept.
+    assert(canon("http://h.com/").contains("http://h.com/"))
+    // Empty query after utm strip: no dangling '?'.
+    assert(canon("http://h.com/x?utm_campaign=c").contains("http://h.com/x"))
+  }
+
+  test("canonicalizeUrl rejects malformed input as NULL") {
+    assert(canon("no-scheme.example/path").isEmpty)
+    assert(canon("://missing.scheme").isEmpty)
+    assert(canon("").isEmpty)
+  }
+
+  test("urlDedup keeps min-id per canonical URL and counts variants") {
+    val docs = Seq(
+      (1L, "https://a.com/x?b=1&a=2"),
+      (2L, "HTTPS://A.COM:443/x/?a=2&b=1#f"),  // same page, dirty
+      (3L, "https://a.com/y"),
+      (4L, "garbage")                           // drops
+    ).toDF("id", "url")
+    val out = Web.urlDedup(docs, "id", "url")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, "https://a.com/x?a=2&b=1", 2L),
+      (3L, "https://a.com/y", 1L)))
+  }
+}
