@@ -380,19 +380,38 @@ object ManifestTable {
     written.map { case (t, (_, n, _)) => t -> n }
   }
 
+  /** A column's per-file value range: numeric (exact decimal) or
+    * string (raw UTF-8 bytes, compared unsigned — the one order that
+    * parquet UTF8 stats, Spark's UTF8String comparison, and code-point
+    * order all agree on; java.lang.String order does NOT, it sorts
+    * UTF-16 surrogates below U+E000). */
+  private sealed trait ColRange
+  private final case class NumRange(lo: BigDecimal, hi: BigDecimal)
+    extends ColRange
+  private final case class StrRange(lo: Array[Byte], hi: Array[Byte])
+    extends ColRange
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
   /** Per-file `{"col":[min,max],...}` JSON from a parquet footer, for
-    * top-level PLAIN numeric columns only (INT32/INT64/DOUBLE with no
+    * top-level PLAIN numeric columns (INT32/INT64/DOUBLE with no
     * logical annotation — which covers the raw-long watermark idiom;
     * annotated types like timestamps carry unit conventions the
     * driver-side literal comparison must not guess at, and FLOAT is
     * excluded because its shortest decimal repr does not order
     * consistently against Spark's float→double-promoted comparisons —
-    * pruning on it could drop matching rows). A column whose
-    * stats are missing in ANY row group is dropped for the file;
-    * min/max cover non-null values, which is exactly what the
-    * null-rejecting comparison predicates prune against. Names are
-    * restricted to identifier characters so the JSON needs no quoting
-    * rules. Returns None when nothing qualifies. */
+    * pruning on it could drop matching rows) and UTF8-annotated BINARY
+    * string columns (hex-encoded bytes — `"x<hex>"` — so arbitrary
+    * corpus strings survive the one-line manifest format; unsigned
+    * byte order matches Spark's UTF8_BINARY comparison exactly, so a
+    * `source = 'src5'` read prunes like a hive partition without the
+    * directory layout). A column whose stats are missing in ANY row
+    * group is dropped for the file; min/max cover non-null values,
+    * which is exactly what the null-rejecting comparison predicates
+    * prune against. Names are restricted to identifier characters so
+    * the JSON needs no quoting rules. Returns None when nothing
+    * qualifies. */
   private def footerStatsJson(
       footer: org.apache.parquet.hadoop.metadata.ParquetMetadata)
       : Option[String] = {
@@ -401,34 +420,67 @@ object ManifestTable {
     val chunks = footer.getBlocks.asScala.toSeq.flatMap(_.getColumns.asScala)
       .groupBy(_.getPath.toDotString)
       .filter { case (name, _) => name.matches("[A-Za-z0-9_]+") }
+    def statsOk(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData) =
+      cc.getStatistics != null && !cc.getStatistics.isEmpty &&
+        cc.getStatistics.hasNonNullValue
     val cols = chunks.toSeq.sortBy(_._1).flatMap { case (name, ccs) =>
-      val ok = ccs.forall { cc =>
+      val numeric = ccs.forall { cc =>
         val pt = cc.getPrimitiveType
         Set(INT32, INT64, DOUBLE).contains(pt.getPrimitiveTypeName) &&
-          pt.getLogicalTypeAnnotation == null &&
-          cc.getStatistics != null && !cc.getStatistics.isEmpty &&
-          cc.getStatistics.hasNonNullValue
+          pt.getLogicalTypeAnnotation == null && statsOk(cc)
       }
-      if (!ok) None
-      else try { // NaN/Infinity float stats have no decimal form — skip col
-        val los = ccs.map(c => BigDecimal(c.getStatistics.genericGetMin.toString))
-        val his = ccs.map(c => BigDecimal(c.getStatistics.genericGetMax.toString))
-        Some(s""""$name":[${los.min},${his.max}]""")
-      } catch { case _: NumberFormatException => None }
+      val string = !numeric && ccs.forall { cc =>
+        val pt = cc.getPrimitiveType
+        pt.getPrimitiveTypeName == BINARY &&
+          pt.getLogicalTypeAnnotation.isInstanceOf[
+            org.apache.parquet.schema.LogicalTypeAnnotation
+              .StringLogicalTypeAnnotation] && statsOk(cc)
+      }
+      if (numeric)
+        try { // NaN/Infinity float stats have no decimal form — skip col
+          val los = ccs.map(c => BigDecimal(c.getStatistics.genericGetMin.toString))
+          val his = ccs.map(c => BigDecimal(c.getStatistics.genericGetMax.toString))
+          Some(s""""$name":[${los.min},${his.max}]""")
+        } catch { case _: NumberFormatException => None }
+      else if (string) {
+        def bin(o: Any) =
+          o.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+        def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+        val ord = Ordering.fromLessThan[Array[Byte]](cmpBytes(_, _) < 0)
+        val lo = ccs.map(c => bin(c.getStatistics.genericGetMin)).min(ord)
+        val hi = ccs.map(c => bin(c.getStatistics.genericGetMax)).max(ord)
+        Some(s""""$name":["x${hex(lo)}","x${hex(hi)}"]""")
+      } else None
     }
     if (cols.isEmpty) None else Some(cols.mkString("{", ",", "}"))
   }
 
-  /** Decode one stats JSON line back to col → (min, max). The format
-    * is writer-controlled (identifier names, plain JSON numbers), so a
-    * targeted parse is safe; anything malformed yields no stats for
-    * the file (reads stay correct, just unpruned). */
-  private def parseStats(json: String): Map[String, (BigDecimal, BigDecimal)] =
+  /** Decode one stats JSON line back to col → range. The format is
+    * writer-controlled (identifier names, plain JSON numbers or
+    * hex-string pairs), so a targeted parse is safe; anything
+    * malformed yields no stats for the file (reads stay correct, just
+    * unpruned). */
+  private def parseStats(json: String): Map[String, ColRange] =
     try {
       "\"([A-Za-z0-9_]+)\":\\[([^,\\]]+),([^,\\]]+)\\]".r
         .findAllMatchIn(json)
-        .map(m => m.group(1) -> (BigDecimal(m.group(2)), BigDecimal(m.group(3))))
-        .toMap
+        .flatMap { m =>
+          val (a, b) = (m.group(2), m.group(3))
+          def unhex(s: String): Option[Array[Byte]] =
+            if (s.length >= 3 && s.startsWith("\"x") && s.endsWith("\"") &&
+              s.length % 2 == 1 && s.drop(2).dropRight(1).forall(c =>
+                "0123456789abcdef".contains(c)))
+              Some(s.drop(2).dropRight(1).grouped(2).toArray
+                .map(Integer.parseInt(_, 16).toByte))
+            else None
+          (unhex(a), unhex(b)) match {
+            case (Some(lo), Some(hi)) => Some(m.group(1) -> StrRange(lo, hi))
+            case (None, None) =>
+              try Some(m.group(1) -> NumRange(BigDecimal(a), BigDecimal(b)))
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Write `body` to a uniquely-named tmp file in `dir`. */
@@ -602,15 +654,15 @@ object ManifestTable {
   }
 
   /** Could any row of a file with column `ranges` satisfy this conjunct?
-    * Only `column <op> numeric-literal` shapes (either operand order)
-    * can answer "no"; everything else — unknown expressions, columns
-    * without recorded stats, non-numeric literals — answers "maybe"
-    * and keeps the file. min/max cover non-null values and every
-    * handled comparison is null-rejecting, so NULL rows never rescue
-    * a pruned file. */
+    * Only `column <op> literal` shapes (either operand order, numeric
+    * or string literal against the matching range kind) can answer
+    * "no"; everything else — unknown expressions, columns without
+    * recorded stats, kind mismatches — answers "maybe" and keeps the
+    * file. min/max cover non-null values and every handled comparison
+    * is null-rejecting, so NULL rows never rescue a pruned file. */
   private def conjunctMayMatch(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
-      ranges: Map[String, (BigDecimal, BigDecimal)]): Boolean = {
+      ranges: Map[String, ColRange]): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     def name(x: Expression): Option[String] = x match {
@@ -634,30 +686,44 @@ object ManifestTable {
         Some(v.toBigDecimal)
       case _ => None
     }
+    def str(x: Expression): Option[Array[Byte]] = x match {
+      // UTF8String literals carry Spark's default UTF8_BINARY order;
+      // a collated comparison would not arrive as a bare literal.
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(v.getBytes)
+      case _ => None
+    }
+    // Evaluate `col <op> v` against the column's recorded range, with
+    // the literal and range kinds required to agree.
+    def rangeCheck(n: String, op: String, numV: Option[BigDecimal],
+        strV: Option[Array[Byte]]): Option[Boolean] =
+      (ranges.get(n), numV, strV) match {
+        case (Some(NumRange(lo, hi)), Some(v), _) => Some(op match {
+          case ">"  => hi > v
+          case ">=" => hi >= v
+          case "<"  => lo < v
+          case "<=" => lo <= v
+          case "="  => lo <= v && v <= hi
+        })
+        case (Some(StrRange(lo, hi)), _, Some(v)) => Some(op match {
+          case ">"  => cmpBytes(hi, v) > 0
+          case ">=" => cmpBytes(hi, v) >= 0
+          case "<"  => cmpBytes(lo, v) < 0
+          case "<=" => cmpBytes(lo, v) <= 0
+          case "="  => cmpBytes(lo, v) <= 0 && cmpBytes(v, hi) <= 0
+        })
+        case _ => None
+      }
+    def flip(op: String): String = op match {
+      case ">" => "<"; case ">=" => "<="
+      case "<" => ">"; case "<=" => ">="; case other => other
+    }
     // Normalize to (range of column, op, literal) with the column on
     // the left, flipping the operator when the literal leads.
     def check(lhs: Expression, op: String, rhs: Expression): Option[Boolean] =
-      (name(lhs), num(rhs), name(rhs), num(lhs)) match {
-        case (Some(n), Some(v), _, _) => ranges.get(n).map { case (lo, hi) =>
-          op match {
-            case ">"  => hi > v
-            case ">=" => hi >= v
-            case "<"  => lo < v
-            case "<=" => lo <= v
-            case "="  => lo <= v && v <= hi
-          }
-        }
-        case (_, _, Some(n), Some(v)) => ranges.get(n).map { case (lo, hi) =>
-          op match { // v <op> col ≡ col <flipped-op> v
-            case ">"  => lo < v
-            case ">=" => lo <= v
-            case "<"  => hi > v
-            case "<=" => hi >= v
-            case "="  => lo <= v && v <= hi
-          }
-        }
-        case _ => None
-      }
+      name(lhs).flatMap(n => rangeCheck(n, op, num(rhs), str(rhs)))
+        .orElse(name(rhs).flatMap(n =>
+          rangeCheck(n, flip(op), num(lhs), str(lhs))))
     val ops = Set(">", ">=", "<", "<=", "=", "==")
     val verdict = e match {
       case GreaterThan(l, r) => check(l, ">", r)

@@ -255,14 +255,53 @@ class ManifestTableSpec extends SparkSpec {
     assert(none.count() == 0L && none.columns.toSeq == Seq("ts", "v"))
     assert(none.inputFiles.length <= 1)
 
-    // Unprunable shapes (non-numeric column, computed expr) degrade to
-    // a plain filter over every file — same rows as filter-after-read.
+    // String stats prune too (unsigned byte order): 'e7' sorts inside
+    // [e0,e99] only — files 2 and 3 ([e100,e199], [e200,e299]) skip.
     val str = ManifestTable.read(spark, base, "ev",
       skipFilter = Some(col("v") === lit("e7")))
-    assert(str.inputFiles.length == 3 && str.count() == 1L)
+    assert(str.inputFiles.length == 1 && str.count() == 1L)
+    // Unprunable shapes (computed expr) degrade to a plain filter over
+    // every file — same rows as filter-after-read.
     val exprPred = ManifestTable.read(spark, base, "ev",
       skipFilter = Some(col("ts") % 100 === lit(0L)))
     assert(exprPred.inputFiles.length == 3 && exprPred.count() == 3L)
+  }
+
+  test("string-column skipping: source reads prune like hive partitions") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    // Three commits, one source each — the cluster-by-source layout.
+    Seq("arxiv", "github", "web").foreach { s =>
+      ManifestTable.commit(
+        (0 until 50).map(j => (s, j.toLong)).toDF("source", "n")
+          .repartition(1), base, "docs", s"txn-$s")
+    }
+    val one = ManifestTable.read(spark, base, "docs",
+      skipFilter = Some(col("source") === lit("github")))
+    assert(one.inputFiles.length == 1 && one.count() == 50L)
+    assert(one.select("source").distinct().as[String].collect().toSeq ==
+      Seq("github"))
+    // Range predicates prune on byte order; literal-first flips.
+    val le = ManifestTable.read(spark, base, "docs",
+      skipFilter = Some(col("source") < lit("b")))
+    assert(le.inputFiles.length == 1 && le.count() == 50L)
+    val flip = ManifestTable.read(spark, base, "docs",
+      skipFilter = Some(lit("web") <= col("source")))
+    assert(flip.inputFiles.length == 1 && flip.count() == 50L)
+    // No file can match: zero rows, schema intact.
+    val none = ManifestTable.read(spark, base, "docs",
+      skipFilter = Some(col("source") === lit("zzz")))
+    assert(none.count() == 0L && none.inputFiles.length <= 1)
+    // Non-ASCII round-trips through the hex encoding; unsigned byte
+    // order keeps multi-byte UTF-8 above ASCII.
+    ManifestTable.commit(Seq(("中文語料", 1L)).toDF("source", "n")
+      .repartition(1), base, "docs", "txn-zh")
+    val zh = ManifestTable.read(spark, base, "docs",
+      skipFilter = Some(col("source") === lit("中文語料")))
+    assert(zh.inputFiles.length == 1 && zh.count() == 1L)
+    val ascii = ManifestTable.read(spark, base, "docs",
+      skipFilter = Some(col("source") === lit("web")))
+    assert(ascii.inputFiles.length == 1 && ascii.count() == 50L)
   }
 
   test("schema evolution: add-column appends null-fill old files; drops and retypes refuse") {
