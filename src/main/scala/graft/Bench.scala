@@ -17,15 +17,32 @@ object Bench {
     // Three timed runs per query, report the MEDIAN (min kept as a
     // secondary field): r4→r5 moved per-query timings up to 6× on
     // identical code — single-run and min-of-2 numbers are host noise,
-    // not signal. The median of 3 is robust to one scheduling outlier
-    // in either direction, so round-over-round deltas mean something.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
+    // not signal. The three repetitions are INTERLEAVED round-robin
+    // (suite pass 1, then pass 2, then pass 3) rather than run
+    // back-to-back per query: this VM sees multi-second host-steal
+    // bursts, and consecutive runs put all three samples of one
+    // unlucky query inside the same burst (observed: a different query
+    // 10-30× slow each bench invocation, unreproducible alone). Spread
+    // out, a burst costs several queries one sample each — which the
+    // median then discards.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to 3; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      samples(name) = t :: samples.getOrElse(name, Nil)
+      // The dedup-family queries localCheckpoint their reused stages;
+      // those storage blocks outlive the query, and across ~300
+      // executions in one 8 GB JVM they pile into old-gen. Freeing
+      // them after each query keeps the heap flat; the result is
+      // already counted, so nothing downstream reads the blocks.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    val results = samples.map { case (name, times) =>
       val stat = if (times.contains(-1.0)) (-1.0, -1.0)
         else (times.sorted.apply(times.size / 2), times.min)
       name -> stat
