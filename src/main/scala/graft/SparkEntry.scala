@@ -1219,6 +1219,37 @@ object SparkEntry {
         m = 4, subDim = 16)
       Similarity.pqTopK(codes, cb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, m = 4, subDim = 16)
+    }),
+
+    // Vocabulary census per source (the Heaps'-law dashboard): token /
+    // type / hapax counts, type-token ratio, hapax fraction — a
+    // collapsing TTR is the corpus-level re-crawl smell.
+    "q100_vocab_stats" -> ((s, dir) => {
+      Corpus.vocabStats(t(s, dir, "documents"), "text", "source")
+    }),
+
+    // K-means cluster census over the 16-cell IVF index: member count
+    // and exact-integer within-cluster sum of squares (the elbow-plot
+    // inertia) via the n·Σx² − (Σx)² identity — no second data pass.
+    "q101_kmeans_stats" -> ((s, dir) => {
+      Similarity.kmeansStats(
+        Similarity.ivfIndex(t(s, dir, "embeddings"), "vec_id", "embedding", 16))
+    }),
+
+    // SemDeDup: semantic near-duplicate pruning — within each of the
+    // 16 IVF cells, drop vectors with a lower-id cell-mate at cosine
+    // ≥ 0.35 (keeps the earliest representative per neighborhood).
+    "q102_semdedup" -> ((s, dir) => {
+      Similarity.semDedup(
+        Similarity.ivfIndex(t(s, dir, "embeddings"), "vec_id", "embedding", 16),
+        "vec_id", tau = 0.35)
+    }),
+
+    // Bigram-LM perplexity quality signal: add-one-smoothed bigram
+    // model trained on the corpus itself; per-doc mean negative
+    // log-probability in micro-nat-exact arithmetic.
+    "q103_lm_perplexity" -> ((s, dir) => {
+      Corpus.lmPerplexity(t(s, dir, "documents"), "doc_id", "text")
     })
   )
 
@@ -2586,7 +2617,84 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY query_id
         |          ORDER BY adc_dist, neighbor_id) AS rank
         |      FROM adc)
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+
+    "q100_vocab_stats" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |           t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |tc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |    AS type_token_ratio,
+        |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS hapax_frac
+        |FROM tc GROUP BY 1""".stripMargin,
+
+    // Parallel unnests zip positionally in DuckDB, so (v, dim_idx)
+    // mirrors Spark's posexplode over the same quantized vectors.
+    "q101_kmeans_stats" ->
+      s"""WITH $ivfAsgCtes,
+         |ex AS (
+         |  SELECT cell, unnest(qv) AS v,
+         |         unnest(generate_series(1, len(qv))) AS dim_idx
+         |  FROM asg),
+         |pd AS (
+         |  SELECT cell, dim_idx, count(*) AS n,
+         |         CAST(sum(v) AS BIGINT) AS s,
+         |         CAST(sum(v*v) AS BIGINT) AS ss
+         |  FROM ex GROUP BY 1, 2),
+         |ag AS (
+         |  SELECT cell, max(n) AS n,
+         |    sum(CAST(n AS HUGEINT) * CAST(ss AS HUGEINT)
+         |        - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS wss_num
+         |  FROM pd GROUP BY 1)
+         |SELECT cell, n,
+         |  round(CAST(wss_num AS DOUBLE) / CAST(n AS DOUBLE) / 1e12, 6) AS wss
+         |FROM ag""".stripMargin,
+
+    "q102_semdedup" ->
+      s"""WITH $ivfAsgCtes,
+         |d AS (
+         |  SELECT r.vec_id
+         |  FROM asg l JOIN asg r ON l.cell = r.cell AND l.vec_id < r.vec_id
+         |  WHERE CAST(list_sum(list_transform(generate_series(1, len(l.qv)),
+         |          i -> l.qv[i]*r.qv[i])) AS DOUBLE)
+         |        / (sqrt(CAST(l.nsq AS DOUBLE)) * sqrt(CAST(r.nsq AS DOUBLE)))
+         |        >= 0.35
+         |  GROUP BY 1)
+         |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+         |FROM asg a LEFT JOIN d ON a.vec_id = d.vec_id""".stripMargin,
+
+    "q103_lm_perplexity" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, toks[u.i] || ' ' || toks[u.i+1] AS bigram,
+        |         toks[u.i] AS x
+        |  FROM w, UNNEST(generate_series(1, len(toks)-1)) AS u(i)),
+        |uni AS (
+        |  SELECT tok, count(*) AS c_x
+        |  FROM (SELECT unnest(toks) AS tok FROM w) GROUP BY 1),
+        |vsz AS (SELECT count(*) AS v FROM uni),
+        |big AS (SELECT bigram, count(*) AS c_xy FROM occ GROUP BY 1),
+        |lp AS (
+        |  SELECT occ.doc_id,
+        |    CAST(round(1e6 * ln(CAST(big.c_xy + 1 AS DOUBLE)
+        |      / CAST(uni.c_x + vsz.v AS DOUBLE))) AS BIGINT) AS lp
+        |  FROM occ
+        |  JOIN big USING (bigram)
+        |  JOIN uni ON occ.x = uni.tok, vsz)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(-sum(lp) AS DOUBLE) / 1e6
+        |    / CAST(count(*) AS DOUBLE), 6) AS nll
+        |FROM lp GROUP BY 1""".stripMargin
   )
 
   // --------------------------------------------------- generated oracle SQL

@@ -126,4 +126,86 @@ object Corpus {
         round(col("n_rare").cast("double") / col("n_tokens").cast("double"), 6)
           .as("rare_frac"))
   }
+
+  /** Bigram-LM document scoring (the CCNet/KenLM-style perplexity
+    * quality signal): train an add-one-smoothed bigram model on the
+    * corpus itself, then score every document by the mean negative
+    * log-probability of its adjacent-token pairs,
+    *
+    *   P(y|x) = (c_xy + 1) / (c_x + V)      (V = vocabulary size)
+    *   nll    = −(1/m) Σ ln P(y_i|x_i)      over the doc's m bigrams
+    *
+    * Boilerplate scores low (its bigrams are corpus-frequent);
+    * gibberish and OCR noise score high. Cross-engine determinism
+    * follows the [[Training.dsirWeights]] micro-nat idiom: each
+    * bigram's log-probability is quantized ONCE to an integer
+    * round(1e6·ln P) — the ln of a double built from exact integer
+    * counts — and everything downstream is exact Long sums plus one
+    * final IEEE divide, so the result is independent of partitioning
+    * and summation order.
+    *
+    * Scale: one unigram and one bigram hash-agg (map-side combinable;
+    * the gram explode is the native [[GraftExpressions.ShingleList]]),
+    * one equi-join of the doc's bigram occurrences against the bigram
+    * count table keyed on the gram (AQE broadcasts the count side when
+    * it is small and skew-splits the stopword-grade hot grams when it
+    * is not), a 1-row vocabulary-size attach, and a per-doc hash-agg
+    * of exact Longs. Never corpus×corpus. Docs with fewer than two
+    * tokens have no bigrams and drop, as across the dedup family.
+    *
+    * Output: (id, n_bigrams, nll in nats ≥ 0, 6-dp). */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val uni = docs.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_x"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val occ = docs.select(col(idCol),
+      explode(GraftExpressions.shingleList(toks, 2)).as("bigram"))
+    val big = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+    occ
+      .join(big, Seq("bigram"))
+      .join(uni.select(col("tok").as("x"), col("c_x")), Seq("x"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        round(lit(1e6) * log((col("c_xy") + 1L).cast("double")
+          / (col("c_x") + col("v")).cast("double"))).cast("long").as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round((-col("lp_sum")).cast("double") / 1e6
+          / col("n_bigrams").cast("double"), 6).as("nll"))
+  }
+
+  /** Vocabulary census per group (the Heaps'-law dashboard): total
+    * token count, distinct-type count, type/token ratio, and the hapax
+    * fraction — the share of types seen exactly once, i.e. the growth
+    * frontier of the vocabulary. A corpus whose hapax fraction stays
+    * high as it grows keeps yielding new vocabulary; one whose TTR
+    * collapses is re-crawling itself (a dedup smell at the corpus
+    * level, complementary to the per-document signals).
+    *
+    * Scale: one token explode into a (group, token) hash-agg — the
+    * heavy keys are the frequent tokens and they map-side combine —
+    * then a per-group rollup over the vocabulary (bounded by type
+    * count, not token count). Never holds a vocabulary in one task's
+    * memory as a collection. Output: (group, n_tokens, n_types,
+    * n_hapax, type_token_ratio, hapax_frac). */
+  def vocabStats(docs: DataFrame, textCol: String, groupCol: String)
+      : DataFrame =
+    docs
+      .select(col(groupCol), explode(TextFunctions.tokens(col(textCol)))
+        .as("tok"))
+      .groupBy(col(groupCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double")
+          / col("n_tokens").cast("double"), 6).as("type_token_ratio"),
+        round(col("n_hapax").cast("double")
+          / col("n_types").cast("double"), 6).as("hapax_frac"))
 }

@@ -140,6 +140,71 @@ object Similarity {
       .withColumn("centroid_q", col("s").cast("double") / col("n"))
       .select(col("cell"), col("dim_idx"), col("n"), col("centroid_q"))
 
+  /** K-means cluster census over an [[ivfIndex]] result: per cell, the
+    * member count and the within-cluster sum of squared distances to
+    * the cluster MEAN (the k-means inertia the elbow method plots),
+    * via the algebraic identity
+    *
+    *   Σ_x ‖x − x̄‖² = Σ_dim (n·Σx² − (Σx)²) / n
+    *
+    * so no second pass over the data is needed after the centroid is
+    * known. Every Σ is an exact integer (quantized components ≤ 1e6 in
+    * magnitude ⇒ Σx² ≤ 1e12·n — Long-safe to n = 9e6 rows per cell;
+    * the numerator moves to decimal(38,0) where n·Σx² − (Σx)² is exact
+    * to ~1e38), so the result is bit-stable under any partitioning.
+    * The one inexact step — a single double divide by n·1e12 — happens
+    * once per cell at the very end.
+    *
+    * Scale: same narrow (cell, dim, sums) shuffle as [[ivfLloydStep]];
+    * the per-cell rollup is k·dims rows — trivial. Output:
+    * (cell, n, wss) with wss in un-quantized (float²) units, 6-dp. */
+  def kmeansStats(index: DataFrame): DataFrame =
+    index
+      .select(col("cell"), posexplode(col("qvec")).as(Seq("dim_idx", "v")))
+      .groupBy(col("cell"), col("dim_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"))
+      .groupBy(col("cell"))
+      .agg(max(col("n")).as("n"),
+        sum(col("n").cast("decimal(38,0)") * col("ss").cast("decimal(38,0)")
+          - col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+          .as("wss_num"))
+      .select(col("cell"), col("n"),
+        round(col("wss_num").cast("double")
+          / col("n").cast("double") / 1e12, 6).as("wss"))
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate pruning over an [[ivfIndex]] result. Within each
+    * cell, a vector is DROPPED when some lower-id cell-mate's cosine
+    * similarity meets `tau` — the earliest representative of every
+    * semantic neighborhood survives, deterministically, with no RNG.
+    * (The paper keeps one random member per intra-cluster duplicate
+    * group; min-id is the reproducible choice of representative.)
+    *
+    * Scale: the pair search is a cell-keyed self-equi-join — per-cell
+    * quadratic, which is the paper's own design point (they run 11k
+    * clusters over 1.3e9 embeddings); the centroid count is the knob
+    * that bounds cell width, and no pair crosses cells. The drop set
+    * flows back as a vocabulary-sized left join keyed on the id.
+    * Exact-integer dot products ⇒ bit-stable verdicts across engines
+    * and partitionings.
+    *
+    * Output: (id, cell, kept) — one row per input vector. */
+  def semDedup(index: DataFrame, idCol: String, tau: Double): DataFrame = {
+    val l = index.select(col("cell"), col(idCol).as("a"),
+      col("qvec").as("a_q"), col("nsq").as("a_n"))
+    val r = index.select(col("cell"), col(idCol).as("b"),
+      col("qvec").as("b_q"), col("nsq").as("b_n"))
+    val dropped = l.join(r, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(cosineQ(dotQ(col("a_q"), col("b_q")),
+        col("a_n"), col("b_n")) >= tau)
+      .select(col("b").as(idCol)).distinct()
+      .withColumn("dropped", lit(true))
+    index.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("dropped").isNull.as("kept"))
+  }
+
   /** IVF search: route each query to its `nProbe` nearest cells
     * (by centroid cosine) and scan only those inverted lists. Recall
     * grows with nProbe; the scan cost is nProbe/nCentroids of brute

@@ -42,6 +42,37 @@ class CorpusSpec extends SparkSpec {
     assert(got == 8.333333)
   }
 
+  test("vocabStats: token/type/hapax counts and ratios per group") {
+    val docs = Seq(
+      (1L, "a", "a b b c"),     // src a: 4 tokens, 3 types, hapax {a, c}
+      (2L, "a", "c d"),         // c now ×2 → hapax {a, d}; 6 tok, 4 types
+      (3L, "b", "x x x"))       // src b: 3 tokens, 1 type, 0 hapax
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.vocabStats(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out("a") == ((6L, 4L, 2L, 0.666667, 0.5)))
+    assert(out("b") == ((3L, 1L, 0L, 0.333333, 0.0)))
+  }
+
+  test("lmPerplexity: add-one bigram NLL in exact micro-nats; short docs drop") {
+    // Unigrams a=3 b=2 c=1 solo=1 → V=4. Bigrams 'a b'×2, 'a c'×1.
+    // P(b|a) = (2+1)/(3+4) = 3/7;  P(c|a) = (1+1)/(3+4) = 2/7.
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Corpus.lmPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L) == ((1L, 0.847298)))   // -round(1e6·ln 3/7)/1e6
+    assert(out(2L) == ((1L, 0.847298)))
+    assert(out(3L) == ((1L, 1.252763)))   // -round(1e6·ln 2/7)/1e6
+    assert(!out.contains(4L))             // no bigrams → no row
+    // Fluent (corpus-frequent) bigrams score strictly lower than the
+    // rare ones — the filtering direction the signal exists for.
+    assert(out(1L)._2 < out(3L)._2)
+  }
+
   test("bpePairCounts: frequency-weighted in-token pairs, deterministic top-K cut") {
     // 'aba' twice → pairs ab,ba ×2; 'ab' once → ab; 'x' forms no pair.
     val docs = Seq((1L, "aba ab x"), (2L, "aba")).toDF("doc_id", "text")

@@ -70,6 +70,39 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("kmeansStats: exact within-cluster sum of squares via the sum identity") {
+    // cell 0: quantized (1e6, 0) and (0, 1e6) — mean (5e5, 5e5), each
+    // member 5e11 away² → WSS = 1e12 quantized = 1.0 float² units.
+    // cell 1: a lone vector → WSS 0.
+    val index = Seq(
+      (10L, 0L, Array(1000000L, 0L)),
+      (11L, 0L, Array(0L, 1000000L)),
+      (12L, 1L, Array(123L, 456L)))
+      .toDF("vec_id", "cell", "qvec")
+    val out = Similarity.kmeansStats(index)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L) == ((2L, 1.0)))
+    assert(out(1L) == ((1L, 0.0)))
+  }
+
+  test("semDedup drops higher-id near-twins within a cell, keeps across cells") {
+    // cell 0: 1≈2 (cos ≈ 0.9999995) → 2 drops; 3 is orthogonal → kept.
+    // cell 1: 4 points the same way as 1 but can't pair across cells.
+    val index = Seq(
+      (1L, Array(1000000L, 0L), 1000000000000L, 0L),
+      (2L, Array(1000000L, 1000L), 1000001000000L, 0L),
+      (3L, Array(0L, 1000000L), 1000000000000L, 0L),
+      (4L, Array(1000000L, 0L), 1000000000000L, 1L))
+      .toDF("vec_id", "qvec", "nsq", "cell")
+    val out = Similarity.semDedup(index, "vec_id", tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+    // tau above every pairwise sim: everything survives.
+    val all = Similarity.semDedup(index, "vec_id", tau = 0.99999999)
+      .collect().map(_.getBoolean(2))
+    assert(all.forall(identity) && all.length == 4)
+  }
+
   test("lshTopK buckets identical vectors together and finds them") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0),
       "vec_id", "embedding", 2, planes = 4, dim = 3)
