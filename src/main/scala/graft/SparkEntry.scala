@@ -1250,6 +1250,23 @@ object SparkEntry {
     // log-probability in micro-nat-exact arithmetic.
     "q103_lm_perplexity" -> ((s, dir) => {
       Corpus.lmPerplexity(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // CCNet-style perplexity curriculum: per-source equal-frequency
+    // NLL tertiles (head/middle/tail) via the scale-safe exact group
+    // rank — no single-partition window.
+    "q104_curriculum" -> ((s, dir) => {
+      Training.perplexityCurriculum(t(s, dir, "documents"),
+        "doc_id", "text", "source", nBuckets = 3)
+    }),
+
+    // Hard-negative mining: for 10 anchor vectors, top-8 neighbors in
+    // the informative band 0.1 ≤ sim < 0.3 — above random, below the
+    // near-dup zone that poisons contrastive labels.
+    "q105_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 8, lo = 0.1, hi = 0.3)
     })
   )
 
@@ -2671,31 +2688,86 @@ object SparkEntry {
          |FROM asg a LEFT JOIN d ON a.vec_id = d.vec_id""".stripMargin,
 
     "q103_lm_perplexity" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
-        |         t -> len(t) > 0) AS toks
-        |  FROM documents),
-        |occ AS (
-        |  SELECT doc_id, toks[u.i] || ' ' || toks[u.i+1] AS bigram,
-        |         toks[u.i] AS x
-        |  FROM w, UNNEST(generate_series(1, len(toks)-1)) AS u(i)),
-        |uni AS (
-        |  SELECT tok, count(*) AS c_x
-        |  FROM (SELECT unnest(toks) AS tok FROM w) GROUP BY 1),
-        |vsz AS (SELECT count(*) AS v FROM uni),
-        |big AS (SELECT bigram, count(*) AS c_xy FROM occ GROUP BY 1),
-        |lp AS (
-        |  SELECT occ.doc_id,
-        |    CAST(round(1e6 * ln(CAST(big.c_xy + 1 AS DOUBLE)
-        |      / CAST(uni.c_x + vsz.v AS DOUBLE))) AS BIGINT) AS lp
-        |  FROM occ
-        |  JOIN big USING (bigram)
-        |  JOIN uni ON occ.x = uni.tok, vsz)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(-sum(lp) AS DOUBLE) / 1e6
-        |    / CAST(count(*) AS DOUBLE), 6) AS nll
-        |FROM lp GROUP BY 1""".stripMargin
+      s"""WITH $lmNllCtes
+         |SELECT doc_id, n_bigrams, nll FROM nlltab""".stripMargin,
+
+    "q104_curriculum" ->
+      s"""WITH $lmNllCtes,
+         |s AS (
+         |  SELECT n.doc_id, d.source, n.nll
+         |  FROM nlltab n JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, source, nll,
+         |    row_number() OVER (PARTITION BY source ORDER BY nll, doc_id)
+         |      AS rk,
+         |    count(*) OVER (PARTITION BY source) AS cnt
+         |  FROM s)
+         |SELECT source, doc_id, nll, rk AS rank,
+         |  CAST(((rk - 1) * 3) // cnt AS INTEGER) AS bucket
+         |FROM r""".stripMargin,
+
+    "q105_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |         list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id,
+        |         list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS cv
+        |  FROM embeddings),
+        |n1 AS (SELECT query_id, qv,
+        |         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*qv[i])) AS BIGINT) AS qn
+        |       FROM q),
+        |n2 AS (SELECT neighbor_id, cv,
+        |         CAST(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]*cv[i])) AS BIGINT) AS cn
+        |       FROM c),
+        |sc AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*cv[i])) AS BIGINT) AS dot,
+        |         qn, cn
+        |  FROM n1, n2 WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim
+        |  FROM sc),
+        |k AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM r WHERE sim >= 0.1 AND sim < 0.3)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
+        |FROM k WHERE rank <= 8""".stripMargin
   )
+
+  /** Shared bigram-LM CTE chain (mirrors [[Corpus.lmPerplexity]]):
+    * documents → add-one-smoothed per-doc NLL in integer micro-nats.
+    * Ends with nlltab(doc_id, n_bigrams, nll); parallel unnests zip
+    * positionally in DuckDB, giving the bigram stream. */
+  private lazy val lmNllCtes: String =
+    """w AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |         t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, toks[u.i] || ' ' || toks[u.i+1] AS bigram,
+      |         toks[u.i] AS x
+      |  FROM w, UNNEST(generate_series(1, len(toks)-1)) AS u(i)),
+      |uni AS (
+      |  SELECT tok, count(*) AS c_x
+      |  FROM (SELECT unnest(toks) AS tok FROM w) GROUP BY 1),
+      |vsz AS (SELECT count(*) AS v FROM uni),
+      |big AS (SELECT bigram, count(*) AS c_xy FROM occ GROUP BY 1),
+      |lp AS (
+      |  SELECT occ.doc_id,
+      |    CAST(round(1e6 * ln(CAST(big.c_xy + 1 AS DOUBLE)
+      |      / CAST(uni.c_x + vsz.v AS DOUBLE))) AS BIGINT) AS lp
+      |  FROM occ
+      |  JOIN big USING (bigram)
+      |  JOIN uni ON occ.x = uni.tok, vsz),
+      |nlltab AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    round(CAST(-sum(lp) AS DOUBLE) / 1e6
+      |      / CAST(count(*) AS DOUBLE), 6) AS nll
+      |  FROM lp GROUP BY 1)""".stripMargin
 
   // --------------------------------------------------- generated oracle SQL
 

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ordering at scale.
+  *
+  * `row_number() OVER (PARTITION BY g ORDER BY …)` moves every row of
+  * a group into ONE task — fine when groups are bounded by
+  * construction (IVF cells, per-doc windows, per-shard permutations,
+  * as used across this library), fatal when a group is "all of one
+  * crawl source": a 30 TB window partition lands on a single executor.
+  * The operators here compute the SAME exact ranks from a range
+  * repartition plus a per-(partition, group) offset table — every
+  * window partition is bounded by the range-partition width, and the
+  * only small state is (partitions × groups) row counts: metadata,
+  * the same class of bookkeeping AQE itself collects per shuffle.
+  */
+object Ranking {
+
+  /** Exact 1-based rank of every row within its `groupCol` group,
+    * ordered lexicographically by `orderCols`. Append a per-group
+    * unique tiebreaker as the last order column — the rank is then a
+    * total order and the result is deterministic under any
+    * partitioning.
+    *
+    * How: range-repartition by (group, order…) — partition i's keys
+    * precede partition i+1's, so a group spans a CONTIGUOUS run of
+    * partitions — then stamp each row with its partition id and
+    * lineage-truncate ([[Dedup.truncate]]), which freezes (data, pid)
+    * together. The pid must be data, not recomputed: a later
+    * `spark_partition_id()` or `TaskContext` read evaluates in
+    * whatever stage the plan fuses it into (a downstream
+    * `coalesce(1)` would collapse every row to pid 0), and the two
+    * consumers below must agree on it. A per-group running sum over
+    * the (pid, group) census gives each (pid, group) its global
+    * offset; rank = offset + row_number within the (pid, group)
+    * window. That window is bounded by the range-partition width —
+    * no group ever concentrates on one task, which is the point.
+    *
+    * Cost: the one wide exchange any global sort pays, plus a narrow
+    * (pid, group)-keyed window shuffle and a broadcast of the
+    * metadata-sized offset table.
+    *
+    * `numPartitions` defaults to the session shuffle parallelism.
+    * Output: the input columns (group first) + `rank` (long). */
+  def groupRank(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keys = col(groupCol) +: orderCols.map(col)
+    val parted = Dedup.truncate(
+      df.repartitionByRange(n, keys: _*)
+        .withColumn("__pid", spark_partition_id()))
+    // Offset census: rows per (pid, group), then the running sum of
+    // earlier pids' counts within each group. Metadata-sized
+    // (partitions × groups), so the window here is trivial and the
+    // join back broadcasts.
+    val census = parted.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__c"))
+    val offW = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = census.select(col("__pid"), col(groupCol),
+      coalesce(sum(col("__c")).over(offW), lit(0L)).as("__off"))
+    val rnW = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(orderCols.map(col): _*)
+    parted.join(broadcast(offsets), Seq("__pid", groupCol))
+      .withColumn("rank", col("__off") + row_number().over(rnW))
+      .drop("__pid", "__off")
+  }
+
+  /** Equal-frequency bucket per row within its group, from the exact
+    * [[groupRank]]: bucket = (rank−1)·nBuckets div groupCount, an
+    * integer in [0, nBuckets). Ranks and counts are exact Longs; the
+    * bucket edge is integer division — no floating point anywhere, so
+    * the cut is bit-identical in any engine.
+    *
+    * Output: the input columns (group first) + `rank` + `bucket`. */
+  def groupBuckets(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val ranked = groupRank(df, groupCol, orderCols)
+    val cnt = ranked.groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
+    ranked.join(broadcast(cnt), Seq(groupCol))
+      .withColumn("bucket",
+        expr(s"CAST(((rank - 1) * $nBuckets) div cnt AS INT)"))
+      .drop("cnt")
+  }
+}

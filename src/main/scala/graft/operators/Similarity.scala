@@ -339,7 +339,8 @@ object Similarity {
   }
 
   private def score(q: DataFrame, c: DataFrame, k: Int,
-      joinKeys: Seq[String] = Nil): DataFrame = {
+      joinKeys: Seq[String] = Nil,
+      band: Option[(Double, Double)] = None): DataFrame = {
     val joined =
       if (joinKeys.isEmpty) broadcast(q).crossJoin(c)
       else c.join(broadcast(q), joinKeys)
@@ -347,11 +348,44 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", dotQ(col("qvec"), col("c_qvec")))
       .withColumn("sim", cosineQ(col("dot"), col("nsq"), col("c_nsq")))
+    val banded = band.fold(scored) { case (lo, hi) =>
+      scored.filter(col("sim") >= lo && col("sim") < hi)
+    }
     val win = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored
+    banded
       .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Hard-negative mining for contrastive training: for each query,
+    * the top-`k` corpus rows whose cosine similarity lies in
+    * [`lo`, `hi`) — close enough to be informative negatives, below
+    * the near-duplicate band that would poison the label (InfoNCE
+    * training collapses when "negatives" are actually positives).
+    *
+    * Scale: the same broadcast-queries map-side cross product as
+    * [[bruteForceTopK]] — the corpus never shuffles, and the band
+    * filter runs BEFORE the per-query top-k window, so near-dups and
+    * easy negatives never reach it. Swap the corpus side for an
+    * [[ivfIndex]] probe set when even the scan is too much.
+    *
+    * Output: (query_id, rank, neighbor_id, sim ∈ [lo, hi)). */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(lo < hi, "band must be non-empty (lo < hi)")
+    val c = prepare(corpus, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+      .withColumnRenamed("qvec", "c_qvec").withColumnRenamed("nsq", "c_nsq")
+    val q = prepare(queries, idCol, vecCol)
+      .withColumnRenamed(idCol, "query_id")
+    score(q, c, k, band = Some((lo, hi)))
   }
 }

@@ -293,6 +293,31 @@ object Training {
       .select(col(idCol), col(sourceCol), col("rate_percent"))
   }
 
+  /** CCNet-style perplexity curriculum (Wenzek et al. 2020): rank each
+    * source's documents by the corpus-trained bigram-LM NLL
+    * ([[Corpus.lmPerplexity]]) and cut into `nBuckets` equal-frequency
+    * bands — bucket 0 is the most fluent "head", the last the noisy
+    * "tail" a pipeline samples differently or drops outright.
+    *
+    * The per-source ranking goes through the scale-safe
+    * [[Ranking.groupBuckets]]: a plain `row_number() OVER (PARTITION
+    * BY source …)` would land all of one crawl source in a single
+    * task, which at 100 TB is the job. Docs with no bigrams (fewer
+    * than two tokens) carry no NLL and drop, as in the scorer.
+    *
+    * Output: (source, id, nll, rank within source, bucket). */
+  def perplexityCurriculum(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    val scored = Corpus.lmPerplexity(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .select(col(idCol), col(sourceCol), col("nll"))
+    Ranking.groupBuckets(scored, sourceCol, Seq("nll", idCol), nBuckets)
+  }
+
   /** One-call benchmark decontamination: drop training docs whose
     * `shingleSize`-gram containment in the eval corpus exceeds
     * `maxContainment`; everything else survives — including docs too

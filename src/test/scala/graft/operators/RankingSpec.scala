@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupRank matches window row_number exactly when groups span partitions") {
+    // 7 groups × ~71 rows over 13 range partitions — every group
+    // crosses several partition boundaries.
+    val df = (1L to 500L).map(i => (s"src${i % 7}", i * 37 % 101, i))
+      .toDF("source", "score", "id")
+    val got = Ranking.groupRank(df, "source", Seq("score", "id"),
+        numPartitions = 13)
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val w = Window.partitionBy(col("source")).orderBy(col("score"), col("id"))
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got == want)
+  }
+
+  test("groupRank survives a downstream coalesce(1) — pid is data, not task id") {
+    // Verify's sink coalesces every result to one task; a rank built
+    // on TaskContext partition ids collapses to pid 0 there and
+    // either crashes or mis-ranks. The pid column is frozen at
+    // checkpoint time, so stage fusion downstream must not matter.
+    val df = (1L to 200L).map(i => (s"g${i % 3}", i * 13 % 47, i))
+      .toDF("source", "score", "id")
+    val got = Ranking.groupRank(df, "source", Seq("score", "id"),
+        numPartitions = 7)
+      .coalesce(1)
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val w = Window.partitionBy(col("source")).orderBy(col("score"), col("id"))
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got == want)
+  }
+
+  test("groupBuckets: integer-exact equal-frequency bands, uneven groups") {
+    val df = ((1L to 4L).map(i => ("a", i, i)) ++
+      (1L to 90L).map(i => ("b", i, 100L + i))).toDF("source", "score", "id")
+    val out = Ranking.groupBuckets(df, "source", Seq("score", "id"), 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getInt(4)))
+    // size-4 group: (rank-1)*3 div 4 → 0,0,1,2.
+    assert(out.filter(_._1 == "a").sortBy(_._2).map(_._3).toSeq ==
+      Seq(0, 0, 1, 2))
+    // size-90 group: exact thirds.
+    val b = out.filter(_._1 == "b")
+    assert(b.groupBy(_._3).view.mapValues(_.length).toMap ==
+      Map(0 -> 30, 1 -> 30, 2 -> 30))
+    assert(b.filter(_._3 == 0).map(_._2).max == 30L)
+  }
+}

@@ -103,6 +103,15 @@ class SimilaritySpec extends SparkSpec {
     assert(all.forall(identity) && all.length == 4)
   }
 
+  test("hardNegatives keeps only the band — near-dups and easy negatives drop") {
+    // Pairwise sims: (0,1)≈0.994, (1,2)≈0.110, everything else ≤ 0.
+    // Band [0.05, 0.5) admits only the 1↔2 pair.
+    val out = Similarity.hardNegatives(vecs, vecs, "vec_id", "embedding",
+        k = 8, lo = 0.05, hi = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet == Set((1L, 1, 2L), (2L, 1, 1L)))
+  }
+
   test("lshTopK buckets identical vectors together and finds them") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0),
       "vec_id", "embedding", 2, planes = 4, dim = 3)

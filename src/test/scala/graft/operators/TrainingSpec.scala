@@ -221,6 +221,30 @@ class TrainingSpec extends SparkSpec {
     }
   }
 
+  test("perplexityCurriculum buckets follow NLL order within each source") {
+    val docs = Seq(
+      (1L, "a b a b a b", "s1"), (2L, "a b x q", "s1"), (3L, "z z z", "s1"),
+      (4L, "a b", "s2"), (5L, "w w", "s2"), (6L, "solo", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Training.perplexityCurriculum(docs, "doc_id", "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getInt(4)))
+    // Doc 6 has no bigram → no row; everything else ranked.
+    assert(out.map(_._2).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // Within a source, bucket is non-decreasing in rank and rank
+    // follows ascending nll.
+    for ((_, grp) <- out.groupBy(_._1)) {
+      val byRank = grp.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to grp.length).toSeq)
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sortBy(identity).toSeq)
+      assert(byRank.map(_._5).toSeq == byRank.map(_._5).sorted.toSeq)
+    }
+    // size-3 source cuts into exact tertiles; size-2 into 0,1.
+    assert(out.filter(_._1 == "s1").map(_._5).sorted.toSeq == Seq(0, 1, 2))
+    assert(out.filter(_._1 == "s2").map(_._5).sorted.toSeq == Seq(0, 1))
+  }
+
   test("decontaminate drops only over-threshold docs; short docs survive") {
     val train = Seq(
       (1L, "the quick brown fox jumps"),   // 2/3 shingles contaminated
