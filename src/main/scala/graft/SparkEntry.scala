@@ -1267,6 +1267,35 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 8, lo = 0.1, hi = 0.3)
+    }),
+
+    // BM25 retrieval: every 100th doc's first 4 tokens play the query
+    // set; top-10 docs per query by the micro-nat-exact score.
+    "q106_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 4), " ")
+            .as("qtext"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      Retrieval.bm25Scores(docs, "doc_id", "text", qs, "qid", "qtext")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("n_terms"), col("score"))
+    }),
+
+    // Exact per-source quantiles of document length (tokens) by
+    // distributed selection — no per-source sort on one task, no
+    // sketch approximation.
+    "q107_group_quantiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Ranking.groupQuantiles(
+        docs.select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("doc_id")),
+        "source", "n_tokens", "doc_id", Seq(0.5, 0.9, 0.99))
     })
   )
 
@@ -2735,7 +2764,64 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM r WHERE sim >= 0.1 AND sim < 0.3)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
-        |FROM k WHERE rank <= 8""".stripMargin
+        |FROM k WHERE rank <= 8""".stripMargin,
+
+    // Constants appear as the same runtime IEEE ops the engine runs:
+    // (1.2 + 1), (1 - 0.75) — never pre-folded decimals.
+    "q106_bm25" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM w),
+        |tot AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS tot_len
+        |        FROM lens),
+        |tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(toks) AS tok FROM w) GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT DISTINCT doc_id AS query_id,
+        |         unnest(list_slice(toks, 1, 4)) AS term
+        |       FROM w WHERE doc_id % 100 = 0),
+        |idf AS (
+        |  SELECT qt.query_id, qt.term, tot.n_docs, tot.tot_len,
+        |    CAST(round(1e6 * ln(1 + (CAST(tot.n_docs - dfs.df AS DOUBLE) + 0.5)
+        |      / (CAST(dfs.df AS DOUBLE) + 0.5))) AS BIGINT) AS idf_micro
+        |  FROM dfs JOIN qt USING (term), tot),
+        |sc AS (
+        |  SELECT idf.query_id, tf.doc_id,
+        |    CAST(round(CAST(idf_micro AS DOUBLE) *
+        |      (CAST(tf.tf AS DOUBLE) * (1.2 + 1)
+        |       / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1 - 0.75)
+        |          + 0.75 * CAST(lens.len AS DOUBLE) * CAST(idf.n_docs AS DOUBLE)
+        |            / CAST(idf.tot_len AS DOUBLE))))) AS BIGINT) AS s_micro
+        |  FROM tf JOIN idf USING (term) JOIN lens ON tf.doc_id = lens.doc_id),
+        |agg AS (
+        |  SELECT query_id, doc_id, count(*) AS n_terms,
+        |    round(CAST(sum(s_micro) AS DOUBLE) / 1e6, 6) AS score
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, n_terms, score
+        |FROM (SELECT query_id, doc_id, n_terms, score,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score DESC, doc_id) AS rank
+        |      FROM agg)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q107_group_quantiles" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+        |    doc_id
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM s)
+        |SELECT source, q.q AS q, n_tokens
+        |FROM r, (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q) q
+        |WHERE rk = CAST(ceil(q.q * cnt) AS BIGINT)""".stripMargin
   )
 
   /** Shared bigram-LM CTE chain (mirrors [[Corpus.lmPerplexity]]):

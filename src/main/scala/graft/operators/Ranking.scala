@@ -74,6 +74,41 @@ object Ranking {
       .drop("__pid", "__off")
   }
 
+  /** Exact per-group quantiles by distributed selection: for each
+    * probability q, the group's value at rank ⌈q·n⌉ — the lower /
+    * type-1 quantile, always an actual data value, so no floating
+    * interpolation enters the result. (The ⌈q·n⌉ target itself is one
+    * IEEE multiply+ceil over exact integers — identical in any
+    * engine.) `tieCol` must be per-group unique so ranks are total.
+    *
+    * Exact quantiles are normally the painful one at scale (a
+    * per-group sort on one task, or sampled sketches with error
+    * bars); here [[groupRank]] does the heavy lifting and the
+    * (groups × qs) target-rank table broadcasts onto the ranked data
+    * — selection is a map-side filter, no second sort, no
+    * approximation. Output: (group, q, value). */
+  def groupQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "qs must be in (0, 1]")
+    val ranked = groupRank(
+      df.select(col(groupCol), col(valueCol), col(tieCol)),
+      groupCol, Seq(valueCol, tieCol))
+    val targets = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(groupCol), explode(array(qs.map(lit): _*)).as("q"),
+        col("cnt"))
+      .select(col(groupCol), col("q"),
+        ceil(col("q") * col("cnt")).cast("long").as("__target"))
+    ranked.join(broadcast(targets), Seq(groupCol))
+      .filter(col("rank") === col("__target"))
+      .select(col(groupCol), col("q"), col(valueCol))
+  }
+
   /** Equal-frequency bucket per row within its group, from the exact
     * [[groupRank]]: bucket = (rank−1)·nBuckets div groupCount, an
     * integer in [0, nBuckets). Ranks and counts are exact Longs; the

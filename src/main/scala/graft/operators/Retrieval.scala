@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance scoring — the retrieval side of a training-data
+  * pipeline (mining in-domain documents for a target task, building
+  * eval pools, source triage by query).
+  */
+object Retrieval {
+
+  /** BM25 scores (Robertson/Spärck Jones; the Lucene `+1` idf variant,
+    * which is non-negative) of every document against every query it
+    * shares a term with:
+    *
+    *   idf(t)     = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *   score(d,q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avg))
+    *
+    * Cross-engine determinism: idf is quantized ONCE per term to
+    * integer micro-nats (the [[Training.dsirWeights]] idiom), the
+    * length norm is a fixed chain of IEEE ops over exact integers
+    * (len·N_docs/totLen — never a pre-divided average), each (doc,
+    * term) contribution is quantized to a Long, and the per-(query,
+    * doc) total is an exact integer sum — independent of partitioning
+    * and summation order, one final divide for display.
+    *
+    * Scale: tf and df are the exact-dedup hash-agg shapes; the query
+    * term table is tiny (queries × terms) and broadcasts onto the
+    * posting join, so the corpus only shuffles on the term key once.
+    * The output is the scored JOIN (one row per query × matching doc)
+    * — a stopword-heavy query matches everything, so production
+    * callers cap with a top-k (see the gate query) or pre-drop
+    * low-idf terms; this operator does not silently do either.
+    *
+    * Output: (query_id, id, n_terms matched, score ≥ 0, 6-dp). */
+  def bm25Scores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0,1]")
+    val toks = TextFunctions.tokens(col(textCol))
+    val perDoc = docs.select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val lens = docs.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("len"))
+    val totals = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("tot_len"))
+    val dfs = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+        explode(TextFunctions.tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    val idf = dfs.join(broadcast(qTerms), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .select(col("term"), col("query_id"), col("n_docs"), col("tot_len"),
+        round(lit(1e6) * log(lit(1.0) +
+          ((col("n_docs") - col("df")).cast("double") + 0.5)
+            / (col("df").cast("double") + 0.5)))
+          .cast("long").as("idf_micro"))
+    // Constants enter as the SAME IEEE ops the SQL oracle runs
+    // ((k1 + 1), (1 − b) as runtime double adds, not Scala-folded
+    // literals) so both engines produce bit-identical intermediates.
+    perDoc
+      .join(idf, Seq("term"))
+      .join(lens, Seq(idCol))
+      .select(col("query_id"), col(idCol),
+        round(col("idf_micro").cast("double") *
+          (col("tf").cast("double") * (lit(k1) + lit(1.0))
+            / (col("tf").cast("double") + lit(k1) *
+              ((lit(1.0) - lit(b)) + lit(b) * col("len").cast("double")
+                * col("n_docs").cast("double")
+                / col("tot_len").cast("double")))))
+          .cast("long").as("s_micro"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_micro")).as("s_sum"))
+      .select(col("query_id"), col(idCol), col("n_terms"),
+        round(col("s_sum").cast("double") / 1e6, 6).as("score"))
+  }
+}

@@ -42,6 +42,22 @@ class RankingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("groupQuantiles picks the exact ⌈q·n⌉-th value per group") {
+    // Group a: values 1..100 → p50=50, p90=90, p99=99 (ceil semantics).
+    // Group b: values 10,20,30 → p50=ceil(1.5)=2nd=20, p90=ceil(2.7)=3rd=30,
+    // p99=ceil(2.97)=3rd=30.
+    val df = ((1L to 100L).map(i => ("a", i, i)) ++
+      Seq(("b", 10L, 201L), ("b", 20L, 202L), ("b", 30L, 203L)))
+      .toDF("source", "v", "id")
+    val out = Ranking.groupQuantiles(df, "source", "v", "id",
+        Seq(0.5, 0.9, 0.99))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      ("a", 0.5) -> 50L, ("a", 0.9) -> 90L, ("a", 0.99) -> 99L,
+      ("b", 0.5) -> 20L, ("b", 0.9) -> 30L, ("b", 0.99) -> 30L))
+  }
+
   test("groupBuckets: integer-exact equal-frequency bands, uneven groups") {
     val df = ((1L to 4L).map(i => ("a", i, i)) ++
       (1L to 90L).map(i => ("b", i, 100L + i))).toDF("source", "score", "id")

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25Scores: hand-checked idf/tf/length-norm, micro-nat exact") {
+    // N=3, tot_len=7. df: cat=2, sat=1, ran=2, dog=1, fast=1.
+    // Query "cat fast": idf_micro(cat)=round(1e6·ln 1.6)=470004,
+    // idf_micro(fast)=round(1e6·ln 8/3)=980829. Docs 1,2 match 'cat'
+    // (tf=1, len=2), doc 3 matches 'fast' (tf=1, len=3) — the longer
+    // doc still wins on the rarer term.
+    val docs = Seq((1L, "cat sat"), (2L, "cat ran"), (3L, "dog ran fast"))
+      .toDF("doc_id", "text")
+    val qs = Seq((0L, "cat fast")).toDF("qid", "qtext")
+    val out = Retrieval.bm25Scores(docs, "doc_id", "text", qs, "qid", "qtext")
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      1L -> ((1L, 0.499177)), 2L -> ((1L, 0.499177)),
+      3L -> ((1L, 0.878184))))
+  }
+
+  test("bm25Scores: repeated query terms count once; no-overlap docs absent") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val qs = Seq((0L, "alpha alpha alpha")).toDF("qid", "qtext")
+    val out = Retrieval.bm25Scores(docs, "doc_id", "text", qs, "qid", "qtext")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // Only doc 1 matches, with n_terms 1 despite the tripled query term.
+    assert(out.toSeq == Seq((1L, 1L)))
+  }
+}
