@@ -1296,6 +1296,24 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
           col("doc_id")),
         "source", "n_tokens", "doc_id", Seq(0.5, 0.9, 0.99))
+    }),
+
+    // Chunk→doc mean-pooling: runs of 10 consecutive vectors play a
+    // document's chunks; exact-integer per-dimension means.
+    "q108_mean_pool" -> ((s, dir) => {
+      Similarity.meanPool(
+        t(s, dir, "embeddings").withColumn("parent_id", expr("vec_id div 10")),
+        "parent_id", "embedding")
+    }),
+
+    // Per-source Efraimidis–Spirakis weighted sample: 20 docs per
+    // source, weight = token count — content-keyed, no RNG.
+    "q109_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.weightedSample(
+        docs.select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("w")),
+        "source", "doc_id", "w", k = 20)
     })
   )
 
@@ -2821,7 +2839,48 @@ object SparkEntry {
         |  FROM s)
         |SELECT source, q.q AS q, n_tokens
         |FROM r, (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q) q
-        |WHERE rk = CAST(ceil(q.q * cnt) AS BIGINT)""".stripMargin
+        |WHERE rk = CAST(ceil(q.q * cnt) AS BIGINT)""".stripMargin,
+
+    "q108_mean_pool" ->
+      """WITH v AS (
+        |  SELECT vec_id // 10 AS parent_id,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT parent_id, unnest(qv) AS v,
+        |         unnest(generate_series(1, len(qv))) AS dim_idx
+        |  FROM v),
+        |pd AS (
+        |  SELECT parent_id, dim_idx, CAST(sum(v) AS BIGINT) AS s,
+        |         count(*) AS n
+        |  FROM ex GROUP BY 1, 2)
+        |SELECT parent_id, max(n) AS n_chunks,
+        |  list(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+        |         / 1e6
+        |       ORDER BY dim_idx) AS pooled
+        |FROM pd GROUP BY 1""".stripMargin,
+
+    "q109_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0)) AS BIGINT) AS w
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, doc_id,
+        |    CAST(round(1e6 * ln(
+        |        (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) + 1)
+        |        / CAST(1152921504606846976 AS DOUBLE))
+        |      / CAST(w AS DOUBLE)) AS BIGINT) AS key_micro
+        |  FROM s WHERE w > 0),
+        |r AS (
+        |  SELECT source, doc_id, key_micro,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY key_micro DESC, doc_id) AS rank
+        |  FROM k)
+        |SELECT source, doc_id, key_micro, rank FROM r WHERE rank <= 20""".stripMargin
   )
 
   /** Shared bigram-LM CTE chain (mirrors [[Corpus.lmPerplexity]]):

@@ -41,4 +41,36 @@ object Sampling {
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Deterministic weighted sampling without replacement, per group
+    * (Efraimidis–Spirakis A-ES): each row draws the pseudo-uniform
+    * u = (hash60(id)+1)/2^60 ∈ (0, 1] from its CONTENT (no RNG — same
+    * reproducibility stance as everything above) and scores
+    * key = ln(u)/w; the k LARGEST keys win, which samples without
+    * replacement with probability proportional to weight. The key is
+    * quantized once to integer micro-nats (the cross-engine ln
+    * idiom), negated, and ranked ASCENDING through the scale-safe
+    * [[Ranking.groupRank]] — a per-group top-k window would put all
+    * of one source on one task. Rows with weight ≤ 0 are excluded by
+    * construction (they cannot carry sampling mass).
+    *
+    * Output: (group, id, key_micro, rank ≤ k). */
+  def weightedSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (hash60(col(idCol).cast("string")) + 1L).cast("double") /
+      lit(1152921504606846976L).cast("double") // 2^60, exact in double
+    val keyMicro = round(lit(1e6) * log(u)
+      / col(weightCol).cast("double")).cast("long")
+    val keyed = df.filter(col(weightCol) > 0)
+      .select(col(groupCol), col(idCol), (-keyMicro).as("neg_key"))
+    Ranking.groupRank(keyed, groupCol, Seq("neg_key", idCol))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col(idCol), (-col("neg_key")).as("key_micro"),
+        col("rank"))
+  }
 }

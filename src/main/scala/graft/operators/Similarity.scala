@@ -205,6 +205,34 @@ object Similarity {
       .select(col(idCol), col("cell"), col("dropped").isNull.as("kept"))
   }
 
+  /** Mean-pool chunk embeddings into one vector per parent (the
+    * chunk→document rollup after context-window splitting): per
+    * dimension, the exact-integer mean of the quantized components,
+    * re-assembled in dimension order. Sums are exact Longs; the mean
+    * is rounded to an INTEGER micro-unit (scale-0 rounding is plain
+    * half-away-from-zero in both engines) and displayed via one IEEE
+    * divide. A round(x, 6) here would NOT be portable: Spark rounds
+    * the double's exact decimal expansion while DuckDB re-multiplies
+    * by 1e6 in double first, and with thousands of components some
+    * land within an ulp of the half boundary and split the engines.
+    *
+    * Scale: posexplode → (group, dim) hash-agg — narrow rows, map-side
+    * combinable, never a whole-array shuffle — then a per-group
+    * reassembly bounded by the dimension count (64 here), not by the
+    * chunk count. Output: (group, n_chunks, pooled array<double>). */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(quantize(col(vecCol)))
+        .as(Seq("dim_idx", "v")))
+      .groupBy(col(groupCol), col("dim_idx"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n_chunks"),
+        array_sort(collect_list(struct(col("dim_idx"),
+          (round(col("s").cast("double") / col("n").cast("double"))
+            .cast("long").cast("double") / 1e6).as("m")))).as("dims"))
+      .select(col(groupCol), col("n_chunks"),
+        transform(col("dims"), d => d.getField("m")).as("pooled"))
+
   /** IVF search: route each query to its `nProbe` nearest cells
     * (by centroid cosine) and scan only those inverted lists. Recall
     * grows with nProbe; the scan cost is nProbe/nCentroids of brute

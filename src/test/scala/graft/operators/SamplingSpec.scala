@@ -22,6 +22,31 @@ class SamplingSpec extends SparkSpec {
     assert(s1.forall(s3.contains))
   }
 
+  test("weightedSample: k per group, key-ordered, zero weights excluded, stable") {
+    val df = ((1L to 50L).map(i => ("a", i, i % 7 + 1)) ++
+      (51L to 60L).map(i => ("b", i, 1L)) ++
+      Seq(("b", 61L, 0L)))                      // weight 0 → never sampled
+      .toDF("source", "doc_id", "w")
+    val out = Sampling.weightedSample(df, "source", "doc_id", "w", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val byGroup = out.groupBy(_._1)
+    assert(byGroup("a").length == 5 && byGroup("b").length == 5)
+    assert(!out.exists(_._2 == 61L))
+    for ((_, g) <- byGroup) {
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to 5L).toSeq)
+      // rank ascends as the A-ES key descends (ties impossible here —
+      // distinct ids hash apart).
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq)
+    }
+    // Content-keyed: identical on re-evaluation.
+    val again = Sampling.weightedSample(df, "source", "doc_id", "w", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
+  }
+
   test("assignSplit partitions every row into exactly one stable split") {
     val out = Sampling.assignSplit(ids, col("id"), 80, 10)
     val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap

@@ -112,6 +112,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSet == Set((1L, 1, 2L), (2L, 1, 1L)))
   }
 
+  test("meanPool: exact per-dimension means in dimension order") {
+    val chunks = Seq(
+      (0L, Array(1.0f, 0.0f)), (0L, Array(0.0f, 1.0f)),
+      (1L, Array(0.5f, 0.25f)))
+      .toDF("parent_id", "embedding")
+    val out = Similarity.meanPool(chunks, "parent_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2)))
+      .toMap
+    assert(out(0L) == ((2L, Seq(0.5, 0.5))))
+    assert(out(1L) == ((1L, Seq(0.5, 0.25))))
+  }
+
   test("lshTopK buckets identical vectors together and finds them") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0),
       "vec_id", "embedding", 2, planes = 4, dim = 3)
