@@ -234,6 +234,64 @@ object ManifestTable {
     commit(shaped.sortWithinPartitions(clusterCol), baseDir, table, txnId, state)
   }
 
+  /** Morton/z-value of several columns normalized to `bits`-bit
+    * buckets against caller-supplied (min, max) ranges: output bit
+    * b·n+i takes bucket bit b of column i, so the sort order
+    * interleaves all columns' locality. Range-clustering on this key
+    * makes EVERY participating column's per-file min/max tight at
+    * once — the multi-column generalization of single-key clustering,
+    * where sorting by (a, b) leaves b scattered across all files and
+    * a predicate on b alone prunes nothing. Callers supply the ranges
+    * because at scale they are already known (timestamp watermarks,
+    * id ranges); deriving them here would cost an extra pass. Values
+    * outside [min, max] clamp into the edge buckets, so stragglers
+    * degrade locality, never correctness. Bucketing divides in double
+    * — fine for LAYOUT (which file a row lands in), since reads never
+    * trust layout, only the exact per-file stats recorded at commit. */
+  def zorderKey(cols: Seq[(org.apache.spark.sql.Column, Long, Long)],
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "need at least one column")
+    require(bits > 0 && bits * cols.size <= 62,
+      s"bits*cols must fit a positive long, got $bits*${cols.size}")
+    val n = cols.size
+    val width = (1L << bits) - 1
+    val buckets = cols.map { case (c, mn, mx) =>
+      require(mx > mn, s"empty range [$mn, $mx]")
+      val clamped = least(greatest(c.cast("long"), lit(mn)), lit(mx))
+      ((clamped - lit(mn)).cast("double") * width / (mx - mn).toDouble)
+        .cast("long")
+    }
+    (0 until bits).flatMap { b =>
+      buckets.zipWithIndex.map { case (bk, i) =>
+        shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * n + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** [[commit]], with the batch clustered on the [[zorderKey]] of
+    * several columns — cluster-on-write for workloads that filter on
+    * MORE than one column (device + time, source + id). Each file
+    * then covers a small hyper-rectangle of the key space, and
+    * [[read]]'s skipFilter prunes on any participating column. */
+  def commitZordered(
+      batch: DataFrame,
+      baseDir: String,
+      table: String,
+      txnId: String,
+      cols: Seq[(String, Long, Long)],
+      bits: Int = 16,
+      state: Option[String] = None,
+      numFiles: Option[Int] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val z = zorderKey(cols.map { case (c, mn, mx) => (col(c), mn, mx) }, bits)
+    val keyed = batch.withColumn("__graft_z", z)
+    val shaped = numFiles.map(nf => keyed.repartitionByRange(nf, col("__graft_z")))
+      .getOrElse(keyed.repartitionByRange(col("__graft_z")))
+    commit(shaped.sortWithinPartitions("__graft_z").drop("__graft_z"),
+      baseDir, table, txnId, state)
+  }
+
   /** Atomically commit appends to several tables plus full-replace
     * snapshots (state tables) in ONE manifest rename. Re-running a
     * `txnId` that already committed is a no-op returning an empty map

@@ -430,6 +430,53 @@ class ManifestTableSpec extends SparkSpec {
     assert(range.count() == 20L)
   }
 
+  test("commitZordered: predicates on EITHER column prune files") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    // A 64×64 grid shuffled flat. Linear clustering on x would leave y
+    // scattered across every file (a y-predicate prunes nothing);
+    // z-order keeps both coordinates file-local.
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val shuffled = new scala.util.Random(11).shuffle(grid.toList)
+    ManifestTable.commitZordered(
+      shuffled.toDF("x", "y").repartition(8),
+      base, "g", "txn-0",
+      cols = Seq(("x", 0L, 63L), ("y", 0L, 63L)), bits = 6,
+      numFiles = Some(16))
+    val all = ManifestTable.read(spark, base, "g")
+    assert(all.inputFiles.length == 16 && all.count() == 4096L)
+    // Pruning on x alone and on y alone both skip most files.
+    val px = ManifestTable.read(spark, base, "g",
+      skipFilter = Some(col("x") < lit(8L)))
+    val py = ManifestTable.read(spark, base, "g",
+      skipFilter = Some(col("y") < lit(8L)))
+    assert(px.count() == 8 * 64L && py.count() == 8 * 64L)
+    assert(px.inputFiles.length <= 8, s"x-prune kept ${px.inputFiles.length}")
+    assert(py.inputFiles.length <= 8, s"y-prune kept ${py.inputFiles.length}")
+    // A small box touches O(1) files, not O(all).
+    val box = ManifestTable.read(spark, base, "g",
+      skipFilter = Some(col("x") < lit(8L) && col("y") < lit(8L)))
+    assert(box.count() == 64L && box.inputFiles.length <= 2,
+      s"box kept ${box.inputFiles.length}")
+    // The z column itself never leaks into the table.
+    assert(all.columns.toSeq == Seq("x", "y"))
+  }
+
+  test("zorderKey interleaves bits and clamps out-of-range values") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, 0L), (63L, 63L), (1L, 0L), (0L, 1L), (-5L, 999L))
+      .toDF("x", "y")
+    val z = df.select(ManifestTable.zorderKey(
+        Seq((col("x"), 0L, 63L), (col("y"), 0L, 63L)), 6).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z(0) == 0L)                  // (0,0) → 0
+    assert(z(1) == 4095L)               // (63,63) → all 12 bits set
+    assert(z(2) == 1L && z(3) == 2L)    // x is bit 0, y is bit 1
+    // (-5, 999) clamps to (0, 63): y bits land at odd positions
+    // 1,3,5,7,9,11 → 2+8+32+128+512+2048.
+    assert(z(4) == 2730L)
+  }
+
   test("stats survive checkpoint compaction and log truncation") {
     import org.apache.spark.sql.functions._
     val base = tmpBase()
