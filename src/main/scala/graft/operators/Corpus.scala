@@ -155,22 +155,53 @@ object Corpus {
     *
     * Output: (id, n_bigrams, nll in nats ≥ 0, 6-dp). */
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+      : DataFrame =
+    lmScore(docs, lmModel(docs, textCol), idCol, textCol)
+
+  /** A frozen bigram LM: unigram counts, bigram counts, and the 1-row
+    * vocabulary size — the three tables [[lmScore]] joins against.
+    * Train it once on a TRUSTED corpus and score anything (including
+    * a stream, micro-batch by micro-batch) against it; persist the
+    * three frames to reuse across jobs. */
+  final case class LmModel(uni: DataFrame, bigrams: DataFrame,
+    vocab: DataFrame)
+
+  /** Train the add-one-smoothed bigram model of [[lmPerplexity]] on
+    * `docs` — two hash-aggs and a 1-row count, nothing else. */
+  def lmModel(docs: DataFrame, textCol: String): LmModel = {
     val toks = TextFunctions.tokens(col(textCol))
     val uni = docs.select(explode(toks).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c_x"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = docs
+      .select(explode(GraftExpressions.shingleList(toks, 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+    LmModel(uni, big, uni.agg(count(lit(1)).as("v")))
+  }
+
+  /** Score `docs` against a (possibly frozen, separately trained)
+    * [[LmModel]]. Bigrams and first tokens absent from the model
+    * smooth through the same add-one formula with a count of 0 —
+    * LEFT joins, so out-of-vocabulary text scores HIGH (maximally
+    * surprising) instead of silently dropping. Self-scoring
+    * (`lmScore(d, lmModel(d, …), …)`) reduces to the inner-join
+    * semantics because every gram is then present. Works unchanged on
+    * a micro-batch inside foreachBatch — the model side is static. */
+  def lmScore(docs: DataFrame, model: LmModel, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
     val occ = docs.select(col(idCol),
       explode(GraftExpressions.shingleList(toks, 2)).as("bigram"))
-    val big = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
       .withColumn("x", split(col("bigram"), " ").getItem(0))
     occ
-      .join(big, Seq("bigram"))
-      .join(uni.select(col("tok").as("x"), col("c_x")), Seq("x"))
-      .crossJoin(broadcast(vocab))
+      .join(model.bigrams, Seq("bigram"), "left")
+      .join(model.uni.select(col("tok").as("x"), col("c_x")), Seq("x"),
+        "left")
+      .crossJoin(broadcast(model.vocab))
       .select(col(idCol),
-        round(lit(1e6) * log((col("c_xy") + 1L).cast("double")
-          / (col("c_x") + col("v")).cast("double"))).cast("long").as("lp"))
+        round(lit(1e6) * log(
+          (coalesce(col("c_xy"), lit(0L)) + 1L).cast("double")
+            / (coalesce(col("c_x"), lit(0L)) + col("v")).cast("double")))
+          .cast("long").as("lp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_sum"))
       .select(col(idCol), col("n_bigrams"),

@@ -160,4 +160,47 @@ object CorpusStream {
           ()
       }
   }
+
+  /** Land a stream gated by a FROZEN bigram LM — the CCNet deployment
+    * shape: the model is trained once on a trusted corpus
+    * ([[graft.operators.Corpus.lmModel]]) and incoming crawl is scored
+    * against it, so the quality bar cannot drift with traffic (scoring
+    * a stream against itself would). Each micro-batch is scored with
+    * [[graft.operators.Corpus.lmScore]] (stream side explodes, model
+    * side is static; OOV text smooths to maximally-surprising, so junk
+    * scores HIGH and drops); docs with `nll` ≤ `maxNll` commit under
+    * the [[manifestSink]] per-batch txn ids (crash replays are sealed
+    * no-ops). Docs with no bigram carry no LM evidence and drop —
+    * compose [[cleanStream]] upstream to length-gate those instead. */
+  def lmGatedSink(
+      docs: DataFrame,
+      model: graft.operators.Corpus.LmModel,
+      idCol: String,
+      textCol: String,
+      maxNll: Double,
+      baseDir: String,
+      table: String,
+      streamId: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.nonEmpty && !streamId.contains("\n"),
+      s"bad streamId: $streamId")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!batch.isEmpty) {
+            val keep = graft.operators.Corpus
+              .lmScore(batch.toDF(), model, idCol, textCol)
+              .filter(col("nll") <= maxNll)
+              .select(idCol)
+            val survivors = batch.join(keep, Seq(idCol), "left_semi")
+            if (!survivors.isEmpty)
+              graft.sources.ManifestTable.commit(
+                survivors, baseDir, table, txnId = s"$streamId-$batchId")
+          }
+          ()
+      }
+  }
 }

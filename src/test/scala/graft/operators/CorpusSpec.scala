@@ -73,6 +73,23 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L)._2 < out(3L)._2)
   }
 
+  test("lmScore against a frozen model: OOV smooths to maximally surprising") {
+    // Model corpus: unigrams a=3 b=2 c=1 → V=3; bigrams 'a b'×2, 'a c'×1.
+    val model = Corpus.lmModel(
+      Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text"),
+      "text")
+    val out = Corpus.lmScore(
+        Seq((10L, "a b"), (11L, "z q"), (12L, "a z"))
+          .toDF("doc_id", "text"),
+        model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) == 0.693147)  // in-model: (2+1)/(3+3)
+    assert(out(11L) == 1.098612)  // both sides OOV: (0+1)/(0+3)
+    assert(out(12L) == 1.791759)  // seen x, unseen bigram: (0+1)/(3+3)
+    // The OOV docs score strictly worse than the fluent one.
+    assert(out(11L) > out(10L) && out(12L) > out(11L))
+  }
+
   test("bpePairCounts: frequency-weighted in-token pairs, deterministic top-K cut") {
     // 'aba' twice → pairs ab,ba ×2; 'ab' once → ab; 'x' forms no pair.
     val docs = Seq((1L, "aba ab x"), (2L, "aba")).toDF("doc_id", "text")

@@ -168,4 +168,42 @@ class CorpusStreamSpec extends SparkSpec {
       .toDF("doc_id", "ts", "text")
     assert(ManifestTable.commit(replay, base, "corpus", "in1-1") == 0L)
   }
+
+  test("lmGatedSink: frozen-model gate lands fluent docs, drops junk, seals replays") {
+    import graft.operators.Corpus
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val trusted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown dog runs past the lazy fox"))
+      .toDF("doc_id", "text")
+    val model = Corpus.lmModel(trusted, "text")
+    val fluent = "the quick brown fox runs"
+    val junk = "zxq qzx xqz wvu uvw"
+    // Pick the threshold from the model itself: midway between the
+    // two candidates' batch scores, so the test can't drift.
+    val scores = Corpus.lmScore(
+        Seq((0L, fluent), (1L, junk)).toDF("doc_id", "text"),
+        model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(0L) < scores(1L))
+    val maxNll = (scores(0L) + scores(1L)) / 2
+    val base = java.nio.file.Files.createTempDirectory("cs-lm").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cs-lmckpt").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CorpusStream.lmGatedSink(
+      input.toDF().toDF("doc_id", "text"), model, "doc_id", "text",
+      maxNll, base, "corpus", streamId = "lm1", checkpointDir = ckpt)
+      .start()
+    try {
+      input.addData((10L, fluent), (11L, junk))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = ManifestTable.read(spark, base, "corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(landed == Seq(10L))
+    // Crash-replay of batch 0 under its txn id is a sealed no-op.
+    val replay = Seq((10L, fluent)).toDF("doc_id", "text")
+    assert(ManifestTable.commit(replay, base, "corpus", "lm1-0") == 0L)
+  }
 }
