@@ -1314,6 +1314,24 @@ object SparkEntry {
         docs.select(col("source"), col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("w")),
         "source", "doc_id", "w", k = 20)
+    }),
+
+    // End-to-end BPE: train 10 merges on the corpus (10 distributed
+    // count rounds), then re-encode every doc at scan speed with the
+    // native expression. No SQL oracle (the greedy merge loop isn't
+    // SQL-expressible) → rows-only check; BpeSpec carries correctness.
+    "q110_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Corpus.bpeTrain(docs, "text", nMerges = 10)
+      docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          size(functions.GraftExpressions.bpeEncode(col("tok"), merges)).as("np"),
+          length(col("tok")).as("nc"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("np").cast("long")).as("n_pieces"),
+          sum(col("nc").cast("long")).as("n_chars"))
     })
   )
 

@@ -289,6 +289,84 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** `bpe_encode(token)`: apply a trained BPE merge list to ONE token
+    * (word) — the tokenizer-apply half of BPE, running at scan speed
+    * inside codegen with no external tokenizer library. The token
+    * starts as its code points; each loop merges every left-to-right
+    * occurrence of the present pair with the LOWEST merge rank, until
+    * no listed pair remains — the standard greedy BPE apply (Sennrich
+    * et al. 2016). Callers explode whitespace tokens first, so pieces
+    * never cross word boundaries; train the merge list with
+    * [[graft.operators.Corpus.bpeTrain]] (at 100 TB: on a sample —
+    * the merge table is the model, applying it is map-only). */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "bpe_encode"
+
+    @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.size * 2)
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        // First (lowest) rank wins if a pair is listed twice.
+        m.putIfAbsent(a + " " + b, i)
+      }
+      m
+    }
+
+    def compute(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var syms = new java.util.ArrayList[String](s.length)
+      var i = 0
+      while (i < s.length) { // split by code point, surrogate-safe
+        val cp = s.codePointAt(i)
+        val n = Character.charCount(cp)
+        syms.add(s.substring(i, i + n))
+        i += n
+      }
+      var done = syms.size < 2
+      while (!done) {
+        var bestRank = Int.MaxValue
+        var j = 0
+        while (j < syms.size - 1) {
+          val r = rank.get(syms.get(j) + " " + syms.get(j + 1))
+          if (r != null && r < bestRank) bestRank = r
+          j += 1
+        }
+        if (bestRank == Int.MaxValue) done = true
+        else {
+          val (a, b) = merges(bestRank)
+          val merged = new java.util.ArrayList[String](syms.size)
+          var k = 0
+          while (k < syms.size) {
+            if (k < syms.size - 1 && syms.get(k) == a && syms.get(k + 1) == b) {
+              merged.add(a + b); k += 2
+            } else { merged.add(syms.get(k)); k += 1 }
+          }
+          syms = merged
+          done = syms.size < 2
+        }
+      }
+      val out = new Array[Any](syms.size)
+      var o = 0
+      while (o < syms.size) { out(o) = UTF8String.fromString(syms.get(o)); o += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeExpr", this,
+        "graft.functions.GraftExpressions.BpeEncode")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+           |  $ref.compute($c);""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+      copy(child = newChild)
+  }
+
   private val SpaceUtf8 = UTF8String.fromString(" ")
 
   /** `nfc_normalize(s)`: Unicode NFC canonical composition — the
@@ -565,4 +643,7 @@ object GraftExpressions {
 
   def langIdFast(tokens: Column, markers: Seq[(String, Seq[String])]): Column =
     GraftSqlBridge.column(LangId(GraftSqlBridge.expression(tokens), markers))
+
+  def bpeEncode(token: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeEncode(GraftSqlBridge.expression(token), merges))
 }

@@ -87,6 +87,42 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Full BPE tokenizer training (Sennrich et al. 2016): `nMerges`
+    * rounds of "re-encode the corpus with the merges so far, count
+    * adjacent piece pairs within tokens, adopt the most frequent pair"
+    * — [[bpePairCounts]] is round one of exactly this. Ties break
+    * (count desc, pair asc), so the learned list is deterministic.
+    *
+    * Scale: each round is one distributed explode + hash-agg + top-1;
+    * the driver holds only the merge list itself (the MODEL — a few
+    * thousand rows at production vocab sizes, trained on a sample of
+    * a 100 TB corpus exactly as real tokenizers are). Stops early
+    * when no pair repeats. Apply the result at scan speed with
+    * [[graft.functions.GraftExpressions.bpeEncode]]. */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int)
+      : Seq[(String, String)] = {
+    require(nMerges > 0, "nMerges must be positive")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val best = docs
+        .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        .select(GraftExpressions.bpeEncode(col("tok"), merges.toSeq).as("ps"))
+        .filter(size(col("ps")) >= 2)
+        .select(col("ps"),
+          explode(sequence(lit(1), size(col("ps")) - 1)).as("i"))
+        .select(element_at(col("ps"), col("i")).as("a"),
+          element_at(col("ps"), col("i") + 1).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2L)
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else merges += ((best(0).getString(0), best(0).getString(1)))
+    }
+    merges.toSeq
+  }
+
   /** Unigram-rarity quality signal: the fraction of a document's token
     * OCCURRENCES whose corpus document-frequency is below
     * `dfThreshold` — a log-free stand-in for unigram-LM perplexity
