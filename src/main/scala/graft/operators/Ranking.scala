@@ -44,7 +44,7 @@ object Ranking {
     * metadata-sized offset table.
     *
     * `numPartitions` defaults to the session shuffle parallelism.
-    * Output: the input columns (group first) + `rank` (long). */
+    * Output: the input columns + `rank` (long). */
   def groupRank(
       df: DataFrame,
       groupCol: String,
@@ -65,13 +65,17 @@ object Ranking {
       .agg(count(lit(1)).as("__c"))
     val offW = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = census.select(col("__pid"), col(groupCol),
+    val offsets = census.select(col("__pid").as("__opid"),
+      col(groupCol).as("__og"),
       coalesce(sum(col("__c")).over(offW), lit(0L)).as("__off"))
     val rnW = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(orderCols.map(col): _*)
-    parted.join(broadcast(offsets), Seq("__pid", groupCol))
+    // Null-safe group match: a NULL group is a real group (the census
+    // saw it), and a plain equi-join would silently drop its rows.
+    parted.join(broadcast(offsets),
+        col("__pid") === col("__opid") && col(groupCol) <=> col("__og"))
       .withColumn("rank", col("__off") + row_number().over(rnW))
-      .drop("__pid", "__off")
+      .drop("__pid", "__opid", "__og", "__off")
   }
 
   /** Exact per-group quantiles by distributed selection: for each
@@ -100,11 +104,11 @@ object Ranking {
       groupCol, Seq(valueCol, tieCol))
     val targets = ranked.groupBy(col(groupCol))
       .agg(count(lit(1)).as("cnt"))
-      .select(col(groupCol), explode(array(qs.map(lit): _*)).as("q"),
-        col("cnt"))
-      .select(col(groupCol), col("q"),
+      .select(col(groupCol).as("__tg"),
+        explode(array(qs.map(lit): _*)).as("q"), col("cnt"))
+      .select(col("__tg"), col("q"),
         ceil(col("q") * col("cnt")).cast("long").as("__target"))
-    ranked.join(broadcast(targets), Seq(groupCol))
+    ranked.join(broadcast(targets), col(groupCol) <=> col("__tg"))
       .filter(col("rank") === col("__target"))
       .select(col(groupCol), col("q"), col(valueCol))
   }
@@ -115,7 +119,7 @@ object Ranking {
     * bucket edge is integer division — no floating point anywhere, so
     * the cut is bit-identical in any engine.
     *
-    * Output: the input columns (group first) + `rank` + `bucket`. */
+    * Output: the input columns + `rank` + `bucket` (int). */
   def groupBuckets(
       df: DataFrame,
       groupCol: String,
@@ -123,10 +127,12 @@ object Ranking {
       nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     val ranked = groupRank(df, groupCol, orderCols)
-    val cnt = ranked.groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
-    ranked.join(broadcast(cnt), Seq(groupCol))
+    val cnt = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed(groupCol, "__cg")
+    ranked.join(broadcast(cnt), col(groupCol) <=> col("__cg"))
       .withColumn("bucket",
         expr(s"CAST(((rank - 1) * $nBuckets) div cnt AS INT)"))
-      .drop("cnt")
+      .drop("__cg", "cnt")
   }
 }

@@ -305,7 +305,7 @@ object Training {
     * task, which at 100 TB is the job. Docs with no bigrams (fewer
     * than two tokens) carry no NLL and drop, as in the scorer.
     *
-    * Output: (source, id, nll, rank within source, bucket). */
+    * Output: (id, source, nll, rank within source, bucket). */
   def perplexityCurriculum(
       docs: DataFrame,
       idCol: String,

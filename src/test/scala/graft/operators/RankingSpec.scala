@@ -58,6 +58,21 @@ class RankingSpec extends SparkSpec {
       ("b", 0.5) -> 20L, ("b", 0.9) -> 30L, ("b", 0.99) -> 30L))
   }
 
+  test("a NULL group is ranked like any other group, never dropped") {
+    val df = Seq((Some("a"), 1L, 1L), (Some("a"), 2L, 2L),
+      (None, 5L, 3L), (None, 3L, 4L), (None, 4L, 5L))
+      .toDF("source", "score", "id")
+    val ranked = Ranking.groupRank(df, "source", Seq("score", "id"),
+      numPartitions = 3)
+    assert(ranked.count() == 5L)
+    val nulls = ranked.filter(col("source").isNull)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(nulls == Map(3L -> 1L, 4L -> 2L, 5L -> 3L))
+    val q = Ranking.groupQuantiles(df, "source", "score", "id", Seq(1.0))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(q == Map(Some("a") -> 2L, None -> 5L))
+  }
+
   test("groupBuckets: integer-exact equal-frequency bands, uneven groups") {
     val df = ((1L to 4L).map(i => ("a", i, i)) ++
       (1L to 90L).map(i => ("b", i, 100L + i))).toDF("source", "score", "id")

@@ -228,7 +228,7 @@ class TrainingSpec extends SparkSpec {
       .toDF("doc_id", "text", "source")
     val out = Training.perplexityCurriculum(docs, "doc_id", "text", "source")
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      .map(r => (r.getString(1), r.getLong(0), r.getDouble(2),
         r.getLong(3), r.getInt(4)))
     // Doc 6 has no bigram → no row; everything else ranked.
     assert(out.map(_._2).toSet == Set(1L, 2L, 3L, 4L, 5L))
