@@ -174,7 +174,7 @@ object CorpusStream {
     * compose [[cleanStream]] upstream to length-gate those instead. */
   def lmGatedSink(
       docs: DataFrame,
-      model: graft.operators.Corpus.LmModel,
+      model0: graft.operators.Corpus.LmModel,
       idCol: String,
       textCol: String,
       maxNll: Double,
@@ -184,6 +184,13 @@ object CorpusStream {
       checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
     require(streamId.nonEmpty && !streamId.contains("\n"),
       s"bad streamId: $streamId")
+    // Freeze the model ONCE at wiring time: the three frames are plans,
+    // and foreachBatch would otherwise re-run the training aggregates
+    // on every micro-batch (and against whatever the training input
+    // has become — a silently drifting gate).
+    import graft.operators.{Corpus, Dedup}
+    val model = Corpus.LmModel(Dedup.truncate(model0.uni),
+      Dedup.truncate(model0.bigrams), Dedup.truncate(model0.vocab))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

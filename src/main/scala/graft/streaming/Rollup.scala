@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Incrementally-maintained aggregate tables — materialized views
+  * over an unbounded stream, kept exactly-once without reprocessing
+  * history.
+  *
+  * The reference's Daily_Summary is the batch shape of this (recompute
+  * the day's aggregate from the day's rows, SURVEY §2.4 A1); at 100 TB
+  * a "recompute the aggregate" pass stops being an option, so the
+  * maintained table must absorb each micro-batch as a MERGE of
+  * mergeable states: sums and counts combine associatively, every
+  * merge reads only (current snapshot ∪ batch partial), and the
+  * history is never touched again. Averages and rates derive from the
+  * stored (sum, count) pairs at query time — storing them directly
+  * would make the states non-mergeable.
+  */
+object Rollup {
+
+  /** Land a stream into a per-key (sum, count) rollup snapshot in a
+    * [[graft.sources.ManifestTable]]. Each micro-batch: partial-
+    * aggregate the batch (map-side combine does the heavy lifting),
+    * merge with the current snapshot by key, and commit the result as
+    * an atomic SNAPSHOT under the `<streamId>-<batchId>` txn id —
+    * crash-replays are sealed no-ops, so a batch can never
+    * double-merge (the failure mode that silently inflates counters;
+    * the reference's mirror-image bug advances state on failed
+    * writes, pipeline.py:562-568).
+    *
+    * Scale: the merge touches rollup-cardinality rows (keys), not
+    * history; the snapshot write is one keyed hash-agg over
+    * (snapshot ∪ batch-partial). Readers see every version
+    * atomically, and time travel ([[graft.sources.ManifestTable
+    * .read]] asOfVersion) replays the rollup's evolution for free. */
+  def sumCountSink(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      sumCols: Seq[String],
+      baseDir: String,
+      table: String,
+      streamId: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(streamId.nonEmpty && !streamId.contains("\n"),
+      s"bad streamId: $streamId")
+    val sumNames = sumCols.map(c => s"sum_$c")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!batch.isEmpty) {
+            val spark = batch.sparkSession
+            val delta = batch.groupBy(keyCols.map(col): _*)
+              .agg(count(lit(1)).as("n_rows"),
+                sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+            val current = graft.sources.ManifestTable.read(
+              spark, baseDir, table, schema = Some(delta.schema))
+            val merged = current.unionByName(delta)
+              .groupBy(keyCols.map(col): _*)
+              .agg(sum(col("n_rows")).as("n_rows"),
+                sumNames.map(c => sum(col(c)).as(c)): _*)
+            graft.sources.ManifestTable.commitMulti(
+              spark, baseDir, txnId = s"$streamId-$batchId",
+              snapshots = Map(table -> merged))
+          }
+          ()
+      }
+  }
+}
