@@ -1316,6 +1316,19 @@ object SparkEntry {
         "source", "doc_id", "w", k = 20)
     }),
 
+    // Leave-one-out kNN label probe: majority vote over the exact
+    // top-10 neighbors for 100 anchors, rolled into a confusion
+    // matrix — the standard "are these embeddings any good" check.
+    "q111_knn_confusion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnClassify(emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", "label", k = 10)
+        .join(emb.select(col("vec_id").as("query_id"), col("label")),
+          Seq("query_id"))
+        .groupBy(col("label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // End-to-end BPE: train 10 merges on the corpus (10 distributed
     // count rounds), then re-encode every doc at scan speed with the
     // native expression. No SQL oracle (the greedy merge loop isn't
@@ -2898,7 +2911,49 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY key_micro DESC, doc_id) AS rank
         |  FROM k)
-        |SELECT source, doc_id, key_micro, rank FROM r WHERE rank <= 20""".stripMargin
+        |SELECT source, doc_id, key_micro, rank FROM r WHERE rank <= 20""".stripMargin,
+
+    "q111_knn_confusion" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |         list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 100),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id,
+        |         list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS cv
+        |  FROM embeddings),
+        |n1 AS (SELECT query_id, qv,
+        |         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*qv[i])) AS BIGINT) AS qn
+        |       FROM q),
+        |n2 AS (SELECT neighbor_id, cv,
+        |         CAST(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]*cv[i])) AS BIGINT) AS cn
+        |       FROM c),
+        |sc AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*cv[i])) AS BIGINT) AS dot,
+        |         qn, cn
+        |  FROM n1, n2 WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim
+        |  FROM sc),
+        |topk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM r) WHERE rank <= 10),
+        |votes AS (
+        |  SELECT t.query_id, e.label AS nl, count(*) AS v
+        |  FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT query_id, nl AS pred_label FROM (
+        |    SELECT query_id, nl,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY v DESC, nl) AS rn
+        |    FROM votes) WHERE rn = 1)
+        |SELECT e.label, p.pred_label, count(*) AS n
+        |FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+        |GROUP BY 1, 2""".stripMargin
   )
 
   /** Shared bigram-LM CTE chain (mirrors [[Corpus.lmPerplexity]]):

@@ -102,11 +102,15 @@ object Corpus {
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int)
       : Seq[(String, String)] = {
     require(nMerges > 0, "nMerges must be positive")
+    // Every round re-encodes the same token stream; explode + split it
+    // ONCE and truncate lineage so the per-round cost is the encode +
+    // pair count, not a fresh corpus scan and tokenize per merge.
+    val toks = Dedup.truncate(
+      docs.select(explode(TextFunctions.tokens(col(textCol))).as("tok")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
-      val best = docs
-        .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      val best = toks
         .select(GraftExpressions.bpeEncode(col("tok"), merges.toSeq).as("ps"))
         .filter(size(col("ps")) >= 2)
         .select(col("ps"),

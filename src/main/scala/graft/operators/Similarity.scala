@@ -387,6 +387,33 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** kNN classification by majority vote over the exact top-`k`
+    * cosine neighbors (self excluded — leave-one-out when queries ⊆
+    * corpus, the standard embedding-quality probe): the predicted
+    * label is the most frequent among the neighbors, ties broken by
+    * the smaller label id, so the verdict is deterministic. Votes are
+    * exact integer counts over the deterministic [[bruteForceTopK]]
+    * ranking — bit-stable across engines.
+    *
+    * Scale: the top-k is the broadcast-queries scan ([[bruteForceTopK]]
+    * — swap in [[ivfTopK]] probes when the scan is too much); voting
+    * touches queries×k rows. Output: (query_id, pred_label). */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame =
+    bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__v"))
+      .groupBy(col("query_id"))
+      .agg(max_by(col("__nl"),
+        struct(col("__v"), (-col("__nl")).as("__t"))).as("pred_label"))
+
   /** Hard-negative mining for contrastive training: for each query,
     * the top-`k` corpus rows whose cosine similarity lies in
     * [`lo`, `hi`) — close enough to be informative negatives, below

@@ -112,6 +112,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSet == Set((1L, 1, 2L), (2L, 1, 1L)))
   }
 
+  test("knnClassify: majority label of nearest neighbors, min-label tie-break") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.95f, 0.05f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.05f, 0.95f), 1),
+      (5L, Array(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(corpus,
+        corpus.filter(col("vec_id").isin(0L, 3L)),
+        "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(0L -> 0, 3L -> 1))
+    // A 45° query splits its 2 votes 1-1 → the smaller label wins.
+    val tied = Seq((6L, Array(0.7f, 0.7f), 9)).toDF("vec_id", "embedding", "label")
+    val pred = Similarity.knnClassify(
+        corpus.filter(col("vec_id").isin(0L, 3L)), tied,
+        "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pred == Map(6L -> 0))
+  }
+
   test("meanPool: exact per-dimension means in dimension order") {
     val chunks = Seq(
       (0L, Array(1.0f, 0.0f)), (0L, Array(0.0f, 1.0f)),
