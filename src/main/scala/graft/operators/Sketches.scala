@@ -41,16 +41,31 @@ object Sketches {
     * All divisions on the 60-bit hash are INTEGER div — routing them
     * through `/` (double) would round above 2^53 and corrupt buckets.
     */
-  def hllDistinct(df: DataFrame, key: Column, groupCols: Seq[String]): DataFrame = {
+  def hllDistinct(df: DataFrame, key: Column, groupCols: Seq[String]): DataFrame =
+    hllEstimate(hllRegisters(df, key, groupCols), groupCols)
+
+  /** The sketch STATE: per (group, bucket j) the max rank M_j — `m`
+    * small rows per group, mergeable by plain MAX. Registers built
+    * from any split of the data and max-merged equal the registers of
+    * one pass over the whole — the property that makes the sketch a
+    * streaming/MV state ([[graft.streaming.Rollup.hllDistinctSink]])
+    * and lets pre-aggregated register tables union across days,
+    * sources, or clusters without touching raw data. */
+  def hllRegisters(df: DataFrame, key: Column, groupCols: Seq[String])
+      : DataFrame = {
     val h = graft.functions.TextFunctions.hash60(key)
-    val hashed = df.select(groupCols.map(col) :+ h.as("_h"): _*)
-    val registers = hashed
+    df.select(groupCols.map(col) :+ h.as("_h"): _*)
       .withColumn("j", pmod(col("_h"), lit(M.toLong)))
       .withColumn("_w", expr(s"_h div $M"))
       .withColumn("r", when(col("_w") === 0, lit(MaxRank))
         .otherwise(lit(MaxRank) - length(bin(col("_w")))))
       .groupBy(groupCols.map(col) :+ col("j"): _*)
       .agg(max(col("r")).as("mj"))
+  }
+
+  /** Fold a [[hllRegisters]] table into per-group estimates (exact
+    * integer harmonic sum, one final divide). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame =
     registers
       .groupBy(groupCols.map(col): _*)
       .agg(
@@ -62,7 +77,6 @@ object Sketches {
       .withColumn("estimate",
         lit(EstimatorNumerator) / col("harmonic_q55").cast("double"))
       .drop("_hsum")
-  }
 
   /** The oracle twin of [[hllDistinct]], parameterized on the source
     * table and key SQL — kept NEXT to the Spark plan so the two can

@@ -71,4 +71,49 @@ object Rollup {
           ()
       }
   }
+
+  /** Streaming distinct-count materialized view: maintain per-key
+    * HyperLogLog REGISTERS ([[graft.operators.Sketches.hllRegisters]]
+    * — the mergeable state, `m` small rows per key) and max-merge each
+    * micro-batch's registers into the snapshot. Because register
+    * max-merge is associative and idempotent, the maintained table is
+    * BIT-IDENTICAL to recomputing the sketch over all history (spec-
+    * verified), while each merge touches keys×m rows — never the raw
+    * stream again. Read the estimates with
+    * [[graft.operators.Sketches.hllEstimate]] over the snapshot.
+    * Exactly-once as in [[sumCountSink]]: per-batch txn ids seal
+    * replays. */
+  def hllDistinctSink(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      distinctCol: String,
+      baseDir: String,
+      table: String,
+      streamId: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(streamId.nonEmpty && !streamId.contains("\n"),
+      s"bad streamId: $streamId")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!batch.isEmpty) {
+            val spark = batch.sparkSession
+            val delta = graft.operators.Sketches.hllRegisters(
+              batch.toDF(), col(distinctCol).cast("string"), keyCols)
+            val current = graft.sources.ManifestTable.read(
+              spark, baseDir, table, schema = Some(delta.schema))
+            val merged = current.unionByName(delta)
+              .groupBy((keyCols :+ "j").map(col): _*)
+              .agg(max(col("mj")).as("mj"))
+            graft.sources.ManifestTable.commitMulti(
+              spark, baseDir, txnId = s"$streamId-$batchId",
+              snapshots = Map(table -> merged))
+          }
+          ()
+      }
+  }
 }
