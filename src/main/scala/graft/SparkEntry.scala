@@ -1316,6 +1316,18 @@ object SparkEntry {
         "source", "doc_id", "w", k = 20)
     }),
 
+    // Robust per-source length standardization: exact median/MAD via
+    // distributed selection; z in micro-exact units. Outlier docs
+    // can't drag the baseline they're scored against.
+    "q112_robust_z" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Ranking.robustZScores(
+        docs.select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("doc_id")),
+        "source", "n_tokens", "doc_id")
+    }),
+
     // Leave-one-out kNN label probe: majority vote over the exact
     // top-10 neighbors for 100 anchors, rolled into a confusion
     // matrix — the standard "are these embeddings any good" check.
@@ -2912,6 +2924,39 @@ object SparkEntry {
         |      ORDER BY key_micro DESC, doc_id) AS rank
         |  FROM k)
         |SELECT source, doc_id, key_micro, rank FROM r WHERE rank <= 20""".stripMargin,
+
+    "q112_robust_z" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+        |    doc_id
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_tokens, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM s),
+        |med AS (SELECT source, n_tokens AS med FROM r
+        |        WHERE rk = CAST(ceil(0.5 * cnt) AS BIGINT)),
+        |d AS (
+        |  SELECT s.source, s.doc_id, s.n_tokens, med.med,
+        |         abs(s.n_tokens - med.med) AS dev
+        |  FROM s JOIN med USING (source)),
+        |r2 AS (
+        |  SELECT source, dev,
+        |    row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM d),
+        |mad AS (SELECT source, dev AS mad FROM r2
+        |        WHERE rk = CAST(ceil(0.5 * cnt) AS BIGINT))
+        |SELECT d.source, d.doc_id, d.n_tokens, d.med, mad.mad,
+        |  CASE WHEN mad.mad > 0 THEN
+        |    CAST(round(1e6 * CAST(d.n_tokens - d.med AS DOUBLE)
+        |         / CAST(mad.mad AS DOUBLE)) AS BIGINT) / 1e6
+        |  END AS z
+        |FROM d JOIN mad USING (source)""".stripMargin,
 
     "q111_knn_confusion" ->
       """WITH q AS (

@@ -113,6 +113,44 @@ object Ranking {
       .select(col(groupCol), col("q"), col(valueCol))
   }
 
+  /** Robust per-group standardization: z = (x − median) / MAD, with
+    * both the median and the median-absolute-deviation computed as
+    * EXACT [[groupQuantiles]] selections (q = 0.5, ⌈n/2⌉-th value) —
+    * outlier-proof where mean/stddev standardization is dragged by
+    * the very tail docs it exists to flag. The score is quantized
+    * once to integer micro-units and displayed with one exact divide
+    * (the cross-engine rounding idiom); a zero-MAD group (over half
+    * its values identical to the median) yields NULL z rather than a
+    * division by zero.
+    *
+    * Scale: two groupRank passes (each the one wide exchange a sort
+    * pays) plus broadcast med/MAD attaches. Output: (group, id,
+    * value, med, mad, z). */
+  def robustZScores(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String): DataFrame = {
+    val base = df.select(col(groupCol), col(valueCol), col(tieCol))
+    val med = groupQuantiles(base, groupCol, valueCol, tieCol, Seq(0.5))
+      .select(col(groupCol).as("__mg"), col(valueCol).as("med"))
+    val withMed = base.join(broadcast(med), col(groupCol) <=> col("__mg"))
+      .drop("__mg")
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = groupQuantiles(
+        withMed.select(col(groupCol), col("__dev"), col(tieCol)),
+        groupCol, "__dev", tieCol, Seq(0.5))
+      .select(col(groupCol).as("__dg"), col("__dev").as("mad"))
+    withMed.join(broadcast(mad), col(groupCol) <=> col("__dg"))
+      .drop("__dg", "__dev")
+      .withColumn("z",
+        when(col("mad") > 0,
+          round(lit(1e6) * (col(valueCol) - col("med")).cast("double")
+            / col("mad").cast("double")).cast("long").cast("double") / 1e6))
+      .select(col(groupCol), col(tieCol), col(valueCol), col("med"),
+        col("mad"), col("z"))
+  }
+
   /** Equal-frequency bucket per row within its group, from the exact
     * [[groupRank]]: bucket = (rank−1)·nBuckets div groupCount, an
     * integer in [0, nBuckets). Ranks and counts are exact Longs; the

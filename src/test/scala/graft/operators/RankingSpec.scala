@@ -73,6 +73,24 @@ class RankingSpec extends SparkSpec {
     assert(q == Map(Some("a") -> 2L, None -> 5L))
   }
 
+  test("robustZScores: exact median/MAD, outlier-proof, zero-MAD yields null") {
+    // Group a: values 1..5 plus outlier 1000 → med = value at ⌈3⌉rd = 3,
+    // devs {2,1,0,1,2,997} → mad = ⌈3⌉rd of sorted devs {0,1,1,2,2,997} = 1.
+    // Group b: all equal → mad 0 → z null.
+    val df = (Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),
+      ("a", 1000L)) ++ Seq(("b", 7L), ("b", 7L), ("b", 7L)))
+      .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      .toDF("source", "v", "id")
+    val out = Ranking.robustZScores(df, "source", "v", "id")
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(out(("a", 3L)) == ((3L, 1L, Some(0.0))))
+    assert(out(("a", 1000L)) == ((3L, 1L, Some(997.0))))
+    assert(out(("a", 1L)) == ((3L, 1L, Some(-2.0))))
+    assert(out(("b", 7L)) == ((7L, 0L, None)))
+  }
+
   test("groupBuckets: integer-exact equal-frequency bands, uneven groups") {
     val df = ((1L to 4L).map(i => ("a", i, i)) ++
       (1L to 90L).map(i => ("b", i, 100L + i))).toDF("source", "score", "id")
