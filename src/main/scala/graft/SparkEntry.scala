@@ -1316,6 +1316,17 @@ object SparkEntry {
         "source", "doc_id", "w", k = 20)
     }),
 
+    // Per-source winsorized length: clip token counts into the exact
+    // [p05, p95] band before any averaging — heavy-tail taming.
+    "q113_winsorize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Ranking.winsorize(
+        docs.select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("doc_id")),
+        "source", "n_tokens", "doc_id", loQ = 0.05, hiQ = 0.95)
+    }),
+
     // Robust per-source length standardization: exact median/MAD via
     // distributed selection; z in micro-exact units. Outlier docs
     // can't drag the baseline they're scored against.
@@ -2924,6 +2935,30 @@ object SparkEntry {
         |      ORDER BY key_micro DESC, doc_id) AS rank
         |  FROM k)
         |SELECT source, doc_id, key_micro, rank FROM r WHERE rank <= 20""".stripMargin,
+
+    "q113_winsorize" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+        |    doc_id
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM s),
+        |b AS (
+        |  SELECT source,
+        |    min(CASE WHEN rk = CAST(ceil(0.05 * cnt) AS BIGINT)
+        |             THEN n_tokens END) AS lo,
+        |    min(CASE WHEN rk = CAST(ceil(0.95 * cnt) AS BIGINT)
+        |             THEN n_tokens END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT s.source, s.n_tokens, s.doc_id, b.lo, b.hi,
+        |  greatest(least(s.n_tokens, b.hi), b.lo) AS clipped
+        |FROM s JOIN b USING (source)""".stripMargin,
 
     "q112_robust_z" ->
       """WITH s AS (

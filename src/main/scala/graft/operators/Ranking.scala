@@ -113,6 +113,36 @@ object Ranking {
       .select(col(groupCol), col("q"), col(valueCol))
   }
 
+  /** Per-group winsorization: clip every value into its group's
+    * [p(loQ), p(hiQ)] band, both bounds EXACT [[groupQuantiles]]
+    * selections — the standard tail-taming move before averaging
+    * heavy-tailed quality signals (a handful of million-token docs
+    * otherwise own the mean). Clipping is pure integer/order
+    * arithmetic on actual data values — nothing to round, bit-equal
+    * in any engine.
+    *
+    * Output: (group, value, tie, lo, hi, clipped). */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String,
+      loQ: Double = 0.05,
+      hiQ: Double = 0.95): DataFrame = {
+    require(0.0 < loQ && loQ < hiQ && hiQ <= 1.0, "need 0 < loQ < hiQ <= 1")
+    val base = df.select(col(groupCol), col(valueCol), col(tieCol))
+    val bounds = groupQuantiles(base, groupCol, valueCol, tieCol,
+        Seq(loQ, hiQ))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("q") === loQ, col(valueCol))).as("lo"),
+        min(when(col("q") === hiQ, col(valueCol))).as("hi"))
+      .withColumnRenamed(groupCol, "__bg")
+    base.join(broadcast(bounds), col(groupCol) <=> col("__bg"))
+      .drop("__bg")
+      .withColumn("clipped",
+        greatest(least(col(valueCol), col("hi")), col("lo")))
+  }
+
   /** Robust per-group standardization: z = (x − median) / MAD, with
     * both the median and the median-absolute-deviation computed as
     * EXACT [[groupQuantiles]] selections (q = 0.5, ⌈n/2⌉-th value) —

@@ -91,6 +91,19 @@ class RankingSpec extends SparkSpec {
     assert(out(("b", 7L)) == ((7L, 0L, None)))
   }
 
+  test("winsorize clips into the exact per-group [p05, p95] band") {
+    val df = (1L to 100L).map(i => ("a", i, i)).toDF("source", "v", "id")
+    val out = Ranking.winsorize(df, "source", "v", "id")
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // lo = ⌈0.05·100⌉ = 5th value = 5; hi = ⌈0.95·100⌉ = 95th = 95.
+    assert(out(1L) == ((5L, 95L, 5L)))
+    assert(out(100L) == ((5L, 95L, 95L)))
+    assert(out(50L) == ((5L, 95L, 50L)))
+    assert(out(5L) == ((5L, 95L, 5L)) && out(95L) == ((5L, 95L, 95L)))
+  }
+
   test("groupBuckets: integer-exact equal-frequency bands, uneven groups") {
     val df = ((1L to 4L).map(i => ("a", i, i)) ++
       (1L to 90L).map(i => ("b", i, 100L + i))).toDF("source", "score", "id")
