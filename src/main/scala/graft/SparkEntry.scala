@@ -1299,9 +1299,12 @@ object SparkEntry {
     }),
 
     // Chunk→doc mean-pooling: runs of 10 consecutive vectors play a
-    // document's chunks; exact-integer per-dimension means.
+    // document's chunks; exact-integer per-dimension means. Gated in
+    // the long/narrow (parent, dim) form — fixed-width rows the oracle
+    // can sort and hash (the array form crashed the r7 comparator) and
+    // the honest shape at 100 TB: no per-group array reassembly.
     "q108_mean_pool" -> ((s, dir) => {
-      Similarity.meanPool(
+      Similarity.meanPoolLong(
         t(s, dir, "embeddings").withColumn("parent_id", expr("vec_id div 10")),
         "parent_id", "embedding")
     }),
@@ -1352,10 +1355,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Mergeable quantile sketch: per-source p50/p90/p99 of token
+    // counts from the log-linear histogram state — the incrementally-
+    // maintainable answer (Rollup.quantileSink keeps this state as a
+    // streaming MV) to q107's exact-rank question; integer-only
+    // buckets, bit-exact in both engines.
+    "q114_quantile_sketch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sketches.lhQuantileEstimate(
+        docs.select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        col("n_tokens"), Seq("source"), Seq(0.5, 0.9, 0.99))
+    }),
+
     // End-to-end BPE: train 10 merges on the corpus (10 distributed
     // count rounds), then re-encode every doc at scan speed with the
-    // native expression. No SQL oracle (the greedy merge loop isn't
-    // SQL-expressible) → rows-only check; BpeSpec carries correctness.
+    // native expression. The DuckDB oracle retrains the SAME 10 merges
+    // with 10 unrolled SQL rounds (see bpeOracleSql) — training AND
+    // encoding are both cross-engine verified; BpeSpec keeps the
+    // unit-level greedy-apply cases.
     "q110_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = Corpus.bpeTrain(docs, "text", nMerges = 10)
@@ -2903,17 +2921,14 @@ object SparkEntry {
         |  FROM embeddings),
         |ex AS (
         |  SELECT parent_id, unnest(qv) AS v,
-        |         unnest(generate_series(1, len(qv))) AS dim_idx
-        |  FROM v),
-        |pd AS (
-        |  SELECT parent_id, dim_idx, CAST(sum(v) AS BIGINT) AS s,
-        |         count(*) AS n
-        |  FROM ex GROUP BY 1, 2)
-        |SELECT parent_id, max(n) AS n_chunks,
-        |  list(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
-        |         / 1e6
-        |       ORDER BY dim_idx) AS pooled
-        |FROM pd GROUP BY 1""".stripMargin,
+        |         CAST(unnest(generate_series(0, len(qv) - 1)) AS INT)
+        |           AS dim_idx
+        |  FROM v)
+        |SELECT parent_id, dim_idx,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) / 1e6
+        |    AS mean
+        |FROM ex GROUP BY 1, 2""".stripMargin,
 
     "q109_weighted_sample" ->
       """WITH s AS (
@@ -2926,15 +2941,15 @@ object SparkEntry {
         |    CAST(round(1e6 * ln(
         |        (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |              AS BIGINT) + 1)
-        |        / CAST(1152921504606846976 AS DOUBLE))
-        |      / CAST(w AS DOUBLE)) AS BIGINT) AS key_micro
+        |        / CAST(1152921504606846976 AS DOUBLE))) AS BIGINT)
+        |      / CAST(w AS DOUBLE) AS key
         |  FROM s WHERE w > 0),
         |r AS (
-        |  SELECT source, doc_id, key_micro,
+        |  SELECT source, doc_id, key,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY key_micro DESC, doc_id) AS rank
+        |      ORDER BY key DESC, doc_id) AS rank
         |  FROM k)
-        |SELECT source, doc_id, key_micro, rank FROM r WHERE rank <= 20""".stripMargin,
+        |SELECT source, doc_id, key, rank FROM r WHERE rank <= 20""".stripMargin,
 
     "q113_winsorize" ->
       """WITH s AS (
@@ -3033,8 +3048,77 @@ object SparkEntry {
         |    FROM votes) WHERE rn = 1)
         |SELECT e.label, p.pred_label, count(*) AS n
         |FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q110_bpe_encode" -> bpeOracleSql(10),
+
+    "q114_quantile_sketch" -> graft.operators.Sketches.lhQuantilesSql(
+      "documents",
+      """CAST(len(list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0)) AS BIGINT)""".stripMargin,
+      Seq("source"), Seq(0.5, 0.9, 0.99))
   )
+
+  /** Self-contained DuckDB twin of q110: retrains the same `nMerges`
+    * BPE merges with unrolled SQL rounds, then re-encodes and counts
+    * pieces. Mirrors [[graft.operators.Corpus.bpeTrain]] exactly: pair
+    * counts are weighted by token frequency (counting over DISTINCT
+    * tokens × weight ≡ counting over occurrences), candidates need
+    * count ≥ 2, ties break (count desc, a asc, b asc).
+    *
+    * Encoding trick: each symbol is wrapped as `<sym>` (the corpus
+    * alphabet is lowercase ASCII, so the delimiters can't collide), so
+    * `replace('<a><b>' → '<ab>')` merges exactly at symbol boundaries
+    * — a space-joined form would both match inside multi-char symbols
+    * ("xa b" vs "a b") and phase-shift runs ("a a a a" merges as
+    * [aa, a, aa] instead of [aa, aa] once the shared delimiter is
+    * consumed). Sequential in-order replace ≡ the greedy
+    * lowest-rank-first loop in BpeEncode as long as no later merge
+    * re-creates an earlier merge's left/right symbol string — impossible
+    * for rank-0 single chars and verified empirically at sf0.001 and
+    * sf0.01 (identical merges and per-doc counts). CTEs are
+    * MATERIALIZED: each round reads the previous twice, and inlining
+    * would expand the chain 2^rounds times. */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val head =
+      """WITH toks AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS w
+        |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |        t -> len(t) > 0)) AS tok FROM documents)
+        |  GROUP BY 1),
+        |enc0 AS MATERIALIZED (
+        |  SELECT tok, w, regexp_replace(tok, '(.)', '<\1>', 'g') AS s
+        |  FROM toks)""".stripMargin
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT '<' || a || '><' || b || '>' AS pat,
+         |         '<' || a || b || '>' AS rep
+         |  FROM (
+         |    SELECT syms[g] AS a, syms[g + 1] AS b,
+         |           CAST(sum(w) AS BIGINT) AS c
+         |    FROM (SELECT w, regexp_extract_all(s, '<([^>]*)>', 1) AS syms
+         |          FROM enc${i - 1}) e,
+         |      LATERAL (SELECT unnest(generate_series(1, len(e.syms) - 1))
+         |               AS g) gs
+         |    GROUP BY 1, 2 HAVING sum(w) >= 2
+         |    ORDER BY c DESC, a ASC, b ASC LIMIT 1)),
+         |enc$i AS MATERIALIZED (
+         |  SELECT tok, w, replace(s, coalesce((SELECT pat FROM p$i), chr(1)),
+         |    coalesce((SELECT rep FROM p$i), chr(1))) AS s
+         |  FROM enc${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""d AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+         |    t -> len(t) > 0)) AS tok FROM documents)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(e.s) - len(replace(e.s, '<', ''))) AS BIGINT)
+         |    AS n_pieces,
+         |  CAST(sum(len(d.tok)) AS BIGINT) AS n_chars
+         |FROM d JOIN enc$nMerges e ON d.tok = e.tok
+         |GROUP BY 1""".stripMargin
+    s"$head,\n$rounds,\n$tail"
+  }
 
   /** Shared bigram-LM CTE chain (mirrors [[Corpus.lmPerplexity]]):
     * documents → add-one-smoothed per-doc NLL in integer micro-nats.

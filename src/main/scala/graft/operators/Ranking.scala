@@ -43,6 +43,11 @@ object Ranking {
     * (pid, group)-keyed window shuffle and a broadcast of the
     * metadata-sized offset table.
     *
+    * NULLs in `orderCols` rank FIRST (Spark's ascending default;
+    * DuckDB's default is NULLS LAST) — callers needing
+    * engine-neutral semantics over nullable values should filter or
+    * coalesce them first, as [[groupQuantiles]] does.
+    *
     * `numPartitions` defaults to the session shuffle parallelism.
     * Output: the input columns + `rank` (long). */
   def groupRank(
@@ -90,7 +95,16 @@ object Ranking {
     * bars); here [[groupRank]] does the heavy lifting and the
     * (groups × qs) target-rank table broadcasts onto the ranked data
     * — selection is a map-side filter, no second sort, no
-    * approximation. Output: (group, q, value). */
+    * approximation.
+    *
+    * NULL values are excluded before ranking — the SQL-standard
+    * percentile semantics, and the engine-neutral one: under Spark's
+    * NULLS FIRST a NULL-bearing group would otherwise return NULL as
+    * its low quantiles while DuckDB (NULLS LAST) returned data values.
+    * n in ⌈q·n⌉ is therefore the group's NON-NULL count; a group that
+    * is all NULLs vanishes from the output.
+    *
+    * Output: (group, q, value). */
   def groupQuantiles(
       df: DataFrame,
       groupCol: String,
@@ -100,7 +114,8 @@ object Ranking {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "qs must be in (0, 1]")
     val ranked = groupRank(
-      df.select(col(groupCol), col(valueCol), col(tieCol)),
+      df.filter(col(valueCol).isNotNull)
+        .select(col(groupCol), col(valueCol), col(tieCol)),
       groupCol, Seq(valueCol, tieCol))
     val targets = ranked.groupBy(col(groupCol))
       .agg(count(lit(1)).as("cnt"))
@@ -119,7 +134,10 @@ object Ranking {
     * heavy-tailed quality signals (a handful of million-token docs
     * otherwise own the mean). Clipping is pure integer/order
     * arithmetic on actual data values — nothing to round, bit-equal
-    * in any engine.
+    * in any engine. Bounds come from the NON-NULL values (see
+    * [[groupQuantiles]]); a NULL value row keeps a NULL `clipped`
+    * (Spark's least/greatest skip NULL operands, which would
+    * otherwise clip a NULL to `hi`).
     *
     * Output: (group, value, tie, lo, hi, clipped). */
   def winsorize(
@@ -140,7 +158,8 @@ object Ranking {
     base.join(broadcast(bounds), col(groupCol) <=> col("__bg"))
       .drop("__bg")
       .withColumn("clipped",
-        greatest(least(col(valueCol), col("hi")), col("lo")))
+        when(col(valueCol).isNotNull,
+          greatest(least(col(valueCol), col("hi")), col("lo"))))
   }
 
   /** Robust per-group standardization: z = (x − median) / MAD, with
@@ -151,7 +170,9 @@ object Ranking {
     * once to integer micro-units and displayed with one exact divide
     * (the cross-engine rounding idiom); a zero-MAD group (over half
     * its values identical to the median) yields NULL z rather than a
-    * division by zero.
+    * division by zero. Median and MAD are selected from the NON-NULL
+    * values (see [[groupQuantiles]]); NULL-value rows pass through
+    * with a NULL z.
     *
     * Scale: two groupRank passes (each the one wide exchange a sort
     * pays) plus broadcast med/MAD attaches. Output: (group, id,

@@ -47,14 +47,22 @@ object Sampling {
     * u = (hash60(id)+1)/2^60 ∈ (0, 1] from its CONTENT (no RNG — same
     * reproducibility stance as everything above) and scores
     * key = ln(u)/w; the k LARGEST keys win, which samples without
-    * replacement with probability proportional to weight. The key is
-    * quantized once to integer micro-nats (the cross-engine ln
-    * idiom), negated, and ranked ASCENDING through the scale-safe
-    * [[Ranking.groupRank]] — a per-group top-k window would put all
-    * of one source on one task. Rows with weight ≤ 0 are excluded by
-    * construction (they cannot carry sampling mass).
+    * replacement with probability proportional to weight.
     *
-    * Output: (group, id, key_micro, rank ≤ k). */
+    * Cross-engine determinism with full resolution: only ln(u) — the
+    * one libm-dependent step — is quantized, to integer micro-nats;
+    * the sort key is then the EXACT IEEE quotient lnq/w (division is
+    * correctly rounded, so it is bit-identical in any IEEE-754 engine
+    * given identical lnq and w). Quantizing the quotient instead
+    * (round(1e6·ln(u)/w)) would collapse every heavy-weight row onto
+    * the same integer (often 0) once w ≳ 1e6·|ln u|, silently turning
+    * weighted sampling into ascending-id selection. Keys are negated
+    * and ranked ASCENDING through the scale-safe [[Ranking.groupRank]]
+    * — a per-group top-k window would put all of one source on one
+    * task. Rows with weight ≤ 0 are excluded by construction (they
+    * cannot carry sampling mass).
+    *
+    * Output: (group, id, key double = lnq_micro/w, rank ≤ k). */
   def weightedSample(
       df: DataFrame,
       groupCol: String,
@@ -64,13 +72,13 @@ object Sampling {
     require(k > 0, "k must be positive")
     val u = (hash60(col(idCol).cast("string")) + 1L).cast("double") /
       lit(1152921504606846976L).cast("double") // 2^60, exact in double
-    val keyMicro = round(lit(1e6) * log(u)
-      / col(weightCol).cast("double")).cast("long")
+    val lnq = round(lit(1e6) * log(u)).cast("long")
+    val key = lnq.cast("double") / col(weightCol).cast("double")
     val keyed = df.filter(col(weightCol) > 0)
-      .select(col(groupCol), col(idCol), (-keyMicro).as("neg_key"))
+      .select(col(groupCol), col(idCol), (-key).as("neg_key"))
     Ranking.groupRank(keyed, groupCol, Seq("neg_key", idCol))
       .filter(col("rank") <= k)
-      .select(col(groupCol), col(idCol), (-col("neg_key")).as("key_micro"),
+      .select(col(groupCol), col(idCol), (-col("neg_key")).as("key"),
         col("rank"))
   }
 }

@@ -221,17 +221,31 @@ object Similarity {
     * reassembly bounded by the dimension count (64 here), not by the
     * chunk count. Output: (group, n_chunks, pooled array<double>). */
   def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    meanPoolLong(df, groupCol, vecCol)
+      .groupBy(col(groupCol))
+      .agg(max(col("n_chunks")).as("n_chunks"),
+        array_sort(collect_list(struct(col("dim_idx"),
+          col("mean").as("m")))).as("dims"))
+      .select(col(groupCol), col("n_chunks"),
+        transform(col("dims"), d => d.getField("m")).as("pooled"))
+
+  /** [[meanPool]] in long/narrow form: one row per (group, dimension)
+    * with the exact-integer mean — no array reassembly, just the single
+    * (group, dim) hash-agg. This is the shape to prefer at scale: rows
+    * stay fixed-width however large the vectors get, the agg is
+    * map-side combinable, and downstream engines (including the DuckDB
+    * oracle) can sort and hash it directly. `n_chunks` is the per-dim
+    * row count, which equals the chunk count because every chunk
+    * carries every dimension.
+    *
+    * Output: (group, dim_idx int, n_chunks long, mean double). */
+  def meanPoolLong(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     df.select(col(groupCol), posexplode(quantize(col(vecCol)))
         .as(Seq("dim_idx", "v")))
       .groupBy(col(groupCol), col("dim_idx"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      .groupBy(col(groupCol))
-      .agg(max(col("n")).as("n_chunks"),
-        array_sort(collect_list(struct(col("dim_idx"),
-          (round(col("s").cast("double") / col("n").cast("double"))
-            .cast("long").cast("double") / 1e6).as("m")))).as("dims"))
-      .select(col(groupCol), col("n_chunks"),
-        transform(col("dims"), d => d.getField("m")).as("pooled"))
+      .agg(count(lit(1)).as("n_chunks"),
+        (round(sum(col("v")).cast("double") / count(lit(1)).cast("double"))
+          .cast("long").cast("double") / 1e6).as("mean"))
 
   /** IVF search: route each query to its `nProbe` nearest cells
     * (by centroid cosine) and scan only those inverted lists. Recall
@@ -391,8 +405,11 @@ object Similarity {
     * cosine neighbors (self excluded — leave-one-out when queries ⊆
     * corpus, the standard embedding-quality probe): the predicted
     * label is the most frequent among the neighbors, ties broken by
-    * the smaller label id, so the verdict is deterministic. Votes are
-    * exact integer counts over the deterministic [[bruteForceTopK]]
+    * the smallest label, so the verdict is deterministic. The
+    * tie-break negates the VOTE count (always numeric), never the
+    * label, so labels of any orderable type — string class names
+    * included — keep the documented determinism. Votes are exact
+    * integer counts over the deterministic [[bruteForceTopK]]
     * ranking — bit-stable across engines.
     *
     * Scale: the top-k is the broadcast-queries scan ([[bruteForceTopK]]
@@ -411,8 +428,8 @@ object Similarity {
       .groupBy(col("query_id"), col("__nl"))
       .agg(count(lit(1)).as("__v"))
       .groupBy(col("query_id"))
-      .agg(max_by(col("__nl"),
-        struct(col("__v"), (-col("__nl")).as("__t"))).as("pred_label"))
+      .agg(min_by(col("__nl"),
+        struct((-col("__v")).as("__nv"), col("__nl"))).as("pred_label"))
 
   /** Hard-negative mining for contrastive training: for each query,
     * the top-`k` corpus rows whose cosine similarity lies in

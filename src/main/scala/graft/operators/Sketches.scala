@@ -1,9 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Mergeable cardinality sketches for 100 TB-scale distinct counting.
+/** Mergeable sketches for 100 TB-scale distinct counting and quantile
+  * tracking.
   *
   * A HyperLogLog-shaped estimator decomposed into TWO ordinary hash
   * aggregations — (group, bucket) → max(rank), then group → harmonic
@@ -77,6 +79,130 @@ object Sketches {
       .withColumn("estimate",
         lit(EstimatorNumerator) / col("harmonic_q55").cast("double"))
       .drop("_hsum")
+
+  // ------------------------------------------------------------------
+  // Log-linear histogram quantile sketch (HdrHistogram-shaped).
+  //
+  // The mergeable-quantile twin of the HLL pair above: the STATE is a
+  // plain (group, bucket) → count table — mergeable by SUM, built by
+  // one ordinary hash-agg — and the ESTIMATE is a fold over the
+  // sketch-sized state. Buckets are integer-only (no ln, no floating
+  // boundary), so state and estimates are bit-identical in any engine:
+  // values in [0, 16) get exact buckets; values ≥ 16 split each binade
+  // [2^e, 2^(e+1)) into 8 equal integer sub-buckets, so a quantile
+  // estimate (the bucket's lower bound, always ≤ the true value) has
+  // relative error ≤ 1/8. State is ≤ 16 + 8·59 ≈ 488 rows per group
+  // REGARDLESS of input size — the property that makes it a streaming
+  // MV state ([[graft.streaming.Rollup.quantileSink]]), where the
+  // exact [[Ranking.groupQuantiles]] (a rank over all history) cannot
+  // be incrementally maintained.
+  // ------------------------------------------------------------------
+
+  /** Bucket index (int ∈ [0, ~488)) of a non-negative long value.
+    * Negative values raise — a silent clamp would corrupt the
+    * distribution unnoticed. */
+  def lhBucketIdx(v: Column): Column = {
+    val e = (length(bin(v)) - 1).cast("int")
+    val sub = (call_function("shiftright", v, e - lit(3)) - 8L).cast("int")
+    when(v < 0L, raise_error(concat(
+        lit("lhBuckets: negative value "), v.cast("string"))))
+      .when(v < 16L, v.cast("int"))
+      .otherwise(lit(16) + (e - lit(4)) * lit(8) + sub)
+  }
+
+  /** Lower bound of bucket `idx` — the deterministic representative a
+    * quantile estimate returns (always ≤ the true quantile, within
+    * 12.5% relative). */
+  def lhBucketLo(idx: Column): Column = {
+    val eMinus3 = ((idx - lit(16)) / lit(8)).cast("int") + lit(1)
+    val sub = pmod(idx - lit(16), lit(8))
+    when(idx < 16, idx.cast("long"))
+      .otherwise(call_function("shiftleft", (lit(8) + sub).cast("long"),
+        eMinus3))
+  }
+
+  /** The sketch STATE: per (group, bucket) the value count — one
+    * map-side-combinable hash-agg, ≤ ~488 rows per group. States from
+    * any split of the data sum-merge into the state of one pass over
+    * the whole (spec-verified), so pre-bucketed tables union across
+    * days/sources/batches without re-reading raw data. NULL values are
+    * excluded (the SQL percentile stance, as [[Ranking
+    * .groupQuantiles]]). */
+  def lhBuckets(df: DataFrame, value: Column, groupCols: Seq[String])
+      : DataFrame =
+    df.filter(value.isNotNull)
+      .select(groupCols.map(col) :+ lhBucketIdx(value).as("idx"): _*)
+      .groupBy(groupCols.map(col) :+ col("idx"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fold a [[lhBuckets]] state into per-group quantile estimates: for
+    * each q, the lower bound of the first bucket whose cumulative
+    * count reaches ⌈q·n⌉ — the sketch analogue of [[Ranking
+    * .groupQuantiles]]' type-1 selection, integer-exact end to end.
+    *
+    * The window here runs over SKETCH rows (≤ ~488 per group), not
+    * data rows — bounded state, same class as [[hllEstimate]]'s fold.
+    * Output: (group*, q, n, value). */
+  def lhQuantiles(state: DataFrame, groupCols: Seq[String], qs: Seq[Double])
+      : DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "qs must be in (0, 1]")
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = state.withColumn("__cum", sum(col("cnt")).over(w))
+    val targets = state.groupBy(gs: _*).agg(sum(col("cnt")).as("__n"))
+      .select(groupCols.map(c => col(c).as(s"__t_$c")) :+
+        explode(array(qs.map(lit): _*)).as("q") :+ col("__n"): _*)
+      .withColumn("__target", ceil(col("q") * col("__n")).cast("long"))
+    val cond = groupCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)
+    cum.join(broadcast(targets), cond)
+      .filter(col("__cum") >= col("__target"))
+      .groupBy(gs :+ col("q"): _*)
+      .agg(max(col("__n")).as("n"), min(lhBucketLo(col("idx"))).as("value"))
+  }
+
+  /** One-call quantile estimate: bucket then fold. */
+  def lhQuantileEstimate(
+      df: DataFrame,
+      value: Column,
+      groupCols: Seq[String],
+      qs: Seq[Double]): DataFrame =
+    lhQuantiles(lhBuckets(df, value, groupCols), groupCols, qs)
+
+  /** The oracle twin of [[lhQuantileEstimate]], kept NEXT to the Spark
+    * plan so the two can never drift. `valueSql` must be a BIGINT
+    * expression; NULLs are excluded as on the Spark side. */
+  def lhQuantilesSql(
+      table: String,
+      valueSql: String,
+      groupCols: Seq[String],
+      qs: Seq[Double]): String = {
+    val g = groupCols.mkString(", ")
+    val qList = qs.mkString(", ")
+    s"""WITH vals AS (
+       |  SELECT $g, $valueSql AS v FROM $table),
+       |bk AS (
+       |  SELECT $g,
+       |    CASE WHEN v < 16 THEN CAST(v AS INT)
+       |         ELSE CAST(16 + (length(bin(v)) - 5) * 8
+       |              + ((v >> (length(bin(v)) - 4)) - 8) AS INT) END AS idx
+       |  FROM vals WHERE v IS NOT NULL),
+       |st AS (SELECT $g, idx, count(*) AS cnt FROM bk GROUP BY $g, idx),
+       |cu AS (
+       |  SELECT $g, idx, cnt,
+       |    sum(cnt) OVER (PARTITION BY $g ORDER BY idx
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(cnt) OVER (PARTITION BY $g) AS n
+       |  FROM st)
+       |SELECT $g, q.q AS q, CAST(max(n) AS BIGINT) AS n,
+       |  CAST(min(CASE WHEN idx < 16 THEN idx
+       |    ELSE (8 + (idx - 16) % 8) << ((idx - 16) // 8 + 1) END)
+       |    AS BIGINT) AS value
+       |FROM cu, (SELECT CAST(unnest([$qList]) AS DOUBLE) AS q) q
+       |WHERE cum >= CAST(ceil(q.q * n) AS BIGINT)
+       |GROUP BY $g, q.q""".stripMargin
+  }
 
   /** The oracle twin of [[hllDistinct]], parameterized on the source
     * table and key SQL — kept NEXT to the Spark plan so the two can

@@ -73,6 +73,28 @@ class RankingSpec extends SparkSpec {
     assert(q == Map(Some("a") -> 2L, None -> 5L))
   }
 
+  test("NULL values are excluded from quantiles; winsorize keeps them NULL") {
+    // Under Spark's NULLS FIRST ordering an unfiltered rank would make
+    // p50 of group a a NULL (and DuckDB's NULLS LAST would disagree);
+    // quantiles must come from the 3 non-null values only.
+    val df = Seq(("a", Some(10L), 1L), ("a", None, 2L), ("a", Some(20L), 3L),
+      ("a", Some(30L), 4L), ("a", None, 5L), ("b", None, 6L))
+      .toDF("source", "v", "id")
+    val q = Ranking.groupQuantiles(df, "source", "v", "id", Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    // n = 3 non-null: p50 = 2nd = 20, p100 = 30. All-NULL group b vanishes.
+    assert(q == Map(("a", 0.5) -> 20L, ("a", 1.0) -> 30L))
+    val w = Ranking.winsorize(df.filter(col("source") === "a"),
+        "source", "v", "id", loQ = 0.5, hiQ = 1.0)
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    // least/greatest skip NULL operands — a NULL value must stay NULL,
+    // not clip to a bound.
+    assert(w == Map(1L -> Some(20L), 2L -> None, 3L -> Some(20L),
+      4L -> Some(30L), 5L -> None))
+  }
+
   test("robustZScores: exact median/MAD, outlier-proof, zero-MAD yields null") {
     // Group a: values 1..5 plus outlier 1000 → med = value at ⌈3⌉rd = 3,
     // devs {2,1,0,1,2,997} → mad = ⌈3⌉rd of sorted devs {0,1,1,2,2,997} = 1.

@@ -28,7 +28,7 @@ class SamplingSpec extends SparkSpec {
       Seq(("b", 61L, 0L)))                      // weight 0 → never sampled
       .toDF("source", "doc_id", "w")
     val out = Sampling.weightedSample(df, "source", "doc_id", "w", k = 5)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getLong(3)))
     val byGroup = out.groupBy(_._1)
     assert(byGroup("a").length == 5 && byGroup("b").length == 5)
@@ -42,9 +42,25 @@ class SamplingSpec extends SparkSpec {
     }
     // Content-keyed: identical on re-evaluation.
     val again = Sampling.weightedSample(df, "source", "doc_id", "w", k = 5)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getLong(3)))
     assert(out.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
+  }
+
+  test("weightedSample keeps resolution under heavy weights") {
+    // Weights ~1e9 dwarf |ln u| ≤ ~41.5: quantizing the QUOTIENT to
+    // micro-nats would send every key to 0 and degenerate into
+    // ascending-id selection. The exact-quotient key must keep the
+    // rows distinct and weight-sensitive.
+    val df = (1L to 200L).map(i => ("g", i, 1000000000L + i * 1000L))
+      .toDF("source", "doc_id", "w")
+    val out = Sampling.weightedSample(df, "source", "doc_id", "w", k = 20)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.length == 20)
+    // All 20 winning keys distinct (no collapse to a single bucket)…
+    assert(out.map(_._2).distinct.length == 20)
+    // …and the winners are NOT simply the 20 lowest ids.
+    assert(out.map(_._1).sorted.toSeq != (1L to 20L).toSeq)
   }
 
   test("assignSplit partitions every row into exactly one stable split") {

@@ -146,6 +146,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) == ((1L, Seq(0.5, 0.25))))
   }
 
+  test("meanPoolLong: one fixed-width row per (group, dim)") {
+    val chunks = Seq(
+      (0L, Array(1.0f, 0.0f)), (0L, Array(0.0f, 1.0f)),
+      (1L, Array(0.5f, 0.25f)))
+      .toDF("parent_id", "embedding")
+    val out = Similarity.meanPoolLong(chunks, "parent_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out == Map(
+      (0L, 0) -> ((2L, 0.5)), (0L, 1) -> ((2L, 0.5)),
+      (1L, 0) -> ((1L, 0.5)), (1L, 1) -> ((1L, 0.25))))
+  }
+
   test("lshTopK buckets identical vectors together and finds them") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0),
       "vec_id", "embedding", 2, planes = 4, dim = 3)

@@ -37,4 +37,52 @@ class SketchesSpec extends SparkSpec {
     // Group a saw {x, y}, group b saw {x}: harmonic sums must differ.
     assert(out("a") != out("b"))
   }
+
+  test("lh bucket encode/decode: exact below 16, ≤12.5% relative above") {
+    val vals = (Seq(0L, 1L, 15L, 16L, 17L, 31L, 32L, 100L, 1000L) ++
+      Seq(123456789L, Long.MaxValue / 2)).toDF("v")
+    val out = vals.select(col("v"), Sketches.lhBucketIdx(col("v")).as("idx"))
+      .select(col("v"), col("idx"), Sketches.lhBucketLo(col("idx")).as("lo"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    for ((v, _, lo) <- out) {
+      assert(lo <= v, s"lower bound $lo must not exceed $v")
+      if (v < 16) assert(lo == v, s"small values are exact, got $lo for $v")
+      else assert((v - lo).toDouble / lo <= 0.125 + 1e-12,
+        s"relative error too high: v=$v lo=$lo")
+    }
+    // Bucket boundaries land exactly where the encoding says.
+    val m = out.map(t => t._1 -> t._2).toMap
+    assert(m(15L) == 15 && m(16L) == 16 && m(31L) == 23 && m(32L) == 24)
+  }
+
+  test("lhBuckets sum-merge across splits == one pass; negative raises") {
+    val all = (1L to 500L).map(v => ("g", v * v % 997)).toDF("grp", "v")
+    val onePass = sortedRows(Sketches.lhBuckets(all, col("v"), Seq("grp")))
+    val merged = sortedRows(
+      Sketches.lhBuckets(all.filter(col("v") < 300), col("v"), Seq("grp"))
+        .unionByName(
+          Sketches.lhBuckets(all.filter(col("v") >= 300), col("v"), Seq("grp")))
+        .groupBy(col("grp"), col("idx")).agg(sum(col("cnt")).as("cnt")))
+    assert(onePass == merged, "bucket counts must sum-merge exactly")
+    val neg = intercept[Exception] {
+      Sketches.lhBuckets(Seq(("g", -1L)).toDF("grp", "v"), col("v"),
+        Seq("grp")).collect()
+    }
+    assert(neg.getMessage != null)
+  }
+
+  test("lhQuantiles tracks exact quantiles within the bucket width") {
+    // 1..1000 uniform: true p50=500, p90=900, p99=990.
+    val df = (1L to 1000L).map(v => ("g", v)).toDF("grp", "v")
+    val out = rows(Sketches.lhQuantileEstimate(df, col("v"), Seq("grp"),
+        Seq(0.5, 0.9, 0.99)))
+      .map(r => r.getAs[Double]("q") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("value"))).toMap
+    for ((q, (n, est)) <- out) {
+      val truth = math.ceil(q * 1000).toLong
+      assert(n == 1000L)
+      assert(est <= truth && (truth - est).toDouble / est <= 0.125 + 1e-12,
+        s"q=$q est=$est truth=$truth")
+    }
+  }
 }
