@@ -90,7 +90,8 @@ object ManifestTable {
 
   private case class Manifest(version: Long, txns: Seq[String],
       adds: Seq[String], snaps: Seq[String], state: Option[String],
-      stats: Map[String, String], schemas: Map[String, String])
+      stats: Map[String, String], schemas: Map[String, String],
+      removes: Seq[String])
 
   private def parseManifest(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -122,7 +123,12 @@ object ManifestTable {
           val body = l.drop(7)
           val i = body.indexOf('\t')
           body.take(i) -> body.drop(i + 1)
-      }.toMap)
+      }.toMap,
+      // remove:<file> — this version DROPS that live file (row-level
+      // delete rewrote or emptied it). Older versions still list it,
+      // so time travel and vacuum keep seeing it.
+      removes = lines.collect {
+        case l if l.startsWith("remove:") => l.drop(7) })
   }
 
   private def listLog(fs: org.apache.hadoop.fs.FileSystem,
@@ -177,7 +183,9 @@ object ManifestTable {
     val prefix = s"$table/"
     log.foldLeft(Vector.empty[String]) { (acc, m) =>
       val mine = m.adds.filter(_.startsWith(prefix))
-      if (m.snaps.contains(table)) mine.toVector else acc ++ mine
+      val base = if (m.snaps.contains(table)) Vector.empty[String] else acc
+      val gone = m.removes.filter(_.startsWith(prefix)).toSet
+      (if (gone.isEmpty) base else base.filterNot(gone)) ++ mine
     }
   }
 
@@ -798,6 +806,119 @@ object ManifestTable {
       case _ => None
     }
     verdict.getOrElse(true)
+  }
+
+  /** Outcome of a [[deleteWhere]]: how many rows went, how many files
+    * were rewritten, and how many live files the stats proved
+    * untouched (they keep their object-store paths — no data movement,
+    * no cache invalidation, tight vacuum scope). */
+  final case class DeleteResult(
+      deletedRows: Long, filesRewritten: Int, filesKept: Int)
+
+  /** Row-level delete: remove the rows matching `predicate` from
+    * `table`, rewriting ONLY the files whose recorded per-file min/max
+    * stats say they might hold a matching row — the takedown/opt-out
+    * path (GDPR erasure, licensing retractions) that otherwise means
+    * rewriting a whole landed corpus. On a key-clustered table
+    * ([[commitClustered]]/[[commitZordered]]) a keyed delete touches
+    * O(1) of the files; every other file keeps its object-store path
+    * untouched, proven by the same [[read]] skipFilter stats machinery
+    * (conservative: a file without stats is rewritten, never skipped).
+    *
+    * DELETE-WHERE semantics: a row goes only when the predicate is
+    * TRUE; false AND NULL rows survive (dropping NULL-evaluating rows
+    * would silently erase rows the predicate never matched).
+    *
+    * The commit is one manifest (`remove:` old files + `add:`
+    * rewrites) sealed under `txnId` — crash-replay is a recorded
+    * no-op returning None. Older manifests still list the removed
+    * files, so time travel reads the pre-delete table and [[vacuum]]
+    * leaves those files alone until [[truncateLog]] drops the history
+    * that references them. */
+  def deleteWhere(
+      spark: SparkSession,
+      baseDir: String,
+      table: String,
+      predicate: org.apache.spark.sql.Column,
+      txnId: String): Option[DeleteResult] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    require(txnId.nonEmpty && !txnId.contains("\n"), s"bad txnId: $txnId")
+    var log = readLog(spark, baseDir)
+    if (log.exists(_.txns.contains(txnId))) return None
+    val files = liveFiles(log, table)
+    val allStats = log.flatMap(_.stats).toMap
+    val conjuncts = splitConjuncts(
+      org.apache.spark.sql.GraftSqlBridge.resolved(predicate))
+    val (candidates, kept) = files.partition { f =>
+      val st = allStats.get(f).map(parseStats).getOrElse(Map.empty)
+      conjuncts.forall(c => conjunctMayMatch(c, st))
+    }
+    if (candidates.isEmpty) {
+      // Nothing can match, but the txn must still seal (idempotence).
+      commitMulti(spark, baseDir, txnId)
+      return Some(DeleteResult(0L, 0, kept.length))
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    def rowCount(paths: Seq[org.apache.hadoop.fs.Path]): Long =
+      paths.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    val before = rowCount(candidates.map(f =>
+      new org.apache.hadoop.fs.Path(s"$baseDir/$f")))
+    // Rewrite the candidates minus the matching rows. The committed
+    // schema is the read schema (old files null-fill evolved columns).
+    val reader = latestSchema(log, table).map(spark.read.schema)
+      .getOrElse(spark.read)
+    val survivors = reader.parquet(candidates.map(f => s"$baseDir/$f"): _*)
+      .filter(coalesce(not(predicate), lit(true)))
+    val safeTxn = txnId.replaceAll("[^A-Za-z0-9._-]", "_")
+    val rel = s"$table/$DataDir/$safeTxn-${java.util.UUID.randomUUID()}"
+    survivors.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/$rel")
+    val (fs, dataPath) = fsAndPath(spark, s"$baseDir/$rel")
+    val newFiles = fs.listStatus(dataPath).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val after = rowCount(newFiles)
+    // All candidate rows matched: commit pure removes, drop the
+    // zero-row rewrite (it is referenced by nothing).
+    val adds = if (after == 0L) { fs.delete(dataPath, true); Nil }
+      else newFiles
+    val stats = adds.flatMap { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      val footer = try r.getFooter finally r.close()
+      footerStatsJson(footer).map(j => s"$rel/${f.getName}" -> j)
+    }
+    val body = (Seq(s"txn:$txnId") ++
+      candidates.map(f => s"remove:$f") ++
+      adds.map(f => s"add:$rel/${f.getName}") ++
+      stats.map { case (f, j) => s"stats:$f\t$j" })
+      .mkString("", "\n", "\n")
+    val (lfs, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
+    lfs.mkdirs(logPath)
+    val tmp = writeTmp(lfs, logPath, body)
+    var attempts = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempts += 1
+      if (attempts > 100) {
+        lfs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"delete commit for $txnId lost 100 races — aborting")
+      }
+      log = log ++ readLogAfter(spark, baseDir,
+        log.lastOption.map(_.version).getOrElse(0L))
+      if (log.exists(_.txns.contains(txnId))) {
+        lfs.delete(tmp, false)
+        return None
+      }
+      val next = log.lastOption.map(_.version).getOrElse(0L) + 1
+      if (claimSlot(lfs, tmp, new org.apache.hadoop.fs.Path(logPath,
+          versionName(next)))) committed = next
+    }
+    if (lfs.getScheme == "file") lfs.delete(tmp, false)
+    Some(DeleteResult(before - after, candidates.length, kept.length))
   }
 
   /** Delete orphan data dirs under one table (written by a crashed

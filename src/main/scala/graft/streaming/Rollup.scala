@@ -72,6 +72,53 @@ object Rollup {
       }
   }
 
+  /** Streaming quantile materialized view: maintain per-key log-linear
+    * histogram buckets ([[graft.operators.Sketches.lhBuckets]] — the
+    * mergeable state, ≤ ~488 small rows per key regardless of stream
+    * size) and sum-merge each micro-batch's buckets into the snapshot.
+    * Bucket-count sum-merge is associative, so the maintained table is
+    * BIT-IDENTICAL to bucketing all history in one pass (spec-
+    * verified) — the incrementally-maintainable stand-in for [[graft
+    * .operators.Ranking.groupQuantiles]], whose exact ranks would need
+    * the whole history re-sorted every batch. Read estimates with
+    * [[graft.operators.Sketches.lhQuantiles]] over the snapshot (a
+    * live P50/P95 dashboard over a corpus-quality signal is one
+    * `lhQuantiles(read(...))` away). Exactly-once as in
+    * [[sumCountSink]]: per-batch txn ids seal replays. */
+  def quantileSink(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      baseDir: String,
+      table: String,
+      streamId: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(streamId.nonEmpty && !streamId.contains("\n"),
+      s"bad streamId: $streamId")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!batch.isEmpty) {
+            val spark = batch.sparkSession
+            val delta = graft.operators.Sketches.lhBuckets(
+              batch.toDF(), col(valueCol), keyCols)
+            val current = graft.sources.ManifestTable.read(
+              spark, baseDir, table, schema = Some(delta.schema))
+            val merged = current.unionByName(delta)
+              .groupBy((keyCols :+ "idx").map(col): _*)
+              .agg(sum(col("cnt")).as("cnt"))
+            graft.sources.ManifestTable.commitMulti(
+              spark, baseDir, txnId = s"$streamId-$batchId",
+              snapshots = Map(table -> merged))
+          }
+          ()
+      }
+  }
+
   /** Streaming distinct-count materialized view: maintain per-key
     * HyperLogLog REGISTERS ([[graft.operators.Sketches.hllRegisters]]
     * — the mergeable state, `m` small rows per key) and max-merge each

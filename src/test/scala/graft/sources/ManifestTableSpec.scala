@@ -477,6 +477,83 @@ class ManifestTableSpec extends SparkSpec {
     assert(z(4) == 2730L)
   }
 
+  test("deleteWhere rewrites only stat-matching files; time travel and replay safe") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    // Two key-disjoint files from two commits: the delete below can
+    // prove from min/max stats alone that the first file has no
+    // matching row.
+    ManifestTable.commit((1L to 100L).map(i => (i, s"d$i")).toDF("id", "v")
+      .repartition(1), base, "docs", "load-1")
+    ManifestTable.commit((200L to 300L).map(i => (i, s"d$i")).toDF("id", "v")
+      .repartition(1), base, "docs", "load-2")
+    val filesBefore = ManifestTable.read(spark, base, "docs").inputFiles.toSet
+    assert(filesBefore.size == 2)
+
+    val res = ManifestTable.deleteWhere(spark, base, "docs",
+      col("id") >= 250L, "takedown-1")
+    assert(res.contains(ManifestTable.DeleteResult(51L, 1, 1)))
+    val after = ManifestTable.read(spark, base, "docs")
+    val filesAfter = after.inputFiles.toSet
+    // The untouched file keeps its exact object-store path; the
+    // candidate was rewritten to a new one.
+    val keptFiles = filesBefore.intersect(filesAfter)
+    assert(keptFiles.size == 1 && filesAfter.size == 2)
+    assert(after.select("id").as[Long].collect().toSet ==
+      ((1L to 100L) ++ (200L to 249L)).toSet)
+
+    // Time travel reads the pre-delete table — the removed file is
+    // still on disk and still referenced by the older manifest.
+    val v2 = ManifestTable.read(spark, base, "docs", asOfVersion = Some(2L))
+    assert(v2.count() == 201L)
+    assert(ManifestTable.vacuum(spark, base, "docs") == 0)
+
+    // Crash-replay of the same txn is a recorded no-op (even with a
+    // different predicate).
+    assert(ManifestTable.deleteWhere(spark, base, "docs",
+      col("id") >= 0L, "takedown-1").isEmpty)
+    assert(ManifestTable.read(spark, base, "docs").count() == 150L)
+
+    // A delete that empties its candidate file commits pure removes —
+    // no zero-row rewrite lands.
+    val res2 = ManifestTable.deleteWhere(spark, base, "docs",
+      col("id") >= 200L, "takedown-2")
+    assert(res2.contains(ManifestTable.DeleteResult(50L, 1, 1)))
+    val now = ManifestTable.read(spark, base, "docs")
+    assert(now.inputFiles.toSet == keptFiles && now.count() == 100L)
+
+    // A delete whose stats prove NO file matches seals its txn without
+    // touching data.
+    val res3 = ManifestTable.deleteWhere(spark, base, "docs",
+      col("id") >= 5000L, "takedown-3")
+    assert(res3.contains(ManifestTable.DeleteResult(0L, 0, 1)))
+    assert(ManifestTable.deleteWhere(spark, base, "docs",
+      col("id") >= 5000L, "takedown-3").isEmpty)
+
+    // Checkpoint + truncate: the compacted view carries the deletes;
+    // vacuum can then reclaim the dropped files' directories.
+    ManifestTable.compact(spark, base)
+    ManifestTable.truncateLog(spark, base)
+    assert(ManifestTable.read(spark, base, "docs").count() == 100L)
+    assert(ManifestTable.vacuum(spark, base, "docs") >= 1)
+    assert(ManifestTable.read(spark, base, "docs").count() == 100L)
+  }
+
+  test("deleteWhere: NULL-evaluating predicate rows survive") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    ManifestTable.commit(
+      Seq((1L, Some("spam")), (2L, None), (3L, Some("ok")))
+        .toDF("id", "tag").repartition(1), base, "t", "load")
+    val res = ManifestTable.deleteWhere(spark, base, "t",
+      col("tag") === "spam", "del-1")
+    assert(res.map(_.deletedRows).contains(1L))
+    // DELETE WHERE tag = 'spam' must keep the NULL-tag row: the
+    // predicate evaluates NULL there, not TRUE.
+    assert(ManifestTable.read(spark, base, "t")
+      .select("id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
   test("stats survive checkpoint compaction and log truncation") {
     import org.apache.spark.sql.functions._
     val base = tmpBase()

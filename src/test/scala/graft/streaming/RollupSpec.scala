@@ -55,6 +55,42 @@ class RollupSpec extends SparkSpec {
     assert(v1 == Map("mon" -> ((2L, 15L)), "tue" -> ((1L, 7L))))
   }
 
+  test("quantileSink: streamed bucket merge == batch sketch, bit-exact") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("qmv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("qmv-ck").toString
+    val input = MemoryStream[(String, Long)](spark)
+    val q = Rollup.quantileSink(
+      input.toDF().toDF("source", "n_tokens"),
+      keyCols = Seq("source"), valueCol = "n_tokens",
+      base, "lens", streamId = "q1", checkpointDir = ckpt).start()
+    val b1 = (1L to 500L).map(v => ("web", v)) ++
+      (1L to 80L).map(v => ("books", v * 100L))
+    val b2 = (400L to 900L).map(v => ("web", v))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val snapshot = ManifestTable.read(spark, base, "lens")
+    val streamedState = snapshot.as[(String, Int, Long)].collect().sorted.toSeq
+    val batchState = Sketches.lhBuckets(
+        (b1 ++ b2).toDF("source", "n_tokens"), col("n_tokens"), Seq("source"))
+      .as[(String, Int, Long)].collect().sorted.toSeq
+    assert(streamedState == batchState) // bucket sum-merge ≡ one-pass state
+    // Estimates off the maintained state are sane: web true p50 over
+    // 1..500 ∪ 400..900 (1001 values) is ~450; sketch is ≤12.5% under.
+    val est = Sketches.lhQuantiles(snapshot, Seq("source"), Seq(0.5))
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(est("web")._1 == 1001L)
+    assert(est("web")._2 > 350L && est("web")._2 <= 450L)
+    assert(est("books")._1 == 80L)
+  }
+
   test("hllDistinctSink: streamed register merge == batch sketch, bit-exact") {
     import graft.operators.Sketches
     import org.apache.spark.sql.functions.col
