@@ -1368,6 +1368,26 @@ object SparkEntry {
         col("n_tokens"), Seq("source"), Seq(0.5, 0.9, 0.99))
     }),
 
+    // Count-min heavy-hitter probe: per-source frequency estimates for
+    // the exact top-5 tokens per source, read from the mergeable CM
+    // state (depth 4 × width 1024 counters per source — the streaming/
+    // cross-day shape; estimates only ever over-count). The ranking
+    // window runs over the vocabulary-sized exact counts, not
+    // occurrences — bounded per source.
+    "q115_cm_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val occ = docs.select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("k"))
+      val state = Sketches.cmRegisters(occ, col("k"), Seq("source"))
+      val exact = occ.groupBy(col("source"), col("k"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("k"))
+      val keys = exact.withColumn("r", row_number().over(w))
+        .filter(col("r") <= 5).select(col("source"), col("k"))
+      Sketches.cmEstimate(state, keys, "k", Seq("source"))
+    }),
+
     // End-to-end BPE: train 10 merges on the corpus (10 distributed
     // count rounds), then re-encode every doc at scan speed with the
     // native expression. The DuckDB oracle retrains the SAME 10 merges
@@ -3056,7 +3076,20 @@ object SparkEntry {
       "documents",
       """CAST(len(list_filter(string_split(lower(text), ' '),
         |         t -> len(t) > 0)) AS BIGINT)""".stripMargin,
-      Seq("source"), Seq(0.5, 0.9, 0.99))
+      Seq("source"), Seq(0.5, 0.9, 0.99)),
+
+    "q115_cm_heavy_hitters" -> graft.operators.Sketches.cmEstimateSql(
+      fromSql =
+        """SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+          |    t -> len(t) > 0)) AS k FROM documents""".stripMargin,
+      keysSql =
+        """SELECT source, k FROM (
+          |    SELECT source, k,
+          |      row_number() OVER (PARTITION BY source
+          |        ORDER BY c DESC, k) AS r
+          |    FROM (SELECT source, k, count(*) AS c FROM occ GROUP BY 1, 2))
+          |  WHERE r <= 5""".stripMargin,
+      groupCols = Seq("source"))
   )
 
   /** Self-contained DuckDB twin of q110: retrains the same `nMerges`

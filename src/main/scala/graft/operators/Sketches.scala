@@ -121,6 +121,13 @@ object Sketches {
         eMinus3))
   }
 
+  /** Inclusive upper bound of bucket `idx` — the bar to use when
+    * GATING on a sketch quantile: everything the sketch cannot
+    * distinguish from the quantile value passes together (a
+    * lower-bound bar would reject the very value that defined the
+    * quantile). */
+  def lhBucketHi(idx: Column): Column = lhBucketLo(idx + lit(1)) - lit(1L)
+
   /** The sketch STATE: per (group, bucket) the value count — one
     * map-side-combinable hash-agg, ≤ ~488 rows per group. States from
     * any split of the data sum-merge into the state of one pass over
@@ -155,7 +162,10 @@ object Sketches {
       .select(groupCols.map(c => col(c).as(s"__t_$c")) :+
         explode(array(qs.map(lit): _*)).as("q") :+ col("__n"): _*)
       .withColumn("__target", ceil(col("q") * col("__n")).cast("long"))
-    val cond = groupCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)
+    // Empty groupCols = one global sketch: the 1-row target table
+    // attaches to every bucket row (both sides are sketch-sized).
+    val cond = groupCols.map(c => col(c) <=> col(s"__t_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
     cum.join(broadcast(targets), cond)
       .filter(col("__cum") >= col("__target"))
       .groupBy(gs :+ col("q"): _*)
@@ -202,6 +212,101 @@ object Sketches {
        |FROM cu, (SELECT CAST(unnest([$qList]) AS DOUBLE) AS q) q
        |WHERE cum >= CAST(ceil(q.q * n) AS BIGINT)
        |GROUP BY $g, q.q""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Count-min frequency sketch.
+  //
+  // Completes the mergeable-sketch family (HLL = how many distinct,
+  // log-histogram = how distributed, count-min = how often): the state
+  // is (group, row j, bucket) → count — `depth × width` small rows per
+  // group regardless of key cardinality, built by one hash-agg,
+  // mergeable by SUM — and a point estimate is min over the j rows of
+  // the counters the key hashes into (Cormode & Muthukrishnan 2005).
+  // Estimates only ever OVER-count (collisions add, never subtract),
+  // by ≤ 2·n/width with probability 1 − 2^−depth. All hashing is
+  // md5-derived, so state and estimates are bit-identical in DuckDB.
+  // ------------------------------------------------------------------
+
+  /** Counter rows per hash function. 2^−4 failure odds per estimate. */
+  val CmDepth = 4
+
+  /** Buckets per row: over-count ≤ 2·total/width w.h.p. */
+  val CmWidth = 1024
+
+  /** The sketch STATE: per (group, j, bucket) the number of key
+    * OCCURRENCES hashing there — `CmDepth` rows per input row into a
+    * map-side-combinable hash-agg on a (depth×width)-bounded key
+    * domain. Sum-merge states across any split of the data (batches,
+    * days, sources) and the merged state equals one pass over the
+    * whole. */
+  def cmRegisters(df: DataFrame, key: Column, groupCols: Seq[String])
+      : DataFrame =
+    df.select(groupCols.map(col) :+ key.as("__k"): _*)
+      .select(groupCols.map(col) :+ col("__k") :+
+        explode(array((0 until CmDepth).map(j => lit(j)): _*)).as("j"): _*)
+      .withColumn("b", pmod(graft.functions.TextFunctions.hash60(
+        concat_ws("", col("j"), col("__k"))), lit(CmWidth.toLong))
+        .cast("int"))
+      .groupBy(groupCols.map(col) ++ Seq(col("j"), col("b")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate the occurrence count of every key in `keys`
+    * (columns: groupCols ++ [keyCol]) from a [[cmRegisters]] state:
+    * min over the `CmDepth` counters the key hashes into. A key the
+    * state never saw estimates 0 (its buckets may be absent — LEFT
+    * join, coalesce). Output: keys' columns + `cm_est` (long). */
+  def cmEstimate(
+      state: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val probes = keys
+      .select(groupCols.map(col) :+ col(keyCol) :+
+        explode(array((0 until CmDepth).map(j => lit(j)): _*)).as("j"): _*)
+      .withColumn("b", pmod(graft.functions.TextFunctions.hash60(
+        concat_ws("", col("j"), col(keyCol))), lit(CmWidth.toLong))
+        .cast("int"))
+    probes.join(state, groupCols ++ Seq("j", "b"), "left")
+      .groupBy(groupCols.map(col) :+ col(keyCol): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
+
+  /** The oracle twin of [[cmRegisters]] → [[cmEstimate]] as one
+    * query, parameterized on the rows' source (`fromSql` must yield
+    * groupCols ++ [k VARCHAR] occurrence rows) and the probe keys
+    * (`keysSql` must yield groupCols ++ [k VARCHAR]; it may reference
+    * the `occ` CTE). Kept NEXT to the Spark plan so the hash layout
+    * (`md5(j || k)`, 60-bit, mod width) can never drift. */
+  def cmEstimateSql(
+      fromSql: String,
+      keysSql: String,
+      groupCols: Seq[String]): String = {
+    val gSelC = groupCols.map(c => s"o.$c, ").mkString
+    val gColsC = groupCols.map(c => s"$c, ").mkString
+    val prGC = groupCols.map(c => s"pr.$c, ").mkString
+    val joinOn = (groupCols.map(c => s"st.$c = pr.$c") ++
+      Seq("st.j = pr.j", "st.b = pr.b")).mkString(" AND ")
+    val js = (0 until CmDepth).mkString(", ")
+    s"""WITH occ AS ($fromSql),
+       |reg AS (
+       |  SELECT ${gSelC}j.j AS j,
+       |    CAST(CAST(('0x' || substr(md5(j.j || o.k), 1, 15)) AS BIGINT)
+       |      % $CmWidth AS INT) AS b
+       |  FROM occ o, (SELECT CAST(unnest([$js]) AS VARCHAR) AS j) j),
+       |st AS (
+       |  SELECT ${gColsC}j, b, count(*) AS cnt
+       |  FROM reg GROUP BY ${gColsC}j, b),
+       |keys AS ($keysSql),
+       |pr AS (
+       |  SELECT ${gSelC}o.k AS k, j.j AS j,
+       |    CAST(CAST(('0x' || substr(md5(j.j || o.k), 1, 15)) AS BIGINT)
+       |      % $CmWidth AS INT) AS b
+       |  FROM keys o, (SELECT CAST(unnest([$js]) AS VARCHAR) AS j) j)
+       |SELECT ${prGC}pr.k,
+       |  CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS cm_est
+       |FROM pr LEFT JOIN st ON $joinOn
+       |GROUP BY ${prGC}pr.k""".stripMargin
   }
 
   /** The oracle twin of [[hllDistinct]], parameterized on the source

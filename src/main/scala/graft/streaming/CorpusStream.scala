@@ -172,6 +172,98 @@ object CorpusStream {
     * the [[manifestSink]] per-batch txn ids (crash replays are sealed
     * no-ops). Docs with no bigram carry no LM evidence and drop —
     * compose [[cleanStream]] upstream to length-gate those instead. */
+  /** [[lmGatedSink]] with the bar set by the DATA instead of a frozen
+    * constant: the stream maintains a mergeable log-linear histogram
+    * ([[graft.operators.Sketches.lhBuckets]]) of every micro-nat NLL
+    * it has ever scored, and each micro-batch keeps the docs at or
+    * below the maintained `keepFrac` quantile — CCNet's
+    * head/middle/tail split, online. A fixed `maxNll` goes stale as
+    * crawl quality drifts; a quantile bar tracks the distribution by
+    * construction (always keeping ~the best `keepFrac` of traffic).
+    *
+    * Exactly-once with NO separate state story: the survivors' append
+    * and the updated sketch snapshot ride ONE [[graft.sources
+    * .ManifestTable.commitMulti]] manifest under `<streamId>-
+    * <batchId>` — a crash replay re-reads the already-merged state
+    * but its commit is a sealed no-op, so the sketch can no more
+    * double-count than the corpus can double-append. The batch's own
+    * scores merge into the sketch BEFORE the bar is read (cold start:
+    * batch 1 is gated against itself), and the bar is the quantile
+    * BUCKET's inclusive upper bound ([[graft.operators.Sketches
+    * .lhBucketHi]]): docs the sketch cannot tell apart from the
+    * quantile doc pass together, so the gate errs ≤12.5% lax rather
+    * than rejecting the very doc that defined the quantile (an
+    * all-identical-score stream must land its docs, not starve). */
+  def lmAdaptiveGatedSink(
+      docs: DataFrame,
+      model0: graft.operators.Corpus.LmModel,
+      idCol: String,
+      textCol: String,
+      keepFrac: Double,
+      baseDir: String,
+      table: String,
+      sketchTable: String,
+      streamId: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
+    require(streamId.nonEmpty && !streamId.contains("\n"),
+      s"bad streamId: $streamId")
+    require(table != sketchTable, "data and sketch tables must differ")
+    import graft.operators.{Corpus, Dedup, Sketches}
+    val model = Corpus.LmModel(Dedup.truncate(model0.uni),
+      Dedup.truncate(model0.bigrams), Dedup.truncate(model0.vocab))
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!batch.isEmpty) {
+            val spark = batch.sparkSession
+            val scored = Corpus.lmScore(batch.toDF(), model, idCol, textCol)
+              .select(col(idCol),
+                round(col("nll") * 1e6).cast("long").as("__nll_micro"))
+              .persist()
+            try {
+              val delta = Sketches.lhBuckets(scored, col("__nll_micro"), Nil)
+              val current = graft.sources.ManifestTable.read(
+                spark, baseDir, sketchTable, schema = Some(delta.schema))
+              val merged = current.unionByName(delta)
+                .groupBy(col("idx")).agg(sum(col("cnt")).as("cnt"))
+                .persist()
+              try {
+                // The state is ≤ ~488 rows by construction — the
+                // driver holds the SKETCH (the model-at-driver stance
+                // of Corpus.bpeTrain), never the data.
+                val st = merged.collect()
+                  .map(r => (r.getAs[Int]("idx"), r.getAs[Long]("cnt")))
+                  .sortBy(_._1)
+                val target = math.ceil(
+                  keepFrac * st.iterator.map(_._2).sum).toLong
+                var cum = 0L
+                val barIdx = st.find { case (_, c) =>
+                  cum += c; cum >= target }.get._1
+                val bar = spark.range(1)
+                  .select(Sketches.lhBucketHi(lit(barIdx))).head().getLong(0)
+                val keep = scored.filter(col("__nll_micro") <= bar)
+                  .select(idCol)
+                val survivors = batch.join(keep, Seq(idCol), "left_semi")
+                // One manifest: corpus append + sketch snapshot. An
+                // all-dropped batch still commits the sketch update —
+                // rejected traffic must keep moving the bar.
+                graft.sources.ManifestTable.commitMulti(
+                  spark, baseDir, txnId = s"$streamId-$batchId",
+                  appends =
+                    if (survivors.isEmpty) Map.empty
+                    else Map(table -> survivors),
+                  snapshots = Map(sketchTable -> merged))
+              } finally merged.unpersist()
+            } finally scored.unpersist()
+          }
+          ()
+      }
+  }
+
   def lmGatedSink(
       docs: DataFrame,
       model0: graft.operators.Corpus.LmModel,

@@ -71,6 +71,36 @@ class SketchesSpec extends SparkSpec {
     assert(neg.getMessage != null)
   }
 
+  test("count-min: sum-merge == one pass; estimates only over-count") {
+    // Exact count of token t_i is i % 7 + 1; ~800 occurrences total.
+    val occ = (1 to 200).flatMap(i => Seq.fill(i % 7 + 1)(("g", s"t$i")))
+      .toDF("grp", "k")
+    val onePass = sortedRows(Sketches.cmRegisters(occ, col("k"), Seq("grp")))
+    val merged = sortedRows(
+      Sketches.cmRegisters(occ.limit(300), col("k"), Seq("grp"))
+        .unionByName(Sketches.cmRegisters(
+          occ.exceptAll(occ.limit(300)), col("k"), Seq("grp")))
+        .groupBy(col("grp"), col("j"), col("b"))
+        .agg(sum(col("cnt")).as("cnt")))
+    assert(onePass == merged, "counter sum-merge must equal one pass")
+
+    val state = Sketches.cmRegisters(occ, col("k"), Seq("grp"))
+    val keys = occ.distinct()
+    val est = Sketches.cmEstimate(state, keys, "k", Seq("grp"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    for (i <- 1 to 200) {
+      val exact = i % 7 + 1L
+      val e = est(s"t$i")
+      assert(e >= exact, s"CM must never under-count: t$i $e < $exact")
+      assert(e <= exact + 24, s"over-count implausibly high for t$i: $e")
+    }
+    // A key the state never saw estimates ~0 (over-count only).
+    val unseen = Sketches.cmEstimate(state,
+      Seq(("g", "never_seen_zzz")).toDF("grp", "k"), "k", Seq("grp"))
+      .collect().head.getLong(2)
+    assert(unseen >= 0L && unseen <= 24L)
+  }
+
   test("lhQuantiles tracks exact quantiles within the bucket width") {
     // 1..1000 uniform: true p50=500, p90=900, p99=990.
     val df = (1L to 1000L).map(v => ("g", v)).toDF("grp", "v")

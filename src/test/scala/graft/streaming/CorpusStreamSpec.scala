@@ -206,4 +206,90 @@ class CorpusStreamSpec extends SparkSpec {
     val replay = Seq((10L, fluent)).toDF("doc_id", "text")
     assert(ManifestTable.commit(replay, base, "corpus", "lm1-0") == 0L)
   }
+
+  test("lmAdaptiveGatedSink: the bar tracks the stream's own distribution") {
+    import graft.operators.{Corpus, Sketches}
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val trusted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown dog runs past the lazy fox"))
+      .toDF("doc_id", "text")
+    val model = Corpus.lmModel(trusted, "text")
+    val fluent = "the quick brown fox runs"
+    val junk = "zxq qzx xqz wvu uvw"
+    // Premise: the two candidate scores land in DIFFERENT sketch
+    // buckets (else the gate cannot separate them by construction).
+    val micro = Corpus.lmScore(
+        Seq((0L, fluent), (1L, junk)).toDF("doc_id", "text"),
+        model, "doc_id", "text")
+      .select(col("doc_id"),
+        Sketches.lhBucketIdx(round(col("nll") * 1e6).cast("long")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(micro(0L) < micro(1L), "fluent and junk must bucket apart")
+
+    val base = java.nio.file.Files.createTempDirectory("cs-adapt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cs-adaptck").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CorpusStream.lmAdaptiveGatedSink(
+      input.toDF().toDF("doc_id", "text"), model, "doc_id", "text",
+      keepFrac = 0.5, base, "corpus", "nll_sketch",
+      streamId = "a1", checkpointDir = ckpt).start()
+    def landed(): Seq[Long] = ManifestTable.read(spark, base, "corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    try {
+      // Half fluent, half junk: the self-calibrated p50 bar admits
+      // exactly the fluent half.
+      input.addData((10L, fluent), (11L, fluent), (12L, junk), (13L, junk))
+      q.processAllAvailable()
+      assert(landed() == Seq(10L, 11L))
+      // Traffic degrades to all-junk: the maintained distribution is
+      // now junk-majority, the p50 bar drifts up into the junk bucket,
+      // and the "best half of current traffic" lands — the adaptive
+      // behavior a frozen maxNll cannot have.
+      input.addData((20L, junk), (21L, junk), (22L, junk), (23L, junk))
+      q.processAllAvailable()
+      assert(landed() == Seq(10L, 11L, 20L, 21L, 22L, 23L))
+    } finally q.stop()
+    // The maintained sketch state is bit-equal to one-pass bucketing
+    // of every score ever seen — state and data advanced atomically.
+    val allScores = Corpus.lmScore(
+      (Seq((10L, fluent), (11L, fluent), (12L, junk), (13L, junk)) ++
+        (20L to 23L).map(i => (i, junk))).toDF("doc_id", "text"),
+      model, "doc_id", "text")
+      .select(round(col("nll") * 1e6).cast("long").as("m"))
+    val batchState = Sketches.lhBuckets(allScores, col("m"), Nil)
+      .as[(Int, Long)].collect().sorted.toSeq
+    val mvState = ManifestTable.read(spark, base, "nll_sketch")
+      .as[(Int, Long)].collect().sorted.toSeq
+    assert(mvState == batchState)
+    // Replays of both batch txns are sealed.
+    assert(ManifestTable.committedTxns(spark, base) == Set("a1-0", "a1-1"))
+    assert(ManifestTable.commit(Seq((99L, junk)).toDF("doc_id", "text"),
+      base, "corpus", "a1-1") == 0L)
+  }
+
+  test("lmAdaptiveGatedSink: identical-score traffic is never starved") {
+    import graft.operators.Corpus
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val trusted = Seq((1L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
+    val model = Corpus.lmModel(trusted, "text")
+    val base = java.nio.file.Files.createTempDirectory("cs-same").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cs-sameck").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CorpusStream.lmAdaptiveGatedSink(
+      input.toDF().toDF("doc_id", "text"), model, "doc_id", "text",
+      keepFrac = 0.5, base, "corpus", "nll_sketch",
+      streamId = "s1", checkpointDir = ckpt).start()
+    try {
+      // Three docs, one shared score: a lower-bound bar would reject
+      // all of them (nothing is < its own bucket's lower bound); the
+      // inclusive bucket-hi bar lands the whole indistinguishable set.
+      input.addData((1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "aa bb cc"))
+      q.processAllAvailable()
+      assert(ManifestTable.read(spark, base, "corpus").count() == 3L)
+    } finally q.stop()
+  }
 }

@@ -55,6 +55,50 @@ class RollupSpec extends SparkSpec {
     assert(v1 == Map("mon" -> ((2L, 15L)), "tue" -> ((1L, 7L))))
   }
 
+  test("sumCountSinkPartitioned rewrites ONLY the partitions a batch touched") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("prollup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("prollup-ck").toString
+    val nParts = 4
+    val input = MemoryStream[(String, Long)](spark)
+    val q = Rollup.sumCountSinkPartitioned(
+      input.toDF().toDF("k", "v"), keyCols = Seq("k"), sumCols = Seq("v"),
+      base, "roll", streamId = "p1", checkpointDir = ckpt, nParts = nParts)
+      .start()
+    def partFiles(): Map[Int, Set[String]] = (0 until nParts).flatMap { p =>
+      ManifestTable.schemaOf(spark, base, s"roll.p$p").map(s =>
+        p -> ManifestTable.read(spark, base, s"roll.p$p", schema = Some(s))
+          .inputFiles.toSet)
+    }.toMap
+    try {
+      input.addData((0 until 16).map(i => (s"k$i", i.toLong)): _*)
+      q.processAllAvailable()
+      val before = partFiles()
+      assert(before.size >= 2, "16 hashed keys must span several partitions")
+      // Touch exactly one key — only its partition may move.
+      input.addData(("k0", 100L))
+      q.processAllAvailable()
+      val after = partFiles()
+      val p0 = spark.range(1).select(pmod(TextFunctions.hash60(
+          lit("k0")), lit(nParts.toLong)).cast("int")).head().getInt(0)
+      assert(after(p0) != before(p0), "the touched partition must rewrite")
+      for ((p, fs) <- before if p != p0)
+        assert(after(p) == fs,
+          s"partition $p held no touched key — its files must not move")
+      // The merged rollup is still exact.
+      val all = Rollup.readPartitioned(spark, base, "roll", nParts)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+        .toMap
+      assert(all("k0") == ((2L, 100L)))
+      assert(all("k7") == ((1L, 7L)) && all.size == 16)
+      // Both batches sealed their txns atomically across partitions.
+      assert(ManifestTable.committedTxns(spark, base)
+        .intersect(Set("p1-0", "p1-1")) == Set("p1-0", "p1-1"))
+    } finally q.stop()
+  }
+
   test("quantileSink: streamed bucket merge == batch sketch, bit-exact") {
     import graft.operators.Sketches
     import org.apache.spark.sql.functions.col
@@ -89,6 +133,39 @@ class RollupSpec extends SparkSpec {
     assert(est("web")._1 == 1001L)
     assert(est("web")._2 > 350L && est("web")._2 <= 450L)
     assert(est("books")._1 == 80L)
+  }
+
+  test("cmSink: streamed counter merge == batch sketch; estimates serve live") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cmmv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cmmv-ck").toString
+    val input = MemoryStream[(String, String)](spark)
+    val q = Rollup.cmSink(
+      input.toDF().toDF("day", "url"),
+      keyCols = Seq("day"), countedCol = "url",
+      base, "hits", streamId = "c1", checkpointDir = ckpt).start()
+    val b1 = (1 to 60).map(i => ("mon", s"u${i % 12}"))
+    val b2 = (1 to 40).map(i => ("mon", s"u${i % 8}"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = ManifestTable.read(spark, base, "hits")
+      .as[(String, Int, Int, Long)].collect().sorted.toSeq
+    val batch = Sketches.cmRegisters(
+        (b1 ++ b2).toDF("day", "url"), col("url"), Seq("day"))
+      .as[(String, Int, Int, Long)].collect().sorted.toSeq
+    assert(streamed == batch) // counter sum-merge ≡ one-pass sketch
+    // Point estimates off the MV: u0 appeared 5 + 5 = 10 times.
+    val est = Sketches.cmEstimate(
+        ManifestTable.read(spark, base, "hits"),
+        Seq(("mon", "u0")).toDF("day", "url"), "url", Seq("day"))
+      .collect().head.getLong(2)
+    assert(est >= 10L && est <= 12L)
   }
 
   test("hllDistinctSink: streamed register merge == batch sketch, bit-exact") {
