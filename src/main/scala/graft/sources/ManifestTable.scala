@@ -843,7 +843,7 @@ object ManifestTable {
       txnId: String): Option[DeleteResult] = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     require(txnId.nonEmpty && !txnId.contains("\n"), s"bad txnId: $txnId")
-    var log = readLog(spark, baseDir)
+    val log = readLog(spark, baseDir)
     if (log.exists(_.txns.contains(txnId))) return None
     val files = liveFiles(log, table)
     val allStats = log.flatMap(_.stats).toMap
@@ -858,14 +858,7 @@ object ManifestTable {
       commitMulti(spark, baseDir, txnId)
       return Some(DeleteResult(0L, 0, kept.length))
     }
-    val conf = spark.sessionState.newHadoopConf()
-    def rowCount(paths: Seq[org.apache.hadoop.fs.Path]): Long =
-      paths.map { f =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-        try r.getRecordCount finally r.close()
-      }.sum
-    val before = rowCount(candidates.map(f =>
+    val before = parquetRowCount(spark, candidates.map(f =>
       new org.apache.hadoop.fs.Path(s"$baseDir/$f")))
     // Rewrite the candidates minus the matching rows. The committed
     // schema is the read schema (old files null-fill evolved columns).
@@ -873,27 +866,69 @@ object ManifestTable {
       .getOrElse(spark.read)
     val survivors = reader.parquet(candidates.map(f => s"$baseDir/$f"): _*)
       .filter(coalesce(not(predicate), lit(true)))
+    val (adds, after) = writeRewrite(spark, baseDir, table, txnId, survivors)
+    if (!commitRewrite(spark, baseDir, txnId, log, candidates, adds,
+        kind = "delete")) return None
+    Some(DeleteResult(before - after, candidates.length, kept.length))
+  }
+
+  /** Parquet row count across `paths` — driver-side footer reads, no
+    * Spark scan job. */
+  private def parquetRowCount(
+      spark: SparkSession, paths: Seq[org.apache.hadoop.fs.Path]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    paths.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** Write `df` into a fresh txn-stamped data dir of `table` and
+    * collect (relative file paths + their stats lines, row count). A
+    * zero-ROW result is deleted and yields no adds — rewrite commits
+    * must never reference an empty rewrite. */
+  private def writeRewrite(
+      spark: SparkSession,
+      baseDir: String,
+      table: String,
+      txnId: String,
+      df: DataFrame): (Seq[(String, Option[String])], Long) = {
+    val conf = spark.sessionState.newHadoopConf()
     val safeTxn = txnId.replaceAll("[^A-Za-z0-9._-]", "_")
     val rel = s"$table/$DataDir/$safeTxn-${java.util.UUID.randomUUID()}"
-    survivors.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/$rel")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/$rel")
     val (fs, dataPath) = fsAndPath(spark, s"$baseDir/$rel")
     val newFiles = fs.listStatus(dataPath).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val after = rowCount(newFiles)
-    // All candidate rows matched: commit pure removes, drop the
-    // zero-row rewrite (it is referenced by nothing).
-    val adds = if (after == 0L) { fs.delete(dataPath, true); Nil }
-      else newFiles
-    val stats = adds.flatMap { f =>
+    val n = parquetRowCount(spark, newFiles)
+    if (n == 0L) { fs.delete(dataPath, true); return (Nil, 0L) }
+    val adds = newFiles.map { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
       val footer = try r.getFooter finally r.close()
-      footerStatsJson(footer).map(j => s"$rel/${f.getName}" -> j)
+      (s"$rel/${f.getName}", footerStatsJson(footer))
     }
+    (adds, n)
+  }
+
+  /** Claim a version slot for a rewrite manifest (`remove:` + `add:` +
+    * `stats:` under one txn) with the same retry discipline as
+    * [[commitMulti]]. Returns false if the txn turned out to be
+    * already sealed (a prior attempt of ours won). */
+  private def commitRewrite(
+      spark: SparkSession,
+      baseDir: String,
+      txnId: String,
+      log0: Seq[Manifest],
+      removes: Seq[String],
+      adds: Seq[(String, Option[String])],
+      kind: String): Boolean = {
+    var log = log0
     val body = (Seq(s"txn:$txnId") ++
-      candidates.map(f => s"remove:$f") ++
-      adds.map(f => s"add:$rel/${f.getName}") ++
-      stats.map { case (f, j) => s"stats:$f\t$j" })
+      removes.map(f => s"remove:$f") ++
+      adds.map { case (f, _) => s"add:$f" } ++
+      adds.collect { case (f, Some(j)) => s"stats:$f\t$j" })
       .mkString("", "\n", "\n")
     val (lfs, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
     lfs.mkdirs(logPath)
@@ -905,20 +940,157 @@ object ManifestTable {
       if (attempts > 100) {
         lfs.delete(tmp, false)
         throw new java.io.IOException(
-          s"delete commit for $txnId lost 100 races — aborting")
+          s"$kind commit for $txnId lost 100 races — aborting")
       }
       log = log ++ readLogAfter(spark, baseDir,
         log.lastOption.map(_.version).getOrElse(0L))
       if (log.exists(_.txns.contains(txnId))) {
         lfs.delete(tmp, false)
-        return None
+        return false
       }
       val next = log.lastOption.map(_.version).getOrElse(0L) + 1
       if (claimSlot(lfs, tmp, new org.apache.hadoop.fs.Path(logPath,
           versionName(next)))) committed = next
     }
     if (lfs.getScheme == "file") lfs.delete(tmp, false)
-    Some(DeleteResult(before - after, candidates.length, kept.length))
+    true
+  }
+
+  /** Outcome of an [[optimize]]: small files folded into bigger ones. */
+  final case class OptimizeResult(
+      filesCompacted: Int, filesOut: Int, bytesCompacted: Long)
+
+  /** Bin-pack small files (the Delta/Iceberg OPTIMIZE idiom): every
+    * live file under `targetBytes` is rewritten into ~targetBytes
+    * outputs; files already at size keep their paths. Streaming sinks
+    * commit a file (or several) per micro-batch — after a week of
+    * 30-second batches a table is 20k tiny files and every read pays
+    * 20k opens; compaction is what makes "land small, read big"
+    * sustainable. Content is untouched (row-identical, spec-verified),
+    * stats are recomputed for the new files, and the swap is one
+    * `remove:`+`add:` manifest under `txnId` — readers flip atomically,
+    * time travel still reads the pre-compaction layout, replays are
+    * sealed no-ops (None).
+    *
+    * `clusterCol` additionally range-clusters the rewritten rows —
+    * compaction is the natural moment to ALSO fix layout, since the
+    * rows are being rewritten anyway ([[commitClustered]]'s skipping
+    * rationale). */
+  def optimize(
+      spark: SparkSession,
+      baseDir: String,
+      table: String,
+      txnId: String,
+      targetBytes: Long = 128L << 20,
+      clusterCol: Option[String] = None): Option[OptimizeResult] = {
+    require(txnId.nonEmpty && !txnId.contains("\n"), s"bad txnId: $txnId")
+    require(targetBytes > 0, "targetBytes must be positive")
+    val log = readLog(spark, baseDir)
+    if (log.exists(_.txns.contains(txnId))) return None
+    val (fs, _) = fsAndPath(spark, baseDir)
+    val sized = liveFiles(log, table).map { f =>
+      f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$baseDir/$f"))
+        .getLen
+    }
+    val small = sized.filter(_._2 < targetBytes)
+    if (small.length < 2) {
+      // Nothing to fold together; still seal the txn (idempotence).
+      commitMulti(spark, baseDir, txnId)
+      return Some(OptimizeResult(0, 0, 0L))
+    }
+    val bytesIn = small.map(_._2).sum
+    val nOut = math.max(1L, (bytesIn + targetBytes - 1) / targetBytes).toInt
+    val reader = latestSchema(log, table).map(spark.read.schema)
+      .getOrElse(spark.read)
+    val rows = reader.parquet(small.map(f => s"$baseDir/${f._1}"): _*)
+    val shaped = clusterCol match {
+      case Some(c) =>
+        val key = org.apache.spark.sql.functions.col(c)
+        rows.repartitionByRange(nOut, key).sortWithinPartitions(c)
+      // Pure compaction: coalesce is a NARROW fold of the small-file
+      // partitions — no shuffle of data that is only changing files.
+      case None => rows.coalesce(nOut)
+    }
+    val (adds, _) = writeRewrite(spark, baseDir, table, txnId, shaped)
+    if (!commitRewrite(spark, baseDir, txnId, log, small.map(_._1), adds,
+        kind = "optimize")) return None
+    Some(OptimizeResult(small.length, adds.length, bytesIn))
+  }
+
+  /** Outcome of an [[upsertKeyed]]. */
+  final case class UpsertResult(
+      rowsReplaced: Long, rowsInserted: Long, filesRewritten: Int)
+
+  /** Keyed MERGE (upsert): land `delta` into `table`, replacing any
+    * existing row with the same `keyCol` — the SCD-overwrite /
+    * reprocessed-partition idiom at file granularity. Only files whose
+    * recorded min/max range intersects the delta's [min, max] key span
+    * are anti-joined and rewritten (on a key-clustered table a narrow
+    * delta touches O(1) files); the delta itself appends alongside in
+    * the SAME `remove:`+`add:` manifest, so readers never see a state
+    * with the old rows gone and the new ones missing, or both present.
+    * Sealed under `txnId`; replays return None. Duplicate keys INSIDE
+    * `delta` are the caller's contract to avoid (both rows land, as in
+    * any append). */
+  def upsertKeyed(
+      spark: SparkSession,
+      baseDir: String,
+      table: String,
+      delta: DataFrame,
+      keyCol: String,
+      txnId: String): Option[UpsertResult] = {
+    import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
+    require(txnId.nonEmpty && !txnId.contains("\n"), s"bad txnId: $txnId")
+    val log = readLog(spark, baseDir)
+    if (log.exists(_.txns.contains(txnId))) return None
+    // Same add-column-only gate as commitMulti appends: the delta's
+    // files must stay one coherent table with the existing ones.
+    latestSchema(log, table).foreach { prev =>
+      val now = delta.schema.map(f => f.name -> f.dataType).toMap
+      prev.foreach { f =>
+        require(now.get(f.name).contains(f.dataType),
+          s"upsert into $table must keep column '${f.name}: " +
+            s"${f.dataType.sql}' (schema evolution is add-column only)")
+      }
+    }
+    val keys = delta.select(col(keyCol)).where(col(keyCol).isNotNull)
+    val bounds = keys.agg(smin(col(keyCol)), smax(col(keyCol))).head()
+    val files = liveFiles(log, table)
+    val candidates =
+      if (bounds.isNullAt(0)) Seq.empty[String] // empty delta key set
+      else {
+        val pred = col(keyCol) >= lit(bounds.get(0)) &&
+          col(keyCol) <= lit(bounds.get(1))
+        val allStats = log.flatMap(_.stats).toMap
+        val conjuncts = splitConjuncts(
+          org.apache.spark.sql.GraftSqlBridge.resolved(pred))
+        files.filter { f =>
+          val st = allStats.get(f).map(parseStats).getOrElse(Map.empty)
+          conjuncts.forall(c => conjunctMayMatch(c, st))
+        }
+      }
+    val (survivorAdds, survivorRows, before) =
+      if (candidates.isEmpty) (Nil, 0L, 0L)
+      else {
+        val before = parquetRowCount(spark, candidates.map(f =>
+          new org.apache.hadoop.fs.Path(s"$baseDir/$f")))
+        val reader = latestSchema(log, table).map(spark.read.schema)
+          .getOrElse(spark.read)
+        val survivors = reader
+          .parquet(candidates.map(f => s"$baseDir/$f"): _*)
+          .join(keys.distinct(), Seq(keyCol), "left_anti")
+        val (adds, n) = writeRewrite(spark, baseDir, table, txnId, survivors)
+        (adds, n, before)
+      }
+    // The delta lands as its own add set in the same manifest. An empty
+    // delta frame still writes a schema-bearing file via commitMulti's
+    // path — but here an empty delta means "pure delete of nothing";
+    // writeRewrite drops zero-row output and that is correct.
+    val (deltaAdds, inserted) = writeRewrite(spark, baseDir, table,
+      txnId + ".delta", delta)
+    if (!commitRewrite(spark, baseDir, txnId, log, candidates,
+        survivorAdds ++ deltaAdds, kind = "upsert")) return None
+    Some(UpsertResult(before - survivorRows, inserted, candidates.length))
   }
 
   /** Delete orphan data dirs under one table (written by a crashed

@@ -539,6 +539,82 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, base, "docs").count() == 100L)
   }
 
+  test("optimize bin-packs small files, preserves content, keeps big files put") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    // One big file (200k rows, comfortably over the target) + four
+    // tiny per-batch files — the streaming-sink debris shape.
+    ManifestTable.commit((1L to 200000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(1), base, "t", "big")
+    (0 until 4).foreach { i =>
+      ManifestTable.commit(
+        Seq((10000L + i, s"s$i")).toDF("id", "v").repartition(1),
+        base, "t", s"tiny-$i")
+    }
+    val before = ManifestTable.read(spark, base, "t")
+    val filesBefore = before.inputFiles.toSet
+    val contentBefore = before.as[(Long, String)].collect().sorted.toSeq
+    assert(filesBefore.size == 5)
+    // Only the big file's [1, 200000] range reaches 100000 — the tiny
+    // files (ids 10000..10003) prune away.
+    val bigFile = ManifestTable.read(spark, base, "t",
+      skipFilter = Some(col("id") >= 100000L)).inputFiles.toSet
+    assert(bigFile.size == 1)
+
+    // Target above the tiny files but below the big one.
+    val res = ManifestTable.optimize(spark, base, "t", "opt-1",
+      targetBytes = 100L * 1024)
+    assert(res.exists(r => r.filesCompacted == 4 && r.filesOut == 1))
+    val after = ManifestTable.read(spark, base, "t")
+    assert(after.inputFiles.toSet.size == 2) // big + one folded file
+    assert(after.inputFiles.toSet.intersect(bigFile) == bigFile,
+      "an at-size file must keep its path")
+    assert(after.as[(Long, String)].collect().sorted.toSeq == contentBefore,
+      "compaction must be row-identical")
+    // Replay sealed; re-optimizing an already-tight table is a no-op.
+    assert(ManifestTable.optimize(spark, base, "t", "opt-1").isEmpty)
+    assert(ManifestTable.optimize(spark, base, "t", "opt-2",
+      targetBytes = 100L * 1024)
+      .contains(ManifestTable.OptimizeResult(0, 0, 0L)))
+    // Time travel still reads the pre-compaction 5-file layout.
+    val v5 = ManifestTable.read(spark, base, "t", asOfVersion = Some(5L))
+    assert(v5.inputFiles.toSet == filesBefore)
+  }
+
+  test("upsertKeyed replaces matching keys and appends the delta atomically") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    ManifestTable.commit((1L to 100L).map(i => (i, "old")).toDF("id", "v")
+      .repartition(1), base, "t", "load-1")
+    ManifestTable.commit((200L to 300L).map(i => (i, "old")).toDF("id", "v")
+      .repartition(1), base, "t", "load-2")
+    val lowFile = ManifestTable.read(spark, base, "t",
+      skipFilter = Some(col("id") <= 100L)).inputFiles.toSet
+    // Delta hits only the 200..300 file: 2 replacements + 1 brand-new.
+    val delta = Seq((250L, "new"), (260L, "new"), (999L, "new"))
+      .toDF("id", "v")
+    val res = ManifestTable.upsertKeyed(spark, base, "t", delta, "id", "up-1")
+    assert(res.contains(ManifestTable.UpsertResult(2L, 3L, 1)))
+    val after = ManifestTable.read(spark, base, "t")
+    // The low file's key range cannot intersect [250, 999] — untouched.
+    assert(after.inputFiles.toSet.intersect(lowFile) == lowFile)
+    val rows = after.as[(Long, String)].collect().toMap
+    assert(rows.size == 202) // 100 + 101 + 1 new
+    assert(rows(250L) == "new" && rows(260L) == "new" && rows(999L) == "new")
+    assert(rows(251L) == "old" && rows(1L) == "old")
+    // Replay sealed; time travel reads the pre-upsert rows.
+    assert(ManifestTable.upsertKeyed(spark, base, "t", delta, "id", "up-1")
+      .isEmpty)
+    val v2 = ManifestTable.read(spark, base, "t", asOfVersion = Some(2L))
+      .as[(Long, String)].collect().toMap
+    assert(v2(250L) == "old" && !v2.contains(999L) && v2.size == 201)
+    // A schema-breaking delta refuses before anything lands.
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsertKeyed(spark, base, "t",
+        Seq((1L, 2.0)).toDF("id", "v"), "id", "up-2")
+    }
+  }
+
   test("deleteWhere: NULL-evaluating predicate rows survive") {
     import org.apache.spark.sql.functions._
     val base = tmpBase()
