@@ -1376,16 +1376,51 @@ object SparkEntry {
     // occurrences — bounded per source.
     "q115_cm_heavy_hitters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val occ = docs.select(col("source"),
-        explode(TextFunctions.tokens(col("text"))).as("k"))
-      val state = Sketches.cmRegisters(occ, col("k"), Seq("source"))
-      val exact = occ.groupBy(col("source"), col("k"))
-        .agg(count(lit(1)).as("c"))
+      // ONE corpus explode: the exact (source, token) counts feed both
+      // the ranking and the register build (weighted distinct keys ≡
+      // per-occurrence counting); truncate so the two consumers don't
+      // re-run the explode.
+      val exact = Dedup.truncate(
+        docs.select(col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("k"))
+          .groupBy(col("source"), col("k"))
+          .agg(count(lit(1)).as("c")))
+      val state = Sketches.cmRegisters(exact, col("k"), Seq("source"),
+        weight = col("c"))
       val w = Window.partitionBy(col("source"))
         .orderBy(col("c").desc, col("k"))
       val keys = exact.withColumn("r", row_number().over(w))
         .filter(col("r") <= 5).select(col("source"), col("k"))
       Sketches.cmEstimate(state, keys, "k", Seq("source"))
+    }),
+
+    // Bloom membership probe: every customer key tested against the
+    // 64 KiB filter built from order keys — the broadcast pre-join
+    // prune ("definitely no orders" customers never reach the real
+    // join). Verdicts, including any false positives, are md5-
+    // deterministic and bit-equal in DuckDB.
+    "q116_bloom_membership" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val state = Sketches.bloomBits(orders,
+        col("o_custkey").cast("string"), Nil)
+      Sketches.bloomMightContain(state,
+        cust.select(col("c_custkey").cast("string").as("k")), "k", Nil)
+    }),
+
+    // HLL set algebra: pairwise distinct-token overlap between sources
+    // from per-source registers alone — union by register max-merge,
+    // intersection by inclusion–exclusion. The raw corpus is read
+    // once (to build registers); every pairwise estimate is register-
+    // table arithmetic, unlike q93's exact matrix which re-shuffles
+    // the corpus per run.
+    "q117_hll_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val regs = Sketches.hllRegisters(
+        docs.select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok")),
+        col("tok"), Seq("source"))
+      Sketches.hllOverlapEstimate(regs, "source")
     }),
 
     // End-to-end BPE: train 10 merges on the corpus (10 distributed
@@ -3077,6 +3112,18 @@ object SparkEntry {
       """CAST(len(list_filter(string_split(lower(text), ' '),
         |         t -> len(t) > 0)) AS BIGINT)""".stripMargin,
       Seq("source"), Seq(0.5, 0.9, 0.99)),
+
+    "q117_hll_overlap" -> graft.operators.Sketches.hllOverlapSql(
+      table = """(SELECT source,
+                |   unnest(list_filter(string_split(lower(text), ' '),
+                |     t -> len(t) > 0)) AS tok
+                | FROM documents)""".stripMargin,
+      keySql = "tok", groupCol = "source"),
+
+    "q116_bloom_membership" -> graft.operators.Sketches.bloomSql(
+      fromSql = "SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders",
+      keysSql = "SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer",
+      groupCols = Nil),
 
     "q115_cm_heavy_hitters" -> graft.operators.Sketches.cmEstimateSql(
       fromSql =

@@ -93,31 +93,37 @@ object Corpus {
     * — [[bpePairCounts]] is round one of exactly this. Ties break
     * (count desc, pair asc), so the learned list is deterministic.
     *
-    * Scale: each round is one distributed explode + hash-agg + top-1;
-    * the driver holds only the merge list itself (the MODEL — a few
-    * thousand rows at production vocab sizes, trained on a sample of
-    * a 100 TB corpus exactly as real tokenizers are). Stops early
-    * when no pair repeats. Apply the result at scan speed with
+    * Scale: the corpus is exploded and tokenized ONCE, then collapsed
+    * to the DISTINCT-token frequency table — pair counts per round are
+    * the pair occurrences within each distinct token × that token's
+    * corpus frequency, which is EXACTLY the per-occurrence count
+    * (tokens are re-encoded identically wherever they occur, so every
+    * occurrence of "lower" contributes the same pairs). Each round is
+    * then one re-encode + hash-agg over VOCABULARY-sized rows — at a
+    * 100 TB corpus that is millions of distinct tokens instead of
+    * trillions of occurrences, the difference between a training loop
+    * that runs and one that re-scans the corpus per merge. The driver
+    * holds only the merge list itself (the MODEL). Stops early when no
+    * pair repeats. Apply the result at scan speed with
     * [[graft.functions.GraftExpressions.bpeEncode]]. */
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int)
       : Seq[(String, String)] = {
     require(nMerges > 0, "nMerges must be positive")
-    // Every round re-encodes the same token stream; explode + split it
-    // ONCE and truncate lineage so the per-round cost is the encode +
-    // pair count, not a fresh corpus scan and tokenize per merge.
     val toks = Dedup.truncate(
-      docs.select(explode(TextFunctions.tokens(col(textCol))).as("tok")))
+      docs.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("w")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
       val best = toks
-        .select(GraftExpressions.bpeEncode(col("tok"), merges.toSeq).as("ps"))
+        .select(col("w"),
+          GraftExpressions.bpeEncode(col("tok"), merges.toSeq).as("ps"))
         .filter(size(col("ps")) >= 2)
-        .select(col("ps"),
+        .select(col("w"), col("ps"),
           explode(sequence(lit(1), size(col("ps")) - 1)).as("i"))
-        .select(element_at(col("ps"), col("i")).as("a"),
+        .select(col("w"), element_at(col("ps"), col("i")).as("a"),
           element_at(col("ps"), col("i") + 1).as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("a"), col("b")).agg(sum(col("w")).as("c"))
         .filter(col("c") >= 2L)
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
         .limit(1).collect()

@@ -155,7 +155,10 @@ object Ranking {
       .agg(min(when(col("q") === loQ, col(valueCol))).as("lo"),
         min(when(col("q") === hiQ, col(valueCol))).as("hi"))
       .withColumnRenamed(groupCol, "__bg")
-    base.join(broadcast(bounds), col(groupCol) <=> col("__bg"))
+    // LEFT join: a group whose values are ALL NULL has no bounds row,
+    // but its rows must still pass through (with NULL lo/hi/clipped),
+    // not silently vanish.
+    base.join(broadcast(bounds), col(groupCol) <=> col("__bg"), "left")
       .drop("__bg")
       .withColumn("clipped",
         when(col(valueCol).isNotNull,
@@ -185,14 +188,17 @@ object Ranking {
     val base = df.select(col(groupCol), col(valueCol), col(tieCol))
     val med = groupQuantiles(base, groupCol, valueCol, tieCol, Seq(0.5))
       .select(col(groupCol).as("__mg"), col(valueCol).as("med"))
-    val withMed = base.join(broadcast(med), col(groupCol) <=> col("__mg"))
+    // LEFT joins, as in winsorize: all-NULL groups keep their rows
+    // (NULL med/mad/z) instead of dropping out of the result.
+    val withMed = base.join(broadcast(med), col(groupCol) <=> col("__mg"),
+        "left")
       .drop("__mg")
       .withColumn("__dev", abs(col(valueCol) - col("med")))
     val mad = groupQuantiles(
         withMed.select(col(groupCol), col("__dev"), col(tieCol)),
         groupCol, "__dev", tieCol, Seq(0.5))
       .select(col(groupCol).as("__dg"), col("__dev").as("mad"))
-    withMed.join(broadcast(mad), col(groupCol) <=> col("__dg"))
+    withMed.join(broadcast(mad), col(groupCol) <=> col("__dg"), "left")
       .drop("__dg", "__dev")
       .withColumn("z",
         when(col("mad") > 0,

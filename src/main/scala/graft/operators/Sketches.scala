@@ -206,8 +206,9 @@ object Sketches {
        |    sum(cnt) OVER (PARTITION BY $g) AS n
        |  FROM st)
        |SELECT $g, q.q AS q, CAST(max(n) AS BIGINT) AS n,
-       |  CAST(min(CASE WHEN idx < 16 THEN idx
-       |    ELSE (8 + (idx - 16) % 8) << ((idx - 16) // 8 + 1) END)
+       |  CAST(min(CASE WHEN idx < 16 THEN CAST(idx AS BIGINT)
+       |    ELSE CAST(8 + (idx - 16) % 8 AS BIGINT)
+       |      << ((idx - 16) // 8 + 1) END)
        |    AS BIGINT) AS value
        |FROM cu, (SELECT CAST(unnest([$qList]) AS DOUBLE) AS q) q
        |WHERE cum >= CAST(ceil(q.q * n) AS BIGINT)
@@ -239,34 +240,47 @@ object Sketches {
     * map-side-combinable hash-agg on a (depth×width)-bounded key
     * domain. Sum-merge states across any split of the data (batches,
     * days, sources) and the merged state equals one pass over the
-    * whole. */
-  def cmRegisters(df: DataFrame, key: Column, groupCols: Seq[String])
-      : DataFrame =
-    df.select(groupCols.map(col) :+ key.as("__k"): _*)
-      .select(groupCols.map(col) :+ col("__k") :+
-        explode(array((0 until CmDepth).map(j => lit(j)): _*)).as("j"): _*)
-      .withColumn("b", pmod(graft.functions.TextFunctions.hash60(
-        concat_ws("", col("j"), col("__k"))), lit(CmWidth.toLong))
-        .cast("int"))
+    * whole. Pass `weight` when rows are PRE-AGGREGATED (key, count)
+    * pairs (counting weighted distinct keys = counting occurrences,
+    * at vocabulary cost instead of corpus cost). NULL keys are
+    * dropped: concat_ws would silently alias them with the empty
+    * string, and the SQL twin's md5(NULL) drops them too. */
+  def cmRegisters(df: DataFrame, key: Column, groupCols: Seq[String],
+      weight: Column = lit(1L)): DataFrame =
+    df.filter(key.isNotNull)
+      .select(groupCols.map(col) ++ Seq(key.as("__k"), weight.as("__w")): _*)
+      .select(groupCols.map(col) ++ Seq(col("__k"), col("__w")) :+
+        explode(array((0 until CmDepth).map(j => lit(j)): _*)).as("__j"): _*)
+      .withColumn("b", cmProbe(col("__k")))
+      .withColumnRenamed("__j", "j")
       .groupBy(groupCols.map(col) ++ Seq(col("j"), col("b")): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__w")).as("cnt"))
+
+  /** The (row __j, bucket) layout a key hashes into: ONE definition
+    * shared by the state build and the probe (and mirrored by
+    * cmEstimateSql's `md5(j || k)`), so the three cannot drift.
+    * Callers must have exploded `__j` in [0, CmDepth) first. */
+  private def cmProbe(key: Column): Column =
+    pmod(graft.functions.TextFunctions.hash60(
+      concat_ws("", col("__j"), key)), lit(CmWidth.toLong)).cast("int")
 
   /** Point-estimate the occurrence count of every key in `keys`
     * (columns: groupCols ++ [keyCol]) from a [[cmRegisters]] state:
     * min over the `CmDepth` counters the key hashes into. A key the
     * state never saw estimates 0 (its buckets may be absent — LEFT
-    * join, coalesce). Output: keys' columns + `cm_est` (long). */
+    * join, coalesce); NULL keys are dropped as in the state build.
+    * Output: keys' columns + `cm_est` (long). */
   def cmEstimate(
       state: DataFrame,
       keys: DataFrame,
       keyCol: String,
       groupCols: Seq[String]): DataFrame = {
     val probes = keys
+      .filter(col(keyCol).isNotNull)
       .select(groupCols.map(col) :+ col(keyCol) :+
-        explode(array((0 until CmDepth).map(j => lit(j)): _*)).as("j"): _*)
-      .withColumn("b", pmod(graft.functions.TextFunctions.hash60(
-        concat_ws("", col("j"), col(keyCol))), lit(CmWidth.toLong))
-        .cast("int"))
+        explode(array((0 until CmDepth).map(j => lit(j)): _*)).as("__j"): _*)
+      .withColumn("b", cmProbe(col(keyCol)))
+      .withColumnRenamed("__j", "j")
     probes.join(state, groupCols ++ Seq("j", "b"), "left")
       .groupBy(groupCols.map(col) :+ col(keyCol): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
@@ -307,6 +321,236 @@ object Sketches {
        |  CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS cm_est
        |FROM pr LEFT JOIN st ON $joinOn
        |GROUP BY ${prGC}pr.k""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Bloom membership filter.
+  //
+  // The fourth mergeable sketch (HLL = how many distinct, histogram =
+  // how distributed, count-min = how often, Bloom = IS IT THERE): the
+  // state is (group, word) → 64-bit OR-mask — `BloomWords` longs per
+  // group (64 KiB at the defaults) built by one hash-agg, mergeable by
+  // BIT OR — and membership is "all `BloomHashes` probed bits set".
+  // "Definitely absent" is exact; "present" can be a false positive at
+  // the classic (1−e^−kn/m)^k rate (≈0.1% at n=50k keys, m=2^20 bits,
+  // k=3). At 100 TB this is the PRE-JOIN pruning idiom: broadcast the
+  // 64 KiB state and drop non-members at scan speed, instead of
+  // shuffling a petabyte corpus into a semi join against a key set —
+  // the exact join then runs on the ≤0.1% that survives. md5-derived
+  // probes, so states and verdicts are bit-identical in DuckDB.
+  // ------------------------------------------------------------------
+
+  /** 64-bit words per filter: m = 64·BloomWords bits. Kept a power of
+    * two so the bit index is a shift (mirrored as `// BloomWords` in
+    * the SQL twin — identical on the non-negative 60-bit hash). */
+  val BloomWordsLog2 = 14
+  val BloomWords: Int = 1 << BloomWordsLog2
+
+  /** Probes per key. */
+  val BloomHashes = 3
+
+  private def bloomProbe(key: Column): (Column, Column) = {
+    val h = graft.functions.TextFunctions.hash60(
+      concat_ws("", col("__j"), key))
+    val w = pmod(h, lit(BloomWords.toLong)).cast("int")
+    // 63, not 64: DuckDB's `<<` raises on 1 << 63 (signed overflow)
+    // where the JVM wraps — stay off the sign bit in BOTH engines.
+    val bit = pmod(call_function("shiftright", h, lit(BloomWordsLog2)),
+      lit(63L)).cast("int")
+    (w, bit)
+  }
+
+  /** The filter STATE: per (group, word) the OR of the probed bit
+    * masks — ≤ `BloomWords` rows per group however many keys went in.
+    * OR-merge states across any split of the data and the merged
+    * state equals one pass over the whole (spec-verified). NULL keys
+    * are dropped (concat_ws would alias them with the empty string,
+    * poisoning ""'s membership; the SQL twin's md5(NULL) drops them). */
+  def bloomBits(df: DataFrame, key: Column, groupCols: Seq[String])
+      : DataFrame = {
+    val probed = df
+      .filter(key.isNotNull)
+      .select(groupCols.map(col) :+ key.as("__k"): _*)
+      .select(groupCols.map(col) :+ col("__k") :+
+        explode(array((0 until BloomHashes).map(j => lit(j)): _*))
+          .as("__j"): _*)
+    val (w, bit) = bloomProbe(col("__k"))
+    probed
+      .select(groupCols.map(col) :+ w.as("w") :+
+        call_function("shiftleft", lit(1L), bit).as("m"): _*)
+      .groupBy(groupCols.map(col) :+ col("w"): _*)
+      .agg(expr("bit_or(m)").as("bits"))
+  }
+
+  /** Probe every row of `keys` (columns: groupCols ++ [keyCol])
+    * against a [[bloomBits]] state: `might` is true iff all probed
+    * bits are set — exact "no", ≥99.9%-right "yes" at the defaults.
+    * Output: keys' columns + `might` (boolean). */
+  def bloomMightContain(
+      state: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val probed = keys
+      .filter(col(keyCol).isNotNull)
+      .select(groupCols.map(col) :+ col(keyCol): _*)
+      .select(groupCols.map(col) :+ col(keyCol) :+
+        explode(array((0 until BloomHashes).map(j => lit(j)): _*))
+          .as("__j"): _*)
+    val (w, bit) = bloomProbe(col(keyCol))
+    val probes = probed.select(groupCols.map(col) :+ col(keyCol) :+
+      w.as("w") :+ call_function("shiftleft", lit(1L), bit).as("m"): _*)
+    probes.join(state, groupCols :+ "w", "left")
+      .withColumn("__hit",
+        coalesce(col("bits").bitwiseAND(col("m")) =!= 0L, lit(false)))
+      .groupBy(groupCols.map(col) :+ col(keyCol): _*)
+      .agg((min(col("__hit").cast("int")) === 1).as("might"))
+  }
+
+  /** Keep only the rows of `df` whose key MIGHT be in the filter —
+    * the broadcast pre-join prune. Exact-semantics callers run the
+    * real (anti/semi) join on what survives; rows dropped here are
+    * GUARANTEED non-members. */
+  def bloomPrefilter(
+      df: DataFrame,
+      state: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String]): DataFrame =
+    df.join(
+      broadcast(bloomMightContain(state,
+        df.select((groupCols :+ keyCol).map(col): _*).distinct(),
+        keyCol, groupCols)
+        .filter(col("might")).drop("might")),
+      groupCols :+ keyCol, "left_semi")
+
+  /** The oracle twin of [[bloomBits]] → [[bloomMightContain]] as one
+    * query: `fromSql` yields groupCols ++ [k VARCHAR] member rows,
+    * `keysSql` groupCols ++ [k VARCHAR] probe rows (may reference
+    * `occ`). */
+  def bloomSql(
+      fromSql: String,
+      keysSql: String,
+      groupCols: Seq[String]): String = {
+    val gSelC = groupCols.map(c => s"o.$c, ").mkString
+    val gColsC = groupCols.map(c => s"$c, ").mkString
+    val prGC = groupCols.map(c => s"pr.$c, ").mkString
+    val joinOn = (groupCols.map(c => s"st.$c = pr.$c") ++
+      Seq("st.w = pr.w")).mkString(" AND ")
+    val js = (0 until BloomHashes).mkString(", ")
+    s"""WITH occ AS ($fromSql),
+       |mem AS (
+       |  SELECT ${gSelC}
+       |    CAST(CAST(('0x' || substr(md5(j.j || o.k), 1, 15)) AS BIGINT)
+       |      % $BloomWords AS INT) AS w,
+       |    (CAST(1 AS BIGINT) <<
+       |      (CAST(('0x' || substr(md5(j.j || o.k), 1, 15)) AS BIGINT)
+       |        // $BloomWords % 63)) AS m
+       |  FROM occ o, (SELECT CAST(unnest([$js]) AS VARCHAR) AS j) j),
+       |st AS (SELECT ${gColsC}w, bit_or(m) AS bits
+       |       FROM mem GROUP BY ${gColsC}w),
+       |keys AS ($keysSql),
+       |pr AS (
+       |  SELECT ${gSelC}o.k AS k,
+       |    CAST(CAST(('0x' || substr(md5(j.j || o.k), 1, 15)) AS BIGINT)
+       |      % $BloomWords AS INT) AS w,
+       |    (CAST(1 AS BIGINT) <<
+       |      (CAST(('0x' || substr(md5(j.j || o.k), 1, 15)) AS BIGINT)
+       |        // $BloomWords % 63)) AS m
+       |  FROM keys o, (SELECT CAST(unnest([$js]) AS VARCHAR) AS j) j)
+       |SELECT ${prGC}pr.k,
+       |  (min(CASE WHEN coalesce(st.bits & pr.m, 0) <> 0
+       |       THEN 1 ELSE 0 END) = 1) AS might
+       |FROM pr LEFT JOIN st ON $joinOn
+       |GROUP BY ${prGC}pr.k""".stripMargin
+  }
+
+  /** Sketch set algebra: pairwise distinct-overlap estimates between
+    * groups, computed ENTIRELY from a [[hllRegisters]] table — union
+    * cardinality from the max-merged registers (exact HLL union),
+    * intersection by inclusion–exclusion (est_a + est_b − est_union).
+    * This is the cross-corpus overlap dashboard at 100 TB: once each
+    * source's registers exist (64 small rows, maintainable by
+    * [[graft.streaming.Rollup.hllDistinctSink]]), every pairwise
+    * overlap is a join of register TABLES — the raw data is never
+    * re-read, where the exact q93 matrix re-shuffles the corpus.
+    * Inclusion–exclusion inherits both estimates' error, so small
+    * true overlaps can estimate negative — reported as-is (callers
+    * clamp if they want); every arithmetic step is exact-int harmonic
+    * sums and IEEE divides, bit-equal in DuckDB.
+    *
+    * Output: (a, b, est_a, est_b, est_union, est_intersection) for
+    * every unordered group pair a < b. */
+  def hllOverlapEstimate(registers: DataFrame, groupCol: String)
+      : DataFrame = {
+    val est = hllEstimate(registers, Seq(groupCol))
+    // Registers are SPARSE (only buckets that saw a key have rows), so
+    // the union is NOT an inner join on j — a bucket present in A only
+    // still carries its rank into A∪B. Enumerate pairs, pool both
+    // sides' rows, max per (pair, bucket).
+    val groups = registers.select(col(groupCol)).distinct()
+    val pairs = groups.select(col(groupCol).as("a"))
+      .crossJoin(groups.select(col(groupCol).as("b")))
+      .filter(col("a") < col("b"))
+    val regs = registers.select(col(groupCol).as("__g"), col("j"),
+      col("mj"))
+    val pooled = pairs.join(regs,
+        col("__g") === col("a") || col("__g") === col("b"))
+      .groupBy(col("a"), col("b"), col("j")).agg(max(col("mj")).as("mj"))
+    val unionEst = hllEstimate(pooled, Seq("a", "b"))
+      .select(col("a"), col("b"), col("estimate").as("est_union"))
+    unionEst
+      .join(est.select(col(groupCol).as("a"), col("estimate").as("est_a")),
+        Seq("a"))
+      .join(est.select(col(groupCol).as("b"), col("estimate").as("est_b")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersection"))
+  }
+
+  /** The oracle twin of [[hllOverlapEstimate]] over [[hllDistinctSql]]
+    * -style inputs: `table`/`keySql` as there, one `groupCol`. */
+  def hllOverlapSql(table: String, keySql: String, groupCol: String)
+      : String = {
+    s"""WITH hashed AS (
+       |  SELECT $groupCol AS g,
+       |         CAST(('0x' || substr(md5($keySql), 1, 15)) AS BIGINT) AS h
+       |  FROM $table),
+       |br AS (
+       |  SELECT g, h % $M AS j,
+       |         CASE WHEN h // $M = 0 THEN $MaxRank
+       |              ELSE $MaxRank - length(bin(h // $M)) END AS r
+       |  FROM hashed),
+       |regs AS (SELECT g, j, max(r) AS mj FROM br GROUP BY g, j),
+       |est AS (
+       |  SELECT g, $EstimatorNumerator / CAST(
+       |      CAST(sum(CAST(1 AS BIGINT) << ($MaxRank - mj)) AS BIGINT)
+       |      + ($M - count(*)) * (CAST(1 AS BIGINT) << $MaxRank)
+       |    AS DOUBLE) AS estimate
+       |  FROM regs GROUP BY g),
+       |pairs AS (
+       |  SELECT ga.g AS a, gb.g AS b
+       |  FROM (SELECT DISTINCT g FROM regs) ga,
+       |       (SELECT DISTINCT g FROM regs) gb
+       |  WHERE ga.g < gb.g),
+       |pooled AS (
+       |  SELECT p.a, p.b, r.j, max(r.mj) AS mj
+       |  FROM pairs p JOIN regs r ON r.g = p.a OR r.g = p.b
+       |  GROUP BY p.a, p.b, r.j),
+       |uni AS (
+       |  SELECT a, b,
+       |    $EstimatorNumerator / CAST(
+       |      CAST(sum(CAST(1 AS BIGINT) << ($MaxRank - mj)) AS BIGINT)
+       |      + ($M - count(*)) * (CAST(1 AS BIGINT) << $MaxRank)
+       |    AS DOUBLE) AS est_union
+       |  FROM pooled GROUP BY a, b)
+       |SELECT u.a, u.b, ea.estimate AS est_a, eb.estimate AS est_b,
+       |  u.est_union,
+       |  ea.estimate + eb.estimate - u.est_union AS est_intersection
+       |FROM uni u
+       |JOIN est ea ON ea.g = u.a
+       |JOIN est eb ON eb.g = u.b""".stripMargin
   }
 
   /** The oracle twin of [[hllDistinct]], parameterized on the source

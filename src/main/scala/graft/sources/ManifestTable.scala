@@ -172,6 +172,14 @@ object ManifestTable {
   def committedTxns(spark: SparkSession, baseDir: String): Set[String] =
     readLog(spark, baseDir).flatMap(_.txns).toSet
 
+  /** Every table name the log has ever seen (live or historical) —
+    * discovery for families of generated subtables (e.g. the
+    * partitioned-rollup `<table>.p<i>` sets). */
+  def tableNames(spark: SparkSession, baseDir: String): Seq[String] =
+    readLog(spark, baseDir)
+      .flatMap(m => m.snaps ++ m.adds.map(_.takeWhile(_ != '/')))
+      .distinct.sorted
+
   /** The state payload of the LATEST commit that carried one (e.g. the
     * sync watermark that was advanced atomically with its data). */
   def lastState(spark: SparkSession, baseDir: String): Option[String] =
@@ -913,9 +921,16 @@ object ManifestTable {
   }
 
   /** Claim a version slot for a rewrite manifest (`remove:` + `add:` +
-    * `stats:` under one txn) with the same retry discipline as
+    * `stats:` under one txn, plus an optional `schema:` stamp for an
+    * evolving upsert) with the same retry discipline as
     * [[commitMulti]]. Returns false if the txn turned out to be
-    * already sealed (a prior attempt of ours won). */
+    * already sealed (a prior attempt of ours won). The retry loop
+    * ABORTS (throws) if the log advanced underneath the rewrite: the
+    * removes/adds were planned against a live-file snapshot, and
+    * landing them on top of someone else's commit would resurrect or
+    * duplicate rows. Under the documented single-writer stance this
+    * never fires; under an accidental race it fails safe and the
+    * caller re-runs the whole operation against the new log. */
   private def commitRewrite(
       spark: SparkSession,
       baseDir: String,
@@ -923,12 +938,14 @@ object ManifestTable {
       log0: Seq[Manifest],
       removes: Seq[String],
       adds: Seq[(String, Option[String])],
-      kind: String): Boolean = {
+      kind: String,
+      schemaLine: Option[(String, String)] = None): Boolean = {
     var log = log0
     val body = (Seq(s"txn:$txnId") ++
       removes.map(f => s"remove:$f") ++
       adds.map { case (f, _) => s"add:$f" } ++
-      adds.collect { case (f, Some(j)) => s"stats:$f\t$j" })
+      adds.collect { case (f, Some(j)) => s"stats:$f\t$j" } ++
+      schemaLine.map { case (t, j) => s"schema:$t\t$j" })
       .mkString("", "\n", "\n")
     val (lfs, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
     lfs.mkdirs(logPath)
@@ -947,6 +964,15 @@ object ManifestTable {
       if (log.exists(_.txns.contains(txnId))) {
         lfs.delete(tmp, false)
         return false
+      }
+      // Conflict abort: someone else committed after this rewrite was
+      // planned. Removing/adding against a stale live set could
+      // resurrect snapshot-replaced rows or duplicate rewritten ones.
+      if (log.lastOption.map(_.version) != log0.lastOption.map(_.version)) {
+        lfs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"$kind for $txnId: the log advanced during the rewrite " +
+            "(concurrent writer?) — re-run the operation")
       }
       val next = log.lastOption.map(_.version).getOrElse(0L) + 1
       if (claimSlot(lfs, tmp, new org.apache.hadoop.fs.Path(logPath,
@@ -1015,6 +1041,71 @@ object ManifestTable {
     if (!commitRewrite(spark, baseDir, txnId, log, small.map(_._1), adds,
         kind = "optimize")) return None
     Some(OptimizeResult(small.length, adds.length, bytesIn))
+  }
+
+  /** Outcome of a [[replaceWhere]]. */
+  final case class ReplaceResult(
+      rowsDeleted: Long, rowsInserted: Long, filesRewritten: Int)
+
+  /** Predicate-scoped overwrite (Delta's replaceWhere): atomically
+    * delete every row matching `predicate` and land `data` in its
+    * place — the reprocessed-partition idiom ("rebuild yesterday's
+    * slice from corrected inputs") without snapshotting the whole
+    * table. Stats-pruned like [[deleteWhere]]: only files whose
+    * min/max ranges might hold a matching row rewrite; the caller is
+    * trusted (and should arrange) that `data` itself satisfies
+    * `predicate`, as in Delta. One `remove:`+`add:` manifest under
+    * `txnId`; replays return None. */
+  def replaceWhere(
+      spark: SparkSession,
+      baseDir: String,
+      table: String,
+      predicate: org.apache.spark.sql.Column,
+      data: DataFrame,
+      txnId: String): Option[ReplaceResult] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    require(txnId.nonEmpty && !txnId.contains("\n"), s"bad txnId: $txnId")
+    val log = readLog(spark, baseDir)
+    if (log.exists(_.txns.contains(txnId))) return None
+    latestSchema(log, table).foreach { prev =>
+      val now = data.schema.map(f => f.name -> f.dataType).toMap
+      prev.foreach { f =>
+        require(now.get(f.name).contains(f.dataType),
+          s"replaceWhere into $table must keep column '${f.name}: " +
+            s"${f.dataType.sql}' (schema evolution is add-column only)")
+      }
+    }
+    val files = liveFiles(log, table)
+    val allStats = log.flatMap(_.stats).toMap
+    val conjuncts = splitConjuncts(
+      org.apache.spark.sql.GraftSqlBridge.resolved(predicate))
+    val candidates = files.filter { f =>
+      val st = allStats.get(f).map(parseStats).getOrElse(Map.empty)
+      conjuncts.forall(c => conjunctMayMatch(c, st))
+    }
+    val (survivorAdds, survivorRows, before) =
+      if (candidates.isEmpty) (Nil, 0L, 0L)
+      else {
+        val before = parquetRowCount(spark, candidates.map(f =>
+          new org.apache.hadoop.fs.Path(s"$baseDir/$f")))
+        val reader = latestSchema(log, table).map(spark.read.schema)
+          .getOrElse(spark.read)
+        val survivors = reader
+          .parquet(candidates.map(f => s"$baseDir/$f"): _*)
+          .filter(coalesce(not(predicate), lit(true)))
+        val (adds, n) = writeRewrite(spark, baseDir, table, txnId, survivors)
+        (adds, n, before)
+      }
+    val (dataAdds, inserted) = writeRewrite(spark, baseDir, table,
+      txnId + ".data", data)
+    val schemaLine =
+      if (latestSchema(log, table).isDefined || liveFiles(log, table).isEmpty)
+        Some(table -> data.schema.json)
+      else None
+    if (!commitRewrite(spark, baseDir, txnId, log, candidates,
+        survivorAdds ++ dataAdds, kind = "replaceWhere",
+        schemaLine = schemaLine)) return None
+    Some(ReplaceResult(before - survivorRows, inserted, candidates.length))
   }
 
   /** Outcome of an [[upsertKeyed]]. */
@@ -1088,8 +1179,17 @@ object ManifestTable {
     // writeRewrite drops zero-row output and that is correct.
     val (deltaAdds, inserted) = writeRewrite(spark, baseDir, table,
       txnId + ".delta", delta)
+    // Stamp the delta's (possibly add-column-evolved) schema under the
+    // same conditions commitMulti appends do — a schema-tracking table
+    // must surface the new columns, and a brand-new table starts
+    // tracking; a legacy table keeps inference.
+    val schemaLine =
+      if (latestSchema(log, table).isDefined || liveFiles(log, table).isEmpty)
+        Some(table -> delta.schema.json)
+      else None
     if (!commitRewrite(spark, baseDir, txnId, log, candidates,
-        survivorAdds ++ deltaAdds, kind = "upsert")) return None
+        survivorAdds ++ deltaAdds, kind = "upsert",
+        schemaLine = schemaLine)) return None
     Some(UpsertResult(before - survivorRows, inserted, candidates.length))
   }
 

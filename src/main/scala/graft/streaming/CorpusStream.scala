@@ -238,25 +238,37 @@ object CorpusStream {
                 val st = merged.collect()
                   .map(r => (r.getAs[Int]("idx"), r.getAs[Long]("cnt")))
                   .sortBy(_._1)
-                val target = math.ceil(
-                  keepFrac * st.iterator.map(_._2).sum).toLong
-                var cum = 0L
-                val barIdx = st.find { case (_, c) =>
-                  cum += c; cum >= target }.get._1
-                val bar = spark.range(1)
-                  .select(Sketches.lhBucketHi(lit(barIdx))).head().getLong(0)
-                val keep = scored.filter(col("__nll_micro") <= bar)
-                  .select(idCol)
-                val survivors = batch.join(keep, Seq(idCol), "left_semi")
-                // One manifest: corpus append + sketch snapshot. An
-                // all-dropped batch still commits the sketch update —
-                // rejected traffic must keep moving the bar.
-                graft.sources.ManifestTable.commitMulti(
-                  spark, baseDir, txnId = s"$streamId-$batchId",
-                  appends =
-                    if (survivors.isEmpty) Map.empty
-                    else Map(table -> survivors),
-                  snapshots = Map(sketchTable -> merged))
+                if (st.isEmpty) {
+                  // No doc in this batch (or any before it) carried a
+                  // bigram: there is no distribution to gate against
+                  // and nothing to land (no-evidence docs drop, as in
+                  // lmGatedSink). Still SEAL the txn — otherwise a
+                  // crash-replay of this batch would re-run forever
+                  // (a poison batch the stream can never pass).
+                  graft.sources.ManifestTable.commitMulti(
+                    spark, baseDir, txnId = s"$streamId-$batchId")
+                } else {
+                  val target = math.ceil(
+                    keepFrac * st.iterator.map(_._2).sum).toLong
+                  var cum = 0L
+                  val barIdx = st.find { case (_, c) =>
+                    cum += c; cum >= target }.get._1
+                  val bar = spark.range(1)
+                    .select(Sketches.lhBucketHi(lit(barIdx))).head()
+                    .getLong(0)
+                  val keep = scored.filter(col("__nll_micro") <= bar)
+                    .select(idCol)
+                  val survivors = batch.join(keep, Seq(idCol), "left_semi")
+                  // One manifest: corpus append + sketch snapshot. An
+                  // all-dropped batch still commits the sketch update —
+                  // rejected traffic must keep moving the bar.
+                  graft.sources.ManifestTable.commitMulti(
+                    spark, baseDir, txnId = s"$streamId-$batchId",
+                    appends =
+                      if (survivors.isEmpty) Map.empty
+                      else Map(table -> survivors),
+                    snapshots = Map(sketchTable -> merged))
+                }
               } finally merged.unpersist()
             } finally scored.unpersist()
           }

@@ -123,6 +123,23 @@ object Rollup {
          batchId: Long) =>
           if (!batch.isEmpty) {
             val spark = batch.sparkSession
+            // The key→partition map is part of the TABLE, not the job:
+            // a restart with a different nParts would re-hash keys
+            // into different subtables and silently split their sums.
+            // A 1-row marker subtable records the layout; mismatch
+            // fails the stream instead of corrupting it.
+            val markerT = s"$table.nparts"
+            val markerSchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("n_parts",
+                org.apache.spark.sql.types.IntegerType)))
+            graft.sources.ManifestTable.read(
+                spark, baseDir, markerT, schema = Some(markerSchema))
+              .collect().headOption.foreach { r =>
+                require(r.getInt(0) == nParts,
+                  s"$table was partitioned with nParts=${r.getInt(0)}; " +
+                    s"restarting with $nParts would re-hash keys — " +
+                    "use the recorded value")
+              }
             val delta = batch.groupBy(keyCols.map(col): _*)
               .agg(count(lit(1)).as("n_rows"),
                 sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
@@ -140,9 +157,11 @@ object Rollup {
                   .agg(sum(col("n_rows")).as("n_rows"),
                     sumNames.map(c => sum(col(c)).as(c)): _*)
               }.toMap
+              val marker = spark.range(1)
+                .select(lit(nParts).cast("int").as("n_parts"))
               graft.sources.ManifestTable.commitMulti(
                 spark, baseDir, txnId = s"$streamId-$batchId",
-                snapshots = snaps)
+                snapshots = snaps + (markerT -> marker))
             } finally delta.unpersist()
           }
           ()
@@ -150,19 +169,22 @@ object Rollup {
   }
 
   /** The whole rollup maintained by [[sumCountSinkPartitioned]]: the
-    * union of every partition subtable that has ever committed
-    * (partitions no batch has touched yet simply do not exist). */
+    * union of every `<table>.p<i>` subtable DISCOVERED in the log —
+    * no partition-count argument to get wrong (a caller-supplied
+    * nParts smaller than the sink's would silently read half the
+    * rollup; discovery cannot miss). */
   def readPartitioned(
       spark: org.apache.spark.sql.SparkSession,
       baseDir: String,
-      table: String,
-      nParts: Int = 16): DataFrame = {
-    val parts = (0 until nParts).flatMap { p =>
-      val t = s"$table.p$p"
-      graft.sources.ManifestTable.schemaOf(spark, baseDir, t).map(s =>
-        graft.sources.ManifestTable.read(spark, baseDir, t,
-          schema = Some(s)))
-    }
+      table: String): DataFrame = {
+    val pat = java.util.regex.Pattern.quote(table) + "\\.p\\d+"
+    val parts = graft.sources.ManifestTable.tableNames(spark, baseDir)
+      .filter(_.matches(pat))
+      .flatMap { t =>
+        graft.sources.ManifestTable.schemaOf(spark, baseDir, t).map(s =>
+          graft.sources.ManifestTable.read(spark, baseDir, t,
+            schema = Some(s)))
+      }
     require(parts.nonEmpty,
       s"no partition of $table has committed yet under $baseDir")
     parts.reduce(_.unionByName(_))
@@ -251,6 +273,48 @@ object Rollup {
             val merged = current.unionByName(delta)
               .groupBy((keyCols ++ Seq("j", "b")).map(col): _*)
               .agg(sum(col("cnt")).as("cnt"))
+            graft.sources.ManifestTable.commitMulti(
+              spark, baseDir, txnId = s"$streamId-$batchId",
+              snapshots = Map(table -> merged))
+          }
+          ()
+      }
+  }
+
+  /** Streaming membership materialized view: maintain per-key Bloom
+    * words ([[graft.operators.Sketches.bloomBits]]) and OR-merge each
+    * micro-batch — "has this url/fingerprint EVER been seen" at O(64
+    * KiB) state per key, served by [[graft.operators.Sketches
+    * .bloomMightContain]] with exact negatives. OR-merge is
+    * associative and idempotent, so the maintained words are
+    * bit-identical to one pass over history (spec-verified).
+    * Exactly-once as in [[sumCountSink]]. */
+  def bloomSink(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      memberCol: String,
+      baseDir: String,
+      table: String,
+      streamId: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(streamId.nonEmpty && !streamId.contains("\n"),
+      s"bad streamId: $streamId")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!batch.isEmpty) {
+            val spark = batch.sparkSession
+            val delta = graft.operators.Sketches.bloomBits(
+              batch.toDF(), col(memberCol).cast("string"), keyCols)
+            val current = graft.sources.ManifestTable.read(
+              spark, baseDir, table, schema = Some(delta.schema))
+            val merged = current.unionByName(delta)
+              .groupBy((keyCols :+ "w").map(col): _*)
+              .agg(expr("bit_or(bits)").as("bits"))
             graft.sources.ManifestTable.commitMulti(
               spark, baseDir, txnId = s"$streamId-$batchId",
               snapshots = Map(table -> merged))

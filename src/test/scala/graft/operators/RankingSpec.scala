@@ -85,14 +85,17 @@ class RankingSpec extends SparkSpec {
       .toMap
     // n = 3 non-null: p50 = 2nd = 20, p100 = 30. All-NULL group b vanishes.
     assert(q == Map(("a", 0.5) -> 20L, ("a", 1.0) -> 30L))
-    val w = Ranking.winsorize(df.filter(col("source") === "a"),
-        "source", "v", "id", loQ = 0.5, hiQ = 1.0)
+    val w = Ranking.winsorize(df, "source", "v", "id",
+        loQ = 0.5, hiQ = 1.0)
       .collect().map(r => r.getLong(2) ->
         (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
     // least/greatest skip NULL operands — a NULL value must stay NULL,
-    // not clip to a bound.
+    // not clip to a bound — and the ALL-NULL group b keeps its row
+    // (left-joined bounds), it does not silently vanish.
     assert(w == Map(1L -> Some(20L), 2L -> None, 3L -> Some(20L),
-      4L -> Some(30L), 5L -> None))
+      4L -> Some(30L), 5L -> None, 6L -> None))
+    val z = Ranking.robustZScores(df, "source", "v", "id")
+    assert(z.count() == 6L, "all-NULL group rows must survive robust-z too")
   }
 
   test("robustZScores: exact median/MAD, outlier-proof, zero-MAD yields null") {

@@ -101,6 +101,64 @@ class SketchesSpec extends SparkSpec {
     assert(unseen >= 0L && unseen <= 24L)
   }
 
+  test("hllOverlapEstimate: union via max-merge, intersection by I-E") {
+    // a = 1..400, b = 201..600 → true |a|=|b|=400, |a∪b|=600, |a∩b|=200.
+    val df = ((1 to 400).map(i => ("a", s"k$i")) ++
+      (201 to 600).map(i => ("b", s"k$i"))).toDF("grp", "k")
+    val regs = Sketches.hllRegisters(df, col("k"), Seq("grp"))
+    val out = rows(Sketches.hllOverlapEstimate(regs, "grp"))
+    assert(out.size == 1)
+    val r = out.head
+    assert(r.getAs[String]("a") == "a" && r.getAs[String]("b") == "b")
+    val (ea, eb, eu, ei) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+      r.getAs[Double]("est_union"), r.getAs[Double]("est_intersection"))
+    // m=64 ⇒ σ≈13%; generous 3σ-ish bands keep this deterministic-safe.
+    assert(math.abs(ea - 400) / 400.0 < 0.4, s"est_a $ea")
+    assert(math.abs(eb - 400) / 400.0 < 0.4, s"est_b $eb")
+    assert(math.abs(eu - 600) / 600.0 < 0.4, s"est_union $eu")
+    assert(ei == ea + eb - eu)
+    assert(ei > 0 && ei < 450, s"est_intersection $ei far from 200")
+    // A bucket seen by only ONE group must carry its rank into the
+    // union: the union estimate can never exceed est_a + est_b, and
+    // with disjoint sets intersection ≈ 0, union ≈ sum.
+    val disjoint = ((1 to 300).map(i => ("a", s"x$i")) ++
+      (1 to 300).map(i => ("b", s"y$i"))).toDF("grp", "k")
+    val d = rows(Sketches.hllOverlapEstimate(
+      Sketches.hllRegisters(disjoint, col("k"), Seq("grp")), "grp")).head
+    val frac = d.getAs[Double]("est_intersection") /
+      d.getAs[Double]("est_union")
+    assert(math.abs(frac) < 0.25, s"disjoint sets estimated $frac overlap")
+  }
+
+  test("bloom: OR-merge == one pass; absent keys are exact, members always hit") {
+    val members = (1 to 2000).map(i => ("g", s"k$i")).toDF("grp", "k")
+    val onePass = sortedRows(Sketches.bloomBits(members, col("k"), Seq("grp")))
+    val merged = sortedRows(
+      Sketches.bloomBits(members.filter(col("k") < "k5"), col("k"), Seq("grp"))
+        .unionByName(Sketches.bloomBits(
+          members.filter(col("k") >= "k5"), col("k"), Seq("grp")))
+        .groupBy(col("grp"), col("w"))
+        .agg(expr("bit_or(bits)").as("bits")))
+    assert(onePass == merged, "word OR-merge must equal one pass")
+
+    val state = Sketches.bloomBits(members, col("k"), Seq("grp"))
+    // Every member must report might = true (no false negatives, ever).
+    val hits = Sketches.bloomMightContain(state, members.distinct(), "k",
+        Seq("grp"))
+      .collect()
+    assert(hits.length == 2000 && hits.forall(_.getBoolean(2)))
+    // 2000 keys in 2^20 bits, 3 probes: false-positive odds per probe
+    // set ~2e-7 — 2000 non-members must all report false.
+    val absent = (1 to 2000).map(i => ("g", s"absent$i")).toDF("grp", "k")
+    val miss = Sketches.bloomMightContain(state, absent, "k", Seq("grp"))
+      .collect()
+    assert(miss.count(_.getBoolean(2)) == 0, "expected zero false positives")
+    // bloomPrefilter keeps exactly the members of a mixed frame.
+    val mixed = members.unionByName(absent)
+    val kept = Sketches.bloomPrefilter(mixed, state, "k", Seq("grp"))
+    assert(kept.count() == 2000L)
+  }
+
   test("lhQuantiles tracks exact quantiles within the bucket width") {
     // 1..1000 uniform: true p50=500, p90=900, p99=990.
     val df = (1L to 1000L).map(v => ("g", v)).toDF("grp", "v")

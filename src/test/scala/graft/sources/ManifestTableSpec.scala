@@ -613,6 +613,46 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.upsertKeyed(spark, base, "t",
         Seq((1L, 2.0)).toDF("id", "v"), "id", "up-2")
     }
+    // An ADD-COLUMN delta evolves the read schema exactly like an
+    // append would: the new column surfaces, old rows null-fill.
+    val res3 = ManifestTable.upsertKeyed(spark, base, "t",
+      Seq((50L, "new2", 7L)).toDF("id", "v", "extra"), "id", "up-3")
+    assert(res3.contains(ManifestTable.UpsertResult(1L, 1L, 1)))
+    val evolved = ManifestTable.read(spark, base, "t")
+    assert(evolved.columns.toSeq == Seq("id", "v", "extra"))
+    val byId = evolved.as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(50L) == (("new2", Some(7L))))
+    assert(byId(1L) == (("old", None)) && byId.size == 202)
+  }
+
+  test("replaceWhere atomically swaps the matching slice for new data") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    // Two day-disjoint files.
+    ManifestTable.commit((1L to 100L).map(i => (1L, i, "v1")).toDF("day", "id", "v")
+      .repartition(1), base, "t", "day-1")
+    ManifestTable.commit((1L to 80L).map(i => (2L, i, "bad")).toDF("day", "id", "v")
+      .repartition(1), base, "t", "day-2")
+    val day1File = ManifestTable.read(spark, base, "t",
+      skipFilter = Some(col("day") <= 1L)).inputFiles.toSet
+    assert(day1File.size == 1)
+    // Rebuild day 2 from corrected inputs: 90 rows replace the 80.
+    val corrected = (1L to 90L).map(i => (2L, i, "good")).toDF("day", "id", "v")
+    val res = ManifestTable.replaceWhere(spark, base, "t",
+      col("day") === 2L, corrected, "rebuild-2")
+    assert(res.contains(ManifestTable.ReplaceResult(80L, 90L, 1)))
+    val after = ManifestTable.read(spark, base, "t")
+    // Day 1's file was provably untouched; day 2 is exactly the new slice.
+    assert(after.inputFiles.toSet.intersect(day1File) == day1File)
+    val byDay = after.groupBy("day").count().as[(Long, Long)].collect().toMap
+    assert(byDay == Map(1L -> 100L, 2L -> 90L))
+    assert(after.filter(col("v") === "bad").count() == 0L)
+    // Replay sealed; time travel reads the bad slice.
+    assert(ManifestTable.replaceWhere(spark, base, "t",
+      col("day") === 2L, corrected, "rebuild-2").isEmpty)
+    assert(ManifestTable.read(spark, base, "t", asOfVersion = Some(2L))
+      .filter(col("v") === "bad").count() == 80L)
   }
 
   test("deleteWhere: NULL-evaluating predicate rows survive") {

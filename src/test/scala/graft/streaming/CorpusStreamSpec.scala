@@ -270,6 +270,33 @@ class CorpusStreamSpec extends SparkSpec {
       base, "corpus", "a1-1") == 0L)
   }
 
+  test("lmAdaptiveGatedSink: a no-bigram batch seals, it does not poison") {
+    import graft.operators.Corpus
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val model = Corpus.lmModel(
+      Seq((1L, "aa bb cc dd")).toDF("doc_id", "text"), "text")
+    val base = java.nio.file.Files.createTempDirectory("cs-poison").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cs-poisonck").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CorpusStream.lmAdaptiveGatedSink(
+      input.toDF().toDF("doc_id", "text"), model, "doc_id", "text",
+      keepFrac = 0.5, base, "corpus", "nll_sketch",
+      streamId = "z1", checkpointDir = ckpt).start()
+    try {
+      // One-word docs carry no bigram: lmScore drops them all and the
+      // sketch is empty at cold start — the batch must seal its txn
+      // and move on, not crash in the bar selection and replay forever.
+      input.addData((1L, "solo"), (2L, "word"))
+      q.processAllAvailable()
+      assert(ManifestTable.committedTxns(spark, base).contains("z1-0"))
+      // The stream stays healthy: a later real batch lands normally.
+      input.addData((3L, "aa bb cc"), (4L, "aa bb cc"))
+      q.processAllAvailable()
+      assert(ManifestTable.read(spark, base, "corpus").count() == 2L)
+    } finally q.stop()
+  }
+
   test("lmAdaptiveGatedSink: identical-score traffic is never starved") {
     import graft.operators.Corpus
     import graft.sources.ManifestTable

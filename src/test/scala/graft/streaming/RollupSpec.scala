@@ -87,8 +87,9 @@ class RollupSpec extends SparkSpec {
       for ((p, fs) <- before if p != p0)
         assert(after(p) == fs,
           s"partition $p held no touched key — its files must not move")
-      // The merged rollup is still exact.
-      val all = Rollup.readPartitioned(spark, base, "roll", nParts)
+      // The merged rollup is still exact — readPartitioned DISCOVERS
+      // the subtables, no partition count to get wrong.
+      val all = Rollup.readPartitioned(spark, base, "roll")
         .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
         .toMap
       assert(all("k0") == ((2L, 100L)))
@@ -97,6 +98,25 @@ class RollupSpec extends SparkSpec {
       assert(ManifestTable.committedTxns(spark, base)
         .intersect(Set("p1-0", "p1-1")) == Set("p1-0", "p1-1"))
     } finally q.stop()
+
+    // Restarting against the same table with a DIFFERENT nParts would
+    // re-hash keys into other subtables and split their sums — the
+    // recorded layout marker must refuse it.
+    val ckpt2 = java.nio.file.Files.createTempDirectory("prollup-ck2")
+      .toString
+    val input2 = MemoryStream[(String, Long)](spark)
+    val q2 = Rollup.sumCountSinkPartitioned(
+      input2.toDF().toDF("k", "v"), keyCols = Seq("k"), sumCols = Seq("v"),
+      base, "roll", streamId = "p2", checkpointDir = ckpt2, nParts = 8)
+      .start()
+    try {
+      input2.addData(("k0", 1L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("re-hash") ||
+        Option(e.getCause).exists(_.getMessage.contains("re-hash")))
+    } finally q2.stop()
   }
 
   test("quantileSink: streamed bucket merge == batch sketch, bit-exact") {
@@ -166,6 +186,39 @@ class RollupSpec extends SparkSpec {
         Seq(("mon", "u0")).toDF("day", "url"), "url", Seq("day"))
       .collect().head.getLong(2)
     assert(est >= 10L && est <= 12L)
+  }
+
+  test("bloomSink: streamed OR-merge == batch filter; negatives stay exact") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("bloommv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bloommv-ck").toString
+    val input = MemoryStream[(String, String)](spark)
+    val q = Rollup.bloomSink(
+      input.toDF().toDF("day", "url"),
+      keyCols = Seq("day"), memberCol = "url",
+      base, "seen", streamId = "b1", checkpointDir = ckpt).start()
+    val b1 = (1 to 500).map(i => ("mon", s"u$i"))
+    val b2 = (400 to 900).map(i => ("mon", s"u$i"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = ManifestTable.read(spark, base, "seen")
+      .as[(String, Int, Long)].collect().sorted.toSeq
+    val batch = Sketches.bloomBits(
+        (b1 ++ b2).toDF("day", "url"), col("url"), Seq("day"))
+      .as[(String, Int, Long)].collect().sorted.toSeq
+    assert(streamed == batch) // word OR-merge ≡ one-pass filter
+    val probe = Seq(("mon", "u1"), ("mon", "u900"), ("mon", "nope"))
+      .toDF("day", "url")
+    val got = Sketches.bloomMightContain(
+        ManifestTable.read(spark, base, "seen"), probe, "url", Seq("day"))
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(got == Map("u1" -> true, "u900" -> true, "nope" -> false))
   }
 
   test("hllDistinctSink: streamed register merge == batch sketch, bit-exact") {
