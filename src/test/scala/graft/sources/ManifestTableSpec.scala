@@ -655,6 +655,55 @@ class ManifestTableSpec extends SparkSpec {
       .filter(col("v") === "bad").count() == 80L)
   }
 
+  test("optimize with clusterCol restores skip-read pruning on the rewrite") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    // Four tiny interleaved-range files: before compaction a point
+    // read must open all of them (every file's [min,max] covers it).
+    (0 until 4).foreach { i =>
+      ManifestTable.commit(
+        (0L until 100L).map(j => (j * 4 + i, s"v$i-$j")).toDF("id", "v")
+          .repartition(1), base, "t", s"tiny-$i")
+    }
+    val preFiles = ManifestTable.read(spark, base, "t",
+      skipFilter = Some(col("id") === 17L)).inputFiles.length
+    assert(preFiles == 4, "interleaved ranges defeat skipping")
+    val res = ManifestTable.optimize(spark, base, "t", "opt-c",
+      targetBytes = 100L * 1024, clusterCol = Some("id"))
+    assert(res.exists(_.filesCompacted == 4))
+    val all = ManifestTable.read(spark, base, "t")
+    assert(all.count() == 400L)
+    // Range-clustered rewrite: a point read now prunes to one file
+    // (when the rewrite produced several) or at worst the single
+    // folded file — never MORE files than before.
+    val post = ManifestTable.read(spark, base, "t",
+      skipFilter = Some(col("id") === 17L))
+    assert(post.count() == 1L)
+    assert(post.inputFiles.length <= res.get.filesOut)
+  }
+
+  test("upsertKeyed/replaceWhere edge paths: empty delta, no matching files") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    ManifestTable.commit((1L to 50L).map(i => (i, "old")).toDF("id", "v")
+      .repartition(1), base, "t", "load")
+    // Empty delta: nothing replaced, nothing inserted, txn sealed.
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+      ManifestTable.read(spark, base, "t").schema)
+    val r1 = ManifestTable.upsertKeyed(spark, base, "t", empty, "id", "up-e")
+    assert(r1.contains(ManifestTable.UpsertResult(0L, 0L, 0)))
+    assert(ManifestTable.upsertKeyed(spark, base, "t", empty, "id", "up-e")
+      .isEmpty)
+    assert(ManifestTable.read(spark, base, "t").count() == 50L)
+    // Insert-only replace: predicate matches no file's range — pure
+    // append of the new slice, no rewrite.
+    val res = ManifestTable.replaceWhere(spark, base, "t",
+      col("id") >= 1000L, Seq((1000L, "new")).toDF("id", "v"), "rw-new")
+    assert(res.contains(ManifestTable.ReplaceResult(0L, 1L, 0)))
+    assert(ManifestTable.read(spark, base, "t").count() == 51L)
+  }
+
   test("deleteWhere: NULL-evaluating predicate rows survive") {
     import org.apache.spark.sql.functions._
     val base = tmpBase()
