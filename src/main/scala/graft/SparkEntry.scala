@@ -1395,7 +1395,7 @@ object SparkEntry {
     }),
 
     // Bloom membership probe: every customer key tested against the
-    // 64 KiB filter built from order keys — the broadcast pre-join
+    // 128 KiB filter built from order keys — the broadcast pre-join
     // prune ("definitely no orders" customers never reach the real
     // join). Verdicts, including any false positives, are md5-
     // deterministic and bit-equal in DuckDB.

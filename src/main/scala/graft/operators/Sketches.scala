@@ -125,8 +125,13 @@ object Sketches {
     * GATING on a sketch quantile: everything the sketch cannot
     * distinguish from the quantile value passes together (a
     * lower-bound bar would reject the very value that defined the
-    * quantile). */
-  def lhBucketHi(idx: Column): Column = lhBucketLo(idx + lit(1)) - lit(1L)
+    * quantile). The TOP bucket (idx 487, values ≥ 15·2^59) has no
+    * successor — lhBucketLo(488) would shift past the sign bit and
+    * the `- 1` would overflow under ANSI — so its bound is
+    * Long.MaxValue outright. */
+  def lhBucketHi(idx: Column): Column =
+    when(idx >= 487, lit(Long.MaxValue))
+      .otherwise(lhBucketLo(idx + lit(1)) - lit(1L))
 
   /** The sketch STATE: per (group, bucket) the value count — one
     * map-side-combinable hash-agg, ≤ ~488 rows per group. States from
@@ -329,15 +334,18 @@ object Sketches {
   // The fourth mergeable sketch (HLL = how many distinct, histogram =
   // how distributed, count-min = how often, Bloom = IS IT THERE): the
   // state is (group, word) → 64-bit OR-mask — `BloomWords` longs per
-  // group (64 KiB at the defaults) built by one hash-agg, mergeable by
-  // BIT OR — and membership is "all `BloomHashes` probed bits set".
-  // "Definitely absent" is exact; "present" can be a false positive at
-  // the classic (1−e^−kn/m)^k rate (≈0.1% at n=50k keys, m=2^20 bits,
-  // k=3). At 100 TB this is the PRE-JOIN pruning idiom: broadcast the
-  // 64 KiB state and drop non-members at scan speed, instead of
-  // shuffling a petabyte corpus into a semi join against a key set —
-  // the exact join then runs on the ≤0.1% that survives. md5-derived
-  // probes, so states and verdicts are bit-identical in DuckDB.
+  // group (2^14 × 8 B = 128 KiB at the defaults) built by one
+  // hash-agg, mergeable by BIT OR — and membership is "all
+  // `BloomHashes` probed bits set". "Definitely absent" is exact;
+  // "present" can be a false positive at the classic (1−e^−kn/m)^k
+  // rate — with k = 3 probes and m = 63·2^14 ≈ 10^6 usable bits (the
+  // sign bit of each word stays clear, see bloomProbe), that is
+  // ≈0.25% at n = 50k keys. At 100 TB this is the PRE-JOIN pruning
+  // idiom: broadcast the 128 KiB state and drop non-members at scan
+  // speed, instead of shuffling a petabyte corpus into a semi join
+  // against a key set — the exact join then runs on the few rows that
+  // survive. md5-derived probes, so states and verdicts are
+  // bit-identical in DuckDB.
   // ------------------------------------------------------------------
 
   /** 64-bit words per filter: m = 64·BloomWords bits. Kept a power of
@@ -485,16 +493,17 @@ object Sketches {
     val est = hllEstimate(registers, Seq(groupCol))
     // Registers are SPARSE (only buckets that saw a key have rows), so
     // the union is NOT an inner join on j — a bucket present in A only
-    // still carries its rank into A∪B. Enumerate pairs, pool both
-    // sides' rows, max per (pair, bucket).
+    // still carries its rank into A∪B. Enumerate pairs, attach each
+    // side's rows by its own EQUI-join (an OR-join would execute as a
+    // nested loop over pairs × registers), and max per (pair, bucket).
     val groups = registers.select(col(groupCol)).distinct()
     val pairs = groups.select(col(groupCol).as("a"))
       .crossJoin(groups.select(col(groupCol).as("b")))
       .filter(col("a") < col("b"))
     val regs = registers.select(col(groupCol).as("__g"), col("j"),
       col("mj"))
-    val pooled = pairs.join(regs,
-        col("__g") === col("a") || col("__g") === col("b"))
+    val pooled = pairs.join(regs, col("__g") === col("a"))
+      .unionByName(pairs.join(regs, col("__g") === col("b")))
       .groupBy(col("a"), col("b"), col("j")).agg(max(col("mj")).as("mj"))
     val unionEst = hllEstimate(pooled, Seq("a", "b"))
       .select(col("a"), col("b"), col("estimate").as("est_union"))

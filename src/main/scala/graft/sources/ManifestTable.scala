@@ -677,6 +677,35 @@ object ManifestTable {
             s"first $v manifests remain (truncateLog dropped the rest)")
         hist
     }
+    readLive(spark, baseDir, table, log, schema, skipFilter)
+  }
+
+  /** Every table whose name matches regex `pattern` and whose schema
+    * the log tracks, read against ONE shared log parse — discovery,
+    * schema lookup, and file listing for a family of generated
+    * subtables (the partitioned-rollup `<table>.p<i>` sets) without
+    * re-reading the manifest log per subtable (on object storage each
+    * parse is a LIST plus per-manifest GETs). */
+  def readFamily(
+      spark: SparkSession,
+      baseDir: String,
+      pattern: String): Seq[(String, DataFrame)] = {
+    val log = readLog(spark, baseDir)
+    log.flatMap(m => m.snaps ++ m.adds.map(_.takeWhile(_ != '/')))
+      .distinct.sorted.filter(_.matches(pattern))
+      .flatMap(t => latestSchema(log, t).map(s =>
+        t -> readLive(spark, baseDir, t, log, Some(s), None)))
+  }
+
+  /** [[read]] against an already-parsed `log` — the shared tail of
+    * [[read]] and [[readFamily]]. */
+  private def readLive(
+      spark: SparkSession,
+      baseDir: String,
+      table: String,
+      log: Seq[Manifest],
+      schema: Option[StructType],
+      skipFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     val files = liveFiles(log, table)
     // The committed schema (latest schema: line) is the read schema:
     // files written before an add-column commit lack the new columns
@@ -691,14 +720,7 @@ object ManifestTable {
     }
     val kept = skipFilter match {
       case None => files
-      case Some(pred) =>
-        val allStats = log.flatMap(_.stats).toMap
-        val conjuncts = splitConjuncts(
-          org.apache.spark.sql.GraftSqlBridge.resolved(pred))
-        files.filter { f =>
-          val st = allStats.get(f).map(parseStats).getOrElse(Map.empty)
-          conjuncts.forall(c => conjunctMayMatch(c, st))
-        }
+      case Some(pred) => prunedPartition(log, files, pred)._1
     }
     val reader = logSchema.map(spark.read.schema).getOrElse(spark.read)
     // Every live file pruned: the stats PROVED the predicate selects
@@ -854,13 +876,7 @@ object ManifestTable {
     val log = readLog(spark, baseDir)
     if (log.exists(_.txns.contains(txnId))) return None
     val files = liveFiles(log, table)
-    val allStats = log.flatMap(_.stats).toMap
-    val conjuncts = splitConjuncts(
-      org.apache.spark.sql.GraftSqlBridge.resolved(predicate))
-    val (candidates, kept) = files.partition { f =>
-      val st = allStats.get(f).map(parseStats).getOrElse(Map.empty)
-      conjuncts.forall(c => conjunctMayMatch(c, st))
-    }
+    val (candidates, kept) = prunedPartition(log, files, predicate)
     if (candidates.isEmpty) {
       // Nothing can match, but the txn must still seal (idempotence).
       commitMulti(spark, baseDir, txnId)
@@ -879,6 +895,42 @@ object ManifestTable {
         kind = "delete")) return None
     Some(DeleteResult(before - after, candidates.length, kept.length))
   }
+
+  /** Split `files` into (may hold a predicate match, provably cannot)
+    * using the committed per-file stats — THE pruning judgment, shared
+    * by [[read]]'s skipFilter and every rewrite op so their notions of
+    * "affected file" can never diverge. Conservative: a file without
+    * stats lands on the may-match side. */
+  private def prunedPartition(
+      log: Seq[Manifest],
+      files: Seq[String],
+      predicate: org.apache.spark.sql.Column)
+      : (Seq[String], Seq[String]) = {
+    val allStats = log.flatMap(_.stats).toMap
+    val conjuncts = splitConjuncts(
+      org.apache.spark.sql.GraftSqlBridge.resolved(predicate))
+    files.partition { f =>
+      val st = allStats.get(f).map(parseStats).getOrElse(Map.empty)
+      conjuncts.forall(c => conjunctMayMatch(c, st))
+    }
+  }
+
+  /** The add-column-only evolution gate shared by [[upsertKeyed]] and
+    * [[replaceWhere]] (commitMulti keeps its own copy inside the retry
+    * loop, where it re-checks a MOVED log). */
+  private def requireAddColumnOnly(
+      log: Seq[Manifest],
+      table: String,
+      schema: StructType,
+      verb: String): Unit =
+    latestSchema(log, table).foreach { prev =>
+      val now = schema.map(f => f.name -> f.dataType).toMap
+      prev.foreach { f =>
+        require(now.get(f.name).contains(f.dataType),
+          s"$verb into $table must keep column '${f.name}: " +
+            s"${f.dataType.sql}' (schema evolution is add-column only)")
+      }
+    }
 
   /** Parquet row count across `paths` — driver-side footer reads, no
     * Spark scan job. */
@@ -1014,10 +1066,19 @@ object ManifestTable {
     val log = readLog(spark, baseDir)
     if (log.exists(_.txns.contains(txnId))) return None
     val (fs, _) = fsAndPath(spark, baseDir)
-    val sized = liveFiles(log, table).map { f =>
-      f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$baseDir/$f"))
-        .getLen
-    }
+    val live = liveFiles(log, table)
+    // One listStatus per data DIRECTORY, not one getFileStatus per
+    // file: lengths come back with the listing, so the 20k-tiny-file
+    // table this function exists for costs O(dirs) metadata RPCs to
+    // size instead of 20k serial HEADs.
+    val sizeOf: Map[String, Long] = live.groupBy(
+        f => f.take(f.lastIndexOf('/'))).iterator.flatMap { case (dir, _) =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$baseDir/$dir"))
+        .iterator.map(st => s"$dir/${st.getPath.getName}" -> st.getLen)
+    }.toMap
+    val sized = live.map(f => f -> sizeOf.getOrElse(f,
+      throw new java.io.FileNotFoundException(s"$baseDir/$f is in the " +
+        "manifest log but not on storage — was it vacuumed externally?")))
     val small = sized.filter(_._2 < targetBytes)
     if (small.length < 2) {
       // Nothing to fold together; still seal the txn (idempotence).
@@ -1067,22 +1128,9 @@ object ManifestTable {
     require(txnId.nonEmpty && !txnId.contains("\n"), s"bad txnId: $txnId")
     val log = readLog(spark, baseDir)
     if (log.exists(_.txns.contains(txnId))) return None
-    latestSchema(log, table).foreach { prev =>
-      val now = data.schema.map(f => f.name -> f.dataType).toMap
-      prev.foreach { f =>
-        require(now.get(f.name).contains(f.dataType),
-          s"replaceWhere into $table must keep column '${f.name}: " +
-            s"${f.dataType.sql}' (schema evolution is add-column only)")
-      }
-    }
+    requireAddColumnOnly(log, table, data.schema, "replaceWhere")
     val files = liveFiles(log, table)
-    val allStats = log.flatMap(_.stats).toMap
-    val conjuncts = splitConjuncts(
-      org.apache.spark.sql.GraftSqlBridge.resolved(predicate))
-    val candidates = files.filter { f =>
-      val st = allStats.get(f).map(parseStats).getOrElse(Map.empty)
-      conjuncts.forall(c => conjunctMayMatch(c, st))
-    }
+    val candidates = prunedPartition(log, files, predicate)._1
     val (survivorAdds, survivorRows, before) =
       if (candidates.isEmpty) (Nil, 0L, 0L)
       else {
@@ -1136,15 +1184,13 @@ object ManifestTable {
     if (log.exists(_.txns.contains(txnId))) return None
     // Same add-column-only gate as commitMulti appends: the delta's
     // files must stay one coherent table with the existing ones.
-    latestSchema(log, table).foreach { prev =>
-      val now = delta.schema.map(f => f.name -> f.dataType).toMap
-      prev.foreach { f =>
-        require(now.get(f.name).contains(f.dataType),
-          s"upsert into $table must keep column '${f.name}: " +
-            s"${f.dataType.sql}' (schema evolution is add-column only)")
-      }
-    }
-    val keys = delta.select(col(keyCol)).where(col(keyCol).isNotNull)
+    requireAddColumnOnly(log, table, delta.schema, "upsert")
+    // Pin the delta ONCE: its plan is otherwise re-evaluated for the
+    // key bounds, the anti-join key set, and the landed files — and a
+    // non-deterministic delta (sample, un-ordered limit) evaluated
+    // thrice could delete rows whose replacements never land.
+    val pinned = graft.operators.Dedup.truncate(delta)
+    val keys = pinned.select(col(keyCol)).where(col(keyCol).isNotNull)
     val bounds = keys.agg(smin(col(keyCol)), smax(col(keyCol))).head()
     val files = liveFiles(log, table)
     val candidates =
@@ -1152,13 +1198,7 @@ object ManifestTable {
       else {
         val pred = col(keyCol) >= lit(bounds.get(0)) &&
           col(keyCol) <= lit(bounds.get(1))
-        val allStats = log.flatMap(_.stats).toMap
-        val conjuncts = splitConjuncts(
-          org.apache.spark.sql.GraftSqlBridge.resolved(pred))
-        files.filter { f =>
-          val st = allStats.get(f).map(parseStats).getOrElse(Map.empty)
-          conjuncts.forall(c => conjunctMayMatch(c, st))
-        }
+        prunedPartition(log, files, pred)._1
       }
     val (survivorAdds, survivorRows, before) =
       if (candidates.isEmpty) (Nil, 0L, 0L)
@@ -1178,7 +1218,7 @@ object ManifestTable {
     // path — but here an empty delta means "pure delete of nothing";
     // writeRewrite drops zero-row output and that is correct.
     val (deltaAdds, inserted) = writeRewrite(spark, baseDir, table,
-      txnId + ".delta", delta)
+      txnId + ".delta", pinned)
     // Stamp the delta's (possibly add-column-evolved) schema under the
     // same conditions commitMulti appends do — a schema-tracking table
     // must surface the new columns, and a brand-new table starts

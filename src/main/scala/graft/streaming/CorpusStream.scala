@@ -161,17 +161,6 @@ object CorpusStream {
       }
   }
 
-  /** Land a stream gated by a FROZEN bigram LM — the CCNet deployment
-    * shape: the model is trained once on a trusted corpus
-    * ([[graft.operators.Corpus.lmModel]]) and incoming crawl is scored
-    * against it, so the quality bar cannot drift with traffic (scoring
-    * a stream against itself would). Each micro-batch is scored with
-    * [[graft.operators.Corpus.lmScore]] (stream side explodes, model
-    * side is static; OOV text smooths to maximally-surprising, so junk
-    * scores HIGH and drops); docs with `nll` ≤ `maxNll` commit under
-    * the [[manifestSink]] per-batch txn ids (crash replays are sealed
-    * no-ops). Docs with no bigram carry no LM evidence and drop —
-    * compose [[cleanStream]] upstream to length-gate those instead. */
   /** [[lmGatedSink]] with the bar set by the DATA instead of a frozen
     * constant: the stream maintains a mergeable log-linear histogram
     * ([[graft.operators.Sketches.lhBuckets]]) of every micro-nat NLL
@@ -276,6 +265,17 @@ object CorpusStream {
       }
   }
 
+  /** Land a stream gated by a FROZEN bigram LM — the CCNet deployment
+    * shape: the model is trained once on a trusted corpus
+    * ([[graft.operators.Corpus.lmModel]]) and incoming crawl is scored
+    * against it, so the quality bar cannot drift with traffic (scoring
+    * a stream against itself would). Each micro-batch is scored with
+    * [[graft.operators.Corpus.lmScore]] (stream side explodes, model
+    * side is static; OOV text smooths to maximally-surprising, so junk
+    * scores HIGH and drops); docs with `nll` ≤ `maxNll` commit under
+    * the [[manifestSink]] per-batch txn ids (crash replays are sealed
+    * no-ops). Docs with no bigram carry no LM evidence and drop —
+    * compose [[cleanStream]] upstream to length-gate those instead. */
   def lmGatedSink(
       docs: DataFrame,
       model0: graft.operators.Corpus.LmModel,

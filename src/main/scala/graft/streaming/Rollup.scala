@@ -172,19 +172,17 @@ object Rollup {
     * union of every `<table>.p<i>` subtable DISCOVERED in the log —
     * no partition-count argument to get wrong (a caller-supplied
     * nParts smaller than the sink's would silently read half the
-    * rollup; discovery cannot miss). */
+    * rollup; discovery cannot miss). One log parse serves discovery,
+    * schemas, and file listings ([[graft.sources.ManifestTable
+    * .readFamily]]) — a dashboard refresh pays O(1) metadata reads,
+    * not O(nParts). */
   def readPartitioned(
       spark: org.apache.spark.sql.SparkSession,
       baseDir: String,
       table: String): DataFrame = {
     val pat = java.util.regex.Pattern.quote(table) + "\\.p\\d+"
-    val parts = graft.sources.ManifestTable.tableNames(spark, baseDir)
-      .filter(_.matches(pat))
-      .flatMap { t =>
-        graft.sources.ManifestTable.schemaOf(spark, baseDir, t).map(s =>
-          graft.sources.ManifestTable.read(spark, baseDir, t,
-            schema = Some(s)))
-      }
+    val parts = graft.sources.ManifestTable.readFamily(spark, baseDir, pat)
+      .map(_._2)
     require(parts.nonEmpty,
       s"no partition of $table has committed yet under $baseDir")
     parts.reduce(_.unionByName(_))
@@ -202,7 +200,16 @@ object Rollup {
     * [[graft.operators.Sketches.lhQuantiles]] over the snapshot (a
     * live P50/P95 dashboard over a corpus-quality signal is one
     * `lhQuantiles(read(...))` away). Exactly-once as in
-    * [[sumCountSink]]: per-batch txn ids seal replays. */
+    * [[sumCountSink]]: per-batch txn ids seal replays.
+    *
+    * CONTRACT: `valueCol` must be a NON-NEGATIVE long ([[graft
+    * .operators.Sketches.lhBucketIdx]] raises on negatives rather
+    * than silently corrupting the distribution). Inside a stream that
+    * raise is a poison batch — the checkpoint never advances and every
+    * restart replays the same failure — so if the signal can go
+    * negative, clamp or filter it UPSTREAM of this sink
+    * (`greatest(lit(0L), col)` / `filter(col >= 0)`), choosing the
+    * distribution you actually mean. */
   def quantileSink(
       rows: DataFrame,
       keyCols: Seq[String],
