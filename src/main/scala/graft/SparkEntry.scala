@@ -1441,6 +1441,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("np").cast("long")).as("n_pieces"),
           sum(col("nc").cast("long")).as("n_chars"))
+    }),
+
+    // Integer-arithmetic PageRank over the minhash-candidate
+    // similarity graph (crawl-prioritization / canonical-survivor
+    // centrality): 5 Pregel-shaped rounds, all Long arithmetic, so
+    // ranks are bit-equal in DuckDB with no IEEE summation drift.
+    "q119_pagerank" -> ((s, dir) => {
+      val cands = Dedup.minhashCandidates(
+        Dedup.minhashBands(
+          Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id",
+            "text", 16, 3),
+          "doc_id", 16, 4),
+        "doc_id")
+      val edges = cands.select(col("a").as("src"), col("b").as("dst"))
+        .union(cands.select(col("b").as("src"), col("a").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iters = 5)
+        .select(col("node").as("doc_id"), col("rank"))
+    }),
+
+    // Frozen NB classifier (the fasttext-shape quality/domain filter):
+    // train source-prediction on the even-id half of the corpus in one
+    // pass, score the held-out odd half at scan speed. Integer
+    // micro-nat weights make train AND score bit-equal in DuckDB.
+    "q118_nb_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = Corpus.nbModel(
+        docs.filter(col("doc_id") % 2 === 0), "text", "source")
+      Corpus.nbClassify(
+        docs.filter(col("doc_id") % 2 === 1), model, "doc_id", "text")
     })
   )
 
@@ -3136,7 +3165,65 @@ object SparkEntry {
           |        ORDER BY c DESC, k) AS r
           |    FROM (SELECT source, k, count(*) AS c FROM occ GROUP BY 1, 2))
           |  WHERE r <= 5""".stripMargin,
-      groupCols = Seq("source"))
+      groupCols = Seq("source")),
+
+    "q119_pagerank" -> pageRankOracleSql(5),
+
+    // NB train+score twin: identical add-one weights in integer
+    // micro-nats (round(1e6·ln) of a double built from exact integer
+    // counts — the shared quantization idiom), identical argmax
+    // tie-break (score desc, class asc). ctc is MATERIALIZED: three
+    // consumers (totals, vocab, densify) would otherwise re-inline it.
+    "q118_nb_classify" ->
+      """WITH tr AS MATERIALIZED (
+        |  SELECT source AS cls,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ctc AS MATERIALIZED (
+        |  SELECT cls, tok, CAST(count(*) AS BIGINT) AS c_tc
+        |  FROM tr GROUP BY cls, tok),
+        |nc AS (SELECT cls, CAST(sum(c_tc) AS BIGINT) AS n_c
+        |       FROM ctc GROUP BY cls),
+        |vocab AS (SELECT DISTINCT tok FROM ctc),
+        |vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |w AS MATERIALIZED (
+        |  SELECT vocab.tok, nc.cls,
+        |    CAST(round(1000000 * ln(
+        |      CAST(coalesce(ctc.c_tc, 0) + 1 AS DOUBLE)
+        |        / CAST(nc.n_c + vn.v AS DOUBLE))) AS BIGINT) AS w_mnat
+        |  FROM vocab CROSS JOIN nc CROSS JOIN vn
+        |  LEFT JOIN ctc ON ctc.tok = vocab.tok AND ctc.cls = nc.cls),
+        |dc AS (SELECT source AS cls, CAST(count(*) AS BIGINT) AS d_c
+        |       FROM documents WHERE doc_id % 2 = 0 GROUP BY source),
+        |dt AS (SELECT CAST(count(*) AS BIGINT) AS d
+        |       FROM documents WHERE doc_id % 2 = 0),
+        |pr AS (
+        |  SELECT cls, CAST(round(1000000 * ln(
+        |      CAST(d_c AS DOUBLE) / CAST(d AS DOUBLE))) AS BIGINT)
+        |    AS prior_mnat
+        |  FROM dc CROSS JOIN dt),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |sc AS (
+        |  SELECT o.doc_id, w.cls,
+        |    CAST(sum(w.w_mnat) AS BIGINT) AS ev,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM occ o JOIN w ON w.tok = o.tok
+        |  GROUP BY o.doc_id, w.cls),
+        |tot AS (
+        |  SELECT s.doc_id, s.cls, s.ev + p.prior_mnat AS score_mnat, s.n
+        |  FROM sc s JOIN pr p USING (cls)),
+        |r AS (
+        |  SELECT doc_id, cls, score_mnat, n,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_mnat DESC, cls) AS rk
+        |  FROM tot)
+        |SELECT doc_id, cls AS pred, score_mnat, n AS n_vocab_toks
+        |FROM r WHERE rk = 1""".stripMargin
   )
 
   /** Self-contained DuckDB twin of q110: retrains the same `nMerges`
@@ -3159,6 +3246,47 @@ object SparkEntry {
     * sf0.01 (identical merges and per-doc counts). CTEs are
     * MATERIALIZED: each round reads the previous twice, and inlining
     * would expand the chain 2^rounds times. */
+  /** DuckDB twin of q119: the same minhash-candidate edge set, then
+    * `iters` unrolled integer-PageRank rounds mirroring
+    * [[graft.operators.Graph.pageRank]] (unit 1e6, damping 85%,
+    * base 150000; `//` on non-negative BIGINTs ≡ Spark's `div`).
+    * Rounds are MATERIALIZED — each is read by the next round's
+    * join, and inlining would expand the chain per round. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val head =
+      s"""WITH bands AS ($minhashBandsSql),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r
+         |    ON l.band_id = r.band_id AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |edges AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM cands
+         |  UNION ALL SELECT b AS src, a AS dst FROM cands),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+         |outdeg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+        .stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(150000 + (85 * coalesce(i.infl, 0)) // 100 AS BIGINT)
+         |      AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum(r.rank // d.deg) AS BIGINT) AS infl
+         |    FROM edges e
+         |    JOIN r${k - 1} r ON r.node = e.src
+         |    JOIN outdeg d ON d.src = e.src
+         |    GROUP BY e.dst) i ON i.node = n.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT t.node AS doc_id, t.rank AS rank FROM r$iters t"
+  }
+
   private def bpeOracleSql(nMerges: Int): String = {
     val head =
       """WITH toks AS (

@@ -255,6 +255,103 @@ object Corpus {
           / col("n_bigrams").cast("double"), 6).as("nll"))
   }
 
+  /** A frozen multinomial Naive-Bayes text classifier — the
+    * fasttext-shaped quality/domain classifier of the DCLM /
+    * FineWeb-Edu filtering recipes, trained in ONE pass: `priors` is
+    * per-class micro-nat log prior (C rows), `weights` the DENSE
+    * (token × class) micro-nat log likelihoods (V·C rows — model-
+    * sized, never corpus-sized). Train on a labeled seed set with
+    * [[nbModel]], persist the two frames, and score any corpus (or
+    * stream micro-batch — both sides of the scoring join are static)
+    * with [[nbClassify]]. */
+  final case class NbModel(priors: DataFrame, weights: DataFrame)
+
+  /** Train the add-one-smoothed multinomial NB model on `docs` labeled
+    * by `classCol`:
+    *
+    *   w(t,c)   = ln((c_tc + 1) / (n_c + V))   (token likelihood)
+    *   prior(c) = ln(d_c / d)                  (document prior)
+    *
+    * with c_tc = occurrences of token t in class c, n_c = total token
+    * occurrences in c, V = training vocabulary size, d_c/d = document
+    * counts. Each ln is quantized ONCE to integer micro-nats
+    * (round(1e6·ln), the [[lmScore]] idiom) so scoring downstream is
+    * exact Long sums — bit-stable across engines and partitionings.
+    *
+    * The weights table is DENSE over (training vocabulary × classes):
+    * a token seen in SOME class still votes in every other via the
+    * smoothed zero-count weight — that asymmetry (n_c differs) is
+    * real evidence, and density keeps scoring a single equi-join.
+    *
+    * Scale: one (class, token) hash-agg (map-side combinable — the
+    * heavy keys are stopword-grade tokens), a vocabulary×classes
+    * left join to densify (both sides model-sized), and two tiny
+    * document-count aggs. Never corpus×corpus. */
+  def nbModel(docs: DataFrame, textCol: String, classCol: String)
+      : NbModel = {
+    val occ = docs.select(col(classCol).as("cls"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val ctc = occ.groupBy(col("cls"), col("tok"))
+      .agg(count(lit(1)).as("c_tc"))
+    val nc = ctc.groupBy(col("cls")).agg(sum(col("c_tc")).as("n_c"))
+    val vocabN = ctc.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val weights = ctc.select(col("tok")).distinct()
+      .crossJoin(broadcast(nc))
+      .join(ctc, Seq("tok", "cls"), "left")
+      .crossJoin(broadcast(vocabN))
+      .select(col("tok"), col("cls"),
+        round(lit(1e6) * log(
+          (coalesce(col("c_tc"), lit(0L)) + 1L).cast("double")
+            / (col("n_c") + col("v")).cast("double")))
+          .cast("long").as("w_mnat"))
+    val dc = docs.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("d_c"))
+    val priors = dc.crossJoin(broadcast(docs.agg(count(lit(1)).as("d"))))
+      .select(col("cls"),
+        round(lit(1e6) * log(
+          col("d_c").cast("double") / col("d").cast("double")))
+          .cast("long").as("prior_mnat"))
+    NbModel(priors, weights)
+  }
+
+  /** Score `docs` against a (separately trained, possibly frozen)
+    * [[NbModel]] and pick each document's argmax class. Tokens outside
+    * the training vocabulary carry no class evidence and are ignored
+    * (the sklearn MultinomialNB stance — only the model's features
+    * vote); documents with NO in-vocabulary token drop, as across the
+    * dedup family. Ties break to the lexicographically smallest class
+    * by negating the integer SCORE, never the class ([[Similarity
+    * .knnClassify]]'s rule), so labels of any orderable type work.
+    *
+    * Scale: one token explode, one equi-join on the token against the
+    * V·C-row weights table (AQE broadcasts it when small and
+    * skew-splits stopword-grade hot tokens when not), a per-(doc,
+    * class) hash-agg of exact Longs — C rows per doc — then a per-doc
+    * argmax hash-agg and a C-row broadcast prior attach. Never
+    * corpus×corpus.
+    *
+    * Output: (id, pred, score_mnat, n_vocab_toks) — score in integer
+    * micro-nats of the winning class's log posterior (up to the shared
+    * evidence constant), n_vocab_toks the in-vocabulary occurrence
+    * count the verdict rests on. */
+  def nbClassify(docs: DataFrame, model: NbModel, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .join(model.weights, Seq("tok"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("w_mnat")).as("ev"), count(lit(1)).as("n"))
+      .join(broadcast(model.priors), Seq("cls"))
+      .select(col(idCol), col("cls"),
+        (col("ev") + col("prior_mnat")).as("score"), col("n"))
+      .groupBy(col(idCol))
+      .agg(
+        min_by(col("cls"), struct((-col("score")).as("s"), col("cls")))
+          .as("pred"),
+        max(col("score")).as("score_mnat"),
+        max(col("n")).as("n_vocab_toks"))
+
   /** Vocabulary census per group (the Heaps'-law dashboard): total
     * token count, distinct-type count, type/token ratio, and the hapax
     * fraction — the share of types seen exactly once, i.e. the growth

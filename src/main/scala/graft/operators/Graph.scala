@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over edge tables — the crawl-prioritization
+  * layer of a web-scale corpus pipeline: given the page/link (or
+  * near-dup-similarity) graph, score nodes by centrality so the
+  * crawler fetches — and the cleaner keeps — the best-connected
+  * content first.
+  */
+object Graph {
+
+  /** PageRank in INTEGER micro-rank units — the crawl-frontier
+    * priority score (and, over a near-dup candidate graph, a cluster-
+    * centrality signal: the highest-rank member is the natural
+    * canonical survivor).
+    *
+    * Classic damped PageRank, fixed `iters` rounds, all arithmetic on
+    * scaled Longs: every node starts at `unit` (1e6 = one rank);
+    * each round a node keeps base mass ((100−dampingPct)·unit)/100
+    * and receives dampingPct% of Σ over in-edges of r(u) div
+    * outdeg(u). Floor divisions leak mass deterministically (as does
+    * dangling-node mass, which is not redistributed) — the RANKING
+    * signal is unaffected, and in exchange every engine and every
+    * partitioning computes bit-identical Longs: no IEEE
+    * summation-order drift, which a double-valued PageRank cannot
+    * promise under Spark's non-deterministic reduce order.
+    *
+    * Scale: per round one equi-join of the edge table against the
+    * node-sized rank table on `srcCol` (the Pregel message shape —
+    * shuffle-bounded on graph keys, AQE skew-splits celebrity hub
+    * nodes) and one map-side-combinable inflow hash-agg on `dstCol`.
+    * The rank lineage is truncated every round ([[Dedup.truncate]]),
+    * so plans stay O(1) deep however many rounds run. Never
+    * node×node.
+    *
+    * Output: (node, rank) — rank in micro-units; isolated semantics:
+    * nodes appearing only as sources still receive the base mass,
+    * nodes absent from the edge table are absent from the output
+    * (score the disconnected remainder with the closed form
+    * base-mass constant if needed). */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      dampingPct: Int = 85,
+      unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100], got $dampingPct")
+    require(unit > 0, "unit must be positive")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val base = ((100L - dampingPct) * unit) / 100L
+    var ranks = Dedup.truncate(
+      nodes.select(col("node"), lit(unit).as("rank")))
+    for (_ <- 1 to iters) {
+      val inflow = e
+        .join(ranks.select(col("node").as("__src"), col("rank")),
+          Seq("__src"))
+        .join(outdeg, Seq("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(expr("rank div __deg")).as("__in"))
+      // `div`, not `/`: Spark's Divide on Longs returns DOUBLE — the
+      // IEEE drift this whole design exists to exclude.
+      ranks = Dedup.truncate(
+        nodes.join(inflow, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"${base}L + (${dampingPct}L * coalesce(__in, 0L)) " +
+              "div 100").as("rank")))
+    }
+    ranks
+  }
+}

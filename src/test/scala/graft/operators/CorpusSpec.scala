@@ -125,4 +125,45 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(all == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
   }
+
+  test("nbClassify: separable classes recover, OOV ignored, ties break to smaller class") {
+    val train = Seq(
+      (1L, "spam buy pills now", "spam"),
+      (2L, "spam cheap pills", "spam"),
+      (3L, "ham meeting notes agenda", "ham"),
+      (4L, "ham agenda minutes", "ham"))
+      .toDF("doc_id", "text", "label")
+    val model = Corpus.nbModel(train, "text", "label")
+    // Priors: 2/4 each → round(1e6·ln(0.5)) for both classes.
+    val priors = model.priors.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(priors.keySet == Set("spam", "ham"))
+    assert(priors("spam") == priors("ham"))
+    assert(priors("spam") == math.round(1e6 * math.log(0.5)))
+    // Weights are DENSE: every (train-vocab token × class) pair.
+    val v = model.weights.select("tok").distinct().count()
+    assert(model.weights.count() == v * 2)
+
+    val test = Seq(
+      (10L, "cheap pills zzz-oov"),   // spam evidence + ignored OOV
+      (11L, "meeting agenda"),        // ham evidence
+      (12L, "zzz-oov only-oov"))      // nothing in vocab → drops
+      .toDF("doc_id", "text")
+    val out = Corpus.nbClassify(test, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(10L, 11L))
+    assert(out(10L)._1 == "spam")
+    assert(out(11L)._1 == "ham")
+    // OOV token carried no evidence: only 2 in-vocab occurrences.
+    assert(out(10L)._3 == 2L)
+
+    // A doc whose evidence is symmetric across classes ties on the
+    // integer score and must break to the smaller class name. "spam"
+    // appears twice in spam-train, "ham" twice in ham-train; equal
+    // class token totals (7 each) make the weights mirror exactly.
+    val sym = Seq((20L, "spam ham")).toDF("doc_id", "text")
+    val tied = Corpus.nbClassify(sym, model, "doc_id", "text").collect()
+    assert(tied.head.getString(1) == "ham")
+  }
 }

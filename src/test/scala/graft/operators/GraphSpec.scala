@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: hand-computed 3-node chain, integer micro-ranks") {
+    // a -> b, b -> c, c -> b. outdeg: a=1, b=1, c=1.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    // r0 = 1e6 each; base = 150000.
+    // iter1: in(b) = r(a)+r(c) = 2e6 -> b = 150000 + 85*2e6/100 = 1850000
+    //        in(c) = r(b) = 1e6   -> c = 150000 + 850000 = 1000000
+    //        in(a) = 0            -> a = 150000
+    // iter2: b = 150000 + 85*(150000 + 1000000)/100 = 150000 + 977500
+    //        c = 150000 + 85*1850000/100 = 150000 + 1572500 = 1722500
+    //        a = 150000
+    val r2 = Graph.pageRank(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 == Map("a" -> 150000L, "b" -> 1127500L, "c" -> 1722500L))
+  }
+
+  test("pageRank: floor division is deterministic, sinks keep base mass") {
+    // Two sources point at one sink; sink has no out-edges (mass
+    // leaks, documented). outdeg(a)=2 so each contribution floors.
+    val edges = Seq(("a", "x"), ("a", "y"), ("b", "x"))
+      .toDF("src", "dst")
+    val r1 = Graph.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // in(x) = 1e6 div 2 + 1e6 div 1 = 1500000 -> 150000 + 1275000
+    // in(y) = 1e6 div 2 = 500000            -> 150000 + 425000
+    assert(r1("x") == 1425000L)
+    assert(r1("y") == 575000L)
+    assert(r1("a") == 150000L && r1("b") == 150000L)
+    // Repeated runs are bit-identical (pure integer arithmetic).
+    val again = Graph.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == r1)
+  }
+
+  test("pageRank: rank mass concentrates on the hub of a star graph") {
+    val spokes = (1 to 8).map(i => (s"s$i", "hub"))
+    val back = (1 to 8).map(i => ("hub", s"s$i"))
+    val edges = (spokes ++ back).toDF("src", "dst")
+    val out = Graph.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hub = out("hub")
+    (1 to 8).foreach(i => assert(out(s"s$i") < hub))
+    // Spokes are symmetric: identical integer ranks, no drift.
+    assert((1 to 8).map(i => out(s"s$i")).toSet.size == 1)
+  }
+}
