@@ -660,24 +660,31 @@ object ManifestTable {
       skipFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val log = asOfVersion match {
       case None => readLog(spark, baseDir)
-      case Some(v) =>
-        require(v > 0, s"asOfVersion must be positive, got $v")
-        val full = readFullLog(spark, baseDir)
-        val latest = full.lastOption.map(_.version).getOrElse(0L)
-        // Distinguish "not written yet" from "written then truncated":
-        // a plain out-of-range request is not truncateLog's fault.
-        require(v <= latest,
-          s"cannot time-travel to version $v: it does not exist yet " +
-            s"(latest committed version is $latest)")
-        val hist = full.filter(_.version <= v)
-        // Versions are contiguous from 1; anything less means
-        // truncateLog dropped part of the requested history.
-        require(hist.length == v,
-          s"cannot time-travel to version $v: only ${hist.length} of the " +
-            s"first $v manifests remain (truncateLog dropped the rest)")
-        hist
+      case Some(v) => logAsOf(spark, baseDir, v)
     }
     readLive(spark, baseDir, table, log, schema, skipFilter)
+  }
+
+  /** The raw manifest history up to and including version `v` — the
+    * time-travel log slice, throwing when `v` does not exist yet or
+    * [[truncateLog]] already dropped part of it. */
+  private def logAsOf(spark: SparkSession, baseDir: String, v: Long)
+      : Seq[Manifest] = {
+    require(v > 0, s"asOfVersion must be positive, got $v")
+    val full = readFullLog(spark, baseDir)
+    val latest = full.lastOption.map(_.version).getOrElse(0L)
+    // Distinguish "not written yet" from "written then truncated":
+    // a plain out-of-range request is not truncateLog's fault.
+    require(v <= latest,
+      s"cannot time-travel to version $v: it does not exist yet " +
+        s"(latest committed version is $latest)")
+    val hist = full.filter(_.version <= v)
+    // Versions are contiguous from 1; anything less means
+    // truncateLog dropped part of the requested history.
+    require(hist.length == v,
+      s"cannot time-travel to version $v: only ${hist.length} of the " +
+        s"first $v manifests remain (truncateLog dropped the rest)")
+    hist
   }
 
   /** Every table whose name matches regex `pattern` and whose schema
@@ -731,6 +738,80 @@ object ManifestTable {
       else reader.parquet(s"$baseDir/${files.head}")
         .where(org.apache.spark.sql.functions.lit(false))
     skipFilter.map(p => df.filter(p)).getOrElse(df)
+  }
+
+  /** Change data feed at FILE granularity: every row `table` gained or
+    * lost between its committed states as of `fromVersion` (exclusive
+    * base; 0 = empty table, so everything live reads as inserted) and
+    * `toVersion` (inclusive), tagged `_change_type` = 'insert' |
+    * 'delete' — the Delta `table_changes` idiom derived purely from
+    * the manifest log, with ZERO extra storage: inserts are the rows
+    * of files live at B but not at A, deletes the reverse. A file
+    * added and removed entirely inside the window cancels (its rows
+    * never became visible committed state).
+    *
+    * Rewrite commits ([[deleteWhere]]/[[upsertKeyed]]/[[replaceWhere]]
+    * /[[optimize]]) surface each rewritten file as whole-file delete +
+    * re-insert; `netOnly` diffs the two sides (exceptAll both ways) so
+    * only true row-level changes remain — a pure [[optimize]] window
+    * nets to zero rows. The net diff shuffles only the CHANGED files'
+    * rows, never the table.
+    *
+    * At 100 TB this is what an incremental downstream consumer polls
+    * instead of re-reading the table: the scan (and the net diff) is
+    * bounded by the files that changed in the window, and the consumer
+    * resumes from the last version it processed — the same
+    * contract the streaming sinks' txn ids give writers, now on the
+    * read side. Both sides read under the `toVersion` schema
+    * (add-column-only evolution: older files null-fill). */
+  def tableChanges(
+      spark: SparkSession,
+      baseDir: String,
+      table: String,
+      fromVersion: Long,
+      toVersion: Long,
+      netOnly: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion >= 0, s"fromVersion must be >= 0, got $fromVersion")
+    require(toVersion > fromVersion,
+      s"toVersion ($toVersion) must be after fromVersion ($fromVersion)")
+    // One log slice serves both states: logAsOf(toVersion) proves the
+    // raw history is contiguous from v1, so its prefix IS the as-of-A
+    // history.
+    val logB = logAsOf(spark, baseDir, toVersion)
+    val liveA =
+      if (fromVersion == 0L) Set.empty[String]
+      else liveFiles(logB.filter(_.version <= fromVersion), table).toSet
+    val liveB = liveFiles(logB, table).toSet
+    val schemaB = latestSchema(logB, table)
+    val reader = schemaB.map(spark.read.schema).getOrElse(spark.read)
+    def tagged(files: Seq[String], t: String): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(reader.parquet(files.map(f => s"$baseDir/$f"): _*)
+        .withColumn("_change_type", lit(t)))
+    (tagged((liveB -- liveA).toSeq.sorted, "insert"),
+      tagged((liveA -- liveB).toSeq.sorted, "delete")) match {
+      case (Some(i), Some(d)) if netOnly =>
+        val iRaw = i.drop("_change_type")
+        val dRaw = d.drop("_change_type")
+        iRaw.exceptAll(dRaw).withColumn("_change_type", lit("insert"))
+          .unionByName(
+            dRaw.exceptAll(iRaw).withColumn("_change_type", lit("delete")))
+      case (Some(i), Some(d)) => i.unionByName(d)
+      case (Some(i), None) => i
+      case (None, Some(d)) => d
+      case (None, None) => schemaB
+        .map { s =>
+          val withTag = StructType(s.fields :+
+            org.apache.spark.sql.types.StructField("_change_type",
+              org.apache.spark.sql.types.StringType))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withTag)
+        }
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"$baseDir/$table changed no files in ($fromVersion, " +
+            s"$toVersion] and tracks no schema to shape an empty feed"))
+    }
   }
 
   /** Flatten a predicate into AND-ed conjuncts (each prunes on its

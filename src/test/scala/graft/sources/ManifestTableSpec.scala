@@ -734,4 +734,59 @@ class ManifestTableSpec extends SparkSpec {
       skipFilter = Some(col("ts") >= lit(250L)))
     assert(wm.inputFiles.length == 1 && wm.count() == 50L)
   }
+
+  test("tableChanges: appends read as inserts, rewrites as delete+insert, net diff exact") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    // v1: initial rows. v2: append. v3: deleteWhere rewrite.
+    ManifestTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(1), base, "t", "txn-1")
+    ManifestTable.commit(Seq((3L, "c")).toDF("id", "v")
+      .repartition(1), base, "t", "txn-2")
+    assert(ManifestTable.deleteWhere(spark, base, "t", col("id") === 1L,
+      "del-1").map(_.deletedRows).contains(1L))
+    // Window (0, 1]: everything live at v1 is an insert.
+    val w01 = ManifestTable.tableChanges(spark, base, "t", 0L, 1L)
+      .as[(Long, String, String)].collect().toSet
+    assert(w01 == Set((1L, "a", "insert"), (2L, "b", "insert")))
+    // Window (1, 2]: only the appended file.
+    val w12 = ManifestTable.tableChanges(spark, base, "t", 1L, 2L)
+      .as[(Long, String, String)].collect().toSet
+    assert(w12 == Set((3L, "c", "insert")))
+    // Window (2, 3]: file-granular feed shows the whole rewritten
+    // file out and its survivors back in...
+    val w23 = ManifestTable.tableChanges(spark, base, "t", 2L, 3L)
+      .as[(Long, String, String)].collect().toSet
+    assert(w23 == Set((1L, "a", "delete"), (2L, "b", "delete"),
+      (2L, "b", "insert")))
+    // ...and the net feed cancels the carried-over survivor.
+    val net23 = ManifestTable.tableChanges(spark, base, "t", 2L, 3L,
+      netOnly = true).as[(Long, String, String)].collect().toSet
+    assert(net23 == Set((1L, "a", "delete")))
+    // Whole-history window nets to the current table as inserts.
+    val net03 = ManifestTable.tableChanges(spark, base, "t", 0L, 3L,
+      netOnly = true).as[(Long, String, String)].collect().toSet
+    assert(net03 == Set((2L, "b", "insert"), (3L, "c", "insert")))
+  }
+
+  test("tableChanges: optimize nets to zero; empty windows shape by schema") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    (1 to 2).foreach(i => ManifestTable.commit(
+      Seq((i.toLong, s"v$i")).toDF("id", "v").repartition(1),
+      base, "t", s"txn-$i"))
+    assert(ManifestTable.optimize(spark, base, "t", "opt-1").isDefined)
+    // v3 = optimize: file-granular feed is noisy (all files swap)...
+    assert(ManifestTable.tableChanges(spark, base, "t", 2L, 3L)
+      .count() == 4L)
+    // ...but a compaction changes NO rows, and the net feed proves it.
+    assert(ManifestTable.tableChanges(spark, base, "t", 2L, 3L,
+      netOnly = true).count() == 0L)
+    // A window where nothing touched this table: empty, schema-shaped.
+    ManifestTable.commit(Seq((9L, "x")).toDF("id", "v"), base, "other",
+      "txn-other")
+    val quiet = ManifestTable.tableChanges(spark, base, "t", 3L, 4L)
+    assert(quiet.columns.toSeq == Seq("id", "v", "_change_type"))
+    assert(quiet.count() == 0L)
+  }
 }
