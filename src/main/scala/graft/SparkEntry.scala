@@ -1443,6 +1443,13 @@ object SparkEntry {
           sum(col("nc").cast("long")).as("n_chars"))
     }),
 
+    // Cross-document duplicated spans: ≥8-token spans appearing in ≥2
+    // DISTINCT docs (boilerplate/mirror mass; within-doc repetition
+    // scores zero — q89 measures the any-repeat axis).
+    "q120_crossdoc_spans" -> ((s, dir) => {
+      Dedup.crossDocSpans(t(s, dir, "documents"), "doc_id", "text", 8)
+    }),
+
     // Integer-arithmetic PageRank over the minhash-candidate
     // similarity graph (crawl-prioritization / canonical-survivor
     // centrality): 5 Pregel-shaped rounds, all Long arithmetic, so
@@ -3168,6 +3175,41 @@ object SparkEntry {
       groupCols = Seq("source")),
 
     "q119_pagerank" -> pageRankOracleSql(5),
+
+    // q89's twin with the shared-gram census on DISTINCT doc count.
+    "q120_crossdoc_spans" ->
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                       t -> len(t) > 0) AS w
+        |            FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(generate_series(1, len(w)-8+1)) AS pos,
+        |        unnest(CASE WHEN len(w) < 8 THEN CAST([] AS VARCHAR[])
+        |          ELSE list_transform(generate_series(0, len(w)-8),
+        |                 i -> array_to_string(list_slice(w, i+1, i+8), ' '))
+        |          END) AS gram
+        |      FROM w0),
+        |rep AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |p AS (SELECT g.doc_id, g.pos FROM g JOIN rep ON g.gram = rep.gram),
+        |isl AS (SELECT doc_id, pos,
+        |         CASE WHEN pos > lag(pos, 1, -1000000)
+        |                OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |              THEN 1 ELSE 0 END AS brk
+        |        FROM p),
+        |sp AS (SELECT doc_id, pos,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |       FROM isl),
+        |agg AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) AS e
+        |        FROM sp GROUP BY 1, 2),
+        |per AS (SELECT doc_id, count(*) AS n_spans,
+        |          CAST(sum(e - s + 8) AS BIGINT) AS dup_tokens
+        |        FROM agg GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  round(CAST(COALESCE(per.dup_tokens, 0) AS DOUBLE) / len(d.w), 6)
+        |    AS dup_frac
+        |FROM w0 d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
 
     // NB train+score twin: identical add-one weights in integer
     // micro-nats (round(1e6·ln) of a double built from exact integer

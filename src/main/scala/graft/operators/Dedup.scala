@@ -512,14 +512,45 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      spanTokens: Int): DataFrame = {
+      spanTokens: Int): DataFrame =
+    spanStats(docs, idCol, textCol, spanTokens,
+      g => g.groupBy(col("gram"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .select(col("gram")))
+
+  /** [[repeatedSpans]] restricted to spans shared across ≥ 2 DISTINCT
+    * documents — boilerplate, mirrored pages, and template mass
+    * (within-doc repetition, however heavy, scores zero here; q83's
+    * repetition signals cover that axis). The distinct-doc census is
+    * the two-phase (gram, id)-then-gram hash-agg — partials map-side
+    * combine, same shuffle shape as the any-repeat census.
+    *
+    * Output: (id, n_tokens, n_spans, dup_tokens, dup_frac). */
+  def crossDocSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int): DataFrame =
+    spanStats(docs, idCol, textCol, spanTokens,
+      g => g.groupBy(col("gram"))
+        .agg(countDistinct(col(idCol)).as("c")).filter(col("c") >= 2)
+        .select(col("gram")))
+
+  /** Shared mechanics of the span family: position-indexed gram
+    * explode, the caller's shared-gram census, gaps-and-islands span
+    * merge, per-doc mass rollup. */
+  private def spanStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int,
+      sharedGrams: DataFrame => DataFrame): DataFrame = {
     require(spanTokens > 0, "spanTokens must be positive")
     val grams = docs.select(col(idCol),
         posexplode(graft.functions.GraftExpressions.shingleList(
           tokens(col(textCol)), spanTokens)).as(Seq("p0", "gram")))
       .select(col(idCol), (col("p0") + 1).as("pos"), col("gram"))
-    val rep = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("gram"))
+    val rep = sharedGrams(grams)
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val spans = grams.join(rep, Seq("gram"), "left_semi")
       // New span when this window's coverage doesn't touch the

@@ -185,6 +185,12 @@ object ManifestTable {
   def lastState(spark: SparkSession, baseDir: String): Option[String] =
     readLog(spark, baseDir).reverse.flatMap(_.state).headOption
 
+  /** The latest committed log version (0 = nothing committed yet) —
+    * the upper bound an incremental [[tableChanges]] consumer polls
+    * up to. */
+  def latestVersion(spark: SparkSession, baseDir: String): Long =
+    readLog(spark, baseDir).lastOption.map(_.version).getOrElse(0L)
+
   /** The live file set per the log: appends accumulate; a `snap:`
     * marker resets its table to that manifest's adds. */
   private def liveFiles(log: Seq[Manifest], table: String): Seq[String] = {

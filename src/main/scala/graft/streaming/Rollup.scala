@@ -79,6 +79,69 @@ object Rollup {
       }
   }
 
+  /** Incrementally maintain a (sum, count) rollup from an upstream
+    * MANIFEST TABLE's change feed — the batch-poll twin of
+    * [[sumCountSink]] for upstreams that are tables rather than
+    * streams (the medallion bronze→silver hop). Each call:
+    *
+    *  1. reads the rollup base's recorded watermark (the last
+    *     upstream version processed — 0 on first call),
+    *  2. pulls [[graft.sources.ManifestTable.tableChanges]] for the
+    *     window (watermark, upstream latest], net-diffed so rewrites
+    *     cost only their true row changes,
+    *  3. applies inserts positively and deletes NEGATIVELY to the
+    *     merged snapshot (a key whose count reaches zero leaves the
+    *     rollup — deletes downstream of a takedown propagate for
+    *     free), and
+    *  4. commits the snapshot AND the advanced watermark in ONE txn
+    *     sealed by the version window.
+    *
+    * Crash anywhere ⇒ the next call re-reads the old watermark and
+    * replays the same window; the sealed txn id makes the re-commit a
+    * no-op — exactly-once, never re-reading the upstream table
+    * itself. Returns the (from, to] window processed, or None when
+    * already caught up.
+    *
+    * One consumer per `rollupBase` (the watermark is the base dir's
+    * state line, [[graft.sources.ManifestTable.lastState]]); poll
+    * more often than upstream log truncation, or the window's history
+    * may be gone (tableChanges then fails loudly, never silently
+    * skips). */
+  def syncFromChanges(
+      spark: org.apache.spark.sql.SparkSession,
+      upstreamBase: String,
+      upstreamTable: String,
+      keyCols: Seq[String],
+      sumCols: Seq[String],
+      rollupBase: String,
+      rollupTable: String): Option[(Long, Long)] = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val toV = graft.sources.ManifestTable.latestVersion(spark, upstreamBase)
+    val fromV = graft.sources.ManifestTable.lastState(spark, rollupBase)
+      .map(_.toLong).getOrElse(0L)
+    if (toV <= fromV) return None
+    val changes = graft.sources.ManifestTable.tableChanges(
+      spark, upstreamBase, upstreamTable, fromV, toV, netOnly = true)
+    val sign = when(col("_change_type") === "insert", lit(1L))
+      .otherwise(lit(-1L))
+    val sumNames = sumCols.map(c => s"sum_$c")
+    val delta = changes.groupBy(keyCols.map(col): _*)
+      .agg(sum(sign).as("n_rows"),
+        sumCols.map(c => sum(col(c) * sign).as(s"sum_$c")): _*)
+    val current = graft.sources.ManifestTable.read(
+      spark, rollupBase, rollupTable, schema = Some(delta.schema))
+    val merged = current.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sumNames.map(c => sum(col(c)).as(c)): _*)
+      .filter(col("n_rows") > 0L)
+    graft.sources.ManifestTable.commitMulti(spark, rollupBase,
+      txnId = s"cdf-$upstreamTable-$fromV-$toV",
+      snapshots = Map(rollupTable -> merged),
+      state = Some(toV.toString))
+    Some((fromV, toV))
+  }
+
   /** Stable key-space partition in [0, nParts): content-hashed from
     * the key columns, so a key's partition never moves across batches,
     * restarts, or engines. */

@@ -126,6 +126,28 @@ class DedupSpec extends SparkSpec {
     assert(out2(4L) == ((1L, 10L)))
   }
 
+  test("crossDocSpans: within-doc repetition scores zero; shared spans count") {
+    val d = Seq(
+      (1L, "p q r s t p q r s t"),              // pure SELF-repeat
+      (2L, "one two three four five alpha"),    // shares 1-5 with doc 3
+      (3L, "one two three four five beta"),
+      (4L, "nothing shared over here at all"))
+      .toDF("doc_id", "text")
+    val cross = Dedup.crossDocSpans(d, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // Doc 1's self-repeat is invisible to the cross-doc census...
+    assert(cross(1L) == ((10L, 0L, 0L, 0.0)))
+    // ...but repeatedSpans (any-repeat) sees it.
+    val any = Dedup.repeatedSpans(d, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(any(1L) == 10L)
+    // The genuinely shared 5-token span counts in both sharers.
+    assert(cross(2L) == ((6L, 1L, 5L, 0.833333)))
+    assert(cross(3L) == ((6L, 1L, 5L, 0.833333)))
+    assert(cross(4L) == ((6L, 0L, 0L, 0.0)))
+  }
+
   test("sentenceDedup: first (doc,pos) occurrence wins, '. ' re-join, full dups vanish") {
     val d = Seq(
       (1L, "alpha beta. gamma delta. alpha beta"), // trailing repeat of own pos 1

@@ -254,4 +254,43 @@ class RollupSpec extends SparkSpec {
     assert(streamed("mon") > 350 && streamed("mon") < 900)
     assert(streamed("tue") > 25 && streamed("tue") < 90)
   }
+
+  test("syncFromChanges follows the upstream change feed exactly once, deletes included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val up = java.nio.file.Files.createTempDirectory("graft-cdf-up").toString
+    val dn = java.nio.file.Files.createTempDirectory("graft-cdf-dn").toString
+    def rollup(): Map[String, (Long, Long)] =
+      ManifestTable.read(spark, dn, "by_src",
+          schema = Some(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("src",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_rows",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_v",
+              org.apache.spark.sql.types.LongType)))))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    def sync(): Option[(Long, Long)] = Rollup.syncFromChanges(
+      spark, up, "docs", Seq("src"), Seq("v"), dn, "by_src")
+
+    // Nothing upstream yet: no-op.
+    assert(sync().isEmpty)
+    // v1: two sources land.
+    ManifestTable.commit(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "src", "v").repartition(1), up, "docs", "t1")
+    assert(sync().contains((0L, 1L)))
+    assert(rollup() == Map("a" -> ((2L, 30L)), "b" -> ((1L, 5L))))
+    // Caught up: replay is a no-op (watermark advanced with the data).
+    assert(sync().isEmpty)
+    // v2 append + v3 takedown of doc 1: one poll absorbs both; the
+    // delete propagates and source b's key leaves the rollup.
+    ManifestTable.commit(Seq((4L, "a", 7L)).toDF("id", "src", "v")
+      .repartition(1), up, "docs", "t2")
+    assert(ManifestTable.deleteWhere(spark, up, "docs",
+      col("src") === "b", "del-b").map(_.deletedRows).contains(1L))
+    assert(sync().contains((1L, 3L)))
+    assert(rollup() == Map("a" -> ((3L, 37L))))
+    assert(sync().isEmpty)
+  }
 }
