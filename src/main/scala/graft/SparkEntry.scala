@@ -3305,7 +3305,9 @@ object SparkEntry {
          |edges AS MATERIALIZED (
          |  SELECT a AS src, b AS dst FROM cands
          |  UNION ALL SELECT b AS src, a AS dst FROM cands),
-         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM edges
+         |  UNION SELECT dst AS node FROM edges),
          |outdeg AS MATERIALIZED (
          |  SELECT src, CAST(count(*) AS BIGINT) AS deg
          |  FROM edges GROUP BY src),

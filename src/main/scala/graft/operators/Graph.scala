@@ -51,10 +51,18 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
     require(unit > 0, "unit must be positive")
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    // Pin the loop invariants ONCE: edges can sit on an expensive
+    // upstream pipeline (q119's is the whole minhash-candidate build),
+    // and every round references e / nodes / outdeg — without the
+    // truncation each round's eager checkpoint would re-run that
+    // pipeline several times over (the Spark twin of the oracle's
+    // MATERIALIZED edges/nodes/outdeg CTEs).
+    val e = Dedup.truncate(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+    val nodes = Dedup.truncate(e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct())
+    val outdeg = Dedup.truncate(
+      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
     val base = ((100L - dampingPct) * unit) / 100L
     var ranks = Dedup.truncate(
       nodes.select(col("node"), lit(unit).as("rank")))

@@ -642,8 +642,10 @@ object ManifestTable {
   /** Read the committed snapshot of one table. `schema` serves the
     * zero-commit case (a table that exists logically but has no data
     * yet). `asOfVersion` time-travels to the table as of that log
-    * version — served from the raw manifest history, so it throws if
-    * [[truncateLog]] already dropped the versions it needs.
+    * version — served from the raw manifest history, or from the
+    * latest checkpoint at or below that version once [[truncateLog]]
+    * has run; it throws only when the requested state predates the
+    * oldest reconstructible one.
     *
     * `skipFilter` is a read predicate that ALSO skips data: conjuncts
     * of the form `column <op> literal` (on plain numeric columns) are
@@ -671,26 +673,51 @@ object ManifestTable {
     readLive(spark, baseDir, table, log, schema, skipFilter)
   }
 
-  /** The raw manifest history up to and including version `v` — the
-    * time-travel log slice, throwing when `v` does not exist yet or
-    * [[truncateLog]] already dropped part of it. */
+  /** The manifest history reconstructing the table state as of
+    * version `v` — the time-travel log slice. Served from the raw
+    * manifests when they survive, or from the latest CHECKPOINT at or
+    * below `v` plus the newer raws (a checkpoint summarizes the state
+    * as of its version, so [[truncateLog]] does not strand states at
+    * or after it — only states BEFORE the checkpoint become
+    * unreachable, and those throw loudly here). */
   private def logAsOf(spark: SparkSession, baseDir: String, v: Long)
       : Seq[Manifest] = {
     require(v > 0, s"asOfVersion must be positive, got $v")
     val full = readFullLog(spark, baseDir)
-    val latest = full.lastOption.map(_.version).getOrElse(0L)
+    val latestRaw = full.lastOption.map(_.version).getOrElse(0L)
+    val (fs, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
+    val ckpt = listLog(fs, logPath)
+      .filter(_.getName.matches("ckpt_v\\d{20}"))
+      .map(p => p -> p.getName.drop(6).toLong)
+      .filter(_._2 <= v)
+      .sortBy(_._2).lastOption
     // Distinguish "not written yet" from "written then truncated":
     // a plain out-of-range request is not truncateLog's fault.
+    val latest = math.max(latestRaw, ckpt.map(_._2).getOrElse(0L))
     require(v <= latest,
       s"cannot time-travel to version $v: it does not exist yet " +
         s"(latest committed version is $latest)")
-    val hist = full.filter(_.version <= v)
-    // Versions are contiguous from 1; anything less means
-    // truncateLog dropped part of the requested history.
-    require(hist.length == v,
-      s"cannot time-travel to version $v: only ${hist.length} of the " +
-        s"first $v manifests remain (truncateLog dropped the rest)")
-    hist
+    ckpt match {
+      case Some((p, cv)) =>
+        val tail = full.filter(m => m.version > cv && m.version <= v)
+        // Raw versions are contiguous above the checkpoint; a gap
+        // means something external deleted manifests truncateLog
+        // keeps.
+        require(tail.length == v - cv,
+          s"cannot time-travel to version $v: only ${tail.length} of " +
+            s"the ${v - cv} manifests after checkpoint v$cv remain")
+        parseManifest(fs, p, cv) +: tail
+      case None =>
+        val hist = full.filter(_.version <= v)
+        // Versions are contiguous from 1; anything less means
+        // truncateLog dropped part of the requested history (and no
+        // checkpoint at or below v can stand in for it).
+        require(hist.length == v,
+          s"cannot time-travel to version $v: only ${hist.length} of " +
+            s"the first $v manifests remain (truncateLog dropped the " +
+            "rest)")
+        hist
+    }
   }
 
   /** Every table whose name matches regex `pattern` and whose schema
@@ -781,13 +808,15 @@ object ManifestTable {
     require(fromVersion >= 0, s"fromVersion must be >= 0, got $fromVersion")
     require(toVersion > fromVersion,
       s"toVersion ($toVersion) must be after fromVersion ($fromVersion)")
-    // One log slice serves both states: logAsOf(toVersion) proves the
-    // raw history is contiguous from v1, so its prefix IS the as-of-A
-    // history.
+    // Each side reconstructs its own state: logAsOf serves from a
+    // checkpoint when truncateLog dropped the raw prefix, and throws
+    // loudly when a state genuinely predates the oldest checkpoint —
+    // a prefix-filter of the B log would silently read a stranded
+    // base state as EMPTY and re-emit the whole table as inserts.
     val logB = logAsOf(spark, baseDir, toVersion)
     val liveA =
       if (fromVersion == 0L) Set.empty[String]
-      else liveFiles(logB.filter(_.version <= fromVersion), table).toSet
+      else liveFiles(logAsOf(spark, baseDir, fromVersion), table).toSet
     val liveB = liveFiles(logB, table).toSet
     val schemaB = latestSchema(logB, table)
     val reader = schemaB.map(spark.read.schema).getOrElse(spark.read)

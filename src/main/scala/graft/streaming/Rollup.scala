@@ -103,10 +103,12 @@ object Rollup {
     * already caught up.
     *
     * One consumer per `rollupBase` (the watermark is the base dir's
-    * state line, [[graft.sources.ManifestTable.lastState]]); poll
-    * more often than upstream log truncation, or the window's history
-    * may be gone (tableChanges then fails loudly, never silently
-    * skips). */
+    * state line, [[graft.sources.ManifestTable.lastState]]). Upstream
+    * compact+truncate maintenance is safe: tableChanges reconstructs
+    * either side of the window from the latest checkpoint at or below
+    * it, and fails loudly (never silently skips) only when the
+    * watermark predates the oldest checkpoint — i.e. the consumer
+    * stalled across an entire retention cycle. */
   def syncFromChanges(
       spark: org.apache.spark.sql.SparkSession,
       upstreamBase: String,
@@ -122,6 +124,17 @@ object Rollup {
     if (toV <= fromV) return None
     val changes = graft.sources.ManifestTable.tableChanges(
       spark, upstreamBase, upstreamTable, fromV, toV, netOnly = true)
+    // A window that touched only SIBLING tables of the upstream base
+    // (or netted to zero) advances the watermark with a state-only
+    // commit — rewriting the whole rollup snapshot per unrelated
+    // upstream commit would be O(rollup) write amplification for
+    // nothing.
+    if (changes.isEmpty) {
+      graft.sources.ManifestTable.commitMulti(spark, rollupBase,
+        txnId = s"cdf-$upstreamTable-$fromV-$toV",
+        state = Some(toV.toString))
+      return Some((fromV, toV))
+    }
     val sign = when(col("_change_type") === "insert", lit(1L))
       .otherwise(lit(-1L))
     val sumNames = sumCols.map(c => s"sum_$c")

@@ -789,4 +789,30 @@ class ManifestTableSpec extends SparkSpec {
     assert(quiet.columns.toSeq == Seq("id", "v", "_change_type"))
     assert(quiet.count() == 0L)
   }
+
+  test("tableChanges and time travel survive compact+truncateLog via the checkpoint") {
+    val base = tmpBase()
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "v").repartition(1),
+      base, "t", "t1")                              // v1
+    ManifestTable.commit(Seq((2L, "b")).toDF("id", "v").repartition(1),
+      base, "t", "t2")                              // v2
+    assert(ManifestTable.compact(spark, base).contains(2L))
+    assert(ManifestTable.truncateLog(spark, base) == 2) // raw v1, v2 gone
+    ManifestTable.commit(Seq((3L, "c")).toDF("id", "v").repartition(1),
+      base, "t", "t3")                              // v3
+    // A caught-up consumer's window (2, 3] reconstructs its base
+    // state from the checkpoint — routine retention maintenance must
+    // not strand it.
+    val w23 = ManifestTable.tableChanges(spark, base, "t", 2L, 3L)
+      .as[(Long, String, String)].collect().toSet
+    assert(w23 == Set((3L, "c", "insert")))
+    // Time travel to the checkpointed version itself still reads.
+    assert(ManifestTable.read(spark, base, "t", asOfVersion = Some(2L))
+      .count() == 2L)
+    // States BEFORE the checkpoint are genuinely gone: loud failure,
+    // never a silently-empty base (which would re-emit the table).
+    intercept[IllegalArgumentException] {
+      ManifestTable.tableChanges(spark, base, "t", 1L, 3L)
+    }
+  }
 }

@@ -292,5 +292,17 @@ class RollupSpec extends SparkSpec {
     assert(sync().contains((1L, 3L)))
     assert(rollup() == Map("a" -> ((3L, 37L))))
     assert(sync().isEmpty)
+    // A commit to a SIBLING upstream table advances the watermark
+    // with a state-only commit — the rollup snapshot files must not
+    // rewrite for an empty window.
+    val filesBefore = ManifestTable.read(spark, dn, "by_src")
+      .inputFiles.toSet
+    ManifestTable.commit(Seq((9L, "x", 1L)).toDF("id", "src", "v"),
+      up, "unrelated", "t-other")
+    assert(sync().contains((3L, 4L)))
+    assert(ManifestTable.read(spark, dn, "by_src")
+      .inputFiles.toSet == filesBefore)
+    assert(rollup() == Map("a" -> ((3L, 37L))))
+    assert(sync().isEmpty)
   }
 }
