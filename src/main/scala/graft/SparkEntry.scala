@@ -1443,6 +1443,25 @@ object SparkEntry {
           sum(col("nc").cast("long")).as("n_chars"))
     }),
 
+    // Per-domain crawl census over synthesized URLs spanning plain,
+    // two-level-suffix (co.uk), default-port, and unparseable hosts —
+    // the registrable-domain heuristic plus a distinct-page count.
+    "q121_domain_stats" -> ((s, dir) => {
+      val page = expr("doc_id div 7").cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("https://news.example.co.uk/a/"), page))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("https://blog.example.com/p/"), page))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://example.com/p/"), page))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("http://mirror.site.org:80/x/"), page))
+        .otherwise(lit("not a url"))
+      Web.domainStats(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+    }),
+
     // Cross-document duplicated spans: ≥8-token spans appearing in ≥2
     // DISTINCT docs (boilerplate/mirror mass; within-doc repetition
     // scores zero — q89 measures the any-repeat axis).
@@ -3175,6 +3194,44 @@ object SparkEntry {
       groupCols = Seq("source")),
 
     "q119_pagerank" -> pageRankOracleSql(5),
+
+    // Same URL synthesis; the registrable-domain rule mirrored with
+    // 1-based list_slice arithmetic (labels[-2]/-3 forms).
+    "q121_domain_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 5 = 0 THEN 'https://news.example.co.uk/a/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 5 = 1 THEN 'https://blog.example.com/p/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 5 = 2 THEN 'https://example.com/p/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 5 = 3 THEN 'http://mirror.site.org:80/x/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    ELSE 'not a url' END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    list_filter(string_split(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)), '.'),
+        |      x -> len(x) > 0) AS ls
+        |  FROM u),
+        |d AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN len(ls) < 2 THEN NULL
+        |         WHEN len(ls) >= 3
+        |              AND ls[len(ls)-1] IN
+        |                ('co','com','net','org','ac','gov','edu')
+        |              AND len(ls[len(ls)]) = 2
+        |           THEN array_to_string(
+        |             list_slice(ls, len(ls)-2, len(ls)), '.')
+        |         ELSE array_to_string(
+        |             list_slice(ls, len(ls)-1, len(ls)), '.') END AS domain
+        |  FROM h)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_pages
+        |FROM d WHERE domain IS NOT NULL
+        |GROUP BY domain""".stripMargin,
 
     // q89's twin with the shared-gram census on DISTINCT doc count.
     "q120_crossdoc_spans" ->

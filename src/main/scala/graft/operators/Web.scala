@@ -49,6 +49,56 @@ object Web {
       .otherwise(concat(scheme, lit("://"), authNoPort, path, queryOut))
   }
 
+  /** Registrable domain (eTLD+1-lite) of a URL — the unit that crawl
+    * policy, rate limits, per-site caps, and quality priors attach
+    * to. Deliberately dependency-free heuristic: the registrable
+    * domain is the last TWO host labels, or the last THREE when the
+    * suffix looks like a two-level public suffix of the common
+    * `<sld>.<cc>` form (sld ∈ co|com|net|org|ac|gov|edu and a
+    * 2-letter country code — covers co.uk, com.au, ac.jp, …). Exact
+    * policy wants the full public-suffix list as a broadcast-joined
+    * table; this column form is the scan-speed approximation. NULL
+    * for unparseable URLs and single-label hosts; literal IP hosts
+    * come out as their last two octets — quarantine those upstream
+    * if they matter. Ports are excluded by extraction. */
+  def registrableDomain(url: Column): Column = {
+    val host = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+    val labels = filter(split(host, "\\."), l => length(l) > 0)
+    val n = size(labels)
+    when(n < 2, lit(null).cast("string"))
+      .when(n >= 3
+          && element_at(labels, -2)
+            .isin("co", "com", "net", "org", "ac", "gov", "edu")
+          && length(element_at(labels, -1)) === 2,
+        array_join(slice(labels, -3, 3), "."))
+      .otherwise(array_join(slice(labels, -2, 2), "."))
+  }
+
+  /** Per-domain crawl census: document count and distinct-page count
+    * per registrable domain — the table a crawler's frontier
+    * prioritization, per-site caps (C4 kept ≤ a fixed share per
+    * domain), and domain-level block/allow decisions read. URLs are
+    * aggregated AS GIVEN — compose [[canonicalizeUrl]] upstream when
+    * the crawl carries variant spellings of the same page.
+    *
+    * Scale: domain extraction is map-only regex/array work at scan
+    * speed; the census is one hash-agg keyed on the domain with a
+    * two-phase distinct-URL count (partials map-side combine — the
+    * heavy keys are the mega-domains and they pre-aggregate in
+    * place). Never corpus×corpus.
+    *
+    * Output: (domain, n_docs, n_pages). */
+  def domainStats(docs: DataFrame, idCol: String, urlCol: String)
+      : DataFrame =
+    docs
+      .select(col(idCol), col(urlCol).as("__url"),
+        registrableDomain(col(urlCol)).as("domain"))
+      .filter(col("domain").isNotNull)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__url")).as("n_pages"))
+
   /** URL-keyed dedup: one surviving row per canonical URL — the
     * survivor is the MINIMUM id (deterministic, re-run-stable), with
     * the variant count kept for crawl forensics. Rows whose URL fails

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream joins with bounded state — the attribution shape
+  * (click joined to the impression it followed, dedup-ingest joined
+  * to its provenance record) done the Structured Streaming way:
+  * both sides watermarked and the join range-bounded in EVENT TIME,
+  * so Spark can prove when a buffered row can never match again and
+  * evict it. An unbounded stream-stream join is a memory leak by
+  * construction; the time bound is what makes the state O(rate ×
+  * horizon) instead of O(stream).
+  */
+object StreamJoin {
+
+  /** Inner equi-join of two streams where the right event lands
+    * within `(leftTs, leftTs + maxDelay]` of its left partner — e.g.
+    * clicks (right) attributed to the impression (left) they
+    * followed. Both sides get `lateness` watermarks; the interval
+    * condition plus the watermarks bound BOTH buffers: a left row is
+    * held for `maxDelay + lateness` of event time, a right row for
+    * `lateness`, then evicted for good. Works identically on batch
+    * frames (the join condition is plain SQL), which is how the spec
+    * proves stream ≡ batch.
+    *
+    * Column names: every non-join column of both sides survives;
+    * prefix-disambiguate upstream if they collide. The joined frame
+    * keeps both timestamps — downstream windows can aggregate on
+    * either side's clock.
+    *
+    * Scale: the join state is keyed by `keyCol` and sharded by the
+    * shuffle like any keyed stream op; skewed keys (a bot clicking
+    * one ad) shard with AQE disabled in streaming, so cap per-key
+    * rate upstream if a single key can exceed one task's state. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      maxDelay: String,
+      lateness: String = "10 minutes"): DataFrame = {
+    require(left.columns.contains(keyCol) && right.columns.contains(keyCol),
+      s"both sides need the join key '$keyCol'")
+    require(leftTs != rightTs,
+      "leftTs and rightTs must be named differently (the interval " +
+        "condition references both by name)")
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        col(rightTs) > col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+      .drop(r(keyCol))
+  }
+}

@@ -44,4 +44,40 @@ class WebSpec extends SparkSpec {
       (1L, "https://a.com/x?a=2&b=1", 2L),
       (3L, "https://a.com/y", 1L)))
   }
+
+  test("registrableDomain: eTLD+1 heuristic, ports stripped, junk is NULL") {
+    import org.apache.spark.sql.functions.col
+    def dom(u: String): Option[String] =
+      Seq(u).toDF("url")
+        .select(Web.registrableDomain(col("url")).as("d"))
+        .collect().headOption.flatMap(r => Option(r.getString(0)))
+    assert(dom("https://news.example.co.uk/a/1") == Some("example.co.uk"))
+    assert(dom("https://blog.example.com/p") == Some("example.com"))
+    assert(dom("https://example.com/p") == Some("example.com"))
+    assert(dom("http://mirror.site.org:8080/x") == Some("site.org"))
+    assert(dom("HTTPS://WWW.Example.COM/q") == Some("example.com"))
+    // 'com.ac' pattern: sld list + 2-letter cc takes three labels.
+    assert(dom("https://a.b.gov.uk/") == Some("b.gov.uk"))
+    // Two-label host where the LAST label is a listed sld: still two.
+    assert(dom("https://example.org/") == Some("example.org"))
+    assert(dom("https://localhost/x").isEmpty)   // single label
+    assert(dom("not a url").isEmpty)
+    assert(dom("").isEmpty)
+  }
+
+  test("domainStats: per-domain doc and distinct-page census") {
+    val docs = Seq(
+      (1L, "https://a.example.com/p/1"),
+      (2L, "https://b.example.com/p/1"),   // same domain, distinct url
+      (3L, "https://a.example.com/p/1"),   // exact repeat: same page
+      (4L, "https://shop.example.co.uk/x"),
+      (5L, "junk")
+    ).toDF("id", "url")
+    val out = Web.domainStats(docs, "id", "url")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      "example.com" -> ((3L, 2L)),
+      "example.co.uk" -> ((1L, 1L))))
+  }
 }

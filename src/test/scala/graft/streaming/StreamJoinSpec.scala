@@ -1,67 +1,63 @@
 package graft.streaming
 
 import graft.SparkSpec
-import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** Stream-stream join + watermarked dedup — the streaming twins of the
-  * batch J2 correlation and T4/T5 dedup semantics: status events
-  * enriched with the cleaning session they belong to, and replayed
-  * input collapsing to one row inside the watermark. */
 class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
 
-  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ts(col0: String) =
+    to_timestamp(col(col0).cast("double"))
 
-  test("interval stream-stream join enriches status with its session") {
-    import spark.implicits._
-    val status = MemoryStream[(String, Timestamp, Int)](spark)
-    val session = MemoryStream[(String, Timestamp, Double)](spark)
+  test("intervalJoin: stream output equals the batch join, delay bound enforced") {
+    val imps = Seq(("ad1", 100L), ("ad2", 200L), ("ad3", 300L))
+    val clicks = Seq(
+      ("ad1", 150L),  // within (100, 200] of ad1's impression: match
+      ("ad1", 100L),  // NOT after the impression (strict >): no match
+      ("ad2", 350L),  // 150s after ad2's impression, > 100s: no match
+      ("ad9", 120L))  // unknown key: no match
+    val batch = StreamJoin.intervalJoin(
+      imps.toDF("ad", "i").select(col("ad"), ts("i").as("its")),
+      clicks.toDF("ad", "c").select(col("ad"), ts("c").as("cts")),
+      "ad", "its", "cts", maxDelay = "100 seconds")
+      .select(col("ad"), col("its").cast("long"), col("cts").cast("long"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(batch == Set(("ad1", 100L, 150L)))
 
-    val s = status.toDS().toDF("dev", "sts", "battery")
-      .withWatermark("sts", "10 minutes")
-    val c = session.toDS().toDF("dev2", "cts", "area")
-      .withWatermark("cts", "10 minutes")
-
-    // Event-time range condition bounds the state either side retains —
-    // an unbounded stream-stream join would buffer forever.
-    val joined = s.join(c,
-      expr("""dev = dev2 AND sts BETWEEN cts - INTERVAL 5 MINUTES
-             |                       AND cts + INTERVAL 5 MINUTES""".stripMargin))
-      .select(col("dev"), col("sts"), col("battery"), col("area"))
-
-    val q = joined.writeStream.format("memory").queryName("ssj")
-      .outputMode("append").start()
+    val li = MemoryStream[(String, Long)](spark)
+    val rc = MemoryStream[(String, Long)](spark)
+    val joined = StreamJoin.intervalJoin(
+      li.toDF().toDF("ad", "i").select(col("ad"), ts("i").as("its")),
+      rc.toDF().toDF("ad", "c").select(col("ad"), ts("c").as("cts")),
+      "ad", "its", "cts", maxDelay = "100 seconds")
+    val q = joined.writeStream.format("memory")
+      .queryName("sj_out").outputMode("append").start()
     try {
-      status.addData(("d1", ts("2024-01-01 10:00:00"), 80),
-        ("d1", ts("2024-01-01 10:20:00"), 60))
-      session.addData(("d1", ts("2024-01-01 10:02:00"), 12.5))
+      li.addData(imps: _*)
+      rc.addData(clicks: _*)
       q.processAllAvailable()
-      val got = spark.table("ssj").collect()
-      // Only the 10:00 status falls in [09:57, 10:07]; 10:20 does not.
-      assert(got.length == 1)
-      assert(got.head.getAs[Int]("battery") == 80
-        && got.head.getAs[Double]("area") == 12.5)
+      // Advance both watermarks far past every buffered row so the
+      // inner join emits everything it ever will.
+      li.addData(("adx", 10000L))
+      rc.addData(("adx", 10000L))
+      q.processAllAvailable()
     } finally q.stop()
+    val streamed = spark.table("sj_out")
+      .select(col("ad"), col("its").cast("long"), col("cts").cast("long"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
   }
 
-  test("dropDuplicatesWithinWatermark collapses replayed rows") {
-    import spark.implicits._
-    val input = MemoryStream[(String, Timestamp)](spark)
-    val dedup = input.toDS().toDF("id", "ts")
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("id")
-    val q = dedup.writeStream.format("memory").queryName("ddwm")
-      .outputMode("append").start()
-    try {
-      input.addData(("a", ts("2024-01-01 10:00:00")),
-        ("a", ts("2024-01-01 10:01:00")),   // replay inside the watermark
-        ("b", ts("2024-01-01 10:00:30")))
-      q.processAllAvailable()
-      input.addData(("a", ts("2024-01-01 10:02:00")))  // replay, next batch
-      q.processAllAvailable()
-      assert(spark.table("ddwm").select("id").as[String].collect().sorted
-        .toSeq == Seq("a", "b"))
-    } finally q.stop()
+  test("intervalJoin: a click can attribute to several impressions of its key") {
+    val out = StreamJoin.intervalJoin(
+      Seq(("a", 100L), ("a", 140L)).toDF("k", "i")
+        .select(col("k"), ts("i").as("its")),
+      Seq(("a", 150L)).toDF("k", "c")
+        .select(col("k"), ts("c").as("cts")),
+      "k", "its", "cts", maxDelay = "100 seconds")
+      .select(col("its").cast("long"), col("cts").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 150L), (140L, 150L)))
   }
 }
