@@ -1443,6 +1443,22 @@ object SparkEntry {
           sum(col("nc").cast("long")).as("n_chars"))
     }),
 
+    // Feature-hashed TF-IDF doc vectors: signed hashing trick over
+    // 64 dims, exact-integer bit-length idf — the model-free
+    // text→vector bridge, emitted long-form (the distributed layout).
+    "q123_hashed_vectors" -> ((s, dir) => {
+      Training.hashedTfidfVectors(t(s, dir, "documents"), "doc_id",
+        "text", dims = 64)
+    }),
+
+    // GloVe-shape skip-gram co-occurrence: unordered token pairs
+    // within ±3 positions, raw + harmonic distance-weighted counts in
+    // integer micro-units (1e6 div offset) — bit-equal in DuckDB.
+    "q122_skipgram_counts" -> ((s, dir) => {
+      Corpus.skipgramCounts(t(s, dir, "documents"), "text",
+        window = 3, minCount = 30L)
+    }),
+
     // Per-domain crawl census over synthesized URLs spanning plain,
     // two-level-suffix (co.uk), default-port, and unparseable hosts —
     // the registrable-domain heuristic plus a distinct-page count.
@@ -3194,6 +3210,50 @@ object SparkEntry {
       groupCols = Seq("source")),
 
     "q119_pagerank" -> pageRankOracleSql(5),
+
+    // Same md5-derived hash60, sign bit, and bit-length idf.
+    "q123_hashed_vectors" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM occ GROUP BY 1, 2),
+        |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM documents),
+        |s AS (
+        |  SELECT t.doc_id, CAST(t.h % 64 AS INTEGER) AS dim,
+        |    (CASE WHEN (t.h // 64) % 2 = 0 THEN 1 ELSE -1 END)
+        |      * t.tf * len(bin(nd.n_docs // t.df)) AS contrib
+        |  FROM (SELECT tf.*, dfq.df,
+        |          CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |        FROM tf JOIN dfq USING (tok)) t CROSS JOIN nd)
+        |SELECT doc_id, dim, CAST(sum(contrib) AS BIGINT) AS v
+        |FROM s GROUP BY doc_id, dim""".stripMargin,
+
+    // Offsets × positions via generate_series (empty when the doc is
+    // shorter than the offset), list_extract pairing, integer weights.
+    "q122_skipgram_counts" ->
+      """WITH w0 AS (
+        |  SELECT list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0) AS w
+        |  FROM documents),
+        |o AS (
+        |  SELECT w, unnest(generate_series(1, 3)) AS off FROM w0),
+        |i AS (
+        |  SELECT w, off,
+        |    unnest(generate_series(1, len(w) - off)) AS i
+        |  FROM o),
+        |p AS (
+        |  SELECT least(list_extract(w, i), list_extract(w, i + off)) AS a,
+        |    greatest(list_extract(w, i), list_extract(w, i + off)) AS b,
+        |    CAST(1000000 // off AS BIGINT) AS wt
+        |  FROM i)
+        |SELECT a, b, CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(wt) AS BIGINT) AS w_micro
+        |FROM p GROUP BY a, b HAVING count(*) >= 30""".stripMargin,
 
     // Same URL synthesis; the registrable-domain rule mirrored with
     // 1-based list_slice arithmetic (labels[-2]/-3 forms).

@@ -255,6 +255,46 @@ object Corpus {
           / col("n_bigrams").cast("double"), 6).as("nll"))
   }
 
+  /** Windowed skip-gram co-occurrence census — the GloVe/word2vec
+    * preprocessing table: for every unordered token pair within
+    * `window` positions of each other (in the same document), the
+    * raw co-occurrence count and the distance-weighted count
+    * Σ 1/offset in exact integer MICRO-units (1e6 div offset — the
+    * standard harmonic down-weighting without a float in sight, so
+    * counts are bit-stable across engines and partitionings). Pairs
+    * are canonicalized (a ≤ b) so "x near y" and "y near x"
+    * accumulate together; a token co-occurring with itself counts
+    * like any pair.
+    *
+    * Scale: offsets explode the token stream `window`-fold and
+    * everything is map-only until ONE (a, b) hash-agg — the heavy
+    * keys are stopword pairs and they map-side combine; `minCount`
+    * cuts the long tail before it ships. Never corpus×corpus.
+    *
+    * Output: (a, b, c, w_micro), c ≥ minCount. */
+  def skipgramCounts(
+      docs: DataFrame,
+      textCol: String,
+      window: Int,
+      minCount: Long): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    val t = TextFunctions.tokens(col(textCol))
+    docs
+      .select(t.as("t"),
+        explode(sequence(lit(1), lit(window))).as("off"))
+      .filter(size(col("t")) > col("off"))
+      .select(col("off"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - off), " +
+          "slice(t, off + 1, size(t) - off), " +
+          "(x, y) -> struct(x, y))")).as("p"))
+      .select(least(col("p.x"), col("p.y")).as("a"),
+        greatest(col("p.x"), col("p.y")).as("b"),
+        expr("CAST(1000000 DIV off AS BIGINT)").as("w"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c"), sum(col("w")).as("w_micro"))
+      .filter(col("c") >= minCount)
+  }
+
   /** A frozen multinomial Naive-Bayes text classifier — the
     * fasttext-shaped quality/domain classifier of the DCLM /
     * FineWeb-Edu filtering recipes, trained in ONE pass: `priors` is

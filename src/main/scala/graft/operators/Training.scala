@@ -474,4 +474,49 @@ object Training {
         round(col("score_micro").cast("double") / 1e6
           / col("n_tokens").cast("double"), 6).as("per_token"))
   }
+
+  /** Feature-hashed TF-IDF document vectors (Weinberger et al.'s
+    * hashing trick) — a deterministic, model-free text→vector bridge
+    * into the similarity family: each token hashes to one of `dims`
+    * buckets with a ±1 sign bit, contributing sign · tf · idf, where
+    * idf is the exact-integer bit-length form of q66
+    * (`length(bin(n_docs div df))` — both engines drop leading
+    * zeros). Everything is integer arithmetic end to end, so vectors
+    * are bit-identical across engines and partitionings; the signed
+    * hashing makes collisions cancel in expectation instead of
+    * inflating a bucket.
+    *
+    * Emitted LONG-FORM — (id, dim, v), zero dims absent — the honest
+    * distributed vector layout (a 10⁹-doc corpus never materializes a
+    * dims-wide dense row per doc just to stream it back apart);
+    * pivot at the consumer if a dense array is really wanted.
+    *
+    * Scale: a (doc, token) tf hash-agg, a (token) df hash-agg, one
+    * equi-join on the token (the df side is vocabulary-sized — AQE
+    * broadcasts it small, skew-splits stopwords large), a 1-row
+    * corpus-size attach, and the final (doc, dim) hash-agg. Never
+    * corpus×corpus. */
+  def hashedTfidfVectors(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val tf = docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("h", TextFunctions.hash60(col("tok")))
+      .select(col(idCol),
+        (col("h") % dims).cast("int").as("dim"),
+        (when(expr(s"h div $dims") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+          * col("tf") * length(bin(expr("n_docs div df"))).cast("long"))
+          .as("contrib"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum(col("contrib")).as("v"))
+  }
 }

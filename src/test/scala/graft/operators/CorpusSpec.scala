@@ -166,4 +166,31 @@ class CorpusSpec extends SparkSpec {
     val tied = Corpus.nbClassify(sym, model, "doc_id", "text").collect()
     assert(tied.head.getString(1) == "ham")
   }
+
+  test("skipgramCounts: canonical pairs, harmonic micro-weights, window bound") {
+    // "a b c a": window 2 pairs by offset —
+    //   off 1: (a,b) (b,c) (a,c)   weight 1e6 each
+    //   off 2: (a,c) (a,b)         weight 5e5 each
+    val d = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val out = Corpus.skipgramCounts(d, "text", window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 1500000L)),
+      ("b", "c") -> ((1L, 1000000L)),
+      ("a", "c") -> ((2L, 1500000L))))
+    // window 3 additionally pairs the two 'a's: a self-pair (a,a).
+    val w3 = Corpus.skipgramCounts(d, "text", window = 3, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(w3(("a", "a")) == ((1L, 333333L)))
+    // minCount prunes the tail.
+    assert(Corpus.skipgramCounts(d, "text", 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b"), ("a", "c")))
+    // A 1-token doc yields nothing (offset exceeds every position).
+    assert(Corpus.skipgramCounts(
+      Seq((1L, "solo")).toDF("doc_id", "text"), "text", 3, 1L)
+      .count() == 0L)
+  }
 }

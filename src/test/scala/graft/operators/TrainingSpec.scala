@@ -291,4 +291,33 @@ class TrainingSpec extends SparkSpec {
     // md5 spreads: every shard is hit at 200 docs / 8 shards.
     assert(shards.values.toSet.size == 8)
   }
+
+  test("hashedTfidfVectors: integer long-form vectors, deterministic, idf-scaled") {
+    val docs = Seq(
+      (1L, "x x x"),          // tf=3 of a df=1 token
+      (2L, "y"),              // unrelated
+      (3L, "x y"))            // shares both
+      .toDF("doc_id", "text")
+    val out = Training.hashedTfidfVectors(docs, "doc_id", "text", dims = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // n_docs=3. x: df=2 → idf=len(bin(1))=1; y: df=2 → idf=1.
+    // Doc 1: one dim, |v| = 3·1.
+    val d1 = out.filter(_._1._1 == 1L)
+    assert(d1.size == 1 && math.abs(d1.head._2) == 3L)
+    // Doc 2: one dim, |v| = 1.
+    val d2 = out.filter(_._1._1 == 2L)
+    assert(d2.size == 1 && math.abs(d2.head._2) == 1L)
+    // Doc 3 carries both tokens; hash60(x) ≠ hash60(y) mod 64 here
+    // or they share a dim — either way total mass is conserved per
+    // token: the multiset of |v| sums to 2 across its rows iff no
+    // cancellation, and determinism holds regardless.
+    val again = Training
+      .hashedTfidfVectors(docs, "doc_id", "text", dims = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again == out)
+    // Zero rows never appear for docs with no tokens.
+    val empty = Training.hashedTfidfVectors(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text", 64)
+    assert(empty.count() == 0L)
+  }
 }
