@@ -3273,8 +3273,8 @@ object SparkEntry {
         |h AS (
         |  SELECT doc_id, url,
         |    list_filter(string_split(lower(regexp_extract(url,
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)), '.'),
-        |      x -> len(x) > 0) AS ls
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
+        |      '.'), x -> len(x) > 0) AS ls
         |  FROM u),
         |d AS (
         |  SELECT doc_id, url,
@@ -3288,7 +3288,7 @@ object SparkEntry {
         |         ELSE array_to_string(
         |             list_slice(ls, len(ls)-1, len(ls)), '.') END AS domain
         |  FROM h)
-        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_pages
         |FROM d WHERE domain IS NOT NULL
         |GROUP BY domain""".stripMargin,

@@ -60,10 +60,12 @@ object Web {
     * table; this column form is the scan-speed approximation. NULL
     * for unparseable URLs and single-label hosts; literal IP hosts
     * come out as their last two octets — quarantine those upstream
-    * if they matter. Ports are excluded by extraction. */
+    * if they matter. Ports and RFC 3986 userinfo (`user:pass@`) are
+    * excluded by extraction — pages fetched under different
+    * credentials are still the same site. */
   def registrableDomain(url: Column): Column = {
     val host = lower(regexp_extract(url,
-      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)", 1))
     val labels = filter(split(host, "\\."), l => length(l) > 0)
     val n = size(labels)
     when(n < 2, lit(null).cast("string"))
@@ -83,20 +85,22 @@ object Web {
     * the crawl carries variant spellings of the same page.
     *
     * Scale: domain extraction is map-only regex/array work at scan
-    * speed; the census is one hash-agg keyed on the domain with a
-    * two-phase distinct-URL count (partials map-side combine — the
+    * speed; the census is one hash-agg keyed on the domain with
+    * two-phase distinct counts (partials map-side combine — the
     * heavy keys are the mega-domains and they pre-aggregate in
     * place). Never corpus×corpus.
     *
-    * Output: (domain, n_docs, n_pages). */
+    * Output: (domain, n_docs, n_pages) — distinct documents and
+    * distinct URLs, so a doc listed once per snapshot still counts
+    * once. */
   def domainStats(docs: DataFrame, idCol: String, urlCol: String)
       : DataFrame =
     docs
-      .select(col(idCol), col(urlCol).as("__url"),
+      .select(col(idCol).as("__id"), col(urlCol).as("__url"),
         registrableDomain(col(urlCol)).as("domain"))
       .filter(col("domain").isNotNull)
       .groupBy(col("domain"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(countDistinct(col("__id")).as("n_docs"),
         countDistinct(col("__url")).as("n_pages"))
 
   /** URL-keyed dedup: one surviving row per canonical URL — the

@@ -682,18 +682,28 @@ object ManifestTable {
     * unreachable, and those throw loudly here). */
   private def logAsOf(spark: SparkSession, baseDir: String, v: Long)
       : Seq[Manifest] = {
-    require(v > 0, s"asOfVersion must be positive, got $v")
-    val full = readFullLog(spark, baseDir)
-    val latestRaw = full.lastOption.map(_.version).getOrElse(0L)
     val (fs, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
-    val ckpt = listLog(fs, logPath)
-      .filter(_.getName.matches("ckpt_v\\d{20}"))
-      .map(p => p -> p.getName.drop(6).toLong)
-      .filter(_._2 <= v)
-      .sortBy(_._2).lastOption
-    // Distinguish "not written yet" from "written then truncated":
-    // a plain out-of-range request is not truncateLog's fault.
-    val latest = math.max(latestRaw, ckpt.map(_._2).getOrElse(0L))
+    logAsOfFrom(fs, readFullLog(spark, baseDir),
+      listLog(fs, logPath).filter(_.getName.matches("ckpt_v\\d{20}"))
+        .map(p => p -> p.getName.drop(6).toLong).sortBy(_._2), v)
+  }
+
+  /** [[logAsOf]] against an already-read raw history and checkpoint
+    * listing — multi-version readers ([[tableChanges]] reconstructs
+    * both window ends) pay the log I/O once. */
+  private def logAsOfFrom(
+      fs: org.apache.hadoop.fs.FileSystem,
+      full: Seq[Manifest],
+      ckpts: Seq[(org.apache.hadoop.fs.Path, Long)],
+      v: Long): Seq[Manifest] = {
+    require(v > 0, s"asOfVersion must be positive, got $v")
+    val latestRaw = full.lastOption.map(_.version).getOrElse(0L)
+    val ckpt = ckpts.filter(_._2 <= v).lastOption
+    // Distinguish "not written yet" from "written then truncated": the
+    // NEWEST checkpoint (even one above v) counts toward what exists,
+    // so a truncated-history request falls through to the truncation
+    // message below instead of claiming v was never written.
+    val latest = math.max(latestRaw, ckpts.lastOption.map(_._2).getOrElse(0L))
     require(v <= latest,
       s"cannot time-travel to version $v: it does not exist yet " +
         s"(latest committed version is $latest)")
@@ -808,15 +818,21 @@ object ManifestTable {
     require(fromVersion >= 0, s"fromVersion must be >= 0, got $fromVersion")
     require(toVersion > fromVersion,
       s"toVersion ($toVersion) must be after fromVersion ($fromVersion)")
-    // Each side reconstructs its own state: logAsOf serves from a
-    // checkpoint when truncateLog dropped the raw prefix, and throws
-    // loudly when a state genuinely predates the oldest checkpoint —
-    // a prefix-filter of the B log would silently read a stranded
-    // base state as EMPTY and re-emit the whole table as inserts.
-    val logB = logAsOf(spark, baseDir, toVersion)
+    // Each side reconstructs its own state (one shared log read):
+    // logAsOfFrom serves from a checkpoint when truncateLog dropped
+    // the raw prefix, and throws loudly when a state genuinely
+    // predates the oldest checkpoint — a prefix-filter of the B log
+    // would silently read a stranded base state as EMPTY and re-emit
+    // the whole table as inserts.
+    val (fsL, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
+    val full = readFullLog(spark, baseDir)
+    val ckpts = listLog(fsL, logPath)
+      .filter(_.getName.matches("ckpt_v\\d{20}"))
+      .map(p => p -> p.getName.drop(6).toLong).sortBy(_._2)
+    val logB = logAsOfFrom(fsL, full, ckpts, toVersion)
     val liveA =
       if (fromVersion == 0L) Set.empty[String]
-      else liveFiles(logAsOf(spark, baseDir, fromVersion), table).toSet
+      else liveFiles(logAsOfFrom(fsL, full, ckpts, fromVersion), table).toSet
     val liveB = liveFiles(logB, table).toSet
     val schemaB = latestSchema(logB, table)
     val reader = schemaB.map(spark.read.schema).getOrElse(spark.read)

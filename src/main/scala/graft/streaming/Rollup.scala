@@ -122,8 +122,12 @@ object Rollup {
     val fromV = graft.sources.ManifestTable.lastState(spark, rollupBase)
       .map(_.toLong).getOrElse(0L)
     if (toV <= fromV) return None
-    val changes = graft.sources.ManifestTable.tableChanges(
-      spark, upstreamBase, upstreamTable, fromV, toV, netOnly = true)
+    // Pinned once: the emptiness probe below and the delta aggregate
+    // would otherwise each run the window's file scans and both
+    // exceptAll shuffles.
+    val changes = graft.operators.Dedup.truncate(
+      graft.sources.ManifestTable.tableChanges(
+        spark, upstreamBase, upstreamTable, fromV, toV, netOnly = true))
     // A window that touched only SIBLING tables of the upstream base
     // (or netted to zero) advances the watermark with a state-only
     // commit — rewriting the whole rollup snapshot per unrelated

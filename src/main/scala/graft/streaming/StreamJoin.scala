@@ -43,15 +43,16 @@ object StreamJoin {
       lateness: String = "10 minutes"): DataFrame = {
     require(left.columns.contains(keyCol) && right.columns.contains(keyCol),
       s"both sides need the join key '$keyCol'")
-    require(leftTs != rightTs,
-      "leftTs and rightTs must be named differently (the interval " +
-        "condition references both by name)")
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
+    // Side-qualified references (never bare col): timestamps may share
+    // a name across sides without ambiguity. The OUTPUT then carries
+    // both same-named columns — select through l(...)/r(...) or
+    // rename upstream before aggregating downstream.
     l.join(r,
       l(keyCol) === r(keyCol) &&
-        col(rightTs) > col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+        r(rightTs) > l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"))
       .drop(r(keyCol))
   }
 }

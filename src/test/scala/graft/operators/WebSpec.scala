@@ -63,6 +63,10 @@ class WebSpec extends SparkSpec {
     assert(dom("https://localhost/x").isEmpty)   // single label
     assert(dom("not a url").isEmpty)
     assert(dom("").isEmpty)
+    // RFC 3986 userinfo never reaches the domain: different creds,
+    // same site.
+    assert(dom("https://admin@example.com/x") == Some("example.com"))
+    assert(dom("https://u:p@example.com/") == Some("example.com"))
   }
 
   test("domainStats: per-domain doc and distinct-page census") {
@@ -70,6 +74,7 @@ class WebSpec extends SparkSpec {
       (1L, "https://a.example.com/p/1"),
       (2L, "https://b.example.com/p/1"),   // same domain, distinct url
       (3L, "https://a.example.com/p/1"),   // exact repeat: same page
+      (3L, "https://a.example.com/p/1"),   // doc relisted: counts ONCE
       (4L, "https://shop.example.co.uk/x"),
       (5L, "junk")
     ).toDF("id", "url")

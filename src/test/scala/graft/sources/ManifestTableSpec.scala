@@ -811,8 +811,11 @@ class ManifestTableSpec extends SparkSpec {
       .count() == 2L)
     // States BEFORE the checkpoint are genuinely gone: loud failure,
     // never a silently-empty base (which would re-emit the table).
-    intercept[IllegalArgumentException] {
+    val gone = intercept[IllegalArgumentException] {
       ManifestTable.tableChanges(spark, base, "t", 1L, 3L)
     }
+    // ...and the error blames TRUNCATION, not "does not exist yet" —
+    // the checkpoint above v proves v was once committed.
+    assert(gone.getMessage.contains("remain"))
   }
 }

@@ -49,6 +49,14 @@ class StreamJoinSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("intervalJoin: same-named timestamp columns stay side-qualified") {
+    val out = StreamJoin.intervalJoin(
+      Seq(("a", 100L)).toDF("k", "t0").select(col("k"), ts("t0").as("ts")),
+      Seq(("a", 150L)).toDF("k", "t0").select(col("k"), ts("t0").as("ts")),
+      "k", "ts", "ts", maxDelay = "100 seconds")
+    assert(out.count() == 1L)
+  }
+
   test("intervalJoin: a click can attribute to several impressions of its key") {
     val out = StreamJoin.intervalJoin(
       Seq(("a", 100L), ("a", 140L)).toDF("k", "i")
