@@ -1443,6 +1443,32 @@ object SparkEntry {
           sum(col("nc").cast("long")).as("n_chars"))
     }),
 
+    // ANN quality evaluation: recall@10 of the IVF index against the
+    // exact brute-force ground truth, per query — the metric that
+    // keeps an approximate index honest (probe counts get tuned
+    // against exactly this table).
+    "q124_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, centroids0 = Some(cents))
+      val ivf = Similarity.ivfTopK(index, cents, queries, "vec_id",
+        "embedding", k = 10, nProbe = 4)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      exact.select(col("query_id"), col("neighbor_id"))
+        .join(ivf.select(col("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("k").cast("double"), 6)
+            .as("recall"))
+    }),
+
     // Feature-hashed TF-IDF doc vectors: signed hashing trick over
     // 64 dims, exact-integer bit-length idf — the model-free
     // text→vector bridge, emitted long-form (the distributed layout).
@@ -3211,6 +3237,8 @@ object SparkEntry {
 
     "q119_pagerank" -> pageRankOracleSql(5),
 
+    "q124_ann_recall" -> annRecallSql,
+
     // Same md5-derived hash60, sign bit, and bit-length idf.
     "q123_hashed_vectors" ->
       """WITH occ AS (
@@ -3747,6 +3775,51 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM sc)
        |WHERE rank <= 10""".stripMargin
+
+  /** q124: the q31 IVF top-k CTEs verbatim, the q22 brute-force math
+    * over the same `n` vectors as ground truth, and a per-query hit
+    * count — both rankings carry the deterministic (sim desc,
+    * neighbor_id) tie-break, so the intersection is well-defined. */
+  private lazy val annRecallSql: String =
+    s"""WITH $ivfAsgCtes,
+       |probes AS (
+       |  SELECT query_id, q_qv, q_nsq, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.qv AS q_qv, q.nsq AS q_nsq, p.cell,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i]*p.cv[i])) AS DOUBLE)
+       |               / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(p.cnsq AS DOUBLE))) DESC,
+       |             p.cell) AS rn
+       |    FROM n q, cent p WHERE q.vec_id < 20)
+       |  WHERE rn <= 4),
+       |sci AS (
+       |  SELECT pr.query_id, a.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(pr.q_qv)), i -> pr.q_qv[i]*a.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(pr.q_nsq AS DOUBLE)) * sqrt(CAST(a.nsq AS DOUBLE))) AS sim
+       |  FROM probes pr JOIN asg a ON pr.cell = a.cell AND pr.query_id <> a.vec_id),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM sci)
+       |  WHERE rank <= 10),
+       |sce AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i]*c.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS sim
+       |  FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM sce)
+       |  WHERE rank <= 10)
+       |SELECT e.query_id,
+       |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS recall
+       |FROM ex e LEFT JOIN ivf i
+       |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
 
   /** Embedding near-dup oracle: the SAME ±1 SRP hyperplanes as
     * Dedup.embeddingNearDups (driver-generated, embedded as list
