@@ -1443,6 +1443,25 @@ object SparkEntry {
           sum(col("nc").cast("long")).as("n_chars"))
     }),
 
+    // Tokenizer-aware packing: BPE-piece counts (the q110 encoder),
+    // not whitespace tokens, size the packs — whitespace counts
+    // mis-size the moment a real tokenizer is in play.
+    "q125_bpe_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Corpus.bpeTrain(docs, "text", nMerges = 10)
+      val pieces = docs.select(col("doc_id"), col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("source"),
+          size(functions.GraftExpressions.bpeEncode(col("tok"), merges))
+            .as("np"))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(sum(col("np").cast("long")).as("n_pieces"))
+      Training.packByLength(pieces, "doc_id", "n_pieces", "source", 256)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pieces")).as("pack_pieces"))
+    }),
+
     // ANN quality evaluation: recall@10 of the IVF index against the
     // exact brute-force ground truth, per query — the metric that
     // keeps an approximate index honest (probe counts get tuned
@@ -3238,6 +3257,23 @@ object SparkEntry {
     "q119_pagerank" -> pageRankOracleSql(5),
 
     "q124_ann_recall" -> annRecallSql,
+
+    // The q110 per-doc piece counts (same unrolled retrain) feed the
+    // q76 pack window, budget 256 pieces.
+    "q125_bpe_pack" ->
+      s"""WITH bp AS (${bpeOracleSql(10)}),
+         |j AS (
+         |  SELECT d.source, bp.doc_id, bp.n_pieces
+         |  FROM bp JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT source, doc_id, n_pieces,
+         |    sum(n_pieces) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM j)
+         |SELECT source,
+         |  CAST(floor((run - n_pieces) / 256) AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_pieces) AS BIGINT) AS pack_pieces
+         |FROM r GROUP BY 1, 2""".stripMargin,
 
     // Same md5-derived hash60, sign bit, and bit-length idf.
     "q123_hashed_vectors" ->

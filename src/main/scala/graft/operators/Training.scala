@@ -34,18 +34,35 @@ object Training {
       idCol: String,
       textCol: String,
       groupCol: String,
+      budgetTokens: Int): DataFrame =
+    packByLength(
+      docs.select(col(groupCol), col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, "n_tokens", groupCol, budgetTokens)
+
+  /** [[sequencePack]] on a CALLER-SUPPLIED length column — the
+    * tokenizer-aware form: whitespace counts mis-size packs the
+    * moment a real tokenizer is in play, so pack on the measured
+    * piece count (e.g. [[graft.functions.GraftExpressions.bpeEncode]]
+    * sizes) or any cost column (bytes, frames). Same greedy
+    * start-offset binning and per-group prefix sum as
+    * [[sequencePack]]; output keeps `lenCol`'s name. */
+  def packByLength(
+      docs: DataFrame,
+      idCol: String,
+      lenCol: String,
+      groupCol: String,
       budgetTokens: Int): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .select(col(groupCol), col(idCol),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("run_tokens", sum(col("n_tokens")).over(w))
+      .select(col(groupCol), col(idCol), col(lenCol).cast("long").as(lenCol))
+      .withColumn("__run", sum(col(lenCol)).over(w))
       // Start offset of this doc = inclusive running sum minus itself.
       .withColumn("pack_id",
-        ((col("run_tokens") - col("n_tokens")) / budgetTokens).cast("long"))
-      .drop("run_tokens")
+        ((col("__run") - col(lenCol)) / budgetTokens).cast("long"))
+      .drop("__run")
   }
 
   /** Benchmark-contamination check: fraction of each training doc's

@@ -292,6 +292,26 @@ class TrainingSpec extends SparkSpec {
     assert(shards.values.toSet.size == 8)
   }
 
+  test("packByLength bins by caller-supplied cost; sequencePack is its token form") {
+    import org.apache.spark.sql.functions.col
+    val sized = Seq(
+      ("s", 1L, 100L), ("s", 2L, 100L), ("s", 3L, 100L), ("s", 4L, 50L))
+      .toDF("grp", "id", "cost")
+    // Budget 250: starts at 0,100,200,300 → packs 0,0,0,1.
+    val out = Training.packByLength(sized, "id", "cost", "grp", 250)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+    // The length column keeps its caller-facing name.
+    assert(Training.packByLength(sized, "id", "cost", "grp", 250)
+      .columns.toSeq == Seq("grp", "id", "cost", "pack_id"))
+    // sequencePack == packByLength on whitespace token counts.
+    val docs = Seq(("s", 1L, "a b c"), ("s", 2L, "d e")).toDF(
+      "grp", "id", "text")
+    val viaText = Training.sequencePack(docs, "id", "text", "grp", 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaText == Set((1L, 3L, 0L), (2L, 2L, 0L)))
+  }
+
   test("hashedTfidfVectors: integer long-form vectors, deterministic, idf-scaled") {
     val docs = Seq(
       (1L, "x x x"),          // tf=3 of a df=1 token
