@@ -1443,6 +1443,13 @@ object SparkEntry {
           sum(col("nc").cast("long")).as("n_chars"))
     }),
 
+    // The tagger-mix ensemble: rarity + repetition + LM perplexity,
+    // each micro-quantized from its 6-dp value, one integer score.
+    "q126_quality_ensemble" -> ((s, dir) => {
+      Training.qualityEnsemble(t(s, dir, "documents"), "doc_id", "text",
+        dfThreshold = 4L)
+    }),
+
     // Tokenizer-aware packing: BPE-piece counts (the q110 encoder),
     // not whitespace tokens, size the packs — whitespace counts
     // mis-size the moment a real tokenizer is in play.
@@ -3257,6 +3264,67 @@ object SparkEntry {
     "q119_pagerank" -> pageRankOracleSql(5),
 
     "q124_ann_recall" -> annRecallSql,
+
+    // The three component CTE families verbatim (rarity dt/dfs,
+    // repetition w0/g2../a3 over RAW documents, lmNllCtes), micro-
+    // quantized from the same 6-dp values and summed in integers.
+    "q126_quality_ensemble" ->
+      s"""WITH $lmNllCtes,
+         |dt AS (
+         |  SELECT d.doc_id, u.tok, count(*) AS c
+         |  FROM documents d,
+         |    UNNEST(list_filter(string_split(lower(d.text), ' '),
+         |                       t -> len(t) > 0)) AS u(tok)
+         |  GROUP BY 1, 2),
+         |dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+         |rare AS (
+         |  SELECT dt.doc_id,
+         |    round(CAST(sum(CASE WHEN dfs.df < 4 THEN dt.c ELSE 0 END)
+         |      AS DOUBLE) / sum(dt.c), 6) AS rare_frac
+         |  FROM dt JOIN dfs USING (tok) GROUP BY 1),
+         |w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |                                  t -> len(t) > 0) AS w
+         |       FROM documents),
+         |g2 AS (SELECT doc_id,
+         |         unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+         |           ELSE list_transform(generate_series(0, len(w)-2),
+         |                  i -> array_to_string(list_slice(w, i+1, i+2), ' '))
+         |           END) AS g
+         |       FROM w0),
+         |c2 AS (SELECT doc_id, count(*) AS c, count(*)*len(g) AS chars
+         |       FROM g2 GROUP BY doc_id, g),
+         |a2 AS (SELECT doc_id, CAST(max(chars) AS DOUBLE)/sum(chars) AS top2
+         |       FROM c2 GROUP BY doc_id),
+         |g3 AS (SELECT doc_id,
+         |         unnest(CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+         |           ELSE list_transform(generate_series(0, len(w)-3),
+         |                  i -> array_to_string(list_slice(w, i+1, i+3), ' '))
+         |           END) AS g
+         |       FROM w0),
+         |c3 AS (SELECT doc_id, count(*) AS c, count(*)*len(g) AS chars
+         |       FROM g3 GROUP BY doc_id, g),
+         |a3 AS (SELECT doc_id,
+         |         CAST(sum(CASE WHEN c >= 2 THEN chars ELSE 0 END) AS DOUBLE)
+         |           / sum(chars) AS dup3
+         |       FROM c3 GROUP BY doc_id),
+         |rep AS (
+         |  SELECT d.doc_id,
+         |    round(COALESCE(a2.top2, 0.0), 6) AS top2,
+         |    round(COALESCE(a3.dup3, 0.0), 6) AS dup3
+         |  FROM w0 d
+         |  LEFT JOIN a2 ON d.doc_id = a2.doc_id
+         |  LEFT JOIN a3 ON d.doc_id = a3.doc_id),
+         |mu AS (
+         |  SELECT rare.doc_id,
+         |    CAST(round(rare.rare_frac * 1000000) AS BIGINT) AS rare_mu,
+         |    CAST(round(rep.top2 * 1000000) AS BIGINT) AS top2_mu,
+         |    CAST(round(rep.dup3 * 1000000) AS BIGINT) AS dup3_mu,
+         |    CAST(round(n.nll * 1000000) AS BIGINT) AS nll_mu
+         |  FROM rare JOIN rep USING (doc_id) JOIN nlltab n USING (doc_id))
+         |SELECT doc_id, rare_mu, top2_mu, dup3_mu, nll_mu,
+         |  CAST(rare_mu + top2_mu + dup3_mu + nll_mu // 10 AS BIGINT)
+         |    AS score_mu
+         |FROM mu""".stripMargin,
 
     // The q110 per-doc piece counts (same unrolled retrain) feed the
     // q76 pack window, budget 256 pieces.

@@ -492,6 +492,50 @@ object Training {
           / col("n_tokens").cast("double"), 6).as("per_token"))
   }
 
+  /** Quality-signal ensemble — the tagger mix every filtering
+    * pipeline ends with (Dolma/RefinedWeb ship exactly this shape:
+    * several independent per-doc signals, one combined score):
+    * unigram rarity ([[graft.operators.Corpus.rarityScores]]),
+    * within-doc repetition ([[repetitionSignals]]), and bigram-LM
+    * perplexity ([[graft.operators.Corpus.lmPerplexity]]), each
+    * re-quantized to integer MICRO-units from its 6-dp value and
+    * summed into one deterministic score (the nll term scaled div 10
+    * so its ~nat magnitude sits in the same band as the fraction
+    * signals). The mix weights are fixed and illustrative — a real
+    * deployment tunes them against labels; what matters here is the
+    * shape: signals compute independently (three scans that could
+    * come from three different jobs), join on the id, and the score
+    * is exact integer arithmetic, so the keep set is bit-stable
+    * across engines. Docs too short to carry a bigram drop with the
+    * LM join, as across the dedup family.
+    *
+    * Scale: each signal is its own bounded hash-agg pipeline (see the
+    * component docs); the ensemble adds two id-keyed equi-joins of
+    * doc-count-sized tables. Never corpus×corpus. Filter/rank on
+    * `score_mu` downstream ([[graft.operators.Ranking]] for
+    * percentile bars). */
+  def qualityEnsemble(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dfThreshold: Long): DataFrame = {
+    def mu(c: org.apache.spark.sql.Column) =
+      round(c * 1e6).cast("long")
+    val rare = Corpus.rarityScores(docs, idCol, textCol, dfThreshold)
+      .select(col(idCol), mu(col("rare_frac")).as("rare_mu"))
+    val rep = repetitionSignals(docs, idCol, textCol)
+      .select(col(idCol),
+        mu(col("top_2gram_frac")).as("top2_mu"),
+        mu(col("dup_3gram_frac")).as("dup3_mu"))
+    val nll = Corpus.lmPerplexity(docs, idCol, textCol)
+      .select(col(idCol), mu(col("nll")).as("nll_mu"))
+    rare.join(rep, Seq(idCol)).join(nll, Seq(idCol))
+      .select(col(idCol), col("rare_mu"), col("top2_mu"), col("dup3_mu"),
+        col("nll_mu"),
+        (col("rare_mu") + col("top2_mu") + col("dup3_mu")
+          + expr("nll_mu div 10")).as("score_mu"))
+  }
+
   /** Feature-hashed TF-IDF document vectors (Weinberger et al.'s
     * hashing trick) — a deterministic, model-free text→vector bridge
     * into the similarity family: each token hashes to one of `dims`

@@ -312,6 +312,22 @@ class TrainingSpec extends SparkSpec {
     assert(viaText == Set((1L, 3L, 0L), (2L, 2L, 0L)))
   }
 
+  test("qualityEnsemble: repeated junk outscores clean text; integer mix is stable") {
+    val clean = "the quick brown fox jumps over the lazy dog " * 3
+    val spam = "click here buy now " * 8
+    val docs = (1L to 4L).map(i => (i, clean)) :+ ((9L, spam))
+    val out = Training.qualityEnsemble(
+        docs.toDF("doc_id", "text"), "doc_id", "text", dfThreshold = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    // The spam doc's repetition terms dominate every clean doc's score.
+    assert((1L to 4L).forall(i => out(9L) > out(i)))
+    // Deterministic integer mix: re-run is bit-identical.
+    val again = Training.qualityEnsemble(
+        docs.toDF("doc_id", "text"), "doc_id", "text", dfThreshold = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(again == out)
+  }
+
   test("hashedTfidfVectors: integer long-form vectors, deterministic, idf-scaled") {
     val docs = Seq(
       (1L, "x x x"),          // tf=3 of a df=1 token
