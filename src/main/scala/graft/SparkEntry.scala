@@ -1450,6 +1450,29 @@ object SparkEntry {
         dfThreshold = 4L)
     }),
 
+    // End-to-end percentile-gated filter: keep each source's best 80%
+    // by ensemble score (low = clean) — the CCNet head/middle cut as
+    // a batch keep-set. The bar is the type-1 ⌈0.8·n⌉-th score per
+    // source (rank window per SOURCE — bounded partitions, never a
+    // global window); everything at the bar passes together.
+    "q127_percentile_filter" -> ((s, dir) => {
+      val scored = Training.qualityEnsemble(t(s, dir, "documents"),
+        "doc_id", "text", dfThreshold = 4L)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score_mu"), col("doc_id"))
+      val ranked = scored
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      val bars = ranked
+        .filter(col("rk") <= ceil(lit(0.8) * col("n")).cast("long"))
+        .groupBy(col("source")).agg(max(col("score_mu")).as("bar"))
+      ranked.join(bars, Seq("source"))
+        .filter(col("score_mu") <= col("bar"))
+        .select(col("source"), col("doc_id"), col("score_mu"), col("bar"))
+    }),
+
     // Tokenizer-aware packing: BPE-piece counts (the q110 encoder),
     // not whitespace tokens, size the packs — whitespace counts
     // mis-size the moment a real tokenizer is in play.
@@ -3269,62 +3292,34 @@ object SparkEntry {
     // repetition w0/g2../a3 over RAW documents, lmNllCtes), micro-
     // quantized from the same 6-dp values and summed in integers.
     "q126_quality_ensemble" ->
-      s"""WITH $lmNllCtes,
-         |dt AS (
-         |  SELECT d.doc_id, u.tok, count(*) AS c
-         |  FROM documents d,
-         |    UNNEST(list_filter(string_split(lower(d.text), ' '),
-         |                       t -> len(t) > 0)) AS u(tok)
-         |  GROUP BY 1, 2),
-         |dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
-         |rare AS (
-         |  SELECT dt.doc_id,
-         |    round(CAST(sum(CASE WHEN dfs.df < 4 THEN dt.c ELSE 0 END)
-         |      AS DOUBLE) / sum(dt.c), 6) AS rare_frac
-         |  FROM dt JOIN dfs USING (tok) GROUP BY 1),
-         |w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
-         |                                  t -> len(t) > 0) AS w
-         |       FROM documents),
-         |g2 AS (SELECT doc_id,
-         |         unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
-         |           ELSE list_transform(generate_series(0, len(w)-2),
-         |                  i -> array_to_string(list_slice(w, i+1, i+2), ' '))
-         |           END) AS g
-         |       FROM w0),
-         |c2 AS (SELECT doc_id, count(*) AS c, count(*)*len(g) AS chars
-         |       FROM g2 GROUP BY doc_id, g),
-         |a2 AS (SELECT doc_id, CAST(max(chars) AS DOUBLE)/sum(chars) AS top2
-         |       FROM c2 GROUP BY doc_id),
-         |g3 AS (SELECT doc_id,
-         |         unnest(CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
-         |           ELSE list_transform(generate_series(0, len(w)-3),
-         |                  i -> array_to_string(list_slice(w, i+1, i+3), ' '))
-         |           END) AS g
-         |       FROM w0),
-         |c3 AS (SELECT doc_id, count(*) AS c, count(*)*len(g) AS chars
-         |       FROM g3 GROUP BY doc_id, g),
-         |a3 AS (SELECT doc_id,
-         |         CAST(sum(CASE WHEN c >= 2 THEN chars ELSE 0 END) AS DOUBLE)
-         |           / sum(chars) AS dup3
-         |       FROM c3 GROUP BY doc_id),
-         |rep AS (
-         |  SELECT d.doc_id,
-         |    round(COALESCE(a2.top2, 0.0), 6) AS top2,
-         |    round(COALESCE(a3.dup3, 0.0), 6) AS dup3
-         |  FROM w0 d
-         |  LEFT JOIN a2 ON d.doc_id = a2.doc_id
-         |  LEFT JOIN a3 ON d.doc_id = a3.doc_id),
-         |mu AS (
-         |  SELECT rare.doc_id,
-         |    CAST(round(rare.rare_frac * 1000000) AS BIGINT) AS rare_mu,
-         |    CAST(round(rep.top2 * 1000000) AS BIGINT) AS top2_mu,
-         |    CAST(round(rep.dup3 * 1000000) AS BIGINT) AS dup3_mu,
-         |    CAST(round(n.nll * 1000000) AS BIGINT) AS nll_mu
-         |  FROM rare JOIN rep USING (doc_id) JOIN nlltab n USING (doc_id))
+      s"""WITH $ensembleMuSql
          |SELECT doc_id, rare_mu, top2_mu, dup3_mu, nll_mu,
          |  CAST(rare_mu + top2_mu + dup3_mu + nll_mu // 10 AS BIGINT)
          |    AS score_mu
          |FROM mu""".stripMargin,
+
+    // q126's CTEs (via ensembleMuSql) + a per-source rank window, the
+    // ⌈0.8·n⌉-th score as the inclusive bar.
+    "q127_percentile_filter" ->
+      s"""WITH $ensembleMuSql,
+         |sc AS (
+         |  SELECT d.source, mu.doc_id,
+         |    CAST(mu.rare_mu + mu.top2_mu + mu.dup3_mu + mu.nll_mu // 10
+         |      AS BIGINT) AS score_mu
+         |  FROM mu JOIN documents d USING (doc_id)),
+         |rk AS (
+         |  SELECT source, doc_id, score_mu,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY score_mu, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM sc),
+         |bars AS (
+         |  SELECT source, max(score_mu) AS bar
+         |  FROM rk WHERE rk <= CAST(ceil(0.8 * n) AS BIGINT)
+         |  GROUP BY source)
+         |SELECT r.source, r.doc_id, r.score_mu, b.bar
+         |FROM rk r JOIN bars b USING (source)
+         |WHERE r.score_mu <= b.bar""".stripMargin,
 
     // The q110 per-doc piece counts (same unrolled retrain) feed the
     // q76 pack window, budget 256 pieces.
@@ -3620,6 +3615,66 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin
     s"$head,\n$rounds,\n$tail"
   }
+
+  /** Shared ensemble CTE chain (mirrors [[Training.qualityEnsemble]]):
+    * the rarity (dt/dfs/rare), repetition (w0/g2../a3/rep), and
+    * bigram-LM ([[lmNllCtes]]) families, ending with mu(doc_id,
+    * rare_mu, top2_mu, dup3_mu, nll_mu) — q126 scores it, q127 gates
+    * on the per-source percentile bar. */
+  private lazy val ensembleMuSql: String =
+    s"""$lmNllCtes,
+       |dt AS (
+       |  SELECT d.doc_id, u.tok, count(*) AS c
+       |  FROM documents d,
+       |    UNNEST(list_filter(string_split(lower(d.text), ' '),
+       |                       t -> len(t) > 0)) AS u(tok)
+       |  GROUP BY 1, 2),
+       |dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+       |rare AS (
+       |  SELECT dt.doc_id,
+       |    round(CAST(sum(CASE WHEN dfs.df < 4 THEN dt.c ELSE 0 END)
+       |      AS DOUBLE) / sum(dt.c), 6) AS rare_frac
+       |  FROM dt JOIN dfs USING (tok) GROUP BY 1),
+       |w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+       |                                  t -> len(t) > 0) AS w
+       |       FROM documents),
+       |g2 AS (SELECT doc_id,
+       |         unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+       |           ELSE list_transform(generate_series(0, len(w)-2),
+       |                  i -> array_to_string(list_slice(w, i+1, i+2), ' '))
+       |           END) AS g
+       |       FROM w0),
+       |c2 AS (SELECT doc_id, count(*) AS c, count(*)*len(g) AS chars
+       |       FROM g2 GROUP BY doc_id, g),
+       |a2 AS (SELECT doc_id, CAST(max(chars) AS DOUBLE)/sum(chars) AS top2
+       |       FROM c2 GROUP BY doc_id),
+       |g3 AS (SELECT doc_id,
+       |         unnest(CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+       |           ELSE list_transform(generate_series(0, len(w)-3),
+       |                  i -> array_to_string(list_slice(w, i+1, i+3), ' '))
+       |           END) AS g
+       |       FROM w0),
+       |c3 AS (SELECT doc_id, count(*) AS c, count(*)*len(g) AS chars
+       |       FROM g3 GROUP BY doc_id, g),
+       |a3 AS (SELECT doc_id,
+       |         CAST(sum(CASE WHEN c >= 2 THEN chars ELSE 0 END) AS DOUBLE)
+       |           / sum(chars) AS dup3
+       |       FROM c3 GROUP BY doc_id),
+       |rep AS (
+       |  SELECT d.doc_id,
+       |    round(COALESCE(a2.top2, 0.0), 6) AS top2,
+       |    round(COALESCE(a3.dup3, 0.0), 6) AS dup3
+       |  FROM w0 d
+       |  LEFT JOIN a2 ON d.doc_id = a2.doc_id
+       |  LEFT JOIN a3 ON d.doc_id = a3.doc_id),
+       |mu AS (
+       |  SELECT rare.doc_id,
+       |    CAST(round(rare.rare_frac * 1000000) AS BIGINT) AS rare_mu,
+       |    CAST(round(rep.top2 * 1000000) AS BIGINT) AS top2_mu,
+       |    CAST(round(rep.dup3 * 1000000) AS BIGINT) AS dup3_mu,
+       |    CAST(round(n.nll * 1000000) AS BIGINT) AS nll_mu
+       |  FROM rare JOIN rep USING (doc_id) JOIN nlltab n USING (doc_id))"""
+      .stripMargin
 
   /** Shared bigram-LM CTE chain (mirrors [[Corpus.lmPerplexity]]):
     * documents → add-one-smoothed per-doc NLL in integer micro-nats.
