@@ -1429,19 +1429,8 @@ object SparkEntry {
     // with 10 unrolled SQL rounds (see bpeOracleSql) — training AND
     // encoding are both cross-engine verified; BpeSpec keeps the
     // unit-level greedy-apply cases.
-    "q110_bpe_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = Corpus.bpeTrain(docs, "text", nMerges = 10)
-      docs.select(col("doc_id"),
-          explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"),
-          size(functions.GraftExpressions.bpeEncode(col("tok"), merges)).as("np"),
-          length(col("tok")).as("nc"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("np").cast("long")).as("n_pieces"),
-          sum(col("nc").cast("long")).as("n_chars"))
-    }),
+    "q110_bpe_encode" -> ((s, dir) =>
+      bpePieceCounts(t(s, dir, "documents"), Nil)),
 
     // The tagger-mix ensemble: rarity + repetition + LM perplexity,
     // each micro-quantized from its 6-dp value, one integer score.
@@ -1477,15 +1466,8 @@ object SparkEntry {
     // not whitespace tokens, size the packs — whitespace counts
     // mis-size the moment a real tokenizer is in play.
     "q125_bpe_pack" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = Corpus.bpeTrain(docs, "text", nMerges = 10)
-      val pieces = docs.select(col("doc_id"), col("source"),
-          explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), col("source"),
-          size(functions.GraftExpressions.bpeEncode(col("tok"), merges))
-            .as("np"))
-        .groupBy(col("source"), col("doc_id"))
-        .agg(sum(col("np").cast("long")).as("n_pieces"))
+      val pieces = bpePieceCounts(t(s, dir, "documents"), Seq("source"))
+        .select(col("source"), col("doc_id"), col("n_pieces"))
       Training.packByLength(pieces, "doc_id", "n_pieces", "source", 256)
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1589,6 +1571,28 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), model, "doc_id", "text")
     })
   )
+
+  /** Shared front of q110/q125: train 10 BPE merges on `docs`,
+    * re-encode every doc at scan speed, and aggregate per-doc
+    * token/piece/char counts (plus any `extraCols` carried through
+    * the grouping). The two oracles both reuse [[bpeOracleSql]], so
+    * the Spark side shares one implementation too — the encode path
+    * cannot diverge between the queries. */
+  private def bpePieceCounts(docs: DataFrame, extraCols: Seq[String])
+      : DataFrame = {
+    val merges = Corpus.bpeTrain(docs, "text", nMerges = 10)
+    val keys = col("doc_id") +: extraCols.map(col)
+    docs.select(keys :+
+        explode(TextFunctions.tokens(col("text"))).as("tok"): _*)
+      .select(keys :+
+        size(functions.GraftExpressions.bpeEncode(col("tok"), merges))
+          .as("np") :+
+        length(col("tok")).as("nc"): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("np").cast("long")).as("n_pieces"),
+        sum(col("nc").cast("long")).as("n_chars"))
+  }
 
   /** q80's input: rebuild each doc's token stream as '. '-joined
     * 8-token sentences (the corpus itself carries no punctuation).
@@ -2773,20 +2777,9 @@ object SparkEntry {
          |LEFT JOIN dmin m ON d.doc_id = m.doc_id""".stripMargin,
 
     "q92_rare_tokens" ->
-      """WITH dt AS (
-        |  SELECT d.doc_id, u.tok, count(*) AS c
-        |  FROM documents d,
-        |    UNNEST(list_filter(string_split(lower(d.text), ' '),
-        |                       t -> len(t) > 0)) AS u(tok)
-        |  GROUP BY 1, 2),
-        |dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1)
-        |SELECT dt.doc_id,
-        |  CAST(sum(dt.c) AS BIGINT) AS n_tokens,
-        |  CAST(sum(CASE WHEN dfs.df < 4 THEN dt.c ELSE 0 END) AS BIGINT)
-        |    AS n_rare,
-        |  round(CAST(sum(CASE WHEN dfs.df < 4 THEN dt.c ELSE 0 END) AS DOUBLE)
-        |        / sum(dt.c), 6) AS rare_frac
-        |FROM dt JOIN dfs USING (tok) GROUP BY 1""".stripMargin,
+      s"""WITH $rarityCtes
+         |SELECT doc_id, n_tokens, n_rare, rare_frac FROM rare"""
+        .stripMargin,
 
     // Mirrors Web.canonicalizeUrl step-for-step. DuckDB's RE2 has no
     // lookbehind, so the trailing-slash strip is a CASE on the root
@@ -3616,6 +3609,28 @@ object SparkEntry {
     s"$head,\n$rounds,\n$tail"
   }
 
+  /** Shared unigram-rarity CTE chain (mirrors [[Corpus.rarityScores]]
+    * at dfThreshold 4): dt/dfs/rare ending with rare(doc_id,
+    * n_tokens, n_rare, rare_frac). Used by the q92 oracle AND
+    * [[ensembleMuSql]], so the df rule can never diverge between
+    * them. */
+  private lazy val rarityCtes: String =
+    """dt AS (
+      |  SELECT d.doc_id, u.tok, count(*) AS c
+      |  FROM documents d,
+      |    UNNEST(list_filter(string_split(lower(d.text), ' '),
+      |                       t -> len(t) > 0)) AS u(tok)
+      |  GROUP BY 1, 2),
+      |dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+      |rare AS (
+      |  SELECT dt.doc_id,
+      |    CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN dfs.df < 4 THEN dt.c ELSE 0 END) AS BIGINT)
+      |      AS n_rare,
+      |    round(CAST(sum(CASE WHEN dfs.df < 4 THEN dt.c ELSE 0 END)
+      |          AS DOUBLE) / sum(dt.c), 6) AS rare_frac
+      |  FROM dt JOIN dfs USING (tok) GROUP BY 1)""".stripMargin
+
   /** Shared ensemble CTE chain (mirrors [[Training.qualityEnsemble]]):
     * the rarity (dt/dfs/rare), repetition (w0/g2../a3/rep), and
     * bigram-LM ([[lmNllCtes]]) families, ending with mu(doc_id,
@@ -3623,18 +3638,7 @@ object SparkEntry {
     * on the per-source percentile bar. */
   private lazy val ensembleMuSql: String =
     s"""$lmNllCtes,
-       |dt AS (
-       |  SELECT d.doc_id, u.tok, count(*) AS c
-       |  FROM documents d,
-       |    UNNEST(list_filter(string_split(lower(d.text), ' '),
-       |                       t -> len(t) > 0)) AS u(tok)
-       |  GROUP BY 1, 2),
-       |dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
-       |rare AS (
-       |  SELECT dt.doc_id,
-       |    round(CAST(sum(CASE WHEN dfs.df < 4 THEN dt.c ELSE 0 END)
-       |      AS DOUBLE) / sum(dt.c), 6) AS rare_frac
-       |  FROM dt JOIN dfs USING (tok) GROUP BY 1),
+       |$rarityCtes,
        |w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
        |                                  t -> len(t) > 0) AS w
        |       FROM documents),
@@ -3913,26 +3917,35 @@ object SparkEntry {
 
   /** IVF search oracle: queries (vec_id < 20) rank their 4 nearest
     * centroids, scan those inverted lists, keep top-10. */
+  /** Shared IVF probe-routing + inverted-list-scan CTEs (probes →
+    * sci): queries < 20 route to their top-4 cells, candidates score
+    * by exact-integer cosine with self excluded. Used by the q31
+    * oracle AND q124's IVF side, so probe tuning can never
+    * desynchronize the recall comparison from the index it measures. */
+  private lazy val ivfProbeScanCtes: String =
+    """probes AS (
+      |  SELECT query_id, q_qv, q_nsq, cell FROM (
+      |    SELECT q.vec_id AS query_id, q.qv AS q_qv, q.nsq AS q_nsq, p.cell,
+      |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |             CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i]*p.cv[i])) AS DOUBLE)
+      |               / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(p.cnsq AS DOUBLE))) DESC,
+      |             p.cell) AS rn
+      |    FROM n q, cent p WHERE q.vec_id < 20)
+      |  WHERE rn <= 4),
+      |sci AS (
+      |  SELECT pr.query_id, a.vec_id AS neighbor_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(pr.q_qv)), i -> pr.q_qv[i]*a.qv[i])) AS DOUBLE)
+      |           / (sqrt(CAST(pr.q_nsq AS DOUBLE)) * sqrt(CAST(a.nsq AS DOUBLE))) AS sim
+      |  FROM probes pr JOIN asg a ON pr.cell = a.cell AND pr.query_id <> a.vec_id)"""
+      .stripMargin
+
   private lazy val ivfTopKSql: String =
     s"""WITH $ivfAsgCtes,
-       |probes AS (
-       |  SELECT query_id, q_qv, q_nsq, cell FROM (
-       |    SELECT q.vec_id AS query_id, q.qv AS q_qv, q.nsq AS q_nsq, p.cell,
-       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |             CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i]*p.cv[i])) AS DOUBLE)
-       |               / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(p.cnsq AS DOUBLE))) DESC,
-       |             p.cell) AS rn
-       |    FROM n q, cent p WHERE q.vec_id < 20)
-       |  WHERE rn <= 4),
-       |sc AS (
-       |  SELECT pr.query_id, a.vec_id AS neighbor_id,
-       |         CAST(list_sum(list_transform(generate_series(1, len(pr.q_qv)), i -> pr.q_qv[i]*a.qv[i])) AS DOUBLE)
-       |           / (sqrt(CAST(pr.q_nsq AS DOUBLE)) * sqrt(CAST(a.nsq AS DOUBLE))) AS sim
-       |  FROM probes pr JOIN asg a ON pr.cell = a.cell AND pr.query_id <> a.vec_id)
+       |$ivfProbeScanCtes
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim FROM (
        |  SELECT query_id, neighbor_id, sim,
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-       |  FROM sc)
+       |  FROM sci)
        |WHERE rank <= 10""".stripMargin
 
   /** q124: the q31 IVF top-k CTEs verbatim, the q22 brute-force math
@@ -3941,20 +3954,7 @@ object SparkEntry {
     * neighbor_id) tie-break, so the intersection is well-defined. */
   private lazy val annRecallSql: String =
     s"""WITH $ivfAsgCtes,
-       |probes AS (
-       |  SELECT query_id, q_qv, q_nsq, cell FROM (
-       |    SELECT q.vec_id AS query_id, q.qv AS q_qv, q.nsq AS q_nsq, p.cell,
-       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |             CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i]*p.cv[i])) AS DOUBLE)
-       |               / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(p.cnsq AS DOUBLE))) DESC,
-       |             p.cell) AS rn
-       |    FROM n q, cent p WHERE q.vec_id < 20)
-       |  WHERE rn <= 4),
-       |sci AS (
-       |  SELECT pr.query_id, a.vec_id AS neighbor_id,
-       |         CAST(list_sum(list_transform(generate_series(1, len(pr.q_qv)), i -> pr.q_qv[i]*a.qv[i])) AS DOUBLE)
-       |           / (sqrt(CAST(pr.q_nsq AS DOUBLE)) * sqrt(CAST(a.nsq AS DOUBLE))) AS sim
-       |  FROM probes pr JOIN asg a ON pr.cell = a.cell AND pr.query_id <> a.vec_id),
+       |$ivfProbeScanCtes,
        |ivf AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
