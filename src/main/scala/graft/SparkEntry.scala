@@ -1542,6 +1542,20 @@ object SparkEntry {
       Dedup.crossDocSpans(t(s, dir, "documents"), "doc_id", "text", 8)
     }),
 
+    // Triangle census of the minhash-candidate graph: per-node
+    // triangle counts via the node-ordered wedge join — high local
+    // density marks genuine duplicate clusters vs hash-noise edges.
+    "q128_triangles" -> ((s, dir) => {
+      val cands = Dedup.minhashCandidates(
+        Dedup.minhashBands(
+          Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id",
+            "text", 16, 3),
+          "doc_id", 16, 4),
+        "doc_id")
+      Graph.triangleCounts(cands, "a", "b")
+        .select(col("node").as("doc_id"), col("n_triangles"))
+    }),
+
     // Integer-arithmetic PageRank over the minhash-candidate
     // similarity graph (crawl-prioritization / canonical-survivor
     // centrality): 5 Pregel-shaped rounds, all Long arithmetic, so
@@ -3278,6 +3292,25 @@ object SparkEntry {
       groupCols = Seq("source")),
 
     "q119_pagerank" -> pageRankOracleSql(5),
+
+    // Same candidate edges (already a < b distinct); wedge on the low
+    // node, close on the (y, z) edge, explode corners.
+    "q128_triangles" ->
+      s"""WITH bands AS ($minhashBandsSql),
+         |e AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r
+         |    ON l.band_id = r.band_id AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |w AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b),
+         |t AS (
+         |  SELECT w.x, w.y, w.z
+         |  FROM w JOIN e ON e.a = w.y AND e.b = w.z),
+         |n AS (SELECT unnest([x, y, z]) AS doc_id FROM t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM n GROUP BY doc_id""".stripMargin,
 
     "q124_ann_recall" -> annRecallSql,
 

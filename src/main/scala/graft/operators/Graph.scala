@@ -40,6 +40,45 @@ object Graph {
     * nodes absent from the edge table are absent from the output
     * (score the disconnected remainder with the closed form
     * base-mass constant if needed). */
+  /** Per-node triangle counts over the undirected graph — the local
+    * clustering signal: in a near-dup candidate graph, high triangle
+    * density marks genuine duplicate CLUSTERS (mirrors of mirrors)
+    * where isolated candidate edges are often hash noise; in a link
+    * graph it separates communities from crawler traps.
+    *
+    * Node-ordered wedge join (the standard distributed shape): edges
+    * canonicalize to a < b, wedges enumerate per shared LOW node, and
+    * a wedge closes into a triangle iff its (b, c) edge exists —
+    * every triangle found exactly once. Output: (node, n_triangles),
+    * nodes in no triangle absent.
+    *
+    * Scale: two equi-joins on edge endpoints, both shuffle-bounded.
+    * The wedge count is Σ deg(v)² over LOW-endpoint degrees — the
+    * id-canonical ordering is deterministic but lets a low-id hub
+    * keep its full degree; the classic refinement (orient edges by
+    * (degree, id) so every node's out-degree is ≤ √|E|) drops in by
+    * replacing the canonicalization, at the cost of a degree
+    * pre-pass. Self-loops are dropped; parallel edges collapse. */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+    wedges
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   def pageRank(
       edges: DataFrame,
       srcCol: String,

@@ -39,6 +39,27 @@ class GraphSpec extends SparkSpec {
     assert(again == r1)
   }
 
+  test("triangleCounts: corners count once each; tails and open wedges don't") {
+    // Triangle a-b-c, tail c-d, open wedge d-e/d-f (no e-f edge).
+    // Mixed orientation + a duplicate + a self-loop exercise
+    // canonicalization.
+    val edges = Seq(
+      ("a", "b"), ("c", "b"), ("a", "c"),
+      ("b", "a"),             // duplicate, reversed
+      ("c", "c"),             // self-loop: dropped
+      ("c", "d"), ("d", "e"), ("d", "f"))
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    // Two triangles sharing an edge: shared corners count both.
+    val twoTri = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("b", "d"), ("c", "d")).toDF("src", "dst")
+    val out2 = Graph.triangleCounts(twoTri, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
   test("pageRank: rank mass concentrates on the hub of a star graph") {
     val spokes = (1 to 8).map(i => (s"s$i", "hub"))
     val back = (1 to 8).map(i => ("hub", s"s$i"))
