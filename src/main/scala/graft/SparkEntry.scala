@@ -1573,6 +1573,22 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("rank"))
     }),
 
+    // Similarity-weighted PageRank over the VERIFIED near-dup graph:
+    // rank mass flows proportionally to milli-Jaccard edge weights
+    // (exact floor(r·w/W) split — no overflow, no IEEE drift), so
+    // centrality tracks how similar a doc's neighbors are, not how
+    // many candidate edges survived banding.
+    "q129_weighted_pagerank" -> ((s, dir) => {
+      val nd = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id",
+        "text")
+      val w = round(col("jaccard") * 1000).cast("long")
+      val edges = nd
+        .select(col("a").as("src"), col("b").as("dst"), w.as("w"))
+        .union(nd.select(col("b").as("src"), col("a").as("dst"), w.as("w")))
+      Graph.pageRankWeighted(edges, "src", "dst", "w", iters = 5)
+        .select(col("node").as("doc_id"), col("rank"))
+    }),
+
     // Frozen NB classifier (the fasttext-shape quality/domain filter):
     // train source-prediction on the even-id half of the corpus in one
     // pass, score the held-out odd half at scan speed. Integer
@@ -3293,6 +3309,8 @@ object SparkEntry {
 
     "q119_pagerank" -> pageRankOracleSql(5),
 
+    "q129_weighted_pagerank" -> weightedPageRankOracleSql(5),
+
     // Same candidate edges (already a < b distinct); wedge on the low
     // node, close on the (y, z) edge, explode corners.
     "q128_triangles" ->
@@ -3595,6 +3613,61 @@ object SparkEntry {
          |    FROM edges e
          |    JOIN r${k - 1} r ON r.node = e.src
          |    JOIN outdeg d ON d.src = e.src
+         |    GROUP BY e.dst) i ON i.node = n.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT t.node AS doc_id, t.rank AS rank FROM r$iters t"
+  }
+
+  /** DuckDB twin of q129: the q36 verified-pair CTEs (bands →
+    * candidates → exact-Jaccard ≥ 0.6), milli-Jaccard weights, then
+    * `iters` unrolled WEIGHTED integer-PageRank rounds mirroring
+    * [[graft.operators.Graph.pageRankWeighted]] — the same
+    * overflow-safe (r//W)·w + ((r%W)·w)//W per-edge contribution. */
+  private def weightedPageRankOracleSql(iters: Int): String = {
+    val head =
+      s"""WITH bands AS ($minhashBandsSql),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r
+         |    ON l.band_id = r.band_id AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |sets AS (${shingleSetsSql("")}),
+         |ver AS (
+         |  SELECT c.a, c.b,
+         |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+         |         THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |         ELSE 0.0 END AS j
+         |  FROM cands c
+         |  JOIN sets sa ON sa.doc_id = c.a
+         |  JOIN sets sb ON sb.doc_id = c.b),
+         |p AS (SELECT a, b, CAST(round(j * 1000) AS BIGINT) AS w
+         |      FROM ver WHERE j >= 0.6),
+         |edges AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, w FROM p
+         |  UNION ALL SELECT b AS src, a AS dst, w FROM p),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM edges
+         |  UNION SELECT dst AS node FROM edges),
+         |outw AS MATERIALIZED (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+         |  FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+        .stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(150000 + (85 * coalesce(i.infl, 0)) // 100 AS BIGINT)
+         |      AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum((r.rank // o.wsum) * e.w
+         |        + ((r.rank % o.wsum) * e.w) // o.wsum) AS BIGINT) AS infl
+         |    FROM edges e
+         |    JOIN r${k - 1} r ON r.node = e.src
+         |    JOIN outw o ON o.src = e.src
          |    GROUP BY e.dst) i ON i.node = n.node)""".stripMargin
     }
     (head +: rounds).mkString(",\n") +

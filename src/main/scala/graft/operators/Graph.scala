@@ -85,23 +85,57 @@ object Graph {
       dstCol: String,
       iters: Int,
       dampingPct: Int = 85,
-      unit: Long = 1000000L): DataFrame = {
+      unit: Long = 1000000L): DataFrame =
+    pageRankCore(edges.select(col(srcCol).as("__src"),
+        col(dstCol).as("__dst"), lit(1L).as("__w")),
+      iters, dampingPct, unit)
+
+  /** [[pageRank]] with each out-edge carrying an integer weight —
+    * rank mass flows PROPORTIONALLY to the weight instead of evenly:
+    * on a verified near-dup graph weighted by milli-Jaccard, a node's
+    * centrality follows how SIMILAR its neighbors are, not merely how
+    * many survived the band filter; on a link graph, link prominence.
+    * Weights must be positive and SMALL integers (≤ ~10⁶, e.g.
+    * round(1000·jaccard)): the exact floor(r·w/W) split used per edge
+    * keeps every intermediate under 2⁶³ as long as a node's total
+    * weighted degree × its max weight stays below ~9·10¹⁸. Zero/NULL
+    * weights are rejected — a "weightless" edge is a modeling error,
+    * not a 0-mass edge (drop it upstream instead). */
+  def pageRankWeighted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iters: Int,
+      dampingPct: Int = 85,
+      unit: Long = 1000000L): DataFrame =
+    pageRankCore(edges.select(col(srcCol).as("__src"),
+        col(dstCol).as("__dst"),
+        coalesce(when(col(weightCol) > 0, col(weightCol).cast("long")),
+          raise_error(concat(lit("pageRankWeighted: non-positive weight "),
+            col(weightCol).cast("string")))).as("__w")),
+      iters, dampingPct, unit)
+
+  private def pageRankCore(
+      edges: DataFrame,
+      iters: Int,
+      dampingPct: Int,
+      unit: Long): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
     require(unit > 0, "unit must be positive")
     // Pin the loop invariants ONCE: edges can sit on an expensive
     // upstream pipeline (q119's is the whole minhash-candidate build),
-    // and every round references e / nodes / outdeg — without the
+    // and every round references e / nodes / outw — without the
     // truncation each round's eager checkpoint would re-run that
     // pipeline several times over (the Spark twin of the oracle's
     // MATERIALIZED edges/nodes/outdeg CTEs).
-    val e = Dedup.truncate(
-      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+    val e = Dedup.truncate(edges)
     val nodes = Dedup.truncate(e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct())
-    val outdeg = Dedup.truncate(
-      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
+    val outw = Dedup.truncate(
+      e.groupBy(col("__src")).agg(sum(col("__w")).as("__wsum")))
     val base = ((100L - dampingPct) * unit) / 100L
     var ranks = Dedup.truncate(
       nodes.select(col("node"), lit(unit).as("rank")))
@@ -109,11 +143,15 @@ object Graph {
       val inflow = e
         .join(ranks.select(col("node").as("__src"), col("rank")),
           Seq("__src"))
-        .join(outdeg, Seq("__src"))
+        .join(outw, Seq("__src"))
+        // Exact floor(r·w / W) without the r·w overflow:
+        // (r div W)·w + ((r mod W)·w) div W. In the unweighted case
+        // (w ≡ 1, W = deg) this reduces to r div deg. `div`, not `/`:
+        // Spark's Divide on Longs returns DOUBLE — the IEEE drift
+        // this whole design exists to exclude.
         .groupBy(col("__dst").as("node"))
-        .agg(sum(expr("rank div __deg")).as("__in"))
-      // `div`, not `/`: Spark's Divide on Longs returns DOUBLE — the
-      // IEEE drift this whole design exists to exclude.
+        .agg(sum(expr("(rank div __wsum) * __w + " +
+          "((rank % __wsum) * __w) div __wsum")).as("__in"))
       ranks = Dedup.truncate(
         nodes.join(inflow, Seq("node"), "left")
           .select(col("node"),

@@ -39,6 +39,34 @@ class GraphSpec extends SparkSpec {
     assert(again == r1)
   }
 
+  test("pageRankWeighted: mass splits by weight; unit weights == unweighted") {
+    import org.apache.spark.sql.functions.col
+    // a sends 3/4 of its mass to b, 1/4 to c.
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("s", "d", "w")
+    val r1 = Graph.pageRankWeighted(edges, "s", "d", "w", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // in(b) = (1e6 div 4)*3 = 750000 -> 150000 + 85%*750000 = 787500
+    // in(c) = (1e6 div 4)*1 = 250000 -> 150000 + 212500 = 362500
+    assert(r1 == Map("a" -> 150000L, "b" -> 787500L, "c" -> 362500L))
+    // All-ones weights reduce EXACTLY to the unweighted operator.
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "b"), ("c", "a"))
+      .toDF("s", "d")
+    val unw = Graph.pageRank(g, "s", "d", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ones = Graph.pageRankWeighted(
+        g.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+        "s", "d", "w", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ones == unw)
+    // Non-positive weights fail loudly, never flow 0 mass silently.
+    intercept[Exception] {
+      Graph.pageRankWeighted(
+        Seq(("a", "b", 0L)).toDF("s", "d", "w"), "s", "d", "w", 1)
+        .collect()
+    }
+    assert(r1.values.forall(_ >= 150000L))
+  }
+
   test("triangleCounts: corners count once each; tails and open wedges don't") {
     // Triangle a-b-c, tail c-d, open wedge d-e/d-f (no e-f edge).
     // Mixed orientation + a duplicate + a self-loop exercise
