@@ -1579,8 +1579,10 @@ object SparkEntry {
     // centrality tracks how similar a doc's neighbors are, not how
     // many candidate edges survived banding.
     "q129_weighted_pagerank" -> ((s, dir) => {
-      val nd = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id",
-        "text")
+      // Pinned: both union directions read it — the verify pipeline
+      // (the most expensive upstream in the suite) must run once.
+      val nd = Dedup.truncate(
+        Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text"))
       val w = round(col("jaccard") * 1000).cast("long")
       val edges = nd
         .select(col("a").as("src"), col("b").as("dst"), w.as("w"))

@@ -11,6 +11,48 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-node triangle counts over the undirected graph — the local
+    * clustering signal: in a near-dup candidate graph, high triangle
+    * density marks genuine duplicate CLUSTERS (mirrors of mirrors)
+    * where isolated candidate edges are often hash noise; in a link
+    * graph it separates communities from crawler traps.
+    *
+    * Node-ordered wedge join (the standard distributed shape): edges
+    * canonicalize to a < b, wedges enumerate per shared LOW node, and
+    * a wedge closes into a triangle iff its (b, c) edge exists —
+    * every triangle found exactly once. Output: (node, n_triangles),
+    * nodes in no triangle absent. The canonical edge set is pinned
+    * once ([[Dedup.truncate]]) — it is referenced three times (both
+    * wedge sides + the closing join) and the upstream edge pipeline
+    * must not run three times.
+    *
+    * Scale: two equi-joins on edge endpoints, both shuffle-bounded.
+    * The wedge count is Σ deg(v)² over LOW-endpoint degrees — the
+    * id-canonical ordering is deterministic but lets a low-id hub
+    * keep its full degree; the classic refinement (orient edges by
+    * (degree, id) so every node's out-degree is ≤ √|E|) drops in by
+    * replacing the canonicalization, at the cost of a degree
+    * pre-pass. Self-loops are dropped; parallel edges collapse. */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = Dedup.truncate(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+    wedges
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** PageRank in INTEGER micro-rank units — the crawl-frontier
     * priority score (and, over a near-dup candidate graph, a cluster-
     * centrality signal: the highest-rank member is the natural
@@ -40,45 +82,6 @@ object Graph {
     * nodes absent from the edge table are absent from the output
     * (score the disconnected remainder with the closed form
     * base-mass constant if needed). */
-  /** Per-node triangle counts over the undirected graph — the local
-    * clustering signal: in a near-dup candidate graph, high triangle
-    * density marks genuine duplicate CLUSTERS (mirrors of mirrors)
-    * where isolated candidate edges are often hash noise; in a link
-    * graph it separates communities from crawler traps.
-    *
-    * Node-ordered wedge join (the standard distributed shape): edges
-    * canonicalize to a < b, wedges enumerate per shared LOW node, and
-    * a wedge closes into a triangle iff its (b, c) edge exists —
-    * every triangle found exactly once. Output: (node, n_triangles),
-    * nodes in no triangle absent.
-    *
-    * Scale: two equi-joins on edge endpoints, both shuffle-bounded.
-    * The wedge count is Σ deg(v)² over LOW-endpoint degrees — the
-    * id-canonical ordering is deterministic but lets a low-id hub
-    * keep its full degree; the classic refinement (orient edges by
-    * (degree, id) so every node's out-degree is ≤ √|E|) drops in by
-    * replacing the canonicalization, at the cost of a degree
-    * pre-pass. Self-loops are dropped; parallel edges collapse. */
-  def triangleCounts(
-      edges: DataFrame,
-      srcCol: String,
-      dstCol: String): DataFrame = {
-    val e = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val wedges = e.as("e1").join(e.as("e2"),
-        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"),
-        col("e2.b").as("z"))
-    wedges
-      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_triangles"))
-  }
-
   def pageRank(
       edges: DataFrame,
       srcCol: String,
@@ -95,12 +98,16 @@ object Graph {
     * on a verified near-dup graph weighted by milli-Jaccard, a node's
     * centrality follows how SIMILAR its neighbors are, not merely how
     * many survived the band filter; on a link graph, link prominence.
-    * Weights must be positive and SMALL integers (≤ ~10⁶, e.g.
-    * round(1000·jaccard)): the exact floor(r·w/W) split used per edge
-    * keeps every intermediate under 2⁶³ as long as a node's total
-    * weighted degree × its max weight stays below ~9·10¹⁸. Zero/NULL
-    * weights are rejected — a "weightless" edge is a modeling error,
-    * not a 0-mass edge (drop it upstream instead). */
+    * Weights must be positive INTEGERS, small (≤ ~10⁶ — scale a
+    * fractional score yourself, e.g. round(1000·jaccard), so the
+    * quantization is an explicit modeling choice): the exact
+    * floor(r·w/W) split used per edge keeps every intermediate under
+    * 2⁶³ as long as a node's total weighted degree × its max weight
+    * stays below ~9·10¹⁸. The positivity guard runs AFTER the long
+    * cast — a fractional weight in (0, 1) would otherwise truncate
+    * to a silent 0-mass edge — and rejects zero/NULL loudly: a
+    * weightless edge is a modeling error, not a 0-mass edge (drop it
+    * upstream instead). */
   def pageRankWeighted(
       edges: DataFrame,
       srcCol: String,
@@ -108,13 +115,16 @@ object Graph {
       weightCol: String,
       iters: Int,
       dampingPct: Int = 85,
-      unit: Long = 1000000L): DataFrame =
+      unit: Long = 1000000L): DataFrame = {
+    val w = col(weightCol).cast("long")
     pageRankCore(edges.select(col(srcCol).as("__src"),
         col(dstCol).as("__dst"),
-        coalesce(when(col(weightCol) > 0, col(weightCol).cast("long")),
-          raise_error(concat(lit("pageRankWeighted: non-positive weight "),
+        coalesce(when(w > 0, w),
+          raise_error(concat(lit("pageRankWeighted: non-positive (or " +
+            "truncated-to-zero) weight "),
             col(weightCol).cast("string")))).as("__w")),
       iters, dampingPct, unit)
+  }
 
   private def pageRankCore(
       edges: DataFrame,

@@ -64,6 +64,13 @@ class GraphSpec extends SparkSpec {
         Seq(("a", "b", 0L)).toDF("s", "d", "w"), "s", "d", "w", 1)
         .collect()
     }
+    // ...including fractional weights that would TRUNCATE to zero —
+    // the guard runs after the long cast.
+    intercept[Exception] {
+      Graph.pageRankWeighted(
+        Seq(("a", "b", 0.5)).toDF("s", "d", "w"), "s", "d", "w", 1)
+        .collect()
+    }
     assert(r1.values.forall(_ >= 150000L))
   }
 
