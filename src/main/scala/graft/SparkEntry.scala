@@ -616,10 +616,12 @@ object SparkEntry {
       val scored = tf.join(dfreq, Seq("token"))
         .crossJoin(broadcast(nDocs))
         .withColumn("score", col("tf") * length(bin(expr("n_docs div df"))))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("token"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      // Top-3 via the bounded groupTopK aggregate (per-doc windows are
+      // doc-length-bounded, but the aggregate form is strictly better:
+      // k rows of state per doc instead of the doc's whole vocabulary).
+      Ranking.groupTopK(scored, Seq("doc_id"),
+          Seq((-col("score")).as("__neg"), col("token"),
+            col("tf"), col("df"), col("score")), k = 3)
         .select(col("doc_id"), col("rank"), col("token"),
           col("tf"), col("df"), col("score"))
     }),
@@ -1270,18 +1272,23 @@ object SparkEntry {
     }),
 
     // BM25 retrieval: every 100th doc's first 4 tokens play the query
-    // set; top-10 docs per query by the micro-nat-exact score.
+    // set; top-10 docs per query by the micro-nat-exact score. The
+    // top-k is Ranking.groupTopK — per-query candidate sets are
+    // unbounded (a stopword-heavy query matches everything), so a
+    // per-query row_number window would be a hot-partition risk; the
+    // bounded aggregate never holds more than k rows per query.
+    // Descending score = ascending −score (exact sign flip).
     "q106_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val qs = docs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("qid"),
           array_join(slice(TextFunctions.tokens(col("text")), 1, 4), " ")
             .as("qtext"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("doc_id"))
-      Retrieval.bm25Scores(docs, "doc_id", "text", qs, "qid", "qtext")
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+      val scored = Retrieval.bm25Scores(docs, "doc_id", "text", qs,
+        "qid", "qtext")
+      Ranking.groupTopK(scored, Seq("query_id"),
+          Seq((-col("score")).as("__neg"), col("doc_id"),
+            col("n_terms"), col("score")), k = 10)
         .select(col("query_id"), col("rank"), col("doc_id"),
           col("n_terms"), col("score"))
     }),
@@ -1442,22 +1449,23 @@ object SparkEntry {
     // End-to-end percentile-gated filter: keep each source's best 80%
     // by ensemble score (low = clean) — the CCNet head/middle cut as
     // a batch keep-set. The bar is the type-1 ⌈0.8·n⌉-th score per
-    // source (rank window per SOURCE — bounded partitions, never a
-    // global window); everything at the bar passes together.
+    // source, selected by Ranking.groupQuantiles — the scale-safe
+    // exact-rank path (range repartition + offset census), never a
+    // per-source window: a crawl source's corpus on one task is the
+    // hot-partition failure mode the Ranking module exists to avoid.
+    // The ⌈0.8·n⌉-th (score, doc_id)-ordered value IS the max score
+    // among the first ⌈0.8·n⌉ rows, so the inclusive bar semantics
+    // (everything at the bar passes together) are unchanged.
     "q127_percentile_filter" -> ((s, dir) => {
       val scored = Training.qualityEnsemble(t(s, dir, "documents"),
         "doc_id", "text", dfThreshold = 4L)
         .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
           Seq("doc_id"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("score_mu"), col("doc_id"))
-      val ranked = scored
-        .withColumn("rk", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
-      val bars = ranked
-        .filter(col("rk") <= ceil(lit(0.8) * col("n")).cast("long"))
-        .groupBy(col("source")).agg(max(col("score_mu")).as("bar"))
-      ranked.join(bars, Seq("source"))
+      val bars = Ranking.groupQuantiles(
+          scored.select(col("source"), col("score_mu"), col("doc_id")),
+          "source", "score_mu", "doc_id", Seq(0.8))
+        .select(col("source"), col("score_mu").as("bar"))
+      scored.join(broadcast(bars), Seq("source"))
         .filter(col("score_mu") <= col("bar"))
         .select(col("source"), col("doc_id"), col("score_mu"), col("bar"))
     }),

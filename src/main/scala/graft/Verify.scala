@@ -5,11 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [onlyPrefix...]")
       sys.exit(2)
     }
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // Builder-side iteration aid: extra args restrict the run to
+    // queries whose name starts with any prefix. The driver always
+    // passes exactly two args — full run, unchanged behavior.
+    val only = args.drop(2)
+    def selected(name: String): Boolean =
+      only.isEmpty || only.exists(name.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,10 +26,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (selected(name)) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.functions.TopKAggregate
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -81,6 +82,39 @@ object Ranking {
         col("__pid") === col("__opid") && col(groupCol) <=> col("__og"))
       .withColumn("rank", col("__off") + row_number().over(rnW))
       .drop("__pid", "__opid", "__og", "__off")
+  }
+
+  /** Exact per-group top-k with aggregation state bounded by k — the
+    * replacement for `row_number().over(partitionBy(group)) <= k` when
+    * the group is unbounded (all candidate docs of one query, all rows
+    * of one key): the window form concentrates the whole group on one
+    * task before discarding all but k, while this form never holds
+    * more than k rows per group anywhere — map-side partials keep ≤ k
+    * per (input partition, group), the shuffle moves only those, and
+    * the merge is k-vs-k ([[graft.functions.TopKAggregate.TopKRows]]).
+    *
+    * `sortFields` defines the order: ascending lexicographic over the
+    * fields in sequence (negate a numeric field for descending), and
+    * MUST contain a per-group-unique tiebreaker before any
+    * payload-only fields so the order is total and the result
+    * deterministic under any partitioning — the same contract as
+    * [[groupRank]]. All fields are carried to the output.
+    *
+    * Output: groupCols + `rank` (int, 1-based) + one column per
+    * sortField, in order. */
+  def groupTopK(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortFields: Seq[Column],
+      k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(sortFields.nonEmpty, "sortFields must be non-empty")
+    val g = groupCols.map(col)
+    df.groupBy(g: _*)
+      .agg(TopKAggregate.topKStructs(sortFields, k).as("__topk"))
+      .select(g :+ posexplode(col("__topk")).as(Seq("__pos", "__e")): _*)
+      .select(g ++ Seq((col("__pos") + 1).cast("int").as("rank"),
+        col("__e.*")): _*)
   }
 
   /** Exact per-group quantiles by distributed selection: for each

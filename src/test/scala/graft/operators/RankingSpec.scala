@@ -129,6 +129,46 @@ class RankingSpec extends SparkSpec {
     assert(out(5L) == ((5L, 95L, 5L)) && out(95L) == ((5L, 95L, 95L)))
   }
 
+  test("groupTopK matches window row_number top-k across partition layouts") {
+    // 7 groups × ~140 rows, scores collide heavily (mod 23) so the
+    // tiebreaker field does real work; repartition(5) forces partial
+    // buffers on several mappers per group before the merge.
+    val df = (1L to 1000L).map(i => (s"src${i % 7}", i * 37 % 23, i))
+      .toDF("source", "score", "id").repartition(5)
+    val got = Ranking.groupTopK(df, Seq("source"),
+        Seq((-col("score")).as("__neg"), col("id"), col("score")), k = 4)
+      .select(col("source"), col("rank"), col("id"), col("score"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .collect().map(r => (r.getString(0), r.getInt(3)) ->
+        (r.getLong(2), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("groupTopK: k larger than the group returns the whole group sorted") {
+    val df = Seq(("a", 3L, 1L), ("a", 1L, 2L), ("b", 5L, 3L))
+      .toDF("g", "v", "id")
+    val got = Ranking.groupTopK(df, Seq("g"), Seq(col("v"), col("id")), k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.sorted.toSeq ==
+      Seq(("a", 1, 1L), ("a", 2, 3L), ("b", 1, 5L)))
+  }
+
+  test("groupTopK: string sort fields order binary, null structs ignored") {
+    // String keys compare binary (Spark ORDER BY semantics); a NULL
+    // first field still forms a non-null struct and ranks NULLS FIRST.
+    val df = Seq(("a", "zebra", 1L), ("a", "apple", 2L), ("a", null, 3L))
+      .toDF("g", "w", "id")
+    val got = Ranking.groupTopK(df, Seq("g"), Seq(col("w"), col("id")), k = 2)
+      .collect().map(r => (r.getInt(1), Option(r.getString(2)), r.getLong(3)))
+    assert(got.sortBy(_._1).toSeq ==
+      Seq((1, None, 3L), (2, Some("apple"), 2L)))
+  }
+
   test("groupBuckets: integer-exact equal-frequency bands, uneven groups") {
     val df = ((1L to 4L).map(i => ("a", i, i)) ++
       (1L to 90L).map(i => ("b", i, 100L + i))).toDF("source", "score", "id")
