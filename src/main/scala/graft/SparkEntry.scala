@@ -1496,16 +1496,37 @@ object SparkEntry {
         "embedding", k = 10, nProbe = 4)
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
         "embedding", 10)
-      exact.select(col("query_id"), col("neighbor_id"))
-        .join(ivf.select(col("query_id"), col("neighbor_id"))
-            .withColumn("hit", lit(1L)),
-          Seq("query_id", "neighbor_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("k"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .select(col("query_id"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("k").cast("double"), 6)
-            .as("recall"))
+      Similarity.recallAtK(exact, ivf)
+    }),
+
+    // ANN recall for the SRP-LSH path: the q23 search (50 queries,
+    // 6 planes) against the exact ground truth — the gate a user
+    // tuning `planes` watches. Same composition as q124.
+    "q130_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        k = 10, planes = 6, dim = 64)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      Similarity.recallAtK(exact, lsh)
+    }),
+
+    // ANN recall for the product-quantization path: the q99 search
+    // (4×16 codebook, ADC) against the exact ground truth — the gate
+    // that prices the 64× compression in recall. Same composition.
+    "q131_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 16)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb,
+        m = 4, subDim = 16)
+      val pq = Similarity.pqTopK(codes, cb, queries, "vec_id",
+        "embedding", k = 10, m = 4, subDim = 16)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      Similarity.recallAtK(exact, pq)
     }),
 
     // Feature-hashed TF-IDF doc vectors: signed hashing trick over
@@ -2951,37 +2972,9 @@ object SparkEntry {
     // Mirrors pqCodebook/pqEncode/pqTopK: codes are row_number ranks of
     // the 16 lowest-id seed vectors; every distance is exact-integer
     // (nsq_a + nsq_c − 2·dot), so ADC sums and ranks are bit-stable.
+    // CTEs shared with q131's recall gate (pqAdcCtes).
     "q99_pq_knn" ->
-      """WITH v AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |subn AS (
-        |  SELECT vec_id, m, list_slice(qv, m*16+1, m*16+16) AS sv,
-        |    CAST(list_sum(list_transform(generate_series(1, 16),
-        |      i -> qv[m*16+i]*qv[m*16+i])) AS BIGINT) AS nsq
-        |  FROM v, UNNEST(generate_series(0, 3)) AS u(m)),
-        |cb AS (
-        |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
-        |             AS BIGINT) AS code, sv AS cv, nsq AS cnsq
-        |  FROM subn QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= 16),
-        |dist AS (
-        |  SELECT s.vec_id, s.m, cb.code,
-        |    s.nsq + cb.cnsq - 2*CAST(list_sum(list_transform(
-        |      generate_series(1, 16), i -> s.sv[i]*cb.cv[i])) AS BIGINT) AS d
-        |  FROM subn s JOIN cb USING (m)),
-        |enc AS (
-        |  SELECT vec_id, m, code FROM (
-        |    SELECT vec_id, m, code,
-        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
-        |    FROM dist) WHERE rn = 1),
-        |lut AS (
-        |  SELECT vec_id AS query_id, m, code, d FROM dist WHERE vec_id < 5),
-        |adc AS (
-        |  SELECT l.query_id, e.vec_id AS neighbor_id,
-        |    CAST(sum(l.d) AS BIGINT) AS adc_dist
-        |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
-        |  WHERE l.query_id <> e.vec_id GROUP BY 1, 2)
+      s"""WITH $pqAdcCtes
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc_dist
         |FROM (SELECT query_id, neighbor_id, adc_dist,
         |        row_number() OVER (PARTITION BY query_id
@@ -3341,6 +3334,10 @@ object SparkEntry {
          |FROM n GROUP BY doc_id""".stripMargin,
 
     "q124_ann_recall" -> annRecallSql,
+
+    "q130_lsh_recall" -> lshRecallSql,
+
+    "q131_pq_recall" -> pqRecallSql,
 
     // The three component CTE families verbatim (rarity dt/dfs,
     // repetition w0/g2../a3 over RAW documents, lmNllCtes), micro-
@@ -3941,11 +3938,13 @@ object SparkEntry {
     }.mkString(" + ")
   }
 
-  /** SRP-LSH top-k oracle: bucket queries (vec_id < 50) and corpus with
-    * the same hyperplanes, join within buckets, rank by (sim desc,
-    * neighbor asc), keep 10 — mirrors Similarity.lshTopK. */
-  private lazy val lshTopKSql: String = {
-    s"""WITH v AS (
+  /** Shared SRP-LSH oracle CTEs (quantize → norms+bucket → in-bucket
+    * scores): mirrors Similarity.lshTopK's candidate generation for
+    * the 50-query set. Used by the q23 top-k oracle AND q130's LSH
+    * side, so plane tuning can never desynchronize the recall
+    * comparison from the index it measures. */
+  private lazy val lshScoreCtes: String =
+    s"""v AS (
        |  SELECT vec_id,
        |         list_transform(embedding,
        |           e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
@@ -3964,14 +3963,120 @@ object SparkEntry {
        |r AS (
        |  SELECT query_id, neighbor_id,
        |         CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim
-       |  FROM sc),
+       |  FROM sc)""".stripMargin
+
+  /** SRP-LSH top-k oracle: bucket queries (vec_id < 50) and corpus with
+    * the same hyperplanes, join within buckets, rank by (sim desc,
+    * neighbor asc), keep 10 — mirrors Similarity.lshTopK. */
+  private lazy val lshTopKSql: String =
+    s"""WITH $lshScoreCtes,
        |k AS (
        |  SELECT query_id, neighbor_id, sim,
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM r)
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
        |FROM k WHERE rank <= 10""".stripMargin
-  }
+
+  /** Per-query recall rollup shared by every ANN recall oracle: hits
+    * of the approximate top-k (CTE named `apx`) inside the exact
+    * top-k (CTE named `ex`), both (query_id, neighbor_id). */
+  private lazy val recallRollupSql: String =
+    """SELECT e.query_id,
+      |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS recall
+      |FROM ex e LEFT JOIN apx i
+      |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+      |GROUP BY e.query_id""".stripMargin
+
+  /** Shared product-quantization oracle CTEs (quantize → sub-vectors →
+    * codebook → distances → encoding → query LUT → ADC sums),
+    * mirroring Similarity.pqCodebook/pqEncode/pqTopK for the 5-query
+    * set. Used by the q99 top-k oracle AND q131's PQ side. */
+  private lazy val pqAdcCtes: String =
+    """v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |subn AS (
+      |  SELECT vec_id, m, list_slice(qv, m*16+1, m*16+16) AS sv,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |      i -> qv[m*16+i]*qv[m*16+i])) AS BIGINT) AS nsq
+      |  FROM v, UNNEST(generate_series(0, 3)) AS u(m)),
+      |cb AS (
+      |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+      |             AS BIGINT) AS code, sv AS cv, nsq AS cnsq
+      |  FROM subn QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= 16),
+      |dist AS (
+      |  SELECT s.vec_id, s.m, cb.code,
+      |    s.nsq + cb.cnsq - 2*CAST(list_sum(list_transform(
+      |      generate_series(1, 16), i -> s.sv[i]*cb.cv[i])) AS BIGINT) AS d
+      |  FROM subn s JOIN cb USING (m)),
+      |enc AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT vec_id, m, code,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |lut AS (
+      |  SELECT vec_id AS query_id, m, code, d FROM dist WHERE vec_id < 5),
+      |adc AS (
+      |  SELECT l.query_id, e.vec_id AS neighbor_id,
+      |    CAST(sum(l.d) AS BIGINT) AS adc_dist
+      |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+      |  WHERE l.query_id <> e.vec_id GROUP BY 1, 2)""".stripMargin
+
+  /** q131: the q99 ADC CTEs verbatim as the approximate side, the
+    * q22 brute-force math over the same quantized vectors as ground
+    * truth — the gate that prices PQ's 64× compression in recall. */
+  private lazy val pqRecallSql: String =
+    s"""WITH $pqAdcCtes,
+       |apx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc_dist, neighbor_id) AS rank
+       |    FROM adc)
+       |  WHERE rank <= 10),
+       |nn AS (
+       |  SELECT vec_id, qv,
+       |         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*qv[i])) AS BIGINT) AS nsq
+       |  FROM v),
+       |sce AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i]*c.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS sim
+       |  FROM nn q, nn c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM sce)
+       |  WHERE rank <= 10)
+       |$recallRollupSql""".stripMargin
+
+  /** q130: the q23 LSH CTEs verbatim as the approximate side, the
+    * q22 brute-force math over the same `b` vectors as ground truth,
+    * per-query hit count — the plane-count tuning gate. */
+  private lazy val lshRecallSql: String =
+    s"""WITH $lshScoreCtes,
+       |apx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM r)
+       |  WHERE rank <= 10),
+       |sce AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i]*c.qv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS sim
+       |  FROM b q, b c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM sce)
+       |  WHERE rank <= 10)
+       |$recallRollupSql""".stripMargin
 
   /** Shared near-dup closure CTEs (bands → candidates → Jaccard-verified
     * pairs → symmetric edges → recursive reach → components). Used by
@@ -4071,7 +4176,7 @@ object SparkEntry {
   private lazy val annRecallSql: String =
     s"""WITH $ivfAsgCtes,
        |$ivfProbeScanCtes,
-       |ivf AS (
+       |apx AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -4088,13 +4193,7 @@ object SparkEntry {
        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |    FROM sce)
        |  WHERE rank <= 10)
-       |SELECT e.query_id,
-       |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       |  round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / CAST(count(*) AS DOUBLE), 6) AS recall
-       |FROM ex e LEFT JOIN ivf i
-       |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
-       |GROUP BY e.query_id""".stripMargin
+       |$recallRollupSql""".stripMargin
 
   /** Embedding near-dup oracle: the SAME ±1 SRP hyperplanes as
     * Dedup.embeddingNearDups (driver-generated, embedded as list

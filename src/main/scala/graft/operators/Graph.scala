@@ -17,40 +17,80 @@ object Graph {
     * where isolated candidate edges are often hash noise; in a link
     * graph it separates communities from crawler traps.
     *
-    * Node-ordered wedge join (the standard distributed shape): edges
-    * canonicalize to a < b, wedges enumerate per shared LOW node, and
-    * a wedge closes into a triangle iff its (b, c) edge exists —
-    * every triangle found exactly once. Output: (node, n_triangles),
-    * nodes in no triangle absent. The canonical edge set is pinned
-    * once ([[Dedup.truncate]]) — it is referenced three times (both
-    * wedge sides + the closing join) and the upstream edge pipeline
-    * must not run three times.
+    * Degree-ordered wedge join (Cohen 2009's MapReduce orientation;
+    * the shape GraphX/Trino use): every undirected edge orients from
+    * its (degree, id)-smaller endpoint to the larger, wedges
+    * enumerate per shared SOURCE node, and a wedge (x→y, x→z) with
+    * y ≺ z closes into a triangle iff the oriented edge y→z exists —
+    * every triangle found exactly once, at its (degree, id)-minimum
+    * corner. Output: (node, n_triangles), nodes in no triangle
+    * absent. The oriented edge set is pinned once ([[Dedup.truncate]])
+    * — it is referenced three times (both wedge sides + the closing
+    * join) and the upstream edge pipeline must not run three times.
     *
-    * Scale: two equi-joins on edge endpoints, both shuffle-bounded.
-    * The wedge count is Σ deg(v)² over LOW-endpoint degrees — the
-    * id-canonical ordering is deterministic but lets a low-id hub
-    * keep its full degree; the classic refinement (orient edges by
-    * (degree, id) so every node's out-degree is ≤ √|E|) drops in by
-    * replacing the canonicalization, at the cost of a degree
-    * pre-pass. Self-loops are dropped; parallel edges collapse. */
+    * Scale: the orientation bounds every out-degree by ~√(2|E|)
+    * (a node keeps an out-edge only toward HIGHER-degree neighbors,
+    * and there can only be √(2|E|) nodes of degree ≥ √(2|E|)), so the
+    * wedge census Σ outdeg(v)² is O(|E|^1.5) on ANY degree
+    * distribution — where id-canonical orientation lets a low-id
+    * celebrity hub keep its full degree and a single skewed node costs
+    * Σdeg² ≈ deg(hub)². The price is one degree pre-pass (a map-side
+    * combinable hash-agg) and two node-keyed equi-joins to attach
+    * endpoint degrees — all shuffle-bounded on graph keys. Self-loops
+    * are dropped; parallel edges collapse. */
   def triangleCounts(
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
-    val e = Dedup.truncate(edges
+    val o = Dedup.truncate(orientedEdges(edges, srcCol, dstCol))
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    wedges
+      .join(o.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** The degree-ordered oriented edge set behind [[triangleCounts]]:
+    * one row per undirected edge, oriented src → dst with
+    * (deg(src), src) < (deg(dst), dst) lexicographically, plus the
+    * destination's degree (`ddeg`) so downstream wedge enumeration
+    * can compare (deg, id) without re-joining. Self-loops dropped,
+    * parallel edges collapsed, degrees computed on the deduplicated
+    * undirected graph. Exposed package-wide so tests can assert the
+    * out-degree bound directly. Output: (src, dst, ddeg). */
+  private[graft] def orientedEdges(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = Dedup.truncate(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct())
-    val wedges = e.as("e1").join(e.as("e2"),
-        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"),
-        col("e2.b").as("z"))
-    wedges
-      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // Node-sized degree table: attach via equi-joins (shuffle-bounded
+    // on graph keys — NOT a broadcast, the node table scales with the
+    // graph; AQE will still broadcast it when it is actually small).
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("__dega")),
+        Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("__degb")),
+        Seq("b"))
+    // a < b by canonicalization, so a degree tie orients a → b and the
+    // (deg, id) order stays total.
+    val fwd = col("__dega") < col("__degb") || col("__dega") === col("__degb")
+    withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("src"),
+      when(fwd, col("b")).otherwise(col("a")).as("dst"),
+      when(fwd, col("__degb")).otherwise(col("__dega")).as("ddeg"))
   }
 
   /** PageRank in INTEGER micro-rank units — the crawl-frontier

@@ -380,6 +380,31 @@ object Similarity {
         col(idCol).as("neighbor_id"), col("adc_dist"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact ground
+    * truth: per query, |approx ∩ exact| / |exact| over the neighbor-id
+    * sets. Both inputs are (query_id, neighbor_id, …) top-k tables —
+    * [[bruteForceTopK]] as `exact`, any of [[lshTopK]] / [[ivfTopK]] /
+    * [[pqTopK]] as `approx`. This is the gate that keeps an
+    * approximate index honest: planes / nProbe / codebook sizes get
+    * tuned against exactly this table, and an untested ANN path is an
+    * unmeasured one. A query the approximate index returns nothing
+    * for (e.g. an empty LSH bucket) still appears, with recall 0.
+    *
+    * Scale: both sides are queries×k rows — metadata-sized by
+    * construction; the join and rollup are trivial next to the
+    * searches that produced them. Output: (query_id, n_hit, recall). */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k").cast("double"), 6)
+          .as("recall"))
+
   private def score(q: DataFrame, c: DataFrame, k: Int,
       joinKeys: Seq[String] = Nil,
       band: Option[(Double, Double)] = None): DataFrame = {

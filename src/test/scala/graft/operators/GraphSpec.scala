@@ -95,6 +95,34 @@ class GraphSpec extends SparkSpec {
     assert(out2 == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
   }
 
+  test("triangleCounts: degree orientation starves hub wedges on skewed graphs") {
+    import org.apache.spark.sql.functions.col
+    // Hub "a00" is the ID-SMALLEST node and touches every spoke — the
+    // worst case for id-canonical orientation, which would keep the
+    // hub's full out-degree (wedge census C(40,2) = 780 from the hub
+    // alone). Degree orientation points every spoke→hub edge AT the
+    // hub (spokes have degree 1–3, hub 40), so the hub's out-degree is
+    // 0 and the only wedges left are the spokes' (bounded by their own
+    // tiny degree).
+    val spokes = (1 to 40).map(i => ("a00", f"s$i%02d"))
+    val tris = Seq(("s01", "s02"), ("s03", "s04")) // close 2 triangles via hub
+    val edges = (spokes ++ tris).toDF("src", "dst")
+    val o = Graph.orientedEdges(edges, "src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outdeg = o.groupBy(_._1).view.mapValues(_.length)
+    assert(!outdeg.keySet.contains("a00"), "hub must keep out-degree 0")
+    assert(outdeg.values.forall(_ <= 3), "spoke out-degrees stay tiny")
+    val wedgeCensus = outdeg.values.map(d => d.toLong * (d - 1) / 2).sum
+    assert(wedgeCensus <= 4L,
+      s"degree orientation must shrink the wedge census (got $wedgeCensus; " +
+        "id-canonical would be >= 780 from the hub alone)")
+    // Counts themselves are orientation-invariant: 2 hub triangles.
+    val out = Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a00" -> 2L, "s01" -> 1L, "s02" -> 1L,
+      "s03" -> 1L, "s04" -> 1L))
+  }
+
   test("pageRank: rank mass concentrates on the hub of a star graph") {
     val spokes = (1 to 8).map(i => (s"s$i", "hub"))
     val back = (1 to 8).map(i => ("hub", s"s$i"))
