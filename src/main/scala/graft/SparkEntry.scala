@@ -1645,6 +1645,16 @@ object SparkEntry {
     val keys = col("doc_id") +: extraCols.map(col)
     docs.select(keys :+
         explode(TextFunctions.tokens(col("text"))).as("tok"): _*)
+      // bpeOracleSql's merge replay self-delimits symbols as <sym>,
+      // which is sound only while tokens are '<'/'>'-free (true for
+      // the current fixtures; see FIXTURES.md). Assert it here so a
+      // markup-bearing fixture fails with THIS message instead of a
+      // baffling oracle hash mismatch.
+      .withColumn("tok",
+        when(col("tok").rlike("[<>]"), raise_error(concat(
+          lit("BPE oracle delimiter invariant violated — token " +
+            "contains '<' or '>': "), col("tok"))))
+          .otherwise(col("tok")))
       .select(keys :+
         size(functions.GraftExpressions.bpeEncode(col("tok"), merges))
           .as("np") :+

@@ -269,26 +269,32 @@ object Sketches {
     pmod(graft.functions.TextFunctions.hash60(
       concat_ws("", col("__j"), key)), lit(CmWidth.toLong)).cast("int")
 
-  /** Point-estimate the occurrence count of every key in `keys`
+  /** Point-estimate the occurrence count of every row of `keys`
     * (columns: groupCols ++ [keyCol]) from a [[cmRegisters]] state:
     * min over the `CmDepth` counters the key hashes into. A key the
     * state never saw estimates 0 (its buckets may be absent — LEFT
     * join, coalesce); NULL keys are dropped as in the state build.
-    * Output: keys' columns + `cm_est` (long). */
+    * Probe multiplicity survives: duplicate (group, key) rows each
+    * get their (identical) estimate — the sketch math runs once per
+    * DISTINCT key and joins back, so a weighted probe frame keeps its
+    * weights. Output: keys' columns + `cm_est` (long). */
   def cmEstimate(
       state: DataFrame,
       keys: DataFrame,
       keyCol: String,
       groupCols: Seq[String]): DataFrame = {
-    val probes = keys
+    val rows = keys
       .filter(col(keyCol).isNotNull)
+      .select(groupCols.map(col) :+ col(keyCol): _*)
+    val probes = rows.distinct()
       .select(groupCols.map(col) :+ col(keyCol) :+
         explode(array((0 until CmDepth).map(j => lit(j)): _*)).as("__j"): _*)
       .withColumn("b", cmProbe(col(keyCol)))
       .withColumnRenamed("__j", "j")
-    probes.join(state, groupCols ++ Seq("j", "b"), "left")
+    val verdicts = probes.join(state, groupCols ++ Seq("j", "b"), "left")
       .groupBy(groupCols.map(col) :+ col(keyCol): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+    rows.join(verdicts, groupCols :+ keyCol)
   }
 
   /** The oracle twin of [[cmRegisters]] → [[cmEstimate]] as one
@@ -393,26 +399,31 @@ object Sketches {
   /** Probe every row of `keys` (columns: groupCols ++ [keyCol])
     * against a [[bloomBits]] state: `might` is true iff all probed
     * bits are set — exact "no", ≥99.9%-right "yes" at the defaults.
-    * Output: keys' columns + `might` (boolean). */
+    * Probe multiplicity survives: duplicate (group, key) rows each
+    * get their (identical) verdict — the bit test runs once per
+    * DISTINCT key and joins back. NULL keys are dropped as in the
+    * state build. Output: keys' columns + `might` (boolean). */
   def bloomMightContain(
       state: DataFrame,
       keys: DataFrame,
       keyCol: String,
       groupCols: Seq[String]): DataFrame = {
-    val probed = keys
+    val rows = keys
       .filter(col(keyCol).isNotNull)
       .select(groupCols.map(col) :+ col(keyCol): _*)
+    val probed = rows.distinct()
       .select(groupCols.map(col) :+ col(keyCol) :+
         explode(array((0 until BloomHashes).map(j => lit(j)): _*))
           .as("__j"): _*)
     val (w, bit) = bloomProbe(col(keyCol))
     val probes = probed.select(groupCols.map(col) :+ col(keyCol) :+
       w.as("w") :+ call_function("shiftleft", lit(1L), bit).as("m"): _*)
-    probes.join(state, groupCols :+ "w", "left")
+    val verdicts = probes.join(state, groupCols :+ "w", "left")
       .withColumn("__hit",
         coalesce(col("bits").bitwiseAND(col("m")) =!= 0L, lit(false)))
       .groupBy(groupCols.map(col) :+ col(keyCol): _*)
       .agg((min(col("__hit").cast("int")) === 1).as("might"))
+    rows.join(verdicts, groupCols :+ keyCol)
   }
 
   /** Keep only the rows of `df` whose key MIGHT be in the filter —

@@ -212,14 +212,15 @@ object Rollup {
             val markerSchema = org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("n_parts",
                 org.apache.spark.sql.types.IntegerType)))
-            graft.sources.ManifestTable.read(
+            val recorded = graft.sources.ManifestTable.read(
                 spark, baseDir, markerT, schema = Some(markerSchema))
-              .collect().headOption.foreach { r =>
-                require(r.getInt(0) == nParts,
-                  s"$table was partitioned with nParts=${r.getInt(0)}; " +
-                    s"restarting with $nParts would re-hash keys — " +
-                    "use the recorded value")
-              }
+              .collect().headOption
+            recorded.foreach { r =>
+              require(r.getInt(0) == nParts,
+                s"$table was partitioned with nParts=${r.getInt(0)}; " +
+                  s"restarting with $nParts would re-hash keys — " +
+                  "use the recorded value")
+            }
             val delta = batch.groupBy(keyCols.map(col): _*)
               .agg(count(lit(1)).as("n_rows"),
                 sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
@@ -237,11 +238,20 @@ object Rollup {
                   .agg(sum(col("n_rows")).as("n_rows"),
                     sumNames.map(c => sum(col(c)).as(c)): _*)
               }.toMap
-              val marker = spark.range(1)
+              // The marker never changes once written: re-committing
+              // it every batch would add a data file + manifest entry
+              // per micro-batch for a constant. Write it only while
+              // the read-back finds none (first batch, or a replay of
+              // a failed first commit — sealed-txn dedup makes the
+              // true-replay case a no-op anyway).
+              val marker = spark.range(0, 1, 1, numPartitions = 1)
                 .select(lit(nParts).cast("int").as("n_parts"))
+              val snapshots =
+                if (recorded.isDefined) snaps
+                else snaps + (markerT -> marker)
               graft.sources.ManifestTable.commitMulti(
                 spark, baseDir, txnId = s"$streamId-$batchId",
-                snapshots = snaps + (markerT -> marker))
+                snapshots = snapshots)
             } finally delta.unpersist()
           }
           ()

@@ -40,7 +40,43 @@ object StreamJoin {
       leftTs: String,
       rightTs: String,
       maxDelay: String,
-      lateness: String = "10 minutes"): DataFrame = {
+      lateness: String = "10 minutes"): DataFrame =
+    joined(left, right, keyCol, leftTs, rightTs, maxDelay, lateness,
+      "inner")
+
+  /** [[intervalJoin]] with LEFT OUTER semantics: a left row whose
+    * match window `(leftTs, leftTs + maxDelay]` closes under the
+    * watermark with no right partner is emitted ONCE with the right
+    * side all-NULL — the "impression that never converted" row an
+    * attribution pipeline needs as a first-class outcome, not an
+    * absence. State stays bounded exactly as in the inner form (the
+    * time bound is what lets Spark prove a buffered left row is
+    * done); the only behavioral difference is the expiry emission,
+    * which necessarily waits on the watermark — an unmatched row is
+    * only *provably* unmatched `maxDelay + lateness` of event time
+    * after its timestamp. Batch runs emit unmatched rows immediately
+    * (there is no "not yet" in batch), which is how the spec proves
+    * stream ≡ batch on the final result. */
+  def intervalJoinLeftOuter(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      maxDelay: String,
+      lateness: String = "10 minutes"): DataFrame =
+    joined(left, right, keyCol, leftTs, rightTs, maxDelay, lateness,
+      "leftOuter")
+
+  private def joined(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      maxDelay: String,
+      lateness: String,
+      joinType: String): DataFrame = {
     require(left.columns.contains(keyCol) && right.columns.contains(keyCol),
       s"both sides need the join key '$keyCol'")
     val l = left.withWatermark(leftTs, lateness)
@@ -52,7 +88,8 @@ object StreamJoin {
     l.join(r,
       l(keyCol) === r(keyCol) &&
         r(rightTs) > l(leftTs) &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"))
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"),
+      joinType)
       .drop(r(keyCol))
   }
 }

@@ -159,6 +159,27 @@ class SketchesSpec extends SparkSpec {
     assert(kept.count() == 2000L)
   }
 
+  test("probe multiplicity survives cmEstimate and bloomMightContain") {
+    // A weighted probe frame (the same key several times) must come
+    // back with one VERDICT PER ROW, not one per distinct key — the
+    // sketch math runs per distinct key and joins back.
+    val occ = Seq.fill(5)(("g", "hot")).toDF("grp", "k")
+    val cmState = Sketches.cmRegisters(occ, col("k"), Seq("grp"))
+    val probes = (Seq.fill(3)(("g", "hot")) :+ ("g", "cold"))
+      .toDF("grp", "k")
+    val est = Sketches.cmEstimate(cmState, probes, "k", Seq("grp"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(est.length == 4, s"4 probe rows in, 4 rows out: got ${est.length}")
+    assert(est.count(_._1 == "hot") == 3)
+    assert(est.filter(_._1 == "hot").forall(_._2 >= 5L))
+
+    val blState = Sketches.bloomBits(occ, col("k"), Seq("grp"))
+    val might = Sketches.bloomMightContain(blState, probes, "k", Seq("grp"))
+      .collect().map(r => (r.getString(1), r.getBoolean(2)))
+    assert(might.length == 4)
+    assert(might.count(p => p._1 == "hot" && p._2) == 3)
+  }
+
   test("lhQuantiles tracks exact quantiles within the bucket width") {
     // 1..1000 uniform: true p50=500, p90=900, p99=990.
     val df = (1L to 1000L).map(v => ("g", v)).toDF("grp", "v")

@@ -97,6 +97,15 @@ class RollupSpec extends SparkSpec {
       // Both batches sealed their txns atomically across partitions.
       assert(ManifestTable.committedTxns(spark, base)
         .intersect(Set("p1-0", "p1-1")) == Set("p1-0", "p1-1"))
+      // The layout marker is constant — batch 0 wrote it; batch 1
+      // must NOT have re-committed a fresh marker file (needless data
+      // file + manifest entry per batch otherwise).
+      val markerSchema = ManifestTable.schemaOf(spark, base, "roll.nparts")
+      assert(markerSchema.isDefined, "marker subtable must exist")
+      val markerFiles = ManifestTable.read(spark, base, "roll.nparts",
+        schema = markerSchema).inputFiles
+      assert(markerFiles.length == 1,
+        s"marker must be written exactly once, found ${markerFiles.length}")
     } finally q.stop()
 
     // Restarting against the same table with a DIFFERENT nParts would

@@ -68,4 +68,69 @@ class StreamJoinSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(out == Set((100L, 150L), (140L, 150L)))
   }
+
+  test("intervalJoinLeftOuter: unmatched impressions emit once, all-NULL right, stream == batch") {
+    val imps = Seq(("ad1", 100L), ("ad2", 200L), ("ad3", 300L))
+    val clicks = Seq(
+      ("ad1", 150L),  // matches ad1's window (100, 200]
+      ("ad2", 350L))  // 150s late for ad2's 100s window: no match
+    def run(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame) =
+      StreamJoin.intervalJoinLeftOuter(l, r, "ad", "its", "cts",
+        maxDelay = "100 seconds")
+    val mk = (s: Seq[(String, Long)], c: String, a: String) =>
+      s.toDF("ad", "t").select(col("ad"), ts("t").as(a))
+    val batch = run(mk(imps, "i", "its"), mk(clicks, "c", "cts"))
+      .select(col("ad"), col("its").cast("long"), col("cts").cast("long"))
+      .as[(String, Long, Option[Long])].collect().toSet
+    // Every impression survives; only ad1 carries a click.
+    assert(batch == Set(("ad1", 100L, Some(150L)),
+      ("ad2", 200L, None), ("ad3", 300L, None)))
+
+    val li = MemoryStream[(String, Long)](spark)
+    val rc = MemoryStream[(String, Long)](spark)
+    val joined = run(
+      li.toDF().toDF("ad", "i").select(col("ad"), ts("i").as("its")),
+      rc.toDF().toDF("ad", "c").select(col("ad"), ts("c").as("cts")))
+    val q = joined.writeStream.format("memory")
+      .queryName("sjo_out").outputMode("append").start()
+    try {
+      li.addData(imps: _*)
+      rc.addData(clicks: _*)
+      q.processAllAvailable()
+      // Unmatched lefts emit only once the watermark PROVES no right
+      // can still arrive — push both watermarks far past every window.
+      li.addData(("adx", 10000L))
+      rc.addData(("adx", 10000L))
+      q.processAllAvailable()
+      rc.addData(("ady", 20000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sjo_out")
+      .filter(col("ad") =!= "adx")
+      .select(col("ad"), col("its").cast("long"), col("cts").cast("long"))
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("dropDuplicatesWithinWatermark collapses replayed rows across batches") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val dedup = input.toDS().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("ddwm")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", t("2024-01-01 10:00:00")),
+        ("a", t("2024-01-01 10:01:00")),   // replay inside the watermark
+        ("b", t("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      input.addData(("a", t("2024-01-01 10:02:00")))  // replay, next batch
+      q.processAllAvailable()
+      assert(spark.table("ddwm").select("id").as[String].collect().sorted
+        .toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
 }
