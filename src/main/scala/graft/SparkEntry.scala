@@ -1529,6 +1529,39 @@ object SparkEntry {
       Similarity.recallAtK(exact, pq)
     }),
 
+    // Community detection over the minhash candidate graph (the q128
+    // edge set): 3 synchronous LPA rounds, min-label ties. Unlike the
+    // q54 connected components (any path = one cluster), a thin
+    // band-collision bridge between two dense near-dup families
+    // cannot outvote either family — the census keeps them apart.
+    "q132_label_propagation" -> ((s, dir) => {
+      val cands = Dedup.minhashCandidates(
+        Dedup.minhashBands(
+          Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id",
+            "text", 16, 3),
+          "doc_id", 16, 4),
+        "doc_id")
+      Graph.labelPropagation(cands, "a", "b", iters = 3)
+        .select(col("node").as("doc_id"), col("label"))
+    }),
+
+    // Record linkage: every even-id doc fuzzy-matched against the
+    // odd-id half, blocked on (lang, source) so candidates are
+    // block-bounded, scored by exact Levenshtein over 40-char heads
+    // (the DP is O(|a|·|b|) per pair — cap the prefix, not the
+    // blocking), best match per left record via the bounded top-k
+    // aggregate. The no-match census is the anti-join of this output.
+    "q133_record_linkage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(col("text"), 1, 40).as("head"))
+      Linkage.bestMatches(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "doc_id", Seq("lang", "source"), "head", "head",
+        maxDist = 20, k = 1)
+    }),
+
     // Feature-hashed TF-IDF doc vectors: signed hashing trick over
     // 64 dims, exact-integer bit-length idf — the model-free
     // text→vector bridge, emitted long-form (the distributed layout).
@@ -3349,6 +3382,33 @@ object SparkEntry {
 
     "q131_pq_recall" -> pqRecallSql,
 
+    "q132_label_propagation" -> labelPropagationOracleSql(3),
+
+    // Same blocking, same 40-char heads, same (dist, right_id) best
+    // pick — both engines run the classic Levenshtein DP (cross-
+    // verified since q58), so distances are identical integers.
+    "q133_record_linkage" ->
+      """WITH l AS (
+        |  SELECT doc_id AS left_id, lang, source,
+        |         substr(text, 1, 40) AS lt
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |r AS (
+        |  SELECT doc_id AS right_id, lang, source,
+        |         substr(text, 1, 40) AS rt
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |c AS (
+        |  SELECT l.left_id, r.right_id,
+        |         CAST(levenshtein(l.lt, r.rt) AS INTEGER) AS dist
+        |  FROM l JOIN r USING (lang, source)
+        |  WHERE levenshtein(l.lt, r.rt) <= 20),
+        |k AS (
+        |  SELECT left_id, right_id, dist,
+        |         row_number() OVER (PARTITION BY left_id
+        |           ORDER BY dist, right_id) AS rank
+        |  FROM c)
+        |SELECT left_id, CAST(rank AS INTEGER) AS rank, dist, right_id
+        |FROM k WHERE rank <= 1""".stripMargin,
+
     // The three component CTE families verbatim (rarity dt/dfs,
     // repetition w0/g2../a3 over RAW documents, lmNllCtes), micro-
     // quantized from the same 6-dp values and summed in integers.
@@ -3641,6 +3701,43 @@ object SparkEntry {
     * `iters` unrolled WEIGHTED integer-PageRank rounds mirroring
     * [[graft.operators.Graph.pageRankWeighted]] — the same
     * overflow-safe (r//W)·w + ((r%W)·w)//W per-edge contribution. */
+  /** q132: synchronous LPA replay — the q128 candidate edge CTEs,
+    * then `iters` unrolled vote rounds. Votes are neighbor labels
+    * only; the winner is (count DESC, label ASC) via row_number
+    * (DuckDB's min_by rejects struct ordering keys — the same
+    * workaround as q69). Every node has a neighbor by construction,
+    * so each round's winner table covers every node. MATERIALIZED:
+    * round k references e and l(k−1), and inlining would re-expand
+    * the band join 2^iters times. */
+  private def labelPropagationOracleSql(iters: Int): String = {
+    val head =
+      s"""WITH bands AS ($minhashBandsSql),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r
+         |    ON l.band_id = r.band_id AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |e AS MATERIALIZED (
+         |  SELECT a AS x, b AS y FROM cands
+         |  UNION ALL SELECT b, a FROM cands),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT x AS node, x AS lbl FROM e)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT e.x AS node, l.lbl, count(*) AS c
+         |  FROM e JOIN l${k - 1} l ON l.node = e.y
+         |  GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node
+         |        ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c$k) t WHERE rn = 1)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node AS doc_id, lbl AS label FROM l$iters"
+  }
+
   private def weightedPageRankOracleSql(iters: Int): String = {
     val head =
       s"""WITH bands AS ($minhashBandsSql),

@@ -210,4 +210,72 @@ object Graph {
     }
     ranks
   }
+
+  /** Community detection by synchronous label propagation (Raghavan
+    * 2007's LPA), fixed `iters` rounds, fully deterministic: every
+    * node starts labeled with itself; each round every node adopts
+    * the MOST FREQUENT label among its neighbors, ties broken by the
+    * smallest label. Where [[Dedup.connectedComponents]] answers "is
+    * there any path" (one label per component however tenuous the
+    * bridge), LPA answers "where does the density live": a thin
+    * bridge between two near-dup cliques cannot outvote either
+    * clique, so the cliques keep distinct labels — the
+    * crawler-trap-vs-community split a dedup census wants.
+    *
+    * Synchronous update + deterministic tie-break means no randomized
+    * sweep order (the classic LPA's nondeterminism) — a fixed-round
+    * run is bit-reproducible in any engine, at the cost of possible
+    * 2-cycles on bipartite-ish structure; pick `iters` accordingly
+    * (communities on near-dup graphs settle in a handful of rounds).
+    *
+    * Scale: per round, one equi-join of the symmetric edge table
+    * against the node-sized label table (Pregel message shape,
+    * shuffle-bounded on graph keys) and two map-side-combinable
+    * hash-aggs — vote counts keyed (node, label), then the argmin-by
+    * (-count, label) winner per node, whose agg state is one struct
+    * per node however hot the hub. Edge and label lineage truncate
+    * every round ([[Dedup.truncate]]) so plans stay O(1) deep. Never
+    * node×node.
+    *
+    * Output: (node, label) — label is the adopted community
+    * representative, same type as the node ids; isolated nodes
+    * (absent from the edge table) are absent. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val e = Dedup.truncate(
+      und.select(col("a").as("x"), col("b").as("y"))
+        .union(und.select(col("b").as("x"), col("a").as("y"))))
+    var labels = Dedup.truncate(
+      e.select(col("x").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.select(col("node").as("y"), col("label")), Seq("y"))
+        .groupBy(col("x"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      // Winner = min over (−count, label): most votes first, smallest
+      // label on ties — the same struct-ordered min_by idiom as the
+      // kNN tie-break, one struct of agg state per node.
+      val winners = votes.groupBy(col("x").as("node"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("nc"), col("label"))).as("__w"))
+      // Every node has ≥1 neighbor by construction (nodes come from
+      // the edge table), so the left join is belt-and-braces for the
+      // empty-votes case only.
+      labels = Dedup.truncate(
+        labels.join(winners, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__w"), col("label")).as("label")))
+    }
+    labels
+  }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution by blocked best-match record linkage — the
+  * pipeline shape every large-scale catalog/CRM/provenance merge
+  * uses: generate candidate pairs ONLY within shared blocking keys
+  * (never corpus × corpus), score each candidate with an exact
+  * string distance, and keep the best k matches per left record
+  * through a bounded aggregate.
+  *
+  * Reference analogue: the per-device keyed state lookup
+  * (`src/state_manager.py:41-43` reconciles records by exact
+  * device name); generalized here to fuzzy text identity at corpus
+  * scale, where exact keys don't exist and blocking + scored
+  * matching stand in for them.
+  */
+object Linkage {
+
+  /** Best `k` fuzzy matches in `right` for every record of `left`,
+    * blocked and scored:
+    *
+    *  - candidates: equi-join on `blockCols` (same names both sides)
+    *    — the classic blocking step; pair count is Σ over blocks of
+    *    |L_b|·|R_b|, never |L|·|R|. Pick keys accordingly (a
+    *    language + source + length-bucket compound beats any single
+    *    coarse key).
+    *  - score: exact Levenshtein distance over `leftText`/`rightText`
+    *    (codegen'd builtin, classic DP — engine-portable). Cap the
+    *    compared prefix upstream (`substring`) when fields are long:
+    *    the DP is O(|a|·|b|) per pair.
+    *  - keep: `dist <= maxDist`, then the k best per left record by
+    *    (dist ASC, right id ASC — the deterministic tie-break)
+    *    through [[Ranking.groupTopK]], whose aggregation state is
+    *    bounded by k however hot a block gets: no per-left-record
+    *    window partition anywhere.
+    *
+    * Output: (left_id, rank, dist, right_id) — rank 1-based within
+    * the left record's matches; left records with no candidate within
+    * `maxDist` are absent (anti-join the output against `left` for
+    * the no-match census). Ids are renamed to left_id/right_id so
+    * self-linkage (left and right cut from the same table) needs no
+    * upstream aliasing. */
+  def bestMatches(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      rightId: String,
+      blockCols: Seq[String],
+      leftText: String,
+      rightText: String,
+      maxDist: Int,
+      k: Int = 1): DataFrame = {
+    require(blockCols.nonEmpty,
+      "blockCols must be non-empty — unblocked linkage is corpus×corpus")
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(k >= 1, "k must be at least 1")
+    val l = left.select(
+      blockCols.map(col) :+ col(leftId).as("left_id") :+
+        col(leftText).as("__lt"): _*)
+    val r = right.select(
+      blockCols.map(col) :+ col(rightId).as("right_id") :+
+        col(rightText).as("__rt"): _*)
+    val cand = l.join(r, blockCols)
+      .withColumn("dist", levenshtein(col("__lt"), col("__rt")))
+      .filter(col("dist") <= maxDist)
+    Ranking.groupTopK(cand, Seq("left_id"),
+      Seq(col("dist"), col("right_id")), k)
+  }
+}

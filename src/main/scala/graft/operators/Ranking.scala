@@ -200,40 +200,69 @@ object Ranking {
   }
 
   /** Robust per-group standardization: z = (x − median) / MAD, with
-    * both the median and the median-absolute-deviation computed as
-    * EXACT [[groupQuantiles]] selections (q = 0.5, ⌈n/2⌉-th value) —
-    * outlier-proof where mean/stddev standardization is dragged by
+    * both the median and the median-absolute-deviation EXACT (the
+    * ⌈n/2⌉-th value / deviation, [[groupQuantiles]] type-1 semantics)
+    * — outlier-proof where mean/stddev standardization is dragged by
     * the very tail docs it exists to flag. The score is quantized
     * once to integer micro-units and displayed with one exact divide
     * (the cross-engine rounding idiom); a zero-MAD group (over half
     * its values identical to the median) yields NULL z rather than a
-    * division by zero. Median and MAD are selected from the NON-NULL
-    * values (see [[groupQuantiles]]); NULL-value rows pass through
-    * with a NULL z.
+    * division by zero. Median and MAD come from the NON-NULL values;
+    * NULL-value rows pass through with a NULL z.
     *
-    * Scale: two groupRank passes (each the one wide exchange a sort
-    * pays) plus broadcast med/MAD attaches. Output: (group, id,
-    * value, med, mad, z). */
+    * Scale: ONE [[groupRank]] pass (the one wide range exchange a
+    * sort pays) serves both statistics. The median is the rank-⌈n/2⌉
+    * selection; the MAD is selected from the SAME value-ranked rows
+    * without ever ranking deviations: |x − med| is weakly unimodal
+    * over the value order (decreasing to the median, increasing
+    * after), so the k smallest deviations always form a contiguous
+    * rank window of size k = ⌈n/2⌉, and the k-th smallest deviation —
+    * the MAD — equals min over all size-k windows of the larger
+    * end-deviation. That turns the former second quantile pass
+    * (another full range exchange + checkpoint over derived
+    * deviations) into one rank-offset self equi-join
+    * (hi.rank = lo.rank + k − 1) plus a map-side-combinable min-agg.
+    *
+    * Output: (group, id, value, med, mad, z). */
   def robustZScores(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       tieCol: String): DataFrame = {
     val base = df.select(col(groupCol), col(valueCol), col(tieCol))
-    val med = groupQuantiles(base, groupCol, valueCol, tieCol, Seq(0.5))
-      .select(col(groupCol).as("__mg"), col(valueCol).as("med"))
+    // Pinned: referenced by the median selection and BOTH self-join
+    // sides — the range exchange must run once.
+    val ranked = Dedup.truncate(groupRank(
+      base.filter(col(valueCol).isNotNull), groupCol,
+      Seq(valueCol, tieCol)))
+    // k = ⌈n/2⌉ per group — the same ceil(q·n) arithmetic as
+    // groupQuantiles, so the selected rank is bit-identical.
+    val kTab = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol).as("__kg"),
+        ceil(lit(0.5) * col("__n")).cast("long").as("__k"))
+    val medK = ranked.join(broadcast(kTab), col(groupCol) <=> col("__kg"))
+      .filter(col("rank") === col("__k"))
+      .select(col(groupCol).as("__mg"), col("__k"),
+        col(valueCol).as("med"))
+    val lo = ranked.join(broadcast(medK), col(groupCol) <=> col("__mg"))
+    val hi = ranked.select(col(groupCol).as("__hg"),
+      col(valueCol).as("__hv"), col("rank").as("__hr"))
+    val mad = lo.join(hi, col(groupCol) <=> col("__hg") &&
+        col("__hr") === col("rank") + col("__k") - 1)
+      .select(col(groupCol), greatest(
+        abs(col(valueCol) - col("med")),
+        abs(col("__hv") - col("med"))).as("__cand"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__cand")).as("mad"))
+      .withColumnRenamed(groupCol, "__dg")
+    val med = medK.select(col("__mg"), col("med"))
     // LEFT joins, as in winsorize: all-NULL groups keep their rows
     // (NULL med/mad/z) instead of dropping out of the result.
-    val withMed = base.join(broadcast(med), col(groupCol) <=> col("__mg"),
-        "left")
+    base.join(broadcast(med), col(groupCol) <=> col("__mg"), "left")
       .drop("__mg")
-      .withColumn("__dev", abs(col(valueCol) - col("med")))
-    val mad = groupQuantiles(
-        withMed.select(col(groupCol), col("__dev"), col(tieCol)),
-        groupCol, "__dev", tieCol, Seq(0.5))
-      .select(col(groupCol).as("__dg"), col("__dev").as("mad"))
-    withMed.join(broadcast(mad), col(groupCol) <=> col("__dg"), "left")
-      .drop("__dg", "__dev")
+      .join(broadcast(mad), col(groupCol) <=> col("__dg"), "left")
+      .drop("__dg")
       .withColumn("z",
         when(col("mad") > 0,
           round(lit(1e6) * (col(valueCol) - col("med")).cast("double")

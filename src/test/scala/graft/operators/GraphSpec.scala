@@ -123,6 +123,26 @@ class GraphSpec extends SparkSpec {
       "s03" -> 1L, "s04" -> 1L))
   }
 
+  test("labelPropagation: bridged cliques keep distinct labels; synchronous rounds are exact") {
+    // Two triangles joined by one bridge edge (3–4): any-path
+    // reachability would give ONE component, but a thin bridge cannot
+    // outvote a clique — LPA keeps two communities. Hand-computed
+    // synchronous rounds (neighbor-only votes, min-label ties):
+    //   l1 = {1:2, 2:1, 3:1, 4:3, 5:4, 6:4}
+    //   l2 = {1:1, 2:1, 3:1, 4:4, 5:3, 6:3}
+    //   l3 = {1:1, 2:1, 3:1, 4:3, 5:3, 6:3}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("s", "d")
+    def run(n: Int) = Graph.labelPropagation(edges, "s", "d", n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L))
+    assert(run(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // Exactly two communities, split at the bridge.
+    assert(run(3).groupBy(_._2).keySet.size == 2)
+  }
+
   test("pageRank: rank mass concentrates on the hub of a star graph") {
     val spokes = (1 to 8).map(i => (s"s$i", "hub"))
     val back = (1 to 8).map(i => ("hub", s"s$i"))

@@ -116,6 +116,30 @@ class RankingSpec extends SparkSpec {
     assert(out(("b", 7L)) == ((7L, 0L, None)))
   }
 
+  test("robustZScores: window-selected MAD == brute-force k-th smallest deviation") {
+    // Shapes that stress the contiguous-window identity: duplicates
+    // straddling the median, even sizes, a singleton, and a group
+    // whose k smallest deviations are NOT unique as a rank set.
+    val data = Seq(
+      "e" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0),  // even n, mad 1
+      "t" -> Seq(1.0, 3.0, 3.0, 8.0, 9.0),        // dup at median, mad 2
+      "d" -> Seq(2.0, 4.0, 4.0, 4.0, 7.0),        // mad 0 via dups
+      "s" -> Seq(5.0))                            // singleton, mad 0
+    val df = data.flatMap { case (g, vs) => vs.map(g -> _) }
+      .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      .toDF("g", "v", "id")
+    val out = Ranking.robustZScores(df, "g", "v", "id")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    for ((g, vs0) <- data) {
+      val vs = vs0.sorted
+      val k = math.ceil(vs.length / 2.0).toInt
+      val med = vs(k - 1)
+      val mad = vs.map(v => math.abs(v - med)).sorted.apply(k - 1)
+      assert(out(g) == ((med, mad)), s"group $g")
+    }
+  }
+
   test("winsorize clips into the exact per-group [p05, p95] band") {
     val df = (1L to 100L).map(i => ("a", i, i)).toDF("source", "v", "id")
     val out = Ranking.winsorize(df, "source", "v", "id")
