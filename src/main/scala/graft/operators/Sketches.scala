@@ -291,10 +291,41 @@ object Sketches {
         explode(array((0 until CmDepth).map(j => lit(j)): _*)).as("__j"): _*)
       .withColumn("b", cmProbe(col(keyCol)))
       .withColumnRenamed("__j", "j")
-    val verdicts = probes.join(state, groupCols ++ Seq("j", "b"), "left")
+    val verdicts = leftProbe(probes, state, groupCols, Seq("j", "b"))
       .groupBy(groupCols.map(col) :+ col(keyCol): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
-    rows.join(verdicts, groupCols :+ keyCol)
+    joinBack(rows, verdicts, groupCols :+ keyCol)
+  }
+
+  /** Equi-join `verdicts` back onto the probe `rows` NULL-SAFELY on
+    * `on`: a NULL group value is a real group (the state build and
+    * the verdict groupBy both saw it) and a plain equi-join would
+    * silently drop its probe rows. */
+  private def joinBack(
+      rows: DataFrame,
+      verdicts: DataFrame,
+      on: Seq[String]): DataFrame = {
+    val v = verdicts.select(verdicts.columns.map(c =>
+      if (on.contains(c)) col(c).as(s"__v_$c") else col(c)): _*)
+    rows.join(v, on.map(c => col(c) <=> col(s"__v_$c")).reduce(_ && _))
+      .drop(on.map(c => s"__v_$c"): _*)
+  }
+
+  /** LEFT-join probe rows against sketch `state` NULL-SAFELY on the
+    * group columns (plain equality on the non-null probe coordinates
+    * `exactCols`): a NULL-group probe must hit the NULL-group state
+    * registers, not silently estimate "never seen". */
+  private def leftProbe(
+      probes: DataFrame,
+      state: DataFrame,
+      groupCols: Seq[String],
+      exactCols: Seq[String]): DataFrame = {
+    val on = groupCols ++ exactCols
+    val s = state.select(state.columns.map(c =>
+      if (on.contains(c)) col(c).as(s"__s_$c") else col(c)): _*)
+    val cond = (groupCols.map(c => col(c) <=> col(s"__s_$c")) ++
+      exactCols.map(c => col(c) === col(s"__s_$c"))).reduce(_ && _)
+    probes.join(s, cond, "left").drop(on.map(c => s"__s_$c"): _*)
   }
 
   /** The oracle twin of [[cmRegisters]] → [[cmEstimate]] as one
@@ -310,9 +341,14 @@ object Sketches {
     val gSelC = groupCols.map(c => s"o.$c, ").mkString
     val gColsC = groupCols.map(c => s"$c, ").mkString
     val prGC = groupCols.map(c => s"pr.$c, ").mkString
-    val joinOn = (groupCols.map(c => s"st.$c = pr.$c") ++
+    // Group matches are null-safe, mirroring leftProbe: a NULL-group
+    // probe hits the NULL-group registers. j/b are never NULL.
+    val joinOn = (groupCols.map(c => s"st.$c IS NOT DISTINCT FROM pr.$c") ++
       Seq("st.j = pr.j", "st.b = pr.b")).mkString(" AND ")
     val js = (0 until CmDepth).mkString(", ")
+    // __rid tags each probe ROW so duplicate (group, key) probe rows
+    // each keep their verdict — the twin of cmEstimate's multiplicity
+    // contract. The tag is grouped on, then dropped.
     s"""WITH occ AS ($fromSql),
        |reg AS (
        |  SELECT ${gSelC}j.j AS j,
@@ -322,16 +358,17 @@ object Sketches {
        |st AS (
        |  SELECT ${gColsC}j, b, count(*) AS cnt
        |  FROM reg GROUP BY ${gColsC}j, b),
-       |keys AS ($keysSql),
+       |keys AS (SELECT *, row_number() OVER () AS __rid FROM ($keysSql)),
        |pr AS (
-       |  SELECT ${gSelC}o.k AS k, j.j AS j,
+       |  SELECT ${gSelC}o.__rid AS __rid, o.k AS k, j.j AS j,
        |    CAST(CAST(('0x' || substr(md5(j.j || o.k), 1, 15)) AS BIGINT)
        |      % $CmWidth AS INT) AS b
        |  FROM keys o, (SELECT CAST(unnest([$js]) AS VARCHAR) AS j) j)
-       |SELECT ${prGC}pr.k,
-       |  CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS cm_est
-       |FROM pr LEFT JOIN st ON $joinOn
-       |GROUP BY ${prGC}pr.k""".stripMargin
+       |SELECT ${gColsC}k, cm_est FROM (
+       |  SELECT ${prGC}pr.__rid, pr.k AS k,
+       |    CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS cm_est
+       |  FROM pr LEFT JOIN st ON $joinOn
+       |  GROUP BY ${prGC}pr.__rid, pr.k)""".stripMargin
   }
 
   // ------------------------------------------------------------------
@@ -418,12 +455,12 @@ object Sketches {
     val (w, bit) = bloomProbe(col(keyCol))
     val probes = probed.select(groupCols.map(col) :+ col(keyCol) :+
       w.as("w") :+ call_function("shiftleft", lit(1L), bit).as("m"): _*)
-    val verdicts = probes.join(state, groupCols :+ "w", "left")
+    val verdicts = leftProbe(probes, state, groupCols, Seq("w"))
       .withColumn("__hit",
         coalesce(col("bits").bitwiseAND(col("m")) =!= 0L, lit(false)))
       .groupBy(groupCols.map(col) :+ col(keyCol): _*)
       .agg((min(col("__hit").cast("int")) === 1).as("might"))
-    rows.join(verdicts, groupCols :+ keyCol)
+    joinBack(rows, verdicts, groupCols :+ keyCol)
   }
 
   /** Keep only the rows of `df` whose key MIGHT be in the filter —
@@ -453,7 +490,8 @@ object Sketches {
     val gSelC = groupCols.map(c => s"o.$c, ").mkString
     val gColsC = groupCols.map(c => s"$c, ").mkString
     val prGC = groupCols.map(c => s"pr.$c, ").mkString
-    val joinOn = (groupCols.map(c => s"st.$c = pr.$c") ++
+    // Null-safe group match + per-row __rid tag: see cmEstimateSql.
+    val joinOn = (groupCols.map(c => s"st.$c IS NOT DISTINCT FROM pr.$c") ++
       Seq("st.w = pr.w")).mkString(" AND ")
     val js = (0 until BloomHashes).mkString(", ")
     s"""WITH occ AS ($fromSql),
@@ -467,20 +505,21 @@ object Sketches {
        |  FROM occ o, (SELECT CAST(unnest([$js]) AS VARCHAR) AS j) j),
        |st AS (SELECT ${gColsC}w, bit_or(m) AS bits
        |       FROM mem GROUP BY ${gColsC}w),
-       |keys AS ($keysSql),
+       |keys AS (SELECT *, row_number() OVER () AS __rid FROM ($keysSql)),
        |pr AS (
-       |  SELECT ${gSelC}o.k AS k,
+       |  SELECT ${gSelC}o.__rid AS __rid, o.k AS k,
        |    CAST(CAST(('0x' || substr(md5(j.j || o.k), 1, 15)) AS BIGINT)
        |      % $BloomWords AS INT) AS w,
        |    (CAST(1 AS BIGINT) <<
        |      (CAST(('0x' || substr(md5(j.j || o.k), 1, 15)) AS BIGINT)
        |        // $BloomWords % 63)) AS m
        |  FROM keys o, (SELECT CAST(unnest([$js]) AS VARCHAR) AS j) j)
-       |SELECT ${prGC}pr.k,
-       |  (min(CASE WHEN coalesce(st.bits & pr.m, 0) <> 0
-       |       THEN 1 ELSE 0 END) = 1) AS might
-       |FROM pr LEFT JOIN st ON $joinOn
-       |GROUP BY ${prGC}pr.k""".stripMargin
+       |SELECT ${gColsC}k, might FROM (
+       |  SELECT ${prGC}pr.__rid, pr.k AS k,
+       |    (min(CASE WHEN coalesce(st.bits & pr.m, 0) <> 0
+       |         THEN 1 ELSE 0 END) = 1) AS might
+       |  FROM pr LEFT JOIN st ON $joinOn
+       |  GROUP BY ${prGC}pr.__rid, pr.k)""".stripMargin
   }
 
   /** Sketch set algebra: pairwise distinct-overlap estimates between

@@ -180,6 +180,29 @@ class SketchesSpec extends SparkSpec {
     assert(might.count(p => p._1 == "hot" && p._2) == 3)
   }
 
+  test("NULL-group probes survive and hit the NULL-group state") {
+    // A NULL group is a real group: its registers exist in the state,
+    // and a probe with a NULL group must match them (null-safe joins)
+    // — neither vanish from the output nor estimate "never seen".
+    val occ = (Seq.fill(4)((Option.empty[String], "t")) :+
+      ((Some("g"), "t"))).toDF("grp", "k")
+    val cmState = Sketches.cmRegisters(occ, col("k"), Seq("grp"))
+    val probes = Seq((Option.empty[String], "t"), (Some("g"), "t"))
+      .toDF("grp", "k")
+    val est = Sketches.cmEstimate(cmState, probes, "k", Seq("grp"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2))).toMap
+    assert(est.size == 2, "both probe rows must survive")
+    assert(est(None) >= 4L, "NULL-group probe must hit its registers")
+    assert(est(Some("g")) >= 1L)
+
+    val blState = Sketches.bloomBits(occ, col("k"), Seq("grp"))
+    val might = Sketches.bloomMightContain(blState,
+        Seq((Option.empty[String], "t"), (Option.empty[String], "zz"))
+          .toDF("grp", "k"), "k", Seq("grp"))
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(might == Map("t" -> true, "zz" -> false))
+  }
+
   test("lhQuantiles tracks exact quantiles within the bucket width") {
     // 1..1000 uniform: true p50=500, p90=900, p99=990.
     val df = (1L to 1000L).map(v => ("g", v)).toDF("grp", "v")

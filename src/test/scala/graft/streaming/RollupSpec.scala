@@ -99,13 +99,17 @@ class RollupSpec extends SparkSpec {
         .intersect(Set("p1-0", "p1-1")) == Set("p1-0", "p1-1"))
       // The layout marker is constant — batch 0 wrote it; batch 1
       // must NOT have re-committed a fresh marker file (needless data
-      // file + manifest entry per batch otherwise).
-      val markerSchema = ManifestTable.schemaOf(spark, base, "roll.nparts")
-      assert(markerSchema.isDefined, "marker subtable must exist")
-      val markerFiles = ManifestTable.read(spark, base, "roll.nparts",
-        schema = markerSchema).inputFiles
-      assert(markerFiles.length == 1,
-        s"marker must be written exactly once, found ${markerFiles.length}")
+      // file + manifest entry per batch otherwise). Counted ON DISK:
+      // each commit writes a fresh txn-stamped data dir, and a
+      // read-back would see only the LATEST snapshot's single live
+      // file even if every batch re-committed the marker.
+      assert(ManifestTable.schemaOf(spark, base, "roll.nparts").isDefined,
+        "marker subtable must exist")
+      val markerDataDirs = new java.io.File(s"$base/roll.nparts/data")
+        .listFiles().filter(_.isDirectory)
+      assert(markerDataDirs.length == 1,
+        s"marker must be written exactly once, found " +
+          s"${markerDataDirs.length} commit dirs")
     } finally q.stop()
 
     // Restarting against the same table with a DIFFERENT nParts would
