@@ -1562,6 +1562,48 @@ object SparkEntry {
         maxDist = 20, k = 1)
     }),
 
+    // Event-rate anomaly detection: per-user daily event counts,
+    // robust-z standardized within each user's own history (median/
+    // MAD — a bursty outlier day cannot drag its own baseline), keep
+    // |z| ≥ 3. The whole alert table is one aggregation + the
+    // single-rank-pass robustZScores — no per-user window.
+    "q134_rate_anomaly" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      Ranking.robustZScores(daily, "user_id", "n", "day")
+        .filter(col("z").isNotNull && abs(col("z")) >= 3.0)
+        .select(col("user_id"), col("day"), col("n"), col("med"),
+          col("mad"), col("z"))
+    }),
+
+    // Cluster survivorship: near-dup components with a QUALITY-chosen
+    // canonical (longest doc wins, min-id ties) — the merge step of
+    // record linkage, where q62's min-id survivor is arbitrary by
+    // design. One row per cluster, singletons included.
+    "q136_canonical_docs" -> ((s, dir) => {
+      Dedup.canonicalSurvivors(t(s, dir, "documents"), "doc_id", "text",
+        "n_chars")
+    }),
+
+    // Exact top-5 tokens per source through the BOUNDED top-k
+    // aggregate — where q115 reads the same ranking back from
+    // count-min estimates, this is the exact answer, and neither the
+    // count nor the pick ever concentrates a source's vocabulary on
+    // one task (map-side partials keep ≤ k rows per group).
+    "q135_top_tokens" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("neg_n", -col("n"))
+      Ranking.groupTopK(counts, Seq("source"),
+          Seq(col("neg_n"), col("tok")), 5)
+        .select(col("source"), col("rank"), col("tok"),
+          (-col("neg_n")).as("n"))
+    }),
+
     // Feature-hashed TF-IDF doc vectors: signed hashing trick over
     // 64 dims, exact-integer bit-length idf — the model-free
     // text→vector bridge, emitted long-form (the distributed layout).
@@ -3387,6 +3429,79 @@ object SparkEntry {
     // Same blocking, same 40-char heads, same (dist, right_id) best
     // pick — both engines run the classic Levenshtein DP (cross-
     // verified since q58), so distances are identical integers.
+    // The q112 two-pass robust-z replay over daily (user, day) counts,
+    // same type-1 ⌈n/2⌉ selections, same micro-quantized z, |z| ≥ 3.
+    "q134_rate_anomaly" ->
+      """WITH h AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, n, day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY n, day) AS rk,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM h),
+        |med AS (SELECT user_id, n AS med FROM r
+        |        WHERE rk = CAST(ceil(0.5 * cnt) AS BIGINT)),
+        |d AS (
+        |  SELECT h.user_id, h.day, h.n, med.med,
+        |         abs(h.n - med.med) AS dev
+        |  FROM h JOIN med USING (user_id)),
+        |r2 AS (
+        |  SELECT user_id, dev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY dev, day) AS rk,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM d),
+        |mad AS (SELECT user_id, dev AS mad FROM r2
+        |        WHERE rk = CAST(ceil(0.5 * cnt) AS BIGINT)),
+        |z AS (
+        |  SELECT d.user_id, d.day, d.n, d.med, mad.mad,
+        |    CASE WHEN mad.mad > 0 THEN
+        |      CAST(round(1e6 * CAST(d.n - d.med AS DOUBLE)
+        |           / CAST(mad.mad AS DOUBLE)) AS BIGINT) / 1e6
+        |    END AS z
+        |  FROM d JOIN mad USING (user_id))
+        |SELECT user_id, day, n, med, mad, z FROM z
+        |WHERE z IS NOT NULL AND abs(z) >= 3.0""".stripMargin,
+
+    // The q54 closure CTEs give near-dup components; singletons are
+    // their own component; survivor = (n_chars DESC, doc_id ASC).
+    "q136_canonical_docs" ->
+      s"""WITH RECURSIVE $dedupClosureCtes,
+         |allc AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+         |         d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |rk AS (
+         |  SELECT component, doc_id,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY n_chars DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY component) AS n_members
+         |  FROM allc)
+         |SELECT component, doc_id AS canonical_id,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM rk WHERE rn = 1""".stripMargin,
+
+    // Exact counts, same (n DESC, tok ASC) pick as the bounded
+    // aggregate's (-n, tok) ascending sort.
+    "q135_top_tokens" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        |  FROM tok GROUP BY 1, 2),
+        |k AS (
+        |  SELECT source, tok, n,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, tok) AS rank
+        |  FROM c)
+        |SELECT source, CAST(rank AS INTEGER) AS rank, tok, n
+        |FROM k WHERE rank <= 5""".stripMargin,
+
     "q133_record_linkage" ->
       """WITH l AS (
         |  SELECT doc_id AS left_id, lang, source,
@@ -3696,11 +3811,6 @@ object SparkEntry {
       s"\nSELECT t.node AS doc_id, t.rank AS rank FROM r$iters t"
   }
 
-  /** DuckDB twin of q129: the q36 verified-pair CTEs (bands →
-    * candidates → exact-Jaccard ≥ 0.6), milli-Jaccard weights, then
-    * `iters` unrolled WEIGHTED integer-PageRank rounds mirroring
-    * [[graft.operators.Graph.pageRankWeighted]] — the same
-    * overflow-safe (r//W)·w + ((r%W)·w)//W per-edge contribution. */
   /** q132: synchronous LPA replay — the q128 candidate edge CTEs,
     * then `iters` unrolled vote rounds. Votes are neighbor labels
     * only; the winner is (count DESC, label ASC) via row_number
@@ -3738,6 +3848,11 @@ object SparkEntry {
       s"\nSELECT node AS doc_id, lbl AS label FROM l$iters"
   }
 
+  /** DuckDB twin of q129: the q36 verified-pair CTEs (bands →
+    * candidates → exact-Jaccard ≥ 0.6), milli-Jaccard weights, then
+    * `iters` unrolled WEIGHTED integer-PageRank rounds mirroring
+    * [[graft.operators.Graph.pageRankWeighted]] — the same
+    * overflow-safe (r//W)·w + ((r%W)·w)//W per-edge contribution. */
   private def weightedPageRankOracleSql(iters: Int): String = {
     val head =
       s"""WITH bands AS ($minhashBandsSql),

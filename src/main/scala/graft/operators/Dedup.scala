@@ -439,6 +439,44 @@ object Dedup {
     * cluster's min-id survivor is dropped. Both stages pick the
     * min-id survivor, so their keep-decisions agree on overlap.
     * Returns the KEPT rows of `docs`, schema unchanged. */
+  /** Cluster-level survivorship: near-dup components with a QUALITY-
+    * chosen canonical per cluster — the merge step of record linkage
+    * and the "which mirror do we keep" step of corpus dedup, where
+    * [[dedupCorpus]]'s min-id survivor is arbitrary by design. Every
+    * doc belongs to exactly one cluster (its near-dup component, or
+    * itself when it has no near-dups); the canonical is the member
+    * maximizing (`scoreCol` DESC, id ASC) — highest quality wins,
+    * smallest id breaks ties deterministically.
+    *
+    * Clusters come from the NEAR-DUP graph: docs too short to
+    * shingle never pair (the [[minhashNearDups]] floor), so two
+    * identical unshingleable snippets stay separate singletons —
+    * run [[exact]] first if byte-identical shorts must merge.
+    *
+    * Scale: the near-dup pipeline is the cost (banded equi-joins, as
+    * everywhere); the survivor pick is one map-side-combinable
+    * hash-agg whose state is a single struct per cluster — no
+    * per-cluster window, a giant mirror-farm cluster costs the same
+    * agg state as a pair. Output: (component, canonical_id,
+    * n_members), one row per cluster including singletons. */
+  def canonicalSurvivors(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, threshold = threshold)
+    val comp = connectedComponents(pairs, "a", "b")
+      .withColumnRenamed("id", idCol)
+    docs.select(col(idCol), col(scoreCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .groupBy(col("component"))
+      .agg(min_by(col(idCol),
+          struct((-col(scoreCol)).as("ns"), col(idCol))).as("canonical_id"),
+        count(lit(1)).as("n_members"))
+  }
+
   def dedupCorpus(
       docs: DataFrame,
       idCol: String,

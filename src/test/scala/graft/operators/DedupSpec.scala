@@ -163,4 +163,19 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((1L, "epsilon zeta")))
     assert(!out.contains(3L) && !out.contains(4L))
   }
+
+  test("canonicalSurvivors: quality beats id; singletons are their own cluster") {
+    // Docs 1/2/3 form one near-dup cluster; give doc 3 the top score
+    // so quality overrides dedupCorpus's min-id pick. Docs 4 and 5
+    // have no near-dups (5 can't even shingle): singleton clusters.
+    val scored = docs.withColumn("score",
+      when(col("doc_id") === 3L, 100L).otherwise(col("doc_id") * 10L))
+    val out = Dedup.canonicalSurvivors(scored, "doc_id", "text", "score")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      1L -> ((3L, 3L)),   // cluster {1,2,3}: doc 3's score 100 wins
+      4L -> ((4L, 1L)),
+      5L -> ((5L, 1L))))
+  }
 }
