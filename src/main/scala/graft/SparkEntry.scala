@@ -1577,6 +1577,23 @@ object SparkEntry {
           col("mad"), col("z"))
     }),
 
+    // Leakage-safe train/val/test split: the hash split keyed by the
+    // near-dup COMPONENT, not the doc — a near-duplicate pair can
+    // never straddle train/test (the contamination q76 hunts for
+    // after the fact, prevented by construction). Same 80/10/10
+    // buckets as q55's doc-keyed split.
+    "q137_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val comp = Dedup.connectedComponents(
+          Dedup.minhashNearDups(docs, "doc_id", "text"), "a", "b")
+        .withColumnRenamed("id", "doc_id")
+      val keyed = docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      Sampling.assignSplit(keyed, col("component"), 80, 10)
+        .select(col("doc_id"), col("component"), col("split"))
+    }),
+
     // Cluster survivorship: near-dup components with a QUALITY-chosen
     // canonical (longest doc wins, min-id ties) — the merge step of
     // record linkage, where q62's min-id survivor is arbitrary by
@@ -3464,6 +3481,19 @@ object SparkEntry {
         |  FROM d JOIN mad USING (user_id))
         |SELECT user_id, day, n, med, mad, z FROM z
         |WHERE z IS NOT NULL AND abs(z) >= 3.0""".stripMargin,
+
+    // The q54 component closure + the q55 hash-bucket arithmetic,
+    // keyed by the component id.
+    "q137_leakage_safe_split" ->
+      s"""WITH RECURSIVE $dedupClosureCtes,
+         |allc AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, component,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM allc""".stripMargin,
 
     // The q54 closure CTEs give near-dup components; singletons are
     // their own component; survivor = (n_chars DESC, doc_id ASC).

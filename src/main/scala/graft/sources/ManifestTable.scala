@@ -639,6 +639,66 @@ object ManifestTable {
     old.length
   }
 
+  /** Roll `table` back to its contents AS OF log version
+    * `asOfVersion`, as a NEW zero-copy commit (Delta's RESTORE): the
+    * restore manifest re-references that version's live data files —
+    * snap + add lines, no data rewrite, because at 100 TB a rollback
+    * must be a metadata operation — carries their footer stats
+    * forward so file skipping keeps working, and re-stamps the
+    * schema as of that version. History is preserved: the rolled-back
+    * versions stay time-travel readable, a restore of a restore is
+    * just another commit, and [[vacuum]] keeps the re-referenced
+    * files alive (they appear in the restore manifest's adds). Other
+    * tables are untouched. `txnId` seals exactly-once like any
+    * commit; returns the committed version, or -1 if `txnId` was
+    * already sealed (idempotent replay). Throws where time travel
+    * would: the requested state predates the oldest reconstructible
+    * version, or the table did not exist at `asOfVersion`. */
+  def restore(
+      spark: SparkSession,
+      baseDir: String,
+      table: String,
+      asOfVersion: Long,
+      txnId: String): Long = {
+    require(txnId.nonEmpty && !txnId.contains("\n"), s"bad txnId: $txnId")
+    var log = readLog(spark, baseDir)
+    if (log.exists(_.txns.contains(txnId))) return -1L
+    val oldLog = logAsOf(spark, baseDir, asOfVersion)
+    val files = liveFiles(oldLog, table)
+    val schemaJson = oldLog.reverse.flatMap(_.schemas.get(table)).headOption
+    require(files.nonEmpty || schemaJson.isDefined,
+      s"$table did not exist at version $asOfVersion — nothing to restore")
+    val allStats = oldLog.flatMap(_.stats).toMap
+    val body = (Seq(s"txn:$txnId", s"snap:$table") ++
+      files.map(f => s"add:$f") ++
+      files.flatMap(f => allStats.get(f).map(j => s"stats:$f\t$j")) ++
+      schemaJson.map(j => s"schema:$table\t$j")).mkString("", "\n", "\n")
+    val (fs, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
+    fs.mkdirs(logPath)
+    val tmp = writeTmp(fs, logPath, body)
+    var attempts = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempts += 1
+      if (attempts > 100) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"restore commit for $txnId lost 100 races — aborting")
+      }
+      log = log ++ readLogAfter(spark, baseDir,
+        log.lastOption.map(_.version).getOrElse(0L))
+      if (log.exists(_.txns.contains(txnId))) { // a prior attempt won
+        fs.delete(tmp, false)
+        return -1L
+      }
+      val next = log.lastOption.map(_.version).getOrElse(0L) + 1
+      if (claimSlot(fs, tmp, new org.apache.hadoop.fs.Path(logPath,
+          versionName(next)))) committed = next
+    }
+    if (fs.getScheme == "file") fs.delete(tmp, false)
+    committed
+  }
+
   /** Read the committed snapshot of one table. `schema` serves the
     * zero-commit case (a table that exists logically but has no data
     * yet). `asOfVersion` time-travels to the table as of that log

@@ -146,6 +146,40 @@ class ManifestTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { at(2L) }
   }
 
+  test("restore rolls back zero-copy: old files re-referenced, history intact") {
+    val base = tmpBase()
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "v"), base, "t", "r1") // v1
+    ManifestTable.commit(Seq((2L, "b")).toDF("id", "v"), base, "t", "r2") // v2
+    ManifestTable.commitMulti(spark, base, "r3",                          // v3
+      snapshots = Map("t" -> Seq((9L, "bad")).toDF("id", "v")))
+    def now() = ManifestTable.read(spark, base, "t")
+      .as[(Long, String)].collect().toSet
+    assert(now() == Set((9L, "bad")))
+    val v2Files = ManifestTable.read(spark, base, "t",
+      asOfVersion = Some(2L)).inputFiles.toSet
+    // Roll back to v2 — a metadata commit, no data rewrite.
+    val v = ManifestTable.restore(spark, base, "t", 2L, "restore-1")
+    assert(v == 4L)
+    assert(now() == Set((1L, "a"), (2L, "b")))
+    assert(ManifestTable.read(spark, base, "t").inputFiles.toSet == v2Files,
+      "restore must re-reference the v2 files, not rewrite them")
+    // Replay is a sealed-txn no-op; the bad version stays readable.
+    assert(ManifestTable.restore(spark, base, "t", 2L, "restore-1") == -1L)
+    assert(ManifestTable.read(spark, base, "t", asOfVersion = Some(3L))
+      .as[(Long, String)].collect().toSet == Set((9L, "bad")))
+    // Stats ride along: a skip-read on the restored table still prunes.
+    val skipped = ManifestTable.read(spark, base, "t",
+      skipFilter = Some(org.apache.spark.sql.functions.col("id") >= 2L))
+    assert(skipped.as[(Long, String)].collect().toSet == Set((2L, "b")))
+    // vacuum (orphan cleanup) must keep every re-referenced file.
+    ManifestTable.vacuum(spark, base, "t")
+    assert(now() == Set((1L, "a"), (2L, "b")))
+    // Restoring to before the table existed refuses loudly.
+    intercept[IllegalArgumentException] {
+      ManifestTable.restore(spark, base, "missing", 1L, "restore-2")
+    }
+  }
+
   test("empty frames commit a schema-bearing file, never a file-less snapshot") {
     val base = tmpBase()
     val schema = org.apache.spark.sql.types.StructType(Seq(
