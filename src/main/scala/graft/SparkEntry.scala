@@ -1394,10 +1394,12 @@ object SparkEntry {
           .agg(count(lit(1)).as("c")))
       val state = Sketches.cmRegisters(exact, col("k"), Seq("source"),
         weight = col("c"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("c").desc, col("k"))
-      val keys = exact.withColumn("r", row_number().over(w))
-        .filter(col("r") <= 5).select(col("source"), col("k"))
+      // Top-5 per source via the bounded aggregate (as q135): even a
+      // vocabulary-sized partition needn't land on one window task.
+      val keys = Ranking.groupTopK(
+          exact.withColumn("negc", -col("c")),
+          Seq("source"), Seq(col("negc"), col("k")), 5)
+        .select(col("source"), col("k"))
       Sketches.cmEstimate(state, keys, "k", Seq("source"))
     }),
 
@@ -1457,10 +1459,15 @@ object SparkEntry {
     // among the first ⌈0.8·n⌉ rows, so the inclusive bar semantics
     // (everything at the bar passes together) are unchanged.
     "q127_percentile_filter" -> ((s, dir) => {
-      val scored = Training.qualityEnsemble(t(s, dir, "documents"),
-        "doc_id", "text", dfThreshold = 4L)
-        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
-          Seq("doc_id"))
+      // Pinned: the ensemble pipeline (rarity + repetition + LM) is
+      // the expensive upstream and BOTH consumers below reference it
+      // (the quantile bars and the final gate join) — without the
+      // truncation it runs twice.
+      val scored = Dedup.truncate(
+        Training.qualityEnsemble(t(s, dir, "documents"),
+          "doc_id", "text", dfThreshold = 4L)
+          .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+            Seq("doc_id")))
       val bars = Ranking.groupQuantiles(
           scored.select(col("source"), col("score_mu"), col("doc_id")),
           "source", "score_mu", "doc_id", Seq(0.8))

@@ -505,11 +505,13 @@ object Dedup {
     * order. Documents whose every sentence was seen earlier vanish —
     * they contribute nothing novel.
     *
-    * Scale: one shuffle keyed by sentence (exact-dup shape: the
-    * map-side is a split+explode, the reduce side a row_number over
-    * same-sentence groups — boilerplate sentences are the heavy keys
-    * and collapse to their first row), then one shuffle back on the
-    * doc id to rebuild. No corpus×corpus anything.
+    * Scale: one hash-agg keyed by sentence (exact-dup shape: the
+    * map-side is a split+explode, the reduce side a min-struct
+    * aggregate whose state is ONE (id, pos) per distinct sentence —
+    * a boilerplate sentence repeated across the whole corpus
+    * combines map-side instead of shipping every copy to one window
+    * task), then one shuffle back on the doc id to rebuild. No
+    * corpus×corpus anything.
     *
     * Output: (id, n_kept, text_deduped) for docs with ≥1 surviving
     * sentence. */
@@ -520,10 +522,12 @@ object Dedup {
       // positions are a stable property of the raw split.
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("sent"))
       .filter(length(col("sent")) > 0)
-    val w = Window.partitionBy(col("sent")).orderBy(col(idCol), col("pos"))
+    // First occurrence = lexicographic min (id, pos) per sentence; the
+    // winner rows ARE the kept set — no join back, no window.
     sents
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("sent"))
+      .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("__f"))
+      .select(col("__f.i").as(idCol), col("__f.p").as("pos"), col("sent"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         array_join(

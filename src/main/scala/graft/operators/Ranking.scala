@@ -84,6 +84,49 @@ object Ranking {
       .drop("__pid", "__opid", "__og", "__off")
   }
 
+  /** Exact per-group INCLUSIVE running sum of `valueCol` in
+    * `orderCols` order — the distributed prefix sum behind sequence
+    * packing and byte-offset assignment, built exactly like
+    * [[groupRank]] (rank IS this with value ≡ 1): range-repartition
+    * by (group, order…), pin, then a per-(partition, group) local
+    * running sum plus a broadcast offset census of per-(partition,
+    * group) SUBTOTALS. `row_number().over(partitionBy(group))`-style
+    * prefix sums put a whole group's rows on one task; here every
+    * window is bounded by the range-partition width. Same contract as
+    * [[groupRank]]: `orderCols` must end in a per-group-unique
+    * tiebreaker, NULL order values sort first, NULL groups are real
+    * groups.
+    *
+    * Output: the input columns + `running` (long). */
+  def groupRunningSum(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keys = col(groupCol) +: orderCols.map(col)
+    val parted = Dedup.truncate(
+      df.repartitionByRange(n, keys: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val census = parted.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(valueCol)).as("__c"))
+    val offW = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = census.select(col("__pid").as("__opid"),
+      col(groupCol).as("__og"),
+      coalesce(sum(col("__c")).over(offW), lit(0L)).as("__off"))
+    val runW = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offsets),
+        col("__pid") === col("__opid") && col(groupCol) <=> col("__og"))
+      .withColumn("running", col("__off") + sum(col(valueCol)).over(runW))
+      .drop("__pid", "__opid", "__og", "__off")
+  }
+
   /** Exact per-group top-k with aggregation state bounded by k — the
     * replacement for `row_number().over(partitionBy(group)) <= k` when
     * the group is unbounded (all candidate docs of one query, all rows

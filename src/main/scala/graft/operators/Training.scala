@@ -54,15 +54,17 @@ object Training {
       groupCol: String,
       budgetTokens: Int): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col(groupCol), col(idCol), col(lenCol).cast("long").as(lenCol))
-      .withColumn("__run", sum(col(lenCol)).over(w))
+    // Prefix sums via the range-partitioned [[Ranking.groupRunningSum]]
+    // — a per-group window would put ALL of one source's docs on one
+    // task, the hot-partition shape the Ranking module exists to avoid.
+    Ranking.groupRunningSum(
+        docs.select(col(groupCol), col(idCol),
+          col(lenCol).cast("long").as(lenCol)),
+        groupCol, Seq(idCol), lenCol)
       // Start offset of this doc = inclusive running sum minus itself.
       .withColumn("pack_id",
-        ((col("__run") - col(lenCol)) / budgetTokens).cast("long"))
-      .drop("__run")
+        ((col("running") - col(lenCol)) / budgetTokens).cast("long"))
+      .drop("running")
   }
 
   /** Benchmark-contamination check: fraction of each training doc's

@@ -140,6 +140,21 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("groupRunningSum: exact inclusive prefix sums across partition boundaries") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("a", 4L, 40L), ("b", 1L, 5L), ("b", 2L, 7L))
+      .toDF("g", "id", "v")
+    // numPartitions = 3 forces group a to SPAN range partitions, so
+    // the offset census actually carries subtotals across them.
+    val out = Ranking.groupRunningSum(df, "g", Seq("id"), "v",
+        numPartitions = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    assert(out == Map(("a", 1L) -> 10L, ("a", 2L) -> 30L,
+      ("a", 3L) -> 60L, ("a", 4L) -> 100L,
+      ("b", 1L) -> 5L, ("b", 2L) -> 12L))
+  }
+
   test("winsorize clips into the exact per-group [p05, p95] band") {
     val df = (1L to 100L).map(i => ("a", i, i)).toDF("source", "v", "id")
     val out = Ranking.winsorize(df, "source", "v", "id")
