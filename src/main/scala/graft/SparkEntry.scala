@@ -1584,6 +1584,20 @@ object SparkEntry {
           col("mad"), col("z"))
     }),
 
+    // Cross-source score calibration: every doc's quality-ensemble
+    // score mapped to its percentile WITHIN its source (rank/n, the
+    // CDF transform) — "top 10% of its own source" means the same
+    // thing in a clean source and a noisy one, which is what a
+    // cross-source mixing policy actually wants to threshold on.
+    "q138_score_calibration" -> ((s, dir) => {
+      val scored = Training.qualityEnsemble(t(s, dir, "documents"),
+          "doc_id", "text", dfThreshold = 4L)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("source"), col("score_mu"), col("doc_id"))
+      Ranking.percentileRanks(scored, "source", "score_mu", "doc_id")
+    }),
+
     // Leakage-safe train/val/test split: the hash split keyed by the
     // near-dup COMPONENT, not the doc — a near-duplicate pair can
     // never straddle train/test (the contamination q76 hunts for
@@ -3488,6 +3502,25 @@ object SparkEntry {
         |  FROM d JOIN mad USING (user_id))
         |SELECT user_id, day, n, med, mad, z FROM z
         |WHERE z IS NOT NULL AND abs(z) >= 3.0""".stripMargin,
+
+    // q126's score CTEs + the q112-style rank construction; pct is
+    // one IEEE divide of two exact longs — bit-identical unquantized.
+    "q138_score_calibration" ->
+      s"""WITH $ensembleMuSql,
+         |sc AS (
+         |  SELECT d.source, mu.doc_id,
+         |    CAST(mu.rare_mu + mu.top2_mu + mu.dup3_mu + mu.nll_mu // 10
+         |      AS BIGINT) AS score_mu
+         |  FROM mu JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT source, doc_id, score_mu,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY score_mu, doc_id) AS rank,
+         |    count(*) OVER (PARTITION BY source) AS cnt
+         |  FROM sc)
+         |SELECT source, doc_id, score_mu, CAST(rank AS BIGINT) AS rank,
+         |       CAST(rank AS DOUBLE) / CAST(cnt AS DOUBLE) AS pct
+         |FROM r""".stripMargin,
 
     // The q54 component closure + the q55 hash-bucket arithmetic,
     // keyed by the component id.

@@ -27,9 +27,12 @@ object Linkage {
     *    language + source + length-bucket compound beats any single
     *    coarse key).
     *  - score: exact Levenshtein distance over `leftText`/`rightText`
-    *    (codegen'd builtin, classic DP — engine-portable). Cap the
-    *    compared prefix upstream (`substring`) when fields are long:
-    *    the DP is O(|a|·|b|) per pair.
+    *    (codegen'd builtin, classic DP — engine-portable), computed
+    *    with the threshold variant: the banded DP is O(|a|·maxDist)
+    *    per pair and bails out early on hopeless pairs — at blocking
+    *    scale most candidates ARE hopeless, which makes the bail-out
+    *    the common path. Cap the compared prefix upstream
+    *    (`substring`) when fields are very long anyway.
     *  - keep: `dist <= maxDist`, then the k best per left record by
     *    (dist ASC, right id ASC — the deterministic tie-break)
     *    through [[Ranking.groupTopK]], whose aggregation state is
@@ -62,9 +65,11 @@ object Linkage {
     val r = right.select(
       blockCols.map(col) :+ col(rightId).as("right_id") :+
         col(rightText).as("__rt"): _*)
+    // The threshold form returns -1 for over-threshold pairs — the
+    // filter keeps [0, maxDist] either way.
     val cand = l.join(r, blockCols)
-      .withColumn("dist", levenshtein(col("__lt"), col("__rt")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("__lt"), col("__rt"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
     Ranking.groupTopK(cand, Seq("left_id"),
       Seq(col("dist"), col("right_id")), k)
   }

@@ -314,6 +314,38 @@ object Ranking {
         col("mad"), col("z"))
   }
 
+  /** Per-row percentile within its group — the rank-based CDF
+    * transform (pct = rank / n ∈ (0, 1]) that calibrates
+    * heterogeneous per-source scores onto one comparable scale
+    * before cross-source mixing: a "good" score in a clean source
+    * and a "good" score in a noisy one land on the same percentile
+    * axis. Ranks come from the scale-safe [[groupRank]]; n is the
+    * group's non-null count. pct needs no quantization: rank and n
+    * are exact longs and one IEEE divide of the same two integers is
+    * correctly rounded — bit-identical — in any engine. NULL values
+    * are excluded (as [[groupQuantiles]]); NULL-value rows are
+    * absent from the output.
+    *
+    * Output: (group, tie, value, rank, pct). */
+  def percentileRanks(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String): DataFrame = {
+    val ranked = groupRank(
+      df.filter(col(valueCol).isNotNull)
+        .select(col(groupCol), col(valueCol), col(tieCol)),
+      groupCol, Seq(valueCol, tieCol))
+    val cnt = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumnRenamed(groupCol, "__cg")
+    ranked.join(broadcast(cnt), col(groupCol) <=> col("__cg"))
+      .withColumn("pct",
+        col("rank").cast("double") / col("__n").cast("double"))
+      .select(col(groupCol), col(tieCol), col(valueCol), col("rank"),
+        col("pct"))
+  }
+
   /** Equal-frequency bucket per row within its group, from the exact
     * [[groupRank]]: bucket = (rank−1)·nBuckets div groupCount, an
     * integer in [0, nBuckets). Ranks and counts are exact Longs; the

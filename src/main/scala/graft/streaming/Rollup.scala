@@ -278,6 +278,34 @@ object Rollup {
     parts.reduce(_.unionByName(_))
   }
 
+  /** The trending-terms read over a [[sumCountSinkPartitioned]]
+    * rollup: top `k` rows per `groupCols` by `orderCol` DESC (ties:
+    * `tieCols` ASC — make them the remaining key columns so the pick
+    * is total), through the bounded [[graft.operators.Ranking
+    * .groupTopK]] aggregate — a dashboard refresh reads the
+    * metadata-listed snapshot and never concentrates a group's whole
+    * key space on one window task. The maintained counts are exact
+    * (sum-merged per batch), so this is the EXACT trending answer,
+    * incrementally maintained. Output: groupCols + rank + the negated
+    * order column (`__neg`) + tieCols + any remaining carried
+    * columns; `orderCol` itself is restored un-negated. */
+  def readPartitionedTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      baseDir: String,
+      table: String,
+      groupCols: Seq[String],
+      tieCols: Seq[String],
+      orderCol: String,
+      k: Int): DataFrame = {
+    require(tieCols.nonEmpty, "tieCols must make the pick total")
+    val snap = readPartitioned(spark, baseDir, table)
+      .withColumn("__neg", -col(orderCol))
+    graft.operators.Ranking.groupTopK(snap, groupCols,
+        col("__neg") +: tieCols.map(col), k)
+      .withColumn(orderCol, -col("__neg"))
+      .drop("__neg")
+  }
+
   /** Streaming quantile materialized view: maintain per-key log-linear
     * histogram buckets ([[graft.operators.Sketches.lhBuckets]] — the
     * mergeable state, ≤ ~488 small rows per key regardless of stream

@@ -132,6 +132,34 @@ class RollupSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("readPartitionedTopK: exact trending top-k from the maintained snapshot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("topk").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("topk-ck").toString
+    val input = MemoryStream[(String, String, Long)](spark)
+    val q = Rollup.sumCountSinkPartitioned(
+      input.toDF().toDF("src", "term", "v"), keyCols = Seq("src", "term"),
+      sumCols = Seq("v"), base, "tr", streamId = "tk1",
+      checkpointDir = ckpt, nParts = 4).start()
+    try {
+      input.addData(("a", "x", 1L), ("a", "x", 1L), ("a", "y", 1L),
+        ("b", "p", 1L))
+      q.processAllAvailable()
+      // Second batch flips a's leader to y and introduces z.
+      input.addData(("a", "y", 1L), ("a", "y", 1L), ("a", "z", 1L),
+        ("b", "q", 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val top = Rollup.readPartitionedTopK(spark, base, "tr",
+        Seq("src"), Seq("term"), "n_rows", 2)
+      .select(col("src"), col("rank"), col("term"), col("n_rows"))
+      .as[(String, Int, String, Long)].collect().toSet
+    // a: y=3, x=2 (z=1 drops); b: p=1, q=1 — term ASC breaks the tie.
+    assert(top == Set(("a", 1, "y", 3L), ("a", 2, "x", 2L),
+      ("b", 1, "p", 1L), ("b", 2, "q", 1L)))
+  }
+
   test("quantileSink: streamed bucket merge == batch sketch, bit-exact") {
     import graft.operators.Sketches
     import org.apache.spark.sql.functions.col
