@@ -3464,9 +3464,6 @@ object SparkEntry {
 
     "q132_label_propagation" -> labelPropagationOracleSql(3),
 
-    // Same blocking, same 40-char heads, same (dist, right_id) best
-    // pick — both engines run the classic Levenshtein DP (cross-
-    // verified since q58), so distances are identical integers.
     // The q112 two-pass robust-z replay over daily (user, day) counts,
     // same type-1 ⌈n/2⌉ selections, same micro-quantized z, |z| ≥ 3.
     "q134_rate_anomaly" ->
@@ -3572,6 +3569,11 @@ object SparkEntry {
         |SELECT source, CAST(rank AS INTEGER) AS rank, tok, n
         |FROM k WHERE rank <= 5""".stripMargin,
 
+    // Same blocking, same 40-char heads, same (dist, right_id) best
+    // pick. DuckDB runs the full Levenshtein DP; Spark runs the
+    // BANDED threshold variant — distances are identical integers for
+    // every pair within maxDist (the only ones either side keeps; the
+    // Spark-side -1 over-threshold sentinel is filtered out).
     "q133_record_linkage" ->
       """WITH l AS (
         |  SELECT doc_id AS left_id, lang, source,

@@ -430,15 +430,6 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** End-to-end corpus dedup — the one-call path a training-data
-    * pipeline runs: EXACT duplicates collapse first (hash-groupBy on
-    * the text — this also covers docs too short to shingle, which the
-    * MinHash stage drops), then MinHash-LSH proposes near-dup
-    * candidates, exact Jaccard verifies, connected components turn
-    * pairs into clusters, and every document that is not its
-    * cluster's min-id survivor is dropped. Both stages pick the
-    * min-id survivor, so their keep-decisions agree on overlap.
-    * Returns the KEPT rows of `docs`, schema unchanged. */
   /** Cluster-level survivorship: near-dup components with a QUALITY-
     * chosen canonical per cluster — the merge step of record linkage
     * and the "which mirror do we keep" step of corpus dedup, where
@@ -472,11 +463,25 @@ object Dedup {
       .join(comp, Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))
       .groupBy(col("component"))
+      // NULL scores lose to ANY scored member (the leading flag —
+      // Spark's ascending struct order would otherwise sort a NULL
+      // -score FIRST and elect the one member whose quality was never
+      // computed); an all-NULL cluster falls back to min id.
       .agg(min_by(col(idCol),
-          struct((-col(scoreCol)).as("ns"), col(idCol))).as("canonical_id"),
+          struct(when(col(scoreCol).isNull, 1).otherwise(0).as("nf"),
+            (-col(scoreCol)).as("ns"), col(idCol))).as("canonical_id"),
         count(lit(1)).as("n_members"))
   }
 
+  /** End-to-end corpus dedup — the one-call path a training-data
+    * pipeline runs: EXACT duplicates collapse first (hash-groupBy on
+    * the text — this also covers docs too short to shingle, which the
+    * MinHash stage drops), then MinHash-LSH proposes near-dup
+    * candidates, exact Jaccard verifies, connected components turn
+    * pairs into clusters, and every document that is not its
+    * cluster's min-id survivor is dropped. Both stages pick the
+    * min-id survivor, so their keep-decisions agree on overlap.
+    * Returns the KEPT rows of `docs`, schema unchanged. */
   def dedupCorpus(
       docs: DataFrame,
       idCol: String,

@@ -55,7 +55,26 @@ object Ranking {
       df: DataFrame,
       groupCol: String,
       orderCols: Seq[String],
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    prefixAgg(df, groupCol, orderCols, lit(1L), "rank", numPartitions)
+
+  /** The shared scaffold behind [[groupRank]] and [[groupRunningSum]]:
+    * exact per-group inclusive prefix sum of `value` in `orderCols`
+    * order (rank IS the value ≡ 1 case). Range-repartition by
+    * (group, order…), pin (data, pid) together, census the
+    * per-(pid, group) SUBTOTALS, broadcast-join each row its
+    * earlier-pids offset, and finish with a window bounded by the
+    * range-partition width. The pid must be data, not recomputed: a
+    * later `spark_partition_id()` evaluates in whatever stage the
+    * plan fuses it into, and the census and the per-row window must
+    * agree on it. */
+  private def prefixAgg(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      value: Column,
+      outName: String,
+      numPartitions: Int): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -63,24 +82,25 @@ object Ranking {
     val parted = Dedup.truncate(
       df.repartitionByRange(n, keys: _*)
         .withColumn("__pid", spark_partition_id()))
-    // Offset census: rows per (pid, group), then the running sum of
-    // earlier pids' counts within each group. Metadata-sized
+    // Offset census: value subtotal per (pid, group), then the running
+    // sum of earlier pids' subtotals within each group. Metadata-sized
     // (partitions × groups), so the window here is trivial and the
     // join back broadcasts.
     val census = parted.groupBy(col("__pid"), col(groupCol))
-      .agg(count(lit(1)).as("__c"))
+      .agg(sum(value).as("__c"))
     val offW = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = census.select(col("__pid").as("__opid"),
       col(groupCol).as("__og"),
       coalesce(sum(col("__c")).over(offW), lit(0L)).as("__off"))
-    val rnW = Window.partitionBy(col("__pid"), col(groupCol))
+    val runW = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Null-safe group match: a NULL group is a real group (the census
     // saw it), and a plain equi-join would silently drop its rows.
     parted.join(broadcast(offsets),
         col("__pid") === col("__opid") && col(groupCol) <=> col("__og"))
-      .withColumn("rank", col("__off") + row_number().over(rnW))
+      .withColumn(outName, col("__off") + sum(value).over(runW))
       .drop("__pid", "__opid", "__og", "__off")
   }
 
@@ -103,29 +123,9 @@ object Ranking {
       groupCol: String,
       orderCols: Seq[String],
       valueCol: String,
-      numPartitions: Int = 0): DataFrame = {
-    require(orderCols.nonEmpty, "orderCols must be non-empty")
-    val n = if (numPartitions > 0) numPartitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val keys = col(groupCol) +: orderCols.map(col)
-    val parted = Dedup.truncate(
-      df.repartitionByRange(n, keys: _*)
-        .withColumn("__pid", spark_partition_id()))
-    val census = parted.groupBy(col("__pid"), col(groupCol))
-      .agg(sum(col(valueCol)).as("__c"))
-    val offW = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = census.select(col("__pid").as("__opid"),
-      col(groupCol).as("__og"),
-      coalesce(sum(col("__c")).over(offW), lit(0L)).as("__off"))
-    val runW = Window.partitionBy(col("__pid"), col(groupCol))
-      .orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted.join(broadcast(offsets),
-        col("__pid") === col("__opid") && col(groupCol) <=> col("__og"))
-      .withColumn("running", col("__off") + sum(col(valueCol)).over(runW))
-      .drop("__pid", "__opid", "__og", "__off")
-  }
+      numPartitions: Int = 0): DataFrame =
+    prefixAgg(df, groupCol, orderCols, col(valueCol), "running",
+      numPartitions)
 
   /** Exact per-group top-k with aggregation state bounded by k — the
     * replacement for `row_number().over(partitionBy(group)) <= k` when

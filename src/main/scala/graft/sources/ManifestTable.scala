@@ -668,6 +668,16 @@ object ManifestTable {
     val schemaJson = oldLog.reverse.flatMap(_.schemas.get(table)).headOption
     require(files.nonEmpty || schemaJson.isDefined,
       s"$table did not exist at version $asOfVersion — nothing to restore")
+    // A pre-schema-tracking state can only be restored while no LATER
+    // commit has stamped a schema: the restore manifest would carry no
+    // schema line, so post-restore reads would resolve the newer
+    // schema and apply it to the legacy files — where a time-travel
+    // read of the same state correctly falls back to inference.
+    require(schemaJson.isDefined ||
+        log.forall(_.schemas.get(table).isEmpty),
+      s"$table had no tracked schema at version $asOfVersion but a later " +
+        "commit stamped one — restoring would misread the legacy files " +
+        "under the newer schema; snapshot the time-travel read instead")
     val allStats = oldLog.flatMap(_.stats).toMap
     val body = (Seq(s"txn:$txnId", s"snap:$table") ++
       files.map(f => s"add:$f") ++

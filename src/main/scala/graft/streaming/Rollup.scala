@@ -286,9 +286,10 @@ object Rollup {
     * metadata-listed snapshot and never concentrates a group's whole
     * key space on one window task. The maintained counts are exact
     * (sum-merged per batch), so this is the EXACT trending answer,
-    * incrementally maintained. Output: groupCols + rank + the negated
-    * order column (`__neg`) + tieCols + any remaining carried
-    * columns; `orderCol` itself is restored un-negated. */
+    * incrementally maintained. Output: groupCols + rank + tieCols +
+    * every remaining snapshot column (the maintained sums ride along
+    * as payload fields after the tiebreaker) + `orderCol` restored
+    * un-negated as the last column. */
   def readPartitionedTopK(
       spark: org.apache.spark.sql.SparkSession,
       baseDir: String,
@@ -300,8 +301,13 @@ object Rollup {
     require(tieCols.nonEmpty, "tieCols must make the pick total")
     val snap = readPartitioned(spark, baseDir, table)
       .withColumn("__neg", -col(orderCol))
+    // groupTopK carries exactly its sort fields — append the leftover
+    // snapshot columns as payload fields (after the tiebreaker, so
+    // they cannot influence the pick) or they'd vanish from the view.
+    val payload = snap.columns.toSeq
+      .filterNot((groupCols ++ tieCols :+ orderCol :+ "__neg").contains)
     graft.operators.Ranking.groupTopK(snap, groupCols,
-        col("__neg") +: tieCols.map(col), k)
+        (col("__neg") +: tieCols.map(col)) ++ payload.map(col), k)
       .withColumn(orderCol, -col("__neg"))
       .drop("__neg")
   }

@@ -178,4 +178,21 @@ class DedupSpec extends SparkSpec {
       4L -> ((4L, 1L)),
       5L -> ((5L, 1L))))
   }
+
+  test("canonicalSurvivors: NULL scores lose; all-NULL clusters fall back to min id") {
+    // Doc 1 has no score — it must NOT win its cluster (Spark's
+    // ascending struct order would otherwise sort NULL -score first);
+    // docs 4/5 are unscored singletons and elect themselves.
+    val scored = docs.withColumn("score",
+      when(col("doc_id") === 1L, lit(null).cast("long"))
+        .when(col("doc_id") === 2L, 50L)
+        .when(col("doc_id") === 3L, 100L))
+    val out = Dedup.canonicalSurvivors(scored, "doc_id", "text", "score")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      1L -> ((3L, 3L)),   // scored member beats the NULL-scored one
+      4L -> ((4L, 1L)),
+      5L -> ((5L, 1L))))
+  }
 }

@@ -151,13 +151,19 @@ class RollupSpec extends SparkSpec {
         ("b", "q", 1L))
       q.processAllAvailable()
     } finally q.stop()
-    val top = Rollup.readPartitionedTopK(spark, base, "tr",
-        Seq("src"), Seq("term"), "n_rows", 2)
+    val topDf = Rollup.readPartitionedTopK(spark, base, "tr",
+      Seq("src"), Seq("term"), "n_rows", 2)
+    val top = topDf
       .select(col("src"), col("rank"), col("term"), col("n_rows"))
       .as[(String, Int, String, Long)].collect().toSet
     // a: y=3, x=2 (z=1 drops); b: p=1, q=1 — term ASC breaks the tie.
     assert(top == Set(("a", 1, "y", 3L), ("a", 2, "x", 2L),
       ("b", 1, "p", 1L), ("b", 2, "q", 1L)))
+    // The maintained sums ride along as payload columns.
+    val sums = topDf.select(col("src"), col("term"), col("sum_v"))
+      .as[(String, String, Long)].collect().toSet
+    assert(sums == Set(("a", "y", 3L), ("a", "x", 2L),
+      ("b", "p", 1L), ("b", "q", 1L)))
   }
 
   test("quantileSink: streamed bucket merge == batch sketch, bit-exact") {
