@@ -169,4 +169,47 @@ class SimilaritySpec extends SparkSpec {
     // vec 3 is antipodal ⇒ different bucket, never a candidate.
     assert(!ids.contains(3L))
   }
+
+  test("incremental IVF: frozen-centroid append via a persisted index == full rebuild") {
+    import graft.sources.ManifestTable
+    // The maintained-index lifecycle: build once over the day-0 corpus
+    // (centroids FROZEN from day 0), persist the inverted lists as an
+    // ACID table, then index each new batch against the same centroids
+    // and APPEND — no rebuild, no re-assignment of old vectors. The
+    // read-back index must serve searches identically to a one-shot
+    // build over everything.
+    val day0 = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.1f, 0.9f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val day1 = Seq(
+      (10L, Array(0.95f, 0.05f, 0.0f)), (11L, Array(0.0f, 0.2f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ivf").toString
+    val cents = Similarity.ivfCentroids(day0, "vec_id", "embedding", 3)
+    ManifestTable.commit(
+      Similarity.ivfIndex(day0, "vec_id", "embedding", 3, Some(cents)),
+      base, "ivf", "day0")
+    ManifestTable.commit(
+      Similarity.ivfIndex(day1, "vec_id", "embedding", 3, Some(cents)),
+      base, "ivf", "day1")
+    val persisted = ManifestTable.read(spark, base, "ivf")
+    val rebuilt = Similarity.ivfIndex(day0.unionByName(day1),
+      "vec_id", "embedding", 3, Some(cents))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toSet
+    assert(cells(persisted) == cells(rebuilt),
+      "appended assignments must equal the one-shot build")
+    // Searches over the persisted index match the rebuilt one exactly.
+    val queries = day0.filter(col("vec_id") === 0L)
+    def topk(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(idx, cents, queries, "vec_id", "embedding",
+          k = 3, nProbe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .as[(Long, Int, Long)].collect().toSet
+    val fromDisk = topk(persisted)
+    assert(fromDisk == topk(rebuilt))
+    // The day-1 near-twin of vector 0 is actually found.
+    assert(fromDisk.exists(_._3 == 10L))
+  }
 }
