@@ -45,6 +45,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("linkage and anomaly queries never degrade to cartesian products") {
+    for (q <- Seq("q133_record_linkage", "q134_rate_anomaly",
+        "q137_leakage_safe_split", "q136_canonical_docs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product")
+    }
+  }
+
+  test("bounded top-k queries aggregate, never window-partition the group") {
+    for (q <- Seq("q135_top_tokens", "q106_bm25")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q should pick top-k through the bounded aggregate:\n$p")
+      assert(!p.contains("RunningWindowFunction") &&
+        !p.contains("Window [row_number"),
+        s"$q must not rank through a per-group window")
+    }
+  }
+
   test("q02/q37 map-only queries stay in one whole-stage codegen span, no exchange") {
     for (q <- Seq("q02_normalize", "q37_string_surface")) {
       val p = plan(q)
