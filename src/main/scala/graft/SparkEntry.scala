@@ -1584,6 +1584,51 @@ object SparkEntry {
           col("mad"), col("z"))
     }),
 
+    // RESTORE round-trip through the ACID layer, end to end: commit a
+    // correct per-priority order census, clobber it with a bad
+    // snapshot, roll back with the zero-copy restore, read back. The
+    // DuckDB oracle computes the v1 census directly from the raw
+    // table — so commit, snapshot-replace, restore, manifest read,
+    // stats carry-forward AND the aggregation itself are all under
+    // the cross-engine hash gate, not just a spec.
+    "q139_restore_roundtrip" -> ((s, dir) => {
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q139").toString
+      val v1 = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+      ManifestTable.commit(v1, base, "census", "good")          // v1
+      ManifestTable.commitMulti(s, base, "clobber",             // v2
+        snapshots = Map("census" -> v1.limit(1)))
+      ManifestTable.restore(s, base, "census", 1L, "rollback")  // v3
+      ManifestTable.read(s, base, "census")
+    }),
+
+    // Change-data-feed round-trip: commit a keyed snapshot, MERGE a
+    // delta that modifies the [5,10) overlap and inserts [10,15),
+    // then read the NET insert/delete feed between the two versions
+    // from the manifest log alone. The oracle recomputes both states
+    // set-theoretically (EXCEPT ALL both ways) — so upsertKeyed's
+    // file rewrites, the log reconstruction, AND the net-diff
+    // algebra all sit under the cross-engine hash gate.
+    "q140_change_feed" -> ((s, dir) => {
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q140").toString
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey"), cents(col("c_acctbal")).as("bal_cents"))
+      ManifestTable.commit(cust.filter(col("c_nationkey") < 10),
+        base, "c", "v1")
+      val delta = cust
+        .filter(col("c_nationkey") >= 5 && col("c_nationkey") < 15)
+        .withColumn("bal_cents", col("bal_cents") + 1)
+      ManifestTable.upsertKeyed(s, base, "c", delta, "c_custkey", "v2")
+      ManifestTable.tableChanges(s, base, "c", 1L, 2L, netOnly = true)
+    }),
+
     // Cross-source score calibration: every doc's quality-ensemble
     // score mapped to its percentile WITHIN its source (rank/n, the
     // CDF transform) — "top 10% of its own source" means the same
@@ -3499,6 +3544,37 @@ object SparkEntry {
         |  FROM d JOIN mad USING (user_id))
         |SELECT user_id, day, n, med, mad, z FROM z
         |WHERE z IS NOT NULL AND abs(z) >= 3.0""".stripMargin,
+
+    // Both states recomputed set-theoretically; net feed = EXCEPT ALL
+    // both ways, tagged. Same scale-0 cents rounding (portable).
+    "q140_change_feed" ->
+      """WITH v1 AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer WHERE c_nationkey < 10),
+        |delta AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) + 1 AS bal_cents
+        |  FROM customer WHERE c_nationkey >= 5 AND c_nationkey < 15),
+        |v2 AS (
+        |  SELECT * FROM v1
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM delta)
+        |  UNION ALL SELECT * FROM delta),
+        |ins AS (SELECT *, 'insert' AS _change_type FROM
+        |  (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)),
+        |del AS (SELECT *, 'delete' AS _change_type FROM
+        |  (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2))
+        |SELECT * FROM ins UNION ALL SELECT * FROM del""".stripMargin,
+
+    // The v1 census computed directly — if the Spark side's commit →
+    // clobber → restore → read loses or reshapes anything, the hash
+    // gate catches it.
+    "q139_restore_roundtrip" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // q126's score CTEs + the q112-style rank construction; pct is
     // one IEEE divide of two exact longs — bit-identical unquantized.
