@@ -26,6 +26,22 @@ object SparkEntry {
   /** Per-row fixed-point: dollars-ish double → exact integer cents. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** A self-cleaning scratch dir for the ACID round-trip gates
+    * (q139/q140): the returned frame is read lazily AFTER the builder
+    * returns, so the dir cannot be deleted eagerly — a JVM shutdown
+    * hook reaps it instead (Bench invokes each builder 3×; without
+    * cleanup every run would strand table commits in /tmp). */
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try
+        java.nio.file.Files.walk(d)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      catch { case _: Throwable => () }))
+    d.toString
+  }
+
   /** P2 mapping used by the event-normalization queries. */
   private val stateMap = Map(
     "click" -> "cleaning", "view" -> "idle", "purchase" -> "spot_cleaning",
@@ -1593,8 +1609,7 @@ object SparkEntry {
     // the cross-engine hash gate, not just a spec.
     "q139_restore_roundtrip" -> ((s, dir) => {
       import graft.sources.ManifestTable
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-q139").toString
+      val base = scratchDir("graft-q139")
       val v1 = t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
@@ -1616,8 +1631,7 @@ object SparkEntry {
     // algebra all sit under the cross-engine hash gate.
     "q140_change_feed" -> ((s, dir) => {
       import graft.sources.ManifestTable
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-q140").toString
+      val base = scratchDir("graft-q140")
       val cust = t(s, dir, "customer").select(col("c_custkey"),
         col("c_nationkey"), cents(col("c_acctbal")).as("bal_cents"))
       ManifestTable.commit(cust.filter(col("c_nationkey") < 10),
