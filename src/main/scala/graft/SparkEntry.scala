@@ -1600,6 +1600,32 @@ object SparkEntry {
           col("mad"), col("z"))
     }),
 
+    // Hot-key join through the salt-replicate shape: the left side
+    // salts, the small side replicates ×8, the join runs on
+    // (key, salt) so one celebrity key spreads over 8 tasks — and the
+    // result must be EXACTLY the plain join (the oracle), salting is
+    // pure plan shape.
+    "q141_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(li, sup, "l_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+
+    // Equal-frequency decile per doc within its source (integer-exact
+    // cut: bucket = (rank−1)·10 div n) — the length-balanced
+    // curriculum binning, ranks from the range-partitioned groupRank.
+    "q142_group_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        col("doc_id"))
+      Ranking.groupBuckets(docs, "source", Seq("n_tokens", "doc_id"), 10)
+    }),
+
     // RESTORE round-trip through the ACID layer, end to end: commit a
     // correct per-priority order census, clobber it with a bad
     // snapshot, roll back with the zero-copy restore, read back. The
@@ -3558,6 +3584,32 @@ object SparkEntry {
         |  FROM d JOIN mad USING (user_id))
         |SELECT user_id, day, n, med, mad, z FROM z
         |WHERE z IS NOT NULL AND abs(z) >= 3.0""".stripMargin,
+
+    // The PLAIN join — salting must be invisible in the result.
+    "q141_salted_join" ->
+      """SELECT s.s_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    // The q112-style rank construction + the integer decile cut.
+    "q142_group_buckets" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+        |    doc_id
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_tokens, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tokens, doc_id) AS rank,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM s)
+        |SELECT source, n_tokens, doc_id, CAST(rank AS BIGINT) AS rank,
+        |       CAST(((rank - 1) * 10) // cnt AS INTEGER) AS bucket
+        |FROM r""".stripMargin,
 
     // Both states recomputed set-theoretically; net feed = EXCEPT ALL
     // both ways, tagged. Same scale-0 cents rounding (portable).
