@@ -41,6 +41,11 @@ object Bench {
       // already counted, so nothing downstream reads the blocks.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // The ACID gates (q139/q140) mint scratch table dirs per builder
+      // invocation; the count above fully consumed them, so reclaim
+      // the space now instead of piling 6+ table copies into /tmp for
+      // the JVM lifetime.
+      SparkEntry.reapScratch()
     }
     val results = samples.map { case (name, times) =>
       val stat = if (times.contains(-1.0)) (-1.0, -1.0)

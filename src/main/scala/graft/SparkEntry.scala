@@ -28,17 +28,37 @@ object SparkEntry {
 
   /** A self-cleaning scratch dir for the ACID round-trip gates
     * (q139/q140): the returned frame is read lazily AFTER the builder
-    * returns, so the dir cannot be deleted eagerly — a JVM shutdown
-    * hook reaps it instead (Bench invokes each builder 3×; without
-    * cleanup every run would strand table commits in /tmp). */
-  private def scratchDir(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    * returns, so the dir cannot be deleted eagerly. All scratch dirs
+    * register in ONE shared list reaped by ONE shutdown hook — Bench
+    * invokes each builder 3× and a long-lived driver (notebook /
+    * Verify session) many more, so per-call hooks would accumulate
+    * one thread each for the JVM lifetime. [[reapScratch]] lets such
+    * a driver reclaim the space between runs without waiting for
+    * shutdown (a re-invoked builder mints a fresh dir, so reaping
+    * old ones never races a live query). */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => reapScratch()))
+  }
+
+  /** Best-effort delete of every scratch dir minted so far; safe to
+    * call between Bench iterations or from a long-lived session. */
+  def reapScratch(): Unit = {
+    val it = scratchDirs.iterator()
+    while (it.hasNext) {
+      val d = it.next(); it.remove()
       try
         java.nio.file.Files.walk(d)
           .sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      catch { case _: Throwable => () }))
+      catch { case _: Throwable => () }
+    }
+  }
+
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(d)
     d.toString
   }
 

@@ -143,6 +143,16 @@ object Ranking {
     * deterministic under any partitioning — the same contract as
     * [[groupRank]]. All fields are carried to the output.
     *
+    * Rows whose PRIMARY sort field is NULL are excluded before the
+    * aggregate. Struct comparison is NULLS FIRST, so under the
+    * negate-for-descending idiom a NULL score would silently rank
+    * FIRST — the inverse of the `orderBy(desc)` windows this
+    * replaces, which rank NULLs last. Excluding them matches the
+    * window semantics whenever the group has ≥ k scored rows (the
+    * only case where it changes the answer is a group padded out with
+    * unscored rows, where ranking them is meaningless anyway), and it
+    * matches [[groupQuantiles]]' documented NULL stance.
+    *
     * Output: groupCols + `rank` (int, 1-based) + one column per
     * sortField, in order. */
   def groupTopK(
@@ -153,7 +163,8 @@ object Ranking {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(sortFields.nonEmpty, "sortFields must be non-empty")
     val g = groupCols.map(col)
-    df.groupBy(g: _*)
+    df.filter(sortFields.head.isNotNull)
+      .groupBy(g: _*)
       .agg(TopKAggregate.topKStructs(sortFields, k).as("__topk"))
       .select(g :+ posexplode(col("__topk")).as(Seq("__pos", "__e")): _*)
       .select(g ++ Seq((col("__pos") + 1).cast("int").as("rank"),

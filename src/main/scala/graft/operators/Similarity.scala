@@ -392,10 +392,16 @@ object Similarity {
     *
     * Scale: both sides are queries×k rows — metadata-sized by
     * construction; the join and rollup are trivial next to the
-    * searches that produced them. Output: (query_id, n_hit, recall). */
+    * searches that produced them. Both inputs are deduplicated on
+    * (query_id, neighbor_id) first: this is a public gate that
+    * accepts any frame, and a duplicate pair would fan out the join
+    * and silently inflate both k and n_hit — corrupting the recall
+    * it exists to keep honest. Output: (query_id, n_hit, recall). */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .join(approx.select(col("query_id"), col("neighbor_id"))
+          .dropDuplicates("query_id", "neighbor_id")
           .withColumn("hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))

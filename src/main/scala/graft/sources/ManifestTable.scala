@@ -673,11 +673,14 @@ object ManifestTable {
     // schema line, so post-restore reads would resolve the newer
     // schema and apply it to the legacy files — where a time-travel
     // read of the same state correctly falls back to inference.
-    require(schemaJson.isDefined ||
-        log.forall(_.schemas.get(table).isEmpty),
-      s"$table had no tracked schema at version $asOfVersion but a later " +
-        "commit stamped one — restoring would misread the legacy files " +
-        "under the newer schema; snapshot the time-travel read instead")
+    def schemaGuard(cur: Seq[Manifest]): Unit =
+      require(schemaJson.isDefined ||
+          cur.forall(_.schemas.get(table).isEmpty),
+        s"$table had no tracked schema at version $asOfVersion but a " +
+          "later commit stamped one — restoring would misread the legacy " +
+          "files under the newer schema; snapshot the time-travel read " +
+          "instead")
+    schemaGuard(log)
     val allStats = oldLog.flatMap(_.stats).toMap
     val body = (Seq(s"txn:$txnId", s"snap:$table") ++
       files.map(f => s"add:$f") ++
@@ -701,6 +704,15 @@ object ManifestTable {
         fs.delete(tmp, false)
         return -1L
       }
+      // Re-run the no-tracked-schema guard against the EXTENDED log:
+      // a concurrent commit can stamp the table's first schema between
+      // the entry check and claimSlot, and letting the schema-less
+      // restore manifest land then would produce exactly the
+      // legacy-files-under-newer-schema state the guard prevents
+      // (commitMulti re-runs its schemaGate per attempt for the same
+      // reason).
+      try schemaGuard(log)
+      catch { case e: Throwable => fs.delete(tmp, false); throw e }
       val next = log.lastOption.map(_.version).getOrElse(0L) + 1
       if (claimSlot(fs, tmp, new org.apache.hadoop.fs.Path(logPath,
           versionName(next)))) committed = next

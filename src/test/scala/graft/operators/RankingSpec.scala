@@ -197,15 +197,19 @@ class RankingSpec extends SparkSpec {
       Seq(("a", 1, 1L), ("a", 2, 3L), ("b", 1, 5L)))
   }
 
-  test("groupTopK: string sort fields order binary, null structs ignored") {
-    // String keys compare binary (Spark ORDER BY semantics); a NULL
-    // first field still forms a non-null struct and ranks NULLS FIRST.
+  test("groupTopK: string sort fields order binary, NULL keys excluded") {
+    // String keys compare binary (Spark ORDER BY semantics). A NULL
+    // primary sort key is EXCLUDED before the aggregate: struct
+    // comparison is NULLS FIRST, so under the negate-for-descending
+    // idiom an un-scored row would otherwise silently rank ahead of
+    // every scored one — the inverse of the orderBy(desc) windows
+    // groupTopK replaces.
     val df = Seq(("a", "zebra", 1L), ("a", "apple", 2L), ("a", null, 3L))
       .toDF("g", "w", "id")
     val got = Ranking.groupTopK(df, Seq("g"), Seq(col("w"), col("id")), k = 2)
       .collect().map(r => (r.getInt(1), Option(r.getString(2)), r.getLong(3)))
     assert(got.sortBy(_._1).toSeq ==
-      Seq((1, None, 3L), (2, Some("apple"), 2L)))
+      Seq((1, Some("apple"), 2L), (2, Some("zebra"), 1L)))
   }
 
   test("groupBuckets: integer-exact equal-frequency bands, uneven groups") {
