@@ -40,6 +40,12 @@ object Graft {
     // precision (verified), so the micros conversion is lossless and
     // order-exact vs the DuckDB oracle.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Regenerated fixtures store naive timestamp[us], which Spark 4
+    // infers as TIMESTAMP_NTZ by default. Read it as TimestampType
+    // instead: the session is pinned UTC, so the instant is identical,
+    // every time function (unix_micros, window, watermark) accepts it,
+    // and the type matches what the NANOS→micros conversion produced.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // Watermark filters on the converted column must still prune at the
     // parquet scan — the rewrite rule turns them back into raw-long
     // comparisons. extraOptimizations is idempotent to re-assign and

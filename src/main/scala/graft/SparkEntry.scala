@@ -1646,6 +1646,33 @@ object SparkEntry {
       Ranking.groupBuckets(docs, "source", Seq("n_tokens", "doc_id"), 10)
     }),
 
+    // HTML main-content extraction: wrap each document in a
+    // deterministic crawl-page shell (head with style+script, a nav
+    // bar, the body paragraph, a link farm, a short footer), then
+    // recover exactly the body through Web.extractText's closed-form
+    // rule set. The oracle builds the identical page in SQL and
+    // applies the identical rules — tag/script/comment stripping,
+    // entity unescape, block segmentation, the link-density and
+    // min-length bars are all under the cross-engine hash gate.
+    "q143_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>d</title><style>p{margin:0}</style>"),
+        lit("<script>var a=\"<p>not content</p>\";</script></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/s\">"), col("source"),
+        lit("</a> <a href=\"/l\">"), col("lang"), lit("</a></nav>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<div><a href=\"/c\">Contact</a> <a href=\"/p\">Privacy</a>"),
+        lit(" <a href=\"/t\">Terms</a></div>"),
+        lit("<footer>(c) 2026 Example Corp</footer></body></html>"))
+      val blocks = Web.mainBlocks(html).as("blocks")
+      t(s, dir, "documents")
+        .select(col("doc_id"), blocks)
+        .select(col("doc_id"),
+          array_join(transform(col("blocks"), _.getField("txt")), "\n")
+            .as("main_text"),
+          size(col("blocks")).as("n_blocks"))
+    }),
+
     // RESTORE round-trip through the ACID layer, end to end: commit a
     // correct per-priority order census, clobber it with a bad
     // snapshot, roll back with the zero-copy restore, read back. The
@@ -3604,6 +3631,54 @@ object SparkEntry {
         |  FROM d JOIN mad USING (user_id))
         |SELECT user_id, day, n, med, mad, z FROM z
         |WHERE z IS NOT NULL AND abs(z) >= 3.0""".stripMargin,
+
+    // The identical page shell + the identical closed-form rule set
+    // (script/style/comment drop, block split on block-level tags,
+    // tag strip, entity unescape with &amp; LAST, whitespace
+    // collapse, min-25-chars AND 3·links ≤ words) re-expressed in
+    // DuckDB list/regex SQL.
+    "q143_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>d</title><style>p{margin:0}</style>'
+        |    || '<script>var a="<p>not content</p>";</script></head><body>'
+        |    || '<nav><a href="/">Home</a> <a href="/s">' || source
+        |    || '</a> <a href="/l">' || lang || '</a></nav>'
+        |    || '<p>' || text || '</p>'
+        |    || '<div><a href="/c">Contact</a> <a href="/p">Privacy</a>'
+        |    || ' <a href="/t">Terms</a></div>'
+        |    || '<footer>(c) 2026 Example Corp</footer></body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g') AS body
+        |  FROM h),
+        |b AS (
+        |  SELECT doc_id, string_split_regex(body,
+        |    '(?i)</?(?:p|div|li|h[1-6]|br|ul|ol|table|thead|tbody|tr|td|th|section|article|aside|header|footer|nav|main|blockquote|figure|figcaption|form|fieldset|pre)\b[^>]*>') AS raw
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id, list_transform(raw, x -> struct_pack(
+        |    txt := trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(x, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')),
+        |    n_links := len(regexp_extract_all(x, '(?i)<a\b')))) AS bs
+        |  FROM b),
+        |k AS (
+        |  SELECT doc_id, list_filter(bs, e -> len(e.txt) >= 25
+        |    AND e.n_links * 3 <= len(list_filter(string_split(e.txt, ' '),
+        |                              w -> len(w) > 0))) AS ks
+        |  FROM s)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(ks, e -> e.txt), chr(10)) AS main_text,
+        |  CAST(len(ks) AS INTEGER) AS n_blocks
+        |FROM k""".stripMargin,
 
     // The PLAIN join — salting must be invisible in the result.
     "q141_salted_join" ->

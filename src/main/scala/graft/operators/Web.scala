@@ -103,6 +103,72 @@ object Web {
       .agg(countDistinct(col("__id")).as("n_docs"),
         countDistinct(col("__url")).as("n_pages"))
 
+  /** Block-splitting regex for [[mainBlocks]]: every opening OR
+    * closing block-level tag is a boundary (jusText's segmentation
+    * unit). Inline tags (`<a> <b> <span> <em>` …) stay INSIDE the
+    * block so its link count survives segmentation. */
+  val BlockTagRe: String =
+    "(?i)</?(?:p|div|li|h[1-6]|br|ul|ol|table|thead|tbody|tr|td|th|" +
+      "section|article|aside|header|footer|nav|main|blockquote|figure|" +
+      "figcaption|form|fieldset|pre)\\b[^>]*>"
+
+  /** The five named entities + the apostrophe reference that dominate
+    * real crawl text. Specific entities unescape FIRST and `&amp;`
+    * LAST, so `&amp;lt;` correctly yields the literal `&lt;` instead
+    * of double-unescaping to `<`. */
+  private def unescapeEntities(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to)) }
+
+  /** Main-content blocks of an HTML page — the trafilatura/jusText
+    * stage a crawl corpus needs BEFORE any text operator sees it
+    * (reference analogue: the raw→typed normalize at ingest,
+    * `src/roborock_collector.py:295-352` — same boundary, one level
+    * rawer). Rule set (deliberately closed-form so a SQL oracle can
+    * apply the identical rules):
+    *
+    *   1. `<script>`/`<style>` elements and HTML comments are dropped
+    *      wholesale (their text is code, not content);
+    *   2. the page splits into blocks at every block-level tag
+    *      ([[BlockTagRe]]);
+    *   3. per block: strip remaining tags, unescape the common
+    *      entities, collapse whitespace, trim;
+    *   4. a block survives iff its text has ≥ `minChars` chars AND
+    *      its link density is low — `3 · n_links ≤ n_words` (a nav
+    *      bar is one word per link; body prose with a citation link
+    *      every few words sails through).
+    *
+    * Returns `array<struct<txt, n_links, n_words>>` of the SURVIVING
+    * blocks in document order. Pure codegen'd expression composition
+    * (regex + array ops, no UDF): map-only, runs at scan speed, and
+    * at 100 TB it is exactly as parallel as the scan that feeds it.
+    */
+  def mainBlocks(html: Column, minChars: Int = 25): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val clean = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val scored = transform(split(clean, BlockTagRe), b => {
+      val txt = trim(regexp_replace(
+        unescapeEntities(regexp_replace(b, "<[^>]*>", " ")), "\\s+", " "))
+      val nWords = size(filter(split(txt, " "), w => length(w) > 0))
+      struct(txt.as("txt"),
+        regexp_count(b, lit("(?i)<a\\b")).as("n_links"),
+        nWords.as("n_words"))
+    })
+    filter(scored, s => length(s.getField("txt")) >= minChars &&
+      s.getField("n_links") * lit(3) <= s.getField("n_words"))
+  }
+
+  /** Extracted main text: the surviving [[mainBlocks]] joined with
+    * newlines — empty string when nothing survives (caller decides
+    * whether an all-boilerplate page is droppable). */
+  def extractText(html: Column, minChars: Int = 25): Column =
+    array_join(transform(mainBlocks(html, minChars), _.getField("txt")), "\n")
+
   /** URL-keyed dedup: one surviving row per canonical URL — the
     * survivor is the MINIMUM id (deterministic, re-run-stable), with
     * the variant count kept for crawl forensics. Rows whose URL fails

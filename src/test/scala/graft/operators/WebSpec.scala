@@ -85,4 +85,57 @@ class WebSpec extends SparkSpec {
       "example.com" -> ((3L, 2L)),
       "example.co.uk" -> ((1L, 1L))))
   }
+
+  private def extract(html: String, minChars: Int = 25): String =
+    Seq(Tuple1(html)).toDF("h")
+      .select(Web.extractText(col("h"), minChars).as("t"))
+      .collect().head.getString(0)
+
+  test("extractText drops script/style/comments and strips tags") {
+    val html =
+      """<html><head><title>t</title>
+        |<style>p { color: red; } .nav { display:none }</style>
+        |<script>var x = "<p>not content</p>";</script></head>
+        |<body><!-- boilerplate comment with many words in it -->
+        |<p>This is the <b>actual</b> article body with enough words
+        |to clear the minimum length bar.</p></body></html>""".stripMargin
+    assert(extract(html) ==
+      "This is the actual article body with enough words " +
+        "to clear the minimum length bar.")
+  }
+
+  test("extractText drops link-dense blocks, keeps prose with a link") {
+    val html =
+      "<div><a href='/'>Home</a> <a href='/a'>About</a> " +
+        "<a href='/c'>Contact</a> <a href='/p'>Products</a></div>" +
+        "<p>Long-form prose paragraph that cites one " +
+        "<a href='/ref'>reference</a> but is plainly body text with " +
+        "many ordinary words around it.</p>" +
+        "<footer>short footer</footer>"
+    assert(extract(html) ==
+      "Long-form prose paragraph that cites one reference but is " +
+        "plainly body text with many ordinary words around it.")
+  }
+
+  test("extractText unescapes entities, &amp; last (no double unescape)") {
+    val html = "<p>Tom &amp; Jerry say &quot;2 &lt; 3&quot; and the " +
+      "literal sequence &amp;lt; stays escaped here&nbsp;too.</p>"
+    assert(extract(html) ==
+      "Tom & Jerry say \"2 < 3\" and the literal sequence &lt; " +
+        "stays escaped here too.")
+  }
+
+  test("extractText keeps surviving blocks in document order") {
+    val html = "<p>First paragraph of the body with plenty of words " +
+      "in it to pass.</p><div><a>x</a> <a>y</a> <a>z</a></div>" +
+      "<p>Second paragraph of the body, also long enough to pass " +
+      "the bar.</p>"
+    assert(extract(html) ==
+      "First paragraph of the body with plenty of words in it to pass." +
+        "\nSecond paragraph of the body, also long enough to pass the bar.")
+  }
+
+  test("extractText on an all-boilerplate page is empty") {
+    assert(extract("<nav><a>a</a> <a>b</a></nav><footer>tiny</footer>") == "")
+  }
 }
