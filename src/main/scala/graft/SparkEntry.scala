@@ -1673,6 +1673,24 @@ object SparkEntry {
           size(col("blocks")).as("n_blocks"))
     }),
 
+    // Perceptual image near-dup: dHash each "image" (documents' bytes
+    // through the codec boundary — non-PNG content takes the
+    // deterministic md5 stub grid, the path a SQL oracle can mirror),
+    // byte-band the 64-bit hash, candidates from the (band, byte)
+    // equi-join, verify Hamming ≤ 6. A shifted copy of the corpus
+    // guarantees real positives (every doc pairs with its clone at
+    // Hamming 0), and the oracle recomputes grid → hash → bands →
+    // verify from scratch in SQL — the full pipeline is under the
+    // cross-engine hash gate.
+    "q144_image_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val content = col("text").cast("binary").as("content")
+      val media = docs.select(col("doc_id").as("media_id"), content)
+        .unionByName(docs.select(
+          (col("doc_id") + 1000000L).as("media_id"), content))
+      Multimodal.imageNearDups(media, "media_id", "content", maxHamming = 6)
+    }),
+
     // RESTORE round-trip through the ACID layer, end to end: commit a
     // correct per-priority order census, clobber it with a bad
     // snapshot, roll back with the zero-copy restore, read back. The
@@ -3631,6 +3649,53 @@ object SparkEntry {
         |  FROM d JOIN mad USING (user_id))
         |SELECT user_id, day, n, med, mad, z FROM z
         |WHERE z IS NOT NULL AND abs(z) >= 3.0""".stripMargin,
+
+    // The dHash pipeline recomputed from scratch: the stub 9×8 gray
+    // grid is the 48-bit md5 prefix mod 256 per cell (exactly
+    // FakeCodec.channel — same construction as q29's oracle), the
+    // 64 gradient bits assemble row-major from the MSB as two 32-bit
+    // halves (hi re-signed before the shift so the top bit lands
+    // without BIGINT overflow), then the same byte-band candidate
+    // join + Hamming ≤ 6 verify.
+    "q144_image_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS media_id, text FROM documents),
+        |g AS (
+        |  SELECT media_id,
+        |    list_transform(range(72), i ->
+        |      CAST(('0x' || substr(md5(text || ':' || i), 1, 12)) AS BIGINT)
+        |        % 256) AS gs
+        |  FROM m),
+        |h0 AS (
+        |  SELECT media_id,
+        |    list_sum(list_transform(range(32), p ->
+        |      CASE WHEN gs[(p // 8) * 9 + (p % 8) + 1]
+        |               < gs[(p // 8) * 9 + (p % 8) + 2]
+        |        THEN CAST(1 AS BIGINT) << CAST(31 - p AS INTEGER)
+        |        ELSE 0 END)) AS hi,
+        |    list_sum(list_transform(range(32, 64), p ->
+        |      CASE WHEN gs[(p // 8) * 9 + (p % 8) + 1]
+        |               < gs[(p // 8) * 9 + (p % 8) + 2]
+        |        THEN CAST(1 AS BIGINT) << CAST(63 - p AS INTEGER)
+        |        ELSE 0 END)) AS lo
+        |  FROM g),
+        |h AS (
+        |  SELECT media_id,
+        |    CAST(hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END
+        |      AS BIGINT) * 4294967296 + lo AS dhash
+        |  FROM h0),
+        |b AS (
+        |  SELECT media_id, dhash, CAST(r.range AS INTEGER) AS band_id,
+        |    (dhash >> CAST(r.range * 8 AS INTEGER)) & 255 AS band_byte
+        |  FROM h, range(8) r)
+        |SELECT DISTINCT l.media_id AS a, r.media_id AS b,
+        |  CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
+        |FROM b l JOIN b r
+        |  ON l.band_id = r.band_id AND l.band_byte = r.band_byte
+        |  AND l.media_id < r.media_id
+        |WHERE bit_count(xor(l.dhash, r.dhash)) <= 6""".stripMargin,
 
     // The identical page shell + the identical closed-form rule set
     // (script/style/comment drop, block split on block-level tags,

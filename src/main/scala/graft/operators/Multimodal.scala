@@ -214,6 +214,113 @@ object Multimodal {
     }
   }
 
+  /** 9×8 grayscale grid for the perceptual hash — REAL pixels for
+    * PNG (bilinear resize to 9×8, BT.601 integer luma: the same
+    * 299/587/114 weights as [[PngCodec.features]]), deterministic
+    * md5-derived stub elsewhere (`channel(content, idx) % 256`,
+    * row-major idx — the construction a SQL oracle can mirror). */
+  private[operators] def grayGridFor(content: Array[Byte]): Array[Int] = {
+    val fromPng: Option[Array[Int]] =
+      if (PngCodec.isPng(content)) PngCodec.decode(content).map { img =>
+        val small = {
+          val out = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, 9, 8, null)
+          } finally g.dispose()
+          out
+        }
+        Array.tabulate(72) { i =>
+          val rgb = small.getRGB(i % 9, i / 9)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        }
+      } else None
+    fromPng.getOrElse(
+      Array.tabulate(72)(i => (FakeCodec.channel(content, i) % 256).toInt))
+  }
+
+  /** 64-bit difference hash (dHash) of the 9×8 grid: bit (r,c) is set
+    * iff brightness INCREASES left→right — `gray(r,c) < gray(r,c+1)`
+    * — assembled row-major from the MSB. The gradient sign survives
+    * re-encoding, scaling, and mild brightness shifts, which is
+    * exactly what content-hash dedup misses on a re-encoded image. */
+  private[operators] def dhashOf(gray: Array[Int]): Long = {
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        h = (h << 1) | (if (gray(r * 9 + c) < gray(r * 9 + c + 1)) 1L else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Perceptual-hash column over the content bytes: (media_id, dhash).
+    * Batched mapPartitions like [[extractFeatures]] — decode stays
+    * map-side; only the 8-byte hash continues into shuffling stages
+    * (content never shuffles, the invariant that matters when a row
+    * is megabytes). */
+  def dhash(
+      media: DataFrame,
+      idCol: String,
+      contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, content) =>
+            (id, dhashOf(grayGridFor(content))) }
+        }
+      }.toDF("media_id", "dhash")
+  }
+
+  /** Image near-duplicates by perceptual hash: [[dhash]] each image,
+    * band the 64-bit hash into its 8 bytes, join on (band, byte) for
+    * candidates, verify Hamming ≤ `maxHamming` — the
+    * Dedup.simhashNearDups shape one level up the stack (reference
+    * analogue: content-hash dedup at ingest; a RE-ENCODED duplicate
+    * image escapes that, and this is the operator that catches it).
+    *
+    * Pigeonhole: hashes within Hamming 7 share at least one exact
+    * byte, so 8 byte-bands give full recall for `maxHamming ≤ 7`
+    * (hence the require). Scale: candidates come only from equi-join
+    * buckets (64-row hash ⇒ ~n²/32 expected candidate pairs on
+    * random hashes, all verified by one codegen'd xor/bit_count —
+    * never an all-pairs product, and content bytes are long gone). */
+  def imageNearDups(
+      media: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7, "8 byte-bands guarantee recall only to Hamming 7")
+    val h = dhash(media, idCol, contentCol)
+    val banded = h
+      .select(col("media_id"), col("dhash"),
+        explode(sequence(lit(0), lit(7))).as("band_id"))
+      .withColumn("band_byte",
+        expr("shiftright(dhash, band_id * 8) & 255"))
+    val l = banded.select(col("band_id"), col("band_byte"),
+      col("media_id").as("a"), col("dhash").as("h_a"))
+    val r = banded.select(col("band_id"), col("band_byte"),
+      col("media_id").as("b"), col("dhash").as("h_b"))
+    l.join(r, Seq("band_id", "band_byte"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming")).distinct()
+  }
+
   /** Magic-byte dispatch shared by the batched stages: real pixels
     * for PNG, real PCM for WAV, deterministic stub elsewhere. */
   private def featuresFor(content: Array[Byte], dim: Int): Array[Double] =

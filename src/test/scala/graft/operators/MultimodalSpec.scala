@@ -103,6 +103,89 @@ class MultimodalSpec extends SparkSpec {
     assert(left < 64 && right > 192)
   }
 
+  /** A PNG whose pixels follow a deterministic luma ramp with a
+    * per-pixel wobble — structured enough that dHash has real
+    * gradients to sign. */
+  private def rampPng(w: Int, h: Int, wobble: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.min(255,
+        (x * 255 / math.max(1, w - 1) + ((x * 31 + y * 17) % 23) + wobble) % 256)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dhash: re-encoded PNG (same pixels, different bytes) hashes equal") {
+    val original = rampPng(64, 48)
+    // Re-encode: decode and write the SAME pixels back out — the byte
+    // stream differs (encoder settings), a content hash misses it.
+    val img = Multimodal.PngCodec.decode(original).get
+    val bos = new java.io.ByteArrayOutputStream()
+    val copy = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val g = copy.createGraphics()
+    try g.drawImage(img, 0, 0, null) finally g.dispose()
+    javax.imageio.ImageIO.write(copy, "png", bos)
+    val reencoded = bos.toByteArray
+    assert(!java.util.Arrays.equals(original, reencoded),
+      "re-encode should change bytes for the test to mean anything")
+    val df = Seq((1L, original), (2L, reencoded)).toDF("media_id", "content")
+    val hs = rows(Multimodal.dhash(df, "media_id", "content"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+  }
+
+  test("dhash: scaled copy stays near, different image lands far") {
+    val base = rampPng(64, 48)
+    val scaled = {
+      val img = Multimodal.PngCodec.decode(base).get
+      Multimodal.PngCodec.resize(img, 32, 24)
+    }
+    val other = png(64, 48) // half-black/half-white: one hard edge
+    val df = Seq((1L, base), (2L, scaled), (3L, other))
+      .toDF("media_id", "content")
+    val hs = rows(Multimodal.dhash(df, "media_id", "content"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) <= 6,
+      s"scaled copy drifted to Hamming ${ham(hs(1L), hs(2L))}")
+    assert(ham(hs(1L), hs(3L)) > 10,
+      s"unrelated image too close: Hamming ${ham(hs(1L), hs(3L))}")
+  }
+
+  test("dhash: non-image content takes the deterministic stub grid") {
+    val content = "not an image at all".getBytes("UTF-8")
+    val got = rows(Multimodal.dhash(
+      Seq((7L, content)).toDF("media_id", "content"), "media_id", "content"))
+      .head.getLong(1)
+    var expect = 0L
+    for (r <- 0 until 8; c <- 0 until 8) {
+      val l = Multimodal.FakeCodec.channel(content, r * 9 + c) % 256
+      val rr = Multimodal.FakeCodec.channel(content, r * 9 + c + 1) % 256
+      expect = (expect << 1) | (if (l < rr) 1L else 0L)
+    }
+    assert(got == expect)
+  }
+
+  test("imageNearDups: catches the re-encoded duplicate, not the stranger") {
+    val a = rampPng(64, 48)
+    val aCopy = { // decode + re-encode through resize at SAME dims
+      val img = Multimodal.PngCodec.decode(a).get
+      Multimodal.PngCodec.resize(img, 64, 48)
+    }
+    val b = png(64, 48)
+    val df = Seq((1L, a), (2L, aCopy), (3L, b)).toDF("media_id", "content")
+    val pairs = rows(Multimodal.imageNearDups(df, "media_id", "content",
+        maxHamming = 6))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   /** 16-bit mono PCM WAV: first half amplitude `a1`, second half `a2`
     * (constant-amplitude square-ish tone per half → exact RMS). */
   private def wav(n: Int, a1: Double, a2: Double): Array[Byte] = {
