@@ -52,6 +52,72 @@ object Bench {
         else (times.sorted.apply(times.size / 2), times.min)
       name -> stat
     }.toMap
+
+    // ── Skew scenario: do the skew tools pay for themselves? ──
+    // The q141/q52 shapes run both PLAIN and SALTED on a hot-key
+    // table (one key owns 90% of the rows), timed identically
+    // (3 reps, median). The JOIN pair uses a generated 10M-row input
+    // (codegen'd range, no scan: a parquet/checkpoint read equal in
+    // both arms would mask the hot task — the measurement must be
+    // join-dominated) with the broadcast fallback and AQE's own skew
+    // splitter disabled, isolating OUR mitigation: the broadcast-
+    // ineligible-dimension case salting exists for. The AGG pair runs
+    // the q52 count/sum shape on the skewed lineitem under default
+    // confs — map-side partial aggregation is the built-in mitigation
+    // there, and the numbers should SHOW it (an honest wash).
+    import org.apache.spark.sql.functions._
+    val hot = spark.range(10000000L).select(
+      when(col("id") % 10 < 9, lit(1L))
+        .otherwise(pmod(col("id"), lit(1000L)) + lit(2L)).as("k"),
+      col("id").as("v"))
+    val dim = spark.range(1002)
+      .select(col("id").as("k"), (col("id") % 25).as("g"))
+      .localCheckpoint(true)
+    val hotLi = Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
+      .withColumn("l_suppkey",
+        when(col("l_orderkey") % 2 === 0, lit(1L)).otherwise(col("l_suppkey")))
+      .localCheckpoint(true)
+    def noBroadcast[T](body: => T): T = {
+      val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val sj = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      try body finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", sj)
+      }
+    }
+    val skewScenarios: Seq[(String, () => Long)] = Seq(
+      "skew_join_plain" -> (() => noBroadcast {
+        hot.join(dim, Seq("k"))
+          .groupBy(col("g")).agg(sum(col("v"))).count()
+      }),
+      "skew_join_salted" -> (() => noBroadcast {
+        graft.operators.Skew.saltedJoin(hot, dim, "k", salts = 8)
+          .groupBy(col("g")).agg(sum(col("v"))).count()
+      }),
+      "skew_agg_plain" -> (() =>
+        hotLi.groupBy(col("l_suppkey"))
+          .agg(count(lit(1)), sum(col("l_quantity").cast("long"))).count()),
+      "skew_agg_salted" -> (() =>
+        graft.operators.Skew.saltedAggregate(hotLi, Seq("l_suppkey"),
+          salts = 32,
+          partials = Seq("n_part" -> count(lit(1)),
+            "q_part" -> sum(col("l_quantity").cast("long"))),
+          finals = Seq(sum(col("n_part")).as("n"),
+            sum(col("q_part")).as("q"))).count()))
+    val skewSamples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to 3; (name, run) <- skewScenarios) {
+      val t0 = System.nanoTime()
+      val ok = try { run(); true } catch { case _: Throwable => false }
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      skewSamples(name) = t :: skewSamples.getOrElse(name, Nil)
+    }
+    val skewJson = skewSamples.toSeq.sortBy(_._1).map { case (k, ts) =>
+      val med = if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(ts.size / 2)
+      s"\"" + k + "\":" + med
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
@@ -66,7 +132,7 @@ object Bench {
     // counts differ (the suite nearly doubled during round 2).
     val mean = if (ok.nonEmpty) total / ok.size else 0.0
     val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","queries":$qs,"queries_min":$qsMin,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"failed":$failJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","queries":$qs,"queries_min":$qsMin,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"failed":$failJson,"skew":$skewJson,"sf":"$sfDir"}"""
     // The full per-query JSON (75 queries) outgrows the driver's stdout
     // tail capture, which truncates long lines mid-way (r1 and r2 both
     // landed parsed:null). So: full detail goes to a FILE, stdout gets

@@ -933,19 +933,29 @@ object SparkEntry {
           coalesce(col("n_day"), lit(0L)).as("n_day"))
     }),
 
-    // Fuzzy matching via edit distance on bounded prefixes (ASCII-only
-    // stratum: keeps char-vs-byte Levenshtein semantics identical
-    // across engines).
+    // Fuzzy matching via edit distance, production shape: blocked
+    // best-match linkage on a (lang, 4-char-prefix) compound block,
+    // banded threshold Levenshtein, top-2 per left record through the
+    // k-bounded aggregate. Prefix blocking keeps block sizes at
+    // prefix-vocabulary scale (a length bucket degenerates here: every
+    // head is the full 40 chars); its recall loss — a near-dup pair
+    // that differs inside the first 4 chars — is the documented
+    // blocked semantics, mirrored exactly by the oracle. The en
+    // stratum keeps char-vs-byte Levenshtein semantics identical
+    // across engines; the former doc_id < 150 brute-force bound is
+    // retired — this runs over the whole corpus because candidates
+    // come only from blocks.
     "q58_edit_distance" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-        .filter(col("lang") === "en" && col("doc_id") < 150)
-        .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
-      val l = d.select(col("doc_id").as("a"), col("head").as("ha"))
-      val r = d.select(col("doc_id").as("b"), col("head").as("hb"))
-      l.crossJoin(r).filter(col("a") < col("b"))
-        .withColumn("dist", levenshtein(col("ha"), col("hb")))
-        .filter(col("dist") <= 12)
-        .select(col("a"), col("b"), col("dist"))
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("head"))
+        .withColumn("pfx", substring(col("head"), 1, 4))
+      Linkage.bestMatches(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "doc_id", Seq("lang", "pfx"), "head", "head",
+        maxDist = 20, k = 2)
     }),
 
     // Near-dup graph → connected components → dedup clusters: the
@@ -1671,6 +1681,48 @@ object SparkEntry {
           array_join(transform(col("blocks"), _.getField("txt")), "\n")
             .as("main_text"),
           size(col("blocks")).as("n_blocks"))
+    }),
+
+    // Window ≡ Ranking parity: the same running sum computed through
+    // the native per-user window AND through the range-partitioned
+    // groupRunningSum, and the same per-user top-3 through a window
+    // row_number AND through the k-bounded groupTopK — full-outer
+    // joined so a membership difference surfaces as a NULL, with the
+    // oracle computing each metric once and aliasing it twice. This
+    // locks the scale-safe twins to the native window semantics: any
+    // divergence (offset census, NULL ordering, tie order) breaks the
+    // hash gate, which is what licenses using the twins wherever a
+    // hot key would swamp a window partition.
+    "q145_window_parity" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("c", cents(col("value")))
+        .select(col("user_id"), col("event_id"), col("ts"), col("c"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runWin = e.select(col("user_id"), col("event_id"),
+        sum(col("c")).over(w).as("metric_win"))
+      val runScale = Ranking
+        .groupRunningSum(e, "user_id", Seq("ts", "event_id"), "c")
+        .select(col("user_id"), col("event_id"),
+          col("running").as("metric_scale"))
+      val running = runWin
+        .join(runScale, Seq("user_id", "event_id"), "full_outer")
+        .select(lit("running").as("part"), col("user_id"), col("event_id"),
+          col("metric_win"), col("metric_scale"))
+      val rw = Window.partitionBy(col("user_id"))
+        .orderBy(col("c").desc, col("event_id"))
+      val kWin = e.withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 3)
+        .select(col("user_id"), col("event_id"),
+          col("rk").cast("long").as("metric_win"))
+      val kScale = Ranking.groupTopK(e, Seq("user_id"),
+          Seq((-col("c")).as("neg_c"), col("event_id").as("event_id")), k = 3)
+        .select(col("user_id"), col("event_id"),
+          col("rank").cast("long").as("metric_scale"))
+      val topk = kWin.join(kScale, Seq("user_id", "event_id"), "full_outer")
+        .select(lit("topk").as("part"), col("user_id"), col("event_id"),
+          col("metric_win"), col("metric_scale"))
+      running.unionByName(topk)
     }),
 
     // Perceptual image near-dup: dHash each "image" (documents' bytes
@@ -2640,14 +2692,29 @@ object SparkEntry {
         |SELECT c.user_id, c.day, coalesce(d.n_day, 0) AS n_day
         |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day""".stripMargin,
 
+    // The identical blocked semantics: same blocks, same threshold,
+    // same (dist, right_id) top-2 — via a window, which is fine at
+    // oracle scale.
     "q58_edit_distance" ->
       """WITH d AS (
-        |  SELECT doc_id, substr(text, 1, 40) AS head
-        |  FROM documents WHERE lang = 'en' AND doc_id < 150)
-        |SELECT l.doc_id AS a, r.doc_id AS b,
-        |       CAST(levenshtein(l.head, r.head) AS INTEGER) AS dist
-        |FROM d l JOIN d r ON l.doc_id < r.doc_id
-        |WHERE levenshtein(l.head, r.head) <= 12""".stripMargin,
+        |  SELECT doc_id, lang, substr(text, 1, 40) AS head,
+        |         substr(text, 1, 4) AS pfx
+        |  FROM documents WHERE lang = 'en'),
+        |c AS (
+        |  SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+        |         levenshtein(l.head, r.head) AS dist
+        |  FROM d l JOIN d r
+        |    ON l.lang = r.lang AND l.pfx = r.pfx
+        |   AND l.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+        |  WHERE levenshtein(l.head, r.head) <= 20),
+        |k AS (
+        |  SELECT left_id, right_id, dist,
+        |    row_number() OVER (PARTITION BY left_id
+        |      ORDER BY dist, right_id) AS rank
+        |  FROM c QUALIFY rank <= 2)
+        |SELECT left_id, CAST(rank AS INTEGER) AS rank,
+        |       CAST(dist AS INTEGER) AS dist, right_id
+        |FROM k""".stripMargin,
 
     // Transitive closure by recursive CTE — tractable because the
     // sf0.01 near-dup graph is tiny; the Spark side scales via
@@ -3649,6 +3716,32 @@ object SparkEntry {
         |  FROM d JOIN mad USING (user_id))
         |SELECT user_id, day, n, med, mad, z FROM z
         |WHERE z IS NOT NULL AND abs(z) >= 3.0""".stripMargin,
+
+    // Each metric computed ONCE through the standard window form and
+    // aliased into both columns — the Spark side must produce the
+    // same value through two different physical plans.
+    "q145_window_parity" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM e),
+        |k AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY c DESC, event_id) AS rk
+        |  FROM e QUALIFY rk <= 3)
+        |SELECT 'running' AS part, user_id, event_id,
+        |  CAST(run AS BIGINT) AS metric_win, CAST(run AS BIGINT) AS metric_scale
+        |FROM r
+        |UNION ALL
+        |SELECT 'topk' AS part, user_id, event_id,
+        |  CAST(rk AS BIGINT), CAST(rk AS BIGINT)
+        |FROM k""".stripMargin,
 
     // The dHash pipeline recomputed from scratch: the stub 9×8 gray
     // grid is the 48-bit md5 prefix mod 256 per cell (exactly

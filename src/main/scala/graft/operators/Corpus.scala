@@ -103,19 +103,43 @@ object Corpus {
     * 100 TB corpus that is millions of distinct tokens instead of
     * trillions of occurrences, the difference between a training loop
     * that runs and one that re-scans the corpus per merge. The driver
-    * holds only the merge list itself (the MODEL). Stops early when no
-    * pair repeats. Apply the result at scan speed with
+    * holds only the merge list itself (the MODEL), and each round
+    * adopts up to `batchMerges` token-disjoint merges from one census
+    * (provably equal to the serial greedy list — see the selection
+    * rule below), cutting driver round-trips ~batchMerges× at real
+    * vocab sizes. Stops early when no pair repeats. Apply the result
+    * at scan speed with
     * [[graft.functions.GraftExpressions.bpeEncode]]. */
-  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int)
-      : Seq[(String, String)] = {
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      batchMerges: Int = 16): Seq[(String, String)] = {
     require(nMerges > 0, "nMerges must be positive")
+    require(batchMerges > 0, "batchMerges must be positive")
     val toks = Dedup.truncate(
       docs.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("w")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
-      val best = toks
+      // One pair census per ROUND, adopting up to `batchMerges` merges
+      // from it — the standard batched-BPE trick, with a selection rule
+      // tight enough that the result is PROVABLY the serial greedy
+      // list. Walk the (count desc, a, b)-sorted pairs keeping only
+      // pairs whose tokens are disjoint from every earlier keep, and
+      // CUT at the first conflict; then keep only the prefix whose
+      // counts are STRICTLY above the cut count (`stop`). Sequential
+      // replay of the kept prefix then picks exactly these pairs in
+      // exactly this order: applying one kept merge leaves the other
+      // kept pairs' counts untouched (disjoint tokens), only ever
+      // lowers conflicting pairs, and any NEWLY CREATED pair (x, ab)
+      // is bounded by the pre-merge count of (x, a) — a token-sharing
+      // pair, hence ≤ stop < every kept count, so it can never win a
+      // round (and strictness keeps tie-breaks out of reach). Ties at
+      // the boundary simply wait for the next census.
+      val want = nMerges - merges.size
+      val top = toks
         .select(col("w"),
           GraftExpressions.bpeEncode(col("tok"), merges.toSeq).as("ps"))
         .filter(size(col("ps")) >= 2)
@@ -126,9 +150,31 @@ object Corpus {
         .groupBy(col("a"), col("b")).agg(sum(col("w")).as("c"))
         .filter(col("c") >= 2L)
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else merges += ((best(0).getString(0), best(0).getString(1)))
+        .limit(batchMerges + 1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val cand = top.take(batchMerges)
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // Everything below the fetched window: the (M+1)th count, or —
+        // when the census fit entirely in the window — 1, i.e. below
+        // the c ≥ 2 floor, so the whole batch qualifies.
+        val boundary =
+          if (top.length > batchMerges) top(batchMerges).getLong(2) else 1L
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stop = boundary
+        var halted = false
+        for ((a, b, c) <- cand if !halted) {
+          if (used(a) || used(b)) { stop = c; halted = true }
+          else { picked += ((a, b, c)); used += a; used += b }
+        }
+        val safe = picked.takeWhile(_._3 > stop).take(want)
+        // A boundary tie can empty the safe prefix; the top-1 pair IS
+        // the serial choice regardless, so progress is always made.
+        if (safe.isEmpty) merges += ((cand.head._1, cand.head._2))
+        else merges ++= safe.map(t => (t._1, t._2))
+      }
     }
     merges.toSeq
   }

@@ -166,11 +166,40 @@ object Graph {
       iters, dampingPct, unit)
   }
 
+  /** [[pageRank]] with convergence telemetry: returns (ranks, rounds
+    * actually run, final changed mass Σ|Δrank| in rank units). The
+    * loop EARLY-EXITS on an exact integer fixpoint (changed mass 0):
+    * the update is deterministic in the previous ranks, so identical
+    * ranks reproduce themselves forever and the remaining rounds are
+    * provably no-ops — the result equals the blind fixed-`iters` run
+    * bit for bit. The changed-mass stat is the number to watch when
+    * tuning `iters` at corpus scale (it decays geometrically at rate
+    * ~dampingPct/100; integer quantization can floor it at a small
+    * nonzero plateau, in which case the cap applies as before). */
+  def pageRankConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      dampingPct: Int = 85,
+      unit: Long = 1000000L): (DataFrame, Int, Long) =
+    pageRankCore(edges.select(col(srcCol).as("__src"),
+        col(dstCol).as("__dst"), lit(1L).as("__w")),
+      iters, dampingPct, unit, withStats = true)
+
   private def pageRankCore(
       edges: DataFrame,
       iters: Int,
       dampingPct: Int,
-      unit: Long): DataFrame = {
+      unit: Long): DataFrame =
+    pageRankCore(edges, iters, dampingPct, unit, withStats = false)._1
+
+  private def pageRankCore(
+      edges: DataFrame,
+      iters: Int,
+      dampingPct: Int,
+      unit: Long,
+      withStats: Boolean): (DataFrame, Int, Long) = {
     require(iters >= 1, "iters must be at least 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
@@ -189,7 +218,9 @@ object Graph {
     val base = ((100L - dampingPct) * unit) / 100L
     var ranks = Dedup.truncate(
       nodes.select(col("node"), lit(unit).as("rank")))
-    for (_ <- 1 to iters) {
+    var rounds = 0
+    var mass = -1L
+    while (rounds < iters && mass != 0L) {
       val inflow = e
         .join(ranks.select(col("node").as("__src"), col("rank")),
           Seq("__src"))
@@ -202,13 +233,24 @@ object Graph {
         .groupBy(col("__dst").as("node"))
         .agg(sum(expr("(rank div __wsum) * __w + " +
           "((rank % __wsum) * __w) div __wsum")).as("__in"))
-      ranks = Dedup.truncate(
-        nodes.join(inflow, Seq("node"), "left")
-          .select(col("node"),
+      // Joining the PREVIOUS ranks (same node set as `nodes`) carries
+      // the old rank alongside, so the changed-mass census is part of
+      // the same truncated round frame, not an extra join.
+      val next = Dedup.truncate(
+        ranks.join(inflow, Seq("node"), "left")
+          .select(col("node"), col("rank").as("__old"),
             expr(s"${base}L + (${dampingPct}L * coalesce(__in, 0L)) " +
               "div 100").as("rank")))
+      // The stat costs one agg action per round; skip it entirely for
+      // the blind fixed-iters form so its per-round plan is unchanged.
+      if (withStats) {
+        val m = next.agg(sum(abs(col("rank") - col("__old")))).head()
+        mass = if (m.isNullAt(0)) 0L else m.getLong(0) // null = empty graph
+      }
+      ranks = next.drop("__old")
+      rounds += 1
     }
-    ranks
+    (ranks, rounds, math.max(mass, 0L))
   }
 
   /** Community detection by synchronous label propagation (Raghavan
@@ -244,7 +286,23 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    labelPropagationConverged(edges, srcCol, dstCol, iters)._1
+
+  /** [[labelPropagation]] with the rounds-actually-run count: the
+    * loop EARLY-EXITS when a round changes no label — the synchronous
+    * update is a deterministic function of the previous labels, so an
+    * unchanged round reproduces itself forever and the remaining
+    * rounds are provably no-ops (the result equals the blind
+    * fixed-`iters` run exactly). `iters` is thus a CAP, which the
+    * possible 2-cycles on bipartite-ish structure still need; the
+    * changed-label census piggybacks on the round's truncated frame
+    * (same pattern as [[Dedup.connectedComponents]]'s moved count). */
+  def labelPropagationConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int): (DataFrame, Int) = {
     require(iters >= 1, "iters must be at least 1")
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -257,7 +315,9 @@ object Graph {
     var labels = Dedup.truncate(
       e.select(col("x").as("node")).distinct()
         .select(col("node"), col("node").as("label")))
-    for (_ <- 1 to iters) {
+    var rounds = 0
+    var changed = -1L
+    while (rounds < iters && changed != 0L) {
       val votes = e
         .join(labels.select(col("node").as("y"), col("label")), Seq("y"))
         .groupBy(col("x"), col("label"))
@@ -271,11 +331,14 @@ object Graph {
       // Every node has ≥1 neighbor by construction (nodes come from
       // the edge table), so the left join is belt-and-braces for the
       // empty-votes case only.
-      labels = Dedup.truncate(
+      val next = Dedup.truncate(
         labels.join(winners, Seq("node"), "left")
-          .select(col("node"),
+          .select(col("node"), col("label").as("__old"),
             coalesce(col("__w"), col("label")).as("label")))
+      changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.drop("__old")
+      rounds += 1
     }
-    labels
+    (labels, rounds)
   }
 }

@@ -1084,7 +1084,8 @@ object ManifestTable {
       baseDir: String,
       table: String,
       predicate: org.apache.spark.sql.Column,
-      txnId: String): Option[DeleteResult] = {
+      txnId: String,
+      beforeCommit: () => Unit = () => ()): Option[DeleteResult] = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     require(txnId.nonEmpty && !txnId.contains("\n"), s"bad txnId: $txnId")
     val log = readLog(spark, baseDir)
@@ -1105,8 +1106,9 @@ object ManifestTable {
     val survivors = reader.parquet(candidates.map(f => s"$baseDir/$f"): _*)
       .filter(coalesce(not(predicate), lit(true)))
     val (adds, after) = writeRewrite(spark, baseDir, table, txnId, survivors)
+    beforeCommit()
     if (!commitRewrite(spark, baseDir, txnId, log, candidates, adds,
-        kind = "delete")) return None
+        kind = "delete", table = table)) return None
     Some(DeleteResult(before - after, candidates.length, kept.length))
   }
 
@@ -1186,17 +1188,35 @@ object ManifestTable {
     (adds, n)
   }
 
+  /** True iff manifest `m` writes table `table` in any way — adds or
+    * removes files under it, snapshots it, or stamps its schema. The
+    * unit of optimistic-concurrency conflict detection. */
+  private def touchesTable(m: Manifest, table: String): Boolean = {
+    val p = s"$table/"
+    m.snaps.contains(table) || m.schemas.contains(table) ||
+      m.adds.exists(_.startsWith(p)) || m.removes.exists(_.startsWith(p))
+  }
+
   /** Claim a version slot for a rewrite manifest (`remove:` + `add:` +
     * `stats:` under one txn, plus an optional `schema:` stamp for an
     * evolving upsert) with the same retry discipline as
     * [[commitMulti]]. Returns false if the txn turned out to be
-    * already sealed (a prior attempt of ours won). The retry loop
-    * ABORTS (throws) if the log advanced underneath the rewrite: the
-    * removes/adds were planned against a live-file snapshot, and
-    * landing them on top of someone else's commit would resurrect or
-    * duplicate rows. Under the documented single-writer stance this
-    * never fires; under an accidental race it fails safe and the
-    * caller re-runs the whole operation against the new log. */
+    * already sealed (a prior attempt of ours won).
+    *
+    * Optimistic concurrency (the Delta conflict matrix, per table):
+    * `log0`'s tail is the version this rewrite was PLANNED against;
+    * before claiming a slot the loop re-reads the log and aborts
+    * (ConcurrentModificationException) iff an intervening commit
+    * TOUCHED `table` — its removes/adds were computed from a live-file
+    * set that no longer exists, and landing them would resurrect
+    * deleted rows or duplicate rewritten ones. Commits to OTHER
+    * tables are not conflicts: the loop simply claims the next slot
+    * after them. So: append ∥ append lands both; rewrite ∥ write to a
+    * different table lands both; deleteWhere/upsert/replaceWhere/
+    * optimize ∥ any same-table write aborts the rewrite, and the
+    * caller re-runs against the new log (the aborted txn is NOT
+    * sealed — the re-run is a fresh attempt, while a crash-replay of
+    * an already-LANDED txn still returns the recorded no-op). */
   private def commitRewrite(
       spark: SparkSession,
       baseDir: String,
@@ -1205,6 +1225,7 @@ object ManifestTable {
       removes: Seq[String],
       adds: Seq[(String, Option[String])],
       kind: String,
+      table: String,
       schemaLine: Option[(String, String)] = None): Boolean = {
     var log = log0
     val body = (Seq(s"txn:$txnId") ++
@@ -1231,15 +1252,20 @@ object ManifestTable {
         lfs.delete(tmp, false)
         return false
       }
-      // Conflict abort: someone else committed after this rewrite was
-      // planned. Removing/adding against a stale live set could
-      // resurrect snapshot-replaced rows or duplicate rewritten ones.
-      if (log.lastOption.map(_.version) != log0.lastOption.map(_.version)) {
-        lfs.delete(tmp, false)
-        throw new java.io.IOException(
-          s"$kind for $txnId: the log advanced during the rewrite " +
-            "(concurrent writer?) — re-run the operation")
-      }
+      // Conflict abort: someone else committed a write to THIS table
+      // after the rewrite was planned — removing/adding against the
+      // stale live set could resurrect their deleted rows or
+      // duplicate rewritten ones. Unrelated tables advancing the log
+      // are fine; the claim below just moves to the next free slot.
+      val planned = log0.lastOption.map(_.version).getOrElse(0L)
+      log.filter(_.version > planned).find(touchesTable(_, table))
+        .foreach { m =>
+          lfs.delete(tmp, false)
+          throw new java.util.ConcurrentModificationException(
+            s"$kind for $txnId: version ${m.version} wrote $table after " +
+              s"this rewrite was planned against version $planned — " +
+              "re-run the operation against the current log")
+        }
       val next = log.lastOption.map(_.version).getOrElse(0L) + 1
       if (claimSlot(lfs, tmp, new org.apache.hadoop.fs.Path(logPath,
           versionName(next)))) committed = next
@@ -1314,7 +1340,7 @@ object ManifestTable {
     }
     val (adds, _) = writeRewrite(spark, baseDir, table, txnId, shaped)
     if (!commitRewrite(spark, baseDir, txnId, log, small.map(_._1), adds,
-        kind = "optimize")) return None
+        kind = "optimize", table = table)) return None
     Some(OptimizeResult(small.length, adds.length, bytesIn))
   }
 
@@ -1365,7 +1391,7 @@ object ManifestTable {
         Some(table -> data.schema.json)
       else None
     if (!commitRewrite(spark, baseDir, txnId, log, candidates,
-        survivorAdds ++ dataAdds, kind = "replaceWhere",
+        survivorAdds ++ dataAdds, kind = "replaceWhere", table = table,
         schemaLine = schemaLine)) return None
     Some(ReplaceResult(before - survivorRows, inserted, candidates.length))
   }
@@ -1391,7 +1417,8 @@ object ManifestTable {
       table: String,
       delta: DataFrame,
       keyCol: String,
-      txnId: String): Option[UpsertResult] = {
+      txnId: String,
+      beforeCommit: () => Unit = () => ()): Option[UpsertResult] = {
     import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
     require(txnId.nonEmpty && !txnId.contains("\n"), s"bad txnId: $txnId")
     val log = readLog(spark, baseDir)
@@ -1441,8 +1468,9 @@ object ManifestTable {
       if (latestSchema(log, table).isDefined || liveFiles(log, table).isEmpty)
         Some(table -> delta.schema.json)
       else None
+    beforeCommit()
     if (!commitRewrite(spark, baseDir, txnId, log, candidates,
-        survivorAdds ++ deltaAdds, kind = "upsert",
+        survivorAdds ++ deltaAdds, kind = "upsert", table = table,
         schemaLine = schemaLine)) return None
     Some(UpsertResult(before - survivorRows, inserted, candidates.length))
   }

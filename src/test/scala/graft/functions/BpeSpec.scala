@@ -40,4 +40,30 @@ class BpeSpec extends SparkSpec {
     // The trained merges round-trip through the encoder.
     assert(encode("abab", Corpus.bpeTrain(docs2, "text", 5)) == Seq("abab"))
   }
+
+  test("batched bpeTrain == serial bpeTrain (conflicts, ties, chains)") {
+    // A corpus engineered to exercise the batch cut rules: the top
+    // pairs share tokens ((l,o) vs (o,w): conflict cut), counts tie at
+    // the boundary, and merges chain ((l,o) then (lo,w)) so later
+    // rounds depend on earlier adoptions.
+    val docs = Seq(
+      (1L, "low low low low lower lower lowest"),
+      (2L, "new newer newest new new newer"),
+      (3L, "wide wider widest wide wide"),
+      (4L, "slow slower slowest slow slow low new wide")
+    ).toDF("doc_id", "text")
+    val serial = Corpus.bpeTrain(docs, "text", nMerges = 24, batchMerges = 1)
+    val batched = Corpus.bpeTrain(docs, "text", nMerges = 24)
+    assert(batched == serial)
+    // And with an awkward batch width that forces mid-batch boundaries.
+    assert(Corpus.bpeTrain(docs, "text", nMerges = 24, batchMerges = 3)
+      == serial)
+  }
+
+  test("batched bpeTrain matches serial on the sf0.001 documents fixture") {
+    val docs = graft.Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val serial = Corpus.bpeTrain(docs, "text", nMerges = 12, batchMerges = 1)
+    val batched = Corpus.bpeTrain(docs, "text", nMerges = 12)
+    assert(batched == serial)
+  }
 }

@@ -154,4 +154,40 @@ class GraphSpec extends SparkSpec {
     // Spokes are symmetric: identical integer ranks, no drift.
     assert((1 to 8).map(i => out(s"s$i")).toSet.size == 1)
   }
+
+  test("labelPropagation early-exits at the fixpoint, result unchanged") {
+    // Two disjoint triangles settle in a couple of rounds; the cap of
+    // 50 must NOT mean 50 Spark rounds.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val (labels, rounds) =
+      Graph.labelPropagationConverged(edges, "a", "b", iters = 50)
+    assert(rounds < 10, s"no early exit: ran $rounds rounds")
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // One label per triangle, distinct across them.
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(Set(out(4L), out(5L), out(6L)).size == 1)
+    assert(out(1L) != out(4L))
+    // Exactly-`rounds` blind run reproduces the converged result —
+    // the early exit changed nothing but the number of rounds.
+    val blind = Graph.labelPropagation(edges, "a", "b", iters = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(blind == out)
+  }
+
+  test("pageRankConverged: exact fixpoint on a regular graph, mass stat") {
+    // Directed 4-cycle: every node has in/out degree 1, so the uniform
+    // start IS the fixpoint — round 1 reports changed mass 0.
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val (ranks, rounds, mass) =
+      Graph.pageRankConverged(cyc, "s", "d", iters = 10)
+    assert(mass == 0L)
+    assert(rounds < 10, s"no early exit: ran $rounds rounds")
+    val out = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet == Set(1000000L))
+    // And identical to the blind fixed-iters form.
+    val blind = Graph.pageRank(cyc, "s", "d", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(blind == out)
+  }
 }

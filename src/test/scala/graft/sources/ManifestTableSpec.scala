@@ -852,4 +852,88 @@ class ManifestTableSpec extends SparkSpec {
     // the checkpoint above v proves v was once committed.
     assert(gone.getMessage.contains("remain"))
   }
+
+  // ── Optimistic concurrency: the per-table conflict matrix ──
+
+  test("concurrent append to the SAME table aborts an in-flight upsert") {
+    val base = tmpBase()
+    ManifestTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      base, "t", "seed")
+    val delta = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    // The racing writer lands an append to t AFTER the upsert planned
+    // its rewrite (the beforeCommit seam) but BEFORE it claims a slot.
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.upsertKeyed(spark, base, "t", delta, "id", "up-1",
+        beforeCommit = () => { ManifestTable.commit(
+          Seq((9L, "z")).toDF("id", "v"), base, "t", "racer"); () })
+    }
+    // The aborted upsert left no trace: racer's row is there, the
+    // delta is not, and the txn is NOT sealed.
+    val rows = ManifestTable.read(spark, base, "t")
+      .as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (9L, "z")))
+    assert(!ManifestTable.committedTxns(spark, base).contains("up-1"))
+    // Re-run against the current log: lands, and sees racer's row.
+    assert(ManifestTable.upsertKeyed(spark, base, "t", delta, "id", "up-1")
+      .isDefined)
+    val after = ManifestTable.read(spark, base, "t")
+      .as[(Long, String)].collect().toSet
+    assert(after == Set((1L, "a"), (2L, "B"), (3L, "c"), (9L, "z")))
+    // Replay of the LANDED txn is still a sealed no-op.
+    assert(ManifestTable.upsertKeyed(spark, base, "t", delta, "id", "up-1")
+      .isEmpty)
+  }
+
+  test("concurrent upsert aborts an in-flight deleteWhere (other order)") {
+    val base = tmpBase()
+    ManifestTable.commit((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      base, "t", "seed")
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.deleteWhere(spark, base, "t",
+        org.apache.spark.sql.functions.col("id") <= 5L, "del-1",
+        beforeCommit = () => { ManifestTable.upsertKeyed(spark, base, "t",
+          Seq((5L, "V5")).toDF("id", "v"), "id", "race-up"); () })
+    }
+    // The racer's upsert is intact; nothing was deleted.
+    val rows = ManifestTable.read(spark, base, "t")
+      .as[(Long, String)].collect().toMap
+    assert(rows.size == 10 && rows(5L) == "V5")
+    assert(!ManifestTable.committedTxns(spark, base).contains("del-1"))
+    // Re-run sees the new state and deletes through it.
+    val res = ManifestTable.deleteWhere(spark, base, "t",
+      org.apache.spark.sql.functions.col("id") <= 5L, "del-1")
+    assert(res.exists(_.deletedRows == 5L))
+    assert(ManifestTable.read(spark, base, "t").count() == 5L)
+  }
+
+  test("writes to a DIFFERENT table do not conflict with a rewrite") {
+    val base = tmpBase()
+    ManifestTable.commit((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"),
+      base, "t", "seed-t")
+    ManifestTable.commit(Seq((1L, "x")).toDF("id", "v"), base, "u", "seed-u")
+    // An append to u lands mid-delete on t: both commits survive.
+    val res = ManifestTable.deleteWhere(spark, base, "t",
+      org.apache.spark.sql.functions.col("id") > 4L, "del-t",
+      beforeCommit = () => { ManifestTable.commit(
+        Seq((2L, "y")).toDF("id", "v"), base, "u", "racer-u"); () })
+    assert(res.exists(_.deletedRows == 2L))
+    assert(ManifestTable.read(spark, base, "t").count() == 4L)
+    assert(ManifestTable.read(spark, base, "u").count() == 2L)
+    assert(ManifestTable.committedTxns(spark, base) ==
+      Set("seed-t", "seed-u", "del-t", "racer-u"))
+  }
+
+  test("append-append on one table: both land (no false conflict)") {
+    val base = tmpBase()
+    // Writer A appends; mid-commit (after its files are durable),
+    // writer B appends to the same table. Appends add disjoint files —
+    // the matrix says no conflict, and both survive.
+    val n = ManifestTable.commit(Seq((1L, "a")).toDF("id", "v"), base, "t",
+      "w-a", beforeCommit = () => { ManifestTable.commit(
+        Seq((2L, "b")).toDF("id", "v"), base, "t", "w-b"); () })
+    assert(n == 1L)
+    val rows = ManifestTable.read(spark, base, "t")
+      .as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b")))
+  }
 }
