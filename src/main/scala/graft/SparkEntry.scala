@@ -1683,6 +1683,79 @@ object SparkEntry {
           size(col("blocks")).as("n_blocks"))
     }),
 
+    // Crawl outlink extraction: each document wrapped in a page with
+    // one link of every reference form (absolute, protocol-relative,
+    // root-relative, relative, fragment-only), extracted with
+    // Web.extractLinks, resolved against the page's base URL with
+    // Web.resolveUrl, and tagged with the registrable domain — the
+    // (page, outlink) edge table a crawl frontier and a link-graph
+    // PageRank consume. The fragment-only link must vanish (empty
+    // href → NULL), and the oracle replays extraction, all four
+    // resolution rules, and the eTLD+1 heuristic in SQL.
+    "q146_link_graph" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      val base = concat(lit("https://"), col("source"),
+        lit(".example.com/docs/d"), idStr, lit(".html"))
+      val html = concat(
+        lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<a href=\"https://partner.example.org/ref?id="), idStr,
+        lit("\">cite</a>"),
+        lit("<a href=\"//mirror.example.net/m/"), col("source"),
+        lit("\">mirror</a>"),
+        lit("<a href=\"/about\">about</a>"),
+        lit("<a href=\"d"), (col("doc_id") + 1).cast("string"),
+        lit(".html\">next</a>"),
+        lit("<a href=\"#top\">top</a></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), base.as("base"),
+          Web.extractLinks(html).as("links"))
+        .select(col("doc_id"), col("base"),
+          posexplode(col("links")).as(Seq("link_idx", "href")))
+        .select(col("doc_id"), col("link_idx").cast("int").as("link_idx"),
+          Web.resolveUrl(col("base"), col("href")).as("url"))
+        .filter(col("url").isNotNull)
+        .withColumn("domain", Web.registrableDomain(col("url")))
+    }),
+
+    // The crawl pipeline composed end-to-end: pages on a 7-site web
+    // linking to rotating partner/CDN registrables and the next site,
+    // links extracted (Web.extractLinks), resolved (resolveUrl),
+    // collapsed to registrable-domain edges (self-loops dropped,
+    // distinct), then ranked with the drift-free integer PageRank —
+    // the frontier-prioritization table a crawler reads. The edge set
+    // is residue-determined, so the graph is identical at every scale
+    // factor; the oracle replays extraction, resolution, the eTLD+1
+    // collapse AND five unrolled integer PR rounds in SQL.
+    "q147_domain_pagerank" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      val base = concat(lit("https://www.site"),
+        (col("doc_id") % 7).cast("string"), lit(".com/docs/d"), idStr,
+        lit(".html"))
+      val html = concat(
+        lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<a href=\"https://partner"), (col("doc_id") % 5).cast("string"),
+        lit("-press.org/ref?id="), idStr, lit("\">cite</a>"),
+        lit("<a href=\"//cdn"), (col("doc_id") % 3).cast("string"),
+        lit("media.net/lib\">cdn</a>"),
+        lit("<a href=\"https://www.site"),
+        ((col("doc_id") + 1) % 7).cast("string"), lit(".com/docs/d"),
+        (col("doc_id") + 1).cast("string"), lit(".html\">next</a>"),
+        lit("<a href=\"/about\">about</a>"),
+        lit("<a href=\"#top\">top</a></body></html>"))
+      val links = t(s, dir, "documents")
+        .select(col("doc_id"), base.as("base"),
+          explode(Web.extractLinks(html)).as("href"))
+        .select(Web.registrableDomain(col("base")).as("src"),
+          Web.registrableDomain(
+            Web.resolveUrl(col("base"), col("href"))).as("dst"))
+      val edges = links
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct()
+      Graph.pageRank(edges, "src", "dst", iters = 5)
+        .select(col("node").as("domain"), col("rank"))
+    }),
+
     // Window ≡ Ranking parity: the same running sum computed through
     // the native per-user window AND through the range-partitioned
     // groupRunningSum, and the same per-user top-3 through a window
@@ -3717,6 +3790,72 @@ object SparkEntry {
         |SELECT user_id, day, n, med, mad, z FROM z
         |WHERE z IS NOT NULL AND abs(z) >= 3.0""".stripMargin,
 
+    // Extraction + resolution + eTLD+1 + 5 unrolled integer-PR rounds.
+    "q147_domain_pagerank" -> domainPageRankOracleSql(5),
+
+    // Same page construction, same extraction regex, the four
+    // resolution rules as a CASE, and q121's eTLD+1 list logic.
+    "q146_link_graph" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/docs/d'
+        |      || CAST(doc_id AS VARCHAR) || '.html' AS base,
+        |    '<html><body><p>' || text || '</p>'
+        |    || '<a href="https://partner.example.org/ref?id='
+        |      || CAST(doc_id AS VARCHAR) || '">cite</a>'
+        |    || '<a href="//mirror.example.net/m/' || source || '">mirror</a>'
+        |    || '<a href="/about">about</a>'
+        |    || '<a href="d' || CAST(doc_id + 1 AS VARCHAR) || '.html">next</a>'
+        |    || '<a href="#top">top</a></body></html>' AS html
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, base,
+        |    regexp_extract_all(html,
+        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)', 1) AS links
+        |  FROM m),
+        |e AS (
+        |  SELECT doc_id, base, CAST(i - 1 AS INTEGER) AS link_idx,
+        |         links[i] AS href
+        |  FROM l, UNNEST(generate_series(1, len(links))) AS u(i)),
+        |b AS (
+        |  SELECT doc_id, link_idx, href,
+        |    regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bscheme,
+        |    regexp_extract(base,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) AS borigin,
+        |    regexp_replace(regexp_extract(base,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+        |      '[^/]*$', '') AS bdir
+        |  FROM e),
+        |r AS (
+        |  SELECT doc_id, link_idx,
+        |    CASE
+        |      WHEN href = '' THEN NULL
+        |      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+        |        THEN href
+        |      WHEN starts_with(href, '//') THEN bscheme || ':' || href
+        |      WHEN starts_with(href, '/') THEN borigin || href
+        |      ELSE borigin
+        |        || CASE WHEN bdir = '' THEN '/' ELSE bdir END || href
+        |    END AS url
+        |  FROM b),
+        |f AS (SELECT doc_id, link_idx, url FROM r WHERE url IS NOT NULL),
+        |h AS (
+        |  SELECT doc_id, link_idx, url,
+        |    list_filter(string_split(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
+        |      '.'), x -> len(x) > 0) AS ls
+        |  FROM f)
+        |SELECT doc_id, link_idx, url,
+        |  CASE WHEN len(ls) < 2 THEN NULL
+        |       WHEN len(ls) >= 3
+        |            AND ls[len(ls)-1] IN
+        |              ('co','com','net','org','ac','gov','edu')
+        |            AND len(ls[len(ls)]) = 2
+        |         THEN array_to_string(list_slice(ls, len(ls)-2, len(ls)), '.')
+        |       ELSE array_to_string(list_slice(ls, len(ls)-1, len(ls)), '.')
+        |  END AS domain
+        |FROM h""".stripMargin,
+
     // Each metric computed ONCE through the standard window form and
     // aliased into both columns — the Spark side must produce the
     // same value through two different physical plans.
@@ -4241,6 +4380,110 @@ object SparkEntry {
     * base 150000; `//` on non-negative BIGINTs ≡ Spark's `div`).
     * Rounds are MATERIALIZED — each is read by the next round's
     * join, and inlining would expand the chain per round. */
+  /** q147: the q146-style extraction/resolution/eTLD+1 chain over the
+    * 7-site page construction, collapsed to distinct non-self domain
+    * edges, then `iters` unrolled integer-PageRank rounds (same
+    * arithmetic as [[pageRankOracleSql]], VARCHAR nodes). */
+  private def domainPageRankOracleSql(iters: Int): String = {
+    val head =
+      """WITH pm AS (
+        |  SELECT doc_id,
+        |    'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.com/docs/d' || CAST(doc_id AS VARCHAR) || '.html' AS base,
+        |    '<html><body><p>' || text || '</p>'
+        |    || '<a href="https://partner' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '-press.org/ref?id=' || CAST(doc_id AS VARCHAR) || '">cite</a>'
+        |    || '<a href="//cdn' || CAST(doc_id % 3 AS VARCHAR)
+        |      || 'media.net/lib">cdn</a>'
+        |    || '<a href="https://www.site' || CAST((doc_id + 1) % 7 AS VARCHAR)
+        |      || '.com/docs/d' || CAST(doc_id + 1 AS VARCHAR) || '.html">next</a>'
+        |    || '<a href="/about">about</a>'
+        |    || '<a href="#top">top</a></body></html>' AS html
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id, base,
+        |    regexp_extract_all(html,
+        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)', 1) AS links
+        |  FROM pm),
+        |pe AS (
+        |  SELECT doc_id, base, links[i] AS href
+        |  FROM pl, UNNEST(generate_series(1, len(links))) AS u(i)),
+        |pb AS (
+        |  SELECT doc_id, base, href,
+        |    regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bscheme,
+        |    regexp_extract(base,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) AS borigin,
+        |    regexp_replace(regexp_extract(base,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+        |      '[^/]*$', '') AS bdir
+        |  FROM pe),
+        |pres AS (
+        |  SELECT base,
+        |    CASE
+        |      WHEN href = '' THEN NULL
+        |      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+        |        THEN href
+        |      WHEN starts_with(href, '//') THEN bscheme || ':' || href
+        |      WHEN starts_with(href, '/') THEN borigin || href
+        |      ELSE borigin
+        |        || CASE WHEN bdir = '' THEN '/' ELSE bdir END || href
+        |    END AS url
+        |  FROM pb),
+        |pdom AS (
+        |  SELECT
+        |    list_filter(string_split(lower(regexp_extract(base,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
+        |      '.'), x -> len(x) > 0) AS bls,
+        |    list_filter(string_split(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
+        |      '.'), x -> len(x) > 0) AS uls
+        |  FROM pres WHERE url IS NOT NULL),
+        |pedge AS (
+        |  SELECT
+        |    CASE WHEN len(bls) < 2 THEN NULL
+        |         WHEN len(bls) >= 3 AND bls[len(bls)-1] IN
+        |              ('co','com','net','org','ac','gov','edu')
+        |              AND len(bls[len(bls)]) = 2
+        |           THEN array_to_string(list_slice(bls, len(bls)-2, len(bls)), '.')
+        |         ELSE array_to_string(list_slice(bls, len(bls)-1, len(bls)), '.')
+        |    END AS src,
+        |    CASE WHEN len(uls) < 2 THEN NULL
+        |         WHEN len(uls) >= 3 AND uls[len(uls)-1] IN
+        |              ('co','com','net','org','ac','gov','edu')
+        |              AND len(uls[len(uls)]) = 2
+        |           THEN array_to_string(list_slice(uls, len(uls)-2, len(uls)), '.')
+        |         ELSE array_to_string(list_slice(uls, len(uls)-1, len(uls)), '.')
+        |    END AS dst
+        |  FROM pdom),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM pedge
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM edges
+        |  UNION SELECT dst AS node FROM edges),
+        |outdeg AS MATERIALIZED (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY src),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+        .stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(150000 + (85 * coalesce(i.infl, 0)) // 100 AS BIGINT)
+         |      AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum(r.rank // d.deg) AS BIGINT) AS infl
+         |    FROM edges e
+         |    JOIN r${k - 1} r ON r.node = e.src
+         |    JOIN outdeg d ON d.src = e.src
+         |    GROUP BY e.dst) i ON i.node = n.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT t.node AS domain, t.rank AS rank FROM r$iters t"
+  }
+
   private def pageRankOracleSql(iters: Int): String = {
     val head =
       s"""WITH bands AS ($minhashBandsSql),

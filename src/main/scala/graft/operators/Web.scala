@@ -169,6 +169,45 @@ object Web {
   def extractText(html: Column, minChars: Int = 25): Column =
     array_join(transform(mainBlocks(html, minChars), _.getField("txt")), "\n")
 
+  /** Raw `href` targets of a page's anchor tags, in document order —
+    * the outlink side of the crawl graph. Quoted hrefs only (the
+    * overwhelmingly dominant form), value cut at the first quote,
+    * `#` (fragments never reach the server) or `>`; a fragment-only
+    * link therefore extracts as the empty string, which
+    * [[resolveUrl]] maps to NULL. Pure regexp_extract_all — map-only
+    * at scan speed, like everything in this object. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#>]*)"), lit(1))
+
+  /** RFC-3986-lite reference resolution of `href` against the page's
+    * absolute `base` URL — the four forms a crawler actually meets:
+    *
+    *   - absolute (`scheme://…`): taken as-is;
+    *   - protocol-relative (`//host/…`): base's scheme prepended;
+    *   - root-relative (`/path`): scheme://host prepended;
+    *   - relative (`page.html`): resolved against the base's
+    *     directory (last path segment dropped; `/` when the base
+    *     path is empty).
+    *
+    * Empty hrefs and unparseable bases resolve to NULL — quarantine
+    * upstream. Dot-segment normalization (`../`) is deliberately out
+    * of scope (compose a regexp pass if a corpus needs it). */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val host = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    val basePath =
+      regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val dir = regexp_replace(basePath, "[^/]*$", "")
+    when(href.isNull || href === "" || scheme === "" || host === "",
+        lit(null).cast("string"))
+      .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(scheme, lit("://"), host, href))
+      .otherwise(concat(scheme, lit("://"), host,
+        when(dir === "", lit("/")).otherwise(dir), href))
+  }
+
   /** URL-keyed dedup: one surviving row per canonical URL — the
     * survivor is the MINIMUM id (deterministic, re-run-stable), with
     * the variant count kept for crawl forensics. Rows whose URL fails

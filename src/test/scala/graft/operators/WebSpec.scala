@@ -138,4 +138,32 @@ class WebSpec extends SparkSpec {
   test("extractText on an all-boilerplate page is empty") {
     assert(extract("<nav><a>a</a> <a>b</a></nav><footer>tiny</footer>") == "")
   }
+
+  test("extractLinks pulls quoted hrefs in document order, cuts fragments") {
+    val html = """<a href="https://a.com/x">one</a>
+      |<A HREF='/rel'>two</A> <a class="z" href="page.html#sec">three</a>
+      |<a href="#top">frag only</a> <a name="anchor">no href</a>""".stripMargin
+    val links = Seq(Tuple1(html)).toDF("h")
+      .select(Web.extractLinks(col("h")).as("l"))
+      .collect().head.getSeq[String](0)
+    assert(links == Seq("https://a.com/x", "/rel", "page.html", ""))
+  }
+
+  test("resolveUrl handles the four reference forms and NULLs junk") {
+    def res(base: String, href: String): Option[String] =
+      Seq((base, href)).toDF("b", "h")
+        .select(Web.resolveUrl(col("b"), col("h")).as("r"))
+        .collect().headOption.flatMap(r => Option(r.getString(0)))
+    val base = "https://www.site.com/docs/page1.html"
+    assert(res(base, "http://other.org/z").contains("http://other.org/z"))
+    assert(res(base, "//cdn.net/lib").contains("https://cdn.net/lib"))
+    assert(res(base, "/about").contains("https://www.site.com/about"))
+    assert(res(base, "page2.html")
+      .contains("https://www.site.com/docs/page2.html"))
+    // Root-path base: relative resolves against "/".
+    assert(res("https://h.com", "x.html").contains("https://h.com/x.html"))
+    // Empty href (fragment-only link) and junk base → NULL.
+    assert(res(base, "").isEmpty)
+    assert(res("not a url", "/about").isEmpty)
+  }
 }
