@@ -1717,6 +1717,22 @@ object SparkEntry {
         .withColumn("domain", Web.registrableDomain(col("url")))
     }),
 
+    // Audio near-dup by envelope fingerprint — q144's shape one
+    // modality over: the 33-window loudness envelope (md5 stub path,
+    // SQL-mirrorable; the real WAV path is spec-proven gain-invariant)
+    // quantizes to a 32-bit adjacent-comparison fingerprint, 4 byte
+    // bands generate candidates, Hamming ≤ 3 verifies. The cloned
+    // corpus guarantees positives; grid → fingerprint → bands →
+    // verify all recompute in the oracle.
+    "q148_audio_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val content = col("text").cast("binary").as("content")
+      val media = docs.select(col("doc_id").as("media_id"), content)
+        .unionByName(docs.select(
+          (col("doc_id") + 1000000L).as("media_id"), content))
+      Multimodal.audioNearDups(media, "media_id", "content", maxHamming = 3)
+    }),
+
     // The crawl pipeline composed end-to-end: pages on a 7-site web
     // linking to rotating partner/CDN registrables and the next site,
     // links extracted (Web.extractLinks), resolved (resolveUrl),
@@ -3789,6 +3805,40 @@ object SparkEntry {
         |  FROM d JOIN mad USING (user_id))
         |SELECT user_id, day, n, med, mad, z FROM z
         |WHERE z IS NOT NULL AND abs(z) >= 3.0""".stripMargin,
+
+    // The stub envelope is the q29 md5 construction (48-bit prefix mod
+    // 1e6 per window — comparing the integer numerators equals
+    // comparing the scaled doubles); 32 difference bits assemble from
+    // the MSB into one nonnegative BIGINT, then the same byte-band
+    // candidate join + Hamming ≤ 3 verify as the Spark side.
+    "q148_audio_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS media_id, text FROM documents),
+        |g AS (
+        |  SELECT media_id,
+        |    list_transform(range(33), i ->
+        |      CAST(('0x' || substr(md5(text || ':' || i), 1, 12)) AS BIGINT)
+        |        % 1000000) AS env
+        |  FROM m),
+        |h AS (
+        |  SELECT media_id,
+        |    list_sum(list_transform(range(32), p ->
+        |      CASE WHEN env[p + 1] < env[p + 2]
+        |        THEN CAST(1 AS BIGINT) << CAST(31 - p AS INTEGER)
+        |        ELSE 0 END)) AS afp
+        |  FROM g),
+        |b AS (
+        |  SELECT media_id, afp, CAST(r.range AS INTEGER) AS band_id,
+        |    (afp >> CAST(r.range * 8 AS INTEGER)) & 255 AS band_byte
+        |  FROM h, range(4) r)
+        |SELECT DISTINCT l.media_id AS a, r.media_id AS b,
+        |  CAST(bit_count(xor(l.afp, r.afp)) AS INTEGER) AS hamming
+        |FROM b l JOIN b r
+        |  ON l.band_id = r.band_id AND l.band_byte = r.band_byte
+        |  AND l.media_id < r.media_id
+        |WHERE bit_count(xor(l.afp, r.afp)) <= 3""".stripMargin,
 
     // Extraction + resolution + eTLD+1 + 5 unrolled integer-PR rounds.
     "q147_domain_pagerank" -> domainPageRankOracleSql(5),

@@ -321,6 +321,83 @@ object Multimodal {
       .select(col("a"), col("b"), col("hamming")).distinct()
   }
 
+  /** 33-window loudness envelope for the audio fingerprint — REAL
+    * RMS windows for WAV content ([[WavCodec.features]]), the
+    * deterministic md5 stub elsewhere (`channel % 1e6`, the q29
+    * construction a SQL oracle mirrors). */
+  private[operators] def envelopeFor(content: Array[Byte]): Array[Double] =
+    if (WavCodec.isWav(content))
+      WavCodec.decode(content).map(d => WavCodec.features(d._2, 33))
+        .getOrElse(FakeCodec.features(content, 33))
+    else FakeCodec.features(content, 33)
+
+  /** 32-bit audio difference fingerprint (chromaprint-lite): bit i is
+    * set iff loudness INCREASES window i → i+1 over the 33-window RMS
+    * envelope, assembled from the MSB. Comparing ADJACENT windows
+    * makes the fingerprint invariant to uniform gain (every RMS
+    * scales by the same factor, so the comparisons are unchanged) —
+    * a re-leveled copy of the same recording fingerprints
+    * identically, which a content hash misses. Nonnegative Long
+    * (fits 32 bits), so no sign juggling anywhere downstream. */
+  private[operators] def audioFingerprintOf(env: Array[Double]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 32) {
+      h = (h << 1) | (if (env(i) < env(i + 1)) 1L else 0L)
+      i += 1
+    }
+    h
+  }
+
+  /** Fingerprint column over the content bytes: (media_id, afp) —
+    * batched mapPartitions like [[dhash]]; only the 4-byte
+    * fingerprint continues into shuffling stages. */
+  def audioFingerprint(
+      media: DataFrame,
+      idCol: String,
+      contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, content) =>
+            (id, audioFingerprintOf(envelopeFor(content))) }
+        }
+      }.toDF("media_id", "afp")
+  }
+
+  /** Audio near-duplicates by envelope fingerprint: byte-band the
+    * 32-bit hash (4 bands — full recall to Hamming 3 by pigeonhole),
+    * candidates from the (band, byte) equi-join, verify
+    * `bit_count(xor) ≤ maxHamming` — [[imageNearDups]] one modality
+    * over. Catches the re-leveled / re-encoded copy of a recording
+    * that exact content-hash dedup misses. */
+  def audioNearDups(
+      media: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 byte-bands guarantee recall only to Hamming 3")
+    val h = audioFingerprint(media, idCol, contentCol)
+    val banded = h
+      .select(col("media_id"), col("afp"),
+        explode(sequence(lit(0), lit(3))).as("band_id"))
+      .withColumn("band_byte",
+        expr("shiftright(afp, band_id * 8) & 255"))
+    val l = banded.select(col("band_id"), col("band_byte"),
+      col("media_id").as("a"), col("afp").as("h_a"))
+    val r = banded.select(col("band_id"), col("band_byte"),
+      col("media_id").as("b"), col("afp").as("h_b"))
+    l.join(r, Seq("band_id", "band_byte"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming")).distinct()
+  }
+
   /** Magic-byte dispatch shared by the batched stages: real pixels
     * for PNG, real PCM for WAV, deterministic stub elsewhere. */
   private def featuresFor(content: Array[Byte], dim: Int): Array[Double] =

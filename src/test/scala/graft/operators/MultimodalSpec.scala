@@ -186,6 +186,65 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  /** 16-bit mono PCM WAV whose amplitude steps deterministically per
+    * 250-sample chunk — a rich loudness envelope for fingerprinting
+    * (`gain` scales the whole signal uniformly). */
+  private def wavPattern(n: Int, seed: Int, gain: Double = 1.0): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bytes = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val a = gain * (0.1 + 0.8 * (((i / 250) * 37 + seed) % 97) / 97.0)
+      val s = (a * 32767 * (if (i % 2 == 0) 1 else -1)).toInt.toShort
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioFingerprint: gain-invariant on real WAV, far for another signal") {
+    val full = wavPattern(8250, seed = 5)
+    val quiet = wavPattern(8250, seed = 5, gain = 0.5)
+    val other = wavPattern(8250, seed = 41)
+    assert(Multimodal.WavCodec.isWav(full))
+    val df = Seq((1L, full), (2L, quiet), (3L, other))
+      .toDF("media_id", "content")
+    val fp = rows(Multimodal.audioFingerprint(df, "media_id", "content"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L), "uniform gain must not change the fingerprint")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) > 3,
+      s"unrelated signal too close: Hamming ${ham(fp(1L), fp(3L))}")
+    assert(fp(1L) >= 0L && fp(1L) <= 0xffffffffL)
+  }
+
+  test("audioFingerprint: non-audio content takes the stub envelope") {
+    val content = "definitely not audio".getBytes("UTF-8")
+    val got = rows(Multimodal.audioFingerprint(
+      Seq((9L, content)).toDF("media_id", "content"), "media_id", "content"))
+      .head.getLong(1)
+    val env = Multimodal.FakeCodec.features(content, 33)
+    var expect = 0L
+    for (i <- 0 until 32)
+      expect = (expect << 1) | (if (env(i) < env(i + 1)) 1L else 0L)
+    assert(got == expect)
+  }
+
+  test("audioNearDups: catches the re-leveled copy, not the stranger") {
+    val a = wavPattern(8250, seed = 5)
+    val aQuiet = wavPattern(8250, seed = 5, gain = 0.35)
+    val b = wavPattern(8250, seed = 41)
+    val df = Seq((1L, a), (2L, aQuiet), (3L, b)).toDF("media_id", "content")
+    val pairs = rows(Multimodal.audioNearDups(df, "media_id", "content"))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   /** 16-bit mono PCM WAV: first half amplitude `a1`, second half `a2`
     * (constant-amplitude square-ish tone per half → exact RMS). */
   private def wav(n: Int, a1: Double, a2: Double): Array[Byte] = {
