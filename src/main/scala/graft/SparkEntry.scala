@@ -1717,6 +1717,34 @@ object SparkEntry {
         .withColumn("domain", Web.registrableDomain(col("url")))
     }),
 
+    // Per-domain document cap (the C4 practice: no domain may
+    // dominate the corpus): q121's URL construction, registrable
+    // domains, then keep the top-25 docs per domain by
+    // (n_chars DESC, doc_id) through the k-bounded aggregate — a
+    // mega-domain costs k structs of agg state, never a window
+    // partition. Junk URLs (NULL domain) drop.
+    "q149_domain_cap" -> ((s, dir) => {
+      val page = expr("doc_id div 7").cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("https://news.example.co.uk/a/"), page))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("https://blog.example.com/p/"), page))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://example.com/p/"), page))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("http://mirror.site.org:80/x/"), page))
+        .otherwise(lit("not a url"))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), url.as("url"))
+        .withColumn("domain", Web.registrableDomain(col("url")))
+        .filter(col("domain").isNotNull)
+      Ranking.groupTopK(d, Seq("domain"),
+          Seq((-col("n_chars")).as("neg_chars"),
+            col("doc_id").as("doc_id")), k = 25)
+        .select(col("domain"), col("rank"),
+          (-col("neg_chars")).as("n_chars"), col("doc_id"))
+    }),
+
     // Audio near-dup by envelope fingerprint — q144's shape one
     // modality over: the 33-window loudness envelope (md5 stub path,
     // SQL-mirrorable; the real WAV path is spec-proven gain-invariant)
@@ -3805,6 +3833,49 @@ object SparkEntry {
         |  FROM d JOIN mad USING (user_id))
         |SELECT user_id, day, n, med, mad, z FROM z
         |WHERE z IS NOT NULL AND abs(z) >= 3.0""".stripMargin,
+
+    // q121's URL + eTLD+1 logic with n_chars carried through, then the
+    // cap as a plain window at oracle scale.
+    "q149_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars, CASE
+        |    WHEN doc_id % 5 = 0 THEN 'https://news.example.co.uk/a/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 5 = 1 THEN 'https://blog.example.com/p/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 5 = 2 THEN 'https://example.com/p/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 5 = 3 THEN 'http://mirror.site.org:80/x/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    ELSE 'not a url' END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(string_split(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
+        |      '.'), x -> len(x) > 0) AS ls
+        |  FROM u),
+        |d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN len(ls) < 2 THEN NULL
+        |         WHEN len(ls) >= 3
+        |              AND ls[len(ls)-1] IN
+        |                ('co','com','net','org','ac','gov','edu')
+        |              AND len(ls[len(ls)]) = 2
+        |           THEN array_to_string(
+        |             list_slice(ls, len(ls)-2, len(ls)), '.')
+        |         ELSE array_to_string(
+        |             list_slice(ls, len(ls)-1, len(ls)), '.') END AS domain
+        |  FROM h),
+        |k AS (
+        |  SELECT domain, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM d WHERE domain IS NOT NULL
+        |  QUALIFY rank <= 25)
+        |SELECT domain, CAST(rank AS INTEGER) AS rank,
+        |       CAST(n_chars AS BIGINT) AS n_chars, doc_id
+        |FROM k""".stripMargin,
 
     // The stub envelope is the q29 md5 construction (48-bit prefix mod
     // 1e6 per window — comparing the integer numerators equals
