@@ -1717,6 +1717,37 @@ object SparkEntry {
         .withColumn("domain", Web.registrableDomain(col("url")))
     }),
 
+    // Crawl-policy gate, robots.txt-lite: q121's URL construction
+    // against a literal parsed-policy table; per URL, the verdict of
+    // the longest matching path prefix, Allow winning exact ties
+    // (RFC 9309), unmatched URLs allowed. The rules broadcast
+    // (policy-sized); the winner is one map-side max_by over an
+    // integer score — no window. The oracle replays prefix matching,
+    // the 2·len+isAllow total order, and the default in SQL.
+    "q150_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val page = expr("doc_id div 7").cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("https://news.example.co.uk/a/"), page))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("https://blog.example.com/p/"), page))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://example.com/p/"), page))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("http://mirror.site.org:80/x/"), page))
+        .otherwise(lit("not a url"))
+      val rules = Seq(
+        ("example.com", "disallow", "/p/"),
+        ("example.com", "allow", "/p/1"),
+        ("example.co.uk", "disallow", "/a/4"),
+        ("site.org", "disallow", "/x/"),
+        ("site.org", "allow", "/x/")
+      ).toDF("domain", "directive", "prefix")
+      Web.robotsVerdicts(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "url", rules)
+    }),
+
     // Per-domain document cap (the C4 practice: no domain may
     // dominate the corpus): q121's URL construction, registrable
     // domains, then keep the top-25 docs per domain by
@@ -3833,6 +3864,62 @@ object SparkEntry {
         |  FROM d JOIN mad USING (user_id))
         |SELECT user_id, day, n, med, mad, z FROM z
         |WHERE z IS NOT NULL AND abs(z) >= 3.0""".stripMargin,
+
+    // Same literal rules VALUES, same eTLD+1 domain, same
+    // 2·len+isAllow winner and default-allow.
+    "q150_robots_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 5 = 0 THEN 'https://news.example.co.uk/a/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 5 = 1 THEN 'https://blog.example.com/p/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 5 = 2 THEN 'https://example.com/p/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 5 = 3 THEN 'http://mirror.site.org:80/x/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    ELSE 'not a url' END AS url
+        |  FROM documents),
+        |rules AS (
+        |  SELECT * FROM (VALUES
+        |    ('example.com', 'disallow', '/p/'),
+        |    ('example.com', 'allow', '/p/1'),
+        |    ('example.co.uk', 'disallow', '/a/4'),
+        |    ('site.org', 'disallow', '/x/'),
+        |    ('site.org', 'allow', '/x/')) r(domain, directive, prefix)),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    list_filter(string_split(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
+        |      '.'), x -> len(x) > 0) AS ls,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS path
+        |  FROM u),
+        |d AS (
+        |  SELECT doc_id, url, path,
+        |    CASE WHEN len(ls) < 2 THEN NULL
+        |         WHEN len(ls) >= 3
+        |              AND ls[len(ls)-1] IN
+        |                ('co','com','net','org','ac','gov','edu')
+        |              AND len(ls[len(ls)]) = 2
+        |           THEN array_to_string(
+        |             list_slice(ls, len(ls)-2, len(ls)), '.')
+        |         ELSE array_to_string(
+        |             list_slice(ls, len(ls)-1, len(ls)), '.') END AS domain
+        |  FROM h),
+        |j AS (
+        |  SELECT d.doc_id, d.url, d.domain,
+        |    CASE WHEN r.prefix IS NOT NULL
+        |              AND starts_with(d.path, r.prefix)
+        |      THEN len(r.prefix) * 2
+        |        + CASE WHEN r.directive = 'allow' THEN 1 ELSE 0 END
+        |    END AS score,
+        |    r.directive = 'allow' AS is_allow
+        |  FROM d LEFT JOIN rules r ON d.domain = r.domain
+        |  WHERE d.domain IS NOT NULL)
+        |SELECT doc_id, url, domain,
+        |  coalesce(arg_max(is_allow, score), TRUE) AS allowed
+        |FROM j GROUP BY doc_id, url, domain""".stripMargin,
 
     // q121's URL + eTLD+1 logic with n_chars carried through, then the
     // cap as a plain window at oracle scale.

@@ -208,6 +208,52 @@ object Web {
         when(dir === "", lit("/")).otherwise(dir), href))
   }
 
+  /** Crawl-policy verdicts, robots.txt-lite: `rules` is the parsed
+    * policy table `(domain, directive ∈ allow|disallow, prefix)` —
+    * one row per Allow/Disallow line of a domain's robots.txt for the
+    * crawler's user-agent — and every URL gets the verdict of its
+    * LONGEST matching path prefix, Allow winning exact ties (the
+    * Google/RFC 9309 rule); a URL with no matching rule is allowed.
+    * URLs whose domain fails to extract are dropped — quarantine
+    * upstream.
+    *
+    * Scale: the rules table is domain-keyed and policy-sized (dozens
+    * of lines per domain), so the join broadcasts; the winner is one
+    * map-side-combinable max_by per URL — score = 2·|prefix| +
+    * isAllow, an integer total order in which a longer prefix always
+    * beats a shorter one and Allow beats Disallow at equal length
+    * (equal scores imply equal verdicts, so ties are harmless). No
+    * window, no corpus×rules blowup beyond each URL's own domain's
+    * rules.
+    *
+    * Output: input columns + `domain` + `allowed` (boolean). */
+  def robotsVerdicts(
+      urls: DataFrame,
+      urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val withKey = urls
+      .withColumn("domain", registrableDomain(col(urlCol)))
+      .filter(col("domain").isNotNull)
+      .withColumn("__path",
+        regexp_extract(col(urlCol),
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1))
+    val r = rules.select(col("domain"),
+      (col("directive") === "allow").as("__isAllow"),
+      col("prefix").as("__prefix"))
+    val outCols = urls.columns.map(col) :+ col("domain")
+    withKey
+      .join(broadcast(r), Seq("domain"), "left")
+      .withColumn("__hit",
+        col("__prefix").isNotNull &&
+          col("__path").startsWith(col("__prefix")))
+      .withColumn("__score",
+        when(col("__hit"), length(col("__prefix")) * 2 +
+          col("__isAllow").cast("int")))
+      .groupBy(outCols: _*)
+      .agg(coalesce(max_by(col("__isAllow"), col("__score")), lit(true))
+        .as("allowed"))
+  }
+
   /** URL-keyed dedup: one surviving row per canonical URL — the
     * survivor is the MINIMUM id (deterministic, re-run-stable), with
     * the variant count kept for crawl forensics. Rows whose URL fails

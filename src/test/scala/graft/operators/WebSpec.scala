@@ -149,6 +149,28 @@ class WebSpec extends SparkSpec {
     assert(links == Seq("https://a.com/x", "/rel", "page.html", ""))
   }
 
+  test("robotsVerdicts: longest prefix wins, allow breaks ties, default allow") {
+    val rules = Seq(
+      ("site.com", "disallow", "/private/"),
+      ("site.com", "allow", "/private/pub"),
+      ("site.com", "disallow", "/tmp"),
+      ("tie.org", "disallow", "/x/"),
+      ("tie.org", "allow", "/x/")
+    ).toDF("domain", "directive", "prefix")
+    val urls = Seq(
+      (1L, "https://www.site.com/private/a"),      // disallow /private/
+      (2L, "https://www.site.com/private/pub/ok"), // longer allow wins
+      (3L, "https://www.site.com/open/page"),      // no rule → allow
+      (4L, "https://www.site.com/tmpfile"),        // prefix match mid-word
+      (5L, "https://sub.tie.org/x/y"),             // equal length → allow
+      (6L, "not a url")                            // dropped
+    ).toDF("id", "url")
+    val out = Web.robotsVerdicts(urls, "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true))
+  }
+
   test("resolveUrl handles the four reference forms and NULLs junk") {
     def res(base: String, href: String): Option[String] =
       Seq((base, href)).toDF("b", "h")
