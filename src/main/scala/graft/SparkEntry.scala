@@ -26,6 +26,23 @@ object SparkEntry {
   /** Per-row fixed-point: dollars-ish double → exact integer cents. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** The synthetic crawl-URL column shared by q121/q149/q150: five
+    * URL shapes (two-level eTLD, subdomain, bare domain, explicit
+    * default port, junk) keyed on doc_id residues — mirrored verbatim
+    * in each gate's oracle SQL. */
+  private def crawlUrl: Column = {
+    val page = expr("doc_id div 7").cast("string")
+    when(col("doc_id") % 5 === 0,
+        concat(lit("https://news.example.co.uk/a/"), page))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("https://blog.example.com/p/"), page))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("https://example.com/p/"), page))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("http://mirror.site.org:80/x/"), page))
+      .otherwise(lit("not a url"))
+  }
+
   /** A self-cleaning scratch dir for the ACID round-trip gates
     * (q139/q140): the returned frame is read lazily AFTER the builder
     * returns, so the dir cannot be deleted eagerly. All scratch dirs
@@ -47,12 +64,17 @@ object SparkEntry {
   def reapScratch(): Unit = {
     val it = scratchDirs.iterator()
     while (it.hasNext) {
-      val d = it.next(); it.remove()
-      try
+      val d = it.next()
+      // Deregister only AFTER a fully-successful delete: a partial
+      // failure (transient IO, still-open handle) keeps the dir
+      // registered so the shutdown hook retries it — otherwise a
+      // mid-run failure would strand the tree permanently.
+      try {
         java.nio.file.Files.walk(d)
           .sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      catch { case _: Throwable => () }
+        it.remove()
+      } catch { case _: Throwable => () }
     }
   }
 
@@ -1726,16 +1748,7 @@ object SparkEntry {
     // the 2·len+isAllow total order, and the default in SQL.
     "q150_robots_filter" -> ((s, dir) => {
       import s.implicits._
-      val page = expr("doc_id div 7").cast("string")
-      val url = when(col("doc_id") % 5 === 0,
-          concat(lit("https://news.example.co.uk/a/"), page))
-        .when(col("doc_id") % 5 === 1,
-          concat(lit("https://blog.example.com/p/"), page))
-        .when(col("doc_id") % 5 === 2,
-          concat(lit("https://example.com/p/"), page))
-        .when(col("doc_id") % 5 === 3,
-          concat(lit("http://mirror.site.org:80/x/"), page))
-        .otherwise(lit("not a url"))
+      val url = crawlUrl
       val rules = Seq(
         ("example.com", "disallow", "/p/"),
         ("example.com", "allow", "/p/1"),
@@ -1755,16 +1768,7 @@ object SparkEntry {
     // mega-domain costs k structs of agg state, never a window
     // partition. Junk URLs (NULL domain) drop.
     "q149_domain_cap" -> ((s, dir) => {
-      val page = expr("doc_id div 7").cast("string")
-      val url = when(col("doc_id") % 5 === 0,
-          concat(lit("https://news.example.co.uk/a/"), page))
-        .when(col("doc_id") % 5 === 1,
-          concat(lit("https://blog.example.com/p/"), page))
-        .when(col("doc_id") % 5 === 2,
-          concat(lit("https://example.com/p/"), page))
-        .when(col("doc_id") % 5 === 3,
-          concat(lit("http://mirror.site.org:80/x/"), page))
-        .otherwise(lit("not a url"))
+      val url = crawlUrl
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"), url.as("url"))
         .withColumn("domain", Web.registrableDomain(col("url")))
@@ -2012,16 +2016,7 @@ object SparkEntry {
     // two-level-suffix (co.uk), default-port, and unparseable hosts —
     // the registrable-domain heuristic plus a distinct-page count.
     "q121_domain_stats" -> ((s, dir) => {
-      val page = expr("doc_id div 7").cast("string")
-      val url = when(col("doc_id") % 5 === 0,
-          concat(lit("https://news.example.co.uk/a/"), page))
-        .when(col("doc_id") % 5 === 1,
-          concat(lit("https://blog.example.com/p/"), page))
-        .when(col("doc_id") % 5 === 2,
-          concat(lit("https://example.com/p/"), page))
-        .when(col("doc_id") % 5 === 3,
-          concat(lit("http://mirror.site.org:80/x/"), page))
-        .otherwise(lit("not a url"))
+      val url = crawlUrl
       Web.domainStats(
         t(s, dir, "documents").select(col("doc_id"), url.as("url")),
         "doc_id", "url")

@@ -250,36 +250,50 @@ object Dedup {
       graft.functions.GraftExpressions
         .simhashFromTokens(tokens(col(textCol)), 32).as("simhash"))
 
+  /** The shared byte-band Hamming near-dup core behind
+    * [[simhashNearDups]], `Multimodal.imageNearDups`, and
+    * `Multimodal.audioNearDups`: band a NONNEGATIVE `nBands`·8-bit
+    * hash into its bytes, equi-join on (band_id, band_byte) for
+    * candidates — by pigeonhole, full recall to Hamming nBands − 1 —
+    * then the cheap bit_count(xor) verify. ONE shuffle on the band
+    * key; never corpus×corpus.
+    *
+    * Input: `hashed` = (idCol, hashCol) with the hash in a long.
+    * Output: (a, b, hamming), a < b, distinct. */
+  private[operators] def hammingBandNearDups(
+      hashed: DataFrame,
+      idCol: String,
+      hashCol: String,
+      nBands: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming < nBands,
+      s"$nBands byte-bands guarantee recall only to Hamming ${nBands - 1}")
+    val banded = hashed
+      .select(col(idCol), col(hashCol),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band_id"))
+      .withColumn("band_byte",
+        expr(s"shiftright($hashCol, band_id * 8) & 255"))
+    val l = banded.select(col("band_id"), col("band_byte"),
+      col(idCol).as("a"), col(hashCol).as("h_a"))
+    val r = banded.select(col("band_id"), col("band_byte"),
+      col(idCol).as("b"), col(hashCol).as("h_b"))
+    l.join(r, Seq("band_id", "band_byte"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming")).distinct()
+  }
+
   /** SimHash near-duplicates at Hamming distance ≤ `maxHamming`, via
-    * byte-band LSH: split each 32-bit simhash into 4 bytes; by
-    * pigeonhole, any pair within Hamming distance 3 agrees on ≥ 1
-    * whole byte, so an equi-join on (band_id, band_byte) finds ALL
-    * such pairs (exact recall for maxHamming ≤ 3), then the cheap
-    * bit_count(xor) verify discards false candidates. ONE shuffle on
-    * the band key; never corpus×corpus. */
+    * byte-band LSH over the 32-bit simhash's 4 bytes
+    * ([[hammingBandNearDups]]). */
   def simhashNearDups(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4 byte-bands guarantee recall only to Hamming 3")
-    val sh = simhash32(docs, idCol, textCol)
-    val banded = sh
-      .select(col(idCol), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("band_id"))
-      .withColumn("band_byte",
-        expr("(simhash div shiftleft(CAST(1 AS BIGINT), band_id * 8)) % 256"))
-    val l = banded.select(col("band_id"), col("band_byte"),
-      col(idCol).as("a"), col("simhash").as("sh_a"))
-    val r = banded.select(col("band_id"), col("band_byte"),
-      col(idCol).as("b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("band_id", "band_byte"))
-      .filter(col("a") < col("b"))
-      .withColumn("hamming",
-        expr("bit_count(sh_a ^ sh_b)"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming")).distinct()
-  }
+      maxHamming: Int = 3): DataFrame =
+    hammingBandNearDups(simhash32(docs, idCol, textCol),
+      idCol, "simhash", nBands = 4, maxHamming = maxHamming)
 
   /** Embedding-cosine near-duplicates: SRP-LSH bucket the corpus, then
     * verify cosine ≥ threshold within buckets only. One shuffle per

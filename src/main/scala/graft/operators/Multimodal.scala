@@ -302,24 +302,9 @@ object Multimodal {
       media: DataFrame,
       idCol: String,
       contentCol: String,
-      maxHamming: Int = 6): DataFrame = {
-    require(maxHamming <= 7, "8 byte-bands guarantee recall only to Hamming 7")
-    val h = dhash(media, idCol, contentCol)
-    val banded = h
-      .select(col("media_id"), col("dhash"),
-        explode(sequence(lit(0), lit(7))).as("band_id"))
-      .withColumn("band_byte",
-        expr("shiftright(dhash, band_id * 8) & 255"))
-    val l = banded.select(col("band_id"), col("band_byte"),
-      col("media_id").as("a"), col("dhash").as("h_a"))
-    val r = banded.select(col("band_id"), col("band_byte"),
-      col("media_id").as("b"), col("dhash").as("h_b"))
-    l.join(r, Seq("band_id", "band_byte"))
-      .filter(col("a") < col("b"))
-      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming")).distinct()
-  }
+      maxHamming: Int = 6): DataFrame =
+    Dedup.hammingBandNearDups(dhash(media, idCol, contentCol),
+      "media_id", "dhash", nBands = 8, maxHamming = maxHamming)
 
   /** 33-window loudness envelope for the audio fingerprint — REAL
     * RMS windows for WAV content ([[WavCodec.features]]), the
@@ -379,24 +364,9 @@ object Multimodal {
       media: DataFrame,
       idCol: String,
       contentCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4 byte-bands guarantee recall only to Hamming 3")
-    val h = audioFingerprint(media, idCol, contentCol)
-    val banded = h
-      .select(col("media_id"), col("afp"),
-        explode(sequence(lit(0), lit(3))).as("band_id"))
-      .withColumn("band_byte",
-        expr("shiftright(afp, band_id * 8) & 255"))
-    val l = banded.select(col("band_id"), col("band_byte"),
-      col("media_id").as("a"), col("afp").as("h_a"))
-    val r = banded.select(col("band_id"), col("band_byte"),
-      col("media_id").as("b"), col("afp").as("h_b"))
-    l.join(r, Seq("band_id", "band_byte"))
-      .filter(col("a") < col("b"))
-      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming")).distinct()
-  }
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingBandNearDups(audioFingerprint(media, idCol, contentCol),
+      "media_id", "afp", nBands = 4, maxHamming = maxHamming)
 
   /** Magic-byte dispatch shared by the batched stages: real pixels
     * for PNG, real PCM for WAV, deterministic stub elsewhere. */

@@ -226,22 +226,31 @@ object Web {
     * window, no corpus×rules blowup beyond each URL's own domain's
     * rules.
     *
-    * Output: input columns + `domain` + `allowed` (boolean). */
+    * Output: input columns + `domain` + `allowed` (boolean), one
+    * output row per input row (verdicts are computed once per
+    * DISTINCT (domain, path) and joined back, so duplicate frontier
+    * rows pass through unmerged). */
   def robotsVerdicts(
       urls: DataFrame,
       urlCol: String,
       rules: DataFrame): DataFrame = {
+    require(!urls.columns.contains("domain") &&
+        !urls.columns.contains("allowed"),
+      "robotsVerdicts adds 'domain' and 'allowed' — rename those input " +
+        "columns (or drop them) before calling")
+    val rawPath = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
     val withKey = urls
       .withColumn("domain", registrableDomain(col(urlCol)))
       .filter(col("domain").isNotNull)
+      // RFC 9309: a URL with no path component is the root — a bare
+      // `https://example.com` must match a `/` rule, not bypass it.
       .withColumn("__path",
-        regexp_extract(col(urlCol),
-          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1))
+        when(rawPath === "", lit("/")).otherwise(rawPath))
     val r = rules.select(col("domain"),
       (col("directive") === "allow").as("__isAllow"),
       col("prefix").as("__prefix"))
-    val outCols = urls.columns.map(col) :+ col("domain")
-    withKey
+    val verdicts = withKey.select(col("domain"), col("__path")).distinct()
       .join(broadcast(r), Seq("domain"), "left")
       .withColumn("__hit",
         col("__prefix").isNotNull &&
@@ -249,9 +258,10 @@ object Web {
       .withColumn("__score",
         when(col("__hit"), length(col("__prefix")) * 2 +
           col("__isAllow").cast("int")))
-      .groupBy(outCols: _*)
+      .groupBy(col("domain"), col("__path"))
       .agg(coalesce(max_by(col("__isAllow"), col("__score")), lit(true))
         .as("allowed"))
+    withKey.join(verdicts, Seq("domain", "__path")).drop("__path")
   }
 
   /** URL-keyed dedup: one surviving row per canonical URL — the

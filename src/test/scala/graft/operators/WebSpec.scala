@@ -166,9 +166,27 @@ class WebSpec extends SparkSpec {
       (6L, "not a url")                            // dropped
     ).toDF("id", "url")
     val out = Web.robotsVerdicts(urls, "url", rules)
-      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      .select(col("id"), col("allowed"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out == Map(1L -> false, 2L -> true, 3L -> true,
       4L -> false, 5L -> true))
+  }
+
+  test("robotsVerdicts: bare-origin URL matches '/' rules, dups pass through") {
+    val rules = Seq(("blocked.com", "disallow", "/"))
+      .toDF("domain", "directive", "prefix")
+    val urls = Seq(
+      (1L, "https://blocked.com"),       // no path — still disallowed
+      (2L, "https://blocked.com/x"),
+      (2L, "https://blocked.com/x"),     // duplicate frontier row survives
+      (3L, "https://open.org")
+    ).toDF("id", "url")
+    val out = Web.robotsVerdicts(urls, "url", rules)
+      .select(col("id"), col("allowed"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(out.length == 4, "duplicate input rows must not collapse")
+    val m = out.toSet
+    assert(m == Set((1L, false), (2L, false), (3L, true)))
   }
 
   test("resolveUrl handles the four reference forms and NULLs junk") {
