@@ -14,20 +14,24 @@ object Bench {
     // parquet reader init) so per-query timings measure the queries.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Graft.table(spark, sfDir, "lineitem").count()
-    // Three timed runs per query, report the MEDIAN (min kept as a
-    // secondary field): r4→r5 moved per-query timings up to 6× on
+    // Five timed runs per query, report the MEDIAN with the MIN as a
+    // first-class sibling: r4→r5 moved per-query timings up to 6× on
     // identical code — single-run and min-of-2 numbers are host noise,
-    // not signal. The three repetitions are INTERLEAVED round-robin
-    // (suite pass 1, then pass 2, then pass 3) rather than run
-    // back-to-back per query: this VM sees multi-second host-steal
-    // bursts, and consecutive runs put all three samples of one
+    // not signal — and r9→r10 showed a uniform ~1.26× median drift
+    // across UNTOUCHED queries (a noise window spanning the whole
+    // run), so cross-round comparisons should anchor on total_min,
+    // which a slow window cannot inflate. The repetitions are
+    // INTERLEAVED round-robin (suite pass 1, then pass 2, …) rather
+    // than run back-to-back per query: this VM sees multi-second
+    // host-steal bursts, and consecutive runs put all samples of one
     // unlucky query inside the same burst (observed: a different query
     // 10-30× slow each bench invocation, unreproducible alone). Spread
     // out, a burst costs several queries one sample each — which the
     // median then discards.
+    val reps = 5
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to 3; name <- names) {
+    for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -128,11 +132,12 @@ object Bench {
     val failed = results.collect { case (k, (v, _)) if v == -1.0 => k }.toSeq.sorted
     val ok = results.values.map(_._1).filter(_ >= 0.0)
     val total = ok.sum
+    val totalMin = results.values.map(_._2).filter(_ >= 0.0).sum
     // mean/query lets totals compare fairly across rounds whose query
     // counts differ (the suite nearly doubled during round 2).
     val mean = if (ok.nonEmpty) total / ok.size else 0.0
     val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","queries":$qs,"queries_min":$qsMin,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"failed":$failJson,"skew":$skewJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"failed":$failJson,"skew":$skewJson,"sf":"$sfDir"}"""
     // The full per-query JSON (75 queries) outgrows the driver's stdout
     // tail capture, which truncates long lines mid-way (r1 and r2 both
     // landed parsed:null). So: full detail goes to a FILE, stdout gets
@@ -142,7 +147,7 @@ object Bench {
       java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"sf":"$sfDir","full_json_file":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$totalMin,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"sf":"$sfDir","full_json_file":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

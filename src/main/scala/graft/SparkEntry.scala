@@ -1727,6 +1727,7 @@ object SparkEntry {
         lit("<a href=\"/about\">about</a>"),
         lit("<a href=\"d"), (col("doc_id") + 1).cast("string"),
         lit(".html\">next</a>"),
+        lit("<a href=\"mailto:ops@example.com\">mail</a>"),
         lit("<a href=\"#top\">top</a></body></html>"))
       t(s, dir, "documents")
         .select(col("doc_id"), base.as("base"),
@@ -4009,6 +4010,7 @@ object SparkEntry {
         |    || '<a href="//mirror.example.net/m/' || source || '">mirror</a>'
         |    || '<a href="/about">about</a>'
         |    || '<a href="d' || CAST(doc_id + 1 AS VARCHAR) || '.html">next</a>'
+        |    || '<a href="mailto:ops@example.com">mail</a>'
         |    || '<a href="#top">top</a></body></html>' AS html
         |  FROM documents),
         |l AS (
@@ -4035,6 +4037,10 @@ object SparkEntry {
         |      WHEN href = '' THEN NULL
         |      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
         |        THEN href
+        |      -- scheme with no '//' (mailto:, javascript:): absolute
+        |      -- but non-hierarchical — NULL quarantine, not relative.
+        |      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+        |        THEN NULL
         |      WHEN starts_with(href, '//') THEN bscheme || ':' || href
         |      WHEN starts_with(href, '/') THEN borigin || href
         |      ELSE borigin
@@ -4626,6 +4632,10 @@ object SparkEntry {
         |      WHEN href = '' THEN NULL
         |      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
         |        THEN href
+        |      -- scheme with no '//' (mailto:, javascript:): absolute
+        |      -- but non-hierarchical — NULL quarantine, not relative.
+        |      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+        |        THEN NULL
         |      WHEN starts_with(href, '//') THEN bscheme || ':' || href
         |      WHEN starts_with(href, '/') THEN borigin || href
         |      ELSE borigin

@@ -252,11 +252,15 @@ object Dedup {
 
   /** The shared byte-band Hamming near-dup core behind
     * [[simhashNearDups]], `Multimodal.imageNearDups`, and
-    * `Multimodal.audioNearDups`: band a NONNEGATIVE `nBands`·8-bit
-    * hash into its bytes, equi-join on (band_id, band_byte) for
+    * `Multimodal.audioNearDups`: band the low `nBands`·8 bits of a
+    * long hash into its bytes, equi-join on (band_id, band_byte) for
     * candidates — by pigeonhole, full recall to Hamming nBands − 1 —
     * then the cheap bit_count(xor) verify. ONE shuffle on the band
-    * key; never corpus×corpus.
+    * key; never corpus×corpus. SIGNED hashes are fine (imageNearDups
+    * feeds full 64-bit dHashes whose MSB may be set): band extraction
+    * masks the arithmetic shift with `& 255`, and bit_count over the
+    * signed xor counts differing bits regardless of sign — oracles
+    * mirror the same signed arithmetic.
     *
     * Input: `hashed` = (idCol, hashCol) with the hash in a long.
     * Output: (a, b, hamming), a < b, distinct. */

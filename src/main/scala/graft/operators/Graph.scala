@@ -287,7 +287,7 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iters: Int): DataFrame =
-    labelPropagationConverged(edges, srcCol, dstCol, iters)._1
+    lpaCore(edges, srcCol, dstCol, iters, withStats = false)._1
 
   /** [[labelPropagation]] with the rounds-actually-run count: the
     * loop EARLY-EXITS when a round changes no label — the synchronous
@@ -297,12 +297,24 @@ object Graph {
     * fixed-`iters` run exactly). `iters` is thus a CAP, which the
     * possible 2-cycles on bipartite-ish structure still need; the
     * changed-label census piggybacks on the round's truncated frame
-    * (same pattern as [[Dedup.connectedComponents]]'s moved count). */
+    * (same pattern as [[Dedup.connectedComponents]]'s moved count).
+    * The census is one eager agg action per round, so — exactly like
+    * [[pageRankConverged]] vs [[pageRank]] — only THIS form pays it;
+    * the blind fixed-`iters` form skips the stat entirely and its
+    * per-round plan carries no extra action. */
   def labelPropagationConverged(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iters: Int): (DataFrame, Int) = {
+      iters: Int): (DataFrame, Int) =
+    lpaCore(edges, srcCol, dstCol, iters, withStats = true)
+
+  private def lpaCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      withStats: Boolean): (DataFrame, Int) = {
     require(iters >= 1, "iters must be at least 1")
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -335,7 +347,8 @@ object Graph {
         labels.join(winners, Seq("node"), "left")
           .select(col("node"), col("label").as("__old"),
             coalesce(col("__w"), col("label")).as("label")))
-      changed = next.filter(col("label") =!= col("__old")).count()
+      if (withStats)
+        changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.drop("__old")
       rounds += 1
     }

@@ -190,9 +190,16 @@ object Web {
     *     directory (last path segment dropped; `/` when the base
     *     path is empty).
     *
-    * Empty hrefs and unparseable bases resolve to NULL — quarantine
-    * upstream. Dot-segment normalization (`../`) is deliberately out
-    * of scope (compose a regexp pass if a corpus needs it). */
+    * Non-hierarchical absolute URIs — a scheme with no `//`
+    * (`mailto:`, `javascript:`, `tel:`, `data:`) — resolve to NULL:
+    * they are real absolute references (RFC 3986 §4.2 forbids a colon
+    * in a relative reference's first segment), but they never name a
+    * fetchable page, and falling through to the relative branch would
+    * mint garbage like `https://host/dir/mailto:a@b.com` whose "domain"
+    * then pollutes the crawl graph. Empty hrefs and unparseable bases
+    * also resolve to NULL — quarantine upstream. Dot-segment
+    * normalization (`../`) is deliberately out of scope (compose a
+    * regexp pass if a corpus needs it). */
   def resolveUrl(base: Column, href: Column): Column = {
     val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     val host = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
@@ -202,6 +209,7 @@ object Web {
     when(href.isNull || href === "" || scheme === "" || host === "",
         lit(null).cast("string"))
       .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+      .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null).cast("string"))
       .when(href.startsWith("//"), concat(scheme, lit(":"), href))
       .when(href.startsWith("/"), concat(scheme, lit("://"), host, href))
       .otherwise(concat(scheme, lit("://"), host,
@@ -235,9 +243,11 @@ object Web {
       urlCol: String,
       rules: DataFrame): DataFrame = {
     require(!urls.columns.contains("domain") &&
-        !urls.columns.contains("allowed"),
-      "robotsVerdicts adds 'domain' and 'allowed' — rename those input " +
-        "columns (or drop them) before calling")
+        !urls.columns.contains("allowed") &&
+        !urls.columns.contains("__path"),
+      "robotsVerdicts adds 'domain' and 'allowed' and works through " +
+        "'__path' — rename those input columns (or drop them) before " +
+        "calling")
     val rawPath = regexp_extract(col(urlCol),
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
     val withKey = urls

@@ -653,13 +653,16 @@ object ManifestTable {
     * commit; returns the committed version, or -1 if `txnId` was
     * already sealed (idempotent replay). Throws where time travel
     * would: the requested state predates the oldest reconstructible
-    * version, or the table did not exist at `asOfVersion`. */
+    * version, or the table did not exist at `asOfVersion`.
+    * `beforeCommit` is the same test seam as [[commitMulti]]'s: runs
+    * after the restore manifest is durable, before slot claiming. */
   def restore(
       spark: SparkSession,
       baseDir: String,
       table: String,
       asOfVersion: Long,
-      txnId: String): Long = {
+      txnId: String,
+      beforeCommit: () => Unit = () => ()): Long = {
     require(txnId.nonEmpty && !txnId.contains("\n"), s"bad txnId: $txnId")
     var log = readLog(spark, baseDir)
     if (log.exists(_.txns.contains(txnId))) return -1L
@@ -689,6 +692,7 @@ object ManifestTable {
     val (fs, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
     fs.mkdirs(logPath)
     val tmp = writeTmp(fs, logPath, body)
+    beforeCommit()
     var attempts = 0
     var committed = -1L
     while (committed < 0) {

@@ -212,4 +212,26 @@ class SimilaritySpec extends SparkSpec {
     // The day-1 near-twin of vector 0 is actually found.
     assert(fromDisk.exists(_._3 == 10L))
   }
+
+  test("recallAtK is immune to duplicate (query, neighbor) rows") {
+    import spark.implicits._
+    // Query 0: exact = {1,2,3}, approx hits {1,2} → recall 2/3. A
+    // duplicated approx pair would fan out the left join (inflating
+    // n_hit) and a duplicated exact pair would inflate k — the gate
+    // dedups both sides, so the duplicated frames must score the SAME
+    // recall as the clean ones.
+    val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((0L, 1L), (0L, 2L), (0L, 9L)).toDF("query_id", "neighbor_id")
+    def recall(e: org.apache.spark.sql.DataFrame,
+        a: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = rows(Similarity.recallAtK(e, a)).head
+      (r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))
+    }
+    val clean = recall(exact, approx)
+    assert(clean == (2L, 0.666667))
+    assert(recall(exact.unionAll(exact), approx) == clean,
+      "duplicate exact rows must not change k")
+    assert(recall(exact, approx.unionAll(approx.filter(col("neighbor_id") === 1L)))
+      == clean, "duplicate approx rows must not inflate n_hit")
+  }
 }

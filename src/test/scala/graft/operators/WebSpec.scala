@@ -205,5 +205,15 @@ class WebSpec extends SparkSpec {
     // Empty href (fragment-only link) and junk base → NULL.
     assert(res(base, "").isEmpty)
     assert(res("not a url", "/about").isEmpty)
+    // Non-hierarchical absolute URIs (scheme, no //) are NOT relative
+    // references (RFC 3986 §4.2): NULL quarantine, never
+    // https://host/dir/mailto:… garbage in the crawl graph.
+    assert(res(base, "mailto:a@b.com").isEmpty)
+    assert(res(base, "javascript:void(0)").isEmpty)
+    assert(res(base, "tel:+1-555-0100").isEmpty)
+    assert(res(base, "data:text/plain;base64,SGk=").isEmpty)
+    // ...but a colon AFTER the first slash is an ordinary path char.
+    assert(res(base, "a/b:c.html")
+      .contains("https://www.site.com/docs/a/b:c.html"))
   }
 }

@@ -180,6 +180,39 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("restore: racing first-schema commit aborts a schema-less restore") {
+    val base = tmpBase()
+    // Legacy history: two commits, then the schema lines stripped (a
+    // pre-tracking table, as in the legacy-append spec below).
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "v"), base, "t", "r1")
+    ManifestTable.commit(Seq((2L, "b")).toDF("id", "v"), base, "t", "r2")
+    val logDir = new java.io.File(s"$base/_log")
+    logDir.listFiles.foreach { f =>
+      val kept = scala.io.Source.fromFile(f).getLines()
+        .filterNot(_.startsWith("schema:")).mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(f.toPath, kept)
+    }
+    // The entry guard passes (no commit anywhere stamps a schema), but
+    // a racing snapshot stamps the table's FIRST schema between the
+    // entry check and the slot claim. The per-attempt re-guard must
+    // abort — if the schema-less restore manifest landed after the
+    // racer, reads would resolve the racer's schema and misapply it to
+    // the legacy v1 files (exactly what the guard exists to prevent).
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.restore(spark, base, "t", 1L, "restore-race",
+        beforeCommit = () => { ManifestTable.commitMulti(spark, base,
+          "racer", snapshots = Map("t" -> Seq((3L, "c")).toDF("id", "v")))
+          () })
+    }
+    assert(ex.getMessage.contains("stamped one"))
+    // The aborted restore left no trace: txn unsealed, the racer's
+    // snapshot (and its schema) is the table's state.
+    assert(!ManifestTable.committedTxns(spark, base).contains("restore-race"))
+    assert(ManifestTable.schemaOf(spark, base, "t").isDefined)
+    assert(ManifestTable.read(spark, base, "t")
+      .as[(Long, String)].collect().toSet == Set((3L, "c")))
+  }
+
   test("empty frames commit a schema-bearing file, never a file-less snapshot") {
     val base = tmpBase()
     val schema = org.apache.spark.sql.types.StructType(Seq(
