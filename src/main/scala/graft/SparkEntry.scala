@@ -84,6 +84,169 @@ object SparkEntry {
     d.toString
   }
 
+  /** The robots.txt BODY fixture shared by q151/q152/q155: three
+    * domains matching [[crawlUrl]]'s registrables, exercising BOM,
+    * CRLF, comments (line and inline), case/space-tolerant fields,
+    * an unknown field inside a group, a star group shadowed by an
+    * exact group, a multi-UA group, empty and bare-token rules,
+    * wildcard `*`/`$` patterns, a headless rule before any UA line,
+    * and a domain whose only group is another bot's. Mirrored
+    * line-for-line in [[robotsBodiesSql]]. */
+  private def robotsBodies(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("example.com", "\uFEFF# example.com policy\r\n" +
+        "User-Agent: *\r\n" +
+        "Disallow: /\r\n" +
+        "\r\n" +
+        "User-agent: GraftBot\r\n" +
+        "Crawl-delay: 5\r\n" +
+        "Disallow: /p/*4$\r\n" +
+        "Allow: /p/\r\n" +
+        "Disallow:\r\n" +
+        "Disallow: bare-token"),
+      ("example.co.uk", "User-agent: Googlebot\n" +
+        "User-agent: *\n" +
+        "Disallow: /a/*7$\n" +
+        "Disallow: /a/2\n" +
+        "Sitemap: https://example.co.uk/s.xml"),
+      ("site.org", "Disallow: /headless\n" +
+        "User-agent: otherbot\n" +
+        "Disallow: /")
+    ).toDF("domain", "body")
+  }
+
+  /** The DuckDB twin of [[robotsBodies]] + `Web.parseRobots`: CTEs
+    * `bodies` → … → `rules(domain, directive, prefix)` replaying the
+    * RFC 9309 §2 parse (BOM/CRLF/comment strip, field extraction,
+    * UA-run grouping via lag/sum windows, exact-beats-star group
+    * selection, empty/non-path rule drop) in SQL. Spliced into the
+    * q151/q152/q155 oracles. */
+  private val robotsParseSql: String =
+    """bodies AS (
+      |  SELECT * FROM (VALUES
+      |    ('example.com', chr(65279) || '# example.com policy'
+      |     || chr(13)||chr(10) || 'User-Agent: *'
+      |     || chr(13)||chr(10) || 'Disallow: /'
+      |     || chr(13)||chr(10)
+      |     || chr(13)||chr(10) || 'User-agent: GraftBot'
+      |     || chr(13)||chr(10) || 'Crawl-delay: 5'
+      |     || chr(13)||chr(10) || 'Disallow: /p/*4$'
+      |     || chr(13)||chr(10) || 'Allow: /p/'
+      |     || chr(13)||chr(10) || 'Disallow:'
+      |     || chr(13)||chr(10) || 'Disallow: bare-token'),
+      |    ('example.co.uk', 'User-agent: Googlebot' || chr(10) ||
+      |     'User-agent: *' || chr(10) ||
+      |     'Disallow: /a/*7$' || chr(10) || 'Disallow: /a/2' || chr(10) ||
+      |     'Sitemap: https://example.co.uk/s.xml'),
+      |    ('site.org', 'Disallow: /headless' || chr(10) ||
+      |     'User-agent: otherbot' || chr(10) || 'Disallow: /')
+      |  ) b(domain, body)),
+      |rln AS (
+      |  SELECT domain, ls[i] AS raw, i AS lno
+      |  FROM (SELECT domain, string_split_regex(
+      |          regexp_replace(body, '^' || chr(65279), ''),
+      |          '\r\n|\r|\n') AS ls
+      |        FROM bodies), UNNEST(generate_series(1, len(ls))) AS u(i)),
+      |rf AS (
+      |  SELECT domain, lno,
+      |    lower(trim(regexp_extract(l, '^([^:]+):', 1))) AS field,
+      |    trim(regexp_extract(l, '^[^:]*:(.*)$', 1)) AS value
+      |  FROM (SELECT domain, lno, trim(regexp_replace(raw, '#.*$', '')) AS l
+      |        FROM rln)),
+      |rk AS (
+      |  SELECT *, field = 'user-agent' AS isua FROM rf
+      |  WHERE field IN ('user-agent', 'allow', 'disallow')),
+      |rg AS (
+      |  SELECT *, sum(CASE WHEN isua AND (prevua IS NULL OR NOT prevua)
+      |                     THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY domain ORDER BY lno
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      |  FROM (SELECT *, lag(isua) OVER (PARTITION BY domain ORDER BY lno)
+      |          AS prevua FROM rk)),
+      |rs AS (
+      |  SELECT *,
+      |    max(isua AND lower(value) = 'graftbot')
+      |      OVER (PARTITION BY domain, gid) AS uaexact,
+      |    max(isua AND value = '*') OVER (PARTITION BY domain, gid) AS uastar
+      |  FROM rg),
+      |rs2 AS (SELECT *, max(uaexact) OVER (PARTITION BY domain) AS hasexact
+      |        FROM rs),
+      |rules AS (
+      |  SELECT DISTINCT domain, field AS directive, value AS prefix
+      |  FROM rs2
+      |  WHERE gid >= 1 AND NOT isua
+      |    AND (CASE WHEN hasexact THEN uaexact ELSE uastar END)
+      |    AND value <> ''
+      |    AND (starts_with(value, '/') OR starts_with(value, '*')))"""
+      .stripMargin
+
+  /** The [[crawlUrl]] construction + path/eTLD+1 extraction as CTEs
+    * `u` → `h` → `d(doc_id, url, path, domain)` — the SQL twin of
+    * `documents.select(doc_id, crawlUrl)` + `Web.registrableDomain` +
+    * robotsVerdicts' path normalization. Spliced into q152/q155. */
+  private val crawlUrlPathDomainSql: String =
+    """u AS (
+      |  SELECT doc_id, n_chars, CASE
+      |    WHEN doc_id % 5 = 0 THEN 'https://news.example.co.uk/a/'
+      |      || CAST(doc_id // 7 AS VARCHAR)
+      |    WHEN doc_id % 5 = 1 THEN 'https://blog.example.com/p/'
+      |      || CAST(doc_id // 7 AS VARCHAR)
+      |    WHEN doc_id % 5 = 2 THEN 'https://example.com/p/'
+      |      || CAST(doc_id // 7 AS VARCHAR)
+      |    WHEN doc_id % 5 = 3 THEN 'http://mirror.site.org:80/x/'
+      |      || CAST(doc_id // 7 AS VARCHAR)
+      |    ELSE 'not a url' END AS url
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, n_chars, url,
+      |    list_filter(string_split(lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
+      |      '.'), x -> len(x) > 0) AS ls,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS path
+      |  FROM u),
+      |d AS (
+      |  SELECT doc_id, n_chars, url,
+      |    CASE WHEN path = '' THEN '/' ELSE path END AS path,
+      |    CASE WHEN len(ls) < 2 THEN NULL
+      |         WHEN len(ls) >= 3
+      |              AND ls[len(ls)-1] IN
+      |                ('co','com','net','org','ac','gov','edu')
+      |              AND len(ls[len(ls)]) = 2
+      |           THEN array_to_string(
+      |             list_slice(ls, len(ls)-2, len(ls)), '.')
+      |         ELSE array_to_string(
+      |             list_slice(ls, len(ls)-1, len(ls)), '.') END AS domain
+      |  FROM h)""".stripMargin
+
+  /** The robots pattern→regex compile + longest-match verdict in SQL
+    * (the twin of `Web.robotsPatternRegex` + the max_by winner),
+    * reading CTEs `rules` and `d(doc_id, url, path, domain)`.
+    * Spliced into q152/q155. */
+  private val robotsVerdictSql: String =
+    """rx AS (
+      |  SELECT domain, directive, prefix,
+      |    '^' || replace(regexp_replace(
+      |        CASE WHEN ends_with(prefix, '$')
+      |             THEN substr(prefix, 1, len(prefix) - 1) ELSE prefix END,
+      |        '([.^$+?(){}\[\]|\\])', '\\\1', 'g'), '*', '.*')
+      |      || CASE WHEN ends_with(prefix, '$') THEN '$' ELSE '' END AS rxs
+      |  FROM rules),
+      |vj AS (
+      |  SELECT d.doc_id, d.url, d.domain,
+      |    CASE WHEN r.prefix IS NOT NULL AND regexp_matches(d.path, r.rxs)
+      |      THEN len(r.prefix) * 2
+      |        + CASE WHEN r.directive = 'allow' THEN 1 ELSE 0 END
+      |    END AS score,
+      |    r.directive = 'allow' AS is_allow
+      |  FROM d LEFT JOIN rx r ON d.domain = r.domain
+      |  WHERE d.domain IS NOT NULL),
+      |verdicts AS (
+      |  SELECT doc_id, url, domain,
+      |    coalesce(arg_max(is_allow, score), TRUE) AS allowed
+      |  FROM vj GROUP BY doc_id, url, domain)""".stripMargin
+
   /** P2 mapping used by the event-normalization queries. */
   private val stateMap = Map(
     "click" -> "cleaning", "view" -> "idle", "purchase" -> "spot_cleaning",
@@ -1759,6 +1922,31 @@ object SparkEntry {
       ).toDF("domain", "directive", "prefix")
       Web.robotsVerdicts(
         t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "url", rules)
+    }),
+
+    // robots.txt raw→typed boundary: parse BODY TEXT (BOM, CRLF,
+    // comments, case-tolerant fields, UA-run grouping, exact-beats-star
+    // selection, empty/bare-token rule drop, */$ passthrough) into the
+    // rules table q150/q152 consume. The oracle replays every parse
+    // step in SQL over byte-identical bodies. Constant-sized output by
+    // design — it's a parser gate; the corpus-scaling composition is
+    // q152/q155.
+    "q151_robots_parse" -> ((s, dir) =>
+      Web.parseRobots(robotsBodies(s), "domain", "body", "graftbot")),
+
+    // The parse COMPOSED with pattern-matching verdicts over the
+    // corpus frontier: bodies → parseRobots → robotsVerdicts (with
+    // RFC 9309 * wildcards and $ anchors compiled per rule, longest
+    // raw pattern winning, allow on ties, default allow — including
+    // site.org, whose robots has no group for us and therefore no
+    // rules at all). The oracle replays parse + regex compile + match
+    // + arg_max in SQL.
+    "q152_robots_crawl" -> ((s, dir) => {
+      val rules = Web.parseRobots(robotsBodies(s), "domain", "body",
+        "graftbot")
+      Web.robotsVerdicts(
+        t(s, dir, "documents").select(col("doc_id"), crawlUrl.as("url")),
         "url", rules)
     }),
 
@@ -3916,6 +4104,18 @@ object SparkEntry {
         |SELECT doc_id, url, domain,
         |  coalesce(arg_max(is_allow, score), TRUE) AS allowed
         |FROM j GROUP BY doc_id, url, domain""".stripMargin,
+
+    // NOTE: the robots oracles CONCATENATE pre-stripped fragments —
+    // robotsParseSql contains '|| chr(13)' continuation lines that a
+    // second stripMargin would mangle.
+    "q151_robots_parse" ->
+      ("WITH " + robotsParseSql +
+        "\nSELECT domain, directive, prefix FROM rules"),
+
+    "q152_robots_crawl" ->
+      ("WITH " + robotsParseSql + ",\n" + crawlUrlPathDomainSql + ",\n" +
+        robotsVerdictSql +
+        "\nSELECT doc_id, url, domain, allowed FROM verdicts"),
 
     // q121's URL + eTLD+1 logic with n_chars carried through, then the
     // cap as a plain window at oracle scale.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Web-corpus operators: URL canonicalization and URL-keyed dedup —
@@ -75,6 +76,92 @@ object Web {
           && length(element_at(labels, -1)) === 2,
         array_join(slice(labels, -3, 3), "."))
       .otherwise(array_join(slice(labels, -2, 2), "."))
+  }
+
+  /** Public-suffix-list-backed registrable domain — the EXACT policy
+    * [[registrableDomain]]'s doc comment promises: `psl` is a
+    * one-column (`rule`) table of publicsuffix.org rules in their
+    * native syntax — plain suffixes (`com`, `co.uk`, `github.io`),
+    * wildcards (`*.bd`: every direct child of .bd is a public
+    * suffix), and exceptions (`!city.kawasaki.jp`: carved back OUT of
+    * a wildcard) — and each URL's host resolves per the PSL
+    * algorithm: among matching rules, an exception wins outright
+    * (its suffix is the rule minus its first label), else the rule
+    * with the MOST labels; no match falls back to the implicit `*`
+    * rule (the bare TLD is the suffix). The registrable domain is
+    * the suffix plus one more host label; a host that IS a public
+    * suffix (or has no extra label) yields NULL, like the
+    * heuristic's single-label NULL.
+    *
+    * Scale: hosts are extracted map-only and DISTINCT'd (site-sized,
+    * not corpus-sized); each host explodes into its ≤ |labels|
+    * suffix candidates and equi-joins the BROADCAST rules table
+    * (the full PSL is ~10k rows — broadcast by construction); the
+    * winner is one map-side-combinable max_by per host; the
+    * host→domain map joins back onto the input. Never corpus×rules.
+    *
+    * Output: the input columns + `outCol` (NULL where the URL has no
+    * parseable host or the host is itself a public suffix). */
+  def registrableDomainPsl(
+      urls: DataFrame,
+      urlCol: String,
+      psl: DataFrame,
+      outCol: String = "domain_psl"): DataFrame = {
+    require(!urls.columns.contains(outCol) &&
+        !urls.columns.contains("__host"),
+      s"registrableDomainPsl adds '$outCol' and works through '__host' — " +
+        "rename those input columns before calling")
+    val hostOf = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)", 1))
+    val withHost = urls.withColumn("__host",
+      when(hostOf === "", lit(null).cast("string")).otherwise(hostOf))
+    // Rules normalized once: kind + the equi-join key (the rule minus
+    // its '!'/'*.' marker) — policy-sized work.
+    val rules = psl
+      .select(lower(trim(col("rule"))).as("__rule"))
+      .filter(length(col("__rule")) > 0)
+      .select(
+        when(col("__rule").startsWith("!"), lit(2))
+          .when(col("__rule").startsWith("*."), lit(1))
+          .otherwise(lit(0)).as("__kind"),
+        when(col("__rule").startsWith("!"), expr("substring(__rule, 2)"))
+          .when(col("__rule").startsWith("*."), expr("substring(__rule, 3)"))
+          .otherwise(col("__rule")).as("__key"))
+      .distinct()
+    val hosts = withHost.select(col("__host")).filter(col("__host").isNotNull)
+      .distinct()
+      .select(col("__host"),
+        filter(split(col("__host"), "\\."), l => length(l) > 0).as("__ls"))
+      .select(col("__host"), col("__ls"), size(col("__ls")).as("__n"))
+    // Every label-suffix of the host is a match candidate; the rule
+    // kind maps a match at k labels to its public-suffix length.
+    val cands = hosts
+      .select(col("__host"), col("__n"), col("__ls"),
+        explode(sequence(lit(1), col("__n"))).as("__k"))
+      .withColumn("__cand",
+        array_join(slice(col("__ls"), -col("__k"), col("__k")), "."))
+    val matched = cands
+      .join(broadcast(rules), col("__cand") === col("__key"))
+      .withColumn("__pslen",
+        when(col("__kind") === 2, col("__k") - 1)
+          .when(col("__kind") === 1, col("__k") + 1)
+          .otherwise(col("__k")))
+      // A wildcard needs the extra label to exist on the host.
+      .filter(col("__kind") =!= 1 || col("__pslen") <= col("__n"))
+      .groupBy(col("__host"))
+      // Exceptions (kind 2) outrank everything; then most labels.
+      .agg(max_by(col("__pslen"),
+        struct((col("__kind") === 2).as("exc"), col("__pslen"))).as("__win"))
+    val resolved = hosts
+      .join(matched, Seq("__host"), "left")
+      .withColumn("__pslen", coalesce(col("__win"), lit(1)))
+      .select(col("__host"),
+        when(col("__n") > col("__pslen"),
+          array_join(slice(col("__ls"),
+            (-(col("__pslen") + 1)).cast("int"),
+            (col("__pslen") + 1).cast("int")), "."))
+          .as(outCol))
+    withHost.join(resolved, Seq("__host"), "left").drop("__host")
   }
 
   /** Per-domain crawl census: document count and distinct-page count
@@ -216,23 +303,49 @@ object Web {
         when(dir === "", lit("/")).otherwise(dir), href))
   }
 
-  /** Crawl-policy verdicts, robots.txt-lite: `rules` is the parsed
+  /** Compile one robots.txt path pattern into the Java/RE2-safe
+    * regex both [[robotsVerdicts]] and its oracles match with:
+    * regex metacharacters are escaped, `*` becomes `.*` (RFC 9309
+    * §2.2.3 wildcard), and a TRAILING `$` anchors the end (a `$`
+    * anywhere else is a literal path character, the Google-parser
+    * behavior). The result is start-anchored: plain prefixes reduce
+    * to the `startsWith` they always were. */
+  private def robotsPatternRegex(pattern: Column): Column = {
+    val anchored = pattern.endsWith("$")
+    val core = when(anchored,
+        pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    // Escape every regex metacharacter except `*` (kept as the
+    // wildcard), then widen `*` to `.*`. `$` inside the pattern is
+    // escaped here — only the trailing one (already stripped) anchors.
+    val esc = regexp_replace(core, "[.^$+?(){}\\[\\]|\\\\]", "\\\\$0")
+    concat(lit("^"), replace(esc, lit("*"), lit(".*")),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Crawl-policy verdicts, robots.txt: `rules` is the parsed
     * policy table `(domain, directive ∈ allow|disallow, prefix)` —
     * one row per Allow/Disallow line of a domain's robots.txt for the
-    * crawler's user-agent — and every URL gets the verdict of its
-    * LONGEST matching path prefix, Allow winning exact ties (the
-    * Google/RFC 9309 rule); a URL with no matching rule is allowed.
-    * URLs whose domain fails to extract are dropped — quarantine
-    * upstream.
+    * crawler's user-agent ([[parseRobots]] produces exactly this
+    * table) — and every URL gets the verdict of its MOST SPECIFIC
+    * matching rule, Allow winning exact ties (the Google/RFC 9309
+    * rule); a URL with no matching rule is allowed. Patterns support
+    * the two RFC 9309 §2.2.3 metacharacters: `*` matches any char
+    * sequence (including empty) and a TRAILING `$` anchors the match
+    * at the end of the path; everything else is literal, so a plain
+    * prefix behaves exactly like `startsWith`. URLs whose domain
+    * fails to extract are dropped — quarantine upstream.
     *
     * Scale: the rules table is domain-keyed and policy-sized (dozens
     * of lines per domain), so the join broadcasts; the winner is one
-    * map-side-combinable max_by per URL — score = 2·|prefix| +
-    * isAllow, an integer total order in which a longer prefix always
-    * beats a shorter one and Allow beats Disallow at equal length
-    * (equal scores imply equal verdicts, so ties are harmless). No
-    * window, no corpus×rules blowup beyond each URL's own domain's
-    * rules.
+    * map-side-combinable max_by per URL — score = 2·|pattern| +
+    * isAllow, an integer total order in which a longer (more
+    * specific, length measured on the raw pattern — the Google
+    * specificity rule) pattern always beats a shorter one and Allow
+    * beats Disallow at equal length (equal scores have equal parity,
+    * hence equal isAllow, hence equal verdicts — ties are harmless
+    * even among wildcard patterns). No window, no corpus×rules
+    * blowup beyond each URL's own domain's rules.
     *
     * Output: input columns + `domain` + `allowed` (boolean), one
     * output row per input row (verdicts are computed once per
@@ -257,14 +370,17 @@ object Web {
       // `https://example.com` must match a `/` rule, not bypass it.
       .withColumn("__path",
         when(rawPath === "", lit("/")).otherwise(rawPath))
+    // The regex compiles from the pattern ONCE per rule row, before
+    // the fan-out join — policy-sized work, not frontier-sized.
     val r = rules.select(col("domain"),
       (col("directive") === "allow").as("__isAllow"),
-      col("prefix").as("__prefix"))
+      col("prefix").as("__prefix"),
+      robotsPatternRegex(col("prefix")).as("__rx"))
     val verdicts = withKey.select(col("domain"), col("__path")).distinct()
       .join(broadcast(r), Seq("domain"), "left")
       .withColumn("__hit",
         col("__prefix").isNotNull &&
-          col("__path").startsWith(col("__prefix")))
+          regexp_like(col("__path"), col("__rx")))
       .withColumn("__score",
         when(col("__hit"), length(col("__prefix")) * 2 +
           col("__isAllow").cast("int")))
@@ -272,6 +388,93 @@ object Web {
       .agg(coalesce(max_by(col("__isAllow"), col("__score")), lit(true))
         .as("allowed"))
     withKey.join(verdicts, Seq("domain", "__path")).drop("__path")
+  }
+
+  /** Parse raw robots.txt BODY TEXT into the `(domain, directive,
+    * prefix)` rules table [[robotsVerdicts]] consumes — the raw→typed
+    * ingest boundary a real crawl has (robots bodies, not rules
+    * tables; the reference's S1 normalize,
+    * `src/roborock_collector.py:295-352`, is the same boundary one
+    * level cooked). RFC 9309 §2 semantics, closed-form so a SQL
+    * oracle can replay them:
+    *
+    *   1. a leading UTF-8 BOM is stripped; lines split on CRLF / CR /
+    *      LF; `#` comments run to end of line; fields are
+    *      case-insensitive and whitespace-tolerant
+    *      (`DISALLOW : /x` parses);
+    *   2. lines group into records: a run of consecutive
+    *      `User-agent` lines opens a group that owns every
+    *      Allow/Disallow until the next UA run; rules BEFORE any
+    *      UA line belong to no group and are dropped (§2.2.1);
+    *   3. group selection: if ANY group names `userAgent` exactly
+    *      (case-insensitive product token match), the rules are the
+    *      union of THOSE groups; otherwise the union of the `*`
+    *      groups; otherwise no rules (everything allowed). This is
+    *      the §2.2.1 most-specific-match rule restricted to exact
+    *      tokens — substring product-token matching ("graftbot"
+    *      matching "graftbot-images") is out of scope, documented;
+    *   4. an EMPTY Allow/Disallow value is no rule (§2.2.2's
+    *      "Disallow:" = allow everything); a value that starts with
+    *      neither `/` nor `*` never matches a path and is dropped;
+    *      `*`/`$` pattern metacharacters pass through verbatim for
+    *      [[robotsVerdicts]] to interpret.
+    *
+    * Unknown fields (`Sitemap:`, `Crawl-delay:`, …) are ignored where
+    * they stand — they do NOT break a group (the Google parser's
+    * behavior, and the practical one: real robots.txt interleave
+    * Crawl-delay inside groups).
+    *
+    * Scale: the split/field work is map-only; the grouping windows
+    * partition BY DOMAIN and a robots body is capped small (RFC 9309
+    * §2.4 requires parsers to honor only the first 500 KiB), so no
+    * window partition can exceed one body's line count — this is the
+    * bounded-partition window case, not the corpus-wide one the
+    * Ranking operators exist to avoid. Output: (domain, directive ∈
+    * allow|disallow, prefix), distinct. */
+  def parseRobots(
+      bodies: DataFrame,
+      domainCol: String,
+      bodyCol: String,
+      userAgent: String): DataFrame = {
+    val ua = userAgent.toLowerCase(java.util.Locale.ROOT).trim
+    require(ua.nonEmpty && ua != "*",
+      "userAgent must be a concrete product token (the '*' group is " +
+        "the fallback, not an identity)")
+    val lines = bodies.select(col(domainCol).as("domain"),
+      posexplode(split(regexp_replace(col(bodyCol), "^\uFEFF", ""),
+        "\r\n|\r|\n")).as(Seq("__ln", "__raw")))
+    val fielded = lines
+      .withColumn("__line", trim(regexp_replace(col("__raw"), "#.*$", "")))
+      .withColumn("__field",
+        lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1))))
+      .withColumn("__value",
+        trim(regexp_extract(col("__line"), "^[^:]*:(.*)$", 1)))
+      .filter(col("__field").isin("user-agent", "allow", "disallow"))
+      .withColumn("__isUa", col("__field") === "user-agent")
+    val ordered = Window.partitionBy("domain").orderBy("__ln")
+    val grouped = fielded
+      .withColumn("__prevUa", lag(col("__isUa"), 1).over(ordered))
+      .withColumn("__gstart", (col("__isUa") &&
+        (col("__prevUa").isNull || !col("__prevUa"))).cast("int"))
+      .withColumn("__gid", sum(col("__gstart")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val group = Window.partitionBy("domain", "__gid")
+    val domainW = Window.partitionBy("domain")
+    val selected = grouped
+      .withColumn("__uaExact",
+        max(col("__isUa") && lower(col("__value")) === ua).over(group))
+      .withColumn("__uaStar",
+        max(col("__isUa") && col("__value") === "*").over(group))
+      .withColumn("__hasExact", max(col("__uaExact")).over(domainW))
+    selected
+      .filter(col("__gid") >= 1 && !col("__isUa"))
+      .filter(when(col("__hasExact"), col("__uaExact"))
+        .otherwise(col("__uaStar")))
+      .filter(col("__value") =!= "" &&
+        (col("__value").startsWith("/") || col("__value").startsWith("*")))
+      .select(col("domain"), col("__field").as("directive"),
+        col("__value").as("prefix"))
+      .distinct()
   }
 
   /** URL-keyed dedup: one surviving row per canonical URL — the

@@ -189,6 +189,103 @@ class WebSpec extends SparkSpec {
     assert(m == Set((1L, false), (2L, false), (3L, true)))
   }
 
+  test("registrableDomainPsl: plain/wildcard/exception rules, default TLD") {
+    val psl = Seq("com", "io", "github.io", "uk", "co.uk", "us",
+      "k12.ma.us", "pvt.k12.ma.us", "jp", "*.kawasaki.jp",
+      "!city.kawasaki.jp", "*.bd").map(Tuple1(_)).toDF("rule")
+    val urls = Seq(
+      (0L, "https://alpha.github.io/r"),      // nested plain suffix
+      (1L, "https://www.example.com/i"),      // ordinary com
+      (2L, "https://news.example.co.uk/a"),   // two-level suffix
+      (3L, "https://x.pvt.k12.ma.us/s"),      // four-level suffix
+      (4L, "https://a.b.bd/z"),               // wildcard *.bd → b.bd suffix
+      (5L, "https://w.city.kawasaki.jp/k"),   // exception carve-out
+      (6L, "https://city.kawasaki.jp/k"),     // the exception host itself
+      (7L, "https://github.io/"),             // host IS a public suffix
+      (8L, "https://b.bd/"),                  // *.bd: b.bd IS a suffix
+      (9L, "https://weird.zz/p"),             // unknown TLD → implicit *
+      (10L, "https://localhost/"),            // single label
+      (11L, "not a url")                      // unparseable
+    ).toDF("id", "url")
+    val out = Web.registrableDomainPsl(urls, "url", psl)
+      .select(col("id"), col("domain_psl"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out == Map(
+      0L -> "alpha.github.io", 1L -> "example.com", 2L -> "example.co.uk",
+      3L -> "x.pvt.k12.ma.us", 4L -> "a.b.bd", 5L -> "city.kawasaki.jp",
+      6L -> "city.kawasaki.jp", 7L -> null, 8L -> null, 9L -> "weird.zz",
+      10L -> null, 11L -> null))
+  }
+
+  test("robotsVerdicts: * wildcards, trailing-$ anchors, literal metachars") {
+    val rules = Seq(
+      ("w.com", "disallow", "/*.pdf$"),   // any path ending .pdf
+      ("w.com", "allow", "/docs/*.pdf$"), // longer → wins under /docs/
+      ("w.com", "disallow", "/a*z"),      // gap wildcard, unanchored
+      ("dot.net", "disallow", "/x.y"),    // '.' is LITERAL, not regex-any
+      ("dol.org", "disallow", "/p$q")     // mid-$ is literal
+    ).toDF("domain", "directive", "prefix")
+    val urls = Seq(
+      (1L, "https://w.com/f/report.pdf"),        // *.pdf$ → disallow
+      (2L, "https://w.com/docs/report.pdf"),     // longer allow wins
+      (3L, "https://w.com/f/report.pdf?x=1"),    // $ anchor: query breaks it
+      (4L, "https://w.com/abcz-tail"),           // /a*z matches mid-path
+      (5L, "https://dot.net/xzy"),               // literal dot must NOT match
+      (6L, "https://dot.net/x.y"),               // literal dot matches itself
+      (7L, "https://dol.org/p$q/deep"),          // literal mid-$ matches
+      (8L, "https://dol.org/pq")                 // ...and only itself
+    ).toDF("id", "url")
+    val out = Web.robotsVerdicts(urls, "url", rules)
+      .select(col("id"), col("allowed"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> false, 7L -> false, 8L -> true))
+  }
+
+  test("parseRobots: groups, UA selection, comments/BOM/CRLF, empty rules") {
+    val alpha = "﻿# alpha policy\r\n" +
+      "User-Agent: *\r\n" +
+      "Disallow: /private/\r\n" +
+      "Allow: /private/ok\r\n" +
+      "\r\n" +
+      "User-agent: GraftBot\r\n" +
+      "Crawl-delay: 10\r\n" +          // unknown field inside a group
+      "DISALLOW : /tmp/\r\n" +         // case+space tolerant field
+      "Disallow:\r\n" +                // empty value = no rule
+      "Allow: /tmp/pub # inline comment\r\n"
+    val beta = "User-agent: Googlebot\nUser-agent: *\n" +
+      "Disallow: /a*z$\nAllow: /a\n" +
+      "Sitemap: https://beta.org/sitemap.xml\n" +
+      "Disallow: no-slash-rule\n"      // not / or * — dropped
+    val gamma = "Disallow: /headless-rule\n" + // before any UA: dropped
+      "User-agent: otherbot\nDisallow: /\n"    // group not ours
+    val bodies = Seq(("alpha.com", alpha), ("beta.org", beta),
+      ("gamma.net", gamma)).toDF("domain", "body")
+    val rules = Web.parseRobots(bodies, "domain", "body", "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(rules == Set(
+      // alpha has an exact graftbot group → star group ignored.
+      ("alpha.com", "disallow", "/tmp/"),
+      ("alpha.com", "allow", "/tmp/pub"),
+      // beta has no graftbot group → the (googlebot, *) group applies.
+      ("beta.org", "disallow", "/a*z$"),
+      ("beta.org", "allow", "/a")))
+    // gamma: no matching group at all → zero rules → default allow
+    // downstream; composition check through robotsVerdicts.
+    val verdicts = Web.robotsVerdicts(
+      Seq((1L, "https://alpha.com/tmp/x"), (2L, "https://alpha.com/tmp/pub2"),
+        (3L, "https://alpha.com/private/x"), // star group NOT ours → allowed
+        (4L, "https://beta.org/abcz"), (5L, "https://beta.org/abcz-more"),
+        (6L, "https://gamma.net/anything")).toDF("id", "url"),
+      "url", Web.parseRobots(bodies, "domain", "body", "graftbot"))
+      .select(col("id"), col("allowed"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verdicts == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true, 6L -> true))
+  }
+
   test("resolveUrl handles the four reference forms and NULLs junk") {
     def res(base: String, href: String): Option[String] =
       Seq((base, href)).toDF("b", "h")
