@@ -26,22 +26,25 @@ object SparkEntry {
   /** Per-row fixed-point: dollars-ish double → exact integer cents. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** The synthetic crawl-URL column shared by q121/q149/q150: five
-    * URL shapes (two-level eTLD, subdomain, bare domain, explicit
-    * default port, junk) keyed on doc_id residues — mirrored verbatim
-    * in each gate's oracle SQL. */
-  private def crawlUrl: Column = {
-    val page = expr("doc_id div 7").cast("string")
-    when(col("doc_id") % 5 === 0,
+  /** The synthetic crawl-URL column shared by q121/q149/q150/q152/
+    * q155: five URL shapes (two-level eTLD, subdomain, bare domain,
+    * explicit default port, junk) keyed on `id` residues — mirrored
+    * verbatim in each gate's oracle SQL. `id` must be a non-negative
+    * long (`/ 7` then cast truncates toward zero ≡ `div` there). */
+  private def crawlUrlAt(id: Column): Column = {
+    val page = (id / 7).cast("long").cast("string")
+    when(id % 5 === 0,
         concat(lit("https://news.example.co.uk/a/"), page))
-      .when(col("doc_id") % 5 === 1,
+      .when(id % 5 === 1,
         concat(lit("https://blog.example.com/p/"), page))
-      .when(col("doc_id") % 5 === 2,
+      .when(id % 5 === 2,
         concat(lit("https://example.com/p/"), page))
-      .when(col("doc_id") % 5 === 3,
+      .when(id % 5 === 3,
         concat(lit("http://mirror.site.org:80/x/"), page))
       .otherwise(lit("not a url"))
   }
+
+  private def crawlUrl: Column = crawlUrlAt(col("doc_id"))
 
   /** A self-cleaning scratch dir for the ACID round-trip gates
     * (q139/q140): the returned frame is read lazily AFTER the builder
@@ -182,31 +185,34 @@ object SparkEntry {
       .stripMargin
 
   /** The [[crawlUrl]] construction + path/eTLD+1 extraction as CTEs
-    * `u` → `h` → `d(doc_id, url, path, domain)` — the SQL twin of
-    * `documents.select(doc_id, crawlUrl)` + `Web.registrableDomain` +
-    * robotsVerdicts' path normalization. Spliced into q152/q155. */
-  private val crawlUrlPathDomainSql: String =
-    """u AS (
+    * `<p>u` → `<p>h` → `<p>d(doc_id, n_chars, url, path, domain)` —
+    * the SQL twin of `documents.select(doc_id, crawlUrlAt(idExpr))` +
+    * `Web.registrableDomain` + robotsVerdicts' path normalization.
+    * `idExpr` is the residue key ("doc_id", or "doc_id + 1" for the
+    * q155 successor-link edges); `p` prefixes the CTE names so two
+    * chains can coexist in one WITH. Spliced into q152/q155. */
+  private def crawlUrlChainSql(idExpr: String, p: String): String =
+    s"""${p}u AS (
       |  SELECT doc_id, n_chars, CASE
-      |    WHEN doc_id % 5 = 0 THEN 'https://news.example.co.uk/a/'
-      |      || CAST(doc_id // 7 AS VARCHAR)
-      |    WHEN doc_id % 5 = 1 THEN 'https://blog.example.com/p/'
-      |      || CAST(doc_id // 7 AS VARCHAR)
-      |    WHEN doc_id % 5 = 2 THEN 'https://example.com/p/'
-      |      || CAST(doc_id // 7 AS VARCHAR)
-      |    WHEN doc_id % 5 = 3 THEN 'http://mirror.site.org:80/x/'
-      |      || CAST(doc_id // 7 AS VARCHAR)
+      |    WHEN ($idExpr) % 5 = 0 THEN 'https://news.example.co.uk/a/'
+      |      || CAST(($idExpr) // 7 AS VARCHAR)
+      |    WHEN ($idExpr) % 5 = 1 THEN 'https://blog.example.com/p/'
+      |      || CAST(($idExpr) // 7 AS VARCHAR)
+      |    WHEN ($idExpr) % 5 = 2 THEN 'https://example.com/p/'
+      |      || CAST(($idExpr) // 7 AS VARCHAR)
+      |    WHEN ($idExpr) % 5 = 3 THEN 'http://mirror.site.org:80/x/'
+      |      || CAST(($idExpr) // 7 AS VARCHAR)
       |    ELSE 'not a url' END AS url
       |  FROM documents),
-      |h AS (
+      |${p}h AS (
       |  SELECT doc_id, n_chars, url,
       |    list_filter(string_split(lower(regexp_extract(url,
       |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
       |      '.'), x -> len(x) > 0) AS ls,
       |    regexp_extract(url,
       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS path
-      |  FROM u),
-      |d AS (
+      |  FROM ${p}u),
+      |${p}d AS (
       |  SELECT doc_id, n_chars, url,
       |    CASE WHEN path = '' THEN '/' ELSE path END AS path,
       |    CASE WHEN len(ls) < 2 THEN NULL
@@ -218,7 +224,9 @@ object SparkEntry {
       |             list_slice(ls, len(ls)-2, len(ls)), '.')
       |         ELSE array_to_string(
       |             list_slice(ls, len(ls)-1, len(ls)), '.') END AS domain
-      |  FROM h)""".stripMargin
+      |  FROM ${p}h)""".stripMargin
+
+  private val crawlUrlPathDomainSql: String = crawlUrlChainSql("doc_id", "")
 
   /** The robots pattern→regex compile + longest-match verdict in SQL
     * (the twin of `Web.robotsPatternRegex` + the max_by winner),
@@ -1948,6 +1956,101 @@ object SparkEntry {
       Web.robotsVerdicts(
         t(s, dir, "documents").select(col("doc_id"), crawlUrl.as("url")),
         "url", rules)
+    }),
+
+    // PSL-backed eTLD+1 vs the scan-speed heuristic, adjudicated on a
+    // host mix the heuristic is KNOWN to mis-group (nested plain
+    // suffixes like github.io, 4-level pvt.k12.ma.us, wildcard *.bd,
+    // the !city.kawasaki.jp exception) plus agreeing cases — the
+    // diverges column documents exactly where the approximation stops
+    // being safe. The oracle replays the publicsuffix.org algorithm
+    // (exception > most-labels > implicit *) in SQL.
+    "q153_psl_domain" -> ((s, dir) => {
+      import s.implicits._
+      val psl = Seq("com", "io", "github.io", "uk", "co.uk", "us",
+        "k12.ma.us", "pvt.k12.ma.us", "jp", "*.kawasaki.jp",
+        "!city.kawasaki.jp", "*.bd", "br", "com.br")
+        .map(Tuple1(_)).toDF("rule")
+      val page = expr("doc_id div 7").cast("string")
+      val url =
+        when(col("doc_id") % 8 === 0,
+            concat(lit("https://alpha.github.io/r/"), page))
+          .when(col("doc_id") % 8 === 1,
+            concat(lit("https://shop.com.br/p/"), page))
+          .when(col("doc_id") % 8 === 2,
+            concat(lit("https://news.example.co.uk/a/"), page))
+          .when(col("doc_id") % 8 === 3,
+            concat(lit("https://x.pvt.k12.ma.us/s/"), page))
+          .when(col("doc_id") % 8 === 4,
+            concat(lit("https://a.b.bd/z/"), page))
+          .when(col("doc_id") % 8 === 5,
+            concat(lit("https://w.city.kawasaki.jp/k/"), page))
+          .when(col("doc_id") % 8 === 6,
+            concat(lit("https://www.example.com/i/"), page))
+          .otherwise(lit("not a url"))
+      Web.registrableDomainPsl(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+          "url", psl)
+        .withColumn("domain_heur", Web.registrableDomain(col("url")))
+        .withColumn("diverges",
+          !(col("domain_heur") <=> col("domain_psl")))
+    }),
+
+    // Encoding repair + mojibake census: six residue-keyed corpus
+    // strings — latin1-range double encoding, cp1252-range curly
+    // quotes (including the undefined 0x9D byte a latin1-fallback
+    // decoder leaves as a bare C1 control), CJK mojibake, clean
+    // ASCII, and GENUINE UTF-8 that must never be "repaired". The
+    // oracle pins the expected repair of each fixture (C1 controls
+    // via chr()) — a golden-row gate over the general
+    // translate→latin1-encode→UTF-8-reinterpret expression.
+    "q154_fix_encoding" -> ((s, dir) => {
+      val raw =
+        when(col("doc_id") % 6 === 0, lit("cafÃ© au lait"))
+          .when(col("doc_id") % 6 === 1, lit("naÃ¯ve rÃ©sumÃ©"))
+          .when(col("doc_id") % 6 === 2,
+            lit("itâ€™s â€œquotedâ€\u009D here"))
+          .when(col("doc_id") % 6 === 3, lit("å¤§ä¸\u0080 text"))
+          .when(col("doc_id") % 6 === 4, lit("plain ascii stays"))
+          .otherwise(lit("déjà vu 中文"))
+      t(s, dir, "documents").select(col("doc_id"), raw.as("raw"))
+        .withColumn("fixed",
+          graft.functions.TextFunctions.fixEncoding(col("raw")))
+        .withColumn("is_moji",
+          graft.functions.TextFunctions.isMojibake(col("raw")))
+    }),
+
+    // The crawl frontier composed end-to-end — the crawl twin of the
+    // reference's composed smart_sync (pipeline.py:472-572): robots
+    // bodies → parseRobots → robotsVerdicts gate the frontier, the
+    // per-domain C4 cap bounds it (k-bounded aggregate, never a
+    // window), and a domain PageRank over the residue-successor link
+    // graph attaches crawl priority. Every stage is an operator other
+    // gates already pin (q151/q152/q149/q147 shapes); this gate pins
+    // their COMPOSITION. The domain graph derives map-only from the
+    // same row (url at doc_id, url at doc_id+1) — no self-join.
+    "q155_crawl_frontier" -> ((s, dir) => {
+      val rules = Web.parseRobots(robotsBodies(s), "domain", "body",
+        "graftbot")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), crawlUrl.as("url"))
+      val allowed = Web.robotsVerdicts(docs, "url", rules)
+        .filter(col("allowed"))
+      val capped = Ranking.groupTopK(allowed, Seq("domain"),
+        Seq((-col("n_chars")).as("neg_chars"),
+          col("doc_id").as("doc_id")), k = 25)
+      val edges = t(s, dir, "documents")
+        .select(Web.registrableDomain(crawlUrl).as("src"),
+          Web.registrableDomain(crawlUrlAt(col("doc_id") + 1)).as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct()
+      val pr = Graph.pageRank(edges, "src", "dst", iters = 3)
+        .select(col("node").as("domain"), col("rank").as("domain_rank"))
+      capped
+        .select(col("domain"), col("rank").as("pos"),
+          (-col("neg_chars")).as("n_chars"), col("doc_id"))
+        .join(broadcast(pr), Seq("domain"), "left")
     }),
 
     // Per-domain document cap (the C4 practice: no domain may
@@ -4117,6 +4220,141 @@ object SparkEntry {
         robotsVerdictSql +
         "\nSELECT doc_id, url, domain, allowed FROM verdicts"),
 
+    "q153_psl_domain" ->
+      """WITH pslr AS (
+        |  SELECT * FROM (VALUES ('com'),('io'),('github.io'),('uk'),
+        |    ('co.uk'),('us'),('k12.ma.us'),('pvt.k12.ma.us'),('jp'),
+        |    ('*.kawasaki.jp'),('!city.kawasaki.jp'),('*.bd'),('br'),
+        |    ('com.br')) p(rule)),
+        |pr AS (
+        |  SELECT CASE WHEN starts_with(rule, '!') THEN 2
+        |              WHEN starts_with(rule, '*.') THEN 1 ELSE 0 END AS kind,
+        |         CASE WHEN starts_with(rule, '!') THEN substr(rule, 2)
+        |              WHEN starts_with(rule, '*.') THEN substr(rule, 3)
+        |              ELSE rule END AS key
+        |  FROM pslr),
+        |u AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 8 = 0 THEN 'https://alpha.github.io/r/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 8 = 1 THEN 'https://shop.com.br/p/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 8 = 2 THEN 'https://news.example.co.uk/a/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 8 = 3 THEN 'https://x.pvt.k12.ma.us/s/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 8 = 4 THEN 'https://a.b.bd/z/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 8 = 5 THEN 'https://w.city.kawasaki.jp/k/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    WHEN doc_id % 8 = 6 THEN 'https://www.example.com/i/'
+        |      || CAST(doc_id // 7 AS VARCHAR)
+        |    ELSE 'not a url' END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    list_filter(string_split(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
+        |      '.'), x -> len(x) > 0) AS ls
+        |  FROM u),
+        |hh AS (SELECT doc_id, url, ls, len(ls) AS n FROM h),
+        |c AS (
+        |  SELECT doc_id, n, k,
+        |    array_to_string(list_slice(ls, n - k + 1, n), '.') AS cand
+        |  FROM hh, UNNEST(generate_series(1, n)) AS g(k)),
+        |m AS (
+        |  SELECT c.doc_id,
+        |    arg_max(CASE WHEN pr.kind = 2 THEN c.k - 1
+        |                 WHEN pr.kind = 1 THEN c.k + 1 ELSE c.k END,
+        |            CASE WHEN pr.kind = 2 THEN 1 ELSE 0 END * 100
+        |              + CASE WHEN pr.kind = 2 THEN c.k - 1
+        |                     WHEN pr.kind = 1 THEN c.k + 1
+        |                     ELSE c.k END) AS win
+        |  FROM c JOIN pr ON c.cand = pr.key
+        |  WHERE NOT (pr.kind = 1 AND c.k + 1 > c.n)
+        |  GROUP BY c.doc_id),
+        |r AS (
+        |  SELECT hh.doc_id, hh.url, hh.ls, hh.n,
+        |    coalesce(m.win, 1) AS pslen
+        |  FROM hh LEFT JOIN m ON hh.doc_id = m.doc_id),
+        |f AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN n > pslen
+        |      THEN array_to_string(list_slice(ls, n - pslen, n), '.')
+        |    END AS domain_psl,
+        |    CASE WHEN n < 2 THEN NULL
+        |         WHEN n >= 3 AND ls[n-1] IN
+        |             ('co','com','net','org','ac','gov','edu')
+        |              AND len(ls[n]) = 2
+        |           THEN array_to_string(list_slice(ls, n-2, n), '.')
+        |         ELSE array_to_string(list_slice(ls, n-1, n), '.')
+        |    END AS domain_heur
+        |  FROM r)
+        |SELECT doc_id, url, domain_heur, domain_psl,
+        |  NOT (domain_heur IS NOT DISTINCT FROM domain_psl) AS diverges
+        |FROM f""".stripMargin,
+
+    // Golden-row oracle: each fixture's repaired form is pinned
+    // literally (C1 controls via chr()), so the DuckDB side needs no
+    // charset machinery — the Spark side runs the general repair.
+    "q154_fix_encoding" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'cafÃ© au lait'
+        |    WHEN 1 THEN 'naÃ¯ve rÃ©sumÃ©'
+        |    WHEN 2 THEN 'itâ€™s â€œquotedâ€' || chr(157) || ' here'
+        |    WHEN 3 THEN 'å¤§ä¸' || chr(128) || ' text'
+        |    WHEN 4 THEN 'plain ascii stays'
+        |    ELSE 'déjà vu 中文' END AS raw,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'café au lait'
+        |    WHEN 1 THEN 'naïve résumé'
+        |    WHEN 2 THEN 'it’s “quoted” here'
+        |    WHEN 3 THEN '大一 text'
+        |    WHEN 4 THEN 'plain ascii stays'
+        |    ELSE 'déjà vu 中文' END AS fixed,
+        |  doc_id % 6 <= 3 AS is_moji
+        |FROM documents""".stripMargin,
+
+    // Composition oracle: parse CTEs + verdict CTEs + the window-form
+    // cap + successor-link edges + 3 unrolled PR rounds, all
+    // MATERIALIZED fragments other oracles already exercise.
+    "q155_crawl_frontier" ->
+      ("WITH " + robotsParseSql + ",\n" +
+        crawlUrlPathDomainSql + ",\n" +
+        robotsVerdictSql + ",\n" +
+        crawlUrlChainSql("doc_id + 1", "s") + ",\n" +
+        """allowed AS (
+          |  SELECT v.doc_id, v.domain, dd.n_chars
+          |  FROM verdicts v JOIN d dd USING (doc_id)
+          |  WHERE v.allowed),
+          |capped AS (
+          |  SELECT domain, doc_id, n_chars, rn AS pos FROM (
+          |    SELECT domain, doc_id, n_chars,
+          |      row_number() OVER (PARTITION BY domain
+          |        ORDER BY n_chars DESC, doc_id) AS rn
+          |    FROM allowed) t
+          |  WHERE rn <= 25),
+          |edges AS MATERIALIZED (
+          |  SELECT DISTINCT d.domain AS src, sd.domain AS dst
+          |  FROM d JOIN sd USING (doc_id)
+          |  WHERE d.domain IS NOT NULL AND sd.domain IS NOT NULL
+          |    AND d.domain <> sd.domain),
+          |nodes AS MATERIALIZED (
+          |  SELECT src AS node FROM edges
+          |  UNION SELECT dst AS node FROM edges),
+          |outdeg AS MATERIALIZED (
+          |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+          |  FROM edges GROUP BY src),
+          |r0 AS MATERIALIZED (
+          |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+          .stripMargin + ",\n" +
+        prRoundsSql(3).mkString(",\n") + "\n" +
+        """SELECT c.domain, c.pos, c.n_chars, c.doc_id,
+          |  r3.rank AS domain_rank
+          |FROM capped c LEFT JOIN r3 ON r3.node = c.domain"""
+          .stripMargin),
+
     // q121's URL + eTLD+1 logic with n_chars carried through, then the
     // cap as a plain window at oracle scale.
     "q149_domain_cap" ->
@@ -4880,7 +5118,17 @@ object SparkEntry {
         |r0 AS MATERIALIZED (
         |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
         .stripMargin
-    val rounds = (1 to iters).map { k =>
+    (head +: prRoundsSql(iters)).mkString(",\n") +
+      s"\nSELECT t.node AS domain, t.rank AS rank FROM r$iters t"
+  }
+
+  /** `iters` unrolled integer-PageRank rounds (unit 1e6, damping 85%,
+    * base 150000 — [[graft.operators.Graph.pageRank]]'s arithmetic)
+    * reading CTEs `edges(src, dst)` / `nodes(node)` /
+    * `outdeg(src, deg)` / `r0(node, rank)`. Shared by the q147 and
+    * q155 oracles; works for any node type. */
+  private def prRoundsSql(iters: Int): Seq[String] =
+    (1 to iters).map { k =>
       s"""r$k AS MATERIALIZED (
          |  SELECT n.node,
          |    CAST(150000 + (85 * coalesce(i.infl, 0)) // 100 AS BIGINT)
@@ -4893,9 +5141,6 @@ object SparkEntry {
          |    JOIN outdeg d ON d.src = e.src
          |    GROUP BY e.dst) i ON i.node = n.node)""".stripMargin
     }
-    (head +: rounds).mkString(",\n") +
-      s"\nSELECT t.node AS domain, t.rank AS rank FROM r$iters t"
-  }
 
   private def pageRankOracleSql(iters: Int): String = {
     val head =

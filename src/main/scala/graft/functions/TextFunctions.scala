@@ -65,6 +65,72 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "est", "et", "un", "une"),
     "zh" -> Seq("的", "是", "了", "在", "和", "我", "不"))
 
+  /** The 27 printable cp1252 characters that live where ISO-8859-1
+    * has C1 controls (0x80–0x9F) — the giveaway alphabet of
+    * cp1252-decoded UTF-8 mojibake ("â€™" for ’, "â€œ" for “). Each
+    * maps back to the C1 code point equal to its cp1252 byte, which
+    * is also its ISO-8859-1 byte, so a single `translate` +
+    * latin1-encode reconstructs the original UTF-8 byte stream. */
+  private val Cp1252Printables =
+    "€‚ƒ„…†‡ˆ‰Š" +
+      "‹ŒŽ‘’“”•–—" +
+      "˜™š›œžŸ"
+  private val Cp1252AsC1 =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A\u008B" +
+      "\u008C\u008E\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099" +
+      "\u009A\u009B\u009C\u009E\u009F"
+
+  /** A string of chars ≤ U+00FF whose implied byte sequence is VALID
+    * multi-byte-bearing UTF-8 — the exact precondition under which
+    * [[fixEncoding]] may reinterpret. Structured as the UTF-8 DFA in
+    * regex form (RFC 3629 §4 table): ASCII, C2–DF+cont, E0 with the
+    * overlong guard, ED with the surrogate guard, F0/F4 with the
+    * plane guards. A char > U+00FF (real CJK, real é) fails the
+    * class and vetoes the repair — that is the safety property. */
+  private val Utf8BytesRe =
+    "^(?:[\\x00-\\x7F]|[\\xC2-\\xDF][\\x80-\\xBF]|" +
+      "\\xE0[\\xA0-\\xBF][\\x80-\\xBF]|" +
+      "[\\xE1-\\xEC\\xEE\\xEF][\\x80-\\xBF]{2}|" +
+      "\\xED[\\x80-\\x9F][\\x80-\\xBF]|" +
+      "\\xF0[\\x90-\\xBF][\\x80-\\xBF]{2}|" +
+      "[\\xF1-\\xF3][\\x80-\\xBF]{3}|" +
+      "\\xF4[\\x80-\\x8F][\\x80-\\xBF]{2})*$"
+
+  /** TRUE iff [[fixEncoding]] would change this string — the mojibake
+    * census predicate: the string's chars, read back as the
+    * cp1252/latin1 bytes they came from, form valid UTF-8 with at
+    * least one multi-byte sequence. Clean ASCII has no multi-byte
+    * sequence (nothing to repair); clean accented latin1 ("café") has
+    * a lone continuation-position byte and fails the DFA; real
+    * non-Latin text has chars > U+00FF and fails outright. */
+  def isMojibake(text: Column): Column = {
+    val mapped = translate(text, Cp1252Printables, Cp1252AsC1)
+    mapped.rlike(Utf8BytesRe) && mapped.rlike("[\\x80-\\xFF]")
+  }
+
+  /** Repair cp1252-in-UTF-8 double encoding — ftfy's core fix as a
+    * native codegen'd expression chain: UTF-8 bytes that were once
+    * decoded as cp1252/latin1 and re-encoded ("cafÃ©", "â€œquotedâ€",
+    * "å¤§" for 大) are mapped back to their original bytes
+    * (`translate` undoes cp1252's 0x80–0x9F display chars, latin1
+    * `encode` undoes the rest 1:1) and reinterpreted as UTF-8 —
+    * but ONLY when that reinterpretation is exactly valid
+    * ([[isMojibake]]): strings that fail the check pass through
+    * untouched, which automatically protects clean ASCII, clean
+    * latin1 accents, and real CJK. One pass repairs one layer of
+    * mis-decoding; compose for the (rare) double-moji case. Unpaired
+    * surrogates need no handling HERE: Tungsten's UTF8String layer
+    * cannot represent them — a driver-side lone surrogate becomes
+    * `?` at conversion and parquet never carries one — so every
+    * string this expression sees is already interchange-valid.
+    * Map-only at scan speed — run it BEFORE shingles/simhash/langId
+    * so encoding damage never poisons dedup keys. */
+  def fixEncoding(text: Column): Column = {
+    val mapped = translate(text, Cp1252Printables, Cp1252AsC1)
+    when(isMojibake(text),
+      decode(encode(mapped, "ISO-8859-1"), "UTF-8")).otherwise(text)
+  }
+
   /** Language-ID: argmax of marker-hit counts, ties broken by language
     * code ascending; zero hits everywhere ⇒ "und". Pure expression —
     * scores land in a struct array sorted descending by (hits, -lang).

@@ -62,4 +62,45 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("fixEncoding repairs cp1252 mojibake, leaves clean text alone") {
+    def fix(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(TextFunctions.fixEncoding(col("t")).as("f"))
+        .collect().head.getString(0)
+    // Latin-1-range double encoding: Ã© = C3 A9 = é.
+    assert(fix("cafÃ© au lait") == "café au lait")
+    assert(fix("naÃ¯ve rÃ©sumÃ©") == "naïve résumé")
+    // cp1252-range double encoding: curly quotes and apostrophes ride
+    // on 0x80–0x9F display chars (â€™ = E2 80 99 = ’), including
+    // the UNDEFINED cp1252 byte 0x9D that latin1-fallback decoders
+    // leave as a C1 control (â€\u009D = E2 80 9D = ”).
+    assert(fix("itâ€™s â€œquotedâ€\u009D here") ==
+      "it’s “quoted” here")
+    // CJK mojibake: å¤§ = E5 A4 A7 = 大; ä¸\u0080 = E4 B8 80 = 一.
+    assert(fix("å¤§ä¸\u0080") == "大一")
+    // Clean ASCII: untouched.
+    assert(fix("plain ascii stays") == "plain ascii stays")
+    // GENUINE UTF-8 text must never be "repaired": a real é sits in a
+    // continuation position with no lead byte, real CJK is > U+00FF —
+    // both fail the UTF-8-bytes validity regex.
+    assert(fix("déjà vu 中文") == "déjà vu 中文")
+    assert(fix("café") == "café")
+    // Unpaired surrogates never reach the expression: Tungsten's
+    // UTF8String conversion already sanitizes them to '?' (pinned
+    // here so an engine change would surface); paired surrogates are
+    // real supplementary chars and pass through.
+    assert(fix("a\ud800b") == "a?b")
+    assert(fix("emoji 😀 ok") == "emoji 😀 ok")
+  }
+
+  test("isMojibake is the census predicate: true iff repair would act") {
+    val out = Seq(
+      ("cafÃ©", true), ("â€œxâ€\u009D", true), ("å¤§", true),
+      ("plain", false), ("café", false), ("中文", false), ("", false))
+      .toDF("t", "expect")
+      .select(TextFunctions.isMojibake(col("t")).as("got"), col("expect"))
+      .collect()
+    out.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r))
+  }
 }
