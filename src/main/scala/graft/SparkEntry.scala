@@ -2053,6 +2053,44 @@ object SparkEntry {
         .join(broadcast(pr), Seq("domain"), "left")
     }),
 
+    // Misra–Gries heavy hitters: the corpus token stream through the
+    // k=64 mergeable MG aggregate (O(k) state map-side, on the wire,
+    // and in the merge — one summary per partition crosses the
+    // shuffle, never the token stream). MG weights are
+    // order-dependent, so the gate pins the deterministic part of the
+    // contract: every token with true count > n/(k+1) is GUARANTEED
+    // in the sketch, so semi-joining the exact-heavy set against the
+    // candidates must return it unchanged — with exact counts.
+    "q156_mg_heavy_hitters" -> ((s, dir) => {
+      val k = 64
+      val toks = Dedup.truncate(t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok")))
+      val cands = toks
+        .agg(graft.functions.MisraGriesAggregate
+          .misraGries(col("tok"), k).as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.item").as("tok"))
+      val totals = toks.agg(count(lit(1)).as("n"))
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(totals))
+        .filter(col("cnt") * (k + 1) > col("n"))
+        .join(cands, Seq("tok"), "left_semi")
+        .select(col("tok"), col("cnt"))
+    }),
+
+    // Regular-grid resample of the purchase stream: 6-hour buckets
+    // per user from first to last purchase, bucket averages on
+    // observed cells, LOCF + linear interpolation on the gaps — the
+    // cadence-normalization every poll-driven collector needs before
+    // rates and deltas mean anything. Grid generated per key from its
+    // own span (no driver calendar); fill windows are per-key bounded
+    // groups (≤ span/step rows each).
+    "q157_gap_fill" -> ((s, dir) => {
+      TimeSeries.resampleGapFill(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", "value", stepSeconds = 21600L)
+    }),
+
     // Per-domain document cap (the C4 practice: no domain may
     // dominate the corpus): q121's URL construction, registrable
     // domains, then keep the top-25 docs per domain by
@@ -4354,6 +4392,61 @@ object SparkEntry {
           |  r3.rank AS domain_rank
           |FROM capped c LEFT JOIN r3 ON r3.node = c.domain"""
           .stripMargin),
+
+    // The MG membership guarantee makes the sketch side drop out of
+    // the oracle: the gate's answer IS the exact-heavy set.
+    "q156_mg_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |      t -> len(t) > 0)) AS tok FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks, tot
+        |GROUP BY tok, n
+        |HAVING count(*) * 65 > n""".stripMargin,
+
+    // Same TZ-free epoch→timestamp form as q49; IGNORE NULLS windows
+    // mirror Spark's last/first(ignoreNulls) fills exactly.
+    "q157_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) // 1000000 // 21600) * 21600 AS b,
+        |    avg(value) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+        |         FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, CAST(u.g AS BIGINT) AS b
+        |  FROM span, UNNEST(generate_series(lo, hi, 21600)) AS u(g)),
+        |j AS (
+        |  SELECT g.user_id, g.b, o.v FROM grid g
+        |  LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b),
+        |w AS (
+        |  SELECT user_id, b, v,
+        |    last_value(v IGNORE NULLS) OVER pw AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+        |      OVER pw AS pb,
+        |    first_value(v IGNORE NULLS) OVER fw AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+        |      OVER fw AS nb
+        |  FROM j
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fw AS (PARTITION BY user_id ORDER BY b
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id,
+        |  TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 1 SECOND
+        |    AS bucket_start,
+        |  v IS NOT NULL AS observed,
+        |  round(v, 6) AS value_obs,
+        |  round(pv, 6) AS value_locf,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) *
+        |               (CAST(b - pb AS DOUBLE) / (nb - pb))
+        |        END, 6) AS value_interp
+        |FROM w""".stripMargin,
 
     // q121's URL + eTLD+1 logic with n_chars carried through, then the
     // cap as a plain window at oracle scale.

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid resampling over irregular event streams: the
+  * time-series shape the reference's poll-driven collector produces
+  * naturally (a device reports when polled — `roborock_collector.py`
+  * S1/S5 rows arrive at whatever cadence the poller manages) and every
+  * downstream consumer wants on a fixed cadence. Gap-filling policy is
+  * the standard pair: last-observation-carried-forward for state-like
+  * signals, linear interpolation for continuous ones.
+  *
+  * Scale: the grid is generated per key from that key's own observed
+  * span (`sequence` + explode — no driver-side calendar), the
+  * fill windows partition by key, and a key's grid size is bounded by
+  * span/step, not by event count — a firehose key costs the same grid
+  * as a quiet one. The per-key window is a bounded group in the same
+  * sense as the SCD2/funnel windows (PlanAudit windowNotes): grid
+  * rows per key = time-span/step, fixed by the resample config.
+  */
+object TimeSeries {
+
+  /** Resample `events` onto a fixed `stepSeconds` grid per `keyCol`,
+    * from each key's first observed bucket to its last. Observations
+    * landing in the same bucket average. Output per (key, bucket):
+    *
+    *   - `bucket_start` (timestamp), `observed` (any real row here?)
+    *   - `value_obs`   — the bucket average, NULL on gap rows
+    *   - `value_locf`  — last observation carried forward (never NULL:
+    *                     the grid starts at an observed bucket)
+    *   - `value_interp`— linear interpolation between the bracketing
+    *                     observations; trailing gaps carry the last
+    *                     value (no future point to interpolate toward)
+    *
+    * All values round to 6 dp for cross-engine bit-stability. */
+  def resampleGapFill(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val step = lit(stepSeconds)
+    val obs = events
+      .select(col(keyCol),
+        (floor(unix_timestamp(col(tsCol)) / step) * step).as("bucket"),
+        col(valueCol).as("v"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(avg(col("v")).as("value_obs"))
+    val grid = obs
+      .groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"), step)).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBucket = when(col("value_obs").isNotNull, col("bucket"))
+    grid.join(obs, Seq(keyCol, "bucket"), "left")
+      .withColumn("pv", last(col("value_obs"), ignoreNulls = true).over(back))
+      .withColumn("pb", last(obsBucket, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("value_obs"), ignoreNulls = true).over(fwd))
+      .withColumn("nb", first(obsBucket, ignoreNulls = true).over(fwd))
+      .select(col(keyCol),
+        timestamp_seconds(col("bucket")).as("bucket_start"),
+        col("value_obs").isNotNull.as("observed"),
+        round(col("value_obs"), 6).as("value_obs"),
+        round(col("pv"), 6).as("value_locf"),
+        round(
+          when(col("value_obs").isNotNull, col("value_obs"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") +
+              (col("nv") - col("pv")) *
+                ((col("bucket") - col("pb")) / (col("nb") - col("pb")))),
+          6).as("value_interp"))
+  }
+}
