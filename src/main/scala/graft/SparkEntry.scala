@@ -2091,6 +2091,34 @@ object SparkEntry {
         "user_id", "ts", "value", stepSeconds = 21600L)
     }),
 
+    // k-anonymity generalization ladder over customer
+    // quasi-identifiers (nation, segment, balance bin): per level, the
+    // suppression cost of releasing the table k=5-anonymous. One scan,
+    // one explode struct per (row, level), one hash-agg — the ladder
+    // decision reads L census rows, never re-scans.
+    "q158_k_anonymity" -> ((s, dir) => {
+      val nat = col("c_nationkey")
+      val seg = col("c_mktsegment")
+      Privacy.generalizationLadder(t(s, dir, "customer"), Seq(
+        0 -> Seq(nat.as("nat"), seg.as("seg"),
+          floor(col("c_acctbal") / 100).as("bal")),
+        1 -> Seq(nat.as("nat"), seg.as("seg"),
+          floor(col("c_acctbal") / 1000).as("bal")),
+        2 -> Seq(lit(null).cast("int").as("nat"), seg.as("seg"),
+          floor(col("c_acctbal") / 1000).as("bal"))),
+        k = 5)
+    }),
+
+    // ExactSubstr cleanup — the REWRITE q89/q120 only measure: every
+    // ≥8-token span also present in a lower-doc_id document is
+    // deleted (first corpus occurrence kept), survivors re-joined in
+    // order, cleaned text pinned by md5 prefix. Gram ownership is one
+    // hash-agg; coverage explodes matched grams only (×8 bounded).
+    "q159_span_scrub" -> ((s, dir) => {
+      Dedup.scrubCrossDocSpans(t(s, dir, "documents"),
+        "doc_id", "text", spanTokens = 8)
+    }),
+
     // Per-domain document cap (the C4 practice: no domain may
     // dominate the corpus): q121's URL construction, registrable
     // domains, then keep the top-25 docs per domain by
@@ -4447,6 +4475,67 @@ object SparkEntry {
         |               (CAST(b - pb AS DOUBLE) / (nb - pb))
         |        END, 6) AS value_interp
         |FROM w""".stripMargin,
+
+    "q158_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT 0 AS level, c_nationkey AS nat, c_mktsegment AS seg,
+        |         CAST(floor(c_acctbal/100) AS BIGINT) AS bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 1, c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal/1000) AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT 2, NULL, c_mktsegment,
+        |         CAST(floor(c_acctbal/1000) AS BIGINT) FROM customer),
+        |cls AS (
+        |  SELECT level, nat, seg, bal, count(*) AS n
+        |  FROM g GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(level AS INTEGER) AS level,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sub_k_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_suppressed_rows,
+        |  round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+        |        / sum(n), 6) AS suppression_frac
+        |FROM cls GROUP BY level""".stripMargin,
+
+    // q89's shingle idiom, extended to the rewrite: min-doc_id gram
+    // owners, coverage of foreign grams, order-preserving re-join.
+    "q159_span_scrub" ->
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                       t -> len(t) > 0) AS w
+        |            FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(generate_series(1, len(w)-8+1)) AS pos,
+        |        unnest(CASE WHEN len(w) < 8 THEN CAST([] AS VARCHAR[])
+        |          ELSE list_transform(generate_series(0, len(w)-8),
+        |                 i -> array_to_string(list_slice(w, i+1, i+8), ' '))
+        |          END) AS gram
+        |      FROM w0),
+        |own AS (SELECT gram, min(doc_id) AS own FROM g GROUP BY gram),
+        |cov AS (SELECT DISTINCT g.doc_id, CAST(u.tp AS BIGINT) AS tp
+        |        FROM g JOIN own USING (gram),
+        |          UNNEST(generate_series(g.pos, g.pos + 7)) AS u(tp)
+        |        WHERE g.doc_id > own.own),
+        |tok AS (SELECT doc_id,
+        |          unnest(generate_series(1, len(w))) AS tp,
+        |          unnest(w) AS tok
+        |        FROM w0),
+        |reb AS (SELECT t.doc_id,
+        |          count(*) AS n_kept,
+        |          string_agg(t.tok, ' ' ORDER BY t.tp) AS text_clean
+        |        FROM tok t LEFT JOIN cov c
+        |          ON t.doc_id = c.doc_id AND t.tp = c.tp
+        |        WHERE c.tp IS NULL
+        |        GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.w) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+        |  round(CAST(len(d.w) - COALESCE(reb.n_kept, 0) AS DOUBLE)
+        |        / len(d.w), 6) AS scrub_frac,
+        |  substring(md5(COALESCE(reb.text_clean, '')), 1, 8) AS h8
+        |FROM w0 d LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin,
 
     // q121's URL + eTLD+1 logic with n_chars carried through, then the
     // cap as a plain window at oracle scale.

@@ -718,4 +718,57 @@ object Dedup {
       .filter(col("jaccard").isNotNull && col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /** ExactSubstr-style CLEANUP, the rewrite step the span censuses
+    * ([[repeatedSpans]]/[[crossDocSpans]]) only measure: remove from
+    * every document each ≥ `spanTokens`-token span that also appears
+    * in a LOWER-doc_id document, keeping the first corpus occurrence —
+    * the "drop all but one copy" policy of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"),
+    * with corpus order (doc_id) as the deterministic keeper rule. A
+    * gram's owner is its minimal doc_id; in every other document the
+    * gram's token coverage is deleted and the surviving tokens are
+    * re-joined in order.
+    *
+    * Scale: gram ownership is one hash-agg on the gram key; the
+    * coverage explode is a bounded ×spanTokens fan-out of MATCHED
+    * grams only; the rebuild groups by doc (bounded by document
+    * length, as elsewhere in the text family). Never doc×doc.
+    *
+    * Output: (id, n_tokens, n_removed, scrub_frac [6 dp],
+    * h8 = md5 prefix of the rebuilt text — portable without shipping
+    * megabytes of cleaned text through a gate). */
+  def scrubCrossDocSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val grams = docs.select(col(idCol),
+      posexplode(graft.functions.GraftExpressions.shingleList(
+        tokens(col(textCol)), spanTokens)).as(Seq("p0", "gram")))
+    val owner = grams.groupBy(col("gram")).agg(min(col(idCol)).as("own"))
+    val covered = grams.join(owner, Seq("gram"))
+      .filter(col(idCol) > col("own"))
+      .select(col(idCol),
+        explode(sequence(col("p0"), col("p0") + spanTokens - 1)).as("tp"))
+      .distinct()
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("tp", "tok")))
+    val rebuilt = toks.join(covered, Seq(idCol, "tp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
+            _.getField("tok")), " ").as("text_clean"))
+    docs.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        round((col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          / col("n_tokens"), 6).as("scrub_frac"),
+        substring(md5(coalesce(col("text_clean"), lit(""))), 1, 8).as("h8"))
+  }
 }
