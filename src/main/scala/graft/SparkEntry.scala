@@ -2119,6 +2119,34 @@ object SparkEntry {
         "doc_id", "text", spanTokens = 8)
     }),
 
+    // Anchor-text profile per target host — what the rest of the web
+    // calls each host: q146's synthesized page graph, now with
+    // text-bearing anchors; (href, txt) extraction, RFC-3986-lite
+    // resolution (mailto/fragment quarantine to NULL and drop), then
+    // the top-5 anchor terms per host through the k-bounded
+    // aggregate.
+    "q160_anchor_text" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      val first2 = array_join(
+        slice(TextFunctions.tokens(col("text")), 1, 2), " ")
+      val base = concat(lit("https://"), col("source"),
+        lit(".example.com/docs/d"), idStr, lit(".html"))
+      val html = concat(
+        lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<a href=\"https://partner.example.org/ref?id="), idStr,
+        lit("\">"), first2, lit("</a>"),
+        lit("<a href=\"//mirror.example.net/m/"), col("source"),
+        lit("\">mirror "), col("source"), lit("</a>"),
+        lit("<a href=\"/about\">about us</a>"),
+        lit("<a href=\"d"), (col("doc_id") + 1).cast("string"),
+        lit(".html\">read next</a>"),
+        lit("<a href=\"mailto:ops@example.com\">mail ops</a>"),
+        lit("<a href=\"#top\">top</a></body></html>"))
+      Web.anchorTermProfile(
+        t(s, dir, "documents").select(base.as("base"), html.as("html")),
+        "base", "html", k = 5)
+    }),
+
     // Per-domain document cap (the C4 practice: no domain may
     // dominate the corpus): q121's URL construction, registrable
     // domains, then keep the top-25 docs per domain by
@@ -4536,6 +4564,79 @@ object SparkEntry {
         |        / len(d.w), 6) AS scrub_frac,
         |  substring(md5(COALESCE(reb.text_clean, '')), 1, 8) AS h8
         |FROM w0 d LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin,
+
+    // q146's page synthesis + URL resolution, anchors carrying text;
+    // the per-host cap as a plain window at oracle scale.
+    "q160_anchor_text" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    'https://' || source || '.example.com/docs/d'
+        |      || CAST(doc_id AS VARCHAR) || '.html' AS base,
+        |    '<html><body><p>' || text || '</p>'
+        |    || '<a href="https://partner.example.org/ref?id='
+        |      || CAST(doc_id AS VARCHAR) || '">'
+        |      || array_to_string(list_slice(list_filter(
+        |           string_split(lower(text), ' '), t -> len(t) > 0),
+        |           1, 2), ' ') || '</a>'
+        |    || '<a href="//mirror.example.net/m/' || source
+        |      || '">mirror ' || source || '</a>'
+        |    || '<a href="/about">about us</a>'
+        |    || '<a href="d' || CAST(doc_id + 1 AS VARCHAR)
+        |      || '.html">read next</a>'
+        |    || '<a href="mailto:ops@example.com">mail ops</a>'
+        |    || '<a href="#top">top</a></body></html>' AS html
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, base, regexp_extract_all(html,
+        |    '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)["''][^>]*>([^<]*)',
+        |    0) AS ms
+        |  FROM m),
+        |p AS (
+        |  SELECT doc_id, base,
+        |    regexp_extract(ms[i],
+        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)["''][^>]*>([^<]*)',
+        |      1) AS href,
+        |    regexp_extract(ms[i],
+        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)["''][^>]*>([^<]*)',
+        |      2) AS txt
+        |  FROM a, UNNEST(generate_series(1, len(ms))) AS u(i)),
+        |b AS (
+        |  SELECT doc_id, href, txt,
+        |    regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bscheme,
+        |    regexp_extract(base,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) AS borigin,
+        |    regexp_replace(regexp_extract(base,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+        |      '[^/]*$', '') AS bdir
+        |  FROM p),
+        |r AS (
+        |  SELECT txt,
+        |    CASE
+        |      WHEN href = '' THEN NULL
+        |      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+        |        THEN href
+        |      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+        |        THEN NULL
+        |      WHEN starts_with(href, '//') THEN bscheme || ':' || href
+        |      WHEN starts_with(href, '/') THEN borigin || href
+        |      ELSE borigin
+        |        || CASE WHEN bdir = '' THEN '/' ELSE bdir END || href
+        |    END AS url
+        |  FROM b),
+        |tc AS (
+        |  SELECT regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)
+        |      AS host,
+        |    unnest(list_filter(string_split(lower(txt), ' '),
+        |      t -> len(t) > 0)) AS term
+        |  FROM r WHERE url IS NOT NULL),
+        |cnt AS (SELECT host, term, count(*) AS cnt FROM tc GROUP BY 1, 2),
+        |rk AS (SELECT host, term, cnt, row_number() OVER (
+        |         PARTITION BY host ORDER BY cnt DESC, term) AS rank
+        |       FROM cnt)
+        |SELECT host, CAST(rank AS INTEGER) AS rank, term,
+        |  CAST(cnt AS BIGINT) AS cnt
+        |FROM rk WHERE rank <= 5""".stripMargin,
 
     // q121's URL + eTLD+1 logic with n_chars carried through, then the
     // cap as a plain window at oracle scale.

@@ -267,6 +267,57 @@ object Web {
     regexp_extract_all(html,
       lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#>]*)"), lit(1))
 
+  /** Anchor regex shared by [[extractAnchors]] and its SQL oracle
+    * twin: group 1 = href (cut at quote/`#`/`>` like
+    * [[extractLinks]]), group 2 = the anchor's direct text (tag-free
+    * runs only — an anchor wrapping inner markup contributes its text
+    * up to the first inner tag, the dominant plain-link form; full
+    * main-content extraction is [[extractText]]'s job). */
+  private val anchorRe =
+    "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#>]*)[\"'][^>]*>([^<]*)"
+
+  /** (href, txt) pairs of a page's anchors in document order — the
+    * anchor-TEXT side of the crawl graph ([[extractLinks]] keeps only
+    * targets): what the web calls a page is a first-class relevance
+    * signal (anchor-text aggregation per target is the classic
+    * web-search feature). Pure regexp over the full matches — map-only
+    * at scan speed. */
+  def extractAnchors(html: Column): Column =
+    transform(regexp_extract_all(html, lit(anchorRe), lit(0)),
+      m => struct(
+        regexp_extract(m, anchorRe, 1).as("href"),
+        regexp_extract(m, anchorRe, 2).as("txt")))
+
+  /** Anchor-text profile per target host: what the REST of the web
+    * calls each host, as its top-k anchor terms by incoming-anchor
+    * term count — the classic off-page relevance signal (and a strong
+    * quality feature for crawl prioritization). Pipeline: extract
+    * (href, txt) pairs, resolve against the page's base URL, drop
+    * quarantined (NULL) targets, count (host, term), bounded top-k per
+    * host — a mega-host (every page links example.com) costs k structs
+    * of aggregate state, never a window partition.
+    *
+    * Output: (host, rank, term, cnt); ties broken by term ASC. */
+  def anchorTermProfile(
+      pages: DataFrame, baseCol: String, htmlCol: String, k: Int): DataFrame = {
+    val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)"
+    val anchors = pages
+      .select(col(baseCol).as("__base"),
+        explode(extractAnchors(col(htmlCol))).as("__a"))
+      .select(resolveUrl(col("__base"), col("__a.href")).as("url"),
+        col("__a.txt").as("txt"))
+      .filter(col("url").isNotNull)
+    val counts = anchors
+      .select(regexp_extract(col("url"), hostRe, 1).as("host"),
+        explode(graft.functions.TextFunctions.tokens(col("txt"))).as("term"))
+      .groupBy(col("host"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    Ranking.groupTopK(counts, Seq("host"),
+        Seq((-col("cnt")).as("neg_cnt"), col("term").as("term")), k)
+      .select(col("host"), col("rank"), col("term"),
+        (-col("neg_cnt")).cast("long").as("cnt"))
+  }
+
   /** RFC-3986-lite reference resolution of `href` against the page's
     * absolute `base` URL — the four forms a crawler actually meets:
     *

@@ -313,4 +313,43 @@ class WebSpec extends SparkSpec {
     assert(res(base, "a/b:c.html")
       .contains("https://www.site.com/docs/a/b:c.html"))
   }
+
+  test("extractAnchors pairs hrefs with their text; edge forms drop or trim") {
+    import spark.implicits._
+    val html =
+      """<html><A HREF='/a' class="x">First Link</A>
+        |<a rel=nofollow href="https://b.com/p">to <b>B</b> site</a>
+        |<a href="#frag">frag only</a>
+        |<a name="no-href">not a link</a>
+        |<a href="/c"></a></html>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(explode(Web.extractAnchors(col("h"))).as("a"))
+      .select(col("a.href"), col("a.txt"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // '#frag' fails the quoted-href shape (href cut at '#'), the
+    // no-href anchor has no href, and nested markup trims at the
+    // first inner tag.
+    assert(out == Seq(("/a", "First Link"), ("https://b.com/p", "to "),
+      ("/c", "")))
+  }
+
+  test("anchorTermProfile aggregates anchor terms per resolved host") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://x.com/d/p1.html",
+        """<a href="https://t.org/a">great docs</a><a href="n.html">next page</a>"""),
+      ("https://y.com/p2.html",
+        """<a href="//t.org/b">great tool</a><a href="mailto:a@b">mail me</a>"""))
+      .toDF("base", "html")
+    val out = Web.anchorTermProfile(pages, "base", "html", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // t.org gets 'great' ×2 (ranked 1), then 'docs' (tie with 'tool',
+    // term ASC); x.com keeps its own relative link's terms; the
+    // mailto anchor is quarantined with its text.
+    assert(out == Set(
+      ("t.org", 1, "great", 2L), ("t.org", 2, "docs", 1L),
+      ("x.com", 1, "next", 1L), ("x.com", 2, "page", 1L)))
+  }
 }
