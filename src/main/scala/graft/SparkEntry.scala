@@ -2147,6 +2147,20 @@ object SparkEntry {
         "base", "html", k = 5)
     }),
 
+    // Positional phrase search: consecutive-token phrase occurrences
+    // via the offset-vote trick (posting (t_j, pos) votes for start
+    // pos−j; all m distinct offsets present = occurrence). Phrase 1
+    // repeats a term (the distinct-j case), phrase 4 has zero corpus
+    // hits and must vanish from the output.
+    "q161_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      val phrases = Seq((1, "table table"), (2, "value table part"),
+        (3, "agg join small"), (4, "the quick brown"))
+        .toDF("phrase_id", "ptext")
+      Retrieval.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        phrases, "phrase_id", "ptext")
+    }),
+
     // Per-domain document cap (the C4 practice: no domain may
     // dominate the corpus): q121's URL construction, registrable
     // domains, then keep the top-25 docs per domain by
@@ -4637,6 +4651,39 @@ object SparkEntry {
         |SELECT host, CAST(rank AS INTEGER) AS rank, term,
         |  CAST(cnt AS BIGINT) AS cnt
         |FROM rk WHERE rank <= 5""".stripMargin,
+
+    "q161_phrase_search" ->
+      """WITH ph AS (SELECT * FROM (VALUES
+        |    (1, 'table table'), (2, 'value table part'),
+        |    (3, 'agg join small'), (4, 'the quick brown'))
+        |    AS v(phrase_id, ptext)),
+        |ptok AS (SELECT phrase_id,
+        |           list_filter(string_split(lower(ptext), ' '),
+        |             t -> len(t) > 0) AS w
+        |         FROM ph),
+        |pt AS (SELECT phrase_id,
+        |         unnest(generate_series(1, len(w))) - 1 AS j,
+        |         unnest(w) AS term, len(w) AS m
+        |       FROM ptok),
+        |w0 AS (SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |           t -> len(t) > 0) AS w
+        |       FROM documents),
+        |post AS (SELECT doc_id,
+        |           unnest(generate_series(1, len(w))) - 1 AS pos,
+        |           unnest(w) AS term
+        |         FROM w0),
+        |v AS (SELECT pt.phrase_id, post.doc_id,
+        |        post.pos - pt.j AS start, pt.j, pt.m
+        |      FROM post JOIN pt USING (term)
+        |      WHERE post.pos - pt.j >= 0),
+        |occ AS (SELECT phrase_id, doc_id, start, m,
+        |          count(DISTINCT j) AS nj
+        |        FROM v GROUP BY 1, 2, 3, 4),
+        |hit AS (SELECT phrase_id, doc_id, start FROM occ WHERE nj = m)
+        |SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(start) AS BIGINT) AS first_pos
+        |FROM hit GROUP BY 1, 2""".stripMargin,
 
     // q121's URL + eTLD+1 logic with n_chars carried through, then the
     // cap as a plain window at oracle scale.

@@ -81,4 +81,48 @@ object Retrieval {
       .select(col("query_id"), col(idCol), col("n_terms"),
         round(col("s_sum").cast("double") / 1e6, 6).as("score"))
   }
+
+  /** Positional phrase search: documents containing each query phrase
+    * as CONSECUTIVE whitespace tokens, via the positional-postings
+    * offset trick — a phrase of terms t_0…t_{m−1} occurs at position
+    * s iff for every offset j the posting (t_j, s+j) exists, so each
+    * posting that matches some phrase term votes for the candidate
+    * start (pos − j), and a start with all m DISTINCT offsets present
+    * is an occurrence (the DISTINCT matters when a phrase repeats a
+    * term: both js vote for the same start from different postings).
+    *
+    * Scale: the phrase-term table is (phrases × terms) — broadcast;
+    * the corpus shuffles once on (phrase, doc, start) for the vote
+    * count. A stopword phrase matches many postings, but the fan-out
+    * is |phrase| per matched posting, bounded like the shingle
+    * explodes. No substring LIKE scan (which can't tokenize), no
+    * per-doc regex (which can't count occurrences at scale).
+    *
+    * Output: (phrase_id, id, n_hits, first_pos [0-based]) — one row
+    * per (phrase, doc) WITH at least one occurrence. */
+  def phraseSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: DataFrame,
+      phraseIdCol: String,
+      phraseTextCol: String): DataFrame = {
+    val postings = docs.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+    val pterms = phrases.select(col(phraseIdCol).as("phrase_id"),
+        posexplode(TextFunctions.tokens(col(phraseTextCol)))
+          .as(Seq("j", "term")))
+      .join(phrases.select(col(phraseIdCol).as("phrase_id"),
+        TextFunctions.tokenCount(col(phraseTextCol)).as("m")), Seq("phrase_id"))
+    postings.join(broadcast(pterms), Seq("term"))
+      .select(col("phrase_id"), col(idCol),
+        (col("pos") - col("j")).as("start"), col("j"), col("m"))
+      .filter(col("start") >= 0)
+      .groupBy(col("phrase_id"), col(idCol), col("start"), col("m"))
+      .agg(countDistinct(col("j")).as("n_j"))
+      .filter(col("n_j") === col("m"))
+      .groupBy(col("phrase_id"), col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("start")).cast("long").as("first_pos"))
+  }
 }

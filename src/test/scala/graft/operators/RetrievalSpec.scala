@@ -30,4 +30,27 @@ class RetrievalSpec extends SparkSpec {
     // Only doc 1 matches, with n_terms 1 despite the tripled query term.
     assert(out.toSeq == Seq((1L, 1L)))
   }
+
+  test("phraseSearch: consecutive-token matches, overlaps, repeated terms") {
+    val docs = Seq(
+      (1L, "a b a b a"),     // "a b a" at 0 and 2 (overlapping)
+      (2L, "a a a"),         // "a a" at 0 and 1; repeated-term phrase
+      (3L, "b a x a b"),     // contains the terms but never "a b a"
+      (4L, "x y z")).toDF("doc_id", "text")
+    val phrases = Seq((10, "a b a"), (20, "a a"), (30, "missing phrase"))
+      .toDF("pid", "ptext")
+    val out = Retrieval.phraseSearch(docs, "doc_id", "text",
+        phrases, "pid", "ptext")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // Doc 1: "a b a" at starts 0 and 2 — overlapping hits both count;
+    // its a's are never adjacent, so no "a a". Doc 2: "a a" at 0 and
+    // 1 (the repeated-term distinct-j case). Doc 3 has all of
+    // phrase 10's terms but never consecutively. Unmatched phrases
+    // and docs are absent, not zero rows.
+    assert(out == Map(
+      (10, 1L) -> ((2L, 0L)),
+      (20, 2L) -> ((2L, 0L))))
+  }
 }
