@@ -2161,6 +2161,16 @@ object SparkEntry {
         phrases, "phrase_id", "ptext")
     }),
 
+    // Kneser–Ney-smoothed bigram perplexity (d=0.75, add-one'd
+    // continuation): the KenLM-style corpus-filter score next to
+    // q103's add-one baseline — same scale story (count hash-aggs,
+    // model-keyed joins, 1-row totals broadcast, micro-nat integer
+    // sums), different — and correct — smoothing.
+    "q162_kn_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.knScore(docs, Corpus.knModel(docs, "text"), "doc_id", "text")
+    }),
+
     // Per-domain document cap (the C4 practice: no domain may
     // dominate the corpus): q121's URL construction, registrable
     // domains, then keep the top-25 docs per domain by
@@ -4684,6 +4694,49 @@ object SparkEntry {
         |SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
         |  CAST(min(start) AS BIGINT) AS first_pos
         |FROM hit GROUP BY 1, 2""".stripMargin,
+
+    // KN probability assembled with the exact IEEE chain of
+    // Corpus.knScore; micro-nat quantization per occurrence.
+    "q162_kn_perplexity" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, toks[u.i] || ' ' || toks[u.i+1] AS bigram,
+        |         toks[u.i] AS x, toks[u.i+1] AS y
+        |  FROM w, UNNEST(generate_series(1, len(toks)-1)) AS u(i)),
+        |big AS (SELECT bigram, count(*) AS c_xy FROM occ GROUP BY 1),
+        |sp AS (SELECT bigram, c_xy,
+        |         string_split(bigram, ' ')[1] AS x,
+        |         string_split(bigram, ' ')[2] AS y
+        |       FROM big),
+        |ctx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS ctx,
+        |          count(*) AS n1p_l
+        |        FROM sp GROUP BY 1),
+        |cont AS (SELECT y, count(*) AS n1p_r FROM sp GROUP BY 1),
+        |tot AS (SELECT count(*) AS n1pp, count(DISTINCT y) AS cv FROM sp),
+        |lp AS (
+        |  SELECT occ.doc_id,
+        |    CAST(round(1e6 * ln(
+        |      CASE WHEN ctx.ctx IS NOT NULL THEN
+        |        greatest(CAST(COALESCE(big.c_xy, 0) AS DOUBLE) - 0.75, 0.0)
+        |          / CAST(ctx.ctx AS DOUBLE)
+        |        + ((0.75 * CAST(ctx.n1p_l AS DOUBLE))
+        |            / CAST(ctx.ctx AS DOUBLE))
+        |          * (CAST(COALESCE(cont.n1p_r, 0) + 1 AS DOUBLE)
+        |             / CAST(tot.n1pp + tot.cv AS DOUBLE))
+        |      ELSE CAST(COALESCE(cont.n1p_r, 0) + 1 AS DOUBLE)
+        |           / CAST(tot.n1pp + tot.cv AS DOUBLE)
+        |      END)) AS BIGINT) AS lp
+        |  FROM occ
+        |  LEFT JOIN big USING (bigram)
+        |  LEFT JOIN ctx USING (x)
+        |  LEFT JOIN cont USING (y), tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(-sum(lp) AS DOUBLE) / 1e6
+        |    / CAST(count(*) AS DOUBLE), 6) AS nll
+        |FROM lp GROUP BY 1""".stripMargin,
 
     // q121's URL + eTLD+1 logic with n_chars carried through, then the
     // cap as a plain window at oracle scale.

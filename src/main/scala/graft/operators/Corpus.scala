@@ -301,6 +301,81 @@ object Corpus {
           / col("n_bigrams").cast("double"), 6).as("nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram model (fixed discount d = 0.75):
+    * the count tables behind
+    *
+    *   P(y|x) = max(c(x,y) − d, 0)/ctx(x)
+    *            + d·N1+(x,·)/ctx(x) · Pcont(y)
+    *
+    * where ctx(x) = Σ_y c(x,y), N1+(x,·) = distinct right-neighbors
+    * of x, and the continuation probability is add-one smoothed so
+    * the model is TOTAL over unseen events:
+    * Pcont(y) = (N1+(·,y) + 1)/(N1+(·,·) + |Y|). An unseen context x
+    * backs off to Pcont(y) alone. KN is the smoothing that actually
+    * ships in KenLM-style corpus filters — it discounts raw bigram
+    * mass toward how PROMISCUOUS a continuation is, so "francisco"
+    * (frequent but only ever after "san") stops looking probable in
+    * novel contexts, which add-one ([[lmModel]]) gets exactly wrong. */
+  final case class KnModel(bigrams: DataFrame, ctx: DataFrame,
+    cont: DataFrame, totals: DataFrame)
+
+  /** Train [[KnModel]] on `docs`: one bigram census, two hash-aggs
+    * over it (left/right marginals), one 1-row totals agg. */
+  def knModel(docs: DataFrame, textCol: String): KnModel = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val big = docs
+      .select(explode(GraftExpressions.shingleList(toks, 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+    val sp = big.select(col("bigram"), col("c_xy"),
+      split(col("bigram"), " ").getItem(0).as("x"),
+      split(col("bigram"), " ").getItem(1).as("y"))
+    KnModel(
+      bigrams = big,
+      ctx = sp.groupBy(col("x")).agg(sum(col("c_xy")).as("ctx"),
+        count(lit(1)).as("n1p_l")),
+      cont = sp.groupBy(col("y")).agg(count(lit(1)).as("n1p_r")),
+      totals = sp.agg(count(lit(1)).as("n1pp"),
+        countDistinct(col("y")).as("cv")))
+  }
+
+  /** KN-smoothed per-document NLL against a (possibly frozen)
+    * [[KnModel]] — [[lmScore]]'s shape with the KN probability.
+    * Cross-engine determinism by the standard idiom: per-occurrence
+    * log-prob quantized to integer micro-nats from a fixed IEEE
+    * chain over exact counts, exact integer sum per doc, one final
+    * divide. Model tables join on bigram/x/y keys; totals broadcast.
+    * Output: (id, n_bigrams, nll [6 dp]). */
+  def knScore(docs: DataFrame, model: KnModel, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val occ = docs.select(col(idCol),
+      explode(GraftExpressions.shingleList(toks, 2)).as("bigram"))
+      .select(col(idCol), col("bigram"),
+        split(col("bigram"), " ").getItem(0).as("x"),
+        split(col("bigram"), " ").getItem(1).as("y"))
+    val pcont = (coalesce(col("n1p_r"), lit(0L)) + lit(1L)).cast("double") /
+      (col("n1pp") + col("cv")).cast("double")
+    val pSeen =
+      greatest(coalesce(col("c_xy"), lit(0L)).cast("double") - lit(0.75),
+        lit(0.0)) / col("ctx").cast("double") +
+        (lit(0.75) * col("n1p_l").cast("double") / col("ctx").cast("double")) *
+          pcont
+    occ
+      .join(model.bigrams, Seq("bigram"), "left")
+      .join(model.ctx, Seq("x"), "left")
+      .join(model.cont, Seq("y"), "left")
+      .crossJoin(broadcast(model.totals))
+      .select(col(idCol),
+        round(lit(1e6) *
+          log(when(col("ctx").isNotNull, pSeen).otherwise(pcont)))
+          .cast("long").as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round((-col("lp_sum")).cast("double") / 1e6
+          / col("n_bigrams").cast("double"), 6).as("nll"))
+  }
+
   /** Windowed skip-gram co-occurrence census — the GloVe/word2vec
     * preprocessing table: for every unordered token pair within
     * `window` positions of each other (in the same document), the

@@ -193,4 +193,45 @@ class CorpusSpec extends SparkSpec {
       Seq((1L, "solo")).toDF("doc_id", "text"), "text", 3, 1L)
       .count() == 0L)
   }
+
+  test("knScore: continuation probability penalizes context-bound tokens") {
+    // 'f' and 'd' have EQUAL unigram frequency (3 each), but 'f'
+    // only ever follows 's' (one continuation context) while 'd'
+    // follows three different tokens. KN must make the UNSEEN bigram
+    // "x f" less probable than "x d"; add-one smoothing (lmScore)
+    // can't tell them apart.
+    val train = Seq(
+      (1L, "s f s f s f"),
+      (2L, "a d b d c d x q")).toDF("doc_id", "text")
+    val model = Corpus.knModel(train, "text")
+    val probe = Seq((10L, "x f"), (20L, "x d")).toDF("doc_id", "text")
+    val nll = Corpus.knScore(probe, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(10L) > nll(20L),
+      s"context-bound 'f' should surprise more: ${nll(10L)} vs ${nll(20L)}")
+  }
+
+  test("knScore is total: unseen context and unseen token stay finite") {
+    val model = Corpus.knModel(
+      Seq((1L, "a b a b")).toDF("doc_id", "text"), "text")
+    val out = Corpus.knScore(
+        Seq((9L, "zz qq zz")).toDF("doc_id", "text"),
+        model, "doc_id", "text")
+      .collect()
+    assert(out.length == 1)
+    val nll = out.head.getDouble(2)
+    assert(!nll.isNaN && !nll.isInfinite && nll > 0, s"nll=$nll")
+  }
+
+  test("knScore self-scoring: seen bigrams beat the backoff floor") {
+    val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val self = Corpus.knScore(docs, Corpus.knModel(docs, "text"),
+      "doc_id", "text").collect().head
+    val alien = Corpus.knScore(
+      Seq((2L, "p q r p q")).toDF("doc_id", "text"),
+      Corpus.knModel(docs, "text"), "doc_id", "text").collect().head
+    assert(self.getLong(1) == 4L)
+    assert(self.getDouble(2) < alien.getDouble(2),
+      "in-model text must score lower NLL than alien text")
+  }
 }
