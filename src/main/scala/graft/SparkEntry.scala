@@ -2171,6 +2171,46 @@ object SparkEntry {
       Corpus.knScore(docs, Corpus.knModel(docs, "text"), "doc_id", "text")
     }),
 
+    // Point-in-time enrichment — q71's SCD2 intervals composed with
+    // the binned range join: each purchase picks up the signup-built
+    // dimension version valid AT ITS TIME (valid_from ≤ ts < valid_to,
+    // open current version capped at corpus max+1). (user_id, day-bin)
+    // equi-join, never fact×dim; purchases before the user's first
+    // version drop (inner PIT semantics).
+    "q163_pit_enrich" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val mx = e.agg(max(col("us")).as("mu"))
+      val dim = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("dim_event_id"),
+          col("value").as("dim_value"), col("us").as("valid_from_us"),
+          lead(col("us"), 1).over(w).as("valid_to_us"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"), col("dim_event_id"), col("dim_value"),
+          col("valid_from_us"),
+          (coalesce(col("valid_to_us"), col("mu") + 1) - 1).as("hi_us"))
+      val facts = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"),
+          col("value").as("fact_value"))
+      RangeJoin.pointInInterval(facts, dim, "us", "valid_from_us",
+          "hi_us", binWidth = 86400000000L, equiKeys = Seq("user_id"))
+        .select(col("user_id"), col("event_id"), col("dim_event_id"),
+          round(col("fact_value"), 6).as("fact_value"),
+          round(col("dim_value"), 6).as("dim_value"))
+    }),
+
+    // Scalar-quantization ANN (int8 per dimension, ADC cosine): the
+    // compression family between SRP buckets and PQ codebooks —
+    // corpus codes against per-dimension bounds, full-precision
+    // queries, asymmetric scoring over decoded codes. Stats collapse
+    // to one broadcast row; encode is map-only.
+    "q164_sq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+    }),
+
     // Per-domain document cap (the C4 practice: no domain may
     // dominate the corpus): q121's URL construction, registrable
     // domains, then keep the top-25 docs per domain by
@@ -4737,6 +4777,88 @@ object SparkEntry {
         |  round(CAST(-sum(lp) AS DOUBLE) / 1e6
         |    / CAST(count(*) AS DOUBLE), 6) AS nll
         |FROM lp GROUP BY 1""".stripMargin,
+
+    "q163_pit_enrich" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |dim AS (
+        |  SELECT user_id, event_id AS dim_event_id, value AS dim_value,
+        |    us AS valid_from_us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS valid_to_us
+        |  FROM e WHERE event_type = 'signup'),
+        |mx AS (SELECT max(us) AS mu FROM e),
+        |d2 AS (
+        |  SELECT user_id, dim_event_id, dim_value, valid_from_us,
+        |    COALESCE(valid_to_us, mu + 1) - 1 AS hi_us
+        |  FROM dim, mx),
+        |f AS (SELECT user_id, event_id, us, value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, d.dim_event_id,
+        |  round(f.value, 6) AS fact_value,
+        |  round(d.dim_value, 6) AS dim_value
+        |FROM f JOIN d2 d ON f.user_id = d.user_id
+        |  AND f.us >= d.valid_from_us AND f.us <= d.hi_us""".stripMargin,
+
+    // q22's scoring chain over SQ-decoded corpus codes; the
+    // encode/decode floor chain mirrors Similarity.sqTopK exactly.
+    "q164_sq_knn" ->
+      """WITH c0 AS (
+        |  SELECT vec_id AS neighbor_id,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT d, min(v) AS lo, max(v) AS hi FROM (
+        |    SELECT unnest(generate_series(1, len(qv))) AS d,
+        |           unnest(qv) AS v
+        |    FROM c0)
+        |  GROUP BY d),
+        |sa AS (SELECT list(lo ORDER BY d) AS lo,
+        |              list(hi ORDER BY d) AS hi FROM st),
+        |enc AS (
+        |  SELECT neighbor_id,
+        |    list_transform(generate_series(1, len(qv)), i ->
+        |      CAST(sa.lo[i] + floor(CAST(
+        |        (CASE WHEN sa.hi[i] = sa.lo[i] THEN 0
+        |              ELSE floor(CAST((qv[i] - sa.lo[i]) * 255 AS DOUBLE)
+        |                   / CAST(sa.hi[i] - sa.lo[i] AS DOUBLE)) END)
+        |        * (sa.hi[i] - sa.lo[i]) AS DOUBLE) / 255.0)
+        |        AS BIGINT)) AS cv
+        |  FROM c0, sa),
+        |q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |n1 AS (SELECT query_id, qv,
+        |         CAST(list_sum(list_transform(generate_series(1, len(qv)),
+        |           i -> qv[i]*qv[i])) AS BIGINT) AS qn
+        |       FROM q),
+        |n2 AS (SELECT neighbor_id, cv,
+        |         CAST(list_sum(list_transform(generate_series(1, len(cv)),
+        |           i -> cv[i]*cv[i])) AS BIGINT) AS cn
+        |       FROM enc),
+        |sc AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, len(qv)),
+        |           i -> qv[i]*cv[i])) AS BIGINT) AS dot,
+        |         qn, cn
+        |  FROM n1, n2 WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(dot AS DOUBLE)
+        |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
+        |           AS sim
+        |  FROM sc),
+        |k AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM r)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
+        |FROM k WHERE rank <= 10""".stripMargin,
 
     // q121's URL + eTLD+1 logic with n_chars carried through, then the
     // cap as a plain window at oracle scale.

@@ -432,6 +432,57 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Scalar-quantization (per-dimension int8) ANN — the third
+    * compression family next to SRP-LSH (bucketing) and PQ (subspace
+    * codebooks): the corpus stores one 0..255 code per dimension
+    * against per-dimension [lo, hi] corpus bounds (4× smaller than
+    * float32, no codebook training), queries stay full-precision, and
+    * scoring is asymmetric-distance (ADC) cosine against the DECODED
+    * codes. Encode/decode run in the exact-integer micro domain with
+    * a fixed IEEE floor-division chain, so codes and scores are
+    * bit-stable across partitionings and engines.
+    *
+    * Scale: the d-row stats table collapses to ONE broadcast row; the
+    * encode is map-only; search is the same broadcast-queries scan as
+    * [[bruteForceTopK]] (swap the scan for an IVF route at corpus
+    * scale — the encode composes with any candidate generator).
+    * Output: (query_id, rank, neighbor_id, sim). */
+  def sqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val base = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("qv"))
+    val stats = base
+      .select(posexplode(col("qv")).as(Seq("d", "v")))
+      .groupBy(col("d")).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .agg(array_sort(collect_list(struct(col("d"), col("lo")))).as("ls"),
+        array_sort(collect_list(struct(col("d"), col("hi")))).as("hs"))
+      .select(transform(col("ls"), _.getField("lo")).as("lo"),
+        transform(col("hs"), _.getField("hi")).as("hi"))
+    val enc = base.crossJoin(broadcast(stats))
+      .select(col("neighbor_id"),
+        transform(col("qv"), (v, i) => {
+          val lo = element_at(col("lo"), i + 1)
+          val hi = element_at(col("hi"), i + 1)
+          // code = floor((v−lo)·255 / (hi−lo)) ∈ [0, 255] for
+          // in-bounds v; constant dims code to 0. Decode returns to
+          // the micro-long domain; both floors are the same IEEE
+          // double chain the oracle runs.
+          val code = when(hi === lo, lit(0L)).otherwise(
+            floor(((v - lo) * 255).cast("double") /
+              (hi - lo).cast("double")))
+          (lo + floor((code * (hi - lo)).cast("double") / lit(255.0)))
+            .cast("long")
+        }).as("c_qvec"))
+      .withColumn("c_nsq", normSqQ(col("c_qvec")))
+    val q = prepare(queries, idCol, vecCol)
+      .withColumnRenamed(idCol, "query_id")
+    score(q, enc, k)
+  }
+
   /** kNN classification by majority vote over the exact top-`k`
     * cosine neighbors (self excluded — leave-one-out when queries ⊆
     * corpus, the standard embedding-quality probe): the predicted

@@ -234,4 +234,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(exact, approx.unionAll(approx.filter(col("neighbor_id") === 1L)))
       == clean, "duplicate approx rows must not inflate n_hit")
   }
+
+  test("sqTopK: int8 ADC preserves the neighbor ordering of clear margins") {
+    val out = Similarity.sqTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 3)
+    val got = rows(out).map(r =>
+      (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim")))
+    // Same ranking as bruteForceTopK on these well-separated vectors;
+    // 8-bit codes against per-dim corpus bounds keep sims close.
+    assert(got.map(_._2) == Seq(1L, 2L, 3L))
+    assert(got.head._3 > 0.98 && got.last._3 < -0.97,
+      s"quantization distorted sims: $got")
+  }
+
+  test("sqTopK survives constant dimensions and is partition-invariant") {
+    val flat = Seq(
+      (0L, Array(0.5f, 7.0f, 0.1f)),
+      (1L, Array(0.4f, 7.0f, 0.2f)),
+      (2L, Array(-0.5f, 7.0f, 0.9f))).toDF("vec_id", "embedding")
+    val q = flat.filter(col("vec_id") === 0)
+    val a = sortedRows(Similarity.sqTopK(flat, q, "vec_id", "embedding", 2))
+    val b = sortedRows(Similarity.sqTopK(flat.repartition(7), q,
+      "vec_id", "embedding", 2))
+    assert(a == b, "SQ codes must not depend on partitioning")
+    assert(a.size == 2)
+  }
 }
