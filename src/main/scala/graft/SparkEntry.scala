@@ -119,6 +119,34 @@ object SparkEntry {
     ).toDF("domain", "body")
   }
 
+  /** Sitemap fixtures for q165: a namespaced urlset with whitespace,
+    * entities, uppercase tags, and a loc-less entry; a sitemapindex;
+    * a non-XML body. The SQL twin rebuilds the same strings. */
+  private def sitemapBodies(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("example.com",
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          " <url>\n  <loc>https://example.com/</loc>\n" +
+          "  <lastmod>2024-01-05</lastmod>\n  <priority>1.0</priority>\n" +
+          " </url>\n" +
+          " <url><loc> https://example.com/p?a=1&amp;b=2 </loc></url>\n" +
+          " <URL><LOC>https://example.com/caps</LOC>" +
+          "<lastmod>2024-02-01T10:00:00+00:00</lastmod></URL>\n" +
+          " <url><lastmod>2024-03-01</lastmod></url>\n" +
+          "</urlset>"),
+      ("example.co.uk",
+        "<sitemapindex>\n" +
+          " <sitemap><loc>https://example.co.uk/s1.xml</loc>" +
+          "<lastmod>2024-01-01</lastmod></sitemap>\n" +
+          " <sitemap>\n  <loc>https://example.co.uk/s2.xml</loc>\n" +
+          " </sitemap>\n" +
+          "</sitemapindex>"),
+      ("site.org", "not xml at all")
+    ).toDF("domain", "body")
+  }
+
   /** The DuckDB twin of [[robotsBodies]] + `Web.parseRobots`: CTEs
     * `bodies` → … → `rules(domain, directive, prefix)` replaying the
     * RFC 9309 §2 parse (BOM/CRLF/comment strip, field extraction,
@@ -2209,6 +2237,19 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.sqTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)
+    }),
+
+    // Sitemap discovery census — the document robots.txt points a
+    // crawler at: urlset entries + sitemapindex children from
+    // sitemap XML bodies (entity-decoded locs, raw lastmod), plus
+    // the global `Sitemap:` references from the robots fixtures —
+    // completing RFC 9309 §2.3 discovery next to q151's group rules.
+    "q165_sitemap_parse" -> ((s, dir) => {
+      Web.parseSitemap(sitemapBodies(s), "domain", "body")
+        .unionByName(
+          Web.sitemapRefs(robotsBodies(s), "domain", "body")
+            .select(col("domain"), lit("robots").as("kind"), col("loc"),
+              lit(null).cast("string").as("lastmod")))
     }),
 
     // Per-domain document cap (the C4 practice: no domain may
@@ -4859,6 +4900,69 @@ object SparkEntry {
         |  FROM r)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
         |FROM k WHERE rank <= 10""".stripMargin,
+
+    "q165_sitemap_parse" ->
+      ("WITH " + robotsParseSql + """,
+        |smb AS (SELECT * FROM (VALUES
+        |  ('example.com',
+        |   '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+        |   '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        |     || chr(10) ||
+        |   ' <url>' || chr(10) || '  <loc>https://example.com/</loc>'
+        |     || chr(10) ||
+        |   '  <lastmod>2024-01-05</lastmod>' || chr(10) ||
+        |   '  <priority>1.0</priority>' || chr(10) ||
+        |   ' </url>' || chr(10) ||
+        |   ' <url><loc> https://example.com/p?a=1&amp;b=2 </loc></url>'
+        |     || chr(10) ||
+        |   ' <URL><LOC>https://example.com/caps</LOC>'
+        |     || '<lastmod>2024-02-01T10:00:00+00:00</lastmod></URL>'
+        |     || chr(10) ||
+        |   ' <url><lastmod>2024-03-01</lastmod></url>' || chr(10) ||
+        |   '</urlset>'),
+        |  ('example.co.uk',
+        |   '<sitemapindex>' || chr(10) ||
+        |   ' <sitemap><loc>https://example.co.uk/s1.xml</loc>'
+        |     || '<lastmod>2024-01-01</lastmod></sitemap>' || chr(10) ||
+        |   ' <sitemap>' || chr(10)
+        |     || '  <loc>https://example.co.uk/s2.xml</loc>' || chr(10)
+        |     || ' </sitemap>' || chr(10) ||
+        |   '</sitemapindex>'),
+        |  ('site.org', 'not xml at all')) b(domain, body)),
+        |ub AS (
+        |  SELECT domain, 'url' AS kind,
+        |    unnest(regexp_extract_all(body,
+        |      '(?is)<url\b[^>]*>(.*?)</url>', 1)) AS blk
+        |  FROM smb
+        |  UNION ALL
+        |  SELECT domain, 'sitemap',
+        |    unnest(regexp_extract_all(body,
+        |      '(?is)<sitemap\b[^>]*>(.*?)</sitemap>', 1))
+        |  FROM smb),
+        |ex AS (
+        |  SELECT domain, kind,
+        |    trim(regexp_extract(blk, '(?is)<loc\s*>\s*(.*?)\s*</loc>', 1))
+        |      AS rawloc,
+        |    trim(regexp_extract(blk,
+        |      '(?is)<lastmod\s*>\s*(.*?)\s*</lastmod>', 1)) AS lastmod0
+        |  FROM ub),
+        |sm AS (
+        |  SELECT domain, kind,
+        |    replace(replace(replace(replace(replace(rawloc,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&apos;', ''''), '&amp;', '&') AS loc,
+        |    CASE WHEN lastmod0 = '' THEN NULL ELSE lastmod0 END AS lastmod
+        |  FROM ex WHERE rawloc <> ''),
+        |rref AS (
+        |  SELECT domain,
+        |    unnest(regexp_extract_all(
+        |      regexp_replace(body, '^' || chr(65279), ''),
+        |      '(?im)^\s*sitemap\s*:\s*(\S+)', 1)) AS loc
+        |  FROM bodies)
+        |SELECT domain, kind, loc, lastmod FROM sm
+        |UNION ALL
+        |SELECT domain, 'robots' AS kind, loc, NULL AS lastmod
+        |FROM rref WHERE loc <> ''""".stripMargin),
 
     // q121's URL + eTLD+1 logic with n_chars carried through, then the
     // cap as a plain window at oracle scale.

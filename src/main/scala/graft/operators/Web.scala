@@ -528,6 +528,57 @@ object Web {
       .distinct()
   }
 
+  /** Decode the five XML character entities. `&amp;` LAST, so
+    * double-escaped text (`&amp;lt;`) decodes one level per pass —
+    * the standard order. */
+  private def xmlUnescape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c, "&lt;", "<"), "&gt;", ">"),
+      "&quot;", "\""), "&apos;", "'"), "&amp;", "&")
+
+  /** Sitemap XML parser (sitemaps.org protocol), regexp-grade like
+    * [[parseRobots]] — the OTHER document robots.txt points a crawler
+    * at: `<urlset>` page entries and `<sitemapindex>` child-sitemap
+    * entries in one output, `(domain, kind ∈ url|sitemap, loc,
+    * lastmod)`. `loc` is entity-decoded (sitemap locs legally carry
+    * `&amp;` in query strings); entries with no/empty `<loc>` drop;
+    * `lastmod` stays the raw string (W3C datetime parsing is the
+    * caller's policy), NULL when absent. Case-insensitive, newline-
+    * tolerant, attribute-tolerant; no backreferences so the same
+    * patterns run on RE2 oracles. Map-only — explode of block matches
+    * + per-block extracts at scan speed. */
+  def parseSitemap(
+      bodies: DataFrame, domainCol: String, bodyCol: String): DataFrame = {
+    def blocks(re: String, kind: String): DataFrame =
+      bodies.select(col(domainCol).as("domain"),
+          explode(regexp_extract_all(col(bodyCol), lit(re), lit(1)))
+            .as("__b"))
+        .select(col("domain"), lit(kind).as("kind"),
+          xmlUnescape(trim(regexp_extract(col("__b"),
+            "(?is)<loc\\s*>\\s*(.*?)\\s*</loc>", 1))).as("loc"),
+          trim(regexp_extract(col("__b"),
+            "(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod>", 1)).as("lastmod"))
+        .filter(col("loc") =!= "")
+    blocks("(?is)<url\\b[^>]*>(.*?)</url>", "url")
+      .unionByName(blocks("(?is)<sitemap\\b[^>]*>(.*?)</sitemap>", "sitemap"))
+      .withColumn("lastmod",
+        when(col("lastmod") === "", lit(null).cast("string"))
+          .otherwise(col("lastmod")))
+  }
+
+  /** `Sitemap:` references inside robots.txt bodies (RFC 9309 §2.3 —
+    * the line [[parseRobots]] deliberately ignores, because it is
+    * GLOBAL to the file, not part of any user-agent group). Output
+    * (domain, loc) per reference, in body order, duplicates kept
+    * (forensics); compose with [[parseSitemap]] for full discovery. */
+  def sitemapRefs(
+      bodies: DataFrame, domainCol: String, bodyCol: String): DataFrame =
+    bodies.select(col(domainCol).as("domain"),
+        explode(regexp_extract_all(
+          regexp_replace(col(bodyCol), "^\uFEFF", ""),
+          lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)"), lit(1))).as("loc"))
+      .filter(col("loc") =!= "")
+
   /** URL-keyed dedup: one surviving row per canonical URL — the
     * survivor is the MINIMUM id (deterministic, re-run-stable), with
     * the variant count kept for crawl forensics. Rows whose URL fails

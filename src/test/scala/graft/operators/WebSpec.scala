@@ -333,6 +333,34 @@ class WebSpec extends SparkSpec {
       ("/c", "")))
   }
 
+  test("parseSitemap: entries, entities, case, loc-less drop; refs from robots") {
+    import spark.implicits._
+    val bodies = Seq(
+      ("a.com", "<urlset><url><loc> https://a.com/?x=1&amp;y=2 </loc>" +
+        "<lastmod>2024-01-01</lastmod></url>" +
+        "<URL><LOC>https://a.com/b</LOC></URL>" +
+        "<url><priority>0.5</priority></url></urlset>"),
+      ("b.org", "<sitemapindex><sitemap><loc>https://b.org/s.xml</loc>" +
+        "</sitemap></sitemapindex>"),
+      ("c.net", "plain text")).toDF("domain", "body")
+    val out = Web.parseSitemap(bodies, "domain", "body")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(out == Set(
+      ("a.com", "url", "https://a.com/?x=1&y=2", Some("2024-01-01")),
+      ("a.com", "url", "https://a.com/b", None),
+      ("b.org", "sitemap", "https://b.org/s.xml", None)))
+
+    val refs = Web.sitemapRefs(
+        Seq(("d.io", "User-agent: *\nSitemap: https://d.io/s1.xml\n" +
+          "sitemap: https://d.io/s2.xml\nDisallow: /")).toDF("domain", "body"),
+        "domain", "body")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs == Seq(("d.io", "https://d.io/s1.xml"),
+      ("d.io", "https://d.io/s2.xml")))
+  }
+
   test("anchorTermProfile aggregates anchor terms per resolved host") {
     import spark.implicits._
     val pages = Seq(
