@@ -119,6 +119,23 @@ object SparkEntry {
     ).toDF("domain", "body")
   }
 
+  /** Crawl-delay fixture for q166: an exact group shadowing a star
+    * group (5 beats 1), a star group with an invalid value before a
+    * decimal one, and a domain whose only group belongs to another
+    * bot (→ caller default). Disallow lines present to prove rule
+    * lines of the OTHER parse don't perturb this one. Mirrored in the
+    * q166 oracle's `dbod` CTE. */
+  private def delayBodies(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("example.com", "User-agent: *\nCrawl-delay: 1\n\n" +
+        "User-agent: GraftBot\nCrawl-delay: 5\nDisallow: /tmp/"),
+      ("example.co.uk", "User-agent: *\nCrawl-delay: fast\n" +
+        "Crawl-delay: 2.5\nDisallow: /a/"),
+      ("site.org", "User-agent: otherbot\nCrawl-delay: 9")
+    ).toDF("domain", "body")
+  }
+
   /** Sitemap fixtures for q165: a namespaced urlset with whitespace,
     * entities, uppercase tags, and a loc-less entry; a sitemapindex;
     * a non-XML body. The SQL twin rebuilds the same strings. */
@@ -2250,6 +2267,43 @@ object SparkEntry {
           Web.sitemapRefs(robotsBodies(s), "domain", "body")
             .select(col("domain"), lit("robots").as("kind"), col("loc"),
               lit(null).cast("string").as("lastmod")))
+    }),
+
+    // Politeness scheduling — the crawl-rate half of robots policy:
+    // Crawl-delay parsed from body text with the same
+    // exact-beats-star group selection as q151 (exact 5 s shadows the
+    // star group's 1 s; an invalid 'fast' value is no directive; a
+    // domain whose only group is another bot's falls to the default),
+    // then each domain's frontier spaced delay_sec apart via the
+    // range-partitioned rank — URL i fetches at (i−1)·delay ms. The
+    // oracle replays parse, selection, validation, and the
+    // row_number·delay schedule in SQL.
+    "q166_politeness_schedule" -> ((s, dir) => {
+      val delays = Web.parseCrawlDelays(delayBodies(s), "domain", "body",
+        "graftbot")
+      val frontier = t(s, dir, "documents")
+        .select(col("doc_id"), crawlUrl.as("url"))
+        .withColumn("domain", Web.registrableDomain(col("url")))
+        .filter(col("domain").isNotNull)
+        .select(col("domain"), col("doc_id"))
+      Web.politenessSchedule(frontier, "domain", Seq("doc_id"), delays,
+        defaultDelaySec = 1.0)
+    }),
+
+    // k-core peel (Seidman) over a chain+hub graph: every doc links
+    // its successor (a crawl-tail chain) and its residue hub — chain
+    // interiors sit exactly at degree 3, so the k=3 peel cascades one
+    // node per round from each chain end while the hub-braced core
+    // survives. 5 synchronous rounds, bit-deterministic; the oracle
+    // unrolls the same rounds (degree census → keep ≥ k → edge
+    // filter) and takes the same closing census.
+    "q167_kcore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = docs.select(col("doc_id").as("src"),
+          (col("doc_id") + 1).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (lit(1000000000000L) + col("doc_id") % 97).as("dst")))
+      Graph.kCore(edges, "src", "dst", k = 3, iters = 5)
     }),
 
     // Per-domain document cap (the C4 practice: no domain may
@@ -4964,6 +5018,87 @@ object SparkEntry {
         |SELECT domain, 'robots' AS kind, loc, NULL AS lastmod
         |FROM rref WHERE loc <> ''""".stripMargin),
 
+    // Crawl-delay parse replayed with the q151 CTE machinery
+    // (restricted to user-agent + crawl-delay fields), then the
+    // schedule as a plain row_number window at oracle scale.
+    "q166_politeness_schedule" ->
+      ("""WITH dbod AS (
+        |  SELECT * FROM (VALUES
+        |    ('example.com', 'User-agent: *' || chr(10) ||
+        |     'Crawl-delay: 1' || chr(10) || chr(10) ||
+        |     'User-agent: GraftBot' || chr(10) || 'Crawl-delay: 5'
+        |       || chr(10) || 'Disallow: /tmp/'),
+        |    ('example.co.uk', 'User-agent: *' || chr(10) ||
+        |     'Crawl-delay: fast' || chr(10) || 'Crawl-delay: 2.5'
+        |       || chr(10) || 'Disallow: /a/'),
+        |    ('site.org', 'User-agent: otherbot' || chr(10) ||
+        |     'Crawl-delay: 9')
+        |  ) b(domain, body)),
+        |dln AS (
+        |  SELECT domain, ls[i] AS raw, i AS lno
+        |  FROM (SELECT domain, string_split_regex(
+        |          regexp_replace(body, '^' || chr(65279), ''),
+        |          '\r\n|\r|\n') AS ls
+        |        FROM dbod), UNNEST(generate_series(1, len(ls))) AS u(i)),
+        |dfd AS (
+        |  SELECT domain, lno,
+        |    lower(trim(regexp_extract(l, '^([^:]+):', 1))) AS field,
+        |    trim(regexp_extract(l, '^[^:]*:(.*)$', 1)) AS value
+        |  FROM (SELECT domain, lno, trim(regexp_replace(raw, '#.*$', ''))
+        |          AS l FROM dln)),
+        |dk AS (
+        |  SELECT *, field = 'user-agent' AS isua FROM dfd
+        |  WHERE field IN ('user-agent', 'crawl-delay')),
+        |dg AS (
+        |  SELECT *, sum(CASE WHEN isua AND (prevua IS NULL OR NOT prevua)
+        |                     THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY domain ORDER BY lno
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |  FROM (SELECT *, lag(isua) OVER (PARTITION BY domain ORDER BY lno)
+        |          AS prevua FROM dk)),
+        |dsl AS (
+        |  SELECT *,
+        |    max(isua AND lower(value) = 'graftbot')
+        |      OVER (PARTITION BY domain, gid) AS uaexact,
+        |    max(isua AND value = '*') OVER (PARTITION BY domain, gid)
+        |      AS uastar
+        |  FROM dg),
+        |ds2 AS (SELECT *, max(uaexact) OVER (PARTITION BY domain)
+        |          AS hasexact FROM dsl),
+        |delays AS (
+        |  SELECT domain, max(TRY_CAST(value AS DOUBLE)) AS delay_sec
+        |  FROM ds2
+        |  WHERE gid >= 1 AND NOT isua
+        |    AND (CASE WHEN hasexact THEN uaexact ELSE uastar END)
+        |    AND regexp_matches(value, '^[0-9]+(\.[0-9]+)?$')
+        |  GROUP BY domain),
+        |""".stripMargin +
+        crawlUrlPathDomainSql + """,
+        |fr AS (SELECT domain, doc_id FROM d WHERE domain IS NOT NULL),
+        |rp AS (SELECT domain, doc_id,
+        |  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS pos
+        |  FROM fr)
+        |SELECT rp.domain, rp.doc_id, CAST(rp.pos AS BIGINT) AS pos,
+        |  coalesce(dl.delay_sec, CAST(1.0 AS DOUBLE)) AS delay_sec,
+        |  (CAST(rp.pos AS BIGINT) - 1)
+        |    * CAST(round(coalesce(dl.delay_sec, CAST(1.0 AS DOUBLE))
+        |        * 1000) AS BIGINT) AS fetch_offset_ms
+        |FROM rp LEFT JOIN delays dl USING (domain)""".stripMargin),
+
+    // The same 5 peel rounds unrolled, then the closing degree census.
+    "q167_kcore" ->
+      ("""WITH eraw AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1000000000000 + doc_id % 97 FROM documents),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM eraw WHERE src <> dst),
+        |""".stripMargin + kCoreRoundsSql(5, 3).mkString(",\n") + "\n" +
+        """SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+        |FROM (SELECT a AS node FROM e5 UNION ALL SELECT b FROM e5)
+        |GROUP BY node""".stripMargin),
+
     // q121's URL + eTLD+1 logic with n_chars carried through, then the
     // cap as a plain window at oracle scale.
     "q149_domain_cap" ->
@@ -5736,6 +5871,25 @@ object SparkEntry {
     * reading CTEs `edges(src, dst)` / `nodes(node)` /
     * `outdeg(src, deg)` / `r0(node, rank)`. Shared by the q147 and
     * q155 oracles; works for any node type. */
+  /** The unrolled k-core peel rounds for the q167 oracle: per round a
+    * degree census over the surviving undirected edges, the ≥ k keep
+    * set, and the two-sided endpoint filter — the SQL twin of one
+    * [[graft.operators.Graph.kCore]] round. */
+  private def kCoreRoundsSql(iters: Int, k: Int): Seq[String] =
+    (1 to iters).map { r =>
+      s"""k$r AS (
+         |  SELECT node FROM (
+         |    SELECT node, count(*) AS deg FROM (
+         |      SELECT a AS node FROM e${r - 1}
+         |      UNION ALL SELECT b FROM e${r - 1})
+         |    GROUP BY node)
+         |  WHERE deg >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN k$r x ON e.a = x.node
+         |  JOIN k$r y ON e.b = y.node)""".stripMargin
+    }
+
   private def prRoundsSql(iters: Int): Seq[String] =
     (1 to iters).map { k =>
       s"""r$k AS MATERIALIZED (

@@ -309,6 +309,87 @@ object Graph {
       iters: Int): (DataFrame, Int) =
     lpaCore(edges, srcCol, dstCol, iters, withStats = true)
 
+  /** k-core peel, fixed `iters` rounds: repeatedly delete every node
+    * whose degree in the SURVIVING subgraph is below `k` (Seidman
+    * 1983; the standard crawl-graph / near-dup-graph pruning — a
+    * k-core member has k neighbors that each have k neighbors …, so
+    * spam farms and crawler tails peel away while genuinely dense
+    * cores survive). Synchronous rounds, so the result is a pure
+    * function of the input — bit-reproducible in any engine, no peel
+    * order.
+    *
+    * `iters` caps the cascade (a chain peels one node per round); the
+    * true k-core is the fixpoint — use [[kCoreConverged]], which
+    * early-exits when a round deletes nothing, for that. Output:
+    * (node, core_deg) — the degree census over the surviving edge
+    * set, i.e. the NEXT round's first half; at the fixpoint every
+    * core_deg ≥ k by definition. Nodes stripped of all edges vanish
+    * (they would peel next round anyway).
+    *
+    * Scale: per round one explode + map-side-combinable degree
+    * hash-agg and two node-keyed equi-joins to drop edges with a
+    * peeled endpoint — shuffle-bounded on graph keys, never
+    * node×node; edge lineage truncates every round
+    * ([[Dedup.truncate]]) so plans stay O(1) deep. Same round shape
+    * as [[labelPropagation]]. Self-loops dropped, parallel edges
+    * collapsed. */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      iters: Int): DataFrame =
+    kCoreCore(edges, srcCol, dstCol, k, iters, withStats = false)._1
+
+  /** [[kCore]] run to the fixpoint (capped at `iters` rounds), with
+    * the rounds-actually-run count: a round that peels no node
+    * reproduces itself forever, so the loop early-exits there and the
+    * result equals the blind fixed-`iters` run with `iters` = ∞. The
+    * peel census is one agg action per round, so — exactly like
+    * [[pageRankConverged]] / [[labelPropagationConverged]] — only
+    * this form pays it. */
+  def kCoreConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      iters: Int): (DataFrame, Int) =
+    kCoreCore(edges, srcCol, dstCol, k, iters, withStats = true)
+
+  private def kCoreCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      iters: Int,
+      withStats: Boolean): (DataFrame, Int) = {
+    require(k >= 1, "k must be at least 1")
+    require(iters >= 1, "iters must be at least 1")
+    var e = Dedup.truncate(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    var rounds = 0
+    var removed = -1L
+    while (rounds < iters && removed != 0L) {
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = Dedup.truncate(
+        deg.filter(col("deg") >= k).select(col("node")))
+      if (withStats)
+        removed = deg.filter(col("deg") < k).count()
+      e = Dedup.truncate(
+        e.join(keep.select(col("node").as("a")), Seq("a"))
+          .join(keep.select(col("node").as("b")), Seq("b"))
+          .select(col("a"), col("b")))
+      rounds += 1
+    }
+    val core = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+    (core, rounds)
+  }
+
   private def lpaCore(
       edges: DataFrame,
       srcCol: String,

@@ -486,7 +486,34 @@ object Web {
       bodies: DataFrame,
       domainCol: String,
       bodyCol: String,
-      userAgent: String): DataFrame = {
+      userAgent: String): DataFrame =
+    selectedGroupLines(bodies, domainCol, bodyCol, userAgent,
+      Seq("allow", "disallow"))
+      .filter(col("__value") =!= "" &&
+        (col("__value").startsWith("/") || col("__value").startsWith("*")))
+      .select(col("domain"), col("__field").as("directive"),
+        col("__value").as("prefix"))
+      .distinct()
+
+  /** The shared parse scaffold behind [[parseRobots]] and
+    * [[parseCrawlDelays]]: body text \u2192 comment/BOM-stripped lines \u2192
+    * (field, value) pairs keeping only `user-agent` + `ruleFields` \u2192
+    * UA-run record grouping \u2192 exact-beats-star group selection for
+    * `userAgent`. Returns the NON-UA lines of the selected groups
+    * with `domain`, `__field`, `__value` columns; each caller applies
+    * its own field-specific value validation. Grouping sees only the
+    * kept fields, so what counts as "breaking a UA run" is
+    * per-parse-consistent: a `Crawl-delay` between two `User-agent`
+    * lines splits the run for the delay parse (where it is a rule
+    * line) but not for the allow/disallow parse (where it is an
+    * ignored unknown field) \u2014 both coherent readings of RFC 9309
+    * \u00A72.2.1's under-specified interleaving. */
+  private def selectedGroupLines(
+      bodies: DataFrame,
+      domainCol: String,
+      bodyCol: String,
+      userAgent: String,
+      ruleFields: Seq[String]): DataFrame = {
     val ua = userAgent.toLowerCase(java.util.Locale.ROOT).trim
     require(ua.nonEmpty && ua != "*",
       "userAgent must be a concrete product token (the '*' group is " +
@@ -500,7 +527,7 @@ object Web {
         lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1))))
       .withColumn("__value",
         trim(regexp_extract(col("__line"), "^[^:]*:(.*)$", 1)))
-      .filter(col("__field").isin("user-agent", "allow", "disallow"))
+      .filter(col("__field").isin("user-agent" +: ruleFields: _*))
       .withColumn("__isUa", col("__field") === "user-agent")
     val ordered = Window.partitionBy("domain").orderBy("__ln")
     val grouped = fielded
@@ -511,21 +538,77 @@ object Web {
         ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val group = Window.partitionBy("domain", "__gid")
     val domainW = Window.partitionBy("domain")
-    val selected = grouped
+    grouped
       .withColumn("__uaExact",
         max(col("__isUa") && lower(col("__value")) === ua).over(group))
       .withColumn("__uaStar",
         max(col("__isUa") && col("__value") === "*").over(group))
       .withColumn("__hasExact", max(col("__uaExact")).over(domainW))
-    selected
       .filter(col("__gid") >= 1 && !col("__isUa"))
       .filter(when(col("__hasExact"), col("__uaExact"))
         .otherwise(col("__uaStar")))
-      .filter(col("__value") =!= "" &&
-        (col("__value").startsWith("/") || col("__value").startsWith("*")))
-      .select(col("domain"), col("__field").as("directive"),
-        col("__value").as("prefix"))
-      .distinct()
+  }
+
+  /** Per-domain `Crawl-delay` for `userAgent` \u2014 the politeness half of
+    * the robots parse, with the SAME group-selection semantics as
+    * [[parseRobots]] (exact product-token groups beat `*` groups,
+    * rules before any UA line are ownerless and dropped). The value
+    * must be a plain nonnegative number (`12`, `2.5`); anything else
+    * (`fast`, empty) is no directive \u2014 RFC 9309 doesn't define
+    * Crawl-delay at all, so this follows the de-facto
+    * Yandex/Bing reading. Multiple valid values across the selected
+    * groups collapse to their MAX: the politeness-conservative choice
+    * (crawl no faster than any group asked), and a deterministic one.
+    * Domains with no selected valid delay emit no row \u2014 the caller
+    * picks the default cadence.
+    *
+    * Scale: same bounded-by-body-size windows as [[parseRobots]] (a
+    * parser honors only the first 500 KiB of robots.txt per RFC 9309
+    * \u00A72.4); the collapse is one map-side-combinable hash agg on
+    * domain. Output: (domain, delay_sec double). */
+  def parseCrawlDelays(
+      bodies: DataFrame,
+      domainCol: String,
+      bodyCol: String,
+      userAgent: String): DataFrame =
+    selectedGroupLines(bodies, domainCol, bodyCol, userAgent,
+      Seq("crawl-delay"))
+      .filter(regexp_like(col("__value"), lit("^[0-9]+(\\.[0-9]+)?$")))
+      .groupBy(col("domain"))
+      .agg(max(col("__value").cast("double")).as("delay_sec"))
+
+  /** Politeness fetch schedule: order each domain's frontier URLs by
+    * `orderCols` and space them `delay_sec` apart \u2014 URL i of a domain
+    * fetches at offset `(i\u22121) \u00B7 round(delay_sec\u00B71000) ms`. `delays` is
+    * [[parseCrawlDelays]] output (or any (domain, delay_sec) table);
+    * domains absent from it run at `defaultDelaySec`. `orderCols` must
+    * end in a per-domain-unique tiebreaker (the [[Ranking.groupRank]]
+    * contract) so the schedule is deterministic.
+    *
+    * Scale: the per-domain position comes from [[Ranking.groupRank]]
+    * (range-partitioned \u2014 a 10M-URL domain never lands on one task,
+    * which is exactly the case crawl frontiers hit), and the delay
+    * table is policy-sized, so it broadcast-joins. The ms arithmetic
+    * is exact: one `round` per DOMAIN'S delay (not per row) then
+    * integer multiply \u2014 no accumulating float error down a long
+    * schedule. Output: input columns + `pos` (long, 1-based) +
+    * `delay_sec` + `fetch_offset_ms` (long). */
+  def politenessSchedule(
+      frontier: DataFrame,
+      domainCol: String,
+      orderCols: Seq[String],
+      delays: DataFrame,
+      defaultDelaySec: Double): DataFrame = {
+    val ranked = Ranking.groupRank(frontier, domainCol, orderCols)
+      .withColumnRenamed("rank", "pos")
+    ranked
+      .join(broadcast(delays.select(col("domain").as("__dd"),
+        col("delay_sec").as("__ds"))),
+        col(domainCol) === col("__dd"), "left")
+      .withColumn("delay_sec", coalesce(col("__ds"), lit(defaultDelaySec)))
+      .withColumn("fetch_offset_ms",
+        (col("pos") - 1) * round(col("delay_sec") * 1000).cast("long"))
+      .drop("__dd", "__ds")
   }
 
   /** Decode the five XML character entities. `&amp;` LAST, so

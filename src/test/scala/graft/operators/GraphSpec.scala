@@ -190,4 +190,37 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(blind == out)
   }
+
+  test("kCore: tail cascades off one node per round; the clique survives") {
+    // Triangle {1,2,3} plus a tail 3-4-5. 2-core = the triangle.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    // Capped at 1 round: only the degree-1 leaf 5 peels; 4 keeps its
+    // now-dangling edge census entry (census over POST-filter edges).
+    val r1 = Graph.kCore(edges, "s", "d", k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // Fixpoint: round 2 peels 4, round 3 peels nothing → 3 rounds.
+    val (core, rounds) = Graph.kCoreConverged(edges, "s", "d",
+      k = 2, iters = 10)
+    val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(rounds == 3)
+    // The blind fixed-iters run agrees once given enough rounds.
+    val blind = Graph.kCore(edges, "s", "d", k = 2, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(blind == got)
+  }
+
+  test("kCore: self-loops and parallel edges don't inflate degrees") {
+    // 1's only real neighbor is 2 (self-loop + duplicate edges
+    // collapse), so at k=2 everything peels.
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("s", "d")
+    val (core, _) = Graph.kCoreConverged(edges, "s", "d", k = 2, iters = 5)
+    assert(core.count() == 0)
+    // At k=1 the single surviving edge stands: both endpoints deg 1.
+    val k1 = Graph.kCore(edges, "s", "d", k = 1, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k1 == Map(1L -> 1L, 2L -> 1L))
+  }
 }

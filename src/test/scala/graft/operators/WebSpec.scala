@@ -286,6 +286,43 @@ class WebSpec extends SparkSpec {
       4L -> false, 5L -> true, 6L -> true))
   }
 
+  test("parseCrawlDelays: exact beats star, invalid dropped, max collapse") {
+    val bodies = Seq(
+      // Exact group (5) shadows star (1); a second exact group's 2
+      // participates in the max.
+      ("a.com", "User-agent: *\nCrawl-delay: 1\n\n" +
+        "User-agent: GraftBot\nCrawl-delay: 5\nDisallow: /x/\n\n" +
+        "User-agent: graftbot\nCrawl-delay: 2"),
+      // Star group: invalid value skipped, decimal kept.
+      ("b.org", "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 2.5"),
+      // Only another bot's group → no row.
+      ("c.net", "User-agent: otherbot\nCrawl-delay: 9"),
+      // Headless delay before any UA line → dropped → no row.
+      ("d.io", "Crawl-delay: 7\nUser-agent: otherbot\nCrawl-delay: 3")
+    ).toDF("domain", "body")
+    val got = Web.parseCrawlDelays(bodies, "domain", "body", "graftbot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a.com" -> 5.0, "b.org" -> 2.5))
+  }
+
+  test("politenessSchedule spaces each domain by its delay; default fills") {
+    val delays = Seq(("a.com", 2.5)).toDF("domain", "delay_sec")
+    val frontier = Seq(("a.com", 10L), ("a.com", 3L), ("a.com", 7L),
+      ("z.org", 1L), ("z.org", 2L)).toDF("domain", "doc_id")
+    val got = Web.politenessSchedule(frontier, "domain", Seq("doc_id"),
+        delays, defaultDelaySec = 1.0)
+      .collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("pos"), r.getAs[Double]("delay_sec"),
+          r.getAs[Long]("fetch_offset_ms"))).toMap
+    assert(got == Map(
+      ("a.com", 3L) -> ((1L, 2.5, 0L)),
+      ("a.com", 7L) -> ((2L, 2.5, 2500L)),
+      ("a.com", 10L) -> ((3L, 2.5, 5000L)),
+      ("z.org", 1L) -> ((1L, 1.0, 0L)),
+      ("z.org", 2L) -> ((2L, 1.0, 1000L))))
+  }
+
   test("resolveUrl handles the four reference forms and NULLs junk") {
     def res(base: String, href: String): Option[String] =
       Seq((base, href)).toDF("b", "h")
