@@ -2306,6 +2306,68 @@ object SparkEntry {
       Graph.kCore(edges, "src", "dst", k = 3, iters = 5)
     }),
 
+    // Unicode-script census — the non-Latin language-ID backstop
+    // (q24's stopword markers are blind outside Latin text):
+    // residue-keyed script suffixes (Cyrillic, CJK+digits, Arabic,
+    // Greek, none) appended to each doc, per-class char counts via
+    // codegen'd regexp_count, dominant = leftmost max in the fixed
+    // priority order. BMP-only ranges so UTF-16 counting (Spark) and
+    // codepoint counting (DuckDB RE2 \x{…} classes) agree exactly.
+    "q168_script_census" -> ((s, dir) => {
+      val suffix =
+        when(col("doc_id") % 5 === 0, lit(" привет мир"))
+          .when(col("doc_id") % 5 === 1, lit(" 你好世界 2024"))
+          .when(col("doc_id") % 5 === 2, lit(" مرحبا بالعالم"))
+          .when(col("doc_id") % 5 === 3, lit(" γειά σου κόσμε"))
+          .otherwise(lit(""))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.scriptProfile(concat(col("text"), suffix)).as("p"))
+        .select(col("doc_id"), col("p.*"))
+    }),
+
+    // Magic-byte content sniffing — the trust-nothing multimodal
+    // ingest boundary (Content-Type headers lie; the prefix doesn't):
+    // residue-keyed signatures (PNG, JPEG, GIF, PDF, RIFF/WAVE, ZIP,
+    // gzip, none) prepended to each doc's bytes, sniffed back from
+    // the binary column alone. The oracle rebuilds the same blobs
+    // (unhex ∥ encode) and replays the hex-prefix match.
+    "q169_content_sniff" -> ((s, dir) => {
+      val magic =
+        when(col("doc_id") % 8 === 0, unhex(lit("89504E470D0A1A0A")))
+          .when(col("doc_id") % 8 === 1, unhex(lit("FFD8FFE000104A46")))
+          .when(col("doc_id") % 8 === 2, unhex(lit("474946383961")))
+          .when(col("doc_id") % 8 === 3, unhex(lit("255044462D312E37")))
+          .when(col("doc_id") % 8 === 4,
+            unhex(lit("524946462400000057415645")))
+          .when(col("doc_id") % 8 === 5, unhex(lit("504B030414000000")))
+          .when(col("doc_id") % 8 === 6, unhex(lit("1F8B080000000000")))
+          .otherwise(lit(Array.empty[Byte]))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(magic, col("text").cast("binary")).as("content"))
+        .select(col("doc_id"),
+          Multimodal.sniffType(col("content")).as("kind"),
+          length(col("content")).cast("long").as("n_bytes"))
+    }),
+
+    // Matryoshka-style dimension-truncation recall: the exact 64-dim
+    // brute-force top-10 vs the same search over the FIRST 16 dims
+    // only — pricing a 4× embedding-storage cut in recall, the same
+    // adjudication q124/q130/q131 give the IVF/LSH/PQ families.
+    // Truncate-then-quantize ≡ quantize-then-slice, so the oracle
+    // slices the shared quantized vectors.
+    "q170_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val approx = Similarity.bruteForceTopK(trunc,
+        trunc.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      Similarity.recallAtK(exact, approx)
+    }),
+
     // Per-domain document cap (the C4 practice: no domain may
     // dominate the corpus): q121's URL construction, registrable
     // domains, then keep the top-25 docs per domain by
@@ -5098,6 +5160,130 @@ object SparkEntry {
         """SELECT node, CAST(count(*) AS BIGINT) AS core_deg
         |FROM (SELECT a AS node FROM e5 UNION ALL SELECT b FROM e5)
         |GROUP BY node""".stripMargin),
+
+    // Blob rebuild (unhex ∥ encode) + hex-prefix signature match.
+    "q169_content_sniff" ->
+      """WITH b AS (
+        |  SELECT doc_id, CASE doc_id % 8
+        |    WHEN 0 THEN unhex('89504E470D0A1A0A')
+        |    WHEN 1 THEN unhex('FFD8FFE000104A46')
+        |    WHEN 2 THEN unhex('474946383961')
+        |    WHEN 3 THEN unhex('255044462D312E37')
+        |    WHEN 4 THEN unhex('524946462400000057415645')
+        |    WHEN 5 THEN unhex('504B030414000000')
+        |    WHEN 6 THEN unhex('1F8B080000000000')
+        |    ELSE unhex('') END || encode(text) AS content
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, content,
+        |    substr(hex(content), 1, 24) AS hx,
+        |    substr(hex(content), 17, 8) AS fmt
+        |  FROM b)
+        |SELECT doc_id,
+        |  CASE WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
+        |       WHEN starts_with(hx, 'FFD8FF') THEN 'jpeg'
+        |       WHEN starts_with(hx, '47494638') THEN 'gif'
+        |       WHEN starts_with(hx, '255044462D') THEN 'pdf'
+        |       WHEN starts_with(hx, '52494646') AND fmt = '57415645'
+        |         THEN 'wav'
+        |       WHEN starts_with(hx, '52494646') THEN 'riff'
+        |       WHEN starts_with(hx, '504B0304') THEN 'zip'
+        |       WHEN starts_with(hx, '1F8B') THEN 'gzip'
+        |       ELSE 'unknown' END AS kind,
+        |  CAST(octet_length(content) AS BIGINT) AS n_bytes
+        |FROM h""".stripMargin,
+
+    // Exact 64-dim brute force vs the 16-dim truncation, shared
+    // quantized vectors (truncate-then-quantize ≡ quantize-then-
+    // slice), then the standard recall rollup.
+    "q170_matryoshka_recall" ->
+      ("""WITH vv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |nf AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)),
+        |      i -> qv[i]*qv[i])) AS BIGINT) AS nsq
+        |  FROM vv),
+        |tv AS (SELECT vec_id, list_slice(qv, 1, 16) AS qv FROM vv),
+        |nt AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)),
+        |      i -> qv[i]*qv[i])) AS BIGINT) AS nsq
+        |  FROM tv),
+        |sce AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |      i -> q.qv[i]*c.qv[i])) AS DOUBLE)
+        |      / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+        |      AS sim
+        |  FROM nf q, nf c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM sce)
+        |  WHERE rank <= 10),
+        |sca AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |      i -> q.qv[i]*c.qv[i])) AS DOUBLE)
+        |      / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+        |      AS sim
+        |  FROM nt q, nt c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |apx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM sca)
+        |  WHERE rank <= 10)
+        |""".stripMargin + recallRollupSql),
+
+    // Same class ranges as RE2 \x{…} classes; dominant replayed as
+    // the same leftmost-max CASE chain.
+    "q168_script_census" ->
+      """WITH s AS (
+        |  SELECT doc_id, text || CASE doc_id % 5
+        |    WHEN 0 THEN ' привет мир'
+        |    WHEN 1 THEN ' 你好世界 2024'
+        |    WHEN 2 THEN ' مرحبا بالعالم'
+        |    WHEN 3 THEN ' γειά σου κόσμε'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[A-Za-z\x{00C0}-\x{024F}]')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7A3}]'))
+        |      AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+        |    CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit
+        |  FROM s)
+        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_greek,
+        |  n_digit,
+        |  CASE
+        |    WHEN n_latin > 0 AND n_latin >= greatest(n_cyrillic, n_cjk,
+        |      n_arabic, n_greek, n_digit) THEN 'latin'
+        |    WHEN n_cyrillic > 0 AND n_cyrillic >= greatest(n_cjk,
+        |      n_arabic, n_greek, n_digit) THEN 'cyrillic'
+        |    WHEN n_cjk > 0 AND n_cjk >= greatest(n_arabic, n_greek,
+        |      n_digit) THEN 'cjk'
+        |    WHEN n_arabic > 0 AND n_arabic >= greatest(n_greek, n_digit)
+        |      THEN 'arabic'
+        |    WHEN n_greek > 0 AND n_greek >= n_digit THEN 'greek'
+        |    WHEN n_digit > 0 THEN 'digit'
+        |    ELSE 'und' END AS dominant
+        |FROM c""".stripMargin,
 
     // q121's URL + eTLD+1 logic with n_chars carried through, then the
     // cap as a plain window at oracle scale.

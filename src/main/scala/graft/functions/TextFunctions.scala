@@ -162,4 +162,48 @@ object TextFunctions {
       punctRatio.as("punct_ratio"),
       stopRatio.as("stopword_ratio"))
   }
+
+  /** The (class, BMP-range regex) table behind [[scriptProfile]] —
+    * fixed order IS the dominant-tie priority. */
+  private val scriptClasses: Seq[(String, String)] = Seq(
+    // Basic Latin letters + Latin-1 Supplement/Extended-A/B letters
+    // (U+00C0–U+024F).
+    "latin" -> "[A-Za-zÀ-ɏ]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    // Kana (U+3040–U+30FF) + CJK Unified Ideographs (U+4E00–U+9FFF)
+    // + Hangul syllables (U+AC00–U+D7A3).
+    "cjk" -> "[぀-ヿ一-鿿가-힣]",
+    "arabic" -> "[؀-ۿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "digit" -> "[0-9]")
+
+  /** Unicode-script census — the language-ID backstop [[langId]]'s
+    * stopword markers cannot give for non-Latin text (no tokenizable
+    * stopwords in unsegmented CJK; no Latin markers in Cyrillic):
+    * per-class character counts over the six classes above plus the
+    * dominant class — the class with the MAX count, ties resolved by
+    * the table's fixed priority order (latin first), `und` when every
+    * count is zero. BMP ranges only, so Spark's UTF-16 regex and a
+    * codepoint-counting oracle agree exactly.
+    *
+    * Map-only expression chain (6 codegen'd regexp_counts) at scan
+    * speed. Returns a struct `n_<class>…, dominant`; callers project
+    * what they need. */
+  def scriptProfile(text: Column): Column = {
+    val counts = scriptClasses.map { case (name, re) =>
+      name -> regexp_count(text, lit(re)).cast("long")
+    }
+    val dominant = counts.foldRight(lit("und")) { case ((name, c), rest) =>
+      // First class (in priority order) that is ≥ every LATER class —
+      // evaluated left to right, so earlier classes win ties.
+      val laterMax = counts.dropWhile(_._1 != name).drop(1) match {
+        case Nil => lit(0L)
+        case Seq((_, only)) => only
+        case later => greatest(later.map(_._2): _*)
+      }
+      when(c > 0 && c >= laterMax, lit(name)).otherwise(rest)
+    }
+    struct(counts.map { case (n, c) => c.as(s"n_$n") } :+
+      dominant.as("dominant"): _*)
+  }
 }

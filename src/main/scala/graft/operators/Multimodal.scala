@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -400,6 +400,33 @@ object Multimodal {
         batch.map { case (id, content) => (id, featuresFor(content, dim)) }
       }
     }.toDF("media_id", "features")
+  }
+
+  /** Content-type sniffing from magic bytes — the trust-nothing
+    * boundary of a multimodal ingest: a crawl's `Content-Type` header
+    * lies constantly, so the byte prefix is the authority (the same
+    * signatures `file(1)` and browsers' MIME sniffing use). Pure
+    * codegen'd expression over the binary column: hex the first 12
+    * bytes once, prefix-match the signature table. RIFF containers
+    * check the format tag at offset 8 (`WAVE` → wav, else `riff`).
+    * Bytes never leave the map side — only the verdict string does.
+    *
+    * Signatures: PNG `89504E470D0A1A0A`, JPEG `FFD8FF`, GIF `GIF8`,
+    * PDF `%PDF-`, WAV `RIFF….WAVE`, ZIP `PK`, gzip
+    * `1F8B`; anything else (including empty/NULL) → `unknown`. */
+  def sniffType(content: Column): Column = {
+    val h = hex(substring(content, 1, 12))
+    val fmt = hex(substring(content, 9, 4))
+    when(content.isNull, lit("unknown"))
+      .when(h.startsWith("89504E470D0A1A0A"), lit("png"))
+      .when(h.startsWith("FFD8FF"), lit("jpeg"))
+      .when(h.startsWith("47494638"), lit("gif"))
+      .when(h.startsWith("255044462D"), lit("pdf"))
+      .when(h.startsWith("52494646") && fmt === "57415645", lit("wav"))
+      .when(h.startsWith("52494646"), lit("riff"))
+      .when(h.startsWith("504B0304"), lit("zip"))
+      .when(h.startsWith("1F8B"), lit("gzip"))
+      .otherwise(lit("unknown"))
   }
 
   /** Video frame sampling: one row per frame index at `intervalMs`

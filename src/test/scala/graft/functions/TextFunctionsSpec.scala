@@ -103,4 +103,31 @@ class TextFunctionsSpec extends SparkSpec {
       .collect()
     out.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r))
   }
+
+  test("scriptProfile counts per class; dominant is leftmost max") {
+    val rows = Seq(
+      ("abc привет", ("cyrillic", 3L, 6L, 0L)), // cyrillic outnumbers
+      ("ab cd", ("latin", 4L, 0L, 0L)),
+      ("你好 123 4", ("digit", 0L, 0L, 4L)),    // digits 4 > cjk 2
+      ("你好世界", ("cjk", 0L, 0L, 0L)),
+      ("", ("und", 0L, 0L, 0L)),
+      ("¡!?", ("und", 0L, 0L, 0L)),            // punctuation only
+      ("état café", ("latin", 8L, 0L, 0L)))    // accents are latin
+    val got = rows.map(_._1).toDF("t")
+      .select(col("t"), TextFunctions.scriptProfile(col("t")).as("p"))
+      .collect()
+      .map(r => r.getString(0) -> r.getStruct(1)).toMap
+    rows.foreach { case (t, (dom, nl, nc, nd)) =>
+      val p = got(t)
+      assert(p.getAs[String]("dominant") == dom, s"'$t' dominant")
+      assert(p.getAs[Long]("n_latin") == nl, s"'$t' latin")
+      assert(p.getAs[Long]("n_cyrillic") == nc, s"'$t' cyrillic")
+      assert(p.getAs[Long]("n_digit") == nd, s"'$t' digit")
+    }
+    // Tie: 2 latin vs 2 cyrillic — latin is earlier in priority.
+    val tie = Seq("ab яш").toDF("t")
+      .select(TextFunctions.scriptProfile(col("t")).as("p"))
+      .collect()(0).getStruct(0)
+    assert(tie.getAs[String]("dominant") == "latin")
+  }
 }

@@ -284,4 +284,23 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L) == Multimodal.FakeCodec
       .features("RIFFxxxxWAVEgarbage-after-magic".getBytes("UTF-8"), 4).toSeq)
   }
+
+  test("sniffType: real codec outputs, signature table, RIFF fmt split") {
+    val cases = Seq(
+      (1L, png(3, 3), "png"),               // real encoder output
+      (2L, wav(100, 0.5, 0.5), "wav"),      // real RIFF/WAVE output
+      (3L, "RIFFxxxxAVI LIST".getBytes("UTF-8"), "riff"), // RIFF, not WAVE
+      (4L, Array(0xFF, 0xD8, 0xFF, 0xE1, 0x00).map(_.toByte), "jpeg"),
+      (5L, "GIF89a-and-junk".getBytes("UTF-8"), "gif"),
+      (6L, "%PDF-1.4 junk".getBytes("UTF-8"), "pdf"),
+      (7L, Array(0x50, 0x4B, 0x03, 0x04, 0x14).map(_.toByte), "zip"),
+      (8L, Array(0x1F, 0x8B, 0x08).map(_.toByte), "gzip"),
+      (9L, "plain text".getBytes("UTF-8"), "unknown"),
+      (10L, Array.empty[Byte], "unknown"))
+    val got = cases.toDF("id", "content", "expect")
+      .select(col("id"), Multimodal.sniffType(col("content")).as("kind"),
+        col("expect"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(2), r))
+  }
 }
