@@ -119,6 +119,17 @@ object SparkEntry {
     ).toDF("domain", "body")
   }
 
+  /** The PAN fixture payload shared by q172/q173: residue-keyed
+    * suffixes with a Luhn-valid Visa test PAN, a checksum-failing
+    * look-alike, a valid PAN beside an over-long (20-digit) run, and
+    * no digits. Mirrored literally in both oracles. */
+  private def panPayload: Column =
+    when(col("doc_id") % 4 === 0, lit(" card 4111111111111111 ok"))
+      .when(col("doc_id") % 4 === 1, lit(" num 4111111111111112 no"))
+      .when(col("doc_id") % 4 === 2,
+        lit(" pay 4012888888881881 ref 12345678901234567890 over"))
+      .otherwise(lit(" no digits here"))
+
   /** Crawl-delay fixture for q166: an exact group shadowing a star
     * group (5 beats 1), a star group with an invalid value before a
     * decimal one, and a domain whose only group belongs to another
@@ -2366,6 +2377,43 @@ object SparkEntry {
       val approx = Similarity.bruteForceTopK(trunc,
         trunc.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
       Similarity.recallAtK(exact, approx)
+    }),
+
+    // Deterministic per-key exemplar sample — the reproducible twin
+    // of per-key reservoir sampling: 10 docs per source in
+    // content-stable md5 order through the k-bounded aggregate (agg
+    // state = k structs per key; a 10M-doc source never concentrates).
+    // The oracle replays md5 ranking as a window.
+    "q171_per_key_sample" -> ((s, dir) => {
+      Sampling.uniformPerKey(
+        t(s, dir, "documents").select(col("source"), col("doc_id")),
+        "source", "doc_id", k = 10)
+    }),
+
+    // Luhn-gated payment-card census — the high-precision PII
+    // detector a regex-only scrub lacks: residue-keyed payloads (a
+    // valid Visa test PAN, a checksum-failing look-alike, a valid PAN
+    // next to a 20-digit over-long run, no digits) appended to each
+    // doc; maximal 13–19 digit runs extracted and checksummed. The
+    // oracle replays run extraction AND the mod-10 arithmetic over
+    // reversed digit lists.
+    "q172_pan_census" -> ((s, dir) => {
+      Privacy.panCandidates(
+        t(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), panPayload).as("raw")),
+        "doc_id", "raw")
+    }),
+
+    // The scrub composed on the same fixture: Luhn-VALID runs become
+    // [PAN], the checksum-failing look-alike and the over-long
+    // tracking number survive verbatim — golden-row oracle (the
+    // payload is residue-keyed, so the expected scrub is literal).
+    "q173_pan_scrub" -> ((s, dir) => {
+      Privacy.scrubPans(
+        t(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), panPayload).as("raw")),
+        "doc_id", "raw")
+        .select(col("doc_id"), col("scrubbed"))
     }),
 
     // Per-domain document cap (the C4 practice: no domain may
@@ -5242,6 +5290,55 @@ object SparkEntry {
         |    FROM sca)
         |  WHERE rank <= 10)
         |""".stripMargin + recallRollupSql),
+
+    // md5 rank replayed as a window at oracle scale.
+    "q171_per_key_sample" ->
+      """SELECT source, CAST(rn AS INT) AS rank, h, doc_id FROM (
+        |  SELECT source, doc_id, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      AS rn
+        |  FROM (SELECT source, doc_id,
+        |          md5(source || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |        FROM documents))
+        |WHERE rn <= 10""".stripMargin,
+
+    // Maximal-run extraction + the mod-10 arithmetic over reversed
+    // digit lists.
+    "q172_pan_census" ->
+      """WITH raws AS (
+        |  SELECT doc_id, text || CASE doc_id % 4
+        |    WHEN 0 THEN ' card 4111111111111111 ok'
+        |    WHEN 1 THEN ' num 4111111111111112 no'
+        |    WHEN 2 THEN ' pay 4012888888881881 ref '
+        |      || '12345678901234567890 over'
+        |    ELSE ' no digits here' END AS raw
+        |  FROM documents),
+        |runs AS (
+        |  SELECT doc_id, l[i] AS cand, CAST(i - 1 AS INT) AS cand_idx
+        |  FROM (SELECT doc_id, regexp_extract_all(raw, '[0-9]+') AS l
+        |        FROM raws),
+        |       UNNEST(generate_series(1, len(l))) AS u(i)),
+        |c AS (SELECT doc_id, cand_idx, cand FROM runs
+        |      WHERE len(cand) BETWEEN 13 AND 19)
+        |SELECT doc_id, cand_idx, cand,
+        |  list_sum(list_transform(generate_series(1, len(cand)), i ->
+        |    CASE WHEN i % 2 = 0 THEN
+        |      CASE WHEN 2 * CAST(reverse(cand)[i] AS INT) > 9
+        |           THEN 2 * CAST(reverse(cand)[i] AS INT) - 9
+        |           ELSE 2 * CAST(reverse(cand)[i] AS INT) END
+        |    ELSE CAST(reverse(cand)[i] AS INT) END)) % 10 = 0 AS luhn_ok
+        |FROM c""".stripMargin,
+
+    // Golden-row scrub: the payload is residue-keyed, so the expected
+    // text is literal — valid PANs become [PAN], the look-alike and
+    // the over-long run survive.
+    "q173_pan_scrub" ->
+      """SELECT doc_id, text || CASE doc_id % 4
+        |  WHEN 0 THEN ' card [PAN] ok'
+        |  WHEN 1 THEN ' num 4111111111111112 no'
+        |  WHEN 2 THEN ' pay [PAN] ref 12345678901234567890 over'
+        |  ELSE ' no digits here' END AS scrubbed
+        |FROM documents""".stripMargin,
 
     // Same class ranges as RE2 \x{…} classes; dominant replayed as
     // the same leftmost-max CASE chain.

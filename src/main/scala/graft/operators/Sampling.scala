@@ -25,6 +25,28 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, permille: Int): DataFrame =
     df.filter(hashBucket(key, 1000) < permille)
 
+  /** Exact k rows per key, deterministically — the reproducible twin
+    * of per-key reservoir sampling: rank each key's rows by
+    * (md5(key:id), id) and keep the first k. Hash order is
+    * content-stable, so the "reservoir" is identical on every rerun,
+    * engine, and partitioning (an actual reservoir sample depends on
+    * arrival order — exactly what a distributed rerun cannot
+    * promise), and approximately uniform over the key's rows (md5
+    * avalanche). Distinct from [[hashSample]]: that keeps a FRACTION
+    * per hash bucket; this keeps an exact COUNT per key — the "n
+    * exemplar docs per source / per domain / per cluster" shape.
+    *
+    * Scale: [[Ranking.groupTopK]] underneath — agg state is k
+    * structs per key however large the key's row count; no window,
+    * no whole-key concentration. `idCol` must be per-key unique (it
+    * is the tiebreaker). Output: (key, rank, h, id). */
+  def uniformPerKey(
+      df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame =
+    Ranking.groupTopK(
+      df.select(col(keyCol), col(idCol)).withColumn("__h",
+        md5(concat_ws(":", col(keyCol), col(idCol)))),
+      Seq(keyCol), Seq(col("__h").as("h"), col(idCol)), k)
+
   /** Assign each row to train/val/test by hash bucket: bucket <
     * trainPct → train, < trainPct+valPct → val, else test. Percent
     * bounds are over 100 buckets. */

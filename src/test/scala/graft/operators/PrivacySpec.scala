@@ -56,4 +56,45 @@ class PrivacySpec extends SparkSpec {
     assert(!plan.contains("Union"), s"ladder re-scanned per level:\n$plan")
     assert(plan.contains("Generate"), s"expected one explode:\n$plan")
   }
+
+  test("luhnValid: known PANs pass, off-by-one fails, junk is false") {
+    val cases = Seq(
+      ("4111111111111111", true), ("4012888888881881", true),
+      ("79927398713", true),            // the canonical Luhn example
+      ("4111111111111112", false), ("79927398710", false),
+      ("", false), ("41x1", false))
+    val got = cases.toDF("d", "expect")
+      .select(Privacy.luhnValid(col("d")).as("ok"), col("expect"))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r))
+    // NULL input → false, not NULL.
+    val n = Seq(Tuple1(null: String)).toDF("d")
+      .select(Privacy.luhnValid(col("d")).as("ok")).collect()(0)
+    assert(!n.isNullAt(0) && !n.getBoolean(0))
+  }
+
+  test("panCandidates: maximal runs only; over/under-length excluded") {
+    val df = Seq(
+      (1L, "a 4111111111111111 b 123 c 12345678901234567890 d"),
+      (2L, "4012888888881881")).toDF("id", "t")
+    val got = Privacy.panCandidates(df, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getBoolean(3))).toSet
+    // Row 1: three runs; only the 16-digit one is a candidate, at
+    // run index 0. Row 2: bare PAN with no separators.
+    assert(got == Set((1L, 0, "4111111111111111", true),
+      (2L, 0, "4012888888881881", true)))
+  }
+
+  test("scrubPans: valid PANs replaced even adjacent; invalid survive") {
+    val df = Seq(
+      (1L, "x 4111111111111111 4111111111111111 y"), // one-space adjacency
+      (2L, "keep 4111111111111112 and 12345678901234567890"),
+      (3L, "edge 4012888888881881")).toDF("id", "t")
+    val got = Privacy.scrubPans(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("scrubbed")).toMap
+    assert(got(1L) == "x [PAN] [PAN] y")
+    assert(got(2L) == "keep 4111111111111112 and 12345678901234567890")
+    assert(got(3L) == "edge [PAN]")
+  }
 }
