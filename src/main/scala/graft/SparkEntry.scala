@@ -2416,6 +2416,40 @@ object SparkEntry {
         .select(col("doc_id"), col("scrubbed"))
     }),
 
+    // Grid-bucketed spatial proximity join — the geo twin of the
+    // LSH/band pattern: residue-derived integer micro-degree points,
+    // cell = radius-sized grid square, candidates from the 3×3
+    // neighborhood equi-join, exact Long squared-distance verify —
+    // never point×point, no trig (libm sin/cos would leak last-ulp
+    // engine differences). Each pair lands exactly once (a < b, one
+    // home-cell hit).
+    // (Coordinates are md5-derived, not a linear-congruential map —
+    // id·p mod m puts every point on one lattice line whose minimum
+    // inter-point gap exceeds any useful radius: zero pairs.)
+    "q174_proximity_join" -> ((s, dir) => {
+      def coord(axis: String) =
+        pmod(TextFunctions.hash60(
+          concat(lit(axis + ":"), col("event_id").cast("string"))),
+          lit(1000000L))
+      val pts = t(s, dir, "events").select(col("event_id").as("id"),
+        coord("x").as("x"), coord("y").as("y"))
+      Spatial.proximityJoin(pts, "id", "x", "y", radius = 5000)
+    }),
+
+    // Largest-remainder (Hare) budget apportionment — crawl fetch
+    // slots ∝ per-user event mass, Σ alloc = budget EXACTLY (floor +
+    // the R largest remainders get +1; plain rounding can't promise
+    // the total). All-integer: base/remainder via Long div/mod, no
+    // floats; the remainder rank runs through the range-partitioned
+    // groupRank. The oracle replays quota, remainders, and the
+    // tie-broken top-R window.
+    "q175_budget_apportion" -> ((s, dir) => {
+      val wts = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+      Ranking.apportionLargestRemainder(wts, "user_id", "n_events",
+        budget = 1000000L)
+    }),
+
     // Per-domain document cap (the C4 practice: no domain may
     // dominate the corpus): q121's URL construction, registrable
     // domains, then keep the top-25 docs per domain by
@@ -5328,6 +5362,47 @@ object SparkEntry {
         |           ELSE 2 * CAST(reverse(cand)[i] AS INT) END
         |    ELSE CAST(reverse(cand)[i] AS INT) END)) % 10 = 0 AS luhn_ok
         |FROM c""".stripMargin,
+
+    // 3×3 neighbor-cell equi-join + exact integer distance verify.
+    "q174_proximity_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS id,
+        |    CAST(('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 AS x,
+        |    CAST(('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 AS y
+        |  FROM events),
+        |pr AS (
+        |  SELECT id AS a, x AS ax, y AS ay,
+        |         x // 5000 + dx AS cx, y // 5000 + dy AS cy
+        |  FROM p, UNNEST([-1, 0, 1]) AS ox(dx),
+        |       UNNEST([-1, 0, 1]) AS oy(dy)),
+        |bu AS (SELECT id AS b, x AS bx, y AS by,
+        |         x // 5000 AS cx, y // 5000 AS cy
+        |       FROM p)
+        |SELECT a, b,
+        |  (ax-bx)*(ax-bx) + (ay-by)*(ay-by) AS d2
+        |FROM pr JOIN bu USING (cx, cy)
+        |WHERE a < b
+        |  AND (ax-bx)*(ax-bx) + (ay-by)*(ay-by) <= 25000000"""
+        .stripMargin,
+
+    // Quota, remainders, and the tie-broken top-R window.
+    "q175_budget_apportion" ->
+      """WITH w AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS weight
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM w),
+        |b AS (SELECT user_id, weight,
+        |        (1000000 * weight) // W AS base,
+        |        (1000000 * weight) % W AS rem
+        |      FROM w, t),
+        |l AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS R FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, user_id)
+        |        AS rk FROM b)
+        |SELECT user_id, weight, base,
+        |  base + CASE WHEN rk <= R THEN 1 ELSE 0 END AS alloc
+        |FROM r, l""".stripMargin,
 
     // Golden-row scrub: the payload is residue-keyed, so the expected
     // text is literal — valid PANs become [PAN], the look-alike and

@@ -379,4 +379,46 @@ object Ranking {
         expr(s"CAST(((rank - 1) * $nBuckets) div cnt AS INT)"))
       .drop("__cg", "cnt")
   }
+
+  /** Integer budget apportionment by the largest-remainder (Hare
+    * quota) method: split `budget` units across keys proportionally
+    * to `weightCol`, exactly — Σ alloc = budget always, which plain
+    * rounding cannot promise. The crawl-budget / shard-quota /
+    * sample-quota shape: fetch slots ∝ domain PageRank, shard sizes ∝
+    * source mix, sampled rows ∝ stratum size.
+    *
+    * base = ⌊budget·w / W⌋ (exact Long `div`); the leftover
+    * R = budget − Σ base units go +1 each to the R keys with the
+    * largest division remainders (`budget·w mod W` — same order as
+    * fractional parts, no floats anywhere), ties broken by key
+    * ascending. Requires budget·max(w) to fit a Long.
+    *
+    * Scale: W and R are 1-row broadcast scalars; the remainder
+    * ranking runs through [[groupRank]] (range-partitioned, no
+    * single-task window) even though a weight table is usually
+    * model-sized — the same discipline as every other global rank
+    * here. Output: (key, weight, base, alloc). */
+  def apportionLargestRemainder(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    // "__wsum", not "__W": Spark resolves names case-INsensitively by
+    // default, so a "__w" column next to a "__W" column is ambiguous.
+    val w = df.select(col(keyCol), col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+    val tot = w.agg(sum(col("__w")).as("__wsum"))
+    val based = Dedup.truncate(w.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("__w"),
+        expr(s"(${budget}L * __w) div __wsum").as("base"),
+        expr(s"(${budget}L * __w) % __wsum").as("__rem")))
+    val leftover = based.agg((lit(budget) - sum(col("base"))).as("__R"))
+    groupRank(based.withColumn("__g", lit(1))
+        .withColumn("__nr", -col("__rem")), "__g", Seq("__nr", keyCol))
+      .crossJoin(broadcast(leftover))
+      .select(col(keyCol), col("__w").as("weight"), col("base"),
+        (col("base") + when(col("rank") <= col("__R"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 }

@@ -227,4 +227,31 @@ class RankingSpec extends SparkSpec {
       Map(0 -> 30, 1 -> 30, 2 -> 30))
     assert(b.filter(_._3 == 0).map(_._2).max == 30L)
   }
+
+  test("apportionLargestRemainder: exact total, remainder order, ties") {
+    // budget 10 over weights 1/1/1 → base 3 each, leftover 1 goes to
+    // the smallest key (all remainders tie at 1/3).
+    val eq = Ranking.apportionLargestRemainder(
+      Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("k", "w"), "k", "w", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(eq == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // budget 100 over 2/3/5 divides exactly: no remainder units.
+    val ex = Ranking.apportionLargestRemainder(
+      Seq(("x", 2L), ("y", 3L), ("z", 5L)).toDF("k", "w"), "k", "w", 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ex == Map("x" -> 20L, "y" -> 30L, "z" -> 50L))
+    // Skewed: 7/2/1 over 10 → quotas 7.0/2.0/1.0 exact again; make it
+    // inexact with budget 11 → quotas 7.7/2.2/1.1, bases 7/2/1,
+    // leftover 1 → largest remainder .7 wins.
+    val sk = Ranking.apportionLargestRemainder(
+      Seq(("p", 7L), ("q", 2L), ("r", 1L)).toDF("k", "w"), "k", "w", 11L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(sk == Map("p" -> 8L, "q" -> 2L, "r" -> 1L))
+    assert(sk.values.sum == 11L)
+    // Zero-weight keys are excluded, never allocated.
+    val z = Ranking.apportionLargestRemainder(
+      Seq(("a", 5L), ("dead", 0L)).toDF("k", "w"), "k", "w", 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(z == Map("a" -> 7L))
+  }
 }

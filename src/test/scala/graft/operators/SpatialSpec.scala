@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SpatialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("proximityJoin: cross-cell pairs found, boundary exact, once each") {
+    // radius 10. Points: (0,0) and (9,0) same-ish cells; (9,0)-(11,0)
+    // straddle a cell boundary (cells 0 and 1) — the 3×3 probe must
+    // find them; (0,0)-(10,0) is EXACTLY at distance² = r² (kept, ≤);
+    // (0,0)-(11,0) is out (121 > 100).
+    val pts = Seq((1L, 0L, 0L), (2L, 9L, 0L), (3L, 11L, 0L),
+      (4L, 10L, 0L), (5L, 500L, 500L)).toDF("id", "x", "y")
+    val got = Spatial.proximityJoin(pts, "id", "x", "y", radius = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      (1L, 2L) -> 81L,   // same region
+      (2L, 3L) -> 4L,    // cross-cell
+      (2L, 4L) -> 1L,
+      (3L, 4L) -> 1L,
+      (1L, 4L) -> 100L)) // exactly r²: inclusive
+    // No duplicates is implied by the Map cardinality matching the
+    // raw row count.
+    assert(Spatial.proximityJoin(pts, "id", "x", "y", radius = 10)
+      .count() == 5)
+  }
+
+  test("proximityJoin: diagonal neighbors and empty result") {
+    val pts = Seq((1L, 99L, 99L), (2L, 101L, 101L)).toDF("id", "x", "y")
+    // Diagonal cell neighbors at distance² = 8 ≤ 100.
+    val got = Spatial.proximityJoin(pts, "id", "x", "y", radius = 10)
+      .collect()
+    assert(got.length == 1 && got(0).getLong(2) == 8L)
+    // Far apart: nothing.
+    val far = Seq((1L, 0L, 0L), (2L, 1000L, 1000L)).toDF("id", "x", "y")
+    assert(Spatial.proximityJoin(far, "id", "x", "y", radius = 10)
+      .count() == 0)
+  }
+}
