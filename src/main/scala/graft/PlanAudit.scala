@@ -34,7 +34,15 @@ object PlanAudit {
     "q126_quality_ensemble" -> "1-row broadcast scalar attach (vocab size, via lmPerplexity)",
     "q127_percentile_filter" -> "1-row broadcast scalar attach (vocab size, via lmPerplexity)",
     "q130_lsh_recall" -> "brute-force ground truth (50 broadcast queries)",
-    "q131_pq_recall" -> "brute-force ground truth (5 broadcast queries)")
+    "q131_pq_recall" -> "brute-force ground truth (5 broadcast queries)",
+    "q156_mg_heavy_hitters" -> "1-row broadcast scalar attach (stream total n)",
+    "q162_kn_perplexity" -> "1-row broadcast scalar attach (model totals)",
+    "q163_pit_enrich" -> "1-row broadcast scalar attach (corpus max ts caps the open SCD2 version)",
+    "q164_sq_knn" -> "1-row broadcast SQ-bounds attach + 5 broadcast queries (ADC scoring)",
+    "q170_matryoshka_recall" -> "brute-force ground truth (5 broadcast queries, prefix + full dims)",
+    "q175_budget_apportion" -> "1-row broadcast scalar attaches (total weight, leftover R)",
+    "q181_recrawl_priority" -> "1-row broadcast scalar attaches (total weight, leftover R — via apportionLargestRemainder)",
+    "q186_constraints" -> "1-row broadcast scalar attach (fact row count onto the FK-violation census)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
     * partition is bounded (per-user event counts in the fixtures are

@@ -2777,8 +2777,221 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), "text", "source")
       Corpus.nbClassify(
         docs.filter(col("doc_id") % 2 === 1), model, "doc_id", "text")
+    }),
+
+    // Per-source boilerplate strip (the CCNet/RefinedWeb move, and
+    // q80's corpus-level complement): a per-source cookie-notice
+    // sentence is injected into ~4/7 of each source's docs (≥ minDocs
+    // = 5, so it strips everywhere), while a cross-source "limited
+    // offer" line lands in ~16 docs GLOBALLY but ≤ 2 per source — a
+    // global census would strip it, the per-source census must keep
+    // it. That asymmetry is what the gate checks.
+    "q176_boilerplate_strip" -> ((s, dir) => {
+      val fix = sentencified(t(s, dir, "documents"), "source")
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 7 < 4,
+            concat(lit(". cookie notice for "), col("source")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 31 === 1, lit(". limited offer today"))
+            .otherwise(lit(""))))
+      Dedup.boilerplateStrip(fix, "doc_id", "source", "text", minDocs = 5)
+    }),
+
+    // Crawl depth: BFS min-hop distance from a 50-node seed set over
+    // a sparse md5-derived 20k-node link graph, 6-hop horizon — the
+    // frontier-priority signal (seed-near pages first). The oracle
+    // replays the level-synchronous expansion as a depth-bounded
+    // recursive CTE + min.
+    "q177_hop_distance" -> ((s, dir) => {
+      def node(tag: String) =
+        pmod(TextFunctions.hash60(
+          concat(lit(tag + ":"), col("event_id").cast("string"))),
+          lit(20000L))
+      val e = t(s, dir, "events")
+        .select(node("hs").as("src"), node("hd").as("dst"))
+      val seeds = e.select(col("src").as("node"))
+        .filter(col("node") < 50).distinct()
+      Graph.hopDistance(e, "src", "dst", seeds, "node", maxHops = 6)
+    }),
+
+    // Crawler-trap mining: three URL families per residue — /item/{id}
+    // (distinct content per URL: legit), /cal/{id} and /list?sid={id}
+    // (unbounded URLs over ONE landing page: traps). Template
+    // collapse (digits→{n}, query stripped) + per-template distinct-
+    // digest census flags exactly the two trap templates.
+    "q178_url_templates" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val url = concat(lit("https://shop.example.com/"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit("item/"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("cal/"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("list?sid="), col("doc_id").cast("string"))))
+      val pages = d.select(url.as("url"),
+        md5(when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(lit("landing page"))).as("digest"))
+      Web.templateCensus(pages, "url", "digest", minUrls = 20, trapRatio = 4)
+    }),
+
+    // IP→network enrichment by longest-prefix match: md5-derived
+    // 32-bit addresses route into a nation-derived CIDR table mixing
+    // /4, /8 and /12 blocks — an address inside both a /4 and a /12
+    // must take the /12. Pure equi-joins (one masked candidate per
+    // distinct prefix length), broadcast route table, k-bounded
+    // max_by winner; the oracle replays the same masks and picks the
+    // winner with a window.
+    "q179_ip_route" -> ((s, dir) => {
+      val ips = t(s, dir, "events").select(col("event_id"),
+        pmod(TextFunctions.hash60(
+            concat(lit("ip:"), col("event_id").cast("string"))),
+          lit(4294967296L)).as("addr"))
+      val rawNet = pmod(TextFunctions.hash60(
+        concat(lit("net:"), col("n_nationkey").cast("string"))),
+        lit(4294967296L))
+      val routes = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          ((col("n_nationkey") % 3) * 4 + 4).cast("int").as("prefix_len"),
+          rawNet.as("__raw"))
+        .withColumn("network",
+          when(col("prefix_len") === 4, Net.maskToPrefix(col("__raw"), 4))
+            .when(col("prefix_len") === 8, Net.maskToPrefix(col("__raw"), 8))
+            .otherwise(Net.maskToPrefix(col("__raw"), 12)))
+        // Masked nets can collide (16 possible /4 blocks, ~8 nations
+        // drawing them) — collapse to one deterministic payload so the
+        // LPM winner is unique.
+        .groupBy(col("prefix_len"), col("network"))
+        .agg(min(col("n_name")).as("net_name"))
+      Net.lpmJoin(ips, "event_id", "addr", routes, Seq("net_name"))
+    }),
+
+    // Incremental-recrawl diff: two digest snapshots of the corpus
+    // (docs 1,2 mod 3 = old crawl; 0,2 mod 3 = new crawl; the 2-mod-5
+    // residue re-renders its content) full-outer-join on URL into
+    // added/removed/changed/unchanged — the revisit-scheduling input.
+    "q180_snapshot_diff" -> ((s, dir) => {
+      val (oldSnap, newSnap) = snapshotFixture(t(s, dir, "documents"))
+      Web.snapshotDiff(oldSnap, newSnap, "url", "digest")
+    }),
+
+    // Revisit scheduling composed end-to-end on q180's diff: per-
+    // domain change activity (changed + added URLs) apportions a
+    // 10,000-fetch recrawl budget by largest remainder (q175's
+    // operator) — hot domains earn proportionally more slots, totals
+    // sum to the budget EXACTLY, dead domains (no activity) get none.
+    "q181_recrawl_priority" -> ((s, dir) => {
+      val (oldSnap, newSnap) = snapshotFixture(t(s, dir, "documents"))
+      val act = Web.snapshotDiff(oldSnap, newSnap, "url", "digest")
+        .withColumn("domain", Web.registrableDomain(col("url")))
+        .groupBy(col("domain"))
+        .agg(sum(when(col("status").isin("changed", "added"), 1L)
+          .otherwise(0L)).as("activity"))
+      Ranking.apportionLargestRemainder(act, "domain", "activity",
+        budget = 10000L)
+    }),
+
+    // HITS hubs/authorities over an md5-derived 2k-node directed
+    // graph, 3 unnormalized integer rounds — link-list pages score as
+    // hubs, cited pages as authorities, bit-identically in both
+    // engines (no L2 norm, no floats). The oracle unrolls the three
+    // auth/hub rounds as materialized CTEs.
+    "q182_hits" -> ((s, dir) => {
+      def node(tag: String) =
+        pmod(TextFunctions.hash60(
+          concat(lit(tag + ":"), col("event_id").cast("string"))),
+          lit(2000L))
+      val e = t(s, dir, "events")
+        .select(node("hs").as("src"), node("hd").as("dst"))
+      Graph.hits(e, "src", "dst", iters = 3)
+    }),
+
+    // Per-user activity trend: exact integer OLS slope of an md5-
+    // derived metric over epoch-day x — rising/falling as the sign of
+    // the EXACT rational (num, den), no IEEE division anywhere. One
+    // five-sum aggregation pass, all map-side combinable.
+    "q183_trend_slope" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).as("x"),
+        pmod(TextFunctions.hash60(
+          concat(lit("y:"), col("event_id").cast("string"))),
+          lit(1000L)).as("y"))
+      TimeSeries.groupTrend(ev, "user_id", "x", "y")
+    }),
+
+    // Seed-personalized PageRank (the TrustRank shape): restart mass
+    // only on the 20-node trusted seed set, 4 integer rounds over
+    // q182's 2k-node graph — nodes a seed path never reaches score
+    // EXACTLY 0 (the spam-demotion property vanilla PageRank lacks).
+    // The oracle unrolls the seeded rounds with the same CASE base.
+    "q184_trustrank" -> ((s, dir) => {
+      def node(tag: String) =
+        pmod(TextFunctions.hash60(
+          concat(lit(tag + ":"), col("event_id").cast("string"))),
+          lit(2000L))
+      val e = t(s, dir, "events")
+        .select(node("hs").as("src"), node("hd").as("dst"))
+      val seeds = e.select(col("src").as("node"))
+        .filter(col("node") < 20).distinct()
+      Graph.pageRankSeeded(e, "src", "dst", seeds, "node", iters = 4)
+    }),
+
+    // Single-scan column profile (the deequ/GE pre-training drop
+    // check): completeness, exact cardinality, typed min/max — over
+    // an int64, an int32, a null-injected string, and a date column.
+    // One wide aggregate pivoted AFTER aggregation: 4 columns or 400,
+    // still one job.
+    "q185_column_profile" -> ((s, dir) => {
+      val b = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "N", lit(null).cast("string"))
+          .otherwise(col("l_returnflag")).as("rf_null"),
+        to_date(col("l_shipdate")).as("l_shipday"))
+      Profile.columnProfile(b,
+        Seq("l_orderkey", "l_linenumber", "rf_null", "l_shipday"))
+    }),
+
+    // Constraint census + FK integrity in two scans: three row rules
+    // (NULL verdicts count as violations) and a left-anti FK check
+    // against orders with a residue-keyed corruption (every 97th
+    // order key re-pointed at a nonexistent negative key).
+    "q186_constraints" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val rowRules = Profile.checkConstraints(li, Seq(
+        "quantity_le_30" -> (col("l_quantity") <= 30),
+        "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "positive_price" -> (col("l_extendedprice") > 0)))
+      val facts = li.select(
+        when(col("l_orderkey") % 97 === 0,
+          -col("l_orderkey") - 1000000000L)
+          .otherwise(col("l_orderkey")).as("fk"))
+      val fkRow = Profile
+        .fkViolations(facts, "fk", t(s, dir, "orders"), "o_orderkey")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("n_rows"))))
+        .select(lit("fk_orderkey").as("rule"), col("n_rows"),
+          col("n_violations"))
+      rowRules.unionByName(fkRow)
     })
   )
+
+  /** Shared fixture of q180/q181: two crawl snapshots of the corpus
+    * keyed by a unique per-doc URL over four hosts (two of which
+    * share the registrable domain example.com). Old crawl = residues
+    * 1,2 mod 3; new crawl = 0,2 mod 3; the 2-mod-5 residue re-renders
+    * its content in the new crawl. */
+  private def snapshotFixture(d: DataFrame): (DataFrame, DataFrame) = {
+    val host = element_at(array(lit("https://news.example.co.uk"),
+      lit("https://blog.example.com"), lit("https://example.com"),
+      lit("http://mirror.site.org")), (col("doc_id") % 4 + 1).cast("int"))
+    val url = concat(host, lit("/p/"), col("doc_id").cast("string"))
+    val oldSnap = d.filter(col("doc_id") % 3 =!= 0)
+      .select(url.as("url"), md5(col("text")).as("digest"))
+    val newSnap = d.filter(col("doc_id") % 3 =!= 1)
+      .select(url.as("url"),
+        md5(when(col("doc_id") % 5 === 2, concat(col("text"), lit("v2")))
+          .otherwise(col("text"))).as("digest"))
+    (oldSnap, newSnap)
+  }
 
   /** Shared front of q110/q125: train 10 BPE merges on `docs`,
     * re-encode every doc at scan speed, and aggregate per-doc
@@ -2815,13 +3028,13 @@ object SparkEntry {
   /** q80's input: rebuild each doc's token stream as '. '-joined
     * 8-token sentences (the corpus itself carries no punctuation).
     * Mirrored token-for-token in the DuckDB oracle. */
-  private def sentencified(docs: DataFrame): DataFrame = {
+  private def sentencified(docs: DataFrame, extraCols: String*): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id") +: extraCols.map(col) :+
       array_join(
         transform(sequence(lit(0), ((size(toks) - 1) / 8).cast("int")),
           i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8)))),
-        ". ").as("text"))
+        ". ").as("text"): _*)
   }
 
   // ------------------------------------------------------------- oracle SQL
@@ -6100,8 +6313,385 @@ object SparkEntry {
         |      ORDER BY score_mnat DESC, cls) AS rk
         |  FROM tot)
         |SELECT doc_id, cls AS pred, score_mnat, n AS n_vocab_toks
-        |FROM r WHERE rk = 1""".stripMargin
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    // Sentencify + injection replay, per-source distinct-doc census,
+    // strip-and-rebuild; string_agg skips the boilerplate NULLs and
+    // coalesce covers the all-boiler doc (Spark: empty array_join).
+    "q176_boilerplate_strip" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '),
+        |      t -> len(t) > 0) AS w
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_transform(generate_series(0, (len(w)-1)//8),
+        |      i -> array_to_string(list_slice(w, i*8+1, i*8+8), ' ')),
+        |      '. ') AS text
+        |  FROM w0),
+        |f AS (
+        |  SELECT doc_id, source, text
+        |    || CASE WHEN doc_id % 7 < 4
+        |            THEN '. cookie notice for ' || source ELSE '' END
+        |    || CASE WHEN doc_id % 31 = 1
+        |            THEN '. limited offer today' ELSE '' END AS text
+        |  FROM d),
+        |p AS (SELECT doc_id, source, string_split(text, '. ') AS parts
+        |      FROM f),
+        |s AS (SELECT doc_id, source,
+        |        unnest(generate_series(1, len(parts))) AS pos,
+        |        unnest(parts) AS sent
+        |      FROM p),
+        |sn AS (SELECT * FROM s WHERE len(sent) > 0),
+        |b AS (SELECT source, sent FROM sn
+        |      GROUP BY source, sent HAVING count(DISTINCT doc_id) >= 5),
+        |j AS (SELECT sn.doc_id, sn.pos, sn.sent,
+        |        b.sent IS NOT NULL AS boiler
+        |      FROM sn LEFT JOIN b
+        |        ON sn.source = b.source AND sn.sent = b.sent)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(string_agg(CASE WHEN NOT boiler THEN sent END,
+        |    '. ' ORDER BY pos), '') AS text_clean
+        |FROM j GROUP BY doc_id""".stripMargin,
+
+    // Depth-bounded recursive BFS; UNION dedups (node, dist) pairs so
+    // cycles terminate, min picks the settled hop.
+    "q177_hop_distance" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5('hs:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 20000 AS src,
+        |    CAST(('0x' || substr(md5('hd:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 20000 AS dst
+        |  FROM events),
+        |ed AS (SELECT DISTINCT src, dst FROM e),
+        |sd AS (SELECT DISTINCT src AS node FROM ed WHERE src < 50),
+        |walk(node, dist) AS (
+        |  SELECT node, 0 FROM sd
+        |  UNION
+        |  SELECT ed.dst, w.dist + 1
+        |  FROM walk w JOIN ed ON ed.src = w.node
+        |  WHERE w.dist < 6)
+        |SELECT node, CAST(min(dist) AS INT) AS dist
+        |FROM walk GROUP BY node""".stripMargin,
+
+    // Template collapse (query strip, digits→{n}) + distinct-digest
+    // census; domain replays the eTLD+1 heuristic on the fixture host.
+    "q178_url_templates" ->
+      """WITH u AS (
+        |  SELECT 'https://shop.example.com/' || CASE
+        |      WHEN doc_id % 3 = 0 THEN 'item/' || CAST(doc_id AS VARCHAR)
+        |      WHEN doc_id % 3 = 1 THEN 'cal/' || CAST(doc_id AS VARCHAR)
+        |      ELSE 'list?sid=' || CAST(doc_id AS VARCHAR) END AS url,
+        |    md5(CASE WHEN doc_id % 3 = 0 THEN text
+        |             ELSE 'landing page' END) AS digest
+        |  FROM documents),
+        |tc AS (
+        |  SELECT 'example.com' AS domain,
+        |    regexp_replace(regexp_replace(url, '[?#].*$', ''),
+        |      '[0-9]+', '{n}', 'g') AS template,
+        |    digest
+        |  FROM u)
+        |SELECT domain, template,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT digest) AS BIGINT) AS n_contents,
+        |  count(*) >= 20 AND count(*) >= 4 * count(DISTINCT digest) AS trap
+        |FROM tc GROUP BY domain, template""".stripMargin,
+
+    // Same md5-derived addresses and nation CIDR blocks, masked with
+    // the same power-of-two literals; the LPM winner is the max
+    // prefix_len via a window over the candidate equi-join.
+    "q179_ip_route" ->
+      """WITH ips AS (
+        |  SELECT event_id,
+        |    CAST(('0x' || substr(md5('ip:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 4294967296 AS addr
+        |  FROM events),
+        |nr AS (
+        |  SELECT n_nationkey, n_name,
+        |    CAST((n_nationkey % 3) * 4 + 4 AS INT) AS prefix_len,
+        |    CAST(('0x' || substr(md5('net:'
+        |      || CAST(n_nationkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 4294967296 AS raw
+        |  FROM nation),
+        |routes AS (
+        |  SELECT prefix_len,
+        |    CASE prefix_len
+        |      WHEN 4 THEN raw & 4026531840
+        |      WHEN 8 THEN raw & 4278190080
+        |      ELSE raw & 4293918720 END AS network,
+        |    min(n_name) AS net_name
+        |  FROM nr GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT i.event_id, i.addr, l.prefix_len,
+        |    CASE l.prefix_len
+        |      WHEN 4 THEN i.addr & 4026531840
+        |      WHEN 8 THEN i.addr & 4278190080
+        |      ELSE i.addr & 4293918720 END AS network
+        |  FROM ips i, UNNEST([4, 8, 12]) AS l(prefix_len)),
+        |hits AS (
+        |  SELECT c.event_id, c.addr, c.prefix_len, c.network, r.net_name,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY c.prefix_len DESC) AS rk
+        |  FROM cand c
+        |  JOIN routes r
+        |    ON r.prefix_len = c.prefix_len AND r.network = c.network)
+        |SELECT event_id, addr, CAST(prefix_len AS INT) AS prefix_len,
+        |  network, net_name
+        |FROM hits WHERE rk = 1""".stripMargin,
+
+    // Two digest snapshots full-outer-joined on URL; the status CASE
+    // mirrors snapshotDiff's branch order exactly.
+    "q180_snapshot_diff" ->
+      ("WITH " + snapshotDiffSql +
+        "\nSELECT url, status, old_digest, new_digest FROM sdiff"),
+
+    // q180's diff CTEs + per-domain activity + the q175-shape
+    // largest-remainder apportionment (weight-0 domains drop, as the
+    // operator documents).
+    "q181_recrawl_priority" ->
+      ("WITH " + snapshotDiffSql + ",\n" +
+      """dd AS (
+        |  SELECT CASE
+        |      WHEN starts_with(url, 'https://news.example.co.uk')
+        |        THEN 'example.co.uk'
+        |      WHEN starts_with(url, 'http://mirror.site.org')
+        |        THEN 'site.org'
+        |      ELSE 'example.com' END AS domain,
+        |    status
+        |  FROM sdiff),
+        |act AS (
+        |  SELECT domain, CAST(sum(CASE WHEN status IN ('changed', 'added')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS weight
+        |  FROM dd GROUP BY domain),
+        |w AS (SELECT domain, weight FROM act WHERE weight > 0),
+        |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM w),
+        |b AS (SELECT domain, weight,
+        |        (10000 * weight) // W AS base,
+        |        (10000 * weight) % W AS rem
+        |      FROM w, tw),
+        |lv AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS R FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, domain)
+        |        AS rk FROM b)
+        |SELECT domain, weight, base,
+        |  base + CASE WHEN rk <= R THEN 1 ELSE 0 END AS alloc
+        |FROM r, lv""".stripMargin),
+
+    "q182_hits" -> hitsOracleSql(3),
+
+    // Five exact sums per user, then the OLS numerator/denominator as
+    // exact Longs; trend = sign, NULL when a single distinct x leaves
+    // no slope. No division crosses the engine boundary.
+    "q183_trend_slope" ->
+      """WITH o AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000 AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM o GROUP BY user_id)
+        |SELECT user_id, n,
+        |  n * sxy - sx * sy AS slope_num,
+        |  n * sxx - sx * sx AS slope_den,
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |       WHEN n * sxy - sx * sy > 0 THEN 1
+        |       WHEN n * sxy - sx * sy < 0 THEN -1
+        |       ELSE 0 END AS INT) AS trend
+        |FROM a""".stripMargin,
+
+    "q184_trustrank" -> trustRankOracleSql(4),
+
+    // Four per-column aggregate blocks UNION ALLed — the SQL shape of
+    // the pivoted single-row profile (DuckDB runs it as one scan per
+    // block; Spark's stays one scan total).
+    "q185_column_profile" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_returnflag = 'N' THEN NULL
+        |         ELSE l_returnflag END AS rf_null,
+        |    CAST(l_shipdate AS DATE) AS l_shipday
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_s
+        |FROM b
+        |UNION ALL
+        |SELECT 'l_linenumber', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(l_linenumber) AS BIGINT),
+        |  CAST(count(DISTINCT l_linenumber) AS BIGINT),
+        |  CAST(min(l_linenumber) AS VARCHAR),
+        |  CAST(max(l_linenumber) AS VARCHAR)
+        |FROM b
+        |UNION ALL
+        |SELECT 'rf_null', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(rf_null) AS BIGINT),
+        |  CAST(count(DISTINCT rf_null) AS BIGINT),
+        |  CAST(min(rf_null) AS VARCHAR), CAST(max(rf_null) AS VARCHAR)
+        |FROM b
+        |UNION ALL
+        |SELECT 'l_shipday', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(l_shipday) AS BIGINT),
+        |  CAST(count(DISTINCT l_shipday) AS BIGINT),
+        |  CAST(min(l_shipday) AS VARCHAR), CAST(max(l_shipday) AS VARCHAR)
+        |FROM b""".stripMargin,
+
+    // Row rules replay the NULL-verdict-fails coalesce; the FK census
+    // is a NOT-IN-dim count over the residue-corrupted key.
+    "q186_constraints" ->
+      """WITH r1 AS (
+        |  SELECT 'quantity_le_30' AS rule,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN coalesce(l_quantity <= 30, FALSE)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+        |  FROM lineitem),
+        |r2 AS (
+        |  SELECT 'returnflag_domain',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'),
+        |      FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem),
+        |r3 AS (
+        |  SELECT 'positive_price',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN coalesce(l_extendedprice > 0, FALSE)
+        |      THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0
+        |      THEN -l_orderkey - 1000000000 ELSE l_orderkey END AS fk
+        |  FROM lineitem),
+        |r4 AS (
+        |  SELECT 'fk_orderkey',
+        |    CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |    CAST(sum(CASE WHEN fk IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = f.fk)
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM f)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4"""
+        .stripMargin
   )
+
+  /** q184: seeded-PageRank replay — q182's edge CTEs, a 20-node seed
+    * flag on the node table, then `iters` unrolled rounds whose base
+    * term is CASE-gated on the seed flag (the only difference from
+    * [[pageRankOracleSql]]'s uniform base). */
+  private def trustRankOracleSql(iters: Int): String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5('hs:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 2000 AS src,
+        |    CAST(('0x' || substr(md5('hd:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 2000 AS dst
+        |  FROM events),
+        |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+        |nodes AS MATERIALIZED (
+        |  SELECT node, max(CASE WHEN node < 20 AND isrc THEN 1 ELSE 0 END)
+        |    = 1 AS seed
+        |  FROM (SELECT src AS node, TRUE AS isrc FROM ed
+        |        UNION ALL SELECT dst AS node, FALSE AS isrc FROM ed) t
+        |  GROUP BY node),
+        |outdeg AS MATERIALIZED (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |  FROM ed GROUP BY src),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, seed,
+        |    CAST(CASE WHEN seed THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+        |  FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.node, n.seed,
+         |    CAST(CASE WHEN n.seed THEN 150000 ELSE 0 END
+         |      + (85 * coalesce(i.infl, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum(r.rank // d.deg) AS BIGINT) AS infl
+         |    FROM ed e
+         |    JOIN r${k - 1} r ON r.node = e.src
+         |    JOIN outdeg d ON d.src = e.src
+         |    GROUP BY e.dst) i ON i.node = n.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node, rank FROM r$iters"
+  }
+
+  /** q180/q181's shared snapshot-diff CTE chain (`u` → `os`/`ns` →
+    * `sdiff`) — the SQL twin of [[snapshotFixture]] +
+    * [[graft.operators.Web.snapshotDiff]]. */
+  private val snapshotDiffSql: String =
+    """u AS (
+      |  SELECT doc_id, text, CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'https://news.example.co.uk'
+      |      WHEN 1 THEN 'https://blog.example.com'
+      |      WHEN 2 THEN 'https://example.com'
+      |      ELSE 'http://mirror.site.org' END
+      |    || '/p/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |os AS (SELECT url, md5(text) AS old_digest
+      |       FROM u WHERE doc_id % 3 <> 0),
+      |ns AS (SELECT url,
+      |         md5(CASE WHEN doc_id % 5 = 2 THEN text || 'v2'
+      |                  ELSE text END) AS new_digest
+      |       FROM u WHERE doc_id % 3 <> 1),
+      |sdiff AS (
+      |  SELECT coalesce(os.url, ns.url) AS url,
+      |    CASE WHEN old_digest IS NULL THEN 'added'
+      |         WHEN new_digest IS NULL THEN 'removed'
+      |         WHEN old_digest = new_digest THEN 'unchanged'
+      |         ELSE 'changed' END AS status,
+      |    old_digest, new_digest
+      |  FROM os FULL OUTER JOIN ns ON os.url = ns.url)""".stripMargin
+
+  /** q182: unnormalized integer HITS replay — the q182 edge CTEs,
+    * then `iters` unrolled auth/hub round pairs, each LEFT-joined
+    * from the node table so zero-score nodes persist. MATERIALIZED
+    * for the same reason as the PageRank oracle: round k references
+    * round k−1 twice. */
+  private def hitsOracleSql(iters: Int): String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5('hs:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 2000 AS src,
+        |    CAST(('0x' || substr(md5('hd:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 2000 AS dst
+        |  FROM events),
+        |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM ed UNION SELECT dst AS node FROM ed),
+        |h0 AS MATERIALIZED (
+        |  SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes)"""
+        .stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""a$k AS MATERIALIZED (
+         |  SELECT n.node, CAST(coalesce(s.v, 0) AS BIGINT) AS auth
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(h.hub) AS v
+         |    FROM ed e JOIN h${k - 1} h ON h.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node),
+         |h$k AS MATERIALIZED (
+         |  SELECT n.node, CAST(coalesce(s.v, 0) AS BIGINT) AS hub
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.src AS node, sum(a.auth) AS v
+         |    FROM ed e JOIN a$k a ON a.node = e.dst
+         |    GROUP BY e.src) s ON s.node = n.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT h.node, h.hub, a.auth FROM h$iters h JOIN a$iters a" +
+      " ON a.node = h.node"
+  }
 
   /** Self-contained DuckDB twin of q110: retrains the same `nMerges`
     * BPE merges with unrolled SQL rounds, then re-encodes and counts

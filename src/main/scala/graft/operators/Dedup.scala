@@ -558,6 +558,62 @@ object Dedup {
             x => x.getField("sent")), ". ").as("text_deduped"))
   }
 
+  /** Per-group frequent-sentence boilerplate strip — the CCNet /
+    * RefinedWeb paragraph-dedup move, and the corpus-level complement
+    * of [[sentenceDedup]]: where sentenceDedup keeps each sentence's
+    * FIRST global occurrence, boilerplate strip removes a sentence
+    * from EVERY doc once it recurs across ≥ `minDocs` distinct docs
+    * of the same group (site navigation, cookie banners, footers —
+    * text that repeats across a source is template chrome, not
+    * content). Grouping by source/domain, not globally, is the point:
+    * a sentence ubiquitous on one site but rare elsewhere is that
+    * site's boilerplate and other sites' content.
+    *
+    * Scale: explode → per-(group, sentence) distinct-doc hash-agg
+    * (two-phase, map-side combinable) → one equi-join of the exploded
+    * sentences against the boilerplate census on (group, sentence) —
+    * the same shuffle shape as exact dedup, never corpus×corpus, no
+    * global window. Every doc with ≥ 1 sentence survives (a fully-
+    * boilerplate doc reports n_kept = 0 and empty text) — downstream
+    * length filters decide its fate, not this operator; only docs
+    * whose text splits to nothing at all are absent.
+    *
+    * Output: (id, n_kept, n_removed, text_clean) — kept sentences
+    * rejoined with ". " in original order. */
+  def boilerplateStrip(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val sents = docs
+      .select(col(idCol), col(groupCol),
+        posexplode(split(col(textCol), "\\. ")))
+      .select(col(idCol), col(groupCol), (col("pos") + 1).as("pos"),
+        col("col").as("sent"))
+      .filter(length(col("sent")) > 0)
+    // The census counts DISTINCT docs (a sentence repeated inside one
+    // doc is repetition, not boilerplate — Gopher's signal, not this
+    // one); approx at 100 TB would use HLL, but the gate wants exact.
+    val boiler = sents
+      .groupBy(col(groupCol), col("sent"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col(groupCol), col("sent"), lit(true).as("__boiler"))
+    sents
+      .join(boiler, Seq(groupCol, "sent"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("__boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__boiler").isNull, 0L).otherwise(1L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__boiler").isNull,
+              struct(col("pos"), col("sent"))))),
+            x => x.getField("sent")), ". ").as("text_clean"))
+  }
+
   /** Repeated-span detection (the ExactSubstr family, token-level):
     * find maximal token spans of ≥ `spanTokens` tokens that occur more
     * than once ANYWHERE in the corpus (across docs or within one), and

@@ -435,4 +435,223 @@ object Graph {
     }
     (labels, rounds)
   }
+
+  /** Seed-personalized PageRank in integer micro-units — the
+    * TrustRank shape (Gyöngyi 2004): restart mass goes ONLY to the
+    * seed set, so rank measures proximity-weighted reachability FROM
+    * trusted nodes, and spam farms that inflate vanilla PageRank by
+    * linking among themselves score ~0 unless a seed path reaches
+    * them. The crawl use: seed = hand-vetted domains, rank =
+    * crawl-priority / spam-demotion signal.
+    *
+    * Same fixed-`iters` damped rounds and exact Long arithmetic as
+    * [[pageRank]] (floor-div mass splitting, deterministic leak, no
+    * IEEE drift), differing only in the base term: seeds get
+    * ((100−dampingPct)·unit)/100 per round, non-seeds 0, and r₀ is
+    * `unit` on seeds / 0 elsewhere. Off-graph seeds still hold their
+    * base+restart mass (they are real trusted nodes with no observed
+    * links yet). Scale: identical per-round join/agg shape to
+    * [[pageRank]] — one edge⋈rank equi-join + one inflow hash-agg,
+    * lineage truncated per round; the seed flag rides the node table.
+    *
+    * Output: (node, rank) with rank ≥ 0; nodes unreachable from any
+    * seed hold rank 0. */
+  def pageRankSeeded(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iters: Int,
+      dampingPct: Int = 85,
+      unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100], got $dampingPct")
+    require(unit > 0, "unit must be positive")
+    val e = Dedup.truncate(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
+        .distinct())
+    val sd = Dedup.truncate(
+      seeds.select(col(seedCol).as("node")).filter(col("node").isNotNull)
+        .distinct())
+    val nodes = Dedup.truncate(
+      e.select(col("__src").as("node"))
+        .union(e.select(col("__dst").as("node")))
+        .union(sd.select(col("node")))
+        .distinct()
+        .join(sd.select(col("node"), lit(true).as("__seed")),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__seed"), lit(false)).as("__seed")))
+    val outdeg = Dedup.truncate(
+      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
+    val base = ((100L - dampingPct) * unit) / 100L
+    var ranks = Dedup.truncate(nodes.select(col("node"), col("__seed"),
+      when(col("__seed"), unit).otherwise(0L).as("rank")))
+    var round = 0
+    while (round < iters) {
+      val inflow = e
+        .join(ranks.select(col("node").as("__src"), col("rank")),
+          Seq("__src"))
+        .join(outdeg, Seq("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(expr("rank div __deg")).as("__in"))
+      ranks = Dedup.truncate(
+        ranks.select(col("node"), col("__seed"))
+          .join(inflow, Seq("node"), "left")
+          .select(col("node"), col("__seed"),
+            (when(col("__seed"), base).otherwise(0L) +
+              expr(s"(${dampingPct}L * coalesce(__in, 0L)) div 100"))
+              .as("rank")))
+      round += 1
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
+    * link graph, fixed `iters` rounds, UNNORMALIZED integer
+    * arithmetic: auth_k(v) = Σ over in-edges of hub_{k−1}(u), then
+    * hub_k(u) = Σ over out-edges of auth_k(v), both from `unit` —
+    * the directory-vs-content split PageRank's single score can't
+    * express (a link-list page is a great hub and a terrible
+    * authority; a cited leaf page the reverse).
+    *
+    * Dropping the classic L2 normalization is what makes the result
+    * bit-reproducible across engines and partitionings (no IEEE
+    * sqrt/division drift) — the RANKING is identical, because
+    * normalization rescales every score by the same factor. The
+    * price is growth: scores multiply by ≤ (max-in-degree ·
+    * max-out-degree) per round, so `iters` must keep
+    * unit · (dmax_in · dmax_out)^iters < 2⁶³ — ample for the 3-5
+    * rounds rankings need on real link graphs (the caller of a
+    * celebrity-hub graph rescales `unit` down).
+    *
+    * Scale: per round two equi-joins of the edge table against a
+    * node-sized score table (one on src, one on dst) + two map-side-
+    * combinable hash-aggs — the same Pregel message shape as
+    * [[pageRank]]; lineage truncates every round, never node×node.
+    *
+    * Output: (node, hub, auth) — Longs in `unit` scale; nodes with no
+    * in-edges hold auth 0, no out-edges hub 0 after round 1. */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(unit > 0, "unit must be positive")
+    val e = Dedup.truncate(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
+        .distinct())
+    val nodes = Dedup.truncate(e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct())
+    var hub = Dedup.truncate(nodes.select(col("node"), lit(unit).as("hub")))
+    var auth = hub.select(col("node"), col("hub").as("auth"))
+    var round = 0
+    while (round < iters) {
+      auth = Dedup.truncate(
+        nodes.join(
+            e.join(hub.select(col("node").as("__src"), col("hub")),
+                Seq("__src"))
+              .groupBy(col("__dst").as("node"))
+              .agg(sum(col("hub")).as("__a")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("__a"), lit(0L)).as("auth")))
+      hub = Dedup.truncate(
+        nodes.join(
+            e.join(auth.select(col("node").as("__dst"), col("auth")),
+                Seq("__dst"))
+              .groupBy(col("__src").as("node"))
+              .agg(sum(col("auth")).as("__h")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("__h"), lit(0L)).as("hub")))
+      round += 1
+    }
+    hub.join(auth, Seq("node"))
+  }
+
+  /** Minimum-hop BFS distance from a seed set over the DIRECTED edge
+    * table — crawl depth: how many link hops a page sits from the
+    * seed list, the standard frontier-scheduling / quality prior
+    * (seed-near pages are crawled first and trusted more). Level-
+    * synchronous frontier expansion, `maxHops` rounds: dist(seed)=0;
+    * round k joins the hop-(k−1) frontier to the edge table and
+    * keeps only destinations never reached before (left_anti against
+    * the settled set), so every node settles at its TRUE minimum hop
+    * the first time it appears — no min-relaxation pass needed, and
+    * nodes beyond `maxHops` hops are absent (the caller's horizon).
+    *
+    * Scale: per round one equi-join frontier⋈edges on the source key
+    * (frontier is a node-sized table, AQE broadcasts small ones) +
+    * one distinct + one anti-join against the settled set — all
+    * shuffle-bounded on graph keys, never node×node; frontier and
+    * settled lineage truncate every round ([[Dedup.truncate]]) so
+    * plans stay O(1) deep. An empty frontier makes remaining rounds
+    * cheap no-ops; [[hopDistanceConverged]] early-exits instead.
+    *
+    * Output: (node, dist) — dist in [0, maxHops]; unreached nodes
+    * absent; seeds not present in the graph still report dist 0
+    * (they ARE the frontier's generation zero). */
+  def hopDistance(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame =
+    hopDistanceCore(edges, srcCol, dstCol, seeds, seedCol, maxHops,
+      withStats = false)._1
+
+  /** [[hopDistance]] with the rounds-actually-run count: the loop
+    * early-exits when a round settles no new node (an empty frontier
+    * stays empty forever, so the result equals the blind run). The
+    * frontier census is one count action per round — exactly like
+    * [[pageRankConverged]], only this form pays it. */
+  def hopDistanceConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): (DataFrame, Int) =
+    hopDistanceCore(edges, srcCol, dstCol, seeds, seedCol, maxHops,
+      withStats = true)
+
+  private def hopDistanceCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int,
+      withStats: Boolean): (DataFrame, Int) = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = Dedup.truncate(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
+        .distinct())
+    var frontier = Dedup.truncate(
+      seeds.select(col(seedCol).as("node")).filter(col("node").isNotNull)
+        .distinct().select(col("node"), lit(0).as("dist")))
+    var settled = frontier
+    var rounds = 0
+    var grew = -1L
+    while (rounds < maxHops && grew != 0L) {
+      val next = Dedup.truncate(
+        frontier.join(e.select(col("__src").as("node"), col("__dst")),
+            Seq("node"))
+          .select(col("__dst").as("node")).distinct()
+          .join(settled.select(col("node")), Seq("node"), "left_anti")
+          .select(col("node"), lit(rounds + 1).as("dist")))
+      if (withStats) grew = next.count()
+      settled = Dedup.truncate(settled.union(next))
+      frontier = next
+      rounds += 1
+    }
+    (settled, rounds)
+  }
 }

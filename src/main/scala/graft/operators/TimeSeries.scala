@@ -76,4 +76,42 @@ object TimeSeries {
                 ((col("bucket") - col("pb")) / (col("nb") - col("pb")))),
           6).as("value_interp"))
   }
+
+  /** Per-key least-squares trend over integer (x, y) observations —
+    * "is this user/domain/metric rising or falling, and how fast" as
+    * ONE map-side-combinable aggregation pass. The OLS slope is
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²); both sides stay EXACT Longs,
+    * and the quotient is deliberately NOT taken — integer division
+    * truncates toward zero in Spark but floors in DuckDB/Python for
+    * negative numerators, and an IEEE divide would re-admit the
+    * summation-order drift the integer design excludes. Callers rank
+    * by the exact rational (num, den) or take the sign; `trend` is
+    * that sign (+1 rising, −1 falling, 0 flat, NULL when den = 0 —
+    * a single distinct x has no slope).
+    *
+    * Scale: one groupBy over five sums — partial aggregation does
+    * all the work map-side; no window, no self-join, heaviest key
+    * costs one struct of state. Overflow bound: |num| ≤ 2·n·|x|max·
+    * |y|max·n — keep n·xmax and n·ymax under ~3·10⁹ (re-origin x to
+    * days-since-window-start at 100 TB; epoch-days already fit). */
+  def groupTrend(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+      .select(col(keyCol), col("n"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+          .as("slope_num"),
+        (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+          .as("slope_den"))
+      .withColumn("trend",
+        when(col("slope_den") === 0L, lit(null).cast("int"))
+          .otherwise(signum(col("slope_num")).cast("int")))
+  }
 }

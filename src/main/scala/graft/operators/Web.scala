@@ -679,4 +679,86 @@ object Web {
       .agg(min(col(idCol)).as(idCol),
         count(lit(1)).cast("long").as("n_variants"))
       .select(col(idCol), col("canonical_url"), col("n_variants"))
+
+  /** URL → structural template: query string and fragment stripped,
+    * every decimal-digit run replaced with `{n}` — so
+    * `/item/8341?page=2` and `/item/77` collapse to `/item/{n}`. The
+    * normalization behind crawler-trap mining: faceted navigation,
+    * calendars, and session-id mazes mint unbounded CONCRETE URLs
+    * over a handful of TEMPLATES, so template-level counting exposes
+    * them where URL-level counting drowns. Digit runs in the
+    * authority collapse too (`:80` → `:{n}`, IP hosts, `cdn7.`) —
+    * numbered mirror hosts are exactly the kind of structural
+    * repetition this wants to merge. Map-only; NULL in → NULL out. */
+  def urlTemplate(url: Column): Column =
+    regexp_replace(regexp_replace(url, "[?#].*$", ""), "[0-9]+", "{n}")
+
+  /** Crawler-trap census over a crawl snapshot: group pages by
+    * ([[registrableDomain]], [[urlTemplate]]), count concrete URLs
+    * and DISTINCT content digests, and flag templates whose URL mass
+    * vastly exceeds their content variety — `n_urls ≥ minUrls` and
+    * `n_urls ≥ trapRatio · n_contents` marks a template minting many
+    * URLs over near-constant content (session ids, sort-order
+    * permutations, infinite calendars), the classic frontier
+    * blocklist input.
+    *
+    * Scale: template + domain are map-only; the census is one
+    * two-phase hash-agg on (domain, template) — trap keys are by
+    * definition heavy and pre-aggregate map-side (distinct-digest
+    * state is bounded by the template's true content variety, which
+    * is small for exactly the rows that matter). Never URL×URL. Rows
+    * with an unparseable domain drop (junk can't be scheduled
+    * anyway). Output: (domain, template, n_urls, n_contents, trap). */
+  def templateCensus(
+      pages: DataFrame,
+      urlCol: String,
+      contentDigestCol: String,
+      minUrls: Int,
+      trapRatio: Int): DataFrame = {
+    require(minUrls >= 1, "minUrls must be at least 1")
+    require(trapRatio >= 1, "trapRatio must be at least 1")
+    pages
+      .select(registrableDomain(col(urlCol)).as("domain"),
+        urlTemplate(col(urlCol)).as("template"),
+        col(contentDigestCol).as("__digest"))
+      .filter(col("domain").isNotNull)
+      .groupBy(col("domain"), col("template"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("__digest")).as("n_contents"))
+      .withColumn("trap",
+        col("n_urls") >= minUrls &&
+          col("n_urls") >= lit(trapRatio) * col("n_contents"))
+  }
+
+  /** Crawl snapshot diff — the incremental-recrawl primitive: given
+    * two content-digest snapshots keyed by URL, classify every URL as
+    * `added` (new only), `removed` (old only), `changed` (both, digest
+    * differs), or `unchanged`. Per-domain change rates built on this
+    * drive revisit scheduling (hot domains recrawl often, static ones
+    * seldom) — the crawl twin of a CDC change feed.
+    *
+    * Inputs must be URL-distinct (one digest per URL per snapshot —
+    * run [[urlDedup]] first); duplicates would fan the join out.
+    * Enforced cheaply by contract, not a shuffle.
+    *
+    * Scale: one full-outer equi-join on the URL key — shuffle-bounded
+    * on the key both sides are already grouped by; no window, no
+    * corpus×corpus. Output: (url, status, old_digest, new_digest). */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      urlCol: String,
+      digestCol: String): DataFrame = {
+    val o = oldSnap.select(col(urlCol).as("url"),
+      col(digestCol).as("old_digest"))
+    val n = newSnap.select(col(urlCol).as("url"),
+      col(digestCol).as("new_digest"))
+    o.join(n, Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") === col("new_digest"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_digest"), col("new_digest"))
+  }
 }

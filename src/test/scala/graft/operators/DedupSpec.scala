@@ -195,4 +195,37 @@ class DedupSpec extends SparkSpec {
       4L -> ((4L, 1L)),
       5L -> ((5L, 1L))))
   }
+
+  test("boilerplateStrip: per-group census, order kept, all-boiler doc survives") {
+    import org.apache.spark.sql.functions.col
+    // Group A: "nav bar" in 2 of 3 docs -> boilerplate at minDocs=2.
+    // "rare line" appears once in A and once in B — 1 doc per GROUP,
+    // so a per-group census keeps it (a global one would strip it).
+    // Doc 4 is pure boilerplate: survives with n_kept = 0, empty text.
+    val docs = Seq(
+      (1L, "A", "nav bar. alpha body. rare line"),
+      (2L, "A", "beta body. nav bar"),
+      (3L, "A", "gamma only"),
+      (4L, "A", "nav bar"),
+      (5L, "B", "nav bar. rare line"))
+      .toDF("id", "grp", "text")
+    val out = Dedup.boilerplateStrip(docs, "id", "grp", "text", minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, "alpha body. rare line")),
+      2L -> ((1L, 1L, "beta body")),
+      3L -> ((1L, 0L, "gamma only")),
+      4L -> ((0L, 1L, "")),
+      // B has one "nav bar" doc — below minDocs IN ITS GROUP, kept.
+      5L -> ((2L, 0L, "nav bar. rare line"))))
+    // A doc repeating a sentence internally counts as ONE doc in the
+    // census (repetition is Gopher's signal, not boilerplate).
+    val rep = Seq((1L, "A", "echo line. echo line"), (2L, "A", "solo body"))
+      .toDF("id", "grp", "text")
+    val kept = Dedup.boilerplateStrip(rep, "id", "grp", "text", minDocs = 2)
+      .filter(col("id") === 1L).head()
+    assert(kept.getLong(1) == 2L && kept.getString(3) == "echo line. echo line")
+  }
 }

@@ -223,4 +223,79 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(k1 == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("hopDistance: settled at first reach, horizon cuts, unreached absent") {
+    // 1 -> 2 -> 3 -> 4 -> 5; 1 -> 3 (shortcut); 9 isolated target of
+    // nothing; 6 -> 7 unreachable island.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (6L, 7L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("n")
+    val got = Graph.hopDistance(edges, "s", "d", seeds, "n", maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 3 settles at hop 1 via the shortcut, NOT 2 via the chain.
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+    // Horizon: maxHops = 2 drops node 5 (min hop 3).
+    val cut = Graph.hopDistance(edges, "s", "d", seeds, "n", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cut == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("hopDistanceConverged early-exits; off-graph seeds still report 0") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    // Seed 99 is absent from the graph: generation zero regardless.
+    val seeds = Seq(1L, 99L).toDF("n")
+    val (dist, rounds) =
+      Graph.hopDistanceConverged(edges, "s", "d", seeds, "n", maxHops = 10)
+    val got = dist.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 99L -> 0, 2L -> 1))
+    // Round 1 settles node 2; round 2 settles nothing and exits — far
+    // short of the 10-round cap.
+    assert(rounds == 2)
+  }
+
+  test("hits: hand-computed hub/authority split, zero scores persist") {
+    // h1 -> a1, h1 -> a2, h2 -> a1: pure hubs on the left, pure
+    // authorities on the right.
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"))
+      .toDF("s", "d")
+    val r1 = Graph.hits(edges, "s", "d", iters = 1, unit = 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // auth(a1) = h(h1)+h(h2) = 20, auth(a2) = 10;
+    // hub(h1) = 20+10 = 30, hub(h2) = 20; pure sides score 0 opposite.
+    assert(r1 == Map("h1" -> ((30L, 0L)), "h2" -> ((20L, 0L)),
+      "a1" -> ((0L, 20L)), "a2" -> ((0L, 10L))))
+    val r2 = Graph.hits(edges, "s", "d", iters = 2, unit = 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // Round 2 from hubs (30, 20): auth(a1) = 50, auth(a2) = 30;
+    // hub(h1) = 80, hub(h2) = 50.
+    assert(r2 == Map("h1" -> ((80L, 0L)), "h2" -> ((50L, 0L)),
+      "a1" -> ((0L, 50L)), "a2" -> ((0L, 30L))))
+  }
+
+  test("pageRankSeeded: unreachable nodes score exactly 0, seeds hold base") {
+    // s -> a -> b; spam clique c <-> d linking only to itself.
+    val edges = Seq(("s", "a"), ("a", "b"), ("c", "d"), ("d", "c"))
+      .toDF("src", "dst")
+    val seeds = Seq("s").toDF("n")
+    val r = Graph.pageRankSeeded(edges, "src", "dst", seeds, "n",
+        iters = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // r0: s=1e6, rest 0.
+    // iter1: a gets 85%*1e6 = 850000; s = 150000 (base only); b,c,d = 0.
+    // iter2: a = 85%*150000 = 127500; b = 85%*850000 = 722500;
+    //        s = 150000; spam clique stays EXACTLY 0.
+    assert(r == Map("s" -> 150000L, "a" -> 127500L, "b" -> 722500L,
+      "c" -> 0L, "d" -> 0L))
+  }
+
+  test("pageRankSeeded: off-graph seeds keep restart mass") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val seeds = Seq("z").toDF("n") // trusted but no observed links
+    val r = Graph.pageRankSeeded(edges, "src", "dst", seeds, "n",
+        iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("z" -> 150000L, "a" -> 0L, "b" -> 0L))
+  }
 }

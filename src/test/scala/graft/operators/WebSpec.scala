@@ -417,4 +417,48 @@ class WebSpec extends SparkSpec {
       ("t.org", 1, "great", 2L), ("t.org", 2, "docs", 1L),
       ("x.com", 1, "next", 1L), ("x.com", 2, "page", 1L)))
   }
+
+  test("urlTemplate: digits collapse, query/fragment strip, NULL passes") {
+    val got = Seq(
+      "https://a.com/item/8341?page=2&sid=77",
+      "https://a.com/item/77",
+      "https://cdn7.a.com:8080/v2/img99.png#frag",
+      "https://a.com/static/about",
+      null)
+      .toDF("url").select(Web.urlTemplate(col("url"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got(0) == "https://a.com/item/{n}")
+    assert(got(1) == "https://a.com/item/{n}")
+    assert(got(2) == "https://cdn{n}.a.com:{n}/v{n}/img{n}.png")
+    assert(got(3) == "https://a.com/static/about")
+    assert(got(4) == null)
+  }
+
+  test("templateCensus: URL-minting template over constant content flags trap") {
+    // /cal/{n}: 4 URLs, 1 digest -> trap at minUrls=3, ratio 2.
+    // /item/{n}: 3 URLs, 3 digests -> legit. Junk URL row drops.
+    val pages = Seq(
+      ("https://a.com/cal/1", "h0"), ("https://a.com/cal/2", "h0"),
+      ("https://a.com/cal/3", "h0"), ("https://a.com/cal/4", "h0"),
+      ("https://a.com/item/1", "h1"), ("https://a.com/item/2", "h2"),
+      ("https://a.com/item/3", "h3"),
+      ("garbage", "h9"))
+      .toDF("url", "digest")
+    val got = Web.templateCensus(pages, "url", "digest",
+        minUrls = 3, trapRatio = 2)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      "https://a.com/cal/{n}" -> ((4L, 1L, true)),
+      "https://a.com/item/{n}" -> ((3L, 3L, false))))
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged classification") {
+    val old = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3")).toDF("u", "h")
+    val neu = Seq(("u2", "h2"), ("u3", "h3x"), ("u4", "h4")).toDF("u", "h")
+    val got = Web.snapshotDiff(old, neu, "u", "h")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("u1" -> "removed", "u2" -> "unchanged",
+      "u3" -> "changed", "u4" -> "added"))
+  }
 }
