@@ -2971,6 +2971,28 @@ object SparkEntry {
         .select(lit("fk_orderkey").as("rule"), col("n_rows"),
           col("n_violations"))
       rowRules.unionByName(fkRow)
+    }),
+
+    // The NATIVE as-of join (plans/AsOfJoinPlan: custom LogicalPlan +
+    // Strategy + SparkPlan, one forward merge per co-partition, O(1)
+    // state) attributing each purchase to the user's latest click at
+    // or before it — adjudicated against DuckDB's own ASOF LEFT JOIN,
+    // engine-native on both sides. Right (user, time) pairs dedupe to
+    // max event_id first (the determinism contract); both inputs
+    // share the events lineage, so the gate also exercises the
+    // self-lineage re-rooting path.
+    "q187_asof_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val r = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("click_us"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("click_us"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_at", col("click_us"))
+      graft.plans.AsOfJoinPlan.join(l, r, Seq("user_id"), "us", "click_us")
     })
   )
 
@@ -6580,6 +6602,22 @@ object SparkEntry {
         |  FROM f)
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2
         |UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4"""
+        .stripMargin,
+
+    // DuckDB's engine-native ASOF LEFT JOIN (inclusive >=, greatest
+    // right time ≤ left time) against graft's custom exec.
+    "q187_asof_native" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |r0 AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us,
+        |    max(event_id) AS click_id, epoch_us(ts) AS click_at
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts))
+        |SELECT l.user_id, l.event_id, l.us, r0.click_id, r0.click_at
+        |FROM l ASOF LEFT JOIN r0
+        |  ON l.user_id = r0.user_id AND l.us >= r0.click_us"""
         .stripMargin
   )
 

@@ -19,6 +19,29 @@ object GraftSqlBridge {
   def resolved(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** The ANALYZED logical plan of a DataFrame — resolved attributes
+    * with stable expression ids, the form custom logical nodes must
+    * be built from. */
+  def analyzed(df: Dataset[Row]): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Wrap a (custom) logical plan back into a DataFrame. */
+  def ofRows(
+      spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently install a planner strategy on a RUNNING session —
+    * `experimental.extraStrategies` is the public hook; extensions
+    * config only applies at session build time. */
+  def installStrategy(
+      spark: SparkSession,
+      strategy: execution.SparkStrategy): Unit = {
+    val e = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!e.extraStrategies.contains(strategy))
+      e.extraStrategies = e.extraStrategies :+ strategy
+  }
+
   /** Register a SQL function on an ALREADY-RUNNING session (the
     * extensions config only applies at session build time, and the
     * harness may hand us its own session). */
