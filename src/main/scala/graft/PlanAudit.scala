@@ -58,7 +58,9 @@ object PlanAudit {
     "q71_scd2" -> "per-user window (bounded group; SCD2 interval build)",
     "q74_funnel" -> "per-user window (bounded group; funnel step ordering)",
     "q75_cohort_retention" -> "per-user window (bounded group; cohort min-day)",
-    "q145_window_parity" -> "DELIBERATE window vs Ranking-twin parity gate (both plans, hash-equal)")
+    "q145_window_parity" -> "DELIBERATE window vs Ranking-twin parity gate (both plans, hash-equal)",
+    "q188_transitions" -> "per-user window (bounded group; lead needs order only)",
+    "q190_bot_regularity" -> "per-user window (bounded group; fixture ordinal + lag gap deltas)")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

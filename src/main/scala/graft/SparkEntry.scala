@@ -2993,6 +2993,44 @@ object SparkEntry {
         .agg(max(col("event_id")).as("click_id"))
         .withColumn("click_at", col("click_us"))
       graft.plans.AsOfJoinPlan.join(l, r, Seq("user_id"), "us", "click_us")
+    }),
+
+    // First-order Markov transition census over each user's event
+    // stream — funnel drop-off / UI-loop fingerprint: (from → to)
+    // counts plus how many distinct users exhibit each transition.
+    "q188_transitions" -> ((s, dir) => {
+      Sessionize.transitionCounts(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+    }),
+
+    // Wide per-user activity profile through the REAL pivot API
+    // (explicit value list, so no distinct-scan job) — the reporting
+    // shape; absent combinations land 0, not NULL.
+    "q189_event_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .count()
+        .select(col("user_id") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+    }),
+
+    // Metronome (bot-cadence) census: every 10th user's clock is
+    // rewritten to a perfect 60 s cadence (per-user ordinal × 60 s —
+    // a fixture window, bounded per user); exact integer gap variance
+    // flags EXACTLY those users, and the humans' var_num stays an
+    // exact Long the oracle replays.
+    "q190_bot_regularity" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val us2 = when(col("user_id") % 10 === 0,
+        lit(1700000000000000L) +
+          row_number().over(w).cast("long") * 60000000L)
+        .otherwise(unix_micros(col("ts")))
+      val fix = t(s, dir, "events")
+        .withColumn("ts2", timestamp_micros(us2))
+      Sessionize.gapRegularity(fix, "user_id", "ts2", "event_id",
+        minEvents = 3)
     })
   )
 
@@ -6618,7 +6656,63 @@ object SparkEntry {
         |SELECT l.user_id, l.event_id, l.us, r0.click_id, r0.click_at
         |FROM l ASOF LEFT JOIN r0
         |  ON l.user_id = r0.user_id AND l.us >= r0.click_us"""
-        .stripMargin
+        .stripMargin,
+
+    // lead() per user in (ts, event_id) order, last events drop,
+    // census with distinct-user counts.
+    "q188_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM events)
+        |SELECT from_state, to_state,
+        |  CAST(count(*) AS BIGINT) AS n_transitions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+        |FROM o WHERE to_state IS NOT NULL
+        |GROUP BY from_state, to_state""".stripMargin,
+
+    // The pivot replayed as conditional sums.
+    "q189_event_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // Fixture clock rewrite (per-user ordinal cadence for every 10th
+    // user), gap deltas via lag, exact five-sum variance numerator.
+    "q190_bot_regularity" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN user_id % 10 = 0
+        |      THEN 1700000000000000 + 60000000 * CAST(row_number()
+        |        OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+        |      ELSE epoch_us(ts) END AS us2
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id,
+        |    us2 // 1000000 - lag(us2 // 1000000) OVER (PARTITION BY
+        |      user_id ORDER BY us2, event_id) AS d
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(min(d) AS BIGINT) AS gap_min_s,
+        |    CAST(max(d) AS BIGINT) AS gap_max_s,
+        |    CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d*d) AS BIGINT) AS sdd
+        |  FROM d WHERE d IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_gaps, gap_min_s, gap_max_s,
+        |  n_gaps * sdd - sd * sd AS var_num,
+        |  n_gaps * n_gaps AS var_den,
+        |  n_gaps * sdd - sd * sd = 0 AS metronome
+        |FROM g WHERE n_gaps >= 2""".stripMargin
   )
 
   /** q184: seeded-PageRank replay — q182's edge CTEs, a 20-node seed

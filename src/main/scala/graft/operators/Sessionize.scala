@@ -51,4 +51,77 @@ object Sessionize {
     df.withColumn("session_id",
       sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
   }
+
+  /** First-order Markov transition census: count (state → next state)
+    * pairs per key's time-ordered stream, aggregated corpus-wide —
+    * the behavioral fingerprint behind funnel drop-off analysis and
+    * bot/UI-loop detection (a user whose click→click self-loop
+    * dominates is a scraper; a purchase→error spike is an outage).
+    * The last event of each key has no successor and emits nothing.
+    *
+    * Scale: one shuffle on the key + per-key window for `lead` (the
+    * group is one user/device's events — bounded; same justification
+    * as the funnel/SCD2 windows), then a map-side-combinable census
+    * on (from, to) — never event×event.
+    *
+    * Output: (from_state, to_state, n_transitions, n_keys). */
+  def transitionCounts(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieBreak: String,
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
+    df.select(col(keyCol), col(stateCol).as("from_state"),
+        lead(col(stateCol), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col(keyCol)).as("n_keys"))
+  }
+
+  /** Metronome detection: per-key inter-event-gap statistics in EXACT
+    * integer arithmetic — bots fetch on a timer, humans don't, so a
+    * key whose gap variance is (near-)zero over many events is
+    * automation. Gaps are FLOORED epoch-second deltas (microsecond
+    * deltas overflow: a week-long gap squared already exceeds 2⁶³;
+    * seconds keep n·Σd² exact for a year-scale span × 10⁵ events per
+    * key, and a timer bot is second-regular anyway). The variance
+    * numerator n·Σd² − (Σd)² is an exact Long (zero iff all gaps
+    * equal), no IEEE division anywhere — the same rational-not-float
+    * contract as [[TimeSeries.groupTrend]]. Keys with < `minEvents`
+    * events are absent (two gaps minimum for regularity to mean
+    * anything).
+    *
+    * Scale: per-key window for `lag` (bounded group), then one
+    * five-sum hash-agg — map-side combinable, one struct of state per
+    * key. Overflow bound: n·(key's time span in seconds)² < 2⁶³.
+    *
+    * Output: (key, n_gaps, gap_min_s, gap_max_s, var_num, var_den,
+    * metronome) — metronome = var_num == 0, i.e. ALL gaps identical. */
+  def gapRegularity(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieBreak: String,
+      minEvents: Int): DataFrame = {
+    require(minEvents >= 3, "minEvents must be at least 3 (two gaps)")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
+    val sec = unix_timestamp(col(tsCol))
+    df.select(col(keyCol), (sec - lag(sec, 1).over(w)).as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("__d")).as("gap_min_s"),
+        max(col("__d")).as("gap_max_s"),
+        sum(col("__d")).as("__sd"),
+        sum(col("__d") * col("__d")).as("__sdd"))
+      .filter(col("n_gaps") >= minEvents - 1)
+      .select(col(keyCol), col("n_gaps"),
+        col("gap_min_s"), col("gap_max_s"),
+        (col("n_gaps") * col("__sdd") - col("__sd") * col("__sd"))
+          .as("var_num"),
+        (col("n_gaps") * col("n_gaps")).as("var_den"))
+      .withColumn("metronome", col("var_num") === 0L)
+  }
 }

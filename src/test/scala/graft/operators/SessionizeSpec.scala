@@ -32,4 +32,47 @@ class SessionizeSpec extends SparkSpec {
     assert(sortedRows(out) == Seq(
       Seq("d1", 1L, 0L), Seq("d1", 2L, 0L), Seq("d1", 3L, 1L), Seq("d2", 4L, 0L)))
   }
+
+  test("transitionCounts: per-key ordered pairs, last event drops, user census") {
+    val df = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 1L, "click"),
+      ("u1", ts("2024-01-01 10:01:00"), 2L, "view"),
+      ("u1", ts("2024-01-01 10:02:00"), 3L, "click"),
+      ("u2", ts("2024-01-01 10:00:00"), 4L, "click"),
+      ("u2", ts("2024-01-01 10:05:00"), 5L, "view"),
+      ("u3", ts("2024-01-01 10:00:00"), 6L, "view")) // no successor
+      .toDF("u", "ts", "id", "et")
+    val got = Sessionize.transitionCounts(df, "u", "ts", "id", "et")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("click", "view") -> ((2L, 2L)),
+      ("view", "click") -> ((1L, 1L))))
+  }
+
+  test("gapRegularity: exact zero variance flags the metronome, humans don't trip") {
+    val df = Seq(
+      // bot: exact 60 s cadence, 4 events = 3 equal gaps.
+      ("bot", ts("2024-01-01 10:00:00"), 1L),
+      ("bot", ts("2024-01-01 10:01:00"), 2L),
+      ("bot", ts("2024-01-01 10:02:00"), 3L),
+      ("bot", ts("2024-01-01 10:03:00"), 4L),
+      // human: gaps 60 s and 120 s -> var_num = 2*(3600+14400)-180^2
+      ("hum", ts("2024-01-01 10:00:00"), 5L),
+      ("hum", ts("2024-01-01 10:01:00"), 6L),
+      ("hum", ts("2024-01-01 10:03:00"), 7L),
+      // thin: only one gap -> below minEvents, absent.
+      ("thin", ts("2024-01-01 10:00:00"), 8L),
+      ("thin", ts("2024-01-01 10:09:00"), 9L))
+      .toDF("u", "ts", "id")
+    val got = Sessionize.gapRegularity(df, "u", "ts", "id", minEvents = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(6)))).toMap
+    assert(got.keySet == Set("bot", "hum"))
+    assert(got("bot") == ((3L, 60L, 60L, 0L, true)))
+    // n=2, d=(60,120): var_num = 2*(3600+14400) - 180^2 = 3600.
+    assert(got("hum") == ((2L, 60L, 120L, 3600L, false)))
+  }
 }
