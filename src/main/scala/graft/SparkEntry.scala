@@ -3031,6 +3031,34 @@ object SparkEntry {
         .withColumn("ts2", timestamp_micros(us2))
       Sessionize.gapRegularity(fix, "user_id", "ts2", "event_id",
         minEvents = 3)
+    }),
+
+    // Cluster labeling (c-TF-IDF, log-free): IVF cells over the
+    // embeddings × the aligned documents' token census — top-5
+    // distinctive terms per cell by tf_cell · (16 − cell-df), an
+    // EXACT integer c-TF-IDF surrogate (a term in every cell scores
+    // 0; a cell-exclusive term scores 15·tf — same ranking intent as
+    // Grootendorst's log form without libm crossing the engine
+    // boundary). Top-k via the k-bounded aggregate, tie → term ASC.
+    "q191_cluster_labels" -> ((s, dir) => {
+      val cells = Similarity
+        .ivfIndex(t(s, dir, "embeddings"), "vec_id", "embedding", 16)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+      val tf = toks.join(cells, Seq("doc_id"))
+        .groupBy(col("cell"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val cdf = tf.groupBy(col("term"))
+        .agg(countDistinct(col("cell")).as("cdf"))
+      val scored = tf.join(cdf, Seq("term"))
+        .withColumn("score", col("tf") * (lit(16L) - col("cdf")))
+      Ranking.groupTopK(scored, Seq("cell"),
+          Seq((-col("score")).as("neg_score"), col("term").as("term"),
+            col("tf").as("tf"), col("cdf").as("cdf")), k = 5)
+        .select(col("cell"), col("rank"), (-col("neg_score")).as("score"),
+          col("term"), col("tf"), col("cdf"))
     })
   )
 
@@ -6712,7 +6740,33 @@ object SparkEntry {
         |  n_gaps * sdd - sd * sd AS var_num,
         |  n_gaps * n_gaps AS var_den,
         |  n_gaps * sdd - sd * sd = 0 AS metronome
-        |FROM g WHERE n_gaps >= 2""".stripMargin
+        |FROM g WHERE n_gaps >= 2""".stripMargin,
+
+    // IVF assignment CTEs + token census + the exact integer c-TF-IDF
+    // surrogate, top-5 per cell via row_number (score DESC, term ASC).
+    "q191_cluster_labels" ->
+      s"""WITH $ivfAsgCtes,
+         |cm AS (SELECT vec_id AS doc_id, cell FROM asg),
+         |tk AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split(lower(text), ' '),
+         |      t -> len(t) > 0)) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT cell, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk JOIN cm USING (doc_id) GROUP BY cell, term),
+         |dfc AS (
+         |  SELECT term, CAST(count(DISTINCT cell) AS BIGINT) AS cdf
+         |  FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT cell, term, tf, cdf, tf * (16 - cdf) AS score
+         |  FROM tf JOIN dfc USING (term)),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cell
+         |    ORDER BY score DESC, term) AS rk
+         |  FROM sc)
+         |SELECT cell, CAST(rk AS INT) AS rank, score, term, tf, cdf
+         |FROM r WHERE rk <= 5""".stripMargin
   )
 
   /** q184: seeded-PageRank replay — q182's edge CTEs, a 20-node seed
