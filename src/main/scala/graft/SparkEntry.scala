@@ -5192,16 +5192,16 @@ object SparkEntry {
         |  FROM documents),
         |a AS (
         |  SELECT doc_id, base, regexp_extract_all(html,
-        |    '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)["''][^>]*>([^<]*)',
+        |    '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)(?:#[^"'']*)?["''][^>]*>([^<]*)',
         |    0) AS ms
         |  FROM m),
         |p AS (
         |  SELECT doc_id, base,
         |    regexp_extract(ms[i],
-        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)["''][^>]*>([^<]*)',
+        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)(?:#[^"'']*)?["''][^>]*>([^<]*)',
         |      1) AS href,
         |    regexp_extract(ms[i],
-        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)["''][^>]*>([^<]*)',
+        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)(?:#[^"'']*)?["''][^>]*>([^<]*)',
         |      2) AS txt
         |  FROM a, UNNEST(generate_series(1, len(ms))) AS u(i)),
         |b AS (
@@ -5440,10 +5440,10 @@ object SparkEntry {
         |  FROM smb),
         |ex AS (
         |  SELECT domain, kind,
-        |    trim(regexp_extract(blk, '(?is)<loc\s*>\s*(.*?)\s*</loc>', 1))
+        |    trim(regexp_extract(blk, '(?is)<loc\b[^>]*>\s*(.*?)\s*</loc>', 1))
         |      AS rawloc,
         |    trim(regexp_extract(blk,
-        |      '(?is)<lastmod\s*>\s*(.*?)\s*</lastmod>', 1)) AS lastmod0
+        |      '(?is)<lastmod\b[^>]*>\s*(.*?)\s*</lastmod>', 1)) AS lastmod0
         |  FROM ub),
         |sm AS (
         |  SELECT domain, kind,

@@ -373,10 +373,14 @@ object Graph {
     var rounds = 0
     var removed = -1L
     while (rounds < iters && removed != 0L) {
-      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val keep = Dedup.truncate(
-        deg.filter(col("deg") >= k).select(col("node")))
+      // The degree census is pinned ONCE per round: keep's two join
+      // probes and the converged-mode peel count all read the same
+      // checkpointed frame — without this, withStats re-ran the whole
+      // explode+agg a second time every round just to count peels.
+      val deg = Dedup.truncate(
+        e.select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
       if (withStats)
         removed = deg.filter(col("deg") < k).count()
       e = Dedup.truncate(
@@ -550,7 +554,9 @@ object Graph {
     val nodes = Dedup.truncate(e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct())
     var hub = Dedup.truncate(nodes.select(col("node"), lit(unit).as("hub")))
-    var auth = hub.select(col("node"), col("hub").as("auth"))
+    // auth has no round-0 value: iters >= 1 and each round derives
+    // auth from the previous hubs before anything reads it.
+    var auth: DataFrame = null
     var round = 0
     while (round < iters) {
       auth = Dedup.truncate(

@@ -37,8 +37,10 @@ object Spatial {
       radius: Long): DataFrame = {
     require(radius > 0, "radius must be positive")
     // `div`, not `/`: Divide on Longs returns DOUBLE (same reasoning
-    // as Graph.pageRank's exact splits).
-    val base = points.select(col(idCol).cast("long").as("__id"),
+    // as Graph.pageRank's exact splits). The id is NOT cast — `a < b`
+    // needs only an orderable type, and casting a string/UUID id to
+    // long would NULL it and silently drop every pair.
+    val base = points.select(col(idCol).as("__id"),
       col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"),
       expr(s"${xCol} div ${radius}L").as("__cx"),
       expr(s"${yCol} div ${radius}L").as("__cy"))

@@ -269,12 +269,18 @@ object Web {
 
   /** Anchor regex shared by [[extractAnchors]] and its SQL oracle
     * twin: group 1 = href (cut at quote/`#`/`>` like
-    * [[extractLinks]]), group 2 = the anchor's direct text (tag-free
-    * runs only — an anchor wrapping inner markup contributes its text
-    * up to the first inner tag, the dominant plain-link form; full
-    * main-content extraction is [[extractText]]'s job). */
+    * [[extractLinks]] — the optional `(?:#[^"']*)?` consumes a
+    * fragment SUFFIX so `/docs#install` still matches and yields
+    * `/docs`; without it the pattern demanded a quote right after the
+    * cut and silently dropped every fragment-suffixed anchor), group
+    * 2 = the anchor's direct text (tag-free runs only — an anchor
+    * wrapping inner markup contributes its text up to the first inner
+    * tag, the dominant plain-link form; full main-content extraction
+    * is [[extractText]]'s job). A fragment-ONLY href extracts as the
+    * empty string, which [[resolveUrl]] quarantines to NULL — same
+    * contract as [[extractLinks]]. */
   private val anchorRe =
-    "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#>]*)[\"'][^>]*>([^<]*)"
+    "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#>]*)(?:#[^\"']*)?[\"'][^>]*>([^<]*)"
 
   /** (href, txt) pairs of a page's anchors in document order — the
     * anchor-TEXT side of the crawl graph ([[extractLinks]] keeps only
@@ -599,6 +605,11 @@ object Web {
       orderCols: Seq[String],
       delays: DataFrame,
       defaultDelaySec: Double): DataFrame = {
+    val clash = Seq("pos", "rank", "delay_sec", "fetch_offset_ms",
+      "__dd", "__ds").filter(frontier.columns.contains)
+    require(clash.isEmpty,
+      s"politenessSchedule adds/works through ${clash.mkString(", ")} — " +
+        "rename those frontier columns (or drop them) before calling")
     val ranked = Ranking.groupRank(frontier, domainCol, orderCols)
       .withColumnRenamed("rank", "pos")
     ranked
@@ -638,9 +649,9 @@ object Web {
             .as("__b"))
         .select(col("domain"), lit(kind).as("kind"),
           xmlUnescape(trim(regexp_extract(col("__b"),
-            "(?is)<loc\\s*>\\s*(.*?)\\s*</loc>", 1))).as("loc"),
+            "(?is)<loc\\b[^>]*>\\s*(.*?)\\s*</loc>", 1))).as("loc"),
           trim(regexp_extract(col("__b"),
-            "(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod>", 1)).as("lastmod"))
+            "(?is)<lastmod\\b[^>]*>\\s*(.*?)\\s*</lastmod>", 1)).as("lastmod"))
         .filter(col("loc") =!= "")
     blocks("(?is)<url\\b[^>]*>(.*?)</url>", "url")
       .unionByName(blocks("(?is)<sitemap\\b[^>]*>(.*?)</sitemap>", "sitemap"))
@@ -749,15 +760,22 @@ object Web {
       newSnap: DataFrame,
       urlCol: String,
       digestCol: String): DataFrame = {
+    // Presence rides explicit markers, NOT digest nullability — a URL
+    // fetched in both crawls but with a NULL digest on one side (fetch
+    // failed, digest skipped) is present-but-unknown, and inferring
+    // absence from its payload would mislabel it added/removed. A NULL
+    // digest on a present side compares as "changed" unless both are
+    // NULL (null-safe equality): unknown-vs-known must schedule a
+    // revisit.
     val o = oldSnap.select(col(urlCol).as("url"),
-      col(digestCol).as("old_digest"))
+      col(digestCol).as("old_digest"), lit(true).as("__in_old"))
     val n = newSnap.select(col(urlCol).as("url"),
-      col(digestCol).as("new_digest"))
+      col(digestCol).as("new_digest"), lit(true).as("__in_new"))
     o.join(n, Seq("url"), "full_outer")
       .select(col("url"),
-        when(col("old_digest").isNull, lit("added"))
-          .when(col("new_digest").isNull, lit("removed"))
-          .when(col("old_digest") === col("new_digest"), lit("unchanged"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("old_digest") <=> col("new_digest"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"),
         col("old_digest"), col("new_digest"))
   }

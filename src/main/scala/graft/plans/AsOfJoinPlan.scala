@@ -84,9 +84,24 @@ object AsOfJoinPlan {
           s"got ${a.dataType.simpleString}")
       a
     }
-    val node = AsOfJoinNode(lPlan, rPlan,
-      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      timeAttr(lPlan, leftTimeCol), timeAttr(rPlan, rightTimeCol))
+    // Pairwise type equality, not just per-side validity: the merge
+    // compares RIGHT rows under the LEFT key ordering and raw-long
+    // times — an INT-vs-BIGINT key or TIMESTAMP-vs-BIGINT time pair
+    // would silently mis-compare, never error.
+    val lk = keys.map(attr(lPlan, _))
+    val rk = keys.map(attr(rPlan, _))
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key '${a.name}' type mismatch: left " +
+          s"${a.dataType.simpleString} vs right ${b.dataType.simpleString}" +
+          " — cast one side first")
+    }
+    val lt = timeAttr(lPlan, leftTimeCol)
+    val rt = timeAttr(rPlan, rightTimeCol)
+    require(lt.dataType == rt.dataType,
+      s"as-of time type mismatch: left ${lt.dataType.simpleString} vs " +
+        s"right ${rt.dataType.simpleString} — cast one side first")
+    val node = AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt)
     // Drop the right side's join machinery columns — they duplicate
     // the left's (keys) or are internal (time); keep right payload.
     // Projected by ATTRIBUTE (a logical Project over the node's own

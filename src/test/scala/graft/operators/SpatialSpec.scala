@@ -38,4 +38,14 @@ class SpatialSpec extends SparkSpec {
     assert(Spatial.proximityJoin(far, "id", "x", "y", radius = 10)
       .count() == 0)
   }
+
+  test("proximityJoin: non-numeric ids pair fine (no silent long cast)") {
+    val pts = Seq(("page-a", 0L, 0L), ("page-b", 3L, 4L))
+      .toDF("id", "x", "y")
+    val got = Spatial.proximityJoin(pts, "id", "x", "y", radius = 10)
+      .collect()
+    assert(got.length == 1)
+    assert((got(0).getString(0), got(0).getString(1), got(0).getLong(2)) ==
+      (("page-a", "page-b", 25L)))
+  }
 }

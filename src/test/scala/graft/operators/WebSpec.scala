@@ -358,16 +358,18 @@ class WebSpec extends SparkSpec {
         |<a rel=nofollow href="https://b.com/p">to <b>B</b> site</a>
         |<a href="#frag">frag only</a>
         |<a name="no-href">not a link</a>
+        |<a href="/docs#install">Install guide</a>
         |<a href="/c"></a></html>""".stripMargin
     val out = Seq(html).toDF("h")
       .select(explode(Web.extractAnchors(col("h"))).as("a"))
       .select(col("a.href"), col("a.txt"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    // '#frag' fails the quoted-href shape (href cut at '#'), the
-    // no-href anchor has no href, and nested markup trims at the
-    // first inner tag.
+    // A fragment SUFFIX is cut ('/docs#install' -> '/docs' — same as
+    // extractLinks), a fragment-ONLY href extracts empty (resolveUrl
+    // quarantines it to NULL), the no-href anchor has no href, and
+    // nested markup trims at the first inner tag.
     assert(out == Seq(("/a", "First Link"), ("https://b.com/p", "to "),
-      ("/c", "")))
+      ("", "frag only"), ("/docs", "Install guide"), ("/c", "")))
   }
 
   test("parseSitemap: entries, entities, case, loc-less drop; refs from robots") {
@@ -379,6 +381,10 @@ class WebSpec extends SparkSpec {
         "<url><priority>0.5</priority></url></urlset>"),
       ("b.org", "<sitemapindex><sitemap><loc>https://b.org/s.xml</loc>" +
         "</sitemap></sitemapindex>"),
+      // Attributed <loc> (xsi:type etc.) must still extract — the
+      // documented attribute tolerance covers the inner tags too.
+      ("e.dev", "<urlset><url><loc xsi:type=\"s\">https://e.dev/x</loc>" +
+        "<lastmod tz=\"Z\">2024-02-02</lastmod></url></urlset>"),
       ("c.net", "plain text")).toDF("domain", "body")
     val out = Web.parseSitemap(bodies, "domain", "body")
       .collect()
@@ -387,6 +393,7 @@ class WebSpec extends SparkSpec {
     assert(out == Set(
       ("a.com", "url", "https://a.com/?x=1&y=2", Some("2024-01-01")),
       ("a.com", "url", "https://a.com/b", None),
+      ("e.dev", "url", "https://e.dev/x", Some("2024-02-02")),
       ("b.org", "sitemap", "https://b.org/s.xml", None)))
 
     val refs = Web.sitemapRefs(
@@ -460,5 +467,18 @@ class WebSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("u1" -> "removed", "u2" -> "unchanged",
       "u3" -> "changed", "u4" -> "added"))
+  }
+
+  test("snapshotDiff: presence is the join, not digest nullability") {
+    // u1 present BOTH crawls, old digest unknown (fetch failed):
+    // neither added nor removed — unknown-vs-known is 'changed'
+    // (schedule a revisit). u2: NULL on both sides = 'unchanged'.
+    val old = Seq[(String, String)](("u1", null), ("u2", null))
+      .toDF("u", "h")
+    val neu = Seq[(String, String)](("u1", "h1"), ("u2", null))
+      .toDF("u", "h")
+    val got = Web.snapshotDiff(old, neu, "u", "h")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("u1" -> "changed", "u2" -> "unchanged"))
   }
 }

@@ -110,4 +110,21 @@ class AsOfJoinPlanSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("BIGINT or TIMESTAMP"))
   }
+
+  test("mismatched key or time types are rejected, not mis-merged") {
+    val l = Seq((1, 5L)).toDF("k", "lt") // key INT
+    val r = Seq((1L, 3L, "p")).toDF("k", "rt", "v") // key BIGINT
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.join(l, r, Seq("k"), "lt", "rt")
+    }
+    assert(e1.getMessage.contains("key 'k' type mismatch"))
+    // TIMESTAMP left vs BIGINT right time: each side valid alone.
+    val lt = Seq(("a", "2024-01-01 00:00:05")).toDF("k", "ts")
+      .select(col("k"), col("ts").cast("timestamp").as("lt"))
+    val rl = Seq(("a", 3L, "p")).toDF("k", "rt", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.join(lt, rl, Seq("k"), "lt", "rt")
+    }
+    assert(e2.getMessage.contains("time type mismatch"))
+  }
 }
