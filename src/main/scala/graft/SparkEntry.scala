@@ -3059,6 +3059,16 @@ object SparkEntry {
             col("tf").as("tf"), col("cdf").as("cdf")), k = 5)
         .select(col("cell"), col("rank"), (-col("neg_score")).as("score"),
           col("term"), col("tf"), col("cdf"))
+    }),
+
+    // Winnowing (MOSS) near-dups: 4-token grams, 5-gram windows,
+    // min-hash-per-window fingerprints — any shared verbatim run of
+    // ≥ 8 tokens between two docs GUARANTEES a shared fingerprint
+    // (deterministic local-copy detection, vs minhash's probabilistic
+    // set similarity). Pairs share ≥ 2 rare (df ≤ 10) fingerprints.
+    "q192_winnow_near_dups" -> ((s, dir) => {
+      Dedup.winnowNearDups(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 5, minShared = 2, maxDf = 10)
     })
   )
 
@@ -6766,7 +6776,38 @@ object SparkEntry {
          |    ORDER BY score DESC, term) AS rk
          |  FROM sc)
          |SELECT cell, CAST(rk AS INT) AS rank, score, term, tf, cdf
-         |FROM r WHERE rk <= 5""".stripMargin
+         |FROM r WHERE rk <= 5""".stripMargin,
+
+    // Gram hashes, window mins, per-doc distinct, df-capped pair join
+    // — the winnowing replay over the same 48-bit md5 prefix hash.
+    "q192_winnow_near_dups" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                             t -> len(t) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 4
+        |    THEN list_transform(generate_series(0, len(w) - 4),
+        |      i -> CAST(('0x' || substr(md5(array_to_string(
+        |        list_slice(w, i + 1, i + 4), ' ')), 1, 12)) AS BIGINT))
+        |    ELSE CAST([] AS BIGINT[]) END AS gh
+        |  FROM w0),
+        |f0 AS (
+        |  SELECT doc_id, CASE
+        |    WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
+        |    WHEN len(gh) < 5 THEN [list_min(gh)]
+        |    ELSE list_transform(generate_series(1, len(gh) - 4),
+        |      j -> list_min(list_slice(gh, j, j + 4))) END AS fps
+        |  FROM g),
+        |f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f0),
+        |r AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 10),
+        |pr AS (SELECT f.fp, f.doc_id FROM f JOIN r USING (fp)),
+        |p AS (
+        |  SELECT l.doc_id AS a, r2.doc_id AS b
+        |  FROM pr l JOIN pr r2 USING (fp)
+        |  WHERE l.doc_id < r2.doc_id)
+        |SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM p GROUP BY a, b HAVING count(*) >= 2""".stripMargin
   )
 
   /** q184: seeded-PageRank replay — q182's edge CTEs, a 20-node seed

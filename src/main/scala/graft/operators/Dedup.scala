@@ -614,6 +614,80 @@ object Dedup {
             x => x.getField("sent")), ". ").as("text_clean"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
+    * MOSS algorithm): hash every k-token gram, slide a w-gram window,
+    * keep each window's MINIMUM hash, distinct per doc. The guarantee
+    * that makes it the plagiarism/local-copy detector minhash is not:
+    * any shared run of ≥ k + w − 1 tokens between two docs is
+    * CERTAIN to share a fingerprint (both see the same w-window of
+    * gram hashes and pick the same min) — detection of long verbatim
+    * overlap is deterministic, not probabilistic, while storage stays
+    * ~|tokens|/w per doc. Docs shorter than k tokens emit nothing; a
+    * doc with fewer than w grams emits the min of what it has (its
+    * whole text is one window).
+    *
+    * Map-only per doc (array ops, codegen'd — grams, window mins,
+    * distinct all inside one projection); only (id, fingerprint)
+    * pairs leave the scan. Output: (id, fp). */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(w >= 1, "w must be at least 1")
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => hash48(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<long>"))
+    val ng = size(grams)
+    val fps = when(ng === 0, array().cast("array<long>"))
+      .when(ng < w, array(array_min(grams)))
+      .otherwise(transform(sequence(lit(0), ng - w),
+        j => array_min(slice(grams, j + 1, lit(w)))))
+    docs.select(col(idCol), explode(array_distinct(fps)).as("fp"))
+  }
+
+  /** Near-dup pairs by shared winnowing fingerprints: docs sharing ≥
+    * `minShared` fingerprints, with the shared count — the verbatim-
+    * overlap complement of [[minhashNearDups]] (which estimates SET
+    * similarity; this certifies CONTIGUOUS copied runs).
+    *
+    * Scale: the fingerprint is the equi-join key; fingerprints in
+    * more than `maxDf` docs are dropped BEFORE pairing (boilerplate
+    * fingerprints would fan out df² pairs — the standard stopword-
+    * gram cut; legitimate copied passages live in rare fingerprints),
+    * so per-key fanout is bounded by maxDf². One census + one
+    * self-equi-join + one pair hash-agg; never corpus×corpus.
+    *
+    * Output: (a, b, n_shared) with a < b. */
+  def winnowNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      minShared: Int,
+      maxDf: Int): DataFrame = {
+    require(minShared >= 1, "minShared must be at least 1")
+    require(maxDf >= 2, "maxDf must be at least 2 (pairs need two docs)")
+    val fp = truncate(winnowFingerprints(docs, idCol, textCol, k, w))
+    // (id, fp) is distinct by construction, so count(*) = doc freq.
+    val rare = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp"))
+    val pruned = fp.join(rare, Seq("fp"), "left_semi")
+    pruned.select(col("fp"), col(idCol).as("a"))
+      .join(pruned.select(col("fp"), col(idCol).as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Repeated-span detection (the ExactSubstr family, token-level):
     * find maximal token spans of ≥ `spanTokens` tokens that occur more
     * than once ANYWHERE in the corpus (across docs or within one), and

@@ -228,4 +228,29 @@ class DedupSpec extends SparkSpec {
       .filter(col("id") === 1L).head()
     assert(kept.getLong(1) == 2L && kept.getString(3) == "echo line. echo line")
   }
+
+  test("winnowing: a shared k+w-1-token run GUARANTEES a shared fingerprint") {
+    // k=3, w=4: any shared verbatim run of >= 6 tokens must collide.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"nine ten eleven twelve $shared thirteen"),
+      (3L, "completely different words with no overlap at all here"))
+      .toDF("id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "id", "text", k = 3, w = 4)
+    val byDoc = fp.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty) // certain, not probabilistic
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // Short docs: < k tokens emit nothing; < w grams emit one min.
+    val short = Seq((1L, "a b"), (2L, "a b c d")).toDF("id", "text")
+    val sf = Dedup.winnowFingerprints(short, "id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0))
+    assert(sf.toSeq == Seq(2L)) // doc 1 has no 3-gram; doc 2 has 2 grams -> 1 fp
+    // Pair census: docs 1/2 share >= minShared rare fingerprints.
+    val pairs = Dedup.winnowNearDups(docs, "id", "text", k = 3, w = 4,
+        minShared = 1, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }
