@@ -5202,16 +5202,16 @@ object SparkEntry {
         |  FROM documents),
         |a AS (
         |  SELECT doc_id, base, regexp_extract_all(html,
-        |    '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)(?:#[^"'']*)?["''][^>]*>([^<]*)',
+        |    '(?i)<a\b[^>]*?\shref\s*=\s*["'']([^"''#>]*)(?:#[^"'']*)?["''][^>]*>([^<]*)',
         |    0) AS ms
         |  FROM m),
         |p AS (
         |  SELECT doc_id, base,
         |    regexp_extract(ms[i],
-        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)(?:#[^"'']*)?["''][^>]*>([^<]*)',
+        |      '(?i)<a\b[^>]*?\shref\s*=\s*["'']([^"''#>]*)(?:#[^"'']*)?["''][^>]*>([^<]*)',
         |      1) AS href,
         |    regexp_extract(ms[i],
-        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)(?:#[^"'']*)?["''][^>]*>([^<]*)',
+        |      '(?i)<a\b[^>]*?\shref\s*=\s*["'']([^"''#>]*)(?:#[^"'']*)?["''][^>]*>([^<]*)',
         |      2) AS txt
         |  FROM a, UNNEST(generate_series(1, len(ms))) AS u(i)),
         |b AS (
@@ -5867,7 +5867,7 @@ object SparkEntry {
         |l AS (
         |  SELECT doc_id, base,
         |    regexp_extract_all(html,
-        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)', 1) AS links
+        |      '(?i)<a\b[^>]*?\shref\s*=\s*["'']([^"''#>]*)', 1) AS links
         |  FROM m),
         |e AS (
         |  SELECT doc_id, base, CAST(i - 1 AS INTEGER) AS link_idx,
@@ -6874,9 +6874,10 @@ object SparkEntry {
       |       FROM u WHERE doc_id % 3 <> 1),
       |sdiff AS (
       |  SELECT coalesce(os.url, ns.url) AS url,
-      |    CASE WHEN old_digest IS NULL THEN 'added'
-      |         WHEN new_digest IS NULL THEN 'removed'
-      |         WHEN old_digest = new_digest THEN 'unchanged'
+      |    CASE WHEN os.url IS NULL THEN 'added'
+      |         WHEN ns.url IS NULL THEN 'removed'
+      |         WHEN old_digest IS NOT DISTINCT FROM new_digest
+      |           THEN 'unchanged'
       |         ELSE 'changed' END AS status,
       |    old_digest, new_digest
       |  FROM os FULL OUTER JOIN ns ON os.url = ns.url)""".stripMargin
@@ -6969,7 +6970,7 @@ object SparkEntry {
         |pl AS (
         |  SELECT doc_id, base,
         |    regexp_extract_all(html,
-        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#>]*)', 1) AS links
+        |      '(?i)<a\b[^>]*?\shref\s*=\s*["'']([^"''#>]*)', 1) AS links
         |  FROM pm),
         |pe AS (
         |  SELECT doc_id, base, links[i] AS href

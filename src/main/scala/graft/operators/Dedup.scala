@@ -626,9 +626,13 @@ object Dedup {
     * doc with fewer than w grams emits the min of what it has (its
     * whole text is one window).
     *
-    * Map-only per doc (array ops, codegen'd — grams, window mins,
-    * distinct all inside one projection); only (id, fingerprint)
-    * pairs leave the scan. Output: (id, fp). */
+    * The gram-hash array is computed ONCE per doc below a Generate
+    * (explode) barrier and each window min reads the carried column —
+    * putting the gram expression inside the per-window lambda would
+    * re-evaluate every gram's md5 per window (O(n²) interpreted work;
+    * the same trap [[minhashBands]] documents). The per-doc distinct
+    * is one (id, fp) dedup shuffle — which the downstream census
+    * shuffles on fp anyway. Output: (id, fp), distinct. */
   def winnowFingerprints(
       docs: DataFrame,
       idCol: String,
@@ -637,17 +641,21 @@ object Dedup {
       w: Int): DataFrame = {
     require(k >= 1, "k must be at least 1")
     require(w >= 1, "w must be at least 1")
-    val toks = tokens(col(textCol))
-    val grams = when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => hash48(concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .otherwise(array().cast("array<long>"))
-    val ng = size(grams)
-    val fps = when(ng === 0, array().cast("array<long>"))
-      .when(ng < w, array(array_min(grams)))
-      .otherwise(transform(sequence(lit(0), ng - w),
-        j => array_min(slice(grams, j + 1, lit(w)))))
-    docs.select(col(idCol), explode(array_distinct(fps)).as("fp"))
+    val grams = transform(shingles(col(textCol), k), g => hash48(g))
+    val withGrams = docs.select(col(idCol), grams.as("__g"))
+    val ng = size(col("__g"))
+    // Window start indexes: empty docs explode away; short docs get
+    // the sentinel −1 = "min of the whole gram array".
+    val starts = when(ng === 0, array().cast("array<int>"))
+      .when(ng < w, array(lit(-1)))
+      .otherwise(sequence(lit(0), (ng - w).cast("int")))
+    withGrams
+      .select(col(idCol), col("__g"), explode(starts).as("__j"))
+      .select(col(idCol),
+        when(col("__j") === -1, array_min(col("__g")))
+          .otherwise(array_min(slice(col("__g"), col("__j") + 1, lit(w))))
+          .as("fp"))
+      .distinct()
   }
 
   /** Near-dup pairs by shared winnowing fingerprints: docs sharing ≥

@@ -76,6 +76,14 @@ object Ranking {
       outName: String,
       numPartitions: Int): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
+    // Internal working columns would be silently overwritten (then
+    // dropped) by withColumn below — reject clashing inputs at every
+    // call site in one place.
+    val clash = Seq("__pid", "__opid", "__og", "__off")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has internal working column(s) ${clash.mkString(", ")}" +
+        " — rename them before calling the Ranking prefix operators")
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val keys = col(groupCol) +: orderCols.map(col)

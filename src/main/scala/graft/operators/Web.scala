@@ -265,7 +265,7 @@ object Web {
     * at scan speed, like everything in this object. */
   def extractLinks(html: Column): Column =
     regexp_extract_all(html,
-      lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#>]*)"), lit(1))
+      lit("(?i)<a\\b[^>]*?\\shref\\s*=\\s*[\"']([^\"'#>]*)"), lit(1))
 
   /** Anchor regex shared by [[extractAnchors]] and its SQL oracle
     * twin: group 1 = href (cut at quote/`#`/`>` like
@@ -278,9 +278,15 @@ object Web {
     * tag, the dominant plain-link form; full main-content extraction
     * is [[extractText]]'s job). A fragment-ONLY href extracts as the
     * empty string, which [[resolveUrl]] quarantines to NULL — same
-    * contract as [[extractLinks]]. */
+    * contract as [[extractLinks]]. The attribute name must follow
+    * WHITESPACE (`\\s`, not `\\b`): `\\bhref` also matches inside
+    * `data-href`/`ng-href` (the `-` is a word boundary), and with the
+    * fragment suffix now consumable a `data-href="#sec"` would
+    * otherwise win over the real href (RE2 oracles have no lookbehind
+    * to exclude it; attributes are whitespace-separated, so `\\s` is
+    * the faithful anchor). */
   private val anchorRe =
-    "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#>]*)(?:#[^\"']*)?[\"'][^>]*>([^<]*)"
+    "(?i)<a\\b[^>]*?\\shref\\s*=\\s*[\"']([^\"'#>]*)(?:#[^\"']*)?[\"'][^>]*>([^<]*)"
 
   /** (href, txt) pairs of a page's anchors in document order — the
     * anchor-TEXT side of the crawl graph ([[extractLinks]] keeps only

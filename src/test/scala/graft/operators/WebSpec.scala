@@ -359,6 +359,7 @@ class WebSpec extends SparkSpec {
         |<a href="#frag">frag only</a>
         |<a name="no-href">not a link</a>
         |<a href="/docs#install">Install guide</a>
+        |<a data-href="#sec" href="/real">Real link</a>
         |<a href="/c"></a></html>""".stripMargin
     val out = Seq(html).toDF("h")
       .select(explode(Web.extractAnchors(col("h"))).as("a"))
@@ -366,10 +367,13 @@ class WebSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     // A fragment SUFFIX is cut ('/docs#install' -> '/docs' — same as
     // extractLinks), a fragment-ONLY href extracts empty (resolveUrl
-    // quarantines it to NULL), the no-href anchor has no href, and
-    // nested markup trims at the first inner tag.
+    // quarantines it to NULL), the no-href anchor has no href, a
+    // data-href decoy must NOT shadow the real href (whitespace-
+    // anchored attribute name), and nested markup trims at the first
+    // inner tag.
     assert(out == Seq(("/a", "First Link"), ("https://b.com/p", "to "),
-      ("", "frag only"), ("/docs", "Install guide"), ("/c", "")))
+      ("", "frag only"), ("/docs", "Install guide"),
+      ("/real", "Real link"), ("/c", "")))
   }
 
   test("parseSitemap: entries, entities, case, loc-less drop; refs from robots") {
