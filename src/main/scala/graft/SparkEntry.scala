@@ -3069,6 +3069,48 @@ object SparkEntry {
     "q192_winnow_near_dups" -> ((s, dir) => {
       Dedup.winnowNearDups(t(s, dir, "documents"), "doc_id", "text",
         k = 4, w = 5, minShared = 2, maxDf = 10)
+    }),
+
+    // Concurrent-session detection: per-user hash-derived activity
+    // intervals (60 s – 1 h), all overlapping pairs ONCE each via the
+    // binned interval×interval join (first-overlapping-bin trick — no
+    // distinct pass, no nested loop). The oracle replays the overlap
+    // predicate directly at its scale.
+    "q193_interval_overlap" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("s0"))
+        .withColumn("e0", col("s0") +
+          pmod(TextFunctions.hash60(
+            concat(lit("d:"), col("event_id").cast("string"))),
+            lit(3600L)) + 60L)
+      RangeJoin.intervalOverlapJoin(iv, "event_id", "s0", "e0",
+        binWidth = 3600L, keyCols = Seq("user_id"))
+    }),
+
+    // Hybrid retrieval: q106's BM25 top-10 and dense brute-force
+    // cosine top-10 (doc/vec ids aligned, queries = the %100 residue)
+    // fused by Reciprocal Rank Fusion in exact integer micro-units —
+    // ranks fuse, scores never compare across systems. n_lists = 2
+    // marks docs both retrievers agree on.
+    "q194_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 4), " ")
+            .as("qtext"))
+      val bm = Ranking.groupTopK(
+          Retrieval.bm25Scores(docs, "doc_id", "text", qs, "qid", "qtext"),
+          Seq("query_id"),
+          Seq((-col("score")).as("__neg"), col("doc_id")), k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val ann = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      Retrieval.rrfFuse(Seq(bm, ann), "query_id", "doc_id", "rank",
+        kConst = 60, topK = 10)
     })
   )
 
@@ -4569,42 +4611,10 @@ object SparkEntry {
     // Constants appear as the same runtime IEEE ops the engine runs:
     // (1.2 + 1), (1 - 0.75) — never pre-folded decimals.
     "q106_bm25" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
-        |         t -> len(t) > 0) AS toks
-        |  FROM documents),
-        |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM w),
-        |tot AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS tot_len
-        |        FROM lens),
-        |tf AS (SELECT doc_id, tok AS term, count(*) AS tf
-        |       FROM (SELECT doc_id, unnest(toks) AS tok FROM w) GROUP BY 1, 2),
-        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |qt AS (SELECT DISTINCT doc_id AS query_id,
-        |         unnest(list_slice(toks, 1, 4)) AS term
-        |       FROM w WHERE doc_id % 100 = 0),
-        |idf AS (
-        |  SELECT qt.query_id, qt.term, tot.n_docs, tot.tot_len,
-        |    CAST(round(1e6 * ln(1 + (CAST(tot.n_docs - dfs.df AS DOUBLE) + 0.5)
-        |      / (CAST(dfs.df AS DOUBLE) + 0.5))) AS BIGINT) AS idf_micro
-        |  FROM dfs JOIN qt USING (term), tot),
-        |sc AS (
-        |  SELECT idf.query_id, tf.doc_id,
-        |    CAST(round(CAST(idf_micro AS DOUBLE) *
-        |      (CAST(tf.tf AS DOUBLE) * (1.2 + 1)
-        |       / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1 - 0.75)
-        |          + 0.75 * CAST(lens.len AS DOUBLE) * CAST(idf.n_docs AS DOUBLE)
-        |            / CAST(idf.tot_len AS DOUBLE))))) AS BIGINT) AS s_micro
-        |  FROM tf JOIN idf USING (term) JOIN lens ON tf.doc_id = lens.doc_id),
-        |agg AS (
-        |  SELECT query_id, doc_id, count(*) AS n_terms,
-        |    round(CAST(sum(s_micro) AS DOUBLE) / 1e6, 6) AS score
-        |  FROM sc GROUP BY 1, 2)
-        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, n_terms, score
-        |FROM (SELECT query_id, doc_id, n_terms, score,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY score DESC, doc_id) AS rank
-        |      FROM agg)
-        |WHERE rank <= 10""".stripMargin,
+      ("WITH " + bm25ChainSql + """
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, n_terms,
+        |  score
+        |FROM bmr WHERE rank <= 10""".stripMargin),
 
     "q107_group_quantiles" ->
       """WITH s AS (
@@ -6807,8 +6817,118 @@ object SparkEntry {
         |  FROM pr l JOIN pr r2 USING (fp)
         |  WHERE l.doc_id < r2.doc_id)
         |SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared
-        |FROM p GROUP BY a, b HAVING count(*) >= 2""".stripMargin
+        |FROM p GROUP BY a, b HAVING count(*) >= 2""".stripMargin,
+
+    // The overlap predicate run directly (oracle scale tolerates the
+    // per-user quadratic join the binning avoids at 100 TB).
+    "q193_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts) // 1000000 AS s0,
+        |    epoch_us(ts) // 1000000
+        |      + CAST(('0x' || substr(md5('d:' || CAST(event_id AS VARCHAR)),
+        |          1, 15)) AS BIGINT) % 3600 + 60 AS e0
+        |  FROM events)
+        |SELECT l.user_id, l.event_id AS a, r.event_id AS b,
+        |  least(l.e0, r.e0) - greatest(l.s0, r.s0) AS overlap
+        |FROM iv l JOIN iv r
+        |  ON l.user_id = r.user_id AND l.event_id < r.event_id
+        |WHERE l.s0 < r.e0 AND r.s0 < l.e0""".stripMargin,
+
+    // BM25 chain + dense cosine chain (an* CTE names; q22's shape with
+    // the %100 query residue) + integer RRF merge.
+    "q194_rrf_fusion" ->
+      ("WITH " + bm25ChainSql + """,
+        |aq AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |ac AS (
+        |  SELECT vec_id AS neighbor_id,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS cv
+        |  FROM embeddings),
+        |an1 AS (SELECT query_id, qv,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)),
+        |      i -> qv[i]*qv[i])) AS BIGINT) AS qn FROM aq),
+        |an2 AS (SELECT neighbor_id, cv,
+        |    CAST(list_sum(list_transform(generate_series(1, len(cv)),
+        |      i -> cv[i]*cv[i])) AS BIGINT) AS cn FROM ac),
+        |asc0 AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)),
+        |      i -> qv[i]*cv[i])) AS BIGINT) AS dot, qn, cn
+        |  FROM an1, an2 WHERE query_id <> neighbor_id),
+        |ar AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim
+        |  FROM asc0),
+        |ak AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM ar),
+        |u AS (
+        |  SELECT query_id, doc_id, rank FROM bmr WHERE rank <= 10
+        |  UNION ALL
+        |  SELECT query_id, neighbor_id AS doc_id, rank
+        |  FROM ak WHERE rank <= 10),
+        |fz AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+        |    CAST(count(*) AS BIGINT) AS n_lists
+        |  FROM u GROUP BY query_id, doc_id),
+        |fr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_micro DESC, doc_id) AS rank
+        |  FROM fz)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_micro,
+        |  n_lists
+        |FROM fr WHERE rank <= 10""".stripMargin)
   )
+
+  /** q106/q194's shared BM25 replay: tokenize → corpus totals → tf/df
+    * → micro-nat idf → per-(query, doc) score → window rank, ending
+    * in CTE `bmr(query_id, doc_id, n_terms, score, rank)`. Queries =
+    * first 4 tokens of every doc_id % 100 == 0 doc — the twin of the
+    * Spark side's `Retrieval.bm25Scores` + `Ranking.groupTopK`. */
+  private val bm25ChainSql: String =
+    """w AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |         t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM w),
+      |tot AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS tot_len
+      |        FROM lens),
+      |tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(toks) AS tok FROM w) GROUP BY 1, 2),
+      |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |qt AS (SELECT DISTINCT doc_id AS query_id,
+      |         unnest(list_slice(toks, 1, 4)) AS term
+      |       FROM w WHERE doc_id % 100 = 0),
+      |idf AS (
+      |  SELECT qt.query_id, qt.term, tot.n_docs, tot.tot_len,
+      |    CAST(round(1e6 * ln(1 + (CAST(tot.n_docs - dfs.df AS DOUBLE) + 0.5)
+      |      / (CAST(dfs.df AS DOUBLE) + 0.5))) AS BIGINT) AS idf_micro
+      |  FROM dfs JOIN qt USING (term), tot),
+      |sc AS (
+      |  SELECT idf.query_id, tf.doc_id,
+      |    CAST(round(CAST(idf_micro AS DOUBLE) *
+      |      (CAST(tf.tf AS DOUBLE) * (1.2 + 1)
+      |       / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1 - 0.75)
+      |          + 0.75 * CAST(lens.len AS DOUBLE) * CAST(idf.n_docs AS DOUBLE)
+      |            / CAST(idf.tot_len AS DOUBLE))))) AS BIGINT) AS s_micro
+      |  FROM tf JOIN idf USING (term) JOIN lens ON tf.doc_id = lens.doc_id),
+      |agg AS (
+      |  SELECT query_id, doc_id, count(*) AS n_terms,
+      |    round(CAST(sum(s_micro) AS DOUBLE) / 1e6, 6) AS score
+      |  FROM sc GROUP BY 1, 2),
+      |bmr AS (
+      |  SELECT query_id, doc_id, n_terms, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM agg)""".stripMargin
 
   /** q184: seeded-PageRank replay — q182's edge CTEs, a 20-node seed
     * flag on the node table, then `iters` unrolled rounds whose base

@@ -125,4 +125,47 @@ object Retrieval {
       .agg(count(lit(1)).as("n_hits"),
         min(col("start")).cast("long").as("first_pos"))
   }
+
+  /** Reciprocal Rank Fusion (Cormack/Clarke/Büttcher 2009) — the
+    * standard hybrid-retrieval merge: given per-query ranked lists
+    * from heterogeneous retrievers (BM25, dense ANN, …), fuse by
+    * Σ 1/(k + rank) per (query, doc). Scores from different systems
+    * never compare directly (BM25 floats vs cosine) — only RANKS do,
+    * which is the whole point of RRF. Computed in micro-units via
+    * integer division (`unit div (k + rank)`) so the fused score is
+    * an exact Long — engine-identical, no IEEE summation drift; with
+    * unit = 10⁶ and k = 60 the quotients stay distinct through rank
+    * ~70, ample for fusing top-k lists.
+    *
+    * Scale: one unionByName (no shuffle) + one map-side-combinable
+    * (query, doc) hash-agg + the k-bounded top-k aggregate — input
+    * lists are already top-k-bounded per query, so the whole fuse is
+    * proportional to Σ list sizes, never corpus-sized.
+    *
+    * Output: (qCol, rank, dCol, rrf_micro, n_lists) — n_lists = how
+    * many input rankings surfaced the doc (the agreement signal). */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      qCol: String,
+      dCol: String,
+      rankCol: String,
+      kConst: Int,
+      topK: Int,
+      unit: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kConst >= 0, "kConst must be non-negative")
+    require(unit > 0, "unit must be positive")
+    val tagged = rankings
+      .map(_.select(col(qCol), col(dCol), col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+    val scored = tagged
+      .groupBy(col(qCol), col(dCol))
+      .agg(sum(expr(s"${unit}L div (${kConst}L + __r)")).as("rrf_micro"),
+        count(lit(1)).as("n_lists"))
+    Ranking.groupTopK(scored, Seq(qCol),
+        Seq((-col("rrf_micro")).as("__neg"), col(dCol).as(dCol),
+          col("n_lists").as("n_lists")), topK)
+      .select(col(qCol), col("rank"), col(dCol),
+        (-col("__neg")).as("rrf_micro"), col("n_lists"))
+  }
 }

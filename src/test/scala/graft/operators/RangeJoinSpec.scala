@@ -58,4 +58,23 @@ class RangeJoinSpec extends SparkSpec {
     val out = RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", binWidth = 8)
     assert(out.select("pid").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("intervalOverlapJoin: once per pair, half-open ends, keys separate") {
+    val ivs = Seq(
+      ("u", 1L, 0L, 100L),    // spans many bins with 2 below
+      ("u", 2L, 50L, 250L),   // overlaps 1 (50) and 3 (none: touching)
+      ("u", 3L, 250L, 300L),  // touches 2 at 250 -> NOT an overlap
+      ("u", 4L, 260L, 280L),  // inside 3
+      ("v", 5L, 0L, 300L),    // other key: never pairs with u's
+      ("u", 6L, 400L, 400L))  // empty interval: dropped
+      .toDF("k", "id", "s", "e")
+    for (width <- Seq(7L, 64L, 1000L)) {
+      val got = RangeJoin
+        .intervalOverlapJoin(ivs, "id", "s", "e", width, Seq("k"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      assert(got == Map((1L, 2L) -> 50L, (3L, 4L) -> 20L),
+        s"bin width $width")
+    }
+  }
 }

@@ -53,4 +53,23 @@ class RetrievalSpec extends SparkSpec {
       (10, 1L) -> ((2L, 0L)),
       (20, 2L) -> ((2L, 0L))))
   }
+
+  test("rrfFuse: agreement outranks a single #1; integer micro-scores") {
+    import spark.implicits._
+    // System A ranks d1 #1, d3 #2; system B ranks d2 #1, d3 #2.
+    // d3 appears in BOTH (two 1/62 terms) and must beat either solo #1.
+    val a = Seq((1L, "d1", 1), (1L, "d3", 2)).toDF("q", "d", "r")
+    val b = Seq((1L, "d2", 1), (1L, "d3", 2)).toDF("q", "d", "r")
+    val got = Retrieval.rrfFuse(Seq(a, b), "q", "d", "r",
+        kConst = 60, topK = 10)
+      .collect()
+      .map(x => x.getString(2) -> ((x.getInt(1), x.getLong(3),
+        x.getLong(4)))).toMap
+    val s61 = 1000000L / 61
+    val s62 = 1000000L / 62
+    assert(got("d3") == ((1, s62 + s62, 2L)))
+    // d1 and d2 tie at 1/(60+1): smaller doc id ranks first.
+    assert(got("d1") == ((2, s61, 1L)))
+    assert(got("d2") == ((3, s61, 1L)))
+  }
 }
