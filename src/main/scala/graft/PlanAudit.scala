@@ -44,7 +44,9 @@ object PlanAudit {
     "q181_recrawl_priority" -> "1-row broadcast scalar attaches (total weight, leftover R — via apportionLargestRemainder)",
     "q186_constraints" -> "1-row broadcast scalar attach (fact row count onto the FK-violation census)",
     "q191_cluster_labels" -> "16-row broadcast centroid attach (bounded, via ivfIndex)",
-    "q194_rrf_fusion" -> "1-row broadcast corpus-totals attach (BM25) + brute-force dense side (5 broadcast queries)")
+    "q194_rrf_fusion" -> "1-row broadcast corpus-totals attach (BM25) + brute-force dense side (5 broadcast queries)",
+    "q195_knn_mislabels" -> "16-row broadcast centroid attach (bounded, via ivfIndex)",
+    "q197_drift_census" -> "1-row broadcast scalar attach (snapshot totals)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
     * partition is bounded (per-user event counts in the fixtures are

@@ -3111,6 +3111,37 @@ object SparkEntry {
           col("rank"))
       Retrieval.rrfFuse(Seq(bm, ann), "query_id", "doc_id", "rank",
         kConst = 60, topK = 10)
+    }),
+
+    // Label-error detection (confident-learning-lite): every vector
+    // classified by majority vote of its 10 nearest IVF-cell-mates;
+    // rows whose own label loses the vote surface as mislabel
+    // candidates — the training-data QA pass before a classifier
+    // ever trains. Cell-bounded Σ|cell|² work, never corpus².
+    "q195_knn_mislabels" -> ((s, dir) => {
+      Similarity.knnMislabels(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", nCells = 16, k = 10)
+    }),
+
+    // Asymmetric shingle containment over the LSH candidates — the
+    // quote/subset signal resemblance Jaccard misses: |A∩B|/|A| and
+    // /|B| in exact integer micro-units, kept when either direction
+    // ≥ 50%. Same candidate machinery as q18/q19, exact verify.
+    "q196_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        minContainMicro = 500000L)
+    }),
+
+    // Data-drift census between the two crawl snapshots (q180's
+    // residue split): doc-length histogram (50-char buckets) on each
+    // side, micro-proportions and their |delta| — the integer-exact
+    // core of a PSI drift alert, no libm across the engine boundary.
+    "q197_drift_census" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("bucket", expr("n_chars div 50L"))
+      Profile.histogramDrift(
+        d.filter(col("doc_id") % 3 =!= 0),
+        d.filter(col("doc_id") % 3 =!= 1), "bucket")
     })
   )
 
@@ -6885,7 +6916,87 @@ object SparkEntry {
         |  FROM fz)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_micro,
         |  n_lists
-        |FROM fr WHERE rank <= 10""".stripMargin)
+        |FROM fr WHERE rank <= 10""".stripMargin),
+
+    // IVF assignment + labels, within-cell cosine, top-10 by
+    // (sim DESC, neighbor), majority vote (count DESC, label ASC).
+    "q195_knn_mislabels" ->
+      (s"""WITH $ivfAsgCtes,
+         |al AS (
+         |  SELECT a.vec_id, a.cell, a.qv, a.nsq, e.label
+         |  FROM asg a JOIN embeddings e USING (vec_id)),
+         |p AS (
+         |  SELECT l.vec_id AS query_id, l.label, r.vec_id AS neighbor_id,
+         |    r.label AS nl,
+         |    CAST(list_sum(list_transform(generate_series(1, len(l.qv)),
+         |      i -> l.qv[i]*r.qv[i])) AS DOUBLE)
+         |      / (sqrt(CAST(l.nsq AS DOUBLE)) * sqrt(CAST(r.nsq AS DOUBLE)))
+         |      AS sim
+         |  FROM al l JOIN al r
+         |    ON l.cell = r.cell AND l.vec_id <> r.vec_id),
+         |tk AS (
+         |  SELECT query_id, label, nl FROM (
+         |    SELECT query_id, label, nl, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+         |    FROM p) WHERE rk <= 10),
+         |vt AS (SELECT query_id, label, nl, count(*) AS nv
+         |       FROM tk GROUP BY query_id, label, nl),
+         |pr AS (
+         |  SELECT query_id, label, nl AS pred_label,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY nv DESC, nl) AS rn,
+         |    sum(nv) OVER (PARTITION BY query_id) AS n_votes
+         |  FROM vt)
+         |SELECT query_id AS vec_id, label, pred_label,
+         |  CAST(n_votes AS BIGINT) AS n_votes,
+         |  label <> pred_label AS mislabeled
+         |FROM pr WHERE rn = 1""".stripMargin),
+
+    // The q18/q19 band-candidate chain + exact set containment.
+    "q196_containment" ->
+      (s"""WITH bands AS ($minhashBandsSql),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r
+         |    ON l.band_id = r.band_id AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |sets AS (${shingleSetsSql("")}),
+         |p AS (
+         |  SELECT c.a, c.b,
+         |    CAST(len(sa.sh) AS BIGINT) AS n_a,
+         |    CAST(len(sb.sh) AS BIGINT) AS n_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter
+         |  FROM cands c
+         |  JOIN sets sa ON sa.doc_id = c.a
+         |  JOIN sets sb ON sb.doc_id = c.b)
+         |SELECT a, b, n_a, n_b, n_inter,
+         |  (1000000 * n_inter) // n_a AS contain_a_micro,
+         |  (1000000 * n_inter) // n_b AS contain_b_micro
+         |FROM p
+         |WHERE greatest((1000000 * n_inter) // n_a,
+         |               (1000000 * n_inter) // n_b) >= 500000"""
+        .stripMargin),
+
+    // Per-bucket counts both snapshots, full-outer on bucket, exact
+    // micro-proportions and |delta|.
+    "q197_drift_census" ->
+      """WITH b AS (SELECT doc_id, n_chars // 50 AS bucket FROM documents),
+        |o AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_old
+        |      FROM b WHERE doc_id % 3 <> 0 GROUP BY bucket),
+        |n AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new
+        |      FROM b WHERE doc_id % 3 <> 1 GROUP BY bucket),
+        |j AS (
+        |  SELECT coalesce(o.bucket, n.bucket) AS bucket,
+        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |  FROM o FULL OUTER JOIN n ON o.bucket = n.bucket),
+        |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS xo,
+        |             CAST(sum(n_new) AS BIGINT) AS xn FROM j)
+        |SELECT bucket, n_old, n_new,
+        |  (1000000 * n_old) // xo AS p_old_micro,
+        |  (1000000 * n_new) // xn AS p_new_micro,
+        |  abs((1000000 * n_old) // xo - (1000000 * n_new) // xn)
+        |    AS delta_micro
+        |FROM j, t""".stripMargin
   )
 
   /** q106/q194's shared BM25 replay: tokenize → corpus totals → tf/df

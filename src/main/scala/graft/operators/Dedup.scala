@@ -614,6 +614,58 @@ object Dedup {
             x => x.getField("sent")), ". ").as("text_clean"))
   }
 
+  /** Asymmetric shingle CONTAINMENT over LSH candidate pairs:
+    * |A∩B| / |A| (and / |B|) in exact integer micro-units — the
+    * quote/subset detector resemblance Jaccard misses: a short doc
+    * fully quoted inside a long one has low Jaccard (union is huge)
+    * but containment ≈ 1 on the short side. Candidates come from the
+    * resemblance LSH index, which is honest-but-biased here: a pair
+    * with high containment and LOW resemblance may not surface a
+    * shared band (a dedicated containment index would bottom-k
+    * sketch the contained side); pairs that do surface are scored
+    * EXACTLY from sorted shingle sets.
+    *
+    * Scale: candidate generation is the shared band equi-join; the
+    * verify joins each candidate to two set-valued rows — same shape
+    * as [[minhashNearDups]], never corpus×corpus.
+    *
+    * Output: (a, b, n_a, n_b, n_inter, contain_a_micro,
+    * contain_b_micro), kept when either direction ≥
+    * `minContainMicro`. */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minContainMicro: Long,
+      k: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    require(minContainMicro >= 0 && minContainMicro <= 1000000L,
+      "minContainMicro must be in [0, 1000000]")
+    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleSize)
+    val cands = minhashCandidates(
+      minhashBands(sigs, idCol, k, rowsPerBand), idCol)
+    val sets = docs.select(col(idCol),
+      graft.functions.GraftExpressions
+        .sortedShingleSet(tokens(col(textCol)), shingleSize).as("sh"))
+    cands
+      .join(sets.withColumnRenamed(idCol, "a")
+        .withColumnRenamed("sh", "sh_a"), "a")
+      .join(sets.withColumnRenamed(idCol, "b")
+        .withColumnRenamed("sh", "sh_b"), "b")
+      .select(col("a"), col("b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_inter"))
+      .withColumn("contain_a_micro",
+        expr("(1000000L * n_inter) div n_a"))
+      .withColumn("contain_b_micro",
+        expr("(1000000L * n_inter) div n_b"))
+      .filter(greatest(col("contain_a_micro"), col("contain_b_micro"))
+        >= minContainMicro)
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
     * MOSS algorithm): hash every k-token gram, slide a w-gram window,
     * keep each window's MINIMUM hash, distinct per doc. The guarantee

@@ -75,6 +75,43 @@ object Profile {
       .select(col("__r.*"))
   }
 
+  /** Distribution-drift census between two snapshots of the same
+    * feature (data-drift monitoring, the integer-exact core of a PSI
+    * check): per pre-bucketed value, counts and micro-proportions on
+    * both sides plus their absolute delta. The PSI/KL log factor is
+    * deliberately NOT taken (libm would cross the engine boundary) —
+    * max/sum of `delta_micro` is the drift statistic, exactly the
+    * L∞/L1 histogram distance alert thresholds are set on.
+    *
+    * Scale: two map-side-combinable bucket censuses + a full-outer
+    * equi-join on the bucket (histogram-sized) + two 1-row broadcast
+    * total attaches. Buckets absent on one side report 0 there.
+    *
+    * Output: (bucket, n_old, n_new, p_old_micro, p_new_micro,
+    * delta_micro). An EMPTY side yields NULL proportions (integral
+    * divide-by-zero quarantines rather than inventing 0%). */
+  def histogramDrift(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      bucketCol: String): DataFrame = {
+    val o = oldSnap.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("n_old"))
+    val n = newSnap.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    val joined = o.join(n, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(sum(col("n_old")).as("__to"),
+      sum(col("n_new")).as("__tn"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        expr("(1000000L * n_old) div __to").as("p_old_micro"),
+        expr("(1000000L * n_new) div __tn").as("p_new_micro"))
+      .withColumn("delta_micro",
+        abs(col("p_old_micro") - col("p_new_micro")))
+  }
+
   /** Referential-integrity violations: fact rows whose `fkCol` value
     * has no match in `dim.pkCol` — a left-anti equi-join, the
     * scale-correct FK check (never fact×dim; AQE broadcasts small

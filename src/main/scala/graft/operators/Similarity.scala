@@ -411,6 +411,59 @@ object Similarity {
         round(col("n_hit").cast("double") / col("k").cast("double"), 6)
           .as("recall"))
 
+  /** Label-error candidates by neighborhood disagreement (the
+    * confident-learning / Cleanlab signal, cell-bounded): each vector
+    * is classified by majority vote of its k nearest CELL-mates in
+    * the [[ivfIndex]], and a row whose own label loses the vote is a
+    * mislabel candidate for human review. IVF-local neighbors are the
+    * deliberate scale trade: exact all-pairs kNN is corpus² (the gate
+    * baselines cap it at a few broadcast queries), while cell-local
+    * disagreement costs Σ|cell|² — the [[semDedup]] shape — and a
+    * label error's nearest neighbors are overwhelmingly in its own
+    * cell anyway (they're what defines the cell).
+    *
+    * Vote ties break toward the SMALLER label (the [[knnClassify]] /
+    * LPA min_by idiom); vectors in singleton cells have no neighbors
+    * and are absent (no evidence either way).
+    *
+    * Output: (id, label, pred_label, n_votes, mislabeled). */
+  def knnMislabels(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      nCells: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    // Pinned: the index feeds both sides of the in-cell self-join.
+    val idx = Dedup.truncate(
+      ivfIndex(corpus, idCol, vecCol, nCells)
+        .join(corpus.select(col(idCol), col(labelCol).as("__lbl")),
+          Seq(idCol)))
+    val l = idx.select(col("cell"), col(idCol).as("query_id"),
+      col("qvec"), col("nsq"), col("__lbl").as("label"))
+    val r = idx.select(col("cell"), col(idCol).as("neighbor_id"),
+      col("qvec").as("c_qvec"), col("nsq").as("c_nsq"),
+      col("__lbl").as("__nl"))
+    val sims = l.join(r, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        col("__nl"),
+        cosineQ(dotQ(col("qvec"), col("c_qvec")), col("nsq"),
+          col("c_nsq")).as("sim"))
+    val top = Ranking.groupTopK(sims, Seq("query_id", "label"),
+      Seq((-col("sim")).as("__negsim"),
+        col("neighbor_id").as("neighbor_id"), col("__nl").as("__nl")), k)
+    top
+      .groupBy(col("query_id"), col("label"), col("__nl"))
+      .agg(count(lit(1)).as("__v"))
+      .groupBy(col("query_id").as(idCol), col("label"))
+      .agg(min_by(col("__nl"),
+          struct((-col("__v")).as("__nv"), col("__nl"))).as("pred_label"),
+        sum(col("__v")).as("n_votes"))
+      .withColumn("mislabeled", col("label") =!= col("pred_label"))
+  }
+
   private def score(q: DataFrame, c: DataFrame, k: Int,
       joinKeys: Seq[String] = Nil,
       band: Option[(Double, Double)] = None): DataFrame = {

@@ -253,4 +253,21 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+test("containmentPairs: subset scores exactly 1.0 on its own side") {
+    val core = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu" // 12 tokens -> 10 shingles, all inside doc 2
+    val docs = Seq(
+      (1L, core),
+      (2L, core + " nu xi")) // 14 tokens -> 12 shingles
+      .toDF("id", "text")
+    val got = Dedup.containmentPairs(docs, "id", "text",
+        minContainMicro = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // The asymmetry is the point: A is FULLY inside B (exactly 1.0,
+    // floor-exact micro) while the reverse direction is only 10/12.
+    assert(got == Map((1L, 2L) -> ((10L, 12L, 10L, 1000000L, 833333L))))
+  }
 }

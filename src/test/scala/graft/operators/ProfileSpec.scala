@@ -44,6 +44,19 @@ class ProfileSpec extends SparkSpec {
       "f_domain" -> ((3L, 1L)))) // X fails
   }
 
+  test("histogramDrift: one-sided buckets zero-fill, exact micro deltas") {
+    val old = Seq(0, 0, 0, 1).toDF("bucket")      // 75% / 25%
+    val neu = Seq(0, 1, 1, 2).toDF("bucket")      // 25% / 50% / 25%
+    val got = Profile.histogramDrift(old, neu, "bucket")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got(0) == ((3L, 1L, 750000L, 250000L, 500000L)))
+    assert(got(1) == ((1L, 2L, 250000L, 500000L, 250000L)))
+    // Bucket 2 exists only in the new snapshot: old side zero-fills.
+    assert(got(2) == ((0L, 1L, 0L, 250000L, 250000L)))
+  }
+
   test("fkViolations: dangling keys surface, NULL fks are not violations") {
     val fact = Seq[(java.lang.Long, String)](
       (1L, "ok"), (7L, "dangling"), (null, "absent"))

@@ -260,4 +260,26 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "SQ codes must not depend on partitioning")
     assert(a.size == 2)
   }
+
+  test("knnMislabels: odd label loses the cell vote; singleton cells absent") {
+    import spark.implicits._
+    // Centroids = 2 lowest ids: (1,0) and (0,1). Cell A = {1, 3, 4},
+    // cell B = {2} (singleton -> no neighbors -> absent).
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 5),
+      (3L, Array(0.9f, 0.1f), 0),
+      (4L, Array(0.95f, 0.05f), 1)) // mislabeled inside cluster A
+      .toDF("id", "v", "lbl")
+    val got = Similarity.knnMislabels(vecs, "id", "v", "lbl",
+        nCells = 2, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(4)))).toMap
+    assert(got.keySet == Set(1L, 3L, 4L)) // 2 has no cell-mates
+    // id 4's neighbors are both label 0: flagged.
+    assert(got(4L) == ((1, 0, true)))
+    // id 1 sees labels (0, 1): tie breaks to the smaller label 0.
+    assert(got(1L) == ((0, 0, false)))
+    assert(got(3L) == ((0, 0, false)))
+  }
 }
