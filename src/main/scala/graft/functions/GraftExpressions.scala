@@ -615,6 +615,52 @@ object GraftExpressions {
     GraftSqlBridge.column(
       JaccardSorted(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** `intersectSizeSorted(a, b)`: |a ∩ b| of two SORTED distinct
+    * string arrays via the same linear merge as [[JaccardSorted]] —
+    * the exact-count sibling containment scoring needs (Jaccard's
+    * ratio loses the integer numerator). Never null: empty inputs
+    * intersect to 0. */
+  case class IntersectSizeSorted(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "intersect_size_sorted"
+
+    def compute(l: Any, r: Any): Long = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements()
+      val nb = b.numElements()
+      var i = 0
+      var j = 0
+      var inter = 0L
+      while (i < na && j < nb) {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      inter
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = compute(l, r)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("issExpr", this,
+        "graft.functions.GraftExpressions.IntersectSizeSorted")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): IntersectSizeSorted =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def intersectSizeSorted(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      IntersectSizeSorted(GraftSqlBridge.expression(a),
+        GraftSqlBridge.expression(b)))
+
   def minhashSig(hs: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(hs), as, bs, p))
 

@@ -133,23 +133,35 @@ object Dedup {
       k: Int = 16,
       rowsPerBand: Int = 4,
       shingleSize: Int = 3,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6): DataFrame =
+    candidatePairSets(docs, idCol, textCol, k, rowsPerBand, shingleSize)
+      .withColumn("jaccard",
+        coalesce(graft.functions.GraftExpressions.jaccardSorted(
+          col("sh_a"), col("sh_b")), lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** The shared LSH-candidate scaffold of [[minhashNearDups]] and
+    * [[containmentPairs]]: band candidates joined to BOTH docs'
+    * sorted-distinct shingle sets (one native pass each — the
+    * interpreted shingle lambdas + array set ops dominated the verify
+    * stage at ~2.5 s of 3.1 s at sf0.1 before the native forms).
+    * Output: (a, b, sh_a, sh_b). */
+  private def candidatePairSets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      rowsPerBand: Int,
+      shingleSize: Int): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, k, shingleSize)
     val cands = minhashCandidates(minhashBands(sigs, idCol, k, rowsPerBand), idCol)
-    // Sorted-distinct shingle sets in ONE native pass + a linear-merge
-    // Jaccard — the interpreted shingle lambdas + array_intersect/union
-    // pair dominated the verify stage (~2.5 s of 3.1 s at sf0.1).
     val sets = docs.select(col(idCol),
       graft.functions.GraftExpressions
         .sortedShingleSet(tokens(col(textCol)), shingleSize).as("sh"))
     cands
       .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("sh", "sh_a"), "a")
       .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("sh", "sh_b"), "b")
-      .withColumn("jaccard",
-        coalesce(graft.functions.GraftExpressions.jaccardSorted(
-          col("sh_a"), col("sh_b")), lit(0.0)))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Incremental near-dup gate for continuous ingestion: classify each
@@ -642,22 +654,15 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     require(minContainMicro >= 0 && minContainMicro <= 1000000L,
       "minContainMicro must be in [0, 1000000]")
-    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleSize)
-    val cands = minhashCandidates(
-      minhashBands(sigs, idCol, k, rowsPerBand), idCol)
-    val sets = docs.select(col(idCol),
-      graft.functions.GraftExpressions
-        .sortedShingleSet(tokens(col(textCol)), shingleSize).as("sh"))
-    cands
-      .join(sets.withColumnRenamed(idCol, "a")
-        .withColumnRenamed("sh", "sh_a"), "a")
-      .join(sets.withColumnRenamed(idCol, "b")
-        .withColumnRenamed("sh", "sh_b"), "b")
+    // Native linear-merge intersection count over the sorted sets —
+    // interpreted array_intersect per pair is the measured hot path
+    // the Jaccard verify already abandoned.
+    candidatePairSets(docs, idCol, textCol, k, rowsPerBand, shingleSize)
       .select(col("a"), col("b"),
         size(col("sh_a")).cast("long").as("n_a"),
         size(col("sh_b")).cast("long").as("n_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-          .as("n_inter"))
+        graft.functions.GraftExpressions
+          .intersectSizeSorted(col("sh_a"), col("sh_b")).as("n_inter"))
       .withColumn("contain_a_micro",
         expr("(1000000L * n_inter) div n_a"))
       .withColumn("contain_b_micro",

@@ -98,10 +98,13 @@ object Profile {
       .agg(count(lit(1)).as("n_old"))
     val n = newSnap.groupBy(col(bucketCol).as("bucket"))
       .agg(count(lit(1)).as("n_new"))
-    val joined = o.join(n, Seq("bucket"), "full_outer")
+    // Pinned: both the totals aggregate and the final projection read
+    // the joined census — without this the two snapshot scans and the
+    // full-outer join would run twice.
+    val joined = Dedup.truncate(o.join(n, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"))
+        coalesce(col("n_new"), lit(0L)).as("n_new")))
     val totals = joined.agg(sum(col("n_old")).as("__to"),
       sum(col("n_new")).as("__tn"))
     joined.crossJoin(broadcast(totals))

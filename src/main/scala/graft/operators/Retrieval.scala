@@ -134,8 +134,9 @@ object Retrieval {
     * which is the whole point of RRF. Computed in micro-units via
     * integer division (`unit div (k + rank)`) so the fused score is
     * an exact Long — engine-identical, no IEEE summation drift; with
-    * unit = 10⁶ and k = 60 the quotients stay distinct through rank
-    * ~70, ample for fusing top-k lists.
+    * unit = 10⁶ and k = 60 the quotients first collide where
+    * n(n+1) > 10⁶, i.e. around rank 940 — far beyond any top-k list
+    * worth fusing.
     *
     * Scale: one unionByName (no shuffle) + one map-side-combinable
     * (query, doc) hash-agg + the k-bounded top-k aggregate — input

@@ -254,7 +254,7 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
-test("containmentPairs: subset scores exactly 1.0 on its own side") {
+  test("containmentPairs: subset scores exactly 1.0 on its own side") {
     val core = "alpha beta gamma delta epsilon zeta eta theta iota " +
       "kappa lambda mu" // 12 tokens -> 10 shingles, all inside doc 2
     val docs = Seq(
