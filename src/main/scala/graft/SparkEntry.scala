@@ -3142,6 +3142,64 @@ object SparkEntry {
       Profile.histogramDrift(
         d.filter(col("doc_id") % 3 =!= 0),
         d.filter(col("doc_id") % 3 =!= 1), "bucket")
+    }),
+
+    // Semi-supervised label spreading: 30 clamped seed nodes (label =
+    // node mod 3) push topic labels over the 2k-node hash graph for 4
+    // synchronous rounds — majority-of-labeled-neighbors, ties to the
+    // smaller label, unreached nodes stay NULL. The transductive
+    // classifier next to q132's unsupervised LPA.
+    "q198_label_spread" -> ((s, dir) => {
+      def node(tag: String) =
+        pmod(TextFunctions.hash60(
+          concat(lit(tag + ":"), col("event_id").cast("string"))),
+          lit(2000L))
+      val e = t(s, dir, "events")
+        .select(node("hs").as("src"), node("hd").as("dst"))
+      val seeds = e.select(col("src").as("node"))
+        .filter(col("node") < 30).distinct()
+        .withColumn("lbl", (col("node") % 3).cast("int"))
+      Graph.labelSpread(e, "src", "dst", seeds, "node", "lbl", iters = 4)
+    }),
+
+    // Tokenizer fertility per language — the vocab-fairness audit run
+    // before a tokenizer ships: BPE pieces per whitespace token and
+    // per character, exact integer micro-ratios over the q110 encoder
+    // (a language with high fertility pays more sequence length for
+    // the same text).
+    "q199_bpe_fertility" -> ((s, dir) => {
+      bpePieceCounts(t(s, dir, "documents"), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_chars")).as("n_chars"))
+        .withColumn("fertility_micro",
+          expr("(1000000L * n_pieces) div n_tokens"))
+        .withColumn("compression_micro",
+          expr("(1000000L * n_pieces) div n_chars"))
+    }),
+
+    // The corpus-prep pipeline composed end-to-end (the capstone the
+    // individual gates certify piecewise): exact dedup keeps min-id
+    // survivors → C4/Dolma rule filter drops the junk → deterministic
+    // hash sharding lays out the training set — reported as the final
+    // per-shard census a data loader would consume. Three operators,
+    // three shuffles, no windows, every stage scale-bounded.
+    "q200_prep_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val survivors = Dedup.exact(d, "doc_id", "text")
+        .select(col("doc_id"))
+      val surviving = d.join(survivors, Seq("doc_id"), "left_semi")
+      val kept = Training.ruleFilter(surviving, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"))
+      Training.shardAssign(
+          surviving.join(kept, Seq("doc_id"), "left_semi"), "doc_id", 32)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          min(col("doc_id")).as("min_id"))
     })
   )
 
@@ -4073,48 +4131,9 @@ object SparkEntry {
         |  string_agg(sent, '. ' ORDER BY pos) AS text_deduped
         |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
 
-    "q81_rule_filter" -> {
-      val stop = graft.functions.TextFunctions.langMarkers
-        .flatMap(_._2).distinct.map(s => s"'$s'").mkString(", ")
-      val reasons =
-        """concat_ws(',',
-          |    CASE WHEN n_tokens < 10 THEN 'too_short' END,
-          |    CASE WHEN mean_token_len < 2.0 OR mean_token_len > 12.0
-          |         THEN 'tok_len' END,
-          |    CASE WHEN punct_ratio > 0.3 THEN 'punct_heavy' END,
-          |    CASE WHEN stopword_ratio < 0.03 THEN 'low_stopword' END,
-          |    CASE WHEN digit_ratio > 0.2 THEN 'digit_heavy' END,
-          |    CASE WHEN distinct_ratio < 0.3 THEN 'repetitive' END)""".stripMargin
-      s"""WITH b AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks,
-        |    len(text) AS n_chars,
-        |    len(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')) AS alnum,
-        |    len(regexp_replace(text, '[0-9]', '', 'g')) AS nodigit
-        |  FROM documents),
-        |q AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS INTEGER) AS n_tokens,
-        |    CASE WHEN len(toks) > 0 THEN
-        |      CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
-        |        / len(toks) ELSE 0.0 END AS mean_token_len,
-        |    CASE WHEN n_chars > 0 THEN
-        |      CAST(n_chars - alnum AS DOUBLE) / n_chars ELSE 0.0
-        |      END AS punct_ratio,
-        |    CASE WHEN len(toks) > 0 THEN
-        |      CAST(len(list_filter(toks, t -> list_contains([$stop], t)))
-        |           AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
-        |    CASE WHEN n_chars > 0 THEN
-        |      CAST(n_chars - nodigit AS DOUBLE) / n_chars ELSE 0.0
-        |      END AS digit_ratio,
-        |    CASE WHEN len(toks) > 0 THEN
-        |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-        |      ELSE 0.0 END AS distinct_ratio
-        |  FROM b)
-        |SELECT doc_id, n_tokens, $reasons AS reasons,
-        |  ($reasons = '') AS keep
-        |FROM q""".stripMargin
-    },
+    "q81_rule_filter" ->
+      ("WITH " + ruleFilterChainSql("documents") + """
+        |SELECT doc_id, n_tokens, reasons, keep FROM rf""".stripMargin),
 
     "q82_importance_resample" ->
       """WITH rated AS (
@@ -6996,8 +7015,149 @@ object SparkEntry {
         |  (1000000 * n_new) // xn AS p_new_micro,
         |  abs((1000000 * n_old) // xo - (1000000 * n_new) // xn)
         |    AS delta_micro
-        |FROM j, t""".stripMargin
+        |FROM j, t""".stripMargin,
+
+    "q198_label_spread" -> labelSpreadOracleSql(4),
+
+    // The q110 train+encode replay rolled up per language with exact
+    // micro-ratios.
+    "q199_bpe_fertility" ->
+      (s"""WITH bp AS (${bpeOracleSql(10)}),
+         |j AS (
+         |  SELECT d.lang, bp.n_tokens AS nt, bp.n_pieces AS np,
+         |    bp.n_chars AS nc
+         |  FROM bp JOIN documents d USING (doc_id)),
+         |a AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(np) AS BIGINT) AS n_pieces,
+         |    CAST(sum(nc) AS BIGINT) AS n_chars
+         |  FROM j GROUP BY lang)
+         |SELECT lang, n_docs, n_tokens, n_pieces, n_chars,
+         |  (1000000 * n_pieces) // n_tokens AS fertility_micro,
+         |  (1000000 * n_pieces) // n_chars AS compression_micro
+         |FROM a""".stripMargin),
+
+    // Dedup survivors → the shared rule-filter chain over them →
+    // hash-shard census: the same three stages, chained.
+    "q200_prep_pipeline" ->
+      ("""WITH surv AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN (SELECT md5(text) AS dg, min(doc_id) AS keep_id
+        |        FROM documents GROUP BY md5(text)) k
+        |    ON d.doc_id = k.keep_id),
+        |""".stripMargin + ruleFilterChainSql("surv") + """,
+        |fin AS (
+        |  SELECT s.doc_id, s.text
+        |  FROM surv s JOIN rf ON rf.doc_id = s.doc_id AND rf.keep)
+        |SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 32 AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(lower(text), ' '),
+        |       t -> len(t) > 0))) AS BIGINT) AS n_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id
+        |FROM fin GROUP BY 1""".stripMargin)
   )
+
+  /** q81/q200's shared rule-filter replay over source CTE/table
+    * `src(doc_id, text, …)`: the six C4/Dolma quality signals, the
+    * fixed-order violated-reasons string, and the keep flag — CTE
+    * chain `b` → `q` → `rf(doc_id, n_tokens, reasons, keep)`, the
+    * twin of `Training.ruleFilter`. */
+  private def ruleFilterChainSql(src: String): String = {
+    val stop = graft.functions.TextFunctions.langMarkers
+      .flatMap(_._2).distinct.map(s => s"'$s'").mkString(", ")
+    val reasons =
+      """concat_ws(',',
+        |    CASE WHEN n_tokens < 10 THEN 'too_short' END,
+        |    CASE WHEN mean_token_len < 2.0 OR mean_token_len > 12.0
+        |         THEN 'tok_len' END,
+        |    CASE WHEN punct_ratio > 0.3 THEN 'punct_heavy' END,
+        |    CASE WHEN stopword_ratio < 0.03 THEN 'low_stopword' END,
+        |    CASE WHEN digit_ratio > 0.2 THEN 'digit_heavy' END,
+        |    CASE WHEN distinct_ratio < 0.3 THEN 'repetitive' END)"""
+        .stripMargin
+    s"""b AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks,
+      |    len(text) AS n_chars,
+      |    len(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')) AS alnum,
+      |    len(regexp_replace(text, '[0-9]', '', 'g')) AS nodigit
+      |  FROM $src),
+      |q AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS INTEGER) AS n_tokens,
+      |    CASE WHEN len(toks) > 0 THEN
+      |      CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+      |        / len(toks) ELSE 0.0 END AS mean_token_len,
+      |    CASE WHEN n_chars > 0 THEN
+      |      CAST(n_chars - alnum AS DOUBLE) / n_chars ELSE 0.0
+      |      END AS punct_ratio,
+      |    CASE WHEN len(toks) > 0 THEN
+      |      CAST(len(list_filter(toks, t -> list_contains([$stop], t)))
+      |           AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
+      |    CASE WHEN n_chars > 0 THEN
+      |      CAST(n_chars - nodigit AS DOUBLE) / n_chars ELSE 0.0
+      |      END AS digit_ratio,
+      |    CASE WHEN len(toks) > 0 THEN
+      |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      |      ELSE 0.0 END AS distinct_ratio
+      |  FROM b),
+      |rf AS (
+      |  SELECT doc_id, n_tokens, $reasons AS reasons,
+      |    ($reasons = '') AS keep
+      |  FROM q)""".stripMargin
+  }
+
+  /** q198: clamped label-spreading replay — the q182 hash-graph edges
+    * symmetrized, a 30-seed (node % 3) label table, then `iters`
+    * unrolled vote rounds: majority of LABELED neighbors, ties to the
+    * smaller label, seeds clamped, unvoted nodes keep their previous
+    * label. */
+  private def labelSpreadOracleSql(iters: Int): String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5('hs:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 2000 AS src,
+        |    CAST(('0x' || substr(md5('hd:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 2000 AS dst
+        |  FROM events),
+        |und AS (SELECT DISTINCT least(src, dst) AS a,
+        |          greatest(src, dst) AS b
+        |        FROM e0 WHERE src <> dst),
+        |ed AS MATERIALIZED (
+        |  SELECT a AS x, b AS y FROM und
+        |  UNION ALL SELECT b AS x, a AS y FROM und),
+        |sd AS (SELECT DISTINCT src AS node,
+        |         CAST(src % 3 AS INT) AS lbl
+        |       FROM e0 WHERE src < 30),
+        |n0 AS (SELECT DISTINCT x AS node FROM ed),
+        |l0 AS MATERIALIZED (
+        |  SELECT coalesce(n0.node, sd.node) AS node,
+        |    sd.lbl IS NOT NULL AS is_seed, sd.lbl AS label
+        |  FROM n0 FULL OUTER JOIN sd ON n0.node = sd.node)"""
+        .stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""v$k AS (
+         |  SELECT e.x, l.label, count(*) AS c
+         |  FROM ed e JOIN l${k - 1} l ON l.node = e.y
+         |  WHERE l.label IS NOT NULL GROUP BY e.x, l.label),
+         |w$k AS (
+         |  SELECT x AS node, label AS wl FROM (
+         |    SELECT x, label, row_number() OVER (
+         |      PARTITION BY x ORDER BY c DESC, label) AS rn
+         |    FROM v$k) WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT n.node, n.is_seed,
+         |    CASE WHEN n.is_seed THEN n.label
+         |         ELSE coalesce(w.wl, n.label) END AS label
+         |  FROM l${k - 1} n LEFT JOIN w$k w ON w.node = n.node)"""
+        .stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node, label, is_seed FROM l$iters"
+  }
 
   /** q106/q194's shared BM25 replay: tokenize → corpus totals → tf/df
     * → micro-nat idf → per-(query, doc) score → window rank, ending

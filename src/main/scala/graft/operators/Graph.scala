@@ -580,6 +580,76 @@ object Graph {
     hub.join(auth, Seq("node"))
   }
 
+  /** Semi-supervised label spreading (Zhu 2002's label propagation
+    * with CLAMPED seeds — the transductive classifier, distinct from
+    * [[labelPropagation]]'s unsupervised community detection): a
+    * small hand-labeled seed set pushes its labels outward over the
+    * undirected graph; each round every non-seed node adopts the
+    * majority label among its LABELED neighbors (ties → smallest
+    * label), keeps its previous label when no neighbor is labeled
+    * yet, and seeds never change (the clamp — without it the
+    * supervision washes out). The crawl/corpus use: spread
+    * topic/quality/spam labels from a vetted seed list over the link
+    * or similarity graph.
+    *
+    * Fully deterministic synchronous rounds — bit-reproducible in any
+    * engine. Scale: per round one edge⋈labels equi-join (labeled
+    * rows only) + two map-side-combinable hash-aggs, lineage
+    * truncated — the [[labelPropagation]] round shape exactly; never
+    * node×node.
+    *
+    * Output: (node, label, is_seed) after `iters` rounds; nodes no
+    * labeled path reaches hold NULL label. Nodes appearing only in
+    * `seeds` (no observed edges) are still emitted, clamped. */
+  def labelSpread(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedNodeCol: String,
+      seedLabelCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val e = Dedup.truncate(
+      und.select(col("a").as("x"), col("b").as("y"))
+        .union(und.select(col("b").as("x"), col("a").as("y"))))
+    val sd = Dedup.truncate(
+      seeds.select(col(seedNodeCol).as("node"),
+          col(seedLabelCol).as("__seed_label"))
+        .filter(col("node").isNotNull && col("__seed_label").isNotNull)
+        .groupBy(col("node"))
+        .agg(min(col("__seed_label")).as("__seed_label")))
+    var labels = Dedup.truncate(
+      e.select(col("x").as("node")).distinct()
+        .join(sd, Seq("node"), "full_outer")
+        .select(col("node"), col("__seed_label").isNotNull.as("__is_seed"),
+          col("__seed_label").as("label")))
+    var round = 0
+    while (round < iters) {
+      val votes = e
+        .join(labels.filter(col("label").isNotNull)
+            .select(col("node").as("y"), col("label")), Seq("y"))
+        .groupBy(col("x"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val winners = votes.groupBy(col("x").as("node"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("nc"), col("label"))).as("__w"))
+      labels = Dedup.truncate(
+        labels.join(winners, Seq("node"), "left")
+          .select(col("node"), col("__is_seed"),
+            when(col("__is_seed"), col("label"))
+              .otherwise(coalesce(col("__w"), col("label"))).as("label")))
+      round += 1
+    }
+    labels.select(col("node"), col("label"),
+      col("__is_seed").as("is_seed"))
+  }
+
   /** Minimum-hop BFS distance from a seed set over the DIRECTED edge
     * table — crawl depth: how many link hops a page sits from the
     * seed list, the standard frontier-scheduling / quality prior

@@ -290,6 +290,26 @@ class GraphSpec extends SparkSpec {
       "c" -> 0L, "d" -> 0L))
   }
 
+  test("labelSpread: clamped seeds, majority vote, unreached stay NULL") {
+    // Chain: s0(A) - n1 - n2 ; s3(B) - n2 ; island n4 - n5 unreached.
+    val edges = Seq(("s0", "n1"), ("n1", "n2"), ("s3", "n2"),
+      ("n4", "n5")).toDF("src", "dst")
+    val seeds = Seq(("s0", 0), ("s3", 1)).toDF("n", "l")
+    val got = Graph.labelSpread(edges, "src", "dst", seeds, "n", "l",
+        iters = 3)
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1)),
+          r.getBoolean(2)))).toMap
+    // Round 1: n1 <- A (from s0), n2 <- B (only s3 labeled yet).
+    // Round 2: n2 sees labeled {n1=A, s3=B} -> tie -> smaller label A.
+    assert(got("s0") == ((0, true)) && got("s3") == ((1, true)))
+    assert(got("n1") == ((0, false)))
+    assert(got("n2") == ((0, false))) // tie broke to the smaller label
+    assert(got("n4") == ((null, false)) && got("n5") == ((null, false)))
+    // Clamp: seeds NEVER flip even when outvoted (s3's only neighbor
+    // n2 ends A, but s3 stays B).
+  }
+
   test("pageRankSeeded: off-graph seeds keep restart mass") {
     val edges = Seq(("a", "b")).toDF("src", "dst")
     val seeds = Seq("z").toDF("n") // trusted but no observed links
