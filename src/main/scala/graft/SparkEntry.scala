@@ -2427,10 +2427,7 @@ object SparkEntry {
     // id·p mod m puts every point on one lattice line whose minimum
     // inter-point gap exceeds any useful radius: zero pairs.)
     "q174_proximity_join" -> ((s, dir) => {
-      def coord(axis: String) =
-        pmod(TextFunctions.hash60(
-          concat(lit(axis + ":"), col("event_id").cast("string"))),
-          lit(1000000L))
+      def coord(axis: String) = hashMod(axis, col("event_id"), 1000000L)
       val pts = t(s, dir, "events").select(col("event_id").as("id"),
         coord("x").as("x"), coord("y").as("y"))
       Spatial.proximityJoin(pts, "id", "x", "y", radius = 5000)
@@ -2803,10 +2800,7 @@ object SparkEntry {
     // replays the level-synchronous expansion as a depth-bounded
     // recursive CTE + min.
     "q177_hop_distance" -> ((s, dir) => {
-      def node(tag: String) =
-        pmod(TextFunctions.hash60(
-          concat(lit(tag + ":"), col("event_id").cast("string"))),
-          lit(20000L))
+      def node(tag: String) = hashMod(tag, col("event_id"), 20000L)
       val e = t(s, dir, "events")
         .select(node("hs").as("src"), node("hd").as("dst"))
       val seeds = e.select(col("src").as("node"))
@@ -2842,12 +2836,8 @@ object SparkEntry {
     // winner with a window.
     "q179_ip_route" -> ((s, dir) => {
       val ips = t(s, dir, "events").select(col("event_id"),
-        pmod(TextFunctions.hash60(
-            concat(lit("ip:"), col("event_id").cast("string"))),
-          lit(4294967296L)).as("addr"))
-      val rawNet = pmod(TextFunctions.hash60(
-        concat(lit("net:"), col("n_nationkey").cast("string"))),
-        lit(4294967296L))
+        hashMod("ip", col("event_id"), 4294967296L).as("addr"))
+      val rawNet = hashMod("net", col("n_nationkey"), 4294967296L)
       val routes = t(s, dir, "nation")
         .select(col("n_nationkey"), col("n_name"),
           ((col("n_nationkey") % 3) * 4 + 4).cast("int").as("prefix_len"),
@@ -2895,10 +2885,7 @@ object SparkEntry {
     // engines (no L2 norm, no floats). The oracle unrolls the three
     // auth/hub rounds as materialized CTEs.
     "q182_hits" -> ((s, dir) => {
-      def node(tag: String) =
-        pmod(TextFunctions.hash60(
-          concat(lit(tag + ":"), col("event_id").cast("string"))),
-          lit(2000L))
+      def node(tag: String) = hashMod(tag, col("event_id"), 2000L)
       val e = t(s, dir, "events")
         .select(node("hs").as("src"), node("hd").as("dst"))
       Graph.hits(e, "src", "dst", iters = 3)
@@ -2912,9 +2899,7 @@ object SparkEntry {
       val ev = t(s, dir, "events").select(col("user_id"),
         datediff(to_date(col("ts")),
           lit("1970-01-01").cast("date")).as("x"),
-        pmod(TextFunctions.hash60(
-          concat(lit("y:"), col("event_id").cast("string"))),
-          lit(1000L)).as("y"))
+        hashMod("y", col("event_id"), 1000L).as("y"))
       TimeSeries.groupTrend(ev, "user_id", "x", "y")
     }),
 
@@ -2924,10 +2909,7 @@ object SparkEntry {
     // EXACTLY 0 (the spam-demotion property vanilla PageRank lacks).
     // The oracle unrolls the seeded rounds with the same CASE base.
     "q184_trustrank" -> ((s, dir) => {
-      def node(tag: String) =
-        pmod(TextFunctions.hash60(
-          concat(lit(tag + ":"), col("event_id").cast("string"))),
-          lit(2000L))
+      def node(tag: String) = hashMod(tag, col("event_id"), 2000L)
       val e = t(s, dir, "events")
         .select(node("hs").as("src"), node("hd").as("dst"))
       val seeds = e.select(col("src").as("node"))
@@ -3081,9 +3063,7 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           unix_timestamp(col("ts")).as("s0"))
         .withColumn("e0", col("s0") +
-          pmod(TextFunctions.hash60(
-            concat(lit("d:"), col("event_id").cast("string"))),
-            lit(3600L)) + 60L)
+          hashMod("d", col("event_id"), 3600L) + 60L)
       RangeJoin.intervalOverlapJoin(iv, "event_id", "s0", "e0",
         binWidth = 3600L, keyCols = Seq("user_id"))
     }),
@@ -3150,10 +3130,7 @@ object SparkEntry {
     // smaller label, unreached nodes stay NULL. The transductive
     // classifier next to q132's unsupervised LPA.
     "q198_label_spread" -> ((s, dir) => {
-      def node(tag: String) =
-        pmod(TextFunctions.hash60(
-          concat(lit(tag + ":"), col("event_id").cast("string"))),
-          lit(2000L))
+      def node(tag: String) = hashMod(tag, col("event_id"), 2000L)
       val e = t(s, dir, "events")
         .select(node("hs").as("src"), node("hd").as("dst"))
       val seeds = e.select(col("src").as("node"))
@@ -3257,6 +3234,16 @@ object SparkEntry {
   /** q80's input: rebuild each doc's token stream as '. '-joined
     * 8-token sentences (the corpus itself carries no punctuation).
     * Mirrored token-for-token in the DuckDB oracle. */
+  /** Deterministic md5-derived value in [0, mod) keyed on an id
+    * column — the shared fixture generator behind every hash-graph /
+    * hash-coordinate gate (q174/q177/q179/q182/q184/q190/q198). Each
+    * oracle replays the same `md5(tag || ':' || id)` 15-hex-digit
+    * construction. */
+  private def hashMod(tag: String, id: Column, mod: Long)
+      : org.apache.spark.sql.Column =
+    pmod(TextFunctions.hash60(concat(lit(tag + ":"), id.cast("string"))),
+      lit(mod))
+
   private def sentencified(docs: DataFrame, extraCols: String*): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
     docs.select(col("doc_id") +: extraCols.map(col) :+
