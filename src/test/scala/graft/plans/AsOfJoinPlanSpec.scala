@@ -111,6 +111,37 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(bad.getMessage.contains("BIGINT or TIMESTAMP"))
   }
 
+  test("composes with Structured Streaming: as-of state enrichment per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // The streaming shape the reference's state lookup models (J1/J2):
+    // each micro-batch of readings joins the latest config AT OR
+    // BEFORE its time — the custom strategy must plan inside
+    // foreachBatch exactly as in batch.
+    val state = Seq(("dev1", 0L, "cfgA"), ("dev1", 100L, "cfgB"))
+      .toDF("k", "rt", "cfg")
+    val input = MemoryStream[(String, Long, String)](spark)
+    val sink = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q = input.toDF().toDF("k", "lt", "tag").writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          AsOfJoinPlan.join(batch, state, Seq("k"), "lt", "rt")
+            .collect().foreach(r => sink.synchronized {
+              sink += ((r.getString(2),
+                if (r.isNullAt(3)) null else r.getString(3)))
+            })
+      }
+      .start()
+    try {
+      input.addData(("dev1", 50L, "t1"), ("dev1", 150L, "t2"),
+        ("dev1", -5L, "t3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sink.toMap == Map("t1" -> "cfgA", "t2" -> "cfgB",
+      "t3" -> null))
+  }
+
   test("mismatched key or time types are rejected, not mis-merged") {
     val l = Seq((1, 5L)).toDF("k", "lt") // key INT
     val r = Seq((1L, 3L, "p")).toDF("k", "rt", "v") // key BIGINT
