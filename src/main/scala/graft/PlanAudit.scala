@@ -46,7 +46,8 @@ object PlanAudit {
     "q191_cluster_labels" -> "16-row broadcast centroid attach (bounded, via ivfIndex)",
     "q194_rrf_fusion" -> "1-row broadcast corpus-totals attach (BM25) + brute-force dense side (5 broadcast queries)",
     "q195_knn_mislabels" -> "16-row broadcast centroid attach (bounded, via ivfIndex)",
-    "q197_drift_census" -> "1-row broadcast scalar attach (snapshot totals)")
+    "q197_drift_census" -> "1-row broadcast scalar attach (snapshot totals)",
+    "q201_covisitation" -> "1-row broadcast scalar attach (kept-actor count for lift)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
     * partition is bounded (per-user event counts in the fixtures are

@@ -3177,6 +3177,19 @@ object SparkEntry {
           sum(TextFunctions.tokenCount(col("text")).cast("long"))
             .as("n_tokens"),
           min(col("doc_id")).as("min_id"))
+    }),
+
+    // Item co-visitation with exact integer lift ("users who touched
+    // X also touched Y") over the props item ids — per-actor bounded
+    // pair explode with the standard power-user cut (> 55 distinct
+    // items drops the actor), pairs with ≥ 40 shared users (above the
+    // ~36 independence expectation, so the bar actually selects the
+    // over-coupled tail), lift in micro-units.
+    "q201_covisitation" -> ((s, dir) => {
+      val inter = t(s, dir, "events").select(col("user_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("int").as("item"))
+      Recsys.covisitation(inter, "user_id", "item",
+        minShared = 40, maxItemsPerActor = 55)
     })
   )
 
@@ -7043,7 +7056,34 @@ object SparkEntry {
         |  CAST(sum(len(list_filter(string_split(lower(text), ' '),
         |       t -> len(t) > 0))) AS BIGINT) AS n_tokens,
         |  CAST(min(doc_id) AS BIGINT) AS min_id
-        |FROM fin GROUP BY 1""".stripMargin)
+        |FROM fin GROUP BY 1""".stripMargin),
+
+    // Distinct (actor, item), power-user cut, per-actor pair join,
+    // exact lift against the independence baseline.
+    "q201_covisitation" ->
+      """WITH ai AS (
+        |  SELECT DISTINCT user_id AS actor,
+        |    CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT)
+        |      AS item
+        |  FROM events),
+        |ai2 AS (SELECT * FROM ai WHERE item IS NOT NULL),
+        |ka AS (SELECT actor FROM ai2 GROUP BY actor
+        |       HAVING count(*) <= 55),
+        |k2 AS (SELECT ai2.* FROM ai2 JOIN ka USING (actor)),
+        |tot AS (SELECT CAST(count(DISTINCT actor) AS BIGINT) AS nu
+        |        FROM k2),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n
+        |       FROM k2 GROUP BY item),
+        |p AS (
+        |  SELECT l.item AS item_a, r.item AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM k2 l JOIN k2 r ON l.actor = r.actor AND l.item < r.item
+        |  GROUP BY l.item, r.item HAVING count(*) >= 40)
+        |SELECT item_a, item_b, n_ab, a.n AS n_a, b.n AS n_b,
+        |  (1000000 * n_ab * nu) // (a.n * b.n) AS lift_micro
+        |FROM p
+        |JOIN ic a ON a.item = p.item_a
+        |JOIN ic b ON b.item = p.item_b, tot""".stripMargin
   )
 
   /** q81/q200's shared rule-filter replay over source CTE/table
