@@ -47,7 +47,8 @@ object PlanAudit {
     "q194_rrf_fusion" -> "1-row broadcast corpus-totals attach (BM25) + brute-force dense side (5 broadcast queries)",
     "q195_knn_mislabels" -> "16-row broadcast centroid attach (bounded, via ivfIndex)",
     "q197_drift_census" -> "1-row broadcast scalar attach (snapshot totals)",
-    "q201_covisitation" -> "1-row broadcast scalar attach (kept-actor count for lift)")
+    "q201_covisitation" -> "1-row broadcast scalar attach (kept-actor count for lift)",
+    "q202_markov_anomaly" -> "1-row broadcast vocab-size attach + states²-row broadcast model join")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
     * partition is bounded (per-user event counts in the fixtures are
@@ -65,7 +66,8 @@ object PlanAudit {
     "q75_cohort_retention" -> "per-user window (bounded group; cohort min-day)",
     "q145_window_parity" -> "DELIBERATE window vs Ranking-twin parity gate (both plans, hash-equal)",
     "q188_transitions" -> "per-user window (bounded group; lead needs order only)",
-    "q190_bot_regularity" -> "per-user window (bounded group; fixture ordinal + lag gap deltas)")
+    "q190_bot_regularity" -> "per-user window (bounded group; fixture ordinal + lag gap deltas)",
+    "q202_markov_anomaly" -> "per-user window (bounded group; lead needs order only)")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

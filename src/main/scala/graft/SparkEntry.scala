@@ -3190,6 +3190,15 @@ object SparkEntry {
         regexp_extract(col("props"), "[0-9]+", 0).cast("int").as("item"))
       Recsys.covisitation(inter, "user_id", "item",
         minShared = 40, maxItemsPerActor = 55)
+    }),
+
+    // Behavioral anomaly by Markov NLL: the corpus transition model
+    // (q188's census, add-one smoothed) scores each user's own event
+    // stream in exact micro-nats — scripted/backwards behavior ranks
+    // high. Same ln-micro-nat convention the LM gates pinned.
+    "q202_markov_anomaly" -> ((s, dir) => {
+      Sessionize.markovNll(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
     })
   )
 
@@ -7083,7 +7092,32 @@ object SparkEntry {
         |  (1000000 * n_ab * nu) // (a.n * b.n) AS lift_micro
         |FROM p
         |JOIN ic a ON a.item = p.item_a
-        |JOIN ic b ON b.item = p.item_b, tot""".stripMargin
+        |JOIN ic b ON b.item = p.item_b, tot""".stripMargin,
+
+    // lead() transitions, add-one model, micro-nat scores, per-user
+    // NLL sum.
+    "q202_markov_anomaly" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |tr AS (SELECT * FROM o WHERE to_state IS NOT NULL),
+        |cft AS (SELECT from_state, to_state, count(*) AS cft
+        |        FROM tr GROUP BY from_state, to_state),
+        |cf AS (SELECT from_state, count(*) AS cf
+        |       FROM tr GROUP BY from_state),
+        |v AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS nv
+        |      FROM events),
+        |m AS (
+        |  SELECT cft.from_state, cft.to_state,
+        |    CAST(round(1e6 * ln((cft.cft + 1.0) / (cf.cf + nv)))
+        |      AS BIGINT) AS s
+        |  FROM cft JOIN cf USING (from_state), v)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_trans,
+        |  CAST(-sum(s) AS BIGINT) AS nll_micro
+        |FROM tr JOIN m USING (from_state, to_state)
+        |GROUP BY user_id""".stripMargin
   )
 
   /** q81/q200's shared rule-filter replay over source CTE/table

@@ -80,6 +80,53 @@ object Sessionize {
         countDistinct(col(keyCol)).as("n_keys"))
   }
 
+  /** Sequence-anomaly scoring by first-order Markov NLL: train the
+    * corpus transition model (add-one smoothed over the state
+    * vocabulary), then score each key's stream by the summed negative
+    * log-likelihood of its own transitions — a key whose behavior the
+    * corpus model finds improbable (backwards funnels, error loops,
+    * scripted paths) floats to the top. The behavioral sibling of the
+    * bigram-LM text perplexity gate, same micro-nat convention:
+    * per-transition score = round(1e6·ln((c(f,t)+1)/(c(f)+V))) — an
+    * IEEE ln of an exact rational, rounded to 1e-6, which both
+    * engines compute bit-identically (the lmPerplexity precedent).
+    *
+    * Scale: one per-key window for `lead` (bounded group), two
+    * map-side-combinable censuses for the model (states² rows — a
+    * broadcast by construction), one broadcast model join back onto
+    * the transitions, one final hash-agg per key. The transition
+    * stream is pinned once — model and scoring both read it.
+    *
+    * Output: (key, n_trans, nll_micro) — higher nll_micro = more
+    * anomalous; keys with < 2 events have no transitions and are
+    * absent. */
+  def markovNll(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieBreak: String,
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
+    val tr = Dedup.truncate(
+      df.select(col(keyCol), col(stateCol).as("from_state"),
+          lead(col(stateCol), 1).over(w).as("to_state"))
+        .filter(col("to_state").isNotNull))
+    val cft = tr.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("__cft"))
+    val cf = tr.groupBy(col("from_state")).agg(count(lit(1)).as("__cf"))
+    val v = df.agg(countDistinct(col(stateCol)).as("__nv"))
+    val model = cft.join(cf, Seq("from_state"))
+      .crossJoin(broadcast(v))
+      .select(col("from_state"), col("to_state"),
+        round(lit(1000000.0) *
+            log((col("__cft") + lit(1.0)) / (col("__cf") + col("__nv"))))
+          .cast("long").as("__s"))
+    tr.join(broadcast(model), Seq("from_state", "to_state"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_trans"),
+        (-sum(col("__s"))).as("nll_micro"))
+  }
+
   /** Metronome detection: per-key inter-event-gap statistics in EXACT
     * integer arithmetic — bots fetch on a timer, humans don't, so a
     * key whose gap variance is (near-)zero over many events is

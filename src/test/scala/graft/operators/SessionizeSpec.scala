@@ -75,4 +75,29 @@ class SessionizeSpec extends SparkSpec {
     // n=2, d=(60,120): var_num = 2*(3600+14400) - 180^2 = 3600.
     assert(got("hum") == ((2L, 60L, 120L, 3600L, false)))
   }
+
+  test("markovNll: the off-model path scores more anomalous, exact micro-nats") {
+    // Corpus: click->view happens 3 times, view->click once.
+    // u1/u2/u3 follow the common path; odd walks AGAINST it.
+    val df = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 1L, "click"),
+      ("u1", ts("2024-01-01 10:01:00"), 2L, "view"),
+      ("u2", ts("2024-01-01 10:00:00"), 3L, "click"),
+      ("u2", ts("2024-01-01 10:01:00"), 4L, "view"),
+      ("u3", ts("2024-01-01 10:00:00"), 5L, "click"),
+      ("u3", ts("2024-01-01 10:01:00"), 6L, "view"),
+      ("odd", ts("2024-01-01 10:00:00"), 7L, "view"),
+      ("odd", ts("2024-01-01 10:01:00"), 8L, "click"))
+      .toDF("u", "ts", "id", "et")
+    val got = Sessionize.markovNll(df, "u", "ts", "id", "et")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // V = 2 states. c(click->view)=3, c(click)=3: p = 4/5.
+    // c(view->click)=1, c(view)=1: p = 2/3.
+    val sCommon = -math.round(1e6 * math.log(4.0 / 5.0))
+    val sOdd = -math.round(1e6 * math.log(2.0 / 3.0))
+    assert(got("u1") == ((1L, sCommon)))
+    assert(got("odd") == ((1L, sOdd)))
+    assert(sOdd > sCommon) // against-the-grain path is more anomalous
+  }
 }
