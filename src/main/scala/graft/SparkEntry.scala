@@ -7072,8 +7072,7 @@ object SparkEntry {
     "q201_covisitation" ->
       """WITH ai AS (
         |  SELECT DISTINCT user_id AS actor,
-        |    CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT)
-        |      AS item
+        |    TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS item
         |  FROM events),
         |ai2 AS (SELECT * FROM ai WHERE item IS NOT NULL),
         |ka AS (SELECT actor FROM ai2 GROUP BY actor

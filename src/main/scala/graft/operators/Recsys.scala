@@ -25,8 +25,9 @@ object Recsys {
     * that also bounds the quadratic term), then one map-side-
     * combinable census per unordered pair and two item-count joins.
     * Never item×item over the catalog, never corpus-wide windows.
-    * Overflow: n_ab·n_actors and n_a·n_b must stay < 2⁶³/1e6 —
-    * actors ≤ ~3·10⁹ with counts ≤ actors always satisfies it.
+    * Overflow: 1e6·n_ab·n_actors must stay < 2⁶³, so keep kept
+    * actors below ~3·10⁶ (= √(2⁶³/1e6)) — beyond that, drop the 1e6
+    * scale or pre-divide n_ab·n_actors.
     *
     * Output: (item_a, item_b, n_ab, n_a, n_b, lift_micro) with
     * item_a < item_b. */
@@ -49,8 +50,10 @@ object Recsys {
       .select(col("__actor"))
     val kept = ai.join(keptActors, Seq("__actor"), "left_semi")
     // 1-row broadcast scalar attach (the q84/q106 convention) — no
-    // driver action, the count stays in the plan.
-    val tot = kept.agg(countDistinct(col("__actor")).as("__nu"))
+    // driver action; counted from the one-row-per-actor census, not a
+    // distinct re-scan of the interaction table (every kept actor has
+    // ≥ 1 item by construction).
+    val tot = keptActors.agg(count(lit(1)).as("__nu"))
     val itemCounts = kept.groupBy(col("__item"))
       .agg(count(lit(1)).as("__n"))
     val pairs = kept.select(col("__actor"), col("__item").as("item_a"))

@@ -113,7 +113,9 @@ object Sessionize {
         .filter(col("to_state").isNotNull))
     val cft = tr.groupBy(col("from_state"), col("to_state"))
       .agg(count(lit(1)).as("__cft"))
-    val cf = tr.groupBy(col("from_state")).agg(count(lit(1)).as("__cf"))
+    // From-state totals fold out of the states²-row census — a second
+    // full-transition aggregation would rescan tr for the same values.
+    val cf = cft.groupBy(col("from_state")).agg(sum(col("__cft")).as("__cf"))
     val v = df.agg(countDistinct(col(stateCol)).as("__nv"))
     val model = cft.join(cf, Seq("from_state"))
       .crossJoin(broadcast(v))
