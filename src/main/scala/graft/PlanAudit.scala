@@ -48,7 +48,8 @@ object PlanAudit {
     "q195_knn_mislabels" -> "16-row broadcast centroid attach (bounded, via ivfIndex)",
     "q197_drift_census" -> "1-row broadcast scalar attach (snapshot totals)",
     "q201_covisitation" -> "1-row broadcast scalar attach (kept-actor count for lift)",
-    "q202_markov_anomaly" -> "1-row broadcast vocab-size attach + states²-row broadcast model join")
+    "q202_markov_anomaly" -> "1-row broadcast vocab-size attach + states²-row broadcast model join",
+    "q203_decayed_counts" -> "1-row broadcast scalar attach (corpus max date)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
     * partition is bounded (per-user event counts in the fixtures are

@@ -3199,6 +3199,22 @@ object SparkEntry {
     "q202_markov_anomaly" -> ((s, dir) => {
       Sessionize.markovNll(t(s, dir, "events"),
         "user_id", "ts", "event_id", "event_type")
+    }),
+
+    // Trending items under EXACT exponential decay: every interaction
+    // is worth 1e6 micro-points halved per elapsed 7-day half-life
+    // via arithmetic shift — recency weighting with zero floats (IEEE
+    // pow would leak last-ulp diffs through the sum; >> cannot). Age
+    // measured in days back from the corpus max date.
+    "q203_decayed_counts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val mx = ev.agg(max(to_date(col("ts"))).as("__mx"))
+      val aged = ev.crossJoin(broadcast(mx))
+        .select(regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+            .as("item"),
+          datediff(col("__mx"), to_date(col("ts"))).as("age_days"))
+      TimeSeries.decayedCounts(aged, "item", "age_days",
+        lit(1000000L), halfLife = 7L)
     })
   )
 
@@ -7116,7 +7132,20 @@ object SparkEntry {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_trans,
         |  CAST(-sum(s) AS BIGINT) AS nll_micro
         |FROM tr JOIN m USING (from_state, to_state)
-        |GROUP BY user_id""".stripMargin
+        |GROUP BY user_id""".stripMargin,
+
+    // Same arithmetic-shift decay: 1e6 >> (age_days // 7), capped 62.
+    "q203_decayed_counts" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events),
+        |a AS (
+        |  SELECT TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS INT)
+        |      AS item,
+        |    CAST(m - CAST(ts AS DATE) AS BIGINT) AS age
+        |  FROM events, mx)
+        |SELECT item, CAST(count(*) AS BIGINT) AS n_obs,
+        |  CAST(sum(1000000 >> CAST(least(greatest(age, 0) // 7, 62)
+        |    AS INT)) AS BIGINT) AS decayed
+        |FROM a GROUP BY item""".stripMargin
   )
 
   /** q81/q200's shared rule-filter replay over source CTE/table

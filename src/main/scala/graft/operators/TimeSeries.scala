@@ -114,4 +114,41 @@ object TimeSeries {
         when(col("slope_den") === 0L, lit(null).cast("int"))
           .otherwise(signum(col("slope_num")).cast("int")))
   }
+
+  /** Exponentially time-decayed counts with EXACT power-of-two decay:
+    * each observation contributes `weight >> (age div halfLife)` —
+    * halve per elapsed half-life, floored — so "recent activity
+    * matters more" (trending items, hot domains, decaying reputation)
+    * without a single float: `0.5^x` via arithmetic shift is
+    * bit-identical in every engine and immune to summation order,
+    * where IEEE `pow` would leak last-ulp diffs through the sum.
+    * The floor means a unit weight vanishes entirely beyond
+    * log₂(weight) half-lives — the natural retention horizon (weight
+    * 1e6 ≈ 20 half-lives); shifts cap at 62 so huge ages stay
+    * defined.
+    *
+    * `ageCol` = now − event time in the caller's unit (same unit as
+    * `halfLife`); negative ages are clamped to 0 (future-dated rows
+    * count full). Scale: one map pass + one map-side-combinable
+    * hash-agg per key — nothing else.
+    *
+    * Output: (key, n_obs, decayed) — decayed in the weight's unit. */
+  def decayedCounts(
+      df: DataFrame,
+      keyCol: String,
+      ageCol: String,
+      weight: Column,
+      halfLife: Long): DataFrame = {
+    require(halfLife > 0, "halfLife must be positive")
+    // `div`, not `/` — Divide on Longs returns DOUBLE (the standing
+    // integer-exactness rule).
+    val shift = least(
+      expr(s"greatest(cast($ageCol AS BIGINT), 0L) div ${halfLife}L"),
+      lit(62L)).cast("int")
+    df.select(col(keyCol), weight.cast("long").as("__w"),
+        shift.as("__k"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(expr("shiftright(__w, __k)")).as("decayed"))
+  }
 }

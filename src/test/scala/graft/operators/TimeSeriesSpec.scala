@@ -29,4 +29,21 @@ class TimeSeriesSpec extends SparkSpec {
     val r = TimeSeries.groupTrend(obs, "k", "x", "y").head()
     assert(r.getLong(2) == 0L && r.getLong(3) > 0L && r.getInt(4) == 0)
   }
+
+  test("decayedCounts: shift-exact halving, negative-age clamp, 62 cap") {
+    import org.apache.spark.sql.functions.lit
+    val obs = Seq(
+      ("hot", 0L),       // full weight
+      ("hot", 7L),       // one half-life -> 500
+      ("hot", 15L),      // two (15 div 7 = 2) -> 250
+      ("hot", -3L),      // future-dated clamps to full weight
+      ("cold", 7000L),   // ~1000 half-lives: capped shift -> 0
+      ("cold", 70L))     // 10 half-lives of weight 1000 -> 0 (floored)
+      .toDF("k", "age")
+    val got = TimeSeries.decayedCounts(obs, "k", "age", lit(1000L), 7L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got("hot") == ((4L, 1000L + 500L + 250L + 1000L)))
+    assert(got("cold") == ((2L, 0L))) // horizon: weight vanished
+  }
 }
