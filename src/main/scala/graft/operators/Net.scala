@@ -37,13 +37,18 @@ object Net {
     parts.foldLeft(0L)((a, o) => a * 256L + o.toLong)
   }
 
-  /** Unsigned-32-bit-as-Long address → dotted quad. Map-only. */
+  /** Unsigned-32-bit-as-Long address → dotted quad. Exact integer
+    * bit extraction (shift + mask — the standing integer-exactness
+    * rule; no float division); an address outside [0, 2³²) is
+    * quarantined as NULL, mirroring [[ipv4ToLong]]'s treatment of
+    * malformed input. Map-only. */
   def longToIpv4(addr: Column): Column =
-    concat_ws(".",
-      (addr / 16777216L).cast("long") % 256L,
-      (addr / 65536L).cast("long") % 256L,
-      (addr / 256L).cast("long") % 256L,
-      addr % 256L)
+    when(addr >= 0L && addr < 4294967296L,
+      concat_ws(".",
+        shiftright(addr, 24).bitwiseAND(lit(255L)),
+        shiftright(addr, 16).bitwiseAND(lit(255L)),
+        shiftright(addr, 8).bitwiseAND(lit(255L)),
+        addr.bitwiseAND(lit(255L))))
 
   /** `addr` masked to its top `prefixLen` bits (the network part of a
     * /prefixLen CIDR block) via a compile-time netmask literal —

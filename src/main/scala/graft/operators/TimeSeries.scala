@@ -141,12 +141,14 @@ object TimeSeries {
       halfLife: Long): DataFrame = {
     require(halfLife > 0, "halfLife must be positive")
     // `div`, not `/` — Divide on Longs returns DOUBLE (the standing
-    // integer-exactness rule).
+    // integer-exactness rule). The caller's ageCol is resolved via
+    // col() (names needing backticks work), then the div runs over
+    // the aliased working column — never raw name interpolation.
     val shift = least(
-      expr(s"greatest(cast($ageCol AS BIGINT), 0L) div ${halfLife}L"),
-      lit(62L)).cast("int")
+      expr(s"__age div ${halfLife}L"), lit(62L)).cast("int")
     df.select(col(keyCol), weight.cast("long").as("__w"),
-        shift.as("__k"))
+        greatest(col(ageCol).cast("long"), lit(0L)).as("__age"))
+      .select(col(keyCol), col("__w"), shift.as("__k"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_obs"),
         sum(expr("shiftright(__w, __k)")).as("decayed"))
