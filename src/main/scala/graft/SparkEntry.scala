@@ -3215,8 +3215,120 @@ object SparkEntry {
           datediff(col("__mx"), to_date(col("ts"))).as("age_days"))
       TimeSeries.decayedCounts(aged, "item", "age_days",
         lit(1000000L), halfLife = 7L)
+    }),
+
+    // Whitespace-variety tokenization: rebuild each doc with mixed
+    // \n/\t/space separators plus a tabbed suffix — under a literal
+    // single-space split "foo\nbar" stays ONE token, so these counts
+    // and the order-invariant fingerprint would all be wrong; under
+    // \s+ they are exact. The %7 rows append Cyrillic+CJK text:
+    // wordPieceCount must score non-Latin letter/digit runs
+    // (\p{L}\p{N}, not [a-z0-9] — an ASCII-only run class silently
+    // zeroes quality signals for non-English corpora).
+    "q204_whitespace_tokens" -> ((s, dir) => {
+      val sep = when(col("doc_id") % 3 === 0, lit("\n"))
+        .when(col("doc_id") % 3 === 1, lit("\t"))
+        .otherwise(lit(" \n\t"))
+      val wbase = concat(regexp_replace(col("text"), lit(" "), sep),
+        lit("\ttail\ntok"))
+      val wuni = concat(wbase,
+        when(col("doc_id") % 7 === 0, lit("\nпривет мир42 你好"))
+          .otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(wbase).cast("int").as("n_tokens"),
+        TextFunctions.wordPieceCount(wuni).cast("int").as("n_pieces"),
+        TextFunctions.sortedTokenFingerprint(wbase).as("fp"))
+    }),
+
+    // Script-aware near-dup over an unspaced-CJK corpus: each doc is
+    // transliterated to CJK with spaces DELETED (translate's
+    // shorter-to-string rule), paired with a 3-chars-shorter variant,
+    // plus 20 untouched Latin controls that exercise the whitespace
+    // branch of the router. Under whitespace tokens the CJK docs each
+    // hash as ONE giant token (no 3-shingles ⇒ invisible to MinHash);
+    // tokensScriptAware routes cjk-dominant docs to char bigrams, so
+    // the near-dup pairs surface through the standard banded LSH +
+    // exact-Jaccard pipeline.
+    "q205_cjk_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ct = translate(lower(col("text")), CjkFrom, CjkAlpha)
+      val cj = d.filter(col("doc_id") < 150)
+        .select(col("doc_id"), ct.as("ct"))
+      val a = cj.select((col("doc_id") * 2).as("doc_id"),
+        col("ct").as("text"))
+      val b = cj.select((col("doc_id") * 2 + 1).as("doc_id"),
+        col("ct").substr(lit(1),
+          greatest(length(col("ct")) - 3, lit(0))).as("text"))
+      val ctrl = d.filter(col("doc_id") >= 150 && col("doc_id") < 170)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.minhashNearDups(a.unionByName(b).unionByName(ctrl),
+          "doc_id", "text",
+          tokenizer = TextFunctions.tokensScriptAware)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
+    // JPEG rows through the multimodal boundary: even ids carry the
+    // REAL embedded baseline JPEG (Multimodal.JpegFixture — dhash is
+    // actual decoded pixels, the oracle pins the decoder-locked
+    // golden), odd ids a jpeg-magic-prefixed corrupt payload (decode
+    // fails → deterministic chunk fingerprints still gate the bytes).
+    // Sniff verdicts and hex-chunk md5s are computed by BOTH engines;
+    // dhash rides only on decodable rows (DuckDB has no JPEG codec —
+    // the full decode behavior itself is spec-locked on real bytes in
+    // MultimodalSpec).
+    "q206_jpeg_media" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val content = when(col("doc_id") % 2 === 0,
+          unhex(lit(Multimodal.JpegFixture.hex)))
+        .otherwise(concat(unhex(lit("FFD8FFE000104A46")),
+          col("text").cast("binary")))
+      val media = d.select(col("doc_id").as("media_id"),
+        content.as("content"))
+      val sniffed = media.select(col("media_id"),
+        Multimodal.sniffType(col("content")).as("kind"),
+        length(col("content")).cast("long").as("n_bytes"))
+      val fps = Multimodal.chunkFingerprints(media, "media_id", "content", 64)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_chunks"), min(col("fp")).as("min_fp"))
+      val dh = Multimodal.dhash(
+        media.filter(col("media_id") % 2 === 0), "media_id", "content")
+      sniffed.join(fps, "media_id")
+        .join(dh, Seq("media_id"), "left")
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("n_chunks"), col("min_fp"), col("dhash"))
+    }),
+
+    // Metadata-only aggregates through the ACID layer: commit the
+    // corpus, then answer count(*)/min/max from MANIFEST LINES alone
+    // (per-file footer row counts + min/max stats) — zero data-file
+    // reads, the way a 100 TB warehouse must serve `SELECT count(*)`.
+    // The DuckDB oracle computes the same aggregates from the raw
+    // table, so commit bookkeeping, stats merge AND the no-scan
+    // answer all sit under the cross-engine hash gate
+    // (ManifestTableSpec proves the zero-read property itself by
+    // deleting the data files and asking again).
+    "q207_manifest_stats" -> ((s, dir) => {
+      import graft.sources.ManifestTable
+      val base = scratchDir("graft-q207")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("source"))
+      ManifestTable.commitMulti(s, base, "stats-gate",
+        snapshots = Map("docs" -> docs))
+      ManifestTable.statsAgg(s, base, "docs",
+        minMaxCols = Seq("doc_id", "n_chars"))
+        .getOrElse(sys.error("manifest could not prove statsAgg"))
     })
   )
+
+  /** 36 consecutive CJK ideographs (U+4E00–U+4E23): the substitution
+    * alphabet of q205's synthetic unspaced-CJK corpus. a–z0–9 map
+    * 1:1; the trailing space in [[CjkFrom]] has no counterpart, so
+    * `translate` deletes it — genuinely unspaced text. The SAME
+    * Scala constant is interpolated into the oracle twin, so the two
+    * sides cannot drift. */
+  private val CjkAlpha: String =
+    (0x4E00 until 0x4E00 + 36).map(_.toChar).mkString
+  private val CjkFrom: String = "abcdefghijklmnopqrstuvwxyz0123456789 "
 
   /** Shared fixture of q180/q181: two crawl snapshots of the corpus
     * keyed by a unique per-doc URL over four hosts (two of which
@@ -3547,26 +3659,26 @@ object SparkEntry {
         |       THEN CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
         |       ELSE 0.0 END AS mean_token_len,
         |  CASE WHEN length(text) > 0
-        |       THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |       THEN CAST(length(text) - length(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
         |       ELSE 0.0 END AS punct_ratio,
         |  CASE WHEN len(w) > 0
         |       THEN CAST(len(list_filter(w, t -> list_contains([STOPWORDS], t))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
         |       ELSE 0.0 END AS stopword_ratio
         |FROM (SELECT doc_id, text,
-        |        list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+        |        list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS w
         |      FROM documents)""".stripMargin
         .replace("STOPWORDS", allStopwordsSqlList),
 
     "q26_token_stats" ->
       """SELECT source, count(*) AS n_docs,
-        |  CAST(sum(len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0))) AS BIGINT) AS n_tokens,
-        |  CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0))) AS BIGINT) AS n_pieces
+        |  CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> len(t) > 0))) AS BIGINT) AS n_pieces
         |FROM documents GROUP BY source""".stripMargin,
 
     "q27_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
-        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0))), ' ')) AS fp
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0))), ' ')) AS fp
         |FROM documents""".stripMargin,
 
     "q37_string_surface" ->
@@ -3593,7 +3705,7 @@ object SparkEntry {
 
     "q39_wordcount" ->
       """SELECT token, count(*) AS n FROM (
-        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |                            t -> len(t) > 0)) AS token
         |  FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
@@ -3750,7 +3862,7 @@ object SparkEntry {
 
     "q66_tfidf_rank" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |                                    t -> len(t) > 0)) AS token
         |  FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -3774,13 +3886,13 @@ object SparkEntry {
         |         THEN CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
         |         ELSE 0.0 END AS mean_token_len,
         |    CASE WHEN length(text) > 0
-        |         THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |         THEN CAST(length(text) - length(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
         |         ELSE 0.0 END AS punct_ratio,
         |    CASE WHEN len(w) > 0
         |         THEN CAST(len(list_filter(w, t -> list_contains([STOPWORDS], t))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
         |         ELSE 0.0 END AS stopword_ratio
         |  FROM (SELECT lang, text,
-        |          list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+        |          list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS w
         |        FROM documents))
         |SELECT lang,
         |  CASE WHEN n_tokens < 5 THEN 'too_short'
@@ -3870,7 +3982,7 @@ object SparkEntry {
 
     "q47_tf_df" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |                                    t -> len(t) > 0)) AS token
         |  FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -4074,7 +4186,7 @@ object SparkEntry {
     "q76_sequence_pack" ->
       """WITH d AS (
         |  SELECT source, doc_id,
-        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |         t -> len(t) > 0)) AS BIGINT) AS n_tokens
         |  FROM documents),
         |r AS (
@@ -4128,14 +4240,14 @@ object SparkEntry {
       """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |         AS BIGINT) % 32 AS shard,
         |  count(*) AS n_docs,
-        |  CAST(sum(len(list_filter(string_split(lower(text), ' '),
+        |  CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
         |       t -> len(t) > 0))) AS BIGINT) AS n_tokens,
         |  CAST(min(doc_id) AS BIGINT) AS min_id
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q80_sentence_dedup" ->
       """WITH w0 AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |                             t -> len(t) > 0) AS w
         |  FROM documents),
         |d AS (
@@ -4163,7 +4275,7 @@ object SparkEntry {
     "q82_importance_resample" ->
       """WITH rated AS (
         |  SELECT doc_id,
-        |    CASE WHEN len(list_filter(string_split(lower(text), ' '),
+        |    CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'),
         |                              t -> len(t) > 0)) >= 40
         |         THEN 90 ELSE 25 END AS rate_percent
         |  FROM documents)
@@ -4179,7 +4291,7 @@ object SparkEntry {
         |         THEN text || repeat(' click here buy now', 12)
         |         ELSE text END AS text
         |  FROM documents),
-        |w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |w0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |                                  t -> len(t) > 0) AS w FROM di),
         |g2 AS (SELECT doc_id,
         |         unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
@@ -4222,7 +4334,7 @@ object SparkEntry {
     "q84_mixture" ->
       """WITH d AS (
         |  SELECT doc_id, source,
-        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |         t -> len(t) > 0)) AS BIGINT) AS n_tokens
         |  FROM documents),
         |s AS (SELECT source, sum(n_tokens) AS src_tokens FROM d GROUP BY 1),
@@ -4303,7 +4415,7 @@ object SparkEntry {
         |FROM n""".stripMargin,
 
     "q89_repeated_spans" ->
-      """WITH w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |                                       t -> len(t) > 0) AS w
         |            FROM documents),
         |g AS (SELECT doc_id,
@@ -4336,7 +4448,7 @@ object SparkEntry {
         |FROM w0 d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
 
     "q90_collocations" ->
-      """WITH w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |                                       t -> len(t) > 0) AS w
         |            FROM documents),
         |uc AS (SELECT tok, count(*) AS c
@@ -4363,7 +4475,7 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT u.tok
         |  FROM documents d,
-        |    UNNEST(list_filter(string_split(lower(d.text), ' '),
+        |    UNNEST(list_filter(string_split_regex(lower(d.text), '\s+'),
         |                       t -> len(t) > 0)) AS u(tok)
         |  WHERE len(u.tok) >= 2),
         |pairs AS (
@@ -4493,7 +4605,7 @@ object SparkEntry {
     "q96_chunk_overlap" ->
       """WITH tk AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
         |  FROM documents),
         |n AS (
         |  SELECT doc_id, toks, len(toks) AS n,
@@ -4517,7 +4629,7 @@ object SparkEntry {
         |  SELECT d.doc_id, (d.source = 'src0') AS is_t,
         |    CAST(('0x' || substr(md5(u.tok), 1, 15)) AS BIGINT) % 256 AS b
         |  FROM documents d,
-        |    UNNEST(list_filter(string_split(lower(d.text), ' '),
+        |    UNNEST(list_filter(string_split_regex(lower(d.text), '\s+'),
         |                       t -> len(t) > 0)) AS u(tok)),
         |counts AS (
         |  SELECT b, CAST(count(*) AS BIGINT) AS c_raw,
@@ -4540,7 +4652,7 @@ object SparkEntry {
     "q98_cdc_chunks" ->
       """WITH tk AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
         |  FROM documents),
         |pos AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok,
@@ -4585,7 +4697,7 @@ object SparkEntry {
     "q100_vocab_stats" ->
       """WITH tok AS (
         |  SELECT source,
-        |    unnest(list_filter(string_split(lower(text), ' '),
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |           t -> len(t) > 0)) AS tok
         |  FROM documents),
         |tc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2)
@@ -4694,7 +4806,7 @@ object SparkEntry {
     "q107_group_quantiles" ->
       """WITH s AS (
         |  SELECT source,
-        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |         t -> len(t) > 0)) AS BIGINT) AS n_tokens,
         |    doc_id
         |  FROM documents),
@@ -4728,7 +4840,7 @@ object SparkEntry {
     "q109_weighted_sample" ->
       """WITH s AS (
         |  SELECT source, doc_id,
-        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |         t -> len(t) > 0)) AS BIGINT) AS w
         |  FROM documents),
         |k AS (
@@ -4749,7 +4861,7 @@ object SparkEntry {
     "q113_winsorize" ->
       """WITH s AS (
         |  SELECT source,
-        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |         t -> len(t) > 0)) AS BIGINT) AS n_tokens,
         |    doc_id
         |  FROM documents),
@@ -4773,7 +4885,7 @@ object SparkEntry {
     "q112_robust_z" ->
       """WITH s AS (
         |  SELECT source,
-        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |         t -> len(t) > 0)) AS BIGINT) AS n_tokens,
         |    doc_id
         |  FROM documents),
@@ -4849,13 +4961,13 @@ object SparkEntry {
 
     "q114_quantile_sketch" -> graft.operators.Sketches.lhQuantilesSql(
       "documents",
-      """CAST(len(list_filter(string_split(lower(text), ' '),
+      """CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |         t -> len(t) > 0)) AS BIGINT)""".stripMargin,
       Seq("source"), Seq(0.5, 0.9, 0.99)),
 
     "q117_hll_overlap" -> graft.operators.Sketches.hllOverlapSql(
       table = """(SELECT source,
-                |   unnest(list_filter(string_split(lower(text), ' '),
+                |   unnest(list_filter(string_split_regex(lower(text), '\s+'),
                 |     t -> len(t) > 0)) AS tok
                 | FROM documents)""".stripMargin,
       keySql = "tok", groupCol = "source"),
@@ -4867,7 +4979,7 @@ object SparkEntry {
 
     "q115_cm_heavy_hitters" -> graft.operators.Sketches.cmEstimateSql(
       fromSql =
-        """SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+        """SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'),
           |    t -> len(t) > 0)) AS k FROM documents""".stripMargin,
       keysSql =
         """SELECT source, k FROM (
@@ -5152,7 +5264,7 @@ object SparkEntry {
     // the oracle: the gate's answer IS the exact-heavy set.
     "q156_mg_heavy_hitters" ->
       """WITH toks AS (
-        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0)) AS tok FROM documents),
         |tot AS (SELECT count(*) AS n FROM toks)
         |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
@@ -5231,7 +5343,7 @@ object SparkEntry {
     // q89's shingle idiom, extended to the rewrite: min-doc_id gram
     // owners, coverage of foreign grams, order-preserving re-join.
     "q159_span_scrub" ->
-      """WITH w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |                                       t -> len(t) > 0) AS w
         |            FROM documents),
         |g AS (SELECT doc_id,
@@ -5275,7 +5387,7 @@ object SparkEntry {
         |    || '<a href="https://partner.example.org/ref?id='
         |      || CAST(doc_id AS VARCHAR) || '">'
         |      || array_to_string(list_slice(list_filter(
-        |           string_split(lower(text), ' '), t -> len(t) > 0),
+        |           string_split_regex(lower(text), '\s+'), t -> len(t) > 0),
         |           1, 2), ' ') || '</a>'
         |    || '<a href="//mirror.example.net/m/' || source
         |      || '">mirror ' || source || '</a>'
@@ -5326,7 +5438,7 @@ object SparkEntry {
         |  SELECT regexp_extract(url,
         |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)
         |      AS host,
-        |    unnest(list_filter(string_split(lower(txt), ' '),
+        |    unnest(list_filter(string_split_regex(lower(txt), '\s+'),
         |      t -> len(t) > 0)) AS term
         |  FROM r WHERE url IS NOT NULL),
         |cnt AS (SELECT host, term, count(*) AS cnt FROM tc GROUP BY 1, 2),
@@ -5343,7 +5455,7 @@ object SparkEntry {
         |    (3, 'agg join small'), (4, 'the quick brown'))
         |    AS v(phrase_id, ptext)),
         |ptok AS (SELECT phrase_id,
-        |           list_filter(string_split(lower(ptext), ' '),
+        |           list_filter(string_split_regex(lower(ptext), '\s+'),
         |             t -> len(t) > 0) AS w
         |         FROM ph),
         |pt AS (SELECT phrase_id,
@@ -5351,7 +5463,7 @@ object SparkEntry {
         |         unnest(w) AS term, len(w) AS m
         |       FROM ptok),
         |w0 AS (SELECT doc_id,
-        |         list_filter(string_split(lower(text), ' '),
+        |         list_filter(string_split_regex(lower(text), '\s+'),
         |           t -> len(t) > 0) AS w
         |       FROM documents),
         |post AS (SELECT doc_id,
@@ -5374,7 +5486,7 @@ object SparkEntry {
     // Corpus.knScore; micro-nat quantization per occurrence.
     "q162_kn_perplexity" ->
       """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |         t -> len(t) > 0) AS toks
         |  FROM documents),
         |occ AS (
@@ -6134,7 +6246,7 @@ object SparkEntry {
     "q142_group_buckets" ->
       """WITH s AS (
         |  SELECT source,
-        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |         t -> len(t) > 0)) AS BIGINT) AS n_tokens,
         |    doc_id
         |  FROM documents),
@@ -6234,7 +6346,7 @@ object SparkEntry {
     "q135_top_tokens" ->
       """WITH tok AS (
         |  SELECT source,
-        |    unnest(list_filter(string_split(lower(text), ' '),
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0)) AS tok
         |  FROM documents),
         |c AS (
@@ -6328,7 +6440,7 @@ object SparkEntry {
     // Same md5-derived hash60, sign bit, and bit-length idf.
     "q123_hashed_vectors" ->
       """WITH occ AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |    t -> len(t) > 0)) AS tok
         |  FROM documents),
         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
@@ -6351,7 +6463,7 @@ object SparkEntry {
     // shorter than the offset), list_extract pairing, integer weights.
     "q122_skipgram_counts" ->
       """WITH w0 AS (
-        |  SELECT list_filter(string_split(lower(text), ' '),
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
         |         t -> len(t) > 0) AS w
         |  FROM documents),
         |o AS (
@@ -6409,7 +6521,7 @@ object SparkEntry {
 
     // q89's twin with the shared-gram census on DISTINCT doc count.
     "q120_crossdoc_spans" ->
-      """WITH w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |                                       t -> len(t) > 0) AS w
         |            FROM documents),
         |g AS (SELECT doc_id,
@@ -6450,7 +6562,7 @@ object SparkEntry {
     "q118_nb_classify" ->
       """WITH tr AS MATERIALIZED (
         |  SELECT source AS cls,
-        |    unnest(list_filter(string_split(lower(text), ' '),
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0)) AS tok
         |  FROM documents WHERE doc_id % 2 = 0),
         |ctc AS MATERIALIZED (
@@ -6478,7 +6590,7 @@ object SparkEntry {
         |  FROM dc CROSS JOIN dt),
         |occ AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split(lower(text), ' '),
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0)) AS tok
         |  FROM documents WHERE doc_id % 2 = 1),
         |sc AS (
@@ -6504,7 +6616,7 @@ object SparkEntry {
     "q176_boilerplate_strip" ->
       """WITH w0 AS (
         |  SELECT doc_id, source,
-        |    list_filter(string_split(lower(text), ' '),
+        |    list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0) AS w
         |  FROM documents),
         |d AS (
@@ -6844,7 +6956,7 @@ object SparkEntry {
          |cm AS (SELECT vec_id AS doc_id, cell FROM asg),
          |tk AS (
          |  SELECT doc_id,
-         |    unnest(list_filter(string_split(lower(text), ' '),
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
          |      t -> len(t) > 0)) AS term
          |  FROM documents),
          |tf AS (
@@ -6867,7 +6979,7 @@ object SparkEntry {
     // — the winnowing replay over the same 48-bit md5 prefix hash.
     "q192_winnow_near_dups" ->
       """WITH w0 AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |                             t -> len(t) > 0) AS w
         |  FROM documents),
         |g AS (
@@ -7078,7 +7190,7 @@ object SparkEntry {
         |SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |         AS BIGINT) % 32 AS shard,
         |  count(*) AS n_docs,
-        |  CAST(sum(len(list_filter(string_split(lower(text), ' '),
+        |  CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
         |       t -> len(t) > 0))) AS BIGINT) AS n_tokens,
         |  CAST(min(doc_id) AS BIGINT) AS min_id
         |FROM fin GROUP BY 1""".stripMargin),
@@ -7145,7 +7257,124 @@ object SparkEntry {
         |SELECT item, CAST(count(*) AS BIGINT) AS n_obs,
         |  CAST(sum(1000000 >> CAST(least(greatest(age, 0) // 7, 62)
         |    AS INT)) AS BIGINT) AS decayed
-        |FROM a GROUP BY item""".stripMargin
+        |FROM a GROUP BY item""".stripMargin,
+
+    "q204_whitespace_tokens" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, ' ',
+        |      CASE WHEN doc_id % 3 = 0 THEN chr(10)
+        |           WHEN doc_id % 3 = 1 THEN chr(9)
+        |           ELSE ' ' || chr(10) || chr(9) END, 'g')
+        |      || chr(9) || 'tail' || chr(10) || 'tok' AS wbase
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, wbase,
+        |    wbase || CASE WHEN doc_id % 7 = 0
+        |      THEN chr(10) || 'привет мир42 你好' ELSE '' END AS wuni
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(wbase), '\s+'),
+        |    t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(
+        |    string_split_regex(lower(wuni), '[^\p{L}\p{N}]+'),
+        |    t -> len(t) > 0)) AS INTEGER) AS n_pieces,
+        |  md5(array_to_string(list_sort(list_distinct(list_filter(
+        |    string_split_regex(lower(wbase), '\s+'),
+        |    t -> len(t) > 0))), ' ')) AS fp
+        |FROM u""".stripMargin,
+
+    "q205_cjk_neardup" -> nearDupChainSqlOver(
+      s"""cj AS (
+         |  SELECT doc_id,
+         |    translate(lower(text), '$CjkFrom', '$CjkAlpha') AS ct
+         |  FROM documents WHERE doc_id < 150),
+         |base AS (
+         |  SELECT doc_id * 2 AS doc_id, ct AS text FROM cj
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1,
+         |    substr(ct, 1, greatest(length(ct) - 3, 0)) FROM cj
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents
+         |  WHERE doc_id >= 150 AND doc_id < 170),
+         |cnt AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[A-Za-z\\x{00C0}-\\x{024F}]')) AS BIGINT) AS n_latin,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[\\x{0400}-\\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7A3}]'))
+         |      AS BIGINT) AS n_cjk,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[\\x{0600}-\\x{06FF}]')) AS BIGINT) AS n_arabic,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[\\x{0370}-\\x{03FF}]')) AS BIGINT) AS n_greek,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+         |      AS n_digit
+         |  FROM base),
+         |dom AS (
+         |  SELECT doc_id, text, CASE
+         |    WHEN n_latin > 0 AND n_latin >= greatest(n_cyrillic, n_cjk,
+         |      n_arabic, n_greek, n_digit) THEN 'latin'
+         |    WHEN n_cyrillic > 0 AND n_cyrillic >= greatest(n_cjk,
+         |      n_arabic, n_greek, n_digit) THEN 'cyrillic'
+         |    WHEN n_cjk > 0 AND n_cjk >= greatest(n_arabic, n_greek,
+         |      n_digit) THEN 'cjk'
+         |    WHEN n_arabic > 0 AND n_arabic >= greatest(n_greek, n_digit)
+         |      THEN 'arabic'
+         |    WHEN n_greek > 0 AND n_greek >= n_digit THEN 'greek'
+         |    WHEN n_digit > 0 THEN 'digit'
+         |    ELSE 'und' END AS dominant
+         |  FROM cnt),
+         |cd0 AS (
+         |  SELECT doc_id, text, dominant,
+         |    regexp_replace(lower(text), '\\s+', '', 'g') AS cd
+         |  FROM dom),
+         |toks AS (
+         |  SELECT doc_id, CASE WHEN dominant = 'cjk'
+         |    THEN list_filter(list_transform(
+         |           generate_series(1, greatest(length(cd) - 1, 0)),
+         |           i -> substr(cd, i, 2)), s2 -> length(s2) = 2)
+         |    ELSE list_filter(string_split_regex(lower(text), '\\s+'),
+         |           t -> len(t) > 0) END AS w
+         |  FROM cd0)""".stripMargin),
+
+    "q206_jpeg_media" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN unhex('${graft.operators.Multimodal.JpegFixture.hex}')
+         |      ELSE unhex('FFD8FFE000104A46') || encode(text) END AS content
+         |  FROM documents WHERE doc_id < 200),
+         |h AS (
+         |  SELECT media_id, hex(content) AS hx,
+         |    octet_length(content) AS nb
+         |  FROM m),
+         |c AS (
+         |  SELECT media_id,
+         |    md5(substring(hx, CAST(u.i * 128 + 1 AS INTEGER), 128)) AS fp
+         |  FROM h, UNNEST(generate_series(0, (nb - 1) // 64)) AS u(i)),
+         |f AS (
+         |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |    min(fp) AS min_fp
+         |  FROM c GROUP BY media_id)
+         |SELECT h.media_id,
+         |  CASE WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
+         |       WHEN starts_with(hx, 'FFD8FF') THEN 'jpeg'
+         |       ELSE 'unknown' END AS kind,
+         |  CAST(nb AS BIGINT) AS n_bytes,
+         |  f.n_chunks, f.min_fp,
+         |  CASE WHEN h.media_id % 2 = 0
+         |    THEN CAST(${graft.operators.Multimodal.JpegFixture.dhash} AS BIGINT)
+         |    ELSE NULL END AS dhash
+         |FROM h JOIN f USING (media_id)""".stripMargin,
+
+    "q207_manifest_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+        |FROM documents""".stripMargin
   )
 
   /** q81/q200's shared rule-filter replay over source CTE/table
@@ -7168,7 +7397,7 @@ object SparkEntry {
         .stripMargin
     s"""b AS (
       |  SELECT doc_id,
-      |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS toks,
       |    len(text) AS n_chars,
       |    len(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')) AS alnum,
       |    len(regexp_replace(text, '[0-9]', '', 'g')) AS nodigit
@@ -7255,7 +7484,7 @@ object SparkEntry {
     * Spark side's `Retrieval.bm25Scores` + `Ranking.groupTopK`. */
   private val bm25ChainSql: String =
     """w AS (
-      |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
       |         t -> len(t) > 0) AS toks
       |  FROM documents),
       |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM w),
@@ -7694,7 +7923,7 @@ object SparkEntry {
     val head =
       """WITH toks AS (
         |  SELECT tok, CAST(count(*) AS BIGINT) AS w
-        |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |        t -> len(t) > 0)) AS tok FROM documents)
         |  GROUP BY 1),
         |enc0 AS MATERIALIZED (
@@ -7720,7 +7949,7 @@ object SparkEntry {
     }.mkString(",\n")
     val tail =
       s"""d AS (
-         |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
          |    t -> len(t) > 0)) AS tok FROM documents)
          |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |  CAST(sum(len(e.s) - len(replace(e.s, '<', ''))) AS BIGINT)
@@ -7740,7 +7969,7 @@ object SparkEntry {
     """dt AS (
       |  SELECT d.doc_id, u.tok, count(*) AS c
       |  FROM documents d,
-      |    UNNEST(list_filter(string_split(lower(d.text), ' '),
+      |    UNNEST(list_filter(string_split_regex(lower(d.text), '\s+'),
       |                       t -> len(t) > 0)) AS u(tok)
       |  GROUP BY 1, 2),
       |dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
@@ -7761,7 +7990,7 @@ object SparkEntry {
   private lazy val ensembleMuSql: String =
     s"""$lmNllCtes,
        |$rarityCtes,
-       |w0 AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+       |w0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
        |                                  t -> len(t) > 0) AS w
        |       FROM documents),
        |g2 AS (SELECT doc_id,
@@ -7808,7 +8037,7 @@ object SparkEntry {
     * positionally in DuckDB, giving the bigram stream. */
   private lazy val lmNllCtes: String =
     """w AS (
-      |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
       |         t -> len(t) > 0) AS toks
       |  FROM documents),
       |occ AS (
@@ -7844,19 +8073,71 @@ object SparkEntry {
        |         ELSE list_transform(generate_series(0, len(w)-3),
        |                i -> array_to_string(list_slice(w, i+1, i+3), ' ')) END) AS sh
        |  FROM (SELECT doc_id,
-       |          list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+       |          list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS w
        |        FROM documents $whereClause)""".stripMargin
 
   /** Shared CTE text: tokens → 3-shingles → one 48-bit md5 per shingle
     * → 16 affine minhash values → 4 bands of 4 (mirrors
     * Dedup.minhashSignatures/minhashBands, same (a,b,p) constants). */
-  private lazy val minhashBandsSql: String = {
+  /** The 16 affine minhash aggregate exprs over a `hs` BIGINT list —
+    * shared by [[minhashBandsSql]] and the script-aware q205 chain so
+    * the (a,b,p) constants can never diverge between gates. */
+  private lazy val minhashSigExprsSql: String = {
     val p = graft.operators.Dedup.MinhashP
-    val sigExprs = graft.operators.Dedup.minhashParams(16).map { case (a, b) =>
+    graft.operators.Dedup.minhashParams(16).map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $p))"
     }.mkString(",\n      ")
+  }
+
+  /** Full LSH near-dup chain — 3-shingles over caller-supplied
+    * `toks(doc_id, w)` → 16 affine minhashes → 4 bands of 4 →
+    * in-bucket candidate pairs → exact shingle-set Jaccard ≥ 0.6 —
+    * mirroring Dedup.minhashNearDups at its default (16, 4, 3, 0.6).
+    * `withCtes` must define `toks` and owns no name in
+    * {sh, hsh, sig, bands, cands}. */
+  private def nearDupChainSqlOver(withCtes: String): String = {
+    val p = graft.operators.Dedup.MinhashP
+    s"""WITH $withCtes,
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_transform(generate_series(0, len(w)-3),
+       |                i -> array_to_string(list_slice(w, i+1, i+3), ' ')) END) AS s
+       |  FROM toks),
+       |hsh AS (
+       |  SELECT doc_id, list_transform(s, x ->
+       |    CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT) % $p) AS hs
+       |  FROM sh WHERE len(s) > 0),
+       |sig AS (
+       |  SELECT doc_id, list_value(
+       |      $minhashSigExprsSql) AS sig
+       |  FROM hsh),
+       |bands AS (
+       |  SELECT doc_id, CAST(b AS INTEGER) AS band_id,
+       |         md5(array_to_string(list_slice(sig, b*4+1, b*4+4), ',')) AS band_key
+       |  FROM sig, UNNEST(generate_series(0, 3)) AS u(b)),
+       |cands AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_id = r.band_id AND l.band_key = r.band_key
+       |  WHERE l.doc_id < r.doc_id)
+       |SELECT a, b, round(j, 6) AS jaccard FROM (
+       |  SELECT c.a, c.b,
+       |    CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+       |         THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |              / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+       |         ELSE 0.0 END AS j
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b)
+       |WHERE j >= 0.6""".stripMargin
+  }
+
+  private lazy val minhashBandsSql: String = {
+    val p = graft.operators.Dedup.MinhashP
+    val sigExprs = minhashSigExprsSql
     s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS w
        |  FROM documents),
        |sh AS (
        |  SELECT doc_id, list_distinct(
@@ -7887,7 +8168,7 @@ object SparkEntry {
     s"""SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
        |FROM (
        |  SELECT doc_id, list_transform(
-       |    list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)),
+       |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)),
        |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
        |  FROM documents)""".stripMargin
   }
@@ -8252,7 +8533,7 @@ object SparkEntry {
     }.mkString(" ")
     s"""WITH toks AS (
        |  SELECT doc_id, lang,
-       |         list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+       |         list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS w
        |  FROM documents),
        |scored AS (
        |  SELECT doc_id, lang,

@@ -11,18 +11,28 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens, lower-cased. Empty string ⇒ empty array (split
-    * of "" yields [""], which we filter). */
+  /** Whitespace tokens, lower-cased. Splits on ANY whitespace run
+    * (`\s+` — space, tab, newline, CR), not the literal space: real
+    * documents are full of `\n`/`\t`, and a single-space split would
+    * keep `"foo\nbar"` as one token, poisoning every token-derived
+    * signal downstream (shingles, MinHash, BM25, token counts).
+    * Empty string ⇒ empty array (split of "" yields [""], and a
+    * leading-whitespace string yields a leading "" — both filtered).
+    * Oracle twin: DuckDB `string_split_regex(lower(x), '\s+')`. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), " "), t => length(t) > 0)
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** A BPE-ish proxy: alphanumeric runs (word pieces). Count of
-    * `[a-z0-9]+` runs in the lower-cased text. */
+    * Unicode letter/digit runs (`[\p{L}\p{N}]+`) in the lower-cased
+    * text — NOT ASCII-only: a Cyrillic or CJK document must score
+    * nonzero pieces or every quality signal consuming this silently
+    * zeroes for non-English corpora. Java and RE2 (the DuckDB oracle)
+    * agree on `\p{L}`/`\p{N}` over the BMP. */
   def wordPieceCount(text: Column): Column =
-    size(filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0))
+    size(filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0))
 
   /** 64-bit-ish stable hash of a string: first 15 hex chars of md5 →
     * 60-bit non-negative long. Deterministic and reproducible in any
@@ -131,6 +141,37 @@ object TextFunctions {
       decode(encode(mapped, "ISO-8859-1"), "UTF-8")).otherwise(text)
   }
 
+  /** Character bigrams of the whitespace-condensed, lower-cased text —
+    * the token unit for unspaced scripts (CJK, Thai), where whitespace
+    * tokenization yields one giant token per sentence and every
+    * token-derived signal (shingles, MinHash, token counts) goes
+    * blind. One `zip_with` over the per-character array — no
+    * per-element lambda touches the split subtree, so the regex work
+    * stays O(n) per row. "ab cd" ⇒ ["ab","bc","cd"]; under-2-char
+    * text ⇒ empty array. BMP-exact (Spark splits UTF-16 at code
+    * points; the DuckDB oracle twin is `substr`-generated bigrams over
+    * the same condensed text — both character-based). */
+  def charBigrams(text: Column): Column = {
+    val condensed = regexp_replace(lower(text), "\\s+", "")
+    val chars = split(condensed, "(?!^)")
+    // zip chars with their successors; the last element pairs with
+    // zip_with's padding and is dropped by the exact-length filter —
+    // no off-by-one slicing.
+    filter(zip_with(chars, slice(chars, lit(2), size(chars)),
+      (a, b) => concat(a, b)), s => length(s) === 2)
+  }
+
+  /** Script-aware tokens: route by [[scriptProfile]]'s dominant
+    * class — character bigrams for CJK (whitespace tokenization is
+    * meaningless on unspaced scripts: two CJK near-duplicates hash as
+    * single giant tokens and are invisible to MinHash), whitespace
+    * tokens ([[tokens]]) for everything else. Pure expression; the
+    * routing predicate is 6 codegen'd regexp_counts at scan speed.
+    * Drop-in for any `tokenizer` parameter in the dedup family. */
+  def tokensScriptAware(text: Column): Column =
+    when(scriptProfile(text).getField("dominant") === "cjk",
+      charBigrams(text)).otherwise(tokens(text))
+
   /** Language-ID: argmax of marker-hit counts, ties broken by language
     * code ascending; zero hits everywhere ⇒ "und". Pure expression —
     * scores land in a struct array sorted descending by (hits, -lang).
@@ -145,7 +186,9 @@ object TextFunctions {
     val toks = tokens(text)
     val nChars = length(text)
     val nToks = size(toks)
-    val alnum = length(regexp_replace(lower(text), "[^a-z0-9\\s]", ""))
+    // Unicode letter/digit, not ASCII — CJK/Cyrillic chars are text,
+    // not punctuation (mirrors wordPieceCount's script-neutral class).
+    val alnum = length(regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""))
     val punctRatio = when(nChars > 0,
       (nChars - alnum).cast("double") / nChars.cast("double")).otherwise(0.0)
     val allStop = langMarkers.flatMap(_._2).distinct

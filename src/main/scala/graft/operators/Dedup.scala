@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,7 +74,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int,
-      shingleSize: Int): DataFrame = {
+      shingleSize: Int,
+      tokenizer: Column => Column = tokens): DataFrame = {
     val params = minhashParams(k)
     // Whole shingle→hash→K-way-min pipeline in one codegen'd pass
     // (custom expression): the HOF formulation re-walks an interpreted
@@ -84,7 +85,7 @@ object Dedup {
       col("toks"), shingleSize,
       params.map(_._1).toArray, params.map(_._2).toArray, MinhashP)
     // Docs too short to shingle have no signature — drop, not bucket-collide.
-    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    docs.select(col(idCol), tokenizer(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleSize)
       .select(col(idCol), sig.as("sig"))
   }
@@ -133,8 +134,10 @@ object Dedup {
       k: Int = 16,
       rowsPerBand: Int = 4,
       shingleSize: Int = 3,
-      threshold: Double = 0.6): DataFrame =
-    candidatePairSets(docs, idCol, textCol, k, rowsPerBand, shingleSize)
+      threshold: Double = 0.6,
+      tokenizer: Column => Column = tokens): DataFrame =
+    candidatePairSets(docs, idCol, textCol, k, rowsPerBand, shingleSize,
+      tokenizer)
       .withColumn("jaccard",
         coalesce(graft.functions.GraftExpressions.jaccardSorted(
           col("sh_a"), col("sh_b")), lit(0.0)))
@@ -153,12 +156,13 @@ object Dedup {
       textCol: String,
       k: Int,
       rowsPerBand: Int,
-      shingleSize: Int): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleSize)
+      shingleSize: Int,
+      tokenizer: Column => Column = tokens): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleSize, tokenizer)
     val cands = minhashCandidates(minhashBands(sigs, idCol, k, rowsPerBand), idCol)
     val sets = docs.select(col(idCol),
       graft.functions.GraftExpressions
-        .sortedShingleSet(tokens(col(textCol)), shingleSize).as("sh"))
+        .sortedShingleSet(tokenizer(col(textCol)), shingleSize).as("sh"))
     cands
       .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("sh", "sh_a"), "a")
       .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("sh", "sh_b"), "b")

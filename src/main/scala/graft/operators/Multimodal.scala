@@ -145,6 +145,76 @@ object Multimodal {
     }
   }
 
+  /** REAL JPEG codec — the dominant crawl-image format, decoded via
+    * the JDK-bundled ImageIO JPEG reader behind the same magic-byte
+    * gate as [[PngCodec]] (baseline and progressive JFIF/EXIF;
+    * exotic variants like CMYK that the reader rejects fall through
+    * to the stub like any other decode failure). */
+  object JpegCodec {
+    /** FF D8 (SOI) followed by a third FF (first marker byte) — the
+      * `file(1)` JPEG signature; matches [[sniffType]]'s `FFD8FF`. */
+    def isJpeg(content: Array[Byte]): Boolean =
+      content.length >= 3 && (content(0) & 0xff) == 0xff &&
+        (content(1) & 0xff) == 0xd8 && (content(2) & 0xff) == 0xff
+
+    /** Same guarded ImageIO path as [[PngCodec.decode]] — NonFatal,
+      * because codec plugins throw unchecked exceptions on crafted
+      * bytes that pass the magic check. */
+    def decode(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content)))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+
+  /** Deterministic 16×16 baseline-JPEG fixture, pinned as hex so SQL
+    * gates can `unhex` it and so the golden [[dhash]] below is a
+    * decoder lock, not a magic number. Generated ONCE from the
+    * pattern `v = (53x + 31y + 23·((x·y) mod 7)) mod 256` written as
+    * TYPE_INT_RGB and encoded by the JDK's bundled ImageIO JPEG
+    * writer; MultimodalSpec re-decodes these exact bytes and asserts
+    * the dhash, so a JDK decoder change surfaces as a test failure,
+    * never as a silent gate mismatch. */
+  object JpegFixture {
+    val hex: String =
+    "FFD8FFE000104A46494600010200000100010000FFDB00430008060607060508" +
+    "0707070909080A0C140D0C0B0B0C1912130F141D1A1F1E1D1A1C1C20242E2720" +
+    "222C231C1C2837292C30313434341F27393D38323C2E333432FFDB0043010909" +
+    "090C0B0C180D0D1832211C213232323232323232323232323232323232323232" +
+    "323232323232323232323232323232323232323232323232323232323232FFC0" +
+    "0011080010001003012200021101031101FFC4001F0000010501010101010100" +
+    "000000000000000102030405060708090A0BFFC400B510000201030302040305" +
+    "0504040000017D01020300041105122131410613516107227114328191A10823" +
+    "42B1C11552D1F02433627282090A161718191A25262728292A3435363738393A" +
+    "434445464748494A535455565758595A636465666768696A737475767778797A" +
+    "838485868788898A92939495969798999AA2A3A4A5A6A7A8A9AAB2B3B4B5B6B7" +
+    "B8B9BAC2C3C4C5C6C7C8C9CAD2D3D4D5D6D7D8D9DAE1E2E3E4E5E6E7E8E9EAF1" +
+    "F2F3F4F5F6F7F8F9FAFFC4001F01000301010101010101010100000000000001" +
+    "02030405060708090A0BFFC400B5110002010204040304070504040001027700" +
+    "0102031104052131061241510761711322328108144291A1B1C109233352F015" +
+    "6272D10A162434E125F11718191A262728292A35363738393A43444546474849" +
+    "4A535455565758595A636465666768696A737475767778797A82838485868788" +
+    "898A92939495969798999AA2A3A4A5A6A7A8A9AAB2B3B4B5B6B7B8B9BAC2C3C4" +
+    "C5C6C7C8C9CAD2D3D4D5D6D7D8D9DAE2E3E4E5E6E7E8E9EAF2F3F4F5F6F7F8F9" +
+    "FAFFDA000C03010002110311003F00AD610D9E870C979776B25E697A738B5B8B" +
+    "289A27303E1E212A2961B9B794C93B597CD23E60A08B135B8B9B97B074B996F9" +
+    "D95AE25B5122CB7708CAC9D76AC8AFB762A81B02A00AC431024D30D9C5AA5DCD" +
+    "ACDD4FBB4FB39D120172B29B870B99D8121433B654904B306C02C31835F51B8B" +
+    "8B48A3B386DEDD95A592E2E6E99E3856E59A26675653FEA77472499665079665" +
+    "F9546003FFD9"
+    /** dhash of the decoded fixture (real pixels, not the stub). */
+    val dhash: Long = -3140463234907280851L
+  }
+
+  /** Magic-gated image decode shared by the batched stages: real
+    * pixels for PNG and JPEG, None elsewhere — callers fall through
+    * to the deterministic stub. */
+  private[operators] def decodeImage(
+      content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (PngCodec.isPng(content)) PngCodec.decode(content)
+    else if (JpegCodec.isJpeg(content)) JpegCodec.decode(content)
+    else None
+
   /** REAL audio codec — RIFF/WAVE decoded to PCM samples via
     * `javax.sound.sampled` (JDK-bundled, like imageio). Same
     * (bytes in, primitives out) boundary as [[PngCodec]]. */
@@ -215,13 +285,14 @@ object Multimodal {
   }
 
   /** 9×8 grayscale grid for the perceptual hash — REAL pixels for
-    * PNG (bilinear resize to 9×8, BT.601 integer luma: the same
-    * 299/587/114 weights as [[PngCodec.features]]), deterministic
-    * md5-derived stub elsewhere (`channel(content, idx) % 256`,
-    * row-major idx — the construction a SQL oracle can mirror). */
+    * PNG and JPEG (bilinear resize to 9×8, BT.601 integer luma: the
+    * same 299/587/114 weights as [[PngCodec.features]]),
+    * deterministic md5-derived stub elsewhere
+    * (`channel(content, idx) % 256`, row-major idx — the
+    * construction a SQL oracle can mirror). */
   private[operators] def grayGridFor(content: Array[Byte]): Array[Int] = {
-    val fromPng: Option[Array[Int]] =
-      if (PngCodec.isPng(content)) PngCodec.decode(content).map { img =>
+    val fromImage: Option[Array[Int]] =
+      decodeImage(content).map { img =>
         val small = {
           val out = new java.awt.image.BufferedImage(
             9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -239,8 +310,8 @@ object Multimodal {
           (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
             (rgb & 0xff) * 114) / 1000
         }
-      } else None
-    fromPng.getOrElse(
+      }
+    fromImage.getOrElse(
       Array.tabulate(72)(i => (FakeCodec.channel(content, i) % 256).toInt))
   }
 
@@ -369,10 +440,10 @@ object Multimodal {
       "media_id", "afp", nBands = 4, maxHamming = maxHamming)
 
   /** Magic-byte dispatch shared by the batched stages: real pixels
-    * for PNG, real PCM for WAV, deterministic stub elsewhere. */
+    * for PNG/JPEG, real PCM for WAV, deterministic stub elsewhere. */
   private def featuresFor(content: Array[Byte], dim: Int): Array[Double] =
-    if (PngCodec.isPng(content))
-      PngCodec.decode(content).map(PngCodec.features(_, dim))
+    if (PngCodec.isPng(content) || JpegCodec.isJpeg(content))
+      decodeImage(content).map(PngCodec.features(_, dim))
         .getOrElse(FakeCodec.features(content, dim))
     else if (WavCodec.isWav(content))
       WavCodec.decode(content).map(d => WavCodec.features(d._2, dim))
@@ -458,8 +529,9 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
     ds.mapPartitions { it =>
       it.map { case (id, kind, content) =>
-        val out = (if (PngCodec.isPng(content)) PngCodec.decode(content)
-          else None) match {
+        // Real decode for PNG/JPEG; output is normalized to PNG
+        // bytes either way (a resize stage re-encodes by contract).
+        val out = decodeImage(content) match {
           case Some(img) => PngCodec.resize(img, w, h)
           case None => FakeCodec.resize(content, w, h)
         }

@@ -91,7 +91,8 @@ object ManifestTable {
   private case class Manifest(version: Long, txns: Seq[String],
       adds: Seq[String], snaps: Seq[String], state: Option[String],
       stats: Map[String, String], schemas: Map[String, String],
-      removes: Seq[String])
+      removes: Seq[String], rows: Map[String, Long],
+      blooms: Map[(String, String), String])
 
   private def parseManifest(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -128,7 +129,24 @@ object ManifestTable {
       // delete rewrote or emptied it). Older versions still list it,
       // so time travel and vacuum keep seeing it.
       removes = lines.collect {
-        case l if l.startsWith("remove:") => l.drop(7) })
+        case l if l.startsWith("remove:") => l.drop(7) },
+      // rows:<file>\t<count> — the file's exact row count from its
+      // parquet footer, enabling metadata-only count(*) (statsAgg).
+      rows = lines.collect {
+        case l if l.startsWith("rows:") && l.contains('\t') =>
+          val body = l.drop(5)
+          val i = body.indexOf('\t')
+          scala.util.Try(body.take(i) -> body.drop(i + 1).toLong).toOption
+      }.flatten.toMap,
+      // bloom:<file>\t<col>\t<hex bits> — compact per-file membership
+      // filter for point-lookup file skipping (see fileBloomLines).
+      blooms = lines.collect {
+        case l if l.startsWith("bloom:") && l.count(_ == '\t') >= 2 =>
+          val body = l.drop(6)
+          val i = body.indexOf('\t')
+          val j = body.indexOf('\t', i + 1)
+          (body.take(i), body.slice(i + 1, j)) -> body.drop(j + 1)
+      }.toMap)
   }
 
   private def listLog(fs: org.apache.hadoop.fs.FileSystem,
@@ -368,7 +386,7 @@ object ManifestTable {
     // 1. Data files first — invisible until a manifest references them.
     val safeTxn = txnId.replaceAll("[^A-Za-z0-9._-]", "_")
     def writeOut(table: String, df: DataFrame)
-        : (Seq[String], Long, Map[String, String]) = {
+        : (Seq[String], Long, Map[String, String], Map[String, Long]) = {
       val rel = s"$table/$DataDir/$safeTxn-${java.util.UUID.randomUUID()}"
       df.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/$rel")
       val (fs, dataPath) = fsAndPath(spark, s"$baseDir/$rel")
@@ -389,16 +407,42 @@ object ManifestTable {
       // skip whole files under a predicate (the 100 TB scan win).
       val conf = spark.sessionState.newHadoopConf()
       var n = 0L
+      val rowsB = Map.newBuilder[String, Long]
       val stats = files.flatMap { f =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-        val footer = try { n += r.getRecordCount; r.getFooter } finally r.close()
-        val json = footerStatsJson(footer)
-        json.map(j => s"$rel/${f.getName}" -> j)
+        val (cnt, footer) =
+          try (r.getRecordCount, r.getFooter) finally r.close()
+        n += cnt
+        rowsB += (s"$rel/${f.getName}" -> cnt)
+        footerStatsJson(footer).map(j => s"$rel/${f.getName}" -> j)
       }.toMap
-      (files.map(f => s"$rel/${f.getName}"), n, stats)
+      (files.map(f => s"$rel/${f.getName}"), n, stats, rowsB.result())
     }
     val written = (appends ++ snapshots).map { case (t, df) => t -> writeOut(t, df) }
+
+    // Per-file Bloom membership lines for the columns named in
+    // `graft.manifest.bloomCols` (comma-separated; opt-in because it
+    // costs one extra distributed pass over the JUST-written files —
+    // never over the table). Integral/string columns only: the hash
+    // key is the value's string form, which must render identically
+    // at build (executor cast) and probe (driver literal) time.
+    val bloomLines: Seq[String] = {
+      val cols = spark.conf.getOption("graft.manifest.bloomCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      if (cols.isEmpty) Nil
+      else (appends ++ snapshots).toSeq.sortBy(_._1).flatMap { case (t, df) =>
+        import org.apache.spark.sql.types._
+        val eligible = df.schema.fields.collect {
+          case f if cols.contains(f.name) &&
+              Seq(ByteType, ShortType, IntegerType, LongType, StringType)
+                .contains(f.dataType) => f.name
+        }.toSeq
+        if (eligible.isEmpty) Nil
+        else fileBloomLines(spark, baseDir, written(t)._1, eligible)
+      }
+    }
 
     beforeCommit()
 
@@ -417,6 +461,9 @@ object ManifestTable {
       written.toSeq.sortBy(_._1).flatMap(_._2._1).map(f => s"add:$f") ++
       written.toSeq.sortBy(_._1).flatMap(_._2._3.toSeq.sortBy(_._1))
         .map { case (f, j) => s"stats:$f\t$j" } ++
+      written.toSeq.sortBy(_._1).flatMap(_._2._4.toSeq.sortBy(_._1))
+        .map { case (f, c) => s"rows:$f\t$c" } ++
+      bloomLines ++
       // A schema line activates explicit-schema reads, so an APPEND may
       // stamp one only where that cannot regress: the table already
       // tracks its schema, or it has no live files yet (brand-new). An
@@ -457,7 +504,7 @@ object ManifestTable {
     if (committed % ckptEvery == 0)
       try compact(spark, baseDir)
       catch { case scala.util.control.NonFatal(_) => () }
-    written.map { case (t, (_, n, _)) => t -> n }
+    written.map { case (t, (_, n, _, _)) => t -> n }
   }
 
   /** A column's per-file value range: numeric (exact decimal) or
@@ -609,10 +656,15 @@ object ManifestTable {
       m.snaps ++ m.adds.map(_.takeWhile(_ != '/'))).distinct.sorted
     val live = tables.flatMap(t => liveFiles(log, t))
     val allStats = log.flatMap(_.stats).toMap // files write once; any wins
+    val allRows = log.flatMap(_.rows).toMap
+    val allBlooms = log.flatMap(_.blooms).toMap
     val body = (log.flatMap(_.txns).distinct.map(t => s"txn:$t") ++
       tables.map(t => s"snap:$t") ++
       live.map(f => s"add:$f") ++
       live.flatMap(f => allStats.get(f).map(j => s"stats:$f\t$j")) ++
+      live.flatMap(f => allRows.get(f).map(c => s"rows:$f\t$c")) ++
+      live.flatMap(f => allBlooms.collect {
+        case ((bf, c), hx) if bf == f => s"bloom:$f\t$c\t$hx" }.toSeq.sorted) ++
       tables.flatMap(t => log.reverse.flatMap(_.schemas.get(t)).headOption
         .map(j => s"schema:$t\t$j")) ++
       log.reverse.flatMap(_.state).headOption.map(s => s"state:$s"))
@@ -685,9 +737,14 @@ object ManifestTable {
           "instead")
     schemaGuard(log)
     val allStats = oldLog.flatMap(_.stats).toMap
+    val allRows = oldLog.flatMap(_.rows).toMap
+    val allBlooms = oldLog.flatMap(_.blooms).toMap
     val body = (Seq(s"txn:$txnId", s"snap:$table") ++
       files.map(f => s"add:$f") ++
       files.flatMap(f => allStats.get(f).map(j => s"stats:$f\t$j")) ++
+      files.flatMap(f => allRows.get(f).map(c => s"rows:$f\t$c")) ++
+      files.flatMap(f => allBlooms.collect {
+        case ((bf, c), hx) if bf == f => s"bloom:$f\t$c\t$hx" }.toSeq.sorted) ++
       schemaJson.map(j => s"schema:$table\t$j")).mkString("", "\n", "\n")
     val (fs, logPath) = fsAndPath(spark, s"$baseDir/$LogDir")
     fs.mkdirs(logPath)
@@ -1121,17 +1178,229 @@ object ManifestTable {
     * by [[read]]'s skipFilter and every rewrite op so their notions of
     * "affected file" can never diverge. Conservative: a file without
     * stats lands on the may-match side. */
+
+  /** Metadata-only aggregates — `count(*)`, `min(col)`, `max(col)`
+    * answered from manifest lines alone, ZERO data-file reads: at
+    * 100 TB a `SELECT count(*)` should be a manifest read, not a
+    * scan. Row counts come from the per-file `rows:` lines (exact
+    * parquet footer counts recorded at commit); min/max from the
+    * per-file `stats:` ranges merged across live files.
+    *
+    * Returns None — caller falls back to the scan — whenever the
+    * manifest cannot PROVE the answer: any live file predates the
+    * `rows:` line (legacy commit), or a requested column lacks
+    * recorded numeric stats in any nonempty live file (unsupported
+    * type, all-null file, pre-stats manifest). `minMaxCols` are
+    * limited to the plain INT32/INT64/DOUBLE columns footer stats
+    * cover exactly; string columns are excluded by design — parquet
+    * writers may TRUNCATE binary stats, which stays a valid pruning
+    * BOUND but is not the exact min/max value. min/max cover
+    * non-null values, matching the SQL aggregates' null-skipping.
+    *
+    * Output: one row — `cnt` plus `min_<c>`/`max_<c>` per requested
+    * column, typed per the committed schema (NULL on an empty
+    * table). Time-travels with `asOfVersion` like [[read]]. */
+  def statsAgg(
+      spark: SparkSession,
+      baseDir: String,
+      table: String,
+      minMaxCols: Seq[String] = Nil,
+      asOfVersion: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val log = asOfVersion match {
+      case None => readLog(spark, baseDir)
+      case Some(v) => logAsOf(spark, baseDir, v)
+    }
+    val files = liveFiles(log, table)
+    val allRows = log.flatMap(_.rows).toMap
+    val allStats = log.flatMap(_.stats).toMap
+    val schema = latestSchema(log, table).getOrElse(return None)
+    val counts = files.map(allRows.get)
+    if (counts.exists(_.isEmpty)) return None // legacy file: no proof
+    val total = counts.flatten.sum
+    val nonEmpty = files.filter(f => allRows(f) > 0)
+    val merged: Seq[Option[(String, DataType, BigDecimal, BigDecimal)]] =
+      minMaxCols.map { c =>
+        val dt = schema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(t @ (IntegerType | LongType | DoubleType)) => t
+          case _ => return None // not a stats-exact type
+        }
+        if (total == 0) None // empty table: NULL min/max, cnt 0
+        else {
+          val ranges = nonEmpty.map(f =>
+            allStats.get(f).map(parseStats).getOrElse(Map.empty).get(c))
+          if (ranges.exists(r => !r.exists(_.isInstanceOf[NumRange])))
+            return None // a nonempty file without provable range
+          val nums = ranges.flatten.collect { case NumRange(lo, hi) => (lo, hi) }
+          Some((c, dt, nums.map(_._1).min, nums.map(_._2).max))
+        }
+      }
+    def conv(dt: DataType, v: BigDecimal): Any = dt match {
+      case IntegerType => v.toIntExact
+      case LongType => v.toLongExact
+      case DoubleType => v.toDouble
+      case other => throw new IllegalStateException(other.sql)
+    }
+    val outSchema = StructType(
+      StructField("cnt", LongType, nullable = false) +:
+        minMaxCols.flatMap { c =>
+          val dt = schema.fields.find(_.name == c).get.dataType
+          Seq(StructField(s"min_$c", dt), StructField(s"max_$c", dt))
+        })
+    val values: Seq[Any] = total +: merged.flatMap {
+      case Some((_, dt, lo, hi)) => Seq(conv(dt, lo), conv(dt, hi))
+      case None => Seq(null, null)
+    }
+    Some(spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row.fromSeq(values)),
+      outSchema))
+  }
+
+  // ------------------------------------------------------------------
+  // Per-file Bloom membership (point-lookup file skipping).
+  //
+  // Min/max skipping answers RANGE questions; a needle query
+  // ("fetch this one URL's row") on an UNCLUSTERED key still opens
+  // every file whose range straddles the key. A compact per-file
+  // Bloom in the manifest makes "definitely not in this file" exact:
+  // 128 64-bit words (1 KiB -> 2048 hex chars per manifest line), 3
+  // probes via the same md5-derived hash60 the Sketches family pins,
+  // staying off each word's sign bit like Sketches.bloomProbe. At
+  // ~50k distinct keys/file the false-positive rate is ~1.6% — a
+  // needle read opens ~1 file instead of all of them.
+  // ------------------------------------------------------------------
+
+  private val BloomFileWordsLog2 = 7
+  private val BloomFileWords = 1 << BloomFileWordsLog2 // 128 longs
+  private val BloomFileHashes = 3
+
+  /** Driver-side twin of the executor-side probe: hash60 of
+    * (probe index ++ value-as-string), word by low bits, bit by the
+    * next 6 (mod 63 — sign bit never set, so hex round-trips as a
+    * non-negative long). */
+  private def bloomFileHash(j: Int, v: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest((j.toString + v).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+  }
+
+  /** `bloom:<file>\t<col>\t<hex>` lines for the commit body: ONE
+    * distributed pass over the just-written `files`, probes
+    * aggregated per (file, word) by bit_or; the collect is bounded by
+    * files x cols x 128 rows. The executor-side hash mirrors
+    * [[bloomFileHash]] exactly (hash60 over j ++ cast-to-string). */
+  private def fileBloomLines(
+      spark: SparkSession,
+      baseDir: String,
+      files: Seq[String],
+      cols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    // File names carry a per-commit UUID, so basename -> rel is unique.
+    val relByName = files.map(f => f.split('/').last -> f).toMap
+    val src = spark.read.parquet(files.map(f => s"$baseDir/$f"): _*)
+      .select(element_at(split(input_file_name(), "/"), -1).as("__f") +:
+        cols.map(col): _*)
+    cols.sorted.flatMap { c =>
+      val probed = src
+        .select(col("__f"), col(c).cast("string").as("__k"))
+        .filter(col("__k").isNotNull)
+        .select(col("__f"), col("__k"),
+          explode(array((0 until BloomFileHashes).map(j => lit(j)): _*))
+            .as("__j"))
+      val h = graft.functions.TextFunctions.hash60(
+        concat_ws("", col("__j"), col("__k")))
+      val w = pmod(h, lit(BloomFileWords.toLong)).cast("int")
+      val m = call_function("shiftleft", lit(1L),
+        pmod(call_function("shiftright", h, lit(BloomFileWordsLog2)),
+          lit(63L)).cast("int"))
+      val words = probed
+        .select(col("__f"), w.as("w"), m.as("m"))
+        .groupBy(col("__f"), col("w"))
+        .agg(expr("bit_or(m)").as("bits"))
+        .collect()
+        .groupBy(_.getString(0))
+      words.toSeq.sortBy(_._1).flatMap { case (name, rs) =>
+        relByName.get(name).map { rel =>
+          val arr = new Array[Long](BloomFileWords)
+          rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+          s"bloom:$rel\t$c\t" + arr.map(x => f"$x%016x").mkString
+        }
+      }
+    }
+  }
+
+  /** Probe a manifest bloom line's bits for one rendered value. */
+  private def bloomMight(hexBits: String, value: String): Boolean =
+    hexBits.length == BloomFileWords * 16 &&
+      (0 until BloomFileHashes).forall { j =>
+        val h = bloomFileHash(j, value)
+        val w = (h % BloomFileWords).toInt
+        val bit = ((h >> BloomFileWordsLog2) % 63L).toInt
+        val word = java.lang.Long.parseUnsignedLong(
+          hexBits.substring(w * 16, w * 16 + 16), 16)
+        (word & (1L << bit)) != 0L
+      }
+
+  /** Could any row of file `f` satisfy this conjunct, per its Bloom
+    * lines? Only `col = literal` (either order, integral or string
+    * literal) can answer "no"; everything else answers "maybe". The
+    * literal is rendered exactly as the build cast it
+    * (Long/Int -> decimal string, string verbatim), and equality is
+    * null-rejecting, so NULL rows never rescue a pruned file. */
+  private def bloomConjunctMayMatch(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      bloomOf: String => Option[String]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def name(x: Expression): Option[String] = x match {
+      case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+        Some(u.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def render(x: Expression): Option[String] = x match {
+      case Literal(v: Byte, _) => Some(v.toString)
+      case Literal(v: Short, _) => Some(v.toString)
+      case Literal(v: Int, _) => Some(v.toString)
+      case Literal(v: Long, _) => Some(v.toString)
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(v.toString)
+      case _ => None
+    }
+    def check(lhs: Expression, rhs: Expression): Option[Boolean] =
+      (name(lhs), render(rhs)) match {
+        case (Some(n), Some(v)) =>
+          bloomOf(n).map(bits => bloomMight(bits, v))
+        case _ => None
+      }
+    val verdict = e match {
+      case EqualTo(l, r) => check(l, r).orElse(check(r, l))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.length == 1 &&
+            Set("=", "==").contains(f.nameParts.head) &&
+            f.arguments.length == 2 =>
+        check(f.arguments.head, f.arguments(1))
+          .orElse(check(f.arguments(1), f.arguments.head))
+      case _ => None
+    }
+    verdict.getOrElse(true)
+  }
+
   private def prunedPartition(
       log: Seq[Manifest],
       files: Seq[String],
       predicate: org.apache.spark.sql.Column)
       : (Seq[String], Seq[String]) = {
     val allStats = log.flatMap(_.stats).toMap
+    val allBlooms = log.flatMap(_.blooms).toMap
     val conjuncts = splitConjuncts(
       org.apache.spark.sql.GraftSqlBridge.resolved(predicate))
     files.partition { f =>
       val st = allStats.get(f).map(parseStats).getOrElse(Map.empty)
-      conjuncts.forall(c => conjunctMayMatch(c, st))
+      conjuncts.forall(c => conjunctMayMatch(c, st) &&
+        bloomConjunctMayMatch(c, n => allBlooms.get((f, n))))
     }
   }
 

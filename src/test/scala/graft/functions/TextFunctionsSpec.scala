@@ -13,11 +13,39 @@ class TextFunctionsSpec extends SparkSpec {
       Seq(Seq("the", "quick", "fox"), Seq(), Seq()))
   }
 
+  test("tokens splits on ANY whitespace run — \\n/\\t/CR, not just space") {
+    val df = Seq("foo\nbar\tbaz", "a \t\n b", "x\r\ny").toDF("t")
+      .select(TextFunctions.tokens(col("t")).as("w"))
+    assert(rows(df).map(_.getSeq[String](0)) ==
+      Seq(Seq("foo", "bar", "baz"), Seq("a", "b"), Seq("x", "y")))
+  }
+
   test("wordPieceCount counts alphanumeric runs") {
     val df = Seq("don't stop-me now42").toDF("t")
       .select(TextFunctions.wordPieceCount(col("t")).as("n"))
     // don, t, stop, me, now42
     assert(rows(df).head.getInt(0) == 5)
+  }
+
+  test("wordPieceCount scores non-Latin letter/digit runs, not just ASCII") {
+    val df = Seq("привет мир42", "你好,世界", "γειά- σου", "!!!").toDF("t")
+      .select(TextFunctions.wordPieceCount(col("t")).as("n"))
+    // привет|мир42 = 2; 你好|世界 = 2; γειά|σου = 2; punctuation = 0.
+    assert(rows(df).map(_.getInt(0)) == Seq(2, 2, 2, 0))
+  }
+
+  test("charBigrams condenses whitespace then emits exact-length-2 grams") {
+    val df = Seq("ab cd", "你 好 世", "x", "", " \t").toDF("t")
+      .select(TextFunctions.charBigrams(col("t")).as("bg"))
+    assert(rows(df).map(_.getSeq[String](0)) == Seq(
+      Seq("ab", "bc", "cd"), Seq("你好", "好世"), Seq(), Seq(), Seq()))
+  }
+
+  test("tokensScriptAware routes cjk-dominant text to char bigrams") {
+    val df = Seq("你好世界", "the quick fox", "").toDF("t")
+      .select(TextFunctions.tokensScriptAware(col("t")).as("w"))
+    assert(rows(df).map(_.getSeq[String](0)) == Seq(
+      Seq("你好", "好世", "世界"), Seq("the", "quick", "fox"), Seq()))
   }
 
   test("shingles of size n, space-joined; short text yields empty") {

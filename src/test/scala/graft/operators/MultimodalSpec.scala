@@ -157,6 +157,65 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated image too close: Hamming ${ham(hs(1L), hs(3L))}")
   }
 
+  /** The rampPng pixels re-encoded as JPEG — lossy twin of the PNG. */
+  private def asJpeg(pngBytes: Array[Byte]): Array[Byte] = {
+    val img = Multimodal.PngCodec.decode(pngBytes).get
+    val rgb = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = rgb.createGraphics()
+    try g.drawImage(img, 0, 0, null) finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("JPEG twin of a PNG is caught as an image near-dup (real decode)") {
+    val png = rampPng(64, 48)
+    val jpeg = asJpeg(png)
+    assert(Multimodal.JpegCodec.isJpeg(jpeg) && !Multimodal.PngCodec.isPng(jpeg))
+    assert(Multimodal.JpegCodec.decode(jpeg).isDefined)
+    val media = Seq((1L, png), (2L, jpeg)).toDF("media_id", "content")
+    val pairs = rows(Multimodal.imageNearDups(media, "media_id", "content"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, ham) => a == 1L && b == 2L && ham <= 6 },
+      s"JPEG re-encode not caught: $pairs")
+  }
+
+  test("JPEG decode feeds real pixel features, not the stub") {
+    val jpeg = asJpeg(rampPng(64, 48))
+    val feats = rows(Multimodal.extractFeatures(
+      Seq((1L, jpeg)).toDF("media_id", "content"), "media_id", "content", 8))
+      .head.getSeq[Double](1)
+    // Real luma histogram is L1-normalized (sums to 1); the stub's
+    // pseudo-features are uniform hashes that essentially never do.
+    assert(math.abs(feats.sum - 1.0) < 1e-9, s"stub features? $feats")
+  }
+
+  test("JpegFixture bytes decode to the pinned golden dhash") {
+    val bytes = Multimodal.JpegFixture.hex.grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    assert(Multimodal.JpegCodec.isJpeg(bytes))
+    val got = rows(Multimodal.dhash(
+      Seq((1L, bytes)).toDF("media_id", "content"), "media_id", "content"))
+      .head.getLong(1)
+    assert(got == Multimodal.JpegFixture.dhash,
+      s"decoder drift: got $got, pinned ${Multimodal.JpegFixture.dhash}")
+  }
+
+  test("corrupt jpeg-magic bytes fall through to the stub, not an error") {
+    val corrupt = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      "garbage payload".getBytes("UTF-8")
+    var expect = 0L
+    val gray = Array.tabulate(72)(i =>
+      (Multimodal.FakeCodec.channel(corrupt, i) % 256).toInt)
+    for (r <- 0 until 8; c <- 0 until 8)
+      expect = (expect << 1) | (if (gray(r * 9 + c) < gray(r * 9 + c + 1)) 1L else 0L)
+    val got = rows(Multimodal.dhash(
+      Seq((1L, corrupt)).toDF("media_id", "content"), "media_id", "content"))
+      .head.getLong(1)
+    assert(got == expect)
+  }
+
   test("dhash: non-image content takes the deterministic stub grid") {
     val content = "not an image at all".getBytes("UTF-8")
     val got = rows(Multimodal.dhash(

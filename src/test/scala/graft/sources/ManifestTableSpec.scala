@@ -969,4 +969,103 @@ class ManifestTableSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(rows == Set((1L, "a"), (2L, "b")))
   }
+
+  test("statsAgg answers count/min/max from manifest lines, zero data reads") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    ManifestTable.commit(
+      (0L until 150L).map(i => (i, i * 3 - 7)).toDF("k", "v").repartition(3),
+      base, "t", "txn-0")
+    ManifestTable.commit(
+      (150L until 200L).map(i => (i, -i)).toDF("k", "v").repartition(2),
+      base, "t", "txn-1")
+    val expect = ManifestTable.read(spark, base, "t")
+      .agg(count(lit(1)).cast("long"), min("k"), max("k"), min("v"), max("v"))
+      .head
+    val got = ManifestTable.statsAgg(spark, base, "t", Seq("k", "v")).get
+    assert(got.columns.toSeq ==
+      Seq("cnt", "min_k", "max_k", "min_v", "max_v"))
+    assert(got.head.toSeq == expect.toSeq)
+
+    // Time travel: as of version 1 only the first append exists.
+    val v1 = ManifestTable.statsAgg(spark, base, "t", Seq("k"),
+      asOfVersion = Some(1L)).get.head
+    assert(v1.toSeq == Seq(150L, 0L, 149L))
+
+    // String min/max is refused by design (parquet writers may
+    // truncate binary stats — a bound, not the exact value)…
+    ManifestTable.commit(
+      Seq((1L, "alpha"), (2L, "omega")).toDF("k", "s"), base, "u", "txn-u")
+    assert(ManifestTable.statsAgg(spark, base, "u", Seq("s")).isEmpty)
+    // …but count alone is still metadata-answerable.
+    assert(ManifestTable.statsAgg(spark, base, "u").get.head.getLong(0) == 2L)
+
+    // THE zero-read proof: physically delete every data file — the
+    // scan path dies, statsAgg keeps answering from the manifest.
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(base, "t"))
+      .iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach(java.nio.file.Files.delete)
+    intercept[Exception] {
+      ManifestTable.read(spark, base, "t").agg(min("k")).head
+    }
+    assert(ManifestTable.statsAgg(spark, base, "t", Seq("k", "v"))
+      .get.head.toSeq == expect.toSeq)
+  }
+
+  test("statsAgg survives checkpoint compaction + log truncation") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    (0 until 3).foreach(i => ManifestTable.commit(
+      (i * 10L until i * 10L + 10L).map(k => Tuple1(k)).toDF("k")
+        .repartition(1), base, "t", s"txn-$i"))
+    ManifestTable.compact(spark, base)
+    ManifestTable.truncateLog(spark, base)
+    val got = ManifestTable.statsAgg(spark, base, "t", Seq("k")).get.head
+    assert(got.toSeq == Seq(30L, 0L, 29L))
+  }
+
+  test("manifest Bloom prunes point lookups on an unclustered key") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    spark.conf.set("graft.manifest.bloomCols", "k,s")
+    try {
+      // Two single-file appends with fully INTERLEAVED key ranges —
+      // min/max stats cannot tell them apart, only membership can.
+      ManifestTable.commit(
+        (0L until 400L by 2).map(i => (i, s"s$i")).toDF("k", "s")
+          .repartition(1), base, "t", "txn-even")
+      ManifestTable.commit(
+        (1L until 400L by 2).map(i => (i, s"s$i")).toDF("k", "s")
+          .repartition(1), base, "t", "txn-odd")
+      val all = ManifestTable.read(spark, base, "t")
+      assert(all.inputFiles.length == 2)
+      // Range stats alone keep both files for an in-range needle; the
+      // Bloom proves the odd file cannot contain an even key.
+      val needle = ManifestTable.read(spark, base, "t",
+        skipFilter = Some(col("k") === lit(17L)))
+      assert(needle.inputFiles.length == 1)
+      assert(needle.as[(Long, String)].collect().toSeq == Seq((17L, "s17")))
+      // String-column membership prunes the same way.
+      val sNeedle = ManifestTable.read(spark, base, "t",
+        skipFilter = Some(col("s") === lit("s42")))
+      assert(sNeedle.inputFiles.length == 1 && sNeedle.count() == 1L)
+      // In-range but ABSENT key: no file admits it (pure-Bloom win —
+      // exact "no" beats min/max straddling).
+      val absent = ManifestTable.read(spark, base, "t",
+        skipFilter = Some(col("s") === lit("not-there")))
+      assert(absent.inputFiles.length <= 1 && absent.count() == 0L)
+      // Conjunct composes with range skipping; results never change.
+      val both = ManifestTable.read(spark, base, "t",
+        skipFilter = Some(col("k") === lit(17L) && col("k") < lit(100L)))
+      assert(both.inputFiles.length == 1 && both.count() == 1L)
+      // Blooms survive compaction + truncation like every stats line.
+      ManifestTable.compact(spark, base)
+      ManifestTable.truncateLog(spark, base)
+      val after = ManifestTable.read(spark, base, "t",
+        skipFilter = Some(col("k") === lit(18L)))
+      assert(after.inputFiles.length == 1 && after.count() == 1L)
+    } finally spark.conf.unset("graft.manifest.bloomCols")
+  }
 }
