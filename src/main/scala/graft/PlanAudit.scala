@@ -49,7 +49,9 @@ object PlanAudit {
     "q197_drift_census" -> "1-row broadcast scalar attach (snapshot totals)",
     "q201_covisitation" -> "1-row broadcast scalar attach (kept-actor count for lift)",
     "q202_markov_anomaly" -> "1-row broadcast vocab-size attach + states²-row broadcast model join",
-    "q203_decayed_counts" -> "1-row broadcast scalar attach (corpus max date)")
+    "q203_decayed_counts" -> "1-row broadcast scalar attach (corpus max date)",
+    "q211_bq_knn" -> "Hamming-shortlist scan (5 broadcast queries; 1 XOR/popcount per pair)",
+    "q212_bq_recall" -> "Hamming-shortlist scan + brute-force ground truth (20 broadcast queries)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
     * partition is bounded (per-user event counts in the fixtures are
@@ -68,7 +70,9 @@ object PlanAudit {
     "q145_window_parity" -> "DELIBERATE window vs Ranking-twin parity gate (both plans, hash-equal)",
     "q188_transitions" -> "per-user window (bounded group; lead needs order only)",
     "q190_bot_regularity" -> "per-user window (bounded group; fixture ordinal + lag gap deltas)",
-    "q202_markov_anomaly" -> "per-user window (bounded group; lead needs order only)")
+    "q202_markov_anomaly" -> "per-user window (bounded group; lead needs order only)",
+    "q208_ewma" -> "per-user window (bounded group; W fixed lag taps need order only)",
+    "q209_cusum" -> "per-user window (bounded group; cumsum + running-min, scale twin: groupRunningSum)")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

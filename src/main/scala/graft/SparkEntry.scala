@@ -3317,6 +3317,61 @@ object SparkEntry {
       ManifestTable.statsAgg(s, base, "docs",
         minMaxCols = Seq("doc_id", "n_chars"))
         .getOrElse(sys.error("manifest could not prove statsAgg"))
+    }),
+
+    // Truncated-window EWMA smoothing (α=0.25, W=8) of each user's
+    // event-value series: the denoised monitoring twin of the raw
+    // samples. All weights are micro-int literals and the numerator/
+    // denominator are integer sums, so the smoothed series is
+    // bit-identical in DuckDB.
+    "q208_ewma" -> ((s, dir) => {
+      TimeSeries.ewma(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), col("value")),
+        "user_id", "ts", "event_id", "value", alpha = 0.25, window = 8)
+    }),
+
+    // Two-sided CUSUM drift pages per user (slack 10.0, threshold
+    // 300.0 in value units): sustained level shifts alarm where
+    // q134's robust z-score only sees single outlier points. Output
+    // is the alarm rows — the control-room page, not the full chart.
+    "q209_cusum" -> ((s, dir) => {
+      TimeSeries.cusum(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), col("value")),
+        "user_id", "ts", "event_id", "value",
+        slackMicro = 10000000L, thresholdMicro = 300000000L)
+        .filter(col("alarm_hi") || col("alarm_lo"))
+    }),
+
+    // ε-DP release of the per-event-type census (Laplace, ε=1,
+    // seeded by md5(tag:key) — reproducible noise, micro-nat ln
+    // quantization): the publishable twin of a raw GROUP BY count.
+    "q210_dp_counts" -> ((s, dir) => {
+      Privacy.dpCounts(t(s, dir, "events"), Seq("event_type"),
+        epsilon = 1.0, tag = "graft-dp-r12")
+    }),
+
+    // Binary-quantization ANN: 1 bit/dim signatures (32× smaller than
+    // float32, no training), Hamming XOR+popcount shortlist of 50,
+    // exact integer-cosine rerank to top-10 for 5 query vectors.
+    "q211_bq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, dim = 64, shortlist = 50)
+    }),
+
+    // BQ recall against the exact ground truth over 20 queries — the
+    // gate a user tuning `shortlist` watches (the q124/q130/q131
+    // composition for the fourth compression family).
+    "q212_bq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val bq = Similarity.bqTopK(emb, queries, "vec_id", "embedding",
+        k = 10, dim = 64, shortlist = 50)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      Similarity.recallAtK(exact, bq)
     })
   )
 
@@ -7374,7 +7429,33 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
         |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q208_ewma" -> ewmaOracleSql,
+
+    "q209_cusum" -> cusumOracleSql,
+
+    "q210_dp_counts" -> dpCountsOracleSql,
+
+    "q211_bq_knn" ->
+      s"""WITH ${bqCtes("q.vec_id < 5", 50)}
+         |SELECT query_id, rank, neighbor_id, hamming, sim
+         |FROM apx""".stripMargin,
+
+    "q212_bq_recall" ->
+      (s"""WITH ${bqCtes("q.vec_id < 20", 50)},
+          |sce AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |         CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i]*c.qv[i])) AS DOUBLE)
+          |           / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS sim
+          |  FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+          |ex AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          |    FROM sce)
+          |  WHERE rank <= 10)
+          |""".stripMargin + recallRollupSql)
   )
 
   /** q81/q200's shared rule-filter replay over source CTE/table
@@ -8463,6 +8544,151 @@ object SparkEntry {
     * over the same `n` vectors as ground truth, and a per-query hit
     * count — both rankings carry the deterministic (sim desc,
     * neighbor_id) tie-break, so the intersection is well-defined. */
+  /** q208's oracle: the SAME micro-int EWMA weights (interpolated
+    * from TimeSeries.ewmaWeightsMicro, so the two sides cannot
+    * drift), the same lag taps, integer num/den sums, one divide. */
+  private lazy val ewmaOracleSql: String = {
+    val wq = graft.operators.TimeSeries.ewmaWeightsMicro(0.25, 8)
+    def xm(m: Int) = if (m == 0) "x" else s"x$m"
+    val lagCols = (1 until wq.size)
+      .map(m => s"lag(x, $m) OVER win AS x$m").mkString(",\n         ")
+    val num = wq.zipWithIndex.map { case (w, m) =>
+      s"COALESCE(CAST(round(${xm(m)} * $w) AS BIGINT), 0)"
+    }.mkString("\n           + ")
+    val den = wq.zipWithIndex.map { case (w, m) =>
+      s"CASE WHEN ${xm(m)} IS NOT NULL THEN $w ELSE 0 END"
+    }.mkString("\n           + ")
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, value, CAST(value AS DOUBLE) AS x
+       |  FROM events),
+       |l AS (
+       |  SELECT user_id, ts, event_id, value, x,
+       |         $lagCols
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         $num AS num,
+       |         $den AS den
+       |  FROM l)
+       |SELECT user_id, ts, event_id, value,
+       |  CAST(round(1e6 * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))) AS BIGINT) / 1e6 AS ewma
+       |FROM s""".stripMargin
+  }
+
+  /** q209's oracle: micro-int CUSUM via the cumsum − running-min
+    * identity, per-key micro-mean center — all-integer after the one
+    * rounded center divide, mirroring TimeSeries.cusum literally. */
+  private lazy val cusumOracleSql: String = {
+    val slack = 10000000L
+    val threshold = 300000000L
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS xq
+       |  FROM events),
+       |c AS (
+       |  SELECT user_id, ts, event_id, value, xq,
+       |         CAST(round(CAST(sum(xq) OVER wk AS DOUBLE)
+       |           / CAST(count(*) OVER wk AS DOUBLE)) AS BIGINT) AS ctr
+       |  FROM e
+       |  WINDOW wk AS (PARTITION BY user_id)),
+       |d AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         xq - ctr - $slack AS d_hi,
+       |         -(xq - ctr) - $slack AS d_lo
+       |  FROM c),
+       |m AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         sum(d_hi) OVER wo AS cum_hi,
+       |         sum(d_lo) OVER wo AS cum_lo
+       |  FROM d
+       |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |sv AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         CAST(cum_hi - least(0, min(cum_hi) OVER wo) AS BIGINT) AS s_hi,
+       |         CAST(cum_lo - least(0, min(cum_lo) OVER wo) AS BIGINT) AS s_lo
+       |  FROM m
+       |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT user_id, ts, event_id, value, s_hi, s_lo,
+       |       s_hi > $threshold AS alarm_hi, s_lo > $threshold AS alarm_lo
+       |FROM sv
+       |WHERE s_hi > $threshold OR s_lo > $threshold""".stripMargin
+  }
+
+  /** q210's oracle: the seeded-Laplace release — md5(tag:key) →
+    * u ∈ (0,1] → inverse CDF with the ln() step quantized to integer
+    * micro-nats, mirroring Privacy.dpCounts step for step. */
+  private lazy val dpCountsOracleSql: String = {
+    val scale = 1e6 * 1.0 // 1e6 · ε
+    val pole = 1.0 / 1152921504606846976.0 // 2^-60, the u = 1 clamp
+    s"""WITH g AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |h AS (
+       |  SELECT event_type, n,
+       |         (CAST(('0x' || substr(md5('graft-dp-r12' || ':' ||
+       |              COALESCE(CAST(event_type AS VARCHAR), ' ')), 1, 15)) AS BIGINT) + 1)
+       |           / CAST(1152921504606846976 AS DOUBLE) AS u
+       |  FROM g),
+       |nz AS (
+       |  SELECT event_type, n, u - 0.5 AS v,
+       |         greatest(1.0 - 2.0 * abs(u - 0.5), $pole) AS a
+       |  FROM h),
+       |q AS (
+       |  SELECT event_type, n,
+       |         CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn,
+       |         CAST(round(1e6 * ln(a)) AS BIGINT) AS lnq
+       |  FROM nz)
+       |SELECT event_type,
+       |  greatest(0, n + CAST(round(-CAST(sgn AS DOUBLE) * CAST(lnq AS DOUBLE)
+       |    / $scale) AS BIGINT)) AS dp_count
+       |FROM q""".stripMargin
+  }
+
+  /** q211/q212's shared BQ chain: quantize → 64 sign bits summed
+    * against the driver-interpolated bit-value list (bit 63 is
+    * Long.MinValue — addition of distinct bit values IS the two's-
+    * complement pattern) → Hamming xor/popcount shortlist →
+    * exact-integer cosine rerank, CTEs `v → n → hm → sl → apx`. */
+  private def bqCtes(queryPred: String, shortlist: Int): String = {
+    val bits = (0 until 64).map(1L << _).mkString("[", ", ", "]")
+    s"""v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, qv,
+       |         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*qv[i])) AS BIGINT) AS nsq,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |           i -> CASE WHEN qv[i] > 0 THEN ($bits)[i] ELSE 0 END)) AS BIGINT) AS sig
+       |  FROM v),
+       |hm AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS hamming,
+       |         q.qv AS qqv, c.qv AS cqv, q.nsq AS qn, c.nsq AS cn
+       |  FROM n q, n c
+       |  WHERE ($queryPred) AND c.vec_id <> q.vec_id),
+       |sl AS (
+       |  SELECT * FROM (
+       |    SELECT query_id, neighbor_id, hamming, qqv, cqv, qn, cn,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hrank
+       |    FROM hm)
+       |  WHERE hrank <= $shortlist),
+       |sc AS (
+       |  SELECT query_id, neighbor_id, hamming,
+       |         CAST(list_sum(list_transform(generate_series(1, len(qqv)), i -> qqv[i]*cqv[i])) AS DOUBLE)
+       |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim
+       |  FROM sl),
+       |apx AS (
+       |  SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, hamming, sim FROM (
+       |    SELECT query_id, neighbor_id, hamming, sim,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM sc)
+       |  WHERE rank <= 10)""".stripMargin
+  }
+
   private lazy val annRecallSql: String =
     s"""WITH $ivfAsgCtes,
        |$ivfProbeScanCtes,

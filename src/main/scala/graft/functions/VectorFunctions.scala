@@ -59,4 +59,30 @@ object VectorFunctions {
     }
     bits.reduce(_ + _)
   }
+
+  /** Binary (sign-bit) quantization: one bit per dimension (qvec[i] >
+    * 0), packed 64 per word into array<long> — a 32× compression of
+    * float32 whose Hamming distance tracks cosine angle (Charikar
+    * 2002: the SRP guarantee with the identity basis). Dims whose
+    * quantized value is exactly 0 code as 0. Bit 63 is
+    * Long.MinValue — the signed two's-complement pattern is the point,
+    * not the arithmetic value, and each bit value is added exactly
+    * once so + is OR here (keeps the oracle twin a plain list_sum). */
+  def bqSignature(qvec: Column, dim: Int): Column = {
+    require(dim > 0, "dim must be positive")
+    val words = (0 until dim by 64).map { w0 =>
+      (w0 until math.min(w0 + 64, dim)).map { i =>
+        when(element_at(qvec, i + 1) > 0, lit(1L << (i - w0)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two packed signatures: Σ popcount(xor)
+    * over words. Pure integer — bit-stable anywhere. */
+  def hammingQ(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
 }

@@ -536,6 +536,57 @@ object Similarity {
     score(q, enc, k)
   }
 
+  /** Binary-quantization ANN — the fourth compression family next to
+    * SRP-LSH (bucketing), PQ (subspace codebooks) and SQ (per-dim
+    * int8): the corpus keeps ONE BIT per dimension
+    * ([[graft.functions.VectorFunctions.bqSignature]], 32× smaller
+    * than float32, no training at all), candidates shortlist by
+    * Hamming distance — an XOR+popcount per pair, the cheapest
+    * distance there is — and the top-`shortlist` by (hamming asc, id)
+    * rerank with the EXACT integer cosine. Recall < 1 only when a
+    * true neighbor's sign pattern ranks outside the shortlist;
+    * `shortlist` trades recall for rerank cost exactly like IVF's
+    * `nProbe`.
+    *
+    * Scale: queries broadcast, corpus never shuffles — the scan reads
+    * the 1-word-per-64-dims signature column for every row but full
+    * vectors only survive into the rerank. Both ranks are integer /
+    * exact-IEEE, so results are bit-stable across engines.
+    *
+    * Output: (query_id, rank, neighbor_id, hamming, sim). */
+  def bqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val c = prepare(corpus, idCol, vecCol)
+      .withColumn("sig", bqSignature(col("qvec"), dim))
+      .withColumnRenamed(idCol, "neighbor_id")
+      .withColumnRenamed("qvec", "c_qvec").withColumnRenamed("nsq", "c_nsq")
+    val q = prepare(queries, idCol, vecCol)
+      .withColumn("q_sig", bqSignature(col("qvec"), dim))
+      .withColumnRenamed(idCol, "query_id")
+    val ham = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", hammingQ(col("q_sig"), col("sig")))
+    val wh = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val short = ham.withColumn("__hrank", row_number().over(wh))
+      .filter(col("__hrank") <= shortlist)
+      .withColumn("dot", dotQ(col("qvec"), col("c_qvec")))
+      .withColumn("sim", cosineQ(col("dot"), col("nsq"), col("c_nsq")))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    short.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"), col("sim"))
+  }
+
   /** kNN classification by majority vote over the exact top-`k`
     * cosine neighbors (self excluded — leave-one-out when queries ⊆
     * corpus, the standard embedding-quality probe): the predicted

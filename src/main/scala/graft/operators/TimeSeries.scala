@@ -153,4 +153,174 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_obs"),
         sum(expr("shiftright(__w, __k)")).as("decayed"))
   }
+
+  /** Truncated-window EWMA smoothing of a per-key value series — the
+    * denoised twin every monitoring consumer of the poll stream wants
+    * next to the raw samples ([[decayedCounts]] decays COUNTS of
+    * events; this smooths a VALUE). The usual recurrence
+    * s_i = α·x_i + (1−α)·s_{i−1} is a sequential fold no engine can
+    * parallelize NOR reproduce bit-wise across engines (it compounds
+    * libm-free but order-fixed double ops per row); the truncated form
+    * s_i = Σ_{m<W} α(1−α)^m·x_{i−m} / Σ weights is the standard
+    * practical substitute — the dropped tail carries (1−α)^W of the
+    * mass (α=0.25, W=8 → ~10%, renormalized away by the ragged-edge
+    * denominator, which also makes the first W−1 rows well-defined
+    * instead of warm-up garbage).
+    *
+    * Exactness: each weight is quantized ONCE driver-side to integer
+    * micro (round(1e6·α(1−α)^m)); each term round(x·w_m) is one
+    * correctly-rounded double product of identical operands in any
+    * IEEE engine; numerator and denominator are then INTEGER sums —
+    * immune to summation order — and the final ratio is a single
+    * divide. Same micro-int stance as VectorFunctions.
+    *
+    * Scale: one per-key ordered window, W lag taps — state is W rows
+    * however long the key's history; no self-join, no grid. Ties on
+    * `tsCol` are ordered by `idCol` (must be per-key unique).
+    *
+    * Output: input row + `ewma` (double, 6 dp). */
+  def ewma(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      alpha: Double,
+      window: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    require(window > 0, "window must be positive")
+    val wq = ewmaWeightsMicro(alpha, window)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val x = col(valueCol).cast("double")
+    val taps = wq.zipWithIndex.map { case (wm, m) =>
+      val xm = if (m == 0) x else lag(x, m).over(w)
+      (coalesce(round(xm * lit(wm)).cast("long"), lit(0L)),
+        when(xm.isNotNull, lit(wm)).otherwise(lit(0L)))
+    }
+    val num = taps.map(_._1).reduce(_ + _)
+    val den = taps.map(_._2).reduce(_ + _)
+    df.withColumn("ewma",
+      round(lit(1e6) * (num.cast("double") / den.cast("double")))
+        .cast("long") / lit(1e6))
+  }
+
+  /** Micro-quantized truncated-EWMA weights: round(1e6·α(1−α)^m) for
+    * m = 0..window−1, the (1−α)^m chain built by repeated multiply
+    * (deterministic — no libm pow). Public so the oracle twin embeds
+    * the identical integer literals. */
+  def ewmaWeightsMicro(alpha: Double, window: Int): Seq[Long] = {
+    val decays = Iterator.iterate(1.0)(_ * (1.0 - alpha)).take(window)
+    decays.map(d => math.round(1e6 * alpha * d)).toSeq
+  }
+
+  /** Two-sided CUSUM changepoint scores per key — the control-chart
+    * drift detector: the high side accumulates excess over
+    * (center + slack), the low side deficit under (center − slack),
+    * each resetting at zero, and an alarm fires when the accumulated
+    * drift crosses `thresholdMicro`. A level SHIFT trips it in
+    * shift/slack steps where a per-point z-score only sees outliers
+    * (the [[graft.operators.Ranking.robustZScores]] complement: that
+    * flags single weird points, this flags sustained drift).
+    *
+    * The sequential recurrence s_i = max(0, s_{i−1} + d_i) is exactly
+    * window-expressible via the running-minimum identity
+    * s_i = cum_i − min(0, min_{j≤i} cum_j) (and the low side is the
+    * same identity over −d), so the whole detector is two ordered
+    * windows of INTEGER micro arithmetic — bit-stable across engines
+    * and partitionings, no fold. The center is the key's own micro
+    * mean (two-pass; a known-good target would be a parameter in a
+    * control-room deployment, but a data-derived center is what a
+    * batch drift census over thousands of keys wants).
+    *
+    * Scale: one unordered per-key window for the center, one ordered
+    * per-key window for the cumsums — the same bounded per-key shape
+    * as [[resampleGapFill]]. Ties on `tsCol` order by `idCol`.
+    *
+    * Output: input row + `s_hi`, `s_lo` (micro longs), `alarm_hi`,
+    * `alarm_lo` (boolean). */
+  def cusum(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      slackMicro: Long,
+      thresholdMicro: Long): DataFrame = {
+    require(slackMicro >= 0, "slackMicro must be non-negative")
+    require(thresholdMicro > 0, "thresholdMicro must be positive")
+    val wk = Window.partitionBy(col(keyCol))
+    val xq = round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+    val center = round(sum(xq).over(wk).cast("double") /
+      count(lit(1)).over(wk).cast("double")).cast("long")
+    cusumTail(df, center, keyCol, tsCol, idCol, valueCol,
+      slackMicro, thresholdMicro)
+  }
+
+  /** Per-key CUSUM centers (micro mean) — the calibration table a
+    * deployment freezes from a known-good period and feeds to
+    * [[cusumWithCenters]] / the streaming monitor. The same
+    * round(sum/count) chain as [[cusum]]'s inline center, so
+    * `cusumWithCenters(df, cusumCenters(df), …) ≡ cusum(df, …)`
+    * bit-for-bit (spec-pinned). Output: (keyCol, ctr). */
+  def cusumCenters(df: DataFrame, keyCol: String, valueCol: String)
+      : DataFrame = {
+    val xq = round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+    df.select(col(keyCol), xq.as("__xq"))
+      .groupBy(col(keyCol))
+      .agg(round(sum(col("__xq")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("ctr"))
+  }
+
+  /** [[cusum]] against CALLER-SUPPLIED centers `(keyCol, ctr)` — the
+    * production shape: centers frozen from a calibration window, so
+    * today's drift never recalibrates itself away (a self-centered
+    * CUSUM of a fully drifted series reads healthy). Keys missing
+    * from `centers` drop (no center → no verdict). Also the exact
+    * batch twin of the streaming monitor
+    * (graft.streaming.CusumStream), which cannot see a final mean. */
+  def cusumWithCenters(
+      df: DataFrame,
+      centers: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      slackMicro: Long,
+      thresholdMicro: Long): DataFrame = {
+    require(slackMicro >= 0, "slackMicro must be non-negative")
+    require(thresholdMicro > 0, "thresholdMicro must be positive")
+    cusumTail(df.join(centers, Seq(keyCol)), col("ctr"),
+      keyCol, tsCol, idCol, valueCol, slackMicro, thresholdMicro)
+      .drop("ctr")
+  }
+
+  private def cusumTail(
+      df: DataFrame,
+      center: Column,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      slackMicro: Long,
+      thresholdMicro: Long): DataFrame = {
+    val wo = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xq = round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+    // The cumsums materialize as plain columns first — a window over
+    // a window expression can't nest, and the running-min identity
+    // needs min() OVER the cumsum itself.
+    df.withColumn("__d_hi", xq - center - lit(slackMicro))
+      .withColumn("__d_lo", -(xq - center) - lit(slackMicro))
+      .withColumn("__cum_hi", sum(col("__d_hi")).over(wo))
+      .withColumn("__cum_lo", sum(col("__d_lo")).over(wo))
+      .withColumn("s_hi",
+        col("__cum_hi") - least(lit(0L), min(col("__cum_hi")).over(wo)))
+      .withColumn("s_lo",
+        col("__cum_lo") - least(lit(0L), min(col("__cum_lo")).over(wo)))
+      .withColumn("alarm_hi", col("s_hi") > thresholdMicro)
+      .withColumn("alarm_lo", col("s_lo") > thresholdMicro)
+      .drop("__d_hi", "__d_lo", "__cum_hi", "__cum_lo")
+  }
 }

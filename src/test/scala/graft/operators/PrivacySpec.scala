@@ -97,4 +97,28 @@ class PrivacySpec extends SparkSpec {
     assert(got(2L) == "keep 4111111111111112 and 12345678901234567890")
     assert(got(3L) == "edge [PAN]")
   }
+
+  test("dpCounts: seeded noise is reproducible, tag-sensitive, clamped") {
+    import spark.implicits._
+    val df = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq("c"))
+      .toDF("g")
+    def release(tag: String) =
+      Privacy.dpCounts(df, Seq("g"), epsilon = 1.0, tag = tag)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r1 = release("epoch-1")
+    // Same tag → the identical published table (no RNG anywhere).
+    assert(release("epoch-1") == r1)
+    // A release epoch rotates the noise: some cell must move.
+    assert(release("epoch-2") != r1)
+    // Laplace(1) noise stays sane and counts never go negative.
+    assert(r1.values.forall(_ >= 0L))
+    assert(math.abs(r1("a") - 40L) < 30L && math.abs(r1("b") - 25L) < 30L)
+  }
+
+  test("dpCounts: a NULL group is a real (coalesced) cell") {
+    import spark.implicits._
+    val df = Seq(Some("x"), None, None).toDF("g")
+    val got = Privacy.dpCounts(df, Seq("g"), 1.0, "t")
+    assert(got.count() == 2L)
+  }
 }

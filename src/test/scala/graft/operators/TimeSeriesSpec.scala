@@ -46,4 +46,81 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("hot") == ((4L, 1000L + 500L + 250L + 1000L)))
     assert(got("cold") == ((2L, 0L))) // horizon: weight vanished
   }
+
+  test("ewma: constant series is a fixpoint to micro precision") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    val obs = (0 until 12).map(i => ("k", at(i), i.toLong, 7.5))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.ewma(obs, "k", "ts", "id", "v",
+      alpha = 0.25, window = 8).select("ewma").as[Double].collect()
+    // Ragged-edge renormalization keeps every prefix at the constant
+    // — up to the per-tap micro rounding: each of the W taps can sit
+    // on a .5 (round(7.5·w_m) does, for several w_m) and HALF_UP all
+    // land the same way, so the worst case is ~W/2 micro of drift on
+    // the smallest denominators, not bit-exactness.
+    assert(got.forall(v => math.abs(v - 7.5) <= 5e-6))
+  }
+
+  test("ewma: matches the hand-computed truncated weighted mean") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    val xs = Seq(10.0, 20.0, 40.0)
+    val obs = xs.zipWithIndex.map { case (x, i) => ("k", at(i), i.toLong, x) }
+      .toDF("k", "ts", "id", "v")
+    val wq = TimeSeries.ewmaWeightsMicro(0.25, 8)
+    // Row 2 (newest): taps hit x=40 (w0), 20 (w1), 10 (w2).
+    val num = math.round(40.0 * wq(0)) + math.round(20.0 * wq(1)) +
+      math.round(10.0 * wq(2))
+    val den = wq(0) + wq(1) + wq(2)
+    val want = math.round(1e6 * (num.toDouble / den.toDouble)) / 1e6
+    val got = TimeSeries.ewma(obs, "k", "ts", "id", "v", 0.25, 8)
+      .filter($"id" === 2L).select("ewma").as[Double].head()
+    assert(got == want)
+    // Newest sample dominates: the smoothed value leans toward 40.
+    assert(got > 25.0 && got < 40.0)
+  }
+
+  test("ewma weights: micro-quantized α(1−α)^m chain") {
+    assert(TimeSeries.ewmaWeightsMicro(0.25, 4) ==
+      Seq(250000L, 187500L, 140625L, 105469L))
+  }
+
+  test("cusum: running-min identity equals the sequential fold") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    // A level shift: 10 flat samples, then 10 at +5 — the high side
+    // must ramp after the shift; a point z-score would barely notice.
+    val xs = Seq.fill(10)(10.0) ++ Seq.fill(10)(15.0)
+    val obs = xs.zipWithIndex.map { case (x, i) => ("k", at(i), i.toLong, x) }
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.cusum(obs, "k", "ts", "id", "v",
+      slackMicro = 500000L, thresholdMicro = 8000000L)
+      .orderBy("id")
+      .select("s_hi", "s_lo", "alarm_hi").collect()
+    // Reference fold with the same micro arithmetic.
+    val xq = xs.map(x => math.round(x * 1e6))
+    val ctr = math.round(xq.sum.toDouble / xq.size)
+    var s = 0L
+    val want = xq.map { x =>
+      s = math.max(0L, s + (x - ctr - 500000L)); s
+    }
+    assert(got.map(_.getLong(0)).toSeq == want)
+    // Alarms only after the shift has accumulated.
+    val alarmsAt = got.zipWithIndex.filter(_._1.getBoolean(2)).map(_._2)
+    assert(alarmsAt.nonEmpty && alarmsAt.forall(_ >= 10))
+  }
+
+  test("cusum: low side mirrors a downward shift") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    val xs = Seq.fill(10)(10.0) ++ Seq.fill(10)(5.0)
+    val obs = xs.zipWithIndex.map { case (x, i) => ("k", at(i), i.toLong, x) }
+      .toDF("k", "ts", "id", "v")
+    val last = TimeSeries.cusum(obs, "k", "ts", "id", "v",
+      slackMicro = 500000L, thresholdMicro = 8000000L)
+      .orderBy("id").collect().last
+    assert(last.getAs[Boolean]("alarm_lo"))
+    assert(!last.getAs[Boolean]("alarm_hi"))
+  }
 }
