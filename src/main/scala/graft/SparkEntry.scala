@@ -3372,6 +3372,49 @@ object SparkEntry {
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
         "embedding", 10)
       Similarity.recallAtK(exact, bq)
+    }),
+
+    // Character-trigram Shannon entropy per doc (integer micro-nats):
+    // the gibberish/boilerplate axis — base64 mash sits at the
+    // uniform ceiling, template spam at the floor; both tails are
+    // quality cut points next to q83's repetition signals.
+    "q213_char_entropy" -> ((s, dir) => {
+      Corpus.charEntropy(t(s, dir, "documents"), "doc_id", "text", 3)
+    }),
+
+    // Cohen's κ between the full C4/Dolma rule filter and the cheap
+    // length heuristic (n_chars ≥ 200) — "can the cheap gate stand in
+    // for the expensive one?" answered beyond-chance, exact-integer
+    // contingency.
+    "q214_filter_agreement" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rf = Training.ruleFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("rule_keep"))
+      val cheap = docs.select(col("doc_id"),
+        (col("n_chars") >= 200L).as("len_keep"))
+      Profile.cohenKappa(rf.join(cheap, "doc_id"), "rule_keep", "len_keep")
+    }),
+
+    // Per-dimension embedding-health census: micro-exact mean/std and
+    // near-zero fraction per dim, collapse verdict — the encoder-
+    // degeneration dashboard nobody can eyeball at 100 TB.
+    "q215_embedding_health" -> ((s, dir) => {
+      Profile.embeddingHealth(t(s, dir, "embeddings"), "embedding")
+    }),
+
+    // Benford first-digit census of doc lengths per source with an
+    // exact-micro χ² — the fabricated-numbers smell test: a source
+    // whose magnitude distribution was synthesized or truncated
+    // explodes the χ² where organic growth follows log₁₀(1+1/d).
+    "q216_benford" -> ((s, dir) => {
+      Profile.benford(t(s, dir, "documents"), "source", "n_chars")
+    }),
+
+    // Approximate-FD census source → lang: per source the modal
+    // language and its g₃ share, NULL-honest distinct counts — the
+    // schema-discovery profile ("does source determine language?").
+    "q217_fd_census" -> ((s, dir) => {
+      Profile.fdCensus(t(s, dir, "documents"), "source", "lang")
     })
   )
 
@@ -7442,6 +7485,99 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, hamming, sim
          |FROM apx""".stripMargin,
 
+    "q216_benford" -> benfordOracleSql,
+
+    "q217_fd_census" ->
+      """WITH c AS (
+        |  SELECT source, COALESCE(CAST(lang AS VARCHAR), ' NULL') AS dep,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, dep, c,
+        |         row_number() OVER (PARTITION BY source ORDER BY c DESC, dep) AS rk
+        |  FROM c),
+        |g AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_dep
+        |  FROM c GROUP BY 1)
+        |SELECT g.source, g.n_rows, g.n_distinct_dep, r.dep AS top_dep,
+        |  CAST(round(1e6 * CAST(r.c AS DOUBLE) / CAST(g.n_rows AS DOUBLE)) AS BIGINT) AS top_share_micro,
+        |  g.n_distinct_dep = 1 AS fd_holds
+        |FROM g JOIN r ON r.source = g.source AND r.rk = 1""".stripMargin,
+
+    "q213_char_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE length(lower(text)) >= 3),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, length(t) - 2),
+        |           i -> substr(t, i, 3))) AS g
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id,
+        |         CAST(sum(c) AS BIGINT) AS n_grams,
+        |         CAST(count(*) AS BIGINT) AS distinct_grams,
+        |         CAST(sum(c * CAST(round(1e6 * ln(CAST(c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_grams, distinct_grams,
+        |  CAST(round(1e6 * ln(CAST(n_grams AS DOUBLE))) AS BIGINT)
+        |    - CAST(round(CAST(s AS DOUBLE) / CAST(n_grams AS DOUBLE)) AS BIGINT)
+        |    AS entropy_mnat
+        |FROM r""".stripMargin,
+
+    "q214_filter_agreement" ->
+      ("WITH " + ruleFilterChainSql("documents") + """,
+        |j AS (
+        |  SELECT rf.keep AS a, (d.n_chars >= 200) AS b
+        |  FROM rf JOIN documents d USING (doc_id)),
+        |cells AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM j WHERE a IS NOT NULL AND b IS NOT NULL)
+        |SELECT n, n11, n10, n01, n00,
+        |  CAST(round(1e6 * CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS po_micro,
+        |  CAST(round(1e6 * CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+        |    / CAST(n * n AS DOUBLE)) AS BIGINT) AS pe_micro,
+        |  CASE WHEN n * n = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        |       THEN NULL
+        |       ELSE CAST(round(1e6 * CAST(n * (n11 + n00)
+        |              - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+        |         / CAST(n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)) AS BIGINT)
+        |  END AS kappa_micro
+        |FROM cells""".stripMargin),
+
+    "q215_embedding_health" ->
+      """WITH v AS (
+        |  SELECT list_transform(embedding,
+        |           e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT CAST(unnest(generate_series(0, len(qv) - 1)) AS INT) AS dim,
+        |         unnest(qv) AS v
+        |  FROM v),
+        |g AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(v) AS BIGINT) AS s,
+        |         CAST(sum(v * v) AS BIGINT) AS s2,
+        |         CAST(sum(CASE WHEN abs(v) < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS nz
+        |  FROM x GROUP BY 1),
+        |f AS (
+        |  SELECT dim, n,
+        |    CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_micro,
+        |    CAST(round(sqrt(CAST(n * s2 - s * s AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) AS std_micro,
+        |    CAST(round(1e6 * CAST(nz AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS nearzero_frac_micro
+        |  FROM g)
+        |SELECT dim, n, mean_micro, std_micro, nearzero_frac_micro,
+        |       std_micro < 10000 AS collapsed
+        |FROM f""".stripMargin,
+
     "q212_bq_recall" ->
       (s"""WITH ${bqCtes("q.vec_id < 20", 50)},
           |sce AS (
@@ -8544,6 +8680,36 @@ object SparkEntry {
     * over the same `n` vectors as ground truth, and a per-query hit
     * count — both rankings carry the deterministic (sim desc,
     * neighbor_id) tie-break, so the intersection is well-defined. */
+  /** q216's oracle: dense digit grid via CROSS JOIN generate_series,
+    * the SAME Benford p_d IEEE literals as the Spark side
+    * (Profile.benfordP), per-digit χ² terms micro-quantized before
+    * the order-free integer sum. */
+  private lazy val benfordOracleSql: String = {
+    val pCase = (1 to 9)
+      .map(d => s"WHEN $d THEN ${graft.operators.Profile.benfordP(d)}")
+      .mkString(" ")
+    s"""WITH pos AS (
+       |  SELECT source,
+       |         CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM documents WHERE n_chars > 0),
+       |c AS (
+       |  SELECT source, digit, CAST(count(*) AS BIGINT) AS n_d
+       |  FROM pos GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(n_d) AS BIGINT) AS n FROM c GROUP BY 1),
+       |dense AS (
+       |  SELECT t.source, t.n, d.digit, COALESCE(c.n_d, 0) AS n_d,
+       |         CAST(t.n AS DOUBLE) * (CASE d.digit $pCase END) AS e
+       |  FROM tot t
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit) d
+       |  LEFT JOIN c ON c.source = t.source AND c.digit = d.digit),
+       |terms AS (
+       |  SELECT source, n,
+       |         CAST(round(1e6 * ((CAST(n_d AS DOUBLE) - e) * (CAST(n_d AS DOUBLE) - e) / e)) AS BIGINT) AS term
+       |  FROM dense)
+       |SELECT source, n, CAST(sum(term) AS BIGINT) AS chi2_micro
+       |FROM terms GROUP BY 1, 2""".stripMargin
+  }
+
   /** q208's oracle: the SAME micro-int EWMA weights (interpolated
     * from TimeSeries.ewmaWeightsMicro, so the two sides cannot
     * drift), the same lag taps, integer num/den sums, one divide. */

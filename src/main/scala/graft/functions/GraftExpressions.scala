@@ -376,6 +376,53 @@ object GraftExpressions {
     * `java.text.Normalizer` with an `isNormalized` fast path so the
     * (overwhelmingly common) already-NFC input allocates nothing.
     * Mirrors DuckDB's `nfc_normalize`. */
+  /** `ws_tokens(text)`: lower-cased whitespace tokens in ONE native
+    * byte scan — the hot primitive under every token-derived signal
+    * (66 call sites: shingles, MinHash, BM25, counts…). Semantics
+    * identical to `filter(split(lower(text), "\\s+"), len > 0)`:
+    * Java `\s` is exactly ASCII 0x09–0x0D + 0x20, none of which can
+    * occur inside a multi-byte UTF-8 sequence (continuation bytes are
+    * ≥ 0x80), so the scan splits lowered BYTES safely and each token
+    * is a zero-copy slice. Replaces a regex split (Pattern machinery
+    * per row) plus an interpreted ArrayFilter lambda (HOFs are
+    * CodegenFallback — they break the codegen span the split sits
+    * in). */
+  case class WhitespaceTokens(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "ws_tokens"
+
+    private def isWs(b: Byte): Boolean =
+      b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+    def compute(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val n = bytes.length
+      val out = new java.util.ArrayList[Any]()
+      var i = 0
+      while (i < n) {
+        while (i < n && isWs(bytes(i))) i += 1
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        if (i > start) out.add(UTF8String.fromBytes(bytes, start, i - start))
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wsExpr", this,
+        "graft.functions.GraftExpressions.WhitespaceTokens")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+           |  $ref.compute($c);""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): WhitespaceTokens =
+      copy(child = newChild)
+  }
+
   case class NfcNormalize(child: Expression) extends UnaryExpression {
 
     override def dataType: DataType = StringType
@@ -680,6 +727,9 @@ object GraftExpressions {
 
   def nfcNormalize(s: Column): Column =
     GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(s)))
+
+  def wsTokens(text: Column): Column =
+    GraftSqlBridge.column(WhitespaceTokens(GraftSqlBridge.expression(text)))
 
   def simhashFromTokens(toks: Column, bits: Int): Column =
     GraftSqlBridge.column(SimHashFromTokens(GraftSqlBridge.expression(toks), bits))

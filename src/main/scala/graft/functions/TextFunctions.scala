@@ -16,11 +16,14 @@ object TextFunctions {
     * documents are full of `\n`/`\t`, and a single-space split would
     * keep `"foo\nbar"` as one token, poisoning every token-derived
     * signal downstream (shingles, MinHash, BM25, token counts).
-    * Empty string ⇒ empty array (split of "" yields [""], and a
-    * leading-whitespace string yields a leading "" — both filtered).
+    * Empty string ⇒ empty array. Native one-pass byte scan
+    * (GraftExpressions.WhitespaceTokens) with semantics identical to
+    * `filter(split(lower(text), "\\s+"), len > 0)` — the regex split
+    * + interpreted ArrayFilter it replaces cost ~1.3× on every
+    * token-derived gate (r12 bench delta).
     * Oracle twin: DuckDB `string_split_regex(lower(x), '\s+')`. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    GraftExpressions.wsTokens(text)
 
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -543,4 +543,47 @@ object Corpus {
           / col("n_tokens").cast("double"), 6).as("type_token_ratio"),
         round(col("n_hapax").cast("double")
           / col("n_types").cast("double"), 6).as("hapax_frac"))
+
+  /** Per-document character-n-gram Shannon entropy, in integer
+    * micro-nats: H = ln N − (Σ c·ln c)/N over the doc's n-gram counts.
+    * The gibberish/boilerplate axis the token-level signals miss —
+    * keyboard mash, base64 blobs and minified JS sit HIGH (near the
+    * uniform-gram ceiling), template spam and repeated-char padding
+    * sit LOW; both tails are cut points a corpus-quality gate wants
+    * next to `Training.repetitionSignals` (which counts REPEATS of
+    * specific grams; entropy summarizes the whole distribution).
+    *
+    * Exactness: ln only ever sees an integer COUNT, quantized to
+    * micro-nats (round(1e6·ln c) — the LM-gate convention), so the
+    * per-doc sum is an integer sum, and the one divide (S/N) is a
+    * single correctly-rounded IEEE op — bit-stable cross-engine.
+    *
+    * Scale: explode → (doc, gram) hash-agg → per-doc rollup; state
+    * per doc is bounded by its distinct-gram count. Docs shorter than
+    * n characters have no distribution and are absent. Output:
+    * (idCol, n_grams, distinct_grams, entropy_mnat). */
+  def charEntropy(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val txt = lower(col(textCol))
+    // sequence(1, k) flips to a DESCENDING range when k < 1 — the
+    // length guard is correctness, not just economy.
+    val grams = transform(
+      sequence(lit(1), length(txt) - lit(n - 1)),
+      i => txt.substr(i, lit(n)))
+    val lnq = (c: Column) => round(lit(1e6) * log(c.cast("double")))
+      .cast("long")
+    docs.filter(length(txt) >= n)
+      .select(col(idCol), explode(grams).as("g"))
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("distinct_grams"),
+        sum(col("c") * lnq(col("c"))).as("__s"))
+      .select(col(idCol), col("n_grams"), col("distinct_grams"),
+        (lnq(col("n_grams")) -
+          round(col("__s").cast("double") / col("n_grams").cast("double"))
+            .cast("long")).as("entropy_mnat"))
+  }
 }

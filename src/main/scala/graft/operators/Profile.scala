@@ -130,4 +130,150 @@ object Profile {
     fact.filter(col(fkCol).isNotNull)
       .join(dim.select(col(pkCol).as(fkCol)).distinct(),
         Seq(fkCol), "left_anti")
+
+  /** Cohen's κ between two boolean verdict columns — the question a
+    * filter owner actually asks before swapping a cheap heuristic for
+    * an expensive classifier: "do they agree beyond chance?" (raw
+    * accuracy flatters any pair when one class dominates, which in
+    * quality filtering it always does). κ = (pₒ − pₑ)/(1 − pₑ) over
+    * the 2×2 contingency table, computed as the EXACT integer ratio
+    * (A − B)/(n² − B) with A = n·(n₁₁ + n₀₀),
+    * B = (n₁₁+n₁₀)(n₁₁+n₀₁) + (n₀₁+n₀₀)(n₁₀+n₀₀) — one divide,
+    * micro-quantized. Perfect chance agreement (n² = B) yields NULL κ
+    * rather than a 0/0. NULL verdicts are excluded (they are "not
+    * rated", not a third class).
+    *
+    * Scale: a single scan into one 5-long aggregate row. The integer
+    * products need n ≲ 2·10⁹ to stay in a long (n² term); beyond
+    * that, κ per shard/stratum is the statistically honest form
+    * anyway (pooling heterogeneous strata inflates pₑ — Simpson's).
+    *
+    * Output: 1 row (n, n11, n10, n01, n00, po_micro, pe_micro,
+    * kappa_micro). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol)
+    val b = col(bCol)
+    def cell(p: Column) = sum(when(p, 1L).otherwise(0L))
+    val g = df.filter(a.isNotNull && b.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        cell(a && b).as("n11"), cell(a && !b).as("n10"),
+        cell(!a && b).as("n01"), cell(!a && !b).as("n00"))
+    val n = col("n")
+    val bigA = n * (col("n11") + col("n00"))
+    val bigB = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))
+    g.select(n, col("n11"), col("n10"), col("n01"), col("n00"),
+      round(lit(1e6) * (col("n11") + col("n00")).cast("double") /
+        n.cast("double")).cast("long").as("po_micro"),
+      round(lit(1e6) * bigB.cast("double") /
+        (n * n).cast("double")).cast("long").as("pe_micro"),
+      when(n * n === bigB, lit(null).cast("long")).otherwise(
+        round(lit(1e6) * (bigA - bigB).cast("double") /
+          (n * n - bigB).cast("double")).cast("long")).as("kappa_micro"))
+  }
+
+  /** Benford first-digit census per group, with an exact-arithmetic
+    * χ² against the Benford expectation — the fabricated-numbers
+    * smell test: organically-grown magnitudes (file sizes, durations,
+    * populations) lead with 1 ~30% of the time (p_d = log₁₀(1+1/d));
+    * synthetic, truncated, or copy-pasted columns don't, and a group
+    * whose χ² explodes is where a data-quality reviewer looks first.
+    *
+    * First digit comes from the INTEGER's decimal rendering (column
+    * must be integral; zero/negative rows are excluded — they carry
+    * no leading significant digit) — no log10 per row, so the one
+    * libm-free map stays exact. The nine χ² terms are each quantized
+    * to integer micro before the sum (order-free); p_d literals are
+    * computed once driver-side and shared verbatim with the oracle.
+    *
+    * Scale: (group, digit) hash-agg → per-group 9-entry map rollup.
+    * Output: (group, n, chi2_micro). */
+  def benford(df: DataFrame, groupCol: String, intCol: String): DataFrame = {
+    val digit = substring(col(intCol).cast("string"), 1, 1).cast("int")
+    val counts = df.filter(col(intCol) > 0)
+      .groupBy(col(groupCol), digit.as("digit"))
+      .agg(count(lit(1)).as("n_d"))
+    val g = counts.groupBy(col(groupCol))
+      .agg(sum(col("n_d")).as("n"),
+        map_from_entries(collect_list(struct(col("digit"), col("n_d"))))
+          .as("__m"))
+    val terms = (1 to 9).map { d =>
+      val p = benfordP(d)
+      val e = col("n").cast("double") * lit(p)
+      val nd = coalesce(element_at(col("__m"), lit(d)), lit(0L))
+        .cast("double")
+      round(lit(1e6) * ((nd - e) * (nd - e) / e)).cast("long")
+    }
+    g.select(col(groupCol), col("n"),
+      terms.reduce(_ + _).as("chi2_micro"))
+  }
+
+  /** log₁₀(1 + 1/d) — public so the oracle twin embeds the identical
+    * IEEE literal. */
+  def benfordP(d: Int): Double = math.log10(1.0 + 1.0 / d)
+
+  /** Approximate-functional-dependency census for det → dep — the
+    * schema-discovery profile (does source determine lang? does
+    * device determine firmware?): per determinant value, the row
+    * count, distinct dependent count, the modal dependent and its
+    * share (the g₃ strength of the FD on that key), and whether the
+    * dependency holds exactly. NULL dependents are a real value here
+    * (a key mapping to {x, NULL} is NOT functional) — the usual
+    * count-distinct null-blindness would vacuously pass it.
+    *
+    * Scale: (det, dep) hash-agg, then a per-det struct-min rollup
+    * (no window): state per det is one struct. Output: (det, n_rows,
+    * n_distinct_dep, top_dep string, top_share_micro, fd_holds). */
+  def fdCensus(df: DataFrame, detCol: String, depCol: String): DataFrame = {
+    val dep = coalesce(col(depCol).cast("string"), lit(" NULL"))
+    df.groupBy(col(detCol), dep.as("__dep"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(detCol))
+      .agg(sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_distinct_dep"),
+        min_by(col("__dep"), struct((-col("__c")).as("__nc"), col("__dep")))
+          .as("top_dep"),
+        max(struct(col("__c"), col("__dep"))).getField("__c").as("__top_c"))
+      .select(col(detCol), col("n_rows"), col("n_distinct_dep"),
+        col("top_dep"),
+        round(lit(1e6) * col("__top_c").cast("double") /
+          col("n_rows").cast("double")).cast("long").as("top_share_micro"),
+        (col("n_distinct_dep") === 1L).as("fd_holds"))
+  }
+
+  /** Per-dimension embedding-health census — the collapse/drift
+    * dashboard for an embedding column: a dimension whose variance
+    * has collapsed (encoder degeneration, bad checkpoint) or whose
+    * mean has wandered (feature drift between batches) poisons every
+    * cosine downstream, and at 100 TB nobody eyeballs vectors. Stats
+    * run in the exact integer micro domain (quantize ×1e6 — the
+    * VectorFunctions convention): per-dim mean, std (from the exact
+    * integer moment identity n·Σv² − (Σv)², one sqrt + one divide),
+    * and the near-zero fraction (|v| < 10⁻³).
+    *
+    * Scale: posexplode → (dim) hash-agg, d output rows; the moment
+    * longs need n·v²ₘₐₓ ≲ 2⁶³ (n ≲ 10⁹ at unit-norm micro vectors) —
+    * shard the census beyond that. Output: (dim, n, mean_micro,
+    * std_micro, nearzero_frac_micro, collapsed). */
+  def embeddingHealth(
+      df: DataFrame,
+      vecCol: String,
+      collapsedStdMicro: Long = 10000L): DataFrame = {
+    val v = graft.functions.VectorFunctions.quantize(col(vecCol))
+    df.select(posexplode(v).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("__s"),
+        sum(col("v") * col("v")).as("__s2"),
+        sum(when(abs(col("v")) < 1000L, 1L).otherwise(0L)).as("__nz"))
+      .select(col("dim"), col("n"),
+        round(col("__s").cast("double") / col("n").cast("double"))
+          .cast("long").as("mean_micro"),
+        round(sqrt((col("n") * col("__s2") - col("__s") * col("__s"))
+            .cast("double")) / col("n").cast("double"))
+          .cast("long").as("std_micro"),
+        round(lit(1e6) * col("__nz").cast("double") /
+          col("n").cast("double")).cast("long").as("nearzero_frac_micro"))
+      .withColumn("collapsed", col("std_micro") < collapsedStdMicro)
+  }
 }

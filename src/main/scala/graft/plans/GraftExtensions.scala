@@ -47,6 +47,11 @@ object GraftExtensions {
       info("graft_self_pairs",
         "graft_self_pairs(ids) - all (a, b) combinations with a before b"),
       (children: Seq[Expression]) => GraftExpressions.SelfPairs(children.head)),
+    (FunctionIdentifier("graft_ws_tokens"),
+      info("graft_ws_tokens",
+        "graft_ws_tokens(text) - lower-cased whitespace tokens, one native byte scan"),
+      (children: Seq[Expression]) =>
+        GraftExpressions.WhitespaceTokens(children.head)),
     (FunctionIdentifier("graft_sorted_shingles"),
       info("graft_sorted_shingles",
         "graft_sorted_shingles(tokens) - sorted distinct 3-word shingle set"),

@@ -158,4 +158,34 @@ class TextFunctionsSpec extends SparkSpec {
       .collect()(0).getStruct(0)
     assert(tie.getAs[String]("dominant") == "latin")
   }
+
+  test("tokens: native byte scan == regex split+filter on hostile input") {
+    // The native WhitespaceTokens must be indistinguishable from the
+    // declarative form it replaced — including Unicode content, every
+    // ASCII \s class member, and NBSP (U+00A0), which Java \s does
+    // NOT match and therefore must stay inside a token.
+    val fixtures = Seq(
+      "",
+      "   ",
+      "plain words here",
+      "  leading and trailing  ",
+      "tabs\tand\nnewlines\r\nandvtff",
+      "UPPER Case MiXeD",
+      "Σίσυφος ΣΊΣΥΦΟΣ", // Greek final-sigma lowering
+      "nbsp stays together",
+      "汉字 без spaces 123",
+      "a",
+      "\n\n\nx\n\n")
+    val df = fixtures.toDF("t")
+    val native = df.select(TextFunctions.tokens(col("t"))).collect()
+      .map(_.getSeq[String](0))
+    val regex = df.select(
+        filter(split(lower(col("t")), "\\s+"), x => length(x) > 0))
+      .collect().map(_.getSeq[String](0))
+    fixtures.indices.foreach { i =>
+      assert(native(i) == regex(i),
+        s"mismatch on ${fixtures(i).replace("\n", "\\n")}: " +
+          s"native=${native(i)} regex=${regex(i)}")
+    }
+  }
 }

@@ -234,4 +234,27 @@ class CorpusSpec extends SparkSpec {
     assert(self.getDouble(2) < alien.getDouble(2),
       "in-model text must score lower NLL than alien text")
   }
+
+  test("charEntropy: repeated gram floors at 0; uniform grams hit ln K") {
+    val docs = Seq(
+      (1L, "aaaa"),      // 2 trigrams, both "aaa": H = 0
+      (2L, "abcdef"),    // 4 distinct trigrams: H = ln 4
+      (3L, "ab"))        // shorter than n: absent
+      .toDF("doc_id", "text")
+    val got = Corpus.charEntropy(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    // doc 1: n=2, one gram with c=2 -> lnq(2) - round(2*lnq(2)/2) = 0.
+    assert(got(1L) == ((2L, 1L, 0L)))
+    // doc 2: n=4 distinct -> lnq(4) - 0 = round(1e6*ln 4).
+    assert(got(2L) == ((4L, 4L, math.round(1e6 * math.log(4.0)))))
+  }
+
+  test("charEntropy: case folds before gramming") {
+    val docs = Seq((1L, "ABAB"), (2L, "abab")).toDF("doc_id", "text")
+    val es = Corpus.charEntropy(docs, "doc_id", "text", 3)
+      .collect().map(_.getLong(3)).toSet
+    assert(es.size == 1, "upper and lower case must gram identically")
+  }
 }

@@ -66,4 +66,85 @@ class ProfileSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSeq
     assert(got == Seq("dangling"))
   }
+
+  test("cohenKappa: perfect agreement 1e6, independence ~0, NULLs drop") {
+    import spark.implicits._
+    val perfect = Seq((true, true), (false, false), (true, true))
+      .toDF("a", "b")
+    val p = Profile.cohenKappa(perfect, "a", "b").head()
+    assert(p.getAs[Long]("kappa_micro") == 1000000L)
+    // A textbook 2x2: n11=20 n10=5 n01=10 n00=15 -> po=.7,
+    // pe=(25*30+25*20)/2500=.5 -> kappa=.4.
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    val k = Profile.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(k.getAs[Long]("po_micro") == 700000L)
+    assert(k.getAs[Long]("pe_micro") == 500000L)
+    assert(k.getAs[Long]("kappa_micro") == 400000L)
+    // NULL verdicts are unrated, not a class.
+    val withNull = Seq[(java.lang.Boolean, java.lang.Boolean)](
+      (true, true), (null, true), (false, false)).toDF("a", "b")
+    assert(Profile.cohenKappa(withNull, "a", "b").head().getAs[Long]("n") == 2L)
+  }
+
+  test("cohenKappa: degenerate all-one-class table yields NULL, not 0/0") {
+    import spark.implicits._
+    val g = Profile.cohenKappa(
+      Seq((true, true), (true, true)).toDF("a", "b"), "a", "b").head()
+    assert(g.isNullAt(g.fieldIndex("kappa_micro")))
+    assert(g.getAs[Long]("po_micro") == 1000000L)
+  }
+
+  test("benford: exact-uniform digits score the analytic chi2; zeros drop") {
+    import spark.implicits._
+    // 9 rows, one per leading digit (10..90): n_d = 1 for every d.
+    // chi2 = sum_d (1 - 9 p_d)^2 / (9 p_d), micro-quantized per term.
+    val df = ((1 to 9).map(d => ("u", d * 10L)) :+ ("u", 0L) :+ ("u", -5L))
+      .toDF("g", "v")
+    val got = Profile.benford(df, "g", "v").head()
+    assert(got.getAs[Long]("n") == 9L)
+    val want = (1 to 9).map { d =>
+      val e = 9.0 * Profile.benfordP(d)
+      math.round(1e6 * ((1.0 - e) * (1.0 - e) / e))
+    }.sum
+    assert(got.getAs[Long]("chi2_micro") == want)
+    // A perfectly Benford-weighted sample scores lower than uniform.
+    val ben = (1 to 9).flatMap(d =>
+      Seq.fill(math.round(1000 * Profile.benfordP(d)).toInt)(("b", d * 10L)))
+      .toDF("g", "v")
+    val benChi = Profile.benford(ben, "g", "v").head().getAs[Long]("chi2_micro")
+    assert(benChi < got.getAs[Long]("chi2_micro"))
+  }
+
+  test("fdCensus: holds/violations, modal share, NULL is a real value") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "en"),          // FD holds
+      ("s2", "en"), ("s2", "de"), ("s2", "en"),          // violated, en 2/3
+      ("s3", "fr"), ("s3", null))                        // NULL breaks the FD
+      .toDF("src", "lang")
+    val got = Profile.fdCensus(df, "src", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(got("s1") == ((3L, 1L, "en", 1000000L, true)))
+    assert(got("s2") == ((3L, 2L, "en", 666667L, false)))
+    assert(got("s3")._2 == 2L && !got("s3")._5)
+  }
+
+  test("embeddingHealth: collapsed dim flagged, stats exact") {
+    import spark.implicits._
+    // dim 0 varies (-1, 1), dim 1 is constant 0.5 (no variance, not
+    // near zero), dim 2 is all ~0 (near-zero AND collapsed).
+    val vecs = Seq(
+      Array(-1.0f, 0.5f, 0.0f),
+      Array(1.0f, 0.5f, 0.0f))
+      .map(Tuple1(_)).toDF("v")
+    val got = Profile.embeddingHealth(vecs, "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(0) == ((0L, 1000000L, 0L, false)))   // mean 0, std 1e6
+    assert(got(1) == ((500000L, 0L, 0L, true)))     // constant: collapsed
+    assert(got(2) == ((0L, 0L, 1000000L, true)))    // zero: near-zero too
+  }
 }

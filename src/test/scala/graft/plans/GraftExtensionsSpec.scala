@@ -17,7 +17,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  size(graft_self_pairs(array(1L, 2L, 3L))) AS np,
           |  graft_sorted_shingles(array('b', 'c', 'a', 'b', 'c')) AS sh3,
           |  graft_jaccard_sorted(array('a', 'b'), array('b', 'c')) AS jac,
-          |  graft_dot_q(array(2L, 3L), array(5L, 7L)) AS dot
+          |  graft_dot_q(array(2L, 3L), array(5L, 7L)) AS dot,
+          |  graft_ws_tokens('  Foo\tBAR\nbaz  ') AS toks
           |""".stripMargin).head()
       assert(r.getAs[Long]("sh") >= 0)
       assert(r.getAs[String]("lang") == "en")
@@ -26,6 +27,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getSeq[String](r.fieldIndex("sh3")) == Seq("a b c", "b c a", "c a b"))
       assert(math.abs(r.getAs[Double]("jac") - 1.0 / 3.0) < 1e-12)
       assert(r.getAs[Long]("dot") == 31L)
+      assert(r.getSeq[String](r.fieldIndex("toks")) == Seq("foo", "bar", "baz"))
       // same result as the Column-API path
       import spark.implicits._
       import org.apache.spark.sql.functions._
