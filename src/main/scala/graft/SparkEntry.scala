@@ -3415,6 +3415,39 @@ object SparkEntry {
     // schema-discovery profile ("does source determine language?").
     "q217_fd_census" -> ((s, dir) => {
       Profile.fdCensus(t(s, dir, "documents"), "source", "lang")
+    }),
+
+    // Mixed-script (confusable) token census per source: homoglyph
+    // spoof smell — tokens mixing Cyrillic/Greek INTO Latin words.
+    // The corpus fixtures are pure-Latin, so two spoofed tails (a
+    // Cyrillic-а "pаypal" every 7th doc, a Greek-α "αlpha" on
+    // doc_id % 11 == 3) are appended deterministically; the oracle
+    // twin appends the identical literals.
+    "q218_spoof_census" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 7 === 0L,
+          concat(col("text"), lit(" pаypal аdmin")))
+          .when(col("doc_id") % 11 === 3L,
+            concat(col("text"), lit(" αlpha")))
+          .otherwise(col("text")))
+      Corpus.spoofCensus(docs, "doc_id", "text2", "source")
+    }),
+
+    // Clauset–Shalizi–Newman power-law tail MLE over doc lengths,
+    // xmin = 100 — the "is this still Zipf" drift check; α in exact
+    // micro units from micro-nat ln terms.
+    "q219_power_law" -> ((s, dir) => {
+      Profile.powerLawAlpha(t(s, dir, "documents"), "n_chars", 100L)
+    }),
+
+    // Full per-user OLS of milli-quantized event value against
+    // days-since-2024-01-01: exact rational slope + intercept, one
+    // final double R² over exact integer operands.
+    "q220_group_ols" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("day_x"),
+        round(col("value") * 1e3).cast("long").as("val_mq"))
+      TimeSeries.groupOls(ev, "user_id", "day_x", "val_mq")
     })
   )
 
@@ -7591,7 +7624,64 @@ object SparkEntry {
           |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
           |    FROM sce)
           |  WHERE rank <= 10)
-          |""".stripMargin + recallRollupSql)
+          |""".stripMargin + recallRollupSql),
+
+    "q218_spoof_census" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' pаypal аdmin'
+        |         WHEN doc_id % 11 = 3 THEN text || ' αlpha'
+        |         ELSE text END AS text2
+        |  FROM documents),
+        |tok AS (
+        |  SELECT source,
+        |    len(list_filter(string_split_regex(lower(text2), '\s+'),
+        |      t -> len(t) > 0
+        |        AND regexp_matches(t, '[\p{Cyrillic}\p{Greek}]')
+        |        AND regexp_matches(t, '[a-z]'))) AS nm
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_mixed,
+        |  CAST(sum(nm) AS BIGINT) AS n_mixed_tokens
+        |FROM tok GROUP BY source""".stripMargin,
+
+    "q219_power_law" ->
+      """WITH f AS (
+        |  SELECT CAST(round(1e6 * ln(CAST(n_chars AS DOUBLE) / 99.5)) AS BIGINT) AS lnq
+        |  FROM documents WHERE n_chars >= 100),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(lnq) AS BIGINT) AS sum_ln_mnat
+        |  FROM f)
+        |SELECT n, sum_ln_mnat,
+        |  CASE WHEN n = 0 THEN NULL
+        |       ELSE 1000000 + CAST(round(1e12 * CAST(n AS DOUBLE)
+        |         / CAST(sum_ln_mnat AS DOUBLE)) AS BIGINT) END AS alpha_micro
+        |FROM s""".stripMargin,
+
+    "q220_group_ols" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(round(value * 1e3) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n,
+        |  n * sxy - sx * sy AS slope_num,
+        |  n * sxx - sx * sx AS slope_den,
+        |  sy * sxx - sx * sxy AS icept_num,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |       ELSE CAST(round(1e6
+        |         * (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+        |         / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+        |  END AS r2_micro
+        |FROM a""".stripMargin
   )
 
   /** q81/q200's shared rule-filter replay over source CTE/table

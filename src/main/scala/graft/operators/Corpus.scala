@@ -562,6 +562,32 @@ object Corpus {
     * per doc is bounded by its distinct-gram count. Docs shorter than
     * n characters have no distribution and are absent. Output:
     * (idCol, n_grams, distinct_grams, entropy_mnat). */
+  /** Mixed-script (confusable) token census per group — the homoglyph
+    * spoof smell: a token mixing Cyrillic/Greek letters INTO a Latin
+    * word ("pаypal" with U+0430) is how phishing URLs, poisoned
+    * anchors and adversarial near-dup evasions read; legitimate text
+    * switches script BETWEEN tokens, not inside them. Flags a token
+    * when it contains both a Latin letter and a Cyrillic/Greek one
+    * (the confusable pairs that matter — CJK-Latin mixing is normal).
+    *
+    * Scale: map-only per doc (token filter, two regex probes per
+    * token), then one hash-agg. Output: (group, n_docs,
+    * n_docs_mixed, n_mixed_tokens). */
+  def spoofCensus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String): DataFrame = {
+    val mixed = filter(TextFunctions.tokens(col(textCol)),
+      t => t.rlike("[\\p{IsCyrillic}\\p{IsGreek}]") && t.rlike("[a-z]"))
+    docs
+      .select(col(groupCol), size(mixed).as("__nm"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__nm") > 0, 1L).otherwise(0L)).as("n_docs_mixed"),
+        sum(col("__nm")).as("n_mixed_tokens"))
+  }
+
   def charEntropy(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n > 0, "n must be positive")

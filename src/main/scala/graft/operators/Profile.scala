@@ -172,6 +172,35 @@ object Profile {
           (n * n - bigB).cast("double")).cast("long")).as("kappa_micro"))
   }
 
+  /** Discrete power-law tail fit over a count column (degree
+    * distributions, per-user activity, token frequencies): the
+    * Clauset–Shalizi–Newman MLE with the standard continuous
+    * correction, α = 1 + n / Σ ln(xᵢ/(xmin − ½)), xᵢ ≥ xmin. The
+    * census a graph/corpus owner runs before trusting "it's roughly
+    * Zipf": a drifting α (or one near 1) says the tail changed — bot
+    * floods fatten it, dedup thins it.
+    *
+    * The one libm step quantizes each ln term to integer micro-nats
+    * (order-free sum, the LM-gate convention); α comes from a single
+    * divide over exact operands. Empty input yields NULL α, not 0/0.
+    *
+    * Scale: one filter + one 2-long aggregate row. Output: 1 row
+    * (n, sum_ln_mnat, alpha_micro). */
+  def powerLawAlpha(
+      df: DataFrame, valueCol: String, xmin: Long = 1L): DataFrame = {
+    require(xmin >= 1, "xmin must be at least 1")
+    val x = col(valueCol).cast("long")
+    val lnq = round(lit(1e6) *
+      log(x.cast("double") / lit(xmin - 0.5))).cast("long")
+    df.filter(x >= xmin)
+      .agg(count(lit(1)).as("n"), sum(lnq).as("sum_ln_mnat"))
+      .select(col("n"), col("sum_ln_mnat"),
+        when(col("n") === 0L, lit(null).cast("long")).otherwise(
+          lit(1000000L) + round(lit(1e12) * col("n").cast("double") /
+            col("sum_ln_mnat").cast("double")).cast("long"))
+          .as("alpha_micro"))
+  }
+
   /** Benford first-digit census per group, with an exact-arithmetic
     * χ² against the Benford expectation — the fabricated-numbers
     * smell test: organically-grown magnitudes (file sizes, durations,

@@ -115,6 +115,51 @@ object TimeSeries {
           .otherwise(signum(col("slope_num")).cast("int")))
   }
 
+  /** Full per-key OLS fit y = a + b·x over integer observations —
+    * [[groupTrend]]'s slope plus the exact-rational intercept and a
+    * micro-quantized R², the "how strong is the trend" companion the
+    * sign alone can't answer. All five sufficient statistics stay
+    * EXACT Longs; slope = slope_num/slope_den and intercept =
+    * icept_num/slope_den are left as rationals (same truncate-vs-
+    * floor rationale as groupTrend), and the ONE double step is the
+    * final R² = num²/(den_x·den_y) quotient over exact operands —
+    * deterministic regardless of partitioning, since the operands are
+    * order-free integer sums. den = 0 (single distinct x) or a
+    * constant y (den_y = 0) yields NULL r2, not 0/0.
+    *
+    * Scale: one groupBy over six sums, all partial-aggregatable
+    * map-side; no window, no self-join. Overflow bound: the rationals
+    * need n·|x|max·|y|max·n under ~9·10¹⁸ (re-origin x to
+    * days-since-window-start; milli-quantize y before calling);
+    * num² is computed in Double space precisely so it does NOT need
+    * to fit a Long. Output: (keyCol, n, slope_num, slope_den,
+    * icept_num, r2_micro). */
+  def groupOls(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val agg = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+        sum(y * y).as("__syy"))
+    val num = col("n") * col("__sxy") - col("__sx") * col("__sy")
+    val denX = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    val denY = col("n") * col("__syy") - col("__sy") * col("__sy")
+    agg.select(col(keyCol), col("n"),
+      num.as("slope_num"), denX.as("slope_den"),
+      (col("__sy") * col("__sxx") - col("__sx") * col("__sxy"))
+        .as("icept_num"),
+      when(denX === 0L || denY === 0L, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) *
+          (num.cast("double") * num.cast("double")) /
+          (denX.cast("double") * denY.cast("double"))).cast("long"))
+        .as("r2_micro"))
+  }
+
   /** Exponentially time-decayed counts with EXACT power-of-two decay:
     * each observation contributes `weight >> (age div halfLife)` —
     * halve per elapsed half-life, floored — so "recent activity

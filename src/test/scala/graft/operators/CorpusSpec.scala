@@ -257,4 +257,23 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.getLong(3)).toSet
     assert(es.size == 1, "upper and lower case must gram identically")
   }
+
+  test("spoofCensus: flags Latin-Cyrillic/Greek mixing inside a token " +
+      "but not pure-script or CJK-Latin tokens") {
+    // "pаypal" has Cyrillic а (U+0430); "αlpha" has Greek α (U+03B1);
+    // "крем" and "αβγ" are pure-script; "日本語test" is CJK-Latin,
+    // deliberately NOT a confusable pair.
+    val docs = Seq(
+      (1L, "hello pаypal world", "g1"),
+      (2L, "all clean latin", "g1"),
+      (3L, "αβγ alone", "g1"),
+      (4L, "крем pаypal αlpha", "g2"),
+      (5L, "日本語test", "g2"))
+      .toDF("doc_id", "text", "src")
+    val got = Corpus.spoofCensus(docs, "doc_id", "text", "src")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("g1") == ((3L, 1L, 1L)))
+    assert(got("g2") == ((2L, 1L, 2L)))
+  }
 }

@@ -147,4 +147,26 @@ class ProfileSpec extends SparkSpec {
     assert(got(1) == ((500000L, 0L, 0L, true)))     // constant: collapsed
     assert(got(2) == ((0L, 0L, 1000000L, true)))    // zero: near-zero too
   }
+
+  test("powerLawAlpha: CSN MLE from micro-nat terms, sub-xmin excluded") {
+    import spark.implicits._
+    // xmin = 2: the value 1 is excluded; terms ln(3/1.5) and
+    // ln(6/1.5) quantize to 693147 and 1386294 micro-nats, so
+    // α_micro = 1e6 + round(2e12 / 2079441) = 1961797.
+    val df = Seq(1L, 3L, 6L).toDF("x")
+    val r = Profile.powerLawAlpha(df, "x", 2L).head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 2079441L)
+    assert(r.getLong(2) == 1961797L)
+  }
+
+  test("powerLawAlpha: empty tail yields NULL α, xmin must be ≥ 1") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("x")
+    val r = Profile.powerLawAlpha(df, "x", 100L).head()
+    assert(r.getLong(0) == 0L && r.isNullAt(2))
+    intercept[IllegalArgumentException] {
+      Profile.powerLawAlpha(df, "x", 0L)
+    }
+  }
 }

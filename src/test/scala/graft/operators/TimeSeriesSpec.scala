@@ -123,4 +123,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(last.getAs[Boolean]("alarm_lo"))
     assert(!last.getAs[Boolean]("alarm_hi"))
   }
+
+  test("groupOls: perfect line scores R² = 1e6 with exact rationals") {
+    val obs = Seq(
+      // A: y = 2x + 1 exactly.
+      ("A", 0L, 1L), ("A", 1L, 3L), ("A", 2L, 5L),
+      // B: noisy — hand stats n=3 sx=3 sy=2 sxy=3 sxx=5 syy=2 give
+      // num=3 denX=6 denY=2 → r2 = 1e6·9/12.
+      ("B", 0L, 0L), ("B", 1L, 1L), ("B", 2L, 1L))
+      .toDF("k", "x", "y")
+    val got = TimeSeries.groupOls(obs, "k", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5)))).toMap
+    assert(got("A") == ((3L, 12L, 6L, 6L, 1000000L)))
+    assert(got("B") == ((3L, 3L, 6L, 1L, 750000L)))
+  }
+
+  test("groupOls: degenerate fits yield NULL R², not 0/0") {
+    val obs = Seq(
+      // C: constant y — denY = 0, slope exactly flat.
+      ("C", 0L, 4L), ("C", 1L, 4L),
+      // D: single distinct x — denX = 0, no slope at all.
+      ("D", 5L, 1L), ("D", 5L, 9L))
+      .toDF("k", "x", "y")
+    val got = TimeSeries.groupOls(obs, "k", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.isNullAt(5)))).toMap
+    assert(got("C") == ((0L, 1L, true)))
+    assert(got("D")._2 == 0L && got("D")._3)
+  }
 }
