@@ -3448,6 +3448,42 @@ object SparkEntry {
         datediff(to_date(col("ts")), lit("2024-01-01")).as("day_x"),
         round(col("value") * 1e3).cast("long").as("val_mq"))
       TimeSeries.groupOls(ev, "user_id", "day_x", "val_mq")
+    }),
+
+    // Adamic–Adar affinity between orders sharing parts: rare shared
+    // parts count for more (1/ln deg), hub parts (deg > 40) are
+    // dropped as the wedge-blowup skew guard, and only ≥2-common
+    // pairs surface.
+    "q221_adamic_adar" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      Graph.adamicAdar(li, "l_orderkey", "l_partkey",
+        maxDegree = 40, minCommon = 2)
+    }),
+
+    // TextRank keyword centrality over the corpus word-adjacency
+    // graph — the graph-native complement to q66's tf-idf ranking.
+    "q222_textrank" -> ((s, dir) => {
+      Corpus.textRank(t(s, dir, "documents"), "text",
+        minCount = 3, iters = 4)
+    }),
+
+    // Top principal direction of the embedding cloud by distributed
+    // power iteration — mean + loadings in exact micro units.
+    "q223_top_component" -> ((s, dir) => {
+      Similarity.topComponent(t(s, dir, "embeddings"), "embedding",
+        dim = 64, iters = 4)
+    }),
+
+    // "All-but-the-top" residual census: micro projection onto the
+    // top component and exact residual squared norms (first 100 vecs).
+    "q224_abtt" -> ((s, dir) => {
+      Similarity.removeTop(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, iters = 4)
+        .filter(col("vec_id") < 100L)
+        .select(col("vec_id"), col("proj_micro"),
+          graft.functions.VectorFunctions.normSqQ(col("residual_micro"))
+            .as("res_normsq"))
     })
   )
 
@@ -7681,8 +7717,144 @@ object SparkEntry {
         |         * (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
         |         / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
         |  END AS r2_micro
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q221_adamic_adar" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_orderkey AS s, l_partkey AS z FROM lineitem),
+        |zt AS (
+        |  SELECT z, CAST(round(1e12
+        |    / round(1e6 * ln(CAST(count(*) AS DOUBLE)))) AS BIGINT) AS aa
+        |  FROM e GROUP BY z
+        |  HAVING count(*) >= 2 AND count(*) <= 40),
+        |l AS (SELECT e.s, e.z, zt.aa FROM e JOIN zt USING (z))
+        |SELECT wa.s AS a, wb.s AS b,
+        |  CAST(count(*) AS BIGINT) AS common_neighbors,
+        |  CAST(sum(wa.aa) AS BIGINT) AS aa_micro
+        |FROM l wa JOIN l wb ON wa.z = wb.z AND wa.s < wb.s
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
+
+    "q222_textrank" -> textRankOracleSql(minCount = 3, iters = 4),
+
+    "q223_top_component" ->
+      (s"WITH ${topComponentCtes(4)}\n" +
+        """SELECT mud.j - 1 AS dim, mud.m AS mean_micro,
+          |  vv.v AS loading_micro
+          |FROM mud JOIN v4 vv ON vv.j = mud.j""".stripMargin),
+
+    "q224_abtt" ->
+      (s"WITH ${topComponentCtes(4)},\n" +
+        """p AS (
+          |  SELECT cx.vec_id,
+          |    CAST(round(CAST(sum(vv.v * cx.c) AS DOUBLE) / 1e6) AS BIGINT)
+          |      AS proj
+          |  FROM cx JOIN v4 vv ON vv.j = cx.j GROUP BY cx.vec_id),
+          |r AS (
+          |  SELECT cx.vec_id, cx.c
+          |    - CAST(round(CAST(p.proj AS DOUBLE) * CAST(vv.v AS DOUBLE)
+          |        / 1e6) AS BIGINT) AS r
+          |  FROM cx JOIN p ON p.vec_id = cx.vec_id
+          |  JOIN v4 vv ON vv.j = cx.j)
+          |SELECT r.vec_id, p.proj AS proj_micro,
+          |  CAST(sum(r.r * r.r) AS BIGINT) AS res_normsq
+          |FROM r JOIN p ON p.vec_id = r.vec_id
+          |WHERE r.vec_id < 100
+          |GROUP BY 1, 2""".stripMargin)
   )
+
+  /** q222's oracle: the weighted-PageRank integer update — exact
+    * floor(r·w/W) per edge as (r // W)·w + ((r % W)·w) // W, damping
+    * in integer percent — over the corpus word-adjacency graph,
+    * mirroring Corpus.textRank → Graph.pageRankWeighted literally.
+    * Nonnegative ranks keep `//`/`%` identical to Spark's `div`. */
+  private def textRankOracleSql(minCount: Int, iters: Int): String = {
+    val head =
+      s"""WITH tok AS (
+         |  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+         |    t -> len(t) > 0) AS ts
+         |  FROM documents),
+         |bg AS (
+         |  SELECT ts[i] AS x, ts[i + 1] AS y
+         |  FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)),
+         |pc AS (
+         |  SELECT least(x, y) AS u, greatest(x, y) AS v,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM bg WHERE x <> y GROUP BY 1, 2
+         |  HAVING count(*) >= $minCount),
+         |edges AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst, w FROM pc
+         |  UNION ALL SELECT v AS src, u AS dst, w FROM pc),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM edges
+         |  UNION SELECT dst AS node FROM edges),
+         |outw AS MATERIALIZED (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+         |  FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+        .stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(150000 + (85 * coalesce(i.infl, 0)) // 100 AS BIGINT)
+         |      AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum((r.rank // o.wsum) * e.w
+         |        + ((r.rank % o.wsum) * e.w) // o.wsum) AS BIGINT) AS infl
+         |    FROM edges e
+         |    JOIN r${k - 1} r ON r.node = e.src
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) i ON i.node = n.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT t.node AS term, t.rank AS rank FROM r$iters t"
+  }
+
+  /** q223/q224's shared oracle scaffolding: micro-quantize the
+    * embeddings, center on the rounded micro mean, then `iters`
+    * power-iteration rounds mirroring Similarity.topComponentVec —
+    * the u downshift and v normalization round the SAME single IEEE
+    * steps, and the norm squares in HUGEINT exactly as the Scala
+    * side squares in BigInt. */
+  private def topComponentCtes(iters: Int): String = {
+    val head =
+      """x AS (
+        |  SELECT vec_id, u.j,
+        |    CAST(round(CAST(embedding[u.j] AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(j)),
+        |mud AS MATERIALIZED (
+        |  SELECT j, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS m
+        |  FROM x GROUP BY j),
+        |cx AS MATERIALIZED (
+        |  SELECT x.vec_id, x.j, x.q - mud.m AS c FROM x JOIN mud USING (j)),
+        |v0 AS (
+        |  SELECT u.j, CAST(1000000 AS BIGINT) AS v
+        |  FROM UNNEST(generate_series(1, 64)) AS u(j))""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""u$k AS (
+         |  SELECT cx.vec_id,
+         |    CAST(round(CAST(sum(vv.v * cx.c) AS DOUBLE) / 1e6) AS BIGINT)
+         |      AS u
+         |  FROM cx JOIN v${k - 1} vv ON vv.j = cx.j GROUP BY cx.vec_id),
+         |w$k AS MATERIALIZED (
+         |  SELECT cx.j, CAST(sum(uu.u * cx.c) AS BIGINT) AS w
+         |  FROM cx JOIN u$k uu ON uu.vec_id = cx.vec_id GROUP BY cx.j),
+         |n$k AS (
+         |  SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT))
+         |    AS DOUBLE)) AS s
+         |  FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT w$k.j,
+         |    CASE WHEN n$k.s = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(round(1e6 * CAST(w AS DOUBLE) / s) AS BIGINT)
+         |    END AS v
+         |  FROM w$k, n$k)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   /** q81/q200's shared rule-filter replay over source CTE/table
     * `src(doc_id, text, …)`: the six C4/Dolma quality signals, the

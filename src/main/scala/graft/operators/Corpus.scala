@@ -60,6 +60,50 @@ object Corpus {
           .as("pmi_ratio"))
   }
 
+  /** Corpus-level TextRank keyword scores (Mihalcea & Tarau 2004):
+    * PageRank over the word co-occurrence graph, so a term is central
+    * when it keeps company with other central terms — the
+    * graph-native complement to tf-idf (q66's frequency contrast):
+    * tf-idf rewards rarity, TextRank rewards connectivity, and terms
+    * high on BOTH are the keyphrase candidates.
+    *
+    * Graph: adjacent-token pairs (the standard window-2 form),
+    * undirected — co-counts are summed per unordered pair and each
+    * pair emits both directions with that weight into
+    * [[Graph.pageRankWeighted]], whose exact integer mass splits make
+    * the ranking bit-stable. `minCount` prunes hapax adjacencies
+    * (noise edges, and the oracle-side cost cap).
+    *
+    * Scale: one explode + hash-agg for pair counts (map-side
+    * combinable; key domain = observed bigrams), then PageRank's
+    * per-round node-keyed equi-joins. Never vocab×vocab — only
+    * OBSERVED adjacencies become edges. Output: (term, rank), rank in
+    * micro units. */
+  def textRank(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long,
+      iters: Int = 5,
+      dampingPct: Int = 85): DataFrame = {
+    require(minCount > 0, "minCount must be positive")
+    val toks = TextFunctions.tokens(col(textCol))
+    val pairs = docs
+      .select(explode(GraftExpressions.shingleList(toks, 2)).as("bigram"))
+      .select(split(col("bigram"), " ").getItem(0).as("x"),
+        split(col("bigram"), " ").getItem(1).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount)
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"),
+        col("w"))
+      .union(pairs.select(col("v").as("src"), col("u").as("dst"),
+        col("w")))
+    Graph.pageRankWeighted(edges, "src", "dst", "w", iters, dampingPct)
+      .select(col("node").as("term"), col("rank"))
+  }
+
   /** The first step of BPE tokenizer training: corpus-wide counts of
     * adjacent character pairs WITHIN tokens (pair occurrences weighted
     * by token frequency — exactly what the first merge rule ranks on),

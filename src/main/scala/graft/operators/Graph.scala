@@ -57,6 +57,63 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Adamic–Adar / common-neighbor affinity between same-side nodes
+    * that share neighbors — the classic link-prediction score (Adamic
+    * & Adar 2003): pairs sharing RARE neighbors score higher than
+    * pairs sharing hubs, because each shared neighbor z contributes
+    * 1/ln(deg z), not 1. On a bipartite edge table (order→part,
+    * user→item, doc→fingerprint) it scores same-side pairs by their
+    * shared other-side neighbors; on a unipartite graph pass the
+    * SYMMETRIZED edge list and set `excludeAdjacent` to keep only
+    * genuinely-new candidate links.
+    *
+    * Each neighbor's term is quantized once — round(1e12 /
+    * round(1e6·ln(deg z))) = micro-units of 1/ln(deg z), two single
+    * IEEE steps over exact integers — and pair scores are order-free
+    * integer sums of those terms, so results are bit-stable under any
+    * partitioning. A degree-1 neighbor cannot be shared (it has one
+    * edge), so ln's zero at deg = 1 is structurally unreachable; the
+    * filter keeps deg ≥ 2 anyway as defense.
+    *
+    * Scale: wedge enumeration through the shared neighbor is the
+    * classic deg² blowup — `maxDegree` is the explicit skew guard
+    * (drop hub neighbors entirely: a part in half the orders tells
+    * you nothing about any specific pair, the exact analogue of a
+    * stop-word/df cap). With the cap, wedge count ≤ |Z|·maxDegree²/2
+    * via one equi-join on z — never node×node. `minCommon` bounds the
+    * output (1-common-neighbor pairs are mostly noise at corpus
+    * scale). Output: (a, b, common_neighbors, aa_micro), a < b. */
+  def adamicAdar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxDegree: Int,
+      minCommon: Int = 1,
+      excludeAdjacent: Boolean = false): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val e = Dedup.truncate(edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__z")).distinct())
+    val zterm = e.groupBy(col("__z")).agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= 2L && col("__d") <= maxDegree.toLong)
+      .select(col("__z"), round(lit(1e12) /
+        round(lit(1e6) * log(col("__d").cast("double"))))
+        .cast("long").as("__aa"))
+    val l = e.join(zterm, Seq("__z"))
+    val scored = l.as("wa").join(l.as("wb"),
+        col("wa.__z") === col("wb.__z") && col("wa.__s") < col("wb.__s"))
+      .select(col("wa.__s").as("a"), col("wb.__s").as("b"),
+        col("wa.__aa").as("__aa"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("__aa")).as("aa_micro"))
+      .filter(col("common_neighbors") >= minCommon.toLong)
+    if (!excludeAdjacent) scored
+    else scored.join(
+      e.select(col("__s").as("a"), col("__z").as("b")),
+      Seq("a", "b"), "left_anti")
+  }
+
   /** The degree-ordered oriented edge set behind [[triangleCounts]]:
     * one row per undirected edge, oriented src → dst with
     * (deg(src), src) < (deg(dst), dst) lexicographically, plus the

@@ -646,4 +646,126 @@ object Similarity {
       .withColumnRenamed(idCol, "query_id")
     score(q, c, k, band = Some((lo, hi)))
   }
+
+  /** DuckDB-round twin for driver-side normalization: half away from
+    * zero, matching SQL `round()` and Spark's Column `round` —
+    * Scala's `Math.round` floors half DOWN for negatives and would
+    * drift the oracle. */
+  private def roundAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  /** Mean + top principal direction of the (centered) embedding
+    * cloud by DISTRIBUTED POWER ITERATION, micro-exact: the dominant
+    * axis every embedding postprocessor wants — encoder anisotropy
+    * ("all-but-the-top", Mu & Viswanath 2018) concentrates in the top
+    * component(s), and removing them is the cheapest quality win for
+    * cosine retrieval.
+    *
+    * Per iteration, two corpus passes: u_i = round(⟨v, c_i⟩/1e6) per
+    * row (exact integer dot, one rounded downshift to keep the next
+    * sum in range), then w_j = Σᵢ u_i·c_ij per dimension — both
+    * map-side-combinable integer aggregations whose driver state is
+    * ONE dim-length vector; normalization squares w in BigInt (the
+    * oracle's HUGEINT) so the norm is the sqrt of an EXACT integer,
+    * and each v term takes one IEEE divide + away-from-zero round.
+    * Deterministic under any partitioning: every cross-partition sum
+    * is integer. v₀ = all-ones; the sign of the result follows that
+    * choice (flip downstream if a convention is needed).
+    *
+    * Overflow bounds (micro units, |c_j| ≤ 2e6 for unit-ish inputs):
+    * Cauchy–Schwarz gives |u| ≤ |v|₂·|c|₂/1e6, worst in iteration 1
+    * where v₀ = all-ones is √dim× a unit vector — at dim 64 that is
+    * |u| ≤ 1.3e8, so |w_j| ≤ n·|u|·2e6 holds Longs to n ≈ 3·10⁴
+    * rows; for corpus-scale n raise the downshift (1e6 → 1e9 buys
+    * 1000×) — the iteration tolerates any fixed extra scaling of u.
+    * Rows whose vector length ≠ dim are dropped (one filter), not
+    * errors.
+    *
+    * Output: (dim, mean_micro, loading_micro) — dim-many rows;
+    * loading is the unit top direction in micro units. All-zero
+    * centered input yields loading 0 on every dim. */
+  def topComponent(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 4): DataFrame = {
+    val (mu, v) = topComponentVec(df, vecCol, dim, iters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    (0 until dim).map(j => (j, mu(j), v(j))).toDF(
+      "dim", "mean_micro", "loading_micro")
+  }
+
+  private[graft] def topComponentVec(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      iters: Int): (Array[Long], Array[Long]) = {
+    require(dim > 0, "dim must be positive")
+    require(iters >= 1, "iters must be at least 1")
+    val q = df.select(quantize(col(vecCol)).as("__q"))
+      .filter(size(col("__q")) === dim)
+    val muRows = q.select(posexplode(col("__q")).as(Seq("__j", "__x")))
+      .groupBy(col("__j"))
+      .agg(round(sum(col("__x")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("__m"))
+      .collect()
+    val mu = Array.fill(dim)(0L)
+    muRows.foreach(r => mu(r.getInt(0)) = r.getLong(1))
+    // Pin the centered table once: every iteration reads it twice and
+    // the upstream pipeline must not re-run 2·iters times.
+    val cq = Dedup.truncate(q.select(
+      zip_with(col("__q"), typedLit(mu.toSeq), (a, b) => a - b).as("__c")))
+    var v = Array.fill(dim)(1000000L)
+    var it = 0
+    var done = false
+    while (it < iters && !done) {
+      val wRows = cq
+        .withColumn("__u", round(
+          graft.functions.GraftExpressions.dotQNative(col("__c"),
+            typedLit(v.toSeq)).cast("double") / lit(1e6)).cast("long"))
+        .select(col("__u"), posexplode(col("__c")).as(Seq("__j", "__cv")))
+        .groupBy(col("__j")).agg(sum(col("__cv") * col("__u")).as("__w"))
+        .collect()
+      val w = Array.fill(dim)(0L)
+      wRows.foreach(r => w(r.getInt(0)) = r.getLong(1))
+      val normSq = w.foldLeft(BigInt(0))((s, x) => s + BigInt(x) * BigInt(x))
+      if (normSq == 0) { v = Array.fill(dim)(0L); done = true }
+      else {
+        val norm = math.sqrt(normSq.doubleValue)
+        v = w.map(wj => roundAway(1e6 * wj / norm))
+      }
+      it += 1
+    }
+    (mu, v)
+  }
+
+  /** "All-but-the-top" residuals: subtract the mean and the
+    * projection onto [[topComponent]]'s direction from every vector,
+    * all in exact micro arithmetic — r_i = c_i − round(p_i·v/1e6)
+    * with p_i = round(⟨v, c_i⟩/1e6) the micro projection coefficient.
+    * One map-only pass over the corpus after the (driver-bounded)
+    * power iteration. Output: (idCol, proj_micro, residual_micro
+    * array<long>) — residuals stay quantized so downstream exact
+    * integer scoring ([[VectorFunctions.dotQ]]) applies unchanged;
+    * divide by 1e6 for floats. */
+  def removeTop(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 4): DataFrame = {
+    val (mu, v) = topComponentVec(df, vecCol, dim, iters)
+    val c = zip_with(quantize(col(vecCol)), typedLit(mu.toSeq),
+      (a, b) => a - b)
+    df.filter(size(col(vecCol)) === dim)
+      .select(col(idCol), c.as("__c"))
+      .withColumn("proj_micro", round(
+        graft.functions.GraftExpressions.dotQNative(col("__c"),
+          typedLit(v.toSeq)).cast("double") / lit(1e6)).cast("long"))
+      .select(col(idCol), col("proj_micro"),
+        zip_with(col("__c"), typedLit(v.toSeq), (cj, vj) =>
+          cj - round(col("proj_micro").cast("double") * vj.cast("double")
+            / lit(1e6)).cast("long")).as("residual_micro"))
+  }
 }

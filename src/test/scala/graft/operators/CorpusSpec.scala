@@ -276,4 +276,24 @@ class CorpusSpec extends SparkSpec {
     assert(got("g1") == ((3L, 1L, 1L)))
     assert(got("g2") == ((2L, 1L, 2L)))
   }
+
+  test("textRank: path graph ranks the bridge word highest, exact micro") {
+    // "u v w" → undirected path u–v–w. Hand-run 2 integer rounds:
+    // r1(u)=575000, r1(v)=1850000; r2(u)=w2=936250,
+    // r2(v)=150000+85·(2·575000) div 100 = 1127500.
+    val docs = Seq("u v w").toDF("text")
+    val got = Corpus.textRank(docs, "text", minCount = 1, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("u" -> 936250L, "v" -> 1127500L, "w" -> 936250L))
+  }
+
+  test("textRank: self-pairs drop, symmetric co-counts merge") {
+    // "a a b" + "b a" → bigrams (a,a) dropped; (a,b) and (b,a) merge
+    // to one undirected edge of weight 2 — a regular 2-node graph is
+    // the exact 1e6 fixpoint whatever the weight.
+    val docs = Seq("a a b", "b a").toDF("text")
+    val got = Corpus.textRank(docs, "text", minCount = 1, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1000000L, "b" -> 1000000L))
+  }
 }

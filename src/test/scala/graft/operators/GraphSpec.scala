@@ -318,4 +318,42 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r == Map("z" -> 150000L, "a" -> 0L, "b" -> 0L))
   }
+
+  test("adamicAdar: rare shared neighbors outweigh hubs, exact micro terms") {
+    // z1 has degree 3 (term 910239 = round(1e12/round(1e6·ln3))),
+    // z2 degree 2 (term 1442695). (a,b) share both; (a,c)/(b,c) only z1.
+    val edges = Seq(
+      ("a", "z1"), ("b", "z1"), ("c", "z1"),
+      ("a", "z2"), ("b", "z2")).toDF("s", "z")
+    val got = Graph.adamicAdar(edges, "s", "z", maxDegree = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("a", "b")) == ((2L, 2352934L)))
+    assert(got(("a", "c")) == ((1L, 910239L)))
+    assert(got(("b", "c")) == ((1L, 910239L)))
+    // minCommon prunes the single-neighbor pairs.
+    val strict = Graph.adamicAdar(edges, "s", "z", maxDegree = 10,
+      minCommon = 2).collect()
+    assert(strict.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b")))
+    // maxDegree 2 drops the z1 hub: only the z2 wedge survives.
+    val capped = Graph.adamicAdar(edges, "s", "z", maxDegree = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(3)).toMap
+    assert(capped == Map(("a", "b") -> 1442695L))
+  }
+
+  test("adamicAdar: excludeAdjacent drops pairs already linked") {
+    // Symmetrized path a-b-c: the only distance-2 pair is (a,c).
+    val sym = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+    val open = Graph.adamicAdar(sym.toDF("s", "z"), "s", "z",
+      maxDegree = 10, excludeAdjacent = true).collect()
+    assert(open.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "c")))
+    // Close the triangle: (a,c) is now an existing edge, so nothing
+    // is left to predict.
+    val closed = sym ++ Seq(("a", "c"), ("c", "a"))
+    assert(Graph.adamicAdar(closed.toDF("s", "z"), "s", "z",
+      maxDegree = 10, excludeAdjacent = true).count() == 0L)
+  }
 }

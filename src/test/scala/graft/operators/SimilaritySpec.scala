@@ -320,4 +320,45 @@ class SimilaritySpec extends SparkSpec {
     // the exact cosine regardless.
     assert(got.map(_.getLong(3)).forall(h => h >= 0L && h <= 3L))
   }
+
+  test("topComponent: centers the cloud and finds the exact 1-D axis") {
+    import spark.implicits._
+    // Data exactly on the line t·(1,2) shifted by (10,0): the mean is
+    // (10,0) and the centered top direction is (1,2)/√5 →
+    // (447214, 894427) in micro units, stable from iteration 1.
+    val rows = Seq(
+      Array(11.0f, 2.0f), Array(9.0f, -2.0f),
+      Array(12.0f, 4.0f), Array(8.0f, -4.0f))
+      .map(Tuple1(_)).toDF("v")
+    val got = Similarity.topComponent(rows, "v", dim = 2, iters = 3)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0) == ((10000000L, 447214L)))
+    assert(got(1) == ((0L, 894427L)))
+  }
+
+  test("topComponent: zero-variance cloud yields zero loadings") {
+    import spark.implicits._
+    val rows = Seq(Array(1.0f, 2.0f), Array(1.0f, 2.0f))
+      .map(Tuple1(_)).toDF("v")
+    val got = Similarity.topComponent(rows, "v", dim = 2, iters = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(0 -> 0L, 1 -> 0L))
+  }
+
+  test("removeTop: residuals of perfectly 1-D data are quantization dust") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(-1.0f, -2.0f)),
+      (3L, Array(2.0f, 4.0f)), (4L, Array(-2.0f, -4.0f)))
+      .toDF("id", "v")
+    val got = Similarity.removeTop(rows, "id", "v", dim = 2, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    // Micro projections onto (447214, 894427) are exact integers...
+    assert(got(1L)._1 == 2236068L && got(3L)._1 == 4472136L)
+    assert(got(2L)._1 == -2236068L && got(4L)._1 == -4472136L)
+    // ...and what's left is rounding dust, not structure.
+    assert(got.values.flatMap(_._2).forall(r => math.abs(r) <= 10L))
+  }
 }
