@@ -636,24 +636,17 @@ object Corpus {
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n > 0, "n must be positive")
     val txt = lower(col(textCol))
-    // sequence(1, k) flips to a DESCENDING range when k < 1 — the
-    // length guard is correctness, not just economy.
-    val grams = transform(
-      sequence(lit(1), length(txt) - lit(n - 1)),
-      i => txt.substr(i, lit(n)))
-    val lnq = (c: Column) => round(lit(1e6) * log(c.cast("double")))
-      .cast("long")
+    // One-pass native census (GraftExpressions.CharNgramStats): the
+    // explode + (doc, gram)-keyed shuffle this replaces was the
+    // bench's single most expensive query — same quantization, zero
+    // shuffles. The length guard keeps short docs absent, matching
+    // the "no distribution" contract (and the former sequence(1, k)
+    // descending-range trap).
     docs.filter(length(txt) >= n)
-      .select(col(idCol), explode(grams).as("g"))
-      .groupBy(col(idCol), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(sum(col("c")).as("n_grams"),
-        count(lit(1)).as("distinct_grams"),
-        sum(col("c") * lnq(col("c"))).as("__s"))
-      .select(col(idCol), col("n_grams"), col("distinct_grams"),
-        (lnq(col("n_grams")) -
-          round(col("__s").cast("double") / col("n_grams").cast("double"))
-            .cast("long")).as("entropy_mnat"))
+      .select(col(idCol),
+        GraftExpressions.charNgramStats(txt, n).as("__st"))
+      .select(col(idCol), col("__st.n_grams").as("n_grams"),
+        col("__st.distinct_grams").as("distinct_grams"),
+        col("__st.entropy_mnat").as("entropy_mnat"))
   }
 }

@@ -277,6 +277,39 @@ class CorpusSpec extends SparkSpec {
     assert(got("g2") == ((2L, 1L, 2L)))
   }
 
+  test("charEntropy: native one-pass census ≡ the explode+shuffle formula " +
+      "on hostile unicode") {
+    // Multibyte (CJK), supplementary (emoji, one code POINT per
+    // position), tabs/newlines, repeats, and an exactly-n-length doc.
+    val docs = Seq(
+      (1L, "aaaaaaa"), (2L, "abcabcabc"), (3L, "日本語日本語テスト"),
+      (4L, "a\tb\nc a\tb"), (5L, "xy😀zz😀xy😀"), (6L, "abc"),
+      (7L, "MiXeD CaSe MiXeD"))
+      .toDF("doc_id", "text")
+    val got = Corpus.charEntropy(docs, "doc_id", "text", 3)
+    // The formula the native expression replaced, inlined verbatim.
+    val txt = lower($"text")
+    val grams = transform(sequence(lit(1), length(txt) - lit(2)),
+      i => txt.substr(i, lit(3)))
+    val lnq = (c: org.apache.spark.sql.Column) =>
+      round(lit(1e6) * log(c.cast("double"))).cast("long")
+    val want = docs.filter(length(txt) >= 3)
+      .select($"doc_id", explode(grams).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_grams"), count(lit(1)).as("distinct_grams"),
+        sum($"c" * lnq($"c")).as("__s"))
+      .select($"doc_id", $"n_grams", $"distinct_grams",
+        (lnq($"n_grams") - round($"__s".cast("double") /
+          $"n_grams".cast("double")).cast("long")).as("entropy_mnat"))
+    val g = got.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val w = want.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(g == w)
+    assert(g(5L)._1 == 7L, "emoji must count as ONE code point")
+  }
+
   test("textRank: path graph ranks the bridge word highest, exact micro") {
     // "u v w" → undirected path u–v–w. Hand-run 2 integer rounds:
     // r1(u)=575000, r1(v)=1850000; r2(u)=w2=936250,
