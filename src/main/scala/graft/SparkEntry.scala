@@ -3484,8 +3484,48 @@ object SparkEntry {
         .select(col("vec_id"), col("proj_micro"),
           graft.functions.VectorFunctions.normSqQ(col("residual_micro"))
             .as("res_normsq"))
+    }),
+
+    // Pairwise Pearson census over lineitem's money columns in ONE
+    // scan — centi-unit quantization, DECIMAL(38,0)-exact sufficient
+    // statistics, one divide over two sqrts per pair.
+    "q225_correlation" -> ((s, dir) => {
+      Profile.correlationCensus(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        scale = 100.0)
+    }),
+
+    // Mutual information source ↔ lang in micro-nats with marginal
+    // entropies and NMI — "how many nats does the source buy about
+    // the language", the quantitative twin of q217's FD verdict.
+    "q226_mutual_info" -> ((s, dir) => {
+      Profile.mutualInfo(t(s, dir, "documents"), "source", "lang")
     })
   )
+
+  /** q225's oracle, one pair: HUGEINT-exact sufficient statistics
+    * (Σx² alone passes int64 at sf0.1) mirroring the operator's
+    * DECIMAL(38,0) path, pairwise-complete rows, NULL on zero
+    * variance. */
+  private def corrPairSql(a: String, b: String, scale: String): String =
+    s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(st.n AS BIGINT) AS n,
+       |  CASE WHEN st.n * st.sxx - st.sx * st.sx <= 0
+       |         OR st.n * st.syy - st.sy * st.sy <= 0 THEN NULL
+       |       ELSE CAST(round(1e6
+       |         * CAST(st.n * st.sxy - st.sx * st.sy AS DOUBLE)
+       |         / (sqrt(CAST(st.n * st.sxx - st.sx * st.sx AS DOUBLE))
+       |            * sqrt(CAST(st.n * st.syy - st.sy * st.sy AS DOUBLE))))
+       |         AS BIGINT) END AS r_micro
+       |FROM (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+       |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(y * y) AS HUGEINT) AS syy
+       |  FROM (SELECT CAST(round($a * $scale) AS BIGINT) AS x,
+       |               CAST(round($b * $scale) AS BIGINT) AS y
+       |        FROM lineitem
+       |        WHERE $a IS NOT NULL AND $b IS NOT NULL)) st""".stripMargin
 
   /** 36 consecutive CJK ideographs (U+4E00–U+4E23): the substitution
     * alphabet of q205's synthetic unspaced-CJK corpus. a–z0–9 map
@@ -7760,7 +7800,59 @@ object SparkEntry {
           |  CAST(sum(r.r * r.r) AS BIGINT) AS res_normsq
           |FROM r JOIN p ON p.vec_id = r.vec_id
           |WHERE r.vec_id < 100
-          |GROUP BY 1, 2""".stripMargin)
+          |GROUP BY 1, 2""".stripMargin),
+
+    "q225_correlation" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      (for { i <- cols.indices; j <- i + 1 until cols.size }
+        yield corrPairSql(cols(i), cols(j), "100")).mkString("\nUNION ALL\n")
+    },
+
+    "q226_mutual_info" ->
+      """WITH c AS (
+        |  SELECT COALESCE(CAST(source AS VARCHAR), ' NULL') AS a,
+        |         COALESCE(CAST(lang AS VARCHAR), ' NULL') AS b,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM c GROUP BY a),
+        |cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM c GROUP BY b),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS cells FROM c),
+        |s AS (
+        |  SELECT CAST(sum(c.c * (
+        |      CAST(round(1e6 * ln(CAST(c.c AS DOUBLE))) AS BIGINT)
+        |    + CAST(round(1e6 * ln(CAST(t.n AS DOUBLE))) AS BIGINT)
+        |    - CAST(round(1e6 * ln(CAST(ca.ca AS DOUBLE))) AS BIGINT)
+        |    - CAST(round(1e6 * ln(CAST(cb.cb AS DOUBLE))) AS BIGINT)))
+        |    AS BIGINT) AS s
+        |  FROM c JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN t),
+        |sa AS (
+        |  SELECT CAST(sum(ca *
+        |    CAST(round(1e6 * ln(CAST(ca AS DOUBLE))) AS BIGINT))
+        |    AS BIGINT) AS sa
+        |  FROM ca),
+        |sb AS (
+        |  SELECT CAST(sum(cb *
+        |    CAST(round(1e6 * ln(CAST(cb AS DOUBLE))) AS BIGINT))
+        |    AS BIGINT) AS sb
+        |  FROM cb),
+        |f AS (
+        |  SELECT t.n, t.cells AS n_cells,
+        |    CAST(round(CAST(s.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      AS BIGINT) AS mi_mnat,
+        |    CAST(round(1e6 * ln(CAST(t.n AS DOUBLE))) AS BIGINT)
+        |      - CAST(round(CAST(sa.sa AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |        AS BIGINT) AS h_a_mnat,
+        |    CAST(round(1e6 * ln(CAST(t.n AS DOUBLE))) AS BIGINT)
+        |      - CAST(round(CAST(sb.sb AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |        AS BIGINT) AS h_b_mnat
+        |  FROM t, s, sa, sb)
+        |SELECT n, n_cells, mi_mnat, h_a_mnat, h_b_mnat,
+        |  CASE WHEN least(h_a_mnat, h_b_mnat) <= 0 THEN NULL
+        |       ELSE CAST(round(1e6 * CAST(mi_mnat AS DOUBLE)
+        |         / CAST(least(h_a_mnat, h_b_mnat) AS DOUBLE)) AS BIGINT)
+        |  END AS nmi_micro
+        |FROM f""".stripMargin
   )
 
   /** q222's oracle: the weighted-PageRank integer update — exact

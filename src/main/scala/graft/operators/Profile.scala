@@ -172,6 +172,113 @@ object Profile {
           (n * n - bigB).cast("double")).cast("long")).as("kappa_micro"))
   }
 
+  /** Pairwise Pearson correlation census over numeric columns — the
+    * ANALYZE-style redundancy profile ("price and tax are r=0.99,
+    * drop one from the model") in ONE scan: every pair's six
+    * sufficient statistics come from a single wide aggregation, so
+    * the pass costs one map-side-combinable reduce however many rows.
+    * Values are quantized once (round(x·scale) → int64, an explicit
+    * modeling choice like pageRankWeighted's weights); sums and the
+    * n·Σxy − Σx·Σy combinations run in DECIMAL(38,0) — exact integers
+    * past the int64 range (Σx² alone can hit 6·10¹⁹ at sf0.1), the
+    * oracle's HUGEINT — and the ONLY floating steps are the final
+    * one-divide-over-two-sqrts and its round, over exact operands.
+    * NULL handling is pairwise-complete: each pair uses exactly the
+    * rows where BOTH columns are present. A constant column (den 0)
+    * yields NULL r, not 0/0.
+    *
+    * Scale: one aggregation of 6·k(k−1)/2 longs; no join, no window,
+    * no second scan. k is the COLUMN count — keep it to the dozens.
+    * Output: (col_a, col_b, n, r_micro) per unordered pair. */
+  def correlationCensus(
+      df: DataFrame, cols: Seq[String], scale: Double = 1.0): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(scale > 0, "scale must be positive")
+    val dec = "decimal(38,0)"
+    val q: String => Column =
+      c => round(col(c).cast("double") * scale).cast("long")
+    val pairs =
+      for { i <- cols.indices; j <- i + 1 until cols.size } yield (i, j)
+    val aggs = pairs.flatMap { case (i, j) =>
+      val both = col(cols(i)).isNotNull && col(cols(j)).isNotNull
+      val x = when(both, q(cols(i)))
+      val y = when(both, q(cols(j)))
+      Seq(count(when(both, lit(1))).as(s"__n_${i}_$j"),
+        sum(x.cast(dec)).as(s"__sx_${i}_$j"),
+        sum(y.cast(dec)).as(s"__sy_${i}_$j"),
+        sum((x * y).cast(dec)).as(s"__sxy_${i}_$j"),
+        sum((x * x).cast(dec)).as(s"__sxx_${i}_$j"),
+        sum((y * y).cast(dec)).as(s"__syy_${i}_$j"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (i, j) =>
+        val n = col(s"__n_${i}_$j").cast(dec)
+        val sx = col(s"__sx_${i}_$j"); val sy = col(s"__sy_${i}_$j")
+        val num = n * col(s"__sxy_${i}_$j") - sx * sy
+        val denx = n * col(s"__sxx_${i}_$j") - sx * sx
+        val deny = n * col(s"__syy_${i}_$j") - sy * sy
+        struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+          col(s"__n_${i}_$j").as("n"),
+          when(denx <= 0 || deny <= 0, lit(null).cast("long"))
+            .otherwise(round(lit(1e6) * num.cast("double") /
+              (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))))
+              .cast("long")).as("r_micro"))
+      }: _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
+  /** Mutual information between two categorical columns, micro-nat
+    * exact — fdCensus asks "does A determine B?"; this answers "how
+    * MANY nats does knowing A buy about B?", with both marginal
+    * entropies and the normalized MI verdict alongside. NULL is a
+    * category (the fdCensus sentinel convention), not a dropped row.
+    *
+    * Per cell, ln(c_ab·N/(c_a·c_b)) decomposes into four
+    * independently micro-quantized ln terms combined exactly, so the
+    * sum is order-free; MI, H(A), H(B) each take one final rounded
+    * divide by N; NMI = MI/min(H) is one more divide over those
+    * already-exact longs, NULL when a marginal entropy is 0 (a
+    * constant column carries no information to normalize by).
+    *
+    * Scale: one (a,b)-keyed hash-agg (cells), two margin re-aggs of
+    * the CELLS (not the rows), margin joins keyed on the cell table,
+    * one final 1-row reduce — never rows×rows, heaviest key costs one
+    * counter. Output: 1 row (n, n_cells, mi_mnat, h_a_mnat, h_b_mnat,
+    * nmi_micro). */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val lnq = (c: Column) =>
+      round(lit(1e6) * log(c.cast("double"))).cast("long")
+    val a = coalesce(col(aCol).cast("string"), lit(" NULL"))
+    val b = coalesce(col(bCol).cast("string"), lit(" NULL"))
+    val cells = Dedup.truncate(df
+      .groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("__c")))
+    val ca = cells.groupBy(col("__a")).agg(sum(col("__c")).as("__ca"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
+    val tot = cells.agg(sum(col("__c")).as("__n"),
+      count(lit(1)).as("__cells"))
+    val sMi = cells.join(ca, "__a").join(cb, "__b")
+      .crossJoin(broadcast(tot))
+      .agg(sum(col("__c") * (lnq(col("__c")) + lnq(col("__n"))
+        - lnq(col("__ca")) - lnq(col("__cb")))).as("__s"))
+    val sA = ca.agg(sum(col("__ca") * lnq(col("__ca"))).as("__sa"))
+    val sB = cb.agg(sum(col("__cb") * lnq(col("__cb"))).as("__sb"))
+    val h = (s: Column, n: Column) => lnq(n) -
+      round(s.cast("double") / n.cast("double")).cast("long")
+    broadcast(tot).crossJoin(broadcast(sMi))
+      .crossJoin(broadcast(sA)).crossJoin(broadcast(sB))
+      .select(col("__n").as("n"), col("__cells").as("n_cells"),
+        round(col("__s").cast("double") / col("__n").cast("double"))
+          .cast("long").as("mi_mnat"),
+        h(col("__sa"), col("__n")).as("h_a_mnat"),
+        h(col("__sb"), col("__n")).as("h_b_mnat"))
+      .withColumn("nmi_micro",
+        when(least(col("h_a_mnat"), col("h_b_mnat")) <= 0L,
+          lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * col("mi_mnat").cast("double") /
+            least(col("h_a_mnat"), col("h_b_mnat")).cast("double"))
+            .cast("long")))
+  }
+
   /** Discrete power-law tail fit over a count column (degree
     * distributions, per-user activity, token frequencies): the
     * Clauset–Shalizi–Newman MLE with the standard continuous

@@ -148,6 +148,66 @@ class ProfileSpec extends SparkSpec {
     assert(got(2) == ((0L, 0L, 1000000L, true)))    // zero: near-zero too
   }
 
+  test("correlationCensus: exact ±1 on perfect lines, NULL on constants, " +
+      "pairwise-complete NULLs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 2L, 3L, Option.empty[Long]),
+      (2L, 4L, 2L, Some(5L)),
+      (3L, 6L, 1L, Some(5L)))
+      .toDF("a", "b", "c", "d")
+    val got = Profile.correlationCensus(df, Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+    assert(got(("a", "b")) == ((3L, 1000000L)))   // y = 2x exactly
+    assert(got(("a", "c")) == ((3L, -1000000L)))  // y = 4 − x
+    // d is NULL in row 1: its pairs use rows 2–3 only, where d is
+    // constant → den 0 → NULL, with the pairwise n recorded.
+    assert(got(("a", "d")) == ((2L, null)))
+    assert(got(("c", "d")) == ((2L, null)))
+  }
+
+  test("correlationCensus: hand-computed mid-range r with quantization") {
+    import spark.implicits._
+    // x=(1,2,3), y=(1,3,2) → r = 3/√36 = 0.5 exactly; the 0.01-step
+    // twin with scale=100 quantizes to the same integers.
+    val df = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("x", "y")
+    val r1 = Profile.correlationCensus(df, Seq("x", "y")).head.getLong(3)
+    assert(r1 == 500000L)
+    val dfQ = Seq((0.01, 0.01), (0.02, 0.03), (0.03, 0.02)).toDF("x", "y")
+    val r2 = Profile.correlationCensus(dfQ, Seq("x", "y"), scale = 100.0)
+      .head.getLong(3)
+    assert(r2 == 500000L)
+  }
+
+  test("mutualInfo: ln2 on identity, 0 on independence, NULL nmi on " +
+      "constant marginals") {
+    import spark.implicits._
+    val ident = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val gi = Profile.mutualInfo(ident, "a", "b").head
+    assert(gi.getLong(0) == 4L && gi.getLong(1) == 2L)
+    assert(gi.getLong(2) == 693147L)                 // MI = ln 2
+    assert(gi.getLong(3) == 693147L && gi.getLong(4) == 693147L)
+    assert(gi.getLong(5) == 1000000L)                // NMI = 1
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val gIdp = Profile.mutualInfo(indep, "a", "b").head
+    assert(gIdp.getLong(2) == 0L && gIdp.getLong(5) == 0L)
+    val const = Seq(("k", "p"), ("k", "q")).toDF("a", "b")
+    val gc = Profile.mutualInfo(const, "a", "b").head
+    assert(gc.getLong(2) == 0L && gc.getLong(3) == 0L && gc.isNullAt(5))
+  }
+
+  test("mutualInfo: NULL is a category, not a dropped row") {
+    import spark.implicits._
+    val df = Seq((Some("x"), "p"), (Option.empty[String], "q"))
+      .toDF("a", "b")
+    val g = Profile.mutualInfo(df, "a", "b").head
+    assert(g.getLong(0) == 2L && g.getLong(1) == 2L)
+    assert(g.getLong(2) == 693147L && g.getLong(5) == 1000000L)
+  }
+
   test("powerLawAlpha: CSN MLE from micro-nat terms, sub-xmin excluded") {
     import spark.implicits._
     // xmin = 2: the value 1 is excluded; terms ln(3/1.5) and
