@@ -3500,8 +3500,38 @@ object SparkEntry {
     // the language", the quantitative twin of q217's FD verdict.
     "q226_mutual_info" -> ((s, dir) => {
       Profile.mutualInfo(t(s, dir, "documents"), "source", "lang")
+    }),
+
+    // Mutual-argmax filter over q221's affinity pairs: keep (a, b)
+    // only when each is the other's best partner — the
+    // high-precision cut of a candidate list.
+    "q227_reciprocal_best" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = Graph.adamicAdar(li, "l_orderkey", "l_partkey",
+        maxDegree = 40, minCommon = 2)
+      Linkage.reciprocalBest(pairs, "a", "b", "aa_micro")
     })
   )
+
+  /** q221's oracle (shared with q227, which post-processes the same
+    * pair list): the order–part Adamic–Adar census with the 1/ln-deg
+    * micro terms, deg ∈ [2, 40], ≥ 2 common parts. */
+  private lazy val adamicAdarOracleSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l_orderkey AS s, l_partkey AS z FROM lineitem),
+      |zt AS (
+      |  SELECT z, CAST(round(1e12
+      |    / round(1e6 * ln(CAST(count(*) AS DOUBLE)))) AS BIGINT) AS aa
+      |  FROM e GROUP BY z
+      |  HAVING count(*) >= 2 AND count(*) <= 40),
+      |l AS (SELECT e.s, e.z, zt.aa FROM e JOIN zt USING (z))
+      |SELECT wa.s AS a, wb.s AS b,
+      |  CAST(count(*) AS BIGINT) AS common_neighbors,
+      |  CAST(sum(wa.aa) AS BIGINT) AS aa_micro
+      |FROM l wa JOIN l wb ON wa.z = wb.z AND wa.s < wb.s
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 2""".stripMargin
 
   /** q225's oracle, one pair: HUGEINT-exact sufficient statistics
     * (Σx² alone passes int64 at sf0.1) mirroring the operator's
@@ -7759,21 +7789,7 @@ object SparkEntry {
         |  END AS r2_micro
         |FROM a""".stripMargin,
 
-    "q221_adamic_adar" ->
-      """WITH e AS (
-        |  SELECT DISTINCT l_orderkey AS s, l_partkey AS z FROM lineitem),
-        |zt AS (
-        |  SELECT z, CAST(round(1e12
-        |    / round(1e6 * ln(CAST(count(*) AS DOUBLE)))) AS BIGINT) AS aa
-        |  FROM e GROUP BY z
-        |  HAVING count(*) >= 2 AND count(*) <= 40),
-        |l AS (SELECT e.s, e.z, zt.aa FROM e JOIN zt USING (z))
-        |SELECT wa.s AS a, wb.s AS b,
-        |  CAST(count(*) AS BIGINT) AS common_neighbors,
-        |  CAST(sum(wa.aa) AS BIGINT) AS aa_micro
-        |FROM l wa JOIN l wb ON wa.z = wb.z AND wa.s < wb.s
-        |GROUP BY 1, 2
-        |HAVING count(*) >= 2""".stripMargin,
+    "q221_adamic_adar" -> adamicAdarOracleSql,
 
     "q222_textrank" -> textRankOracleSql(minCount = 3, iters = 4),
 
@@ -7852,7 +7868,25 @@ object SparkEntry {
         |       ELSE CAST(round(1e6 * CAST(mi_mnat AS DOUBLE)
         |         / CAST(least(h_a_mnat, h_b_mnat) AS DOUBLE)) AS BIGINT)
         |  END AS nmi_micro
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    "q227_reciprocal_best" ->
+      (s"""WITH pr AS (
+          |$adamicAdarOracleSql
+          |),
+          |""".stripMargin +
+        """d AS (
+          |  SELECT a AS x, b AS y, aa_micro AS s FROM pr
+          |  UNION ALL SELECT b AS x, a AS y, aa_micro AS s FROM pr),
+          |rb AS (
+          |  SELECT x, y, s,
+          |    row_number() OVER (PARTITION BY x ORDER BY s DESC, y ASC)
+          |      AS rn
+          |  FROM d),
+          |b1 AS (SELECT x, y, s FROM rb WHERE rn = 1)
+          |SELECT p.x AS a, p.y AS b, p.s AS aa_micro
+          |FROM b1 p JOIN b1 q
+          |  ON p.x = q.y AND p.y = q.x AND p.x < p.y""".stripMargin)
   )
 
   /** q222's oracle: the weighted-PageRank integer update — exact

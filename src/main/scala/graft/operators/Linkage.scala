@@ -73,4 +73,42 @@ object Linkage {
     Ranking.groupTopK(cand, Seq("left_id"),
       Seq(col("dist"), col("right_id")), k)
   }
+
+  /** Reciprocal best match over a scored UNORDERED pair list — keep
+    * (a, b) only when b is a's highest-scoring partner AND a is b's:
+    * the mutual-argmax filter that turns a candidate list
+    * ([[bestMatches]], [[Graph.adamicAdar]], cosine top-k) into
+    * high-precision links (the bitext-mining / record-merge
+    * convention — one-sided best matches are where the false merges
+    * live). Scores must be integer (the micro-unit convention);
+    * ties break to the smaller partner id on BOTH sides, so the
+    * result is deterministic and a tie can still be mutual.
+    *
+    * Scale: the pair list symmetrizes (2 rows/pair), per-node best
+    * goes through [[Ranking.groupTopK]]'s bounded-heap aggregate
+    * (O(1) state per node however many candidates), and mutuality is
+    * one equi-join of the node-sized best table against itself —
+    * never pairs×pairs. Output: (aCol, bCol, scoreCol), a < b, each
+    * node in at most one row. */
+  def reciprocalBest(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      scoreCol: String): DataFrame = {
+    val d = pairs.select(col(aCol).as("__x"), col(bCol).as("__y"),
+        col(scoreCol).cast("long").as("__s"))
+      .union(pairs.select(col(bCol).as("__x"), col(aCol).as("__y"),
+        col(scoreCol).cast("long").as("__s")))
+    // Referenced twice below (both sides of the mutuality join) —
+    // pin so the upstream pair pipeline runs once.
+    val best = Dedup.truncate(
+      Ranking.groupTopK(d, Seq("__x"),
+          Seq((-col("__s")).as("__ns"), col("__y").as("__y")), 1)
+        .select(col("__x"), col("__y"), (-col("__ns")).as("__s")))
+    best.as("p").join(best.as("q"),
+        col("p.__x") === col("q.__y") && col("p.__y") === col("q.__x") &&
+          col("p.__x") < col("p.__y"))
+      .select(col("p.__x").as(aCol), col("p.__y").as(bCol),
+        col("p.__s").as(scoreCol))
+  }
 }

@@ -636,4 +636,37 @@ object Sketches {
        |       $EstimatorNumerator / CAST(hsum + ($M - n_buckets) * (CAST(1 AS BIGINT) << $MaxRank) AS DOUBLE) AS estimate
        |FROM agg""".stripMargin
   }
+
+  /** Pairwise Misra–Gries summary merge as plain DataFrame ops
+    * (Agarwal et al. 2012's mergeable-summaries rule): sum counters
+    * per item, subtract the (k+1)-th largest merged weight from
+    * everyone, keep the strictly-positive survivors — ≤ k remain,
+    * and the total undercount stays ≤ N/(k+1) however many
+    * summaries merged, which is what makes a STREAMING heavy-hitters
+    * view sound ([[graft.streaming.Rollup.mgSink]]).
+    *
+    * Input: keyCols + (item, wt), possibly several entries per item
+    * (a union of summaries). The per-key window ranks at most the
+    * union of two k-entry summaries (the sink's shape) or however
+    * many the caller unions — bounded by summaries·k, never by the
+    * stream. Ties at the cut: entries EQUAL to the (k+1)-th weight
+    * drop to zero and out, deterministically (rank order wt DESC,
+    * item ASC). Output: keyCols + (item, wt), wt > 0. */
+  def mgMergeSummaries(
+      summaries: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val g = keyCols.map(col)
+    val summed = summaries
+      .groupBy(g :+ col("item"): _*)
+      .agg(sum(col("wt")).as("wt"))
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col("wt").desc, col("item").asc)
+    val ranked = summed.withColumn("__rn", row_number().over(w))
+    val cut = ranked.filter(col("__rn") === k + 1)
+      .select(g :+ col("wt").as("__d"): _*)
+    ranked.join(cut, keyCols, "left")
+      .select(g ++ Seq(col("item"),
+        (col("wt") - coalesce(col("__d"), lit(0L))).as("wt")): _*)
+      .filter(col("wt") > 0L)
+  }
 }

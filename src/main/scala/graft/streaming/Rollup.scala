@@ -412,6 +412,66 @@ object Rollup {
       }
   }
 
+  /** Streaming heavy-hitters materialized view: maintain a per-key
+    * Misra–Gries summary (≤ k (item, wt) rows per key) and merge each
+    * micro-batch's summary with the mergeable-summaries rule
+    * ([[graft.operators.Sketches.mgMergeSummaries]]): sum counters,
+    * subtract the (k+1)-th largest, keep positives. The maintained
+    * undercount stays ≤ N/(k+1) over the WHOLE stream (Agarwal et
+    * al.), so every item with true count above N/(k+1) is guaranteed
+    * present — "what are the top tokens/URLs, ever" at O(k) state per
+    * key with no reprocessing. Exactly-once via per-batch txn ids as
+    * in [[sumCountSink]]. MG weights are ORDER-dependent (partition
+    * layout changes them; q156's gate makes the same point), so what
+    * the spec pins is the deterministic contract: ≤ k rows per key,
+    * every weight a positive lower bound on the true count, and every
+    * true heavy present within the N/(k+1) undercount. */
+  def mgSink(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      itemCol: String,
+      k: Int,
+      baseDir: String,
+      table: String,
+      streamId: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(k > 0, "k must be positive")
+    require(streamId.nonEmpty && !streamId.contains("\n"),
+      s"bad streamId: $streamId")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!batch.isEmpty) {
+            val spark = batch.sparkSession
+            val delta = batchMgSummary(batch.toDF(), keyCols, itemCol, k)
+            val current = graft.sources.ManifestTable.read(
+              spark, baseDir, table, schema = Some(delta.schema))
+            val merged = graft.operators.Sketches.mgMergeSummaries(
+              current.unionByName(delta), keyCols, k)
+            graft.sources.ManifestTable.commitMulti(
+              spark, baseDir, txnId = s"$streamId-$batchId",
+              snapshots = Map(table -> merged))
+          }
+          ()
+      }
+  }
+
+  /** One micro-batch's per-key MG summary (the sink's delta step,
+    * exposed for reuse and testing). */
+  def batchMgSummary(
+      batch: DataFrame, keyCols: Seq[String], itemCol: String, k: Int)
+      : DataFrame =
+    batch.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.MisraGriesAggregate
+        .misraGries(col(itemCol).cast("string"), k).as("__mg"))
+      .select(keyCols.map(col) :+ explode(col("__mg")).as("__e"): _*)
+      .select(keyCols.map(col) ++ Seq(col("__e.item").as("item"),
+        col("__e.wt").as("wt")): _*)
+
   /** Streaming membership materialized view: maintain per-key Bloom
     * words ([[graft.operators.Sketches.bloomBits]]) and OR-merge each
     * micro-batch — "has this url/fingerprint EVER been seen" at O(64

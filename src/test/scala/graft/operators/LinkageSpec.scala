@@ -39,4 +39,25 @@ class LinkageSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3)))
     assert(out.toSeq == Seq((0L, 1L)))
   }
+
+  test("reciprocalBest: keeps only mutual argmax pairs") {
+    import spark.implicits._
+    // a↔b mutual best (10); c's best is b, but b's best is a; d's
+    // best is c, but c's best is b — one-sided bests all drop.
+    val pairs = Seq(
+      ("a", "b", 10L), ("a", "c", 8L), ("b", "c", 9L), ("c", "d", 7L))
+      .toDF("l", "r", "s")
+    val got = Linkage.reciprocalBest(pairs, "l", "r", "s").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(got == Seq(("a", "b", 10L)))
+  }
+
+  test("reciprocalBest: score ties break to the smaller partner, " +
+      "and a tie can still be mutual") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b", 5L), ("a", "c", 5L)).toDF("l", "r", "s")
+    val got = Linkage.reciprocalBest(pairs, "l", "r", "s").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(got == Seq(("a", "b", 5L)))
+  }
 }

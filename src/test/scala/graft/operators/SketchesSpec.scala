@@ -217,4 +217,21 @@ class SketchesSpec extends SparkSpec {
         s"q=$q est=$est truth=$truth")
     }
   }
+
+  test("mgMergeSummaries: sums, subtracts the (k+1)-th weight, keeps " +
+      "k positives; no-op under k entries") {
+    import spark.implicits._
+    // Union of two k=2 summaries: x 5+2=7, y 3, z 4 → 3rd largest is
+    // 3 → x→4, z→1 survive, y→0 drops.
+    val u = Seq(("g", "x", 5L), ("g", "y", 3L), ("g", "x", 2L),
+      ("g", "z", 4L)).toDF("k", "item", "wt")
+    val got = Sketches.mgMergeSummaries(u, Seq("k"), 2)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map("x" -> 4L, "z" -> 1L))
+    // Already within k: identity.
+    val small = Seq(("g", "x", 5L), ("g", "y", 3L)).toDF("k", "item", "wt")
+    val id = Sketches.mgMergeSummaries(small, Seq("k"), 2)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(id == Map("x" -> 5L, "y" -> 3L))
+  }
 }

@@ -235,6 +235,47 @@ class RollupSpec extends SparkSpec {
     assert(est >= 10L && est <= 12L)
   }
 
+  test("mgSink: streamed MG merge == sequential fold; true heavies " +
+      "guaranteed present") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("mgmv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mgmv-ck").toString
+    val input = MemoryStream[(String, String)](spark)
+    val k = 4
+    val q = Rollup.mgSink(
+      input.toDF().toDF("day", "tok"),
+      keyCols = Seq("day"), itemCol = "tok", k = k,
+      base, "heavy", streamId = "m1", checkpointDir = ckpt).start()
+    // "H" is heavy (50 of 110 > N/(k+1) = 22); the u* tail churns.
+    val b1 = Seq.fill(30)(("mon", "H")) ++
+      (1 to 30).map(i => ("mon", s"u${i % 10}"))
+    val b2 = Seq.fill(20)(("mon", "H")) ++
+      (1 to 30).map(i => ("mon", s"u${i % 6}"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = ManifestTable.read(spark, base, "heavy")
+      .as[(String, String, Long)].collect().sorted.toSeq
+    // MG weights are order-dependent (q156's gate makes the same
+    // point), so the spec pins the DETERMINISTIC contract of the
+    // maintained view, not the incidental weights:
+    // 1. state is ≤ k rows per key, all weights positive lower bounds;
+    assert(streamed.size <= k)
+    assert(streamed.forall(_._3 > 0L))
+    val exact = (b1 ++ b2).groupBy(_._2).view.mapValues(_.size.toLong)
+    assert(streamed.forall { case (_, item, wt) => wt <= exact(item) })
+    // 2. every item with true count > N/(k+1) is present, with its
+    //    lower bound within N/(k+1) of the exact count.
+    val n = (b1 ++ b2).size.toLong
+    val h = streamed.find(_._2 == "H")
+    assert(h.isDefined, "true heavy hitter must be in the summary")
+    assert(h.get._3 >= 50L - n / (k + 1))
+  }
+
   test("bloomSink: streamed OR-merge == batch filter; negatives stay exact") {
     import graft.operators.Sketches
     import org.apache.spark.sql.functions.col
