@@ -3511,8 +3511,52 @@ object SparkEntry {
       val pairs = Graph.adamicAdar(li, "l_orderkey", "l_partkey",
         maxDegree = 40, minCommon = 2)
       Linkage.reciprocalBest(pairs, "a", "b", "aa_micro")
+    }),
+
+    // Sentence census under Gopher-style counting. The corpus
+    // fixture has no punctuation, so terminators are injected with
+    // literal-pattern replaces (every " table "/" query " breaks a
+    // sentence; doc_id % 3 == 0 docs get a terminal period) —
+    // mirrored verbatim in the oracle.
+    "q228_sentence_stats" -> ((s, dir) => {
+      val t2 = regexp_replace(regexp_replace(col("text"),
+        " table ", ". Table? "), " query ", " query! ")
+      val docs = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 3 === 0L, concat(t2, lit(".")))
+          .otherwise(t2))
+      Corpus.sentenceStats(docs, "doc_id", "text2")
+    }),
+
+    // Line census over the newline-injected fixture — the C4/
+    // RefinedWeb cleaning axis: blanks, bullets, shorts, terminal
+    // punctuation, all micro-exact per doc.
+    "q229_line_census" -> ((s, dir) => {
+      Corpus.lineCensus(lineFixture(t(s, dir, "documents")),
+        "doc_id", "text3")
+    }),
+
+    // C4's line-level scrub: keep terminal-punctuated ≥3-word lines,
+    // rebuild the doc; the gate compares the rebuilt text by md5
+    // plus the kept/dropped census.
+    "q230_c4_line_scrub" -> ((s, dir) => {
+      Corpus.scrubLines(lineFixture(t(s, dir, "documents")),
+          "doc_id", "text3")
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_kept"), col("n_dropped"))
     })
   )
+
+  /** q229/q230's shared fixture: the corpus is single-line, so line
+    * structure is injected deterministically — " order " becomes a
+    * terminal-punctuated line break, " data " opens a bullet line,
+    * " value " breaks a plain line. The oracle applies the identical
+    * literal-pattern chain. */
+  private def lineFixture(d: DataFrame): DataFrame =
+    d.withColumn("text3",
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        " order ", ".\n"),
+        " data ", "\n- "),
+        " value ", "\n"))
 
   /** q221's oracle (shared with q227, which post-processes the same
     * pair list): the order–part Adamic–Adar census with the 1/ln-deg
@@ -7886,8 +7930,85 @@ object SparkEntry {
           |b1 AS (SELECT x, y, s FROM rb WHERE rn = 1)
           |SELECT p.x AS a, p.y AS b, p.s AS aa_micro
           |FROM b1 p JOIN b1 q
-          |  ON p.x = q.y AND p.y = q.x AND p.x < p.y""".stripMargin)
+          |  ON p.x = q.y AND p.y = q.x AND p.x < p.y""".stripMargin),
+
+    "q228_sentence_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN t2 || '.' ELSE t2 END AS text2
+        |  FROM (
+        |    SELECT doc_id,
+        |      regexp_replace(regexp_replace(text,
+        |        ' table ', '. Table? ', 'g'),
+        |        ' query ', ' query! ', 'g') AS t2
+        |    FROM documents)),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split_regex(text2, '[.!?]+\s+'),
+        |        x -> len(trim(x)) > 0),
+        |      x -> CAST(len(trim(x)) AS BIGINT)) AS ls,
+        |    regexp_matches(rtrim(text2), '[.!?]$') AS ends_punct
+        |  FROM d)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_sentences,
+        |  CASE WHEN len(ls) = 0 THEN NULL
+        |       ELSE CAST(round(1e6 * CAST(list_sum(ls) AS DOUBLE)
+        |         / CAST(len(ls) AS DOUBLE)) AS BIGINT) END AS mean_len_micro,
+        |  CASE WHEN len(ls) = 0 THEN NULL ELSE list_max(ls) END AS max_len,
+        |  ends_punct
+        |FROM s""".stripMargin,
+
+    "q229_line_census" ->
+      (s"WITH $lineFixtureSql,\n" +
+        """l AS (
+          |  SELECT doc_id, str_split(text3, chr(10)) AS al,
+          |    list_filter(str_split(text3, chr(10)),
+          |      x -> len(trim(x)) > 0) AS nb
+          |  FROM lf)
+          |SELECT doc_id, CAST(len(al) AS BIGINT) AS n_lines,
+          |  CAST(len(al) - len(nb) AS BIGINT) AS n_blank,
+          |  CASE WHEN len(nb) = 0 THEN NULL
+          |       ELSE CAST(round(1e6 * CAST(len(list_filter(nb,
+          |         x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE)
+          |         / CAST(len(nb) AS DOUBLE)) AS BIGINT)
+          |  END AS bullet_frac_micro,
+          |  CASE WHEN len(nb) = 0 THEN NULL
+          |       ELSE CAST(round(1e6 * CAST(len(list_filter(nb,
+          |         x -> len(trim(x)) < 10)) AS DOUBLE)
+          |         / CAST(len(nb) AS DOUBLE)) AS BIGINT)
+          |  END AS short_frac_micro,
+          |  CASE WHEN len(nb) = 0 THEN NULL
+          |       ELSE CAST(round(1e6 * CAST(len(list_filter(nb,
+          |         x -> regexp_matches(rtrim(x), '[.!?"]$'))) AS DOUBLE)
+          |         / CAST(len(nb) AS DOUBLE)) AS BIGINT)
+          |  END AS terminal_frac_micro
+          |FROM l""".stripMargin),
+
+    "q230_c4_line_scrub" ->
+      (s"WITH $lineFixtureSql,\n" +
+        """k AS (
+          |  SELECT doc_id, str_split(text3, chr(10)) AS al,
+          |    list_filter(str_split(text3, chr(10)), x ->
+          |      regexp_matches(rtrim(x), '[.!?"]$')
+          |      AND len(string_split_regex(trim(x), '\s+')) >= 3) AS kl
+          |  FROM lf)
+          |SELECT doc_id,
+          |  md5(COALESCE(array_to_string(kl, chr(10)), '')) AS clean_md5,
+          |  CAST(len(kl) AS BIGINT) AS n_kept,
+          |  CAST(len(al) - len(kl) AS BIGINT) AS n_dropped
+          |FROM k""".stripMargin)
   )
+
+  /** The oracle half of [[lineFixture]] — identical literal-pattern
+    * chain, newline via chr(10). */
+  private val lineFixtureSql: String =
+    """lf AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      ' order ', '.' || chr(10), 'g'),
+      |      ' data ', chr(10) || '- ', 'g'),
+      |      ' value ', chr(10), 'g') AS text3
+      |  FROM documents)""".stripMargin
 
   /** q222's oracle: the weighted-PageRank integer update — exact
     * floor(r·w/W) per edge as (r // W)·w + ((r % W)·w) // W, damping

@@ -144,6 +144,19 @@ object TextFunctions {
       decode(encode(mapped, "ISO-8859-1"), "UTF-8")).otherwise(text)
   }
 
+  /** Sentence segments: split on terminal-punctuation runs followed
+    * by whitespace (`[.!?]+\s+`), non-empty after space-trim. The
+    * deliberately lookbehind-free form — RE2 (the oracle engine) has
+    * no lookbehind, so the terminal run itself is consumed; sentence
+    * LENGTHS therefore exclude their closing punctuation — except
+    * the LAST sentence, whose terminator has no following whitespace
+    * to split on and stays attached. Both are stated properties of
+    * the heuristic, not bugs. ASCII terminators only (the honest
+    * scope; CJK 。is a different segmenter). Empty text ⇒ empty
+    * array. */
+  def sentenceSplit(text: Column): Column =
+    filter(split(text, "[.!?]+\\s+"), s => length(trim(s)) > 0)
+
   /** Character bigrams of the whitespace-condensed, lower-cased text —
     * the token unit for unspaced scripts (CJK, Thai), where whitespace
     * tokenization yields one giant token per sentence and every

@@ -632,6 +632,95 @@ object Corpus {
         sum(col("__nm")).as("n_mixed_tokens"))
   }
 
+  /** Per-doc LINE census — the axis C4/RefinedWeb actually clean on
+    * (line-level rules catch navigation, bullets, and chrome that
+    * sentence- and token-level signals smear away): total lines,
+    * blank lines, and over the non-blank lines the bullet fraction
+    * (starts with -, *, or •), the short fraction (trimmed length
+    * < `shortChars`), and the terminal-punctuation fraction (rtrim
+    * ends in . ! ? or "). Fractions are micro-exact with non-blank
+    * denominators, NULL when every line is blank.
+    *
+    * Scale: map-only — one newline split + array folds per row.
+    * Output: (idCol, n_lines, n_blank, bullet_frac_micro,
+    * short_frac_micro, terminal_frac_micro). */
+  def lineCensus(
+      docs: DataFrame, idCol: String, textCol: String,
+      shortChars: Int = 10): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val nb = filter(lines, l => length(trim(l)) > 0)
+    val frac = (p: Column => Column) =>
+      when(size(col("__nb")) === 0, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) *
+          size(filter(col("__nb"), p)).cast("double") /
+          size(col("__nb")).cast("double")).cast("long"))
+    docs.select(col(idCol), lines.as("__all"), nb.as("__nb"))
+      .select(col(idCol),
+        size(col("__all")).cast("long").as("n_lines"),
+        (size(col("__all")) - size(col("__nb"))).cast("long")
+          .as("n_blank"),
+        frac(l => trim(l).rlike("^[-*•]")).as("bullet_frac_micro"),
+        frac(l => length(trim(l)) < shortChars).as("short_frac_micro"),
+        frac(l => rtrim(l).rlike("[.!?\"]$")).as("terminal_frac_micro"))
+  }
+
+  /** C4's line-level scrub (Raffel et al. 2020 §2.2): keep only
+    * lines that end in terminal punctuation AND carry at least
+    * `minWords` whitespace words, rebuild the document from the
+    * survivors — the single most effective web-text cleanup rule
+    * (navigation, bullets, cookie banners and footers all die here).
+    * Kept lines rejoin with the original newline; a doc with no
+    * surviving line keeps an EMPTY string (drop it with the
+    * n_kept = 0 census, a modeling choice this operator won't make
+    * for you).
+    *
+    * Scale: map-only split + filter + rejoin per row. Output:
+    * (idCol, text_clean, n_kept, n_dropped). */
+  def scrubLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3): DataFrame = {
+    require(minWords >= 1, "minWords must be at least 1")
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minWords)
+    docs.select(col(idCol), lines.as("__all"), kept.as("__k"))
+      .select(col(idCol),
+        array_join(col("__k"), "\n").as("text_clean"),
+        size(col("__k")).cast("long").as("n_kept"),
+        (size(col("__all")) - size(col("__k"))).cast("long")
+          .as("n_dropped"))
+  }
+
+  /** Per-doc sentence census over [[TextFunctions.sentenceSplit]]'s
+    * heuristic segments — the unit Gopher-style quality rules count
+    * in ("≥ 3 sentences", "ends in terminal punctuation", "mean
+    * sentence length sane"): n_sentences, micro-mean and max trimmed
+    * sentence length, and the ends-punct verdict. Sentence-less text
+    * (empty, or whitespace-terminated punctuation runs) reports 0
+    * with NULL lengths rather than a fake 1-sentence doc.
+    *
+    * Scale: map-only — one split + two array folds per row, no
+    * explode, no shuffle. Output: (idCol, n_sentences,
+    * mean_len_micro, max_len, ends_punct). */
+  def sentenceStats(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lens = transform(TextFunctions.sentenceSplit(col(textCol)),
+      s => length(trim(s)).cast("long"))
+    docs.select(col(idCol), lens.as("__l"),
+        rtrim(col(textCol)).rlike("[.!?]$").as("ends_punct"))
+      .select(col(idCol),
+        size(col("__l")).cast("long").as("n_sentences"),
+        when(size(col("__l")) === 0, lit(null).cast("long"))
+          .otherwise(round(lit(1e6) *
+            aggregate(col("__l"), lit(0L), (acc, x) => acc + x)
+              .cast("double") / size(col("__l")).cast("double"))
+            .cast("long")).as("mean_len_micro"),
+        when(size(col("__l")) === 0, lit(null).cast("long"))
+          .otherwise(array_max(col("__l"))).as("max_len"),
+        col("ends_punct"))
+  }
+
   def charEntropy(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n > 0, "n must be positive")

@@ -310,6 +310,55 @@ class CorpusSpec extends SparkSpec {
     assert(g(5L)._1 == 7L, "emoji must count as ONE code point")
   }
 
+  test("lineCensus: bullets, shorts, terminal punct over non-blank lines") {
+    val docs = Seq(
+      (1L, "Line one.\n\n- bullet\nhi\nLong line here?"),
+      (2L, "\n \n"))  // all blank → NULL fractions
+      .toDF("doc_id", "text")
+    val got = Corpus.lineCensus(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5)))).toMap
+    // 5 lines, 1 blank; of the 4 non-blank: 1 bullet, 3 short (<10
+    // trimmed chars), 2 terminal.
+    assert(got(1L) == ((5L, 1L, 250000L, 750000L, 500000L)))
+    assert(got(2L) == ((3L, 3L, null, null, null)))
+  }
+
+  test("scrubLines: C4 keeps terminal-punctuated >=3-word lines only") {
+    val docs = Seq((1L,
+      "Good line here.\nshort.\nno punct line\n- bullet item.\n" +
+        "Another good line!")).toDF("doc_id", "text")
+    val r = Corpus.scrubLines(docs, "doc_id", "text").head()
+    assert(r.getString(1) ==
+      "Good line here.\n- bullet item.\nAnother good line!")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 2L)
+  }
+
+  test("sentenceStats: segments, exact micro mean, NULL-honest empties") {
+    val docs = Seq(
+      // Segments "One"(3), "Two sentences"(13), "Three?"(6) — the
+      // last terminator stays attached; mean = 22/3 micro-exact.
+      (1L, "One. Two sentences! Three?"),
+      (2L, ""),                      // no sentences at all
+      (3L, "!!! "),                  // punct run + whitespace → none,
+                                     //   but the raw text DOES end-punct
+      (4L, "no terminator here"))    // one segment, doesn't end-punct
+      .toDF("doc_id", "text")
+    val got = Corpus.sentenceStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          r.getBoolean(4)))).toMap
+    assert(got(1L) == ((3L, 7333333L, 13L, true)))
+    assert(got(2L) == ((0L, null, null, false)))
+    assert(got(3L) == ((0L, null, null, true)))
+    assert(got(4L) == ((1L, 18000000L, 18L, false)))
+  }
+
   test("textRank: path graph ranks the bridge word highest, exact micro") {
     // "u v w" → undirected path u–v–w. Hand-run 2 integer rounds:
     // r1(u)=575000, r1(v)=1850000; r2(u)=w2=936250,
