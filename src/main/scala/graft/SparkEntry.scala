@@ -3543,6 +3543,22 @@ object SparkEntry {
           "doc_id", "text3")
         .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
           col("n_kept"), col("n_dropped"))
+    }),
+
+    // Corpus-frequent line census: trimmed lines shared by ≥ 3
+    // distinct docs — the cross-doc boilerplate detector.
+    "q231_frequent_lines" -> ((s, dir) => {
+      Corpus.frequentLines(lineFixture(t(s, dir, "documents")),
+        "doc_id", "text3", minDf = 3L)
+    }),
+
+    // CCNet/RefinedWeb frequent-line scrub: drop corpus-boilerplate
+    // lines, rebuild docs in original order, md5-compared.
+    "q232_frequent_line_scrub" -> ((s, dir) => {
+      Corpus.scrubFrequentLines(lineFixture(t(s, dir, "documents")),
+          "doc_id", "text3", maxDf = 3L)
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_kept"), col("n_dropped"))
     })
   )
 
@@ -7996,7 +8012,40 @@ object SparkEntry {
           |  md5(COALESCE(array_to_string(kl, chr(10)), '')) AS clean_md5,
           |  CAST(len(kl) AS BIGINT) AS n_kept,
           |  CAST(len(al) - len(kl) AS BIGINT) AS n_dropped
-          |FROM k""".stripMargin)
+          |FROM k""".stripMargin),
+
+    "q231_frequent_lines" ->
+      (s"WITH $lineFixtureSql,\n" +
+        """e AS (
+          |  SELECT doc_id, trim(unnest(str_split(text3, chr(10)))) AS k
+          |  FROM lf)
+          |SELECT k AS line, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          |FROM e WHERE len(k) > 0
+          |GROUP BY k HAVING count(DISTINCT doc_id) >= 3""".stripMargin),
+
+    "q232_frequent_line_scrub" ->
+      (s"WITH $lineFixtureSql,\n" +
+        """l AS (SELECT doc_id, str_split(text3, chr(10)) AS al FROM lf),
+          |e AS (
+          |  SELECT doc_id, u.i, al[u.i] AS line, trim(al[u.i]) AS k
+          |  FROM l, UNNEST(generate_series(1, len(al))) AS u(i)),
+          |fq AS (
+          |  SELECT k FROM e WHERE len(k) > 0
+          |  GROUP BY k HAVING count(DISTINCT doc_id) >= 3),
+          |kept AS (
+          |  SELECT e.doc_id, e.i, e.line
+          |  FROM e LEFT JOIN fq ON fq.k = e.k
+          |  WHERE fq.k IS NULL),
+          |re AS (
+          |  SELECT doc_id,
+          |    array_to_string(list(line ORDER BY i), chr(10)) AS tc,
+          |    CAST(count(*) AS BIGINT) AS n_kept
+          |  FROM kept GROUP BY doc_id)
+          |SELECT l.doc_id, md5(COALESCE(re.tc, '')) AS clean_md5,
+          |  COALESCE(re.n_kept, 0) AS n_kept,
+          |  CAST(len(l.al) AS BIGINT) - COALESCE(re.n_kept, 0)
+          |    AS n_dropped
+          |FROM l LEFT JOIN re ON re.doc_id = l.doc_id""".stripMargin)
   )
 
   /** The oracle half of [[lineFixture]] — identical literal-pattern

@@ -692,6 +692,63 @@ object Corpus {
           .as("n_dropped"))
   }
 
+  /** Corpus-frequent line census — the cross-doc half of line-level
+    * cleaning ([[scrubLines]] judges a line alone; this one asks the
+    * CORPUS): a trimmed non-blank line appearing in ≥ `minDf`
+    * distinct documents is boilerplate by definition — navigation,
+    * footers, cookie banners repeat verbatim across a site while
+    * content does not (the CCNet/RefinedWeb frequent-line rule).
+    *
+    * Scale: one explode + one (line)-keyed hash-agg with a distinct
+    * doc count — map-side combinable, never doc×doc. Output:
+    * (line, df), trimmed lines, df ≥ minDf. */
+  def frequentLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long): DataFrame = {
+    require(minDf >= 2, "minDf below 2 would flag every line")
+    docs.select(col(idCol).as("__id"),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col("__id"), trim(col("__line")).as("line"))
+      .filter(length(col("line")) > 0)
+      .groupBy(col("line"))
+      .agg(countDistinct(col("__id")).as("df"))
+      .filter(col("df") >= minDf)
+  }
+
+  /** Remove corpus-frequent lines ([[frequentLines]] with
+    * `maxDf`) from every document and rebuild it in original line
+    * order. Blank lines are structure, not boilerplate — kept. A doc
+    * whose every line is boilerplate keeps an EMPTY string and a
+    * zero count (drop on the census downstream).
+    *
+    * Scale: the frequent set comes from one corpus line census; the
+    * removal is a line-keyed anti-join (equi on the trimmed line);
+    * reassembly sorts each doc's surviving (pos, line) pairs inside
+    * a per-doc aggregate — state bounded by the doc's own line
+    * count, order deterministic under any partitioning. Output:
+    * (idCol, text_clean, n_kept, n_dropped). */
+  def scrubFrequentLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Long): DataFrame = {
+    val freq = frequentLines(docs, idCol, textCol, maxDf)
+      .select(col("line").as("__fk"))
+    val e = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__i", "__line")))
+    val re = e.join(freq, trim(col("__line")) === col("__fk"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__i"), col("__line")))),
+          s => s.getField("__line")), "\n").as("text_clean"))
+    docs.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("__n"))
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Per-doc sentence census over [[TextFunctions.sentenceSplit]]'s
     * heuristic segments — the unit Gopher-style quality rules count
     * in ("≥ 3 sentences", "ends in terminal punctuation", "mean

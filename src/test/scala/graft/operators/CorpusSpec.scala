@@ -337,6 +337,26 @@ class CorpusSpec extends SparkSpec {
     assert(r.getLong(2) == 3L && r.getLong(3) == 2L)
   }
 
+  test("frequentLines + scrubFrequentLines: cross-doc boilerplate drops, " +
+      "content and blanks survive in order") {
+    // "(c) footer" appears (trimmed) in all three docs; real content
+    // lines are unique. Doc 3 is ALL boilerplate → empty rebuild.
+    val docs = Seq(
+      (1L, "Unique content one.\n(c) footer\n\nmore text"),
+      (2L, "Other content.\n  (c) footer  "),
+      (3L, "(c) footer"))
+      .toDF("doc_id", "text")
+    val census = Corpus.frequentLines(docs, "doc_id", "text", minDf = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census == Map("(c) footer" -> 3L))
+    val got = Corpus.scrubFrequentLines(docs, "doc_id", "text", maxDf = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("Unique content one.\n\nmore text", 3L, 1L)))
+    assert(got(2L) == (("Other content.", 1L, 1L)))
+    assert(got(3L) == (("", 0L, 1L)))
+  }
+
   test("sentenceStats: segments, exact micro mean, NULL-honest empties") {
     val docs = Seq(
       // Segments "One"(3), "Two sentences"(13), "Three?"(6) — the
