@@ -3559,6 +3559,34 @@ object SparkEntry {
           "doc_id", "text3", maxDf = 3L)
         .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
           col("n_kept"), col("n_dropped"))
+    }),
+
+    // Calibration reliability bins over a deterministic pseudo-score
+    // (multiplicative-hash micro confidence vs the parity label) —
+    // the gate pins the exact bin math, not the (junk) calibration.
+    "q233_reliability" -> ((s, dir) => {
+      val scored = t(s, dir, "embeddings").select(
+        ((col("vec_id") * 2654435761L) % 1000000L).as("score_micro"),
+        (col("label") % 2).as("y"))
+      Profile.reliabilityBins(scored, "score_micro", "y", bins = 10)
+    }),
+
+    // NDCG@10 / MRR / P@10 of a length-ranked system against graded
+    // language relevance, per source — the retrieval scorecard with
+    // literal-table discounts on both engines.
+    "q234_rank_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val results = Ranking.groupTopK(
+          docs.select(col("source"), col("doc_id"),
+            col("n_chars").cast("long").as("__nc")),
+          Seq("source"), Seq((-col("__nc")).as("__nnc"), col("doc_id")),
+          10)
+        .select(col("source"), col("doc_id"), col("rank"))
+      val truth = docs.select(col("source"), col("doc_id"),
+        when(col("lang") === "en", 2L).when(col("lang") === "de", 1L)
+          .otherwise(0L).as("rel"))
+      Ranking.rankEval(results, truth, "source", "doc_id", "rank",
+        "rel", k = 10)
     })
   )
 
@@ -8045,8 +8073,80 @@ object SparkEntry {
           |  COALESCE(re.n_kept, 0) AS n_kept,
           |  CAST(len(l.al) AS BIGINT) - COALESCE(re.n_kept, 0)
           |    AS n_dropped
-          |FROM l LEFT JOIN re ON re.doc_id = l.doc_id""".stripMargin)
+          |FROM l LEFT JOIN re ON re.doc_id = l.doc_id""".stripMargin),
+
+    "q233_reliability" ->
+      """WITH s AS (
+        |  SELECT (vec_id * 2654435761) % 1000000 AS sm,
+        |         (label % 2) <> 0 AS pos
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT least(9, (sm * 10) // 1000000) AS bin, sm, pos FROM s)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(CAST(sum(sm) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS mean_score_micro,
+        |  CAST(round(1e6 * CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*)) AS BIGINT) AS pos_rate_micro,
+        |  abs(CAST(round(CAST(sum(sm) AS DOUBLE) / count(*)) AS BIGINT)
+        |    - CAST(round(1e6 * CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*)) AS BIGINT)) AS gap_micro
+        |FROM b GROUP BY bin""".stripMargin,
+
+    "q234_rank_eval" -> rankEvalOracleSql(10)
   )
+
+  /** q234's oracle: NDCG@k with the SAME driver-computed literal
+    * discount table as Ranking.rankEval (no runtime libm on either
+    * engine), row_number ideal ordering matching groupTopK's
+    * (−rel, item) tie-break. */
+  private def rankEvalOracleSql(k: Int): String = {
+    val disc = Ranking.dcgDiscountsMicro(k)
+    def discCase(r: String) =
+      s"CASE $r ${disc.zipWithIndex.map { case (d, i) =>
+        s"WHEN ${i + 1} THEN $d" }.mkString(" ")} END"
+    s"""WITH rr AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rnk
+       |  FROM documents),
+       |res AS (SELECT source, doc_id, rnk FROM rr WHERE rnk <= $k),
+       |tr AS (
+       |  SELECT source, doc_id,
+       |    CASE WHEN lang = 'en' THEN 2 WHEN lang = 'de' THEN 1
+       |         ELSE 0 END AS rel
+       |  FROM documents),
+       |sys AS (
+       |  SELECT res.source, CAST(count(*) AS BIGINT) AS n_results,
+       |    CAST(sum(COALESCE(tr.rel, 0) * ${discCase("res.rnk")})
+       |      AS BIGINT) AS dcg_micro,
+       |    min(CASE WHEN COALESCE(tr.rel, 0) > 0 THEN res.rnk END) AS fr,
+       |    CAST(sum(CASE WHEN COALESCE(tr.rel, 0) > 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits
+       |  FROM res LEFT JOIN tr
+       |    ON tr.source = res.source AND tr.doc_id = res.doc_id
+       |  GROUP BY res.source),
+       |id0 AS (
+       |  SELECT source, rel,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY rel DESC, doc_id ASC) AS irnk
+       |  FROM tr WHERE rel > 0),
+       |ideal AS (
+       |  SELECT source,
+       |    CAST(sum(rel * ${discCase("irnk")}) AS BIGINT) AS idcg_micro
+       |  FROM id0 WHERE irnk <= $k GROUP BY source)
+       |SELECT sys.source, sys.n_results, sys.dcg_micro,
+       |  COALESCE(ideal.idcg_micro, 0) AS idcg_micro,
+       |  CASE WHEN COALESCE(ideal.idcg_micro, 0) = 0 THEN NULL
+       |       ELSE CAST(round(1e6 * CAST(sys.dcg_micro AS DOUBLE)
+       |         / CAST(ideal.idcg_micro AS DOUBLE)) AS BIGINT)
+       |  END AS ndcg_micro,
+       |  CASE WHEN fr IS NULL THEN NULL
+       |       ELSE CAST(round(1e6 / CAST(fr AS DOUBLE)) AS BIGINT)
+       |  END AS rr_micro,
+       |  CAST(round(1e6 * CAST(hits AS DOUBLE) / $k.0) AS BIGINT)
+       |    AS precision_micro
+       |FROM sys LEFT JOIN ideal ON ideal.source = sys.source""".stripMargin
+  }
 
   /** The oracle half of [[lineFixture]] — identical literal-pattern
     * chain, newline via chr(10). */

@@ -279,6 +279,48 @@ object Profile {
             .cast("long")))
   }
 
+  /** Calibration reliability bins — "when the model says 0.8, is it
+    * right 80% of the time": equal-width bins over a MICRO-quantized
+    * score in [0, 1e6], each with its exact count, mean claimed
+    * confidence, observed positive rate, and the |confidence −
+    * reality| gap whose n-weighted average is ECE. Binning is
+    * integer ((score·bins) div 1e6, top edge clamped into the last
+    * bin); the two per-bin divides are single rounded IEEE steps
+    * over exact sums. A nonzero label is a positive.
+    *
+    * Scale: one map + one hash-agg on ≤ `bins` keys. Output:
+    * (bin, n, mean_score_micro, pos_rate_micro, gap_micro). */
+  def reliabilityBins(
+      df: DataFrame, scoreMicroCol: String, labelCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val prepped = df.select(
+      col(scoreMicroCol).cast("long").as("__sm"),
+      (col(labelCol).cast("long") =!= 0L).as("__pos"))
+    prepped
+      .select(least(lit((bins - 1).toLong),
+        expr(s"(__sm * $bins) div 1000000")).as("bin"),
+        col("__sm"), col("__pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__sm")).cast("double") /
+          count(lit(1)).cast("double")).cast("long")
+          .as("mean_score_micro"),
+        round(lit(1e6) * sum(when(col("__pos"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).cast("long")
+          .as("pos_rate_micro"))
+      .withColumn("gap_micro",
+        abs(col("mean_score_micro") - col("pos_rate_micro")))
+  }
+
+  /** Expected calibration error from [[reliabilityBins]]' output —
+    * the n-weighted mean gap, one rounded divide over exact sums.
+    * 1 row: (n, ece_micro). */
+  def calibrationError(binsDf: DataFrame): DataFrame =
+    binsDf.agg(sum(col("n")).as("n"),
+      round(sum(col("n") * col("gap_micro")).cast("double") /
+        sum(col("n")).cast("double")).cast("long").as("ece_micro"))
+
   /** Discrete power-law tail fit over a count column (degree
     * distributions, per-user activity, token frequencies): the
     * Clauset–Shalizi–Newman MLE with the standard continuous

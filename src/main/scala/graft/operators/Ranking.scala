@@ -429,4 +429,75 @@ object Ranking {
         (col("base") + when(col("rank") <= col("__R"), 1L).otherwise(0L))
           .as("alloc"))
   }
+
+  /** Micro DCG discounts 1/log₂(r+1) for ranks 1..k, computed ONCE
+    * driver-side and embedded as literals on both the Spark and the
+    * oracle path (the srpWeights convention) — so NDCG needs no
+    * runtime libm at all and cannot drift between engines. */
+  def dcgDiscountsMicro(k: Int): Seq[Long] = {
+    require(k >= 1, "k must be at least 1")
+    (1 to k).map { r =>
+      scala.math.BigDecimal(1e6 / (math.log(r + 1.0) / math.log(2.0)))
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+  }
+
+  /** Per-query ranking evaluation — NDCG@k, reciprocal rank, and
+    * precision@k of a system ranking against graded relevance: the
+    * scorecard every retrieval stack (BM25, ANN, RRF fusion) is
+    * tuned by. Gains are linear (gain = rel); each rank's discount
+    * comes from [[dcgDiscountsMicro]]'s literal table, so DCG and
+    * IDCG are order-free integer sums of rel·discount terms, and
+    * NDCG is their one rounded divide — NULL when the query has no
+    * relevant item at all (nothing to normalize by). Results missing
+    * from `truth` score relevance 0; relevant items the system never
+    * returned cost NDCG through IDCG, exactly as they should.
+    *
+    * Scale: results cap to rank ≤ k (map-only filter), one
+    * (query, item) equi-join against truth, one per-query hash-agg;
+    * the ideal side ranks truth per query through [[groupTopK]]'s
+    * bounded-heap aggregate (O(k) state per query, no window).
+    * Output: (queryCol, n_results, dcg_micro, idcg_micro,
+    * ndcg_micro, rr_micro, precision_micro). */
+  def rankEval(
+      results: DataFrame,
+      truth: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      rankCol: String,
+      relCol: String,
+      k: Int): DataFrame = {
+    val disc = dcgDiscountsMicro(k)
+    val discAt = (r: Column) => element_at(typedLit(disc), r.cast("int"))
+    val res = results.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(itemCol), col(rankCol).cast("long")
+        .as("__r"))
+    val rel = truth.select(col(queryCol), col(itemCol),
+      col(relCol).cast("long").as("__rel"))
+    val sys = res.join(rel, Seq(queryCol, itemCol), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_results"),
+        sum(col("__rel") * discAt(col("__r"))).as("dcg_micro"),
+        min(when(col("__rel") > 0L, col("__r"))).as("__fr"),
+        sum(when(col("__rel") > 0L, 1L).otherwise(0L)).as("__hits"))
+    val ideal = Ranking.groupTopK(
+        rel.filter(col("__rel") > 0L), Seq(queryCol),
+        Seq((-col("__rel")).as("__nrel"), col(itemCol)), k)
+      .groupBy(col(queryCol))
+      .agg(sum((-col("__nrel")) * discAt(col("rank"))).as("idcg_micro"))
+    sys.join(ideal, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_results"), col("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        when(coalesce(col("idcg_micro"), lit(0L)) === 0L,
+          lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * col("dcg_micro").cast("double") /
+            col("idcg_micro").cast("double")).cast("long"))
+          .as("ndcg_micro"),
+        when(col("__fr").isNull, lit(null).cast("long"))
+          .otherwise(round(lit(1e6) / col("__fr").cast("double"))
+            .cast("long")).as("rr_micro"),
+        round(lit(1e6) * col("__hits").cast("double") / lit(k.toDouble))
+          .cast("long").as("precision_micro"))
+  }
 }

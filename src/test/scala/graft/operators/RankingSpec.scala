@@ -254,4 +254,48 @@ class RankingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(z == Map("a" -> 7L))
   }
+
+  test("rankEval: hand-computed NDCG@3, unreturned relevance costs " +
+      "through IDCG, no-relevant query is NULL-honest") {
+    import spark.implicits._
+    // Discounts at k=3: 1e6, 630930, 500000.
+    assert(Ranking.dcgDiscountsMicro(3) == Seq(1000000L, 630930L, 500000L))
+    val results = Seq(
+      ("q", "a", 1), ("q", "c", 2), ("q", "b", 3),
+      ("z", "x", 1)).toDF("query", "item", "rank")
+    val truth = Seq(
+      ("q", "a", 2L), ("q", "b", 1L), ("q", "c", 0L), ("q", "d", 3L),
+      ("z", "x", 0L)).toDF("query", "item", "rel")
+    val got = Ranking.rankEval(results, truth, "query", "item", "rank",
+        "rel", k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5),
+          r.getLong(6)))).toMap
+    // dcg = 2·1e6 + 0 + 1·500000; idcg over (d:3, a:2, b:1) =
+    // 3e6 + 2·630930 + 500000 = 4761860; ndcg = round(525004.5…) —
+    // the half rounds UP.
+    assert(got("q") == ((2500000L, 4761860L, 525005L, 1000000L, 666667L)))
+    assert(got("z") == ((0L, 0L, null, null, 0L)))
+  }
+
+  test("reliabilityBins + calibrationError: exact bin math, top edge " +
+      "clamps, n-weighted ECE") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 1), (199999L, 0),    // bin 0: mean 100000, rate 500000
+      (600000L, 0),             // bin 3: mean 600000, rate 0
+      (1000000L, 1))            // score 1.0 clamps into bin 4
+      .toDF("score_micro", "y")
+    val bins = graft.operators.Profile.reliabilityBins(
+      df, "score_micro", "y", bins = 5)
+    val got = bins.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((2L, 100000L, 500000L, 400000L)))
+    assert(got(3L) == ((1L, 600000L, 0L, 600000L)))
+    assert(got(4L) == ((1L, 1000000L, 1000000L, 0L)))
+    val ece = graft.operators.Profile.calibrationError(bins).head()
+    assert(ece.getLong(0) == 4L && ece.getLong(1) == 350000L)
+  }
 }
