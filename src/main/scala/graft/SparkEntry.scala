@@ -3571,6 +3571,29 @@ object SparkEntry {
       Profile.reliabilityBins(scored, "score_micro", "y", bins = 10)
     }),
 
+    // Split-leakage census: what a NAIVE per-doc split costs — how
+    // many near-dup clusters straddle train/val/test, and how many
+    // docs sit in those leaky clusters. The diagnostic q137's
+    // component-keyed split exists to zero out.
+    "q235_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val comp = Dedup.connectedComponents(
+          Dedup.minhashNearDups(docs, "doc_id", "text"), "a", "b")
+        .withColumnRenamed("id", "doc_id")
+      val keyed = docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      Sampling.assignSplit(keyed, col("doc_id"), 80, 10)
+        .groupBy(col("component"))
+        .agg(countDistinct(col("split")).as("__ns"),
+          count(lit(1)).as("__nd"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("__ns") > 1, 1L).otherwise(0L))
+            .as("n_clusters_leaky"),
+          sum(when(col("__ns") > 1, col("__nd")).otherwise(0L))
+            .as("n_docs_in_leaky"))
+    }),
+
     // NDCG@10 / MRR / P@10 of a length-ranked system against graded
     // language relevance, per source — the retrieval scorecard with
     // literal-table discounts on both engines.
@@ -8092,7 +8115,29 @@ object SparkEntry {
         |      AS DOUBLE) / count(*)) AS BIGINT)) AS gap_micro
         |FROM b GROUP BY bin""".stripMargin,
 
-    "q234_rank_eval" -> rankEvalOracleSql(10)
+    "q234_rank_eval" -> rankEvalOracleSql(10),
+
+    "q235_split_leakage" ->
+      s"""WITH RECURSIVE $dedupClosureCtes,
+         |allc AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |sp AS (
+         |  SELECT component,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM allc),
+         |per AS (
+         |  SELECT component, CAST(count(DISTINCT split) AS BIGINT) AS ns,
+         |         CAST(count(*) AS BIGINT) AS nd
+         |  FROM sp GROUP BY component)
+         |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clusters_leaky,
+         |  CAST(sum(CASE WHEN ns > 1 THEN nd ELSE 0 END) AS BIGINT)
+         |    AS n_docs_in_leaky
+         |FROM per""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal
