@@ -3594,6 +3594,27 @@ object SparkEntry {
             .as("n_docs_in_leaky"))
     }),
 
+    // Consecutive-duplicate-line collapse over an injected stutter
+    // (every " the " becomes two identical "repeat me" lines) —
+    // the within-doc scraped-page echo cleanup.
+    "q237_collapse_repeats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("text4",
+        regexp_replace(col("text"), " the ",
+          "\nrepeat me\nrepeat me\n"))
+      Corpus.collapseRepeatedLines(docs, "doc_id", "text4")
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_kept"), col("n_dropped"))
+    }),
+
+    // Exact Mann–Whitney AUC per source: can document length
+    // separate English from the rest — tie-exact doubled rank sums,
+    // range-partitioned prefix machinery, NULL on single-class.
+    "q236_group_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"),
+        col("n_chars").as("score"), (col("lang") === "en").as("y"))
+      Ranking.groupAuc(docs, "source", "score", "y")
+    }),
+
     // NDCG@10 / MRR / P@10 of a length-ranked system against graded
     // language relevance, per source — the retrieval scorecard with
     // literal-table discounts on both engines.
@@ -8137,7 +8158,51 @@ object SparkEntry {
          |    AS n_clusters_leaky,
          |  CAST(sum(CASE WHEN ns > 1 THEN nd ELSE 0 END) AS BIGINT)
          |    AS n_docs_in_leaky
-         |FROM per""".stripMargin
+         |FROM per""".stripMargin,
+
+    "q236_group_auc" ->
+      """WITH c AS (
+        |  SELECT source, n_chars AS sc, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, cnt, pos,
+        |    sum(cnt) OVER (PARTITION BY source ORDER BY sc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+        |      AS cb
+        |  FROM c),
+        |a AS (
+        |  SELECT source, CAST(sum(pos) AS BIGINT) AS n1,
+        |    CAST(sum(cnt - pos) AS BIGINT) AS n0,
+        |    CAST(sum(pos * (2 * cb + cnt + 1)) AS BIGINT) AS trs
+        |  FROM r GROUP BY source)
+        |SELECT source, n1 AS n_pos, n0 AS n_neg,
+        |  CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+        |       ELSE CAST(round(1e6 * CAST(trs - n1 * (n1 + 1) AS DOUBLE)
+        |         / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))
+        |         AS BIGINT)
+        |  END AS auc_micro
+        |FROM a""".stripMargin,
+
+    "q237_collapse_repeats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, ' the ',
+        |      chr(10) || 'repeat me' || chr(10) || 'repeat me' || chr(10),
+        |      'g') AS text4
+        |  FROM documents),
+        |l AS (SELECT doc_id, str_split(text4, chr(10)) AS al FROM d),
+        |k AS (
+        |  SELECT doc_id, al,
+        |    list_filter(al, (x, i) -> i = 1 OR trim(x) <> trim(al[i - 1]))
+        |      AS kl
+        |  FROM l)
+        |SELECT doc_id,
+        |  md5(COALESCE(array_to_string(kl, chr(10)), '')) AS clean_md5,
+        |  CAST(len(kl) AS BIGINT) AS n_kept,
+        |  CAST(len(al) - len(kl) AS BIGINT) AS n_dropped
+        |FROM k""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

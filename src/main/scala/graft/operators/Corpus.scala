@@ -749,6 +749,33 @@ object Corpus {
         (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Collapse CONSECUTIVE duplicate lines within each document —
+    * the scraped-page stutter (repeated nav rows, pagination echoes,
+    * terminal-log spam) that survives [[scrubFrequentLines]] because
+    * the repeats live inside ONE doc. A line survives when it
+    * differs from its immediate predecessor (trimmed comparison, so
+    * indentation echoes collapse too); first line always survives.
+    *
+    * Scale: map-only — one split + one indexed array filter per row,
+    * no explode, no shuffle. Output: (idCol, text_clean, n_kept,
+    * n_dropped). */
+  def collapseRepeatedLines(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    // filter's (element, index) form: index is 0-based, element_at is
+    // 1-based, so element_at(__all, i) IS the predecessor of element i.
+    docs.select(col(idCol), lines.as("__all"))
+      .select(col(idCol), col("__all"),
+        filter(col("__all"), (l, i) =>
+          i === 0 || trim(l) =!= trim(element_at(col("__all"), i)))
+          .as("__k"))
+      .select(col(idCol),
+        array_join(col("__k"), "\n").as("text_clean"),
+        size(col("__k")).cast("long").as("n_kept"),
+        (size(col("__all")) - size(col("__k"))).cast("long")
+          .as("n_dropped"))
+  }
+
   /** Per-doc sentence census over [[TextFunctions.sentenceSplit]]'s
     * heuristic segments — the unit Gopher-style quality rules count
     * in ("≥ 3 sentences", "ends in terminal punctuation", "mean

@@ -95,10 +95,14 @@ object Linkage {
       aCol: String,
       bCol: String,
       scoreCol: String): DataFrame = {
-    val d = pairs.select(col(aCol).as("__x"), col(bCol).as("__y"),
-        col(scoreCol).cast("long").as("__s"))
-      .union(pairs.select(col(bCol).as("__x"), col(aCol).as("__y"),
-        col(scoreCol).cast("long").as("__s")))
+    // Pin the caller's pair pipeline ONCE: the symmetrize union reads
+    // it twice (and it can be as expensive as a full affinity census).
+    val p = Dedup.truncate(pairs.select(col(aCol).as("__a"),
+      col(bCol).as("__b"), col(scoreCol).cast("long").as("__s")))
+    val d = p.select(col("__a").as("__x"), col("__b").as("__y"),
+        col("__s"))
+      .union(p.select(col("__b").as("__x"), col("__a").as("__y"),
+        col("__s")))
     // Referenced twice below (both sides of the mutuality join) —
     // pin so the upstream pair pipeline runs once.
     val best = Dedup.truncate(

@@ -430,6 +430,51 @@ object Ranking {
           .as("alloc"))
   }
 
+  /** Exact per-group ROC AUC by the Mann–Whitney identity — the
+    * standard "can this score separate the classes" number, computed
+    * distributively with EXACT tie handling: collapse to
+    * (group, score) cells, prefix-sum cell counts in score order
+    * through [[groupRunningSum]] (so no per-group single-partition
+    * window anywhere), and accumulate DOUBLED tie-averaged rank sums
+    * — a tie block at ranks cb+1..cb+cnt contributes
+    * pos·(2·cb+cnt+1), keeping everything integer. AUC then is one
+    * rounded divide: (2·ranksum − n₁(n₁+1)) / (2·n₁·n₀), NULL when a
+    * group is single-class (nothing to separate). NULL scores are
+    * dropped (they rank nowhere); a nonzero label is a positive.
+    *
+    * Scale: one (group, score) hash-agg, the range-partitioned
+    * prefix machinery, one per-group reduce. Overflow: rank sums
+    * bound by n₁·2N — keep group size × positives under ~9·10¹⁸.
+    * Output: (groupCol, n_pos, n_neg, auc_micro). */
+  def groupAuc(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).cast("long").as("__sc"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col(labelCol).cast("long") =!= 0L, 1L).otherwise(0L))
+          .as("__pos"))
+    groupRunningSum(cells, groupCol, Seq("__sc"), "__cnt")
+      .withColumn("__cb", col("running") - col("__cnt"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__pos")).as("__n1"),
+        sum(col("__cnt") - col("__pos")).as("__n0"),
+        sum(col("__pos") * (lit(2L) * col("__cb") + col("__cnt") + 1L))
+          .as("__trs"))
+      .select(col(groupCol), col("__n1").as("n_pos"),
+        col("__n0").as("n_neg"),
+        when(col("__n1") === 0L || col("__n0") === 0L,
+          lit(null).cast("long"))
+          .otherwise(round(lit(1e6) *
+            (col("__trs") - col("__n1") * (col("__n1") + 1L))
+              .cast("double") /
+            (lit(2.0) * col("__n1").cast("double") *
+              col("__n0").cast("double"))).cast("long"))
+          .as("auc_micro"))
+  }
+
   /** Micro DCG discounts 1/log₂(r+1) for ranks 1..k, computed ONCE
     * driver-side and embedded as literals on both the Spark and the
     * oracle path (the srpWeights convention) — so NDCG needs no

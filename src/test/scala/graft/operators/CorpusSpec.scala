@@ -357,6 +357,19 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L) == (("", 0L, 1L)))
   }
 
+  test("collapseRepeatedLines: adjacent echoes die (trimmed compare), " +
+      "non-adjacent repeats survive") {
+    val docs = Seq(
+      (1L, "a\na\na\nb\n b \nb\nc"),  // runs of a and b collapse
+      (2L, "x\ny\nx"))                 // non-adjacent repeat kept
+      .toDF("doc_id", "text")
+    val got = Corpus.collapseRepeatedLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a\nb\nc", 3L, 4L)))
+    assert(got(2L) == (("x\ny\nx", 3L, 0L)))
+  }
+
   test("sentenceStats: segments, exact micro mean, NULL-honest empties") {
     val docs = Seq(
       // Segments "One"(3), "Two sentences"(13), "Three?"(6) — the

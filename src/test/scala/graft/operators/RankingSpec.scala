@@ -255,6 +255,28 @@ class RankingSpec extends SparkSpec {
     assert(z == Map("a" -> 7L))
   }
 
+  test("groupAuc: perfect/inverted/tied separation, single-class NULL") {
+    import spark.implicits._
+    val df = Seq(
+      // A: score orders the classes perfectly → AUC 1.
+      ("A", 1L, 0), ("A", 2L, 0), ("A", 3L, 1), ("A", 4L, 1),
+      // B: inverted → 0.
+      ("B", 1L, 1), ("B", 2L, 1), ("B", 3L, 0), ("B", 4L, 0),
+      // C: one tie block holding both classes → exactly 0.5.
+      ("C", 5L, 1), ("C", 5L, 0),
+      // D: single-class → NULL.
+      ("D", 1L, 1), ("D", 2L, 1))
+      .toDF("g", "score", "y")
+    val got = Ranking.groupAuc(df, "g", "score", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+    assert(got("A") == ((2L, 2L, 1000000L)))
+    assert(got("B") == ((2L, 2L, 0L)))
+    assert(got("C") == ((1L, 1L, 500000L)))
+    assert(got("D") == ((2L, 0L, null)))
+  }
+
   test("rankEval: hand-computed NDCG@3, unreturned relevance costs " +
       "through IDCG, no-relevant query is NULL-honest") {
     import spark.implicits._
