@@ -3594,6 +3594,28 @@ object SparkEntry {
             .as("n_docs_in_leaky"))
     }),
 
+    // Heaps'-law vocabulary-growth census: exact cumulative
+    // tokens-vs-types curve in doc order, milli-nat ln columns for
+    // the q239 fit.
+    "q238_vocab_growth" -> ((s, dir) => {
+      Corpus.vocabGrowth(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Heaps' β by exact log-log OLS over q238's census — groupOls
+    // composed on a derived table: slope_num/slope_den IS β as a
+    // rational, R² says how law-like the growth is. Fixed literal
+    // re-origins (−9000/−3000 milli-nats) keep groupOls's n·Σxy
+    // products in int64 (its documented contract); the slope and R²
+    // are translation-invariant.
+    "q239_heaps_fit" -> ((s, dir) => {
+      val census = Corpus.vocabGrowth(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(lit("all").as("corpus"),
+          (col("ln_tokens_milli") - 9000L).as("lnt_c"),
+          (col("ln_types_milli") - 3000L).as("lny_c"))
+      TimeSeries.groupOls(census, "corpus", "lnt_c", "lny_c")
+    }),
+
     // Consecutive-duplicate-line collapse over an injected stutter
     // (every " the " becomes two identical "repeat me" lines) —
     // the within-doc scraped-page echo cleanup.
@@ -8185,6 +8207,35 @@ object SparkEntry {
         |  END AS auc_micro
         |FROM a""".stripMargin,
 
+    "q238_vocab_growth" ->
+      (s"WITH $vocabGrowthCtes\n" + "SELECT * FROM census"),
+
+    "q239_heaps_fit" ->
+      (s"WITH $vocabGrowthCtes,\n" +
+        """cc AS (
+          |  SELECT ln_tokens_milli - 9000 AS x, ln_types_milli - 3000 AS y
+          |  FROM census),
+          |a AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x * y) AS BIGINT) AS sxy,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx,
+          |    CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM cc)
+          |SELECT 'all' AS corpus, n,
+          |  n * sxy - sx * sy AS slope_num,
+          |  n * sxx - sx * sx AS slope_den,
+          |  sy * sxx - sx * sxy AS icept_num,
+          |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+          |       THEN NULL
+          |       ELSE CAST(round(1e6
+          |         * (CAST(n * sxy - sx * sy AS DOUBLE)
+          |            * CAST(n * sxy - sx * sy AS DOUBLE))
+          |         / (CAST(n * sxx - sx * sx AS DOUBLE)
+          |            * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+          |  END AS r2_micro
+          |FROM a""".stripMargin),
+
     "q237_collapse_repeats" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -8257,6 +8308,41 @@ object SparkEntry {
        |    AS precision_micro
        |FROM sys LEFT JOIN ideal ON ideal.source = sys.source""".stripMargin
   }
+
+  /** q238/q239's shared oracle scaffolding: the exact Heaps census —
+    * each type counted at its min doc, cumulative window in doc
+    * order, MILLI-nat ln columns (the downstream OLS products must
+    * fit int64). */
+  private val vocabGrowthCtes: String =
+    """tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> len(t) > 0)) AS tok
+      |  FROM documents),
+      |fst AS (SELECT tok, min(doc_id) AS doc_id FROM tok GROUP BY tok),
+      |ntp AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS new_types
+      |  FROM fst GROUP BY doc_id),
+      |pd AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+      |  FROM tok GROUP BY doc_id),
+      |j AS (
+      |  SELECT pd.doc_id, pd.n_toks,
+      |    COALESCE(ntp.new_types, 0) AS new_types
+      |  FROM pd LEFT JOIN ntp USING (doc_id)),
+      |cg AS (
+      |  SELECT doc_id, n_toks, new_types,
+      |    CAST(sum(n_toks) OVER w AS BIGINT) AS cum_tokens,
+      |    CAST(sum(new_types) OVER w AS BIGINT) AS cum_types
+      |  FROM j WINDOW w AS (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |census AS (
+      |  SELECT doc_id, n_toks, new_types, cum_tokens, cum_types,
+      |    CAST(round(1e3 * ln(CAST(cum_tokens AS DOUBLE))) AS BIGINT)
+      |      AS ln_tokens_milli,
+      |    CAST(round(1e3 * ln(CAST(cum_types AS DOUBLE))) AS BIGINT)
+      |      AS ln_types_milli
+      |  FROM cg)""".stripMargin
 
   /** The oracle half of [[lineFixture]] — identical literal-pattern
     * chain, newline via chr(10). */

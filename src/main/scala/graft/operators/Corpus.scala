@@ -749,6 +749,48 @@ object Corpus {
         (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Heaps'-law vocabulary-growth census: cumulative token count vs
+    * cumulative distinct-type count in document order — the
+    * "how fast does my vocabulary grow" curve a tokenizer owner
+    * reads before sizing a vocab (Heaps: V ≈ K·nᵝ, β from the
+    * log-log slope; see [[graft.operators.TimeSeries.groupOls]] on
+    * this output for the fit). Each type is counted at its FIRST
+    * document (min doc id), so the census is exact, not sampled.
+    *
+    * The ln columns are MILLI-nat quantized (not the usual micro) —
+    * deliberately: the downstream OLS fit multiplies n·Σxy, and
+    * milli-nats keep that product inside int64 at any corpus size
+    * that fits the census itself.
+    *
+    * Scale: one explode + two hash-aggs (per-token first doc,
+    * per-doc counts), then two range-partitioned prefix sums
+    * ([[Ranking.groupRunningSum]] — no single-partition window).
+    * Output: (idCol, n_toks, new_types, cum_tokens, cum_types,
+    * ln_tokens_milli, ln_types_milli), one row per doc WITH tokens. */
+  def vocabGrowth(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = Dedup.truncate(docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("__tok")))
+    val firsts = tok.groupBy(col("__tok"))
+      .agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("new_types"))
+    val perDoc = tok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"))
+      .join(firsts, Seq(idCol), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("__g", lit(1))
+    val cumTok = Ranking.groupRunningSum(perDoc, "__g", Seq(idCol),
+      "n_toks").withColumnRenamed("running", "cum_tokens")
+    val lnq3 = (c: Column) =>
+      round(lit(1e3) * log(c.cast("double"))).cast("long")
+    Ranking.groupRunningSum(cumTok, "__g", Seq(idCol), "new_types")
+      .withColumnRenamed("running", "cum_types")
+      .select(col(idCol), col("n_toks"), col("new_types"),
+        col("cum_tokens"), col("cum_types"),
+        lnq3(col("cum_tokens")).as("ln_tokens_milli"),
+        lnq3(col("cum_types")).as("ln_types_milli"))
+  }
+
   /** Collapse CONSECUTIVE duplicate lines within each document —
     * the scraped-page stutter (repeated nav rows, pagination echoes,
     * terminal-log spam) that survives [[scrubFrequentLines]] because

@@ -357,6 +357,19 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L) == (("", 0L, 1L)))
   }
 
+  test("vocabGrowth: exact first-occurrence census, cumulative in doc " +
+      "order, milli-nat lns") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = Corpus.vocabGrowth(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got(1L) == ((3L, 2L, 3L, 2L, 1099L, 693L)))
+    assert(got(2L) == ((2L, 1L, 5L, 3L, 1609L, 1099L)))
+    assert(got(3L) == ((1L, 0L, 6L, 3L, 1792L, 1099L)))
+  }
+
   test("collapseRepeatedLines: adjacent echoes die (trimmed compare), " +
       "non-adjacent repeats survive") {
     val docs = Seq(
