@@ -3594,6 +3594,16 @@ object SparkEntry {
             .as("n_docs_in_leaky"))
     }),
 
+    // Source-concentration census per language: Gini + HHI over
+    // per-source doc counts — "is this language's data captured by a
+    // few sources", exact to one divide each.
+    "q240_concentration" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      Profile.concentration(counts, "lang", "source", "n_docs")
+    }),
+
     // Heaps'-law vocabulary-growth census: exact cumulative
     // tokens-vs-types curve in doc order, milli-nat ln columns for
     // the q239 fit.
@@ -8205,6 +8215,33 @@ object SparkEntry {
         |         / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))
         |         AS BIGINT)
         |  END AS auc_micro
+        |FROM a""".stripMargin,
+
+    "q240_concentration" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS v
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY v, source)
+        |      AS rk
+        |  FROM c),
+        |a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS total,
+        |    CAST(sum(rk * v) AS BIGINT) AS rx,
+        |    CAST(sum(v * v) AS BIGINT) AS x2
+        |  FROM r GROUP BY lang)
+        |SELECT lang, n, total,
+        |  CASE WHEN total <= 0 THEN NULL
+        |       ELSE CAST(round(1e6 * CAST(2 * rx - (n + 1) * total
+        |           AS DOUBLE) / CAST(n * total AS DOUBLE)) AS BIGINT)
+        |  END AS gini_micro,
+        |  CASE WHEN total <= 0 THEN NULL
+        |       ELSE CAST(round(1e6 * CAST(x2 AS DOUBLE)
+        |         / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)))
+        |         AS BIGINT)
+        |  END AS hhi_micro
         |FROM a""".stripMargin,
 
     "q238_vocab_growth" ->

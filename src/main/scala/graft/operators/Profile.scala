@@ -279,6 +279,45 @@ object Profile {
             .cast("long")))
   }
 
+  /** Concentration census per group — Gini coefficient + Herfindahl
+    * index over a nonnegative value column: "is my corpus traffic /
+    * token mass / crawl budget spread out or captured by a few
+    * keys", the inequality number a mixture owner checks before
+    * trusting per-source weights. Both are exact-integer until ONE
+    * rounded divide: Gini = (2·Σrᵢxᵢ − (n+1)·T) / (n·T) over values
+    * ranked ascending within the group (ties commute — equal values
+    * contribute x·Σr whatever their order), HHI = Σx²/T². A zero
+    * total yields NULLs (no distribution to measure).
+    *
+    * Scale: ranks come from [[Ranking.groupRank]]'s range-partitioned
+    * prefix machinery (no per-group window), then one per-group
+    * reduce. `idCol` is the per-group-unique rank tiebreaker.
+    * Overflow: Σr·x ≤ n·T — keep group count × total under ~9·10¹⁸.
+    * Output: (groupCol, n, total, gini_micro, hhi_micro). */
+  def concentration(
+      df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val ranked = Ranking.groupRank(
+      df.select(col(groupCol), col(idCol), v.as("__v")),
+      groupCol, Seq("__v", idCol))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("total"),
+        sum(col("rank") * col("__v")).as("__rx"),
+        sum(col("__v") * col("__v")).as("__x2"))
+      .select(col(groupCol), col("n"), col("total"),
+        when(col("total") <= 0L, lit(null).cast("long"))
+          .otherwise(round(lit(1e6) *
+            (lit(2L) * col("__rx") - (col("n") + 1L) * col("total"))
+              .cast("double") /
+            (col("n") * col("total")).cast("double")).cast("long"))
+          .as("gini_micro"),
+        when(col("total") <= 0L, lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * col("__x2").cast("double") /
+            (col("total").cast("double") * col("total").cast("double")))
+            .cast("long")).as("hhi_micro"))
+  }
+
   /** Calibration reliability bins — "when the model says 0.8, is it
     * right 80% of the time": equal-width bins over a MICRO-quantized
     * score in [0, 1e6], each with its exact count, mean claimed

@@ -208,6 +208,26 @@ class ProfileSpec extends SparkSpec {
     assert(g.getLong(2) == 693147L && g.getLong(5) == 1000000L)
   }
 
+  test("concentration: Gini/HHI hand values — equality 0, extreme " +
+      "(n−1)/n, zero total NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", "s1", 1L), ("A", "s2", 1L), ("A", "s3", 2L), // G = 1/6
+      ("B", "s1", 2L), ("B", "s2", 2L),                  // equal → 0
+      ("C", "s1", 0L), ("C", "s2", 0L), ("C", "s3", 9L), // → 2/3
+      ("Z", "s1", 0L))                                   // total 0
+      .toDF("g", "id", "v")
+    val got = Profile.concentration(df, "g", "id", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got("A") == ((3L, 4L, 166667L, 375000L)))  // HHI = 6/16
+    assert(got("B") == ((2L, 4L, 0L, 500000L)))
+    assert(got("C") == ((3L, 9L, 666667L, 1000000L)))
+    assert(got("Z") == ((1L, 0L, null, null)))
+  }
+
   test("powerLawAlpha: CSN MLE from micro-nat terms, sub-xmin excluded") {
     import spark.implicits._
     // xmin = 2: the value 1 is excluded; terms ln(3/1.5) and
