@@ -3594,6 +3594,20 @@ object SparkEntry {
             .as("n_docs_in_leaky"))
     }),
 
+    // Rank-biased overlap per source between the length ranking and
+    // the id ranking — the top-weighted "how much did the ranking
+    // change" drift number, literal suffix-weight table both engines.
+    "q241_rbo" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def top(order: Column) = Ranking.groupTopK(
+          docs.select(col("source"), col("doc_id"), order.as("__o")),
+          Seq("source"), Seq(col("__o"), col("doc_id")), 10)
+        .select(col("source"), col("doc_id"), col("rank"))
+      Ranking.rbo(top(-col("n_chars").cast("long")),
+        top(col("doc_id")), "source", "doc_id", "rank",
+        k = 10, p = 0.9)
+    }),
+
     // Source-concentration census per language: Gini + HHI over
     // per-source doc counts — "is this language's data captured by a
     // few sources", exact to one divide each.
@@ -8217,6 +8231,8 @@ object SparkEntry {
         |  END AS auc_micro
         |FROM a""".stripMargin,
 
+    "q241_rbo" -> rboOracleSql(10, 0.9),
+
     "q240_concentration" ->
       """WITH c AS (
         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS v
@@ -8344,6 +8360,40 @@ object SparkEntry {
        |  CAST(round(1e6 * CAST(hits AS DOUBLE) / $k.0) AS BIGINT)
        |    AS precision_micro
        |FROM sys LEFT JOIN ideal ON ideal.source = sys.source""".stripMargin
+  }
+
+  /** q241's oracle: both rankings via row_number with groupTopK's
+    * tie-breaks, one join, and the SAME driver-computed RBO
+    * suffix-weight table as Ranking.rbo, looked up by
+    * greatest(ra, rb). */
+  private def rboOracleSql(k: Int, p: Double): String = {
+    val table = Ranking.rboSuffixMicro(p, k)
+    val caseSql = s"CASE greatest(ra.rnk, rb.rnk) ${table.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")} END"
+    s"""WITH la AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rnk
+       |  FROM documents),
+       |lb AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY doc_id ASC, doc_id ASC) AS rnk
+       |  FROM documents),
+       |ra AS (SELECT * FROM la WHERE rnk <= $k),
+       |rb AS (SELECT * FROM lb WHERE rnk <= $k),
+       |qs AS (
+       |  SELECT DISTINCT ra.source FROM ra
+       |  JOIN (SELECT DISTINCT source FROM rb) x ON x.source = ra.source),
+       |ov AS (
+       |  SELECT ra.source, CAST(count(*) AS BIGINT) AS n_common,
+       |    CAST(sum($caseSql) AS BIGINT) AS rbo_micro
+       |  FROM ra JOIN rb
+       |    ON rb.source = ra.source AND rb.doc_id = ra.doc_id
+       |  GROUP BY ra.source)
+       |SELECT qs.source, COALESCE(ov.n_common, 0) AS n_common,
+       |  COALESCE(ov.rbo_micro, 0) AS rbo_micro
+       |FROM qs LEFT JOIN ov ON ov.source = qs.source""".stripMargin
   }
 
   /** q238/q239's shared oracle scaffolding: the exact Heaps census —

@@ -475,6 +475,63 @@ object Ranking {
           .as("auc_micro"))
   }
 
+  /** RBO suffix-weight table: S(m) = Σ_{d=m..k} (1−p)·p^{d−1}/d in
+    * micro units, m = 1..k — computed once driver-side and embedded
+    * as literals on both engines. An item first present in both
+    * top-d lists at depth m contributes to every deeper overlap
+    * fraction, i.e. exactly S(m) — which turns rank-biased overlap
+    * into an order-free integer SUM per query. */
+  def rboSuffixMicro(p: Double, k: Int): Seq[Long] = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    require(k >= 1, "k must be at least 1")
+    val terms = (1 to k).map(d => (1 - p) * math.pow(p, d - 1) / d)
+    (1 to k).map { m =>
+      scala.math.BigDecimal(1e6 * terms.drop(m - 1).sum)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+  }
+
+  /** Fixed-depth rank-biased overlap (Webber et al. 2010) between two
+    * top-k rankings per query — "how much did my ranking CHANGE",
+    * the drift number for index rebuilds, model swaps, and recrawl
+    * deltas, top-weighted the way users read lists. RBO@k =
+    * (1−p)·Σ_{d≤k} p^{d−1}·|A∩B @ d|/d; an item with ranks (ra, rb)
+    * joins the intersection at depth max(ra, rb), so each common
+    * item contributes exactly [[rboSuffixMicro]](max(ra, rb)) and
+    * the metric is one equi-join plus one integer sum — no per-depth
+    * pass, no window. Identical lists score Σ table ≈ 1−pᵏ micro;
+    * disjoint lists 0. Queries present in only ONE ranking are
+    * absent (nothing to compare).
+    *
+    * Scale: the (query, item) equi-join of two k-bounded lists, one
+    * hash-agg. Output: (queryCol, n_common, rbo_micro). */
+  def rbo(
+      a: DataFrame,
+      b: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      rankCol: String,
+      k: Int,
+      p: Double = 0.9): DataFrame = {
+    val table = rboSuffixMicro(p, k)
+    val ra = a.filter(col(rankCol) <= k).select(col(queryCol),
+      col(itemCol), col(rankCol).cast("long").as("__ra"))
+    val rb = b.filter(col(rankCol) <= k).select(col(queryCol),
+      col(itemCol), col(rankCol).cast("long").as("__rb"))
+    val qs = ra.select(col(queryCol)).distinct()
+      .join(rb.select(col(queryCol)).distinct(), Seq(queryCol))
+    ra.join(rb, Seq(queryCol, itemCol))
+      .select(col(queryCol),
+        element_at(typedLit(table),
+          greatest(col("__ra"), col("__rb")).cast("int")).as("__s"))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_common"), sum(col("__s")).as("rbo_micro"))
+      .join(qs, Seq(queryCol), "right")
+      .select(col(queryCol),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro"))
+  }
+
   /** Micro DCG discounts 1/log₂(r+1) for ranks 1..k, computed ONCE
     * driver-side and embedded as literals on both the Spark and the
     * oracle path (the srpWeights convention) — so NDCG needs no

@@ -277,6 +277,27 @@ class RankingSpec extends SparkSpec {
     assert(got("D") == ((2L, 0L, null)))
   }
 
+  test("rbo: identical lists score the full table, disjoint 0, " +
+      "hand-computed partial overlap") {
+    import spark.implicits._
+    // (p=0.9, k=3): S = [172000, 72000, 27000]; identical ⇒ Σ = 271000.
+    assert(Ranking.rboSuffixMicro(0.9, 3) == Seq(172000L, 72000L, 27000L))
+    val a = Seq(("q", "x", 1), ("q", "y", 2), ("q", "z", 3),
+      ("d", "a", 1), ("only_a", "a", 1)).toDF("query", "item", "rank")
+    val b = Seq(("q", "y", 1), ("q", "x", 2), ("q", "w", 3),
+      ("d", "b", 1)).toDF("query", "item", "rank")
+    val same = Ranking.rbo(a, a, "query", "item", "rank", 3, 0.9)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(same("q") == 271000L && same("d") == 172000L)
+    val got = Ranking.rbo(a, b, "query", "item", "rank", 3, 0.9)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // x and y both enter the intersection at depth 2 ⇒ 2·S(2).
+    assert(got("q") == ((2L, 144000L)))
+    assert(got("d") == ((0L, 0L)))          // disjoint, still reported
+    assert(!got.contains("only_a"))          // one-sided query absent
+  }
+
   test("rankEval: hand-computed NDCG@3, unreturned relevance costs " +
       "through IDCG, no-relevant query is NULL-honest") {
     import spark.implicits._
