@@ -37,6 +37,7 @@ object PlanAudit {
     "q131_pq_recall" -> "brute-force ground truth (5 broadcast queries)",
     "q156_mg_heavy_hitters" -> "1-row broadcast scalar attach (stream total n)",
     "q226_mutual_info" -> "1-row broadcast scalar attaches (cell total + the three entropy sums)",
+    "q242_chi2_independence" -> "margin cross (levels x levels, cell-metadata sized) + 1-row scalar attaches",
     "q162_kn_perplexity" -> "1-row broadcast scalar attach (model totals)",
     "q163_pit_enrich" -> "1-row broadcast scalar attach (corpus max ts caps the open SCD2 version)",
     "q164_sq_knn" -> "1-row broadcast SQ-bounds attach + 5 broadcast queries (ADC scoring)",

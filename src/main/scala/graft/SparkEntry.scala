@@ -3594,6 +3594,14 @@ object SparkEntry {
             .as("n_docs_in_leaky"))
     }),
 
+    // Pearson χ² of independence source × lang with Cramér's V —
+    // the NHST twin of q226's mutual information, zero-observed
+    // cells accounted through the margin cross.
+    "q242_chi2_independence" -> ((s, dir) => {
+      Profile.chiSquareIndependence(t(s, dir, "documents"),
+        "source", "lang")
+    }),
+
     // Rank-biased overlap per source between the length ranking and
     // the id ranking — the top-weighted "how much did the ranking
     // change" drift number, literal suffix-weight table both engines.
@@ -8232,6 +8240,46 @@ object SparkEntry {
         |FROM a""".stripMargin,
 
     "q241_rbo" -> rboOracleSql(10, 0.9),
+
+    "q242_chi2_independence" ->
+      """WITH c AS (
+        |  SELECT COALESCE(CAST(source AS VARCHAR), ' NULL') AS a,
+        |         COALESCE(CAST(lang AS VARCHAR), ' NULL') AS b,
+        |         CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM c GROUP BY a),
+        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cc FROM c GROUP BY b),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |             CAST(count(DISTINCT a) AS BIGINT) AS rl,
+        |             CAST(count(DISTINCT b) AS BIGINT) AS cl FROM c),
+        |z AS (
+        |  SELECT CAST(sum(CAST(round(1e6 * CAST(ca.r * cb.cc AS DOUBLE)
+        |    / CAST(t.n AS DOUBLE)) AS BIGINT)) AS BIGINT) AS z
+        |  FROM ca, cb, t),
+        |p AS (
+        |  SELECT CAST(sum(
+        |      CAST(round(1e6
+        |        * (CAST(c.o * t.n - ca.r * cb.cc AS DOUBLE)
+        |           * CAST(c.o * t.n - ca.r * cb.cc AS DOUBLE))
+        |        / (CAST(ca.r AS DOUBLE) * CAST(cb.cc AS DOUBLE)
+        |           * CAST(t.n AS DOUBLE))) AS BIGINT)
+        |    - CAST(round(1e6 * CAST(ca.r * cb.cc AS DOUBLE)
+        |        / CAST(t.n AS DOUBLE)) AS BIGINT)) AS BIGINT) AS p
+        |  FROM c JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN t),
+        |f AS (
+        |  SELECT t.n, t.rl AS r_levels, t.cl AS c_levels,
+        |    (t.rl - 1) * (t.cl - 1) AS dof,
+        |    CASE WHEN (t.rl - 1) * (t.cl - 1) = 0 THEN NULL
+        |         ELSE z.z + p.p END AS chi2_micro
+        |  FROM t, z, p)
+        |SELECT n, r_levels, c_levels, dof, chi2_micro,
+        |  CASE WHEN chi2_micro IS NULL THEN NULL
+        |       ELSE CAST(round(1e6 * sqrt(CAST(chi2_micro AS DOUBLE)
+        |         / 1e6 / (CAST(n AS DOUBLE)
+        |           * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))))
+        |         AS BIGINT)
+        |  END AS cramers_v_micro
+        |FROM f""".stripMargin,
 
     "q240_concentration" ->
       """WITH c AS (

@@ -360,6 +360,66 @@ object Profile {
       round(sum(col("n") * col("gap_micro")).cast("double") /
         sum(col("n")).cast("double")).cast("long").as("ece_micro"))
 
+  /** Pearson χ² test of independence between two categorical columns
+    * (any R×C shape — A/B×converted is the 2×2 special case) plus
+    * Cramér's V, the normalized effect size. Where [[mutualInfo]]
+    * measures the association in nats, this is the NHST twin: "is
+    * the lang mix different across sources beyond chance". Each
+    * cell's (o·N − r·c)²/(r·c·N) term is micro-quantized over exact
+    * integer operands, so the χ² sum is order-free; V takes one
+    * final sqrt over the already-rounded χ². NULL as a category
+    * (the [[fdCensus]] sentinel); a 1×C or R×1 table has zero
+    * degrees of freedom and reports NULL χ²/V.
+    *
+    * Scale: identical shape to [[mutualInfo]] — cell hash-agg,
+    * margin re-aggs of the CELLS, margin joins, one 1-row reduce.
+    * Output: 1 row (n, r_levels, c_levels, dof, chi2_micro,
+    * cramers_v_micro). */
+  def chiSquareIndependence(
+      df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = coalesce(col(aCol).cast("string"), lit(" NULL"))
+    val b = coalesce(col(bCol).cast("string"), lit(" NULL"))
+    val cells = Dedup.truncate(df
+      .groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("__o")))
+    val ca = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__r"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__c"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__rl"),
+      countDistinct(col("__b")).as("__cl"))
+    // Observed-zero cells are absent from `cells` but still owe their
+    // e = r·c/N term ((0·N − r·c)²/(r·c·N) = r·c/N): sum over the
+    // FULL margin cross first, then correct present cells.
+    val zeroPart = ca.crossJoin(cb).crossJoin(broadcast(tot))
+      .agg(sum(round(lit(1e6) * (col("__r") * col("__c")).cast("double")
+        / col("__n").cast("double")).cast("long")).as("__z"))
+    val presentPart = cells.join(ca, "__a").join(cb, "__b")
+      .crossJoin(broadcast(tot))
+      .agg(sum(
+        round(lit(1e6) *
+          ((col("__o") * col("__n") - col("__r") * col("__c"))
+            .cast("double") *
+           (col("__o") * col("__n") - col("__r") * col("__c"))
+            .cast("double")) /
+          (col("__r").cast("double") * col("__c").cast("double") *
+            col("__n").cast("double"))).cast("long") -
+        round(lit(1e6) * (col("__r") * col("__c")).cast("double")
+          / col("__n").cast("double")).cast("long")).as("__p"))
+    val dof = (col("__rl") - 1L) * (col("__cl") - 1L)
+    broadcast(tot).crossJoin(broadcast(zeroPart))
+      .crossJoin(broadcast(presentPart))
+      .select(col("__n").as("n"), col("__rl").as("r_levels"),
+        col("__cl").as("c_levels"), dof.as("dof"),
+        when(dof === 0L, lit(null).cast("long"))
+          .otherwise(col("__z") + col("__p")).as("chi2_micro"))
+      .withColumn("cramers_v_micro",
+        when(col("chi2_micro").isNull, lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * sqrt(
+            col("chi2_micro").cast("double") / 1e6 /
+              (col("n").cast("double") *
+                least(col("r_levels") - 1L, col("c_levels") - 1L)
+                  .cast("double")))).cast("long")))
+  }
+
   /** Discrete power-law tail fit over a count column (degree
     * distributions, per-user activity, token frequencies): the
     * Clauset–Shalizi–Newman MLE with the standard continuous

@@ -208,6 +208,24 @@ class ProfileSpec extends SparkSpec {
     assert(g.getLong(2) == 693147L && g.getLong(5) == 1000000L)
   }
 
+  test("chiSquareIndependence: perfect association = N·φ², " +
+      "independence = 0, degenerate table NULL") {
+    import spark.implicits._
+    val ident = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val gi = Profile.chiSquareIndependence(ident, "a", "b").head
+    assert(gi.getLong(0) == 4L && gi.getLong(3) == 1L)
+    assert(gi.getLong(4) == 4000000L)   // χ² = N for a perfect 2×2
+    assert(gi.getLong(5) == 1000000L)   // Cramér's V = 1
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val gIdp = Profile.chiSquareIndependence(indep, "a", "b").head
+    assert(gIdp.getLong(4) == 0L && gIdp.getLong(5) == 0L)
+    val const = Seq(("k", "p"), ("k", "q")).toDF("a", "b")
+    val gc = Profile.chiSquareIndependence(const, "a", "b").head
+    assert(gc.getLong(3) == 0L && gc.isNullAt(4) && gc.isNullAt(5))
+  }
+
   test("concentration: Gini/HHI hand values — equality 0, extreme " +
       "(n−1)/n, zero total NULL") {
     import spark.implicits._
