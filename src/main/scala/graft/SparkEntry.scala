@@ -3594,6 +3594,14 @@ object SparkEntry {
             .as("n_docs_in_leaky"))
     }),
 
+    // Per-source Spearman rank correlation of length vs doc id —
+    // tie-exact doubled average ranks, Pearson over exact rank sums,
+    // the monotone-association twin of q225's linear census.
+    "q243_spearman" -> ((s, dir) => {
+      Ranking.spearman(t(s, dir, "documents"), "source",
+        "n_chars", "doc_id")
+    }),
+
     // Pearson χ² of independence source × lang with Cramér's V —
     // the NHST twin of q226's mutual information, zero-observed
     // cells accounted through the margin cross.
@@ -8240,6 +8248,52 @@ object SparkEntry {
         |FROM a""".stripMargin,
 
     "q241_rbo" -> rboOracleSql(10, 0.9),
+
+    "q243_spearman" ->
+      """WITH b AS (
+        |  SELECT source, n_chars AS x, doc_id AS y FROM documents
+        |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+        |cx AS (
+        |  SELECT source, x, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        |rx AS (
+        |  SELECT source, x,
+        |    2 * (sum(cnt) OVER (PARTITION BY source ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |      + cnt + 1 AS r
+        |  FROM cx),
+        |cy AS (
+        |  SELECT source, y, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        |ry AS (
+        |  SELECT source, y,
+        |    2 * (sum(cnt) OVER (PARTITION BY source ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |      + cnt + 1 AS r
+        |  FROM cy),
+        |j AS (
+        |  SELECT b.source, rx.r AS rxv, ry.r AS ryv
+        |  FROM b
+        |  JOIN rx ON rx.source = b.source AND rx.x = b.x
+        |  JOIN ry ON ry.source = b.source AND ry.y = b.y),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(rxv) AS HUGEINT) AS sx,
+        |    CAST(sum(ryv) AS HUGEINT) AS sy,
+        |    CAST(sum(rxv * ryv) AS HUGEINT) AS sxy,
+        |    CAST(sum(rxv * rxv) AS HUGEINT) AS sxx,
+        |    CAST(sum(ryv * ryv) AS HUGEINT) AS syy
+        |  FROM j GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+        |       THEN NULL
+        |       ELSE CAST(round(1e6
+        |         * CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+        |         AS BIGINT)
+        |  END AS rho_micro
+        |FROM a""".stripMargin,
 
     "q242_chi2_independence" ->
       """WITH c AS (

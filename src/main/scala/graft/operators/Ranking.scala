@@ -475,6 +475,61 @@ object Ranking {
           .as("auc_micro"))
   }
 
+  /** Per-group Spearman rank correlation, tie-exact — "is the
+    * relationship monotone" where Pearson
+    * ([[Profile.correlationCensus]]) asks "is it linear": each
+    * value's tie-averaged rank is carried DOUBLED (2·cb + cnt + 1,
+    * an integer — the same trick as [[groupAuc]]), Pearson's formula
+    * then runs over exact integer rank sums in DECIMAL(38,0), and
+    * the ONE floating step is the final divide-over-two-sqrts.
+    * NULL rho for a group with a constant side (no ranking to
+    * correlate). Rows with a NULL x or y are dropped
+    * (pairwise-complete, like the Pearson census).
+    *
+    * Scale: two (group, value) cell aggs with running-free tie math
+    * (cb from [[groupRunningSum]]'s range-partitioned prefix), two
+    * row-to-cell equi-joins, one per-group reduce. Output:
+    * (groupCol, n, rho_micro). */
+  def spearman(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val base = Dedup.truncate(df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y")))
+    // Doubled tie-averaged rank per distinct value: 2·cb + cnt + 1.
+    def ranks(valueCol: String, out: String): DataFrame = {
+      val cells = base.groupBy(col(groupCol), col(valueCol))
+        .agg(count(lit(1)).as("__cnt"))
+      groupRunningSum(cells, groupCol, Seq(valueCol), "__cnt")
+        .select(col(groupCol), col(valueCol),
+          (lit(2L) * (col("running") - col("__cnt")) + col("__cnt") + 1L)
+            .as(out))
+    }
+    val dec = "decimal(38,0)"
+    val withRanks = base
+      .join(ranks("__x", "__rx"), Seq(groupCol, "__x"))
+      .join(ranks("__y", "__ry"), Seq(groupCol, "__y"))
+    val agg = withRanks.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx").cast(dec)).as("__sx"),
+        sum(col("__ry").cast(dec)).as("__sy"),
+        sum((col("__rx") * col("__ry")).cast(dec)).as("__sxy"),
+        sum((col("__rx") * col("__rx")).cast(dec)).as("__sxx"),
+        sum((col("__ry") * col("__ry")).cast(dec)).as("__syy"))
+    val n = col("n").cast(dec)
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val denx = n * col("__sxx") - col("__sx") * col("__sx")
+    val deny = n * col("__syy") - col("__sy") * col("__sy")
+    agg.select(col(groupCol), col("n"),
+      when(denx <= 0 || deny <= 0, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * num.cast("double") /
+          (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))))
+          .cast("long")).as("rho_micro"))
+  }
+
   /** RBO suffix-weight table: S(m) = Σ_{d=m..k} (1−p)·p^{d−1}/d in
     * micro units, m = 1..k — computed once driver-side and embedded
     * as literals on both engines. An item first present in both

@@ -277,6 +277,26 @@ class RankingSpec extends SparkSpec {
     assert(got("D") == ((2L, 0L, null)))
   }
 
+  test("spearman: monotone ±1 through ties, classic 0.5 permutation, " +
+      "constant side NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 1L, 10L), ("A", 2L, 20L), ("A", 3L, 30L),   // +1
+      ("B", 1L, 30L), ("B", 2L, 20L), ("B", 3L, 10L),   // −1
+      ("P", 1L, 2L), ("P", 2L, 1L), ("P", 3L, 3L),      // ρ of (2,1,3)
+      ("T", 1L, 1L), ("T", 2L, 3L), ("T", 2L, 3L), ("T", 3L, 5L), // ties
+      ("C", 1L, 5L), ("C", 1L, 7L))                     // constant x
+      .toDF("g", "x", "y")
+    val got = Ranking.spearman(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    assert(got("A") == ((3L, 1000000L)))
+    assert(got("B") == ((3L, -1000000L)))
+    assert(got("P") == ((3L, 500000L)))
+    assert(got("T") == ((4L, 1000000L)))  // tie blocks align exactly
+    assert(got("C") == ((2L, null)))
+  }
+
   test("rbo: identical lists score the full table, disjoint 0, " +
       "hand-computed partial overlap") {
     import spark.implicits._
