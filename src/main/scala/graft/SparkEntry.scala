@@ -3594,6 +3594,19 @@ object SparkEntry {
             .as("n_docs_in_leaky"))
     }),
 
+    // Kaplan–Meier user-lifetime curves per cohort: duration = span
+    // of a user's activity, churned = last activity before the
+    // observation edge; survival kept in exact log space.
+    "q244_kaplan_meier" -> ((s, dir) => {
+      val lives = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("__f"),
+          max(to_date(col("ts"))).as("__l"))
+        .select((col("user_id") % 3).as("cohort"),
+          datediff(col("__l"), col("__f")).as("dur"),
+          (col("__l") < lit("2024-01-25")).as("churned"))
+      TimeSeries.kaplanMeier(lives, "cohort", "dur", "churned")
+    }),
+
     // Per-source Spearman rank correlation of length vs doc id —
     // tie-exact doubled average ranks, Pearson over exact rank sums,
     // the monotone-association twin of q225's linear census.
@@ -8248,6 +8261,49 @@ object SparkEntry {
         |FROM a""".stripMargin,
 
     "q241_rbo" -> rboOracleSql(10, 0.9),
+
+    "q244_kaplan_meier" ->
+      """WITH lv AS (
+        |  SELECT user_id % 3 AS cohort,
+        |    datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+        |      AS dur,
+        |    max(CAST(ts AS DATE)) < DATE '2024-01-25' AS churned
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT cohort, CAST(dur AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_deaths,
+        |    CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM lv GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cohort, t, n_deaths, n_censored,
+        |    CAST(sum(n_deaths + n_censored) OVER (PARTITION BY cohort)
+        |      - (sum(n_deaths + n_censored) OVER (PARTITION BY cohort
+        |           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           CURRENT ROW)
+        |         - (n_deaths + n_censored)) AS BIGINT) AS n_at_risk
+        |  FROM c),
+        |tm AS (
+        |  SELECT cohort, t, n_at_risk, n_deaths, n_censored,
+        |    CASE WHEN n_deaths = 0 THEN 0
+        |         WHEN n_deaths < n_at_risk THEN
+        |           CAST(round(1e6 * ln(CAST(n_at_risk - n_deaths
+        |             AS DOUBLE))) AS BIGINT)
+        |           - CAST(round(1e6 * ln(CAST(n_at_risk AS DOUBLE)))
+        |             AS BIGINT)
+        |         ELSE 0 END AS term,
+        |    CASE WHEN n_deaths >= n_at_risk THEN 1 ELSE 0 END AS dead
+        |  FROM w),
+        |f AS (
+        |  SELECT cohort, t, n_at_risk, n_deaths, n_censored,
+        |    sum(term) OVER wo AS cumln, sum(dead) OVER wo AS cumdead
+        |  FROM tm WINDOW wo AS (PARTITION BY cohort ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT cohort, t, n_at_risk, n_deaths, n_censored,
+        |  CASE WHEN cumdead > 0 THEN NULL
+        |       ELSE CAST(cumln AS BIGINT) END AS log_surv_mnat
+        |FROM f""".stripMargin,
 
     "q243_spearman" ->
       """WITH b AS (

@@ -160,6 +160,58 @@ object TimeSeries {
         .as("r2_micro"))
   }
 
+  /** Kaplan–Meier survival estimate per group, in exact LOG space —
+    * "how long until a user churns / a device fails", right-censored
+    * observations first-class. At each distinct event time:
+    * n_at_risk (subjects with duration ≥ t), deaths, censored, and
+    * the cumulative log-survival ln S(t) = Σ_{tᵢ≤t} ln(1 − dᵢ/nᵢ) as
+    * an integer micro-nat sum — each step contributes
+    * lnq(nᵢ−dᵢ) − lnq(nᵢ) (two quantized ln's over exact integers),
+    * so the curve is order-free and never exponentiates: downstream
+    * compares survival in log space, or applies exp once at the
+    * edge. After a time where EVERYONE at risk dies, S = 0 and
+    * log-survival is NULL from that row on (−∞ has no integer).
+    *
+    * Scale: one (group, time) cell agg, one group-sized total, three
+    * range-partitioned prefix sums over the CELL table
+    * ([[Ranking.groupRunningSum]] — cells per group are bounded by
+    * distinct event times, and no per-group window touches the row
+    * scale). Output: (groupCol, t, n_at_risk, n_deaths, n_censored,
+    * log_surv_mnat). */
+  def kaplanMeier(
+      df: DataFrame,
+      groupCol: String,
+      durationCol: String,
+      eventCol: String): DataFrame = {
+    val lnq = (c: Column) =>
+      round(lit(1e6) * log(c.cast("double"))).cast("long")
+    val ev = (col(eventCol).cast("long") =!= 0L)
+    val cells = df.filter(col(durationCol).isNotNull)
+      .groupBy(col(groupCol), col(durationCol).cast("long").as("t"))
+      .agg(sum(when(ev, 1L).otherwise(0L)).as("n_deaths"),
+        sum(when(ev, 0L).otherwise(1L)).as("n_censored"))
+      .withColumn("__dc", col("n_deaths") + col("n_censored"))
+    val totals = cells.groupBy(col(groupCol)).agg(sum(col("__dc")).as("__N"))
+    val atRisk = Ranking.groupRunningSum(cells, groupCol, Seq("t"), "__dc")
+      .join(totals, Seq(groupCol))
+      .withColumn("n_at_risk", col("__N") - (col("running") - col("__dc")))
+      .drop("running")
+      .withColumn("__term",
+        when(col("n_deaths") === 0L, lit(0L))
+          .when(col("n_deaths") < col("n_at_risk"),
+            lnq(col("n_at_risk") - col("n_deaths")) - lnq(col("n_at_risk")))
+          .otherwise(lit(0L)))
+      .withColumn("__dead", when(col("n_deaths") >= col("n_at_risk"), 1L)
+        .otherwise(0L))
+    val withLn = Ranking.groupRunningSum(atRisk, groupCol, Seq("t"),
+      "__term").withColumnRenamed("running", "__cumln")
+    Ranking.groupRunningSum(withLn, groupCol, Seq("t"), "__dead")
+      .select(col(groupCol), col("t"), col("n_at_risk"),
+        col("n_deaths"), col("n_censored"),
+        when(col("running") > 0L, lit(null).cast("long"))
+          .otherwise(col("__cumln")).as("log_surv_mnat"))
+  }
+
   /** Exponentially time-decayed counts with EXACT power-of-two decay:
     * each observation contributes `weight >> (age div halfLife)` —
     * halve per elapsed half-life, floored — so "recent activity

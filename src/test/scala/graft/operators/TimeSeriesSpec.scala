@@ -124,6 +124,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!last.getAs[Boolean]("alarm_hi"))
   }
 
+  test("kaplanMeier: hand-computed log-survival, censoring holds the " +
+      "curve, total-death NULL") {
+    val df = Seq(
+      ("g", 1L, true), ("g", 2L, false), ("g", 3L, true), ("g", 3L, true),
+      ("h", 5L, false))
+      .toDF("coh", "dur", "ev")
+    val got = TimeSeries.kaplanMeier(df, "coh", "dur", "ev")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5)))).toMap
+    // t=1: 4 at risk, 1 dies → ln(3/4) = −287682 µnats.
+    assert(got(("g", 1L)) == ((4L, 1L, 0L, -287682L)))
+    // t=2: censoring only — the curve holds.
+    assert(got(("g", 2L)) == ((3L, 0L, 1L, -287682L)))
+    // t=3: both remaining die → S = 0, log NULL.
+    assert(got(("g", 3L)) == ((2L, 2L, 0L, null)))
+    // pure-censoring group: survival stays exactly 1.
+    assert(got(("h", 5L)) == ((1L, 0L, 1L, 0L)))
+  }
+
   test("groupOls: perfect line scores R² = 1e6 with exact rationals") {
     val obs = Seq(
       // A: y = 2x + 1 exactly.
