@@ -3607,6 +3607,19 @@ object SparkEntry {
       TimeSeries.kaplanMeier(lives, "cohort", "dur", "churned")
     }),
 
+    // Log-rank test between cohorts 0 and 1 of q244's lifetimes —
+    // "do they churn at the same rate", hypergeometric O−E in exact
+    // integers.
+    "q245_logrank" -> ((s, dir) => {
+      val lives = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("__f"),
+          max(to_date(col("ts"))).as("__l"))
+        .select((col("user_id") % 3).as("cohort"),
+          datediff(col("__l"), col("__f")).as("dur"),
+          (col("__l") < lit("2024-01-25")).as("churned"))
+      TimeSeries.logRank(lives, "cohort", "dur", "churned", "0", "1")
+    }),
+
     // Per-source Spearman rank correlation of length vs doc id —
     // tie-exact doubled average ranks, Pearson over exact rank sums,
     // the monotone-association twin of q225's linear census.
@@ -8304,6 +8317,64 @@ object SparkEntry {
         |  CASE WHEN cumdead > 0 THEN NULL
         |       ELSE CAST(cumln AS BIGINT) END AS log_surv_mnat
         |FROM f""".stripMargin,
+
+    "q245_logrank" ->
+      """WITH lv AS (
+        |  SELECT CAST(user_id % 3 AS VARCHAR) AS g,
+        |    CAST(datediff('day', min(CAST(ts AS DATE)),
+        |      max(CAST(ts AS DATE))) AS BIGINT) AS t,
+        |    max(CAST(ts AS DATE)) < DATE '2024-01-25' AS churned
+        |  FROM events GROUP BY user_id
+        |  HAVING CAST(user_id % 3 AS VARCHAR) IN ('0', '1')),
+        |c AS (
+        |  SELECT g, t,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(count(*) AS BIGINT) AS dc
+        |  FROM lv GROUP BY 1, 2),
+        |tots AS (SELECT g, CAST(sum(dc) AS BIGINT) AS N FROM c GROUP BY g),
+        |grid AS (
+        |  SELECT u.t, tots.g, tots.N,
+        |    COALESCE(c.d, 0) AS d, COALESCE(c.dc, 0) AS dc
+        |  FROM (SELECT DISTINCT t FROM c) u
+        |  CROSS JOIN tots
+        |  LEFT JOIN c ON c.g = tots.g AND c.t = u.t),
+        |ar AS (
+        |  SELECT t, g, d,
+        |    N - (sum(dc) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - dc)
+        |      AS ar
+        |  FROM grid),
+        |tm AS (
+        |  SELECT a.t, a.ar AS n1, b.ar AS n2, a.d AS d1, b.d AS d2,
+        |    a.ar + b.ar AS n, a.d + b.d AS dt
+        |  FROM ar a JOIN ar b ON b.t = a.t AND a.g = '0' AND b.g = '1'
+        |  WHERE a.ar + b.ar > 1),
+        |q AS (
+        |  SELECT d1,
+        |    CAST(round(1e6 * CAST(dt * n1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) AS BIGINT) AS e1,
+        |    CAST(round(1e12
+        |      * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |         * CAST(dt AS DOUBLE) * CAST(n - dt AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |         * CAST(n - 1 AS DOUBLE))) AS BIGINT) AS v
+        |  FROM tm),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_times,
+        |    CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(e1) AS BIGINT) AS e1_micro,
+        |    CAST(sum(1000000 * d1 - e1) AS BIGINT) AS oe_sum_micro,
+        |    CAST(sum(v) AS BIGINT) AS v_sum_pico
+        |  FROM q)
+        |SELECT n_times, o1, e1_micro, oe_sum_micro, v_sum_pico,
+        |  CASE WHEN COALESCE(v_sum_pico, 0) <= 0 THEN NULL
+        |       ELSE CAST(round(1e6
+        |         * (CAST(oe_sum_micro AS DOUBLE)
+        |            * CAST(oe_sum_micro AS DOUBLE))
+        |         / CAST(v_sum_pico AS DOUBLE)) AS BIGINT)
+        |  END AS chi2_micro
+        |FROM s""".stripMargin,
 
     "q243_spearman" ->
       """WITH b AS (

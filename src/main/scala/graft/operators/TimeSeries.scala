@@ -212,6 +212,80 @@ object TimeSeries {
           .otherwise(col("__cumln")).as("log_surv_mnat"))
   }
 
+  /** Two-sample log-rank test — "do these two cohorts churn/fail at
+    * the same rate", the hypothesis-test companion of
+    * [[kaplanMeier]]: at each event time, observed-vs-expected group-A
+    * deaths under the hypergeometric null, χ² = (ΣO−E)²/ΣV. Per-time
+    * E is micro-quantized over exact integer at-risk counts (so the
+    * O−E sum is an exact integer), V is pico-quantized
+    * (n₁n₂d(n−d)/(n²(n−1)), one rounded divide per time, exact while
+    * the per-time population stays under ~5·10⁴ — duration cells, not
+    * rows), and the final χ² is one divide over the two sums. Times
+    * with n ≤ 1 carry no information and are skipped.
+    *
+    * At-risk at every time comes from a (times × 2 groups) grid —
+    * bounded by the DURATION DOMAIN (days of a retention window), not
+    * the subject count; for unbounded-resolution durations bucket
+    * upstream. Output: 1 row (n_times, o1, e1_micro, oe_sum_micro,
+    * v_sum_pico, chi2_micro); NULL χ² when no time has variance. */
+  def logRank(
+      df: DataFrame,
+      groupCol: String,
+      durationCol: String,
+      eventCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    require(groupA != groupB, "the two cohorts must differ")
+    val g = col(groupCol).cast("string")
+    val ev = (col(eventCol).cast("long") =!= 0L)
+    val cells = Dedup.truncate(df
+      .filter(col(durationCol).isNotNull &&
+        g.isin(groupA, groupB))
+      .groupBy(g.as("__g"), col(durationCol).cast("long").as("t"))
+      .agg(sum(when(ev, 1L).otherwise(0L)).as("__d"),
+        count(lit(1)).as("__dc")))
+    val totals = cells.groupBy(col("__g")).agg(sum(col("__dc")).as("__N"))
+    val grid = cells.select(col("t")).distinct()
+      .crossJoin(broadcast(
+        totals.select(col("__g"), col("__N"))))
+      .join(cells, Seq("__g", "t"), "left")
+      .withColumn("__d", coalesce(col("__d"), lit(0L)))
+      .withColumn("__dc", coalesce(col("__dc"), lit(0L)))
+    val atRisk = Ranking.groupRunningSum(grid, "__g", Seq("t"), "__dc")
+      .withColumn("__ar", col("__N") - (col("running") - col("__dc")))
+    val a = atRisk.filter(col("__g") === groupA)
+      .select(col("t"), col("__ar").as("__n1"), col("__d").as("__d1"))
+    val b = atRisk.filter(col("__g") === groupB)
+      .select(col("t"), col("__ar").as("__n2"), col("__d").as("__d2"))
+    val terms = a.join(b, Seq("t"))
+      .withColumn("__n", col("__n1") + col("__n2"))
+      .withColumn("__dt", col("__d1") + col("__d2"))
+      .filter(col("__n") > 1L)
+      .select(
+        col("__d1"),
+        round(lit(1e6) * (col("__dt") * col("__n1")).cast("double") /
+          col("__n").cast("double")).cast("long").as("__e1"),
+        round(lit(1e12) *
+          (col("__n1").cast("double") * col("__n2").cast("double") *
+            col("__dt").cast("double") *
+            (col("__n") - col("__dt")).cast("double")) /
+          (col("__n").cast("double") * col("__n").cast("double") *
+            (col("__n") - 1L).cast("double"))).cast("long").as("__v"))
+    terms.agg(count(lit(1)).as("n_times"),
+        sum(col("__d1")).as("o1"),
+        sum(col("__e1")).as("e1_micro"),
+        sum(lit(1000000L) * col("__d1") - col("__e1"))
+          .as("oe_sum_micro"),
+        sum(col("__v")).as("v_sum_pico"))
+      .withColumn("chi2_micro",
+        when(coalesce(col("v_sum_pico"), lit(0L)) <= 0L,
+          lit(null).cast("long"))
+          .otherwise(round(lit(1e6) *
+            (col("oe_sum_micro").cast("double") *
+              col("oe_sum_micro").cast("double")) /
+            col("v_sum_pico").cast("double")).cast("long")))
+  }
+
   /** Exponentially time-decayed counts with EXACT power-of-two decay:
     * each observation contributes `weight >> (age div halfLife)` —
     * halve per elapsed half-life, floored — so "recent activity

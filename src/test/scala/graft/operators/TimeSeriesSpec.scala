@@ -144,6 +144,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("h", 5L)) == ((1L, 0L, 1L, 0L)))
   }
 
+  test("logRank: hand-computed chi-square 2.0, info-free times skipped") {
+    // A: deaths at t=1,2; B: censored at 1, death at 3. Times 1 and 2
+    // carry the information (t=3 has n=1 → skipped): O1=2, E1=1,
+    // V=0.5 → χ² = (2−1)²/0.5 = 2.
+    val df = Seq(
+      ("A", 1L, true), ("A", 2L, true),
+      ("B", 1L, false), ("B", 3L, true))
+      .toDF("g", "dur", "ev")
+    val r = TimeSeries.logRank(df, "g", "dur", "ev", "A", "B").head()
+    assert(r.getLong(0) == 2L)                 // informative times
+    assert(r.getLong(1) == 2L)                 // O1
+    assert(r.getLong(2) == 1000000L)           // E1
+    assert(r.getLong(3) == 1000000L)           // Σ(O−E) micro
+    assert(r.getLong(4) == 500000000000L)      // ΣV pico
+    assert(r.getLong(5) == 2000000L)           // χ² = 2.0
+  }
+
+  test("logRank: identical cohorts score zero, no-variance NULL") {
+    val same = Seq(("A", 1L, true), ("B", 1L, true),
+      ("A", 2L, true), ("B", 2L, true)).toDF("g", "dur", "ev")
+    val r = TimeSeries.logRank(same, "g", "dur", "ev", "A", "B").head()
+    assert(r.getLong(3) == 0L && r.getLong(5) == 0L)
+    // All durations distinct with one subject per time ⇒ every time
+    // that remains has variance; a single-subject universe has none.
+    val solo = Seq(("A", 1L, true)).toDF("g", "dur", "ev")
+    val rs = TimeSeries.logRank(solo, "g", "dur", "ev", "A", "B").head()
+    assert(rs.getLong(0) == 0L && rs.isNullAt(5))
+  }
+
   test("groupOls: perfect line scores R² = 1e6 with exact rationals") {
     val obs = Seq(
       // A: y = 2x + 1 exactly.
