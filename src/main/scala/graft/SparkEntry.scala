@@ -3607,6 +3607,20 @@ object SparkEntry {
       TimeSeries.kaplanMeier(lives, "cohort", "dur", "churned")
     }),
 
+    // Median survival time per cohort off the q244 curve: first t
+    // with S ≤ ½ (log ≤ −ln 2 µnats), NULL when never reached.
+    "q246_median_survival" -> ((s, dir) => {
+      val lives = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("__f"),
+          max(to_date(col("ts"))).as("__l"))
+        .select((col("user_id") % 3).as("cohort"),
+          datediff(col("__l"), col("__f")).as("dur"),
+          (col("__l") < lit("2024-01-25")).as("churned"))
+      TimeSeries.medianSurvival(
+        TimeSeries.kaplanMeier(lives, "cohort", "dur", "churned"),
+        "cohort")
+    }),
+
     // Log-rank test between cohorts 0 and 1 of q244's lifetimes —
     // "do they churn at the same rate", hypergeometric O−E in exact
     // integers.
@@ -8275,48 +8289,18 @@ object SparkEntry {
 
     "q241_rbo" -> rboOracleSql(10, 0.9),
 
-    "q244_kaplan_meier" ->
-      """WITH lv AS (
-        |  SELECT user_id % 3 AS cohort,
-        |    datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
-        |      AS dur,
-        |    max(CAST(ts AS DATE)) < DATE '2024-01-25' AS churned
-        |  FROM events GROUP BY user_id),
-        |c AS (
-        |  SELECT cohort, CAST(dur AS BIGINT) AS t,
-        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_deaths,
-        |    CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
-        |      AS n_censored
-        |  FROM lv GROUP BY 1, 2),
-        |w AS (
-        |  SELECT cohort, t, n_deaths, n_censored,
-        |    CAST(sum(n_deaths + n_censored) OVER (PARTITION BY cohort)
-        |      - (sum(n_deaths + n_censored) OVER (PARTITION BY cohort
-        |           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
-        |           CURRENT ROW)
-        |         - (n_deaths + n_censored)) AS BIGINT) AS n_at_risk
-        |  FROM c),
-        |tm AS (
-        |  SELECT cohort, t, n_at_risk, n_deaths, n_censored,
-        |    CASE WHEN n_deaths = 0 THEN 0
-        |         WHEN n_deaths < n_at_risk THEN
-        |           CAST(round(1e6 * ln(CAST(n_at_risk - n_deaths
-        |             AS DOUBLE))) AS BIGINT)
-        |           - CAST(round(1e6 * ln(CAST(n_at_risk AS DOUBLE)))
-        |             AS BIGINT)
-        |         ELSE 0 END AS term,
-        |    CASE WHEN n_deaths >= n_at_risk THEN 1 ELSE 0 END AS dead
-        |  FROM w),
-        |f AS (
-        |  SELECT cohort, t, n_at_risk, n_deaths, n_censored,
-        |    sum(term) OVER wo AS cumln, sum(dead) OVER wo AS cumdead
-        |  FROM tm WINDOW wo AS (PARTITION BY cohort ORDER BY t
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT cohort, t, n_at_risk, n_deaths, n_censored,
-        |  CASE WHEN cumdead > 0 THEN NULL
-        |       ELSE CAST(cumln AS BIGINT) END AS log_surv_mnat
-        |FROM f""".stripMargin,
+    "q244_kaplan_meier" -> kaplanMeierOracleSql,
+
+    "q246_median_survival" ->
+      (s"""WITH km AS (
+          |$kaplanMeierOracleSql
+          |)
+          |""".stripMargin +
+        """SELECT cohort,
+          |  min(CASE WHEN log_surv_mnat IS NULL
+          |             OR log_surv_mnat <= -693147 THEN t END)
+          |    AS median_t
+          |FROM km GROUP BY cohort""".stripMargin),
 
     "q245_logrank" ->
       """WITH lv AS (
@@ -8624,6 +8608,52 @@ object SparkEntry {
        |  COALESCE(ov.rbo_micro, 0) AS rbo_micro
        |FROM qs LEFT JOIN ov ON ov.source = qs.source""".stripMargin
   }
+
+  /** q244's oracle (shared with q246, which aggregates the same
+    * curve): the Kaplan–Meier log-survival census over user-lifetime
+    * cohorts. */
+  private lazy val kaplanMeierOracleSql: String =
+    """WITH lv AS (
+      |  SELECT user_id % 3 AS cohort,
+      |    datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+      |      AS dur,
+      |    max(CAST(ts AS DATE)) < DATE '2024-01-25' AS churned
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT cohort, CAST(dur AS BIGINT) AS t,
+      |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_deaths,
+      |    CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_censored
+      |  FROM lv GROUP BY 1, 2),
+      |w AS (
+      |  SELECT cohort, t, n_deaths, n_censored,
+      |    CAST(sum(n_deaths + n_censored) OVER (PARTITION BY cohort)
+      |      - (sum(n_deaths + n_censored) OVER (PARTITION BY cohort
+      |           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |           CURRENT ROW)
+      |         - (n_deaths + n_censored)) AS BIGINT) AS n_at_risk
+      |  FROM c),
+      |tm AS (
+      |  SELECT cohort, t, n_at_risk, n_deaths, n_censored,
+      |    CASE WHEN n_deaths = 0 THEN 0
+      |         WHEN n_deaths < n_at_risk THEN
+      |           CAST(round(1e6 * ln(CAST(n_at_risk - n_deaths
+      |             AS DOUBLE))) AS BIGINT)
+      |           - CAST(round(1e6 * ln(CAST(n_at_risk AS DOUBLE)))
+      |             AS BIGINT)
+      |         ELSE 0 END AS term,
+      |    CASE WHEN n_deaths >= n_at_risk THEN 1 ELSE 0 END AS dead
+      |  FROM w),
+      |f AS (
+      |  SELECT cohort, t, n_at_risk, n_deaths, n_censored,
+      |    sum(term) OVER wo AS cumln, sum(dead) OVER wo AS cumdead
+      |  FROM tm WINDOW wo AS (PARTITION BY cohort ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT cohort, t, n_at_risk, n_deaths, n_censored,
+      |  CASE WHEN cumdead > 0 THEN NULL
+      |       ELSE CAST(cumln AS BIGINT) END AS log_surv_mnat
+      |FROM f""".stripMargin
 
   /** q238/q239's shared oracle scaffolding: the exact Heaps census —
     * each type counted at its min doc, cumulative window in doc

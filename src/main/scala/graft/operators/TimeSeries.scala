@@ -212,6 +212,20 @@ object TimeSeries {
           .otherwise(col("__cumln")).as("log_surv_mnat"))
   }
 
+  /** Median survival time per group — the headline number off the
+    * [[kaplanMeier]] curve: the FIRST event time where survival
+    * drops to ≤ ½, i.e. log-survival ≤ −ln 2 (−693147 µnats; a NULL
+    * log-survival row means S = 0, which certainly qualifies). NULL
+    * median = the curve never reached ½ within the observed window —
+    * the honest "more than half are still alive" answer, not a
+    * number. One filter + min per group over the curve. */
+  def medianSurvival(
+      km: DataFrame, groupCol: String): DataFrame =
+    km.groupBy(col(groupCol))
+      .agg(min(when(col("log_surv_mnat").isNull ||
+        col("log_surv_mnat") <= -693147L, col("t")))
+        .as("median_t"))
+
   /** Two-sample log-rank test — "do these two cohorts churn/fail at
     * the same rate", the hypothesis-test companion of
     * [[kaplanMeier]]: at each event time, observed-vs-expected group-A

@@ -144,6 +144,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("h", 5L)) == ((1L, 0L, 1L, 0L)))
   }
 
+  test("medianSurvival: first t at S ≤ ½; NULL when never reached") {
+    // g: S drops to 3/4 at t=1, to 0 at t=3 (NULL log) → median 3.
+    // h: pure censoring, S stays 1 → NULL median.
+    val df = Seq(
+      ("g", 1L, true), ("g", 2L, false), ("g", 3L, true), ("g", 3L, true),
+      ("h", 5L, false))
+      .toDF("coh", "dur", "ev")
+    val km = TimeSeries.kaplanMeier(df, "coh", "dur", "ev")
+    val got = TimeSeries.medianSurvival(km, "coh")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got == Map("g" -> 3L, "h" -> null))
+  }
+
   test("logRank: hand-computed chi-square 2.0, info-free times skipped") {
     // A: deaths at t=1,2; B: censored at 1, death at 3. Times 1 and 2
     // carry the information (t=3 has n=1 → skipped): O1=2, E1=1,
