@@ -9938,7 +9938,9 @@ object SparkEntry {
        |         $den AS den
        |  FROM l)
        |SELECT user_id, ts, event_id, value,
-       |  CAST(round(1e6 * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))) AS BIGINT) / 1e6 AS ewma
+       |  CASE WHEN den > 0
+       |    THEN CAST(round(1e6 * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))) AS BIGINT) / 1e6
+       |    ELSE NULL END AS ewma
        |FROM s""".stripMargin
   }
 

@@ -588,24 +588,6 @@ object Corpus {
         round(col("n_hapax").cast("double")
           / col("n_types").cast("double"), 6).as("hapax_frac"))
 
-  /** Per-document character-n-gram Shannon entropy, in integer
-    * micro-nats: H = ln N − (Σ c·ln c)/N over the doc's n-gram counts.
-    * The gibberish/boilerplate axis the token-level signals miss —
-    * keyboard mash, base64 blobs and minified JS sit HIGH (near the
-    * uniform-gram ceiling), template spam and repeated-char padding
-    * sit LOW; both tails are cut points a corpus-quality gate wants
-    * next to `Training.repetitionSignals` (which counts REPEATS of
-    * specific grams; entropy summarizes the whole distribution).
-    *
-    * Exactness: ln only ever sees an integer COUNT, quantized to
-    * micro-nats (round(1e6·ln c) — the LM-gate convention), so the
-    * per-doc sum is an integer sum, and the one divide (S/N) is a
-    * single correctly-rounded IEEE op — bit-stable cross-engine.
-    *
-    * Scale: explode → (doc, gram) hash-agg → per-doc rollup; state
-    * per doc is bounded by its distinct-gram count. Docs shorter than
-    * n characters have no distribution and are absent. Output:
-    * (idCol, n_grams, distinct_grams, entropy_mnat). */
   /** Mixed-script (confusable) token census per group — the homoglyph
     * spoof smell: a token mixing Cyrillic/Greek letters INTO a Latin
     * word ("pаypal" with U+0430) is how phishing URLs, poisoned

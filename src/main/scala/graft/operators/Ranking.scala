@@ -442,6 +442,15 @@ object Ranking {
     * group is single-class (nothing to separate). NULL scores are
     * dropped (they rank nowhere); a nonzero label is a positive.
     *
+    * Scores are micro-quantized (round(1e6·score)) before ranking so
+    * fractional scores keep their order to 1e-6 instead of silently
+    * truncating to long (which would merge distinct scores into
+    * artificial ties); AUC is rank-based, so for already-integer
+    * scores the quantization is a strictly monotone map and the
+    * result is bit-identical. The micro grid is exact for |score| ≤
+    * ~9e9 (beyond that the ×1e6 double product coarsens) — pre-scale
+    * wider inputs.
+    *
     * Scale: one (group, score) hash-agg, the range-partitioned
     * prefix machinery, one per-group reduce. Overflow: rank sums
     * bound by n₁·2N — keep group size × positives under ~9·10¹⁸.
@@ -452,7 +461,9 @@ object Ranking {
       scoreCol: String,
       labelCol: String): DataFrame = {
     val cells = df.filter(col(scoreCol).isNotNull)
-      .groupBy(col(groupCol), col(scoreCol).cast("long").as("__sc"))
+      .groupBy(col(groupCol),
+        round(col(scoreCol).cast("double") * lit(1e6)).cast("long")
+          .as("__sc"))
       .agg(count(lit(1)).as("__cnt"),
         sum(when(col(labelCol).cast("long") =!= 0L, 1L).otherwise(0L))
           .as("__pos"))
@@ -495,10 +506,14 @@ object Ranking {
       groupCol: String,
       xCol: String,
       yCol: String): DataFrame = {
+    // Micro-quantize both sides (same rationale as groupAuc: rho is
+    // rank-based, so for integer inputs this is bit-identical, and
+    // fractional inputs keep 1e-6 order instead of truncating).
     val base = Dedup.truncate(df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select(col(groupCol), col(xCol).cast("long").as("__x"),
-        col(yCol).cast("long").as("__y")))
+      .select(col(groupCol),
+        round(col(xCol).cast("double") * lit(1e6)).cast("long").as("__x"),
+        round(col(yCol).cast("double") * lit(1e6)).cast("long").as("__y")))
     // Doubled tie-averaged rank per distinct value: 2·cb + cnt + 1.
     def ranks(valueCol: String, out: String): DataFrame = {
       val cells = base.groupBy(col(groupCol), col(valueCol))

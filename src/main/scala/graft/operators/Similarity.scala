@@ -570,19 +570,32 @@ object Similarity {
     val q = prepare(queries, idCol, vecCol)
       .withColumn("q_sig", bqSignature(col("qvec"), dim))
       .withColumnRenamed(idCol, "query_id")
-    val ham = broadcast(q).crossJoin(c)
+    // The Hamming scan carries ids + 1-bit signatures only; the
+    // shortlist is groupTopK's bounded-heap aggregate (state ≤
+    // shortlist rows per query), never a corpus-wide window.
+    val ham = broadcast(q.select(col("query_id"), col("q_sig")))
+      .crossJoin(c.select(col("neighbor_id"), col("sig")))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("hamming", hammingQ(col("q_sig"), col("sig")))
-    val wh = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming"), col("neighbor_id"))
-    val short = ham.withColumn("__hrank", row_number().over(wh))
-      .filter(col("__hrank") <= shortlist)
-      .withColumn("dot", dotQ(col("qvec"), col("c_qvec")))
-      .withColumn("sim", cosineQ(col("dot"), col("nsq"), col("c_nsq")))
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    short.withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
+      .select(col("query_id"),
+        hammingQ(col("q_sig"), col("sig")).as("hamming"),
+        col("neighbor_id"))
+    val short = Ranking.groupTopK(ham, Seq("query_id"),
+      Seq(col("hamming"), col("neighbor_id").as("neighbor_id")), shortlist)
+    // Full vectors enter only here: the ≤ queries×shortlist survivor
+    // table (plus the broadcast query vectors) broadcasts back onto a
+    // second corpus scan, so corpus vectors never shuffle either.
+    val rer = c.select(col("neighbor_id"), col("c_qvec"), col("c_nsq"))
+      .join(broadcast(short
+        .join(q.select(col("query_id"), col("qvec"), col("nsq")),
+          Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("hamming"),
+          col("qvec"), col("nsq"))), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        cosineQ(dotQ(col("qvec"), col("c_qvec")), col("nsq"),
+          col("c_nsq")).as("sim"))
+    Ranking.groupTopK(rer, Seq("query_id"),
+      Seq((-col("sim")).as("__negsim"), col("neighbor_id").as("neighbor_id"),
+        col("hamming").as("hamming"), col("sim").as("sim")), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("hamming"), col("sim"))
   }

@@ -385,9 +385,14 @@ object TimeSeries {
     }
     val num = taps.map(_._1).reduce(_ + _)
     val den = taps.map(_._2).reduce(_ + _)
+    // den = 0 means every tap in the window was NULL — "no data", not
+    // zero: without the guard num/den is NaN and NaN.cast(long) is 0
+    // in Spark, conflating the two.
     df.withColumn("ewma",
-      round(lit(1e6) * (num.cast("double") / den.cast("double")))
-        .cast("long") / lit(1e6))
+      when(den > 0L,
+        round(lit(1e6) * (num.cast("double") / den.cast("double")))
+          .cast("long") / lit(1e6))
+        .otherwise(lit(null).cast("double")))
   }
 
   /** Micro-quantized truncated-EWMA weights: round(1e6·α(1−α)^m) for
