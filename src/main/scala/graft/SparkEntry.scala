@@ -3733,6 +3733,26 @@ object SparkEntry {
           .otherwise(0L).as("rel"))
       Ranking.rankEval(results, truth, "source", "doc_id", "rank",
         "rel", k = 10)
+    }),
+
+    // CJK-aware sentence census (round-12 advice: the sentence unit
+    // must not see a CJK document as one giant sentence): fullwidth
+    // 。！？ runs now segment without requiring trailing whitespace,
+    // so the same sentenceStats that powers the Gopher-style rules
+    // counts real CJK sentences — ASCII controls ride the same gate.
+    "q247_cjk_sentence_stats" -> ((s, dir) => {
+      Corpus.sentenceStats(cjkSentenceFixture(t(s, dir, "documents")),
+        "doc_id", "text2")
+    }),
+
+    // CJK sentence-grain dedup: the shared boilerplate ideograph
+    // sentence survives only in the minimum (doc, pos) — every other
+    // CJK doc sheds it, proving sentence dedup now operates at CJK
+    // sentence grain (and the ASCII boilerplate dedups alongside).
+    "q248_cjk_sentence_dedup" -> ((s, dir) => {
+      Dedup.sentenceDedup(cjkSentenceFixture(t(s, dir, "documents")),
+        "doc_id", "text2",
+        splitter = TextFunctions.sentenceSplit, sep = "。")
     })
   )
 
@@ -3800,6 +3820,51 @@ object SparkEntry {
   private val CjkAlpha: String =
     (0x4E00 until 0x4E00 + 36).map(_.toChar).mkString
   private val CjkFrom: String = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+  /** q247/q248's shared fixture (injected — the driver corpus cannot
+    * express CJK, per FIXTURES.md): docs < 150 become unspaced CJK
+    * with sentence structure — ' table '→。, ' query '→！ BEFORE the
+    * q205 transliteration (the fullwidth terminators are not in
+    * [[CjkFrom]], so they survive `translate`), a shared 8-ideograph
+    * boilerplate sentence prefixed to every doc (cross-doc dup bait
+    * for sentence dedup), and a trailing 。 on the 0-mod-3 residue
+    * (ends_punct bait). Docs 150–299 are ASCII controls with
+    * ' table '→'. ' sentence structure and a shared
+    * "all rights reserved. " boilerplate prefix, exercising the
+    * ASCII branch of the same splitter in the same gate. */
+  private val CjkBoiler: String = CjkAlpha.take(8)
+  private def cjkSentenceFixture(d: DataFrame): DataFrame = {
+    val terms = regexp_replace(regexp_replace(lower(col("text")),
+      " table ", "。"), " query ", "！")
+    val cjk = d.filter(col("doc_id") < 150)
+      .select(col("doc_id"),
+        concat(lit(CjkBoiler + "。"), translate(terms, CjkFrom, CjkAlpha),
+          when(col("doc_id") % 3 === 0, lit("。")).otherwise(lit("")))
+          .as("text2"))
+    val ascii = d.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+      .select(col("doc_id"),
+        concat(lit("all rights reserved. "),
+          regexp_replace(lower(col("text")), " table ", ". ")).as("text2"))
+    cjk.unionByName(ascii)
+  }
+
+  /** The same fixture as DuckDB SQL (one CTE named `f`) — the
+    * Scala constants interpolate into both sides, so they cannot
+    * drift. */
+  private lazy val cjkSentenceFixtureSql: String =
+    s"""f AS (
+       |  SELECT doc_id,
+       |    '$CjkBoiler' || '。' || translate(tm, '$CjkFrom', '$CjkAlpha')
+       |      || CASE WHEN doc_id % 3 = 0 THEN '。' ELSE '' END AS text2
+       |  FROM (SELECT doc_id,
+       |          regexp_replace(regexp_replace(lower(text),
+       |            ' table ', '。', 'g'), ' query ', '！', 'g') AS tm
+       |        FROM documents WHERE doc_id < 150)
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    'all rights reserved. '
+       |      || regexp_replace(lower(text), ' table ', '. ', 'g') AS text2
+       |  FROM documents WHERE doc_id >= 150 AND doc_id < 300)""".stripMargin
 
   /** Shared fixture of q180/q181: two crawl snapshots of the corpus
     * keyed by a unique per-doc URL over four hosts (two of which
@@ -8519,7 +8584,50 @@ object SparkEntry {
         |  md5(COALESCE(array_to_string(kl, chr(10)), '')) AS clean_md5,
         |  CAST(len(kl) AS BIGINT) AS n_kept,
         |  CAST(len(al) - len(kl) AS BIGINT) AS n_dropped
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+
+    "q247_cjk_sentence_stats" ->
+      (s"WITH $cjkSentenceFixtureSql,\n" +
+        """s AS (
+          |  SELECT doc_id,
+          |    list_transform(
+          |      list_filter(
+          |        string_split_regex(text2, '[.!?]+\s+|[。！？]+\s*'),
+          |        x -> len(trim(x)) > 0),
+          |      x -> CAST(len(trim(x)) AS BIGINT)) AS ls,
+          |    regexp_matches(rtrim(text2), '[.!?。！？]$') AS ends_punct
+          |  FROM f)
+          |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_sentences,
+          |  CASE WHEN len(ls) = 0 THEN NULL
+          |       ELSE CAST(round(1e6 * CAST(list_sum(ls) AS DOUBLE)
+          |         / CAST(len(ls) AS DOUBLE)) AS BIGINT)
+          |  END AS mean_len_micro,
+          |  CASE WHEN len(ls) = 0 THEN NULL ELSE list_max(ls) END
+          |    AS max_len,
+          |  ends_punct
+          |FROM s""".stripMargin),
+
+    "q248_cjk_sentence_dedup" ->
+      (s"WITH $cjkSentenceFixtureSql,\n" +
+        """p AS (
+          |  SELECT doc_id,
+          |    list_filter(
+          |      string_split_regex(text2, '[.!?]+\s+|[。！？]+\s*'),
+          |      x -> len(trim(x)) > 0) AS parts
+          |  FROM f),
+          |s AS (
+          |  SELECT doc_id,
+          |    unnest(generate_series(1, len(parts))) AS pos,
+          |    unnest(parts) AS sent
+          |  FROM p),
+          |k AS (
+          |  SELECT doc_id, pos, sent,
+          |    row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos)
+          |      AS rn
+          |  FROM s WHERE len(sent) > 0)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          |  string_agg(sent, '。' ORDER BY pos) AS text_deduped
+          |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin)
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

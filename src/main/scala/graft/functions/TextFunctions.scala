@@ -145,17 +145,24 @@ object TextFunctions {
   }
 
   /** Sentence segments: split on terminal-punctuation runs followed
-    * by whitespace (`[.!?]+\s+`), non-empty after space-trim. The
-    * deliberately lookbehind-free form — RE2 (the oracle engine) has
-    * no lookbehind, so the terminal run itself is consumed; sentence
-    * LENGTHS therefore exclude their closing punctuation — except
-    * the LAST sentence, whose terminator has no following whitespace
-    * to split on and stays attached. Both are stated properties of
-    * the heuristic, not bugs. ASCII terminators only (the honest
-    * scope; CJK 。is a different segmenter). Empty text ⇒ empty
-    * array. */
+    * by whitespace (`[.!?]+\s+`) OR on fullwidth-terminator runs
+    * (`[。！？]+\s*`) — CJK writes no space after 。, so the
+    * fullwidth branch must not require one; non-empty after
+    * space-trim. No script routing needed (unlike
+    * [[tokensScriptAware]]): the two terminator classes are disjoint
+    * and the alternation is a single pass, so mixed-script text
+    * segments on both. The deliberately lookbehind-free form — RE2
+    * (the oracle engine) has no lookbehind, so the terminal run
+    * itself is consumed; sentence LENGTHS therefore exclude their
+    * closing punctuation — except the LAST ASCII sentence, whose
+    * terminator has no following whitespace to split on and stays
+    * attached (a fullwidth terminator is ALWAYS consumed, final one
+    * included, because its branch needs no trailing whitespace).
+    * All stated properties of the heuristic, not bugs. Empty text ⇒
+    * empty array. */
   def sentenceSplit(text: Column): Column =
-    filter(split(text, "[.!?]+\\s+"), s => length(trim(s)) > 0)
+    filter(split(text, "[.!?]+\\s+|[。！？]+\\s*"),
+      s => length(trim(s)) > 0)
 
   /** Character bigrams of the whitespace-condensed, lower-cased text —
     * the token unit for unspaced scripts (CJK, Thai), where whitespace

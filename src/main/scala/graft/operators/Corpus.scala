@@ -804,9 +804,11 @@ object Corpus {
     * heuristic segments — the unit Gopher-style quality rules count
     * in ("≥ 3 sentences", "ends in terminal punctuation", "mean
     * sentence length sane"): n_sentences, micro-mean and max trimmed
-    * sentence length, and the ends-punct verdict. Sentence-less text
+    * sentence length, and the ends-punct verdict (ASCII or fullwidth
+    * terminator — CJK documents segment on 。！？ and count real
+    * sentences here, not a fake 1-sentence doc). Sentence-less text
     * (empty, or whitespace-terminated punctuation runs) reports 0
-    * with NULL lengths rather than a fake 1-sentence doc.
+    * with NULL lengths.
     *
     * Scale: map-only — one split + two array folds per row, no
     * explode, no shuffle. Output: (idCol, n_sentences,
@@ -816,7 +818,7 @@ object Corpus {
     val lens = transform(TextFunctions.sentenceSplit(col(textCol)),
       s => length(trim(s)).cast("long"))
     docs.select(col(idCol), lens.as("__l"),
-        rtrim(col(textCol)).rlike("[.!?]$").as("ends_punct"))
+        rtrim(col(textCol)).rlike("[.!?。！？]$").as("ends_punct"))
       .select(col(idCol),
         size(col("__l")).cast("long").as("n_sentences"),
         when(size(col("__l")) === 0, lit(null).cast("long"))

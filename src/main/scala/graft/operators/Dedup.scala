@@ -538,11 +538,17 @@ object Dedup {
 
   /** Sentence-level exact dedup across the corpus (the C4 move:
     * boilerplate sentences repeated across pages are dropped
-    * everywhere but their first occurrence). Sentences split on
-    * literal ". "; the first occurrence is the minimum (doc, pos) in
-    * global order; surviving sentences are re-joined in original
-    * order. Documents whose every sentence was seen earlier vanish —
-    * they contribute nothing novel.
+    * everywhere but their first occurrence). `splitter` segments a
+    * text column into the sentence array — the default splits on
+    * literal ". " (the historical contract); pass
+    * [[graft.functions.TextFunctions.sentenceSplit]] for
+    * punctuation-run segmentation including fullwidth 。！？, so CJK
+    * boilerplate dedups at sentence grain too. Positions index the
+    * splitter's OUTPUT array (1-based). The first occurrence is the
+    * minimum (doc, pos) in global order; surviving sentences are
+    * re-joined with `sep` in original order. Documents whose every
+    * sentence was seen earlier vanish — they contribute nothing
+    * novel.
     *
     * Scale: one hash-agg keyed by sentence (exact-dup shape: the
     * map-side is a split+explode, the reduce side a min-struct
@@ -554,9 +560,14 @@ object Dedup {
     *
     * Output: (id, n_kept, text_deduped) for docs with ≥1 surviving
     * sentence. */
-  def sentenceDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def sentenceDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitter: Column => Column = split(_, "\\. "),
+      sep: String = ". "): DataFrame = {
     val sents = docs
-      .select(col(idCol), posexplode(split(col(textCol), "\\. ")))
+      .select(col(idCol), posexplode(splitter(col(textCol))))
       // 1-based positions BEFORE dropping empties (split artifacts), so
       // positions are a stable property of the raw split.
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("sent"))
@@ -571,7 +582,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_kept"),
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("sent")))),
-            x => x.getField("sent")), ". ").as("text_deduped"))
+            x => x.getField("sent")), sep).as("text_deduped"))
   }
 
   /** Per-group frequent-sentence boilerplate strip — the CCNet /
