@@ -1287,48 +1287,71 @@ object ManifestTable {
   }
 
   /** `bloom:<file>\t<col>\t<hex>` lines for the commit body: ONE
-    * distributed pass over the just-written `files`, probes
-    * aggregated per (file, word) by bit_or; the collect is bounded by
-    * files x cols x 128 rows. The executor-side hash mirrors
-    * [[bloomFileHash]] exactly (hash60 over j ++ cast-to-string). */
+    * distributed pass over the just-written `files` (all columns in
+    * the same scan), probes aggregated per (file, col, word) by
+    * bit_or, then folded into the finished 2048-hex-char payload per
+    * (file, col) ON THE EXECUTORS — the driver collects exactly one
+    * formatted string per bloom: record, i.e. the same bytes the
+    * manifest is about to write, so driver memory is bounded by the
+    * commit body itself, never by files × words × hashes
+    * intermediates. A text manifest still carries ~2 KiB per
+    * (file, col) line, so bulk loads are capped by
+    * `graft.manifest.bloomMaxFilesPerCommit` (default 65536) —
+    * commit in batches or raise it deliberately. The executor-side
+    * hash mirrors [[bloomFileHash]] exactly (hash60 over
+    * j ++ cast-to-string). */
   private def fileBloomLines(
       spark: SparkSession,
       baseDir: String,
       files: Seq[String],
       cols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions._
+    val maxFiles = spark.conf.getOption(
+      "graft.manifest.bloomMaxFilesPerCommit").map(_.toInt)
+      .getOrElse(65536)
+    require(files.size <= maxFiles,
+      s"bloom build over ${files.size} files in one commit exceeds " +
+        s"graft.manifest.bloomMaxFilesPerCommit=$maxFiles; each file " +
+        "adds a ~2 KiB bloom line per column to the manifest — commit " +
+        "bulk loads in batches, or raise the cap deliberately")
     // File names carry a per-commit UUID, so basename -> rel is unique.
     val relByName = files.map(f => f.split('/').last -> f).toMap
     val src = spark.read.parquet(files.map(f => s"$baseDir/$f"): _*)
       .select(element_at(split(input_file_name(), "/"), -1).as("__f") +:
         cols.map(col): _*)
-    cols.sorted.flatMap { c =>
-      val probed = src
-        .select(col("__f"), col(c).cast("string").as("__k"))
-        .filter(col("__k").isNotNull)
-        .select(col("__f"), col("__k"),
-          explode(array((0 until BloomFileHashes).map(j => lit(j)): _*))
-            .as("__j"))
-      val h = graft.functions.TextFunctions.hash60(
-        concat_ws("", col("__j"), col("__k")))
-      val w = pmod(h, lit(BloomFileWords.toLong)).cast("int")
-      val m = call_function("shiftleft", lit(1L),
-        pmod(call_function("shiftright", h, lit(BloomFileWordsLog2)),
-          lit(63L)).cast("int"))
-      val words = probed
-        .select(col("__f"), w.as("w"), m.as("m"))
-        .groupBy(col("__f"), col("w"))
-        .agg(expr("bit_or(m)").as("bits"))
-        .collect()
-        .groupBy(_.getString(0))
-      words.toSeq.sortBy(_._1).flatMap { case (name, rs) =>
-        relByName.get(name).map { rel =>
-          val arr = new Array[Long](BloomFileWords)
-          rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
-          s"bloom:$rel\t$c\t" + arr.map(x => f"$x%016x").mkString
-        }
+    val kv = src.select(col("__f"),
+        explode(array(cols.sorted.map(c =>
+          struct(lit(c).as("c"), col(c).cast("string").as("k"))): _*))
+          .as("e"))
+      .select(col("__f"), col("e.c").as("__c"), col("e.k").as("__k"))
+      .filter(col("__k").isNotNull)
+    val probed = kv.select(col("__f"), col("__c"), col("__k"),
+      explode(array((0 until BloomFileHashes).map(j => lit(j)): _*))
+        .as("__j"))
+    val h = graft.functions.TextFunctions.hash60(
+      concat_ws("", col("__j"), col("__k")))
+    val w = pmod(h, lit(BloomFileWords.toLong)).cast("int")
+    val m = call_function("shiftleft", lit(1L),
+      pmod(call_function("shiftright", h, lit(BloomFileWordsLog2)),
+        lit(63L)).cast("int"))
+    val lines = probed
+      .select(col("__f"), col("__c"), w.as("w"), m.as("m"))
+      .groupBy(col("__f"), col("__c"), col("w"))
+      .agg(expr("bit_or(m)").as("bits"))
+      .groupBy(col("__f"), col("__c"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+        .as("__wb"))
+      .select(col("__f"), col("__c"),
+        array_join(transform(sequence(lit(0), lit(BloomFileWords - 1)),
+          i => lower(lpad(hex(coalesce(element_at(col("__wb"), i),
+            lit(0L))), 16, "0"))), "").as("__hex"))
+      .collect()
+    lines.toSeq
+      .map(r => (r.getString(1), r.getString(0), r.getString(2)))
+      .sortBy { case (c, name, _) => (c, name) }
+      .flatMap { case (c, name, hx) =>
+        relByName.get(name).map(rel => s"bloom:$rel\t$c\t$hx")
       }
-    }
   }
 
   /** Probe a manifest bloom line's bits for one rendered value. */

@@ -1068,4 +1068,37 @@ class ManifestTableSpec extends SparkSpec {
       assert(after.inputFiles.length == 1 && after.count() == 1L)
     } finally spark.conf.unset("graft.manifest.bloomCols")
   }
+
+  test("bloom build folds payloads executor-side for many-file " +
+      "commits; the files-per-commit cap guards bulk loads") {
+    import org.apache.spark.sql.functions._
+    val base = tmpBase()
+    spark.conf.set("graft.manifest.bloomCols", "k")
+    try {
+      // One commit landing 16 files: the driver only ever collects
+      // the finished bloom lines (one ~2 KiB string per file), and
+      // the needle still prunes — 777 lives in exactly one file, the
+      // others answer "no" modulo the documented fp rate.
+      ManifestTable.commit(
+        (0L until 1600L).map(k => Tuple1(k)).toDF("k").repartition(16),
+        base, "t", "txn-bulk")
+      assert(ManifestTable.read(spark, base, "t").inputFiles.length == 16)
+      val needle = ManifestTable.read(spark, base, "t",
+        skipFilter = Some(col("k") === lit(777L)))
+      assert(needle.inputFiles.length <= 2)
+      assert(needle.as[Long].collect().toSeq == Seq(777L))
+      // A deliberate low cap turns a bulk bloom build into a hard,
+      // actionable error instead of an unbounded manifest/driver.
+      spark.conf.set("graft.manifest.bloomMaxFilesPerCommit", "4")
+      val e = intercept[IllegalArgumentException] {
+        ManifestTable.commit(
+          (0L until 80L).map(k => Tuple1(k)).toDF("k").repartition(8),
+          base, "t2", "txn-too-many")
+      }
+      assert(e.getMessage.contains("bloomMaxFilesPerCommit"))
+    } finally {
+      spark.conf.unset("graft.manifest.bloomCols")
+      spark.conf.unset("graft.manifest.bloomMaxFilesPerCommit")
+    }
+  }
 }
