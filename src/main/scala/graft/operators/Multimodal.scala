@@ -207,13 +207,43 @@ object Multimodal {
   }
 
   /** Magic-gated image decode shared by the batched stages: real
-    * pixels for PNG and JPEG, None elsewhere — callers fall through
-    * to the deterministic stub. */
+    * pixels for PNG, JPEG and lossless WebP ([[Vp8lCodec]] — the JDK
+    * has no WebP reader, so that one is a from-scratch RFC 9649
+    * decoder), None elsewhere — callers fall through to the
+    * deterministic stub. Lossy WebP sniffs as webp but decodes None
+    * (honest scope: VP8 is a DCT codec). */
   private[operators] def decodeImage(
       content: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (PngCodec.isPng(content)) PngCodec.decode(content)
     else if (JpegCodec.isJpeg(content)) JpegCodec.decode(content)
+    else if (Vp8lCodec.isWebpLossless(content)) Vp8lCodec.decode(content)
     else None
+
+  /** Deterministic 16×16 lossless-WebP fixture (quadrant pattern,
+    * two values per channel) with its PNG twin encoding the SAME
+    * pixels: the cross-format pair the q249/q250 gates and Vp8lSpec
+    * lock against — a decoder regression breaks the shared-dhash
+    * invariant, never a silent gate drift. Bytes generated once by
+    * Vp8lSpec's spec-first encoder / ImageIO and pinned as hex. */
+  object WebpFixture {
+    val hex: String =
+      "524946467C000000574542505650384C700000002F0FC003003819F251908F" +
+      "B2D9FF02B46DDB4A9224B56DDB4A9224B56DDB4A9224B56DDB4A9224B56DDB" +
+      "4A9224B56DDB4A9224B56DDB4A9224B56DDB4A9224499224B56DDB4A9224B5" +
+      "6DDB4A9224B56DDB4A9224B56DDB4A9224B56DDB4A9224B56DDB4A9224B56D" +
+      "DB4A9224B56DDB02"
+    val pngTwinHex: String =
+      "89504E470D0A1A0A0000000D4948445200000010000000100802000000909168" +
+      "360000002849444154785E63D038311B2B3A91A2811531602A1DD580814" +
+      "8D780290441984640D0A8069A680000F67E6F9020BA31AB000000004945" +
+      "4E44AE426082"
+    /** dhash of the decoded fixture — equals the PNG twin's. */
+    val dhash: Long = 404232216L
+    private def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray
+    def bytes: Array[Byte] = unhex(hex)
+    def pngTwinBytes: Array[Byte] = unhex(pngTwinHex)
+  }
 
   /** REAL audio codec — RIFF/WAVE decoded to PCM samples via
     * `javax.sound.sampled` (JDK-bundled, like imageio). Same
@@ -483,7 +513,7 @@ object Multimodal {
     * Bytes never leave the map side — only the verdict string does.
     *
     * Signatures: PNG `89504E470D0A1A0A`, JPEG `FFD8FF`, GIF `GIF8`,
-    * PDF `%PDF-`, WAV `RIFF….WAVE`, ZIP `PK`, gzip
+    * PDF `%PDF-`, WAV `RIFF….WAVE`, WebP `RIFF….WEBP`, ZIP `PK`, gzip
     * `1F8B`; anything else (including empty/NULL) → `unknown`. */
   def sniffType(content: Column): Column = {
     val h = hex(substring(content, 1, 12))
@@ -494,6 +524,7 @@ object Multimodal {
       .when(h.startsWith("47494638"), lit("gif"))
       .when(h.startsWith("255044462D"), lit("pdf"))
       .when(h.startsWith("52494646") && fmt === "57415645", lit("wav"))
+      .when(h.startsWith("52494646") && fmt === "57454250", lit("webp"))
       .when(h.startsWith("52494646"), lit("riff"))
       .when(h.startsWith("504B0304"), lit("zip"))
       .when(h.startsWith("1F8B"), lit("gzip"))

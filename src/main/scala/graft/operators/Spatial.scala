@@ -22,11 +22,20 @@ object Spatial {
     * Σ per-cell |probe|·|build| over 9 neighbor cells.
     *
     * Scale: the cell key is derived map-side; a uniform corpus gives
-    * O(density²·area) candidates independent of partitioning; a
-    * celebrity cell (everyone at the same landmark) is an AQE
-    * skew-split case, same as any hot join key. `radius` must be > 0;
-    * coordinates must be non-negative (floor-div cell assignment —
-    * shift negative planes up front).
+    * O(density²·area) candidates independent of partitioning — the
+    * cost is OUTPUT-bound, and BENCH_SCALE.json measures exactly that
+    * (q174 at ×16 density on a fixed area: e ≈ 1.6, the pair count
+    * itself growing ~256×). When density can grow unboundedly
+    * (ingesting 16× more points over the same geography), set
+    * `maxPerCell` > 0: each cell deterministically keeps its
+    * `maxPerCell` lowest-id points before pairing, bounding
+    * candidates at 9·maxPerCell²/cell at a DOCUMENTED recall cost —
+    * the degenerate-density guard, off by default because exact
+    * output is the operator's contract. A celebrity cell (everyone
+    * at the same landmark) is otherwise an AQE skew-split case, same
+    * as any hot join key. `radius` must be > 0; coordinates must be
+    * non-negative (floor-div cell assignment — shift negative planes
+    * up front).
     *
     * Output: (a, b, d2) with a < b, d2 = squared distance (long). */
   def proximityJoin(
@@ -34,16 +43,23 @@ object Spatial {
       idCol: String,
       xCol: String,
       yCol: String,
-      radius: Long): DataFrame = {
+      radius: Long,
+      maxPerCell: Int = 0): DataFrame = {
     require(radius > 0, "radius must be positive")
     // `div`, not `/`: Divide on Longs returns DOUBLE (same reasoning
     // as Graph.pageRank's exact splits). The id is NOT cast — `a < b`
     // needs only an orderable type, and casting a string/UUID id to
     // long would NULL it and silently drop every pair.
-    val base = points.select(col(idCol).as("__id"),
+    val uncapped = points.select(col(idCol).as("__id"),
       col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"),
       expr(s"${xCol} div ${radius}L").as("__cx"),
       expr(s"${yCol} div ${radius}L").as("__cy"))
+    val base = if (maxPerCell <= 0) uncapped
+      else Ranking.groupTopK(uncapped, Seq("__cx", "__cy"),
+          Seq(col("__id").as("__id"), col("__x").as("__x"),
+            col("__y").as("__y")), maxPerCell)
+        .select(col("__id"), col("__x"), col("__y"),
+          col("__cx"), col("__cy"))
     val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
       struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
     val probe = base

@@ -48,4 +48,19 @@ class SpatialSpec extends SparkSpec {
     assert((got(0).getString(0), got(0).getString(1), got(0).getLong(2)) ==
       (("page-a", "page-b", 25L)))
   }
+
+  test("proximityJoin: maxPerCell density cap keeps lowest ids only") {
+    // 5 co-located points in one cell: uncapped yields C(5,2) = 10
+    // pairs; cap 2 keeps ids 1,2 → exactly 1 pair, deterministically.
+    val pts = (1L to 5L).map(i => (i, 3L, 4L)).toDF("id", "x", "y")
+    assert(Spatial.proximityJoin(pts, "id", "x", "y", 10).count() == 10)
+    val capped = Spatial.proximityJoin(pts, "id", "x", "y", 10,
+      maxPerCell = 2).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+    // the cap never drops pairs in sparse cells
+    val sparse = Seq((1L, 0L, 0L), (2L, 9L, 0L)).toDF("id", "x", "y")
+    assert(Spatial.proximityJoin(sparse, "id", "x", "y", 10,
+      maxPerCell = 2).count() == 1)
+  }
 }
