@@ -3250,18 +3250,7 @@ object SparkEntry {
     // the near-dup pairs surface through the standard banded LSH +
     // exact-Jaccard pipeline.
     "q205_cjk_neardup" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val ct = translate(lower(col("text")), CjkFrom, CjkAlpha)
-      val cj = d.filter(col("doc_id") < 150)
-        .select(col("doc_id"), ct.as("ct"))
-      val a = cj.select((col("doc_id") * 2).as("doc_id"),
-        col("ct").as("text"))
-      val b = cj.select((col("doc_id") * 2 + 1).as("doc_id"),
-        col("ct").substr(lit(1),
-          greatest(length(col("ct")) - 3, lit(0))).as("text"))
-      val ctrl = d.filter(col("doc_id") >= 150 && col("doc_id") < 170)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-      Dedup.minhashNearDups(a.unionByName(b).unionByName(ctrl),
+      Dedup.minhashNearDups(cjkCorpus(t(s, dir, "documents")),
           "doc_id", "text",
           tokenizer = TextFunctions.tokensScriptAware)
         .withColumn("jaccard", round(col("jaccard"), 6))
@@ -3793,6 +3782,27 @@ object SparkEntry {
           .otherwise(unhex(lit(Multimodal.WebpFixture.pngTwinHex)))
           .as("content"))
       Multimodal.imageNearDups(media, "media_id", "content")
+    }),
+
+    // BPE fertility over the q205 unspaced-CJK corpus with the
+    // script-aware tokenizer (round-12 advice #6): the bigram-token
+    // route's budget math — token counts, pieces/token, pieces/char —
+    // gated on unspaced scripts alongside the Latin controls, with
+    // merges trained on the SAME mixed corpus (one shared vocab).
+    "q251_cjk_fertility" -> ((s, dir) => {
+      val docs = cjkCorpus(t(s, dir, "documents")).withColumn("lang",
+        when(col("doc_id") < 100000L, lit("cjk")).otherwise(lit("latin")))
+      bpePieceCounts(docs, Seq("lang"),
+          tokenizer = TextFunctions.tokensScriptAware)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_chars")).as("n_chars"))
+        .withColumn("fertility_micro",
+          expr("(1000000L * n_pieces) div n_tokens"))
+        .withColumn("compression_micro",
+          expr("(1000000L * n_pieces) div n_chars"))
     })
   )
 
@@ -3873,6 +3883,85 @@ object SparkEntry {
     * "all rights reserved. " boilerplate prefix, exercising the
     * ASCII branch of the same splitter in the same gate. */
   private val CjkBoiler: String = CjkAlpha.take(8)
+
+  /** q205/q251's shared corpus: each doc < 150 transliterated to
+    * unspaced CJK (ids 2k), paired with a 3-chars-shorter variant
+    * (ids 2k+1), plus 20 untouched Latin controls at +100000 —
+    * mirrored CTE-for-CTE in [[cjkCorpusSqlCtes]]. */
+  private def cjkCorpus(d: DataFrame): DataFrame = {
+    val ct = translate(lower(col("text")), CjkFrom, CjkAlpha)
+    val cj = d.filter(col("doc_id") < 150)
+      .select(col("doc_id"), ct.as("ct"))
+    val a = cj.select((col("doc_id") * 2).as("doc_id"),
+      col("ct").as("text"))
+    val b = cj.select((col("doc_id") * 2 + 1).as("doc_id"),
+      col("ct").substr(lit(1),
+        greatest(length(col("ct")) - 3, lit(0))).as("text"))
+    val ctrl = d.filter(col("doc_id") >= 150 && col("doc_id") < 170)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    a.unionByName(b).unionByName(ctrl)
+  }
+
+  /** The same corpus + script-aware tokenization as DuckDB CTEs,
+    * ending in `toks(doc_id, w)` — shared by the q205 near-dup chain
+    * and the q251 fertility oracle, so the token route cannot drift
+    * between them. */
+  private lazy val cjkCorpusToksSqlCtes: String =
+    s"""cj AS (
+         |  SELECT doc_id,
+         |    translate(lower(text), '$CjkFrom', '$CjkAlpha') AS ct
+         |  FROM documents WHERE doc_id < 150),
+         |base AS (
+         |  SELECT doc_id * 2 AS doc_id, ct AS text FROM cj
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1,
+         |    substr(ct, 1, greatest(length(ct) - 3, 0)) FROM cj
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents
+         |  WHERE doc_id >= 150 AND doc_id < 170),
+         |cnt AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[A-Za-z\\x{00C0}-\\x{024F}]')) AS BIGINT) AS n_latin,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[\\x{0400}-\\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7A3}]'))
+         |      AS BIGINT) AS n_cjk,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[\\x{0600}-\\x{06FF}]')) AS BIGINT) AS n_arabic,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[\\x{0370}-\\x{03FF}]')) AS BIGINT) AS n_greek,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+         |      AS n_digit
+         |  FROM base),
+         |dom AS (
+         |  SELECT doc_id, text, CASE
+         |    WHEN n_latin > 0 AND n_latin >= greatest(n_cyrillic, n_cjk,
+         |      n_arabic, n_greek, n_digit) THEN 'latin'
+         |    WHEN n_cyrillic > 0 AND n_cyrillic >= greatest(n_cjk,
+         |      n_arabic, n_greek, n_digit) THEN 'cyrillic'
+         |    WHEN n_cjk > 0 AND n_cjk >= greatest(n_arabic, n_greek,
+         |      n_digit) THEN 'cjk'
+         |    WHEN n_arabic > 0 AND n_arabic >= greatest(n_greek, n_digit)
+         |      THEN 'arabic'
+         |    WHEN n_greek > 0 AND n_greek >= n_digit THEN 'greek'
+         |    WHEN n_digit > 0 THEN 'digit'
+         |    ELSE 'und' END AS dominant
+         |  FROM cnt),
+         |cd0 AS (
+         |  SELECT doc_id, text, dominant,
+         |    regexp_replace(lower(text), '\\s+', '', 'g') AS cd
+         |  FROM dom),
+         |toks AS (
+         |  SELECT doc_id, CASE WHEN dominant = 'cjk'
+         |    THEN list_filter(list_transform(
+         |           generate_series(1, greatest(length(cd) - 1, 0)),
+         |           i -> substr(cd, i, 2)), s2 -> length(s2) = 2)
+         |    ELSE list_filter(string_split_regex(lower(text), '\\s+'),
+         |           t -> len(t) > 0) END AS w
+         |  FROM cd0)""".stripMargin
+
   private def cjkSentenceFixture(d: DataFrame): DataFrame = {
     val terms = regexp_replace(regexp_replace(lower(col("text")),
       " table ", "。"), " query ", "！")
@@ -3931,12 +4020,14 @@ object SparkEntry {
     * the grouping). The two oracles both reuse [[bpeOracleSql]], so
     * the Spark side shares one implementation too — the encode path
     * cannot diverge between the queries. */
-  private def bpePieceCounts(docs: DataFrame, extraCols: Seq[String])
+  private def bpePieceCounts(docs: DataFrame, extraCols: Seq[String],
+      tokenizer: Column => Column = TextFunctions.tokens)
       : DataFrame = {
-    val merges = Corpus.bpeTrain(docs, "text", nMerges = 10)
+    val merges = Corpus.bpeTrain(docs, "text", nMerges = 10,
+      tokenizer = tokenizer)
     val keys = col("doc_id") +: extraCols.map(col)
     docs.select(keys :+
-        explode(TextFunctions.tokens(col("text"))).as("tok"): _*)
+        explode(tokenizer(col("text"))).as("tok"): _*)
       // bpeOracleSql's merge replay self-delimits symbols as <sym>,
       // which is sound only while tokens are '<'/'>'-free (true for
       // the current fixtures; see FIXTURES.md). Assert it here so a
@@ -7860,61 +7951,7 @@ object SparkEntry {
         |    t -> len(t) > 0))), ' ')) AS fp
         |FROM u""".stripMargin,
 
-    "q205_cjk_neardup" -> nearDupChainSqlOver(
-      s"""cj AS (
-         |  SELECT doc_id,
-         |    translate(lower(text), '$CjkFrom', '$CjkAlpha') AS ct
-         |  FROM documents WHERE doc_id < 150),
-         |base AS (
-         |  SELECT doc_id * 2 AS doc_id, ct AS text FROM cj
-         |  UNION ALL
-         |  SELECT doc_id * 2 + 1,
-         |    substr(ct, 1, greatest(length(ct) - 3, 0)) FROM cj
-         |  UNION ALL
-         |  SELECT doc_id + 100000, text FROM documents
-         |  WHERE doc_id >= 150 AND doc_id < 170),
-         |cnt AS (
-         |  SELECT doc_id, text,
-         |    CAST(len(regexp_extract_all(text,
-         |      '[A-Za-z\\x{00C0}-\\x{024F}]')) AS BIGINT) AS n_latin,
-         |    CAST(len(regexp_extract_all(text,
-         |      '[\\x{0400}-\\x{04FF}]')) AS BIGINT) AS n_cyrillic,
-         |    CAST(len(regexp_extract_all(text,
-         |      '[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7A3}]'))
-         |      AS BIGINT) AS n_cjk,
-         |    CAST(len(regexp_extract_all(text,
-         |      '[\\x{0600}-\\x{06FF}]')) AS BIGINT) AS n_arabic,
-         |    CAST(len(regexp_extract_all(text,
-         |      '[\\x{0370}-\\x{03FF}]')) AS BIGINT) AS n_greek,
-         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
-         |      AS n_digit
-         |  FROM base),
-         |dom AS (
-         |  SELECT doc_id, text, CASE
-         |    WHEN n_latin > 0 AND n_latin >= greatest(n_cyrillic, n_cjk,
-         |      n_arabic, n_greek, n_digit) THEN 'latin'
-         |    WHEN n_cyrillic > 0 AND n_cyrillic >= greatest(n_cjk,
-         |      n_arabic, n_greek, n_digit) THEN 'cyrillic'
-         |    WHEN n_cjk > 0 AND n_cjk >= greatest(n_arabic, n_greek,
-         |      n_digit) THEN 'cjk'
-         |    WHEN n_arabic > 0 AND n_arabic >= greatest(n_greek, n_digit)
-         |      THEN 'arabic'
-         |    WHEN n_greek > 0 AND n_greek >= n_digit THEN 'greek'
-         |    WHEN n_digit > 0 THEN 'digit'
-         |    ELSE 'und' END AS dominant
-         |  FROM cnt),
-         |cd0 AS (
-         |  SELECT doc_id, text, dominant,
-         |    regexp_replace(lower(text), '\\s+', '', 'g') AS cd
-         |  FROM dom),
-         |toks AS (
-         |  SELECT doc_id, CASE WHEN dominant = 'cjk'
-         |    THEN list_filter(list_transform(
-         |           generate_series(1, greatest(length(cd) - 1, 0)),
-         |           i -> substr(cd, i, 2)), s2 -> length(s2) = 2)
-         |    ELSE list_filter(string_split_regex(lower(text), '\\s+'),
-         |           t -> len(t) > 0) END AS w
-         |  FROM cd0)""".stripMargin),
+    "q205_cjk_neardup" -> nearDupChainSqlOver(cjkCorpusToksSqlCtes),
 
     "q206_jpeg_media" ->
       s"""WITH m AS (
@@ -8691,7 +8728,22 @@ object SparkEntry {
         |  SELECT doc_id AS id FROM documents
         |  WHERE doc_id < 60 AND doc_id % 3 < 2)
         |SELECT a.id AS a, b.id AS b, CAST(0 AS INTEGER) AS hamming
-        |FROM ids a JOIN ids b ON a.id < b.id""".stripMargin
+        |FROM ids a JOIN ids b ON a.id < b.id""".stripMargin,
+
+    "q251_cjk_fertility" ->
+      (s"""WITH bp AS (${bpeOracleSqlOverCtes(10, cjkCorpusToksSqlCtes)}),
+         |a AS (
+         |  SELECT CASE WHEN doc_id < 100000 THEN 'cjk' ELSE 'latin' END
+         |      AS lang,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM bp GROUP BY 1)
+         |SELECT lang, n_docs, n_tokens, n_pieces, n_chars,
+         |  (1000000 * n_pieces) // n_tokens AS fertility_micro,
+         |  (1000000 * n_pieces) // n_chars AS compression_micro
+         |FROM a""".stripMargin)
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal
@@ -9508,17 +9560,11 @@ object SparkEntry {
       s"\nSELECT t.node AS doc_id, t.rank AS rank FROM r$iters t"
   }
 
-  private def bpeOracleSql(nMerges: Int): String = {
-    val head =
-      """WITH toks AS (
-        |  SELECT tok, CAST(count(*) AS BIGINT) AS w
-        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
-        |        t -> len(t) > 0)) AS tok FROM documents)
-        |  GROUP BY 1),
-        |enc0 AS MATERIALIZED (
-        |  SELECT tok, w, regexp_replace(tok, '(.)', '<\1>', 'g') AS s
-        |  FROM toks)""".stripMargin
-    val rounds = (1 to nMerges).map { i =>
+  /** The serial BPE-merge replay rounds (shared by the whitespace and
+    * script-aware oracle builders — the merge rule itself cannot
+    * drift between them). */
+  private def bpeRoundsSql(nMerges: Int): String =
+    (1 to nMerges).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT '<' || a || '><' || b || '>' AS pat,
          |         '<' || a || b || '>' AS rep
@@ -9536,6 +9582,17 @@ object SparkEntry {
          |    coalesce((SELECT rep FROM p$i), chr(1))) AS s
          |  FROM enc${i - 1})""".stripMargin
     }.mkString(",\n")
+
+  private def bpeOracleSql(nMerges: Int): String = {
+    val head =
+      """WITH toks AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS w
+        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> len(t) > 0)) AS tok FROM documents)
+        |  GROUP BY 1),
+        |enc0 AS MATERIALIZED (
+        |  SELECT tok, w, regexp_replace(tok, '(.)', '<\1>', 'g') AS s
+        |  FROM toks)""".stripMargin
     val tail =
       s"""d AS (
          |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -9546,7 +9603,33 @@ object SparkEntry {
          |  CAST(sum(len(d.tok)) AS BIGINT) AS n_chars
          |FROM d JOIN enc$nMerges e ON d.tok = e.tok
          |GROUP BY 1""".stripMargin
-    s"$head,\n$rounds,\n$tail"
+    s"$head,\n${bpeRoundsSql(nMerges)},\n$tail"
+  }
+
+  /** BPE per-doc piece counts over ANY corpus CTE chain ending in
+    * `toks(doc_id, w)` with w a token LIST (e.g.
+    * [[cjkCorpusToksSqlCtes]]'s script-aware route) — same replay
+    * rounds, same self-delimiting symbol form, different tokenizer. */
+  private def bpeOracleSqlOverCtes(
+      nMerges: Int, corpusToksCtes: String): String = {
+    val head =
+      s"""WITH $corpusToksCtes,
+         |tw AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS w
+         |  FROM (SELECT unnest(w) AS tok FROM toks)
+         |  GROUP BY 1),
+         |enc0 AS MATERIALIZED (
+         |  SELECT tok, w, regexp_replace(tok, '(.)', '<\\1>', 'g') AS s
+         |  FROM tw)""".stripMargin
+    val tail =
+      s"""dd AS (SELECT doc_id, unnest(w) AS tok FROM toks)
+         |SELECT dd.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(e.s) - len(replace(e.s, '<', ''))) AS BIGINT)
+         |    AS n_pieces,
+         |  CAST(sum(len(dd.tok)) AS BIGINT) AS n_chars
+         |FROM dd JOIN enc$nMerges e ON dd.tok = e.tok
+         |GROUP BY 1""".stripMargin
+    s"$head,\n${bpeRoundsSql(nMerges)},\n$tail"
   }
 
   /** Shared unigram-rarity CTE chain (mirrors [[Corpus.rarityScores]]

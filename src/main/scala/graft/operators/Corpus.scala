@@ -158,11 +158,12 @@ object Corpus {
       docs: DataFrame,
       textCol: String,
       nMerges: Int,
-      batchMerges: Int = 16): Seq[(String, String)] = {
+      batchMerges: Int = 16,
+      tokenizer: Column => Column = TextFunctions.tokens): Seq[(String, String)] = {
     require(nMerges > 0, "nMerges must be positive")
     require(batchMerges > 0, "batchMerges must be positive")
     val toks = Dedup.truncate(
-      docs.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      docs.select(explode(tokenizer(col(textCol))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("w")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
