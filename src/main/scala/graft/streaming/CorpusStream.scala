@@ -314,4 +314,53 @@ object CorpusStream {
           ()
       }
   }
+
+  /** Stream-land an embedding corpus WITH its incrementally-maintained
+    * IVF index: each micro-batch assigns against the FROZEN
+    * `centroids` (SimilaritySpec proves frozen-centroid append ≡ full
+    * rebuild) and the raw vectors + their inverted-list rows ride ONE
+    * [[graft.sources.ManifestTable.commitMulti]] txn under
+    * `<streamId>-<batchId>` — a crash replay is a sealed no-op for
+    * corpus AND index TOGETHER, so they can never diverge. A restart
+    * resumes from checkpoint offsets + the manifest, and
+    * [[graft.operators.Similarity.ivfTopK]] over the read-back index
+    * answers identically to a batch rebuild over the landed corpus
+    * (CorpusStreamSpec, with a restart seam). Periodic centroid
+    * refresh (Lloyd rounds + full re-assignment) is a batch
+    * maintenance job on the landed table, not a per-batch stream
+    * step — frozen routing is what keeps the append O(batch). */
+  def ivfIngestSink(
+      vecs: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      baseDir: String,
+      table: String,
+      indexTable: String,
+      streamId: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.nonEmpty && !streamId.contains("\n"),
+      s"bad streamId: $streamId")
+    require(table != indexTable, "corpus and index tables must differ")
+    // Pin the centroids ONCE at wiring time (they are a plan;
+    // foreachBatch would otherwise re-derive them per micro-batch —
+    // and against drifting inputs, silently re-routing cells).
+    val frozen = graft.operators.Dedup.truncate(centroids)
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!batch.isEmpty) {
+            // nCentroids is unused when centroids are supplied.
+            val assigned = graft.operators.Similarity.ivfIndex(
+              batch.toDF(), idCol, vecCol, nCentroids = 0, Some(frozen))
+            graft.sources.ManifestTable.commitMulti(
+              batch.sparkSession, baseDir, txnId = s"$streamId-$batchId",
+              appends = Map(table -> batch.toDF(), indexTable -> assigned))
+          }
+          ()
+      }
+  }
 }

@@ -319,4 +319,69 @@ class CorpusStreamSpec extends SparkSpec {
       assert(ManifestTable.read(spark, base, "corpus").count() == 3L)
     } finally q.stop()
   }
+
+  test("ivfIngestSink: streamed corpus + incremental index == batch " +
+      "rebuild, exactly-once across restart and replay") {
+    import graft.sources.ManifestTable
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cs-ivf").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cs-ivfck").toString
+    // Day-0 corpus: centroids frozen here; landed as a batch commit of
+    // corpus + index together (the cold start the stream extends).
+    val day0 = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.1f, 0.9f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(day0, "vec_id", "embedding", 3)
+    ManifestTable.commitMulti(spark, base, txnId = "day0",
+      appends = Map(
+        "vecs" -> day0,
+        "ivf" -> Similarity.ivfIndex(day0, "vec_id", "embedding", 3,
+          Some(cents))))
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    def start() = CorpusStream.ivfIngestSink(
+      input.toDF().toDF("vec_id", "embedding"), cents,
+      "vec_id", "embedding", base, "vecs", "ivf",
+      streamId = "ann", checkpointDir = ckpt).start()
+    val q1 = start()
+    try {
+      input.addData((10L, Array(0.95f, 0.05f, 0.0f)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Crash-replay seam: batch 0's txn id is sealed for BOTH tables.
+    assert(ManifestTable.commitMulti(spark, base, txnId = "ann-0",
+      appends = Map("vecs" ->
+        Seq((10L, Array(0.95f, 0.05f, 0.0f))).toDF("vec_id", "embedding")))
+      .isEmpty)
+    // Restart from the checkpoint: the next batch lands once.
+    val q2 = start()
+    try {
+      input.addData(
+        (11L, Array(0.0f, 0.2f, 0.9f)), (12L, Array(0.05f, 0.95f, 0.0f)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val corpus = ManifestTable.read(spark, base, "vecs")
+    assert(corpus.select("vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L))
+    // The incrementally-maintained index answers EXACTLY like a batch
+    // rebuild over the landed corpus (same frozen centroids).
+    val persisted = ManifestTable.read(spark, base, "ivf")
+    val rebuilt = Similarity.ivfIndex(corpus, "vec_id", "embedding", 3,
+      Some(cents))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toSet
+    assert(cells(persisted) == cells(rebuilt))
+    val queries = day0.filter(col("vec_id") === 0L)
+    def topk(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(idx, cents, queries, "vec_id", "embedding",
+          k = 3, nProbe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .as[(Long, Int, Long)].collect().toSet
+    val fromDisk = topk(persisted)
+    assert(fromDisk == topk(rebuilt))
+    // The stream-landed near-twin of vector 0 is actually served.
+    assert(fromDisk.exists(_._3 == 10L))
+  }
 }
