@@ -3803,6 +3803,23 @@ object SparkEntry {
           expr("(1000000L * n_pieces) div n_tokens"))
         .withColumn("compression_micro",
           expr("(1000000L * n_pieces) div n_chars"))
+    }),
+
+    // Corpus-level BLEU-4 per source over the deterministic
+    // candidate/reference fixture (cand = ref with ' table '→' desk '
+    // and the last two words dropped — real clipping, real brevity
+    // penalty): the generation-eval scorecard, per-term micro-nat ln
+    // so both engines exponentiate identical rationals.
+    "q252_bleu" -> ((s, dir) => {
+      TextEval.bleu(genEvalFixture(t(s, dir, "documents")),
+        "doc_id", "source", "cand", "ref")
+    }),
+
+    // chrF (char 1..6-grams, β=2) over the same pairs — the
+    // morphology-robust twin; pure rational arithmetic, no libm.
+    "q253_chrf" -> ((s, dir) => {
+      TextEval.chrF(genEvalFixture(t(s, dir, "documents")),
+        "doc_id", "source", "cand", "ref")
     })
   )
 
@@ -3976,6 +3993,38 @@ object SparkEntry {
           regexp_replace(lower(col("text")), " table ", ". ")).as("text2"))
     cjk.unionByName(ascii)
   }
+
+  /** q252/q253's shared generation-eval fixture: candidate = the
+    * reference with ' table '→' desk ' and its last two words
+    * dropped — deterministic, with enough real divergence to exercise
+    * clipping, the brevity penalty, and the chrF β-weighting. */
+  private def genEvalFixture(d: DataFrame): DataFrame = {
+    val w = TextFunctions.tokens(
+      regexp_replace(col("text"), " table ", " desk "))
+    d.select(col("doc_id"), col("source"),
+      array_join(slice(w, lit(1), greatest(size(w) - 2, lit(1))), " ")
+        .as("cand"),
+      col("text").as("ref"))
+  }
+
+  private lazy val genEvalFixtureSql: String =
+    """f AS (
+      |  SELECT doc_id, source,
+      |    COALESCE(array_to_string(
+      |      list_slice(w, 1, greatest(len(w) - 2, 1)), ' '), '') AS cand,
+      |    text AS ref
+      |  FROM (SELECT doc_id, source, text,
+      |          list_filter(string_split_regex(lower(
+      |            regexp_replace(text, ' table ', ' desk ', 'g')), '\s+'),
+      |            t -> len(t) > 0) AS w
+      |        FROM documents)),
+      |tok AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(cand), '\s+'),
+      |      t -> len(t) > 0) AS cw,
+      |    list_filter(string_split_regex(lower(ref), '\s+'),
+      |      t -> len(t) > 0) AS rw
+      |  FROM f)""".stripMargin
 
   /** The same fixture as DuckDB SQL (one CTE named `f`) — the
     * Scala constants interpolate into both sides, so they cannot
@@ -8743,7 +8792,11 @@ object SparkEntry {
          |SELECT lang, n_docs, n_tokens, n_pieces, n_chars,
          |  (1000000 * n_pieces) // n_tokens AS fertility_micro,
          |  (1000000 * n_pieces) // n_chars AS compression_micro
-         |FROM a""".stripMargin)
+         |FROM a""".stripMargin),
+
+    "q252_bleu" -> bleuOracleSql,
+
+    "q253_chrf" -> chrfOracleSql
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal
@@ -9630,6 +9683,133 @@ object SparkEntry {
          |FROM dd JOIN enc$nMerges e ON dd.tok = e.tok
          |GROUP BY 1""".stripMargin
     s"$head,\n${bpeRoundsSql(nMerges)},\n$tail"
+  }
+
+  /** q252's oracle: the word-n-gram clipped-count census per order,
+    * id-spined (gram-less rows contribute zeros, not absences), then
+    * the BLEU formula with the SAME per-term micro-nat quantization
+    * and expression shape as TextEval.bleu. */
+  private lazy val bleuOracleSql: String = {
+    val perN = (1 to 4).map { n =>
+      s"""cg$n AS (
+         |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+         |    SELECT doc_id,
+         |      array_to_string(list_slice(cw, i, i + ${n - 1}), ' ') AS g
+         |    FROM tok, LATERAL (SELECT unnest(generate_series(1,
+         |      greatest(len(cw) - ${n - 1}, 0))) AS i) u)
+         |  GROUP BY 1, 2),
+         |rg$n AS (
+         |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc FROM (
+         |    SELECT doc_id,
+         |      array_to_string(list_slice(rw, i, i + ${n - 1}), ' ') AS g
+         |    FROM tok, LATERAL (SELECT unnest(generate_series(1,
+         |      greatest(len(rw) - ${n - 1}, 0))) AS i) u)
+         |  GROUP BY 1, 2),
+         |x$n AS (
+         |  SELECT c.doc_id,
+         |    sum(least(c.cc, coalesce(r.rc, 0))) AS clip,
+         |    sum(c.cc) AS ctot
+         |  FROM cg$n c LEFT JOIN rg$n r USING (doc_id, g) GROUP BY 1),
+         |s$n AS (
+         |  SELECT tok.source,
+         |    CAST(sum(coalesce(x.clip, 0)) AS BIGINT) AS clip,
+         |    CAST(sum(coalesce(x.ctot, 0)) AS BIGINT) AS ctot
+         |  FROM tok LEFT JOIN x$n x USING (doc_id) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val pCols = (1 to 4).map { n =>
+      s"""  CASE WHEN s$n.ctot > 0 THEN CAST(round(1e6
+         |    * CAST(s$n.clip AS DOUBLE) / CAST(s$n.ctot AS DOUBLE))
+         |    AS BIGINT) ELSE NULL END AS p${n}_micro""".stripMargin
+    }.mkString(",\n")
+    val lnSum = (1 to 4).map(n =>
+      s"CAST(round(1e6 * ln(CAST(s$n.clip AS DOUBLE) / " +
+        s"CAST(s$n.ctot AS DOUBLE))) AS BIGINT)").mkString("\n      + ")
+    val allPos = (1 to 4).map(n =>
+      s"s$n.clip > 0 AND s$n.ctot > 0").mkString(" AND ")
+    s"""WITH $genEvalFixtureSql,
+       |$perN,
+       |lens AS (
+       |  SELECT source, CAST(sum(len(cw)) AS BIGINT) AS cand_len,
+       |    CAST(sum(len(rw)) AS BIGINT) AS ref_len
+       |  FROM tok GROUP BY 1)
+       |SELECT lens.source, lens.cand_len, lens.ref_len,
+       |$pCols,
+       |  CASE WHEN lens.cand_len > 0 AND $allPos
+       |    THEN CAST(round(1e6 * exp((CAST((
+       |      $lnSum
+       |      ) AS DOUBLE) / 4.0 + CAST(least(0, CAST(round(1e6
+       |        * (1.0 - CAST(lens.ref_len AS DOUBLE)
+       |          / CAST(lens.cand_len AS DOUBLE))) AS BIGINT))
+       |        AS DOUBLE)) / 1e6)) AS BIGINT)
+       |    ELSE 0 END AS bleu_micro
+       |FROM lens
+       |JOIN s1 USING (source) JOIN s2 USING (source)
+       |JOIN s3 USING (source) JOIN s4 USING (source)""".stripMargin
+  }
+
+  /** q253's oracle: the chrF census (char 1..6-grams over the
+    * whitespace-condensed pair), micro-quantized per order then one
+    * divide each — no libm, so parity is exact. */
+  private lazy val chrfOracleSql: String = {
+    val perN = (1 to 6).map { n =>
+      s"""cg$n AS (
+         |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+         |    SELECT doc_id, substr(cd, i, $n) AS g
+         |    FROM tok2, LATERAL (SELECT unnest(generate_series(1,
+         |      greatest(length(cd) - ${n - 1}, 0))) AS i) u)
+         |  GROUP BY 1, 2),
+         |rg$n AS (
+         |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc FROM (
+         |    SELECT doc_id, substr(rd, i, $n) AS g
+         |    FROM tok2, LATERAL (SELECT unnest(generate_series(1,
+         |      greatest(length(rd) - ${n - 1}, 0))) AS i) u)
+         |  GROUP BY 1, 2),
+         |x$n AS (
+         |  SELECT c.doc_id,
+         |    sum(least(c.cc, coalesce(r.rc, 0))) AS clip,
+         |    sum(c.cc) AS ctot
+         |  FROM cg$n c LEFT JOIN rg$n r USING (doc_id, g) GROUP BY 1),
+         |rt$n AS (
+         |  SELECT doc_id, sum(rc) AS rtot FROM rg$n GROUP BY 1),
+         |s$n AS (
+         |  SELECT tok2.source,
+         |    CASE WHEN sum(coalesce(x.ctot, 0)) > 0
+         |      THEN CAST(round(1e6 * CAST(sum(coalesce(x.clip, 0))
+         |        AS DOUBLE) / CAST(sum(coalesce(x.ctot, 0)) AS DOUBLE))
+         |        AS BIGINT) ELSE 0 END AS pq,
+         |    CASE WHEN sum(coalesce(rt.rtot, 0)) > 0
+         |      THEN CAST(round(1e6 * CAST(sum(coalesce(x.clip, 0))
+         |        AS DOUBLE) / CAST(sum(coalesce(rt.rtot, 0)) AS DOUBLE))
+         |        AS BIGINT) ELSE 0 END AS rq
+         |  FROM tok2 LEFT JOIN x$n x USING (doc_id)
+         |    LEFT JOIN rt$n rt USING (doc_id)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val spSum = (1 to 6).map(n => s"s$n.pq").mkString(" + ")
+    val srSum = (1 to 6).map(n => s"s$n.rq").mkString(" + ")
+    s"""WITH $genEvalFixtureSql,
+       |tok2 AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(cand, '\\s+', '', 'g') AS cd,
+       |    regexp_replace(ref, '\\s+', '', 'g') AS rd
+       |  FROM f),
+       |$perN,
+       |sums AS (
+       |  SELECT s1.source,
+       |    CAST($spSum AS BIGINT) AS sp, CAST($srSum AS BIGINT) AS sr
+       |  FROM s1 JOIN s2 USING (source) JOIN s3 USING (source)
+       |    JOIN s4 USING (source) JOIN s5 USING (source)
+       |    JOIN s6 USING (source))
+       |SELECT source,
+       |  CAST(round(CAST(sp AS DOUBLE) / 6.0) AS BIGINT) AS chrp_micro,
+       |  CAST(round(CAST(sr AS DOUBLE) / 6.0) AS BIGINT) AS chrr_micro,
+       |  CASE WHEN sp + sr > 0
+       |    THEN CAST(round((5.0 * (CAST(sp AS DOUBLE) / 6.0)
+       |      * (CAST(sr AS DOUBLE) / 6.0))
+       |      / (4.0 * (CAST(sp AS DOUBLE) / 6.0)
+       |        + (CAST(sr AS DOUBLE) / 6.0))) AS BIGINT)
+       |    ELSE 0 END AS chrf_micro
+       |FROM sums""".stripMargin
   }
 
   /** Shared unigram-rarity CTE chain (mirrors [[Corpus.rarityScores]]
