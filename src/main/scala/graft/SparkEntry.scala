@@ -3820,6 +3820,21 @@ object SparkEntry {
     "q253_chrf" -> ((s, dir) => {
       TextEval.chrF(genEvalFixture(t(s, dir, "documents")),
         "doc_id", "source", "cand", "ref")
+    }),
+
+    // Newman modularity of a hash-labeled partition over the events
+    // bipartite hash graph — the community-quality audit number for
+    // any labeling (LPA, CC, external clusters); integer algebra,
+    // one micro-rounded divide.
+    "q254_modularity" -> ((s, dir) => {
+      val edges = t(s, dir, "events")
+        .select((col("user_id") % 400).as("a"),
+          (hashMod("mod", col("event_id"), 300) + lit(400L)).as("b"))
+        .distinct()
+      val nodes = edges.select(col("a").as("node"))
+        .unionByName(edges.select(col("b").as("node"))).distinct()
+        .withColumn("lbl", col("node") % 7)
+      Graph.modularity(edges, "a", "b", nodes, "node", "lbl")
     })
   )
 
@@ -8796,7 +8811,34 @@ object SparkEntry {
 
     "q252_bleu" -> bleuOracleSql,
 
-    "q253_chrf" -> chrfOracleSql
+    "q253_chrf" -> chrfOracleSql,
+
+    "q254_modularity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id % 400 AS a,
+        |    400 + CAST(('0x' || substr(md5('mod:'
+        |      || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 300 AS b
+        |  FROM events),
+        |lab AS (
+        |  SELECT a % 7 AS la, b % 7 AS lb FROM e WHERE a <> b),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |    CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_within
+        |  FROM lab),
+        |ends AS (SELECT la AS l FROM lab UNION ALL SELECT lb FROM lab),
+        |dc AS (SELECT l, CAST(count(*) AS BIGINT) AS d FROM ends
+        |       GROUP BY 1),
+        |sd AS (SELECT COALESCE(CAST(sum(CAST(d AS HUGEINT) * d)
+        |         AS HUGEINT), 0) AS sumd2 FROM dc)
+        |SELECT tot.n_edges, tot.n_within,
+        |  CASE WHEN tot.n_edges > 0
+        |    THEN CAST(round(1e6 * CAST(4 * CAST(tot.n_edges AS HUGEINT)
+        |        * tot.n_within - sd.sumd2 AS DOUBLE)
+        |      / (4.0 * CAST(tot.n_edges AS DOUBLE)
+        |        * CAST(tot.n_edges AS DOUBLE))) AS BIGINT)
+        |    ELSE NULL END AS q_micro
+        |FROM tot, sd""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

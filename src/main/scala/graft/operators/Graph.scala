@@ -787,4 +787,53 @@ object Graph {
     }
     (settled, rounds)
   }
+
+  /** Newman modularity of a labeled partition over an UNDIRECTED
+    * simple edge list (distinct unordered pairs, self-loops dropped):
+    * Q = Σ_c [ m_c/m − (d_c/2m)² ] — the "are these communities
+    * better than chance" score that turns any labeling (LPA, CC, an
+    * external clustering) into one auditable number. Algebra stays
+    * integer to the last step: Q = (4·m·Σm_c − Σd_c²) / (4·m²) with
+    * d_c counted as edge ENDPOINTS in c (no per-node degree table
+    * needed), sums carried in DECIMAL(38,0), and ONE final divide
+    * micro-rounded — bit-stable cross-engine.
+    *
+    * Scale: two broadcast-or-shuffle label attaches, one endpoint
+    * explode, two scalar aggregates — no windows, no pairs. Nodes
+    * missing from `labels` drop their edges (stated, not silent:
+    * n_edges reflects only labeled edges). Output: one row
+    * (n_edges, n_within, q_micro); an empty labeled edge set yields
+    * NULL q_micro. */
+  def modularity(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+    val lab = Dedup.truncate(e
+      .join(labels.select(col(nodeCol).as("__a"),
+        col(labelCol).as("__la")), Seq("__a"))
+      .join(labels.select(col(nodeCol).as("__b"),
+        col(labelCol).as("__lb")), Seq("__b")))
+    val dec = "decimal(38,0)"
+    val tot = lab.agg(count(lit(1)).as("n_edges"),
+      sum(when(col("__la") === col("__lb"), 1L).otherwise(0L))
+        .as("n_within"))
+    val sumD2 = lab
+      .select(explode(array(col("__la"), col("__lb"))).as("__l"))
+      .groupBy(col("__l")).agg(count(lit(1)).as("__d"))
+      .agg(coalesce(sum((col("__d") * col("__d")).cast(dec)),
+        lit(0).cast(dec)).as("__sumd2"))
+    tot.crossJoin(sumD2).select(col("n_edges"), col("n_within"),
+      when(col("n_edges") > 0,
+        round(lit(1e6) *
+          (lit(4L).cast(dec) * col("n_edges") * col("n_within") -
+            col("__sumd2")).cast("double") /
+          (lit(4.0) * col("n_edges").cast("double") *
+            col("n_edges").cast("double"))).cast("long"))
+        .otherwise(lit(null).cast("long")).as("q_micro"))
+  }
 }

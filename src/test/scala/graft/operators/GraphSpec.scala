@@ -356,4 +356,36 @@ class GraphSpec extends SparkSpec {
     assert(Graph.adamicAdar(closed.toDF("s", "z"), "s", "z",
       maxDegree = 10, excludeAdjacent = true).count() == 0L)
   }
+
+  test("modularity: two clean triangles score exactly 1/2") {
+    // The textbook case: communities {1,2,3} and {4,5,6}, all six
+    // edges within — m = 6, Σm_c = 6, every degree 2 ⇒ d_c = 6 each,
+    // Q = (4·6·6 − 72)/(4·36) = 1/2.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("node", "lbl")
+    val r = Graph.modularity(edges, "a", "b", labels, "node", "lbl")
+      .collect().head
+    assert(r.getAs[Long]("n_edges") == 6L)
+    assert(r.getAs[Long]("n_within") == 6L)
+    assert(r.getAs[Long]("q_micro") == 500000L)
+  }
+
+  test("modularity: one-community partition scores 0; cross edge drops Q") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val one = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("node", "lbl")
+    // all edges within one community: Q = m/m − (2m/2m)² = 0
+    val r0 = Graph.modularity(edges, "a", "b", one, "node", "lbl")
+      .collect().head
+    assert(r0.getAs[Long]("q_micro") == 0L)
+    // splitting a triangle across labels goes NEGATIVE (worse than
+    // chance), and self-loops/unlabeled nodes are dropped
+    val split = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("node", "lbl")
+    val withJunk = edges.union(Seq((2L, 2L), (9L, 1L)).toDF("a", "b"))
+    val r1 = Graph.modularity(withJunk, "a", "b", split, "node", "lbl")
+      .collect().head
+    assert(r1.getAs[Long]("n_edges") == 3L)
+    assert(r1.getAs[Long]("q_micro") < 0L)
+  }
 }
