@@ -3835,6 +3835,18 @@ object SparkEntry {
         .unionByName(edges.select(col("b").as("node"))).distinct()
         .withColumn("lbl", col("node") % 7)
       Graph.modularity(edges, "a", "b", nodes, "node", "lbl")
+    }),
+
+    // Split-conformal coverage audit per source: q̂ from the
+    // ⌈(n+1)(1−α)⌉-th calibration score (hash-derived, deterministic)
+    // and the empirical held-out coverage — range-partitioned rank
+    // selection, no per-group window.
+    "q255_conformal" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        hashMod("cf", col("doc_id"), 1000000L).as("score"),
+        (col("doc_id") % 2 === 0).as("is_calib"))
+      Profile.conformalCoverage(d, "doc_id", "source", "score",
+        "is_calib", alpha = 0.1)
     })
   )
 
@@ -8838,7 +8850,48 @@ object SparkEntry {
         |      / (4.0 * CAST(tot.n_edges AS DOUBLE)
         |        * CAST(tot.n_edges AS DOUBLE))) AS BIGINT)
         |    ELSE NULL END AS q_micro
-        |FROM tot, sd""".stripMargin
+        |FROM tot, sd""".stripMargin,
+
+    "q255_conformal" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5('cf:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 AS score,
+        |    doc_id % 2 = 0 AS is_calib
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CAST(round(CAST(score AS DOUBLE) * 1e6) AS BIGINT) AS s,
+        |    is_calib
+        |  FROM d),
+        |c AS (
+        |  SELECT source, s, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY s, doc_id)
+        |      AS rk
+        |  FROM b WHERE is_calib),
+        |n AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_calib,
+        |    CAST(ceil(CAST(count(*) + 1 AS DOUBLE) * 0.9) AS BIGINT)
+        |      AS target
+        |  FROM c GROUP BY 1),
+        |q AS (
+        |  SELECT c.source, c.s AS qhat_micro
+        |  FROM c JOIN n USING (source) WHERE c.rk = n.target),
+        |e AS (
+        |  SELECT b.source, CAST(count(*) AS BIGINT) AS n_eval,
+        |    CAST(sum(CASE WHEN q.qhat_micro IS NULL
+        |      OR b.s <= q.qhat_micro THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_covered
+        |  FROM b LEFT JOIN q USING (source)
+        |  WHERE NOT is_calib GROUP BY 1)
+        |SELECT n.source, n.n_calib, q.qhat_micro,
+        |  COALESCE(e.n_eval, 0) AS n_eval,
+        |  COALESCE(e.n_covered, 0) AS n_covered,
+        |  CASE WHEN COALESCE(e.n_eval, 0) > 0
+        |    THEN CAST(round(1e6 * CAST(e.n_covered AS DOUBLE)
+        |      / CAST(e.n_eval AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS coverage_micro
+        |FROM n LEFT JOIN q USING (source) LEFT JOIN e USING (source)""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

@@ -553,4 +553,68 @@ object Profile {
           col("n").cast("double")).cast("long").as("nearzero_frac_micro"))
       .withColumn("collapsed", col("std_micro") < collapsedStdMicro)
   }
+
+  /** Split-conformal coverage audit: from each group's CALIBRATION
+    * rows, the conformal bound q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+    * nonconformity score (the finite-sample-valid quantile — note
+    * n+1, not n), then the EMPIRICAL coverage of score ≤ q̂ on the
+    * held-out rows. The audit a prediction-set pipeline runs before
+    * shipping: marginal coverage should land ≥ 1−α up to binomial
+    * noise; a miss means the calibration split leaked or drifted.
+    *
+    * Scores micro-quantize first (round(1e6·s) — the [[Ranking
+    * .groupAuc]] convention: rank-exact for integer scores,
+    * 1e-6-order-preserving for fractional). The rank selection runs
+    * through [[Ranking.groupRank]]'s range-partitioned prefix — no
+    * per-group window — and ⌈(n+1)(1−α)⌉ > n (tiny groups at small
+    * α) yields q̂ = NULL meaning the UNBOUNDED band: every held-out
+    * row counts covered, the standard convention, stated. Ties on
+    * the score are broken by `idCol` (must be per-group unique) for
+    * a total rank order; q̂ itself is a pure score value, so ties do
+    * not move it.
+    *
+    * Output: (groupCol, n_calib, qhat_micro, n_eval, n_covered,
+    * coverage_micro); groups with no eval rows report 0/0 with NULL
+    * coverage. */
+  def conformalCoverage(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: String,
+      calibCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val base = Dedup.truncate(df
+      .filter(col(scoreCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        round(col(scoreCol).cast("double") * lit(1e6)).cast("long")
+          .as("__s"),
+        col(calibCol).cast("boolean").as("__c")))
+    val calib = base.filter(col("__c"))
+    val counts = calib.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_calib"))
+      .withColumn("__target",
+        ceil((col("n_calib") + 1L).cast("double") * lit(1.0 - alpha))
+          .cast("long"))
+    val qhat = Ranking.groupRank(calib, "__g", Seq("__s", "__id"))
+      .join(broadcast(counts), Seq("__g"))
+      .filter(col("rank") === col("__target"))
+      .select(col("__g"), col("__s").as("qhat_micro"))
+    val eval = base.filter(!col("__c"))
+      .join(qhat, Seq("__g"), "left")
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("qhat_micro").isNull ||
+          col("__s") <= col("qhat_micro"), 1L).otherwise(0L))
+          .as("n_covered"))
+    counts.join(qhat, Seq("__g"), "left").join(eval, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n_calib"),
+        col("qhat_micro"),
+        coalesce(col("n_eval"), lit(0L)).as("n_eval"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(coalesce(col("n_eval"), lit(0L)) > 0,
+          round(lit(1e6) * col("n_covered").cast("double") /
+            col("n_eval").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("coverage_micro"))
+  }
 }

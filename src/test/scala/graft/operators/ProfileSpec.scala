@@ -267,4 +267,29 @@ class ProfileSpec extends SparkSpec {
       Profile.powerLawAlpha(df, "x", 0L)
     }
   }
+
+  test("conformalCoverage: hand-sized split matches the (n+1) rule") {
+    // Calibration scores 1..9 (n = 9), alpha = 0.2: target rank =
+    // ceil(10 * 0.8) = 8 -> qhat = 8 (micro 8e6). Held-out {5, 9}:
+    // only 5 <= 8 -> coverage 1/2.
+    val rows = (1L to 9L).map(i => (i, "g", i.toDouble, true)) ++
+      Seq((100L, "g", 5.0, false), (101L, "g", 9.0, false)) ++
+      // tiny group: n = 2, target = ceil(3 * 0.8) = 3 > 2 -> unbounded
+      // band, everything covered
+      Seq((1L, "t", 1.0, true), (2L, "t", 2.0, true),
+        (3L, "t", 99.0, false))
+    val df = rows.toDF("id", "grp", "score", "is_calib")
+    val got = Profile.conformalCoverage(df, "id", "grp", "score",
+      "is_calib", alpha = 0.2).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    val g = got("g")
+    assert(g.getAs[Long]("n_calib") == 9L)
+    assert(g.getAs[Long]("qhat_micro") == 8000000L)
+    assert(g.getAs[Long]("n_covered") == 1L)
+    assert(g.getAs[Long]("coverage_micro") == 500000L)
+    val t = got("t")
+    assert(t.isNullAt(t.fieldIndex("qhat_micro")))
+    assert(t.getAs[Long]("n_covered") == 1L)
+    assert(t.getAs[Long]("coverage_micro") == 1000000L)
+  }
 }
