@@ -3847,6 +3847,27 @@ object SparkEntry {
         (col("doc_id") % 2 === 0).as("is_calib"))
       Profile.conformalCoverage(d, "doc_id", "source", "score",
         "is_calib", alpha = 0.1)
+    }),
+
+    // Jaro-Winkler blocked linkage over the q133 fixture shape — the
+    // codegen'd native expression whose semantics were differentially
+    // pinned against DuckDB's implementation (13k random pairs, 0
+    // double-precision mismatches); micro-quantized sims, bounded-heap
+    // top-1.
+    "q256_jw_linkage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(col("text"), 1, 40).as("head"))
+        .filter(col("doc_id") % 2 === 0)
+      // the right side is every left record's a↔e-swapped twin under a
+      // shifted id — a realistic typo'd-duplicate universe where the
+      // true twin scores high and block-mates stay below the bar
+      val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("lang"), col("source"),
+        translate(col("head"), "ae", "ea").as("head"))
+      Linkage.jwMatches(docs, twins,
+        "doc_id", "doc_id", Seq("lang", "source"), "head", "head",
+        minSimMicro = 820000L, k = 1)
     })
   )
 
@@ -8891,7 +8912,31 @@ object SparkEntry {
         |    THEN CAST(round(1e6 * CAST(e.n_covered AS DOUBLE)
         |      / CAST(e.n_eval AS DOUBLE)) AS BIGINT)
         |    ELSE NULL END AS coverage_micro
-        |FROM n LEFT JOIN q USING (source) LEFT JOIN e USING (source)""".stripMargin
+        |FROM n LEFT JOIN q USING (source) LEFT JOIN e USING (source)""".stripMargin,
+
+    "q256_jw_linkage" ->
+      """WITH l AS (
+        |  SELECT doc_id AS left_id, lang, source,
+        |         substr(text, 1, 40) AS lt
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |r AS (
+        |  SELECT left_id + 1000000 AS right_id, lang, source,
+        |         translate(lt, 'ae', 'ea') AS rt
+        |  FROM l),
+        |c AS (
+        |  SELECT l.left_id, r.right_id,
+        |    CAST(round(jaro_winkler_similarity(l.lt, r.rt) * 1e6)
+        |      AS BIGINT) AS sim_micro
+        |  FROM l JOIN r USING (lang, source)),
+        |f AS (SELECT * FROM c WHERE sim_micro >= 820000),
+        |k AS (
+        |  SELECT left_id, right_id, sim_micro,
+        |    row_number() OVER (PARTITION BY left_id
+        |      ORDER BY sim_micro DESC, right_id) AS rank
+        |  FROM f)
+        |SELECT left_id, CAST(rank AS INTEGER) AS rank, sim_micro,
+        |  right_id
+        |FROM k WHERE rank <= 1""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

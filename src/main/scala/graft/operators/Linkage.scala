@@ -115,4 +115,48 @@ object Linkage {
       .select(col("p.__x").as(aCol), col("p.__y").as(bCol),
         col("p.__s").as(scoreCol))
   }
+
+  /** Blocked Jaro-Winkler best matches — [[bestMatches]]'s fuzzy-name
+    * counterpart for the cases edit distance mis-ranks (prefix-heavy
+    * person/org names, transposed characters): candidates pair only
+    * inside their block, score with the codegen'd
+    * [[graft.functions.GraftExpressions.JaroWinkler]] expression
+    * (DuckDB-parity-verified), keep sim ≥ `minSimMicro`, and take the
+    * per-left top-`k` by (sim desc, right_id) through
+    * [[Ranking.groupTopK]]'s bounded heap. Similarities are
+    * micro-quantized once (round(1e6·jw)) so ranks and the gate hash
+    * are integer-exact. Output: (left_id, rank, sim_micro,
+    * right_id). */
+  def jwMatches(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      rightId: String,
+      blockCols: Seq[String],
+      leftText: String,
+      rightText: String,
+      minSimMicro: Long,
+      k: Int): DataFrame = {
+    require(blockCols.nonEmpty, "blocking columns required")
+    require(k >= 1, "k must be at least 1")
+    require(minSimMicro >= 0 && minSimMicro <= 1000000L,
+      "minSimMicro must be in [0, 1e6]")
+    val l = left.select(
+      blockCols.map(col) :+ col(leftId).as("left_id") :+
+        col(leftText).as("__lt"): _*)
+    val r = right.select(
+      blockCols.map(col) :+ col(rightId).as("right_id") :+
+        col(rightText).as("__rt"): _*)
+    val cand = l.join(r, blockCols)
+      .withColumn("sim_micro",
+        round(graft.functions.GraftExpressions
+          .jaroWinkler(col("__lt"), col("__rt")) * lit(1e6)).cast("long"))
+      .filter(col("sim_micro") >= minSimMicro)
+    Ranking.groupTopK(cand, Seq("left_id"),
+        Seq((-col("sim_micro")).as("__ns"),
+          col("right_id").as("right_id"),
+          col("sim_micro").as("sim_micro")), k)
+      .select(col("left_id"), col("rank"), col("sim_micro"),
+        col("right_id"))
+  }
 }

@@ -60,4 +60,48 @@ class LinkageSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
     assert(got == Seq(("a", "b", 5L)))
   }
+
+  test("jaroWinkler expression: DuckDB-pinned reference values") {
+    import graft.functions.GraftExpressions
+    // Values read off the oracle engine during the differential pin;
+    // a formula drift (t/2.0 vs floor, boost below 0.7, prefix cap)
+    // breaks one of these.
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),      // boost, prefix 3
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("crate", "trace", 0.7333333333333334),        // j > 0.7, prefix 0
+      ("aaaaaab", "aaaaaac", 0.9428571428571428),    // prefix capped at 4
+      ("ab", "abcdefghijklmnop", 0.7666666666666667), // boost just above 0.7
+      ("abcd", "abxxxxxxxxxx", 0.5555555555555555),  // NO boost at j <= 0.7
+      ("ab", "ba", 0.0),                              // window excludes all
+      ("abc", "xyz", 0.0),
+      ("same", "same", 1.0),
+      ("", "a", 0.0), ("a", "", 0.0), ("", "", 0.0))
+    cases.foreach { case (a, b, want) =>
+      val got = GraftExpressions.JaroWinkler.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(got == want, s"jw($a, $b): got $got want $want")
+    }
+    // the codegen'd column path agrees with the static compute
+    val df = cases.toDF("a", "b", "want")
+    val rows = df.select(GraftExpressions.jaroWinkler(col("a"), col("b"))
+      .as("got"), col("want")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("jwMatches: typo'd twin wins within its block, bar filters noise") {
+    val left = Seq((1L, "b1", "jonathan smith"), (2L, "b1", "mary jones"),
+      (3L, "b2", "acme corporation")).toDF("id", "blk", "name")
+    val right = Seq(
+      (10L, "b1", "jonathon smith"),   // near-twin of 1
+      (11L, "b1", "completely other"), // below the bar for everyone
+      (12L, "b2", "acme corp")         // prefix-heavy twin of 3
+    ).toDF("id", "blk", "name")
+    val got = Linkage.jwMatches(left, right, "id", "id", Seq("blk"),
+        "name", "name", minSimMicro = 850000L, k = 1)
+      .collect().map(r => r.getAs[Long]("left_id") ->
+        r.getAs[Long]("right_id")).toMap
+    assert(got == Map(1L -> 10L, 3L -> 12L))
+  }
 }
