@@ -3868,6 +3868,26 @@ object SparkEntry {
       Linkage.jwMatches(docs, twins,
         "doc_id", "doc_id", Seq("lang", "source"), "head", "head",
         minSimMicro = 820000L, k = 1)
+    }),
+
+    // Two-sample KS drift statistic per event type (even- vs odd-user
+    // halves): exact integer cross-products through the
+    // range-partitioned prefix machinery, one micro-rounded divide.
+    "q257_ks_test" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("value"), (col("user_id") % 2 === 0).as("side"))
+      Profile.ksTest(ev, "event_type", "value", "side")
+    }),
+
+    // PSI per lang over length buckets with an INJECTED half-bucket
+    // shift on the odd side — the smoothed drift index must light up,
+    // per-bin micro-rounded terms summed as integers.
+    "q258_psi" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        (col("doc_id") % 2 === 0).as("side"),
+        expr("(n_chars + (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 25 END))" +
+          " div 50").as("bin"))
+      Profile.psi(d, "lang", "bin", "side")
     })
   )
 
@@ -8936,7 +8956,72 @@ object SparkEntry {
         |  FROM f)
         |SELECT left_id, CAST(rank AS INTEGER) AS rank, sim_micro,
         |  right_id
-        |FROM k WHERE rank <= 1""".stripMargin
+        |FROM k WHERE rank <= 1""".stripMargin,
+
+    "q257_ks_test" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    user_id % 2 = 0 AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (
+        |  SELECT g, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |run AS (
+        |  SELECT g, v, ca, cb,
+        |    sum(ca) OVER (PARTITION BY g ORDER BY v) AS ra,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY v) AS rb
+        |  FROM cells),
+        |tot AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM cells GROUP BY 1)
+        |SELECT r.g AS event_type, t.n_a, t.n_b,
+        |  CASE WHEN t.n_a > 0 AND t.n_b > 0
+        |    THEN CAST(round(1e6 * CAST(max(abs(
+        |        CAST(r.ra AS HUGEINT) * t.n_b
+        |        - CAST(r.rb AS HUGEINT) * t.n_a)) AS DOUBLE)
+        |      / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)))
+        |      AS BIGINT)
+        |    ELSE NULL END AS d_micro
+        |FROM run r JOIN tot t USING (g)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q258_psi" ->
+      """WITH b AS (
+        |  SELECT lang AS g,
+        |    (n_chars + (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 25 END))
+        |      // 50 AS bin,
+        |    doc_id % 2 = 0 AS a
+        |  FROM documents),
+        |cells AS (
+        |  SELECT g, bin,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM cells GROUP BY 1),
+        |terms AS (
+        |  SELECT c.g, t.n_bins, t.n_a, t.n_b,
+        |    CAST(round(1e6
+        |      * (CAST(c.ca + 1 AS DOUBLE)
+        |          / CAST(t.n_a + t.n_bins AS DOUBLE)
+        |        - CAST(c.cb + 1 AS DOUBLE)
+        |          / CAST(t.n_b + t.n_bins AS DOUBLE))
+        |      * ln((CAST(c.ca + 1 AS DOUBLE)
+        |          / CAST(t.n_a + t.n_bins AS DOUBLE))
+        |        / (CAST(c.cb + 1 AS DOUBLE)
+        |          / CAST(t.n_b + t.n_bins AS DOUBLE)))) AS BIGINT) AS tm
+        |  FROM cells c JOIN tot t USING (g))
+        |SELECT g AS lang, n_bins, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(sum(tm) AS BIGINT)
+        |    ELSE NULL END AS psi_micro
+        |FROM terms GROUP BY 1, 2, 3, 4""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

@@ -617,4 +617,91 @@ object Profile {
             col("n_eval").cast("double")).cast("long"))
           .otherwise(lit(null).cast("long")).as("coverage_micro"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic per group — THE
+    * nonparametric "did this distribution drift" test between two
+    * sides of a split (train/serve, yesterday/today):
+    * D = max_v |F_a(v) − F_b(v)|, computed EXACTLY: values
+    * micro-quantize, collapse to (group, value) cells with per-side
+    * counts, cumulative counts ride [[Ranking.groupRunningSum]]'s
+    * range-partitioned prefix (never a per-group window), and the
+    * max runs over the INTEGER cross-products |ra·n_b − rb·n_a|
+    * (DECIMAL(38,0)) with ONE final micro-rounded divide by n_a·n_b.
+    * Groups with an empty side report NULL (nothing to compare).
+    * Output: (groupCol, n_a, n_b, d_micro). */
+  def ksTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val ra = Ranking.groupRunningSum(cells, "__g", Seq("__v"), "__ca")
+      .withColumnRenamed("running", "__ra")
+    val rb = Ranking.groupRunningSum(
+        ra.select(col("__g"), col("__v"), col("__ca"), col("__cb"),
+          col("__ra")),
+        "__g", Seq("__v"), "__cb")
+      .withColumnRenamed("running", "__rb")
+    val tot = cells.groupBy(col("__g"))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    val dec = "decimal(38,0)"
+    rb.join(tot, Seq("__g"))
+      .groupBy(col("__g"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("__ra").cast(dec) * col("n_b") -
+        col("__rb").cast(dec) * col("n_a"))).as("__dnum"))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(lit(1e6) * col("__dnum").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("d_micro"))
+  }
+
+  /** Population Stability Index per group over a PRE-BINNED column —
+    * the scorecard-drift number model-ops dashboards watch:
+    * PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b), with Laplace +1 smoothing
+    * on every observed bin (the standard zero-bin guard, so a bin
+    * present on one side only contributes a finite, documented
+    * penalty; smoothed denominators are n_side + B for B observed
+    * bins). Quantization: each bin's term rounds to integer micro
+    * INDEPENDENTLY and the sum is an integer sum — order-free, so
+    * both engines agree bit-for-bit; per-bin rounding bounds the
+    * total error by B/2 micro, stated. Sides with zero rows report
+    * NULL. Output: (groupCol, n_bins, n_a, n_b, psi_micro). */
+  def psi(
+      df: DataFrame,
+      groupCol: String,
+      binCol: String,
+      sideCol: String): DataFrame = {
+    val base = df.filter(col(binCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(binCol).as("__b"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__b"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val tot = cells.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    val j = cells.join(tot, Seq("__g"))
+    val pa = (col("__ca") + 1L).cast("double") /
+      (col("n_a") + col("n_bins")).cast("double")
+    val pb = (col("__cb") + 1L).cast("double") /
+      (col("n_b") + col("n_bins")).cast("double")
+    val term = round(lit(1e6) * (pa - pb) * log(pa / pb)).cast("long")
+    j.select(col("__g"), col("n_bins"), col("n_a"), col("n_b"),
+        term.as("__t"))
+      .groupBy(col("__g"), col("n_bins"), col("n_a"), col("n_b"))
+      .agg(sum(col("__t")).as("__psi"))
+      .select(col("__g").as(groupCol), col("n_bins"), col("n_a"),
+        col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("__psi"))
+          .otherwise(lit(null).cast("long")).as("psi_micro"))
+  }
 }

@@ -292,4 +292,38 @@ class ProfileSpec extends SparkSpec {
     assert(t.getAs[Long]("n_covered") == 1L)
     assert(t.getAs[Long]("coverage_micro") == 1000000L)
   }
+
+  test("ksTest: separation is 1, interleave is 1/2, identical is 0") {
+    val df = Seq(
+      ("sep", 1.0, true), ("sep", 2.0, true),
+      ("sep", 3.0, false), ("sep", 4.0, false),
+      ("mix", 1.0, true), ("mix", 3.0, true),
+      ("mix", 2.0, false), ("mix", 4.0, false),
+      ("same", 1.0, true), ("same", 1.0, false),
+      ("one", 5.0, true) // empty B side -> NULL
+    ).toDF("g", "v", "side")
+    val got = Profile.ksTest(df, "g", "v", "side").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("sep").getAs[Long]("d_micro") == 1000000L)
+    assert(got("mix").getAs[Long]("d_micro") == 500000L)
+    assert(got("same").getAs[Long]("d_micro") == 0L)
+    assert(got("one").isNullAt(got("one").fieldIndex("d_micro")))
+  }
+
+  test("psi: identical sides score 0; disjoint bins score 2*0.5*ln(3)") {
+    val df = Seq(
+      ("id", 1L, true), ("id", 1L, false), ("id", 2L, true),
+      ("id", 2L, false),
+      // disjoint: A all in bin 1, B all in bin 2; +1 smoothing with
+      // B = 2 bins gives p = 3/4 vs 1/4 each way:
+      // psi = 0.5*ln(3) + 0.5*ln(3) = 1.098612
+      ("dj", 1L, true), ("dj", 1L, true),
+      ("dj", 2L, false), ("dj", 2L, false)
+    ).toDF("g", "bin", "side")
+    val got = Profile.psi(df, "g", "bin", "side").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("id").getAs[Long]("psi_micro") == 0L)
+    assert(got("dj").getAs[Long]("n_bins") == 2L)
+    assert(got("dj").getAs[Long]("psi_micro") == 1098612L)
+  }
 }
