@@ -3888,6 +3888,34 @@ object SparkEntry {
         expr("(n_chars + (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 25 END))" +
           " div 50").as("bin"))
       Profile.psi(d, "lang", "bin", "side")
+    }),
+
+    // Entity resolution end-to-end: blocked JW candidates (top-3 per
+    // record over the union of directed edges) → reciprocal-best
+    // acceptance → connected components → cluster census. The
+    // composition the individual gates certify piecewise, chained —
+    // every stage scale-bounded (bounded heap, node-sized mutuality
+    // join, checkpointed pointer jumping).
+    "q259_er_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(col("text"), 1, 40).as("head"))
+      val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("lang"), col("source"),
+        translate(col("head"), "ae", "ea").as("head"))
+      val uni = docs.unionByName(twins)
+      val cand = Linkage.jwMatches(uni, uni, "doc_id", "doc_id",
+          Seq("lang", "source"), "head", "head",
+          minSimMicro = 820000L, k = 3)
+        .filter(col("left_id") < col("right_id"))
+        .select(col("left_id").as("a"), col("right_id").as("b"),
+          col("sim_micro"))
+        .distinct()
+      val accepted = Linkage.reciprocalBest(cand, "a", "b", "sim_micro")
+      Dedup.connectedComponents(accepted, "a", "b")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
     })
   )
 
@@ -9021,7 +9049,55 @@ object SparkEntry {
         |SELECT g AS lang, n_bins, n_a, n_b,
         |  CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(sum(tm) AS BIGINT)
         |    ELSE NULL END AS psi_micro
-        |FROM terms GROUP BY 1, 2, 3, 4""".stripMargin
+        |FROM terms GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q259_er_clusters" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT doc_id, lang, source, substr(text, 1, 40) AS head
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, source,
+        |    translate(substr(text, 1, 40), 'ae', 'ea')
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |c AS (
+        |  SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+        |    CAST(round(jaro_winkler_similarity(l.head, r.head) * 1e6)
+        |      AS BIGINT) AS sim
+        |  FROM u l JOIN u r USING (lang, source)),
+        |k3 AS (
+        |  SELECT left_id, right_id, sim,
+        |    row_number() OVER (PARTITION BY left_id
+        |      ORDER BY sim DESC, right_id) AS rk
+        |  FROM c WHERE sim >= 820000),
+        |cand AS (
+        |  SELECT DISTINCT left_id AS a, right_id AS b, sim
+        |  FROM k3 WHERE rk <= 3 AND left_id < right_id),
+        |d AS (SELECT a AS x, b AS y, sim AS s FROM cand
+        |      UNION ALL SELECT b, a, sim FROM cand),
+        |best AS (
+        |  SELECT x, y FROM (
+        |    SELECT x, y,
+        |      row_number() OVER (PARTITION BY x ORDER BY s DESC, y)
+        |        AS rn
+        |    FROM d)
+        |  WHERE rn = 1),
+        |mutual AS (
+        |  SELECT p.x AS a, p.y AS b
+        |  FROM best p JOIN best q
+        |    ON p.x = q.y AND p.y = q.x AND p.x < p.y),
+        |e AS (SELECT a AS x, b AS y FROM mutual
+        |      UNION SELECT b, a FROM mutual),
+        |reach AS (
+        |  SELECT x, y FROM e
+        |  UNION
+        |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON e2.x = r.y
+        |),
+        |comp AS (
+        |  SELECT x AS id, least(x, min(y)) AS component
+        |  FROM reach GROUP BY x)
+        |SELECT component, count(*) AS n_members,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM comp GROUP BY 1""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal
