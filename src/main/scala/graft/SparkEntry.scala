@@ -3916,6 +3916,24 @@ object SparkEntry {
       Dedup.connectedComponents(accepted, "a", "b")
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+    }),
+
+    // l-diversity over (lang, length-bucket) classes with source as
+    // the sensitive attribute — distinct-l plus the ungameable
+    // entropy-l in micro-nats, charEntropy quantization.
+    "q260_l_diversity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("bucket", expr("n_chars div 200"))
+      Privacy.lDiversity(d, Seq("lang", "bucket"), "source")
+    }),
+
+    // t-closeness of the same classes: variational distance to the
+    // global source mix, absent-value tail folded into one integer
+    // complement term.
+    "q261_t_closeness" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("bucket", expr("n_chars div 200"))
+      Privacy.tCloseness(d, Seq("lang", "bucket"), "source")
     })
   )
 
@@ -9097,7 +9115,47 @@ object SparkEntry {
         |  FROM reach GROUP BY x)
         |SELECT component, count(*) AS n_members,
         |  CAST(max(id) AS BIGINT) AS max_id
-        |FROM comp GROUP BY 1""".stripMargin
+        |FROM comp GROUP BY 1""".stripMargin,
+
+    "q260_l_diversity" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars // 200 AS bucket,
+        |    COALESCE(CAST(source AS VARCHAR), ' NULL') AS v
+        |  FROM documents),
+        |cells AS (
+        |  SELECT lang, bucket, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2, 3)
+        |SELECT lang, bucket, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS l_distinct,
+        |  CAST(round(1e6 * ln(CAST(sum(c) AS DOUBLE))) AS BIGINT)
+        |    - CAST(round(CAST(sum(c * CAST(round(1e6
+        |        * ln(CAST(c AS DOUBLE))) AS BIGINT)) AS DOUBLE)
+        |      / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS entropy_mnat
+        |FROM cells GROUP BY 1, 2""".stripMargin,
+
+    "q261_t_closeness" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars // 200 AS bucket,
+        |    COALESCE(CAST(source AS VARCHAR), ' NULL') AS v
+        |  FROM documents),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS gc FROM b
+        |      GROUP BY 1),
+        |tot AS (SELECT CAST(sum(gc) AS BIGINT) AS N FROM g),
+        |cells AS (
+        |  SELECT lang, bucket, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |ct AS (SELECT lang, bucket, CAST(sum(c) AS BIGINT) AS n
+        |       FROM cells GROUP BY 1, 2)
+        |SELECT c.lang, c.bucket, ct.n,
+        |  CAST(round(1e6 * CAST(sum(abs(CAST(c.c AS HUGEINT) * tot.N
+        |      - CAST(g.gc AS HUGEINT) * ct.n))
+        |    + CAST(ct.n AS HUGEINT) * (tot.N - sum(g.gc)) AS DOUBLE)
+        |    / (2.0 * CAST(ct.n AS DOUBLE) * CAST(tot.N AS DOUBLE)))
+        |    AS BIGINT) AS t_micro
+        |FROM cells c
+        |JOIN ct USING (lang, bucket)
+        |JOIN g USING (v), tot
+        |GROUP BY 1, 2, 3, tot.N""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

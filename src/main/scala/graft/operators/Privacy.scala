@@ -184,4 +184,81 @@ object Privacy {
       .withColumn("dp_count", greatest(lit(0L), col("__n") + noise))
       .drop("__n")
   }
+
+  /** l-diversity census — k-anonymity's necessary complement: a class
+    * of 50 identical rows is 50-anonymous yet leaks its sensitive
+    * value outright if all 50 share it. Per quasi-identifier
+    * equivalence class: size n, DISTINCT-l (how many sensitive
+    * values), and entropy-l's exponent in integer micro-nats
+    * (H = ln n − (Σ c·ln c)/n over the class's sensitive-value
+    * counts; distinct-l is gameable by one rare value, entropy-l is
+    * not). Quantization follows the charEntropy convention: ln only
+    * ever sees an integer count, each term rounds to micro-nats, the
+    * sums are integer, ONE final divide. NULL sensitive values are a
+    * real category (coalesced to the census sentinel). Scale: two
+    * hash-aggs, nothing else. Output: (quasi…, n, l_distinct,
+    * entropy_mnat). */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    val q = quasiCols.map(col)
+    val v = coalesce(col(sensitiveCol).cast("string"), lit(" NULL"))
+    val cells = df.select(q :+ v.as("__v"): _*)
+      .groupBy(q :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    cells.groupBy(q: _*)
+      .agg(sum(col("__c")).as("n"),
+        count(lit(1)).as("l_distinct"),
+        sum(col("__c") *
+          round(lit(1e6) * log(col("__c").cast("double"))).cast("long"))
+          .as("__sclnc"))
+      .select(q ++ Seq(col("n"), col("l_distinct"),
+        (round(lit(1e6) * log(col("n").cast("double"))).cast("long") -
+          round(col("__sclnc").cast("double") / col("n").cast("double"))
+            .cast("long")).as("entropy_mnat")): _*)
+  }
+
+  /** t-closeness census (categorical sensitive attribute, variational
+    * distance): per equivalence class, t = ½·Σ_v |p_class(v) −
+    * p_global(v)| against the WHOLE table's sensitive distribution —
+    * the "your class's diagnosis mix must not stand out from the
+    * population's" requirement that l-diversity alone misses.
+    * Integer-exact: t = (Σ_{v∈class} |c_v·N − g_v·n| + n·(N −
+    * Σ_{v∈class} g_v)) / (2·n·N) — the absent-value tail folds into
+    * ONE complement term, so a class never joins the full value
+    * domain; products ride DECIMAL(38,0) and the single divide
+    * micro-rounds. The global distribution attaches by broadcast
+    * (value-domain sized) and the 1-row total by broadcast scalar
+    * attach. Output: (quasi…, n, t_micro). */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    val q = quasiCols.map(col)
+    val v = coalesce(col(sensitiveCol).cast("string"), lit(" NULL"))
+    val base = Dedup.truncate(df.select(q :+ v.as("__v"): _*))
+    val global = Dedup.truncate(
+      base.groupBy(col("__v")).agg(count(lit(1)).as("__g")))
+    val tot = global.agg(sum(col("__g")).as("__N"))
+    val dec = "decimal(38,0)"
+    val cells = base.groupBy(q :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val classTot = cells.groupBy(q: _*).agg(sum(col("__c")).as("n"))
+    cells.join(classTot, quasiCols)
+      .join(broadcast(global), Seq("__v"))
+      .crossJoin(broadcast(tot))
+      .groupBy(q ++ Seq(col("n"), col("__N")): _*)
+      .agg(sum(abs(col("__c").cast(dec) * col("__N") -
+          col("__g").cast(dec) * col("n"))).as("__present"),
+        sum(col("__g")).as("__gpresent"))
+      .select(q ++ Seq(col("n"),
+        round(lit(1e6) *
+          (col("__present") + col("n").cast(dec) *
+            (col("__N") - col("__gpresent"))).cast("double") /
+          (lit(2.0) * col("n").cast("double") *
+            col("__N").cast("double"))).cast("long").as("t_micro")): _*)
+  }
 }

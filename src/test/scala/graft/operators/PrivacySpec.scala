@@ -121,4 +121,32 @@ class PrivacySpec extends SparkSpec {
     val got = Privacy.dpCounts(df, Seq("g"), 1.0, "t")
     assert(got.count() == 2L)
   }
+
+  test("lDiversity: uniform class hits ln(n); single-value class is 0") {
+    // class A: 4 rows over 2 values evenly -> H = ln 2 = 0.693147
+    // class B: 3 rows all one value -> l = 1, H = 0
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "y"), ("A", "y"),
+      ("B", "x"), ("B", "x"), ("B", "x")).toDF("q", "s")
+    val got = Privacy.lDiversity(df, Seq("q"), "s").collect()
+      .map(r => r.getAs[String]("q") -> r).toMap
+    assert(got("A").getAs[Long]("l_distinct") == 2L)
+    assert(got("A").getAs[Long]("entropy_mnat") == 693147L)
+    assert(got("B").getAs[Long]("l_distinct") == 1L)
+    assert(got("B").getAs[Long]("entropy_mnat") == 0L)
+  }
+
+  test("tCloseness: population-mix class scores 0, skewed class > 0") {
+    // global: x:4, y:4 over N=8. class M mirrors the mix (t = 0);
+    // class S is all-x: t = (|2*8-4*2| + 2*(8-4)) / (2*2*8) = 1/2
+    val df = Seq(
+      ("M", "x"), ("M", "x"), ("M", "y"), ("M", "y"),
+      ("S", "x"), ("S", "x"),
+      ("O", "y"), ("O", "y")).toDF("q", "s")
+    val got = Privacy.tCloseness(df, Seq("q"), "s").collect()
+      .map(r => r.getAs[String]("q") -> r.getAs[Long]("t_micro")).toMap
+    assert(got("M") == 0L)
+    assert(got("S") == 500000L)
+    assert(got("O") == 500000L)
+  }
 }
