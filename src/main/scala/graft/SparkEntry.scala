@@ -3934,6 +3934,14 @@ object SparkEntry {
       val d = t(s, dir, "documents")
         .withColumn("bucket", expr("n_chars div 200"))
       Privacy.tCloseness(d, Seq("lang", "bucket"), "source")
+    }),
+
+    // Seasonality detector per user: naive vs lag-4 seasonal-naive
+    // in-sample MAE and their ratio — rank ordinals through the
+    // range-partitioned prefix, lag taps as equi-joins, no windows.
+    "q262_seasonal_eval" -> ((s, dir) => {
+      TimeSeries.naiveForecastEval(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", period = 4)
     })
   )
 
@@ -9155,7 +9163,32 @@ object SparkEntry {
         |FROM cells c
         |JOIN ct USING (lang, bucket)
         |JOIN g USING (v), tot
-        |GROUP BY 1, 2, 3, tot.N""".stripMargin
+        |GROUP BY 1, 2, 3, tot.N""".stripMargin,
+
+    "q262_seasonal_eval" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, ts, event_id AS id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k, v,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts, id) AS rk
+        |  FROM b),
+        |j AS (
+        |  SELECT c.k, c.v, l1.v AS v1, lp.v AS vp
+        |  FROM r c
+        |  JOIN r l1 ON l1.k = c.k AND l1.rk = c.rk - 1
+        |  JOIN r lp ON lp.k = c.k AND lp.rk = c.rk - 4)
+        |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_scored,
+        |  CAST(round(CAST(sum(abs(v - v1)) AS DOUBLE) / count(*))
+        |    AS BIGINT) AS mae_naive_micro,
+        |  CAST(round(CAST(sum(abs(v - vp)) AS DOUBLE) / count(*))
+        |    AS BIGINT) AS mae_seasonal_micro,
+        |  CASE WHEN sum(abs(v - v1)) > 0
+        |    THEN CAST(round(1e6 * CAST(sum(abs(v - vp)) AS DOUBLE)
+        |      / CAST(sum(abs(v - v1)) AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS ratio_micro
+        |FROM j GROUP BY 1""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

@@ -513,4 +513,56 @@ object TimeSeries {
       .withColumn("alarm_lo", col("s_lo") > thresholdMicro)
       .drop("__d_hi", "__d_lo", "__cum_hi", "__cum_lo")
   }
+
+  /** Seasonality detector / forecast-baseline scorecard: per key, the
+    * in-sample MAE of the one-step NAIVE forecast (previous value)
+    * vs the SEASONAL-naive forecast (value `period` steps back),
+    * scored over the rows where both are defined (ordinal > period),
+    * plus their ratio — ratio < 1 means lag-`period` structure is
+    * real (the seasonal baseline beats the naive one), the go/no-go
+    * any seasonal model must clear before it earns cluster time.
+    *
+    * Exactness: values micro-quantize once, absolute errors are
+    * integer sums, each MAE is one rounded divide, the ratio one
+    * more. Ordinals come from [[Ranking.groupRank]]'s
+    * range-partitioned prefix (ties on `tsCol` broken by `idCol`),
+    * and the lag taps are plain equi-joins on (key, ordinal−k) — no
+    * per-key window, no state. Keys with fewer than period+1 rows
+    * are absent; a flat series (naive MAE 0) reports NULL ratio.
+    * Output: (keyCol, n_scored, mae_naive_micro, mae_seasonal_micro,
+    * ratio_micro). */
+  def naiveForecastEval(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      period: Int): DataFrame = {
+    require(period >= 2, "period must be at least 2 (1 IS the naive lag)")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val cur = Ranking.groupRank(base, "__k", Seq("__ts", "__id"))
+      .select(col("__k"), col("rank"), col("__v"))
+    val lag1 = cur.select(col("__k"), (col("rank") + 1L).as("rank"),
+      col("__v").as("__v1"))
+    val lagP = cur.select(col("__k"),
+      (col("rank") + period.toLong).as("rank"), col("__v").as("__vp"))
+    cur.join(lag1, Seq("__k", "rank")).join(lagP, Seq("__k", "rank"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("__v") - col("__v1"))).as("__sn"),
+        sum(abs(col("__v") - col("__vp"))).as("__ss"))
+      .select(col("__k").as(keyCol), col("n_scored"),
+        round(col("__sn").cast("double") / col("n_scored").cast("double"))
+          .cast("long").as("mae_naive_micro"),
+        round(col("__ss").cast("double") / col("n_scored").cast("double"))
+          .cast("long").as("mae_seasonal_micro"),
+        when(col("__sn") > 0,
+          round(lit(1e6) * col("__ss").cast("double") /
+            col("__sn").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("ratio_micro"))
+  }
 }

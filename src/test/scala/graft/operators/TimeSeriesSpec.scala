@@ -216,4 +216,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("C") == ((0L, 1L, true)))
     assert(got("D")._2 == 0L && got("D")._3)
   }
+
+  test("naiveForecastEval: a perfect period-2 series scores ratio 0") {
+    import java.sql.Timestamp
+    // alternating 10, 20: seasonal-naive (lag 2) is exact, naive is
+    // always off by 10 -> ratio 0; scored rows = n - 2
+    val rows = (1 to 8).map(i => ("u", new Timestamp(i * 1000L), i.toLong,
+      if (i % 2 == 0) 20.0 else 10.0))
+    val df = rows.toDF("k", "ts", "id", "v")
+    val r = TimeSeries.naiveForecastEval(df, "k", "ts", "id", "v", 2)
+      .collect().head
+    assert(r.getAs[Long]("n_scored") == 6L)
+    assert(r.getAs[Long]("mae_naive_micro") == 10000000L)
+    assert(r.getAs[Long]("mae_seasonal_micro") == 0L)
+    assert(r.getAs[Long]("ratio_micro") == 0L)
+  }
+
+  test("naiveForecastEval: flat series yields NULL ratio; short keys absent") {
+    import java.sql.Timestamp
+    val df = ((1 to 5).map(i => ("flat", new Timestamp(i * 1000L),
+        i.toLong, 7.0)) ++
+      (1 to 2).map(i => ("short", new Timestamp(i * 1000L), i.toLong, 1.0)))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.naiveForecastEval(df, "k", "ts", "id", "v", 2)
+      .collect()
+    assert(got.length == 1 && got.head.getAs[String]("k") == "flat")
+    assert(got.head.isNullAt(got.head.fieldIndex("ratio_micro")))
+  }
 }
