@@ -53,7 +53,9 @@ object PlanAudit {
     "q202_markov_anomaly" -> "1-row broadcast vocab-size attach + states²-row broadcast model join",
     "q203_decayed_counts" -> "1-row broadcast scalar attach (corpus max date)",
     "q211_bq_knn" -> "Hamming-shortlist scan (5 broadcast queries; 1 XOR/popcount per pair)",
-    "q212_bq_recall" -> "Hamming-shortlist scan + brute-force ground truth (20 broadcast queries)")
+    "q212_bq_recall" -> "Hamming-shortlist scan + brute-force ground truth (20 broadcast queries)",
+    "q261_t_closeness" -> "1-row broadcast scalar attach (global sensitive-value total)",
+    "q254_modularity" -> "1-row × 1-row scalar cross (edge totals × degree-square sum)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
     * partition is bounded (per-user event counts in the fixtures are

@@ -44,29 +44,38 @@ object TextEval {
   private def gramTotals(
       base: DataFrame, maxN: Int,
       gramsOf: (String, Int) => Column): DataFrame = {
-    // The (id, group) spine keeps rows whose candidate OR reference
-    // has no grams of some order — their counts must contribute 0,
-    // not vanish from the other side's denominator.
+    // ALL orders ride one explode + one (id, n, gram) census per side
+    // — a per-order pipeline would cost maxN× the shuffles for the
+    // same answer (it did: 36 exchanges on the first chrF plan).
+    def census(side: String) = base.select(col("__id"),
+        explode(flatten(array((1 to maxN).map(n =>
+          transform(gramsOf(side, n),
+            g => struct(lit(n).as("n"), g.as("g")))): _*))).as("e"))
+      .select(col("__id"), col("e.n").as("__n"), col("e.g").as("__gram"))
+      .groupBy(col("__id"), col("__n"), col("__gram"))
+      .agg(count(lit(1)).as("__cnt"))
+    val c = census("__c").withColumnRenamed("__cnt", "__cc")
+    val r = census("__r").withColumnRenamed("__cnt", "__rc")
+    val cAgg = c.join(r, Seq("__id", "__n", "__gram"), "left")
+      .groupBy(col("__id"), col("__n"))
+      .agg(sum(least(col("__cc"), coalesce(col("__rc"), lit(0L))))
+          .as("__clip"),
+        sum(col("__cc")).as("__ctot"))
+    val rAgg = r.groupBy(col("__id"), col("__n"))
+      .agg(sum(col("__rc")).as("__rtot"))
+    // The (id, group) × order spine keeps rows whose candidate OR
+    // reference has no grams of some order — their counts must
+    // contribute 0, not vanish from the other side's denominator.
     val ids = base.select(col("__id"), col("__g"))
-    (1 to maxN).map { n =>
-      val c = base.select(col("__id"), explode(gramsOf("__c", n)).as("__gram"))
-        .groupBy(col("__id"), col("__gram")).agg(count(lit(1)).as("__cc"))
-      val r = base.select(col("__id"), explode(gramsOf("__r", n)).as("__gram"))
-        .groupBy(col("__id"), col("__gram")).agg(count(lit(1)).as("__rc"))
-      val cAgg = c.join(r, Seq("__id", "__gram"), "left")
-        .groupBy(col("__id"))
-        .agg(sum(least(col("__cc"), coalesce(col("__rc"), lit(0L))))
-            .as("__clip"),
-          sum(col("__cc")).as("__ctot"))
-      val rAgg = r.groupBy(col("__id")).agg(sum(col("__rc")).as("__rtot"))
-      ids.join(cAgg, Seq("__id"), "left").join(rAgg, Seq("__id"), "left")
-        .groupBy(col("__g"))
-        .agg(sum(coalesce(col("__clip"), lit(0L))).as("clip"),
-          sum(coalesce(col("__ctot"), lit(0L))).as("ctot"),
-          sum(coalesce(col("__rtot"), lit(0L))).as("rtot"))
-        .select(col("__g"), lit(n).as("n"), col("clip"), col("ctot"),
-          col("rtot"))
-    }.reduce(_ unionByName _)
+      .withColumn("__n", explode(array((1 to maxN).map(lit): _*)))
+    ids.join(cAgg, Seq("__id", "__n"), "left")
+      .join(rAgg, Seq("__id", "__n"), "left")
+      .groupBy(col("__g"), col("__n"))
+      .agg(sum(coalesce(col("__clip"), lit(0L))).as("clip"),
+        sum(coalesce(col("__ctot"), lit(0L))).as("ctot"),
+        sum(coalesce(col("__rtot"), lit(0L))).as("rtot"))
+      .select(col("__g"), col("__n").as("n"), col("clip"), col("ctot"),
+        col("rtot"))
   }
 
   /** Corpus-level BLEU-`maxN` per group. Smoothing: none (the
