@@ -3942,6 +3942,27 @@ object SparkEntry {
     "q262_seasonal_eval" -> ((s, dir) => {
       TimeSeries.naiveForecastEval(t(s, dir, "events"),
         "user_id", "ts", "event_id", "value", period = 4)
+    }),
+
+    // Neyman-optimal eval-sample allocation across languages, sized
+    // by n_chars dispersion: √(n·Σx²−(Σx)²) integer weights through
+    // the exact Hare apportionment — Σ alloc = 10000 exactly.
+    "q263_neyman_alloc" -> ((s, dir) => {
+      Sampling.neymanAllocation(t(s, dir, "documents"),
+        "lang", "n_chars", budget = 10000L)
+    }),
+
+    // Benjamini–Hochberg step-up selection per source over
+    // hash-derived pseudo p-values at FDR 0.1 — the all-integer
+    // cross-multiplied step condition, cutoff = max qualifying rank.
+    "q264_bh_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 20 === 0,
+          hashMod("bh", col("doc_id"), 2000L))
+          .otherwise(hashMod("bh", col("doc_id"), 1000000L))
+          .as("p_micro"))
+      Profile.bhSelect(d, "source", "doc_id", "p_micro",
+        alphaMicro = 100000L)
     })
   )
 
@@ -9188,7 +9209,58 @@ object SparkEntry {
         |    THEN CAST(round(1e6 * CAST(sum(abs(v - vp)) AS DOUBLE)
         |      / CAST(sum(abs(v - v1)) AS DOUBLE)) AS BIGINT)
         |    ELSE NULL END AS ratio_micro
-        |FROM j GROUP BY 1""".stripMargin
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "q263_neyman_alloc" ->
+      """WITH st AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(round(1e3 * sqrt(CAST(count(*) * sum(n_chars * n_chars)
+        |      - sum(n_chars) * sum(n_chars) AS DOUBLE))) AS BIGINT)
+        |      AS weight
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |w AS (SELECT lang, weight FROM st WHERE weight > 0),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM w),
+        |b AS (SELECT lang, weight,
+        |        (10000 * weight) // W AS base,
+        |        (10000 * weight) % W AS rem
+        |      FROM w, t),
+        |l AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS R FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang)
+        |        AS rk FROM b),
+        |app AS (
+        |  SELECT lang, CAST(base AS BIGINT) AS base,
+        |    CAST(base + CASE WHEN rk <= R THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc
+        |  FROM r, l)
+        |SELECT st.lang, st.n, st.weight,
+        |  COALESCE(app.base, 0) AS base, COALESCE(app.alloc, 0) AS alloc
+        |FROM st LEFT JOIN app USING (lang)""".stripMargin,
+
+    "q264_bh_select" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN doc_id % 20 = 0
+        |      THEN CAST(('0x' || substr(md5('bh:'
+        |        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2000
+        |      ELSE CAST(('0x' || substr(md5('bh:'
+        |        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+        |    END AS p
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, p,
+        |    row_number() OVER (PARTITION BY source ORDER BY p, doc_id)
+        |      AS rk
+        |  FROM d),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS m
+        |      FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT r.source, max(r.rk) AS cut
+        |  FROM r JOIN m USING (source)
+        |  WHERE r.p * m.m <= r.rk * 100000 GROUP BY 1)
+        |SELECT r.source, r.doc_id, r.p AS p_micro,
+        |  CAST(r.rk AS BIGINT) AS rank,
+        |  r.rk <= COALESCE(c.cut, 0) AS discovery
+        |FROM r LEFT JOIN c USING (source)""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

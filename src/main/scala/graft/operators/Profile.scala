@@ -704,4 +704,40 @@ object Profile {
         when(col("n_a") > 0 && col("n_b") > 0, col("__psi"))
           .otherwise(lit(null).cast("long")).as("psi_micro"))
   }
+
+  /** Benjamini–Hochberg FDR selection per group — "which of these m
+    * anomaly/drift/AB p-values survive at false-discovery rate α",
+    * the multiple-testing gate a fleet of per-key tests needs before
+    * anyone pages. All-integer: p-values arrive in micro units, rank
+    * i of m qualifies iff p_micro·m ≤ i·α_micro (the BH step
+    * condition cross-multiplied — no float thresholds), the cutoff
+    * is the LARGEST qualifying rank, and every rank at or below it
+    * is a discovery (the standard step-up rule: non-qualifying ranks
+    * under the cutoff are still discoveries). Ranks come from
+    * [[Ranking.groupRank]] (ties on p broken by `idCol`). Keep
+    * m·1e6 within Long (m ≤ ~9·10¹²). Output: every input row as
+    * (groupCol, idCol, p_micro, rank, discovery). */
+  def bhSelect(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      pMicroCol: String,
+      alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      "alphaMicro must be in (0, 1e6)")
+    val base = df.filter(col(pMicroCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        col(pMicroCol).cast("long").as("__p"))
+    val ranked = Dedup.truncate(
+      Ranking.groupRank(base, "__g", Seq("__p", "__id")))
+    val m = ranked.groupBy(col("__g")).agg(count(lit(1)).as("__m"))
+    val withM = ranked.join(broadcast(m), Seq("__g"))
+    val cut = withM
+      .filter(col("__p") * col("__m") <= col("rank") * lit(alphaMicro))
+      .groupBy(col("__g")).agg(max(col("rank")).as("__cut"))
+    withM.join(cut, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("__id").as(idCol),
+        col("__p").as("p_micro"), col("rank"),
+        (col("rank") <= coalesce(col("__cut"), lit(0L))).as("discovery"))
+  }
 }

@@ -103,4 +103,40 @@ object Sampling {
       .select(col(groupCol), col(idCol), (-col("neg_key")).as("key"),
         col("rank"))
   }
+
+  /** Neyman-optimal stratified sample allocation: split `budget` draw
+    * slots across strata ∝ N_h·S_h (stratum size × population std) —
+    * the allocation minimizing the stratified-mean variance, the
+    * principled answer to "how many docs per source/language should
+    * the eval sample take". N_h·S_h reduces to √(n·Σx² − (Σx)²)
+    * (exact integer under the root — one deterministic sqrt per
+    * stratum, micro-quantized into an integer weight), and the
+    * integer weights feed [[Ranking.apportionLargestRemainder]], so
+    * Σ alloc = budget EXACTLY. Zero-variance strata get weight 0 and
+    * alloc 0 (one repeated value needs no sample — the textbook
+    * edge, kept VISIBLE in the output rather than dropped). Scale:
+    * one five-sum hash-agg + the model-sized apportion. Output:
+    * (stratumCol, n, weight, base, alloc). */
+  def neymanAllocation(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      budget: Long): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val stats = Dedup.truncate(df.filter(col(valueCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"),
+        sum(x * x).as("__sxx"))
+      .select(col(stratumCol), col("n"),
+        round(lit(1e3) * sqrt(
+          (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double"))).cast("long").as("weight")))
+    val app = Ranking.apportionLargestRemainder(stats,
+      stratumCol, "weight", budget)
+    stats.join(app.select(col(stratumCol), col("base"), col("alloc")),
+        Seq(stratumCol), "left")
+      .select(col(stratumCol), col("n"), col("weight"),
+        coalesce(col("base"), lit(0L)).as("base"),
+        coalesce(col("alloc"), lit(0L)).as("alloc"))
+  }
 }

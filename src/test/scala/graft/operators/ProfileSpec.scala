@@ -326,4 +326,33 @@ class ProfileSpec extends SparkSpec {
     assert(got("dj").getAs[Long]("n_bins") == 2L)
     assert(got("dj").getAs[Long]("psi_micro") == 1098612L)
   }
+
+  test("bhSelect: textbook step-up — sub-threshold rank rescued by a " +
+      "later qualifying rank") {
+    // m = 5, alpha = 0.25: thresholds i*alpha/m = .05, .10, .15, .20,
+    // .25. p = (.04, .12, .14, .30, .90): rank 1 qualifies (.04<=.05),
+    // rank 2 does NOT (.12>.10), rank 3 DOES (.14<=.15) -> cutoff 3,
+    // so ranks 1..3 are all discoveries including the .12.
+    val df = Seq((1L, 40000L), (2L, 120000L), (3L, 140000L),
+      (4L, 300000L), (5L, 900000L)).toDF("id", "p")
+      .withColumn("g", lit("a"))
+    val got = Profile.bhSelect(df, "g", "id", "p", alphaMicro = 250000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Boolean]("discovery")).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false))
+  }
+
+  test("neymanAllocation: allocation tracks dispersion and sums to budget") {
+    // stratum "hi": values 0/100 (huge spread); "lo": 49/51 (tiny);
+    // "flat": constant -> weight 0, alloc 0, still present.
+    val df = Seq(("hi", 0L), ("hi", 100L), ("lo", 49L), ("lo", 51L),
+      ("flat", 7L), ("flat", 7L)).toDF("s", "v")
+    val got = Sampling.neymanAllocation(df, "s", "v", budget = 100L)
+      .collect().map(r => r.getAs[String]("s") ->
+        (r.getAs[Long]("weight"), r.getAs[Long]("alloc"))).toMap
+    assert(got("flat") == (0L, 0L))
+    assert(got("hi")._2 + got("lo")._2 == 100L)
+    assert(got("hi")._2 > got("lo")._2 * 10)
+  }
 }
