@@ -206,16 +206,36 @@ object Multimodal {
     val dhash: Long = -3140463234907280851L
   }
 
+  /** REAL GIF codec — GIF87a/89a via the JDK-bundled ImageIO GIF
+    * reader behind the same magic gate; animated GIFs decode their
+    * FIRST frame (ImageIO.read's contract), which is exactly what a
+    * perceptual-dedup stage wants. */
+  object GifCodec {
+    /** 'G' 'I' 'F' '8' ('7'|'9') 'a' */
+    def isGif(content: Array[Byte]): Boolean =
+      content.length >= 6 &&
+        content(0) == 'G' && content(1) == 'I' && content(2) == 'F' &&
+        content(3) == '8' &&
+        (content(4) == '7' || content(4) == '9') && content(5) == 'a'
+
+    /** Same guarded ImageIO path as [[PngCodec.decode]]. */
+    def decode(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content)))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Magic-gated image decode shared by the batched stages: real
-    * pixels for PNG, JPEG and lossless WebP ([[Vp8lCodec]] — the JDK
-    * has no WebP reader, so that one is a from-scratch RFC 9649
-    * decoder), None elsewhere — callers fall through to the
+    * pixels for PNG, JPEG, GIF and lossless WebP ([[Vp8lCodec]] —
+    * the JDK has no WebP reader, so that one is a from-scratch RFC
+    * 9649 decoder), None elsewhere — callers fall through to the
     * deterministic stub. Lossy WebP sniffs as webp but decodes None
     * (honest scope: VP8 is a DCT codec). */
   private[operators] def decodeImage(
       content: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (PngCodec.isPng(content)) PngCodec.decode(content)
     else if (JpegCodec.isJpeg(content)) JpegCodec.decode(content)
+    else if (GifCodec.isGif(content)) GifCodec.decode(content)
     else if (Vp8lCodec.isWebpLossless(content)) Vp8lCodec.decode(content)
     else None
 
@@ -243,6 +263,19 @@ object Multimodal {
       s.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray
     def bytes: Array[Byte] = unhex(hex)
     def pngTwinBytes: Array[Byte] = unhex(pngTwinHex)
+  }
+
+  /** Deterministic 16×16 GIF fixture — the SAME quadrant pixels as
+    * [[WebpFixture]] (JDK ImageIO GIF writer, exact 2-color
+    * roundtrip), so all three decodable formats share one
+    * decoder-locked dhash. */
+  object GifFixture {
+    val hex: String =
+      "47494638396110001000F0000028C89BC864282C00000000100010004008" +
+      "330001081C283080C18308130620C8B0210085100F3A9CF810E2C488112F" +
+      "5AA4D830A3438F1D3786C49850A34293253F8A641810003B"
+    def bytes: Array[Byte] =
+      hex.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray
   }
 
   /** REAL audio codec — RIFF/WAVE decoded to PCM samples via

@@ -362,4 +362,20 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     got.foreach(r => assert(r.getString(1) == r.getString(2), r))
   }
+
+  test("GifFixture decodes to the quadrant pattern and locks the dhash") {
+    val px = for (y <- 0 until 16; x <- 0 until 16) yield {
+      val bright = (x < 8) ^ (y < 8)
+      if (bright) 0xffc86428 else 0xff28c89b
+    }
+    val img = Multimodal.GifCodec.decode(Multimodal.GifFixture.bytes).get
+    assert(img.getRGB(0, 0, 16, 16, null, 0, 16).toSeq == px)
+    assert(Multimodal.dhashOf(Multimodal.grayGridFor(
+      Multimodal.GifFixture.bytes)) == Multimodal.WebpFixture.dhash)
+    // magic-passing garbage falls cleanly to None
+    val corrupt = "GIF89a".getBytes("ISO-8859-1") ++
+      Array.fill(30)(0x41.toByte)
+    assert(Multimodal.GifCodec.isGif(corrupt))
+    assert(Multimodal.GifCodec.decode(corrupt).isEmpty)
+  }
 }
