@@ -686,6 +686,14 @@ object Profile {
     val cells = base.groupBy(col("__g"), col("__b"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    psiFromCells(cells).withColumnRenamed("__g", groupCol)
+  }
+
+  /** The PSI math over pre-counted (__g, __b, __ca, __cb) cells —
+    * shared by [[psi]] and the streaming drift pager
+    * ([[graft.streaming.PsiStream]]), so the two cannot diverge by
+    * construction. Output: (__g, n_bins, n_a, n_b, psi_micro). */
+  private[graft] def psiFromCells(cells: DataFrame): DataFrame = {
     val tot = cells.groupBy(col("__g"))
       .agg(count(lit(1)).as("n_bins"),
         sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
@@ -699,8 +707,7 @@ object Profile {
         term.as("__t"))
       .groupBy(col("__g"), col("n_bins"), col("n_a"), col("n_b"))
       .agg(sum(col("__t")).as("__psi"))
-      .select(col("__g").as(groupCol), col("n_bins"), col("n_a"),
-        col("n_b"),
+      .select(col("__g"), col("n_bins"), col("n_a"), col("n_b"),
         when(col("n_a") > 0 && col("n_b") > 0, col("__psi"))
           .otherwise(lit(null).cast("long")).as("psi_micro"))
   }
