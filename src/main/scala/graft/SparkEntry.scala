@@ -3989,6 +3989,15 @@ object SparkEntry {
         .join(dh, Seq("media_id"), "left")
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("dhash"))
+    }),
+
+    // Exact 1-Wasserstein drift magnitude per event type (same split
+    // as q257's KS): consecutive-distinct-value terms via rank
+    // equi-join, DECIMAL products, one micro-rounded divide.
+    "q266_wasserstein" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("value"), (col("user_id") % 2 === 0).as("side"))
+      Profile.wasserstein1(ev, "event_type", "value", "side")
     })
   )
 
@@ -9303,7 +9312,43 @@ object SparkEntry {
          |    THEN CAST(${graft.operators.Multimodal.WebpFixture.dhash}
          |      AS BIGINT)
          |    ELSE NULL END AS dhash
-         |FROM documents WHERE doc_id < 180""".stripMargin
+         |FROM documents WHERE doc_id < 180""".stripMargin,
+
+    "q266_wasserstein" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    user_id % 2 = 0 AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (
+        |  SELECT g, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |run AS (
+        |  SELECT g, v,
+        |    sum(ca) OVER (PARTITION BY g ORDER BY v) AS ra,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY v) AS rb,
+        |    lead(v) OVER (PARTITION BY g ORDER BY v) AS vn
+        |  FROM cells),
+        |tot AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM cells GROUP BY 1),
+        |terms AS (
+        |  SELECT r.g,
+        |    sum(CAST(r.vn - r.v AS HUGEINT)
+        |      * abs(CAST(r.ra AS HUGEINT) * t.n_b
+        |        - CAST(r.rb AS HUGEINT) * t.n_a)) AS num
+        |  FROM run r JOIN tot t USING (g)
+        |  WHERE r.vn IS NOT NULL GROUP BY 1)
+        |SELECT t.g AS event_type, t.n_a, t.n_b,
+        |  CASE WHEN t.n_a > 0 AND t.n_b > 0
+        |    THEN CAST(round(CAST(COALESCE(x.num, 0) AS DOUBLE)
+        |      / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)))
+        |      AS BIGINT)
+        |    ELSE NULL END AS w1_micro
+        |FROM tot t LEFT JOIN terms x USING (g)""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

@@ -747,4 +747,57 @@ object Profile {
         col("__p").as("p_micro"), col("rank"),
         (col("rank") <= coalesce(col("__cut"), lit(0L))).as("discovery"))
   }
+
+  /** Exact 1-Wasserstein (earth-mover) distance per group between the
+    * two sides of a split — the drift MAGNITUDE companion to
+    * [[ksTest]]'s max-gap: W₁ = ∫|F_a − F_b| dv, computed exactly as
+    * Σ over consecutive distinct values (v_{i+1} − v_i)·|F_a(v_i) −
+    * F_b(v_i)|. Same micro-quantized cells and range-partitioned
+    * prefix counts as ksTest; consecutive values pair by a rank
+    * equi-join (never a per-group window); each term is the integer
+    * product dv·|ra·n_b − rb·n_a| in DECIMAL(38,0) and the ONE
+    * divide by (n_a·n_b) micro-rounds at the end. The result is in
+    * the VALUE's units (micro form of the value scale). Empty-side
+    * groups report NULL. Output: (groupCol, n_a, n_b, w1_micro). */
+  def wasserstein1(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val ra = Ranking.groupRunningSum(cells, "__g", Seq("__v"), "__ca")
+      .withColumnRenamed("running", "__ra")
+    val rb = Dedup.truncate(Ranking.groupRunningSum(
+        ra.select(col("__g"), col("__v"), col("__ca"), col("__cb"),
+          col("__ra")),
+        "__g", Seq("__v"), "__cb")
+      .withColumnRenamed("running", "__rb"))
+    val ranked = Ranking.groupRank(rb, "__g", Seq("__v"))
+    val nxt = ranked.select(col("__g"), (col("rank") - 1L).as("rank"),
+      col("__v").as("__vn"))
+    val tot = cells.groupBy(col("__g"))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    val dec = "decimal(38,0)"
+    val terms = ranked.join(nxt, Seq("__g", "rank")) // last: no successor
+      .join(tot, Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(sum(((col("__vn") - col("__v")).cast(dec) *
+        abs(col("__ra").cast(dec) * col("n_b") -
+          col("__rb").cast(dec) * col("n_a"))).cast(dec)).as("__num"))
+    // left join keeps single-distinct-value groups (zero terms ⇒ W1 0)
+    tot.join(terms, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(coalesce(col("__num"), lit(0).cast(dec)).cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("w1_micro"))
+  }
 }

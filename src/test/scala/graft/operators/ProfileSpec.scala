@@ -355,4 +355,20 @@ class ProfileSpec extends SparkSpec {
     assert(got("hi")._2 + got("lo")._2 == 100L)
     assert(got("hi")._2 > got("lo")._2 * 10)
   }
+
+  test("wasserstein1: point masses a unit apart score exactly 1") {
+    val df = Seq(
+      ("shift", 0.0, true), ("shift", 1.0, false),     // W1 = 1
+      ("same", 3.0, true), ("same", 3.0, false),       // single value: 0
+      ("half", 0.0, true), ("half", 0.0, false),       // A: {0,0}, B: {0,2}
+      ("half", 0.0, true), ("half", 2.0, false),       // -> W1 = 1
+      ("one", 5.0, true)                                // empty B: NULL
+    ).toDF("g", "v", "side")
+    val got = Profile.wasserstein1(df, "g", "v", "side").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("shift").getAs[Long]("w1_micro") == 1000000L)
+    assert(got("same").getAs[Long]("w1_micro") == 0L)
+    assert(got("half").getAs[Long]("w1_micro") == 1000000L)
+    assert(got("one").isNullAt(got("one").fieldIndex("w1_micro")))
+  }
 }
