@@ -55,7 +55,8 @@ object PlanAudit {
     "q211_bq_knn" -> "Hamming-shortlist scan (5 broadcast queries; 1 XOR/popcount per pair)",
     "q212_bq_recall" -> "Hamming-shortlist scan + brute-force ground truth (20 broadcast queries)",
     "q261_t_closeness" -> "1-row broadcast scalar attach (global sensitive-value total)",
-    "q254_modularity" -> "1-row × 1-row scalar cross (edge totals × degree-square sum)")
+    "q254_modularity" -> "1-row × 1-row scalar cross (edge totals × degree-square sum)",
+    "q263_neyman_alloc" -> "1-row broadcast scalar attaches (total weight, leftover R — via apportionLargestRemainder)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
     * partition is bounded (per-user event counts in the fixtures are
