@@ -3998,6 +3998,65 @@ object SparkEntry {
       val ev = t(s, dir, "events").select(col("event_type"),
         col("value"), (col("user_id") % 2 === 0).as("side"))
       Profile.wasserstein1(ev, "event_type", "value", "side")
+    }),
+
+    // Mann–Whitney U on the same split as q257's KS: doubled-midrank
+    // integer rank sums, tie-corrected z and rank-biserial effect
+    // size as the only (micro-rounded) float steps.
+    "q267_mann_whitney" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("value"), (col("user_id") % 2 === 0).as("side"))
+      Profile.mannWhitney(ev, "event_type", "value", "side")
+    }),
+
+    // McNemar's paired test per lang: two length-rule "classifiers"
+    // disagreeing on a deterministic sliver of rows — the promotion
+    // gate for swapping filter A (>= 500 chars) for filter B
+    // (>= 480 chars, minus every 13th doc).
+    "q268_mcnemar" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        (col("n_chars") >= 500).as("rule_a"),
+        (col("n_chars") >= 480 && col("doc_id") % 13 =!= 0)
+          .as("rule_b"))
+      Profile.mcnemar(d, "lang", "rule_a", "rule_b")
+    }),
+
+    // Welch's unequal-variance t on the q257/q266/q267 split — the
+    // parametric member of the drift family: exact DECIMAL sufficient
+    // statistics, one float pass for t and the Satterthwaite df.
+    "q269_welch_t" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("value"), (col("user_id") % 2 === 0).as("side"))
+      Profile.welchT(ev, "event_type", "value", "side")
+    }),
+
+    // Jensen–Shannon divergence over q258's exact binning fixture
+    // (injected half-bucket shift on the odd side) — the bounded,
+    // symmetric drift number next to PSI's unbounded index.
+    "q270_jsd" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        (col("doc_id") % 2 === 0).as("side"),
+        expr("(n_chars + (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 25 END))" +
+          " div 50").as("bin"))
+      Profile.jsd(d, "lang", "bin", "side")
+    }),
+
+    // Autocorrelation census, lags 1..5, per event type — organic
+    // driver data (no injection): integer cross-multiplied mean
+    // elimination, one exploded-lag equi-join for all taps.
+    "q271_acf" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      TimeSeries.acf(ev, "event_type", "ts", "event_id", "value",
+        maxLag = 5)
+    }),
+
+    // Single changepoint per event type: best SSE split over the
+    // organic value series, argmax via the bounded heap, ties to the
+    // earliest split.
+    "q272_changepoint" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      TimeSeries.changepoint(ev, "event_type", "ts", "event_id",
+        "value")
     })
   )
 
@@ -9348,7 +9407,244 @@ object SparkEntry {
         |      / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)))
         |      AS BIGINT)
         |    ELSE NULL END AS w1_micro
-        |FROM tot t LEFT JOIN terms x USING (g)""".stripMargin
+        |FROM tot t LEFT JOIN terms x USING (g)""".stripMargin,
+
+    "q267_mann_whitney" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    user_id % 2 = 0 AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (
+        |  SELECT g, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |run AS (
+        |  SELECT g, ca, cb, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) - c AS r
+        |  FROM cells),
+        |st AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(ca * (2 * r + c + 1)) AS BIGINT) AS r2a,
+        |    sum(CAST(c AS HUGEINT) * c * c - c) AS ties
+        |  FROM run GROUP BY 1),
+        |f AS (
+        |  SELECT g, n_a, n_b,
+        |    r2a - n_a * (n_a + 1) AS u2a,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) AS nn,
+        |    CAST(n_a + n_b AS DOUBLE) AS bign,
+        |    CAST(ties AS DOUBLE) AS td
+        |  FROM st),
+        |f2 AS (
+        |  SELECT g, n_a, n_b, u2a, nn,
+        |    nn / 12.0 * (bign + 1.0 - td / (bign * (bign - 1.0)))
+        |      AS sigma2
+        |  FROM f)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN u2a ELSE NULL END AS u2_a,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND sigma2 > 0.0
+        |    THEN CAST(round(1e6 * (CAST(u2a AS DOUBLE) - nn)
+        |      / (2.0 * sqrt(sigma2))) AS BIGINT)
+        |    ELSE NULL END AS z_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(round(1e6 * (1.0 - CAST(u2a AS DOUBLE) / nn))
+        |      AS BIGINT)
+        |    ELSE NULL END AS rbc_micro
+        |FROM f2""".stripMargin,
+
+    "q268_mcnemar" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    n_chars >= 500 AS ra,
+        |    n_chars >= 480 AND doc_id % 13 <> 0 AS rb
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10
+        |  FROM b GROUP BY 1)
+        |SELECT lang, n, n01, n10,
+        |  CASE WHEN n01 + n10 > 0
+        |    THEN CAST(round(1e6
+        |      * (CAST(abs(n01 - n10) AS DOUBLE) - 1.0)
+        |      * (CAST(abs(n01 - n10) AS DOUBLE) - 1.0)
+        |      / CAST(n01 + n10 AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS chi2_micro
+        |FROM c""".stripMargin,
+
+    "q269_welch_t" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    user_id % 2 = 0 AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    sum(CASE WHEN a THEN v ELSE 0 END) AS s_a,
+        |    sum(CASE WHEN a THEN CAST(v AS HUGEINT) * v
+        |      ELSE 0 END) AS q_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    sum(CASE WHEN NOT a THEN v ELSE 0 END) AS s_b,
+        |    sum(CASE WHEN NOT a THEN CAST(v AS HUGEINT) * v
+        |      ELSE 0 END) AS q_b
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT g, n_a, n_b,
+        |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS dm,
+        |    (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+        |        * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE)
+        |      AS va,
+        |    (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+        |        * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE)
+        |      AS vb
+        |  FROM st)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0.0
+        |    THEN CAST(round(1e6 * dm / sqrt(va + vb)) AS BIGINT)
+        |    ELSE NULL END AS t_micro,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0.0
+        |      AND (va > 0.0 OR vb > 0.0)
+        |    THEN CAST(round(1e6 * (va + vb) * (va + vb)
+        |      / (va * va / (CAST(n_a AS DOUBLE) - 1.0)
+        |        + vb * vb / (CAST(n_b AS DOUBLE) - 1.0))) AS BIGINT)
+        |    ELSE NULL END AS df_micro
+        |FROM f""".stripMargin,
+
+    "q270_jsd" ->
+      """WITH b AS (
+        |  SELECT lang AS g,
+        |    (n_chars + (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 25 END))
+        |      // 50 AS bin,
+        |    doc_id % 2 = 0 AS a
+        |  FROM documents),
+        |cells AS (
+        |  SELECT g, bin,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM cells GROUP BY 1),
+        |terms AS (
+        |  SELECT c.g, t.n_bins, t.n_a, t.n_b,
+        |    CAST(round(1e6
+        |      * ((CAST(c.ca + 1 AS DOUBLE)
+        |            / CAST(t.n_a + t.n_bins AS DOUBLE))
+        |          * ln((CAST(c.ca + 1 AS DOUBLE)
+        |              / CAST(t.n_a + t.n_bins AS DOUBLE))
+        |            / (((CAST(c.ca + 1 AS DOUBLE)
+        |                / CAST(t.n_a + t.n_bins AS DOUBLE))
+        |              + (CAST(c.cb + 1 AS DOUBLE)
+        |                / CAST(t.n_b + t.n_bins AS DOUBLE))) / 2.0))
+        |        + (CAST(c.cb + 1 AS DOUBLE)
+        |            / CAST(t.n_b + t.n_bins AS DOUBLE))
+        |          * ln((CAST(c.cb + 1 AS DOUBLE)
+        |              / CAST(t.n_b + t.n_bins AS DOUBLE))
+        |            / (((CAST(c.ca + 1 AS DOUBLE)
+        |                / CAST(t.n_a + t.n_bins AS DOUBLE))
+        |              + (CAST(c.cb + 1 AS DOUBLE)
+        |                / CAST(t.n_b + t.n_bins AS DOUBLE))) / 2.0)))
+        |      / 2.0) AS BIGINT) AS tm
+        |  FROM cells c JOIN tot t USING (g))
+        |SELECT g AS lang, n_bins, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(sum(tm) AS BIGINT)
+        |    ELSE NULL END AS jsd_micro
+        |FROM terms GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q271_acf" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, ts, event_id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      AS rk,
+        |    v
+        |  FROM b),
+        |tot AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s,
+        |    sum(CAST(v AS HUGEINT) * v) AS q
+        |  FROM r GROUP BY 1),
+        |p AS (
+        |  SELECT h.k, t.rk - h.rk AS lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CAST(h.v AS HUGEINT) * t.v) AS pp,
+        |    sum(CAST(h.v AS HUGEINT)) AS hh,
+        |    sum(CAST(t.v AS HUGEINT)) AS tt
+        |  FROM r h JOIN r t
+        |    ON h.k = t.k AND t.rk - h.rk BETWEEN 1 AND 5
+        |  GROUP BY 1, 2)
+        |SELECT p.k AS event_type, CAST(p.lag AS BIGINT) AS lag,
+        |  tot.n, p.n_pairs,
+        |  CASE WHEN (tot.q * tot.n - tot.s * tot.s) * tot.n > 0
+        |    THEN CAST(round(1e6
+        |      * CAST(p.pp * tot.n * tot.n
+        |          - tot.s * (p.hh + p.tt) * tot.n
+        |          + tot.s * tot.s * p.n_pairs AS DOUBLE)
+        |      / CAST((tot.q * tot.n - tot.s * tot.s) * tot.n
+        |          AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS acf_micro
+        |FROM p JOIN tot USING (k)""".stripMargin,
+
+    "q272_changepoint" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, ts, event_id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      AS rk,
+        |    v
+        |  FROM b),
+        |pre AS (
+        |  SELECT k, rk,
+        |    sum(v) OVER (PARTITION BY k ORDER BY rk) AS p
+        |  FROM r),
+        |tot AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s
+        |  FROM r GROUP BY 1),
+        |cand AS (
+        |  SELECT pre.k, tot.n,
+        |    CAST(round((CAST(pre.p AS DOUBLE) * CAST(pre.p AS DOUBLE)
+        |          / CAST(pre.rk AS DOUBLE)
+        |        + (CAST(tot.s AS DOUBLE) - CAST(pre.p AS DOUBLE))
+        |          * (CAST(tot.s AS DOUBLE) - CAST(pre.p AS DOUBLE))
+        |          / (CAST(tot.n AS DOUBLE) - CAST(pre.rk AS DOUBLE))
+        |        - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+        |          / CAST(tot.n AS DOUBLE)) / 1e6) AS BIGINT)
+        |      AS gain_micro,
+        |    CAST(pre.rk AS BIGINT) AS split_rank,
+        |    CAST(round(CAST(pre.p AS DOUBLE) / CAST(pre.rk AS DOUBLE))
+        |      AS BIGINT) AS mean_left_micro,
+        |    CAST(round((CAST(tot.s AS DOUBLE) - CAST(pre.p AS DOUBLE))
+        |      / (CAST(tot.n AS DOUBLE) - CAST(pre.rk AS DOUBLE)))
+        |      AS BIGINT) AS mean_right_micro
+        |  FROM pre JOIN tot USING (k)
+        |  WHERE pre.rk < tot.n),
+        |pick AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY gain_micro DESC, split_rank ASC) AS rn
+        |  FROM cand)
+        |SELECT k AS event_type, n, split_rank, gain_micro,
+        |  mean_left_micro, mean_right_micro
+        |FROM pick WHERE rn = 1""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

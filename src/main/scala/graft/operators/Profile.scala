@@ -800,4 +800,199 @@ object Profile {
             .cast("long"))
           .otherwise(lit(null).cast("long")).as("w1_micro"))
   }
+
+  /** Mann–Whitney U rank-sum test per group — the nonparametric "is
+    * side A stochastically larger" companion to [[welchT]]'s
+    * mean-shift t: the test a metrics pipeline runs when values are
+    * skewed/ordinal and a t-test's normality story does not hold.
+    * All rank arithmetic is integer and DOUBLED so midranks never go
+    * fractional: a tied cell of c values whose r predecessors are
+    * strictly smaller contributes midrank (2r+c+1)/2 each, so the
+    * doubled side-A rank-sum is Σ ca·(2r+c+1) and the doubled U is
+    * u2_a = that − n_a(n_a+1). Cells ride the same micro-quantized
+    * (group, value) collapse + range-partitioned prefix as [[ksTest]]
+    * — never a per-group window. The tie-corrected normal
+    * approximation z = (U_a − n_a·n_b/2)/σ with
+    * σ² = n_a·n_b/12·((N+1) − Σ(c³−c)/(N(N−1))) and the rank-biserial
+    * effect size r = 1 − 2U_a/(n_a·n_b) are the ONLY float steps,
+    * each one micro-rounded from exact integer inputs (tie cubes in
+    * DECIMAL(38,0)). Groups with an empty side — or all values tied
+    * (σ = 0) for z — report NULL.
+    * Output: (groupCol, n_a, n_b, u2_a, z_micro, rbc_micro). */
+  def mannWhitney(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+    val run = Ranking.groupRunningSum(cells, "__g", Seq("__v"), "__c")
+    val dec = "decimal(38,0)"
+    val stats = run
+      .withColumn("__r", col("running") - col("__c")) // strictly-below count
+      .groupBy(col("__g"))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(col("__ca") * (lit(2L) * col("__r") + col("__c") + 1L))
+          .as("__r2a"),
+        sum((col("__c").cast(dec) * col("__c") * col("__c") -
+          col("__c")).cast(dec)).as("__ties"))
+    val nn = col("n_a").cast("double") * col("n_b").cast("double")
+    val bigN = (col("n_a") + col("n_b")).cast("double")
+    val u2a = col("__r2a") - col("n_a") * (col("n_a") + 1L)
+    val sigma2 = nn / lit(12.0) *
+      (bigN + 1.0 - col("__ties").cast("double") /
+        (bigN * (bigN - 1.0)))
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, u2a)
+        .otherwise(lit(null).cast("long")).as("u2_a"),
+      when(col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0.0,
+        round(lit(1e6) * (u2a.cast("double") - nn) /
+          (lit(2.0) * sqrt(sigma2))).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_micro"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        round(lit(1e6) * (lit(1.0) - u2a.cast("double") / nn))
+          .cast("long"))
+        .otherwise(lit(null).cast("long")).as("rbc_micro"))
+  }
+
+  /** McNemar's paired test per group — "did swapping classifier A for
+    * classifier B change the error rate on the SAME rows", the gate
+    * for promoting a new quality filter over its predecessor (the
+    * unpaired χ² [[chiSquareIndependence]] answers a different,
+    * weaker question). Only the discordant counts matter:
+    * n01 = A-only-correct, n10 = B-only-correct, and the
+    * continuity-corrected statistic is (|n01 − n10| − 1)²/(n01 + n10)
+    * — one groupBy, integer counts, a single micro-rounded divide.
+    * Zero discordance reports NULL (the test is undefined — the
+    * classifiers are indistinguishable on every row).
+    * Output: (groupCol, n, n01, n10, chi2_micro). */
+  def mcnemar(
+      df: DataFrame,
+      groupCol: String,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n01"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n10"))
+      .select(col(groupCol), col("n"), col("n01"), col("n10"),
+        when(col("n01") + col("n10") > 0,
+          round(lit(1e6) *
+            (abs(col("n01") - col("n10")).cast("double") - 1.0) *
+            (abs(col("n01") - col("n10")).cast("double") - 1.0) /
+            (col("n01") + col("n10")).cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("chi2_micro"))
+  }
+
+  /** Welch's unequal-variance t per group — the parametric mean-shift
+    * companion to [[mannWhitney]] and the A/B readout every
+    * experimentation pipeline ships: t = (m_a − m_b)/√(s²_a/n_a +
+    * s²_b/n_b) with the Welch–Satterthwaite df. Sufficient statistics
+    * (n, Σv, Σv²) accumulate EXACTLY over micro-quantized values in
+    * DECIMAL(38,0) — one scan, order-free — and the mean/variance/
+    * t/df float algebra runs once per group on those integers, each
+    * output micro-rounded. Sample variance is the two-pass-free form
+    * (Σv² − (Σv)²/n)/(n−1), guarded: either side with n < 2, or a
+    * zero pooled standard error, reports NULL.
+    * Output: (groupCol, n_a, n_b, t_micro, df_micro). */
+  def welchT(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(sideCol).cast("boolean").as("__a"))
+    def side(flag: Column, tag: String) = Seq(
+      sum(when(flag, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(flag, col("__v")).otherwise(0L).cast(dec)).as(s"__s_$tag"),
+      sum(when(flag, col("__v").cast(dec) * col("__v"))
+        .otherwise(lit(0).cast(dec))).as(s"__q_$tag"))
+    val stats = base.groupBy(col("__g"))
+      .agg(side(col("__a"), "a").head,
+        (side(col("__a"), "a").tail ++ side(!col("__a"), "b")): _*)
+    def nD(tag: String) = col(s"n_$tag").cast("double")
+    def mean(tag: String) =
+      col(s"__s_$tag").cast("double") / nD(tag)
+    // Sample variance of the MICRO values; /1e12 rescales to units².
+    // The n ≥ 2 guard wraps the DIVISION, not just the output: ANSI
+    // division-by-zero would otherwise fire eagerly when projection
+    // subexpression elimination hoists the shared va/vb subtree out
+    // of the CaseWhen guards below.
+    def variance(tag: String) =
+      (col(s"__q_$tag").cast("double") -
+        col(s"__s_$tag").cast("double") *
+          col(s"__s_$tag").cast("double") / nD(tag)) /
+        (nD(tag) - 1.0)
+    def sideVar(tag: String) =
+      when(col(s"n_$tag") >= 2, variance(tag) / nD(tag))
+        .otherwise(lit(null).cast("double"))
+    val va = sideVar("a")
+    val vb = sideVar("b")
+    val se2 = va + vb
+    val tStat = (mean("a") - mean("b")) / sqrt(se2)
+    val dfWelch = se2 * se2 /
+      (va * va / (nD("a") - 1.0) + vb * vb / (nD("b") - 1.0))
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      when(ok && se2 > 0.0, round(lit(1e6) * tStat).cast("long"))
+        .otherwise(lit(null).cast("long")).as("t_micro"),
+      when(ok && se2 > 0.0 && (va > 0.0 || vb > 0.0),
+        round(lit(1e6) * dfWelch).cast("long"))
+        .otherwise(lit(null).cast("long")).as("df_micro"))
+  }
+
+  /** Jensen–Shannon divergence per group over a pre-binned column —
+    * the SYMMETRIC, bounded (≤ ln 2) drift number to pair with
+    * [[psi]]'s unbounded index: JSD = ½KL(p_a‖m) + ½KL(p_b‖m),
+    * m = (p_a+p_b)/2. Same cell collapse and Laplace +1 smoothing
+    * convention as psi (smoothed denominators n_side + B over B
+    * observed bins), same per-bin independent micro rounding so the
+    * integer sum is order-free and bit-identical on both engines
+    * (total error ≤ B/2 micro, stated). Sides with zero rows report
+    * NULL. Output: (groupCol, n_bins, n_a, n_b, jsd_micro). */
+  def jsd(
+      df: DataFrame,
+      groupCol: String,
+      binCol: String,
+      sideCol: String): DataFrame = {
+    val base = df.filter(col(binCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(binCol).as("__b"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__b"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val tot = cells.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    val j = cells.join(tot, Seq("__g"))
+    val pa = (col("__ca") + 1L).cast("double") /
+      (col("n_a") + col("n_bins")).cast("double")
+    val pb = (col("__cb") + 1L).cast("double") /
+      (col("n_b") + col("n_bins")).cast("double")
+    val m = (pa + pb) / 2.0
+    val term = round(lit(1e6) * (pa * log(pa / m) + pb * log(pb / m))
+      / 2.0).cast("long")
+    j.select(col("__g"), col("n_bins"), col("n_a"), col("n_b"),
+        term.as("__t"))
+      .groupBy(col("__g"), col("n_bins"), col("n_a"), col("n_b"))
+      .agg(sum(col("__t")).as("__jsd"))
+      .select(col("__g").as(groupCol), col("n_bins"), col("n_a"),
+        col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("__jsd"))
+          .otherwise(lit(null).cast("long")).as("jsd_micro"))
+  }
 }

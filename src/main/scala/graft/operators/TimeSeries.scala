@@ -565,4 +565,125 @@ object TimeSeries {
             col("__sn").cast("double")).cast("long"))
           .otherwise(lit(null).cast("long")).as("ratio_micro"))
   }
+
+  /** Autocorrelation census per key, lags 1..maxLag — the "does this
+    * metric remember itself" profile behind seasonality hunting and
+    * anomaly-detector window sizing ([[naiveForecastEval]] scores ONE
+    * candidate period; this surveys them all). Standard ACF with the
+    * full-series mean: r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x−x̄)².
+    * Everything up to the last divide is INTEGER: values
+    * micro-quantize once, per-key totals (n, Σv, Σv²) and per-lag
+    * pair sums (Σ v_t·v_{t+k}, head/tail marginals) accumulate in
+    * DECIMAL(38,0), and the mean is eliminated by cross-multiplying:
+    * num_k·n² = n²·P_k − n·S·(H_k+T_k) + (n−k)·S², den·n = n·Q − S².
+    * One micro-rounded divide per (key, lag) at the end. Lag taps are
+    * ONE equi-join on (key, ordinal − lag) with the lag list exploded
+    * on the probe side — no per-key window, maxLag rows per input row
+    * in one shuffle. Bound: |v_micro| ≲ 1e9 with n ≲ 1e6 rows/key
+    * keeps n²·P within DECIMAL(38,0); micro-quantize coarser
+    * upstream beyond that. Constant series (den = 0) report NULL;
+    * (key, lag) pairs with no complete pair are absent.
+    * Output: (keyCol, lag, n, n_pairs, acf_micro). */
+  def acf(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be at least 1")
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val cur = Dedup.truncate(
+      Ranking.groupRank(base, "__k", Seq("__ts", "__id"))
+        .select(col("__k"), col("rank"), col("__v")))
+    val tot = cur.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast(dec)).as("__s"),
+        sum(col("__v").cast(dec) * col("__v")).as("__q"))
+    val probes = cur
+      .select(col("__k"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"),
+        col("rank"), col("__v").as("__vt"))
+      .select(col("__k"), col("lag"),
+        (col("rank") - col("lag")).as("rank"), col("__vt"))
+    val pairs = cur.join(probes, Seq("__k", "rank"))
+      .groupBy(col("__k"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__v").cast(dec) * col("__vt")).as("__p"),
+        sum(col("__v").cast(dec)).as("__h"),
+        sum(col("__vt").cast(dec)).as("__t"))
+    val num = col("__p") * col("n") * col("n") -
+      col("__s") * (col("__h") + col("__t")) * col("n") +
+      col("__s") * col("__s") * col("n_pairs")
+    val den = (col("__q") * col("n") - col("__s") * col("__s")) *
+      col("n")
+    pairs.join(tot, Seq("__k"))
+      .select(col("__k").as(keyCol), col("lag").cast("long").as("lag"),
+        col("n"), col("n_pairs"),
+        when(den > 0, round(lit(1e6) * num.cast("double") /
+          den.cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("acf_micro"))
+  }
+
+  /** Single-changepoint detector per key (binary segmentation, first
+    * level): the split 1 ≤ k < n minimizing SSE_left + SSE_right —
+    * equivalently maximizing the variance-explained gain
+    * P_k²/k + (S−P_k)²/(n−k) − S²/n — the "did this metric step" scan
+    * run before alerting on a level shift ([[cusum]] watches a KNOWN
+    * center; this finds the most likely break in hindsight). Prefix
+    * sums P_k ride [[Ranking.groupRunningSum]]'s range-partitioned
+    * machinery, every candidate split is one row of integer algebra,
+    * the gain is ONE float expression per candidate micro-rounded
+    * from exact integers (micro-units² scale), and the argmax is
+    * [[Ranking.groupTopK]]'s bounded heap with ties broken toward
+    * the EARLIEST split — never a per-key window, never more than
+    * one surviving row per key anywhere. Keys with n < 2 have no
+    * candidate and are absent. Output: (keyCol, n, split_rank,
+    * gain_micro, mean_left_micro, mean_right_micro). */
+  def changepoint(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val ranked = Dedup.truncate(
+      Ranking.groupRank(base, "__k", Seq("__ts", "__id"))
+        .select(col("__k"), col("rank"), col("__v")))
+    val pre = Ranking.groupRunningSum(ranked, "__k", Seq("rank"), "__v")
+    val tot = ranked.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__stot"))
+    val kD = col("rank").cast("double")
+    val nD = col("n").cast("double")
+    val pD = col("running").cast("double")
+    val sD = col("__stot").cast("double")
+    val gain = (pD * pD / kD +
+      (sD - pD) * (sD - pD) / (nD - kD) - sD * sD / nD) / lit(1e6)
+    val cand = pre.join(tot, Seq("__k"))
+      .filter(col("rank") < col("n"))
+      .select(col("__k"), col("n"),
+        round(gain).cast("long").as("gain_micro"),
+        col("rank"),
+        round(pD / kD).cast("long").as("mean_left_micro"),
+        round((sD - pD) / (nD - kD)).cast("long")
+          .as("mean_right_micro"))
+    Ranking.groupTopK(cand, Seq("__k", "n"),
+        Seq((-col("gain_micro")).as("__ng"),
+          col("rank").as("split_rank"),
+          col("gain_micro").as("gain_micro"),
+          col("mean_left_micro").as("mean_left_micro"),
+          col("mean_right_micro").as("mean_right_micro")), 1)
+      .select(col("__k").as(keyCol), col("n"), col("split_rank"),
+        col("gain_micro"), col("mean_left_micro"),
+        col("mean_right_micro"))
+  }
 }

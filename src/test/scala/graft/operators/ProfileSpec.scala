@@ -371,4 +371,77 @@ class ProfileSpec extends SparkSpec {
     assert(got("half").getAs[Long]("w1_micro") == 1000000L)
     assert(got("one").isNullAt(got("one").fieldIndex("w1_micro")))
   }
+
+  test("mannWhitney: doubled midranks, tie-corrected z, rank-biserial") {
+    // A = {1,2,3}, B = {2,3,4}: midranks 1, 2.5, 2.5, 4.5, 4.5, 6;
+    // R_a = 8 so doubled U = 2*(8-6) = 4; ties Σ(c³−c) = 12;
+    // σ² = 9/12·(7 − 12/30) = 4.95; z = −5/(2√4.95); rbc = 1 − 4/9.
+    val df = Seq(
+      ("g", 1.0, true), ("g", 2.0, true), ("g", 3.0, true),
+      ("g", 2.0, false), ("g", 3.0, false), ("g", 4.0, false),
+      ("tied", 5.0, true), ("tied", 5.0, false),   // all tied: σ = 0
+      ("empty", 1.0, true)                          // one-sided: NULL
+    ).toDF("g", "v", "side")
+    val got = Profile.mannWhitney(df, "g", "v", "side").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("g").getAs[Long]("u2_a") == 4L)
+    assert(got("g").getAs[Long]("z_micro") == -1123666L)
+    assert(got("g").getAs[Long]("rbc_micro") == 555556L)
+    assert(got("tied").getAs[Long]("u2_a") == 1L) // U = ½ (one tie pair)
+    assert(got("tied").isNullAt(got("tied").fieldIndex("z_micro")))
+    assert(got("empty").isNullAt(got("empty").fieldIndex("u2_a")))
+  }
+
+  test("mcnemar: discordant cells only, continuity correction, NULL on agreement") {
+    // 3 A-only-correct, 1 B-only-correct: χ² = (|3−1|−1)²/4 = 0.25.
+    val rows =
+      Seq.fill(5)(("x", true, true)) ++
+        Seq.fill(3)(("x", true, false)) ++ Seq(("x", false, true)) ++
+        Seq.fill(2)(("x", false, false)) ++
+        Seq(("agree", true, true), ("agree", false, false))
+    val got = Profile.mcnemar(rows.toDF("g", "a", "b"), "g", "a", "b")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("x").getAs[Long]("n") == 11L)
+    assert(got("x").getAs[Long]("n01") == 3L)
+    assert(got("x").getAs[Long]("n10") == 1L)
+    assert(got("x").getAs[Long]("chi2_micro") == 250000L)
+    assert(got("agree").isNullAt(got("agree").fieldIndex("chi2_micro")))
+  }
+
+  test("welchT: textbook unequal-variance pair, degenerate guards") {
+    // A = {1,2,3} (s²=1), B = {2,4,6,8} (s²=20/3):
+    // t = −3/√2, Welch df = 4/(1/18 + 25/27) ≈ 4.0755.
+    val df = Seq(
+      ("g", 1.0, true), ("g", 2.0, true), ("g", 3.0, true),
+      ("g", 2.0, false), ("g", 4.0, false), ("g", 6.0, false),
+      ("g", 8.0, false),
+      ("tiny", 1.0, true), ("tiny", 2.0, false),   // n < 2: NULL
+      ("const", 3.0, true), ("const", 3.0, true),  // zero s.e.: NULL
+      ("const", 3.0, false), ("const", 3.0, false)
+    ).toDF("g", "v", "side")
+    val got = Profile.welchT(df, "g", "v", "side").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("g").getAs[Long]("t_micro") == -2121320L)
+    assert(got("g").getAs[Long]("df_micro") == 4075472L)
+    assert(got("tiny").isNullAt(got("tiny").fieldIndex("t_micro")))
+    assert(got("const").isNullAt(got("const").fieldIndex("t_micro")))
+  }
+
+  test("jsd: zero on identical histograms, symmetric smoothed split") {
+    // "same": identical bins both sides -> every term 0.
+    // "split": A all in bin 1, B all in bin 2 (1 row each): smoothed
+    // pa/pb are 2/3 vs 1/3 in each bin, per-bin term 28317 micro.
+    val df = Seq(
+      ("same", 1L, true), ("same", 1L, false),
+      ("same", 2L, true), ("same", 2L, false),
+      ("split", 1L, true), ("split", 2L, false),
+      ("one", 1L, true)
+    ).toDF("g", "bin", "side")
+    val got = Profile.jsd(df, "g", "bin", "side").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("same").getAs[Long]("jsd_micro") == 0L)
+    assert(got("split").getAs[Long]("n_bins") == 2L)
+    assert(got("split").getAs[Long]("jsd_micro") == 56634L)
+    assert(got("one").isNullAt(got("one").fieldIndex("jsd_micro")))
+  }
 }

@@ -243,4 +243,47 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getAs[String]("k") == "flat")
     assert(got.head.isNullAt(got.head.fieldIndex("ratio_micro")))
   }
+
+  test("acf: hand-computed ramp, constant-series NULL, short-key truncation") {
+    import java.sql.Timestamp
+    // 1,2,3,4: r1 = 1.25/5 = 0.25, r2 = -1.5/5 = -0.3.
+    val df = ((1 to 4).map(i => ("g", new Timestamp(i * 1000L),
+        i.toLong, i.toDouble)) ++
+      (1 to 3).map(i => ("const", new Timestamp(i * 1000L),
+        i.toLong, 9.0)) ++
+      (1 to 2).map(i => ("short", new Timestamp(i * 1000L),
+        i.toLong, i.toDouble)))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.acf(df, "k", "ts", "id", "v", maxLag = 2)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("lag")) -> r).toMap
+    assert(got(("g", 1L)).getAs[Long]("acf_micro") == 250000L)
+    assert(got(("g", 2L)).getAs[Long]("acf_micro") == -300000L)
+    assert(got(("g", 1L)).getAs[Long]("n_pairs") == 3L)
+    assert(got(("const", 1L))
+      .isNullAt(got(("const", 1L)).fieldIndex("acf_micro")))
+    assert(!got.contains(("short", 2L))) // no complete lag-2 pair
+  }
+
+  test("changepoint: step series splits at the step, ties to earliest") {
+    import java.sql.Timestamp
+    // 1,1,1,5,5 -> split after rank 3, means 1 and 5.
+    // 0,10,10,0 -> k=1 and k=3 tie on gain; earliest wins.
+    val df = (Seq(1.0, 1.0, 1.0, 5.0, 5.0).zipWithIndex.map {
+        case (v, i) => ("step", new Timestamp((i + 1) * 1000L),
+          (i + 1).toLong, v) } ++
+      Seq(0.0, 10.0, 10.0, 0.0).zipWithIndex.map {
+        case (v, i) => ("tie", new Timestamp((i + 1) * 1000L),
+          (i + 1).toLong, v) } ++
+      Seq(("solo", new Timestamp(1000L), 1L, 3.0)))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.changepoint(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(got("step").getAs[Long]("split_rank") == 3L)
+    assert(got("step").getAs[Long]("gain_micro") == 19200000L)
+    assert(got("step").getAs[Long]("mean_left_micro") == 1000000L)
+    assert(got("step").getAs[Long]("mean_right_micro") == 5000000L)
+    assert(got("tie").getAs[Long]("split_rank") == 1L)
+    assert(!got.contains("solo")) // n < 2: no candidate split
+  }
 }
