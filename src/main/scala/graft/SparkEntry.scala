@@ -4057,6 +4057,23 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       TimeSeries.changepoint(ev, "event_type", "ts", "event_id",
         "value")
+    }),
+
+    // Isotonic calibration per source: monotone fit of the English
+    // share as a function of the length bin (organic data, 6 bins) —
+    // minimax PAV over micro-rounded segment rates.
+    "q273_isotonic" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        expr("n_chars div 100").as("bin"),
+        (col("lang") === "en").as("is_en"))
+      Profile.isotonicFit(d, "source", "bin", "is_en")
+    }),
+
+    // ROUGE-1/2 over the q252 generation-eval pairs — the recall side
+    // of the BLEU census, same per-row clipped gram machinery.
+    "q274_rouge" -> ((s, dir) => {
+      TextEval.rougeN(genEvalFixture(t(s, dir, "documents")),
+        "doc_id", "source", "cand", "ref", maxN = 2)
     })
   )
 
@@ -9644,7 +9661,43 @@ object SparkEntry {
         |  FROM cand)
         |SELECT k AS event_type, n, split_rank, gain_micro,
         |  mean_left_micro, mean_right_micro
-        |FROM pick WHERE rn = 1""".stripMargin
+        |FROM pick WHERE rn = 1""".stripMargin,
+
+    "q273_isotonic" ->
+      """WITH b AS (
+        |  SELECT source AS g, n_chars // 100 AS bin, lang = 'en' AS y
+        |  FROM documents),
+        |bins AS (
+        |  SELECT g, bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT g, bin, n, pos,
+        |    row_number() OVER (PARTITION BY g ORDER BY bin) AS rk,
+        |    sum(n) OVER (PARTITION BY g ORDER BY bin) AS cn,
+        |    sum(pos) OVER (PARTITION BY g ORDER BY bin) AS cp
+        |  FROM bins),
+        |seg AS (
+        |  SELECT l.g, l.rk AS i, r.rk AS j,
+        |    CAST(round(1e6
+        |      * CAST(r.cp - l.cp + l.pos AS DOUBLE)
+        |      / CAST(r.cn - l.cn + l.n AS DOUBLE)) AS BIGINT) AS rm
+        |  FROM pre l JOIN pre r ON l.g = r.g AND l.rk <= r.rk),
+        |inner_min AS (
+        |  SELECT s.g, p.rk AS k, s.i, min(s.rm) AS mn
+        |  FROM seg s JOIN pre p
+        |    ON s.g = p.g AND s.i <= p.rk AND p.rk <= s.j
+        |  GROUP BY 1, 2, 3),
+        |fit AS (
+        |  SELECT g, k, max(mn) AS fit_micro
+        |  FROM inner_min GROUP BY 1, 2)
+        |SELECT pre.g AS source, pre.bin, pre.n, pre.pos,
+        |  CAST(round(1e6 * CAST(pre.pos AS DOUBLE)
+        |    / CAST(pre.n AS DOUBLE)) AS BIGINT) AS rate_micro,
+        |  CAST(f.fit_micro AS BIGINT) AS fit_micro
+        |FROM pre JOIN fit f ON pre.g = f.g AND pre.rk = f.k""".stripMargin,
+
+    "q274_rouge" -> rougeOracleSql
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal
@@ -10593,6 +10646,64 @@ object SparkEntry {
        |FROM lens
        |JOIN s1 USING (source) JOIN s2 USING (source)
        |JOIN s3 USING (source) JOIN s4 USING (source)""".stripMargin
+  }
+
+  /** q274's oracle: ROUGE-1/2 over the q252 pairs — the same clipped
+    * word-gram census as BLEU's plus the reference-total (recall)
+    * side, one UNION ALL row per order. Ratio parentheses mirror the
+    * Spark side exactly: p and r are each computed as ONE divide and
+    * then multiplied (not re-associated), so the IEEE results match
+    * bit-for-bit. */
+  private lazy val rougeOracleSql: String = {
+    val perN = (1 to 2).map { n =>
+      s"""cg$n AS (
+         |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+         |    SELECT doc_id,
+         |      array_to_string(list_slice(cw, i, i + ${n - 1}), ' ') AS g
+         |    FROM tok, LATERAL (SELECT unnest(generate_series(1,
+         |      greatest(len(cw) - ${n - 1}, 0))) AS i) u)
+         |  GROUP BY 1, 2),
+         |rg$n AS (
+         |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc FROM (
+         |    SELECT doc_id,
+         |      array_to_string(list_slice(rw, i, i + ${n - 1}), ' ') AS g
+         |    FROM tok, LATERAL (SELECT unnest(generate_series(1,
+         |      greatest(len(rw) - ${n - 1}, 0))) AS i) u)
+         |  GROUP BY 1, 2),
+         |x$n AS (
+         |  SELECT c.doc_id,
+         |    sum(least(c.cc, coalesce(r.rc, 0))) AS clip,
+         |    sum(c.cc) AS ctot
+         |  FROM cg$n c LEFT JOIN rg$n r USING (doc_id, g) GROUP BY 1),
+         |y$n AS (
+         |  SELECT doc_id, sum(rc) AS rtot FROM rg$n GROUP BY 1),
+         |s$n AS (
+         |  SELECT tok.source,
+         |    CAST(sum(coalesce(x.clip, 0)) AS BIGINT) AS clip,
+         |    CAST(sum(coalesce(x.ctot, 0)) AS BIGINT) AS ctot,
+         |    CAST(sum(coalesce(y.rtot, 0)) AS BIGINT) AS rtot
+         |  FROM tok LEFT JOIN x$n x USING (doc_id)
+         |    LEFT JOIN y$n y USING (doc_id) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    def row(n: Int): String = {
+      val p = s"(CAST(clip AS DOUBLE) / CAST(ctot AS DOUBLE))"
+      val r = s"(CAST(clip AS DOUBLE) / CAST(rtot AS DOUBLE))"
+      s"""SELECT source, CAST($n AS BIGINT) AS n, clip, ctot, rtot,
+         |  CASE WHEN ctot > 0 THEN CAST(round(1e6 * $p) AS BIGINT)
+         |    ELSE NULL END AS p_micro,
+         |  CASE WHEN rtot > 0 THEN CAST(round(1e6 * $r) AS BIGINT)
+         |    ELSE NULL END AS r_micro,
+         |  CASE WHEN ctot > 0 AND rtot > 0 THEN
+         |    CASE WHEN clip > 0 THEN CAST(round(
+         |      1e6 * 2.0 * $p * $r / ($p + $r)) AS BIGINT) ELSE 0 END
+         |    ELSE NULL END AS f1_micro
+         |FROM s$n""".stripMargin
+    }
+    s"""WITH $genEvalFixtureSql,
+       |$perN
+       |${row(1)}
+       |UNION ALL
+       |${row(2)}""".stripMargin
   }
 
   /** q253's oracle: the chrF census (char 1..6-grams over the

@@ -995,4 +995,65 @@ object Profile {
         when(col("n_a") > 0 && col("n_b") > 0, col("__jsd"))
           .otherwise(lit(null).cast("long")).as("jsd_micro"))
   }
+
+  /** Isotonic (monotone nondecreasing) calibration fit per group over
+    * score bins — the PAV curve a probability calibrator actually
+    * ships, next to the reliability-bin DIAGNOSTIC the ECE gate
+    * reads: raw per-bin positive rates plus the least-squares
+    * monotone fit. Computed by the minimax identity
+    * fit_k = max_{i≤k} min_{j≥k} rate(i..j) — equivalent to
+    * pool-adjacent-violators but expressible as joins: bin ranks come
+    * from [[Ranking.groupRank]], segment rates from prefix sums, and
+    * each (i,j) segment rate micro-rounds BEFORE the min/max so both
+    * engines take extrema over identical integers (monotonicity of
+    * the result is structural — the i-range grows and the j-range
+    * shrinks with k — so it survives the rounding). The (i,j) and
+    * (i,k,j) joins are B² / B³ rows per group: bins must be
+    * CALIBRATION-scale (B ≲ 64 — the standard 10–20-bin reliability
+    * grid), never raw-score cardinality; bin upstream.
+    * Output: (groupCol, bin, n, pos, rate_micro, fit_micro),
+    * fit nondecreasing in bin within each group. */
+  def isotonicFit(
+      df: DataFrame,
+      groupCol: String,
+      binCol: String,
+      labelCol: String): DataFrame = {
+    val bins = df.filter(col(binCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(binCol).as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("__pos"))
+    val ranked = Ranking.groupRank(bins, "__g", Seq("__b"))
+    val pre = Dedup.truncate(Ranking.groupRunningSum(
+        Ranking.groupRunningSum(ranked, "__g", Seq("rank"), "__n")
+          .withColumnRenamed("running", "__cn"),
+        "__g", Seq("rank"), "__pos")
+      .withColumnRenamed("running", "__cp"))
+    val li = pre.select(col("__g"), col("rank").as("__i"),
+      col("__cn").as("__cni"), col("__cp").as("__cpi"),
+      col("__n").as("__ni"), col("__pos").as("__posi"))
+    val rj = pre.select(col("__g"), col("rank").as("__j"),
+      col("__cn").as("__cnj"), col("__cp").as("__cpj"))
+    val seg = li.join(rj, Seq("__g")).filter(col("__i") <= col("__j"))
+      .select(col("__g"), col("__i"), col("__j"),
+        round(lit(1e6) *
+          (col("__cpj") - col("__cpi") + col("__posi")).cast("double") /
+          (col("__cnj") - col("__cni") + col("__ni")).cast("double"))
+          .cast("long").as("__rm"))
+    val ks = pre.select(col("__g"), col("rank").as("__k"))
+    val fit = seg.join(ks, Seq("__g"))
+      .filter(col("__i") <= col("__k") && col("__k") <= col("__j"))
+      .groupBy(col("__g"), col("__k"), col("__i"))
+      .agg(min(col("__rm")).as("__mn"))
+      .groupBy(col("__g"), col("__k"))
+      .agg(max(col("__mn")).as("fit_micro"))
+      .select(col("__g").as("__gf"), col("__k"), col("fit_micro"))
+    pre.join(fit, col("rank") === col("__k") &&
+        col("__g") === col("__gf"))
+      .select(col("__g").as(groupCol), col("__b").as("bin"),
+        col("__n").as("n"), col("__pos").as("pos"),
+        round(lit(1e6) * col("__pos").cast("double") /
+          col("__n").cast("double")).cast("long").as("rate_micro"),
+        col("fit_micro"))
+  }
 }

@@ -180,4 +180,49 @@ object TextEval {
       round(r).cast("long").as("chrr_micro"),
       f.as("chrf_micro"))
   }
+
+  /** Corpus-level ROUGE-N per group, one row per order 1..maxN — the
+    * RECALL-oriented summary/generation scorecard ([[bleu]] is the
+    * precision side; together they bracket over- and
+    * under-generation). Same distributed gram census as BLEU
+    * ([[gramTotals]]: explode → hash-agg → per-row clip → group
+    * rollup, clipping per row so repeated grams cannot inflate
+    * either side): precision = clip/ctot, recall = clip/rtot,
+    * F1 = 2PR/(P+R). Pure rational arithmetic — each ratio is one
+    * IEEE divide micro-rounded from exact integers, the divides
+    * live INSIDE their zero-denominator when() guards (ANSI-safe
+    * under subexpression hoisting). An order with an empty
+    * candidate (resp. reference) side reports NULL precision (resp.
+    * recall); F1 is 0 when both sides have grams but nothing
+    * matched, NULL when either side has none.
+    * Output: (groupCol, n, clip, ctot, rtot, p_micro, r_micro,
+    * f1_micro). */
+  def rougeN(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      candCol: String,
+      refCol: String,
+      maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 9, "maxN must be in [1, 9]")
+    val base = Dedup.truncate(df.select(col(idCol).as("__id"),
+      col(groupCol).as("__g"),
+      TextFunctions.tokens(col(candCol)).as("__c"),
+      TextFunctions.tokens(col(refCol)).as("__r")))
+    val totals = gramTotals(base, maxN, wordGrams)
+    val pD = when(col("ctot") > 0,
+      col("clip").cast("double") / col("ctot").cast("double"))
+    val rD = when(col("rtot") > 0,
+      col("clip").cast("double") / col("rtot").cast("double"))
+    totals.select(col("__g").as(groupCol),
+      col("n").cast("long").as("n"),
+      col("clip"), col("ctot"), col("rtot"),
+      round(lit(1e6) * pD).cast("long").as("p_micro"),
+      round(lit(1e6) * rD).cast("long").as("r_micro"),
+      when(col("ctot") > 0 && col("rtot") > 0,
+        when(col("clip") > 0,
+          round(lit(1e6) * lit(2.0) * pD * rD / (pD + rD)).cast("long"))
+          .otherwise(lit(0L)))
+        .otherwise(lit(null).cast("long")).as("f1_micro"))
+  }
 }

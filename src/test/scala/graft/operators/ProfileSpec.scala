@@ -444,4 +444,24 @@ class ProfileSpec extends SparkSpec {
     assert(got("split").getAs[Long]("jsd_micro") == 56634L)
     assert(got("one").isNullAt(got("one").fieldIndex("jsd_micro")))
   }
+
+  test("isotonicFit: PAV pools the violating pair, monotone output") {
+    // rates 0.2, 0.8, 0.5: bins 2+3 pool to (4+5)/(5+10) = 0.6
+    // -> fit 0.2, 0.6, 0.6; the monotone group is returned verbatim.
+    def rows(g: String, bin: Long, pos: Int, neg: Int) =
+      Seq.fill(pos)((g, bin, true)) ++ Seq.fill(neg)((g, bin, false))
+    val df = (rows("s", 1L, 1, 4) ++ rows("s", 2L, 4, 1) ++
+      rows("s", 3L, 5, 5) ++
+      rows("mono", 1L, 0, 2) ++ rows("mono", 2L, 1, 1))
+      .toDF("g", "bin", "y")
+    val got = Profile.isotonicFit(df, "g", "bin", "y").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("bin")) -> r).toMap
+    assert(got(("s", 1L)).getAs[Long]("rate_micro") == 200000L)
+    assert(got(("s", 1L)).getAs[Long]("fit_micro") == 200000L)
+    assert(got(("s", 2L)).getAs[Long]("rate_micro") == 800000L)
+    assert(got(("s", 2L)).getAs[Long]("fit_micro") == 600000L)
+    assert(got(("s", 3L)).getAs[Long]("fit_micro") == 600000L)
+    assert(got(("mono", 1L)).getAs[Long]("fit_micro") == 0L)
+    assert(got(("mono", 2L)).getAs[Long]("fit_micro") == 500000L)
+  }
 }

@@ -85,4 +85,31 @@ class TextEvalSpec extends SparkSpec {
       r.getAs[Long]("chrr_micro"), r.getAs[Long]("chrf_micro"))
     assert(p > rr && f < (p + rr) / 2 && f > rr)
   }
+
+  test("rougeN: hand-computed orders, per-row clipping, empty-side NULLs") {
+    val df = Seq(
+      (1L, "g", "the cat sat", "the cat lay"),
+      (2L, "clip", "a a a", "a b"),
+      (3L, "nil", "x", ""))
+      .toDF("id", "grp", "cand", "ref")
+    val got = TextEval.rougeN(df, "id", "grp", "cand", "ref", maxN = 2)
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("n")) -> r).toMap
+    // unigrams 2/3 both sides -> P = R = F1 = 2/3
+    assert(got(("g", 1L)).getAs[Long]("p_micro") == 666667L)
+    assert(got(("g", 1L)).getAs[Long]("r_micro") == 666667L)
+    assert(got(("g", 1L)).getAs[Long]("f1_micro") == 666667L)
+    // bigrams: only "the cat" matches -> 1/2 everywhere
+    assert(got(("g", 2L)).getAs[Long]("f1_micro") == 500000L)
+    // "a a a" vs "a b": clip caps repeated "a" at the ref count 1
+    assert(got(("clip", 1L)).getAs[Long]("clip") == 1L)
+    assert(got(("clip", 1L)).getAs[Long]("p_micro") == 333333L)
+    assert(got(("clip", 1L)).getAs[Long]("r_micro") == 500000L)
+    assert(got(("clip", 1L)).getAs[Long]("f1_micro") == 400000L)
+    // empty reference: recall and F1 are undefined, not zero
+    val nil1 = got(("nil", 1L))
+    assert(nil1.getAs[Long]("p_micro") == 0L)
+    assert(nil1.isNullAt(nil1.fieldIndex("r_micro")))
+    assert(nil1.isNullAt(nil1.fieldIndex("f1_micro")))
+  }
 }
