@@ -4074,6 +4074,60 @@ object SparkEntry {
     "q274_rouge" -> ((s, dir) => {
       TextEval.rougeN(genEvalFixture(t(s, dir, "documents")),
         "doc_id", "source", "cand", "ref", maxN = 2)
+    }),
+
+    // Jaccard link prediction on the q221 order–part graph: capped
+    // neighbor universe (deg ≤ 40) for intersection AND degrees,
+    // ≥ 2 shared parts.
+    "q275_link_jaccard" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      Graph.jaccardLinkPredict(edges, "l_orderkey", "l_partkey",
+        maxDegree = 40, minCommon = 2)
+    }),
+
+    // Video-container metadata through the box walker: 0-mod-3 rows
+    // carry the real minimal MP4 (ftyp isom + mvhd v0, 5500 ms),
+    // 1-mod-3 a magic-passing truncated ftyp that must quarantine to
+    // NULLs, 2-mod-3 plain text.
+    "q276_video_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 180)
+      val content = when(col("doc_id") % 3 === 0,
+          unhex(lit(Multimodal.Mp4Fixture.hex)))
+        .when(col("doc_id") % 3 === 1,
+          concat(unhex(lit("0000000866747970")),
+            col("text").cast("binary")))
+        .otherwise(col("text").cast("binary"))
+      val media = d.select(col("doc_id").as("media_id"),
+        content.as("content"))
+      media.select(col("media_id"),
+          Multimodal.sniffType(col("content")).as("kind"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .join(Multimodal.videoMeta(media, "media_id", "content"),
+          Seq("media_id"), "left")
+    }),
+
+    // BMP through the codec boundary: real fixture sharing the
+    // quadrant dhash with its PNG twin, plus a magic-passing corrupt
+    // BMP falling cleanly to the stub (NULL dhash via the join).
+    "q277_bmp_media" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 180)
+      val content = when(col("doc_id") % 3 === 0,
+          unhex(lit(Multimodal.BmpFixture.hex)))
+        .when(col("doc_id") % 3 === 1,
+          unhex(lit(Multimodal.WebpFixture.pngTwinHex)))
+        .otherwise(concat(unhex(lit("424D")),
+          col("text").cast("binary")))
+      val media = d.select(col("doc_id").as("media_id"),
+        content.as("content"))
+      val dh = Multimodal.dhash(
+        media.filter(col("media_id") % 3 < 2), "media_id", "content")
+      media.select(col("media_id"),
+          Multimodal.sniffType(col("content")).as("kind"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .join(dh, Seq("media_id"), "left")
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("dhash"))
     })
   )
 
@@ -9697,7 +9751,66 @@ object SparkEntry {
         |  CAST(f.fit_micro AS BIGINT) AS fit_micro
         |FROM pre JOIN fit f ON pre.g = f.g AND pre.rk = f.k""".stripMargin,
 
-    "q274_rouge" -> rougeOracleSql
+    "q274_rouge" -> rougeOracleSql,
+
+    "q275_link_jaccard" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_orderkey AS s, l_partkey AS z
+        |  FROM lineitem),
+        |zu AS (SELECT z FROM e GROUP BY z HAVING count(*) <= 40),
+        |u AS (SELECT e.s, e.z FROM e JOIN zu USING (z)),
+        |deg AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS deg FROM u GROUP BY 1),
+        |w AS (
+        |  SELECT a.s AS a, b.s AS b,
+        |    CAST(count(*) AS BIGINT) AS common
+        |  FROM u a JOIN u b ON a.z = b.z AND a.s < b.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT w.a, w.b, w.common AS common_neighbors,
+        |  da.deg AS deg_a, db.deg AS deg_b,
+        |  CAST(round(1e6 * CAST(w.common AS DOUBLE)
+        |    / CAST(da.deg + db.deg - w.common AS DOUBLE)) AS BIGINT)
+        |    AS jaccard_micro
+        |FROM w JOIN deg da ON w.a = da.s JOIN deg db ON w.b = db.s"""
+      .stripMargin,
+
+    "q276_video_meta" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 IN (0, 1) THEN 'mp4'
+         |    WHEN substr(hex(encode(text)), 9, 8) = '66747970'
+         |      THEN 'mp4'
+         |    ELSE 'unknown' END AS kind,
+         |  CASE doc_id % 3
+         |    WHEN 0 THEN CAST(octet_length(unhex(
+         |      '${graft.operators.Multimodal.Mp4Fixture.hex}')) AS BIGINT)
+         |    WHEN 1 THEN CAST(8 + octet_length(encode(text)) AS BIGINT)
+         |    ELSE CAST(octet_length(encode(text)) AS BIGINT)
+         |  END AS n_bytes,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'isom' ELSE NULL END AS brand,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(1000 AS BIGINT)
+         |    ELSE NULL END AS timescale,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(5500 AS BIGINT)
+         |    ELSE NULL END AS duration,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(5500 AS BIGINT)
+         |    ELSE NULL END AS duration_ms
+         |FROM documents WHERE doc_id < 180""".stripMargin,
+
+    "q277_bmp_media" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 = 1 THEN 'png' ELSE 'bmp' END AS kind,
+         |  CASE doc_id % 3
+         |    WHEN 0 THEN CAST(octet_length(unhex(
+         |      '${graft.operators.Multimodal.BmpFixture.hex}')) AS BIGINT)
+         |    WHEN 1 THEN CAST(octet_length(unhex(
+         |      '${graft.operators.Multimodal.WebpFixture.pngTwinHex}'))
+         |      AS BIGINT)
+         |    ELSE CAST(2 + octet_length(encode(text)) AS BIGINT)
+         |  END AS n_bytes,
+         |  CASE WHEN doc_id % 3 < 2
+         |    THEN CAST(${graft.operators.Multimodal.WebpFixture.dhash}
+         |      AS BIGINT)
+         |    ELSE NULL END AS dhash
+         |FROM documents WHERE doc_id < 180""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

@@ -114,6 +114,56 @@ object Graph {
       Seq("a", "b"), "left_anti")
   }
 
+  /** Jaccard neighbor-overlap link prediction — [[adamicAdar]]'s
+    * size-normalized sibling: J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|,
+    * the score to use when a pair's ABSOLUTE overlap matters less
+    * than what fraction of their combined neighborhoods they share
+    * (AA rewards many rare neighbors; Jaccard punishes large
+    * one-sided neighborhoods). Both intersection AND degrees are
+    * computed over the CAPPED neighbor universe (z with
+    * deg(z) ≤ maxDegree) — the same hub exclusion as the wedge
+    * guard, applied consistently to numerator and denominator so the
+    * score stays a true Jaccard of the informative-neighbor sets
+    * rather than mixing a capped intersection with uncapped unions.
+    * Wedges ride one equi-join on z (≤ |Z|·maxDegree²/2 with the
+    * cap); degrees are one node-sized census joined back twice; the
+    * only float step is the final micro-rounded divide (denominator
+    * ≥ common ≥ minCommon ≥ 1 by construction).
+    * Output: (a, b, common_neighbors, deg_a, deg_b, jaccard_micro),
+    * a < b. */
+  def jaccardLinkPredict(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxDegree: Int,
+      minCommon: Int = 1): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val e = Dedup.truncate(edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__z")).distinct())
+    val zu = e.groupBy(col("__z")).agg(count(lit(1)).as("__d"))
+      .filter(col("__d") <= maxDegree.toLong)
+      .select(col("__z"))
+    val u = Dedup.truncate(e.join(zu, Seq("__z")))
+    val deg = u.groupBy(col("__s")).agg(count(lit(1)).as("deg"))
+    val wedges = u.as("wa").join(u.as("wb"),
+        col("wa.__z") === col("wb.__z") && col("wa.__s") < col("wb.__s"))
+      .select(col("wa.__s").as("a"), col("wb.__s").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .filter(col("common_neighbors") >= minCommon.toLong)
+    wedges
+      .join(deg.select(col("__s").as("a"), col("deg").as("deg_a")),
+        Seq("a"))
+      .join(deg.select(col("__s").as("b"), col("deg").as("deg_b")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("common_neighbors"),
+        col("deg_a"), col("deg_b"),
+        round(lit(1e6) * col("common_neighbors").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common_neighbors"))
+            .cast("double")).cast("long").as("jaccard_micro"))
+  }
+
   /** The degree-ordered oriented edge set behind [[triangleCounts]]:
     * one row per undirected edge, oriented src → dst with
     * (deg(src), src) < (deg(dst), dst) lexicographically, plus the

@@ -237,6 +237,7 @@ object Multimodal {
     else if (JpegCodec.isJpeg(content)) JpegCodec.decode(content)
     else if (GifCodec.isGif(content)) GifCodec.decode(content)
     else if (Vp8lCodec.isWebpLossless(content)) Vp8lCodec.decode(content)
+    else if (BmpCodec.isBmp(content)) BmpCodec.decode(content)
     else None
 
   /** Deterministic 16×16 lossless-WebP fixture (quadrant pattern,
@@ -276,6 +277,158 @@ object Multimodal {
       "5AA4D830A3438F1D3786C49850A34293253F8A641810003B"
     def bytes: Array[Byte] =
       hex.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray
+  }
+
+  /** BMP through the same guarded ImageIO boundary — the
+    * uncompressed workhorse format scanners and exports still emit.
+    * Magic 'B' 'M'; 24-bit pixels roundtrip exactly, so the fixture
+    * shares the quadrant dhash with PNG/GIF/WebP. */
+  object BmpCodec {
+    def isBmp(content: Array[Byte]): Boolean =
+      content.length >= 2 && content(0) == 'B' && content(1) == 'M'
+
+    /** Same guarded ImageIO path as [[PngCodec.decode]]. */
+    def decode(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content)))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic 16×16 BMP fixture — the SAME quadrant pixels as
+    * [[WebpFixture]]/[[GifFixture]] (JDK ImageIO BMP writer, 24-bit
+    * exact roundtrip), so all four decodable image formats share one
+    * decoder-locked dhash. Bytes generated once by ImageIO and
+    * pinned as hex. */
+  object BmpFixture {
+    val hex: String =
+      "424D36030000000000003600000028000000100000001000000001001800" +
+      "0000000000030000000000000000000000000000000000002864C82864C8" +
+      "2864C82864C82864C82864C82864C82864C89BC8289BC8289BC8289BC828" +
+      "9BC8289BC8289BC8289BC8282864C82864C82864C82864C82864C82864C8" +
+      "2864C82864C89BC8289BC8289BC8289BC8289BC8289BC8289BC8289BC828" +
+      "2864C82864C82864C82864C82864C82864C82864C82864C89BC8289BC828" +
+      "9BC8289BC8289BC8289BC8289BC8289BC8282864C82864C82864C82864C8" +
+      "2864C82864C82864C82864C89BC8289BC8289BC8289BC8289BC8289BC828" +
+      "9BC8289BC8282864C82864C82864C82864C82864C82864C82864C82864C8" +
+      "9BC8289BC8289BC8289BC8289BC8289BC8289BC8289BC8282864C82864C8" +
+      "2864C82864C82864C82864C82864C82864C89BC8289BC8289BC8289BC828" +
+      "9BC8289BC8289BC8289BC8282864C82864C82864C82864C82864C82864C8" +
+      "2864C82864C89BC8289BC8289BC8289BC8289BC8289BC8289BC8289BC828" +
+      "2864C82864C82864C82864C82864C82864C82864C82864C89BC8289BC828" +
+      "9BC8289BC8289BC8289BC8289BC8289BC8289BC8289BC8289BC8289BC828" +
+      "9BC8289BC8289BC8289BC8282864C82864C82864C82864C82864C82864C8" +
+      "2864C82864C89BC8289BC8289BC8289BC8289BC8289BC8289BC8289BC828" +
+      "2864C82864C82864C82864C82864C82864C82864C82864C89BC8289BC828" +
+      "9BC8289BC8289BC8289BC8289BC8289BC8282864C82864C82864C82864C8" +
+      "2864C82864C82864C82864C89BC8289BC8289BC8289BC8289BC8289BC828" +
+      "9BC8289BC8282864C82864C82864C82864C82864C82864C82864C82864C8" +
+      "9BC8289BC8289BC8289BC8289BC8289BC8289BC8289BC8282864C82864C8" +
+      "2864C82864C82864C82864C82864C82864C89BC8289BC8289BC8289BC828" +
+      "9BC8289BC8289BC8289BC8282864C82864C82864C82864C82864C82864C8" +
+      "2864C82864C89BC8289BC8289BC8289BC8289BC8289BC8289BC8289BC828" +
+      "2864C82864C82864C82864C82864C82864C82864C82864C89BC8289BC828" +
+      "9BC8289BC8289BC8289BC8289BC8289BC8282864C82864C82864C82864C8" +
+      "2864C82864C82864C82864C8"
+    def bytes: Array[Byte] =
+      hex.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray
+  }
+
+  /** ISO-BMFF (MP4/MOV) METADATA parser — the video boundary a
+    * 100 TB multimodal pipeline actually needs first: not frame
+    * decode (a codec concern, stubbed like lossy WebP) but container
+    * facts — brand, timescale, duration — read by walking the box
+    * tree (ftyp, moov ▸ mvhd), so frame-sampling and budget math
+    * ([[sampleFrames]]) get REAL durations. Handles 32-bit sizes,
+    * 64-bit largesize (size = 1), to-end-of-file (size = 0), and
+    * both mvhd versions; any malformed size/truncation aborts to
+    * None → the caller's NULL quarantine, never a throw. */
+  object Mp4Codec {
+    /** size(4) then 'f' 't' 'y' 'p' — the ISO-BMFF signature. */
+    def isMp4(content: Array[Byte]): Boolean =
+      content.length >= 8 &&
+        content(4) == 'f' && content(5) == 't' &&
+        content(6) == 'y' && content(7) == 'p'
+
+    private def be32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+    private def be64(b: Array[Byte], off: Int): Long =
+      (be32(b, off) << 32) | be32(b, off + 4)
+
+    /** First box of `tpe` directly inside [start, end): payload
+      * bounds. Sizes are validated against the window — a crafted
+      * size that under-runs its header or over-runs the window stops
+      * the walk (None), and size ≥ 8 guarantees progress. */
+    private def findBox(
+        b: Array[Byte], start: Int, end: Int,
+        tpe: String): Option[(Int, Int)] = {
+      var off = start
+      while (off + 8 <= end) {
+        val size32 = be32(b, off)
+        var hdr = 8L
+        val size: Long =
+          if (size32 == 1) {
+            if (off + 16 > end) return None
+            hdr = 16L
+            be64(b, off + 8)
+          } else if (size32 == 0) (end - off).toLong
+          else size32
+        if (size < hdr || off + size > end) return None
+        if (b(off + 4) == tpe.charAt(0) && b(off + 5) == tpe.charAt(1) &&
+          b(off + 6) == tpe.charAt(2) && b(off + 7) == tpe.charAt(3))
+          return Some((off + hdr.toInt, (off + size).toInt))
+        off += size.toInt
+      }
+      None
+    }
+
+    /** (majorBrand, timescale, duration, durationMs) — requires a
+      * well-formed ftyp AND moov▸mvhd with a positive timescale;
+      * durationMs is the integer floor of duration·1000/timescale. */
+    def parseMeta(
+        content: Array[Byte]): Option[(String, Long, Long, Long)] =
+      if (!isMp4(content)) None
+      else for {
+        ft <- findBox(content, 0, content.length, "ftyp")
+        if ft._2 - ft._1 >= 4
+        mv <- findBox(content, 0, content.length, "moov")
+        hd <- findBox(content, mv._1, mv._2, "mvhd")
+        td <- {
+          val (hs, he) = hd
+          if (he - hs < 4) None
+          else (content(hs) & 0xff) match {
+            case 0 if he - hs >= 20 =>
+              Some((be32(content, hs + 12), be32(content, hs + 16)))
+            case 1 if he - hs >= 32 =>
+              Some((be32(content, hs + 20), be64(content, hs + 24)))
+            case _ => None
+          }
+        }
+        if td._1 > 0 && td._2 >= 0
+      } yield (new String(content, ft._1, 4,
+          java.nio.charset.StandardCharsets.ISO_8859_1),
+        td._1, td._2, td._2 * 1000L / td._1)
+  }
+
+  /** Deterministic minimal MP4 fixture (ftyp 'isom' + moov▸mvhd v0,
+    * timescale 1000, duration 5500 → 5500 ms) built box-by-box —
+    * no hex pinning needed; the oracle interpolates [[hex]]. */
+  object Mp4Fixture {
+    val bytes: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + 116)
+      bb.putInt(16).put("ftyp".getBytes("ISO-8859-1"))
+        .put("isom".getBytes("ISO-8859-1")).putInt(0x200)
+      bb.putInt(116).put("moov".getBytes("ISO-8859-1"))
+      bb.putInt(108).put("mvhd".getBytes("ISO-8859-1"))
+        .putInt(0)          // version 0 + flags
+        .putInt(0).putInt(0) // creation / modification
+        .putInt(1000)        // timescale
+        .putInt(5500)        // duration
+      bb.position(bb.position() + 80) // rate..next_track_id zeros
+      bb.array()
+    }
+    lazy val hex: String = bytes.map(b => f"${b & 0xff}%02X").mkString
   }
 
   /** REAL audio codec — RIFF/WAVE decoded to PCM samples via
@@ -561,6 +714,8 @@ object Multimodal {
       .when(h.startsWith("52494646"), lit("riff"))
       .when(h.startsWith("504B0304"), lit("zip"))
       .when(h.startsWith("1F8B"), lit("gzip"))
+      .when(hex(substring(content, 5, 4)) === "66747970", lit("mp4"))
+      .when(h.startsWith("424D"), lit("bmp"))
       .otherwise(lit("unknown"))
   }
 
@@ -583,6 +738,34 @@ object Multimodal {
           floor((coalesce(col(durationMsCol), lit(0L)) - 1) / intervalMs).cast("long"))))
         .as("frame_idx"))
       .withColumn("frame_ts_ms", col("frame_idx") * intervalMs)
+
+  /** Video-container metadata column: (media_id, brand, timescale,
+    * duration, duration_ms) via [[Mp4Codec.parseMeta]] — batched
+    * mapPartitions like [[dhash]] (parse stays map-side; only the
+    * few-column metadata row continues into shuffling stages, the
+    * content bytes never shuffle). Non-MP4 and malformed rows keep
+    * their id with all-NULL metadata — the NULL quarantine, so a
+    * downstream [[sampleFrames]] naturally skips them. */
+  def videoMeta(
+      media: DataFrame,
+      idCol: String,
+      contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, content) =>
+            val m = Mp4Codec.parseMeta(
+              Option(content).getOrElse(Array.emptyByteArray))
+            (id, m.map(_._1), m.map(_._2), m.map(_._3), m.map(_._4))
+          }
+        }
+      }.toDF("media_id", "brand", "timescale", "duration",
+        "duration_ms")
+  }
 
   /** Resize stage (real for PNG, stub elsewhere), preserving the media
     * schema shape and updating size metadata. */

@@ -388,4 +388,27 @@ class GraphSpec extends SparkSpec {
     assert(r1.getAs[Long]("n_edges") == 3L)
     assert(r1.getAs[Long]("q_micro") < 0L)
   }
+
+  test("jaccardLinkPredict: capped universe feeds numerator AND degrees") {
+    // a1~{z1,z2,z3,zh}, a2~{z2,z3,z4,zh}, a3~{z9,zh}; hub zh deg 3.
+    val edges = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 99L),
+      (2L, 20L), (2L, 30L), (2L, 40L), (2L, 99L),
+      (3L, 50L), (3L, 99L)).toDF("s", "z")
+    // cap 2 drops zh everywhere: common(a1,a2)=2, deg 3/3 -> J=0.5
+    val capped = Graph.jaccardLinkPredict(edges, "s", "z",
+        maxDegree = 2, minCommon = 2).collect()
+    assert(capped.length == 1)
+    assert(capped.head.getAs[Long]("common_neighbors") == 2L)
+    assert(capped.head.getAs[Long]("deg_a") == 3L)
+    assert(capped.head.getAs[Long]("jaccard_micro") == 500000L)
+    // cap 10 keeps zh: common 3, deg 4/4 -> J = 3/5; a3 pairs appear
+    // at minCommon=1 through the hub alone
+    val open = Graph.jaccardLinkPredict(edges, "s", "z",
+        maxDegree = 10, minCommon = 1).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r).toMap
+    assert(open((1L, 2L)).getAs[Long]("jaccard_micro") == 600000L)
+    assert(open((1L, 3L)).getAs[Long]("common_neighbors") == 1L)
+    assert(open.size == 3)
+  }
 }

@@ -378,4 +378,69 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.GifCodec.isGif(corrupt))
     assert(Multimodal.GifCodec.decode(corrupt).isEmpty)
   }
+
+  test("BmpFixture decodes to the quadrant pattern and locks the dhash") {
+    val px = for (y <- 0 until 16; x <- 0 until 16) yield {
+      val bright = (x < 8) ^ (y < 8)
+      if (bright) 0xffc86428 else 0xff28c89b
+    }
+    val img = Multimodal.BmpCodec.decode(Multimodal.BmpFixture.bytes).get
+    assert(img.getRGB(0, 0, 16, 16, null, 0, 16).toSeq == px)
+    assert(Multimodal.dhashOf(Multimodal.grayGridFor(
+      Multimodal.BmpFixture.bytes)) == Multimodal.WebpFixture.dhash)
+    val corrupt = "BM".getBytes("ISO-8859-1") ++
+      Array.fill(30)(0x41.toByte)
+    assert(Multimodal.BmpCodec.isBmp(corrupt))
+    assert(Multimodal.BmpCodec.decode(corrupt).isEmpty)
+  }
+
+  test("Mp4Codec: fixture metadata, v1 mvhd, malformed quarantines") {
+    assert(Multimodal.Mp4Codec.parseMeta(Multimodal.Mp4Fixture.bytes)
+      .contains(("isom", 1000L, 5500L, 5500L)))
+
+    // v1 mvhd: 64-bit times/duration, timescale 90000, 3.5 s
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("ISO-8859-1"))
+        .put(payload)
+      bb.array()
+    }
+    val mvhd1 = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 + 8 + 4 + 8)
+      bb.putInt(0x01000000)         // version 1, flags 0
+        .putLong(0L).putLong(0L)    // creation / modification
+        .putInt(90000)              // timescale
+        .putLong(315000L)           // duration -> 3500 ms
+      bb.array()
+    }
+    val v1 = box("ftyp", "mp42____".getBytes("ISO-8859-1")) ++
+      box("moov", box("mvhd", mvhd1))
+    assert(Multimodal.Mp4Codec.parseMeta(v1)
+      .contains(("mp42", 90000L, 315000L, 3500L)))
+
+    // truncated ftyp (no brand), missing moov, oversize box: all None
+    val bareFtyp = Array[Byte](0, 0, 0, 8, 'f', 't', 'y', 'p')
+    assert(Multimodal.Mp4Codec.parseMeta(
+      bareFtyp ++ "garbage-tail".getBytes("ISO-8859-1")).isEmpty)
+    assert(Multimodal.Mp4Codec.parseMeta(
+      box("ftyp", "isom0000".getBytes("ISO-8859-1"))).isEmpty)
+    val oversize = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      Array[Byte](0x7f, -1, -1, -1, 'm', 'o', 'o', 'v')
+    assert(Multimodal.Mp4Codec.parseMeta(oversize).isEmpty)
+    assert(!Multimodal.Mp4Codec.isMp4("plain text here".getBytes))
+  }
+
+  test("videoMeta: NULL quarantine for non-video rows, real parse for mp4") {
+    val rows = Seq(
+      (1L, Multimodal.Mp4Fixture.bytes),
+      (2L, "not a video at all".getBytes("ISO-8859-1")),
+      (3L, Array[Byte](0, 0, 0, 8, 'f', 't', 'y', 'p')))
+    val df = spark.createDataFrame(rows).toDF("media_id", "content")
+    val got = Multimodal.videoMeta(df, "media_id", "content").collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(got(1L).getAs[String]("brand") == "isom")
+    assert(got(1L).getAs[Long]("duration_ms") == 5500L)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("brand")))
+    assert(got(3L).isNullAt(got(3L).fieldIndex("duration_ms")))
+  }
 }
