@@ -4128,6 +4128,15 @@ object SparkEntry {
         .join(dh, Seq("media_id"), "left")
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("dhash"))
+    }),
+
+    // Embedding-centroid drift per label: cosine of side sums (scale
+    // cancels) + clamped L2 centroid shift — the vector member of
+    // the q257/q258/q266 drift family.
+    "q278_embedding_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("label"),
+        col("embedding"), (col("vec_id") % 2 === 0).as("side"))
+      Similarity.centroidDrift(e, "label", "embedding", "side")
     })
   )
 
@@ -9810,7 +9819,52 @@ object SparkEntry {
          |    THEN CAST(${graft.operators.Multimodal.WebpFixture.dhash}
          |      AS BIGINT)
          |    ELSE NULL END AS dhash
-         |FROM documents WHERE doc_id < 180""".stripMargin
+         |FROM documents WHERE doc_id < 180""".stripMargin,
+
+    "q278_embedding_drift" ->
+      """WITH v AS (
+        |  SELECT label AS g, vec_id % 2 = 0 AS a,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |cnt AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM v GROUP BY 1),
+        |ex AS (
+        |  SELECT g, a, unnest(qv) AS c,
+        |    CAST(unnest(generate_series(0, len(qv) - 1)) AS INT) AS dim
+        |  FROM v),
+        |dims AS (
+        |  SELECT g, dim,
+        |    CAST(sum(CASE WHEN a THEN c ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN NOT a THEN c ELSE 0 END) AS BIGINT) AS sb
+        |  FROM ex GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT g, sum(CAST(sa AS HUGEINT) * sb) AS dot,
+        |    sum(CAST(sa AS HUGEINT) * sa) AS na2,
+        |    sum(CAST(sb AS HUGEINT) * sb) AS nb2
+        |  FROM dims GROUP BY 1)
+        |SELECT cnt.g AS label, cnt.n_a, cnt.n_b,
+        |  CASE WHEN cnt.n_a > 0 AND cnt.n_b > 0
+        |      AND agg.na2 > 0 AND agg.nb2 > 0
+        |    THEN CAST(round(1e6 * CAST(agg.dot AS DOUBLE)
+        |      / (sqrt(CAST(agg.na2 AS DOUBLE))
+        |        * sqrt(CAST(agg.nb2 AS DOUBLE)))) AS BIGINT)
+        |    ELSE NULL END AS cos_micro,
+        |  CASE WHEN cnt.n_a > 0 AND cnt.n_b > 0
+        |    THEN CAST(round(sqrt(greatest(0.0,
+        |      CAST(agg.na2 AS DOUBLE)
+        |        / (CAST(cnt.n_a AS DOUBLE) * CAST(cnt.n_a AS DOUBLE))
+        |      - 2.0 * CAST(agg.dot AS DOUBLE)
+        |        / (CAST(cnt.n_a AS DOUBLE) * CAST(cnt.n_b AS DOUBLE))
+        |      + CAST(agg.nb2 AS DOUBLE)
+        |        / (CAST(cnt.n_b AS DOUBLE) * CAST(cnt.n_b AS DOUBLE)))))
+        |      AS BIGINT)
+        |    ELSE NULL END AS shift_micro
+        |FROM cnt JOIN agg USING (g)""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

@@ -781,4 +781,60 @@ object Similarity {
           cj - round(col("proj_micro").cast("double") * vj.cast("double")
             / lit(1e6)).cast("long")).as("residual_micro"))
   }
+
+  /** Embedding-centroid drift per group between the two sides of a
+    * split — the VECTOR member of the drift family (ksTest/psi/
+    * wasserstein watch scalars; this watches "did the meaning of this
+    * slice move"): cosine between the side centroids plus the L2
+    * centroid shift. The cosine exploits that per-dim scaling cancels
+    * — cos(mean_a, mean_b) = cos(sum_a, sum_b) — so everything up to
+    * the final float is integer: components micro-quantize once, one
+    * posexplode feeds a (group, dim) sum census (64·n rows through
+    * ONE map-side-combinable aggregate, no per-row UDF), and dot/
+    * norms accumulate the per-dim sum products in DECIMAL(38,0).
+    * The L2 shift does need the counts: ‖c_a − c_b‖² = Σa²/n_a² −
+    * 2·Σab/(n_a·n_b) + Σb²/n_b², clamped at 0 before the sqrt
+    * (float cancellation on near-identical centroids), in the
+    * component's units (micro). Empty sides and zero-norm sums
+    * report NULL. Output: (groupCol, n_a, n_b, cos_micro,
+    * shift_micro). */
+  def centroidDrift(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      sideCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(sideCol).cast("boolean").as("__a"), col(vecCol).as("__v"))
+    val counts = base.groupBy(col("__g"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val ex = base.select(col("__g"), col("__a"),
+      posexplode(quantize(col("__v"))).as(Seq("__dim", "__c")))
+    val dims = ex.groupBy(col("__g"), col("__dim"))
+      .agg(sum(when(col("__a"), col("__c")).otherwise(0L)).as("__sa"),
+        sum(when(!col("__a"), col("__c")).otherwise(0L)).as("__sb"))
+    val agg = dims.groupBy(col("__g"))
+      .agg(sum(col("__sa").cast(dec) * col("__sb")).as("__dot"),
+        sum(col("__sa").cast(dec) * col("__sa")).as("__na2"),
+        sum(col("__sb").cast(dec) * col("__sb")).as("__nb2"))
+    val dotD = col("__dot").cast("double")
+    val na2D = col("__na2").cast("double")
+    val nb2D = col("__nb2").cast("double")
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val shift2 = na2D / (naD * naD) - lit(2.0) * dotD / (naD * nbD) +
+      nb2D / (nbD * nbD)
+    counts.join(agg, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+            col("__na2") > 0 && col("__nb2") > 0,
+          round(lit(1e6) * dotD / (sqrt(na2D) * sqrt(nb2D)))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("cos_micro"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(sqrt(greatest(lit(0.0), shift2))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("shift_micro"))
+  }
 }

@@ -361,4 +361,24 @@ class SimilaritySpec extends SparkSpec {
     // ...and what's left is rounding dust, not structure.
     assert(got.values.flatMap(_._2).forall(r => math.abs(r) <= 10L))
   }
+
+  test("centroidDrift: orthogonal sides, identical sides, one-sided NULLs") {
+    val df = Seq(
+      ("orth", Array(1.0f, 0.0f), true),
+      ("orth", Array(1.0f, 0.0f), true),
+      ("orth", Array(0.0f, 1.0f), false),
+      ("same", Array(0.6f, 0.8f), true),
+      ("same", Array(0.6f, 0.8f), false),
+      ("solo", Array(1.0f, 1.0f), true))
+      .toDF("g", "vec", "side")
+    val got = Similarity.centroidDrift(df, "g", "vec", "side")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // centroids (1,0) vs (0,1): cos 0, shift √2
+    assert(got("orth").getAs[Long]("cos_micro") == 0L)
+    assert(got("orth").getAs[Long]("shift_micro") == 1414214L)
+    assert(got("same").getAs[Long]("cos_micro") == 1000000L)
+    assert(got("same").getAs[Long]("shift_micro") == 0L)
+    assert(got("solo").isNullAt(got("solo").fieldIndex("cos_micro")))
+    assert(got("solo").isNullAt(got("solo").fieldIndex("shift_micro")))
+  }
 }
