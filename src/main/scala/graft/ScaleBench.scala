@@ -49,7 +49,13 @@ object ScaleBench {
     "q192_winnow_near_dups", "q194_rrf_fusion", "q196_containment",
     "q198_label_spread", "q211_bq_knn", "q212_bq_recall",
     "q221_adamic_adar", "q227_reciprocal_best", "q31_knn_ivf",
-    "q124_ann_recall")
+    "q124_ann_recall",
+    // round-13 additions: rank-prefix drift stats, exploded-lag ACF,
+    // changepoint argmax, ROUGE gram census, wedge Jaccard, centroid
+    // drift sum census, isotonic B³ (bounded-bin, should stay flat)
+    "q266_wasserstein", "q267_mann_whitney", "q271_acf",
+    "q272_changepoint", "q273_isotonic", "q274_rouge",
+    "q275_link_jaccard", "q278_embedding_drift")
 
   val Factors: Seq[Int] = Seq(1, 4, 16)
   /** Skip ×16 when the ×4-projected time exceeds this (seconds). */

@@ -4137,6 +4137,17 @@ object SparkEntry {
       val e = t(s, dir, "embeddings").select(col("label"),
         col("embedding"), (col("vec_id") % 2 === 0).as("side"))
       Similarity.centroidDrift(e, "label", "embedding", "side")
+    }),
+
+    // Holt level+trend smoothing per user (α=0.6, β=0.3, W=16):
+    // q208's EWMA twin for TRENDING series — truncated A^m·c kernel,
+    // micro-int tap sums, NULL until the kernel is full.
+    "q279_holt" -> ((s, dir) => {
+      TimeSeries.holt(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), col("value")),
+        "user_id", "ts", "event_id", "value",
+        alpha = 0.6, beta = 0.3, window = 16)
     })
   )
 
@@ -9864,7 +9875,9 @@ object SparkEntry {
         |        / (CAST(cnt.n_b AS DOUBLE) * CAST(cnt.n_b AS DOUBLE)))))
         |      AS BIGINT)
         |    ELSE NULL END AS shift_micro
-        |FROM cnt JOIN agg USING (g)""".stripMargin
+        |FROM cnt JOIN agg USING (g)""".stripMargin,
+
+    "q279_holt" -> holtOracleSql
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal
@@ -11502,6 +11515,48 @@ object SparkEntry {
        |  CASE WHEN den > 0
        |    THEN CAST(round(1e6 * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))) AS BIGINT) / 1e6
        |    ELSE NULL END AS ewma
+       |FROM s""".stripMargin
+  }
+
+  /** q279's oracle: the truncated Holt kernel with the IDENTICAL
+    * micro-int weight literals (holtWeightsMicro), full-window
+    * NULL rule mirrored via the tap presence count. */
+  private lazy val holtOracleSql: String = {
+    val wq = graft.operators.TimeSeries.holtWeightsMicro(0.6, 0.3, 16)
+    def xm(m: Int) = if (m == 0) "x" else s"x$m"
+    val lagCols = (1 until wq.size)
+      .map(m => s"lag(x, $m) OVER win AS x$m").mkString(",\n         ")
+    val numL = wq.zipWithIndex.map { case ((wl, _), m) =>
+      s"COALESCE(CAST(round(${xm(m)} * $wl) AS BIGINT), 0)"
+    }.mkString("\n           + ")
+    val numB = wq.zipWithIndex.map { case ((_, wb), m) =>
+      s"COALESCE(CAST(round(${xm(m)} * $wb) AS BIGINT), 0)"
+    }.mkString("\n           + ")
+    val have = wq.indices.map(m =>
+      s"CASE WHEN ${xm(m)} IS NOT NULL THEN 1 ELSE 0 END")
+      .mkString("\n           + ")
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, value, CAST(value AS DOUBLE) AS x
+       |  FROM events),
+       |l AS (
+       |  SELECT user_id, ts, event_id, value, x,
+       |         $lagCols
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         $numL AS num_l,
+       |         $numB AS num_b,
+       |         $have AS have
+       |  FROM l)
+       |SELECT user_id, ts, event_id, value,
+       |  CASE WHEN have = ${wq.size}
+       |    THEN CAST(num_l AS DOUBLE) / 1e6 ELSE NULL END AS holt_level,
+       |  CASE WHEN have = ${wq.size}
+       |    THEN CAST(num_b AS DOUBLE) / 1e6 ELSE NULL END AS holt_trend,
+       |  CASE WHEN have = ${wq.size}
+       |    THEN CAST(num_l + num_b AS DOUBLE) / 1e6 ELSE NULL END
+       |    AS holt_forecast
        |FROM s""".stripMargin
   }
 

@@ -286,4 +286,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("tie").getAs[Long]("split_rank") == 1L)
     assert(!got.contains("solo")) // n < 2: no candidate split
   }
+
+  test("holt: hand-derived A^m·c kernel, exact tap sums, full-window NULLs") {
+    // α = β = 0.5: c = (0.5, 0.25), A = [[.5, .5], [−.25, .75]] —
+    // pinning these micros pins the matrix orientation.
+    assert(TimeSeries.holtWeightsMicro(0.5, 0.5, 4) == Seq(
+      (500000L, 250000L), (375000L, 62500L),
+      (218750L, -46875L), (85938L, -89844L)))
+    import java.sql.Timestamp
+    // ramp 2,4,6,8: at t=4 the taps are (8,6,4,2) ->
+    // level 7.296876, trend 2.007812 (true slope 2), forecast = sum.
+    val df = Seq(2.0, 4.0, 6.0, 8.0).zipWithIndex.map { case (v, i) =>
+      ("g", new Timestamp((i + 1) * 1000L), (i + 1).toLong, v) }
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.holt(df, "k", "ts", "id", "v",
+        alpha = 0.5, beta = 0.5, window = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(got(4L).getAs[Double]("holt_level") == 7.296876)
+    assert(got(4L).getAs[Double]("holt_trend") == 2.007812)
+    assert(got(4L).getAs[Double]("holt_forecast") == 9.304688)
+    // rows before the kernel fills are NULL, not partially weighted
+    (1L to 3L).foreach { i =>
+      assert(got(i).isNullAt(got(i).fieldIndex("holt_level"))) }
+  }
 }
