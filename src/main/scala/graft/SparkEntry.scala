@@ -4148,6 +4148,42 @@ object SparkEntry {
           col("event_id"), col("value")),
         "user_id", "ts", "event_id", "value",
         alpha = 0.6, beta = 0.3, window = 16)
+    }),
+
+    // Per-community quality census on the q254 graph/labels:
+    // nodes, internal edges, volume, cut, conductance.
+    "q280_community_quality" -> ((s, dir) => {
+      val edges = t(s, dir, "events")
+        .select((col("user_id") % 400).as("a"),
+          (hashMod("mod", col("event_id"), 300) + lit(400L)).as("b"))
+        .distinct()
+      val nodes = edges.select(col("a").as("node"))
+        .unionByName(edges.select(col("b").as("node"))).distinct()
+        .withColumn("lbl", col("node") % 7)
+      Graph.communityQuality(edges, "a", "b", nodes, "node", "lbl")
+    }),
+
+    // Louvain-style pairwise merge gains over the same labeling:
+    // candidates = inter-community edge census, ΔQ = e₁₂/m − d₁d₂/2m².
+    "q281_merge_gain" -> ((s, dir) => {
+      val edges = t(s, dir, "events")
+        .select((col("user_id") % 400).as("a"),
+          (hashMod("mod", col("event_id"), 300) + lit(400L)).as("b"))
+        .distinct()
+      val nodes = edges.select(col("a").as("node"))
+        .unionByName(edges.select(col("b").as("node"))).distinct()
+        .withColumn("lbl", col("node") % 7)
+      Graph.mergeGain(edges, "a", "b", nodes, "node", "lbl")
+    }),
+
+    // Degree assortativity of the same bipartite hash graph —
+    // Pearson over the 2m edge orientations, exact integer stats.
+    "q282_assortativity" -> ((s, dir) => {
+      val edges = t(s, dir, "events")
+        .select((col("user_id") % 400).as("a"),
+          (hashMod("mod", col("event_id"), 300) + lit(400L)).as("b"))
+        .distinct()
+      Graph.assortativity(edges, "a", "b")
     })
   )
 
@@ -9877,7 +9913,105 @@ object SparkEntry {
         |    ELSE NULL END AS shift_micro
         |FROM cnt JOIN agg USING (g)""".stripMargin,
 
-    "q279_holt" -> holtOracleSql
+    "q279_holt" -> holtOracleSql,
+
+    "q280_community_quality" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id % 400 AS a,
+        |    400 + CAST(('0x' || substr(md5('mod:'
+        |      || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 300 AS b
+        |  FROM events),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+        |lab AS (
+        |  SELECT a % 7 AS la, b % 7 AS lb FROM e WHERE a <> b),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+        |vol AS (
+        |  SELECT l, CAST(count(*) AS BIGINT) AS volume FROM (
+        |    SELECT la AS l FROM lab UNION ALL SELECT lb FROM lab)
+        |  GROUP BY 1),
+        |ein AS (
+        |  SELECT la AS l, CAST(count(*) AS BIGINT) AS e_in
+        |  FROM lab WHERE la = lb GROUP BY 1),
+        |nn AS (
+        |  SELECT node % 7 AS l, CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM nodes GROUP BY 1),
+        |j AS (
+        |  SELECT nn.l, nn.n_nodes,
+        |    COALESCE(ein.e_in, 0) AS e_in,
+        |    COALESCE(vol.volume, 0) AS volume, m.m
+        |  FROM nn LEFT JOIN vol USING (l) LEFT JOIN ein USING (l), m)
+        |SELECT l AS lbl, n_nodes, e_in, volume,
+        |  volume - 2 * e_in AS cut,
+        |  CASE WHEN least(volume, 2 * m - volume) > 0
+        |    THEN CAST(round(1e6
+        |      * CAST(volume - 2 * e_in AS DOUBLE)
+        |      / CAST(least(volume, 2 * m - volume) AS DOUBLE))
+        |      AS BIGINT)
+        |    ELSE NULL END AS conductance_micro
+        |FROM j""".stripMargin,
+
+    "q281_merge_gain" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id % 400 AS a,
+        |    400 + CAST(('0x' || substr(md5('mod:'
+        |      || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 300 AS b
+        |  FROM events),
+        |lab AS (
+        |  SELECT a % 7 AS la, b % 7 AS lb FROM e WHERE a <> b),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+        |deg AS (
+        |  SELECT l, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT la AS l FROM lab UNION ALL SELECT lb FROM lab)
+        |  GROUP BY 1),
+        |bw AS (
+        |  SELECT least(la, lb) AS label_a, greatest(la, lb) AS label_b,
+        |    CAST(count(*) AS BIGINT) AS e_between
+        |  FROM lab WHERE la <> lb GROUP BY 1, 2)
+        |SELECT bw.label_a, bw.label_b, bw.e_between,
+        |  da.d AS d_a, db.d AS d_b,
+        |  CAST(round(1e6
+        |    * CAST(2 * CAST(m.m AS HUGEINT) * bw.e_between
+        |        - CAST(da.d AS HUGEINT) * db.d AS DOUBLE)
+        |    / (2.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)))
+        |    AS BIGINT) AS dq_micro
+        |FROM bw
+        |JOIN deg da ON bw.label_a = da.l
+        |JOIN deg db ON bw.label_b = db.l, m""".stripMargin,
+
+    "q282_assortativity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT user_id % 400 AS a,
+        |    400 + CAST(('0x' || substr(md5('mod:'
+        |      || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 300 AS b
+        |  FROM events),
+        |e AS (
+        |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        |  FROM e0 WHERE a <> b),
+        |deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT a AS s, b AS t FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(dx.d AS HUGEINT)) AS sx,
+        |    sum(CAST(dx.d AS HUGEINT) * dy.d) AS sxy,
+        |    sum(CAST(dx.d AS HUGEINT) * dx.d) AS sx2
+        |  FROM o JOIN deg dx ON o.s = dx.n JOIN deg dy ON o.t = dy.n),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT CAST(st.n / 2 AS BIGINT) AS n_edges, nn.n_nodes,
+        |  CASE WHEN CAST(st.n AS HUGEINT) * st.sx2 - st.sx * st.sx > 0
+        |    THEN CAST(round(1e6
+        |      * CAST(CAST(st.n AS HUGEINT) * st.sxy - st.sx * st.sx
+        |          AS DOUBLE)
+        |      / CAST(CAST(st.n AS HUGEINT) * st.sx2 - st.sx * st.sx
+        |          AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS r_micro
+        |FROM st, nn""".stripMargin
   )
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal

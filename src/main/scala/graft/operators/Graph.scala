@@ -886,4 +886,163 @@ object Graph {
             col("n_edges").cast("double"))).cast("long"))
         .otherwise(lit(null).cast("long")).as("q_micro"))
   }
+
+  /** The labeled edge list shared by [[communityQuality]] and
+    * [[mergeGain]]: self-loops dropped, both endpoint labels
+    * attached, pinned (two label joins, not four). Unlabeled
+    * endpoints drop the edge — same stance as [[modularity]]. */
+  private def labeledEdges(
+      edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, nodeCol: String,
+      labelCol: String): DataFrame =
+    Dedup.truncate(edges
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .join(labels.select(col(nodeCol).as("__a"),
+        col(labelCol).as("__la")), Seq("__a"))
+      .join(labels.select(col(nodeCol).as("__b"),
+        col(labelCol).as("__lb")), Seq("__b")))
+
+  /** Per-community quality census — the numbers that say whether a
+    * labeling ([[labelPropagation]], connected components, external
+    * clusters) produced real communities or shredded noise, read
+    * next to [[modularity]]'s single global score: node count,
+    * internal edges, degree volume, cut size, and conductance
+    * φ = cut / min(vol, 2m − vol) — the standard "how leaky is this
+    * cluster" ratio (low = tight). Degrees are the same
+    * endpoint-census convention as modularity (volume counts edge
+    * endpoints, so vol = 2·e_in + cut by construction — asserted by
+    * the spec, not assumed). One labeled-edge census + one explode,
+    * integer throughout, one micro-rounded divide; communities with
+    * no incident edges report NULL conductance and zero counts.
+    * Output: (labelCol, n_nodes, e_in, volume, cut,
+    * conductance_micro). */
+  def communityQuality(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String): DataFrame = {
+    val lab = labeledEdges(edges, aCol, bCol, labels, nodeCol, labelCol)
+    val m = lab.agg(count(lit(1)).as("__m"))
+    val vol = lab.select(explode(array(col("__la"), col("__lb")))
+        .as("__l"))
+      .groupBy(col("__l")).agg(count(lit(1)).as("volume"))
+    val ein = lab.filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("__l")).agg(count(lit(1)).as("e_in"))
+    val nodes = labels.groupBy(col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val j = nodes
+      .join(vol, Seq("__l"), "left")
+      .join(ein, Seq("__l"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("__l"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("volume"), lit(0L)).as("volume"), col("__m"))
+      .withColumn("cut", col("volume") - lit(2L) * col("e_in"))
+    val denom = least(col("volume"),
+      lit(2L) * col("__m") - col("volume"))
+    j.select(col("__l").as(labelCol), col("n_nodes"), col("e_in"),
+      col("volume"), col("cut"),
+      when(denom > 0, round(lit(1e6) * col("cut").cast("double") /
+        denom.cast("double")).cast("long"))
+        .otherwise(lit(null).cast("long")).as("conductance_micro"))
+  }
+
+  /** Louvain-style agglomerative step: the modularity gain of merging
+    * each pair of communities that share at least `minBetween`
+    * edges — ΔQ = e₁₂/m − d₁·d₂/(2m²), the exact delta of
+    * [[modularity]]'s Q under a pairwise merge. The candidate set is
+    * the INTER-COMMUNITY EDGE census (never community × community):
+    * pairs with no connecting edge have ΔQ < 0 and are pruned by
+    * construction, so the join cost is bounded by the edge count.
+    * Integer numerator 2m·e₁₂ − d₁·d₂ in DECIMAL(38,0), one
+    * micro-rounded divide. A positive dq_micro is a merge Louvain
+    * would take; iterating (merge best, recompute) is the standard
+    * agglomerative loop, each pass one census.
+    * Output: (label_a, label_b, e_between, d_a, d_b, dq_micro),
+    * label_a < label_b. */
+  def mergeGain(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      minBetween: Long = 1L): DataFrame = {
+    require(minBetween >= 1, "minBetween must be at least 1")
+    val dec = "decimal(38,0)"
+    val lab = labeledEdges(edges, aCol, bCol, labels, nodeCol, labelCol)
+    val m = lab.agg(count(lit(1)).as("__m"))
+    val deg = lab.select(explode(array(col("__la"), col("__lb")))
+        .as("__l"))
+      .groupBy(col("__l")).agg(count(lit(1)).as("__d"))
+    val between = lab.filter(col("__la") =!= col("__lb"))
+      .select(least(col("__la"), col("__lb")).as("label_a"),
+        greatest(col("__la"), col("__lb")).as("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(count(lit(1)).as("e_between"))
+      .filter(col("e_between") >= minBetween)
+    val mD = col("__m").cast("double")
+    between
+      .join(deg.select(col("__l").as("label_a"), col("__d").as("d_a")),
+        Seq("label_a"))
+      .join(deg.select(col("__l").as("label_b"), col("__d").as("d_b")),
+        Seq("label_b"))
+      .crossJoin(broadcast(m))
+      .select(col("label_a"), col("label_b"), col("e_between"),
+        col("d_a"), col("d_b"),
+        round(lit(1e6) *
+          (lit(2L).cast(dec) * col("__m") * col("e_between") -
+            col("d_a").cast(dec) * col("d_b")).cast("double") /
+          (lit(2.0) * mD * mD)).cast("long").as("dq_micro"))
+  }
+
+  /** Degree assortativity coefficient — one number for "do hubs link
+    * to hubs" (social graphs: positive; web/crawl graphs: negative),
+    * the structural prior that decides whether degree-capped wedge
+    * guards ([[adamicAdar]]) bite early or late. Pearson correlation
+    * of (deg u, deg v) over the 2m directed orientations of the
+    * deduplicated undirected edge set: by symmetry Σx = Σy and
+    * Σx² = Σy², so r = (N·Σxy − (Σx)²)/(N·Σx² − (Σx)²) with N = 2m
+    * — exact integer sufficient statistics in DECIMAL(38,0) (one
+    * degree census + two broadcast-friendly joins back onto edges),
+    * ONE micro-rounded divide. Degree-regular graphs (zero variance)
+    * report NULL. Output: 1 row (n_edges, n_nodes, r_micro). */
+  def assortativity(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = Dedup.truncate(edges
+      .select(least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"))
+      .filter(col("__a") =!= col("__b")).distinct())
+    val deg = e.select(explode(array(col("__a"), col("__b")))
+        .as("__n"))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    val orient = e.select(col("__a").as("__s"), col("__b").as("__t"))
+      .unionByName(e.select(col("__b").as("__s"), col("__a").as("__t")))
+    val joined = orient
+      .join(deg.select(col("__n").as("__s"), col("__d").as("__dx")),
+        Seq("__s"))
+      .join(deg.select(col("__n").as("__t"), col("__d").as("__dy")),
+        Seq("__t"))
+    val stats = joined.agg(count(lit(1)).as("__n"),
+      sum(col("__dx").cast(dec)).as("__sx"),
+      sum(col("__dx").cast(dec) * col("__dy")).as("__sxy"),
+      sum(col("__dx").cast(dec) * col("__dx")).as("__sx2"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val num = col("__n").cast(dec) * col("__sxy") -
+      col("__sx") * col("__sx")
+    val den = col("__n").cast(dec) * col("__sx2") -
+      col("__sx") * col("__sx")
+    stats.crossJoin(broadcast(nodes))
+      .select((col("__n") / 2L).cast("long").as("n_edges"),
+        col("n_nodes"),
+        when(den > 0, round(lit(1e6) * num.cast("double") /
+          den.cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("r_micro"))
+  }
 }

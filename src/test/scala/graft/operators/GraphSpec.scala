@@ -411,4 +411,54 @@ class GraphSpec extends SparkSpec {
     assert(open((1L, 3L)).getAs[Long]("common_neighbors") == 1L)
     assert(open.size == 3)
   }
+
+  test("communityQuality + mergeGain: bridged triangles, identity vol = 2e+cut") {
+    // two triangles joined by one bridge; an isolated node in label 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L), (9L, 2L)).toDF("node", "lbl")
+    val q = Graph.communityQuality(edges, "a", "b", labels,
+        "node", "lbl")
+      .collect().map(r => r.getAs[Long]("lbl") -> r).toMap
+    Seq(0L, 1L).foreach { l =>
+      assert(q(l).getAs[Long]("n_nodes") == 3L)
+      assert(q(l).getAs[Long]("e_in") == 3L)
+      assert(q(l).getAs[Long]("volume") == 7L)
+      assert(q(l).getAs[Long]("cut") == 1L)
+      // φ = 1 / min(7, 14−7) = 1/7
+      assert(q(l).getAs[Long]("conductance_micro") == 142857L)
+      assert(q(l).getAs[Long]("volume") ==
+        2 * q(l).getAs[Long]("e_in") + q(l).getAs[Long]("cut"))
+    }
+    assert(q(2L).getAs[Long]("n_nodes") == 1L)
+    assert(q(2L).getAs[Long]("volume") == 0L)
+    assert(q(2L).isNullAt(q(2L).fieldIndex("conductance_micro")))
+
+    val g = Graph.mergeGain(edges, "a", "b", labels, "node", "lbl")
+      .collect()
+    // only the bridged pair is a candidate; merging two good
+    // communities is a LOSS: ΔQ = (2·7·1 − 7·7)/(2·49) = −35/98
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("label_a") == 0L)
+    assert(g.head.getAs[Long]("label_b") == 1L)
+    assert(g.head.getAs[Long]("e_between") == 1L)
+    assert(g.head.getAs[Long]("dq_micro") == -357143L)
+  }
+
+  test("assortativity: star is -1, regular graph is NULL, orientation dedup") {
+    // K1,3: every edge joins deg 3 to deg 1 -> r = -1 exactly
+    val star = Seq((1L, 2L), (1L, 3L), (4L, 1L)).toDF("a", "b")
+    val r1 = Graph.assortativity(star, "a", "b").collect().head
+    assert(r1.getAs[Long]("n_edges") == 3L)
+    assert(r1.getAs[Long]("n_nodes") == 4L)
+    assert(r1.getAs[Long]("r_micro") == -1000000L)
+    // triangle: degree-regular -> zero variance -> NULL; duplicate
+    // and reversed edges collapse before the census
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val r2 = Graph.assortativity(tri, "a", "b").collect().head
+    assert(r2.getAs[Long]("n_edges") == 3L)
+    assert(r2.isNullAt(r2.fieldIndex("r_micro")))
+  }
 }
