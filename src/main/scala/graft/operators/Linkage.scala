@@ -159,4 +159,55 @@ object Linkage {
       .select(col("left_id"), col("rank"), col("sim_micro"),
         col("right_id"))
   }
+
+  /** EXACT edit-distance-≤-1 similarity self-join by deletion
+    * neighborhoods — the scalable form of "find every pair one typo
+    * apart": each string s generates {s} ∪ {s minus one char}, and
+    * two strings are within Levenshtein 1 **iff** their neighborhoods
+    * intersect (delete-one covers deletion and insertion directly;
+    * a substitution at position i gives both strings the same
+    * delete-at-i variant) — so candidates come from ONE equi-join on
+    * the variant, each verified by the codegen'd `levenshtein`
+    * (which also collapses the false-positive where two DIFFERENT
+    * deletions of distance-2 strings collide). Cost: (L+1) variant
+    * rows per string through a hash join — never the string×string
+    * product a naive fuzzy join does; an oracle CAN afford the
+    * quadratic form at gate scale, which is exactly what makes this
+    * checkable. Strings longer than `maxLen` are dropped (stated):
+    * neighborhood blocking is a short-key technique — block on a
+    * prefix/fingerprint first for long strings. NULL/empty strings
+    * are dropped (an empty string is within distance 1 of every
+    * 1-char string; if that matters, model it upstream).
+    * Output: (left_id, right_id, left_s, right_s, dist),
+    * left_id < right_id, dist ∈ {0, 1}. */
+  def editNeighborJoin(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxLen: Int = 24): DataFrame = {
+    require(maxLen >= 1 && maxLen <= 64, "maxLen must be in [1, 64]")
+    val base = Dedup.truncate(df
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull && length(col("__s")) > 0 &&
+        length(col("__s")) <= maxLen))
+    val variants = base.select(col("__id"), col("__s"),
+      explode(expr(
+        """transform(sequence(0, length(__s)), i ->
+          |  CASE WHEN i = 0 THEN __s
+          |       ELSE concat(substring(__s, 1, i - 1),
+          |                   substring(__s, i + 1)) END)"""
+          .stripMargin)).as("__v"))
+      .distinct()
+    val l = variants.select(col("__v"), col("__id").as("left_id"),
+      col("__s").as("left_s"))
+    val r = variants.select(col("__v"), col("__id").as("right_id"),
+      col("__s").as("right_s"))
+    l.join(r, Seq("__v")).filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"), col("left_s"),
+        col("right_s"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("left_s"), col("right_s")).cast("long"))
+      .filter(col("dist") <= 1L)
+  }
 }

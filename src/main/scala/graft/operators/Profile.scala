@@ -955,6 +955,85 @@ object Profile {
         .otherwise(lit(null).cast("long")).as("df_micro"))
   }
 
+  /** CUPED variance-reduced A/B readout per group — the adjustment
+    * every experimentation platform applies before [[welchT]] gets
+    * its say: with a pre-period covariate x correlated with the
+    * metric y, θ = cov(x,y)/var(x) is fit on the POOLED data (the
+    * standard unbiased-under-randomization choice) and the adjusted
+    * effect is diff_y − θ·diff_x; the variance-reduction factor is
+    * ρ² = cov²/(var_x·var_y). Sufficient statistics (per-side n,
+    * Σx, Σy and pooled Σxy, Σx², Σy²) accumulate EXACTLY over
+    * micro-quantized values in DECIMAL(38,0) — one scan — and the
+    * θ/diff/ρ² float algebra runs once per group, each output
+    * micro-rounded, divisions inside their zero-variance guards.
+    * Groups with an empty side or zero pooled x-variance report
+    * NULL adjusted columns (the raw diff still reports when both
+    * sides exist). Output: (groupCol, n_a, n_b, theta_micro,
+    * diff_micro, adj_diff_micro, var_reduction_micro). */
+  def cuped(
+      df: DataFrame,
+      groupCol: String,
+      metricCol: String,
+      covariateCol: String,
+      sideCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def q(c: String) =
+      round(col(c).cast("double") * lit(1e6)).cast("long")
+    val base = df
+      .filter(col(metricCol).isNotNull && col(covariateCol).isNotNull)
+      .select(col(groupCol).as("__g"), q(metricCol).as("__y"),
+        q(covariateCol).as("__x"),
+        col(sideCol).cast("boolean").as("__a"))
+    val stats = base.groupBy(col("__g")).agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__a"), col("__y")).otherwise(0L).cast(dec))
+        .as("__ya"),
+      sum(when(!col("__a"), col("__y")).otherwise(0L).cast(dec))
+        .as("__yb"),
+      sum(when(col("__a"), col("__x")).otherwise(0L).cast(dec))
+        .as("__xa"),
+      sum(when(!col("__a"), col("__x")).otherwise(0L).cast(dec))
+        .as("__xb"),
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec) * col("__y")).as("__sxy"),
+      sum(col("__x").cast(dec) * col("__x")).as("__sxx"),
+      sum(col("__y").cast(dec) * col("__y")).as("__syy"))
+    val nD = col("__n").cast("double")
+    val sx = (col("__xa") + col("__xb")).cast("double")
+    val sy = (col("__ya") + col("__yb")).cast("double")
+    val covN = col("__sxy").cast("double") - sx * sy / nD
+    val varxN = col("__sxx").cast("double") - sx * sx / nD
+    val varyN = col("__syy").cast("double") - sy * sy / nD
+    val both = col("n_a") > 0 && col("n_b") > 0
+    // Shared subtrees are when()-wrapped at the DIVISION (not just the
+    // output): projection subexpression elimination hoists repeated
+    // subtrees out of the output guards, and ANSI division-by-zero
+    // would fire eagerly on empty-side / zero-variance groups.
+    val theta = when(varxN > 0.0, covN / varxN)
+      .otherwise(lit(null).cast("double"))
+    val diffY = when(both,
+      col("__ya").cast("double") / col("n_a").cast("double") -
+        col("__yb").cast("double") / col("n_b").cast("double"))
+      .otherwise(lit(null).cast("double"))
+    val diffX = when(both,
+      col("__xa").cast("double") / col("n_a").cast("double") -
+        col("__xb").cast("double") / col("n_b").cast("double"))
+      .otherwise(lit(null).cast("double"))
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      when(both && varxN > 0.0,
+        round(lit(1e6) * theta).cast("long"))
+        .otherwise(lit(null).cast("long")).as("theta_micro"),
+      when(both, round(diffY).cast("long"))
+        .otherwise(lit(null).cast("long")).as("diff_micro"),
+      when(both && varxN > 0.0,
+        round(diffY - theta * diffX).cast("long"))
+        .otherwise(lit(null).cast("long")).as("adj_diff_micro"),
+      when(both && varxN > 0.0 && varyN > 0.0,
+        round(lit(1e6) * covN * covN / (varxN * varyN)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("var_reduction_micro"))
+  }
+
   /** Jensen–Shannon divergence per group over a pre-binned column —
     * the SYMMETRIC, bounded (≤ ln 2) drift number to pair with
     * [[psi]]'s unbounded index: JSD = ½KL(p_a‖m) + ½KL(p_b‖m),
@@ -1055,5 +1134,95 @@ object Profile {
         round(lit(1e6) * col("__pos").cast("double") /
           col("__n").cast("double")).cast("long").as("rate_micro"),
         col("fit_micro"))
+  }
+
+  /** Krippendorff's α (nominal) per group over (item, rater, label)
+    * rows — the inter-annotator agreement number that, unlike
+    * [[cohenKappa]], handles ANY number of raters and missing
+    * ratings, i.e. real labeling-vendor data. Standard coincidence
+    * form: items with m ≥ 2 ratings contribute the pairable total
+    * n = Σ m_u; Do's per-unit term (m_u² − Σ_c n_uc²)/(m_u − 1)
+    * micro-rounds INDEPENDENTLY (order-free integer sum, the psi
+    * convention; error ≤ units/2 micro, stated), De's Σ_c n_c² is
+    * exact DECIMAL, and α = 1 − (n−1)·ΣDo/(n² − Σn_c²) is ONE float
+    * divide. α = 1 is perfect agreement, 0 chance-level, negative
+    * systematic disagreement. Groups where every pairable rating is
+    * the same label (De = 0) report NULL (α is undefined — there is
+    * no chance disagreement to beat). Single-rated items are
+    * excluded everywhere (they cannot agree or disagree).
+    * Output: (groupCol, n_units, n_ratings, alpha_micro). */
+  def krippendorffAlpha(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.filter(col(labelCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(itemCol).as("__u"),
+        col(labelCol).as("__c"))
+      .agg(count(lit(1)).as("__nc"))
+    val units = cells.groupBy(col("__g"), col("__u"))
+      .agg(sum(col("__nc")).as("__m"),
+        sum(col("__nc") * col("__nc")).as("__sc2"))
+      .filter(col("__m") >= 2L)
+      .select(col("__g"), col("__u"), col("__m"),
+        round(lit(1e6) *
+          (col("__m") * col("__m") - col("__sc2")).cast("double") /
+          (col("__m") - 1L).cast("double")).cast("long").as("__do"))
+    val pairable = Dedup.truncate(units)
+    val totals = pairable.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_units"), sum(col("__m")).as("n_ratings"),
+        sum(col("__do")).as("__dosum"))
+    // label totals over PAIRABLE units only (the standard stance)
+    val labelTot = cells.join(
+        pairable.select(col("__g"), col("__u")), Seq("__g", "__u"))
+      .groupBy(col("__g"), col("__c"))
+      .agg(sum(col("__nc")).as("__ncg"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__ncg").cast(dec) * col("__ncg")).as("__sc2g"))
+    val de = col("n_ratings").cast(dec) * col("n_ratings") -
+      col("__sc2g")
+    totals.join(labelTot, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_units"),
+        col("n_ratings"),
+        when(de > 0,
+          round(lit(1e6) -
+            (col("n_ratings") - 1L).cast("double") *
+              col("__dosum").cast("double") / de.cast("double"))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("alpha_micro"))
+  }
+
+  /** Majority-vote label aggregation per (group, item) — the crowd
+    * consolidation step every labeling pipeline runs, with the
+    * numbers needed to gate it: vote count, winning label
+    * (ties broken to the LEXICALLY SMALLEST label rendering — total
+    * and engine-neutral), its share, and whether the item was
+    * unanimous. One count census + [[Ranking.groupTopK]]'s bounded
+    * heap per item — never a per-item window over raw votes.
+    * Output: (groupCol, itemCol, n_votes, top_label, share_micro,
+    * unanimous). */
+  def majorityVote(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df.filter(col(labelCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(itemCol).as("__u"),
+        col(labelCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__nc"))
+    val tot = cells.groupBy(col("__g"), col("__u"))
+      .agg(sum(col("__nc")).as("n_votes"))
+    val top = Ranking.groupTopK(cells, Seq("__g", "__u"),
+        Seq((-col("__nc")).as("__neg"), col("__c").as("top_label"),
+          col("__nc").as("__win")), 1)
+      .select(col("__g"), col("__u"), col("top_label"), col("__win"))
+    tot.join(top, Seq("__g", "__u"))
+      .select(col("__g").as(groupCol), col("__u").as(itemCol),
+        col("n_votes"), col("top_label"),
+        round(lit(1e6) * col("__win").cast("double") /
+          col("n_votes").cast("double")).cast("long")
+          .as("share_micro"),
+        (col("__win") === col("n_votes")).as("unanimous"))
   }
 }

@@ -139,4 +139,129 @@ object Sampling {
         coalesce(col("base"), lit(0L)).as("base"),
         coalesce(col("alloc"), lit(0L)).as("alloc"))
   }
+
+  /** Kish effective sample size of an importance-weighted set per
+    * group — the health check to run on [[importanceResample]]/DSIR
+    * weights BEFORE trusting any weighted estimate:
+    * ESS = (Σw)²/Σw², and ESS/n near 0 means a handful of rows carry
+    * the whole corpus (the weighted mean is an anecdote). Weights
+    * micro-quantize once; both sums are exact DECIMAL(38,0); each
+    * output is one micro-rounded divide. Non-positive and NULL
+    * weights are EXCLUDED (stated — a zero weight contributes
+    * nothing to either sum anyway, a negative one is an upstream
+    * bug this census should not silently absorb); groups with no
+    * positive weight report n = 0 and NULL ratios.
+    * Output: (groupCol, n, ess_micro, ess_ratio_micro). */
+  def effectiveSampleSize(
+      df: DataFrame,
+      groupCol: String,
+      weightCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(col(groupCol).as("__g"),
+        round(col(weightCol).cast("double") * lit(1e6)).cast("long")
+          .as("__w"))
+      .filter(col("__w").isNotNull && col("__w") > 0L)
+    df.select(col(groupCol).as("__g")).distinct()
+      .join(base.groupBy(col("__g"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("__w").cast(dec)).as("__s"),
+            sum(col("__w").cast(dec) * col("__w")).as("__q")),
+        Seq("__g"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("__q").isNotNull,
+          round(lit(1e6) * (col("__s") * col("__s")).cast("double") /
+            col("__q").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("ess_micro"),
+        when(col("__q").isNotNull,
+          round(lit(1e6) * (col("__s") * col("__s")).cast("double") /
+            (col("__q").cast("double") * col("n").cast("double")))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("ess_ratio_micro"))
+  }
+
+  /** Cumulative Poisson(1) thresholds scaled to the 60-bit hash
+    * domain: T_k = round(2⁶⁰·P(X ≤ k)) for k = 0..6 (P(X > 6) <
+    * 10⁻⁴ — the tail is capped, stated). A row's resample weight is
+    * the count of thresholds its 60-bit hash clears — the integer
+    * inverse-CDF, identical in any engine. Public so the oracle
+    * embeds the same literals. */
+  val PoissonThresholds60: Seq[Long] = {
+    var term = math.exp(-1.0)
+    var cum = term
+    (0 to 6).map { k =>
+      if (k > 0) { term = term / k; cum += term }
+      math.round(cum * math.pow(2.0, 60.0))
+    }
+  }
+
+  /** Deterministic Poisson-bootstrap confidence interval for the
+    * per-group mean — the uncertainty bar a 100 TB census can
+    * actually afford: instead of resampling rows (a shuffle per
+    * replicate), every row gets `b` independent Poisson(1) weights
+    * derived from a content hash ([[PoissonThresholds60]] inverse
+    * CDF — no RNG, bit-reproducible, the q109/weightedSample
+    * stance), so ALL replicates ride ONE explode + ONE aggregate.
+    * Replicate means micro-round from exact integer (Σw, Σw·x)
+    * sums; the CI endpoints are exact order statistics over the B
+    * means (⌈q·B⌉ lower-quantile rule, [[Ranking.groupRank]] ties
+    * broken by replicate id); empty replicates (every weight 0 —
+    * only possible for tiny groups) are excluded from the order
+    * statistics, reported via n_resamples. Output: (groupCol, n,
+    * mean_micro, lo_micro, hi_micro, n_resamples). */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      b: Int = 100,
+      loQ: Double = 0.025,
+      hiQ: Double = 0.975): DataFrame = {
+    require(b >= 10 && b <= 1000, "b must be in [10, 1000]")
+    require(loQ > 0 && loQ < hiQ && hiQ < 1, "need 0 < loQ < hiQ < 1")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val point = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__v")).cast("double") /
+          count(lit(1)).cast("double")).cast("long").as("mean_micro"))
+    val u = graft.functions.TextFunctions.hash60(
+      concat(lit("boot:"), col("__id").cast("string"), lit(":"),
+        col("__b").cast("string")))
+    val w = PoissonThresholds60.map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val reps = base
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .select(col("__g"), col("__b"), w.as("__w"), col("__v"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__v")).as("__swx"))
+      .filter(col("__sw") > 0L)
+      .select(col("__g"), col("__b"),
+        round(col("__swx").cast("double") / col("__sw").cast("double"))
+          .cast("long").as("__m"))
+    val ranked = Dedup.truncate(
+      Ranking.groupRank(reps, "__g", Seq("__m", "__b")))
+    val counts = ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_resamples"))
+      .select(col("__g"), col("n_resamples"),
+        ceil(lit(loQ) * col("n_resamples")).cast("long").as("__lo"),
+        ceil(lit(hiQ) * col("n_resamples")).cast("long").as("__hi"))
+    val lo = ranked.join(counts, Seq("__g"))
+      .filter(col("rank") === col("__lo"))
+      .select(col("__g"), col("__m").as("lo_micro"))
+    val hi = ranked.join(counts, Seq("__g"))
+      .filter(col("rank") === col("__hi"))
+      .select(col("__g"), col("__m").as("hi_micro"))
+    point
+      .join(lo, Seq("__g"), "left")
+      .join(hi, Seq("__g"), "left")
+      .join(counts.select(col("__g"), col("n_resamples")),
+        Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"), col("mean_micro"),
+        col("lo_micro"), col("hi_micro"),
+        coalesce(col("n_resamples"), lit(0L)).as("n_resamples"))
+  }
 }

@@ -104,4 +104,27 @@ class LinkageSpec extends SparkSpec {
         r.getAs[Long]("right_id")).toMap
     assert(got == Map(1L -> 10L, 3L -> 12L))
   }
+
+  test("editNeighborJoin: sub/ins/dup found, transposition rejected, cap drops") {
+    val df = Seq(
+      (1L, "abc"),   // vs 2: substitution, vs 3: insertion, vs 4: dup
+      (2L, "abd"),
+      (3L, "abcd"),
+      (4L, "abc"),
+      (5L, "ab"),    // vs 6 "ba": variants collide but Levenshtein 2
+      (6L, "ba"),
+      (7L, "a-string-way-over-the-eight-char-cap"))
+      .toDF("id", "s")
+    val got = Linkage.editNeighborJoin(df, "id", "s", maxLen = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id")) ->
+        r.getAs[Long]("dist")).toMap
+    assert(got((1L, 2L)) == 1L)
+    assert(got((1L, 3L)) == 1L)
+    assert(got((1L, 4L)) == 0L)
+    assert(!got.contains((5L, 6L))) // shared variants, but distance 2
+    assert(!got.keys.exists(k => k._1 == 7L || k._2 == 7L))
+    // 2 vs 3 ("abd"/"abcd") is also distance 1 (insert c)
+    assert(got((2L, 3L)) == 1L)
+  }
 }

@@ -464,4 +464,61 @@ class ProfileSpec extends SparkSpec {
     assert(got(("mono", 1L)).getAs[Long]("fit_micro") == 0L)
     assert(got(("mono", 2L)).getAs[Long]("fit_micro") == 500000L)
   }
+
+  test("krippendorffAlpha: hand 2-rater table, all-agree NULL, singles excluded") {
+    // A,D perfect agree; B split; C perfect agree; E single-rated.
+    // Do-sum = 2e6 (unit B), labels pos=5/neg=3 over pairable n=8:
+    // De = 64 - 34 = 30; alpha = 1 - 7*2/30 = 8/15.
+    val rows = Seq(
+      ("g", "A", "r1", "pos"), ("g", "A", "r2", "pos"),
+      ("g", "B", "r1", "pos"), ("g", "B", "r2", "neg"),
+      ("g", "C", "r1", "neg"), ("g", "C", "r2", "neg"),
+      ("g", "D", "r1", "pos"), ("g", "D", "r2", "pos"),
+      ("g", "E", "r1", "pos"),
+      ("same", "X", "r1", "a"), ("same", "X", "r2", "a"),
+      ("same", "Y", "r1", "a"), ("same", "Y", "r2", "a"))
+      .toDF("g", "item", "rater", "label")
+    val got = Profile.krippendorffAlpha(rows, "g", "item", "label")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("g").getAs[Long]("n_units") == 4L)
+    assert(got("g").getAs[Long]("n_ratings") == 8L)
+    assert(got("g").getAs[Long]("alpha_micro") == 533333L)
+    assert(got("same").isNullAt(got("same").fieldIndex("alpha_micro")))
+  }
+
+  test("majorityVote: winner share, lexical tie-break, unanimity flag") {
+    val rows = Seq(
+      ("g", 1L, "pos"), ("g", 1L, "pos"), ("g", 1L, "neg"),
+      ("g", 2L, "pos"), ("g", 2L, "neg"),   // tie: 'neg' < 'pos'
+      ("g", 3L, "pos"))
+      .toDF("g", "item", "label")
+    val got = Profile.majorityVote(rows, "g", "item", "label")
+      .collect().map(r => r.getAs[Long]("item") -> r).toMap
+    assert(got(1L).getAs[String]("top_label") == "pos")
+    assert(got(1L).getAs[Long]("share_micro") == 666667L)
+    assert(!got(1L).getAs[Boolean]("unanimous"))
+    assert(got(2L).getAs[String]("top_label") == "neg")
+    assert(got(2L).getAs[Long]("share_micro") == 500000L)
+    assert(got(3L).getAs[Boolean]("unanimous"))
+  }
+
+  test("cuped: perfectly-correlated covariate zeroes the adjusted diff") {
+    // y = 10x exactly: theta = 10, rho^2 = 1, adjusted diff = 0.
+    val df = Seq(
+      ("g", 10.0, 1.0, true), ("g", 20.0, 2.0, true),
+      ("g", 30.0, 3.0, false), ("g", 40.0, 4.0, false),
+      ("solo", 5.0, 1.0, true),                     // one-sided
+      ("flatx", 1.0, 7.0, true), ("flatx", 9.0, 7.0, false))
+      .toDF("g", "y", "x", "side")
+    val got = Profile.cuped(df, "g", "y", "x", "side").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("g").getAs[Long]("theta_micro") == 10000000L)
+    assert(got("g").getAs[Long]("diff_micro") == -20000000L)
+    assert(got("g").getAs[Long]("adj_diff_micro") == 0L)
+    assert(got("g").getAs[Long]("var_reduction_micro") == 1000000L)
+    assert(got("solo").isNullAt(got("solo").fieldIndex("diff_micro")))
+    // zero covariate variance: raw diff reports, adjustment doesn't
+    assert(got("flatx").getAs[Long]("diff_micro") == -8000000L)
+    assert(got("flatx").isNullAt(got("flatx").fieldIndex("theta_micro")))
+  }
 }

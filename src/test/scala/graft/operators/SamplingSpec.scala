@@ -74,4 +74,52 @@ class SamplingSpec extends SparkSpec {
       .groupBy("split").count().as[(String, Long)].collect().toMap
     assert(again == counts)
   }
+
+  test("effectiveSampleSize: uniform = n, skew shrinks, zero-weight group NULL") {
+    val df = Seq(
+      ("u", 1.0), ("u", 1.0), ("u", 1.0), ("u", 1.0),
+      ("skew", 3.0), ("skew", 1.0),
+      ("dead", 0.0), ("dead", -2.0))
+      .toDF("g", "w")
+    val got = Sampling.effectiveSampleSize(df, "g", "w").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("u").getAs[Long]("ess_micro") == 4000000L)
+    assert(got("u").getAs[Long]("ess_ratio_micro") == 1000000L)
+    // (3+1)^2 / (9+1) = 1.6; ratio 0.8
+    assert(got("skew").getAs[Long]("ess_micro") == 1600000L)
+    assert(got("skew").getAs[Long]("ess_ratio_micro") == 800000L)
+    assert(got("dead").getAs[Long]("n") == 0L)
+    assert(got("dead").isNullAt(got("dead").fieldIndex("ess_micro")))
+  }
+
+  test("bootstrapMeanCI: exact point mean, ordered deterministic CI") {
+    assert(Sampling.PoissonThresholds60 ==
+      Sampling.PoissonThresholds60.sorted)
+    assert(math.abs(Sampling.PoissonThresholds60.head.toDouble /
+      math.pow(2.0, 60.0) - math.exp(-1.0)) < 1e-9)
+
+    val df = ((1 to 100).map(i => ("g", i.toLong, i.toDouble)) ++
+      Seq(("solo", 1L, 42.0)))
+      .toDF("g", "id", "v")
+    val got = Sampling.bootstrapMeanCI(df, "g", "id", "v", b = 50)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val g = got("g")
+    assert(g.getAs[Long]("mean_micro") == 50500000L)
+    val (lo, hi) = (g.getAs[Long]("lo_micro"), g.getAs[Long]("hi_micro"))
+    assert(lo < 50500000L && 50500000L < hi)
+    assert(hi - lo < 40000000L) // ~2 * 1.96 * sd/sqrt(n) scale, loose
+    assert(g.getAs[Long]("n_resamples") == 50L)
+    // single row: every surviving replicate mean IS the value, and
+    // ~e^{-1} of replicates die (weight 0)
+    val s1 = got("solo")
+    assert(s1.getAs[Long]("lo_micro") == 42000000L)
+    assert(s1.getAs[Long]("hi_micro") == 42000000L)
+    assert(s1.getAs[Long]("n_resamples") > 20L &&
+      s1.getAs[Long]("n_resamples") < 50L)
+    // bit-reproducible: a second run is identical
+    val again = Sampling.bootstrapMeanCI(df, "g", "id", "v", b = 50)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("lo_micro"), r.getAs[Long]("hi_micro"))).toMap
+    assert(again("g") == ((lo, hi)))
+  }
 }
