@@ -173,4 +173,184 @@ object Sessionize {
         (col("n_gaps") * col("n_gaps")).as("var_den"))
       .withColumn("metronome", col("var_num") === 0L)
   }
+
+  /** Strictly-ordered funnel census: how many keys reach step k of
+    * `steps` with each step's FIRST qualifying event strictly after
+    * the previous step's time — the product-analytics readout
+    * (view → click → purchase) computed without any per-key window:
+    * step 1 is a min-aggregate, every later step is one equi-join on
+    * the key (filter ts > previous step's time) + one min-aggregate,
+    * so the whole funnel is `steps.length − 1` hash joins on a
+    * key-sized table. "Strict" means re-using one event for two
+    * steps is impossible and a click BEFORE the first view does not
+    * count (the standard ordered-funnel semantics).
+    *
+    * Per-step deltas accumulate exactly: epoch-micro sums ride
+    * DECIMAL(38,0), each average is ONE micro-rounded divide
+    * (avg_sec_from_prev_micro = round(Σ∆µs / n) since µs = 1e-6 s).
+    * conv_micro is the share of the STEP-1 cohort still present —
+    * attached via a 1-row broadcast (annotated in the plan audit).
+    * Step 1 reports NULL avg (no previous step); an empty step-1
+    * cohort reports NULL conv everywhere.
+    *
+    * Output: (step, step_name, n_users, conv_micro,
+    * avg_sec_from_prev_micro) — one row per step, step 1-based. */
+  def funnel(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2 && steps.length <= 8,
+      "steps must list 2..8 stage names")
+    require(steps.distinct.length == steps.length,
+      "steps must be distinct")
+    val dec = "decimal(38,0)"
+    val ev = Dedup.truncate(df.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__us"), col(typeCol).as("__t")))
+    val first = ev.filter(col("__t") === steps.head)
+      .groupBy(col("__k")).agg(min(col("__us")).as("__prev"))
+    val statFirst = first.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("step"), lit(steps.head).as("step_name"),
+        col("n_users"), lit(null).cast(dec).as("__sumd"))
+    val (_, stats) = steps.zipWithIndex.drop(1)
+      .foldLeft((first, Seq(statFirst))) {
+        case ((prev, acc), (name, i)) =>
+          val cur = ev.filter(col("__t") === name)
+            .join(prev, Seq("__k"))
+            .filter(col("__us") > col("__prev"))
+            .groupBy(col("__k"))
+            .agg(min(col("__us")).as("__cur"),
+              // __prev is single-valued per key (prev is key-unique)
+              min(col("__prev")).as("__from"))
+          val stat = cur.agg(count(lit(1)).as("n_users"),
+              sum((col("__cur") - col("__from")).cast(dec)).as("__sumd"))
+            .select(lit(i + 1L).as("step"), lit(name).as("step_name"),
+              col("n_users"), col("__sumd"))
+          (cur.select(col("__k"), col("__cur").as("__prev")),
+            acc :+ stat)
+      }
+    val top = first.agg(count(lit(1)).as("__n1"))
+    stats.reduce(_ unionByName _)
+      .crossJoin(broadcast(top))
+      .select(col("step"), col("step_name"), col("n_users"),
+        when(col("__n1") > 0L,
+          round(lit(1e6) * col("n_users").cast("double") /
+            col("__n1").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("conv_micro"),
+        when(col("__sumd").isNotNull && col("n_users") > 0L,
+          round(col("__sumd").cast("double") /
+            col("n_users").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long"))
+          .as("avg_sec_from_prev_micro"))
+  }
+
+  /** Cohort-retention matrix: bucket time into `bucketDays`-day
+    * integer buckets (pure epoch-micro integer division — no
+    * calendar, no timezone, identical in any engine; epochs must be
+    * non-negative, stated), cohort = each key's FIRST active bucket,
+    * and each (cohort, offset) cell counts the keys active again
+    * `offset` buckets later. retention_micro is the cell's share of
+    * its cohort's size (the offset-0 cell, which every member hits
+    * by construction — always 1e6 at offset 0).
+    *
+    * Scale: one distinct on (key, bucket) — the activity matrix,
+    * map-side combinable; one min-aggregate for cohorts; one
+    * key-sized equi-join; one census; the per-cohort size table is
+    * calendar-sized and broadcast back. Never event×event, no
+    * windows.
+    *
+    * Output: (cohort_bucket, offset_idx, n_active, retention_micro). */
+  def cohortRetention(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      bucketDays: Int): DataFrame = {
+    require(bucketDays >= 1 && bucketDays <= 366,
+      "bucketDays must be in [1, 366]")
+    val span = 86400000000L * bucketDays
+    val act = df.select(col(keyCol).as("__k"),
+        unix_micros(col(tsCol)).as("__us"))
+      .select(col("__k"), expr(s"__us div ${span}L").as("__b"))
+      .distinct()
+    val pinned = Dedup.truncate(act)
+    val cohort = pinned.groupBy(col("__k")).agg(min(col("__b")).as("__c"))
+    val census = pinned.join(cohort, Seq("__k"))
+      .groupBy(col("__c"), (col("__b") - col("__c")).as("offset_idx"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = census.filter(col("offset_idx") === 0L)
+      .select(col("__c"), col("n_active").as("__sz"))
+    census.join(broadcast(sizes), Seq("__c"))
+      .select(col("__c").as("cohort_bucket"), col("offset_idx"),
+        col("n_active"),
+        round(lit(1e6) * col("n_active").cast("double") /
+          col("__sz").cast("double")).cast("long").as("retention_micro"))
+  }
+
+  /** Last-touch attribution census: every `conversionType` event is
+    * attributed to the key's most recent OTHER event (the "touch")
+    * at-or-before it — but only if that touch is within
+    * `lookbackSec`; staler or absent touches land in the "(none)"
+    * bucket. The marketing-attribution readout, built exactly like
+    * [[graft.operators.Incremental.asOfJoin]]: touches collapse to
+    * one per (key, µs) first (ties broken to the max-`tieBreak` row
+    * — total and engine-neutral), then one union + per-key running
+    * last-non-null struct gives each conversion its as-of touch in a
+    * single shuffle — no correlated per-row lookup. The per-key
+    * window is a bounded group (one key's events; the asOfJoin/
+    * funnel-window justification).
+    *
+    * Sums are exact: value micro-quantizes once, lag is an exact
+    * epoch-µs delta, both accumulate in DECIMAL(38,0);
+    * avg_lag_sec_micro = round(Σlag_µs / n). A touch at the SAME
+    * microsecond attributes (inclusive bound, the as-of convention).
+    *
+    * Output: (channel, n_conv, sum_value_micro, avg_lag_sec_micro)
+    * — channel is a touch type or "(none)"; NULL lag for "(none)". */
+  def attribution(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      valueCol: String,
+      tieBreak: String,
+      conversionType: String,
+      lookbackSec: Long): DataFrame = {
+    require(lookbackSec > 0, "lookbackSec must be positive")
+    val dec = "decimal(38,0)"
+    val ev = df.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__us"), col(typeCol).as("__t"),
+      col(valueCol).cast("double").as("__v"), col(tieBreak).as("__tb"))
+    val touches = ev.filter(col("__t") =!= conversionType)
+      .groupBy(col("__k"), col("__us"))
+      .agg(max_by(col("__t"), col("__tb")).as("__ch"))
+      .select(col("__k"), col("__us"),
+        struct(col("__us").as("at"), col("__ch").as("ch")).as("__touch"),
+        lit(0).as("__kind"), lit(null).cast("double").as("__v"))
+    val convs = ev.filter(col("__t") === conversionType)
+      .select(col("__k"), col("__us"),
+        lit(null).cast("struct<at:bigint,ch:string>").as("__touch"),
+        lit(1).as("__kind"), col("__v"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__us"), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val attributed = touches.unionByName(convs)
+      .withColumn("__asof", last(col("__touch"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+      .select(col("__v"),
+        (col("__us") - col("__asof.at")).as("__lag"),
+        when(col("__asof").isNotNull &&
+            col("__us") - col("__asof.at") <= lookbackSec * 1000000L,
+          col("__asof.ch")).otherwise(lit("(none)")).as("channel"))
+    attributed.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conv"),
+        sum(round(col("__v") * lit(1e6)).cast("long").cast(dec))
+          .cast("long").as("sum_value_micro"),
+        when(col("channel") === "(none)", lit(null).cast("long"))
+          .otherwise(round(
+            sum(when(col("channel") =!= "(none)", col("__lag"))
+              .cast(dec)).cast("double") /
+            count(lit(1)).cast("double")).cast("long"))
+          .as("avg_lag_sec_micro"))
+  }
 }

@@ -100,4 +100,80 @@ class SessionizeSpec extends SparkSpec {
     assert(got("odd") == ((1L, sOdd)))
     assert(sOdd > sCommon) // against-the-grain path is more anomalous
   }
+
+  test("funnel: strict order, pre-step events don't count, exact deltas") {
+    val df = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 1L, "view"),
+      ("u1", ts("2024-01-01 10:10:00"), 2L, "click"),
+      ("u1", ts("2024-01-01 10:20:00"), 3L, "purchase"),
+      ("u2", ts("2024-01-01 09:00:00"), 4L, "click"), // BEFORE the view
+      ("u2", ts("2024-01-01 10:00:00"), 5L, "view"),
+      ("u2", ts("2024-01-01 10:05:00"), 6L, "click"),
+      ("u3", ts("2024-01-01 10:00:00"), 7L, "purchase"), // never viewed
+      ("u4", ts("2024-01-01 10:00:00"), 8L, "view"))
+      .toDF("u", "ts", "id", "et")
+    val got = Sessionize.funnel(df, "u", "ts", "et",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1L) == (("view", 3L, Some(1000000L), None)))
+    // u1 600 s + u2 300 s deltas; u2's 09:00 click didn't count.
+    assert(got(2L) ==
+      (("click", 2L, Some(666667L), Some(450000000L))))
+    assert(got(3L) ==
+      (("purchase", 1L, Some(333333L), Some(600000000L))))
+  }
+
+  test("cohortRetention: first-bucket cohorts, exact shares") {
+    val df = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 1L),
+      ("u1", ts("2024-01-02 10:00:00"), 2L),
+      ("u1", ts("2024-01-03 10:00:00"), 3L),
+      ("u2", ts("2024-01-01 23:59:59"), 4L),
+      ("u2", ts("2024-01-03 00:00:01"), 5L),
+      ("u3", ts("2024-01-02 00:00:00"), 6L))
+      .toDF("u", "ts", "id")
+    val out = Sessionize.cohortRetention(df, "u", "ts", bucketDays = 1)
+      .collect()
+    val base = out.map(_.getLong(0)).min
+    val got = out.map(r => (r.getLong(0) - base, r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      (0L, 0L) -> ((2L, 1000000L)),
+      (0L, 1L) -> ((1L, 500000L)),
+      (0L, 2L) -> ((2L, 1000000L)),
+      (1L, 0L) -> ((1L, 1000000L))))
+  }
+
+  test("attribution: lookback expiry, same-µs inclusive, max-tie touch") {
+    val df = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 1L, "click", null.asInstanceOf[java.lang.Double]),
+      ("u1", ts("2024-01-01 10:00:30"), 2L, "purchase", java.lang.Double.valueOf(10.0)),
+      ("u1", ts("2024-01-01 12:00:30"), 3L, "purchase", java.lang.Double.valueOf(5.0)),
+      ("u2", ts("2024-01-01 08:00:00"), 4L, "view", null.asInstanceOf[java.lang.Double]),
+      ("u2", ts("2024-01-02 09:00:00"), 5L, "purchase", java.lang.Double.valueOf(2.0)),
+      ("u3", ts("2024-01-01 10:00:00"), 6L, "purchase", java.lang.Double.valueOf(1.0)),
+      // u4: two touches at the SAME µs — the max-event_id one wins.
+      ("u4", ts("2024-01-01 10:00:00"), 10L, "click", null.asInstanceOf[java.lang.Double]),
+      ("u4", ts("2024-01-01 10:00:00"), 11L, "view", null.asInstanceOf[java.lang.Double]),
+      ("u4", ts("2024-01-01 10:01:00"), 12L, "purchase", java.lang.Double.valueOf(4.0)),
+      // u5: touch at the conversion's exact µs attributes (lag 0).
+      ("u5", ts("2024-01-01 10:00:00"), 13L, "signup", null.asInstanceOf[java.lang.Double]),
+      ("u5", ts("2024-01-01 10:00:00"), 14L, "purchase", java.lang.Double.valueOf(7.0)))
+      .toDF("u", "ts", "id", "et", "value")
+    val got = Sessionize.attribution(df, "u", "ts", "et", "value",
+        "id", conversionType = "purchase", lookbackSec = 86400L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    // u1's two purchases both trace to the 10:00 click (30 s, 7230 s).
+    assert(got("click") ==
+      ((2L, 15000000L, Some((30000000L + 7230000000L) / 2))))
+    assert(got("view") == ((1L, 4000000L, Some(60000000L))))
+    assert(got("signup") == ((1L, 7000000L, Some(0L))))
+    // u2's touch is 25 h stale; u3 never touched.
+    assert(got("(none)") == ((2L, 3000000L, None)))
+  }
 }
