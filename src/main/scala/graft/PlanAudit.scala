@@ -56,6 +56,10 @@ object PlanAudit {
     "q212_bq_recall" -> "Hamming-shortlist scan + brute-force ground truth (20 broadcast queries)",
     "q261_t_closeness" -> "1-row broadcast scalar attach (global sensitive-value total)",
     "q254_modularity" -> "1-row × 1-row scalar cross (edge totals × degree-square sum)",
+    "q280_community_quality" -> "1-row broadcast scalar attach (total volume 2m onto the per-community census)",
+    "q281_merge_gain" -> "1-row broadcast scalar attach (edge count m onto the inter-community candidate census)",
+    "q282_assortativity" -> "1-row × 1-row scalar cross (orientation moments × node count)",
+    "q289_funnel" -> "1-row broadcast scalar attach (step-1 cohort size onto the per-step rows)",
     "q263_neyman_alloc" -> "1-row broadcast scalar attaches (total weight, leftover R — via apportionLargestRemainder)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
@@ -77,7 +81,8 @@ object PlanAudit {
     "q190_bot_regularity" -> "per-user window (bounded group; fixture ordinal + lag gap deltas)",
     "q202_markov_anomaly" -> "per-user window (bounded group; lead needs order only)",
     "q208_ewma" -> "per-user window (bounded group; W fixed lag taps need order only)",
-    "q209_cusum" -> "per-user window (bounded group; cumsum + running-min, scale twin: groupRunningSum)")
+    "q209_cusum" -> "per-user window (bounded group; cumsum + running-min, scale twin: groupRunningSum)",
+    "q291_attribution" -> "per-user window (bounded group; running last-non-null touch, the asOfJoin shape)")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

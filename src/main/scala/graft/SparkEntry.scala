@@ -4184,8 +4184,110 @@ object SparkEntry {
           (hashMod("mod", col("event_id"), 300) + lit(400L)).as("b"))
         .distinct()
       Graph.assortativity(edges, "a", "b")
-    })
+    }),
+
+    // Exact Levenshtein ≤ 1 self-join by deletion neighborhoods:
+    // the engine does the (L+1)-variant equi-join; the oracle can
+    // afford the quadratic cross join at gate scale — which is the
+    // point. Even docs get a one-substitution twin ('0' never occurs
+    // in the corpus, so those pairs are distance exactly 1).
+    "q283_edit_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          substring(col("text"), 1, 12).as("h"))
+      val twins = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(substring(col("text"), 1, 5), lit("0"),
+            substring(col("text"), 7, 6)).as("h"))
+      Linkage.editNeighborJoin(d.unionByName(twins), "id", "h")
+    }),
+
+    // Kish effective sample size of the n_chars importance weights
+    // per source — the health number to read before trusting any
+    // weighted estimate off q97-style weights.
+    "q284_ess" -> ((s, dir) => {
+      Sampling.effectiveSampleSize(
+        t(s, dir, "documents").select(col("source"),
+          col("n_chars").cast("double").as("w")),
+        "source", "w")
+    }),
+
+    // Krippendorff's α per source over three deterministic "raters"
+    // (two length rules + a hash rater that only rates every third
+    // doc — real missing-data shape).
+    "q285_krippendorff" -> ((s, dir) =>
+      Profile.krippendorffAlpha(ratingsFixture(s, dir), "source",
+        "item", "label")),
+
+    // Majority-vote consolidation of the same ratings: winning
+    // label (ties to the lexically smallest), share, unanimity.
+    "q286_majority_vote" -> ((s, dir) =>
+      Profile.majorityVote(ratingsFixture(s, dir), "source",
+        "item", "label")),
+
+    // Deterministic Poisson-bootstrap 95% CI for the mean event
+    // value per type: 100 hash-weighted replicates through ONE
+    // explode+aggregate, exact order-statistic endpoints.
+    "q287_bootstrap_ci" -> ((s, dir) => {
+      Sampling.bootstrapMeanCI(
+        t(s, dir, "events").select(col("event_type"), col("event_id"),
+          col("value")),
+        "event_type", "event_id", "value", b = 100)
+    }),
+
+    // CUPED variance-reduced A/B readout on the q269 split: pooled
+    // θ from exact DECIMAL sufficient stats, covariate = floor(value)
+    // (a strongly-correlated pre-period proxy), ρ² reduction factor.
+    "q288_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("value"), floor(col("value")).cast("double").as("x"),
+        (col("user_id") % 2 === 0).as("side"))
+      Profile.cuped(ev, "event_type", "value", "x", "side")
+    }),
+
+    // Strictly-ordered view→click→purchase funnel: step 1 is a
+    // min-agg, each later step ONE key equi-join + min-agg — no
+    // per-key window anywhere; exact DECIMAL delta sums.
+    "q289_funnel" -> ((s, dir) =>
+      Sessionize.funnel(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))),
+
+    // Weekly cohort-retention matrix over pure integer epoch-µs
+    // bucket division (no calendar): cohort = first active bucket,
+    // cells = keys active again `offset` buckets later.
+    "q290_retention" -> ((s, dir) =>
+      Sessionize.cohortRetention(t(s, dir, "events"), "user_id",
+        "ts", bucketDays = 7)),
+
+    // Last-touch attribution of purchases to the most recent other
+    // event within 24 h — union + running last-non-null struct (the
+    // asOfJoin shape), "(none)" bucket for stale/absent touches.
+    "q291_attribution" -> ((s, dir) =>
+      Sessionize.attribution(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "value", "event_id",
+        conversionType = "purchase", lookbackSec = 86400L))
   )
+
+  /** q285/q286's shared ratings fixture: three deterministic raters
+    * over documents — the q268 length-rule pair plus a hash rater
+    * that rates only every third doc (missing data). Mirrored
+    * verbatim in both oracles. */
+  private def ratingsFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def lab(c: Column) = when(c, lit("pos")).otherwise(lit("neg"))
+    val r1 = d.select(col("source"), col("doc_id").as("item"),
+      lit("len500").as("rater"), lab(col("n_chars") >= 500).as("label"))
+    val r2 = d.select(col("source"), col("doc_id").as("item"),
+      lit("len480").as("rater"),
+      lab(col("n_chars") >= 480 && col("doc_id") % 13 =!= 0)
+        .as("label"))
+    val r3 = d.filter(col("doc_id") % 3 === 0)
+      .select(col("source"), col("doc_id").as("item"),
+        lit("hash").as("rater"),
+        lab(hashMod("rate", col("doc_id"), 100) < 55).as("label"))
+    r1.unionByName(r2).unionByName(r3)
+  }
 
   /** q229/q230's shared fixture: the corpus is single-line, so line
     * structure is injected deterministically — " order " becomes a
@@ -10011,8 +10113,313 @@ object SparkEntry {
         |      / CAST(CAST(st.n AS HUGEINT) * st.sx2 - st.sx * st.sx
         |          AS DOUBLE)) AS BIGINT)
         |    ELSE NULL END AS r_micro
-        |FROM st, nn""".stripMargin
+        |FROM st, nn""".stripMargin,
+
+    "q283_edit_join" ->
+      """WITH u AS (
+        |  SELECT doc_id AS id, substr(text, 1, 12) AS s FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, 5) || '0' || substr(text, 7, 6)
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT a.id AS left_id, b.id AS right_id,
+        |  a.s AS left_s, b.s AS right_s,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM u a JOIN u b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
+
+    "q284_ess" ->
+      """WITH b AS (
+        |  SELECT source AS g,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS w
+        |  FROM documents
+        |  WHERE CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) > 0),
+        |st AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(w AS HUGEINT)) AS s,
+        |    sum(CAST(w AS HUGEINT) * w) AS q
+        |  FROM b GROUP BY 1),
+        |gg AS (SELECT DISTINCT source AS g FROM documents)
+        |SELECT gg.g AS source, COALESCE(st.n, 0) AS n,
+        |  CASE WHEN st.q IS NOT NULL
+        |    THEN CAST(round(1e6 * CAST(st.s * st.s AS DOUBLE)
+        |      / CAST(st.q AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS ess_micro,
+        |  CASE WHEN st.q IS NOT NULL
+        |    THEN CAST(round(1e6 * CAST(st.s * st.s AS DOUBLE)
+        |      / (CAST(st.q AS DOUBLE) * CAST(st.n AS DOUBLE)))
+        |      AS BIGINT)
+        |    ELSE NULL END AS ess_ratio_micro
+        |FROM gg LEFT JOIN st USING (g)""".stripMargin,
+
+    "q285_krippendorff" ->
+      s"""WITH $ratingsFixtureSql,
+         |cells AS (
+         |  SELECT source AS g, item AS u, label AS c,
+         |    CAST(count(*) AS BIGINT) AS nc
+         |  FROM r GROUP BY 1, 2, 3),
+         |units AS (
+         |  SELECT g, u, CAST(sum(nc) AS BIGINT) AS m,
+         |    CAST(sum(nc * nc) AS BIGINT) AS sc2
+         |  FROM cells GROUP BY 1, 2 HAVING sum(nc) >= 2),
+         |ud AS (
+         |  SELECT g, u, m,
+         |    CAST(round(1e6 * CAST(m * m - sc2 AS DOUBLE)
+         |      / CAST(m - 1 AS DOUBLE)) AS BIGINT) AS dou
+         |  FROM units),
+         |tot AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS n_units,
+         |    CAST(sum(m) AS BIGINT) AS n_ratings,
+         |    CAST(sum(dou) AS BIGINT) AS dosum
+         |  FROM ud GROUP BY 1),
+         |lt AS (
+         |  SELECT c.g, c.c, CAST(sum(c.nc) AS BIGINT) AS ncg
+         |  FROM cells c JOIN units USING (g, u) GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT g, sum(CAST(ncg AS HUGEINT) * ncg) AS sc2g
+         |  FROM lt GROUP BY 1)
+         |SELECT tot.g AS source, tot.n_units, tot.n_ratings,
+         |  CASE WHEN CAST(tot.n_ratings AS HUGEINT) * tot.n_ratings
+         |      - sc.sc2g > 0
+         |    THEN CAST(round(1e6
+         |      - CAST(tot.n_ratings - 1 AS DOUBLE)
+         |        * CAST(tot.dosum AS DOUBLE)
+         |      / CAST(CAST(tot.n_ratings AS HUGEINT) * tot.n_ratings
+         |          - sc.sc2g AS DOUBLE)) AS BIGINT)
+         |    ELSE NULL END AS alpha_micro
+         |FROM tot JOIN sc USING (g)""".stripMargin,
+
+    "q286_majority_vote" ->
+      s"""WITH $ratingsFixtureSql,
+         |cells AS (
+         |  SELECT source AS g, item AS u, label AS c,
+         |    CAST(count(*) AS BIGINT) AS nc
+         |  FROM r GROUP BY 1, 2, 3),
+         |tot AS (
+         |  SELECT g, u, CAST(sum(nc) AS BIGINT) AS n_votes
+         |  FROM cells GROUP BY 1, 2),
+         |top AS (
+         |  SELECT g, u, c, nc,
+         |    row_number() OVER (PARTITION BY g, u
+         |      ORDER BY nc DESC, c ASC) AS rn
+         |  FROM cells)
+         |SELECT tot.g AS source, tot.u AS item, tot.n_votes,
+         |  top.c AS top_label,
+         |  CAST(round(1e6 * CAST(top.nc AS DOUBLE)
+         |    / CAST(tot.n_votes AS DOUBLE)) AS BIGINT) AS share_micro,
+         |  top.nc = tot.n_votes AS unanimous
+         |FROM tot JOIN top ON tot.g = top.g AND tot.u = top.u
+         |  AND top.rn = 1""".stripMargin,
+
+    "q287_bootstrap_ci" -> bootstrapOracleSql,
+
+    "q288_cuped" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS y,
+        |    CAST(round(CAST(floor(value) AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS x,
+        |    user_id % 2 = 0 AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    sum(CASE WHEN a THEN y ELSE 0 END) AS ya,
+        |    sum(CASE WHEN NOT a THEN y ELSE 0 END) AS yb,
+        |    sum(CASE WHEN a THEN x ELSE 0 END) AS xa,
+        |    sum(CASE WHEN NOT a THEN x ELSE 0 END) AS xb,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT g, n_a, n_b,
+        |    CAST(sxy AS DOUBLE) - CAST(xa + xb AS DOUBLE)
+        |      * CAST(ya + yb AS DOUBLE) / CAST(n AS DOUBLE) AS covn,
+        |    CAST(sxx AS DOUBLE) - CAST(xa + xb AS DOUBLE)
+        |      * CAST(xa + xb AS DOUBLE) / CAST(n AS DOUBLE) AS varx,
+        |    CAST(syy AS DOUBLE) - CAST(ya + yb AS DOUBLE)
+        |      * CAST(ya + yb AS DOUBLE) / CAST(n AS DOUBLE) AS vary,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |      CAST(ya AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(yb AS DOUBLE) / CAST(n_b AS DOUBLE) END AS dy,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |      CAST(xa AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(xb AS DOUBLE) / CAST(n_b AS DOUBLE) END AS dx
+        |  FROM st)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND varx > 0.0
+        |    THEN CAST(round(1e6 * (covn / varx)) AS BIGINT)
+        |    ELSE NULL END AS theta_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(round(dy) AS BIGINT)
+        |    ELSE NULL END AS diff_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND varx > 0.0
+        |    THEN CAST(round(dy - (covn / varx) * dx) AS BIGINT)
+        |    ELSE NULL END AS adj_diff_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND varx > 0.0 AND vary > 0.0
+        |    THEN CAST(round(1e6 * covn * covn / (varx * vary))
+        |      AS BIGINT)
+        |    ELSE NULL END AS var_reduction_micro
+        |FROM f""".stripMargin,
+
+    "q289_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS us, event_type AS t
+        |  FROM events),
+        |s1 AS (
+        |  SELECT k, min(us) AS p FROM ev WHERE t = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT ev.k, min(ev.us) AS p, min(s1.p) AS f
+        |  FROM ev JOIN s1 ON ev.k = s1.k
+        |  WHERE ev.t = 'click' AND ev.us > s1.p GROUP BY 1),
+        |s3 AS (
+        |  SELECT ev.k, min(ev.us) AS p, min(s2.p) AS f
+        |  FROM ev JOIN s2 ON ev.k = s2.k
+        |  WHERE ev.t = 'purchase' AND ev.us > s2.p GROUP BY 1),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+        |r AS (
+        |  SELECT 1 AS step, 'view' AS step_name,
+        |    (SELECT n FROM n1) AS n_users, CAST(NULL AS HUGEINT) AS sumd
+        |  UNION ALL
+        |  SELECT 2, 'click', CAST(count(*) AS BIGINT),
+        |    sum(CAST(p - f AS HUGEINT)) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+        |    sum(CAST(p - f AS HUGEINT)) FROM s3)
+        |SELECT CAST(step AS BIGINT) AS step, step_name, n_users,
+        |  CASE WHEN (SELECT n FROM n1) > 0
+        |    THEN CAST(round(1e6 * CAST(n_users AS DOUBLE)
+        |      / CAST((SELECT n FROM n1) AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS conv_micro,
+        |  CASE WHEN sumd IS NOT NULL AND n_users > 0
+        |    THEN CAST(round(CAST(sumd AS DOUBLE)
+        |      / CAST(n_users AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS avg_sec_from_prev_micro
+        |FROM r""".stripMargin,
+
+    "q290_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS k,
+        |    epoch_us(ts) // 604800000000 AS b
+        |  FROM events),
+        |c AS (SELECT k, min(b) AS cb FROM a GROUP BY 1),
+        |n AS (
+        |  SELECT c.cb AS cohort_bucket, a.b - c.cb AS offset_idx,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM a JOIN c USING (k) GROUP BY 1, 2),
+        |s AS (
+        |  SELECT cohort_bucket, n_active AS sz FROM n
+        |  WHERE offset_idx = 0)
+        |SELECT n.cohort_bucket, n.offset_idx, n.n_active,
+        |  CAST(round(1e6 * CAST(n.n_active AS DOUBLE)
+        |    / CAST(s.sz AS DOUBLE)) AS BIGINT) AS retention_micro
+        |FROM n JOIN s USING (cohort_bucket)""".stripMargin,
+
+    "q291_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS us,
+        |    arg_max(event_type, event_id) AS ch
+        |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS us, value AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.us, c.v, t.us AS tus, t.ch
+        |  FROM c ASOF LEFT JOIN t ON c.k = t.k AND c.us >= t.us),
+        |a AS (
+        |  SELECT v, us - tus AS lag_us,
+        |    CASE WHEN tus IS NOT NULL AND us - tus <= 86400000000
+        |      THEN ch ELSE '(none)' END AS channel
+        |  FROM j)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_conv,
+        |  CAST(sum(CAST(round(1e6 * v) AS HUGEINT)) AS BIGINT)
+        |    AS sum_value_micro,
+        |  CASE WHEN channel = '(none)' THEN NULL
+        |    ELSE CAST(round(CAST(sum(CAST(lag_us AS HUGEINT)) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE)) AS BIGINT) END
+        |    AS avg_lag_sec_micro
+        |FROM a GROUP BY channel""".stripMargin
   )
+
+  /** q287's oracle: the same Poisson-threshold inverse CDF
+    * (Sampling.PoissonThresholds60 literals), replicate means and
+    * ⌈q·B⌉ order-statistic endpoints mirrored. */
+  private lazy val bootstrapOracleSql: String = {
+    val ts = graft.operators.Sampling.PoissonThresholds60
+    val wExpr = ts.map(t =>
+      s"CASE WHEN h >= $t THEN 1 ELSE 0 END").mkString("\n      + ")
+    s"""WITH b AS (
+       |  SELECT event_type AS g, event_id AS id,
+       |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |pt AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |      AS BIGINT) AS mean_micro
+       |  FROM b GROUP BY 1),
+       |sub AS (
+       |  SELECT g, v, r.rb,
+       |    CAST(('0x' || substr(md5('boot:' || CAST(id AS VARCHAR)
+       |      || ':' || CAST(r.rb AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM b, LATERAL (SELECT unnest(generate_series(0, 99)) AS rb) r),
+       |wt AS (
+       |  SELECT g, rb, v,
+       |    $wExpr AS w
+       |  FROM sub),
+       |reps AS (
+       |  SELECT g, rb, CAST(sum(w) AS BIGINT) AS sw,
+       |    sum(CAST(w AS HUGEINT) * v) AS swx
+       |  FROM wt GROUP BY 1, 2),
+       |m AS (
+       |  SELECT g, rb,
+       |    CAST(round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE))
+       |      AS BIGINT) AS mb
+       |  FROM reps WHERE sw > 0),
+       |rk AS (
+       |  SELECT g, mb,
+       |    row_number() OVER (PARTITION BY g ORDER BY mb, rb) AS rnk
+       |  FROM m),
+       |cnt AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n_resamples,
+       |    CAST(ceil(0.025 * count(*)) AS BIGINT) AS lo_rk,
+       |    CAST(ceil(0.975 * count(*)) AS BIGINT) AS hi_rk
+       |  FROM rk GROUP BY 1)
+       |SELECT pt.g AS event_type, pt.n, pt.mean_micro,
+       |  lo.mb AS lo_micro, hi.mb AS hi_micro,
+       |  COALESCE(cnt.n_resamples, 0) AS n_resamples
+       |FROM pt
+       |LEFT JOIN cnt USING (g)
+       |LEFT JOIN rk lo ON lo.g = pt.g AND lo.rnk = cnt.lo_rk
+       |LEFT JOIN rk hi ON hi.g = pt.g AND hi.rnk = cnt.hi_rk"""
+      .stripMargin
+  }
+
+  /** The q285/q286 ratings fixture as one SQL CTE named `r` —
+    * interpolated into both oracles so Scala and SQL cannot drift.
+    * NO line may start with `||`: this string is spliced into the
+    * callers BEFORE their .stripMargin, which would eat one pipe and
+    * turn string concat into bitwise-or. */
+  private lazy val ratingsFixtureSql: String =
+    """r AS (
+      |  SELECT source, doc_id AS item, 'len500' AS rater,
+      |    CASE WHEN n_chars >= 500 THEN 'pos' ELSE 'neg' END AS label
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT source, doc_id, 'len480',
+      |    CASE WHEN n_chars >= 480 AND doc_id % 13 <> 0
+      |      THEN 'pos' ELSE 'neg' END
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT source, doc_id, 'hash',
+      |    CASE WHEN CAST(('0x' ||
+      |        substr(md5('rate:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |        AS BIGINT) % 100 < 55
+      |      THEN 'pos' ELSE 'neg' END
+      |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin
 
   /** q234's oracle: NDCG@k with the SAME driver-computed literal
     * discount table as Ranking.rankEval (no runtime libm on either
