@@ -160,10 +160,13 @@ object PlanAudit {
     val entry = ("\"(q[0-9]+[a-z0-9_]*)\":\\{\"t1\":([0-9.]+|null)," +
       "\"t4\":([0-9.]+|null),\"t16\":([0-9.]+|null)," +
       "\"exp4\":(-?[0-9.]+|null),\"exp16\":(-?[0-9.]+|null)," +
+      "(?:\"rows1\":([0-9]+|null),\"rows4\":([0-9]+|null)," +
+      "\"rows16\":([0-9]+|null),\"rowexp\":(-?[0-9.]+|null),)?" +
       "\"skipped16\":(true|false),\"verdict\":\"([a-z+\\-]+)\"").r
     val rows = entry.findAllMatchIn(js).map { m =>
+      val rowexp = Option(m.group(10)).getOrElse("—")
       s"| ${m.group(1)} | ${m.group(2)} | ${m.group(3)} | ${m.group(4)} " +
-        s"| ${m.group(5)} | ${m.group(6)} | ${m.group(8)} |"
+        s"| ${m.group(5)} | ${m.group(6)} | $rowexp | ${m.group(12)} |"
     }.toSeq
     if (rows.isEmpty) return ""
     s"""
@@ -181,18 +184,20 @@ object PlanAudit {
        |overhead (~0.1–0.3 s) deflates exponents, so a measured e > 1
        |UNDERSTATES nothing. Full numbers: BENCH_SCALE.json.
        |
-       |Reading the one superlinear row: q174's proximity join is
-       |OUTPUT-bound — replicating points ×16 over a FIXED coordinate
-       |area grows the true result set ~×256 (pairs ∝ N²·r²/A), and
-       |the grid join's cost tracks its output, which is the correct
-       |cost for an exact operator. The 100 TB guard for genuinely
-       |unbounded density is `Spatial.proximityJoin(maxPerCell = …)`
-       |(deterministic per-cell cap, spec-gated); growing corpora
-       |whose geography grows with them (the realistic shape) stay
-       |linear.
+       |`rowexp` is the OUTPUT-growth exponent at the same tier: a
+       |row is only called "superlinear" when time outruns the true
+       |result set; time ≤ output growth is verdict "output-bound" —
+       |linear per result. That is q174's shape: replicating points
+       |×16 over a FIXED coordinate area grows the true result set
+       |~×256 (pairs ∝ N²·r²/A), and the grid join's cost tracks its
+       |output, which is the correct cost for an exact operator. The
+       |100 TB guard for genuinely unbounded density is
+       |`Spatial.proximityJoin(maxPerCell = …)` (deterministic
+       |per-cell cap, spec-gated); growing corpora whose geography
+       |grows with them (the realistic shape) stay linear.
        |
-       || query | t1 (s) | t4 (s) | t16 (s) | exp4 | exp16 | verdict |
-       ||---|---|---|---|---|---|---|
+       || query | t1 (s) | t4 (s) | t16 (s) | exp4 | exp16 | rowexp | verdict |
+       ||---|---|---|---|---|---|---|---|
        |""".stripMargin + rows.mkString("\n") + "\n"
   }
 }

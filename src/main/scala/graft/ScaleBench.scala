@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   * ×1/×4/×16; exponent = ln(t_f/t_1)/ln f on the min over reps. The
   * ×16 run is SKIPPED (and recorded as such, never silently) when the
   * ×4 exponent projects past the wall-clock guard — a superlinear
-  * verdict is already in hand at that point. Fixed per-query overhead
+  * verdict is already in hand at that point. Output row counts are
+  * recorded per tier: when time grows no faster than the TRUE result
+  * set (a radius join over a fixed coordinate space that densifies
+  * under replication), the verdict is "output-bound" — linear per
+  * result — not "superlinear". Fixed per-query overhead
   * (~0.1–0.3 s of planning) deflates exponents at these sizes, so the
   * bias runs in the SAFE direction: a measured e > 1 understates
   * nothing. Writes BENCH_SCALE.json. */
@@ -55,7 +59,10 @@ object ScaleBench {
     // drift sum census, isotonic B³ (bounded-bin, should stay flat)
     "q266_wasserstein", "q267_mann_whitney", "q271_acf",
     "q272_changepoint", "q273_isotonic", "q274_rouge",
-    "q275_link_jaccard", "q278_embedding_drift")
+    "q275_link_jaccard", "q278_embedding_drift",
+    // late round-13 additions: deletion-neighborhood variant join,
+    // ×100-replicate bootstrap explode, attribution running-last
+    "q283_edit_join", "q287_bootstrap_ci", "q291_attribution")
 
   val Factors: Seq[Int] = Seq(1, 4, 16)
   /** Skip ×16 when the ×4-projected time exceeds this (seconds). */
@@ -117,26 +124,35 @@ object ScaleBench {
       else { buildScratch(spark, base, out, f); f -> out }
     }.toMap
 
-    def timeOne(name: String, dir: String): Double = {
+    // Returns (seconds, output rows). Rows disambiguate the verdict:
+    // a fixed coordinate/embedding space genuinely DENSIFIES as the
+    // corpus replicates, so a radius/threshold join's TRUE result set
+    // grows superlinearly — time tracking the output is the operator
+    // being linear-per-result, not a plan defect.
+    def timeOne(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, dir).count(); true }
+      val n = try SparkEntry.queries(name)(spark, dir).count()
         catch { case e: Throwable =>
           System.err.println(s"SCALE FAIL $name @ $dir: ${e.getMessage}")
-          false }
+          -1L }
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       SparkEntry.reapScratch()
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (n >= 0) ((System.nanoTime() - t0) / 1e9, n) else (-1.0, -1L)
     }
 
     // rep-interleaved per factor (the Bench host-steal lesson); the
     // most expensive tier runs ONE rep — its signal is the order of
     // magnitude, not the third digit.
     val times = scala.collection.mutable.Map.empty[(String, Int), List[Double]]
+    val rows = scala.collection.mutable.Map.empty[(String, Int), Long]
+    def record(name: String, f: Int): Unit = {
+      val (t, n) = timeOne(name, dirs(f))
+      times((name, f)) = t :: times.getOrElse((name, f), Nil)
+      if (n >= 0) rows((name, f)) = n
+    }
     for (f <- Factors.sorted; if f < 16) {
-      for (r <- 1 to reps; name <- Queries)
-        times((name, f)) = timeOne(name, dirs(f)) ::
-          times.getOrElse((name, f), Nil)
+      for (r <- 1 to reps; name <- Queries) record(name, f)
     }
     def tmin(name: String, f: Int): Double = {
       val ts = times.getOrElse((name, f), Nil).filter(_ >= 0)
@@ -149,19 +165,28 @@ object ScaleBench {
         val e4 = math.log(t4 / t1) / math.log(4.0)
         t4 * math.pow(4.0, math.max(e4, 1.0))
       } else Guard + 1
-      if (proj <= Guard)
-        times((name, 16)) = List(timeOne(name, dirs(16)))
+      if (proj <= Guard) record(name, 16)
     }
 
     val entries = Queries.map { name =>
       val (t1, t4, t16) = (tmin(name, 1), tmin(name, 4), tmin(name, 16))
+      def r(f: Int): Long = rows.getOrElse((name, f), -1L)
       val e4 = if (t1 > 0 && t4 > 0)
         math.log(t4 / t1) / math.log(4.0) else Double.NaN
       val e16 = if (t1 > 0 && t16 > 0)
         math.log(t16 / t1) / math.log(16.0) else Double.NaN
       val e = if (!e16.isNaN) e16 else e4
+      // Output-growth exponent at the same tier as `e`: a verdict is
+      // only "superlinear" when time outruns the TRUE result set —
+      // time ≤ output growth means linear-per-result (the fixed
+      // coordinate space densifying under replication).
+      val (rBase, rTier) = if (!e16.isNaN) (r(1), r(16)) else (r(1), r(4))
+      val base = if (!e16.isNaN) 16.0 else 4.0
+      val re = if (rBase > 0 && rTier > 0)
+        math.log(rTier.toDouble / rBase) / math.log(base) else Double.NaN
       val verdict =
         if (e.isNaN) "failed"
+        else if (e > 1.3 && !re.isNaN && e <= re + 0.1) "output-bound"
         else if (e > 1.3) "superlinear"
         else if (e > 1.15) "linear+"
         else "linear-or-better"
@@ -170,8 +195,11 @@ object ScaleBench {
       // Exponents are legitimately negative at overhead-dominated
       // sizes — only NaN (missing tier) renders as null.
       def je(d: Double) = if (d.isNaN) "null" else f"$d%.4f"
+      def jr(v: Long) = if (v < 0) "null" else v.toString
       s""""$name":{"t1":${j(t1)},"t4":${j(t4)},"t16":${j(t16)},""" +
         s""""exp4":${je(e4)},"exp16":${je(e16)},""" +
+        s""""rows1":${jr(r(1))},"rows4":${jr(r(4))},""" +
+        s""""rows16":${jr(r(16))},"rowexp":${je(re)},""" +
         s""""skipped16":${t16 < 0},"verdict":"$verdict"}"""
     }
     val json = s"""{"metric":"scale_exponents","base":"$base",""" +

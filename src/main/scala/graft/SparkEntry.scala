@@ -4266,7 +4266,43 @@ object SparkEntry {
     "q291_attribution" -> ((s, dir) =>
       Sessionize.attribution(t(s, dir, "events"), "user_id", "ts",
         "event_type", "value", "event_id",
-        conversionType = "purchase", lookbackSec = 86400L))
+        conversionType = "purchase", lookbackSec = 86400L)),
+
+    // OSA/Damerau ≤ 1 self-join: odd docs get an adjacent-swap twin
+    // (chars 6↔7 of the 12-char head) — invisible to plain
+    // Levenshtein ≤ 1 (distance 2) but one OSA edit; the oracle's
+    // damerau_levenshtein affords the quadratic form at gate scale.
+    "q292_osa_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          substring(col("text"), 1, 12).as("h"))
+      val twins = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(substring(col("text"), 1, 5),
+            substring(col("text"), 7, 1), substring(col("text"), 6, 1),
+            substring(col("text"), 8, 5)).as("h"))
+      Linkage.editNeighborJoin(d.unionByName(twins), "id", "h",
+        transpositions = true)
+    }),
+
+    // Difference-in-differences per event type: treat = even users,
+    // post = second half of the month — exact DECIMAL cell sums,
+    // four-mean algebra once per group.
+    "q293_did" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("value"), (col("user_id") % 2 === 0).as("treat"),
+        (unix_micros(col("ts")) >= 1705363200000000L).as("post"))
+      Profile.diffInDiff(ev, "event_type", "value", "treat", "post")
+    }),
+
+    // Sample-ratio-mismatch χ² against the intended 50/50 split —
+    // the pre-metric trust gate for q288/q293's arms.
+    "q294_srm" -> ((s, dir) =>
+      Profile.sampleRatioCheck(
+        t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 2 === 0).as("side")),
+        "event_type", "side"))
   )
 
   /** q285/q286's shared ratings fixture: three deterministic raters
@@ -10342,7 +10378,87 @@ object SparkEntry {
         |    ELSE CAST(round(CAST(sum(CAST(lag_us AS HUGEINT)) AS DOUBLE)
         |      / CAST(count(*) AS DOUBLE)) AS BIGINT) END
         |    AS avg_lag_sec_micro
-        |FROM a GROUP BY channel""".stripMargin
+        |FROM a GROUP BY channel""".stripMargin,
+
+    "q292_osa_join" ->
+      """WITH u AS (
+        |  SELECT doc_id AS id, substr(text, 1, 12) AS s FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, 5) || substr(text, 7, 1) ||
+        |      substr(text, 6, 1) || substr(text, 8, 5)
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT a.id AS left_id, b.id AS right_id,
+        |  a.s AS left_s, b.s AS right_s,
+        |  CAST(damerau_levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM u a JOIN u b ON a.id < b.id
+        |WHERE damerau_levenshtein(a.s, b.s) <= 1""".stripMargin,
+
+    "q293_did" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS y,
+        |    user_id % 2 = 0 AS t,
+        |    epoch_us(ts) >= 1705363200000000 AS p
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_tpre,
+        |    CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_tpost,
+        |    CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_cpre,
+        |    CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_cpost,
+        |    sum(CASE WHEN t AND NOT p THEN y ELSE 0 END) AS stpre,
+        |    sum(CASE WHEN t AND p THEN y ELSE 0 END) AS stpost,
+        |    sum(CASE WHEN NOT t AND NOT p THEN y ELSE 0 END) AS scpre,
+        |    sum(CASE WHEN NOT t AND p THEN y ELSE 0 END) AS scpost
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT g, n_tpre, n_tpost, n_cpre, n_cpost,
+        |    CASE WHEN n_tpre > 0 AND n_tpost > 0 THEN
+        |      CAST(stpost AS DOUBLE) / CAST(n_tpost AS DOUBLE)
+        |        - CAST(stpre AS DOUBLE) / CAST(n_tpre AS DOUBLE)
+        |      END AS td,
+        |    CASE WHEN n_cpre > 0 AND n_cpost > 0 THEN
+        |      CAST(scpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)
+        |        - CAST(scpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)
+        |      END AS cd
+        |  FROM st)
+        |SELECT g AS event_type, n_tpre, n_tpost, n_cpre, n_cpost,
+        |  CAST(round(td) AS BIGINT) AS treat_delta_micro,
+        |  CAST(round(cd) AS BIGINT) AS control_delta_micro,
+        |  CASE WHEN td IS NOT NULL AND cd IS NOT NULL
+        |    THEN CAST(round(td - cd) AS BIGINT)
+        |    ELSE NULL END AS did_micro
+        |FROM f""".stripMargin,
+
+    "q294_srm" ->
+      """WITH st AS (
+        |  SELECT event_type AS g,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM events GROUP BY 1)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CAST(round(1e6 * (
+        |    (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+        |      * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+        |      / (CAST(n_a + n_b AS DOUBLE) * 0.5)
+        |    + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+        |      * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+        |      / (CAST(n_a + n_b AS DOUBLE) * 0.5))) AS BIGINT)
+        |    AS chi2_micro,
+        |  ((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+        |      * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+        |      / (CAST(n_a + n_b AS DOUBLE) * 0.5)
+        |    + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+        |      * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+        |      / (CAST(n_a + n_b AS DOUBLE) * 0.5)) > 3.841459 AS srm
+        |FROM st""".stripMargin
   )
 
   /** q287's oracle: the same Poisson-threshold inverse CDF

@@ -714,7 +714,12 @@ object Dedup {
     require(k >= 1, "k must be at least 1")
     require(w >= 1, "w must be at least 1")
     val grams = transform(shingles(col(textCol), k), g => hash48(g))
-    val withGrams = docs.select(col(idCol), grams.as("__g"))
+    // O(len·w) shingle/hash/window-min work per row — fan the narrow
+    // doc frame out first (Skew.fanOut: single-split small files +
+    // AQE re-coalesce would otherwise serialize the whole pass).
+    val withGrams = Skew.fanOut(docs.select(col(idCol), col(textCol)),
+        col(idCol))
+      .select(col(idCol), grams.as("__g"))
     val ng = size(col("__g"))
     // Window start indexes: empty docs explode away; short docs get
     // the sentinel −1 = "min of the whole gram array".

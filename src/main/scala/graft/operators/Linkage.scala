@@ -178,13 +178,26 @@ object Linkage {
     * prefix/fingerprint first for long strings. NULL/empty strings
     * are dropped (an empty string is within distance 1 of every
     * 1-char string; if that matters, model it upstream).
+    *
+    * `transpositions = true` upgrades the metric to OSA/Damerau ≤ 1
+    * (adjacent swaps also count as one edit — the dominant real typo
+    * class). The SAME candidate join suffices: a swap at position i
+    * gives both strings the identical delete-at-i / delete-at-(i+1)
+    * variant (s = p·ab·q, t = p·ba·q ⇒ both yield p·b·q), so only
+    * verification changes — a pair at Levenshtein 2 is kept iff it
+    * is EXACTLY one adjacent transposition (same length, exactly two
+    * adjacent diff positions, crossed characters), checked in pure
+    * codegen'd string/array functions. At threshold 1, OSA and full
+    * Damerau coincide (no edits can land between the swapped pair).
+    *
     * Output: (left_id, right_id, left_s, right_s, dist),
     * left_id < right_id, dist ∈ {0, 1}. */
   def editNeighborJoin(
       df: DataFrame,
       idCol: String,
       strCol: String,
-      maxLen: Int = 24): DataFrame = {
+      maxLen: Int = 24,
+      transpositions: Boolean = false): DataFrame = {
     require(maxLen >= 1 && maxLen <= 64, "maxLen must be in [1, 64]")
     val base = Dedup.truncate(df
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
@@ -202,12 +215,40 @@ object Linkage {
       col("__s").as("left_s"))
     val r = variants.select(col("__v"), col("__id").as("right_id"),
       col("__s").as("right_s"))
-    l.join(r, Seq("__v")).filter(col("left_id") < col("right_id"))
+    val pairs = l.join(r, Seq("__v"))
+      .filter(col("left_id") < col("right_id"))
       .select(col("left_id"), col("right_id"), col("left_s"),
         col("right_s"))
       .distinct()
-      .withColumn("dist",
+      .withColumn("__lev",
         levenshtein(col("left_s"), col("right_s")).cast("long"))
-      .filter(col("dist") <= 1L)
+    if (!transpositions)
+      pairs.withColumn("dist", col("__lev")).filter(col("dist") <= 1L)
+        .drop("__lev")
+    else {
+      // Exactly one adjacent swap: equal length, diff positions are
+      // two adjacent indices with crossed characters. The diff-index
+      // array materializes once per pair; only __lev = 2 pairs (the
+      // candidate set is already tiny) evaluate it.
+      val isSwap =
+        expr("""size(__diffs) = 2
+              AND element_at(__diffs, 2) = element_at(__diffs, 1) + 1
+              AND substring(left_s, element_at(__diffs, 1), 1)
+                  = substring(right_s, element_at(__diffs, 2), 1)
+              AND substring(left_s, element_at(__diffs, 2), 1)
+                  = substring(right_s, element_at(__diffs, 1), 1)""")
+      pairs.withColumn("__diffs",
+          when(length(col("left_s")) === length(col("right_s")) &&
+              col("__lev") === 2L,
+            expr("""filter(sequence(1, length(left_s)), i ->
+                    substring(left_s, i, 1) != substring(right_s, i, 1))"""))
+            .otherwise(lit(null)))
+        .withColumn("dist",
+          when(col("__lev") <= 1L, col("__lev"))
+            .when(col("__diffs").isNotNull && isSwap, lit(1L))
+            .otherwise(lit(2L)))
+        .filter(col("dist") <= 1L)
+        .drop("__lev", "__diffs")
+    }
   }
 }

@@ -1225,4 +1225,95 @@ object Profile {
           .as("share_micro"),
         (col("__win") === col("n_votes")).as("unanimous"))
   }
+
+  /** Difference-in-differences readout per group — the quasi-
+    * experimental counterpart of [[cuped]] for when randomization
+    * wasn't available: DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    * (ȳ_control,post − ȳ_control,pre), the parallel-trends estimate
+    * of the treatment effect. Metric micro-quantizes once, the four
+    * cell sums/counts accumulate exactly in one scan (DECIMAL(38,0)
+    * sums), and the four-mean algebra is one guarded float pass per
+    * group. Any empty cell reports NULL did_micro (the contrast is
+    * undefined), with the cell counts still reported so the caller
+    * sees WHICH cell starved.
+    * Output: (groupCol, n_tpre, n_tpost, n_cpre, n_cpost,
+    * treat_delta_micro, control_delta_micro, did_micro). */
+  def diffInDiff(
+      df: DataFrame,
+      groupCol: String,
+      metricCol: String,
+      treatCol: String,
+      postCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(metricCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(metricCol).cast("double") * lit(1e6)).cast("long")
+          .as("__y"),
+        col(treatCol).cast("boolean").as("__t"),
+        col(postCol).cast("boolean").as("__p"))
+    def cell(t: Boolean, p: Boolean) =
+      col("__t") === lit(t) && col("__p") === lit(p)
+    def n(t: Boolean, p: Boolean) =
+      sum(when(cell(t, p), 1L).otherwise(0L))
+    def s(t: Boolean, p: Boolean) =
+      sum(when(cell(t, p), col("__y")).otherwise(0L).cast(dec))
+    val stats = base.groupBy(col("__g")).agg(
+      n(true, false).as("n_tpre"), n(true, true).as("n_tpost"),
+      n(false, false).as("n_cpre"), n(false, true).as("n_cpost"),
+      s(true, false).as("__stpre"), s(true, true).as("__stpost"),
+      s(false, false).as("__scpre"), s(false, true).as("__scpost"))
+    def mean(sc: String, nc: String) =
+      col(sc).cast("double") / col(nc).cast("double")
+    val tboth = col("n_tpre") > 0L && col("n_tpost") > 0L
+    val cboth = col("n_cpre") > 0L && col("n_cpost") > 0L
+    val td = when(tboth, mean("__stpost", "n_tpost") -
+      mean("__stpre", "n_tpre")).otherwise(lit(null).cast("double"))
+    val cd = when(cboth, mean("__scpost", "n_cpost") -
+      mean("__scpre", "n_cpre")).otherwise(lit(null).cast("double"))
+    stats.select(col("__g").as(groupCol),
+      col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+      when(tboth, round(td).cast("long"))
+        .otherwise(lit(null).cast("long")).as("treat_delta_micro"),
+      when(cboth, round(cd).cast("long"))
+        .otherwise(lit(null).cast("long")).as("control_delta_micro"),
+      when(tboth && cboth, round(td - cd).cast("long"))
+        .otherwise(lit(null).cast("long")).as("did_micro"))
+  }
+
+  /** Sample-ratio-mismatch (SRM) check per group — the first thing
+    * to run on ANY experiment before reading its metrics: a χ²
+    * goodness-of-fit of the observed A/B split against the intended
+    * ratio `expectA`. χ² = (n_a − n·p)²/(n·p) + (n_b − n·q)²/(n·q)
+    * with q = 1 − p, one float pass over exact integer counts,
+    * micro-rounded; `srm` flags χ² > 3.841459 (the 95th percentile
+    * of χ²₁ as a LITERAL — no runtime libm, both engines compare
+    * against the same constant). Empty groups report NULL χ² and
+    * false. A flagged group's metrics are untrustworthy — diagnose
+    * the assignment path before believing any readout downstream.
+    * Output: (groupCol, n_a, n_b, chi2_micro, srm). */
+  def sampleRatioCheck(
+      df: DataFrame,
+      groupCol: String,
+      sideCol: String,
+      expectA: Double = 0.5): DataFrame = {
+    require(expectA > 0.0 && expectA < 1.0, "expectA must be in (0, 1)")
+    // A NULL side is NEITHER arm — dropping it beats silently
+    // counting it as B (an unassigned-row bug would masquerade as SRM).
+    val stats = df.filter(col(sideCol).isNotNull)
+      .groupBy(col(groupCol).as("__g")).agg(
+      sum(when(col(sideCol).cast("boolean"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col(sideCol).cast("boolean"), 1L).otherwise(0L)).as("n_b"))
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val ea = nD * lit(expectA)
+    val eb = nD * lit(1.0 - expectA)
+    val chi2 = (col("n_a").cast("double") - ea) *
+      (col("n_a").cast("double") - ea) / ea +
+      (col("n_b").cast("double") - eb) *
+        (col("n_b").cast("double") - eb) / eb
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      when(nD > 0.0, round(lit(1e6) * chi2).cast("long"))
+        .otherwise(lit(null).cast("long")).as("chi2_micro"),
+      when(nD > 0.0, chi2 > lit(3.841459)).otherwise(lit(false))
+        .as("srm"))
+  }
 }

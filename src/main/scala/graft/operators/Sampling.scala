@@ -232,7 +232,18 @@ object Sampling {
         col("__b").cast("string")))
     val w = PoissonThresholds60.map(t => when(u >= t, 1L).otherwise(0L))
       .reduce(_ + _)
+    // Repartition BEFORE the ×b explode: the input often arrives in
+    // one or two file partitions, and inflating 100× inside them
+    // leaves every md5 on a single thread. Shuffling the small
+    // pre-explode frame (n rows) buys full-width parallelism for the
+    // b·n hash evaluations — the cheap side of the explode is the
+    // side to move. The partition count is pinned EXPLICITLY: the
+    // pre-explode frame is tiny, and AQE would coalesce a plain
+    // repartition(cols) right back to one partition, re-serializing
+    // the expensive side.
+    val shuffleN = df.sparkSession.sessionState.conf.numShufflePartitions
     val reps = base
+      .repartition(shuffleN, col("__g"), col("__id"))
       .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
       .select(col("__g"), col("__b"), w.as("__w"), col("__v"))
       .groupBy(col("__g"), col("__b"))

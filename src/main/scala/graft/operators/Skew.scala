@@ -58,4 +58,26 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Pinned-width fan-out for an EXPENSIVE map stage over a narrow
+    * input: shuffle the cheap side (the rows) so every core works the
+    * dear side (tokenize / shingle / hash / decode per row). Two
+    * traps this exists to dodge: (1) a small parquet file is ONE
+    * input split (single row group), so without a shuffle the whole
+    * map stage runs on one thread no matter the cluster; (2) a plain
+    * `repartition(cols)` is re-coalesced by AQE right back to one
+    * partition when the input bytes are small — the width must be
+    * pinned explicitly (AQE honors a user-specified count). On a real
+    * many-split table the extra exchange is a row-preserving hash
+    * shuffle of the narrow projection — noise next to the map work it
+    * parallelizes; callers apply it ONLY where the per-row work is
+    * heavy. "Heavy" is MEASURED, not assumed: A/B at sf0.1 showed
+    * winnowing's per-start window-min slices −45% and the bootstrap's
+    * ×100 md5 explode −85%, while fanning the cheap native
+    * whitespace-tokenize paths (BM25, LM counts, gram fractions) LOST
+    * 5–60% — their cost lives in the post-shuffle aggregation, and
+    * the extra exchange only adds latency. */
+  def fanOut(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
 }

@@ -127,4 +127,34 @@ class LinkageSpec extends SparkSpec {
     // 2 vs 3 ("abd"/"abcd") is also distance 1 (insert c)
     assert(got((2L, 3L)) == 1L)
   }
+
+  test("editNeighborJoin transpositions: adjacent swap is 1, others stay out") {
+    val df = Seq(
+      (1L, "abcd"),
+      (2L, "bacd"),  // adjacent swap at 1-2: OSA 1
+      (3L, "abdc"),  // adjacent swap at 3-4: OSA 1
+      (4L, "acbd"),  // adjacent swap at 2-3: OSA 1
+      (5L, "adcb"),  // vs 1: two swaps (OSA 2) — must stay out
+      (6L, "cbad"),  // vs 1: NON-adjacent swap of 1↔3 (OSA 2)
+      (7L, "abxd"))  // plain substitution still distance 1
+      .toDF("id", "s")
+    val got = Linkage.editNeighborJoin(df, "id", "s",
+        transpositions = true)
+      .collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id")) ->
+        r.getAs[Long]("dist")).toMap
+    assert(got((1L, 2L)) == 1L)
+    assert(got((1L, 3L)) == 1L)
+    assert(got((1L, 4L)) == 1L)
+    assert(got((1L, 7L)) == 1L)
+    assert(!got.contains((1L, 5L)))
+    assert(!got.contains((1L, 6L)))
+    // Without the flag the swaps disappear, substitution stays.
+    val plain = Linkage.editNeighborJoin(df, "id", "s")
+      .collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id")))
+      .toSet
+    assert(!plain.contains((1L, 2L)))
+    assert(plain.contains((1L, 7L)))
+  }
 }

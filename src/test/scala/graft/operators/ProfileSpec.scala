@@ -521,4 +521,44 @@ class ProfileSpec extends SparkSpec {
     assert(got("flatx").getAs[Long]("diff_micro") == -8000000L)
     assert(got("flatx").isNullAt(got("flatx").fieldIndex("theta_micro")))
   }
+
+  test("diffInDiff: hand 2x2, starved cell reports NULL contrast") {
+    val df = Seq(
+      // g: treat 1.5 -> 4.0 (td 2.5), control 1.0 -> 2.0 (cd 1.0)
+      ("g", 1.0, true, false), ("g", 2.0, true, false),
+      ("g", 4.0, true, true),
+      ("g", 1.0, false, false),
+      ("g", 2.0, false, true), ("g", 2.0, false, true),
+      // h: control never observed post — did undefined
+      ("h", 1.0, true, false), ("h", 3.0, true, true),
+      ("h", 1.0, false, false))
+      .toDF("g", "y", "treat", "post")
+    val got = Profile.diffInDiff(df, "g", "y", "treat", "post")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("g").getAs[Long]("treat_delta_micro") == 2500000L)
+    assert(got("g").getAs[Long]("control_delta_micro") == 1000000L)
+    assert(got("g").getAs[Long]("did_micro") == 1500000L)
+    assert(got("h").getAs[Long]("treat_delta_micro") == 2000000L)
+    assert(got("h").getAs[Long]("n_cpost") == 0L)
+    assert(got("h").isNullAt(got("h").fieldIndex("control_delta_micro")))
+    assert(got("h").isNullAt(got("h").fieldIndex("did_micro")))
+  }
+
+  test("sampleRatioCheck: balanced passes, 90/10 flags, NULL side dropped") {
+    val bal = (1 to 10).map(i => ("bal", Some(true))) ++
+      (1 to 10).map(i => ("bal", Some(false))) ++
+      Seq(("bal", None)) ++
+      (1 to 90).map(i => ("skew", Some(true))) ++
+      (1 to 10).map(i => ("skew", Some(false)))
+    val df = bal.toDF("g", "side")
+    val got = Profile.sampleRatioCheck(df, "g", "side").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("bal").getAs[Long]("n_a") == 10L)
+    assert(got("bal").getAs[Long]("n_b") == 10L)
+    assert(got("bal").getAs[Long]("chi2_micro") == 0L)
+    assert(!got("bal").getAs[Boolean]("srm"))
+    // (90-50)^2/50 + (10-50)^2/50 = 64
+    assert(got("skew").getAs[Long]("chi2_micro") == 64000000L)
+    assert(got("skew").getAs[Boolean]("srm"))
+  }
 }
