@@ -4302,7 +4302,43 @@ object SparkEntry {
       Profile.sampleRatioCheck(
         t(s, dir, "events").select(col("event_type"),
           (col("user_id") % 2 === 0).as("side")),
-        "event_type", "side"))
+        "event_type", "side")),
+
+    // Sturges auto-binned value histogram per event type — bins from
+    // the exact bit length of n, integer bin assignment, exact micro
+    // bounds; only occupied bins emit.
+    "q295_sturges_hist" -> ((s, dir) =>
+      Profile.sturgesHistogram(
+        t(s, dir, "events").select(col("event_type"), col("value")),
+        "event_type", "value")),
+
+    // Wilson 95% interval for the long-document share per source —
+    // literal z, one IEEE sqrt, engine-identical micro bounds.
+    "q296_wilson" -> ((s, dir) =>
+      Profile.wilsonInterval(
+        t(s, dir, "documents").select(col("source"),
+          (col("n_chars") >= 500).as("long_doc")),
+        "source", "long_doc")),
+
+    // Lorenz decile census of characters per source: which slice of
+    // the corpus holds the mass (the WHERE to Gini's HOW MUCH).
+    "q297_lorenz" -> ((s, dir) =>
+      Profile.lorenzBuckets(
+        t(s, dir, "documents").select(col("source"),
+          col("n_chars").cast("double").as("w"), col("doc_id")),
+        "source", "w", "doc_id", buckets = 10)),
+
+    // Funnel time-to-convert distribution: exact p50/p90 of each
+    // step's delta off the q289 chain (the mean hides the slow tail).
+    "q298_funnel_latency" -> ((s, dir) => {
+      val times = Sessionize.funnelTimes(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      val deltas = times.filter(col("prev_us").isNotNull)
+        .select(col("step"), (col("t_us") - col("prev_us")).as("delta_us"),
+          col("user_id"))
+      Ranking.groupQuantiles(deltas, "step", "delta_us", "user_id",
+        Seq(0.5, 0.9))
+    })
   )
 
   /** q285/q286's shared ratings fixture: three deterministic raters
@@ -10459,7 +10495,125 @@ object SparkEntry {
         |      * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
         |      / (CAST(n_a + n_b AS DOUBLE) * 0.5)) > 3.841459 AS srm
         |FROM st""".stripMargin
-  )
+  ) ++ analyticsOracleSql
+
+  /** q295–q298 oracle twins: Sturges bit-length bins, Wilson score
+    * with the identical float op chain, Lorenz rank buckets, and the
+    * funnel-delta quantiles over the q289 chain. */
+  private val analyticsOracleSql: Map[String, String] = Map(
+    "q295_sturges_hist" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    min(x) AS lo, max(x) AS hi
+        |  FROM b GROUP BY 1),
+        |st2 AS (
+        |  SELECT g, CAST(length(bin(n)) AS BIGINT) AS n_bins, lo, hi
+        |  FROM st),
+        |bb AS (
+        |  SELECT b.g, st2.n_bins, st2.lo AS lo_micro,
+        |    st2.hi AS hi_micro,
+        |    CASE WHEN st2.hi = st2.lo THEN 0
+        |      ELSE least(((b.x - st2.lo) * st2.n_bins)
+        |        // (st2.hi - st2.lo), st2.n_bins - 1) END AS bin
+        |  FROM b JOIN st2 USING (g))
+        |SELECT g AS event_type, n_bins, bin, lo_micro, hi_micro,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM bb GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q296_wilson" ->
+      """WITH st AS (
+        |  SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM documents GROUP BY 1),
+        |f AS (
+        |  SELECT g, n, k,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    1.959964 * 1.959964 AS z2,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM st)
+        |SELECT g AS source, n, k,
+        |  CAST(round(1e6 * p) AS BIGINT) AS p_micro,
+        |  CAST(round(1e6 * ((p + z2 / (2.0 * nd)) / (1.0 + z2 / nd)
+        |    - 1.959964 * sqrt((p * (1.0 - p) + z2 / (4.0 * nd)) / nd)
+        |      / (1.0 + z2 / nd))) AS BIGINT) AS lo_micro,
+        |  CAST(round(1e6 * ((p + z2 / (2.0 * nd)) / (1.0 + z2 / nd)
+        |    + 1.959964 * sqrt((p * (1.0 - p) + z2 / (4.0 * nd)) / nd)
+        |      / (1.0 + z2 / nd))) AS BIGINT) AS hi_micro
+        |FROM f""".stripMargin,
+
+    "q297_lorenz" ->
+      """WITH a AS (
+        |  SELECT source AS g,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    doc_id AS t
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |drp AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS nd FROM a
+        |  WHERE v < 0 GROUP BY 1),
+        |b AS (SELECT * FROM a WHERE v >= 0),
+        |r AS (
+        |  SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v, t) AS rnk
+        |  FROM b),
+        |tt AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS tot
+        |  FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT r.g, (r.rnk * 10 + tt.n - 1) // tt.n AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(CAST(r.v AS HUGEINT)) AS s
+        |  FROM r JOIN tt USING (g) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT c1.g, c1.bucket, sum(c2.s) AS cs
+        |  FROM c c1 JOIN c c2 ON c1.g = c2.g AND c2.bucket <= c1.bucket
+        |  GROUP BY 1, 2)
+        |SELECT c.g AS source, CAST(c.bucket AS BIGINT) AS bucket,
+        |  c.n_rows, COALESCE(drp.nd, 0) AS n_dropped,
+        |  CASE WHEN tt.tot > 0 THEN CAST(round(1e6
+        |    * CAST(c.s AS DOUBLE) / CAST(tt.tot AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS share_micro,
+        |  CASE WHEN tt.tot > 0 THEN CAST(round(1e6
+        |    * CAST(cum.cs AS DOUBLE) / CAST(tt.tot AS DOUBLE))
+        |    AS BIGINT)
+        |    ELSE NULL END AS cum_share_micro
+        |FROM c JOIN cum USING (g, bucket) JOIN tt USING (g)
+        |LEFT JOIN drp USING (g)""".stripMargin,
+
+    "q298_funnel_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS us, event_type AS t
+        |  FROM events),
+        |s1 AS (
+        |  SELECT k, min(us) AS p FROM ev WHERE t = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT ev.k, min(ev.us) AS p, min(s1.p) AS f
+        |  FROM ev JOIN s1 ON ev.k = s1.k
+        |  WHERE ev.t = 'click' AND ev.us > s1.p GROUP BY 1),
+        |s3 AS (
+        |  SELECT ev.k, min(ev.us) AS p, min(s2.p) AS f
+        |  FROM ev JOIN s2 ON ev.k = s2.k
+        |  WHERE ev.t = 'purchase' AND ev.us > s2.p GROUP BY 1),
+        |d AS (
+        |  SELECT 2 AS step, k, p - f AS delta FROM s2
+        |  UNION ALL
+        |  SELECT 3, k, p - f FROM s3),
+        |r AS (
+        |  SELECT step, delta,
+        |    row_number() OVER (PARTITION BY step ORDER BY delta, k)
+        |      AS rnk,
+        |    count(*) OVER (PARTITION BY step) AS cnt
+        |  FROM d),
+        |qs AS (SELECT 0.5 AS q UNION ALL SELECT 0.9)
+        |SELECT CAST(r.step AS BIGINT) AS step,
+        |  CAST(qs.q AS DOUBLE) AS q, r.delta AS delta_us
+        |FROM r JOIN qs
+        |  ON r.rnk = CAST(ceil(qs.q * r.cnt) AS BIGINT)""".stripMargin)
 
   /** q287's oracle: the same Poisson-threshold inverse CDF
     * (Sampling.PoissonThresholds60 literals), replicate means and

@@ -1316,4 +1316,134 @@ object Profile {
       when(nD > 0.0, chi2 > lit(3.841459)).otherwise(lit(false))
         .as("srm"))
   }
+
+  /** Sturges histogram per group — the auto-binned distribution
+    * readout whose every number is EXACT: bins = ⌊log₂ n⌋ + 1 is the
+    * BIT LENGTH of the row count (`length(bin(n))`, the q66 idiom —
+    * no libm log), bounds are exact micro order statistics (min/max),
+    * and the bin index is pure integer arithmetic,
+    * ⌊(x−lo)·bins/(hi−lo)⌋ clamped so x = hi lands in the last bin.
+    * Degenerate groups (hi = lo) put everything in bin 0. Only
+    * OCCUPIED bins emit (sparse census, stated). NULL values drop.
+    * Overflow bound: |micro value range|·bins < 2⁶³ ⇒ |v| ≲ 1.4e11
+    * at 64 bins — far past any quality-score domain.
+    * Output: (groupCol, n_bins, bin, lo_micro, hi_micro, n_rows). */
+  def sturgesHistogram(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__x"))
+    val stats = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), min(col("__x")).as("lo_micro"),
+        max(col("__x")).as("hi_micro"))
+      .withColumn("n_bins", length(bin(col("__n"))).cast("long"))
+      .select(col("__g").as("__sg"), col("n_bins"),
+        col("lo_micro"), col("hi_micro"))
+    base.join(broadcast(stats), col("__g") <=> col("__sg"))
+      .withColumn("bin",
+        when(col("hi_micro") === col("lo_micro"), lit(0L))
+          .otherwise(least(
+            expr("((__x - lo_micro) * n_bins) div (hi_micro - lo_micro)"),
+            col("n_bins") - 1L)))
+      .groupBy(col("__g").as(groupCol), col("n_bins"), col("bin"),
+        col("lo_micro"), col("hi_micro"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col(groupCol), col("n_bins"), col("bin"),
+        col("lo_micro"), col("hi_micro"), col("n_rows"))
+  }
+
+  /** Wilson score interval for a per-group proportion — the
+    * uncertainty bar that behaves at k = 0, k = n, and small n where
+    * the Wald interval collapses. z is the LITERAL 1.959964 (95%,
+    * no runtime inverse-normal on either engine); the only
+    * non-rational op is ONE IEEE sqrt (correctly rounded by the
+    * standard — the groupTrend/Welch precedent), so the micro-rounded
+    * bounds are engine-identical. NULL outcomes drop (stated).
+    * Output: (groupCol, n, k, p_micro, lo_micro, hi_micro). */
+  def wilsonInterval(
+      df: DataFrame,
+      groupCol: String,
+      successCol: String,
+      z: Double = 1.959964): DataFrame = {
+    require(z > 0, "z must be positive")
+    val stats = df.filter(col(successCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L))
+          .as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = lit(z) *
+      sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nD)) / nD) / denom
+    stats.select(col("__g").as(groupCol), col("n"), col("k"),
+      round(lit(1e6) * p).cast("long").as("p_micro"),
+      round(lit(1e6) * (center - half)).cast("long").as("lo_micro"),
+      round(lit(1e6) * (center + half)).cast("long").as("hi_micro"))
+  }
+
+  /** Lorenz-curve bucket census per group — [[concentration]]'s Gini
+    * says HOW concentrated; this says WHERE: rows rank ascending by
+    * value (ties totalized by `tieCol`), split into `buckets` equal
+    * rank slices (⌈b·rank/n⌉ — pure integer ceil), and each slice
+    * reports its exact share of the group total plus the cumulative
+    * share ("the bottom 70% of documents hold 31% of the tokens").
+    * Values must be NON-NEGATIVE (a Lorenz curve over mixed signs is
+    * undefined); negative rows are EXCLUDED and surface in n_dropped
+    * rather than silently absorbed. The cumulative sum runs over the
+    * bucket census itself (≤ buckets rows per group) via a bounded
+    * self-join — never a window over raw rows. All-zero groups report
+    * NULL shares. Output: (groupCol, bucket, n_rows, n_dropped,
+    * share_micro, cum_share_micro). */
+  def lorenzBuckets(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      "buckets must be in [2, 1000]")
+    val dec = "decimal(38,0)"
+    val all = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(tieCol).as("__t"))
+    val dropped = all.filter(col("__v") < 0L)
+      .groupBy(col("__g")).agg(count(lit(1)).as("n_dropped"))
+    val base = all.filter(col("__v") >= 0L)
+    val ranked = Ranking.groupRank(base, "__g", Seq("__v", "__t"))
+    val totals = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v").cast(dec)).as("__tot"))
+    val census = Dedup.truncate(ranked
+      .join(broadcast(totals), Seq("__g"))
+      .withColumn("bucket",
+        expr(s"(rank * ${buckets}L + __n - 1) div __n"))
+      .groupBy(col("__g"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__v").cast(dec)).as("__s")))
+    val cum = census.select(col("__g"), col("bucket"))
+      .join(census.select(col("__g"), col("bucket").as("__b2"),
+        col("__s").as("__s2")), Seq("__g"))
+      .filter(col("__b2") <= col("bucket"))
+      .groupBy(col("__g"), col("bucket"))
+      .agg(sum(col("__s2")).as("__cs"))
+    census.join(cum, Seq("__g", "bucket"))
+      .join(broadcast(totals), Seq("__g"))
+      .join(broadcast(dropped), Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("bucket"), col("n_rows"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        when(col("__tot") > 0,
+          round(lit(1e6) * col("__s").cast("double") /
+            col("__tot").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("share_micro"),
+        when(col("__tot") > 0,
+          round(lit(1e6) * col("__cs").cast("double") /
+            col("__tot").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("cum_share_micro"))
+  }
 }

@@ -201,39 +201,28 @@ object Sessionize {
       tsCol: String,
       typeCol: String,
       steps: Seq[String]): DataFrame = {
-    require(steps.length >= 2 && steps.length <= 8,
-      "steps must list 2..8 stage names")
-    require(steps.distinct.length == steps.length,
-      "steps must be distinct")
     val dec = "decimal(38,0)"
-    val ev = Dedup.truncate(df.select(col(keyCol).as("__k"),
-      unix_micros(col(tsCol)).as("__us"), col(typeCol).as("__t")))
-    val first = ev.filter(col("__t") === steps.head)
-      .groupBy(col("__k")).agg(min(col("__us")).as("__prev"))
-    val statFirst = first.agg(count(lit(1)).as("n_users"))
-      .select(lit(1L).as("step"), lit(steps.head).as("step_name"),
-        col("n_users"), lit(null).cast(dec).as("__sumd"))
-    val (_, stats) = steps.zipWithIndex.drop(1)
-      .foldLeft((first, Seq(statFirst))) {
-        case ((prev, acc), (name, i)) =>
-          val cur = ev.filter(col("__t") === name)
-            .join(prev, Seq("__k"))
-            .filter(col("__us") > col("__prev"))
-            .groupBy(col("__k"))
-            .agg(min(col("__us")).as("__cur"),
-              // __prev is single-valued per key (prev is key-unique)
-              min(col("__prev")).as("__from"))
-          val stat = cur.agg(count(lit(1)).as("n_users"),
-              sum((col("__cur") - col("__from")).cast(dec)).as("__sumd"))
-            .select(lit(i + 1L).as("step"), lit(name).as("step_name"),
-              col("n_users"), col("__sumd"))
-          (cur.select(col("__k"), col("__cur").as("__prev")),
-            acc :+ stat)
-      }
-    val top = first.agg(count(lit(1)).as("__n1"))
-    stats.reduce(_ unionByName _)
-      .crossJoin(broadcast(top))
-      .select(col("step"), col("step_name"), col("n_users"),
+    val times = funnelTimes(df, keyCol, tsCol, typeCol, steps)
+    val perStep = times.groupBy(col("step"))
+      .agg(count(lit(1)).as("n_users"),
+        // step 1 rows carry NULL prev_us ⇒ the sum is NULL there —
+        // exactly the census's "no previous step" marker.
+        sum((col("t_us") - col("prev_us")).cast(dec)).as("__sumd"))
+    // A step NOBODY reached must still report (n_users = 0): join a
+    // literal step spine, then read the step-1 cohort off the spine
+    // (always exactly one row, even for an empty corpus).
+    val spine = df.sparkSession.range(1, steps.length + 1)
+      .select(col("id").as("step"))
+      .join(perStep, Seq("step"), "left")
+      .select(col("step"), coalesce(col("n_users"), lit(0L)).as("n_users"),
+        col("__sumd"))
+    val top = spine.filter(col("step") === 1L)
+      .select(col("n_users").as("__n1"))
+    spine.crossJoin(broadcast(top))
+      .select(col("step"),
+        element_at(array(steps.map(lit): _*), col("step").cast("int"))
+          .as("step_name"),
+        col("n_users"),
         when(col("__n1") > 0L,
           round(lit(1e6) * col("n_users").cast("double") /
             col("__n1").cast("double")).cast("long"))
@@ -243,6 +232,49 @@ object Sessionize {
             col("n_users").cast("double")).cast("long"))
           .otherwise(lit(null).cast("long"))
           .as("avg_sec_from_prev_micro"))
+  }
+
+  /** The funnel's per-key step-time table — [[funnel]]'s aggregate is
+    * one census over this; expose it for the latency distributions
+    * the census's mean can't answer (p50/p90 time-to-convert, the
+    * slow-cohort drill-down). One row per (key, reached step):
+    * `t_us` = the step's first-qualifying event time, `prev_us` = the
+    * previous step's (NULL for step 1). Same join-per-step build —
+    * no per-key window. */
+  def funnelTimes(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2 && steps.length <= 8,
+      "steps must list 2..8 stage names")
+    require(steps.distinct.length == steps.length,
+      "steps must be distinct")
+    val ev = Dedup.truncate(df.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__us"), col(typeCol).as("__t")))
+    val first = ev.filter(col("__t") === steps.head)
+      .groupBy(col("__k")).agg(min(col("__us")).as("__prev"))
+    val rowsFirst = first.select(col("__k").as(keyCol),
+      lit(1L).as("step"), col("__prev").as("t_us"),
+      lit(null).cast("long").as("prev_us"))
+    val (_, frames) = steps.zipWithIndex.drop(1)
+      .foldLeft((first, Seq(rowsFirst))) {
+        case ((prev, acc), (name, i)) =>
+          val cur = ev.filter(col("__t") === name)
+            .join(prev, Seq("__k"))
+            .filter(col("__us") > col("__prev"))
+            .groupBy(col("__k"))
+            .agg(min(col("__us")).as("__cur"),
+              // __prev is single-valued per key (prev is key-unique)
+              min(col("__prev")).as("__from"))
+          val rows = cur.select(col("__k").as(keyCol),
+            lit(i + 1L).as("step"), col("__cur").as("t_us"),
+            col("__from").as("prev_us"))
+          (cur.select(col("__k"), col("__cur").as("__prev")),
+            acc :+ rows)
+      }
+    frames.reduce(_ unionByName _)
   }
 
   /** Cohort-retention matrix: bucket time into `bucketDays`-day

@@ -561,4 +561,63 @@ class ProfileSpec extends SparkSpec {
     assert(got("skew").getAs[Long]("chi2_micro") == 64000000L)
     assert(got("skew").getAs[Boolean]("srm"))
   }
+
+  test("sturgesHistogram: bit-length bins, exact integer assignment, hi clamps") {
+    val df = ((0 to 7).map(i => ("g", i.toDouble)) ++
+      Seq(("flat", 5.0), ("flat", 5.0))).toDF("g", "v")
+    val got = Profile.sturgesHistogram(df, "g", "v").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("bin")) ->
+        ((r.getAs[Long]("n_bins"), r.getAs[Long]("n_rows")))).toMap
+    // n = 8 -> bins = len("1000") = 4; (4i) div 7 pairs them up;
+    // i = 7 (the max) clamps into bin 3.
+    assert(got == Map(
+      ("g", 0L) -> ((4L, 2L)), ("g", 1L) -> ((4L, 2L)),
+      ("g", 2L) -> ((4L, 2L)), ("g", 3L) -> ((4L, 2L)),
+      ("flat", 0L) -> ((2L, 2L))))
+  }
+
+  test("wilsonInterval: mirrors the literal-z float chain, sane at k=0") {
+    val df = ((1 to 50).map(_ => ("g", true)) ++
+      (1 to 50).map(_ => ("g", false)) ++
+      (1 to 10).map(_ => ("zero", false))).toDF("g", "s")
+    val got = Profile.wilsonInterval(df, "g", "s").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    val z = 1.959964; val z2 = z * z
+    def bounds(k: Double, n: Double): (Long, Long) = {
+      val p = k / n
+      val denom = 1.0 + z2 / n
+      val center = (p + z2 / (2.0 * n)) / denom
+      val half = z * math.sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n) / denom
+      (math.round(1e6 * (center - half)), math.round(1e6 * (center + half)))
+    }
+    val (lo, hi) = bounds(50.0, 100.0)
+    assert(got("g").getAs[Long]("p_micro") == 500000L)
+    assert(got("g").getAs[Long]("lo_micro") == lo)
+    assert(got("g").getAs[Long]("hi_micro") == hi)
+    val (lo0, hi0) = bounds(0.0, 10.0)
+    assert(got("zero").getAs[Long]("k") == 0L)
+    assert(got("zero").getAs[Long]("lo_micro") == lo0 && lo0 == 0L)
+    assert(got("zero").getAs[Long]("hi_micro") == hi0 && hi0 > 0L)
+  }
+
+  test("lorenzBuckets: rank slices, exact shares, negatives quarantined") {
+    val df = Seq(
+      ("g", 1.0, 1L), ("g", 2.0, 2L), ("g", 3.0, 3L), ("g", 4.0, 4L),
+      ("g", -1.0, 5L), // negative: excluded, counted
+      ("z", 0.0, 6L), ("z", 0.0, 7L))
+      .toDF("g", "v", "id")
+    val got = Profile.lorenzBuckets(df, "g", "v", "id", buckets = 2)
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("bucket")) -> r)
+      .toMap
+    assert(got(("g", 1L)).getAs[Long]("n_rows") == 2L)
+    assert(got(("g", 1L)).getAs[Long]("n_dropped") == 1L)
+    assert(got(("g", 1L)).getAs[Long]("share_micro") == 300000L)
+    assert(got(("g", 1L)).getAs[Long]("cum_share_micro") == 300000L)
+    assert(got(("g", 2L)).getAs[Long]("share_micro") == 700000L)
+    assert(got(("g", 2L)).getAs[Long]("cum_share_micro") == 1000000L)
+    // all-zero group: buckets exist, shares are undefined
+    assert(got(("z", 1L)).isNullAt(
+      got(("z", 1L)).fieldIndex("share_micro")))
+  }
 }

@@ -124,6 +124,17 @@ class SessionizeSpec extends SparkSpec {
       (("click", 2L, Some(666667L), Some(450000000L))))
     assert(got(3L) ==
       (("purchase", 1L, Some(333333L), Some(600000000L))))
+    // The per-key time table underneath: u1's full chain, exact µs.
+    val times = Sessionize.funnelTimes(df, "u", "ts", "et",
+        Seq("view", "click", "purchase"))
+      .filter(col("u") === "u1")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    val t0 = ts("2024-01-01 10:00:00").getTime * 1000L
+    assert(times(1L) == ((t0, None)))
+    assert(times(2L) == ((t0 + 600000000L, Some(t0))))
+    assert(times(3L) == ((t0 + 1200000000L, Some(t0 + 600000000L))))
   }
 
   test("cohortRetention: first-bucket cohorts, exact shares") {
