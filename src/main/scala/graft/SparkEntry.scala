@@ -4338,6 +4338,31 @@ object SparkEntry {
           col("user_id"))
       Ranking.groupQuantiles(deltas, "step", "delta_us", "user_id",
         Seq(0.5, 0.9))
+    }),
+
+    // Local clustering coefficient per node over the hash graph —
+    // the per-node drill-down under the q119 triangle census; the
+    // oracle closes triangles with the exhaustive three-way join.
+    "q299_clustering" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        hashMod("cx", col("event_id"), 200).as("x"),
+        hashMod("cy", col("event_id"), 200).as("y"))
+      Graph.clusteringCoefficients(e, "x", "y")
+    }),
+
+    // STL-lite additive decomposition of the daily per-type value
+    // series, weekly period: centered-MA trend by index equi-join
+    // (partial kernels NULL), per-phase seasonal means, residual.
+    "q300_stl" -> ((s, dir) => {
+      val series = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_idx"),
+          round(col("value").cast("double") * lit(1e6)).cast("long")
+            .as("v"))
+        .groupBy(col("event_type"), col("day_idx"))
+        .agg(sum(col("v")).as("y"))
+      TimeSeries.stlLite(series, "event_type", "day_idx", "y",
+        period = 7)
     })
   )
 
@@ -10613,7 +10638,70 @@ object SparkEntry {
         |SELECT CAST(r.step AS BIGINT) AS step,
         |  CAST(qs.q AS DOUBLE) AS q, r.delta AS delta_us
         |FROM r JOIN qs
-        |  ON r.rnk = CAST(ceil(qs.q * r.cnt) AS BIGINT)""".stripMargin)
+        |  ON r.rnk = CAST(ceil(qs.q * r.cnt) AS BIGINT)""".stripMargin,
+
+    "q299_clustering" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5('cx:'
+        |      || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 200 AS x,
+        |    CAST(('0x' || substr(md5('cy:'
+        |      || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 200 AS y
+        |  FROM events),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM e0 WHERE x <> y),
+        |deg AS (
+        |  SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+        |    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.node, deg.degree,
+        |  COALESCE(tn.t, 0) AS n_triangles,
+        |  CASE WHEN deg.degree >= 2 THEN CAST(round(1e6
+        |    * (2.0 * CAST(COALESCE(tn.t, 0) AS DOUBLE))
+        |    / (CAST(deg.degree AS DOUBLE)
+        |      * CAST(deg.degree - 1 AS DOUBLE))) AS BIGINT)
+        |    ELSE NULL END AS coef_micro
+        |FROM deg LEFT JOIN tn USING (node)""".stripMargin,
+
+    "q300_stl" ->
+      """WITH s AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS d,
+        |    CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT s.k, s.d + o.o AS t2, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(s.y) AS BIGINT) AS sm
+        |  FROM s, (SELECT unnest(generate_series(-3, 3)) AS o) o
+        |  GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT k, t2 AS d,
+        |    CAST(round(CAST(sm AS DOUBLE) / 7.0) AS BIGINT) AS trend
+        |  FROM c WHERE cnt = 7),
+        |j AS (
+        |  SELECT s.k, s.d, s.y, tr.trend, s.y - tr.trend AS det,
+        |    ((s.d % 7) + 7) % 7 AS phase
+        |  FROM s LEFT JOIN tr USING (k, d)),
+        |se AS (
+        |  SELECT k, phase, CAST(round(CAST(sum(det) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seas
+        |  FROM j WHERE det IS NOT NULL GROUP BY 1, 2)
+        |SELECT j.k AS event_type, j.d AS day_idx, j.y AS y_micro,
+        |  j.trend AS trend_micro, se.seas AS seasonal_micro,
+        |  j.y - j.trend - se.seas AS resid_micro
+        |FROM j LEFT JOIN se USING (k, phase)""".stripMargin)
 
   /** q287's oracle: the same Poisson-threshold inverse CDF
     * (Sampling.PoissonThresholds60 literals), replicate means and

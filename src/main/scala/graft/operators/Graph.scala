@@ -1045,4 +1045,40 @@ object Graph {
           den.cast("double")).cast("long"))
           .otherwise(lit(null).cast("long")).as("r_micro"))
   }
+
+  /** Local clustering coefficient per node, c(v) = 2·T(v)/(d(v)·
+    * (d(v)−1)) — how much of each node's neighborhood is itself
+    * connected, the per-node drill-down under [[triangleCounts]] (a
+    * crawler-trap clique scores 1, a pure hub 0). Triangles come from
+    * the degree-ordered wedge join (O(|E|^1.5) on any degree
+    * distribution); degrees come from the SAME canonical undirected
+    * edge set (self-loops dropped, parallel edges collapsed), so the
+    * ratio is consistent by construction. One micro-rounded divide
+    * per node; degree-< 2 nodes report NULL (no pair of neighbors to
+    * close). Triangle-free nodes report 0, not NULL — absence of
+    * closure is a measurement, not missing data.
+    * Output: (node, degree, n_triangles, coef_micro). */
+  def clusteringCoefficients(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = Dedup.truncate(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(und, "a", "b")
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2L,
+          round(lit(1e6) *
+            (lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+              .cast("double")) /
+            (col("degree").cast("double") *
+              (col("degree") - 1L).cast("double"))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("coef_micro"))
+  }
 }

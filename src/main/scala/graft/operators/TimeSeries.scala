@@ -762,4 +762,58 @@ object TimeSeries {
     states.map { case (ul, ub) =>
       (math.round(1e6 * ul), math.round(1e6 * ub)) }.toSeq
   }
+
+  /** STL-lite additive decomposition per key over an integer-indexed
+    * MICRO series: y = trend + seasonal + residual, with every stage
+    * exact-then-one-divide. Trend is the centered moving average of
+    * width `period` (odd, required) — taps attach by index equi-join
+    * (the acf/holt kernel shape, no window), and an index with FEWER
+    * than `period` present taps reports NULL trend (series edges and
+    * gaps — partial kernels lie, the holt convention). Seasonal is
+    * the per-phase (idx mod period) mean of the detrended values over
+    * trend-covered rows; residual = y − trend − seasonal. A pure
+    * period-cycle therefore decomposes to seasonal exactly and zero
+    * residual (spec-pinned). Two micro-rounded divides total (trend
+    * mean, phase mean); everything else is integer.
+    *
+    * Scale: one ×period explode + two hash-aggs + key-sized
+    * equi-joins — never a per-key window over raw rows.
+    * Output: (keyCol, idxCol, y_micro, trend_micro, seasonal_micro,
+    * resid_micro). */
+  def stlLite(
+      series: DataFrame,
+      keyCol: String,
+      idxCol: String,
+      valueCol: String,
+      period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1 && period <= 365,
+      "period must be odd, in [3, 365]")
+    val half = period / 2
+    val base = Dedup.truncate(series.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(idxCol).cast("long").as("__d"),
+        col(valueCol).cast("long").as("__y")))
+    val contrib = base
+      .withColumn("__o",
+        explode(sequence(lit(-half), lit(half))))
+      .groupBy(col("__k"), (col("__d") + col("__o")).as("__t"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).as("__sum"))
+    val trend = contrib
+      .filter(col("__cnt") === period.toLong)
+      .select(col("__k"), col("__t").as("__d"),
+        round(col("__sum").cast("double") / lit(period.toDouble))
+          .cast("long").as("trend_micro"))
+    val joined = base.join(trend, Seq("__k", "__d"), "left")
+      .withColumn("__det", col("__y") - col("trend_micro"))
+      .withColumn("__phase", pmod(col("__d"), lit(period.toLong)))
+    val seasonal = joined.filter(col("__det").isNotNull)
+      .groupBy(col("__k"), col("__phase"))
+      .agg(round(sum(col("__det")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("seasonal_micro"))
+    joined.join(seasonal, Seq("__k", "__phase"), "left")
+      .select(col("__k").as(keyCol), col("__d").as(idxCol),
+        col("__y").as("y_micro"), col("trend_micro"),
+        col("seasonal_micro"),
+        (col("__y") - col("trend_micro") - col("seasonal_micro"))
+          .as("resid_micro"))
+  }
 }

@@ -461,4 +461,19 @@ class GraphSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_edges") == 3L)
     assert(r2.isNullAt(r2.fieldIndex("r_micro")))
   }
+
+  test("clusteringCoefficients: triangle corner 1/3, leaf NULL, closed pair 1") {
+    // triangle 1-2-3 plus pendant 4 hanging off node 1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+      .toDF("s", "d")
+    val got = Graph.clusteringCoefficients(edges, "s", "d").collect()
+      .map(r => r.getAs[Long]("node") -> r).toMap
+    assert(got(1L).getAs[Long]("degree") == 3L)
+    assert(got(1L).getAs[Long]("n_triangles") == 1L)
+    assert(got(1L).getAs[Long]("coef_micro") == 333333L)
+    Seq(2L, 3L).foreach { n =>
+      assert(got(n).getAs[Long]("coef_micro") == 1000000L) }
+    assert(got(4L).getAs[Long]("n_triangles") == 0L)
+    assert(got(4L).isNullAt(got(4L).fieldIndex("coef_micro")))
+  }
 }

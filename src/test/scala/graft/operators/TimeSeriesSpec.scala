@@ -309,4 +309,25 @@ class TimeSeriesSpec extends SparkSpec {
     (1L to 3L).foreach { i =>
       assert(got(i).isNullAt(got(i).fieldIndex("holt_level"))) }
   }
+
+  test("stlLite: a pure weekly cycle decomposes exactly, edges NULL") {
+    // y(i) = (i mod 7)·1e6 over 21 days: every centered 7-window sums
+    // to 21e6 -> trend = 3e6 exactly; seasonal = phase - 3e6; resid 0.
+    val df = (0L to 20L).map(i => ("k", i, (i % 7) * 1000000L))
+      .toDF("k", "d", "y")
+    val got = TimeSeries.stlLite(df, "k", "d", "y", period = 7)
+      .collect().map(r => r.getAs[Long]("d") -> r).toMap
+    (3L to 17L).foreach { i =>
+      assert(got(i).getAs[Long]("trend_micro") == 3000000L)
+      assert(got(i).getAs[Long]("seasonal_micro") ==
+        (i % 7) * 1000000L - 3000000L)
+      assert(got(i).getAs[Long]("resid_micro") == 0L)
+    }
+    // edge rows: no full kernel -> NULL trend/resid, seasonal still
+    // attaches from the covered rows of the same phase
+    assert(got(0L).isNullAt(got(0L).fieldIndex("trend_micro")))
+    assert(got(0L).isNullAt(got(0L).fieldIndex("resid_micro")))
+    assert(got(0L).getAs[Long]("seasonal_micro") == -3000000L)
+    assert(got(20L).isNullAt(got(20L).fieldIndex("trend_micro")))
+  }
 }
