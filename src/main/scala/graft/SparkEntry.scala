@@ -4363,6 +4363,27 @@ object SparkEntry {
         .agg(sum(col("v")).as("y"))
       TimeSeries.stlLite(series, "event_type", "day_idx", "y",
         period = 7)
+    }),
+
+    // Exact join cardinality WITHOUT running the join: Σ c_L·c_R
+    // over the two key censuses — the pre-flight number that decides
+    // whether the real join needs salting.
+    "q301_join_cardinality" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Profile.joinCardinality(
+        ev.select(col("user_id")), "user_id",
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")), "user_id")
+    }),
+
+    // Key-skew diagnostic on a 90%-hot key (the bench skew shape):
+    // hottest key, its share, and the integer salt factor it needs
+    // over 32 reducers.
+    "q302_key_skew" -> ((s, dir) => {
+      val k = when(col("event_id") % 10 < 9, lit(1L))
+        .otherwise(col("user_id"))
+      Skew.keySkew(t(s, dir, "events").select(k.as("k")), "k",
+        parts = 32)
     })
   )
 
@@ -10701,7 +10722,63 @@ object SparkEntry {
         |SELECT j.k AS event_type, j.d AS day_idx, j.y AS y_micro,
         |  j.trend AS trend_micro, se.seas AS seasonal_micro,
         |  j.y - j.trend - se.seas AS resid_micro
-        |FROM j LEFT JOIN se USING (k, phase)""".stripMargin)
+        |FROM j LEFT JOIN se USING (k, phase)""".stripMargin,
+
+    "q301_join_cardinality" ->
+      """WITH lc AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS cl
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |rc AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS cr
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT lc.k, CAST(lc.cl AS HUGEINT) * rc.cr AS p
+        |  FROM lc JOIN rc USING (k)),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS matched_keys,
+        |    CAST(sum(p) AS BIGINT) AS join_rows
+        |  FROM j),
+        |top AS (
+        |  SELECT k AS top_key, CAST(p AS BIGINT) AS top_contrib
+        |  FROM j ORDER BY p DESC, k DESC LIMIT 1),
+        |n AS (SELECT CAST(count(user_id) AS BIGINT) AS n_left
+        |  FROM events),
+        |m AS (SELECT CAST(count(user_id) AS BIGINT) AS n_right
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT n.n_left, m.n_right,
+        |  COALESCE(tot.matched_keys, 0) AS matched_keys,
+        |  COALESCE(tot.join_rows, 0) AS join_rows,
+        |  top.top_key, top.top_contrib
+        |FROM n, m, tot, top""".stripMargin,
+
+    "q302_key_skew" ->
+      """WITH b AS (
+        |  SELECT CAST(CASE WHEN event_id % 10 < 9 THEN 1
+        |    ELSE user_id END AS VARCHAR) AS k
+        |  FROM events),
+        |c AS (SELECT k, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1),
+        |ag AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN k IS NULL THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_null_keys,
+        |    CAST(count(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS n_keys
+        |  FROM c),
+        |top AS (
+        |  SELECT k AS top_key, c AS top_count FROM c
+        |  WHERE k IS NOT NULL ORDER BY c DESC, k DESC LIMIT 1)
+        |SELECT ag.n_rows, ag.n_null_keys, ag.n_keys, top.top_key,
+        |  top.top_count,
+        |  CAST(round(1e6 * CAST(top.top_count AS DOUBLE)
+        |    / CAST(ag.n_rows AS DOUBLE)) AS BIGINT) AS top_share_micro,
+        |  greatest(1, (top.top_count * 32 + ag.n_rows - 1)
+        |    // ag.n_rows) AS suggested_salts
+        |FROM ag, top""".stripMargin)
 
   /** q287's oracle: the same Poisson-threshold inverse CDF
     * (Sampling.PoissonThresholds60 literals), replicate means and

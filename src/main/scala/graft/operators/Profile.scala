@@ -1446,4 +1446,46 @@ object Profile {
             col("__tot").cast("double")).cast("long"))
           .otherwise(lit(null).cast("long")).as("cum_share_micro"))
   }
+
+  /** EXACT equi-join cardinality WITHOUT running the join — the
+    * pre-flight a planner wants before committing a shuffle at
+    * 100 TB: join_rows = Σ_k c_L(k)·c_R(k) over the two key-count
+    * censuses (a key-sized join of two hash-aggs, never the data
+    * join itself), plus the single hottest key's contribution — the
+    * row that decides whether the real join needs [[graft.operators.
+    * Skew.saltedJoin]]. This is not an estimate: for inner equi-join
+    * semantics the sum IS the output size. NULL keys never match in
+    * an equi-join and are excluded (stated). Counts accumulate in
+    * DECIMAL(38,0); the hot key reports deterministically (max on
+    * (contribution, key) — total order). Output: one row —
+    * (n_left, n_right, matched_keys, join_rows, top_key,
+    * top_contrib). */
+  def joinCardinality(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def census(df: DataFrame, k: String, c: String) =
+      df.filter(col(k).isNotNull)
+        .groupBy(col(k).cast("string").as("__k"))
+        .agg(count(lit(1)).as(c))
+    val lc = census(left, leftKey, "__cl")
+    val rc = census(right, rightKey, "__cr")
+    val nl = left.agg(count(col(leftKey)).as("n_left"))
+    val nr = right.agg(count(col(rightKey)).as("n_right"))
+    lc.join(rc, Seq("__k"))
+      .select(col("__k"),
+        (col("__cl").cast(dec) * col("__cr")).as("__p"))
+      .agg(count(lit(1)).as("matched_keys"),
+        sum(col("__p")).cast("long").as("join_rows"),
+        max(struct(col("__p").as("p"), col("__k").as("k"))).as("__top"))
+      .crossJoin(broadcast(nl))
+      .crossJoin(broadcast(nr))
+      .select(col("n_left"), col("n_right"),
+        coalesce(col("matched_keys"), lit(0L)).as("matched_keys"),
+        coalesce(col("join_rows"), lit(0L)).as("join_rows"),
+        col("__top.k").as("top_key"),
+        col("__top.p").cast("long").as("top_contrib"))
+  }
 }

@@ -80,4 +80,43 @@ object Skew {
   def fanOut(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(
       df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
+
+  /** Key-skew diagnostic — the census to run BEFORE a join or
+    * aggregation on `keyCol` to decide whether [[saltedAggregate]] /
+    * [[saltedJoin]] are worth their salt: row and distinct-key
+    * counts, the hottest key's count and share, and the salt factor
+    * that hot key needs to spread evenly over `parts` reducers —
+    * ⌈max_count·parts/n⌉, pure integer ceil (1 = no salting needed:
+    * the hot key already fits one average reducer's share). The
+    * hottest key reports deterministically (ties break to the
+    * LARGEST key rendering via a max on (count, key) — total order,
+    * engine-neutral). NULL keys are a skew class of their own and
+    * are counted separately, not mixed into the hot-key race.
+    * Output: one row — (n_rows, n_null_keys, n_keys, top_key,
+    * top_count, top_share_micro, suggested_salts). */
+  def keySkew(
+      df: DataFrame,
+      keyCol: String,
+      parts: Int): DataFrame = {
+    require(parts >= 1 && parts <= 100000, "parts must be in [1, 1e5]")
+    val counts = df.groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    counts.agg(
+        sum(col("__c")).as("n_rows"),
+        sum(when(col("__k").isNull, col("__c")).otherwise(0L))
+          .as("n_null_keys"),
+        count(when(col("__k").isNotNull, lit(1))).as("n_keys"),
+        max(when(col("__k").isNotNull,
+          struct(col("__c").as("c"), col("__k").as("k")))).as("__top"))
+      .select(col("n_rows"), col("n_null_keys"), col("n_keys"),
+        col("__top.k").as("top_key"), col("__top.c").as("top_count"),
+        when(col("n_rows") > 0L,
+          round(lit(1e6) * col("__top.c").cast("double") /
+            col("n_rows").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("top_share_micro"),
+        when(col("n_rows") > 0L,
+          greatest(lit(1L),
+            expr(s"(__top.c * ${parts}L + n_rows - 1) div n_rows")))
+          .otherwise(lit(null).cast("long")).as("suggested_salts"))
+  }
 }

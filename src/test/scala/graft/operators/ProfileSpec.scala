@@ -620,4 +620,21 @@ class ProfileSpec extends SparkSpec {
     assert(got(("z", 1L)).isNullAt(
       got(("z", 1L)).fieldIndex("share_micro")))
   }
+
+  test("joinCardinality: exact product sum, NULL keys out, hot key named") {
+    val left = Seq(Some("a"), Some("a"), Some("a"), Some("b"),
+      Some("b"), Some("c"), None).toDF("k")
+    val right = Seq(Some("a"), Some("a"), Some("b"), Some("d"), None)
+      .toDF("k")
+    val r = Profile.joinCardinality(left, "k", right, "k")
+      .collect().head
+    assert(r.getAs[Long]("n_left") == 6L)
+    assert(r.getAs[Long]("n_right") == 4L)
+    assert(r.getAs[Long]("matched_keys") == 2L)
+    // a: 3*2 = 6, b: 2*1 = 2 -> 8; verified against the real join.
+    assert(r.getAs[Long]("join_rows") == 8L)
+    assert(r.getAs[String]("top_key") == "a")
+    assert(r.getAs[Long]("top_contrib") == 6L)
+    assert(left.join(right, Seq("k")).count() == 8L)
+  }
 }

@@ -32,4 +32,24 @@ class SkewSpec extends SparkSpec {
     val salted = Skew.saltedJoin(skewed, dim, "k", salts = 8).select("k", "v", "label")
     assert(sortedRows(salted) == sortedRows(plain))
   }
+
+  test("keySkew: hot-key share, NULLs counted apart, integer salt advice") {
+    // 90 rows on "hot", 10 spread, 5 NULL keys; 10 reducers.
+    val df = ((1 to 90).map(_ => Some("hot")) ++
+      (1 to 10).map(i => Some(s"k$i")) ++
+      (1 to 5).map(_ => None)).toDF("k")
+    val r = Skew.keySkew(df, "k", parts = 10).collect().head
+    assert(r.getAs[Long]("n_rows") == 105L)
+    assert(r.getAs[Long]("n_null_keys") == 5L)
+    assert(r.getAs[Long]("n_keys") == 11L)
+    assert(r.getAs[String]("top_key") == "hot")
+    assert(r.getAs[Long]("top_count") == 90L)
+    // round(1e6*90/105) = 857143; ceil(90*10/105) = 9 salts.
+    assert(r.getAs[Long]("top_share_micro") == 857143L)
+    assert(r.getAs[Long]("suggested_salts") == 9L)
+    // Balanced key set: 1 = no salting needed.
+    val bal = (1 to 10).flatMap(i => Seq(s"b$i", s"b$i")).toDF("k")
+    val rb = Skew.keySkew(bal, "k", parts = 10).collect().head
+    assert(rb.getAs[Long]("suggested_salts") == 1L)
+  }
 }
