@@ -4384,6 +4384,27 @@ object SparkEntry {
         .otherwise(col("user_id"))
       Skew.keySkew(t(s, dir, "events").select(k.as("k")), "k",
         parts = 32)
+    }),
+
+    // MP3 stream metadata through the strict header walk (the q276
+    // MP4 pattern): 0-mod-3 rows carry the real minimal MP3 (ID3v2.4
+    // tag + four 128 kbps/44100 Hz frames, 104 ms), 1-mod-3 a
+    // magic-passing corrupt ID3 that must quarantine to NULLs,
+    // 2-mod-3 plain text.
+    "q303_mp3_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 180)
+      val content = when(col("doc_id") % 3 === 0,
+          unhex(lit(Multimodal.Mp3Fixture.hex)))
+        .when(col("doc_id") % 3 === 1,
+          concat(unhex(lit("494433")), col("text").cast("binary")))
+        .otherwise(col("text").cast("binary"))
+      val media = d.select(col("doc_id").as("media_id"),
+        content.as("content"))
+      media.select(col("media_id"),
+          Multimodal.sniffType(col("content")).as("kind"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .join(Multimodal.audioStreamMeta(media, "media_id", "content"),
+          Seq("media_id"), "left")
     })
   )
 
@@ -10778,7 +10799,29 @@ object SparkEntry {
         |    / CAST(ag.n_rows AS DOUBLE)) AS BIGINT) AS top_share_micro,
         |  greatest(1, (top.top_count * 32 + ag.n_rows - 1)
         |    // ag.n_rows) AS suggested_salts
-        |FROM ag, top""".stripMargin)
+        |FROM ag, top""".stripMargin,
+
+    "q303_mp3_meta" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 IN (0, 1) THEN 'mp3'
+         |    ELSE 'unknown' END AS kind,
+         |  CASE doc_id % 3
+         |    WHEN 0 THEN CAST(octet_length(unhex(
+         |      '${graft.operators.Multimodal.Mp3Fixture.hex}')) AS BIGINT)
+         |    WHEN 1 THEN CAST(3 + octet_length(encode(text)) AS BIGINT)
+         |    ELSE CAST(octet_length(encode(text)) AS BIGINT)
+         |  END AS n_bytes,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(20 AS BIGINT)
+         |    ELSE NULL END AS tag_bytes,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(4 AS BIGINT)
+         |    ELSE NULL END AS n_frames,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(128 AS BIGINT)
+         |    ELSE NULL END AS bitrate_kbps,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(44100 AS BIGINT)
+         |    ELSE NULL END AS sample_rate,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(104 AS BIGINT)
+         |    ELSE NULL END AS duration_ms
+         |FROM documents WHERE doc_id < 180""".stripMargin)
 
   /** q287's oracle: the same Poisson-threshold inverse CDF
     * (Sampling.PoissonThresholds60 literals), replicate means and

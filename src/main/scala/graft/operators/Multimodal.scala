@@ -431,6 +431,97 @@ object Multimodal {
     lazy val hex: String = bytes.map(b => f"${b & 0xff}%02X").mkString
   }
 
+  /** MPEG-audio (MP3) stream metadata — a header walk like
+    * [[Mp4Codec]], no sample decode: skip the ID3v2 tag (syncsafe
+    * 28-bit size), then walk MPEG-1 Layer-III frame headers (sync,
+    * bitrate/samplerate table indices, padding bit) to an EXACT
+    * frame census. The walk is STRICT: every byte after the tag must
+    * belong to a well-formed consecutive frame — a free/bad bitrate
+    * index, reserved samplerate, short tail, or trailing garbage
+    * quarantines the whole stream to None (crafted magic-passing
+    * bytes must not yield half-parsed metadata). duration_ms is the
+    * integer floor of frames·1152·1000/rate, the [[Mp4Codec]]
+    * convention. */
+  object Mp3Codec {
+    /** MPEG-1 Layer-III bitrate table (kbps); index 0 = free and
+      * 15 = bad are both rejected. */
+    private val Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+      128, 160, 192, 224, 256, 320)
+    private val Rates = Array(44100, 48000, 32000)
+
+    def hasId3(c: Array[Byte]): Boolean =
+      c.length >= 10 && c(0) == 'I' && c(1) == 'D' && c(2) == '3'
+
+    /** ID3v2 tag, or a bare MPEG-1 Layer-III sync at offset 0. */
+    def isMp3(c: Array[Byte]): Boolean =
+      hasId3(c) || (c.length >= 4 && (c(0) & 0xff) == 0xff &&
+        (c(1) & 0xfe) == 0xfa)
+
+    /** (tagBytes, nFrames, bitrateKbps of the first frame,
+      * sampleRate, durationMs). */
+    def parseMeta(
+        c: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+      if (!isMp3(c)) return None
+      var off = 0
+      var tag = 0L
+      if (hasId3(c)) {
+        val s = (0 until 4).map(i => c(6 + i) & 0xff)
+        // syncsafe bytes keep bit 7 clear — a set bit is corruption
+        if (s.exists(_ >= 0x80)) return None
+        tag = 10L + ((s(0) << 21) | (s(1) << 14) | (s(2) << 7) | s(3))
+        if (tag > c.length) return None
+        off = tag.toInt
+      }
+      var frames = 0L
+      var firstBr = 0L
+      var rate = 0L
+      while (off + 4 <= c.length) {
+        // 0xFF sync + MPEG-1 Layer III (0xFA with CRC, 0xFB without)
+        if ((c(off) & 0xff) != 0xff || (c(off + 1) & 0xfe) != 0xfa)
+          return None
+        val brIdx = (c(off + 2) & 0xf0) >> 4
+        val srIdx = (c(off + 2) & 0x0c) >> 2
+        val pad = (c(off + 2) & 0x02) >> 1
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+        val br = Bitrates(brIdx)
+        val sr = Rates(srIdx)
+        if (frames == 0L) { firstBr = br.toLong; rate = sr.toLong }
+        val flen = 144 * br * 1000 / sr + pad
+        if (off + flen > c.length) return None
+        frames += 1
+        off += flen
+      }
+      if (frames == 0L || off != c.length) None
+      else Some((tag, frames, firstBr, rate,
+        frames * 1152L * 1000L / rate))
+    }
+  }
+
+  /** Deterministic minimal MP3 fixture: a 20-byte ID3v2.4 tag
+    * (10-byte payload) + four 417-byte MPEG-1 Layer-III frames at
+    * 128 kbps / 44100 Hz, no padding → duration floor(4·1152·1000 /
+    * 44100) = 104 ms. Built byte-by-byte; the oracle interpolates
+    * [[hex]]. */
+  object Mp3Fixture {
+    val bytes: Array[Byte] = {
+      val tagPayload = 10
+      val frameLen = 144 * 128 * 1000 / 44100 // 417
+      val out = new Array[Byte](10 + tagPayload + 4 * frameLen)
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'
+      out(3) = 4 // v2.4, flags 0, syncsafe size = 10
+      out(9) = tagPayload.toByte
+      var off = 10 + tagPayload
+      (0 until 4).foreach { _ =>
+        out(off) = 0xff.toByte
+        out(off + 1) = 0xfb.toByte
+        out(off + 2) = 0x90.toByte // bitrate idx 9, 44100, pad 0
+        off += frameLen
+      }
+      out
+    }
+    lazy val hex: String = bytes.map(b => f"${b & 0xff}%02X").mkString
+  }
+
   /** REAL audio codec — RIFF/WAVE decoded to PCM samples via
     * `javax.sound.sampled` (JDK-bundled, like imageio). Same
     * (bytes in, primitives out) boundary as [[PngCodec]]. */
@@ -716,6 +807,9 @@ object Multimodal {
       .when(h.startsWith("1F8B"), lit("gzip"))
       .when(hex(substring(content, 5, 4)) === "66747970", lit("mp4"))
       .when(h.startsWith("424D"), lit("bmp"))
+      // ID3v2 tag, or a bare MPEG-1 Layer-III sync (FFFA/FFFB)
+      .when(h.startsWith("494433"), lit("mp3"))
+      .when(h.startsWith("FFFA") || h.startsWith("FFFB"), lit("mp3"))
       .otherwise(lit("unknown"))
   }
 
@@ -765,6 +859,34 @@ object Multimodal {
         }
       }.toDF("media_id", "brand", "timescale", "duration",
         "duration_ms")
+  }
+
+  /** Audio-stream metadata column: (media_id, tag_bytes, n_frames,
+    * bitrate_kbps, sample_rate, duration_ms) via
+    * [[Mp3Codec.parseMeta]] — the [[videoMeta]] shape: batched
+    * mapPartitions keeps the parse map-side, content bytes never
+    * shuffle, non-MP3 / malformed rows keep their id with all-NULL
+    * metadata (the NULL quarantine). */
+  def audioStreamMeta(
+      media: DataFrame,
+      idCol: String,
+      contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, content) =>
+            val m = Mp3Codec.parseMeta(
+              Option(content).getOrElse(Array.emptyByteArray))
+            (id, m.map(_._1), m.map(_._2), m.map(_._3), m.map(_._4),
+              m.map(_._5))
+          }
+        }
+      }.toDF("media_id", "tag_bytes", "n_frames", "bitrate_kbps",
+        "sample_rate", "duration_ms")
   }
 
   /** Resize stage (real for PNG, stub elsewhere), preserving the media

@@ -443,4 +443,36 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L).isNullAt(got(2L).fieldIndex("brand")))
     assert(got(3L).isNullAt(got(3L).fieldIndex("duration_ms")))
   }
+
+  test("Mp3Codec: fixture walks exactly, strict quarantine on every corruption") {
+    import Multimodal.{Mp3Codec, Mp3Fixture}
+    // (tag 20, 4 frames, 128 kbps, 44100 Hz, floor(4·1152·1000/44100))
+    assert(Mp3Codec.parseMeta(Mp3Fixture.bytes)
+      .contains((20L, 4L, 128L, 44100L, 104L)))
+    // Bare stream (no ID3): the frames alone parse with tag 0.
+    assert(Mp3Codec.parseMeta(Mp3Fixture.bytes.drop(20))
+      .contains((0L, 4L, 128L, 44100L, 104L)))
+    // Truncated final frame → None (strict walk, no partial census).
+    assert(Mp3Codec.parseMeta(Mp3Fixture.bytes.dropRight(1)).isEmpty)
+    // Trailing garbage after the last frame → None.
+    assert(Mp3Codec.parseMeta(Mp3Fixture.bytes :+ 0x00.toByte).isEmpty)
+    // Bad bitrate index (15) in frame 1 → None.
+    val badBr = Mp3Fixture.bytes.clone()
+    badBr(22) = 0xf0.toByte
+    assert(Mp3Codec.parseMeta(badBr).isEmpty)
+    // Reserved samplerate (idx 3) → None.
+    val badSr = Mp3Fixture.bytes.clone()
+    badSr(22) = 0x9c.toByte
+    assert(Mp3Codec.parseMeta(badSr).isEmpty)
+    // Syncsafe violation (bit 7 set in a size byte) → None.
+    val badTag = Mp3Fixture.bytes.clone()
+    badTag(9) = 0x8a.toByte
+    assert(Mp3Codec.parseMeta(badTag).isEmpty)
+    // Tag size past the buffer → None.
+    assert(Mp3Codec.parseMeta(
+      "ID3     padding"
+        .getBytes("ISO-8859-1")).isEmpty)
+    // Not MP3 at all → None.
+    assert(Mp3Codec.parseMeta("hello".getBytes).isEmpty)
+  }
 }
