@@ -61,6 +61,7 @@ object PlanAudit {
     "q282_assortativity" -> "1-row × 1-row scalar cross (orientation moments × node count)",
     "q289_funnel" -> "1-row broadcast scalar attach (step-1 cohort size onto the per-step rows)",
     "q301_join_cardinality" -> "1-row × 1-row scalar crosses (side totals onto the census row)",
+    "q304_temperature_mix" -> "1-row broadcast scalar attach (rate total onto the source rows)",
     "q263_neyman_alloc" -> "1-row broadcast scalar attaches (total weight, leftover R — via apportionLargestRemainder)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the

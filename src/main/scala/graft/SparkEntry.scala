@@ -4405,7 +4405,14 @@ object SparkEntry {
           length(col("content")).cast("long").as("n_bytes"))
         .join(Multimodal.audioStreamMeta(media, "media_id", "content"),
           Seq("media_id"), "left")
-    })
+    }),
+
+    // Temperature-sampled mixture rates (α = 0.3, the low-resource
+    // boost): n^α as exp(α·ln n) with micro-quantization BETWEEN the
+    // libm steps; shares feed mixtureRebalance as its weights.
+    "q304_temperature_mix" -> ((s, dir) =>
+      Training.temperatureMixRates(t(s, dir, "documents"), "source",
+        alpha = 0.3))
   )
 
   /** q285/q286's shared ratings fixture: three deterministic raters
@@ -10821,7 +10828,26 @@ object SparkEntry {
          |    ELSE NULL END AS sample_rate,
          |  CASE WHEN doc_id % 3 = 0 THEN CAST(104 AS BIGINT)
          |    ELSE NULL END AS duration_ms
-         |FROM documents WHERE doc_id < 180""".stripMargin)
+         |FROM documents WHERE doc_id < 180""".stripMargin,
+
+    "q304_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |l AS (
+        |  SELECT source, n,
+        |    CAST(round(1e6 * ln(CAST(n AS DOUBLE))) AS BIGINT) AS lnm
+        |  FROM c),
+        |r AS (
+        |  SELECT source, n,
+        |    CAST(round(1e6 * exp(0.3 * (CAST(lnm AS DOUBLE) / 1e6)))
+        |      AS BIGINT) AS rate_micro
+        |  FROM l),
+        |t AS (SELECT CAST(sum(rate_micro) AS BIGINT) AS tot FROM r)
+        |SELECT r.source, r.n AS n_docs, r.rate_micro,
+        |  CAST(round(1e6 * CAST(r.rate_micro AS DOUBLE)
+        |    / CAST(t.tot AS DOUBLE)) AS BIGINT) AS share_micro
+        |FROM r, t""".stripMargin)
 
   /** q287's oracle: the same Poisson-threshold inverse CDF
     * (Sampling.PoissonThresholds60 literals), replicate means and

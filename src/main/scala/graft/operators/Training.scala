@@ -259,6 +259,40 @@ object Training {
     * the tiny per-source rate table back onto the scan, and the
     * map-only hash filter — no extra wide shuffle. Over-represented
     * sources thin hardest; sources under their target keep 100%. */
+  /** Temperature-sampled mixture rates — the T5/PaLM α rule that
+    * turns raw per-source sizes into sampling weights: rate_s ∝
+    * n_s^α, α ∈ (0, 1] (α = 1 is proportional, α → 0 uniform; 0.3 is
+    * the usual low-resource boost). n^α evaluates as exp(α·ln n)
+    * with a micro-quantization BETWEEN the two libm steps — ln n
+    * micro-rounds first (the lmPerplexity convention: one IEEE op
+    * over an exact integer), then exp sees the same exact rational
+    * on every engine, so the composed value cannot drift by
+    * accumulated ulps. Shares are one divide over the exact integer
+    * rate sum. Feed the output's shares into [[mixtureRebalance]] as
+    * its weights table. NULL sources form their own row (they need a
+    * decision, not an exclusion).
+    * Output: (sourceCol, n_docs, rate_micro, share_micro). */
+  def temperatureMixRates(
+      docs: DataFrame,
+      sourceCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = docs.groupBy(col(sourceCol).as("__g"))
+      .agg(count(lit(1)).as("n_docs"))
+    val rates = counts.select(col("__g"), col("n_docs"),
+        round(lit(1e6) * log(col("n_docs").cast("double"))).cast("long")
+          .as("__lnm"))
+      .select(col("__g"), col("n_docs"),
+        round(lit(1e6) * exp(lit(alpha) *
+          (col("__lnm").cast("double") / lit(1e6)))).cast("long")
+          .as("rate_micro"))
+    val tot = rates.agg(sum(col("rate_micro")).as("__tot"))
+    rates.crossJoin(broadcast(tot))
+      .select(col("__g").as(sourceCol), col("n_docs"), col("rate_micro"),
+        round(lit(1e6) * col("rate_micro").cast("double") /
+          col("__tot").cast("double")).cast("long").as("share_micro"))
+  }
+
   def mixtureRebalance(
       docs: DataFrame,
       idCol: String,

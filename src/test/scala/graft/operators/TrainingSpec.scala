@@ -356,4 +356,25 @@ class TrainingSpec extends SparkSpec {
       Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text", 64)
     assert(empty.count() == 0L)
   }
+
+  test("temperatureMixRates: 16:1 at alpha 0.5 gives the exact 4:1 split") {
+    // n^0.5: 16 -> 4 (4000001 micro: ln quantizes to 2772589, and
+    // exp(1.3862945) = 4.0000006 — the BETWEEN-steps quantization is
+    // the contract, not algebra on the unquantized reals); 1 -> 1.
+    // Shares still land on clean 4/5, 1/5 micros.
+    val df = ((1 to 16).map(i => (s"d$i", "big")) ++
+      Seq(("x", "small"))).toDF("doc_id", "source")
+    val got = Training.temperatureMixRates(df, "source", alpha = 0.5)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("big").getAs[Long]("n_docs") == 16L)
+    assert(got("big").getAs[Long]("rate_micro") == 4000001L)
+    assert(got("small").getAs[Long]("rate_micro") == 1000000L)
+    assert(got("big").getAs[Long]("share_micro") == 800000L)
+    assert(got("small").getAs[Long]("share_micro") == 200000L)
+    // alpha = 1 reproduces raw proportions exactly.
+    val prop = Training.temperatureMixRates(df, "source", alpha = 1.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("share_micro")).toMap
+    assert(prop("big") == 941176L && prop("small") == 58824L)
+  }
 }
