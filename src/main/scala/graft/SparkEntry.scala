@@ -4412,7 +4412,13 @@ object SparkEntry {
     // libm steps; shares feed mixtureRebalance as its weights.
     "q304_temperature_mix" -> ((s, dir) =>
       Training.temperatureMixRates(t(s, dir, "documents"), "source",
-        alpha = 0.3))
+        alpha = 0.3)),
+
+    // Per-rater accuracy against the q286 consensus over the q285
+    // ratings fixture — which rater drags the vendor's α down.
+    "q305_rater_accuracy" -> ((s, dir) =>
+      Profile.raterAccuracy(ratingsFixture(s, dir), "source",
+        "item", "rater", "label"))
   )
 
   /** q285/q286's shared ratings fixture: three deterministic raters
@@ -10847,7 +10853,30 @@ object SparkEntry {
         |SELECT r.source, r.n AS n_docs, r.rate_micro,
         |  CAST(round(1e6 * CAST(r.rate_micro AS DOUBLE)
         |    / CAST(t.tot AS DOUBLE)) AS BIGINT) AS share_micro
-        |FROM r, t""".stripMargin)
+        |FROM r, t""".stripMargin,
+
+    "q305_rater_accuracy" ->
+      s"""WITH $ratingsFixtureSql,
+         |cells AS (
+         |  SELECT source AS g, item AS u, label AS c,
+         |    CAST(count(*) AS BIGINT) AS nc
+         |  FROM r GROUP BY 1, 2, 3),
+         |top AS (
+         |  SELECT g, u, c AS top_label,
+         |    row_number() OVER (PARTITION BY g, u
+         |      ORDER BY nc DESC, c ASC) AS rn
+         |  FROM cells),
+         |t1 AS (SELECT g, u, top_label FROM top WHERE rn = 1),
+         |v AS (SELECT source AS g, item AS u, rater, label FROM r)
+         |SELECT v.g AS source, v.rater,
+         |  CAST(count(*) AS BIGINT) AS n_votes,
+         |  CAST(sum(CASE WHEN v.label = t1.top_label
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  CAST(round(1e6 * CAST(sum(CASE WHEN v.label = t1.top_label
+         |      THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS acc_micro
+         |FROM v JOIN t1 USING (g, u)
+         |GROUP BY 1, 2""".stripMargin)
 
   /** q287's oracle: the same Poisson-threshold inverse CDF
     * (Sampling.PoissonThresholds60 literals), replicate means and

@@ -1447,6 +1447,40 @@ object Profile {
           .otherwise(lit(null).cast("long")).as("cum_share_micro"))
   }
 
+  /** Per-rater reliability against the crowd consensus — the census
+    * that turns [[krippendorffAlpha]]'s "how good is this vendor
+    * overall" into "WHICH rater drags it down": every vote is
+    * compared to its item's [[majorityVote]] winner (lexical
+    * tie-break — same consolidation, same ties), and each
+    * (group, rater) reports vote count, agreements, and the exact
+    * micro accuracy. Self-inclusion is the standard convention (a
+    * rater's own vote counts toward the consensus it is scored
+    * against — on well-rated items the bias is small and identical
+    * in any engine; leave-one-out is a different estimator, not a
+    * bug fix). NULL labels drop (they never voted).
+    * Output: (groupCol, raterCol, n_votes, n_agree, acc_micro). */
+  def raterAccuracy(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String): DataFrame = {
+    val votes = df.filter(col(labelCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(itemCol).as("__u"),
+        col(raterCol).as("__r"), col(labelCol).cast("string").as("__c"))
+    val top = majorityVote(votes, "__g", "__u", "__c")
+      .select(col("__g"), col("__u"), col("top_label"))
+    votes.join(top, Seq("__g", "__u"))
+      .groupBy(col("__g"), col("__r"))
+      .agg(count(lit(1)).as("n_votes"),
+        sum(when(col("__c") === col("top_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("__g").as(groupCol), col("__r").as(raterCol),
+        col("n_votes"), col("n_agree"),
+        round(lit(1e6) * col("n_agree").cast("double") /
+          col("n_votes").cast("double")).cast("long").as("acc_micro"))
+  }
+
   /** EXACT equi-join cardinality WITHOUT running the join — the
     * pre-flight a planner wants before committing a shuffle at
     * 100 TB: join_rows = Σ_k c_L(k)·c_R(k) over the two key-count

@@ -637,4 +637,20 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Long]("top_contrib") == 6L)
     assert(left.join(right, Seq("k")).count() == 8L)
   }
+
+  test("raterAccuracy: consensus agreement per rater, self-inclusion") {
+    // item 1: A=pos B=pos C=neg -> consensus pos; item 2: A=pos
+    // B=neg -> tie breaks to 'neg' (lexically smaller).
+    val df = Seq(
+      ("g", 1L, "A", "pos"), ("g", 1L, "B", "pos"), ("g", 1L, "C", "neg"),
+      ("g", 2L, "A", "pos"), ("g", 2L, "B", "neg"))
+      .toDF("g", "item", "rater", "label")
+    val got = Profile.raterAccuracy(df, "g", "item", "rater", "label")
+      .collect().map(r => r.getAs[String]("rater") ->
+        ((r.getAs[Long]("n_votes"), r.getAs[Long]("n_agree"),
+          r.getAs[Long]("acc_micro")))).toMap
+    assert(got("A") == ((2L, 1L, 500000L)))
+    assert(got("B") == ((2L, 2L, 1000000L)))
+    assert(got("C") == ((1L, 0L, 0L)))
+  }
 }
