@@ -4418,7 +4418,13 @@ object SparkEntry {
     // ratings fixture — which rater drags the vendor's α down.
     "q305_rater_accuracy" -> ((s, dir) =>
       Profile.raterAccuracy(ratingsFixture(s, dir), "source",
-        "item", "rater", "label"))
+        "item", "rater", "label")),
+
+    // Day-of-week × hour traffic grid per event type in pure integer
+    // epoch math (dow 0 = Monday via (day+3) mod 7 — no calendar
+    // library on either engine).
+    "q306_activity_grid" -> ((s, dir) =>
+      TimeSeries.activityGrid(t(s, dir, "events"), "event_type", "ts"))
   )
 
   /** q285/q286's shared ratings fixture: three deterministic raters
@@ -10876,7 +10882,23 @@ object SparkEntry {
          |      THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS acc_micro
          |FROM v JOIN t1 USING (g, u)
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q306_activity_grid" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour
+        |  FROM events),
+        |c AS (
+        |  SELECT g, dow, hour, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM b GROUP BY 1, 2, 3),
+        |t AS (SELECT g, CAST(sum(n_events) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1)
+        |SELECT c.g AS event_type, c.dow, c.hour, c.n_events,
+        |  CAST(round(1e6 * CAST(c.n_events AS DOUBLE)
+        |    / CAST(t.tot AS DOUBLE)) AS BIGINT) AS share_micro
+        |FROM c JOIN t USING (g)""".stripMargin)
 
   /** q287's oracle: the same Poisson-threshold inverse CDF
     * (Sampling.PoissonThresholds60 literals), replicate means and

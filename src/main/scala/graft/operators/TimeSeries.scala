@@ -780,6 +780,36 @@ object TimeSeries {
     * equi-joins — never a per-key window over raw rows.
     * Output: (keyCol, idxCol, y_micro, trend_micro, seasonal_micro,
     * resid_micro). */
+  /** Day-of-week × hour activity grid per group — the traffic-shape
+    * census (office-hours humans vs flat-cadence bots vs weekend
+    * batch jobs), in PURE integer epoch arithmetic: day index =
+    * ⌊µs/86400e6⌋, dow = (day + 3) mod 7 with 0 = Monday (epoch day
+    * 0 was a Thursday), hour = ⌊µs/3600e6⌋ mod 24 — no calendar
+    * library, no timezone, identical in any engine (the cohort
+    * bucket convention; UTC by construction, stated). Cell shares
+    * are one divide over the group's exact total, attached by a
+    * group-sized equi-join.
+    * Output: (groupCol, dow, hour, n_events, share_micro). */
+  def activityGrid(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      unix_micros(col(tsCol)).as("__us"))
+    val census = base
+      .groupBy(col("__g"),
+        pmod(expr("__us div 86400000000") + 3L, lit(7L)).as("dow"),
+        pmod(expr("__us div 3600000000"), lit(24L)).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = census.groupBy(col("__g"))
+      .agg(sum(col("n_events")).as("__tot"))
+    census.join(broadcast(totals), Seq("__g"))
+      .select(col("__g").as(groupCol), col("dow"), col("hour"),
+        col("n_events"),
+        round(lit(1e6) * col("n_events").cast("double") /
+          col("__tot").cast("double")).cast("long").as("share_micro"))
+  }
+
   def stlLite(
       series: DataFrame,
       keyCol: String,

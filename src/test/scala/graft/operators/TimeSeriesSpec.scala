@@ -330,4 +330,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(0L).getAs[Long]("seasonal_micro") == -3000000L)
     assert(got(20L).isNullAt(got(20L).fieldIndex("trend_micro")))
   }
+
+  test("activityGrid: epoch-integer dow/hour, exact shares") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday (dow 0); 2024-01-06 a Saturday (dow 5).
+    val df = Seq(
+      ("g", ts("2024-01-01 09:30:00")), ("g", ts("2024-01-01 09:59:59")),
+      ("g", ts("2024-01-01 23:00:00")), ("g", ts("2024-01-06 00:00:00")))
+      .toDF("g", "ts")
+    val got = TimeSeries.activityGrid(df, "g", "ts").collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hour")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("share_micro"))))
+      .toMap
+    assert(got == Map(
+      (0L, 9L) -> ((2L, 500000L)),
+      (0L, 23L) -> ((1L, 250000L)),
+      (5L, 0L) -> ((1L, 250000L))))
+  }
 }
