@@ -4424,7 +4424,16 @@ object SparkEntry {
     // epoch math (dow 0 = Monday via (day+3) mod 7 — no calendar
     // library on either engine).
     "q306_activity_grid" -> ((s, dir) =>
-      TimeSeries.activityGrid(t(s, dir, "events"), "event_type", "ts"))
+      TimeSeries.activityGrid(t(s, dir, "events"), "event_type", "ts")),
+
+    // Two-proportion z-test on the q288/q294 arms: high-value share
+    // per side, pooled variance, literal-z significance cut.
+    "q307_two_proportion" -> ((s, dir) =>
+      Profile.twoProportionTest(
+        t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 2 === 0).as("side"),
+          (col("value") >= 100.0).as("hi")),
+        "event_type", "side", "hi"))
   )
 
   /** q285/q286's shared ratings fixture: three deterministic raters
@@ -10898,7 +10907,41 @@ object SparkEntry {
         |SELECT c.g AS event_type, c.dow, c.hour, c.n_events,
         |  CAST(round(1e6 * CAST(c.n_events AS DOUBLE)
         |    / CAST(t.tot AS DOUBLE)) AS BIGINT) AS share_micro
-        |FROM c JOIN t USING (g)""".stripMargin)
+        |FROM c JOIN t USING (g)""".stripMargin,
+
+    "q307_two_proportion" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, user_id % 2 = 0 AS s,
+        |    value >= 100.0 AS hi
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN s AND hi THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k_a,
+        |    CAST(sum(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN NOT s AND hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k_b
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT g, n_a, k_a, n_b, k_b,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND k_a + k_b > 0
+        |        AND k_a + k_b < n_a + n_b THEN
+        |      CAST(round(1e6 *
+        |        (CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |          - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        / sqrt((CAST(k_a + k_b AS DOUBLE)
+        |            / CAST(n_a + n_b AS DOUBLE))
+        |          * (1.0 - CAST(k_a + k_b AS DOUBLE)
+        |            / CAST(n_a + n_b AS DOUBLE))
+        |          * (1.0 / CAST(n_a AS DOUBLE)
+        |            + 1.0 / CAST(n_b AS DOUBLE)))) AS BIGINT)
+        |      ELSE NULL END AS z_micro
+        |  FROM st)
+        |SELECT g AS event_type, n_a, k_a, n_b, k_b, z_micro,
+        |  COALESCE(abs(z_micro) > 1959964, false) AS significant
+        |FROM f""".stripMargin)
 
   /** q287's oracle: the same Poisson-threshold inverse CDF
     * (Sampling.PoissonThresholds60 literals), replicate means and

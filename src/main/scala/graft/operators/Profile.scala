@@ -1447,6 +1447,55 @@ object Profile {
           .otherwise(lit(null).cast("long")).as("cum_share_micro"))
   }
 
+  /** Two-proportion z-test per group — the conversion-rate A/B
+    * readout that closes the experimentation family ([[cuped]] for
+    * means, [[diffInDiff]] for quasi-experiments,
+    * [[sampleRatioCheck]] for trust, [[wilsonInterval]] for one arm):
+    * z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with the POOLED p̂,
+    * all counts exact, ONE IEEE sqrt (correctly rounded — the Wilson
+    * precedent), and `significant` compared against the literal
+    * 1.959964 on the micro-rounded |z| so both engines cut at the
+    * same integer. Degenerate groups — an empty arm, or a pooled
+    * rate of exactly 0 or 1 (zero variance) — report NULL z and
+    * false. NULL outcomes and NULL sides drop (stated).
+    * Output: (groupCol, n_a, k_a, n_b, k_b, z_micro, significant). */
+  def twoProportionTest(
+      df: DataFrame,
+      groupCol: String,
+      sideCol: String,
+      successCol: String): DataFrame = {
+    val stats = df
+      .filter(col(sideCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(
+        sum(when(col(sideCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_a"),
+        sum(when(col(sideCol).cast("boolean") &&
+          col(successCol).cast("boolean"), 1L).otherwise(0L)).as("k_a"),
+        sum(when(!col(sideCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_b"),
+        sum(when(!col(sideCol).cast("boolean") &&
+          col(successCol).cast("boolean"), 1L).otherwise(0L)).as("k_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val p = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val den = sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb))
+    val ok = col("n_a") > 0L && col("n_b") > 0L
+    // The zero-variance guard tests the COUNTS (all or no successes),
+    // not the float den: exact on both engines.
+    val live = ok && col("k_a") + col("k_b") > 0L &&
+      col("k_a") + col("k_b") < col("n_a") + col("n_b")
+    val z = (col("k_a").cast("double") / na -
+      col("k_b").cast("double") / nb) / den
+    stats.select(col("__g").as(groupCol), col("n_a"), col("k_a"),
+      col("n_b"), col("k_b"),
+      when(live, round(lit(1e6) * z).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_micro"),
+      when(live, abs(round(lit(1e6) * z).cast("long")) > 1959964L)
+        .otherwise(lit(false)).as("significant"))
+  }
+
   /** Per-rater reliability against the crowd consensus — the census
     * that turns [[krippendorffAlpha]]'s "how good is this vendor
     * overall" into "WHICH rater drags it down": every vote is

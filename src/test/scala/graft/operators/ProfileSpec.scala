@@ -653,4 +653,24 @@ class ProfileSpec extends SparkSpec {
     assert(got("B") == ((2L, 2L, 1000000L)))
     assert(got("C") == ((1L, 0L, 0L)))
   }
+
+  test("twoProportionTest: pooled z mirrors the float chain, guards exact") {
+    // g: 30/50 vs 15/50 — a real lift; z computed by the same chain.
+    val rows = (1 to 50).map(i => ("g", true, i <= 30)) ++
+      (1 to 50).map(i => ("g", false, i <= 15)) ++
+      (1 to 10).map(i => ("allwin", i % 2 == 0, true)) ++ // p = 1
+      (1 to 10).map(i => ("onearm", true, i <= 3))        // no B arm
+    val df = rows.toDF("g", "side", "hi")
+    val got = Profile.twoProportionTest(df, "g", "side", "hi")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val p = 45.0 / 100.0
+    val z = (30.0 / 50.0 - 15.0 / 50.0) /
+      math.sqrt(p * (1.0 - p) * (1.0 / 50.0 + 1.0 / 50.0))
+    assert(got("g").getAs[Long]("z_micro") == math.round(1e6 * z))
+    assert(got("g").getAs[Boolean]("significant")) // z ≈ 3.02
+    // zero-variance pool and one-armed groups: NULL z, not-significant
+    assert(got("allwin").isNullAt(got("allwin").fieldIndex("z_micro")))
+    assert(!got("allwin").getAs[Boolean]("significant"))
+    assert(got("onearm").isNullAt(got("onearm").fieldIndex("z_micro")))
+  }
 }
