@@ -4116,7 +4116,10 @@ object SparkEntry {
           unhex(lit(Multimodal.BmpFixture.hex)))
         .when(col("doc_id") % 3 === 1,
           unhex(lit(Multimodal.WebpFixture.pngTwinHex)))
-        .otherwise(concat(unhex(lit("424D")),
+        // magic + size + ZEROED reserved field (the structural byte
+        // sniffType demands), then text — passes the sniff, fails
+        // the codec.
+        .otherwise(concat(unhex(lit("424D3603000000000000")),
           col("text").cast("binary")))
       val media = d.select(col("doc_id").as("media_id"),
         content.as("content"))
@@ -4395,8 +4398,11 @@ object SparkEntry {
       val d = t(s, dir, "documents").filter(col("doc_id") < 180)
       val content = when(col("doc_id") % 3 === 0,
           unhex(lit(Multimodal.Mp3Fixture.hex)))
+        // "ID3" + major version 4 (the structural control byte
+        // sniffType demands), then text — passes the sniff, fails
+        // the strict header walk.
         .when(col("doc_id") % 3 === 1,
-          concat(unhex(lit("494433")), col("text").cast("binary")))
+          concat(unhex(lit("49443304")), col("text").cast("binary")))
         .otherwise(col("text").cast("binary"))
       val media = d.select(col("doc_id").as("media_id"),
         content.as("content"))
@@ -10102,7 +10108,8 @@ object SparkEntry {
     "q276_video_meta" ->
       s"""SELECT doc_id AS media_id,
          |  CASE WHEN doc_id % 3 IN (0, 1) THEN 'mp4'
-         |    WHEN substr(hex(encode(text)), 9, 8) = '66747970'
+         |    WHEN substr(hex(encode(text)), 1, 4) = '0000'
+         |      AND substr(hex(encode(text)), 9, 8) = '66747970'
          |      THEN 'mp4'
          |    ELSE 'unknown' END AS kind,
          |  CASE doc_id % 3
@@ -10129,7 +10136,7 @@ object SparkEntry {
          |    WHEN 1 THEN CAST(octet_length(unhex(
          |      '${graft.operators.Multimodal.WebpFixture.pngTwinHex}'))
          |      AS BIGINT)
-         |    ELSE CAST(2 + octet_length(encode(text)) AS BIGINT)
+         |    ELSE CAST(10 + octet_length(encode(text)) AS BIGINT)
          |  END AS n_bytes,
          |  CASE WHEN doc_id % 3 < 2
          |    THEN CAST(${graft.operators.Multimodal.WebpFixture.dhash}
@@ -10647,9 +10654,10 @@ object SparkEntry {
         |    CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS v,
         |    doc_id AS t
         |  FROM documents WHERE n_chars IS NOT NULL),
-        |drp AS (
-        |  SELECT g, CAST(count(*) AS BIGINT) AS nd FROM a
-        |  WHERE v < 0 GROUP BY 1),
+        |spine AS (
+        |  SELECT g, CAST(sum(CASE WHEN v < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nd
+        |  FROM a GROUP BY 1),
         |b AS (SELECT * FROM a WHERE v >= 0),
         |r AS (
         |  SELECT g, v,
@@ -10668,8 +10676,8 @@ object SparkEntry {
         |  SELECT c1.g, c1.bucket, sum(c2.s) AS cs
         |  FROM c c1 JOIN c c2 ON c1.g = c2.g AND c2.bucket <= c1.bucket
         |  GROUP BY 1, 2)
-        |SELECT c.g AS source, CAST(c.bucket AS BIGINT) AS bucket,
-        |  c.n_rows, COALESCE(drp.nd, 0) AS n_dropped,
+        |SELECT spine.g AS source, CAST(c.bucket AS BIGINT) AS bucket,
+        |  COALESCE(c.n_rows, 0) AS n_rows, spine.nd AS n_dropped,
         |  CASE WHEN tt.tot > 0 THEN CAST(round(1e6
         |    * CAST(c.s AS DOUBLE) / CAST(tt.tot AS DOUBLE)) AS BIGINT)
         |    ELSE NULL END AS share_micro,
@@ -10677,8 +10685,9 @@ object SparkEntry {
         |    * CAST(cum.cs AS DOUBLE) / CAST(tt.tot AS DOUBLE))
         |    AS BIGINT)
         |    ELSE NULL END AS cum_share_micro
-        |FROM c JOIN cum USING (g, bucket) JOIN tt USING (g)
-        |LEFT JOIN drp USING (g)""".stripMargin,
+        |FROM spine
+        |LEFT JOIN (c JOIN cum USING (g, bucket) JOIN tt USING (g))
+        |  ON spine.g = c.g""".stripMargin,
 
     "q298_funnel_latency" ->
       """WITH ev AS (
@@ -10789,10 +10798,10 @@ object SparkEntry {
         |  FROM lc JOIN rc USING (k)),
         |tot AS (
         |  SELECT CAST(count(*) AS BIGINT) AS matched_keys,
-        |    CAST(sum(p) AS BIGINT) AS join_rows
+        |    CAST(sum(p) AS DECIMAL(38,0)) AS join_rows
         |  FROM j),
         |top AS (
-        |  SELECT k AS top_key, CAST(p AS BIGINT) AS top_contrib
+        |  SELECT k AS top_key, CAST(p AS DECIMAL(38,0)) AS top_contrib
         |  FROM j ORDER BY p DESC, k DESC LIMIT 1),
         |n AS (SELECT CAST(count(user_id) AS BIGINT) AS n_left
         |  FROM events),
@@ -10800,7 +10809,8 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT n.n_left, m.n_right,
         |  COALESCE(tot.matched_keys, 0) AS matched_keys,
-        |  COALESCE(tot.join_rows, 0) AS join_rows,
+        |  CAST(COALESCE(tot.join_rows, 0) AS DECIMAL(38,0))
+        |    AS join_rows,
         |  top.top_key, top.top_contrib
         |FROM n, m, tot, top""".stripMargin,
 
@@ -10836,7 +10846,7 @@ object SparkEntry {
          |  CASE doc_id % 3
          |    WHEN 0 THEN CAST(octet_length(unhex(
          |      '${graft.operators.Multimodal.Mp3Fixture.hex}')) AS BIGINT)
-         |    WHEN 1 THEN CAST(3 + octet_length(encode(text)) AS BIGINT)
+         |    WHEN 1 THEN CAST(4 + octet_length(encode(text)) AS BIGINT)
          |    ELSE CAST(octet_length(encode(text)) AS BIGINT)
          |  END AS n_bytes,
          |  CASE WHEN doc_id % 3 = 0 THEN CAST(20 AS BIGINT)

@@ -791,7 +791,13 @@ object Multimodal {
     *
     * Signatures: PNG `89504E470D0A1A0A`, JPEG `FFD8FF`, GIF `GIF8`,
     * PDF `%PDF-`, WAV `RIFF….WAVE`, WebP `RIFF….WEBP`, ZIP `PK`, gzip
-    * `1F8B`; anything else (including empty/NULL) → `unknown`. */
+    * `1F8B`, MP4 `….ftyp` (box size < 65536), BMP `BM` (zeroed
+    * reserved field), MP3 `ID3` (v2.2/2.3/2.4) or a bare
+    * `FFFA`/`FFFB` sync; anything else (including empty/NULL) →
+    * `unknown`. The text-shaped magics (`BM`, `ID3`, `ftyp`) each
+    * also require a structural byte plain text cannot contain, so a
+    * document that merely STARTS with those letters never
+    * misclassifies. */
   def sniffType(content: Column): Column = {
     val h = hex(substring(content, 1, 12))
     val fmt = hex(substring(content, 9, 4))
@@ -805,10 +811,20 @@ object Multimodal {
       .when(h.startsWith("52494646"), lit("riff"))
       .when(h.startsWith("504B0304"), lit("zip"))
       .when(h.startsWith("1F8B"), lit("gzip"))
-      .when(hex(substring(content, 5, 4)) === "66747970", lit("mp4"))
-      .when(h.startsWith("424D"), lit("bmp"))
+      // The mp4/bmp/ID3 magics are printable-text-shaped ("BM",
+      // "ID3", "ftyp" at an offset), so each branch also demands a
+      // structural byte plain document text cannot contain: an ftyp
+      // box size < 65536 (two leading NULs), BMP's zeroed reserved
+      // field, an ID3v2 major version 2/3/4 (control bytes). The
+      // FFFA/FFFB MPEG sync needs no guard — 0xFF is not valid UTF-8.
+      .when(hex(substring(content, 1, 2)) === "0000" &&
+        hex(substring(content, 5, 4)) === "66747970", lit("mp4"))
+      .when(h.startsWith("424D") &&
+        hex(substring(content, 7, 4)) === "00000000", lit("bmp"))
       // ID3v2 tag, or a bare MPEG-1 Layer-III sync (FFFA/FFFB)
-      .when(h.startsWith("494433"), lit("mp3"))
+      .when(h.startsWith("494433") &&
+        hex(substring(content, 4, 1)).isin("02", "03", "04"),
+        lit("mp3"))
       .when(h.startsWith("FFFA") || h.startsWith("FFFB"), lit("mp3"))
       .otherwise(lit("unknown"))
   }

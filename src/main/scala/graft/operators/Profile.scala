@@ -839,7 +839,11 @@ object Profile {
       .withColumn("__r", col("running") - col("__c")) // strictly-below count
       .groupBy(col("__g"))
       .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
-        sum(col("__ca") * (lit(2L) * col("__r") + col("__c") + 1L))
+        // ca·(2r+c+1) reaches ~2N² per cell — accumulate in
+        // DECIMAL(38,0) like __ties below, so groups past ~1e9 rows
+        // cannot silently wrap a LongType sum.
+        sum((col("__ca").cast(dec) *
+          (lit(2L) * col("__r") + col("__c") + 1L)).cast(dec))
           .as("__r2a"),
         sum((col("__c").cast(dec) * col("__c") * col("__c") -
           col("__c")).cast(dec)).as("__ties"))
@@ -850,7 +854,10 @@ object Profile {
       (bigN + 1.0 - col("__ties").cast("double") /
         (bigN * (bigN - 1.0)))
     stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
-      when(col("n_a") > 0 && col("n_b") > 0, u2a)
+      // __r2a is exact in decimal; the reported doubled U fits a
+      // BIGINT whenever n_a·n_b ≤ 9.2e18 (both sides ≲ 3e9 rows) —
+      // far past that, z/rbc (doubles off the decimal) remain valid.
+      when(col("n_a") > 0 && col("n_b") > 0, u2a.cast("long"))
         .otherwise(lit(null).cast("long")).as("u2_a"),
       when(col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0.0,
         round(lit(1e6) * (u2a.cast("double") - nn) /
@@ -1395,7 +1402,11 @@ object Profile {
     * share ("the bottom 70% of documents hold 31% of the tokens").
     * Values must be NON-NEGATIVE (a Lorenz curve over mixed signs is
     * undefined); negative rows are EXCLUDED and surface in n_dropped
-    * rather than silently absorbed. The cumulative sum runs over the
+    * rather than silently absorbed — a group whose rows are ALL
+    * negative still emits one row (NULL bucket, n_rows 0, its
+    * n_dropped) off the pre-filter group spine, so the drop count
+    * never vanishes with the empty census. The cumulative sum runs
+    * over the
     * bucket census itself (≤ buckets rows per group) via a bounded
     * self-join — never a window over raw rows. All-zero groups report
     * NULL shares. Output: (groupCol, bucket, n_rows, n_dropped,
@@ -1414,8 +1425,12 @@ object Profile {
         round(col(valueCol).cast("double") * lit(1e6)).cast("long")
           .as("__v"),
         col(tieCol).as("__t"))
-    val dropped = all.filter(col("__v") < 0L)
-      .groupBy(col("__g")).agg(count(lit(1)).as("n_dropped"))
+    // Group spine from the PRE-filter frame: a group whose rows are
+    // ALL negative still reports (one row, NULL bucket, n_rows 0,
+    // its n_dropped) rather than vanishing together with its drop
+    // count when the bucket census comes up empty.
+    val spine = all.groupBy(col("__g"))
+      .agg(sum(when(col("__v") < 0L, 1L).otherwise(0L)).as("n_dropped"))
     val base = all.filter(col("__v") >= 0L)
     val ranked = Ranking.groupRank(base, "__g", Seq("__v", "__t"))
     val totals = base.groupBy(col("__g"))
@@ -1432,11 +1447,13 @@ object Profile {
       .filter(col("__b2") <= col("bucket"))
       .groupBy(col("__g"), col("bucket"))
       .agg(sum(col("__s2")).as("__cs"))
-    census.join(cum, Seq("__g", "bucket"))
-      .join(broadcast(totals), Seq("__g"))
-      .join(broadcast(dropped), Seq("__g"), "left")
-      .select(col("__g").as(groupCol), col("bucket"), col("n_rows"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+    spine.join(
+        census.join(cum, Seq("__g", "bucket"))
+          .join(broadcast(totals), Seq("__g")),
+        Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("bucket"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("n_dropped"),
         when(col("__tot") > 0,
           round(lit(1e6) * col("__s").cast("double") /
             col("__tot").cast("double")).cast("long"))
@@ -1538,8 +1555,11 @@ object Profile {
     * row that decides whether the real join needs [[graft.operators.
     * Skew.saltedJoin]]. This is not an estimate: for inner equi-join
     * semantics the sum IS the output size. NULL keys never match in
-    * an equi-join and are excluded (stated). Counts accumulate in
-    * DECIMAL(38,0); the hot key reports deterministically (max on
+    * an equi-join and are excluded (stated). join_rows/top_contrib
+    * accumulate AND report in DECIMAL(38,0) — never cast to BIGINT,
+    * which would wrap/null at exactly the hot-key scales (1e10×1e10
+    * matches = 1e20 rows) this pre-flight exists to warn about;
+    * the hot key reports deterministically (max on
     * (contribution, key) — total order). Output: one row —
     * (n_left, n_right, matched_keys, join_rows, top_key,
     * top_contrib). */
@@ -1559,16 +1579,21 @@ object Profile {
     val nr = right.agg(count(col(rightKey)).as("n_right"))
     lc.join(rc, Seq("__k"))
       .select(col("__k"),
-        (col("__cl").cast(dec) * col("__cr")).as("__p"))
+        (col("__cl").cast(dec) * col("__cr")).cast(dec).as("__p"))
       .agg(count(lit(1)).as("matched_keys"),
-        sum(col("__p")).cast("long").as("join_rows"),
+        // join_rows/top_contrib stay DECIMAL(38,0) end to end: at the
+        // hot-key scales this pre-flight exists for (1e10×1e10 matches
+        // = 1e20 rows) a BIGINT cast would wrap/null exactly when the
+        // answer matters.
+        sum(col("__p")).cast(dec).as("join_rows"),
         max(struct(col("__p").as("p"), col("__k").as("k"))).as("__top"))
       .crossJoin(broadcast(nl))
       .crossJoin(broadcast(nr))
       .select(col("n_left"), col("n_right"),
         coalesce(col("matched_keys"), lit(0L)).as("matched_keys"),
-        coalesce(col("join_rows"), lit(0L)).as("join_rows"),
+        coalesce(col("join_rows"), lit(0L).cast(dec)).cast(dec)
+          .as("join_rows"),
         col("__top.k").as("top_key"),
-        col("__top.p").cast("long").as("top_contrib"))
+        col("__top.p").cast(dec).as("top_contrib"))
   }
 }

@@ -763,23 +763,6 @@ object TimeSeries {
       (math.round(1e6 * ul), math.round(1e6 * ub)) }.toSeq
   }
 
-  /** STL-lite additive decomposition per key over an integer-indexed
-    * MICRO series: y = trend + seasonal + residual, with every stage
-    * exact-then-one-divide. Trend is the centered moving average of
-    * width `period` (odd, required) — taps attach by index equi-join
-    * (the acf/holt kernel shape, no window), and an index with FEWER
-    * than `period` present taps reports NULL trend (series edges and
-    * gaps — partial kernels lie, the holt convention). Seasonal is
-    * the per-phase (idx mod period) mean of the detrended values over
-    * trend-covered rows; residual = y − trend − seasonal. A pure
-    * period-cycle therefore decomposes to seasonal exactly and zero
-    * residual (spec-pinned). Two micro-rounded divides total (trend
-    * mean, phase mean); everything else is integer.
-    *
-    * Scale: one ×period explode + two hash-aggs + key-sized
-    * equi-joins — never a per-key window over raw rows.
-    * Output: (keyCol, idxCol, y_micro, trend_micro, seasonal_micro,
-    * resid_micro). */
   /** Day-of-week × hour activity grid per group — the traffic-shape
     * census (office-hours humans vs flat-cadence bots vs weekend
     * batch jobs), in PURE integer epoch arithmetic: day index =
@@ -810,6 +793,23 @@ object TimeSeries {
           col("__tot").cast("double")).cast("long").as("share_micro"))
   }
 
+  /** STL-lite additive decomposition per key over an integer-indexed
+    * MICRO series: y = trend + seasonal + residual, with every stage
+    * exact-then-one-divide. Trend is the centered moving average of
+    * width `period` (odd, required) — taps attach by index equi-join
+    * (the acf/holt kernel shape, no window), and an index with FEWER
+    * than `period` present taps reports NULL trend (series edges and
+    * gaps — partial kernels lie, the holt convention). Seasonal is
+    * the per-phase (idx mod period) mean of the detrended values over
+    * trend-covered rows; residual = y − trend − seasonal. A pure
+    * period-cycle therefore decomposes to seasonal exactly and zero
+    * residual (spec-pinned). Two micro-rounded divides total (trend
+    * mean, phase mean); everything else is integer.
+    *
+    * Scale: one ×period explode + two hash-aggs + key-sized
+    * equi-joins — never a per-key window over raw rows.
+    * Output: (keyCol, idxCol, y_micro, trend_micro, seasonal_micro,
+    * resid_micro). */
   def stlLite(
       series: DataFrame,
       keyCol: String,

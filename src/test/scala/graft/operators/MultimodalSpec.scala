@@ -355,7 +355,17 @@ class MultimodalSpec extends SparkSpec {
       (7L, Array(0x50, 0x4B, 0x03, 0x04, 0x14).map(_.toByte), "zip"),
       (8L, Array(0x1F, 0x8B, 0x08).map(_.toByte), "gzip"),
       (9L, "plain text".getBytes("UTF-8"), "unknown"),
-      (10L, Array.empty[Byte], "unknown"))
+      (10L, Array.empty[Byte], "unknown"),
+      // structural guards: text that merely STARTS with a
+      // text-shaped magic (BM / ID3 / ftyp-at-5) must stay unknown…
+      (11L, "BMW sales rose".getBytes("UTF-8"), "unknown"),
+      (12L, "ID3 tags intro".getBytes("UTF-8"), "unknown"),
+      (13L, "abcdftyp text".getBytes("UTF-8"), "unknown"),
+      // …while the real fixtures (zeroed reserved field, v2.4
+      // version byte, small box size) classify.
+      (14L, Multimodal.BmpFixture.bytes, "bmp"),
+      (15L, Multimodal.Mp3Fixture.bytes, "mp3"),
+      (16L, Multimodal.Mp4Fixture.bytes, "mp4"))
     val got = cases.toDF("id", "content", "expect")
       .select(col("id"), Multimodal.sniffType(col("content")).as("kind"),
         col("expect"))

@@ -621,6 +621,25 @@ class ProfileSpec extends SparkSpec {
       got(("z", 1L)).fieldIndex("share_micro")))
   }
 
+  test("lorenzBuckets: all-negative group keeps its n_dropped row") {
+    val df = Seq(
+      ("neg", -1.0, 1L), ("neg", -2.0, 2L),
+      ("ok", 1.0, 3L), ("ok", 3.0, 4L))
+      .toDF("g", "v", "id")
+    val got = Profile.lorenzBuckets(df, "g", "v", "id", buckets = 2)
+      .collect()
+    // the all-negative group emits exactly one spine row: NULL
+    // bucket, zero n_rows, its drop count — never silently absent.
+    val neg = got.filter(_.getAs[String]("g") == "neg")
+    assert(neg.length == 1)
+    assert(neg.head.isNullAt(neg.head.fieldIndex("bucket")))
+    assert(neg.head.getAs[Long]("n_rows") == 0L)
+    assert(neg.head.getAs[Long]("n_dropped") == 2L)
+    assert(neg.head.isNullAt(neg.head.fieldIndex("share_micro")))
+    val ok = got.filter(_.getAs[String]("g") == "ok")
+    assert(ok.length == 2 && ok.forall(_.getAs[Long]("n_dropped") == 0L))
+  }
+
   test("joinCardinality: exact product sum, NULL keys out, hot key named") {
     val left = Seq(Some("a"), Some("a"), Some("a"), Some("b"),
       Some("b"), Some("c"), None).toDF("k")
@@ -632,9 +651,13 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Long]("n_right") == 4L)
     assert(r.getAs[Long]("matched_keys") == 2L)
     // a: 3*2 = 6, b: 2*1 = 2 -> 8; verified against the real join.
-    assert(r.getAs[Long]("join_rows") == 8L)
+    // join_rows/top_contrib report as DECIMAL(38,0): a BIGINT would
+    // wrap at the hot-key scales this pre-flight exists to warn on.
+    assert(r.getAs[java.math.BigDecimal]("join_rows").longValueExact
+      == 8L)
     assert(r.getAs[String]("top_key") == "a")
-    assert(r.getAs[Long]("top_contrib") == 6L)
+    assert(r.getAs[java.math.BigDecimal]("top_contrib").longValueExact
+      == 6L)
     assert(left.join(right, Seq("k")).count() == 8L)
   }
 
