@@ -4439,8 +4439,51 @@ object SparkEntry {
         t(s, dir, "events").select(col("event_type"),
           (col("user_id") % 2 === 0).as("side"),
           (col("value") >= 100.0).as("hi")),
-        "event_type", "side", "hi"))
+        "event_type", "side", "hi")),
+
+    // Bradley–Terry strengths over the organic source-vs-source
+    // matches (consecutive docs "compete" on n_chars): 5 unrolled
+    // MM rounds, micro-quantized between rounds — the q119 fixpoint
+    // discipline on the RLHF-preference shape.
+    "q308_bradley_terry" -> ((s, dir) =>
+      Preference.bradleyTerry(matchesFixture(s, dir),
+        "winner", "loser", iters = 5)),
+
+    // Pairwise win-rate matrix with Wilson 95% bounds over the same
+    // matches — the per-matchup readout the BT fit summarizes away.
+    "q309_win_rate" -> ((s, dir) =>
+      Preference.winRateMatrix(matchesFixture(s, dir),
+        "winner", "loser")),
+
+    // Unbiased pass@k per (source, lang) task: attempts = docs,
+    // pass = n_chars >= 450 (a sparse bar), k in {1, 5, 10} via the
+    // micro-nat product convention.
+    "q310_pass_at_k" -> ((s, dir) =>
+      Preference.passAtK(
+        t(s, dir, "documents").select(
+          concat_ws(":", col("source"), col("lang")).as("task"),
+          (col("n_chars") >= 450L).as("ok")),
+        "task", "ok", Seq(1, 5, 10)))
   )
+
+  /** q308/q309's shared match fixture — organic preference pairs:
+    * consecutive doc_ids "play", the longer document's source wins;
+    * ties and same-source games drop. Mirrored verbatim in both
+    * oracles (`matchesSql`). */
+  private def matchesFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val b = d.select((col("doc_id") - 1L).as("doc_id"),
+      col("source").as("__bs"), col("n_chars").as("__bn"))
+    d.join(b, Seq("doc_id"))
+      .filter(col("n_chars") =!= col("__bn") &&
+        col("source") =!= col("__bs"))
+      .select(
+        when(col("n_chars") > col("__bn"), col("source"))
+          .otherwise(col("__bs")).as("winner"),
+        when(col("n_chars") > col("__bn"), col("__bs"))
+          .otherwise(col("source")).as("loser"))
+  }
 
   /** q285/q286's shared ratings fixture: three deterministic raters
     * over documents — the q268 length-rule pair plus a hash rater
@@ -10951,7 +10994,135 @@ object SparkEntry {
         |  FROM st)
         |SELECT g AS event_type, n_a, k_a, n_b, k_b, z_micro,
         |  COALESCE(abs(z_micro) > 1959964, false) AS significant
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+
+    "q308_bradley_terry" -> btOracleSql(5),
+
+    "q309_win_rate" ->
+      s"""WITH mt AS ($matchesSql),
+         |st AS (
+         |  SELECT least(w, l) AS player_a, greatest(w, l) AS player_b,
+         |    CAST(count(*) AS BIGINT) AS n_games,
+         |    CAST(sum(CASE WHEN w <= l THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_wins_a
+         |  FROM mt GROUP BY 1, 2),
+         |f AS (
+         |  SELECT player_a, player_b, n_games, n_wins_a,
+         |    CAST(n_wins_a AS DOUBLE) / CAST(n_games AS DOUBLE) AS p,
+         |    1.959964 * 1.959964 AS z2,
+         |    CAST(n_games AS DOUBLE) AS nd
+         |  FROM st)
+         |SELECT player_a, player_b, n_games, n_wins_a,
+         |  CAST(round(1e6 * p) AS BIGINT) AS p_micro,
+         |  CAST(round(1e6 * ((p + z2 / (2.0 * nd)) / (1.0 + z2 / nd)
+         |    - 1.959964 * sqrt((p * (1.0 - p) + z2 / (4.0 * nd)) / nd)
+         |      / (1.0 + z2 / nd))) AS BIGINT) AS lo_micro,
+         |  CAST(round(1e6 * ((p + z2 / (2.0 * nd)) / (1.0 + z2 / nd)
+         |    + 1.959964 * sqrt((p * (1.0 - p) + z2 / (4.0 * nd)) / nd)
+         |      / (1.0 + z2 / nd))) AS BIGINT) AS hi_micro
+         |FROM f""".stripMargin,
+
+    // Same micro-nat product convention as the Spark side: per-k ln
+    // terms micro-round to integers, sum exactly, ONE exp.
+    "q310_pass_at_k" ->
+      """WITH st AS (
+        |  SELECT source || ':' || lang AS task,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars >= 450 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |wk AS (
+        |  SELECT task, n, c, CAST(u.k AS BIGINT) AS k
+        |  FROM st, UNNEST([1, 5, 10]) AS u(k)
+        |  WHERE u.k <= n),
+        |mid AS (
+        |  SELECT task, k,
+        |    CAST(sum(CAST(round(1e6 * ln(
+        |      CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)))
+        |      AS BIGINT)) AS BIGINT) AS s
+        |  FROM (SELECT task, n, c, k, CAST(g.i AS BIGINT) AS i
+        |        FROM wk, UNNEST(generate_series(0, CAST(k AS INTEGER)
+        |          - 1)) AS g(i)
+        |        WHERE c > 0 AND n - c >= k)
+        |  GROUP BY 1, 2)
+        |SELECT wk.task, wk.k, wk.n, wk.c,
+        |  CASE WHEN wk.c = 0 THEN 0
+        |    WHEN wk.n - wk.c < wk.k THEN 1000000
+        |    ELSE CAST(round(1e6 *
+        |      (1.0 - exp(CAST(mid.s AS DOUBLE) / 1e6))) AS BIGINT)
+        |  END AS pass_micro
+        |FROM wk LEFT JOIN mid USING (task, k)""".stripMargin)
+
+  /** q308/q309's match fixture in SQL — consecutive doc_ids compete
+    * on n_chars, longer doc's source wins, ties/same-source drop
+    * (the verbatim twin of [[matchesFixture]]). */
+  private lazy val matchesSql: String =
+    """SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source
+      |    ELSE b.source END AS w,
+      |  CASE WHEN a.n_chars > b.n_chars THEN b.source
+      |    ELSE a.source END AS l
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |WHERE a.n_chars <> b.n_chars AND a.source <> b.source"""
+      .stripMargin
+
+  /** q308's oracle: the Bradley–Terry MM fixpoint unrolled `iters`
+    * rounds (the pageRankOracleSql pattern) — micro weights between
+    * rounds, scalar IEEE divides micro-rounded, renormalized to
+    * Σw = P each round, zero-win players pinned at 0. */
+  private def btOracleSql(iters: Int): String = {
+    val head =
+      s"""WITH mt AS ($matchesSql),
+         |pairs AS MATERIALIZED (
+         |  SELECT least(w, l) AS a, greatest(w, l) AS b,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM mt GROUP BY 1, 2),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS p, b AS q, n FROM pairs
+         |  UNION ALL SELECT b, a, n FROM pairs),
+         |wn AS (SELECT w AS p, CAST(count(*) AS BIGINT) AS wins
+         |  FROM mt GROUP BY 1),
+         |players AS MATERIALIZED (
+         |  SELECT u.p, COALESCE(wn.wins, 0) AS wins
+         |  FROM (SELECT w AS p FROM mt UNION SELECT l FROM mt) u
+         |  LEFT JOIN wn ON wn.p = u.p),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM players),
+         |w0 AS MATERIALIZED (
+         |  SELECT p, CAST(1000000 AS BIGINT) AS wm FROM players)"""
+        .stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""d$k AS (
+         |  SELECT s.p, CAST(sum(CAST(round(1e12 * CAST(s.n AS DOUBLE)
+         |    / CAST(greatest(wi.wm + wj.wm, 1) AS DOUBLE)) AS BIGINT))
+         |    AS BIGINT) AS d
+         |  FROM sym s
+         |  JOIN w${k - 1} wi ON wi.p = s.p
+         |  JOIN w${k - 1} wj ON wj.p = s.q
+         |  GROUP BY 1),
+         |r$k AS MATERIALIZED (
+         |  SELECT pl.p, CASE WHEN COALESCE(d.d, 0) > 0
+         |    THEN CAST(round(1e12 * CAST(pl.wins AS DOUBLE)
+         |      / CAST(d.d AS DOUBLE)) AS BIGINT)
+         |    ELSE 0 END AS wr
+         |  FROM players pl LEFT JOIN d$k d ON d.p = pl.p),
+         |s$k AS (SELECT CAST(sum(wr) AS DOUBLE) AS s FROM r$k),
+         |w$k AS MATERIALIZED (
+         |  SELECT r.p, CASE WHEN s$k.s > 0
+         |    THEN CAST(round(1e6 * CAST(np.np AS DOUBLE)
+         |      * CAST(r.wr AS DOUBLE) / s$k.s) AS BIGINT)
+         |    ELSE 0 END AS wm
+         |  FROM r$k r, s$k, np)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"""
+         |, games AS (
+         |  SELECT p, CAST(sum(n) AS BIGINT) AS n_games
+         |  FROM sym GROUP BY 1)
+         |SELECT pl.p AS player, pl.wins AS n_wins, g.n_games,
+         |  w$iters.wm AS bt_micro
+         |FROM players pl
+         |JOIN games g ON g.p = pl.p
+         |JOIN w$iters ON w$iters.p = pl.p""".stripMargin
+  }
 
   /** q287's oracle: the same Poisson-threshold inverse CDF
     * (Sampling.PoissonThresholds60 literals), replicate means and
