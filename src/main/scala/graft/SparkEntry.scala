@@ -4463,7 +4463,16 @@ object SparkEntry {
         t(s, dir, "documents").select(
           concat_ws(":", col("source"), col("lang")).as("task"),
           (col("n_chars") >= 450L).as("ok")),
-        "task", "ok", Seq(1, 5, 10)))
+        "task", "ok", Seq(1, 5, 10))),
+
+    // Materialized training order for the q304 temperature mixture:
+    // stride scheduling — doc i of a rate-r source at virtual time
+    // (2i−1)/(2r), globally sorted. Reproducible row-for-row, no RNG.
+    "q311_interleave_order" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Training.strideInterleave(d, "source", "doc_id",
+        Training.temperatureMixRates(d, "source", alpha = 0.3))
+    })
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -11051,7 +11060,38 @@ object SparkEntry {
         |    ELSE CAST(round(1e6 *
         |      (1.0 - exp(CAST(mid.s AS DOUBLE) / 1e6))) AS BIGINT)
         |  END AS pass_micro
-        |FROM wk LEFT JOIN mid USING (task, k)""".stripMargin)
+        |FROM wk LEFT JOIN mid USING (task, k)""".stripMargin,
+
+    // q304's rate CTEs verbatim, then the stride: vt = (2i−1)/(2r)
+    // as ONE scalar IEEE divide, global order by (vt, source, id).
+    "q311_interleave_order" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |l AS (
+        |  SELECT source, n,
+        |    CAST(round(1e6 * ln(CAST(n AS DOUBLE))) AS BIGINT) AS lnm
+        |  FROM c),
+        |r AS (
+        |  SELECT source, n,
+        |    CAST(round(1e6 * exp(0.3 * (CAST(lnm AS DOUBLE) / 1e6)))
+        |      AS BIGINT) AS rate_micro
+        |  FROM l),
+        |rk AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS rr
+        |  FROM documents),
+        |v AS (
+        |  SELECT rk.source, rk.doc_id,
+        |    CAST(round(1e12 * CAST(2 * rr - 1 AS DOUBLE)
+        |      / (2.0 * CAST(r.rate_micro AS DOUBLE))) AS BIGINT)
+        |      AS vt_micro
+        |  FROM rk JOIN r USING (source) WHERE r.rate_micro > 0)
+        |SELECT source, doc_id, vt_micro,
+        |  row_number() OVER (ORDER BY vt_micro, source, doc_id)
+        |    AS order_idx
+        |FROM v""".stripMargin)
 
   /** q308/q309's match fixture in SQL — consecutive doc_ids compete
     * on n_chars, longer doc's source wins, ties/same-source drop

@@ -293,6 +293,46 @@ object Training {
           col("__tot").cast("double")).cast("long").as("share_micro"))
   }
 
+  /** Deterministic stride-scheduled interleave — MATERIALIZE the
+    * training order a [[temperatureMixRates]] mixture implies,
+    * without an RNG: each source emits its docs at virtual times
+    * vt_i = (2i−1)/(2·rate) (the classic stride scheduler — doc i of
+    * a rate-r source lands at the center of its i-th 1/r slot), and
+    * the global order is the ascending vt sort. A source with twice
+    * the rate appears twice as often, evenly spread — exactly what
+    * epoch-level sampling converges to, but reproducible row-for-row
+    * and resumable from any order_idx.
+    *
+    * Exactness: per-source ordinals come from [[Ranking.groupRank]]'s
+    * range-partitioned prefix; vt micro-rounds ONE scalar IEEE
+    * divide of exact integers (engine-identical); the global index
+    * is a constant-group [[Ranking.groupRank]] over (vt, source, id)
+    * — range-partitioned by the sort key itself, so no single
+    * reducer sees the corpus. Sources absent from `rates` (or with
+    * non-positive rate) drop — the schedule only emits what the
+    * mixture weights (stated).
+    * Output: (sourceCol, idCol, vt_micro, order_idx). */
+  def strideInterleave(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      rates: DataFrame,
+      rateCol: String = "rate_micro"): DataFrame = {
+    val r = rates.filter(col(rateCol) > 0L)
+      .select(col(sourceCol).as("__rs"), col(rateCol).as("__rate"))
+    val ranked = Ranking.groupRank(
+      docs.select(col(sourceCol), col(idCol)), sourceCol, Seq(idCol))
+    val vt = ranked.join(broadcast(r), col(sourceCol) === col("__rs"))
+      .select(col(sourceCol), col(idCol),
+        round(lit(1e12) * (lit(2L) * col("rank") - 1L).cast("double") /
+          (lit(2.0) * col("__rate").cast("double"))).cast("long")
+          .as("vt_micro"))
+    Ranking.groupRank(vt.withColumn("__all", lit(0)),
+        "__all", Seq("vt_micro", sourceCol, idCol))
+      .select(col(sourceCol), col(idCol), col("vt_micro"),
+        col("rank").as("order_idx"))
+  }
+
   def mixtureRebalance(
       docs: DataFrame,
       idCol: String,

@@ -377,4 +377,25 @@ class TrainingSpec extends SparkSpec {
         r.getAs[Long]("share_micro")).toMap
     assert(prop("big") == 941176L && prop("small") == 58824L)
   }
+
+  test("strideInterleave: 2:1 rates give the evenly-spread A B A A B A order") {
+    val docs = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L),
+      ("B", 1L), ("B", 2L),
+      ("C", 9L)) // no rate row -> absent from the schedule
+      .toDF("source", "doc_id")
+    val rates = Seq(("A", 2000000L), ("B", 1000000L))
+      .toDF("source", "rate_micro")
+    val got = Training.strideInterleave(docs, "source", "doc_id", rates)
+      .orderBy("order_idx").collect()
+    // vt: A at (2i-1)*250000, B at (2i-1)*500000.
+    assert(got.map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("doc_id"))).toSeq ==
+      Seq(("A", 1L), ("B", 1L), ("A", 2L), ("A", 3L), ("B", 2L),
+        ("A", 4L)))
+    assert(got.map(_.getAs[Long]("order_idx")).toSeq ==
+      (1L to 6L).toSeq)
+    assert(got.head.getAs[Long]("vt_micro") == 250000L)
+    assert(got(1).getAs[Long]("vt_micro") == 500000L)
+  }
 }
