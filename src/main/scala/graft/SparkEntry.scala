@@ -4472,7 +4472,14 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Training.strideInterleave(d, "source", "doc_id",
         Training.temperatureMixRates(d, "source", alpha = 0.3))
-    })
+    }),
+
+    // Cluster-cohesion scorecard for the q53 IVF clustering:
+    // simplified silhouette (centroid distances, not pairwise) per
+    // cell — same assignment convention the index ships.
+    "q312_silhouette" -> ((s, dir) =>
+      Similarity.simplifiedSilhouette(t(s, dir, "embeddings"),
+        "vec_id", "embedding", nCentroids = 16))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -11091,7 +11098,43 @@ object SparkEntry {
         |SELECT source, doc_id, vt_micro,
         |  row_number() OVER (ORDER BY vt_micro, source, doc_id)
         |    AS order_idx
-        |FROM v""".stripMargin)
+        |FROM v""".stripMargin,
+
+    // The q53 centroid CTEs, then: own = argmax cosine (tie → min
+    // cell), second = max over other centroids, s = (b−a)/max(a,b)
+    // micro-rounded per vector, exact-sum mean per cell.
+    "q312_silhouette" ->
+      s"""WITH $ivfAsgCtes,
+         |sims AS (
+         |  SELECT n.vec_id, cent.cell,
+         |    CAST(list_sum(list_transform(generate_series(1,
+         |      len(n.qv)), i -> n.qv[i]*cent.cv[i])) AS DOUBLE)
+         |      / (sqrt(CAST(n.nsq AS DOUBLE))
+         |        * sqrt(CAST(cent.cnsq AS DOUBLE))) AS csim
+         |  FROM n, cent),
+         |own AS (
+         |  SELECT vec_id, cell, csim FROM (
+         |    SELECT vec_id, cell, csim,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY csim DESC, cell) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |oth AS (
+         |  SELECT s.vec_id, max(s.csim) AS second
+         |  FROM sims s JOIN own o
+         |    ON o.vec_id = s.vec_id AND s.cell <> o.cell
+         |  GROUP BY 1),
+         |sv AS (
+         |  SELECT o.cell,
+         |    CASE WHEN greatest(1.0 - o.csim, 1.0 - t.second) > 0
+         |      THEN CAST(round(1e6 * ((1.0 - t.second)
+         |        - (1.0 - o.csim))
+         |        / greatest(1.0 - o.csim, 1.0 - t.second)) AS BIGINT)
+         |      ELSE 0 END AS s_micro
+         |  FROM own o JOIN oth t ON t.vec_id = o.vec_id)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(round(CAST(sum(s_micro) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_s_micro
+         |FROM sv GROUP BY cell""".stripMargin)
 
   /** q308/q309's match fixture in SQL — consecutive doc_ids compete
     * on n_chars, longer doc's source wins, ties/same-source drop

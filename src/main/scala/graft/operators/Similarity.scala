@@ -140,6 +140,61 @@ object Similarity {
       .withColumn("centroid_q", col("s").cast("double") / col("n"))
       .select(col("cell"), col("dim_idx"), col("n"), col("centroid_q"))
 
+  /** Simplified silhouette per cluster — "is this clustering real":
+    * for each vector, a = cosine distance to its OWN centroid, b =
+    * distance to the nearest OTHER centroid, s = (b−a)/max(a,b) ∈
+    * [−1, 1]; the per-cell mean is the cluster-cohesion scorecard an
+    * index build reads before trusting its inverted lists (the
+    * full-pairwise silhouette is O(n²) and the k-centroid
+    * simplification is the standard large-scale substitute).
+    *
+    * Assignment reuses the [[ivfCentroids]] convention (max cosine,
+    * tie → min cell) so the score audits exactly the clustering
+    * [[ivfIndex]] ships. Distances are scalar IEEE off the exact
+    * integer dot/norms ([[graft.functions.VectorFunctions.cosineQ]]);
+    * each vector's s micro-rounds ONCE, per-cell means are exact Long
+    * sums with one final divide — engine-identical. Degenerate
+    * a = b = 0 (duplicate centroids) scores 0 (stated).
+    *
+    * Scale: one broadcast crossJoin against k centroids (the
+    * [[ivfIndex]] assign shape — never vector×vector), two narrow
+    * per-vector aggregates, one cell-sized census.
+    * Output: (cell, n_vectors, mean_s_micro). */
+  def simplifiedSilhouette(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int): DataFrame = {
+    val prepared = prepare(corpus, idCol, vecCol)
+    val centroids = broadcast(
+      ivfCentroids(corpus, idCol, vecCol, nCentroids))
+    val sims = prepared.crossJoin(centroids)
+      .select(col(idCol), col("cell"),
+        cosineQ(dotQ(col("qvec"), col("cvec")), col("nsq"),
+          col("cnsq")).as("__csim"))
+    val own = sims.groupBy(col(idCol))
+      .agg(max_by(col("cell"),
+          struct(col("__csim"), (-col("cell")).as("nc"))).as("cell"),
+        max(col("__csim")).as("__best"))
+    val second = sims
+      .join(own.select(col(idCol), col("cell").as("__oc")), Seq(idCol))
+      .filter(col("cell") =!= col("__oc"))
+      .groupBy(col(idCol)).agg(max(col("__csim")).as("__second"))
+    val a = lit(1.0) - col("__best")
+    val b = lit(1.0) - col("__second")
+    own.join(second, Seq(idCol))
+      .select(col("cell"),
+        when(greatest(a, b) > 0.0,
+          round(lit(1e6) * (b - a) / greatest(a, b)).cast("long"))
+          .otherwise(lit(0L)).as("__s"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("__s")).as("__sum"))
+      .select(col("cell"), col("n_vectors"),
+        round(col("__sum").cast("double") /
+          col("n_vectors").cast("double")).cast("long")
+          .as("mean_s_micro"))
+  }
+
   /** K-means cluster census over an [[ivfIndex]] result: per cell, the
     * member count and the within-cluster sum of squared distances to
     * the cluster MEAN (the k-means inertia the elbow method plots),

@@ -381,4 +381,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got("solo").isNullAt(got("solo").fieldIndex("cos_micro")))
     assert(got("solo").isNullAt(got("solo").fieldIndex("shift_micro")))
   }
+  test("simplifiedSilhouette: tight two-cluster fixture scores near 1") {
+    // ids 0/1 are the centroids (lowest-id convention); 2 leans to
+    // cluster 0, 3 to cluster 1. Centroid members score exactly 1
+    // (a = 0); the leaners land ~0.99.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.simplifiedSilhouette(
+      vecs, "vec_id", "embedding", nCentroids = 2)
+      .collect().map(r => r.getAs[Long]("cell") -> r).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L).getAs[Long]("n_vectors") == 2L)
+    assert(got(1L).getAs[Long]("n_vectors") == 2L)
+    assert(got(0L).getAs[Long]("mean_s_micro") > 950000L)
+    assert(got(1L).getAs[Long]("mean_s_micro") > 950000L)
+    assert(got(0L).getAs[Long]("mean_s_micro") <= 1000000L)
+  }
 }
