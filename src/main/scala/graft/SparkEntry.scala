@@ -4479,7 +4479,48 @@ object SparkEntry {
     // cell — same assignment convention the index ships.
     "q312_silhouette" -> ((s, dir) =>
       Similarity.simplifiedSilhouette(t(s, dir, "embeddings"),
-        "vec_id", "embedding", nCentroids = 16))
+        "vec_id", "embedding", nCentroids = 16)),
+
+    // FLAC stream metadata through the strict block walk (the q303
+    // MP3 pattern): 0-mod-3 the real minimal FLAC (STREAMINFO,
+    // 44100 Hz / 2 ch / 16-bit / 4410 samples = 100 ms), 1-mod-3 a
+    // magic-passing corrupt chain that must quarantine, 2-mod-3 text.
+    "q313_flac_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 180)
+      val content = when(col("doc_id") % 3 === 0,
+          unhex(lit(Multimodal.FlacFixture.hex)))
+        // 'fLaC' + STREAMINFO-first header byte (the sniff guard),
+        // then text — passes the sniff, fails the strict walk.
+        .when(col("doc_id") % 3 === 1,
+          concat(unhex(lit("664C614300")), col("text").cast("binary")))
+        .otherwise(col("text").cast("binary"))
+      val media = d.select(col("doc_id").as("media_id"),
+        content.as("content"))
+      media.select(col("media_id"),
+          Multimodal.sniffType(col("content")).as("kind"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .join(Multimodal.flacMeta(media, "media_id", "content"),
+          Seq("media_id"), "left")
+    }),
+
+    // TIFF dimensions through the IFD walk: 0-mod-3 the real LE
+    // fixture (16×16), 1-mod-3 magic + text (the IFD offset lands
+    // past the buffer → NULL quarantine), 2-mod-3 plain text.
+    "q314_tiff_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 180)
+      val content = when(col("doc_id") % 3 === 0,
+          unhex(lit(Multimodal.TiffFixture.hex)))
+        .when(col("doc_id") % 3 === 1,
+          concat(unhex(lit("49492A00")), col("text").cast("binary")))
+        .otherwise(col("text").cast("binary"))
+      val media = d.select(col("doc_id").as("media_id"),
+        content.as("content"))
+      media.select(col("media_id"),
+          Multimodal.sniffType(col("content")).as("kind"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .join(Multimodal.tiffDims(media, "media_id", "content"),
+          Seq("media_id"), "left")
+    })
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -11134,7 +11175,47 @@ object SparkEntry {
          |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
          |  CAST(round(CAST(sum(s_micro) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_s_micro
-         |FROM sv GROUP BY cell""".stripMargin)
+         |FROM sv GROUP BY cell""".stripMargin,
+
+    "q313_flac_meta" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 IN (0, 1) THEN 'flac'
+         |    ELSE 'unknown' END AS kind,
+         |  CASE doc_id % 3
+         |    WHEN 0 THEN CAST(octet_length(unhex(
+         |      '${graft.operators.Multimodal.FlacFixture.hex}')) AS BIGINT)
+         |    WHEN 1 THEN CAST(5 + octet_length(encode(text)) AS BIGINT)
+         |    ELSE CAST(octet_length(encode(text)) AS BIGINT)
+         |  END AS n_bytes,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(44100 AS BIGINT)
+         |    ELSE NULL END AS sample_rate,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(2 AS BIGINT)
+         |    ELSE NULL END AS channels,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 AS BIGINT)
+         |    ELSE NULL END AS bits_per_sample,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(4410 AS BIGINT)
+         |    ELSE NULL END AS total_samples,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(100 AS BIGINT)
+         |    ELSE NULL END AS duration_ms
+         |FROM documents WHERE doc_id < 180""".stripMargin,
+
+    "q314_tiff_meta" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 IN (0, 1) THEN 'tiff'
+         |    ELSE 'unknown' END AS kind,
+         |  CASE doc_id % 3
+         |    WHEN 0 THEN CAST(octet_length(unhex(
+         |      '${graft.operators.Multimodal.TiffFixture.hex}')) AS BIGINT)
+         |    WHEN 1 THEN CAST(4 + octet_length(encode(text)) AS BIGINT)
+         |    ELSE CAST(octet_length(encode(text)) AS BIGINT)
+         |  END AS n_bytes,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'II' ELSE NULL END
+         |    AS byte_order,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 AS BIGINT)
+         |    ELSE NULL END AS width,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 AS BIGINT)
+         |    ELSE NULL END AS height
+         |FROM documents WHERE doc_id < 180""".stripMargin)
 
   /** q308/q309's match fixture in SQL — consecutive doc_ids compete
     * on n_chars, longer doc's source wins, ties/same-source drop

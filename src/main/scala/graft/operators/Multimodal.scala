@@ -522,6 +522,174 @@ object Multimodal {
     lazy val hex: String = bytes.map(b => f"${b & 0xff}%02X").mkString
   }
 
+  /** FLAC stream metadata — a header walk like [[Mp3Codec]], no
+    * sample decode: 'fLaC' magic, then the metadata-block chain
+    * whose FIRST block must be a 34-byte STREAMINFO (the spec
+    * mandates it), whose packed bitfield carries sample rate (20
+    * bits), channels−1 (3), bits-per-sample−1 (5), and total
+    * samples (36). The walk is STRICT: every block header must fit
+    * its declared length inside the buffer and the chain must
+    * terminate via the last-block bit — crafted magic-passing bytes
+    * quarantine to None rather than yield half-parsed metadata
+    * (the [[Mp3Codec]] convention). duration_ms is the integer
+    * floor of totalSamples·1000/rate. */
+  object FlacCodec {
+    /** 'f' 'L' 'a' 'C' + a first-block header of type STREAMINFO
+      * (byte 4 is 0x00 or 0x80 — a structural control byte plain
+      * text cannot contain, the sniffType guard). */
+    def isFlac(c: Array[Byte]): Boolean =
+      c.length >= 5 && c(0) == 'f' && c(1) == 'L' && c(2) == 'a' &&
+        c(3) == 'C' && (c(4) & 0x7f) == 0
+
+    private def be24(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 16) | ((b(off + 1) & 0xff) << 8) |
+        (b(off + 2) & 0xff)
+
+    /** (sampleRate, channels, bitsPerSample, totalSamples,
+      * durationMs). */
+    def parseMeta(
+        c: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+      if (!isFlac(c)) return None
+      var off = 4
+      var info: Option[(Long, Long, Long, Long)] = None
+      var last = false
+      var first = true
+      while (!last) {
+        if (off + 4 > c.length) return None
+        val hdr = c(off) & 0xff
+        last = (hdr & 0x80) != 0
+        val tpe = hdr & 0x7f
+        val len = be24(c, off + 1)
+        if (off + 4 + len > c.length) return None
+        if (first) {
+          // Spec: STREAMINFO first, exactly 34 bytes.
+          if (tpe != 0 || len != 34) return None
+          val s = off + 4
+          // bytes 10..17: rate(20) | ch−1(3) | bps−1(5) | total(36)
+          var packed = 0L
+          (0 until 8).foreach(i =>
+            packed = (packed << 8) | (c(s + 10 + i) & 0xffL))
+          val rate = packed >>> 44
+          val ch = ((packed >>> 41) & 0x7L) + 1L
+          val bps = ((packed >>> 36) & 0x1fL) + 1L
+          val total = packed & 0xfffffffffL
+          if (rate == 0L) return None
+          info = Some((rate, ch, bps, total))
+          first = false
+        }
+        off += 4 + len
+      }
+      info.map { case (rate, ch, bps, total) =>
+        (rate, ch, bps, total, total * 1000L / rate) }
+    }
+  }
+
+  /** Deterministic minimal FLAC fixture: 'fLaC' + one last-block
+    * STREAMINFO (34 bytes) at 44100 Hz, 2 ch, 16-bit, 4410 samples
+    * → 100 ms. The oracle interpolates [[hex]]. */
+  object FlacFixture {
+    val bytes: Array[Byte] = {
+      val out = new Array[Byte](4 + 4 + 34)
+      out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+      out(4) = 0x80.toByte // last block, type 0 (STREAMINFO)
+      out(7) = 34          // 3-byte BE length
+      // min/max block size 4096 (spec minimum 16)
+      out(8) = 0x10; out(9) = 0x00; out(10) = 0x10; out(11) = 0x00
+      // min/max frame size 0 (unknown) — bytes 12..17 stay 0
+      val packed = (44100L << 44) | (1L << 41) | (15L << 36) | 4410L
+      (0 until 8).foreach(i =>
+        out(18 + i) = ((packed >>> (8 * (7 - i))) & 0xff).toByte)
+      // md5 (bytes 26..41) stays zero — legal "unknown" marker
+      out
+    }
+    lazy val hex: String = bytes.map(b => f"${b & 0xff}%02X").mkString
+  }
+
+  /** TIFF dimensions — an IFD walk, no pixel decode: 'II*\0' (LE) /
+    * 'MM\0*' (BE) magic (both contain a NUL, so plain text can
+    * never sniff as TIFF), IFD0 at the header offset, and the
+    * ImageWidth (256) / ImageLength (257) entries read as inline
+    * SHORT or LONG values in the file's byte order. STRICT: the
+    * IFD must fit, both tags must be present and positive, else
+    * None (the [[Mp3Codec]] quarantine convention). */
+  object TiffCodec {
+    def isTiff(c: Array[Byte]): Boolean =
+      c.length >= 8 &&
+        ((c(0) == 'I' && c(1) == 'I' && c(2) == 0x2a && c(3) == 0) ||
+          (c(0) == 'M' && c(1) == 'M' && c(2) == 0 && c(3) == 0x2a))
+
+    private def u16(b: Array[Byte], off: Int, le: Boolean): Int =
+      if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+    private def u32(b: Array[Byte], off: Int, le: Boolean): Long =
+      if (le) (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+      else ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+    /** (byteOrder "II"/"MM", width, height). */
+    def parseDims(c: Array[Byte]): Option[(String, Long, Long)] = {
+      if (!isTiff(c)) return None
+      val le = c(0) == 'I'
+      val ifd = u32(c, 4, le)
+      if (ifd < 8 || ifd + 2 > c.length) return None
+      val n = u16(c, ifd.toInt, le)
+      if (ifd + 2 + 12L * n > c.length) return None
+      var width = -1L
+      var height = -1L
+      (0 until n).foreach { i =>
+        val e = ifd.toInt + 2 + 12 * i
+        val tag = u16(c, e, le)
+        val tpe = u16(c, e + 2, le)
+        val count = u32(c, e + 4, le)
+        if ((tag == 256 || tag == 257) && count == 1L) {
+          // inline value, left-justified in file byte order
+          val v = tpe match {
+            case 3 => u16(c, e + 8, le).toLong // SHORT
+            case 4 => u32(c, e + 8, le)        // LONG
+            case _ => -1L
+          }
+          if (tag == 256) width = v else height = v
+        }
+      }
+      if (width > 0 && height > 0)
+        Some((if (le) "II" else "MM", width, height))
+      else None
+    }
+  }
+
+  /** Deterministic minimal TIFF fixture: little-endian header, one
+    * IFD with SHORT ImageWidth/ImageLength 16×16 (dims only — the
+    * walker never touches pixel data). [[beBytes]] is the same
+    * image in big-endian for the spec's endianness case. */
+  object TiffFixture {
+    private def build(le: Boolean): Array[Byte] = {
+      val out = new Array[Byte](8 + 2 + 24 + 4)
+      def p16(off: Int, v: Int): Unit =
+        if (le) { out(off) = (v & 0xff).toByte
+          out(off + 1) = ((v >> 8) & 0xff).toByte }
+        else { out(off) = ((v >> 8) & 0xff).toByte
+          out(off + 1) = (v & 0xff).toByte }
+      def p32(off: Int, v: Long): Unit =
+        if (le) (0 until 4).foreach(i =>
+          out(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+        else (0 until 4).foreach(i =>
+          out(off + i) = ((v >>> (8 * (3 - i))) & 0xff).toByte)
+      if (le) { out(0) = 'I'; out(1) = 'I'; out(2) = 0x2a; out(3) = 0 }
+      else { out(0) = 'M'; out(1) = 'M'; out(2) = 0; out(3) = 0x2a }
+      p32(4, 8L)   // IFD0 right after the header
+      p16(8, 2)    // two entries
+      p16(10, 256); p16(12, 3); p32(14, 1L); p16(18, 16) // width
+      p16(22, 257); p16(24, 3); p32(26, 1L); p16(30, 16) // height
+      p32(34, 0L)  // no next IFD
+      out
+    }
+    val bytes: Array[Byte] = build(le = true)
+    val beBytes: Array[Byte] = build(le = false)
+    lazy val hex: String = bytes.map(b => f"${b & 0xff}%02X").mkString
+  }
+
   /** REAL audio codec — RIFF/WAVE decoded to PCM samples via
     * `javax.sound.sampled` (JDK-bundled, like imageio). Same
     * (bytes in, primitives out) boundary as [[PngCodec]]. */
@@ -826,6 +994,13 @@ object Multimodal {
         hex(substring(content, 4, 1)).isin("02", "03", "04"),
         lit("mp3"))
       .when(h.startsWith("FFFA") || h.startsWith("FFFB"), lit("mp3"))
+      // 'fLaC' is text-shaped too: demand the STREAMINFO-first block
+      // header byte (0x00/0x80 — control bytes). TIFF magics embed a
+      // NUL, inherently text-safe.
+      .when(h.startsWith("664C6143") &&
+        hex(substring(content, 5, 1)).isin("00", "80"), lit("flac"))
+      .when(h.startsWith("49492A00") || h.startsWith("4D4D002A"),
+        lit("tiff"))
       .otherwise(lit("unknown"))
   }
 
@@ -903,6 +1078,56 @@ object Multimodal {
         }
       }.toDF("media_id", "tag_bytes", "n_frames", "bitrate_kbps",
         "sample_rate", "duration_ms")
+  }
+
+  /** Lossless-audio metadata column via [[FlacCodec.parseMeta]] —
+    * the [[audioStreamMeta]] shape: batched mapPartitions keeps the
+    * header walk map-side, content bytes never shuffle, non-FLAC /
+    * malformed rows keep their id with all-NULL metadata (the NULL
+    * quarantine). */
+  def flacMeta(
+      media: DataFrame,
+      idCol: String,
+      contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, content) =>
+            val m = FlacCodec.parseMeta(
+              Option(content).getOrElse(Array.emptyByteArray))
+            (id, m.map(_._1), m.map(_._2), m.map(_._3), m.map(_._4),
+              m.map(_._5))
+          }
+        }
+      }.toDF("media_id", "sample_rate", "channels", "bits_per_sample",
+        "total_samples", "duration_ms")
+  }
+
+  /** TIFF-dimension metadata column via [[TiffCodec.parseDims]] —
+    * same batched map-side boundary and NULL quarantine as
+    * [[flacMeta]]. Output: (media_id, byte_order, width, height). */
+  def tiffDims(
+      media: DataFrame,
+      idCol: String,
+      contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, content) =>
+            val m = TiffCodec.parseDims(
+              Option(content).getOrElse(Array.emptyByteArray))
+            (id, m.map(_._1), m.map(_._2), m.map(_._3))
+          }
+        }
+      }.toDF("media_id", "byte_order", "width", "height")
   }
 
   /** Resize stage (real for PNG, stub elsewhere), preserving the media

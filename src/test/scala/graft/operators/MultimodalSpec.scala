@@ -365,7 +365,14 @@ class MultimodalSpec extends SparkSpec {
       // version byte, small box size) classify.
       (14L, Multimodal.BmpFixture.bytes, "bmp"),
       (15L, Multimodal.Mp3Fixture.bytes, "mp3"),
-      (16L, Multimodal.Mp4Fixture.bytes, "mp4"))
+      (16L, Multimodal.Mp4Fixture.bytes, "mp4"),
+      // 'fLaC' followed by printable text stays unknown (the block
+      // header byte is the structural guard); TIFF magics embed a
+      // NUL so no text case exists.
+      (17L, "fLaC rips sound great".getBytes("UTF-8"), "unknown"),
+      (18L, Multimodal.FlacFixture.bytes, "flac"),
+      (19L, Multimodal.TiffFixture.bytes, "tiff"),
+      (20L, Multimodal.TiffFixture.beBytes, "tiff"))
     val got = cases.toDF("id", "content", "expect")
       .select(col("id"), Multimodal.sniffType(col("content")).as("kind"),
         col("expect"))
@@ -484,5 +491,51 @@ class MultimodalSpec extends SparkSpec {
         .getBytes("ISO-8859-1")).isEmpty)
     // Not MP3 at all → None.
     assert(Mp3Codec.parseMeta("hello".getBytes).isEmpty)
+  }
+
+  test("FlacCodec: fixture walks exactly, strict quarantine on corruption") {
+    import Multimodal.{FlacCodec, FlacFixture}
+    assert(FlacCodec.parseMeta(FlacFixture.bytes)
+      .contains((44100L, 2L, 16L, 4410L, 100L)))
+    // Magic + STREAMINFO header byte + text: block length runs past
+    // the buffer → None.
+    assert(FlacCodec.parseMeta(
+      ("fLaC " + "not really audio").getBytes("ISO-8859-1"))
+      .isEmpty)
+    // Truncated STREAMINFO → None.
+    assert(FlacCodec.parseMeta(FlacFixture.bytes.dropRight(1)).isEmpty)
+    // First block not STREAMINFO (type 4 = VORBIS_COMMENT) → None.
+    val wrongType = FlacFixture.bytes.clone()
+    wrongType(4) = 0x84.toByte
+    assert(FlacCodec.parseMeta(wrongType).isEmpty)
+    // Zero sample rate → None.
+    val zeroRate = FlacFixture.bytes.clone()
+    zeroRate(18) = 0; zeroRate(19) = 0; zeroRate(20) = 0x0f
+    assert(FlacCodec.parseMeta(zeroRate).isEmpty)
+    // Plain text / too short → None.
+    assert(FlacCodec.parseMeta("fLa".getBytes).isEmpty)
+    assert(FlacCodec.parseMeta("plain text".getBytes).isEmpty)
+  }
+
+  test("TiffCodec: LE and BE fixtures parse, malformed quarantines") {
+    import Multimodal.{TiffCodec, TiffFixture}
+    assert(TiffCodec.parseDims(TiffFixture.bytes)
+      .contains(("II", 16L, 16L)))
+    assert(TiffCodec.parseDims(TiffFixture.beBytes)
+      .contains(("MM", 16L, 16L)))
+    // Magic + text: the IFD offset read from text bytes lands far
+    // past the buffer → None.
+    assert(TiffCodec.parseDims(
+      (Array[Byte]('I', 'I', 0x2a, 0) ++
+        "the quick brown fox".getBytes("UTF-8"))).isEmpty)
+    // Width entry removed (tag overwritten) → None.
+    val noWidth = TiffFixture.bytes.clone()
+    noWidth(10) = 0x11 // tag 256 -> 273 (StripOffsets)
+    assert(TiffCodec.parseDims(noWidth).isEmpty)
+    // IFD entry table runs past the buffer → None.
+    val bigCount = TiffFixture.bytes.clone()
+    bigCount(8) = 0x40
+    assert(TiffCodec.parseDims(bigCount).isEmpty)
+    assert(TiffCodec.parseDims("plain".getBytes).isEmpty)
   }
 }
