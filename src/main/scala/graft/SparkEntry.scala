@@ -4520,6 +4520,18 @@ object SparkEntry {
           length(col("content")).cast("long").as("n_bytes"))
         .join(Multimodal.tiffDims(media, "media_id", "content"),
           Seq("media_id"), "left")
+    }),
+
+    // Flesch reading-ease + FK grade over the q228 punctuation-
+    // injected fixture (the corpus has no sentence punctuation of
+    // its own): vowel-group syllable proxy, shared sentence splitter.
+    "q315_readability" -> ((s, dir) => {
+      val t2 = regexp_replace(regexp_replace(col("text"),
+        " table ", ". Table? "), " query ", " query! ")
+      val docs = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 3 === 0L, concat(t2, lit(".")))
+          .otherwise(t2))
+      Corpus.readabilityCensus(docs, "doc_id", "text2")
     })
   )
 
@@ -11215,7 +11227,45 @@ object SparkEntry {
          |    ELSE NULL END AS width,
          |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 AS BIGINT)
          |    ELSE NULL END AS height
-         |FROM documents WHERE doc_id < 180""".stripMargin)
+         |FROM documents WHERE doc_id < 180""".stripMargin,
+
+    // q228's injected-punctuation CTE, then the three counters and
+    // the two scalar formulas, micro-rounded identically.
+    "q315_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN t2 || '.' ELSE t2 END AS text2
+        |  FROM (
+        |    SELECT doc_id,
+        |      regexp_replace(regexp_replace(text,
+        |        ' table ', '. Table? ', 'g'),
+        |        ' query ', ' query! ', 'g') AS t2
+        |    FROM documents)),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text2),
+        |      '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split_regex(text2,
+        |      '[.!?]+\s+|[。！？]+\s*'), x -> len(trim(x)) > 0))
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text2), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+        |    CAST(round(1e6 * (206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE)
+        |        / CAST(n_sentences AS DOUBLE))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE)))) AS BIGINT)
+        |    ELSE NULL END AS fre_micro,
+        |  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+        |    CAST(round(1e6 * (0.39 * (CAST(n_words AS DOUBLE)
+        |        / CAST(n_sentences AS DOUBLE))
+        |      + 11.8 * (CAST(n_syllables AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE)) - 15.59)) AS BIGINT)
+        |    ELSE NULL END AS fk_grade_micro
+        |FROM c""".stripMargin)
 
   /** q308/q309's match fixture in SQL — consecutive doc_ids compete
     * on n_chars, longer doc's source wins, ties/same-source drop

@@ -849,4 +849,46 @@ object Corpus {
         col("__st.distinct_grams").as("distinct_grams"),
         col("__st.entropy_mnat").as("entropy_mnat"))
   }
+
+  /** Flesch reading-ease + Flesch–Kincaid grade per document — the
+    * classic readability pair a curriculum/quality pipeline bins on.
+    * Words are whitespace tokens, sentences the shared
+    * [[TextFunctions.sentenceSplit]] segmenter, and syllables the
+    * standard VOWEL-GROUP proxy (runs of `[aeiouy]+` in the
+    * lower-cased text — a dictionary-free approximation, stated: a
+    * vowelless token contributes 0, which slightly inflates ease on
+    * symbol-heavy text; both engines apply the identical proxy).
+    * FRE = 206.835 − 1.015·W/S − 84.6·Y/W and
+    * FK = 0.39·W/S + 11.8·Y/W − 15.59 are scalar IEEE off exact
+    * integer counts, micro-rounded once. Zero words or zero
+    * sentences → NULL scores (the formulas are undefined).
+    * Scale: three per-row counters, no shuffle at all.
+    * Output: (idCol, n_words, n_sentences, n_syllables, fre_micro,
+    * fk_grade_micro). */
+  def readabilityCensus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val w = TextFunctions.tokenCount(col(textCol)).cast("long")
+    val s = size(TextFunctions.sentenceSplit(col(textCol))).cast("long")
+    val y = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    val base = docs.select(col(idCol), w.as("n_words"),
+      s.as("n_sentences"), y.as("n_syllables"))
+    val ws = col("n_words").cast("double") /
+      col("n_sentences").cast("double")
+    val yw = col("n_syllables").cast("double") /
+      col("n_words").cast("double")
+    val ok = col("n_words") > 0L && col("n_sentences") > 0L
+    base.select(col(idCol), col("n_words"), col("n_sentences"),
+      col("n_syllables"),
+      when(ok, round(lit(1e6) *
+          (lit(206.835) - lit(1.015) * ws - lit(84.6) * yw))
+          .cast("long"))
+        .otherwise(lit(null).cast("long")).as("fre_micro"),
+      when(ok, round(lit(1e6) *
+          (lit(0.39) * ws + lit(11.8) * yw - lit(15.59)))
+          .cast("long"))
+        .otherwise(lit(null).cast("long")).as("fk_grade_micro"))
+  }
 }

@@ -424,4 +424,27 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 1000000L, "b" -> 1000000L))
   }
+
+  test("readabilityCensus: hand-counted FRE/FK, unpunctuated one-sentence, empty NULL") {
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran fast."),
+      (2L, "no punctuation here"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Corpus.readabilityCensus(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // W=7 S=2 Y=7: FRE = 206.835 − 1.015·3.5 − 84.6 = 118.6825;
+    // FK = 0.39·3.5 + 11.8 − 15.59 = −2.425.
+    assert(got(1L).getAs[Long]("n_words") == 7L)
+    assert(got(1L).getAs[Long]("n_sentences") == 2L)
+    assert(got(1L).getAs[Long]("n_syllables") == 7L)
+    assert(got(1L).getAs[Long]("fre_micro") == 118682500L)
+    assert(got(1L).getAs[Long]("fk_grade_micro") == -2425000L)
+    // No terminators: the whole text is ONE sentence, scores defined.
+    assert(got(2L).getAs[Long]("n_sentences") == 1L)
+    assert(got(2L).getAs[Long]("n_words") == 3L)
+    // Empty: zero words/sentences -> NULL scores.
+    assert(got(3L).isNullAt(got(3L).fieldIndex("fre_micro")))
+    assert(got(3L).isNullAt(got(3L).fieldIndex("fk_grade_micro")))
+  }
 }
