@@ -4532,7 +4532,25 @@ object SparkEntry {
         when(col("doc_id") % 3 === 0L, concat(t2, lit(".")))
           .otherwise(t2))
       Corpus.readabilityCensus(docs, "doc_id", "text2")
-    })
+    }),
+
+    // Post-stratified ATE: arm = user parity, strata = event_type —
+    // the exact-matching observational estimator, one summary row.
+    "q316_stratified_ate" -> ((s, dir) =>
+      Profile.postStratifiedAte(
+        t(s, dir, "events").select(
+          (col("user_id") % 2 === 0).as("arm"),
+          col("event_type"), col("value")),
+        "arm", "event_type", "value")),
+
+    // Pre-experiment power: minimum detectable effect per event_type
+    // at 95%/80% on the q307 outcome split.
+    "q317_mde" -> ((s, dir) =>
+      Profile.minDetectableEffect(
+        t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 2 === 0).as("arm"),
+          (col("value") >= 100.0).as("hi")),
+        "event_type", "arm", "hi"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -11265,7 +11283,78 @@ object SparkEntry {
         |      + 11.8 * (CAST(n_syllables AS DOUBLE)
         |        / CAST(n_words AS DOUBLE)) - 15.59)) AS BIGINT)
         |    ELSE NULL END AS fk_grade_micro
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+
+    "q316_stratified_ate" ->
+      """WITH b AS (
+        |  SELECT event_type AS s, user_id % 2 = 0 AS t,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT s,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc,
+        |    sum(CASE WHEN t THEN CAST(v AS HUGEINT) ELSE 0 END) AS stt,
+        |    sum(CASE WHEN NOT t THEN CAST(v AS HUGEINT) ELSE 0 END)
+        |      AS sc
+        |  FROM b GROUP BY 1),
+        |d AS (
+        |  SELECT st.*, nt > 0 AND nc > 0 AS used,
+        |    CASE WHEN nt > 0 AND nc > 0 THEN
+        |      CAST(round(CAST(stt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |        - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) AS BIGINT)
+        |      ELSE NULL END AS diff
+        |  FROM st)
+        |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |  CAST(sum(CASE WHEN used THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_strata_used,
+        |  CAST(sum(CASE WHEN used THEN nt ELSE 0 END) AS BIGINT)
+        |    AS n_treat,
+        |  CAST(sum(CASE WHEN used THEN nc ELSE 0 END) AS BIGINT)
+        |    AS n_ctrl,
+        |  CAST(sum(CASE WHEN NOT used THEN nt + nc ELSE 0 END)
+        |    AS BIGINT) AS n_dropped_rows,
+        |  CASE WHEN sum(CASE WHEN used THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(round(CAST(sum(CASE WHEN used
+        |        THEN CAST(nt + nc AS HUGEINT) * diff ELSE 0 END)
+        |      AS DOUBLE)
+        |      / CAST(sum(CASE WHEN used THEN nt ELSE 0 END)
+        |        + sum(CASE WHEN used THEN nc ELSE 0 END) AS DOUBLE))
+        |      AS BIGINT)
+        |    ELSE NULL END AS ate_micro
+        |FROM d""".stripMargin,
+
+    "q317_mde" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, user_id % 2 = 0 AS a,
+        |    value >= 100.0 AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT g, n_a, n_b, k,
+        |    CAST(k AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p,
+        |    n_a > 0 AND n_b > 0 AND k > 0 AND k < n_a + n_b AS live
+        |  FROM st)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CAST(round(1e6 * p) AS BIGINT) AS p_micro,
+        |  CASE WHEN live THEN CAST(round(1e6
+        |    * ((1.959964 + 0.841621) * sqrt(p * (1.0 - p)
+        |      * (1.0 / CAST(n_a AS DOUBLE)
+        |        + 1.0 / CAST(n_b AS DOUBLE))))) AS BIGINT)
+        |    ELSE NULL END AS mde_micro,
+        |  CASE WHEN live THEN CAST(round(1e6
+        |    * ((1.959964 + 0.841621) * sqrt(p * (1.0 - p)
+        |      * (1.0 / CAST(n_a AS DOUBLE)
+        |        + 1.0 / CAST(n_b AS DOUBLE)))) / p) AS BIGINT)
+        |    ELSE NULL END AS mde_rel_micro
+        |FROM f""".stripMargin)
 
   /** q308/q309's match fixture in SQL — consecutive doc_ids compete
     * on n_chars, longer doc's source wins, ties/same-source drop

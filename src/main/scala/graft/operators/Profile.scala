@@ -1513,6 +1513,111 @@ object Profile {
         .otherwise(lit(false)).as("significant"))
   }
 
+  /** Post-stratified average treatment effect — the exact-matching
+    * estimator for observational comparisons: within each stratum
+    * the arm means difference directly (confounding on the stratum
+    * variable is removed by construction), and the ATE is the
+    * stratum-size-weighted mean of those diffs over the strata where
+    * BOTH arms appear. Strata with one arm cannot estimate a
+    * contrast and are excluded — their row count surfaces in
+    * n_dropped_rows rather than silently absorbed (the
+    * [[lorenzBuckets]] spine lesson).
+    *
+    * Exactness: values micro-quantize once, per-stratum sums ride
+    * DECIMAL(38,0) (the [[welchT]] convention), each stratum diff is
+    * scalar IEEE micro-rounded, and the weighted combine is an exact
+    * Σ n_s·diff_s in decimal with ONE final divide. One hash-agg +
+    * one stratum-sized agg — no windows, no joins over raw rows.
+    * Output: one row — (n_strata, n_strata_used, n_treat, n_ctrl,
+    * n_dropped_rows, ate_micro). */
+  def postStratifiedAte(
+      df: DataFrame,
+      armCol: String,
+      strataCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull && col(armCol).isNotNull)
+      .select(col(strataCol).as("__s"),
+        col(armCol).cast("boolean").as("__t"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val strata = base.groupBy(col("__s"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+        sum(when(col("__t"), col("__v")).otherwise(0L).cast(dec))
+          .as("__st"),
+        sum(when(!col("__t"), col("__v")).otherwise(0L).cast(dec))
+          .as("__sc"))
+      .withColumn("__used", col("__nt") > 0L && col("__nc") > 0L)
+      .withColumn("__diff",
+        when(col("__used"),
+          round(col("__st").cast("double") / col("__nt").cast("double") -
+            col("__sc").cast("double") / col("__nc").cast("double"))
+            .cast("long")))
+    strata.agg(
+        count(lit(1)).as("n_strata"),
+        sum(when(col("__used"), 1L).otherwise(0L)).as("n_strata_used"),
+        sum(when(col("__used"), col("__nt")).otherwise(0L)).as("n_treat"),
+        sum(when(col("__used"), col("__nc")).otherwise(0L)).as("n_ctrl"),
+        sum(when(!col("__used"), col("__nt") + col("__nc"))
+          .otherwise(0L)).as("n_dropped_rows"),
+        sum(when(col("__used"),
+          ((col("__nt") + col("__nc")).cast(dec) * col("__diff"))
+            .cast(dec)).otherwise(lit(0L).cast(dec))).as("__wsum"))
+      .select(col("n_strata"), col("n_strata_used"), col("n_treat"),
+        col("n_ctrl"), col("n_dropped_rows"),
+        when(col("n_strata_used") > 0L,
+          round(col("__wsum").cast("double") /
+            (col("n_treat") + col("n_ctrl")).cast("double"))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("ate_micro"))
+  }
+
+  /** Minimum detectable effect for a two-arm proportion test — the
+    * pre-experiment power readout ([[twoProportionTest]] decides
+    * after the fact; this says what the traffic CAN detect):
+    * MDE = (z_{α/2} + z_power)·√(p(1−p)(1/n_a + 1/n_b)) at 95%
+    * two-sided / 80% power, both inverse-normal values as LITERALS
+    * (1.959964, 0.841621 — no runtime quantile function on either
+    * engine), ONE IEEE sqrt, micro-rounded absolute and relative
+    * MDEs. Degenerate groups — an empty arm or a pooled rate of
+    * exactly 0 or 1 — report NULL (nothing is detectable without
+    * variance). NULL outcomes/arms drop (stated).
+    * Output: (groupCol, n_a, n_b, p_micro, mde_micro,
+    * mde_rel_micro). */
+  def minDetectableEffect(
+      df: DataFrame,
+      groupCol: String,
+      armCol: String,
+      successCol: String,
+      zAlpha: Double = 1.959964,
+      zPower: Double = 0.841621): DataFrame = {
+    require(zAlpha > 0 && zPower >= 0, "z constants must be positive")
+    val base = df.filter(col(successCol).isNotNull && col(armCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(armCol).cast("boolean").as("__a"),
+        col(successCol).cast("boolean").as("__y"))
+    val stats = base.groupBy(col("__g"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__k"))
+    val p = col("__k").cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val mde = lit(zAlpha + zPower) *
+      sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double")))
+    // Count-exact degeneracy guard (the twoProportionTest convention).
+    val live = col("n_a") > 0L && col("n_b") > 0L &&
+      col("__k") > 0L && col("__k") < col("n_a") + col("n_b")
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      round(lit(1e6) * p).cast("long").as("p_micro"),
+      when(live, round(lit(1e6) * mde).cast("long"))
+        .otherwise(lit(null).cast("long")).as("mde_micro"),
+      when(live, round(lit(1e6) * mde / p).cast("long"))
+        .otherwise(lit(null).cast("long")).as("mde_rel_micro"))
+  }
+
   /** Per-rater reliability against the crowd consensus — the census
     * that turns [[krippendorffAlpha]]'s "how good is this vendor
     * overall" into "WHICH rater drags it down": every vote is

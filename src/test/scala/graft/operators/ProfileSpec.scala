@@ -661,6 +661,46 @@ class ProfileSpec extends SparkSpec {
     assert(left.join(right, Seq("k")).count() == 8L)
   }
 
+  test("postStratifiedAte: stratum diffs, size weighting, one-arm drop") {
+    // x: treat {10,20} vs ctrl {10} -> diff +5; y: treat {100} vs
+    // ctrl {90,110} -> diff 0; z: treat-only -> dropped, counted.
+    val df = Seq(
+      ("x", true, 10.0), ("x", true, 20.0), ("x", false, 10.0),
+      ("y", true, 100.0), ("y", false, 90.0), ("y", false, 110.0),
+      ("z", true, 50.0))
+      .toDF("s", "arm", "v")
+    val r = Profile.postStratifiedAte(df, "arm", "s", "v")
+      .collect().head
+    assert(r.getAs[Long]("n_strata") == 3L)
+    assert(r.getAs[Long]("n_strata_used") == 2L)
+    assert(r.getAs[Long]("n_treat") == 3L)
+    assert(r.getAs[Long]("n_ctrl") == 3L)
+    assert(r.getAs[Long]("n_dropped_rows") == 1L)
+    // ATE = (3·5e6 + 3·0) / 6 = 2.5 in micro.
+    assert(r.getAs[Long]("ate_micro") == 2500000L)
+  }
+
+  test("minDetectableEffect: closed form, degenerate NULLs") {
+    val df = Seq(
+      ("g", true, true), ("g", true, false),
+      ("g", false, true), ("g", false, false),
+      ("h", true, true), ("h", false, true), // all success -> NULL
+      ("i", true, true), ("i", true, false)) // one arm -> NULL
+      .toDF("g", "arm", "y")
+    val got = Profile.minDetectableEffect(df, "g", "arm", "y")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val expected = math.round(1e6 *
+      ((1.959964 + 0.841621) *
+        math.sqrt(0.5 * 0.5 * (1.0 / 2 + 1.0 / 2))))
+    assert(got("g").getAs[Long]("p_micro") == 500000L)
+    assert(got("g").getAs[Long]("mde_micro") == expected)
+    assert(got("g").getAs[Long]("mde_rel_micro") ==
+      math.round(1e6 * ((1.959964 + 0.841621) *
+        math.sqrt(0.5 * 0.5 * (1.0 / 2 + 1.0 / 2))) / 0.5))
+    assert(got("h").isNullAt(got("h").fieldIndex("mde_micro")))
+    assert(got("i").isNullAt(got("i").fieldIndex("mde_micro")))
+  }
+
   test("raterAccuracy: consensus agreement per rater, self-inclusion") {
     // item 1: A=pos B=pos C=neg -> consensus pos; item 2: A=pos
     // B=neg -> tie breaks to 'neg' (lexically smaller).
