@@ -4550,7 +4550,28 @@ object SparkEntry {
         t(s, dir, "events").select(col("event_type"),
           (col("user_id") % 2 === 0).as("arm"),
           (col("value") >= 100.0).as("hi")),
-        "event_type", "arm", "hi"))
+        "event_type", "arm", "hi")),
+
+    // Phonetic key census over the part-name vocabulary — the
+    // classic name-matching blocking function as a pure expression
+    // chain (simplified Soundex, documented variant).
+    "q318_phonetic_census" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(explode(graft.functions.TextFunctions.tokens(
+          col("p_name"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_parts"))
+        .select(col("word"), Linkage.phoneticKey(col("word"))
+          .as("code"), col("n_parts"))),
+
+    // Sound-alike pairs by phonetic blocking over the same
+    // vocabulary (red/rod collide organically at R300).
+    "q319_phonetic_pairs" -> ((s, dir) =>
+      Linkage.phoneticBlockedPairs(
+        t(s, dir, "part").select(explode(
+          graft.functions.TextFunctions.tokens(col("p_name")))
+          .as("word")),
+        "word", maxDf = 50))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -11354,7 +11375,54 @@ object SparkEntry {
         |      * (1.0 / CAST(n_a AS DOUBLE)
         |        + 1.0 / CAST(n_b AS DOUBLE)))) / p) AS BIGINT)
         |    ELSE NULL END AS mde_rel_micro
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+
+    "q318_phonetic_census" ->
+      s"""WITH words AS (
+         |  SELECT u.t AS word, CAST(count(*) AS BIGINT) AS n_parts
+         |  FROM part, UNNEST(list_filter(string_split_regex(
+         |    lower(p_name), '\\s+'), t -> len(t) > 0)) AS u(t)
+         |  GROUP BY 1),
+         |$phoneticKeyCtes
+         |SELECT word, code, n_parts FROM keys""".stripMargin,
+
+    "q319_phonetic_pairs" ->
+      s"""WITH words AS (
+         |  SELECT u.t AS word, CAST(count(*) AS BIGINT) AS n_parts
+         |  FROM part, UNNEST(list_filter(string_split_regex(
+         |    lower(p_name), '\\s+'), t -> len(t) > 0)) AS u(t)
+         |  GROUP BY 1),
+         |$phoneticKeyCtes,
+         |kk AS (SELECT code FROM keys WHERE code IS NOT NULL
+         |  GROUP BY 1 HAVING count(*) <= 50)
+         |SELECT a.code, a.word AS word_a, b.word AS word_b,
+         |  a.n_parts AS n_a, b.n_parts AS n_b
+         |FROM keys a
+         |JOIN keys b ON a.code = b.code AND a.word < b.word
+         |JOIN kk ON kk.code = a.code""".stripMargin)
+
+  /** The [[graft.operators.Linkage.phoneticKey]] expression chain as
+    * a CTE ladder over a `words(word, n_parts)` input — identical
+    * translate table, collapse regexes, first-code suppression, and
+    * pad. Shared by q318/q319. */
+  private lazy val phoneticKeyCtes: String =
+    """k1 AS (SELECT word, n_parts,
+      |  regexp_replace(word, '[^a-z]', '', 'g') AS w FROM words),
+      |k2 AS (SELECT *, translate(w, 'bfpvcgjkqsxzdtlmnr',
+      |  '111122222222334556') AS m FROM k1),
+      |k3 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(m,
+      |  '1{2,}', '1', 'g'), '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+      |  '4{2,}', '4', 'g'), '5{2,}', '5', 'g'), '6{2,}', '6', 'g')
+      |  AS cm FROM k2),
+      |k4 AS (SELECT *, regexp_replace(cm, '[a-z]', '', 'g') AS dg
+      |  FROM k3),
+      |k5 AS (SELECT *, CASE WHEN regexp_matches(substr(cm, 1, 1),
+      |  '[1-6]') THEN substr(dg, 2) ELSE dg END AS tl FROM k4),
+      |keys AS (SELECT word, n_parts,
+      |  CASE WHEN len(w) > 0 THEN upper(substr(w, 1, 1)) ||
+      |    rpad(substr(tl, 1, 3), 3, '0') ELSE NULL END AS code
+      |  FROM k5)""".stripMargin
 
   /** q308/q309's match fixture in SQL — consecutive doc_ids compete
     * on n_chars, longer doc's source wins, ties/same-source drop

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Entity resolution by blocked best-match record linkage — the
@@ -158,6 +158,65 @@ object Linkage {
           col("sim_micro").as("sim_micro")), k)
       .select(col("left_id"), col("rank"), col("sim_micro"),
         col("right_id"))
+  }
+
+  /** Simplified-Soundex phonetic key — the classic blocking function
+    * for name matching, as a pure codegen'd expression chain
+    * (translate + RE2-safe regexp, no backreferences, so the DuckDB
+    * oracle embeds the identical chain). DOCUMENTED VARIANT: the
+    * standard letter→digit table (b f p v→1, c g j k q s x z→2,
+    * d t→3, l→4, m n→5, r→6), vowels and h/w/y separate coded runs
+    * but are never coded, adjacent same-digit runs collapse, the
+    * first letter keeps its face and suppresses its own leading
+    * code, pad/truncate to LETTER+3 digits. The American-Soundex
+    * H/W *bridging* rule (same-code letters separated by h/w code
+    * once) is intentionally omitted — it needs lookahead regexes RE2
+    * cannot express; "ashcraft" keys A226 here vs A261 classically.
+    * Non-letters strip first; an all-non-letter input keys NULL. */
+  def phoneticKey(c: Column): Column = {
+    val w = regexp_replace(lower(c), "[^a-z]", "")
+    val m = translate(w, "bfpvcgjkqsxzdtlmnr", "111122222222334556")
+    val collapsed = "123456".foldLeft(m) { (acc, d) =>
+      regexp_replace(acc, s"$d{2,}", d.toString)
+    }
+    val digits = regexp_replace(collapsed, "[a-z]", "")
+    val tail = when(substring(collapsed, 1, 1).rlike("[1-6]"),
+      substring(digits, 2, 512)).otherwise(digits)
+    when(length(w) > 0,
+      concat(upper(substring(w, 1, 1)),
+        rpad(substring(tail, 1, 3), 3, "0")))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** Sound-alike pairs by phonetic blocking: DISTINCT strings census
+    * first (pairing happens in vocabulary space, never row space),
+    * block on [[phoneticKey]], join distinct strings sharing a key.
+    * Keys whose vocabulary exceeds `maxDf` drop entirely (stated) —
+    * the df cap that bounds the quadratic term, the
+    * [[Dedup]]-family convention. Output: (code, word_a, word_b,
+    * n_a, n_b), word_a < word_b, with each word's row count. */
+  def phoneticBlockedPairs(
+      df: DataFrame,
+      strCol: String,
+      maxDf: Int = 50): DataFrame = {
+    require(maxDf >= 2, "maxDf must be at least 2")
+    val words = Dedup.truncate(df.filter(col(strCol).isNotNull)
+      .groupBy(col(strCol).as("__w"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("code", phoneticKey(col("__w")))
+      .filter(col("code").isNotNull))
+    val keyDf = words.groupBy(col("code"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("code"))
+    val blocked = words.join(broadcast(keyDf), Seq("code"))
+    blocked.select(col("code"), col("__w").as("word_a"),
+        col("__n").as("n_a"))
+      .join(blocked.select(col("code"), col("__w").as("word_b"),
+        col("__n").as("n_b")), Seq("code"))
+      .filter(col("word_a") < col("word_b"))
+      .select(col("code"), col("word_a"), col("word_b"),
+        col("n_a"), col("n_b"))
   }
 
   /** EXACT edit-distance-≤-1 similarity self-join by deletion

@@ -157,4 +157,38 @@ class LinkageSpec extends SparkSpec {
     assert(!plain.contains((1L, 2L)))
     assert(plain.contains((1L, 7L)))
   }
+
+  test("phoneticKey: classic codes, collapse, first-code suppression") {
+    val got = Seq("robert", "jackson", "tymczak", "pfister", "smith",
+      "smyth", "o'brien", "ashcraft", "new", "123", "")
+      .toDF("w")
+      .select(col("w"), Linkage.phoneticKey(col("w")).as("code"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1)))
+      .toMap
+    assert(got("robert").contains("R163"))
+    assert(got("jackson").contains("J250"))   // ckso collapse
+    assert(got("tymczak").contains("T522"))
+    assert(got("pfister").contains("P236"))   // leading pf collapse
+    assert(got("smith").contains("S530"))
+    assert(got("smyth").contains("S530"))     // the sound-alike pair
+    assert(got("o'brien").contains("O165"))   // non-letter strip
+    // Documented variant: no H/W bridge (classic would be A261).
+    assert(got("ashcraft").contains("A226"))
+    assert(got("new").contains("N000"))       // pad
+    assert(got("123").isEmpty && got("").isEmpty)
+  }
+
+  test("phoneticBlockedPairs: sound-alikes pair, df cap drops hot keys") {
+    val rows = (Seq.fill(3)("smith") ++ Seq("smyth") ++
+      // three distinct words all keying B400 to trip maxDf = 2
+      Seq("blue", "blah", "bell")).toDF("w")
+    val got = Linkage.phoneticBlockedPairs(rows, "w", maxDf = 2)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("code") == "S530")
+    assert(r.getAs[String]("word_a") == "smith")
+    assert(r.getAs[String]("word_b") == "smyth")
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 1L)
+  }
 }
