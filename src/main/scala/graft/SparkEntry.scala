@@ -4571,7 +4571,28 @@ object SparkEntry {
         t(s, dir, "part").select(explode(
           graft.functions.TextFunctions.tokens(col("p_name")))
           .as("word")),
-        "word", maxDf = 50))
+        "word", maxDf = 50)),
+
+    // KMV distinct-vocabulary estimate per source (k = 32 smallest
+    // word hashes — mergeable, exact when unfilled).
+    "q320_kmv_words" -> ((s, dir) =>
+      Sketches.kmvEstimate(
+        Sketches.kmvSketch(
+          t(s, dir, "documents").select(col("source"),
+            explode(graft.functions.TextFunctions.tokens(col("text")))
+              .as("w")),
+          col("w"), Seq("source"), k = 32),
+        Seq("source"), k = 32)),
+
+    // Pairwise vocabulary-overlap estimates between sources off the
+    // same sketches — the set-op KMV supports and HLL registers
+    // cannot (group-pair census, the q117 precedent).
+    "q321_kmv_intersect" -> ((s, dir) =>
+      Sketches.kmvIntersectPairs(
+        t(s, dir, "documents").select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("w")),
+        col("w"), "source", k = 32))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -11399,7 +11420,21 @@ object SparkEntry {
          |  a.n_parts AS n_a, b.n_parts AS n_b
          |FROM keys a
          |JOIN keys b ON a.code = b.code AND a.word < b.word
-         |JOIN kk ON kk.code = a.code""".stripMargin)
+         |JOIN kk ON kk.code = a.code""".stripMargin,
+
+    "q320_kmv_words" ->
+      Sketches.kmvDistinctSql(sourceWordsSql, "source", 32),
+
+    "q321_kmv_intersect" ->
+      Sketches.kmvIntersectSql(sourceWordsSql, 32))
+
+  /** (source, word) rows for the KMV oracles — the shared token
+    * split, lower-cased like [[graft.functions.TextFunctions
+    * .tokens]]. */
+  private lazy val sourceWordsSql: String =
+    "SELECT source AS g, u.t AS w FROM documents, " +
+      "UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), " +
+      "t -> len(t) > 0)) AS u(t)"
 
   /** The [[graft.operators.Linkage.phoneticKey]] expression chain as
     * a CTE ladder over a `words(word, n_parts)` input — identical

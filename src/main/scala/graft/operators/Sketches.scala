@@ -637,6 +637,177 @@ object Sketches {
        |FROM agg""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // KMV (k-minimum-values) distinct sketch.
+  //
+  // The set-operation twin of the HLL pair above: the STATE is the k
+  // SMALLEST distinct hash60 values per group — mergeable by "union,
+  // re-take k smallest" (a bounded-heap aggregate), which HLL
+  // registers cannot give you: because KMV keeps actual hash SAMPLES,
+  // two groups' sketches support an INTERSECTION estimate (Beyer et
+  // al. 2007): of the k smallest union hashes, the fraction present
+  // in both sketches, scaled by the union estimate. Estimates are
+  // (k−1)·2^60/h_k — one scalar divide off exact integers; a group
+  // whose sketch never filled is EXACT (its sketch IS its distinct
+  // hash set).
+  // ------------------------------------------------------------------
+
+  /** 2^60 — the hash60 space width, embedded identically in oracles. */
+  val KmvSpace: Double = math.pow(2.0, 60)
+
+  /** The sketch STATE: per group, the `k` smallest distinct hash60
+    * values of `key` with ranks — built by one distinct + one
+    * bounded-heap aggregate ([[Ranking.groupTopK]]), O(k) state per
+    * group, mergeable by union + re-truncate.
+    * Output: (groupCols*, rank, h). */
+  def kmvSketch(
+      df: DataFrame,
+      key: Column,
+      groupCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, "k must be in [2, 65536]")
+    val hashes = df
+      .select(groupCols.map(col) :+
+        graft.functions.TextFunctions.hash60(key).as("h"): _*)
+      .distinct()
+    Ranking.groupTopK(hashes, groupCols, Seq(col("h").as("h")), k)
+  }
+
+  /** Fold a [[kmvSketch]] into per-group distinct estimates: exact
+    * n_kept when the sketch never filled, else (k−1)·2^60/h_k.
+    * Output: (groupCols*, n_kept, kth, estimate). */
+  def kmvEstimate(
+      state: DataFrame,
+      groupCols: Seq[String],
+      k: Int): DataFrame =
+    state.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .select(groupCols.map(col) ++ Seq(col("n_kept"), col("kth"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * KmvSpace) /
+            col("kth").cast("double")).as("estimate")): _*)
+
+  /** Pairwise set-overlap estimates between groups from one
+    * [[kmvSketch]]: for each group pair (a < b), merge the two
+    * sketches (union, k smallest), count how many survivors sit in
+    * BOTH, and scale the union estimate by that fraction.
+    *
+    * Scale: the pair table is GROUP² — a bounded census by intent
+    * (groups are sources/shards/days, the q117 HLL-overlap
+    * precedent), never a data-sized join; each pair touches ≤ 2k
+    * sketch rows through one equi-join + one bounded-heap aggregate.
+    * When the merged sketch never filled, union AND intersection are
+    * exact hash-set counts.
+    * Output: (group_a, group_b, n_kept, n_both, est_union,
+    * est_intersect). */
+  def kmvIntersectPairs(
+      df: DataFrame,
+      key: Column,
+      groupCol: String,
+      k: Int): DataFrame = {
+    val st = Dedup.truncate(kmvSketch(df, key, Seq(groupCol), k)
+      .select(col(groupCol).as("__g"), col("h")))
+    val gs = st.select(col("__g")).distinct()
+    val gp = gs.select(col("__g").as("__ga"))
+      .crossJoin(gs.select(col("__g").as("__gb")))
+      .filter(col("__ga") < col("__gb"))
+    val ua = gp.join(st, col("__ga") === col("__g"))
+      .select(col("__ga"), col("__gb"), col("h"),
+        lit(1L).as("__ia"), lit(0L).as("__ib"))
+    val ub = gp.join(st, col("__gb") === col("__g"))
+      .select(col("__ga"), col("__gb"), col("h"),
+        lit(0L).as("__ia"), lit(1L).as("__ib"))
+    val merged = ua.union(ub)
+      .groupBy(col("__ga"), col("__gb"), col("h"))
+      .agg(max(col("__ia")).as("__ia"), max(col("__ib")).as("__ib"))
+    val top = Ranking.groupTopK(merged, Seq("__ga", "__gb"),
+      Seq(col("h").as("h"), col("__ia").as("__ia"),
+        col("__ib").as("__ib")), k)
+    val agg = top.groupBy(col("__ga"), col("__gb"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("__kth"),
+        sum(when(col("__ia") === 1L && col("__ib") === 1L, 1L)
+          .otherwise(0L)).as("n_both"))
+    val estUnion = when(col("n_kept") < k,
+      col("n_kept").cast("double"))
+      .otherwise(lit((k - 1).toDouble * KmvSpace) /
+        col("__kth").cast("double"))
+    agg.select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+      col("n_kept"), col("n_both"),
+      estUnion.as("est_union"),
+      (col("n_both").cast("double") / col("n_kept").cast("double") *
+        estUnion).as("est_intersect"))
+  }
+
+  /** q320's oracle: the identical KMV pipeline in SQL — same md5
+    * hash60, row_number ≤ k smallest, same exact-when-unfilled
+    * branch and (k−1)·2^60/h_k literal. `fromSql` must yield
+    * (g, w) rows. */
+  def kmvDistinctSql(
+      fromSql: String, groupOut: String, k: Int): String =
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT g,
+       |    CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+       |  FROM ($fromSql)),
+       |rk AS (
+       |  SELECT g, h,
+       |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       |  FROM hashed),
+       |st AS (SELECT g, h FROM rk WHERE rn <= $k),
+       |agg AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n_kept,
+       |    CAST(max(h) AS BIGINT) AS kth
+       |  FROM st GROUP BY 1)
+       |SELECT g AS $groupOut, n_kept, kth,
+       |  CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |    ELSE ${(k - 1).toDouble * KmvSpace} / CAST(kth AS DOUBLE)
+       |  END AS estimate
+       |FROM agg""".stripMargin
+
+  /** q321's oracle: pairwise KMV merge in SQL — group pairs, union
+    * with membership flags, k smallest, fraction-in-both scaling. */
+  def kmvIntersectSql(fromSql: String, k: Int): String =
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT g,
+       |    CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+       |  FROM ($fromSql)),
+       |rk AS (
+       |  SELECT g, h,
+       |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       |  FROM hashed),
+       |st AS (SELECT g, h FROM rk WHERE rn <= $k),
+       |gs AS (SELECT DISTINCT g FROM st),
+       |gp AS (SELECT a.g AS ga, b.g AS gb
+       |  FROM gs a JOIN gs b ON a.g < b.g),
+       |u AS (
+       |  SELECT gp.ga, gp.gb, s.h,
+       |    max(CASE WHEN s.g = gp.ga THEN 1 ELSE 0 END) AS ia,
+       |    max(CASE WHEN s.g = gp.gb THEN 1 ELSE 0 END) AS ib
+       |  FROM gp JOIN st s ON s.g = gp.ga OR s.g = gp.gb
+       |  GROUP BY 1, 2, 3),
+       |urk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h)
+       |    AS rn
+       |  FROM u),
+       |top AS (SELECT * FROM urk WHERE rn <= $k),
+       |agg AS (
+       |  SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_kept,
+       |    CAST(max(h) AS BIGINT) AS kth,
+       |    CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_both
+       |  FROM top GROUP BY 1, 2),
+       |f AS (
+       |  SELECT ga, gb, n_kept, n_both,
+       |    CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |      ELSE ${(k - 1).toDouble * KmvSpace}
+       |        / CAST(kth AS DOUBLE)
+       |    END AS est_union
+       |  FROM agg)
+       |SELECT ga AS group_a, gb AS group_b, n_kept, n_both,
+       |  est_union,
+       |  CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE) * est_union
+       |    AS est_intersect
+       |FROM f""".stripMargin
+
   /** Pairwise Misra–Gries summary merge as plain DataFrame ops
     * (Agarwal et al. 2012's mergeable-summaries rule): sum counters
     * per item, subtract the (k+1)-th largest merged weight from

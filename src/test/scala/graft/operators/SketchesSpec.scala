@@ -234,4 +234,33 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getLong(2))).toMap
     assert(id == Map("x" -> 5L, "y" -> 3L))
   }
+
+  test("kmv: exact when unfilled, intersection scaling, filled accuracy") {
+    // Unfilled sketches are exact: |A| = 3, |B| = 3, A∩B = {b, c}.
+    val df = Seq(("A", "a"), ("A", "b"), ("A", "c"),
+      ("B", "b"), ("B", "c"), ("B", "d")).toDF("g", "w")
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvSketch(df, col("w"), Seq("g"), 8), Seq("g"), 8)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(est("A").getAs[Long]("n_kept") == 3L)
+    assert(est("A").getAs[Double]("estimate") == 3.0)
+    assert(est("B").getAs[Double]("estimate") == 3.0)
+    val p = Sketches.kmvIntersectPairs(df, col("w"), "g", 8)
+      .collect().head
+    assert(p.getAs[String]("group_a") == "A")
+    assert(p.getAs[Long]("n_kept") == 4L)
+    assert(p.getAs[Long]("n_both") == 2L)
+    assert(p.getAs[Double]("est_union") == 4.0)
+    assert(p.getAs[Double]("est_intersect") == 2.0)
+    // Filled sketches estimate within KMV error bars (~1/√(k−1)):
+    // |C| = |D| = 300, |C∩D| = 150, k = 32.
+    val big = ((1 to 300).map(i => ("C", s"x$i")) ++
+      (151 to 450).map(i => ("D", s"x$i"))).toDF("g", "w")
+    val bp = Sketches.kmvIntersectPairs(big, col("w"), "g", 32)
+      .collect().head
+    val u = bp.getAs[Double]("est_union")
+    val i = bp.getAs[Double]("est_intersect")
+    assert(u > 250 && u < 750, s"union est $u for true 450")
+    assert(i > 40 && i < 400, s"intersect est $i for true 150")
+  }
 }
