@@ -130,6 +130,18 @@ object SparkEntry {
         lit(" pay 4012888888881881 ref 12345678901234567890 over"))
       .otherwise(lit(" no digits here"))
 
+  /** The IBAN fixture payload for q322: the mod-97-valid canonical
+    * IBAN, a one-digit-off invalid twin, and a shape-failing
+    * uppercase run (extracted, then dropped by the country+check
+    * shape filter — it still advances cand_idx). Mirrored literally
+    * in the oracle. */
+  private def ibanPayload: Column =
+    when(col("doc_id") % 3 === 0,
+      lit(" acct GB82WEST12345698765432 ok"))
+      .when(col("doc_id") % 3 === 1,
+        lit(" acct GB82WEST12345698765433 no"))
+      .otherwise(lit(" ref 1234567890ABCDE x"))
+
   /** Crawl-delay fixture for q166: an exact group shadowing a star
     * group (5 beats 1), a star group with an invalid value before a
     * decimal one, and a domain whose only group belongs to another
@@ -4592,7 +4604,17 @@ object SparkEntry {
         t(s, dir, "documents").select(col("source"),
           explode(graft.functions.TextFunctions.tokens(col("text")))
             .as("w")),
-        col("w"), "source", k = 32))
+        col("w"), "source", k = 32)),
+
+    // IBAN candidate census (the q172 PAN shape for bank accounts):
+    // maximal [A-Z0-9] runs, ISO country+check shape, mod-97 verdict
+    // via the positional 10^e mod 97 weight table.
+    "q322_iban_census" -> ((s, dir) =>
+      Privacy.ibanCandidates(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), ibanPayload).as("raw")),
+        "doc_id", "raw"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -11426,7 +11448,43 @@ object SparkEntry {
       Sketches.kmvDistinctSql(sourceWordsSql, "source", 32),
 
     "q321_kmv_intersect" ->
-      Sketches.kmvIntersectSql(sourceWordsSql, 32))
+      Sketches.kmvIntersectSql(sourceWordsSql, 32),
+
+    // Same maximal-run extraction and the identical positional
+    // mod-97 weight table, interpolated from Privacy.Pow10Mod97.
+    "q322_iban_census" ->
+      s"""WITH raws AS (
+         |  SELECT doc_id, text || CASE doc_id % 3
+         |    WHEN 0 THEN ' acct GB82WEST12345698765432 ok'
+         |    WHEN 1 THEN ' acct GB82WEST12345698765433 no'
+         |    ELSE ' ref 1234567890ABCDE x' END AS raw
+         |  FROM documents),
+         |runs AS (
+         |  SELECT doc_id, l[i] AS cand, CAST(i - 1 AS INT) AS cand_idx
+         |  FROM (SELECT doc_id, regexp_extract_all(raw, '[A-Z0-9]+')
+         |          AS l
+         |        FROM raws),
+         |       UNNEST(generate_series(1, len(l))) AS u(i)),
+         |c AS (SELECT doc_id, cand_idx, cand FROM runs
+         |      WHERE len(cand) BETWEEN 15 AND 34
+         |        AND regexp_matches(cand, '^[A-Z]{2}[0-9]{2}')),
+         |d AS (
+         |  SELECT doc_id, cand_idx, cand,
+         |    substr(cand, 5) || substr(cand, 1, 4) AS r
+         |  FROM c),
+         |e AS (
+         |  SELECT doc_id, cand_idx, cand,
+         |    list_aggregate(list_transform(generate_series(1, len(r)),
+         |      i -> CASE WHEN r[i] >= '0' AND r[i] <= '9' THEN r[i]
+         |        ELSE CAST(ascii(r[i]) - 55 AS VARCHAR) END),
+         |      'string_agg', '') AS dig
+         |  FROM d)
+         |SELECT doc_id, cand_idx, cand,
+         |  list_sum(list_transform(generate_series(1, len(dig)), i ->
+         |    CAST(dig[i] AS BIGINT)
+         |      * ([${graft.operators.Privacy.Pow10Mod97.mkString(", ")}]
+         |        )[len(dig) - i + 1])) % 97 = 1 AS iban_ok
+         |FROM e""".stripMargin)
 
   /** (source, word) rows for the KMV oracles — the shared token
     * split, lower-cased like [[graft.functions.TextFunctions

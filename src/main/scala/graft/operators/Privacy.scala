@@ -128,6 +128,62 @@ object Privacy {
       .drop("__pans")
   }
 
+  /** 10^e mod 97 for e = 0..67 — the weight table behind
+    * [[ibanMod97Valid]], computed once driver-side and embedded as a
+    * literal in BOTH engines (a digitized IBAN reaches 68 digits,
+    * past every native integer type; positional weights keep the
+    * whole check in tiny exact ints). */
+  val Pow10Mod97: Seq[Long] = {
+    val b = scala.collection.mutable.ArrayBuffer(1L)
+    while (b.size < 68) b += b.last * 10L % 97L
+    b.toSeq
+  }
+
+  /** ISO 13616 mod-97 validity of an IBAN candidate: move the first
+    * four chars to the end, read letters as 10..35 (two digits
+    * each), and the resulting number must be ≡ 1 (mod 97). The
+    * big-number modulus evaluates as a positional weighted sum —
+    * Σ digit_i · (10^place mod 97) over [[Pow10Mod97]] — so every
+    * intermediate stays a small exact integer; pure higher-order
+    * array expressions (the [[luhnValid]] convention), no UDF.
+    * Callers gate shape first ([[ibanCandidates]]); this checks
+    * arithmetic only. */
+  def ibanMod97Valid(cand: Column): Column = {
+    val rearranged = concat(substring(cand, 5, 64),
+      substring(cand, 1, 4))
+    val chars = filter(split(rearranged, ""), c => length(c) === 1)
+    val dig = aggregate(chars, lit(""), (acc, c) =>
+      concat(acc, when(c.rlike("[0-9]"), c)
+        .otherwise((ascii(c) - 55).cast("string"))))
+    val dchars = filter(split(dig, ""), c => length(c) === 1)
+    val n = size(dchars)
+    val powLit = typedlit(Pow10Mod97)
+    val total = aggregate(
+      zip_with(dchars, sequence(lit(1), n), (c, i) =>
+        c.cast("long") * element_at(powLit, n - i + 1)),
+      lit(0L), (a, x) => a + x)
+    total % 97 === 1
+  }
+
+  /** IBAN candidate census — the [[panCandidates]] shape for bank
+    * accounts: every MAXIMAL `[A-Z0-9]` run of 15–34 chars opening
+    * with the ISO country+check shape `^[A-Z]{2}[0-9]{2}`, with its
+    * mod-97 verdict (a transposed or mistyped digit fails; a real
+    * IBAN cannot). Maximal runs then filters — never a bounded
+    * regex match that would carve candidates out of longer runs.
+    * `cand_idx` counts ALL runs, so shape-dropped runs still advance
+    * it. Map-only, no shuffle.
+    * Output: idCol + (cand_idx, cand, iban_ok). */
+  def ibanCandidates(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(col(textCol),
+          lit("[A-Z0-9]+"), lit(0))).as(Seq("cand_idx", "cand")))
+      .filter(length(col("cand")).between(15, 34) &&
+        col("cand").rlike("^[A-Z]{2}[0-9]{2}"))
+      .withColumn("cand_idx", col("cand_idx").cast("int"))
+      .withColumn("iban_ok", ibanMod97Valid(col("cand")))
+
   /** ε-differentially-private group counts (Laplace mechanism,
     * sensitivity 1): the release form for the censuses above —
     * k-anonymity says which combinations are safe to publish at all;

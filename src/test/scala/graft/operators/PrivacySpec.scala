@@ -149,4 +149,26 @@ class PrivacySpec extends SparkSpec {
     assert(got("S") == 500000L)
     assert(got("O") == 500000L)
   }
+
+  test("ibanCandidates: mod-97 verdicts, shape filter, index advance") {
+    val df = Seq(
+      // canonical valid + one-digit-off invalid in one row: two runs
+      (1L, "pay GB82WEST12345698765432 or GB82WEST12345698765433 x"),
+      // German canonical (digits only after the check) — valid
+      (2L, "ref DE89370400440532013000 done"),
+      // shape-fail (digit-led), then a valid run: idx must be 1
+      (3L, "a 1234567890ABCDE then GB82WEST12345698765432 b"),
+      (4L, "no candidates at all"))
+      .toDF("doc_id", "raw")
+    val got = Privacy.ibanCandidates(df, "doc_id", "raw").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("cand_idx")) ->
+        (r.getAs[String]("cand"), r.getAs[Boolean]("iban_ok"))).toMap
+    assert(got((1L, 0)) == ("GB82WEST12345698765432", true))
+    assert(got((1L, 1)) == ("GB82WEST12345698765433", false))
+    assert(got((2L, 0)) == ("DE89370400440532013000", true))
+    // run 0 is the shape-fail (absent); the valid run keeps idx 1
+    assert(got((3L, 1)) == ("GB82WEST12345698765432", true))
+    assert(!got.keys.exists(_._1 == 4L))
+    assert(got.size == 4)
+  }
 }
