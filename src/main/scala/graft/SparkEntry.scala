@@ -4614,7 +4614,14 @@ object SparkEntry {
         t(s, dir, "documents")
           .select(col("doc_id"),
             concat(col("text"), ibanPayload).as("raw")),
-        "doc_id", "raw"))
+        "doc_id", "raw")),
+
+    // PACF (quantized Durbin–Levinson on the q271 ACF) — the
+    // AR-order diagnostic: each level's coefficients micro-round
+    // before the next level consumes them.
+    "q323_pacf" -> ((s, dir) =>
+      TimeSeries.pacf(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value", maxLag = 5))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -11484,7 +11491,95 @@ object SparkEntry {
          |    CAST(dig[i] AS BIGINT)
          |      * ([${graft.operators.Privacy.Pow10Mod97.mkString(", ")}]
          |        )[len(dig) - i + 1])) % 97 = 1 AS iban_ok
-         |FROM e""".stripMargin)
+         |FROM e""".stripMargin,
+
+    "q323_pacf" -> pacfOracleSql(5))
+
+  /** q323's oracle: the q271 ACF CTEs generalized to `maxLag`, then
+    * the SAME quantized Durbin–Levinson the Spark side runs — each
+    * level a pair of CTEs (the lag-k coefficient, then the updated
+    * lower coefficients off the ROUNDED value), every float
+    * expression mirrored association-for-association. */
+  private def pacfOracleSql(maxLag: Int): String = {
+    def d(c: String) = s"(CAST($c AS DOUBLE) / 1e6)"
+    val head =
+      s"""WITH b AS (
+         |  SELECT event_type AS k, ts, event_id,
+         |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (
+         |  SELECT k,
+         |    row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+         |      AS rk,
+         |    v
+         |  FROM b),
+         |tot AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(v AS HUGEINT)) AS s,
+         |    sum(CAST(v AS HUGEINT) * v) AS q
+         |  FROM r GROUP BY 1),
+         |p AS (
+         |  SELECT h.k, t.rk - h.rk AS lag,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    sum(CAST(h.v AS HUGEINT) * t.v) AS pp,
+         |    sum(CAST(h.v AS HUGEINT)) AS hh,
+         |    sum(CAST(t.v AS HUGEINT)) AS tt
+         |  FROM r h JOIN r t
+         |    ON h.k = t.k AND t.rk - h.rk BETWEEN 1 AND $maxLag
+         |  GROUP BY 1, 2),
+         |acf AS (
+         |  SELECT p.k, p.lag,
+         |    CASE WHEN (tot.q * tot.n - tot.s * tot.s) * tot.n > 0
+         |      THEN CAST(round(1e6
+         |        * CAST(p.pp * tot.n * tot.n
+         |            - tot.s * (p.hh + p.tt) * tot.n
+         |            + tot.s * tot.s * p.n_pairs AS DOUBLE)
+         |        / CAST((tot.q * tot.n - tot.s * tot.s) * tot.n
+         |            AS DOUBLE)) AS BIGINT)
+         |      ELSE NULL END AS acf_micro
+         |  FROM p JOIN tot USING (k)),
+         |piv AS (
+         |  SELECT k,
+         |    ${(1 to maxLag).map(l =>
+             s"max(CASE WHEN lag = $l THEN acf_micro END) AS __r$l")
+             .mkString(",\n    ")}
+         |  FROM acf GROUP BY 1),
+         |l1 AS (SELECT *, __r1 AS __p1_1 FROM piv)""".stripMargin
+    var prev = "l1"
+    val levels = (2 to maxLag).map { k =>
+      val numTerms = (1 until k).map(j =>
+        s"${d(s"__p${k - 1}_$j")} * ${d(s"__r${k - j}")}")
+        .mkString(" + ")
+      val denTerms = (1 until k).map(j =>
+        s"${d(s"__p${k - 1}_$j")} * ${d(s"__r$j")}")
+        .mkString(" + ")
+      val num = s"${d(s"__r$k")} - ($numTerms)"
+      val den = s"1.0 - ($denTerms)"
+      val pkk = s"CASE WHEN ($den) <> 0.0 THEN " +
+        s"CAST(round(1e6 * ($num) / ($den)) AS BIGINT) " +
+        "ELSE NULL END"
+      val pkjs = (1 until k).map(j =>
+        s"CAST(round(1e6 * (${d(s"__p${k - 1}_$j")} - " +
+          s"${d(s"__p${k}_$k")} * ${d(s"__p${k - 1}_${k - j}")})) " +
+          s"AS BIGINT) AS __p${k}_$j").mkString(",\n  ")
+      val out =
+        s"""la$k AS (SELECT *, $pkk AS __p${k}_$k FROM $prev),
+           |lb$k AS (SELECT *,
+           |  $pkjs
+           |  FROM la$k)""".stripMargin
+      prev = s"lb$k"
+      out
+    }
+    val lagCase = (1 to maxLag).map(l =>
+      s"WHEN $l THEN __p${l}_$l").mkString(" ")
+    (head +: levels).mkString(",\n") +
+      s"""
+         |SELECT k AS event_type, CAST(u.l AS BIGINT) AS lag,
+         |  CASE u.l $lagCase ELSE NULL END AS pacf_micro
+         |FROM $prev,
+         |  UNNEST([${(1 to maxLag).mkString(", ")}]) AS u(l)"""
+        .stripMargin
+  }
 
   /** (source, word) rows for the KMV oracles — the shared token
     * split, lower-cased like [[graft.functions.TextFunctions

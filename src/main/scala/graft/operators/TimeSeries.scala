@@ -630,6 +630,61 @@ object TimeSeries {
           .otherwise(lit(null).cast("long")).as("acf_micro"))
   }
 
+  /** Partial autocorrelation per key, lags 1..maxLag — the AR-order
+    * diagnostic read next to [[acf]]'s raw profile (an AR(p) series
+    * shows PACF cutting off after lag p while its ACF tails
+    * forever). Durbin–Levinson on the micro-quantized ACF, with
+    * every level's coefficients MICRO-ROUNDED before the next level
+    * consumes them ("quantized DL") — that materialized rounding
+    * point is what makes the recursion engine-exact: each level is
+    * a small scalar IEEE expression over already-integer inputs,
+    * never a float chain whose association could drift. The state
+    * is one row per key (the pivoted r_1..r_maxLag), so the whole
+    * recursion is a map over the key census — the acf pair join
+    * upstream is the only data-sized work. A missing or NULL ACF
+    * lag (short/constant series) nulls that PACF lag and everything
+    * after it; a zero DL denominator likewise (stated).
+    * Output: (keyCol, lag, pacf_micro). */
+  def pacf(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8, "maxLag must be in [1, 8]")
+    val a = acf(df, keyCol, tsCol, idCol, valueCol, maxLag)
+    val rCols = (1 to maxLag).map(l =>
+      max(when(col("lag") === l.toLong, col("acf_micro")))
+        .as(s"__r$l"))
+    var cur = a.groupBy(col(keyCol))
+      .agg(rCols.head, rCols.tail: _*)
+      .withColumn("__p1_1", col("__r1"))
+    def d(c: String) = col(c).cast("double") / lit(1e6)
+    for (k <- 2 to maxLag) {
+      val num = d(s"__r$k") -
+        (1 until k).map(j => d(s"__p${k - 1}_$j") * d(s"__r${k - j}"))
+          .reduce(_ + _)
+      val den = lit(1.0) -
+        (1 until k).map(j => d(s"__p${k - 1}_$j") * d(s"__r$j"))
+          .reduce(_ + _)
+      cur = cur.withColumn(s"__p${k}_$k",
+        when(den =!= 0.0,
+          round(lit(1e6) * num / den).cast("long")))
+      for (j <- 1 until k)
+        cur = cur.withColumn(s"__p${k}_$j",
+          round(lit(1e6) * (d(s"__p${k - 1}_$j") -
+            d(s"__p${k}_$k") * d(s"__p${k - 1}_${k - j}")))
+            .cast("long"))
+    }
+    cur.select(col(keyCol),
+        explode(array((1 to maxLag).map(l =>
+          struct(lit(l.toLong).as("lag"),
+            col(s"__p${l}_$l").as("pacf_micro"))): _*)).as("__e"))
+      .select(col(keyCol), col("__e.lag").as("lag"),
+        col("__e.pacf_micro").as("pacf_micro"))
+  }
+
   /** Single-changepoint detector per key (binary segmentation, first
     * level): the split 1 ≤ k < n minimizing SSE_left + SSE_right —
     * equivalently maximizing the variance-explained gain

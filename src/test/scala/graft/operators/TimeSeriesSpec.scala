@@ -347,4 +347,32 @@ class TimeSeriesSpec extends SparkSpec {
       (0L, 23L) -> ((1L, 250000L)),
       (5L, 0L) -> ((1L, 250000L))))
   }
+
+  test("pacf: lag 1 equals ACF, higher lags replay quantized Durbin-Levinson") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 5.0, 8.0, 7.0, 9.0)
+      .zipWithIndex.map { case (v, i) =>
+        ("k", new java.sql.Timestamp(ts0.getTime + i * 1000L),
+          i.toLong, v)
+      }
+    val df = rows.toDF("k", "ts", "id", "v")
+    val r = TimeSeries.acf(df, "k", "ts", "id", "v", maxLag = 3)
+      .collect().map(x => x.getAs[Long]("lag") ->
+        x.getAs[Long]("acf_micro")).toMap
+    val got = TimeSeries.pacf(df, "k", "ts", "id", "v", maxLag = 3)
+      .collect().map(x => x.getAs[Long]("lag") ->
+        x.getAs[Long]("pacf_micro")).toMap
+    // Level 1: PACF IS the ACF.
+    assert(got(1L) == r(1L))
+    // Replay the quantized DL by hand off the operator's own ACF.
+    def d(m: Long) = m.toDouble / 1e6
+    val p11 = r(1L)
+    val p22 = math.round(1e6 *
+      (d(r(2L)) - d(p11) * d(r(1L))) / (1.0 - d(p11) * d(r(1L))))
+    assert(got(2L) == p22)
+    val p21 = math.round(1e6 * (d(p11) - d(p22) * d(p11)))
+    val num3 = d(r(3L)) - (d(p21) * d(r(2L)) + d(p22) * d(r(1L)))
+    val den3 = 1.0 - (d(p21) * d(r(1L)) + d(p22) * d(r(2L)))
+    assert(got(3L) == math.round(1e6 * num3 / den3))
+  }
 }
