@@ -4621,7 +4621,15 @@ object SparkEntry {
     // before the next level consumes them.
     "q323_pacf" -> ((s, dir) =>
       TimeSeries.pacf(t(s, dir, "events"),
-        "event_type", "ts", "event_id", "value", maxLag = 5))
+        "event_type", "ts", "event_id", "value", maxLag = 5)),
+
+    // RAKE keyword census: stopword-delimited phrase runs, word
+    // degree/frequency scores, phrase = sum of word scores.
+    "q324_rake" -> ((s, dir) =>
+      Corpus.rakeKeywords(t(s, dir, "documents"), "doc_id", "text",
+        stopwords = Seq("a", "the", "and", "of", "to", "in", "is",
+          "on", "for"),
+        maxPhraseWords = 8))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -11493,7 +11501,50 @@ object SparkEntry {
          |        )[len(dig) - i + 1])) % 97 = 1 AS iban_ok
          |FROM e""".stripMargin,
 
-    "q323_pacf" -> pacfOracleSql(5))
+    "q323_pacf" -> pacfOracleSql(5),
+
+    // Same TAB-sentinel phrase split, occurrence-level word census,
+    // distinct-phrase score join.
+    "q324_rake" ->
+      """WITH mk AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(string_split_regex(lower(text),
+        |      '\s+'), t -> len(t) > 0),
+        |      t -> CASE WHEN t IN ('a', 'the', 'and', 'of', 'to',
+        |        'in', 'is', 'on', 'for') THEN chr(9) ELSE t END) AS m
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    string_split_regex(array_to_string(m, ' '),
+        |      '( ?\t ?)+') AS l
+        |  FROM mk),
+        |ph AS (
+        |  SELECT doc_id, u.i AS pidx, l[u.i] AS phrase,
+        |    CAST(len(string_split(l[u.i], ' ')) AS BIGINT) AS n_words
+        |  FROM sp, UNNEST(generate_series(1, len(l))) AS u(i)
+        |  WHERE len(l[u.i]) > 0
+        |    AND len(string_split(l[u.i], ' ')) <= 8),
+        |w AS (
+        |  SELECT q.w, ph.n_words
+        |  FROM ph, UNNEST(string_split(ph.phrase, ' ')) AS q(w)),
+        |s AS (
+        |  SELECT w,
+        |    CAST(round(1e6 * CAST(sum(n_words) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS sc
+        |  FROM w GROUP BY 1),
+        |census AS (
+        |  SELECT phrase, n_words, CAST(count(*) AS BIGINT) AS n_occ,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM ph GROUP BY 1, 2),
+        |dp AS (SELECT DISTINCT phrase FROM ph),
+        |ps AS (
+        |  SELECT dp.phrase, CAST(sum(s.sc) AS BIGINT) AS score_micro
+        |  FROM dp, UNNEST(string_split(dp.phrase, ' ')) AS q(w)
+        |  JOIN s ON s.w = q.w
+        |  GROUP BY 1)
+        |SELECT census.phrase, census.n_words, census.n_occ,
+        |  census.n_docs, ps.score_micro
+        |FROM census JOIN ps USING (phrase)""".stripMargin)
 
   /** q323's oracle: the q271 ACF CTEs generalized to `maxLag`, then
     * the SAME quantized Durbin–Levinson the Spark side runs — each

@@ -850,6 +850,67 @@ object Corpus {
         col("__st.entropy_mnat").as("entropy_mnat"))
   }
 
+  /** RAKE keyword census (Rose et al. 2010) over the corpus:
+    * candidate phrases are the maximal token runs BETWEEN stopwords,
+    * each word scores degree/frequency (degree = Σ length of every
+    * phrase occurrence containing it — co-occurrence including
+    * self), and a phrase scores the sum of its words' scores. The
+    * classic single-document extractor, run corpus-wide so the
+    * scores see global co-occurrence (the per-doc form is this with
+    * one doc).
+    *
+    * Mechanics: stopwords mark as a TAB sentinel inside the token
+    * array (tokens can never contain whitespace), one regex split
+    * recovers the runs — no per-token shuffle, phrases are born
+    * map-side. Phrases longer than `maxPhraseWords` drop (the RAKE
+    * convention; unbounded runs on stopword-free text are not
+    * keywords). Word scores are ONE micro-divide of exact counts;
+    * phrase scores are exact Long sums of those micros, computed
+    * once per DISTINCT phrase (vocabulary-space join, never
+    * occurrence×vocabulary).
+    * Output: (phrase, n_words, n_occ, n_docs, score_micro). */
+  def rakeKeywords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      maxPhraseWords: Int = 8): DataFrame = {
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    require(maxPhraseWords >= 1, "maxPhraseWords must be positive")
+    val toks = TextFunctions.tokens(col(textCol))
+    val marked = transform(toks, t =>
+      when(t.isin(stopwords: _*), lit("\t")).otherwise(t))
+    val runs = filter(
+      split(array_join(marked, " "), "( ?\\t ?)+"),
+      p => length(p) > 0)
+    val occ = Dedup.truncate(docs
+      .select(col(idCol).as("__id"),
+        posexplode(runs).as(Seq("__pidx", "phrase")))
+      .withColumn("n_words",
+        size(split(col("phrase"), " ")).cast("long"))
+      .filter(col("n_words") <= maxPhraseWords))
+    val scores = occ
+      .select(explode(split(col("phrase"), " ")).as("__w"),
+        col("n_words"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("n_words")).as("__deg"))
+      .select(col("__w"),
+        round(lit(1e6) * col("__deg").cast("double") /
+          col("__freq").cast("double")).cast("long").as("__s"))
+    val census = occ.groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("__id")).as("n_docs"))
+    val phraseScore = census.select(col("phrase")).distinct()
+      .select(col("phrase"),
+        explode(split(col("phrase"), " ")).as("__w"))
+      .join(scores, Seq("__w"))
+      .groupBy(col("phrase"))
+      .agg(sum(col("__s")).as("score_micro"))
+    census.join(phraseScore, Seq("phrase"))
+      .select(col("phrase"), col("n_words"), col("n_occ"),
+        col("n_docs"), col("score_micro"))
+  }
+
   /** Flesch reading-ease + Flesch–Kincaid grade per document — the
     * classic readability pair a curriculum/quality pipeline bins on.
     * Words are whitespace tokens, sentences the shared

@@ -425,6 +425,27 @@ class CorpusSpec extends SparkSpec {
     assert(got == Map("a" -> 1000000L, "b" -> 1000000L))
   }
 
+  test("rakeKeywords: classic degree/frequency scores on a hand fixture") {
+    // "deep learning of the deep learning model" with stop {of, the}:
+    // phrases "deep learning" (len 2) and "deep learning model" (3).
+    // deep: freq 2, deg 2+3=5 -> 2.5; learning: 2.5; model: 3/1 = 3.
+    // Phrase scores: 5.0 and 8.0.
+    val docs = Seq(
+      (1L, "deep learning of the deep learning model"),
+      (2L, "the of the")) // all stopwords: contributes nothing
+      .toDF("doc_id", "text")
+    val got = Corpus.rakeKeywords(docs, "doc_id", "text",
+      stopwords = Seq("of", "the"), maxPhraseWords = 8)
+      .collect().map(r => r.getAs[String]("phrase") -> r).toMap
+    assert(got.keySet == Set("deep learning", "deep learning model"))
+    assert(got("deep learning").getAs[Long]("score_micro") == 5000000L)
+    assert(got("deep learning model")
+      .getAs[Long]("score_micro") == 8000000L)
+    assert(got("deep learning").getAs[Long]("n_occ") == 1L)
+    assert(got("deep learning model").getAs[Long]("n_words") == 3L)
+    assert(got("deep learning").getAs[Long]("n_docs") == 1L)
+  }
+
   test("readabilityCensus: hand-counted FRE/FK, unpunctuated one-sentence, empty NULL") {
     val docs = Seq(
       (1L, "the cat sat. the dog ran fast."),
