@@ -558,4 +558,55 @@ object Rollup {
           ()
       }
   }
+
+  /** Streaming KMV materialized view: maintain each key's k SMALLEST
+    * distinct hashes ([[graft.operators.Sketches.kmvSketch]] — the
+    * mergeable state, ≤ k rows per key) by union + re-truncate per
+    * micro-batch. "k smallest of (k smallest ∪ delta)" is
+    * associative and idempotent, so the maintained table is
+    * BIT-IDENTICAL to sketching all history in one pass
+    * (spec-verified), while each merge touches keys×k rows — never
+    * the raw stream again. Unlike [[hllDistinctSink]]'s registers,
+    * this state also answers SET OVERLAP between keys
+    * ([[graft.operators.Sketches.kmvIntersectPairs]] reads the same
+    * shape). Read estimates with [[graft.operators.Sketches
+    * .kmvEstimate]]. Exactly-once as in [[sumCountSink]]: per-batch
+    * txn ids seal replays. */
+  def kmvDistinctSink(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      distinctCol: String,
+      k: Int,
+      baseDir: String,
+      table: String,
+      streamId: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(streamId.nonEmpty && !streamId.contains("\n"),
+      s"bad streamId: $streamId")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!batch.isEmpty) {
+            val spark = batch.sparkSession
+            val delta = graft.operators.Sketches.kmvSketch(
+              batch.toDF(), col(distinctCol).cast("string"), keyCols, k)
+              .drop("rank")
+            val current = graft.sources.ManifestTable.read(
+              spark, baseDir, table, schema = Some(delta.schema))
+            val merged = graft.operators.Ranking.groupTopK(
+              current.unionByName(delta)
+                .dropDuplicates(keyCols :+ "h"),
+              keyCols, Seq(col("h").as("h")), k)
+              .drop("rank")
+            graft.sources.ManifestTable.commitMulti(
+              spark, baseDir, txnId = s"$streamId-$batchId",
+              snapshots = Map(table -> merged))
+          }
+          ()
+      }
+  }
 }

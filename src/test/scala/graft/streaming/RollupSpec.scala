@@ -343,6 +343,45 @@ class RollupSpec extends SparkSpec {
     assert(streamed("tue") > 25 && streamed("tue") < 90)
   }
 
+  test("kmvDistinctSink: streamed union+retruncate == one-pass sketch, bit-exact") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("kmvmv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("kmvmv-ck").toString
+    val input = MemoryStream[(String, Long)](spark)
+    val q = Rollup.kmvDistinctSink(
+      input.toDF().toDF("day", "user_id"),
+      keyCols = Seq("day"), distinctCol = "user_id", k = 32,
+      base, "users", streamId = "k1", checkpointDir = ckpt).start()
+    val b1 = (1L to 400L).map(u => ("mon", u)) ++
+      (1L to 20L).map(u => ("tue", u))
+    val b2 = (200L to 600L).map(u => ("mon", u)) // overlaps 200-400
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Sketches.kmvEstimate(
+        ManifestTable.read(spark, base, "users"), Seq("day"), 32)
+      .select(col("day"), col("n_kept"), col("estimate"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val batch = Sketches.kmvEstimate(
+        Sketches.kmvSketch((b1 ++ b2).toDF("day", "user_id"),
+          col("user_id").cast("string"), Seq("day"), 32),
+        Seq("day"), 32)
+      .select(col("day"), col("n_kept"), col("estimate"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed == batch) // union + re-truncate ≡ one-pass sketch
+    // tue never filled (20 < 32): the estimate is EXACT.
+    assert(streamed("tue") == ((20L, 20.0)))
+    assert(streamed("mon")._1 == 32L)
+    assert(streamed("mon")._2 > 300 && streamed("mon")._2 < 1200)
+  }
+
   test("syncFromChanges follows the upstream change feed exactly once, deletes included") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
