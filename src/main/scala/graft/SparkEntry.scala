@@ -4629,7 +4629,16 @@ object SparkEntry {
       Corpus.rakeKeywords(t(s, dir, "documents"), "doc_id", "text",
         stopwords = Seq("a", "the", "and", "of", "to", "in", "is",
           "on", "for"),
-        maxPhraseWords = 8))
+        maxPhraseWords = 8)),
+
+    // Empirical-Bayes beta-binomial shrinkage of per-source long-doc
+    // rates — the smoothed-CTR estimator, moments fit on exact
+    // micro-rate sums.
+    "q325_eb_shrinkage" -> ((s, dir) =>
+      Profile.ebBetaBinomial(
+        t(s, dir, "documents").select(col("source"),
+          (col("n_chars") >= 400L).as("long_doc")),
+        "source", "long_doc"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -11544,7 +11553,43 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT census.phrase, census.n_words, census.n_occ,
         |  census.n_docs, ps.score_micro
-        |FROM census JOIN ps USING (phrase)""".stripMargin)
+        |FROM census JOIN ps USING (phrase)""".stripMargin,
+
+    "q325_eb_shrinkage" ->
+      """WITH st AS (
+        |  SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT g, n, k,
+        |    CAST(round(1e6 * CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS BIGINT) AS rate_micro
+        |  FROM st),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS gg,
+        |    CAST(sum(rate_micro) AS BIGINT) AS s1,
+        |    CAST(sum(rate_micro * rate_micro) AS BIGINT) AS s2
+        |  FROM r),
+        |f AS (
+        |  SELECT r.*, mom.gg,
+        |    CAST(s1 AS DOUBLE) / CAST(gg AS DOUBLE) / 1e6 AS m,
+        |    (CAST(s2 AS DOUBLE) / CAST(gg AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(gg AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(gg AS DOUBLE))) / 1e12
+        |      AS v
+        |  FROM r, mom),
+        |h AS (
+        |  SELECT f.*, m * (1.0 - m) / v - 1.0 AS st FROM f)
+        |SELECT g AS source, n, k, rate_micro,
+        |  CASE WHEN gg > 1 AND v > 0.0 AND st > 0.0 THEN
+        |    CAST(round(1e6 * (CAST(k AS DOUBLE) + m * st)
+        |      / (CAST(n AS DOUBLE) + st)) AS BIGINT)
+        |    ELSE rate_micro END AS shrunk_micro,
+        |  CASE WHEN gg > 1 AND v > 0.0 AND st > 0.0 THEN
+        |    CAST(round(1e6 * st) AS BIGINT)
+        |    ELSE NULL END AS prior_strength_micro
+        |FROM h""".stripMargin)
 
   /** q323's oracle: the q271 ACF CTEs generalized to `maxLag`, then
     * the SAME quantized Durbin–Levinson the Spark side runs — each

@@ -1618,6 +1618,57 @@ object Profile {
         .otherwise(lit(null).cast("long")).as("mde_rel_micro"))
   }
 
+  /** Empirical-Bayes beta-binomial rate shrinkage — the "smoothed
+    * CTR" estimator: small groups' raw rates are noise, so every
+    * group's rate shrinks toward the cross-group prior by its own
+    * evidence, shrunk = (k+α)/(n+α+β), with (α, β) fit by method of
+    * moments on the GROUP-RATE distribution (mean m, variance v ⇒
+    * α+β = m(1−m)/v − 1). The moment sums run over MICRO-ROUNDED
+    * per-group rates — exact Long Σr and Σr², so the fit is
+    * engine-identical; everything after is scalar IEEE off those
+    * integers. Degenerate fits fall back to the RAW rate, stated:
+    * v = 0 (all rates equal — nothing to shrink), a non-positive
+    * prior strength (rates more dispersed than any binomial — the
+    * beta-binomial model is wrong, shrinking would lie), or a lone
+    * group. NULL outcomes drop (stated).
+    * Scale: one hash-agg to the group census, one tiny moment
+    * aggregate broadcast back — never a second data pass.
+    * Output: (groupCol, n, k, rate_micro, shrunk_micro,
+    * prior_strength_micro — NULL on fallback). */
+  def ebBetaBinomial(
+      df: DataFrame,
+      groupCol: String,
+      successCol: String): DataFrame = {
+    val stats = df.filter(col(successCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L))
+          .as("k"))
+      .withColumn("rate_micro",
+        round(lit(1e6) * col("k").cast("double") /
+          col("n").cast("double")).cast("long"))
+    val mom = stats.agg(count(lit(1)).as("__ng"),
+      sum(col("rate_micro")).as("__s1"),
+      sum(col("rate_micro") * col("rate_micro")).as("__s2"))
+    val gD = col("__ng").cast("double")
+    val m = col("__s1").cast("double") / gD / lit(1e6)
+    val v = (col("__s2").cast("double") / gD -
+      (col("__s1").cast("double") / gD) *
+        (col("__s1").cast("double") / gD)) / lit(1e12)
+    val strength = m * (lit(1.0) - m) / v - lit(1.0)
+    val live = col("__ng") > 1L && v > 0.0 && strength > 0.0
+    stats.crossJoin(broadcast(mom))
+      .select(col("__g").as(groupCol), col("n"), col("k"),
+        col("rate_micro"),
+        when(live,
+          round(lit(1e6) * (col("k").cast("double") + m * strength) /
+            (col("n").cast("double") + strength)).cast("long"))
+          .otherwise(col("rate_micro")).as("shrunk_micro"),
+        when(live, round(lit(1e6) * strength).cast("long"))
+          .otherwise(lit(null).cast("long"))
+          .as("prior_strength_micro"))
+  }
+
   /** Per-rater reliability against the crowd consensus — the census
     * that turns [[krippendorffAlpha]]'s "how good is this vendor
     * overall" into "WHICH rater drags it down": every vote is

@@ -701,6 +701,41 @@ class ProfileSpec extends SparkSpec {
     assert(got("i").isNullAt(got("i").fieldIndex("mde_micro")))
   }
 
+  test("ebBetaBinomial: moment fit, shrinkage toward prior, mean fixed point") {
+    // Rates 0.2 / 0.4 / 0.6 over n = 5 each: m = 0.4 exactly,
+    // strength ≈ 8 ⇒ extremes shrink toward 0.4, and the group AT
+    // the prior mean is a fixed point (stays 400000).
+    val df = (Seq.fill(1)(("g1", true)) ++ Seq.fill(4)(("g1", false)) ++
+      Seq.fill(2)(("g2", true)) ++ Seq.fill(3)(("g2", false)) ++
+      Seq.fill(3)(("g3", true)) ++ Seq.fill(2)(("g3", false)))
+      .toDF("g", "y")
+    val got = Profile.ebBetaBinomial(df, "g", "y")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // Replay the operator's own scalar math off the exact moments.
+    val (gg, s1, s2) = (3.0, 1200000.0, 5.6e11)
+    val m = s1 / gg / 1e6
+    val v = (s2 / gg - (s1 / gg) * (s1 / gg)) / 1e12
+    val st = m * (1.0 - m) / v - 1.0
+    def shrunk(k: Long, n: Long) =
+      math.round(1e6 * (k.toDouble + m * st) / (n.toDouble + st))
+    assert(got("g1").getAs[Long]("rate_micro") == 200000L)
+    assert(got("g1").getAs[Long]("shrunk_micro") == shrunk(1L, 5L))
+    assert(got("g2").getAs[Long]("shrunk_micro") == 400000L)
+    assert(got("g3").getAs[Long]("shrunk_micro") == shrunk(3L, 5L))
+    // Shrinkage is toward the prior: strictly between raw and m.
+    assert(got("g1").getAs[Long]("shrunk_micro") > 200000L &&
+      got("g1").getAs[Long]("shrunk_micro") < 400000L)
+    assert(got("g1").getAs[Long]("prior_strength_micro") ==
+      math.round(1e6 * st))
+    // Degenerate: identical rates -> raw rates, NULL strength.
+    val flat = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+      .toDF("g", "y")
+    val fg = Profile.ebBetaBinomial(flat, "g", "y").collect()
+    assert(fg.forall(_.getAs[Long]("shrunk_micro") == 500000L))
+    assert(fg.forall(_.isNullAt(fg.head.fieldIndex(
+      "prior_strength_micro"))))
+  }
+
   test("raterAccuracy: consensus agreement per rater, self-inclusion") {
     // item 1: A=pos B=pos C=neg -> consensus pos; item 2: A=pos
     // B=neg -> tie breaks to 'neg' (lexically smaller).
