@@ -62,7 +62,10 @@ object PlanAudit {
     "q289_funnel" -> "1-row broadcast scalar attach (step-1 cohort size onto the per-step rows)",
     "q301_join_cardinality" -> "1-row × 1-row scalar crosses (side totals onto the census row)",
     "q304_temperature_mix" -> "1-row broadcast scalar attach (rate total onto the source rows)",
-    "q263_neyman_alloc" -> "1-row broadcast scalar attaches (total weight, leftover R — via apportionLargestRemainder)")
+    "q263_neyman_alloc" -> "1-row broadcast scalar attaches (total weight, leftover R — via apportionLargestRemainder)",
+    "q312_silhouette" -> "16-row broadcast centroid attach (bounded)",
+    "q321_kmv_intersect" -> "group² pair census (bounded by intent — sources/shards; the q117 precedent) + sketch-sized merges",
+    "q325_eb_shrinkage" -> "1-row broadcast moment attach (G, Σr, Σr²)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
     * partition is bounded (per-user event counts in the fixtures are
@@ -84,7 +87,8 @@ object PlanAudit {
     "q202_markov_anomaly" -> "per-user window (bounded group; lead needs order only)",
     "q208_ewma" -> "per-user window (bounded group; W fixed lag taps need order only)",
     "q209_cusum" -> "per-user window (bounded group; cumsum + running-min, scale twin: groupRunningSum)",
-    "q291_attribution" -> "per-user window (bounded group; running last-non-null touch, the asOfJoin shape)")
+    "q291_attribution" -> "per-user window (bounded group; running last-non-null touch, the asOfJoin shape)",
+    "q311_interleave_order" -> "global-rank offsets window over the (partition × 1 group) census — 32 metadata rows, not data (the groupRank machinery with a constant group)")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -62,7 +62,12 @@ object ScaleBench {
     "q275_link_jaccard", "q278_embedding_drift",
     // late round-13 additions: deletion-neighborhood variant join,
     // ×100-replicate bootstrap explode, attribution running-last
-    "q283_edit_join", "q287_bootstrap_ci", "q291_attribution")
+    "q283_edit_join", "q287_bootstrap_ci", "q291_attribution",
+    // round-14 additions: BT fixpoint (5 unrolled pair-join rounds),
+    // KMV pairwise merge (group² census), RAKE phrase/word censuses,
+    // global stride-interleave rank
+    "q308_bradley_terry", "q321_kmv_intersect", "q324_rake",
+    "q311_interleave_order")
 
   val Factors: Seq[Int] = Seq(1, 4, 16)
   /** Skip ×16 when the ×4-projected time exceeds this (seconds). */
