@@ -4638,7 +4638,62 @@ object SparkEntry {
       Profile.ebBetaBinomial(
         t(s, dir, "documents").select(col("source"),
           (col("n_chars") >= 400L).as("long_doc")),
-        "source", "long_doc"))
+        "source", "long_doc")),
+
+    // Quantile treatment effects on the q293 arms: exact p50/p90
+    // per arm via the range-partitioned selection machinery, diff
+    // micro-rounded once.
+    "q326_qte" -> ((s, dir) =>
+      Profile.quantileTreatmentEffect(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            (col("user_id") % 2 === 0).as("arm"),
+            col("value"), col("event_id")),
+        "event_type", "arm", "value", "event_id", Seq(0.5, 0.9))),
+
+    // Off-policy IPS/SNIPS replay: target policy "always purchase",
+    // logging propensities = the empirical global action rates,
+    // segments = user id mod 4.
+    "q327_off_policy" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val tot = ev.agg(count(lit(1)).as("__n"))
+      val pr = ev.groupBy(col("event_type").as("__act"))
+        .agg(count(lit(1)).as("__na"))
+        .crossJoin(broadcast(tot))
+        .select(col("__act"),
+          round(lit(1e6) * col("__na").cast("double") /
+            col("__n").cast("double")).cast("long").as("p_micro"))
+      val logged = ev
+        .select((col("user_id") % 4).cast("string").as("seg"),
+          col("event_type"), col("value"))
+        .join(broadcast(pr), col("event_type") === col("__act"))
+        .withColumn("target", lit("purchase"))
+      Profile.offPolicyValue(logged, "seg", "event_type", "value",
+        "p_micro", "target")
+    }),
+
+    // Always-valid (peeking-proof) two-proportion mSPRT on the q307
+    // shape: e-value + always-valid p at mixture scale tau = 0.1.
+    "q328_always_valid" -> ((s, dir) =>
+      Profile.alwaysValidTest(
+        t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 2 === 0).as("arm"),
+          (col("value") >= 100.0).as("hi")),
+        "event_type", "arm", "hi", tau = 0.1)),
+
+    // Platt scaling by distributed Newton (5 one-pass rounds): fit
+    // sigma(a*s + b) predicting the high-value label from a noised
+    // score — the hash noise makes the classes overlap, so the MLE
+    // is finite and the fit converges.
+    "q329_platt_fit" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      Profile.plattFit(
+        ev.select(((col("value") +
+          hashMod("pn", col("event_id"), 50L).cast("double")) /
+          lit(100.0)).as("s"),
+          (col("value") >= 100.0).as("y")),
+        "s", "y", iters = 5)
+    })
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -11589,7 +11644,187 @@ object SparkEntry {
         |  CASE WHEN gg > 1 AND v > 0.0 AND st > 0.0 THEN
         |    CAST(round(1e6 * st) AS BIGINT)
         |    ELSE NULL END AS prior_strength_micro
-        |FROM h""".stripMargin)
+        |FROM h""".stripMargin,
+
+    "q326_qte" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, user_id % 2 = 0 AS a, value AS v,
+        |    event_id AS t
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT g, a, v,
+        |    row_number() OVER (PARTITION BY g, a ORDER BY v, t) AS rk,
+        |    count(*) OVER (PARTITION BY g, a) AS cnt
+        |  FROM b),
+        |sel AS (
+        |  SELECT g, a, q.q AS q, v
+        |  FROM r, (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q) q
+        |  WHERE rk = CAST(ceil(q.q * cnt) AS BIGINT)),
+        |tr AS (SELECT g, q, v AS q_treat FROM sel WHERE a),
+        |ct AS (SELECT g, q, v AS q_ctrl FROM sel WHERE NOT a)
+        |SELECT tr.g AS event_type, tr.q, tr.q_treat, ct.q_ctrl,
+        |  CAST(round(1e6 * (CAST(q_treat AS DOUBLE)
+        |    - CAST(q_ctrl AS DOUBLE))) AS BIGINT) AS qte_micro
+        |FROM tr JOIN ct USING (g, q)""".stripMargin,
+
+    "q327_off_policy" ->
+      """WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+        |pr AS (
+        |  SELECT event_type AS act,
+        |    CAST(round(1e6 * CAST(count(*) AS DOUBLE)
+        |      / CAST(tot.n AS DOUBLE)) AS BIGINT) AS p
+        |  FROM ev, tot GROUP BY 1, tot.n),
+        |b AS (
+        |  SELECT CAST(user_id % 4 AS VARCHAR) AS s,
+        |    ev.event_type = 'purchase' AS m,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS r,
+        |    CASE WHEN ev.event_type = 'purchase'
+        |      THEN CAST(round(1e12 / CAST(pr.p AS DOUBLE)) AS BIGINT)
+        |      ELSE 0 END AS w
+        |  FROM ev JOIN pr ON pr.act = ev.event_type),
+        |agg AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_matched,
+        |    CAST(0 AS BIGINT) AS n_bad,
+        |    sum(CAST(w AS HUGEINT) * r) AS rw,
+        |    CAST(sum(w) AS BIGINT) AS sw
+        |  FROM b GROUP BY 1)
+        |SELECT s AS seg, n, n_matched, n_bad,
+        |  CASE WHEN n > 0 THEN CAST(round(CAST(rw AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * 1e6)) AS BIGINT)
+        |    ELSE NULL END AS ips_micro,
+        |  CASE WHEN sw > 0 THEN CAST(round(1e6 * CAST(rw AS DOUBLE)
+        |    / (CAST(sw AS DOUBLE) * 1e6)) AS BIGINT)
+        |    ELSE NULL END AS snips_micro
+        |FROM agg""".stripMargin,
+
+    "q328_always_valid" -> alwaysValidOracleSql(0.1),
+
+    "q329_platt_fit" -> plattOracleSql(5))
+
+  /** q329's oracle: the distributed-Newton Platt fit unrolled — each
+    * round one data pass with the previous round's 1-row params,
+    * exact HUGEINT gradient/Hessian sums over micro-rounded σ, the
+    * scalar 2×2 solve mirrored association-for-association. */
+  private def plattOracleSql(iters: Int): String = {
+    val noise = "CAST(CAST(('0x' || substr(md5('pn:' || " +
+      "CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 50 AS DOUBLE)"
+    val head =
+      s"""WITH base AS (
+         |  SELECT CAST(round((value + $noise) / 100.0 * 1e6)
+         |    AS BIGINT) AS s,
+         |    CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |p0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT)
+         |  AS b)""".stripMargin
+    def muExpr(p: String): String =
+      s"CAST(round(1e6 / (1.0 + exp(-(CAST($p.a AS DOUBLE) / 1e6 " +
+        s"* (CAST(base.s AS DOUBLE) / 1e6) " +
+        s"+ CAST($p.b AS DOUBLE) / 1e6)))) AS BIGINT)"
+    val rounds = (1 to iters).map { r =>
+      s"""m$r AS (
+         |  SELECT base.s, base.y, ${muExpr(s"p${r - 1}")} AS mu
+         |  FROM base, p${r - 1}),
+         |a$r AS (
+         |  SELECT
+         |    sum(CAST(y * 1000000 - mu AS HUGEINT) * s) AS g1,
+         |    sum(CAST(y * 1000000 - mu AS HUGEINT)) AS g0,
+         |    sum(CAST(mu * (1000000 - mu) AS HUGEINT) * s * s) AS h11,
+         |    sum(CAST(mu * (1000000 - mu) AS HUGEINT) * s) AS h10,
+         |    sum(CAST(mu * (1000000 - mu) AS HUGEINT)) AS h00
+         |  FROM m$r),
+         |d$r AS (
+         |  SELECT CAST(g1 AS DOUBLE) / 1e12 AS g1r,
+         |    CAST(g0 AS DOUBLE) / 1e6 AS g0r,
+         |    CAST(h11 AS DOUBLE) / 1e24 AS h11r,
+         |    CAST(h10 AS DOUBLE) / 1e18 AS h10r,
+         |    CAST(h00 AS DOUBLE) / 1e12 AS h00r
+         |  FROM a$r),
+         |p$r AS (
+         |  SELECT
+         |    CASE WHEN h11r * h00r - h10r * h10r > 0.0 THEN
+         |      CAST(round(CAST(p.a AS DOUBLE) + 1e6
+         |        * ((h00r * g1r - h10r * g0r)
+         |          / (h11r * h00r - h10r * h10r))) AS BIGINT)
+         |      ELSE p.a END AS a,
+         |    CASE WHEN h11r * h00r - h10r * h10r > 0.0 THEN
+         |      CAST(round(CAST(p.b AS DOUBLE) + 1e6
+         |        * ((h11r * g0r - h10r * g1r)
+         |          / (h11r * h00r - h10r * h10r))) AS BIGINT)
+         |      ELSE p.b END AS b
+         |  FROM d$r, p${r - 1} p)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s""",
+         |mf AS (
+         |  SELECT base.s, base.y, ${muExpr(s"p$iters")} AS mu
+         |  FROM base, p$iters),
+         |fc AS (
+         |  SELECT y, least(greatest(mu, 1), 999999) AS muc FROM mf)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  (SELECT a FROM p$iters) AS a_micro,
+         |  (SELECT b FROM p$iters) AS b_micro,
+         |  CAST(round(CAST(sum(CASE WHEN y = 1 THEN
+         |      CAST(round(-1e6 * ln(CAST(muc AS DOUBLE) / 1e6))
+         |        AS BIGINT)
+         |    ELSE
+         |      CAST(round(-1e6 * ln(1.0 - CAST(muc AS DOUBLE) / 1e6))
+         |        AS BIGINT) END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) AS BIGINT)
+         |    AS avg_logloss_micro
+         |FROM fc""".stripMargin
+  }
+
+  /** q328's oracle: the mSPRT e-value chain mirrored association-
+    * for-association; τ² interpolates as the Scala-computed double
+    * so both engines square once, identically. */
+  private def alwaysValidOracleSql(tau: Double): String = {
+    val t2 = tau * tau
+    s"""WITH b AS (
+       |  SELECT event_type AS g, user_id % 2 = 0 AS a,
+       |    value >= 100.0 AS y
+       |  FROM events WHERE value IS NOT NULL),
+       |st AS (
+       |  SELECT g,
+       |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN a AND y THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS k_a,
+       |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b,
+       |    CAST(sum(CASE WHEN NOT a AND y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS k_b
+       |  FROM b GROUP BY 1),
+       |f AS (
+       |  SELECT g, n_a, k_a, n_b, k_b,
+       |    CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |      - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS d,
+       |    (CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |      * (1.0 - CAST(k_a + k_b AS DOUBLE)
+       |        / CAST(n_a + n_b AS DOUBLE))
+       |      * (1.0 / CAST(n_a AS DOUBLE)
+       |        + 1.0 / CAST(n_b AS DOUBLE)) AS v,
+       |    n_a > 0 AND n_b > 0 AND k_a + k_b > 0
+       |      AND k_a + k_b < n_a + n_b AS live
+       |  FROM st),
+       |e AS (
+       |  SELECT f.*,
+       |    CAST(round(1e6 * (0.5 * ln(v / (v + $t2))
+       |      + d * d * $t2 / (2.0 * v * (v + $t2)))) AS BIGINT)
+       |      AS le
+       |  FROM f)
+       |SELECT g AS event_type, n_a, k_a, n_b, k_b,
+       |  CASE WHEN live THEN CAST(round(1e6 * d) AS BIGINT)
+       |    ELSE NULL END AS d_micro,
+       |  CASE WHEN live THEN le ELSE NULL END AS log_e_micro,
+       |  CASE WHEN live THEN CAST(round(1e6 * least(1.0,
+       |    exp(-CAST(le AS DOUBLE) / 1e6))) AS BIGINT)
+       |    ELSE NULL END AS p_always_micro,
+       |  CASE WHEN live THEN le >= 2995732 ELSE false END
+       |    AS significant
+       |FROM e""".stripMargin
+  }
 
   /** q323's oracle: the q271 ACF CTEs generalized to `maxLag`, then
     * the SAME quantized Durbin–Levinson the Spark side runs — each

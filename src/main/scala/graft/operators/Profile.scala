@@ -1618,6 +1618,255 @@ object Profile {
         .otherwise(lit(null).cast("long")).as("mde_rel_micro"))
   }
 
+  /** Quantile treatment effects — the distribution-level A/B readout
+    * the mean-diff family ([[cuped]], [[welchT]]) cannot see: per
+    * group and probability q, the treated arm's EXACT type-1
+    * quantile minus the control arm's, via two
+    * [[Ranking.groupQuantiles]] selections on a (group, arm)
+    * composite key (so the machinery stays range-partitioned, never
+    * a per-group sort). "The median moved 2 ms but p99 moved 40 ms"
+    * is this operator's output. Values are actual data points;
+    * the only float is the final micro-rounded diff. Groups missing
+    * an arm are absent (no contrast exists — stated). NULL values
+    * and arms drop. Output: (groupCol, q, q_treat, q_ctrl,
+    * qte_micro). */
+  def quantileTreatmentEffect(
+      df: DataFrame,
+      groupCol: String,
+      armCol: String,
+      valueCol: String,
+      tieCol: String,
+      qs: Seq[Double]): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull && col(armCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(armCol).cast("boolean").as("__a"),
+        col(valueCol).as("__v"), col(tieCol).as("__t"))
+      // composite selection key:  cannot occur in the cast
+      // group values the gates feed (control chars never survive
+      // tokenized/categorical keys); arm folds into the key so ONE
+      // rank pass serves both arms.
+      .select(concat_ws("", col("__g"),
+        col("__a").cast("string")).as("__ga"),
+        col("__g"), col("__a"), col("__v"), col("__t"))
+    val quants = Ranking.groupQuantiles(base, "__ga", "__v", "__t", qs)
+      .select(col("__ga"), col("q"), col("__v"))
+      .withColumn("__g", substring_index(col("__ga"), "", 1))
+      .withColumn("__a",
+        substring_index(col("__ga"), "", -1) === "true")
+    val t = quants.filter(col("__a"))
+      .select(col("__g"), col("q"), col("__v").as("q_treat"))
+    val c = quants.filter(!col("__a"))
+      .select(col("__g"), col("q"), col("__v").as("q_ctrl"))
+    t.join(c, Seq("__g", "q"))
+      .select(col("__g").as(groupCol), col("q"), col("q_treat"),
+        col("q_ctrl"),
+        round(lit(1e6) * (col("q_treat").cast("double") -
+          col("q_ctrl").cast("double"))).cast("long").as("qte_micro"))
+  }
+
+  /** Off-policy value estimate (IPS + SNIPS) — "what would the new
+    * policy have earned on the logged traffic": every logged row
+    * where the target policy agrees with the logged action counts
+    * its reward inversely weighted by the logging propensity;
+    * IPS divides by n (unbiased, high variance), SNIPS by the
+    * weight sum (self-normalized — biased O(1/n), much tighter).
+    * All sums are EXACT: the per-row weight micro-rounds ONE scalar
+    * divide (1/p), reward×weight products accumulate in
+    * DECIMAL(38,0), and each estimate is one final rounded divide.
+    * Rows with NULL or non-positive propensity are EXCLUDED and
+    * surface in n_bad (a propensity of zero means the logger could
+    * never have taken that action — inverse weighting is undefined,
+    * the standard diagnostic). Output: (segmentCol, n, n_matched,
+    * n_bad, ips_micro, snips_micro — NULL when no weight mass). */
+  def offPolicyValue(
+      df: DataFrame,
+      segmentCol: String,
+      actionCol: String,
+      rewardCol: String,
+      propensityMicroCol: String,
+      targetCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(rewardCol).isNotNull)
+      .select(col(segmentCol).as("__s"),
+        (col(actionCol) === col(targetCol)).as("__m"),
+        round(col(rewardCol).cast("double") * lit(1e6)).cast("long")
+          .as("__r"),
+        col(propensityMicroCol).cast("long").as("__p"))
+    val ok = col("__p").isNotNull && col("__p") > 0L
+    val w = when(ok && col("__m"),
+      round(lit(1e12) / col("__p").cast("double")).cast("long"))
+      .otherwise(lit(0L))
+    base.withColumn("__w", w)
+      .groupBy(col("__s"))
+      .agg(sum(when(ok, 1L).otherwise(0L)).as("n"),
+        sum(when(ok && col("__m"), 1L).otherwise(0L)).as("n_matched"),
+        sum(when(!ok, 1L).otherwise(0L)).as("n_bad"),
+        sum((col("__w").cast(dec) * col("__r")).cast(dec)).as("__rw"),
+        sum(col("__w")).as("__sw"))
+      .select(col("__s").as(segmentCol), col("n"), col("n_matched"),
+        col("n_bad"),
+        // __rw = Σ (1e6/p)·(1e6·r) = 1e12·Σ r/p, so the MICRO mean
+        // is __rw / (n · 1e6).
+        when(col("n") > 0L,
+          round(col("__rw").cast("double") /
+            (col("n").cast("double") * lit(1e6))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("ips_micro"),
+        when(col("__sw") > 0L,
+          round(lit(1e6) * col("__rw").cast("double") /
+            (col("__sw").cast("double") * lit(1e6))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("snips_micro"))
+  }
+
+  /** Always-valid two-proportion test (plug-in mixture SPRT): the
+    * experimentation family's peeking-proof member — the e-value
+    * Λ = √(V/(V+τ²)) · exp(d²τ²/(2V(V+τ²))) for observed diff
+    * d = p̂_a − p̂_b with plug-in variance
+    * V = p̂(1−p̂)(1/n_a + 1/n_b) and mixture scale τ, and the
+    * always-valid p = min(1, 1/Λ) — valid at EVERY interim look,
+    * unlike [[twoProportionTest]]'s fixed-horizon z. One libm
+    * ln/exp pair per GROUP (micro-rounded log-e, the q304
+    * convention); counts and guards are exact integers. Degenerate
+    * groups (empty arm, pooled rate 0 or 1) report NULLs.
+    * Output: (groupCol, n_a, k_a, n_b, k_b, d_micro, log_e_micro,
+    * p_always_micro, significant at 1/Λ ≤ 0.05 on the micro
+    * value). */
+  def alwaysValidTest(
+      df: DataFrame,
+      groupCol: String,
+      armCol: String,
+      successCol: String,
+      tau: Double = 0.1): DataFrame = {
+    require(tau > 0, "tau must be positive")
+    val base = df.filter(col(successCol).isNotNull && col(armCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(armCol).cast("boolean").as("__a"),
+        col(successCol).cast("boolean").as("__y"))
+    val stats = base.groupBy(col("__g"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a") && col("__y"), 1L).otherwise(0L)).as("k_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__a") && col("__y"), 1L).otherwise(0L))
+          .as("k_b"))
+    val pa = col("k_a").cast("double") / col("n_a").cast("double")
+    val pb = col("k_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val v = pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double"))
+    val t2 = lit(tau * tau)
+    val d = pa - pb
+    val logE = lit(0.5) * log(v / (v + t2)) +
+      d * d * t2 / (lit(2.0) * v * (v + t2))
+    val live = col("n_a") > 0L && col("n_b") > 0L &&
+      col("k_a") + col("k_b") > 0L &&
+      col("k_a") + col("k_b") < col("n_a") + col("n_b")
+    val logEMicro = round(lit(1e6) * logE).cast("long")
+    stats.select(col("__g").as(groupCol), col("n_a"), col("k_a"),
+      col("n_b"), col("k_b"),
+      when(live, round(lit(1e6) * d).cast("long"))
+        .otherwise(lit(null).cast("long")).as("d_micro"),
+      when(live, logEMicro)
+        .otherwise(lit(null).cast("long")).as("log_e_micro"),
+      when(live,
+        round(lit(1e6) * least(lit(1.0),
+          exp(-logEMicro.cast("double") / lit(1e6)))).cast("long"))
+        .otherwise(lit(null).cast("long")).as("p_always_micro"),
+      // ln 20 = 2.995732…; the cut runs on the micro-rounded log-e
+      // so both engines compare the same integer.
+      when(live, logEMicro >= 2995732L).otherwise(lit(false))
+        .as("significant"))
+  }
+
+  /** Platt scaling — logistic calibration P(y=1|s) = σ(a·s + b) fit
+    * by `iters` distributed Newton–Raphson rounds: each round is ONE
+    * aggregate pass (exact DECIMAL gradient/Hessian sums over
+    * per-row MICRO-ROUNDED σ values), the 2×2 Newton solve is
+    * scalar closed-form on the one-row aggregate, and (a, b)
+    * micro-round between rounds — the [[graft.operators.Similarity]]
+    * power-iteration discipline applied to an actual model fit.
+    * The per-row σ is the only libm step (one exp), micro-rounded
+    * immediately (the q304 convention), so every engine sums the
+    * same integers. A non-positive Hessian determinant freezes the
+    * step (log-loss is convex — this only fires on degenerate
+    * all-one-label data). The final pass scores average log-loss
+    * with σ clamped to [1, 999999] micro (a saturated probability
+    * would send ln to −∞; the clamp is stated and symmetric).
+    *
+    * Scale: iters+1 aggregate passes over the data, a broadcast
+    * 1-row param attach each — no shuffle beyond the aggregates,
+    * no driver-side data. Output: one row —
+    * (n, a_micro, b_micro, avg_logloss_micro). */
+  def plattFit(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    val dec = "decimal(38,0)"
+    val spark = df.sparkSession
+    val base = Dedup.truncate(df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(round(col(scoreCol).cast("double") * lit(1e6))
+        .cast("long").as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+          .as("__y")))
+    def withMu(p: DataFrame): DataFrame =
+      base.crossJoin(broadcast(p))
+        .withColumn("__z",
+          col("__a").cast("double") / lit(1e6) *
+            (col("__s").cast("double") / lit(1e6)) +
+            col("__b").cast("double") / lit(1e6))
+        .withColumn("__mu",
+          round(lit(1e6) / (lit(1.0) + exp(-col("__z")))).cast("long"))
+    var params: DataFrame = spark.range(1)
+      .select(lit(0L).as("__a"), lit(0L).as("__b"))
+    (1 to iters).foreach { _ =>
+      val agg = withMu(params)
+        .withColumn("__e", col("__y") * lit(1000000L) - col("__mu"))
+        .withColumn("__w",
+          col("__mu") * (lit(1000000L) - col("__mu")))
+        .agg(
+          sum((col("__e").cast(dec) * col("__s")).cast(dec)).as("__g1"),
+          sum(col("__e").cast(dec)).as("__g0"),
+          sum((col("__w").cast(dec) * col("__s") * col("__s"))
+            .cast(dec)).as("__h11"),
+          sum((col("__w").cast(dec) * col("__s")).cast(dec)).as("__h10"),
+          sum(col("__w").cast(dec)).as("__h00"))
+      val g1 = col("__g1").cast("double") / lit(1e12)
+      val g0 = col("__g0").cast("double") / lit(1e6)
+      val h11 = col("__h11").cast("double") / lit(1e24)
+      val h10 = col("__h10").cast("double") / lit(1e18)
+      val h00 = col("__h00").cast("double") / lit(1e12)
+      val det = h11 * h00 - h10 * h10
+      val da = (h00 * g1 - h10 * g0) / det
+      val db = (h11 * g0 - h10 * g1) / det
+      params = Dedup.truncate(agg.crossJoin(broadcast(params))
+        .select(
+          when(det > 0.0,
+            round(col("__a").cast("double") + lit(1e6) * da)
+              .cast("long")).otherwise(col("__a")).as("__a"),
+          when(det > 0.0,
+            round(col("__b").cast("double") + lit(1e6) * db)
+              .cast("long")).otherwise(col("__b")).as("__b")))
+    }
+    val muc = least(greatest(col("__mu"), lit(1L)), lit(999999L))
+    withMu(params)
+      .withColumn("__ll",
+        when(col("__y") === 1L,
+          round(lit(-1e6) *
+            log(muc.cast("double") / lit(1e6))).cast("long"))
+          .otherwise(round(lit(-1e6) *
+            log(lit(1.0) - muc.cast("double") / lit(1e6)))
+            .cast("long")))
+      .agg(count(lit(1)).as("n"), max(col("__a")).as("a_micro"),
+        max(col("__b")).as("b_micro"),
+        sum(col("__ll").cast(dec)).as("__lls"))
+      .select(col("n"), col("a_micro"), col("b_micro"),
+        round(col("__lls").cast("double") / col("n").cast("double"))
+          .cast("long").as("avg_logloss_micro"))
+  }
+
   /** Empirical-Bayes beta-binomial rate shrinkage — the "smoothed
     * CTR" estimator: small groups' raw rates are noise, so every
     * group's rate shrinks toward the cross-group prior by its own

@@ -701,6 +701,97 @@ class ProfileSpec extends SparkSpec {
     assert(got("i").isNullAt(got("i").fieldIndex("mde_micro")))
   }
 
+  test("quantileTreatmentEffect: exact per-arm selections, one-arm group absent") {
+    // treat = ctrl + 5 pointwise: every QTE is exactly +5.
+    val rows = (1 to 10).flatMap(i => Seq(
+      ("g", true, i + 5.0, i.toLong), ("g", false, i.toDouble, 100L + i))) ++
+      Seq(("solo", true, 1.0, 999L))
+    val df = rows.toDF("g", "arm", "v", "id")
+    val got = Profile.quantileTreatmentEffect(df, "g", "arm", "v",
+      "id", Seq(0.5, 0.9)).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Double]("q")) -> r)
+      .toMap
+    // type-1 selection: rank ceil(q·10) -> value 5 / 9 per arm.
+    assert(got(("g", 0.5)).getAs[Double]("q_treat") == 10.0)
+    assert(got(("g", 0.5)).getAs[Double]("q_ctrl") == 5.0)
+    assert(got(("g", 0.5)).getAs[Long]("qte_micro") == 5000000L)
+    assert(got(("g", 0.9)).getAs[Long]("qte_micro") == 5000000L)
+    assert(!got.keys.exists(_._1 == "solo")) // no contrast, absent
+  }
+
+  test("offPolicyValue: hand IPS/SNIPS, zero-propensity quarantined") {
+    val df = Seq(
+      // matched, p = 0.5 -> weight 2, reward 2.0
+      ("s", "buy", 2.0, 500000L, "buy"),
+      // unmatched: counts in n, contributes no weight
+      ("s", "view", 9.0, 250000L, "buy"),
+      // matched, p = 0.25 -> weight 4, reward 1.0
+      ("s", "buy", 1.0, 250000L, "buy"),
+      // zero propensity: excluded, surfaces in n_bad
+      ("s", "buy", 5.0, 0L, "buy"))
+      .toDF("seg", "action", "reward", "p_micro", "target")
+    val r = Profile.offPolicyValue(df, "seg", "action", "reward",
+      "p_micro", "target").collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Long]("n_matched") == 2L)
+    assert(r.getAs[Long]("n_bad") == 1L)
+    // IPS = (2/0.5 + 1/0.25)/3 = 8/3; SNIPS = 8/(2+4) = 4/3.
+    assert(r.getAs[Long]("ips_micro") == 2666667L)
+    assert(r.getAs[Long]("snips_micro") == 1333333L)
+  }
+
+  test("alwaysValidTest: e-value formula replay, degenerate NULLs") {
+    val df = (Seq.fill(60)(("g", true, true)) ++
+      Seq.fill(40)(("g", true, false)) ++
+      Seq.fill(40)(("g", false, true)) ++
+      Seq.fill(60)(("g", false, false)) ++
+      Seq.fill(3)(("allpos", true, true)) ++
+      Seq.fill(3)(("allpos", false, true)))
+      .toDF("g", "arm", "y")
+    val got = Profile.alwaysValidTest(df, "g", "arm", "y", tau = 0.1)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // Replay: d = 0.2, pooled 0.5, V = 0.25·0.02 = 0.005, τ² = 0.01.
+    val t2 = 0.1 * 0.1
+    val v = 0.5 * (1.0 - 0.5) * (1.0 / 100 + 1.0 / 100)
+    val le = math.round(1e6 * (0.5 * math.log(v / (v + t2)) +
+      0.2 * 0.2 * t2 / (2.0 * v * (v + t2))))
+    assert(got("g").getAs[Long]("d_micro") == 200000L)
+    assert(got("g").getAs[Long]("log_e_micro") == le)
+    assert(got("g").getAs[Long]("p_always_micro") ==
+      math.round(1e6 * math.min(1.0, math.exp(-le.toDouble / 1e6))))
+    assert(got("g").getAs[Boolean]("significant") == (le >= 2995732L))
+    assert(got("allpos").isNullAt(
+      got("allpos").fieldIndex("log_e_micro")))
+    assert(!got("allpos").getAs[Boolean]("significant"))
+  }
+
+  test("plattFit: Newton converges on overlapping classes, saturating data frozen safely") {
+    // Overlapping logistic data: low scores mostly 0, high mostly 1,
+    // with one flip on each side — the MLE slope is finite, positive.
+    val rows = Seq(
+      (0.0, false), (0.5, false), (1.0, false), (1.5, false),
+      (1.0, true), // overlap flips
+      (2.0, false),
+      (2.5, true), (3.0, true), (3.5, true), (4.0, true))
+    val df = rows.toDF("s", "y")
+    val r = Profile.plattFit(df, "s", "y", iters = 5).collect().head
+    assert(r.getAs[Long]("n") == 10L)
+    val a = r.getAs[Long]("a_micro")
+    val b = r.getAs[Long]("b_micro")
+    assert(a > 0L, s"slope must be positive, got $a")
+    // Decision boundary -b/a sits inside the overlap band (1, 2.5).
+    val boundary = -b.toDouble / a.toDouble
+    assert(boundary > 1.0 && boundary < 2.5, s"boundary $boundary")
+    // Better than the no-information fit (logloss < ln 2).
+    assert(r.getAs[Long]("avg_logloss_micro") < 693147L)
+    // All-one-label data: every round moves b upward, nothing blows
+    // up, and the fitted probabilities saturate high.
+    val ones = Seq((1.0, true), (2.0, true), (3.0, true)).toDF("s", "y")
+    val r1 = Profile.plattFit(ones, "s", "y", iters = 5).collect().head
+    assert(r1.getAs[Long]("avg_logloss_micro") <
+      r.getAs[Long]("avg_logloss_micro"))
+  }
+
   test("ebBetaBinomial: moment fit, shrinkage toward prior, mean fixed point") {
     // Rates 0.2 / 0.4 / 0.6 over n = 5 each: m = 0.4 exactly,
     // strength ≈ 8 ⇒ extremes shrink toward 0.4, and the group AT
