@@ -64,6 +64,8 @@ object PlanAudit {
     "q304_temperature_mix" -> "1-row broadcast scalar attach (rate total onto the source rows)",
     "q263_neyman_alloc" -> "1-row broadcast scalar attaches (total weight, leftover R — via apportionLargestRemainder)",
     "q312_silhouette" -> "16-row broadcast centroid attach (bounded)",
+    "q327_off_policy" -> "1-row broadcast scalar attach (action-rate total)",
+    "q329_platt_fit" -> "1-row broadcast parameter attach per Newton round (bounded: iters+1 passes)",
     "q321_kmv_intersect" -> "group² pair census (bounded by intent — sources/shards; the q117 precedent) + sketch-sized merges",
     "q325_eb_shrinkage" -> "1-row broadcast moment attach (G, Σr, Σr²)")
 
