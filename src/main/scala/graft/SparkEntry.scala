@@ -4693,6 +4693,42 @@ object SparkEntry {
           lit(100.0)).as("s"),
           (col("value") >= 100.0).as("y")),
         "s", "y", iters = 5)
+    }),
+
+    // Delta-method CI for the user-clustered value-per-event ratio —
+    // the variance the naive row-level CI understates.
+    "q330_ratio_ci" -> ((s, dir) =>
+      Profile.ratioMetricCI(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), col("user_id"), col("value"),
+            lit(1.0).as("one")),
+        "event_type", "user_id", "value", "one")),
+
+    // Chapman mark-recapture estimate of per-type active users from
+    // first-half vs second-half-of-month sightings.
+    "q331_mark_recapture" -> ((s, dir) =>
+      Profile.markRecapture(
+        t(s, dir, "events").select(col("event_type"), col("user_id"),
+          (dayofmonth(col("ts")) <= 15).as("in_a"),
+          (dayofmonth(col("ts")) > 15).as("in_b")),
+        "event_type", "user_id", "in_a", "in_b")),
+
+    // Gzip member metadata through the real JDK inflate with ISIZE
+    // verification (the q313 three-way fixture shape).
+    "q332_gzip_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 180)
+      val content = when(col("doc_id") % 3 === 0,
+          unhex(lit(Multimodal.GzipFixture.hex)))
+        .when(col("doc_id") % 3 === 1,
+          concat(unhex(lit("1F8B08")), col("text").cast("binary")))
+        .otherwise(col("text").cast("binary"))
+      val media = d.select(col("doc_id").as("media_id"),
+        content.as("content"))
+      media.select(col("media_id"),
+          Multimodal.sniffType(col("content")).as("kind"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .join(Multimodal.gzipMeta(media, "media_id", "content"),
+          Seq("media_id"), "left")
     })
   )
 
@@ -11702,7 +11738,95 @@ object SparkEntry {
 
     "q328_always_valid" -> alwaysValidOracleSql(0.1),
 
-    "q329_platt_fit" -> plattOracleSql(5))
+    "q329_platt_fit" -> plattOracleSql(5),
+
+    "q330_ratio_ci" ->
+      """WITH u AS (
+        |  SELECT event_type AS g, user_id AS un,
+        |    CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1e6)
+        |      AS BIGINT)) AS HUGEINT) AS ux,
+        |    CAST(sum(1000000) AS HUGEINT) AS uy
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |st AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_units,
+        |    sum(ux) AS sx, sum(uy) AS sy,
+        |    sum(ux * ux) AS sxx, sum(ux * uy) AS sxy,
+        |    sum(uy * uy) AS syy
+        |  FROM u GROUP BY 1),
+        |f AS (
+        |  SELECT g, n_units,
+        |    CAST(n_units AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(syy AS DOUBLE) AS syyd,
+        |    sy > 0 AS ypos
+        |  FROM st),
+        |h AS (
+        |  SELECT f.*, sxd / syd AS r,
+        |    (sxxd - sxd * sxd / nd) / (nd - 1.0) AS varx,
+        |    (syyd - syd * syd / nd) / (nd - 1.0) AS vary,
+        |    (sxyd - sxd * syd / nd) / (nd - 1.0) AS covxy,
+        |    syd / nd AS ybar
+        |  FROM f),
+        |e AS (
+        |  SELECT h.*,
+        |    sqrt(greatest((varx - 2.0 * r * covxy + r * r * vary)
+        |      / (nd * ybar * ybar), 0.0)) AS se
+        |  FROM h)
+        |SELECT g AS event_type, n_units,
+        |  CASE WHEN ypos THEN CAST(round(1e6 * r) AS BIGINT)
+        |    ELSE NULL END AS ratio_micro,
+        |  CASE WHEN n_units > 1 AND ypos THEN
+        |    CAST(round(1e6 * se) AS BIGINT) ELSE NULL END AS se_micro,
+        |  CASE WHEN n_units > 1 AND ypos THEN
+        |    CAST(round(1e6 * (r - 1.959964 * se)) AS BIGINT)
+        |    ELSE NULL END AS lo_micro,
+        |  CASE WHEN n_units > 1 AND ypos THEN
+        |    CAST(round(1e6 * (r + 1.959964 * se)) AS BIGINT)
+        |    ELSE NULL END AS hi_micro
+        |FROM e""".stripMargin,
+
+    "q331_mark_recapture" ->
+      """WITH fl AS (
+        |  SELECT event_type AS g, user_id AS u,
+        |    bool_or(extract('day' FROM ts) <= 15) AS ia,
+        |    bool_or(extract('day' FROM ts) > 15) AS ib
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m
+        |  FROM fl GROUP BY 1)
+        |SELECT g AS event_type, n1, n2, m,
+        |  CAST(round(1e6 * (CAST(n1 + 1 AS DOUBLE)
+        |    * CAST(n2 + 1 AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0))
+        |    AS BIGINT) AS n_hat_micro,
+        |  CAST(round(1e6 * sqrt(CAST(n1 + 1 AS DOUBLE)
+        |    * CAST(n2 + 1 AS DOUBLE)
+        |    * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE)
+        |    / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+        |      * CAST(m + 2 AS DOUBLE)))) AS BIGINT) AS se_micro
+        |FROM st""".stripMargin,
+
+    "q332_gzip_meta" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 IN (0, 1) THEN 'gzip'
+         |    ELSE 'unknown' END AS kind,
+         |  CASE doc_id % 3
+         |    WHEN 0 THEN CAST(octet_length(unhex(
+         |      '${graft.operators.Multimodal.GzipFixture.hex}')) AS BIGINT)
+         |    WHEN 1 THEN CAST(3 + octet_length(encode(text)) AS BIGINT)
+         |    ELSE CAST(octet_length(encode(text)) AS BIGINT)
+         |  END AS n_bytes,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE NULL END AS mtime,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(148 AS BIGINT)
+         |    ELSE NULL END AS isize,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(148 AS BIGINT)
+         |    ELSE NULL END AS n_inflated
+         |FROM documents WHERE doc_id < 180""".stripMargin)
 
   /** q329's oracle: the distributed-Newton Platt fit unrolled — each
     * round one data pass with the previous round's 1-row params,

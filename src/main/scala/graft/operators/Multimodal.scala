@@ -690,6 +690,80 @@ object Multimodal {
     lazy val hex: String = bytes.map(b => f"${b & 0xff}%02X").mkString
   }
 
+  /** Gzip member metadata — REAL inflate through the JDK's
+    * `GZIPInputStream` (the [[PngCodec]] bundled-decoder rule), with
+    * the header fields read directly and the trailer ISIZE verified
+    * against the actual inflated length mod 2³² — a crawl archive's
+    * integrity check without trusting either side alone. STRICT:
+    * magic + CM = 8, a clean inflate, and a matching ISIZE, or the
+    * whole member quarantines to None. */
+  object GzipCodec {
+    def isGzip(c: Array[Byte]): Boolean =
+      c.length >= 18 && (c(0) & 0xff) == 0x1f &&
+        (c(1) & 0xff) == 0x8b && (c(2) & 0xff) == 0x08
+
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    /** (mtime, isize, inflatedBytes). */
+    def parseMeta(c: Array[Byte]): Option[(Long, Long, Long)] = {
+      if (!isGzip(c)) return None
+      val inflated =
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(c))
+          try {
+            var n = 0L
+            val buf = new Array[Byte](8192)
+            var r = in.read(buf)
+            while (r >= 0) { n += r; r = in.read(buf) }
+            Some(n)
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      inflated.flatMap { n =>
+        val isize = le32(c, c.length - 4)
+        if ((n & 0xffffffffL) == isize)
+          Some((le32(c, 4), isize, n))
+        else None
+      }
+    }
+  }
+
+  /** Deterministic gzip fixture: mtime 0, one deflate member of a
+    * 148-byte payload. Bytes pinned as hex (deflate output is
+    * compressor-dependent; the DECODER is the contract). */
+  object GzipFixture {
+    val hex: String =
+      "1F8B08000000000002FF4B2F4A4C2B5148AFCA2C5048CBAC28292D4A5528" +
+      "48ACCCC94F4C513030343236313533B7B04CA7AF22002A02B83894000000"
+    lazy val bytes: Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+
+  /** Gzip-member metadata column via [[GzipCodec.parseMeta]] — the
+    * [[flacMeta]] shape: batched map-side parse, NULL quarantine.
+    * Output: (media_id, mtime, isize, n_inflated). */
+  def gzipMeta(
+      media: DataFrame,
+      idCol: String,
+      contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, content) =>
+            val m = GzipCodec.parseMeta(
+              Option(content).getOrElse(Array.emptyByteArray))
+            (id, m.map(_._1), m.map(_._2), m.map(_._3))
+          }
+        }
+      }.toDF("media_id", "mtime", "isize", "n_inflated")
+  }
+
   /** REAL audio codec — RIFF/WAVE decoded to PCM samples via
     * `javax.sound.sampled` (JDK-bundled, like imageio). Same
     * (bytes in, primitives out) boundary as [[PngCodec]]. */

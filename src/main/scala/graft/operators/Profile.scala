@@ -1778,6 +1778,114 @@ object Profile {
         .as("significant"))
   }
 
+  /** Delta-method CI for a ratio-of-sums metric with UNIT-level
+    * clustering — the experimentation staple the naive row-level CI
+    * gets wrong: revenue-per-event, CTR, tokens-per-doc are ratios
+    * Σx/Σy whose randomization unit (user, doc) contributes many
+    * correlated rows, so the variance must come from per-UNIT
+    * totals: r = Σx/Σy and
+    * var(r) ≈ (s²_x − 2r·s_xy + r²·s²_y) / (n·ȳ²) over the unit
+    * aggregates (the standard linearization). Two hash-aggs (rows →
+    * units → group), every sum exact in DECIMAL(38,0) off
+    * micro-quantized values, the delta chain scalar IEEE per group.
+    * Groups need ≥ 2 units and Σy > 0; otherwise NULL bounds
+    * (stated). Output: (groupCol, n_units, ratio_micro, se_micro,
+    * lo_micro, hi_micro). */
+  def ratioMetricCI(
+      df: DataFrame,
+      groupCol: String,
+      unitCol: String,
+      numCol: String,
+      denCol: String,
+      z: Double = 1.959964): DataFrame = {
+    require(z > 0, "z must be positive")
+    val dec = "decimal(38,0)"
+    val units = df.filter(col(numCol).isNotNull && col(denCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(unitCol).as("__u"),
+        round(col(numCol).cast("double") * lit(1e6)).cast("long")
+          .as("__x"),
+        round(col(denCol).cast("double") * lit(1e6)).cast("long")
+          .as("__y"))
+      .groupBy(col("__g"), col("__u"))
+      .agg(sum(col("__x")).as("__ux"), sum(col("__y")).as("__uy"))
+    val stats = units.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("__ux").cast(dec)).as("__sx"),
+        sum(col("__uy").cast(dec)).as("__sy"),
+        sum((col("__ux").cast(dec) * col("__ux")).cast(dec)).as("__sxx"),
+        sum((col("__ux").cast(dec) * col("__uy")).cast(dec)).as("__sxy"),
+        sum((col("__uy").cast(dec) * col("__uy")).cast(dec)).as("__syy"))
+    val nD = col("n_units").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val r = sx / sy
+    val varX = (col("__sxx").cast("double") - sx * sx / nD) /
+      (nD - lit(1.0))
+    val varY = (col("__syy").cast("double") - sy * sy / nD) /
+      (nD - lit(1.0))
+    val covXY = (col("__sxy").cast("double") - sx * sy / nD) /
+      (nD - lit(1.0))
+    val yBar = sy / nD
+    val varR = (varX - lit(2.0) * r * covXY + r * r * varY) /
+      (nD * yBar * yBar)
+    val se = sqrt(greatest(varR, lit(0.0)))
+    val live = col("n_units") > 1L && col("__sy") > 0
+    stats.select(col("__g").as(groupCol), col("n_units"),
+      when(col("__sy") > 0, round(lit(1e6) * r).cast("long"))
+        .otherwise(lit(null).cast("long")).as("ratio_micro"),
+      when(live, round(lit(1e6) * se).cast("long"))
+        .otherwise(lit(null).cast("long")).as("se_micro"),
+      when(live, round(lit(1e6) * (r - lit(z) * se)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("lo_micro"),
+      when(live, round(lit(1e6) * (r + lit(z) * se)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("hi_micro"))
+  }
+
+  /** Chapman mark–recapture population estimate — "how many are
+    * there REALLY, given two independent sightings": units seen in
+    * sample A (n1), in sample B (n2), and in both (m) give
+    * N̂ = (n1+1)(n2+1)/(m+1) − 1 with
+    * SE² = (n1+1)(n2+1)(n1−m)(n2−m)/((m+1)²(m+2)) — the
+    * bias-corrected Lincoln–Petersen a coverage audit runs when two
+    * independent detectors each catch part of a population
+    * (residual duplicates, active users, crawlable URLs). Counts
+    * are exact distinct censuses (one hash-agg over (group, unit)
+    * membership flags); the estimate is scalar IEEE micro-rounded.
+    * Degenerate m = 0 still estimates (Chapman is defined there —
+    * that is its point) but only m ≥ 1 earns an SE you should
+    * trust; both reported as-is. NULL units drop.
+    * Output: (groupCol, n1, n2, m, n_hat_micro, se_micro). */
+  def markRecapture(
+      df: DataFrame,
+      groupCol: String,
+      unitCol: String,
+      inACol: String,
+      inBCol: String): DataFrame = {
+    val flags = df.filter(col(unitCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(unitCol).as("__u"),
+        col(inACol).cast("boolean").as("__a"),
+        col(inBCol).cast("boolean").as("__b"))
+      .groupBy(col("__g"), col("__u"))
+      .agg(max(col("__a")).as("__ia"), max(col("__b")).as("__ib"))
+    val stats = flags.groupBy(col("__g"))
+      .agg(sum(when(col("__ia"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__ib"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("__ia") && col("__ib"), 1L).otherwise(0L))
+          .as("m"))
+    val n1 = (col("n1") + 1L).cast("double")
+    val n2 = (col("n2") + 1L).cast("double")
+    val m1 = (col("m") + 1L).cast("double")
+    val nHat = n1 * n2 / m1 - lit(1.0)
+    val se = sqrt(n1 * n2 *
+      (col("n1") - col("m")).cast("double") *
+      (col("n2") - col("m")).cast("double") /
+      (m1 * m1 * (col("m") + 2L).cast("double")))
+    stats.select(col("__g").as(groupCol), col("n1"), col("n2"),
+      col("m"),
+      round(lit(1e6) * nHat).cast("long").as("n_hat_micro"),
+      round(lit(1e6) * se).cast("long").as("se_micro"))
+  }
+
   /** Platt scaling — logistic calibration P(y=1|s) = σ(a·s + b) fit
     * by `iters` distributed Newton–Raphson rounds: each round is ONE
     * aggregate pass (exact DECIMAL gradient/Hessian sums over

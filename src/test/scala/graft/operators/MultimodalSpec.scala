@@ -517,6 +517,24 @@ class MultimodalSpec extends SparkSpec {
     assert(FlacCodec.parseMeta("plain text".getBytes).isEmpty)
   }
 
+  test("GzipCodec: real inflate with ISIZE verification, strict quarantine") {
+    import Multimodal.{GzipCodec, GzipFixture}
+    // mtime 0, 148-byte payload, ISIZE verified against the inflate.
+    assert(GzipCodec.parseMeta(GzipFixture.bytes)
+      .contains((0L, 148L, 148L)))
+    // Magic + CM + text: inflate fails -> None.
+    assert(GzipCodec.parseMeta(
+      (Array[Byte](0x1f, 0x8b.toByte, 0x08) ++
+        "plain text body here".getBytes("UTF-8"))).isEmpty)
+    // Truncated member -> None.
+    assert(GzipCodec.parseMeta(GzipFixture.bytes.dropRight(5)).isEmpty)
+    // Tampered ISIZE: inflate succeeds but the trailer lies -> None.
+    val bad = GzipFixture.bytes.clone()
+    bad(bad.length - 4) = 0x01
+    assert(GzipCodec.parseMeta(bad).isEmpty)
+    assert(GzipCodec.parseMeta("not gzip".getBytes).isEmpty)
+  }
+
   test("TiffCodec: LE and BE fixtures parse, malformed quarantines") {
     import Multimodal.{TiffCodec, TiffFixture}
     assert(TiffCodec.parseDims(TiffFixture.bytes)

@@ -765,6 +765,45 @@ class ProfileSpec extends SparkSpec {
     assert(!got("allpos").getAs[Boolean]("significant"))
   }
 
+  test("ratioMetricCI: unit-clustered delta CI, replayed formula, degenerate NULL") {
+    val df = Seq(
+      ("g", "u1", 2.0), ("g", "u1", 4.0), // unit totals 6/2
+      ("g", "u2", 2.0),                   // 2/1
+      ("g", "u3", 4.0),                   // 4/1
+      ("solo", "u9", 1.0))                // one unit: no variance
+      .toDF("g", "u", "x")
+      .withColumn("one", lit(1.0))
+    val got = Profile.ratioMetricCI(df, "g", "u", "x", "one")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val g = got("g")
+    assert(g.getAs[Long]("n_units") == 3L)
+    assert(g.getAs[Long]("ratio_micro") == 3000000L) // 12/4
+    val se = g.getAs[Long]("se_micro")
+    assert(se > 0L)
+    assert(math.abs(g.getAs[Long]("lo_micro") -
+      (3000000L - math.round(1.959964 * se))) <= 2L)
+    assert(g.getAs[Long]("lo_micro") < 3000000L)
+    assert(g.getAs[Long]("hi_micro") > 3000000L)
+    assert(got("solo").getAs[Long]("ratio_micro") == 1000000L)
+    assert(got("solo").isNullAt(got("solo").fieldIndex("se_micro")))
+  }
+
+  test("markRecapture: Chapman estimate and SE, hand numbers") {
+    // 6 A-only, 4 B-only, 4 both: n1 = 10, n2 = 8, m = 4.
+    val rows = (1 to 6).map(i => ("g", s"a$i", true, false)) ++
+      (1 to 4).map(i => ("g", s"b$i", false, true)) ++
+      (1 to 4).map(i => ("g", s"c$i", true, true))
+    val df = rows.toDF("g", "u", "in_a", "in_b")
+    val r = Profile.markRecapture(df, "g", "u", "in_a", "in_b")
+      .collect().head
+    assert(r.getAs[Long]("n1") == 10L && r.getAs[Long]("n2") == 8L &&
+      r.getAs[Long]("m") == 4L)
+    // N̂ = 11·9/5 − 1 = 18.8; SE = √(11·9·6·4/(25·6)) = √15.84.
+    assert(r.getAs[Long]("n_hat_micro") == 18800000L)
+    assert(r.getAs[Long]("se_micro") ==
+      math.round(1e6 * math.sqrt(11.0 * 9.0 * 6.0 * 4.0 / (5.0 * 5.0 * 6.0))))
+  }
+
   test("plattFit: Newton converges on overlapping classes, saturating data frozen safely") {
     // Overlapping logistic data: low scores mostly 0, high mostly 1,
     // with one flip on each side — the MLE slope is finite, positive.
