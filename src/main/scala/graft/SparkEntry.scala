@@ -4729,6 +4729,21 @@ object SparkEntry {
           length(col("content")).cast("long").as("n_bytes"))
         .join(Multimodal.gzipMeta(media, "media_id", "content"),
           Seq("media_id"), "left")
+    }),
+
+    // Wilcoxon signed-rank over organic length pairs (doc vs its
+    // +250 partner, per source) — the paired companion to q267.
+    "q333_signed_rank" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val b = d.select((col("doc_id") - 250L).as("doc_id"),
+        col("n_chars").as("__y"))
+      Profile.wilcoxonSignedRank(
+        d.join(b, Seq("doc_id"))
+          .select(col("source"),
+            col("n_chars").cast("double").as("x"),
+            col("__y").cast("double").as("y")),
+        "source", "x", "y")
     })
   )
 
@@ -11826,7 +11841,56 @@ object SparkEntry {
          |    ELSE NULL END AS isize,
          |  CASE WHEN doc_id % 3 = 0 THEN CAST(148 AS BIGINT)
          |    ELSE NULL END AS n_inflated
-         |FROM documents WHERE doc_id < 180""".stripMargin)
+         |FROM documents WHERE doc_id < 180""".stripMargin,
+
+    // The q267 doubled-midrank cell machinery on paired diffs, with
+    // the zero-diff spine keeping all-tied groups visible.
+    "q333_signed_rank" ->
+      """WITH d AS (
+        |  SELECT a.source AS g,
+        |    CAST(round(CAST(a.n_chars AS DOUBLE) * 1e6) AS BIGINT)
+        |      - CAST(round(CAST(b.n_chars AS DOUBLE) * 1e6)
+        |        AS BIGINT) AS dd
+        |  FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 250),
+        |sp AS (
+        |  SELECT g, CAST(sum(CASE WHEN dd = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_zero
+        |  FROM d GROUP BY 1),
+        |cells AS (
+        |  SELECT g, abs(dd) AS ad,
+        |    CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cp,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM d WHERE dd <> 0 GROUP BY 1, 2),
+        |run AS (
+        |  SELECT g, cp, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY ad) - c AS r
+        |  FROM cells),
+        |st AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(cp AS HUGEINT) * (2 * r + c + 1)) AS w2,
+        |    sum(CAST(c AS HUGEINT) * c * c - c) AS ties
+        |  FROM run GROUP BY 1),
+        |f AS (
+        |  SELECT sp.g, sp.n_zero, st.n, st.w2,
+        |    CAST(st.n AS DOUBLE) AS nd,
+        |    CAST(st.w2 AS DOUBLE) AS w2d,
+        |    CAST(st.ties AS DOUBLE) AS td
+        |  FROM sp LEFT JOIN st ON st.g = sp.g),
+        |h AS (
+        |  SELECT f.*,
+        |    nd * (nd + 1.0) * (2.0 * nd + 1.0) / 6.0 - td / 12.0
+        |      AS sigma2
+        |  FROM f)
+        |SELECT g AS source, COALESCE(n, 0) AS n_pairs, n_zero,
+        |  CASE WHEN n > 0 THEN CAST(w2 AS BIGINT) ELSE NULL END
+        |    AS w2_plus,
+        |  CASE WHEN n > 0 AND sigma2 > 0.0 THEN
+        |    CAST(round(1e6 * (w2d - nd * (nd + 1.0) / 2.0)
+        |      / sqrt(sigma2)) AS BIGINT)
+        |    ELSE NULL END AS z_micro
+        |FROM h""".stripMargin)
 
   /** q329's oracle: the distributed-Newton Platt fit unrolled — each
     * round one data pass with the previous round's 1-row params,

@@ -869,6 +869,64 @@ object Profile {
         .otherwise(lit(null).cast("long")).as("rbc_micro"))
   }
 
+  /** Wilcoxon signed-rank test per group — the PAIRED nonparametric
+    * companion to [[mannWhitney]] (same rows measured twice: before/
+    * after, model A/model B on identical inputs): per-pair diffs
+    * drop zeros (the classic convention — a tie carries no sign
+    * information; the count surfaces in n_zero), |d| midranks ride
+    * the SAME doubled-integer cell collapse + range-partitioned
+    * prefix as MW (never fractional, never a per-group window), and
+    * the doubled positive-rank sum W2 = 2·W⁺ tests against
+    * E = n(n+1)/2 with tie-corrected
+    * σ²(W2) = n(n+1)(2n+1)/6 − Σ(c³−c)/12. The z is the ONLY float
+    * step, micro-rounded from exact integers. A group whose diffs
+    * are ALL zero still emits its row (n_pairs 0, its n_zero, NULL
+    * stats) off the pre-filter spine — the [[lorenzBuckets]] lesson.
+    * Output: (groupCol, n_pairs, n_zero, w2_plus, z_micro). */
+  def wilcoxonSignedRank(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        (round(col(xCol).cast("double") * lit(1e6)).cast("long") -
+          round(col(yCol).cast("double") * lit(1e6)).cast("long"))
+          .as("__d"))
+    val spine = base.groupBy(col("__g"))
+      .agg(sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val cells = base.filter(col("__d") =!= 0L)
+      .select(col("__g"), abs(col("__d")).as("__ad"),
+        (col("__d") > 0L).as("__pos"))
+      .groupBy(col("__g"), col("__ad"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
+        count(lit(1)).as("__c"))
+    val run = Ranking.groupRunningSum(cells, "__g", Seq("__ad"), "__c")
+      .withColumn("__r", col("running") - col("__c"))
+    val stats = run.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"),
+        sum((col("__cp").cast(dec) *
+          (lit(2L) * col("__r") + col("__c") + 1L)).cast(dec))
+          .as("__w2"),
+        sum((col("__c").cast(dec) * col("__c") * col("__c") -
+          col("__c")).cast(dec)).as("__ties"))
+    val nD = col("__n").cast("double")
+    val sigma2 = nD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0)) /
+      lit(6.0) - col("__ties").cast("double") / lit(12.0)
+    val live = col("__n") > 0L && sigma2 > 0.0
+    spine.join(stats, Seq("__g"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("__n"), lit(0L)).as("n_pairs"), col("n_zero"),
+        when(col("__n") > 0L, col("__w2").cast("long"))
+          .otherwise(lit(null).cast("long")).as("w2_plus"),
+        when(live,
+          round(lit(1e6) *
+            (col("__w2").cast("double") - nD * (nD + lit(1.0)) /
+              lit(2.0)) / sqrt(sigma2)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("z_micro"))
+  }
+
   /** McNemar's paired test per group — "did swapping classifier A for
     * classifier B change the error rate on the SAME rows", the gate
     * for promoting a new quality filter over its predecessor (the

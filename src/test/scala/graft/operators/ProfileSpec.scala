@@ -765,6 +765,29 @@ class ProfileSpec extends SparkSpec {
     assert(!got("allpos").getAs[Boolean]("significant"))
   }
 
+  test("wilcoxonSignedRank: textbook ranks, zero-drop census, all-tied spine") {
+    // diffs +1 +2 −3 +4 +5 (x − y): ranks 1..5 by |d|, W+ = 12,
+    // W2 = 24, E2 = 15, σ²(W2) = 5·6·11/6 = 55 (no ties).
+    val df = Seq(
+      ("g", 11.0, 10.0), ("g", 12.0, 10.0), ("g", 7.0, 10.0),
+      ("g", 14.0, 10.0), ("g", 15.0, 10.0),
+      ("g", 10.0, 10.0), // zero diff: dropped, censused
+      ("tied", 3.0, 3.0), ("tied", 4.0, 4.0)) // all zero: spine row
+      .toDF("g", "x", "y")
+    val got = Profile.wilcoxonSignedRank(df, "g", "x", "y")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val g = got("g")
+    assert(g.getAs[Long]("n_pairs") == 5L)
+    assert(g.getAs[Long]("n_zero") == 1L)
+    assert(g.getAs[Long]("w2_plus") == 24L)
+    assert(g.getAs[Long]("z_micro") ==
+      math.round(1e6 * (24.0 - 15.0) / math.sqrt(55.0)))
+    val t = got("tied")
+    assert(t.getAs[Long]("n_pairs") == 0L)
+    assert(t.getAs[Long]("n_zero") == 2L)
+    assert(t.isNullAt(t.fieldIndex("z_micro")))
+  }
+
   test("ratioMetricCI: unit-clustered delta CI, replayed formula, degenerate NULL") {
     val df = Seq(
       ("g", "u1", 2.0), ("g", "u1", 4.0), // unit totals 6/2
