@@ -4744,6 +4744,33 @@ object SparkEntry {
             col("n_chars").cast("double").as("x"),
             col("__y").cast("double").as("y")),
         "source", "x", "y")
+    }),
+
+    // Cochran's Q over three deterministic rule filters on the SAME
+    // docs — the k-way McNemar: do the filters differ per source?
+    "q334_cochran_q" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val v = d.select(col("source"), col("doc_id"),
+          lit("len").as("trt"), (col("n_chars") >= 300L).as("y"))
+        .union(d.select(col("source"), col("doc_id"),
+          lit("tok").as("trt"),
+          (graft.functions.TextFunctions.tokenCount(col("text"))
+            >= 55).as("y")))
+        .union(d.select(col("source"), col("doc_id"),
+          lit("par").as("trt"), (col("n_chars") % 2 === 0).as("y")))
+      Profile.cochranQ(v, "source", "doc_id", "trt", "y")
+    }),
+
+    // Friedman + Kendall's W: do languages rank consistently by
+    // character mass across sources (blocks = sources, treatments =
+    // langs, value = per-cell char total)?
+    "q335_friedman" -> ((s, dir) => {
+      val cell = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_chars")).as("v"))
+        .select(lit("all").as("g"), col("source"), col("lang"),
+          col("v").cast("double").as("v"))
+      Profile.friedman(cell, "g", "source", "lang", "v")
     })
   )
 
@@ -11890,7 +11917,120 @@ object SparkEntry {
         |    CAST(round(1e6 * (w2d - nd * (nd + 1.0) / 2.0)
         |      / sqrt(sigma2)) AS BIGINT)
         |    ELSE NULL END AS z_micro
-        |FROM h""".stripMargin)
+        |FROM h""".stripMargin,
+
+    "q334_cochran_q" ->
+      """WITH v AS (
+        |  SELECT source AS g, doc_id AS i, 'len' AS t,
+        |    n_chars >= 300 AS y FROM documents
+        |  UNION ALL
+        |  SELECT source, doc_id, 'tok',
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> len(w) > 0)) >= 55 FROM documents
+        |  UNION ALL
+        |  SELECT source, doc_id, 'par', n_chars % 2 = 0
+        |  FROM documents),
+        |b AS (
+        |  SELECT g, i, t, CASE WHEN y THEN 1 ELSE 0 END AS yy
+        |  FROM v WHERE y IS NOT NULL),
+        |kp AS (
+        |  SELECT g, CAST(count(DISTINCT t) AS BIGINT) AS k
+        |  FROM b GROUP BY 1),
+        |it AS (
+        |  SELECT g, i, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(yy) AS BIGINT) AS l
+        |  FROM b GROUP BY 1, 2),
+        |itk AS (
+        |  SELECT it.*, kp.k, it.cnt = kp.k AS complete
+        |  FROM it JOIN kp USING (g)),
+        |dr AS (
+        |  SELECT g, CAST(sum(CASE WHEN NOT complete THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_dropped_items
+        |  FROM itk GROUP BY 1),
+        |ls AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(l) AS BIGINT) AS sl,
+        |    CAST(sum(l * l) AS BIGINT) AS sll
+        |  FROM itk WHERE complete GROUP BY 1),
+        |gs AS (
+        |  SELECT b.g, CAST(sum(gj * gj) AS BIGINT) AS sgg
+        |  FROM (
+        |    SELECT b.g, b.t, CAST(sum(b.yy) AS BIGINT) AS gj
+        |    FROM b JOIN itk ON itk.g = b.g AND itk.i = b.i
+        |      AND itk.complete
+        |    GROUP BY 1, 2) b
+        |  GROUP BY 1)
+        |SELECT kp.g AS source, kp.k,
+        |  COALESCE(ls.n_items, 0) AS n_items, dr.n_dropped_items,
+        |  CASE WHEN ls.n_items > 0 AND kp.k * ls.sl - ls.sll > 0 THEN
+        |    CAST(round(1e6 * CAST((kp.k - 1)
+        |      * (kp.k * gs.sgg - ls.sl * ls.sl) AS DOUBLE)
+        |      / CAST(kp.k * ls.sl - ls.sll AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS q_micro
+        |FROM kp JOIN dr USING (g)
+        |LEFT JOIN ls USING (g) LEFT JOIN gs USING (g)""".stripMargin,
+
+    "q335_friedman" ->
+      """WITH cell AS (
+        |  SELECT 'all' AS g, source AS bb, lang AS t,
+        |    CAST(round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+        |      * 1e6) AS BIGINT) AS v
+        |  FROM documents GROUP BY 2, 3),
+        |kp AS (
+        |  SELECT g, CAST(count(DISTINCT t) AS BIGINT) AS k
+        |  FROM cell GROUP BY 1),
+        |bl AS (
+        |  SELECT cell.g, bb, CAST(count(*) AS BIGINT) AS cnt, kp.k,
+        |    count(*) = kp.k AS complete
+        |  FROM cell JOIN kp USING (g) GROUP BY cell.g, bb, kp.k),
+        |dr AS (
+        |  SELECT g, CAST(sum(CASE WHEN NOT complete THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_dropped_blocks
+        |  FROM bl GROUP BY 1),
+        |rw AS (
+        |  SELECT cell.* FROM cell
+        |  JOIN bl ON bl.g = cell.g AND bl.bb = cell.bb
+        |    AND bl.complete),
+        |rk AS (
+        |  SELECT x.g, x.bb, x.t, x.v,
+        |    2 * sum(CASE WHEN y.v < x.v THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN y.v = x.v THEN 1 ELSE 0 END) + 1 AS r2
+        |  FROM rw x JOIN rw y ON x.g = y.g AND x.bb = y.bb
+        |  GROUP BY 1, 2, 3, 4),
+        |np AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_blocks
+        |  FROM bl WHERE complete GROUP BY 1),
+        |rj AS (
+        |  SELECT rk.g, rk.t, CAST(sum(r2) AS HUGEINT) AS rjs
+        |  FROM rk GROUP BY 1, 2),
+        |ss AS (
+        |  SELECT rj.g,
+        |    sum((rjs - np.n_blocks * (kp.k + 1))
+        |      * (rjs - np.n_blocks * (kp.k + 1))) AS s
+        |  FROM rj JOIN np USING (g) JOIN kp USING (g)
+        |  GROUP BY 1),
+        |aa AS (
+        |  SELECT g, sum(CAST(r2 AS HUGEINT) * r2) AS a2
+        |  FROM rk GROUP BY 1),
+        |fin AS (
+        |  SELECT kp.g, kp.k, COALESCE(np.n_blocks, 0) AS n_blocks,
+        |    dr.n_dropped_blocks, ss.s,
+        |    aa.a2 - np.n_blocks * kp.k * (kp.k + 1) * (kp.k + 1)
+        |      AS den
+        |  FROM kp JOIN dr USING (g)
+        |  LEFT JOIN np USING (g) LEFT JOIN ss USING (g)
+        |  LEFT JOIN aa USING (g))
+        |SELECT g, k, n_blocks, n_dropped_blocks,
+        |  CASE WHEN n_blocks > 0 AND den > 0 THEN
+        |    CAST(round(1e6 * CAST((k - 1) * s AS DOUBLE)
+        |      / CAST(den AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS chi2_micro,
+        |  CASE WHEN n_blocks > 0 AND den > 0 THEN
+        |    CAST(round(1e6 * CAST((k - 1) * s AS DOUBLE)
+        |      / CAST(den AS DOUBLE)
+        |      / CAST(n_blocks * (k - 1) AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS w_micro
+        |FROM fin""".stripMargin)
 
   /** q329's oracle: the distributed-Newton Platt fit unrolled — each
     * round one data pass with the previous round's 1-row params,

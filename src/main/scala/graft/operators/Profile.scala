@@ -869,6 +869,150 @@ object Profile {
         .otherwise(lit(null).cast("long")).as("rbc_micro"))
   }
 
+  /** Cochran's Q per group — "do these k binary classifiers differ",
+    * the k-way generalization of [[mcnemar]] over the SAME items:
+    * Q = (k−1)·(k·ΣG_j² − (ΣG_j)²) / (k·ΣL_i − ΣL_i²) over
+    * per-treatment column totals G and per-item row totals L —
+    * every term an exact integer census, ONE micro-rounded divide.
+    * Only COMPLETE items count (all k verdicts present — an item a
+    * classifier never saw cannot vote); incomplete items surface in
+    * n_dropped_items. A zero denominator (every item unanimous)
+    * reports NULL — the classifiers are indistinguishable on this
+    * data. k is the group's own distinct-treatment count.
+    * Output: (groupCol, k, n_items, n_dropped_items, q_micro). */
+  def cochranQ(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      treatmentCol: String,
+      outcomeCol: String): DataFrame = {
+    val base = df.filter(col(outcomeCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(itemCol).as("__i"),
+        col(treatmentCol).as("__t"),
+        when(col(outcomeCol).cast("boolean"), 1L).otherwise(0L)
+          .as("__y"))
+    val kPer = base.groupBy(col("__g"))
+      .agg(countDistinct(col("__t")).as("k"))
+    val items = base.groupBy(col("__g"), col("__i"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).as("__l"))
+      .join(kPer, Seq("__g"))
+      .withColumn("__complete", col("__cnt") === col("k"))
+    val dropped = items.groupBy(col("__g"))
+      .agg(sum(when(!col("__complete"), 1L).otherwise(0L))
+        .as("n_dropped_items"))
+    val complete = items.filter(col("__complete"))
+      .select(col("__g"), col("__i"), col("__l"))
+    val lStats = complete.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_items"), sum(col("__l")).as("__sl"),
+        sum(col("__l") * col("__l")).as("__sll"))
+    val gStats = base.join(
+        complete.select(col("__g"), col("__i")), Seq("__g", "__i"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(sum(col("__y")).as("__gj"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__gj") * col("__gj")).as("__sgg"))
+    kPer.join(dropped, Seq("__g"))
+      .join(lStats, Seq("__g"), "left")
+      .join(gStats, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("k"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        col("n_dropped_items"),
+        when(col("n_items") > 0L &&
+            col("k") * col("__sl") - col("__sll") > 0L,
+          round(lit(1e6) *
+            ((col("k") - 1L) *
+              (col("k") * col("__sgg") - col("__sl") * col("__sl")))
+              .cast("double") /
+            (col("k") * col("__sl") - col("__sll")).cast("double"))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("q_micro"))
+  }
+
+  /** Friedman test + Kendall's W per group — "do these k treatments
+    * rank consistently across blocks" for CONTINUOUS paired
+    * measurements (the [[cochranQ]] shape with values instead of
+    * verdicts): within each complete block the k values take DOUBLED
+    * midranks (integer-exact, computed by a k²-bounded within-block
+    * pair census — never fractional, never a data-wide window), and
+    * the tie-corrected statistic evaluates on exact integer sums:
+    * χ² = (k−1)·Σ_j (R2_j − n(k+1))² / (A2 − n·k·(k+1)²) with
+    * A2 = Σ r2² (the Conover form; ties shrink A2 and the correction
+    * is automatic), W = χ²/(n(k−1)). All-tied data (A2 equal to its
+    * floor) reports NULL. Incomplete blocks drop, censused.
+    * Output: (groupCol, k, n_blocks, n_dropped_blocks, chi2_micro,
+    * w_micro). */
+  def friedman(
+      df: DataFrame,
+      groupCol: String,
+      blockCol: String,
+      treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(blockCol).as("__b"),
+        col(treatmentCol).as("__t"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val kPer = base.groupBy(col("__g"))
+      .agg(countDistinct(col("__t")).as("k"))
+    val blocks = base.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .join(kPer, Seq("__g"))
+      .withColumn("__complete", col("__cnt") === col("k"))
+    val dropped = blocks.groupBy(col("__g"))
+      .agg(sum(when(!col("__complete"), 1L).otherwise(0L))
+        .as("n_dropped_blocks"))
+    val rows = base.join(blocks.filter(col("__complete"))
+      .select(col("__g"), col("__b")), Seq("__g", "__b"))
+    // Doubled midrank of each row within its block: 2·(strictly
+    // below) + (ties incl. self) + 1, via the k²-bounded pair census.
+    val other = rows.select(col("__g"), col("__b"),
+      col("__v").as("__v2"))
+    val ranked = rows.join(other, Seq("__g", "__b"))
+      .groupBy(col("__g"), col("__b"), col("__t"), col("__v"))
+      .agg(sum(when(col("__v2") < col("__v"), 1L).otherwise(0L))
+        .as("__below"),
+        sum(when(col("__v2") === col("__v"), 1L).otherwise(0L))
+          .as("__eq"))
+      .withColumn("__r2",
+        lit(2L) * col("__below") + col("__eq") + 1L)
+    val rj = ranked.groupBy(col("__g"), col("__t"))
+      .agg(sum(col("__r2").cast(dec)).as("__rj"))
+    val nPer = blocks.filter(col("__complete"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("n_blocks"))
+    val sums = rj.join(nPer, Seq("__g")).join(kPer, Seq("__g"))
+      .withColumn("__dev",
+        col("__rj") - (col("n_blocks") * (col("k") + 1L)).cast(dec))
+      .groupBy(col("__g"))
+      .agg(sum((col("__dev") * col("__dev")).cast(dec)).as("__s"))
+    val a2 = ranked.groupBy(col("__g"))
+      .agg(sum((col("__r2").cast(dec) * col("__r2")).cast(dec))
+        .as("__a2"))
+    kPer.join(dropped, Seq("__g"))
+      .join(nPer, Seq("__g"), "left")
+      .join(sums, Seq("__g"), "left")
+      .join(a2, Seq("__g"), "left")
+      .withColumn("__den",
+        col("__a2") -
+          (col("n_blocks") * col("k") * (col("k") + 1L) *
+            (col("k") + 1L)).cast(dec))
+      .select(col("__g").as(groupCol), col("k"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        col("n_dropped_blocks"),
+        when(col("n_blocks") > 0L && col("__den") > 0,
+          round(lit(1e6) *
+            ((col("k") - 1L).cast(dec) * col("__s")).cast("double") /
+            col("__den").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("chi2_micro"),
+        when(col("n_blocks") > 0L && col("__den") > 0,
+          round(lit(1e6) *
+            ((col("k") - 1L).cast(dec) * col("__s")).cast("double") /
+            col("__den").cast("double") /
+            (col("n_blocks") * (col("k") - 1L)).cast("double"))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("w_micro"))
+  }
+
   /** Wilcoxon signed-rank test per group — the PAIRED nonparametric
     * companion to [[mannWhitney]] (same rows measured twice: before/
     * after, model A/model B on identical inputs): per-pair diffs

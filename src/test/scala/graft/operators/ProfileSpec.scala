@@ -765,6 +765,49 @@ class ProfileSpec extends SparkSpec {
     assert(!got("allpos").getAs[Boolean]("significant"))
   }
 
+  test("cochranQ: textbook 14/3, incomplete item dropped, unanimous NULL") {
+    // G = (3,4,1), L = (2,2,1,3): Q = 2·(3·26 − 64)/(3·8 − 18) = 14/3.
+    val rows = Seq(
+      ("g", 1L, "a", true), ("g", 1L, "b", true), ("g", 1L, "c", false),
+      ("g", 2L, "a", true), ("g", 2L, "b", true), ("g", 2L, "c", false),
+      ("g", 3L, "a", false), ("g", 3L, "b", true), ("g", 3L, "c", false),
+      ("g", 4L, "a", true), ("g", 4L, "b", true), ("g", 4L, "c", true),
+      ("g", 5L, "a", true), // incomplete: only one verdict
+      ("u", 9L, "a", true), ("u", 9L, "b", true)) // unanimous
+      .toDF("g", "i", "t", "y")
+    val got = Profile.cochranQ(rows, "g", "i", "t", "y")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val g = got("g")
+    assert(g.getAs[Long]("k") == 3L)
+    assert(g.getAs[Long]("n_items") == 4L)
+    assert(g.getAs[Long]("n_dropped_items") == 1L)
+    assert(g.getAs[Long]("q_micro") == 4666667L)
+    assert(got("u").isNullAt(got("u").fieldIndex("q_micro")))
+  }
+
+  test("friedman: perfect agreement chi2 = 4 / W = 1, incomplete block dropped") {
+    // Two blocks ranking a < b < c identically: chi2 = 4, W = 1.
+    val rows = Seq(
+      ("g", "b1", "a", 1.0), ("g", "b1", "b", 2.0), ("g", "b1", "c", 3.0),
+      ("g", "b2", "a", 1.5), ("g", "b2", "b", 2.5), ("g", "b2", "c", 9.0),
+      ("g", "b3", "a", 1.0)) // incomplete
+      .toDF("g", "b", "t", "v")
+    val r = Profile.friedman(rows, "g", "b", "t", "v")
+      .collect().head
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n_blocks") == 2L)
+    assert(r.getAs[Long]("n_dropped_blocks") == 1L)
+    assert(r.getAs[Long]("chi2_micro") == 4000000L)
+    assert(r.getAs[Long]("w_micro") == 1000000L)
+    // All-tied block set: denominator floor -> NULL.
+    val tied = Seq(
+      ("g", "b1", "a", 1.0), ("g", "b1", "b", 1.0),
+      ("g", "b2", "a", 2.0), ("g", "b2", "b", 2.0))
+      .toDF("g", "b", "t", "v")
+    val tr = Profile.friedman(tied, "g", "b", "t", "v").collect().head
+    assert(tr.isNullAt(tr.fieldIndex("chi2_micro")))
+  }
+
   test("wilcoxonSignedRank: textbook ranks, zero-drop census, all-tied spine") {
     // diffs +1 +2 −3 +4 +5 (x − y): ranks 1..5 by |d|, W+ = 12,
     // W2 = 24, E2 = 15, σ²(W2) = 5·6·11/6 = 55 (no ties).
