@@ -66,6 +66,7 @@ object PlanAudit {
     "q312_silhouette" -> "16-row broadcast centroid attach (bounded)",
     "q327_off_policy" -> "1-row broadcast scalar attach (action-rate total)",
     "q329_platt_fit" -> "1-row broadcast parameter attach per Newton round (bounded: iters+1 passes)",
+    "q335_friedman" -> "constant-group gate: the group-keyed census joins (k, n_blocks, moments) fold to 1-row broadcast attaches; with real group keys they plan as hash joins",
     "q321_kmv_intersect" -> "group² pair census (bounded by intent — sources/shards; the q117 precedent) + sketch-sized merges",
     "q325_eb_shrinkage" -> "1-row broadcast moment attach (G, Σr, Σr²)")
 
