@@ -67,7 +67,11 @@ object ScaleBench {
     // KMV pairwise merge (group² census), RAKE phrase/word censuses,
     // global stride-interleave rank
     "q308_bradley_terry", "q321_kmv_intersect", "q324_rake",
-    "q311_interleave_order")
+    "q311_interleave_order",
+    // late round-14 additions: distributed-Newton logistic (iters+1
+    // full passes — should measure flat-linear), unit-clustered
+    // ratio CI (two hash-aggs)
+    "q329_platt_fit", "q330_ratio_ci")
 
   val Factors: Seq[Int] = Seq(1, 4, 16)
   /** Skip ×16 when the ×4-projected time exceeds this (seconds). */
