@@ -4771,6 +4771,49 @@ object SparkEntry {
         .select(lit("all").as("g"), col("source"), col("lang"),
           col("v").cast("double").as("v"))
       Profile.friedman(cell, "g", "source", "lang", "v")
+    }),
+
+    // Kruskal-Wallis: do the 5 languages draw document lengths from
+    // one distribution, per source? (k-sample MW, tie-corrected.)
+    "q336_kruskal_wallis" -> ((s, dir) =>
+      Profile.kruskalWallis(
+        t(s, dir, "documents").select(col("source"), col("lang"),
+          col("n_chars").cast("double").as("v")),
+        "source", "lang", "v")),
+
+    // One-way ANOVA: does mean event value move by epoch day-of-week,
+    // per event type? (The parametric twin of q336.)
+    "q337_anova_f" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Profile.anovaF(
+        e.select(col("event_type"),
+          pmod(expr("unix_micros(ts) div 86400000000") + lit(3L),
+            lit(7L)).as("dow"),
+          col("value")),
+        "event_type", "dow", "value")
+    }),
+
+    // Brown-Forsythe: do the 5 languages share a length VARIANCE per
+    // source? (Median-centered Levene - the homoscedasticity gate
+    // before trusting q337's pooled variance.)
+    "q338_brown_forsythe" -> ((s, dir) =>
+      Profile.brownForsythe(
+        t(s, dir, "documents").select(col("source"), col("lang"),
+          col("n_chars").cast("double").as("v")),
+        "source", "lang", "v")),
+
+    // Murphy decomposition of the Brier score per event type: p from
+    // the value (milli, clamped), outcome = the >=100 rule with a
+    // deterministic 1-in-7 label flip so the calibration curve is
+    // informative but not degenerate.
+    "q339_brier" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          least(greatest(round(col("value") * lit(5.0)).cast("long"),
+            lit(0L)), lit(1000L)).as("p_milli"),
+          when(col("event_id") % 7L === 0L, col("value") < 100.0)
+            .otherwise(col("value") >= 100.0).as("y"))
+      Profile.brierDecomposition(e, "event_type", "p_milli", "y")
     })
   )
 
@@ -12030,7 +12073,183 @@ object SparkEntry {
         |      / CAST(den AS DOUBLE)
         |      / CAST(n_blocks * (k - 1) AS DOUBLE)) AS BIGINT)
         |    ELSE NULL END AS w_micro
-        |FROM fin""".stripMargin)
+        |FROM fin""".stripMargin,
+
+    "q336_kruskal_wallis" ->
+      """WITH base AS (
+        |  SELECT source AS g, lang AS t,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |vc AS (
+        |  SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |rn AS (
+        |  SELECT g, v, c,
+        |    2 * (sum(c) OVER (PARTITION BY g ORDER BY v) - c)
+        |      + c + 1 AS r2
+        |  FROM vc),
+        |gs AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(c AS HUGEINT) * r2 * r2) AS sumr2sq
+        |  FROM rn GROUP BY 1),
+        |ts AS (
+        |  SELECT tc.g, tc.t, CAST(sum(tc.ct) AS BIGINT) AS nj,
+        |    sum(CAST(tc.ct AS HUGEINT) * rn.r2) AS rj
+        |  FROM (
+        |    SELECT g, t, v, CAST(count(*) AS BIGINT) AS ct
+        |    FROM base GROUP BY 1, 2, 3) tc
+        |  JOIN rn ON rn.g = tc.g AND rn.v = tc.v
+        |  GROUP BY 1, 2),
+        |pg AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(round(CAST(rj * rj AS DOUBLE)
+        |      / CAST(nj AS DOUBLE)) AS HUGEINT)) AS ssbq
+        |  FROM ts GROUP BY 1),
+        |fin AS (
+        |  SELECT gs.g, pg.k, gs.n,
+        |    greatest(CAST(pg.ssbq - CAST(gs.n AS HUGEINT)
+        |      * (gs.n + 1) * (gs.n + 1) AS DOUBLE), 0.0) AS ssb2,
+        |    gs.sumr2sq - CAST(gs.n AS HUGEINT) * (gs.n + 1)
+        |      * (gs.n + 1) AS sst2
+        |  FROM gs JOIN pg USING (g))
+        |SELECT g AS source, k, n,
+        |  CASE WHEN k >= 2 AND sst2 > 0 THEN
+        |    CAST(round(1e6 * CAST(n - 1 AS DOUBLE) * ssb2
+        |      / CAST(sst2 AS DOUBLE)) AS BIGINT) ELSE NULL END
+        |    AS h_micro,
+        |  CASE WHEN k >= 2 AND sst2 > 0 THEN
+        |    CAST(round(1e6 * ssb2 / CAST(sst2 AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS eps2_micro
+        |FROM fin""".stripMargin,
+
+    "q337_anova_f" ->
+      """WITH base AS (
+        |  SELECT event_type AS g,
+        |    ((epoch_us(ts) // 86400000000) + 3) % 7 AS t,
+        |    CAST(round(value * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |pt AS (
+        |  SELECT g, t, CAST(count(*) AS BIGINT) AS nj,
+        |    CAST(sum(v) AS HUGEINT) AS sj
+        |  FROM base GROUP BY 1, 2),
+        |pg AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(nj) AS BIGINT) AS n, sum(sj) AS s,
+        |    sum(CAST(round(CAST(sj * sj AS DOUBLE)
+        |      / CAST(nj AS DOUBLE)) AS HUGEINT)) AS ssbq
+        |  FROM pt GROUP BY 1),
+        |q2 AS (
+        |  SELECT g, sum(CAST(v AS HUGEINT) * v) AS q2
+        |  FROM base GROUP BY 1),
+        |fin AS (
+        |  SELECT pg.g, pg.k, pg.n,
+        |    greatest(CAST(pg.ssbq - gm AS DOUBLE), 0.0) AS ssb,
+        |    q2.q2 - gm AS sst,
+        |    CAST(q2.q2 - gm AS DOUBLE)
+        |      - greatest(CAST(pg.ssbq - gm AS DOUBLE), 0.0) AS ssw
+        |  FROM pg JOIN q2 USING (g),
+        |  LATERAL (SELECT CAST(round(CAST(pg.s * pg.s AS DOUBLE)
+        |    / CAST(pg.n AS DOUBLE)) AS HUGEINT) AS gm))
+        |SELECT g AS event_type, k, n,
+        |  CASE WHEN k >= 2 AND n > k AND ssw > 0.0 THEN
+        |    CAST(round(1e6 * (ssb / CAST(k - 1 AS DOUBLE))
+        |      / (ssw / CAST(n - k AS DOUBLE))) AS BIGINT)
+        |    ELSE NULL END AS f_micro,
+        |  CASE WHEN sst > 0 THEN
+        |    CAST(round(1e6 * ssb / CAST(sst AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS eta2_micro
+        |FROM fin""".stripMargin,
+
+    "q338_brown_forsythe" ->
+      """WITH base AS (
+        |  SELECT source AS g, lang AS t,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |vc AS (
+        |  SELECT g, t, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2, 3),
+        |rn AS (
+        |  SELECT g, t, v, c,
+        |    sum(c) OVER (PARTITION BY g, t ORDER BY v) AS running,
+        |    CAST(sum(c) OVER (PARTITION BY g, t) AS BIGINT) AS nn
+        |  FROM vc),
+        |med AS (
+        |  SELECT g, t, min(v) AS med
+        |  FROM rn WHERE running >= (nn + 1) // 2 GROUP BY 1, 2),
+        |dev AS (
+        |  SELECT base.g, base.t, abs(base.v - med.med) AS v
+        |  FROM base JOIN med ON med.g = base.g AND med.t = base.t),
+        |pt AS (
+        |  SELECT g, t, CAST(count(*) AS BIGINT) AS nj,
+        |    CAST(sum(v) AS HUGEINT) AS sj
+        |  FROM dev GROUP BY 1, 2),
+        |pg AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(nj) AS BIGINT) AS n, sum(sj) AS s,
+        |    sum(CAST(round(CAST(sj * sj AS DOUBLE)
+        |      / CAST(nj AS DOUBLE)) AS HUGEINT)) AS ssbq
+        |  FROM pt GROUP BY 1),
+        |q2 AS (
+        |  SELECT g, sum(CAST(v AS HUGEINT) * v) AS q2
+        |  FROM dev GROUP BY 1),
+        |fin AS (
+        |  SELECT pg.g, pg.k, pg.n,
+        |    greatest(CAST(pg.ssbq - gm AS DOUBLE), 0.0) AS ssb,
+        |    q2.q2 - gm AS sst,
+        |    CAST(q2.q2 - gm AS DOUBLE)
+        |      - greatest(CAST(pg.ssbq - gm AS DOUBLE), 0.0) AS ssw
+        |  FROM pg JOIN q2 USING (g),
+        |  LATERAL (SELECT CAST(round(CAST(pg.s * pg.s AS DOUBLE)
+        |    / CAST(pg.n AS DOUBLE)) AS HUGEINT) AS gm))
+        |SELECT g AS source, k, n,
+        |  CASE WHEN k >= 2 AND n > k AND ssw > 0.0 THEN
+        |    CAST(round(1e6 * (ssb / CAST(k - 1 AS DOUBLE))
+        |      / (ssw / CAST(n - k AS DOUBLE))) AS BIGINT)
+        |    ELSE NULL END AS f_micro,
+        |  CASE WHEN sst > 0 THEN
+        |    CAST(round(1e6 * ssb / CAST(sst AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS eta2_micro
+        |FROM fin""".stripMargin,
+
+    "q339_brier" ->
+      """WITH base AS (
+        |  SELECT event_type AS g,
+        |    least(greatest(CAST(round(value * 5.0) AS BIGINT), 0),
+        |      1000) AS p,
+        |    CASE WHEN (CASE WHEN event_id % 7 = 0 THEN value < 100.0
+        |      ELSE value >= 100.0 END) THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |bins AS (
+        |  SELECT g, least(p // 100, 9) AS b,
+        |    CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(p) AS BIGINT) AS sb, CAST(sum(y) AS BIGINT) AS ob,
+        |    sum(CAST((p - 1000 * y) * (p - 1000 * y) AS HUGEINT))
+        |      AS b2
+        |  FROM base GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT g, CAST(sum(nb) AS BIGINT) AS n,
+        |    CAST(sum(ob) AS BIGINT) AS o, sum(b2) AS b2t
+        |  FROM bins GROUP BY 1),
+        |binq AS (
+        |  SELECT bins.g,
+        |    sum(CAST(round(CAST(CAST(sb - 1000 * ob AS HUGEINT)
+        |      * (sb - 1000 * ob) AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      AS HUGEINT)) AS relq,
+        |    sum(CAST(round(CAST((CAST(ob AS HUGEINT) * n
+        |      - CAST(nb AS HUGEINT) * o)
+        |      * (CAST(ob AS HUGEINT) * n - CAST(nb AS HUGEINT) * o)
+        |      AS DOUBLE) / CAST(nb AS DOUBLE)) AS HUGEINT)) AS resq
+        |  FROM bins JOIN tot USING (g) GROUP BY 1)
+        |SELECT tot.g AS event_type, tot.n,
+        |  CAST(round(CAST(b2t AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT) AS brier_micro,
+        |  CAST(round(CAST(relq AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT) AS rel_micro,
+        |  CAST(round(1e6 * CAST(resq AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * n * n)) AS BIGINT) AS res_micro,
+        |  CAST(round(1e6 * CAST(o AS DOUBLE) * CAST(n - o AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS unc_micro
+        |FROM tot JOIN binq USING (g)""".stripMargin)
 
   /** q329's oracle: the distributed-Newton Platt fit unrolled — each
     * round one data pass with the previous round's 1-row params,

@@ -2311,4 +2311,221 @@ object Profile {
         col("__top.k").as("top_key"),
         col("__top.p").cast(dec).as("top_contrib"))
   }
+
+  /** Kruskal–Wallis H test per group — the k-sample generalization of
+    * [[mannWhitney]] ("do these k treatments draw from one
+    * distribution"), evaluated through the rank-transform ANOVA
+    * identity H = (N−1)·SSB/SST over DOUBLED midranks, which makes
+    * the tie correction automatic (Conover's form): on exact integer
+    * rank sums, SST2 = Σ c·r2² − N(N+1)² and
+    * SSB2 = Σ_j R2_j²/n_j − N(N+1)². Midranks ride the same
+    * (group, value) cell collapse + range-partitioned prefix as MW —
+    * never a per-group window. Float steps: each treatment's
+    * R2_j²/n_j is unit-rounded from exact DECIMAL(38,0) (order-free
+    * under the group sum because the rounded quotients are integers;
+    * the ±0.5 rounding is invisible against SST2 ~ N³/3), then the
+    * single H and ε² divides. ε² = H/(N−1) is the rank effect size.
+    * Groups with k < 2 or every value tied (SST2 = 0) report NULL
+    * stats. Output: (groupCol, k, n, h_micro, eps2_micro). */
+  def kruskalWallis(
+      df: DataFrame,
+      groupCol: String,
+      treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(treatmentCol).as("__t"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val vCells = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val run = Ranking.groupRunningSum(vCells, "__g", Seq("__v"), "__c")
+      .withColumn("__r", col("running") - col("__c"))
+      .withColumn("__r2", lit(2L) * col("__r") + col("__c") + 1L)
+    val gStats = run.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n"),
+        sum((col("__c").cast(dec) * col("__r2") * col("__r2"))
+          .cast(dec)).as("__sumr2sq"))
+    val tStats = base.groupBy(col("__g"), col("__t"), col("__v"))
+      .agg(count(lit(1)).as("__ct"))
+      .join(run.select(col("__g"), col("__v"), col("__r2")),
+        Seq("__g", "__v"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(sum(col("__ct")).as("__nj"),
+        sum((col("__ct").cast(dec) * col("__r2")).cast(dec))
+          .as("__rj"))
+    val perG = tStats.groupBy(col("__g"))
+      .agg(count(lit(1)).as("k"),
+        sum(round((col("__rj") * col("__rj")).cast("double") /
+          col("__nj").cast("double")).cast(dec)).as("__ssbq"))
+    val floor0 =
+      (col("n").cast(dec) * (col("n") + 1L) * (col("n") + 1L)).cast(dec)
+    gStats.join(perG, Seq("__g"))
+      .withColumn("__ssb2",
+        greatest((col("__ssbq") - floor0).cast("double"), lit(0.0)))
+      .withColumn("__sst2", (col("__sumr2sq") - floor0).cast(dec))
+      .select(col("__g").as(groupCol), col("k"), col("n"),
+        when(col("k") >= 2L && col("__sst2") > 0,
+          round(lit(1e6) * (col("n") - 1L).cast("double") *
+            col("__ssb2") / col("__sst2").cast("double"))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("h_micro"),
+        when(col("k") >= 2L && col("__sst2") > 0,
+          round(lit(1e6) * col("__ssb2") /
+            col("__sst2").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("eps2_micro"))
+  }
+
+  /** Shared one-way-ANOVA kernel over an already micro-quantized
+    * LongType value (columns __g, __t, __v): per-treatment exact
+    * count/sum in DECIMAL(38,0); the between-groups sum of squares
+    * uses per-treatment unit-rounded S_j²/n_j quotients (order-free
+    * integers under the group sum — the [[kruskalWallis]] trick) and
+    * the grand term S²/N the same way; SST comes off the exact Σv²;
+    * then the only remaining floats are the final F and η² divides.
+    * SS values carry the micro² scale — F and η² are ratios, so the
+    * scale cancels. */
+  private def anovaCoreMicro(base: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perG = base.groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__nj"), sum(col("__v").cast(dec)).as("__sj"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("k"), sum(col("__nj")).as("n"),
+        sum(col("__sj")).as("__s"),
+        sum(round((col("__sj") * col("__sj")).cast("double") /
+          col("__nj").cast("double")).cast(dec)).as("__ssbq"))
+    val q2 = base.groupBy(col("__g"))
+      .agg(sum((col("__v").cast(dec) * col("__v")).cast(dec)).as("__q2"))
+    perG.join(q2, Seq("__g"))
+      .withColumn("__gm",
+        round((col("__s") * col("__s")).cast("double") /
+          col("n").cast("double")).cast(dec))
+      .withColumn("__ssb",
+        greatest((col("__ssbq") - col("__gm")).cast("double"), lit(0.0)))
+      .withColumn("__sst", (col("__q2") - col("__gm")).cast(dec))
+      .withColumn("__ssw",
+        col("__sst").cast("double") - col("__ssb"))
+      .select(col("__g"), col("k"), col("n"),
+        when(col("k") >= 2L && col("n") > col("k") && col("__ssw") > 0.0,
+          round(lit(1e6) *
+            (col("__ssb") / (col("k") - 1L).cast("double")) /
+            (col("__ssw") / (col("n") - col("k")).cast("double")))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("f_micro"),
+        when(col("__sst") > 0,
+          round(lit(1e6) * col("__ssb") / col("__sst").cast("double"))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("eta2_micro"))
+  }
+
+  /** One-way ANOVA F + η² per group — "do these k treatments share a
+    * mean", the parametric companion to [[kruskalWallis]] (same
+    * fixture shape; KW asks about distributions, this about means
+    * under equal-variance normality). Values micro-quantize once;
+    * everything to the F is the [[anovaCoreMicro]] integer census.
+    * Output: (groupCol, k, n, f_micro, eta2_micro). */
+  def anovaF(
+      df: DataFrame,
+      groupCol: String,
+      treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(treatmentCol).as("__t"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    anovaCoreMicro(base).withColumnRenamed("__g", groupCol)
+  }
+
+  /** Brown–Forsythe (median-centered Levene) test per group — "do
+    * these k treatments share a VARIANCE", the homoscedasticity check
+    * a pipeline runs before trusting [[anovaF]] or [[welchT]]'s
+    * pooled-variance story. Each treatment centers on its LOW MEDIAN
+    * (the value at position ⌈n/2⌉ — integer-exact and
+    * engine-agnostic, unlike the averaged even-count median), found
+    * positionally from the (treatment, value) cell census + the
+    * range-partitioned prefix (never a per-treatment sort window);
+    * then the classic one-way F runs on |v − med| via
+    * [[anovaCoreMicro]]. The absolute deviations are exact micro
+    * longs, so the only floats are the kernel's.
+    * Output: (groupCol, k, n, f_micro, eta2_micro). */
+  def brownForsythe(
+      df: DataFrame,
+      groupCol: String,
+      treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(treatmentCol).as("__t"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val cells = base.groupBy(col("__g"), col("__t"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__gt", struct(col("__g"), col("__t")))
+    val run = Ranking.groupRunningSum(cells, "__gt", Seq("__v"), "__c")
+    val nPer = cells.groupBy(col("__g"), col("__t"))
+      .agg(sum(col("__c")).as("__n"))
+    val med = run.join(nPer, Seq("__g", "__t"))
+      .filter(col("running") >= expr("(__n + 1) div 2"))
+      .groupBy(col("__g"), col("__t")).agg(min(col("__v")).as("__med"))
+    val dev = base.join(broadcast(med), Seq("__g", "__t"))
+      .select(col("__g"), col("__t"),
+        abs(col("__v") - col("__med")).as("__v"))
+    anovaCoreMicro(dev).withColumnRenamed("__g", groupCol)
+  }
+
+  /** Murphy decomposition of the Brier score per group — calibration
+    * diagnostics for a probabilistic classifier at corpus scale:
+    * brier = reliability − resolution + uncertainty over fixed decile
+    * bins of the milli-scaled probability (b = min(p/100, 9) — bin
+    * edges are integer, so no float can move a row across a bin).
+    * Every bin statistic is an exact integer census; the three
+    * fraction families — reliability's (s_b−1000·o_b)²/n_b and
+    * resolution's (o_b·N−n_b·O)²/n_b per bin (unit-rounded,
+    * order-free), then one divide each by N / N³ — and the closing
+    * uncertainty ō(1−ō) are the only floats, all micro-rounded.
+    * Output: (groupCol, n, brier_micro, rel_micro, res_micro,
+    * unc_micro). */
+  def brierDecomposition(
+      df: DataFrame,
+      groupCol: String,
+      probMilliCol: String,
+      outcomeCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(probMilliCol).isNotNull && col(outcomeCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(probMilliCol).cast("long").as("__p"),
+        when(col(outcomeCol).cast("boolean"), 1L).otherwise(0L)
+          .as("__y"))
+      .withColumn("__b", least(expr("__p div 100"), lit(9L)))
+    val bins = base.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__nb"), sum(col("__p")).as("__sb"),
+        sum(col("__y")).as("__ob"),
+        sum(((col("__p") - lit(1000L) * col("__y")) *
+          (col("__p") - lit(1000L) * col("__y"))).cast(dec)).as("__b2"))
+    val tot = bins.groupBy(col("__g"))
+      .agg(sum(col("__nb")).as("n"), sum(col("__ob")).as("__o"),
+        sum(col("__b2")).as("__b2t"))
+    val relDev = (col("__sb") - lit(1000L) * col("__ob")).cast(dec)
+    val resDev = (col("__ob").cast(dec) * col("n") -
+      col("__nb").cast(dec) * col("__o")).cast(dec)
+    val binq = bins.join(broadcast(tot), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(
+        sum(round((relDev * relDev).cast("double") /
+          col("__nb").cast("double")).cast(dec)).as("__relq"),
+        sum(round((resDev * resDev).cast("double") /
+          col("__nb").cast("double")).cast(dec)).as("__resq"))
+    val nD = col("n").cast("double")
+    tot.join(binq, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__b2t").cast("double") / nD).cast("long")
+          .as("brier_micro"),
+        round(col("__relq").cast("double") / nD).cast("long")
+          .as("rel_micro"),
+        round(lit(1e6) * col("__resq").cast("double") /
+          (nD * nD * nD)).cast("long").as("res_micro"),
+        round(lit(1e6) * col("__o").cast("double") *
+          (col("n") - col("__o")).cast("double") / (nD * nD))
+          .cast("long").as("unc_micro"))
+  }
 }

@@ -967,4 +967,82 @@ class ProfileSpec extends SparkSpec {
     assert(!got("allwin").getAs[Boolean]("significant"))
     assert(got("onearm").isNullAt(got("onearm").fieldIndex("z_micro")))
   }
+
+  test("kruskalWallis: textbook H = 32/7, all-tied group NULL") {
+    // Three treatments {1,2} {3,4} {5,6}: no ties, H = 32/7,
+    // eps^2 = H/(N-1) = 32/35.
+    val df = Seq(
+      ("g", "a", 1.0), ("g", "a", 2.0), ("g", "b", 3.0),
+      ("g", "b", 4.0), ("g", "c", 5.0), ("g", "c", 6.0),
+      ("tied", "a", 7.0), ("tied", "a", 7.0),
+      ("tied", "b", 7.0), ("tied", "b", 7.0))
+      .toDF("g", "t", "v")
+    val got = Profile.kruskalWallis(df, "g", "t", "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val g = got("g")
+    assert(g.getAs[Long]("k") == 3L && g.getAs[Long]("n") == 6L)
+    assert(g.getAs[Long]("h_micro") == math.round(1e6 * 32.0 / 7.0))
+    assert(g.getAs[Long]("eps2_micro") == math.round(1e6 * 32.0 / 35.0))
+    // Every value tied: SST2 = 0 -> NULL stats, group row kept.
+    val t = got("tied")
+    assert(t.getAs[Long]("k") == 2L)
+    assert(t.isNullAt(t.fieldIndex("h_micro")))
+  }
+
+  test("anovaF: textbook F = 13.5, single-treatment group NULL") {
+    // {1,2,3} vs {4,5,6}: SSB = 13.5, SSW = 4, F = 13.5,
+    // eta^2 = 13.5/17.5.
+    val df = Seq(
+      ("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+      ("g", "b", 4.0), ("g", "b", 5.0), ("g", "b", 6.0),
+      ("solo", "a", 1.0), ("solo", "a", 2.0))
+      .toDF("g", "t", "v")
+    val got = Profile.anovaF(df, "g", "t", "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val g = got("g")
+    assert(g.getAs[Long]("k") == 2L && g.getAs[Long]("n") == 6L)
+    assert(g.getAs[Long]("f_micro") == 13500000L)
+    assert(g.getAs[Long]("eta2_micro") ==
+      math.round(1e6 * 13.5 / 17.5))
+    assert(got("solo").isNullAt(got("solo").fieldIndex("f_micro")))
+  }
+
+  test("brownForsythe: low-median centering, spread shift detected") {
+    // a = {1,2,3} (med 2, devs 1,0,1) vs b = {10,20,30} (med 20,
+    // devs 10,0,10): F on devs = 54/(67.3.../4) ~ 3.2079.
+    val df = Seq(
+      ("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+      ("g", "b", 10.0), ("g", "b", 20.0), ("g", "b", 30.0))
+      .toDF("g", "t", "v")
+    val r = Profile.brownForsythe(df, "g", "t", "v").collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    // Expected from the exact dev ANOVA; the kernel's unit-rounded
+    // quotients can move the last micro digit by 1.
+    val f = 1e6 * 54.0 / ((606.0 / 9.0) / 4.0)
+    assert(math.abs(r.getAs[Long]("f_micro") - math.round(f)) <= 2L)
+    // Even-count treatment takes the LOW median: {1,3} -> med 1.
+    val even = Seq(("e", "a", 1.0), ("e", "a", 3.0),
+      ("e", "b", 5.0), ("e", "b", 7.0)).toDF("g", "t", "v")
+    val er = Profile.brownForsythe(even, "g", "t", "v").collect().head
+    // devs: a = {0,2}, b = {0,2} -> identical spreads, F = 0.
+    assert(er.getAs[Long]("f_micro") == 0L)
+  }
+
+  test("brierDecomposition: Murphy identity on a two-bin fixture") {
+    // p_milli 100,100,900,900 / y 0,1,1,1: brier .21, rel .085,
+    // res .0625, unc .1875 — and rel - res + unc == brier exactly.
+    val df = Seq(
+      ("g", 100L, false), ("g", 100L, true),
+      ("g", 900L, true), ("g", 900L, true))
+      .toDF("g", "p", "y")
+    val r = Profile.brierDecomposition(df, "g", "p", "y")
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("brier_micro") == 210000L)
+    assert(r.getAs[Long]("rel_micro") == 85000L)
+    assert(r.getAs[Long]("res_micro") == 62500L)
+    assert(r.getAs[Long]("unc_micro") == 187500L)
+    assert(r.getAs[Long]("rel_micro") - r.getAs[Long]("res_micro") +
+      r.getAs[Long]("unc_micro") == r.getAs[Long]("brier_micro"))
+  }
 }
