@@ -4814,7 +4814,19 @@ object SparkEntry {
           when(col("event_id") % 7L === 0L, col("value") < 100.0)
             .otherwise(col("value") >= 100.0).as("y"))
       Profile.brierDecomposition(e, "event_type", "p_milli", "y")
-    })
+    }),
+
+    // Ljung-Box portmanteau over q271's ACF lags: is each event
+    // type's value series white noise?
+    "q340_ljung_box" -> ((s, dir) =>
+      TimeSeries.ljungBox(t(s, dir, "events"), "event_type", "ts",
+        "event_id", "value", maxLag = 5)),
+
+    // Good-Turing frequency-of-frequencies: adjusted counts r* and
+    // unseen mass P0 per source, count spectrum r <= 5.
+    "q341_good_turing" -> ((s, dir) =>
+      Corpus.goodTuring(t(s, dir, "documents"), "source", "text",
+        maxR = 5))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -12249,7 +12261,80 @@ object SparkEntry {
         |    / (CAST(n AS DOUBLE) * n * n)) AS BIGINT) AS res_micro,
         |  CAST(round(1e6 * CAST(o AS DOUBLE) * CAST(n - o AS DOUBLE)
         |    / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS unc_micro
-        |FROM tot JOIN binq USING (g)""".stripMargin)
+        |FROM tot JOIN binq USING (g)""".stripMargin,
+
+    "q340_ljung_box" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, ts, event_id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      AS rk,
+        |    v
+        |  FROM b),
+        |tot AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s,
+        |    sum(CAST(v AS HUGEINT) * v) AS q
+        |  FROM r GROUP BY 1),
+        |p AS (
+        |  SELECT h.k, t.rk - h.rk AS lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CAST(h.v AS HUGEINT) * t.v) AS pp,
+        |    sum(CAST(h.v AS HUGEINT)) AS hh,
+        |    sum(CAST(t.v AS HUGEINT)) AS tt
+        |  FROM r h JOIN r t
+        |    ON h.k = t.k AND t.rk - h.rk BETWEEN 1 AND 5
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT p.k, CAST(p.lag AS BIGINT) AS lag, tot.n,
+        |    CASE WHEN (tot.q * tot.n - tot.s * tot.s) * tot.n > 0
+        |      THEN CAST(round(1e6
+        |        * CAST(p.pp * tot.n * tot.n
+        |            - tot.s * (p.hh + p.tt) * tot.n
+        |            + tot.s * tot.s * p.n_pairs AS DOUBLE)
+        |        / CAST((tot.q * tot.n - tot.s * tot.s) * tot.n
+        |            AS DOUBLE)) AS BIGINT)
+        |      ELSE NULL END AS acf_micro
+        |  FROM p JOIN tot USING (k)),
+        |lb AS (
+        |  SELECT k, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_lags,
+        |    sum(CAST(round(CAST(CAST(acf_micro AS HUGEINT)
+        |      * acf_micro AS DOUBLE) / CAST(n - lag AS DOUBLE))
+        |      AS HUGEINT)) AS s
+        |  FROM a WHERE acf_micro IS NOT NULL GROUP BY 1)
+        |SELECT k AS event_type, n, n_lags,
+        |  CAST(round(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+        |    * CAST(s AS DOUBLE) / 1e6) AS BIGINT) AS q_micro
+        |FROM lb""".stripMargin,
+
+    "q341_good_turing" ->
+      """WITH tok AS (
+        |  SELECT g, w, CAST(count(*) AS BIGINT) AS r FROM (
+        |    SELECT source AS g,
+        |      unnest(list_filter(string_split_regex(lower(text),
+        |        '\s+'), t -> len(t) > 0)) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT g, r, CAST(count(*) AS BIGINT) AS n_r
+        |  FROM tok GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT g, CAST(sum(r * n_r) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN r = 1 THEN n_r END) AS BIGINT) AS n1
+        |  FROM sp GROUP BY 1)
+        |SELECT sp.g AS source, sp.r, sp.n_r,
+        |  CAST(round(1e6 * CAST(sp.r + 1 AS DOUBLE)
+        |    * CAST(nx.n_r AS DOUBLE) / CAST(sp.n_r AS DOUBLE))
+        |    AS BIGINT) AS r_star_micro,
+        |  CAST(round(1e6 * CAST(COALESCE(tot.n1, 0) AS DOUBLE)
+        |    / CAST(tot.t AS DOUBLE)) AS BIGINT) AS p0_micro
+        |FROM sp LEFT JOIN sp nx ON nx.g = sp.g AND nx.r = sp.r + 1
+        |JOIN tot ON tot.g = sp.g
+        |WHERE sp.r <= 5""".stripMargin)
 
   /** q329's oracle: the distributed-Newton Platt fit unrolled — each
     * round one data pass with the previous round's 1-row params,

@@ -952,4 +952,48 @@ object Corpus {
           .cast("long"))
         .otherwise(lit(null).cast("long")).as("fk_grade_micro"))
   }
+
+  /** Good–Turing adjusted counts per group — the frequency-of-
+    * frequencies census behind every smoothed language model (and the
+    * "how much unseen mass is left" question a corpus curator asks
+    * before deciding whether more crawling pays): for each observed
+    * count r, N_r = how many distinct tokens occur exactly r times,
+    * the adjusted count r* = (r+1)·N_{r+1}/N_r, and the group-level
+    * unseen-mass estimate P0 = N_1/T (T = total token instances,
+    * Good 1953). Two stacked exact censuses (token counts →
+    * count-of-counts) + a self-join on r+1, group-local and
+    * shuffle-minimal; the r-star and P0 divides are the only floats,
+    * micro-rounded from exact integers. Rows are emitted for
+    * r ≤ maxR; a missing N_{r+1} (gap in the spectrum) reports NULL
+    * r* — the caller's smoothing has to bridge the gap, not us.
+    * Output: (groupCol, r, n_r, r_star_micro, p0_micro — the group
+    * constant repeated per row, oracle-shape flat). */
+  def goodTuring(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      maxR: Int): DataFrame = {
+    require(maxR >= 1, "maxR must be at least 1")
+    val tok = df.select(col(groupCol).as("__g"),
+        explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__g"), col("__w"))
+      .agg(count(lit(1)).as("__r"))
+    val spectrum = tok.groupBy(col("__g"), col("__r"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = spectrum.groupBy(col("__g"))
+      .agg(sum(col("__r") * col("n_r")).as("__t"),
+        sum(when(col("__r") === 1L, col("n_r"))).as("__n1"))
+    val nxt = spectrum.select(col("__g"),
+      (col("__r") - 1L).as("__r"), col("n_r").as("__nrNext"))
+    spectrum.filter(col("__r") <= maxR.toLong)
+      .join(nxt, Seq("__g", "__r"), "left")
+      .join(broadcast(tot), Seq("__g"))
+      .select(col("__g").as(groupCol), col("__r").as("r"),
+        col("n_r"),
+        round(lit(1e6) * (col("__r") + 1L).cast("double") *
+          col("__nrNext").cast("double") / col("n_r").cast("double"))
+          .cast("long").as("r_star_micro"),
+        round(lit(1e6) * coalesce(col("__n1"), lit(0L)).cast("double") /
+          col("__t").cast("double")).cast("long").as("p0_micro"))
+  }
 }

@@ -685,6 +685,39 @@ object TimeSeries {
         col("__e.pacf_micro").as("pacf_micro"))
   }
 
+  /** Ljung–Box portmanteau test per key — "is this series white
+    * noise", the residual-diagnostic read AFTER a fit ([[acf]] shows
+    * WHERE correlation lives; this sums it into one statistic):
+    * Q = n(n+2)·Σ_{l=1..m} ρ_l²/(n−l) over [[acf]]'s micro-quantized
+    * autocorrelations. Each lag's ρ_l²/(n−l) is unit-rounded from the
+    * exact integer acf_micro² (order-free under the key sum — the
+    * kruskalWallis trick), then ONE closing scalar expression builds
+    * Q. Lags the acf could not estimate (short or constant series →
+    * NULL ρ) drop and surface in n_lags, so a 3-point series tested
+    * at m = 5 reports the Q of its 2 estimable lags, not a NULL
+    * cascade. Keys with zero estimable lags are absent (no acf rows
+    * survive). Output: (keyCol, n, n_lags, q_micro). */
+  def ljungBox(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    acf(df, keyCol, tsCol, idCol, valueCol, maxLag)
+      .filter(col("acf_micro").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_lags"),
+        sum(round((col("acf_micro").cast(dec) * col("acf_micro"))
+          .cast("double") / (col("n") - col("lag")).cast("double"))
+          .cast(dec)).as("__s"))
+      .select(col(keyCol), col("n"), col("n_lags"),
+        round(col("n").cast("double") * (col("n") + 2L).cast("double") *
+          col("__s").cast("double") / lit(1e6)).cast("long")
+          .as("q_micro"))
+  }
+
   /** Single-changepoint detector per key (binary segmentation, first
     * level): the split 1 ≤ k < n minimizing SSE_left + SSE_right —
     * equivalently maximizing the variance-explained gain

@@ -468,4 +468,21 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L).isNullAt(got(3L).fieldIndex("fre_micro")))
     assert(got(3L).isNullAt(got(3L).fieldIndex("fk_grade_micro")))
   }
+
+  test("goodTuring: textbook spectrum, gap NULL, unseen mass") {
+    // Corpus "a a a b b c d e": N1=3 N2=1 N3=1, T=8.
+    // r=1: r* = 2*N2/N1 = 2/3; r=2: r* = 3*N3/N2 = 3;
+    // r=3: N4 absent -> NULL; P0 = N1/T = 3/8.
+    val docs = Seq(("g", "a a b"), ("g", "A B c d e"))
+      .toDF("src", "text") // tokens() lower-cases: A==a, B==b
+    val got = Corpus.goodTuring(docs, "src", "text", maxR = 5)
+      .collect().map(r => r.getAs[Long]("r") -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L).getAs[Long]("n_r") == 3L)
+    assert(got(1L).getAs[Long]("r_star_micro") ==
+      math.round(1e6 * 2.0 / 3.0))
+    assert(got(2L).getAs[Long]("r_star_micro") == 3000000L)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("r_star_micro")))
+    assert(got(1L).getAs[Long]("p0_micro") == 375000L)
+  }
 }

@@ -375,4 +375,35 @@ class TimeSeriesSpec extends SparkSpec {
     val den3 = 1.0 - (d(p21) * d(r(1L)) + d(p22) * d(r(2L)))
     assert(got(3L) == math.round(1e6 * num3 / den3))
   }
+
+  test("ljungBox: Q recomposes from acf lags; trend >> alternation") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    val rows = (0 until 12).flatMap { i =>
+      Seq(("trend", at(i), i.toLong, i.toDouble),
+        ("alt", at(i), i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+    }.toDF("k", "ts", "id", "v")
+    // Expected: the Ljung-Box formula over the acf operator's own
+    // lags (the acf itself is oracle-gated as q271).
+    val acf = TimeSeries.acf(rows, "k", "ts", "id", "v", 3)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("lag")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("acf_micro")))).toMap
+    def expect(k: String): Long = {
+      val n = acf((k, 1L))._1
+      val s = (1L to 3L).map { l =>
+        val rho = acf((k, l))._2
+        math.round(rho.toDouble * rho / (n - l))
+      }.sum
+      math.round(n.toDouble * (n + 2) * s / 1e6)
+    }
+    val got = TimeSeries.ljungBox(rows, "k", "ts", "id", "v", 3)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(got("trend").getAs[Long]("n_lags") == 3L)
+    assert(got("trend").getAs[Long]("q_micro") == expect("trend"))
+    assert(got("alt").getAs[Long]("q_micro") == expect("alt"))
+    // A monotone trend is far less white than a +-1 alternation at
+    // lag parity: both reject, but trend's lag-1 rho dominates.
+    assert(got("trend").getAs[Long]("q_micro") > 0L)
+  }
 }
