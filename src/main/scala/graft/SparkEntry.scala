@@ -4826,7 +4826,14 @@ object SparkEntry {
     // unseen mass P0 per source, count spectrum r <= 5.
     "q341_good_turing" -> ((s, dir) =>
       Corpus.goodTuring(t(s, dir, "documents"), "source", "text",
-        maxR = 5))
+        maxR = 5)),
+
+    // One Dawid-Skene EM iteration over q285's three deterministic
+    // raters: per-rater sensitivity/specificity on the soft truth,
+    // before and after the E-step re-score.
+    "q342_dawid_skene" -> ((s, dir) =>
+      Profile.dawidSkeneBinary(ratingsFixture(s, dir), "source",
+        "item", "rater", "label", "pos"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -12334,7 +12341,101 @@ object SparkEntry {
         |    / CAST(tot.t AS DOUBLE)) AS BIGINT) AS p0_micro
         |FROM sp LEFT JOIN sp nx ON nx.g = sp.g AND nx.r = sp.r + 1
         |JOIN tot ON tot.g = sp.g
-        |WHERE sp.r <= 5""".stripMargin)
+        |WHERE sp.r <= 5""".stripMargin,
+
+    "q342_dawid_skene" ->
+      s"""WITH $ratingsFixtureSql,
+         |v AS (
+         |  SELECT source AS g, item AS i, rater AS rr,
+         |    CASE WHEN label = 'pos' THEN 1 ELSE 0 END AS y
+         |  FROM r),
+         |pi1 AS (
+         |  SELECT g, i, CAST(round(1e6 * CAST(sum(y) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS pi
+         |  FROM v GROUP BY 1, 2),
+         |m1 AS (
+         |  SELECT v.g, v.rr, CAST(count(*) AS BIGINT) AS n_votes,
+         |    sum(CAST(pi AS HUGEINT)) AS wp,
+         |    sum(CASE WHEN y = 1 THEN CAST(pi AS HUGEINT)
+         |      ELSE 0 END) AS wpp,
+         |    sum(CAST(1000000 - pi AS HUGEINT)) AS wn,
+         |    sum(CASE WHEN y = 0 THEN CAST(1000000 - pi AS HUGEINT)
+         |      ELSE 0 END) AS wnn
+         |  FROM v JOIN pi1 USING (g, i) GROUP BY 1, 2),
+         |t1 AS (
+         |  SELECT g, rr, n_votes,
+         |    CASE WHEN wp > 0 THEN CAST(round(1e6
+         |      * CAST(wpp AS DOUBLE) / CAST(wp AS DOUBLE)) AS BIGINT)
+         |      END AS tpp,
+         |    CASE WHEN wn > 0 THEN CAST(round(1e6
+         |      * CAST(wnn AS DOUBLE) / CAST(wn AS DOUBLE)) AS BIGINT)
+         |      END AS tnn
+         |  FROM m1),
+         |pr1 AS (
+         |  SELECT g, CAST(round(CAST(sum(pi) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS pr
+         |  FROM pi1 GROUP BY 1),
+         |f AS (
+         |  SELECT v.g, v.i, v.rr,
+         |    CASE WHEN y = 1 THEN COALESCE(tpp, 500000)
+         |      ELSE 1000000 - COALESCE(tpp, 500000) END AS fp,
+         |    CASE WHEN y = 1 THEN 1000000 - COALESCE(tnn, 500000)
+         |      ELSE COALESCE(tnn, 500000) END AS fn
+         |  FROM v JOIN t1 ON t1.g = v.g AND t1.rr = v.rr),
+         |prod AS (
+         |  SELECT g, i,
+         |    CAST(COALESCE(max(CASE WHEN rr = 'len500' THEN fp END),
+         |        1) AS HUGEINT)
+         |      * COALESCE(max(CASE WHEN rr = 'len480' THEN fp END), 1)
+         |      * COALESCE(max(CASE WHEN rr = 'hash' THEN fp END), 1)
+         |      AS ppos,
+         |    CAST(COALESCE(max(CASE WHEN rr = 'len500' THEN fn END),
+         |        1) AS HUGEINT)
+         |      * COALESCE(max(CASE WHEN rr = 'len480' THEN fn END), 1)
+         |      * COALESCE(max(CASE WHEN rr = 'hash' THEN fn END), 1)
+         |      AS pneg
+         |  FROM f GROUP BY 1, 2),
+         |pi2 AS (
+         |  SELECT prod.g, prod.i,
+         |    CASE WHEN CAST(pr AS HUGEINT) * ppos
+         |        + CAST(1000000 - pr AS HUGEINT) * pneg > 0
+         |      THEN CAST(round(1e6
+         |        * CAST(CAST(pr AS HUGEINT) * ppos AS DOUBLE)
+         |        / CAST(CAST(pr AS HUGEINT) * ppos
+         |            + CAST(1000000 - pr AS HUGEINT) * pneg
+         |          AS DOUBLE)) AS BIGINT)
+         |      ELSE pr END AS pi
+         |  FROM prod JOIN pr1 USING (g)),
+         |m2 AS (
+         |  SELECT v.g, v.rr,
+         |    sum(CAST(pi AS HUGEINT)) AS wp,
+         |    sum(CASE WHEN y = 1 THEN CAST(pi AS HUGEINT)
+         |      ELSE 0 END) AS wpp,
+         |    sum(CAST(1000000 - pi AS HUGEINT)) AS wn,
+         |    sum(CASE WHEN y = 0 THEN CAST(1000000 - pi AS HUGEINT)
+         |      ELSE 0 END) AS wnn
+         |  FROM v JOIN pi2 ON pi2.g = v.g AND pi2.i = v.i
+         |  GROUP BY 1, 2),
+         |t2 AS (
+         |  SELECT g, rr,
+         |    CASE WHEN wp > 0 THEN CAST(round(1e6
+         |      * CAST(wpp AS DOUBLE) / CAST(wp AS DOUBLE)) AS BIGINT)
+         |      END AS tpp,
+         |    CASE WHEN wn > 0 THEN CAST(round(1e6
+         |      * CAST(wnn AS DOUBLE) / CAST(wn AS DOUBLE)) AS BIGINT)
+         |      END AS tnn
+         |  FROM m2),
+         |pr2 AS (
+         |  SELECT g, CAST(round(CAST(sum(pi) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS pr2
+         |  FROM pi2 GROUP BY 1)
+         |SELECT t1.g AS source, t1.rr AS rater, t1.n_votes,
+         |  t1.tpp AS tpp_micro, t1.tnn AS tnn_micro,
+         |  pr1.pr AS prior_micro, t2.tpp AS tpp2_micro,
+         |  t2.tnn AS tnn2_micro, pr2.pr2 AS prior2_micro
+         |FROM t1 JOIN t2 ON t2.g = t1.g AND t2.rr = t1.rr
+         |JOIN pr1 ON pr1.g = t1.g JOIN pr2 ON pr2.g = t1.g"""
+      .stripMargin)
 
   /** q329's oracle: the distributed-Newton Platt fit unrolled — each
     * round one data pass with the previous round's 1-row params,

@@ -2528,4 +2528,102 @@ object Profile {
           (col("n") - col("__o")).cast("double") / (nD * nD))
           .cast("long").as("unc_micro"))
   }
+
+  /** One full Dawid–Skene EM iteration for BINARY labels per group —
+    * the rater-quality model an LLM-labeling pipeline fits when
+    * [[majorityVote]]'s one-rater-one-vote story breaks (a spammy
+    * rater should not out-vote two careful ones): soft-majority
+    * init π_i = votes⁺/votes, M-step per rater
+    * θ⁺ = Σ_{vote=pos} π_i / Σ π_i (sensitivity on the soft truth)
+    * and θ⁻ symmetric, E-step
+    * π'_i ∝ prior·Π_r θ_r(pos → vote) re-scoring every item by its
+    * raters' quality, then a second M-step showing where the
+    * confusions moved. Engine-exactness comes from the pacf lesson —
+    * π is MICRO-ROUNDED between stages, so every stage consumes
+    * integers: the M-step weights are exact DECIMAL(38,0) sums, and
+    * the E-step's likelihood products are EXACT integer products
+    * (micro factors ≤ 1e6, folded in decimal — sound to ~5 raters
+    * per item before the decimal saturates; a saturating panel
+    * overflows to NULL rather than silently wrapping). A rater side
+    * the init gives zero mass (all items unanimously the other
+    * class) reports NULL θ for that side and enters the E-step as an
+    * uninformative 500000. Output: (groupCol, rater, n_votes,
+    * tpp_micro, tnn_micro, prior_micro, tpp2_micro, tnn2_micro,
+    * prior2_micro). */
+  def dawidSkeneBinary(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String,
+      posLabel: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(labelCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(itemCol).as("__i"),
+        col(raterCol).as("__r"),
+        when(col(labelCol) === posLabel, 1L).otherwise(0L).as("__y"))
+    val pi1 = base.groupBy(col("__g"), col("__i"))
+      .agg(round(lit(1e6) * sum(col("__y")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("__pi"))
+    def mStep(pi: DataFrame, tppName: String, tnnName: String) = base
+      .join(pi, Seq("__g", "__i"))
+      .groupBy(col("__g"), col("__r"))
+      .agg(count(lit(1)).as("n_votes"),
+        sum(col("__pi").cast(dec)).as("__wp"),
+        sum(when(col("__y") === 1L, col("__pi")).otherwise(0L)
+          .cast(dec)).as("__wpp"),
+        sum((lit(1000000L) - col("__pi")).cast(dec)).as("__wn"),
+        sum(when(col("__y") === 0L, lit(1000000L) - col("__pi"))
+          .otherwise(0L).cast(dec)).as("__wnn"))
+      .select(col("__g"), col("__r"), col("n_votes"),
+        when(col("__wp") > 0,
+          round(lit(1e6) * col("__wpp").cast("double") /
+            col("__wp").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as(tppName),
+        when(col("__wn") > 0,
+          round(lit(1e6) * col("__wnn").cast("double") /
+            col("__wn").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as(tnnName))
+    def prior(pi: DataFrame, name: String) = pi.groupBy(col("__g"))
+      .agg(round(sum(col("__pi")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as(name))
+    val m1 = mStep(pi1, "tpp_micro", "tnn_micro")
+    val pr1 = prior(pi1, "prior_micro")
+    val th = m1.select(col("__g"), col("__r"),
+      coalesce(col("tpp_micro"), lit(500000L)).as("__tpp"),
+      coalesce(col("tnn_micro"), lit(500000L)).as("__tnn"))
+    val fac = base.join(broadcast(th), Seq("__g", "__r"))
+      .select(col("__g"), col("__i"),
+        when(col("__y") === 1L, col("__tpp"))
+          .otherwise(lit(1000000L) - col("__tpp")).cast(dec).as("__fp"),
+        when(col("__y") === 1L, lit(1000000L) - col("__tnn"))
+          .otherwise(col("__tnn")).cast(dec).as("__fn"))
+    val one = lit(1L).cast(dec)
+    val prod = fac.groupBy(col("__g"), col("__i"))
+      .agg(
+        aggregate(collect_list(col("__fp")), one,
+          (acc, x) => (acc * x).cast(dec)).as("__ppos"),
+        aggregate(collect_list(col("__fn")), one,
+          (acc, x) => (acc * x).cast(dec)).as("__pneg"))
+    val pi2 = prod.join(broadcast(pr1), Seq("__g"))
+      .withColumn("__a",
+        (col("prior_micro").cast(dec) * col("__ppos")).cast(dec))
+      .withColumn("__b",
+        ((lit(1000000L) - col("prior_micro")).cast(dec) *
+          col("__pneg")).cast(dec))
+      .select(col("__g"), col("__i"),
+        when(col("__a") + col("__b") > 0,
+          round(lit(1e6) * col("__a").cast("double") /
+            (col("__a") + col("__b")).cast("double")).cast("long"))
+          .otherwise(col("prior_micro")).as("__pi"))
+    val m2 = mStep(pi2, "tpp2_micro", "tnn2_micro")
+      .drop("n_votes")
+    val pr2 = prior(pi2, "prior2_micro")
+    m1.join(m2, Seq("__g", "__r"))
+      .join(broadcast(pr1), Seq("__g")).join(broadcast(pr2), Seq("__g"))
+      .select(col("__g").as(groupCol), col("__r").as("rater"),
+        col("n_votes"), col("tpp_micro"), col("tnn_micro"),
+        col("prior_micro"), col("tpp2_micro"), col("tnn2_micro"),
+        col("prior2_micro"))
+  }
 }

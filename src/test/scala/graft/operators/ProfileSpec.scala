@@ -1045,4 +1045,45 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Long]("rel_micro") - r.getAs[Long]("res_micro") +
       r.getAs[Long]("unc_micro") == r.getAs[Long]("brier_micro"))
   }
+
+  test("dawidSkeneBinary: M-step exacts, always-pos rater pinned") {
+    // Truth pos,pos,neg,neg; g1 = truth, g2 = truth except item 1,
+    // bad = always pos. Soft-majority pi: 2/3, 1, 1/3, 1/3.
+    val votes = for {
+      (item, truth) <- Seq((1L, true), (2L, true), (3L, false),
+        (4L, false))
+      (rater, vote) <- Seq(
+        ("g1", truth),
+        ("g2", if (item == 1L) !truth else truth),
+        ("bad", true))
+    } yield ("s", item, rater, if (vote) "pos" else "neg")
+    val df = votes.toDF("g", "item", "rater", "label")
+    val got = Profile.dawidSkeneBinary(df, "g", "item", "rater",
+      "label", "pos")
+      .collect().map(r => r.getAs[String]("rater") -> r).toMap
+    // Round-1 M-step on the exact micro pi (666667, 1000000,
+    // 333333, 333333), prior = round(2333333/4).
+    val g1 = got("g1")
+    assert(g1.getAs[Long]("n_votes") == 4L)
+    assert(g1.getAs[Long]("tpp_micro") ==
+      math.round(1e6 * 1666667.0 / 2333333.0))
+    assert(g1.getAs[Long]("tnn_micro") ==
+      math.round(1e6 * 1333334.0 / 1666667.0))
+    assert(g1.getAs[Long]("prior_micro") == 583333L)
+    // The always-pos rater: wpp == wp and wnn == 0 whatever pi is —
+    // sensitivity 1, specificity 0, in BOTH rounds.
+    val bad = got("bad")
+    assert(bad.getAs[Long]("tpp_micro") == 1000000L)
+    assert(bad.getAs[Long]("tnn_micro") == 0L)
+    assert(bad.getAs[Long]("tpp2_micro") == 1000000L)
+    assert(bad.getAs[Long]("tnn2_micro") == 0L)
+    // g2's specificity: every neg vote lands on soft-neg items; item
+    // 2 resolves to pi2 = 1e6 exactly (bad's zero-specificity factor
+    // kills the neg branch), so round 2 keeps tnn = 1.
+    assert(got("g2").getAs[Long]("tnn_micro") == 1000000L)
+    assert(got("g2").getAs[Long]("tnn2_micro") == 1000000L)
+    // E-step moved the prior (the re-score is not a no-op).
+    assert(g1.getAs[Long]("prior2_micro") !=
+      g1.getAs[Long]("prior_micro"))
+  }
 }
