@@ -4833,7 +4833,21 @@ object SparkEntry {
     // before and after the E-step re-score.
     "q342_dawid_skene" -> ((s, dir) =>
       Profile.dawidSkeneBinary(ratingsFixture(s, dir), "source",
-        "item", "rater", "label", "pos"))
+        "item", "rater", "label", "pos")),
+
+    // Rank-1 ALS over the (user, event_type, mean value) matrix: two
+    // exact alternations, closed-form scalar updates, per-item fit.
+    "q343_als_rank1" -> ((s, dir) => {
+      val r = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * lit(1e6)).cast("long").as("__vm"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(round(sum(col("__vm")).cast("double") /
+          (lit(1000.0) * count(lit(1)).cast("double"))).cast("long")
+          .as("r_milli"))
+      Recsys.alsRank1(r, "user_id", "event_type", "r_milli",
+        iters = 2, lambdaReg = 0.1)
+    })
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -12435,7 +12449,57 @@ object SparkEntry {
          |  t2.tnn AS tnn2_micro, pr2.pr2 AS prior2_micro
          |FROM t1 JOIN t2 ON t2.g = t1.g AND t2.rr = t1.rr
          |JOIN pr1 ON pr1.g = t1.g JOIN pr2 ON pr2.g = t1.g"""
-      .stripMargin)
+      .stripMargin,
+
+    "q343_als_rank1" ->
+      """WITH base AS (
+        |  SELECT u, i, CAST(round(CAST(sv AS DOUBLE) / (1000.0 * c))
+        |    AS BIGINT) AS r
+        |  FROM (
+        |    SELECT user_id AS u, event_type AS i,
+        |      sum(CAST(round(value * 1e6) AS BIGINT)) AS sv,
+        |      CAST(count(*) AS BIGINT) AS c
+        |    FROM events WHERE value IS NOT NULL GROUP BY 1, 2)),
+        |i0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v
+        |  FROM base),
+        |u1 AS (
+        |  SELECT u, CAST(round(1e9
+        |    * CAST(sum(CAST(r AS HUGEINT) * v) AS DOUBLE)
+        |    / CAST(sum(CAST(v AS HUGEINT) * v) + 100000000000
+        |      AS DOUBLE)) AS BIGINT) AS f
+        |  FROM base JOIN i0 USING (i) GROUP BY 1),
+        |i1 AS (
+        |  SELECT i, CAST(round(1e9
+        |    * CAST(sum(CAST(r AS HUGEINT) * f) AS DOUBLE)
+        |    / CAST(sum(CAST(f AS HUGEINT) * f) + 100000000000
+        |      AS DOUBLE)) AS BIGINT) AS v
+        |  FROM base JOIN u1 USING (u) GROUP BY 1),
+        |u2 AS (
+        |  SELECT u, CAST(round(1e9
+        |    * CAST(sum(CAST(r AS HUGEINT) * v) AS DOUBLE)
+        |    / CAST(sum(CAST(v AS HUGEINT) * v) + 100000000000
+        |      AS DOUBLE)) AS BIGINT) AS f
+        |  FROM base JOIN i1 USING (i) GROUP BY 1),
+        |i2 AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS n_ratings,
+        |    CAST(round(1e9
+        |    * CAST(sum(CAST(r AS HUGEINT) * f) AS DOUBLE)
+        |    / CAST(sum(CAST(f AS HUGEINT) * f) + 100000000000
+        |      AS DOUBLE)) AS BIGINT) AS v
+        |  FROM base JOIN u2 USING (u) GROUP BY 1),
+        |e AS (
+        |  SELECT base.i, base.r * 1000
+        |    - CAST(round(CAST(CAST(f AS HUGEINT) * v AS DOUBLE)
+        |      / 1e6) AS BIGINT) AS err
+        |  FROM base JOIN u2 USING (u) JOIN i2 USING (i)),
+        |fit AS (
+        |  SELECT i, CAST(round(sqrt(
+        |    CAST(sum(CAST(err AS HUGEINT) * err) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE))) AS BIGINT) AS rmse_micro
+        |  FROM e GROUP BY 1)
+        |SELECT i2.i AS event_type, i2.n_ratings, i2.v AS v_micro,
+        |  fit.rmse_micro
+        |FROM i2 JOIN fit USING (i)""".stripMargin)
 
   /** q329's oracle: the distributed-Newton Platt fit unrolled — each
     * round one data pass with the previous round's 1-row params,

@@ -74,4 +74,192 @@ object Recsys {
         expr("(1000000L * n_ab * __nu) div (n_a * n_b)")
           .as("lift_micro"))
   }
+
+  /** Rank-1 ALS matrix factorization over (user, item, rating) — the
+    * collaborative-filtering baseline that factors the interaction
+    * matrix into one latent scalar per user and per item (item
+    * "quality" × user "intensity" — the bias-only model every rank-k
+    * recommender is benchmarked against). Rank 1 makes each ALS
+    * half-step a CLOSED FORM the whole engine parity story can hold:
+    * u = Σ r·v / (λ + Σ v²) is two exact DECIMAL(38,0) sums per key
+    * and ONE micro-rounded divide — so the alternation is a chain of
+    * hash-aggregates and equi-joins, engine-exact at every round
+    * (the quantized-recursion idiom: factors are micro-rounded
+    * integers BETWEEN steps). λ rides in 1e-12 units so the
+    * denominator stays integer. Item factors init at 1.0; `iters`
+    * full alternations (users then items); per-item fit is the exact
+    * micro RMSE of û·v̂ (sqrt is IEEE-exact in any engine).
+    *
+    * Scale: each half-step shuffles by one key — broadcast the
+    * item-factor side (items ≪ users in every recsys corpus); the
+    * user side is a plain shuffle join that AQE handles.
+    * Output: (itemCol, n_ratings, v_micro, rmse_micro). */
+  def alsRank1(
+      df: DataFrame,
+      userCol: String,
+      itemCol: String,
+      ratingMilliCol: String,
+      iters: Int,
+      lambdaReg: Double): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(lambdaReg >= 0, "lambdaReg must be non-negative")
+    val dec = "decimal(38,0)"
+    val lam12 = math.round(lambdaReg * 1e12)
+    val base = df.select(col(userCol).as("__u"), col(itemCol).as("__i"),
+      col(ratingMilliCol).cast("long").as("__r"))
+    def solve(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =
+      round(lit(1e9) * num.cast("double") /
+        (den + lit(lam12)).cast("double")).cast("long")
+    var items = base.select(col("__i")).distinct()
+      .withColumn("__v", lit(1000000L))
+      .withColumn("n_ratings", lit(0L))
+    var users: DataFrame = base.select(col("__u")).distinct()
+      .withColumn("__f", lit(1000000L))
+    for (_ <- 1 to iters) {
+      users = base
+        .join(broadcast(items.select(col("__i"), col("__v"))),
+          Seq("__i"))
+        .groupBy(col("__u"))
+        .agg(sum((col("__r").cast(dec) * col("__v")).cast(dec))
+          .as("__num"),
+          sum((col("__v").cast(dec) * col("__v")).cast(dec))
+            .as("__den"))
+        .select(col("__u"), solve(col("__num"), col("__den")).as("__f"))
+      items = base.join(users, Seq("__u"))
+        .groupBy(col("__i"))
+        .agg(count(lit(1)).as("n_ratings"),
+          sum((col("__r").cast(dec) * col("__f")).cast(dec))
+            .as("__num"),
+          sum((col("__f").cast(dec) * col("__f")).cast(dec))
+            .as("__den"))
+        .select(col("__i"), col("n_ratings"),
+          solve(col("__num"), col("__den")).as("__v"))
+    }
+    val errs = base.join(users, Seq("__u"))
+      .join(broadcast(items.select(col("__i"), col("__v"))), Seq("__i"))
+      .select(col("__i"),
+        (col("__r") * lit(1000L) -
+          round((col("__f").cast(dec) * col("__v")).cast("double") /
+            lit(1e6)).cast("long")).as("__e"))
+    val fit = errs.groupBy(col("__i"))
+      .agg(sum((col("__e").cast(dec) * col("__e")).cast(dec))
+        .as("__sse"), count(lit(1)).as("__n"))
+      .select(col("__i"),
+        round(sqrt(col("__sse").cast("double") /
+          col("__n").cast("double"))).cast("long").as("rmse_micro"))
+    items.join(fit, Seq("__i"))
+      .select(col("__i").as(itemCol), col("n_ratings"), col("__v")
+        .as("v_micro"), col("rmse_micro"))
+  }
+
+  /** General rank-k ALS — each half-step solves the per-key ridge
+    * normal equations (A + λI)x = b with A = Σ v·vᵀ, b = Σ r·v
+    * accumulated over the key's ratings and a k×k Gaussian
+    * elimination on the k²-bounded state (groupByKey + mapGroups —
+    * the per-key state is k² doubles, never the ratings themselves).
+    * Item factors init deterministically from the item id (no RNG);
+    * the float accumulation order still follows row order, so this
+    * is honest model fitting, not a census — the correctness story
+    * is the spec's reconstruction-error bound, not an oracle hash
+    * (use [[alsRank1]] where engine parity must hold).
+    * Returns (userFactors, itemFactors) as (id, Array[Double]). */
+  def als(
+      ratings: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      k: Int,
+      iters: Int,
+      lambdaReg: Double): (org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      org.apache.spark.sql.Dataset[(Long, Array[Double])]) = {
+    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    val spark = ratings.sparkSession
+    import spark.implicits._
+
+    def solveKxK(a: Array[Double], b: Array[Double]): Array[Double] = {
+      // In-place Gaussian elimination with partial pivoting on the
+      // k×k system; a is row-major and already has λ on the diagonal.
+      val n = b.length
+      val x = b.clone()
+      val m = a.clone()
+      var col0 = 0
+      while (col0 < n) {
+        var piv = col0
+        var r = col0 + 1
+        while (r < n) {
+          if (math.abs(m(r * n + col0)) > math.abs(m(piv * n + col0)))
+            piv = r
+          r += 1
+        }
+        if (piv != col0) {
+          var c = 0
+          while (c < n) {
+            val tmp = m(col0 * n + c)
+            m(col0 * n + c) = m(piv * n + c); m(piv * n + c) = tmp
+            c += 1
+          }
+          val tb = x(col0); x(col0) = x(piv); x(piv) = tb
+        }
+        val d = m(col0 * n + col0)
+        r = col0 + 1
+        while (r < n) {
+          val factor = if (d == 0.0) 0.0 else m(r * n + col0) / d
+          var c = col0
+          while (c < n) {
+            m(r * n + c) -= factor * m(col0 * n + c); c += 1
+          }
+          x(r) -= factor * x(col0)
+          r += 1
+        }
+        col0 += 1
+      }
+      var r2 = n - 1
+      while (r2 >= 0) {
+        var s = x(r2)
+        var c = r2 + 1
+        while (c < n) { s -= m(r2 * n + c) * x(c); c += 1 }
+        val d = m(r2 * n + r2)
+        x(r2) = if (d == 0.0) 0.0 else s / d
+        r2 -= 1
+      }
+      x
+    }
+
+    def halfStep(
+        triples: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+        factors: org.apache.spark.sql.Dataset[(Long, Array[Double])])
+        : org.apache.spark.sql.Dataset[(Long, Array[Double])] =
+      triples.toDF("key", "other", "r")
+        .join(factors.toDF("other", "f"), Seq("other"))
+        .select(col("key"), col("r"), col("f"))
+        .as[(Long, Double, Array[Double])]
+        .groupByKey(_._1)
+        .mapGroups { (key, rows) =>
+          val a = Array.ofDim[Double](k * k)
+          val b = Array.ofDim[Double](k)
+          var d = 0
+          while (d < k) { a(d * k + d) = lambdaReg; d += 1 }
+          rows.foreach { case (_, r, f) =>
+            var i = 0
+            while (i < k) {
+              b(i) += r * f(i)
+              var j = 0
+              while (j < k) { a(i * k + j) += f(i) * f(j); j += 1 }
+              i += 1
+            }
+          }
+          (key, solveKxK(a, b))
+        }
+
+    val byUser = ratings.map { case (u, i, r) => (u, i, r) }
+    val byItem = ratings.map { case (u, i, r) => (i, u, r) }
+    var itemF = ratings.map(_._2).distinct()
+      .map(i => (i, Array.tabulate(k)(d =>
+        0.1 + 0.01 * (((i * 31 + d) % 7 + 7) % 7))))
+    var userF: org.apache.spark.sql.Dataset[(Long, Array[Double])] =
+      null
+    for (_ <- 1 to iters) {
+      userF = halfStep(byUser, itemF)
+      itemF = halfStep(byItem, userF)
+    }
+    (userF, itemF)
+  }
 }

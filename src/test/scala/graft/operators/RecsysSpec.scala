@@ -28,4 +28,51 @@ class RecsysSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(loose == Set(("A", "B"), ("A", "C")))
   }
+
+  test("alsRank1: exact rank-1 matrix recovered in one alternation") {
+    // r = u*v with u in {1,2}, v in {1,2} (milli): after one
+    // unregularized alternation the item factors are 2/3 and 4/3
+    // (users land on 1.5 and 3) and the fit is exact.
+    val r = Seq(
+      (1L, "i1", 1000L), (1L, "i2", 2000L),
+      (2L, "i1", 2000L), (2L, "i2", 4000L))
+      .toDF("u", "i", "r_milli")
+    val got = Recsys.alsRank1(r, "u", "i", "r_milli",
+      iters = 1, lambdaReg = 0.0)
+      .collect().map(x => x.getAs[String]("i") -> x).toMap
+    assert(got("i1").getAs[Long]("v_micro") == 666667L)
+    assert(got("i2").getAs[Long]("v_micro") == 1333333L)
+    assert(got("i1").getAs[Long]("n_ratings") == 2L)
+    // Quantization leaves at most a few micro of residual.
+    assert(got("i1").getAs[Long]("rmse_micro") <= 3L)
+    assert(got("i2").getAs[Long]("rmse_micro") <= 3L)
+  }
+
+  test("als: rank-2 synthetic reconstructs under 1% RMSE") {
+    val users = (0L until 6L).map(u =>
+      u -> Array(1.0 + u % 3, 2.0 * (u % 2)))
+    val items = (0L until 5L).map(i =>
+      i -> Array(1.0, (i % 3).toDouble))
+    val ratings = for {
+      (u, uf) <- users; (i, vf) <- items
+    } yield (u, i, uf(0) * vf(0) + uf(1) * vf(1))
+    val ds = ratings.toDS()
+    val (uf, vf) = Recsys.als(ds, k = 2, iters = 10,
+      lambdaReg = 0.001)
+    val um = uf.collect().toMap
+    val vm = vf.collect().toMap
+    val sse = ratings.map { case (u, i, r) =>
+      val p = um(u).zip(vm(i)).map { case (a, b) => a * b }.sum
+      (r - p) * (r - p)
+    }.sum
+    val rmse = math.sqrt(sse / ratings.size)
+    assert(rmse < 0.01, s"rmse $rmse")
+    // Deterministic init: a second run reproduces bit-identical
+    // factors on any partitioning.
+    val (_, vf2) = Recsys.als(ds, k = 2, iters = 10,
+      lambdaReg = 0.001)
+    val vm2 = vf2.collect().toMap
+    assert(vm.keySet == vm2.keySet &&
+      vm.keySet.forall(k => vm(k).sameElements(vm2(k))))
+  }
 }
