@@ -4847,7 +4847,16 @@ object SparkEntry {
           .as("r_milli"))
       Recsys.alsRank1(r, "user_id", "event_type", "r_milli",
         iters = 2, lambdaReg = 0.1)
-    })
+    }),
+
+    // AMS F2 sketch vs exact self-join size over document tokens per
+    // source: 16 one-hash bit-signs, mean and median-of-means.
+    "q344_ams_f2" -> ((s, dir) =>
+      Sketches.amsF2(
+        t(s, dir, "documents").select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("token")),
+        "source", "token"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -12499,7 +12508,59 @@ object SparkEntry {
         |  FROM e GROUP BY 1)
         |SELECT i2.i AS event_type, i2.n_ratings, i2.v AS v_micro,
         |  fit.rmse_micro
-        |FROM i2 JOIN fit USING (i)""".stripMargin)
+        |FROM i2 JOIN fit USING (i)""".stripMargin,
+
+    "q344_ams_f2" -> amsF2OracleSql)
+
+  /** q344's oracle: the 16 bit-sign AMS counters unrolled column by
+    * column (one md5 per token, signs from successive bits — exactly
+    * the Spark side's shiftright loop), bucket means unit-rounded,
+    * low median via list_sort. */
+  private def amsF2OracleSql: String = {
+    val zDefs = (0 until 16).map(j =>
+      s"sum((((h >> $j) & 1) * 2 - 1)) AS z$j").mkString(",\n    ")
+    val z2sum = (0 until 16)
+      .map(j => s"CAST(z$j AS HUGEINT) * z$j").mkString(" + ")
+    val bmeans = (0 until 4).map { b =>
+      val terms = (0 until 4)
+        .map(i => s"CAST(z${4 * b + i} AS HUGEINT) * z${4 * b + i}")
+        .mkString(" + ")
+      s"CAST(round(CAST($terms AS DOUBLE) / 4.0) AS HUGEINT)"
+    }
+    s"""WITH tok AS (
+       |  SELECT source AS g,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> len(t) > 0)) AS k
+       |  FROM documents),
+       |base AS (
+       |  SELECT g, k,
+       |    CAST(('0x' || substr(md5('ams:' || k), 1, 15)) AS BIGINT)
+       |      AS h
+       |  FROM tok),
+       |zs AS (
+       |  SELECT g,
+       |    $zDefs
+       |  FROM base GROUP BY 1),
+       |est AS (
+       |  SELECT g,
+       |    CAST(round(CAST($z2sum AS DOUBLE) / 16.0) AS HUGEINT)
+       |      AS est_mean,
+       |    list_sort([${bmeans.mkString(", ")}])[2] AS est_mom
+       |  FROM zs),
+       |exact AS (
+       |  SELECT g, sum(CAST(c AS HUGEINT) * c) AS f2 FROM (
+       |    SELECT g, k, CAST(count(*) AS BIGINT) AS c
+       |    FROM base GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT exact.g AS source, f2, est_mean, est_mom,
+       |  CAST(round(1e6 * abs(CAST(est_mean AS DOUBLE)
+       |    - CAST(f2 AS DOUBLE)) / CAST(f2 AS DOUBLE)) AS BIGINT)
+       |    AS err_mean_micro,
+       |  CAST(round(1e6 * abs(CAST(est_mom AS DOUBLE)
+       |    - CAST(f2 AS DOUBLE)) / CAST(f2 AS DOUBLE)) AS BIGINT)
+       |    AS err_mom_micro
+       |FROM exact JOIN est USING (g)""".stripMargin
+  }
 
   /** q329's oracle: the distributed-Newton Platt fit unrolled — each
     * round one data pass with the previous round's 1-row params,

@@ -840,4 +840,56 @@ object Sketches {
         (col("wt") - coalesce(col("__d"), lit(0L))).as("wt")): _*)
       .filter(col("wt") > 0L)
   }
+
+  /** AMS (Alon–Matias–Szegedy) F2 sketch per group — the second
+    * frequency moment Σ f_x², i.e. the group's SELF-JOIN SIZE on the
+    * key, estimated in ONE pass and 16 counters per group (the
+    * join-size oracle a planner consults before committing a shuffle
+    * strategy; the exact twin is a full (group, key) census). Each
+    * row draws 16 ±1 signs from the BITS of one md5-derived 60-bit
+    * hash (one digest per row — the hash48 affine-map economy);
+    * Z_j = Σ signs is an exact integer per sketch, E[Z_j²] = F2.
+    * The estimate is reported two ways: the plain mean of the 16
+    * Z², and the classic median-of-means (4 buckets × 4, LOW median
+    * — integer-exact, engine-agnostic). Bucket means are the only
+    * rounding (unit, HALF_UP, deterministic). The exact F2 rides
+    * along with both relative errors so the gate doubles as a
+    * quality census of the sketch itself.
+    * Output: (groupCol, f2, est_mean, est_mom, err_mean_micro,
+    * err_mom_micro). */
+  def amsF2(df: DataFrame, groupCol: String, keyCol: String)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(keyCol).cast("string").as("__k"),
+        graft.functions.TextFunctions.hash60(
+          concat(lit("ams:"), col(keyCol).cast("string"))).as("__h"))
+    val zAggs = (0 until 16).map { j =>
+      sum((shiftright(col("__h"), j) % 2L) * 2L - 1L).as(s"__z$j")
+    }
+    val zs = base.groupBy(col("__g")).agg(zAggs.head, zAggs.tail: _*)
+    def z2(j: Int) =
+      (col(s"__z$j").cast(dec) * col(s"__z$j")).cast(dec)
+    def bucketMean(b: Int) =
+      round((0 until 4).map(i => z2(4 * b + i)).reduce(_ + _)
+        .cast("double") / lit(4.0)).cast(dec)
+    val est = zs.select(col("__g"),
+      round((0 until 16).map(z2).reduce(_ + _).cast("double") /
+        lit(16.0)).cast(dec).as("est_mean"),
+      sort_array(array((0 until 4).map(bucketMean): _*))(1)
+        .as("est_mom"))
+    val exact = base.groupBy(col("__g"), col("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__g"))
+      .agg(sum((col("__c").cast(dec) * col("__c")).cast(dec)).as("f2"))
+    def err(estCol: Column) =
+      round(lit(1e6) * abs(estCol.cast("double") -
+        col("f2").cast("double")) / col("f2").cast("double"))
+        .cast("long")
+    exact.join(est, Seq("__g"))
+      .select(col("__g").as(groupCol), col("f2"), col("est_mean"),
+        col("est_mom"), err(col("est_mean")).as("err_mean_micro"),
+        err(col("est_mom")).as("err_mom_micro"))
+  }
 }

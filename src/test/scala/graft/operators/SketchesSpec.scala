@@ -263,4 +263,28 @@ class SketchesSpec extends SparkSpec {
     assert(u > 250 && u < 750, s"union est $u for true 450")
     assert(i > 40 && i < 400, s"intersect est $i for true 150")
   }
+
+  test("amsF2: exact twin, single-key exactness, err wiring") {
+    // "solo" has one distinct key repeated n=4 times: every sketch
+    // is Z = ±4, so Z² = 16 = F2 exactly — estimates and errors pin.
+    val rows = Seq.fill(4)(("solo", "x")) ++
+      Seq.fill(3)(("mix", "a")) ++ Seq.fill(2)(("mix", "b")) ++
+      Seq(("mix", "c"))
+    val got = Sketches.amsF2(rows.toDF("g", "k"), "g", "k")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val solo = got("solo")
+    assert(solo.getDecimal(1).longValueExact == 16L)
+    assert(solo.getDecimal(2).longValueExact == 16L)
+    assert(solo.getDecimal(3).longValueExact == 16L)
+    assert(solo.getAs[Long]("err_mean_micro") == 0L)
+    assert(solo.getAs[Long]("err_mom_micro") == 0L)
+    // mix: F2 = 9 + 4 + 1 = 14; Z = ±3±2±1 so Z² <= 36 and the
+    // estimates stay inside the algebraic envelope.
+    val mix = got("mix")
+    assert(mix.getDecimal(1).longValueExact == 14L)
+    val em = mix.getDecimal(2).longValueExact
+    assert(em >= 0L && em <= 36L, s"est_mean $em")
+    assert(mix.getAs[Long]("err_mean_micro") ==
+      math.round(1e6 * math.abs(em - 14.0) / 14.0))
+  }
 }
