@@ -4856,7 +4856,17 @@ object SparkEntry {
         t(s, dir, "documents").select(col("source"),
           explode(graft.functions.TextFunctions.tokens(col("text")))
             .as("token")),
-        "source", "token"))
+        "source", "token")),
+
+    // Additive Holt-Winters per user series: period 7, 5-period
+    // truncated kernel (q279's holt with a rotating seasonal block).
+    "q345_holt_winters" -> ((s, dir) =>
+      TimeSeries.holtWinters(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), col("value")),
+        "user_id", "ts", "event_id", "value",
+        alpha = 0.5, beta = 0.2, gamma = 0.6, period = 7,
+        window = 35))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -12510,7 +12520,57 @@ object SparkEntry {
         |  fit.rmse_micro
         |FROM i2 JOIN fit USING (i)""".stripMargin,
 
-    "q344_ams_f2" -> amsF2OracleSql)
+    "q344_ams_f2" -> amsF2OracleSql,
+
+    "q345_holt_winters" -> holtWintersOracleSql)
+
+  /** q345's oracle: the truncated Holt-Winters kernel with the
+    * IDENTICAL micro-int weight literals (holtWintersWeightsMicro),
+    * full-window NULL rule mirrored via the tap presence count —
+    * the holtOracleSql shape with a third (seasonal) kernel. */
+  private lazy val holtWintersOracleSql: String = {
+    val wq = graft.operators.TimeSeries
+      .holtWintersWeightsMicro(0.5, 0.2, 0.6, 7, 35)
+    def xm(m: Int) = if (m == 0) "x" else s"x$m"
+    val lagCols = (1 until wq.size)
+      .map(m => s"lag(x, $m) OVER win AS x$m").mkString(",\n         ")
+    def kernel(pick: ((Long, Long, Long)) => Long) =
+      wq.zipWithIndex.map { case (t3, m) =>
+        s"COALESCE(CAST(round(${xm(m)} * ${pick(t3)}) AS BIGINT), 0)"
+      }.mkString("\n           + ")
+    val numL = kernel(_._1)
+    val numB = kernel(_._2)
+    val numS = kernel(_._3)
+    val have = wq.indices.map(m =>
+      s"CASE WHEN ${xm(m)} IS NOT NULL THEN 1 ELSE 0 END")
+      .mkString("\n           + ")
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, value, CAST(value AS DOUBLE) AS x
+       |  FROM events),
+       |l AS (
+       |  SELECT user_id, ts, event_id, value, x,
+       |         $lagCols
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         $numL AS num_l,
+       |         $numB AS num_b,
+       |         $numS AS num_s,
+       |         $have AS have
+       |  FROM l)
+       |SELECT user_id, ts, event_id, value,
+       |  CASE WHEN have = ${wq.size}
+       |    THEN CAST(num_l AS DOUBLE) / 1e6 ELSE NULL END AS hw_level,
+       |  CASE WHEN have = ${wq.size}
+       |    THEN CAST(num_b AS DOUBLE) / 1e6 ELSE NULL END AS hw_trend,
+       |  CASE WHEN have = ${wq.size}
+       |    THEN CAST(num_s AS DOUBLE) / 1e6 ELSE NULL END AS hw_season,
+       |  CASE WHEN have = ${wq.size}
+       |    THEN CAST(num_l + num_b + num_s AS DOUBLE) / 1e6
+       |    ELSE NULL END AS hw_forecast
+       |FROM s""".stripMargin
+  }
 
   /** q344's oracle: the 16 bit-sign AMS counters unrolled column by
     * column (one md5 per token, signs from successive bits — exactly

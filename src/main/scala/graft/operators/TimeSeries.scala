@@ -830,6 +830,104 @@ object TimeSeries {
           .otherwise(lit(null).cast("double")))
   }
 
+  /** Additive Holt–Winters (level + trend + seasonality) per key via
+    * the SAME truncated-kernel linearization as [[holt]]: the
+    * recurrence is linear in x, so level, trend, and the seasonal
+    * slot the 1-step forecast consumes are each a fixed micro-int
+    * kernel over the last `window` observations
+    * ([[holtWintersWeightsMicro]] — exact closed form of unrolling
+    * l_t = α(x−s_{t−p}) + (1−α)(l+b), b_t = β Δl + (1−β)b,
+    * s_t = γ(x−l_t) + (1−γ)s_{t−p}). One ordered window per key,
+    * `window` lag taps, no self-join, no sequential recursion.
+    * Identifiability: the level/season SPLIT carries the system's
+    * unit mode (adding c to level and −c to every seasonal slot is
+    * invariant), so hw_level and hw_season individually are the
+    * zero-init filter's split, while hw_forecast — their observable
+    * combination — converges: its truncation tail decays with the
+    * sub-unit modes (~0.82/step at the spec's parameters; 8 periods
+    * of window leave <1%, measured). Size the window in PERIODS and
+    * read the spec's tracked-cycle bound before trusting short
+    * windows. Rows with fewer than `window` present taps report NULL
+    * (partial kernels lie — the [[holt]] convention).
+    * Output: input row + hw_level, hw_trend, hw_season (the
+    * s_{t+1−p} the forecast uses), hw_forecast = level + trend +
+    * season (doubles, 6 dp). */
+  def holtWinters(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      alpha: Double,
+      beta: Double,
+      gamma: Double,
+      period: Int,
+      window: Int): DataFrame = {
+    val wq = holtWintersWeightsMicro(alpha, beta, gamma, period, window)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val x = col(valueCol).cast("double")
+    val taps = wq.zipWithIndex.map { case ((wl, wb, ws), m) =>
+      val xm = if (m == 0) x else lag(x, m).over(w)
+      (coalesce(round(xm * lit(wl)).cast("long"), lit(0L)),
+        coalesce(round(xm * lit(wb)).cast("long"), lit(0L)),
+        coalesce(round(xm * lit(ws)).cast("long"), lit(0L)),
+        when(xm.isNotNull, 1L).otherwise(0L))
+    }
+    val numL = taps.map(_._1).reduce(_ + _)
+    val numB = taps.map(_._2).reduce(_ + _)
+    val numS = taps.map(_._3).reduce(_ + _)
+    val have = taps.map(_._4).reduce(_ + _)
+    val full = have === window.toLong
+    def out(num: org.apache.spark.sql.Column) =
+      when(full, num.cast("double") / lit(1e6))
+        .otherwise(lit(null).cast("double"))
+    df.withColumn("hw_level", out(numL))
+      .withColumn("hw_trend", out(numB))
+      .withColumn("hw_season", out(numS))
+      .withColumn("hw_forecast", out(numL + numB + numS))
+  }
+
+  /** Micro-quantized truncated additive Holt–Winters kernel:
+    * (levelWeight_m, trendWeight_m, seasonWeight_m) =
+    * round(1e6 · (Aᵐ c)) over the (2+period)-dim state
+    * (l, b, s_t, …, s_{t−period+1}), with injection
+    * c = (α, βα, γ(1−α), 0…) and A the homogeneous step (level and
+    * trend mix as in Holt, the seasonal block rotates one slot per
+    * step). The seasonal tap reads the s_{t+1−p} slot — the one the
+    * 1-step forecast consumes. Repeated multiply, deterministic, no
+    * libm; public so the oracle twin embeds the identical integer
+    * literals. */
+  def holtWintersWeightsMicro(
+      alpha: Double,
+      beta: Double,
+      gamma: Double,
+      period: Int,
+      window: Int): Seq[(Long, Long, Long)] = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    require(beta > 0 && beta < 1, "beta must be in (0, 1)")
+    require(gamma > 0 && gamma < 1, "gamma must be in (0, 1)")
+    require(period >= 2 && period <= 366, "period must be in [2, 366]")
+    require(window >= period, "window must cover at least one period")
+    val p = period
+    def step(z: Array[Double]): Array[Double] = {
+      val out = new Array[Double](2 + p)
+      val sl = z(1 + p)
+      val l2 = -alpha * sl + (1 - alpha) * (z(0) + z(1))
+      out(0) = l2
+      out(1) = beta * (l2 - z(0)) + (1 - beta) * z(1)
+      out(2) = -gamma * l2 + (1 - gamma) * sl
+      var j = 1
+      while (j < p) { out(2 + j) = z(2 + (j - 1)); j += 1 }
+      out
+    }
+    val c = new Array[Double](2 + p)
+    c(0) = alpha; c(1) = beta * alpha; c(2) = gamma * (1 - alpha)
+    Iterator.iterate(c)(step).take(window).map(z =>
+      (math.round(1e6 * z(0)), math.round(1e6 * z(1)),
+        math.round(1e6 * z(1 + p)))).toSeq
+  }
+
   /** Micro-quantized truncated Holt kernel: (levelWeight_m,
     * trendWeight_m) = round(1e6 · (A^m c)) for m = 0..window−1, with
     * A = [[1−α, 1−α], [−βα, 1−βα]] and c = (α, βα) — the exact

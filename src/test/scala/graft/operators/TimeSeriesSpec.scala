@@ -406,4 +406,34 @@ class TimeSeriesSpec extends SparkSpec {
     // lag parity: both reject, but trend's lag-1 rho dominates.
     assert(got("trend").getAs[Long]("q_micro") > 0L)
   }
+
+  test("holtWinters: pure cycle tracked, forecast mass, NULL warmup") {
+    // FORECAST kernel sanity: the level+trend+season combination is
+    // the observable one (the level/season split carries the filter's
+    // unit mode) — for constant input it must carry ~unit mass; the
+    // observable modes decay ~0.82/step, so 24 taps leave <1% tail.
+    val wq = TimeSeries.holtWintersWeightsMicro(0.5, 0.2, 0.7, 3, 24)
+    val fMass = wq.map(t => t._1 + t._2 + t._3).sum
+    assert(math.abs(fMass - 1000000L) < 10000L, s"forecast mass $fMass")
+    // A pure period-3 cycle (no trend): the 1-step forecast after
+    // warmup predicts the NEXT point to within the truncation tail.
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    val cyc = Seq(0.0, 3.0, -3.0)
+    val xs = (0 until 54).map(i => 10.0 + cyc(i % 3))
+    val df = xs.zipWithIndex.map { case (v, i) =>
+      ("k", at(i.toLong), i.toLong, v)
+    }.toDF("k", "ts", "id", "v")
+    val rows = TimeSeries.holtWinters(df, "k", "ts", "id", "v",
+      alpha = 0.5, beta = 0.2, gamma = 0.7, period = 3, window = 24)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // Warmup: fewer than 24 taps -> NULL.
+    assert(rows(20L).isNullAt(rows(20L).fieldIndex("hw_forecast")))
+    (24L until 53L).foreach { i =>
+      val f = rows(i).getAs[Double]("hw_forecast")
+      val actualNext = xs((i + 1).toInt)
+      assert(math.abs(f - actualNext) < 0.15,
+        s"t=$i forecast $f vs ${actualNext}")
+    }
+  }
 }
