@@ -4866,7 +4866,24 @@ object SparkEntry {
           col("event_id"), col("value")),
         "user_id", "ts", "event_id", "value",
         alpha = 0.5, beta = 0.2, gamma = 0.6, period = 7,
-        window = 35))
+        window = 35)),
+
+    // Neighborhood function: exact pair census vs HyperBall (HLL
+    // registers routed over edges) on a 2000-node hash graph, r <= 2.
+    "q346_neighborhood" -> ((s, dir) => {
+      def node(tag: String) = hashMod(tag, col("event_id"), 2000L)
+      val e = t(s, dir, "events")
+        .select(node("nfs").as("src"), node("nfd").as("dst"))
+      val est = Graph.hyperBall(e, "src", "dst", maxR = 2)
+        .groupBy(col("r")).agg(sum(col("reach_est")).as("est_sum"))
+      Graph.neighborhoodFunction(e, "src", "dst", maxR = 2)
+        .join(est, Seq("r"))
+        .select(col("r"), col("n_pairs"), col("est_sum"),
+          round(lit(1e6) * abs(col("est_sum").cast("double") -
+            col("n_pairs").cast("double")) /
+            col("n_pairs").cast("double")).cast("long")
+            .as("err_micro"))
+    })
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -12522,7 +12539,82 @@ object SparkEntry {
 
     "q344_ams_f2" -> amsF2OracleSql,
 
-    "q345_holt_winters" -> holtWintersOracleSql)
+    "q345_holt_winters" -> holtWintersOracleSql,
+
+    "q346_neighborhood" -> neighborhoodOracleSql)
+
+  /** q346's oracle: the exact pair census unrolled per radius and the
+    * HyperBall register propagation (the hllDistinctSql register
+    * arithmetic routed across edges, per-node estimates unit-rounded
+    * before the cross-node sum — mirroring Graph.hyperBall term for
+    * term). */
+  private lazy val neighborhoodOracleSql: String = {
+    val m = graft.operators.Sketches.M
+    val mr = graft.operators.Sketches.MaxRank
+    val num = graft.operators.Sketches.EstimatorNumerator
+    val rounds = (1 to 2).map { r =>
+      s"""r$r AS (SELECT DISTINCT u, w FROM (
+         |  SELECT u, w FROM r${r - 1}
+         |  UNION ALL SELECT r${r - 1}.u, e.dst
+         |  FROM r${r - 1} JOIN e ON e.src = r${r - 1}.w)),
+         |g$r AS (SELECT node, j, max(mj) AS mj FROM (
+         |  SELECT e.src AS node, g${r - 1}.j, g${r - 1}.mj
+         |  FROM g${r - 1} JOIN e ON e.dst = g${r - 1}.node
+         |  UNION ALL SELECT node, j, mj FROM g${r - 1})
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val lcTable = graft.operators.Sketches.hllLinearCountTable
+      .mkString("[", ", ", "]")
+    val rawEst = s"$num / CAST(hsum + ($m - nb) " +
+      s"* (CAST(1 AS BIGINT) << $mr) AS DOUBLE)"
+    val ests = (0 to 2).map { r =>
+      s"""s$r AS (
+         |  SELECT CAST(sum(CASE WHEN $m - nb > 0
+         |      AND $rawEst < ${2.5 * m}
+         |    THEN ($lcTable)[$m - nb]
+         |    ELSE CAST(round($rawEst) AS BIGINT) END) AS BIGINT)
+         |    AS est_sum
+         |  FROM (SELECT node, count(*) AS nb,
+         |    CAST(sum(CAST(1 AS BIGINT) << ($mr - mj)) AS BIGINT)
+         |      AS hsum
+         |  FROM g$r GROUP BY 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT CAST(('0x' || substr(md5('nfs:'
+       |      || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2000
+       |      AS src,
+       |    CAST(('0x' || substr(md5('nfd:'
+       |      || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2000
+       |      AS dst
+       |  FROM events),
+       |e AS (SELECT DISTINCT src, dst FROM ev),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |r0 AS (SELECT node AS u, node AS w FROM nodes),
+       |hb AS (
+       |  SELECT node, h % $m AS j,
+       |    CASE WHEN h // $m = 0 THEN $mr
+       |      ELSE $mr - length(bin(h // $m)) END AS rk
+       |  FROM (SELECT node, CAST(('0x' || substr(md5(
+       |    CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |    FROM nodes)),
+       |g0 AS (SELECT node, j, max(rk) AS mj FROM hb GROUP BY 1, 2),
+       |$rounds,
+       |ex AS (
+       |  SELECT 0 AS r, CAST(count(*) AS BIGINT) AS n_pairs FROM r0
+       |  UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM r1
+       |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM r2),
+       |$ests,
+       |eb AS (
+       |  SELECT 0 AS r, est_sum FROM s0
+       |  UNION ALL SELECT 1, est_sum FROM s1
+       |  UNION ALL SELECT 2, est_sum FROM s2)
+       |SELECT CAST(ex.r AS BIGINT) AS r, ex.n_pairs, eb.est_sum,
+       |  CAST(round(1e6 * abs(CAST(eb.est_sum AS DOUBLE)
+       |    - CAST(ex.n_pairs AS DOUBLE))
+       |    / CAST(ex.n_pairs AS DOUBLE)) AS BIGINT) AS err_micro
+       |FROM ex JOIN eb USING (r)""".stripMargin
+  }
 
   /** q345's oracle: the truncated Holt-Winters kernel with the
     * IDENTICAL micro-int weight literals (holtWintersWeightsMicro),

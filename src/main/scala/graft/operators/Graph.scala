@@ -1081,4 +1081,97 @@ object Graph {
               (col("degree") - 1L).cast("double"))).cast("long"))
           .otherwise(lit(null).cast("long")).as("coef_micro"))
   }
+
+  /** EXACT neighborhood function N(r) = |{(u, w) : dist(u→w) ≤ r}|
+    * for r = 0..maxR — the distance-distribution census behind
+    * effective-diameter and average-distance questions. Each round
+    * materializes the full reachability-pair set (one equi-join +
+    * distinct), so cost is Σ|B_r| pairs: this is the SMALL-GRAPH /
+    * ORACLE-TWIN form — at web scale the pair set is the quadratic
+    * blowup [[hyperBall]] exists to avoid; run this only to calibrate
+    * the sketch (the gate does exactly that). Output: (r, n_pairs). */
+  def neighborhoodFunction(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxR: Int): DataFrame = {
+    require(maxR >= 0 && maxR <= 6, "maxR must be in [0, 6]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = Dedup.truncate(
+      edges.select(col(srcCol).as("__x"), col(dstCol).as("__w"))
+        .filter(col("__x").isNotNull && col("__w").isNotNull)
+        .distinct())
+    var reach = Dedup.truncate(
+      e.select(col("__x").as("node"))
+        .union(e.select(col("__w"))).distinct()
+        .select(col("node").as("__u"), col("node").as("__w")))
+    val counts = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    counts += ((0L, reach.count()))
+    for (r <- 1 to maxR) {
+      reach = Dedup.truncate(
+        reach.union(
+            reach.join(e, reach("__w") === e("__x"))
+              .select(col("__u"), e("__w")))
+          .distinct())
+      counts += ((r.toLong, reach.count()))
+    }
+    counts.toSeq.toDF("r", "n_pairs")
+  }
+
+  /** HyperBall (Boldi–Vigna) — the neighborhood function at graph
+    * scale: every node carries an HLL register set of its out-ball
+    * B_r(u), and one round is "union your neighbors' balls into
+    * yours" = ONE equi-join routing registers across edges + ONE
+    * (node, bucket) max-aggregate — state is nodes × 64 registers
+    * regardless of how large the balls grow, which is the entire
+    * point (the exact twin [[neighborhoodFunction]] materializes the
+    * pairs and dies quadratically). Registers are
+    * [[Sketches.hllRegisters]]' md5-derived state, so every round
+    * and every estimate is bit-identical in any engine; per-node
+    * estimates are unit-rounded BEFORE any cross-node sum so
+    * downstream aggregation stays integer-exact. Lineage truncates
+    * per round ([[Dedup.truncate]]).
+    * Output: (r, node, reach_est) for r = 0..maxR. */
+  def hyperBall(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxR: Int): DataFrame = {
+    require(maxR >= 0 && maxR <= 16, "maxR must be in [0, 16]")
+    val e = Dedup.truncate(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
+        .distinct())
+    val nodes = Dedup.truncate(
+      e.select(col("__src").as("node"))
+        .union(e.select(col("__dst"))).distinct())
+    var regs = Dedup.truncate(Sketches.hllRegisters(
+      nodes, col("node").cast("string"), Seq("node")))
+    // Small balls are the common case at low radius, so the Flajolet
+    // linear-counting correction is load-bearing here: raw < 2.5·M
+    // with V zero registers reads the driver-computed literal table.
+    val lc = array(Sketches.hllLinearCountTable.map(lit): _*)
+    def estimates(r: Int) = Sketches.hllEstimate(regs, Seq("node"))
+      .withColumn("__v",
+        (lit(Sketches.M.toLong) - col("n_buckets")).cast("int"))
+      .select(lit(r.toLong).as("r"), col("node"),
+        when(col("__v") > 0 &&
+            col("estimate") < lit(2.5 * Sketches.M),
+          element_at(lc, col("__v")))
+          .otherwise(round(col("estimate")).cast("long"))
+          .as("reach_est"))
+    var out = estimates(0)
+    for (r <- 1 to maxR) {
+      val prop = regs
+        .join(e.select(col("__src"), col("__dst").as("node")),
+          Seq("node"))
+        .select(col("__src").as("node"), col("j"), col("mj"))
+      regs = Dedup.truncate(
+        prop.union(regs.select(col("node"), col("j"), col("mj")))
+          .groupBy(col("node"), col("j")).agg(max(col("mj")).as("mj")))
+      out = out.unionByName(estimates(r))
+    }
+    out
+  }
 }

@@ -65,6 +65,16 @@ object Sketches {
       .agg(max(col("r")).as("mj"))
   }
 
+  /** Linear-counting small-range table: lc(V) = round(M·ln(M/V)) for
+    * V = 1..M zero registers — the Flajolet small-cardinality
+    * correction (the raw harmonic estimator reads ~0.7·M for a
+    * singleton set). Driver-computed ONCE so Spark expressions and
+    * oracle twins embed the identical integer literals — no runtime
+    * libm on either engine, no 1-ulp ln drift at a rounding
+    * boundary. */
+  lazy val hllLinearCountTable: Seq[Long] =
+    (1 to M).map(v => math.round(M * math.log(M.toDouble / v)))
+
   /** Fold a [[hllRegisters]] table into per-group estimates (exact
     * integer harmonic sum, one final divide). */
   def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame =

@@ -476,4 +476,24 @@ class GraphSpec extends SparkSpec {
     assert(got(4L).getAs[Long]("n_triangles") == 0L)
     assert(got(4L).isNullAt(got(4L).fieldIndex("coef_micro")))
   }
+
+  test("neighborhoodFunction + hyperBall: path graph, LC exactness") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // Directed path 1->2->3->4: N(0)=4, N(1)=7, N(2)=9.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val nf = Graph.neighborhoodFunction(e, "s", "d", 2)
+      .collect().map(r => r.getAs[Long]("r") -> r.getAs[Long]("n_pairs"))
+      .toMap
+    assert(nf == Map(0L -> 4L, 1L -> 7L, 2L -> 9L))
+    // HyperBall with linear-counting: every radius-0 ball is a
+    // singleton -> estimate exactly 1 per node; deeper balls stay
+    // within a register collision of exact on 4 nodes.
+    val hb = Graph.hyperBall(e, "s", "d", 2)
+      .groupBy(col("r")).agg(sum(col("reach_est")).as("s"))
+      .collect().map(r => r.getAs[Long]("r") -> r.getAs[Long]("s"))
+      .toMap
+    assert(hb(0L) == 4L)
+    assert(math.abs(hb(1L) - 7L) <= 2L, s"r1 ${hb(1L)}")
+    assert(math.abs(hb(2L) - 9L) <= 2L, s"r2 ${hb(2L)}")
+  }
 }
