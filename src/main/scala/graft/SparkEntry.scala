@@ -4883,6 +4883,38 @@ object SparkEntry {
             col("n_pairs").cast("double")) /
             col("n_pairs").cast("double")).cast("long")
             .as("err_micro"))
+    }),
+
+    // Harman S-stemmer census: plural-stripping collapse per source.
+    "q347_sstem" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("w"))
+        .withColumn("stem",
+          graft.functions.TextFunctions.sStem(col("w")))
+      toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("stem") =!= col("w"), 1L).otherwise(0L))
+            .as("n_changed"),
+          countDistinct(col("stem")).as("n_stems"))
+    }),
+
+    // Lexical richness per source: TTR, Yule's K, Simpson's D off
+    // one token spectrum.
+    "q348_lexical_richness" -> ((s, dir) =>
+      Corpus.lexicalRichness(t(s, dir, "documents"), "source",
+        "text")),
+
+    // Randomized-response debias: bits flipped with known p = 1/4
+    // (deterministic hash coin), true >=400-chars rate recovered
+    // with the widened Wald CI.
+    "q349_rand_response" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"),
+          ((col("n_chars") >= 400L) =!=
+            (hashMod("rr", col("doc_id"), 4L) === 0L)).as("obs"))
+      Privacy.randomizedResponse(d, "source", "obs", flipProb = 0.25)
     })
   )
 
@@ -12541,7 +12573,90 @@ object SparkEntry {
 
     "q345_holt_winters" -> holtWintersOracleSql,
 
-    "q346_neighborhood" -> neighborhoodOracleSql)
+    "q346_neighborhood" -> neighborhoodOracleSql,
+
+    "q347_sstem" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '\s+'), t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, w,
+        |    CASE WHEN len(w) >= 4 AND w LIKE '%ies'
+        |        AND (w LIKE '%eies' OR w LIKE '%aies') THEN w
+        |    WHEN len(w) >= 4 AND w LIKE '%ies'
+        |      THEN substr(w, 1, len(w) - 3) || 'y'
+        |    WHEN len(w) >= 4 AND w LIKE '%es'
+        |        AND (w LIKE '%aes' OR w LIKE '%ees'
+        |          OR w LIKE '%oes') THEN w
+        |    WHEN len(w) >= 4 AND w LIKE '%es'
+        |      THEN substr(w, 1, len(w) - 1)
+        |    WHEN len(w) >= 4 AND w LIKE '%s'
+        |        AND w NOT LIKE '%us' AND w NOT LIKE '%ss'
+        |      THEN substr(w, 1, len(w) - 1)
+        |    ELSE w END AS stem
+        |  FROM tok)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN stem <> w THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(count(DISTINCT stem) AS BIGINT) AS n_stems
+        |FROM st GROUP BY 1""".stripMargin,
+
+    "q348_lexical_richness" ->
+      """WITH tok AS (
+        |  SELECT source AS g,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '\s+'), t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT g, w, CAST(count(*) AS BIGINT) AS r
+        |  FROM tok GROUP BY 1, 2),
+        |a AS (
+        |  SELECT g, CAST(sum(r) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    sum(CAST(r AS HUGEINT) * r) AS s2,
+        |    sum(CAST(r AS HUGEINT) * (r - 1)) AS s11
+        |  FROM c GROUP BY 1)
+        |SELECT g AS source, n_tokens, n_types,
+        |  CAST(round(1e6 * CAST(n_types AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS ttr_micro,
+        |  CAST(round(1e10 * CAST(s2 - n_tokens AS DOUBLE)
+        |    / (CAST(n_tokens AS DOUBLE) * n_tokens)) AS BIGINT)
+        |    AS yule_k_micro,
+        |  CASE WHEN n_tokens > 1 THEN
+        |    CAST(round(1e6 * CAST(s11 AS DOUBLE)
+        |      / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1.0)))
+        |      AS BIGINT) END AS simpson_micro
+        |FROM a""".stripMargin,
+
+    "q349_rand_response" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    (n_chars >= 400) <> (CAST(('0x' || substr(md5('rr:'
+        |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+        |      = 0) AS obs
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos
+        |  FROM b GROUP BY 1),
+        |a2 AS (
+        |  SELECT source, n, n_pos,
+        |    ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) - 0.25)
+        |      / 0.5 AS pi,
+        |    sqrt((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(n AS DOUBLE)) / 0.5 AS se
+        |  FROM a)
+        |SELECT source, n, n_pos,
+        |  CAST(round(1e6 * pi) AS BIGINT) AS pi_micro,
+        |  CAST(round(1e6 * (pi - 1.96 * se)) AS BIGINT)
+        |    AS ci_lo_micro,
+        |  CAST(round(1e6 * (pi + 1.96 * se)) AS BIGINT)
+        |    AS ci_hi_micro
+        |FROM a2""".stripMargin)
 
   /** q346's oracle: the exact pair census unrolled per radius and the
     * HyperBall register propagation (the hllDistinctSql register

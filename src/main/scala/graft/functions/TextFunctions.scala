@@ -28,6 +28,29 @@ object TextFunctions {
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Harman's S-stemmer (1991) — the three-rule English plural
+    * stripper: "…ies"→"…y" (unless eies/aies), "…es"→ drop the s
+    * (unless aes/ees/oes), "…s"→ drop (unless us/ss); words under 4
+    * chars pass through. One CASE chain of suffix tests — no
+    * dictionary, no loops — chosen over Porter exactly because every
+    * rule is a plain suffix predicate an oracle can mirror verbatim.
+    */
+  def sStem(w: Column): Column = {
+    def ends(s: String) = w.endsWith(lit(s))
+    val drop1 = w.substr(lit(1), length(w) - 1)
+    val ies = concat(w.substr(lit(1), length(w) - 3), lit("y"))
+    // A guard suffix TERMINATES its rule (the word stays) — it must
+    // not fall through to the bare-s rule, or "trees" loses its s.
+    when(length(w) >= 4 && ends("ies"),
+        when(ends("eies") || ends("aies"), w).otherwise(ies))
+      .when(length(w) >= 4 && ends("es"),
+        when(ends("aes") || ends("ees") || ends("oes"), w)
+          .otherwise(drop1))
+      .when(length(w) >= 4 && ends("s") &&
+        !ends("us") && !ends("ss"), drop1)
+      .otherwise(w)
+  }
+
   /** A BPE-ish proxy: alphanumeric runs (word pieces). Count of
     * Unicode letter/digit runs (`[\p{L}\p{N}]+`) in the lower-cased
     * text — NOT ASCII-only: a Cyrillic or CJK document must score

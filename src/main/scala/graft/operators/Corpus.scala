@@ -996,4 +996,41 @@ object Corpus {
         round(lit(1e6) * coalesce(col("__n1"), lit(0L)).cast("double") /
           col("__t").cast("double")).cast("long").as("p0_micro"))
   }
+
+  /** Lexical-richness census per group — the vocabulary-health
+    * numbers a corpus curator reads next to [[goodTuring]]'s
+    * spectrum: type-token ratio V/T, Yule's K = 10⁴·(Σr²N_r − T)/T²
+    * (repeat-rate, length-robust where TTR is not), and Simpson's
+    * D = Σr(r−1)N_r / (T(T−1)) (the probability two random tokens
+    * are the same type — boilerplate and template spam push it up).
+    * One token census + one spectrum fold, every sum exact
+    * DECIMAL(38,0), one micro-rounded divide per statistic.
+    * Output: (groupCol, n_tokens, n_types, ttr_micro, yule_k_micro,
+    * simpson_micro). */
+  def lexicalRichness(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.select(col(groupCol).as("__g"),
+        explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__g"), col("__w"))
+      .agg(count(lit(1)).as("__r"))
+    val t = col("n_tokens").cast("double")
+    counts.groupBy(col("__g"))
+      .agg(sum(col("__r")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum((col("__r").cast(dec) * col("__r")).cast(dec)).as("__s2"),
+        sum((col("__r").cast(dec) * (col("__r") - 1L)).cast(dec))
+          .as("__s11"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("n_types"),
+        round(lit(1e6) * col("n_types").cast("double") / t)
+          .cast("long").as("ttr_micro"),
+        round(lit(1e10) *
+          (col("__s2") - col("n_tokens").cast(dec)).cast("double") /
+          (t * t)).cast("long").as("yule_k_micro"),
+        when(col("n_tokens") > 1L,
+          round(lit(1e6) * col("__s11").cast("double") /
+            (t * (t - 1.0))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("simpson_micro"))
+  }
 }

@@ -317,4 +317,41 @@ object Privacy {
           (lit(2.0) * col("n").cast("double") *
             col("__N").cast("double"))).cast("long").as("t_micro")): _*)
   }
+
+  /** Randomized-response debiasing (Warner 1965, the RAPPOR
+    * primitive) — recover the TRUE positive rate from bits that were
+    * privatized by flipping each with a KNOWN probability p < 1/2:
+    * E[observed] = π(1−p) + (1−π)p, so π̂ = (q − p)/(1 − 2p) with
+    * q the observed rate, and the Wald interval scales by the same
+    * 1/(1−2p) (privacy costs precision, visibly). The census is two
+    * exact integers per group; π̂ and the CI bounds are the only
+    * floats, micro-rounded (π̂ may honestly leave [0,1] on small
+    * groups — reported raw, not clamped: a clamped estimator hides
+    * the noise floor the CI exists to show).
+    * Output: (groupCol, n, n_pos, pi_micro, ci_lo_micro,
+    * ci_hi_micro). */
+  def randomizedResponse(
+      df: DataFrame,
+      groupCol: String,
+      obsCol: String,
+      flipProb: Double): DataFrame = {
+    require(flipProb >= 0 && flipProb < 0.5,
+      "flipProb must be in [0, 0.5)")
+    val d = 1.0 - 2.0 * flipProb
+    val agg = df.filter(col(obsCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(obsCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_pos"))
+    val q = col("n_pos").cast("double") / col("n").cast("double")
+    val pi = (q - lit(flipProb)) / lit(d)
+    val se = sqrt(q * (lit(1.0) - q) / col("n").cast("double")) /
+      lit(d)
+    agg.select(col("__g").as(groupCol), col("n"), col("n_pos"),
+      round(lit(1e6) * pi).cast("long").as("pi_micro"),
+      round(lit(1e6) * (pi - lit(1.96) * se)).cast("long")
+        .as("ci_lo_micro"),
+      round(lit(1e6) * (pi + lit(1.96) * se)).cast("long")
+        .as("ci_hi_micro"))
+  }
 }

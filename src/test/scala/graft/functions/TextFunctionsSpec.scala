@@ -188,4 +188,22 @@ class TextFunctionsSpec extends SparkSpec {
           s"native=${native(i)} regex=${regex(i)}")
     }
   }
+
+  test("sStem: Harman's three rules and their guard suffixes") {
+    val cases = Seq(
+      "cities" -> "city", "stories" -> "story", // ies -> y
+      "movies" -> "movy", // the documented ies quirk, rules are rules
+      "boxes" -> "boxe", "classes" -> "classe", // es -> drop s
+      "trees" -> "trees", "goes" -> "goes", // ees/oes guards
+      "dogs" -> "dog", "cats" -> "cat", // s -> drop
+      "pass" -> "pass", "bus" -> "bus", // ss/us guards
+      "as" -> "as", "its" -> "its", // < 4 chars pass through
+      "data" -> "data") // no suffix
+    val got = cases.map(_._1).toDF("w")
+      .select(col("w"), TextFunctions.sStem(col("w")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (w, want) =>
+      assert(got(w) == want, s"$w -> ${got(w)}, want $want")
+    }
+  }
 }

@@ -485,4 +485,17 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L).isNullAt(got(3L).fieldIndex("r_star_micro")))
     assert(got(1L).getAs[Long]("p0_micro") == 375000L)
   }
+
+  test("lexicalRichness: textbook TTR, Yule's K, Simpson's D") {
+    // Tokens a:3 b:1 c:1 -> T=5 V=3, TTR .6,
+    // K = 1e4*(11-5)/25 = 2400, D = 6/20 = .3.
+    val docs = Seq(("g", "a a b"), ("g", "a c")).toDF("src", "text")
+    val r = Corpus.lexicalRichness(docs, "src", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    assert(r.getAs[Long]("n_types") == 3L)
+    assert(r.getAs[Long]("ttr_micro") == 600000L)
+    assert(r.getAs[Long]("yule_k_micro") == 2400000000L)
+    assert(r.getAs[Long]("simpson_micro") == 300000L)
+  }
 }

@@ -171,4 +171,25 @@ class PrivacySpec extends SparkSpec {
     assert(!got.keys.exists(_._1 == 4L))
     assert(got.size == 4)
   }
+
+  test("randomizedResponse: Warner debias and widened CI") {
+    import org.apache.spark.sql.functions.lit
+    // 40/100 observed positives under p = .25: pi = (.4-.25)/.5 = .3,
+    // se = sqrt(.4*.6/100)/.5.
+    val df = (1 to 100).map(i => ("g", i <= 40)).toDF("g", "obs")
+    val r = Privacy.randomizedResponse(df, "g", "obs", 0.25)
+      .collect().head
+    assert(r.getAs[Long]("n") == 100L && r.getAs[Long]("n_pos") == 40L)
+    assert(r.getAs[Long]("pi_micro") == 300000L)
+    val se = math.sqrt(0.4 * 0.6 / 100.0) / 0.5
+    assert(r.getAs[Long]("ci_lo_micro") ==
+      math.round(1e6 * (0.3 - 1.96 * se)))
+    assert(r.getAs[Long]("ci_hi_micro") ==
+      math.round(1e6 * (0.3 + 1.96 * se)))
+    // All-positive observations push pi past 1 — reported raw.
+    val hot = Seq(("h", true), ("h", true)).toDF("g", "obs")
+    val h = Privacy.randomizedResponse(hot, "g", "obs", 0.25)
+      .collect().head
+    assert(h.getAs[Long]("pi_micro") == 1500000L)
+  }
 }
