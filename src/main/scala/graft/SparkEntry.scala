@@ -4915,7 +4915,36 @@ object SparkEntry {
           ((col("n_chars") >= 400L) =!=
             (hashMod("rr", col("doc_id"), 4L) === 0L)).as("obs"))
       Privacy.randomizedResponse(d, "source", "obs", flipProb = 0.25)
-    })
+    }),
+
+    // Mann-Kendall trend + Sen's slope per user value series:
+    // exact pairwise sign census, tie-corrected 18*Var, low-median
+    // slope in rank spacing, two-sided 5% verdict.
+    "q350_mann_kendall" -> ((s, dir) =>
+      TimeSeries.mannKendall(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "value", maxN = 512)),
+
+    // Theil T/L inequality per event type over the shifted value
+    // (value - 100 leaves a real mix of kept and quarantined rows).
+    "q351_theil" -> ((s, dir) =>
+      Profile.theilIndex(
+        t(s, dir, "events").select(col("event_type"),
+          (col("value") - lit(100.0)).as("v")),
+        "event_type", "v")),
+
+    // Dunning G^2 keyness of English vs non-English documents:
+    // exact token censuses, one micro-rounding, integer-sign
+    // direction.
+    "q352_keyness" -> ((s, dir) =>
+      Corpus.keyness(
+        t(s, dir, "documents").select(col("text"),
+          (col("lang") === "en").as("is_en")),
+        "text", "is_en", minTotal = 20L)),
+
+    // Chao1 + ACE unseen-vocabulary estimators per source, off the
+    // token frequency-of-frequencies spectrum.
+    "q353_chao1" -> ((s, dir) =>
+      Corpus.chao1Ace(t(s, dir, "documents"), "source", "text"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -12656,7 +12685,179 @@ object SparkEntry {
         |    AS ci_lo_micro,
         |  CAST(round(1e6 * (pi + 1.96 * se)) AS BIGINT)
         |    AS ci_hi_micro
-        |FROM a2""".stripMargin)
+        |FROM a2""".stripMargin,
+
+    "q350_mann_kendall" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, ts, event_id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      AS rk,
+        |    v
+        |  FROM b
+        |  QUALIFY rk <= 512),
+        |pairs AS (
+        |  SELECT a.k,
+        |    CAST(CASE WHEN t.v > a.v THEN 1 WHEN t.v < a.v THEN -1
+        |      ELSE 0 END AS BIGINT) AS sgn,
+        |    CAST(round(CAST(t.v - a.v AS DOUBLE)
+        |      / CAST(t.rk - a.rk AS DOUBLE)) AS BIGINT) AS slope
+        |  FROM r a JOIN r t ON a.k = t.k AND a.rk < t.rk),
+        |sagg AS (
+        |  SELECT k, CAST(sum(sgn) AS BIGINT) AS s_stat,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM pairs GROUP BY 1),
+        |sen AS (
+        |  SELECT p.k, p.slope AS sen_micro FROM (
+        |    SELECT k, slope,
+        |      row_number() OVER (PARTITION BY k ORDER BY slope) AS rn
+        |    FROM pairs) p
+        |  JOIN sagg ON p.k = sagg.k AND p.rn = (sagg.m + 1) // 2),
+        |nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM r
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT k, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |    AS tie18
+        |  FROM (SELECT k, v, CAST(count(*) AS BIGINT) AS t FROM r
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |fin AS (
+        |  SELECT nn.k, nn.n, sagg.s_stat,
+        |    nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie18 AS var18,
+        |    sen.sen_micro
+        |  FROM nn JOIN ties USING (k) JOIN sagg ON nn.k = sagg.k
+        |  JOIN sen ON nn.k = sen.k),
+        |z AS (
+        |  SELECT *,
+        |    CASE WHEN var18 > 0 THEN
+        |      CAST(round(1e6 * (CAST(s_stat AS DOUBLE)
+        |        - CAST(sign(s_stat) AS DOUBLE))
+        |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT)
+        |    END AS z_micro
+        |  FROM fin)
+        |SELECT k AS user_id, n, s_stat, var18, sen_micro, z_micro,
+        |  CASE WHEN z_micro > 1959964 THEN 1
+        |    WHEN z_micro < -1959964 THEN -1
+        |    WHEN z_micro IS NOT NULL THEN 0 END AS trend
+        |FROM z""".stripMargin,
+
+    "q351_theil" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value - 100.0 AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS v
+        |  FROM events),
+        |spine AS (
+        |  SELECT g, CAST(sum(CASE WHEN v IS NULL OR v <= 0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_dropped
+        |  FROM b GROUP BY 1),
+        |base AS (SELECT g, v FROM b WHERE v > 0),
+        |tot AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS tot
+        |  FROM base GROUP BY 1),
+        |terms AS (
+        |  SELECT base.g,
+        |    sum(CAST(round(1e6 * (CAST(v AS DOUBLE)
+        |      * CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+        |      * ln(CAST(v AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / CAST(tot AS DOUBLE))) AS HUGEINT)) AS st,
+        |    sum(CAST(round(1e6 * ln(CAST(v AS DOUBLE)
+        |      * CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)))
+        |      AS HUGEINT)) AS sl
+        |  FROM base JOIN tot USING (g) GROUP BY 1)
+        |SELECT spine.g AS event_type, coalesce(tot.n, 0) AS n,
+        |  spine.n_dropped, tot.tot AS total_micro,
+        |  CAST(round(CAST(st AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |    AS BIGINT) AS theil_t_micro,
+        |  CAST(round(-CAST(sl AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |    AS BIGINT) AS theil_l_micro
+        |FROM spine LEFT JOIN tot ON spine.g = tot.g
+        |LEFT JOIN terms ON spine.g = terms.g""".stripMargin,
+
+    "q352_keyness" ->
+      """WITH tok AS (
+        |  SELECT (lang = 'en') AS f,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |c0 AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_focus,
+        |    CAST(sum(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS c_ref
+        |  FROM tok GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(CAST(c_focus AS HUGEINT)) AS ca,
+        |    sum(CAST(c_ref AS HUGEINT)) AS cb
+        |  FROM c0),
+        |c AS (
+        |  SELECT * FROM c0 WHERE c_focus + c_ref >= 20)
+        |SELECT token, c_focus, c_ref,
+        |  CAST(round(2e6 * (
+        |    (CASE WHEN c_focus > 0 THEN CAST(c_focus AS DOUBLE)
+        |      * ln(CAST(c_focus AS DOUBLE)
+        |        * (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+        |        / ((CAST(c_focus AS DOUBLE) + CAST(c_ref AS DOUBLE))
+        |          * CAST(ca AS DOUBLE))) ELSE 0.0 END)
+        |    + (CASE WHEN c_ref > 0 THEN CAST(c_ref AS DOUBLE)
+        |      * ln(CAST(c_ref AS DOUBLE)
+        |        * (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+        |        / ((CAST(c_focus AS DOUBLE) + CAST(c_ref AS DOUBLE))
+        |          * CAST(cb AS DOUBLE))) ELSE 0.0 END)))
+        |    AS BIGINT) AS g2_micro,
+        |  CAST(sign(CAST(CAST(c_focus AS HUGEINT) * cb
+        |    - CAST(c_ref AS HUGEINT) * ca AS DOUBLE)) AS INTEGER)
+        |    AS direction
+        |FROM c, tot""".stripMargin,
+
+    "q353_chao1" ->
+      """WITH tok AS (
+        |  SELECT source AS g,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '\s+'), t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT g, w, CAST(count(*) AS BIGINT) AS r
+        |  FROM tok GROUP BY 1, 2),
+        |a AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS s_obs,
+        |    CAST(sum(r) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1,
+        |    CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f2,
+        |    CAST(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS srare,
+        |    CAST(sum(CASE WHEN r <= 10 THEN r ELSE 0 END) AS BIGINT)
+        |      AS nrare,
+        |    sum(CASE WHEN r <= 10 THEN CAST(r AS HUGEINT) * (r - 1)
+        |      ELSE 0 END) AS sumrr1
+        |  FROM cnt GROUP BY 1),
+        |a2 AS (
+        |  SELECT *, 1.0 - CAST(f1 AS DOUBLE) / CAST(nrare AS DOUBLE)
+        |    AS chat
+        |  FROM a),
+        |a3 AS (
+        |  SELECT *, greatest(0.0, CAST(srare AS DOUBLE)
+        |    * CAST(sumrr1 AS DOUBLE)
+        |    / (chat * CAST(nrare AS DOUBLE)
+        |      * (CAST(nrare AS DOUBLE) - 1.0)) - 1.0) AS gamma2
+        |  FROM a2)
+        |SELECT g AS source, s_obs, n_tokens, f1, f2,
+        |  1000000 * s_obs + CAST(round(1e6
+        |    * CAST(f1 * (f1 - 1) AS DOUBLE)
+        |    / CAST(2 * (f2 + 1) AS DOUBLE)) AS BIGINT) AS chao1_micro,
+        |  CASE WHEN nrare > 1 AND f1 < nrare THEN
+        |    1000000 * (s_obs - srare) + CAST(round(1e6
+        |      * (CAST(srare AS DOUBLE) / chat
+        |        + CAST(f1 AS DOUBLE) * gamma2 / chat)) AS BIGINT)
+        |  END AS ace_micro
+        |FROM a3""".stripMargin)
 
   /** q346's oracle: the exact pair census unrolled per radius and the
     * HyperBall register propagation (the hllDistinctSql register

@@ -1033,4 +1033,117 @@ object Corpus {
             (t * (t - 1.0))).cast("long"))
           .otherwise(lit(null).cast("long")).as("simpson_micro"))
   }
+
+  /** Dunning log-likelihood keyness (Dunning 1993's G² — the corpus-
+    * linguistics "what words characterize THIS slice" ranking, and
+    * the significance-aware cousin of a plain frequency-ratio):
+    * split the corpus by the boolean `focusCol`, census each token's
+    * occurrences a (focus) / b (reference) against the subcorpus
+    * totals A / B, and score
+    *
+    *   G² = 2·( a·ln(a/E₁) + b·ln(b/E₂) ),  Eᵢ = (a+b)·{A,B}/(A+B)
+    *
+    * with zero-count terms dropping out exactly (x·ln x → 0). The
+    * two ln ratios are single IEEE chains over exact integer counts
+    * (the totals ride one broadcast row), and ONE micro-rounding at
+    * the end; `direction` is the sign of the EXACT integer cross
+    * product a·B − b·A (+1 = over-represented in focus), so the
+    * verdict never hangs on a float. Tokens below `minTotal`
+    * combined occurrences are dropped — the bounded-output guard
+    * that keeps the result model-sized, censused per call by the
+    * caller's spectrum if needed.
+    *
+    * Scale: one (token, focus) hash-agg (map-side combinable), the
+    * 1-row totals broadcast, then a scalar map. No windows, no
+    * joins wider than the token census.
+    * Output: (token, c_focus, c_ref, g2_micro, direction). */
+  def keyness(
+      df: DataFrame,
+      textCol: String,
+      focusCol: String,
+      minTotal: Long = 20L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cens = df.select(col(focusCol).cast("boolean").as("__f"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("__f"), 1L).otherwise(0L)).as("c_focus"),
+        sum(when(col("__f"), 0L).otherwise(1L)).as("c_ref"))
+    // A/B are the FULL subcorpus token totals — the minTotal cut
+    // bounds the OUTPUT, it must not bias the expected frequencies.
+    val tot = cens.agg(sum(col("c_focus").cast(dec)).as("__ca"),
+      sum(col("c_ref").cast(dec)).as("__cb"))
+    val tok = cens.filter(col("c_focus") + col("c_ref") >= minTotal)
+    val a = col("c_focus").cast("double")
+    val b = col("c_ref").cast("double")
+    val ta = col("__ca").cast("double")
+    val tb = col("__cb").cast("double")
+    val term1 = when(col("c_focus") > 0L,
+      a * log(a * (ta + tb) / ((a + b) * ta))).otherwise(lit(0.0))
+    val term2 = when(col("c_ref") > 0L,
+      b * log(b * (ta + tb) / ((a + b) * tb))).otherwise(lit(0.0))
+    tok.crossJoin(broadcast(tot))
+      .select(col("token"), col("c_focus"), col("c_ref"),
+        round(lit(2e6) * (term1 + term2)).cast("long").as("g2_micro"),
+        signum((col("c_focus").cast(dec) * col("__cb") -
+          col("c_ref").cast(dec) * col("__ca")).cast("double"))
+          .cast("int").as("direction"))
+  }
+
+  /** Chao1 + ACE species-richness estimators per group — "how many
+    * token types does this source REALLY have, counting the ones we
+    * haven't crawled yet": the unseen-vocabulary companions to
+    * [[goodTuring]]'s adjusted counts, both driven entirely by the
+    * frequency-of-frequencies spectrum. Bias-corrected Chao1 =
+    * S_obs + f₁(f₁−1)/(2(f₂+1)) (exact integers into one rounded
+    * divide — defined even at f₂ = 0). ACE splits the spectrum at
+    * r ≤ 10 (rare) vs r > 10 (abundant): coverage Ĉ = 1 − f₁/N_rare,
+    * γ̂² = max(S_rare·Σr(r−1)N_r / (Ĉ·N_rare·(N_rare−1)) − 1, 0),
+    * ACE = S_abund + S_rare/Ĉ + f₁·γ̂²/Ĉ — each factor a single
+    * IEEE step over exact spectrum sums, micro-rounded once; groups
+    * with no coverage signal (N_rare ≤ 1 or Ĉ ≤ 0, e.g. every rare
+    * type a singleton) report NULL ace_micro rather than a division
+    * blow-up (stated).
+    *
+    * Scale: token census → spectrum census (both map-side
+    * combinable hash-aggs), then per-group scalar algebra on ≤ a
+    * handful of exact sums. Output: (groupCol, s_obs, n_tokens, f1,
+    * f2, chao1_micro, ace_micro). */
+  def chao1Ace(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.select(col(groupCol).as("__g"),
+        explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__g"), col("__w"))
+      .agg(count(lit(1)).as("__r"))
+    val agg = counts.groupBy(col("__g")).agg(
+      count(lit(1)).as("s_obs"),
+      sum(col("__r")).as("n_tokens"),
+      sum(when(col("__r") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("__r") === 2L, 1L).otherwise(0L)).as("f2"),
+      sum(when(col("__r") <= 10L, 1L).otherwise(0L)).as("__sRare"),
+      sum(when(col("__r") <= 10L, col("__r")).otherwise(0L))
+        .as("__nRare"),
+      sum(when(col("__r") <= 10L,
+        (col("__r").cast(dec) * (col("__r") - 1L)).cast(dec))
+        .otherwise(lit(0L).cast(dec))).as("__sumRr1"))
+    val cHat = lit(1.0) - col("f1").cast("double") /
+      col("__nRare").cast("double")
+    val gamma2 = greatest(lit(0.0),
+      col("__sRare").cast("double") * col("__sumRr1").cast("double") /
+        (cHat * col("__nRare").cast("double") *
+          (col("__nRare").cast("double") - 1.0)) - 1.0)
+    agg.select(col("__g").as(groupCol), col("s_obs"), col("n_tokens"),
+      col("f1"), col("f2"),
+      (lit(1000000L) * col("s_obs") +
+        round(lit(1e6) * (col("f1") * (col("f1") - 1L)).cast("double") /
+          (lit(2L) * (col("f2") + 1L)).cast("double")).cast("long"))
+        .as("chao1_micro"),
+      when(col("__nRare") > 1L && col("f1") < col("__nRare"),
+        lit(1000000L) * (col("s_obs") - col("__sRare")) +
+          round(lit(1e6) * (col("__sRare").cast("double") / cHat +
+            col("f1").cast("double") * gamma2 / cHat)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("ace_micro"))
+  }
 }

@@ -318,6 +318,57 @@ object Profile {
             .cast("long")).as("hhi_micro"))
   }
 
+  /** Theil inequality indices per group — the decomposable entropy
+    * pair next to [[concentration]]'s Gini: Theil T =
+    * (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ) (top-sensitive) and Theil L (mean log
+    * deviation) = (1/n)·Σ ln(μ/xᵢ) (bottom-sensitive); both 0 on a
+    * perfectly equal group, both additive across subgroups — which
+    * is why a mixture owner prefers them to Gini when asking "how
+    * much of my token-mass inequality is BETWEEN sources vs within".
+    * Values micro-quantize per row; strictly-positive rows enter
+    * (ln needs x > 0) and the rest surface in n_dropped off a
+    * pre-filter group spine, never silently ([[lorenzBuckets]]'s
+    * convention — an all-dropped group keeps one NULL-index row).
+    * Each row's term is ONE short IEEE chain over exact integers
+    * (ratio = x·n/total, then ratio·ln ratio and ln ratio), micro-
+    * rounded per row so the sums are exact Longs; the final /n are
+    * single rounded divides. All-equal groups hit ln(1) = 0 exactly.
+    *
+    * Scale: one group census (n, total) joined back to the rows —
+    * census-sized build side — then one hash-agg. No windows.
+    * Output: (groupCol, n, n_dropped, total_micro, theil_t_micro,
+    * theil_l_micro). */
+  def theilIndex(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val all = df.select(col(groupCol).as("__g"),
+      round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+        .as("__v"))
+    val spine = all.groupBy(col("__g"))
+      .agg(sum(when(col("__v").isNull || col("__v") <= 0L, 1L)
+        .otherwise(0L)).as("n_dropped"))
+    val base = all.filter(col("__v") > 0L)
+    val tot = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__v").cast(dec)).as("__tot"))
+    val ratio = col("__v").cast("double") * col("n").cast("double") /
+      col("__tot").cast("double")
+    val terms = base.join(tot, Seq("__g"))
+      .select(col("__g"),
+        round(lit(1e6) * ratio * log(ratio)).cast("long").as("__tt"),
+        round(lit(1e6) * log(ratio)).cast("long").as("__tl"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__tt").cast(dec)).as("__st"),
+        sum(col("__tl").cast(dec)).as("__sl"))
+    spine.join(tot.join(terms, Seq("__g")), Seq("__g"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("n"), lit(0L)).as("n"), col("n_dropped"),
+        col("__tot").cast(dec).as("total_micro"),
+        round(col("__st").cast("double") / col("n").cast("double"))
+          .cast("long").as("theil_t_micro"),
+        round(-col("__sl").cast("double") / col("n").cast("double"))
+          .cast("long").as("theil_l_micro"))
+  }
+
   /** Calibration reliability bins — "when the model says 0.8, is it
     * right 80% of the time": equal-width bins over a MICRO-quantized
     * score in [0, 1e6], each with its exact count, mean claimed

@@ -1032,4 +1032,99 @@ object TimeSeries {
         (col("__y") - col("trend_micro") - col("seasonal_micro"))
           .as("resid_micro"))
   }
+
+  /** Mann–Kendall trend test + Sen's slope per key — the
+    * distribution-free "is this metric drifting" monitor (the
+    * hydrology-standard answer to [[groupTrend]]'s parametric OLS
+    * slope: no normality assumption, robust to outliers and ties).
+    * The series is ordered by (tsCol, idCol) and micro-quantized;
+    * S = Σ_{i<j} sgn(v_j − v_i) is an exact integer pair census,
+    * Var(S) carries the standard tie correction as the exact integer
+    * 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and z applies the
+    * ±1 continuity correction with ONE IEEE sqrt + divide over
+    * those exact integers, micro-rounded. Sen's slope is the LOW
+    * median of the m = n(n−1)/2 pairwise slopes (v_j − v_i)/(j − i)
+    * in RANK spacing (regular-cadence convention — resample first
+    * via [[resampleGapFill]] when the grid is irregular), each
+    * slope micro-rounded before the order statistic so the median
+    * is an integer selection, engine-exact.
+    *
+    * Scale: the pair census is inherently quadratic per series, so
+    * each key is TRUNCATED to its first `maxN` points (rank ≤ maxN
+    * after ordering) — the per-key cost is then a hard maxN²/2 bound
+    * regardless of how hot the key is, and `n` in the output shows
+    * exactly what was used (n == maxN ⇒ truncation happened; window
+    * or resample upstream for a longer memory). The self-join is an
+    * equi-join on the key; everything downstream is key-census
+    * sized. Keys with fewer than 2 usable points are absent; an
+    * all-tied series reports s_stat 0, var18 0, NULL z, NULL trend.
+    *
+    * Output: (keyCol, n, s_stat, var18, sen_micro, z_micro, trend)
+    * with trend ∈ {−1, 0, 1} at the two-sided 5% gate
+    * (|z| > 1.959964, literal). */
+  def mannKendall(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      maxN: Int = 512): DataFrame = {
+    require(maxN >= 2, "maxN must be at least 2")
+    val cur = Dedup.truncate(
+      Ranking.groupRank(
+        df.filter(col(valueCol).isNotNull)
+          .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+            col(idCol).as("__id"),
+            round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+              .as("__v")),
+        "__k", Seq("__ts", "__id"))
+        .filter(col("rank") <= maxN.toLong)
+        .select(col("__k"), col("rank"), col("__v")))
+    val a = cur.select(col("__k"), col("rank").as("__ri"),
+      col("__v").as("__vi"))
+    val b = cur.select(col("__k"), col("rank").as("__rj"),
+      col("__v").as("__vj"))
+    val pairs = a.join(b, Seq("__k")).filter(col("__ri") < col("__rj"))
+      .select(col("__k"),
+        signum(col("__vj") - col("__vi")).cast("long").as("__sgn"),
+        round((col("__vj") - col("__vi")).cast("double") /
+          (col("__rj") - col("__ri")).cast("double")).cast("long")
+          .as("__slope"))
+    val sAgg = pairs.groupBy(col("__k"))
+      .agg(sum(col("__sgn")).as("s_stat"),
+        count(lit(1)).as("__m"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__slope"))
+    val sen = pairs.withColumn("__rn", row_number().over(w))
+      .join(sAgg.select(col("__k"),
+        floor((col("__m") + 1L) / 2L).cast("long").as("__mid")),
+        Seq("__k"))
+      .filter(col("__rn") === col("__mid"))
+      .select(col("__k"), col("__slope").as("sen_micro"))
+    val nAgg = cur.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+    val ties = cur.groupBy(col("__k"), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__t") * (col("__t") - 1L) *
+        (lit(2L) * col("__t") + 5L)).as("__tie18"))
+    val zExpr = {
+      val sd = sqrt(col("var18").cast("double") / lit(18.0))
+      when(col("var18") > 0L,
+        round(lit(1e6) *
+          (col("s_stat").cast("double") -
+            signum(col("s_stat")).cast("double")) / sd).cast("long"))
+        .otherwise(lit(null).cast("long"))
+    }
+    nAgg.join(ties, Seq("__k")).join(sAgg, Seq("__k"))
+      .join(sen, Seq("__k"))
+      .withColumn("var18",
+        col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+          col("__tie18"))
+      .withColumn("z_micro", zExpr)
+      .select(col("__k").as(keyCol), col("n"), col("s_stat"),
+        col("var18"), col("sen_micro"), col("z_micro"),
+        when(col("z_micro") > 1959964L, lit(1))
+          .when(col("z_micro") < -1959964L, lit(-1))
+          .when(col("z_micro").isNotNull, lit(0))
+          .otherwise(lit(null).cast("int")).as("trend"))
+  }
 }

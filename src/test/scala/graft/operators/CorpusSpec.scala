@@ -498,4 +498,64 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Long]("yule_k_micro") == 2400000000L)
     assert(r.getAs[Long]("simpson_micro") == 300000L)
   }
+
+  test("keyness: balanced fixture - hand G2, zero-key token, signs") {
+    val df = Seq(
+      ("aa aa aa bb dd dd", true),
+      ("bb bb bb aa dd dd", false)).toDF("text", "f")
+    val got = Corpus.keyness(df, "text", "f", minTotal = 2L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // aa: a=3 b=1, A=B=6 -> G2 = 2(3 ln 1.5 + ln 0.5), over-focus.
+    val g2aa = math.round(
+      2e6 * (3.0 * math.log(1.5) + math.log(0.5)))
+    assert(got("aa").getAs[Long]("g2_micro") == g2aa)
+    assert(got("aa").getAs[Int]("direction") == 1)
+    // bb mirrors aa with the opposite sign.
+    assert(got("bb").getAs[Long]("g2_micro") == g2aa)
+    assert(got("bb").getAs[Int]("direction") == -1)
+    // dd: evenly split -> expected = observed, G2 exactly 0, sign 0.
+    assert(got("dd").getAs[Long]("g2_micro") == 0L)
+    assert(got("dd").getAs[Int]("direction") == 0)
+  }
+
+  test("keyness: minTotal bounds output but not the totals") {
+    val df = Seq(
+      ("aa aa aa bb cc cc", true),
+      ("bb bb bb aa", false)).toDF("text", "f")
+    val got = Corpus.keyness(df, "text", "f", minTotal = 3L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("cc")) // 2 < minTotal, dropped from OUTPUT
+    // ...but cc's mass still counts in A: A=6, B=4, N=10.
+    val a = 3.0; val b = 1.0; val bigA = 6.0; val bigB = 4.0
+    val n = bigA + bigB
+    val g2 = math.round(2e6 *
+      (a * math.log(a * n / ((a + b) * bigA)) +
+        b * math.log(b * n / ((a + b) * bigB))))
+    assert(got("aa").getAs[Long]("g2_micro") == g2)
+  }
+
+  test("chao1Ace: hand spectrum, singleton-only ACE NULL") {
+    // G: counts 1,1,2,3,12 -> f1=2 f2=1, rare(<=10) = 4 types/7 toks.
+    val gText = (Seq.fill(1)("t1") ++ Seq.fill(1)("t2") ++
+      Seq.fill(2)("t3") ++ Seq.fill(3)("t4") ++ Seq.fill(12)("t5"))
+      .mkString(" ")
+    val df = Seq(("G", gText), ("S", "a b c")).toDF("g", "text")
+    val got = Corpus.chao1Ace(df, "g", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("G")
+    assert(g.getAs[Long]("s_obs") == 5L &&
+      g.getAs[Long]("n_tokens") == 19L)
+    assert(g.getAs[Long]("f1") == 2L && g.getAs[Long]("f2") == 1L)
+    assert(g.getAs[Long]("chao1_micro") ==
+      5000000L + math.round(1e6 * 2.0 * 1.0 / 4.0))
+    val chat = 1.0 - 2.0 / 7.0
+    val gamma2 = math.max(0.0,
+      4.0 * 8.0 / (chat * 7.0 * 6.0) - 1.0)
+    assert(g.getAs[Long]("ace_micro") ==
+      1000000L + math.round(1e6 * (4.0 / chat + 2.0 * gamma2 / chat)))
+    val s = got("S")
+    // All singletons: coverage 0 -> ACE undefined, Chao1 still fires.
+    assert(s.getAs[Long]("chao1_micro") == 6000000L)
+    assert(s.isNullAt(s.fieldIndex("ace_micro")))
+  }
 }

@@ -1086,4 +1086,39 @@ class ProfileSpec extends SparkSpec {
     assert(g1.getAs[Long]("prior2_micro") !=
       g1.getAs[Long]("prior_micro"))
   }
+
+  test("theilIndex: hand T/L, equal-group zeros, all-dropped spine") {
+    val df = Seq(
+      // U: 1,3 -> T = (0.5 ln 0.5 + 1.5 ln 1.5)/2, L = 0.1438...
+      ("U", 1.0), ("U", 3.0),
+      // E: perfectly equal -> both indices exactly 0.
+      ("E", 2.0), ("E", 2.0), ("E", 2.0),
+      // M: one positive survivor (ratio 1 -> 0), two quarantined.
+      ("M", 5.0), ("M", 0.0), ("M", -2.0),
+      // D: nothing positive -> spine row with NULL indices.
+      ("D", -1.0), ("D", 0.0)).toDF("g", "v")
+    val got = Profile.theilIndex(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = got("U")
+    val t1 = math.round(1e6 * 0.5 * math.log(0.5))
+    val t2 = math.round(1e6 * 1.5 * math.log(1.5))
+    assert(u.getAs[Long]("theil_t_micro") ==
+      math.round((t1 + t2) / 2.0))
+    val l1 = math.round(1e6 * math.log(0.5))
+    val l2 = math.round(1e6 * math.log(1.5))
+    assert(u.getAs[Long]("theil_l_micro") ==
+      math.round(-(l1 + l2) / 2.0))
+    assert(u.getAs[Long]("n") == 2L && u.getAs[Long]("n_dropped") == 0L)
+    val e = got("E")
+    assert(e.getAs[Long]("theil_t_micro") == 0L &&
+      e.getAs[Long]("theil_l_micro") == 0L)
+    val m = got("M")
+    assert(m.getAs[Long]("n") == 1L && m.getAs[Long]("n_dropped") == 2L)
+    assert(m.getAs[Long]("theil_t_micro") == 0L &&
+      m.getAs[Long]("theil_l_micro") == 0L)
+    val d = got("D")
+    assert(d.getAs[Long]("n") == 0L && d.getAs[Long]("n_dropped") == 2L)
+    assert(d.isNullAt(d.fieldIndex("theil_t_micro")) &&
+      d.isNullAt(d.fieldIndex("theil_l_micro")))
+  }
 }

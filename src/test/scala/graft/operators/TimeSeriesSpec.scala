@@ -436,4 +436,66 @@ class TimeSeriesSpec extends SparkSpec {
         s"t=$i forecast $f vs ${actualNext}")
     }
   }
+
+  test("mannKendall: hand S/var/z/sen, all-tied NULLs, singleton absent") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    val df = (
+      // A: 1,2,3,4 strictly rising -> S=6, no ties, sen = 1e6/step.
+      Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+        ("A", at(i.toLong), i.toLong, v) } ++
+      // B: all tied -> S=0, var18=0, z/trend NULL, sen 0.
+      Seq(0, 1, 2).map(i => ("B", at(i.toLong), i.toLong, 5.0)) ++
+      // C: 3,2,1 falling -> S=-3, |z| < 1.96 -> trend 0.
+      Seq(3.0, 2.0, 1.0).zipWithIndex.map { case (v, i) =>
+        ("C", at(i.toLong), i.toLong, v) } ++
+      // D: a single point -> no pair, absent.
+      Seq(("D", at(0L), 0L, 9.9)) ++
+      // E: 10 strictly rising -> S=45, z=44/sqrt(125)=3.94 -> trend 1.
+      (0 until 10).map(i => ("E", at(i.toLong), i.toLong, i.toDouble))
+    ).toDF("k", "ts", "id", "v")
+    val got = TimeSeries.mannKendall(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("D"))
+    val a = got("A")
+    assert(a.getAs[Long]("n") == 4L && a.getAs[Long]("s_stat") == 6L)
+    assert(a.getAs[Long]("var18") == 4L * 3L * 13L)
+    assert(a.getAs[Long]("sen_micro") == 1000000L)
+    assert(a.getAs[Long]("z_micro") ==
+      math.round(1e6 * 5.0 / math.sqrt(156.0 / 18.0)))
+    // z = 5/2.9439 = 1.698 < 1.96: a perfect n=4 rise is still not
+    // significant under MK (needs n >= 5) -> verdict 0, not 1.
+    assert(a.getAs[Int]("trend") == 0)
+    val b = got("B")
+    assert(b.getAs[Long]("s_stat") == 0L && b.getAs[Long]("var18") == 0L)
+    assert(b.isNullAt(b.fieldIndex("z_micro")) &&
+      b.isNullAt(b.fieldIndex("trend")))
+    assert(b.getAs[Long]("sen_micro") == 0L)
+    val c = got("C")
+    assert(c.getAs[Long]("s_stat") == -3L &&
+      c.getAs[Long]("var18") == 66L)
+    assert(c.getAs[Long]("sen_micro") == -1000000L)
+    assert(c.getAs[Long]("z_micro") ==
+      math.round(1e6 * -2.0 / math.sqrt(66.0 / 18.0)))
+    assert(c.getAs[Int]("trend") == 0)
+    val e = got("E")
+    assert(e.getAs[Long]("s_stat") == 45L &&
+      e.getAs[Long]("var18") == 10L * 9L * 25L)
+    assert(e.getAs[Long]("z_micro") ==
+      math.round(1e6 * 44.0 / math.sqrt(125.0)))
+    assert(e.getAs[Int]("trend") == 1)
+  }
+
+  test("mannKendall: maxN truncates to the series head") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    // Head 1,2,3 rises; the tail would flip the verdict if counted.
+    val df = Seq(1.0, 2.0, 3.0, -50.0, -60.0, -70.0).zipWithIndex
+      .map { case (v, i) => ("T", at(i.toLong), i.toLong, v) }
+      .toDF("k", "ts", "id", "v")
+    val r = TimeSeries.mannKendall(df, "k", "ts", "id", "v", maxN = 3)
+      .head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("s_stat") == 3L)
+    assert(r.getAs[Long]("sen_micro") == 1000000L)
+  }
 }
