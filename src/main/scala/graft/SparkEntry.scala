@@ -4944,7 +4944,26 @@ object SparkEntry {
     // Chao1 + ACE unseen-vocabulary estimators per source, off the
     // token frequency-of-frequencies spectrum.
     "q353_chao1" -> ((s, dir) =>
-      Corpus.chao1Ace(t(s, dir, "documents"), "source", "text"))
+      Corpus.chao1Ace(t(s, dir, "documents"), "source", "text")),
+
+    // Wald-Wolfowitz runs test per event type: low-median
+    // dichotomy, window-free run transitions, exact variance
+    // polynomials into one sqrt.
+    "q354_runs_test" -> ((s, dir) =>
+      TimeSeries.runsTest(t(s, dir, "events"), "event_type", "ts",
+        "event_id", "value")),
+
+    // Bartlett equal-variance test of n_chars across languages per
+    // source: per-arm quantized ln terms, exact cross-arm sums.
+    "q355_bartlett" -> ((s, dir) =>
+      Profile.bartlett(t(s, dir, "documents"), "source", "lang",
+        "n_chars")),
+
+    // Burrows' Delta stylometric distance between sources over the
+    // top-50 marker tokens: dense rate grid, quantized z-scores.
+    "q356_burrows_delta" -> ((s, dir) =>
+      Corpus.burrowsDelta(t(s, dir, "documents"), "source", "text",
+        topK = 50))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -12857,7 +12876,162 @@ object SparkEntry {
         |      * (CAST(srare AS DOUBLE) / chat
         |        + CAST(f1 AS DOUBLE) * gamma2 / chat)) AS BIGINT)
         |  END AS ace_micro
-        |FROM a3""".stripMargin)
+        |FROM a3""".stripMargin,
+
+    "q354_runs_test" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, ts, event_id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      AS r0,
+        |    v
+        |  FROM b),
+        |m AS (
+        |  SELECT k, v AS med FROM (
+        |    SELECT k, v,
+        |      row_number() OVER (PARTITION BY k ORDER BY v) AS vr,
+        |      count(*) OVER (PARTITION BY k) AS n
+        |    FROM r)
+        |  WHERE vr = (n + 1) // 2),
+        |f AS (
+        |  SELECT r.k, r.r0,
+        |    CASE WHEN v > med THEN 1 WHEN v < med THEN 0 END AS up
+        |  FROM r JOIN m ON r.k = m.k),
+        |counts AS (
+        |  SELECT k,
+        |    CAST(sum(CASE WHEN up = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    CAST(sum(CASE WHEN up = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_below,
+        |    CAST(sum(CASE WHEN up IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dropped
+        |  FROM f GROUP BY 1),
+        |kept AS (
+        |  SELECT k, up,
+        |    row_number() OVER (PARTITION BY k ORDER BY r0) AS rk
+        |  FROM f WHERE up IS NOT NULL),
+        |ch AS (
+        |  SELECT a.k,
+        |    CAST(sum(CASE WHEN a.up <> p.up THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nch
+        |  FROM kept a JOIN kept p ON a.k = p.k AND a.rk = p.rk + 1
+        |  GROUP BY 1),
+        |fin AS (
+        |  SELECT counts.k, n_above, n_below, n_dropped,
+        |    CASE WHEN n_above + n_below > 0
+        |      THEN coalesce(nch, 0) + 1 END AS runs,
+        |    2 * CAST(n_above AS HUGEINT) * n_below AS twoab,
+        |    CAST(n_above + n_below AS HUGEINT) AS ntot
+        |  FROM counts LEFT JOIN ch ON counts.k = ch.k)
+        |SELECT k AS event_type, n_above, n_below, n_dropped, runs,
+        |  CASE WHEN runs IS NOT NULL
+        |    AND twoab * (twoab - ntot) > 0 THEN
+        |    CAST(round(1e6 * (CAST(runs AS DOUBLE)
+        |      - (CAST(twoab AS DOUBLE) / CAST(ntot AS DOUBLE) + 1.0))
+        |      / sqrt(CAST(twoab * (twoab - ntot) AS DOUBLE)
+        |        / CAST(ntot * ntot * (ntot - 1) AS DOUBLE)))
+        |      AS BIGINT)
+        |  END AS z_micro
+        |FROM fin""".stripMargin,
+
+    "q355_bartlett" ->
+      """WITH b AS (
+        |  SELECT source AS g, lang AS t,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |arms AS (
+        |  SELECT g, t, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s,
+        |    sum(CAST(v AS HUGEINT) * v) AS q
+        |  FROM b GROUP BY 1, 2),
+        |pa AS (
+        |  SELECT g, n,
+        |    CASE WHEN n * q - s * s > 0 THEN
+        |      CAST(round(1e6 * CAST(n - 1 AS DOUBLE)
+        |        * ln(CAST(n * q - s * s AS DOUBLE)
+        |          / CAST(n * (n - 1) AS DOUBLE))) AS BIGINT)
+        |    END AS term,
+        |    CASE WHEN n * q - s * s > 0 THEN 0 ELSE 1 END AS zv,
+        |    CAST(round(CAST(n * q - s * s AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) AS HUGEINT) AS w,
+        |    CAST(round(1e12 / CAST(n - 1 AS DOUBLE)) AS BIGINT)
+        |      AS inv
+        |  FROM arms WHERE n >= 2),
+        |ga AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(zv) AS BIGINT) AS n_zerovar,
+        |    CAST(sum(term) AS BIGINT) AS terms,
+        |    sum(w) AS sw, sum(CAST(inv AS HUGEINT)) AS sinv
+        |  FROM pa GROUP BY 1),
+        |dr AS (
+        |  SELECT g, CAST(sum(CASE WHEN n < 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped_arms
+        |  FROM arms GROUP BY 1)
+        |SELECT dr.g AS source, coalesce(k, 0) AS k,
+        |  coalesce(ga.n, 0) AS n, n_dropped_arms,
+        |  coalesce(n_zerovar, 0) AS n_zerovar,
+        |  CASE WHEN k >= 2 AND n_zerovar = 0 THEN
+        |    CAST(round(CAST(CAST(round(1e6
+        |        * CAST(ga.n - k AS DOUBLE)
+        |        * ln(CAST(sw AS DOUBLE) / CAST(ga.n - k AS DOUBLE)))
+        |        AS BIGINT) - terms AS DOUBLE)
+        |      / (1.0 + (CAST(sinv AS DOUBLE) / 1e12
+        |        - 1.0 / CAST(ga.n - k AS DOUBLE))
+        |        / (3.0 * CAST(k - 1 AS DOUBLE)))) AS BIGINT)
+        |  END AS chi2_micro,
+        |  CASE WHEN k >= 2 THEN
+        |    CAST(round(1e6 * (1.0 + (CAST(sinv AS DOUBLE) / 1e12
+        |      - 1.0 / CAST(ga.n - k AS DOUBLE))
+        |      / (3.0 * CAST(k - 1 AS DOUBLE)))) AS BIGINT)
+        |  END AS c_micro
+        |FROM dr LEFT JOIN ga ON dr.g = ga.g""".stripMargin,
+
+    "q356_burrows_delta" ->
+      """WITH tok AS (
+        |  SELECT source AS a,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '\s+'), t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT a, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT a, CAST(sum(c) AS BIGINT) AS t
+        |  FROM counts GROUP BY 1),
+        |top AS (
+        |  SELECT w FROM (
+        |    SELECT w, sum(CAST(c AS HUGEINT)) AS tot
+        |    FROM counts GROUP BY 1)
+        |  ORDER BY tot DESC, w ASC LIMIT 50),
+        |grid AS (
+        |  SELECT totals.a, top.w,
+        |    CAST(round(1e6 * CAST(coalesce(c, 0) AS DOUBLE)
+        |      / CAST(t AS DOUBLE)) AS BIGINT) AS f
+        |  FROM totals CROSS JOIN top
+        |  LEFT JOIN counts
+        |    ON counts.a = totals.a AND counts.w = top.w),
+        |stats AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS na,
+        |    CAST(sum(f) AS BIGINT) AS s,
+        |    sum(CAST(f AS HUGEINT) * f) AS q
+        |  FROM grid GROUP BY 1),
+        |z AS (
+        |  SELECT a, grid.w,
+        |    CAST(round(1e6 * CAST(f * na - s AS DOUBLE)
+        |      / sqrt(CAST(na * q - CAST(s AS HUGEINT) * s
+        |        AS DOUBLE))) AS BIGINT) AS z
+        |  FROM grid JOIN stats ON grid.w = stats.w
+        |  WHERE na * q - CAST(s AS HUGEINT) * s > 0)
+        |SELECT l.a AS author_a, r.a AS author_b,
+        |  CAST(count(*) AS BIGINT) AS k_used,
+        |  CAST(round(CAST(sum(abs(l.z - r.z)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS delta_micro
+        |FROM z l JOIN z r ON l.w = r.w AND l.a < r.a
+        |GROUP BY 1, 2""".stripMargin)
 
   /** q346's oracle: the exact pair census unrolled per radius and the
     * HyperBall register propagation (the hllDistinctSql register

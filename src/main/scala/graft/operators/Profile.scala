@@ -2427,6 +2427,88 @@ object Profile {
           .otherwise(lit(null).cast("long")).as("eps2_micro"))
   }
 
+  /** Bartlett's test of equal variances per group — the
+    * k-treatment homoscedasticity check that is SHARPER than
+    * [[brownForsythe]] when the data really are normal (and
+    * famously oversensitive when they are not — run both; BF is the
+    * robust verdict, Bartlett the powerful one):
+    *
+    *   χ² = [ (N−k)·ln S_p² − Σ (nᵢ−1)·ln Sᵢ² ] / C,
+    *   C  = 1 + ( Σ 1/(nᵢ−1) − 1/(N−k) ) / (3(k−1))
+    *
+    * Values micro-quantize per row; each arm's variance numerator
+    * nᵢ·Σv² − (Σv)² is an exact DECIMAL polynomial, and every
+    * cross-arm float SUM is quantized per arm first — the ln terms
+    * to micro, the pooled-variance contributions ssdᵢ/nᵢ to micro,
+    * the 1/(nᵢ−1) reciprocals to pico — then summed as exact
+    * integers (the [[brierDecomposition]] order-free-sum rule), so
+    * no arm ordering can move the result. Arms with nᵢ < 2 drop
+    * (censused in n_dropped_arms); an arm with ZERO variance makes
+    * ln Sᵢ² undefined, so the group's χ² is NULL and the arm count
+    * surfaces in n_zerovar — the caller sees exactly why. k < 2
+    * likewise reports NULL (nothing to compare).
+    *
+    * Scale: one (group, arm) hash-agg, then arm-census-sized
+    * algebra. Output: (groupCol, k, n, n_dropped_arms, n_zerovar,
+    * chi2_micro, c_micro). */
+  def bartlett(
+      df: DataFrame,
+      groupCol: String,
+      treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val arms = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(treatmentCol).as("__t"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast(dec)).as("__s"),
+        sum((col("__v").cast(dec) * col("__v")).cast(dec)).as("__q"))
+    val ssd = (col("__n") * col("__q") - col("__s") * col("__s"))
+      .cast(dec)
+    val lnVar = log(ssd.cast("double") /
+      (col("__n") * (col("__n") - 1L)).cast("double"))
+    val perArm = arms.filter(col("__n") >= 2L)
+      .select(col("__g"), col("__n"),
+        when(ssd > 0,
+          round(lit(1e6) * (col("__n") - 1L).cast("double") * lnVar)
+            .cast("long")).as("__term"),
+        when(ssd > 0, lit(0L)).otherwise(lit(1L)).as("__zv"),
+        round(ssd.cast("double") / col("__n").cast("double"))
+          .cast(dec).as("__w"),
+        round(lit(1e12) / (col("__n") - 1L).cast("double"))
+          .cast("long").as("__inv"))
+    val gAgg = perArm.groupBy(col("__g"))
+      .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(col("__zv")).as("n_zerovar"),
+        sum(col("__term")).as("__terms"),
+        sum(col("__w")).as("__sw"),
+        sum(col("__inv").cast(dec)).as("__sinv"))
+    val dropped = arms.groupBy(col("__g"))
+      .agg(sum(when(col("__n") < 2L, 1L).otherwise(0L))
+        .as("n_dropped_arms"))
+    val nk = (col("n") - col("k")).cast("double")
+    // __w carries the same micro² scale as lnVar's argument, so the
+    // ln-difference cancels the units exactly — no rescale here.
+    val lnSp = log(col("__sw").cast("double") / nk)
+    val cFactor = lit(1.0) +
+      (col("__sinv").cast("double") / lit(1e12) - lit(1.0) / nk) /
+        (lit(3.0) * (col("k") - 1L).cast("double"))
+    dropped.join(gAgg, Seq("__g"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("k"), lit(0L)).as("k"),
+        coalesce(col("n"), lit(0L)).as("n"), col("n_dropped_arms"),
+        coalesce(col("n_zerovar"), lit(0L)).as("n_zerovar"),
+        when(col("k") >= 2L && col("n_zerovar") === 0L,
+          round((round(lit(1e6) * nk * lnSp).cast("long") -
+            col("__terms")).cast("double") / cFactor).cast("long"))
+          .otherwise(lit(null).cast("long")).as("chi2_micro"),
+        when(col("k") >= 2L,
+          round(lit(1e6) * cFactor).cast("long"))
+          .otherwise(lit(null).cast("long")).as("c_micro"))
+  }
+
   /** Shared one-way-ANOVA kernel over an already micro-quantized
     * LongType value (columns __g, __t, __v): per-treatment exact
     * count/sum in DECIMAL(38,0); the between-groups sum of squares

@@ -1033,6 +1033,90 @@ object TimeSeries {
           .as("resid_micro"))
   }
 
+  /** Wald–Wolfowitz runs test per key — "is this series RANDOM
+    * around its center, or does it cluster/oscillate": dichotomize
+    * each (tsCol, idCol)-ordered value against the key's LOW MEDIAN
+    * (the value at position ⌈n/2⌉ — integer-exact, the
+    * [[Profile.brownForsythe]] convention; rows EQUAL to the median
+    * drop, censused in n_dropped), count the runs of consecutive
+    * same-side values, and score
+    *
+    *   z = (R − (2ab/N + 1)) / √( 2ab(2ab−N) / (N²(N−1)) )
+    *
+    * with a/b the above/below counts. Too few runs (z ≪ 0) means
+    * level-shift clustering; too many means anti-correlated
+    * oscillation — either way the "i.i.d. residuals" assumption
+    * behind naive control charts is broken. All counts and both
+    * variance polynomials are exact integers (DECIMAL against the
+    * 100 TB key); z is ONE sqrt + divide, micro-rounded. Degenerate
+    * keys — one side empty, or a = b = 1 (zero variance) — report
+    * NULL z; a key with NO off-median rows keeps its census row
+    * with NULL runs (stated).
+    *
+    * Scale: median via the (key, value) cell census +
+    * range-partitioned prefix (never a per-key sort window); run
+    * transitions via the re-rank + rank−1 self-equi-join (window-
+    * free). Output: (keyCol, n_above, n_below, n_dropped, runs,
+    * z_micro). */
+  def runsTest(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = Dedup.truncate(
+      Ranking.groupRank(
+        df.filter(col(valueCol).isNotNull)
+          .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+            col(idCol).as("__id"),
+            round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+              .as("__v")),
+        "__k", Seq("__ts", "__id"))
+        .select(col("__k"), col("rank").as("__r0"), col("__v")))
+    val cells = base.groupBy(col("__k"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val run = Ranking.groupRunningSum(cells, "__k", Seq("__v"), "__c")
+    val nPer = cells.groupBy(col("__k")).agg(sum(col("__c")).as("__n"))
+    val med = run.join(nPer, Seq("__k"))
+      .filter(col("running") >= expr("(__n + 1) div 2"))
+      .groupBy(col("__k")).agg(min(col("__v")).as("__med"))
+    val flags = base.join(med, Seq("__k"))
+      .select(col("__k"), col("__r0"),
+        when(col("__v") > col("__med"), 1L)
+          .when(col("__v") < col("__med"), 0L)
+          .otherwise(lit(null).cast("long")).as("__up"))
+    val counts = flags.groupBy(col("__k")).agg(
+      sum(when(col("__up") === 1L, 1L).otherwise(0L)).as("n_above"),
+      sum(when(col("__up") === 0L, 1L).otherwise(0L)).as("n_below"),
+      sum(when(col("__up").isNull, 1L).otherwise(0L)).as("n_dropped"))
+    val kept = Ranking.groupRank(flags.filter(col("__up").isNotNull),
+      "__k", Seq("__r0"))
+    val prev = kept.select(col("__k"), (col("rank") + 1L).as("rank"),
+      col("__up").as("__pu"))
+    val ch = kept.join(prev, Seq("__k", "rank"), "left")
+      .groupBy(col("__k"))
+      .agg(sum(when(col("__pu").isNotNull &&
+        col("__up") =!= col("__pu"), 1L).otherwise(0L)).as("__ch"))
+    val twoAb = (lit(2L) * col("n_above").cast(dec) * col("n_below"))
+      .cast(dec)
+    val nTot = (col("n_above") + col("n_below")).cast(dec)
+    val varNum = (twoAb * (twoAb - nTot)).cast(dec)
+    val varDen = (nTot * nTot * (nTot - 1L)).cast(dec)
+    counts.join(ch, Seq("__k"), "left")
+      .withColumn("runs",
+        when(col("__ch").isNotNull, col("__ch") + 1L))
+      .select(col("__k").as(keyCol), col("n_above"), col("n_below"),
+        col("n_dropped"), col("runs"),
+        when(col("runs").isNotNull && varNum > 0L,
+          round(lit(1e6) *
+            (col("runs").cast("double") -
+              (twoAb.cast("double") / nTot.cast("double") + lit(1.0))) /
+            sqrt(varNum.cast("double") / varDen.cast("double")))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("z_micro"))
+  }
+
   /** Mann–Kendall trend test + Sen's slope per key — the
     * distribution-free "is this metric drifting" monitor (the
     * hydrology-standard answer to [[groupTrend]]'s parametric OLS

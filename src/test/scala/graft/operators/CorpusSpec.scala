@@ -534,6 +534,33 @@ class CorpusSpec extends SparkSpec {
     assert(got("aa").getAs[Long]("g2_micro") == g2)
   }
 
+  test("burrowsDelta: hand z grid and pair distances") {
+    val df = Seq(
+      ("A", "x x x y"), ("B", "x y y y"), ("C", "x x y y"))
+      .toDF("a", "text")
+    val got = Corpus.burrowsDelta(df, "a", "text", topK = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // f(x) = (750000, 250000, 500000): var-num = 3.75e11,
+    // z = +-1224745 / 0; y mirrors. Delta(A,B) doubles Delta(A,C).
+    val zx = math.round(1e6 * 750000.0 / math.sqrt(3.75e11))
+    val ab = got(("A", "B"))
+    assert(ab.getAs[Long]("k_used") == 2L)
+    assert(ab.getAs[Long]("delta_micro") == 2L * zx)
+    assert(got(("A", "C")).getAs[Long]("delta_micro") == zx)
+    assert(got(("B", "C")).getAs[Long]("delta_micro") == zx)
+  }
+
+  test("burrowsDelta: zero-variance markers carry no signal") {
+    // 'w' has the same rate for both authors -> dropped; the two
+    // discriminating singles survive with unit z's.
+    val df = Seq(("P", "w a"), ("Q", "w b")).toDF("a", "text")
+    val r = Corpus.burrowsDelta(df, "a", "text", topK = 3).head()
+    assert(r.getString(0) == "P" && r.getString(1) == "Q")
+    assert(r.getAs[Long]("k_used") == 2L)
+    assert(r.getAs[Long]("delta_micro") == 2000000L)
+  }
+
   test("chao1Ace: hand spectrum, singleton-only ACE NULL") {
     // G: counts 1,1,2,3,12 -> f1=2 f2=1, rare(<=10) = 4 types/7 toks.
     val gText = (Seq.fill(1)("t1") ++ Seq.fill(1)("t2") ++

@@ -1087,6 +1087,40 @@ class ProfileSpec extends SparkSpec {
       g1.getAs[Long]("prior_micro"))
   }
 
+  test("bartlett: hand chi2/C, zero-variance arm NULL, k<2 NULL") {
+    val df = Seq(
+      // G arm a: 1,2,3 (var 1); arm b: 10,14 (var 8); arm c: dropped.
+      ("G", "a", 1.0), ("G", "a", 2.0), ("G", "a", 3.0),
+      ("G", "b", 10.0), ("G", "b", 14.0), ("G", "c", 99.0),
+      // Z: one healthy arm, one zero-variance arm -> chi2 NULL.
+      ("Z", "a", 1.0), ("Z", "a", 2.0), ("Z", "b", 5.0), ("Z", "b", 5.0),
+      // S: a single arm -> nothing to compare.
+      ("S", "a", 1.0), ("S", "a", 2.0)).toDF("g", "t", "v")
+    val got = Profile.bartlett(df, "g", "t", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("G")
+    assert(g.getAs[Long]("k") == 2L && g.getAs[Long]("n") == 5L &&
+      g.getAs[Long]("n_dropped_arms") == 1L)
+    // Replay the quantized pipeline in micro^2 units.
+    val ta = math.round(1e6 * 2.0 * math.log(6e12 / 6.0))
+    val tb = math.round(1e6 * 1.0 * math.log(16e12 / 2.0))
+    val sw = math.round(6e12 / 3.0) + math.round(16e12 / 2.0)
+    val t1 = math.round(1e6 * 3.0 * math.log(sw.toDouble / 3.0))
+    val sinv = math.round(1e12 / 2.0) + math.round(1e12 / 1.0)
+    val cf = 1.0 + (sinv / 1e12 - 1.0 / 3.0) / (3.0 * 1.0)
+    assert(g.getAs[Long]("chi2_micro") ==
+      math.round((t1 - (ta + tb)).toDouble / cf))
+    assert(g.getAs[Long]("c_micro") == math.round(1e6 * cf))
+    val z = got("Z")
+    assert(z.getAs[Long]("n_zerovar") == 1L &&
+      z.isNullAt(z.fieldIndex("chi2_micro")))
+    assert(!z.isNullAt(z.fieldIndex("c_micro")))
+    val s = got("S")
+    assert(s.getAs[Long]("k") == 1L &&
+      s.isNullAt(s.fieldIndex("chi2_micro")) &&
+      s.isNullAt(s.fieldIndex("c_micro")))
+  }
+
   test("theilIndex: hand T/L, equal-group zeros, all-dropped spine") {
     val df = Seq(
       // U: 1,3 -> T = (0.5 ln 0.5 + 1.5 ln 1.5)/2, L = 0.1438...

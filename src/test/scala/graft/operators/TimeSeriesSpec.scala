@@ -486,6 +486,46 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getAs[Int]("trend") == 1)
   }
 
+  test("runsTest: alternation vs clustering, median drops, degenerates") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    def series(k: String, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) => (k, at(i.toLong), i.toLong, v) }
+    val df = (
+      // R: kept pattern b,a,b,a,a -> 4 runs (low median 3 drops).
+      series("R", Seq(1, 4, 2, 5, 3, 6).map(_.toDouble)) ++
+      // C: kept pattern b,b,a,a,a -> 2 runs.
+      series("C", Seq(1, 2, 3, 10, 11, 12).map(_.toDouble)) ++
+      // E: all equal -> everything drops at the median, runs NULL.
+      series("E", Seq(7.0, 7.0, 7.0)) ++
+      // O: one-sided after the median drop -> zero variance.
+      series("O", Seq(1.0, 2.0))
+    ).toDF("k", "ts", "id", "v")
+    val got = TimeSeries.runsTest(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def z(runs: Long, a: Long, b: Long): Long = {
+      val twoab = 2.0 * a * b; val n = (a + b).toDouble
+      math.round(1e6 * (runs - (twoab / n + 1.0)) /
+        math.sqrt(twoab * (twoab - n) / (n * n * (n - 1.0))))
+    }
+    val r = got("R")
+    assert(r.getAs[Long]("n_above") == 3L &&
+      r.getAs[Long]("n_below") == 2L && r.getAs[Long]("n_dropped") == 1L)
+    assert(r.getAs[Long]("runs") == 4L)
+    assert(r.getAs[Long]("z_micro") == z(4L, 3L, 2L))
+    val c = got("C")
+    assert(c.getAs[Long]("runs") == 2L)
+    assert(c.getAs[Long]("z_micro") == z(2L, 3L, 2L))
+    assert(c.getAs[Long]("z_micro") < 0L) // clustering: too FEW runs
+    val e = got("E")
+    assert(e.getAs[Long]("n_dropped") == 3L &&
+      e.isNullAt(e.fieldIndex("runs")) &&
+      e.isNullAt(e.fieldIndex("z_micro")))
+    val o = got("O")
+    assert(o.getAs[Long]("runs") == 1L &&
+      o.isNullAt(o.fieldIndex("z_micro")))
+  }
+
   test("mannKendall: maxN truncates to the series head") {
     val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
