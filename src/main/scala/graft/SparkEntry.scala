@@ -4963,7 +4963,25 @@ object SparkEntry {
     // top-50 marker tokens: dense rate grid, quantized z-scores.
     "q356_burrows_delta" -> ((s, dir) =>
       Corpus.burrowsDelta(t(s, dir, "documents"), "source", "text",
-        topK = 50))
+        topK = 50)),
+
+    // Exact 1-NN within radius for every point (q174's fixture):
+    // bounded one-row-per-point output, NULL for isolated points.
+    "q357_nn_join" -> ((s, dir) => {
+      def coord(axis: String) = hashMod(axis, col("event_id"), 1000000L)
+      val pts = t(s, dir, "events").select(col("event_id").as("id"),
+        coord("x").as("x"), coord("y").as("y"))
+      Spatial.nnWithinRadius(pts, "id", "x", "y", radius = 5000)
+    }),
+
+    // Deterministic DBSCAN over the same point cloud: min-id
+    // clusters from core-core components, border attach, noise.
+    "q358_dbscan" -> ((s, dir) => {
+      def coord(axis: String) = hashMod(axis, col("event_id"), 1000000L)
+      val pts = t(s, dir, "events").select(col("event_id").as("id"),
+        coord("x").as("x"), coord("y").as("y"))
+      Spatial.dbscan(pts, "id", "x", "y", eps = 5000, minPts = 3)
+    })
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13031,7 +13049,101 @@ object SparkEntry {
         |  CAST(round(CAST(sum(abs(l.z - r.z)) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS delta_micro
         |FROM z l JOIN z r ON l.w = r.w AND l.a < r.a
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q357_nn_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS id,
+        |    CAST(('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 AS x,
+        |    CAST(('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 AS y
+        |  FROM events),
+        |pr AS (
+        |  SELECT id AS a, x AS ax, y AS ay,
+        |         x // 5000 + dx AS cx, y // 5000 + dy AS cy
+        |  FROM p, UNNEST([-1, 0, 1]) AS ox(dx),
+        |       UNNEST([-1, 0, 1]) AS oy(dy)),
+        |bu AS (SELECT id AS b, x AS bx, y AS by,
+        |         x // 5000 AS cx, y // 5000 AS cy
+        |       FROM p),
+        |cand AS (
+        |  SELECT a, b,
+        |    (ax-bx)*(ax-bx) + (ay-by)*(ay-by) AS d2
+        |  FROM pr JOIN bu USING (cx, cy)
+        |  WHERE a <> b
+        |    AND (ax-bx)*(ax-bx) + (ay-by)*(ay-by) <= 25000000),
+        |best AS (
+        |  SELECT a, b, d2 FROM (
+        |    SELECT a, b, d2,
+        |      row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rn
+        |    FROM cand)
+        |  WHERE rn = 1)
+        |SELECT p.id AS a, best.b, best.d2
+        |FROM p LEFT JOIN best ON p.id = best.a""".stripMargin,
+
+    "q358_dbscan" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT event_id AS id,
+        |    CAST(('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 AS x,
+        |    CAST(('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 AS y
+        |  FROM events),
+        |pr AS (
+        |  SELECT id AS a, x AS ax, y AS ay,
+        |         x // 5000 + dx AS cx, y // 5000 + dy AS cy
+        |  FROM p, UNNEST([-1, 0, 1]) AS ox(dx),
+        |       UNNEST([-1, 0, 1]) AS oy(dy)),
+        |bu AS (SELECT id AS b, x AS bx, y AS by,
+        |         x // 5000 AS cx, y // 5000 AS cy
+        |       FROM p),
+        |pairs AS (
+        |  SELECT a, b
+        |  FROM pr JOIN bu USING (cx, cy)
+        |  WHERE a < b
+        |    AND (ax-bx)*(ax-bx) + (ay-by)*(ay-by) <= 25000000),
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS id FROM pairs
+        |    UNION ALL SELECT b FROM pairs)
+        |  GROUP BY 1),
+        |ann AS (
+        |  SELECT p.id, coalesce(d, 0) AS n_nbrs,
+        |    coalesce(d, 0) + 1 >= 3 AS core
+        |  FROM p LEFT JOIN deg ON p.id = deg.id),
+        |ce AS (
+        |  SELECT a, b FROM pairs
+        |  JOIN ann ca ON ca.id = pairs.a AND ca.core
+        |  JOIN ann cb ON cb.id = pairs.b AND cb.core),
+        |e AS (SELECT a AS x, b AS y FROM ce
+        |  UNION SELECT b, a FROM ce),
+        |reach AS (
+        |  SELECT x, y FROM e
+        |  UNION
+        |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON e2.x = r.y),
+        |comp AS (
+        |  SELECT x AS id, least(x, min(y)) AS component
+        |  FROM reach GROUP BY x),
+        |corelab AS (
+        |  SELECT ann.id, coalesce(component, ann.id) AS clust
+        |  FROM ann LEFT JOIN comp ON ann.id = comp.id
+        |  WHERE ann.core),
+        |sym AS (
+        |  SELECT a AS nid, b AS cid FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |borderlab AS (
+        |  SELECT nid, min(clust) AS bclust
+        |  FROM sym JOIN corelab ON sym.cid = corelab.id
+        |  GROUP BY 1)
+        |SELECT ann.id, n_nbrs,
+        |  CASE WHEN core THEN 'core'
+        |    WHEN bclust IS NOT NULL THEN 'border'
+        |    ELSE 'noise' END AS role,
+        |  CASE WHEN core THEN clust ELSE bclust END AS cluster
+        |FROM ann
+        |LEFT JOIN corelab ON ann.id = corelab.id
+        |LEFT JOIN borderlab ON ann.id = borderlab.nid""".stripMargin)
 
   /** q346's oracle: the exact pair census unrolled per radius and the
     * HyperBall register propagation (the hllDistinctSql register

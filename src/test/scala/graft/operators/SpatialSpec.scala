@@ -63,4 +63,51 @@ class SpatialSpec extends SparkSpec {
     assert(Spatial.proximityJoin(sparse, "id", "x", "y", 10,
       maxPerCell = 2).count() == 1)
   }
+
+  test("nnWithinRadius: closest wins, id tie-break, isolated NULL") {
+    val pts = Seq(
+      ("A", 0L, 0L), ("B", 3L, 4L), ("C", 3L, 3L),
+      ("D", 100L, 100L),                       // out of everyone's range
+      ("E", 20L, 0L), ("F", 28L, 0L), ("G", 12L, 0L))
+      .toDF("id", "x", "y")
+    val got = Spatial.nnWithinRadius(pts, "id", "x", "y", radius = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.size == 7)
+    // A: C at 18 beats B at 25.
+    assert(got("A").getString(1) == "C" && got("A").getLong(2) == 18L)
+    assert(got("B").getString(1) == "C" && got("B").getLong(2) == 1L)
+    // E: F and G both at d2 64 -> smaller id wins.
+    assert(got("E").getString(1) == "F" && got("E").getLong(2) == 64L)
+    assert(got("D").isNullAt(1) && got("D").isNullAt(2))
+  }
+
+  test("dbscan: cores/min-id clusters, border attach, mutual non-core noise") {
+    val pts = Seq(
+      // Triangle cluster: all three core, component labeled "A".
+      ("A", 0L, 0L), ("B", 3L, 4L), ("C", 3L, 3L),
+      // H: only B in range -> border of cluster "A".
+      ("H", 9L, 12L),
+      // D: isolated noise.
+      ("D", 100L, 100L),
+      // E-F: mutual neighbors but neither core -> both noise.
+      ("E", 40L, 0L), ("F", 46L, 0L),
+      // X core via two borders that are NOT neighbors of each other:
+      // a singleton-core cluster labeled "X".
+      ("X", 300L, 300L), ("Y", 309L, 300L), ("Z", 300L, 309L))
+      .toDF("id", "x", "y")
+    val got = Spatial.dbscan(pts, "id", "x", "y", eps = 10, minPts = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def role(k: String) = got(k).getAs[String]("role")
+    def clust(k: String) = got(k).getAs[String]("cluster")
+    assert(Seq("A", "B", "C").forall(role(_) == "core"))
+    assert(Seq("A", "B", "C").forall(clust(_) == "A"))
+    assert(role("H") == "border" && clust("H") == "A")
+    assert(role("D") == "noise" &&
+      got("D").isNullAt(got("D").fieldIndex("cluster")))
+    assert(role("E") == "noise" && role("F") == "noise")
+    assert(role("X") == "core" && clust("X") == "X")
+    assert(role("Y") == "border" && clust("Y") == "X")
+    assert(role("Z") == "border" && clust("Z") == "X")
+    assert(got("B").getAs[Long]("n_nbrs") == 3L)
+  }
 }
