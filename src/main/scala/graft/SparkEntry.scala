@@ -4981,7 +4981,15 @@ object SparkEntry {
       val pts = t(s, dir, "events").select(col("event_id").as("id"),
         coord("x").as("x"), coord("y").as("y"))
       Spatial.dbscan(pts, "id", "x", "y", eps = 5000, minPts = 3)
-    })
+    }),
+
+    // Markov removal-effect attribution over user journeys (q291's
+    // data-driven sibling): 8-hop quantized value iteration, one
+    // chain variant per removed channel.
+    "q359_markov_attribution" -> ((s, dir) =>
+      Sessionize.markovAttribution(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "event_type", conversionType = "purchase",
+        iters = 8))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13143,13 +13151,106 @@ object SparkEntry {
         |  CASE WHEN core THEN clust ELSE bclust END AS cluster
         |FROM ann
         |LEFT JOIN corelab ON ann.id = corelab.id
-        |LEFT JOIN borderlab ON ann.id = borderlab.nid""".stripMargin)
+        |LEFT JOIN borderlab ON ann.id = borderlab.nid""".stripMargin,
+
+    "q359_markov_attribution" -> markovAttributionOracleSql)
 
   /** q346's oracle: the exact pair census unrolled per radius and the
     * HyperBall register propagation (the hllDistinctSql register
     * arithmetic routed across edges, per-node estimates unit-rounded
     * before the cross-node sum — mirroring Graph.hyperBall term for
     * term). */
+  /** q359's oracle: the journey census, the per-variant redirected
+    * chain, and the 8 value-iteration rounds unrolled — each round
+    * the same exact micro×micro sums and one rounded divide as
+    * Sessionize.markovAttribution, association for association. */
+  private lazy val markovAttributionOracleSql: String = {
+    val rounds = (1 to 8).map { k =>
+      s"""r$k AS (
+         |  SELECT st.v, st.s,
+         |    CASE WHEN st.s = '(conv)' THEN 1000000
+         |         WHEN st.s = '(null)' THEN 0
+         |         ELSE coalesce(x.nr, 0) END AS r
+         |  FROM st LEFT JOIN (
+         |    SELECT vt.v, vt.f AS s,
+         |      CAST(round(CAST(sum(vt.p * pr.r) AS DOUBLE) / 1e6)
+         |        AS BIGINT) AS nr
+         |    FROM vt JOIN r${k - 1} pr
+         |      ON vt.v = pr.v AND vt.tt = pr.s
+         |    GROUP BY 1, 2) x ON st.v = x.v AND st.s = x.s)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id AS k, epoch_us(ts) AS us, event_id AS tb,
+       |    event_type AS t
+       |  FROM events),
+       |cu AS (
+       |  SELECT k, min(us) AS cu FROM ev WHERE t = 'purchase'
+       |  GROUP BY 1),
+       |tch AS (
+       |  SELECT ev.k, ev.us, ev.tb, ev.t, cu.cu
+       |  FROM ev LEFT JOIN cu ON ev.k = cu.k
+       |  WHERE ev.t <> 'purchase'
+       |    AND (cu.cu IS NULL OR ev.us <= cu.cu)),
+       |seq AS (
+       |  SELECT k, t, cu,
+       |    row_number() OVER (PARTITION BY k ORDER BY us, tb) AS rn,
+       |    lead(t) OVER (PARTITION BY k ORDER BY us, tb) AS nxt
+       |  FROM tch),
+       |tr AS (
+       |  SELECT t AS f, nxt AS tt FROM seq WHERE nxt IS NOT NULL
+       |  UNION ALL
+       |  SELECT '(start)', t FROM seq WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t, CASE WHEN cu IS NOT NULL THEN '(conv)'
+       |    ELSE '(null)' END FROM seq WHERE nxt IS NULL
+       |  UNION ALL
+       |  SELECT '(start)', '(conv)' FROM cu
+       |  WHERE k NOT IN (SELECT DISTINCT k FROM tch)),
+       |cnt AS (SELECT f, tt, CAST(count(*) AS BIGINT) AS c
+       |  FROM tr GROUP BY 1, 2),
+       |tot AS (SELECT f, CAST(sum(c) AS BIGINT) AS ct
+       |  FROM cnt GROUP BY 1),
+       |t0 AS (
+       |  SELECT f, tt, CAST(round(1e6 * CAST(c AS DOUBLE)
+       |    / CAST(ct AS DOUBLE)) AS BIGINT) AS p
+       |  FROM cnt JOIN tot USING (f)),
+       |vars AS (
+       |  SELECT DISTINCT f AS v FROM t0 WHERE f <> '(start)'
+       |  UNION ALL SELECT '(full)'),
+       |vt AS (
+       |  SELECT v, f,
+       |    CASE WHEN tt = v THEN '(null)' ELSE tt END AS tt,
+       |    CAST(sum(p) AS BIGINT) AS p
+       |  FROM t0 CROSS JOIN vars
+       |  WHERE f <> v
+       |  GROUP BY 1, 2, 3),
+       |st AS (
+       |  SELECT DISTINCT v, s FROM (
+       |    SELECT v, f AS s FROM vt UNION ALL SELECT v, tt FROM vt)),
+       |r0 AS (
+       |  SELECT v, s,
+       |    CASE WHEN s = '(conv)' THEN 1000000 ELSE 0 END AS r
+       |  FROM st),
+       |$rounds,
+       |pc AS (SELECT v, r FROM r8 WHERE s = '(start)'),
+       |pf AS (SELECT r AS pfv FROM pc WHERE v = '(full)'),
+       |eff AS (
+       |  SELECT v AS channel, pfv AS p_conv_micro,
+       |    r AS p_removed_micro,
+       |    CASE WHEN pfv > 0 THEN greatest(0,
+       |      CAST(round(1e6 * CAST(pfv - r AS DOUBLE)
+       |        / CAST(pfv AS DOUBLE)) AS BIGINT)) END AS removal_micro
+       |  FROM pc, pf WHERE v <> '(full)'),
+       |te AS (SELECT CAST(sum(removal_micro) AS BIGINT) AS tt
+       |  FROM eff)
+       |SELECT channel, p_conv_micro, p_removed_micro, removal_micro,
+       |  CASE WHEN tt > 0 THEN CAST(round(1e6
+       |    * CAST(removal_micro AS DOUBLE) / CAST(tt AS DOUBLE))
+       |    AS BIGINT) END AS share_micro
+       |FROM eff, te""".stripMargin
+  }
+
   private lazy val neighborhoodOracleSql: String = {
     val m = graft.operators.Sketches.M
     val mr = graft.operators.Sketches.MaxRank

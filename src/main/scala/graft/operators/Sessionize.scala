@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -317,6 +317,135 @@ object Sessionize {
         col("n_active"),
         round(lit(1e6) * col("n_active").cast("double") /
           col("__sz").cast("double")).cast("long").as("retention_micro"))
+  }
+
+  /** Markov removal-effect attribution (Anderl et al. 2014's
+    * framework, the data-driven answer to [[attribution]]'s
+    * last-touch heuristic): model each key's journey as a
+    * first-order chain (start) → touches → (conv)/(null) — touches
+    * truncate at the first conversion, same-µs inclusive (q291's
+    * convention) — estimate transition probabilities from the
+    * journey census, and score each channel by how much the
+    * BOUNDED-HORIZON conversion probability drops when the channel
+    * is removed (its inbound edges redirect to (null), its outbound
+    * edges drop — the unreachable-node convention). p_conv is
+    * "probability of converting within `iters` hops", computed by
+    * `iters` rounds of value iteration with r micro-rounded after
+    * EVERY round — the quantized-DL idiom: each round is exact
+    * Long sums of micro×micro products and ONE rounded divide per
+    * state, so the whole recursion is engine-exact and the horizon
+    * is part of the operator's stated semantics, not a convergence
+    * accident. Shares renormalize the per-channel removal effects
+    * (clamped at 0 — quantization may nudge a worthless channel a
+    * hair negative); a zero full-chain p_conv or zero total effect
+    * reports NULL shares.
+    *
+    * Scale: one per-key window for the journey order (bounded
+    * group), then EVERYTHING is (channels+3)²·(channels+1) census
+    * rows — model-sized; `iters` rounds of joins over that census
+    * cost nothing at any corpus size.
+    * Output: (channel, p_conv_micro, p_removed_micro,
+    * removal_micro, share_micro). */
+  def markovAttribution(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieBreak: String,
+      typeCol: String,
+      conversionType: String,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32, "iters must be in [1, 32]")
+    val S = "(start)"; val C = "(conv)"; val N = "(null)"
+    val ev = df.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__us"), col(tieBreak).as("__tb"),
+      col(typeCol).as("__t"))
+    val convUs = ev.filter(col("__t") === conversionType)
+      .groupBy(col("__k")).agg(min(col("__us")).as("__cu"))
+    val touches = ev.filter(col("__t") =!= conversionType)
+      .join(convUs, Seq("__k"), "left")
+      .filter(col("__cu").isNull || col("__us") <= col("__cu"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__us"), col("__tb"))
+    val seq = touches
+      .select(col("__k"), col("__t"), col("__cu"),
+        row_number().over(w).as("__rn"),
+        lead(col("__t"), 1).over(w).as("__next"))
+    val mid = seq.filter(col("__next").isNotNull)
+      .select(col("__t").as("from_state"), col("__next").as("to_state"))
+    val first = seq.filter(col("__rn") === 1)
+      .select(lit(S).as("from_state"), col("__t").as("to_state"))
+    val last = seq.filter(col("__next").isNull)
+      .select(col("__t").as("from_state"),
+        when(col("__cu").isNotNull, lit(C)).otherwise(lit(N))
+          .as("to_state"))
+    // Converted keys whose journey has NO touch row: (start)→(conv).
+    val direct = convUs.join(
+        touches.select(col("__k")).distinct(), Seq("__k"), "left_anti")
+      .select(lit(S).as("from_state"), lit(C).as("to_state"))
+    val counts = mid.unionByName(first).unionByName(last)
+      .unionByName(direct)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col("from_state"))
+      .agg(sum(col("__c")).as("__ct"))
+    val trans0 = Dedup.truncate(counts.join(totals, Seq("from_state"))
+      .select(col("from_state"), col("to_state"),
+        round(lit(1e6) * col("__c").cast("double") /
+          col("__ct").cast("double")).cast("long").as("__p")))
+    val chans = trans0.select(col("from_state").as("__v"))
+      .filter(col("__v") =!= S).distinct()
+    val variants = Dedup.truncate(
+      chans.unionByName(chans.sparkSession.range(1)
+        .select(lit("(full)").as("__v"))))
+    val vt = Dedup.truncate(trans0.crossJoin(broadcast(variants))
+      .filter(col("from_state") =!= col("__v"))
+      .select(col("__v"), col("from_state"),
+        when(col("to_state") === col("__v"), lit(N))
+          .otherwise(col("to_state")).as("to_state"), col("__p"))
+      .groupBy(col("__v"), col("from_state"), col("to_state"))
+      .agg(sum(col("__p")).as("__p")))
+    val states = Dedup.truncate(
+      vt.select(col("__v"), col("from_state").as("__s"))
+        .union(vt.select(col("__v"), col("to_state").as("__s")))
+        .distinct())
+    def pin(r: Column) = when(col("__s") === C, lit(1000000L))
+      .when(col("__s") === N, lit(0L)).otherwise(r)
+    var r = states.withColumn("__r", pin(lit(0L)))
+    for (_ <- 1 to iters) {
+      val nr = vt.join(r.select(col("__v"),
+          col("__s").as("to_state"), col("__r").as("__rt")),
+          Seq("__v", "to_state"))
+        .groupBy(col("__v"), col("from_state"))
+        .agg(round(sum(col("__p") * col("__rt")).cast("double") /
+          lit(1e6)).cast("long").as("__nr"))
+      r = Dedup.truncate(states
+        .join(nr.select(col("__v"), col("from_state").as("__s"),
+          col("__nr")), Seq("__v", "__s"), "left")
+        .select(col("__v"), col("__s"),
+          pin(coalesce(col("__nr"), lit(0L))).as("__r")))
+    }
+    val pconv = r.filter(col("__s") === S)
+      .select(col("__v"), col("__r"))
+    val pfull = pconv.filter(col("__v") === "(full)")
+      .select(col("__r").as("__pf"))
+    val eff = pconv.filter(col("__v") =!= "(full)")
+      .crossJoin(broadcast(pfull))
+      .select(col("__v").as("channel"),
+        col("__pf").as("p_conv_micro"),
+        col("__r").as("p_removed_micro"),
+        when(col("__pf") > 0L,
+          greatest(lit(0L), round(lit(1e6) *
+            (col("__pf") - col("__r")).cast("double") /
+            col("__pf").cast("double")).cast("long")))
+          .otherwise(lit(null).cast("long")).as("removal_micro"))
+    val tot = eff.agg(sum(col("removal_micro")).as("__te"))
+    eff.crossJoin(broadcast(tot))
+      .select(col("channel"), col("p_conv_micro"),
+        col("p_removed_micro"), col("removal_micro"),
+        when(col("__te") > 0L,
+          round(lit(1e6) * col("removal_micro").cast("double") /
+            col("__te").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("share_micro"))
   }
 
   /** Last-touch attribution census: every `conversionType` event is

@@ -187,4 +187,55 @@ class SessionizeSpec extends SparkSpec {
     // u2's touch is 25 h stale; u3 never touched.
     assert(got("(none)") == ((2L, 3000000L, None)))
   }
+
+  test("markovAttribution: hand chain, removal effects, shares") {
+    import org.apache.spark.sql.functions.col
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    // u1/u2: A->buy; u3: B-> (no buy); u4: B->buy; u5: direct buy.
+    // p(start->A)=.4, p(start->B)=.4, p(start->conv)=.2,
+    // p(A->conv)=1, p(B->conv)=p(B->null)=.5 => p_conv = .8.
+    val df = Seq(
+      ("u1", at(0), 0L, "A"), ("u1", at(1), 1L, "buy"),
+      ("u2", at(0), 2L, "A"), ("u2", at(1), 3L, "buy"),
+      ("u3", at(0), 4L, "B"),
+      ("u4", at(0), 5L, "B"), ("u4", at(1), 6L, "buy"),
+      ("u5", at(0), 7L, "buy"))
+      .toDF("k", "ts", "id", "t")
+    val got = Sessionize.markovAttribution(df, "k", "ts", "id", "t",
+      conversionType = "buy", iters = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("A", "B"))
+    val a = got("A")
+    assert(a.getAs[Long]("p_conv_micro") == 800000L)
+    // Without A: .2 + .4*.5 = .4 -> effect (8-4)/8 = 1/2.
+    assert(a.getAs[Long]("p_removed_micro") == 400000L)
+    assert(a.getAs[Long]("removal_micro") == 500000L)
+    val b = got("B")
+    // Without B: .2 + .4 = .6 -> effect (8-6)/8 = 1/4.
+    assert(b.getAs[Long]("p_removed_micro") == 600000L)
+    assert(b.getAs[Long]("removal_micro") == 250000L)
+    // Shares renormalize: 1/2 : 1/4 -> 2/3 : 1/3.
+    assert(a.getAs[Long]("share_micro") == 666667L)
+    assert(b.getAs[Long]("share_micro") == 333333L)
+  }
+
+  test("markovAttribution: journeys truncate at the first conversion") {
+    import org.apache.spark.sql.functions.col
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    // The post-conversion B touch must NOT enter the chain: the only
+    // channel is A, so its removal zeroes conversion entirely.
+    val df = Seq(
+      ("u1", at(0), 0L, "A"), ("u1", at(1), 1L, "buy"),
+      ("u1", at(2), 2L, "B"))
+      .toDF("k", "ts", "id", "t")
+    val got = Sessionize.markovAttribution(df, "k", "ts", "id", "t",
+      conversionType = "buy", iters = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("A"))
+    assert(got("A").getAs[Long]("p_conv_micro") == 1000000L)
+    assert(got("A").getAs[Long]("removal_micro") == 1000000L)
+    assert(got("A").getAs[Long]("share_micro") == 1000000L)
+  }
 }
