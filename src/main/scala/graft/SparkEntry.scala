@@ -4989,7 +4989,13 @@ object SparkEntry {
     "q359_markov_attribution" -> ((s, dir) =>
       Sessionize.markovAttribution(t(s, dir, "events"), "user_id",
         "ts", "event_id", "event_type", conversionType = "purchase",
-        iters = 8))
+        iters = 8)),
+
+    // Hurst exponent by rescaled-range analysis per event type:
+    // exact w-scaled block deviations, fixed log-log OLS weights.
+    "q360_hurst" -> ((s, dir) =>
+      TimeSeries.hurstRS(t(s, dir, "events"), "event_type", "ts",
+        "event_id", "value"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13153,7 +13159,77 @@ object SparkEntry {
         |LEFT JOIN corelab ON ann.id = corelab.id
         |LEFT JOIN borderlab ON ann.id = borderlab.nid""".stripMargin,
 
-    "q359_markov_attribution" -> markovAttributionOracleSql)
+    "q359_markov_attribution" -> markovAttributionOracleSql,
+
+    "q360_hurst" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, ts, event_id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      AS rk,
+        |    v
+        |  FROM b),
+        |nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM r
+        |  GROUP BY 1),
+        |rws AS (
+        |  SELECT k, w, (rk - 1) // w AS bl,
+        |    rk - ((rk - 1) // w) * w AS t, rk, v
+        |  FROM r, UNNEST([CAST(8 AS BIGINT), 16, 32, 64]) AS uw(w)),
+        |pref AS (
+        |  SELECT k, w, bl, t,
+        |    sum(v) OVER (PARTITION BY k, w, bl ORDER BY rk) AS p
+        |  FROM rws),
+        |blocks AS (
+        |  SELECT k, w, bl, count(*) AS cnt,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    sum(CAST(v AS HUGEINT) * v) AS q
+        |  FROM rws GROUP BY 1, 2, 3
+        |  HAVING count(*) = w),
+        |dev AS (
+        |  SELECT pref.k, pref.w, pref.bl,
+        |    pref.w * p - t * CAST(s AS BIGINT) AS z,
+        |    CAST(pref.w AS HUGEINT) * q - CAST(s AS HUGEINT) * s
+        |      AS vnum
+        |  FROM pref JOIN blocks ON pref.k = blocks.k
+        |    AND pref.w = blocks.w AND pref.bl = blocks.bl),
+        |pb AS (
+        |  SELECT k, w, bl,
+        |    CAST(round(1e6 * CAST(max(z) - min(z) AS DOUBLE)
+        |      / sqrt(CAST(max(vnum) AS DOUBLE))) AS BIGINT) AS rs
+        |  FROM dev GROUP BY 1, 2, 3
+        |  HAVING max(vnum) > 0),
+        |ps AS (
+        |  SELECT k, w, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(round(CAST(sum(rs) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avgrs
+        |  FROM pb GROUP BY 1, 2),
+        |pv AS (
+        |  SELECT k, CAST(sum(nb) AS BIGINT) AS n_blocks,
+        |    min(CASE WHEN w = 8 THEN avgrs END) AS rs8,
+        |    min(CASE WHEN w = 16 THEN avgrs END) AS rs16,
+        |    min(CASE WHEN w = 32 THEN avgrs END) AS rs32,
+        |    min(CASE WHEN w = 64 THEN avgrs END) AS rs64
+        |  FROM ps GROUP BY 1)
+        |SELECT nn.k AS event_type, nn.n,
+        |  rs8 AS rs8_micro, rs16 AS rs16_micro,
+        |  rs32 AS rs32_micro, rs64 AS rs64_micro,
+        |  coalesce(n_blocks, 0) AS n_blocks,
+        |  CASE WHEN rs8 IS NOT NULL AND rs16 IS NOT NULL
+        |    AND rs32 IS NOT NULL AND rs64 IS NOT NULL THEN
+        |    CAST(round((-1.5 * CAST(round(1e6
+        |        * ln(CAST(rs8 AS DOUBLE))) AS BIGINT)
+        |      - 0.5 * CAST(round(1e6
+        |        * ln(CAST(rs16 AS DOUBLE))) AS BIGINT)
+        |      + 0.5 * CAST(round(1e6
+        |        * ln(CAST(rs32 AS DOUBLE))) AS BIGINT)
+        |      + 1.5 * CAST(round(1e6
+        |        * ln(CAST(rs64 AS DOUBLE))) AS BIGINT))
+        |      / 3.4657359027997265) AS BIGINT)
+        |  END AS hurst_micro
+        |FROM nn LEFT JOIN pv ON nn.k = pv.k""".stripMargin)
 
   /** q346's oracle: the exact pair census unrolled per radius and the
     * HyperBall register propagation (the hllDistinctSql register

@@ -1033,6 +1033,101 @@ object TimeSeries {
           .as("resid_micro"))
   }
 
+  /** Hurst exponent by classic rescaled-range (R/S) analysis per
+    * key — "does this series REMEMBER": H ≈ 0.5 for a random walk's
+    * increments, > 0.5 for long-range persistence (trending load,
+    * bursty crawlers), < 0.5 for mean reversion. The series is
+    * (tsCol, idCol)-ordered, micro-quantized, and cut into FULL
+    * blocks of w ∈ {8, 16, 32, 64}; for each block the rescaled
+    * range R/S collapses to ONE exact integer ratio under a sqrt:
+    * with P_t the block prefix sum, S_b/Q_b the block sum/sum-of-
+    * squares, the w-scaled cumulative deviation is w·P_t − t·S_b
+    * (exact Long — the /w cancels between R and S), so
+    * R/S = (max_t − min_t)(w·P_t − t·S_b) / √(w·Q_b − S_b²),
+    * micro-rounded per block; zero-variance blocks drop (censused
+    * by n_blocks). Per-size means are exact sums over block micros;
+    * H is the log-log OLS slope over the four sizes, which for
+    * ln2-spaced x collapses to fixed weights: H = (−1.5·y₈ −
+    * 0.5·y₁₆ + 0.5·y₃₂ + 1.5·y₆₄) / (5·ln 2), y = micro-nat ln of
+    * the mean R/S (the ln-of-micro offset cancels — Σweights = 0).
+    * Keys missing any size (series shorter than 64, or an all-
+    * constant size) report NULL hurst_micro. Small-sample R/S bias
+    * (Anis–Lloyd) is NOT corrected — stated; compare keys against
+    * each other, not against the 0.5 ideal.
+    *
+    * Scale: the series explodes ×4 (one row per size), prefix sums
+    * ride the range-partitioned [[Ranking.groupRunningSum]], and
+    * every aggregate is map-side combinable — no per-key sort
+    * window, no quadratic anything.
+    * Output: (keyCol, n, rs8_micro, rs16_micro, rs32_micro,
+    * rs64_micro, n_blocks, hurst_micro). */
+  def hurstRS(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sizes = Seq(8L, 16L, 32L, 64L)
+    val cur = Dedup.truncate(
+      Ranking.groupRank(
+        df.filter(col(valueCol).isNotNull)
+          .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+            col(idCol).as("__id"),
+            round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+              .as("__v")),
+        "__k", Seq("__ts", "__id"))
+        .select(col("__k"), col("rank"), col("__v")))
+    val nPer = cur.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+    val rows = cur
+      .withColumn("__w", explode(array(sizes.map(lit): _*)))
+      .select(col("__k"), col("__w"),
+        expr("(rank - 1) div __w").as("__b"),
+        (col("rank") - expr("((rank - 1) div __w) * __w")).as("__t"),
+        col("rank"), col("__v"))
+      .withColumn("__g", struct(col("__k"), col("__w"), col("__b")))
+    val pref = Ranking.groupRunningSum(rows, "__g", Seq("rank"), "__v")
+    val blocks = rows.groupBy(col("__k"), col("__w"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__v")).as("__s"),
+        sum((col("__v").cast(dec) * col("__v")).cast(dec)).as("__q"))
+      .filter(col("__cnt") === col("__w"))
+    val dev = pref.select(col("__k"), col("__w"), col("__b"),
+        col("__t"), col("running").as("__p"))
+      .join(blocks, Seq("__k", "__w", "__b"))
+      .withColumn("__z",
+        (col("__w") * col("__p") - col("__t") * col("__s")).cast(dec))
+    val perBlock = dev.groupBy(col("__k"), col("__w"), col("__b"))
+      .agg(max(col("__z")).as("__zmax"), min(col("__z")).as("__zmin"),
+        max((col("__w") * col("__q") - col("__s").cast(dec) *
+          col("__s")).cast(dec)).as("__vnum"))
+      .filter(col("__vnum") > 0)
+      .select(col("__k"), col("__w"),
+        round(lit(1e6) * (col("__zmax") - col("__zmin")).cast("double") /
+          sqrt(col("__vnum").cast("double"))).cast("long").as("__rs"))
+    val perSize = perBlock.groupBy(col("__k"), col("__w"))
+      .agg(count(lit(1)).as("__nb"),
+        round(sum(col("__rs")).cast("double") /
+          count(lit(1)).cast("double")).cast("long").as("__avg"))
+    val pivoted = perSize.groupBy(col("__k"))
+      .agg(sum(col("__nb")).as("n_blocks"),
+        sizes.map(w => min(when(col("__w") === w, col("__avg")))
+          .as(s"rs${w}_micro")): _*)
+    def y(w: Long) = round(lit(1e6) *
+      log(col(s"rs${w}_micro").cast("double"))).cast("long")
+    nPer.join(pivoted, Seq("__k"), "left")
+      .select(col("__k").as(keyCol), col("n"),
+        col("rs8_micro"), col("rs16_micro"), col("rs32_micro"),
+        col("rs64_micro"), coalesce(col("n_blocks"), lit(0L))
+          .as("n_blocks"),
+        when(col("rs8_micro").isNotNull &&
+          col("rs16_micro").isNotNull && col("rs32_micro").isNotNull &&
+          col("rs64_micro").isNotNull,
+          round((lit(-1.5) * y(8) - lit(0.5) * y(16) +
+            lit(0.5) * y(32) + lit(1.5) * y(64)) /
+            lit(3.4657359027997265)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("hurst_micro"))
+  }
+
   /** Wald–Wolfowitz runs test per key — "is this series RANDOM
     * around its center, or does it cluster/oscillate": dichotomize
     * each (tsCol, idCol)-ordered value against the key's LOW MEDIAN

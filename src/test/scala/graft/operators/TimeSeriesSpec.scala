@@ -486,6 +486,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getAs[Int]("trend") == 1)
   }
 
+  test("hurstRS: anti-persistent 0, ramp near 1, short series NULL") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    val df = (
+      // ALT: +1/-1 alternation is scale-free (every block identical
+      // in structure) -> all four R/S equal -> slope EXACTLY 0.
+      (0 until 128).map(i =>
+        ("ALT", at(i.toLong), i.toLong, if (i % 2 == 0) 1.0 else -1.0)) ++
+      // RAMP: pure trend -> R/S ~ c*w -> slope ~ 1.
+      (0 until 128).map(i => ("RAMP", at(i.toLong), i.toLong, i.toDouble)) ++
+      // SHORT: 20 points -> rs8/rs16 only, no rs32/64 -> NULL H.
+      (0 until 20).map(i => ("SHORT", at(i.toLong), i.toLong,
+        math.pow(-1.0, i) * (i + 1)))
+    ).toDF("k", "ts", "id", "v")
+    val got = TimeSeries.hurstRS(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val alt = got("ALT")
+    assert(alt.getAs[Long]("rs8_micro") == alt.getAs[Long]("rs64_micro"))
+    assert(alt.getAs[Long]("hurst_micro") == 0L)
+    assert(alt.getAs[Long]("n_blocks") == 16L + 8L + 4L + 2L)
+    val ramp = got("RAMP")
+    val h = ramp.getAs[Long]("hurst_micro")
+    assert(h > 950000L && h < 1010000L, s"ramp H = $h")
+    val short = got("SHORT")
+    assert(short.getAs[Long]("n_blocks") == 2L + 1L)
+    assert(!short.isNullAt(short.fieldIndex("rs16_micro")))
+    assert(short.isNullAt(short.fieldIndex("rs32_micro")))
+    assert(short.isNullAt(short.fieldIndex("hurst_micro")))
+  }
+
   test("runsTest: alternation vs clustering, median drops, degenerates") {
     val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
