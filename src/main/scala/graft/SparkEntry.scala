@@ -4995,7 +4995,22 @@ object SparkEntry {
     // exact w-scaled block deviations, fixed log-log OLS weights.
     "q360_hurst" -> ((s, dir) =>
       TimeSeries.hurstRS(t(s, dir, "events"), "event_type", "ts",
-        "event_id", "value"))
+        "event_id", "value")),
+
+    // Hodges-Lehmann shift + Cliff's delta of English vs non-English
+    // document lengths per source: exact pairwise census, low-median
+    // selection, one rounded divide.
+    "q361_hodges_lehmann" -> ((s, dir) =>
+      Profile.hodgesLehmann(
+        t(s, dir, "documents").select(col("source"), col("n_chars"),
+          (col("lang") === "en").as("is_en"), col("doc_id")),
+        "source", "n_chars", "is_en", "doc_id", maxN = 512)),
+
+    // Welch's heteroscedastic ANOVA of n_chars across languages per
+    // source (q337's anovaF without the equal-variance assumption).
+    "q362_welch_anova" -> ((s, dir) =>
+      Profile.welchAnova(t(s, dir, "documents"), "source", "lang",
+        "n_chars"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13229,7 +13244,111 @@ object SparkEntry {
         |        * ln(CAST(rs64 AS DOUBLE))) AS BIGINT))
         |      / 3.4657359027997265) AS BIGINT)
         |  END AS hurst_micro
-        |FROM nn LEFT JOIN pv ON nn.k = pv.k""".stripMargin)
+        |FROM nn LEFT JOIN pv ON nn.k = pv.k""".stripMargin,
+
+    "q361_hodges_lehmann" ->
+      """WITH b AS (
+        |  SELECT source AS g,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    (lang = 'en') AS a, doc_id AS t
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |aa AS (
+        |  SELECT g, v AS va FROM (
+        |    SELECT g, v,
+        |      row_number() OVER (PARTITION BY g ORDER BY v, t) AS rk
+        |    FROM b WHERE a)
+        |  WHERE rk <= 512),
+        |bb AS (
+        |  SELECT g, v AS vb FROM (
+        |    SELECT g, v,
+        |      row_number() OVER (PARTITION BY g ORDER BY v, t) AS rk
+        |    FROM b WHERE NOT a)
+        |  WHERE rk <= 512),
+        |pairs AS (
+        |  SELECT aa.g, va - vb AS d FROM aa JOIN bb ON aa.g = bb.g),
+        |agg AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS gt,
+        |    CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS lt
+        |  FROM pairs GROUP BY 1),
+        |med AS (
+        |  SELECT p.g, p.d AS hl_micro FROM (
+        |    SELECT g, d,
+        |      row_number() OVER (PARTITION BY g ORDER BY d) AS rn
+        |    FROM pairs) p
+        |  JOIN agg ON p.g = agg.g AND p.rn = (agg.m + 1) // 2),
+        |na AS (SELECT g, CAST(count(*) AS BIGINT) AS n_a FROM aa
+        |  GROUP BY 1),
+        |nb AS (SELECT g, CAST(count(*) AS BIGINT) AS n_b FROM bb
+        |  GROUP BY 1)
+        |SELECT agg.g AS source, n_a, n_b, hl_micro,
+        |  CAST(round(1e6 * CAST(gt - lt AS DOUBLE)
+        |    / CAST(m AS DOUBLE)) AS BIGINT) AS cliffs_micro
+        |FROM agg JOIN med ON agg.g = med.g
+        |JOIN na ON agg.g = na.g JOIN nb ON agg.g = nb.g"""
+        .stripMargin,
+
+    "q362_welch_anova" ->
+      """WITH b AS (
+        |  SELECT source AS g, lang AS t,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |arms0 AS (
+        |  SELECT g, t, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s,
+        |    sum(CAST(v AS HUGEINT) * v) AS q
+        |  FROM b GROUP BY 1, 2),
+        |dr AS (
+        |  SELECT g, CAST(sum(CASE WHEN n < 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped_arms
+        |  FROM arms0 GROUP BY 1),
+        |arms AS (
+        |  SELECT g, n,
+        |    CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS BIGINT) AS m,
+        |    CASE WHEN n * q - s * s > 0 THEN
+        |      CAST(round(1e18 * CAST(n AS DOUBLE)
+        |        / (CAST(n * q - s * s AS DOUBLE)
+        |          / CAST(n * (n - 1) AS DOUBLE))) AS HUGEINT)
+        |    END AS w,
+        |    CASE WHEN n * q - s * s > 0 THEN 0 ELSE 1 END AS zv
+        |  FROM arms0 WHERE n >= 2),
+        |g1 AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(zv) AS BIGINT) AS n_zerovar,
+        |    sum(w) AS bigw, sum(w * m) AS swm
+        |  FROM arms GROUP BY 1),
+        |g2 AS (
+        |  SELECT *, CAST(round(CAST(swm AS DOUBLE)
+        |    / CAST(bigw AS DOUBLE)) AS BIGINT) AS mbar
+        |  FROM g1),
+        |terms AS (
+        |  SELECT arms.g,
+        |    sum(w * (CAST(m - mbar AS HUGEINT) * (m - mbar))) AS sa,
+        |    sum(CAST(round(1e12
+        |      * ((1.0 - CAST(w AS DOUBLE) / CAST(bigw AS DOUBLE))
+        |        * (1.0 - CAST(w AS DOUBLE) / CAST(bigw AS DOUBLE)))
+        |      / CAST(arms.n - 1 AS DOUBLE)) AS BIGINT)) AS sh
+        |  FROM arms JOIN g2 ON arms.g = g2.g GROUP BY 1)
+        |SELECT dr.g AS source, coalesce(k, 0) AS k,
+        |  coalesce(g2.n, 0) AS n, n_dropped_arms,
+        |  coalesce(n_zerovar, 0) AS n_zerovar,
+        |  CASE WHEN k >= 2 AND n_zerovar = 0 AND sh > 0 THEN
+        |    CAST(round(1e6
+        |      * (CAST(sa AS DOUBLE) / 1e18 / CAST(k - 1 AS DOUBLE))
+        |      / (1.0 + 2.0 * CAST(k - 2 AS DOUBLE)
+        |        * (CAST(sh AS DOUBLE) / 1e12)
+        |        / CAST(k * k - 1 AS DOUBLE))) AS BIGINT)
+        |  END AS f_micro,
+        |  CASE WHEN k >= 2 AND n_zerovar = 0 AND sh > 0 THEN
+        |    CAST(round(1e6 * CAST(k * k - 1 AS DOUBLE)
+        |      / (3.0 * (CAST(sh AS DOUBLE) / 1e12))) AS BIGINT)
+        |  END AS df2_micro
+        |FROM dr LEFT JOIN g2 ON dr.g = g2.g
+        |LEFT JOIN terms ON dr.g = terms.g""".stripMargin)
 
   /** q346's oracle: the exact pair census unrolled per radius and the
     * HyperBall register propagation (the hllDistinctSql register

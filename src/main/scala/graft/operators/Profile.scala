@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-profiling and constraint-validation operators — the
@@ -2427,6 +2428,67 @@ object Profile {
           .otherwise(lit(null).cast("long")).as("eps2_micro"))
   }
 
+  /** Hodges–Lehmann shift + Cliff's delta per group — the ROBUST
+    * effect-size pair read next to [[mannWhitney]]'s p-value (the U
+    * test says "the arms differ"; these say BY HOW MUCH, outlier-
+    * proof): HL = the LOW median of all n_a·n_b pairwise
+    * differences a − b (the shift that best superimposes the two
+    * distributions), Cliff's δ = (#[a > b] − #[a < b])/(n_a·n_b)
+    * ∈ [−1, 1] (the dominance probability gap — δ = 2·U/(n_a·n_b)
+    * − 1 up to tie handling). Differences are exact micro Longs,
+    * the median an integer order-statistic selection, δ one rounded
+    * divide of exact counts — engine-exact throughout.
+    *
+    * Scale: the pair census is inherently n_a·n_b per group, so
+    * each arm TRUNCATES to its first `maxN` values in (value, tie)
+    * order — the [[TimeSeries.mannKendall]] bound; n_a/n_b report
+    * what was used. Groups missing either arm are absent (no pair,
+    * no shift). Output: (groupCol, n_a, n_b, hl_micro,
+    * cliffs_micro). */
+  def hodgesLehmann(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String,
+      tieCol: String,
+      maxN: Int = 512): DataFrame = {
+    require(maxN >= 1, "maxN must be at least 1")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(sideCol).cast("boolean").as("__a"), col(tieCol).as("__t"))
+    def arm(flag: Boolean, tag: String) = Dedup.truncate(
+      Ranking.groupRank(base.filter(col("__a") === flag)
+        .select(col("__g"), col("__v"), col("__t")),
+        "__g", Seq("__v", "__t"))
+        .filter(col("rank") <= maxN.toLong)
+        .select(col("__g"), col("__v").as(s"__v$tag")))
+    val pairs = arm(flag = true, "a").join(arm(flag = false, "b"),
+        Seq("__g"))
+      .select(col("__g"), (col("__va") - col("__vb")).as("__d"))
+    val agg = pairs.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__m"),
+        sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("__gt"),
+        sum(when(col("__d") < 0L, 1L).otherwise(0L)).as("__lt"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__d"))
+    val med = pairs.withColumn("__rn", row_number().over(w))
+      .join(agg.select(col("__g"),
+        floor((col("__m") + 1L) / 2L).cast("long").as("__mid")),
+        Seq("__g"))
+      .filter(col("__rn") === col("__mid"))
+      .select(col("__g"), col("__d").as("hl_micro"))
+    val na = arm(flag = true, "a").groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_a"))
+    val nb = arm(flag = false, "b").groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_b"))
+    agg.join(med, Seq("__g")).join(na, Seq("__g")).join(nb, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        col("hl_micro"),
+        round(lit(1e6) * (col("__gt") - col("__lt")).cast("double") /
+          col("__m").cast("double")).cast("long").as("cliffs_micro"))
+  }
+
   /** Bartlett's test of equal variances per group — the
     * k-treatment homoscedasticity check that is SHARPER than
     * [[brownForsythe]] when the data really are normal (and
@@ -2507,6 +2569,95 @@ object Profile {
         when(col("k") >= 2L,
           round(lit(1e6) * cFactor).cast("long"))
           .otherwise(lit(null).cast("long")).as("c_micro"))
+  }
+
+  /** Welch's heteroscedastic one-way ANOVA per group — the k-arm
+    * comparison to reach for when [[bartlett]]/[[brownForsythe]]
+    * REJECT equal variances (classic [[anovaF]] pools them and
+    * silently favors big noisy arms): arms weight by wᵢ = nᵢ/sᵢ²,
+    *
+    *   F = [ Σwᵢ(mᵢ−m̄)² / (k−1) ] / B,   m̄ = Σwᵢmᵢ / W,
+    *   B = 1 + 2(k−2)/(k²−1)·H,  H = Σ(1−wᵢ/W)²/(nᵢ−1),
+    *   df₂ = (k²−1) / (3H).
+    *
+    * Quantization ladder (every cross-arm float sum is pinned to an
+    * integer FIRST — the [[bartlett]] rule): means to micro, the
+    * weights to ATTO (round(1e18·nᵢ/sᵢ²) — DECIMAL, a near-constant
+    * arm's weight is astronomical but exact), the coverage terms H
+    * to pico; W, Σwm, ΣwA ride DECIMAL(38,0). Arms with nᵢ < 2 drop
+    * (censused); a ZERO-variance arm has infinite weight, so the
+    * group's F is NULL with the arm surfaced in n_zerovar — same
+    * contract as [[bartlett]].
+    *
+    * Scale: one (group, arm) hash-agg + arm-census algebra; the m̄
+    * pass is a census self-join, never a data rescan.
+    * Output: (groupCol, k, n, n_dropped_arms, n_zerovar, f_micro,
+    * df2_micro). */
+  def welchAnova(
+      df: DataFrame,
+      groupCol: String,
+      treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val arms0 = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(treatmentCol).as("__t"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast(dec)).as("__s"),
+        sum((col("__v").cast(dec) * col("__v")).cast(dec)).as("__q"))
+    val dropped = arms0.groupBy(col("__g"))
+      .agg(sum(when(col("__n") < 2L, 1L).otherwise(0L))
+        .as("n_dropped_arms"))
+    val ssd = (col("__n") * col("__q") - col("__s") * col("__s"))
+      .cast(dec)
+    val v2 = ssd.cast("double") /
+      (col("__n") * (col("__n") - 1L)).cast("double")
+    val arms = arms0.filter(col("__n") >= 2L)
+      .select(col("__g"), col("__n"),
+        round(col("__s").cast("double") / col("__n").cast("double"))
+          .cast("long").as("__m"),
+        when(ssd > 0, round(lit(1e18) * col("__n").cast("double") / v2)
+          .cast(dec)).as("__w"),
+        when(ssd > 0, lit(0L)).otherwise(lit(1L)).as("__zv"))
+    val g1 = arms.groupBy(col("__g"))
+      .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(col("__zv")).as("n_zerovar"),
+        sum(col("__w")).as("__bigw"),
+        sum((col("__w") * col("__m")).cast(dec)).as("__swm"))
+      .withColumn("__mbar",
+        round(col("__swm").cast("double") / col("__bigw").cast("double"))
+          .cast("long"))
+    val terms = arms.join(g1.select(col("__g"), col("__bigw"),
+        col("__mbar")), Seq("__g"))
+      .select(col("__g"),
+        (col("__w") * ((col("__m") - col("__mbar")).cast(dec) *
+          (col("__m") - col("__mbar"))).cast(dec)).cast(dec).as("__a"),
+        round(lit(1e12) *
+          ((lit(1.0) - col("__w").cast("double") /
+            col("__bigw").cast("double")) *
+            (lit(1.0) - col("__w").cast("double") /
+              col("__bigw").cast("double"))) /
+          (col("__n") - 1L).cast("double")).cast("long").as("__h"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__a")).as("__sa"), sum(col("__h")).as("__sh"))
+    val kk1 = (col("k") * col("k") - 1L).cast("double")
+    val hsum = col("__sh").cast("double") / lit(1e12)
+    val aTerm = col("__sa").cast("double") / lit(1e18) /
+      (col("k") - 1L).cast("double")
+    val bTerm = lit(1.0) +
+      lit(2.0) * (col("k") - 2L).cast("double") * hsum / kk1
+    val ok = col("k") >= 2L && col("n_zerovar") === 0L && col("__sh") > 0L
+    dropped.join(g1.join(terms, Seq("__g")), Seq("__g"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("k"), lit(0L)).as("k"),
+        coalesce(col("n"), lit(0L)).as("n"), col("n_dropped_arms"),
+        coalesce(col("n_zerovar"), lit(0L)).as("n_zerovar"),
+        when(ok, round(lit(1e6) * aTerm / bTerm).cast("long"))
+          .otherwise(lit(null).cast("long")).as("f_micro"),
+        when(ok, round(lit(1e6) * kk1 / (lit(3.0) * hsum)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("df2_micro"))
   }
 
   /** Shared one-way-ANOVA kernel over an already micro-quantized

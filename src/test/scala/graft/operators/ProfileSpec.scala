@@ -1087,6 +1087,56 @@ class ProfileSpec extends SparkSpec {
       g1.getAs[Long]("prior_micro"))
   }
 
+  test("hodgesLehmann: hand median shift, Cliff's delta, one-armed absent") {
+    val df = Seq(
+      // G: A=[10,12] vs B=[1,3] -> diffs 7,9,9,11 -> HL 9, delta 1.
+      ("G", 10.0, true, 1L), ("G", 12.0, true, 2L),
+      ("G", 1.0, false, 3L), ("G", 3.0, false, 4L),
+      // T: A=[5] vs B=[3,5] -> diffs 0,2 -> low-median 0, delta 1/2.
+      ("T", 5.0, true, 1L), ("T", 5.0, false, 2L), ("T", 3.0, false, 3L),
+      // O: B side empty -> absent.
+      ("O", 7.0, true, 1L)).toDF("g", "v", "a", "t")
+    val got = Profile.hodgesLehmann(df, "g", "v", "a", "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("O"))
+    val g = got("G")
+    assert(g.getAs[Long]("n_a") == 2L && g.getAs[Long]("n_b") == 2L)
+    assert(g.getAs[Long]("hl_micro") == 9000000L)
+    assert(g.getAs[Long]("cliffs_micro") == 1000000L)
+    val t = got("T")
+    assert(t.getAs[Long]("hl_micro") == 0L)
+    assert(t.getAs[Long]("cliffs_micro") == 500000L)
+  }
+
+  test("welchAnova: quantized-pipeline replay, zero-var NULL, k=2 B=1") {
+    val df = Seq(
+      // G arm a: 1,2,3; arm b: 10,14 (unequal variance, k=2).
+      ("G", "a", 1.0), ("G", "a", 2.0), ("G", "a", 3.0),
+      ("G", "b", 10.0), ("G", "b", 14.0),
+      // Z: a zero-variance arm poisons the group.
+      ("Z", "a", 1.0), ("Z", "a", 2.0), ("Z", "b", 5.0), ("Z", "b", 5.0))
+      .toDF("g", "t", "v")
+    val got = Profile.welchAnova(df, "g", "t", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("G")
+    assert(g.getAs[Long]("k") == 2L && g.getAs[Long]("n") == 5L)
+    // Replay: w_a = 1e18*3/1e12 = 3e6; w_b = 1e18*2/8e12 = 250000.
+    val wa = 3000000.0; val wb = 250000.0; val bw = wa + wb
+    val mbar = math.round((wa * 2000000.0 + wb * 12000000.0) / bw)
+    val sa = wa * math.pow(2000000.0 - mbar, 2) +
+      wb * math.pow(12000000.0 - mbar, 2)
+    val sh = math.round(1e12 * math.pow(1.0 - wa / bw, 2) / 2.0) +
+      math.round(1e12 * math.pow(1.0 - wb / bw, 2) / 1.0)
+    // k = 2 makes B exactly 1: F is the weighted between-arm term.
+    val f = math.round(1e6 * (sa / 1e18 / 1.0) / 1.0)
+    assert(g.getAs[Long]("f_micro") == f)
+    val df2 = math.round(1e6 * 3.0 / (3.0 * (sh / 1e12)))
+    assert(g.getAs[Long]("df2_micro") == df2)
+    val z = got("Z")
+    assert(z.getAs[Long]("n_zerovar") == 1L &&
+      z.isNullAt(z.fieldIndex("f_micro")))
+  }
+
   test("bartlett: hand chi2/C, zero-variance arm NULL, k<2 NULL") {
     val df = Seq(
       // G arm a: 1,2,3 (var 1); arm b: 10,14 (var 8); arm c: dropped.
