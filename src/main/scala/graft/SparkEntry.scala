@@ -5010,7 +5010,16 @@ object SparkEntry {
     // source (q337's anovaF without the equal-variance assumption).
     "q362_welch_anova" -> ((s, dir) =>
       Profile.welchAnova(t(s, dir, "documents"), "source", "lang",
-        "n_chars"))
+        "n_chars")),
+
+    // Fisher's exact 2x2 (English x long-doc) per source: bounded
+    // table enumeration, Stirling ln-factorials, nano-exact sums.
+    "q363_fisher_exact" -> ((s, dir) =>
+      Profile.fisherExact(
+        t(s, dir, "documents").select(col("source"),
+          (col("lang") === "en").as("is_en"),
+          (col("n_chars") >= 400L).as("is_long")),
+        "source", "is_en", "is_long"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13348,13 +13357,79 @@ object SparkEntry {
         |      / (3.0 * (CAST(sh AS DOUBLE) / 1e12))) AS BIGINT)
         |  END AS df2_micro
         |FROM dr LEFT JOIN g2 ON dr.g = g2.g
-        |LEFT JOIN terms ON dr.g = terms.g""".stripMargin)
+        |LEFT JOIN terms ON dr.g = terms.g""".stripMargin,
+
+    "q363_fisher_exact" -> fisherOracleSql)
 
   /** q346's oracle: the exact pair census unrolled per radius and the
     * HyperBall register propagation (the hllDistinctSql register
     * arithmetic routed across edges, per-node estimates unit-rounded
     * before the cross-node sum — mirroring Graph.hyperBall term for
     * term). */
+  /** q363's oracle: margins, the bounded k-enumeration, and the same
+    * Stirling ln-factorial chain as Profile.fisherExact — the lf()
+    * snippet is generated so the nine call sites stay term-for-term
+    * identical. */
+  private lazy val fisherOracleSql: String = {
+    def lf(x: String): String =
+      s"(CASE WHEN ($x) <= 1 THEN 0.0 ELSE " +
+        s"CAST($x AS DOUBLE) * ln(CAST($x AS DOUBLE)) " +
+        s"- CAST($x AS DOUBLE) " +
+        s"+ 0.5 * ln(6.283185307179586 * CAST($x AS DOUBLE)) " +
+        s"+ 1.0 / (12.0 * CAST($x AS DOUBLE)) " +
+        s"- 1.0 / (360.0 * CAST($x AS DOUBLE) * CAST($x AS DOUBLE) " +
+        s"* CAST($x AS DOUBLE)) END)"
+    def lnp(k: String): String =
+      s"CAST(round(1e6 * (${lf("r1")} - ${lf(k)} - ${lf(s"r1 - ($k)")}" +
+        s" + ${lf("r2")} - ${lf(s"c1 - ($k)")}" +
+        s" - ${lf(s"r2 - c1 + ($k)")} - ${lf("n")} + ${lf("c1")}" +
+        s" + ${lf("n - c1")})) AS BIGINT)"
+    s"""WITH b AS (
+       |  SELECT source AS g, (lang = 'en') AS r,
+       |    (n_chars >= 400) AS c
+       |  FROM documents WHERE lang IS NOT NULL
+       |    AND n_chars IS NOT NULL),
+       |cells AS (
+       |  SELECT g,
+       |    CAST(sum(CASE WHEN r AND c THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n11,
+       |    CAST(sum(CASE WHEN r AND NOT c THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n12,
+       |    CAST(sum(CASE WHEN NOT r AND c THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n21,
+       |    CAST(sum(CASE WHEN NOT r AND NOT c THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n22
+       |  FROM b GROUP BY 1),
+       |m AS (
+       |  SELECT *, n11 + n12 AS r1, n21 + n22 AS r2,
+       |    n11 + n21 AS c1, n11 + n12 + n21 + n22 AS n,
+       |    greatest(0, (n11 + n21) - (n21 + n22)) AS klo,
+       |    least(n11 + n12, n11 + n21) AS khi
+       |  FROM cells),
+       |m2 AS (SELECT *, khi - klo >= 10000 AS too_large FROM m),
+       |ks AS (
+       |  SELECT g, n11, r1, r2, c1, n, u.k
+       |  FROM m2, UNNEST(generate_series(klo, khi)) AS u(k)
+       |  WHERE NOT too_large),
+       |scored AS (
+       |  SELECT g, ${lnp("k")} AS lnp, ${lnp("n11")} AS lnpobs
+       |  FROM ks),
+       |p AS (
+       |  SELECT g, least(1000000, CAST(round(CAST(sum(
+       |    CASE WHEN lnp <= lnpobs THEN CAST(round(1e9
+       |      * exp(CAST(lnp AS DOUBLE) / 1e6)) AS BIGINT)
+       |    ELSE 0 END) AS DOUBLE) / 1e3) AS BIGINT)) AS p_micro
+       |  FROM scored GROUP BY 1)
+       |SELECT m2.g AS source, n11, n12, n21, n22, p_micro,
+       |  CASE WHEN n12 > 0 AND n21 > 0 THEN
+       |    CAST(round(1e6 * (CAST(n11 AS DOUBLE)
+       |      * CAST(n22 AS DOUBLE))
+       |      / (CAST(n12 AS DOUBLE) * CAST(n21 AS DOUBLE)))
+       |      AS BIGINT)
+       |  END AS or_micro, too_large
+       |FROM m2 LEFT JOIN p ON m2.g = p.g""".stripMargin
+  }
+
   /** q359's oracle: the journey census, the per-variant redirected
     * chain, and the 8 value-iteration rounds unrolled — each round
     * the same exact micro×micro sums and one rounded divide as

@@ -2428,6 +2428,95 @@ object Profile {
           .otherwise(lit(null).cast("long")).as("eps2_micro"))
   }
 
+  /** Fisher's exact test per group (2×2, two-sided) — the
+    * small-stratum independence test [[cramersV]]-style χ² cannot
+    * be trusted with (expected cells < 5): enumerate every table
+    * with the observed margins, sum the hypergeometric probability
+    * of each table AS EXTREME as the observed one (P(k) ≤ P(obs),
+    * compared on MICRO-ROUNDED log-probabilities so the inclusion
+    * set is engine-exact — the R `relErr` guard made deterministic).
+    * The combinatorial structure is exact; the ln-factorials use
+    * Stirling–de Moivre with two correction terms (worst case
+    * ~2·10⁻⁵ absolute at n = 2, vanishing fast — stated: p-values
+    * are mid-asymptotic, the DETERMINISM is exact). Each included
+    * table contributes round(1e9·exp(lnP)) — exact nano sums, one
+    * /1e3 close. Odds ratio rides along (NULL on a zero cell).
+    *
+    * Scale: one cells census per group, then max(0, c1−r2) ≤ k ≤
+    * min(r1, c1) explodes per group — BOUNDED by `maxRange`
+    * (default 10⁴): a stratum whose margins would enumerate more
+    * tables reports NULL p with too_large = true, because at that
+    * size the χ²/G-test asymptotics are valid anyway and the
+    * enumeration is the wrong tool. Empty margins collapse to the
+    * single k = 0 table (p = 1), not an error.
+    * Output: (groupCol, n11, n12, n21, n22, p_micro, or_micro,
+    * too_large). */
+  def fisherExact(
+      df: DataFrame,
+      groupCol: String,
+      rowFlagCol: String,
+      colFlagCol: String,
+      maxRange: Int = 10000): DataFrame = {
+    require(maxRange >= 1, "maxRange must be positive")
+    def lf(n: Column): Column = {
+      val nd = n.cast("double")
+      when(n <= 1L, lit(0.0)).otherwise(
+        nd * log(nd) - nd +
+          lit(0.5) * log(lit(6.283185307179586) * nd) +
+          lit(1.0) / (lit(12.0) * nd) -
+          lit(1.0) / (lit(360.0) * nd * nd * nd))
+    }
+    val cells = df
+      .filter(col(rowFlagCol).isNotNull && col(colFlagCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(rowFlagCol).cast("boolean").as("__r"),
+        col(colFlagCol).cast("boolean").as("__c"))
+      .groupBy(col("__g"))
+      .agg(
+        sum(when(col("__r") && col("__c"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("__r") && !col("__c"), 1L).otherwise(0L)).as("n12"),
+        sum(when(!col("__r") && col("__c"), 1L).otherwise(0L)).as("n21"),
+        sum(when(!col("__r") && !col("__c"), 1L).otherwise(0L))
+          .as("n22"))
+      .withColumn("__r1", col("n11") + col("n12"))
+      .withColumn("__r2", col("n21") + col("n22"))
+      .withColumn("__c1", col("n11") + col("n21"))
+      .withColumn("__n", col("__r1") + col("__r2"))
+      .withColumn("__klo", greatest(lit(0L), col("__c1") - col("__r2")))
+      .withColumn("__khi", least(col("__r1"), col("__c1")))
+      .withColumn("too_large",
+        col("__khi") - col("__klo") >= maxRange.toLong)
+    def lnpMicro(k: Column) = round(lit(1e6) * (
+      lf(col("__r1")) - lf(k) - lf(col("__r1") - k) +
+        lf(col("__r2")) - lf(col("__c1") - k) -
+        lf(col("__r2") - col("__c1") + k) -
+        lf(col("__n")) + lf(col("__c1")) +
+        lf(col("__n") - col("__c1")))).cast("long")
+    val ks = cells.filter(!col("too_large"))
+      .withColumn("__k",
+        explode(sequence(col("__klo"), col("__khi"))))
+      .withColumn("__lnp", lnpMicro(col("__k")))
+      .withColumn("__lnpObs", lnpMicro(col("n11")))
+    val p = ks.groupBy(col("__g"))
+      .agg(sum(when(col("__lnp") <= col("__lnpObs"),
+        round(lit(1e9) *
+          exp(col("__lnp").cast("double") / lit(1e6))).cast("long"))
+        .otherwise(0L)).as("__pn"))
+      .select(col("__g"),
+        least(lit(1000000L), round(col("__pn").cast("double") /
+          lit(1e3)).cast("long")).as("p_micro"))
+    cells.join(p, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n11"), col("n12"),
+        col("n21"), col("n22"), col("p_micro"),
+        when(col("n12") > 0L && col("n21") > 0L,
+          round(lit(1e6) *
+            (col("n11").cast("double") * col("n22").cast("double")) /
+            (col("n12").cast("double") * col("n21").cast("double")))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("or_micro"),
+        col("too_large"))
+  }
+
   /** Hodges–Lehmann shift + Cliff's delta per group — the ROBUST
     * effect-size pair read next to [[mannWhitney]]'s p-value (the U
     * test says "the arms differ"; these say BY HOW MUCH, outlier-

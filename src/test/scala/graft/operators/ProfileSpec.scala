@@ -1087,6 +1087,48 @@ class ProfileSpec extends SparkSpec {
       g1.getAs[Long]("prior_micro"))
   }
 
+  test("fisherExact: tea-tasting replay, odds ratio, empty margin p=1") {
+    def lf(n: Long): Double = if (n <= 1) 0.0 else {
+      val nd = n.toDouble
+      nd * math.log(nd) - nd +
+        0.5 * math.log(6.283185307179586 * nd) +
+        1.0 / (12.0 * nd) - 1.0 / (360.0 * nd * nd * nd)
+    }
+    def lnpM(k: Long, r1: Long, r2: Long, c1: Long, n: Long): Long =
+      math.round(1e6 * (lf(r1) - lf(k) - lf(r1 - k) + lf(r2) -
+        lf(c1 - k) - lf(r2 - c1 + k) - lf(n) + lf(c1) + lf(n - c1)))
+    def rows(g: String, r: Boolean, c: Boolean, cnt: Int) =
+      Seq.fill(cnt)((g, r, c))
+    // T: Fisher's tea table 3/1/1/3.
+    val df = (rows("T", r = true, c = true, 3) ++
+      rows("T", r = true, c = false, 1) ++
+      rows("T", r = false, c = true, 1) ++
+      rows("T", r = false, c = false, 3) ++
+      // E: row margin empty -> the single k=0 table, p = 1.
+      rows("E", r = false, c = true, 2) ++
+      rows("E", r = false, c = false, 2)).toDF("g", "r", "c")
+    val got = Profile.fisherExact(df, "g", "r", "c")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t = got("T")
+    assert((t.getAs[Long]("n11"), t.getAs[Long]("n12"),
+      t.getAs[Long]("n21"), t.getAs[Long]("n22")) == ((3L, 1L, 1L, 3L)))
+    // Replay the quantized pipeline: k in 0..4, margins all 4, N=8.
+    val obs = lnpM(3L, 4L, 4L, 4L, 8L)
+    val pn = (0L to 4L).map { k =>
+      val l = lnpM(k, 4L, 4L, 4L, 8L)
+      if (l <= obs) math.round(1e9 * math.exp(l / 1e6)) else 0L
+    }.sum
+    val pExp = math.min(1000000L, math.round(pn / 1e3))
+    assert(t.getAs[Long]("p_micro") == pExp)
+    // The exact two-sided p is 0.4857; Stirling keeps us within 1e-3.
+    assert(math.abs(t.getAs[Long]("p_micro") - 485714L) < 1000L)
+    assert(t.getAs[Long]("or_micro") == 9000000L)
+    assert(!t.getAs[Boolean]("too_large"))
+    val e = got("E")
+    assert(e.getAs[Long]("p_micro") == 1000000L)
+    assert(e.isNullAt(e.fieldIndex("or_micro")))
+  }
+
   test("hodgesLehmann: hand median shift, Cliff's delta, one-armed absent") {
     val df = Seq(
       // G: A=[10,12] vs B=[1,3] -> diffs 7,9,9,11 -> HL 9, delta 1.
