@@ -68,7 +68,10 @@ object PlanAudit {
     "q329_platt_fit" -> "1-row broadcast parameter attach per Newton round (bounded: iters+1 passes)",
     "q335_friedman" -> "constant-group gate: the group-keyed census joins (k, n_blocks, moments) fold to 1-row broadcast attaches; with real group keys they plan as hash joins",
     "q321_kmv_intersect" -> "group² pair census (bounded by intent — sources/shards; the q117 precedent) + sketch-sized merges",
-    "q325_eb_shrinkage" -> "1-row broadcast moment attach (G, Σr, Σr²)")
+    "q325_eb_shrinkage" -> "1-row broadcast moment attach (G, Σr, Σr²)",
+    "q352_keyness" -> "1-row broadcast scalar attach (subcorpus totals A/B)",
+    "q356_burrows_delta" -> "top-K marker broadcast attach + author-grid cross (model-sized: authors × 50)",
+    "q359_markov_attribution" -> "chain-variant cross + 1-row scalar attaches (model-sized: states² × channels)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
     * partition is bounded (per-user event counts in the fixtures are
@@ -91,7 +94,11 @@ object PlanAudit {
     "q208_ewma" -> "per-user window (bounded group; W fixed lag taps need order only)",
     "q209_cusum" -> "per-user window (bounded group; cumsum + running-min, scale twin: groupRunningSum)",
     "q291_attribution" -> "per-user window (bounded group; running last-non-null touch, the asOfJoin shape)",
-    "q311_interleave_order" -> "global-rank offsets window over the (partition × 1 group) census — 32 metadata rows, not data (the groupRank machinery with a constant group)")
+    "q311_interleave_order" -> "global-rank offsets window over the (partition × 1 group) census — 32 metadata rows, not data (the groupRank machinery with a constant group)",
+    "q350_mann_kendall" -> "per-key windows over the maxN-BOUNDED pair census (≤ maxN²/2 rows/key by construction) — the Sen-median selection",
+    "q354_runs_test" -> "per-key kept-row re-rank via groupRank twins; remaining windows ride the range-partitioned prefix",
+    "q359_markov_attribution" -> "per-user window (bounded group; journey lead needs order only)",
+    "q361_hodges_lehmann" -> "per-group window over the maxN-BOUNDED pair census (≤ maxN² rows/group) — the HL-median selection")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
