@@ -71,7 +71,14 @@ object ScaleBench {
     // late round-14 additions: distributed-Newton logistic (iters+1
     // full passes — should measure flat-linear), unit-clustered
     // ratio CI (two hash-aggs)
-    "q329_platt_fit", "q330_ratio_ci")
+    "q329_platt_fit", "q330_ratio_ci",
+    // round-14 wave 3: maxN-bounded pairwise censuses (MK + HL —
+    // should flatten once truncation bites), grid 1-NN + DBSCAN
+    // (cell-local, CC fixpoint), stylometry grid, journey chain,
+    // R/S prefix blocks
+    "q350_mann_kendall", "q354_runs_test", "q356_burrows_delta",
+    "q357_nn_join", "q358_dbscan", "q359_markov_attribution",
+    "q360_hurst", "q361_hodges_lehmann")
 
   val Factors: Seq[Int] = Seq(1, 4, 16)
   /** Skip ×16 when the ×4-projected time exceeds this (seconds). */

@@ -5019,7 +5019,44 @@ object SparkEntry {
         t(s, dir, "documents").select(col("source"),
           (col("lang") === "en").as("is_en"),
           (col("n_chars") >= 400L).as("is_long")),
-        "source", "is_en", "is_long"))
+        "source", "is_en", "is_long")),
+
+    // Quadkey tile census + prefix rollup over the point cloud:
+    // integer bit-interleave keys, rollup from the census.
+    "q364_quadkey" -> ((s, dir) => {
+      def coord(axis: String) = hashMod(axis, col("event_id"), 1000000L)
+      Spatial.quadkeyCensus(
+        t(s, dir, "events").select(coord("x").as("x"),
+          coord("y").as("y")),
+        "x", "y", extent = 1000000L, levels = 4)
+    }),
+
+    // Moran's I spatial autocorrelation over the occupied 32x32
+    // tiles: exact integer pair/variance sums, one rounded divide.
+    "q365_morans_i" -> ((s, dir) => {
+      def coord(axis: String) = hashMod(axis, col("event_id"), 1000000L)
+      Spatial.moransI(
+        t(s, dir, "events").select(coord("x").as("x"),
+          coord("y").as("y")),
+        "x", "y", extent = 1000000L, levels = 5)
+    }),
+
+    // Kendall's tau-b of quantity vs extended price per return flag:
+    // maxN-bounded pair concordance, exact tie corrections.
+    "q366_kendall_tau" -> ((s, dir) =>
+      Ranking.kendallTau(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"),
+          (col("l_orderkey") * lit(10L) + col("l_linenumber"))
+            .as("rid")),
+        "l_returnflag", "l_quantity", "l_extendedprice", "rid",
+        maxN = 512)),
+
+    // Partial correlation of quantity and price given discount per
+    // return flag: one ten-sum pass, staged micro rounding.
+    "q367_partial_corr" -> ((s, dir) =>
+      Profile.partialCorr(t(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice", "l_discount"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13359,7 +13396,183 @@ object SparkEntry {
         |FROM dr LEFT JOIN g2 ON dr.g = g2.g
         |LEFT JOIN terms ON dr.g = terms.g""".stripMargin,
 
-    "q363_fisher_exact" -> fisherOracleSql)
+    "q363_fisher_exact" -> fisherOracleSql,
+
+    "q364_quadkey" ->
+      """WITH p AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 AS x,
+        |    CAST(('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 AS y
+        |  FROM events),
+        |c AS (
+        |  SELECT least(15, (x * 16) // 1000000) AS cx,
+        |         least(15, (y * 16) // 1000000) AS cy
+        |  FROM p),
+        |keys AS (
+        |  SELECT concat(
+        |    CAST(((cy >> 3) % 2) * 2 + (cx >> 3) % 2 AS VARCHAR),
+        |    CAST(((cy >> 2) % 2) * 2 + (cx >> 2) % 2 AS VARCHAR),
+        |    CAST(((cy >> 1) % 2) * 2 + (cx >> 1) % 2 AS VARCHAR),
+        |    CAST((cy % 2) * 2 + cx % 2 AS VARCHAR)) AS quadkey
+        |  FROM c),
+        |leaf AS (
+        |  SELECT quadkey, CAST(count(*) AS BIGINT) AS n_points
+        |  FROM keys GROUP BY 1),
+        |par AS (
+        |  SELECT substr(quadkey, 1, 2) AS quadkey,
+        |    CAST(sum(n_points) AS BIGINT) AS n_points
+        |  FROM leaf GROUP BY 1)
+        |SELECT 4 AS zoom, quadkey, n_points FROM leaf
+        |UNION ALL
+        |SELECT 2 AS zoom, quadkey, n_points FROM par""".stripMargin,
+
+    "q365_morans_i" ->
+      """WITH p AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 AS x,
+        |    CAST(('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 AS y
+        |  FROM events),
+        |cells AS (
+        |  SELECT least(31, (x * 32) // 1000000) AS cx,
+        |         least(31, (y * 32) // 1000000) AS cy,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS g,
+        |    CAST(sum(n) AS BIGINT) AS s,
+        |    sum(CAST(n AS HUGEINT) * n) AS q
+        |  FROM cells),
+        |adj AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS np,
+        |    sum(CAST(a.n AS HUGEINT) * b.n) AS pnn,
+        |    sum(CAST(a.n + b.n AS HUGEINT)) AS pt
+        |  FROM cells a JOIN cells b
+        |    ON (a.cx = b.cx + 1 AND a.cy = b.cy)
+        |    OR (a.cx = b.cx AND a.cy = b.cy + 1))
+        |SELECT g AS n_cells, 2 * np AS sum_w,
+        |  CASE WHEN np * (g * q - CAST(s AS HUGEINT) * s) > 0 THEN
+        |    CAST(round(1e6
+        |      * CAST(CAST(g AS HUGEINT) * g * pnn
+        |        - CAST(g AS HUGEINT) * s * pt
+        |        + CAST(np AS HUGEINT) * s * s AS DOUBLE)
+        |      / CAST(np * (g * q - CAST(s AS HUGEINT) * s)
+        |        AS DOUBLE)) AS BIGINT)
+        |  END AS i_micro,
+        |  CASE WHEN g > 1 THEN
+        |    CAST(round(-1e6 / CAST(g - 1 AS DOUBLE)) AS BIGINT)
+        |  END AS e_i_micro
+        |FROM tot, adj""".stripMargin,
+
+    "q366_kendall_tau" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS x,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS y,
+        |    l_orderkey * 10 + l_linenumber AS rid
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |r AS (
+        |  SELECT g, x, y,
+        |    row_number() OVER (PARTITION BY g ORDER BY rid, x, y)
+        |      AS rk
+        |  FROM b
+        |  QUALIFY rk <= 512),
+        |cd AS (
+        |  SELECT a.g,
+        |    CAST(sum(CAST(sign(t.x - a.x) AS BIGINT)
+        |      * CAST(sign(t.y - a.y) AS BIGINT)) AS BIGINT) AS cd
+        |  FROM r a JOIN r t ON a.g = t.g AND a.rk < t.rk
+        |  GROUP BY 1),
+        |nn AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n0
+        |  FROM r GROUP BY 1),
+        |t1 AS (
+        |  SELECT g, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS t1
+        |  FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS t FROM r
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |t2 AS (
+        |  SELECT g, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS t2
+        |  FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS t FROM r
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT nn.g AS l_returnflag, n, cd,
+        |  CASE WHEN n0 > t1 AND n0 > t2 THEN
+        |    CAST(round(1e6 * CAST(cd AS DOUBLE)
+        |      / (sqrt(CAST(n0 - t1 AS DOUBLE))
+        |        * sqrt(CAST(n0 - t2 AS DOUBLE)))) AS BIGINT)
+        |  END AS tau_micro
+        |FROM nn JOIN cd ON nn.g = cd.g
+        |JOIN t1 ON nn.g = t1.g JOIN t2 ON nn.g = t2.g""".stripMargin,
+
+    "q367_partial_corr" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS x,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS y,
+        |    CAST(round(CAST(l_discount AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS z
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |a AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(z AS HUGEINT)) AS sz,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(z AS HUGEINT) * z) AS szz,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |    sum(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM b GROUP BY 1),
+        |rr AS (
+        |  SELECT g, n,
+        |    CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |      THEN CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+        |        AS BIGINT) END AS r_xy_micro,
+        |    CASE WHEN n * sxx - sx * sx > 0 AND n * szz - sz * sz > 0
+        |      THEN CAST(round(1e6 * CAST(n * sxz - sx * sz AS DOUBLE)
+        |        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |          * sqrt(CAST(n * szz - sz * sz AS DOUBLE))))
+        |        AS BIGINT) END AS r_xz_micro,
+        |    CASE WHEN n * syy - sy * sy > 0 AND n * szz - sz * sz > 0
+        |      THEN CAST(round(1e6 * CAST(n * syz - sy * sz AS DOUBLE)
+        |        / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+        |          * sqrt(CAST(n * szz - sz * sz AS DOUBLE))))
+        |        AS BIGINT) END AS r_yz_micro
+        |  FROM a)
+        |SELECT g AS l_returnflag, n, r_xy_micro, r_xz_micro,
+        |  r_yz_micro,
+        |  CASE WHEN r_xy_micro IS NOT NULL AND r_xz_micro IS NOT NULL
+        |    AND r_yz_micro IS NOT NULL
+        |    AND 1.0 - CAST(r_xz_micro AS DOUBLE) / 1e6
+        |      * (CAST(r_xz_micro AS DOUBLE) / 1e6) > 0.0
+        |    AND 1.0 - CAST(r_yz_micro AS DOUBLE) / 1e6
+        |      * (CAST(r_yz_micro AS DOUBLE) / 1e6) > 0.0 THEN
+        |    CAST(round(1e6 * (CAST(r_xy_micro AS DOUBLE) / 1e6
+        |      - CAST(r_xz_micro AS DOUBLE) / 1e6
+        |        * (CAST(r_yz_micro AS DOUBLE) / 1e6))
+        |      / (sqrt(1.0 - CAST(r_xz_micro AS DOUBLE) / 1e6
+        |          * (CAST(r_xz_micro AS DOUBLE) / 1e6))
+        |        * sqrt(1.0 - CAST(r_yz_micro AS DOUBLE) / 1e6
+        |          * (CAST(r_yz_micro AS DOUBLE) / 1e6))))
+        |      AS BIGINT)
+        |  END AS partial_micro
+        |FROM rr""".stripMargin)
 
   /** q346's oracle: the exact pair census unrolled per radius and the
     * HyperBall register propagation (the hllDistinctSql register

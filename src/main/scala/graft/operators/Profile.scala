@@ -2428,6 +2428,78 @@ object Profile {
           .otherwise(lit(null).cast("long")).as("eps2_micro"))
   }
 
+  /** First-order partial correlation per group — "does x still
+    * correlate with y once z is held fixed", the one-line
+    * confounder check run before reading ANY pairwise correlation
+    * as causal (ice-cream sales and drownings decorrelate given
+    * temperature):
+    *
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)).
+    *
+    * The three Pearson r's come from ONE ten-sum exact-DECIMAL pass
+    * (micro-quantized values, each r a single mirrored
+    * sqrt-product divide, micro-rounded); the partial combines the
+    * ALREADY-ROUNDED micro r's — that materialized rounding point
+    * is what makes the two-stage float chain engine-exact. Any
+    * zero-variance column NULLs the r's that touch it and the
+    * partial; |r_xz| or |r_yz| = 1 (z explains everything) NULLs
+    * the partial's divide. Output: (groupCol, n, r_xy_micro,
+    * r_xz_micro, r_yz_micro, partial_micro). */
+  def partialCorr(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      zCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(xCol).cast("double") * lit(1e6)).cast("long").as("__x"),
+        round(col(yCol).cast("double") * lit(1e6)).cast("long").as("__y"),
+        round(col(zCol).cast("double") * lit(1e6)).cast("long").as("__z"))
+    def s2(a: String, b: String) =
+      sum((col(a).cast(dec) * col(b)).cast(dec)).as(s"__s$a$b")
+    val agg = base.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(dec)).as("__s__x"),
+      sum(col("__y").cast(dec)).as("__s__y"),
+      sum(col("__z").cast(dec)).as("__s__z"),
+      s2("__x", "__x"), s2("__y", "__y"), s2("__z", "__z"),
+      s2("__x", "__y"), s2("__x", "__z"), s2("__y", "__z"))
+    val n = col("n").cast(dec)
+    def den(a: String) =
+      (n * col(s"__s$a$a") - col(s"__s$a") * col(s"__s$a")).cast(dec)
+    def r(a: String, b: String) = {
+      val num = (n * col(s"__s$a$b") - col(s"__s$a") * col(s"__s$b"))
+        .cast(dec)
+      when(den(a) > 0 && den(b) > 0,
+        round(lit(1e6) * num.cast("double") /
+          (sqrt(den(a).cast("double")) * sqrt(den(b).cast("double"))))
+          .cast("long"))
+        .otherwise(lit(null).cast("long"))
+    }
+    val withR = agg
+      .withColumn("r_xy_micro", r("__x", "__y"))
+      .withColumn("r_xz_micro", r("__x", "__z"))
+      .withColumn("r_yz_micro", r("__y", "__z"))
+    def rd(c: String) = col(c).cast("double") / lit(1e6)
+    withR
+      .withColumn("__dxz",
+        lit(1.0) - rd("r_xz_micro") * rd("r_xz_micro"))
+      .withColumn("__dyz",
+        lit(1.0) - rd("r_yz_micro") * rd("r_yz_micro"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("r_xy_micro"), col("r_xz_micro"), col("r_yz_micro"),
+        when(col("r_xy_micro").isNotNull &&
+          col("r_xz_micro").isNotNull && col("r_yz_micro").isNotNull &&
+          col("__dxz") > 0.0 && col("__dyz") > 0.0,
+          round(lit(1e6) *
+            (rd("r_xy_micro") - rd("r_xz_micro") * rd("r_yz_micro")) /
+            (sqrt(col("__dxz")) * sqrt(col("__dyz")))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("partial_micro"))
+  }
+
   /** Fisher's exact test per group (2×2, two-sided) — the
     * small-stratum independence test [[cramersV]]-style χ² cannot
     * be trusted with (expected cells < 5): enumerate every table

@@ -545,6 +545,73 @@ object Ranking {
           .cast("long")).as("rho_micro"))
   }
 
+  /** Kendall's τ-b per group — [[spearman]]'s pair-concordance
+    * sibling (ρ asks "are the RANK LISTS linear", τ asks "what
+    * fraction of PAIRS agree" — τ is the one with the clean
+    * probabilistic reading and the gentler tail sensitivity):
+    *
+    *   τ_b = (C − D) / √( (n₀ − n₁)(n₀ − n₂) ),
+    *
+    * C − D = Σ_{i<j} sgn(xⱼ−xᵢ)·sgn(yⱼ−yᵢ) exactly over the pair
+    * census, n₀ = n(n−1)/2, and n₁/n₂ the standard per-column tie
+    * corrections Σt(t−1)/2 off the value censuses — all exact
+    * integers into ONE sqrt-product divide, micro-rounded. Either
+    * column fully tied ⇒ NULL (no order to correlate).
+    *
+    * Scale: the pair census is quadratic per group, so rows
+    * truncate to the first `maxN` in (idCol) order — the
+    * [[graft.operators.TimeSeries.mannKendall]] bound, with `n`
+    * showing what was used. Output: (groupCol, n, cd, tau_micro). */
+  def kendallTau(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      idCol: String,
+      maxN: Int = 512): DataFrame = {
+    require(maxN >= 2, "maxN must be at least 2")
+    val dec = "decimal(38,0)"
+    val cur = Dedup.truncate(
+      groupRank(df
+        .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+        .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+          round(col(xCol).cast("double") * lit(1e6)).cast("long")
+            .as("__x"),
+          round(col(yCol).cast("double") * lit(1e6)).cast("long")
+            .as("__y")),
+        // (x, y) break idCol ties so the truncation SET is total-
+        // order-defined even when the caller's id collides; full-row
+        // duplicates at the cut keep cd invariant either way.
+        "__g", Seq("__id", "__x", "__y"))
+        .filter(col("rank") <= maxN.toLong)
+        .select(col("__g"), col("rank"), col("__x"), col("__y")))
+    val a = cur.select(col("__g"), col("rank").as("__ri"),
+      col("__x").as("__xi"), col("__y").as("__yi"))
+    val b = cur.select(col("__g"), col("rank").as("__rj"),
+      col("__x").as("__xj"), col("__y").as("__yj"))
+    val cd = a.join(b, Seq("__g")).filter(col("__ri") < col("__rj"))
+      .groupBy(col("__g"))
+      .agg(sum(signum(col("__xj") - col("__xi")).cast("long") *
+        signum(col("__yj") - col("__yi")).cast("long")).as("cd"))
+    def tiePairs(c: String, out: String) = cur
+      .groupBy(col("__g"), col(c)).agg(count(lit(1)).as("__t"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__t") * (col("__t") - 1L) / lit(2L))
+        .cast("long").as(out))
+    val nAgg = cur.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+      .withColumn("__n0", col("n") * (col("n") - 1L) / lit(2L))
+    nAgg.join(cd, Seq("__g"))
+      .join(tiePairs("__x", "__t1"), Seq("__g"))
+      .join(tiePairs("__y", "__t2"), Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("cd"),
+        when(col("__n0") > col("__t1") && col("__n0") > col("__t2"),
+          round(lit(1e6) * col("cd").cast("double") /
+            (sqrt((col("__n0") - col("__t1")).cast("double")) *
+              sqrt((col("__n0") - col("__t2")).cast("double"))))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("tau_micro"))
+  }
+
   /** RBO suffix-weight table: S(m) = Σ_{d=m..k} (1−p)·p^{d−1}/d in
     * micro units, m = 1..k — computed once driver-side and embedded
     * as literals on both engines. An item first present in both

@@ -132,6 +132,126 @@ object Spatial {
       .select(col("a"), col("__w.b").as("b"), col("__w.d2").as("d2"))
   }
 
+  /** Quadkey tile census with one prefix rollup — the Bing-maps
+    * Z-order bucketing that turns "points near each other" into
+    * "rows sharing a string prefix": coordinates in [0, extent)
+    * quantize to a 2^levels grid, each cell keys by the base-4
+    * digit string d_k = 2·bit_k(y) + bit_k(x) (most-significant
+    * first — a tile's quadkey is its parent's quadkey plus one
+    * digit, which is what makes prefix rollups work), and the
+    * census emits every non-empty tile at `levels` PLUS its
+    * `levels−2` parent (16× coarser) aggregated FROM THE CENSUS —
+    * the rollup never rescans points, which is the whole scale
+    * argument for hierarchical tiling. Pure integer bit arithmetic
+    * map-side; two hash-aggs total.
+    * Output: (zoom, quadkey, n_points), zoom ∈ {levels, levels−2}. */
+  def quadkeyCensus(
+      points: DataFrame,
+      xCol: String,
+      yCol: String,
+      extent: Long,
+      levels: Int): DataFrame = {
+    require(levels >= 3 && levels <= 16, "levels must be in [3, 16]")
+    require(extent > 0, "extent must be positive")
+    val side = 1L << levels
+    val base = points.select(col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y"))
+    val cx = expr(s"least(${side - 1}L, (__x * ${side}L) div ${extent}L)")
+    val cy = expr(s"least(${side - 1}L, (__y * ${side}L) div ${extent}L)")
+    val digits = (0 until levels).map { k =>
+      val sh = levels - 1 - k
+      ((shiftright(cy, sh) % 2L) * 2L + shiftright(cx, sh) % 2L)
+        .cast("string")
+    }
+    val leaf = base
+      .select(concat(digits: _*).as("quadkey"))
+      .groupBy(col("quadkey"))
+      .agg(count(lit(1)).as("n_points"))
+    val parent = leaf
+      .groupBy(substring(col("quadkey"), 1, levels - 2).as("quadkey"))
+      .agg(sum(col("n_points")).as("n_points"))
+    leaf.select(lit(levels).as("zoom"), col("quadkey"),
+        col("n_points"))
+      .unionByName(parent.select(lit(levels - 2).as("zoom"),
+        col("quadkey"), col("n_points")))
+  }
+
+  /** Moran's I spatial autocorrelation over the occupied tiles of a
+    * 2^levels grid — "is my crawl/event density CLUMPED, dispersed,
+    * or random across space", the one-number diagnostic read before
+    * trusting any per-region statistic (clumping means region
+    * samples are not independent). Rook adjacency (share an edge)
+    * between NON-EMPTY tiles, binary weights; with G tiles, total
+    * count S and the G-scaled deviation z'ᵢ = G·nᵢ − S, the G²
+    * factors cancel and
+    *
+    *   I = G·Σ_adj z'ᵢz'ⱼ / (ΣW·Σz'ᵢ²)
+    *
+    * is EXACT integers into one micro-rounded divide — no mean, no
+    * float deviations anywhere. E[I] = −1/(G−1) rides along (the
+    * null is not zero at small G). Zero-variance (all tiles equal)
+    * or ΣW = 0 (no adjacent occupied tiles) reports NULL. Empty
+    * tiles are NOT zeros in this formulation — the lattice is the
+    * OCCUPIED set (stated; include a spine upstream if the full
+    * rectangle is the intended universe).
+    *
+    * Scale: one tile census, a 2-offset equi-join on cell keys
+    * (census-sized), two scalar aggregates.
+    * Output: one row (n_cells, sum_w, i_micro, e_i_micro). */
+  def moransI(
+      points: DataFrame,
+      xCol: String,
+      yCol: String,
+      extent: Long,
+      levels: Int): DataFrame = {
+    require(levels >= 2 && levels <= 16, "levels must be in [2, 16]")
+    require(extent > 0, "extent must be positive")
+    val dec = "decimal(38,0)"
+    val side = 1L << levels
+    val cells = points
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .select(
+        expr(s"least(${side - 1}L, (__x * ${side}L) div ${extent}L)")
+          .as("cx"),
+        expr(s"least(${side - 1}L, (__y * ${side}L) div ${extent}L)")
+          .as("cy"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(count(lit(1)).as("g"),
+      sum(col("n")).as("s"),
+      sum((col("n").cast(dec) * col("n")).cast(dec)).as("q"))
+    // Ordered rook pairs via the two positive offsets, both
+    // directions summed by doubling (w is symmetric).
+    val right = cells.select((col("cx") + 1L).as("cx"), col("cy"),
+      col("n").as("nb"))
+    val down = cells.select(col("cx"), (col("cy") + 1L).as("cy"),
+      col("n").as("nb"))
+    val adj = cells.join(right.unionByName(down), Seq("cx", "cy"))
+      .agg(count(lit(1)).as("__np"),
+        sum((col("n").cast(dec) * col("nb")).cast(dec)).as("__pnn"),
+        sum((col("n") + col("nb")).cast(dec)).as("__pt"))
+    // Expanding z'ᵢ = G·nᵢ − S over the pair and variance sums:
+    //   num = G²·Σnn − G·S·T + P·S²,  den = P·(G·q − S²)
+    // (the ordered-pair doubling cancels top and bottom).
+    val num = (col("g").cast(dec) * col("g") * col("__pnn") -
+      col("g").cast(dec) * col("s") * col("__pt") +
+      col("__np").cast(dec) * col("s") * col("s")).cast(dec)
+    val den = (col("__np").cast(dec) *
+      (col("g") * col("q") - col("s").cast(dec) * col("s"))).cast(dec)
+    tot.crossJoin(adj)
+      .select(col("g").as("n_cells"),
+        (lit(2L) * col("__np")).as("sum_w"),
+        when(den > 0,
+          round(lit(1e6) * num.cast("double") / den.cast("double"))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("i_micro"),
+        when(col("g") > 1L,
+          round(lit(-1e6) / (col("g") - 1L).cast("double"))
+            .cast("long")).otherwise(lit(null).cast("long"))
+          .as("e_i_micro"))
+  }
+
   /** DBSCAN over the [[proximityJoin]] candidate graph — density
     * clustering with the classic sklearn contract: a point is CORE
     * when its eps-ball holds ≥ `minPts` points (ITSELF included —
@@ -156,7 +276,8 @@ object Spatial {
       xCol: String,
       yCol: String,
       eps: Long,
-      minPts: Int): DataFrame = {
+      minPts: Int,
+      maxIter: Int = 60): DataFrame = {
     require(minPts >= 2, "minPts must be at least 2")
     val pairs = Dedup.truncate(
       proximityJoin(points, idCol, xCol, yCol, eps)
@@ -172,7 +293,13 @@ object Spatial {
     val coreEdges = pairs
       .join(coreIds.select(col("__id").as("a")), Seq("a"))
       .join(coreIds.select(col("__id").as("b")), Seq("b"))
-    val comp = Dedup.connectedComponents(coreEdges, "a", "b")
+    // A percolating point cloud (mean degree past ~4.5) grows ONE
+    // giant core component whose min label needs more propagation
+    // rounds than a near-dup blob — the default budget is sized for
+    // that (empirical: sf0.1's 100k-point cloud at mean degree ~8
+    // needs >20 rounds; converged loops exit early, so a generous
+    // cap costs nothing on easy graphs).
+    val comp = Dedup.connectedComponents(coreEdges, "a", "b", maxIter)
     val coreLab = coreIds
       .join(comp.select(col("id").as("__id"), col("component")),
         Seq("__id"), "left")

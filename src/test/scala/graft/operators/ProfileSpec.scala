@@ -1087,6 +1087,37 @@ class ProfileSpec extends SparkSpec {
       g1.getAs[Long]("prior_micro"))
   }
 
+  test("partialCorr: confounder wipes the raw correlation") {
+    // y = z exactly, x correlates with y ONLY through z:
+    // r_xy|z must be NULL-guarded or ~0; here y=z makes r_yz=1 -> NULL.
+    val df1 = Seq(("A", 1.0, 10.0, 10.0), ("A", 2.0, 30.0, 30.0),
+      ("A", 3.0, 20.0, 20.0)).toDF("g", "x", "y", "z")
+    val a = Profile.partialCorr(df1, "g", "x", "y", "z").head()
+    assert(a.getAs[Long]("r_yz_micro") == 1000000L)
+    assert(a.isNullAt(a.fieldIndex("partial_micro")))
+    // Replay case: x,y,z generic -> formula over the micro r's.
+    val df2 = Seq(("B", 1.0, 2.0, 1.0), ("B", 2.0, 1.0, 0.0),
+      ("B", 3.0, 4.0, 1.0), ("B", 4.0, 3.0, 0.0))
+      .toDF("g", "x", "y", "z")
+    val b = Profile.partialCorr(df2, "g", "x", "y", "z").head()
+    def r(sab: Double, sa: Double, sb: Double,
+        saa: Double, sbb: Double, n: Double): Long =
+      math.round(1e6 * (n * sab - sa * sb) /
+        (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)))
+    // micro sums: x=(1,2,3,4)e6 y=(2,1,4,3)e6 z=(1,0,1,0)e6
+    val rxy = r(28e12, 10e6, 10e6, 30e12, 30e12, 4)
+    val rxz = r(4e12, 10e6, 2e6, 30e12, 2e12, 4)
+    val ryz = r(6e12, 10e6, 2e6, 30e12, 2e12, 4)
+    assert(b.getAs[Long]("r_xy_micro") == rxy)
+    assert(b.getAs[Long]("r_xz_micro") == rxz)
+    assert(b.getAs[Long]("r_yz_micro") == ryz)
+    val exp = math.round(1e6 *
+      (rxy / 1e6 - rxz / 1e6 * (ryz / 1e6)) /
+      (math.sqrt(1.0 - rxz / 1e6 * (rxz / 1e6)) *
+        math.sqrt(1.0 - ryz / 1e6 * (ryz / 1e6))))
+    assert(b.getAs[Long]("partial_micro") == exp)
+  }
+
   test("fisherExact: tea-tasting replay, odds ratio, empty margin p=1") {
     def lf(n: Long): Double = if (n <= 1) 0.0 else {
       val nd = n.toDouble

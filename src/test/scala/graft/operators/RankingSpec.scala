@@ -361,4 +361,39 @@ class RankingSpec extends SparkSpec {
     val ece = graft.operators.Profile.calibrationError(bins).head()
     assert(ece.getLong(0) == 4L && ece.getLong(1) == 350000L)
   }
+
+  test("kendallTau: perfect orders, ties corrected, all-tied NULL") {
+    val df = Seq(
+      // G: perfectly concordant -> tau 1.
+      ("G", 1.0, 1.0, 1L), ("G", 2.0, 2.0, 2L), ("G", 3.0, 3.0, 3L),
+      // R: perfectly discordant -> tau -1.
+      ("R", 1.0, 3.0, 1L), ("R", 2.0, 2.0, 2L), ("R", 3.0, 1.0, 3L),
+      // T: one x-tie -> cd 2, tau = 2/sqrt(2*3).
+      ("T", 1.0, 1.0, 1L), ("T", 1.0, 2.0, 2L), ("T", 2.0, 3.0, 3L),
+      // X: x fully tied -> NULL.
+      ("X", 5.0, 1.0, 1L), ("X", 5.0, 2.0, 2L))
+      .toDF("g", "x", "y", "id")
+    val got = Ranking.kendallTau(df, "g", "x", "y", "id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("G").getAs[Long]("cd") == 3L &&
+      got("G").getAs[Long]("tau_micro") == 1000000L)
+    assert(got("R").getAs[Long]("tau_micro") == -1000000L)
+    val t = got("T")
+    assert(t.getAs[Long]("cd") == 2L)
+    assert(t.getAs[Long]("tau_micro") ==
+      math.round(1e6 * 2.0 / (math.sqrt(2.0) * math.sqrt(3.0))))
+    val x = got("X")
+    assert(x.isNullAt(x.fieldIndex("tau_micro")))
+  }
+
+  test("kendallTau: maxN truncates in id order") {
+    // First 3 rows concordant; the tail would flip the sign.
+    val df = Seq(
+      ("K", 1.0, 1.0, 1L), ("K", 2.0, 2.0, 2L), ("K", 3.0, 3.0, 3L),
+      ("K", 4.0, -10.0, 4L), ("K", 5.0, -20.0, 5L))
+      .toDF("g", "x", "y", "id")
+    val r = Ranking.kendallTau(df, "g", "x", "y", "id", maxN = 3).head()
+    assert(r.getAs[Long]("n") == 3L &&
+      r.getAs[Long]("tau_micro") == 1000000L)
+  }
 }

@@ -81,6 +81,51 @@ class SpatialSpec extends SparkSpec {
     assert(got("D").isNullAt(1) && got("D").isNullAt(2))
   }
 
+  test("quadkeyCensus: hand digit interleave and prefix rollup") {
+    // extent 100, levels 3 (8x8 cells).
+    val pts = Seq(
+      (0L, 0L), (0L, 0L),      // cell (0,0) -> "000", twice
+      (99L, 99L),              // cell (7,7) -> "333"
+      (50L, 0L))               // cell (4,0) -> bits x=100 -> "100"
+      .toDF("x", "y")
+    val got = Spatial.quadkeyCensus(pts, "x", "y", extent = 100L,
+        levels = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got((3, "000")) == 2L)
+    assert(got((3, "333")) == 1L)
+    assert(got((3, "100")) == 1L)
+    // Parents at zoom 1 (one digit): "0"->2, "3"->1, "1"->1.
+    assert(got((1, "0")) == 2L && got((1, "3")) == 1L &&
+      got((1, "1")) == 1L)
+    assert(got.size == 6)
+  }
+
+  test("moransI: clumped positive, checkerboard -1, exact hand sums") {
+    def cellPts(cx: Long, cy: Long, n: Int) =
+      Seq.fill(n)((cx, cy))
+    // extent 4, levels 2: coordinates ARE cell indices.
+    val clumped = (cellPts(0, 0, 4) ++ cellPts(1, 0, 4) ++
+      cellPts(3, 3, 1)).toDF("x", "y")
+    val c = Spatial.moransI(clumped, "x", "y", extent = 4L, levels = 2)
+      .head()
+    // G=3, S=9, q=33; one pair: num = 144-216+81 = 9, den = 18.
+    assert(c.getAs[Long]("n_cells") == 3L && c.getAs[Long]("sum_w") == 2L)
+    assert(c.getAs[Long]("i_micro") == 500000L)
+    assert(c.getAs[Long]("e_i_micro") == -500000L)
+    val board = (cellPts(0, 0, 5) ++ cellPts(1, 0, 1) ++
+      cellPts(0, 1, 1) ++ cellPts(1, 1, 5)).toDF("x", "y")
+    val b = Spatial.moransI(board, "x", "y", extent = 4L, levels = 2)
+      .head()
+    // Perfect dispersion on the 2x2 block: I = -1 exactly.
+    assert(b.getAs[Long]("i_micro") == -1000000L)
+    // A single occupied cell: no pairs, no variance -> NULL I.
+    val lone = cellPts(2, 2, 7).toDF("x", "y")
+    val l = Spatial.moransI(lone, "x", "y", extent = 4L, levels = 2)
+      .head()
+    assert(l.isNullAt(l.fieldIndex("i_micro")))
+  }
+
   test("dbscan: cores/min-id clusters, border attach, mutual non-core noise") {
     val pts = Seq(
       // Triangle cluster: all three core, component labeled "A".
