@@ -5056,7 +5056,35 @@ object SparkEntry {
     // return flag: one ten-sum pass, staged micro rounding.
     "q367_partial_corr" -> ((s, dir) =>
       Profile.partialCorr(t(s, dir, "lineitem"), "l_returnflag",
-        "l_quantity", "l_extendedprice", "l_discount"))
+        "l_quantity", "l_extendedprice", "l_discount")),
+
+    // Geary's C local-roughness twin of q365 on the same tiles.
+    "q368_gearys_c" -> ((s, dir) => {
+      def coord(axis: String) = hashMod(axis, col("event_id"), 1000000L)
+      Spatial.gearysC(
+        t(s, dir, "events").select(coord("x").as("x"),
+          coord("y").as("y")),
+        "x", "y", extent = 1000000L, levels = 5)
+    }),
+
+    // Newey-West HAC error bar on the mean event value per type:
+    // exact Bartlett-kernel lag sums, iid bar alongside.
+    "q369_newey_west" -> ((s, dir) =>
+      TimeSeries.neweyWest(t(s, dir, "events"), "event_type", "ts",
+        "event_id", "value", maxLag = 5)),
+
+    // BH false-discovery-rate correction over q363's 20 Fisher
+    // p-values: ranked step-up, suffix-min adjusted q, alpha 0.05.
+    "q370_bh_fdr" -> ((s, dir) =>
+      Profile.bhFdr(
+        Profile.fisherExact(
+          t(s, dir, "documents").select(col("source"),
+            (col("lang") === "en").as("is_en"),
+            (col("n_chars") >= 400L).as("is_long")),
+          "source", "is_en", "is_long")
+          .select(lit("all").as("grp"), col("source"),
+            col("p_micro")),
+        "grp", "source", "p_micro", alpha = 0.05))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13398,6 +13426,28 @@ object SparkEntry {
 
     "q363_fisher_exact" -> fisherOracleSql,
 
+    "q370_bh_fdr" ->
+      s"""WITH fx AS (
+         |  SELECT source, p_micro FROM ($fisherOracleSql)),
+         |r AS (
+         |  SELECT 'all' AS grp, source, p_micro,
+         |    row_number() OVER (ORDER BY p_micro, source) AS rank,
+         |    CAST(count(*) OVER () AS BIGINT) AS m
+         |  FROM fx WHERE p_micro IS NOT NULL),
+         |q AS (
+         |  SELECT *, CAST(round(CAST(CAST(p_micro AS HUGEINT) * m
+         |    AS DOUBLE) / CAST(rank AS DOUBLE)) AS BIGINT) AS qraw
+         |  FROM r),
+         |adj AS (
+         |  SELECT *, least(1000000, min(qraw) OVER (
+         |    ORDER BY rank DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |    AS q_micro
+         |  FROM q)
+         |SELECT grp, source, p_micro, CAST(rank AS BIGINT) AS rank,
+         |  m, q_micro, q_micro <= 50000 AS rejected
+         |FROM adj""".stripMargin,
+
     "q364_quadkey" ->
       """WITH p AS (
         |  SELECT
@@ -13466,6 +13516,103 @@ object SparkEntry {
         |    CAST(round(-1e6 / CAST(g - 1 AS DOUBLE)) AS BIGINT)
         |  END AS e_i_micro
         |FROM tot, adj""".stripMargin,
+
+    "q368_gearys_c" ->
+      """WITH p AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 AS x,
+        |    CAST(('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 AS y
+        |  FROM events),
+        |cells AS (
+        |  SELECT least(31, (x * 32) // 1000000) AS cx,
+        |         least(31, (y * 32) // 1000000) AS cy,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS g,
+        |    CAST(sum(n) AS BIGINT) AS s,
+        |    sum(CAST(n AS HUGEINT) * n) AS q
+        |  FROM cells),
+        |adj AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS np,
+        |    sum(CAST(a.n - b.n AS HUGEINT) * (a.n - b.n)) AS pd2
+        |  FROM cells a JOIN cells b
+        |    ON (a.cx = b.cx + 1 AND a.cy = b.cy)
+        |    OR (a.cx = b.cx AND a.cy = b.cy + 1))
+        |SELECT g AS n_cells, 2 * np AS sum_w,
+        |  CASE WHEN 2 * CAST(np AS HUGEINT)
+        |    * (g * q - CAST(s AS HUGEINT) * s) > 0 THEN
+        |    CAST(round(1e6
+        |      * CAST(CAST(g AS HUGEINT) * (g - 1) * pd2 AS DOUBLE)
+        |      / CAST(2 * CAST(np AS HUGEINT)
+        |        * (g * q - CAST(s AS HUGEINT) * s) AS DOUBLE))
+        |      AS BIGINT)
+        |  END AS c_micro
+        |FROM tot, adj""".stripMargin,
+
+    "q369_newey_west" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, ts, event_id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      AS rk,
+        |    v
+        |  FROM b),
+        |tot AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s,
+        |    sum(CAST(v AS HUGEINT) * v) AS q
+        |  FROM r GROUP BY 1),
+        |la AS (
+        |  SELECT h.k, t.rk - h.rk AS lag,
+        |    CAST(count(*) AS BIGINT) AS nk,
+        |    sum(CAST(h.v AS HUGEINT) * t.v) AS pp,
+        |    sum(CAST(h.v AS HUGEINT)) AS hh,
+        |    sum(CAST(t.v AS HUGEINT)) AS tt
+        |  FROM r h JOIN r t
+        |    ON h.k = t.k AND t.rk - h.rk BETWEEN 1 AND 5
+        |  GROUP BY 1, 2),
+        |ak AS (
+        |  SELECT la.k,
+        |    sum((6 - lag) * (CAST(n AS HUGEINT) * n * pp
+        |      - CAST(n AS HUGEINT) * s * (hh + tt)
+        |      + CAST(nk AS HUGEINT) * s * s)) AS wsum
+        |  FROM la JOIN tot ON la.k = tot.k
+        |  GROUP BY 1)
+        |SELECT tot.k AS event_type, n,
+        |  CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT) AS mean_micro,
+        |  CASE WHEN n >= 2 THEN
+        |    CAST(round(sqrt(greatest(0.0,
+        |      CAST(CAST(n AS HUGEINT) * (n * q - s * s) AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n * n * n AS DOUBLE))))
+        |      AS BIGINT) END AS se_iid_micro,
+        |  CASE WHEN n >= 2 THEN
+        |    CAST(round(sqrt(greatest(0.0,
+        |      CAST(6 * (CAST(n AS HUGEINT) * (n * q - s * s))
+        |        + 2 * coalesce(wsum, 0) AS DOUBLE)
+        |      / (6.0 * CAST(CAST(n AS HUGEINT) * n * n * n
+        |        AS DOUBLE))))) AS BIGINT) END AS se_nw_micro,
+        |  CASE WHEN n >= 2 THEN
+        |    CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 1.959964 * sqrt(greatest(0.0,
+        |        CAST(6 * (CAST(n AS HUGEINT) * (n * q - s * s))
+        |          + 2 * coalesce(wsum, 0) AS DOUBLE)
+        |        / (6.0 * CAST(CAST(n AS HUGEINT) * n * n * n
+        |          AS DOUBLE))))) AS BIGINT) END AS ci_lo_micro,
+        |  CASE WHEN n >= 2 THEN
+        |    CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + 1.959964 * sqrt(greatest(0.0,
+        |        CAST(6 * (CAST(n AS HUGEINT) * (n * q - s * s))
+        |          + 2 * coalesce(wsum, 0) AS DOUBLE)
+        |        / (6.0 * CAST(CAST(n AS HUGEINT) * n * n * n
+        |          AS DOUBLE))))) AS BIGINT) END AS ci_hi_micro
+        |FROM tot LEFT JOIN ak ON tot.k = ak.k""".stripMargin,
 
     "q366_kendall_tau" ->
       """WITH b AS (

@@ -2428,6 +2428,49 @@ object Profile {
           .otherwise(lit(null).cast("long")).as("eps2_micro"))
   }
 
+  /** Benjamini–Hochberg FDR correction per group — the multiple-
+    * testing closer for the whole test battery ([[fisherExact]],
+    * [[twoProportionTest]], [[mannWhitney]]…): run m tests, feed
+    * the p-values here, read back WHICH survive at false-discovery
+    * rate α. Step-up rule via the equivalent adjusted q-values:
+    * q_k = min(1, min_{j≥k} p_j·m/j) over the (p, id)-ranked tests,
+    * reject iff q ≤ α. Ranking rides [[Ranking.groupRank]]'s
+    * range-partitioned prefix; the raw quotients are single rounded
+    * divides of exact integers; the suffix-min runs over the TEST
+    * census (m rows per group — a window there is metadata, not
+    * data). NULL p-values drop (they were never tests).
+    * Output: (groupCol, idCol, p_micro, rank, m, q_micro,
+    * rejected). */
+  def bhFdr(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      pMicroCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val alphaMicro = math.round(alpha * 1e6)
+    val dec = "decimal(38,0)"
+    val ranked = Ranking.groupRank(
+      df.filter(col(pMicroCol).isNotNull)
+        .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+          col(pMicroCol).cast("long").as("__p")),
+      "__g", Seq("__p", "__id"))
+    val m = ranked.groupBy(col("__g")).agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.join(m, Seq("__g"))
+      .withColumn("__qraw",
+        round((col("__p").cast(dec) * col("m")).cast("double") /
+          col("rank").cast("double")).cast("long"))
+      .withColumn("q_micro",
+        least(lit(1000000L), min(col("__qraw")).over(w)))
+      .select(col("__g").as(groupCol), col("__id").as(idCol),
+        col("__p").as("p_micro"), col("rank"), col("m"),
+        col("q_micro"),
+        (col("q_micro") <= alphaMicro).as("rejected"))
+  }
+
   /** First-order partial correlation per group — "does x still
     * correlate with y once z is held fixed", the one-line
     * confounder check run before reading ANY pairwise correlation

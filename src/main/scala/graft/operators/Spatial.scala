@@ -252,6 +252,65 @@ object Spatial {
           .as("e_i_micro"))
   }
 
+  /** Geary's C over the occupied tiles — [[moransI]]'s LOCAL
+    * counterpart (Moran covaries against the global mean and sees
+    * broad gradients; Geary squares the difference across each edge
+    * and sees local roughness — reading both separates "smooth
+    * regional trend" from "salt-and-pepper noise"). Rook adjacency,
+    * binary weights; with Σd² the exact sum of (nᵢ−nⱼ)² over
+    * unordered adjacent pairs,
+    *
+    *   C = G·(G−1)·Σd² / (2P·(G·q − S²)),
+    *
+    * exact integers into one micro-rounded divide (same
+    * cancellation as Moran's — no mean, no float deviations).
+    * E[C] = 1 under no autocorrelation; C < 1 = clustering, C > 1 =
+    * dispersion. Same occupied-lattice contract and NULL guards as
+    * [[moransI]]. Output: one row (n_cells, sum_w, c_micro). */
+  def gearysC(
+      points: DataFrame,
+      xCol: String,
+      yCol: String,
+      extent: Long,
+      levels: Int): DataFrame = {
+    require(levels >= 2 && levels <= 16, "levels must be in [2, 16]")
+    require(extent > 0, "extent must be positive")
+    val dec = "decimal(38,0)"
+    val side = 1L << levels
+    val cells = points
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .select(
+        expr(s"least(${side - 1}L, (__x * ${side}L) div ${extent}L)")
+          .as("cx"),
+        expr(s"least(${side - 1}L, (__y * ${side}L) div ${extent}L)")
+          .as("cy"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(count(lit(1)).as("g"),
+      sum(col("n")).as("s"),
+      sum((col("n").cast(dec) * col("n")).cast(dec)).as("q"))
+    val right = cells.select((col("cx") + 1L).as("cx"), col("cy"),
+      col("n").as("nb"))
+    val down = cells.select(col("cx"), (col("cy") + 1L).as("cy"),
+      col("n").as("nb"))
+    val adj = cells.join(right.unionByName(down), Seq("cx", "cy"))
+      .agg(count(lit(1)).as("__np"),
+        sum(((col("n") - col("nb")).cast(dec) *
+          (col("n") - col("nb"))).cast(dec)).as("__pd2"))
+    val num = (col("g").cast(dec) * (col("g") - 1L) * col("__pd2"))
+      .cast(dec)
+    val den = (lit(2L) * col("__np").cast(dec) *
+      (col("g") * col("q") - col("s").cast(dec) * col("s"))).cast(dec)
+    tot.crossJoin(adj)
+      .select(col("g").as("n_cells"),
+        (lit(2L) * col("__np")).as("sum_w"),
+        when(den > 0,
+          round(lit(1e6) * num.cast("double") / den.cast("double"))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("c_micro"))
+  }
+
   /** DBSCAN over the [[proximityJoin]] candidate graph — density
     * clustering with the classic sklearn contract: a point is CORE
     * when its eps-ball holds ≥ `minPts` points (ITSELF included —

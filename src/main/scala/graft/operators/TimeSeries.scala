@@ -1033,6 +1033,94 @@ object TimeSeries {
           .as("resid_micro"))
   }
 
+  /** Newey–West (HAC) standard error of the mean per key — the
+    * honest error bar for an AUTOCORRELATED series ([[acf]] tells
+    * you the iid ±1.96·s/√n bar is a lie; this fixes it): Bartlett-
+    * kernel long-run variance over lags 0..maxLag,
+    *
+    *   Var(x̄) = [ (L+1)·a₀ + 2·Σ_k (L+1−k)·a_k ] / ((L+1)·n⁴),
+    *
+    * where a_k = n²·ΣxᵢxᵢΔk − n·S·(H_k+T_k) + n_k·S² is the exact
+    * n²-scaled lag-k autocovariance sum ([[acf]]'s integer
+    * machinery, denominator-n convention) — EVERYTHING up to the
+    * final sqrt is exact DECIMAL, and the truncated Bartlett kernel
+    * keeps the variance provably non-negative. The iid bar rides
+    * along for contrast; the 95% CI uses the literal 1.959964.
+    * Keys shorter than a lag simply contribute nothing at that lag
+    * (stated); n < 2 keys report NULL errors.
+    *
+    * Scale: the lag taps are the acf explode-join (O(n·L) rows, no
+    * per-key window); one census fold closes.
+    * Output: (keyCol, n, mean_micro, se_iid_micro, se_nw_micro,
+    * ci_lo_micro, ci_hi_micro). */
+  def neweyWest(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be at least 1")
+    val dec = "decimal(38,0)"
+    val lp1 = (maxLag + 1).toLong
+    val cur = Dedup.truncate(
+      Ranking.groupRank(
+        df.filter(col(valueCol).isNotNull)
+          .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+            col(idCol).as("__id"),
+            round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+              .as("__v")),
+        "__k", Seq("__ts", "__id"))
+        .select(col("__k"), col("rank"), col("__v")))
+    val tot = cur.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast(dec)).as("__s"),
+        sum((col("__v").cast(dec) * col("__v")).cast(dec)).as("__q"))
+    val probes = cur
+      .select(col("__k"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"),
+        (col("rank") - col("lag")).as("rank"), col("__v").as("__vt"))
+    val lagAgg = cur.join(probes, Seq("__k", "rank"))
+      .groupBy(col("__k"), col("lag"))
+      .agg(count(lit(1)).as("__nk"),
+        sum((col("__v").cast(dec) * col("__vt")).cast(dec)).as("__p"),
+        sum(col("__v").cast(dec)).as("__h"),
+        sum(col("__vt").cast(dec)).as("__t"))
+    val ak = lagAgg.join(tot, Seq("__k"))
+      .select(col("__k"), col("lag"),
+        (col("n").cast(dec) * col("n") * col("__p") -
+          col("n").cast(dec) * col("__s") * (col("__h") + col("__t")) +
+          col("__nk").cast(dec) * col("__s") * col("__s")).cast(dec)
+          .as("__ak"))
+      .groupBy(col("__k"))
+      .agg(sum(((lit(lp1) - col("lag")).cast(dec) * col("__ak"))
+        .cast(dec)).as("__wsum"))
+    val a0 = (col("n").cast(dec) *
+      (col("n") * col("__q") - col("__s") * col("__s"))).cast(dec)
+    val n4 = (col("n").cast(dec) * col("n") * col("n") * col("n"))
+      .cast(dec)
+    val nwNum = (lit(lp1) * a0 +
+      lit(2L) * coalesce(col("__wsum"), lit(0L).cast(dec))).cast(dec)
+    val seNw = sqrt(greatest(lit(0.0),
+      nwNum.cast("double") / (lit(lp1.toDouble) * n4.cast("double"))))
+    val seIid = sqrt(greatest(lit(0.0),
+      a0.cast("double") / n4.cast("double")))
+    val meanD = col("__s").cast("double") / col("n").cast("double")
+    tot.join(ak, Seq("__k"), "left")
+      .select(col("__k").as(keyCol), col("n"),
+        round(meanD).cast("long").as("mean_micro"),
+        when(col("n") >= 2L, round(seIid).cast("long"))
+          .otherwise(lit(null).cast("long")).as("se_iid_micro"),
+        when(col("n") >= 2L, round(seNw).cast("long"))
+          .otherwise(lit(null).cast("long")).as("se_nw_micro"),
+        when(col("n") >= 2L,
+          round(meanD - lit(1.959964) * seNw).cast("long"))
+          .otherwise(lit(null).cast("long")).as("ci_lo_micro"),
+        when(col("n") >= 2L,
+          round(meanD + lit(1.959964) * seNw).cast("long"))
+          .otherwise(lit(null).cast("long")).as("ci_hi_micro"))
+  }
+
   /** Hurst exponent by classic rescaled-range (R/S) analysis per
     * key — "does this series REMEMBER": H ≈ 0.5 for a random walk's
     * increments, > 0.5 for long-range persistence (trending load,

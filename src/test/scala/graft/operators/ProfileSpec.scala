@@ -1087,6 +1087,35 @@ class ProfileSpec extends SparkSpec {
       g1.getAs[Long]("prior_micro"))
   }
 
+  test("bhFdr: step-up rejections, suffix-min monotone q, NULL p drops") {
+    val df = Seq(
+      ("g", "t1", Some(1000L)), ("g", "t2", Some(20000L)),
+      ("g", "t3", Some(30000L)), ("g", "t4", Some(800000L)),
+      ("g", "tx", None)).toDF("grp", "id", "p_micro")
+    val got = Profile.bhFdr(df, "grp", "id", "p_micro", alpha = 0.05)
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(!got.contains("tx") && got.size == 4)
+    // raw q: 4000, 40000, 40000, 800000 -> suffix-min unchanged.
+    assert(got("t1").getAs[Long]("q_micro") == 4000L)
+    assert(got("t2").getAs[Long]("q_micro") == 40000L)
+    assert(got("t3").getAs[Long]("q_micro") == 40000L)
+    assert(got("t4").getAs[Long]("q_micro") == 800000L)
+    assert(got("t1").getAs[Boolean]("rejected") &&
+      got("t2").getAs[Boolean]("rejected") &&
+      got("t3").getAs[Boolean]("rejected") &&
+      !got("t4").getAs[Boolean]("rejected"))
+    // The suffix min must flow BACKWARD: a small late p rescues an
+    // earlier larger raw quotient.
+    val df2 = Seq(("h", "a", Some(400000L)), ("h", "b", Some(450000L)))
+      .toDF("grp", "id", "p_micro")
+    val h = Profile.bhFdr(df2, "grp", "id", "p_micro")
+      .collect().map(r => r.getString(1) -> r).toMap
+    // raw: a = 800000, b = 450000 -> a's q pulls down to... a is
+    // rank 1 (800000 raw), b rank 2 (450000): a's q = min = 450000.
+    assert(h("a").getAs[Long]("q_micro") == 450000L)
+    assert(h("b").getAs[Long]("q_micro") == 450000L)
+  }
+
   test("partialCorr: confounder wipes the raw correlation") {
     // y = z exactly, x correlates with y ONLY through z:
     // r_xy|z must be NULL-guarded or ~0; here y=z makes r_yz=1 -> NULL.

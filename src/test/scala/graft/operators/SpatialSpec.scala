@@ -126,6 +126,26 @@ class SpatialSpec extends SparkSpec {
     assert(l.isNullAt(l.fieldIndex("i_micro")))
   }
 
+  test("gearysC: checkerboard 1.5, flat-adjacent 0, lone-cell NULL") {
+    def cellPts(cx: Long, cy: Long, n: Int) = Seq.fill(n)((cx, cy))
+    val board = (cellPts(0, 0, 5) ++ cellPts(1, 0, 1) ++
+      cellPts(0, 1, 1) ++ cellPts(1, 1, 5)).toDF("x", "y")
+    val b = Spatial.gearysC(board, "x", "y", extent = 4L, levels = 2)
+      .head()
+    // Sum d2 = 64, G=4, Gq-S2 = 64, P=4: C = 12*64/(8*64) = 1.5.
+    assert(b.getAs[Long]("c_micro") == 1500000L)
+    val flat = (cellPts(0, 0, 4) ++ cellPts(1, 0, 4) ++
+      cellPts(3, 3, 1)).toDF("x", "y")
+    val f = Spatial.gearysC(flat, "x", "y", extent = 4L, levels = 2)
+      .head()
+    // The only edge joins two EQUAL cells: local roughness 0.
+    assert(f.getAs[Long]("c_micro") == 0L)
+    val lone = cellPts(2, 2, 7).toDF("x", "y")
+    val l = Spatial.gearysC(lone, "x", "y", extent = 4L, levels = 2)
+      .head()
+    assert(l.isNullAt(l.fieldIndex("c_micro")))
+  }
+
   test("dbscan: cores/min-id clusters, border attach, mutual non-core noise") {
     val pts = Seq(
       // Triangle cluster: all three core, component labeled "A".

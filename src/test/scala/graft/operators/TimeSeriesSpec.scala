@@ -486,6 +486,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getAs[Int]("trend") == 1)
   }
 
+  test("neweyWest: alternating series shrinks the HAC bar, flat zero") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    val df = (
+      // A: +1,-1,+1,-1 -> iid se exactly 0.5; negative lag-1
+      // autocovariance PULLS the NW bar BELOW the iid one.
+      Seq(1.0, -1.0, 1.0, -1.0).zipWithIndex.map { case (v, i) =>
+        ("A", at(i.toLong), i.toLong, v) } ++
+      // C: constant -> both bars exactly 0.
+      Seq.fill(4)(5.0).zipWithIndex.map { case (v, i) =>
+        ("C", at(i.toLong), i.toLong, v) } ++
+      // S: a single point -> NULL errors.
+      Seq(("S", at(0L), 0L, 3.0))
+    ).toDF("k", "ts", "id", "v")
+    val got = TimeSeries.neweyWest(df, "k", "ts", "id", "v", maxLag = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("mean_micro") == 0L)
+    assert(a.getAs[Long]("se_iid_micro") == 500000L)
+    // Hand lag sums: a0=64e12, a1=-48e12, a2=32e12, a3=-16e12 ->
+    // nwNum = 6*64 - 2*160 = 64e12, var = 64e12/(6*256).
+    val expNw = math.round(math.sqrt(64e12 / (6.0 * 256.0)))
+    assert(a.getAs[Long]("se_nw_micro") == expNw)
+    assert(a.getAs[Long]("ci_lo_micro") ==
+      math.round(-1.959964 * math.sqrt(64e12 / (6.0 * 256.0))))
+    val c = got("C")
+    assert(c.getAs[Long]("se_iid_micro") == 0L &&
+      c.getAs[Long]("se_nw_micro") == 0L &&
+      c.getAs[Long]("ci_lo_micro") == 5000000L)
+    val s = got("S")
+    assert(s.isNullAt(s.fieldIndex("se_nw_micro")) &&
+      s.isNullAt(s.fieldIndex("ci_lo_micro")))
+  }
+
   test("hurstRS: anti-persistent 0, ramp near 1, short series NULL") {
     val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
