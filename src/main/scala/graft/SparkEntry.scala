@@ -5084,7 +5084,37 @@ object SparkEntry {
           "source", "is_en", "is_long")
           .select(lit("all").as("grp"), col("source"),
             col("p_micro")),
-        "grp", "source", "p_micro", alpha = 0.05))
+        "grp", "source", "p_micro", alpha = 0.05)),
+
+    // Fisher's method over the same 20 p-values: one chi-square on
+    // 2m degrees of freedom from micro-nat ln sums.
+    "q371_fisher_combine" -> ((s, dir) =>
+      Profile.fisherCombine(
+        Profile.fisherExact(
+          t(s, dir, "documents").select(col("source"),
+            (col("lang") === "en").as("is_en"),
+            (col("n_chars") >= 400L).as("is_long")),
+          "source", "is_en", "is_long")
+          .select(lit("all").as("grp"), col("p_micro")),
+        "grp", "p_micro")),
+
+    // Seasonal/trend strength per event type off q300's STL table.
+    "q372_seasonal_strength" -> ((s, dir) => {
+      val series = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_idx"),
+          round(col("value").cast("double") * lit(1e6)).cast("long")
+            .as("v"))
+        .groupBy(col("event_type"), col("day_idx"))
+        .agg(sum(col("v")).as("y"))
+      TimeSeries.seasonalStrength(series, "event_type", "day_idx",
+        "y", period = 7)
+    }),
+
+    // Entropy rate of the behavior chain vs the marginal entropy.
+    "q373_entropy_rate" -> ((s, dir) =>
+      Sessionize.entropyRate(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13447,6 +13477,111 @@ object SparkEntry {
          |SELECT grp, source, p_micro, CAST(rank AS BIGINT) AS rank,
          |  m, q_micro, q_micro <= 50000 AS rejected
          |FROM adj""".stripMargin,
+
+    "q371_fisher_combine" ->
+      s"""WITH fx AS (
+         |  SELECT p_micro FROM ($fisherOracleSql)),
+         |b AS (
+         |  SELECT greatest(1, p_micro) AS p FROM fx
+         |  WHERE p_micro IS NOT NULL)
+         |SELECT 'all' AS grp, CAST(count(*) AS BIGINT) AS m,
+         |  CAST(2 * count(*) AS BIGINT) AS df,
+         |  CAST(-2 * sum(CAST(round(1e6
+         |    * ln(CAST(p AS DOUBLE) / 1e6)) AS BIGINT)) AS BIGINT)
+         |    AS chi2_micro
+         |FROM b""".stripMargin,
+
+    "q372_seasonal_strength" ->
+      """WITH s AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS d,
+        |    CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT s.k, s.d + o.o AS t2, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(s.y) AS BIGINT) AS sm
+        |  FROM s, (SELECT unnest(generate_series(-3, 3)) AS o) o
+        |  GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT k, t2 AS d,
+        |    CAST(round(CAST(sm AS DOUBLE) / 7.0) AS BIGINT) AS trend
+        |  FROM c WHERE cnt = 7),
+        |j AS (
+        |  SELECT s.k, s.d, s.y, tr.trend, s.y - tr.trend AS det,
+        |    ((s.d % 7) + 7) % 7 AS phase
+        |  FROM s LEFT JOIN tr USING (k, d)),
+        |se AS (
+        |  SELECT k, phase, CAST(round(CAST(sum(det) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seas
+        |  FROM j WHERE det IS NOT NULL GROUP BY 1, 2),
+        |outp AS (
+        |  SELECT j.k, se.seas, j.trend,
+        |    j.y - j.trend - se.seas AS resid
+        |  FROM j LEFT JOIN se USING (k, phase)),
+        |nall AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM outp
+        |  GROUP BY 1),
+        |u AS (
+        |  SELECT k, resid AS r, seas + resid AS sr,
+        |    trend + resid AS tr2
+        |  FROM outp WHERE resid IS NOT NULL),
+        |agg AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n_used,
+        |    sum(CAST(r AS HUGEINT)) AS sr1,
+        |    sum(CAST(r AS HUGEINT) * r) AS qr,
+        |    sum(CAST(sr AS HUGEINT)) AS ss1,
+        |    sum(CAST(sr AS HUGEINT) * sr) AS qs,
+        |    sum(CAST(tr2 AS HUGEINT)) AS st1,
+        |    sum(CAST(tr2 AS HUGEINT) * tr2) AS qt
+        |  FROM u GROUP BY 1)
+        |SELECT nall.k AS event_type, n,
+        |  coalesce(n_used, 0) AS n_used,
+        |  CASE WHEN n_used * qs - ss1 * ss1 > 0 THEN
+        |    greatest(0, CAST(round(1e6 * (1.0
+        |      - CAST(n_used * qr - sr1 * sr1 AS DOUBLE)
+        |      / CAST(n_used * qs - ss1 * ss1 AS DOUBLE)))
+        |      AS BIGINT))
+        |  END AS f_seasonal_micro,
+        |  CASE WHEN n_used * qt - st1 * st1 > 0 THEN
+        |    greatest(0, CAST(round(1e6 * (1.0
+        |      - CAST(n_used * qr - sr1 * sr1 AS DOUBLE)
+        |      / CAST(n_used * qt - st1 * st1 AS DOUBLE)))
+        |      AS BIGINT))
+        |  END AS f_trend_micro
+        |FROM nall LEFT JOIN agg ON nall.k = agg.k""".stripMargin,
+
+    "q373_entropy_rate" ->
+      """WITH trn AS (
+        |  SELECT event_type AS f,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t
+        |  FROM events),
+        |cft AS (
+        |  SELECT f, t, CAST(count(*) AS BIGINT) AS cft
+        |  FROM trn WHERE t IS NOT NULL GROUP BY 1, 2),
+        |cf AS (SELECT f, CAST(sum(cft) AS BIGINT) AS cf FROM cft
+        |  GROUP BY 1),
+        |j AS (SELECT cft.f, cft.cft, cf.cf FROM cft JOIN cf
+        |  USING (f)),
+        |tot AS (
+        |  SELECT CAST(sum(cft) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT f) AS BIGINT) AS n_states
+        |  FROM j),
+        |rate AS (
+        |  SELECT CAST(sum(CAST(round(1e6 * CAST(cft AS DOUBLE)
+        |    * ln(CAST(cft AS DOUBLE) / CAST(cf AS DOUBLE)))
+        |    AS BIGINT)) AS BIGINT) AS srate
+        |  FROM j),
+        |marg AS (
+        |  SELECT CAST(sum(CAST(round(1e6 * CAST(c AS DOUBLE)
+        |    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    AS BIGINT)) AS BIGINT) AS smarg
+        |  FROM (SELECT f, max(cf) AS c FROM j GROUP BY 1), tot)
+        |SELECT n AS n_transitions, n_states,
+        |  CAST(round(-CAST(srate AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT) AS h_rate_mnat,
+        |  CAST(round(-CAST(smarg AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT) AS h_marginal_mnat
+        |FROM tot, rate, marg""".stripMargin,
 
     "q364_quadkey" ->
       """WITH p AS (

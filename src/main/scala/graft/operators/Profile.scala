@@ -2428,6 +2428,32 @@ object Profile {
           .otherwise(lit(null).cast("long")).as("eps2_micro"))
   }
 
+  /** Fisher's method per group — combine m independent p-values
+    * into one: χ² = −2·Σ ln pᵢ on 2m degrees of freedom (small
+    * effects pointing the same way stack into one loud signal —
+    * the meta-analytic closer next to [[bhFdr]]'s which-survive
+    * view). Each ln is micro-nat quantized per row (the lmScore
+    * idiom), the sum exact; p = 0 is clamped to 1 micro before the
+    * ln (a literal zero would be −∞ — stated, and it keeps a
+    * degenerate underflowed test from wiping the whole group).
+    * NULL p-values drop. Output: (groupCol, m, df, chi2_micro). */
+  def fisherCombine(
+      df: DataFrame,
+      groupCol: String,
+      pMicroCol: String): DataFrame = {
+    df.filter(col(pMicroCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        greatest(lit(1L), col(pMicroCol).cast("long")).as("__p"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("m"),
+        sum(round(lit(1e6) *
+          log(col("__p").cast("double") / lit(1e6))).cast("long"))
+          .as("__slnp"))
+      .select(col("__g").as(groupCol), col("m"),
+        (lit(2L) * col("m")).as("df"),
+        (lit(-2L) * col("__slnp")).as("chi2_micro"))
+  }
+
   /** Benjamini–Hochberg FDR correction per group — the multiple-
     * testing closer for the whole test battery ([[fisherExact]],
     * [[twoProportionTest]], [[mannWhitney]]…): run m tests, feed

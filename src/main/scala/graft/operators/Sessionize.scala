@@ -129,6 +129,54 @@ object Sessionize {
         (-sum(col("__s"))).as("nll_micro"))
   }
 
+  /** Corpus entropy rate of the behavior chain — the compressibility
+    * number next to [[markovNll]]'s per-key anomaly score: the
+    * conditional entropy H(next | current) = −Σ_f π_f Σ_t p(t|f)·
+    * ln p(t|f) of the first-order transition model, against the
+    * marginal entropy H(state) for contrast (H_rate ≪ H_marginal =
+    * behavior is predictable from one step of memory; equal =
+    * transitions carry no signal). Both collapse to one pass over
+    * the states² census: term(f,t) = c_ft·ln(c_ft/c_f) micro-nat-
+    * rounded per CENSUS row, exact sums, one /N close — engine-
+    * exact, and never data-sized after the transition census.
+    * Output: one row (n_transitions, n_states, h_rate_mnat,
+    * h_marginal_mnat). */
+  def entropyRate(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieBreak: String,
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieBreak))
+    val cft = df.select(col(keyCol), col(stateCol).as("__f"),
+        lead(col(stateCol), 1).over(w).as("__t"))
+      .filter(col("__t").isNotNull)
+      .groupBy(col("__f"), col("__t"))
+      .agg(count(lit(1)).as("__cft"))
+    val cf = cft.groupBy(col("__f")).agg(sum(col("__cft")).as("__cf"))
+    val joined = Dedup.truncate(cft.join(cf, Seq("__f")))
+    val tot = joined.agg(sum(col("__cft")).as("__n"),
+      countDistinct(col("__f")).as("n_states"))
+    val rate = joined
+      .select(round(lit(1e6) * col("__cft").cast("double") *
+        log(col("__cft").cast("double") / col("__cf").cast("double")))
+        .cast("long").as("__term"))
+      .agg(sum(col("__term")).as("__sRate"))
+    val marg = joined.groupBy(col("__f")).agg(max(col("__cf")).as("__c"))
+      .crossJoin(broadcast(tot.select(col("__n"))))
+      .select(round(lit(1e6) * col("__c").cast("double") *
+        log(col("__c").cast("double") / col("__n").cast("double")))
+        .cast("long").as("__term"))
+      .agg(sum(col("__term")).as("__sMarg"))
+    tot.crossJoin(broadcast(rate)).crossJoin(broadcast(marg))
+      .select(col("__n").as("n_transitions"), col("n_states"),
+        round(-col("__sRate").cast("double") / col("__n").cast("double"))
+          .cast("long").as("h_rate_mnat"),
+        round(-col("__sMarg").cast("double") / col("__n").cast("double"))
+          .cast("long").as("h_marginal_mnat"))
+  }
+
   /** Metronome detection: per-key inter-event-gap statistics in EXACT
     * integer arithmetic — bots fetch on a timer, humans don't, so a
     * key whose gap variance is (near-)zero over many events is

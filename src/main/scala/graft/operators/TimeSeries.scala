@@ -1033,6 +1033,55 @@ object TimeSeries {
           .as("resid_micro"))
   }
 
+  /** Seasonal and trend STRENGTH per key (Hyndman's FPP
+    * decomposition diagnostics) — turn [[stlLite]]'s component
+    * table into the two numbers a forecaster actually reads:
+    *
+    *   F_seasonal = max(0, 1 − Var(resid)/Var(seasonal + resid)),
+    *   F_trend    = max(0, 1 − Var(resid)/Var(trend + resid)),
+    *
+    * each Var an exact DECIMAL n·Σx² − (Σx)² polynomial over the
+    * rows where the needed components are non-NULL (the centered-MA
+    * warmup edges drop — censused via n vs n_used), and each
+    * strength ONE rounded divide of exact integers. A zero
+    * denominator (the component pair is constant) reports NULL.
+    * Output: (keyCol, n, n_used, f_seasonal_micro, f_trend_micro). */
+  def seasonalStrength(
+      df: DataFrame,
+      keyCol: String,
+      idxCol: String,
+      valueCol: String,
+      period: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val stl = stlLite(df, keyCol, idxCol, valueCol, period)
+    val nAll = stl.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val used = stl.filter(col("resid_micro").isNotNull)
+      .select(col(keyCol), col("resid_micro").as("__r"),
+        (col("seasonal_micro") + col("resid_micro")).as("__sr"),
+        (col("trend_micro") + col("resid_micro")).as("__tr"))
+    def moments(c: String, tag: String) = Seq(
+      sum(col(c).cast(dec)).as(s"__s$tag"),
+      sum((col(c).cast(dec) * col(c)).cast(dec)).as(s"__q$tag"))
+    val agg = used.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_used"),
+        (moments("__r", "r") ++ moments("__sr", "s") ++
+          moments("__tr", "t")): _*)
+    def vnum(tag: String) =
+      (col("n_used") * col(s"__q$tag") -
+        col(s"__s$tag") * col(s"__s$tag")).cast(dec)
+    def strength(tag: String) =
+      when(vnum(tag) > 0,
+        greatest(lit(0L), round(lit(1e6) *
+          (lit(1.0) - vnum("r").cast("double") /
+            vnum(tag).cast("double"))).cast("long")))
+        .otherwise(lit(null).cast("long"))
+    nAll.join(agg, Seq(keyCol), "left")
+      .select(col(keyCol), col("n"),
+        coalesce(col("n_used"), lit(0L)).as("n_used"),
+        strength("s").as("f_seasonal_micro"),
+        strength("t").as("f_trend_micro"))
+  }
+
   /** Newey–West (HAC) standard error of the mean per key — the
     * honest error bar for an AUTOCORRELATED series ([[acf]] tells
     * you the iid ±1.96·s/√n bar is a lie; this fixes it): Bartlett-

@@ -1087,6 +1087,21 @@ class ProfileSpec extends SparkSpec {
       g1.getAs[Long]("prior_micro"))
   }
 
+  test("fisherCombine: micro-nat ln sums, zero-p clamp") {
+    val df = Seq(("g", Some(10000L)), ("g", Some(250000L)),
+      ("g", None), ("z", Some(0L))).toDF("grp", "p_micro")
+    val got = Profile.fisherCombine(df, "grp", "p_micro")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    assert(g.getAs[Long]("m") == 2L && g.getAs[Long]("df") == 4L)
+    val t1 = math.round(1e6 * math.log(0.01))
+    val t2 = math.round(1e6 * math.log(0.25))
+    assert(g.getAs[Long]("chi2_micro") == -2L * (t1 + t2))
+    // p = 0 clamps to 1 micro, not -infinity.
+    assert(got("z").getAs[Long]("chi2_micro") ==
+      -2L * math.round(1e6 * math.log(1e-6)))
+  }
+
   test("bhFdr: step-up rejections, suffix-min monotone q, NULL p drops") {
     val df = Seq(
       ("g", "t1", Some(1000L)), ("g", "t2", Some(20000L)),

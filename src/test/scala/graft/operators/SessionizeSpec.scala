@@ -188,6 +188,33 @@ class SessionizeSpec extends SparkSpec {
     assert(got("(none)") == ((2L, 3000000L, None)))
   }
 
+  test("entropyRate: deterministic chain vs marginal, replayed sums") {
+    import org.apache.spark.sql.functions.col
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    // u1: A B A B A B (A->B x3, B->A x2); u2: A A (A->A x1).
+    val df = ("ABABAB".zipWithIndex.map { case (c, i) =>
+      ("u1", at(i.toLong), i.toLong, c.toString) } ++
+      Seq(("u2", at(0L), 10L, "A"), ("u2", at(1L), 11L, "A")))
+      .toDF("k", "ts", "id", "t")
+    val r = Sessionize.entropyRate(df, "k", "ts", "id", "t").head()
+    assert(r.getAs[Long]("n_transitions") == 6L &&
+      r.getAs[Long]("n_states") == 2L)
+    // cft: (A,B,3) (B,A,2) (A,A,1); cf: A=4 B=2.
+    val sRate = math.round(1e6 * 3.0 * math.log(3.0 / 4.0)) +
+      math.round(1e6 * 2.0 * math.log(2.0 / 2.0)) +
+      math.round(1e6 * 1.0 * math.log(1.0 / 4.0))
+    assert(r.getAs[Long]("h_rate_mnat") ==
+      math.round(-sRate / 6.0))
+    val sMarg = math.round(1e6 * 4.0 * math.log(4.0 / 6.0)) +
+      math.round(1e6 * 2.0 * math.log(2.0 / 6.0))
+    assert(r.getAs[Long]("h_marginal_mnat") ==
+      math.round(-sMarg / 6.0))
+    // One step of memory IS predictive here: rate < marginal.
+    assert(r.getAs[Long]("h_rate_mnat") <
+      r.getAs[Long]("h_marginal_mnat"))
+  }
+
   test("markovAttribution: hand chain, removal effects, shares") {
     import org.apache.spark.sql.functions.col
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")

@@ -486,6 +486,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getAs[Int]("trend") == 1)
   }
 
+  test("seasonalStrength: pure cycle 1/NULL, pure trend NULL/1") {
+    // P: y = 10 + cyc(d % 3): centered-MA trend is EXACTLY 10, the
+    // seasonal means soak the cycle, residual 0 everywhere.
+    val cyc = Seq(0L, 300L, -300L)
+    val p = (0 until 21).map(d => ("P", d.toLong, 10L + cyc(d % 3)))
+    // T: y = d: trend IS the series, no seasonal signal.
+    val t = (0 until 21).map(d => ("T", d.toLong, d.toLong))
+    val df = (p ++ t).toDF("k", "d", "y")
+    val got = TimeSeries.seasonalStrength(df, "k", "d", "y", period = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val pp = got("P")
+    assert(pp.getAs[Long]("n") == 21L && pp.getAs[Long]("n_used") == 19L)
+    assert(pp.getAs[Long]("f_seasonal_micro") == 1000000L)
+    // trend + resid is CONSTANT -> nothing to explain -> NULL.
+    assert(pp.isNullAt(pp.fieldIndex("f_trend_micro")))
+    val tt = got("T")
+    assert(tt.isNullAt(tt.fieldIndex("f_seasonal_micro")))
+    assert(tt.getAs[Long]("f_trend_micro") == 1000000L)
+  }
+
   test("neweyWest: alternating series shrinks the HAC bar, flat zero") {
     val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
