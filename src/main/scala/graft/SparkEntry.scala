@@ -5114,7 +5114,13 @@ object SparkEntry {
     // Entropy rate of the behavior chain vs the marginal entropy.
     "q373_entropy_rate" -> ((s, dir) =>
       Sessionize.entropyRate(t(s, dir, "events"), "user_id", "ts",
-        "event_id", "event_type"))
+        "event_id", "event_type")),
+
+    // SAX word census per event type: integer z-milli breakpoints,
+    // complete 5-point PAA blocks, 4-letter words.
+    "q374_sax_words" -> ((s, dir) =>
+      TimeSeries.saxWords(t(s, dir, "events"), "event_type", "ts",
+        "event_id", "value", blockSize = 5, wordBlocks = 4))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13582,6 +13588,50 @@ object SparkEntry {
         |  CAST(round(-CAST(smarg AS DOUBLE) / CAST(n AS DOUBLE))
         |    AS BIGINT) AS h_marginal_mnat
         |FROM tot, rate, marg""".stripMargin,
+
+    "q374_sax_words" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, ts, event_id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+        |      AS rk,
+        |    v
+        |  FROM b),
+        |tot AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s,
+        |    sum(CAST(v AS HUGEINT) * v) AS q
+        |  FROM r GROUP BY 1),
+        |z AS (
+        |  SELECT r.k, rk,
+        |    CAST(round(1000.0
+        |      * CAST(CAST(v AS HUGEINT) * n - s AS DOUBLE)
+        |      / sqrt(CAST(n * q - s * s AS DOUBLE))) AS BIGINT) AS z
+        |  FROM r JOIN tot ON r.k = tot.k
+        |  WHERE n * q - s * s > 0),
+        |blocks AS (
+        |  SELECT k, (rk - 1) // 5 AS bl,
+        |    CAST(round(CAST(sum(z) AS DOUBLE) / 5.0) AS BIGINT)
+        |      AS paa
+        |  FROM z GROUP BY 1, 2 HAVING count(*) = 5),
+        |sym AS (
+        |  SELECT k, bl,
+        |    CASE WHEN paa < -674 THEN 'a' WHEN paa < 0 THEN 'b'
+        |      WHEN paa < 674 THEN 'c' ELSE 'd' END AS s2
+        |  FROM blocks),
+        |words AS (
+        |  SELECT k, bl // 4 AS w,
+        |    min(CASE WHEN bl % 4 = 0 THEN s2 END) AS p0,
+        |    min(CASE WHEN bl % 4 = 1 THEN s2 END) AS p1,
+        |    min(CASE WHEN bl % 4 = 2 THEN s2 END) AS p2,
+        |    min(CASE WHEN bl % 4 = 3 THEN s2 END) AS p3
+        |  FROM sym GROUP BY 1, 2 HAVING count(*) = 4)
+        |SELECT k AS event_type, p0 || p1 || p2 || p3 AS word,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM words GROUP BY 1, 2""".stripMargin,
 
     "q364_quadkey" ->
       """WITH p AS (

@@ -1033,6 +1033,90 @@ object TimeSeries {
           .as("resid_micro"))
   }
 
+  /** SAX word census per key (Lin et al. 2003's symbolic aggregate
+    * approximation — the discretization that turns a numeric series
+    * into TEXT so the whole dedup/motif/census machinery applies to
+    * shapes): z-normalize the series, average `blockSize` points
+    * per PAA block, map each block mean onto a 4-letter alphabet at
+    * the Gaussian quartile breakpoints (±0.6745σ, the equiprobable
+    * cut), and emit the census of `wordBlocks`-letter words. The
+    * z-score collapses to ONE exact integer ratio under a sqrt —
+    * z_milli = round(1000·(v·n − S)/√(n·Σv² − S²)) (population σ,
+    * n² scale cancels) — so the breakpoints are integer cuts at
+    * ±674 milli and every downstream step is exact. Blocks and
+    * words use only COMPLETE windows (trailing remainder drops,
+    * stated); a zero-variance series has no z and is absent. The
+    * per-key motif is simply the census row with max n (ties to the
+    * lexicographically smallest word) — read it with a bounded
+    * heap downstream.
+    *
+    * Scale: rank via the range-partitioned prefix, block/word
+    * assembly by integer-keyed hash-aggs (the word pivot is
+    * wordBlocks fixed columns, never a list agg over data).
+    * Output: (keyCol, word, n). */
+  def saxWords(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      blockSize: Int = 5,
+      wordBlocks: Int = 4): DataFrame = {
+    require(blockSize >= 1 && wordBlocks >= 1, "sizes must be positive")
+    val dec = "decimal(38,0)"
+    val cur = Dedup.truncate(
+      Ranking.groupRank(
+        df.filter(col(valueCol).isNotNull)
+          .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+            col(idCol).as("__id"),
+            round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+              .as("__v")),
+        "__k", Seq("__ts", "__id"))
+        .select(col("__k"), col("rank"), col("__v")))
+    val tot = cur.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast(dec)).as("__s"),
+        sum((col("__v").cast(dec) * col("__v")).cast(dec)).as("__q"))
+      .withColumn("__vnum",
+        (col("__n") * col("__q") - col("__s") * col("__s")).cast(dec))
+      .filter(col("__vnum") > 0)
+    val z = cur.join(tot, Seq("__k"))
+      .select(col("__k"), col("rank"),
+        round(lit(1000.0) *
+          (col("__v").cast(dec) * col("__n") - col("__s"))
+            .cast("double") / sqrt(col("__vnum").cast("double")))
+          .cast("long").as("__z"))
+    val blocks = z
+      .select(col("__k"), expr(s"(rank - 1) div ${blockSize}L")
+        .as("__b"), col("__z"))
+      .groupBy(col("__k"), col("__b"))
+      .agg(count(lit(1)).as("__c"), sum(col("__z")).as("__sz"))
+      .filter(col("__c") === blockSize.toLong)
+      .select(col("__k"), col("__b"),
+        round(col("__sz").cast("double") / lit(blockSize.toDouble))
+          .cast("long").as("__paa"))
+      .withColumn("__sym",
+        when(col("__paa") < -674L, lit("a"))
+          .when(col("__paa") < 0L, lit("b"))
+          .when(col("__paa") < 674L, lit("c"))
+          .otherwise(lit("d")))
+    val posed = blocks
+      .select(col("__k"), expr(s"__b div ${wordBlocks}L").as("__w"),
+        expr(s"__b % ${wordBlocks}L").as("__pos"), col("__sym"))
+    val words = posed.groupBy(col("__k"), col("__w"))
+      .agg(count(lit(1)).as("__cnt"),
+        (0 until wordBlocks).map(p =>
+          min(when(col("__pos") === p.toLong, col("__sym")))
+            .as(s"__p$p")): _*)
+      .filter(col("__cnt") === wordBlocks.toLong)
+      .select(col("__k"),
+        concat((0 until wordBlocks).map(p => col(s"__p$p")): _*)
+          .as("word"))
+    words.groupBy(col("__k"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("__k").as(keyCol), col("word"), col("n"))
+  }
+
   /** Seasonal and trend STRENGTH per key (Hyndman's FPP
     * decomposition diagnostics) — turn [[stlLite]]'s component
     * table into the two numbers a forecaster actually reads:

@@ -486,6 +486,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getAs[Int]("trend") == 1)
   }
 
+  test("saxWords: step series -> aa/dd words, trailing drop, flat absent") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    val df = (
+      // S: 10 x -1 then 13 x +1 -> blocks a,a,d,d (+ a dropped
+      // 3-point tail) -> words "aa", "dd" once each.
+      ((0 until 10).map(i => ("S", at(i.toLong), i.toLong, -1.0)) ++
+        (10 until 23).map(i => ("S", at(i.toLong), i.toLong, 1.0))) ++
+      // F: constant -> zero variance, no z, absent.
+      (0 until 20).map(i => ("F", at(i.toLong), i.toLong, 7.0))
+    ).toDF("k", "ts", "id", "v")
+    val got = TimeSeries.saxWords(df, "k", "ts", "id", "v",
+        blockSize = 5, wordBlocks = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(got == Map(("S", "aa") -> 1L, ("S", "dd") -> 1L))
+  }
+
   test("seasonalStrength: pure cycle 1/NULL, pure trend NULL/1") {
     // P: y = 10 + cyc(d % 3): centered-MA trend is EXACTLY 10, the
     // seasonal means soak the cycle, residual 0 everywhere.
