@@ -5120,7 +5120,20 @@ object SparkEntry {
     // complete 5-point PAA blocks, 4-letter words.
     "q374_sax_words" -> ((s, dir) =>
       TimeSeries.saxWords(t(s, dir, "events"), "event_type", "ts",
-        "event_id", "value", blockSize = 5, wordBlocks = 4))
+        "event_id", "value", blockSize = 5, wordBlocks = 4)),
+
+    // MMR diversified re-rank of the brute-force top-20: 5 greedy
+    // rounds, candidate-pair cosines micro-rounded once.
+    "q375_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cands = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", 20)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          round(col("sim") * lit(1e6)).cast("long").as("rel_micro"))
+      Similarity.mmrRerank(cands,
+        Similarity.prepare(emb, "vec_id", "embedding"), "vec_id",
+        k = 5, lambdaMilli = 700)
+    })
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13633,6 +13646,8 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM words GROUP BY 1, 2""".stripMargin,
 
+    "q375_mmr_rerank" -> mmrOracleSql,
+
     "q364_quadkey" ->
       """WITH p AS (
         |  SELECT
@@ -13911,6 +13926,109 @@ object SparkEntry {
     * arithmetic routed across edges, per-node estimates unit-rounded
     * before the cross-node sum — mirroring Graph.hyperBall term for
     * term). */
+  /** q375's oracle: the q22 brute-force candidates at k = 20, the
+    * candidate-pair cosine census, then the 5 greedy MMR rounds
+    * unrolled — winner by (score desc, id), (1−λ) folded from the
+    * same 1.0 − 0.7 expression as the operator. */
+  private lazy val mmrOracleSql: String = {
+    val dot = "CAST(list_sum(list_transform(generate_series(1, " +
+      "len(a.v)), i -> a.v[i]*b.v[i])) AS DOUBLE)"
+    val rounds = (2 to 5).map { r =>
+      s"""rem$r AS (
+         |  SELECT cand.* FROM cand
+         |  LEFT JOIN sel${r - 1} s ON cand.query_id = s.query_id
+         |    AND cand.cand_id = s.cand_id
+         |  WHERE s.cand_id IS NULL),
+         |ms$r AS (
+         |  SELECT rem$r.query_id, rem$r.cand_id,
+         |    max(sp.sim) AS ms
+         |  FROM rem$r JOIN sp ON sp.query_id = rem$r.query_id
+         |    AND sp.a = rem$r.cand_id
+         |  JOIN sel${r - 1} s2 ON s2.query_id = rem$r.query_id
+         |    AND s2.cand_id = sp.b
+         |  GROUP BY 1, 2),
+         |sc$r AS (
+         |  SELECT ms$r.query_id, ms$r.cand_id,
+         |    CAST(round(CAST(700 * rel - 300 * ms AS DOUBLE)
+         |      / 1000.0) AS BIGINT) AS score
+         |  FROM ms$r JOIN cand ON cand.query_id = ms$r.query_id
+         |    AND cand.cand_id = ms$r.cand_id),
+         |w$r AS (
+         |  SELECT query_id, cand_id, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, cand_id) AS rn FROM sc$r)
+         |  WHERE rn = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1}
+         |  UNION ALL SELECT query_id, cand_id FROM w$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    val outs = (1 to 5).map(r =>
+      s"SELECT query_id, $r AS round, cand_id, score AS score_micro" +
+        s" FROM w$r").mkString("\nUNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(embedding,
+       |      e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT))
+       |      AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |c AS (
+       |  SELECT vec_id AS cand_id,
+       |    list_transform(embedding,
+       |      e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT))
+       |      AS cv
+       |  FROM embeddings),
+       |n1 AS (SELECT query_id, qv,
+       |    CAST(list_sum(list_transform(generate_series(1, len(qv)),
+       |      i -> qv[i]*qv[i])) AS BIGINT) AS qn
+       |  FROM q),
+       |n2 AS (SELECT cand_id, cv,
+       |    CAST(list_sum(list_transform(generate_series(1, len(cv)),
+       |      i -> cv[i]*cv[i])) AS BIGINT) AS cn
+       |  FROM c),
+       |sc0 AS (
+       |  SELECT query_id, cand_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(qv)),
+       |      i -> qv[i]*cv[i])) AS BIGINT) AS dot, qn, cn
+       |  FROM n1, n2 WHERE query_id <> cand_id),
+       |r0 AS (
+       |  SELECT query_id, cand_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE))
+       |      * sqrt(CAST(cn AS DOUBLE))) AS sim
+       |  FROM sc0),
+       |cand AS (
+       |  SELECT query_id, cand_id,
+       |    CAST(round(sim * 1e6) AS BIGINT) AS rel
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, cand_id) AS rank
+       |    FROM r0)
+       |  WHERE rank <= 20),
+       |cv2 AS (SELECT cand_id, cv AS v, cn FROM n2),
+       |candv AS (
+       |  SELECT cand.query_id, cand.cand_id, cv2.v, cv2.cn
+       |  FROM cand JOIN cv2 USING (cand_id)),
+       |sp AS (
+       |  SELECT a.query_id, a.cand_id AS a, b.cand_id AS b,
+       |    CAST(round(1e6 * $dot
+       |      / (sqrt(CAST(a.cn AS DOUBLE))
+       |        * sqrt(CAST(b.cn AS DOUBLE)))) AS BIGINT) AS sim
+       |  FROM candv a JOIN candv b ON a.query_id = b.query_id
+       |    AND a.cand_id <> b.cand_id),
+       |w1 AS (
+       |  SELECT query_id, cand_id, score FROM (
+       |    SELECT query_id, cand_id,
+       |      CAST(round(CAST(700 * rel AS DOUBLE) / 1000.0)
+       |        AS BIGINT) AS score,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY CAST(round(CAST(700 * rel AS DOUBLE)
+       |          / 1000.0) AS BIGINT) DESC, cand_id) AS rn
+       |    FROM cand)
+       |  WHERE rn = 1),
+       |sel1 AS (SELECT query_id, cand_id FROM w1),
+       |$rounds
+       |$outs""".stripMargin
+  }
+
   /** q363's oracle: margins, the bounded k-enumeration, and the same
     * Stirling ln-factorial chain as Profile.fisherExact — the lf()
     * snippet is generated so the nine call sites stay term-for-term

@@ -540,6 +540,91 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified re-ranking — the post-retrieval step that keeps a
+    * RAG context window from filling with five paraphrases of the
+    * same passage: greedily pick k of each query's candidates by
+    *
+    *   score(c) = λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s),
+    *
+    * round 1 scoring pure relevance (nothing selected yet). The
+    * candidate↔candidate cosines compute ONCE as exact-integer
+    * dot/norm ratios micro-rounded (C² per query, candidate-list-
+    * sized); each greedy round is then integer arithmetic over that
+    * census with the winner chosen by (score desc, id asc) — fully
+    * deterministic, ties never scan-order-dependent. λ is a MILLI
+    * integer (700 = 0.7), so the blend is the exact Long
+    * λ·rel − (1000−λ)·maxSim and the only float step is /1000.0 —
+    * whose .5 boundaries are exactly representable, closing the
+    * engine-disagreement window a raw double λ leaves open (Spark
+    * rounds the shortest decimal repr, DuckDB the binary double).
+    * Queries with fewer than k candidates simply stop early (fewer
+    * output rows, stated).
+    *
+    * Scale: k bounded rounds over (query × candidates) censuses —
+    * nothing data-sized after the candidate join; `vectors` is
+    * [[prepare]]'s (id, qvec, nsq).
+    * Output: (query_id, round, cand_id, score_micro). */
+  def mmrRerank(
+      candidates: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      k: Int,
+      lambdaMilli: Int): DataFrame = {
+    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    require(lambdaMilli > 0 && lambdaMilli < 1000,
+      "lambdaMilli must be in (0, 1000)")
+    val lam = lit(lambdaMilli.toLong)
+    val oneMinusLam = lit(1000L - lambdaMilli)
+    val withVec = Dedup.truncate(candidates
+      .join(vectors.select(col(idCol).as("cand_id"), col("qvec"),
+        col("nsq")), Seq("cand_id")))
+    val a = withVec.select(col("query_id"), col("cand_id").as("__a"),
+      col("qvec").as("__va"), col("nsq").as("__na"))
+    val b = withVec.select(col("query_id"), col("cand_id").as("__b"),
+      col("qvec").as("__vb"), col("nsq").as("__nb"))
+    val simPairs = Dedup.truncate(a.join(b, Seq("query_id"))
+      .filter(col("__a") =!= col("__b"))
+      .select(col("query_id"), col("__a"), col("__b"),
+        round(lit(1e6) * dotQ(col("__va"), col("__vb")).cast("double") /
+          (sqrt(col("__na").cast("double")) *
+            sqrt(col("__nb").cast("double")))).cast("long")
+          .as("__sim")))
+    val base = Dedup.truncate(withVec.select(col("query_id"),
+      col("cand_id"), col("rel_micro")))
+    def winner(scored: DataFrame): DataFrame = scored
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col("__score")).as("ns"),
+        col("cand_id").as("id"))).as("__w"))
+      .select(col("query_id"), col("__w.id").as("cand_id"),
+        (-col("__w.ns")).as("score_micro"))
+    var selected = Dedup.truncate(
+      winner(base.withColumn("__score",
+        round((lam * col("rel_micro")).cast("double") / lit(1000.0))
+          .cast("long")))
+        .withColumn("round", lit(1)))
+    for (r <- 2 to k) {
+      val rem = base.join(selected.select(col("query_id"),
+        col("cand_id")), Seq("query_id", "cand_id"), "left_anti")
+      val maxSim = rem
+        .join(simPairs.withColumnRenamed("__a", "cand_id"),
+          Seq("query_id", "cand_id"))
+        .join(selected.select(col("query_id"),
+          col("cand_id").as("__b")), Seq("query_id", "__b"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(max(col("__sim")).as("__ms"))
+      val scored = rem.join(maxSim, Seq("query_id", "cand_id"))
+        .withColumn("__score",
+          round((lam * col("rel_micro") -
+            oneMinusLam * col("__ms")).cast("double") / lit(1000.0))
+            .cast("long"))
+      selected = Dedup.truncate(selected.unionByName(
+        winner(scored).withColumn("round", lit(r))))
+    }
+    selected.select(col("query_id"), col("round"), col("cand_id"),
+      col("score_micro"))
+  }
+
   /** Scalar-quantization (per-dimension int8) ANN — the third
     * compression family next to SRP-LSH (bucketing) and PQ (subspace
     * codebooks): the corpus stores one 0..255 code per dimension

@@ -401,4 +401,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L).getAs[Long]("mean_s_micro") > 950000L)
     assert(got(0L).getAs[Long]("mean_s_micro") <= 1000000L)
   }
+
+  test("mmrRerank: diversity flips a near-duplicate out of rank 2") {
+    // c1 and c2 are IDENTICAL vectors; c3 is orthogonal. Pure
+    // relevance would rank c1, c2, c3 — MMR must pick c3 second.
+    val vecs = Seq(
+      ("c1", Array(1.0f, 0.0f)), ("c2", Array(1.0f, 0.0f)),
+      ("c3", Array(0.0f, 1.0f))).toDF("id", "vec")
+    val cands = Seq(
+      ("q", "c1", 900000L), ("q", "c2", 800000L), ("q", "c3", 700000L))
+      .toDF("query_id", "cand_id", "rel_micro")
+    val got = Similarity.mmrRerank(cands,
+        Similarity.prepare(vecs, "id", "vec"), "id",
+        k = 3, lambdaMilli = 700)
+      .collect().map(r => r.getAs[Int]("round") ->
+        ((r.getAs[String]("cand_id"), r.getAs[Long]("score_micro"))))
+      .toMap
+    assert(got(1) == (("c1", 630000L)))
+    // c2's 0.8 relevance loses to its 1.0 sim against c1:
+    // 560000 - 300000 = 260000 < c3's undamped 490000.
+    assert(got(2) == (("c3", 490000L)))
+    assert(got(3) == (("c2", 260000L)))
+  }
 }
