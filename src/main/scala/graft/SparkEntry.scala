@@ -5133,7 +5133,13 @@ object SparkEntry {
       Similarity.mmrRerank(cands,
         Similarity.prepare(emb, "vec_id", "embedding"), "vec_id",
         k = 5, lambdaMilli = 700)
-    })
+    }),
+
+    // Item-kNN recommendations over the order x part basket: cosine
+    // neighbors (k=10), similarity-sum scores, top-5 unseen parts.
+    "q376_item_knn_recs" -> ((s, dir) =>
+      Recsys.itemKnnRecommend(t(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", kNbrs = 10, topN = 5, maxItemsPerActor = 16))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13647,6 +13653,54 @@ object SparkEntry {
         |FROM words GROUP BY 1, 2""".stripMargin,
 
     "q375_mmr_rerank" -> mmrOracleSql,
+
+    "q376_item_knn_recs" ->
+      """WITH ai AS (
+        |  SELECT DISTINCT l_orderkey AS u, l_partkey AS it
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |ka AS (
+        |  SELECT u FROM (SELECT u, count(*) AS c FROM ai GROUP BY 1)
+        |  WHERE c <= 16),
+        |kept AS (SELECT ai.* FROM ai JOIN ka USING (u)),
+        |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS n FROM kept
+        |  GROUP BY 1),
+        |pr AS (
+        |  SELECT a.it AS ia, b.it AS ib,
+        |    CAST(count(*) AS BIGINT) AS nab
+        |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it
+        |  GROUP BY 1, 2),
+        |simt AS (
+        |  SELECT ia, ib,
+        |    CAST(round(1e6 * CAST(nab AS DOUBLE)
+        |      / (sqrt(CAST(na.n AS DOUBLE))
+        |        * sqrt(CAST(nb.n AS DOUBLE)))) AS BIGINT) AS sim
+        |  FROM pr JOIN ic na ON pr.ia = na.it
+        |  JOIN ic nb ON pr.ib = nb.it),
+        |sym AS (
+        |  SELECT ia AS it, ib AS nbr, sim FROM simt
+        |  UNION ALL SELECT ib, ia, sim FROM simt),
+        |nbrs AS (
+        |  SELECT it, nbr, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY it
+        |      ORDER BY sim DESC, nbr) AS rn
+        |    FROM sym)
+        |  WHERE rn <= 10),
+        |sc AS (
+        |  SELECT kept.u, nbrs.nbr, CAST(sum(sim) AS BIGINT) AS score
+        |  FROM kept JOIN nbrs ON kept.it = nbrs.it
+        |  GROUP BY 1, 2),
+        |fresh AS (
+        |  SELECT sc.* FROM sc
+        |  LEFT JOIN kept s2 ON s2.u = sc.u AND s2.it = sc.nbr
+        |  WHERE s2.it IS NULL)
+        |SELECT u AS l_orderkey, CAST(rn AS INTEGER) AS rank,
+        |  nbr AS rec_item, score AS score_micro
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY u
+        |    ORDER BY score DESC, nbr) AS rn
+        |  FROM fresh)
+        |WHERE rn <= 5""".stripMargin,
 
     "q364_quadkey" ->
       """WITH p AS (

@@ -75,6 +75,83 @@ object Recsys {
           .as("lift_micro"))
   }
 
+  /** Item-based collaborative filtering (Sarwar et al. 2001) — the
+    * neighborhood complement to [[als]]'s latent factors, and the
+    * recommender that needs NO training loop: item↔item cosine over
+    * the binary interaction matrix (c_ij/√(c_i·c_j) from exact
+    * co-occurrence counts, micro-rounded once), each item keeps its
+    * `kNbrs` most similar neighbors (bounded heap, ties to the
+    * smaller id), and a user's recommendations are the unseen items
+    * ranked by the SUM of similarities to their history (exact Long
+    * sums of the pinned micros — order-free). Hyper-actors above
+    * `maxItemsPerActor` items drop entirely ([[covisitation]]'s
+    * rule: a crawl-everything actor co-occurs everything with
+    * everything and only manufactures pair mass).
+    *
+    * Scale: pair census bounded by maxItemsPerActor² per actor;
+    * neighbor lists are (items × kNbrs); the recommend join is
+    * history × kNbrs per user — model-sized throughout, never
+    * users × items. Output: (actorCol, rank, rec_item,
+    * score_micro). */
+  def itemKnnRecommend(
+      interactions: DataFrame,
+      actorCol: String,
+      itemCol: String,
+      kNbrs: Int,
+      topN: Int,
+      maxItemsPerActor: Int): DataFrame = {
+    require(kNbrs >= 1 && topN >= 1, "kNbrs/topN must be positive")
+    require(maxItemsPerActor >= 2, "maxItemsPerActor must be at least 2")
+    val ai = Dedup.truncate(
+      interactions.select(col(actorCol).as("__u"),
+          col(itemCol).as("__it"))
+        .filter(col("__u").isNotNull && col("__it").isNotNull)
+        .distinct())
+    val keptActors = ai.groupBy(col("__u"))
+      .agg(count(lit(1)).as("__ni"))
+      .filter(col("__ni") <= maxItemsPerActor)
+      .select(col("__u"))
+    val kept = Dedup.truncate(ai.join(keptActors, Seq("__u"),
+      "left_semi"))
+    val ic = kept.groupBy(col("__it")).agg(count(lit(1)).as("__n"))
+    val pairs = kept.select(col("__u"), col("__it").as("__ia"))
+      .join(kept.select(col("__u"), col("__it").as("__ib")),
+        Seq("__u"))
+      .filter(col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib"))
+      .agg(count(lit(1)).as("__nab"))
+    val sims = pairs
+      .join(ic.select(col("__it").as("__ia"), col("__n").as("__na")),
+        Seq("__ia"))
+      .join(ic.select(col("__it").as("__ib"), col("__n").as("__nb")),
+        Seq("__ib"))
+      .select(col("__ia"), col("__ib"),
+        round(lit(1e6) * col("__nab").cast("double") /
+          (sqrt(col("__na").cast("double")) *
+            sqrt(col("__nb").cast("double")))).cast("long")
+          .as("__sim"))
+    val sym = sims.select(col("__ia").as("__it"),
+        col("__ib").as("__nbr"), col("__sim"))
+      .unionByName(sims.select(col("__ib").as("__it"),
+        col("__ia").as("__nbr"), col("__sim")))
+    val nbrs = Ranking.groupTopK(sym, Seq("__it"),
+        Seq((-col("__sim")).as("__negsim"), col("__nbr").as("__nbr"),
+          col("__sim").as("__sim")), kNbrs)
+      .select(col("__it"), col("__nbr"), col("__sim"))
+    val scored = kept.join(nbrs, Seq("__it"))
+      .groupBy(col("__u"), col("__nbr"))
+      .agg(sum(col("__sim")).as("__score"))
+    val fresh = scored.join(
+      kept.select(col("__u"), col("__it").as("__nbr")),
+      Seq("__u", "__nbr"), "left_anti")
+    Ranking.groupTopK(fresh, Seq("__u"),
+        Seq((-col("__score")).as("__negscore"),
+          col("__nbr").as("rec_item"),
+          col("__score").as("score_micro")), topN)
+      .select(col("__u").as(actorCol), col("rank"), col("rec_item"),
+        col("score_micro"))
+  }
+
   /** Rank-1 ALS matrix factorization over (user, item, rating) — the
     * collaborative-filtering baseline that factors the interaction
     * matrix into one latent scalar per user and per item (item

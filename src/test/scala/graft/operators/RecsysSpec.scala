@@ -75,4 +75,28 @@ class RecsysSpec extends SparkSpec {
     assert(vm.keySet == vm2.keySet &&
       vm.keySet.forall(k => vm(k).sameElements(vm2(k))))
   }
+
+  test("itemKnnRecommend: cosine neighbors, unseen-only, hyper-actor drop") {
+    val df = Seq(
+      ("u1", "A"), ("u1", "B"),
+      ("u2", "A"), ("u2", "B"),
+      ("u3", "B"), ("u3", "C"),
+      ("u4", "C"),
+      // u5 exceeds maxItemsPerActor=2 and must not pollute counts.
+      ("u5", "A"), ("u5", "B"), ("u5", "C"))
+      .toDF("u", "it")
+    val got = Recsys.itemKnnRecommend(df, "u", "it", kNbrs = 2,
+        topN = 2, maxItemsPerActor = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    // sims: A-B = 2/sqrt(6), B-C = 1/sqrt(6).
+    val ab = math.round(1e6 * 2.0 / (math.sqrt(2.0) * math.sqrt(3.0)))
+    val bc = math.round(1e6 * 1.0 / (math.sqrt(3.0) * math.sqrt(2.0)))
+    assert(got(("u1", 1)) == (("C", bc))) // via B's neighbor list
+    assert(got(("u3", 1)) == (("A", ab)))
+    assert(got(("u4", 1)) == (("B", bc)))
+    // u1 has no second unseen candidate; u5 contributed nothing.
+    assert(!got.contains(("u1", 2)) && !got.exists(_._1._1 == "u5"))
+  }
 }
