@@ -5139,7 +5139,19 @@ object SparkEntry {
     // neighbors (k=10), similarity-sum scores, top-5 unseen parts.
     "q376_item_knn_recs" -> ((s, dir) =>
       Recsys.itemKnnRecommend(t(s, dir, "lineitem"), "l_orderkey",
-        "l_partkey", kNbrs = 10, topN = 5, maxItemsPerActor = 16))
+        "l_partkey", kNbrs = 10, topN = 5, maxItemsPerActor = 16)),
+
+    // Cox one-step hazard ratio between q245's cohorts: Breslow
+    // score/information sums off the exact risk-set table.
+    "q377_cox_hazard" -> ((s, dir) => {
+      val lives = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("__f"),
+          max(to_date(col("ts"))).as("__l"))
+        .select((col("user_id") % 3).as("cohort"),
+          datediff(col("__l"), col("__f")).as("dur"),
+          (col("__l") < lit("2024-01-25")).as("churned"))
+      TimeSeries.coxScore(lives, "cohort", "dur", "churned", "0", "1")
+    })
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13653,6 +13665,67 @@ object SparkEntry {
         |FROM words GROUP BY 1, 2""".stripMargin,
 
     "q375_mmr_rerank" -> mmrOracleSql,
+
+    "q377_cox_hazard" ->
+      """WITH lv AS (
+        |  SELECT CAST(user_id % 3 AS VARCHAR) AS g,
+        |    CAST(datediff('day', min(CAST(ts AS DATE)),
+        |      max(CAST(ts AS DATE))) AS BIGINT) AS t,
+        |    max(CAST(ts AS DATE)) < DATE '2024-01-25' AS churned
+        |  FROM events GROUP BY user_id
+        |  HAVING CAST(user_id % 3 AS VARCHAR) IN ('0', '1')),
+        |c AS (
+        |  SELECT g, t,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(count(*) AS BIGINT) AS dc
+        |  FROM lv GROUP BY 1, 2),
+        |tots AS (SELECT g, CAST(sum(dc) AS BIGINT) AS N FROM c
+        |  GROUP BY g),
+        |grid AS (
+        |  SELECT u.t, tots.g, tots.N,
+        |    COALESCE(c.d, 0) AS d, COALESCE(c.dc, 0) AS dc
+        |  FROM (SELECT DISTINCT t FROM c) u
+        |  CROSS JOIN tots
+        |  LEFT JOIN c ON c.g = tots.g AND c.t = u.t),
+        |ar AS (
+        |  SELECT t, g, d,
+        |    N - (sum(dc) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - dc)
+        |      AS ar
+        |  FROM grid),
+        |tm AS (
+        |  SELECT a.t, a.ar AS n1, b.ar AS n2, a.d AS d1, b.d AS d2,
+        |    a.ar + b.ar AS n, a.d + b.d AS dt
+        |  FROM ar a JOIN ar b ON b.t = a.t AND a.g = '0' AND b.g = '1'
+        |  WHERE a.ar + b.ar > 0 AND a.d + b.d > 0),
+        |q AS (
+        |  SELECT d1,
+        |    1000000 * d1 - CAST(round(1e6 * CAST(dt * n1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) AS BIGINT) AS u,
+        |    CAST(round(1e6 * CAST(dt * n1 * n2 AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE)) AS BIGINT) AS i
+        |  FROM tm),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_times,
+        |    CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(u) AS BIGINT) AS u_sum_micro,
+        |    CAST(sum(i) AS BIGINT) AS i_sum_micro
+        |  FROM q)
+        |SELECT n_times, o1, u_sum_micro, i_sum_micro,
+        |  CASE WHEN coalesce(i_sum_micro, 0) > 0 THEN
+        |    CAST(round(1e6 * CAST(u_sum_micro AS DOUBLE)
+        |      / CAST(i_sum_micro AS DOUBLE)) AS BIGINT) END
+        |    AS beta_micro,
+        |  CASE WHEN coalesce(i_sum_micro, 0) > 0 THEN
+        |    CAST(round(1e6 * exp(CAST(CAST(round(1e6
+        |      * CAST(u_sum_micro AS DOUBLE)
+        |      / CAST(i_sum_micro AS DOUBLE)) AS BIGINT) AS DOUBLE)
+        |      / 1e6)) AS BIGINT) END AS hr_micro,
+        |  CASE WHEN coalesce(i_sum_micro, 0) > 0 THEN
+        |    CAST(round(1e6 / sqrt(CAST(i_sum_micro AS DOUBLE)
+        |      / 1e6)) AS BIGINT) END AS se_micro
+        |FROM s""".stripMargin,
 
     "q376_item_knn_recs" ->
       """WITH ai AS (

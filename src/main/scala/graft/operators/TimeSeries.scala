@@ -300,6 +300,84 @@ object TimeSeries {
             col("v_sum_pico").cast("double")).cast("long")))
   }
 
+  /** Cox proportional-hazards ONE-STEP estimate for a binary
+    * covariate (Breslow ties) — the survival family's effect SIZE:
+    * [[logRank]] says WHETHER cohorts A/B churn differently, this
+    * says BY WHAT HAZARD RATIO. With per-event-time risk sets n₁/n
+    * and deaths d (the exact hypergeometric table logRank already
+    * builds), the score and information at β = 0 are
+    *
+    *   U = Σ_t (d₁ − d·n₁/n),   I = Σ_t d·n₁·n₂/n²,
+    *
+    * and one Newton step from zero gives β̂ = U/I, HR = exp(β̂),
+    * se = 1/√I — the standard score-test estimate, exact for small
+    * β and the universally quoted first iterate. Per-time terms
+    * micro-round (exact integers into one divide each), sums are
+    * exact Longs, and the three closing scalars are single mirrored
+    * IEEE chains. I ≤ 0 (no mixed-risk event time) reports NULLs.
+    * Output: one row (n_times, o1, u_sum_micro, i_sum_micro,
+    * beta_micro, hr_micro, se_micro). */
+  def coxScore(
+      df: DataFrame,
+      groupCol: String,
+      durationCol: String,
+      eventCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    require(groupA != groupB, "the two cohorts must differ")
+    val g = col(groupCol).cast("string")
+    val ev = (col(eventCol).cast("long") =!= 0L)
+    val cells = Dedup.truncate(df
+      .filter(col(durationCol).isNotNull &&
+        g.isin(groupA, groupB))
+      .groupBy(g.as("__g"), col(durationCol).cast("long").as("t"))
+      .agg(sum(when(ev, 1L).otherwise(0L)).as("__d"),
+        count(lit(1)).as("__dc")))
+    val totals = cells.groupBy(col("__g")).agg(sum(col("__dc")).as("__N"))
+    val grid = cells.select(col("t")).distinct()
+      .crossJoin(broadcast(totals.select(col("__g"), col("__N"))))
+      .join(cells, Seq("__g", "t"), "left")
+      .withColumn("__d", coalesce(col("__d"), lit(0L)))
+      .withColumn("__dc", coalesce(col("__dc"), lit(0L)))
+    val atRisk = Ranking.groupRunningSum(grid, "__g", Seq("t"), "__dc")
+      .withColumn("__ar", col("__N") - (col("running") - col("__dc")))
+    val a = atRisk.filter(col("__g") === groupA)
+      .select(col("t"), col("__ar").as("__n1"), col("__d").as("__d1"))
+    val b = atRisk.filter(col("__g") === groupB)
+      .select(col("t"), col("__ar").as("__n2"), col("__d").as("__d2"))
+    val terms = a.join(b, Seq("t"))
+      .withColumn("__n", col("__n1") + col("__n2"))
+      .withColumn("__dt", col("__d1") + col("__d2"))
+      .filter(col("__n") > 0L && col("__dt") > 0L)
+      .select(col("__d1"),
+        (lit(1000000L) * col("__d1") -
+          round(lit(1e6) * (col("__dt") * col("__n1")).cast("double") /
+            col("__n").cast("double")).cast("long")).as("__u"),
+        round(lit(1e6) *
+          (col("__dt") * col("__n1") * col("__n2")).cast("double") /
+          (col("__n") * col("__n")).cast("double")).cast("long")
+          .as("__i"))
+    terms.agg(count(lit(1)).as("n_times"), sum(col("__d1")).as("o1"),
+        sum(col("__u")).as("u_sum_micro"),
+        sum(col("__i")).as("i_sum_micro"))
+      .select(col("n_times"), col("o1"), col("u_sum_micro"),
+        col("i_sum_micro"),
+        when(coalesce(col("i_sum_micro"), lit(0L)) > 0L,
+          round(lit(1e6) * col("u_sum_micro").cast("double") /
+            col("i_sum_micro").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("beta_micro"),
+        when(coalesce(col("i_sum_micro"), lit(0L)) > 0L,
+          round(lit(1e6) * exp(
+            round(lit(1e6) * col("u_sum_micro").cast("double") /
+              col("i_sum_micro").cast("double")).cast("long")
+              .cast("double") / lit(1e6))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("hr_micro"),
+        when(coalesce(col("i_sum_micro"), lit(0L)) > 0L,
+          round(lit(1e6) / sqrt(col("i_sum_micro").cast("double") /
+            lit(1e6))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("se_micro"))
+  }
+
   /** Exponentially time-decayed counts with EXACT power-of-two decay:
     * each observation contributes `weight >> (age div halfLife)` —
     * halve per elapsed half-life, floored — so "recent activity

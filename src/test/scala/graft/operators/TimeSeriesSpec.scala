@@ -486,6 +486,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getAs[Int]("trend") == 1)
   }
 
+  test("coxScore: hand risk sets, one-step beta/HR, censoring") {
+    val df = Seq(
+      // Cohort 0 churns fast; cohort 1 slow, one censored.
+      ("0", 1L, true), ("0", 2L, true),
+      ("1", 3L, true), ("1", 4L, false))
+      .toDF("cohort", "dur", "churned")
+    val r = TimeSeries.coxScore(df, "cohort", "dur", "churned",
+      "0", "1").head()
+    // t=1: n1=2 n=4 d=1(d1=1); t=2: n1=1 n=3 d=1(d1=1);
+    // t=3: n1=0 n=2 d=1(d1=0). t=4 has no event -> dropped.
+    assert(r.getAs[Long]("n_times") == 3L && r.getAs[Long]("o1") == 2L)
+    val u = (1000000L - math.round(1e6 * 2.0 / 4.0)) +
+      (1000000L - math.round(1e6 * 1.0 / 3.0)) +
+      (0L - math.round(1e6 * 0.0 / 2.0))
+    val i = math.round(1e6 * 4.0 / 16.0) +
+      math.round(1e6 * 2.0 / 9.0) + 0L
+    assert(r.getAs[Long]("u_sum_micro") == u)
+    assert(r.getAs[Long]("i_sum_micro") == i)
+    val beta = math.round(1e6 * u.toDouble / i.toDouble)
+    assert(r.getAs[Long]("beta_micro") == beta)
+    assert(r.getAs[Long]("hr_micro") ==
+      math.round(1e6 * math.exp(beta / 1e6)))
+    assert(r.getAs[Long]("se_micro") ==
+      math.round(1e6 / math.sqrt(i / 1e6)))
+    // Early churn in cohort 0 means beta > 0: 0 is the riskier arm.
+    assert(beta > 0L)
+  }
+
   test("saxWords: step series -> aa/dd words, trailing drop, flat absent") {
     val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
