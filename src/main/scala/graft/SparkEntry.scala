@@ -5151,7 +5151,15 @@ object SparkEntry {
           datediff(col("__l"), col("__f")).as("dur"),
           (col("__l") < lit("2024-01-25")).as("churned"))
       TimeSeries.coxScore(lives, "cohort", "dur", "churned", "0", "1")
-    })
+    }),
+
+    // Yuen trimmed-mean t of English vs non-English doc lengths per
+    // source: integer rank trims, winsorized variances.
+    "q378_yuen_test" -> ((s, dir) =>
+      Profile.yuenTest(
+        t(s, dir, "documents").select(col("source"), col("n_chars"),
+          (col("lang") === "en").as("is_en"), col("doc_id")),
+        "source", "n_chars", "is_en", "doc_id", trimMilli = 200))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13665,6 +13673,61 @@ object SparkEntry {
         |FROM words GROUP BY 1, 2""".stripMargin,
 
     "q375_mmr_rerank" -> mmrOracleSql,
+
+    "q378_yuen_test" ->
+      """WITH b AS (
+        |  SELECT source AS g, (lang = 'en') AS a,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    doc_id AS tb
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (
+        |  SELECT g, a, v,
+        |    row_number() OVER (PARTITION BY g, a ORDER BY v, tb)
+        |      AS rk
+        |  FROM b),
+        |np AS (
+        |  SELECT g, a, CAST(count(*) AS BIGINT) AS n,
+        |    CAST((count(*) * 200) // 1000 AS BIGINT) AS cut,
+        |    CAST(count(*) - 2 * ((count(*) * 200) // 1000) AS BIGINT)
+        |      AS h
+        |  FROM r GROUP BY 1, 2),
+        |bd AS (
+        |  SELECT r.g, r.a,
+        |    min(CASE WHEN rk = cut + 1 THEN v END) AS lo,
+        |    min(CASE WHEN rk = n - cut THEN v END) AS hi
+        |  FROM r JOIN np ON r.g = np.g AND r.a = np.a
+        |  GROUP BY 1, 2),
+        |arms AS (
+        |  SELECT r.g, r.a, max(n) AS n, max(h) AS h,
+        |    sum(CASE WHEN rk > cut AND rk <= n - cut
+        |      THEN CAST(v AS HUGEINT) ELSE 0 END) AS ts,
+        |    sum(CAST(greatest(lo, least(hi, v)) AS HUGEINT)) AS sw,
+        |    sum(CAST(greatest(lo, least(hi, v)) AS HUGEINT)
+        |      * greatest(lo, least(hi, v))) AS qw
+        |  FROM r JOIN np ON r.g = np.g AND r.a = np.a
+        |  JOIN bd ON r.g = bd.g AND r.a = bd.a
+        |  GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT *,
+        |    CASE WHEN h > 0 THEN CAST(round(CAST(ts AS DOUBLE)
+        |      / CAST(h AS DOUBLE)) AS BIGINT) END AS tm,
+        |    CASE WHEN h >= 2 THEN
+        |      CAST(n * qw - sw * sw AS DOUBLE)
+        |        / CAST(n * h * (h - 1) AS DOUBLE) END AS d
+        |  FROM arms)
+        |SELECT x.g AS source, x.n AS n_a, y.n AS n_b,
+        |  x.h AS h_a, y.h AS h_b,
+        |  x.tm AS tmean_a_micro, y.tm AS tmean_b_micro,
+        |  CASE WHEN x.h >= 2 AND y.h >= 2 AND x.d + y.d > 0.0 THEN
+        |    CAST(round(1e6 * CAST(x.tm - y.tm AS DOUBLE)
+        |      / sqrt(x.d + y.d)) AS BIGINT) END AS t_micro,
+        |  CASE WHEN x.h >= 2 AND y.h >= 2 AND x.d + y.d > 0.0 THEN
+        |    CAST(round(1e6 * (x.d + y.d) * (x.d + y.d)
+        |      / (x.d * x.d / CAST(x.h - 1 AS DOUBLE)
+        |        + y.d * y.d / CAST(y.h - 1 AS DOUBLE))) AS BIGINT)
+        |  END AS df_micro
+        |FROM a2 x JOIN a2 y ON x.g = y.g AND x.a AND NOT y.a"""
+        .stripMargin,
 
     "q377_cox_hazard" ->
       """WITH lv AS (

@@ -2428,6 +2428,96 @@ object Profile {
           .otherwise(lit(null).cast("long")).as("eps2_micro"))
   }
 
+  /** Yuen's trimmed-mean t-test per group — [[welchT]] for data
+    * with real tails: trim the extreme g = ⌊n·trim‰/1000⌋ values
+    * off EACH end of EACH arm (pure integer rank cuts — no float
+    * decides who is extreme), compare the trimmed means, and
+    * standardize by the WINSORIZED variances (Yuen 1974):
+    *
+    *   t = (x̄ₜ,a − x̄ₜ,b) / √(d_a + d_b),
+    *   d_i = (nᵢ·Σw² − (Σw)²) / (nᵢ·hᵢ·(hᵢ−1)),  hᵢ = nᵢ − 2gᵢ,
+    *
+    * where w are the winsorized (boundary-clipped) micro values —
+    * the Σ's exact DECIMAL, the boundary values actual data
+    * selected at ranks g+1 and n−g ([[Ranking.groupQuantiles]]'s
+    * selection idiom), each dᵢ ONE mirrored float chain, and the
+    * close one sqrt + divide on the already-rounded trimmed-mean
+    * micros. Welch–Satterthwaite df on the same dᵢ rides along.
+    * Arms with hᵢ < 2, or zero winsorized variance in BOTH arms,
+    * report NULL t. NULL values and missing arms drop (stated).
+    * Output: (groupCol, n_a, n_b, h_a, h_b, tmean_a_micro,
+    * tmean_b_micro, t_micro, df_micro). */
+  def yuenTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String,
+      tieCol: String,
+      trimMilli: Int = 200): DataFrame = {
+    require(trimMilli >= 0 && trimMilli < 500,
+      "trimMilli must be in [0, 500)")
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(sideCol).cast("boolean").as("__a"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(tieCol).as("__t"))
+      .withColumn("__gs", struct(col("__g"), col("__a")))
+    val ranked = Ranking.groupRank(base, "__gs", Seq("__v", "__t"))
+    val nPer = ranked.groupBy(col("__g"), col("__a"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__cut", expr(s"(__n * ${trimMilli}L) div 1000L"))
+      .withColumn("__h", col("__n") - lit(2L) * col("__cut"))
+    val joined = ranked.select(col("__g"), col("__a"), col("rank"),
+        col("__v"))
+      .join(nPer, Seq("__g", "__a"))
+    val bounds = joined.groupBy(col("__g"), col("__a"))
+      .agg(min(when(col("rank") === col("__cut") + 1L, col("__v")))
+          .as("__lo"),
+        min(when(col("rank") === col("__n") - col("__cut"), col("__v")))
+          .as("__hi"))
+    val wv = greatest(col("__lo"), least(col("__hi"), col("__v")))
+    val arms = joined.join(bounds, Seq("__g", "__a"))
+      .groupBy(col("__g"), col("__a"))
+      .agg(max(col("__n")).as("n"), max(col("__h")).as("h"),
+        sum(when(col("rank") > col("__cut") &&
+          col("rank") <= col("__n") - col("__cut"),
+          col("__v").cast(dec)).otherwise(lit(0L).cast(dec)))
+          .as("__ts"),
+        sum(wv.cast(dec)).as("__sw"),
+        sum((wv.cast(dec) * wv).cast(dec)).as("__qw"))
+      .withColumn("__tm",
+        when(col("h") > 0L, round(col("__ts").cast("double") /
+          col("h").cast("double")).cast("long")))
+      .withColumn("__d",
+        when(col("h") >= 2L,
+          (col("n") * col("__qw") - col("__sw") * col("__sw"))
+            .cast(dec).cast("double") /
+            (col("n") * col("h") * (col("h") - 1L)).cast("double")))
+    def side(flag: Boolean, tag: String) = arms
+      .filter(col("__a") === flag)
+      .select(col("__g"), col("n").as(s"n_$tag"),
+        col("h").as(s"h_$tag"), col("__tm").as(s"tmean_${tag}_micro"),
+        col("__d").as(s"__d_$tag"))
+    val two = side(flag = true, "a").join(side(flag = false, "b"),
+      Seq("__g"))
+    val dsum = col("__d_a") + col("__d_b")
+    val ok = col("h_a") >= 2L && col("h_b") >= 2L && dsum > 0.0
+    two.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      col("h_a"), col("h_b"), col("tmean_a_micro"),
+      col("tmean_b_micro"),
+      when(ok, round(lit(1e6) *
+        (col("tmean_a_micro") - col("tmean_b_micro")).cast("double") /
+        sqrt(dsum)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("t_micro"),
+      when(ok, round(lit(1e6) * dsum * dsum /
+        (col("__d_a") * col("__d_a") / (col("h_a") - 1L).cast("double") +
+          col("__d_b") * col("__d_b") /
+            (col("h_b") - 1L).cast("double"))).cast("long"))
+        .otherwise(lit(null).cast("long")).as("df_micro"))
+  }
+
   /** Fisher's method per group — combine m independent p-values
     * into one: χ² = −2·Σ ln pᵢ on 2m degrees of freedom (small
     * effects pointing the same way stack into one loud signal —

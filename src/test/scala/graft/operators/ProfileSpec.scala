@@ -1087,6 +1087,39 @@ class ProfileSpec extends SparkSpec {
       g1.getAs[Long]("prior_micro"))
   }
 
+  test("yuenTest: outlier immunity via trim, replayed d terms") {
+    // Arm a: 1..5 with a wild outlier 1000 at the top; arm b: 3..8.
+    // 20% trim on 6 values cuts ONE from each end -> the outlier
+    // never touches the trimmed mean.
+    val df = Seq(
+      ("G", 1.0, true, 1L), ("G", 2.0, true, 2L), ("G", 3.0, true, 3L),
+      ("G", 4.0, true, 4L), ("G", 5.0, true, 5L),
+      ("G", 1000.0, true, 6L),
+      ("G", 3.0, false, 7L), ("G", 4.0, false, 8L),
+      ("G", 5.0, false, 9L), ("G", 6.0, false, 10L),
+      ("G", 7.0, false, 11L), ("G", 8.0, false, 12L))
+      .toDF("g", "v", "a", "t")
+    val r = Profile.yuenTest(df, "g", "v", "a", "t", trimMilli = 200)
+      .head()
+    assert(r.getAs[Long]("n_a") == 6L && r.getAs[Long]("h_a") == 4L)
+    // Trimmed a: 2,3,4,5 -> 3.5e6; trimmed b: 4,5,6,7 -> 5.5e6.
+    assert(r.getAs[Long]("tmean_a_micro") == 3500000L)
+    assert(r.getAs[Long]("tmean_b_micro") == 5500000L)
+    // Winsorized a: 2,2,3,4,5,5 (the 1000 clips to 5).
+    def dTerm(ws: Seq[Double]): Double = {
+      val n = ws.size; val h = 4
+      val s = ws.sum * 1e6; val q = ws.map(x => x * x * 1e12).sum
+      (n * q - s * s) / (n.toDouble * h * (h - 1))
+    }
+    val da = dTerm(Seq(2, 2, 3, 4, 5, 5))
+    val db = dTerm(Seq(4, 4, 5, 6, 7, 7))
+    assert(r.getAs[Long]("t_micro") ==
+      math.round(1e6 * -2000000.0 / math.sqrt(da + db)))
+    assert(r.getAs[Long]("df_micro") ==
+      math.round(1e6 * (da + db) * (da + db) /
+        (da * da / 3.0 + db * db / 3.0)))
+  }
+
   test("fisherCombine: micro-nat ln sums, zero-p clamp") {
     val df = Seq(("g", Some(10000L)), ("g", Some(250000L)),
       ("g", None), ("z", Some(0L))).toDF("grp", "p_micro")
