@@ -5159,7 +5159,16 @@ object SparkEntry {
       Profile.yuenTest(
         t(s, dir, "documents").select(col("source"), col("n_chars"),
           (col("lang") === "en").as("is_en"), col("doc_id")),
-        "source", "n_chars", "is_en", "doc_id", trimMilli = 200))
+        "source", "n_chars", "is_en", "doc_id", trimMilli = 200)),
+
+    // Cronbach alpha (KR-20) + ICC(1,1) over q285's rater fixture:
+    // complete-case subjects, exact variance polynomials.
+    "q379_rater_reliability" -> ((s, dir) =>
+      Profile.raterReliability(
+        ratingsFixture(s, dir).select(col("source"), col("item"),
+          col("rater"),
+          when(col("label") === "pos", 1L).otherwise(0L).as("y")),
+        "source", "item", "rater", "y"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13673,6 +13682,74 @@ object SparkEntry {
         |FROM words GROUP BY 1, 2""".stripMargin,
 
     "q375_mmr_rerank" -> mmrOracleSql,
+
+    "q379_rater_reliability" ->
+      s"""WITH $ratingsFixtureSql,
+         |b AS (
+         |  SELECT source AS g, item AS s, rater AS i,
+         |    CASE WHEN label = 'pos' THEN 1000000 ELSE 0 END AS v
+         |  FROM r),
+         |kp AS (SELECT g, CAST(count(DISTINCT i) AS BIGINT) AS k
+         |  FROM b GROUP BY 1),
+         |ps AS (
+         |  SELECT b.g, s, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(v) AS BIGINT) AS st
+         |  FROM b GROUP BY 1, 2),
+         |cs AS (SELECT ps.g, s, st FROM ps JOIN kp ON ps.g = kp.g
+         |  WHERE cnt = k),
+         |dr AS (
+         |  SELECT ps.g, CAST(sum(CASE WHEN cnt <> k THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_dropped_subjects
+         |  FROM ps JOIN kp ON ps.g = kp.g GROUP BY 1),
+         |kept AS (SELECT b.* FROM b JOIN cs ON b.g = cs.g
+         |  AND b.s = cs.s),
+         |iv AS (
+         |  SELECT g,
+         |    sum(CAST(n AS HUGEINT) * qi
+         |      - CAST(si AS HUGEINT) * si) AS visum,
+         |    sum(qi) AS qx
+         |  FROM (SELECT g, i, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(v AS HUGEINT)) AS si,
+         |    sum(CAST(v AS HUGEINT) * v) AS qi
+         |    FROM kept GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |sa AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(st AS HUGEINT)) AS gt,
+         |    sum(CAST(st AS HUGEINT) * st) AS qst
+         |  FROM cs GROUP BY 1)
+         |SELECT kp.g AS source, k, coalesce(n, 0) AS n_subjects,
+         |  n_dropped_subjects,
+         |  CASE WHEN k >= 2 AND n >= 2
+         |    AND n * qst - gt * gt > 0 THEN
+         |    CAST(round(1e6 * CAST(k AS DOUBLE)
+         |      / CAST(k - 1 AS DOUBLE)
+         |      * (1.0 - CAST(visum AS DOUBLE)
+         |        / CAST(n * qst - gt * gt AS DOUBLE))) AS BIGINT)
+         |  END AS alpha_micro,
+         |  CASE WHEN k >= 2 AND n >= 2
+         |    AND (CAST((n * k) * qst - k * (gt * gt) AS DOUBLE)
+         |        / CAST((n * k) * (n - 1) AS DOUBLE)
+         |      + CAST(k - 1 AS DOUBLE)
+         |        * (CAST((n * k) * qx * k - (n * k) * qst AS DOUBLE)
+         |          / CAST((n * k) * n * (k - 1) AS DOUBLE))) > 0.0
+         |  THEN
+         |    CAST(round(1e6
+         |      * (CAST((n * k) * qst - k * (gt * gt) AS DOUBLE)
+         |          / CAST((n * k) * (n - 1) AS DOUBLE)
+         |        - CAST((n * k) * qx * k - (n * k) * qst AS DOUBLE)
+         |          / CAST((n * k) * n * (k - 1) AS DOUBLE))
+         |      / (CAST((n * k) * qst - k * (gt * gt) AS DOUBLE)
+         |          / CAST((n * k) * (n - 1) AS DOUBLE)
+         |        + CAST(k - 1 AS DOUBLE)
+         |          * (CAST((n * k) * qx * k - (n * k) * qst
+         |            AS DOUBLE)
+         |            / CAST((n * k) * n * (k - 1) AS DOUBLE))))
+         |      AS BIGINT)
+         |  END AS icc_micro
+         |FROM kp JOIN dr ON kp.g = dr.g
+         |LEFT JOIN sa ON kp.g = sa.g
+         |LEFT JOIN iv ON kp.g = iv.g""".stripMargin,
 
     "q378_yuen_test" ->
       """WITH b AS (

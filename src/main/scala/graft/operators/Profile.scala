@@ -2428,6 +2428,87 @@ object Profile {
           .otherwise(lit(null).cast("long")).as("eps2_micro"))
   }
 
+  /** Internal-consistency reliability per group — Cronbach's α
+    * (= KR-20 on binary items) and the one-way random-effects
+    * ICC(1,1), the two numbers a labeling pipeline reads next to
+    * [[krippendorffAlpha]] before trusting averaged rater scores:
+    *
+    *   α   = k/(k−1) · (1 − Σᵢ σᵢ² / σ_total²),
+    *   ICC = (MSB − MSW)/(MSB + (k−1)·MSW).
+    *
+    * Only COMPLETE subjects (all k items rated) enter — incomplete
+    * ones are censused in n_dropped_subjects, never silently
+    * averaged over different raters. Every variance polynomial is
+    * exact DECIMAL: α needs ONE divide (the per-item and total
+    * (n(n−1)) denominators cancel), and the ICC mean squares are
+    * the exact scaled sums N·Qst − k·G² and k·N·Qx − N·Qst over
+    * mirrored divides. Degenerate groups (k < 2, n < 2, zero total
+    * variance) report NULLs. Output: (groupCol, k, n_subjects,
+    * n_dropped_subjects, alpha_micro, icc_micro). */
+  def raterReliability(
+      df: DataFrame,
+      groupCol: String,
+      subjectCol: String,
+      itemCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(subjectCol).as("__s"),
+        col(itemCol).as("__i"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val kPer = base.groupBy(col("__g"))
+      .agg(countDistinct(col("__i")).as("k"))
+    val perSubj = base.groupBy(col("__g"), col("__s"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__v")).as("__st"))
+      .join(kPer, Seq("__g"))
+    val completeSubj = perSubj.filter(col("__cnt") === col("k"))
+    val dropped = perSubj.groupBy(col("__g"))
+      .agg(sum(when(col("__cnt") =!= col("k"), 1L).otherwise(0L))
+        .as("n_dropped_subjects"))
+    val kept = base.join(completeSubj.select(col("__g"), col("__s")),
+      Seq("__g", "__s"), "left_semi")
+    val itemVar = kept.groupBy(col("__g"), col("__i"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v").cast(dec)).as("__si"),
+        sum((col("__v").cast(dec) * col("__v")).cast(dec)).as("__qi"))
+      .groupBy(col("__g"))
+      .agg(sum((col("__n") * col("__qi") - col("__si") * col("__si"))
+        .cast(dec)).as("__viSum"),
+        sum(col("__qi")).as("__qx"))
+    val subjAgg = completeSubj.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(col("__st").cast(dec)).as("__gt"),
+        sum((col("__st").cast(dec) * col("__st")).cast(dec))
+          .as("__qst"))
+    val j = kPer.join(dropped, Seq("__g"))
+      .join(subjAgg, Seq("__g"), "left")
+      .join(itemVar, Seq("__g"), "left")
+    val n = col("n_subjects")
+    val bigN = (n * col("k")).cast(dec)
+    val vt = (n * col("__qst") - col("__gt") * col("__gt")).cast(dec)
+    val aNum = (bigN * col("__qst") - col("k") * (col("__gt") *
+      col("__gt")).cast(dec)).cast(dec)
+    val bNum = (bigN * col("__qx").cast(dec) * col("k") -
+      bigN * col("__qst")).cast(dec)
+    val msb = aNum.cast("double") /
+      (bigN * (n - 1L)).cast(dec).cast("double")
+    val msw = bNum.cast("double") /
+      (bigN * n * (col("k") - 1L)).cast(dec).cast("double")
+    val okBase = col("k") >= 2L && coalesce(n, lit(0L)) >= 2L
+    j.select(col("__g").as(groupCol), col("k"),
+      coalesce(n, lit(0L)).as("n_subjects"), col("n_dropped_subjects"),
+      when(okBase && vt > 0,
+        round(lit(1e6) * col("k").cast("double") /
+          (col("k") - 1L).cast("double") *
+          (lit(1.0) - col("__viSum").cast("double") /
+            vt.cast("double"))).cast("long"))
+        .otherwise(lit(null).cast("long")).as("alpha_micro"),
+      when(okBase && (msb + (col("k") - 1L).cast("double") * msw) > 0.0,
+        round(lit(1e6) * (msb - msw) /
+          (msb + (col("k") - 1L).cast("double") * msw)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("icc_micro"))
+  }
+
   /** Yuen's trimmed-mean t-test per group — [[welchT]] for data
     * with real tails: trim the extreme g = ⌊n·trim‰/1000⌋ values
     * off EACH end of EACH arm (pure integer rank cuts — no float

@@ -1087,6 +1087,35 @@ class ProfileSpec extends SparkSpec {
       g1.getAs[Long]("prior_micro"))
   }
 
+  test("raterReliability: perfect agreement 1/1, uncorrelated 0, drops") {
+    val df = Seq(
+      // P: items always agree -> alpha = ICC = 1; s5 incomplete.
+      ("P", "s1", "i1", 1.0), ("P", "s1", "i2", 1.0),
+      ("P", "s2", "i1", 0.0), ("P", "s2", "i2", 0.0),
+      ("P", "s3", "i1", 1.0), ("P", "s3", "i2", 1.0),
+      ("P", "s4", "i1", 0.0), ("P", "s4", "i2", 0.0),
+      ("P", "s5", "i1", 1.0),
+      // U: items statistically unrelated -> alpha exactly 0.
+      ("U", "s1", "i1", 1.0), ("U", "s1", "i2", 1.0),
+      ("U", "s2", "i1", 1.0), ("U", "s2", "i2", 0.0),
+      ("U", "s3", "i1", 0.0), ("U", "s3", "i2", 1.0),
+      ("U", "s4", "i1", 0.0), ("U", "s4", "i2", 0.0))
+      .toDF("g", "s", "i", "v")
+    val got = Profile.raterReliability(df, "g", "s", "i", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p = got("P")
+    assert(p.getAs[Long]("n_subjects") == 4L &&
+      p.getAs[Long]("n_dropped_subjects") == 1L)
+    assert(p.getAs[Long]("alpha_micro") == 1000000L)
+    assert(p.getAs[Long]("icc_micro") == 1000000L)
+    val u = got("U")
+    assert(u.getAs[Long]("alpha_micro") == 0L)
+    // ICC replay: msb = 16e12/24 (x k-scale), msw = 16e12/32.
+    val msb = 16e12 / 24.0; val msw = 16e12 / 32.0
+    assert(u.getAs[Long]("icc_micro") ==
+      math.round(1e6 * (msb - msw) / (msb + 1.0 * msw)))
+  }
+
   test("yuenTest: outlier immunity via trim, replayed d terms") {
     // Arm a: 1..5 with a wild outlier 1000 at the top; arm b: 3..8.
     // 20% trim on 6 values cuts ONE from each end -> the outlier
