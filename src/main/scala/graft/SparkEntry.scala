@@ -5168,7 +5168,18 @@ object SparkEntry {
         ratingsFixture(s, dir).select(col("source"), col("item"),
           col("rater"),
           when(col("label") === "pos", 1L).otherwise(0L).as("y")),
-        "source", "item", "rater", "y"))
+        "source", "item", "rater", "y")),
+
+    // Theil-Sen robust price-per-quantity line per return flag:
+    // median pairwise slope + median residual intercept.
+    "q380_theil_sen" -> ((s, dir) =>
+      TimeSeries.theilSen(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"),
+          (col("l_orderkey") * lit(10L) + col("l_linenumber"))
+            .as("rid")),
+        "l_returnflag", "l_quantity", "l_extendedprice", "rid",
+        maxN = 512))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13682,6 +13693,56 @@ object SparkEntry {
         |FROM words GROUP BY 1, 2""".stripMargin,
 
     "q375_mmr_rerank" -> mmrOracleSql,
+
+    "q380_theil_sen" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS x,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS y,
+        |    l_orderkey * 10 + l_linenumber AS rid
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |r AS (
+        |  SELECT g, x, y,
+        |    row_number() OVER (PARTITION BY g ORDER BY rid, x, y)
+        |      AS rk
+        |  FROM b
+        |  QUALIFY rk <= 512),
+        |sl AS (
+        |  SELECT a.g,
+        |    CAST(round(1e6 * CAST(t.y - a.y AS DOUBLE)
+        |      / CAST(t.x - a.x AS DOUBLE)) AS BIGINT) AS s
+        |  FROM r a JOIN r t
+        |    ON a.g = t.g AND a.rk < t.rk AND a.x <> t.x),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs FROM sl
+        |  GROUP BY 1),
+        |slope AS (
+        |  SELECT p.g, p.s AS slope_micro FROM (
+        |    SELECT g, s,
+        |      row_number() OVER (PARTITION BY g ORDER BY s) AS rn
+        |    FROM sl) p
+        |  JOIN m ON p.g = m.g AND p.rn = (m.n_pairs + 1) // 2),
+        |resid AS (
+        |  SELECT r.g,
+        |    y - CAST(round(CAST(slope_micro AS DOUBLE)
+        |      * CAST(x AS DOUBLE) / 1e6) AS BIGINT) AS rr
+        |  FROM r JOIN slope ON r.g = slope.g),
+        |np AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM r
+        |  GROUP BY 1),
+        |icept AS (
+        |  SELECT p.g, p.rr AS intercept_micro FROM (
+        |    SELECT g, rr,
+        |      row_number() OVER (PARTITION BY g ORDER BY rr) AS rn
+        |    FROM resid) p
+        |  JOIN np ON p.g = np.g AND p.rn = (np.n + 1) // 2)
+        |SELECT np.g AS l_returnflag, n, n_pairs, slope_micro,
+        |  intercept_micro
+        |FROM np JOIN m ON np.g = m.g
+        |JOIN slope ON np.g = slope.g JOIN icept ON np.g = icept.g"""
+        .stripMargin,
 
     "q379_rater_reliability" ->
       s"""WITH $ratingsFixtureSql,

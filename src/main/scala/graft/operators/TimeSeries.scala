@@ -300,6 +300,77 @@ object TimeSeries {
             col("v_sum_pico").cast("double")).cast("long")))
   }
 
+  /** Theil–Sen robust regression per group — [[groupTrend]]'s OLS
+    * slope with the breakdown point a real corpus needs (one bad
+    * batch of y's drags an OLS line anywhere; the median of
+    * pairwise slopes shrugs off 29% contamination): slope = LOW
+    * median of (yⱼ−yᵢ)/(xⱼ−xᵢ) over all pairs with xᵢ ≠ xⱼ (each
+    * micro-rounded — an integer order statistic), intercept = LOW
+    * median of yᵢ − slope·xᵢ residual micros. Pairs with equal x
+    * are skipped (no slope to vote), censused via n_pairs vs the
+    * full n(n−1)/2.
+    *
+    * Scale: the pair census is quadratic per group, so rows
+    * truncate to the first `maxN` in (idCol, x, y) order — the
+    * [[mannKendall]] bound. Groups with no x-distinct pair are
+    * absent. Output: (groupCol, n, n_pairs, slope_micro,
+    * intercept_micro). */
+  def theilSen(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      idCol: String,
+      maxN: Int = 512): DataFrame = {
+    require(maxN >= 2, "maxN must be at least 2")
+    val cur = Dedup.truncate(
+      Ranking.groupRank(
+        df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+          .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+            round(col(xCol).cast("double") * lit(1e6)).cast("long")
+              .as("__x"),
+            round(col(yCol).cast("double") * lit(1e6)).cast("long")
+              .as("__y")),
+        "__g", Seq("__id", "__x", "__y"))
+        .filter(col("rank") <= maxN.toLong)
+        .select(col("__g"), col("rank"), col("__x"), col("__y")))
+    val a = cur.select(col("__g"), col("rank").as("__ri"),
+      col("__x").as("__xi"), col("__y").as("__yi"))
+    val b = cur.select(col("__g"), col("rank").as("__rj"),
+      col("__x").as("__xj"), col("__y").as("__yj"))
+    val slopes = a.join(b, Seq("__g"))
+      .filter(col("__ri") < col("__rj") && col("__xi") =!= col("__xj"))
+      .select(col("__g"),
+        round(lit(1e6) * (col("__yj") - col("__yi")).cast("double") /
+          (col("__xj") - col("__xi")).cast("double")).cast("long")
+          .as("__s"))
+    val m = slopes.groupBy(col("__g")).agg(count(lit(1)).as("n_pairs"))
+    val ws = Window.partitionBy(col("__g")).orderBy(col("__s"))
+    val slope = slopes.withColumn("__rn", row_number().over(ws))
+      .join(m.select(col("__g"),
+        floor((col("n_pairs") + 1L) / 2L).cast("long").as("__mid")),
+        Seq("__g"))
+      .filter(col("__rn") === col("__mid"))
+      .select(col("__g"), col("__s").as("slope_micro"))
+    val resid = cur.join(slope, Seq("__g"))
+      .select(col("__g"), col("slope_micro"),
+        (col("__y") - round(col("slope_micro").cast("double") *
+          col("__x").cast("double") / lit(1e6)).cast("long"))
+          .as("__r"))
+    val nPer = cur.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy(col("__g")).orderBy(col("__r"))
+    val intercept = resid.withColumn("__rn", row_number().over(wr))
+      .join(nPer.select(col("__g"),
+        floor((col("n") + 1L) / 2L).cast("long").as("__mid")),
+        Seq("__g"))
+      .filter(col("__rn") === col("__mid"))
+      .select(col("__g"), col("__r").as("intercept_micro"))
+    nPer.join(m, Seq("__g")).join(slope, Seq("__g"))
+      .join(intercept, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("n_pairs"),
+        col("slope_micro"), col("intercept_micro"))
+  }
+
   /** Cox proportional-hazards ONE-STEP estimate for a binary
     * covariate (Breslow ties) — the survival family's effect SIZE:
     * [[logRank]] says WHETHER cohorts A/B churn differently, this

@@ -486,6 +486,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getAs[Int]("trend") == 1)
   }
 
+  test("theilSen: outlier-proof line, equal-x pairs skipped") {
+    val df = Seq(
+      // R: y = 2x + 1 with one wild outlier at x=4.
+      ("R", 0.0, 1.0, 1L), ("R", 1.0, 3.0, 2L), ("R", 2.0, 5.0, 3L),
+      ("R", 3.0, 7.0, 4L), ("R", 4.0, 100.0, 5L),
+      // D: two points share x=0 -> their pair casts no slope vote.
+      ("D", 0.0, 1.0, 1L), ("D", 0.0, 5.0, 2L), ("D", 1.0, 2.0, 3L))
+      .toDF("g", "x", "y", "id")
+    val got = TimeSeries.theilSen(df, "g", "x", "y", "id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r = got("R")
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("n_pairs") == 10L)
+    // 6 of 10 pairwise slopes are exactly 2 -> median 2, and the
+    // median residual recovers the TRUE intercept despite y=100.
+    assert(r.getAs[Long]("slope_micro") == 2000000L)
+    assert(r.getAs[Long]("intercept_micro") == 1000000L)
+    val d = got("D")
+    assert(d.getAs[Long]("n_pairs") == 2L)
+    // Voting slopes are {1, -3}: LOW median -3; residuals
+    // {1, 5, 2+3} -> low median 5.
+    assert(d.getAs[Long]("slope_micro") == -3000000L)
+    assert(d.getAs[Long]("intercept_micro") == 5000000L)
+  }
+
   test("coxScore: hand risk sets, one-step beta/HR, censoring") {
     val df = Seq(
       // Cohort 0 churns fast; cohort 1 slow, one censored.
