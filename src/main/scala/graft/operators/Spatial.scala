@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Spatial proximity over integer coordinates — the geo twin of the
@@ -145,6 +145,28 @@ object Spatial {
     * argument for hierarchical tiling. Pure integer bit arithmetic
     * map-side; two hash-aggs total.
     * Output: (zoom, quadkey, n_points), zoom ∈ {levels, levels−2}. */
+  /** The quadkey COLUMN by input column NAME — the map-side key
+    * [[quadkeyCensus]] censuses and a streaming heatmap sink keys
+    * its rollup on (same base-4 digit construction; see
+    * quadkeyCensus for semantics). Integer arithmetic only. */
+  def quadkeyCol(
+      xName: String, yName: String, extent: Long, levels: Int)
+      : Column = {
+    require(levels >= 1 && levels <= 16, "levels must be in [1, 16]")
+    require(extent > 0, "extent must be positive")
+    val side = 1L << levels
+    val cx = expr(s"least(${side - 1}L, " +
+      s"(CAST($xName AS BIGINT) * ${side}L) div ${extent}L)")
+    val cy = expr(s"least(${side - 1}L, " +
+      s"(CAST($yName AS BIGINT) * ${side}L) div ${extent}L)")
+    val digits = (0 until levels).map { k =>
+      val sh = levels - 1 - k
+      ((shiftright(cy, sh) % 2L) * 2L + shiftright(cx, sh) % 2L)
+        .cast("string")
+    }
+    concat(digits: _*)
+  }
+
   def quadkeyCensus(
       points: DataFrame,
       xCol: String,
@@ -153,18 +175,8 @@ object Spatial {
       levels: Int): DataFrame = {
     require(levels >= 3 && levels <= 16, "levels must be in [3, 16]")
     require(extent > 0, "extent must be positive")
-    val side = 1L << levels
-    val base = points.select(col(xCol).cast("long").as("__x"),
-      col(yCol).cast("long").as("__y"))
-    val cx = expr(s"least(${side - 1}L, (__x * ${side}L) div ${extent}L)")
-    val cy = expr(s"least(${side - 1}L, (__y * ${side}L) div ${extent}L)")
-    val digits = (0 until levels).map { k =>
-      val sh = levels - 1 - k
-      ((shiftright(cy, sh) % 2L) * 2L + shiftright(cx, sh) % 2L)
-        .cast("string")
-    }
-    val leaf = base
-      .select(concat(digits: _*).as("quadkey"))
+    val leaf = points
+      .select(quadkeyCol(xCol, yCol, extent, levels).as("quadkey"))
       .groupBy(col("quadkey"))
       .agg(count(lit(1)).as("n_points"))
     val parent = leaf

@@ -42,6 +42,29 @@ object Rollup {
     * rollup the per-batch write amplification is O(keys) however few
     * keys the batch touched — use [[sumCountSinkPartitioned]] there,
     * which commits only the key partitions a batch changed. */
+  /** Streaming quadkey HEATMAP view: the live tile census a map
+    * dashboard reads — each point keys to its
+    * [[graft.operators.Spatial.quadkeyCol]] tile map-side and lands
+    * in the [[sumCountSink]] (n_rows per tile, exactly-once under
+    * the manifest txn seal). Streamed census ≡ the batch
+    * [[graft.operators.Spatial.quadkeyCensus]] leaf rows by
+    * construction — counting is order-free — and coarser zooms roll
+    * up from THIS view by key prefix, never from the stream. */
+  def quadkeySink(
+      points: DataFrame,
+      xCol: String,
+      yCol: String,
+      extent: Long,
+      levels: Int,
+      baseDir: String,
+      table: String,
+      streamId: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    sumCountSink(points.select(
+        graft.operators.Spatial.quadkeyCol(xCol, yCol, extent, levels)
+          .as("quadkey")),
+      Seq("quadkey"), Nil, baseDir, table, streamId, checkpointDir)
+
   def sumCountSink(
       rows: DataFrame,
       keyCols: Seq[String],

@@ -382,6 +382,37 @@ class RollupSpec extends SparkSpec {
     assert(streamed("mon")._2 > 300 && streamed("mon")._2 < 1200)
   }
 
+  test("quadkeySink: streamed tile heatmap == batch leaf census") {
+    import graft.operators.Spatial
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("qkmv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("qkmv-ck").toString
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = Rollup.quadkeySink(input.toDF().toDF("x", "y"),
+      "x", "y", extent = 100L, levels = 3,
+      base, "tiles", streamId = "qk1", checkpointDir = ckpt).start()
+    val b1 = Seq((0L, 0L), (0L, 0L), (99L, 99L))
+    val b2 = Seq((0L, 0L), (50L, 0L), (99L, 99L))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = ManifestTable.read(spark, base, "tiles")
+      .select(col("quadkey"), col("n_rows"))
+      .as[(String, Long)].collect().toMap
+    val batch = Spatial.quadkeyCensus((b1 ++ b2).toDF("x", "y"),
+        "x", "y", extent = 100L, levels = 3)
+      .filter(col("zoom") === 3)
+      .select(col("quadkey"), col("n_points"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed("000") == 3L && streamed("333") == 2L &&
+      streamed("100") == 1L)
+  }
+
   test("syncFromChanges follows the upstream change feed exactly once, deletes included") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
