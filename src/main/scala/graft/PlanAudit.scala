@@ -71,7 +71,10 @@ object PlanAudit {
     "q325_eb_shrinkage" -> "1-row broadcast moment attach (G, Σr, Σr²)",
     "q352_keyness" -> "1-row broadcast scalar attach (subcorpus totals A/B)",
     "q356_burrows_delta" -> "top-K marker broadcast attach + author-grid cross (model-sized: authors × 50)",
-    "q359_markov_attribution" -> "chain-variant cross + 1-row scalar attaches (model-sized: states² × channels)")
+    "q359_markov_attribution" -> "chain-variant cross + 1-row scalar attaches (model-sized: states² × channels)",
+    "q365_morans_i" -> "1-row × 1-row scalar cross (tile totals × adjacency sums)",
+    "q368_gearys_c" -> "1-row × 1-row scalar cross (tile totals × adjacency sums)",
+    "q373_entropy_rate" -> "1-row scalar crosses (transition total × the two entropy sums — the q226 shape)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
     * partition is bounded (per-user event counts in the fixtures are
@@ -98,7 +101,11 @@ object PlanAudit {
     "q350_mann_kendall" -> "per-key windows over the maxN-BOUNDED pair census (≤ maxN²/2 rows/key by construction) — the Sen-median selection",
     "q354_runs_test" -> "per-key kept-row re-rank via groupRank twins; remaining windows ride the range-partitioned prefix",
     "q359_markov_attribution" -> "per-user window (bounded group; journey lead needs order only)",
-    "q361_hodges_lehmann" -> "per-group window over the maxN-BOUNDED pair census (≤ maxN² rows/group) — the HL-median selection")
+    "q361_hodges_lehmann" -> "per-group window over the maxN-BOUNDED pair census (≤ maxN² rows/group) — the HL-median selection",
+    "q366_kendall_tau" -> "maxN-bounded pair census (≤ maxN²/2 rows/group) — the tau concordance fold",
+    "q380_theil_sen" -> "per-group windows over the maxN-BOUNDED pair census — the slope/intercept median selections",
+    "q370_bh_fdr" -> "suffix-min window over the TEST census (m rows/group — metadata, not data)",
+    "q373_entropy_rate" -> "per-user window (bounded group; journey lead needs order only)")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
