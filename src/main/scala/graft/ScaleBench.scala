@@ -73,11 +73,15 @@ object ScaleBench {
     // ratio CI (two hash-aggs)
     "q329_platt_fit", "q330_ratio_ci",
     // round-14 wave 3: maxN-bounded pairwise censuses (MK + HL —
-    // should flatten once truncation bites), grid 1-NN + DBSCAN
-    // (cell-local, CC fixpoint), stylometry grid, journey chain,
-    // R/S prefix blocks
+    // should flatten once truncation bites), grid 1-NN, stylometry
+    // grid, journey chain, R/S prefix blocks. q358_dbscan is
+    // deliberately ABSENT: replication drives the fixed-area cloud
+    // across the continuum-percolation threshold, where the ×4/×16
+    // tiers measure the giant-component phase transition (one huge
+    // slow CC), not the operator — the same fixture-not-operator
+    // blowup the alphabet rotation exists to prevent for text.
     "q350_mann_kendall", "q354_runs_test", "q356_burrows_delta",
-    "q357_nn_join", "q358_dbscan", "q359_markov_attribution",
+    "q357_nn_join", "q359_markov_attribution",
     "q360_hurst", "q361_hodges_lehmann")
 
   val Factors: Seq[Int] = Seq(1, 4, 16)

