@@ -5184,7 +5184,15 @@ object SparkEntry {
           (col("l_orderkey") * lit(10L) + col("l_linenumber"))
             .as("rid")),
         "l_returnflag", "l_quantity", "l_extendedprice", "rid",
-        maxN = 512))
+        maxN = 512)),
+
+    // Anderson-Darling two-sample test of English vs non-English
+    // doc lengths per source: exact pooled-rank terms, tail weights.
+    "q381_anderson_darling" -> ((s, dir) =>
+      Profile.andersonDarling(
+        t(s, dir, "documents").select(col("source"), col("n_chars"),
+          (col("lang") === "en").as("is_en"), col("doc_id")),
+        "source", "n_chars", "is_en", "doc_id"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13698,6 +13706,46 @@ object SparkEntry {
         |FROM words GROUP BY 1, 2""".stripMargin,
 
     "q375_mmr_rerank" -> mmrOracleSql,
+
+    "q381_anderson_darling" ->
+      """WITH b AS (
+        |  SELECT source AS g,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+        |    doc_id AS tb
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (
+        |  SELECT g, a,
+        |    row_number() OVER (PARTITION BY g ORDER BY v, tb) AS rk,
+        |    sum(a) OVER (PARTITION BY g ORDER BY v, tb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS m
+        |  FROM b),
+        |tot AS (
+        |  SELECT g, CAST(sum(a) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - a) AS BIGINT) AS n_b,
+        |    CAST(count(*) AS BIGINT) AS nn
+        |  FROM b GROUP BY 1
+        |  HAVING sum(a) > 0 AND sum(1 - a) > 0),
+        |dv AS (
+        |  SELECT r.g, rk, nn,
+        |    CAST(m AS HUGEINT) * nn - CAST(rk AS HUGEINT) * n_a
+        |      AS dev
+        |  FROM r JOIN tot ON r.g = tot.g
+        |  WHERE rk < nn),
+        |terms AS (
+        |  SELECT g,
+        |    sum(CAST(CAST(round(1e6 * CAST(dev * dev AS DOUBLE)
+        |      / CAST(rk * (nn - rk) AS DOUBLE)) AS BIGINT)
+        |      AS HUGEINT)) AS s
+        |  FROM dv GROUP BY 1)
+        |SELECT tot.g AS source, n_a, n_b,
+        |  CAST(round(CAST(s AS DOUBLE)
+        |    / CAST(n_a * n_b AS DOUBLE)) AS BIGINT) AS a2_micro,
+        |  CAST(round(CAST(s AS DOUBLE)
+        |    / CAST(n_a * n_b AS DOUBLE)) AS BIGINT) > 2492000
+        |    AS significant
+        |FROM tot JOIN terms ON tot.g = terms.g""".stripMargin,
 
     "q380_theil_sen" ->
       """WITH b AS (

@@ -2428,6 +2428,64 @@ object Profile {
           .otherwise(lit(null).cast("long")).as("eps2_micro"))
   }
 
+  /** Two-sample Anderson–Darling test per group — the tail-weighted
+    * distribution comparison (KS sees the biggest CDF gap, usually
+    * mid-distribution; AD's 1/(i(N−i)) weight makes the TAILS count,
+    * which is where corpus drift actually lives). Pettitt's rank
+    * form over the pooled (value, tie)-order:
+    *
+    *   A² = (1/(n·m)) · Σ_{i=1}^{N−1} (Mᵢ·N − i·n)² / (i·(N−i)),
+    *
+    * Mᵢ = how many of arm a's n values sit within the first i pooled
+    * positions (ties broken by `tieCol` — stated; micro-quantized
+    * values rarely tie on continuous data). Every numerator and
+    * weight is an exact integer off the range-partitioned prefix
+    * (never a per-group sort window); each term micro-rounds, the
+    * sum is exact, and ONE divide closes. The large-sample 5%
+    * critical value 2.492 rides along as a literal verdict. Groups
+    * missing an arm are absent. Output: (groupCol, n_a, n_b,
+    * a2_micro, significant). */
+  def andersonDarling(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String,
+      tieCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        when(col(sideCol).cast("boolean"), 1L).otherwise(0L).as("__a"),
+        col(tieCol).as("__t"))
+    val ranked = Ranking.groupRunningSum(
+      Ranking.groupRank(base, "__g", Seq("__v", "__t"))
+        .select(col("__g"), col("rank"), col("__a")),
+      "__g", Seq("rank"), "__a")
+    val tot = base.groupBy(col("__g"))
+      .agg(sum(col("__a")).as("n_a"),
+        sum(lit(1L) - col("__a")).as("n_b"),
+        count(lit(1)).as("__N"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+    val dev = (col("running") * col("__N") - col("rank") * col("n_a"))
+      .cast(dec)
+    val terms = ranked.join(tot, Seq("__g"))
+      .filter(col("rank") < col("__N"))
+      .select(col("__g"),
+        round(lit(1e6) * (dev * dev).cast("double") /
+          (col("rank") * (col("__N") - col("rank"))).cast("double"))
+          .cast("long").as("__term"))
+      // DECIMAL sum: a fully-separated pair of big arms can push a
+      // single tail term past 2^63 micro-units.
+      .groupBy(col("__g")).agg(sum(col("__term").cast(dec)).as("__s"))
+    tot.join(terms, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        round(col("__s").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).cast("long")
+          .as("a2_micro"))
+      .withColumn("significant", col("a2_micro") > 2492000L)
+  }
+
   /** Internal-consistency reliability per group — Cronbach's α
     * (= KR-20 on binary items) and the one-way random-effects
     * ICC(1,1), the two numbers a labeling pipeline reads next to

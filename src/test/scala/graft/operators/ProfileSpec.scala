@@ -1087,6 +1087,31 @@ class ProfileSpec extends SparkSpec {
       g1.getAs[Long]("prior_micro"))
   }
 
+  test("andersonDarling: separated beats interleaved, hand rank terms") {
+    val df = Seq(
+      // S: arms fully separated -> every prefix is lopsided.
+      ("S", 1.0, true, 1L), ("S", 2.0, true, 2L),
+      ("S", 3.0, false, 3L), ("S", 4.0, false, 4L),
+      // I: arms interleave -> the middle term vanishes.
+      ("I", 1.0, true, 1L), ("I", 3.0, true, 2L),
+      ("I", 2.0, false, 3L), ("I", 4.0, false, 4L),
+      // O: one-armed -> absent.
+      ("O", 5.0, true, 1L)).toDF("g", "v", "a", "t")
+    val got = Profile.andersonDarling(df, "g", "v", "a", "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("O"))
+    val t13 = math.round(1e6 * 4.0 / 3.0)
+    // S: terms 4/3, 4, 4/3 -> A2 = (2*t13 + 4e6)/4.
+    assert(got("S").getAs[Long]("a2_micro") ==
+      math.round((2L * t13 + 4000000L) / 4.0))
+    // I: terms 4/3, 0, 4/3.
+    assert(got("I").getAs[Long]("a2_micro") ==
+      math.round(2L * t13 / 4.0))
+    assert(got("S").getAs[Long]("a2_micro") >
+      got("I").getAs[Long]("a2_micro"))
+    assert(!got("S").getAs[Boolean]("significant")) // n=2: tiny sample
+  }
+
   test("raterReliability: perfect agreement 1/1, uncorrelated 0, drops") {
     val df = Seq(
       // P: items always agree -> alpha = ICC = 1; s5 incomplete.
