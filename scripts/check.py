@@ -33,6 +33,17 @@ def norm_cell(v):
     return str(v)
 
 
+def _unsafe_type(t):
+    import pyarrow as pa
+    if pa.types.is_decimal(t) or pa.types.is_struct(t) or \
+            pa.types.is_map(t) or pa.types.is_interval(t) or \
+            pa.types.is_duration(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _unsafe_type(t.value_type)
+    return False
+
+
 def table_rows(tbl):
     cols = sorted(tbl.column_names)
     data = [tbl.column(c).to_pylist() for c in cols]
@@ -52,6 +63,18 @@ def main(out_dir, sf_dir):
             spark_tbl = ds.dataset(f"{out_dir}/{name}", format="parquet").to_table()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        # Output-type lint (mirrors graft.Verify.outputTypeLint): the
+        # driver's hasher is only known-stable on integer/float/
+        # string/binary/bool/date-time columns; DECIMAL provably
+        # splits it (q301/q344/q351, r14) and struct/map/interval are
+        # untested. Fail loudly instead of hash-mismatching quietly.
+        unsafe = [f.name for f in spark_tbl.schema
+                  if _unsafe_type(f.type)]
+        if unsafe:
+            print(f"FAIL {name}: LINT unsafe output column type(s): "
+                  f"{unsafe}")
             n_fail += 1
             continue
         try:

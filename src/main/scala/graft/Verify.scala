@@ -1,9 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Gate-output type lint: the driver's hasher is only known-stable
+    * on long/int/double/float/string/binary/boolean/date/timestamp
+    * (the envelope the 378 green r14 gates define). DECIMAL is the
+    * proven splitter (pyarrow hands back decimal.Decimal, DuckDB an
+    * int — q301/q344/q351, r14); intervals/structs/maps are untested
+    * and banned pre-emptively. Returns the offending column paths,
+    * empty = clean. Arrays are traversed (element type must be safe). */
+  def outputTypeLint(schema: StructType): Seq[String] = {
+    def bad(path: String, dt: DataType): Seq[String] = dt match {
+      case _: DecimalType => Seq(s"$path: ${dt.simpleString}")
+      case _: CalendarIntervalType => Seq(s"$path: ${dt.simpleString}")
+      case _: YearMonthIntervalType | _: DayTimeIntervalType =>
+        Seq(s"$path: ${dt.simpleString}")
+      case s: StructType =>
+        s"$path: struct" +: s.fields.toSeq.flatMap(f =>
+          bad(s"$path.${f.name}", f.dataType))
+      case m: MapType => Seq(s"$path: ${m.simpleString}")
+      case a: ArrayType => bad(s"$path[]", a.elementType)
+      case _ => Nil
+    }
+    schema.fields.toSeq.flatMap(f => bad(f.name, f.dataType))
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println("usage: graft.Verify <sfDir> <outDir> [onlyPrefix...]")
@@ -27,9 +52,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          // Refuse to dump a gate whose output type would split the
+          // driver's hasher — a loud red beats a silent hash miss.
+          val hits = outputTypeLint(df.schema)
+          if (hits.nonEmpty) throw new IllegalStateException(
+            s"LINT unsafe gate output type(s): ${hits.mkString("; ")}")
+          df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

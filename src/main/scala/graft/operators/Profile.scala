@@ -338,7 +338,9 @@ object Profile {
     * Scale: one group census (n, total) joined back to the rows —
     * census-sized build side — then one hash-agg. No windows.
     * Output: (groupCol, n, n_dropped, total_micro, theil_t_micro,
-    * theil_l_micro). */
+    * theil_l_micro); total_micro accumulates in DECIMAL(38,0) (a
+    * 100 TB group's micro-sum overflows a Long) but reports as a
+    * canonical decimal STRING — gate outputs never carry DECIMAL. */
   def theilIndex(
       df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"
@@ -363,7 +365,7 @@ object Profile {
     spine.join(tot.join(terms, Seq("__g")), Seq("__g"), "left")
       .select(col("__g").as(groupCol),
         coalesce(col("n"), lit(0L)).as("n"), col("n_dropped"),
-        col("__tot").cast(dec).as("total_micro"),
+        col("__tot").cast(dec).cast("string").as("total_micro"),
         round(col("__st").cast("double") / col("n").cast("double"))
           .cast("long").as("theil_t_micro"),
         round(-col("__sl").cast("double") / col("n").cast("double"))
@@ -2323,9 +2325,11 @@ object Profile {
     * Skew.saltedJoin]]. This is not an estimate: for inner equi-join
     * semantics the sum IS the output size. NULL keys never match in
     * an equi-join and are excluded (stated). join_rows/top_contrib
-    * accumulate AND report in DECIMAL(38,0) — never cast to BIGINT,
-    * which would wrap/null at exactly the hot-key scales (1e10×1e10
-    * matches = 1e20 rows) this pre-flight exists to warn about;
+    * accumulate in DECIMAL(38,0) — never summed as BIGINT, which
+    * would wrap/null at exactly the hot-key scales (1e10×1e10
+    * matches = 1e20 rows) this pre-flight exists to warn about — and
+    * REPORT as canonical decimal strings (arbitrary precision with a
+    * hash-stable output type; gate outputs never carry DECIMAL);
     * the hot key reports deterministically (max on
     * (contribution, key) — total order). Output: one row —
     * (n_left, n_right, matched_keys, join_rows, top_key,
@@ -2359,9 +2363,9 @@ object Profile {
       .select(col("n_left"), col("n_right"),
         coalesce(col("matched_keys"), lit(0L)).as("matched_keys"),
         coalesce(col("join_rows"), lit(0L).cast(dec)).cast(dec)
-          .as("join_rows"),
+          .cast("string").as("join_rows"),
         col("__top.k").as("top_key"),
-        col("__top.p").cast(dec).as("top_contrib"))
+        col("__top.p").cast(dec).cast("string").as("top_contrib"))
   }
 
   /** Kruskal–Wallis H test per group — the k-sample generalization of

@@ -866,7 +866,9 @@ object Sketches {
     * along with both relative errors so the gate doubles as a
     * quality census of the sketch itself.
     * Output: (groupCol, f2, est_mean, est_mom, err_mean_micro,
-    * err_mom_micro). */
+    * err_mom_micro); f2/est_mean/est_mom accumulate in DECIMAL(38,0)
+    * (F2 of a 100 TB hot group overflows a Long) but report as
+    * canonical decimal STRINGS — gate outputs never carry DECIMAL. */
   def amsF2(df: DataFrame, groupCol: String, keyCol: String)
       : DataFrame = {
     val dec = "decimal(38,0)"
@@ -898,8 +900,11 @@ object Sketches {
         col("f2").cast("double")) / col("f2").cast("double"))
         .cast("long")
     exact.join(est, Seq("__g"))
-      .select(col("__g").as(groupCol), col("f2"), col("est_mean"),
-        col("est_mom"), err(col("est_mean")).as("err_mean_micro"),
+      .select(col("__g").as(groupCol),
+        col("f2").cast("string").as("f2"),
+        col("est_mean").cast("string").as("est_mean"),
+        col("est_mom").cast("string").as("est_mom"),
+        err(col("est_mean")).as("err_mean_micro"),
         err(col("est_mom")).as("err_mom_micro"))
   }
 }

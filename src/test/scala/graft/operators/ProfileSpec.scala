@@ -651,13 +651,12 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Long]("n_right") == 4L)
     assert(r.getAs[Long]("matched_keys") == 2L)
     // a: 3*2 = 6, b: 2*1 = 2 -> 8; verified against the real join.
-    // join_rows/top_contrib report as DECIMAL(38,0): a BIGINT would
-    // wrap at the hot-key scales this pre-flight exists to warn on.
-    assert(r.getAs[java.math.BigDecimal]("join_rows").longValueExact
-      == 8L)
+    // join_rows/top_contrib accumulate DECIMAL(38,0) (a BIGINT sum
+    // would wrap at the hot-key scales this pre-flight exists to
+    // warn on) and report as canonical decimal strings.
+    assert(r.getAs[String]("join_rows") == "8")
     assert(r.getAs[String]("top_key") == "a")
-    assert(r.getAs[java.math.BigDecimal]("top_contrib").longValueExact
-      == 6L)
+    assert(r.getAs[String]("top_contrib") == "6")
     assert(left.join(right, Seq("k")).count() == 8L)
   }
 

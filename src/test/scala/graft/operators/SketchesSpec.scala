@@ -273,16 +273,18 @@ class SketchesSpec extends SparkSpec {
     val got = Sketches.amsF2(rows.toDF("g", "k"), "g", "k")
       .collect().map(r => r.getAs[String]("g") -> r).toMap
     val solo = got("solo")
-    assert(solo.getDecimal(1).longValueExact == 16L)
-    assert(solo.getDecimal(2).longValueExact == 16L)
-    assert(solo.getDecimal(3).longValueExact == 16L)
+    // f2/est_mean/est_mom accumulate DECIMAL(38,0) and report as
+    // canonical decimal strings (hash-stable gate output type).
+    assert(solo.getAs[String]("f2") == "16")
+    assert(solo.getAs[String]("est_mean") == "16")
+    assert(solo.getAs[String]("est_mom") == "16")
     assert(solo.getAs[Long]("err_mean_micro") == 0L)
     assert(solo.getAs[Long]("err_mom_micro") == 0L)
     // mix: F2 = 9 + 4 + 1 = 14; Z = ±3±2±1 so Z² <= 36 and the
     // estimates stay inside the algebraic envelope.
     val mix = got("mix")
-    assert(mix.getDecimal(1).longValueExact == 14L)
-    val em = mix.getDecimal(2).longValueExact
+    assert(mix.getAs[String]("f2") == "14")
+    val em = mix.getAs[String]("est_mean").toLong
     assert(em >= 0L && em <= 36L, s"est_mean $em")
     assert(mix.getAs[Long]("err_mean_micro") ==
       math.round(1e6 * math.abs(em - 14.0) / 14.0))
