@@ -132,19 +132,6 @@ object Spatial {
       .select(col("a"), col("__w.b").as("b"), col("__w.d2").as("d2"))
   }
 
-  /** Quadkey tile census with one prefix rollup — the Bing-maps
-    * Z-order bucketing that turns "points near each other" into
-    * "rows sharing a string prefix": coordinates in [0, extent)
-    * quantize to a 2^levels grid, each cell keys by the base-4
-    * digit string d_k = 2·bit_k(y) + bit_k(x) (most-significant
-    * first — a tile's quadkey is its parent's quadkey plus one
-    * digit, which is what makes prefix rollups work), and the
-    * census emits every non-empty tile at `levels` PLUS its
-    * `levels−2` parent (16× coarser) aggregated FROM THE CENSUS —
-    * the rollup never rescans points, which is the whole scale
-    * argument for hierarchical tiling. Pure integer bit arithmetic
-    * map-side; two hash-aggs total.
-    * Output: (zoom, quadkey, n_points), zoom ∈ {levels, levels−2}. */
   /** The quadkey COLUMN by input column NAME — the map-side key
     * [[quadkeyCensus]] censuses and a streaming heatmap sink keys
     * its rollup on (same base-4 digit construction; see
@@ -167,6 +154,19 @@ object Spatial {
     concat(digits: _*)
   }
 
+  /** Quadkey tile census with one prefix rollup — the Bing-maps
+    * Z-order bucketing that turns "points near each other" into
+    * "rows sharing a string prefix": coordinates in [0, extent)
+    * quantize to a 2^levels grid, each cell keys by the base-4
+    * digit string d_k = 2·bit_k(y) + bit_k(x) (most-significant
+    * first — a tile's quadkey is its parent's quadkey plus one
+    * digit, which is what makes prefix rollups work), and the
+    * census emits every non-empty tile at `levels` PLUS its
+    * `levels−2` parent (16× coarser) aggregated FROM THE CENSUS —
+    * the rollup never rescans points, which is the whole scale
+    * argument for hierarchical tiling. Pure integer bit arithmetic
+    * map-side; two hash-aggs total.
+    * Output: (zoom, quadkey, n_points), zoom ∈ {levels, levels−2}. */
   def quadkeyCensus(
       points: DataFrame,
       xCol: String,
@@ -330,16 +330,32 @@ object Spatial {
     * components of the core–core eps-graph labeled by MINIMUM core
     * id (deterministic — no scan-order dependence, unlike textbook
     * DBSCAN where a border point joins whichever cluster reached it
-    * first); a BORDER point (non-core within eps of ≥ 1 core) joins
-    * its smallest core-neighbor's cluster; everything else is
+    * first); a BORDER point (non-core within eps of ≥ 1 core) takes
+    * the MINIMUM CLUSTER LABEL among its core neighbors (not the
+    * smallest neighbor id — the two differ when the smallest-id core
+    * neighbor sits in a higher-labeled cluster); everything else is
     * NOISE with a NULL cluster. Every verdict is integer arithmetic
     * over the exact pair census — nothing to round anywhere.
     *
     * Scale: one proximityJoin (output-bound, see its scaladoc), a
-    * degree census, and [[Dedup.connectedComponents]]'s pointer-
-    * jumping min-label propagation over CORE edges only — the
-    * eps-graph a dense corpus region induces is exactly the near-dup
-    * blob shape that machinery was built for.
+    * degree census, and GRID-PARTITIONED component labeling built
+    * for the super-percolation regime (mean degree ≳ 4.5, where the
+    * point cloud fuses ONE giant core component): intra-cell core
+    * edges are clustered locally by a per-cell union-find (one
+    * mapPartitions pass after a cell-keyed repartition — linear in
+    * the edge census, zero rounds), and only the BOUNDARY graph —
+    * cross-cell core edges rewritten onto their endpoints' local
+    * piece labels — enters [[Dedup.connectedComponents]]'s pointer-
+    * jumping min-label fixpoint. Its vertex count is pieces touching
+    * a cell border (≪ points) and its hop diameter is the GRID
+    * diameter, independent of density — so densifying a fixed
+    * geography 16× grows only the linear local pass, not the round
+    * count. Labels are identical to whole-graph min-id CC: each
+    * local piece's label is its min core id, and the boundary
+    * fixpoint takes the min over exactly the pieces a component
+    * fuses. A hot cell (everyone at one landmark) concentrates its
+    * union-find on one task — the same degeneracy proximityJoin's
+    * `maxPerCell` guard already bounds upstream.
     * Output: (id, n_nbrs, role ∈ core|border|noise, cluster). */
   def dbscan(
       points: DataFrame,
@@ -364,13 +380,18 @@ object Spatial {
     val coreEdges = pairs
       .join(coreIds.select(col("__id").as("a")), Seq("a"))
       .join(coreIds.select(col("__id").as("b")), Seq("b"))
-    // A percolating point cloud (mean degree past ~4.5) grows ONE
-    // giant core component whose min label needs more propagation
-    // rounds than a near-dup blob — the default budget is sized for
-    // that (empirical: sf0.1's 100k-point cloud at mean degree ~8
-    // needs >20 rounds; converged loops exit early, so a generous
-    // cap costs nothing on easy graphs).
-    val comp = Dedup.connectedComponents(coreEdges, "a", "b", maxIter)
+    // Grid-partitioned labeling (see scaladoc): a percolating cloud
+    // (mean degree past ~4.5) fuses ONE giant core component whose
+    // whole-graph min-label fixpoint needs ≫20 rounds each touching
+    // every edge (empirical: sf0.1's 100k points at mean degree ~8);
+    // clustering each eps-cell locally first leaves the fixpoint a
+    // boundary graph whose size and hop diameter track the GRID, not
+    // the density.
+    val cells = points.select(col(idCol).as("__id"),
+      expr(s"$xCol div ${eps}L").as("__cx"),
+      expr(s"$yCol div ${eps}L").as("__cy"))
+    val comp = gridMinLabelComponents(
+      coreEdges, coreIds.join(cells, Seq("__id")), maxIter)
     val coreLab = coreIds
       .join(comp.select(col("id").as("__id"), col("component")),
         Seq("__id"), "left")
@@ -392,5 +413,88 @@ object Spatial {
           .otherwise(lit("noise")).as("role"),
         when(col("__core"), col("__clust"))
           .otherwise(col("__bclust")).as("cluster"))
+  }
+
+  /** Min-id connected components of the core–core eps-graph,
+    * grid-partitioned ([[dbscan]]'s labeling engine — see its
+    * scaladoc for the scale argument). Identical output contract to
+    * [[Dedup.connectedComponents]] — (id, component), component =
+    * MINIMUM id in the component under the id column's native
+    * ordering — reached in three density-robust steps: (1) edges
+    * whose endpoints share an eps-cell are union-found per cell in
+    * one mapPartitions pass (roots kept minimal by always attaching
+    * the larger root under the smaller — native ordering via the
+    * boxed value's Comparable, which is exactly the column order for
+    * long/int/string/timestamp ids), (2) cross-cell edges are
+    * rewritten onto their endpoints' local piece labels (distinct
+    * pieces have distinct min ids, so no self-loops survive), and
+    * (3) only that boundary graph enters the pointer-jumping
+    * fixpoint. Covers every id in `coreCells`; a core with no core
+    * edge labels itself. */
+  private def gridMinLabelComponents(
+      coreEdges: DataFrame,
+      coreCells: DataFrame,
+      maxIter: Int): DataFrame = {
+    val spark = coreEdges.sparkSession
+    val idType = coreEdges.schema("a").dataType
+    val tagged = coreEdges
+      .join(coreCells.select(col("__id").as("a"),
+        col("__cx").as("__acx"), col("__cy").as("__acy")), Seq("a"))
+      .join(coreCells.select(col("__id").as("b"),
+        col("__cx").as("__bcx"), col("__cy").as("__bcy")), Seq("b"))
+    val sameCell = col("__acx") === col("__bcx") &&
+      col("__acy") === col("__bcy")
+    val intra = tagged.filter(sameCell)
+      .repartition(col("__acx"), col("__acy"))
+      .select(col("a"), col("b"))
+    val localRdd = intra.rdd.mapPartitions { rows =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        if (!parent.containsKey(x)) { parent.put(x, x); x }
+        else {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != r) {
+            val n = parent.get(c); parent.put(c, r); c = n
+          }
+          r
+        }
+      }
+      rows.foreach { row =>
+        val ra = find(row.get(0))
+        val rb = find(row.get(1))
+        if (ra != rb) {
+          if (ra.asInstanceOf[Comparable[Any]].compareTo(rb) <= 0)
+            parent.put(rb, ra)
+          else parent.put(ra, rb)
+        }
+      }
+      val out = Vector.newBuilder[org.apache.spark.sql.Row]
+      parent.keySet().toArray.foreach(k =>
+        out += org.apache.spark.sql.Row(k, find(k)))
+      out.result().iterator
+    }
+    val local = Dedup.truncate(spark.createDataFrame(localRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__lid", idType),
+        org.apache.spark.sql.types.StructField("__lab", idType)))))
+    val bEdges = tagged.filter(!sameCell).select(col("a"), col("b"))
+      .join(local.select(col("__lid").as("a"), col("__lab").as("__la")),
+        Seq("a"), "left")
+      .join(local.select(col("__lid").as("b"), col("__lab").as("__lb")),
+        Seq("b"), "left")
+      .select(coalesce(col("__la"), col("a")).as("la"),
+        coalesce(col("__lb"), col("b")).as("lb"))
+    val boundary = Dedup.connectedComponents(bEdges, "la", "lb", maxIter)
+    coreCells.select(col("__id"))
+      .join(local.select(col("__lid").as("__id"), col("__lab")),
+        Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("__lab"), col("__id")).as("__loc"))
+      .join(boundary.select(col("id").as("__loc"), col("component")),
+        Seq("__loc"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("component"), col("__loc")).as("component"))
   }
 }

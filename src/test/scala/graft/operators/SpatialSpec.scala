@@ -175,4 +175,25 @@ class SpatialSpec extends SparkSpec {
     assert(role("Z") == "border" && clust("Z") == "X")
     assert(got("B").getAs[Long]("n_nbrs") == 3L)
   }
+
+  test("dbscan: one cluster spanning many grid cells keeps min-id label") {
+    // A 40-point tight chain along x: spacing 5 < eps = 10 crosses
+    // eight eps-cells, so the component is stitched PURELY from
+    // cross-cell boundary edges plus per-cell local pieces — the
+    // grid-partitioned path's merge seam. Every point sees ≥ 2
+    // neighbors (+ itself ≥ minPts = 3) -> all core, one cluster
+    // labeled by the minimum id (long ids 100..139 -> 100).
+    val chain = (0 until 40).map(i => (100L + i, i * 5L, 0L))
+    // Plus a second chain far away with smaller ids -> its own label.
+    val other = (0 until 6).map(i => (i.toLong, i * 5L, 10000L))
+    val got = Spatial.dbscan((chain ++ other).toDF("id", "x", "y"),
+        "id", "x", "y", eps = 10, minPts = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 46)
+    assert((0 until 40).forall(i =>
+      got(100L + i).getAs[String]("role") == "core" &&
+        got(100L + i).getAs[Long]("cluster") == 100L))
+    assert((0 until 6).forall(i =>
+      got(i.toLong).getAs[Long]("cluster") == 0L))
+  }
 }
