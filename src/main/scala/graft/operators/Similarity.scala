@@ -466,6 +466,127 @@ object Similarity {
         round(col("n_hit").cast("double") / col("k").cast("double"), 6)
           .as("recall"))
 
+  /** NSW ("navigable small world", Malkov et al. 2014 — the graph
+    * family behind HNSW, single-layer here) index BUILD: each vector
+    * links to its `degree` nearest CELL-mates in an [[ivfIndex]]
+    * (exact per-cell kNN — the Σ|cell|² shape every cell-local
+    * operator here shares, never corpus²), then the digraph is
+    * SYMMETRIZED (union with its reverse, dedup) so greedy search
+    * can walk INTO a hub, not just out of one — out-degree is
+    * therefore bounded by 2·degree, not degree (stated). Ranking is
+    * exact-integer cosine, ties to the smaller neighbor id — the
+    * build is bit-deterministic with no RNG anywhere.
+    *
+    * Scale: one equi-join on `cell` + a per-cell top-k window; the
+    * graph is |V|·≤2·degree rows — the few-bytes-per-vector artifact
+    * that ships to every searcher, while embeddings stay columnar.
+    * Output: (src, dst, sim). */
+  def nswBuild(index: DataFrame, idCol: String, degree: Int)
+      : DataFrame = {
+    require(degree > 0, "degree must be positive")
+    val l = index.select(col("cell"), col(idCol).as("src"),
+      col("qvec").as("s_qvec"), col("nsq").as("s_nsq"))
+    val r = index.select(col("cell"), col(idCol).as("dst"),
+      col("qvec").as("d_qvec"), col("nsq").as("d_nsq"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    val knn = l.join(r, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosineQ(dotQ(col("s_qvec"), col("d_qvec")),
+          col("s_nsq"), col("d_nsq")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= degree)
+      .select(col("src"), col("dst"), col("sim"))
+    knn.unionByName(knn.select(col("dst").as("src"),
+        col("src").as("dst"), col("sim")))
+      .groupBy(col("src"), col("dst"))
+      // sim is symmetric (same dot, same norms) — max is a dedup.
+      .agg(max(col("sim")).as("sim"))
+  }
+
+  /** NSW greedy-beam SEARCH over a [[nswBuild]] graph: seed each
+    * query at its `nSeeds` nearest IVF centroids (the centroid IS a
+    * corpus vector here — [[ivfCentroids]] picks the lowest-id rows,
+    * so `cell` doubles as a node id), then `rounds` expansions: pull
+    * every graph neighbor of the frontier, score the NOT-YET-VISITED
+    * ones against the query (exact-integer cosine), keep the best
+    * `beam` as the next frontier, and accumulate everything scored.
+    * The answer is the top-k of the visited set (self excluded) —
+    * same output shape as [[ivfTopK]]/[[pqTopK]], so [[recallAtK]]
+    * prices this family against brute force like the other five.
+    * Deterministic: every rank ties to the smaller node id, and the
+    * visited set is exact, so no scan-order dependence anywhere.
+    *
+    * Scale: per round, frontier (queries×beam, tiny) equi-joins the
+    * degree-bounded graph, anti-joins visited (queries×visited-so-
+    * far, bounded by nSeeds + rounds·beam·2·degree per query), and
+    * scores ≤ beam·2·degree candidates per query against the
+    * broadcast query set — the corpus is touched ONLY through the
+    * graph's adjacency rows; no round shuffles the embeddings.
+    * Output: (query_id, rank, neighbor_id, sim). */
+  def nswSearch(
+      graph: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nSeeds: Int,
+      beam: Int,
+      rounds: Int): DataFrame = {
+    require(k > 0 && nSeeds > 0 && beam > 0 && rounds >= 0,
+      "k, nSeeds, beam must be positive; rounds non-negative")
+    val q = broadcast(prepare(queries, idCol, vecCol)
+      .withColumnRenamed(idCol, "query_id")
+      .withColumnRenamed("qvec", "q_qvec")
+      .withColumnRenamed("nsq", "q_nsq"))
+    val nodes = index.select(col(idCol).as("node"),
+      col("qvec").as("c_qvec"), col("nsq").as("c_nsq"))
+    def scoreNodes(cand: DataFrame): DataFrame =
+      cand.join(nodes, Seq("node"))
+        .join(q, Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          cosineQ(dotQ(col("q_qvec"), col("c_qvec")),
+            col("q_nsq"), col("c_nsq")).as("sim"))
+    val sw = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val seeds = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cell"),
+        cosineQ(dotQ(col("q_qvec"), col("cvec")),
+          col("q_nsq"), col("cnsq")).as("csim"))
+      .withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= nSeeds)
+      .select(col("query_id"), col("cell").as("node"))
+    var visited = Dedup.truncate(scoreNodes(seeds))
+    var frontier = visited
+    var r = 0
+    while (r < rounds) {
+      val cand = frontier
+        .select(col("query_id"), col("node").as("src"))
+        .join(graph.select(col("src"), col("dst")), Seq("src"))
+        .select(col("query_id"), col("dst").as("node")).distinct()
+      val fresh = cand.join(visited.select(col("query_id"), col("node")),
+        Seq("query_id", "node"), "left_anti")
+      val scored = Dedup.truncate(scoreNodes(fresh))
+      visited = Dedup.truncate(visited.unionByName(scored))
+      val fw = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("node"))
+      frontier = scored.withColumn("rn", row_number().over(fw))
+        .filter(col("rn") <= beam)
+        .select(col("query_id"), col("node"), col("sim"))
+      r += 1
+    }
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("node"))
+    visited.filter(col("query_id") =!= col("node"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("node").as("neighbor_id"), col("sim"))
+  }
+
   /** Label-error candidates by neighborhood disagreement (the
     * confident-learning / Cleanlab signal, cell-bounded): each vector
     * is classified by majority vote of its k nearest CELL-mates in

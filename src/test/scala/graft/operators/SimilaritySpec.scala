@@ -423,4 +423,44 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2) == (("c3", 490000L)))
     assert(got(3) == (("c2", 260000L)))
   }
+
+  // Two 3-vector clusters on orthogonal axes; ids 0/1 are the two
+  // centroids, so cells split the clusters exactly.
+  private val nswVecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.8f, 0.2f, 0.0f, 0.0f)),
+    (4L, Array(0.0f, 0.9f, 0.1f, 0.0f)),
+    (5L, Array(0.0f, 0.8f, 0.2f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("nswBuild: per-cell kNN digraph symmetrized, 2·degree bound") {
+    val index = Similarity.ivfIndex(nswVecs, "vec_id", "embedding", 2)
+    val got = Similarity.nswBuild(index, "vec_id", degree = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Cell {0,2,3}: kNN(0)=2, kNN(2)=0 (0.9938 > 0.9910), kNN(3)=2;
+    // symmetrized adds 2->3. Mirror in cell {1,4,5}. Node 2 carries
+    // out-degree 2 = 2·degree — the documented symmetrization bound.
+    assert(got == Set((0L, 2L), (2L, 0L), (3L, 2L), (2L, 3L),
+      (1L, 4L), (4L, 1L), (5L, 4L), (4L, 5L)))
+  }
+
+  test("nswSearch: greedy beam walks the graph to the true neighbors") {
+    val cents = Similarity.ivfCentroids(nswVecs, "vec_id", "embedding", 2)
+    val index = Similarity.ivfIndex(nswVecs, "vec_id", "embedding", 2,
+      Some(cents))
+    val graph = Similarity.nswBuild(index, "vec_id", degree = 1)
+    val got = Similarity.nswSearch(graph, index, cents,
+        nswVecs.filter(col("vec_id") === 3), "vec_id", "embedding",
+        k = 3, nSeeds = 1, beam = 2, rounds = 2)
+      .orderBy(col("rank")).collect()
+    // Seed = centroid 0 (cos .970 beats cross-axis .243); round 1
+    // discovers 2 (cos .991), round 2 re-finds the query itself via
+    // 2's symmetrized edge — excluded from the answer. Node 1's
+    // cluster is never entered: only 2 rounds, bounded exploration.
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 0L))
+    assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+    assert(got.head.getAs[Double]("sim") > 0.99)
+  }
 }
