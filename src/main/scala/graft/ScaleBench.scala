@@ -74,15 +74,38 @@ object ScaleBench {
     "q329_platt_fit", "q330_ratio_ci",
     // round-14 wave 3: maxN-bounded pairwise censuses (MK + HL —
     // should flatten once truncation bites), grid 1-NN, stylometry
-    // grid, journey chain, R/S prefix blocks. q358_dbscan is
-    // deliberately ABSENT: replication drives the fixed-area cloud
-    // across the continuum-percolation threshold, where the ×4/×16
-    // tiers measure the giant-component phase transition (one huge
-    // slow CC), not the operator — the same fixture-not-operator
-    // blowup the alphabet rotation exists to prevent for text.
+    // grid, journey chain, R/S prefix blocks.
     "q350_mann_kendall", "q354_runs_test", "q356_burrows_delta",
     "q357_nn_join", "q359_markov_attribution",
-    "q360_hurst", "q361_hodges_lehmann")
+    "q360_hurst", "q361_hodges_lehmann",
+    // round-15 additions. q358_dbscan is RE-ADMITTED: dbscan's
+    // labeling is now grid-partitioned (per-cell union-find + a
+    // boundary-graph fixpoint whose rounds track the grid, not the
+    // density), so the super-percolation ×4/×16 tiers measure the
+    // operator's intended regime — expect output-bound growth (the
+    // eps-graph census itself grows ~f²) but no phase-transition
+    // round blowup. q346's hyperBall register path and q376's
+    // item-kNN were the two most expensive r14 gates without
+    // measured exponents; q383 is the new graph-ANN search.
+    "q358_dbscan", "q346_hyperball", "q376_item_knn_recs",
+    "q383_nsw_recall")
+
+  /** ScaleBench-only variants. q346's GATE pairs the hyperBall
+    * estimate with its exact pair-materializing twin — the twin is
+    * the calibration anchor (maxR ≤ 6, documented bounded), NOT the
+    * scale path, so the measured exponent here covers the register
+    * path a 100 TB graph would actually run. */
+  val Overrides: Map[String,
+      (SparkSession, String) => DataFrame] = Map(
+    "q346_hyperball" -> ((s, dir) => {
+      def node(tag: String) =
+        SparkEntry.hashMod(tag, col("event_id"), 2000L)
+      val e = Graft.table(s, dir, "events")
+        .select(node("nfs").as("src"), node("nfd").as("dst"))
+      graft.operators.Graph.hyperBall(e, "src", "dst", maxR = 2)
+        .groupBy(col("r"))
+        .agg(sum(col("reach_est")).as("est_sum"))
+    }))
 
   val Factors: Seq[Int] = Seq(1, 4, 16)
   /** Skip ×16 when the ×4-projected time exceeds this (seconds). */
@@ -151,7 +174,8 @@ object ScaleBench {
     // being linear-per-result, not a plan defect.
     def timeOne(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
-      val n = try SparkEntry.queries(name)(spark, dir).count()
+      val n = try Overrides.getOrElse(name,
+          SparkEntry.queries(name))(spark, dir).count()
         catch { case e: Throwable =>
           System.err.println(s"SCALE FAIL $name @ $dir: ${e.getMessage}")
           -1L }

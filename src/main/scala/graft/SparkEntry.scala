@@ -5192,7 +5192,33 @@ object SparkEntry {
       Profile.andersonDarling(
         t(s, dir, "documents").select(col("source"), col("n_chars"),
           (col("lang") === "en").as("is_en"), col("doc_id")),
-        "source", "n_chars", "is_en", "doc_id"))
+        "source", "n_chars", "is_en", "doc_id")),
+
+    // NSW graph-ANN index build: per-IVF-cell kNN (degree 6)
+    // symmetrized — the navigable edge list q383's beam search walks.
+    "q382_nsw_build" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding", 16)
+      Similarity.nswBuild(index, "vec_id", degree = 6)
+    }),
+
+    // ANN recall for the graph (NSW) path: greedy beam search from
+    // 3 centroid seeds, beam 4, 2 expansion rounds, against the
+    // exact ground truth — the sixth recall-gated ANN family, same
+    // composition as q124/q130/q131.
+    "q383_nsw_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, centroids0 = Some(cents))
+      val graph = Similarity.nswBuild(index, "vec_id", degree = 6)
+      val nsw = Similarity.nswSearch(graph, index, cents, queries,
+        "vec_id", "embedding", k = 10, nSeeds = 3, beam = 4, rounds = 2)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      Similarity.recallAtK(exact, nsw)
+    })
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -5516,7 +5542,7 @@ object SparkEntry {
     * hash-coordinate gate (q174/q177/q179/q182/q184/q190/q198). Each
     * oracle replays the same `md5(tag || ':' || id)` 15-hex-digit
     * construction. */
-  private def hashMod(tag: String, id: Column, mod: Long)
+  private[graft] def hashMod(tag: String, id: Column, mod: Long)
       : org.apache.spark.sql.Column =
     pmod(TextFunctions.hash60(concat(lit(tag + ":"), id.cast("string"))),
       lit(mod))
@@ -11581,9 +11607,10 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT n.n_left, m.n_right,
         |  COALESCE(tot.matched_keys, 0) AS matched_keys,
-        |  CAST(COALESCE(tot.join_rows, 0) AS DECIMAL(38,0))
-        |    AS join_rows,
-        |  top.top_key, top.top_contrib
+        |  CAST(CAST(COALESCE(tot.join_rows, 0) AS DECIMAL(38,0))
+        |    AS VARCHAR) AS join_rows,
+        |  top.top_key, CAST(top.top_contrib AS VARCHAR)
+        |    AS top_contrib
         |FROM n, m, tot, top""".stripMargin,
 
     "q302_key_skew" ->
@@ -13018,7 +13045,7 @@ object SparkEntry {
         |      AS HUGEINT)) AS sl
         |  FROM base JOIN tot USING (g) GROUP BY 1)
         |SELECT spine.g AS event_type, coalesce(tot.n, 0) AS n,
-        |  spine.n_dropped, tot.tot AS total_micro,
+        |  spine.n_dropped, CAST(tot.tot AS VARCHAR) AS total_micro,
         |  CAST(round(CAST(st AS DOUBLE) / CAST(tot.n AS DOUBLE))
         |    AS BIGINT) AS theil_t_micro,
         |  CAST(round(-CAST(sl AS DOUBLE) / CAST(tot.n AS DOUBLE))
@@ -13692,7 +13719,7 @@ object SparkEntry {
         |sym AS (
         |  SELECT k, bl,
         |    CASE WHEN paa < -674 THEN 'a' WHEN paa < 0 THEN 'b'
-        |      WHEN paa < 674 THEN 'c' ELSE 'd' END AS s2
+        |      WHEN paa <= 674 THEN 'c' ELSE 'd' END AS s2
         |  FROM blocks),
         |words AS (
         |  SELECT k, bl // 4 AS w,
@@ -13746,6 +13773,9 @@ object SparkEntry {
         |    / CAST(n_a * n_b AS DOUBLE)) AS BIGINT) > 2492000
         |    AS significant
         |FROM tot JOIN terms ON tot.g = terms.g""".stripMargin,
+
+    "q382_nsw_build" -> nswBuildSql,
+    "q383_nsw_recall" -> nswRecallSql,
 
     "q380_theil_sen" ->
       """WITH b AS (
@@ -14721,7 +14751,9 @@ object SparkEntry {
        |    SELECT g, k, CAST(count(*) AS BIGINT) AS c
        |    FROM base GROUP BY 1, 2)
        |  GROUP BY 1)
-       |SELECT exact.g AS source, f2, est_mean, est_mom,
+       |SELECT exact.g AS source, CAST(f2 AS VARCHAR) AS f2,
+       |  CAST(est_mean AS VARCHAR) AS est_mean,
+       |  CAST(est_mom AS VARCHAR) AS est_mom,
        |  CAST(round(1e6 * abs(CAST(est_mean AS DOUBLE)
        |    - CAST(f2 AS DOUBLE)) / CAST(f2 AS DOUBLE)) AS BIGINT)
        |    AS err_mean_micro,
@@ -16923,6 +16955,106 @@ object SparkEntry {
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |         CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i]*c.qv[i])) AS DOUBLE)
        |           / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS sim
+       |  FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM sce)
+       |  WHERE rank <= 10)
+       |$recallRollupSql""".stripMargin
+
+  /** Exact-integer cosine as a DuckDB expression — the SQL twin of
+    * VectorFunctions.cosineQ over two quantized list columns. */
+  private def cosSql(aqv: String, bqv: String, ansq: String,
+      bnsq: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, len($aqv)), " +
+      s"i -> $aqv[i]*$bqv[i])) AS DOUBLE) / (sqrt(CAST($ansq AS " +
+      s"DOUBLE)) * sqrt(CAST($bnsq AS DOUBLE)))"
+
+  /** Shared NSW build CTEs (g0 → g), mirroring Similarity.nswBuild
+    * over the q382/q383 parameters (16-cell ivfAsgCtes index, degree
+    * 6): per-cell kNN digraph ranked (sim desc, dst asc), then
+    * symmetrized by a union with its reverse (max(sim) is a dedup —
+    * cosine is symmetric). */
+  private lazy val nswGraphCtes: String =
+    s"""g0 AS (
+       |  SELECT src, dst, sim FROM (
+       |    SELECT src, dst, sim,
+       |           row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+       |    FROM (
+       |      SELECT a.vec_id AS src, b.vec_id AS dst,
+       |             ${cosSql("a.qv", "b.qv", "a.nsq", "b.nsq")} AS sim
+       |      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id))
+       |  WHERE rk <= 6),
+       |g AS (
+       |  SELECT src, dst, max(sim) AS sim FROM (
+       |    SELECT src, dst, sim FROM g0
+       |    UNION ALL
+       |    SELECT dst AS src, src AS dst, sim FROM g0)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** NSW search CTEs mirroring Similarity.nswSearch (queries < 20,
+    * 3 centroid seeds, beam 4, `rounds` UNROLLED expansion rounds —
+    * the plattOracleSql unrolling idiom): seeds → vis0/fr0 →
+    * per-round cand/fresh/sc/vis/fr → apx (top-10, self excluded). */
+  private def nswSearchCtes(rounds: Int): String = {
+    val head =
+      s"""qs AS (SELECT vec_id AS query_id, qv AS q_qv, nsq AS q_nsq FROM n WHERE vec_id < 20),
+         |seeds AS (
+         |  SELECT query_id, node FROM (
+         |    SELECT q.query_id, c.cell AS node,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             ${cosSql("q.q_qv", "c.cv", "q.q_nsq", "c.cnsq")} DESC, c.cell) AS rn
+         |    FROM qs q, cent c)
+         |  WHERE rn <= 3),
+         |vis0 AS (
+         |  SELECT s.query_id, s.node, ${cosSql("q.q_qv", "a.qv", "q.q_nsq", "a.nsq")} AS sim
+         |  FROM seeds s JOIN asg a ON a.vec_id = s.node
+         |    JOIN qs q ON q.query_id = s.query_id),
+         |fr0 AS (SELECT query_id, node FROM vis0)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""cand$r AS (
+         |  SELECT DISTINCT f.query_id, g.dst AS node
+         |  FROM fr${r - 1} f JOIN g ON g.src = f.node),
+         |fresh$r AS (
+         |  SELECT c.query_id, c.node FROM cand$r c
+         |  LEFT JOIN vis${r - 1} v ON v.query_id = c.query_id AND v.node = c.node
+         |  WHERE v.node IS NULL),
+         |sc$r AS (
+         |  SELECT f.query_id, f.node, ${cosSql("q.q_qv", "a.qv", "q.q_nsq", "a.nsq")} AS sim
+         |  FROM fresh$r f JOIN asg a ON a.vec_id = f.node
+         |    JOIN qs q ON q.query_id = f.query_id),
+         |vis$r AS (SELECT * FROM vis${r - 1} UNION ALL SELECT * FROM sc$r),
+         |fr$r AS (
+         |  SELECT query_id, node FROM (
+         |    SELECT query_id, node,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rn
+         |    FROM sc$r)
+         |  WHERE rn <= 4)""".stripMargin
+    }
+    val apx =
+      s"""apx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, node AS neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+         |    FROM vis$rounds WHERE query_id <> node)
+         |  WHERE rank <= 10)""".stripMargin
+    (head +: steps :+ apx).mkString(",\n")
+  }
+
+  private lazy val nswBuildSql: String =
+    s"""WITH $ivfAsgCtes,
+       |$nswGraphCtes
+       |SELECT src, dst, sim FROM g""".stripMargin
+
+  private lazy val nswRecallSql: String =
+    s"""WITH $ivfAsgCtes,
+       |$nswGraphCtes,
+       |${nswSearchCtes(2)},
+       |sce AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${cosSql("q.qv", "c.qv", "q.nsq", "c.nsq")} AS sim
        |  FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
        |ex AS (
        |  SELECT query_id, neighbor_id FROM (

@@ -1192,7 +1192,9 @@ object TimeSeries {
     * z-score collapses to ONE exact integer ratio under a sqrt —
     * z_milli = round(1000·(v·n − S)/√(n·Σv² − S²)) (population σ,
     * n² scale cancels) — so the breakpoints are integer cuts at
-    * ±674 milli and every downstream step is exact. Blocks and
+    * ±674 milli (mirror-symmetric: < −674 is 'a', ≤ +674 is 'c' —
+    * both ±674 blocks sit strictly inside the ±0.6745 quartiles)
+    * and every downstream step is exact. Blocks and
     * words use only COMPLETE windows (trailing remainder drops,
     * stated); a zero-variance series has no z and is absent. The
     * per-key motif is simply the census row with max n (ties to the
@@ -1244,10 +1246,13 @@ object TimeSeries {
       .select(col("__k"), col("__b"),
         round(col("__sz").cast("double") / lit(blockSize.toDouble))
           .cast("long").as("__paa"))
+      // Mirror-symmetric milli cuts at the ±0.6745 Gaussian
+      // quartiles: paa = −674 (z > −0.6745) stays 'b', so paa = +674
+      // (z < +0.6745) must stay 'c' — hence <= on the upper cut.
       .withColumn("__sym",
         when(col("__paa") < -674L, lit("a"))
           .when(col("__paa") < 0L, lit("b"))
-          .when(col("__paa") < 674L, lit("c"))
+          .when(col("__paa") <= 674L, lit("c"))
           .otherwise(lit("d")))
     val posed = blocks
       .select(col("__k"), expr(s"__b div ${wordBlocks}L").as("__w"),

@@ -20,28 +20,6 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object Rollup {
 
-  /** Land a stream into a per-key (sum, count) rollup snapshot in a
-    * [[graft.sources.ManifestTable]]. Each micro-batch: partial-
-    * aggregate the batch (map-side combine does the heavy lifting),
-    * merge with the current snapshot by key, and commit the result as
-    * an atomic SNAPSHOT under the `<streamId>-<batchId>` txn id —
-    * crash-replays are sealed no-ops, so a batch can never
-    * double-merge (the failure mode that silently inflates counters;
-    * the reference's mirror-image bug advances state on failed
-    * writes, pipeline.py:562-568).
-    *
-    * Scale: the merge touches rollup-cardinality rows (keys), not
-    * history; the snapshot write is one keyed hash-agg over
-    * (snapshot ∪ batch-partial). Readers see every version
-    * atomically, and time travel ([[graft.sources.ManifestTable
-    * .read]] asOfVersion) replays the rollup's evolution for free.
-    *
-    * CARDINALITY CONTRACT: the whole snapshot is rewritten every
-    * micro-batch, so this shape is for MV-sized rollups (day × source
-    * dashboards — thousands to low millions of keys). At a 10⁸-key
-    * rollup the per-batch write amplification is O(keys) however few
-    * keys the batch touched — use [[sumCountSinkPartitioned]] there,
-    * which commits only the key partitions a batch changed. */
   /** Streaming quadkey HEATMAP view: the live tile census a map
     * dashboard reads — each point keys to its
     * [[graft.operators.Spatial.quadkeyCol]] tile map-side and lands
@@ -65,6 +43,28 @@ object Rollup {
           .as("quadkey")),
       Seq("quadkey"), Nil, baseDir, table, streamId, checkpointDir)
 
+  /** Land a stream into a per-key (sum, count) rollup snapshot in a
+    * [[graft.sources.ManifestTable]]. Each micro-batch: partial-
+    * aggregate the batch (map-side combine does the heavy lifting),
+    * merge with the current snapshot by key, and commit the result as
+    * an atomic SNAPSHOT under the `<streamId>-<batchId>` txn id —
+    * crash-replays are sealed no-ops, so a batch can never
+    * double-merge (the failure mode that silently inflates counters;
+    * the reference's mirror-image bug advances state on failed
+    * writes, pipeline.py:562-568).
+    *
+    * Scale: the merge touches rollup-cardinality rows (keys), not
+    * history; the snapshot write is one keyed hash-agg over
+    * (snapshot ∪ batch-partial). Readers see every version
+    * atomically, and time travel ([[graft.sources.ManifestTable
+    * .read]] asOfVersion) replays the rollup's evolution for free.
+    *
+    * CARDINALITY CONTRACT: the whole snapshot is rewritten every
+    * micro-batch, so this shape is for MV-sized rollups (day × source
+    * dashboards — thousands to low millions of keys). At a 10⁸-key
+    * rollup the per-batch write amplification is O(keys) however few
+    * keys the batch touched — use [[sumCountSinkPartitioned]] there,
+    * which commits only the key partitions a batch changed. */
   def sumCountSink(
       rows: DataFrame,
       keyCols: Seq[String],
