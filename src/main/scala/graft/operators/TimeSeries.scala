@@ -1681,4 +1681,160 @@ object TimeSeries {
           .when(col("z_micro").isNotNull, lit(0))
           .otherwise(lit(null).cast("int")).as("trend"))
   }
+
+  /** ROLLING Mann–Kendall trend score per key — the full-window MK
+    * statistic S = Σ_{a<b in window} sign(x_b − x_a) recomputed at
+    * EVERY sample over its trailing `window` samples, plus the
+    * z-score against the no-tie null variance n(n−1)(2n+5)/18 (tie
+    * pairs contribute sign 0 but no variance correction — stated;
+    * conservative, alarms later, deterministic on both engines).
+    * This is [[mannKendall]] turned into a drift PAGER curve: q350
+    * answers "did this series trend overall", this one marks the
+    * sample where the window's trend becomes significant — and the
+    * streaming twin (graft.streaming.TrendStream) reproduces these
+    * exact rows live (parity spec-gated, restart included).
+    *
+    * The window recompute is NOT n·W² work: a pair (a, b) with rank
+    * distance < W is live for exactly the windows j ∈ [b, a+W−1],
+    * so each pair emits +sign at position b and −sign at position
+    * a+W, and S(j) is the per-key running sum of those deltas read
+    * off at the sample positions — [[Ranking.groupRunningSum]]'s
+    * range-partitioned prefix, never a per-key window. Pair
+    * generation is a bucketed band join (j probes its own and the
+    * previous rank-div-W bucket): candidates ≤ 2W per sample.
+    * Ordering is (unix_millis(ts), id) — id must be per-key-unique.
+    * Output: (keyCol, ts_ms, idCol, n_win, s, z_micro, alarm);
+    * z_micro is NULL (alarm false) below 2 window samples. */
+  def rollingMannKendall(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      window: Int,
+      thresholdMicro: Long): DataFrame = {
+    require(window >= 2 && window <= 256,
+      "window must be in [2, 256] — state and band width scale with it")
+    require(thresholdMicro > 0, "thresholdMicro must be positive")
+    val w = window.toLong
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        unix_millis(col(tsCol)).as("__ts"),
+        col(idCol).cast("long").as("__id"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val ranked = Dedup.truncate(
+      Ranking.groupRank(base, "__k", Seq("__ts", "__id")))
+    val jside = ranked.select(col("__k"), col("rank").as("__rj"),
+      col("__v").as("__vj"),
+      explode(array(expr(s"(rank - 1) div ${w}L"),
+        expr(s"(rank - 1) div ${w}L - 1"))).as("__b"))
+    val iside = ranked.select(col("__k"),
+      expr(s"(rank - 1) div ${w}L").as("__b"),
+      col("rank").as("__ri"), col("__v").as("__vi"))
+    val pairs = jside.join(iside, Seq("__k", "__b"))
+      .filter(col("__rj") > col("__ri") &&
+        col("__rj") - col("__ri") < w)
+      .select(col("__k"), col("__ri"), col("__rj"),
+        signum(col("__vj") - col("__vi")).cast("long").as("__s"))
+    val deltas = pairs
+      .select(col("__k"), col("__rj").as("__pos"), col("__s"))
+      .unionByName(pairs.select(col("__k"),
+        (col("__ri") + w).as("__pos"), (-col("__s")).as("__s")))
+      .groupBy(col("__k"), col("__pos"))
+      .agg(sum(col("__s")).as("__d"))
+      .select(col("__k"), col("__pos"), lit(0L).as("__tag"),
+        col("__d"),
+        lit(null).cast("long").as("__ts"),
+        lit(null).cast("long").as("__id"),
+        lit(null).cast("long").as("rank"))
+    val samples = ranked.select(col("__k"), col("rank").as("__pos"),
+      lit(1L).as("__tag"), lit(0L).as("__d"), col("__ts"), col("__id"),
+      col("rank"))
+    // Deltas sort BEFORE the sample at the same position (+ at b is
+    // inside window b; − at a+W is gone by window a+W); one delta
+    // row per (key, pos) by construction, so (pos, tag) is a total
+    // per-key order.
+    val run = Ranking.groupRunningSum(
+      deltas.unionByName(samples), "__k", Seq("__pos", "__tag"), "__d")
+    val n = least(col("rank"), lit(w))
+    val varD = (n * (n - 1L) * (lit(2L) * n + 5L)).cast("double") /
+      lit(18.0)
+    val z = round(lit(1e6) * col("running").cast("double") / sqrt(varD))
+      .cast("long")
+    run.filter(col("__tag") === 1L)
+      .select(col("__k").as(keyCol), col("__ts").as("ts_ms"),
+        // int, matching the streaming twin's window-size field.
+        col("__id").as(idCol), n.cast("int").as("n_win"),
+        col("running").as("s"),
+        when(n >= 2L, z).otherwise(lit(null).cast("long"))
+          .as("z_micro"),
+        coalesce(when(n >= 2L, abs(z) > thresholdMicro),
+          lit(false)).as("alarm"))
+  }
+
+  /** Discrete-Fourier periodogram per key — "WHAT cycle does this
+    * series carry" next to [[acf]]'s "does it carry one": for each
+    * frequency k = 1..maxK, P_k = (C_k² + S_k²)/n with C_k =
+    * Σ_r x_r·cos(2πkr/n), S_k the sine twin (r = 0-based rank).
+    * The angle reduces to 2π·((k·r) mod n)/n BEFORE the
+    * transcendental (exact integer mod — the argument stays in
+    * [0, 2π) at any series length, and java.lang.Math and libm agree
+    * there: probed exhaustively on this grid). cos/sin micro-
+    * quantize PER ROW, multiply the exact milli value — integer
+    * products, exact DECIMAL sums, one mirrored IEEE finish.
+    * Means are NOT removed: k = 0 is simply not emitted, and for
+    * k ≥ 1 the DC term cancels in exact arithmetic only when the
+    * series is complete over its ranks — which it is, by
+    * construction (ranks are dense). Keys with n < 2 are absent.
+    *
+    * Scale: explode ×maxK per row (maxK is a small constant), one
+    * hash-agg — no windows, no per-key state. Output:
+    * (keyCol, k, n, power_micro), power in the milli-value² domain
+    * divided by n, micro-rounded. */
+  def periodogram(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      maxK: Int): DataFrame = {
+    require(maxK >= 1 && maxK <= 64, "maxK must be in [1, 64]")
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        unix_millis(col(tsCol)).as("__ts"),
+        col(idCol).cast("long").as("__id"),
+        round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+          .as("__v"))
+    val ranked = Dedup.truncate(
+      Ranking.groupRank(base, "__k", Seq("__ts", "__id")))
+    val withN = ranked.join(
+      ranked.groupBy(col("__k")).agg(count(lit(1)).as("n")), Seq("__k"))
+      .filter(col("n") >= 2L)
+    val terms = withN
+      .select(col("__k"), col("n"), (col("rank") - 1L).as("__r"),
+        col("__v"),
+        explode(sequence(lit(1), lit(maxK))).as("k"))
+      // Only frequencies up to the Nyquist bin (pure-integer guard).
+      .filter(col("k") * 2L <= col("n"))
+      .withColumn("__m", (col("k") * col("__r")) % col("n"))
+      .withColumn("__th",
+        lit(2.0 * math.Pi) * col("__m").cast("double") /
+          col("n").cast("double"))
+      .select(col("__k"), col("k"), col("n"),
+        (col("__v") * round(lit(1e6) * cos(col("__th"))).cast("long"))
+          .cast(dec).as("__ct"),
+        (col("__v") * round(lit(1e6) * sin(col("__th"))).cast("long"))
+          .cast(dec).as("__st"))
+    terms.groupBy(col("__k"), col("k"), col("n"))
+      .agg(sum(col("__ct")).as("__c"), sum(col("__st")).as("__s"))
+      .select(col("__k").as(keyCol), col("k"), col("n"),
+        round(lit(1e6) *
+          (col("__c").cast("double") / lit(1e9) *
+            (col("__c").cast("double") / lit(1e9)) +
+            col("__s").cast("double") / lit(1e9) *
+              (col("__s").cast("double") / lit(1e9))) /
+          col("n").cast("double")).cast("long").as("power_micro"))
+  }
 }

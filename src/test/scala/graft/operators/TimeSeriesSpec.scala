@@ -538,6 +538,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(beta > 0L)
   }
 
+  test("rollingMannKendall: hand S per window, ties zero, alarm gate") {
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // U: strictly rising 1,2,3,4 with window 3 -> S = 0,1,3,3.
+    // C: constant -> every sign 0, S = 0, z = 0 from n >= 2.
+    val df = ((0 until 4).map(i => ("U" , at(i.toLong), i.toLong, (i + 1).toDouble)) ++
+      (0 until 3).map(i => ("C", at(i.toLong), i.toLong, 5.0)))
+      .map { case (k, t, i, v) => (k, t, i, v) }
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.rollingMannKendall(df, "k", "ts", "id", "v",
+        window = 3, thresholdMicro = 1500000L)
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r).toMap
+    def s(k: String, i: Long) = got((k, i)).getAs[Long]("s")
+    assert(Seq(s("U", 0), s("U", 1), s("U", 2), s("U", 3)) ==
+      Seq(0L, 1L, 3L, 3L))
+    assert(got(("U", 0)).isNullAt(got(("U", 0)).fieldIndex("z_micro")))
+    // n=2: var = 2*1*9/18 = 1 -> z = 1e6 * S exactly.
+    assert(got(("U", 1)).getAs[Long]("z_micro") == 1000000L)
+    // n=3 full-rise window: S = 3, var = 3*2*11/18 -> z ~ 1.5667e6.
+    val z3 = math.round(1e6 * 3 / math.sqrt(3L * 2L * 11L / 18.0))
+    assert(got(("U", 2)).getAs[Long]("z_micro") == z3)
+    assert(got(("U", 2)).getAs[Boolean]("alarm"))
+    assert(!got(("U", 1)).getAs[Boolean]("alarm"))
+    (0 until 3).foreach { i =>
+      assert(s("C", i.toLong) == 0L)
+      if (i > 0) assert(got(("C", i.toLong)).getAs[Long]("z_micro") == 0L)
+    }
+    assert(got(("U", 3)).getAs[Int]("n_win") == 3)
+  }
+
   test("saxWords: step series -> aa/dd words, trailing drop, flat absent") {
     val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
@@ -691,5 +721,36 @@ class TimeSeriesSpec extends SparkSpec {
       .head()
     assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("s_stat") == 3L)
     assert(r.getAs[Long]("sen_micro") == 1000000L)
+  }
+
+  test("periodogram: pure cosine peaks at its own bin, replayed exactly") {
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    val n = 8
+    val df = (0 until n).map { r =>
+      ("C", at(r.toLong), r.toLong, math.cos(2.0 * math.Pi * r / n))
+    }.toDF("k", "ts", "id", "v")
+    val got = TimeSeries.periodogram(df, "k", "ts", "id", "v", maxK = 4)
+      .collect().map(r => r.getInt(1) -> r.getAs[Long]("power_micro"))
+      .toMap
+    // Replay the exact construction: milli values × micro-quantized
+    // cos/sin, integer sums, one mirrored finish.
+    def replay(k: Int): Long = {
+      val terms = (0 until n).map { r =>
+        val v = math.round(1e3 * math.cos(2.0 * math.Pi * r / n))
+        val m = (k.toLong * r) % n
+        val th = 2.0 * math.Pi * m / n
+        (v * math.round(1e6 * math.cos(th)),
+          v * math.round(1e6 * math.sin(th)))
+      }
+      val c = terms.map(_._1).sum.toDouble
+      val s = terms.map(_._2).sum.toDouble
+      math.round(1e6 * (c / 1e9 * (c / 1e9) + s / 1e9 * (s / 1e9)) / n)
+    }
+    (1 to 4).foreach(k => assert(got(k) == replay(k),
+      s"k=$k: ${got(k)} != ${replay(k)}"))
+    // The signal's own bin dominates the spectrum by orders.
+    assert(got(1) > 100L * math.max(1L, got(2)))
+    assert(got(1) > 1900000L && got(1) < 2100000L) // ~ amp²·n/2/n = ½·4?
   }
 }
