@@ -3373,4 +3373,295 @@ object Profile {
         col("prior_micro"), col("tpp2_micro"), col("tnn2_micro"),
         col("prior2_micro"))
   }
+
+  /** Jarque–Bera normality test per group — the moment-based "is
+    * this metric still Gaussian" gate a monitoring pipeline runs
+    * before trusting z-score alarms: skewness g1 = m3/m2^1.5, excess
+    * kurtosis g2 = m4/m2² − 3, JB = n·(g1²/6 + g2²/24) ~ χ²₂ under
+    * normality (5% cut 5.991, literal). Values quantize to MILLI
+    * (not micro) because the 4th raw power rides the sums: (1e3·x)⁴
+    * sums stay inside DECIMAL(38,0)/HUGEINT headroom at 1e12 rows ×
+    * |x| ≤ 2e5 — micro would overflow a 100 TB group at the same
+    * magnitudes. Four exact raw power sums, then ONE mirrored IEEE
+    * chain to the central moments (association-for-association in
+    * the oracle); groups with n < 4 or zero variance report NULLs.
+    * Output: (groupCol, n, skew_micro, exkurt_micro, jb_micro,
+    * reject_normal). */
+  def jarqueBera(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), v.as("__v"))
+    def p(k: Int) = (2 to k).foldLeft(col("__v").cast(dec)) {
+      (acc, _) => (acc * col("__v")).cast(dec) }
+    val sums = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(p(1)).as("__s1"),
+        sum(p(2)).as("__s2"), sum(p(3)).as("__s3"),
+        sum(p(4)).as("__s4"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val m = d("__s1") / nD
+    val m2 = d("__s2") / nD - m * m
+    val m3 = d("__s3") / nD - lit(3.0) * m * (d("__s2") / nD) +
+      lit(2.0) * m * m * m
+    val m4 = d("__s4") / nD - lit(4.0) * m * (d("__s3") / nD) +
+      lit(6.0) * m * m * (d("__s2") / nD) - lit(3.0) * m * m * m * m
+    val g1 = m3 / sqrt(m2 * m2 * m2)
+    val g2 = m4 / (m2 * m2) - lit(3.0)
+    val jb = nD * (g1 * g1 / lit(6.0) + g2 * g2 / lit(24.0))
+    val ok = col("n") >= 4L && m2 > lit(0.0)
+    sums.select(col("__g").as(groupCol), col("n"),
+      when(ok, round(lit(1e6) * g1).cast("long"))
+        .otherwise(lit(null).cast("long")).as("skew_micro"),
+      when(ok, round(lit(1e6) * g2).cast("long"))
+        .otherwise(lit(null).cast("long")).as("exkurt_micro"),
+      when(ok, round(lit(1e6) * jb).cast("long"))
+        .otherwise(lit(null).cast("long")).as("jb_micro"),
+      when(ok, round(lit(1e6) * jb).cast("long") > 5991000L)
+        .otherwise(lit(null).cast("boolean")).as("reject_normal"))
+  }
+
+  /** Mood's median test — "do these k groups share one median":
+    * every value compares to the GLOBAL low median (type-1, exact
+    * integer rank pick — no interpolation), the 2×k above/not-above
+    * contingency gets the standard χ²_(k−1) with margin-derived
+    * expecteds. The robust, outlier-immune cousin of one-way ANOVA
+    * (only the side of the median matters, not the distance). Milli
+    * quantization; ties sit in the not-above row (stated — the
+    * classic conservative convention). Groups with zero expected
+    * (empty group) drop from the χ² with n_groups reflecting the
+    * survivors. One global rank (range-partitioned prefix over a
+    * constant group), two hash-aggs.
+    * Output: one row — (n, n_groups, median_milli, chi2_micro,
+    * significant at the χ² 5% cut for k−1 df, literal for k ≤ 11). */
+  def moodsMedian(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+          .as("__v"))
+    val ranked = Dedup.truncate(Ranking.groupRank(
+      base.withColumn("__one", lit(1L))
+        // group by a constant: ONE global order; (__v, __g) is not
+        // unique, so monotonically_increasing_id supplies the total
+        // tiebreak (any total order of equal values picks the same
+        // VALUE at the median rank).
+        .withColumn("__tb", monotonically_increasing_id()),
+      "__one", Seq("__v", "__tb")))
+    val n = ranked.count()
+    require(n > 0, "moodsMedian needs at least one non-null value")
+    val med = ranked.filter(col("rank") === (n + 1L) / 2L)
+      .select(col("__v")).head().getLong(0)
+    val cells = base.groupBy(col("__g"))
+      .agg(sum(when(col("__v") > med, 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__v") <= med, 1L).otherwise(0L)).as("__b"))
+    val tot = cells.agg(sum(col("__a")).as("__ta"),
+      sum(col("__b")).as("__tb2"), count(lit(1)).as("n_groups"))
+    // χ² = Σ (o − e)²/e over both rows of every group column; e from
+    // margins. Per-group term micro-rounded (one IEEE chain), exact
+    // integer sum across groups.
+    val joined = cells.crossJoin(broadcast(tot))
+    val nAll = (col("__ta") + col("__tb2")).cast("double")
+    val ng = (col("__a") + col("__b")).cast("double")
+    val ea = ng * col("__ta").cast("double") / nAll
+    val eb = ng * col("__tb2").cast("double") / nAll
+    val term =
+      (col("__a").cast("double") - ea) * (col("__a").cast("double") - ea) / ea +
+        (col("__b").cast("double") - eb) * (col("__b").cast("double") - eb) / eb
+    val chi = joined.filter(ng > 0.0)
+      .select(round(lit(1e6) * term).cast("long").as("__t"))
+      .agg(sum(col("__t")).as("chi2_micro"))
+    // χ² 5% critical values, df = k−1 for k ≤ 11 (micro).
+    val cuts = Seq(3841459L, 5991465L, 7814728L, 9487729L, 11070498L,
+      12591587L, 14067140L, 15507313L, 16918978L, 18307038L)
+    chi.crossJoin(broadcast(tot))
+      .select(lit(n).as("n"), col("n_groups"),
+        lit(med).as("median_milli"), col("chi2_micro"),
+        when(col("n_groups") >= 2L && col("n_groups") <= 11L,
+          col("chi2_micro") > element_at(
+            array(cuts.map(c => lit(c)): _*),
+            (col("n_groups") - 1L).cast("int")))
+          .otherwise(lit(null).cast("boolean")).as("significant"))
+  }
+
+  /** Partial correlation per group — "are x and y still related once
+    * z is held fixed": r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1 − r_xz²)(1 − r_yz²)), the one-number confounder screen a
+    * feature-selection pass runs before trusting a pairwise
+    * correlation. The three Pearson r's come from exact MILLI sums
+    * (Σx, Σx², Σxy … — nine decimal accumulators, one hash-agg);
+    * the finish is one mirrored IEEE chain. Rows with any NULL drop
+    * (complete-case). Degenerate groups (n < 3, zero variance, or
+    * |r_xz| = 1 / |r_yz| = 1) report NULL.
+    * Output: (groupCol, n, rxy_micro, rxz_micro, ryz_micro,
+    * partial_micro). */
+  def partialCorrelation(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def q(c: String) =
+      round(col(c).cast("double") * lit(1e3)).cast("long")
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .select(col(groupCol).as("__g"), q(xCol).as("__x"),
+        q(yCol).as("__y"), q(zCol).as("__z"))
+    def s(a: Column) = sum(a.cast(dec))
+    def s2(a: Column, b: Column) = sum((a.cast(dec) * b).cast(dec))
+    val sums = base.groupBy(col("__g")).agg(count(lit(1)).as("n"),
+      s(col("__x")).as("__sx"), s(col("__y")).as("__sy"),
+      s(col("__z")).as("__sz"),
+      s2(col("__x"), col("__x")).as("__sxx"),
+      s2(col("__y"), col("__y")).as("__syy"),
+      s2(col("__z"), col("__z")).as("__szz"),
+      s2(col("__x"), col("__y")).as("__sxy"),
+      s2(col("__x"), col("__z")).as("__sxz"),
+      s2(col("__y"), col("__z")).as("__syz"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      (nD * d(sab) - d(sa) * d(sb)) /
+        sqrt((nD * d(saa) - d(sa) * d(sa)) *
+          (nD * d(sbb) - d(sb) * d(sb)))
+    val rxy = r("__sxy", "__sx", "__sy", "__sxx", "__syy")
+    val rxz = r("__sxz", "__sx", "__sz", "__sxx", "__szz")
+    val ryz = r("__syz", "__sy", "__sz", "__syy", "__szz")
+    val denom = sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    val varOk = (nD * d("__sxx") - d("__sx") * d("__sx")) > 0.0 &&
+      (nD * d("__syy") - d("__sy") * d("__sy")) > 0.0 &&
+      (nD * d("__szz") - d("__sz") * d("__sz")) > 0.0
+    val ok = col("n") >= 3L && varOk
+    def mic(c: Column) = round(lit(1e6) * c).cast("long")
+    sums.select(col("__g").as(groupCol), col("n"),
+      when(ok, mic(rxy)).as("rxy_micro"),
+      when(ok, mic(rxz)).as("rxz_micro"),
+      when(ok, mic(ryz)).as("ryz_micro"),
+      when(ok && denom > 0.0, mic((rxy - rxz * ryz) / denom))
+        .as("partial_micro"))
+  }
+
+  /** Cramér's V association strength between two categoricals — the
+    * effect size next to a raw χ² ("significant" is cheap at 100 TB
+    * n; V says whether the association MATTERS): χ² over the exact
+    * contingency census with margin expecteds, V = √(χ²/(n·(min(r,c)
+    * − 1))). NULL categories are real categories (coalesced to a
+    * sentinel would lie; they census as their own row/column via a
+    * string cast with NULL kept). One contingency hash-agg, two
+    * margin rollups FROM the census, broadcast back.
+    * Output: one row — (n, r, c, chi2_micro, v_micro). */
+  def cramersV(
+      df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).cast("string").as("__a"),
+      col(bCol).cast("string").as("__b"))
+    val cells = Dedup.truncate(
+      base.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o")))
+    // Margins keyed null-safely: a NULL category is a real row/column
+    // of the contingency table, and a plain equi-join would drop it.
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ma"))
+      .withColumnRenamed("__a", "__a2")
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__mb"))
+      .withColumnRenamed("__b", "__b2")
+    val tot = cells.agg(sum(col("__o")).as("n"))
+      .crossJoin(ra.agg(count(lit(1)).as("r")))
+      .crossJoin(cb.agg(count(lit(1)).as("c")))
+    // χ² runs over the FULL r×c grid: an empty cell of a perfectly
+    // associated table carries (0 − e)²/e — dropping it halves the
+    // statistic. The grid is margins × margins (model-sized: a
+    // contingency table's categories are bounded by construction).
+    val grid = ra.crossJoin(cb)
+    val terms = grid
+      .join(cells, col("__a2") <=> col("__a") &&
+        col("__b2") <=> col("__b"), "left")
+      .select(col("__ma"), col("__mb"),
+        coalesce(col("__o"), lit(0L)).as("__o"))
+      .crossJoin(broadcast(tot))
+      .select(round(lit(1e6) *
+        (col("__o").cast("double") -
+          col("__ma").cast("double") * col("__mb").cast("double") /
+            col("n").cast("double")) *
+        (col("__o").cast("double") -
+          col("__ma").cast("double") * col("__mb").cast("double") /
+            col("n").cast("double")) /
+        (col("__ma").cast("double") * col("__mb").cast("double") /
+          col("n").cast("double"))).cast("long").as("__t"))
+      .agg(sum(col("__t")).as("chi2_micro"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("c"), col("chi2_micro"),
+        when(least(col("r"), col("c")) >= 2L,
+          round(lit(1e6) * sqrt(col("chi2_micro").cast("double") /
+            lit(1e6) / (col("n").cast("double") *
+              (least(col("r"), col("c")) - 1L).cast("double"))))
+            .cast("long")).as("v_micro"))
+  }
+
+  /** Iterative extreme-studentized-deviate (Grubbs/ESD-style)
+    * outlier census per group: `rounds` times, the row farthest from
+    * the group mean leaves the group (classic ESD removes the
+    * extreme each round REGARDLESS of significance — stated), and
+    * its studentized distance G = |x − x̄|/s (sample s, n−1) is
+    * flagged against the caller's fixed `gCutMicro` (a t-derived
+    * per-n λ would need a t-quantile table; the fixed cut is the
+    * honest simple form and what a monitoring rule actually
+    * deploys). The per-round argmax is EXACT: |x·n − Σx| is an
+    * integer (= n·|x − x̄|), so candidate selection never touches a
+    * float — ties break to the smaller id (idCol must be numeric
+    * and per-group-unique). G itself is one mirrored IEEE chain
+    * from the exact milli sums. Groups shrink below 3 rows or to
+    * zero variance → absent from later rounds.
+    *
+    * Scale: per round, one group census + one broadcast-joined exact
+    * argmax + an anti-join — rounds is a small constant; no windows.
+    * Output: (groupCol, round, idCol, g_micro, flagged). */
+  def esdOutliers(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      rounds: Int,
+      gCutMicro: Long): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
+    require(gCutMicro > 0, "gCutMicro must be positive")
+    val dec = "decimal(38,0)"
+    var cur = Dedup.truncate(df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"),
+        round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+          .as("__v")))
+    var acc: DataFrame = null
+    for (t <- 1 to rounds) {
+      val stats = cur.groupBy(col("__g"))
+        .agg(count(lit(1)).as("__n"), sum(col("__v").cast(dec)).as("__s1"),
+          sum((col("__v").cast(dec) * col("__v")).cast(dec)).as("__s2"))
+        .filter(col("__n") >= 3L &&
+          (col("__n") * col("__s2") - col("__s1") * col("__s1")) > 0)
+      val cand = Dedup.truncate(cur.join(broadcast(stats), Seq("__g"))
+        .select(col("__g"), col("__id"), col("__n"), col("__s1"),
+          col("__s2"),
+          abs((col("__v").cast(dec) * col("__n") - col("__s1"))
+            .cast(dec)).as("__ad"))
+        .groupBy(col("__g"))
+        .agg(max_by(
+          struct(col("__id"), col("__n"), col("__s1"), col("__s2"),
+            col("__ad")),
+          struct(col("__ad"), (-col("__id")).as("__ni"))).as("__c"))
+        .select(col("__g"), col("__c.__id").as("__id"),
+          col("__c.__n").as("__n"), col("__c.__s1").as("__s1"),
+          col("__c.__s2").as("__s2"), col("__c.__ad").as("__ad")))
+      val nD = col("__n").cast("double")
+      val varS = (col("__s2").cast("double") -
+        col("__s1").cast("double") * col("__s1").cast("double") / nD) /
+        (nD - lit(1.0))
+      val g = col("__ad").cast("double") / (nD * sqrt(varS))
+      val out = cand.select(col("__g"), lit(t).as("round"),
+        col("__id"),
+        round(lit(1e6) * g).cast("long").as("g_micro"),
+        (round(lit(1e6) * g).cast("long") > gCutMicro).as("flagged"))
+      acc = if (acc == null) out else acc.unionByName(out)
+      cur = Dedup.truncate(cur.join(
+        cand.select(col("__g"), col("__id")),
+        Seq("__g", "__id"), "left_anti"))
+    }
+    acc.select(col("__g").as(groupCol), col("round"),
+      col("__id").as(idCol), col("g_micro"), col("flagged"))
+  }
 }

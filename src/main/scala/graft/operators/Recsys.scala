@@ -339,4 +339,75 @@ object Recsys {
     }
     (userF, itemF)
   }
+
+  /** Weighted Slope One (Lemire & Maclachlan 2005) — the rating
+    * predictor that beats its simplicity: for every co-rated item
+    * pair, the average rating deviation dev(i,j) = Σ(r_ui − r_uj) /
+    * c_ij; a user's prediction for unseen item i is the c-weighted
+    * blend Σ_j (dev(i,j) + r_uj)·c_ij / Σ_j c_ij over their rated
+    * items j. The whole computation stays EXACT integer micro until
+    * the single final divide: (dev + r_uj)·c_ij = sumdev_ij +
+    * c_ij·r_uj — so the numerator is a Long sum of exact terms,
+    * never a rounded-average-of-averages. Duplicate (actor, item)
+    * ratings collapse to their micro mean first (one rounded divide,
+    * stated). Hyper-actors above `maxItemsPerActor` drop entirely
+    * ([[covisitation]]'s rule — they dominate every pair census).
+    *
+    * Scale: the deviation census is per-actor pair explode (≤
+    * maxItemsPerActor² each), predictions are history × item-pair
+    * rows — model-sized, never users × catalog. Output:
+    * (actorCol, item, pred_micro, n_pairs) for (actor, item) pairs
+    * the actor has NOT rated and ≥ 1 co-rated bridge exists;
+    * ties in nothing — fully deterministic. */
+  def slopeOne(
+      ratings: DataFrame,
+      actorCol: String,
+      itemCol: String,
+      ratingCol: String,
+      maxItemsPerActor: Int): DataFrame = {
+    require(maxItemsPerActor >= 2, "maxItemsPerActor must be at least 2")
+    val raw = ratings
+      .filter(col(actorCol).isNotNull && col(itemCol).isNotNull &&
+        col(ratingCol).isNotNull)
+      .select(col(actorCol).as("__actor"), col(itemCol).as("__item"),
+        round(col(ratingCol).cast("double") * lit(1e6)).cast("long")
+          .as("__r"))
+    // One rating per (actor, item): exact mean, single rounded divide.
+    val ai = Dedup.truncate(raw.groupBy(col("__actor"), col("__item"))
+      .agg(round(sum(col("__r")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("__r")))
+    val keptActors = ai.groupBy(col("__actor"))
+      .agg(count(lit(1)).as("__ni"))
+      .filter(col("__ni") <= maxItemsPerActor)
+      .select(col("__actor"))
+    val kept = Dedup.truncate(
+      ai.join(keptActors, Seq("__actor"), "left_semi"))
+    // Directed deviation census: dev(i, j) kept as the exact rational
+    // (sumdev, c) — both directions materialize (sumdev negates), so
+    // the predict join is a plain equi-join on j.
+    val devs = kept.select(col("__actor"), col("__item").as("__i"),
+        col("__r").as("__ri"))
+      .join(kept.select(col("__actor"), col("__item").as("__j"),
+        col("__r").as("__rj")), Seq("__actor"))
+      .filter(col("__i") =!= col("__j"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__ri") - col("__rj")).as("__sumdev"),
+        count(lit(1)).as("__c"))
+    // Predict: user's history (j, r_uj) bridges to every co-rated i.
+    val contrib = kept.select(col("__actor"), col("__item").as("__j"),
+        col("__r").as("__rj"))
+      .join(devs, Seq("__j"))
+      .select(col("__actor"), col("__i"),
+        (col("__sumdev") + col("__c") * col("__rj")).as("__num"),
+        col("__c"))
+    val rated = kept.select(col("__actor"), col("__item").as("__i"))
+    contrib.join(rated, Seq("__actor", "__i"), "left_anti")
+      .groupBy(col("__actor"), col("__i"))
+      .agg(sum(col("__num")).as("__n"), sum(col("__c")).as("__d"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("__actor").as(actorCol), col("__i").as(itemCol),
+        round(col("__n").cast("double") / col("__d").cast("double"))
+          .cast("long").as("pred_micro"),
+        col("n_pairs"))
+  }
 }

@@ -1408,4 +1408,109 @@ class ProfileSpec extends SparkSpec {
     assert(d.isNullAt(d.fieldIndex("theil_t_micro")) &&
       d.isNullAt(d.fieldIndex("theil_l_micro")))
   }
+
+  test("jarqueBera: symmetric hand moments, degenerate NULLs") {
+    val df = (
+      // N: 1..5 — m2 = 2, m3 = 0 (skew 0), m4 = 6.8 -> g2 = -1.3,
+      // JB = 5 * (0 + 1.69/24) = 0.3520833...
+      (1 to 5).map(i => ("N", i.toDouble)) ++
+      // S: 3 rows < 4 -> NULLs. Z: constant -> zero variance -> NULLs.
+      Seq(("S", 1.0), ("S", 2.0), ("S", 3.0)) ++
+      Seq.fill(5)(("Z", 7.0))).toDF("g", "v")
+    val got = Profile.jarqueBera(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = got("N")
+    assert(n.getAs[Long]("skew_micro") == 0L)
+    assert(n.getAs[Long]("exkurt_micro") == -1300000L)
+    assert(n.getAs[Long]("jb_micro") ==
+      math.round(1e6 * 5 * (1.69 / 24.0)))
+    assert(!n.getAs[Boolean]("reject_normal"))
+    Seq("S", "Z").foreach { k =>
+      assert(got(k).isNullAt(got(k).fieldIndex("jb_micro")))
+      assert(got(k).isNullAt(got(k).fieldIndex("reject_normal")))
+    }
+  }
+
+  test("moodsMedian: hand 2x2 chi2, low median, significance") {
+    // A = {1,2,3}, B = {10,11,12}: global low median = 3 (milli
+    // 3000); A above 0 / le 3, B above 3 / le 0; each group term
+    // (0-1.5)^2/1.5 + (3-1.5)^2/1.5 = 3 -> chi2 = 6, df 1 cut
+    // 3.841 -> significant.
+    val df = (Seq(1.0, 2.0, 3.0).map(("A", _)) ++
+      Seq(10.0, 11.0, 12.0).map(("B", _))).toDF("g", "v")
+    val r = Profile.moodsMedian(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("median_milli") == 3000L)
+    assert(r.getAs[Long]("chi2_micro") == 6000000L)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("partialCorrelation: replay formula, |r_xz|=1 edge NULL") {
+    // P: x = z exactly -> denom 0 -> partial NULL (rxz = 1).
+    val p = Seq((1.0, 1.0, 1.0), (2.0, 3.0, 2.0), (3.0, 2.0, 3.0),
+      (4.0, 4.0, 4.0)).map { case (x, y, z) => ("P", x, y, z) }
+    // Q: generic triple — assert against the mirrored double chain.
+    val q = Seq((1.0, 2.0, 0.0), (2.0, 1.0, 1.0), (3.0, 5.0, 1.0),
+      (4.0, 4.0, 2.0), (5.0, 7.0, 2.0)).map { case (x, y, z) =>
+      ("Q", x, y, z) }
+    val got = Profile.partialCorrelation((p ++ q).toDF("g", "x", "y", "z"),
+        "g", "x", "y", "z")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val pr = got("P")
+    assert(pr.getAs[Long]("rxz_micro") == 1000000L)
+    assert(pr.isNullAt(pr.fieldIndex("partial_micro")))
+    val qr = got("Q")
+    def milli(v: Double) = math.round(v * 1e3)
+    val xs = q.map(t => milli(t._2)); val ys = q.map(t => milli(t._3))
+    val zs = q.map(t => milli(t._4)); val n = q.size.toDouble
+    def corr(a: Seq[Long], b: Seq[Long]) = {
+      val (sa, sb) = (a.sum.toDouble, b.sum.toDouble)
+      val sab = a.zip(b).map { case (u, v) => u * v }.sum.toDouble
+      val saa = a.map(u => u * u).sum.toDouble
+      val sbb = b.map(u => u * u).sum.toDouble
+      (n * sab - sa * sb) /
+        math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    }
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    assert(qr.getAs[Long]("rxy_micro") == math.round(1e6 * rxy))
+    val partial = (rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    assert(qr.getAs[Long]("partial_micro") == math.round(1e6 * partial))
+  }
+
+  test("cramersV: perfect association V=1, NULL category counted") {
+    val perfect = Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2"))
+      .toDF("a", "b")
+    val r = Profile.cramersV(perfect, "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("r") == 2L)
+    assert(r.getAs[Long]("chi2_micro") == 4000000L)
+    assert(r.getAs[Long]("v_micro") == 1000000L)
+    // NULL category is a real column: r/c counts include it.
+    val withNull = Seq(("x", Some("1")), ("x", None), ("y", Some("1")))
+      .toDF("a", "b")
+    val r2 = Profile.cramersV(withNull, "a", "b").collect().head
+    assert(r2.getAs[Long]("c") == 2L && r2.getAs[Long]("n") == 3L)
+  }
+
+  test("esdOutliers: exact argmax, replayed G, vanishing group") {
+    // 100 among five 10s: round 1 must pick it; after removal the
+    // group is constant -> zero variance -> absent from round 2.
+    val df = Seq(10.0, 10.0, 10.0, 100.0, 10.0, 10.0).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("g", "id", "v")
+    val got = Profile.esdOutliers(df, "g", "id", "v", rounds = 3,
+      gCutMicro = 2000000L).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Int]("round") == 1 && r.getAs[Long]("id") == 3L)
+    // Replay: milli sums, sample variance, G = n|x - mean| / (n s).
+    val vs = Seq(10000L, 10000L, 10000L, 100000L, 10000L, 10000L)
+    val (n, s1) = (6.0, vs.sum.toDouble)
+    val s2 = vs.map(v => v * v).sum.toDouble
+    val varS = (s2 - s1 * s1 / n) / (n - 1.0)
+    val ad = math.abs(100000L * 6 - vs.sum).toDouble
+    val g = ad / (n * math.sqrt(varS))
+    assert(r.getAs[Long]("g_micro") == math.round(1e6 * g))
+    assert(r.getAs[Boolean]("flagged") == (math.round(1e6 * g) > 2000000L))
+  }
 }

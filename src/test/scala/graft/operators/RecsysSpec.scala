@@ -99,4 +99,48 @@ class RecsysSpec extends SparkSpec {
     // u1 has no second unseen candidate; u5 contributed nothing.
     assert(!got.contains(("u1", 2)) && !got.exists(_._1._1 == "u5"))
   }
+
+  test("slopeOne: hand deviations, weighted blend, rated excluded") {
+    // dev(3,1): u2 (2-3), u3 (3-4) -> sum -2, c 2.
+    // dev(3,2): u2 (2-1) -> sum 1, c 1.
+    // pred(u1, 3) = ((-2 + 2*5) + (1 + 1*3)) / 3 = 4.0.
+    // pred(u3, 2) = ((-4 + 2*4) + (-1 + 1*3)) / 3 = 2.0
+    //   (dev(2,1): u1 (3-5), u2 (1-3) -> sum -4, c 2;
+    //    dev(2,3): u2 (1-2) -> sum -1, c 1).
+    val ratings = Seq(
+      ("u1", 1L, 5.0), ("u1", 2L, 3.0),
+      ("u2", 1L, 3.0), ("u2", 2L, 1.0), ("u2", 3L, 2.0),
+      ("u3", 1L, 4.0), ("u3", 3L, 3.0))
+      .toDF("u", "item", "r")
+    val got = Recsys.slopeOne(ratings, "u", "item", "r",
+        maxItemsPerActor = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("pred_micro"), r.getAs[Long]("n_pairs")))).toMap
+    assert(got(("u1", 3L)) == ((4000000L, 2L)))
+    assert(got(("u3", 2L)) == ((2000000L, 2L)))
+    // u2 rated everything -> no prediction rows at all.
+    assert(got.size == 2)
+  }
+
+  test("slopeOne: duplicate ratings mean first; hyper-actors drop") {
+    val ratings = Seq(
+      // u1's item-1 rating is the mean of 4 and 6 -> 5.
+      ("u1", 1L, 4.0), ("u1", 1L, 6.0), ("u1", 2L, 3.0),
+      ("u2", 1L, 3.0), ("u2", 2L, 1.0), ("u2", 3L, 2.0),
+      // bot rates everything — must not contribute any pair.
+      ("bot", 1L, 9.0), ("bot", 2L, 9.0), ("bot", 3L, 9.0))
+      .toDF("u", "item", "r")
+    val got = Recsys.slopeOne(ratings, "u", "item", "r",
+        maxItemsPerActor = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Long]("pred_micro")).toMap
+    // Only u1 (2 items) survives the cap; u2 and bot (3 items) drop,
+    // so the only devs come from u1's own pair (1,2): dev(3,*) gone.
+    // pred is for u1's unseen item... no bridge to item 3 -> empty?
+    // u1 has items {1,2}; devs exist only between 1 and 2 (c=1,
+    // from u1) -> every bridge lands on an item u1 already rated.
+    assert(got.isEmpty)
+  }
 }
