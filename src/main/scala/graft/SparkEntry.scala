@@ -5218,7 +5218,58 @@ object SparkEntry {
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
         "embedding", 10)
       Similarity.recallAtK(exact, nsw)
-    })
+    }),
+
+    // Rolling Mann-Kendall drift pager (batch side of the
+    // TrendStream parity pair): full-window MK S at every sample
+    // over the trailing 16, via the pair delta-prefix construction.
+    "q384_rolling_mk" -> ((s, dir) =>
+      TimeSeries.rollingMannKendall(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "value", window = 16,
+        thresholdMicro = 1959964L)),
+
+    // Jarque-Bera normality per event type: four exact milli power
+    // sums, one mirrored moment chain, chi2_2 5% literal.
+    "q385_jarque_bera" -> ((s, dir) =>
+      Profile.jarqueBera(t(s, dir, "events"), "event_type", "value")),
+
+    // Mood's median test across event types: global low median,
+    // 2xk margin chi2.
+    "q386_moods_median" -> ((s, dir) =>
+      Profile.moodsMedian(t(s, dir, "events"), "event_type", "value")),
+
+    // Weighted Slope One over (user, event_type) mean-value ratings:
+    // predictions for every user x unrated-type with a bridge. The
+    // event_id % 11 sample keeps ~6 events/user so real rating
+    // sparsity exists (the full table rates every type for everyone).
+    "q387_slope_one" -> ((s, dir) =>
+      Recsys.slopeOne(t(s, dir, "events")
+          .filter(col("event_id") % 11L === 0L)
+          .select(col("user_id"), col("event_type"), col("value")),
+        "user_id", "event_type", "value", maxItemsPerActor = 5)),
+
+    // ESD-style iterative outlier census: 3 rounds per event type,
+    // exact integer argmax, fixed G cut 2.0.
+    "q388_esd_outliers" -> ((s, dir) =>
+      Profile.esdOutliers(t(s, dir, "events"), "event_type",
+        "event_id", "value", rounds = 3, gCutMicro = 2000000L)),
+
+    // DFT periodogram per user series: 6 frequency bins, reduced
+    // integer angles, micro-quantized cos/sin terms.
+    "q389_periodogram" -> ((s, dir) =>
+      TimeSeries.periodogram(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "value", maxK = 6)),
+
+    // Partial correlation of quantity and price given discount, per
+    // return flag: nine exact milli sums, one mirrored finish.
+    "q390_partial_corr" -> ((s, dir) =>
+      Profile.partialCorrelation(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount")),
+
+    // Cramer's V association of document source x language: full-grid
+    // chi2 (empty cells count) + effect size.
+    "q391_cramers_v" -> ((s, dir) =>
+      Profile.cramersV(t(s, dir, "documents"), "source", "lang"))
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -13777,6 +13828,290 @@ object SparkEntry {
     "q382_nsw_build" -> nswBuildSql,
     "q383_nsw_recall" -> nswRecallSql,
 
+    "q384_rolling_mk" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS ts_ms, event_id AS id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (
+        |  SELECT a.k, a.rn AS ra, j.rn AS rb,
+        |    CAST(sign(j.v - a.v) AS BIGINT) AS s
+        |  FROM b a JOIN b j ON a.k = j.k AND j.rn > a.rn
+        |    AND j.rn - a.rn < 16),
+        |d AS (
+        |  SELECT k, pos, CAST(sum(s) AS BIGINT) AS d FROM (
+        |    SELECT k, rb AS pos, s FROM p
+        |    UNION ALL SELECT k, ra + 16 AS pos, -s FROM p)
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT k, pos, 0 AS tag, d,
+        |    CAST(NULL AS BIGINT) AS ts_ms, CAST(NULL AS BIGINT) AS id,
+        |    CAST(NULL AS BIGINT) AS rn
+        |  FROM d
+        |  UNION ALL
+        |  SELECT k, rn AS pos, 1 AS tag, 0 AS d, ts_ms, id, rn FROM b),
+        |c AS (
+        |  SELECT k, pos, tag, ts_ms, id, rn,
+        |    least(rn, 16) AS n,
+        |    sum(d) OVER (PARTITION BY k ORDER BY pos, tag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srun
+        |  FROM u),
+        |z AS (
+        |  SELECT k, ts_ms, id, n, srun,
+        |    CASE WHEN n >= 2 THEN
+        |      CAST(round(1e6 * CAST(srun AS DOUBLE)
+        |        / sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE)
+        |          / 18.0)) AS BIGINT) END AS z_micro
+        |  FROM c WHERE tag = 1)
+        |SELECT k AS user_id, ts_ms, id AS event_id,
+        |  CAST(n AS INTEGER) AS n_win, srun AS s, z_micro,
+        |  COALESCE(abs(z_micro) > 1959964, false) AS alarm
+        |FROM z""".stripMargin,
+
+    "q385_jarque_bera" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s1,
+        |    sum(CAST(v AS HUGEINT) * v) AS s2,
+        |    sum(CAST(v AS HUGEINT) * v * v) AS s3,
+        |    sum(CAST(v AS HUGEINT) * v * v * v) AS s4
+        |  FROM b GROUP BY 1),
+        |m AS (
+        |  SELECT g, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+        |    CAST(s4 AS DOUBLE) AS d4
+        |  FROM s),
+        |c AS (
+        |  SELECT g, n, nd, mu,
+        |    d2 / nd - mu * mu AS m2,
+        |    d3 / nd - 3.0 * mu * (d2 / nd) + 2.0 * mu * mu * mu AS m3,
+        |    d4 / nd - 4.0 * mu * (d3 / nd)
+        |      + 6.0 * mu * mu * (d2 / nd)
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m),
+        |f AS (
+        |  SELECT g, n, nd, m2,
+        |    m3 / sqrt(m2 * m2 * m2) AS g1,
+        |    m4 / (m2 * m2) - 3.0 AS g2
+        |  FROM c)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN n >= 4 AND m2 > 0.0
+        |    THEN CAST(round(1e6 * g1) AS BIGINT) END AS skew_micro,
+        |  CASE WHEN n >= 4 AND m2 > 0.0
+        |    THEN CAST(round(1e6 * g2) AS BIGINT) END AS exkurt_micro,
+        |  CASE WHEN n >= 4 AND m2 > 0.0
+        |    THEN CAST(round(1e6 * (nd * (g1 * g1 / 6.0
+        |      + g2 * g2 / 24.0))) AS BIGINT) END AS jb_micro,
+        |  CASE WHEN n >= 4 AND m2 > 0.0
+        |    THEN CAST(round(1e6 * (nd * (g1 * g1 / 6.0
+        |      + g2 * g2 / 24.0))) AS BIGINT) > 5991000 END
+        |    AS reject_normal
+        |FROM f""".stripMargin,
+
+    "q386_moods_median" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |tot0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        |med AS (
+        |  SELECT v AS m FROM (
+        |    SELECT v, row_number() OVER (ORDER BY v) AS rn FROM b),
+        |    tot0
+        |  WHERE rn = (n + 1) // 2),
+        |cells AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN v > m THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN v <= m THEN 1 ELSE 0 END) AS BIGINT) AS bb
+        |  FROM b, med GROUP BY 1),
+        |mar AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS ta,
+        |    CAST(sum(bb) AS BIGINT) AS tb,
+        |    CAST(count(*) AS BIGINT) AS n_groups
+        |  FROM cells),
+        |terms AS (
+        |  SELECT CAST(round(1e6 * (
+        |      (CAST(a AS DOUBLE) - CAST(a + bb AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |        * (CAST(a AS DOUBLE) - CAST(a + bb AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |        / (CAST(a + bb AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |      + (CAST(bb AS DOUBLE) - CAST(a + bb AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |        * (CAST(bb AS DOUBLE) - CAST(a + bb AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |        / (CAST(a + bb AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))))
+        |    AS BIGINT) AS t
+        |  FROM cells, mar WHERE a + bb > 0),
+        |chi AS (SELECT CAST(sum(t) AS BIGINT) AS chi2_micro FROM terms)
+        |SELECT tot0.n AS n, mar.n_groups, med.m AS median_milli,
+        |  chi.chi2_micro,
+        |  CASE WHEN mar.n_groups BETWEEN 2 AND 11 THEN
+        |    chi.chi2_micro > ([3841459, 5991465, 7814728, 9487729,
+        |      11070498, 12591587, 14067140, 15507313, 16918978,
+        |      18307038])[CAST(mar.n_groups - 1 AS INTEGER)]
+        |  END AS significant
+        |FROM tot0, mar, med, chi""".stripMargin,
+
+    "q387_slope_one" ->
+      """WITH raw AS (
+        |  SELECT user_id AS actor, event_type AS item,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS r
+        |  FROM events
+        |  WHERE event_id % 11 = 0 AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND value IS NOT NULL),
+        |ai AS (
+        |  SELECT actor, item,
+        |    CAST(round(CAST(sum(r) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS r
+        |  FROM raw GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT * FROM ai WHERE actor IN (
+        |    SELECT actor FROM ai GROUP BY actor
+        |    HAVING count(*) <= 5)),
+        |devs AS (
+        |  SELECT a.item AS i, b.item AS j,
+        |    CAST(sum(a.r - b.r) AS BIGINT) AS sumdev,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM kept a JOIN kept b ON a.actor = b.actor
+        |    AND a.item <> b.item
+        |  GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT k.actor, d.i,
+        |    d.sumdev + d.c * k.r AS num, d.c
+        |  FROM kept k JOIN devs d ON d.j = k.item),
+        |unrated AS (
+        |  SELECT c.actor, c.i, c.num, c.c FROM contrib c
+        |  LEFT JOIN kept k ON k.actor = c.actor AND k.item = c.i
+        |  WHERE k.item IS NULL)
+        |SELECT actor AS user_id, i AS event_type,
+        |  CAST(round(CAST(sum(num) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS pred_micro,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM unrated GROUP BY 1, 2""".stripMargin,
+
+    "q388_esd_outliers" -> esdOracleSql(3, 2000000L),
+
+    "q389_periodogram" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS ts_ms, event_id AS id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (
+        |  SELECT k, n, fk.kk AS fkk, (fk.kk * (rn - 1)) % n AS m, v
+        |  FROM b, (SELECT unnest(generate_series(1, 6)) AS kk) fk
+        |  WHERE n >= 2 AND fk.kk * 2 <= n),
+        |terms AS (
+        |  SELECT k, fkk, n,
+        |    v * CAST(round(1e6 * cos(2.0 * pi()
+        |      * CAST(m AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+        |      AS ct,
+        |    v * CAST(round(1e6 * sin(2.0 * pi()
+        |      * CAST(m AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+        |      AS st
+        |  FROM t),
+        |agg AS (
+        |  SELECT k, fkk, n, sum(CAST(ct AS HUGEINT)) AS c,
+        |    sum(CAST(st AS HUGEINT)) AS s
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT k AS user_id, CAST(fkk AS INTEGER) AS k, n,
+        |  CAST(round(1e6 * (CAST(c AS DOUBLE) / 1e9
+        |      * (CAST(c AS DOUBLE) / 1e9)
+        |      + CAST(s AS DOUBLE) / 1e9 * (CAST(s AS DOUBLE) / 1e9))
+        |    / CAST(n AS DOUBLE)) AS BIGINT) AS power_micro
+        |FROM agg""".stripMargin,
+
+    "q390_partial_corr" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1e3) AS BIGINT) AS x,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e3) AS BIGINT) AS y,
+        |    CAST(round(CAST(l_discount AS DOUBLE) * 1e3) AS BIGINT) AS z
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |s AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(z AS HUGEINT)) AS sz,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(z AS HUGEINT) * z) AS szz,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |    sum(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM b GROUP BY 1),
+        |r AS (
+        |  SELECT g, n, CAST(n AS DOUBLE) AS nd,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+        |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+        |    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz,
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+        |      AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+        |      AND (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) > 0.0
+        |      AS var_ok
+        |  FROM s)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN n >= 3 AND var_ok
+        |    THEN CAST(round(1e6 * rxy) AS BIGINT) END AS rxy_micro,
+        |  CASE WHEN n >= 3 AND var_ok
+        |    THEN CAST(round(1e6 * rxz) AS BIGINT) END AS rxz_micro,
+        |  CASE WHEN n >= 3 AND var_ok
+        |    THEN CAST(round(1e6 * ryz) AS BIGINT) END AS ryz_micro,
+        |  CASE WHEN n >= 3 AND var_ok
+        |      AND sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) > 0.0
+        |    THEN CAST(round(1e6 * ((rxy - rxz * ryz)
+        |      / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))))
+        |      AS BIGINT) END AS partial_micro
+        |FROM r""".stripMargin,
+
+    "q391_cramers_v" ->
+      """WITH base AS (
+        |  SELECT CAST(source AS VARCHAR) AS a,
+        |    CAST(lang AS VARCHAR) AS b
+        |  FROM documents),
+        |cells AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS o
+        |  FROM base GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ma FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS mb FROM cells GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(o) AS BIGINT) FROM cells) AS n,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ra) AS r,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cb) AS c),
+        |grid AS (SELECT ra.a, cb.b, ra.ma, cb.mb FROM ra, cb),
+        |terms AS (
+        |  SELECT CAST(round(1e6 *
+        |      (CAST(COALESCE(cells.o, 0) AS DOUBLE)
+        |        - CAST(g.ma AS DOUBLE) * CAST(g.mb AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      * (CAST(COALESCE(cells.o, 0) AS DOUBLE)
+        |        - CAST(g.ma AS DOUBLE) * CAST(g.mb AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      / (CAST(g.ma AS DOUBLE) * CAST(g.mb AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+        |    AS BIGINT) AS t
+        |  FROM grid g
+        |  LEFT JOIN cells ON cells.a IS NOT DISTINCT FROM g.a
+        |    AND cells.b IS NOT DISTINCT FROM g.b, tot),
+        |chi AS (SELECT CAST(sum(t) AS BIGINT) AS chi2_micro FROM terms)
+        |SELECT tot.n, tot.r, tot.c, chi.chi2_micro,
+        |  CASE WHEN least(tot.r, tot.c) >= 2 THEN
+        |    CAST(round(1e6 * sqrt(CAST(chi.chi2_micro AS DOUBLE) / 1e6
+        |      / (CAST(tot.n AS DOUBLE)
+        |        * CAST(least(tot.r, tot.c) - 1 AS DOUBLE))))
+        |      AS BIGINT) END AS v_micro
+        |FROM tot, chi""".stripMargin,
+
     "q380_theil_sen" ->
       """WITH b AS (
         |  SELECT l_returnflag AS g,
@@ -16963,6 +17298,58 @@ object SparkEntry {
        |    FROM sce)
        |  WHERE rank <= 10)
        |$recallRollupSql""".stripMargin
+
+  /** q388's oracle: Profile.esdOutliers unrolled round by round (the
+    * plattOracleSql idiom) — per round, the exact-integer argmax
+    * |v·n − Σv| (ties to the smaller id) leaves its group, G is the
+    * mirrored studentized chain, and the next round's CTE is the
+    * anti-joined remainder. */
+  private def esdOracleSql(rounds: Int, gCut: Long): String = {
+    val head =
+      """WITH cur0 AS (
+        |  SELECT event_type AS g, event_id AS id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL)""".stripMargin
+    val steps = (1 to rounds).map { t =>
+      s"""st$t AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(v AS HUGEINT)) AS s1,
+         |    sum(CAST(v AS HUGEINT) * v) AS s2
+         |  FROM cur${t - 1} GROUP BY 1
+         |  HAVING count(*) >= 3 AND count(*) * sum(CAST(v AS HUGEINT) * v)
+         |    - sum(CAST(v AS HUGEINT)) * sum(CAST(v AS HUGEINT)) > 0),
+         |cand$t AS (
+         |  SELECT g, id, n, s1, s2, ad FROM (
+         |    SELECT c.g, c.id, st$t.n, st$t.s1, st$t.s2,
+         |      abs(CAST(c.v AS HUGEINT) * st$t.n - st$t.s1) AS ad,
+         |      row_number() OVER (PARTITION BY c.g
+         |        ORDER BY abs(CAST(c.v AS HUGEINT) * st$t.n - st$t.s1)
+         |          DESC, c.id ASC) AS rn
+         |    FROM cur${t - 1} c JOIN st$t ON c.g = st$t.g)
+         |  WHERE rn = 1),
+         |out$t AS (
+         |  SELECT g, $t AS round, id,
+         |    CAST(round(1e6 * (CAST(ad AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * sqrt((CAST(s2 AS DOUBLE)
+         |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+         |          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))))
+         |      AS BIGINT) AS g_micro
+         |  FROM cand$t),
+         |cur$t AS (
+         |  SELECT c.* FROM cur${t - 1} c
+         |  LEFT JOIN cand$t k ON c.g = k.g AND c.id = k.id
+         |  WHERE k.id IS NULL)""".stripMargin
+    }
+    val unions = (1 to rounds)
+      .map(t => s"SELECT * FROM out$t").mkString("\nUNION ALL\n")
+    s"""$head,
+       |${steps.mkString(",\n")},
+       |allout AS (
+       |$unions)
+       |SELECT g AS event_type, CAST(round AS INTEGER) AS round,
+       |  id AS event_id, g_micro, g_micro > $gCut AS flagged
+       |FROM allout""".stripMargin
+  }
 
   /** Exact-integer cosine as a DuckDB expression — the SQL twin of
     * VectorFunctions.cosineQ over two quantized list columns. */
