@@ -74,6 +74,12 @@ object PlanAudit {
     "q359_markov_attribution" -> "chain-variant cross + 1-row scalar attaches (model-sized: states² × channels)",
     "q365_morans_i" -> "1-row × 1-row scalar cross (tile totals × adjacency sums)",
     "q368_gearys_c" -> "1-row × 1-row scalar cross (tile totals × adjacency sums)",
+    "q382_nsw_build" -> "16-row broadcast centroid attach (bounded, via ivfIndex)",
+    "q383_nsw_recall" -> "16-row broadcast centroid attach + 20-query broadcast seed/score attaches (bounded; the ANN-recall gate shape)",
+    "q386_moods_median" -> "1-row × 1-row scalar crosses (margin totals onto the χ² row)",
+    "q391_cramers_v" -> "margin × margin contingency GRID cross (model-sized: r × c categories) + 1-row total attaches",
+    "q392_jonckheere" -> "k-level (≤ 32) broadcast dose-pair fan-out + 1-row size-census attach",
+    "q397_ipw_ate" -> "1-row × 1-row scalar cross (dropped-count attach onto the estimate row)",
     "q373_entropy_rate" -> "1-row scalar crosses (transition total × the two entropy sums — the q226 shape)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the

@@ -5269,7 +5269,79 @@ object SparkEntry {
     // Cramer's V association of document source x language: full-grid
     // chi2 (empty cells count) + effect size.
     "q391_cramers_v" -> ((s, dir) =>
-      Profile.cramersV(t(s, dir, "documents"), "source", "lang"))
+      Profile.cramersV(t(s, dir, "documents"), "source", "lang")),
+
+    // Jonckheere-Terpstra ordered trend: does l_quantity rise with
+    // the l_linenumber "dose" (1..7) — doubled pair-U machinery.
+    "q392_jonckheere" -> ((s, dir) =>
+      Profile.jonckheereTerpstra(
+        t(s, dir, "lineitem").select(col("l_linenumber"),
+          col("l_quantity")),
+        "l_linenumber", "l_quantity")),
+
+    // Method-of-moments gamma/log-normal fits per event type off
+    // exact milli power and micro-nat log sums.
+    "q393_moment_fit" -> ((s, dir) =>
+      Profile.momentFit(t(s, dir, "events"), "event_type", "value")),
+
+    // Distinct-3-gram diversity per source: self-repetition census.
+    "q394_distinct_ngrams" -> ((s, dir) =>
+      Corpus.distinctNgrams(t(s, dir, "documents"), "source", "text",
+        n = 3)),
+
+    // Propensity caliper matching: even users "treated", score =
+    // value/200, nearest control within 0.05 (with replacement).
+    "q395_ps_match" -> ((s, dir) =>
+      Profile.psMatch(t(s, dir, "events")
+          .select(col("event_id"), (col("user_id") % 2 === 0).as("t"),
+            (col("value") / lit(200.0)).as("score")),
+        "event_id", "t", "score", caliper = 0.05)),
+
+    // Difference-in-differences on a deterministic 2x2: arm = even
+    // user, post = event_id % 3 = 0.
+    "q396_diff_in_diff" -> ((s, dir) =>
+      Profile.diffInDiff(t(s, dir, "events")
+          .select((col("user_id") % 2 === 0).as("arm"),
+            (col("event_id") % 3 === 0).as("post"), col("value")),
+        "arm", "post", "value")),
+
+    // Hajek-stabilized IPW ATE: deterministic propensity
+    // (user_id % 10 + 1)/20 in [0.1, 0.5], treated = even users.
+    "q397_ipw_ate" -> ((s, dir) =>
+      Profile.ipwAte(t(s, dir, "events")
+          .select((col("user_id") % 2 === 0).as("t"),
+            ((col("user_id") % 10 + 1).cast("double") / lit(20.0))
+              .as("e"),
+            col("value")),
+        "t", "e", "value")),
+
+    // Banded range join: milli values into 60 overlapping bands —
+    // every (point, band) containment, one emission each.
+    "q398_range_join" -> ((s, dir) => {
+      val pts = t(s, dir, "events").select(col("event_id"),
+        round(col("value").cast("double") * lit(1e3)).cast("long")
+          .as("v"))
+      val bands = s.range(60).select(col("id").as("band_id"),
+        (col("id") * 5000L).as("lo"),
+        (col("id") * 5000L + 12000L).as("hi"))
+      Interval.rangeJoin(pts, "event_id", "v", bands, "band_id",
+        "lo", "hi", bucketWidth = 16000L)
+    }),
+
+    // Interval overlap join: per-(user, day) activity windows,
+    // same-day co-presence pairs with overlap length.
+    "q399_overlap_join" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(min(unix_millis(col("ts"))).as("lo"),
+          max(unix_millis(col("ts"))).as("hi"))
+        .select((col("user_id") * 100000L + col("day")).as("iid"),
+          col("lo"), col("hi"))
+      Interval.overlapJoin(iv, "iid", "lo", "hi",
+          iv, "iid", "lo", "hi", bucketWidth = 86400000L)
+        .filter(col("a_id") < col("b_id"))
+    })
   )
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -14026,6 +14098,303 @@ object SparkEntry {
         |      + CAST(s AS DOUBLE) / 1e9 * (CAST(s AS DOUBLE) / 1e9))
         |    / CAST(n AS DOUBLE)) AS BIGINT) AS power_micro
         |FROM agg""".stripMargin,
+
+    "q392_jonckheere" ->
+      """WITH b AS (
+        |  SELECT CAST(l_linenumber AS BIGINT) AS g,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS v
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL),
+        |gs AS (SELECT DISTINCT g FROM b),
+        |pr AS (
+        |  SELECT CAST(least(b.g, o.g) AS VARCHAR) || '|'
+        |      || CAST(greatest(b.g, o.g) AS VARCHAR) AS pk,
+        |    b.g > o.g AS a, b.v
+        |  FROM b JOIN gs o ON b.g <> o.g),
+        |cells AS (
+        |  SELECT pk, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM pr GROUP BY 1, 2),
+        |run AS (
+        |  SELECT pk, ca, c,
+        |    sum(c) OVER (PARTITION BY pk ORDER BY v) - c AS r
+        |  FROM cells),
+        |pp AS (
+        |  SELECT pk, CAST(sum(ca) AS BIGINT) AS na,
+        |    sum(CAST(ca AS HUGEINT) * (2 * r + c + 1)) AS r2a
+        |  FROM run GROUP BY 1),
+        |jt AS (
+        |  SELECT sum(r2a - CAST(na AS HUGEINT) * (na + 1)) AS jt2
+        |  FROM pp),
+        |sz AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    sum(CAST(n AS HUGEINT) * n) AS sq,
+        |    sum(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS cu,
+        |    CAST(count(*) AS BIGINT) AS k_groups
+        |  FROM (SELECT g, CAST(count(*) AS BIGINT) AS n
+        |        FROM b GROUP BY 1)),
+        |f AS (
+        |  SELECT k_groups, nn, jt2,
+        |    (nn * nn - CAST(sq AS BIGINT)) // 2 AS mean2,
+        |    CAST(CAST(nn AS HUGEINT) * nn - sq AS DOUBLE) AS mean2d,
+        |    (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |      * (2.0 * CAST(nn AS DOUBLE) + 3.0)
+        |      - CAST(cu AS DOUBLE)) / 72.0 AS vard
+        |  FROM jt, sz)
+        |SELECT k_groups, nn AS n, CAST(jt2 AS BIGINT) AS jt2, mean2,
+        |  CASE WHEN vard > 0.0
+        |    THEN CAST(round(1e6 * ((CAST(jt2 AS DOUBLE) - mean2d / 2.0)
+        |      / (2.0 * sqrt(vard)))) AS BIGINT) END AS z_micro,
+        |  CASE WHEN vard > 0.0
+        |    THEN abs(CAST(round(1e6 * ((CAST(jt2 AS DOUBLE)
+        |      - mean2d / 2.0) / (2.0 * sqrt(vard)))) AS BIGINT))
+        |      > 1959964 END AS significant
+        |FROM f""".stripMargin,
+
+    "q393_moment_fit" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nonpos,
+        |    sum(CAST(v AS HUGEINT)) AS s1,
+        |    sum(CAST(v AS HUGEINT) * v) AS s2,
+        |    sum(CASE WHEN v > 0 THEN CAST(v AS HUGEINT) ELSE 0 END)
+        |      AS p1,
+        |    sum(CASE WHEN v > 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+        |      AS p2,
+        |    CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS np,
+        |    sum(CASE WHEN v > 0 THEN CAST(round(1e6
+        |      * ln(CAST(v AS DOUBLE) / 1e3)) AS HUGEINT) ELSE 0 END)
+        |      AS l1,
+        |    sum(CASE WHEN v > 0 THEN CAST(round(1e6
+        |        * ln(CAST(v AS DOUBLE) / 1e3)) AS HUGEINT)
+        |      * CAST(round(1e6 * ln(CAST(v AS DOUBLE) / 1e3))
+        |        AS HUGEINT) ELSE 0 END) AS l2
+        |  FROM b GROUP BY 1),
+        |m AS (
+        |  SELECT g, n, n_nonpos, np,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e3 AS mean,
+        |    (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 1e6
+        |      AS vr,
+        |    CAST(p1 AS DOUBLE) / CAST(np AS DOUBLE) / 1e3 AS pm,
+        |    (CAST(p2 AS DOUBLE) / CAST(np AS DOUBLE)
+        |      - CAST(p1 AS DOUBLE) / CAST(np AS DOUBLE)
+        |        * (CAST(p1 AS DOUBLE) / CAST(np AS DOUBLE))) / 1e6
+        |      AS pv,
+        |    CAST(l1 AS DOUBLE) / CAST(np AS DOUBLE) / 1e6 AS muln,
+        |    (CAST(l2 AS DOUBLE) / CAST(np AS DOUBLE)
+        |      - CAST(l1 AS DOUBLE) / CAST(np AS DOUBLE)
+        |        * (CAST(l1 AS DOUBLE) / CAST(np AS DOUBLE))) / 1e12
+        |      AS vln
+        |  FROM s)
+        |SELECT g AS event_type, n, n_nonpos,
+        |  CAST(round(1e6 * mean) AS BIGINT) AS mean_micro,
+        |  CAST(round(1e6 * vr) AS BIGINT) AS var_micro,
+        |  CASE WHEN np >= 2 AND pv > 0.0 AND vln > 0.0
+        |    THEN CAST(round(1e6 * (pm * pm / pv)) AS BIGINT) END
+        |    AS gamma_shape_micro,
+        |  CASE WHEN np >= 2 AND pv > 0.0 AND vln > 0.0
+        |    THEN CAST(round(1e6 * (pv / pm)) AS BIGINT) END
+        |    AS gamma_scale_micro,
+        |  CASE WHEN np >= 2 AND pv > 0.0 AND vln > 0.0
+        |    THEN CAST(round(1e6 * muln) AS BIGINT) END
+        |    AS lnorm_mu_micro,
+        |  CASE WHEN np >= 2 AND pv > 0.0 AND vln > 0.0
+        |    THEN CAST(round(1e6 * sqrt(vln)) AS BIGINT) END
+        |    AS lnorm_sigma_micro
+        |FROM m""".stripMargin,
+
+    "q394_distinct_ngrams" ->
+      """WITH d AS (
+        |  SELECT source AS g,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS t
+        |  FROM documents),
+        |spine AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN len(t) < 3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_short
+        |  FROM d GROUP BY 1),
+        |grams AS (
+        |  SELECT g, unnest(list_transform(generate_series(1,
+        |      len(t) - 2),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+        |    AS ng
+        |  FROM d WHERE len(t) >= 3),
+        |st AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(DISTINCT ng) AS BIGINT) AS n_distinct
+        |  FROM grams GROUP BY 1)
+        |SELECT spine.g AS source, n_docs, n_short,
+        |  COALESCE(n_grams, 0) AS n_grams,
+        |  COALESCE(n_distinct, 0) AS n_distinct,
+        |  CASE WHEN n_grams IS NOT NULL
+        |    THEN CAST(round(1e6 * CAST(n_distinct AS DOUBLE)
+        |      / CAST(n_grams AS DOUBLE)) AS BIGINT) END
+        |    AS distinct_ratio_micro
+        |FROM spine LEFT JOIN st ON spine.g = st.g""".stripMargin,
+
+    "q395_ps_match" ->
+      """WITH b AS (
+        |  SELECT event_id AS id, user_id % 2 = 0 AS t,
+        |    CAST(round(CAST(value AS DOUBLE) / 200.0 * 1e6) AS BIGINT)
+        |      AS s
+        |  FROM events WHERE value IS NOT NULL),
+        |ctrl AS (
+        |  SELECT id AS ctrl_id, s AS cs, s // 50000 AS bkt
+        |  FROM b WHERE NOT t),
+        |pro AS (
+        |  SELECT id, s, s // 50000 + d.o AS bkt
+        |  FROM b, (SELECT unnest([-1, 0, 1]) AS o) d WHERE t),
+        |cand AS (
+        |  SELECT p.id, p.s, c.ctrl_id, c.cs
+        |  FROM pro p JOIN ctrl c USING (bkt)
+        |  WHERE abs(p.s - c.cs) <= 50000),
+        |best AS (
+        |  SELECT id, s, ctrl_id, cs FROM (
+        |    SELECT id, s, ctrl_id, cs,
+        |      row_number() OVER (PARTITION BY id
+        |        ORDER BY abs(s - cs), ctrl_id) AS rn
+        |    FROM cand)
+        |  WHERE rn = 1)
+        |SELECT id AS event_id, ctrl_id, s AS t_score_micro,
+        |  cs AS c_score_micro, s - cs AS diff_micro
+        |FROM best""".stripMargin,
+
+    "q396_diff_in_diff" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 = 0 AS a, event_id % 3 = 0 AS p,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN a AND NOT p THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t_pre,
+        |    CAST(sum(CASE WHEN a AND p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_t_post,
+        |    CAST(sum(CASE WHEN NOT a AND NOT p THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c_pre,
+        |    CAST(sum(CASE WHEN NOT a AND p THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c_post,
+        |    sum(CASE WHEN a AND NOT p THEN CAST(v AS HUGEINT)
+        |      ELSE 0 END) AS stp0,
+        |    sum(CASE WHEN a AND p THEN CAST(v AS HUGEINT) ELSE 0 END)
+        |      AS stp1,
+        |    sum(CASE WHEN NOT a AND NOT p THEN CAST(v AS HUGEINT)
+        |      ELSE 0 END) AS scp0,
+        |    sum(CASE WHEN NOT a AND p THEN CAST(v AS HUGEINT)
+        |      ELSE 0 END) AS scp1
+        |  FROM b)
+        |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  CASE WHEN n_t_pre > 0 THEN CAST(round(CAST(stp0 AS DOUBLE)
+        |    / CAST(n_t_pre AS DOUBLE)) AS BIGINT) END
+        |    AS mean_t_pre_micro,
+        |  CASE WHEN n_t_post > 0 THEN CAST(round(CAST(stp1 AS DOUBLE)
+        |    / CAST(n_t_post AS DOUBLE)) AS BIGINT) END
+        |    AS mean_t_post_micro,
+        |  CASE WHEN n_c_pre > 0 THEN CAST(round(CAST(scp0 AS DOUBLE)
+        |    / CAST(n_c_pre AS DOUBLE)) AS BIGINT) END
+        |    AS mean_c_pre_micro,
+        |  CASE WHEN n_c_post > 0 THEN CAST(round(CAST(scp1 AS DOUBLE)
+        |    / CAST(n_c_post AS DOUBLE)) AS BIGINT) END
+        |    AS mean_c_post_micro,
+        |  CASE WHEN n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0
+        |      AND n_c_post > 0
+        |    THEN CAST(round(CAST(stp1 AS DOUBLE)
+        |        / CAST(n_t_post AS DOUBLE)
+        |      - CAST(stp0 AS DOUBLE) / CAST(n_t_pre AS DOUBLE)
+        |      - (CAST(scp1 AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+        |        - CAST(scp0 AS DOUBLE) / CAST(n_c_pre AS DOUBLE)))
+        |      AS BIGINT) END AS did_micro
+        |FROM s""".stripMargin,
+
+    "q397_ipw_ate" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 = 0 AS t,
+        |    CAST(round(CAST(CAST(user_id % 10 + 1 AS DOUBLE) / 20.0
+        |      AS DOUBLE) * 1e6) AS BIGINT) AS e,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS y
+        |  FROM events),
+        |drp AS (
+        |  SELECT CAST(sum(CASE WHEN e IS NULL OR y IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped FROM b),
+        |c AS (
+        |  SELECT t,
+        |    e < 10000 OR e > 990000 AS clipped,
+        |    least(greatest(e, 10000), 990000) AS ec, y
+        |  FROM b WHERE e IS NOT NULL AND y IS NOT NULL),
+        |w AS (
+        |  SELECT t, clipped,
+        |    CASE WHEN t THEN CAST(round(1e6
+        |        / (CAST(ec AS DOUBLE) / 1e6)) AS BIGINT)
+        |      ELSE CAST(round(1e6 / (1.0 - CAST(ec AS DOUBLE) / 1e6))
+        |        AS BIGINT) END AS w,
+        |    CASE WHEN t THEN CAST(round(CAST(y AS DOUBLE)
+        |        / (CAST(ec AS DOUBLE) / 1e6)) AS BIGINT)
+        |      ELSE CAST(round(CAST(y AS DOUBLE)
+        |        / (1.0 - CAST(ec AS DOUBLE) / 1e6)) AS BIGINT) END
+        |      AS wy
+        |  FROM c),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ctrl,
+        |    CAST(sum(CASE WHEN clipped THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_clipped,
+        |    sum(CASE WHEN t THEN CAST(w AS HUGEINT) ELSE 0 END)
+        |      AS wt,
+        |    sum(CASE WHEN t THEN CAST(wy AS HUGEINT) ELSE 0 END)
+        |      AS wyt,
+        |    sum(CASE WHEN NOT t THEN CAST(w AS HUGEINT) ELSE 0 END)
+        |      AS wc,
+        |    sum(CASE WHEN NOT t THEN CAST(wy AS HUGEINT) ELSE 0 END)
+        |      AS wyc
+        |  FROM w)
+        |SELECT n_treat, n_ctrl, n_clipped, drp.n_dropped,
+        |  CASE WHEN n_treat > 0 AND n_ctrl > 0
+        |    THEN CAST(round(CAST(wyt AS DOUBLE) / CAST(wt AS DOUBLE)
+        |        * 1e6
+        |      - CAST(wyc AS DOUBLE) / CAST(wc AS DOUBLE) * 1e6)
+        |      AS BIGINT) END AS ate_micro
+        |FROM agg, drp""".stripMargin,
+
+    "q398_range_join" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT i AS band_id, i * 5000 AS lo, i * 5000 + 12000 AS hi
+        |  FROM (SELECT unnest(generate_series(0, 59)) AS i))
+        |SELECT p.event_id, b.band_id, p.v, b.lo, b.hi
+        |FROM p, b
+        |WHERE p.v >= 0 AND p.v >= b.lo AND p.v <= b.hi""".stripMargin,
+
+    "q399_overlap_join" ->
+      """WITH iv AS (
+        |  SELECT user_id * 100000 + epoch_ms(ts) // 86400000 AS iid,
+        |    CAST(min(epoch_ms(ts)) AS BIGINT) AS lo,
+        |    CAST(max(epoch_ms(ts)) AS BIGINT) AS hi
+        |  FROM events
+        |  GROUP BY user_id, epoch_ms(ts) // 86400000)
+        |SELECT a.iid AS a_id, b.iid AS b_id,
+        |  least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_len
+        |FROM iv a, iv b
+        |WHERE a.lo <= b.hi AND b.lo <= a.hi AND a.iid < b.iid"""
+        .stripMargin,
 
     "q390_partial_corr" ->
       """WITH b AS (

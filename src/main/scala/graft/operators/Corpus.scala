@@ -1216,4 +1216,39 @@ object Corpus {
             col("f1").cast("double") * gamma2 / cHat)).cast("long"))
         .otherwise(lit(null).cast("long")).as("ace_micro"))
   }
+
+  /** Distinct-n diversity census per group — the self-repetition
+    * signal (Li et al. 2016's distinct-n, the generation-quality
+    * number) read over a corpus slice: total word n-grams, distinct
+    * n-grams, and their micro ratio. Grams come from the shared
+    * whitespace tokenizer via an in-array slide (one SQL transform —
+    * no joins, no positional self-join); docs shorter than n
+    * contribute nothing and are counted in n_short. Two hash-aggs.
+    * Output: (groupCol, n_docs, n_short, n_grams, n_distinct,
+    * distinct_ratio_micro). */
+  def distinctNgrams(
+      docs: DataFrame, groupCol: String, textCol: String, n: Int)
+      : DataFrame = {
+    require(n >= 1 && n <= 8, "n must be in [1, 8]")
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = docs.select(col(groupCol).as("__g"), toks.as("__t"))
+    val spine = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(size(col("__t")) < n, 1L).otherwise(0L)).as("n_short"))
+    val grams = base.filter(size(col("__t")) >= n)
+      .select(col("__g"), explode(expr(
+        s"transform(sequence(1, size(__t) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(__t, i, $n)))")).as("__ng"))
+    val stats = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("__ng")).as("n_distinct"))
+    spine.join(stats, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n_docs"), col("n_short"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(col("n_grams").isNotNull,
+          round(lit(1e6) * col("n_distinct").cast("double") /
+            col("n_grams").cast("double")).cast("long"))
+          .as("distinct_ratio_micro"))
+  }
 }

@@ -3664,4 +3664,317 @@ object Profile {
     acc.select(col("__g").as(groupCol), col("round"),
       col("__id").as(idCol), col("g_micro"), col("flagged"))
   }
+
+  /** Jonckheere–Terpstra ordered-alternative trend test — "does the
+    * response RISE with the dose": JT = Σ_{i<j} U_ij over all ordered
+    * group pairs, each U the Mann–Whitney count (#(x_i < x_j) + ½
+    * ties, exact via [[mannWhitney]]'s doubled value-cell/prefix
+    * machinery — doubled JT stays integer under midrank ties). The
+    * group column must be NUMERIC (its order IS the dose order) with
+    * at most 32 levels — ordered factors are small by nature, and
+    * the level list is the one bounded driver collect here. z uses
+    * the standard no-tie null (mean (N²−Σn²)/4, variance
+    * (N²(2N+3) − Σn²(2n+3))/72 — stated; ties make it
+    * conservative).
+    *
+    * Scale: each row replicates to its k−1 pair memberships
+    * (constant fan-out), then one cell census + one range-
+    * partitioned prefix over pair keys — never row×row.
+    * Output: one row — (k_groups, n, jt2, mean2, z_micro,
+    * significant at |z| > 1.96). jt2/mean2 are the DOUBLED exact
+    * integers. */
+  def jonckheereTerpstra(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = Dedup.truncate(df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("long").as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v")))
+    val groups = base.select(col("__g")).distinct()
+    val gs = groups.orderBy(col("__g")).limit(33).collect()
+      .map(_.getLong(0))
+    require(gs.length >= 2 && gs.length <= 32,
+      s"jonckheereTerpstra needs 2..32 dose levels, saw ${gs.length}")
+    val pairRows = base
+      .join(broadcast(groups.select(col("__g").as("__o"))),
+        col("__g") =!= col("__o"))
+      .select(
+        concat(least(col("__g"), col("__o")).cast("string"), lit("|"),
+          greatest(col("__g"), col("__o")).cast("string")).as("__pk"),
+        (col("__g") > col("__o")).as("__a"), col("__v"))
+    val cells = pairRows.groupBy(col("__pk"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+    val run = Ranking.groupRunningSum(cells, "__pk", Seq("__v"), "__c")
+    val perPair = run
+      .withColumn("__r", col("running") - col("__c"))
+      .groupBy(col("__pk"))
+      .agg(sum(col("__ca")).as("__na"),
+        sum((col("__ca").cast(dec) *
+          (lit(2L) * col("__r") + col("__c") + 1L)).cast(dec))
+          .as("__r2a"))
+      .select((col("__r2a") -
+        (col("__na").cast(dec) * (col("__na") + 1L)).cast(dec))
+        .cast(dec).as("__u2"))
+    val jt = perPair.agg(sum(col("__u2")).cast(dec).as("__jt2"))
+    val sizes = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("__N"),
+        sum((col("__n").cast(dec) * col("__n")).cast(dec)).as("__sq"),
+        sum((col("__n").cast(dec) * col("__n") *
+          (lit(2L) * col("__n") + 3L)).cast(dec)).as("__cu"),
+        count(lit(1)).as("k_groups"))
+    val nD = col("__N").cast("double")
+    val mean2 = ((col("__N").cast(dec) * col("__N")).cast(dec) -
+      col("__sq")).cast(dec)
+    val varD = (nD * nD * (lit(2.0) * nD + 3.0) -
+      col("__cu").cast("double")) / lit(72.0)
+    val z = (col("__jt2").cast("double") -
+      mean2.cast("double") / lit(2.0)) / (lit(2.0) * sqrt(varD))
+    jt.crossJoin(broadcast(sizes))
+      .select(col("k_groups"), col("__N").as("n"),
+        col("__jt2").cast("long").as("jt2"),
+        // N² − Σn² = Σ_{i≠j} nᵢnⱼ is even, so the halve is exact;
+        // long arithmetic holds to N ≲ 3e9 rows — the same reporting
+        // bound as jt2 (the doubles stay valid past it).
+        expr("(__N * __N - CAST(__sq AS BIGINT)) div 2").as("mean2"),
+        when(varD > 0.0, round(lit(1e6) * z).cast("long"))
+          .as("z_micro"),
+        when(varD > 0.0,
+          abs(round(lit(1e6) * z).cast("long")) > 1959964L)
+          .as("significant"))
+  }
+
+  /** Method-of-moments distribution fits per group — the parametric
+    * summary a synthetic-data or load-model stage reads off a
+    * metric: population mean/variance from exact milli sums, a
+    * Gamma(shape, scale) fit (shape = μ²/σ², scale = σ²/μ) and a
+    * log-normal (μ_ln, σ_ln) fit, both over the STRICTLY-POSITIVE
+    * subset (their support; the nonpositive count surfaces as
+    * n_nonpos). Log moments are per-row micro-nat quantized
+    * ([[theilIndex]]'s ln idiom) so the sums are exact integers.
+    * One hash-agg; every parameter is one mirrored IEEE chain.
+    * Output: (groupCol, n, n_nonpos, mean_micro, var_micro,
+    * gamma_shape_micro, gamma_scale_micro, lnorm_mu_micro,
+    * lnorm_sigma_micro) — fits NULL when the positive subset is
+    * degenerate (n_pos < 2 or zero variance). */
+  def momentFit(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+          .as("__v"))
+    val pos = col("__v") > 0L
+    val lq = round(lit(1e6) *
+      log(col("__v").cast("double") / lit(1e3))).cast("long")
+    val sums = base.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"),
+      sum(when(!pos, 1L).otherwise(0L)).as("n_nonpos"),
+      sum(col("__v").cast(dec)).as("__s1"),
+      sum((col("__v").cast(dec) * col("__v")).cast(dec)).as("__s2"),
+      sum(when(pos, col("__v")).otherwise(0L).cast(dec)).as("__p1"),
+      sum(when(pos, (col("__v").cast(dec) * col("__v")).cast(dec))
+        .otherwise(lit(0L).cast(dec))).as("__p2"),
+      sum(when(pos, 1L).otherwise(0L)).as("__np"),
+      sum(when(pos, lq).otherwise(0L).cast(dec)).as("__l1"),
+      sum(when(pos, (lq.cast(dec) * lq).cast(dec))
+        .otherwise(lit(0L).cast(dec))).as("__l2"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val npD = col("__np").cast("double")
+    val mean = d("__s1") / nD / lit(1e3)
+    val vr = (d("__s2") / nD - d("__s1") / nD * (d("__s1") / nD)) /
+      lit(1e6)
+    val pMean = d("__p1") / npD / lit(1e3)
+    val pVar = (d("__p2") / npD - d("__p1") / npD * (d("__p1") / npD)) /
+      lit(1e6)
+    val muLn = d("__l1") / npD / lit(1e6)
+    val varLn = (d("__l2") / npD - d("__l1") / npD * (d("__l1") / npD)) /
+      lit(1e12)
+    val fitOk = col("__np") >= 2L && pVar > 0.0 && varLn > 0.0
+    def mic(c: Column) = round(lit(1e6) * c).cast("long")
+    sums.select(col("__g").as(groupCol), col("n"), col("n_nonpos"),
+      mic(mean).as("mean_micro"), mic(vr).as("var_micro"),
+      when(fitOk, mic(pMean * pMean / pVar)).as("gamma_shape_micro"),
+      when(fitOk, mic(pVar / pMean)).as("gamma_scale_micro"),
+      when(fitOk, mic(muLn)).as("lnorm_mu_micro"),
+      when(fitOk, mic(sqrt(varLn))).as("lnorm_sigma_micro"))
+  }
+
+  /** Propensity-score caliper matching (nearest-neighbor WITH
+    * replacement — stated; each treated row independently takes its
+    * closest control within the caliper, ties to the smaller control
+    * id): the causal pre-step that turns an observational table into
+    * matched pairs. Scores micro-quantize; candidates come from a
+    * bucketed band join (control buckets of width caliper, treated
+    * probes its own and both adjacent buckets — every |Δ| ≤ caliper
+    * pair is covered exactly once), then an exact integer argmin.
+    * Unmatched treated rows are absent (no silent zero-diff rows).
+    *
+    * Scale: candidates ≤ 3 buckets × bucket occupancy per treated —
+    * the proximityJoin shape in 1-D; never treated × controls.
+    * Output: (idCol, ctrl_id, t_score_micro, c_score_micro,
+    * diff_micro). */
+  def psMatch(
+      df: DataFrame,
+      idCol: String,
+      treatCol: String,
+      scoreCol: String,
+      caliper: Double): DataFrame = {
+    require(caliper > 0.0, "caliper must be positive")
+    val calMicro = math.round(caliper * 1e6)
+    require(calMicro > 0, "caliper must be at least 1 micro")
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(treatCol).cast("boolean").as("__t"),
+        round(col(scoreCol).cast("double") * lit(1e6)).cast("long")
+          .as("__s"))
+    val ctrl = base.filter(!col("__t"))
+      .select(col("__id").as("ctrl_id"), col("__s").as("c_score_micro"),
+        expr(s"__s div ${calMicro}L").as("__b"))
+    val treatedProbes = base.filter(col("__t"))
+      .select(col("__id"), col("__s"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("__db"))
+      .select(col("__id"), col("__s"),
+        (expr(s"__s div ${calMicro}L") + col("__db")).as("__b"))
+    treatedProbes.join(ctrl, Seq("__b"))
+      .filter(abs(col("__s") - col("c_score_micro")) <= calMicro)
+      .groupBy(col("__id"), col("__s"))
+      .agg(min_by(
+        struct(col("ctrl_id"), col("c_score_micro")),
+        struct(abs(col("__s") - col("c_score_micro")).as("d"),
+          col("ctrl_id"))).as("__m"))
+      .select(col("__id").as(idCol), col("__m.ctrl_id").as("ctrl_id"),
+        col("__s").as("t_score_micro"),
+        col("__m.c_score_micro").as("c_score_micro"),
+        (col("__s") - col("__m.c_score_micro")).as("diff_micro"))
+  }
+
+  /** Difference-in-differences — the 2×2 causal workhorse: DID =
+    * (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre) off
+    * the four exact micro cell sums (one hash-agg; each mean is one
+    * rounded divide inside one mirrored chain). NULL when any cell
+    * is empty — a missing cell makes the contrast meaningless, and
+    * the four counts say which one. Output: one row —
+    * (n_t_pre, n_t_post, n_c_pre, n_c_post, mean_t_pre_micro,
+    * mean_t_post_micro, mean_c_pre_micro, mean_c_post_micro,
+    * did_micro). */
+  def diffInDiff(
+      df: DataFrame, armCol: String, postCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(armCol).cast("boolean").as("__a"),
+        col(postCol).cast("boolean").as("__p"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val agg = base.agg(
+      sum(when(col("__a") && !col("__p"), 1L).otherwise(0L)).as("n_t_pre"),
+      sum(when(col("__a") && col("__p"), 1L).otherwise(0L)).as("n_t_post"),
+      sum(when(!col("__a") && !col("__p"), 1L).otherwise(0L)).as("n_c_pre"),
+      sum(when(!col("__a") && col("__p"), 1L).otherwise(0L)).as("n_c_post"),
+      sum(when(col("__a") && !col("__p"), col("__v")).otherwise(0L)
+        .cast(dec)).as("__stp0"),
+      sum(when(col("__a") && col("__p"), col("__v")).otherwise(0L)
+        .cast(dec)).as("__stp1"),
+      sum(when(!col("__a") && !col("__p"), col("__v")).otherwise(0L)
+        .cast(dec)).as("__scp0"),
+      sum(when(!col("__a") && col("__p"), col("__v")).otherwise(0L)
+        .cast(dec)).as("__scp1"))
+    def m(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    val ok = col("n_t_pre") > 0L && col("n_t_post") > 0L &&
+      col("n_c_pre") > 0L && col("n_c_post") > 0L
+    agg.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+      col("n_c_post"),
+      when(col("n_t_pre") > 0L,
+        round(m("__stp0", "n_t_pre")).cast("long"))
+        .as("mean_t_pre_micro"),
+      when(col("n_t_post") > 0L,
+        round(m("__stp1", "n_t_post")).cast("long"))
+        .as("mean_t_post_micro"),
+      when(col("n_c_pre") > 0L,
+        round(m("__scp0", "n_c_pre")).cast("long"))
+        .as("mean_c_pre_micro"),
+      when(col("n_c_post") > 0L,
+        round(m("__scp1", "n_c_post")).cast("long"))
+        .as("mean_c_post_micro"),
+      when(ok, round(
+        m("__stp1", "n_t_post") - m("__stp0", "n_t_pre") -
+          (m("__scp1", "n_c_post") - m("__scp0", "n_c_pre")))
+        .cast("long")).as("did_micro"))
+  }
+
+  /** Inverse-propensity-weighted ATE (Hájek/stabilized form — each
+    * arm's weighted mean normalizes by its own weight sum, so the
+    * estimate is invariant to weight scale): ATE = Σ_t w·y/Σ_t w −
+    * Σ_c w·y/Σ_c w with w = 1/e on the treated arm and 1/(1−e) on
+    * control, propensities clipped into [clip, 1−clip] (the standard
+    * positivity guard; the clipped-row count surfaces — silent
+    * clipping hides exactly the rows that dominate the estimate).
+    * Per-row w and w·y micro-quantize (one IEEE step each), the four
+    * sums are exact Longs-in-DECIMAL, and the final contrast is one
+    * mirrored chain. Rows with NULL score/value drop (counted).
+    * Output: one row — (n_treat, n_ctrl, n_clipped, n_dropped,
+    * ate_micro); NULL when either arm is empty. */
+  def ipwAte(
+      df: DataFrame,
+      treatCol: String,
+      scoreCol: String,
+      valueCol: String,
+      clip: Double = 0.01): DataFrame = {
+    require(clip > 0.0 && clip < 0.5, "clip must be in (0, 0.5)")
+    val dec = "decimal(38,0)"
+    val clipMicro = math.round(clip * 1e6)
+    val all = df.select(col(treatCol).cast("boolean").as("__t"),
+      round(col(scoreCol).cast("double") * lit(1e6)).cast("long")
+        .as("__e"),
+      round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+        .as("__y"))
+    val dropped = all.agg(sum(when(col("__e").isNull ||
+      col("__y").isNull || col("__t").isNull, 1L).otherwise(0L))
+      .as("n_dropped"))
+    val base = all
+      .filter(col("__e").isNotNull && col("__y").isNotNull &&
+        col("__t").isNotNull)
+      .withColumn("__clipped",
+        col("__e") < clipMicro || col("__e") > 1000000L - clipMicro)
+      .withColumn("__ec",
+        least(greatest(col("__e"), lit(clipMicro)),
+          lit(1000000L - clipMicro)))
+    // w in micro (1e6/e is ~[1, 1e2] at sane clips), w·y in micro²
+    // rescaled back to micro — each is ONE rounded IEEE step off
+    // exact integers, so the sums are order-free.
+    val eD = col("__ec").cast("double") / lit(1e6)
+    val w = when(col("__t"), round(lit(1e6) / eD))
+      .otherwise(round(lit(1e6) / (lit(1.0) - eD))).cast("long")
+    val wy = when(col("__t"),
+      round(col("__y").cast("double") / eD))
+      .otherwise(round(col("__y").cast("double") / (lit(1.0) - eD)))
+      .cast("long")
+    val agg = base.select(col("__t"), col("__clipped"),
+        w.as("__w"), wy.as("__wy"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("__clipped"), 1L).otherwise(0L)).as("n_clipped"),
+        sum(when(col("__t"), col("__w")).otherwise(0L).cast(dec))
+          .as("__wt"),
+        sum(when(col("__t"), col("__wy")).otherwise(0L).cast(dec))
+          .as("__wyt"),
+        sum(when(!col("__t"), col("__w")).otherwise(0L).cast(dec))
+          .as("__wc"),
+        sum(when(!col("__t"), col("__wy")).otherwise(0L).cast(dec))
+          .as("__wyc"))
+    agg.crossJoin(broadcast(dropped))
+      .select(col("n_treat"), col("n_ctrl"), col("n_clipped"),
+        col("n_dropped"),
+        when(col("n_treat") > 0L && col("n_ctrl") > 0L,
+          round(col("__wyt").cast("double") /
+            col("__wt").cast("double") * lit(1e6) -
+            col("__wyc").cast("double") /
+              col("__wc").cast("double") * lit(1e6)).cast("long"))
+          .as("ate_micro"))
+  }
 }

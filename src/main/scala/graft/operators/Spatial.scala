@@ -340,15 +340,18 @@ object Spatial {
     * Scale: one proximityJoin (output-bound, see its scaladoc), a
     * degree census, and GRID-PARTITIONED component labeling built
     * for the super-percolation regime (mean degree ≳ 4.5, where the
-    * point cloud fuses ONE giant core component): intra-cell core
-    * edges are clustered locally by a per-cell union-find (one
-    * mapPartitions pass after a cell-keyed repartition — linear in
-    * the edge census, zero rounds), and only the BOUNDARY graph —
-    * cross-cell core edges rewritten onto their endpoints' local
-    * piece labels — enters [[Dedup.connectedComponents]]'s pointer-
-    * jumping min-label fixpoint. Its vertex count is pieces touching
-    * a cell border (≪ points) and its hop diameter is the GRID
-    * diameter, independent of density — so densifying a fixed
+    * point cloud fuses ONE giant core component): core edges whose
+    * endpoints share a COARSE grid cell (side gridFactor·eps — wide
+    * enough that a cell holds real structure, not 2 points) are
+    * clustered locally by a per-cell union-find (one mapPartitions
+    * pass after a cell-keyed repartition — linear in the edge
+    * census, zero rounds), and only the BOUNDARY graph — cross-cell
+    * core edges rewritten onto their endpoints' local piece labels —
+    * enters [[Dedup.connectedComponents]]'s pointer-jumping
+    * min-label fixpoint. Above percolation each coarse cell fuses to
+    * ~ONE local piece, so the fixpoint sees roughly the cell
+    * ADJACENCY graph (vertices ~ cells, hop diameter ~ grid width /
+    * gridFactor), independent of density — densifying a fixed
     * geography 16× grows only the linear local pass, not the round
     * count. Labels are identical to whole-graph min-id CC: each
     * local piece's label is its min core id, and the boundary
@@ -364,7 +367,9 @@ object Spatial {
       yCol: String,
       eps: Long,
       minPts: Int,
-      maxIter: Int = 60): DataFrame = {
+      maxIter: Int = 60,
+      gridFactor: Int = 16): DataFrame = {
+    require(gridFactor >= 1, "gridFactor must be at least 1")
     require(minPts >= 2, "minPts must be at least 2")
     val pairs = Dedup.truncate(
       proximityJoin(points, idCol, xCol, yCol, eps)
@@ -384,12 +389,21 @@ object Spatial {
     // (mean degree past ~4.5) fuses ONE giant core component whose
     // whole-graph min-label fixpoint needs ≫20 rounds each touching
     // every edge (empirical: sf0.1's 100k points at mean degree ~8);
-    // clustering each eps-cell locally first leaves the fixpoint a
+    // clustering each cell locally first leaves the fixpoint a
     // boundary graph whose size and hop diameter track the GRID, not
-    // the density.
+    // the density. The union-find grid is COARSER than the pairing
+    // grid by `gridFactor` (side gridFactor·eps): at eps-sized cells
+    // a sparse cloud holds ~2 points per cell, local pieces are
+    // single edges, and the "boundary" graph IS the whole graph —
+    // the decomposition only pays when a cell holds enough points
+    // for its local structure to collapse (a percolating coarse cell
+    // fuses to ~ONE piece, so the fixpoint sees ~one vertex per
+    // cell). Labels are grid-invariant (min-id components), so the
+    // factor is pure performance tuning.
+    val side = eps * gridFactor.toLong
     val cells = points.select(col(idCol).as("__id"),
-      expr(s"$xCol div ${eps}L").as("__cx"),
-      expr(s"$yCol div ${eps}L").as("__cy"))
+      expr(s"$xCol div ${side}L").as("__cx"),
+      expr(s"$yCol div ${side}L").as("__cy"))
     val comp = gridMinLabelComponents(
       coreEdges, coreIds.join(cells, Seq("__id")), maxIter)
     val coreLab = coreIds

@@ -585,4 +585,28 @@ class CorpusSpec extends SparkSpec {
     assert(s.getAs[Long]("chao1_micro") == 6000000L)
     assert(s.isNullAt(s.fieldIndex("ace_micro")))
   }
+
+  test("distinctNgrams: hand bigram census, short docs quarantined") {
+    val docs = Seq(
+      // "a b a b" -> bigrams (a b), (b a), (a b): 3 total, 2 distinct.
+      ("G", "a b a b"),
+      // "a b" -> 1 bigram (a b), already seen at the GROUP level.
+      ("G", "a b"),
+      // one-token doc: too short for n=2.
+      ("G", "solo"),
+      // H: fully repetitive.
+      ("H", "x x x x")).toDF("g", "text")
+    val got = Corpus.distinctNgrams(docs, "g", "text", n = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val gRow = got("G")
+    assert(gRow.getAs[Long]("n_docs") == 3L)
+    assert(gRow.getAs[Long]("n_short") == 1L)
+    assert(gRow.getAs[Long]("n_grams") == 4L)
+    assert(gRow.getAs[Long]("n_distinct") == 2L)
+    assert(gRow.getAs[Long]("distinct_ratio_micro") == 500000L)
+    val h = got("H")
+    assert(h.getAs[Long]("n_grams") == 3L &&
+      h.getAs[Long]("n_distinct") == 1L)
+    assert(h.getAs[Long]("distinct_ratio_micro") == 333333L)
+  }
 }

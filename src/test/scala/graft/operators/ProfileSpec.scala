@@ -1513,4 +1513,130 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Long]("g_micro") == math.round(1e6 * g))
     assert(r.getAs[Boolean]("flagged") == (math.round(1e6 * g) > 2000000L))
   }
+
+  test("jonckheereTerpstra: hand pair U sums, perfect trend") {
+    // Doses 1 < 2 < 3, perfectly separated responses: every cross
+    // pair agrees with the dose order. U(1,2) = 4, U(1,3) = 4,
+    // U(2,3) = 4 -> JT = 12, doubled 24. N = 6, all n_i = 2:
+    // mean2 = (36 - 12) / 2 = 12 (i.e. mean 6).
+    val df = Seq((1L, 1.0), (1L, 2.0), (2L, 10.0), (2L, 11.0),
+      (3L, 20.0), (3L, 21.0)).toDF("dose", "v")
+    val r = Profile.jonckheereTerpstra(df, "dose", "v").collect().head
+    assert(r.getAs[Long]("k_groups") == 3L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("jt2") == 24L)
+    assert(r.getAs[Long]("mean2") == 12L)
+    // var = (36*15 - 3*4*7)/72 = (540 - 84)/72 = 6.3333; z =
+    // (24 - 12) / (2*sqrt(6.3333)) = 2.384.
+    val z = (24.0 - 12.0) / (2.0 * math.sqrt(456.0 / 72.0))
+    assert(r.getAs[Long]("z_micro") == math.round(1e6 * z))
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("jonckheereTerpstra: midrank ties halve, doubled stays integer") {
+    // Dose 1 = {5}, dose 2 = {5, 7}: U = 0.5 + 1 = 1.5 -> jt2 = 3.
+    val df = Seq((1L, 5.0), (2L, 5.0), (2L, 7.0)).toDF("dose", "v")
+    val r = Profile.jonckheereTerpstra(df, "dose", "v").collect().head
+    assert(r.getAs[Long]("jt2") == 3L)
+    assert(r.getAs[Long]("mean2") == 2L) // (9 - 5) / 2
+  }
+
+  test("momentFit: exponential-ish hand moments, nonpos quarantine") {
+    // G: {1, 2, 3, 4} -> mean 2.5, pop var 1.25; gamma shape =
+    // 2.5^2/1.25 = 5, scale = 0.5. One nonpositive row drops from
+    // the fits but stays in mean/var.
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("G", _)) :+ ("G", -1.0))
+      .toDF("g", "v")
+    val r = Profile.momentFit(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("n_nonpos") == 1L)
+    // all-rows mean (1+2+3+4-1)/5 = 1.8, var = (1+4+9+16+1)/5 - 3.24.
+    assert(r.getAs[Long]("mean_micro") == 1800000L)
+    assert(r.getAs[Long]("var_micro") == math.round(1e6 * (31.0 / 5 - 3.24)))
+    assert(math.abs(r.getAs[Long]("gamma_shape_micro") - 5000000L) <= 5L)
+    assert(math.abs(r.getAs[Long]("gamma_scale_micro") - 500000L) <= 5L)
+    // lognormal over {1,2,3,4}: mu = mean of ln = ln(24)/4.
+    val ls = Seq(1.0, 2.0, 3.0, 4.0)
+      .map(v => math.round(1e6 * math.log(v)))
+    val mu = ls.sum.toDouble / 4 / 1e6
+    assert(math.abs(r.getAs[Long]("lnorm_mu_micro") -
+      math.round(1e6 * mu)) <= 1L)
+  }
+
+  test("psMatch: nearest control in caliper, tie to smaller id, replacement") {
+    val df = Seq(
+      // treated 1 @ .50: controls 10 @ .48 (d .02) and 11 @ .53
+      // (d .03) -> picks 10.
+      (1L, true, 0.50), (10L, false, 0.48), (11L, false, 0.53),
+      // treated 2 @ .90: nearest control .53 is outside caliper .05
+      // -> unmatched, absent.
+      (2L, true, 0.90),
+      // treated 3 @ .47: control 10 again (replacement) at d .01.
+      (3L, true, 0.47),
+      // treated 4 @ .505: ties 10 (d .025) vs 11 (d .025) -> 10.
+      (4L, true, 0.505))
+      .toDF("id", "t", "score")
+    val got = Profile.psMatch(df, "id", "t", "score", caliper = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("ctrl_id"), r.getAs[Long]("diff_micro")))).toMap
+    assert(got(1L) == ((10L, 20000L)))
+    assert(got(3L) == ((10L, -10000L)))
+    assert(got(4L) == ((10L, 25000L)))
+    assert(!got.contains(2L) && got.size == 3)
+  }
+
+  test("diffInDiff: hand 2x2 contrast, empty cell NULL") {
+    val df = Seq(
+      (true, false, 10.0), (true, false, 12.0), // t-pre mean 11
+      (true, true, 20.0), (true, true, 24.0),   // t-post mean 22
+      (false, false, 5.0), (false, true, 9.0))  // c: 5 -> 9
+      .toDF("arm", "post", "v")
+    val r = Profile.diffInDiff(df, "arm", "post", "v").collect().head
+    assert(r.getAs[Long]("mean_t_pre_micro") == 11000000L)
+    assert(r.getAs[Long]("did_micro") == (22.0 - 11.0 - 4.0) * 1e6)
+    val empty = Seq((true, false, 1.0), (false, true, 2.0),
+      (false, false, 3.0)).toDF("arm", "post", "v")
+    val r2 = Profile.diffInDiff(empty, "arm", "post", "v").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("did_micro")))
+    assert(r2.isNullAt(r2.fieldIndex("mean_t_post_micro")))
+  }
+
+  test("ipwAte: constant propensity reduces to the mean contrast") {
+    // e = 0.5 everywhere -> every weight 2 -> Hajek ATE is exactly
+    // mean(treated) - mean(control) = 20 - 14 = 6.
+    val df = Seq((true, 0.5, 18.0), (true, 0.5, 22.0),
+      (false, 0.5, 10.0), (false, 0.5, 18.0))
+      .toDF("t", "e", "y")
+    val r = Profile.ipwAte(df, "t", "e", "y").collect().head
+    assert(r.getAs[Long]("n_treat") == 2L && r.getAs[Long]("n_ctrl") == 2L)
+    assert(r.getAs[Long]("n_clipped") == 0L)
+    assert(r.getAs[Long]("ate_micro") == 6000000L)
+  }
+
+  test("ipwAte: extreme propensity clips and counts; empty arm NULL") {
+    val df = Seq((true, 0.001, 10.0), (true, 0.5, 20.0),
+      (false, 0.9995, 5.0), (false, 0.5, 7.0))
+      .toDF("t", "e", "y")
+    val r = Profile.ipwAte(df, "t", "e", "y", clip = 0.01)
+      .collect().head
+    assert(r.getAs[Long]("n_clipped") == 2L)
+    // Replay: treated weights 1/0.01, 1/0.5; control 1/(1-0.99),
+    // 1/(1-0.5) — everything micro-rounded per row like the op.
+    def w(t: Boolean, e: Double) = {
+      val ec = math.min(math.max(e, 0.01), 0.99)
+      if (t) math.round(1e6 / ec) else math.round(1e6 / (1.0 - ec))
+    }
+    def wy(t: Boolean, e: Double, y: Double) = {
+      val ec = math.min(math.max(e, 0.01), 0.99)
+      if (t) math.round(y * 1e6 / ec) else math.round(y * 1e6 / (1.0 - ec))
+    }
+    val wt = w(true, 0.001) + w(true, 0.5)
+    val wyt = wy(true, 0.001, 10.0) + wy(true, 0.5, 20.0)
+    val wc = w(false, 0.9995) + w(false, 0.5)
+    val wyc = wy(false, 0.9995, 5.0) + wy(false, 0.5, 7.0)
+    val want = math.round(
+      wyt.toDouble / wt * 1e6 - wyc.toDouble / wc * 1e6)
+    assert(r.getAs[Long]("ate_micro") == want)
+    val oneArm = Seq((true, 0.5, 1.0)).toDF("t", "e", "y")
+    val r2 = Profile.ipwAte(oneArm, "t", "e", "y").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("ate_micro")))
+  }
 }
