@@ -3807,14 +3807,21 @@ object Profile {
     * replacement — stated; each treated row independently takes its
     * closest control within the caliper, ties to the smaller control
     * id): the causal pre-step that turns an observational table into
-    * matched pairs. Scores micro-quantize; candidates come from a
-    * bucketed band join (control buckets of width caliper, treated
-    * probes its own and both adjacent buckets — every |Δ| ≤ caliper
-    * pair is covered exactly once), then an exact integer argmin.
-    * Unmatched treated rows are absent (no silent zero-diff rows).
-    *
-    * Scale: candidates ≤ 3 buckets × bucket occupancy per treated —
-    * the proximityJoin shape in 1-D; never treated × controls.
+    * matched pairs. SORT-MERGE, not a caliper-bucket join: on a
+    * dense score distribution a bucket join enumerates every
+    * in-caliper (treated, control) pair — O(n²·caliper/range)
+    * candidates just to throw all but one away (measured: 17 s at
+    * 100k rows) — while the nearest control is always the FLOOR or
+    * CEILING control score, so ≤ 2 candidates per treated suffice at
+    * ANY density. Controls first collapse to distinct scores keeping
+    * the min id (the (|Δ|, id) argmin can never prefer another id at
+    * the same score), the distinct scores are rank-indexed, each
+    * treated row reads its floor index off a running control count
+    * (controls sort BEFORE treated at equal scores, so an exact tie
+    * is the floor), and two index equi-joins fetch the candidates.
+    * All ranks/prefixes ride the range-partitioned machinery — no
+    * global window, no candidate blowup. Unmatched treated rows are
+    * absent (no silent zero-diff rows).
     * Output: (idCol, ctrl_id, t_score_micro, c_score_micro,
     * diff_micro). */
   def psMatch(
@@ -3831,25 +3838,43 @@ object Profile {
         col(treatCol).cast("boolean").as("__t"),
         round(col(scoreCol).cast("double") * lit(1e6)).cast("long")
           .as("__s"))
-    val ctrl = base.filter(!col("__t"))
-      .select(col("__id").as("ctrl_id"), col("__s").as("c_score_micro"),
-        expr(s"__s div ${calMicro}L").as("__b"))
-    val treatedProbes = base.filter(col("__t"))
-      .select(col("__id"), col("__s"),
-        explode(array(lit(-1L), lit(0L), lit(1L))).as("__db"))
-      .select(col("__id"), col("__s"),
-        (expr(s"__s div ${calMicro}L") + col("__db")).as("__b"))
-    treatedProbes.join(ctrl, Seq("__b"))
-      .filter(abs(col("__s") - col("c_score_micro")) <= calMicro)
-      .groupBy(col("__id"), col("__s"))
-      .agg(min_by(
-        struct(col("ctrl_id"), col("c_score_micro")),
-        struct(abs(col("__s") - col("c_score_micro")).as("d"),
-          col("ctrl_id"))).as("__m"))
-      .select(col("__id").as(idCol), col("__m.ctrl_id").as("ctrl_id"),
+    val ctrlD = Dedup.truncate(base.filter(!col("__t"))
+      .groupBy(col("__s")).agg(min(col("__id")).as("__cid"))
+      .select(col("__s").as("__cs"), col("__cid")))
+    val ctrlIdx = Dedup.truncate(Ranking.groupRank(
+        ctrlD.withColumn("__one", lit(1L)), "__one", Seq("__cs"))
+      .select(col("rank").as("__j"), col("__cs"), col("__cid")))
+    val mixed = ctrlD.select(col("__cs").as("__s"), lit(0L).as("__tag"),
+        lit(1L).as("__c"), lit(null).cast("long").as("__id"))
+      .unionByName(base.filter(col("__t"))
+        .select(col("__s"), lit(1L).as("__tag"), lit(0L).as("__c"),
+          col("__id")))
+      .withColumn("__one", lit(1L))
+    val floorIdx = Ranking.groupRunningSum(mixed, "__one",
+        Seq("__s", "__tag", "__id"), "__c")
+      .filter(col("__tag") === 1L)
+      .select(col("__id"), col("__s"), col("running").as("__p"))
+    val cand = floorIdx
+      .join(ctrlIdx.select(col("__j").as("__pj"),
+        col("__cs").as("__ps"), col("__cid").as("__pc")),
+        col("__p") === col("__pj"), "left")
+      .join(ctrlIdx.select(col("__j").as("__sj"),
+        col("__cs").as("__ss"), col("__cid").as("__sc")),
+        col("__p") + 1L === col("__sj"), "left")
+    val pd = col("__s") - col("__ps")     // floor diff, ≥ 0
+    val sd = col("__ss") - col("__s")     // ceiling diff, > 0
+    val pOk = col("__ps").isNotNull && pd <= calMicro
+    val sOk = col("__ss").isNotNull && sd <= calMicro
+    val pickFloor = pOk && (!sOk || pd < sd ||
+      (pd === sd && col("__pc") < col("__sc")))
+    cand.filter(pOk || sOk)
+      .select(col("__id").as(idCol),
+        when(pickFloor, col("__pc")).otherwise(col("__sc"))
+          .as("ctrl_id"),
         col("__s").as("t_score_micro"),
-        col("__m.c_score_micro").as("c_score_micro"),
-        (col("__s") - col("__m.c_score_micro")).as("diff_micro"))
+        when(pickFloor, col("__ps")).otherwise(col("__ss"))
+          .as("c_score_micro"),
+        when(pickFloor, pd).otherwise(-sd).as("diff_micro"))
   }
 
   /** Difference-in-differences — the 2×2 causal workhorse: DID =
