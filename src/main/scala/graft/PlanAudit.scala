@@ -80,7 +80,9 @@ object PlanAudit {
     "q391_cramers_v" -> "margin × margin contingency GRID cross (model-sized: r × c categories) + 1-row total attaches",
     "q392_jonckheere" -> "k-level (≤ 32) broadcast dose-pair fan-out + 1-row size-census attach",
     "q397_ipw_ate" -> "1-row × 1-row scalar cross (dropped-count attach onto the estimate row)",
-    "q373_entropy_rate" -> "1-row scalar crosses (transition total × the two entropy sums — the q226 shape)")
+    "q373_entropy_rate" -> "1-row scalar crosses (transition total × the two entropy sums — the q226 shape)",
+    "q401_assoc_rules" -> "1-row broadcast scalar attach (kept-basket count N onto each rule)",
+    "q409_page_trend" -> "constant-group gate folds the __g equi-key: the k/dropped/n_blocks/L2 attaches become 1-row-per-group scalar crosses (real multi-group inputs keep hash equi-joins)")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
     * partition is bounded (per-user event counts in the fixtures are

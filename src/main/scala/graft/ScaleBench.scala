@@ -88,7 +88,13 @@ object ScaleBench {
     // item-kNN were the two most expensive r14 gates without
     // measured exponents; q383 is the new graph-ANN search.
     "q358_dbscan", "q346_hyperball", "q376_item_knn_recs",
-    "q383_nsw_recall")
+    "q383_nsw_recall",
+    // round-15 wave 2: the WARC offset-walk parse boundary (map-only
+    // — must measure flat-linear in shard count) and depth-3 Apriori
+    // triple mining (the new multi-join topology: capped baskets →
+    // pair census → triple census; fan-out bounded per basket, so
+    // linear in baskets).
+    "q400_warc_parse", "q401_assoc_rules")
 
   /** ScaleBench-only variants. q346's GATE pairs the hyperBall
     * estimate with its exact pair-materializing twin — the twin is

@@ -5341,8 +5341,180 @@ object SparkEntry {
       Interval.overlapJoin(iv, "iid", "lo", "hi",
           iv, "iid", "lo", "hi", bucketWidth = 86400000L)
         .filter(col("a_id") < col("b_id"))
-    })
+    }),
+
+    // WARC shard extraction — Content-Length-driven record walk over
+    // the per-source crawl fixture: a warcinfo record then one
+    // response/resource record per doc; response records peel their
+    // HTTP envelope (status + body), other blocks pass through.
+    "q400_warc_parse" -> ((s, dir) =>
+      Warc.parseWarc(warcShards(s, dir), "source", "warc")
+        .select(col("source"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("record_id"), col("content_length"),
+          col("http_status"),
+          length(col("body")).cast("long").as("body_chars"),
+          md5(col("body")).as("body_md5"))),
+
+    // Apriori depth-3 market-basket rules over order baskets (items
+    // = part residues): every {x,y} -> z with support >= 5,
+    // confidence and lift as exact integer micros.
+    "q401_assoc_rules" -> ((s, dir) =>
+      Recsys.assocRules(t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            (col("l_partkey") % 50).as("item")),
+        "l_orderkey", "item", minSup = 5L, maxItemsPerBasket = 16)),
+
+    // CART root stump per melted event feature against the
+    // (user+event parity) label: best Gini threshold, its gain, and
+    // the left-split census.
+    "q402_decision_stump" -> ((s, dir) => {
+      val y = ((col("user_id") + col("event_id")) % 2 === 0).as("y")
+      val melted = t(s, dir, "events").select(y,
+          explode(array(
+            struct(lit("value").as("f"),
+              col("value").cast("double").as("v")),
+            struct(lit("hour").as("f"),
+              (expr("unix_millis(ts) div 3600000") % 24)
+                .cast("double").as("v")),
+            struct(lit("residue").as("f"),
+              (col("user_id") % 100).cast("double").as("v"))))
+            .as("fv"))
+        .select(col("fv.f").as("feature"), col("fv.v").as("v"),
+          col("y"))
+      Profile.decisionStump(melted, "feature", "v", "y")
+    }),
+
+    // Durbin-Watson on the per-type value-vs-time OLS residuals:
+    // serial correlation of what the trend line leaves behind.
+    "q403_durbin_watson" -> ((s, dir) =>
+      Profile.durbinWatson(t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_millis(ts)").as("ord"), col("event_id"),
+            col("value")),
+        "event_type", "ord", "event_id", "value")),
+
+    // Chow structural-break F per event type: did value-vs-day
+    // change slope/level between even and odd days.
+    "q404_chow" -> ((s, dir) =>
+      Profile.chowTest(t(s, dir, "events")
+          .select(col("event_type"),
+            (expr("unix_millis(ts) div 86400000") % 2 === 0)
+              .as("seg"),
+            expr("unix_millis(ts) div 86400000").cast("double")
+              .as("day"),
+            col("value")),
+        "event_type", "seg", "day", "value")),
+
+    // Cochran-Armitage dose trend: does P(quantity > 25) rise with
+    // the line number, per return flag.
+    "q405_cochran_armitage" -> ((s, dir) =>
+      Profile.cochranArmitage(t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linenumber"),
+            (col("l_quantity") > 25.0).as("hi")),
+        "l_returnflag", "l_linenumber", "hi")),
+
+    // Ansari-Bradley scale test: do even/odd users differ in value
+    // DISPERSION (not location) within each event type.
+    "q406_ansari_bradley" -> ((s, dir) =>
+      Profile.ansariBradley(t(s, dir, "events")
+          .select(col("event_type"), col("value"),
+            (col("user_id") % 2 === 0).as("side")),
+        "event_type", "value", "side")),
+
+    // Cramer-von Mises whole-CDF drift between open and closed line
+    // statuses per return flag — catches spread-out departures KS'
+    // single max misses.
+    "q407_cramer_von_mises" -> ((s, dir) =>
+      Profile.cramerVonMises(t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            (col("l_linestatus") === "O").as("side")),
+        "l_returnflag", "l_extendedprice", "side")),
+
+    // Kuiper V per event type: direction-aware ECDF drift between
+    // even and odd event ids (D+ + D-).
+    "q408_kuiper" -> ((s, dir) =>
+      Profile.kuiper(t(s, dir, "events")
+          .select(col("event_type"), col("value"),
+            (col("event_id") % 2 === 0).as("side")),
+        "event_type", "value", "side")),
+
+    // Page trend over users x event types: do per-user milli-value
+    // totals rise monotonically in event-type order (complete
+    // blocks only; incomplete users censused).
+    "q409_page_trend" -> ((s, dir) =>
+      Profile.pageTrend(t(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(sum(round(col("value").cast("double") * lit(1e3))
+            .cast("long")).as("sv"))
+          .select(lit("all").as("g"), col("user_id"),
+            col("event_type"), col("sv").cast("double").as("sv")),
+        "g", "user_id", "event_type", "sv")),
+
+    // Brunner-Munzel: rank-Welch between even and odd users per
+    // event type — P(X<Y) estimate + variance-honest studentized W.
+    "q410_brunner_munzel" -> ((s, dir) =>
+      Profile.brunnerMunzel(t(s, dir, "events")
+          .select(col("event_type"), col("value"),
+            (col("user_id") % 2 === 0).as("side")),
+        "event_type", "value", "side")),
+
+    // Exact average precision of value as a retrieval score for the
+    // rare (user_id % 7 = 0) positives, per event type; ties break
+    // by (score desc, event_id asc) -- stated total order.
+    "q411_average_precision" -> ((s, dir) =>
+      Ranking.averagePrecision(t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value"),
+            (col("user_id") % 7 === 0).as("y")),
+        "event_type", "event_id", "value", "y"))
   )
+
+  /** q400's crawl-shard fixture: one WARC string per document source
+    * — a warcinfo record, then one response/resource record per doc
+    * (doc_id % 7 = 0, CRs scrubbed and text ASCII so the oracle's
+    * boundary-split replay is sound; the Spark parser itself is
+    * Content-Length-driven and needs no such guarantee — WarcSpec
+    * feeds it payloads containing `WARC/1.0`). Mirrored verbatim in
+    * the q400 oracle. */
+  private def warcShards(s: SparkSession, dir: String): DataFrame = {
+    val crlf = "\r\n"
+    val d = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("source"),
+        regexp_replace(substring(col("text"), 1, 400), "\\r", " ")
+          .as("txt"))
+    val status = when(col("doc_id") % 5 === 0, lit("404 Not Found"))
+      .otherwise(lit("200 OK"))
+    val isResource = col("doc_id") % 3 === 0
+    val block = when(isResource, col("txt"))
+      .otherwise(concat(lit("HTTP/1.1 "), status,
+        lit(crlf + "Content-Type: text/plain" + crlf + crlf),
+        col("txt")))
+    val typ = when(isResource, lit("resource"))
+      .otherwise(lit("response"))
+    val rec = concat(lit("WARC/1.0" + crlf + "WARC-Type: "), typ,
+      lit(crlf + "WARC-Target-URI: https://"), col("source"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"),
+      lit(crlf + "WARC-Record-ID: <urn:uuid:"),
+      col("doc_id").cast("string"),
+      lit(">" + crlf + "Content-Length: "),
+      length(block).cast("string"), lit(crlf + crlf), block,
+      lit(crlf + crlf))
+    val info = concat(lit("software: graft/0.1\nisPartOf: "),
+      col("source"))
+    d.select(col("source"), col("doc_id"), rec.as("__rec"))
+      .groupBy(col("source"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id").as("k"),
+          col("__rec").as("r")))), x => x.getField("r")), "")
+        .as("__body"))
+      .select(col("source"),
+        concat(
+          lit("WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
+            "WARC-Record-ID: <urn:uuid:shard-"), col("source"),
+          lit(">" + crlf + "Content-Length: "),
+          length(info).cast("string"), lit(crlf + crlf), info,
+          lit(crlf + crlf), col("__body")).as("warc"))
+  }
 
   /** q308/q309's shared match fixture — organic preference pairs:
     * consecutive doc_ids "play", the longer document's source wins;
@@ -14394,6 +14566,671 @@ object SparkEntry {
         |  least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_len
         |FROM iv a, iv b
         |WHERE a.lo <= b.hi AND b.lo <= a.hi AND a.iid < b.iid"""
+        .stripMargin,
+
+    // Replays the q400 fixture (same record strings, string_agg in
+    // doc order), then parses by splitting on the full record
+    // boundary (sound here: payloads are CR-scrubbed doc text) and
+    // extracting each block via its declared Content-Length — the
+    // same chars the Spark side's offset walk yields.
+    "q400_warc_parse" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    replace(substr(text, 1, 400), chr(13), ' ') AS txt
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |r0 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'resource'
+        |         ELSE 'response' END AS typ,
+        |    CASE WHEN doc_id % 3 = 0 THEN txt
+        |      ELSE 'HTTP/1.1 ' ||
+        |        CASE WHEN doc_id % 5 = 0 THEN '404 Not Found'
+        |             ELSE '200 OK' END ||
+        |        e'\r\nContent-Type: text/plain\r\n\r\n' || txt
+        |      END AS block
+        |  FROM d),
+        |recs AS (
+        |  SELECT source, doc_id,
+        |    e'WARC/1.0\r\nWARC-Type: ' || typ ||
+        |    e'\r\nWARC-Target-URI: https://' || source ||
+        |    '.example.com/doc/' || CAST(doc_id AS VARCHAR) ||
+        |    e'\r\nWARC-Record-ID: <urn:uuid:' ||
+        |    CAST(doc_id AS VARCHAR) || e'>\r\nContent-Length: ' ||
+        |    CAST(length(block) AS VARCHAR) || e'\r\n\r\n' || block ||
+        |    e'\r\n\r\n' AS rec
+        |  FROM r0),
+        |sh AS (
+        |  SELECT source,
+        |    e'WARC/1.0\r\nWARC-Type: warcinfo\r\n' ||
+        |    'WARC-Record-ID: <urn:uuid:shard-' || source ||
+        |    e'>\r\nContent-Length: ' ||
+        |    CAST(length('software: graft/0.1' || chr(10) ||
+        |      'isPartOf: ' || source) AS VARCHAR) || e'\r\n\r\n' ||
+        |    'software: graft/0.1' || chr(10) || 'isPartOf: ' ||
+        |    source || e'\r\n\r\n' ||
+        |    string_agg(rec, '' ORDER BY doc_id) AS blob
+        |  FROM recs GROUP BY source),
+        |p AS (
+        |  SELECT source,
+        |    string_split(replace(blob, e'\r\n\r\nWARC/1.0\r\n',
+        |      chr(30) || e'WARC/1.0\r\n'), chr(30)) AS parts
+        |  FROM sh),
+        |rp AS (
+        |  SELECT source, i - 1 AS rec_idx, parts[CAST(i AS INT)] AS part
+        |  FROM p, UNNEST(generate_series(1, len(parts))) AS u(i)),
+        |hx AS (
+        |  SELECT source, rec_idx,
+        |    split_part(part, e'\r\n\r\n', 1) AS hdr,
+        |    substr(part,
+        |      length(split_part(part, e'\r\n\r\n', 1)) + 5) AS rest
+        |  FROM rp),
+        |cl AS (
+        |  SELECT source, rec_idx, hdr, rest,
+        |    CAST(regexp_extract(hdr,
+        |      '(?im)^Content-Length:[ \t]*([0-9]+)', 1) AS BIGINT)
+        |      AS content_length
+        |  FROM hx),
+        |fx AS (
+        |  SELECT source, rec_idx, content_length,
+        |    regexp_extract(hdr, '(?im)^WARC-Type:[ \t]*(\S+)', 1)
+        |      AS warc_type,
+        |    nullif(regexp_extract(hdr,
+        |      '(?im)^WARC-Target-URI:[ \t]*(\S+)', 1), '')
+        |      AS target_uri,
+        |    nullif(regexp_extract(hdr,
+        |      '(?im)^WARC-Record-ID:[ \t]*(\S+)', 1), '')
+        |      AS record_id,
+        |    substr(rest, 1, content_length) AS block
+        |  FROM cl),
+        |bd AS (
+        |  SELECT source, rec_idx, warc_type, target_uri, record_id,
+        |    content_length,
+        |    CASE WHEN warc_type = 'response' AND block LIKE 'HTTP/%'
+        |      THEN CAST(regexp_extract(block,
+        |        '^HTTP/[0-9.]+ ([0-9]{3})', 1) AS BIGINT)
+        |      END AS http_status,
+        |    CASE WHEN warc_type = 'response' AND block LIKE 'HTTP/%'
+        |      THEN substr(block, strpos(block, e'\r\n\r\n') + 4)
+        |      ELSE block END AS body
+        |  FROM fx)
+        |SELECT source, rec_idx, warc_type, target_uri, record_id,
+        |  content_length, http_status,
+        |  CAST(length(body) AS BIGINT) AS body_chars,
+        |  md5(body) AS body_md5
+        |FROM bd"""
+        .stripMargin,
+
+    "q401_assoc_rules" ->
+      """WITH b0 AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |keep AS (
+        |  SELECT b FROM b0 GROUP BY b
+        |  HAVING count(*) BETWEEN 3 AND 16),
+        |bk AS (SELECT b0.b, b0.i FROM b0 JOIN keep USING (b)),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM keep),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM bk
+        |  GROUP BY 1),
+        |pr AS (
+        |  SELECT x.b, x.i AS ia, y.i AS ib
+        |  FROM bk x JOIN bk y ON x.b = y.b AND x.i < y.i),
+        |pc AS (SELECT ia, ib, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM pr GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT pr.ia, pr.ib, z.i AS ic3,
+        |    CAST(count(*) AS BIGINT) AS n_abc
+        |  FROM pr JOIN bk z ON pr.b = z.b AND z.i > pr.ib
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+        |rules AS (
+        |  SELECT ia AS ant_a, ib AS ant_b, ic3 AS cons, n_abc FROM tr
+        |  UNION ALL
+        |  SELECT ia, ic3, ib, n_abc FROM tr
+        |  UNION ALL
+        |  SELECT ib, ic3, ia, n_abc FROM tr)
+        |SELECT r.ant_a, r.ant_b, r.cons, r.n_abc,
+        |  pc.n_ab AS n_ant, ic.n_i AS n_cons, nb.n_baskets,
+        |  (1000000 * r.n_abc) // pc.n_ab AS conf_micro,
+        |  (1000000 * r.n_abc * nb.n_baskets) // (pc.n_ab * ic.n_i)
+        |    AS lift_micro
+        |FROM rules r
+        |JOIN pc ON r.ant_a = pc.ia AND r.ant_b = pc.ib
+        |JOIN ic ON r.cons = ic.i
+        |CROSS JOIN nb"""
+        .stripMargin,
+
+    "q402_decision_stump" ->
+      """WITH e AS (
+        |  SELECT (user_id + event_id) % 2 = 0 AS y, value,
+        |    (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |    user_id % 100 AS residue
+        |  FROM events),
+        |m AS (
+        |  SELECT 'value' AS feature,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v,
+        |    CASE WHEN y THEN 1 ELSE 0 END AS yy
+        |  FROM e WHERE value IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'hour',
+        |    CAST(round(CAST(hour AS DOUBLE) * 1e3) AS BIGINT),
+        |    CASE WHEN y THEN 1 ELSE 0 END
+        |  FROM e
+        |  UNION ALL
+        |  SELECT 'residue',
+        |    CAST(round(CAST(residue AS DOUBLE) * 1e3) AS BIGINT),
+        |    CASE WHEN y THEN 1 ELSE 0 END
+        |  FROM e),
+        |cells AS (
+        |  SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(yy) AS BIGINT) AS p
+        |  FROM m GROUP BY 1, 2),
+        |run AS (
+        |  SELECT feature, v, n, p,
+        |    sum(n) OVER w AS cn, sum(p) OVER w AS cp
+        |  FROM cells
+        |  WINDOW w AS (PARTITION BY feature ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT feature, CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(p) AS BIGINT) AS pp
+        |  FROM cells GROUP BY 1),
+        |sc AS (
+        |  SELECT run.feature, run.v, run.cn, run.cp, tot.nn, tot.pp,
+        |    CAST(round(1e6 * (2.0 *
+        |      (CAST(cp * (cn - cp) AS DOUBLE) / CAST(cn AS DOUBLE)
+        |       + CAST((pp - cp) * ((nn - cn) - (pp - cp)) AS DOUBLE)
+        |         / CAST(nn - cn AS DOUBLE))
+        |      / CAST(nn AS DOUBLE))) AS BIGINT) AS gini_micro,
+        |    CAST(round(1e6 * (
+        |      2.0 * CAST(pp * (nn - pp) AS DOUBLE)
+        |        / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      - (2.0 *
+        |        (CAST(cp * (cn - cp) AS DOUBLE) / CAST(cn AS DOUBLE)
+        |         + CAST((pp - cp) * ((nn - cn) - (pp - cp)) AS DOUBLE)
+        |           / CAST(nn - cn AS DOUBLE))
+        |        / CAST(nn AS DOUBLE)))) AS BIGINT) AS gain_micro
+        |  FROM run JOIN tot USING (feature)
+        |  WHERE run.cn < tot.nn)
+        |SELECT feature, nn AS n, pp AS pos, v AS threshold_milli,
+        |  gini_micro, gain_micro, cn AS n_le, cp AS pos_le
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY feature
+        |  ORDER BY gini_micro, v) = 1"""
+        .stripMargin,
+
+    "q403_durbin_watson" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, epoch_ms(ts) AS x, event_id AS tb,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |s AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM b GROUP BY 1),
+        |ab AS (
+        |  SELECT g, n, sx, sy,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS det,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b1
+        |  FROM s),
+        |e AS (
+        |  SELECT b.g, b.x, b.tb,
+        |    CAST(round(1e3 * (CAST(b.y AS DOUBLE)
+        |      - (CAST(ab.sy AS DOUBLE) - ab.b1 * CAST(ab.sx AS DOUBLE))
+        |        / CAST(ab.n AS DOUBLE)
+        |      - ab.b1 * CAST(b.x AS DOUBLE))) AS BIGINT) AS e
+        |  FROM b JOIN ab ON b.g = ab.g WHERE ab.det > 0),
+        |d AS (
+        |  SELECT g, e,
+        |    lag(e) OVER (PARTITION BY g ORDER BY x, tb) AS pe
+        |  FROM e),
+        |agg AS (
+        |  SELECT g, sum(CAST(e AS HUGEINT) * e) AS se2,
+        |    sum(CASE WHEN pe IS NOT NULL
+        |      THEN CAST(e - pe AS HUGEINT) * (e - pe) END) AS sd2
+        |  FROM d GROUP BY 1)
+        |SELECT s.g AS event_type, s.n,
+        |  CASE WHEN ab.det > 0 AND s.n >= 2 AND agg.se2 > 0
+        |      AND agg.sd2 IS NOT NULL
+        |    THEN CAST(round(1e6 * CAST(agg.sd2 AS DOUBLE)
+        |      / CAST(agg.se2 AS DOUBLE)) AS BIGINT) END AS dw_micro
+        |FROM s JOIN ab ON s.g = ab.g LEFT JOIN agg ON s.g = agg.g"""
+        .stripMargin,
+
+    "q404_chow" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    (epoch_ms(ts) // 86400000) % 2 = 0 AS s,
+        |    CAST(round(CAST(epoch_ms(ts) // 86400000 AS DOUBLE) * 1e3)
+        |      AS BIGINT) AS x,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |ss AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS np,
+        |    sum(CAST(x AS HUGEINT)) AS sxp,
+        |    sum(CAST(y AS HUGEINT)) AS syp,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxxp,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxyp,
+        |    sum(CAST(y AS HUGEINT) * y) AS syyp,
+        |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    sum(CASE WHEN s THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx1,
+        |    sum(CASE WHEN s THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy1,
+        |    sum(CASE WHEN s THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |      AS sxx1,
+        |    sum(CASE WHEN s THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+        |      AS sxy1,
+        |    sum(CASE WHEN s THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+        |      AS syy1,
+        |    CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        |    sum(CASE WHEN s THEN 0 ELSE CAST(x AS HUGEINT) END) AS sx2,
+        |    sum(CASE WHEN s THEN 0 ELSE CAST(y AS HUGEINT) END) AS sy2,
+        |    sum(CASE WHEN s THEN 0 ELSE CAST(x AS HUGEINT) * x END)
+        |      AS sxx2,
+        |    sum(CASE WHEN s THEN 0 ELSE CAST(x AS HUGEINT) * y END)
+        |      AS sxy2,
+        |    sum(CASE WHEN s THEN 0 ELSE CAST(y AS HUGEINT) * y END)
+        |      AS syy2
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT g, np, n1, n2,
+        |    CASE WHEN np >= 2 AND CAST(sxxp AS DOUBLE)
+        |        - CAST(sxp AS DOUBLE) * CAST(sxp AS DOUBLE)
+        |          / CAST(np AS DOUBLE) > 0
+        |      THEN CAST(syyp AS DOUBLE)
+        |        - CAST(syp AS DOUBLE) * CAST(syp AS DOUBLE)
+        |          / CAST(np AS DOUBLE)
+        |        - (CAST(sxyp AS DOUBLE) - CAST(sxp AS DOUBLE)
+        |            * CAST(syp AS DOUBLE) / CAST(np AS DOUBLE))
+        |          * (CAST(sxyp AS DOUBLE) - CAST(sxp AS DOUBLE)
+        |            * CAST(syp AS DOUBLE) / CAST(np AS DOUBLE))
+        |          / (CAST(sxxp AS DOUBLE) - CAST(sxp AS DOUBLE)
+        |            * CAST(sxp AS DOUBLE) / CAST(np AS DOUBLE))
+        |      END AS ssep,
+        |    CASE WHEN n1 >= 2 AND CAST(sxx1 AS DOUBLE)
+        |        - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+        |          / CAST(n1 AS DOUBLE) > 0
+        |      THEN CAST(syy1 AS DOUBLE)
+        |        - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+        |          / CAST(n1 AS DOUBLE)
+        |        - (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+        |            * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |          * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+        |            * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |          / (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+        |            * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      END AS sse1,
+        |    CASE WHEN n2 >= 2 AND CAST(sxx2 AS DOUBLE)
+        |        - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |          / CAST(n2 AS DOUBLE) > 0
+        |      THEN CAST(syy2 AS DOUBLE)
+        |        - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |          / CAST(n2 AS DOUBLE)
+        |        - (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+        |            * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |          * (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+        |            * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |          / (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+        |            * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |      END AS sse2
+        |  FROM ss)
+        |SELECT g AS event_type, n1 AS n_a, n2 AS n_b,
+        |  CASE WHEN np > 4 AND ssep IS NOT NULL AND sse1 IS NOT NULL
+        |      AND sse2 IS NOT NULL AND sse1 + sse2 > 0
+        |    THEN CAST(round(1e6 * ((ssep - sse1 - sse2) / 2.0
+        |      / ((sse1 + sse2) / (CAST(np AS DOUBLE) - 4.0))))
+        |      AS BIGINT) END AS f_micro
+        |FROM f"""
+        .stripMargin,
+
+    "q405_cochran_armitage" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g, CAST(l_linenumber AS BIGINT) AS w,
+        |    CASE WHEN CAST(l_quantity AS DOUBLE) > 25.0 THEN 1
+        |         ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL),
+        |c AS (
+        |  SELECT g, w, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS r
+        |  FROM b GROUP BY 1, 2),
+        |s AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS k_doses,
+        |    CAST(sum(n) AS BIGINT) AS n, CAST(sum(r) AS BIGINT)
+        |      AS n_pos,
+        |    sum(CAST(r AS HUGEINT) * w) AS t,
+        |    sum(CAST(n AS HUGEINT) * w) AS s1,
+        |    sum(CAST(n AS HUGEINT) * w * w) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT g AS l_returnflag, k_doses, n, n_pos,
+        |  CASE WHEN (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+        |    THEN CAST(round(1e6 * (CAST(t AS DOUBLE)
+        |      - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * CAST(s1 AS DOUBLE))
+        |      / sqrt((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |          * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      AS BIGINT) END AS z_micro
+        |FROM s"""
+        .stripMargin,
+
+    "q406_ansari_bradley" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    user_id % 2 = 0 AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT g, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |c2 AS (SELECT g, v, ca, cb, ca + cb AS c FROM c),
+        |t AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM c2 GROUP BY 1),
+        |r AS (
+        |  SELECT g, v, ca, cb, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+        |  FROM c2),
+        |sc AS (
+        |  SELECT r.g, ca, cb, c, t.n_a, t.n_b, t.n_a + t.n_b AS nt,
+        |    least(2 * (cum - c) + c + 1,
+        |      2 * (t.n_a + t.n_b + 1) - (2 * (cum - c) + c + 1)) AS s2
+        |  FROM r JOIN t ON r.g = t.g),
+        |agg AS (
+        |  SELECT g, max(n_a) AS n_a, max(n_b) AS n_b,
+        |    max(nt) AS nn,
+        |    sum(CAST(ca AS HUGEINT) * s2) AS ab2,
+        |    sum(CAST(c AS HUGEINT) * s2) AS ss,
+        |    sum(CAST(c AS HUGEINT) * s2 * s2) AS ssq
+        |  FROM sc GROUP BY 1)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(ab2 AS BIGINT)
+        |    END AS ab2,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |      AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) * CAST(ssq AS DOUBLE)
+        |          - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+        |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          * (CAST(nn AS DOUBLE) - 1.0)) > 0
+        |    THEN CAST(round(1e6 * (CAST(ab2 AS DOUBLE)
+        |      - CAST(n_a AS DOUBLE) * CAST(ss AS DOUBLE)
+        |        / CAST(nn AS DOUBLE))
+        |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) * CAST(ssq AS DOUBLE)
+        |          - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+        |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          * (CAST(nn AS DOUBLE) - 1.0)))) AS BIGINT)
+        |    END AS z_micro
+        |FROM agg"""
+        .stripMargin,
+
+    "q407_cramer_von_mises" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS v,
+        |    l_linestatus = 'O' AS a
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |c AS (
+        |  SELECT g, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |c2 AS (SELECT g, v, ca, cb, ca + cb AS c FROM c),
+        |r AS (
+        |  SELECT g, v, ca, cb, c,
+        |    sum(c) OVER w AS cum, sum(ca) OVER w AS cuma,
+        |    sum(cb) OVER w AS cumb
+        |  FROM c2
+        |  WINDOW w AS (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (
+        |  SELECT g, ca, cb, c,
+        |    2 * (cum - c) + c + 1 AS m2,
+        |    2 * (cum - c) + c + 1 - 2 * (cuma - ca) AS kka,
+        |    2 * (cum - c) + c + 1 - 2 * (cumb - cb) AS kkb
+        |  FROM r),
+        |agg AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN ca > 0
+        |      THEN CAST(ca AS HUGEINT) * kka * kka
+        |        - 2 * CAST(kka AS HUGEINT) * ca * (ca + 1)
+        |        + (4 * CAST(ca AS HUGEINT) * (ca + 1) * (2 * ca + 1))
+        |          // 6
+        |      ELSE 0 END) AS ua,
+        |    sum(CASE WHEN cb > 0
+        |      THEN CAST(cb AS HUGEINT) * kkb * kkb
+        |        - 2 * CAST(kkb AS HUGEINT) * cb * (cb + 1)
+        |        + (4 * CAST(cb AS HUGEINT) * (cb + 1) * (2 * cb + 1))
+        |          // 6
+        |      ELSE 0 END) AS ub
+        |  FROM u GROUP BY 1)
+        |SELECT g AS l_returnflag, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(round(1e6 * (
+        |      CAST(CAST(n_a AS HUGEINT) * ua + CAST(n_b AS HUGEINT)
+        |        * ub AS DOUBLE) / 4.0
+        |        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |          * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |      - (4.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |          - 1.0)
+        |        / (6.0 * (CAST(n_a AS DOUBLE)
+        |          + CAST(n_b AS DOUBLE))))) AS BIGINT)
+        |    END AS t_micro
+        |FROM agg"""
+        .stripMargin,
+
+    "q408_kuiper" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    event_id % 2 = 0 AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT g, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT g, v, ca, cb,
+        |    sum(ca) OVER w AS ra, sum(cb) OVER w AS rb
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (
+        |  SELECT r.g, max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+        |    max(greatest(CAST(ra AS HUGEINT) * t.n_b
+        |      - CAST(rb AS HUGEINT) * t.n_a, 0)) AS dp,
+        |    max(greatest(-(CAST(ra AS HUGEINT) * t.n_b
+        |      - CAST(rb AS HUGEINT) * t.n_a), 0)) AS dm
+        |  FROM r JOIN t ON r.g = t.g GROUP BY 1)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(round(1e6 * (CAST(dp AS DOUBLE)
+        |      + CAST(dm AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |      AS BIGINT) END AS v_micro
+        |FROM agg"""
+        .stripMargin,
+
+    "q409_page_trend" ->
+      """WITH pv AS (
+        |  SELECT user_id AS b, event_type AS t,
+        |    CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1e3)
+        |      AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |base AS (
+        |  SELECT 'all' AS g, b, t,
+        |    CAST(round(CAST(sv AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM pv),
+        |kp AS (SELECT g, CAST(count(DISTINCT t) AS BIGINT) AS k
+        |  FROM base GROUP BY 1),
+        |ti AS (
+        |  SELECT g, t, CAST(row_number() OVER (PARTITION BY g
+        |    ORDER BY t) AS BIGINT) AS idx
+        |  FROM (SELECT DISTINCT g, t FROM base)),
+        |bl AS (
+        |  SELECT base.g, b, CAST(count(*) AS BIGINT) AS cnt, kp.k
+        |  FROM base JOIN kp ON base.g = kp.g GROUP BY 1, 2, 4),
+        |dropped AS (
+        |  SELECT g, CAST(sum(CASE WHEN cnt = k THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_dropped_blocks
+        |  FROM bl GROUP BY 1),
+        |rows_ AS (
+        |  SELECT base.* FROM base
+        |  JOIN (SELECT g, b FROM bl WHERE cnt = k) cb
+        |    ON base.g = cb.g AND base.b = cb.b),
+        |rk AS (
+        |  SELECT x.g, x.b, x.t,
+        |    2 * sum(CASE WHEN y.v < x.v THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN y.v = x.v THEN 1 ELSE 0 END) + 1 AS r2
+        |  FROM rows_ x JOIN rows_ y ON x.g = y.g AND x.b = y.b
+        |  GROUP BY x.g, x.b, x.t, x.v),
+        |l2 AS (
+        |  SELECT rk.g, sum(CAST(ti.idx AS HUGEINT) * rk.r2) AS l2
+        |  FROM rk JOIN ti ON rk.g = ti.g AND rk.t = ti.t
+        |  GROUP BY 1),
+        |np AS (SELECT g, CAST(count(*) AS BIGINT) AS n_blocks
+        |  FROM bl WHERE cnt = k GROUP BY 1)
+        |SELECT kp.g, kp.k,
+        |  COALESCE(np.n_blocks, 0) AS n_blocks,
+        |  dropped.n_dropped_blocks,
+        |  CASE WHEN np.n_blocks > 0 THEN CAST(l2.l2 AS BIGINT)
+        |    END AS l2,
+        |  CASE WHEN np.n_blocks > 0 AND kp.k >= 3
+        |      AND CAST(np.n_blocks AS DOUBLE) * CAST(kp.k AS DOUBLE)
+        |        * CAST(kp.k AS DOUBLE)
+        |        * (CAST(kp.k AS DOUBLE) + 1.0)
+        |        * (CAST(kp.k AS DOUBLE) * CAST(kp.k AS DOUBLE) - 1.0)
+        |        / 36.0 > 0
+        |    THEN CAST(round(1e6 * (CAST(l2.l2 AS DOUBLE)
+        |      - CAST(np.n_blocks AS DOUBLE) * CAST(kp.k AS DOUBLE)
+        |        * (CAST(kp.k AS DOUBLE) + 1.0)
+        |        * (CAST(kp.k AS DOUBLE) + 1.0) / 2.0)
+        |      / sqrt(CAST(np.n_blocks AS DOUBLE)
+        |        * CAST(kp.k AS DOUBLE) * CAST(kp.k AS DOUBLE)
+        |        * (CAST(kp.k AS DOUBLE) + 1.0)
+        |        * (CAST(kp.k AS DOUBLE) * CAST(kp.k AS DOUBLE) - 1.0)
+        |        / 36.0)) AS BIGINT) END AS z_micro
+        |FROM kp JOIN dropped ON kp.g = dropped.g
+        |LEFT JOIN np ON kp.g = np.g
+        |LEFT JOIN l2 ON kp.g = l2.g"""
+        .stripMargin,
+
+    "q410_brunner_munzel" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    user_id % 2 = 0 AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT g, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |c2 AS (SELECT g, v, ca, cb, ca + cb AS c FROM c),
+        |r AS (
+        |  SELECT g, v, ca, cb, c,
+        |    sum(c) OVER w AS cum, sum(ca) OVER w AS cuma,
+        |    sum(cb) OVER w AS cumb
+        |  FROM c2
+        |  WINDOW w AS (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (
+        |  SELECT g, ca, cb,
+        |    2 * (cum - c) + c + 1 AS m2,
+        |    2 * (cum - c) + c + 1 - (2 * (cuma - ca) + ca + 1)
+        |      AS da2,
+        |    2 * (cum - c) + c + 1 - (2 * (cumb - cb) + cb + 1)
+        |      AS db2
+        |  FROM r),
+        |agg AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(CAST(ca AS HUGEINT) * m2) AS r2a,
+        |    sum(CAST(cb AS HUGEINT) * m2) AS r2b,
+        |    sum(CAST(ca AS HUGEINT) * da2) AS s1a,
+        |    sum(CAST(ca AS HUGEINT) * da2 * da2) AS s2a,
+        |    sum(CAST(cb AS HUGEINT) * db2) AS s1b,
+        |    sum(CAST(cb AS HUGEINT) * db2 * db2) AS s2b
+        |  FROM u GROUP BY 1)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(round(1e6 * (CAST(r2b AS DOUBLE)
+        |      / (2.0 * CAST(n_b AS DOUBLE))
+        |      - (CAST(n_b AS DOUBLE) + 1.0) / 2.0)
+        |      / CAST(n_a AS DOUBLE)) AS BIGINT) END AS p_hat_micro,
+        |  CASE WHEN n_a > 1 AND n_b > 1
+        |      AND (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |        * (((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE)
+        |            * CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |            / (CAST(n_a AS DOUBLE) - 1.0) / 4.0)
+        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |            - CAST(n_a AS DOUBLE))
+        |        + ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE)
+        |            * CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |            / (CAST(n_b AS DOUBLE) - 1.0) / 4.0)
+        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |            - CAST(n_b AS DOUBLE))) > 0
+        |    THEN CAST(round(1e6 * (CAST(r2b AS DOUBLE)
+        |        / (2.0 * CAST(n_b AS DOUBLE))
+        |        - CAST(r2a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE)))
+        |      / sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |        * (((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE)
+        |            * CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |            / (CAST(n_a AS DOUBLE) - 1.0) / 4.0)
+        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |            - CAST(n_a AS DOUBLE))
+        |        + ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE)
+        |            * CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |            / (CAST(n_b AS DOUBLE) - 1.0) / 4.0)
+        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |            - CAST(n_b AS DOUBLE))))) AS BIGINT)
+        |    END AS w_micro
+        |FROM agg"""
+        .stripMargin,
+
+    "q411_average_precision" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, event_id AS id,
+        |    -CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS ns,
+        |    CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT g, y,
+        |    CAST(row_number() OVER w AS BIGINT) AS rnk,
+        |    sum(y) OVER (PARTITION BY g ORDER BY ns, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS j
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY g ORDER BY ns, id)),
+        |p AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS np,
+        |    CAST(sum((1000000 * j) // rnk) AS BIGINT) AS sp
+        |  FROM r WHERE y = 1 GROUP BY 1),
+        |t AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b
+        |  GROUP BY 1)
+        |SELECT t.g AS event_type, t.n,
+        |  COALESCE(p.np, 0) AS n_pos,
+        |  CASE WHEN p.np > 0 AND p.np < t.n
+        |    THEN CAST(round(CAST(p.sp AS DOUBLE)
+        |      / CAST(p.np AS DOUBLE)) AS BIGINT) END AS ap_micro
+        |FROM t LEFT JOIN p ON t.g = p.g"""
         .stripMargin,
 
     "q390_partial_corr" ->

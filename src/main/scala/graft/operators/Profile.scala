@@ -4002,4 +4002,573 @@ object Profile {
               col("__wc").cast("double") * lit(1e6)).cast("long"))
           .as("ate_micro"))
   }
+
+  /** Best single-threshold split per feature by weighted Gini
+    * impurity — the CART root-stump, and as a PROFILING operator the
+    * standard "is this feature informative / is this feature leaking
+    * the label" screen a training-data pipeline runs before spending
+    * GPU time: a near-zero best Gini on a raw feature is a leak, a
+    * gain of ~0 everywhere is a dead column.
+    *
+    * Long-format input (feature name, numeric value, boolean label):
+    * values milli-quantize ([[groupOls]]'s idiom), one hash-agg
+    * censuses (feature, value) cells with their positive counts, ONE
+    * range-partitioned double prefix ([[Ranking.groupRunningSums]] —
+    * count and positives share the exchange) gives every candidate
+    * threshold its left-side totals, and the per-feature argmin is a
+    * hash-agg `min(struct)` with the LOWEST threshold breaking Gini
+    * ties. Never a per-feature row window: a 100 TB feature column is
+    * one range exchange + metadata.
+    *
+    * Split semantics: left = value ≤ threshold, candidates are the
+    * observed cell values with the top cell excluded (its right side
+    * is empty). Weighted impurity = (n_L·g_L + n_R·g_R)/n with
+    * g = 2p(1−p); `gain_micro` is against the root impurity. Integer
+    * products pos·(n−pos) bound exactness at n ≲ 3e9 rows/feature
+    * (the [[jonckheereTerpstra]] reporting bound).
+    *
+    * Output: one row per feature — (featureCol, n, pos,
+    * threshold_milli, gini_micro, gain_micro, n_le, pos_le). */
+  def decisionStump(
+      df: DataFrame,
+      featureCol: String,
+      valueCol: String,
+      labelCol: String): DataFrame = {
+    val base = df
+      .filter(col(featureCol).isNotNull && col(valueCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(featureCol).cast("string").as("__f"),
+        round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+          .as("__v"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+          .as("__y"))
+    val cells = base.groupBy(col("__f"), col("__v"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val run = Ranking.groupRunningSums(cells, "__f", Seq("__v"),
+      Seq("__n" -> "__cn", "__p" -> "__cp"))
+    val tot = cells.groupBy(col("__f"))
+      .agg(sum(col("__n")).as("__tn"), sum(col("__p")).as("__tp"))
+    val j = run.join(broadcast(tot), Seq("__f"))
+      .filter(col("__cn") < col("__tn"))
+    val nL = col("__cn")
+    val pL = col("__cp")
+    val nR = col("__tn") - col("__cn")
+    val pR = col("__tp") - col("__cp")
+    // Mirrored IEEE chain: 2·(CAST(pL·(nL−pL))/nL + CAST(pR·(nR−pR))
+    // /nR)/N — the long products are exact, the divides are the only
+    // float steps and run in this textual order on both engines.
+    val gini = lit(2.0) *
+      ((pL * (nL - pL)).cast("double") / nL.cast("double") +
+        (pR * (nR - pR)).cast("double") / nR.cast("double")) /
+      col("__tn").cast("double")
+    val root = lit(2.0) *
+      (col("__tp") * (col("__tn") - col("__tp"))).cast("double") /
+      col("__tn").cast("double") / col("__tn").cast("double")
+    val scored = j.select(col("__f"), col("__tn"), col("__tp"),
+      struct(round(lit(1e6) * gini).cast("long").as("g"),
+        col("__v").as("v"), nL.as("nl"), pL.as("pl"),
+        round(lit(1e6) * (root - gini)).cast("long").as("gain"))
+        .as("__s"))
+    scored.groupBy(col("__f"))
+      .agg(max(col("__tn")).as("n"), max(col("__tp")).as("pos"),
+        min(col("__s")).as("__b"))
+      .select(col("__f").as(featureCol), col("n"), col("pos"),
+        col("__b.v").as("threshold_milli"),
+        col("__b.g").as("gini_micro"),
+        col("__b.gain").as("gain_micro"),
+        col("__b.nl").as("n_le"), col("__b.pl").as("pos_le"))
+  }
+
+  /** Durbin–Watson first-order residual-autocorrelation test per
+    * group — "does this metric's trend regression leave serially
+    * correlated errors" (DW ≈ 2 none, → 0 positive, → 4 negative):
+    * OLS of milli-value on the order column from exact decimal sums
+    * (the [[groupOls]] closed form), per-row micro-quantized
+    * residuals e = round(1e3·(y − a − b·x)) so both squared sums are
+    * EXACT decimal integers, and consecutive pairing by exact
+    * [[Ranking.groupRank]] + a (group, rank)-keyed self equi-join —
+    * never a per-group window, never a float accumulation.
+    * `tieBreakCol` must make (order, tiebreak) per-group unique or
+    * the pairing is nondeterministic. Groups with a degenerate fit
+    * (constant x) or fewer than 2 rows report NULL.
+    * Output: (groupCol, n, dw_micro). */
+  def durbinWatson(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      tieBreakCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(orderCol).cast("long").as("__x"),
+        col(tieBreakCol).cast("long").as("__tb"),
+        round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+          .as("__y"))
+    val sums = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x").cast(dec) * col("__x")).cast(dec)).as("__sxx"),
+        sum((col("__x").cast(dec) * col("__y")).cast(dec)).as("__sxy"))
+    val nD = col("__n").cast("double")
+    val det = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val bHat = (nD * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")) / det
+    val ab = sums.select(col("__g"), col("__n"),
+      (det > lit(0.0)).as("__ok"), bHat.as("__b"),
+      ((col("__sy").cast("double") -
+        bHat * col("__sx").cast("double")) / nD).as("__a"))
+    val resid = base
+      .join(ab.filter(col("__ok")).select(col("__g"), col("__a"),
+        col("__b")), Seq("__g"))
+      .select(col("__g"), col("__x"), col("__tb"),
+        round(lit(1e3) * (col("__y").cast("double") - col("__a") -
+          col("__b") * col("__x").cast("double"))).cast("long")
+          .as("__e"))
+    val ranked = Ranking.groupRank(resid, "__g", Seq("__x", "__tb"))
+    val prev = ranked.select(col("__g").as("__pg"),
+      (col("rank") + 1L).as("__pr"), col("__e").as("__pe"))
+    val dsum = ranked
+      .join(prev, col("__g") === col("__pg") &&
+        col("rank") === col("__pr"))
+      .groupBy(col("__g"))
+      .agg(sum(((col("__e") - col("__pe")).cast(dec) *
+        (col("__e") - col("__pe"))).cast(dec)).as("__sd2"))
+    val esum = ranked.groupBy(col("__g"))
+      .agg(sum((col("__e").cast(dec) * col("__e")).cast(dec))
+        .as("__se2"))
+    ab.select(col("__g"), col("__n"), col("__ok"))
+      .join(esum, Seq("__g"), "left")
+      .join(dsum, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        when(col("__ok") && col("__n") >= 2L && col("__se2") > 0 &&
+            col("__sd2").isNotNull,
+          round(lit(1e6) * col("__sd2").cast("double") /
+            col("__se2").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("dw_micro"))
+  }
+
+  /** Chow structural-break F-test per group — "did the linear
+    * relation between x and y CHANGE between the two regimes the
+    * caller marks with segCol" (pre/post launch, old/new pipeline):
+    * F = ((SSE_p − SSE_1 − SSE_2)/2) / ((SSE_1 + SSE_2)/(n−4)) with
+    * every SSE off the simple-OLS closed form
+    * SSE = Syy − Sy²/n − (Sxy − Sx·Sy/n)²/(Sxx − Sx²/n). Both
+    * segments AND the pooled fit come out of ONE hash-agg pass
+    * (conditional exact decimal sums over milli-quantized x, y);
+    * the F assembly is the only float arithmetic. Degenerate groups
+    * (n ≤ 4, a segment empty or x-constant, zero residual) report
+    * NULL. Output: (groupCol, n_a, n_b, f_micro). */
+  def chowTest(
+      df: DataFrame,
+      groupCol: String,
+      segCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(segCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(segCol).cast("boolean").as("__s"),
+        round(col(xCol).cast("double") * lit(1e3)).cast("long")
+          .as("__x"),
+        round(col(yCol).cast("double") * lit(1e3)).cast("long")
+          .as("__y"))
+    def seg(pred: Column, suffix: String): Seq[Column] = Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"__n$suffix"),
+      sum(when(pred, col("__x")).otherwise(0L).cast(dec))
+        .as(s"__sx$suffix"),
+      sum(when(pred, col("__y")).otherwise(0L).cast(dec))
+        .as(s"__sy$suffix"),
+      sum(when(pred, (col("__x").cast(dec) * col("__x")).cast(dec))
+        .otherwise(lit(0L).cast(dec))).as(s"__sxx$suffix"),
+      sum(when(pred, (col("__x").cast(dec) * col("__y")).cast(dec))
+        .otherwise(lit(0L).cast(dec))).as(s"__sxy$suffix"),
+      sum(when(pred, (col("__y").cast(dec) * col("__y")).cast(dec))
+        .otherwise(lit(0L).cast(dec))).as(s"__syy$suffix"))
+    val aggs = seg(lit(true), "p") ++ seg(col("__s"), "1") ++
+      seg(!col("__s"), "2")
+    val sums = base.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+    // SSE of a segment — NULL when its x variance is 0 (vertical or
+    // empty fit): Syy − Sy²/n − (Sxy − Sx·Sy/n)²/(Sxx − Sx²/n).
+    def sse(sfx: String): Column = {
+      val n = col(s"__n$sfx").cast("double")
+      val sx = col(s"__sx$sfx").cast("double")
+      val sy = col(s"__sy$sfx").cast("double")
+      val sxx = col(s"__sxx$sfx").cast("double")
+      val sxy = col(s"__sxy$sfx").cast("double")
+      val syy = col(s"__syy$sfx").cast("double")
+      val varx = sxx - sx * sx / n
+      when(col(s"__n$sfx") >= 2L && varx > 0.0,
+        syy - sy * sy / n -
+          (sxy - sx * sy / n) * (sxy - sx * sy / n) / varx)
+    }
+    val sseP = sse("p")
+    val sse1 = sse("1")
+    val sse2 = sse("2")
+    val nD = col("__np").cast("double")
+    val f = (sseP - sse1 - sse2) / lit(2.0) /
+      ((sse1 + sse2) / (nD - lit(4.0)))
+    sums.select(col("__g").as(groupCol), col("__n1").as("n_a"),
+      col("__n2").as("n_b"),
+      when(col("__np") > 4L && sseP.isNotNull && sse1.isNotNull &&
+          sse2.isNotNull && sse1 + sse2 > 0.0,
+        round(lit(1e6) * f).cast("long"))
+        .otherwise(lit(null).cast("long")).as("f_micro"))
+  }
+
+  /** Cochran–Armitage trend test per group — "does the SUCCESS RATE
+    * rise with the dose" for a binary outcome over ordered integer
+    * dose levels (the binary companion of [[jonckheereTerpstra]]):
+    * with T = Σ r_i·w_i over per-dose cells (r successes of n at
+    * dose w), z = (T − p̄·Σn_i w_i) /
+    * √(p̄(1−p̄)·(Σn_i w_i² − (Σn_i w_i)²/N)). One hash-agg cells
+    * census then one per-group agg, T and both weighted sums exact
+    * DECIMAL(38,0); p̄ and the z assembly are the only float steps.
+    * All-success/all-failure or dose-constant groups report NULL.
+    * Output: (groupCol, k_doses, n, n_pos, z_micro). */
+  def cochranArmitage(
+      df: DataFrame,
+      groupCol: String,
+      doseCol: String,
+      outcomeCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(doseCol).isNotNull && col(outcomeCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(doseCol).cast("long").as("__w"),
+        when(col(outcomeCol).cast("boolean"), 1L).otherwise(0L)
+          .as("__y"))
+    val cells = base.groupBy(col("__g"), col("__w"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__r"))
+    val sums = cells.groupBy(col("__g"))
+      .agg(count(lit(1)).as("k_doses"), sum(col("__n")).as("n"),
+        sum(col("__r")).as("n_pos"),
+        sum((col("__r").cast(dec) * col("__w")).cast(dec)).as("__t"),
+        sum((col("__n").cast(dec) * col("__w")).cast(dec)).as("__s1"),
+        sum((col("__n").cast(dec) * col("__w") * col("__w"))
+          .cast(dec)).as("__s2"))
+    val nD = col("n").cast("double")
+    val p = col("n_pos").cast("double") / nD
+    val s1 = col("__s1").cast("double")
+    val varT = p * (lit(1.0) - p) *
+      (col("__s2").cast("double") - s1 * s1 / nD)
+    val z = (col("__t").cast("double") - p * s1) / sqrt(varT)
+    sums.select(col("__g").as(groupCol), col("k_doses"), col("n"),
+      col("n_pos"),
+      when(varT > 0.0, round(lit(1e6) * z).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_micro"))
+  }
+
+  /** Ansari–Bradley scale test per group — "do the two sides differ
+    * in DISPERSION around a common median" (the scale companion of
+    * [[mannWhitney]]'s location test): pooled doubled midranks fold
+    * into doubled AB scores s2 = min(m2, 2(N+1) − m2) (small at the
+    * extremes, large in the middle), AB2 = Σ_A ca·s2, and the exact
+    * finite-sampling null — AB is a size-n_a without-replacement
+    * sample of the score multiset — gives E = n_a·ΣS/N and
+    * Var = n_a·n_b·(N·ΣS² − (ΣS)²)/(N²(N−1)) with every Σ an exact
+    * decimal integer over the (group, value) cells; ties are handled
+    * BY CONSTRUCTION (the scores of a tied cell are equal), no
+    * separate correction. Cells ride [[ksTest]]'s collapse + one
+    * range-partitioned prefix. Empty sides or zero score variance
+    * (N ≤ 2) report NULL z.
+    * Output: (groupCol, n_a, n_b, ab2, z_micro). */
+  def ansariBradley(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+    val totals = cells.groupBy(col("__g"))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+      .withColumn("__nt", col("n_a") + col("n_b"))
+    val run = Ranking.groupRunningSum(cells, "__g", Seq("__v"), "__c")
+      .join(totals, Seq("__g"))
+    val m2 = lit(2L) * (col("running") - col("__c")) + col("__c") + 1L
+    val s2 = least(m2, lit(2L) * (col("__nt") + 1L) - m2)
+    val stats = run.groupBy(col("__g"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("__nt")).as("__n"),
+        sum((col("__ca").cast(dec) * s2).cast(dec)).as("__ab2"),
+        sum((col("__c").cast(dec) * s2).cast(dec)).as("__ss"),
+        sum((col("__c").cast(dec) * s2 * s2).cast(dec)).as("__ssq"))
+    val nD = col("__n").cast("double")
+    val e2 = col("n_a").cast("double") * col("__ss").cast("double") /
+      nD
+    val var2 = col("n_a").cast("double") * col("n_b").cast("double") *
+      (nD * col("__ssq").cast("double") -
+        col("__ss").cast("double") * col("__ss").cast("double")) /
+      (nD * nD * (nD - lit(1.0)))
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        col("__ab2").cast("long")).as("ab2"),
+      when(col("n_a") > 0L && col("n_b") > 0L && var2 > 0.0,
+        round(lit(1e6) * (col("__ab2").cast("double") - e2) /
+          sqrt(var2)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_micro"))
+  }
+
+  /** Two-sample Cramér–von Mises test per group — the WHOLE-CDF
+    * drift statistic next to [[ksTest]]'s single worst point (CvM
+    * integrates the squared ECDF gap, so many small departures
+    * register even when no single gap is large):
+    * T = U/(n·m·N) − (4nm−1)/(6N) with
+    * U = n·Σ_i(r_i − i)² + m·Σ_j(s_j − j)². Ranks are pooled doubled
+    * midranks; within a tied cell the members' own indices are
+    * CONSECUTIVE integers, so each cell's Σ(r−i)² has the closed
+    * form c·K² − 2K·c(c+1) + 4·c(c+1)(2c+1)/6 over quarter units
+    * (K = m2 − 2·r_side) — exact decimal integers, no per-member
+    * explosion, the pyramidal term's divide-by-6 exact by
+    * construction. Pooled and both per-side cumulative counts share
+    * ONE [[Ranking.groupRunningSums]] exchange. Empty sides report
+    * NULL. Output: (groupCol, n_a, n_b, t_micro). */
+  def cramerVonMises(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+    val run = Ranking.groupRunningSums(cells, "__g", Seq("__v"),
+      Seq("__c" -> "__cum", "__ca" -> "__cuma", "__cb" -> "__cumb"))
+    val m2 = lit(2L) * (col("__cum") - col("__c")) + col("__c") + 1L
+    // Σ_{j=1..c} (K − 2j)² in quarter units, K = m2 − 2·(strictly
+    // below within the side): c·K² − 2K·c(c+1) + 4·c(c+1)(2c+1)/6.
+    def cellSum(cCol: Column, below: Column): Column = {
+      val k = (m2 - lit(2L) * below).cast(dec)
+      val c = cCol.cast(dec)
+      ((c * k * k).cast(dec) -
+        (lit(2L).cast(dec) * k * c * (c + lit(1L))).cast(dec) +
+        (lit(4L).cast(dec) * c * (c + lit(1L)) *
+          (lit(2L).cast(dec) * c + lit(1L)) / lit(6L)).cast(dec))
+        .cast(dec)
+    }
+    val stats = run.groupBy(col("__g"))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(when(col("__ca") > 0L,
+          cellSum(col("__ca"), col("__cuma") - col("__ca")))
+          .otherwise(lit(0L).cast(dec))).as("__ua"),
+        sum(when(col("__cb") > 0L,
+          cellSum(col("__cb"), col("__cumb") - col("__cb")))
+          .otherwise(lit(0L).cast(dec))).as("__ub"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val bigN = na + nb
+    val u = (col("n_a").cast(dec) * col("__ua") +
+      col("n_b").cast(dec) * col("__ub")).cast(dec)
+    val t = u.cast("double") / lit(4.0) / (na * nb * bigN) -
+      (lit(4.0) * na * nb - lit(1.0)) / (lit(6.0) * bigN)
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        round(lit(1e6) * t).cast("long"))
+        .otherwise(lit(null).cast("long")).as("t_micro"))
+  }
+
+  /** Two-sample Kuiper test per group — [[ksTest]]'s rotation-robust
+    * sibling: V = D⁺ + D⁻ (max ECDF gap in EACH direction) instead
+    * of the single absolute max, so a distribution that drifts up in
+    * one tail and down in the other registers fully. Identical cell
+    * collapse + prefix machinery; the two signed maxima run over the
+    * exact integer cross-products ra·n_b − rb·n_a (DECIMAL(38,0),
+    * clamped at 0) with ONE final micro-rounded divide by n_a·n_b.
+    * Empty sides report NULL.
+    * Output: (groupCol, n_a, n_b, v_micro). */
+  def kuiper(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val run = Ranking.groupRunningSums(cells, "__g", Seq("__v"),
+      Seq("__ca" -> "__ra", "__cb" -> "__rb"))
+    val diff = (col("__ra").cast(dec) * col("__nb") -
+      col("__rb").cast(dec) * col("__na")).cast(dec)
+    val totals = cells.groupBy(col("__g"))
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    val stats = run.join(totals, Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(greatest(diff, lit(0L).cast(dec))).as("__dp"),
+        max(greatest(-diff, lit(0L).cast(dec))).as("__dm"))
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        round(lit(1e6) *
+          (col("__dp").cast("double") + col("__dm").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .cast("long"))
+        .otherwise(lit(null).cast("long")).as("v_micro"))
+  }
+
+  /** Page's trend test per group — [[friedman]]'s ORDERED-alternative
+    * sibling ("performance rises monotonically across the ordered
+    * treatments", e.g. quality vs data-mix epoch): within complete
+    * blocks the k treatment values take doubled midranks (the same
+    * k²-bounded pair census), each treatment gets its 1..k order
+    * index from a rank over the group's distinct treatments (the
+    * treatment column's own ordering IS the hypothesis), and
+    * L2 = Σ_j idx_j · R2_j accumulates exact. z uses the no-tie null
+    * E[L2] = n·k(k+1)²/2, Var[L2] = n·k²(k+1)(k²−1)/36 (ties make
+    * it conservative — stated). Groups with k < 3 or no complete
+    * blocks report NULL. Output: (groupCol, k, n_blocks,
+    * n_dropped_blocks, l2, z_micro). */
+  def pageTrend(
+      df: DataFrame,
+      groupCol: String,
+      blockCol: String,
+      treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(blockCol).as("__b"),
+        col(treatmentCol).as("__t"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val kPer = base.groupBy(col("__g"))
+      .agg(countDistinct(col("__t")).as("k"))
+    val tIdx = Ranking.groupRank(
+      base.select(col("__g"), col("__t")).distinct(), "__g",
+      Seq("__t")).select(col("__g"), col("__t"), col("rank")
+      .as("__idx"))
+    val blocks = base.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .join(kPer, Seq("__g"))
+      .withColumn("__complete", col("__cnt") === col("k"))
+    val dropped = blocks.groupBy(col("__g"))
+      .agg(sum(when(!col("__complete"), 1L).otherwise(0L))
+        .as("n_dropped_blocks"))
+    val rows = base.join(blocks.filter(col("__complete"))
+      .select(col("__g"), col("__b")), Seq("__g", "__b"))
+    val other = rows.select(col("__g"), col("__b"),
+      col("__v").as("__v2"))
+    val ranked = rows.join(other, Seq("__g", "__b"))
+      .groupBy(col("__g"), col("__b"), col("__t"), col("__v"))
+      .agg(sum(when(col("__v2") < col("__v"), 1L).otherwise(0L))
+        .as("__below"),
+        sum(when(col("__v2") === col("__v"), 1L).otherwise(0L))
+          .as("__eq"))
+      .withColumn("__r2",
+        lit(2L) * col("__below") + col("__eq") + 1L)
+    val l2 = ranked.join(tIdx, Seq("__g", "__t"))
+      .groupBy(col("__g"))
+      .agg(sum((col("__idx").cast(dec) * col("__r2")).cast(dec))
+        .as("__l2"))
+    val nPer = blocks.filter(col("__complete"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("n_blocks"))
+    val kD = col("k").cast("double")
+    val nD = col("n_blocks").cast("double")
+    val e2 = nD * kD * (kD + 1.0) * (kD + 1.0) / lit(2.0)
+    val var2 = nD * kD * kD * (kD + 1.0) * (kD * kD - 1.0) /
+      lit(36.0)
+    kPer.join(dropped, Seq("__g"))
+      .join(nPer, Seq("__g"), "left")
+      .join(l2, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("k"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        col("n_dropped_blocks"),
+        when(col("n_blocks") > 0L, col("__l2").cast("long"))
+          .as("l2"),
+        when(col("n_blocks") > 0L && col("k") >= 3L && var2 > 0.0,
+          round(lit(1e6) * (col("__l2").cast("double") - e2) /
+            sqrt(var2)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("z_micro"))
+  }
+
+  /** Brunner–Munzel test per group — [[mannWhitney]] without the
+    * equal-variance assumption (the rank-world Welch): estimates
+    * p̂ = P(X < Y) + ½P(X = Y) from mean pooled midranks and
+    * studentizes with PER-SIDE rank variances, so it stays honest
+    * when the two sides differ in shape/spread (where MW-U's null
+    * variance lies). Every per-member quantity is a CELL constant —
+    * the pooled midrank m2 and the within-side midrank i2 — so both
+    * variance sums are exact decimal integers over the (group,
+    * value) cells, riding ONE [[Ranking.groupRunningSums]] triple
+    * prefix (pooled + both sides share the exchange).
+    * W = (R̄_b − R̄_a)/√(N·(S_a²/(N−n_a) + S_b²/(N−n_b))) with
+    * S_k² the sample variance of D = (pooled − internal) midranks;
+    * float steps are the final assembly only. Degenerate groups
+    * (a side with < 2 rows, zero variance — e.g. fully separated
+    * samples) report NULL W; p̂ reports whenever both sides exist.
+    * Output: (groupCol, n_a, n_b, p_hat_micro, w_micro). */
+  def brunnerMunzel(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+    val run = Ranking.groupRunningSums(cells, "__g", Seq("__v"),
+      Seq("__c" -> "__cum", "__ca" -> "__cuma", "__cb" -> "__cumb"))
+    val m2 = lit(2L) * (col("__cum") - col("__c")) + col("__c") + 1L
+    val i2a = lit(2L) * (col("__cuma") - col("__ca")) + col("__ca") +
+      1L
+    val i2b = lit(2L) * (col("__cumb") - col("__cb")) + col("__cb") +
+      1L
+    val da2 = (m2 - i2a).cast(dec)
+    val db2 = (m2 - i2b).cast(dec)
+    val stats = run.groupBy(col("__g"))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum((col("__ca").cast(dec) * m2).cast(dec)).as("__r2a"),
+        sum((col("__cb").cast(dec) * m2).cast(dec)).as("__r2b"),
+        sum((col("__ca").cast(dec) * da2).cast(dec)).as("__s1a"),
+        sum((col("__ca").cast(dec) * da2 * da2).cast(dec)).as("__s2a"),
+        sum((col("__cb").cast(dec) * db2).cast(dec)).as("__s1b"),
+        sum((col("__cb").cast(dec) * db2 * db2).cast(dec)).as("__s2b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val bigN = na + nb
+    val ra = col("__r2a").cast("double") / (lit(2.0) * na)
+    val rb = col("__r2b").cast("double") / (lit(2.0) * nb)
+    val va = (col("__s2a").cast("double") -
+      col("__s1a").cast("double") * col("__s1a").cast("double") / na) /
+      (na - lit(1.0)) / lit(4.0)
+    val vb = (col("__s2b").cast("double") -
+      col("__s1b").cast("double") * col("__s1b").cast("double") / nb) /
+      (nb - lit(1.0)) / lit(4.0)
+    val sig = bigN * (va / (bigN - na) + vb / (bigN - nb))
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        round(lit(1e6) * (rb - (nb + lit(1.0)) / lit(2.0)) / na)
+          .cast("long")).as("p_hat_micro"),
+      when(col("n_a") > 1L && col("n_b") > 1L && sig > 0.0,
+        round(lit(1e6) * (rb - ra) / sqrt(sig)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("w_micro"))
+  }
 }

@@ -74,12 +74,29 @@ object Ranking {
       orderCols: Seq[String],
       value: Column,
       outName: String,
+      numPartitions: Int): DataFrame =
+    prefixAggMulti(df, groupCol, orderCols, Seq(value -> outName),
+      numPartitions)
+
+  /** [[prefixAgg]] over SEVERAL measures in one pass — one range
+    * exchange, one census, one bounded window, however many prefix
+    * sums ride it. The single-measure form is the `values.size == 1`
+    * case; callers needing k simultaneous prefixes (a count AND a
+    * positive-count, a byte total AND a row rank) would otherwise pay
+    * k identical wide exchanges. */
+  private def prefixAggMulti(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      values: Seq[(Column, String)],
       numPartitions: Int): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(values.nonEmpty, "values must be non-empty")
     // Internal working columns would be silently overwritten (then
     // dropped) by withColumn below — reject clashing inputs at every
     // call site in one place.
-    val clash = Seq("__pid", "__opid", "__og", "__off")
+    val clash = (Seq("__pid", "__opid", "__og") ++
+      values.indices.map(i => s"__off$i"))
       .filter(df.columns.contains)
     require(clash.isEmpty,
       s"input already has internal working column(s) ${clash.mkString(", ")}" +
@@ -90,27 +107,49 @@ object Ranking {
     val parted = Dedup.truncate(
       df.repartitionByRange(n, keys: _*)
         .withColumn("__pid", spark_partition_id()))
-    // Offset census: value subtotal per (pid, group), then the running
+    // Offset census: value subtotals per (pid, group), then the running
     // sum of earlier pids' subtotals within each group. Metadata-sized
     // (partitions × groups), so the window here is trivial and the
     // join back broadcasts.
     val census = parted.groupBy(col("__pid"), col(groupCol))
-      .agg(sum(value).as("__c"))
+      .agg(sum(values.head._1).as("__c0"),
+        values.tail.zipWithIndex.map { case ((v, _), i) =>
+          sum(v).as(s"__c${i + 1}") }: _*)
     val offW = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = census.select(col("__pid").as("__opid"),
-      col(groupCol).as("__og"),
-      coalesce(sum(col("__c")).over(offW), lit(0L)).as("__off"))
+    val offsets = census.select(
+      col("__pid").as("__opid") +: col(groupCol).as("__og") +:
+        values.indices.map(i =>
+          coalesce(sum(col(s"__c$i")).over(offW), lit(0L))
+            .as(s"__off$i")): _*)
     val runW = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Null-safe group match: a NULL group is a real group (the census
     // saw it), and a plain equi-join would silently drop its rows.
-    parted.join(broadcast(offsets),
-        col("__pid") === col("__opid") && col(groupCol) <=> col("__og"))
-      .withColumn(outName, col("__off") + sum(value).over(runW))
-      .drop("__pid", "__opid", "__og", "__off")
+    val joined = parted.join(broadcast(offsets),
+      col("__pid") === col("__opid") && col(groupCol) <=> col("__og"))
+    values.zipWithIndex.foldLeft(joined) {
+      case (acc, ((v, name), i)) =>
+        acc.withColumn(name, col(s"__off$i") + sum(v).over(runW))
+    }.drop("__pid" +: "__opid" +: "__og" +:
+      values.indices.map(i => s"__off$i"): _*)
   }
+
+  /** Exact per-group inclusive running sums of SEVERAL value columns
+    * at once in `orderCols` order — [[groupRunningSum]]'s contract
+    * (range-repartition, bounded windows, broadcast offset census,
+    * unique-tiebreaker order, NULL groups are real groups) paying the
+    * wide exchange once for all measures. `valueCols` maps each input
+    * column to its output prefix-column name. */
+  def groupRunningSums(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      valueCols: Seq[(String, String)],
+      numPartitions: Int = 0): DataFrame =
+    prefixAggMulti(df, groupCol, orderCols,
+      valueCols.map { case (v, out) => col(v) -> out }, numPartitions)
 
   /** Exact per-group INCLUSIVE running sum of `valueCol` in
     * `orderCols` order — the distributed prefix sum behind sequence
@@ -484,6 +523,55 @@ object Ranking {
             (lit(2.0) * col("__n1").cast("double") *
               col("__n0").cast("double"))).cast("long"))
           .as("auc_micro"))
+  }
+
+  /** Exact per-group Average Precision (the area under the
+    * precision–recall curve in its standard retrieval form) — the
+    * class-imbalance companion to [[groupAuc]]: AUC asks "does a
+    * random positive outrank a random negative", AP asks "how pure
+    * are the prefixes above each positive", which is what a
+    * needle-in-haystack retrieval or filtering stage actually
+    * experiences. AP = (1/P)·Σ_{j=1..P} j/k_j over the positives'
+    * hit ranks k_j.
+    *
+    * Ties break DETERMINISTICALLY by (score desc, id asc) — stated
+    * contract rather than tie-interpolation, so the result is a
+    * total-order property and bit-identical on any engine. Ranks
+    * come from [[groupRank]] over (−micro-score, id) and each
+    * positive's index j from ONE more range-partitioned prefix over
+    * the rank order; each j/k quantizes to an exact integer micro
+    * ((1e6·j) div k) before the order-free integer sum. Single-class
+    * groups report NULL.
+    * Output: (groupCol, n, n_pos, ap_micro). */
+  def averagePrecision(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(idCol).cast("long").as("__id"),
+        (-round(col(scoreCol).cast("double") * lit(1e6)).cast("long"))
+          .as("__ns"),
+        when(col(labelCol).cast("long") =!= 0L, 1L).otherwise(0L)
+          .as("__y"))
+    val ranked = groupRank(base, "__g", Seq("__ns", "__id"))
+    val withJ = groupRunningSum(ranked, "__g", Seq("rank"), "__y")
+    val prec = withJ.filter(col("__y") === 1L)
+      .select(col("__g"),
+        expr("(1000000L * running) div rank").as("__p"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__np"), sum(col("__p")).as("__sp"))
+    val totals = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"))
+    totals.join(prec, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"),
+        coalesce(col("__np"), lit(0L)).as("n_pos"),
+        when(col("__np") > 0L && col("__np") < col("n"),
+          round(col("__sp").cast("double") /
+            col("__np").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("ap_micro"))
   }
 
   /** Per-group Spearman rank correlation, tie-exact — "is the

@@ -410,4 +410,84 @@ object Recsys {
           .cast("long").as("pred_micro"),
         col("n_pairs"))
   }
+
+  /** Pair-antecedent association rules (Agrawal–Srikant Apriori,
+    * depth 3) — the market-basket step past [[covisitation]]'s pairs:
+    * mine frequent UNORDERED triples {a,b,c} and emit every
+    * {x,y} → z rule with its support, confidence n_xyz/n_xy and lift
+    * n_xyz·N/(n_xy·n_z). A curation pipeline reads these off token
+    * or tag baskets ("docs tagged {code, math} are also tagged
+    * {physics} 4× base rate") the same way a store reads carts.
+    *
+    * Scale design: baskets dedup then size-filter to
+    * [3, maxItemsPerBasket] BEFORE any pairing ([[covisitation]]'s
+    * hyper-actor rule — an unbounded basket is pair-census death);
+    * pairs and triples are then equi-joins on the basket key with
+    * per-basket fan-out ≤ C(cap,3), every census a hash-agg, and the
+    * three rules per triple come from ONE `explode` of a 3-element
+    * literal array (no re-join per direction). Support base N is the
+    * KEPT basket count, attached as a 1-row broadcast scalar.
+    *
+    * Output: (ant_a, ant_b, cons, n_abc, n_ant, n_cons, n_baskets,
+    * conf_micro, lift_micro) for triples with n_abc ≥ minSup; the
+    * antecedent pair is always emitted (smaller, larger). */
+  def assocRules(
+      baskets: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSup: Long = 2L,
+      maxItemsPerBasket: Int = 32): DataFrame = {
+    require(minSup >= 1L, "minSup must be at least 1")
+    require(maxItemsPerBasket >= 3,
+      "maxItemsPerBasket must be at least 3")
+    val bi = Dedup.truncate(
+      baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        .filter(col("__b").isNotNull && col("__i").isNotNull)
+        .distinct())
+    val keptBaskets = bi.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") >= 3 && col("__sz") <= maxItemsPerBasket)
+      .select(col("__b"))
+    val kept = bi.join(keptBaskets, Seq("__b"), "left_semi")
+    val tot = keptBaskets.agg(count(lit(1)).as("__nb"))
+    val itemCounts = kept.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__nc"))
+    val pairs = kept.select(col("__b"), col("__i").as("__ia"))
+      .join(kept.select(col("__b"), col("__i").as("__ib")),
+        Seq("__b"))
+      .filter(col("__ia") < col("__ib"))
+    val pairCounts = pairs.groupBy(col("__ia"), col("__ib"))
+      .agg(count(lit(1)).as("__nab"))
+    val triples = pairs
+      .join(kept.select(col("__b"), col("__i").as("__ic")),
+        Seq("__b"))
+      .filter(col("__ic") > col("__ib"))
+      .groupBy(col("__ia"), col("__ib"), col("__ic"))
+      .agg(count(lit(1)).as("n_abc"))
+      .filter(col("n_abc") >= minSup)
+    val rules = triples.select(col("n_abc"),
+        explode(array(
+          struct(col("__ia").as("ant_a"), col("__ib").as("ant_b"),
+            col("__ic").as("cons")),
+          struct(col("__ia").as("ant_a"), col("__ic").as("ant_b"),
+            col("__ib").as("cons")),
+          struct(col("__ib").as("ant_a"), col("__ic").as("ant_b"),
+            col("__ia").as("cons")))).as("__r"))
+      .select(col("__r.ant_a"), col("__r.ant_b"), col("__r.cons"),
+        col("n_abc"))
+    rules
+      .join(pairCounts.select(col("__ia").as("ant_a"),
+        col("__ib").as("ant_b"), col("__nab").as("n_ant")),
+        Seq("ant_a", "ant_b"))
+      .join(itemCounts.select(col("__i").as("cons"),
+        col("__nc").as("n_cons")), Seq("cons"))
+      .crossJoin(broadcast(tot))
+      .select(col("ant_a"), col("ant_b"), col("cons"), col("n_abc"),
+        col("n_ant"), col("n_cons"), col("__nb").as("n_baskets"),
+        // Mirrored integer micro ratios — covisitation's idiom: the
+        // div is exact long arithmetic on both engines.
+        expr("(1000000L * n_abc) div n_ant").as("conf_micro"),
+        expr("(1000000L * n_abc * n_baskets) div (n_ant * n_cons)")
+          .as("lift_micro"))
+  }
 }

@@ -1639,4 +1639,149 @@ class ProfileSpec extends SparkSpec {
     val r2 = Profile.ipwAte(oneArm, "t", "e", "y").collect().head
     assert(r2.isNullAt(r2.fieldIndex("ate_micro")))
   }
+
+  test("decisionStump: perfect split, tie to lowest threshold") {
+    val df = Seq(
+      // f: label flips cleanly at v = 2 -> gini 0, gain = root 0.5
+      ("f", 1.0, true), ("f", 2.0, true),
+      ("f", 3.0, false), ("f", 4.0, false),
+      // g: alternating labels; thresholds 1 and 3 tie at 1/3 ->
+      // the LOWER threshold must win
+      ("g", 1.0, true), ("g", 2.0, false),
+      ("g", 3.0, true), ("g", 4.0, false))
+      .toDF("feat", "v", "y")
+    val got = Profile.decisionStump(df, "feat", "v", "y")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))))
+      .toMap
+    assert(got("f") == ((4L, 2L, 2000L, 0L, 500000L, 2L, 2L)))
+    // weighted gini at t=1: (1*0 + 3*(2*(1*2)/9))/4 = 1/3
+    assert(got("g") == ((4L, 2L, 1000L, 333333L, 166667L, 1L, 1L)))
+  }
+
+  test("durbinWatson: hand residual series, degenerate NULLs") {
+    val df = Seq(
+      // b: x=1,2,3, y=0,3,0 -> OLS slope 0, mean 1; residuals
+      // -1, 2, -1 -> DW = 18/6 = 3.
+      ("b", 1L, 1L, 0.0), ("b", 2L, 2L, 3.0), ("b", 3L, 3L, 0.0),
+      // a: perfectly linear -> all residuals 0 -> NULL
+      ("a", 1L, 1L, 1.0), ("a", 2L, 2L, 2.0), ("a", 3L, 3L, 3.0),
+      // c: constant x -> degenerate fit -> NULL
+      ("c", 5L, 1L, 1.0), ("c", 5L, 2L, 9.0),
+      // d: single row -> NULL
+      ("d", 1L, 1L, 4.0))
+      .toDF("g", "x", "tb", "y")
+    val got = Profile.durbinWatson(df, "g", "x", "tb", "y")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    assert(got("b") == ((3L, 3000000L)))
+    assert(got("a") == ((3L, null)))
+    assert(got("c") == ((2L, null)))
+    assert(got("d") == ((1L, null)))
+  }
+
+  test("chowTest: sharp break vs zero-residual NULL") {
+    val df = Seq(
+      // g: seg A rises y=x (+6 milli noise at x=3), seg B falls --
+      // the pooled single line fits terribly -> huge F.
+      ("g", true, 1.0, 1.0), ("g", true, 2.0, 2.0),
+      ("g", true, 3.0, 3.006),
+      ("g", false, 4.0, 6.0), ("g", false, 5.0, 5.0),
+      ("g", false, 6.0, 4.006),
+      // z: both segments EXACTLY on one line -> SSEs all 0 -> NULL
+      ("z", true, 1.0, 1.0), ("z", true, 2.0, 2.0),
+      ("z", true, 3.0, 3.0),
+      ("z", false, 4.0, 4.0), ("z", false, 5.0, 5.0),
+      ("z", false, 6.0, 6.0))
+      .toDF("g", "s", "x", "y")
+    val got = Profile.chowTest(df, "g", "s", "x", "y")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+    // mirrored double chain: SSE1 = SSE2 = 6 (milli^2), F = 588935.65
+    assert(got("g") == ((3L, 3L, 588935647619L)))
+    assert(got("z") == ((3L, 3L, null)))
+  }
+
+  test("cochranArmitage: rising dose rates, z exactly 2") {
+    val df = Seq(
+      ("g", 1L, false), ("g", 1L, false),
+      ("g", 2L, true), ("g", 2L, false),
+      ("g", 3L, true), ("g", 3L, true))
+      .toDF("g", "dose", "y")
+    val r = Profile.cochranArmitage(df, "g", "dose", "y").collect()
+      .head
+    // T=8, E=6, Var=1 -> z = 2
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 6L, 3L, 2000000L)))
+  }
+
+  test("ansariBradley: extremes-vs-middle scale split") {
+    // A = {1,4} (the tails), B = {2,3} (the middle): AB2 = 4,
+    // E2 = 6, Var2 = 4/3 -> z = -sqrt(3).
+    val df = Seq(("g", 1.0, true), ("g", 2.0, false),
+      ("g", 3.0, false), ("g", 4.0, true))
+      .toDF("g", "v", "a")
+    val r = Profile.ansariBradley(df, "g", "v", "a").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 2L, 4L, -1732051L)))
+  }
+
+  test("cramerVonMises: disjoint halves, closed-form T") {
+    // A = {1,2}, B = {3,4}: U = 16, T = 1 - 15/24 = 0.375.
+    val df = Seq(("g", 1.0, true), ("g", 2.0, true),
+      ("g", 3.0, false), ("g", 4.0, false))
+      .toDF("g", "v", "a")
+    val r = Profile.cramerVonMises(df, "g", "v", "a").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 375000L)))
+  }
+
+  test("kuiper: one-sided shift vs symmetric crossing both reach 1") {
+    val df = Seq(
+      // s: A entirely below B -> D+ = 1, D- = 0
+      ("s", 1.0, true), ("s", 2.0, true),
+      ("s", 3.0, false), ("s", 4.0, false),
+      // x: tails vs middle -> D+ = 1/2 and D- = 1/2 -> V = 1 where
+      // plain KS would report only 1/2
+      ("x", 1.0, true), ("x", 4.0, true),
+      ("x", 2.0, false), ("x", 3.0, false))
+      .toDF("g", "v", "a")
+    val got = Profile.kuiper(df, "g", "v", "a").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("s" -> 1000000L, "x" -> 1000000L))
+  }
+
+  test("pageTrend: monotone blocks, incomplete block censused") {
+    val df = Seq(
+      ("g", 1L, "a", 1.0), ("g", 1L, "b", 2.0), ("g", 1L, "c", 3.0),
+      ("g", 2L, "a", 10.0), ("g", 2L, "b", 20.0),
+      ("g", 2L, "c", 30.0),
+      // incomplete block: only two treatments -> dropped
+      ("g", 3L, "a", 1.0), ("g", 3L, "b", 2.0))
+      .toDF("g", "blk", "t", "v")
+    val r = Profile.pageTrend(df, "g", "blk", "t", "v").collect().head
+    // L2 = 56, E2 = 48, Var2 = 16 -> z = 2
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((3L, 2L, 1L, 56L, 2000000L)))
+  }
+
+  test("brunnerMunzel: interleaved hand case, separated NULL W") {
+    val df = Seq(
+      // g: A={1,3}, B={2,4} -> p_hat = 0.75, W = 1/sqrt(2)
+      ("g", 1.0, true), ("g", 3.0, true),
+      ("g", 2.0, false), ("g", 4.0, false),
+      // s: fully separated -> rank variances 0 -> W NULL, p_hat = 1
+      ("s", 1.0, true), ("s", 2.0, true),
+      ("s", 3.0, false), ("s", 4.0, false))
+      .toDF("g", "v", "a")
+    val got = Profile.brunnerMunzel(df, "g", "v", "a").collect()
+      .map(r => r.getString(0) -> ((r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got("g") == ((750000L, 707107L)))
+    assert(got("s") == ((1000000L, null)))
+  }
 }

@@ -396,4 +396,27 @@ class RankingSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 3L &&
       r.getAs[Long]("tau_micro") == 1000000L)
   }
+
+  test("averagePrecision: prefix purity, deterministic tie order, single-class NULL") {
+    import spark.implicits._
+    val df = Seq(
+      // g: positives land at ranks 1 and 3 ->
+      // AP = (1e6 + (2e6 div 3)) / 2 = 833333
+      ("g", 1L, 4.0, true), ("g", 2L, 3.0, false),
+      ("g", 3L, 2.0, true), ("g", 4L, 1.0, false),
+      // t: tied scores break by id asc: positive id 6 ranks SECOND
+      // -> AP = (1e6 div 2) = 500000
+      ("t", 5L, 9.0, false), ("t", 6L, 9.0, true),
+      ("t", 7L, 1.0, false),
+      // z: single-class -> NULL
+      ("z", 8L, 1.0, true), ("z", 9L, 2.0, true))
+      .toDF("g", "id", "score", "y")
+    val got = Ranking.averagePrecision(df, "g", "id", "score", "y")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+    assert(got("g") == ((4L, 2L, 833333L)))
+    assert(got("t") == ((3L, 1L, 500000L)))
+    assert(got("z") == ((2L, 2L, null)))
+  }
 }

@@ -143,4 +143,40 @@ class RecsysSpec extends SparkSpec {
     // from u1) -> every bridge lands on an item u1 already rated.
     assert(got.isEmpty)
   }
+
+  test("assocRules: size gate, triple support, conf and lift micros") {
+    val baskets = Seq(
+      ("b1", "A"), ("b1", "B"), ("b1", "C"),
+      ("b2", "A"), ("b2", "B"), ("b2", "C"), ("b2", "D"),
+      ("b3", "A"), ("b3", "B"), // size 2 -> dropped
+      ("b4", "A"), ("b4", "C"), ("b4", "B"), ("b4", "A"), // dup dedupes
+      ("b6", "A"), ("b6", "B"), ("b6", "D"),
+      // over the cap: would add every triple once if kept
+      ("big", "A"), ("big", "B"), ("big", "C"), ("big", "D"),
+      ("big", "E"), ("big", "F"))
+      .toDF("b", "i")
+    val got = Recsys.assocRules(baskets, "b", "i", minSup = 2L,
+        maxItemsPerBasket = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8))))
+      .toMap
+    // Kept baskets: b1, b2, b4, b6 (N = 4). Triples at support >= 2:
+    // {A,B,C} x3 and {A,B,D} x2. Pairs: AB=4, AC=3, BC=3, AD=2, BD=2.
+    // Items: A=4, B=4, C=3, D=2.
+    assert(got.size == 6)
+    assert(got(("A", "B", "C")) ==
+      ((3L, 4L, 3L, 4L, 750000L, 1000000L)))
+    assert(got(("A", "C", "B")) ==
+      ((3L, 3L, 4L, 4L, 1000000L, 1000000L)))
+    assert(got(("B", "C", "A")) ==
+      ((3L, 3L, 4L, 4L, 1000000L, 1000000L)))
+    assert(got(("A", "B", "D")) ==
+      ((2L, 4L, 2L, 4L, 500000L, 1000000L)))
+    assert(got(("A", "D", "B")) ==
+      ((2L, 2L, 4L, 4L, 1000000L, 1000000L)))
+    assert(got(("B", "D", "A")) ==
+      ((2L, 2L, 4L, 4L, 1000000L, 1000000L)))
+  }
 }
