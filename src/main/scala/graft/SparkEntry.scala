@@ -5466,7 +5466,71 @@ object SparkEntry {
       Ranking.averagePrecision(t(s, dir, "events")
           .select(col("event_type"), col("event_id"), col("value"),
             (col("user_id") % 7 === 0).as("y")),
-        "event_type", "event_id", "value", "y"))
+        "event_type", "event_id", "value", "y")),
+
+    // Dickey-Fuller unit-root test per event type: is value a
+    // mean-reverting series or a random walk in time order.
+    "q412_dickey_fuller" -> ((s, dir) =>
+      TimeSeries.dickeyFuller(t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_millis(ts)").as("ord"), col("event_id"),
+            col("value")),
+        "event_type", "ord", "event_id", "value")),
+
+    // Energy distance between even/odd users' value distributions
+    // per event type: distance-weighted two-sample drift.
+    "q413_energy_distance" -> ((s, dir) =>
+      Profile.energyDistance(t(s, dir, "events")
+          .select(col("event_type"), col("value"),
+            (col("user_id") % 2 === 0).as("side")),
+        "event_type", "value", "side")),
+
+    // Binned TV / Bhattacharyya / Hellinger drift trio between
+    // even/odd event ids per event type (20-unit value bins).
+    "q414_hist_distances" -> ((s, dir) =>
+      Profile.histDistances(t(s, dir, "events")
+          .select(col("event_type"), col("value"),
+            (col("event_id") % 2 === 0).as("side")),
+        "event_type", "value", "side", binWidthMilli = 20000L)),
+
+    // Nelson-Aalen cumulative hazard over the q244 user lifetimes:
+    // the additive twin of the Kaplan-Meier curve.
+    "q415_nelson_aalen" -> ((s, dir) => {
+      val lives = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("__f"),
+          max(to_date(col("ts"))).as("__l"))
+        .select((col("user_id") % 3).as("cohort"),
+          datediff(col("__l"), col("__f")).as("dur"),
+          (col("__l") < lit("2024-01-25")).as("churned"))
+      TimeSeries.nelsonAalen(lives, "cohort", "dur", "churned")
+    }),
+
+    // KPSS level-stationarity per event type (Bartlett lags 1..4) —
+    // the null-stationary complement of q412's Dickey-Fuller.
+    "q416_kpss" -> ((s, dir) =>
+      TimeSeries.kpss(t(s, dir, "events"), "event_type", "ts",
+        "event_id", "value", maxLag = 4)),
+
+    // Cucconi joint location-scale test between event_id residue
+    // classes per event type.
+    "q417_cucconi" -> ((s, dir) =>
+      Profile.cucconi(t(s, dir, "events")
+          .select(col("event_type"), col("value"),
+            (col("event_id") % 3 === 0).as("side")),
+        "event_type", "value", "side")),
+
+    // WAT-style metadata extraction: WARC metadata records whose
+    // blocks are JSON envelopes -> (uri, n_links, title) — the
+    // Common Crawl WAT shape, composing q400's parser with the JSON
+    // path functions.
+    "q418_wat_extract" -> ((s, dir) =>
+      Warc.parseWarc(watShards(s, dir), "source", "warc")
+        .filter(col("warc_type") === "metadata")
+        .select(col("source"), col("rec_idx"),
+          get_json_object(col("body"), "$.uri").as("uri"),
+          get_json_object(col("body"), "$.links").cast("long")
+            .as("n_links"),
+          get_json_object(col("body"), "$.ttl").as("title")))
   )
 
   /** q400's crawl-shard fixture: one WARC string per document source
@@ -5514,6 +5578,30 @@ object SparkEntry {
           lit(">" + crlf + "Content-Length: "),
           length(info).cast("string"), lit(crlf + crlf), info,
           lit(crlf + crlf), col("__body")).as("warc"))
+  }
+
+  /** q418's WAT-style fixture: per-source shards of WARC `metadata`
+    * records whose blocks are JSON envelopes (the Common Crawl WAT
+    * shape). Mirrored verbatim in the q418 oracle. */
+  private def watShards(s: SparkSession, dir: String): DataFrame = {
+    val crlf = "\r\n"
+    val d = t(s, dir, "documents").filter(col("doc_id") % 5 === 1)
+    val block = concat(lit("{\"uri\":\"https://"), col("source"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"),
+      lit("\",\"links\":"), (col("doc_id") % 7).cast("string"),
+      lit(",\"ttl\":\"Doc "), col("doc_id").cast("string"),
+      lit("\"}"))
+    val rec = concat(lit("WARC/1.0" + crlf + "WARC-Type: metadata" +
+      crlf + "WARC-Target-URI: https://"), col("source"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"),
+      lit(crlf + "Content-Length: "), length(block).cast("string"),
+      lit(crlf + crlf), block, lit(crlf + crlf))
+    d.select(col("source"), col("doc_id"), rec.as("__rec"))
+      .groupBy(col("source"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id").as("k"),
+          col("__rec").as("r")))), x => x.getField("r")), "")
+        .as("warc"))
   }
 
   /** q308/q309's shared match fixture — organic preference pairs:
@@ -15231,6 +15319,359 @@ object SparkEntry {
         |    THEN CAST(round(CAST(p.sp AS DOUBLE)
         |      / CAST(p.np AS DOUBLE)) AS BIGINT) END AS ap_micro
         |FROM t LEFT JOIN p ON t.g = p.g"""
+        .stripMargin,
+
+    "q412_dickey_fuller" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, epoch_ms(ts) AS o, event_id AS tb,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |pr AS (
+        |  SELECT g, y,
+        |    lag(y) OVER (PARTITION BY g ORDER BY o, tb) AS py
+        |  FROM b),
+        |p AS (
+        |  SELECT g, py AS x, y - py AS z FROM pr
+        |  WHERE py IS NOT NULL),
+        |s AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(z AS HUGEINT))
+        |      AS sz,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |    sum(CAST(z AS HUGEINT) * z) AS szz
+        |  FROM p GROUP BY 1),
+        |d AS (
+        |  SELECT g, n_pairs,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |      * CAST(sx AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS sxc,
+        |    CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)
+        |      * CAST(sz AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS szc,
+        |    CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE)
+        |      * CAST(sz AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS sxzc
+        |  FROM s),
+        |f AS (
+        |  SELECT g, n_pairs, sxc,
+        |    sxzc / sxc AS beta,
+        |    (szc - (sxzc / sxc) * sxzc)
+        |      / (CAST(n_pairs AS DOUBLE) - 2.0) AS s2
+        |  FROM d)
+        |SELECT g AS event_type, n_pairs,
+        |  CASE WHEN n_pairs >= 3 AND sxc > 0
+        |    THEN CAST(round(1e6 * beta) AS BIGINT) END AS beta_micro,
+        |  CASE WHEN n_pairs >= 3 AND sxc > 0 AND s2 > 0
+        |    THEN CAST(round(1e6 * (beta / sqrt(s2 / sxc)))
+        |      AS BIGINT) END AS df_t_micro,
+        |  CASE WHEN n_pairs >= 3 AND sxc > 0 AND s2 > 0
+        |    THEN CAST(round(1e6 * (beta / sqrt(s2 / sxc)))
+        |      AS BIGINT) < -2860000 END AS stationary_5pct
+        |FROM f"""
+        .stripMargin,
+
+    "q413_energy_distance" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    user_id % 2 = 0 AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT g, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT g, v, ca, cb,
+        |    CAST(ca AS HUGEINT) * v AS wa,
+        |    CAST(cb AS HUGEINT) * v AS wb
+        |  FROM c),
+        |r AS (
+        |  SELECT g, v, ca, cb, wa, wb,
+        |    sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+        |    sum(wa) OVER w AS cwa, sum(wb) OVER w AS cwb
+        |  FROM c2
+        |  WINDOW w AS (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(wa) AS swa, sum(wb) AS swb
+        |  FROM c2 GROUP BY 1),
+        |agg AS (
+        |  SELECT r.g, max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+        |    sum(CAST(ca AS HUGEINT) *
+        |      (CAST(v AS HUGEINT) * (cumb - cb) - (cwb - wb)
+        |        + (t.swb - cwb)
+        |        - CAST(v AS HUGEINT) * (t.n_b - cumb))) AS sab,
+        |    sum(CAST(ca AS HUGEINT) *
+        |      (CAST(v AS HUGEINT) * (cuma - ca) - (cwa - wa)))
+        |      AS saa,
+        |    sum(CAST(cb AS HUGEINT) *
+        |      (CAST(v AS HUGEINT) * (cumb - cb) - (cwb - wb)))
+        |      AS sbb
+        |  FROM r JOIN t ON r.g = t.g GROUP BY 1)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(round(
+        |      2.0 * CAST(sab AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      - 2.0 * CAST(saa AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+        |      - 2.0 * CAST(sbb AS DOUBLE)
+        |        / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |      AS BIGINT) END AS e_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |      * (2.0 * CAST(sab AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      - 2.0 * CAST(saa AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+        |      - 2.0 * CAST(sbb AS DOUBLE)
+        |        / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))))
+        |      AS BIGINT) END AS t_stat_micro
+        |FROM agg"""
+        .stripMargin,
+
+    "q414_hist_distances" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE) * 1e3)
+        |      AS BIGINT) AS DOUBLE) / 20000.0) AS BIGINT) AS bin,
+        |    event_id % 2 = 0 AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT g, bin,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM c GROUP BY 1),
+        |agg AS (
+        |  SELECT c.g, max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+        |    CAST(count(*) AS BIGINT) AS n_bins,
+        |    sum(abs(CAST(ca AS HUGEINT) * t.n_b
+        |      - CAST(cb AS HUGEINT) * t.n_a)) AS tvnum,
+        |    CAST(sum(CAST(round(1e6 * sqrt(CAST(CAST(ca AS HUGEINT)
+        |      * cb AS DOUBLE))) AS BIGINT)) AS BIGINT) AS bcsum
+        |  FROM c JOIN t ON c.g = t.g GROUP BY 1)
+        |SELECT g AS event_type, n_a, n_b, n_bins,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(round(1e6 * (0.5 * CAST(tvnum AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))
+        |      AS BIGINT) END AS tv_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(round(1e6 * (CAST(bcsum AS DOUBLE) / 1e6
+        |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))
+        |      AS BIGINT) END AS bc_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(round(1e6 * sqrt(greatest(0.0,
+        |      1.0 - CAST(bcsum AS DOUBLE) / 1e6
+        |        / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))))
+        |      AS BIGINT) END AS hellinger_micro
+        |FROM agg"""
+        .stripMargin,
+
+    "q415_nelson_aalen" ->
+      """WITH lv AS (
+        |  SELECT user_id % 3 AS cohort,
+        |    datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+        |      AS dur,
+        |    max(CAST(ts AS DATE)) < DATE '2024-01-25' AS churned
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT cohort, CAST(dur AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_deaths,
+        |    CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM lv GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cohort, t, n_deaths, n_censored,
+        |    CAST(sum(n_deaths + n_censored) OVER (PARTITION BY cohort)
+        |      - (sum(n_deaths + n_censored) OVER (PARTITION BY cohort
+        |           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           CURRENT ROW)
+        |         - (n_deaths + n_censored)) AS BIGINT) AS n_at_risk
+        |  FROM c),
+        |tm AS (
+        |  SELECT cohort, t, n_at_risk, n_deaths, n_censored,
+        |    CAST(round(1e6 * CAST(n_deaths AS DOUBLE)
+        |      / CAST(n_at_risk AS DOUBLE)) AS BIGINT) AS term
+        |  FROM w)
+        |SELECT cohort, t, n_at_risk, n_deaths, n_censored,
+        |  CAST(sum(term) OVER (PARTITION BY cohort ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_hazard_micro
+        |FROM tm"""
+        .stripMargin,
+
+    "q416_kpss" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, epoch_ms(ts) AS o, event_id AS tb,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT g, y,
+        |    CAST(row_number() OVER wo AS BIGINT) AS rnk,
+        |    sum(y) OVER (PARTITION BY g ORDER BY o, tb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS pref
+        |  FROM b WINDOW wo AS (PARTITION BY g ORDER BY o, tb)),
+        |t AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(y AS HUGEINT)) AS s,
+        |    sum(CAST(y AS HUGEINT) * y) AS q
+        |  FROM b GROUP BY 1),
+        |ss AS (
+        |  SELECT r.g,
+        |    sum((CAST(t.n AS HUGEINT) * pref
+        |        - CAST(rnk AS HUGEINT) * t.s)
+        |      * (CAST(t.n AS HUGEINT) * pref
+        |        - CAST(rnk AS HUGEINT) * t.s)) AS ss2
+        |  FROM r JOIN t ON r.g = t.g GROUP BY 1),
+        |lg AS (
+        |  SELECT a.g, l.l AS lag, CAST(count(*) AS BIGINT) AS nk,
+        |    sum(CAST(a.y AS HUGEINT) * bb.y) AS p,
+        |    sum(CAST(a.y AS HUGEINT)) AS h,
+        |    sum(CAST(bb.y AS HUGEINT)) AS t2
+        |  FROM r a, UNNEST(generate_series(1, 4)) AS l(l), r bb
+        |  WHERE a.g = bb.g AND bb.rnk = a.rnk - l.l
+        |  GROUP BY 1, 2),
+        |ak AS (
+        |  SELECT lg.g,
+        |    sum((5 - lag) * (CAST(t.n AS HUGEINT) * t.n * p
+        |      - CAST(t.n AS HUGEINT) * t.s * (h + t2)
+        |      + CAST(nk AS HUGEINT) * t.s * t.s)) AS wsum
+        |  FROM lg JOIN t ON lg.g = t.g GROUP BY 1),
+        |f AS (
+        |  SELECT t.g, t.n,
+        |    5 * (CAST(t.n AS HUGEINT) * (t.n * t.q - t.s * t.s))
+        |      + 2 * COALESCE(ak.wsum, 0) AS nwnum,
+        |    ss.ss2
+        |  FROM t LEFT JOIN ss ON t.g = ss.g
+        |  LEFT JOIN ak ON t.g = ak.g)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN n >= 2 AND CAST(nwnum AS DOUBLE) > 0
+        |    THEN CAST(round(1e6 * (CAST(ss2 AS DOUBLE) * 5.0
+        |      / (CAST(n AS DOUBLE) * CAST(nwnum AS DOUBLE))))
+        |      AS BIGINT) END AS kpss_micro,
+        |  CASE WHEN n >= 2 AND CAST(nwnum AS DOUBLE) > 0
+        |    THEN CAST(round(1e6 * (CAST(ss2 AS DOUBLE) * 5.0
+        |      / (CAST(n AS DOUBLE) * CAST(nwnum AS DOUBLE))))
+        |      AS BIGINT) < 463000 END AS level_stationary_5pct
+        |FROM f"""
+        .stripMargin,
+
+    "q417_cucconi" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    event_id % 3 = 0 AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT g, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |c2 AS (SELECT g, v, ca, cb, ca + cb AS c FROM c),
+        |t AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM c2 GROUP BY 1),
+        |r AS (
+        |  SELECT g, v, ca, cb, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+        |  FROM c2),
+        |u AS (
+        |  SELECT r.g, t.n_a, t.n_b, t.n_a + t.n_b AS nt,
+        |    2 * (cum - c) + c + 1 AS m2, cb
+        |  FROM r JOIN t ON r.g = t.g),
+        |agg AS (
+        |  SELECT g, max(n_a) AS n_a, max(n_b) AS n_b,
+        |    max(nt) AS nn,
+        |    sum(CAST(cb AS HUGEINT) * m2 * m2) AS sq,
+        |    sum(CAST(cb AS HUGEINT) * (2 * (nt + 1) - m2)
+        |      * (2 * (nt + 1) - m2)) AS sqc
+        |  FROM u GROUP BY 1),
+        |f AS (
+        |  SELECT g, n_a, n_b,
+        |    (6.0 * CAST(sq AS DOUBLE) / 4.0
+        |      - CAST(n_b AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+        |        * (2.0 * CAST(nn AS DOUBLE) + 1.0))
+        |      / sqrt(CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) + 1.0)
+        |        * (2.0 * CAST(nn AS DOUBLE) + 1.0)
+        |        * (8.0 * CAST(nn AS DOUBLE) + 11.0) / 5.0) AS uu,
+        |    (6.0 * CAST(sqc AS DOUBLE) / 4.0
+        |      - CAST(n_b AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+        |        * (2.0 * CAST(nn AS DOUBLE) + 1.0))
+        |      / sqrt(CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) + 1.0)
+        |        * (2.0 * CAST(nn AS DOUBLE) + 1.0)
+        |        * (8.0 * CAST(nn AS DOUBLE) + 11.0) / 5.0) AS vv,
+        |    2.0 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 4.0)
+        |      / ((2.0 * CAST(nn AS DOUBLE) + 1.0)
+        |        * (8.0 * CAST(nn AS DOUBLE) + 11.0)) - 1.0 AS rho
+        |  FROM agg)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND 1.0 - rho * rho > 0
+        |    THEN CAST(round(1e6 * ((uu * uu + vv * vv
+        |      - 2.0 * rho * uu * vv) / (2.0 * (1.0 - rho * rho))))
+        |      AS BIGINT) END AS c_micro
+        |FROM f"""
+        .stripMargin,
+
+    "q418_wat_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id, source FROM documents WHERE doc_id % 5 = 1),
+        |r0 AS (
+        |  SELECT doc_id, source,
+        |    '{"uri":"https://' || source || '.example.com/doc/' ||
+        |    CAST(doc_id AS VARCHAR) || '","links":' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || ',"ttl":"Doc ' ||
+        |    CAST(doc_id AS VARCHAR) || '"}' AS block
+        |  FROM d),
+        |recs AS (
+        |  SELECT source, doc_id,
+        |    e'WARC/1.0\r\nWARC-Type: metadata\r\n' ||
+        |    'WARC-Target-URI: https://' || source ||
+        |    '.example.com/doc/' || CAST(doc_id AS VARCHAR) ||
+        |    e'\r\nContent-Length: ' ||
+        |    CAST(length(block) AS VARCHAR) || e'\r\n\r\n' || block ||
+        |    e'\r\n\r\n' AS rec
+        |  FROM r0),
+        |sh AS (
+        |  SELECT source, string_agg(rec, '' ORDER BY doc_id) AS blob
+        |  FROM recs GROUP BY 1),
+        |p AS (
+        |  SELECT source,
+        |    string_split(replace(blob, e'\r\n\r\nWARC/1.0\r\n',
+        |      chr(30) || e'WARC/1.0\r\n'), chr(30)) AS parts
+        |  FROM sh),
+        |rp AS (
+        |  SELECT source, i - 1 AS rec_idx, parts[CAST(i AS INT)] AS part
+        |  FROM p, UNNEST(generate_series(1, len(parts))) AS u(i)),
+        |hx AS (
+        |  SELECT source, rec_idx,
+        |    split_part(part, e'\r\n\r\n', 1) AS hdr,
+        |    substr(part,
+        |      length(split_part(part, e'\r\n\r\n', 1)) + 5) AS rest
+        |  FROM rp),
+        |fx AS (
+        |  SELECT source, rec_idx,
+        |    regexp_extract(hdr, '(?im)^WARC-Type:[ \t]*(\S+)', 1)
+        |      AS warc_type,
+        |    substr(rest, 1, CAST(regexp_extract(hdr,
+        |      '(?im)^Content-Length:[ \t]*([0-9]+)', 1) AS BIGINT))
+        |      AS block
+        |  FROM hx)
+        |SELECT source, rec_idx,
+        |  json_extract_string(block, '$.uri') AS uri,
+        |  CAST(json_extract(block, '$.links') AS BIGINT) AS n_links,
+        |  json_extract_string(block, '$.ttl') AS title
+        |FROM fx WHERE warc_type = 'metadata'"""
         .stripMargin,
 
     "q390_partial_corr" ->

@@ -4571,4 +4571,200 @@ object Profile {
         round(lit(1e6) * (rb - ra) / sqrt(sig)).cast("long"))
         .otherwise(lit(null).cast("long")).as("w_micro"))
   }
+
+  /** Two-sample energy distance per group — the metric-space drift
+    * test (Székely–Rizzo): E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| ≥ 0,
+    * zero iff the distributions match; unlike KS/CvM it weighs HOW
+    * FAR values moved, not just rank order. Every pairwise
+    * |difference| sum is EXACT: sorted-prefix identity over the
+    * (group, value) cells — Σ_y|v−y| = v·n_below − s_below +
+    * s_above − v·n_above with both per-side counts AND per-side
+    * value sums riding ONE [[Ranking.groupRunningSums]] exchange
+    * (4 measures); tied values contribute zero by construction. The
+    * three E terms assemble in micro value units with three final
+    * divides. T = (n_a·n_b/N)·E is the test statistic (permutation
+    * null; reported for ranking drifts, not thresholded). Empty
+    * sides report NULL.
+    * Output: (groupCol, n_a, n_b, e_micro, t_stat_micro). */
+  def energyDistance(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__wa", (col("__ca").cast(dec) * col("__v"))
+        .cast(dec))
+      .withColumn("__wb", (col("__cb").cast(dec) * col("__v"))
+        .cast(dec))
+    val run = Ranking.groupRunningSums(cells, "__g", Seq("__v"),
+      Seq("__ca" -> "__cuma", "__cb" -> "__cumb",
+        "__wa" -> "__cwa", "__wb" -> "__cwb"))
+    val totals = cells.groupBy(col("__g"))
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+        sum(col("__wa")).as("__swa"), sum(col("__wb")).as("__swb"))
+    val j = run.join(totals, Seq("__g"))
+    val v = col("__v").cast(dec)
+    // Σ over the OTHER side of |v − y|, exact: strictly-below count/
+    // sum from the inclusive prefixes minus the own cell.
+    def against(cnt: Column, cum: Column, w: Column, cw: Column,
+        n: Column, sw: Column): Column =
+      (v * (cum - cnt).cast(dec) - (cw - w) +
+        (sw - cw) - v * (n.cast(dec) - cum.cast(dec))).cast(dec)
+    val cross = (col("__ca").cast(dec) *
+      against(col("__cb"), col("__cumb"), col("__wb"), col("__cwb"),
+        col("__nb"), col("__swb"))).cast(dec)
+    val withinA = (col("__ca").cast(dec) *
+      (v * (col("__cuma") - col("__ca")).cast(dec) -
+        (col("__cwa") - col("__wa")))).cast(dec)
+    val withinB = (col("__cb").cast(dec) *
+      (v * (col("__cumb") - col("__cb")).cast(dec) -
+        (col("__cwb") - col("__wb")))).cast(dec)
+    val stats = j.groupBy(col("__g"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(cross).as("__sab"), sum(withinA).as("__saa"),
+        sum(withinB).as("__sbb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val e = lit(2.0) * col("__sab").cast("double") / (na * nb) -
+      lit(2.0) * col("__saa").cast("double") / (na * na) -
+      lit(2.0) * col("__sbb").cast("double") / (nb * nb)
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        round(e).cast("long"))
+        .otherwise(lit(null).cast("long")).as("e_micro"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        round(na * nb / (na + nb) * e).cast("long"))
+        .otherwise(lit(null).cast("long")).as("t_stat_micro"))
+  }
+
+  /** Binned distribution distances per group — the drift trio a
+    * monitoring page shows side by side: total variation (the
+    * largest probability mass any event can disagree by),
+    * Bhattacharyya coefficient (overlap), and Hellinger distance
+    * (√(1−BC), a proper metric). Values bin at `binWidthMilli` on
+    * the milli grid (floor — mirrored as float floor, not integer
+    * div, so negative values bin identically on both engines). TV's
+    * numerator Σ|ca·n_b − cb·n_a| is an exact decimal integer with
+    * ONE final divide; BC's per-bin √(ca·cb) is micro-quantized
+    * per bin THEN integer-summed (sqrt is correctly rounded
+    * everywhere, and the quantized sum is order-free — the float-
+    * accumulation policy of SparkEntry's header). Empty sides
+    * report NULLs.
+    * Output: (groupCol, n_a, n_b, n_bins, tv_micro, bc_micro,
+    * hellinger_micro). */
+  def histDistances(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String,
+      binWidthMilli: Long): DataFrame = {
+    require(binWidthMilli > 0L, "binWidthMilli must be positive")
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(round(col(valueCol).cast("double") * lit(1e3))
+          .cast("long").cast("double") / lit(binWidthMilli.toDouble))
+          .cast("long").as("__bin"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__bin"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val totals = cells.groupBy(col("__g"))
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    val j = cells.join(totals, Seq("__g"))
+    val stats = j.groupBy(col("__g"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        count(lit(1)).as("n_bins"),
+        sum(abs((col("__ca").cast(dec) * col("__nb") -
+          col("__cb").cast(dec) * col("__na")).cast(dec)))
+          .as("__tvnum"),
+        sum(round(lit(1e6) *
+          sqrt((col("__ca").cast(dec) * col("__cb")).cast("double")))
+          .cast("long")).as("__bcsum"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val bc = col("__bcsum").cast("double") / lit(1e6) /
+      sqrt(na * nb)
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      col("n_bins"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        round(lit(1e6) * (lit(0.5) *
+          col("__tvnum").cast("double") / (na * nb))).cast("long"))
+        .otherwise(lit(null).cast("long")).as("tv_micro"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        round(lit(1e6) * bc).cast("long"))
+        .otherwise(lit(null).cast("long")).as("bc_micro"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        round(lit(1e6) * sqrt(greatest(lit(0.0), lit(1.0) - bc)))
+          .cast("long"))
+        .otherwise(lit(null).cast("long")).as("hellinger_micro"))
+  }
+
+  /** Cucconi test per group — the JOINT location–scale two-sample
+    * test (more powerful than running [[mannWhitney]] and
+    * [[ansariBradley]] separately when a drift moves BOTH the center
+    * and the spread): U standardizes Σ r², V standardizes the
+    * contrary Σ (N+1−r)², and C = (U² + V² − 2ρUV)/(2(1−ρ²))
+    * combines them with their known negative correlation ρ =
+    * 2(N²−4)/((2N+1)(8N+11)) − 1. Ranks are pooled doubled midranks
+    * over the (group, value) cells, so both squared-rank sums are
+    * exact DECIMAL(38,0) quarter-unit integers; U, V, ρ, C are the
+    * only float steps (ties make the null moments approximate —
+    * stated, the classic convention). Empty sides report NULL.
+    * Output: (groupCol, n_a, n_b, c_micro). */
+  def cucconi(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+    val totals = cells.groupBy(col("__g"))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+      .withColumn("__nt", col("n_a") + col("n_b"))
+    val run = Ranking.groupRunningSum(cells, "__g", Seq("__v"), "__c")
+      .join(totals, Seq("__g"))
+    val m2 = lit(2L) * (col("running") - col("__c")) + col("__c") + 1L
+    val m2c = lit(2L) * (col("__nt") + 1L) - m2
+    val stats = run.groupBy(col("__g"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("__nt")).as("__n"),
+        sum((col("__cb").cast(dec) * m2 * m2).cast(dec)).as("__sq"),
+        sum((col("__cb").cast(dec) * m2c * m2c).cast(dec))
+          .as("__sqc"))
+    val nD = col("__n").cast("double")
+    val mD = col("n_b").cast("double")
+    val nA = col("n_a").cast("double")
+    val denom = sqrt(mD * nA * (nD + 1.0) * (lit(2.0) * nD + 1.0) *
+      (lit(8.0) * nD + 11.0) / lit(5.0))
+    val u = (lit(6.0) * col("__sq").cast("double") / lit(4.0) -
+      mD * (nD + 1.0) * (lit(2.0) * nD + 1.0)) / denom
+    val v = (lit(6.0) * col("__sqc").cast("double") / lit(4.0) -
+      mD * (nD + 1.0) * (lit(2.0) * nD + 1.0)) / denom
+    val rho = lit(2.0) * (nD * nD - 4.0) /
+      ((lit(2.0) * nD + 1.0) * (lit(8.0) * nD + 11.0)) - lit(1.0)
+    val c = (u * u + v * v - lit(2.0) * rho * u * v) /
+      (lit(2.0) * (lit(1.0) - rho * rho))
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L &&
+          lit(1.0) - rho * rho > 0.0,
+        round(lit(1e6) * c).cast("long"))
+        .otherwise(lit(null).cast("long")).as("c_micro"))
+  }
 }

@@ -1837,4 +1837,192 @@ object TimeSeries {
               (col("__s").cast("double") / lit(1e9))) /
           col("n").cast("double")).cast("long").as("power_micro"))
   }
+
+  /** Dickey–Fuller unit-root test per group (constant, no trend) —
+    * "is this metric mean-reverting or a random walk": regress
+    * Δy_t = α + β·y_{t−1} and studentize β with the OLS standard
+    * error; β near 0 (t above the −2.86 5% critical value) means
+    * shocks persist — alerting thresholds and CUSUM baselines on
+    * such a metric drift forever. Consecutive pairing is the
+    * [[graft.operators.Profile.durbinWatson]] idiom — exact
+    * [[Ranking.groupRank]] + a (group, rank) self equi-join, never a
+    * per-group window — and every OLS sum is an exact DECIMAL(38,0)
+    * over milli-quantized levels; β, its standard error, and t are
+    * the only float steps. `tieBreakCol` must make (order, tiebreak)
+    * per-group unique. Degenerate groups (fewer than 3 pairs,
+    * constant level) report NULLs.
+    * Output: (groupCol, n_pairs, beta_micro, df_t_micro,
+    * stationary_5pct — t < −2.86, the constant-case critical
+    * value). */
+  def dickeyFuller(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      tieBreakCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(orderCol).cast("long").as("__o"),
+        col(tieBreakCol).cast("long").as("__tb"),
+        round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+          .as("__y"))
+    val ranked = Ranking.groupRank(base, "__g", Seq("__o", "__tb"))
+    val prev = ranked.select(col("__g").as("__pg"),
+      (col("rank") + 1L).as("__pr"), col("__y").as("__py"))
+    val pairs = ranked
+      .join(prev, col("__g") === col("__pg") &&
+        col("rank") === col("__pr"))
+      .select(col("__g"), col("__py").as("__x"),
+        (col("__y") - col("__py")).as("__z"))
+    val sums = pairs.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__z").cast(dec)).as("__sz"),
+        sum((col("__x").cast(dec) * col("__x")).cast(dec)).as("__sxx"),
+        sum((col("__x").cast(dec) * col("__z")).cast(dec)).as("__sxz"),
+        sum((col("__z").cast(dec) * col("__z")).cast(dec)).as("__szz"))
+    val nD = col("n_pairs").cast("double")
+    val sxc = col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double") / nD
+    val szc = col("__szz").cast("double") -
+      col("__sz").cast("double") * col("__sz").cast("double") / nD
+    val sxzc = col("__sxz").cast("double") -
+      col("__sx").cast("double") * col("__sz").cast("double") / nD
+    val beta = sxzc / sxc
+    val s2 = (szc - beta * sxzc) / (nD - lit(2.0))
+    val tStat = beta / sqrt(s2 / sxc)
+    sums.select(col("__g").as(groupCol), col("n_pairs"),
+      when(col("n_pairs") >= 3L && sxc > 0.0,
+        round(lit(1e6) * beta).cast("long"))
+        .otherwise(lit(null).cast("long")).as("beta_micro"),
+      when(col("n_pairs") >= 3L && sxc > 0.0 && s2 > 0.0,
+        round(lit(1e6) * tStat).cast("long"))
+        .otherwise(lit(null).cast("long")).as("df_t_micro"),
+      when(col("n_pairs") >= 3L && sxc > 0.0 && s2 > 0.0,
+        round(lit(1e6) * tStat).cast("long") < -2860000L)
+        .otherwise(lit(null).cast("boolean")).as("stationary_5pct"))
+  }
+
+  /** Nelson–Aalen cumulative-hazard curve per group — the additive
+    * companion to [[kaplanMeier]]'s product-limit survival (Ĥ(t) =
+    * Σ_{tᵢ ≤ t} dᵢ/rᵢ; −log of KM's Ŝ approximates it, but NA is
+    * the canonical estimator for hazard-scale reading and for
+    * crude-rate comparisons). Same machinery end to end: one
+    * (group, time) cell census, risk sets off ONE range-partitioned
+    * prefix, each increment dᵢ/rᵢ micro-quantized per row so the
+    * cumulative sum is an exact integer prefix — order-free,
+    * window-free. Output: one row per distinct event time —
+    * (groupCol, t, n_at_risk, n_deaths, n_censored,
+    * cum_hazard_micro). */
+  def nelsonAalen(
+      df: DataFrame,
+      groupCol: String,
+      durationCol: String,
+      eventCol: String): DataFrame = {
+    val ev = (col(eventCol).cast("long") =!= 0L)
+    val cells = df.filter(col(durationCol).isNotNull)
+      .groupBy(col(groupCol), col(durationCol).cast("long").as("t"))
+      .agg(sum(when(ev, 1L).otherwise(0L)).as("n_deaths"),
+        sum(when(ev, 0L).otherwise(1L)).as("n_censored"))
+      .withColumn("__dc", col("n_deaths") + col("n_censored"))
+    val totals = cells.groupBy(col(groupCol))
+      .agg(sum(col("__dc")).as("__N"))
+    val atRisk = Ranking.groupRunningSum(cells, groupCol, Seq("t"),
+        "__dc")
+      .join(totals, Seq(groupCol))
+      .withColumn("n_at_risk",
+        col("__N") - (col("running") - col("__dc")))
+      .drop("running")
+      .withColumn("__term",
+        round(lit(1e6) * col("n_deaths").cast("double") /
+          col("n_at_risk").cast("double")).cast("long"))
+    Ranking.groupRunningSum(atRisk, groupCol, Seq("t"), "__term")
+      .select(col(groupCol), col("t"), col("n_at_risk"),
+        col("n_deaths"), col("n_censored"),
+        col("running").as("cum_hazard_micro"))
+  }
+
+  /** KPSS level-stationarity test per key — the COMPLEMENT of
+    * [[dickeyFuller]] (DF's null is a unit root, KPSS's null is
+    * stationarity; agreeing verdicts from both is the standard
+    * two-sided evidence): KPSS = (1/n²)·Σ_t S_t² / σ̂²_lrv with S_t
+    * the demeaned partial sums and σ̂² the Bartlett long-run
+    * variance over lags 1..maxLag — the SAME exact n-scaled
+    * autocovariance machinery as [[neweyWest]] (a_k in
+    * DECIMAL(38,0), no float accumulation). Demeaning is algebraic,
+    * not a join-back float: n·S_t = n·P_t − t·S exactly, so
+    * Σ S_t² = Σ(n·P_t − t·S)²/n² and the whole statistic reduces to
+    * KPSS = SS2·(L+1)/(n·nwNum) over three exact integers. The
+    * squared partial sums bound exactness at n²·|v|_milli ≲ 1e19
+    * per key (decimal 38 saturates past it) — pre-aggregate longer
+    * series. Constant series (zero long-run variance) report NULL.
+    * Output: (keyCol, n, kpss_micro, level_stationary_5pct —
+    * KPSS < 0.463, the 5% level critical value). */
+  def kpss(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      maxLag: Int = 4): DataFrame = {
+    require(maxLag >= 1, "maxLag must be at least 1")
+    val dec = "decimal(38,0)"
+    val lp1 = (maxLag + 1).toLong
+    val cur = Dedup.truncate(
+      Ranking.groupRank(
+        df.filter(col(valueCol).isNotNull)
+          .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+            col(idCol).as("__id"),
+            round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+              .as("__v")),
+        "__k", Seq("__ts", "__id"))
+        .select(col("__k"), col("rank"), col("__v")))
+    val tot = cur.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast(dec)).as("__s"),
+        sum((col("__v").cast(dec) * col("__v")).cast(dec)).as("__q"))
+    val pref = Ranking.groupRunningSum(cur, "__k", Seq("rank"), "__v")
+    val pp = (col("n").cast(dec) * col("running") -
+      col("rank").cast(dec) * col("__s")).cast(dec)
+    val ss2 = pref.join(tot, Seq("__k"))
+      .groupBy(col("__k"))
+      .agg(sum((pp * pp).cast(dec)).as("__ss2"))
+    val probes = cur
+      .select(col("__k"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"),
+        (col("rank") - col("lag")).as("rank"), col("__v").as("__vt"))
+    val ak = cur.join(probes, Seq("__k", "rank"))
+      .groupBy(col("__k"), col("lag"))
+      .agg(count(lit(1)).as("__nk"),
+        sum((col("__v").cast(dec) * col("__vt")).cast(dec)).as("__p"),
+        sum(col("__v").cast(dec)).as("__h"),
+        sum(col("__vt").cast(dec)).as("__t"))
+      .join(tot, Seq("__k"))
+      .select(col("__k"), col("lag"),
+        (col("n").cast(dec) * col("n") * col("__p") -
+          col("n").cast(dec) * col("__s") * (col("__h") + col("__t")) +
+          col("__nk").cast(dec) * col("__s") * col("__s")).cast(dec)
+          .as("__ak"))
+      .groupBy(col("__k"))
+      .agg(sum(((lit(lp1) - col("lag")).cast(dec) * col("__ak"))
+        .cast(dec)).as("__wsum"))
+    val a0 = (col("n").cast(dec) *
+      (col("n") * col("__q") - col("__s") * col("__s"))).cast(dec)
+    val nwNum = (lit(lp1) * a0 +
+      lit(2L) * coalesce(col("__wsum"), lit(0L).cast(dec))).cast(dec)
+    val k = col("__ss2").cast("double") * lit(lp1.toDouble) /
+      (col("n").cast("double") * nwNum.cast("double"))
+    tot.join(ak, Seq("__k"), "left")
+      .join(ss2, Seq("__k"), "left")
+      .select(col("__k").as(keyCol), col("n"),
+        when(col("n") >= 2L && nwNum.cast("double") > 0.0,
+          round(lit(1e6) * k).cast("long"))
+          .otherwise(lit(null).cast("long")).as("kpss_micro"),
+        when(col("n") >= 2L && nwNum.cast("double") > 0.0,
+          round(lit(1e6) * k).cast("long") < 463000L)
+          .otherwise(lit(null).cast("boolean"))
+          .as("level_stationary_5pct"))
+  }
 }

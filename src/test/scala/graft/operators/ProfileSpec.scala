@@ -1784,4 +1784,37 @@ class ProfileSpec extends SparkSpec {
     assert(got("g") == ((750000L, 707107L)))
     assert(got("s") == ((1000000L, null)))
   }
+
+  test("energyDistance: interleaved hand case is exactly 1") {
+    val df = Seq(("g", 0.0, true), ("g", 2.0, true),
+      ("g", 1.0, false), ("g", 3.0, false))
+      .toDF("g", "v", "a")
+    val r = Profile.energyDistance(df, "g", "v", "a").collect().head
+    // 2*1.5 - 1 - 1 = 1; T = (4/4)*1 = 1
+    assert((r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 2L, 1000000L, 1000000L)))
+  }
+
+  test("histDistances: disjoint tails, hand TV/BC/Hellinger") {
+    val df = Seq(("g", 0.0, true), ("g", 30.0, true),
+      ("g", 0.0, false), ("g", 50.0, false))
+      .toDF("g", "v", "a")
+    val r = Profile.histDistances(df, "g", "v", "a",
+      binWidthMilli = 20000L).collect().head
+    // bins A:{0,1}, B:{0,2}: TV = 0.5, BC = 0.5, H = sqrt(0.5)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) ==
+      ((2L, 2L, 3L, 500000L, 500000L, 707107L)))
+  }
+
+  test("cucconi: tails-vs-middle joint location-scale, C = 1.5") {
+    // side=false sample B = {1,4} (the tails): sum r^2 = 17 both
+    // ways -> U = V, rho = -0.938, C = U^2/(1+rho) = 1.5 exactly.
+    val df = Seq(("g", 1.0, false), ("g", 4.0, false),
+      ("g", 2.0, true), ("g", 3.0, true))
+      .toDF("g", "v", "a")
+    val r = Profile.cucconi(df, "g", "v", "a").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 1500000L)))
+  }
 }

@@ -753,4 +753,56 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(1) > 100L * math.max(1L, got(2)))
     assert(got(1) > 1900000L && got(1) < 2100000L) // ~ amp²·n/2/n = ½·4?
   }
+
+  test("dickeyFuller: strong mean reversion, exact t") {
+    import spark.implicits._
+    // y = 1,-1,1,-1,2: pairs (x=lag, dy): beta = -2.25,
+    // s2 = 0.25, se = 0.25 -> t = -9.
+    val df = Seq(("g", 1L, 1L, 1.0), ("g", 2L, 2L, -1.0),
+      ("g", 3L, 3L, 1.0), ("g", 4L, 4L, -1.0), ("g", 5L, 5L, 2.0))
+      .toDF("g", "o", "tb", "y")
+    val r = TimeSeries.dickeyFuller(df, "g", "o", "tb", "y")
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getBoolean(4)) == ((4L, -2250000L, -9000000L, true)))
+    // A perfect alternation fits exactly: s2 = 0 -> NULL t.
+    val perfect = Seq(("p", 1L, 1L, 1.0), ("p", 2L, 2L, -1.0),
+      ("p", 3L, 3L, 1.0), ("p", 4L, 4L, -1.0), ("p", 5L, 5L, 1.0))
+      .toDF("g", "o", "tb", "y")
+    val pr = TimeSeries.dickeyFuller(perfect, "g", "o", "tb", "y")
+      .collect().head
+    assert(pr.getLong(2) == -2000000L && pr.isNullAt(3))
+  }
+
+  test("nelsonAalen: hand hazard increments accumulate exactly") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, true), ("g", 1L, true),
+      ("g", 2L, true), ("g", 2L, false), ("g", 3L, true))
+      .toDF("g", "dur", "ev")
+    val got = TimeSeries.nelsonAalen(df, "g", "dur", "ev")
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // t=1: 2/5 -> 400000; t=2: +1/3 -> 733333; t=3: +1/1 -> 1733333
+    assert(got(1L) == ((5L, 2L, 0L, 400000L)))
+    assert(got(2L) == ((3L, 1L, 1L, 733333L)))
+    assert(got(3L) == ((1L, 1L, 0L, 1733333L)))
+  }
+
+  test("kpss: hand trend statistic, constant-series NULL") {
+    import spark.implicits._
+    val df = (1 to 6).map(i => ("g", i.toLong, i.toLong, i.toDouble))
+      .toDF("g", "ts", "id", "y")
+    val r = TimeSeries.kpss(df, "g", "ts", "id", "y", maxLag = 4)
+      .collect().head
+    // exact integer replay: SS2 = 2331e6, nwNum = 4662e6 ->
+    // KPSS = 5/12 = 0.41667 (below the 0.463 cut)
+    assert((r.getLong(1), r.getLong(2), r.getBoolean(3)) ==
+      ((6L, 416667L, true)))
+    val const = (1 to 6).map(i => ("c", i.toLong, i.toLong, 5.0))
+      .toDF("g", "ts", "id", "y")
+    val cr = TimeSeries.kpss(const, "g", "ts", "id", "y", maxLag = 4)
+      .collect().head
+    assert(cr.isNullAt(2) && cr.isNullAt(3))
+  }
 }
