@@ -82,7 +82,8 @@ object PlanAudit {
     "q397_ipw_ate" -> "1-row × 1-row scalar cross (dropped-count attach onto the estimate row)",
     "q373_entropy_rate" -> "1-row scalar crosses (transition total × the two entropy sums — the q226 shape)",
     "q401_assoc_rules" -> "1-row broadcast scalar attach (kept-basket count N onto each rule)",
-    "q409_page_trend" -> "constant-group gate folds the __g equi-key: the k/dropped/n_blocks/L2 attaches become 1-row-per-group scalar crosses (real multi-group inputs keep hash equi-joins)")
+    "q409_page_trend" -> "constant-group gate folds the __g equi-key: the k/dropped/n_blocks/L2 attaches become 1-row-per-group scalar crosses (real multi-group inputs keep hash equi-joins)",
+    "q421_fellegi_sunter" -> "constant-group gate folds the __g equi-key: the 1-row-per-group M-step parameter attaches (census×m1, m1×m2) become scalar crosses — census is ≤ 2^K rows by construction")
 
   /** Queries that keep a NATIVE per-key window, with the reason the
     * partition is bounded (per-user event counts in the fixtures are

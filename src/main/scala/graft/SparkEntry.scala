@@ -5530,7 +5530,41 @@ object SparkEntry {
           get_json_object(col("body"), "$.uri").as("uri"),
           get_json_object(col("body"), "$.links").cast("long")
             .as("n_links"),
-          get_json_object(col("body"), "$.ttl").as("title")))
+          get_json_object(col("body"), "$.ttl").as("title"))),
+
+    // Hill tail index over the top-51 values per event type: how
+    // heavy is the value tail (alpha <= 2 = infinite variance).
+    "q419_hill_tail" -> ((s, dir) =>
+      Profile.hillTail(t(s, dir, "events"), "event_type", "event_id",
+        "value", k = 50)),
+
+    // Gumbel method-of-moments fit per event type — the
+    // extreme-value companion of q393's gamma/log-normal fits.
+    "q420_gumbel_fit" -> ((s, dir) =>
+      Profile.gumbelFit(t(s, dir, "events"), "event_type", "value")),
+
+    // Fellegi-Sunter EM over consecutive-customer comparison
+    // vectors: which field agreements actually signal a match
+    // (m/u rates + prior, two micro-rounded EM rounds).
+    "q421_fellegi_sunter" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_custkey").as("k"),
+        col("c_nationkey").as("na"), col("c_mktsegment").as("sa"),
+        (col("c_acctbal") > 0).as("ba"),
+        (length(col("c_name")) % 3).as("la"))
+      val b = c.select((col("c_custkey") - 1).as("k"),
+        col("c_nationkey").as("nb"), col("c_mktsegment").as("sb"),
+        (col("c_acctbal") > 0).as("bb"),
+        (length(col("c_name")) % 3).as("lb"))
+      val pairs = a.join(b, Seq("k"))
+        .select(lit("all").as("g"),
+          (col("na") === col("nb")).as("nation_eq"),
+          (col("sa") === col("sb")).as("seg_eq"),
+          (col("ba") === col("bb")).as("bal_eq"),
+          (col("la") === col("lb")).as("name_eq"))
+      Linkage.fellegiSunterEm(pairs, "g",
+        Seq("nation_eq", "seg_eq", "bal_eq", "name_eq"))
+    })
   )
 
   /** q400's crawl-shard fixture: one WARC string per document source
@@ -15672,6 +15706,249 @@ object SparkEntry {
         |  CAST(json_extract(block, '$.links') AS BIGINT) AS n_links,
         |  json_extract_string(block, '$.ttl') AS title
         |FROM fx WHERE warc_type = 'metadata'"""
+        .stripMargin,
+
+    "q419_hill_tail" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, event_id AS id,
+        |    CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |cnt AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(sum(CASE WHEN x > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_nonpos
+        |  FROM b GROUP BY 1),
+        |r AS (
+        |  SELECT g, CAST(round(1e6 * ln(x)) AS BIGINT) AS mnat,
+        |    row_number() OVER (PARTITION BY g ORDER BY x DESC, id)
+        |      AS rnk
+        |  FROM b WHERE x > 0),
+        |agg AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN rnk <= 50 THEN mnat ELSE 0 END)
+        |      AS BIGINT) AS s,
+        |    max(CASE WHEN rnk = 51 THEN mnat END) AS ref
+        |  FROM r WHERE rnk <= 51 GROUP BY 1)
+        |SELECT cnt.g AS event_type, n_pos, n_nonpos,
+        |  CASE WHEN m = 51
+        |    THEN CAST(round(CAST(s - 50 * ref AS DOUBLE) / 50.0)
+        |      AS BIGINT) END AS hill_mnat_micro,
+        |  CASE WHEN m = 51
+        |      AND CAST(s - 50 * ref AS DOUBLE) / 50.0 > 0
+        |    THEN CAST(round(1e12
+        |      / (CAST(s - 50 * ref AS DOUBLE) / 50.0)) AS BIGINT)
+        |    END AS alpha_micro
+        |FROM cnt LEFT JOIN agg ON cnt.g = agg.g"""
+        .stripMargin,
+
+    "q420_gumbel_fit" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(y AS HUGEINT) * y) AS q
+        |  FROM b GROUP BY 1)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN n >= 2 AND (CAST(q AS DOUBLE) - CAST(sy AS DOUBLE)
+        |      * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) > 0
+        |    THEN CAST(round(1e3 * (CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE)
+        |      - 0.5772156649015329 * (sqrt((CAST(q AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+        |        * sqrt(6.0) / 3.141592653589793))) AS BIGINT)
+        |    END AS mu_micro,
+        |  CASE WHEN n >= 2 AND (CAST(q AS DOUBLE) - CAST(sy AS DOUBLE)
+        |      * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) > 0
+        |    THEN CAST(round(1e3 * (sqrt((CAST(q AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+        |      * sqrt(6.0) / 3.141592653589793)) AS BIGINT)
+        |    END AS beta_micro
+        |FROM s"""
+        .stripMargin,
+
+    "q421_fellegi_sunter" ->
+      """WITH ca AS (
+        |  SELECT c_custkey AS k, c_nationkey AS na,
+        |    c_mktsegment AS sa, c_acctbal > 0 AS ba,
+        |    length(c_name) % 3 AS la
+        |  FROM customer),
+        |cb AS (
+        |  SELECT c_custkey - 1 AS k, c_nationkey AS nb,
+        |    c_mktsegment AS sb, c_acctbal > 0 AS bb,
+        |    length(c_name) % 3 AS lb
+        |  FROM customer),
+        |pr AS (
+        |  SELECT na = nb AS a0, sa = sb AS a1, ba = bb AS a2,
+        |    la = lb AS a3
+        |  FROM ca JOIN cb USING (k)),
+        |cs AS (
+        |  SELECT a0, a1, a2, a3, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pr GROUP BY 1, 2, 3, 4),
+        |g1 AS (
+        |  SELECT cs.*,
+        |    CAST(round(1e6 * CAST(CAST(500000 AS HUGEINT)
+        |        * (CASE WHEN a0 THEN 900000 ELSE 100000 END)
+        |        * (CASE WHEN a1 THEN 900000 ELSE 100000 END)
+        |        * (CASE WHEN a2 THEN 900000 ELSE 100000 END)
+        |        * (CASE WHEN a3 THEN 900000 ELSE 100000 END)
+        |          AS DOUBLE)
+        |      / (CAST(CAST(500000 AS HUGEINT)
+        |        * (CASE WHEN a0 THEN 900000 ELSE 100000 END)
+        |        * (CASE WHEN a1 THEN 900000 ELSE 100000 END)
+        |        * (CASE WHEN a2 THEN 900000 ELSE 100000 END)
+        |        * (CASE WHEN a3 THEN 900000 ELSE 100000 END)
+        |          AS DOUBLE)
+        |        + CAST(CAST(500000 AS HUGEINT)
+        |        * (CASE WHEN a0 THEN 100000 ELSE 900000 END)
+        |        * (CASE WHEN a1 THEN 100000 ELSE 900000 END)
+        |        * (CASE WHEN a2 THEN 100000 ELSE 900000 END)
+        |        * (CASE WHEN a3 THEN 100000 ELSE 900000 END)
+        |          AS DOUBLE))) AS BIGINT) AS gam
+        |  FROM cs),
+        |m1 AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS np,
+        |    sum(CAST(gam AS HUGEINT) * cnt) AS wm,
+        |    sum(CAST(1000000 - gam AS HUGEINT) * cnt) AS wu,
+        |    sum(CAST(cnt AS HUGEINT) * 1000000) AS tot,
+        |    sum(CASE WHEN a0 THEN CAST(gam AS HUGEINT) * cnt
+        |      ELSE 0 END) AS wma0,
+        |    sum(CASE WHEN a1 THEN CAST(gam AS HUGEINT) * cnt
+        |      ELSE 0 END) AS wma1,
+        |    sum(CASE WHEN a2 THEN CAST(gam AS HUGEINT) * cnt
+        |      ELSE 0 END) AS wma2,
+        |    sum(CASE WHEN a3 THEN CAST(gam AS HUGEINT) * cnt
+        |      ELSE 0 END) AS wma3,
+        |    sum(CASE WHEN a0 THEN CAST(1000000 - gam AS HUGEINT)
+        |      * cnt ELSE 0 END) AS wua0,
+        |    sum(CASE WHEN a1 THEN CAST(1000000 - gam AS HUGEINT)
+        |      * cnt ELSE 0 END) AS wua1,
+        |    sum(CASE WHEN a2 THEN CAST(1000000 - gam AS HUGEINT)
+        |      * cnt ELSE 0 END) AS wua2,
+        |    sum(CASE WHEN a3 THEN CAST(1000000 - gam AS HUGEINT)
+        |      * cnt ELSE 0 END) AS wua3
+        |  FROM g1),
+        |p1 AS (
+        |  SELECT np,
+        |    CAST(round(1e6 * CAST(wm AS DOUBLE) / CAST(tot AS DOUBLE))
+        |      AS BIGINT) AS pp1,
+        |    CASE WHEN wm > 0 THEN CAST(round(1e6
+        |      * CAST(wma0 AS DOUBLE) / CAST(wm AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS m10,
+        |    CASE WHEN wm > 0 THEN CAST(round(1e6
+        |      * CAST(wma1 AS DOUBLE) / CAST(wm AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS m11,
+        |    CASE WHEN wm > 0 THEN CAST(round(1e6
+        |      * CAST(wma2 AS DOUBLE) / CAST(wm AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS m12,
+        |    CASE WHEN wm > 0 THEN CAST(round(1e6
+        |      * CAST(wma3 AS DOUBLE) / CAST(wm AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS m13,
+        |    CASE WHEN wu > 0 THEN CAST(round(1e6
+        |      * CAST(wua0 AS DOUBLE) / CAST(wu AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS u10,
+        |    CASE WHEN wu > 0 THEN CAST(round(1e6
+        |      * CAST(wua1 AS DOUBLE) / CAST(wu AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS u11,
+        |    CASE WHEN wu > 0 THEN CAST(round(1e6
+        |      * CAST(wua2 AS DOUBLE) / CAST(wu AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS u12,
+        |    CASE WHEN wu > 0 THEN CAST(round(1e6
+        |      * CAST(wua3 AS DOUBLE) / CAST(wu AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS u13
+        |  FROM m1),
+        |g2 AS (
+        |  SELECT cs.*,
+        |    CAST(round(1e6 * CAST(CAST(pp1 AS HUGEINT)
+        |        * (CASE WHEN a0 THEN m10 ELSE 1000000 - m10 END)
+        |        * (CASE WHEN a1 THEN m11 ELSE 1000000 - m11 END)
+        |        * (CASE WHEN a2 THEN m12 ELSE 1000000 - m12 END)
+        |        * (CASE WHEN a3 THEN m13 ELSE 1000000 - m13 END)
+        |          AS DOUBLE)
+        |      / (CAST(CAST(pp1 AS HUGEINT)
+        |        * (CASE WHEN a0 THEN m10 ELSE 1000000 - m10 END)
+        |        * (CASE WHEN a1 THEN m11 ELSE 1000000 - m11 END)
+        |        * (CASE WHEN a2 THEN m12 ELSE 1000000 - m12 END)
+        |        * (CASE WHEN a3 THEN m13 ELSE 1000000 - m13 END)
+        |          AS DOUBLE)
+        |        + CAST(CAST(1000000 - pp1 AS HUGEINT)
+        |        * (CASE WHEN a0 THEN u10 ELSE 1000000 - u10 END)
+        |        * (CASE WHEN a1 THEN u11 ELSE 1000000 - u11 END)
+        |        * (CASE WHEN a2 THEN u12 ELSE 1000000 - u12 END)
+        |        * (CASE WHEN a3 THEN u13 ELSE 1000000 - u13 END)
+        |          AS DOUBLE))) AS BIGINT) AS gam
+        |  FROM cs CROSS JOIN p1),
+        |m2 AS (
+        |  SELECT sum(CAST(gam AS HUGEINT) * cnt) AS wm,
+        |    sum(CAST(1000000 - gam AS HUGEINT) * cnt) AS wu,
+        |    sum(CAST(cnt AS HUGEINT) * 1000000) AS tot,
+        |    sum(CASE WHEN a0 THEN CAST(gam AS HUGEINT) * cnt
+        |      ELSE 0 END) AS wma0,
+        |    sum(CASE WHEN a1 THEN CAST(gam AS HUGEINT) * cnt
+        |      ELSE 0 END) AS wma1,
+        |    sum(CASE WHEN a2 THEN CAST(gam AS HUGEINT) * cnt
+        |      ELSE 0 END) AS wma2,
+        |    sum(CASE WHEN a3 THEN CAST(gam AS HUGEINT) * cnt
+        |      ELSE 0 END) AS wma3,
+        |    sum(CASE WHEN a0 THEN CAST(1000000 - gam AS HUGEINT)
+        |      * cnt ELSE 0 END) AS wua0,
+        |    sum(CASE WHEN a1 THEN CAST(1000000 - gam AS HUGEINT)
+        |      * cnt ELSE 0 END) AS wua1,
+        |    sum(CASE WHEN a2 THEN CAST(1000000 - gam AS HUGEINT)
+        |      * cnt ELSE 0 END) AS wua2,
+        |    sum(CASE WHEN a3 THEN CAST(1000000 - gam AS HUGEINT)
+        |      * cnt ELSE 0 END) AS wua3
+        |  FROM g2),
+        |p2 AS (
+        |  SELECT
+        |    CAST(round(1e6 * CAST(wm AS DOUBLE) / CAST(tot AS DOUBLE))
+        |      AS BIGINT) AS pp2,
+        |    CASE WHEN wm > 0 THEN CAST(round(1e6
+        |      * CAST(wma0 AS DOUBLE) / CAST(wm AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS m20,
+        |    CASE WHEN wm > 0 THEN CAST(round(1e6
+        |      * CAST(wma1 AS DOUBLE) / CAST(wm AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS m21,
+        |    CASE WHEN wm > 0 THEN CAST(round(1e6
+        |      * CAST(wma2 AS DOUBLE) / CAST(wm AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS m22,
+        |    CASE WHEN wm > 0 THEN CAST(round(1e6
+        |      * CAST(wma3 AS DOUBLE) / CAST(wm AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS m23,
+        |    CASE WHEN wu > 0 THEN CAST(round(1e6
+        |      * CAST(wua0 AS DOUBLE) / CAST(wu AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS u20,
+        |    CASE WHEN wu > 0 THEN CAST(round(1e6
+        |      * CAST(wua1 AS DOUBLE) / CAST(wu AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS u21,
+        |    CASE WHEN wu > 0 THEN CAST(round(1e6
+        |      * CAST(wua2 AS DOUBLE) / CAST(wu AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS u22,
+        |    CASE WHEN wu > 0 THEN CAST(round(1e6
+        |      * CAST(wua3 AS DOUBLE) / CAST(wu AS DOUBLE)) AS BIGINT)
+        |      ELSE 500000 END AS u23
+        |  FROM m2)
+        |SELECT 'all' AS g, f.field, p1.np AS n_pairs,
+        |  p1.pp1 AS p1_micro, f.m1 AS m1_micro, f.u1 AS u1_micro,
+        |  p2.pp2 AS p2_micro, f.m2 AS m2_micro, f.u2 AS u2_micro
+        |FROM p1 CROSS JOIN p2 CROSS JOIN (
+        |  SELECT 'nation_eq' AS field, m10 AS m1, u10 AS u1,
+        |    m20 AS m2, u20 AS u2 FROM p1 CROSS JOIN p2
+        |  UNION ALL
+        |  SELECT 'seg_eq', m11, u11, m21, u21 FROM p1 CROSS JOIN p2
+        |  UNION ALL
+        |  SELECT 'bal_eq', m12, u12, m22, u22 FROM p1 CROSS JOIN p2
+        |  UNION ALL
+        |  SELECT 'name_eq', m13, u13, m23, u23
+        |  FROM p1 CROSS JOIN p2) f"""
         .stripMargin,
 
     "q390_partial_corr" ->

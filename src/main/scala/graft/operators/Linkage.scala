@@ -310,4 +310,114 @@ object Linkage {
         .drop("__lev", "__diffs")
     }
   }
+
+  /** Two Fellegi–Sunter EM iterations for binary comparison vectors
+    * per group — the canonical probabilistic record-linkage model
+    * over blocked candidate pairs ([[jwMatches]] / [[phoneticBlockedPairs]]
+    * produce the pairs; this fits WHICH field agreements actually
+    * signal a match): per-field match/unmatch rates m_k, u_k and the
+    * match prior p, fit by EM over the 2^K agreement-pattern census.
+    * Each pattern's match responsibility γ = p·Πθ_m /
+    * (p·Πθ_m + (1−p)·Πθ_u) re-weights the M-step tallies; the
+    * [[graft.operators.Profile.dawidSkeneBinary]] exactness idiom
+    * applies verbatim — every parameter is MICRO-ROUNDED between
+    * stages, so likelihood products are exact integer products in
+    * DECIMAL(38,0) (sound to K ≤ 5 fields; enforced) and M-step
+    * tallies are exact γ·count sums. Both EM rounds are emitted so
+    * a reviewer sees where the rates moved.
+    *
+    * Scale: ONE hash-agg collapses any number of pairs to ≤ 2^K
+    * pattern rows (metadata); the EM arithmetic never touches the
+    * pairs again. Init is the classic (m, u, p) = (0.9, 0.1, 0.5).
+    * A degenerate census (all patterns identical) yields NULL-free
+    * but uninformative rates — the caller reads n_pairs.
+    * Output: one row per field — (groupCol, field, n_pairs,
+    * p1_micro, m1_micro, u1_micro, p2_micro, m2_micro, u2_micro). */
+  def fellegiSunterEm(
+      pairs: DataFrame,
+      groupCol: String,
+      fieldCols: Seq[String]): DataFrame = {
+    require(fieldCols.nonEmpty && fieldCols.size <= 5,
+      "fellegiSunterEm needs 1..5 comparison fields")
+    val dec = "decimal(38,0)"
+    val k = fieldCols.size
+    val agree = fieldCols.map(f => col(f).cast("boolean"))
+    val census = pairs
+      .filter(agree.map(_.isNotNull).reduce(_ && _))
+      .groupBy(col(groupCol).as("__g") +: fieldCols.zipWithIndex
+        .map { case (f, i) => col(f).cast("boolean").as(s"__a$i") }: _*)
+      .agg(count(lit(1)).as("__cnt"))
+    // E-step: γ from CURRENT micro params (columns or literals) —
+    // exact integer likelihood products in decimal, one mirrored
+    // divide, micro-rounded.
+    def gamma(p: Column, ms: Seq[Column], us: Seq[Column]): Column = {
+      val num = (0 until k).foldLeft(p.cast(dec)) { (acc, i) =>
+        (acc * when(col(s"__a$i"), ms(i))
+          .otherwise(lit(1000000L) - ms(i))).cast(dec)
+      }
+      val den = (0 until k).foldLeft((lit(1000000L) - p).cast(dec)) {
+        (acc, i) =>
+          (acc * when(col(s"__a$i"), us(i))
+            .otherwise(lit(1000000L) - us(i))).cast(dec)
+      }
+      round(lit(1e6) * num.cast("double") /
+        (num.cast("double") + den.cast("double"))).cast("long")
+    }
+    // M-step: per-field rates + prior off exact γ·count tallies.
+    def mStep(g: DataFrame, tag: String): DataFrame = {
+      val w = col("__gamma").cast(dec) * col("__cnt")
+      val wn = (lit(1000000L) - col("__gamma")).cast(dec) * col("__cnt")
+      val aggs =
+        Seq(sum(w.cast(dec)).as("__wm"), sum(wn.cast(dec)).as("__wu"),
+          sum((col("__cnt").cast(dec) * lit(1000000L)).cast(dec))
+            .as("__tot"), sum(col("__cnt")).as("__np")) ++
+        (0 until k).flatMap { i => Seq(
+          sum(when(col(s"__a$i"), w).otherwise(lit(0L).cast(dec))
+            .cast(dec)).as(s"__wma$i"),
+          sum(when(col(s"__a$i"), wn).otherwise(lit(0L).cast(dec))
+            .cast(dec)).as(s"__wua$i"))
+        }
+      // A side with zero responsibility mass (every pattern fully
+      // resolved the other way) has no rate to estimate: fall back
+      // to the uninformative 500000 rather than divide by zero —
+      // the dawidSkeneBinary convention.
+      g.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+        .select(col("__g") +: col("__np").as(s"__np$tag") +:
+          (round(lit(1e6) * col("__wm").cast("double") /
+            col("__tot").cast("double")).cast("long")
+            .as(s"__p$tag") +:
+          (0 until k).flatMap { i => Seq(
+            when(col("__wm") > 0,
+              round(lit(1e6) * col(s"__wma$i").cast("double") /
+                col("__wm").cast("double")).cast("long"))
+              .otherwise(lit(500000L)).as(s"__m$tag$i"),
+            when(col("__wu") > 0,
+              round(lit(1e6) * col(s"__wua$i").cast("double") /
+                col("__wu").cast("double")).cast("long"))
+              .otherwise(lit(500000L)).as(s"__u$tag$i"))
+          }): _*)
+    }
+    val e1 = census.withColumn("__gamma",
+      gamma(lit(500000L), Seq.fill(k)(lit(900000L)),
+        Seq.fill(k)(lit(100000L))))
+    val m1 = mStep(e1, "1")
+    val e2 = census.join(broadcast(m1), Seq("__g"))
+      .withColumn("__gamma",
+        gamma(col("__p1"), (0 until k).map(i => col(s"__m1$i")),
+          (0 until k).map(i => col(s"__u1$i"))))
+    val m2 = mStep(e2, "2")
+    val joined = m1.join(m2, Seq("__g"))
+    val rows = (0 until k).map { i =>
+      struct(lit(fieldCols(i)).as("field"),
+        col(s"__m1$i").as("m1_micro"), col(s"__u1$i").as("u1_micro"),
+        col(s"__m2$i").as("m2_micro"), col(s"__u2$i").as("u2_micro"))
+    }
+    joined.select(col("__g"), col("__np1").as("n_pairs"),
+        col("__p1").as("p1_micro"), col("__p2").as("p2_micro"),
+        explode(array(rows: _*)).as("__f"))
+      .select(col("__g").as(groupCol), col("__f.field"),
+        col("n_pairs"), col("p1_micro"), col("__f.m1_micro"),
+        col("__f.u1_micro"), col("p2_micro"), col("__f.m2_micro"),
+        col("__f.u2_micro"))
+  }
 }

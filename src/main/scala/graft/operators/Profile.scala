@@ -4767,4 +4767,89 @@ object Profile {
         round(lit(1e6) * c).cast("long"))
         .otherwise(lit(null).cast("long")).as("c_micro"))
   }
+
+  /** Hill tail-index estimator per group — "how heavy is this
+    * metric's tail": over the top k+1 order statistics,
+    * Hill = (1/k)·Σ_{i≤k} (ln x_(i) − ln x_(k+1)) and α̂ = 1/Hill
+    * (α ≤ 2 means infinite variance — sampling and mean-based
+    * alerting break). The top k+1 come from [[Ranking.groupTopK]]'s
+    * BOUNDED heap (ties broken by id — total order, never a
+    * per-group window), each kept row quantizes to micro-nats (the
+    * [[theilIndex]] ln idiom), and the k log-excesses collapse to
+    * ONE exact integer difference Σmnat − k·mnat_(k+1). Groups with
+    * fewer than k+1 positive rows report NULL (the estimator needs
+    * its full tail sample); nonpositive values are outside log
+    * support and are censused in n_nonpos.
+    * Output: (groupCol, n_pos, n_nonpos, hill_mnat_micro,
+    * alpha_micro). */
+  def hillTail(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val all = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).cast("long")
+        .as("__id"), col(valueCol).cast("double").as("__x"))
+    val counts = all.groupBy(col("__g"))
+      .agg(sum(when(col("__x") > 0.0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__x") > 0.0, 0L).otherwise(1L)).as("n_nonpos"))
+    val top = Ranking.groupTopK(all.filter(col("__x") > 0.0),
+      Seq("__g"), Seq((-col("__x")).as("__nx"), col("__id")), k + 1)
+    val agg = top
+      .select(col("__g"), col("rank"),
+        round(lit(1e6) * log(-col("__nx"))).cast("long").as("__mnat"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__m"),
+        sum(when(col("rank") <= k, col("__mnat")).otherwise(0L))
+          .as("__s"),
+        max(when(col("rank") === k + 1, col("__mnat"))).as("__ref"))
+    val hillD = (col("__s") - lit(k.toLong) * col("__ref"))
+      .cast("double") / lit(k.toDouble)
+    counts.join(agg, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n_pos"), col("n_nonpos"),
+        when(col("__m") === (k + 1).toLong,
+          round(hillD).cast("long"))
+          .otherwise(lit(null).cast("long")).as("hill_mnat_micro"),
+        when(col("__m") === (k + 1).toLong && hillD > 0.0,
+          round(lit(1e12) / hillD).cast("long"))
+          .otherwise(lit(null).cast("long")).as("alpha_micro"))
+  }
+
+  /** Gumbel (extreme-value type-I) method-of-moments fit per group —
+    * the [[momentFit]] family member for MAXIMA (daily peak load,
+    * per-shard max latency): β̂ = s·√6/π off the sample standard
+    * deviation and μ̂ = x̄ − γ·β̂ (γ the Euler–Mascheroni constant,
+    * both literals mirrored). Exact milli sums; the two fits are the
+    * only float chains. Groups with n < 2 or zero variance report
+    * NULL. Output: (groupCol, n, mu_micro, beta_micro). */
+  def gumbelFit(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+          .as("__y"))
+    val sums = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y").cast(dec)).as("__s"),
+        sum((col("__y").cast(dec) * col("__y")).cast(dec)).as("__q"))
+    val nD = col("n").cast("double")
+    val s2 = (col("__q").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD) /
+      (nD - lit(1.0))
+    val beta = sqrt(s2) * sqrt(lit(6.0)) / lit(3.141592653589793)
+    val mu = col("__s").cast("double") / nD -
+      lit(0.5772156649015329) * beta
+    sums.select(col("__g").as(groupCol), col("n"),
+      when(col("n") >= 2L && s2 > 0.0,
+        round(lit(1e3) * mu).cast("long"))
+        .otherwise(lit(null).cast("long")).as("mu_micro"),
+      when(col("n") >= 2L && s2 > 0.0,
+        round(lit(1e3) * beta).cast("long"))
+        .otherwise(lit(null).cast("long")).as("beta_micro"))
+  }
 }

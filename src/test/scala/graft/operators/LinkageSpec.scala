@@ -191,4 +191,23 @@ class LinkageSpec extends SparkSpec {
     assert(r.getAs[String]("word_b") == "smyth")
     assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 1L)
   }
+
+  test("fellegiSunterEm: two micro-rounded EM rounds match the replica") {
+    import spark.implicits._
+    // census: (T,T) x3, (F,F) x2, (T,F) x1 — replicated step by
+    // step with exact integer likelihoods and micro rounding.
+    val pairs = (Seq.fill(3)((true, true)) ++
+      Seq.fill(2)((false, false)) ++ Seq((true, false)))
+      .map { case (x, y) => ("all", x, y) }
+      .toDF("g", "f0", "f1")
+    val got = Linkage.fellegiSunterEm(pairs, "g", Seq("f0", "f1"))
+      .collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))).toMap
+    assert(got("f0") ==
+      ((6L, 581301L, 993007L, 213592L, 581997L, 998923L, 204056L)))
+    assert(got("f1") ==
+      ((6L, 581301L, 849650L, 14563L, 581997L, 856836L, 3167L)))
+  }
 }

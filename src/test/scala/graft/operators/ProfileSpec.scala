@@ -1817,4 +1817,31 @@ class ProfileSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((2L, 2L, 1500000L)))
   }
+
+  test("hillTail: exact log-excess mean, short-tail NULL") {
+    val df = Seq(("g", 1L, math.exp(4.0)), ("g", 2L, math.exp(3.0)),
+      ("g", 3L, math.exp(2.0)), ("g", 4L, math.exp(1.0)),
+      ("s", 5L, 10.0), ("s", 6L, 5.0))
+      .toDF("g", "id", "x")
+    val got = Profile.hillTail(df, "g", "id", "x", k = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    // top 3 mnats 4e6, 3e6, 2e6 -> hill = (7e6 - 2*2e6)/2 = 1.5e6,
+    // alpha = 1/1.5 = 0.6667
+    assert(got("g") == ((4L, 1500000L, 666667L)))
+    // s has only 2 positive rows < k+1 -> NULL
+    assert(got("s") == ((2L, null, null)))
+  }
+
+  test("gumbelFit: moments of 1..6, zero-variance NULL") {
+    val df = ((1 to 6).map(i => ("g", i.toDouble)) ++
+      Seq(("z", 2.0), ("z", 2.0))).toDF("g", "v")
+    val got = Profile.gumbelFit(df, "g", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+    assert(got("g") == ((6L, 2658028L, 1458679L)))
+    assert(got("z") == ((2L, null, null)))
+  }
 }
