@@ -4667,7 +4667,6 @@ object Profile {
       sideCol: String,
       binWidthMilli: Long): DataFrame = {
     require(binWidthMilli > 0L, "binWidthMilli must be positive")
-    val dec = "decimal(38,0)"
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"),
         floor(round(col(valueCol).cast("double") * lit(1e3))
@@ -4677,6 +4676,18 @@ object Profile {
     val cells = base.groupBy(col("__g"), col("__bin"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    histDistancesFromCells(cells).withColumnRenamed("__g", groupCol)
+  }
+
+  /** The [[histDistances]] core over PRE-BINNED per-side cells
+    * (__g, __ca, __cb — one row per observed bin): shared verbatim
+    * with the streaming pager
+    * ([[graft.streaming.HistDriftStream]]) so stream and batch
+    * verdicts cannot diverge — the [[psiFromCells]] convention.
+    * Output: (__g, n_a, n_b, n_bins, tv_micro, bc_micro,
+    * hellinger_micro). */
+  def histDistancesFromCells(cells: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val totals = cells.groupBy(col("__g"))
       .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
     val j = cells.join(totals, Seq("__g"))
@@ -4693,7 +4704,7 @@ object Profile {
     val nb = col("n_b").cast("double")
     val bc = col("__bcsum").cast("double") / lit(1e6) /
       sqrt(na * nb)
-    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+    stats.select(col("__g"), col("n_a"), col("n_b"),
       col("n_bins"),
       when(col("n_a") > 0L && col("n_b") > 0L,
         round(lit(1e6) * (lit(0.5) *
