@@ -5564,7 +5564,16 @@ object SparkEntry {
           (col("la") === col("lb")).as("name_eq"))
       Linkage.fellegiSunterEm(pairs, "g",
         Seq("nation_eq", "seg_eq", "bal_eq", "name_eq"))
-    })
+    }),
+
+    // Lepage joint location-scale page between user_id residue
+    // classes per event type: z_W^2 + z_AB^2 against the chi2(2)
+    // 5% cut.
+    "q422_lepage" -> ((s, dir) =>
+      Profile.lepage(t(s, dir, "events")
+          .select(col("event_type"), col("value"),
+            (col("user_id") % 4 === 0).as("side")),
+        "event_type", "value", "side"))
   )
 
   /** q400's crawl-shard fixture: one WARC string per document source
@@ -15949,6 +15958,77 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'name_eq', m13, u13, m23, u23
         |  FROM p1 CROSS JOIN p2) f"""
+        .stripMargin,
+
+    "q422_lepage" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    user_id % 4 = 0 AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT g, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |c2 AS (SELECT g, v, ca, cb, ca + cb AS c FROM c),
+        |t AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM c2 GROUP BY 1),
+        |r AS (
+        |  SELECT g, v, ca, cb, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+        |  FROM c2),
+        |u AS (
+        |  SELECT r.g, ca, cb, c, t.n_a, t.n_b, t.n_a + t.n_b AS nt,
+        |    2 * (cum - c) + c + 1 AS m2,
+        |    least(2 * (cum - c) + c + 1,
+        |      2 * (t.n_a + t.n_b + 1) - (2 * (cum - c) + c + 1))
+        |      AS s2
+        |  FROM r JOIN t ON r.g = t.g),
+        |agg AS (
+        |  SELECT g, max(n_a) AS n_a, max(n_b) AS n_b,
+        |    max(nt) AS nn,
+        |    sum(CAST(ca AS HUGEINT) * m2) AS r2a,
+        |    sum(CAST(c AS HUGEINT) * c * c - c) AS ties,
+        |    sum(CAST(ca AS HUGEINT) * s2) AS ab2,
+        |    sum(CAST(c AS HUGEINT) * s2) AS ss,
+        |    sum(CAST(c AS HUGEINT) * s2 * s2) AS ssq
+        |  FROM u GROUP BY 1),
+        |f AS (
+        |  SELECT g, n_a, n_b,
+        |    (CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+        |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        / 12.0 * (CAST(nn AS DOUBLE) + 1.0
+        |          - CAST(ties AS DOUBLE) / (CAST(nn AS DOUBLE)
+        |            * (CAST(nn AS DOUBLE) - 1.0))))) AS zw,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |      * (CAST(nn AS DOUBLE) + 1.0 - CAST(ties AS DOUBLE)
+        |        / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))
+        |      AS sigma2,
+        |    (CAST(ab2 AS DOUBLE) - CAST(n_a AS DOUBLE)
+        |      * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) * CAST(ssq AS DOUBLE)
+        |          - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+        |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          * (CAST(nn AS DOUBLE) - 1.0))) AS zab,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      * (CAST(nn AS DOUBLE) * CAST(ssq AS DOUBLE)
+        |        - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) - 1.0)) AS var2
+        |  FROM agg)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND sigma2 > 0 AND var2 > 0
+        |    THEN CAST(round(1e6 * (zw * zw + zab * zab)) AS BIGINT)
+        |    END AS l_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND sigma2 > 0 AND var2 > 0
+        |    THEN CAST(round(1e6 * (zw * zw + zab * zab)) AS BIGINT)
+        |      > 5991465 END AS significant
+        |FROM f"""
         .stripMargin,
 
     "q390_partial_corr" ->

@@ -4863,4 +4863,74 @@ object Profile {
         round(lit(1e3) * beta).cast("long"))
         .otherwise(lit(null).cast("long")).as("beta_micro"))
   }
+
+  /** Lepage test per group — the classic JOINT location–scale
+    * combination L = z_W² + z_AB² (χ²₂ null): Wilcoxon/MW catches a
+    * shifted center, Ansari–Bradley a changed spread, and Lepage
+    * pages when EITHER moved — [[cucconi]]'s rank-squares sibling,
+    * kept because the two react differently under asymmetric drift.
+    * ONE cells+prefix pass feeds both components: the doubled
+    * midrank sums ([[mannWhitney]]'s r2a and tie cubes) and the
+    * doubled AB scores ([[ansariBradley]]'s s2 tallies) aggregate
+    * together, then both z chains assemble exactly as in their
+    * standalone operators. Degenerate groups (an empty side, zero
+    * variance on either component) report NULL.
+    * Output: (groupCol, n_a, n_b, l_micro, significant — L above
+    * the χ²₂ 5% critical value 5.991465). */
+  def lepage(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+    val totals = cells.groupBy(col("__g"))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+      .withColumn("__nt", col("n_a") + col("n_b"))
+    val run = Ranking.groupRunningSum(cells, "__g", Seq("__v"), "__c")
+      .join(totals, Seq("__g"))
+    val m2 = lit(2L) * (col("running") - col("__c")) + col("__c") + 1L
+    val s2 = least(m2, lit(2L) * (col("__nt") + 1L) - m2)
+    val stats = run.groupBy(col("__g"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("__nt")).as("__n"),
+        sum((col("__ca").cast(dec) * m2).cast(dec)).as("__r2a"),
+        sum((col("__c").cast(dec) * col("__c") * col("__c") -
+          col("__c")).cast(dec)).as("__ties"),
+        sum((col("__ca").cast(dec) * s2).cast(dec)).as("__ab2"),
+        sum((col("__c").cast(dec) * s2).cast(dec)).as("__ss"),
+        sum((col("__c").cast(dec) * s2 * s2).cast(dec)).as("__ssq"))
+    val nn = col("n_a").cast("double") * col("n_b").cast("double")
+    val bigN = col("__n").cast("double")
+    val u2a = col("__r2a") - col("n_a") * (col("n_a") + 1L)
+    val sigma2 = nn / lit(12.0) *
+      (bigN + 1.0 - col("__ties").cast("double") /
+        (bigN * (bigN - 1.0)))
+    val zw = (u2a.cast("double") - nn) / (lit(2.0) * sqrt(sigma2))
+    val e2 = col("n_a").cast("double") * col("__ss").cast("double") /
+      bigN
+    val var2 = col("n_a").cast("double") * col("n_b").cast("double") *
+      (bigN * col("__ssq").cast("double") -
+        col("__ss").cast("double") * col("__ss").cast("double")) /
+      (bigN * bigN * (bigN - lit(1.0)))
+    val zab = (col("__ab2").cast("double") - e2) / sqrt(var2)
+    val l = zw * zw + zab * zab
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L && sigma2 > 0.0 &&
+          var2 > 0.0,
+        round(lit(1e6) * l).cast("long"))
+        .otherwise(lit(null).cast("long")).as("l_micro"),
+      when(col("n_a") > 0L && col("n_b") > 0L && sigma2 > 0.0 &&
+          var2 > 0.0,
+        round(lit(1e6) * l).cast("long") > 5991465L)
+        .otherwise(lit(null).cast("boolean")).as("significant"))
+  }
 }

@@ -1844,4 +1844,19 @@ class ProfileSpec extends SparkSpec {
     assert(got("g") == ((6L, 2658028L, 1458679L)))
     assert(got("z") == ((2L, null, null)))
   }
+
+  test("lepage: pure scale drift pages through the AB component") {
+    // A = {1,4} (tails) vs B = {2,3}: z_W = 0 (centers match),
+    // z_AB^2 = 3 -> L = 3, below the chi2(2) 5% cut.
+    val df = Seq(("g", 1.0, true), ("g", 4.0, true),
+      ("g", 2.0, false), ("g", 3.0, false),
+      ("e", 1.0, true), ("e", 2.0, true)) // one-sided -> NULL
+      .toDF("g", "v", "a")
+    val got = Profile.lepage(df, "g", "v", "a").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getBoolean(4)))).toMap
+    assert(got("g") == ((2L, 2L, 3000000L, false)))
+    assert(got("e") == ((2L, 0L, null, null)))
+  }
 }
