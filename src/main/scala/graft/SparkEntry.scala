@@ -5573,7 +5573,21 @@ object SparkEntry {
       Profile.lepage(t(s, dir, "events")
           .select(col("event_type"), col("value"),
             (col("user_id") % 4 === 0).as("side")),
-        "event_type", "value", "side"))
+        "event_type", "value", "side")),
+
+    // Restricted mean survival time to day 20 off the q244 KM
+    // curves: average days retained out of the first 20, per cohort.
+    "q423_rmst" -> ((s, dir) => {
+      val lives = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("__f"),
+          max(to_date(col("ts"))).as("__l"))
+        .select((col("user_id") % 3).as("cohort"),
+          datediff(col("__l"), col("__f")).as("dur"),
+          (col("__l") < lit("2024-01-25")).as("churned"))
+      TimeSeries.rmst(
+        TimeSeries.kaplanMeier(lives, "cohort", "dur", "churned"),
+        "cohort", tau = 20L)
+    })
   )
 
   /** q400's crawl-shard fixture: one WARC string per document source
@@ -16030,6 +16044,32 @@ object SparkEntry {
         |      > 5991465 END AS significant
         |FROM f"""
         .stripMargin,
+
+    "q423_rmst" ->
+      (s"""WITH km AS (
+          |$kaplanMeierOracleSql
+          |)
+          |""".stripMargin +
+        """, seg AS (
+          |  SELECT cohort, t, log_surv_mnat,
+          |    CAST(row_number() OVER (PARTITION BY cohort ORDER BY t)
+          |      AS BIGINT) AS rnk,
+          |    COALESCE(lead(t) OVER (PARTITION BY cohort ORDER BY t),
+          |      20) AS tnext
+          |  FROM km),
+          |ar AS (
+          |  SELECT cohort,
+          |    CASE WHEN log_surv_mnat IS NULL THEN 0
+          |      ELSE CAST(round(1e6
+          |        * exp(CAST(log_surv_mnat AS DOUBLE) / 1e6)
+          |        * CAST(greatest(0, least(tnext, 20)
+          |          - least(t, 20)) AS DOUBLE)) AS BIGINT) END
+          |    + CASE WHEN rnk = 1 THEN least(t, 20) * 1000000
+          |      ELSE 0 END AS area
+          |  FROM seg)
+          |SELECT cohort, CAST(20 AS BIGINT) AS tau,
+          |  CAST(sum(area) AS BIGINT) AS rmst_micro
+          |FROM ar GROUP BY cohort""".stripMargin),
 
     "q390_partial_corr" ->
       """WITH b AS (

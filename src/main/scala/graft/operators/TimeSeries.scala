@@ -2025,4 +2025,44 @@ object TimeSeries {
           .otherwise(lit(null).cast("boolean"))
           .as("level_stationary_5pct"))
   }
+
+  /** Restricted mean survival time per group — the AREA under the
+    * [[kaplanMeier]] curve up to a horizon τ: "average days alive
+    * out of the first τ", the effect-size companion to
+    * [[medianSurvival]] (which can be NULL when the curve never
+    * crosses ½; RMST always exists and differences between arms are
+    * directly interpretable). Consumes the KM output: each step's
+    * survival S = exp(log_surv_mnat/1e6) (NULL log = 0) covers
+    * [t_i, min(t_{i+1}, τ)), the head segment [0, t_1) has S = 1
+    * exactly, each step's area micro-rounds per row and the total is
+    * an exact integer sum. Next-step times come from exact
+    * [[Ranking.groupRank]] + a (group, rank) self equi-join — the
+    * [[graft.operators.Profile.durbinWatson]] pairing, never a
+    * per-group window. Output: (groupCol, tau, rmst_micro). */
+  def rmst(km: DataFrame, groupCol: String, tau: Long): DataFrame = {
+    require(tau > 0L, "tau must be positive")
+    val ranked = Ranking.groupRank(
+      km.select(col(groupCol).as("__g"), col("t"),
+        col("log_surv_mnat")), "__g", Seq("t"))
+    val nxt = ranked.select(col("__g").as("__ng"),
+      (col("rank") - 1L).as("__nr"), col("t").as("__tn"))
+    val seg = ranked
+      .join(nxt, col("__g") === col("__ng") &&
+        col("rank") === col("__nr"), "left")
+      .select(col("__g"), col("t"), col("rank"),
+        col("log_surv_mnat"), coalesce(col("__tn"), lit(tau))
+          .as("__tnext"))
+    val w = greatest(lit(0L),
+      least(col("__tnext"), lit(tau)) - least(col("t"), lit(tau)))
+    val stepArea = when(col("log_surv_mnat").isNull, lit(0L))
+      .otherwise(round(lit(1e6) *
+        exp(col("log_surv_mnat").cast("double") / lit(1e6)) *
+        w.cast("double")).cast("long"))
+    val headArea = when(col("rank") === 1L,
+      least(col("t"), lit(tau)) * 1000000L).otherwise(lit(0L))
+    seg.groupBy(col("__g"))
+      .agg(sum(stepArea + headArea).as("rmst_micro"))
+      .select(col("__g").as(groupCol), lit(tau).as("tau"),
+        col("rmst_micro"))
+  }
 }

@@ -805,4 +805,18 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().head
     assert(cr.isNullAt(2) && cr.isNullAt(3))
   }
+
+  test("rmst: head segment, stepped areas, dead tail contributes 0") {
+    import spark.implicits._
+    // S = 1 on [0,2), ~0.5 on [2,5), ~0.25 on [5,8), 0 from t=8;
+    // tau = 10 -> 2.0 + 1.5 + 0.75 + 0 days.
+    val km = Seq(
+      ("g", 2L, java.lang.Long.valueOf(-693147L)),
+      ("g", 5L, java.lang.Long.valueOf(-1386294L)),
+      ("g", 8L, null.asInstanceOf[java.lang.Long]))
+      .toDF("cohort", "t", "log_surv_mnat")
+    val r = TimeSeries.rmst(km, "cohort", tau = 10L).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) ==
+      (("g", 10L, 4250000L)))
+  }
 }
