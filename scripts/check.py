@@ -11,6 +11,7 @@ float repr).
 """
 import json
 import math
+import re
 import sys
 
 import duckdb
@@ -44,6 +45,61 @@ def _unsafe_type(t):
     return False
 
 
+def fragile_argmin_sql(sql):
+    """Rounding-boundary lint (oracle side, mirrors
+    graft.Verify.fragileArgminLint): flag any QUALIFY
+    row_number() ... ORDER BY whose FIRST key column is defined via
+    round(...) — a float-rounded argmin key flips the elected row on
+    a 1-ulp FMA/libm difference between engines whenever candidates
+    sit on the .5 boundary (the r15 q402 driver-hash lesson; real
+    label censuses DO land there). Argmin keys must be exact-integer
+    comparisons; a reported rounded column derived from the already-
+    elected winner is fine. Returns the offending key names."""
+    hits = []
+    for m in re.finditer(
+            r"QUALIFY\s+row_number\(\)\s+OVER\s*\(\s*PARTITION\s+BY"
+            r"\s+[^()]*ORDER\s+BY\s+([a-zA-Z_]\w*)", sql, re.I):
+        key = m.group(1)
+        for d in re.finditer(r"AS\s+" + key + r"\b", sql):
+            pre = sql[max(0, d.start() - 600):d.start()]
+            if "round(" in pre.lower():
+                hits.append(key)
+                break
+    return hits
+
+
+def lint_selftest():
+    # Seeded regression: the PRE-fix q402 oracle shape must trip.
+    fragile = """
+      sc AS (SELECT feature, v,
+        CAST(round(1e6 * (2.0 * CAST(cp * (cn - cp) AS DOUBLE)
+          / CAST(cn AS DOUBLE))) AS BIGINT) AS gini_micro FROM run)
+      SELECT feature, v FROM sc
+      QUALIFY row_number() OVER (PARTITION BY feature
+        ORDER BY gini_micro, v) = 1"""
+    assert fragile_argmin_sql(fragile) == ["gini_micro"], \
+        "lint failed to flag a round()-defined argmin key"
+    # The fixed shape (exact HUGEINT floor-div key) must pass.
+    exact = """
+      sc2 AS (SELECT feature, v,
+        CAST((4000000 * gnum + gden) // (2 * gden) AS BIGINT)
+          AS gini_micro FROM sc)
+      SELECT feature, v FROM sc2
+      QUALIFY row_number() OVER (PARTITION BY feature
+        ORDER BY gini_micro, v) = 1"""
+    assert fragile_argmin_sql(exact) == [], \
+        "lint false-positive on an exact integer argmin key"
+    # round() elsewhere (not defining the ordering key) must pass.
+    unrelated = """
+      b AS (SELECT g, CAST(round(v * 1e6) AS BIGINT) AS vq, n FROM t)
+      SELECT g, vq FROM b
+      QUALIFY row_number() OVER (PARTITION BY g ORDER BY n) = 1"""
+    assert fragile_argmin_sql(unrelated) == [], \
+        "lint false-positive on a non-key round()"
+    print("lint selftest: 3/3 pass")
+    return 0
+
+
 def table_rows(tbl):
     cols = sorted(tbl.column_names)
     data = [tbl.column(c).to_pylist() for c in cols]
@@ -59,6 +115,13 @@ def main(out_dir, sf_dir):
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        frag = fragile_argmin_sql(sql)
+        if frag:
+            print(f"FAIL {name}: LINT round()-defined argmin ordering "
+                  f"key(s) in oracle SQL: {frag} — compare exactly in "
+                  f"integers (r15 q402)")
+            n_fail += 1
+            continue
         try:
             spark_tbl = ds.dataset(f"{out_dir}/{name}", format="parquet").to_table()
         except Exception as e:
@@ -106,4 +169,6 @@ def main(out_dir, sf_dir):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        sys.exit(lint_selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))

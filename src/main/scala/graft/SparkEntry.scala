@@ -9809,7 +9809,8 @@ object SparkEntry {
         |  FROM k2 l JOIN k2 r ON l.actor = r.actor AND l.item < r.item
         |  GROUP BY l.item, r.item HAVING count(*) >= 40)
         |SELECT item_a, item_b, n_ab, a.n AS n_a, b.n AS n_b,
-        |  (1000000 * n_ab * nu) // (a.n * b.n) AS lift_micro
+        |  CAST((CAST(1000000 AS HUGEINT) * n_ab * nu)
+        |    // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS lift_micro
         |FROM p
         |JOIN ic a ON a.item = p.item_a
         |JOIN ic b ON b.item = p.item_b, tot""".stripMargin,
@@ -14247,13 +14248,29 @@ object SparkEntry {
         |    sum(d) OVER (PARTITION BY k ORDER BY pos, tag
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srun
         |  FROM u),
-        |z AS (
+        |q AS (
         |  SELECT k, ts_ms, id, n, srun,
         |    CASE WHEN n >= 2 THEN
-        |      CAST(round(1e6 * CAST(srun AS DOUBLE)
-        |        / sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE)
-        |          / 18.0)) AS BIGINT) END AS z_micro
-        |  FROM c WHERE tag = 1)
+        |      (CAST(72000000000000 AS HUGEINT) * srun * srun)
+        |        // (n * (n - 1) * (2 * n + 5)) END AS q4
+        |  FROM c WHERE tag = 1),
+        |sq AS (
+        |  SELECT k, ts_ms, id, n, srun, q4,
+        |    CAST(floor(sqrt(CAST(q4 AS DOUBLE))) AS HUGEINT) AS u0
+        |  FROM q),
+        |iq AS (
+        |  SELECT k, ts_ms, id, n, srun,
+        |    u0 + CASE WHEN (u0 + 2) * (u0 + 2) <= q4 THEN 2
+        |      WHEN (u0 + 1) * (u0 + 1) <= q4 THEN 1
+        |      WHEN u0 * u0 <= q4 THEN 0
+        |      WHEN (u0 - 1) * (u0 - 1) <= q4 THEN -1 ELSE -2 END AS u
+        |  FROM sq),
+        |z AS (
+        |  SELECT k, ts_ms, id, n, srun,
+        |    CASE WHEN n >= 2 THEN CAST(CASE WHEN srun < 0
+        |      THEN -((u + 1) // 2) ELSE (u + 1) // 2 END AS BIGINT)
+        |    END AS z_micro
+        |  FROM iq)
         |SELECT k AS user_id, ts_ms, id AS event_id,
         |  CAST(n AS INTEGER) AS n_win, srun AS s, z_micro,
         |  COALESCE(abs(z_micro) > 1959964, false) AS alarm
@@ -14836,7 +14853,8 @@ object SparkEntry {
         |SELECT r.ant_a, r.ant_b, r.cons, r.n_abc,
         |  pc.n_ab AS n_ant, ic.n_i AS n_cons, nb.n_baskets,
         |  (1000000 * r.n_abc) // pc.n_ab AS conf_micro,
-        |  (1000000 * r.n_abc * nb.n_baskets) // (pc.n_ab * ic.n_i)
+        |  CAST((CAST(1000000 AS HUGEINT) * r.n_abc * nb.n_baskets)
+        |    // (CAST(pc.n_ab AS HUGEINT) * ic.n_i) AS BIGINT)
         |    AS lift_micro
         |FROM rules r
         |JOIN pc ON r.ant_a = pc.ia AND r.ant_b = pc.ib
@@ -14881,24 +14899,27 @@ object SparkEntry {
         |  FROM cells GROUP BY 1),
         |sc AS (
         |  SELECT run.feature, run.v, run.cn, run.cp, tot.nn, tot.pp,
-        |    CAST(round(1e6 * (2.0 *
-        |      (CAST(cp * (cn - cp) AS DOUBLE) / CAST(cn AS DOUBLE)
-        |       + CAST((pp - cp) * ((nn - cn) - (pp - cp)) AS DOUBLE)
-        |         / CAST(nn - cn AS DOUBLE))
-        |      / CAST(nn AS DOUBLE))) AS BIGINT) AS gini_micro,
-        |    CAST(round(1e6 * (
-        |      2.0 * CAST(pp * (nn - pp) AS DOUBLE)
-        |        / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)
-        |      - (2.0 *
-        |        (CAST(cp * (cn - cp) AS DOUBLE) / CAST(cn AS DOUBLE)
-        |         + CAST((pp - cp) * ((nn - cn) - (pp - cp)) AS DOUBLE)
-        |           / CAST(nn - cn AS DOUBLE))
-        |        / CAST(nn AS DOUBLE)))) AS BIGINT) AS gain_micro
+        |    CAST(cp AS HUGEINT) * (cn - cp) * (nn - cn)
+        |      + CAST(pp - cp AS HUGEINT)
+        |        * ((nn - cn) - (pp - cp)) * cn AS gnum,
+        |    CAST(cn AS HUGEINT) * (nn - cn) * nn AS gden,
+        |    CAST(pp AS HUGEINT) * (nn - pp) * cn * (nn - cn)
+        |      - CAST(nn AS HUGEINT)
+        |        * (CAST(cp AS HUGEINT) * (cn - cp) * (nn - cn)
+        |           + CAST(pp - cp AS HUGEINT)
+        |             * ((nn - cn) - (pp - cp)) * cn) AS gnnum
         |  FROM run JOIN tot USING (feature)
-        |  WHERE run.cn < tot.nn)
+        |  WHERE run.cn < tot.nn),
+        |sc2 AS (
+        |  SELECT feature, v, cn, cp, nn, pp,
+        |    CAST((4000000 * gnum + gden) // (2 * gden) AS BIGINT)
+        |      AS gini_micro,
+        |    CAST((4000000 * gnnum + nn * gden) // (2 * nn * gden)
+        |      AS BIGINT) AS gain_micro
+        |  FROM sc)
         |SELECT feature, nn AS n, pp AS pos, v AS threshold_milli,
         |  gini_micro, gain_micro, cn AS n_le, cp AS pos_le
-        |FROM sc
+        |FROM sc2
         |QUALIFY row_number() OVER (PARTITION BY feature
         |  ORDER BY gini_micro, v) = 1"""
         .stripMargin,
@@ -15314,41 +15335,28 @@ object SparkEntry {
         |    sum(CAST(ca AS HUGEINT) * da2 * da2) AS s2a,
         |    sum(CAST(cb AS HUGEINT) * db2) AS s1b,
         |    sum(CAST(cb AS HUGEINT) * db2 * db2) AS s2b
-        |  FROM u GROUP BY 1)
+        |  FROM u GROUP BY 1),
+        |v AS (
+        |  SELECT g, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    CAST(r2a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE)) AS ra,
+        |    CAST(r2b AS DOUBLE) / (2.0 * CAST(n_b AS DOUBLE)) AS rb,
+        |    (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE)
+        |      * CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - 1.0) / 4.0 AS va,
+        |    (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE)
+        |      * CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - 1.0) / 4.0 AS vb
+        |  FROM agg)
         |SELECT g AS event_type, n_a, n_b,
         |  CASE WHEN n_a > 0 AND n_b > 0
-        |    THEN CAST(round(1e6 * (CAST(r2b AS DOUBLE)
-        |      / (2.0 * CAST(n_b AS DOUBLE))
-        |      - (CAST(n_b AS DOUBLE) + 1.0) / 2.0)
-        |      / CAST(n_a AS DOUBLE)) AS BIGINT) END AS p_hat_micro,
-        |  CASE WHEN n_a > 1 AND n_b > 1
-        |      AND (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-        |        * (((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE)
-        |            * CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE))
-        |            / (CAST(n_a AS DOUBLE) - 1.0) / 4.0)
-        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-        |            - CAST(n_a AS DOUBLE))
-        |        + ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE)
-        |            * CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE))
-        |            / (CAST(n_b AS DOUBLE) - 1.0) / 4.0)
-        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-        |            - CAST(n_b AS DOUBLE))) > 0
-        |    THEN CAST(round(1e6 * (CAST(r2b AS DOUBLE)
-        |        / (2.0 * CAST(n_b AS DOUBLE))
-        |        - CAST(r2a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE)))
-        |      / sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-        |        * (((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE)
-        |            * CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE))
-        |            / (CAST(n_a AS DOUBLE) - 1.0) / 4.0)
-        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-        |            - CAST(n_a AS DOUBLE))
-        |        + ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE)
-        |            * CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE))
-        |            / (CAST(n_b AS DOUBLE) - 1.0) / 4.0)
-        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-        |            - CAST(n_b AS DOUBLE))))) AS BIGINT)
-        |    END AS w_micro
-        |FROM agg"""
+        |    THEN CAST(round(1e6 * (rb - (nbd + 1.0) / 2.0) / nad)
+        |      AS BIGINT) END AS p_hat_micro,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND nad * va + nbd * vb > 0
+        |    THEN CAST(round(1e6 * nad * nbd * (rb - ra)
+        |      / ((nad + nbd) * sqrt(nad * va + nbd * vb))) AS BIGINT)
+        |  END AS w_micro
+        |FROM v"""
         .stripMargin,
 
     "q411_average_precision" ->

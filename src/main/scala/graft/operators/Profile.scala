@@ -4023,9 +4023,19 @@ object Profile {
     * Split semantics: left = value ≤ threshold, candidates are the
     * observed cell values with the top cell excluded (its right side
     * is empty). Weighted impurity = (n_L·g_L + n_R·g_R)/n with
-    * g = 2p(1−p); `gain_micro` is against the root impurity. Integer
-    * products pos·(n−pos) bound exactness at n ≲ 3e9 rows/feature
-    * (the [[jonckheereTerpstra]] reporting bound).
+    * g = 2p(1−p); `gain_micro` is against the root impurity.
+    *
+    * EXACT election — no IEEE step anywhere in the argmin key or the
+    * reported cells: the weighted impurity is the rational
+    * 2·(a_L·n_R + a_R·n_L)/(n_L·n_R·n) with a = p·(n−p), so its
+    * half-up micro rounding is the pure-integer
+    * (4e6·num + den) divfloor (2·den) in decimal(38,0) — identical
+    * on any engine/libm (a float-rounded key here flips the elected
+    * threshold on a 1-ulp divide difference whenever candidates sit
+    * on the .5 boundary, which real label censuses do). gain_micro
+    * rounds the exact rational root−gini the same way; its
+    * numerator tp·(tn−tp)·n_L·n_R bounds exact reporting at
+    * n ≲ 4e8 rows/feature (the key itself is safe to n ≲ 1e9).
     *
     * Output: one row per feature — (featureCol, n, pos,
     * threshold_milli, gini_micro, gain_micro, n_le, pos_le). */
@@ -4050,24 +4060,40 @@ object Profile {
       .agg(sum(col("__n")).as("__tn"), sum(col("__p")).as("__tp"))
     val j = run.join(broadcast(tot), Seq("__f"))
       .filter(col("__cn") < col("__tn"))
+    val dec = "decimal(38,0)"
     val nL = col("__cn")
     val pL = col("__cp")
     val nR = col("__tn") - col("__cn")
     val pR = col("__tp") - col("__cp")
-    // Mirrored IEEE chain: 2·(CAST(pL·(nL−pL))/nL + CAST(pR·(nR−pR))
-    // /nR)/N — the long products are exact, the divides are the only
-    // float steps and run in this textual order on both engines.
-    val gini = lit(2.0) *
-      ((pL * (nL - pL)).cast("double") / nL.cast("double") +
-        (pR * (nR - pR)).cast("double") / nR.cast("double")) /
-      col("__tn").cast("double")
-    val root = lit(2.0) *
-      (col("__tp") * (col("__tn") - col("__tp"))).cast("double") /
-      col("__tn").cast("double") / col("__tn").cast("double")
+    // Exact half-up micro rounding of 2·num/den (num, den ≥ 0):
+    // floor((4e6·num + den)/(2·den)), with the floor-div written as
+    // the remainder identity (a − a%b)/b — the adjusted numerator is
+    // exactly divisible, so the decimal divide is exact on both
+    // engines (a bare decimal `/` would HALF_UP at result scale and
+    // could flip the floor; the oracle twin uses DuckDB's HUGEINT
+    // `//`, floor-identical for non-negative operands).
+    def microHalfUp(num: Column, den: Column): Column = {
+      val a = (lit(4000000L).cast(dec) * num + den).cast(dec)
+      val b = (lit(2L).cast(dec) * den).cast(dec)
+      ((a - a % b) / b).cast("long")
+    }
+    val aL = (pL.cast(dec) * (nL - pL)).cast(dec)
+    val aR = (pR.cast(dec) * (nR - pR)).cast(dec)
+    // gini = 2·gnum/gden, root − gini = 2·gainNum/gainDen — exact
+    // integer rationals; only their half-up micro roundings are
+    // emitted, and the argmin key IS the exactly-rounded gini (ties
+    // at micro resolution break to the lowest threshold — a total,
+    // environment-independent order).
+    val gnum = (aL * nR + aR * nL).cast(dec)
+    val gden = (nL.cast(dec) * nR * col("__tn")).cast(dec)
+    val gainNum = ((col("__tp").cast(dec) *
+      (col("__tn") - col("__tp"))).cast(dec) * nL * nR -
+      col("__tn").cast(dec) * gnum).cast(dec)
+    val gainDen = (col("__tn").cast(dec) * gden).cast(dec)
     val scored = j.select(col("__f"), col("__tn"), col("__tp"),
-      struct(round(lit(1e6) * gini).cast("long").as("g"),
+      struct(microHalfUp(gnum, gden).as("g"),
         col("__v").as("v"), nL.as("nl"), pL.as("pl"),
-        round(lit(1e6) * (root - gini)).cast("long").as("gain"))
+        microHalfUp(gainNum, gainDen).as("gain"))
         .as("__s"))
     scored.groupBy(col("__f"))
       .agg(max(col("__tn")).as("n"), max(col("__tp")).as("pos"),
@@ -4513,9 +4539,13 @@ object Profile {
     * variance sums are exact decimal integers over the (group,
     * value) cells, riding ONE [[Ranking.groupRunningSums]] triple
     * prefix (pooled + both sides share the exchange).
-    * W = (R̄_b − R̄_a)/√(N·(S_a²/(N−n_a) + S_b²/(N−n_b))) with
-    * S_k² the sample variance of D = (pooled − internal) midranks;
-    * float steps are the final assembly only. Degenerate groups
+    * W = n_a·n_b·(R̄_b − R̄_a)/(N·√(n_a·S_a² + n_b·S_b²)) — the
+    * Brunner–Munzel (2000) studentization as lawstat/scipy compute
+    * it — with S_k² the sample variance of D = (pooled − internal)
+    * midranks; float steps are the final assembly only. (An earlier
+    * revision used N·(S_a²/(N−n_a) + S_b²/(N−n_b)) under the root,
+    * which coincides ONLY when n_a = n_b = N/2 = √(n_a·n_b) — at
+    * real unequal group sizes it shrinks W by √(N/(n_a·n_b)).) Degenerate groups
     * (a side with < 2 rows, zero variance — e.g. fully separated
     * samples) report NULL W; p̂ reports whenever both sides exist.
     * Output: (groupCol, n_a, n_b, p_hat_micro, w_micro). */
@@ -4562,13 +4592,14 @@ object Profile {
     val vb = (col("__s2b").cast("double") -
       col("__s1b").cast("double") * col("__s1b").cast("double") / nb) /
       (nb - lit(1.0)) / lit(4.0)
-    val sig = bigN * (va / (bigN - na) + vb / (bigN - nb))
+    val sig = na * va + nb * vb
     stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
       when(col("n_a") > 0L && col("n_b") > 0L,
         round(lit(1e6) * (rb - (nb + lit(1.0)) / lit(2.0)) / na)
           .cast("long")).as("p_hat_micro"),
       when(col("n_a") > 1L && col("n_b") > 1L && sig > 0.0,
-        round(lit(1e6) * (rb - ra) / sqrt(sig)).cast("long"))
+        round(lit(1e6) * na * nb * (rb - ra) / (bigN * sqrt(sig)))
+          .cast("long"))
         .otherwise(lit(null).cast("long")).as("w_micro"))
   }
 

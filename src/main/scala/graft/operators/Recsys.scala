@@ -25,9 +25,11 @@ object Recsys {
     * that also bounds the quadratic term), then one map-side-
     * combinable census per unordered pair and two item-count joins.
     * Never item×item over the catalog, never corpus-wide windows.
-    * Overflow: 1e6·n_ab·n_actors must stay < 2⁶³, so keep kept
-    * actors below ~3·10⁶ (= √(2⁶³/1e6)) — beyond that, drop the 1e6
-    * scale or pre-divide n_ab·n_actors.
+    * Overflow: the 1e6·n_ab·n_actors product runs in decimal(38,0)
+    * (HUGEINT in the oracle twin) — Long arithmetic would silently
+    * wrap once n_ab·n_actors passes ~9.2e12, which a web-scale
+    * interaction log reaches; the quotient itself is a bounded
+    * micro-lift and lands back in a long.
     *
     * Output: (item_a, item_b, n_ab, n_a, n_b, lift_micro) with
     * item_a < item_b. */
@@ -71,7 +73,8 @@ object Recsys {
       .crossJoin(broadcast(tot))
       .select(col("item_a"), col("item_b"), col("n_ab"),
         col("n_a"), col("n_b"),
-        expr("(1000000L * n_ab * __nu) div (n_a * n_b)")
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * n_ab * __nu) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b)")
           .as("lift_micro"))
   }
 
@@ -484,10 +487,14 @@ object Recsys {
       .crossJoin(broadcast(tot))
       .select(col("ant_a"), col("ant_b"), col("cons"), col("n_abc"),
         col("n_ant"), col("n_cons"), col("__nb").as("n_baskets"),
-        // Mirrored integer micro ratios — covisitation's idiom: the
-        // div is exact long arithmetic on both engines.
+        // Mirrored integer micro ratios — covisitation's idiom. The
+        // lift product 1e6·n_abc·n_baskets outgrows a Long at
+        // web-basket scale (~9.2e12 on the product), so it runs in
+        // decimal(38,0) (HUGEINT in the oracle twin); the quotient is
+        // a bounded micro-lift and lands back in a long.
         expr("(1000000L * n_abc) div n_ant").as("conf_micro"),
-        expr("(1000000L * n_abc * n_baskets) div (n_ant * n_cons)")
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * n_abc * n_baskets) " +
+          "div (CAST(n_ant AS DECIMAL(38,0)) * n_cons)")
           .as("lift_micro"))
   }
 }

@@ -1758,10 +1758,27 @@ object TimeSeries {
     val run = Ranking.groupRunningSum(
       deltas.unionByName(samples), "__k", Seq("__pos", "__tag"), "__d")
     val n = least(col("rank"), lit(w))
-    val varD = (n * (n - 1L) * (lit(2L) * n + 5L)).cast("double") /
-      lit(18.0)
-    val z = round(lit(1e6) * col("running").cast("double") / sqrt(varD))
-      .cast("long")
+    // EXACT z — no libm result in any emitted cell: with B =
+    // n(n−1)(2n+5), |z| = 1e6·|s|/sqrt(B/18), so (2|z|)² = 72e12·s²/B
+    // and round-half-away(|z|) = (floor(2|z|) + 1) div 2. floor(2|z|)
+    // = isqrt(72e12·s² div B) (floor∘sqrt commutes with the inner
+    // floor), computed as a double sqrt SEED clamped exact against
+    // decimal squares — a raw round(·/sqrt(·)) here is a 1-ulp
+    // environment flip waiting on a .5 boundary (the r15 driver-hash
+    // lesson; the oracle twin mirrors the same seed+clamp).
+    val dec = "decimal(38,0)"
+    val bVar = (n * (n - 1L) * (lit(2L) * n + 5L)).cast(dec)
+    val qNum = (lit(72000000000000L).cast(dec) *
+      (col("running").cast(dec) * col("running")).cast(dec)).cast(dec)
+    val q4z2 = ((qNum - qNum % bVar) / bVar).cast(dec)
+    val u0 = floor(sqrt(q4z2.cast("double"))).cast("long")
+    val u = u0 + when((u0 + 2L).cast(dec) * (u0 + 2L) <= q4z2, 2L)
+      .when((u0 + 1L).cast(dec) * (u0 + 1L) <= q4z2, 1L)
+      .when(u0.cast(dec) * u0 <= q4z2, 0L)
+      .when((u0 - 1L).cast(dec) * (u0 - 1L) <= q4z2, -1L)
+      .otherwise(-2L)
+    val zAbs = call_function("shiftright", u + 1L, lit(1))
+    val z = when(col("running") < 0L, -zAbs).otherwise(zAbs)
     run.filter(col("__tag") === 1L)
       .select(col("__k").as(keyCol), col("__ts").as("ts_ms"),
         // int, matching the streaming twin's window-size field.

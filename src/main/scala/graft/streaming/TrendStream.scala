@@ -24,8 +24,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale: shuffle on the key only; state = window longs per key;
   * samples fold in (event-time ms, id) order within a micro-batch,
   * cross-batch order is the ingest contract (the [[CusumStream]] /
-  * Sessionizer stance). All arithmetic is exact integer except the
-  * one mirrored z divide. */
+  * Sessionizer stance). ALL arithmetic is exact integer — z_micro
+  * comes from the same integer-sqrt construction as the batch side
+  * (no libm result reaches an emitted cell on either side). */
 object TrendStream {
 
   /** One input sample (micro domain). */
@@ -40,6 +41,21 @@ object TrendStream {
   case class St(win: Seq[Long], s: Long)
 
   private def sign(d: Long): Long = if (d > 0) 1L else if (d < 0) -1L else 0L
+
+  /** Exact z_micro twin of the batch cell (TimeSeries
+    * .rollingMannKendall): with B = n(n−1)(2n+5),
+    * |z| = 1e6·|s|/sqrt(B/18), so (2|z|)² = 72e12·s²/B and
+    * round-half-away(|z|) = (isqrt(72e12·s² div B) + 1) div 2 —
+    * pure integer, bit-identical to the batch/oracle construction
+    * (a float round here is toward-+inf on negative halves in Scala
+    * vs away-from-zero in SQL, besides the libm fragility). */
+  def zMicroExact(s: Long, n: Long): Long = {
+    val b = BigInt(n) * (n - 1) * (2 * n + 5)
+    val q = BigInt(72000000000000L) * s * s / b
+    val u = BigInt(q.bigInteger.sqrt())
+    val k = ((u + 1) >> 1).toLong
+    if (s < 0) -k else k
+  }
 
   /** Pure per-key fold — exercised directly by the spec and by the
     * streaming wrapper. Returns (points, new state). */
@@ -59,11 +75,7 @@ object TrendStream {
       s += win.map(x => sign(smp.xq - x)).sum
       win = win :+ smp.xq
       val n = win.size
-      val z =
-        if (n >= 2)
-          Some(math.round(1e6 * s /
-            math.sqrt(n.toLong * (n - 1L) * (2L * n + 5L) / 18.0)))
-        else None
+      val z = if (n >= 2) Some(zMicroExact(s, n)) else None
       Point(smp.k, smp.tsMs, smp.id, n, s, z,
         z.exists(v => math.abs(v) > thresholdMicro))
     }

@@ -1785,6 +1785,22 @@ class ProfileSpec extends SparkSpec {
     assert(got("s") == ((1000000L, null)))
   }
 
+  test("brunnerMunzel: lawstat 14-vs-11 example, W = 3.1375") {
+    // The Brunner & Munzel (2000) reference data as shipped in
+    // lawstat's docs and scipy.stats.brunnermunzel: UNEQUAL group
+    // sizes, where the canonical studentization and the
+    // N·(S²/(N−n)) mis-formula diverge (they coincide only at
+    // n_a = n_b — the earlier test's blind spot).
+    val a = Seq(1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1)
+    val b = Seq(3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4)
+    val df = (a.map(v => ("g", v.toDouble, true)) ++
+      b.map(v => ("g", v.toDouble, false))).toDF("g", "v", "a")
+    val r = Profile.brunnerMunzel(df, "g", "v", "a").collect().head
+    // scipy statistic 3.1374674823029505; p_hat = 0.7889610389...
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((14L, 11L, 788961L, 3137467L)))
+  }
+
   test("energyDistance: interleaved hand case is exactly 1") {
     val df = Seq(("g", 0.0, true), ("g", 2.0, true),
       ("g", 1.0, false), ("g", 3.0, false))
