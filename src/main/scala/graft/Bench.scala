@@ -137,7 +137,18 @@ object Bench {
     // counts differ (the suite nearly doubled during round 2).
     val mean = if (ok.nonEmpty) total / ok.size else 0.0
     val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"failed":$failJson,"skew":$skewJson,"sf":"$sfDir"}"""
+    // Session-noise triage (r15→r16): whole-suite per-query numbers
+    // confound the query with 400+ prior queries' session state —
+    // r15's top "regressions" (q380 4.3→10.3 s etc.) reproduced at
+    // ~r14 levels in fresh sessions (graft.BenchIsolated). Embed the
+    // latest isolated numbers so BENCH_FULL readers see both views;
+    // regenerate with `runMain graft.BenchIsolated` after any drift.
+    val isolated =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_ISOLATED.json")),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      catch { case _: Throwable => "null" }
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"failed":$failJson,"skew":$skewJson,"isolated":$isolated,"sf":"$sfDir"}"""
     // The full per-query JSON (75 queries) outgrows the driver's stdout
     // tail capture, which truncates long lines mid-way (r1 and r2 both
     // landed parsed:null). So: full detail goes to a FILE, stdout gets

@@ -94,7 +94,12 @@ object ScaleBench {
     // triple mining (the new multi-join topology: capped baskets →
     // pair census → triple census; fan-out bounded per basket, so
     // linear in baskets).
-    "q400_warc_parse", "q401_assoc_rules")
+    "q400_warc_parse", "q401_assoc_rules",
+    // round-16 additions (VERDICT r15 #7): the slowest gate (maxN-
+    // bounded Theil-Sen pair census — bounded groups, expect linear)
+    // and the newest delta-prefix machinery (rolling MK: band join +
+    // range-partitioned running sum — expect linear in samples).
+    "q380_theil_sen", "q384_rolling_mk")
 
   /** ScaleBench-only variants. q346's GATE pairs the hyperBall
     * estimate with its exact pair-materializing twin — the twin is
@@ -164,6 +169,18 @@ object ScaleBench {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scratch = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    // Targeted re-measurement after a single-operator change:
+    // SPARK_GRAFT_SCALE_ONLY=q358,q380 restricts the run (prefix
+    // match) and writes BENCH_SCALE_ONLY.json instead, so a fix can
+    // be measured in minutes without invalidating the full census.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val Queries = only match {
+      case Some(ps) => ScaleBench.Queries.filter(q => ps.exists(q.startsWith))
+      case None => ScaleBench.Queries
+    }
+    val outFile =
+      if (only.isDefined) "BENCH_SCALE_ONLY.json" else "BENCH_SCALE.json"
     val spark = Graft.session("graft-scale")
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
@@ -256,7 +273,7 @@ object ScaleBench {
       s""""factors":[${Factors.mkString(",")}],"reps":$reps,""" +
       s""""guard_sec":$Guard,"queries":{${entries.mkString(",")}}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SCALE.json"),
+      java.nio.file.Paths.get(outFile),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
   }

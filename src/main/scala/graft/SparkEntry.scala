@@ -5587,6 +5587,33 @@ object SparkEntry {
       TimeSeries.rmst(
         TimeSeries.kaplanMeier(lives, "cohort", "dur", "churned"),
         "cohort", tau = 20L)
+    }),
+
+    // Multi-layer HNSW build: deterministic hash-geometric levels
+    // (div 4, max layer 2), per-layer cell-kNN graphs (degree 6)
+    // over layer-local IVF indexes — the seventh ANN family's index
+    // (q382's flat NSW gains the coarse-to-fine descent layers).
+    "q424_hnsw_build" -> ((s, dir) =>
+      Similarity.hnswBuild(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nCells = 16, degree = 6, layerDiv = 4,
+        maxLayer = 2)),
+
+    // HNSW recall: greedy descent from the top layer's centroids
+    // (beam 8, 3 rounds per layer — the swept ef that beats the flat
+    // q383 NSW gate's 0.755 mean recall at sf0.01 with 0.765) vs
+    // exact brute force; the spec additionally asserts hnsw >= flat
+    // at an EQUAL beam/round budget on a clustered corpus.
+    "q425_hnsw_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val graph = Similarity.hnswBuild(emb, "vec_id", "embedding",
+        nCells = 16, degree = 6, layerDiv = 4, maxLayer = 2)
+      val hnsw = Similarity.hnswSearch(graph, emb, queries, "vec_id",
+        "embedding", nCells = 16, layerDiv = 4, maxLayer = 2, k = 10,
+        beam = 8, roundsPerLayer = 3)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      Similarity.recallAtK(exact, hnsw)
     })
   )
 
@@ -16079,6 +16106,9 @@ object SparkEntry {
           |  CAST(sum(area) AS BIGINT) AS rmst_micro
           |FROM ar GROUP BY cohort""".stripMargin),
 
+    "q424_hnsw_build" -> hnswBuildSql,
+    "q425_hnsw_recall" -> hnswRecallSql,
+
     "q390_partial_corr" ->
       """WITH b AS (
         |  SELECT l_returnflag AS g,
@@ -19502,6 +19532,169 @@ object SparkEntry {
        |    FROM sce)
        |  WHERE rank <= 10)
        |$recallRollupSql""".stripMargin
+
+  /** HNSW level CTE — the SQL twin of Similarity.hnswLevel (same
+    * md5-prefix hash60 over "hnsw:" || id, largest ℓ with
+    * h ≡ 0 mod layerDiv^ℓ). */
+  private def hnswLevCte(layerDiv: Int, maxLayer: Int): String = {
+    val cases = (maxLayer to 1 by -1).map { l =>
+      val m = math.pow(layerDiv.toDouble, l.toDouble).toLong
+      s"WHEN h % $m = 0 THEN $l"
+    }.mkString(" ")
+    s"""lev AS MATERIALIZED (
+       |  SELECT vec_id, CASE $cases ELSE 0 END AS level FROM (
+       |    SELECT vec_id,
+       |           CAST(('0x' || substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |    FROM embeddings))""".stripMargin
+  }
+
+  /** One HNSW layer's member/centroid/assignment/graph CTEs
+    * (mem_l, centh_l, asg_l, gd_l, gh_l) — the per-layer twin of the
+    * nswGraphCtes construction over layer-ℓ members with nc
+    * centroids (ivfCentroids' lowest-id rule). */
+  /** DuckDB inlines plain CTEs at every reference — the layered,
+    * round-unrolled HNSW oracles would re-scan the embeddings
+    * parquet dozens of times and exhaust the process's file-handle
+    * budget — so the shared frames are MATERIALIZED. */
+  private def hnswLayerCtes(l: Int, nc: Int, degree: Int): String =
+    s"""mem$l AS MATERIALIZED (
+       |  SELECT n.vec_id, n.qv, n.nsq FROM n JOIN lev USING (vec_id)
+       |  WHERE lev.level >= $l),
+       |centh$l AS MATERIALIZED (
+       |  SELECT vec_id AS cell, qv AS cv, nsq AS cnsq FROM mem$l
+       |  ORDER BY vec_id LIMIT $nc),
+       |asgh$l AS MATERIALIZED (
+       |  SELECT vec_id, qv, nsq, cell FROM (
+       |    SELECT m.vec_id, m.qv, m.nsq, c.cell,
+       |           row_number() OVER (PARTITION BY m.vec_id ORDER BY
+       |             ${cosSql("m.qv", "c.cv", "m.nsq", "c.cnsq")} DESC, c.cell) AS rn
+       |    FROM mem$l m, centh$l c)
+       |  WHERE rn = 1),
+       |gd$l AS MATERIALIZED (
+       |  SELECT src, dst, sim FROM (
+       |    SELECT src, dst, sim,
+       |           row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+       |    FROM (
+       |      SELECT a.vec_id AS src, b.vec_id AS dst,
+       |             ${cosSql("a.qv", "b.qv", "a.nsq", "b.nsq")} AS sim
+       |      FROM asgh$l a JOIN asgh$l b ON a.cell = b.cell AND a.vec_id <> b.vec_id))
+       |  WHERE rk <= $degree),
+       |gh$l AS MATERIALIZED (
+       |  SELECT src, dst, max(sim) AS sim FROM (
+       |    SELECT src, dst, sim FROM gd$l
+       |    UNION ALL
+       |    SELECT dst AS src, src AS dst, sim FROM gd$l)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** (layer, nCentroids) pairs for the q424/q425 parameters:
+    * nCells 16, layerDiv 4, maxLayer 2. */
+  private lazy val hnswLayers: Seq[(Int, Int)] = Seq((0, 16), (1, 4), (2, 1))
+
+  /** Materialized v/n twins for the HNSW oracles (see
+    * [[hnswLayerCtes]]'s file-handle note — these are referenced by
+    * every layer, round, and the brute-force side). */
+  private lazy val hnswBaseCtes: String =
+    s"""v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, qv,
+       |         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*qv[i])) AS BIGINT) AS nsq
+       |  FROM v)""".stripMargin
+
+  private lazy val hnswBuildSql: String = {
+    val layerCtes = hnswLayers.map { case (l, nc) =>
+      hnswLayerCtes(l, nc, degree = 6) }.mkString(",\n")
+    val unions = hnswLayers.map { case (l, _) =>
+      s"SELECT $l AS layer, src, dst, sim FROM gh$l" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH $hnswBaseCtes,
+       |${hnswLevCte(4, 2)},
+       |$layerCtes
+       |$unions""".stripMargin
+  }
+
+  /** HNSW greedy-descent search CTEs mirroring Similarity.hnswSearch
+    * (queries < 20, beam 4, 2 rounds per layer, descent 2 → 1 → 0):
+    * entry = top layer's centroids ∪ the global lowest-id row; each
+    * layer re-seeds its frontier from the best beam of everything
+    * visited, then runs the nswSearchCtes expansion shape over that
+    * layer's edges. */
+  private def hnswSearchCtes(beam: Int, rounds: Int): String = {
+    val top = hnswLayers.map(_._1).max
+    val head =
+      s"""qs AS (SELECT vec_id AS query_id, qv AS q_qv, nsq AS q_nsq FROM n WHERE vec_id < 20),
+         |ent AS (
+         |  SELECT cell AS node FROM centh$top
+         |  UNION
+         |  SELECT vec_id AS node FROM (SELECT vec_id FROM n ORDER BY vec_id LIMIT 1)),
+         |vis_s AS MATERIALIZED (
+         |  SELECT q.query_id, e.node, ${cosSql("q.q_qv", "a.qv", "q.q_nsq", "a.nsq")} AS sim
+         |  FROM qs q CROSS JOIN ent e JOIN n a ON a.vec_id = e.node)""".stripMargin
+    var vis = "vis_s"
+    val blocks = scala.collection.mutable.ArrayBuffer[String]()
+    for (l <- top to 0 by -1) {
+      blocks +=
+        s"""fr_${l}_0 AS MATERIALIZED (
+           |  SELECT query_id, node FROM (
+           |    SELECT query_id, node,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rn
+           |    FROM $vis)
+           |  WHERE rn <= $beam)""".stripMargin
+      for (r <- 1 to rounds) {
+        blocks +=
+          s"""cand_${l}_$r AS MATERIALIZED (
+             |  SELECT DISTINCT f.query_id, g.dst AS node
+             |  FROM fr_${l}_${r - 1} f JOIN gh$l g ON g.src = f.node),
+             |fresh_${l}_$r AS (
+             |  SELECT c.query_id, c.node FROM cand_${l}_$r c
+             |  LEFT JOIN $vis v ON v.query_id = c.query_id AND v.node = c.node
+             |  WHERE v.node IS NULL),
+             |sc_${l}_$r AS MATERIALIZED (
+             |  SELECT f.query_id, f.node, ${cosSql("q.q_qv", "a.qv", "q.q_nsq", "a.nsq")} AS sim
+             |  FROM fresh_${l}_$r f JOIN n a ON a.vec_id = f.node
+             |    JOIN qs q ON q.query_id = f.query_id),
+             |vis_${l}_$r AS MATERIALIZED (SELECT * FROM $vis UNION ALL SELECT * FROM sc_${l}_$r),
+             |fr_${l}_$r AS MATERIALIZED (
+             |  SELECT query_id, node FROM (
+             |    SELECT query_id, node,
+             |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rn
+             |    FROM sc_${l}_$r)
+             |  WHERE rn <= $beam)""".stripMargin
+        vis = s"vis_${l}_$r"
+      }
+    }
+    val apx =
+      s"""apx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, node AS neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+         |    FROM $vis WHERE query_id <> node)
+         |  WHERE rank <= 10)""".stripMargin
+    (head +: blocks.toSeq :+ apx).mkString(",\n")
+  }
+
+  private lazy val hnswRecallSql: String = {
+    val layerCtes = hnswLayers.map { case (l, nc) =>
+      hnswLayerCtes(l, nc, degree = 6) }.mkString(",\n")
+    s"""WITH $hnswBaseCtes,
+       |${hnswLevCte(4, 2)},
+       |$layerCtes,
+       |${hnswSearchCtes(beam = 8, rounds = 3)},
+       |sce AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${cosSql("q.qv", "c.qv", "q.nsq", "c.nsq")} AS sim
+       |  FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM sce)
+       |  WHERE rank <= 10)
+       |$recallRollupSql""".stripMargin
+  }
 
   /** Embedding near-dup oracle: the SAME ±1 SRP hyperplanes as
     * Dedup.embeddingNearDups (driver-generated, embedded as list

@@ -29,6 +29,75 @@ object Verify {
     schema.fields.toSeq.flatMap(f => bad(f.name, f.dataType))
   }
 
+  /** Rounding-boundary lint (the r15 q402 lesson, plan side; the
+    * oracle-side twin lives in scripts/check.py): a
+    * min/max(struct(...)) whose FIRST field — the argmin ordering
+    * key — rounds a MULTI-OP float chain elects a different row on a
+    * 1-ulp FMA/libm difference between engines whenever candidates
+    * sit on the .5 boundary (real label censuses DO land there:
+    * q402's sf0.01 candidates had two cells exactly at x.5). A
+    * SINGLE float op under round() is exempt — one IEEE-754
+    * divide/multiply is correctly rounded on any compliant engine
+    * (mmrRerank's round(long/1000.0) idiom); only compositions leave
+    * room for contraction/reassociation drift. Keys are traced
+    * through Aliases (bounded depth) so a round() computed in a
+    * prior select is still seen. Returns human-readable hits,
+    * empty = clean. */
+  def fragileArgminLint(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+    val plan = df.queryExecution.analyzed
+    val defs: Map[Long, Expression] = plan.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case a: Alias => a.exprId.id -> a.child })
+    }.flatten.toMap
+    def expand(e: Expression, depth: Int): Expression =
+      if (depth <= 0) e
+      else e.transformUp {
+        case ar: AttributeReference if defs.contains(ar.exprId.id) =>
+          expand(defs(ar.exprId.id), depth - 1)
+      }
+    def isFloat(dt: DataType): Boolean =
+      dt == DoubleType || dt == FloatType
+    def floatOps(e: Expression): Int = {
+      var n = 0
+      e.foreach {
+        case b: BinaryArithmetic if isFloat(b.dataType) => n += 1
+        case _: Sqrt | _: Pow | _: Exp | _: Log | _: Log10 |
+            _: Log2 | _: Logarithm => n += 1
+        case _ => ()
+      }
+      n
+    }
+    val hits = scala.collection.mutable.ArrayBuffer[String]()
+    def check(which: String, child: Expression): Unit =
+      expand(child, 4) match {
+        case cns: CreateNamedStruct if cns.valExprs.nonEmpty =>
+          expand(cns.valExprs.head, 4).foreach {
+            case r: RoundBase
+                if isFloat(r.children.head.dataType) &&
+                  floatOps(r.children.head) >= 2 =>
+              hits += s"$which(struct(...)) argmin key rounds a " +
+                "multi-op float chain — a 1-ulp engine difference " +
+                "elects a different row (r15 q402); compare exactly " +
+                "in integers and derive the reported rounding from " +
+                "the elected winner"
+            case _ => ()
+          }
+        case _ => ()
+      }
+    plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case m: Min if m.child.dataType.isInstanceOf[StructType] =>
+          check("min", m.child)
+        case m: Max if m.child.dataType.isInstanceOf[StructType] =>
+          check("max", m.child)
+        case _ => ()
+      })
+    }
+    hits.toSeq.distinct
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println("usage: graft.Verify <sfDir> <outDir> [onlyPrefix...]")
@@ -59,6 +128,9 @@ object Verify {
           val hits = outputTypeLint(df.schema)
           if (hits.nonEmpty) throw new IllegalStateException(
             s"LINT unsafe gate output type(s): ${hits.mkString("; ")}")
+          val fragile = fragileArgminLint(df)
+          if (fragile.nonEmpty) throw new IllegalStateException(
+            s"LINT ${fragile.mkString("; ")}")
           df.coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
         } catch { case e: Throwable =>

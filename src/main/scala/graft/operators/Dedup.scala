@@ -373,11 +373,18 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIter: Int = 20): DataFrame = {
-    // Materialize the (symmetrized) edge list once — it is re-joined
-    // every round, and `edges` may be an arbitrarily expensive upstream
-    // pipeline (e.g. the full MinHash near-dup DAG).
+    // Materialize the (symmetrized, DEDUPLICATED) edge list once — it
+    // is re-joined every round, and `edges` may be an arbitrarily
+    // expensive upstream pipeline (e.g. the full MinHash near-dup
+    // DAG). The distinct matters as much as the checkpoint: callers
+    // like dbscan's boundary graph carry huge parallel-edge
+    // multiplicity (every cross-cell point pair maps to the same
+    // piece-label pair, multiplicity ∝ density²·face), and min-label
+    // propagation is invariant to it — paying one distinct shuffle
+    // here beats paying the multiplicity in EVERY fixpoint round.
     val sym = truncate(edges.select(col(aCol).as("x"), col(bCol).as("y"))
-      .union(edges.select(col(bCol).as("x"), col(aCol).as("y"))))
+      .union(edges.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct())
     var labels = truncate(sym.select(col("x").as("id")).distinct()
       .withColumn("label", col("id")))
     var changed = 1L

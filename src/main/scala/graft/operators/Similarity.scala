@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -577,6 +577,166 @@ object Similarity {
         .filter(col("rn") <= beam)
         .select(col("query_id"), col("node"), col("sim"))
       r += 1
+    }
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("node"))
+    visited.filter(col("query_id") =!= col("node"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("node").as("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic HNSW level per id — the hash-geometric rank
+    * (Malkov & Yashunin 2018 §4's floor(-ln(U)·mL), replayed without
+    * RNG): level = the largest ℓ ≤ maxLayer with
+    * hash60("hnsw:" || id) ≡ 0 (mod layerDiv^ℓ), so
+    * P(level ≥ ℓ) = layerDiv^{-ℓ} — the paper's geometric layer
+    * occupancy — and the assignment is a pure function of the id
+    * (bit-identical on any engine; the oracle replays the same
+    * md5-prefix construction). */
+  private def hnswLevel(
+      id: Column, layerDiv: Int, maxLayer: Int): Column = {
+    val h = graft.functions.TextFunctions.hash60(
+      concat(lit("hnsw:"), id.cast("string")))
+    // Fold LOW layers first so the HIGHEST passing divisor test ends
+    // up outermost — h ≡ 0 mod div^ℓ implies every lower test passes
+    // too, and the inner ones must not shadow it.
+    (1 to maxLayer).foldLeft(lit(0)) { (acc, l) =>
+      when(h % lit(math.pow(layerDiv.toDouble, l.toDouble).toLong) === 0L,
+        lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Multi-layer HNSW BUILD (Malkov & Yashunin 2018) on top of
+    * [[nswBuild]]: every vector gets a deterministic hash-geometric
+    * level (P(level ≥ ℓ) = layerDiv^{-ℓ}, see [[hnswLevel]]); layer ℓ
+    * holds the vectors with level ≥ ℓ and links each to its `degree`
+    * nearest LAYER-mates — the [[nswBuild]] cell-kNN + symmetrize
+    * construction run per layer over that layer's OWN [[ivfIndex]]
+    * (centroid count shrinks with the layer, max(1, nCells/div^ℓ), so
+    * upper-layer cells stay populated and the per-layer pairing cost
+    * stays Σ|cell|²). Greedy descent then starts coarse (layer
+    * maxLayer spans the corpus with layerDiv^{-maxLayer} of its
+    * nodes — long hops) and refines downward, the log-diameter
+    * routing a single flat NSW loses on clustered corpora.
+    *
+    * Scale: layer ℓ is the nswBuild shape on n/layerDiv^ℓ rows, so
+    * the whole build is ≤ div/(div−1) × the flat build; the output
+    * graph is Σ_ℓ |L_ℓ|·≤2·degree rows. Bit-deterministic: hash
+    * levels, exact-integer cosine, ties to the smaller id.
+    * Output: (layer, src, dst, sim). */
+  def hnswBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      degree: Int,
+      layerDiv: Int,
+      maxLayer: Int): DataFrame = {
+    require(layerDiv >= 2, "layerDiv must be at least 2")
+    require(maxLayer >= 1 && maxLayer <= 6,
+      "maxLayer must be in [1, 6] — layers above n/div^6 are empty")
+    require(nCells >= 1 && degree >= 1, "nCells/degree must be positive")
+    val leveled = corpus.withColumn("__lvl",
+      hnswLevel(col(idCol), layerDiv, maxLayer))
+    (0 to maxLayer).map { l =>
+      val members = leveled.filter(col("__lvl") >= l).drop("__lvl")
+      val nc = math.max(1,
+        nCells / math.pow(layerDiv.toDouble, l.toDouble).toInt)
+      val idx = ivfIndex(members, idCol, vecCol, nc)
+      nswBuild(idx, idCol, degree)
+        .select(lit(l).as("layer"), col("src"), col("dst"), col("sim"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** HNSW greedy-descent SEARCH over a [[hnswBuild]] graph: enter at
+    * the TOP layer's centroids (its [[ivfCentroids]] — a ≤
+    * nCells/div^maxLayer row broadcast), then walk DOWN: at each
+    * layer, `roundsPerLayer` greedy-beam expansions over that layer's
+    * edges ([[nswSearch]]'s loop body — frontier joins adjacency,
+    * fresh candidates score by exact-integer cosine, best `beam`
+    * advance), re-seeding each layer's frontier from the best `beam`
+    * of everything visited so far (a node at layer ℓ is a member of
+    * every layer below — the HNSW descent invariant). The answer is
+    * the top-k of the visited set, self excluded — [[recallAtK]]'s
+    * input shape, pricing this seventh ANN family like the other six.
+    *
+    * Scale: (maxLayer+1)·roundsPerLayer frontier joins, each
+    * queries×beam against a degree-bounded layer; embeddings are
+    * touched only through adjacency rows, like [[nswSearch]].
+    * Output: (query_id, rank, neighbor_id, sim). */
+  def hnswSearch(
+      graph: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      layerDiv: Int,
+      maxLayer: Int,
+      k: Int,
+      beam: Int,
+      roundsPerLayer: Int): DataFrame = {
+    require(k > 0 && beam > 0 && roundsPerLayer >= 1,
+      "k, beam, roundsPerLayer must be positive")
+    val q = broadcast(prepare(queries, idCol, vecCol)
+      .withColumnRenamed(idCol, "query_id")
+      .withColumnRenamed("qvec", "q_qvec")
+      .withColumnRenamed("nsq", "q_nsq"))
+    val nodes = prepare(corpus, idCol, vecCol)
+      .select(col(idCol).as("node"), col("qvec").as("c_qvec"),
+        col("nsq").as("c_nsq"))
+    def scoreNodes(cand: DataFrame): DataFrame =
+      cand.join(nodes, Seq("node"))
+        .join(q, Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          cosineQ(dotQ(col("q_qvec"), col("c_qvec")),
+            col("q_nsq"), col("c_nsq")).as("sim"))
+    // Entry points: the top layer's own centroids (its lowest-id
+    // members — ivfCentroids' rule) ∪ the global lowest-id row, so
+    // search still enters when the hash left the top layer EMPTY
+    // (possible at small corpora); ≤ nCells/div^maxLayer + 1 rows.
+    val topMembers = corpus.filter(
+      hnswLevel(col(idCol), layerDiv, maxLayer) >= maxLayer)
+    val ncTop = math.max(1,
+      nCells / math.pow(layerDiv.toDouble, maxLayer.toDouble).toInt)
+    val entry = broadcast(
+      ivfCentroids(topMembers, idCol, vecCol, ncTop)
+        .select(col("cell").as("node"))
+        .unionByName(ivfCentroids(corpus, idCol, vecCol, 1)
+          .select(col("cell").as("node")))
+        .distinct())
+    var visited = Dedup.truncate(
+      scoreNodes(q.select(col("query_id")).crossJoin(entry)))
+    val fw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("node"))
+    var l = maxLayer
+    while (l >= 0) {
+      val gl = graph.filter(col("layer") === l)
+        .select(col("src"), col("dst"))
+      // Layer re-entry: best `beam` of everything seen so far (every
+      // visited node is a member of this and all lower layers).
+      var frontier = visited.withColumn("rn", row_number().over(fw))
+        .filter(col("rn") <= beam)
+        .select(col("query_id"), col("node"))
+      var r = 0
+      while (r < roundsPerLayer) {
+        val cand = frontier
+          .select(col("query_id"), col("node").as("src"))
+          .join(gl, Seq("src"))
+          .select(col("query_id"), col("dst").as("node")).distinct()
+        val fresh = cand.join(
+          visited.select(col("query_id"), col("node")),
+          Seq("query_id", "node"), "left_anti")
+        val scored = Dedup.truncate(scoreNodes(fresh))
+        visited = Dedup.truncate(visited.unionByName(scored))
+        frontier = scored.withColumn("rn", row_number().over(fw))
+          .filter(col("rn") <= beam)
+          .select(col("query_id"), col("node"))
+        r += 1
+      }
+      l -= 1
     }
     val win = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("node"))

@@ -83,6 +83,94 @@ class OrganicMediaSpec extends SparkSpec {
     }
   }
 
+  test("organic gzip: GNU-gzip members parse with verified ISIZE") {
+    // Two encoders this repo never ran: Debian's normalized gzip
+    // (FLG=0, MTIME=0 — reproducible-build style) and GNU gzip -9
+    // with FNAME+MTIME set (the header-walk path GZIPInputStream must
+    // skip). Expected values pinned from python gzip/struct over the
+    // committed bytes.
+    val deb = Multimodal.GzipCodec.parseMeta(
+      fixture("gzip_debian_changelog.gz"))
+    assert(deb.contains((0L, 10590L, 10590L)), s"debian: $deb")
+    val gnu = Multimodal.GzipCodec.parseMeta(
+      fixture("gzip_gnu_fname.gz"))
+    assert(gnu.contains((1786867075L, 35149L, 35149L)), s"gnu: $gnu")
+    // FLG bit 3 (FNAME) really is set on the GNU member — the
+    // variety this fixture exists for.
+    assert((fixture("gzip_gnu_fname.gz")(3) & 0x08) != 0)
+    // Truncation quarantines (ISIZE/inflate can no longer agree).
+    val cut = fixture("gzip_gnu_fname.gz").dropRight(7)
+    assert(Multimodal.GzipCodec.parseMeta(cut).isEmpty)
+    // And the DataFrame boundary carries all of it.
+    val got = Multimodal.gzipMeta(
+      Seq((1L, fixture("gzip_debian_changelog.gz")),
+        (2L, fixture("gzip_gnu_fname.gz")), (3L, cut))
+        .toDF("media_id", "content"),
+      "media_id", "content")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got == Map(1L -> 10590L, 2L -> 35149L, 3L -> -1L))
+  }
+
+  test("independent-encoder TIFF: ImageIO-written files parse dims") {
+    // TiffCodec.parseDims is a from-scratch IFD walker; the JDK
+    // ImageIO TIFF WRITER is an encoder independent of it (this repo
+    // only ever built TIFF bytes by hand). Odd dimensions + both RGB
+    // and gray layouts + LZW compression exercise real tag layouts
+    // (type SHORT vs LONG, extra tags interleaved) that the pinned
+    // hand fixture cannot.
+    def imageioTiff(w: Int, h: Int, gray: Boolean,
+        compression: Option[String]): Array[Byte] = {
+      val tpe = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_INT_RGB
+      val img = new java.awt.image.BufferedImage(w, h, tpe)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, (x * 53 + y * 31) % 256 * 0x010101)))
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+      assert(it.hasNext, "JDK TIFF writer missing")
+      val writer = it.next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      compression.foreach { c =>
+        param.setCompressionMode(
+          javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(c)
+      }
+      writer.write(null,
+        new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val cases = Seq(
+      (37, 23, false, None),
+      (48, 48, true, None),
+      (61, 17, false, Some("LZW")),
+      (16, 16, true, Some("Deflate")))
+    cases.foreach { case (w, h, gray, comp) =>
+      val bytes = imageioTiff(w, h, gray, comp)
+      assert(Multimodal.TiffCodec.isTiff(bytes),
+        s"${w}x$h $comp not sniffed as TIFF")
+      val dims = Multimodal.TiffCodec.parseDims(bytes)
+      assert(dims.isDefined, s"${w}x$h gray=$gray comp=$comp: " +
+        "parseDims fell through")
+      val (order, gw, gh) = dims.get
+      assert((order == "II" || order == "MM") && gw == w && gh == h,
+        s"${w}x$h comp=$comp: got $dims")
+    }
+  }
+
+  test("organic gzip + imageio tiff sniff to their true formats") {
+    val rows = Seq(
+      ("gzip_debian_changelog.gz", fixture("gzip_debian_changelog.gz")),
+      ("gzip_gnu_fname.gz", fixture("gzip_gnu_fname.gz")))
+    val got = rows.toDF("name", "content")
+      .select(col("name"), Multimodal.sniffType(col("content")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.values.toSet == Set("gzip"), got.toString)
+  }
+
   test("organic WAVs decode to exact sample counts and rates") {
     val mono = Multimodal.WavCodec.decode(fixture("wav_pcm16_mono.wav"))
     assert(mono.isDefined, "PCM16 mono fell through to the stub")
