@@ -5614,7 +5614,48 @@ object SparkEntry {
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
         "embedding", 10)
       Similarity.recallAtK(exact, hnsw)
-    })
+    }),
+
+    // Pettitt rank changepoint per user series: U_t curve from ONE
+    // midrank prefix (U_t = t(n+1) - prefix(r2)), argmax |U| with
+    // earliest-t ties — all integer keys (the r16 argmin discipline).
+    "q426_pettitt" -> ((s, dir) =>
+      TimeSeries.pettitt(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "value")),
+
+    // Turning-point randomness test per user series: strict local
+    // extrema census off two rank self-joins, exact-integer z via
+    // the clamped isqrt (4e13·d^2 div (16n-29)).
+    "q427_turning_point" -> ((s, dir) =>
+      TimeSeries.turningPoint(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "value")),
+
+    // Cox-Stuart fold-at-middle sign trend per user series: exact
+    // binomial z (4e12·d^2 div n_eff), ties dropped.
+    "q428_cox_stuart" -> ((s, dir) =>
+      TimeSeries.coxStuart(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "value")),
+
+    // Bartels rank von Neumann ratio per user series: doubled-
+    // midrank consecutive-difference census, exact half-up micro.
+    "q429_bartels_rank" -> ((s, dir) =>
+      TimeSeries.bartelsRank(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "value")),
+
+    // Goodman-Kruskal gamma: line number (order position) vs
+    // quantity decile-bucket per return flag — ordinal association
+    // off the contingency cells, exact integer pair algebra.
+    "q430_gk_gamma" -> ((s, dir) =>
+      Profile.goodmanKruskalGamma(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_linenumber").as("x"),
+          floor(col("l_quantity") / lit(10.0)).as("y")),
+        "l_returnflag", "x", "y")),
+
+    // Grubbs max-outlier statistic per event type: exact integer
+    // G via D = max|n*v - sum| and the clamped isqrt.
+    "q431_grubbs" -> ((s, dir) =>
+      Profile.grubbs(t(s, dir, "events"), "event_type", "value"))
   )
 
   /** q400's crawl-shard fixture: one WARC string per document source
@@ -16109,6 +16150,198 @@ object SparkEntry {
     "q424_hnsw_build" -> hnswBuildSql,
     "q425_hnsw_recall" -> hnswRecallSql,
 
+    // Pettitt: midranks via rank()/count() windows, U_t = t(n+1) -
+    // prefix(r2), argmax |U| earliest-t — all integers.
+    "q426_pettitt" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS ts_ms, event_id AS id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT k,
+        |    2 * (rank() OVER (PARTITION BY k ORDER BY v) - 1)
+        |      + count(*) OVER (PARTITION BY k, v) + 1 AS r2,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts_ms, id) AS t,
+        |    count(*) OVER (PARTITION BY k) AS n
+        |  FROM b),
+        |u AS (
+        |  SELECT k, n, t,
+        |    t * (n + 1) - sum(r2) OVER (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS uv
+        |  FROM m)
+        |SELECT k AS user_id, CAST(n AS BIGINT) AS n,
+        |  t AS t_star, CAST(uv AS BIGINT) AS u_at_t,
+        |  CAST(abs(uv) AS BIGINT) AS k_stat
+        |FROM u WHERE t < n
+        |QUALIFY row_number() OVER (PARTITION BY k
+        |  ORDER BY abs(uv) DESC, t) = 1""".stripMargin,
+
+    // Turning point: triple self-join on row number, exact z via the
+    // mirrored clamped isqrt.
+    "q427_turning_point" ->
+      ("""WITH b AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS ts_ms, event_id AS id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k, v,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts_ms, id) AS t,
+        |    count(*) OVER (PARTITION BY k) AS n
+        |  FROM b),
+        |tp AS (
+        |  SELECT a.k, CAST(sum(CASE WHEN (p.v < a.v AND nx.v < a.v)
+        |      OR (p.v > a.v AND nx.v > a.v) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_turning
+        |  FROM r a JOIN r p ON p.k = a.k AND p.t = a.t - 1
+        |    JOIN r nx ON nx.k = a.k AND nx.t = a.t + 1
+        |  GROUP BY a.k),
+        |j AS (
+        |  SELECT g.k, g.n, COALESCE(tp.n_turning, 0) AS n_turning
+        |  FROM (SELECT k, CAST(max(t) AS BIGINT) AS n FROM r GROUP BY k) g
+        |  LEFT JOIN tp ON tp.k = g.k),
+        |qq AS (
+        |  SELECT k, n, n_turning,
+        |    3 * n_turning - 2 * n + 4 < 0 AS neg,
+        |    CASE WHEN n >= 3 THEN
+        |      (CAST(40000000000000 AS HUGEINT)
+        |        * (3 * n_turning - 2 * n + 4)
+        |        * (3 * n_turning - 2 * n + 4)) // (16 * n - 29)
+        |    END AS q4
+        |  FROM j),
+        |""".stripMargin +
+        zFromQSql("qq", Seq("k", "n", "n_turning")) + """
+        |SELECT k AS user_id, n, n_turning, z_micro FROM zfin"""
+          .stripMargin),
+
+    // Cox-Stuart: fold at (n+1)//2, sign census, exact binomial z.
+    "q428_cox_stuart" ->
+      ("""WITH b AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS ts_ms, event_id AS id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k, v,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts_ms, id) AS t,
+        |    count(*) OVER (PARTITION BY k) AS n
+        |  FROM b),
+        |f AS (
+        |  SELECT a.k,
+        |    CAST(sum(CASE WHEN s.v > a.v THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s_plus,
+        |    CAST(sum(CASE WHEN s.v <> a.v THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_eff
+        |  FROM r a JOIN r s ON s.k = a.k AND s.t = a.t + (a.n + 1) // 2
+        |  WHERE a.t <= a.n // 2
+        |  GROUP BY a.k),
+        |j AS (
+        |  SELECT g.k, g.n, COALESCE(f.n_eff, 0) AS n_eff,
+        |    COALESCE(f.s_plus, 0) AS s_plus
+        |  FROM (SELECT k, CAST(max(t) AS BIGINT) AS n FROM r GROUP BY k) g
+        |  LEFT JOIN f ON f.k = g.k),
+        |qq AS (
+        |  SELECT k, n, n_eff, s_plus,
+        |    2 * s_plus - n_eff < 0 AS neg,
+        |    CASE WHEN n_eff > 0 THEN
+        |      (CAST(4000000000000 AS HUGEINT)
+        |        * (2 * s_plus - n_eff) * (2 * s_plus - n_eff)) // n_eff
+        |    END AS q4
+        |  FROM j),
+        |""".stripMargin +
+        zFromQSql("qq", Seq("k", "n", "n_eff", "s_plus")) + """
+        |SELECT k AS user_id, n, n_eff, s_plus, z_micro FROM zfin"""
+          .stripMargin),
+
+    // Bartels rank von Neumann: doubled midranks, consecutive
+    // difference census, exact half-up micro via HUGEINT floor div.
+    "q429_bartels_rank" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS ts_ms, event_id AS id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT k,
+        |    2 * (rank() OVER (PARTITION BY k ORDER BY v) - 1)
+        |      + count(*) OVER (PARTITION BY k, v) + 1 AS r2,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts_ms, id) AS t
+        |  FROM b),
+        |nm AS (
+        |  SELECT a.k,
+        |    sum(CAST(a.r2 - x.r2 AS HUGEINT) * (a.r2 - x.r2)) AS num
+        |  FROM m a JOIN m x ON x.k = a.k AND x.t = a.t + 1
+        |  GROUP BY a.k),
+        |st AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(r2 AS HUGEINT)) AS s1,
+        |    sum(CAST(r2 AS HUGEINT) * r2) AS s2
+        |  FROM m GROUP BY k)
+        |SELECT st.k AS user_id, st.n,
+        |  CASE WHEN st.n >= 2 AND st.n * s2 - s1 * s1 > 0
+        |      AND nm.num IS NOT NULL
+        |    THEN CAST((CAST(2000000 AS HUGEINT) * (st.n * nm.num)
+        |        + (st.n * s2 - s1 * s1))
+        |      // (2 * (st.n * s2 - s1 * s1)) AS BIGINT)
+        |  END AS rvn_micro
+        |FROM st LEFT JOIN nm ON nm.k = st.k""".stripMargin,
+
+    // Goodman-Kruskal gamma: contingency-cell pair algebra, exact
+    // half-up of |C-D|/(C+D) with the sign reapplied.
+    "q430_gk_gamma" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_linenumber AS BIGINT) AS x,
+        |    CAST(floor(CAST(l_quantity AS DOUBLE) / 10.0) AS BIGINT)
+        |      AS y,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |cd AS (
+        |  SELECT a.g,
+        |    sum(CASE WHEN b.y > a.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS conc,
+        |    sum(CASE WHEN b.y < a.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS disc
+        |  FROM c a JOIN c b ON b.g = a.g AND b.x > a.x
+        |  GROUP BY a.g),
+        |np AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY g)
+        |SELECT np.g AS l_returnflag, np.n,
+        |  CAST(COALESCE(cd.conc, 0) AS BIGINT) AS concordant,
+        |  CAST(COALESCE(cd.disc, 0) AS BIGINT) AS discordant,
+        |  CASE WHEN COALESCE(cd.conc, 0) + COALESCE(cd.disc, 0) > 0
+        |    THEN CASE WHEN cd.conc < cd.disc THEN -1 ELSE 1 END
+        |      * CAST((CAST(2000000 AS HUGEINT)
+        |          * abs(cd.conc - cd.disc) + (cd.conc + cd.disc))
+        |        // (2 * (cd.conc + cd.disc)) AS BIGINT)
+        |  END AS gamma_micro
+        |FROM np LEFT JOIN cd ON cd.g = np.g""".stripMargin,
+
+    // Grubbs: D = max|n*v - sum|, exact G via the clamped isqrt.
+    "q431_grubbs" ->
+      ("""WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s1,
+        |    sum(CAST(v AS HUGEINT) * v) AS s2
+        |  FROM b GROUP BY g),
+        |md AS (
+        |  SELECT b.g, max(abs(CAST(st.n AS HUGEINT) * b.v - st.s1))
+        |    AS d
+        |  FROM b JOIN st ON st.g = b.g GROUP BY b.g),
+        |qq AS (
+        |  SELECT st.g AS k, st.n, false AS neg,
+        |    CASE WHEN st.n >= 3 AND st.n * s2 - s1 * s1 > 0 THEN
+        |      (CAST(4000000000000 AS HUGEINT) * (md.d * md.d)
+        |        * (st.n - 1)) // (st.n * (st.n * s2 - s1 * s1))
+        |    END AS q4
+        |  FROM st JOIN md ON md.g = st.g),
+        |""".stripMargin +
+        zFromQSql("qq", Seq("k", "n")) + """
+        |SELECT k AS event_type, n, z_micro AS g_micro FROM zfin"""
+          .stripMargin),
+
     "q390_partial_corr" ->
       """WITH b AS (
         |  SELECT l_returnflag AS g,
@@ -19532,6 +19765,32 @@ object SparkEntry {
        |    FROM sce)
        |  WHERE rank <= 10)
        |$recallRollupSql""".stripMargin
+
+  /** DuckDB twin of TimeSeries.zMicroFromQ: the caller's `inCte`
+    * carries `keep` columns plus q4 (HUGEINT, NULL = degenerate) and
+    * neg (sign); appends the seed/clamp/half-away stages and ends
+    * with CTE `zfin` carrying keep + z_micro. The same construction
+    * as the q384 oracle — no libm result in the compared cell. */
+  private def zFromQSql(inCte: String, keep: Seq[String]): String = {
+    val ks = keep.mkString(", ")
+    s"""zsq AS (
+       |  SELECT $ks, neg, q4,
+       |    CAST(floor(sqrt(CAST(q4 AS DOUBLE))) AS HUGEINT) AS u0
+       |  FROM $inCte),
+       |ziq AS (
+       |  SELECT $ks, neg, q4,
+       |    u0 + CASE WHEN (u0 + 2) * (u0 + 2) <= q4 THEN 2
+       |      WHEN (u0 + 1) * (u0 + 1) <= q4 THEN 1
+       |      WHEN u0 * u0 <= q4 THEN 0
+       |      WHEN (u0 - 1) * (u0 - 1) <= q4 THEN -1 ELSE -2 END AS u
+       |  FROM zsq),
+       |zfin AS (
+       |  SELECT $ks,
+       |    CASE WHEN u IS NULL THEN NULL
+       |      WHEN neg THEN -CAST((u + 1) // 2 AS BIGINT)
+       |      ELSE CAST((u + 1) // 2 AS BIGINT) END AS z_micro
+       |  FROM ziq)""".stripMargin
+  }
 
   /** HNSW level CTE — the SQL twin of Similarity.hnswLevel (same
     * md5-prefix hash60 over "hnsw:" || id, largest ℓ with

@@ -4964,4 +4964,99 @@ object Profile {
         round(lit(1e6) * l).cast("long") > 5991465L)
         .otherwise(lit(null).cast("boolean")).as("significant"))
   }
+
+  /** Goodman–Kruskal gamma per group — ordinal×ordinal association
+    * ("do higher severity buckets come with higher latency buckets")
+    * where [[chiSquare]]-style tests ignore ORDER: γ = (C − D)/(C + D)
+    * over concordant/discordant pairs, ties on either margin
+    * excluded (the classical definition). Both columns must be
+    * ordinal-coded (cast to long) with SMALL cardinality — the pair
+    * algebra runs on the CONTINGENCY CELLS, never the rows: C and D
+    * are sums of n_a·n_b over cell pairs with xa < xb, so the join is
+    * |X|·|Y| squared per group (metadata-sized under the categorical
+    * contract, stated) while the row pass is one hash-agg. γ_micro is
+    * the EXACT half-up rounding of the integer rational |C−D|/(C+D),
+    * sign reapplied (half-away-from-zero — the SQL round convention).
+    * Groups with no untied pair report NULL.
+    * Output: (groupCol, n, concordant, discordant, gamma_micro). */
+  def goodmanKruskalGamma(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .groupBy(col("__g"), col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val b = cells.select(col("__g"), col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__c").as("__cb"))
+    val pairs = cells.join(b, Seq("__g"))
+      .filter(col("__xb") > col("__x"))
+    val cd = pairs.groupBy(col("__g"))
+      .agg(sum(when(col("__yb") > col("__y"),
+          (col("__c").cast(dec) * col("__cb")).cast(dec))
+          .otherwise(lit(0L).cast(dec))).as("__conc"),
+        sum(when(col("__yb") < col("__y"),
+          (col("__c").cast(dec) * col("__cb")).cast(dec))
+          .otherwise(lit(0L).cast(dec))).as("__disc"))
+    val nPer = cells.groupBy(col("__g")).agg(sum(col("__c")).as("n"))
+    val conc = coalesce(col("__conc"), lit(0L).cast(dec))
+    val disc = coalesce(col("__disc"), lit(0L).cast(dec))
+    val den = (conc + disc).cast(dec)
+    val num = abs(conc - disc).cast(dec)
+    val gAbs = TimeSeries.divFloorDec(
+      (lit(2000000L).cast(dec) * num + den).cast(dec),
+      (lit(2L).cast(dec) * den).cast(dec)).cast("long")
+    nPer.join(cd, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"),
+        conc.cast("long").as("concordant"),
+        disc.cast("long").as("discordant"),
+        when(den > 0,
+          when(conc < disc, -gAbs).otherwise(gAbs))
+          .otherwise(lit(null).cast("long")).as("gamma_micro"))
+  }
+
+  /** Grubbs outlier statistic per group — "does this column's worst
+    * point sit implausibly far from its own group's mean":
+    * G = max|x − x̄| / s with the SAMPLE s. EXACT end to end: with
+    * milli-quantized v, D = max|n·v − Σv| is an exact integer and
+    * G² = D²·(n−1)/(n·(n·Σv² − (Σv)²)), so (2·10⁶·G)² floor-divides
+    * in decimal(38,0) and [[TimeSeries.zMicroFromQ]]'s clamped isqrt
+    * emits g_micro with no libm in the cell. Exactness bound:
+    * 4·10¹²·D² < 10³⁸ ⇒ n·|v_milli| ≲ 2·10¹² per group (documented).
+    * Two hash-aggs + one stats join; degenerate groups (n < 3 or
+    * zero variance) report NULL.
+    * Output: (groupCol, n, g_micro). */
+  def grubbs(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+          .as("__v"))
+    val stats = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast(dec)).as("__s1"),
+        sum((col("__v").cast(dec) * col("__v")).cast(dec)).as("__s2"))
+    val maxd = base.join(stats.select(col("__g"), col("n").as("__n"),
+        col("__s1").as("__s1j")), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(max(abs((col("__n").cast(dec) * col("__v") -
+        col("__s1j")).cast(dec))).as("__d"))
+    val ssd = (col("n").cast(dec) * col("__s2") -
+      col("__s1") * col("__s1")).cast(dec)
+    val q = TimeSeries.divFloorDec(
+      (lit(4000000000000L).cast(dec) * (col("__d") * col("__d")) *
+        (col("n") - 1L).cast(dec)).cast(dec),
+      (col("n").cast(dec) * ssd).cast(dec))
+    stats.join(maxd, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"),
+        when(col("n") >= 3L && ssd > 0,
+          TimeSeries.zMicroFromQ(q, lit(false)))
+          .otherwise(lit(null).cast("long")).as("g_micro"))
+  }
 }

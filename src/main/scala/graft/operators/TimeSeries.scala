@@ -1770,15 +1770,7 @@ object TimeSeries {
     val bVar = (n * (n - 1L) * (lit(2L) * n + 5L)).cast(dec)
     val qNum = (lit(72000000000000L).cast(dec) *
       (col("running").cast(dec) * col("running")).cast(dec)).cast(dec)
-    val q4z2 = ((qNum - qNum % bVar) / bVar).cast(dec)
-    val u0 = floor(sqrt(q4z2.cast("double"))).cast("long")
-    val u = u0 + when((u0 + 2L).cast(dec) * (u0 + 2L) <= q4z2, 2L)
-      .when((u0 + 1L).cast(dec) * (u0 + 1L) <= q4z2, 1L)
-      .when(u0.cast(dec) * u0 <= q4z2, 0L)
-      .when((u0 - 1L).cast(dec) * (u0 - 1L) <= q4z2, -1L)
-      .otherwise(-2L)
-    val zAbs = call_function("shiftright", u + 1L, lit(1))
-    val z = when(col("running") < 0L, -zAbs).otherwise(zAbs)
+    val z = zMicroFromQ(divFloorDec(qNum, bVar), col("running") < 0L)
     run.filter(col("__tag") === 1L)
       .select(col("__k").as(keyCol), col("__ts").as("ts_ms"),
         // int, matching the streaming twin's window-size field.
@@ -2081,5 +2073,250 @@ object TimeSeries {
       .agg(sum(stepArea + headArea).as("rmst_micro"))
       .select(col("__g").as(groupCol), lit(tau).as("tau"),
         col("rmst_micro"))
+  }
+
+  /** Exact floor division of NON-NEGATIVE decimals via the remainder
+    * identity (a − a%b)/b — the adjusted numerator is exactly
+    * divisible, so the decimal divide is exact on both engines (a
+    * bare decimal `/` would HALF_UP at result scale; DuckDB mirrors
+    * with HUGEINT `//`). */
+  private[operators] def divFloorDec(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("decimal(38,0)")
+
+  /** Exact micro z from its scaled square: given the EXACT integer
+    * Q = floor((2·10⁶·z)²) (a decimal, e.g. from [[divFloorDec]])
+    * and the sign, z_micro = sign · ((isqrt(Q) + 1) div 2) — the
+    * half-away-from-zero rounding of |z| in pure integers. isqrt =
+    * double sqrt SEED clamped exact against decimal squares, so no
+    * libm result reaches the emitted cell (the r15 q384 driver-hash
+    * lesson; oracle twins mirror the same seed+clamp). */
+  private[operators] def zMicroFromQ(
+      q4z2: Column, negative: Column): Column = {
+    val dec = "decimal(38,0)"
+    val u0 = floor(sqrt(q4z2.cast("double"))).cast("long")
+    val u = u0 + when((u0 + 2L).cast(dec) * (u0 + 2L) <= q4z2, 2L)
+      .when((u0 + 1L).cast(dec) * (u0 + 1L) <= q4z2, 1L)
+      .when(u0.cast(dec) * u0 <= q4z2, 0L)
+      .when((u0 - 1L).cast(dec) * (u0 - 1L) <= q4z2, -1L)
+      .otherwise(-2L)
+    val zAbs = call_function("shiftright", u + 1L, lit(1))
+    when(negative, -zAbs).otherwise(zAbs)
+  }
+
+  /** (key, ts_ms, id, milli-value) projection shared by the
+    * rank-based series tests below. */
+  private def seriesBase(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        unix_millis(col(tsCol)).as("__ts"),
+        col(idCol).cast("long").as("__id"),
+        round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+          .as("__v"))
+
+  /** Attach the DOUBLED pooled midrank r2 = 2·below + ties + 1 per
+    * row — an exact INTEGER (the [[Profile.brunnerMunzel]] cell
+    * construction, joined back to rows): one (key, value) hash-agg,
+    * one [[Ranking.groupRunningSums]] value prefix, one equi-join.
+    * Never a per-key window. */
+  private def withDoubledMidranks(base: DataFrame): DataFrame = {
+    val cells = base.groupBy(col("__k"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val run = Ranking.groupRunningSums(cells, "__k", Seq("__v"),
+      Seq("__c" -> "__cum"))
+    base.join(run.select(col("__k"), col("__v"),
+      (lit(2L) * (col("__cum") - col("__c")) + col("__c") + 1L)
+        .as("__r2")), Seq("__k", "__v"))
+  }
+
+  /** Pettitt (1979) rank-based single-changepoint test per key —
+    * "WHERE did this series shift", the nonparametric complement to
+    * [[mannKendall]]'s "does it drift": U_t = Σ_{i≤t} Σ_{j>t}
+    * sign(x_j − x_i), and the change point is argmax_t |U_t| over
+    * t = 1..n−1 (K = |U| there is the test statistic; ties in |U|
+    * break to the EARLIEST t — deterministic).
+    *
+    * EXACT and never O(n²): with the doubled pooled midrank
+    * r2 = 2·below + ties + 1 (an integer), the double sum telescopes
+    * to U_t = t(n+1) − Σ_{i≤t} r2_i — so the whole curve is ONE
+    * [[Ranking.groupRunningSum]] time prefix over midranked rows,
+    * and the argmax is a hash-agg min(struct(−|U|, t)) with pure
+    * integer keys (the r16 argmin-lint discipline). Ordering is
+    * (unix_millis(ts), id); keys with fewer than 2 samples are
+    * absent. Output: (keyCol, n, t_star, u_at_t, k_stat). */
+  def pettitt(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val base = seriesBase(df, keyCol, tsCol, idCol, valueCol)
+    val rows = withDoubledMidranks(base)
+    val ranked = Dedup.truncate(
+      Ranking.groupRank(rows, "__k", Seq("__ts", "__id")))
+    val pre = Ranking.groupRunningSum(ranked, "__k", Seq("rank"),
+      "__r2")
+    val nPer = ranked.groupBy(col("__k")).agg(max(col("rank")).as("__n"))
+    pre.join(nPer, Seq("__k"))
+      .filter(col("rank") < col("__n"))
+      .select(col("__k"), col("__n"), col("rank"),
+        (col("rank") * (col("__n") + 1L) - col("running")).as("__u"))
+      .groupBy(col("__k"))
+      .agg(max(col("__n")).as("n"),
+        min(struct((-abs(col("__u"))).as("nk"), col("rank").as("t"),
+          col("__u").as("u"))).as("__b"))
+      .select(col("__k").as(keyCol), col("n"),
+        col("__b.t").as("t_star"), col("__b.u").as("u_at_t"),
+        abs(col("__b.u")).as("k_stat"))
+  }
+
+  /** Turning-point randomness test per key — "is this series even
+    * serially random, or does it carry structure worth a trend/
+    * changepoint pass": T = #\{1 < i < n : x_i is a strict local
+    * extremum\}; under i.i.d., E[T] = 2(n−2)/3 and
+    * Var[T] = (16n−29)/90. Ties at either shoulder count as
+    * non-turning (stated; the classical test assumes a continuous
+    * law). z is EXACT-integer end to end: with d = 3T − 2n + 4,
+    * z² = 10·d²/(16n−29), so (2·10⁶·z)² = 4·10¹³·d² div (16n−29)
+    * and [[zMicroFromQ]]'s clamped isqrt finishes — no libm in the
+    * cell.
+    *
+    * Scale: the triple view is two (key, rank)-keyed self equi-joins
+    * off ONE [[Ranking.groupRank]] (the [[Profile.durbinWatson]]
+    * pairing), then a hash-agg. Keys with n < 3 report NULL z.
+    * Output: (keyCol, n, n_turning, z_micro). */
+  def turningPoint(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = seriesBase(df, keyCol, tsCol, idCol, valueCol)
+    val ranked = Dedup.truncate(
+      Ranking.groupRank(base, "__k", Seq("__ts", "__id")))
+    val cur = ranked.select(col("__k"), col("rank"), col("__v"))
+    val prev = cur.select(col("__k"), (col("rank") + 1L).as("rank"),
+      col("__v").as("__vp"))
+    val next = cur.select(col("__k"), (col("rank") - 1L).as("rank"),
+      col("__v").as("__vn"))
+    val isTurn =
+      (col("__vp") < col("__v") && col("__vn") < col("__v")) ||
+        (col("__vp") > col("__v") && col("__vn") > col("__v"))
+    val turns = cur.join(prev, Seq("__k", "rank"))
+      .join(next, Seq("__k", "rank"))
+      .groupBy(col("__k"))
+      .agg(sum(when(isTurn, 1L).otherwise(0L)).as("n_turning"))
+    val nPer = ranked.groupBy(col("__k")).agg(max(col("rank")).as("n"))
+    val joined = nPer.join(turns, Seq("__k"), "left")
+      .select(col("__k"), col("n"),
+        coalesce(col("n_turning"), lit(0L)).as("n_turning"))
+    val d = lit(3L) * col("n_turning") - lit(2L) * col("n") + lit(4L)
+    val q = divFloorDec(
+      (lit(40000000000000L).cast(dec) * (d.cast(dec) * d)).cast(dec),
+      (lit(16L) * col("n") - 29L).cast(dec))
+    joined.select(col("__k").as(keyCol), col("n"), col("n_turning"),
+      when(col("n") >= 3L, zMicroFromQ(q, d < 0L))
+        .otherwise(lit(null).cast("long")).as("z_micro"))
+  }
+
+  /** Cox–Stuart trend test per key — the sign-test view of drift
+    * ([[mannKendall]] without the pair census): fold the series at
+    * its middle and compare x_i with x_{i+m}, m = (n+1) div 2 (the
+    * odd middle element sits in neither half and drops); S⁺ = #rises,
+    * ties drop, and under no-trend S⁺ ~ Bin(n_eff, ½). z is exact:
+    * d = 2S⁺ − n_eff, (2·10⁶·z)² = 4·10¹²·d² div n_eff, clamped
+    * isqrt ([[zMicroFromQ]]). One rank pass + ONE (key, rank)-keyed
+    * self equi-join — never a window, never a pair census. Keys with
+    * no effective pair (n < 2 or all folded pairs tied) report NULL
+    * z. Output: (keyCol, n, n_eff, s_plus, z_micro). */
+  def coxStuart(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = seriesBase(df, keyCol, tsCol, idCol, valueCol)
+    val ranked = Dedup.truncate(
+      Ranking.groupRank(base, "__k", Seq("__ts", "__id")))
+    val nPer = ranked.groupBy(col("__k")).agg(max(col("rank")).as("n"))
+    val first = ranked.join(nPer, Seq("__k"))
+      .filter(col("rank") <= expr("n div 2"))
+      .select(col("__k"), col("n"),
+        (col("rank") + expr("(n + 1) div 2")).as("__pr"),
+        col("__v"))
+    val second = ranked.select(col("__k"), col("rank").as("__pr"),
+      col("__v").as("__v2"))
+    val folded = first.join(second, Seq("__k", "__pr"))
+      .groupBy(col("__k"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("__v2") > col("__v"), 1L).otherwise(0L))
+          .as("s_plus"),
+        sum(when(col("__v2") =!= col("__v"), 1L).otherwise(0L))
+          .as("n_eff"))
+    val all = nPer.join(
+      folded.select(col("__k"), col("s_plus"), col("n_eff")),
+      Seq("__k"), "left")
+      .select(col("__k"), col("n"),
+        coalesce(col("n_eff"), lit(0L)).as("n_eff"),
+        coalesce(col("s_plus"), lit(0L)).as("s_plus"))
+    val d = lit(2L) * col("s_plus") - col("n_eff")
+    val q = divFloorDec(
+      (lit(4000000000000L).cast(dec) * (d.cast(dec) * d)).cast(dec),
+      col("n_eff").cast(dec))
+    all.select(col("__k").as(keyCol), col("n"), col("n_eff"),
+      col("s_plus"),
+      when(col("n_eff") > 0L, zMicroFromQ(q, d < 0L))
+        .otherwise(lit(null).cast("long")).as("z_micro"))
+  }
+
+  /** Bartels rank test (the rank von Neumann ratio) per key —
+    * randomness against SERIAL correlation, where [[turningPoint]]
+    * watches local shape: RVN = Σ(r_i − r_{i+1})² / Σ(r_i − r̄)²
+    * over the series' pooled midranks in time order (≈2 under
+    * randomness, → 0 positively autocorrelated, → 4 alternating).
+    * Doubled midranks keep every term an exact integer (the ratio is
+    * doubling-invariant), the numerator is ONE consecutive
+    * (key, rank)-keyed self equi-join, the denominator the exact
+    * n·Σr2² − (Σr2)² closed form, and the reported micro value is
+    * the EXACT half-up rounding (2·10⁶·num + den) divfloor (2·den) —
+    * no float anywhere. Exactness bound: 2·10⁶·n·Σ(Δr2)² < 10³⁸ ⇒
+    * n ≲ 3·10⁷ per key (documented; the [[jonckheereTerpstra]]
+    * reporting convention). Constant series (zero denominator) and
+    * n < 2 report NULL. Output: (keyCol, n, rvn_micro). */
+  def bartelsRank(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = seriesBase(df, keyCol, tsCol, idCol, valueCol)
+    val rows = withDoubledMidranks(base)
+    val ranked = Dedup.truncate(
+      Ranking.groupRank(rows, "__k", Seq("__ts", "__id")))
+    val nxt = ranked.select(col("__k"), (col("rank") - 1L).as("rank"),
+      col("__r2").as("__r2n"))
+    val num = ranked.join(nxt, Seq("__k", "rank"))
+      .groupBy(col("__k"))
+      .agg(sum(((col("__r2") - col("__r2n")).cast(dec) *
+        (col("__r2") - col("__r2n"))).cast(dec)).as("__num"))
+    val stats = ranked.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__r2").cast(dec)).as("__s1"),
+        sum((col("__r2").cast(dec) * col("__r2")).cast(dec))
+          .as("__s2"))
+    val den = (col("n").cast(dec) * col("__s2") -
+      col("__s1") * col("__s1")).cast(dec)
+    val numScaled = (col("n").cast(dec) * col("__num")).cast(dec)
+    stats.join(num, Seq("__k"), "left")
+      .select(col("__k").as(keyCol), col("n"),
+        when(col("n") >= 2L && den > 0 && col("__num").isNotNull,
+          divFloorDec(
+            (lit(2000000L).cast(dec) * numScaled + den).cast(dec),
+            (lit(2L).cast(dec) * den).cast(dec)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("rvn_micro"))
   }
 }

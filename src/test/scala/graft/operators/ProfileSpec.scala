@@ -1785,6 +1785,41 @@ class ProfileSpec extends SparkSpec {
     assert(got("s") == ((1000000L, null)))
   }
 
+  test("goodmanKruskalGamma: hand pair algebra, sign, tie drop") {
+    val df = Seq(
+      // g: cells (1,1)x2, (1,2)x1, (2,1)x1, (2,2)x3:
+      // C = 2*3 = 6, D = 1*1 = 1 (the (1,2)-(2,1) pair);
+      // (1,1)-(2,1) and (1,2)-(2,2) tie on y -> excluded.
+      // gamma = 5/7 -> 714286.
+      ("g", 1L, 1L), ("g", 1L, 1L), ("g", 1L, 2L), ("g", 2L, 1L),
+      ("g", 2L, 2L), ("g", 2L, 2L), ("g", 2L, 2L),
+      // r: perfectly reversed -> gamma = -1.
+      ("r", 1L, 2L), ("r", 2L, 1L),
+      // t: single x level -> no pair -> NULL.
+      ("t", 1L, 1L), ("t", 1L, 2L))
+      .toDF("g", "x", "y")
+    val got = Profile.goodmanKruskalGamma(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got("g") == ((7L, 6L, 1L, 714286L)))
+    assert(got("r") == ((2L, 0L, 1L, -1000000L)))
+    assert(got("t") == ((2L, 0L, 0L, null)))
+  }
+
+  test("grubbs: single far outlier, exact G; degenerate NULLs") {
+    val df = (Seq.fill(4)(1.0) :+ 6.0).map(("g", _)) ++
+      Seq(("c", 5.0), ("c", 5.0), ("c", 5.0)) ++
+      Seq(("s", 1.0), ("s", 2.0))
+    val got = Profile.grubbs(df.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    // g: mean 2, s = sqrt(5e6)/1000 -> G = 4/2.2360679... = 1.788854.
+    assert(got("g") == ((5L, 1788854L)))
+    assert(got("c") == ((3L, null))) // zero variance
+    assert(got("s") == ((2L, null))) // n < 3
+  }
+
   test("brunnerMunzel: lawstat 14-vs-11 example, W = 3.1375") {
     // The Brunner & Munzel (2000) reference data as shipped in
     // lawstat's docs and scipy.stats.brunnermunzel: UNEQUAL group

@@ -819,4 +819,81 @@ class TimeSeriesSpec extends SparkSpec {
     assert((r.getString(0), r.getLong(1), r.getLong(2)) ==
       (("g", 10L, 4250000L)))
   }
+
+  test("pettitt: level shift found at the true split, ties earliest") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // a: 1,2 | 10,11 -> U = (3, 4, 3), K = 4 at t = 2 (by hand:
+    // U_2 = sum over i<=2,j>2 of sign = 4).
+    // c: constant -> every U_t = 0, earliest tie t = 1, K = 0.
+    val df = (Seq(1.0, 2.0, 10.0, 11.0).zipWithIndex.map { case (v, i) =>
+      ("a", at(i.toLong), i.toLong, v) } ++
+      (0 until 3).map(i => ("c", at(i.toLong), i.toLong, 7.0)))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.pettitt(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((4L, 2L, 4L, 4L)))
+    assert(got("c") == ((3L, 1L, 0L, 0L)))
+  }
+
+  test("turningPoint: zig-zag census and exact z") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // a: 1,3,2,4,1 -> turning at i=2,3,4 -> T=3; d = 3, var =
+    // 51/90 -> z = sqrt(90/51) = 1.3284217... -> 1328422.
+    // c: constant (ties never turn) -> T=0, d=-2 -> z < 0.
+    val df = (Seq(1.0, 3.0, 2.0, 4.0, 1.0).zipWithIndex.map {
+      case (v, i) => ("a", at(i.toLong), i.toLong, v) } ++
+      (0 until 3).map(i => ("c", at(i.toLong), i.toLong, 7.0)))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.turningPoint(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((5L, 3L, 1328422L)))
+    assert(got("c")._2 == 0L && got("c")._3 < 0L)
+  }
+
+  test("coxStuart: fold pairs, tie drop, exact binomial z") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // a: 1..6 all rising: pairs (1,4)(2,5)(3,6) -> S+ = 3 of 3,
+    // z = 3/sqrt(3) -> 1732051.
+    // b: odd n drops the middle: 1,2,9,4,3 -> pairs (1,4),(2,3)
+    // both rise -> S+ = 2 of 2, z = sqrt(2) -> 1414214.
+    // t: single tied pair -> n_eff 0, NULL z.
+    val df = ((1 to 6).map(i => ("a", at(i.toLong), i.toLong,
+      i.toDouble)) ++
+      Seq(1.0, 2.0, 9.0, 4.0, 3.0).zipWithIndex.map { case (v, i) =>
+        ("b", at(i.toLong), i.toLong, v) } ++
+      Seq(("t", at(0L), 0L, 5.0), ("t", at(1L), 1L, 5.0)))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.coxStuart(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got("a") == ((6L, 3L, 3L, 1732051L)))
+    assert(got("b") == ((5L, 2L, 2L, 1414214L)))
+    assert(got("t") == ((2L, 0L, 0L, null)))
+  }
+
+  test("bartelsRank: monotone series RVN = 0.6, constant NULL") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // a: 1,2,3,4 -> ranks 1..4: num = 3, den = 5 -> RVN = 0.6
+    // (doubled midranks: 12·4 / 80 — doubling-invariant).
+    val df = ((1 to 4).map(i => ("a", at(i.toLong), i.toLong,
+      i.toDouble)) ++
+      (0 until 3).map(i => ("c", at(i.toLong), i.toLong, 7.0)))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.bartelsRank(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    assert(got("a") == ((4L, 600000L)))
+    assert(got("c") == ((3L, null)))
+  }
 }
