@@ -76,6 +76,8 @@ object PlanAudit {
     "q368_gearys_c" -> "1-row × 1-row scalar cross (tile totals × adjacency sums)",
     "q382_nsw_build" -> "16-row broadcast centroid attach (bounded, via ivfIndex)",
     "q383_nsw_recall" -> "16-row broadcast centroid attach + 20-query broadcast seed/score attaches (bounded; the ANN-recall gate shape)",
+    "q424_hnsw_build" -> "per-layer ivfCentroids broadcast attaches (<= 16 rows each; the q382 NSW-build shape, once per HNSW layer)",
+    "q425_hnsw_recall" -> "top-layer entry cross (<= 2 nodes) + 20-query broadcast score attaches per layer round (bounded; the q383 ANN-recall shape over 3 layers)",
     "q386_moods_median" -> "1-row × 1-row scalar crosses (margin totals onto the χ² row)",
     "q391_cramers_v" -> "margin × margin contingency GRID cross (model-sized: r × c categories) + 1-row total attaches",
     "q392_jonckheere" -> "k-level (≤ 32) broadcast dose-pair fan-out + 1-row size-census attach",

@@ -5655,7 +5655,44 @@ object SparkEntry {
     // Grubbs max-outlier statistic per event type: exact integer
     // G via D = max|n*v - sum| and the clamped isqrt.
     "q431_grubbs" -> ((s, dir) =>
-      Profile.grubbs(t(s, dir, "events"), "event_type", "value"))
+      Profile.grubbs(t(s, dir, "events"), "event_type", "value")),
+
+    // Kendall's W rater concordance per event type: raters = user
+    // residue classes, items = event-id residues, one deterministic
+    // value per (rater, item) via min() so blocks are complete.
+    "q432_kendall_w" -> ((s, dir) =>
+      Profile.kendallW(
+        t(s, dir, "events")
+          .groupBy(col("event_type"), (col("user_id") % 5).as("rater"),
+            (col("event_id") % 8).as("item"))
+          .agg(min(col("value")).as("v")),
+        "event_type", "rater", "item", "v")),
+
+    // Mood scale test per event type: did the user-parity split move
+    // the SPREAD - doubled pooled midranks, exact two-step floor + z.
+    "q433_mood_scale" -> ((s, dir) =>
+      Profile.moodScale(
+        t(s, dir, "events")
+          .withColumn("side", col("user_id") % 2 === 0),
+        "event_type", "value", "side")),
+
+    // Permutation entropy (m=3) per user series: ordinal-pattern
+    // census complexity in micro-nats.
+    "q434_perm_entropy" -> ((s, dir) =>
+      TimeSeries.permutationEntropy(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "value")),
+
+    // Spectral entropy per user series: Shannon entropy of the
+    // q389 periodogram's normalized bin powers — pure tone 0,
+    // flat noise ln(bins).
+    "q435_spectral_entropy" -> ((s, dir) =>
+      TimeSeries.spectralEntropy(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "value", maxK = 6)),
+
+    // Dixon's Q small-sample outlier ratios per event type: gap
+    // over range from exact order statistics, duplicates honored.
+    "q436_dixon_q" -> ((s, dir) =>
+      Profile.dixonQ(t(s, dir, "events"), "event_type", "value"))
   )
 
   /** q400's crawl-shard fixture: one WARC string per document source
@@ -14469,37 +14506,7 @@ object SparkEntry {
 
     "q388_esd_outliers" -> esdOracleSql(3, 2000000L),
 
-    "q389_periodogram" ->
-      """WITH b AS (
-        |  SELECT user_id AS k, epoch_ms(ts) AS ts_ms, event_id AS id,
-        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_ms(ts), event_id) AS rn,
-        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
-        |  FROM events WHERE value IS NOT NULL),
-        |t AS (
-        |  SELECT k, n, fk.kk AS fkk, (fk.kk * (rn - 1)) % n AS m, v
-        |  FROM b, (SELECT unnest(generate_series(1, 6)) AS kk) fk
-        |  WHERE n >= 2 AND fk.kk * 2 <= n),
-        |terms AS (
-        |  SELECT k, fkk, n,
-        |    v * CAST(round(1e6 * cos(2.0 * pi()
-        |      * CAST(m AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
-        |      AS ct,
-        |    v * CAST(round(1e6 * sin(2.0 * pi()
-        |      * CAST(m AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
-        |      AS st
-        |  FROM t),
-        |agg AS (
-        |  SELECT k, fkk, n, sum(CAST(ct AS HUGEINT)) AS c,
-        |    sum(CAST(st AS HUGEINT)) AS s
-        |  FROM terms GROUP BY 1, 2, 3)
-        |SELECT k AS user_id, CAST(fkk AS INTEGER) AS k, n,
-        |  CAST(round(1e6 * (CAST(c AS DOUBLE) / 1e9
-        |      * (CAST(c AS DOUBLE) / 1e9)
-        |      + CAST(s AS DOUBLE) / 1e9 * (CAST(s AS DOUBLE) / 1e9))
-        |    / CAST(n AS DOUBLE)) AS BIGINT) AS power_micro
-        |FROM agg""".stripMargin,
+    "q389_periodogram" -> periodogramSql,
 
     "q392_jonckheere" ->
       """WITH b AS (
@@ -16314,6 +16321,227 @@ object SparkEntry {
         |        // (2 * (cd.conc + cd.disc)) AS BIGINT)
         |  END AS gamma_micro
         |FROM np LEFT JOIN cd ON cd.g = np.g""".stripMargin,
+
+    // Kendall's W: within-rater doubled midranks, item rank totals,
+    // tie-corrected denominator, exact half-up micro.
+    "q432_kendall_w" ->
+      """WITH pre AS (
+        |  SELECT event_type AS g, user_id % 5 AS r, event_id % 8 AS i,
+        |    min(value) AS value
+        |  FROM events GROUP BY 1, 2, 3),
+        |b AS (
+        |  SELECT g, r, i,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM pre WHERE value IS NOT NULL),
+        |ni AS (SELECT g, CAST(count(DISTINCT i) AS BIGINT) AS n_items
+        |  FROM b GROUP BY 1),
+        |rc AS (
+        |  SELECT b.g, b.r, CAST(count(*) AS BIGINT) AS cnt,
+        |    ni.n_items
+        |  FROM b JOIN ni ON ni.g = b.g GROUP BY b.g, b.r, ni.n_items),
+        |drp AS (
+        |  SELECT g, CAST(sum(CASE WHEN cnt <> n_items THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_dropped_raters
+        |  FROM rc GROUP BY 1),
+        |rws AS (
+        |  SELECT b.* FROM b JOIN rc ON rc.g = b.g AND rc.r = b.r
+        |    AND rc.cnt = rc.n_items),
+        |mr AS (
+        |  SELECT a.g, a.r, a.i, a.v,
+        |    2 * CAST(sum(CASE WHEN o.v < a.v THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |      + CAST(sum(CASE WHEN o.v = a.v THEN 1 ELSE 0 END)
+        |        AS BIGINT) + 1 AS r2,
+        |    CAST(sum(CASE WHEN o.v = a.v THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS eq
+        |  FROM rws a JOIN rws o ON o.g = a.g AND o.r = a.r
+        |  GROUP BY a.g, a.r, a.i, a.v),
+        |rt AS (SELECT g, i, CAST(sum(r2) AS HUGEINT) AS rr2
+        |  FROM mr GROUP BY 1, 2),
+        |tsum AS (
+        |  SELECT g, sum(CAST(eq AS HUGEINT) * eq * eq - eq) AS tt
+        |  FROM (SELECT DISTINCT g, r, v, eq FROM mr) GROUP BY 1),
+        |mp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_raters
+        |  FROM rc WHERE cnt = n_items GROUP BY 1),
+        |nm AS (
+        |  SELECT rt.g,
+        |    sum(CAST(3 AS HUGEINT)
+        |      * (rt.rr2 - CAST(mp.n_raters AS HUGEINT)
+        |        * (ni.n_items + 1))
+        |      * (rt.rr2 - CAST(mp.n_raters AS HUGEINT)
+        |        * (ni.n_items + 1))) AS num
+        |  FROM rt JOIN mp USING (g) JOIN ni USING (g)
+        |  GROUP BY rt.g),
+        |dn AS (
+        |  SELECT mp.g,
+        |    CAST(mp.n_raters AS HUGEINT) * mp.n_raters
+        |      * (CAST(ni.n_items AS HUGEINT) * ni.n_items * ni.n_items
+        |        - ni.n_items)
+        |      - CAST(mp.n_raters AS HUGEINT) * tsum.tt AS den
+        |  FROM mp JOIN ni USING (g) JOIN tsum USING (g))
+        |SELECT ni.g AS event_type, ni.n_items,
+        |  CAST(COALESCE(mp.n_raters, 0) AS BIGINT) AS n_raters,
+        |  drp.n_dropped_raters,
+        |  CASE WHEN mp.n_raters >= 2 AND ni.n_items >= 2
+        |      AND dn.den > 0 AND nm.num IS NOT NULL
+        |    THEN CAST((CAST(2000000 AS HUGEINT) * nm.num + dn.den)
+        |      // (2 * dn.den) AS BIGINT)
+        |  END AS w_micro
+        |FROM ni JOIN drp USING (g)
+        |LEFT JOIN mp USING (g) LEFT JOIN tsum USING (g)
+        |LEFT JOIN nm USING (g) LEFT JOIN dn USING (g)""".stripMargin,
+
+    // Mood scale: doubled pooled midranks, exact T4 closed form,
+    // two-step exact floor + clamped isqrt z.
+    "q433_mood_scale" ->
+      ("""WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    user_id % 2 = 0 AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT g, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, v, ca, cb, ca + cb AS c,
+        |    sum(ca + cb) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c),
+        |st AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(CAST(ca AS HUGEINT) * (2 * (cum - c) + c + 1)) AS sr,
+        |    sum(CAST(ca AS HUGEINT) * (2 * (cum - c) + c + 1)
+        |      * (2 * (cum - c) + c + 1)) AS sr2
+        |  FROM r GROUP BY 1),
+        |tt AS (
+        |  SELECT g, n_a, n_b, n_a + n_b AS nn,
+        |    sr2 - 2 * (CAST(n_a + n_b AS HUGEINT) + 1) * sr
+        |      + CAST(n_a AS HUGEINT) * (n_a + n_b + 1)
+        |        * (n_a + n_b + 1) AS t4
+        |  FROM st),
+        |dd AS (
+        |  SELECT g, n_a, n_b, t4,
+        |    3 * t4 - CAST(n_a AS HUGEINT)
+        |      * (CAST(nn AS HUGEINT) * nn - 1) AS d,
+        |    CAST(n_a AS HUGEINT) * n_b * (nn + 1)
+        |      * (CAST(nn AS HUGEINT) * nn - 4) AS den
+        |  FROM tt),
+        |qq AS (
+        |  SELECT g AS k, n_a, n_b, t4, d < 0 AS neg,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 3 THEN
+        |      CAST(5000000000000 AS HUGEINT) * ((d * d) // den)
+        |        + (CAST(5000000000000 AS HUGEINT) * ((d * d) % den))
+        |          // den
+        |    END AS q4
+        |  FROM dd),
+        |""".stripMargin +
+        zFromQSql("qq", Seq("k", "n_a", "n_b", "t4")) + """
+        |SELECT k AS event_type, n_a, n_b, CAST(t4 AS BIGINT) AS t4,
+        |  z_micro FROM zfin""".stripMargin),
+
+    // Permutation entropy m=3: ordinal-pattern census, micro-nat
+    // per-cell terms, exact sum, one final rounded divide.
+    "q434_perm_entropy" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS ts_ms, event_id AS id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k, v,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts_ms, id) AS t
+        |  FROM b),
+        |tr AS (
+        |  SELECT c.k,
+        |    3 * ((CASE WHEN p1.v < c.v THEN 1 ELSE 0 END)
+        |       + (CASE WHEN p2.v < c.v THEN 1 ELSE 0 END))
+        |    + (CASE WHEN c.v <= p1.v THEN 1 ELSE 0 END)
+        |    + (CASE WHEN p2.v < p1.v THEN 1 ELSE 0 END) AS code
+        |  FROM r c JOIN r p1 ON p1.k = c.k AND p1.t = c.t + 1
+        |    JOIN r p2 ON p2.k = c.k AND p2.t = c.t + 2),
+        |cen AS (SELECT k, code, CAST(count(*) AS BIGINT) AS c
+        |  FROM tr GROUP BY 1, 2),
+        |np AS (
+        |  SELECT k, CAST(sum(c) AS BIGINT) AS n_triples,
+        |    CAST(count(*) AS BIGINT) AS n_patterns
+        |  FROM cen GROUP BY 1),
+        |tm AS (
+        |  SELECT cen.k,
+        |    CAST(round(1e6 * CAST(cen.c AS DOUBLE)
+        |      * ln(CAST(cen.c AS DOUBLE)
+        |        / CAST(np.n_triples AS DOUBLE))) AS BIGINT) AS t
+        |  FROM cen JOIN np USING (k)),
+        |sm AS (SELECT k, CAST(sum(t) AS BIGINT) AS s FROM tm
+        |  GROUP BY 1)
+        |SELECT np.k AS user_id, np.n_triples, np.n_patterns,
+        |  CAST(round(-CAST(sm.s AS DOUBLE)
+        |    / CAST(np.n_triples AS DOUBLE)) AS BIGINT) AS h_mnat
+        |FROM np JOIN sm USING (k)""".stripMargin,
+
+    // Spectral entropy: composes the SHARED periodogram oracle, then
+    // the permutation-entropy micro-nat discipline over bin powers.
+    "q435_spectral_entropy" ->
+      (s"""WITH pg AS (
+        |$periodogramSql
+        |),
+        |p2 AS (SELECT user_id, n, power_micro FROM pg
+        |  WHERE power_micro > 0),
+        |tot AS (
+        |  SELECT user_id, CAST(sum(power_micro) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(max(n) AS BIGINT) AS n
+        |  FROM p2 GROUP BY 1),
+        |tm AS (
+        |  SELECT p2.user_id,
+        |    CAST(round(1e6 * CAST(p2.power_micro AS DOUBLE)
+        |      * ln(CAST(p2.power_micro AS DOUBLE)
+        |        / CAST(tot.s AS DOUBLE))) AS BIGINT) AS t
+        |  FROM p2 JOIN tot USING (user_id)),
+        |sm AS (SELECT user_id, CAST(sum(t) AS BIGINT) AS s2 FROM tm
+        |  GROUP BY 1)
+        |SELECT tot.user_id, tot.n, tot.n_bins,
+        |  CAST(round(-CAST(sm.s2 AS DOUBLE) / CAST(tot.s AS DOUBLE))
+        |    AS BIGINT) AS h_mnat
+        |FROM tot JOIN sm USING (user_id)""").stripMargin,
+
+    // Dixon's Q: order statistics with duplicate-honoring second
+    // extremes, exact half-up micro ratios.
+    "q436_dixon_q" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |ext AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n, min(v) AS lo,
+        |    max(v) AS hi
+        |  FROM b GROUP BY 1),
+        |st AS (
+        |  SELECT b.g, max(ext.n) AS n, max(ext.lo) AS lo,
+        |    max(ext.hi) AS hi,
+        |    CAST(sum(CASE WHEN b.v = ext.lo THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS clo,
+        |    CAST(sum(CASE WHEN b.v = ext.hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS chi,
+        |    min(CASE WHEN b.v > ext.lo THEN b.v END) AS lo2,
+        |    max(CASE WHEN b.v < ext.hi THEN b.v END) AS hi2
+        |  FROM b JOIN ext ON ext.g = b.g GROUP BY b.g),
+        |fin AS (
+        |  SELECT g, n, hi - lo AS rng,
+        |    (CASE WHEN clo > 1 THEN lo ELSE lo2 END) - lo AS gaplo,
+        |    hi - (CASE WHEN chi > 1 THEN hi ELSE hi2 END) AS gaphi
+        |  FROM st)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN n >= 3 AND rng > 0
+        |    THEN CAST((CAST(2000000 AS HUGEINT) * gaplo + rng)
+        |      // (2 * CAST(rng AS HUGEINT)) AS BIGINT) END
+        |    AS q_low_micro,
+        |  CASE WHEN n >= 3 AND rng > 0
+        |    THEN CAST((CAST(2000000 AS HUGEINT) * gaphi + rng)
+        |      // (2 * CAST(rng AS HUGEINT)) AS BIGINT) END
+        |    AS q_high_micro
+        |FROM fin""".stripMargin,
 
     // Grubbs: D = max|n*v - sum|, exact G via the clamped isqrt.
     "q431_grubbs" ->
@@ -19765,6 +19993,40 @@ object SparkEntry {
        |    FROM sce)
        |  WHERE rank <= 10)
        |$recallRollupSql""".stripMargin
+
+  /** The q389 DFT periodogram oracle, shared so the spectral-
+    * entropy oracle composes over the identical spectrum. */
+  private lazy val periodogramSql: String =
+    """WITH b AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS ts_ms, event_id AS id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (
+        |  SELECT k, n, fk.kk AS fkk, (fk.kk * (rn - 1)) % n AS m, v
+        |  FROM b, (SELECT unnest(generate_series(1, 6)) AS kk) fk
+        |  WHERE n >= 2 AND fk.kk * 2 <= n),
+        |terms AS (
+        |  SELECT k, fkk, n,
+        |    v * CAST(round(1e6 * cos(2.0 * pi()
+        |      * CAST(m AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+        |      AS ct,
+        |    v * CAST(round(1e6 * sin(2.0 * pi()
+        |      * CAST(m AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+        |      AS st
+        |  FROM t),
+        |agg AS (
+        |  SELECT k, fkk, n, sum(CAST(ct AS HUGEINT)) AS c,
+        |    sum(CAST(st AS HUGEINT)) AS s
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT k AS user_id, CAST(fkk AS INTEGER) AS k, n,
+        |  CAST(round(1e6 * (CAST(c AS DOUBLE) / 1e9
+        |      * (CAST(c AS DOUBLE) / 1e9)
+        |      + CAST(s AS DOUBLE) / 1e9 * (CAST(s AS DOUBLE) / 1e9))
+        |    / CAST(n AS DOUBLE)) AS BIGINT) AS power_micro
+        |FROM agg""".stripMargin
 
   /** DuckDB twin of TimeSeries.zMicroFromQ: the caller's `inCte`
     * carries `keep` columns plus q4 (HUGEINT, NULL = degenerate) and

@@ -5059,4 +5059,203 @@ object Profile {
           TimeSeries.zMicroFromQ(q, lit(false)))
           .otherwise(lit(null).cast("long")).as("g_micro"))
   }
+
+  /** Kendall's W (coefficient of concordance) per group — "do the m
+    * raters agree on the ORDER of the n items" (the multi-rater
+    * generalization the pairwise [[Preference]] win-rates cannot
+    * see): W = (12ΣR_i² − 3m²n(n+1)²)/(m²(n³−n) − mΣT_j), midranks
+    * within each rater, T_j = Σ(t³−t) the rater's tie correction.
+    * Complete-block discipline ([[pageTrend]]): raters missing any
+    * item are dropped and censused, never silently averaged.
+    *
+    * EXACT: doubled within-rater midranks make every quantity an
+    * integer (12ΣR² = 3ΣR2², and the numerator telescopes to
+    * 3Σ(R2_i − m(n+1))²), so w_micro is the pure-integer half-up
+    * rounding — no float anywhere. Within-rater ranking is a
+    * (group, rater)-keyed self-join on the item rows — bounded by
+    * the n items a rater scores, the [[pageTrend]] within-block
+    * shape. Exactness bound m²n³ ≲ 4·10³⁰. Groups with < 2 complete
+    * raters, < 2 items, or an all-tied census report NULL W.
+    * Output: (groupCol, n_items, n_raters, n_dropped_raters,
+    * w_micro). */
+  def kendallW(
+      df: DataFrame,
+      groupCol: String,
+      raterCol: String,
+      itemCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(raterCol).as("__r"),
+        col(itemCol).as("__i"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val nItems = base.groupBy(col("__g"))
+      .agg(countDistinct(col("__i")).as("n_items"))
+    val raterCnt = base.groupBy(col("__g"), col("__r"))
+      .agg(count(lit(1)).as("__cnt"))
+      .join(nItems, Seq("__g"))
+      .withColumn("__complete", col("__cnt") === col("n_items"))
+    val dropped = raterCnt.groupBy(col("__g"))
+      .agg(sum(when(!col("__complete"), 1L).otherwise(0L))
+        .as("n_dropped_raters"))
+    val rows = base.join(raterCnt.filter(col("__complete"))
+      .select(col("__g"), col("__r")), Seq("__g", "__r"))
+    val other = rows.select(col("__g"), col("__r"),
+      col("__v").as("__v2"))
+    // Doubled within-rater midrank per item (pageTrend's bounded
+    // block self-join — a rater scores n items).
+    val midranked = rows.join(other, Seq("__g", "__r"))
+      .groupBy(col("__g"), col("__r"), col("__i"), col("__v"))
+      .agg(sum(when(col("__v2") < col("__v"), 1L).otherwise(0L))
+        .as("__below"),
+        sum(when(col("__v2") === col("__v"), 1L).otherwise(0L))
+          .as("__eq"))
+      .withColumn("__r2", lit(2L) * col("__below") + col("__eq") + 1L)
+    val rTot = midranked.groupBy(col("__g"), col("__i"))
+      .agg(sum(col("__r2")).as("__R2"), count(lit(1)).as("__m"))
+    // Tie correction: per rater, Σ(t³ − t) over tie-group sizes —
+    // __eq IS the tie-group size t (a per-cell constant), so one
+    // distinct row per (rater, value) carries it exactly once.
+    val tSum = midranked.select(col("__g"), col("__r"), col("__v"),
+        col("__eq")).distinct()
+      .groupBy(col("__g"))
+      .agg(sum((col("__eq").cast(dec) * col("__eq") * col("__eq") -
+        col("__eq").cast(dec)).cast(dec)).as("__T"))
+    val mPer = raterCnt.filter(col("__complete"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("n_raters"))
+    val num = rTot.join(mPer, Seq("__g")).join(nItems, Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(sum({
+        val dev = (col("__R2").cast(dec) -
+          (col("n_raters").cast(dec) * (col("n_items") + 1L))
+            .cast(dec)).cast(dec)
+        (lit(3L).cast(dec) * dev * dev).cast(dec)
+      }).as("__num"))
+    val den = (col("n_raters").cast(dec) * col("n_raters") *
+      (col("n_items").cast(dec) * col("n_items") * col("n_items") -
+        col("n_items")).cast(dec) -
+      col("n_raters").cast(dec) * col("__T")).cast(dec)
+    nItems.join(dropped, Seq("__g"))
+      .join(mPer, Seq("__g"), "left")
+      .join(tSum, Seq("__g"), "left")
+      .join(num, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n_items"),
+        coalesce(col("n_raters"), lit(0L)).as("n_raters"),
+        col("n_dropped_raters"),
+        when(col("n_raters") >= 2L && col("n_items") >= 2L &&
+            den > 0 && col("__num").isNotNull,
+          TimeSeries.divFloorDec(
+            (lit(2000000L).cast(dec) * col("__num") + den).cast(dec),
+            (lit(2L).cast(dec) * den).cast(dec)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("w_micro"))
+  }
+
+  /** Mood scale test per group — rank dispersion about the pooled
+    * center ("did the SPREAD move", [[Profile.ansariBradley]]'s
+    * classical sibling with a closed-form null): T = Σ_{side A}
+    * (r_i − (N+1)/2)² over pooled midranks; E[T] = m(N²−1)/12,
+    * Var[T] = mn(N+1)(N²−4)/180 (the no-tie moments, stated —
+    * midranks keep the statistic defined under light ties). EXACT:
+    * doubled midranks give the integer T4 = 4T = Σ(r2 − (N+1))²,
+    * d = 3T4 − m(N²−1), and (2·10⁶·z)² = 5·10¹²·d²/(m·n·(N+1)(N²−4))
+    * — floor-divided in TWO exact steps (quotient and remainder
+    * separately, so the d² product never meets the 10¹² scale in one
+    * multiply; exact to N ≲ 10⁵ per group, documented) and finished
+    * by [[TimeSeries.zMicroFromQ]]'s clamped isqrt. Sides with
+    * m = 0, n = 0 or N < 3 report NULL z.
+    * Output: (groupCol, n_a, n_b, t4, z_micro). */
+  def moodScale(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"),
+        col(sideCol).cast("boolean").as("__a"))
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+    val run = Ranking.groupRunningSums(cells, "__g", Seq("__v"),
+      Seq("__c" -> "__cum"))
+    val r2 = lit(2L) * (col("__cum") - col("__c")) + col("__c") + 1L
+    val stats = run.groupBy(col("__g"))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum((col("__ca").cast(dec) * r2).cast(dec)).as("__sr"),
+        sum((col("__ca").cast(dec) * r2 * r2).cast(dec)).as("__sr2"))
+    val bigN = (col("n_a") + col("n_b")).cast(dec)
+    // T4 = Σ ca·(r2 − (N+1))² = Σca·r2² − 2(N+1)Σca·r2 + m(N+1)².
+    val t4 = (col("__sr2") -
+      lit(2L).cast(dec) * (bigN + 1) * col("__sr") +
+      col("n_a").cast(dec) * (bigN + 1) * (bigN + 1)).cast(dec)
+    val d = (lit(3L).cast(dec) * t4 -
+      col("n_a").cast(dec) * (bigN * bigN - 1)).cast(dec)
+    val den = (col("n_a").cast(dec) * col("n_b") * (bigN + 1) *
+      (bigN * bigN - 4)).cast(dec)
+    // Two-step exact floor of 5e12·d²/den: d² = a·den + r, then
+    // 5e12·a + (5e12·r) div den — the big scale never multiplies d².
+    val d2 = (d * d).cast(dec)
+    val aQ = TimeSeries.divFloorDec(d2, den)
+    val rQ = (d2 - aQ * den).cast(dec)
+    val q = (lit(5000000000000L).cast(dec) * aQ +
+      TimeSeries.divFloorDec(
+        (lit(5000000000000L).cast(dec) * rQ).cast(dec), den))
+      .cast(dec)
+    stats.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      t4.cast("long").as("t4"),
+      when(col("n_a") > 0L && col("n_b") > 0L &&
+          col("n_a") + col("n_b") >= 3L,
+        TimeSeries.zMicroFromQ(q, d < 0)).otherwise(lit(null)
+        .cast("long")).as("z_micro"))
+  }
+
+  /** Dixon's Q per group — the SMALL-SAMPLE outlier ratio
+    * ([[grubbs]] needs a variance; Q needs only order statistics):
+    * Q_low = (x₍₂₎ − x₍₁₎)/(x₍ₙ₎ − x₍₁₎) and the mirrored Q_high —
+    * gap over range, duplicates honored (a duplicated extreme makes
+    * its gap exactly 0, as the order statistics say). EXACT: milli
+    * values, the second order statistic from extreme counts + the
+    * nearest distinct neighbor (two hash-aggs, one broadcastable
+    * extremes join), and both ratios reported as the exact half-up
+    * micro rounding — no float anywhere. Groups with n < 3 or zero
+    * range report NULLs.
+    * Output: (groupCol, n, q_low_micro, q_high_micro). */
+  def dixonQ(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+          .as("__v"))
+    val ext = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("__lo"),
+        max(col("__v")).as("__hi"))
+    val stats = base.join(ext, Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(max(col("n")).as("n"), max(col("__lo")).as("__lo"),
+        max(col("__hi")).as("__hi"),
+        sum(when(col("__v") === col("__lo"), 1L).otherwise(0L))
+          .as("__clo"),
+        sum(when(col("__v") === col("__hi"), 1L).otherwise(0L))
+          .as("__chi"),
+        min(when(col("__v") > col("__lo"), col("__v"))).as("__lo2"),
+        max(when(col("__v") < col("__hi"), col("__v"))).as("__hi2"))
+    val x2 = when(col("__clo") > 1L, col("__lo")).otherwise(col("__lo2"))
+    val xn1 = when(col("__chi") > 1L, col("__hi")).otherwise(col("__hi2"))
+    val range = (col("__hi") - col("__lo")).cast(dec)
+    def halfUp(num: Column): Column = TimeSeries.divFloorDec(
+      (lit(2000000L).cast(dec) * num.cast(dec) + range).cast(dec),
+      (lit(2L).cast(dec) * range).cast(dec)).cast("long")
+    stats.select(col("__g").as(groupCol), col("n"),
+      when(col("n") >= 3L && range > 0, halfUp(x2 - col("__lo")))
+        .otherwise(lit(null).cast("long")).as("q_low_micro"),
+      when(col("n") >= 3L && range > 0, halfUp(col("__hi") - xn1))
+        .otherwise(lit(null).cast("long")).as("q_high_micro"))
+  }
 }

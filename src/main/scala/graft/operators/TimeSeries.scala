@@ -2319,4 +2319,103 @@ object TimeSeries {
             (lit(2L).cast(dec) * den).cast(dec)).cast("long"))
           .otherwise(lit(null).cast("long")).as("rvn_micro"))
   }
+
+  /** Permutation entropy (Bandt & Pompe 2002, order m = 3) per key —
+    * series COMPLEXITY in one number ("is this metric a clean
+    * oscillation, a trend, or noise"): the Shannon entropy of the
+    * ordinal-pattern census over embedded triples
+    * (x_t, x_{t+1}, x_{t+2}), ties broken earlier-index-smaller (the
+    * standard convention, stated). 0 nats = one pattern (monotone),
+    * ln 6 ≈ 1.79 = white noise.
+    *
+    * Triples come from TWO (key, rank)-keyed self equi-joins off ONE
+    * [[Ranking.groupRank]] (the [[turningPoint]] shape); the pattern
+    * code is pure integer comparison arithmetic; the entropy follows
+    * the corpus micro-nat convention — each census cell's
+    * c·ln(c/n) term micro-rounds through ONE IEEE chain, the sum is
+    * exact, one final rounded divide ([[Profile.mutualInfo]]'s
+    * discipline, so float-sum ordering can never flip a cell).
+    * Keys with < 3 samples are absent.
+    * Output: (keyCol, n_triples, n_patterns, h_mnat). */
+  def permutationEntropy(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val base = seriesBase(df, keyCol, tsCol, idCol, valueCol)
+    val ranked = Dedup.truncate(
+      Ranking.groupRank(base, "__k", Seq("__ts", "__id")))
+    val cur = ranked.select(col("__k"), col("rank"), col("__v"))
+    val p1 = cur.select(col("__k"), (col("rank") - 1L).as("rank"),
+      col("__v").as("__v2"))
+    val p2 = cur.select(col("__k"), (col("rank") - 2L).as("rank"),
+      col("__v").as("__v3"))
+    val trip = cur.join(p1, Seq("__k", "rank"))
+      .join(p2, Seq("__k", "rank"))
+    // Ordinal rank of positions 1 and 2 among the triple under the
+    // lexicographic (value, index) order; position 3's rank is
+    // implied, so code = 3a + b is a bijection onto the 6 patterns.
+    val a = when(col("__v2") < col("__v"), 1L).otherwise(0L) +
+      when(col("__v3") < col("__v"), 1L).otherwise(0L)
+    val b = when(col("__v") <= col("__v2"), 1L).otherwise(0L) +
+      when(col("__v3") < col("__v2"), 1L).otherwise(0L)
+    val census = trip.select(col("__k"),
+        (lit(3L) * a + b).as("__code"))
+      .groupBy(col("__k"), col("__code"))
+      .agg(count(lit(1)).as("__c"))
+    val nPer = census.groupBy(col("__k"))
+      .agg(sum(col("__c")).as("n_triples"),
+        count(lit(1)).as("n_patterns"))
+    census.join(nPer, Seq("__k"))
+      .select(col("__k"), col("n_triples"), col("n_patterns"),
+        round(lit(1e6) * col("__c").cast("double") *
+          log(col("__c").cast("double") /
+            col("n_triples").cast("double"))).cast("long").as("__t"))
+      .groupBy(col("__k"))
+      .agg(max(col("n_triples")).as("n_triples"),
+        max(col("n_patterns")).as("n_patterns"),
+        sum(col("__t")).as("__s"))
+      .select(col("__k").as(keyCol), col("n_triples"),
+        col("n_patterns"),
+        round(-col("__s").cast("double") /
+          col("n_triples").cast("double")).cast("long").as("h_mnat"))
+  }
+
+  /** Spectral entropy per key — "is this series' energy ONE clean
+    * cycle or smeared noise", the scalar verdict on top of
+    * [[periodogram]]'s full spectrum: Shannon entropy of the
+    * normalized bin powers p_k = P_k/ΣP (0 = pure tone, ln(bins) =
+    * flat). Zero-power bins drop (0·ln 0 = 0); keys whose spectrum
+    * is ALL zero (constant series) are absent. Arithmetic follows
+    * the corpus micro-nat discipline over the periodogram's
+    * already-exact micro longs: each bin's P·ln(P/S) micro-rounds
+    * through ONE IEEE chain, the sum is exact, one final rounded
+    * divide by S. Output: (keyCol, n, n_bins, h_mnat). */
+  def spectralEntropy(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      maxK: Int): DataFrame = {
+    require(!keyCol.equalsIgnoreCase("k"),
+      "keyCol \"k\" collides with the periodogram's frequency column")
+    val pg = periodogram(df, keyCol, tsCol, idCol, valueCol, maxK)
+      .filter(col("power_micro") > 0L)
+    val tot = pg.groupBy(col(keyCol))
+      .agg(sum(col("power_micro")).as("__s"),
+        count(lit(1)).as("n_bins"), max(col("n")).as("n"))
+    pg.join(tot, Seq(keyCol))
+      .select(col(keyCol),
+        round(lit(1e6) * col("power_micro").cast("double") *
+          log(col("power_micro").cast("double") /
+            col("__s").cast("double"))).cast("long").as("__t"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__t")).as("__ts2"))
+      .join(tot, Seq(keyCol))
+      .select(col(keyCol), col("n"), col("n_bins"),
+        round(-col("__ts2").cast("double") / col("__s").cast("double"))
+          .cast("long").as("h_mnat"))
+  }
 }

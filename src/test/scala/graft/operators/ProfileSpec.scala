@@ -1807,6 +1807,22 @@ class ProfileSpec extends SparkSpec {
     assert(got("t") == ((2L, 0L, 0L, null)))
   }
 
+  test("dixonQ: gap-over-range, duplicated extremes, degenerate NULL") {
+    val df = (Seq(1.0, 2.0, 3.0, 9.0).map(("g", _)) ++
+      // duplicated min -> Q_low exactly 0 by order statistics.
+      Seq(1.0, 1.0, 5.0, 9.0).map(("d", _)) ++
+      Seq(4.0, 4.0).map(("s", _)))
+      .toDF("g", "v")
+    val got = Profile.dixonQ(df, "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+    // g: range 8, gaps 1 and 6 -> 125000 / 750000.
+    assert(got("g") == ((4L, 125000L, 750000L)))
+    assert(got("d") == ((4L, 0L, 500000L)))
+    assert(got("s") == ((2L, null, null)))
+  }
+
   test("grubbs: single far outlier, exact G; degenerate NULLs") {
     val df = (Seq.fill(4)(1.0) :+ 6.0).map(("g", _)) ++
       Seq(("c", 5.0), ("c", 5.0), ("c", 5.0)) ++
@@ -1818,6 +1834,48 @@ class ProfileSpec extends SparkSpec {
     assert(got("g") == ((5L, 1788854L)))
     assert(got("c") == ((3L, null))) // zero variance
     assert(got("s") == ((2L, null))) // n < 3
+  }
+
+  test("kendallW: perfect, partial, tie-corrected, dropped raters") {
+    def rows(g: String, r: Long, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) => (g, r, i.toLong, v) }
+    val df = (
+      // g: three identical rankings -> W = 1.
+      rows("g", 1L, Seq(1, 2, 3, 4).map(_.toDouble)) ++
+      rows("g", 2L, Seq(1, 2, 3, 4).map(_.toDouble)) ++
+      rows("g", 3L, Seq(1, 2, 3, 4).map(_.toDouble)) ++
+      // p: third rater reversed -> W = 1/9.
+      rows("p", 1L, Seq(1, 2, 3, 4).map(_.toDouble)) ++
+      rows("p", 2L, Seq(1, 2, 3, 4).map(_.toDouble)) ++
+      rows("p", 3L, Seq(4, 3, 2, 1).map(_.toDouble)) ++
+      // t: one informative + one all-tied rater (T = 60) -> W = 0.5,
+      // plus an incomplete rater (2 of 4 items) that must drop.
+      rows("t", 1L, Seq(1, 2, 3, 4).map(_.toDouble)) ++
+      rows("t", 2L, Seq(7, 7, 7, 7).map(_.toDouble)) ++
+      rows("t", 9L, Seq(1, 2).map(_.toDouble)))
+      .toDF("g", "r", "i", "v")
+    val got = Profile.kendallW(df, "g", "r", "i", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got("g") == ((4L, 3L, 0L, 1000000L)))
+    assert(got("p") == ((4L, 3L, 0L, 111111L)))
+    assert(got("t") == ((4L, 2L, 1L, 500000L)))
+  }
+
+  test("moodScale: tails-vs-middle spread, exact z, empty-side NULL") {
+    val df = (Seq(1.0, 5.0).map(("g", _, true)) ++
+      Seq(2.0, 3.0, 4.0).map(("g", _, false)) ++
+      Seq(1.0, 2.0, 3.0).map(("e", _, true)))
+      .toDF("g", "v", "a")
+    val got = Profile.moodScale(df, "g", "v", "a")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    // A holds both tails: T = (1-3)^2 + (5-3)^2 = 8 (T4 = 32),
+    // E = 4, Var = 4.2 -> z = 4/sqrt(4.2) = 1.951800.
+    assert(got("g") == ((2L, 3L, 32L, 1951800L)))
+    assert(got("e")._2 == 0L && got("e")._4 == null)
   }
 
   test("brunnerMunzel: lawstat 14-vs-11 example, W = 3.1375") {

@@ -880,6 +880,52 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("t") == ((2L, 0L, 0L, null)))
   }
 
+  test("permutationEntropy: monotone zero, alternating ln 2") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // a: strictly rising -> one pattern, H = 0.
+    // z: 1,3,2,4,3,5 -> codes alternate between two patterns 2/2 ->
+    // H = ln 2 = 0.693147 (per-cell micro terms replayed by hand).
+    val df = ((1 to 5).map(i => ("a", at(i.toLong), i.toLong,
+      i.toDouble)) ++
+      Seq(1.0, 3.0, 2.0, 4.0, 3.0, 5.0).zipWithIndex.map {
+        case (v, i) => ("z", at(i.toLong), i.toLong, v) })
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.permutationEntropy(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((3L, 1L, 0L)))
+    assert(got("z") == ((4L, 2L, 693147L)))
+  }
+
+  test("spectralEntropy: pure tone 0, two equal bins ln 2") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // a: alternating +-1 over 8 samples -> all energy in the
+    // Nyquist bin (k=4; the other bins cancel EXACTLY because the
+    // quantized cos/sin at these angles are exact) -> H = 0.
+    // z: 3,-1,-1,-1 repeated -> equal power in k=2 and k=4
+    // (C = 8 both, a = 1, b = 2a construction) -> H = ln 2.
+    val alt = (0 until 8).map(i => ("a", at(i.toLong), i.toLong,
+      if (i % 2 == 0) 1.0 else -1.0))
+    val two = (0 until 8).map(i => ("z", at(i.toLong), i.toLong,
+      if (i % 4 == 0) 3.0 else -1.0))
+    // keyCol "k" is rejected (collides with the frequency column).
+    val df = (alt ++ two).toDF("g", "ts", "id", "v")
+    intercept[IllegalArgumentException] {
+      TimeSeries.spectralEntropy(df.withColumnRenamed("g", "K"),
+        "K", "ts", "id", "v", maxK = 4)
+    }
+    val got = TimeSeries.spectralEntropy(df, "g", "ts", "id", "v",
+        maxK = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((8L, 1L, 0L)))
+    assert(got("z") == ((8L, 2L, 693147L)))
+  }
+
   test("bartelsRank: monotone series RVN = 0.6, constant NULL") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
