@@ -5692,7 +5692,13 @@ object SparkEntry {
     // Dixon's Q small-sample outlier ratios per event type: gap
     // over range from exact order statistics, duplicates honored.
     "q436_dixon_q" -> ((s, dir) =>
-      Profile.dixonQ(t(s, dir, "events"), "event_type", "value"))
+      Profile.dixonQ(t(s, dir, "events"), "event_type", "value")),
+
+    // Sample entropy (m=2, r=0.5) per user series: canonical
+    // Richman-Moorman pair census over the first 256 samples.
+    "q437_sample_entropy" -> ((s, dir) =>
+      TimeSeries.sampleEntropy(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "value", rMilli = 500L, maxN = 256))
   )
 
   /** q400's crawl-shard fixture: one WARC string per document source
@@ -16542,6 +16548,42 @@ object SparkEntry {
         |      // (2 * CAST(rng AS HUGEINT)) AS BIGINT) END
         |    AS q_high_micro
         |FROM fin""".stripMargin,
+
+    // Sample entropy: one template pair join serves both the B and
+    // A counts; final ln of the exact integer ratio.
+    "q437_sample_entropy" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS ts_ms, event_id AS id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT * FROM (
+        |    SELECT k, v,
+        |      row_number() OVER (PARTITION BY k ORDER BY ts_ms, id)
+        |        AS t
+        |    FROM b)
+        |  WHERE t <= 256),
+        |tpl AS (
+        |  SELECT c.k, c.t, c.v AS v1, p1.v AS v2, p2.v AS v3
+        |  FROM r c JOIN r p1 ON p1.k = c.k AND p1.t = c.t + 1
+        |    JOIN r p2 ON p2.k = c.k AND p2.t = c.t + 2),
+        |pr AS (
+        |  SELECT a.k, CAST(count(*) AS BIGINT) AS b_pairs,
+        |    CAST(sum(CASE WHEN abs(a.v3 - o.v3) <= 500 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS a_pairs
+        |  FROM tpl a JOIN tpl o ON o.k = a.k AND a.t < o.t
+        |    AND abs(a.v1 - o.v1) <= 500 AND abs(a.v2 - o.v2) <= 500
+        |  GROUP BY a.k),
+        |nu AS (SELECT k, CAST(max(t) AS BIGINT) AS n_used FROM r
+        |  GROUP BY k)
+        |SELECT nu.k AS user_id, nu.n_used,
+        |  COALESCE(pr.b_pairs, 0) AS b_pairs,
+        |  COALESCE(pr.a_pairs, 0) AS a_pairs,
+        |  CASE WHEN pr.b_pairs > 0 AND pr.a_pairs > 0
+        |    THEN CAST(round(1e6 * ln(CAST(pr.b_pairs AS DOUBLE)
+        |      / CAST(pr.a_pairs AS DOUBLE))) AS BIGINT)
+        |  END AS sampen_mnat
+        |FROM nu LEFT JOIN pr ON pr.k = nu.k""".stripMargin,
 
     // Grubbs: D = max|n*v - sum|, exact G via the clamped isqrt.
     "q431_grubbs" ->

@@ -5258,4 +5258,5 @@ object Profile {
       when(col("n") >= 3L && range > 0, halfUp(col("__hi") - xn1))
         .otherwise(lit(null).cast("long")).as("q_high_micro"))
   }
+
 }

@@ -2418,4 +2418,68 @@ object TimeSeries {
         round(-col("__ts2").cast("double") / col("__s").cast("double"))
           .cast("long").as("h_mnat"))
   }
+
+  /** Sample entropy (Richman & Moorman 2000; m = 2) per key —
+    * REGULARITY where [[permutationEntropy]] sees only order: given
+    * tolerance r (milli units), B = # template pairs of length 2
+    * within Chebyshev distance r, A = the same pairs also matching
+    * on the third coordinate, SampEn = −ln(A/B) (reported as
+    * ln(B/A) micro-nats, ≥ 0). Canonical Richman–Moorman counting:
+    * both lengths census the SAME n−2 template starts (so A's pairs
+    * are a subset of B's), i < j excludes self-matches, ≤ r is
+    * inclusive.
+    *
+    * The pair census is inherently quadratic, so it runs over each
+    * key's FIRST `maxN` samples ([[theilSen]]'s bounded-census
+    * convention, visible in n_used) — a 100 TB key costs a constant
+    * ≤ maxN²/2 comparisons. Templates come from two (key, rank)
+    * self equi-joins; ONE pair join serves both counts. The only
+    * float is the final ln of an exact integer ratio (the corpus
+    * micro-nat idiom). Keys with A = 0 or B = 0 report NULL.
+    * Output: (keyCol, n_used, b_pairs, a_pairs, sampen_mnat). */
+  def sampleEntropy(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      rMilli: Long,
+      maxN: Int = 256): DataFrame = {
+    require(rMilli >= 0L, "rMilli must be non-negative")
+    require(maxN >= 4 && maxN <= 4096,
+      "maxN must be in [4, 4096] — it bounds the quadratic census")
+    val base = seriesBase(df, keyCol, tsCol, idCol, valueCol)
+    val ranked = Dedup.truncate(
+      Ranking.groupRank(base, "__k", Seq("__ts", "__id")))
+      .filter(col("rank") <= maxN.toLong)
+      .select(col("__k"), col("rank"), col("__v"))
+    val s1 = ranked.select(col("__k"), (col("rank") - 1L).as("rank"),
+      col("__v").as("__v2"))
+    val s2 = ranked.select(col("__k"), (col("rank") - 2L).as("rank"),
+      col("__v").as("__v3"))
+    val tpl = ranked.join(s1, Seq("__k", "rank"))
+      .join(s2, Seq("__k", "rank"))
+    val b = tpl.select(col("__k"), col("rank").as("__ri"),
+      col("__v").as("__bv"), col("__v2").as("__bv2"),
+      col("__v3").as("__bv3"))
+    val near = (x: Column, y: Column) => abs(x - y) <= rMilli
+    val pairs = tpl.join(b, Seq("__k"))
+      .filter(col("rank") < col("__ri") &&
+        near(col("__v"), col("__bv")) && near(col("__v2"), col("__bv2")))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("b_pairs"),
+        sum(when(near(col("__v3"), col("__bv3")), 1L).otherwise(0L))
+          .as("a_pairs"))
+    val nUsed = ranked.groupBy(col("__k"))
+      .agg(max(col("rank")).as("n_used"))
+    nUsed.join(pairs, Seq("__k"), "left")
+      .select(col("__k").as(keyCol), col("n_used"),
+        coalesce(col("b_pairs"), lit(0L)).as("b_pairs"),
+        coalesce(col("a_pairs"), lit(0L)).as("a_pairs"),
+        when(coalesce(col("b_pairs"), lit(0L)) > 0L &&
+            coalesce(col("a_pairs"), lit(0L)) > 0L,
+          round(lit(1e6) * log(col("b_pairs").cast("double") /
+            col("a_pairs").cast("double"))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("sampen_mnat"))
+  }
 }

@@ -926,6 +926,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("z") == ((8L, 2L, 693147L)))
   }
 
+  test("sampleEntropy: regular zero, one broken match ln 2, NULLs") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // c: constant -> every pair matches at both lengths: B = A = 3
+    // (C(3,2) template pairs), SampEn = 0.
+    // g: 1,2,3,4,20 with r = 1: templates (1,2,3),(2,3,4),(3,4,20);
+    // (t1,t2) matches through length 3, (t2,t3) only through
+    // length 2 -> B = 2, A = 1 -> ln 2.
+    // s: 2 samples -> no template, B = 0 -> NULL.
+    val df = ((0 until 5).map(i => ("c", at(i.toLong), i.toLong, 5.0)) ++
+      Seq(1.0, 2.0, 3.0, 4.0, 20.0).zipWithIndex.map { case (v, i) =>
+        ("g", at(i.toLong), i.toLong, v) } ++
+      (0 until 2).map(i => ("s", at(i.toLong), i.toLong, 1.0)))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.sampleEntropy(df, "k", "ts", "id", "v",
+        rMilli = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got("c") == ((5L, 3L, 3L, 0L)))
+    assert(got("g") == ((5L, 2L, 1L, 693147L)))
+    assert(got("s") == ((2L, 0L, 0L, null)))
+  }
+
   test("bartelsRank: monotone series RVN = 0.6, constant NULL") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
