@@ -5698,7 +5698,18 @@ object SparkEntry {
     // Richman-Moorman pair census over the first 256 samples.
     "q437_sample_entropy" -> ((s, dir) =>
       TimeSeries.sampleEntropy(t(s, dir, "events"), "user_id", "ts",
-        "event_id", "value", rMilli = 500L, maxN = 256))
+        "event_id", "value", rMilli = 500L, maxN = 256)),
+
+    // Quade weighted-blocks test per event type: blocks = user
+    // residues, treatments = event-id residues, one deterministic
+    // value per cell via min() so blocks complete; fully integer F.
+    "q438_quade" -> ((s, dir) =>
+      Profile.quade(
+        t(s, dir, "events")
+          .groupBy(col("event_type"), (col("user_id") % 7).as("blk"),
+            (col("event_id") % 3).as("trt"))
+          .agg(min(col("value")).as("v")),
+        "event_type", "blk", "trt", "v"))
   )
 
   /** q400's crawl-shard fixture: one WARC string per document source
@@ -16584,6 +16595,69 @@ object SparkEntry {
         |      / CAST(pr.a_pairs AS DOUBLE))) AS BIGINT)
         |  END AS sampen_mnat
         |FROM nu LEFT JOIN pr ON pr.k = nu.k""".stripMargin,
+
+    // Quade: doubled midranks for both rankings (within-block and
+    // block-range weights), fully integer F, exact half-up micro.
+    "q438_quade" ->
+      """WITH pre AS (
+        |  SELECT event_type AS g, user_id % 7 AS b, event_id % 3 AS t,
+        |    min(value) AS value
+        |  FROM events GROUP BY 1, 2, 3),
+        |base AS (
+        |  SELECT g, b, t,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM pre WHERE value IS NOT NULL),
+        |kp AS (SELECT g, CAST(count(DISTINCT t) AS BIGINT) AS k
+        |  FROM base GROUP BY 1),
+        |blk AS (
+        |  SELECT base.g, base.b, CAST(count(*) AS BIGINT) AS cnt,
+        |    max(v) - min(v) AS rng, max(kp.k) AS k
+        |  FROM base JOIN kp ON kp.g = base.g GROUP BY base.g, base.b),
+        |drp AS (
+        |  SELECT g, CAST(sum(CASE WHEN cnt <> k THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped_blocks
+        |  FROM blk GROUP BY 1),
+        |kept AS (SELECT g, b, rng FROM blk WHERE cnt = k),
+        |qw AS (
+        |  SELECT g, b,
+        |    2 * (rank() OVER (PARTITION BY g ORDER BY rng) - 1)
+        |      + count(*) OVER (PARTITION BY g, rng) + 1 AS q2
+        |  FROM kept),
+        |rws AS (
+        |  SELECT base.* FROM base
+        |  JOIN kept ON kept.g = base.g AND kept.b = base.b),
+        |mr AS (
+        |  SELECT a.g, a.b, a.t,
+        |    2 * CAST(sum(CASE WHEN o.v < a.v THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |      + CAST(sum(CASE WHEN o.v = a.v THEN 1 ELSE 0 END)
+        |        AS BIGINT) + 1 AS r2
+        |  FROM rws a JOIN rws o ON o.g = a.g AND o.b = a.b
+        |  GROUP BY a.g, a.b, a.t, a.v),
+        |tf AS (
+        |  SELECT mr.g, mr.b, mr.t,
+        |    CAST(qw.q2 AS HUGEINT) * (mr.r2 - kp.k - 1) AS t4
+        |  FROM mr JOIN qw ON qw.g = mr.g AND qw.b = mr.b
+        |    JOIN kp ON kp.g = mr.g),
+        |aa AS (SELECT g, sum(t4 * t4) AS a16 FROM tf GROUP BY 1),
+        |ss AS (SELECT g, t, sum(t4) AS s4 FROM tf GROUP BY 1, 2),
+        |bb AS (SELECT g, sum(s4 * s4) AS sb FROM ss GROUP BY 1),
+        |np AS (SELECT g, CAST(count(*) AS BIGINT) AS n_blocks
+        |  FROM kept GROUP BY 1)
+        |SELECT kp.g AS event_type, kp.k,
+        |  CAST(COALESCE(np.n_blocks, 0) AS BIGINT) AS n_blocks,
+        |  drp.n_dropped_blocks,
+        |  CASE WHEN np.n_blocks >= 2 AND kp.k >= 2
+        |      AND CAST(np.n_blocks AS HUGEINT) * aa.a16 - bb.sb > 0
+        |    THEN CAST((CAST(2000000 AS HUGEINT)
+        |        * ((np.n_blocks - 1) * bb.sb)
+        |        + (CAST(np.n_blocks AS HUGEINT) * aa.a16 - bb.sb))
+        |      // (2 * (CAST(np.n_blocks AS HUGEINT) * aa.a16 - bb.sb))
+        |      AS BIGINT)
+        |  END AS f_micro
+        |FROM kp JOIN drp USING (g)
+        |LEFT JOIN np USING (g) LEFT JOIN aa USING (g)
+        |LEFT JOIN bb USING (g)""".stripMargin,
 
     // Grubbs: D = max|n*v - sum|, exact G via the clamped isqrt.
     "q431_grubbs" ->

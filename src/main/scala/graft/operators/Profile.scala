@@ -5259,4 +5259,99 @@ object Profile {
         .otherwise(lit(null).cast("long")).as("q_high_micro"))
   }
 
+
+  /** Quade test per group — Friedman's ranked-blocks test with the
+    * blocks that DISCRIMINATE weighted up: within-block midranks
+    * R_bj, block weights Q_b = rank of the block's value RANGE, and
+    * F = (n−1)·B/(A−B) over the weighted centered scores
+    * t_bj = Q_b·(R_bj − (k+1)/2), A = Σt², B = Σ_j S_j²/n. The test
+    * that catches a treatment effect visible only in the blocks with
+    * real spread (a flat block carries no signal and gets no vote) —
+    * [[pageTrend]]'s complete-block discipline, incomplete blocks
+    * censused and dropped.
+    *
+    * EXACT end to end: doubled midranks for BOTH rankings make
+    * every t4 = Q2_b·(R2_bj − (k+1)) an integer (the common ×4
+    * scale cancels in F), so A16/S4 are exact decimal sums and
+    * f_micro = the exact half-up of (n−1)·ΣS4²/(n·ΣA16 − ΣS4²) — no
+    * float anywhere. Within-block ranking is the bounded block
+    * self-join; the block-range ranking rides ONE
+    * [[Ranking.groupRunningSums]] value prefix. A − B = 0 (every
+    * treatment's weighted score constant across blocks — perfect
+    * agreement) reports NULL F, the statistic's infinity.
+    * Output: (groupCol, k, n_blocks, n_dropped_blocks, f_micro). */
+  def quade(
+      df: DataFrame,
+      groupCol: String,
+      blockCol: String,
+      treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(blockCol).as("__b"),
+        col(treatmentCol).as("__t"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+    val kPer = base.groupBy(col("__g"))
+      .agg(countDistinct(col("__t")).as("k"))
+    val blocks = base.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"), (max(col("__v")) - min(col("__v")))
+        .as("__rng"))
+      .join(kPer, Seq("__g"))
+      .withColumn("__complete", col("__cnt") === col("k"))
+    val dropped = blocks.groupBy(col("__g"))
+      .agg(sum(when(!col("__complete"), 1L).otherwise(0L))
+        .as("n_dropped_blocks"))
+    val kept = blocks.filter(col("__complete"))
+      .select(col("__g"), col("__b"), col("__rng"))
+    // Q2: doubled midrank of the block range among the group's kept
+    // blocks (cells + ONE value prefix — never a per-group window).
+    val rngCells = kept.groupBy(col("__g"), col("__rng"))
+      .agg(count(lit(1)).as("__c"))
+    val rngRun = Ranking.groupRunningSums(rngCells, "__g",
+      Seq("__rng"), Seq("__c" -> "__cum"))
+    val q2 = kept.join(rngRun.select(col("__g"), col("__rng"),
+      (lit(2L) * (col("__cum") - col("__c")) + col("__c") + 1L)
+        .as("__q2")), Seq("__g", "__rng"))
+      .select(col("__g"), col("__b"), col("__q2"))
+    val rows = base.join(kept.select(col("__g"), col("__b")),
+      Seq("__g", "__b"))
+    val other = rows.select(col("__g"), col("__b"),
+      col("__v").as("__v2"))
+    val midranked = rows.join(other, Seq("__g", "__b"))
+      .groupBy(col("__g"), col("__b"), col("__t"), col("__v"))
+      .agg(sum(when(col("__v2") < col("__v"), 1L).otherwise(0L))
+        .as("__below"),
+        sum(when(col("__v2") === col("__v"), 1L).otherwise(0L))
+          .as("__eq"))
+      .withColumn("__r2", lit(2L) * col("__below") + col("__eq") + 1L)
+    val t4 = midranked.join(q2, Seq("__g", "__b"))
+      .join(kPer, Seq("__g"))
+      .select(col("__g"), col("__b"), col("__t"),
+        (col("__q2").cast(dec) *
+          (col("__r2") - col("k") - 1L).cast(dec)).cast(dec)
+          .as("__t4"))
+    val a16 = t4.groupBy(col("__g"))
+      .agg(sum((col("__t4") * col("__t4")).cast(dec)).as("__a16"))
+    val s4 = t4.groupBy(col("__g"), col("__t"))
+      .agg(sum(col("__t4")).cast(dec).as("__s4"))
+    val sb = s4.groupBy(col("__g"))
+      .agg(sum((col("__s4") * col("__s4")).cast(dec)).as("__sb"))
+    val nPer = kept.groupBy(col("__g")).agg(count(lit(1)).as("n_blocks"))
+    val num = ((col("n_blocks") - 1L).cast(dec) * col("__sb")).cast(dec)
+    val den = (col("n_blocks").cast(dec) * col("__a16") - col("__sb"))
+      .cast(dec)
+    kPer.join(dropped, Seq("__g"))
+      .join(nPer, Seq("__g"), "left")
+      .join(a16, Seq("__g"), "left")
+      .join(sb, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("k"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        col("n_dropped_blocks"),
+        when(col("n_blocks") >= 2L && col("k") >= 2L && den > 0,
+          TimeSeries.divFloorDec(
+            (lit(2000000L).cast(dec) * num + den).cast(dec),
+            (lit(2L).cast(dec) * den).cast(dec)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("f_micro"))
+  }
 }

@@ -1807,6 +1807,27 @@ class ProfileSpec extends SparkSpec {
     assert(got("t") == ((2L, 0L, 0L, null)))
   }
 
+  test("quade: weighted blocks hand F = 4/7, incomplete drop") {
+    val df = Seq(
+      // g: 3 blocks x 2 treatments; ranges 1,2,1 weight block 2 up;
+      // block 3 disagrees -> F = 2*1.5/(6.75-1.5) = 4/7 (replayed
+      // by hand in the doubled domain: S4 = (-6, 6), A16 = 108).
+      ("g", 1L, "A", 1.0), ("g", 1L, "B", 2.0),
+      ("g", 2L, "A", 1.0), ("g", 2L, "B", 3.0),
+      ("g", 3L, "A", 5.0), ("g", 3L, "B", 4.0),
+      // plus an incomplete block (one treatment) that must drop.
+      ("g", 9L, "A", 7.0),
+      // s: single block -> NULL F.
+      ("s", 1L, "A", 1.0), ("s", 1L, "B", 2.0))
+      .toDF("g", "blk", "trt", "v")
+    val got = Profile.quade(df, "g", "blk", "trt", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got("g") == ((2L, 3L, 1L, 571429L)))
+    assert(got("s") == ((2L, 1L, 0L, null)))
+  }
+
   test("dixonQ: gap-over-range, duplicated extremes, degenerate NULL") {
     val df = (Seq(1.0, 2.0, 3.0, 9.0).map(("g", _)) ++
       // duplicated min -> Q_low exactly 0 by order statistics.
