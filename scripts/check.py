@@ -45,27 +45,69 @@ def _unsafe_type(t):
     return False
 
 
+def _select_item(sql, as_pos):
+    """The SELECT-item text enclosing an `AS name` at as_pos: walk
+    back to the previous top-level ',' / '(' / 'SELECT' at paren
+    depth 0, so an unrelated round() in a NEIGHBORING item can no
+    longer false-positive (the old fixed 600-char lookback could)."""
+    depth = 0
+    i = as_pos - 1
+    while i >= 0:
+        c = sql[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                return sql[i + 1:as_pos]
+            depth -= 1
+        elif depth == 0:
+            if c == ",":
+                return sql[i + 1:as_pos]
+            if sql[max(0, i - 5):i + 1].upper().endswith("SELECT"):
+                return sql[i + 1:as_pos]
+        i -= 1
+    return sql[:as_pos]
+
+
 def fragile_argmin_sql(sql):
-    """Rounding-boundary lint (oracle side, mirrors
+    """Rounding-boundary lint (oracle side, complements
     graft.Verify.fragileArgminLint): flag any QUALIFY
-    row_number() ... ORDER BY whose FIRST key column is defined via
-    round(...) — a float-rounded argmin key flips the elected row on
-    a 1-ulp FMA/libm difference between engines whenever candidates
-    sit on the .5 boundary (the r15 q402 driver-hash lesson; real
-    label censuses DO land there). Argmin keys must be exact-integer
+    row_number() ... ORDER BY whose FIRST key is round(...) inline or
+    a (possibly table-qualified) column defined via round(...) — a
+    float-rounded argmin key flips the elected row on a 1-ulp
+    FMA/libm difference between engines whenever candidates sit on
+    the .5 boundary (the r15 q402 driver-hash lesson; real label
+    censuses DO land there). Argmin keys must be exact-integer
     comparisons; a reported rounded column derived from the already-
     elected winner is fine. Returns the offending key names."""
     hits = []
     for m in re.finditer(
             r"QUALIFY\s+row_number\(\)\s+OVER\s*\(\s*PARTITION\s+BY"
-            r"\s+[^()]*ORDER\s+BY\s+([a-zA-Z_]\w*)", sql, re.I):
-        key = m.group(1)
+            r"\s+.*?ORDER\s+BY\s+(.*?)\)\s*=\s*1", sql, re.I | re.S):
+        first = m.group(1).split(",")[0].strip()
+        if re.match(r"round\s*\(", first, re.I):
+            hits.append(first[:40])
+            continue
+        km = re.match(r"(?:[a-zA-Z_]\w*\.)?([a-zA-Z_]\w*)$", first)
+        if not km:
+            continue
+        key = km.group(1)
         for d in re.finditer(r"AS\s+" + key + r"\b", sql):
-            pre = sql[max(0, d.start() - 600):d.start()]
-            if "round(" in pre.lower():
+            if "round(" in _select_item(sql, d.start()).lower():
                 hits.append(key)
                 break
     return hits
+
+
+def unsafe_oracle_types(schema):
+    """Driver-hasher type lint, ORACLE side: the two r15/r16
+    hash-red gates (q384/q402) were exactly the two whose DuckDB
+    result carried arrow decimal128 columns (un-cast windowed
+    sums) against Spark int64 — value-identical under str(), but
+    the driver's hasher normalizes Decimal differently. Any
+    decimal/struct/map/interval column in an oracle result must be
+    cast (windowed sums / HUGEINT -> CAST(... AS BIGINT))."""
+    return [f.name for f in schema if _unsafe_type(f.type)]
 
 
 def lint_selftest():
@@ -96,7 +138,36 @@ def lint_selftest():
       QUALIFY row_number() OVER (PARTITION BY g ORDER BY n) = 1"""
     assert fragile_argmin_sql(unrelated) == [], \
         "lint false-positive on a non-key round()"
-    print("lint selftest: 3/3 pass")
+    # Inline round() directly inside the ORDER BY (no alias) — the
+    # shape the old alias-only regex silently missed (ADVICE r16).
+    inline = """
+      SELECT feature, v FROM sc
+      QUALIFY row_number() OVER (PARTITION BY feature
+        ORDER BY round(1e6 * g / n), v) = 1"""
+    assert fragile_argmin_sql(inline), \
+        "lint missed an inline round() ORDER BY key"
+    # Qualified key (t.col) defined via round() — also previously
+    # missed (the regex captured nothing after the dot).
+    qualified = """
+      WITH sc AS (SELECT feature, v,
+        CAST(round(1e6 * 2.0 * cp / cn) AS BIGINT) AS gm FROM run)
+      SELECT feature, v FROM sc t
+      QUALIFY row_number() OVER (PARTITION BY feature
+        ORDER BY t.gm, v) = 1"""
+    assert fragile_argmin_sql(qualified) == ["gm"], \
+        "lint missed a qualified round()-defined key"
+    # Neighbor-item round() must NOT flag the exact key beside it
+    # (the old 600-char window false-positived here).
+    neighbor = """
+      WITH sc AS (SELECT feature, v,
+        CAST(round(x * 1e6) AS BIGINT) AS unrelated_q,
+        (4000000 * gnum + gden) // (2 * gden) AS gm FROM run)
+      SELECT feature, v FROM sc
+      QUALIFY row_number() OVER (PARTITION BY feature
+        ORDER BY gm, v) = 1"""
+    assert fragile_argmin_sql(neighbor) == [], \
+        "lint false-positive from a neighboring SELECT item's round()"
+    print("lint selftest: 6/6 pass")
     return 0
 
 
@@ -144,6 +215,13 @@ def main(out_dir, sf_dir):
             duck_tbl = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        unsafe_o = unsafe_oracle_types(duck_tbl.schema)
+        if unsafe_o:
+            print(f"FAIL {name}: LINT unsafe ORACLE output column "
+                  f"type(s): {unsafe_o} — cast windowed sums/HUGEINT "
+                  f"to BIGINT (r16 q384/q402 driver-hash root cause)")
             n_fail += 1
             continue
         sc, sr = table_rows(spark_tbl)

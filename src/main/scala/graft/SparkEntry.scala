@@ -23,6 +23,30 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
 
+  /** Shared by q384 and its q384a-c column-isolating diagnostics. */
+  private def rollingMkGate(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollingMannKendall(t(s, dir, "events"), "user_id",
+      "ts", "event_id", "value", window = 16,
+      thresholdMicro = 1959964L)
+
+  /** Shared by q402 and its q402a-c column-isolating diagnostics. */
+  private def stumpGate(s: SparkSession, dir: String): DataFrame = {
+    val y = ((col("user_id") + col("event_id")) % 2 === 0).as("y")
+    val melted = t(s, dir, "events").select(y,
+        explode(array(
+          struct(lit("value").as("f"),
+            col("value").cast("double").as("v")),
+          struct(lit("hour").as("f"),
+            (expr("unix_millis(ts) div 3600000") % 24)
+              .cast("double").as("v")),
+          struct(lit("residue").as("f"),
+            (col("user_id") % 100).cast("double").as("v"))))
+          .as("fv"))
+      .select(col("fv.f").as("feature"), col("fv.v").as("v"),
+        col("y"))
+    Profile.decisionStump(melted, "feature", "v", "y")
+  }
+
   /** Per-row fixed-point: dollars-ish double → exact integer cents. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
@@ -5223,10 +5247,20 @@ object SparkEntry {
     // Rolling Mann-Kendall drift pager (batch side of the
     // TrendStream parity pair): full-window MK S at every sample
     // over the trailing 16, via the pair delta-prefix construction.
-    "q384_rolling_mk" -> ((s, dir) =>
-      TimeSeries.rollingMannKendall(t(s, dir, "events"), "user_id",
-        "ts", "event_id", "value", window = 16,
-        thresholdMicro = 1959964L)),
+    "q384_rolling_mk" -> ((s, dir) => rollingMkGate(s, dir)),
+
+    // r17 column-isolating diagnostics for the q384 driver-hash gap
+    // (VERDICT r16 task 1): the SAME operator run, split into
+    // per-column-group gates so the driver's next correctness file
+    // names the divergent column if the decimal-output root-cause
+    // fix (BIGINT casts in the oracle's final SELECT) is not the
+    // whole story. Retire once q384 is hash-green in the driver.
+    "q384a_mk_machinery" -> ((s, dir) => rollingMkGate(s, dir)
+      .select("user_id", "event_id", "ts_ms", "n_win")),
+    "q384b_mk_s" -> ((s, dir) => rollingMkGate(s, dir)
+      .select("user_id", "event_id", "s")),
+    "q384c_mk_z" -> ((s, dir) => rollingMkGate(s, dir)
+      .select("user_id", "event_id", "z_micro", "alarm")),
 
     // Jarque-Bera normality per event type: four exact milli power
     // sums, one mirrored moment chain, chi2_2 5% literal.
@@ -5367,22 +5401,16 @@ object SparkEntry {
     // CART root stump per melted event feature against the
     // (user+event parity) label: best Gini threshold, its gain, and
     // the left-split census.
-    "q402_decision_stump" -> ((s, dir) => {
-      val y = ((col("user_id") + col("event_id")) % 2 === 0).as("y")
-      val melted = t(s, dir, "events").select(y,
-          explode(array(
-            struct(lit("value").as("f"),
-              col("value").cast("double").as("v")),
-            struct(lit("hour").as("f"),
-              (expr("unix_millis(ts) div 3600000") % 24)
-                .cast("double").as("v")),
-            struct(lit("residue").as("f"),
-              (col("user_id") % 100).cast("double").as("v"))))
-            .as("fv"))
-        .select(col("fv.f").as("feature"), col("fv.v").as("v"),
-          col("y"))
-      Profile.decisionStump(melted, "feature", "v", "y")
-    }),
+    "q402_decision_stump" -> ((s, dir) => stumpGate(s, dir)),
+
+    // r17 column-isolating diagnostics for the q402 driver-hash gap
+    // — same rationale and retirement plan as the q384a-c trio.
+    "q402a_stump_elect" -> ((s, dir) => stumpGate(s, dir)
+      .select("feature", "n", "pos", "threshold_milli")),
+    "q402b_stump_counts" -> ((s, dir) => stumpGate(s, dir)
+      .select("feature", "n_le", "pos_le")),
+    "q402c_stump_gini" -> ((s, dir) => stumpGate(s, dir)
+      .select("feature", "gini_micro", "gain_micro")),
 
     // Durbin-Watson on the per-type value-vs-time OLS residuals:
     // serial correlation of what the trend line leaves behind.
@@ -5837,6 +5865,151 @@ object SparkEntry {
   /** q221's oracle (shared with q227, which post-processes the same
     * pair list): the order–part Adamic–Adar census with the 1/ln-deg
     * micro terms, deg ∈ [2, 40], ≥ 2 common parts. */
+  /** q384's oracle body (exact-integer rolling Mann-Kendall twin of
+    * TimeSeries.rollingMannKendall), factored out so the q384a-c
+    * column-isolating diagnostics wrap the SAME text. Every final
+    * column is cast to a driver-hashable type: the windowed running
+    * sum srun is DECIMAL(38,0) in DuckDB and MUST be cast to BIGINT
+    * before emission — arrow decimal128 output is the one result
+    * type the driver's hasher normalizes differently from Spark's
+    * int64 (r15/r16 q384/q402 two-round hash-red root cause; local
+    * str() hides it, check.py now lints it). All // operands here
+    * are provably non-negative (q4 = 72e12*srun^2 over a positive
+    * window polynomial; u = isqrt(q4) >= 0), so floor-vs-truncate
+    * division differences across DuckDB versions cannot bite. */
+  private lazy val rollingMkOracleSql: String =
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS ts_ms, event_id AS id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (
+        |  SELECT a.k, a.rn AS ra, j.rn AS rb,
+        |    CAST(sign(j.v - a.v) AS BIGINT) AS s
+        |  FROM b a JOIN b j ON a.k = j.k AND j.rn > a.rn
+        |    AND j.rn - a.rn < 16),
+        |d AS (
+        |  SELECT k, pos, CAST(sum(s) AS BIGINT) AS d FROM (
+        |    SELECT k, rb AS pos, s FROM p
+        |    UNION ALL SELECT k, ra + 16 AS pos, -s FROM p)
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT k, pos, 0 AS tag, d,
+        |    CAST(NULL AS BIGINT) AS ts_ms, CAST(NULL AS BIGINT) AS id,
+        |    CAST(NULL AS BIGINT) AS rn
+        |  FROM d
+        |  UNION ALL
+        |  SELECT k, rn AS pos, 1 AS tag, 0 AS d, ts_ms, id, rn FROM b),
+        |c AS (
+        |  SELECT k, pos, tag, ts_ms, id, rn,
+        |    least(rn, 16) AS n,
+        |    sum(d) OVER (PARTITION BY k ORDER BY pos, tag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srun
+        |  FROM u),
+        |q AS (
+        |  SELECT k, ts_ms, id, n, srun,
+        |    CASE WHEN n >= 2 THEN
+        |      (CAST(72000000000000 AS HUGEINT) * srun * srun)
+        |        // (n * (n - 1) * (2 * n + 5)) END AS q4
+        |  FROM c WHERE tag = 1),
+        |sq AS (
+        |  SELECT k, ts_ms, id, n, srun, q4,
+        |    CAST(floor(sqrt(CAST(q4 AS DOUBLE))) AS HUGEINT) AS u0
+        |  FROM q),
+        |iq AS (
+        |  SELECT k, ts_ms, id, n, srun,
+        |    u0 + CASE WHEN (u0 + 2) * (u0 + 2) <= q4 THEN 2
+        |      WHEN (u0 + 1) * (u0 + 1) <= q4 THEN 1
+        |      WHEN u0 * u0 <= q4 THEN 0
+        |      WHEN (u0 - 1) * (u0 - 1) <= q4 THEN -1 ELSE -2 END AS u
+        |  FROM sq),
+        |z AS (
+        |  SELECT k, ts_ms, id, n, srun,
+        |    CASE WHEN n >= 2 THEN CAST(CASE WHEN srun < 0
+        |      THEN -((u + 1) // 2) ELSE (u + 1) // 2 END AS BIGINT)
+        |    END AS z_micro
+        |  FROM iq)
+        |SELECT k AS user_id, ts_ms, id AS event_id,
+        |  CAST(n AS INTEGER) AS n_win, CAST(srun AS BIGINT) AS s,
+        |  z_micro,
+        |  COALESCE(abs(z_micro) > 1959964, false) AS alarm
+        |FROM z""".stripMargin
+
+  /** q402's oracle body (exact-integer CART root stump twin of
+    * Profile.decisionStump), factored out so the q402a-c
+    * column-isolating diagnostics wrap the SAME text. The windowed
+    * running counts cn/cp are DECIMAL(38,0) in DuckDB and MUST be
+    * cast to BIGINT before emission — arrow decimal128 output is the
+    * one result type the driver's hasher normalizes differently from
+    * Spark's int64 (r15/r16 two-round hash-red root cause). All //
+    * operands are provably non-negative (gnum, gnnum are Gini
+    * impurity/gain numerators, >= 0 by concavity; denominators
+    * positive under WHERE cn < nn), so floor-vs-truncate division
+    * differences across DuckDB versions cannot bite. */
+  private lazy val decisionStumpOracleSql: String =
+      """WITH e AS (
+        |  SELECT (user_id + event_id) % 2 = 0 AS y, value,
+        |    (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |    user_id % 100 AS residue
+        |  FROM events),
+        |m AS (
+        |  SELECT 'value' AS feature,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v,
+        |    CASE WHEN y THEN 1 ELSE 0 END AS yy
+        |  FROM e WHERE value IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'hour',
+        |    CAST(round(CAST(hour AS DOUBLE) * 1e3) AS BIGINT),
+        |    CASE WHEN y THEN 1 ELSE 0 END
+        |  FROM e
+        |  UNION ALL
+        |  SELECT 'residue',
+        |    CAST(round(CAST(residue AS DOUBLE) * 1e3) AS BIGINT),
+        |    CASE WHEN y THEN 1 ELSE 0 END
+        |  FROM e),
+        |cells AS (
+        |  SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(yy) AS BIGINT) AS p
+        |  FROM m GROUP BY 1, 2),
+        |run AS (
+        |  SELECT feature, v, n, p,
+        |    sum(n) OVER w AS cn, sum(p) OVER w AS cp
+        |  FROM cells
+        |  WINDOW w AS (PARTITION BY feature ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT feature, CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(p) AS BIGINT) AS pp
+        |  FROM cells GROUP BY 1),
+        |sc AS (
+        |  SELECT run.feature, run.v, run.cn, run.cp, tot.nn, tot.pp,
+        |    CAST(cp AS HUGEINT) * (cn - cp) * (nn - cn)
+        |      + CAST(pp - cp AS HUGEINT)
+        |        * ((nn - cn) - (pp - cp)) * cn AS gnum,
+        |    CAST(cn AS HUGEINT) * (nn - cn) * nn AS gden,
+        |    CAST(pp AS HUGEINT) * (nn - pp) * cn * (nn - cn)
+        |      - CAST(nn AS HUGEINT)
+        |        * (CAST(cp AS HUGEINT) * (cn - cp) * (nn - cn)
+        |           + CAST(pp - cp AS HUGEINT)
+        |             * ((nn - cn) - (pp - cp)) * cn) AS gnnum
+        |  FROM run JOIN tot USING (feature)
+        |  WHERE run.cn < tot.nn),
+        |sc2 AS (
+        |  SELECT feature, v, cn, cp, nn, pp,
+        |    CAST((4000000 * gnum + gden) // (2 * gden) AS BIGINT)
+        |      AS gini_micro,
+        |    CAST((4000000 * gnnum + nn * gden) // (2 * nn * gden)
+        |      AS BIGINT) AS gain_micro
+        |  FROM sc)
+        |SELECT feature, nn AS n, pp AS pos, v AS threshold_milli,
+        |  gini_micro, gain_micro, CAST(cn AS BIGINT) AS n_le,
+        |  CAST(cp AS BIGINT) AS pos_le
+        |FROM sc2
+        |QUALIFY row_number() OVER (PARTITION BY feature
+        |  ORDER BY gini_micro, v) = 1"""
+        .stripMargin
+
   private lazy val adamicAdarOracleSql: String =
     """WITH e AS (
       |  SELECT DISTINCT l_orderkey AS s, l_partkey AS z FROM lineitem),
@@ -14340,63 +14513,20 @@ object SparkEntry {
     "q382_nsw_build" -> nswBuildSql,
     "q383_nsw_recall" -> nswRecallSql,
 
-    "q384_rolling_mk" ->
-      """WITH b AS (
-        |  SELECT user_id AS k, epoch_ms(ts) AS ts_ms, event_id AS id,
-        |    CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_ms(ts), event_id) AS rn
-        |  FROM events WHERE value IS NOT NULL),
-        |p AS (
-        |  SELECT a.k, a.rn AS ra, j.rn AS rb,
-        |    CAST(sign(j.v - a.v) AS BIGINT) AS s
-        |  FROM b a JOIN b j ON a.k = j.k AND j.rn > a.rn
-        |    AND j.rn - a.rn < 16),
-        |d AS (
-        |  SELECT k, pos, CAST(sum(s) AS BIGINT) AS d FROM (
-        |    SELECT k, rb AS pos, s FROM p
-        |    UNION ALL SELECT k, ra + 16 AS pos, -s FROM p)
-        |  GROUP BY 1, 2),
-        |u AS (
-        |  SELECT k, pos, 0 AS tag, d,
-        |    CAST(NULL AS BIGINT) AS ts_ms, CAST(NULL AS BIGINT) AS id,
-        |    CAST(NULL AS BIGINT) AS rn
-        |  FROM d
-        |  UNION ALL
-        |  SELECT k, rn AS pos, 1 AS tag, 0 AS d, ts_ms, id, rn FROM b),
-        |c AS (
-        |  SELECT k, pos, tag, ts_ms, id, rn,
-        |    least(rn, 16) AS n,
-        |    sum(d) OVER (PARTITION BY k ORDER BY pos, tag
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srun
-        |  FROM u),
-        |q AS (
-        |  SELECT k, ts_ms, id, n, srun,
-        |    CASE WHEN n >= 2 THEN
-        |      (CAST(72000000000000 AS HUGEINT) * srun * srun)
-        |        // (n * (n - 1) * (2 * n + 5)) END AS q4
-        |  FROM c WHERE tag = 1),
-        |sq AS (
-        |  SELECT k, ts_ms, id, n, srun, q4,
-        |    CAST(floor(sqrt(CAST(q4 AS DOUBLE))) AS HUGEINT) AS u0
-        |  FROM q),
-        |iq AS (
-        |  SELECT k, ts_ms, id, n, srun,
-        |    u0 + CASE WHEN (u0 + 2) * (u0 + 2) <= q4 THEN 2
-        |      WHEN (u0 + 1) * (u0 + 1) <= q4 THEN 1
-        |      WHEN u0 * u0 <= q4 THEN 0
-        |      WHEN (u0 - 1) * (u0 - 1) <= q4 THEN -1 ELSE -2 END AS u
-        |  FROM sq),
-        |z AS (
-        |  SELECT k, ts_ms, id, n, srun,
-        |    CASE WHEN n >= 2 THEN CAST(CASE WHEN srun < 0
-        |      THEN -((u + 1) // 2) ELSE (u + 1) // 2 END AS BIGINT)
-        |    END AS z_micro
-        |  FROM iq)
-        |SELECT k AS user_id, ts_ms, id AS event_id,
-        |  CAST(n AS INTEGER) AS n_win, srun AS s, z_micro,
-        |  COALESCE(abs(z_micro) > 1959964, false) AS alarm
-        |FROM z""".stripMargin,
+    "q384_rolling_mk" -> rollingMkOracleSql,
+
+    "q384a_mk_machinery" -> s"""WITH __full AS (
+$rollingMkOracleSql
+) SELECT user_id, event_id, ts_ms, n_win FROM __full""",
+
+    "q384b_mk_s" -> s"""WITH __full AS (
+$rollingMkOracleSql
+) SELECT user_id, event_id, s FROM __full""",
+
+    "q384c_mk_z" -> s"""WITH __full AS (
+$rollingMkOracleSql
+) SELECT user_id, event_id, z_micro, alarm FROM __full""",
+
 
     "q385_jarque_bera" ->
       """WITH b AS (
@@ -14954,67 +15084,19 @@ object SparkEntry {
         |CROSS JOIN nb"""
         .stripMargin,
 
-    "q402_decision_stump" ->
-      """WITH e AS (
-        |  SELECT (user_id + event_id) % 2 = 0 AS y, value,
-        |    (epoch_ms(ts) // 3600000) % 24 AS hour,
-        |    user_id % 100 AS residue
-        |  FROM events),
-        |m AS (
-        |  SELECT 'value' AS feature,
-        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v,
-        |    CASE WHEN y THEN 1 ELSE 0 END AS yy
-        |  FROM e WHERE value IS NOT NULL
-        |  UNION ALL
-        |  SELECT 'hour',
-        |    CAST(round(CAST(hour AS DOUBLE) * 1e3) AS BIGINT),
-        |    CASE WHEN y THEN 1 ELSE 0 END
-        |  FROM e
-        |  UNION ALL
-        |  SELECT 'residue',
-        |    CAST(round(CAST(residue AS DOUBLE) * 1e3) AS BIGINT),
-        |    CASE WHEN y THEN 1 ELSE 0 END
-        |  FROM e),
-        |cells AS (
-        |  SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(yy) AS BIGINT) AS p
-        |  FROM m GROUP BY 1, 2),
-        |run AS (
-        |  SELECT feature, v, n, p,
-        |    sum(n) OVER w AS cn, sum(p) OVER w AS cp
-        |  FROM cells
-        |  WINDOW w AS (PARTITION BY feature ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |tot AS (
-        |  SELECT feature, CAST(sum(n) AS BIGINT) AS nn,
-        |    CAST(sum(p) AS BIGINT) AS pp
-        |  FROM cells GROUP BY 1),
-        |sc AS (
-        |  SELECT run.feature, run.v, run.cn, run.cp, tot.nn, tot.pp,
-        |    CAST(cp AS HUGEINT) * (cn - cp) * (nn - cn)
-        |      + CAST(pp - cp AS HUGEINT)
-        |        * ((nn - cn) - (pp - cp)) * cn AS gnum,
-        |    CAST(cn AS HUGEINT) * (nn - cn) * nn AS gden,
-        |    CAST(pp AS HUGEINT) * (nn - pp) * cn * (nn - cn)
-        |      - CAST(nn AS HUGEINT)
-        |        * (CAST(cp AS HUGEINT) * (cn - cp) * (nn - cn)
-        |           + CAST(pp - cp AS HUGEINT)
-        |             * ((nn - cn) - (pp - cp)) * cn) AS gnnum
-        |  FROM run JOIN tot USING (feature)
-        |  WHERE run.cn < tot.nn),
-        |sc2 AS (
-        |  SELECT feature, v, cn, cp, nn, pp,
-        |    CAST((4000000 * gnum + gden) // (2 * gden) AS BIGINT)
-        |      AS gini_micro,
-        |    CAST((4000000 * gnnum + nn * gden) // (2 * nn * gden)
-        |      AS BIGINT) AS gain_micro
-        |  FROM sc)
-        |SELECT feature, nn AS n, pp AS pos, v AS threshold_milli,
-        |  gini_micro, gain_micro, cn AS n_le, cp AS pos_le
-        |FROM sc2
-        |QUALIFY row_number() OVER (PARTITION BY feature
-        |  ORDER BY gini_micro, v) = 1"""
-        .stripMargin,
+    "q402_decision_stump" -> decisionStumpOracleSql,
+
+    "q402a_stump_elect" -> s"""WITH __full AS (
+$decisionStumpOracleSql
+) SELECT feature, n, pos, threshold_milli FROM __full""",
+
+    "q402b_stump_counts" -> s"""WITH __full AS (
+$decisionStumpOracleSql
+) SELECT feature, n_le, pos_le FROM __full""",
+
+    "q402c_stump_gini" -> s"""WITH __full AS (
+$decisionStumpOracleSql
+) SELECT feature, gini_micro, gain_micro FROM __full""",
 
     "q403_durbin_watson" ->
       """WITH b AS (
