@@ -143,11 +143,39 @@ object Bench {
     // ~r14 levels in fresh sessions (graft.BenchIsolated). Embed the
     // latest isolated numbers so BENCH_FULL readers see both views;
     // regenerate with `runMain graft.BenchIsolated` after any drift.
-    val isolated =
-      try new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_ISOLATED.json")),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      catch { case _: Throwable => "null" }
+    // Embed only if the payload is one well-formed JSON object — a
+    // truncated or non-JSON BENCH_ISOLATED.json spliced verbatim
+    // would make the whole BENCH_FULL line unparseable downstream.
+    def oneJsonObject(s: String): Boolean = {
+      if (!s.startsWith("{") || !s.endsWith("}")) return false
+      var depth = 0; var inStr = false; var esc = false; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) {
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '{' => depth += 1
+          case '}' =>
+            depth -= 1
+            if (depth == 0 && i != s.length - 1) return false
+            if (depth < 0) return false
+          case _ => ()
+        }
+        i += 1
+      }
+      depth == 0 && !inStr
+    }
+    val isolated = {
+      val raw =
+        try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("BENCH_ISOLATED.json")),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        catch { case _: Throwable => "null" }
+      if (raw == "null" || oneJsonObject(raw)) raw else "null"
+    }
     val full = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"n_queries":${ok.size},"mean_sec_per_query":$mean,"n_failed":${failed.size},"failed":$failJson,"skew":$skewJson,"isolated":$isolated,"sf":"$sfDir"}"""
     // The full per-query JSON (75 queries) outgrows the driver's stdout
     // tail capture, which truncates long lines mid-way (r1 and r2 both

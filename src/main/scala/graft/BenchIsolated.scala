@@ -32,7 +32,11 @@ object BenchIsolated {
     "q380_theil_sen", "q378_yuen_test", "q377_cox_hazard",
     "q379_rater_reliability", "q125_bpe_pack", "q321_kmv_intersect",
     "q122_skipgram_counts", "q123_hashed_vectors",
-    "q305_rater_accuracy", "q31_knn_ivf", "q319_phonetic_pairs")
+    "q305_rater_accuracy", "q31_knn_ivf", "q319_phonetic_pairs",
+    // r17 additions: the slowest gate (search-loop shape changed
+    // this round), its build half, and the guard-engaged spatial
+    // join — keep their isolated baselines fresh.
+    "q425_hnsw_recall", "q424_hnsw_build", "q174_proximity_join")
 
   private def freshSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -11,6 +11,8 @@ object PlanAudit {
   /** Queries whose nested-loop/cartesian joins are intentional, with
     * the reason — anything else showing NLJ gets flagged for review. */
   val intendedNlj: Map[String, String] = Map(
+    "q444_quadratic_kappa" ->
+      "k x k category-marginal cross (k <= 5) + 1-row scalar attach",
     "q20_jaccard_pairs" -> "bounded brute-force baseline (doc_id < 300)",
     "q22_knn_bruteforce" -> "brute-force ANN baseline (5 broadcast queries)",
     "q31_knn_ivf" -> "16-row broadcast centroid attach (bounded)",

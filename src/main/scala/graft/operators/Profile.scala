@@ -173,6 +173,297 @@ object Profile {
           (n * n - bigB).cast("double")).cast("long")).as("kappa_micro"))
   }
 
+  /** Exact half-away-from-zero micro rounding of the rational
+    * num/den (den > 0, num any sign): sign-split around the
+    * non-negative (2e6·|num| + den) divfloor (2·den) — the house
+    * argmin-safe idiom, mirrored by `//` on non-negative HUGEINTs
+    * (sign outside) in the oracles, so no engine's floor-vs-truncate
+    * division convention can bite. */
+  private def microHalfAway(num: Column, den: Column): Column = {
+    val dec = "decimal(38,0)"
+    val pos = TimeSeries.divFloorDec(
+      (lit(2000000L).cast(dec) * abs(num.cast(dec)) +
+        den.cast(dec)).cast(dec),
+      (lit(2L).cast(dec) * den.cast(dec)).cast(dec)).cast("long")
+    when(num < 0, -pos).otherwise(pos)
+  }
+
+  /** Fleiss' κ per group — multi-rater categorical agreement beyond
+    * chance (the multi-rater generalization of [[cohenKappa]]; the
+    * labeling-QA question "do my N judges agree more than chance
+    * would"): items are rated m times each into categories, κ =
+    * (P̄ − P̄e)/(1 − P̄e) over the per-item pair-agreement mean and
+    * the squared category-share chance term. Only (item, category)
+    * COUNTS enter — rater identity never does — so the input is one
+    * row per rating. m is the group's MODAL per-item rating count
+    * (ties to the larger m); items with any other count quarantine
+    * into n_dropped_items (the kendallW completeness discipline —
+    * Fleiss' formula requires uniform m), and groups whose modal
+    * m < 2 are absent (no pairs to agree). κ is the EXACT integer
+    * rational [S·(Nm)² − C·Nm(m−1)] / [Nm(m−1)·((Nm)² − C)] with
+    * S = ΣΣ n_ij(n_ij−1), C = Σ_j c_j², emitted as ONE half-away
+    * micro rounding; all-one-category groups ((Nm)² = C) report
+    * NULL κ rather than 0/0.
+    *
+    * Scale: two hash-aggregates and a category-marginal sum — no
+    * window, no self-join; the modal-m election is a per-group
+    * count-of-counts integer argmax.
+    * Output: (groupCol, n_items, m, n_dropped_items, kappa_micro). */
+  def fleissKappa(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      categoryCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(itemCol).isNotNull &&
+        col(categoryCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(itemCol).as("__i"),
+        col(categoryCol).as("__c"))
+    val icnt = base.groupBy(col("__g"), col("__i"))
+      .agg(count(lit(1)).as("__cnt"))
+    val mode = icnt.groupBy(col("__g"), col("__cnt"))
+      .agg(count(lit(1)).as("__ni"))
+      .groupBy(col("__g"))
+      .agg(max(struct(col("__ni"), col("__cnt"))).as("__w"))
+      .select(col("__g"), col("__w.__cnt").as("__m"))
+      .filter(col("__m") >= 2L)
+    val flagged = icnt.join(broadcast(mode), Seq("__g"))
+      .select(col("__g"), col("__i"), col("__m"),
+        (col("__cnt") === col("__m")).as("__keep"))
+    val dropped = flagged.groupBy(col("__g"))
+      .agg(sum(when(!col("__keep"), 1L).otherwise(0L))
+        .as("n_dropped_items"))
+    val kept = flagged.filter(col("__keep"))
+      .select(col("__g"), col("__i"), col("__m"))
+    val cells = base.join(kept, Seq("__g", "__i"))
+      .groupBy(col("__g"), col("__i"), col("__m"), col("__c"))
+      .agg(count(lit(1)).as("__nij"))
+    val s = cells.groupBy(col("__g"), col("__m"))
+      .agg(countDistinct(col("__i")).as("n_items"),
+        sum((col("__nij").cast(dec) * (col("__nij") - 1L)).cast(dec))
+          .as("__s"))
+    val cmar = cells.groupBy(col("__g"), col("__c"))
+      .agg(sum(col("__nij")).as("__cj"))
+      .groupBy(col("__g"))
+      .agg(sum((col("__cj").cast(dec) * col("__cj")).cast(dec))
+        .as("__cc"))
+    val nm = (col("n_items").cast(dec) * col("__m")).cast(dec)
+    val num = (col("__s") * nm * nm -
+      col("__cc") * nm * (col("__m").cast(dec) - lit(1L))).cast(dec)
+    val den = (nm * (col("__m").cast(dec) - lit(1L)) *
+      (nm * nm - col("__cc"))).cast(dec)
+    s.join(cmar, Seq("__g")).join(dropped, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_items"),
+        col("__m").as("m"), col("n_dropped_items"),
+        when(den > 0, microHalfAway(num, den))
+          .otherwise(lit(null).cast("long")).as("kappa_micro"))
+  }
+
+  /** Quadratic-weighted Cohen's κ between two ordinal integer
+    * verdict columns — the ordinal-judge calibration number (weights
+    * (i−j)² punish far disagreements more, the convention behind
+    * human-vs-model rating comparisons): κ_w = 1 − n·ΣwO / ΣwRC
+    * with ΣwO = Σ_rows (a−b)² and ΣwRC = Σ_ij (i−j)²·r_i·c_j over
+    * the marginal counts — all integers, one scan plus a k×k
+    * marginal cross (k = distinct categories; keep it to the
+    * dozens), one half-away micro rounding of the exact rational
+    * (ΣwRC − n·ΣwO)/ΣwRC. Both-sides-constant input (ΣwRC = 0)
+    * reports NULL. Categories must already BE small integers
+    * (cast long); map labels upstream.
+    * Output: 1 row (n, sum_wo, kappa_micro). */
+  def quadraticKappa(
+      df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("long").as("__a"),
+        col(bCol).cast("long").as("__b"))
+    val t = base.agg(count(lit(1)).as("n"),
+      sum(((col("__a") - col("__b")) * (col("__a") - col("__b")))
+        .cast(dec)).as("__swo"))
+    val ra = base.groupBy(col("__a")).agg(count(lit(1)).as("__r"))
+    val cb = base.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val e = ra.crossJoin(cb)
+      .agg(sum((((col("__a") - col("__b")) *
+        (col("__a") - col("__b"))).cast(dec) *
+        col("__r") * col("__c")).cast(dec)).as("__swrc"))
+    val num = (col("__swrc") -
+      col("n").cast(dec) * col("__swo")).cast(dec)
+    t.crossJoin(e)
+      .select(col("n"), col("__swo").cast("long").as("sum_wo"),
+        when(col("__swrc") > 0, microHalfAway(num, col("__swrc")))
+          .otherwise(lit(null).cast("long")).as("kappa_micro"))
+  }
+
+  /** Matthews correlation coefficient per group — the one-number
+    * binary-classifier quality that survives class imbalance
+    * (chance = 0, perfect = ±1e6, unlike accuracy or F1): MCC =
+    * (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)) over the 2×2
+    * confusion census. EXACT: the numerator is an integer and the
+    * root enters only through (2e6·MCC)² = 4e12·num² div D, so the
+    * emitted micro is sign(num)·(isqrt+1) div 2 via the clamped-
+    * isqrt toolkit — no libm result in the output. Any empty
+    * marginal (D = 0) reports NULL. One scan into a 5-long
+    * aggregate per group; the decimal(38,0) num² bound keeps exact
+    * reporting to n ≲ 2·10⁶ rows/group — stratify beyond that
+    * (the [[cohenKappa]] honesty argument).
+    * Output: (groupCol, n, tp, fp, fn, tn, mcc_micro). */
+  def matthewsCorr(
+      df: DataFrame,
+      groupCol: String,
+      predCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val p = col(predCol).cast("boolean")
+    val y = col(labelCol).cast("boolean")
+    def cell(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val g = df.filter(p.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n"), cell(p && y).as("tp"),
+        cell(p && !y).as("fp"), cell(!p && y).as("fn"),
+        cell(!p && !y).as("tn"))
+    val num = (col("tp").cast(dec) * col("tn") -
+      col("fp").cast(dec) * col("fn")).cast(dec)
+    val dd = ((col("tp") + col("fp")).cast(dec) *
+      (col("tp") + col("fn")) * (col("tn") + col("fp")) *
+      (col("tn") + col("fn"))).cast(dec)
+    val q4 = TimeSeries.divFloorDec(
+      (lit(4000000000000L).cast(dec) * num * num).cast(dec), dd)
+    g.select(col("__g").as(groupCol), col("n"), col("tp"), col("fp"),
+      col("fn"), col("tn"),
+      when(dd > 0, TimeSeries.zMicroFromQ(q4, num < 0))
+        .otherwise(lit(null).cast("long")).as("mcc_micro"))
+  }
+
+  /** Youden's J optimal cut per feature — "where do I threshold this
+    * score" against a binary label (J = TPR − FPR at the cut,
+    * positive = value > threshold): the same melted prefix
+    * construction as [[decisionStump]] (value cells → ONE running
+    * (count, positives) prefix → candidate thresholds at observed
+    * cell values, top cell excluded), elected by the EXACT integer
+    * key (max J numerator, ties to the lowest threshold) — every
+    * candidate shares the denominator pp·(nn−pp), so the numerator
+    * alone orders exactly and no rounded value enters the argmax
+    * (the r15 argmin discipline). Features missing a class entirely
+    * (pp = 0 or pp = nn) are absent — J is undefined there. The
+    * reported micros (J, TPR, FPR) are half-away roundings of exact
+    * rationals derived from the elected row only.
+    * Output: (featureCol, n, pos, threshold_milli, j_micro,
+    * tpr_micro, fpr_micro, n_le, pos_le). */
+  def youdenJ(
+      df: DataFrame,
+      featureCol: String,
+      valueCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(featureCol).isNotNull && col(valueCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(featureCol).cast("string").as("__f"),
+        round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+          .as("__v"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+          .as("__y"))
+    val cells = base.groupBy(col("__f"), col("__v"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val run = Ranking.groupRunningSums(cells, "__f", Seq("__v"),
+      Seq("__n" -> "__cn", "__p" -> "__cp"))
+    val tot = cells.groupBy(col("__f"))
+      .agg(sum(col("__n")).as("__tn"), sum(col("__p")).as("__tp"))
+      .filter(col("__tp") > 0L && col("__tp") < col("__tn"))
+    val j = run.join(broadcast(tot), Seq("__f"))
+      .filter(col("__cn") < col("__tn"))
+    val negT = col("__tn") - col("__tp")
+    val jnum = ((col("__tp") - col("__cp")).cast(dec) * negT -
+      (negT - (col("__cn") - col("__cp"))).cast(dec) * col("__tp"))
+      .cast(dec)
+    val scored = j.select(col("__f"), col("__tn"), col("__tp"),
+      struct((-jnum).as("nj"), col("__v").as("v"),
+        col("__cn").as("nl"), col("__cp").as("pl")).as("__s"))
+    val el = scored.groupBy(col("__f"))
+      .agg(max(col("__tn")).as("n"), max(col("__tp")).as("pos"),
+        min(col("__s")).as("__b"))
+    val nn = col("n")
+    val pp = col("pos")
+    val cn = col("__b.nl")
+    val cp = col("__b.pl")
+    val nneg = nn - pp
+    val jnumEl = ((pp - cp).cast(dec) * nneg -
+      (nneg - (cn - cp)).cast(dec) * pp).cast(dec)
+    el.select(col("__f").as(featureCol), nn, pp,
+      col("__b.v").as("threshold_milli"),
+      microHalfAway(jnumEl, (pp.cast(dec) * nneg).cast(dec))
+        .as("j_micro"),
+      microHalfAway((pp - cp).cast(dec), pp.cast(dec))
+        .as("tpr_micro"),
+      microHalfAway((nneg - (cn - cp)).cast(dec), nneg.cast(dec))
+        .as("fpr_micro"),
+      cn.as("n_le"), cp.as("pos_le"))
+  }
+
+  /** Siegel–Tukey rank dispersion test per group — "does arm A have
+    * wider SPREAD than arm B" with no variance estimate anywhere
+    * (Wilcoxon machinery over alternating-extreme ranks: the most
+    * extreme pooled values get the smallest ranks from both ends,
+    * so a scale difference shifts the rank sum): pooled order is
+    * the exact (value, tieBreak) rank ([[Ranking.groupRank]]; the
+    * tiebreak must make it total per group, same contract as
+    * [[durbinWatson]] — stated because tied values get ARBITRARY
+    * but deterministic alternation, the classical ST caveat), each
+    * position's ST rank is a CLOSED FORM of (i, n) (bottom distance
+    * d: odd→2d−1, even→2d; top distance d: odd→2d, even→2d−1; odd
+    * middle→n), W = Σ ranks of arm A, and z studentizes by the
+    * exact Wilcoxon null through the clamped-isqrt toolkit:
+    * (2e6·z)² = 12e12·(2W − n_a(n+1))² div (n_a·n_b·(n+1)).
+    * One-sided groups (n_a or n_b = 0) report NULL z.
+    *
+    * Scale: one range-partitioned rank, a one-row-per-group count
+    * broadcast back, one aggregate — never a per-group window.
+    * Output: (groupCol, n_a, n_b, w, z_micro). */
+  def siegelTukey(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      armCol: String,
+      tieBreakCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull &&
+        col(armCol).isNotNull)
+      .select(col(groupCol).as("__k"),
+        round(col(valueCol).cast("double") * lit(1e3)).cast("long")
+          .as("__v"),
+        col(tieBreakCol).cast("long").as("__tb"),
+        col(armCol).cast("boolean").as("__a"))
+    val ranked = Ranking.groupRank(base, "__k", Seq("__v", "__tb"))
+    val counts = ranked.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"))
+    val withN = ranked.join(broadcast(counts), Seq("__k"))
+    val i = col("rank")
+    val dt = col("__n") + 1L - i
+    val stR = when(i < dt,
+        when(i % 2 === 1L, lit(2L) * i - 1L).otherwise(lit(2L) * i))
+      .when(dt < i,
+        when(dt % 2 === 1L, lit(2L) * dt).otherwise(lit(2L) * dt - 1L))
+      .otherwise(col("__n"))
+    val agg = withN
+      .select(col("__k"), col("__n"), col("__a"), stR.as("__r"))
+      .groupBy(col("__k"))
+      .agg(max(col("__n")).as("__nn"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__a"), col("__r")).otherwise(0L)).as("w"))
+    val d2 = lit(2L) * col("w") - col("n_a") * (col("__nn") + 1L)
+    val q4 = TimeSeries.divFloorDec(
+      (lit(12000000000000L).cast(dec) *
+        (d2.cast(dec) * d2).cast(dec)).cast(dec),
+      (col("n_a").cast(dec) * col("n_b") *
+        (col("__nn") + 1L)).cast(dec))
+    agg.select(col("__k").as(groupCol), col("n_a"), col("n_b"),
+      col("w"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        TimeSeries.zMicroFromQ(q4, d2 < 0L))
+        .otherwise(lit(null).cast("long")).as("z_micro"))
+  }
+
   /** Pairwise Pearson correlation census over numeric columns — the
     * ANALYZE-style redundancy profile ("price and tax are r=0.99,
     * drop one from the model") in ONE scan: every pair's six
@@ -5092,10 +5383,17 @@ object Profile {
           .as("__v"))
     val nItems = base.groupBy(col("__g"))
       .agg(countDistinct(col("__i")).as("n_items"))
+    // Completeness = row count AND distinct items: a rater with a
+    // duplicated (rater, item) cell plus a missing item also has
+    // cnt == n_items, but its midranks are corrupted — quarantine
+    // it the same as a short rater.
     val raterCnt = base.groupBy(col("__g"), col("__r"))
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("__cnt"),
+        countDistinct(col("__i")).as("__ni"))
       .join(nItems, Seq("__g"))
-      .withColumn("__complete", col("__cnt") === col("n_items"))
+      .withColumn("__complete",
+        col("__cnt") === col("n_items") &&
+          col("__ni") === col("n_items"))
     val dropped = raterCnt.groupBy(col("__g"))
       .agg(sum(when(!col("__complete"), 1L).otherwise(0L))
         .as("n_dropped_raters"))
@@ -5294,11 +5592,17 @@ object Profile {
           .as("__v"))
     val kPer = base.groupBy(col("__g"))
       .agg(countDistinct(col("__t")).as("k"))
+    // Completeness = row count AND distinct treatments (same
+    // quarantine rationale as kendallW's rater census: a duplicated
+    // cell plus a missing one passes the count alone).
     val blocks = base.groupBy(col("__g"), col("__b"))
-      .agg(count(lit(1)).as("__cnt"), (max(col("__v")) - min(col("__v")))
+      .agg(count(lit(1)).as("__cnt"),
+        countDistinct(col("__t")).as("__nt"),
+        (max(col("__v")) - min(col("__v")))
         .as("__rng"))
       .join(kPer, Seq("__g"))
-      .withColumn("__complete", col("__cnt") === col("k"))
+      .withColumn("__complete",
+        col("__cnt") === col("k") && col("__nt") === col("k"))
     val dropped = blocks.groupBy(col("__g"))
       .agg(sum(when(!col("__complete"), 1L).otherwise(0L))
         .as("n_dropped_blocks"))

@@ -720,6 +720,11 @@ object Similarity {
       var frontier = visited.withColumn("rn", row_number().over(fw))
         .filter(col("rn") <= beam)
         .select(col("query_id"), col("node"))
+      // Full round budget on EVERY layer: a single greedy round on
+      // the upper layers was tried (classic-HNSW style) and REJECTED
+      // by the recall bar — on hash-leveled graphs the upper layers
+      // carry real recall (0.62 vs 0.71 on the spec fixture), not
+      // just an entry region.
       var r = 0
       while (r < roundsPerLayer) {
         val cand = frontier
@@ -729,7 +734,16 @@ object Similarity {
         val fresh = cand.join(
           visited.select(col("query_id"), col("node")),
           Seq("query_id", "node"), "left_anti")
-        val scored = Dedup.truncate(scoreNodes(fresh))
+        // ONE eager lineage cut per round (visited), cache for the
+        // in-round reuse of scored. r16 ran TWO truncates per round
+        // (9.45 s isolated, slowest gate: 18 eager jobs of fixed
+        // overhead); an attempted zero-truncate rework with cache
+        // only went the other way (25 s — the uncheckpointed union
+        // stack re-plans every job, and plan compilation dominates).
+        // The measured optimum is this middle shape: visited stays
+        // materialized and flat-lineage, scored (feeding both the
+        // union and the next frontier) comes from cache.
+        val scored = scoreNodes(fresh).cache()
         visited = Dedup.truncate(visited.unionByName(scored))
         frontier = scored.withColumn("rn", row_number().over(fw))
           .filter(col("rn") <= beam)

@@ -2335,6 +2335,16 @@ object TimeSeries {
     * c·ln(c/n) term micro-rounds through ONE IEEE chain, the sum is
     * exact, one final rounded divide ([[Profile.mutualInfo]]'s
     * discipline, so float-sum ordering can never flip a cell).
+    * Residual boundary risk, stated explicitly: each cell term is a
+    * multi-op float chain (1e6·c·ln(c/n)), and Math.log vs another
+    * engine's libm ln are each allowed sub-ulp error — a cell whose
+    * chain lands EXACTLY on a .5 micro boundary could round apart
+    * across engines. Unlike an argmin key (where one flipped cell
+    * elects a different ROW — the lint-policed failure class), a
+    * flipped cell here moves one emitted value by 1 micro-nat; the
+    * inputs are integer censuses (c, n ≤ series length), and no
+    * boundary hit has been observed across the gate grid. The same
+    * convention and caveat apply to [[spectralEntropy]]'s bin terms.
     * Keys with < 3 samples are absent.
     * Output: (keyCol, n_triples, n_patterns, h_mnat). */
   def permutationEntropy(

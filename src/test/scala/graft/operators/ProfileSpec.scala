@@ -1884,6 +1884,121 @@ class ProfileSpec extends SparkSpec {
     assert(got("t") == ((4L, 2L, 1L, 500000L)))
   }
 
+  test("kendallW: duplicated-cell rater quarantines like a short one") {
+    // 4 rows over 3 DISTINCT items passes a row-count-only
+    // completeness check (cnt == n_items) but corrupts midranks —
+    // the distinct census must drop it, leaving the stats identical
+    // to the clean input.
+    def rows(g: String, r: Long, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) => (g, r, i.toLong, v) }
+    val clean = rows("g", 1L, Seq(1.0, 2.0, 3.0, 4.0)) ++
+      rows("g", 2L, Seq(2.0, 1.0, 4.0, 3.0))
+    val dup = Seq(("g", 9L, 0L, 5.0), ("g", 9L, 0L, 6.0),
+      ("g", 9L, 1L, 7.0), ("g", 9L, 2L, 8.0))
+    def run(data: Seq[(String, Long, Long, Double)]) =
+      Profile.kendallW(data.toDF("g", "r", "i", "v"),
+        "g", "r", "i", "v").collect().head
+    val (a, b) = (run(clean), run(clean ++ dup))
+    assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2))
+    assert(a.getLong(4) == b.getLong(4))
+    assert(a.getLong(3) == 0L && b.getLong(3) == 1L)
+  }
+
+  test("fleissKappa: hand kappa, perfect, all-one-category NULL, drops") {
+    // g: i1=(A,A), i2=(A,B), plus a 3-rating item that must drop at
+    // modal m=2. S=2, C=9+1=10, (Nm)^2=16: kappa = -1/3.
+    // p: i1=(A,A), i2=(B,B): perfect -> 1e6.
+    // s: both items all-A: C=(Nm)^2 -> NULL.
+    val df = Seq(
+      ("g", 1L, "A"), ("g", 1L, "A"), ("g", 2L, "A"), ("g", 2L, "B"),
+      ("g", 3L, "A"), ("g", 3L, "A"), ("g", 3L, "A"),
+      ("p", 1L, "A"), ("p", 1L, "A"), ("p", 2L, "B"), ("p", 2L, "B"),
+      ("s", 1L, "A"), ("s", 1L, "A"), ("s", 2L, "A"), ("s", 2L, "A"))
+      .toDF("g", "item", "cat")
+    val got = Profile.fleissKappa(df, "g", "item", "cat")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got("g") == ((2L, 2L, 1L, -333333L)))
+    assert(got("p") == ((2L, 2L, 0L, 1000000L)))
+    assert(got("s") == ((2L, 2L, 0L, null)))
+  }
+
+  test("matthewsCorr: hand 1/3, degenerate marginal NULL") {
+    val df = (Seq((true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false))
+      .map { case (p, y) => ("g", p, y) } ++
+      Seq(("d", true, true), ("d", true, false)))
+      .toDF("g", "p", "y")
+    val got = Profile.matthewsCorr(df, "g", "p", "y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) null else r.getLong(6)))).toMap
+    // g: tp=2 fp=1 fn=1 tn=2 -> (4-1)/sqrt(81) = 1/3.
+    assert(got("g") == ((6L, 2L, 1L, 1L, 2L, 333333L)))
+    assert(got("d")._6 == null) // all-positive predictions
+  }
+
+  test("youdenJ: perfect split J=1e6, zero-J tie to lowest threshold") {
+    val df = (Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .map { case (v, y) => ("f", v, y) } ++
+      Seq((1.0, false), (2.0, true), (3.0, false), (4.0, true))
+        .map { case (v, y) => ("t", v, y) })
+      .toDF("feat", "v", "y")
+    val got = Profile.youdenJ(df, "feat", "v", "y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))).toMap
+    // f: threshold 2 separates perfectly.
+    assert(got("f") == ((2000L, 1000000L, 1000000L, 0L, 2L, 0L)))
+    // t: jnum ties at v=1 and v=3 (J=0.5 both) -> lowest threshold.
+    assert(got("t")._1 == 1000L && got("t")._2 == 500000L)
+  }
+
+  test("siegelTukey: extremes-vs-middle hand z, one-sided NULL") {
+    // a={1,9} (tails), b={4,5}: ST ranks 1,4,3,2 -> W=3,
+    // z = -2/sqrt(5/3) = -1.549193. e: one arm only -> NULL.
+    val df = Seq(("g", 1.0, true, 1L), ("g", 9.0, true, 2L),
+      ("g", 4.0, false, 3L), ("g", 5.0, false, 4L),
+      ("e", 1.0, true, 5L), ("e", 2.0, true, 6L))
+      .toDF("g", "v", "arm", "tb")
+    val got = Profile.siegelTukey(df, "g", "v", "arm", "tb")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got("g") == ((2L, 2L, 3L, -1549193L)))
+    assert(got("e") == ((2L, 0L, 3L, null)))
+  }
+
+  test("quadraticKappa: perfect 1e6, checkerboard 0") {
+    import spark.implicits._
+    val perfect = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(Profile.quadraticKappa(perfect, "a", "b")
+      .collect().head.getLong(2) == 1000000L)
+    val indep = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))
+      .toDF("a", "b")
+    assert(Profile.quadraticKappa(indep, "a", "b")
+      .collect().head.getLong(2) == 0L)
+  }
+
+  test("quade: duplicated-cell block quarantines like an incomplete one") {
+    // Block 9 has k rows but only 1 distinct treatment — cnt == k
+    // alone would admit it; the distinct census drops it and the
+    // stats match the clean 3-block input (F = 4/7 as above).
+    val clean = Seq(
+      ("g", 1L, "A", 1.0), ("g", 1L, "B", 2.0),
+      ("g", 2L, "A", 1.0), ("g", 2L, "B", 3.0),
+      ("g", 3L, "A", 5.0), ("g", 3L, "B", 4.0))
+    val dup = Seq(("g", 9L, "A", 7.0), ("g", 9L, "A", 9.0))
+    def run(data: Seq[(String, Long, String, Double)]) =
+      Profile.quade(data.toDF("g", "blk", "trt", "v"),
+        "g", "blk", "trt", "v").collect().head
+    val (a, b) = (run(clean), run(clean ++ dup))
+    assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2))
+    assert(a.getLong(4) == b.getLong(4))
+    assert(a.getLong(3) == 0L && b.getLong(3) == 1L)
+  }
+
   test("moodScale: tails-vs-middle spread, exact z, empty-side NULL") {
     val df = (Seq(1.0, 5.0).map(("g", _, true)) ++
       Seq(2.0, 3.0, 4.0).map(("g", _, false)) ++
