@@ -5452,6 +5452,15 @@ object SparkEntry {
             (col("user_id") % 2 === 0).as("arm"), col("event_id")),
         "event_type", "value", "arm", "event_id")),
 
+    // Cuzick trend per event type: dose = user_id % 4 against the
+    // value response — doubled pooled midranks, exact permutation
+    // variance, clamped-isqrt z.
+    "q445_cuzick" -> ((s, dir) =>
+      Profile.cuzickTrend(t(s, dir, "events")
+          .select(col("event_type"), (col("user_id") % 4).as("dose"),
+            col("value")),
+        "event_type", "dose", "value")),
+
     // Quadratic-weighted kappa between the cents-residue "human"
     // rating and a noisy +1-clamped "model" rating — the ordinal
     // judge-calibration number as one exact rational.
@@ -15453,6 +15462,61 @@ $rollingMkOracleSql
         |  FROM sq)
         |SELECT g AS event_type, na AS n_a, nb AS n_b, w,
         |  CASE WHEN q4 IS NOT NULL THEN CAST(CASE WHEN d2 < 0
+        |    THEN -((u + 1) // 2) ELSE (u + 1) // 2 END AS BIGINT)
+        |  END AS z_micro
+        |FROM iq""".stripMargin,
+
+    "q445_cuzick" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, user_id % 4 AS l,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (
+        |  SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |run AS (
+        |  SELECT g, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM cells),
+        |r2t AS (
+        |  SELECT g, v, 2 * (cum - c) + c + 1 AS r2 FROM run),
+        |j AS (
+        |  SELECT b.g, b.l, r2t.r2
+        |  FROM b JOIN r2t ON b.g = r2t.g AND b.v = r2t.v),
+        |agg AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(l) AS BIGINT) AS l1,
+        |    CAST(sum(l * l) AS BIGINT) AS l2,
+        |    CAST(sum(CAST(l AS HUGEINT) * r2) AS HUGEINT) AS t2,
+        |    CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS sr22
+        |  FROM j GROUP BY 1),
+        |d AS (
+        |  SELECT g, n, t2,
+        |    t2 - CAST(n + 1 AS HUGEINT) * l1 AS dd,
+        |    CAST(n AS HUGEINT) * l2 - CAST(l1 AS HUGEINT) * l1 AS a,
+        |    sr22 - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS s2
+        |  FROM agg),
+        |q AS (
+        |  SELECT g, n, t2, dd,
+        |    CASE WHEN a > 0 AND s2 > 0 AND n >= 2 THEN
+        |      (CAST(4000000000000 AS HUGEINT) * dd * dd * n * (n - 1))
+        |        // (a * s2) END AS q4
+        |  FROM d),
+        |sq AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(q4 AS DOUBLE))) AS HUGEINT)
+        |    AS u0
+        |  FROM q),
+        |iq AS (
+        |  SELECT g, n, t2, dd, q4,
+        |    u0 + CASE WHEN (u0 + 2) * (u0 + 2) <= q4 THEN 2
+        |      WHEN (u0 + 1) * (u0 + 1) <= q4 THEN 1
+        |      WHEN u0 * u0 <= q4 THEN 0
+        |      WHEN (u0 - 1) * (u0 - 1) <= q4 THEN -1 ELSE -2 END AS u
+        |  FROM sq)
+        |SELECT g AS event_type, n, CAST(t2 AS BIGINT) AS t2,
+        |  CASE WHEN q4 IS NOT NULL THEN CAST(CASE WHEN dd < 0
         |    THEN -((u + 1) // 2) ELSE (u + 1) // 2 END AS BIGINT)
         |  END AS z_micro
         |FROM iq""".stripMargin,

@@ -727,6 +727,12 @@ object Similarity {
       // just an entry region.
       var r = 0
       while (r < roundsPerLayer) {
+        // NO broadcast() hints on frontier/fresh: measured (r17),
+        // forcing the per-round joins to broadcast-hash REGRESSED
+        // the gate 9.6 s → 13.1 s isolated — a driver collect +
+        // torrent rebroadcast every round costs more than the tiny
+        // shuffles it replaces. AQE already picks broadcast where
+        // the stats justify it.
         val cand = frontier
           .select(col("query_id"), col("node").as("src"))
           .join(gl, Seq("src"))

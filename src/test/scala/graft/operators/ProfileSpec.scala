@@ -1970,6 +1970,22 @@ class ProfileSpec extends SparkSpec {
     assert(got("e") == ((2L, 0L, 3L, null)))
   }
 
+  test("cuzickTrend: hand z, single-dose and all-tied NULLs") {
+    // g: doses 0,0,1,1 on values 1,2,3,4 -> r2 = 2,4,6,8, 2T = 14,
+    // d = 4, A = 4, S2 = 20: z = sqrt(16*12/80) = 1.549193.
+    val df = Seq(("g", 0L, 1.0), ("g", 0L, 2.0),
+      ("g", 1L, 3.0), ("g", 1L, 4.0),
+      ("s", 0L, 1.0), ("s", 0L, 2.0),        // one dose level
+      ("t", 0L, 5.0), ("t", 1L, 5.0))        // all values tied
+      .toDF("g", "dose", "v")
+    val got = Profile.cuzickTrend(df, "g", "dose", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+    assert(got("g") == ((4L, 14L, 1549193L)))
+    assert(got("s")._3 == null && got("t")._3 == null)
+  }
+
   test("quadraticKappa: perfect 1e6, checkerboard 0") {
     import spark.implicits._
     val perfect = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("a", "b")
