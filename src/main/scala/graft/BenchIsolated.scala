@@ -36,7 +36,10 @@ object BenchIsolated {
     // r17 additions: the slowest gate (search-loop shape changed
     // this round), its build half, and the guard-engaged spatial
     // join — keep their isolated baselines fresh.
-    "q425_hnsw_recall", "q424_hnsw_build", "q174_proximity_join")
+    "q425_hnsw_recall", "q424_hnsw_build", "q174_proximity_join",
+    // r18 additions (VERDICT r17 #1): the two largest in-suite
+    // regressions of r17, unadjudicated until isolated.
+    "q383_nsw_recall", "q384_rolling_mk")
 
   private def freshSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

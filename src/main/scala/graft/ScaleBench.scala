@@ -118,6 +118,28 @@ object ScaleBench {
         .agg(sum(col("reach_est")).as("est_sum"))
     }))
 
+  /** TRUE-result-set census overrides (VERDICT r17 #3): gates whose
+    * OUTPUT row count understates the result set the operator is
+    * CONTRACTED to materialize. q358's output is one row per point
+    * (rowexp exactly 1.0 by construction) while exact DBSCAN must
+    * materialize the full eps-graph — a census that densifies ~f²
+    * when replication adds points to a FIXED geography (×16 here:
+    * mean degree ~2 → ~31). Pricing the verdict against the point
+    * count would call the operator superlinear for faithfully
+    * producing a quadratically larger exact answer; this map lets a
+    * gate declare the census its rowexp must price instead. The
+    * census runs OUTSIDE the timed window, once per tier. */
+  val CensusRows: Map[String, (SparkSession, String) => Long] = Map(
+    "q358_dbscan" -> ((s, dir) => {
+      def coord(axis: String) =
+        SparkEntry.hashMod(axis, col("event_id"), 1000000L)
+      val pts = Graft.table(s, dir, "events")
+        .select(col("event_id").as("id"),
+          coord("x").as("x"), coord("y").as("y"))
+      graft.operators.Spatial.proximityJoin(
+        pts, "id", "x", "y", 2500L).count()
+    }))
+
   val Factors: Seq[Int] = Seq(1, 4, 16)
   /** Skip ×16 when the ×4-projected time exceeds this (seconds). */
   val Guard = 400.0
@@ -165,7 +187,38 @@ object ScaleBench {
     java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
   }
 
+  /** The full run OOMs a driver below ~24 GiB (54 heavy gates × ×16
+    * replicas: shuffle-file "No such file" cascades + contaminated
+    * gates at the 8g default — r17). Encoded here rather than in
+    * SCALE.md prose (VERDICT r17 #5): when launched under the small
+    * default heap, re-exec this main in a child JVM with -Xmx24g
+    * (same classpath, same module flags, same env) and mirror its
+    * exit code, so a fresh-checkout `runMain graft.ScaleBench` just
+    * works. Opt out with SPARK_DRIVER_MEM (any value) — an explicit
+    * heap choice is respected, matching build.sbt's passthrough. */
+  private def ensureHeap(args: Array[String]): Unit = {
+    val wantBytes = 20L * 1024 * 1024 * 1024
+    if (Runtime.getRuntime.maxMemory() >= wantBytes ||
+        sys.env.contains("SPARK_DRIVER_MEM") ||
+        sys.props.contains("graft.scalebench.reexec")) return
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala
+      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-Xmx24g",
+      "-Dgraft.scalebench.reexec=1",
+      "-cp", sys.props("java.class.path"),
+      "graft.ScaleBench") ++ args
+    System.err.println(
+      s"[scalebench] heap ${Runtime.getRuntime.maxMemory() >> 20} MiB " +
+        "< 20 GiB — re-exec with -Xmx24g (set SPARK_DRIVER_MEM to override)")
+    val p = new ProcessBuilder(cmd.asJava).inheritIO().start()
+    sys.exit(p.waitFor())
+  }
+
   def main(args: Array[String]): Unit = {
+    ensureHeap(args)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scratch = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
@@ -213,10 +266,24 @@ object ScaleBench {
     // magnitude, not the third digit.
     val times = scala.collection.mutable.Map.empty[(String, Int), List[Double]]
     val rows = scala.collection.mutable.Map.empty[(String, Int), Long]
+    val censused = scala.collection.mutable.Set.empty[(String, Int)]
     def record(name: String, f: Int): Unit = {
       val (t, n) = timeOne(name, dirs(f))
       times((name, f)) = t :: times.getOrElse((name, f), Nil)
       if (n >= 0) rows((name, f)) = n
+      // Declared-census gates price rowexp on the operator's TRUE
+      // result set, not its per-point output — computed untimed,
+      // once per tier (overwrites the output count recorded above).
+      if (n >= 0 && CensusRows.contains(name) &&
+          !censused.contains((name, f))) {
+        try {
+          rows((name, f)) = CensusRows(name)(spark, dirs(f))
+          censused += ((name, f))
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"SCALE census fail $name @ f=$f: ${e.getMessage}")
+        }
+      }
     }
     for (f <- Factors.sorted; if f < 16) {
       for (r <- 1 to reps; name <- Queries) record(name, f)
@@ -251,9 +318,15 @@ object ScaleBench {
       val base = if (!e16.isNaN) 16.0 else 4.0
       val re = if (rBase > 0 && rTier > 0)
         math.log(rTier.toDouble / rBase) / math.log(base) else Double.NaN
+      // Any time exponent within 0.1 of the true-result-set growth
+      // is output-bound — linear per result — whether the excess
+      // over 1.0 is large (q174's pair explosion) or mild (q358's
+      // census-priced eps-graph): the operator is not the thing
+      // growing.
       val verdict =
         if (e.isNaN) "failed"
-        else if (e > 1.3 && !re.isNaN && e <= re + 0.1) "output-bound"
+        else if (e > 1.15 && !re.isNaN && re > 1.15 && e <= re + 0.1)
+          "output-bound"
         else if (e > 1.3) "superlinear"
         else if (e > 1.15) "linear+"
         else "linear-or-better"
@@ -263,10 +336,13 @@ object ScaleBench {
       // sizes — only NaN (missing tier) renders as null.
       def je(d: Double) = if (d.isNaN) "null" else f"$d%.4f"
       def jr(v: Long) = if (v < 0) "null" else v.toString
+      val rowsKind =
+        if (CensusRows.contains(name)) "declared_census" else "output"
       s""""$name":{"t1":${j(t1)},"t4":${j(t4)},"t16":${j(t16)},""" +
         s""""exp4":${je(e4)},"exp16":${je(e16)},""" +
         s""""rows1":${jr(r(1))},"rows4":${jr(r(4))},""" +
         s""""rows16":${jr(r(16))},"rowexp":${je(re)},""" +
+        s""""rows_kind":"$rowsKind",""" +
         s""""skipped16":${t16 < 0},"verdict":"$verdict"}"""
     }
     val json = s"""{"metric":"scale_exponents","base":"$base",""" +

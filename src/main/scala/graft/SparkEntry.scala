@@ -23,7 +23,8 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
 
-  /** Shared by q384 and its q384a-c column-isolating diagnostics. */
+  /** q384's rolling Mann-Kendall gate body (kept factored out — the
+    * r17 q384a-c diagnostics that shared it are retired). */
   private def rollingMkGate(s: SparkSession, dir: String): DataFrame =
     TimeSeries.rollingMannKendall(t(s, dir, "events"), "user_id",
       "ts", "event_id", "value", window = 16,
@@ -47,7 +48,8 @@ object SparkEntry {
         col("y"))
   }
 
-  /** Shared by q402 and its q402a-c column-isolating diagnostics. */
+  /** q402's decision-stump gate body (kept factored out — the r17
+    * q402a-c diagnostics that shared it are retired). */
   private def stumpGate(s: SparkSession, dir: String): DataFrame =
     Profile.decisionStump(meltedEvents(s, dir), "feature", "v", "y")
 
@@ -5260,18 +5262,10 @@ object SparkEntry {
     // over the trailing 16, via the pair delta-prefix construction.
     "q384_rolling_mk" -> ((s, dir) => rollingMkGate(s, dir)),
 
-    // r17 column-isolating diagnostics for the q384 driver-hash gap
-    // (VERDICT r16 task 1): the SAME operator run, split into
-    // per-column-group gates so the driver's next correctness file
-    // names the divergent column if the decimal-output root-cause
-    // fix (BIGINT casts in the oracle's final SELECT) is not the
-    // whole story. Retire once q384 is hash-green in the driver.
-    "q384a_mk_machinery" -> ((s, dir) => rollingMkGate(s, dir)
-      .select("user_id", "event_id", "ts_ms", "n_win")),
-    "q384b_mk_s" -> ((s, dir) => rollingMkGate(s, dir)
-      .select("user_id", "event_id", "s")),
-    "q384c_mk_z" -> ((s, dir) => rollingMkGate(s, dir)
-      .select("user_id", "event_id", "z_micro", "alarm")),
+    // (The r17 q384a-c column-isolating diagnostic gates were
+    // retired in r18 once the driver went hash-green — VERDICT r17
+    // task 2. The decimal-output lint and the ScalaTest locks on the
+    // rollingMk column groups remain.)
 
     // Jarque-Bera normality per event type: four exact milli power
     // sums, one mirrored moment chain, chi2_2 5% literal.
@@ -5489,14 +5483,8 @@ object SparkEntry {
     // the left-split census.
     "q402_decision_stump" -> ((s, dir) => stumpGate(s, dir)),
 
-    // r17 column-isolating diagnostics for the q402 driver-hash gap
-    // — same rationale and retirement plan as the q384a-c trio.
-    "q402a_stump_elect" -> ((s, dir) => stumpGate(s, dir)
-      .select("feature", "n", "pos", "threshold_milli")),
-    "q402b_stump_counts" -> ((s, dir) => stumpGate(s, dir)
-      .select("feature", "n_le", "pos_le")),
-    "q402c_stump_gini" -> ((s, dir) => stumpGate(s, dir)
-      .select("feature", "gini_micro", "gain_micro")),
+    // (The r17 q402a-c diagnostic gates were retired in r18 with the
+    // q384a-c trio — driver hash-green, VERDICT r17 task 2.)
 
     // Durbin-Watson on the per-type value-vs-time OLS residuals:
     // serial correlation of what the trend line leaves behind.
@@ -6007,8 +5995,8 @@ object SparkEntry {
     * pair list): the order–part Adamic–Adar census with the 1/ln-deg
     * micro terms, deg ∈ [2, 40], ≥ 2 common parts. */
   /** q384's oracle body (exact-integer rolling Mann-Kendall twin of
-    * TimeSeries.rollingMannKendall), factored out so the q384a-c
-    * column-isolating diagnostics wrap the SAME text. Every final
+    * TimeSeries.rollingMannKendall), kept factored out (the retired
+    * r17 q384a-c diagnostics wrapped this text). Every final
     * column is cast to a driver-hashable type: the windowed running
     * sum srun is DECIMAL(38,0) in DuckDB and MUST be cast to BIGINT
     * before emission — arrow decimal128 output is the one result
@@ -6078,8 +6066,8 @@ object SparkEntry {
         |FROM z""".stripMargin
 
   /** q402's oracle body (exact-integer CART root stump twin of
-    * Profile.decisionStump), factored out so the q402a-c
-    * column-isolating diagnostics wrap the SAME text. The windowed
+    * Profile.decisionStump), kept factored out (the retired r17
+    * q402a-c diagnostics wrapped this text). The windowed
     * running counts cn/cp are DECIMAL(38,0) in DuckDB and MUST be
     * cast to BIGINT before emission — arrow decimal128 output is the
     * one result type the driver's hasher normalizes differently from
@@ -14661,18 +14649,6 @@ object SparkEntry {
 
     "q384_rolling_mk" -> rollingMkOracleSql,
 
-    "q384a_mk_machinery" -> s"""WITH __full AS (
-$rollingMkOracleSql
-) SELECT user_id, event_id, ts_ms, n_win FROM __full""",
-
-    "q384b_mk_s" -> s"""WITH __full AS (
-$rollingMkOracleSql
-) SELECT user_id, event_id, s FROM __full""",
-
-    "q384c_mk_z" -> s"""WITH __full AS (
-$rollingMkOracleSql
-) SELECT user_id, event_id, z_micro, alarm FROM __full""",
-
 
     "q385_jarque_bera" ->
       """WITH b AS (
@@ -15593,18 +15569,6 @@ $rollingMkOracleSql
         .stripMargin,
 
     "q402_decision_stump" -> decisionStumpOracleSql,
-
-    "q402a_stump_elect" -> s"""WITH __full AS (
-$decisionStumpOracleSql
-) SELECT feature, n, pos, threshold_milli FROM __full""",
-
-    "q402b_stump_counts" -> s"""WITH __full AS (
-$decisionStumpOracleSql
-) SELECT feature, n_le, pos_le FROM __full""",
-
-    "q402c_stump_gini" -> s"""WITH __full AS (
-$decisionStumpOracleSql
-) SELECT feature, gini_micro, gain_micro FROM __full""",
 
     "q403_durbin_watson" ->
       """WITH b AS (

@@ -330,6 +330,11 @@ object Profile {
       (lit(4000000000000L).cast(dec) * num * num).cast(dec), dd)
     g.select(col("__g").as(groupCol), col("n"), col("tp"), col("fp"),
       col("fn"), col("tn"),
+      // Same overflow-vs-degeneracy honesty as [[cuzickTrend]]:
+      // under the sessions' ANSI default, decimal(38,0) overflow of
+      // 4e12·num² (n ≳ 2e6 per group) FAILS with
+      // NUMERIC_VALUE_OUT_OF_RANGE rather than impersonating the
+      // degenerate-marginal NULL (ProfileSpec locks the throw).
       when(dd > 0, TimeSeries.zMicroFromQ(q4, num < 0))
         .otherwise(lit(null).cast("long")).as("mcc_micro"))
   }
@@ -415,7 +420,9 @@ object Profile {
     * one dose level (A = 0), all values tied (S2 = 0), or n < 2
     * report NULL z. The decimal(38,0) numerator 4e12·d²·n(n−1)
     * bounds exact reporting at n ≲ 2·10⁴ rows/key for small integer
-    * doses — stratify beyond (the [[matthewsCorr]] honesty note).
+    * doses — past it the query FAILS (the sessions' ANSI default
+    * raises NUMERIC_VALUE_OUT_OF_RANGE at this cast site; never a
+    * silent NULL that impersonates degeneracy); stratify the key.
     * Dose scores must be small non-negative integers (cast long).
     * Output: (keyCol, n, t2, z_micro). */
   def cuzickTrend(
@@ -456,6 +463,12 @@ object Profile {
       (a * s2).cast(dec))
     agg.select(col("__k").as(keyCol), n,
       col("__t2").cast("long").as("t2"),
+      // Overflow-vs-degeneracy honesty: every graft session runs
+      // Spark 4's ANSI default, so a decimal(38,0) OVERFLOW of the
+      // 4e12·d²·n(n−1) numerator (past the documented n ≲ 2e4 bound)
+      // FAILS the query with NUMERIC_VALUE_OUT_OF_RANGE naming this
+      // cast site — it can never silently impersonate the legitimate
+      // degenerate-input NULL below (ProfileSpec locks the throw).
       when(a > 0 && s2 > 0 && n >= 2L,
         TimeSeries.zMicroFromQ(q4, d < 0))
         .otherwise(lit(null).cast("long")).as("z_micro"))
@@ -1299,10 +1312,16 @@ object Profile {
           .as("__y"))
     val kPer = base.groupBy(col("__g"))
       .agg(countDistinct(col("__t")).as("k"))
+    // Completeness = row count AND distinct treatments (the kendallW
+    // quarantine: a duplicated cell plus a missing one passes the
+    // count alone and corrupts the item's L census).
     val items = base.groupBy(col("__g"), col("__i"))
-      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).as("__l"))
+      .agg(count(lit(1)).as("__cnt"),
+        countDistinct(col("__t")).as("__ndt"),
+        sum(col("__y")).as("__l"))
       .join(kPer, Seq("__g"))
-      .withColumn("__complete", col("__cnt") === col("k"))
+      .withColumn("__complete",
+        col("__cnt") === col("k") && col("__ndt") === col("k"))
     val dropped = items.groupBy(col("__g"))
       .agg(sum(when(!col("__complete"), 1L).otherwise(0L))
         .as("n_dropped_items"))
@@ -1361,10 +1380,15 @@ object Profile {
           .as("__v"))
     val kPer = base.groupBy(col("__g"))
       .agg(countDistinct(col("__t")).as("k"))
+    // Completeness = row count AND distinct treatments (the kendallW
+    // quarantine: a duplicated cell plus a missing one passes the
+    // count alone and corrupts the block's midranks).
     val blocks = base.groupBy(col("__g"), col("__b"))
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("__cnt"),
+        countDistinct(col("__t")).as("__ndt"))
       .join(kPer, Seq("__g"))
-      .withColumn("__complete", col("__cnt") === col("k"))
+      .withColumn("__complete",
+        col("__cnt") === col("k") && col("__ndt") === col("k"))
     val dropped = blocks.groupBy(col("__g"))
       .agg(sum(when(!col("__complete"), 1L).otherwise(0L))
         .as("n_dropped_blocks"))
@@ -4837,10 +4861,15 @@ object Profile {
       base.select(col("__g"), col("__t")).distinct(), "__g",
       Seq("__t")).select(col("__g"), col("__t"), col("rank")
       .as("__idx"))
+    // Completeness = row count AND distinct treatments (the kendallW
+    // quarantine: a duplicated cell plus a missing one passes the
+    // count alone and corrupts the block's midranks).
     val blocks = base.groupBy(col("__g"), col("__b"))
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("__cnt"),
+        countDistinct(col("__t")).as("__ndt"))
       .join(kPer, Seq("__g"))
-      .withColumn("__complete", col("__cnt") === col("k"))
+      .withColumn("__complete",
+        col("__cnt") === col("k") && col("__ndt") === col("k"))
     val dropped = blocks.groupBy(col("__g"))
       .agg(sum(when(!col("__complete"), 1L).otherwise(0L))
         .as("n_dropped_blocks"))

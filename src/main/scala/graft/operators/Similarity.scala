@@ -559,18 +559,37 @@ object Similarity {
       .withColumn("rn", row_number().over(sw))
       .filter(col("rn") <= nSeeds)
       .select(col("query_id"), col("cell").as("node"))
-    var visited = Dedup.truncate(scoreNodes(seeds))
-    var frontier = visited
+    // FUSED round chain (r18 — the [[hnswSearch]] measured-optimum
+    // ported after BenchIsolated confirmed the r17 in-suite q383
+    // regression partially real, 6.9 s isolated vs r16's 4.3 s
+    // in-suite): rounds accumulate LAZILY, each round's scored
+    // cached so its in-plan reuses (union, anti-join, next frontier)
+    // hit the InMemoryRelation inside the one job that evaluates it,
+    // and the lineage is cut ONCE after the loop instead of twice
+    // per round. Round count is a small constant, so the uncut
+    // stack stays shallow — the failure mode that made the
+    // zero-truncate hnsw rework slow (6 nested rounds re-planned
+    // per job) doesn't arise here.
+    // Materialize the adjacency once — same rationale as
+    // [[hnswSearch]]'s graph cut: `graph` usually arrives as
+    // nswBuild's lazy plan, and each in-plan reference would re-run
+    // the cell-kNN build.
+    val g = Dedup.truncate(graph.select(col("src"), col("dst")))
+    val seedScores = Dedup.truncate(scoreNodes(seeds))
+    var acc = seedScores
+    var frontier = seedScores
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var r = 0
     while (r < rounds) {
       val cand = frontier
         .select(col("query_id"), col("node").as("src"))
-        .join(graph.select(col("src"), col("dst")), Seq("src"))
+        .join(g, Seq("src"))
         .select(col("query_id"), col("dst").as("node")).distinct()
-      val fresh = cand.join(visited.select(col("query_id"), col("node")),
+      val fresh = cand.join(acc.select(col("query_id"), col("node")),
         Seq("query_id", "node"), "left_anti")
-      val scored = Dedup.truncate(scoreNodes(fresh))
-      visited = Dedup.truncate(visited.unionByName(scored))
+      val scored = scoreNodes(fresh).cache()
+      caches += scored
+      acc = acc.unionByName(scored)
       val fw = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("node"))
       frontier = scored.withColumn("rn", row_number().over(fw))
@@ -578,6 +597,8 @@ object Similarity {
         .select(col("query_id"), col("node"), col("sim"))
       r += 1
     }
+    val visited = if (rounds == 0) seedScores else Dedup.truncate(acc)
+    caches.foreach(_.unpersist(false))
     val win = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("node"))
     visited.filter(col("query_id") =!= col("node"))
@@ -711,9 +732,26 @@ object Similarity {
       scoreNodes(q.select(col("query_id")).crossJoin(entry)))
     val fw = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("node"))
+    // Materialize the multi-layer adjacency ONCE (r18, VERDICT r17
+    // #6): `graph` usually arrives as hnswBuild's LAZY plan, and
+    // every round job that touched it re-ran that layer's whole
+    // build (ivfIndex + cell-kNN windows) — layer 0's full-corpus
+    // build twice over. One eager cut here makes every round read a
+    // flat few-bytes-per-vector adjacency instead. (An attempted
+    // per-layer ROUND fusion — lazy rounds, one cut per layer — was
+    // measured WORSE, 14.8 vs 10.4 s isolated: the doubled in-job
+    // branches re-planned the build before this cut existed.)
+    val g = Dedup.truncate(
+      graph.select(col("layer"), col("src"), col("dst")))
+    // The round-(r−1) scored cache: releasable once round r's eager
+    // truncate lands (nothing references it after that — visited is
+    // checkpointed flat and frontier was reassigned), so long-lived
+    // sessions don't accumulate one stale cached frame per round
+    // (VERDICT r17 #7).
+    var prevScored: DataFrame = null
     var l = maxLayer
     while (l >= 0) {
-      val gl = graph.filter(col("layer") === l)
+      val gl = g.filter(col("layer") === l)
         .select(col("src"), col("dst"))
       // Layer re-entry: best `beam` of everything seen so far (every
       // visited node is a member of this and all lower layers).
@@ -741,16 +779,17 @@ object Similarity {
           visited.select(col("query_id"), col("node")),
           Seq("query_id", "node"), "left_anti")
         // ONE eager lineage cut per round (visited), cache for the
-        // in-round reuse of scored. r16 ran TWO truncates per round
-        // (9.45 s isolated, slowest gate: 18 eager jobs of fixed
-        // overhead); an attempted zero-truncate rework with cache
-        // only went the other way (25 s — the uncheckpointed union
-        // stack re-plans every job, and plan compilation dominates).
-        // The measured optimum is this middle shape: visited stays
-        // materialized and flat-lineage, scored (feeding both the
-        // union and the next frontier) comes from cache.
+        // in-round reuse of scored. The measured field (isolated
+        // min-of-3, sf0.1): TWO truncates per round = 9.45 s (r16);
+        // zero-truncate, cache only = 25 s (r17 — six nested rounds
+        // re-planned per job); per-LAYER fusion without the graph
+        // cut = 14.8 s, with it = 9.5 s (r18 — the big fused job
+        // re-plans/cache-fills worse than small round jobs); THIS
+        // shape + the graph cut = 7.6 s, the optimum so far.
         val scored = scoreNodes(fresh).cache()
         visited = Dedup.truncate(visited.unionByName(scored))
+        if (prevScored != null) prevScored.unpersist(false)
+        prevScored = scored
         frontier = scored.withColumn("rn", row_number().over(fw))
           .filter(col("rn") <= beam)
           .select(col("query_id"), col("node"))
@@ -758,6 +797,7 @@ object Similarity {
       }
       l -= 1
     }
+    if (prevScored != null) prevScored.unpersist(false)
     val win = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("node"))
     visited.filter(col("query_id") =!= col("node"))

@@ -368,11 +368,21 @@ object Spatial {
       eps: Long,
       minPts: Int,
       maxIter: Int = 60,
-      gridFactor: Int = 16): DataFrame = {
+      gridFactor: Int = 16,
+      maxPerCell: Int = 0): DataFrame = {
     require(gridFactor >= 1, "gridFactor must be at least 1")
     require(minPts >= 2, "minPts must be at least 2")
+    // `maxPerCell` > 0 passes [[proximityJoin]]'s degenerate-density
+    // guard through: each eps-cell keeps its maxPerCell lowest-id
+    // points before pairing, bounding the eps-graph census at
+    // 9·maxPerCell²/cell when a fixed geography densifies without
+    // bound. APPROXIMATE under the cap (degrees undercount, so core
+    // verdicts can demote and clusters can split at capped cells) —
+    // off by default because the exact eps-graph is the DBSCAN
+    // contract; the exact census is output-bound by construction
+    // (time tracks the pair count, BENCH_SCALE's declared census).
     val pairs = Dedup.truncate(
-      proximityJoin(points, idCol, xCol, yCol, eps)
+      proximityJoin(points, idCol, xCol, yCol, eps, maxPerCell)
         .select(col("a"), col("b")))
     val deg = pairs.select(col("a").as("__id"))
       .union(pairs.select(col("b").as("__id")))

@@ -1904,6 +1904,58 @@ class ProfileSpec extends SparkSpec {
     assert(a.getLong(3) == 0L && b.getLong(3) == 1L)
   }
 
+  test("friedman: duplicated-cell block quarantines like an incomplete one") {
+    // Block 9 has 4 rows over 3 DISTINCT treatments (cnt == k passes
+    // a count-only completeness check) — the distinct census must
+    // drop it, leaving chi2/W identical to the clean input.
+    def rows(b: Long, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) => ("g", b, i.toLong, v) }
+    val clean = rows(1L, Seq(1.0, 2.0, 3.0, 4.0)) ++
+      rows(2L, Seq(2.0, 1.0, 4.0, 3.0))
+    val dup = Seq(("g", 9L, 0L, 5.0), ("g", 9L, 0L, 6.0),
+      ("g", 9L, 1L, 7.0), ("g", 9L, 2L, 8.0))
+    def run(data: Seq[(String, Long, Long, Double)]) =
+      Profile.friedman(data.toDF("g", "b", "t", "v"),
+        "g", "b", "t", "v").collect().head
+    val (a, b) = (run(clean), run(clean ++ dup))
+    assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2))
+    assert(a.getLong(4) == b.getLong(4) && a.getLong(5) == b.getLong(5))
+    assert(a.getLong(3) == 0L && b.getLong(3) == 1L)
+  }
+
+  test("cochranQ: duplicated-cell item quarantines like an incomplete one") {
+    // Item 9 has 3 rows over 2 DISTINCT treatments (cnt == k) — the
+    // distinct census must drop it, leaving Q identical to clean.
+    val clean = Seq(("g", 1L, "a", true), ("g", 1L, "b", false),
+      ("g", 1L, "c", true), ("g", 2L, "a", false),
+      ("g", 2L, "b", false), ("g", 2L, "c", true))
+    val dup = Seq(("g", 9L, "a", true), ("g", 9L, "a", false),
+      ("g", 9L, "b", true))
+    def run(data: Seq[(String, Long, String, Boolean)]) =
+      Profile.cochranQ(data.toDF("g", "i", "t", "y"),
+        "g", "i", "t", "y").collect().head
+    val (a, b) = (run(clean), run(clean ++ dup))
+    assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2))
+    assert(a.getLong(4) == b.getLong(4))
+    assert(a.getLong(3) == 0L && b.getLong(3) == 1L)
+  }
+
+  test("pageTrend: duplicated-cell block quarantines like an incomplete one") {
+    def rows(b: Long, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) => ("g", b, i.toLong, v) }
+    val clean = rows(1L, Seq(1.0, 2.0, 3.0, 4.0)) ++
+      rows(2L, Seq(1.0, 3.0, 2.0, 4.0))
+    val dup = Seq(("g", 9L, 0L, 5.0), ("g", 9L, 0L, 6.0),
+      ("g", 9L, 1L, 7.0), ("g", 9L, 2L, 8.0))
+    def run(data: Seq[(String, Long, Long, Double)]) =
+      Profile.pageTrend(data.toDF("g", "b", "t", "v"),
+        "g", "b", "t", "v").collect().head
+    val (a, b) = (run(clean), run(clean ++ dup))
+    assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2))
+    assert(a.getLong(4) == b.getLong(4) && a.getLong(5) == b.getLong(5))
+    assert(a.getLong(3) == 0L && b.getLong(3) == 1L)
+  }
+
   test("fleissKappa: hand kappa, perfect, all-one-category NULL, drops") {
     // g: i1=(A,A), i2=(A,B), plus a 3-rating item that must drop at
     // modal m=2. S=2, C=9+1=10, (Nm)^2=16: kappa = -1/3.
@@ -1984,6 +2036,45 @@ class ProfileSpec extends SparkSpec {
         if (r.isNullAt(3)) null else r.getLong(3)))).toMap
     assert(got("g") == ((4L, 14L, 1549193L)))
     assert(got("s")._3 == null && got("t")._3 == null)
+  }
+
+  test("cuzickTrend: past-bound overflow FAILS, never a silent NULL") {
+    // 40k rows, two dose arms perfectly separated by value: the
+    // 4e12·d²·n(n−1) numerator overflows decimal(38,0). Under the
+    // sessions' ANSI default this FAILS (NUMERIC_VALUE_OUT_OF_RANGE
+    // at the operator's cast site) — locked here so an overflowed z
+    // can never silently impersonate the degenerate-input NULL.
+    import spark.implicits._
+    val n = 40000L
+    val df = spark.range(n).selectExpr("'big' AS g",
+      s"CAST(CASE WHEN id < ${n / 2} THEN 0 ELSE 9 END AS BIGINT) AS dose",
+      "CAST(id AS DOUBLE) AS v")
+    val e = intercept[Exception] {
+      Profile.cuzickTrend(df, "g", "dose", "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m =>
+      m.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+        m.contains("cannot be represented as Decimal")))
+  }
+
+  test("matthewsCorr: past-bound overflow FAILS, never a silent NULL") {
+    // 4.6M rows, perfect predictions: num = tp·tn ≈ 5.3e12, so
+    // 4e12·num² ≈ 1.1e38 overflows decimal(38,0) — ANSI must raise,
+    // never a silent NULL impersonating the degenerate-marginal one.
+    val df = spark.range(4600000L).selectExpr("'big' AS g",
+      "id % 2 = 0 AS p", "id % 2 = 0 AS y")
+    val e = intercept[Exception] {
+      Profile.matthewsCorr(df, "g", "p", "y").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m =>
+      m.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+        m.contains("cannot be represented as Decimal")))
   }
 
   test("quadraticKappa: perfect 1e6, checkerboard 0") {

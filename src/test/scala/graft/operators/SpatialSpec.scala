@@ -196,4 +196,30 @@ class SpatialSpec extends SparkSpec {
     assert((0 until 6).forall(i =>
       got(i.toLong).getAs[Long]("cluster") == 0L))
   }
+
+  test("dbscan: maxPerCell guard bounds a hot cell, far structure intact") {
+    // 50 points piled in ONE eps-cell (degenerate density) plus a
+    // clean far triangle. With maxPerCell = 5 the hot cell pairs
+    // only its 5 lowest ids — survivors stay core in one min-id
+    // cluster, capped-out ids lose their edges (demote, the
+    // DOCUMENTED approximation) — and the far cluster is untouched.
+    val hot = (0 until 50).map(i => (i.toLong, 2L + (i % 3), 2L + (i / 3 % 3)))
+    val far = Seq((900L, 5000L, 5000L), (901L, 5003L, 5004L),
+      (902L, 5003L, 5003L))
+    val got = Spatial.dbscan((hot ++ far).toDF("id", "x", "y"),
+        "id", "x", "y", eps = 10, minPts = 3, maxPerCell = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 53)
+    // The 5 survivors (lowest ids 0-4) all pair mutually: core, one
+    // cluster labeled 0.
+    assert((0L to 4L).forall(i =>
+      got(i).getAs[String]("role") == "core" &&
+        got(i).getAs[Long]("cluster") == 0L))
+    // Capped-out points carry no edges at all -> noise.
+    assert((5L until 50L).forall(i =>
+      got(i).getAs[String]("role") == "noise"))
+    assert(Seq(900L, 901L, 902L).forall(i =>
+      got(i).getAs[String]("role") == "core" &&
+        got(i).getAs[Long]("cluster") == 900L))
+  }
 }
