@@ -99,7 +99,17 @@ object ScaleBench {
     // bounded Theil-Sen pair census — bounded groups, expect linear)
     // and the newest delta-prefix machinery (rolling MK: band join +
     // range-partitioned running sum — expect linear in samples).
-    "q380_theil_sen", "q384_rolling_mk")
+    "q380_theil_sen", "q384_rolling_mk",
+    // round-18 additions: the HNSW pair under the fused ≤2-hop
+    // expansion (g ∪ g² per layer — expect build-dominated linear;
+    // the 20-query search side is corpus-independent except the
+    // per-layer adjacency joins) and the end-to-end corpus-refresh
+    // composition (band-join dedup + rule gate + manifest txns +
+    // 16-row-broadcast IVF assignment — every leg linear by
+    // construction; ×f replicas are f independent refreshes sharing
+    // the 16 global centroids, since Offset % 5 = 0 keeps the
+    // landed/batch split identical per replica).
+    "q424_hnsw_build", "q425_hnsw_recall", "q446_corpus_refresh")
 
   /** ScaleBench-only variants. q346's GATE pairs the hyperBall
     * estimate with its exact pair-materializing twin — the twin is
