@@ -3297,11 +3297,13 @@ object Profile {
         round(col(valueCol).cast("double") * lit(1e6)).cast("long")
           .as("__v"),
         col(sideCol).cast("boolean").as("__a"), col(tieCol).as("__t"))
+    // Bounded-heap top-maxN per arm (r18): same selection and order
+    // as the former full-rank-then-filter ((__v, __t) is total per
+    // group), without range-shuffling the whole arm to keep maxN.
     def arm(flag: Boolean, tag: String) = Dedup.truncate(
-      Ranking.groupRank(base.filter(col("__a") === flag)
+      Ranking.groupTopK(base.filter(col("__a") === flag)
         .select(col("__g"), col("__v"), col("__t")),
-        "__g", Seq("__v", "__t"))
-        .filter(col("rank") <= maxN.toLong)
+        Seq("__g"), Seq(col("__v"), col("__t")), maxN)
         .select(col("__g"), col("__v").as(s"__v$tag")))
     val pairs = arm(flag = true, "a").join(arm(flag = false, "b"),
         Seq("__g"))

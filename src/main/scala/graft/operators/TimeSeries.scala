@@ -312,7 +312,11 @@ object TimeSeries {
     *
     * Scale: the pair census is quadratic per group, so rows
     * truncate to the first `maxN` in (idCol, x, y) order — the
-    * [[mannKendall]] bound. Groups with no x-distinct pair are
+    * [[mannKendall]] bound — selected by [[Ranking.groupTopK]]'s
+    * bounded-heap aggregate (map-side combinable, maxN-row state
+    * per group) rather than a full range-exchange rank: at corpus
+    * scale the whole input would otherwise shuffle and sort just to
+    * keep maxN rows per group. Groups with no x-distinct pair are
     * absent. Output: (groupCol, n, n_pairs, slope_micro,
     * intercept_micro). */
   def theilSen(
@@ -324,16 +328,16 @@ object TimeSeries {
       maxN: Int = 512): DataFrame = {
     require(maxN >= 2, "maxN must be at least 2")
     val cur = Dedup.truncate(
-      Ranking.groupRank(
+      Ranking.groupTopK(
         df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
           .select(col(groupCol).as("__g"), col(idCol).as("__id"),
             round(col(xCol).cast("double") * lit(1e6)).cast("long")
               .as("__x"),
             round(col(yCol).cast("double") * lit(1e6)).cast("long")
               .as("__y")),
-        "__g", Seq("__id", "__x", "__y"))
-        .filter(col("rank") <= maxN.toLong)
-        .select(col("__g"), col("rank"), col("__x"), col("__y")))
+        Seq("__g"), Seq(col("__id"), col("__x"), col("__y")), maxN)
+        .select(col("__g"), col("rank").cast("long").as("rank"),
+          col("__x"), col("__y")))
     val a = cur.select(col("__g"), col("rank").as("__ri"),
       col("__x").as("__xi"), col("__y").as("__yi"))
     val b = cur.select(col("__g"), col("rank").as("__rj"),
@@ -1624,16 +1628,21 @@ object TimeSeries {
       valueCol: String,
       maxN: Int = 512): DataFrame = {
     require(maxN >= 2, "maxN must be at least 2")
+    // Bounded-heap top-maxN (r18): the payload __v rides the sort
+    // tuple after the unique (__ts, __id) prefix, so order is
+    // untouched and the whole input never range-shuffles just to
+    // keep maxN rows per key (groupTopK state is maxN rows/group,
+    // map-side combinable).
     val cur = Dedup.truncate(
-      Ranking.groupRank(
+      Ranking.groupTopK(
         df.filter(col(valueCol).isNotNull)
           .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
             col(idCol).as("__id"),
             round(col(valueCol).cast("double") * lit(1e6)).cast("long")
               .as("__v")),
-        "__k", Seq("__ts", "__id"))
-        .filter(col("rank") <= maxN.toLong)
-        .select(col("__k"), col("rank"), col("__v")))
+        Seq("__k"), Seq(col("__ts"), col("__id"), col("__v")), maxN)
+        .select(col("__k"), col("rank").cast("long").as("rank"),
+          col("__v")))
     val a = cur.select(col("__k"), col("rank").as("__ri"),
       col("__v").as("__vi"))
     val b = cur.select(col("__k"), col("rank").as("__rj"),
@@ -2459,10 +2468,13 @@ object TimeSeries {
     require(maxN >= 4 && maxN <= 4096,
       "maxN must be in [4, 4096] — it bounds the quadratic census")
     val base = seriesBase(df, keyCol, tsCol, idCol, valueCol)
+    // Bounded-heap top-maxN — same contract as [[mannKendall]]'s
+    // r18 truncation (payload after the unique sort prefix).
     val ranked = Dedup.truncate(
-      Ranking.groupRank(base, "__k", Seq("__ts", "__id")))
-      .filter(col("rank") <= maxN.toLong)
-      .select(col("__k"), col("rank"), col("__v"))
+      Ranking.groupTopK(base, Seq("__k"),
+        Seq(col("__ts"), col("__id"), col("__v")), maxN)
+        .select(col("__k"), col("rank").cast("long").as("rank"),
+          col("__v")))
     val s1 = ranked.select(col("__k"), (col("rank") - 1L).as("rank"),
       col("__v").as("__v2"))
     val s2 = ranked.select(col("__k"), (col("rank") - 2L).as("rank"),
