@@ -193,16 +193,25 @@ object PlanAudit {
     val f = java.nio.file.Paths.get("BENCH_SCALE.json")
     if (!java.nio.file.Files.exists(f)) return ""
     val js = java.nio.file.Files.readString(f)
+    // The optional rows_kind field (r18, ScaleBench.CensusRows) sits
+    // between rowexp and skipped16 — the regex must tolerate it or
+    // the whole measured section silently vanishes (which is exactly
+    // what happened to the r18-morning regen).
     val entry = ("\"(q[0-9]+[a-z0-9_]*)\":\\{\"t1\":([0-9.]+|null)," +
       "\"t4\":([0-9.]+|null),\"t16\":([0-9.]+|null)," +
       "\"exp4\":(-?[0-9.]+|null),\"exp16\":(-?[0-9.]+|null)," +
       "(?:\"rows1\":([0-9]+|null),\"rows4\":([0-9]+|null)," +
       "\"rows16\":([0-9]+|null),\"rowexp\":(-?[0-9.]+|null),)?" +
+      "(?:\"rows_kind\":\"([a-z_]+)\",)?" +
       "\"skipped16\":(true|false),\"verdict\":\"([a-z+\\-]+)\"").r
     val rows = entry.findAllMatchIn(js).map { m =>
       val rowexp = Option(m.group(10)).getOrElse("—")
+      val rowCell =
+        if (Option(m.group(11)).contains("declared_census"))
+          s"$rowexp (census)"
+        else rowexp
       s"| ${m.group(1)} | ${m.group(2)} | ${m.group(3)} | ${m.group(4)} " +
-        s"| ${m.group(5)} | ${m.group(6)} | $rowexp | ${m.group(12)} |"
+        s"| ${m.group(5)} | ${m.group(6)} | $rowCell | ${m.group(13)} |"
     }.toSeq
     if (rows.isEmpty) return ""
     s"""
@@ -231,6 +240,43 @@ object PlanAudit {
        |`Spatial.proximityJoin(maxPerCell = …)` (deterministic
        |per-cell cap, spec-gated); growing corpora whose geography
        |grows with them (the realistic shape) stay linear.
+       |
+       |Some gates' OUTPUT row count understates the result set the
+       |operator is CONTRACTED to compute — q358_dbscan emits one
+       |row per point (rowexp exactly 1.0 by construction) while
+       |exact DBSCAN must materialize the full eps-graph, which
+       |densifies ~f² under fixed-geography replication.
+       |`ScaleBench.CensusRows` lets such a gate declare the census
+       |its rowexp prices instead (`rows_kind: "declared_census"`,
+       |computed untimed per tier); with it q358's time exponent
+       |(~1.1–1.2) sits far BELOW its census growth (~2.0) — the
+       |operator is sublinear per-edge, verdict output-bound. The
+       |guard for unbounded density is `Spatial.dbscan(maxPerCell)`
+       |(the proximityJoin cap passed through; spec-gated — capped
+       |cells demote deterministically, far structure intact).
+       |
+       |Standing adjudications (r18, VERDICT r17 #4; full-run
+       |exponents carry co-tenant session noise that the targeted
+       |`SPARK_GRAFT_SCALE_ONLY` re-measure in BENCH_SCALE_ONLY.json
+       |removes):
+       |
+       |- **q221_adamic_adar** — full-run exp16 reads 1.0–1.15
+       |  across rounds; the targeted re-measure reads **1.004**.
+       |  The hub cap IS engaged in the gate (`maxDegree = 40`,
+       |  bounding per-part fan-out at 40² pairs), replica universes
+       |  are disjoint (re-keyed ids), and the pair census grows
+       |  exactly ×f (rows16/rows1 = 16.0 in BENCH_SCALE.json) — the
+       |  true result set is provably linear and no quadratic
+       |  mechanism exists; the full-run excess is t1-deflation from
+       |  fixed planning overhead plus session co-tenancy.
+       |- **q346_hyperball** — the ScaleBench override maps events
+       |  onto a FIXED 2000-node universe, so ×16 grows edges 16×
+       |  over the same vertices and every ball densifies. Per-round
+       |  cost = edges × live-registers-per-node, and register fill
+       |  SATURATES at the HLL cap M — cost ≤ edges × M,
+       |  structurally linear in edges. Readings above 1.0 (1.11 at
+       |  r17) are the fill-up transient between tiers; the targeted
+       |  re-measure reads **0.957** and the r18 full run 0.93.
        |
        || query | t1 (s) | t4 (s) | t16 (s) | exp4 | exp16 | rowexp | verdict |
        ||---|---|---|---|---|---|---|---|

@@ -1143,9 +1143,11 @@ object Graph {
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
         .filter(col("__src").isNotNull && col("__dst").isNotNull)
         .distinct())
-    val nodes = Dedup.truncate(
-      e.select(col("__src").as("node"))
-        .union(e.select(col("__dst"))).distinct())
+    // nodes is referenced exactly once (the register seed below) —
+    // keeping it lazy folds the distinct-union into the regs cut's
+    // job instead of paying a separate materialization (r18).
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst"))).distinct()
     var regs = Dedup.truncate(Sketches.hllRegisters(
       nodes, col("node").cast("string"), Seq("node")))
     // Small balls are the common case at low radius, so the Flajolet
