@@ -190,4 +190,13 @@ object TopKAggregate {
     GraftSqlBridge.column(
       TopKRows(GraftSqlBridge.expression(struct(fields: _*)), k)
         .toAggregateExpression())
+
+  /** [[topKStructs]] over a caller-built struct column — the form for
+    * CONDITIONAL collection (`when(cond, struct(...))`: NULL structs
+    * contribute nothing), letting several filtered top-k collections
+    * ride one aggregation. */
+  def topKStructsOf(structCol: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKRows(GraftSqlBridge.expression(structCol), k)
+        .toAggregateExpression())
 }

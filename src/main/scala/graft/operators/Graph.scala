@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics over edge tables — the crawl-prioritization
@@ -1094,7 +1095,8 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxR: Int): DataFrame = {
+      maxR: Int,
+      denseCap: Int = 32768): DataFrame = {
     require(maxR >= 0 && maxR <= 6, "maxR must be in [0, 6]")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -1102,19 +1104,69 @@ object Graph {
       edges.select(col(srcCol).as("__x"), col(dstCol).as("__w"))
         .filter(col("__x").isNotNull && col("__w").isNotNull)
         .distinct())
-    var reach = Dedup.truncate(
+    val nodes = Dedup.truncate(
       e.select(col("__x").as("node"))
-        .union(e.select(col("__w"))).distinct()
-        .select(col("node").as("__u"), col("node").as("__w")))
+        .union(e.select(col("__w"))).distinct())
+    val n = nodes.count()
     val counts = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-    counts += ((0L, reach.count()))
-    for (r <- 1 to maxR) {
-      reach = Dedup.truncate(
-        reach.union(
-            reach.join(e, reach("__w") === e("__x"))
-              .select(col("__u"), e("__w")))
-          .distinct())
-      counts += ((r.toLong, reach.count()))
+    counts += ((0L, n))
+    if (n <= denseCap.toLong && maxR >= 1) {
+      // Dense-ordinal bitset census (r18, guide §2.4): for a node
+      // universe this form is FOR (the oracle-twin calibration graph),
+      // each node's reach set is an n-bit bitmap sharded as (node,
+      // word, bits64) rows — |B_r| is sum(bit_count(bits)), exact by
+      // construction, and a round is one equi-join routing ~popcount/64
+      // words per edge + one bit_or aggregate, instead of
+      // materializing and DISTINCT-ing the full pair set every round.
+      // Ordinals come from one n-row sort (n ≤ denseCap by the guard).
+      val ord = Dedup.truncate(nodes.select(col("node"),
+        (row_number().over(Window.orderBy(col("node"))) - 1)
+          .cast("long").as("__o")))
+      val oe = Dedup.truncate(e
+        .join(ord.select(col("node").as("__x"), col("__o").as("__su")),
+          Seq("__x"))
+        .join(ord.select(col("node").as("__w"), col("__o").as("__du")),
+          Seq("__w"))
+        .select(col("__su"), col("__du")))
+      var reach = Dedup.truncate(ord.select(col("__o").as("__u"),
+        expr("__o div 64").as("__word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__o, 64) AS INT))")
+          .as("__bits")))
+      var sums: DataFrame = null
+      for (r <- 1 to maxR) {
+        val prop = oe
+          .join(reach.select(col("__u").as("__du"), col("__word"),
+            col("__bits")), Seq("__du"))
+          .select(col("__su").as("__u"), col("__word"), col("__bits"))
+        reach = Dedup.truncate(
+          prop.union(reach.select(col("__u"), col("__word"),
+              col("__bits")))
+            .groupBy(col("__u"), col("__word"))
+            .agg(expr("bit_or(__bits)").as("__bits")))
+        // Every round's reach is already pinned; defer all popcount
+        // sums to ONE job instead of one collect per round.
+        val s = reach
+          .agg(sum(bit_count(col("__bits")).cast("long")).as("__p"))
+          .select(lit(r.toLong).as("__r"), col("__p"))
+        sums = if (sums == null) s else sums.unionByName(s)
+      }
+      sums.orderBy(col("__r")).collect().foreach(row =>
+        counts += ((row.getLong(0), row.getLong(1))))
+    } else {
+      // Generic pair-set form for universes past the bitmap cap —
+      // the original quadratic materialization (this exact operator
+      // is inherently pair-census sized; [[hyperBall]] is the
+      // at-scale answer).
+      var reach = Dedup.truncate(
+        nodes.select(col("node").as("__u"), col("node").as("__w")))
+      for (r <- 1 to maxR) {
+        reach = Dedup.truncate(
+          reach.union(
+              reach.join(e, reach("__w") === e("__x"))
+                .select(col("__u"), e("__w")))
+            .distinct())
+        counts += ((r.toLong, reach.count()))
+      }
     }
     counts.toSeq.toDF("r", "n_pairs")
   }
@@ -1143,35 +1195,44 @@ object Graph {
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
         .filter(col("__src").isNotNull && col("__dst").isNotNull)
         .distinct())
-    // nodes is referenced exactly once (the register seed below) —
-    // keeping it lazy folds the distinct-union into the regs cut's
-    // job instead of paying a separate materialization (r18).
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst"))).distinct()
-    var regs = Dedup.truncate(Sketches.hllRegisters(
-      nodes, col("node").cast("string"), Seq("node")))
-    // Small balls are the common case at low radius, so the Flajolet
-    // linear-counting correction is load-bearing here: raw < 2.5·M
-    // with V zero registers reads the driver-computed literal table.
-    val lc = array(Sketches.hllLinearCountTable.map(lit): _*)
-    def estimates(r: Int) = Sketches.hllEstimate(regs, Seq("node"))
-      .withColumn("__v",
-        (lit(Sketches.M.toLong) - col("n_buckets")).cast("int"))
-      .select(lit(r.toLong).as("r"), col("node"),
-        when(col("__v") > 0 &&
-            col("estimate") < lit(2.5 * Sketches.M),
-          element_at(lc, col("__v")))
-          .otherwise(round(col("estimate")).cast("long"))
-          .as("reach_est"))
+    // Packed register state (r18, guide §2.3): the 64 registers of a
+    // node pack into ONE 64-byte binary cell (mj ≤ 55 fits a byte),
+    // so each round's "union your neighbors' balls" joins edges ×
+    // ONE row against a node-sized table and max-merges with a
+    // constant-state bytewise-max aggregate — instead of routing
+    // edges × 64 register ROWS through every round's exchange. The
+    // packed state, merge, and estimate are bit-equivalent to the
+    // (node, j, mj) row form ([[graft.functions.HllPacked]]); the
+    // seed vector is exact because a single node is one element:
+    // its register set is one (j, rank) pair.
+    val h = graft.functions.TextFunctions.hash60(
+      col("node").cast("string"))
+    var regs = Dedup.truncate(nodes
+      .withColumn("__h", h)
+      .withColumn("__j", pmod(col("__h"), lit(Sketches.M.toLong)))
+      .withColumn("__w", expr(s"__h div ${Sketches.M}"))
+      .select(col("node"), graft.functions.HllPacked.hllPackOne(
+        col("__j"),
+        when(col("__w") === 0, lit(Sketches.MaxRank.toLong))
+          .otherwise(lit(Sketches.MaxRank.toLong) -
+            length(bin(col("__w"))))).as("__regs")))
+    def estimates(r: Int) = regs.select(lit(r.toLong).as("r"),
+      col("node"),
+      graft.functions.HllPacked.hllEstimatePacked(col("__regs"))
+        .as("reach_est"))
     var out = estimates(0)
     for (r <- 1 to maxR) {
       val prop = regs
         .join(e.select(col("__src"), col("__dst").as("node")),
           Seq("node"))
-        .select(col("__src").as("node"), col("j"), col("mj"))
+        .select(col("__src").as("node"), col("__regs"))
       regs = Dedup.truncate(
-        prop.union(regs.select(col("node"), col("j"), col("mj")))
-          .groupBy(col("node"), col("j")).agg(max(col("mj")).as("mj")))
+        prop.union(regs.select(col("node"), col("__regs")))
+          .groupBy(col("node"))
+          .agg(graft.functions.HllPacked.byteMax(col("__regs"))
+            .as("__regs")))
       out = out.unionByName(estimates(r))
     }
     out

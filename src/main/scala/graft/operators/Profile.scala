@@ -3297,37 +3297,29 @@ object Profile {
         round(col(valueCol).cast("double") * lit(1e6)).cast("long")
           .as("__v"),
         col(sideCol).cast("boolean").as("__a"), col(tieCol).as("__t"))
-    // Bounded-heap top-maxN per arm (r18): same selection and order
-    // as the former full-rank-then-filter ((__v, __t) is total per
-    // group), without range-shuffling the whole arm to keep maxN.
-    def arm(flag: Boolean, tag: String) = Dedup.truncate(
-      Ranking.groupTopK(base.filter(col("__a") === flag)
-        .select(col("__g"), col("__v"), col("__t")),
-        Seq("__g"), Seq(col("__v"), col("__t")), maxN)
-        .select(col("__g"), col("__v").as(s"__v$tag")))
-    val pairs = arm(flag = true, "a").join(arm(flag = false, "b"),
-        Seq("__g"))
-      .select(col("__g"), (col("__va") - col("__vb")).as("__d"))
-    val agg = pairs.groupBy(col("__g"))
-      .agg(count(lit(1)).as("__m"),
-        sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("__gt"),
-        sum(when(col("__d") < 0L, 1L).otherwise(0L)).as("__lt"))
-    val w = Window.partitionBy(col("__g")).orderBy(col("__d"))
-    val med = pairs.withColumn("__rn", row_number().over(w))
-      .join(agg.select(col("__g"),
-        floor((col("__m") + 1L) / 2L).cast("long").as("__mid")),
-        Seq("__g"))
-      .filter(col("__rn") === col("__mid"))
-      .select(col("__g"), col("__d").as("hl_micro"))
-    val na = arm(flag = true, "a").groupBy(col("__g"))
-      .agg(count(lit(1)).as("n_a"))
-    val nb = arm(flag = false, "b").groupBy(col("__g"))
-      .agg(count(lit(1)).as("n_b"))
-    agg.join(med, Seq("__g")).join(na, Seq("__g")).join(nb, Seq("__g"))
-      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
-        col("hl_micro"),
-        round(lit(1e6) * (col("__gt") - col("__lt")).cast("double") /
-          col("__m").cast("double")).cast("long").as("cliffs_micro"))
+    // BOTH arms' bounded heaps ride ONE aggregation (r18: the former
+    // per-arm groupTopK ran the selection four times — twice per arm
+    // — and the cross join + window sort shuffled every pair row);
+    // the cross-arm census (differences, dominance counts, HL LOW
+    // median) is one in-task kernel over the two ≤ maxN arrays, same
+    // (__v, __t) selection order, all exact integers (guide §2.3/2.4).
+    def armK(flag: Boolean) = graft.functions.TopKAggregate
+      .topKStructsOf(when(col("__a") === flag,
+        struct(col("__v"), col("__t"))), maxN)
+    val series = base.groupBy(col("__g"))
+      .agg(armK(flag = true).as("__sa"), armK(flag = false).as("__sb"))
+    series
+      .select(col("__g"),
+        graft.functions.SeriesKernels.hodgesLehmannStats(
+          transform(col("__sa"), e => e.getField("__v")),
+          transform(col("__sb"), e => e.getField("__v"))).as("__st"))
+      .filter(col("__st").isNotNull)
+      .select(col("__g").as(groupCol),
+        col("__st.n_a").as("n_a"), col("__st.n_b").as("n_b"),
+        col("__st.hl_micro").as("hl_micro"),
+        round(lit(1e6) *
+          (col("__st.gt") - col("__st.lt")).cast("double") /
+          col("__st.m").cast("double")).cast("long").as("cliffs_micro"))
   }
 
   /** Bartlett's test of equal variances per group — the

@@ -658,39 +658,32 @@ object Ranking {
       idCol: String,
       maxN: Int = 512): DataFrame = {
     require(maxN >= 2, "maxN must be at least 2")
-    val dec = "decimal(38,0)"
-    val cur = Dedup.truncate(
-      groupRank(df
-        .filter(col(xCol).isNotNull && col(yCol).isNotNull)
-        .select(col(groupCol).as("__g"), col(idCol).as("__id"),
-          round(col(xCol).cast("double") * lit(1e6)).cast("long")
-            .as("__x"),
-          round(col(yCol).cast("double") * lit(1e6)).cast("long")
-            .as("__y")),
-        // (x, y) break idCol ties so the truncation SET is total-
-        // order-defined even when the caller's id collides; full-row
-        // duplicates at the cut keep cd invariant either way.
-        "__g", Seq("__id", "__x", "__y"))
-        .filter(col("rank") <= maxN.toLong)
-        .select(col("__g"), col("rank"), col("__x"), col("__y")))
-    val a = cur.select(col("__g"), col("rank").as("__ri"),
-      col("__x").as("__xi"), col("__y").as("__yi"))
-    val b = cur.select(col("__g"), col("rank").as("__rj"),
-      col("__x").as("__xj"), col("__y").as("__yj"))
-    val cd = a.join(b, Seq("__g")).filter(col("__ri") < col("__rj"))
+    // One bounded-heap aggregation selects the same first-maxN set
+    // ((__id, __x, __y) is total per group, NULLS-FIRST like the
+    // former groupRank) and the whole pair census — cd and both tie
+    // counts, all exact integers — runs as ONE in-task kernel over
+    // the collected series (r18: range exchange + pair self-join +
+    // three aggregations → one bounded-state shuffle; guide §2.3/§2.4).
+    val series = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        round(col(xCol).cast("double") * lit(1e6)).cast("long")
+          .as("__x"),
+        round(col(yCol).cast("double") * lit(1e6)).cast("long")
+          .as("__y"))
       .groupBy(col("__g"))
-      .agg(sum(signum(col("__xj") - col("__xi")).cast("long") *
-        signum(col("__yj") - col("__yi")).cast("long")).as("cd"))
-    def tiePairs(c: String, out: String) = cur
-      .groupBy(col("__g"), col(c)).agg(count(lit(1)).as("__t"))
-      .groupBy(col("__g"))
-      .agg(sum(col("__t") * (col("__t") - 1L) / lit(2L))
-        .cast("long").as(out))
-    val nAgg = cur.groupBy(col("__g")).agg(count(lit(1)).as("n"))
-      .withColumn("__n0", col("n") * (col("n") - 1L) / lit(2L))
-    nAgg.join(cd, Seq("__g"))
-      .join(tiePairs("__x", "__t1"), Seq("__g"))
-      .join(tiePairs("__y", "__t2"), Seq("__g"))
+      .agg(graft.functions.TopKAggregate.topKStructs(
+        Seq(col("__id"), col("__x"), col("__y")), maxN).as("__s"))
+    series
+      .select(col("__g"),
+        graft.functions.SeriesKernels.kendallTauStats(
+          transform(col("__s"), e => e.getField("__x")),
+          transform(col("__s"), e => e.getField("__y"))).as("__st"))
+      .filter(col("__st").isNotNull)
+      .select(col("__g"), col("__st.n").as("n"),
+        col("__st.cd").as("cd"),
+        col("__st.t1").as("__t1"), col("__st.t2").as("__t2"),
+        (col("__st.n") * (col("__st.n") - 1L) / lit(2L)).as("__n0"))
       .select(col("__g").as(groupCol), col("n"), col("cd"),
         when(col("__n0") > col("__t1") && col("__n0") > col("__t2"),
           round(lit(1e6) * col("cd").cast("double") /

@@ -60,24 +60,32 @@ object Spatial {
             col("__y").as("__y")), maxPerCell)
         .select(col("__id"), col("__x"), col("__y"),
           col("__cx"), col("__cy"))
-    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
-      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    // Each unordered cell pair is enumerated ONCE via the four
+    // positive-direction offsets (plus (0,0) for in-cell pairs,
+    // deduped by id order) — half the candidate volume of the naive
+    // 9-offset probe, same output set (r18, guide §2.3: the a < b
+    // filter after a 9-way explode threw away half the joined rows).
+    val offsets = array(Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (1L, -1L)).map { case (dx, dy) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)
     val probe = base
       .select(col("__id").as("a"), col("__x").as("ax"),
         col("__y").as("ay"), col("__cx"), col("__cy"),
         explode(offsets).as("__o"))
       .select(col("a"), col("ax"), col("ay"),
+        (col("__o.dx") =!= 0L || col("__o.dy") =!= 0L).as("__cross"),
         (col("__cx") + col("__o.dx")).as("cx"),
         (col("__cy") + col("__o.dy")).as("cy"))
     val build = base.select(col("__id").as("b"), col("__x").as("bx"),
       col("__y").as("by"), col("__cx").as("cx"), col("__cy").as("cy"))
     probe.join(build, Seq("cx", "cy"))
-      .filter(col("a") < col("b"))
+      .filter(col("__cross") || col("a") < col("b"))
       .withColumn("d2",
         (col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by")))
       .filter(col("d2") <= lit(radius * radius))
-      .select(col("a"), col("b"), col("d2"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("d2"))
   }
 
   /** Nearest neighbor WITHIN `radius` for EVERY point — the bounded-
@@ -510,7 +518,50 @@ object Spatial {
         Seq("b"), "left")
       .select(coalesce(col("__la"), col("a")).as("la"),
         coalesce(col("__lb"), col("b")).as("lb"))
-    val boundary = Dedup.connectedComponents(bEdges, "la", "lb", maxIter)
+    // The boundary graph is piece-label sized — above percolation
+    // roughly the coarse-cell adjacency graph — while the distributed
+    // min-label fixpoint pays ~5 jobs per pointer-jump round no
+    // matter how small the graph is (measured: most of q358's wall
+    // clock at sf0.1 was fixpoint job overhead on a few-thousand-edge
+    // boundary graph). Guarded driver union-find (r18): after the
+    // dedup the edge count is MEASURED, and only a boundary graph
+    // under the cap is collected — the driver does bounded work by
+    // construction, identical min-id labels; larger boundary graphs
+    // keep the distributed fixpoint unchanged.
+    val bDistinct = Dedup.truncate(
+      bEdges.filter(col("la") =!= col("lb")).distinct())
+    val nBoundary = bDistinct.count()
+    val boundary = if (nBoundary <= 1000000L) {
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        if (!parent.containsKey(x)) { parent.put(x, x); x }
+        else {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != r) {
+            val n = parent.get(c); parent.put(c, r); c = n
+          }
+          r
+        }
+      }
+      bDistinct.collect().foreach { row =>
+        val ra = find(row.get(0))
+        val rb = find(row.get(1))
+        if (ra != rb) {
+          if (ra.asInstanceOf[Comparable[Any]].compareTo(rb) <= 0)
+            parent.put(rb, ra)
+          else parent.put(ra, rb)
+        }
+      }
+      val out = parent.keySet().toArray.toSeq
+        .map(k => org.apache.spark.sql.Row(k, find(k)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component", idType))))
+    } else Dedup.connectedComponents(bDistinct, "la", "lb", maxIter)
     coreCells.select(col("__id"))
       .join(local.select(col("__lid").as("__id"), col("__lab")),
         Seq("__id"), "left")

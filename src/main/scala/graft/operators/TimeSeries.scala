@@ -327,52 +327,33 @@ object TimeSeries {
       idCol: String,
       maxN: Int = 512): DataFrame = {
     require(maxN >= 2, "maxN must be at least 2")
-    val cur = Dedup.truncate(
-      Ranking.groupTopK(
-        df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-          .select(col(groupCol).as("__g"), col(idCol).as("__id"),
-            round(col(xCol).cast("double") * lit(1e6)).cast("long")
-              .as("__x"),
-            round(col(yCol).cast("double") * lit(1e6)).cast("long")
-              .as("__y")),
-        Seq("__g"), Seq(col("__id"), col("__x"), col("__y")), maxN)
-        .select(col("__g"), col("rank").cast("long").as("rank"),
-          col("__x"), col("__y")))
-    val a = cur.select(col("__g"), col("rank").as("__ri"),
-      col("__x").as("__xi"), col("__y").as("__yi"))
-    val b = cur.select(col("__g"), col("rank").as("__rj"),
-      col("__x").as("__xj"), col("__y").as("__yj"))
-    val slopes = a.join(b, Seq("__g"))
-      .filter(col("__ri") < col("__rj") && col("__xi") =!= col("__xj"))
+    // One bounded-heap aggregation collects each group's first-maxN
+    // (x, y) series; slope census, slope median, residuals, and
+    // intercept median all run as ONE in-task kernel over the
+    // collected arrays ([[graft.functions.SeriesKernels.TheilSenStats]],
+    // identical float steps) instead of the pair self-join + two
+    // range-exchange window sorts (r18, guide §2.3/§2.4).
+    val series = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        round(col(xCol).cast("double") * lit(1e6)).cast("long")
+          .as("__x"),
+        round(col(yCol).cast("double") * lit(1e6)).cast("long")
+          .as("__y"))
+      .filter(col("__id").isNotNull)
+      .groupBy(col("__g"))
+      .agg(graft.functions.TopKAggregate.topKStructs(
+        Seq(col("__id"), col("__x"), col("__y")), maxN).as("__series"))
+    series
       .select(col("__g"),
-        round(lit(1e6) * (col("__yj") - col("__yi")).cast("double") /
-          (col("__xj") - col("__xi")).cast("double")).cast("long")
-          .as("__s"))
-    val m = slopes.groupBy(col("__g")).agg(count(lit(1)).as("n_pairs"))
-    val ws = Window.partitionBy(col("__g")).orderBy(col("__s"))
-    val slope = slopes.withColumn("__rn", row_number().over(ws))
-      .join(m.select(col("__g"),
-        floor((col("n_pairs") + 1L) / 2L).cast("long").as("__mid")),
-        Seq("__g"))
-      .filter(col("__rn") === col("__mid"))
-      .select(col("__g"), col("__s").as("slope_micro"))
-    val resid = cur.join(slope, Seq("__g"))
-      .select(col("__g"), col("slope_micro"),
-        (col("__y") - round(col("slope_micro").cast("double") *
-          col("__x").cast("double") / lit(1e6)).cast("long"))
-          .as("__r"))
-    val nPer = cur.groupBy(col("__g")).agg(count(lit(1)).as("n"))
-    val wr = Window.partitionBy(col("__g")).orderBy(col("__r"))
-    val intercept = resid.withColumn("__rn", row_number().over(wr))
-      .join(nPer.select(col("__g"),
-        floor((col("n") + 1L) / 2L).cast("long").as("__mid")),
-        Seq("__g"))
-      .filter(col("__rn") === col("__mid"))
-      .select(col("__g"), col("__r").as("intercept_micro"))
-    nPer.join(m, Seq("__g")).join(slope, Seq("__g"))
-      .join(intercept, Seq("__g"))
-      .select(col("__g").as(groupCol), col("n"), col("n_pairs"),
-        col("slope_micro"), col("intercept_micro"))
+        graft.functions.SeriesKernels.theilSenStats(
+          transform(col("__series"), e => e.getField("__x")),
+          transform(col("__series"), e => e.getField("__y")))
+          .as("__st"))
+      .filter(col("__st").isNotNull)
+      .select(col("__g").as(groupCol), col("__st.n").as("n"),
+        col("__st.n_pairs").as("n_pairs"),
+        col("__st.slope_micro").as("slope_micro"),
+        col("__st.intercept_micro").as("intercept_micro"))
   }
 
   /** Cox proportional-hazards ONE-STEP estimate for a binary
@@ -1612,10 +1593,12 @@ object TimeSeries {
     * after ordering) — the per-key cost is then a hard maxN²/2 bound
     * regardless of how hot the key is, and `n` in the output shows
     * exactly what was used (n == maxN ⇒ truncation happened; window
-    * or resample upstream for a longer memory). The self-join is an
-    * equi-join on the key; everything downstream is key-census
-    * sized. Keys with fewer than 2 usable points are absent; an
-    * all-tied series reports s_stat 0, var18 0, NULL z, NULL trend.
+    * or resample upstream for a longer memory). One bounded-heap
+    * aggregation (≤ maxN rows of state per group) is the only
+    * shuffle; the census itself is an in-task kernel over the
+    * collected series. Keys with fewer than 2 usable points are
+    * absent; an all-tied series reports s_stat 0, var18 0, NULL z,
+    * NULL trend.
     *
     * Output: (keyCol, n, s_stat, var18, sen_micro, z_micro, trend)
     * with trend ∈ {−1, 0, 1} at the two-sided 5% gate
@@ -1628,47 +1611,34 @@ object TimeSeries {
       valueCol: String,
       maxN: Int = 512): DataFrame = {
     require(maxN >= 2, "maxN must be at least 2")
-    // Bounded-heap top-maxN (r18): the payload __v rides the sort
-    // tuple after the unique (__ts, __id) prefix, so order is
-    // untouched and the whole input never range-shuffles just to
-    // keep maxN rows per key (groupTopK state is maxN rows/group,
-    // map-side combinable).
-    val cur = Dedup.truncate(
-      Ranking.groupTopK(
-        df.filter(col(valueCol).isNotNull)
-          .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
-            col(idCol).as("__id"),
-            round(col(valueCol).cast("double") * lit(1e6)).cast("long")
-              .as("__v")),
-        Seq("__k"), Seq(col("__ts"), col("__id"), col("__v")), maxN)
-        .select(col("__k"), col("rank").cast("long").as("rank"),
-          col("__v")))
-    val a = cur.select(col("__k"), col("rank").as("__ri"),
-      col("__v").as("__vi"))
-    val b = cur.select(col("__k"), col("rank").as("__rj"),
-      col("__v").as("__vj"))
-    val pairs = a.join(b, Seq("__k")).filter(col("__ri") < col("__rj"))
-      .select(col("__k"),
-        signum(col("__vj") - col("__vi")).cast("long").as("__sgn"),
-        round((col("__vj") - col("__vi")).cast("double") /
-          (col("__rj") - col("__ri")).cast("double")).cast("long")
-          .as("__slope"))
-    val sAgg = pairs.groupBy(col("__k"))
-      .agg(sum(col("__sgn")).as("s_stat"),
-        count(lit(1)).as("__m"))
-    val w = Window.partitionBy(col("__k")).orderBy(col("__slope"))
-    val sen = pairs.withColumn("__rn", row_number().over(w))
-      .join(sAgg.select(col("__k"),
-        floor((col("__m") + 1L) / 2L).cast("long").as("__mid")),
-        Seq("__k"))
-      .filter(col("__rn") === col("__mid"))
-      .select(col("__k"), col("__slope").as("sen_micro"))
-    val nAgg = cur.groupBy(col("__k")).agg(count(lit(1)).as("n"))
-    val ties = cur.groupBy(col("__k"), col("__v"))
-      .agg(count(lit(1)).as("__t"))
+    // One bounded-heap aggregation collects each key's first-maxN
+    // series (state ≤ maxN rows/group, map-side combinable); the
+    // whole quadratic pair census — S, tie correction, Sen's median —
+    // then runs as ONE in-task kernel over the collected values
+    // ([[graft.functions.SeriesKernels.MannKendallStats]], identical
+    // float steps) instead of materializing + shuffling the maxN²/2
+    // pair rows per key and paying a second range-exchange sort for
+    // the slope median (r18: 2 shuffles + 1 sort exchange → 1
+    // bounded-state shuffle; guide §2.3/§2.4).
+    val series = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+          .as("__v"))
+      .filter(col("__ts").isNotNull)
       .groupBy(col("__k"))
-      .agg(sum(col("__t") * (col("__t") - 1L) *
-        (lit(2L) * col("__t") + 5L)).as("__tie18"))
+      .agg(graft.functions.TopKAggregate.topKStructs(
+        Seq(col("__ts"), col("__id"), col("__v")), maxN).as("__series"))
+    val stats = series
+      .select(col("__k"),
+        graft.functions.SeriesKernels.mannKendallStats(
+          transform(col("__series"), e => e.getField("__v")))
+          .as("__st"))
+      .filter(col("__st").isNotNull)
+      .select(col("__k"), col("__st.n").as("n"),
+        col("__st.s_stat").as("s_stat"),
+        col("__st.tie18").as("__tie18"),
+        col("__st.sen_micro").as("sen_micro"))
     val zExpr = {
       val sd = sqrt(col("var18").cast("double") / lit(18.0))
       when(col("var18") > 0L,
@@ -1677,8 +1647,7 @@ object TimeSeries {
             signum(col("s_stat")).cast("double")) / sd).cast("long"))
         .otherwise(lit(null).cast("long"))
     }
-    nAgg.join(ties, Seq("__k")).join(sAgg, Seq("__k"))
-      .join(sen, Seq("__k"))
+    stats
       .withColumn("var18",
         col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
           col("__tie18"))
