@@ -39,7 +39,11 @@ object BenchIsolated {
     "q425_hnsw_recall", "q424_hnsw_build", "q174_proximity_join",
     // r18 additions (VERDICT r17 #1): the two largest in-suite
     // regressions of r17, unadjudicated until isolated.
-    "q383_nsw_recall", "q384_rolling_mk")
+    "q383_nsw_recall", "q384_rolling_mk",
+    // r18 optimization-round movers: keep isolated baselines fresh
+    // for the kernel/bitset/driver-UF rewrites.
+    "q346_neighborhood", "q350_mann_kendall", "q358_dbscan",
+    "q361_hodges_lehmann", "q366_kendall_tau", "q376_item_knn_recs")
 
   private def freshSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

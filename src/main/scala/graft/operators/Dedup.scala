@@ -372,7 +372,8 @@ object Dedup {
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      driverCap: Long = 1000000L): DataFrame = {
     // Materialize the (symmetrized, DEDUPLICATED) edge list once — it
     // is re-joined every round, and `edges` may be an arbitrarily
     // expensive upstream pipeline (e.g. the full MinHash near-dup
@@ -385,6 +386,68 @@ object Dedup {
     val sym = truncate(edges.select(col(aCol).as("x"), col(bCol).as("y"))
       .union(edges.select(col(bCol).as("x"), col(aCol).as("y")))
       .distinct())
+    // Guarded driver union-find (r18): each pointer-jump round costs
+    // ~5 jobs no matter how small the deduplicated graph is, and in
+    // the near-dup/linkage gates the edge set is pair-census sized —
+    // job overhead dominated the fixpoint. The MEASURED row count
+    // (sym is already pinned; the count is a cheap scan) bounds the
+    // driver work by construction; larger graphs keep the fixpoint
+    // unchanged (its convergence contract included). Only id types
+    // whose JVM order provably equals Spark's column order take the
+    // fast path — integral ids naturally, strings via UTF8String's
+    // unsigned-byte comparator (java.lang.String.compareTo is UTF-16
+    // code-unit order, which DIVERGES on supplementary characters).
+    val idOrd: Option[java.util.Comparator[Any]] =
+      sym.schema("x").dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.BooleanType =>
+          Some((a: Any, b: Any) =>
+            a.asInstanceOf[Comparable[Any]].compareTo(b))
+        case org.apache.spark.sql.types.StringType =>
+          Some((a: Any, b: Any) =>
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(a.asInstanceOf[String])
+              .compareTo(org.apache.spark.unsafe.types.UTF8String
+                .fromString(b.asInstanceOf[String])))
+        case _ => None
+      }
+    if (idOrd.isDefined && driverCap > 0L && sym.count() <= driverCap) {
+      val cmp = idOrd.get
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(v: Any): Any = {
+        if (!parent.containsKey(v)) { parent.put(v, v); v }
+        else {
+          var r = v
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = v
+          while (parent.get(c) != r) {
+            val n = parent.get(c); parent.put(c, r); c = n
+          }
+          r
+        }
+      }
+      sym.collect().foreach { row =>
+        val ra = find(row.get(0))
+        val rb = find(row.get(1))
+        if (ra != rb) {
+          if (cmp.compare(ra, rb) <= 0) parent.put(rb, ra)
+          else parent.put(ra, rb)
+        }
+      }
+      val spark = edges.sparkSession
+      val idType = sym.schema("x").dataType
+      val rows = parent.keySet().toArray.toSeq
+        .map(k => org.apache.spark.sql.Row(k, find(k)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows,
+          math.max(1, math.min(rows.size / 50000, 32))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component", idType))))
+    }
     var labels = truncate(sym.select(col("x").as("id")).distinct()
       .withColumn("label", col("id")))
     var changed = 1L

@@ -518,50 +518,12 @@ object Spatial {
         Seq("b"), "left")
       .select(coalesce(col("__la"), col("a")).as("la"),
         coalesce(col("__lb"), col("b")).as("lb"))
-    // The boundary graph is piece-label sized — above percolation
-    // roughly the coarse-cell adjacency graph — while the distributed
-    // min-label fixpoint pays ~5 jobs per pointer-jump round no
-    // matter how small the graph is (measured: most of q358's wall
-    // clock at sf0.1 was fixpoint job overhead on a few-thousand-edge
-    // boundary graph). Guarded driver union-find (r18): after the
-    // dedup the edge count is MEASURED, and only a boundary graph
-    // under the cap is collected — the driver does bounded work by
-    // construction, identical min-id labels; larger boundary graphs
-    // keep the distributed fixpoint unchanged.
-    val bDistinct = Dedup.truncate(
-      bEdges.filter(col("la") =!= col("lb")).distinct())
-    val nBoundary = bDistinct.count()
-    val boundary = if (nBoundary <= 1000000L) {
-      val parent = new java.util.HashMap[Any, Any]()
-      def find(x: Any): Any = {
-        if (!parent.containsKey(x)) { parent.put(x, x); x }
-        else {
-          var r = x
-          while (parent.get(r) != r) r = parent.get(r)
-          var c = x
-          while (parent.get(c) != r) {
-            val n = parent.get(c); parent.put(c, r); c = n
-          }
-          r
-        }
-      }
-      bDistinct.collect().foreach { row =>
-        val ra = find(row.get(0))
-        val rb = find(row.get(1))
-        if (ra != rb) {
-          if (ra.asInstanceOf[Comparable[Any]].compareTo(rb) <= 0)
-            parent.put(rb, ra)
-          else parent.put(ra, rb)
-        }
-      }
-      val out = parent.keySet().toArray.toSeq
-        .map(k => org.apache.spark.sql.Row(k, find(k)))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", idType),
-          org.apache.spark.sql.types.StructField("component", idType))))
-    } else Dedup.connectedComponents(bDistinct, "la", "lb", maxIter)
+    // [[Dedup.connectedComponents]] dedups the boundary graph and —
+    // since r18 — runs a size-guarded driver union-find when the
+    // deduplicated graph is small (the measured q358 case: a few
+    // thousand piece-label edges paying ~5 jobs per pointer-jump
+    // round), falling back to the distributed fixpoint above the cap.
+    val boundary = Dedup.connectedComponents(bEdges, "la", "lb", maxIter)
     coreCells.select(col("__id"))
       .join(local.select(col("__lid").as("__id"), col("__lab")),
         Seq("__id"), "left")

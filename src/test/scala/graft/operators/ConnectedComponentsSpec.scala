@@ -24,11 +24,34 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("pointer jumping converges a chain far longer than maxIter rounds") {
     // Diameter 199 ≫ default maxIter 20: plain min-propagation would
     // throw; the label-of-label jump collapses distance 2d+1 per round
-    // so this needs only ~8 rounds.
+    // so this needs only ~8 rounds. driverCap = 0 forces the
+    // DISTRIBUTED fixpoint (the r18 guarded driver union-find would
+    // otherwise absorb a graph this small), keeping the at-scale path
+    // under test.
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
-    val out = Dedup.connectedComponents(chain, "a", "b")
+    val out = Dedup.connectedComponents(chain, "a", "b", driverCap = 0L)
       .as[(Long, Long)].collect()
     assert(out.length == 200 && out.forall(_._2 == 1L))
+  }
+
+  test("driver fast path and distributed fixpoint agree (longs and strings)") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 20L)).toDF("a", "b")
+    val fast = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(edges, "a", "b", driverCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist)
+    // String ids compare in UTF8 byte order on both paths.
+    val sedges = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("a", "b")
+    val sfast = Dedup.connectedComponents(sedges, "a", "b")
+      .as[(String, String)].collect().toMap
+    val sdist = Dedup.connectedComponents(sedges, "a", "b",
+        driverCap = 0L)
+      .as[(String, String)].collect().toMap
+    assert(sfast == sdist)
+    assert(sfast == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
   }
 
   test("reliable-checkpoint mode writes durable checkpoints and agrees with local mode") {
