@@ -111,12 +111,12 @@ object PlanAudit {
     "q209_cusum" -> "per-user window (bounded group; cumsum + running-min, scale twin: groupRunningSum)",
     "q291_attribution" -> "per-user window (bounded group; running last-non-null touch, the asOfJoin shape)",
     "q311_interleave_order" -> "global-rank offsets window over the (partition × 1 group) census — 32 metadata rows, not data (the groupRank machinery with a constant group)",
-    "q350_mann_kendall" -> "per-key windows over the maxN-BOUNDED pair census (≤ maxN²/2 rows/key by construction) — the Sen-median selection",
+    "q350_mann_kendall" -> "maxN-bounded pair census as ONE in-task kernel over the heap-collected series (r18; no pair rows, no window)",
     "q354_runs_test" -> "per-key kept-row re-rank via groupRank twins; remaining windows ride the range-partitioned prefix",
     "q359_markov_attribution" -> "per-user window (bounded group; journey lead needs order only)",
-    "q361_hodges_lehmann" -> "per-group window over the maxN-BOUNDED pair census (≤ maxN² rows/group) — the HL-median selection",
-    "q366_kendall_tau" -> "maxN-bounded pair census (≤ maxN²/2 rows/group) — the tau concordance fold",
-    "q380_theil_sen" -> "per-group windows over the maxN-BOUNDED pair census — the slope/intercept median selections",
+    "q361_hodges_lehmann" -> "two-arm maxN-bounded pair census as ONE in-task kernel (r18; both arm heaps ride one aggregation)",
+    "q366_kendall_tau" -> "maxN-bounded pair census as ONE in-task kernel over the heap-collected series (r18)",
+    "q380_theil_sen" -> "maxN-bounded slope census + both medians as ONE in-task kernel (r18; no pair rows, no windows)",
     "q370_bh_fdr" -> "suffix-min window over the TEST census (m rows/group — metadata, not data)",
     "q373_entropy_rate" -> "per-user window (bounded group; journey lead needs order only)")
 
@@ -277,6 +277,28 @@ object PlanAudit {
        |  structurally linear in edges. Readings above 1.0 (1.11 at
        |  r17) are the fill-up transient between tiers; the targeted
        |  re-measure reads **0.957** and the r18 full run 0.93.
+       |
+       |r18 OPTIMIZATION-round re-measures (BENCH_SCALE_ONLY.json —
+       |the six heavy gates whose implementations changed in the
+       |r18 optimization pass; the full census table below predates
+       |those changes for these six):
+       |
+       |- q174_proximity_join exp16 **0.48** (positive-offset probe;
+       |  was 0.69), q350_mann_kendall exp16 **0.38** (pair-census
+       |  kernel; was 0.61), q346_hyperball exp16 **0.63** with t16
+       |  **10.5 s** (packed 64-byte registers; the row form below
+       |  measured 61.1 s at ×16 — the packed state cut the ×16
+       |  tier ~6×), q358_dbscan exp16 **1.098**, t16 140.3 s
+       |  (guarded driver union-find for the boundary graph; was
+       |  1.176 / 187.2 s — verdict stays output-bound: rowexp 1.99
+       |  census ≫ time exponent).
+       |- q376_item_knn_recs and q380_theil_sen first read exp4
+       |  1.58 / 2.68 in the six-gate targeted batch — co-tenant
+       |  session noise per this section's own discipline (q380's
+       |  t4 read 31.1 s in-batch vs **2.34 s** alone); measured
+       |  alone they are exp16 **0.63** and **0.70**,
+       |  linear-or-better. Both raw runs are unioned in
+       |  BENCH_SCALE_ONLY.json with a provenance note.
        |
        || query | t1 (s) | t4 (s) | t16 (s) | exp4 | exp16 | rowexp | verdict |
        ||---|---|---|---|---|---|---|---|
