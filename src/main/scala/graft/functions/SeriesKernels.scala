@@ -59,6 +59,11 @@ object SeriesKernels {
       val n = vs.length
       if (n < 2) return null
       val m = n.toLong * (n - 1) / 2
+      // The operators bound n by maxN upstream; fail loud rather than
+      // wrap the allocation if a caller ever unbounds it.
+      require(m <= 100000000L,
+        s"mann_kendall_stats: series of $n points expands to $m pairs; " +
+          "truncate with a smaller maxN")
       val slopes = new Array[Long](m.toInt)
       var s = 0L
       var w = 0
@@ -131,6 +136,9 @@ object SeriesKernels {
       val xs = l.asInstanceOf[ArrayData].toLongArray()
       val ys = r.asInstanceOf[ArrayData].toLongArray()
       val n = xs.length
+      require(n.toLong * (n - 1) / 2 <= 100000000L,
+        s"theil_sen_stats: series of $n points expands to " +
+          s"${n.toLong * (n - 1) / 2} pairs; truncate with a smaller maxN")
       var np = 0
       val slopes = new Array[Long](n * (n - 1) / 2)
       var i = 0
@@ -284,6 +292,9 @@ object SeriesKernels {
       val nb = vb.length
       if (na == 0 || nb == 0) return null
       val m = na.toLong * nb
+      require(m <= 100000000L,
+        s"hodges_lehmann_stats: arms of $na × $nb expand to $m " +
+          "differences; truncate with a smaller maxN")
       val diffs = new Array[Long](m.toInt)
       var gt = 0L
       var lt = 0L

@@ -187,9 +187,7 @@ object TopKAggregate {
     * numeric field for descending; include a unique tiebreaker before
     * payload fields (see [[TopKRows]]). */
   def topKStructs(fields: Seq[Column], k: Int): Column =
-    GraftSqlBridge.column(
-      TopKRows(GraftSqlBridge.expression(struct(fields: _*)), k)
-        .toAggregateExpression())
+    topKStructsOf(struct(fields: _*), k)
 
   /** [[topKStructs]] over a caller-built struct column — the form for
     * CONDITIONAL collection (`when(cond, struct(...))`: NULL structs

@@ -373,7 +373,7 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIter: Int = 20,
-      driverCap: Long = 1000000L): DataFrame = {
+      driverCap: Long = 250000L): DataFrame = {
     // Materialize the (symmetrized, DEDUPLICATED) edge list once — it
     // is re-joined every round, and `edges` may be an arbitrarily
     // expensive upstream pipeline (e.g. the full MinHash near-dup
@@ -414,7 +414,17 @@ object Dedup {
                 .fromString(b.asInstanceOf[String])))
         case _ => None
       }
-    if (idOrd.isDefined && driverCap > 0L && sym.count() <= driverCap) {
+    // One gate pass over the pinned edges: row count AND a NULL
+    // census — NULL endpoints keep the distributed path, which
+    // tolerates them (a NULL id never joins; it surfaces as one
+    // (null, null) label row), where a driver comparator would NPE.
+    val takeFastPath = idOrd.isDefined && driverCap > 0L && {
+      val g = sym.agg(count(lit(1)).as("__n"),
+        coalesce(sum(when(col("x").isNull || col("y").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("__nulls")).collect()(0)
+      g.getLong(0) <= driverCap && g.getLong(1) == 0L
+    }
+    if (takeFastPath) {
       val cmp = idOrd.get
       val parent = new java.util.HashMap[Any, Any]()
       def find(v: Any): Any = {

@@ -1146,7 +1146,8 @@ object Graph {
         // Every round's reach is already pinned; defer all popcount
         // sums to ONE job instead of one collect per round.
         val s = reach
-          .agg(sum(bit_count(col("__bits")).cast("long")).as("__p"))
+          .agg(coalesce(sum(bit_count(col("__bits")).cast("long")),
+            lit(0L)).as("__p"))
           .select(lit(r.toLong).as("__r"), col("__p"))
         sums = if (sums == null) s else sums.unionByName(s)
       }

@@ -79,7 +79,12 @@ object Spatial {
     val build = base.select(col("__id").as("b"), col("__x").as("bx"),
       col("__y").as("by"), col("__cx").as("cx"), col("__cy").as("cy"))
     probe.join(build, Seq("cx", "cy"))
-      .filter(col("__cross") || col("a") < col("b"))
+      // Cross-cell pairs must still exclude NULL and duplicate ids —
+      // the old 9-offset form's `a < b` dropped both (NULL compares
+      // to null; equal ids fail strict <), and least/greatest would
+      // otherwise manufacture (b, b) self-pairs from them.
+      .filter((col("__cross") && col("a") =!= col("b")) ||
+        col("a") < col("b"))
       .withColumn("d2",
         (col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by")))

@@ -102,4 +102,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     // 1, 2, 7 collapse into component 1; 9 has no near-dups (absent).
     assert(groups == Map(1L -> Seq(1L, 2L, 7L)))
   }
+
+  test("NULL edge endpoints route to the distributed path, no crash") {
+    // The driver comparator would NPE on a NULL id; the gate census
+    // must detect it and keep the fixpoint, which tolerates NULLs
+    // (a NULL key never joins; it surfaces as one (null,null) row).
+    val edges = Seq((Some(2L), Some(1L)), (Option.empty[Long], Some(5L)))
+      .toDF("a", "b")
+    val out = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(out.contains((Some(1L), Some(1L))))
+    assert(out.contains((Some(2L), Some(1L))))
+  }
 }

@@ -496,4 +496,11 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(hb(1L) - 7L) <= 2L, s"r1 ${hb(1L)}")
     assert(math.abs(hb(2L) - 9L) <= 2L, s"r2 ${hb(2L)}")
   }
+
+  test("neighborhoodFunction: empty edge set yields zero counts, no crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("s", "d")
+    val out = Graph.neighborhoodFunction(empty, "s", "d", maxR = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
 }

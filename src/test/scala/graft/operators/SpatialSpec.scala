@@ -222,4 +222,17 @@ class SpatialSpec extends SparkSpec {
       got(i).getAs[String]("role") == "core" &&
         got(i).getAs[Long]("cluster") == 900L))
   }
+
+  test("proximityJoin: NULL and duplicate ids never form cross-cell pairs") {
+    // (null, 5, 5) sits one cell left of (7L, 12, 5): within radius 10
+    // across cells — a NULL id must vanish (the a < b contract), not
+    // become a (7, 7) self-pair via least/greatest. Two DISTINCT
+    // points sharing id 9 in adjacent cells likewise drop.
+    val pts = Seq(
+      (Option.empty[Long], 5L, 5L), (Some(7L), 12L, 5L),
+      (Some(9L), 25L, 5L), (Some(9L), 32L, 5L)).toDF("id", "x", "y")
+    val got = Spatial.proximityJoin(pts, "id", "x", "y", radius = 10)
+      .collect()
+    assert(got.isEmpty)
+  }
 }
