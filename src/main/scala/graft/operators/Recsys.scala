@@ -105,31 +105,33 @@ object Recsys {
       maxItemsPerActor: Int): DataFrame = {
     require(kNbrs >= 1 && topN >= 1, "kNbrs/topN must be positive")
     require(maxItemsPerActor >= 2, "maxItemsPerActor must be at least 2")
-    val ai = interactions.select(col(actorCol).as("__u"),
-        col(itemCol).as("__it"))
-      .filter(col("__u").isNotNull && col("__it").isNotNull)
-      .distinct()
-    // One aggregation per actor replaces the count-then-semi-join
-    // actor cap AND the co-occurrence self-join (r18, guide
-    // §2.3/§2.4): the sorted item list (heap state ≤
-    // maxItemsPerActor+1 even for hot actors, which the filter then
-    // drops) yields both the kept edge set (re-exploded) and the
-    // in-task wedge pairs. Items are distinct per actor, so array
-    // order gives strict ia < ib.
-    val byU = Dedup.truncate(
-      ai.groupBy(col("__u")).agg(
-          count(lit(1)).as("__ni"),
-          graft.functions.TopKAggregate.topKStructs(
-            Seq(col("__it")), maxItemsPerActor + 1).as("__is"))
-        .filter(col("__ni") <= maxItemsPerActor)
-        .select(col("__u"),
-          transform(col("__is"), x => x.getField("__it")).as("__its")))
-    val kept = byU.select(col("__u"), explode(col("__its")).as("__it"))
+    // r19 adjudication (VERDICT r18 #1): the r18 one-aggregation
+    // rework (count + bounded TopK item heap per actor, wedge pairs
+    // generated in-task) measured FASTER isolated (9.18 → 5.67 s) but
+    // the driver's full-suite runs put it at 20.1 s @local[32] /
+    // 13.3 s @local[8] vs 6.26 s for this count+semi-join shape at
+    // r17-end — the TopK ObjectHashAggregate's per-row copies and
+    // serialized heap buffers are contention/GC-bound under suite
+    // heap pressure (the same mechanism that made the reverted
+    // q221/q227/q275 rework slower). Reverted to the r17 shape;
+    // adjudicate any future change here with in-suite runs, not
+    // isolated ones.
+    val ai = Dedup.truncate(
+      interactions.select(col(actorCol).as("__u"),
+          col(itemCol).as("__it"))
+        .filter(col("__u").isNotNull && col("__it").isNotNull)
+        .distinct())
+    val keptActors = ai.groupBy(col("__u"))
+      .agg(count(lit(1)).as("__ni"))
+      .filter(col("__ni") <= maxItemsPerActor)
+      .select(col("__u"))
+    val kept = Dedup.truncate(ai.join(keptActors, Seq("__u"),
+      "left_semi"))
     val ic = kept.groupBy(col("__it")).agg(count(lit(1)).as("__n"))
-    val pairs = byU
-      .select(explode(graft.functions.SeriesKernels.selfPairsOrdered(
-        col("__its"))).as("__p"))
-      .select(col("__p.a").as("__ia"), col("__p.b").as("__ib"))
+    val pairs = kept.select(col("__u"), col("__it").as("__ia"))
+      .join(kept.select(col("__u"), col("__it").as("__ib")),
+        Seq("__u"))
+      .filter(col("__ia") < col("__ib"))
       .groupBy(col("__ia"), col("__ib"))
       .agg(count(lit(1)).as("__nab"))
     val sims = pairs
