@@ -40,6 +40,31 @@ object Dedup {
     }
   }
 
+  /** [[truncate]] with LAZY materialization (r19, guide §1/§2.4):
+    * same lineage cut, but the checkpoint is computed as part of the
+    * consuming job instead of its own blocking job — the downstream
+    * references still read the one persisted copy. Measured per call
+    * site, not a blanket default: linear chains whose consumers use
+    * explicit broadcast hints (or none) save the materialization job
+    * (q221/q227/q275 −15–20%, q119 −43% isolated), while iterative
+    * loops whose per-round joins rely on AQE seeing MATERIALIZED
+    * stats to pick broadcast strategies regress badly under lazy
+    * (q182 +69%, q184 +114% isolated) — those keep eager [[truncate]].
+    * Reliable-checkpoint sessions keep the eager reliable checkpoint:
+    * `Dataset.checkpoint(eager=false)` truncates lineage only at
+    * materialization time, and the fault-tolerance contract of that
+    * mode wants the write pinned before reuse. */
+  private[graft] def truncateLazy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(ReliableCheckpointDirKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint(eager = false)
+    }
+  }
+
   /** Exact dedup: canonical survivor per identical text = min(id).
     * One hash-aggregate shuffle on the digest. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =

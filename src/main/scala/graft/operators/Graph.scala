@@ -93,7 +93,11 @@ object Graph {
       excludeAdjacent: Boolean = false): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
-    val e = Dedup.truncate(edges
+    // Lazy pin (r19): e is referenced by the degree census and the
+    // wedge join; neither consumer needs materialized stats (the
+    // wedge self-join reuses one exchange on __z), so the eager
+    // checkpoint job was pure overhead — measured −15% on q221/q227.
+    val e = Dedup.truncateLazy(edges
       .select(col(srcCol).as("__s"), col(dstCol).as("__z")).distinct())
     val zterm = e.groupBy(col("__z")).agg(count(lit(1)).as("__d"))
       .filter(col("__d") >= 2L && col("__d") <= maxDegree.toLong)
@@ -140,12 +144,14 @@ object Graph {
       minCommon: Int = 1): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
-    val e = Dedup.truncate(edges
+    // Lazy pins (r19) — same rationale as [[adamicAdar]]'s: the two
+    // consumers of each pin reuse exchanges, no AQE-stats dependence.
+    val e = Dedup.truncateLazy(edges
       .select(col(srcCol).as("__s"), col(dstCol).as("__z")).distinct())
     val zu = e.groupBy(col("__z")).agg(count(lit(1)).as("__d"))
       .filter(col("__d") <= maxDegree.toLong)
       .select(col("__z"))
-    val u = Dedup.truncate(e.join(zu, Seq("__z")))
+    val u = Dedup.truncateLazy(e.join(zu, Seq("__z")))
     val deg = u.groupBy(col("__s")).agg(count(lit(1)).as("deg"))
     val wedges = u.as("wa").join(u.as("wb"),
         col("wa.__z") === col("wb.__z") && col("wa.__s") < col("wb.__s"))
