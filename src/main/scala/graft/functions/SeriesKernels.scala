@@ -34,7 +34,7 @@ object SeriesKernels {
   /** Spark's Round(double, 0) evaluation, bit-for-bit:
     * BigDecimal.valueOf (shortest-repr) → HALF_UP → toDouble, then
     * the long cast truncates the (already integral) double. */
-  @inline private[functions] def roundHalfUp(x: Double): Long =
+  @inline private[graft] def roundHalfUp(x: Double): Long =
     scala.math.BigDecimal(x)
       .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
       .toDouble.toLong

@@ -401,7 +401,8 @@ object Sessionize {
       tieBreak: String,
       typeCol: String,
       conversionType: String,
-      iters: Int = 8): DataFrame = {
+      iters: Int = 8,
+      driverCap: Long = 10000L): DataFrame = {
     require(iters >= 1 && iters <= 32, "iters must be in [1, 32]")
     val S = "(start)"; val C = "(conv)"; val N = "(null)"
     val ev = df.select(col(keyCol).as("__k"),
@@ -440,6 +441,68 @@ object Sessionize {
       .select(col("from_state"), col("to_state"),
         round(lit(1e6) * col("__c").cast("double") /
           col("__ct").cast("double")).cast("long").as("__p")))
+    // Guarded driver fold (r19; the [[Dedup.connectedComponents]] r18
+    // discipline): past the journey census EVERYTHING is model-sized
+    // — (channels+3)² transition rows drive iters rounds of value
+    // iteration whose distributed form costs ~3 jobs/round of pure
+    // overhead regardless of corpus size. The MEASURED census row
+    // count bounds driver work by construction (trans0 is pinned, the
+    // count is a cheap scan); a vocabulary-explosion census keeps the
+    // distributed fixpoint unchanged. The fold replicates the exact
+    // arithmetic: Long sums of micro×micro products (≤ 1e12 per term,
+    // model-sized sums — no overflow at the cap) and Spark's
+    // Round(double) via [[graft.functions.SeriesKernels.roundHalfUp]]
+    // per state per round — bit-equal to the distributed path, which
+    // the spec pins by running both.
+    if (driverCap > 0L && trans0.count() <= driverCap) {
+      val S0 = S; val C0 = C; val N0 = N
+      val edgesL = trans0.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val chansL = edgesL.map(_._1).filter(_ != S0).distinct.sorted
+      val variantsL = chansL :+ "(full)"
+      val pconvL = scala.collection.mutable.LinkedHashMap
+        .empty[String, Long]
+      for (v <- variantsL) {
+        val vtV = edgesL.filter(_._1 != v)
+          .map { case (f, t0, p) =>
+            ((f, if (t0 == v) N0 else t0), p) }
+          .groupBy(_._1)
+          .map { case (k, xs) => (k._1, k._2, xs.map(_._2).sum) }
+          .toSeq
+        val statesV = (vtV.map(_._1) ++ vtV.map(_._2)).distinct
+        def pinL(s: String, r: Long): Long =
+          if (s == C0) 1000000L else if (s == N0) 0L else r
+        var rM: Map[String, Long] =
+          statesV.map(s => s -> pinL(s, 0L)).toMap
+        for (_ <- 1 to iters) {
+          val nr = vtV.groupBy(_._1).map { case (f, es) =>
+            f -> graft.functions.SeriesKernels.roundHalfUp(
+              es.map { case (_, t0, p) => p * rM(t0) }.sum.toDouble /
+                1e6)
+          }
+          rM = statesV.map(s => s -> pinL(s, nr.getOrElse(s, 0L))).toMap
+        }
+        if (rM.contains(S0)) pconvL(v) = rM(S0)
+      }
+      val spark = df.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("channel",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("p_conv_micro",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p_removed_micro",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("removal_micro",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("share_micro",
+          org.apache.spark.sql.types.LongType)))
+      // eff replicates the distributed crossJoin(broadcast(pfull)):
+      // no (full) pconv row ⇒ empty output, channel rows require
+      // their own pconv row (S reachable in that variant's states).
+      val effL = pconvLToEff(pconvL, chansL)
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(effL, 1), schema)
+    }
     val chans = trans0.select(col("from_state").as("__v"))
       .filter(col("__v") =!= S).distinct()
     val variants = Dedup.truncate(
@@ -561,5 +624,41 @@ object Sessionize {
               .cast(dec)).cast("double") /
             count(lit(1)).cast("double")).cast("long"))
           .as("avg_lag_sec_micro"))
+  }
+
+  /** Driver twin of [[markovAttribution]]'s effect/share tail —
+    * replicates the distributed `eff`/share stage row for row: no
+    * "(full)" p_conv ⇒ empty result; a channel row requires its own
+    * p_conv (start reachable in that variant); removal is NULL when
+    * p_full = 0; shares are NULL unless the removal total is > 0;
+    * every rounded divide is the same single IEEE chain under
+    * [[graft.functions.SeriesKernels.roundHalfUp]]. */
+  private def pconvLToEff(
+      pconv: scala.collection.mutable.LinkedHashMap[String, Long],
+      chans: Seq[String]): Seq[org.apache.spark.sql.Row] = {
+    if (!pconv.contains("(full)")) return Seq.empty
+    val pf = pconv("(full)")
+    val rows0 = chans.flatMap { c =>
+      pconv.get(c).map { r =>
+        val removal: java.lang.Long =
+          if (pf > 0L) java.lang.Long.valueOf(math.max(0L,
+            graft.functions.SeriesKernels.roundHalfUp(
+              1e6 * (pf - r).toDouble / pf.toDouble)))
+          else null
+        (c, r, removal)
+      }
+    }
+    val anyRemoval = rows0.exists(_._3 != null)
+    val te = rows0.collect {
+      case (_, _, rm) if rm != null => rm.longValue }.sum
+    rows0.map { case (c, r, removal) =>
+      val share: java.lang.Long =
+        if (anyRemoval && te > 0L && removal != null)
+          java.lang.Long.valueOf(
+            graft.functions.SeriesKernels.roundHalfUp(
+              1e6 * removal.longValue.toDouble / te.toDouble))
+        else null
+      org.apache.spark.sql.Row(c, pf, r, removal, share)
+    }
   }
 }

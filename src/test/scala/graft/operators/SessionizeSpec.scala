@@ -265,4 +265,30 @@ class SessionizeSpec extends SparkSpec {
     assert(got("A").getAs[Long]("removal_micro") == 1000000L)
     assert(got("A").getAs[Long]("share_micro") == 1000000L)
   }
+
+  test("markovAttribution: driver fold and distributed loop agree") {
+    // driverCap = 0 pins the DISTRIBUTED value iteration (the at-scale
+    // path must stay exercised — the r18 connectedComponents spec
+    // discipline); the default cap takes the driver fold. Both must
+    // produce the same rows bit for bit, including NULL shares when a
+    // variant can't reach (start) and the rounded-divide chains.
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val rng = new scala.util.Random(7)
+    val chans = Seq("A", "B", "C", "D", "buy")
+    val rows = (0 until 60).flatMap { u =>
+      (0 until 1 + rng.nextInt(5)).map { i =>
+        (s"u$u", at(i.toLong), u * 10L + i,
+          chans(rng.nextInt(chans.size)))
+      }
+    }
+    val df = rows.toDF("k", "ts", "id", "t")
+    def run(cap: Long) = Sessionize.markovAttribution(df, "k", "ts",
+        "id", "t", conversionType = "buy", iters = 8, driverCap = cap)
+      .orderBy("channel").collect().toSeq
+    val driver = run(10000L)
+    val dist = run(0L)
+    assert(driver == dist)
+    assert(driver.nonEmpty)
+  }
 }
