@@ -174,6 +174,23 @@ object Ranking {
     prefixAgg(df, groupCol, orderCols, col(valueCol), "running",
       numPartitions)
 
+  /** [[groupRank]] and [[groupRunningSum]] in ONE scaffold pass —
+    * `rank` (prefix count) and `running` (prefix sum of `valueCol`)
+    * over the same (group, order) in a single range exchange + census
+    * + bounded window, for callers that need both (r19: the Pettitt
+    * chain paid two full scaffolds for prefixes over the SAME order —
+    * guide §2.4's "two operations keyed the same way share one
+    * exchange"). Contracts as [[groupRank]]: unique tiebreaker last,
+    * NULL order values first, NULL groups are real groups. */
+  def groupRankAndRunningSum(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      numPartitions: Int = 0): DataFrame =
+    prefixAggMulti(df, groupCol, orderCols,
+      Seq(lit(1L) -> "rank", col(valueCol) -> "running"), numPartitions)
+
   /** Exact per-group top-k with aggregation state bounded by k — the
     * replacement for `row_number().over(partitionBy(group)) <= k` when
     * the group is unbounded (all candidate docs of one query, all rows

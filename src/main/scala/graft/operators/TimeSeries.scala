@@ -2131,11 +2131,13 @@ object TimeSeries {
       valueCol: String): DataFrame = {
     val base = seriesBase(df, keyCol, tsCol, idCol, valueCol)
     val rows = withDoubledMidranks(base)
-    val ranked = Dedup.truncate(
-      Ranking.groupRank(rows, "__k", Seq("__ts", "__id")))
-    val pre = Ranking.groupRunningSum(ranked, "__k", Seq("rank"),
-      "__r2")
-    val nPer = ranked.groupBy(col("__k")).agg(max(col("rank")).as("__n"))
+    // rank and the r2 time-prefix ride ONE scaffold pass (r19): the
+    // former shape paid a second full range exchange + census +
+    // checkpoint to prefix-sum in `rank` order, which is exactly the
+    // (ts, id) order the rank pass had already established.
+    val pre = Dedup.truncate(Ranking.groupRankAndRunningSum(
+      rows, "__k", Seq("__ts", "__id"), "__r2"))
+    val nPer = pre.groupBy(col("__k")).agg(max(col("rank")).as("__n"))
     pre.join(nPer, Seq("__k"))
       .filter(col("rank") < col("__n"))
       .select(col("__k"), col("__n"), col("rank"),
@@ -2352,10 +2354,15 @@ object TimeSeries {
         (lit(3L) * a + b).as("__code"))
       .groupBy(col("__k"), col("__code"))
       .agg(count(lit(1)).as("__c"))
-    val nPer = census.groupBy(col("__k"))
-      .agg(sum(col("__c")).as("n_triples"),
-        count(lit(1)).as("n_patterns"))
-    census.join(nPer, Seq("__k"))
+    // Per-key totals ride a window over the census (≤ 6 pattern rows
+    // per key — bounded by construction) instead of a census + join
+    // (r19, guide §2.4; the [[spectralEntropy]] rewrite). Identical
+    // float chains.
+    val w = Window.partitionBy(col("__k"))
+    census.select(col("__k"),
+        sum(col("__c")).over(w).as("n_triples"),
+        count(lit(1)).over(w).as("n_patterns"),
+        col("__c"))
       .select(col("__k"), col("n_triples"), col("n_patterns"),
         round(lit(1e6) * col("__c").cast("double") *
           log(col("__c").cast("double") /
@@ -2391,17 +2398,25 @@ object TimeSeries {
       "keyCol \"k\" collides with the periodogram's frequency column")
     val pg = periodogram(df, keyCol, tsCol, idCol, valueCol, maxK)
       .filter(col("power_micro") > 0L)
-    val tot = pg.groupBy(col(keyCol))
-      .agg(sum(col("power_micro")).as("__s"),
-        count(lit(1)).as("n_bins"), max(col("n")).as("n"))
-    pg.join(tot, Seq(keyCol))
-      .select(col(keyCol),
+    // The per-key total rides a window instead of a census + two
+    // joins (r19, guide §2.4): a key holds ≤ maxK ≤ 64 bins by
+    // construction, so the window partition is bounded — the shape
+    // this library's window policy allows — and the tiny-table
+    // exchange chain (agg + join + agg + join) collapses to one
+    // exchange + one agg. Identical float chains per bin and for the
+    // final divide.
+    val w = Window.partitionBy(col(keyCol))
+    pg.select(col(keyCol), col("n"),
+        sum(col("power_micro")).over(w).as("__s"),
+        count(lit(1)).over(w).as("n_bins"),
+        col("power_micro"))
+      .select(col(keyCol), col("n"), col("n_bins"), col("__s"),
         round(lit(1e6) * col("power_micro").cast("double") *
           log(col("power_micro").cast("double") /
             col("__s").cast("double"))).cast("long").as("__t"))
       .groupBy(col(keyCol))
-      .agg(sum(col("__t")).as("__ts2"))
-      .join(tot, Seq(keyCol))
+      .agg(max(col("n")).as("n"), max(col("n_bins")).as("n_bins"),
+        max(col("__s")).as("__s"), sum(col("__t")).as("__ts2"))
       .select(col(keyCol), col("n"), col("n_bins"),
         round(-col("__ts2").cast("double") / col("__s").cast("double"))
           .cast("long").as("h_mnat"))
