@@ -191,6 +191,123 @@ object Ranking {
     prefixAggMulti(df, groupCol, orderCols,
       Seq(lit(1L) -> "rank", col(valueCol) -> "running"), numPartitions)
 
+  /** Exact per-group lagged payloads: every row gains
+    * `<payload>_lag<j>` columns (j = 1..lags) holding the payload of
+    * the row j positions EARLIER within its group under `orderCols`
+    * order (NULL when the group has no such predecessor) — the
+    * replacement for the groupRank + (group, rank−j) self-join idiom,
+    * which pays the rank scaffold AND two full-data exchanges per
+    * lag join (r19, guide §2.4). One scaffold pass instead:
+    * range-repartition by (group, order…), pin (data, pid), take
+    * window lags within each bounded (pid, group) window, and repair
+    * the ≤ lags boundary rows per (pid, group) from the previous
+    * pids' tail rows — head and tail sets are (pids × groups)-bounded
+    * slivers, so the repair join moves metadata, not data.
+    *
+    * Boundary completeness: a head row's j-th predecessor has at most
+    * j − 1 ≤ lags − 1 group rows after it overall, hence at most that
+    * many within its own pid — so it sits in its pid's last-`lags`
+    * tail by construction.
+    *
+    * Contracts as [[groupRank]]: `orderCols` must end in a per-group-
+    * unique tiebreaker (the order must be total), NULL order values
+    * sort first, NULL groups are real groups. Payload columns may be
+    * NULL (a NULL-valued predecessor yields NULL exactly like the
+    * self-join form). */
+  def groupLag(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      payloadCols: Seq[String],
+      lags: Int,
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    require(lags >= 1 && lags <= 8, "lags must be in [1, 8]")
+    val outCols = for (p <- payloadCols; j <- 1 to lags)
+      yield s"${p}_lag$j"
+    val clash = (Seq("__pid", "__rn", "__cnt", "__og", "__opid",
+      "__off", "__gp") ++ outCols).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has internal working column(s) ${clash.mkString(", ")}" +
+        " — rename them before calling groupLag")
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keys = col(groupCol) +: orderCols.map(col)
+    val parted = Dedup.truncate(
+      df.repartitionByRange(n, keys: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(col("__pid"), col(groupCol))
+    val withLags = payloadCols.foldLeft(
+      parted.withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__cnt", count(lit(1)).over(wAll))) {
+      case (acc, p) =>
+        (1 to lags).foldLeft(acc) { case (a, j) =>
+          a.withColumn(s"${p}_lag$j", lag(col(p), j).over(w)) }
+    }
+    // Global (pid, group) offsets — the prefixAgg census, broadcast.
+    val census = parted.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__c"))
+    val offW = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = census.select(col("__pid").as("__opid"),
+      col(groupCol).as("__og"),
+      coalesce(sum(col("__c")).over(offW), lit(0L)).as("__off"))
+    def withGlobalPos(d: DataFrame): DataFrame =
+      d.join(broadcast(offsets),
+          col("__pid") === col("__opid") && col(groupCol) <=> col("__og"))
+        .withColumn("__gp", col("__off") + col("__rn"))
+        .drop("__opid", "__og", "__off")
+    val heads = withGlobalPos(withLags.filter(col("__rn") <= lags)
+      .select(col("__pid") +: col(groupCol) +: col("__rn") +: Nil: _*))
+    val tails = withGlobalPos(withLags
+      .filter(col("__rn") > col("__cnt") - lags)
+      .select(col("__pid") +: col(groupCol) +: col("__rn") +:
+        payloadCols.map(col): _*))
+      .select(col(groupCol).as("__tg") +: col("__gp").as("__tgp") +:
+        payloadCols.map(p => col(p).as(s"__t_$p")): _*)
+    // One small-⋈-small repair join fixing exactly the rows whose
+    // within-pid lag j is out of reach (__rn <= j): the per-depth
+    // matches are unioned and collapsed to one row per repaired
+    // (pid, group, row) — each (row, depth) match is a singleton, so
+    // max() just selects it — and attached with a single broadcast
+    // join however many depths are in play.
+    val fixes = (1 to lags).map { j =>
+      heads.filter(col("__rn") <= j)
+        .join(tails, col(groupCol) <=> col("__tg") &&
+          col("__gp") - j === col("__tgp"))
+        .select(col("__pid").as("__fpid") +: col(groupCol).as("__fg") +:
+          col("__rn").as("__frn") +:
+          (for (p <- payloadCols; jj <- 1 to lags) yield
+            (if (jj == j) col(s"__t_$p")
+             else lit(null).cast(df.schema(p).dataType))
+              .as(s"__f_${p}_$jj")): _*)
+    }
+    val fixAggs = for (p <- payloadCols; jj <- 1 to lags) yield
+      max(col(s"__f_${p}_$jj")).as(s"__f_${p}_$jj")
+    val fixAll = fixes.reduce(_ unionByName _)
+      .groupBy(col("__fpid"), col("__fg"), col("__frn"))
+      .agg(fixAggs.head, fixAggs.tail: _*)
+    val joined = withLags.join(broadcast(fixAll),
+      col("__pid") === col("__fpid") &&
+        col(groupCol) <=> col("__fg") &&
+        col("__rn") === col("__frn"), "left")
+    val repaired = payloadCols.foldLeft(joined) { case (a0, p) =>
+      (1 to lags).foldLeft(a0) { case (a, j) =>
+        a.withColumn(s"${p}_lag$j",
+          // Window lag is NULL on every repaired row (__rn <= j) by
+          // construction; rows beyond the boundary never carry a
+          // repair row, so coalesce cannot overwrite a real lag.
+          coalesce(col(s"${p}_lag$j"), col(s"__f_${p}_$j")))
+      }
+    }.drop("__fpid", "__fg", "__frn")
+      .drop((for (p <- payloadCols; jj <- 1 to lags) yield
+        s"__f_${p}_$jj"): _*)
+    repaired.drop("__pid", "__rn", "__cnt")
+  }
+
   /** Exact per-group top-k with aggregation state bounded by k — the
     * replacement for `row_number().over(partitionBy(group)) <= k` when
     * the group is unbounded (all candidate docs of one query, all rows

@@ -1520,15 +1520,18 @@ object TimeSeries {
       idCol: String,
       valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"
+    // The old shape ranked the rows first and carried that rank as
+    // the time order for the runs census; the rank VALUE was never
+    // output, so the scaffold was pure ordering overhead — the runs
+    // census now orders by (ts, id) directly in ONE
+    // [[Ranking.groupLag]] pass (r19, guide §2.4), and the former
+    // second scaffold + (key, rank)-keyed self-join fold into it.
     val base = Dedup.truncate(
-      Ranking.groupRank(
-        df.filter(col(valueCol).isNotNull)
-          .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
-            col(idCol).as("__id"),
-            round(col(valueCol).cast("double") * lit(1e6)).cast("long")
-              .as("__v")),
-        "__k", Seq("__ts", "__id"))
-        .select(col("__k"), col("rank").as("__r0"), col("__v")))
+      df.filter(col(valueCol).isNotNull)
+        .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+          col(idCol).as("__id"),
+          round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+            .as("__v")))
     val cells = base.groupBy(col("__k"), col("__v"))
       .agg(count(lit(1)).as("__c"))
     val run = Ranking.groupRunningSum(cells, "__k", Seq("__v"), "__c")
@@ -1536,23 +1539,20 @@ object TimeSeries {
     val med = run.join(nPer, Seq("__k"))
       .filter(col("running") >= expr("(__n + 1) div 2"))
       .groupBy(col("__k")).agg(min(col("__v")).as("__med"))
-    val flags = base.join(med, Seq("__k"))
-      .select(col("__k"), col("__r0"),
+    val flags = Dedup.truncate(base.join(med, Seq("__k"))
+      .select(col("__k"), col("__ts"), col("__id"),
         when(col("__v") > col("__med"), 1L)
           .when(col("__v") < col("__med"), 0L)
-          .otherwise(lit(null).cast("long")).as("__up"))
+          .otherwise(lit(null).cast("long")).as("__up")))
     val counts = flags.groupBy(col("__k")).agg(
       sum(when(col("__up") === 1L, 1L).otherwise(0L)).as("n_above"),
       sum(when(col("__up") === 0L, 1L).otherwise(0L)).as("n_below"),
       sum(when(col("__up").isNull, 1L).otherwise(0L)).as("n_dropped"))
-    val kept = Ranking.groupRank(flags.filter(col("__up").isNotNull),
-      "__k", Seq("__r0"))
-    val prev = kept.select(col("__k"), (col("rank") + 1L).as("rank"),
-      col("__up").as("__pu"))
-    val ch = kept.join(prev, Seq("__k", "rank"), "left")
+    val ch = Ranking.groupLag(flags.filter(col("__up").isNotNull),
+        "__k", Seq("__ts", "__id"), Seq("__up"), 1)
       .groupBy(col("__k"))
-      .agg(sum(when(col("__pu").isNotNull &&
-        col("__up") =!= col("__pu"), 1L).otherwise(0L)).as("__ch"))
+      .agg(sum(when(col("__up_lag1").isNotNull &&
+        col("__up") =!= col("__up_lag1"), 1L).otherwise(0L)).as("__ch"))
     val twoAb = (lit(2L) * col("n_above").cast(dec) * col("n_below"))
       .cast(dec)
     val nTot = (col("n_above") + col("n_below")).cast(dec)
@@ -1855,14 +1855,14 @@ object TimeSeries {
         col(tieBreakCol).cast("long").as("__tb"),
         round(col(valueCol).cast("double") * lit(1e3)).cast("long")
           .as("__y"))
-    val ranked = Ranking.groupRank(base, "__g", Seq("__o", "__tb"))
-    val prev = ranked.select(col("__g").as("__pg"),
-      (col("rank") + 1L).as("__pr"), col("__y").as("__py"))
-    val pairs = ranked
-      .join(prev, col("__g") === col("__pg") &&
-        col("rank") === col("__pr"))
-      .select(col("__g"), col("__py").as("__x"),
-        (col("__y") - col("__py")).as("__z"))
+    // Consecutive (y_{t−1}, Δy_t) pairs ride ONE [[Ranking.groupLag]]
+    // pass (r19, guide §2.4) instead of the rank scaffold +
+    // (group, rank)-keyed self-join.
+    val pairs = Ranking.groupLag(base, "__g", Seq("__o", "__tb"),
+        Seq("__y"), 1)
+      .filter(col("__y_lag1").isNotNull)
+      .select(col("__g"), col("__y_lag1").as("__x"),
+        (col("__y") - col("__y_lag1")).as("__z"))
     val sums = pairs.groupBy(col("__g"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("__x").cast(dec)).as("__sx"),
@@ -2174,21 +2174,23 @@ object TimeSeries {
       valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val base = seriesBase(df, keyCol, tsCol, idCol, valueCol)
-    val ranked = Dedup.truncate(
-      Ranking.groupRank(base, "__k", Seq("__ts", "__id")))
-    val cur = ranked.select(col("__k"), col("rank"), col("__v"))
-    val prev = cur.select(col("__k"), (col("rank") + 1L).as("rank"),
-      col("__v").as("__vp"))
-    val next = cur.select(col("__k"), (col("rank") - 1L).as("rank"),
-      col("__v").as("__vn"))
+    // Triples ride ONE [[Ranking.groupLag]] pass (r19, guide §2.4)
+    // instead of a rank scaffold + two self equi-joins: the row at
+    // position i carries (v_{i−2}, v_{i−1}, v_i), and the extremum
+    // test centers on the lag-1 value — each interior position is
+    // censused exactly once.
+    val lagged = Dedup.truncate(Ranking.groupLag(base, "__k",
+      Seq("__ts", "__id"), Seq("__v"), 2))
     val isTurn =
-      (col("__vp") < col("__v") && col("__vn") < col("__v")) ||
-        (col("__vp") > col("__v") && col("__vn") > col("__v"))
-    val turns = cur.join(prev, Seq("__k", "rank"))
-      .join(next, Seq("__k", "rank"))
+      (col("__v_lag2") < col("__v_lag1") &&
+        col("__v") < col("__v_lag1")) ||
+        (col("__v_lag2") > col("__v_lag1") &&
+          col("__v") > col("__v_lag1"))
+    val turns = lagged
+      .filter(col("__v_lag1").isNotNull && col("__v_lag2").isNotNull)
       .groupBy(col("__k"))
       .agg(sum(when(isTurn, 1L).otherwise(0L)).as("n_turning"))
-    val nPer = ranked.groupBy(col("__k")).agg(max(col("rank")).as("n"))
+    val nPer = lagged.groupBy(col("__k")).agg(count(lit(1)).as("n"))
     val joined = nPer.join(turns, Seq("__k"), "left")
       .select(col("__k"), col("n"),
         coalesce(col("n_turning"), lit(0L)).as("n_turning"))
@@ -2275,23 +2277,25 @@ object TimeSeries {
     val dec = "decimal(38,0)"
     val base = seriesBase(df, keyCol, tsCol, idCol, valueCol)
     val rows = withDoubledMidranks(base)
-    val ranked = Dedup.truncate(
-      Ranking.groupRank(rows, "__k", Seq("__ts", "__id")))
-    val nxt = ranked.select(col("__k"), (col("rank") - 1L).as("rank"),
-      col("__r2").as("__r2n"))
-    val num = ranked.join(nxt, Seq("__k", "rank"))
-      .groupBy(col("__k"))
-      .agg(sum(((col("__r2") - col("__r2n")).cast(dec) *
-        (col("__r2") - col("__r2n"))).cast(dec)).as("__num"))
-    val stats = ranked.groupBy(col("__k"))
+    // Consecutive diffs ride ONE [[Ranking.groupLag]] pass (r19,
+    // guide §2.4) instead of a rank scaffold + (key, rank)-keyed
+    // self-join; numerator and moment sums then come from ONE
+    // hash-agg. (r_i − r_{i+1})² = (r_{i+1} − r_i)², so lagging
+    // instead of leading censuses the same n−1 terms.
+    val lagged = Ranking.groupLag(rows, "__k", Seq("__ts", "__id"),
+      Seq("__r2"), 1)
+    val d1 = (col("__r2") - col("__r2_lag1")).cast(dec)
+    val stats = lagged.groupBy(col("__k"))
       .agg(count(lit(1)).as("n"),
         sum(col("__r2").cast(dec)).as("__s1"),
         sum((col("__r2").cast(dec) * col("__r2")).cast(dec))
-          .as("__s2"))
+          .as("__s2"),
+        sum(when(col("__r2_lag1").isNotNull, (d1 * d1).cast(dec)))
+          .as("__num"))
     val den = (col("n").cast(dec) * col("__s2") -
       col("__s1") * col("__s1")).cast(dec)
     val numScaled = (col("n").cast(dec) * col("__num")).cast(dec)
-    stats.join(num, Seq("__k"), "left")
+    stats
       .select(col("__k").as(keyCol), col("n"),
         when(col("n") >= 2L && den > 0 && col("__num").isNotNull,
           divFloorDec(
@@ -2334,22 +2338,21 @@ object TimeSeries {
       idCol: String,
       valueCol: String): DataFrame = {
     val base = seriesBase(df, keyCol, tsCol, idCol, valueCol)
-    val ranked = Dedup.truncate(
-      Ranking.groupRank(base, "__k", Seq("__ts", "__id")))
-    val cur = ranked.select(col("__k"), col("rank"), col("__v"))
-    val p1 = cur.select(col("__k"), (col("rank") - 1L).as("rank"),
-      col("__v").as("__v2"))
-    val p2 = cur.select(col("__k"), (col("rank") - 2L).as("rank"),
-      col("__v").as("__v3"))
-    val trip = cur.join(p1, Seq("__k", "rank"))
-      .join(p2, Seq("__k", "rank"))
+    // Embedded triples ride ONE [[Ranking.groupLag]] pass (r19, guide
+    // §2.4) instead of a rank scaffold + two self equi-joins: the row
+    // at position i carries the triple (v_{i−2}, v_{i−1}, v_i) =
+    // (x_t, x_{t+1}, x_{t+2}) for t = i−2, so the ordinal-pattern
+    // algebra below substitutes __v→lag2, __v2→lag1, __v3→current.
+    val trip = Ranking.groupLag(base, "__k", Seq("__ts", "__id"),
+        Seq("__v"), 2)
+      .filter(col("__v_lag1").isNotNull && col("__v_lag2").isNotNull)
     // Ordinal rank of positions 1 and 2 among the triple under the
     // lexicographic (value, index) order; position 3's rank is
     // implied, so code = 3a + b is a bijection onto the 6 patterns.
-    val a = when(col("__v2") < col("__v"), 1L).otherwise(0L) +
-      when(col("__v3") < col("__v"), 1L).otherwise(0L)
-    val b = when(col("__v") <= col("__v2"), 1L).otherwise(0L) +
-      when(col("__v3") < col("__v2"), 1L).otherwise(0L)
+    val a = when(col("__v_lag1") < col("__v_lag2"), 1L).otherwise(0L) +
+      when(col("__v") < col("__v_lag2"), 1L).otherwise(0L)
+    val b = when(col("__v_lag2") <= col("__v_lag1"), 1L).otherwise(0L) +
+      when(col("__v") < col("__v_lag1"), 1L).otherwise(0L)
     val census = trip.select(col("__k"),
         (lit(3L) * a + b).as("__code"))
       .groupBy(col("__k"), col("__code"))

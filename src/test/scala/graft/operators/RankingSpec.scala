@@ -23,6 +23,53 @@ class RankingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("groupLag matches window lag exactly when groups span partitions") {
+    // 7 groups × ~71 rows over 13 range partitions — every group
+    // crosses several boundaries, so the head/tail repair join does
+    // real work for both lag depths; NULL payloads mixed in to pin
+    // the NULL-predecessor vs NULL-valued-predecessor distinction.
+    val df = (1L to 500L).map(i => (s"src${i % 7}", i * 37 % 101, i,
+        if (i % 11 == 0) null else java.lang.Long.valueOf(i * 3)))
+      .toDF("source", "score", "id", "v")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(2))
+    def payload(r: org.apache.spark.sql.Row, i: Int) =
+      if (r.isNullAt(i)) null else r.getLong(i)
+    val got = Ranking.groupLag(df, "source", Seq("score", "id"),
+        Seq("v"), lags = 2, numPartitions = 13)
+      .collect().map(r => key(r) -> (payload(r, 4), payload(r, 5)))
+      .toMap
+    val w = Window.partitionBy(col("source")).orderBy(col("score"), col("id"))
+    val want = df
+      .withColumn("v_lag1", lag(col("v"), 1).over(w))
+      .withColumn("v_lag2", lag(col("v"), 2).over(w))
+      .collect().map(r => key(r) -> (payload(r, 4), payload(r, 5)))
+      .toMap
+    assert(got == want)
+  }
+
+  test("groupLag repairs boundaries when every partition holds one row") {
+    // numPartitions far above the row count: (pid, group) blocks are
+    // single rows, so EVERY lag crosses a boundary — the repair path
+    // carries the whole answer.
+    val df = (1L to 40L).map(i => (s"g${i % 2}", i, i * 7))
+      .toDF("g", "id", "v")
+    val got = Ranking.groupLag(df, "g", Seq("id"), Seq("v"), 2,
+        numPartitions = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toMap
+    (1L to 40L).foreach { i =>
+      val g = s"g${i % 2}"
+      val want1 = if (i > 2) (i - 2) * 7 else -1L
+      val want2 = if (i > 4) (i - 4) * 7 else -1L
+      assert(got((g, i)) == ((want1, want2)),
+        s"row $g/$i expected ($want1, $want2) got ${got((g, i))}")
+    }
+  }
+
   test("groupRank survives a downstream coalesce(1) — pid is data, not task id") {
     // Verify's sink coalesces every result to one task; a rank built
     // on TaskContext partition ids collapses to pid 0 there and
