@@ -65,6 +65,31 @@ object Dedup {
     }
   }
 
+  /** JVM comparator matching Spark's column order for the id types
+    * whose order is PROVABLY identical on both sides — integrals
+    * naturally, strings via UTF8String's unsigned-byte comparator
+    * (java.lang.String.compareTo is UTF-16 code-unit order, which
+    * diverges on supplementary characters). None for anything else:
+    * driver fast paths must fall back to the distributed plan. */
+  private[graft] def idComparator(
+      dt: org.apache.spark.sql.types.DataType)
+      : Option[java.util.Comparator[Any]] = dt match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.BooleanType =>
+      Some((a: Any, b: Any) =>
+        a.asInstanceOf[Comparable[Any]].compareTo(b))
+    case org.apache.spark.sql.types.StringType =>
+      Some((a: Any, b: Any) =>
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b.asInstanceOf[String])))
+    case _ => None
+  }
+
   /** Exact dedup: canonical survivor per identical text = min(id).
     * One hash-aggregate shuffle on the digest. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -423,22 +448,7 @@ object Dedup {
     // unsigned-byte comparator (java.lang.String.compareTo is UTF-16
     // code-unit order, which DIVERGES on supplementary characters).
     val idOrd: Option[java.util.Comparator[Any]] =
-      sym.schema("x").dataType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.BooleanType =>
-          Some((a: Any, b: Any) =>
-            a.asInstanceOf[Comparable[Any]].compareTo(b))
-        case org.apache.spark.sql.types.StringType =>
-          Some((a: Any, b: Any) =>
-            org.apache.spark.unsafe.types.UTF8String
-              .fromString(a.asInstanceOf[String])
-              .compareTo(org.apache.spark.unsafe.types.UTF8String
-                .fromString(b.asInstanceOf[String])))
-        case _ => None
-      }
+      idComparator(sym.schema("x").dataType)
     // One gate pass over the pinned edges: row count AND a NULL
     // census — NULL endpoints keep the distributed path, which
     // tolerates them (a NULL id never joins; it surfaces as one

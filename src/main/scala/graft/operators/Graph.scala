@@ -242,10 +242,11 @@ object Graph {
       dstCol: String,
       iters: Int,
       dampingPct: Int = 85,
-      unit: Long = 1000000L): DataFrame =
+      unit: Long = 1000000L,
+      driverCap: Long = 250000L): DataFrame =
     pageRankCore(edges.select(col(srcCol).as("__src"),
         col(dstCol).as("__dst"), lit(1L).as("__w")),
-      iters, dampingPct, unit)
+      iters, dampingPct, unit, withStats = false, driverCap)._1
 
   /** [[pageRank]] with each out-edge carrying an integer weight —
     * rank mass flows PROPORTIONALLY to the weight instead of evenly:
@@ -269,7 +270,8 @@ object Graph {
       weightCol: String,
       iters: Int,
       dampingPct: Int = 85,
-      unit: Long = 1000000L): DataFrame = {
+      unit: Long = 1000000L,
+      driverCap: Long = 250000L): DataFrame = {
     val w = col(weightCol).cast("long")
     pageRankCore(edges.select(col(srcCol).as("__src"),
         col(dstCol).as("__dst"),
@@ -277,7 +279,7 @@ object Graph {
           raise_error(concat(lit("pageRankWeighted: non-positive (or " +
             "truncated-to-zero) weight "),
             col(weightCol).cast("string")))).as("__w")),
-      iters, dampingPct, unit)
+      iters, dampingPct, unit, withStats = false, driverCap)._1
   }
 
   /** [[pageRank]] with convergence telemetry: returns (ranks, rounds
@@ -296,24 +298,19 @@ object Graph {
       dstCol: String,
       iters: Int,
       dampingPct: Int = 85,
-      unit: Long = 1000000L): (DataFrame, Int, Long) =
+      unit: Long = 1000000L,
+      driverCap: Long = 250000L): (DataFrame, Int, Long) =
     pageRankCore(edges.select(col(srcCol).as("__src"),
         col(dstCol).as("__dst"), lit(1L).as("__w")),
-      iters, dampingPct, unit, withStats = true)
-
-  private def pageRankCore(
-      edges: DataFrame,
-      iters: Int,
-      dampingPct: Int,
-      unit: Long): DataFrame =
-    pageRankCore(edges, iters, dampingPct, unit, withStats = false)._1
+      iters, dampingPct, unit, withStats = true, driverCap)
 
   private def pageRankCore(
       edges: DataFrame,
       iters: Int,
       dampingPct: Int,
       unit: Long,
-      withStats: Boolean): (DataFrame, Int, Long) = {
+      withStats: Boolean,
+      driverCap: Long = 250000L): (DataFrame, Int, Long) = {
     require(iters >= 1, "iters must be at least 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
@@ -325,6 +322,70 @@ object Graph {
     // pipeline several times over (the Spark twin of the oracle's
     // MATERIALIZED edges/nodes/outdeg CTEs).
     val e = Dedup.truncate(edges)
+    val base0 = ((100L - dampingPct) * unit) / 100L
+    // Guarded driver fold (r19; the [[hits]] rationale): the exact
+    // floor-div mass split (rank div W)·w + ((rank mod W)·w) div W is
+    // non-negative Long arithmetic throughout — Spark `div` equals
+    // Java `/` there — and inflow sums are order-free. NULL endpoints
+    // keep the distributed path (a NULL src/dst silently drops out of
+    // the distributed flow joins; the fold's hash maps would route
+    // mass through it). Spec-pinned distributed agreement via
+    // driverCap = 0.
+    val takePrFold = driverCap > 0L &&
+      e.schema("__src").dataType == e.schema("__dst").dataType && {
+        val g = e.agg(count(lit(1)).as("__n"),
+          coalesce(sum(when(col("__src").isNull ||
+            col("__dst").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("__nulls")).collect()(0)
+        g.getLong(0) <= driverCap && g.getLong(1) == 0L
+      }
+    if (takePrFold) {
+      val edgesL = e.collect().map(r =>
+        (r.get(0), r.get(1), r.getLong(2)))
+      val nodesL: Array[Any] =
+        (edgesL.map(_._1) ++ edgesL.map(_._2)).distinct
+      val wsum = new java.util.HashMap[Any, java.lang.Long]()
+      edgesL.foreach { case (u, _, w) =>
+        wsum.put(u, if (wsum.containsKey(u)) wsum.get(u) + w else w) }
+      var rankM = new java.util.HashMap[Any, java.lang.Long]()
+      nodesL.foreach(n => rankM.put(n, unit))
+      var rounds = 0
+      var mass = -1L
+      while (rounds < iters && mass != 0L) {
+        val inflow = new java.util.HashMap[Any, java.lang.Long]()
+        edgesL.foreach { case (u, v, w) =>
+          val r = rankM.get(u).longValue
+          val ws = wsum.get(u).longValue
+          val in = (r / ws) * w + ((r % ws) * w) / ws
+          inflow.put(v,
+            if (inflow.containsKey(v)) inflow.get(v) + in else in)
+        }
+        val next = new java.util.HashMap[Any, java.lang.Long]()
+        var m = 0L
+        nodesL.foreach { n =>
+          val in = if (inflow.containsKey(n)) inflow.get(n).longValue
+            else 0L
+          val nr = base0 + (dampingPct * in) / 100L
+          if (withStats) m += math.abs(nr - rankM.get(n).longValue)
+          next.put(n, nr)
+        }
+        if (withStats) mass = m
+        rankM = next
+        rounds += 1
+      }
+      val spark = edges.sparkSession
+      val idType = e.schema("__src").dataType
+      val rows = nodesL.toSeq.map(n =>
+        org.apache.spark.sql.Row(n, rankM.get(n).longValue))
+      return (spark.createDataFrame(
+        spark.sparkContext.parallelize(rows,
+          math.max(1, math.min(rows.size / 50000, 32))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", idType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType)))),
+        rounds, math.max(mass, 0L))
+    }
     val nodes = Dedup.truncate(e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct())
     val outw = Dedup.truncate(
@@ -400,8 +461,10 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iters: Int): DataFrame =
-    lpaCore(edges, srcCol, dstCol, iters, withStats = false)._1
+      iters: Int,
+      driverCap: Long = 250000L): DataFrame =
+    lpaCore(edges, srcCol, dstCol, iters, withStats = false,
+      driverCap)._1
 
   /** [[labelPropagation]] with the rounds-actually-run count: the
     * loop EARLY-EXITS when a round changes no label — the synchronous
@@ -420,8 +483,10 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iters: Int): (DataFrame, Int) =
-    lpaCore(edges, srcCol, dstCol, iters, withStats = true)
+      iters: Int,
+      driverCap: Long = 250000L): (DataFrame, Int) =
+    lpaCore(edges, srcCol, dstCol, iters, withStats = true,
+      driverCap)
 
   /** k-core peel, fixed `iters` rounds: repeatedly delete every node
     * whose degree in the SURVIVING subgraph is below `k` (Seidman
@@ -452,8 +517,10 @@ object Graph {
       srcCol: String,
       dstCol: String,
       k: Int,
-      iters: Int): DataFrame =
-    kCoreCore(edges, srcCol, dstCol, k, iters, withStats = false)._1
+      iters: Int,
+      driverCap: Long = 250000L): DataFrame =
+    kCoreCore(edges, srcCol, dstCol, k, iters, withStats = false,
+      driverCap)._1
 
   /** [[kCore]] run to the fixpoint (capped at `iters` rounds), with
     * the rounds-actually-run count: a round that peels no node
@@ -467,8 +534,10 @@ object Graph {
       srcCol: String,
       dstCol: String,
       k: Int,
-      iters: Int): (DataFrame, Int) =
-    kCoreCore(edges, srcCol, dstCol, k, iters, withStats = true)
+      iters: Int,
+      driverCap: Long = 250000L): (DataFrame, Int) =
+    kCoreCore(edges, srcCol, dstCol, k, iters, withStats = true,
+      driverCap)
 
   private def kCoreCore(
       edges: DataFrame,
@@ -476,7 +545,8 @@ object Graph {
       dstCol: String,
       k: Int,
       iters: Int,
-      withStats: Boolean): (DataFrame, Int) = {
+      withStats: Boolean,
+      driverCap: Long = 250000L): (DataFrame, Int) = {
     require(k >= 1, "k must be at least 1")
     require(iters >= 1, "iters must be at least 1")
     var e = Dedup.truncate(edges
@@ -484,6 +554,57 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct())
+    // Guarded driver fold (r19; the [[hits]] rationale): peeling is
+    // pure integer degree counting over a shrinking edge set — no
+    // arithmetic to drift, no ordering needed. Early-exit and
+    // round-count semantics replicated exactly; spec-pinned
+    // distributed agreement via driverCap = 0.
+    if (driverCap > 0L &&
+        e.schema("a").dataType == e.schema("b").dataType &&
+        e.count() <= driverCap) {
+      var edgesL = e.collect().map(r => (r.get(0), r.get(1))).toSeq
+      var rounds = 0
+      var removed = -1L
+      def degreesOf(es: Seq[(Any, Any)])
+          : java.util.HashMap[Any, java.lang.Long] = {
+        val d = new java.util.HashMap[Any, java.lang.Long]()
+        es.foreach { case (a, b) =>
+          d.put(a, if (d.containsKey(a)) d.get(a) + 1L else 1L)
+          d.put(b, if (d.containsKey(b)) d.get(b) + 1L else 1L)
+        }
+        d
+      }
+      while (rounds < iters && removed != 0L) {
+        val deg = degreesOf(edgesL)
+        if (withStats) {
+          var rm = 0L
+          val it = deg.values().iterator()
+          while (it.hasNext) if (it.next().longValue < k) rm += 1L
+          removed = rm
+        }
+        edgesL = edgesL.filter { case (a, b) =>
+          deg.get(a) >= k && deg.get(b) >= k }
+        rounds += 1
+      }
+      val core = degreesOf(edgesL)
+      val spark = edges.sparkSession
+      val idType = e.schema("a").dataType
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      val it = core.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        rows += org.apache.spark.sql.Row(en.getKey,
+          en.getValue.longValue)
+      }
+      return (spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq,
+          math.max(1, math.min(rows.size / 50000, 32))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", idType),
+          org.apache.spark.sql.types.StructField("core_deg",
+            org.apache.spark.sql.types.LongType)))), rounds)
+    }
     var rounds = 0
     var removed = -1L
     while (rounds < iters && removed != 0L) {
@@ -513,7 +634,8 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iters: Int,
-      withStats: Boolean): (DataFrame, Int) = {
+      withStats: Boolean,
+      driverCap: Long = 250000L): (DataFrame, Int) = {
     require(iters >= 1, "iters must be at least 1")
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -523,6 +645,70 @@ object Graph {
     val e = Dedup.truncate(
       und.select(col("a").as("x"), col("b").as("y"))
         .union(und.select(col("b").as("x"), col("a").as("y"))))
+    // Guarded driver fold (r19; the [[labelSpread]] rationale —
+    // labels here ARE node ids, so the (−count, label) tie-break
+    // needs the id type order-provable via [[Dedup.idComparator]]).
+    // Early-exit and round-count semantics replicated exactly;
+    // spec-pinned distributed agreement via driverCap = 0.
+    val lpaOrd = Dedup.idComparator(e.schema("x").dataType)
+    if (driverCap > 0L && lpaOrd.isDefined && e.count() <= driverCap) {
+      val cmp = lpaOrd.get
+      val edgesL = e.collect().map(r => (r.get(0), r.get(1)))
+      val nodesL: Array[Any] = edgesL.map(_._1).distinct
+      var labM = new java.util.HashMap[Any, Any]()
+      nodesL.foreach(n => labM.put(n, n))
+      var rounds = 0
+      var changed = -1L
+      while (rounds < iters && changed != 0L) {
+        val votes =
+          new java.util.HashMap[Any, java.util.HashMap[Any, java.lang.Long]]()
+        edgesL.foreach { case (x, y) =>
+          val ly = labM.get(y)
+          var m = votes.get(x)
+          if (m == null) {
+            m = new java.util.HashMap[Any, java.lang.Long]()
+            votes.put(x, m)
+          }
+          m.put(ly, if (m.containsKey(ly)) m.get(ly) + 1L else 1L)
+        }
+        val next = new java.util.HashMap[Any, Any]()
+        var ch = 0L
+        nodesL.foreach { n =>
+          val m = votes.get(n)
+          val w = if (m == null) labM.get(n)
+          else {
+            var bestL: Any = null
+            var bestC = -1L
+            val it = m.entrySet().iterator()
+            while (it.hasNext) {
+              val en = it.next()
+              val c = en.getValue.longValue
+              if (c > bestC ||
+                  (c == bestC && cmp.compare(en.getKey, bestL) < 0)) {
+                bestC = c; bestL = en.getKey
+              }
+            }
+            bestL
+          }
+          if (withStats && w != labM.get(n)) ch += 1L
+          next.put(n, w)
+        }
+        if (withStats) changed = ch
+        labM = next
+        rounds += 1
+      }
+      val spark = edges.sparkSession
+      val idType = e.schema("x").dataType
+      val rows = nodesL.toSeq.map(n =>
+        org.apache.spark.sql.Row(n, labM.get(n)))
+      return (spark.createDataFrame(
+        spark.sparkContext.parallelize(rows,
+          math.max(1, math.min(rows.size / 50000, 32))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", idType),
+          org.apache.spark.sql.types.StructField("label", idType)))),
+        rounds)
+    }
     var labels = Dedup.truncate(
       e.select(col("x").as("node")).distinct()
         .select(col("node"), col("node").as("label")))
@@ -582,7 +768,8 @@ object Graph {
       seedCol: String,
       iters: Int,
       dampingPct: Int = 85,
-      unit: Long = 1000000L): DataFrame = {
+      unit: Long = 1000000L,
+      driverCap: Long = 250000L): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
@@ -594,6 +781,60 @@ object Graph {
     val sd = Dedup.truncate(
       seeds.select(col(seedCol).as("node")).filter(col("node").isNotNull)
         .distinct())
+    // Guarded driver fold (r19; the [[hits]] rationale): the per-round
+    // arithmetic is exact Long floor-divisions and sums over
+    // non-negative values — Spark's `div` truncates toward zero,
+    // which equals Java `/` on the non-negative ranks/degrees here —
+    // so the fold is bit-equal to the distributed rounds
+    // (spec-pinned via driverCap = 0).
+    if (driverCap > 0L &&
+        e.schema("__src").dataType == e.schema("__dst").dataType &&
+        e.schema("__src").dataType == sd.schema("node").dataType &&
+        e.count() <= driverCap && sd.count() <= driverCap) {
+      val edgesL = e.collect().map(r => (r.get(0), r.get(1)))
+      val seedsL = sd.collect().map(_.get(0))
+      val nodesL: Array[Any] =
+        (edgesL.map(_._1) ++ edgesL.map(_._2) ++ seedsL).distinct
+      val seedSet = new java.util.HashSet[Any]()
+      seedsL.foreach(seedSet.add)
+      val outdeg = new java.util.HashMap[Any, java.lang.Long]()
+      edgesL.foreach { case (u, _) =>
+        outdeg.put(u, if (outdeg.containsKey(u)) outdeg.get(u) + 1L
+          else 1L) }
+      val base = ((100L - dampingPct) * unit) / 100L
+      var rankM = new java.util.HashMap[Any, java.lang.Long]()
+      nodesL.foreach(n =>
+        rankM.put(n, if (seedSet.contains(n)) unit else 0L))
+      var round = 0
+      while (round < iters) {
+        val inflow = new java.util.HashMap[Any, java.lang.Long]()
+        edgesL.foreach { case (u, v) =>
+          val in = rankM.get(u).longValue / outdeg.get(u).longValue
+          inflow.put(v,
+            if (inflow.containsKey(v)) inflow.get(v) + in else in)
+        }
+        val next = new java.util.HashMap[Any, java.lang.Long]()
+        nodesL.foreach { n =>
+          val in = if (inflow.containsKey(n)) inflow.get(n).longValue
+            else 0L
+          val b = if (seedSet.contains(n)) base else 0L
+          next.put(n, b + (dampingPct * in) / 100L)
+        }
+        rankM = next
+        round += 1
+      }
+      val spark = edges.sparkSession
+      val idType = e.schema("__src").dataType
+      val rows = nodesL.toSeq.map(n =>
+        org.apache.spark.sql.Row(n, rankM.get(n).longValue))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows,
+          math.max(1, math.min(rows.size / 50000, 32))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", idType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType))))
+    }
     val nodes = Dedup.truncate(
       e.select(col("__src").as("node"))
         .union(e.select(col("__dst").as("node")))
@@ -658,13 +899,61 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iters: Int,
-      unit: Long = 1000000L): DataFrame = {
+      unit: Long = 1000000L,
+      driverCap: Long = 250000L): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     require(unit > 0, "unit must be positive")
     val e = Dedup.truncate(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
         .filter(col("__src").isNotNull && col("__dst").isNotNull)
         .distinct())
+    // Guarded driver fold (r19; the [[Dedup.connectedComponents]] r18
+    // discipline): each round of the distributed loop costs ~4 jobs
+    // of fixed overhead however small the pinned edge set is, and the
+    // arithmetic is exact unnormalized Long sums — order-free, so the
+    // fold is bit-equal (Java long addition wraps exactly like
+    // Spark's non-ANSI sum if a caller ever overflows `iters`). The
+    // MEASURED edge count bounds driver work by construction; bigger
+    // graphs keep the distributed rounds unchanged (spec-pinned via
+    // driverCap = 0).
+    if (driverCap > 0L &&
+        e.schema("__src").dataType == e.schema("__dst").dataType &&
+        e.count() <= driverCap) {
+      val edgesL = e.collect().map(r => (r.get(0), r.get(1)))
+      val nodesL: Array[Any] =
+        (edgesL.map(_._1) ++ edgesL.map(_._2)).distinct
+      var hubM = new java.util.HashMap[Any, java.lang.Long]()
+      nodesL.foreach(n => hubM.put(n, unit))
+      var authM = new java.util.HashMap[Any, java.lang.Long]()
+      var round = 0
+      while (round < iters) {
+        val na = new java.util.HashMap[Any, java.lang.Long]()
+        nodesL.foreach(n => na.put(n, 0L))
+        edgesL.foreach { case (u, v) =>
+          na.put(v, na.get(v) + hubM.get(u)) }
+        val nh = new java.util.HashMap[Any, java.lang.Long]()
+        nodesL.foreach(n => nh.put(n, 0L))
+        edgesL.foreach { case (u, v) =>
+          nh.put(u, nh.get(u) + na.get(v)) }
+        authM = na
+        hubM = nh
+        round += 1
+      }
+      val spark = edges.sparkSession
+      val idType = e.schema("__src").dataType
+      val rows = nodesL.toSeq.map(n =>
+        org.apache.spark.sql.Row(n, hubM.get(n).longValue,
+          authM.get(n).longValue))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows,
+          math.max(1, math.min(rows.size / 50000, 32))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", idType),
+          org.apache.spark.sql.types.StructField("hub",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("auth",
+            org.apache.spark.sql.types.LongType))))
+    }
     val nodes = Dedup.truncate(e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct())
     var hub = Dedup.truncate(nodes.select(col("node"), lit(unit).as("hub")))
@@ -722,7 +1011,8 @@ object Graph {
       seeds: DataFrame,
       seedNodeCol: String,
       seedLabelCol: String,
-      iters: Int): DataFrame = {
+      iters: Int,
+      driverCap: Long = 250000L): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -738,6 +1028,81 @@ object Graph {
         .filter(col("node").isNotNull && col("__seed_label").isNotNull)
         .groupBy(col("node"))
         .agg(min(col("__seed_label")).as("__seed_label")))
+    // Guarded driver fold (r19; the [[hits]] rationale): the vote
+    // census is exact integer counting and the winner is the
+    // (−count, label) argmin — the label tie-break needs the same
+    // order-provable-type discipline as the r18 union-find, so only
+    // integral/string labels (via [[Dedup.idComparator]]) take the
+    // fast path, and only when seed and edge node types agree
+    // (spec-pinned distributed agreement via driverCap = 0).
+    val labelOrd = Dedup.idComparator(sd.schema("__seed_label").dataType)
+    if (driverCap > 0L && labelOrd.isDefined &&
+        e.schema("x").dataType == sd.schema("node").dataType &&
+        e.count() <= driverCap && sd.count() <= driverCap) {
+      val cmp = labelOrd.get
+      val edgesL = e.collect().map(r => (r.get(0), r.get(1)))
+      val seedL = sd.collect().map(r => (r.get(0), r.get(1)))
+      val nodesL: Array[Any] =
+        (edgesL.map(_._1) ++ seedL.map(_._1)).distinct
+      val isSeed = new java.util.HashSet[Any]()
+      var labM = new java.util.HashMap[Any, Any]()
+      seedL.foreach { case (n, l) => isSeed.add(n); labM.put(n, l) }
+      var round = 0
+      while (round < iters) {
+        val votes =
+          new java.util.HashMap[Any, java.util.HashMap[Any, java.lang.Long]]()
+        edgesL.foreach { case (x, y) =>
+          val ly = labM.get(y)
+          if (ly != null) {
+            var m = votes.get(x)
+            if (m == null) {
+              m = new java.util.HashMap[Any, java.lang.Long]()
+              votes.put(x, m)
+            }
+            m.put(ly, if (m.containsKey(ly)) m.get(ly) + 1L else 1L)
+          }
+        }
+        val next = new java.util.HashMap[Any, Any]()
+        nodesL.foreach { n =>
+          if (isSeed.contains(n)) next.put(n, labM.get(n))
+          else {
+            val m = votes.get(n)
+            if (m == null) {
+              val old = labM.get(n)
+              if (old != null) next.put(n, old)
+            } else {
+              var bestL: Any = null
+              var bestC = -1L
+              val it = m.entrySet().iterator()
+              while (it.hasNext) {
+                val en = it.next()
+                val c = en.getValue.longValue
+                if (c > bestC ||
+                    (c == bestC && cmp.compare(en.getKey, bestL) < 0)) {
+                  bestC = c; bestL = en.getKey
+                }
+              }
+              next.put(n, bestL)
+            }
+          }
+        }
+        labM = next
+        round += 1
+      }
+      val spark = edges.sparkSession
+      val idType = e.schema("x").dataType
+      val labType = sd.schema("__seed_label").dataType
+      val rows = nodesL.toSeq.map(n =>
+        org.apache.spark.sql.Row(n, labM.get(n), isSeed.contains(n)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows,
+          math.max(1, math.min(rows.size / 50000, 32))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", idType),
+          org.apache.spark.sql.types.StructField("label", labType),
+          org.apache.spark.sql.types.StructField("is_seed",
+            org.apache.spark.sql.types.BooleanType))))
+    }
     var labels = Dedup.truncate(
       e.select(col("x").as("node")).distinct()
         .join(sd, Seq("node"), "full_outer")
@@ -792,9 +1157,10 @@ object Graph {
       dstCol: String,
       seeds: DataFrame,
       seedCol: String,
-      maxHops: Int): DataFrame =
+      maxHops: Int,
+      driverCap: Long = 250000L): DataFrame =
     hopDistanceCore(edges, srcCol, dstCol, seeds, seedCol, maxHops,
-      withStats = false)._1
+      withStats = false, driverCap)._1
 
   /** [[hopDistance]] with the rounds-actually-run count: the loop
     * early-exits when a round settles no new node (an empty frontier
@@ -807,9 +1173,10 @@ object Graph {
       dstCol: String,
       seeds: DataFrame,
       seedCol: String,
-      maxHops: Int): (DataFrame, Int) =
+      maxHops: Int,
+      driverCap: Long = 250000L): (DataFrame, Int) =
     hopDistanceCore(edges, srcCol, dstCol, seeds, seedCol, maxHops,
-      withStats = true)
+      withStats = true, driverCap)
 
   private def hopDistanceCore(
       edges: DataFrame,
@@ -818,15 +1185,79 @@ object Graph {
       seeds: DataFrame,
       seedCol: String,
       maxHops: Int,
-      withStats: Boolean): (DataFrame, Int) = {
+      withStats: Boolean,
+      driverCap: Long = 250000L): (DataFrame, Int) = {
     require(maxHops >= 0, "maxHops must be non-negative")
     val e = Dedup.truncate(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
         .filter(col("__src").isNotNull && col("__dst").isNotNull)
         .distinct())
-    var frontier = Dedup.truncate(
+    val sd0 = Dedup.truncate(
       seeds.select(col(seedCol).as("node")).filter(col("node").isNotNull)
-        .distinct().select(col("node"), lit(0).as("dist")))
+        .distinct())
+    // Guarded driver fold (r19; the [[hits]] rationale): BFS is pure
+    // set algebra — no arithmetic to drift — and the level-
+    // synchronous loop costs ~4 jobs per hop distributed. Same loop
+    // contract as below, including the stats-mode early exit and its
+    // round count (spec-pinned distributed agreement via
+    // driverCap = 0).
+    if (driverCap > 0L &&
+        e.schema("__src").dataType == e.schema("__dst").dataType &&
+        e.schema("__src").dataType == sd0.schema("node").dataType &&
+        e.count() <= driverCap && sd0.count() <= driverCap) {
+      val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+      e.collect().foreach { r =>
+        var l = adj.get(r.get(0))
+        if (l == null) {
+          l = new java.util.ArrayList[Any](); adj.put(r.get(0), l)
+        }
+        l.add(r.get(1))
+      }
+      val settled =
+        new java.util.LinkedHashMap[Any, java.lang.Integer]()
+      var frontierL: Array[Any] = sd0.collect().map(_.get(0))
+      frontierL.foreach(n => settled.put(n, 0))
+      var rounds = 0
+      var grew = -1L
+      while (rounds < maxHops && grew != 0L) {
+        val nextSet = new java.util.LinkedHashSet[Any]()
+        frontierL.foreach { n =>
+          val l = adj.get(n)
+          if (l != null) {
+            val it = l.iterator()
+            while (it.hasNext) {
+              val d = it.next()
+              if (!settled.containsKey(d)) nextSet.add(d)
+            }
+          }
+        }
+        val next = nextSet.toArray.asInstanceOf[Array[AnyRef]]
+          .map(_.asInstanceOf[Any])
+        if (withStats) grew = next.length.toLong
+        next.foreach(n => settled.put(n, rounds + 1))
+        frontierL = next
+        rounds += 1
+      }
+      val spark = edges.sparkSession
+      val idType = e.schema("__src").dataType
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      val it = settled.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        rows += org.apache.spark.sql.Row(en.getKey,
+          en.getValue.intValue)
+      }
+      return (spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq,
+          math.max(1, math.min(rows.size / 50000, 32))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", idType),
+          org.apache.spark.sql.types.StructField("dist",
+            org.apache.spark.sql.types.IntegerType)))), rounds)
+    }
+    var frontier = Dedup.truncate(
+      sd0.select(col("node"), lit(0).as("dist")))
     var settled = frontier
     var rounds = 0
     var grew = -1L

@@ -319,6 +319,69 @@ class GraphSpec extends SparkSpec {
     assert(r == Map("z" -> 150000L, "a" -> 0L, "b" -> 0L))
   }
 
+  test("iterative driver folds agree with the distributed rounds") {
+    // driverCap = 0 pins the DISTRIBUTED loop (the at-scale path must
+    // stay exercised — the r18 connectedComponents spec discipline);
+    // the default cap takes the driver fold. Random directed graph
+    // with islands, cycles, and duplicate edges; every operator must
+    // agree row for row.
+    val rng = new scala.util.Random(13)
+    val edges = (1 to 300).map(_ =>
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("s", "d")
+    val seeds = Seq(1L, 3L, 99L).toDF("n")
+    val lseeds = Seq((1L, 7), (3L, 2), (99L, 5)).toDF("n", "l")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Graph.hits(edges, "s", "d", iters = 3)) ==
+      rows(Graph.hits(edges, "s", "d", iters = 3, driverCap = 0L)))
+    assert(rows(Graph.pageRankSeeded(edges, "s", "d", seeds, "n",
+        iters = 4)) ==
+      rows(Graph.pageRankSeeded(edges, "s", "d", seeds, "n",
+        iters = 4, driverCap = 0L)))
+    assert(rows(Graph.labelSpread(edges, "s", "d", lseeds, "n", "l",
+        iters = 4)) ==
+      rows(Graph.labelSpread(edges, "s", "d", lseeds, "n", "l",
+        iters = 4, driverCap = 0L)))
+    val (d1, r1) = Graph.hopDistanceConverged(edges, "s", "d", seeds,
+      "n", maxHops = 6)
+    val (d0, r0) = Graph.hopDistanceConverged(edges, "s", "d", seeds,
+      "n", maxHops = 6, driverCap = 0L)
+    assert(rows(d1) == rows(d0))
+    assert(r1 == r0)
+    assert(rows(Graph.pageRank(edges, "s", "d", iters = 3)) ==
+      rows(Graph.pageRank(edges, "s", "d", iters = 3, driverCap = 0L)))
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val wedges = edges.withColumn("w",
+      pmod(col("s") * 7 + col("d"), lit(5)) + lit(1))
+    assert(rows(Graph.pageRankWeighted(wedges, "s", "d", "w",
+        iters = 3)) ==
+      rows(Graph.pageRankWeighted(wedges, "s", "d", "w", iters = 3,
+        driverCap = 0L)))
+    val (p1, pr1, m1) = Graph.pageRankConverged(edges, "s", "d",
+      iters = 4)
+    val (p0, pr0, m0) = Graph.pageRankConverged(edges, "s", "d",
+      iters = 4, driverCap = 0L)
+    assert(rows(p1) == rows(p0) && pr1 == pr0 && m1 == m0)
+    assert(rows(Graph.labelPropagation(edges, "s", "d", iters = 4)) ==
+      rows(Graph.labelPropagation(edges, "s", "d", iters = 4,
+        driverCap = 0L)))
+    val (l1, lr1) = Graph.labelPropagationConverged(edges, "s", "d",
+      iters = 6)
+    val (l0, lr0) = Graph.labelPropagationConverged(edges, "s", "d",
+      iters = 6, driverCap = 0L)
+    assert(rows(l1) == rows(l0) && lr1 == lr0)
+    assert(rows(Graph.kCore(edges, "s", "d", k = 3, iters = 5)) ==
+      rows(Graph.kCore(edges, "s", "d", k = 3, iters = 5,
+        driverCap = 0L)))
+    val (k1, kr1) = Graph.kCoreConverged(edges, "s", "d", k = 3,
+      iters = 20)
+    val (k0, kr0) = Graph.kCoreConverged(edges, "s", "d", k = 3,
+      iters = 20, driverCap = 0L)
+    assert(rows(k1) == rows(k0) && kr1 == kr0)
+  }
+
   test("adamicAdar: rare shared neighbors outweigh hubs, exact micro terms") {
     // z1 has degree 3 (term 910239 = round(1e12/round(1e6·ln3))),
     // z2 degree 2 (term 1442695). (a,b) share both; (a,c)/(b,c) only z1.
