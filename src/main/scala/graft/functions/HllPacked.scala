@@ -76,8 +76,15 @@ object HllPacked {
 
     private def mergeInto(buf: Array[Byte], v: Array[Byte]): Array[Byte] = {
       if (buf == null) return v.clone()
+      // Equal lengths are structural (every producer emits M-register
+      // cells); a malformed input must fail loudly, not silently
+      // truncate the merge to the shorter vector and corrupt the
+      // estimate (r18 ADVICE).
+      require(buf.length == v.length,
+        s"byte_max: register vectors of ${buf.length} and ${v.length} " +
+          "bytes cannot merge")
       var i = 0
-      val n = math.min(buf.length, v.length)
+      val n = buf.length
       while (i < n) {
         if (v(i) > buf(i)) buf(i) = v(i)
         i += 1

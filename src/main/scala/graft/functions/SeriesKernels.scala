@@ -60,8 +60,11 @@ object SeriesKernels {
       if (n < 2) return null
       val m = n.toLong * (n - 1) / 2
       // The operators bound n by maxN upstream; fail loud rather than
-      // wrap the allocation if a caller ever unbounds it.
-      require(m <= 100000000L,
+      // wrap the allocation if a caller ever unbounds it. 1e7 pairs
+      // (~80 MB of long[]) keeps the require firing BEFORE allocation
+      // pressure does (r18 ADVICE) — the gate grid tops out at
+      // maxN = 512 ≈ 131k pairs, two orders of magnitude below.
+      require(m <= 10000000L,
         s"mann_kendall_stats: series of $n points expands to $m pairs; " +
           "truncate with a smaller maxN")
       val slopes = new Array[Long](m.toInt)
@@ -136,7 +139,10 @@ object SeriesKernels {
       val xs = l.asInstanceOf[ArrayData].toLongArray()
       val ys = r.asInstanceOf[ArrayData].toLongArray()
       val n = xs.length
-      require(n.toLong * (n - 1) / 2 <= 100000000L,
+      require(xs.length == ys.length,
+        s"theil_sen_stats: xs/ys length mismatch (${xs.length} vs " +
+          s"${ys.length})")
+      require(n.toLong * (n - 1) / 2 <= 10000000L,
         s"theil_sen_stats: series of $n points expands to " +
           s"${n.toLong * (n - 1) / 2} pairs; truncate with a smaller maxN")
       var np = 0
@@ -229,6 +235,9 @@ object SeriesKernels {
       val xs = l.asInstanceOf[ArrayData].toLongArray()
       val ys = r.asInstanceOf[ArrayData].toLongArray()
       val n = xs.length
+      require(xs.length == ys.length,
+        s"kendall_tau_stats: xs/ys length mismatch (${xs.length} vs " +
+          s"${ys.length})")
       if (n < 2) return null
       var cd = 0L
       var i = 0
@@ -292,7 +301,7 @@ object SeriesKernels {
       val nb = vb.length
       if (na == 0 || nb == 0) return null
       val m = na.toLong * nb
-      require(m <= 100000000L,
+      require(m <= 10000000L,
         s"hodges_lehmann_stats: arms of $na × $nb expand to $m " +
           "differences; truncate with a smaller maxN")
       val diffs = new Array[Long](m.toInt)

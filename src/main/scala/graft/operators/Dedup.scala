@@ -417,7 +417,12 @@ object Dedup {
     * instead of O(diameter). Deterministic: no RNG, exact min
     * fixpoint, convergence checked by counting changed labels.
     *
-    * Output: (id, component) — component = min node id reachable. */
+    * Output: (id, component) — component = min node id reachable.
+    *
+    * `maxIter` applies only to the DISTRIBUTED fixpoint: graphs at or
+    * under `driverCap` rows are solved exactly by the driver
+    * union-find, which always converges — the non-convergence throw
+    * below is reachable only above the cap (r18 ADVICE note). */
   def connectedComponents(
       edges: DataFrame,
       aCol: String,

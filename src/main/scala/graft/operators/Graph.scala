@@ -144,14 +144,18 @@ object Graph {
       minCommon: Int = 1): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
-    // Lazy pins (r19) — same rationale as [[adamicAdar]]'s: the two
-    // consumers of each pin reuse exchanges, no AQE-stats dependence.
+    // Lazy pin on e (r19) — the [[adamicAdar]] rationale. u stays
+    // EAGER: it feeds the degree census AND both legs of the wedge
+    // self-join, and a lazy u let those concurrent stages race to
+    // compute it — q275 regressed in-suite (5.05 → 7.18 s once-run)
+    // while the isolated number looked fine, the r18 q376 lesson
+    // exactly.
     val e = Dedup.truncateLazy(edges
       .select(col(srcCol).as("__s"), col(dstCol).as("__z")).distinct())
     val zu = e.groupBy(col("__z")).agg(count(lit(1)).as("__d"))
       .filter(col("__d") <= maxDegree.toLong)
       .select(col("__z"))
-    val u = Dedup.truncateLazy(e.join(zu, Seq("__z")))
+    val u = Dedup.truncate(e.join(zu, Seq("__z")))
     val deg = u.groupBy(col("__s")).agg(count(lit(1)).as("deg"))
     val wedges = u.as("wa").join(u.as("wb"),
         col("wa.__z") === col("wb.__z") && col("wa.__s") < col("wb.__s"))

@@ -419,7 +419,33 @@ object ManifestTable {
       }.toMap
       (files.map(f => s"$rel/${f.getName}"), n, stats, rowsB.result())
     }
-    val written = (appends ++ snapshots).map { case (t, df) => t -> writeOut(t, df) }
+    // Independent tables write CONCURRENTLY (r19, guide §2.6): the
+    // per-table data files go to disjoint txn-scoped dirs, nothing is
+    // visible until the manifest references them below, and Spark's
+    // scheduler happily runs several write jobs at once — the commit
+    // protocol is unchanged, only the caller-side serialization of
+    // the write actions goes away (q446 pays 6 sequential write DAGs
+    // otherwise). Threads are bounded and the result map is rebuilt
+    // in deterministic key order.
+    val written: Map[String,
+        (Seq[String], Long, Map[String, String], Map[String, Long])] = {
+      val entries = (appends ++ snapshots).toSeq
+      if (entries.size <= 1)
+        entries.map { case (t, df) => t -> writeOut(t, df) }.toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(entries.size, 4))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val futs = entries.map { case (t, df) =>
+            scala.concurrent.Future(t -> writeOut(t, df)) }
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(futs),
+            scala.concurrent.duration.Duration.Inf).toMap
+        } finally pool.shutdown()
+      }
+    }
 
     // Per-file Bloom membership lines for the columns named in
     // `graft.manifest.bloomCols` (comma-separated; opt-in because it
