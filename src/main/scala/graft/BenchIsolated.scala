@@ -43,7 +43,15 @@ object BenchIsolated {
     // r18 optimization-round movers: keep isolated baselines fresh
     // for the kernel/bitset/driver-UF rewrites.
     "q346_neighborhood", "q350_mann_kendall", "q358_dbscan",
-    "q361_hodges_lehmann", "q366_kendall_tau", "q376_item_knn_recs")
+    "q361_hodges_lehmann", "q366_kendall_tau", "q376_item_knn_recs",
+    // r19 optimization-round movers: driver folds (markov, iterative
+    // graph family), groupLag/scaffold fusions, wedge lazy pins.
+    "q359_markov_attribution", "q426_pettitt", "q435_spectral_entropy",
+    "q354_runs_test", "q429_bartels_rank", "q412_dickey_fuller",
+    "q177_hop_distance", "q182_hits", "q184_trustrank",
+    "q198_label_spread", "q119_pagerank", "q147_domain_pagerank",
+    "q167_kcore", "q221_adamic_adar", "q227_reciprocal_best",
+    "q275_link_jaccard", "q446_corpus_refresh")
 
   private def freshSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -1855,14 +1855,18 @@ object TimeSeries {
         col(tieBreakCol).cast("long").as("__tb"),
         round(col(valueCol).cast("double") * lit(1e3)).cast("long")
           .as("__y"))
-    // Consecutive (y_{t−1}, Δy_t) pairs ride ONE [[Ranking.groupLag]]
-    // pass (r19, guide §2.4) instead of the rank scaffold +
-    // (group, rank)-keyed self-join.
-    val pairs = Ranking.groupLag(base, "__g", Seq("__o", "__tb"),
-        Seq("__y"), 1)
-      .filter(col("__y_lag1").isNotNull)
-      .select(col("__g"), col("__y_lag1").as("__x"),
-        (col("__y") - col("__y_lag1")).as("__z"))
+    // r19 note: a groupLag rewrite of this pairing was measured and
+    // REVERTED — final in-suite medians regressed (1.52 → 2.18 s raw;
+    // the repair machinery cost more than the saved self-join, which
+    // reuses the rank scaffold's exchange).
+    val ranked = Ranking.groupRank(base, "__g", Seq("__o", "__tb"))
+    val prev = ranked.select(col("__g").as("__pg"),
+      (col("rank") + 1L).as("__pr"), col("__y").as("__py"))
+    val pairs = ranked
+      .join(prev, col("__g") === col("__pg") &&
+        col("rank") === col("__pr"))
+      .select(col("__g"), col("__py").as("__x"),
+        (col("__y") - col("__py")).as("__z"))
     val sums = pairs.groupBy(col("__g"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("__x").cast(dec)).as("__sx"),
@@ -2174,23 +2178,28 @@ object TimeSeries {
       valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val base = seriesBase(df, keyCol, tsCol, idCol, valueCol)
-    // Triples ride ONE [[Ranking.groupLag]] pass (r19, guide §2.4)
-    // instead of a rank scaffold + two self equi-joins: the row at
-    // position i carries (v_{i−2}, v_{i−1}, v_i), and the extremum
-    // test centers on the lag-1 value — each interior position is
-    // censused exactly once.
-    val lagged = Dedup.truncate(Ranking.groupLag(base, "__k",
-      Seq("__ts", "__id"), Seq("__v"), 2))
+    // r19 note: a groupLag rewrite (triples in one scaffold pass) was
+    // measured and REVERTED — it swapped two reused-exchange
+    // self-joins for the boundary-repair machinery without removing a
+    // scaffold, and the final in-suite medians regressed ~1.6×
+    // (1.65 → 3.42 s raw, still ~2.6 after window-skew adjustment).
+    // groupLag stays where it deletes a whole scaffold (runsTest,
+    // bartelsRank).
+    val ranked = Dedup.truncate(
+      Ranking.groupRank(base, "__k", Seq("__ts", "__id")))
+    val cur = ranked.select(col("__k"), col("rank"), col("__v"))
+    val prev = cur.select(col("__k"), (col("rank") + 1L).as("rank"),
+      col("__v").as("__vp"))
+    val next = cur.select(col("__k"), (col("rank") - 1L).as("rank"),
+      col("__v").as("__vn"))
     val isTurn =
-      (col("__v_lag2") < col("__v_lag1") &&
-        col("__v") < col("__v_lag1")) ||
-        (col("__v_lag2") > col("__v_lag1") &&
-          col("__v") > col("__v_lag1"))
-    val turns = lagged
-      .filter(col("__v_lag1").isNotNull && col("__v_lag2").isNotNull)
+      (col("__vp") < col("__v") && col("__vn") < col("__v")) ||
+        (col("__vp") > col("__v") && col("__vn") > col("__v"))
+    val turns = cur.join(prev, Seq("__k", "rank"))
+      .join(next, Seq("__k", "rank"))
       .groupBy(col("__k"))
       .agg(sum(when(isTurn, 1L).otherwise(0L)).as("n_turning"))
-    val nPer = lagged.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+    val nPer = ranked.groupBy(col("__k")).agg(max(col("rank")).as("n"))
     val joined = nPer.join(turns, Seq("__k"), "left")
       .select(col("__k"), col("n"),
         coalesce(col("n_turning"), lit(0L)).as("n_turning"))
@@ -2338,21 +2347,25 @@ object TimeSeries {
       idCol: String,
       valueCol: String): DataFrame = {
     val base = seriesBase(df, keyCol, tsCol, idCol, valueCol)
-    // Embedded triples ride ONE [[Ranking.groupLag]] pass (r19, guide
-    // §2.4) instead of a rank scaffold + two self equi-joins: the row
-    // at position i carries the triple (v_{i−2}, v_{i−1}, v_i) =
-    // (x_t, x_{t+1}, x_{t+2}) for t = i−2, so the ordinal-pattern
-    // algebra below substitutes __v→lag2, __v2→lag1, __v3→current.
-    val trip = Ranking.groupLag(base, "__k", Seq("__ts", "__id"),
-        Seq("__v"), 2)
-      .filter(col("__v_lag1").isNotNull && col("__v_lag2").isNotNull)
+    // r19 note: the [[turningPoint]] groupLag revert applies here too
+    // (same swap, same in-suite regression — 2.28 → 3.62 s raw);
+    // only the windowed per-key totals below were kept.
+    val ranked = Dedup.truncate(
+      Ranking.groupRank(base, "__k", Seq("__ts", "__id")))
+    val cur = ranked.select(col("__k"), col("rank"), col("__v"))
+    val p1 = cur.select(col("__k"), (col("rank") - 1L).as("rank"),
+      col("__v").as("__v2"))
+    val p2 = cur.select(col("__k"), (col("rank") - 2L).as("rank"),
+      col("__v").as("__v3"))
+    val trip = cur.join(p1, Seq("__k", "rank"))
+      .join(p2, Seq("__k", "rank"))
     // Ordinal rank of positions 1 and 2 among the triple under the
     // lexicographic (value, index) order; position 3's rank is
     // implied, so code = 3a + b is a bijection onto the 6 patterns.
-    val a = when(col("__v_lag1") < col("__v_lag2"), 1L).otherwise(0L) +
-      when(col("__v") < col("__v_lag2"), 1L).otherwise(0L)
-    val b = when(col("__v_lag2") <= col("__v_lag1"), 1L).otherwise(0L) +
-      when(col("__v") < col("__v_lag1"), 1L).otherwise(0L)
+    val a = when(col("__v2") < col("__v"), 1L).otherwise(0L) +
+      when(col("__v3") < col("__v"), 1L).otherwise(0L)
+    val b = when(col("__v") <= col("__v2"), 1L).otherwise(0L) +
+      when(col("__v3") < col("__v2"), 1L).otherwise(0L)
     val census = trip.select(col("__k"),
         (lit(3L) * a + b).as("__code"))
       .groupBy(col("__k"), col("__code"))
